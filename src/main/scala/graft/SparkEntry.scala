@@ -1,13 +1,717 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators._
+import graft.query.SearchParser
+
+/** Driver contract — queries + DuckDB oracle twins (SURVEY.md §2/§5).
+  *
+  * Conventions for oracle parity (driver hashes values after sorting
+  * columns by name):
+  *  - timestamps never emitted raw: truncated to epoch seconds in the
+  *    integer domain (`cast(ts as long)` ≡ DuckDB
+  *    `epoch(date_trunc('second', ts))::bigint` — events.ts is ns parquet,
+  *    which Spark truncates to µs, so second-level is the safe meet);
+  *  - doubles rounded on both sides;
+  *  - every ordering fully deterministic (explicit tie-break columns);
+  *  - aggregate/computed columns aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with epoch-seconds ts (deterministic across engines).
+    * events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses as a
+    * timestamp — read it as raw Long nanos (runtime conf) and floor-divide
+    * in the integer domain (no double round-trip: 1.7e18 ns > 2^53). */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, dir, "events")
+    val sec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("ts div 1000000000")
+      case _ => col("ts").cast("long")
+    }
+    raw.withColumn("sec", sec)
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q18_trip_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------- relational core -------------------------
+
+    // G1/P1: wide aggregation with filter pushdown (pricing summary).
+    "q01_lineitem_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P1/P9: projection + predicate pushdown to the parquet scan.
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ST6 analog: broadcast dimension join chain (customer⋈nation⋈region).
+    "q03_broadcast_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // M6/M7: global top-k (planned as TakeOrderedAndProject).
+    "q04_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .select(col("rank"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total_price"))
+    }),
+
+    // G1 join+agg: revenue per nation (fact ⋈ facts ⋈ broadcast dims).
+    "q05_revenue_by_nation" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ------------------- streaming-semantics analogs -------------------
+    // (events: user_id ≈ hex, sec ≈ packet time, value ≈ distance)
+
+    // ST3: gap-timeout sessionization (remember=6h on this corpus).
+    "q10_sessionize" -> ((s, dir) => {
+      SessionOps.sessionize(ev(s, dir), col("user_id"), col("sec"), 21600)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("sec")).as("start_time"),
+          max(col("sec")).as("end_time"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ST2: consecutive-duplicate suppression (dedup-by-change).
+    "q11_dedup_change" -> ((s, dir) => {
+      val e = ev(s, dir)
+      ChangeOps.dedupByChange(
+        e.orderBy(col("user_id")), col("user_id"),
+        struct(col("sec"), col("event_id")), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ST4: closest-approach argmin per key (min value, earliest ts).
+    "q12_closest_approach" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("sec"), col("event_id"))
+      ev(s, dir).withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), round(col("value"), 2).as("min_value"),
+          col("sec").as("closest_time"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ST5: as-of join — each signup picks up the latest purchase ≤ its ts.
+    "q13_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      // deterministic one-quote-per-(user,sec): keep max event_id's value
+      val wq = Window.partitionBy(col("user_id"), col("sec"))
+        .orderBy(col("event_id").desc)
+      val quotes = e.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("sec"),
+          round(col("value"), 2).as("last_purchase"))
+      val probes = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("sec"), col("event_id").as("signup_id"))
+      AsOfJoin.asOf(probes, quotes, "user_id", "sec")
+        .select(col("user_id"), col("signup_id"), col("sec"),
+          col("last_purchase"))
+        .orderBy(col("user_id"), col("signup_id"))
+    }),
+
+    // ST7: every-nth decimation per key.
+    "q14_decimate" -> ((s, dir) => {
+      ChangeOps.decimate(ev(s, dir), col("user_id"),
+        struct(col("sec"), col("event_id")), 15)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("value")), 2).as("sum_kept"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ST12/ST13/F7: daily rollup at fixed UTC offset (-4), alarm=value>150.
+    "q15_daily_rollup" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("date",
+        RollupOps.localDay(col("sec"), -4))
+      e.groupBy(col("date"))
+        .agg(countDistinct(col("user_id")).as("unique_planes"),
+          count(lit(1)).as("total_trips"),
+          countDistinct(when(col("value") > 150, col("user_id")))
+            .as("unique_alarm_planes"),
+          sum(when(col("value") > 150, 1L).otherwise(0L))
+            .as("total_alarm_trips"))
+        .orderBy(col("date"))
+    }),
+
+    // M6×M7: latest row per key, ascending top-k by value.
+    "q16_topk_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec").desc, col("event_id").desc)
+      ev(s, dir).withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .orderBy(coalesce(col("value"), lit(10000.0)).asc, col("user_id").asc)
+        .limit(25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(coalesce(col("value"), lit(10000.0)).asc,
+            col("user_id").asc)))
+        .select(col("rank"), col("user_id"),
+          round(col("value"), 2).as("value"))
+    }),
+
+    // Q1: predicate-intersection search (all conditions at same hour).
+    "q17_search_intersect" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val obs = e.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"),
+          (col("sec") - pmod(col("sec"), lit(3600L))).as("hour"),
+          when(col("event_type") === "click", "alt").otherwise("dist")
+            .as("attr"),
+          col("value"))
+      SearchParser.search(obs, "alt>120 dist<40",
+        "user_id", "hour", "attr", "value")
+        .orderBy(col("user_id"))
+    }),
+
+    // Flagship ST3+ST4+P3: session trip summaries with closest approach.
+    "q18_trip_summary" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val sess = SessionOps.sessionize(e, col("user_id"), col("sec"), 21600)
+      val stats = sess.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("sec")).as("start_time"),
+          max(col("sec")).as("end_time"),
+          count(lit(1)).as("n_points"))
+      val wmin = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("value"), col("sec"), col("event_id"))
+      val closest = sess.withColumn("__rn", row_number().over(wmin))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("session_id"),
+          round(col("value"), 2).as("min_value"),
+          col("sec").as("closest_time"))
+      stats.join(closest, Seq("user_id", "session_id"))
+        .filter(col("end_time") - col("start_time") >= 3600)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Tumbling-window aggregation (hourly per event type).
+    "q19_hourly_window" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("hour", col("sec") - pmod(col("sec"), lit(3600L)))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ----------------------------- geo ---------------------------------
+
+    // F1/F4-composable: bearing + haversine from home to synthetic points.
+    "q20_geo_bearing_dist" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("event_id") < 500)
+      val lat = round(pmod(col("value"), lit(120.0)) - 60.0, 6)
+      val lon = round(pmod(col("user_id").cast("double") * 7.3, lit(300.0)) - 150.0, 6)
+      e.select(col("event_id"), lat.as("lat"), lon.as("lon"))
+        .withColumn("bearing",
+          round(GeoFunctions.bearingDeg(lit(35.7270309), lit(-78.695587),
+            col("lat"), col("lon")), 4))
+        .withColumn("dist_km",
+          round(GeoFunctions.haversineKm(lit(35.7270309), lit(-78.695587),
+            col("lat"), col("lon")), 4))
+        .orderBy(col("event_id"))
+    }),
+
+    // ------------------- training-data pipeline ops ---------------------
+
+    // Exact dedup groups by content hash.
+    "q30_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("content_hash"))
+    }),
+
+    // MinHash signature head (minhash itself, oracle-checkable).
+    "q31_minhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.minhash(
+          array_distinct(TextFunctions.shingles(col("text"), 3)), 0)
+          .as("minhash0"),
+        TextFunctions.minhash(
+          array_distinct(TextFunctions.shingles(col("text"), 3)), 1)
+          .as("minhash1"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-LSH near-dup candidate pairs with verified Jaccard.
+    "q32_minhash_lsh" -> ((s, dir) => {
+      DedupOps.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash 16-bit signatures.
+    "q33_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.simhash16(TextFunctions.tokens(col("text")))
+            .as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Brute-force cosine top-k ANN (query side broadcast; corpus scanned
+    // once). Rank on the ROUNDED similarity (6 dp) with id tie-break so
+    // last-ulp FP noise can never flip the ranking across engines.
+    "q34_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          VectorFunctions.toDouble(col("embedding")).as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        VectorFunctions.toDouble(col("embedding")).as("cv"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Language-ID heuristic (marker lexicon vote).
+    "q35_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysisOps.langGuess(col("text")).as("lang_guess"))
+        .groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_guess"))
+    }),
+
+    // Quality scoring (length/stopword/distinct blend).
+    "q36_quality" -> ((s, dir) => {
+      TextAnalysisOps.quality(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token statistics.
+    "q37_token_stats" -> ((s, dir) => {
+      TextAnalysisOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content fingerprint (min-md5 of 3-gram shingles).
+    "q38_fingerprint" -> ((s, dir) => {
+      TextAnalysisOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle twins
+  // ---------------------------------------------------------------------
+
+  /** events-with-seconds CTE used by most event oracles. */
+  private val EvCte =
+    "WITH e AS (SELECT event_id, user_id, event_type, value, " +
+      "epoch(date_trunc('second', ts))::BIGINT AS sec FROM events)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q04_topk_orders" ->
+      """SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+        |  o_orderkey, round(o_totalprice, 2) AS total_price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q05_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q10_sessionize" -> (EvCte +
+      """, d AS (
+        |  SELECT *, CASE WHEN sec - lag(sec) OVER
+        |    (PARTITION BY user_id ORDER BY sec, event_id) > 21600
+        |    THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d)
+        |SELECT user_id, session_id, count(*) AS n_points,
+        |  min(sec) AS start_time, max(sec) AS end_time
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin),
+
+    "q11_dedup_change" -> (EvCte +
+      """, d AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e)
+        |SELECT user_id, count(*) AS n_kept
+        |FROM d WHERE prev IS NULL OR prev <> event_type
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q12_closest_approach" -> (EvCte +
+      """SELECT user_id, round(value, 2) AS min_value, sec AS closest_time
+        |FROM e
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY value, sec, event_id) = 1
+        |ORDER BY user_id""".stripMargin),
+
+    "q13_asof_join" -> (EvCte +
+      """, q AS (
+        |  SELECT user_id, sec, round(value, 2) AS last_purchase
+        |  FROM e WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY user_id, sec ORDER BY event_id DESC) = 1),
+        |p AS (
+        |  SELECT user_id, sec, event_id AS signup_id
+        |  FROM e WHERE event_type = 'signup')
+        |SELECT p.user_id AS user_id, p.signup_id AS signup_id,
+        |  p.sec AS sec, q.last_purchase AS last_purchase
+        |FROM p ASOF LEFT JOIN q
+        |  ON p.user_id = q.user_id AND q.sec <= p.sec
+        |ORDER BY p.user_id, p.signup_id""".stripMargin),
+
+    "q14_decimate" -> (EvCte +
+      """, d AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY sec, event_id) AS rn FROM e)
+        |SELECT user_id, count(*) AS n_kept, round(sum(value), 2) AS sum_kept
+        |FROM d WHERE (rn - 1) % 15 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q15_daily_rollup" -> (EvCte +
+      """SELECT strftime(to_timestamp(sec + (-4) * 3600), '%Y-%m-%d') AS date,
+        |  count(DISTINCT user_id) AS unique_planes,
+        |  count(*) AS total_trips,
+        |  count(DISTINCT CASE WHEN value > 150 THEN user_id END)
+        |    AS unique_alarm_planes,
+        |  sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS total_alarm_trips
+        |FROM e GROUP BY 1 ORDER BY date""".stripMargin),
+
+    "q16_topk_latest" -> (EvCte +
+      """, latest AS (
+        |  SELECT user_id, value FROM e
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY user_id ORDER BY sec DESC, event_id DESC) = 1)
+        |SELECT row_number() OVER
+        |    (ORDER BY coalesce(value, 10000.0), user_id) AS rank,
+        |  user_id, round(value, 2) AS value
+        |FROM latest
+        |ORDER BY coalesce(value, 10000.0), user_id LIMIT 25""".stripMargin),
+
+    "q17_search_intersect" -> (EvCte +
+      """, obs AS (
+        |  SELECT user_id, sec - sec % 3600 AS hour,
+        |    CASE WHEN event_type = 'click' THEN 'alt' ELSE 'dist' END AS attr,
+        |    value
+        |  FROM e WHERE event_type IN ('click', 'purchase')),
+        |per_ts AS (
+        |  SELECT user_id, hour,
+        |    max(CASE WHEN attr = 'alt' AND value > 120 THEN 1 ELSE 0 END) AS p0,
+        |    max(CASE WHEN attr = 'dist' AND value < 40 THEN 1 ELSE 0 END) AS p1
+        |  FROM obs GROUP BY user_id, hour)
+        |SELECT DISTINCT user_id FROM per_ts
+        |WHERE p0 = 1 AND p1 = 1 ORDER BY user_id""".stripMargin),
+
+    "q18_trip_summary" -> (EvCte +
+      """, d AS (
+        |  SELECT *, CASE WHEN sec - lag(sec) OVER
+        |    (PARTITION BY user_id ORDER BY sec, event_id) > 21600
+        |    THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d),
+        |stats AS (
+        |  SELECT user_id, session_id, min(sec) AS start_time,
+        |    max(sec) AS end_time, count(*) AS n_points
+        |  FROM s GROUP BY user_id, session_id),
+        |closest AS (
+        |  SELECT user_id, session_id, round(value, 2) AS min_value,
+        |    sec AS closest_time
+        |  FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY value, sec, event_id) = 1)
+        |SELECT stats.user_id, stats.session_id, start_time, end_time,
+        |  n_points, min_value, closest_time
+        |FROM stats JOIN closest USING (user_id, session_id)
+        |WHERE end_time - start_time >= 3600
+        |ORDER BY user_id, session_id""".stripMargin),
+
+    "q19_hourly_window" -> (EvCte +
+      """SELECT sec - sec % 3600 AS hour, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    "q20_geo_bearing_dist" -> (EvCte +
+      """, pts AS (
+        |  SELECT event_id,
+        |    round(((value % 120.0) + 120.0) % 120.0 - 60.0, 6) AS lat,
+        |    round(((user_id * 7.3) % 300.0 + 300.0) % 300.0 - 150.0, 6) AS lon
+        |  FROM e WHERE event_id < 500)
+        |SELECT event_id, lat, lon,
+        |  round(((degrees(atan2(
+        |      sin(radians(lon - (-78.695587))) * cos(radians(lat)),
+        |      cos(radians(35.7270309)) * sin(radians(lat)) -
+        |      sin(radians(35.7270309)) * cos(radians(lat)) *
+        |        cos(radians(lon - (-78.695587)))))
+        |    % 360.0) + 360.0) % 360.0, 4) AS bearing,
+        |  round(2.0 * 6371.0088 * asin(least(1.0, sqrt(
+        |    pow(sin(radians(lat - 35.7270309) / 2), 2) +
+        |    cos(radians(35.7270309)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - (-78.695587)) / 2), 2)))), 4) AS dist_km
+        |FROM pts ORDER BY event_id""".stripMargin),
+
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q31_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([array_to_string(t[i + 1:i + 3], ' ')
+        |        FOR i IN range(len(t) - 2)])
+        |    ELSE [array_to_string(t, ' ')] END AS shingles
+        |  FROM toks),
+        |flat AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |SELECT doc_id, min(md5(s || '|0')) AS minhash0,
+        |  min(md5(s || '|1')) AS minhash1
+        |FROM flat GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q32_minhash_lsh" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([array_to_string(t[i + 1:i + 3], ' ')
+        |        FOR i IN range(len(t) - 2)])
+        |    ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+        (0 until 12).map(i => s"    min(md5(s || '|$i')) AS m$i")
+          .mkString(",\n") +
+        "\n  FROM flat GROUP BY doc_id),\nbands AS (\n" +
+        (0 until 4).map { b =>
+          val cols = (b * 3 until b * 3 + 3).map(i => s"m$i").mkString(" || '#' || ")
+          s"  SELECT doc_id, md5($cols) AS band FROM sig"
+        }.mkString("\n  UNION ALL\n") +
+        """
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b USING (band)
+        |  WHERE a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+        |      ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |           len(list_distinct(sa.sh || sb.sh))::DOUBLE END AS jaccard
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM j
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin),
+
+    "q34_ann_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * cv[i])) AS dot,
+        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |cos6 AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |      ELSE dot / (na * nb) END, 6) AS cos
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM cos6)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q36_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    len(t)::DOUBLE AS n,
+        |    (length(text) - (len(t)::DOUBLE - 1)) / len(t)::DOUBLE AS mean_len,
+        |    len(list_filter(t, x -> x IN
+        |      ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+        |      / len(t)::DOUBLE AS stop_ratio,
+        |    len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio
+        |  FROM toks)
+        |SELECT doc_id,
+        |  (least(n / 100.0, 1.0) +
+        |   (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) +
+        |   (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END) +
+        |   distinct_ratio) / 4.0 AS quality
+        |FROM parts ORDER BY doc_id""".stripMargin,
+
+    "q33_simhash" -> (
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+        |bits AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (1 to 16).map(j =>
+        s"    sum(CASE WHEN substr(hh, $j, 1) >= '8' THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n") +
+      "\n  FROM h GROUP BY doc_id)\nSELECT doc_id, " +
+      (1 to 16).map(j =>
+        s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ") +
+      " AS simhash FROM bits ORDER BY doc_id"),
+
+    "q35_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS en,
+        |    len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS fr,
+        |    len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS es,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(t, x -> x IN ('的','是','了','在','我'))) AS zh
+        |  FROM toks),
+        |guess AS (
+        |  SELECT doc_id, CASE
+        |    WHEN greatest(en, fr, es, de, zh) = 0 THEN 'unk'
+        |    WHEN en >= fr AND en >= es AND en >= de AND en >= zh THEN 'en'
+        |    WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+        |    WHEN es >= de AND es >= zh THEN 'es'
+        |    WHEN de >= zh THEN 'de'
+        |    ELSE 'zh' END AS lang_guess
+        |  FROM scored)
+        |SELECT lang_guess, count(*) AS n_docs
+        |FROM guess GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+
+    "q37_token_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, len(t) AS n_tokens,
+        |  len(list_distinct(t)) AS n_distinct_tokens,
+        |  length(text) AS n_chars,
+        |  len(list_filter(t, x -> x IN
+        |    ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+        |    / len(t)::DOUBLE AS stopword_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q38_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ') FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END AS shingles
+        |  FROM toks)
+        |SELECT doc_id,
+        |  list_min([md5(s) FOR s IN shingles]) AS fingerprint
+        |FROM sh ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,122 @@
+package graft.config
+
+/** Engine configuration (reference: config.yaml:1-19, loaded at
+  * airstrik.py:30-31; field reference README.md:22-35).
+  *
+  * `filters` maps a zone name to (maxDistKm, maxAltM) — a plane "matches"
+  * a filter iff dist <= maxDistKm && (alt unknown || alt <= maxAltM)
+  * (airstrik.py:415-427).
+  */
+final case class GeoFilter(maxDistKm: Double, maxAltM: Double)
+
+final case class AirstrikConfig(
+    thinkAhead: Int = 60,              // prediction horizon, seconds (config.yaml:1-2)
+    latLonPacketAgeMax: Int = 10,      // speed-smoothing lookback, packets (config.yaml:3)
+    homeLat: Double = 35.7270309,      // home point (config.yaml:4-6)
+    homeLon: Double = -78.695587,
+    decimationFactor: Int = 15,        // every-nth live write (config.yaml:7)
+    decimationForceNewData: Boolean = true, // (config.yaml:8)
+    utcTimeOffset: Int = -4,           // day-bucketing offset, hours (config.yaml:9)
+    remember: Double = 60.0,           // session gap / state eviction, s (config.yaml:10)
+    jsonSpeed: Double = 0.0,           // decoder rewrite cadence (config.yaml:12)
+    minTripLength: Double = 90.0,      // min persisted trip, s (config.yaml:13)
+    printTopPlanes: Int = 25,          // display top-k (config.yaml:14)
+    mongoAddress: String = "127.0.0.1:27017",
+    kafkaAddress: String = "",
+    filters: Map[String, GeoFilter] = Map(
+      "close" -> GeoFilter(10, 1000),
+      "tooclose" -> GeoFilter(5, 1000))
+) {
+  /** Precomputed max bounds (reference airstrik.py:665-666) — constant-folded. */
+  lazy val mostGenerousDist: Double =
+    if (filters.isEmpty) 0.0 else filters.values.map(_.maxDistKm).max
+  lazy val mostGenerousAlt: Double =
+    if (filters.isEmpty) 0.0 else filters.values.map(_.maxAltM).max
+}
+
+object AirstrikConfig {
+  /** Minimal YAML-subset loader for the reference's flat config file.
+    * Handles exactly the shapes in config.yaml:1-19: scalar keys (with
+    * optional next-line block-scalar continuation), the nested `home` map,
+    * and the `filters` name -> [dist, alt] map. Zero dependencies. */
+  def fromYaml(text: String): AirstrikConfig = {
+    var cfg = AirstrikConfig(filters = Map.empty)
+    var section: String = "" // open key awaiting indented content
+    text.linesIterator.foreach { raw =>
+      val noComment = stripComment(raw)
+      if (noComment.trim.nonEmpty) {
+        val indented = noComment.startsWith(" ") || noComment.startsWith("\t")
+        val line = noComment.trim
+        val idx = line.indexOf(':')
+        if (!indented) {
+          if (idx >= 0) {
+            val key = line.substring(0, idx).trim
+            val value = line.substring(idx + 1).trim
+            if (value.isEmpty) section = key
+            else { section = ""; cfg = applyScalar(cfg, key, value) }
+          }
+        } else if (idx >= 0 && section.nonEmpty) {
+          val key = line.substring(0, idx).trim
+          val value = line.substring(idx + 1).trim
+          section match {
+            case "home" =>
+              if (key == "lat") cfg = cfg.copy(homeLat = value.toDouble)
+              else if (key == "lon") cfg = cfg.copy(homeLon = value.toDouble)
+            case "filters" =>
+              val nums = value.stripPrefix("[").stripSuffix("]")
+                .split(",").map(_.trim.toDouble)
+              cfg = cfg.copy(filters =
+                cfg.filters + (key -> GeoFilter(nums(0), nums(1))))
+            case _ => ()
+          }
+        } else if (section.nonEmpty) {
+          // block-scalar continuation: `think_ahead:` \n `  60` (config.yaml:1-2)
+          cfg = applyScalar(cfg, section, line)
+          section = ""
+        }
+      }
+    }
+    cfg
+  }
+
+  private def stripComment(s: String): String = {
+    // strip ` # ...` only outside quotes (addresses are quoted in config.yaml)
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    var done = false
+    while (i < s.length && !done) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\'') inQ = !inQ
+      if (c == '#' && !inQ) done = true else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') ||
+        (s.head == '\'' && s.last == '\''))) s.substring(1, s.length - 1)
+    else s
+
+  private def v2b(s: String): Boolean =
+    s.equalsIgnoreCase("true") || s.equalsIgnoreCase("yes") || s == "1"
+
+  private def applyScalar(c: AirstrikConfig, k: String, v0: String): AirstrikConfig = {
+    val v = unquote(v0)
+    k match {
+      case "think_ahead"               => c.copy(thinkAhead = v.toDouble.toInt)
+      case "lat_lon_packet_age_max"    => c.copy(latLonPacketAgeMax = v.toDouble.toInt)
+      case "decimation_factor"         => c.copy(decimationFactor = v.toDouble.toInt)
+      case "decimation_force_new_data" => c.copy(decimationForceNewData = v2b(v))
+      case "utc_time_offset"           => c.copy(utcTimeOffset = v.toDouble.toInt)
+      case "remember"                  => c.copy(remember = v.toDouble)
+      case "json_speed"                => c.copy(jsonSpeed = v.toDouble)
+      case "min_trip_length"           => c.copy(minTripLength = v.toDouble)
+      case "print_top_planes"          => c.copy(printTopPlanes = v.toDouble.toInt)
+      case "mongo_address"             => c.copy(mongoAddress = v)
+      case "kafka_address"             => c.copy(kafkaAddress = v)
+      case _                           => c
+    }
+  }
+}

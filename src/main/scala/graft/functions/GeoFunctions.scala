@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.geo.Geo
+
+/** Column-level geo functions.
+  *
+  * `bearingDeg` and `haversineKm` are composed purely from Spark built-ins,
+  * so they stay inside whole-stage codegen and are SQL-oracle-expressible
+  * (identical trig in DuckDB). The WGS-84 geodesic pair (`geodesicKm`,
+  * faithful to the reference's geopy use at airstrik.py:400/438/258) has no
+  * built-in equivalent and is exposed as a Scala UDF over [[graft.geo.Geo]].
+  */
+object GeoFunctions {
+
+  /** Initial great-circle bearing in degrees [0, 360)
+    * (reference formula airstrik.py:147-165). Pure built-ins. */
+  def bearingDeg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val p1 = radians(lat1); val p2 = radians(lat2)
+    val dl = radians(lon2 - lon1)
+    val y = sin(dl) * cos(p2)
+    val x = cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(dl)
+    val th = degrees(atan2(y, x))
+    pmod(th, lit(360.0))
+  }
+
+  /** Spherical haversine distance in km. Pure built-ins (codegen'd). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dp = radians(lat2 - lat1)
+    val dl = radians(lon2 - lon1)
+    val a = pow(sin(dp / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dl / 2), 2)
+    lit(2.0 * Geo.EarthRadiusKm) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** WGS-84 geodesic distance in km (Vincenty; reference geopy geodesic). */
+  val geodesicKmUdf = udf(Geo.geodesicKm _)
+
+  def geodesicKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    geodesicKmUdf(lat1, lon1, lat2, lon2)
+
+  /** WGS-84 destination point as struct(lat, lon)
+    * (reference airstrik.py:244-252). */
+  val destinationUdf = udf((lat: Double, lon: Double, b: Double, km: Double) => {
+    val (la, lo) = Geo.destination(lat, lon, b, km)
+    (la, lo)
+  })
+
+  def destination(lat: Column, lon: Column, bearing: Column, km: Column): Column =
+    destinationUdf(lat, lon, bearing, km)
+
+  /** Register SQL-callable names on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("geodesic_km", Geo.geodesicKm _)
+    spark.udf.register("bearing_deg", Geo.bearingDeg _)
+    spark.udf.register("haversine_km", Geo.haversineKm _)
+  }
+}

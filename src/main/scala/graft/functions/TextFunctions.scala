@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the large-scale training-data pipeline ops
+  * (dedup, quality, language-ID, fingerprinting).
+  *
+  * Everything here is composed from Spark built-ins (codegen'd, no UDFs,
+  * no Python) and has an exact DuckDB-SQL twin, so every operator built
+  * on these is oracle-checkable: `md5` hex strings are identical across
+  * engines, and "min over md5 strings" is a valid minhash family
+  * (lexicographic order on a uniform hash).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split; the corpus is space-joined). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: array of space-joined n-token windows. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", t))) // short doc: whole text is the shingle
+  }
+
+  /** Character n-gram shingles (for fingerprinting). */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - n + 1),
+        i => text.substr(i.cast("int"), lit(n))))
+      .otherwise(array(text))
+
+  /** One minhash value: min over shingles of md5(shingle || '|' || seed).
+    * String-min over a uniform hash ≡ classic minhash; identical in
+    * DuckDB (`min(md5(shingle || '|' || seed))`). */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(s, lit("|" + seed)))))
+
+  /** k-row minhash signature as an array column. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map(i => minhash(shingleArr, i)): _*)
+
+  /** LSH band keys: split a k-signature into bands of `rowsPerBand`,
+    * hash each band; docs sharing any band key are candidate pairs. */
+  def lshBandKeys(signature: Column, k: Int, rowsPerBand: Int): Column = {
+    val bands = k / rowsPerBand
+    array((0 until bands).map { b =>
+      val lo = b * rowsPerBand
+      md5(concat_ws("#",
+        (lo until math.min(lo + rowsPerBand, k))
+          .map(i => element_at(signature, i + 1)): _*))
+    }: _*)
+  }
+
+  /** 16-bit SimHash over tokens, returned as a 16-char '0'/'1' string.
+    * Bit j is set when the signed sum over tokens of (hex digit j of
+    * md5(token) >= '8' ? +1 : -1) is positive. Exactly expressible in
+    * DuckDB with the same md5/substr/string-compare. */
+  def simhash16(tokenArr: Column): Column = {
+    val hashed = transform(tokenArr, t => md5(t))
+    concat((1 to 16).map { j =>
+      val votes = aggregate(hashed, lit(0),
+        (acc, h) => acc + when(substring(h, j, 1) >= "8", 1).otherwise(-1))
+      when(votes > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+  }
+
+  /** Hamming distance between two equal-length '0'/'1' strings. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), length(a)), lit(0),
+      (acc, i) => acc + when(a.substr(i.cast("int"), lit(1)) =!=
+        b.substr(i.cast("int"), lit(1)), 1).otherwise(0))
+
+  /** Jaccard similarity of two string arrays (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  private val Stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Stopword count among tokens. */
+  def stopwordCount(tokenArr: Column): Column =
+    size(filter(tokenArr, t => t.isin(Stopwords: _*)))
+
+  /** Heuristic quality score in [0,1]: blend of length, mean token
+    * length, stopword ratio and distinct-token ratio (the standard
+    * cheap pre-training quality gates; cf. Gopher/C4 rules). */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    val meanLen = (length(text) - (n - 1)) / n // chars net of separators
+    val stopRatio = stopwordCount(t).cast("double") / n
+    val distinctRatio = size(array_distinct(t)).cast("double") / n
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val wordScore =
+      when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = when(stopRatio.between(0.01, 0.5), 1.0).otherwise(0.5)
+    // raw double: identical IEEE op order on both engines ⇒ bit-identical,
+    // so no rounding (rounding per-row decimals is the cross-engine hazard)
+    (lenScore + wordScore + stopScore + distinctRatio) / 4.0
+  }
+
+  /** Document fingerprint: min-md5 over word 3-gram shingles (a
+    * winnowing-style content fingerprint; equal fingerprints ⇒ highly
+    * similar leading content). */
+  def fingerprint(text: Column): Column =
+    array_min(transform(shingles(text, 3), s => md5(s)))
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` columns — pure built-ins
+  * (`aggregate`/`zip_with`/`transform`), codegen-friendly, no UDFs.
+  * Deterministic left-to-right fold order makes results exactly
+  * reproducible in the DuckDB oracle (same IEEE-754 sequence).
+  */
+object VectorFunctions {
+
+  /** Element-wise dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a); val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Cast an array<float> to array<double> (compute in double end-to-end
+    * so engine-to-engine FP agreement is exact). */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sign-pattern LSH bucket: '1'/'0' per leading dimension's sign.
+    * A coarse but deterministic bucketing for near-dup candidate
+    * generation (random-hyperplane LSH with axis-aligned planes). */
+  def signBucket(a: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(a, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+}

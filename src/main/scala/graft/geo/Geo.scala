@@ -1,0 +1,137 @@
+package graft.geo
+
+/** Pure-Scala geodesy kernel.
+  *
+  * The reference engine computes three geo primitives (SURVEY.md §2.3):
+  *   - initial great-circle bearing (reference: airstrik.py:147-165)
+  *   - geodesic distance on the WGS-84 ellipsoid (airstrik.py:400, 438, 258
+  *     via geopy's Karney geodesic)
+  *   - geodesic destination point (airstrik.py:244-252)
+  *
+  * We implement Vincenty's inverse/direct formulae (public-domain algorithm,
+  * Vincenty 1975) on WGS-84 — agrees with Karney to well under a metre for
+  * non-antipodal pairs, with a haversine fallback for the rare
+  * non-convergent near-antipodal case. Haversine (spherical) is also exposed
+  * because it is expressible with Spark's codegen'd trig built-ins and is
+  * used by the SQL-oracle-checked query surface.
+  */
+object Geo {
+  // WGS-84 ellipsoid
+  private val A = 6378137.0              // semi-major axis (m)
+  private val F = 1.0 / 298.257223563    // flattening
+  private val B = A * (1.0 - F)          // semi-minor axis (m)
+  val EarthRadiusKm = 6371.0088          // mean radius, haversine
+
+  /** Initial great-circle bearing in degrees, normalized to [0, 360).
+    * Mirrors the reference's spherical formula (airstrik.py:147-165). */
+  def bearingDeg(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dl = math.toRadians(lon2 - lon1)
+    val y = math.sin(dl) * math.cos(p2)
+    val x = math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl)
+    val th = math.toDegrees(math.atan2(y, x))
+    (th % 360.0 + 360.0) % 360.0
+  }
+
+  /** Spherical haversine distance in km (codegen-expressible twin). */
+  def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = math.toRadians(lat2 - lat1); val dl = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dp / 2), 2) +
+      math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
+    2.0 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Vincenty inverse: geodesic distance in km on WGS-84.
+    * Reference computes this via geopy (airstrik.py:400, 438, 258). */
+  def geodesicKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    if (lat1 == lat2 && lon1 == lon2) return 0.0
+    val u1 = math.atan((1 - F) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1 - F) * math.tan(math.toRadians(lat2)))
+    val l = math.toRadians(lon2 - lon1)
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+    var lambda = l
+    var iter = 0
+    var converged = false
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    while (iter < 200 && !converged) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      sinSigma = math.sqrt(
+        math.pow(cosU2 * sinL, 2) +
+          math.pow(cosU1 * sinU2 - sinU1 * cosU2 * cosL, 2))
+      if (sinSigma == 0.0) return 0.0 // coincident
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0.0) 0.0
+                   else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val c = F / 16 * cosSqAlpha * (4 + F * (4 - 3 * cosSqAlpha))
+      val lambdaPrev = lambda
+      lambda = l + (1 - c) * F * sinAlpha *
+        (sigma + c * sinSigma *
+          (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - lambdaPrev) < 1e-12) converged = true
+      iter += 1
+    }
+    if (!converged) return haversineKm(lat1, lon1, lat2, lon2) // near-antipodal
+    val uSq = cosSqAlpha * (A * A - B * B) / (B * B)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 *
+      (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) *
+          (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    B * bigA * (sigma - deltaSigma) / 1000.0
+  }
+
+  /** Vincenty direct: destination (lat, lon) from origin at initial bearing
+    * `bearingDeg` after `km` on WGS-84 (reference airstrik.py:244-252). */
+  def destination(lat: Double, lon: Double, bearingDegrees: Double, km: Double): (Double, Double) = {
+    if (km == 0.0) return (lat, lon)
+    val s = km * 1000.0
+    val alpha1 = math.toRadians(bearingDegrees)
+    val sinAlpha1 = math.sin(alpha1); val cosAlpha1 = math.cos(alpha1)
+    val tanU1 = (1 - F) * math.tan(math.toRadians(lat))
+    val cosU1 = 1 / math.sqrt(1 + tanU1 * tanU1)
+    val sinU1 = tanU1 * cosU1
+    val sigma1 = math.atan2(tanU1, cosAlpha1)
+    val sinAlpha = cosU1 * sinAlpha1
+    val cosSqAlpha = 1 - sinAlpha * sinAlpha
+    val uSq = cosSqAlpha * (A * A - B * B) / (B * B)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    var sigma = s / (B * bigA)
+    var sigmaPrev = Double.MaxValue
+    var cos2SigmaM = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var iter = 0
+    while (math.abs(sigma - sigmaPrev) > 1e-12 && iter < 200) {
+      cos2SigmaM = math.cos(2 * sigma1 + sigma)
+      sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+      val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 *
+        (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+          bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) *
+            (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+      sigmaPrev = sigma
+      sigma = s / (B * bigA) + deltaSigma
+      iter += 1
+    }
+    cos2SigmaM = math.cos(2 * sigma1 + sigma)
+    sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+    val tmp = sinU1 * sinSigma - cosU1 * cosSigma * cosAlpha1
+    val lat2 = math.atan2(
+      sinU1 * cosSigma + cosU1 * sinSigma * cosAlpha1,
+      (1 - F) * math.sqrt(sinAlpha * sinAlpha + tmp * tmp))
+    val lambda = math.atan2(
+      sinSigma * sinAlpha1,
+      cosU1 * cosSigma - sinU1 * sinSigma * cosAlpha1)
+    val c = F / 16 * cosSqAlpha * (4 + F * (4 - 3 * cosSqAlpha))
+    val l = lambda - (1 - c) * F * sinAlpha *
+      (sigma + c * sinSigma *
+        (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+    val lon2 = math.toRadians(lon) + l
+    (math.toDegrees(lat2), ((math.toDegrees(lon2) + 540.0) % 360.0) - 180.0)
+  }
+}

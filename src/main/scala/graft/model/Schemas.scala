@@ -1,0 +1,136 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Typed data model of the engine (SURVEY.md §1).
+  *
+  * Timestamps are fractional epoch seconds held as Double internally
+  * (reference keeps float epochs: airstrik.py:205, 577) and cast to
+  * TimestampType only at sinks.
+  */
+
+/** One element of a per-attribute history: a [value, ts] pair
+  * (reference airstrik.py:406-409, 577). */
+final case class ValueTs(value: Double, ts: Double)
+
+/** A raw observation from one `aircraft.json` snapshot
+  * (consumed fields: airstrik.py:481-577; FIXTURES.md §A1). */
+final case class AircraftPing(
+    now: Double,                    // snapshot epoch (airstrik.py:205)
+    hex: String,                    // ICAO24 id (airstrik.py:484)
+    flight: Option[String],         // callsign, may be absent (airstrik.py:571-572)
+    seen: Double,                   // seconds since last packet (airstrik.py:482)
+    lat: Option[Double],
+    lon: Option[Double],
+    navHeading: Option[Double],
+    altGeom: Option[Double])
+
+/** Per-aircraft mutable state carried by the stateful core
+  * (reference `plane_history` value struct, airstrik.py:553-568). */
+final case class PlaneState(
+    hex: String,
+    flightNameId: Option[String],
+    latHistory: Vector[ValueTs],
+    lonHistory: Vector[ValueTs],
+    navHeadingHistory: Vector[ValueTs],
+    altGeomHistory: Vector[ValueTs],
+    calcHeadingHistory: Vector[ValueTs],
+    calcSpeedHistory: Vector[ValueTs],
+    alarmHistory: Vector[ValueTs],  // 0.0/1.0 edge-compacted (airstrik.py:411-412)
+    distanceHistory: Vector[ValueTs],
+    startTime: Double,
+    alarmTriggered: Boolean,
+    decimationTracker: Int,
+    lastWrittenLat: Option[Double],
+    lastWrittenLon: Option[Double],
+    lastTs: Double)
+
+object PlaneState {
+  def init(hex: String, now: Double, decimationFactor: Int): PlaneState =
+    PlaneState(hex, None, Vector.empty, Vector.empty, Vector.empty,
+      Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
+      startTime = now, alarmTriggered = false,
+      decimationTracker = math.max(0, decimationFactor - 1),
+      lastWrittenLat = None, lastWrittenLon = None, lastTs = now)
+}
+
+/** End-of-trip "closest approach" summary (airstrik.py:498-543;
+  * FIXTURES.md §A4). Each attribute is the as-of value at closest
+  * approach, or None if never observed by then. */
+final case class TripRecord(
+    flightId: String,               // = hex (airstrik.py:542)
+    name: Option[String],           // callsign or icao backfill (airstrik.py:510-519)
+    startTime: Double,
+    endTime: Double,
+    closestTime: Double,
+    lat: Option[ValueTs],
+    lon: Option[ValueTs],
+    navHeading: Option[ValueTs],
+    altGeom: Option[ValueTs],
+    calcHeading: Option[ValueTs],
+    calcSpeed: Option[ValueTs],
+    alarm: Option[ValueTs],
+    distance: Option[ValueTs],
+    filters: Map[String, (Double, Double)]) // matched zones (airstrik.py:426)
+
+/** Decimated live track point (airstrik.py:601-614). */
+final case class TrackPoint(
+    flightId: String,
+    ts: Double,
+    lat: Option[Double],
+    lon: Option[Double],
+    navHeading: Option[Double],
+    altGeom: Option[Double],
+    calcHeading: Option[Double],
+    calcSpeed: Option[Double],
+    distance: Option[Double],
+    startTime: Double)
+
+/** Kafka event (topics airstrik-warning / airstrik-alert,
+  * airstrik.py:334-368; schema README.md:57-68). */
+final case class AlarmEvent(
+    eventType: String,              // "warning" | "alert"
+    planeHex: String,
+    planeId: String,                // "" when unknown (airstrik.py:341)
+    planeTime: Double,
+    heading: Option[Double],
+    speed: Option[Double],
+    altitude: Option[Double],       // None ≡ reference's 'unknown'
+    latitude: Option[Double],
+    longitude: Option[Double],
+    distance: Option[Double],
+    eta: Option[Int])               // warning only (airstrik.py:356)
+
+/** Daily rollup row (airstrik.py:670-676). */
+final case class DayStats(
+    date: String,                   // "YYYY-MM-DD" at utc_time_offset
+    uniquePlanes: Long,
+    totalTrips: Long,
+    uniqueAlarmPlanes: Long,
+    totalAlarmTrips: Long)
+
+object Schemas {
+  /** Spark schema of one aircraft.json snapshot (FIXTURES.md §A1). */
+  val aircraftJson: StructType = StructType(Seq(
+    StructField("now", DoubleType, nullable = false),
+    StructField("aircraft", ArrayType(StructType(Seq(
+      StructField("hex", StringType, nullable = false),
+      StructField("flight", StringType, nullable = true),
+      StructField("seen", DoubleType, nullable = true),
+      StructField("lat", DoubleType, nullable = true),
+      StructField("lon", DoubleType, nullable = true),
+      StructField("nav_heading", DoubleType, nullable = true),
+      StructField("alt_geom", DoubleType, nullable = true)))),
+      nullable = false)))
+
+  /** Flattened ping schema after explode (one row per aircraft per snapshot). */
+  val ping: StructType = StructType(Seq(
+    StructField("now", DoubleType, nullable = false),
+    StructField("hex", StringType, nullable = false),
+    StructField("flight", StringType, nullable = true),
+    StructField("seen", DoubleType, nullable = true),
+    StructField("lat", DoubleType, nullable = true),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("nav_heading", DoubleType, nullable = true),
+    StructField("alt_geom", DoubleType, nullable = true)))
+}

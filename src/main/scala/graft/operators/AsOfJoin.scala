@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the relational form of the reference's
+  * trip-summary attribute assembly (ST5, airstrik.py:498-521): for each
+  * left probe (key, ts), take the latest right row with rts <= ts.
+  *
+  * Implemented as the union + sort + last-carry-forward plan:
+  * one shuffle on the key, one sort per partition, **no range self-join**
+  * (a naive `l JOIN r ON r.ts <= l.ts` + top-1 explodes quadratically at
+  * scale; this plan is O(n log n) and AQE-friendly — the same shape
+  * Flink/Kafka-Streams use for temporal joins).
+  *
+  * Inputs must share the key column name; `probes` supplies (key, ts)
+  * rows, `quotes` supplies (key, ts, payload...) rows. Result: probes
+  * with each quote payload column as the as-of value (null when no quote
+  * at or before the probe ts).
+  */
+object AsOfJoin {
+
+  def asOf(probes: DataFrame, quotes: DataFrame,
+           keyCol: String, tsCol: String): DataFrame = {
+    val payloadCols = quotes.columns.filterNot(c => c == keyCol || c == tsCol)
+    val probeCols = probes.columns.filterNot(c => c == keyCol || c == tsCol)
+
+    val taggedQ = quotes
+      .select((Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        payloadCols.map(col) ++
+        probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c))): _*)
+    val taggedP = probes
+      .select((Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
+        payloadCols.map(c => lit(null).cast(quotes.schema(c).dataType).as(c)) ++
+        probeCols.map(col)): _*)
+
+    // quotes sort before probes at equal ts (join is inclusive: rts <= ts)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val carried = taggedQ.unionByName(taggedP)
+      .select((Seq(col(keyCol), col(tsCol), col("__side")) ++
+        probeCols.map(col) ++
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+}

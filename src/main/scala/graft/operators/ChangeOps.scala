@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-detection family: the relational twins of the reference's
+  * per-key in-state dedup / edge-detection / decimation
+  * (ST2 airstrik.py:576-577 & 211-220, ST10 airstrik.py:411-412,
+  * ST7 airstrik.py:584-626, P6 airstrik.py:612-624).
+  *
+  * All are single-window-pass plans: one shuffle on the key, one sort,
+  * lag/row_number — no joins. This is the shape that survives 100×
+  * scale-up; the alternative (self-join on adjacent rows) does not.
+  */
+object ChangeOps {
+
+  /** Keep a row only when `value` differs from the previous row's value
+    * for the same key (consecutive-duplicate suppression; the reference's
+    * raw-attribute dedup semantics, airstrik.py:576-577 — compares to the
+    * LAST appended element only). First row per key is always kept. */
+  def dedupByChange(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+    df.withColumn("__prev", lag(value, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= value)
+      .drop("__prev")
+  }
+
+  /** Keep a row only when `value` never occurred before for this key
+    * (the reference's `patch_add` semantics, airstrik.py:211-220 —
+    * dedups against the ENTIRE history, not just the last element). */
+  def dedupByAnyPrior(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(key, value).orderBy(ts)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Edge detection: keep rows where a (boolean-ish) value transitions
+    * (ST10 alarm-history compaction, airstrik.py:411-412). */
+  def edges(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame =
+    dedupByChange(df, key, ts, value)
+
+  /** Every-nth-row decimation per key (ST7, airstrik.py:584-626): keeps
+    * rows 1, n+1, 2n+1, ... in ts order (the reference's countdown writes
+    * the first row then every nth). n <= 0 keeps nothing (reference:
+    * `decimation_factor: 0` disables live rows). */
+  def decimate(df: DataFrame, key: Column, ts: Column, n: Int): DataFrame = {
+    if (n <= 0) return df.limit(0)
+    val w = Window.partitionBy(key).orderBy(ts)
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % n === 0)
+      .drop("__rn")
+  }
+}

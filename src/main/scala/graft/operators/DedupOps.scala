@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication operators for large-scale training-data
+  * pipelines. All variants are built from codegen'd built-ins (no UDFs)
+  * and have exact DuckDB twins for the oracle harness.
+  *
+  * Scale design (the 100 TB path):
+  *  - exact: one hash-shuffle on md5(text) — the minimum possible.
+  *  - minhash LSH: explode to (band_key, doc) then self-join per band —
+  *    candidate generation is linear in corpus size × bands; the
+  *    quadratic pair space is never materialized (only within-bucket
+  *    pairs, which LSH keeps tiny). This is the standard
+  *    shingle→minhash→band→bucket-join pipeline (Broder '97; used by
+  *    C4/The Pile/RefinedWeb dedup).
+  *  - simhash: group by 16-bit signature — linear.
+  *  - ngram-jaccard: verification step applied only to LSH candidates.
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the lowest-id doc per identical text.
+    * One shuffle on the content hash (never on the raw text — a 100 KB
+    * document would make terrible shuffle keys). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate groups: content hash -> ids (diagnostic view). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** MinHash-LSH candidate pairs: docs sharing >= 1 of `k/rowsPerBand`
+    * band keys, with the verified shingle-set Jaccard attached.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 12,
+                        rowsPerBand: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    // one pass: explode shingles, 12 min-aggregates with map-side partial
+    // aggregation — the signature costs ONE shuffle of (id, 12 hashes)
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val sig = exploded.groupBy(col("id"))
+      .agg(min(md5(concat(col("s"), lit("|0")))).as("m0"),
+        (1 until k).map(i =>
+          min(md5(concat(col("s"), lit("|" + i)))).as("m" + i)): _*)
+    val bands = k / rowsPerBand
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat_ws("#",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("m" + i)): _*))
+    }
+    val banded = sig.select(col("id"), explode(array(bandKeys: _*)).as("band"))
+    // candidate ids only through the join+distinct (no array payload)
+    val cand = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // verify: attach shingle sets once per surviving pair
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  /** Near-dup pairs at a Jaccard threshold (LSH candidates, verified). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame =
+    minhashCandidates(docs, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+
+  /** SimHash clusters: groups of docs with identical 16-bit simhash. */
+  def simhashClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhash16(tokens(col(textCol))).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** N-gram Jaccard similarity for an explicit pair list (verification
+    * primitive; used standalone for blocked/bucketed comparisons). */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), n)).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "id_a")
+              .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("__id", "id_b")
+              .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold among vectors sharing
+    * a coarse sign-LSH bucket (linear candidate generation; the bucket is
+    * the sign pattern of the first `signBits` dimensions). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, signBits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val withKey = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("bucket", signBucket(col("v"), signBits))
+    val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

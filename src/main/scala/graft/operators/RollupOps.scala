@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Daily rollup + ranking ops (ST12/ST13 airstrik.py:659-691,
+  * M6/M7 airstrik.py:289-309). */
+object RollupOps {
+
+  /** Local-day bucket of an epoch-seconds column at a fixed UTC offset
+    * (F7, airstrik.py:663-668; `utc_time_offset` config.yaml:9). */
+  def localDay(tsSeconds: Column, utcOffsetHours: Int): Column =
+    date_format(
+      timestamp_seconds(tsSeconds + lit(utcOffsetHours * 3600L)), "yyyy-MM-dd")
+
+  /** Daily stats: unique keys, total sessions, unique alarm keys, total
+    * alarm sessions — the reference's `stats` document
+    * (airstrik.py:670-676) generalized over a sessionized frame.
+    * Exact distincts (reference keeps exact membership lists,
+    * airstrik.py:536-539); swap to approx_count_distinct at 100 TB if a
+    * ~2% error is acceptable. */
+  def dailyStats(sessions: DataFrame, key: Column, day: Column,
+                 isAlarm: Column): DataFrame =
+    sessions.groupBy(day.as("date"))
+      .agg(
+        countDistinct(key).as("unique_planes"),
+        count(lit(1)).as("total_trips"),
+        countDistinct(when(isAlarm, key)).as("unique_alarm_planes"),
+        sum(when(isAlarm, 1L).otherwise(0L)).as("total_alarm_trips"))
+
+  /** Latest row per key (by ts), then global ascending top-k on `rank`
+    * with nulls treated as `nullRank` (M6 missing-distance → 10000,
+    * airstrik.py:295) — Spark plans the sort+limit as
+    * TakeOrderedAndProject (no full global sort materialization). */
+  def topKLatest(df: DataFrame, key: Column, ts: Column, rank: Column,
+                 nullRank: Double, k: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .orderBy(coalesce(rank, lit(nullRank)).asc, key.asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization: the batch-relational twin of the reference's
+  * gap-timeout trip semantics (ST3, airstrik.py:482-549 — a "trip" ends
+  * after `remember` seconds of silence).
+  *
+  * Scale notes: one shuffle on the key; the gap detection is a single
+  * window pass (lag + running sum), no self-join. At 100 TB this is the
+  * canonical sessionize plan — AQE handles key skew, and the window
+  * functions stay in a single sort per partition.
+  */
+object SessionOps {
+
+  /** Assign a session index per key using a gap timeout over an epoch-
+    * seconds column. Adds `session_id` (0-based per key). */
+  def sessionize(df: DataFrame, key: Column, tsSeconds: Column,
+                 gapSeconds: Double): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tsSeconds)
+    val newSession = when(
+      tsSeconds - lag(tsSeconds, 1).over(w) > lit(gapSeconds), 1
+    ).otherwise(0)
+    // running sum of boundaries = session index
+    df.withColumn("__new_s", newSession)
+      .withColumn("session_id",
+        sum(col("__new_s")).over(
+          Window.partitionBy(key).orderBy(tsSeconds)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_s")
+  }
+
+  /** Per-session trip summary: start/end/duration/n plus the
+    * closest-approach argmin over `value` (ST4, airstrik.py:492-497):
+    * min value and the ts at which it occurred (earliest ts wins ties,
+    * matching the reference's first-match scan).
+    */
+  def tripSummaries(df: DataFrame, key: Column, tsSeconds: Column,
+                    value: Column, gapSeconds: Double,
+                    minTripSeconds: Double): DataFrame = {
+    val s = sessionize(df, key, tsSeconds, gapSeconds)
+    s.groupBy(key.as("key"), col("session_id"))
+      .agg(
+        min(tsSeconds).as("start_time"),
+        max(tsSeconds).as("end_time"),
+        count(lit(1)).as("n_points"),
+        min(value).as("min_value"),
+        // deterministic argmin: earliest ts among the minima
+        min_by(tsSeconds, struct(value, tsSeconds)).as("closest_time"))
+      .filter(col("end_time") - col("start_time") >= lit(minTripSeconds))
+  }
+}

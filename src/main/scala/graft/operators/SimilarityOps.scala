@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, queries × corpus. The
+  *    query side is broadcast (it's the small side by construction), so
+  *    the corpus is scanned once with NO shuffle of the corpus — the
+  *    correct baseline at any corpus scale when |queries| is modest.
+  *  - [[ivfTopK]]: IVF-style two-stage search — assign corpus vectors to
+  *    the nearest of `nProbes` deterministic axis centroids, search only
+  *    the query's closest `probe` cells. Trades recall for a ~cells/probe
+  *    scan reduction; the cell assignment is a linear pass and the
+  *    per-cell join is still broadcast-driven.
+  */
+object SimilarityOps {
+
+  /** Exact top-k cosine neighbors for each query id.
+    * `queries` and `corpus` both carry (idCol, vecCol array<float|double>).
+    * Self-matches (same id) are excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank")
+  }
+
+  /** IVF-bucketed ANN: centroid c_j = axis j scaled; assignment = argmax
+    * |v_j| over the first `cells` dims signed — a deterministic, data-
+    * independent coarse quantizer (stands in for k-means centroids, which
+    * would be trained; keeps the oracle exactly reproducible). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              cells: Int = 8): DataFrame = {
+    def cellOf(v: org.apache.spark.sql.Column) = {
+      // argmax over first `cells` dims of signed value -> cell id in [0, 2*cells)
+      val idx = (1 to cells).map(i =>
+        struct(abs(element_at(v, i)).as("a"),
+          lit(i).as("i"), (element_at(v, i) >= 0).as("pos")))
+      val best = greatest(idx: _*)
+      best.getField("i") * 2 + when(best.getField("pos"), 1).otherwise(0)
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", cellOf(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", cellOf(col("cv")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: language-ID,
+  * quality scoring, token statistics, content fingerprinting.
+  * All single-pass, codegen'd, oracle-expressible. */
+object TextAnalysisOps {
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword heuristic
+    * language guesser (public-knowledge function-word lists). */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Marker-hit count for one language. */
+  def markerHits(tokenArr: Column, lang: String): Column = {
+    val ms = Markers.toMap.apply(lang)
+    size(filter(tokenArr, t => t.isin(ms: _*)))
+  }
+
+  /** Heuristic language guess: the language with the most marker hits;
+    * 'unk' when no marker hits at all. Deterministic tie-break by the
+    * fixed language order above. */
+  def langGuess(text: Column): Column = {
+    val t = tokens(text)
+    val scored = Markers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(markerHits(t, lang).as("hits"),
+        lit(Markers.size - i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("unk"))
+  }
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      length(col(textCol)).as("n_chars"),
+      (stopwordCount(t).cast("double") / size(t)).as("stopword_ratio"))
+  }
+
+  /** Quality gates + score per document. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), qualityScore(col(textCol)).as("quality"))
+
+  /** Content fingerprints (min-md5 of word 3-grams). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+}

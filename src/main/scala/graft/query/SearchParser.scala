@@ -1,0 +1,75 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's ad-hoc predicate-search language (Q1,
+  * dbread.py:78-122): terms like `alt>500 dist<10 alarm=1`.
+  *
+  * Semantics (faithful to dbread.py):
+  *  - attribute prefixes: `alt` → alt_geom history, `dist` → distance
+  *    history, `alarm` → alarm history (dbread.py:80);
+  *  - operators `>`, `<`, `=`, `>=` chosen by LONGEST match anywhere in
+  *    the remaining term (dbread.py:81, 87-92), value is a float;
+  *  - a key (plane) matches iff every predicate holds at SOME timestamp
+  *    AND the intersection of matching-timestamp sets across predicates
+  *    is non-empty — i.e. all conditions held simultaneously
+  *    (dbread.py:114-117).
+  *
+  * The Spark plan: one pass over the flattened (key, ts, attr, value)
+  * observations — each predicate contributes a boolean; group by
+  * (key, ts); a key qualifies when some ts satisfies all predicates.
+  * Single shuffle, no join, scales linearly.
+  */
+final case class SearchPredicate(attr: String, op: String, value: Double) {
+  def toColumn(attrCol: Column, valueCol: Column): Column = {
+    val cmp = op match {
+      case ">"  => valueCol > value
+      case "<"  => valueCol < value
+      case ">=" => valueCol >= value
+      case "="  => valueCol === value
+    }
+    attrCol === attr && cmp
+  }
+}
+
+object SearchParser {
+  /** attr-prefix table (dbread.py:80). Longest prefix wins ("alarm"
+    * before "al..."-style ambiguity doesn't arise in the reference set,
+    * but order by length for safety). */
+  val Attrs = Seq("alarm", "alt", "dist")
+  val Ops = Seq(">=", ">", "<", "=") // longest-match first (dbread.py:87-92)
+
+  def parseTerm(term: String): Option[SearchPredicate] =
+    Attrs.find(term.startsWith).flatMap { attr =>
+      val rest = term.stripPrefix(attr)
+      // reference picks the LONGEST op present anywhere in the rest
+      val op = Ops.filter(rest.contains).sortBy(-_.length).headOption
+      op.flatMap { o =>
+        val v = rest.replace(o, "")
+        try Some(SearchPredicate(attr, o, v.toDouble))
+        catch { case _: NumberFormatException => None }
+      }
+    }
+
+  def parse(query: String): Seq[SearchPredicate] =
+    query.trim.split("\\s+").toSeq.filter(_.nonEmpty).flatMap(parseTerm)
+
+  /** Run a search over a long-form observation table
+    * (keyCol, tsCol, attrCol, valueCol) → DataFrame of matching keys.
+    * All predicates must hold at at least one common timestamp. */
+  def search(obs: DataFrame, query: String,
+             keyCol: String, tsCol: String, attrCol: String,
+             valueCol: String): DataFrame = {
+    val preds = parse(query)
+    require(preds.nonEmpty, s"no valid search terms in: $query")
+    val flags = preds.zipWithIndex.map { case (p, i) =>
+      max(when(p.toColumn(col(attrCol), col(valueCol)), 1).otherwise(0))
+        .as(s"__p$i")
+    }
+    val perTs = obs.groupBy(col(keyCol), col(tsCol))
+      .agg(flags.head, flags.tail: _*)
+    val allHold = preds.indices.map(i => col(s"__p$i") === 1).reduce(_ && _)
+    perTs.filter(allHold).select(col(keyCol)).distinct()
+  }
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's correctness gate.
+
+Runs DuckDB oracle SQL against the same parquet tables and compares with
+the parquet dumps produced by `graft.Verify` (sorted columns by name,
+sorted rows, exact value compare with small float tolerance report).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def load_spark(outdir, name):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(t).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+    n_pass = n_fail = 0
+    dumped = sorted(os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d))
+    for name in dumped:
+        if only and name not in only:
+            continue
+        spark = load_spark(outdir, name)
+        if spark is None:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(spark)} rows)")
+            continue
+        try:
+            duck = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        s, d = norm(spark), norm(duck)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}")
+            n_fail += 1; continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); n_fail += 1; continue
+        ok = True
+        for c in s.columns:
+            a, b = s[c].values, d[c].values
+            if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
+                af = a.astype(float); bf = b.astype(float)
+                both_nan = np.isnan(af) & np.isnan(bf)
+                neq = ~both_nan & (af != bf)
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    md = np.nanmax(np.abs(af[~both_nan] - bf[~both_nan])) if (~both_nan).any() else 0
+                    print(f"FAIL {name}: col {c} differs at row {i}: "
+                          f"{af[i]!r} vs {bf[i]!r} (maxdiff {md:.3e})")
+                    ok = False; break
+            else:
+                aa = pd.Series(a).astype(str).values
+                bb = pd.Series(b).astype(str).values
+                neq = aa != bb
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    print(f"FAIL {name}: col {c} differs at row {i}: "
+                          f"{aa[i]!r} vs {bb[i]!r}")
+                    ok = False; break
+        if ok:
+            print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(dumped) - n_pass - n_fail} skipped/no-oracle ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
