@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.config.AirstrikConfig
+import graft.model.AircraftPing
+import graft.core.TripTracker.{Output, State}
+
+/** Spark execution of the [[TripTracker]] state machine.
+  *
+  * The reference is a single-threaded dict loop (airstrik.py:636, 667-705);
+  * here the same semantics run distributed: pings shuffle once on `hex`
+  * (the only required exchange), each key's state machine runs
+  * independently, and outputs fan out to sinks. At 100 TB the state store
+  * scales with concurrently-live aircraft, not with history length of
+  * finished trips (state is dropped at trip end, matching the reference's
+  * `del plane_history[hex]`, airstrik.py:548).
+  */
+object TripEngine {
+
+  /** Batch replay: process a full Dataset of pings (from replayed
+    * aircraft.json snapshots) key by key, in snapshot order.
+    *
+    * `finalizeAtEnd` additionally closes every still-open trip at
+    * (last now + remember + 1) — the reference only finalizes when a later
+    * snapshot still lists the plane with seen > remember (airstrik.py:482);
+    * end-of-data finalization is the documented semantic improvement
+    * (SURVEY.md §7.4.4).
+    */
+  def runBatch(pings: Dataset[AircraftPing], cfg: AirstrikConfig,
+               icao: Map[String, String] = Map.empty,
+               finalizeAtEnd: Boolean = false): Dataset[Output] = {
+    val spark = pings.sparkSession
+    import spark.implicits._
+    pings.groupByKey(_.hex).flatMapGroups { (hex, it) =>
+      val sorted = it.toIndexedSeq.sortBy(p => (p.now, p.seen))
+      var st: Option[State] = None
+      val out = scala.collection.mutable.ListBuffer.empty[Output]
+      sorted.foreach { p =>
+        val (ns, os) = TripTracker.processRow(cfg, icao, st, p, p.now)
+        st = ns
+        out.appendAll(os)
+      }
+      if (finalizeAtEnd) st.foreach { s =>
+        val endNow = s.lastTs + cfg.remember + 1
+        out.appendAll(TripTracker.finalizeTrip(cfg, icao, s, endNow,
+          endNow - s.lastTs))
+      }
+      out.iterator
+    }
+  }
+
+  /** Structured Streaming: same state machine behind
+    * `flatMapGroupsWithState` with an event-time timeout standing in for
+    * the reference's `seen > remember` gap detection (ST3). Callers must
+    * have applied `withWatermark` on a timestamp column derived from
+    * `now` before `groupByKey`. */
+  def runStreaming(pings: Dataset[AircraftPing], cfg: AirstrikConfig,
+                   icao: Map[String, String] = Map.empty): Dataset[Output] = {
+    val spark = pings.sparkSession
+    import spark.implicits._
+
+    def update(hex: String, rows: Iterator[AircraftPing],
+               gs: GroupState[State]): Iterator[Output] = {
+      if (gs.hasTimedOut) {
+        val st = gs.get
+        val endNow = st.lastTs + cfg.remember + 1
+        val outs = TripTracker.finalizeTrip(cfg, icao, st, endNow,
+          endNow - st.lastTs)
+        gs.remove()
+        outs.iterator
+      } else {
+        val sorted = rows.toIndexedSeq.sortBy(p => (p.now, p.seen))
+        var st: Option[State] = gs.getOption
+        val out = scala.collection.mutable.ListBuffer.empty[Output]
+        sorted.foreach { p =>
+          val (ns, os) = TripTracker.processRow(cfg, icao, st, p, p.now)
+          st = ns
+          out.appendAll(os)
+        }
+        st match {
+          case Some(s) =>
+            gs.update(s)
+            gs.setTimeoutTimestamp(((s.lastTs + cfg.remember) * 1000).toLong)
+          case None => if (gs.exists) gs.remove()
+        }
+        out.iterator
+      }
+    }
+
+    pings.groupByKey(_.hex)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,365 @@
+package graft.core
+
+import graft.config.AirstrikConfig
+import graft.geo.Geo
+import graft.model.{AircraftPing, ValueTs}
+
+/** The faithful per-aircraft state machine (reference `collect_data` +
+  * `calculate_heading_speed_alarm` + `get_alarm_info` + finalization,
+  * airstrik.py:473-627 / 223-278 / 318-369).
+  *
+  * Pure Scala — no Spark imports — so the exact semantics are unit-testable;
+  * [[graft.core.TripEngine]] wraps it in `flatMapGroupsWithState` /
+  * `flatMapGroups`.
+  *
+  * Reference quirks reproduced deliberately (behavior IS the spec):
+  *  1. Trip-summary as-of assembly scans each history reversed WITHOUT
+  *     break (airstrik.py:505-508), so the surviving value is the OLDEST
+  *     element with ts <= closest_time — not the latest.
+  *  2. Decimation change-detection compares a stored [value,ts] pair to a
+  *     bare value (airstrik.py:618-620), which never compares equal, so
+  *     once primed it writes on every due batch; with
+  *     `decimation_force_new_data: true` the FIRST due batch only primes
+  *     `last_written` and does not write (airstrik.py:612-614 falls
+  *     through).
+  *  3. The forward simulation bounds LONGITUDE to [-90, 90] too
+  *     (airstrik.py:255-256).
+  *  4. Python `round(x, n)` is round-half-even on the binary double —
+  *     mirrored by [[pyRound]] (speed airstrik.py:408, distance :438).
+  */
+object TripTracker {
+
+  /** Per-aircraft engine state (reference initializer airstrik.py:553-568). */
+  final case class State(
+      hex: String,
+      flightName: Option[String],
+      flightNameTs: Double,
+      latHistory: List[ValueTs],
+      lonHistory: List[ValueTs],
+      navHeadingHistory: List[ValueTs],
+      altGeomHistory: List[ValueTs],
+      calcHeadingHistory: List[ValueTs],
+      calcSpeedHistory: List[ValueTs],
+      alarmHistory: List[ValueTs],
+      distanceHistory: List[ValueTs],
+      startTime: Double,
+      alarmTriggered: Boolean,
+      decimationTracker: Int,
+      lastWrittenSet: Boolean,
+      lastWrittenLat: Double,
+      lastWrittenLon: Double,
+      lastTs: Double)
+
+  object State {
+    def init(hex: String, now: Double): State =
+      State(hex, None, 0.0, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil,
+        startTime = now, alarmTriggered = false,
+        decimationTracker = 0, // reference inits to 0 (airstrik.py:558)
+        lastWrittenSet = false, lastWrittenLat = 0, lastWrittenLon = 0,
+        lastTs = now)
+  }
+
+  /** One engine output row (kinds: warning | alert | track | trip | tripend).
+    * Flattened for Spark encoding; per-kind fields are None when n/a.
+    * `tripend` rows carry the day-stat counting flags (a trip discarded by
+    * the filter gate or min-trip-length emits NO tripend — the reference
+    * `continue`s before any counter update, airstrik.py:488-490, 528-534). */
+  final case class Output(
+      kind: String,
+      hex: String,
+      ts: Double,
+      flightId: Option[String],
+      lat: Option[Double], latTs: Option[Double],
+      lon: Option[Double], lonTs: Option[Double],
+      navHeading: Option[Double], navHeadingTs: Option[Double],
+      altGeom: Option[Double], altGeomTs: Option[Double],
+      calcHeading: Option[Double], calcHeadingTs: Option[Double],
+      calcSpeed: Option[Double], calcSpeedTs: Option[Double],
+      distance: Option[Double], distanceTs: Option[Double],
+      alarm: Option[Boolean],
+      eta: Option[Int],
+      startTime: Option[Double],
+      endTime: Option[Double],
+      closestTime: Option[Double],
+      filters: Map[String, Seq[Double]])
+
+  object Output {
+    def empty(kind: String, hex: String, ts: Double): Output =
+      Output(kind, hex, ts, None, None, None, None, None, None, None, None,
+        None, None, None, None, None, None, None, None, None, None, None,
+        None, Map.empty)
+  }
+
+  /** Python-compatible round-half-even at `n` decimals on the binary value. */
+  def pyRound(x: Double, n: Int): Double = {
+    if (x.isNaN || x.isInfinite) return x
+    new java.math.BigDecimal(x)
+      .setScale(n, java.math.RoundingMode.HALF_EVEN).doubleValue()
+  }
+
+  /** match_filters (airstrik.py:415-427): zones whose dist bound holds and
+    * whose alt bound holds (or alt unknown). Returns name -> [dist, alt]. */
+  def matchFilters(cfg: AirstrikConfig, dist: Double,
+                   alt: Option[Double]): Map[String, Seq[Double]] =
+    cfg.filters.collect {
+      case (name, f)
+          if dist <= f.maxDistKm && alt.forall(_ <= f.maxAltM) =>
+        name -> Seq(f.maxDistKm, f.maxAltM)
+    }
+
+  /** Result of the forward simulation (get_alarm_info, airstrik.py:223-278). */
+  final case class AlarmInfo(alarm: Boolean, alarmTime: Int,
+                             minRadius: Double, packetTime: Double,
+                             events: List[Output],
+                             alarmTriggered: Boolean)
+
+  /** Dead-reckoning intrusion predictor (airstrik.py:223-278): 1 s steps for
+    * think_ahead s at latest calc speed along latest calc heading (fallback
+    * nav heading); early exit once inside the zone and receding. */
+  def getAlarmInfo(cfg: AirstrikConfig, st: State, now: Double): AlarmInfo = {
+    var minRadius = 1.0e8
+    val packetTime = math.max(st.latHistory.head.ts, st.lonHistory.head.ts)
+    var alarmTime = -1
+    var alarmLl = false
+    var lastRadius = 1.0e8
+    var didRaise = false
+    var events = List.empty[Output]
+    val curLat = st.latHistory.head.value
+    val curLon = st.lonHistory.head.value
+
+    // already in the zone? immediate alert (alt NOT consulted here)
+    val matched = matchFilters(cfg, st.distanceHistory.head.value, None)
+    if (matched.nonEmpty) {
+      events ::= raiseAlarm(st, now, 0)
+      didRaise = true
+    }
+    val headingOpt: Option[Double] =
+      st.calcHeadingHistory.headOption.map(_.value)
+        .orElse(st.navHeadingHistory.headOption.map(_.value))
+    headingOpt match {
+      case None => // airstrik.py:259-260: bail with no alarm
+        return AlarmInfo(alarm = false, -1, 0, 0, events.reverse,
+          st.alarmTriggered)
+      case Some(heading) =>
+        val speedKmh = st.calcSpeedHistory.head.value
+        var second = 0
+        var break = false
+        while (second < cfg.thinkAhead && !break) {
+          val (nlat, nlon) =
+            Geo.destination(curLat, curLon, heading, second * speedKmh / 3600.0)
+          // reference bounds BOTH axes to ±90 (airstrik.py:255-256)
+          if (nlat > 90 || nlat < -90 || nlon > 90 || nlon < -90) {
+            break = true
+          } else {
+            val distToHome = Geo.geodesicKm(nlat, nlon, cfg.homeLat, cfg.homeLon)
+            if (distToHome < cfg.mostGenerousDist) {
+              alarmLl = true
+              if (alarmTime == -1) alarmTime = second
+              if (distToHome < minRadius) minRadius = distToHome
+              if (distToHome > lastRadius) break = true
+              else lastRadius = distToHome
+            }
+            second += 1
+          }
+        }
+    }
+    if (!didRaise && alarmTime > -1 && alarmTime < cfg.thinkAhead)
+      events ::= raiseAlarm(st, now, alarmTime)
+    val alarm = st.altGeomHistory.headOption match {
+      case Some(alt) => alarmLl && alt.value <= cfg.mostGenerousAlt
+      case None      => alarmLl
+    }
+    val triggered = st.alarmTriggered ||
+      (alarm && st.distanceHistory.head.value < cfg.mostGenerousDist)
+    AlarmInfo(alarm, alarmTime, minRadius, packetTime, events.reverse, triggered)
+  }
+
+  /** raise_alarm (airstrik.py:318-368): eta>0 → warning, else alert.
+    * Payload = latest of each attribute; plane_id "" when unknown. */
+  private def raiseAlarm(st: State, now: Double, eta: Int): Output =
+    Output.empty(if (eta > 0) "warning" else "alert", st.hex, now).copy(
+      flightId = Some(st.flightName.getOrElse("")),
+      calcHeading = st.calcHeadingHistory.headOption.map(_.value),
+      calcSpeed = st.calcSpeedHistory.headOption.map(_.value),
+      altGeom = st.altGeomHistory.headOption.map(_.value),
+      lat = st.latHistory.headOption.map(_.value),
+      lon = st.lonHistory.headOption.map(_.value),
+      distance = st.distanceHistory.headOption.map(_.value),
+      eta = if (eta > 0) Some(eta) else None)
+
+  /** One aircraft row of one snapshot (the body of the `for aircraft in
+    * a_json['aircraft']` loop, airstrik.py:481-627). Histories are kept
+    * newest-first (prepend) internally for O(1) updates. */
+  def processRow(cfg: AirstrikConfig, icao: Map[String, String],
+                 stOpt: Option[State], ping: AircraftPing,
+                 now: Double): (Option[State], List[Output]) = {
+    if (ping.seen > cfg.remember) {
+      stOpt match {
+        case None     => (None, Nil) // never tracked (airstrik.py:483-486)
+        case Some(st) => (None, finalizeTrip(cfg, icao, st, now, ping.seen))
+      }
+    } else {
+      var st = stOpt.getOrElse(State.init(ping.hex, now))
+      val outputs = scala.collection.mutable.ListBuffer.empty[Output]
+      // callsign capture, once (airstrik.py:570-573)
+      if (st.flightName.isEmpty) ping.flight.foreach { f =>
+        st = st.copy(flightName = Some(f.replace(" ", "")), flightNameTs = now)
+      }
+      // raw attribute append with last-value dedup (airstrik.py:574-577)
+      def appendRaw(hist: List[ValueTs], v: Option[Double]): List[ValueTs] =
+        v match {
+          case Some(x) if hist.isEmpty || hist.head.value != x =>
+            ValueTs(x, now) :: hist
+          case _ => hist
+        }
+      st = st.copy(
+        latHistory = appendRaw(st.latHistory, ping.lat),
+        lonHistory = appendRaw(st.lonHistory, ping.lon),
+        navHeadingHistory = appendRaw(st.navHeadingHistory, ping.navHeading),
+        altGeomHistory = appendRaw(st.altGeomHistory, ping.altGeom),
+        lastTs = now)
+
+      val nPos = math.min(st.latHistory.size, st.lonHistory.size)
+      if (nPos >= 2) {
+        // calculate_heading_speed_alarm (airstrik.py:392-412)
+        val lat = st.latHistory; val lon = st.lonHistory
+        val cur = (lat.head.value, lon.head.value)
+        val last = (lat(1).value, lon(1).value)
+        // python indexes [0] / [-age_max] per list (airstrik.py:375-388);
+        // newest-first storage maps [0] -> size-1 and [-k] -> k-1
+        val short = nPos < cfg.latLonPacketAgeMax
+        val latOldIdx = if (short) lat.size - 1 else cfg.latLonPacketAgeMax - 1
+        val lonOldIdx = if (short) lon.size - 1 else cfg.latLonPacketAgeMax - 1
+        val oldest = (lat(latOldIdx).value, lon(lonOldIdx).value)
+        val distM = Geo.geodesicKm(cur._1, cur._2, oldest._1, oldest._2) * 1000.0
+        val timeBetween = lat.head.ts - lat(latOldIdx).ts
+        val headingXz = Geo.bearingDeg(last._1, last._2, cur._1, cur._2)
+        st = st.copy(
+          calcHeadingHistory =
+            patchAdd(st.calcHeadingHistory, ValueTs(headingXz, lat.head.ts)),
+          calcSpeedHistory = patchAdd(st.calcSpeedHistory,
+            ValueTs(pyRound(distM / timeBetween * 3.6, 4), lat.head.ts)))
+        val info = getAlarmInfo(cfg, st, now)
+        outputs.appendAll(info.events)
+        st = st.copy(alarmTriggered = info.alarmTriggered)
+        val alarmVal = if (info.alarm) 1.0 else 0.0
+        if (st.alarmHistory.isEmpty || st.alarmHistory.head.value != alarmVal)
+          st = st.copy(alarmHistory = ValueTs(alarmVal, now) :: st.alarmHistory)
+      }
+      if (nPos >= 1) {
+        // calculate_distance (airstrik.py:430-439)
+        val cur = (st.latHistory.head.value, st.lonHistory.head.value)
+        val packetTime = math.max(st.latHistory.head.ts, st.lonHistory.head.ts)
+        val d = pyRound(
+          Geo.geodesicKm(cfg.homeLat, cfg.homeLon, cur._1, cur._2), 4)
+        st = st.copy(distanceHistory =
+          patchAdd(st.distanceHistory, ValueTs(d, packetTime)))
+      }
+      // decimation state machine (airstrik.py:584-626)
+      if (st.decimationTracker <= 0 && cfg.decimationFactor != 0 &&
+          st.latHistory.size > 1) {
+        if (st.calcHeadingHistory.isEmpty) {
+          // inconsistent-state guard (airstrik.py:595-599)
+          st = st.copy(decimationTracker = cfg.decimationFactor - 1)
+        } else {
+          val writeDue =
+            if (!cfg.decimationForceNewData && !st.lastWrittenSet) true
+            // quirk 2: pair-vs-value comparison never equal → always "changed"
+            else st.lastWrittenSet
+          if (writeDue) {
+            outputs.append(trackOutput(st, now))
+            st = st.copy(decimationTracker = cfg.decimationFactor - 1)
+          }
+          st = st.copy(lastWrittenSet = true,
+            lastWrittenLat = st.latHistory.head.value,
+            lastWrittenLon = st.lonHistory.head.value)
+        }
+      } else {
+        st = st.copy(decimationTracker = st.decimationTracker - 1)
+      }
+      (Some(st), outputs.toList)
+    }
+  }
+
+  /** patch_add (airstrik.py:211-220): append only if the [value,ts] pair
+    * never occurred anywhere in the history. */
+  def patchAdd(hist: List[ValueTs], v: ValueTs): List[ValueTs] =
+    if (hist.contains(v)) hist else v :: hist
+
+  /** Decimated live track record (airstrik.py:601-614). */
+  private def trackOutput(st: State, now: Double): Output =
+    Output.empty("track", st.hex, now).copy(
+      flightId = Some(st.hex),
+      lat = Some(st.latHistory.head.value),
+      latTs = Some(st.latHistory.head.ts),
+      lon = Some(st.lonHistory.head.value),
+      lonTs = Some(st.lonHistory.head.ts),
+      navHeading = st.navHeadingHistory.headOption.map(_.value),
+      navHeadingTs = st.navHeadingHistory.headOption.map(_.ts),
+      altGeom = st.altGeomHistory.headOption.map(_.value),
+      altGeomTs = st.altGeomHistory.headOption.map(_.ts),
+      calcHeading = st.calcHeadingHistory.headOption.map(_.value),
+      calcHeadingTs = st.calcHeadingHistory.headOption.map(_.ts),
+      calcSpeed = st.calcSpeedHistory.headOption.map(_.value),
+      calcSpeedTs = st.calcSpeedHistory.headOption.map(_.ts),
+      distance = st.distanceHistory.headOption.map(_.value),
+      distanceTs = st.distanceHistory.headOption.map(_.ts),
+      startTime = Some(st.startTime))
+
+  /** Trip finalization (airstrik.py:482-549): emits `trip` (persisted
+    * summary, only when the alarm fired and a filter matches at closest
+    * approach) and `tripend` (day-stat counting row). Returns Nil when the
+    * trip is silently discarded. */
+  def finalizeTrip(cfg: AirstrikConfig, icao: Map[String, String],
+                   st: State, now: Double, seen: Double): List[Output] = {
+    // min-trip-length gate (airstrik.py:487-490)
+    if ((now - seen) - st.startTime < cfg.minTripLength) return Nil
+    if (!st.alarmTriggered) {
+      // counted but not persisted (airstrik.py:544-547)
+      return List(Output.empty("tripend", st.hex, now)
+        .copy(alarm = Some(false), startTime = Some(st.startTime),
+          endTime = Some(now)))
+    }
+    // closest approach: FIRST strict minimum in insertion order
+    // (airstrik.py:492-497); histories are newest-first, so scan reversed
+    var closestTime = 0.0
+    var closestDist = 1.0e7
+    st.distanceHistory.reverse.foreach { d =>
+      if (d.value < closestDist) { closestDist = d.value; closestTime = d.ts }
+    }
+    // as-of assembly, quirk 1: OLDEST element with ts <= closest_time
+    def asOf(hist: List[ValueTs]): Option[ValueTs] =
+      hist.reverse.find(_.ts <= closestTime) // oldest-first scan, first hit
+    val latP = asOf(st.latHistory)
+    val lonP = asOf(st.lonHistory)
+    val navP = asOf(st.navHeadingHistory)
+    val altP = asOf(st.altGeomHistory)
+    val chP = asOf(st.calcHeadingHistory)
+    val csP = asOf(st.calcSpeedHistory)
+    val distP = asOf(st.distanceHistory)
+    // flight id: captured callsign if its ts qualifies, else icao backfill
+    val flightQualifies = st.flightName.isDefined && st.flightNameTs <= closestTime
+    val flightId: Option[String] =
+      if (flightQualifies) st.flightName
+      else icao.get(st.hex).map(_ + " (p)")
+    // filter gate at closest approach (airstrik.py:524-535)
+    val dist = distP.map(_.value).getOrElse(return Nil)
+    val matched = matchFilters(cfg, dist, altP.map(_.value))
+    if (matched.isEmpty) return Nil // discarded: no record, no counts
+    val trip = Output.empty("trip", st.hex, now).copy(
+      flightId = flightId,
+      lat = latP.map(_.value), latTs = latP.map(_.ts),
+      lon = lonP.map(_.value), lonTs = lonP.map(_.ts),
+      navHeading = navP.map(_.value), navHeadingTs = navP.map(_.ts),
+      altGeom = altP.map(_.value), altGeomTs = altP.map(_.ts),
+      calcHeading = chP.map(_.value), calcHeadingTs = chP.map(_.ts),
+      calcSpeed = csP.map(_.value), calcSpeedTs = csP.map(_.ts),
+      distance = distP.map(_.value), distanceTs = distP.map(_.ts),
+      alarm = Some(true),
+      startTime = Some(st.startTime), endTime = Some(now),
+      closestTime = Some(closestTime), filters = matched)
+    val end = Output.empty("tripend", st.hex, now).copy(alarm = Some(true),
+      startTime = Some(st.startTime), endTime = Some(now))
+    List(trip, end)
+  }
+}

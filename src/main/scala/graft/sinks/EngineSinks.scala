@@ -1,0 +1,85 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.core.TripTracker.Output
+
+/** Output legs of the engine (S3-S9, ST11/ST12 — airstrik.py:318-368,
+  * 543/614, 670-685; csvdump.py:39-101).
+  *
+  * Offline harness note (SURVEY.md §7.4.7): record sinks write parquet
+  * behind the same shapes; the Kafka/Mongo connectors are thin alternate
+  * `format(...)` swaps on the same DataFrames.
+  */
+object EngineSinks {
+
+  /** Kafka-shaped event frame (S5): key = topic, value = JSON payload
+    * matching README.md:57-68 (`heading`/`speed` naming, altitude
+    * nullable, eta only on warnings). Write with
+    * `.writeStream.format("kafka")` in production or `format("console")`
+    * as the reference's no-broker fallback (airstrik.py:345-351). */
+  def kafkaEvents(outputs: Dataset[Output]): DataFrame =
+    outputs.filter(col("kind").isin("warning", "alert"))
+      .select(
+        concat(lit("airstrik-"), col("kind")).as("key"),
+        to_json(struct(
+          col("hex").as("plane_hex"),
+          coalesce(col("flightId"), lit("")).as("plane_id"),
+          timestamp_seconds(col("ts")).as("plane_time"),
+          col("calcHeading").as("heading"),
+          col("calcSpeed").as("speed"),
+          col("altGeom").as("altitude"),
+          col("lat").as("latitude"),
+          col("lon").as("longitude"),
+          col("distance").as("distance"),
+          col("eta"))).as("value"))
+
+  /** flight_records-shaped frame (S3): live decimated track points and
+    * trip summaries, flat columns (value + ts per attribute). */
+  def flightRecords(outputs: Dataset[Output]): DataFrame =
+    outputs.toDF().filter(col("kind").isin("track", "trip"))
+
+  /** Daily stats frame (S4/ST12): derive the reference's per-day counters
+    * from `tripend` rows at the configured UTC offset. Idempotent upsert
+    * key = date (the reference falls back to overwrite on duplicate key,
+    * airstrik.py:677-685 — a parquet overwrite-by-partition or Mongo
+    * replace gives the same semantics). */
+  def dailyStats(outputs: Dataset[Output], utcOffsetHours: Int): DataFrame =
+    outputs.filter(col("kind") === "tripend")
+      .withColumn("date", date_format(
+        timestamp_seconds(col("endTime") + utcOffsetHours * 3600L),
+        "yyyy-MM-dd"))
+      .groupBy(col("date"))
+      .agg(
+        countDistinct(col("hex")).as("unique_planes"),
+        count(lit(1)).as("total_trips"),
+        countDistinct(when(col("alarm"), col("hex"))).as("unique_alarm_planes"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("total_alarm_trips"))
+
+  /** CSV export of flight records (S8/Q7, csvdump.py:62-101): value-only
+    * columns, stringified filters `name (dist, alt), ...`, extras →
+    * timestamps. */
+  def csvExport(outputs: Dataset[Output]): DataFrame =
+    flightRecords(outputs).select(
+      coalesce(col("flightId"), col("hex")).as("name"),
+      col("hex").as("flight_id"),
+      timestamp_seconds(col("startTime")).as("start_time"),
+      timestamp_seconds(col("endTime")).as("end_time"),
+      col("lat"), col("lon"),
+      col("navHeading").as("nav_heading"),
+      col("altGeom").as("alt_geom"),
+      col("calcHeading").as("calc_heading"),
+      col("calcSpeed").as("calc_speed"),
+      col("distance"),
+      concat_ws(", ", transform(map_entries(col("filters")),
+        e => format_string("%s (%s, %s)", e.getField("key"),
+          element_at(e.getField("value"), 1),
+          element_at(e.getField("value"), 2)))).as("filters"))
+
+  /** Console top-k live view (S6/M6/M7): closest planes first, missing
+    * distance ranks as 10000 (airstrik.py:289-309). */
+  def liveTopK(outputs: Dataset[Output], k: Int): DataFrame =
+    outputs.toDF().filter(col("kind") === "track")
+      .orderBy(coalesce(col("distance"), lit(10000.0)).asc)
+      .limit(k)
+}

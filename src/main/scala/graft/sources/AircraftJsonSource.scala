@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{AircraftPing, Schemas}
+
+/** aircraft.json ingestion (S1, airstrik.py:189-208).
+  *
+  * The reference busy-polls one file that dump1090 atomically rewrites,
+  * using the top-level `now` as the change detector. The Spark-native
+  * equivalent treats a directory of snapshot files as the stream: each
+  * rewrite lands as a new file (the replay writer below does this for
+  * recorded data), and Structured Streaming's file discovery IS the
+  * change detection. Dedup on `now` keeps re-listed files idempotent.
+  */
+object AircraftJsonSource {
+
+  /** Batch read of a snapshot directory → one row per (snapshot, aircraft). */
+  def readBatch(spark: SparkSession, dir: String): Dataset[AircraftPing] = {
+    import spark.implicits._
+    explodePings(spark.read.schema(Schemas.aircraftJson).json(dir))
+  }
+
+  /** Streaming read of a snapshot landing directory. */
+  def readStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 100): Dataset[AircraftPing] = {
+    import spark.implicits._
+    explodePings(spark.readStream.schema(Schemas.aircraftJson)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).json(dir))
+  }
+
+  /** Explode the `aircraft` array; tolerate missing fields as nulls (P1). */
+  private def explodePings(df: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[AircraftPing]): Dataset[AircraftPing] =
+    df.filter(col("now").isNotNull) // corrupt/partial snapshot guard
+      .select(col("now"), explode(col("aircraft")).as("a"))
+      .filter(col("a.hex").isNotNull)
+      .select(
+        col("now"),
+        col("a.hex").as("hex"),
+        col("a.flight").as("flight"),
+        coalesce(col("a.seen"), lit(0.0)).as("seen"),
+        col("a.lat").as("lat"),
+        col("a.lon").as("lon"),
+        col("a.nav_heading").as("navHeading"),
+        col("a.alt_geom").as("altGeom"))
+      .as[AircraftPing]
+
+  /** Replay writer: append one snapshot JSON (as the decoder would have
+    * written it) into a landing dir as a uniquely-named file. */
+  def appendSnapshot(dir: String, json: String, seq: Long): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val f = new java.io.File(d, f"snapshot_$seq%012d.json")
+    val w = new java.io.FileWriter(f)
+    try w.write(json) finally w.close()
+  }
+}

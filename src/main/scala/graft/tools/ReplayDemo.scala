@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.config.AirstrikConfig
+import graft.core.TripEngine
+import graft.geo.Geo
+import graft.sinks.EngineSinks
+import graft.sources.AircraftJsonSource
+
+/** End-to-end smoke driver: synthesizes aircraft.json snapshots exactly in
+  * the reference wire format (FIXTURES.md §A1), replays them through
+  * source → engine → sinks, and prints each sink's observable output.
+  * Usage: runMain graft.tools.ReplayDemo [landingDir]
+  */
+object ReplayDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("airstrik_replay").toString)
+    val cfg = AirstrikConfig()
+
+    // scenario: one inbound alarm plane + one far plane + a no-callsign one
+    def snap(now: Double, aircraft: Seq[String]): String =
+      s"""{"now": $now, "aircraft": [${aircraft.mkString(", ")}]}"""
+    def ac(hex: String, seen: Double, lat: Double, lon: Double,
+           alt: Double, flight: Option[String]): String = {
+      val f = flight.map(x => s""", "flight": "$x"""").getOrElse("")
+      s"""{"hex": "$hex", "seen": $seen, "lat": $lat, "lon": $lon, "alt_geom": $alt$f}"""
+    }
+    (0 until 30).foreach { i =>
+      val now = 1718000000.0 + i * 10
+      val (la1, lo1) = Geo.destination(cfg.homeLat, cfg.homeLon, 40.0, 9.5 - i * 0.25)
+      val (la2, lo2) = Geo.destination(cfg.homeLat, cfg.homeLon, 220.0, 60.0 + i * 0.5)
+      val rows = Seq(
+        ac("abc123", 0.2, la1, lo1, 450.0, Some("DAL123  ")),
+        ac("fff999", 0.3, la2, lo2, 9000.0, None))
+      AircraftJsonSource.appendSnapshot(dir, snap(now, rows), i)
+    }
+    // a later snapshot that lists the planes as stale -> finalization
+    AircraftJsonSource.appendSnapshot(dir,
+      snap(1718000000.0 + 30 * 10 + 100,
+        Seq("""{"hex": "abc123", "seen": 150.0}""",
+          """{"hex": "fff999", "seen": 150.0}""")), 30)
+
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pings = AircraftJsonSource.readBatch(spark, dir)
+    println(s"pings read: ${pings.count()}")
+    val out = TripEngine.runBatch(pings, cfg,
+      icao = Map("fff999" -> "N999FF")).cache()
+    println("== kafka events ==")
+    EngineSinks.kafkaEvents(out).show(5, truncate = false)
+    println("== flight records (trip summaries + decimated tracks) ==")
+    EngineSinks.flightRecords(out)
+      .select("kind", "hex", "flightId", "distance", "startTime", "endTime")
+      .show(10, truncate = false)
+    println("== daily stats ==")
+    EngineSinks.dailyStats(out, cfg.utcTimeOffset).show(truncate = false)
+    println("== csv export ==")
+    EngineSinks.csvExport(out).show(5, truncate = false)
+    println("== live top-k ==")
+    EngineSinks.liveTopK(out, cfg.printTopPlanes)
+      .select("hex", "distance", "ts").show(5, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.{AirstrikConfig, GeoFilter}
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("parses the reference config.yaml shape (incl. block-scalar)") {
+    val yaml =
+      """think_ahead:
+        |  60  # simulate this many seconds
+        |lat_lon_packet_age_max: 10 # lookback
+        |home: # Home lat/long point
+        |  lat: 35.7270309
+        |  lon: -78.695587
+        |decimation_factor: 15
+        |decimation_force_new_data: true
+        |utc_time_offset: -4
+        |remember: 60
+        |dump1090_dir: './dump1090'
+        |json_speed: 0
+        |min_trip_length: 90
+        |print_top_planes: 25
+        |mongo_address: "127.0.0.1:27017"
+        |kafka_address: "" # The address
+        |filters:
+        |  close: [10, 1000] # [dist(km), alt(m)]
+        |  tooclose: [5, 1000]
+        |""".stripMargin
+    val cfg = AirstrikConfig.fromYaml(yaml)
+    assert(cfg.thinkAhead == 60)
+    assert(cfg.latLonPacketAgeMax == 10)
+    assert(cfg.homeLat == 35.7270309)
+    assert(cfg.homeLon == -78.695587)
+    assert(cfg.decimationFactor == 15)
+    assert(cfg.decimationForceNewData)
+    assert(cfg.utcTimeOffset == -4)
+    assert(cfg.remember == 60.0)
+    assert(cfg.minTripLength == 90.0)
+    assert(cfg.printTopPlanes == 25)
+    assert(cfg.mongoAddress == "127.0.0.1:27017")
+    assert(cfg.kafkaAddress == "")
+    assert(cfg.filters == Map(
+      "close" -> GeoFilter(10, 1000), "tooclose" -> GeoFilter(5, 1000)))
+    assert(cfg.mostGenerousDist == 10.0)
+    assert(cfg.mostGenerousAlt == 1000.0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.Geo
+
+/** F1-F3 fixtures (SURVEY.md §5.1, FIXTURES.md §A5).
+  * Known values are published WGS-84 geodesic results (GeographicLib
+  * documentation examples and standard ellipsoid constants); property
+  * checks use a seeded generator (deterministic, offline). */
+class GeoSpec extends AnyFunSuite {
+
+  test("geodesic: JFK-LHR published value") {
+    // GeographicLib inverse example: (40.6, -73.8) -> (51.6, -0.5),
+    // s12 = 5551759.4 m
+    val km = Geo.geodesicKm(40.6, -73.8, 51.6, -0.5)
+    assert(math.abs(km - 5551.7594) < 0.01, s"got $km")
+  }
+
+  test("geodesic: one degree of longitude at the equator") {
+    // WGS-84: 1 degree of longitude on the equator = 111.319491 km
+    val km = Geo.geodesicKm(0.0, 0.0, 0.0, 1.0)
+    assert(math.abs(km - 111.319491) < 0.001, s"got $km")
+  }
+
+  test("geodesic: coincident points are zero") {
+    assert(Geo.geodesicKm(35.7270309, -78.695587, 35.7270309, -78.695587) == 0.0)
+  }
+
+  test("geodesic: symmetric; home-to-README-default is a few km") {
+    val a = Geo.geodesicKm(35.7270309, -78.695587, 35.77031, -78.68078)
+    val b = Geo.geodesicKm(35.77031, -78.68078, 35.7270309, -78.695587)
+    assert(math.abs(a - b) < 1e-9)
+    assert(a > 3 && a < 8, s"got $a")
+  }
+
+  test("bearing: cardinal directions") {
+    assert(math.abs(Geo.bearingDeg(0, 0, 1, 0) - 0.0) < 1e-9)   // due north
+    assert(math.abs(Geo.bearingDeg(0, 0, 0, 1) - 90.0) < 1e-9)  // due east
+    assert(math.abs(Geo.bearingDeg(1, 0, 0, 0) - 180.0) < 1e-9) // due south
+    assert(math.abs(Geo.bearingDeg(0, 1, 0, 0) - 270.0) < 1e-9) // due west
+  }
+
+  private val rnd = new scala.util.Random(42)
+  private def randLat() = rnd.nextDouble() * 160 - 80
+  private def randLon() = rnd.nextDouble() * 358 - 179
+
+  test("bearing is always in [0, 360)") {
+    (1 to 500).foreach { _ =>
+      val b = Geo.bearingDeg(randLat(), randLon(), randLat(), randLon())
+      assert(b >= 0.0 && b < 360.0)
+    }
+  }
+
+  test("destination then inverse recovers the distance") {
+    (1 to 200).foreach { _ =>
+      val la = randLat(); val lo = randLon()
+      val brg = rnd.nextDouble() * 360
+      val km = rnd.nextDouble() * 500 + 0.1
+      val (la2, lo2) = Geo.destination(la, lo, brg, km)
+      val back = Geo.geodesicKm(la, lo, la2, lo2)
+      assert(math.abs(back - km) < 0.005 * km + 0.001,
+        s"dest($la,$lo,$brg,$km) -> ($la2,$lo2), inverse $back")
+    }
+  }
+
+  test("haversine within 0.6 percent of geodesic mid-range") {
+    (1 to 200).foreach { _ =>
+      val (la1, lo1, la2, lo2) = (randLat(), randLon(), randLat(), randLon())
+      val g = Geo.geodesicKm(la1, lo1, la2, lo2)
+      if (g > 1 && g < 15000) {
+        val h = Geo.haversineKm(la1, lo1, la2, lo2)
+        assert(math.abs(g - h) / g < 0.006, s"geo $g vs hav $h")
+      }
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.query.{SearchParser, SearchPredicate}
+
+/** Relational-operator semantics on hand-built frames (SURVEY.md §5.1). */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dedupByChange keeps change points; dedupByAnyPrior keeps first occurrences") {
+    // ST2's two semantics (airstrik.py:576-577 vs 211-220)
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 2.0),
+      ("a", 4L, 1.0), ("a", 5L, 1.0), ("b", 1L, 9.0)
+    ).toDF("k", "ts", "v")
+    val byChange = ChangeOps.dedupByChange(df, col("k"), col("ts"), col("v"))
+      .orderBy("k", "ts").select("ts").as[Long].collect()
+    assert(byChange.toSeq == Seq(1L, 3L, 4L, 1L)) // a:1,3,4 + b:1
+    val byAny = ChangeOps.dedupByAnyPrior(df, col("k"), col("ts"), col("v"))
+      .orderBy("k", "ts").select("ts").as[Long].collect()
+    assert(byAny.toSeq == Seq(1L, 3L, 1L)) // a: v=1.0@1, v=2.0@3; b: 9.0@1
+  }
+
+  test("decimate keeps rows 1, n+1, 2n+1 per key; n<=0 keeps nothing") {
+    val df = (1 to 10).map(i => ("k", i.toLong)).toDF("k", "ts")
+    val kept = ChangeOps.decimate(df, col("k"), col("ts"), 3)
+      .orderBy("ts").select("ts").as[Long].collect()
+    assert(kept.toSeq == Seq(1L, 4L, 7L, 10L))
+    assert(ChangeOps.decimate(df, col("k"), col("ts"), 0).count() == 0)
+  }
+
+  test("asOf picks latest quote at or before each probe") {
+    val quotes = Seq(("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+      ("b", 15L, 9.0)).toDF("k", "ts", "price")
+    val probes = Seq(("a", 5L), ("a", 20L), ("a", 25L), ("b", 14L), ("c", 1L))
+      .toDF("k", "ts")
+    val got = AsOfJoin.asOf(probes, quotes, "k", "ts")
+      .orderBy("k", "ts")
+      .select(col("k"), col("ts"), col("price"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq(
+      ("a", 5L, None), ("a", 20L, Some(2.0)), ("a", 25L, Some(2.0)),
+      ("b", 14L, None), ("c", 1L, None)))
+  }
+
+  test("sessionize splits on gap > threshold") {
+    val df = Seq(("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L), ("u", 300L))
+      .map { case (k, t) => (k, t.toDouble) }.toDF("k", "ts")
+    val s = SessionOps.sessionize(df, col("k"), col("ts"), 50.0)
+      .orderBy("ts").select("session_id").as[Long].collect()
+    assert(s.toSeq == Seq(0L, 0L, 1L, 1L, 2L))
+  }
+
+  test("search parser: longest-match operator, attr prefixes") {
+    assert(SearchParser.parse("alt>=500") ==
+      Seq(SearchPredicate("alt", ">=", 500.0)))
+    assert(SearchParser.parse("alt>500 dist<10 alarm=1") == Seq(
+      SearchPredicate("alt", ">", 500.0),
+      SearchPredicate("dist", "<", 10.0),
+      SearchPredicate("alarm", "=", 1.0)))
+    assert(SearchParser.parse("bogus>5") == Nil) // unknown attr dropped
+  }
+
+  test("search requires all predicates at the SAME timestamp") {
+    // key x: alt>500 at ts=1, dist<10 at ts=2 (never together) -> no match
+    // key y: both hold at ts=5 -> match
+    val obs = Seq(
+      ("x", 1L, "alt", 600.0), ("x", 2L, "dist", 5.0),
+      ("y", 5L, "alt", 700.0), ("y", 5L, "dist", 3.0),
+      ("z", 9L, "alt", 100.0), ("z", 9L, "dist", 2.0)
+    ).toDF("k", "ts", "attr", "v")
+    val got = SearchParser.search(obs, "alt>500 dist<10", "k", "ts", "attr", "v")
+      .as[String].collect().toSeq
+    assert(got == Seq("y"))
+  }
+
+  test("topKLatest ranks latest-per-key ascending with null rank fallback") {
+    val df = Seq(
+      ("a", 1L, Some(5.0)), ("a", 2L, Some(1.0)),
+      ("b", 1L, Some(3.0)), ("c", 1L, None)
+    ).toDF("k", "ts", "v")
+    val got = RollupOps.topKLatest(df, col("k"), col("ts"), col("v"), 10000.0, 2)
+      .select("k").as[String].collect().toSeq
+    assert(got == Seq("a", "b")) // a's latest v=1.0 < b 3.0; c's null ranks last
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.config.AirstrikConfig
+import graft.core.{TripEngine, TripTracker}
+import graft.geo.Geo
+import graft.model.AircraftPing
+
+/** Distributed-execution parity: the Spark wrappers must reproduce the
+  * pure state machine exactly (batch), and the streaming wrapper must
+  * finalize via event-time timeout (ST3). */
+class TripEngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val cfg = AirstrikConfig()
+  private def away(km: Double, brg: Double = 40.0): (Double, Double) =
+    Geo.destination(cfg.homeLat, cfg.homeLon, brg, km)
+
+  /** Scenario-1-style fixture across TWO planes to exercise keyed state. */
+  private def fixture: Seq[AircraftPing] = {
+    val inbound = (0 until 25).map { i =>
+      val (la, lo) = away(9.8 - i * 0.35)
+      AircraftPing(1000.0 + i * 10, "inb001", Some("INB1"), 0.1,
+        Some(la), Some(lo), None, Some(500.0))
+    } :+ AircraftPing(1400.0, "inb001", None, 120.0, None, None, None, None)
+    val far = (0 until 25).map { i =>
+      val (la, lo) = away(80.0 + i * 0.3, 200.0)
+      AircraftPing(1000.0 + i * 10, "far002", None, 0.1,
+        Some(la), Some(lo), None, Some(8000.0))
+    } :+ AircraftPing(1400.0, "far002", None, 120.0, None, None, None, None)
+    inbound ++ far
+  }
+
+  private def pureRun(pings: Seq[AircraftPing]): List[TripTracker.Output] = {
+    pings.groupBy(_.hex).toSeq.flatMap { case (_, ps) =>
+      var st: Option[TripTracker.State] = None
+      val out = scala.collection.mutable.ListBuffer.empty[TripTracker.Output]
+      ps.sortBy(p => (p.now, p.seen)).foreach { p =>
+        val (ns, os) = TripTracker.processRow(cfg, Map.empty, st, p, p.now)
+        st = ns; out.appendAll(os)
+      }
+      out.toList
+    }.toList
+  }
+
+  test("batch wrapper output equals the pure state machine") {
+    import spark.implicits._
+    val ds = spark.createDataset(fixture)
+    val got = TripEngine.runBatch(ds, cfg).collect()
+    val expected = pureRun(fixture)
+    def key(o: TripTracker.Output) = (o.hex, o.ts, o.kind, o.distance, o.eta)
+    assert(got.map(key).toSet == expected.map(key).toSet)
+    assert(got.length == expected.length)
+    // the inbound plane produced warning+alert and a persisted trip
+    val kinds = got.filter(_.hex == "inb001").map(_.kind).toSet
+    assert(kinds.contains("alert"))
+    assert(kinds.contains("trip"))
+    // the far plane produced no events and no trip (outside all filters)
+    val farKinds = got.filter(_.hex == "far002").map(_.kind).toSet
+    assert(!farKinds.contains("trip"))
+    assert(!farKinds.contains("alert"))
+  }
+
+  test("streaming wrapper finalizes trips via event-time timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[AircraftPing]
+    // watermark needs a timestamp column: derive, then restore the type
+    // the watermark column must SURVIVE into the stateful op (dropping it
+    // detaches the watermark); .as[AircraftPing] keeps the extra column
+    val withTs = mem.toDS()
+      .withColumn("eventTime",
+        org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.col("now")))
+      .withWatermark("eventTime", "10 seconds")
+      .as[AircraftPing]
+    val out = TripEngine.runStreaming(withTs, cfg)
+    val q = out.writeStream.format("memory").queryName("engine_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // feed the live pings (no explicit seen>remember row: the TIMEOUT
+      // must finalize), then advance the watermark with a late marker ping
+      mem.addData(fixture.filter(_.seen < 1.0): _*)
+      q.processAllAvailable()
+      mem.addData(AircraftPing(5000.0, "zzz999", None, 0.1,
+        Some(10.0), Some(10.0), None, None))
+      q.processAllAvailable()
+      // one more batch so the timeout (armed after watermark advance) fires
+      mem.addData(AircraftPing(5100.0, "zzz998", None, 0.1,
+        Some(10.0), Some(10.0), None, None))
+      q.processAllAvailable()
+      val rows = spark.table("engine_out").as[TripTracker.Output].collect()
+      val kinds = rows.filter(_.hex == "inb001").map(_.kind).toSet
+      assert(kinds.contains("alert"), s"got kinds $kinds")
+      assert(kinds.contains("trip"),
+        s"timeout finalization missing; kinds $kinds")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.AirstrikConfig
+import graft.core.TripTracker
+import graft.core.TripTracker.{Output, State}
+import graft.geo.Geo
+import graft.model.{AircraftPing, ValueTs}
+
+/** Golden scenarios for the faithful state machine (FIXTURES.md §A1
+  * scenarios 1-6; reference semantics airstrik.py:473-627). Pure Scala —
+  * no Spark session needed. */
+class TripTrackerSpec extends AnyFunSuite {
+
+  private val cfg = AirstrikConfig() // reference defaults incl. filters
+  private val home = (cfg.homeLat, cfg.homeLon)
+
+  private def ping(hex: String, now: Double, seen: Double = 0.1,
+                   lat: Option[Double] = None, lon: Option[Double] = None,
+                   nav: Option[Double] = None, alt: Option[Double] = None,
+                   flight: Option[String] = None): AircraftPing =
+    AircraftPing(now, hex, flight, seen, lat, lon, nav, alt)
+
+  /** Run a sequence of pings through the state machine. */
+  private def run(pings: Seq[AircraftPing],
+                  icao: Map[String, String] = Map.empty)
+      : (Option[State], List[Output]) = {
+    var st: Option[State] = None
+    val out = scala.collection.mutable.ListBuffer.empty[Output]
+    pings.foreach { p =>
+      val (ns, os) = TripTracker.processRow(cfg, icao, st, p, p.now)
+      st = ns
+      out.appendAll(os)
+    }
+    (st, out.toList)
+  }
+
+  /** A point `km` away from home at bearing `brg`. Default 40° (not a
+    * cardinal direction) so lat AND lon both change between positions —
+    * the reference's per-attribute dedup (airstrik.py:576-577) keeps a
+    * constant-longitude track at lon_history length 1, which (faithfully)
+    * never reaches the min(len(lat),len(lon)) >= 2 derivation gate. */
+  private def away(km: Double, brg: Double = 40.0): (Double, Double) =
+    Geo.destination(home._1, home._2, brg, km)
+
+  test("scenario 1: inbound plane raises warning then alert") {
+    // plane starts 30 km north of home flying due south at ~360 km/h
+    // (0.1 km/s): each snapshot 10 s apart moves 1 km closer
+    val pings = (0 until 25).map { i =>
+      val (la, lo) = away(30.0 - i * 1.0)
+      ping("abc123", now = 1000.0 + i * 10, lat = Some(la), lon = Some(lo),
+        alt = Some(500.0), flight = Some("TEST01  "))
+    }
+    val (st, out) = run(pings)
+    val kinds = out.map(_.kind)
+    assert(kinds.contains("warning"), s"kinds: $kinds")
+    assert(kinds.contains("alert"), s"kinds: $kinds")
+    // warning must precede the first alert
+    assert(kinds.indexOf("warning") < kinds.indexOf("alert"))
+    val w = out.find(_.kind == "warning").get
+    assert(w.eta.exists(e => e > 0 && e < cfg.thinkAhead))
+    assert(w.flightId.contains("TEST01")) // spaces stripped
+    assert(st.exists(_.alarmTriggered))
+  }
+
+  test("scenario 2: trip shorter than min_trip_length is discarded") {
+    val (la, lo) = away(8.0)
+    val pings = Seq(
+      ping("short1", 1000.0, lat = Some(la), lon = Some(lo)),
+      ping("short1", 1030.0, lat = Some(la + 0.001), lon = Some(lo)),
+      // gap: seen > remember 60s; trip lasted ~30 s < 90 s min
+      ping("short1", 1200.0, seen = 170.0))
+    val (st, out) = run(pings)
+    assert(st.isEmpty) // state deleted
+    assert(!out.exists(o => o.kind == "trip" || o.kind == "tripend"))
+  }
+
+  test("scenario 3: icao backfill with (p) suffix; absent hex -> None") {
+    def flight(hex: String, icao: Map[String, String]) = {
+      // alarm-triggering trip with NO callsign ever sent. NOTE: the
+      // reference's as-of quirk means the persisted `distance` is the
+      // trip's FIRST distance entry, so the filter gate only passes trips
+      // that STARTED inside the widest zone (<= 10 km) — start at 9.5 km.
+      val pings = (0 until 20).map { i =>
+        val (la, lo) = away(9.5 - i * 0.4)
+        ping(hex, 1000.0 + i * 10, lat = Some(la), lon = Some(lo),
+          alt = Some(400.0))
+      } :+ ping(hex, 1000.0 + 20 * 10 + 100, seen = 99.0)
+      val (_, out) = run(pings, icao)
+      out.find(_.kind == "trip").map(_.flightId)
+    }
+    assert(flight("known1", Map("known1" -> "N123AB")) ===
+      Some(Some("N123AB (p)")))
+    assert(flight("unknwn", Map.empty) === Some(None))
+  }
+
+  test("scenario 4: consecutive-duplicate positions are deduped") {
+    val (la, lo) = away(20.0)
+    val pings = (0 until 6).map(i =>
+      ping("dup111", 1000.0 + i * 10, lat = Some(la), lon = Some(lo)))
+    val (st, _) = run(pings)
+    assert(st.get.latHistory.size == 1) // identical values collapse
+    assert(st.get.lonHistory.size == 1)
+  }
+
+  test("scenario 4b: decimation cadence - primes then writes every due batch") {
+    // distinct positions every batch, decimation_factor 15, force_new true:
+    // first due batch only primes last_written; tracker then resets on each
+    // write and decrements on the 14 following batches (reference quirk)
+    val pings = (0 until 40).map { i =>
+      val (la, lo) = away(25.0 - i * 0.1)
+      ping("decim1", 1000.0 + i * 10, lat = Some(la), lon = Some(lo))
+    }
+    val (_, out) = run(pings)
+    val tracks = out.filter(_.kind == "track")
+    // batch 1 (i=1): tracker 0, >=2 positions -> prime only (no write)
+    // batch 2: tracker still 0 -> write, tracker=14
+    // batches 3..16 decrement to 0, batch 17 writes, then every 15
+    assert(tracks.nonEmpty)
+    val ts = tracks.map(_.ts)
+    assert(ts.head == 1000.0 + 2 * 10, s"first track at ${ts.head}")
+    if (ts.size > 1)
+      assert(ts(1) - ts.head == 150.0, s"cadence ${ts(1) - ts.head}")
+  }
+
+  test("scenario 6: high pass inside distance bound but above alt gate") {
+    // plane passes at 6 km distance but 3000 m altitude (> 1000 m bound):
+    // no trip persisted (filter match at closest approach requires
+    // alt <= bound), and alarm stays false via the altitude gate
+    val pings = (0 until 20).map { i =>
+      val (la, lo) = away(14.0 - i * 0.5)
+      ping("high99", 1000.0 + i * 10, lat = Some(la), lon = Some(lo),
+        alt = Some(3000.0))
+    } :+ ping("high99", 1400.0, seen = 120.0)
+    val (_, out) = run(pings)
+    assert(!out.exists(_.kind == "trip"))
+    // but the plane was seen long enough: a non-alarm tripend is counted
+    assert(out.count(_.kind == "tripend") == 1)
+    assert(out.find(_.kind == "tripend").get.alarm.contains(false))
+  }
+
+  test("patch_add dedups against any prior element, raw append only last") {
+    import TripTracker.patchAdd
+    val h = List(ValueTs(2.0, 20), ValueTs(1.0, 10))
+    assert(patchAdd(h, ValueTs(1.0, 10)) eq h)       // exact pair exists
+    assert(patchAdd(h, ValueTs(1.0, 30)).size == 3)  // same value new ts ok
+  }
+
+  test("pyRound matches python round-half-even") {
+    assert(TripTracker.pyRound(2.5, 0) == 2.0)
+    assert(TripTracker.pyRound(3.5, 0) == 4.0)
+    assert(TripTracker.pyRound(2.675, 2) == 2.67) // binary 2.675 < midpoint
+    assert(TripTracker.pyRound(0.125, 2) == 0.12) // exact midpoint -> even
+  }
+
+  test("as-of assembly uses the OLDEST element <= closest_time (quirk 1)") {
+    // Distances descend then rise (v-shape, min at ts=1050); the whole
+    // track stays inside the 10 km zone so the filter gate (which sees
+    // the FIRST distance, per the quirk) passes.
+    val pings = (0 until 11).map { i =>
+      val km = 4.0 + math.abs(5 - i) * 0.5 // 6.5 .. 4.0 .. 6.5
+      val (la, lo) = away(km)
+      ping("asofpl", 1000.0 + i * 10, lat = Some(la), lon = Some(lo),
+        alt = Some(100.0 + i))
+    } :+ ping("asofpl", 1300.0, seen = 200.0)
+    val (_, out) = run(pings)
+    val trip = out.find(_.kind == "trip")
+    assert(trip.isDefined)
+    // oldest alt element (ts=1000, value 100.0) wins, not the one at 1050
+    assert(trip.get.altGeom.contains(100.0), s"got ${trip.get.altGeom}")
+    assert(trip.get.altGeomTs.contains(1000.0))
+  }
+}
