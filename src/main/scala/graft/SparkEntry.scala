@@ -282,14 +282,12 @@ object SparkEntry {
 
     // MinHash signature head (minhash itself, oracle-checkable).
     "q31_minhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-        TextFunctions.minhash(
-          array_distinct(TextFunctions.shingles(col("text"), 3)), 0)
-          .as("minhash0"),
-        TextFunctions.minhash(
-          array_distinct(TextFunctions.shingles(col("text"), 3)), 1)
-          .as("minhash1"))
+      TextFunctions.shingleRows(t(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("doc_id"),
+          md5(concat(col("shingle"), lit("|0"))).as("h0"),
+          md5(concat(col("shingle"), lit("|1"))).as("h1"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("h0")).as("minhash0"), min(col("h1")).as("minhash1"))
         .orderBy(col("doc_id"))
     }),
 
@@ -311,31 +309,20 @@ object SparkEntry {
     }),
 
     // Brute-force cosine top-k ANN (query side broadcast; corpus scanned
-    // once). Rank on the ROUNDED similarity (6 dp) with id tie-break so
-    // last-ulp FP noise can never flip the ranking across engines.
+    // once; dots via codegen'd explode+hash-agg). Ranked on the ROUNDED
+    // similarity (6 dp) with id tie-break so last-ulp FP noise can never
+    // flip the ranking across engines.
     "q34_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"),
-          VectorFunctions.toDouble(col("embedding")).as("qv"))
-      val c = emb.select(col("vec_id").as("neighbor_id"),
-        VectorFunctions.toDouble(col("embedding")).as("cv"))
-      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Language-ID heuristic (marker lexicon vote).
+    // Language-ID heuristic (marker lexicon vote, two-stage projection).
     "q35_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysisOps.langGuess(col("text")).as("lang_guess"))
+      TextAnalysisOps.classifyLang(t(s, dir, "documents"), "doc_id", "text")
         .groupBy(col("lang_guess"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_guess"))
@@ -580,12 +567,12 @@ object SparkEntry {
         |sig AS (
         |  SELECT doc_id,
         |""".stripMargin +
-        (0 until 12).map(i => s"    min(md5(s || '|$i')) AS m$i")
+        (0 until 8).map(i =>
+          s"    min(substr(md5(s), ${1 + 4 * i}, 4)) AS m$i")
           .mkString(",\n") +
         "\n  FROM flat GROUP BY doc_id),\nbands AS (\n" +
         (0 until 4).map { b =>
-          val cols = (b * 3 until b * 3 + 3).map(i => s"m$i").mkString(" || '#' || ")
-          s"  SELECT doc_id, md5($cols) AS band FROM sig"
+          s"  SELECT doc_id, m${2 * b} || '#' || m${2 * b + 1} AS band FROM sig"
         }.mkString("\n  UNION ALL\n") +
         """
         |),

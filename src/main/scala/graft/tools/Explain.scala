@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: runMain graft.tools.Explain <query> [sfDir] [mode]
+  * Prints the formatted plan and times two runs (cold + warm). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val mode = if (args.length > 2) args(2) else "formatted"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    @volatile var taskTotal = 0L
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val dur = for {
+            s <- info.submissionTime; e <- info.completionTime
+          } yield e - s
+          taskTotal += dur.getOrElse(0L)
+          println(f"  stage ${info.stageId}%3d: ${dur.getOrElse(0L)}%6d ms  " +
+            f"tasks=${info.numTasks}%3d  ${info.name.take(60)}")
+        }
+      })
+    val fn = graft.SparkEntry.queries(name)
+    if (mode != "none") fn(spark, sfDir).explain(mode)
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

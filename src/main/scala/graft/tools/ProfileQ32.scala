@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+object ProfileQ32 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (sys.env.contains("NO_WSCG")) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val k = 12; val rowsPerBand = 3
+    val base = docs.select(col("doc_id").as("id"), col("text").as("__text"))
+    val shRows = shingleRows(base, "id", "__text", 3)
+    val hashed = shRows.select((col("id") +: (0 until k).map(i =>
+      md5(concat(col("shingle"), lit("|" + i))).as("h" + i))): _*)
+    val sig = hashed.groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col("h" + i)).as("m" + i)): _*)
+    val bandKeys = (0 until 4).map { b =>
+      md5(concat_ws("#", (b * 3 until b * 3 + 3).map(i => col("m" + i)): _*))
+    }
+    val banded = sig.select(col("id"), explode(array(bandKeys: _*)).as("band"))
+    val buckets = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+    val candPlain = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    time("cand.count (no ckpt)")(candPlain.count())
+    time("cand.count again")(candPlain.count())
+    val cand = time("cand.localCheckpoint")(candPlain.localCheckpoint(true))
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val shSets = shRows.join(candIds, Seq("id"))
+      .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
+    time("shSets.count")(shSets.count())
+    val full = cand
+      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+    time("full.count")(full.count())
+    time("full.count again")(full.count())
+    // full operator as the query runs it
+    time("FULL minhashCandidates cold")(
+      graft.operators.DedupOps.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.2).count())
+    time("FULL minhashCandidates again")(
+      graft.operators.DedupOps.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.2).count())
+    spark.stop()
+  }
+}
