@@ -117,6 +117,28 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Anti join: customers that never ordered (NOT EXISTS).
+    "q06_cust_no_orders" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ST6 variant: broadcast dim enrichment with backfill on miss
+    // (the icao.json coalesce pattern, airstrik.py:510-519).
+    "q24_enrich_backfill" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0)
+      t(s, dir, "orders")
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("c_name"),
+            concat(lit("cust#"), col("o_custkey").cast("string"),
+              lit(" (p)"))).as("display_name"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ------------------- streaming-semantics analogs -------------------
     // (events: user_id ≈ hex, sec ≈ packet time, value ≈ distance)
 
@@ -253,6 +275,63 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // P4/P5/F6: geofence filter matching (map semantics) + discard of
+    // non-matching rows + the CSV stringification `name (dist, alt)`.
+    "q21_filter_match" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("dist_km", col("value") / 20.0)
+        .withColumn("alt_m", col("value") * 8.0)
+      val matched = concat_ws(", ",
+        when(col("dist_km") <= 10.0 && col("alt_m") <= 1000.0,
+          "close (10.0, 1000.0)"),
+        when(col("dist_km") <= 5.0 && col("alt_m") <= 1000.0,
+          "tooclose (5.0, 1000.0)"))
+      e.withColumn("filters", matched)
+        .filter(col("filters") =!= "") // P5: discard non-matching
+        .groupBy(col("filters"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("filters"))
+    }),
+
+    // Q3: per-key profile (trip counts + per-attribute message counts).
+    "q22_user_profile" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ST8: bounded lookback pair (lag N with first-value fallback).
+    "q23_lookback" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      ev(s, dir)
+        .withColumn("prev10",
+          coalesce(lag(col("value"), 10).over(w), first(col("value")).over(wRun)))
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("value") - col("prev10")), 6).as("avg_drift"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ST3 via Spark's built-in session_window (same oracle as the
+    // gap-sum formulation — boundary semantics must agree).
+    "q25_session_window" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("ts_ts", timestamp_seconds(col("sec")))
+        .groupBy(session_window(col("ts_ts"), "21600 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("sec")).as("start_time"),
+          max(col("sec")).as("end_time"))
+        .select(col("user_id"), col("start_time"), col("end_time"),
+          col("n_points"))
+        .orderBy(col("user_id"), col("start_time"))
+    }),
+
     // ----------------------------- geo ---------------------------------
 
     // F1/F4-composable: bearing + haversine from home to synthetic points.
@@ -344,6 +423,21 @@ object SparkEntry {
     "q38_fingerprint" -> ((s, dir) => {
       TextAnalysisOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal plumbing (oracle-checkable scalar features): text as an
+    // opaque binary media column; extract byte length, a content-hash
+    // header, and a deterministic fake class (the decode STUB — real
+    // decoders plug into MultimodalOps).
+    "q39_multimodal_features" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("media", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          substring(md5(col("text")), 1, 8).as("header"),
+          ((octet_length(col("text")) +
+            size(split(col("text"), " "))) % 10).as("fake_class"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -398,6 +492,73 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06_cust_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q24_enrich_backfill" ->
+      """SELECT o_orderkey,
+        |  coalesce(c_name, 'cust#' || o_custkey::VARCHAR || ' (p)')
+        |    AS display_name
+        |FROM orders
+        |LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 7 <> 0) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q21_filter_match" -> (EvCte +
+      """, f AS (
+        |  SELECT value, value / 20.0 AS dist_km, value * 8.0 AS alt_m FROM e),
+        |m AS (
+        |  SELECT value, concat_ws(', ',
+        |    CASE WHEN dist_km <= 10.0 AND alt_m <= 1000.0
+        |      THEN 'close (10.0, 1000.0)' END,
+        |    CASE WHEN dist_km <= 5.0 AND alt_m <= 1000.0
+        |      THEN 'tooclose (5.0, 1000.0)' END) AS filters
+        |  FROM f)
+        |SELECT filters, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM m WHERE filters <> ''
+        |GROUP BY filters ORDER BY filters""".stripMargin),
+
+    "q22_user_profile" -> (EvCte +
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q23_lookback" -> (EvCte +
+      """, d AS (
+        |  SELECT user_id, value, coalesce(
+        |    lag(value, 10) OVER (PARTITION BY user_id ORDER BY sec, event_id),
+        |    first_value(value) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING)) AS prev10
+        |  FROM e)
+        |SELECT user_id, round(avg(value - prev10), 6) AS avg_drift
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q25_session_window" -> (EvCte +
+      """, d AS (
+        |  SELECT *, CASE WHEN sec - lag(sec) OVER
+        |    (PARTITION BY user_id ORDER BY sec, event_id) > 21600
+        |    THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d)
+        |SELECT user_id, min(sec) AS start_time, max(sec) AS end_time,
+        |  count(*) AS n_points
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, start_time""".stripMargin),
+
+    "q39_multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS header,
+        |  (octet_length(encode(text)) + len(string_split(text, ' '))) % 10
+        |    AS fake_class
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q10_sessionize" -> (EvCte +
       """, d AS (

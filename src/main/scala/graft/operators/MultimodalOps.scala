@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `binary` columns with typed metadata, processed in partition
+  * batches.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in
+  * this environment): [[FakeDecoder]] produces deterministic
+  * pseudo-features from the bytes. The Spark-side plumbing — schema,
+  * batched per-partition iteration, partitioning control, feature
+  * schema — is real and is exactly where a JNI/ONNX/ffmpeg decoder would
+  * plug in.
+  *
+  * Scale design: media rows are large (MBs); ops avoid wide shuffles of
+  * the binary payload — features are extracted in a single mapPartitions
+  * pass and the binary is dropped as early as possible. `batchSize`
+  * models an accelerator-friendly micro-batch (the JVM analog of a
+  * pandas-UDF batch).
+  */
+object MultimodalOps {
+
+  final case class MediaMeta(mime: String, width: Int, height: Int,
+                             durationMs: Long)
+  final case class MediaRecord(id: Long, media: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(id: Long, mime: String, nBytes: Long,
+                                 sha: String, embedding: Array[Float])
+  final case class Frame(id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** STUB decoder — deterministic pseudo-decode standing in for a real
+    * codec. Replace `decode` with the real implementation; everything
+    * else (batching, schema, call sites) is production-shaped. */
+  object FakeDecoder {
+    val EmbeddingDim = 8
+
+    /** "Decode" bytes into a feature embedding: seeded by content hash so
+      * results are deterministic and content-sensitive. */
+    def decode(media: Array[Byte]): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(media)
+      (0 until EmbeddingDim).map { i =>
+        // two hash bytes per dim -> [-1, 1)
+        (((md(2 * i) & 0xff) << 8 | (md(2 * i + 1) & 0xff)) / 32768.0f) - 1.0f
+      }.toArray
+    }
+
+    def sha(media: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(media)
+        .map("%02x".format(_)).mkString
+  }
+
+  /** Feature extraction over partition-local micro-batches. One pass,
+    * binary dropped at output. */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary: a real decoder would submit `batch` to the
+        // accelerator as one request
+        batch.iterator.map { r =>
+          MediaFeatures(r.id, r.meta.mime, r.media.length.toLong,
+            FakeDecoder.sha(r.media), FakeDecoder.decode(r.media))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size window of the payload
+    * as a "frame" (stub for video keyframe extraction; shape + explode
+    * semantics are the real plumbing). */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                   stride: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = r.media.length / frameBytes
+      (0 until n by stride).map { f =>
+        Frame(r.id, f,
+          java.util.Arrays.copyOfRange(r.media, f * frameBytes,
+            (f + 1) * frameBytes))
+      }
+    }
+  }
+
+  /** Exact media dedup by content hash — binary never shuffled, only the
+    * 16-byte digest. */
+  def dedupExact(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(r => (r.id, FakeDecoder.sha(r.media))).toDF("id", "sha")
+      .groupBy(col("sha"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("keep_id"))
+  }
+
+  /** Embedding near-dup across media: extract features then reuse the
+    * vector near-dup operator (cosine over sign-LSH buckets). */
+  def nearDupByEmbedding(media: Dataset[MediaRecord],
+                         threshold: Double): DataFrame = {
+    val feats = extractFeatures(media).toDF()
+    DedupOps.embeddingNearDups(feats, "id", "embedding", threshold)
+  }
+}

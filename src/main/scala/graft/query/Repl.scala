@@ -1,0 +1,95 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The dbread.py query surface (Q2-Q6, dbread.py:27-201): catalog
+  * listing, predicate search, per-plane inspection, result dump, guarded
+  * destructive ops, and the ` & `-chained command dispatcher.
+  *
+  * The engine's "databases/collections" map to Spark catalog databases /
+  * tables; `last_planes` (dbread.py:12, 122) maps to a session temp view.
+  */
+class Repl(spark: SparkSession,
+           out: String => Unit = println(_: String)) {
+
+  /** Observation view used by `search` — a long-form
+    * (key, ts, attr, value) table registered by the caller. */
+  var obsView: String = "observations"
+  private var lastMatches: Option[DataFrame] = None
+
+  /** Q2: list databases with table counts (dbread.py:27-31). */
+  def listDatabases(): Seq[String] = {
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).toSeq
+    dbs.foreach(d => out(s"$d (${spark.catalog.listTables(d).count()} tables)"))
+    dbs
+  }
+
+  /** Q2: list tables in a database (dbread.py:33-36). */
+  def listTables(db: String): Seq[String] = {
+    val ts = spark.catalog.listTables(db).collect().map(_.name).toSeq
+    ts.foreach(out)
+    ts
+  }
+
+  /** Q1: predicate-intersection search over the observation view
+    * (dbread.py:78-122). Caches the result as `last_planes`. */
+  def search(query: String): DataFrame = {
+    val obs = spark.table(obsView)
+    val res = SearchParser.search(obs, query, "key", "ts", "attr", "value")
+    res.createOrReplaceTempView("last_planes")
+    lastMatches = Some(res)
+    res.collect().foreach(r => out(r.get(0).toString))
+    res
+  }
+
+  /** Q3: per-key inspection — counts per attribute (dbread.py:41-57). */
+  def inspect(key: String): DataFrame = {
+    val obs = spark.table(obsView)
+    val res = obs.filter(col("key") === key)
+      .groupBy(col("attr")).agg(count(lit(1)).as("n_messages"))
+    res.collect().foreach(r => out(s"${r.getString(0)}: ${r.getLong(1)}"))
+    res
+  }
+
+  /** Q4: dump last matches as pretty JSON to a file (dbread.py:131-153). */
+  def dump(path: String): Unit = lastMatches match {
+    case None => out("no previous search")
+    case Some(df) =>
+      val rows = df.toJSON.collect()
+      val w = new java.io.FileWriter(path)
+      try w.write(rows.sorted.mkString("[\n  ", ",\n  ", "\n]"))
+      finally w.close()
+      out(s"dumped ${rows.length} rows to $path")
+  }
+
+  /** Q5: guarded drop — requires the exact table name as confirmation
+    * (dbread.py:62-75). */
+  def drop(table: String, confirmation: String): Boolean =
+    if (confirmation == table) {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      out(s"dropped $table")
+      true
+    } else {
+      out("confirmation mismatch; not dropping")
+      false
+    }
+
+  /** Q6: ` & `-chained command dispatch (dbread.py:180-201). Unknown
+    * commands report and continue (the reference's error trap). */
+  def execute(line: String): Unit =
+    line.split(" & ").map(_.trim).filter(_.nonEmpty).foreach { cmd =>
+      val parts = cmd.split("\\s+").toSeq
+      try parts.head match {
+        case "list"    => if (parts.size > 1) listTables(parts(1))
+                          else listDatabases()
+        case "search"  => search(parts.tail.mkString(" "))
+        case "inspect" => inspect(parts(1))
+        case "dump"    => dump(parts(1))
+        case "drop"    => drop(parts(1), parts.lift(2).getOrElse(""))
+        case other     => out(s"unknown command: $other")
+      } catch {
+        case e: Exception => out(s"error in '$cmd': ${e.getMessage}")
+      }
+    }
+}

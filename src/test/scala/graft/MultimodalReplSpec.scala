@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.{MediaMeta, MediaRecord}
+import graft.query.Repl
+
+class MultimodalReplSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def media(n: Int): Seq[MediaRecord] =
+    (0 until n).map { i =>
+      // duplicate payload every 5th record to exercise dedup
+      val payload = Array.fill(256)(((i % 5) * 7 + 3).toByte)
+      MediaRecord(i.toLong, payload, MediaMeta("image/fake", 16, 16, 0L))
+    }
+
+  test("extractFeatures: deterministic, binary dropped, fixed dim") {
+    import spark.implicits._
+    val ds = spark.createDataset(media(20))
+    val f1 = MultimodalOps.extractFeatures(ds, batchSize = 4).collect()
+    val f2 = MultimodalOps.extractFeatures(ds, batchSize = 7).collect()
+    assert(f1.length == 20)
+    assert(f1.forall(_.embedding.length == MultimodalOps.FakeDecoder.EmbeddingDim))
+    // batch size must not change results
+    assert(f1.sortBy(_.id).map(_.sha).toSeq == f2.sortBy(_.id).map(_.sha).toSeq)
+    // identical payloads -> identical features
+    val byId = f1.map(f => f.id -> f.sha).toMap
+    assert(byId(0L) == byId(5L))
+    assert(byId(0L) != byId(1L))
+  }
+
+  test("sampleFrames: windowed frames with stride") {
+    import spark.implicits._
+    val ds = spark.createDataset(media(2))
+    val frames = MultimodalOps.sampleFrames(ds, frameBytes = 64, stride = 2)
+      .collect()
+    // 256 bytes / 64 = 4 frames, stride 2 -> frames 0 and 2, per record
+    assert(frames.count(_.id == 0L) == 2)
+    assert(frames.forall(_.frame.length == 64))
+    assert(frames.map(_.frameIdx).distinct.sorted.toSeq == Seq(0, 2))
+  }
+
+  test("media dedupExact groups identical payloads") {
+    import spark.implicits._
+    val ds = spark.createDataset(media(20))
+    val groups = MultimodalOps.dedupExact(ds).collect()
+    assert(groups.length == 5) // 5 distinct payload classes
+    assert(groups.map(_.getLong(1)).sum == 20)
+  }
+
+  test("repl: search/inspect/dump/chained dispatch") {
+    import spark.implicits._
+    val obs = Seq(
+      ("p1", 1.0, "alt", 600.0), ("p1", 1.0, "dist", 5.0),
+      ("p2", 2.0, "alt", 700.0), ("p2", 3.0, "dist", 4.0)
+    ).toDF("key", "ts", "attr", "value")
+    obs.createOrReplaceTempView("observations")
+    val outLines = scala.collection.mutable.ListBuffer.empty[String]
+    val repl = new Repl(spark, outLines.append(_))
+    // p1 has both conditions at the same ts; p2 does not
+    repl.execute("search alt>500 dist<10")
+    assert(outLines.contains("p1") && !outLines.contains("p2"))
+    val tmp = java.nio.file.Files.createTempFile("repl_dump", ".json").toString
+    repl.execute(s"inspect p2 & dump $tmp")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp))).contains("p1"))
+    repl.execute("bogus-cmd & list")
+    assert(outLines.exists(_.startsWith("unknown command")))
+  }
+}
