@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.{MediaMeta, MediaRecord}
+import graft.query.Repl
+
+/** Drives the dbread.py-equivalent REPL surface and the multimodal
+  * pipeline end-to-end, plus the driver's entry() smoke.
+  * Usage: runMain graft.tools.ReplDemo */
+object ReplDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // observation view from real events data (long form, as the engine
+    // would register it)
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(concat(lit("plane-"), col("user_id")).as("key"),
+        expr("ts div 1000000000").cast("double").as("ts"),
+        when(col("event_type") === "click", "alt").otherwise("dist").as("attr"),
+        col("value"))
+      .createOrReplaceTempView("observations")
+
+    val repl = new Repl(spark)
+    println("== repl: chained search + dump ==")
+    val tmp = java.nio.file.Files.createTempFile("dump", ".json").toString
+    repl.execute(s"search alt>150 dist<50 & dump $tmp")
+    println("== repl: inspect + unknown command ==")
+    repl.execute("inspect plane-3 & definitely-not-a-command")
+    println("== repl: guarded drop (mismatched confirmation) ==")
+    spark.sql("CREATE TABLE IF NOT EXISTS t_drop_me (x INT) USING parquet")
+    repl.execute("drop t_drop_me wrong-name")
+    println("tables now: " + spark.catalog.listTables().count())
+    repl.execute("drop t_drop_me t_drop_me")
+    println("tables after drop: " + spark.catalog.listTables().count())
+
+    println("== multimodal pipeline ==")
+    val media = spark.createDataset((0 until 12).map { i =>
+      MediaRecord(i.toLong, Array.fill(512)(((i % 4) * 13 + 1).toByte),
+        MediaMeta("image/fake", 32, 32, 0L))
+    })
+    MultimodalOps.extractFeatures(media, batchSize = 5).show(3, truncate = 40)
+    println("frames: " + MultimodalOps.sampleFrames(media, 128, 2).count())
+    MultimodalOps.dedupExact(media).show()
+    println("== entry() smoke (driver t1 contract) ==")
+    println("entry rows: " + graft.SparkEntry.entry(spark).count())
+    spark.stop()
+  }
+}
