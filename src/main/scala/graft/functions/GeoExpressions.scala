@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, QuaternaryExpression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.geo.Geo
+
+/** Native Catalyst expressions for the WGS-84 geodesic pair (F2/F3,
+  * reference geopy use at airstrik.py:400/438/258).
+  *
+  * Why not the Scala UDF in [[GeoFunctions]]: a UDF is an opaque box to
+  * Catalyst — it blocks null-intolerance shortcuts, forces boxing through
+  * `ScalaUDF`'s converters, and (most importantly on the 100 TB path)
+  * breaks constant folding and costs a virtual call per row. These
+  * expressions implement `doGenCode`, so the whole-stage-codegen'd Java
+  * calls the static `graft.geo.Geo` math directly — the expression stays
+  * inside the generated loop like a built-in.
+  */
+case class GeodesicDistance(
+    lat1: Expression, lon1: Expression,
+    lat2: Expression, lon2: Expression)
+  extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = lat1
+  override def second: Expression = lon1
+  override def third: Expression = lat2
+  override def fourth: Expression = lon2
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geodesic_km"
+
+  override protected def nullSafeEval(
+      a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.geodesicKm(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.geo.Geo.geodesicKm($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(lat1 = newFirst, lon1 = newSecond, lat2 = newThird, lon2 = newFourth)
+}
+
+/** WGS-84 destination point: array(lat, lon) reached from (lat, lon) at
+  * `bearingDeg` after `km` (reference airstrik.py:244-252). Array return
+  * keeps codegen simple (one `GenericArrayData` alloc, no InternalRow). */
+case class GeodesicDestination(
+    lat: Expression, lon: Expression,
+    bearingDeg: Expression, km: Expression)
+  extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = bearingDeg
+  override def fourth: Expression = km
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geodesic_destination"
+
+  override protected def nullSafeEval(
+      a: Any, b: Any, c: Any, d: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Geo.destinationArr(a.asInstanceOf[Double], b.asInstanceOf[Double],
+        c.asInstanceOf[Double], d.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.geo.Geo.destinationArr($a, $b, $c, $d))")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(lat = newFirst, lon = newSecond, bearingDeg = newThird, km = newFourth)
+}
+
+object GeoExpressions {
+
+  /** Column wrappers over the native expressions (drop-in for the UDFs). */
+  def geodesicKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    ExpressionUtils.column(GeodesicDistance(
+      expr(lat1), expr(lon1), expr(lat2), expr(lon2)))
+
+  def destination(lat: Column, lon: Column, bearing: Column, km: Column): Column =
+    ExpressionUtils.column(GeodesicDestination(
+      expr(lat), expr(lon), expr(bearing), expr(km)))
+
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** FunctionRegistry entries — see [[graft.GraftExtensions]]. */
+  val registryEntries: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("geodesic_km"),
+      new ExpressionInfo(classOf[GeodesicDistance].getName, "geodesic_km"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4, "geodesic_km(lat1, lon1, lat2, lon2)")
+        GeodesicDistance(es(0), es(1), es(2), es(3))
+      }),
+    (FunctionIdentifier("geodesic_destination"),
+      new ExpressionInfo(classOf[GeodesicDestination].getName,
+        "geodesic_destination"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4, "geodesic_destination(lat, lon, bearing, km)")
+        GeodesicDestination(es(0), es(1), es(2), es(3))
+      }))
+}
+
+/** Session extension: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) registers the native geo
+  * expressions as SQL-callable functions on every session — the idiomatic
+  * Spark packaging for an engine extension (no session-local
+  * `udf.register` needed). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GeoExpressions.registryEntries.foreach(ext.injectFunction)
+}

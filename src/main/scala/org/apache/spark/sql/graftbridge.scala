@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into the `org.apache.spark.sql` package for wrapping a
+  * catalyst `Expression` in a public `Column` (and back). Spark 4 removed
+  * the public `Column(expr)` constructor; `classic.ExpressionUtils` is
+  * `private[sql]`, so third-party engines expose it via a one-file shim in
+  * this package — the established pattern for Catalyst extension libraries. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
