@@ -1,11 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, QuaternaryExpression}
-import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.geo.Geo
@@ -31,8 +30,9 @@ case class GeodesicDistance(
   override def third: Expression = lat2
   override def fourth: Expression = lon2
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  // `AbstractDataType` is private[sql] in Spark 4 — omit the annotation so
+  // the inherited signature is used.
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "geodesic_km"
@@ -65,8 +65,9 @@ case class GeodesicDestination(
   override def third: Expression = bearingDeg
   override def fourth: Expression = km
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  // `AbstractDataType` is private[sql] in Spark 4 — omit the annotation so
+  // the inherited signature is used.
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "geodesic_destination"
@@ -92,14 +93,14 @@ object GeoExpressions {
 
   /** Column wrappers over the native expressions (drop-in for the UDFs). */
   def geodesicKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
-    ExpressionUtils.column(GeodesicDistance(
+    GraftColumnBridge.column(GeodesicDistance(
       expr(lat1), expr(lon1), expr(lat2), expr(lon2)))
 
   def destination(lat: Column, lon: Column, bearing: Column, km: Column): Column =
-    ExpressionUtils.column(GeodesicDestination(
+    GraftColumnBridge.column(GeodesicDestination(
       expr(lat), expr(lon), expr(bearing), expr(km)))
 
-  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
 
   /** FunctionRegistry entries — see [[graft.GraftExtensions]]. */
   val registryEntries: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -134,4 +134,12 @@ object Geo {
     val lon2 = math.toRadians(lon) + l
     (math.toDegrees(lat2), ((math.toDegrees(lon2) + 540.0) % 360.0) - 180.0)
   }
+
+  /** [[destination]] as a 2-element array — the allocation-friendly shape the
+    * native codegen expression ([[graft.functions.GeodesicDestination]])
+    * wraps directly in a `GenericArrayData`. */
+  def destinationArr(lat: Double, lon: Double, bearingDegrees: Double, km: Double): Array[Double] = {
+    val (la, lo) = destination(lat, lon, bearingDegrees, km)
+    Array(la, lo)
+  }
 }
