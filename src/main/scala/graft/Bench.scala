@@ -16,12 +16,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen/parquet-footer warmup outside the timed loop
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Time a noop-format write: every column is materialized, so column
+    // pruning cannot elide projection work the way `df.count()` would for
+    // select-shaped queries.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     SparkEntry.queries.values.headOption.foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

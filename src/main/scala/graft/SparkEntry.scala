@@ -117,10 +117,13 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
-    // Anti join: customers that never ordered (NOT EXISTS).
-    "q06_cust_no_orders" -> ((s, dir) => {
+    // Anti join: customers with no URGENT order (NOT EXISTS). The
+    // predicate keeps the probe data-bearing on this corpus (every
+    // customer has *some* order, so an unfiltered anti join is vacuous).
+    "q06_cust_no_urgent" -> ((s, dir) => {
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"),
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -152,11 +155,13 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
-    // ST2: consecutive-duplicate suppression (dedup-by-change).
+    // ST2: consecutive-duplicate suppression (dedup-by-change). No
+    // pre-sort: dedupByChange's own Window.partitionBy(key).orderBy(ts)
+    // is the only exchange+sort this plan needs.
     "q11_dedup_change" -> ((s, dir) => {
       val e = ev(s, dir)
       ChangeOps.dedupByChange(
-        e.orderBy(col("user_id")), col("user_id"),
+        e, col("user_id"),
         struct(col("sec"), col("event_id")), col("event_type"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_kept"))
@@ -247,22 +252,14 @@ object SparkEntry {
     }),
 
     // Flagship ST3+ST4+P3: session trip summaries with closest approach.
+    // Single-aggregation plan (SessionOps.tripSummaries): one shuffle on
+    // the key, min_by argmin — no second window pass, no self-join-back.
     "q18_trip_summary" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val sess = SessionOps.sessionize(e, col("user_id"), col("sec"), 21600)
-      val stats = sess.groupBy(col("user_id"), col("session_id"))
-        .agg(min(col("sec")).as("start_time"),
-          max(col("sec")).as("end_time"),
-          count(lit(1)).as("n_points"))
-      val wmin = Window.partitionBy(col("user_id"), col("session_id"))
-        .orderBy(col("value"), col("sec"), col("event_id"))
-      val closest = sess.withColumn("__rn", row_number().over(wmin))
-        .filter(col("__rn") === 1)
-        .select(col("user_id"), col("session_id"),
-          round(col("value"), 2).as("min_value"),
-          col("sec").as("closest_time"))
-      stats.join(closest, Seq("user_id", "session_id"))
-        .filter(col("end_time") - col("start_time") >= 3600)
+      SessionOps.tripSummaries(ev(s, dir), col("user_id"), col("sec"),
+        col("value"), 21600, 3600)
+        .select(col("key").as("user_id"), col("session_id"),
+          col("start_time"), col("end_time"), col("n_points"),
+          round(col("min_value"), 2).as("min_value"), col("closest_time"))
         .orderBy(col("user_id"), col("session_id"))
     }),
 
@@ -493,9 +490,10 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
-    "q06_cust_no_orders" ->
+    "q06_cust_no_urgent" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "q24_enrich_backfill" ->
