@@ -422,6 +422,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Banded multi-table random-hyperplane LSH near-dup pairs over the
+    // embedding column (8 tables × 4 sign bits on this corpus; the
+    // operator's scale defaults are 12 × 16). Exact-cosine verification
+    // touches candidates only.
+    "q40_embed_neardup" -> ((s, dir) => {
+      DedupOps.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, dim = EmbDim,
+        tables = LshTables, bits = LshBits)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH bucket diagnostics: per-table bucket count / max size / pair
+    // space — the "no silent caps" visibility surface for q40's cap.
+    "q41_lsh_bucket_stats" -> ((s, dir) => {
+      DedupOps.embeddingLshBucketStats(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = EmbDim, tables = LshTables, bits = LshBits)
+        .orderBy(col("t"))
+    }),
+
     // Multimodal plumbing (oracle-checkable scalar features): text as an
     // opaque binary media column; extract byte length, a content-hash
     // header, and a deterministic fake class (the decode STUB — real
@@ -441,6 +461,32 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle twins
   // ---------------------------------------------------------------------
+
+  // q40/q41 LSH geometry (corpus-suited; operator defaults are larger).
+  private val EmbDim = 64
+  private val LshTables = 8
+  private val LshBits = 4
+
+  /** DuckDB literal for a ±1 hyperplane. */
+  private def planeListSql(p: Array[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** Banded-LSH rows `(id, t, bucket)` as DuckDB SQL — built from the
+    * SAME `VectorFunctions.hyperplanes` constants the Spark plan uses,
+    * with the same left-to-right summation order (list_sum over
+    * list_transform ≡ the aggregate/zip_with fold), so sign bits are
+    * bit-identical across engines. */
+  private def lshBandsSql: String = {
+    val planes = VectorFunctions.hyperplanes(LshTables, LshBits, EmbDim)
+    (0 until LshTables).map { t =>
+      val bitsExpr = (0 until LshBits).map { j =>
+        s"(CASE WHEN list_sum(list_transform(range(1, ${EmbDim + 1}), " +
+          s"i -> v[i] * (${planeListSql(planes(t)(j))})[i])) >= 0 " +
+          "THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"  SELECT id, $t AS t, $bitsExpr AS bucket FROM v"
+    }.mkString("\n  UNION ALL\n")
+  }
 
   /** events-with-seconds CTE used by most event oracles. */
   private val EvCte =
@@ -749,6 +795,46 @@ object SparkEntry {
         |  JOIN sh sb ON sb.doc_id = c.id_b)
         |SELECT id_a, id_b, jaccard FROM j
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin),
+
+    "q40_embed_neardup" -> (
+      """WITH v AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |bands AS (
+        |""".stripMargin + lshBandsSql +
+        """
+        |),
+        |b2 AS (SELECT id, t::VARCHAR || '#' || bucket AS band FROM bands),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM b2 a JOIN b2 b USING (band) WHERE a.id < b.id),
+        |j AS (
+        |  SELECT c.id_a, c.id_b,
+        |    list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i])) AS dot,
+        |    sqrt(list_sum(list_transform(va.v, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(vb.v, x -> x * x))) AS nb
+        |  FROM cand c
+        |  JOIN v va ON va.id = c.id_a
+        |  JOIN v vb ON vb.id = c.id_b),
+        |cosed AS (
+        |  SELECT id_a, id_b, CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |    ELSE dot / (na * nb) END AS cos0
+        |  FROM j)
+        |SELECT id_a, id_b, round(cos0, 6) AS cos FROM cosed
+        |WHERE cos0 >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+
+    "q41_lsh_bucket_stats" -> (
+      """WITH v AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |bands AS (
+        |""".stripMargin + lshBandsSql +
+        """
+        |),
+        |g AS (SELECT t, bucket, count(*) AS n FROM bands GROUP BY t, bucket)
+        |SELECT t, count(*) AS n_buckets, max(n) AS max_bucket,
+        |  sum(n * (n - 1)) AS pair_space_x2
+        |FROM g GROUP BY t ORDER BY t""".stripMargin),
 
     "q34_ann_cosine" ->
       """WITH q AS (

@@ -35,4 +35,24 @@ object VectorFunctions {
   def signBucket(a: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(a, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Deterministic Rademacher (±1) hyperplane bank for random-hyperplane
+    * LSH (Charikar '02 sign-projection; ±1 entries are a standard valid
+    * choice): `tables` × `bits` planes over `dim` dimensions. Seeded
+    * `scala.util.Random` (spec-fixed LCG) makes the bank identical on
+    * every call, so the DuckDB oracle twin can inline the same constants
+    * as SQL literals. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
+    (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val rnd = new scala.util.Random(t.toLong * 7919 + j)
+        Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      }
+    }
+
+  /** Sign bit ('1'/'0') of projecting `v` onto a constant plane. The
+    * projection is the same left-fold dot as [[dot]], so it is
+    * bit-identical across engines (identical IEEE op order). */
+  def planeBit(v: Column, plane: Array[Double]): Column =
+    when(dot(v, array(plane.map(lit): _*)) >= 0, lit("1")).otherwise(lit("0"))
 }

@@ -76,8 +76,13 @@ object DedupOps {
     // maxBucket bounds the m^2 blowup of degenerate buckets (mass
     // near-identical docs belong to exact dedup, not LSH).
     val maxBucket = 1000
+    // Cap drops are surfaced as an observe metric (visible to any
+    // QueryExecutionListener / Observation), never silently discarded.
     val buckets = banded.groupBy(col("band"))
       .agg(collect_list(col("id")).as("ids"))
+      .observe("lsh_minhash_buckets",
+        count(when(size(col("ids")) > maxBucket, true)).as("dropped_buckets"),
+        max(size(col("ids"))).as("max_bucket"))
       .filter(size(col("ids")).between(2, maxBucket))
     // cache: cand is tiny (candidate pairs only) but referenced twice
     // below — without reuse each reference re-executes the entire
@@ -130,21 +135,75 @@ object DedupOps {
       .drop("sh_a", "sh_b")
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold among vectors sharing
-    * a coarse sign-LSH bucket (linear candidate generation; the bucket is
-    * the sign pattern of the first `signBits` dimensions). */
-  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, signBits: Int = 8): DataFrame = {
+  /** Banded (table, bucket, id) rows for random-hyperplane LSH: one row
+    * per vector per table, bucket = the table's sign pattern. Only
+    * (t, bucket, id) is shuffled — never the vectors. */
+  private def embeddingBands(emb: DataFrame, idCol: String, vecCol: String,
+                             tables: Int, bits: Int, dim: Int): DataFrame = {
     import graft.functions.VectorFunctions._
-    val withKey = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("bucket", signBucket(col("v"), signBits))
-    val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    val planes = hyperplanes(tables, bits, dim)
+    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val bandStructs = planes.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("t"),
+        concat(tp.map(p => planeBit(col("v"), p)): _*).as("bucket"))
+    }
+    v.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.t").as("t"), col("b.bucket").as("bucket"))
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold among vectors sharing
+    * any of `tables` banded random-hyperplane LSH buckets (`bits` sign
+    * bits per table, OR-ed candidates across tables — the same
+    * band-and-OR recall structure as the minhash path).
+    *
+    * Scale notes: candidate generation is linear (corpus × tables rows,
+    * key-only shuffle); the quadratic pair space exists only within
+    * buckets, which `bits` keeps small (2^bits buckets per table —
+    * size `bits` so an average bucket holds ≲ a few thousand vectors at
+    * your corpus size). `maxBucket` bounds degenerate buckets; dropped
+    * buckets are surfaced via the `lsh_embed_buckets` observe metric
+    * (dropped_buckets / max_bucket), not silently discarded. Exact
+    * cosine verification only touches candidate ids. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dim: Int,
+                        tables: Int = 12, bits: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .cache()
+    val banded = embeddingBands(emb, idCol, vecCol, tables, bits, dim)
+      .select(concat(col("t").cast("string"), lit("#"), col("bucket"))
+        .as("band"), col("id"))
+    val buckets = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .observe("lsh_embed_buckets",
+        count(when(size(col("ids")) > maxBucket, true)).as("dropped_buckets"),
+        max(size(col("ids"))).as("max_bucket"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val cand = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Per-table LSH bucket diagnostics: bucket count, max bucket size and
+    * the within-bucket pair space (×2). Makes recall holes and cap drops
+    * visible — run it whenever `maxBucket` trims candidates. */
+  def embeddingLshBucketStats(emb: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, tables: Int = 12,
+                              bits: Int = 16): DataFrame =
+    embeddingBands(emb, idCol, vecCol, tables, bits, dim)
+      .groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(col("n") * (col("n") - 1)).as("pair_space_x2"))
 }

@@ -96,10 +96,12 @@ object MultimodalOps {
   }
 
   /** Embedding near-dup across media: extract features then reuse the
-    * vector near-dup operator (cosine over sign-LSH buckets). */
+    * banded random-hyperplane LSH near-dup operator. The 8-dim stub
+    * embedding gets a correspondingly small table/bit geometry. */
   def nearDupByEmbedding(media: Dataset[MediaRecord],
                          threshold: Double): DataFrame = {
     val feats = extractFeatures(media).toDF()
-    DedupOps.embeddingNearDups(feats, "id", "embedding", threshold)
+    DedupOps.embeddingNearDups(feats, "id", "embedding", threshold,
+      dim = FakeDecoder.EmbeddingDim, tables = 4, bits = 4)
   }
 }
