@@ -39,42 +39,71 @@ object EngineSinks {
   def flightRecords(outputs: Dataset[Output]): DataFrame =
     outputs.toDF().filter(col("kind").isin("track", "trip"))
 
-  /** Daily stats frame (S4/ST12): derive the reference's per-day counters
-    * from `tripend` rows at the configured UTC offset. Idempotent upsert
-    * key = date (the reference falls back to overwrite on duplicate key,
-    * airstrik.py:677-685 — a parquet overwrite-by-partition or Mongo
-    * replace gives the same semantics). */
-  def dailyStats(outputs: Dataset[Output], utcOffsetHours: Int): DataFrame =
+  /** Compact per-trip stats rows (date, hex, alarm) — the mergeable
+    * source of truth behind the daily-stats upsert (distinct-plane
+    * counters cannot be merged from partial aggregates, so the streaming
+    * upsert accumulates these rows and re-aggregates). */
+  def statsRows(outputs: Dataset[Output], utcOffsetHours: Int): DataFrame =
     outputs.filter(col("kind") === "tripend")
       .withColumn("date", date_format(
         timestamp_seconds(col("endTime") + utcOffsetHours * 3600L),
         "yyyy-MM-dd"))
-      .groupBy(col("date"))
+      .select(col("date"), col("hex"), col("alarm"))
+
+  /** Per-day counters from [[statsRows]]-shaped rows. */
+  def dailyStatsFromRows(rows: DataFrame): DataFrame =
+    rows.groupBy(col("date"))
       .agg(
         countDistinct(col("hex")).as("unique_planes"),
         count(lit(1)).as("total_trips"),
         countDistinct(when(col("alarm"), col("hex"))).as("unique_alarm_planes"),
         sum(when(col("alarm"), 1L).otherwise(0L)).as("total_alarm_trips"))
 
-  /** CSV export of flight records (S8/Q7, csvdump.py:62-101): value-only
-    * columns, stringified filters `name (dist, alt), ...`, extras →
-    * timestamps. */
-  def csvExport(outputs: Dataset[Output]): DataFrame =
-    flightRecords(outputs).select(
-      coalesce(col("flightId"), col("hex")).as("name"),
-      col("hex").as("flight_id"),
-      timestamp_seconds(col("startTime")).as("start_time"),
-      timestamp_seconds(col("endTime")).as("end_time"),
-      col("lat"), col("lon"),
-      col("navHeading").as("nav_heading"),
-      col("altGeom").as("alt_geom"),
-      col("calcHeading").as("calc_heading"),
-      col("calcSpeed").as("calc_speed"),
-      col("distance"),
-      concat_ws(", ", transform(map_entries(col("filters")),
-        e => format_string("%s (%s, %s)", e.getField("key"),
-          element_at(e.getField("value"), 1),
-          element_at(e.getField("value"), 2)))).as("filters"))
+  /** Daily stats frame (S4/ST12): derive the reference's per-day counters
+    * from `tripend` rows at the configured UTC offset. Idempotent upsert
+    * key = date (the reference falls back to overwrite on duplicate key,
+    * airstrik.py:677-685 — a parquet overwrite-by-partition or Mongo
+    * replace gives the same semantics). */
+  def dailyStats(outputs: Dataset[Output], utcOffsetHours: Int): DataFrame =
+    dailyStatsFromRows(statsRows(outputs, utcOffsetHours))
+
+  /** Stats CSV export (csvdump.py:39-60): the `--stats` variant's exact
+    * header order, one row per day. */
+  def statsCsvExport(outputs: Dataset[Output], utcOffsetHours: Int): DataFrame =
+    dailyStats(outputs, utcOffsetHours)
+      .select(col("date"), col("unique_planes"), col("total_trips"),
+        col("unique_alarm_planes"), col("total_alarm_trips"))
+      .orderBy(col("date"))
+
+  /** CSV export of flight records (S8/Q7, csvdump.py:62-101): one row per
+    * trip document with the reference's exact column mapping — `name` is
+    * the collection (hex), `flight_id` the callsign (csvdump.py:76), and
+    * `trip` the per-plane 1-based trip ordinal (insertion order ≡
+    * start-time order). Filters stringified as `name (dist, alt), ...`,
+    * extras → timestamps. */
+  def csvExport(outputs: Dataset[Output]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    outputs.toDF().filter(col("kind") === "trip")
+      .withColumn("trip", row_number().over(
+        Window.partitionBy(col("hex"))
+          .orderBy(col("startTime"), col("ts"))))
+      .select(
+        col("hex").as("name"),
+        col("flightId").as("flight_id"),
+        timestamp_seconds(col("startTime")).as("start_time"),
+        timestamp_seconds(col("endTime")).as("end_time"),
+        col("lat"), col("lon"),
+        col("navHeading").as("nav_heading"),
+        col("altGeom").as("alt_geom"),
+        col("calcHeading").as("calc_heading"),
+        col("calcSpeed").as("calc_speed"),
+        col("distance"),
+        col("trip"),
+        concat_ws(", ", transform(map_entries(col("filters")),
+          e => format_string("%s (%s, %s)", e.getField("key"),
+            element_at(e.getField("value"), 1),
+            element_at(e.getField("value"), 2)))).as("filters"))
+  }
 
   /** Console top-k live view (S6/M6/M7): closest planes first, missing
     * distance ranks as 10000 (airstrik.py:289-309). */

@@ -47,12 +47,21 @@ object AircraftJsonSource {
       .as[AircraftPing]
 
   /** Replay writer: append one snapshot JSON (as the decoder would have
-    * written it) into a landing dir as a uniquely-named file. */
-  def appendSnapshot(dir: String, json: String, seq: Long): Unit = {
+    * written it) into a landing dir as a uniquely-named file.
+    *
+    * `mtimeMillis` stamps the file's modification time (pass the
+    * snapshot's `now` × 1000). The streaming file source orders batches
+    * by modification time, so replayed files written in a tight loop MUST
+    * carry their snapshot time — otherwise shared mtimes make the
+    * micro-batch split nondeterministic and pings can cross batches out
+    * of order. A real decoder needs no stamp: it writes in real time. */
+  def appendSnapshot(dir: String, json: String, seq: Long,
+                     mtimeMillis: Option[Long] = None): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
     val f = new java.io.File(d, f"snapshot_$seq%012d.json")
     val w = new java.io.FileWriter(f)
     try w.write(json) finally w.close()
+    mtimeMillis.foreach(f.setLastModified)
   }
 }

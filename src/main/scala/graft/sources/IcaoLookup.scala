@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** icao.json loader (S10, airstrik.py:511-515): a flat JSON object mapping
+  * hex codes to registration/tail strings, loaded once and broadcast into
+  * the engine as the `icao: Map[String, String]` side input (the reference
+  * re-opens the file lazily per trip; loading once is the documented
+  * improvement — the file is static reference data). Missing file → empty
+  * map, matching the reference's try/except-pass. */
+object IcaoLookup {
+
+  def load(spark: SparkSession, path: String): Map[String, String] =
+    if (!new java.io.File(path).exists()) Map.empty
+    else
+      spark.read.option("wholetext", "true").text(path)
+        .select(from_json(col("value"), MapType(StringType, StringType))
+          .as("m"))
+        .select(explode(col("m")))
+        .collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .toMap
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+/** The S2 watchdog analog (airstrik.py:106-110: a thread that watches the
+  * decoder subprocess and restarts it when it dies / goes silent). In the
+  * Spark engine the decoder is outside the cluster, so the watchdog
+  * watches the STREAM: no input rows for `stallAfterMs` means the decoder
+  * stopped writing snapshots, and a terminated query with an exception is
+  * the crash-detection signal. `onStall` is the restart hook — wire it to
+  * whatever supervises the decoder process.
+  */
+class EngineWatchdog(stallAfterMs: Long = 60000L,
+                     onStall: Long => Unit = _ => (),
+                     out: String => Unit = println(_: String))
+  extends StreamingQueryListener {
+
+  private val lastDataMs = new AtomicLong(System.currentTimeMillis())
+  @volatile private var stallFlagged = false
+  @volatile var lastError: Option[String] = None
+  @volatile var batchesSeen: Long = 0L
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = {
+    lastDataMs.set(System.currentTimeMillis())
+    stallFlagged = false
+  }
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    batchesSeen += 1
+    if (event.progress.numInputRows > 0) {
+      lastDataMs.set(System.currentTimeMillis())
+      stallFlagged = false
+    } else checkStall()
+  }
+
+  override def onQueryIdle(event: QueryIdleEvent): Unit = checkStall()
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    event.exception.foreach { e =>
+      lastError = Some(e)
+      out(s"watchdog: engine query crashed: $e")
+    }
+
+  private def checkStall(): Unit = {
+    val silent = System.currentTimeMillis() - lastDataMs.get()
+    if (silent > stallAfterMs && !stallFlagged) {
+      stallFlagged = true // fire once per stall episode
+      out(s"watchdog: no input for ${silent / 1000} s — decoder stalled?")
+      onStall(silent)
+    }
+  }
+}

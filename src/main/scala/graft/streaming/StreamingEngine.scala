@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.config.AirstrikConfig
+import graft.core.{TripEngine, TripTracker}
+import graft.model.AircraftPing
+import graft.sinks.EngineSinks
+import graft.sources.AircraftJsonSource
+
+/** The fully-assembled continuously-running engine — the Spark twin of the
+  * reference's main loop (airstrik.py:667-705: one iteration reads the
+  * latest aircraft.json, advances every plane's state machine, and feeds
+  * Kafka + Mongo + the console display every batch).
+  *
+  * Shape: ONE streaming query (single state store, single shuffle on
+  * `hex`) whose `foreachBatch` fans out to all sinks — not one query per
+  * sink, which would run the state machine once per sink and triple the
+  * state. The offline harness writes parquet behind the same frames; the
+  * production swap is `format("kafka")` / the Mongo connector on the same
+  * DataFrames (SURVEY.md §7.4.7).
+  */
+object StreamingEngine {
+
+  /** Start the engine on a snapshot landing directory.
+    *
+    * @param landingDir directory where decoder snapshots land (S1)
+    * @param outDir     sink root: events/, flight_records/, stats_rows/,
+    *                   daily_stats/, _checkpoint/
+    * @param console    also print the reference's live top-k display per
+    *                   batch (S6, airstrik.py:289-309)
+    */
+  def start(spark: SparkSession, landingDir: String, outDir: String,
+            cfg: AirstrikConfig, icao: Map[String, String] = Map.empty,
+            trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+            console: Boolean = false,
+            maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    import spark.implicits._
+    val pings = AircraftJsonSource.readStream(spark, landingDir,
+        maxFilesPerTrigger)
+      .withColumn("eventTime", timestamp_seconds(col("now")))
+      // watermark delay = one remember-gap: late snapshots inside the gap
+      // still count; anything later would have closed the trip anyway
+      .withWatermark("eventTime", s"${cfg.remember.toLong} seconds")
+      .as[AircraftPing]
+    val outputs = TripEngine.runStreaming(pings, cfg, icao)
+    outputs.writeStream
+      .queryName("airstrik-engine")
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[TripTracker.Output], _: Long) =>
+        fanOut(batch, outDir, cfg, console)
+      }
+      .start()
+  }
+
+  /** One micro-batch → every sink (the body of the reference's loop). */
+  private[streaming] def fanOut(batch: Dataset[TripTracker.Output],
+                                outDir: String, cfg: AirstrikConfig,
+                                console: Boolean): Unit = {
+    batch.persist()
+    try {
+      // S5: warning/alert events (kafka-shaped key/value)
+      EngineSinks.kafkaEvents(batch)
+        .write.mode(SaveMode.Append).parquet(s"$outDir/events")
+      // S3: decimated track points + trip summaries
+      EngineSinks.flightRecords(batch)
+        .write.mode(SaveMode.Append).parquet(s"$outDir/flight_records")
+      // S4: per-day stats upsert
+      upsertDailyStats(batch, outDir, cfg.utcTimeOffset)
+      // S6: live display
+      if (console) EngineSinks.liveTopK(batch, cfg.printTopPlanes)
+        .select("hex", "flightId", "distance", "ts")
+        .show(cfg.printTopPlanes, truncate = false)
+    } finally batch.unpersist()
+  }
+
+  /** S4/ST12 upsert (airstrik.py:677-685: insert day row, overwrite on
+    * duplicate key): append this batch's compact (date, hex, alarm) trip
+    * rows, then recompute and overwrite the daily_stats table. The
+    * distinct-plane counters cannot be merged from partial aggregates, so
+    * the raw rows (trip-level — tiny relative to tracks) are the upsert's
+    * source of truth; stats are collected to the driver before the
+    * overwrite because the rewrite reads the same table it replaces. */
+  private[streaming] def upsertDailyStats(batch: Dataset[TripTracker.Output],
+                                          outDir: String,
+                                          utcOffsetHours: Int): Unit = {
+    val spark = batch.sparkSession
+    val rows = EngineSinks.statsRows(batch, utcOffsetHours)
+    if (!rows.isEmpty) {
+      rows.write.mode(SaveMode.Append).parquet(s"$outDir/stats_rows")
+      val stats = EngineSinks.dailyStatsFromRows(
+        spark.read.parquet(s"$outDir/stats_rows"))
+      val materialized = stats.collect().toSeq // tiny: one row per day
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(materialized, 1), stats.schema)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/daily_stats")
+    }
+  }
+}

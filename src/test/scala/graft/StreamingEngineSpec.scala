@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.config.AirstrikConfig
+import graft.core.TripEngine
+import graft.geo.Geo
+import graft.sinks.EngineSinks
+import graft.sources.{AircraftJsonSource, IcaoLookup}
+import graft.streaming.{EngineWatchdog, StreamingEngine}
+
+/** End-to-end streaming assembly: source → watermark → state machine →
+  * sink fan-out must reproduce the batch path's observable outputs on the
+  * same snapshots (the reference main loop, airstrik.py:667-705). */
+class StreamingEngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val cfg = AirstrikConfig()
+  private val icao = Map("fff999" -> "N999FF")
+
+  /** ReplayDemo-shaped fixture: one inbound alarm plane, one far plane,
+    * then a stale marker snapshot that closes both trips. */
+  private def writeFixture(dir: String): Unit = {
+    def snap(now: Double, aircraft: Seq[String]): String =
+      s"""{"now": $now, "aircraft": [${aircraft.mkString(", ")}]}"""
+    def ac(hex: String, seen: Double, lat: Double, lon: Double,
+           alt: Double, flight: Option[String]): String = {
+      val f = flight.map(x => s""", "flight": "$x"""").getOrElse("")
+      s"""{"hex": "$hex", "seen": $seen, "lat": $lat, "lon": $lon, "alt_geom": $alt$f}"""
+    }
+    (0 until 30).foreach { i =>
+      val now = 1718000000.0 + i * 10
+      val (la1, lo1) = Geo.destination(cfg.homeLat, cfg.homeLon, 40.0, 9.5 - i * 0.25)
+      val (la2, lo2) = Geo.destination(cfg.homeLat, cfg.homeLon, 220.0, 60.0 + i * 0.5)
+      AircraftJsonSource.appendSnapshot(dir, snap(now, Seq(
+        ac("abc123", 0.2, la1, lo1, 450.0, Some("DAL123  ")),
+        ac("fff999", 0.3, la2, lo2, 9000.0, None))), i,
+        mtimeMillis = Some(now.toLong * 1000))
+    }
+    val lastNow = 1718000000.0 + 30 * 10 + 100
+    AircraftJsonSource.appendSnapshot(dir,
+      snap(lastNow,
+        Seq("""{"hex": "abc123", "seen": 150.0}""",
+          """{"hex": "fff999", "seen": 150.0}""")), 30,
+      mtimeMillis = Some(lastNow.toLong * 1000))
+  }
+
+  test("streaming assembly reproduces the batch path across all sinks") {
+    val landing = Files.createTempDirectory("graft_landing").toString
+    val outDir = Files.createTempDirectory("graft_sinks").toString
+    writeFixture(landing)
+
+    val wd = new EngineWatchdog(stallAfterMs = 600000L, out = _ => ())
+    spark.streams.addListener(wd)
+    val q = StreamingEngine.start(spark, landing, outDir, cfg, icao,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 8)
+    try q.awaitTermination(180000L)
+    finally spark.streams.removeListener(wd)
+    assert(wd.lastError.isEmpty, s"watchdog saw crash: ${wd.lastError}")
+    assert(wd.batchesSeen >= 2, "expected multiple micro-batches")
+
+    val batchOut = TripEngine.runBatch(
+      AircraftJsonSource.readBatch(spark, landing), cfg, icao).cache()
+
+    // S5 events: exact key/value payload parity
+    val gotEvents = spark.read.parquet(s"$outDir/events")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expEvents = EngineSinks.kafkaEvents(batchOut)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotEvents == expEvents)
+    assert(gotEvents.nonEmpty, "fixture should produce warning/alert events")
+
+    // S3 flight records: same rows on the stable identifying columns
+    def recKeys(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("kind", "hex", "flightId", "ts", "startTime", "endTime",
+        "distance").collect().map(_.toSeq).toSet
+    val gotRecords = spark.read.parquet(s"$outDir/flight_records")
+    assert(recKeys(gotRecords) == recKeys(EngineSinks.flightRecords(batchOut)))
+    assert(gotRecords.filter("kind = 'trip'").count() > 0)
+
+    // S4 daily stats: upserted table equals the batch aggregation
+    val gotStats = spark.read.parquet(s"$outDir/daily_stats")
+      .collect().map(_.toSeq).toSet
+    val expStats = EngineSinks.dailyStats(batchOut, cfg.utcTimeOffset)
+      .collect().map(_.toSeq).toSet
+    assert(gotStats == expStats)
+    assert(gotStats.nonEmpty)
+    batchOut.unpersist()
+  }
+
+  test("icao loader reads the reference's flat json map") {
+    val f = Files.createTempFile("icao", ".json")
+    Files.writeString(f,
+      """{"abc123": "N123AB  ", "fff999": "N999FF"}""")
+    val m = IcaoLookup.load(spark, f.toString)
+    assert(m == Map("abc123" -> "N123AB  ", "fff999" -> "N999FF"))
+    assert(IcaoLookup.load(spark, "/nonexistent/icao.json") == Map.empty)
+  }
+
+  test("stats csv export matches the reference header order") {
+    val landing = Files.createTempDirectory("graft_landing2").toString
+    writeFixture(landing)
+    val out = TripEngine.runBatch(
+      AircraftJsonSource.readBatch(spark, landing), cfg, icao)
+    val stats = EngineSinks.statsCsvExport(out, cfg.utcTimeOffset)
+    assert(stats.columns.toSeq == Seq("date", "unique_planes",
+      "total_trips", "unique_alarm_planes", "total_alarm_trips"))
+    assert(stats.count() > 0)
+    // records variant carries the per-plane trip ordinal (csvdump.py:76)
+    val recs = EngineSinks.csvExport(out)
+    assert(recs.columns.contains("trip"))
+    assert(recs.filter("name = 'abc123' AND trip = 1").count() == 1)
+  }
+}
