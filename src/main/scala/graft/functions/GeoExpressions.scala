@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, QuaternaryExpression}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -23,7 +23,7 @@ import graft.geo.Geo
 case class GeodesicDistance(
     lat1: Expression, lon1: Expression,
     lat2: Expression, lon2: Expression)
-  extends QuaternaryExpression with ExpectsInputTypes {
+  extends QuaternaryExpression with ImplicitCastInputTypes {
 
   override def first: Expression = lat1
   override def second: Expression = lon1
@@ -58,7 +58,7 @@ case class GeodesicDistance(
 case class GeodesicDestination(
     lat: Expression, lon: Expression,
     bearingDeg: Expression, km: Expression)
-  extends QuaternaryExpression with ExpectsInputTypes {
+  extends QuaternaryExpression with ImplicitCastInputTypes {
 
   override def first: Expression = lat
   override def second: Expression = lon

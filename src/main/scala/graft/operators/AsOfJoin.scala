@@ -26,13 +26,19 @@ object AsOfJoin {
     val payloadCols = quotes.columns.filterNot(c => c == keyCol || c == tsCol)
     val probeCols = probes.columns.filterNot(c => c == keyCol || c == tsCol)
 
+    // The payload travels as ONE struct (non-null on every quote row), so
+    // `last(ignoreNulls)` carries the latest QUOTE — including one whose
+    // payload value is genuinely NULL — rather than skipping to an older
+    // non-null value. Probe rows carry a null struct and are transparent.
+    val qStructType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => quotes.schema(c)))
     val taggedQ = quotes
-      .select((Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        payloadCols.map(col) ++
+      .select((Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        struct(payloadCols.map(col): _*).as("__q")) ++
         probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c))): _*)
     val taggedP = probes
-      .select((Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        payloadCols.map(c => lit(null).cast(quotes.schema(c).dataType).as(c)) ++
+      .select((Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(qStructType).as("__q")) ++
         probeCols.map(col)): _*)
 
     // quotes sort before probes at equal ts (join is inclusive: rts <= ts)
@@ -42,9 +48,12 @@ object AsOfJoin {
 
     val carried = taggedQ.unionByName(taggedP)
       .select((Seq(col(keyCol), col(tsCol), col("__side")) ++
-        probeCols.map(col) ++
-        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        probeCols.map(col) :+
+        last(col("__q"), ignoreNulls = true).over(w).as("__q")): _*)
 
-    carried.filter(col("__side") === 1).drop("__side")
+    carried.filter(col("__side") === 1)
+      .select((Seq(col(keyCol), col(tsCol)) ++
+        probeCols.map(col) ++
+        payloadCols.map(c => col(s"__q.$c").as(c))): _*)
   }
 }

@@ -1,14 +1,18 @@
 package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The dbread.py query surface (Q2-Q6, dbread.py:27-201): catalog
   * listing, predicate search, per-plane inspection, result dump, guarded
-  * destructive ops, and the ` & `-chained command dispatcher.
+  * destructive ops, current-database state, reset-with-consent, and the
+  * ` & `-chained command dispatcher.
   *
   * The engine's "databases/collections" map to Spark catalog databases /
   * tables; `last_planes` (dbread.py:12, 122) maps to a session temp view.
+  * `.collect()` appears only on print surfaces — the same rows dbread
+  * itself prints; every aggregation runs distributed first.
   */
 class Repl(spark: SparkSession,
            out: String => Unit = println(_: String)) {
@@ -16,7 +20,20 @@ class Repl(spark: SparkSession,
   /** Observation view used by `search` — a long-form
     * (key, ts, attr, value) table registered by the caller. */
   var obsView: String = "observations"
+
+  /** Flight-records view used by `list plane/<hex>` and first-doc dumps —
+    * an [[graft.sinks.EngineSinks.flightRecords]]-shaped table. */
+  var recordsView: String = "flight_records"
+
   private var lastMatches: Option[DataFrame] = None
+
+  /** Current database (dbread.py:11 `current_db`). */
+  private var currentDb: Option[String] =
+    Some(spark.catalog.currentDatabase)
+
+  /** The reference's exact reset consent sentence (dbread.py:160-161). */
+  val ConsentString: String =
+    "I understand what will happen, and I consent to resetting the database."
 
   /** Q2: list databases with table counts (dbread.py:27-31). */
   def listDatabases(): Seq[String] = {
@@ -30,6 +47,21 @@ class Repl(spark: SparkSession,
     val ts = spark.catalog.listTables(db).collect().map(_.name).toSeq
     ts.foreach(out)
     ts
+  }
+
+  /** `use <db>` / `use` (dbread.py:171-176): set or report the current
+    * database. Setting an unknown db reports and keeps the old one. */
+  def use(db: Option[String]): Option[String] = {
+    db match {
+      case None =>
+        out(s"Using database ${currentDb.getOrElse("<none>")}")
+      case Some(d) =>
+        if (spark.catalog.databaseExists(d)) {
+          spark.catalog.setCurrentDatabase(d)
+          currentDb = Some(d)
+        } else out(s"ERR: database $d doesn't exist")
+    }
+    currentDb
   }
 
   /** Q1: predicate-intersection search over the observation view
@@ -52,6 +84,53 @@ class Repl(spark: SparkSession,
     res
   }
 
+  /** Q3 full variant — `list plane/<hex>` (dbread.py:41-57): per-trip
+    * commentary line, trip count with flight id, then per-trip message
+    * counts (the `*_history` lengths of the stored trip documents). The
+    * reference's `commentary` is a legacy free-text field (csvdump.py:89);
+    * its analog here is a generated trip summary line. Returns the
+    * per-trip count frame. */
+  def inspectPlane(hex: String): DataFrame = {
+    val recs = spark.table(recordsView)
+    val trips = recs.filter(col("kind") === "trip" && col("hex") === hex)
+      .withColumn("trip", row_number().over(
+        Window.partitionBy(col("hex")).orderBy(col("startTime"), col("ts"))))
+    val tripRows = trips
+      .select("trip", "flightId", "startTime", "endTime", "distance")
+      .orderBy("trip").collect()
+    tripRows.foreach { r =>
+      val closest = Option(r.get(4)).map(d => f"closest ${d.toString.toDouble}%.2f km")
+        .getOrElse("no distance")
+      out(s"Trip ${r.getInt(0)}: ${r.get(2)} -> ${r.get(3)}, $closest")
+    }
+    val fid = tripRows.flatMap(r => Option(r.getAs[String]("flightId")))
+      .headOption.getOrElse("no flight id given")
+    out(s"Aircraft $hex ($fid) made ${tripRows.length} trips.")
+    out("")
+    out("Messages Received")
+    // one pass: decimated track rows joined into their trip's window
+    val tracks = recs.filter(col("kind") === "track" && col("hex") === hex)
+    val counts = tracks.alias("k").join(trips.alias("t"),
+        col("k.ts") >= col("t.startTime") && col("k.ts") <= col("t.endTime"))
+      .groupBy(col("t.trip").as("trip"))
+      .agg(
+        count(col("k.lat")).as("lat"),
+        count(col("k.lon")).as("lon"),
+        count(col("k.navHeading")).as("nav_heading"),
+        count(col("k.altGeom")).as("alt_geom"),
+        count(col("k.calcHeading")).as("calc_heading"),
+        count(col("k.calcSpeed")).as("calc_speed"),
+        count(col("k.distance")).as("distance"))
+      .orderBy(col("trip"))
+    counts.collect().foreach { r =>
+      out(s"Trip ${r.getInt(0)}")
+      counts.columns.drop(1).zipWithIndex.foreach { case (c, i) =>
+        out(s"$c: ${r.getLong(i + 1)}")
+      }
+    }
+    counts
+  }
+
   /** Q4: dump last matches as pretty JSON to a file (dbread.py:131-153). */
   def dump(path: String): Unit = lastMatches match {
     case None => out("no previous search")
@@ -62,6 +141,41 @@ class Repl(spark: SparkSession,
       finally w.close()
       out(s"dumped ${rows.length} rows to $path")
   }
+
+  /** `dump` with no args (dbread.py:127-130): pretty-print the first
+    * stored document of each last-search match. */
+  def dumpFirstDocs(): Unit = lastMatches match {
+    case None => out("no previous search")
+    case Some(df) =>
+      val keys = df.collect().map(_.get(0).toString)
+      val recs = spark.table(recordsView)
+      keys.foreach { k =>
+        firstDocJson(recs.filter(col("hex") === k)) match {
+          case Some(j) => out(j)
+          case None    => out(s"$k: no records")
+        }
+      }
+  }
+
+  /** `dump <table>` (dbread.py:142-143): first row of a table as JSON. */
+  def dumpTable(name: String): Unit =
+    firstDocJson(spark.table(name)) match {
+      case Some(j) => out(j)
+      case None    => out(s"$name: empty")
+    }
+
+  /** `dump <table> <file>` (dbread.py:144-151): first row → JSON file. */
+  def dumpTableTo(name: String, path: String): Unit =
+    firstDocJson(spark.table(name)) match {
+      case None => out(s"$name: empty")
+      case Some(j) =>
+        val w = new java.io.FileWriter(path)
+        try w.write(j) finally w.close()
+        out(s"dumped $name to $path")
+    }
+
+  private def firstDocJson(df: DataFrame): Option[String] =
+    df.limit(1).toJSON.collect().headOption
 
   /** Q5: guarded drop — requires the exact table name as confirmation
     * (dbread.py:62-75). */
@@ -75,18 +189,63 @@ class Repl(spark: SparkSession,
       false
     }
 
+  /** Q5 full variant — reset-all (dbread.py:157-169): drops every table
+    * in every database (and temp views) only when the exact consent
+    * sentence is supplied; clears the current database. */
+  def resetAll(consent: String): Boolean =
+    if (consent != ConsentString) {
+      out("Does not match.")
+      false
+    } else {
+      spark.catalog.listDatabases().collect().foreach { d =>
+        spark.catalog.listTables(d.name).collect().foreach { t =>
+          try {
+            if (t.tableType == "TEMPORARY" || t.database == null)
+              spark.catalog.dropTempView(t.name)
+            else spark.sql(s"DROP TABLE IF EXISTS `${t.database}`.`${t.name}`")
+          } catch {
+            case e: Exception => out(s"failed to drop ${t.name}: ${e.getMessage}")
+          }
+        }
+      }
+      currentDb = None
+      lastMatches = None
+      out("reset complete")
+      true
+    }
+
   /** Q6: ` & `-chained command dispatch (dbread.py:180-201). Unknown
     * commands report and continue (the reference's error trap). */
   def execute(line: String): Unit =
     line.split(" & ").map(_.trim).filter(_.nonEmpty).foreach { cmd =>
       val parts = cmd.split("\\s+").toSeq
       try parts.head match {
-        case "list"    => if (parts.size > 1) listTables(parts(1))
-                          else listDatabases()
+        case "list" => parts.lift(1) match {
+          case None =>
+            // bare list = collections of the current db (dbread.py:17-22)
+            currentDb match {
+              case Some(d) => listTables(d)
+              case None    => out("Set a database with use first!")
+            }
+          case Some(t) if Set("db", "dbs", "database", "databases")(t) =>
+            listDatabases()
+          case Some(t) if t.startsWith("db/") =>
+            listTables(t.stripPrefix("db/"))
+          case Some(t) if t.startsWith("plane/") =>
+            inspectPlane(t.stripPrefix("plane/"))
+          case Some(db) => listTables(db)
+        }
+        case "use"     => use(parts.lift(1))
         case "search"  => search(parts.tail.mkString(" "))
         case "inspect" => inspect(parts(1))
-        case "dump"    => dump(parts(1))
+        case "dump"    => parts.size match {
+          case 1                              => dumpFirstDocs()
+          case 2 if parts(1).contains(".")    => dump(parts(1))
+          case 2                              => dumpTable(parts(1))
+          case _                              => dumpTableTo(parts(1), parts(2))
+        }
         case "drop"    => drop(parts(1), parts.lift(2).getOrElse(""))
+        case "reset"   => resetAll(parts.tail.mkString(" "))
         case other     => out(s"unknown command: $other")
       } catch {
         case e: Exception => out(s"error in '$cmd': ${e.getMessage}")

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeoExpressions, GeoFunctions}
+
+/** The native Catalyst geo expressions must agree exactly with the UDF
+  * path under both whole-stage codegen and interpreted evaluation, handle
+  * nulls, and be SQL-callable via GraftExtensions. */
+class GeoExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (Some(35.7270309), Some(-78.695587), Some(51.4700), Some(-0.4543)),
+      (Some(0.0), Some(0.0), Some(0.0), Some(1.0)),
+      (Some(-33.9), Some(151.2), Some(40.64), Some(-73.78)),
+      (None: Option[Double], Some(1.0), Some(2.0), Some(3.0)) // null lat1
+    ).toDF("lat1", "lon1", "lat2", "lon2")
+  }
+
+  private def runBoth(): (Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]) = {
+    val df = fixture
+    val native = df.select(
+      GeoExpressions.geodesicKm(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2")).as("d"),
+      GeoExpressions.destination(col("lat1"), col("lon1"),
+        lit(45.0), lit(120.0)).as("dest")).collect()
+    val viaUdf = df.select(
+      GeoFunctions.geodesicKm(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2")).as("d"),
+      GeoFunctions.destination(col("lat1"), col("lon1"),
+        lit(45.0), lit(120.0)).as("dest")).collect()
+    (native, viaUdf)
+  }
+
+  private def assertAgree(): Unit = {
+    val (native, viaUdf) = runBoth()
+    native.zip(viaUdf).foreach { case (n, u) =>
+      // distance: both null or bit-equal (same Geo.geodesicKm call)
+      assert(n.isNullAt(0) == u.isNullAt(0))
+      if (!n.isNullAt(0)) assert(n.getDouble(0) == u.getDouble(0))
+      // destination: native emits array(lat, lon); UDF a struct
+      assert(n.isNullAt(1) == u.isNullAt(1))
+      if (!n.isNullAt(1)) {
+        val arr = n.getSeq[Double](1)
+        val st = u.getStruct(1)
+        assert(arr(0) == st.getDouble(0) && arr(1) == st.getDouble(1))
+      }
+    }
+    // null-intolerant: the null-lat1 row yields null, not a crash
+    assert(native.last.isNullAt(0) && native.last.isNullAt(1))
+  }
+
+  test("native expressions match the UDF under whole-stage codegen") {
+    assertAgree()
+  }
+
+  test("native expressions match the UDF in interpreted mode") {
+    val conf = spark.conf
+    val ws = conf.get("spark.sql.codegen.wholeStage", "true")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assertAgree()
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", ws)
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("GraftExtensions registers SQL-callable functions") {
+    val r = spark.sql(
+      """SELECT geodesic_km(35.7270309, -78.695587, 51.4700, -0.4543) AS d,
+        |       geodesic_destination(35.7270309, -78.695587, 45.0, 120.0) AS p
+        |""".stripMargin).collect().head
+    // JFK-ish to LHR-ish: published geodesic ~6171 km from RDU; sanity band
+    assert(r.getDouble(0) > 6000 && r.getDouble(0) < 6500)
+    val p = r.getSeq[Double](1)
+    assert(p.length == 2)
+    val back = graft.geo.Geo.geodesicKm(35.7270309, -78.695587, p(0), p(1))
+    assert(math.abs(back - 120.0) < 0.01)
+  }
+}

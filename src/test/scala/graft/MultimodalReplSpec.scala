@@ -50,6 +50,69 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(groups.map(_.getLong(1)).sum == 20)
   }
 
+  test("repl: plane inspection lists trips, flight id and message counts") {
+    import spark.implicits._
+    val recs = Seq(
+      ("trip", "p1", Some("DAL1"), 100.0, Some(100.0), Some(200.0), Some(4.5), Some(35.0), Some(-78.0)),
+      ("trip", "p1", Some("DAL1"), 300.0, Some(300.0), Some(400.0), Some(2.0), Some(35.1), Some(-78.1)),
+      ("track", "p1", None, 110.0, None, None, Some(5.0), Some(35.0), Some(-78.0)),
+      ("track", "p1", None, 120.0, None, None, None, Some(35.0), None),
+      ("track", "p1", None, 310.0, None, None, Some(2.5), Some(35.1), Some(-78.1))
+    ).toDF("kind", "hex", "flightId", "ts", "startTime", "endTime",
+        "distance", "lat", "lon")
+      .withColumn("navHeading", lit(null).cast("double"))
+      .withColumn("altGeom", lit(null).cast("double"))
+      .withColumn("calcHeading", lit(null).cast("double"))
+      .withColumn("calcSpeed", lit(null).cast("double"))
+    recs.createOrReplaceTempView("flight_records")
+    val outLines = scala.collection.mutable.ListBuffer.empty[String]
+    val repl = new Repl(spark, outLines.append(_))
+    val counts = repl.inspectPlane("p1").collect()
+    assert(outLines.exists(_.startsWith("Trip 1:")))
+    assert(outLines.contains("Aircraft p1 (DAL1) made 2 trips."))
+    assert(outLines.contains("Messages Received"))
+    val byTrip = counts.map(r => r.getInt(0) ->
+      (r.getAs[Long]("lat"), r.getAs[Long]("lon"), r.getAs[Long]("distance"))).toMap
+    assert(byTrip(1) == ((2L, 1L, 1L))) // 2 lat, 1 lon, 1 distance in trip 1
+    assert(byTrip(2) == ((1L, 1L, 1L)))
+    // dispatcher route
+    outLines.clear()
+    repl.execute("list plane/p1")
+    assert(outLines.exists(_.startsWith("Aircraft p1")))
+  }
+
+  test("repl: use, first-doc dump and reset consent guard") {
+    import spark.implicits._
+    Seq(("trip", "p9", 1.0)).toDF("kind", "hex", "ts")
+      .createOrReplaceTempView("flight_records")
+    val outLines = scala.collection.mutable.ListBuffer.empty[String]
+    val repl = new Repl(spark, outLines.append(_))
+    // use: reports current, rejects unknown, accepts existing
+    repl.execute("use")
+    assert(outLines.exists(_.startsWith("Using database")))
+    repl.execute("use no_such_db")
+    assert(outLines.exists(_.startsWith("ERR: database")))
+    assert(repl.use(Some("default")).contains("default"))
+    // dump <table>: first row as json
+    outLines.clear()
+    repl.execute("dump flight_records")
+    assert(outLines.exists(l => l.contains("\"hex\":\"p9\"")))
+    // dump <table> <file>
+    val tmp = java.nio.file.Files.createTempFile("first_doc", ".json").toString
+    repl.execute(s"dump flight_records $tmp")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp))).contains("p9"))
+    // reset: wrong consent refused, exact sentence accepted
+    outLines.clear()
+    assert(!repl.resetAll("nope"))
+    assert(outLines.contains("Does not match."))
+    assert(repl.resetAll(repl.ConsentString))
+    assert(spark.catalog.listTables("default").isEmpty)
+    outLines.clear()
+    repl.execute("list")
+    assert(outLines.contains("Set a database with use first!"))
+  }
+
   test("repl: search/inspect/dump/chained dispatch") {
     import spark.implicits._
     val obs = Seq(

@@ -48,6 +48,18 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", 14L, None), ("c", 1L, None)))
   }
 
+  test("asOf carries a quote whose payload is genuinely NULL") {
+    // at ts 25 the as-of quote is (20, NULL) — it must surface NULL, not
+    // skip back to the older non-null 1.0
+    val quotes = Seq(("a", 10L, Some(1.0)), ("a", 20L, None))
+      .toDF("k", "ts", "price")
+    val probes = Seq(("a", 15L), ("a", 25L)).toDF("k", "ts")
+    val got = AsOfJoin.asOf(probes, quotes, "k", "ts")
+      .orderBy("ts").select("price").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(1.0), None))
+  }
+
   test("sessionize splits on gap > threshold") {
     val df = Seq(("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L), ("u", 300L))
       .map { case (k, t) => (k, t.toDouble) }.toDF("k", "ts")
