@@ -423,12 +423,16 @@ object SparkEntry {
     }),
 
     // Banded multi-table random-hyperplane LSH near-dup pairs over the
-    // embedding column (8 tables × 4 sign bits on this corpus; the
-    // operator's scale defaults are 12 × 16). Exact-cosine verification
-    // touches candidates only.
+    // embedding column. The corpus is random (no natural near-dups), so
+    // the query unions in perturbed self-copies (first element zeroed,
+    // cos ≈ 0.99) — real near-dup structure, reproducible in the oracle.
+    // 8 tables × 12 bits at threshold 0.9 is the textbook operating
+    // point: buckets are near-singletons, candidates ≈ true pairs (the
+    // 4-bit variant measured 800k candidate pairs at sf0.1 — the exact
+    // quadratic-bucket failure this operator exists to avoid).
     "q40_embed_neardup" -> ((s, dir) => {
-      DedupOps.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.4, dim = EmbDim,
+      DedupOps.embeddingNearDups(embWithDups(s, dir), "vec_id",
+        "embedding", threshold = 0.9, dim = EmbDim,
         tables = LshTables, bits = LshBits)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
@@ -437,7 +441,7 @@ object SparkEntry {
     // LSH bucket diagnostics: per-table bucket count / max size / pair
     // space — the "no silent caps" visibility surface for q40's cap.
     "q41_lsh_bucket_stats" -> ((s, dir) => {
-      DedupOps.embeddingLshBucketStats(t(s, dir, "embeddings"), "vec_id",
+      DedupOps.embeddingLshBucketStats(embWithDups(s, dir), "vec_id",
         "embedding", dim = EmbDim, tables = LshTables, bits = LshBits)
         .orderBy(col("t"))
     }),
@@ -465,7 +469,18 @@ object SparkEntry {
   // q40/q41 LSH geometry (corpus-suited; operator defaults are larger).
   private val EmbDim = 64
   private val LshTables = 8
-  private val LshBits = 4
+  private val LshBits = 12
+
+  /** embeddings ∪ perturbed self-copies (id + 100000, first element
+    * zeroed): constructed near-dup pairs at cos ≈ 0.99 on an otherwise
+    * random corpus. */
+  private def embWithDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    emb.unionByName(emb.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding")))
+  }
 
   /** DuckDB literal for a ±1 hyperplane. */
   private def planeListSql(p: Array[Double]): String =
@@ -797,9 +812,13 @@ object SparkEntry {
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin),
 
     "q40_embed_neardup" -> (
-      """WITH v AS (
+      """WITH base AS (
         |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings),
+        |v AS (
+        |  SELECT id, v FROM base
+        |  UNION ALL
+        |  SELECT id + 100000, [0.0::DOUBLE] || v[2:] FROM base),
         |bands AS (
         |""".stripMargin + lshBandsSql +
         """
@@ -821,12 +840,16 @@ object SparkEntry {
         |    ELSE dot / (na * nb) END AS cos0
         |  FROM j)
         |SELECT id_a, id_b, round(cos0, 6) AS cos FROM cosed
-        |WHERE cos0 >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+        |WHERE cos0 >= 0.9 ORDER BY id_a, id_b""".stripMargin),
 
     "q41_lsh_bucket_stats" -> (
-      """WITH v AS (
+      """WITH base AS (
         |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings),
+        |v AS (
+        |  SELECT id, v FROM base
+        |  UNION ALL
+        |  SELECT id + 100000, [0.0::DOUBLE] || v[2:] FROM base),
         |bands AS (
         |""".stripMargin + lshBandsSql +
         """

@@ -86,14 +86,22 @@ object TextFunctions {
   /** 16-bit SimHash over tokens, returned as a 16-char '0'/'1' string.
     * Bit j is set when the signed sum over tokens of (hex digit j of
     * md5(token) >= '8' ? +1 : -1) is positive. Exactly expressible in
-    * DuckDB with the same md5/substr/string-compare. */
+    * DuckDB with the same md5/substr/string-compare.
+    *
+    * Single-pass shape: every subexpression is referenced exactly once
+    * (md5 per token → one 16-slot vote array via aggregate/zip_with →
+    * bits via transform/array_join), so codegen evaluates each token's
+    * md5 ONCE. The earlier 16-separate-aggregates form re-hashed every
+    * token per bit — measured ~8× slower at sf0.1. */
   def simhash16(tokenArr: Column): Column = {
-    val hashed = transform(tokenArr, t => md5(t))
-    concat((1 to 16).map { j =>
-      val votes = aggregate(hashed, lit(0),
-        (acc, h) => acc + when(substring(h, j, 1) >= "8", 1).otherwise(-1))
-      when(votes > 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    val votes = aggregate(
+      transform(tokenArr, t => md5(t)),
+      array_repeat(lit(0), lit(16)),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
+        (a, j) => a +
+          when(h.substr(j.cast("int"), lit(1)) >= "8", 1).otherwise(-1)))
+    array_join(
+      transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))), "")
   }
 
   /** Hamming distance between two equal-length '0'/'1' strings. */

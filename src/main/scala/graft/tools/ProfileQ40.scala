@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** Dev profiler for the banded embedding LSH path. */
+object ProfileQ40 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q40] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    time("count")(emb.count())
+
+    // manual stage-by-stage replica of embeddingNearDups(8 tables, 4 bits)
+    import graft.functions.VectorFunctions._
+    val tables = 8; val bits = 4; val dim = 64
+    val planes = hyperplanes(tables, bits, dim)
+    val v = emb.select(col("vec_id").as("id"),
+      toDouble(col("embedding")).as("v"))
+    time("v materialize")(v.write.format("noop").mode("overwrite").save())
+    val bandStructs = planes.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("t"),
+        concat(tp.map(p => planeBit(col("v"), p)): _*).as("bucket"))
+    }
+    val banded = v.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"),
+        concat(col("b.t").cast("string"), lit("#"), col("b.bucket")).as("band"))
+    time("bands")(banded.write.format("noop").mode("overwrite").save())
+    val buckets = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+    val cand = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    println(s"[q40] cand count: ${time("cand")(cand.count())}")
+    val vc = v.cache()
+    vc.count()
+    val ver = cand
+      .join(vc.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vc.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= 0.4)
+    time("verify")(ver.write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}
