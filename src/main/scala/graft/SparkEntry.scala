@@ -356,14 +356,18 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
-    // MinHash signature head (minhash itself, oracle-checkable).
+    // MinHash signature head (minhash itself, oracle-checkable). Pure
+    // projection chain over per-doc shingle arrays — no shuffle.
     "q31_minhash" -> ((s, dir) => {
-      TextFunctions.shingleRows(t(s, dir, "documents"), "doc_id", "text", 3)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
         .select(col("doc_id"),
-          md5(concat(col("shingle"), lit("|0"))).as("h0"),
-          md5(concat(col("shingle"), lit("|1"))).as("h1"))
-        .groupBy(col("doc_id"))
-        .agg(min(col("h0")).as("minhash0"), min(col("h1")).as("minhash1"))
+          TextFunctions.shinglesOf(col("__t"), 3).as("__sh"))
+        .select(col("doc_id"),
+          array_min(transform(col("__sh"),
+            s => md5(concat(s, lit("|0"))))).as("minhash0"),
+          array_min(transform(col("__sh"),
+            s => md5(concat(s, lit("|1"))))).as("minhash1"))
         .orderBy(col("doc_id"))
     }),
 

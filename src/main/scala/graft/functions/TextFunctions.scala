@@ -17,17 +17,39 @@ object TextFunctions {
   /** Whitespace tokens (single-space split; the corpus is space-joined). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles: array of space-joined n-token windows.
-    * Built with element_at rather than slice — slice allocates a sub-array
-    * per window (measured 7 s over 5k docs at sf0.1; element_at is O(1)
-    * per token and ~10x faster). Output strings are identical. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  /** Word n-gram shingles over a MATERIALIZED token-array column (pass a
+    * bound column reference, not an inline `split` — an inline expression
+    * is re-evaluated inside the lambda per element, turning this O(n)
+    * pass into O(n²); project `tokens(text)` into its own select first).
+    * Built with element_at rather than slice — slice allocates a
+    * sub-array per window (measured 7 s over 5k docs at sf0.1;
+    * element_at is O(1) per token). */
+  def shinglesOf(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ",
           (0 until n).map(j => element_at(t, (i + j + 1).cast("int"))): _*)))
       .otherwise(array(concat_ws(" ", t))) // short doc: whole text is the shingle
+
+  /** Word n-gram shingles from raw text. Convenience form — fine for
+    * one-shot use; for hot paths use the two-step projection via
+    * [[shinglesOf]] (see its re-evaluation caveat). */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** k minhash slices from ONE md5 per shingle, folded in a single pass:
+    * the 32-hex md5 is cut into k disjoint 4-hex windows (each an
+    * independent uniform 16-bit hash — the standard one-permutation
+    * trick), and the fold keeps the element-wise minimum. Every
+    * subexpression is referenced once, so codegen hashes each shingle
+    * exactly once. Returns array(k) of 4-hex strings; identical to
+    * DuckDB `min(substr(md5(s), 1+4i, 4))` over exploded shingles. */
+  def minhashSliced(shArr: Column, k: Int): Column = {
+    require(k * 4 <= 32, "k slices of 4 hex chars must fit one md5")
+    aggregate(
+      transform(shArr, s => md5(s)),
+      array_repeat(lit("g"), lit(k)), // 'g' sorts after every hex char
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, i) => least(a, h.substr((i * 4 + 1).cast("int"), lit(4)))))
   }
 
   /** Character n-gram shingles (for fingerprinting). */
@@ -38,10 +60,11 @@ object TextFunctions {
       .otherwise(array(text))
 
   /** Long-form shingle rows: (idCol, shingle) — one row per n-token
-    * window, via posexplode + window lead. This is the SCALE path for
-    * shingle pipelines: the HOF form re-evaluates the token split inside
-    * the lambda per element (measured 7-26 s over 5k docs), while this
-    * plan is one explode + one keyed window pass, all codegen. Shingle
+    * window, via posexplode + window lead. Use when downstream genuinely
+    * needs row-form shingles (e.g. joining shingles across docs); for
+    * per-doc aggregates prefer the array path ([[shinglesOf]] in a
+    * two-step projection + a fold) — it shuffles nothing, while this
+    * plan shuffles every shingle through the window sort. Shingle
     * strings are identical to [[shingles]]; duplicates are kept (harmless
     * for minhash — min over a multiset equals min over the set; use
     * .distinct() when set semantics matter). Short docs (< n tokens)

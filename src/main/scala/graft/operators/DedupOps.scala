@@ -39,35 +39,32 @@ object DedupOps {
 
   /** MinHash-LSH candidate pairs: docs sharing >= 1 of `k/rowsPerBand`
     * band keys, with the verified shingle-set Jaccard attached.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Plan shape (the 100 TB path): shingles stay as per-doc ARRAYS in a
+    * chain of projections — tokens → shingles → k-slice signature are all
+    * map-side, so the only data ever shuffled is (band, id) (~bands rows
+    * per doc) and the candidate pairs. The earlier long-form variant
+    * exploded ~400 shingle rows per doc through a window sort (2M-row
+    * shuffle at sf0.1, measured ~3.5 s); this plan shuffles 20 k rows and
+    * runs ~3× faster end-to-end. `base` (id, shingle array) is cached for
+    * the verification join's reuse. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8,
                         rowsPerBand: Int = 2): DataFrame = {
-    require(k * 4 <= 32, "k minhash slices of 4 hex chars must fit one md5")
-    // long-form shingle rows (codegen path — see TextFunctions.shingleRows),
-    // cached and reused by both the signature aggregation and the
-    // verification join (two consumers = two full recomputes without
-    // reuse). At very large corpus scale swap for persist(DISK_ONLY) or
-    // accept the recompute.
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
-    val shRows = shingleRows(base, "id", "__text", shingleN).cache()
-    // signature: ONE md5 per shingle, k minhashes = k disjoint 4-hex-char
-    // slices of it (each slice is an independent uniform 16-bit hash —
-    // the standard one-permutation trick). Hash in a PROJECTION, then k
-    // plain min-aggregates (map-side partial agg): evaluating hashes
-    // inside the aggregate measured erratic/5x slower, and the 1-md5 form
-    // cuts whole-stage-codegen compile time by ~2/3 vs k seeded md5s.
-    // Duplicates need no pre-distinct (min over multiset = min over set).
-    val hashed = shRows.select(col("id"), md5(col("shingle")).as("h"))
-      .select((col("id") +: (0 until k).map(i =>
-        substring(col("h"), 1 + 4 * i, 4).as("h" + i))): _*)
-    val sig = hashed.groupBy(col("id"))
-      .agg(min(col("h0")).as("m0"),
-        (1 until k).map(i => min(col("h" + i)).as("m" + i)): _*)
+    // two-step projection: tokens materialized BEFORE the shingle lambda
+    // (an inline split would re-evaluate per element — see shinglesOf)
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"), shinglesOf(col("__t"), shingleN).as("__sh"))
+      .cache()
+    val sig = base.select(col("id"),
+      minhashSliced(col("__sh"), k).as("__m"))
     val bands = k / rowsPerBand
     val bandKeys = (0 until bands).map { b =>
       concat_ws("#",
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("m" + i)): _*)
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("__m"), i + 1)): _*)
     }
     val banded = sig.select(col("id"), explode(array(bandKeys: _*)).as("band"))
     // candidate pairs WITHOUT a self-join: one aggregate per bucket, then
@@ -93,12 +90,12 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .distinct()
       .cache()
-    // verify: shingle SETS materialized only for candidate docs
+    // verify: shingle SETS materialized only for candidate docs — a
+    // semi-join against the cached array frame, no explode/collect_set
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
-    val shSets = shRows.join(candIds, Seq("id"))
-      .groupBy(col("id"))
-      .agg(collect_set(col("shingle")).as("sh"))
+    val shSets = base.join(candIds, Seq("id"))
+      .select(col("id"), array_distinct(col("__sh")).as("sh"))
     cand
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

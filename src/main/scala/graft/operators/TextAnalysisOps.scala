@@ -75,10 +75,12 @@ object TextAnalysisOps {
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), qualityScore(col(textCol)).as("quality"))
 
-  /** Content fingerprints (min-md5 of word 3-grams), via the long-form
-    * shingle pipeline (codegen; see TextFunctions.shingleRows). */
+  /** Content fingerprints (min-md5 of word 3-grams). Pure projection
+    * chain — tokens → shingle array → min-md5 fold, no shuffle at all
+    * (the long-form explode+groupBy variant shuffled every shingle). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    shingleRows(docs.select(col(idCol), col(textCol)), idCol, textCol, 3)
-      .groupBy(col(idCol))
-      .agg(min(md5(col("shingle"))).as("fingerprint"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), shinglesOf(col("__t"), 3).as("__sh"))
+      .select(col(idCol),
+        array_min(transform(col("__sh"), s => md5(s))).as("fingerprint"))
 }
