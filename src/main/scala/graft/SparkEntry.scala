@@ -400,6 +400,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-style ANN: sign-LSH cells (6 bits = 64 cells) + 3-cell
+    // multi-probe per query (own cell + two lowest-margin bit flips).
+    // Same output shape as q34; approximate by design — the oracle
+    // replicates the identical cell/probe pipeline.
+    "q42_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = EmbDim,
+        bits = IvfBits, probe = IvfProbe)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Language-ID heuristic (marker lexicon vote, two-stage projection).
     "q35_lang_id" -> ((s, dir) => {
       TextAnalysisOps.classifyLang(t(s, dir, "documents"), "doc_id", "text")
@@ -506,6 +519,19 @@ object SparkEntry {
       s"  SELECT id, $t AS t, $bitsExpr AS bucket FROM v"
     }.mkString("\n  UNION ALL\n")
   }
+
+  // q42 IVF geometry.
+  private val IvfBits = 6
+  private val IvfProbe = 3
+  private lazy val IvfPlanes =
+    VectorFunctions.hyperplanes(1, IvfBits, EmbDim).head
+
+  /** DuckDB list literal of the q42 projection values for vector col `v`. */
+  private def ivfProjListSql(v: String): String =
+    IvfPlanes.map(p =>
+      s"list_sum(list_transform(range(1, ${EmbDim + 1}), " +
+        s"i -> $v[i] * (${planeListSql(p)})[i]))")
+      .mkString("[", ",\n    ", "]")
 
   /** events-with-seconds CTE used by most event oracles. */
   private val EvCte =
@@ -890,6 +916,53 @@ object SparkEntry {
         |  FROM cos6)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q42_ivf_topk" -> (
+      s"""WITH q0 AS (
+        |  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c0 AS (
+        |  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM embeddings),
+        |qp AS (SELECT query_id, qv, ${ivfProjListSql("qv")} AS p FROM q0),
+        |qb AS (SELECT query_id, qv, p,
+        |    list_transform(p, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS b,
+        |    list_sort(list_transform(range(1, ${IvfBits + 1}),
+        |      i -> {'m': abs(p[i]), 'i': i - 1})) AS ord
+        |  FROM qp),
+        |qcells AS (SELECT query_id, qv, [
+        |    array_to_string(b, ''),
+        |    array_to_string(list_transform(range(1, ${IvfBits + 1}),
+        |      i -> CASE WHEN i - 1 = struct_extract(ord[1], 'i')
+        |        THEN 1 - b[i] ELSE b[i] END), ''),
+        |    array_to_string(list_transform(range(1, ${IvfBits + 1}),
+        |      i -> CASE WHEN i - 1 = struct_extract(ord[2], 'i')
+        |        THEN 1 - b[i] ELSE b[i] END), '')
+        |  ] AS cells FROM qb),
+        |qc AS (SELECT query_id, qv, unnest(cells) AS cell FROM qcells),
+        |cp AS (SELECT neighbor_id, cv, ${ivfProjListSql("cv")} AS p FROM c0),
+        |cc AS (SELECT neighbor_id, cv,
+        |    array_to_string(list_transform(p,
+        |      x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END), '') AS cell
+        |  FROM cp),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, ${EmbDim + 1}), i -> qv[i] * cv[i])) AS dot,
+        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+        |  FROM cc JOIN qc USING (cell)
+        |  WHERE query_id <> neighbor_id),
+        |cos6 AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |      ELSE dot / (na * nb) END, 6) AS cos
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM cos6)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "q36_quality" ->
       """WITH toks AS (

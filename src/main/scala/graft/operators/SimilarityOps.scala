@@ -62,31 +62,67 @@ object SimilarityOps {
       .withColumnRenamed("__rn", "rank")
   }
 
-  /** IVF-bucketed ANN: centroid c_j = axis j scaled; assignment = argmax
-    * |v_j| over the first `cells` dims signed — a deterministic, data-
-    * independent coarse quantizer (stands in for k-means centroids, which
-    * would be trained; keeps the oracle exactly reproducible). */
+  /** IVF-style ANN: sign-LSH cells + multi-probe.
+    *
+    * The coarse quantizer is `bits` deterministic Rademacher hyperplanes
+    * (the [[graft.functions.VectorFunctions.hyperplanes]] bank): each
+    * corpus vector lands in ONE of 2^bits cells (its sign pattern). Each
+    * query probes `probe` cells — its own, then the cells reached by
+    * flipping the sign bit with the smallest |projection| margin, the
+    * 2nd-smallest, … (standard multi-probe LSH, Lv et al. VLDB'07): a
+    * near-boundary bit is the one most likely to differ for a true
+    * neighbor. Scan cost ≈ probe/2^bits of the corpus per query versus
+    * brute force; recall rises with `probe` — a real recall/scan knob.
+    * Deterministic planes keep the DuckDB oracle exactly reproducible.
+    *
+    * Scale shape: corpus gets a single projection pass (no shuffle);
+    * probed query cells are broadcast; the per-cell join output is the
+    * only sized-by-candidates data. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              cells: Int = 8): DataFrame = {
-    def cellOf(v: org.apache.spark.sql.Column) = {
-      // argmax over first `cells` dims of signed value -> cell id in [0, 2*cells)
-      val idx = (1 to cells).map(i =>
-        struct(abs(element_at(v, i)).as("a"),
-          lit(i).as("i"), (element_at(v, i) >= 0).as("pos")))
-      val best = greatest(idx: _*)
-      best.getField("i") * 2 + when(best.getField("pos"), 1).otherwise(0)
-    }
-    val q = queries.select(col(idCol).as("query_id"),
-      toDouble(col(vecCol)).as("qv"))
-      .withColumn("cell", cellOf(col("qv")))
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              bits: Int = 8, probe: Int = 3,
+              roundTo: Option[Int] = Some(6)): DataFrame = {
+    require(probe >= 1 && probe <= bits, "1 <= probe <= bits")
+    val planes = hyperplanes(1, bits, dim).head
+
+    def projArr(v: org.apache.spark.sql.Column) =
+      array(planes.map(p => dot(v, array(p.map(lit): _*))): _*)
+    def bitsOf(p: org.apache.spark.sql.Column) =
+      transform(p, x => when(x >= 0, lit(1)).otherwise(lit(0)))
+    def cellStr(b: org.apache.spark.sql.Column) =
+      array_join(transform(b, x => x.cast("string")), "")
+
+    // corpus: one cell each (projections → bits → string key)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv"))
-      .withColumn("cell", cellOf(col("cv")))
+        toDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", cellStr(bitsOf(projArr(col("cv")))))
+
+    // queries: own cell + (probe-1) lowest-margin bit flips
+    val q0 = queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("__p", projArr(col("qv")))
+      .withColumn("__b", bitsOf(col("__p")))
+      .withColumn("__ord", array_sort(zip_with(col("__p"),
+        sequence(lit(0), lit(bits - 1)),
+        (p, i) => struct(abs(p).as("m"), i.as("i")))))
+    val cellCols = (0 until probe).map { j =>
+      if (j == 0) cellStr(col("__b"))
+      else {
+        val flip = element_at(col("__ord"), j).getField("i")
+        cellStr(zip_with(col("__b"), sequence(lit(0), lit(bits - 1)),
+          (b, i) => when(i === flip, lit(1) - b).otherwise(b)))
+      }
+    }
+    val q = q0.select(col("query_id"), col("qv"),
+      explode(array(cellCols: _*)).as("cell"))
+
+    // each corpus vector has exactly one cell and probe cells are
+    // distinct, so (query, neighbor) pairs are already unique
+    val rawCos = cosine(col("qv"), col("cv"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        roundTo.fold(rawCos)(d => round(rawCos, d)).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
