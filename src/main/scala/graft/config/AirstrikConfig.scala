@@ -23,6 +23,11 @@ final case class AirstrikConfig(
     printTopPlanes: Int = 25,          // display top-k (config.yaml:14)
     mongoAddress: String = "127.0.0.1:27017",
     kafkaAddress: String = "",
+    runDump978: Boolean = false,       // dump978 decoder variant (CLI --run-dump-978,
+                                       // airstrik.py:26-28): uat2json publishes no
+                                       // nav_heading/alt_geom, so trip writes skip both
+                                       // and filters match on distance only
+                                       // (airstrik.py:502-504, 524-531)
     filters: Map[String, GeoFilter] = Map(
       "close" -> GeoFilter(10, 1000),
       "tooclose" -> GeoFilter(5, 1000))

@@ -332,8 +332,11 @@ object TripTracker {
       hist.reverse.find(_.ts <= closestTime) // oldest-first scan, first hit
     val latP = asOf(st.latHistory)
     val lonP = asOf(st.lonHistory)
-    val navP = asOf(st.navHeadingHistory)
-    val altP = asOf(st.altGeomHistory)
+    // dump978 variant gate (airstrik.py:502-504): uat2json has no
+    // nav_heading/alt_geom — skip both in the write; altP = None also
+    // makes the filter gate below distance-only (airstrik.py:524-531)
+    val navP = if (cfg.runDump978) None else asOf(st.navHeadingHistory)
+    val altP = if (cfg.runDump978) None else asOf(st.altGeomHistory)
     val chP = asOf(st.calcHeadingHistory)
     val csP = asOf(st.calcSpeedHistory)
     val distP = asOf(st.distanceHistory)

@@ -139,6 +139,34 @@ class TripTrackerSpec extends AnyFunSuite {
     assert(out.find(_.kind == "tripend").get.alarm.contains(false))
   }
 
+  test("scenario 7: dump978 variant skips nav/alt in trip write, " +
+    "filters on distance only") {
+    // inbound plane with nav_heading present and NO altitude (uat2json
+    // publishes neither; nav present here proves the WRITE gate drops it)
+    def fly(c: AirstrikConfig): Option[Output] = {
+      val pings = (0 until 20).map { i =>
+        val (la, lo) = away(9.5 - i * 0.4)
+        ping("uat001", 1000.0 + i * 10, lat = Some(la), lon = Some(lo),
+          nav = Some(220.0), alt = None)
+      } :+ ping("uat001", 1000.0 + 20 * 10 + 100, seen = 99.0)
+      var st: Option[State] = None
+      val out = scala.collection.mutable.ListBuffer.empty[Output]
+      pings.foreach { p =>
+        val (ns, os) = TripTracker.processRow(c, Map.empty, st, p, p.now)
+        st = ns; out.appendAll(os)
+      }
+      out.find(_.kind == "trip")
+    }
+    val t978 = fly(cfg.copy(runDump978 = true))
+    assert(t978.isDefined, "trip must persist on distance-only filters")
+    assert(t978.get.navHeading.isEmpty, "nav_heading skipped in 978 mode")
+    assert(t978.get.altGeom.isEmpty)
+    assert(t978.get.filters.nonEmpty)
+    // same flight on the dump1090 path keeps the nav value
+    val t1090 = fly(cfg)
+    assert(t1090.exists(_.navHeading.contains(220.0)))
+  }
+
   test("patch_add dedups against any prior element, raw append only last") {
     import TripTracker.patchAdd
     val h = List(ValueTs(2.0, 20), ValueTs(1.0, 10))
