@@ -244,6 +244,7 @@ class Repl(spark: SparkSession,
           case 2                              => dumpTable(parts(1))
           case _                              => dumpTableTo(parts(1), parts(2))
         }
+        case "packet"  => () // reserved no-op, as in the reference (dbread.py:59-60)
         case "drop"    => drop(parts(1), parts.lift(2).getOrElse(""))
         case "reset"   => resetAll(parts.tail.mkString(" "))
         case other     => out(s"unknown command: $other")

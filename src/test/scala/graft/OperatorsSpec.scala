@@ -60,6 +60,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(1.0), None))
   }
 
+  test("minhashSliced equals the definitional per-slice min of md5s") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("just one")),
+      (3L, Seq("x y z", "x y z", "y z w")) // duplicates must not matter
+    ).toDF("id", "sh")
+    val got = docs.select(col("id"),
+      TextFunctions.minhashSliced(col("sh"), 8).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // definitional form: per slice i, min over shingles of md5(s)[4i+1..4i+4]
+    val naive = docs.select(col("id"),
+      array((0 until 8).map(i => array_min(transform(col("sh"),
+        s => substring(md5(s), 1 + 4 * i, 4)))): _*).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == naive)
+    assert(got(1).length == 8 && got(1).forall(_.length == 4))
+  }
+
+  test("embeddingNearDups finds constructed near-identical vectors") {
+    import graft.operators.DedupOps
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // copies with one element zeroed: cosine ~0.97+, ids offset by 1000
+    val rows = base ++ base.map { case (i, v) =>
+      (i + 1000L, v.updated(0, 0.0f))
+    }
+    val df = rows.toDF("id", "vec")
+    val pairs = DedupOps.embeddingNearDups(df, "id", "vec",
+      threshold = 0.9, dim = 16, tables = 8, bits = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    val recall = truePairs.count(pairs.contains).toDouble / truePairs.size
+    assert(recall >= 0.8, s"recall $recall over ${pairs.size} found pairs")
+  }
+
   test("sessionize splits on gap > threshold") {
     val df = Seq(("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L), ("u", 300L))
       .map { case (k, t) => (k, t.toDouble) }.toDF("k", "ts")
