@@ -51,26 +51,40 @@ object StreamingEngine {
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[TripTracker.Output], _: Long) =>
-        fanOut(batch, outDir, cfg, console)
+      .foreachBatch { (batch: Dataset[TripTracker.Output], batchId: Long) =>
+        fanOut(batch, batchId, outDir, cfg, console)
       }
       .start()
   }
 
-  /** One micro-batch → every sink (the body of the reference's loop). */
+  /** One micro-batch → every sink (the body of the reference's loop).
+    *
+    * Idempotent on micro-batch retry: every parquet sink is partitioned
+    * by `batch_id` and written with DYNAMIC partition overwrite, so a
+    * replayed batch replaces exactly its own partition instead of
+    * appending duplicates — the exactly-once recipe for file sinks under
+    * foreachBatch (a real Kafka sink gets the same property from the
+    * producer's idempotence + the checkpointed batch id). */
   private[streaming] def fanOut(batch: Dataset[TripTracker.Output],
-                                outDir: String, cfg: AirstrikConfig,
+                                batchId: Long, outDir: String,
+                                cfg: AirstrikConfig,
                                 console: Boolean): Unit = {
     batch.persist()
     try {
+      def writeIdempotent(df: org.apache.spark.sql.DataFrame,
+                         path: String): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
       // S5: warning/alert events (kafka-shaped key/value)
-      EngineSinks.kafkaEvents(batch)
-        .write.mode(SaveMode.Append).parquet(s"$outDir/events")
+      writeIdempotent(EngineSinks.kafkaEvents(batch), s"$outDir/events")
       // S3: decimated track points + trip summaries
-      EngineSinks.flightRecords(batch)
-        .write.mode(SaveMode.Append).parquet(s"$outDir/flight_records")
+      writeIdempotent(EngineSinks.flightRecords(batch),
+        s"$outDir/flight_records")
       // S4: per-day stats upsert
-      upsertDailyStats(batch, outDir, cfg.utcTimeOffset)
+      upsertDailyStats(batch, batchId, outDir, cfg.utcTimeOffset)
       // S6: live display
       if (console) EngineSinks.liveTopK(batch, cfg.printTopPlanes)
         .select("hex", "flightId", "distance", "ts")
@@ -86,12 +100,16 @@ object StreamingEngine {
     * source of truth; stats are collected to the driver before the
     * overwrite because the rewrite reads the same table it replaces. */
   private[streaming] def upsertDailyStats(batch: Dataset[TripTracker.Output],
-                                          outDir: String,
+                                          batchId: Long, outDir: String,
                                           utcOffsetHours: Int): Unit = {
     val spark = batch.sparkSession
     val rows = EngineSinks.statsRows(batch, utcOffsetHours)
     if (!rows.isEmpty) {
-      rows.write.mode(SaveMode.Append).parquet(s"$outDir/stats_rows")
+      rows.withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$outDir/stats_rows")
       val stats = EngineSinks.dailyStatsFromRows(
         spark.read.parquet(s"$outDir/stats_rows"))
       val materialized = stats.collect().toSeq // tiny: one row per day

@@ -67,6 +67,7 @@ class StreamingEngineSpec extends AnyFunSuite {
 
     // S5 events: exact key/value payload parity
     val gotEvents = spark.read.parquet(s"$outDir/events")
+      .select("key", "value")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     val expEvents = EngineSinks.kafkaEvents(batchOut)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
