@@ -13,6 +13,22 @@ import graft.core.TripTracker.Output
   */
 object EngineSinks {
 
+  /** README.md:57-68 event payload (heading/speed naming, nullable
+    * altitude, eta only on warnings). */
+  private def eventPayload: org.apache.spark.sql.Column =
+    to_json(struct(
+      col("hex").as("plane_hex"),
+      coalesce(col("flightId"), lit("")).as("plane_id"),
+      timestamp_seconds(col("ts")).as("plane_time"),
+      col("calcHeading").as("heading"),
+      col("calcSpeed").as("speed"),
+      col("altGeom").as("altitude"),
+      col("lat").as("latitude"),
+      col("lon").as("longitude"),
+      col("distance").as("distance"),
+      col("eta")))
+
+
   /** Kafka-shaped event frame (S5): key = topic, value = JSON payload
     * matching README.md:57-68 (`heading`/`speed` naming, altitude
     * nullable, eta only on warnings). Write with
@@ -22,17 +38,19 @@ object EngineSinks {
     outputs.filter(col("kind").isin("warning", "alert"))
       .select(
         concat(lit("airstrik-"), col("kind")).as("key"),
-        to_json(struct(
-          col("hex").as("plane_hex"),
-          coalesce(col("flightId"), lit("")).as("plane_id"),
-          timestamp_seconds(col("ts")).as("plane_time"),
-          col("calcHeading").as("heading"),
-          col("calcSpeed").as("speed"),
-          col("altGeom").as("altitude"),
-          col("lat").as("latitude"),
-          col("lon").as("longitude"),
-          col("distance").as("distance"),
-          col("eta"))).as("value"))
+        eventPayload.as("value"))
+
+  /** Kafka-connector frame (S5 production leg): the Spark Kafka sink's
+    * expected (topic, key, value) columns — topic per event kind
+    * (`airstrik-warning` / `airstrik-alert`, airstrik.py:345-351), key =
+    * aircraft hex for per-plane partition ordering. Write with
+    * `.write.format("kafka").option("kafka.bootstrap.servers", addr)`. */
+  def kafkaSinkFrame(outputs: Dataset[Output]): DataFrame =
+    outputs.filter(col("kind").isin("warning", "alert"))
+      .select(
+        concat(lit("airstrik-"), col("kind")).as("topic"),
+        col("hex").as("key"),
+        eventPayload.as("value"))
 
   /** flight_records-shaped frame (S3): live decimated track points and
     * trip summaries, flat columns (value + ts per attribute). */

@@ -46,6 +46,16 @@ object AircraftJsonSource {
         col("a.alt_geom").as("altGeom"))
       .as[AircraftPing]
 
+  /** dump978 startup artifact (airstrik.py:639-640): uat2json publishes
+    * no receiver.json, so the engine writes the stub the web map expects. */
+  def writeReceiverJson(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val w = new java.io.FileWriter(new java.io.File(d, "receiver.json"))
+    try w.write("""{"version": "dump978-uat2json", "refresh": 0, "history": 0}""")
+    finally w.close()
+  }
+
   /** Replay writer: append one snapshot JSON (as the decoder would have
     * written it) into a landing dir as a uniquely-named file.
     *

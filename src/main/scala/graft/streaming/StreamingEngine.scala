@@ -80,6 +80,20 @@ object StreamingEngine {
           .parquet(path)
       // S5: warning/alert events (kafka-shaped key/value)
       writeIdempotent(EngineSinks.kafkaEvents(batch), s"$outDir/events")
+      // S5 production leg: real Kafka connector when a broker is
+      // configured (the reference's console fallback otherwise,
+      // airstrik.py:345-351). Failure to reach the broker must not kill
+      // the engine loop — mirror the reference's try/except around send.
+      if (cfg.kafkaAddress.nonEmpty) {
+        try EngineSinks.kafkaSinkFrame(batch)
+          .write.format("kafka")
+          .option("kafka.bootstrap.servers", cfg.kafkaAddress)
+          .save()
+        catch {
+          case e: Exception =>
+            System.err.println(s"[engine] kafka send failed: ${e.getMessage}")
+        }
+      }
       // S3: decimated track points + trip summaries
       writeIdempotent(EngineSinks.flightRecords(batch),
         s"$outDir/flight_records")

@@ -92,6 +92,28 @@ class StreamingEngineSpec extends AnyFunSuite {
     batchOut.unpersist()
   }
 
+  test("kafka connector frame has (topic, key, value) with kind topics") {
+    val landing = Files.createTempDirectory("graft_landing3").toString
+    writeFixture(landing)
+    val out = TripEngine.runBatch(
+      AircraftJsonSource.readBatch(spark, landing), cfg, icao)
+    val frame = EngineSinks.kafkaSinkFrame(out)
+    assert(frame.columns.toSeq == Seq("topic", "key", "value"))
+    val topics = frame.select("topic").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(topics.subsetOf(Set("airstrik-warning", "airstrik-alert")))
+    assert(topics.nonEmpty)
+    assert(frame.filter("key = 'abc123'").count() > 0)
+  }
+
+  test("receiver.json stub matches the reference's dump978 startup write") {
+    val dir = Files.createTempDirectory("graft_recv").toString
+    AircraftJsonSource.writeReceiverJson(dir)
+    val txt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/receiver.json")))
+    assert(txt.contains("dump978-uat2json"))
+  }
+
   test("icao loader reads the reference's flat json map") {
     val f = Files.createTempFile("icao", ".json")
     Files.writeString(f,
