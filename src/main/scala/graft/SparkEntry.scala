@@ -1028,6 +1028,8 @@ object SparkEntry {
         |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id, len(t) AS n_tokens,
         |  len(list_distinct(t)) AS n_distinct_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |    AS n_bpeish_tokens,
         |  length(text) AS n_chars,
         |  len(list_filter(t, x -> x IN
         |    ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE

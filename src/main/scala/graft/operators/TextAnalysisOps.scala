@@ -60,13 +60,23 @@ object TextAnalysisOps {
     withHits.select(col(idCol), guess.as("lang_guess"))
   }
 
-  /** Per-document token statistics. */
+  /** BPE-ish tokenizer regex: letter runs, digit runs, and single
+    * non-alphanumeric marks — the pre-tokenization split BPE vocabularies
+    * are trained over. ASCII classes only, so the Java and RE2 (DuckDB)
+    * engines match exactly. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Per-document token statistics: whitespace tokens plus the BPE-ish
+    * regex token count (a closer proxy for LLM token budgets than
+    * whitespace words). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     docs.select(
       col(idCol),
       size(t).as("n_tokens"),
       size(array_distinct(t)).as("n_distinct_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
+        .as("n_bpeish_tokens"),
       length(col(textCol)).as("n_chars"),
       (stopwordCount(t).cast("double") / size(t)).as("stopword_ratio"))
   }
