@@ -31,6 +31,19 @@ object DedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming exact dedup (Structured Streaming native): first document
+    * per content hash survives; duplicate arrivals within the watermark
+    * horizon are dropped and state for a hash is evicted once the
+    * watermark passes it — the state-bounded form of [[exact]] for
+    * continuous ingestion. The hash is computed BEFORE the stateful op,
+    * so only the 32-char digest (never the document body) enters the
+    * state store or the shuffle. */
+  def streamingExact(docs: DataFrame, textCol: String,
+                     eventTimeCol: String, watermarkDelay: String): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Exact-duplicate groups: content hash -> ids (diagnostic view). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))

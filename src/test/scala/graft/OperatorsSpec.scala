@@ -96,6 +96,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall over ${pairs.size} found pairs")
   }
 
+  test("streamingExact dedups by content hash across micro-batches") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDS().toDF("id", "text", "sec")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val out = DedupOps.streamingExact(docs, "text", "event_time", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha", 100L), (2L, "alpha", 101L), (3L, "beta", 102L))
+      q.processAllAvailable()
+      mem.addData((4L, "alpha", 103L), (5L, "gamma", 104L)) // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L) && ids.contains(5L))
+      assert(ids.intersect(Set(1L, 2L, 4L)).size == 1,
+        s"exactly one 'alpha' survivor expected, got $ids")
+    } finally q.stop()
+  }
+
   test("sessionize splits on gap > threshold") {
     val df = Seq(("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L), ("u", 300L))
       .map { case (k, t) => (k, t.toDouble) }.toDF("k", "ts")
