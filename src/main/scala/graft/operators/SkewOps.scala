@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at 100 TB scale.
+  *
+  * AQE's skew-join split handles most cases at runtime
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default); explicit
+  * salting remains the tool when one side must PRE-aggregate under a hot
+  * key or when the skew is known ahead of plan time. Both utilities are
+  * deterministic (hash-based salt, no randomness), so results are
+  * reproducible run to run.
+  */
+object SkewOps {
+
+  /** Salted equi-join: scatter the big side's hot keys over `salt`
+    * sub-keys, replicate the small side `salt` ways, join on
+    * (key, salt). Breaks a single hot key's partition into `salt`
+    * tasks at the cost of a `salt`× blow-up of the SMALL side only.
+    *
+    * `scatterBy` must be a column (or expression) that varies within a
+    * key group — e.g. the fact table's primary key — so rows of a hot
+    * key spread uniformly; it is hashed, never shipped. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 scatterBy: Column, salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val bigS = big.withColumn("__salt", pmod(hash(scatterBy), lit(salt)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-stage (salted) aggregation for hot group keys: partial-aggregate
+    * on (key, salt), then merge the partials per key. `mergeExprs` maps
+    * each partial column to its merge aggregate (e.g. partial counts →
+    * sum). The first stage spreads a hot key over `salt` reducers; the
+    * second touches only `salt` rows per key. */
+  def saltedAgg(df: DataFrame, key: String, scatterBy: Column, salt: Int,
+                partialExprs: Seq[Column], mergeExprs: Seq[Column]): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    df.withColumn("__salt", pmod(hash(scatterBy), lit(salt)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partialExprs.head, partialExprs.tail: _*)
+      .groupBy(col(key))
+      .agg(mergeExprs.head, mergeExprs.tail: _*)
+  }
+}

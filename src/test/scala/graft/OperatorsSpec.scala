@@ -96,6 +96,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall over ${pairs.size} found pairs")
   }
 
+  test("saltedJoin and saltedAgg equal their unsalted forms") {
+    import graft.operators.SkewOps
+    // hot key: 'h' has 900 of 1000 rows
+    val big = (0 until 1000).map(i =>
+      (if (i < 900) "h" else s"k${i % 7}", i.toLong, i * 2.0))
+      .toDF("key", "rid", "v")
+    val small = Seq(("h", 10.0), ("k0", 20.0), ("k3", 30.0))
+      .toDF("key", "w")
+    val salted = SkewOps.saltedJoin(big, small, "key", col("rid"), 8)
+      .select("key", "rid", "v", "w")
+    val plain = big.join(small, Seq("key")).select("key", "rid", "v", "w")
+    assert(salted.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+
+    val aggS = SkewOps.saltedAgg(big, "key", col("rid"), 8,
+      partialExprs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
+      mergeExprs = Seq(sum(col("n")).as("n"), sum(col("s")).as("s")))
+    val aggP = big.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(aggS.collect().map(_.toSeq).toSet ==
+      aggP.collect().map(_.toSeq).toSet)
+  }
+
   test("streamingExact dedups by content hash across micro-batches") {
     import graft.operators.DedupOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
