@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernel for the Rademacher sign-LSH band computation.
+  *
+  * The built-in HOF form (`zip_with` + `aggregate` per plane) evaluates
+  * its lambdas interpreted, per element, with an array allocation per
+  * plane — for 12×16 planes over a 64-dim vector that is ~10³ boxed ops
+  * per row. This kernel runs the same math as one tight loop over a
+  * memoized primitive plane bank, and the expression inlines it into
+  * whole-stage codegen. FP parity: the accumulation is the identical
+  * left-to-right fold, so bucket strings are bit-for-bit the ones the
+  * HOF form (and the DuckDB oracle) produce.
+  */
+object LshKernels {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** Flattened [tables*bits][dim] plane bank — same generator (seeded
+    * `scala.util.Random`) as [[VectorFunctions.hyperplanes]]. */
+  def planes(tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((tables, bits, dim), _ =>
+      VectorFunctions.hyperplanes(tables, bits, dim)
+        .flatten.toArray)
+
+  /** Per-table sign-bit bucket strings for one vector. */
+  def signBands(v: ArrayData, tables: Int, bits: Int, dim: Int): ArrayData = {
+    val ps = planes(tables, bits, dim)
+    val out = new Array[AnyRef](tables)
+    var t = 0
+    while (t < tables) {
+      val sb = new java.lang.StringBuilder(bits)
+      var j = 0
+      while (j < bits) {
+        val p = ps(t * bits + j)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += v.getDouble(i) * p(i); i += 1 }
+        sb.append(if (s >= 0) '1' else '0')
+        j += 1
+      }
+      out(t) = UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `sign_bands(vec)`: array of `tables` bucket strings (`bits` sign bits
+  * each) from the deterministic Rademacher plane bank. The vector must be
+  * `array<double>` of length >= `dim`. */
+case class SignBands(child: Expression, tables: Int, bits: Int, dim: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_bands"
+
+  override protected def nullSafeEval(v: Any): Any =
+    LshKernels.signBands(v.asInstanceOf[ArrayData], tables, bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshKernels.signBands($c, $tables, $bits, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshExpressions {
+  /** Column wrapper over [[SignBands]]. */
+  def signBands(vec: Column, tables: Int, bits: Int, dim: Int): Column =
+    GraftColumnBridge.column(SignBands(
+      GraftColumnBridge.expression(vec), tables, bits, dim))
+}

@@ -92,10 +92,13 @@ object SimilarityOps {
     def cellStr(b: org.apache.spark.sql.Column) =
       array_join(transform(b, x => x.cast("string")), "")
 
-    // corpus: one cell each (projections → bits → string key)
+    // corpus: one cell each, via the native codegen sign-bit kernel (the
+    // hot side; the few query rows below keep the HOF form because they
+    // also need raw projections for the multi-probe margins)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("cv"))
-      .withColumn("cell", cellStr(bitsOf(projArr(col("cv")))))
+      .withColumn("cell", element_at(
+        graft.functions.LshExpressions.signBands(col("cv"), 1, bits, dim), 1))
 
     // queries: own cell + (probe-1) lowest-margin bit flips
     val q0 = queries.select(col(idCol).as("query_id"),

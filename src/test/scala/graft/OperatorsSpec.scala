@@ -96,6 +96,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall over ${pairs.size} found pairs")
   }
 
+  test("SignBands kernel matches the HOF plane-bit form exactly") {
+    import graft.functions.{LshExpressions, VectorFunctions}
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "v")
+    val planes = VectorFunctions.hyperplanes(4, 6, 16)
+    def hofBands = array(planes.map(tp =>
+      concat(tp.map(p => VectorFunctions.planeBit(col("v"), p)): _*)): _*)
+    def check(): Unit = {
+      val got = vecs.select(col("id"),
+        LshExpressions.signBands(col("v"), 4, 6, 16).as("b")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val exp = vecs.select(col("id"), hofBands.as("b")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got == exp)
+    }
+    check() // whole-stage codegen
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted nullSafeEval
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null vector -> null bands (null-intolerant)
+    val withNull = Seq((1L, Some(Array(0.5, -0.5)), 0), (2L, None, 0))
+      .toDF("id", "v", "pad")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val r = withNull.select(
+      LshExpressions.signBands(col("v"), 1, 2, 2).as("b"))
+      .collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+  }
+
   test("saltedJoin and saltedAgg equal their unsalted forms") {
     import graft.operators.SkewOps
     // hot key: 'h' has 900 of 1000 rows
