@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions
-import graft.functions.TextFunctions
+import graft.functions.{TextExpressions, TextFunctions}
 import graft.functions.VectorFunctions
 import graft.operators._
 import graft.query.SearchParser
@@ -364,10 +364,8 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.shinglesOf(col("__t"), 3).as("__sh"))
         .select(col("doc_id"),
-          array_min(transform(col("__sh"),
-            s => md5(concat(s, lit("|0"))))).as("minhash0"),
-          array_min(transform(col("__sh"),
-            s => md5(concat(s, lit("|1"))))).as("minhash1"))
+          TextExpressions.minMd5(col("__sh"), "|0").as("minhash0"),
+          TextExpressions.minMd5(col("__sh"), "|1").as("minhash1"))
         .orderBy(col("doc_id"))
     }),
 
@@ -383,7 +381,7 @@ object SparkEntry {
     "q33_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextFunctions.simhash16(TextFunctions.tokens(col("text")))
+          TextExpressions.simhash16(TextFunctions.tokens(col("text")))
             .as("simhash"))
         .orderBy(col("doc_id"))
     }),

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the hot text-hash pipelines (minhash / simhash /
+  * fingerprint). The built-in HOF forms evaluate their lambdas
+  * interpreted per element; these expressions run one tight loop per row
+  * inside whole-stage codegen. Hash parity: MD5 is MD5 — the hex strings
+  * are byte-identical to Spark's `md5()` and DuckDB's, so every oracle
+  * stays bit-for-bit unchanged. */
+object TextKernels {
+
+  private val mdLocal =
+    java.lang.ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): Array[Char] = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** k minhash slices: per shingle ONE md5, cut into k 4-hex windows,
+    * element-wise minimum across shingles (≡ TextFunctions.minhashSliced,
+    * ≡ DuckDB `min(substr(md5(s), 1+4i, 4))`). Null for an empty array
+    * (as `array_min` of empty would be). */
+  def minhashSliced(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = new Array[String](k)
+    var e = 0
+    while (e < n) {
+      val hex = md5Hex(arr.getUTF8String(e).getBytes)
+      var i = 0
+      while (i < k) {
+        val slice = new String(hex, 4 * i, 4)
+        if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString): Array[AnyRef])
+  }
+
+  /** 16-bit simhash over tokens (≡ TextFunctions.simhash16: hex digit j
+    * of md5(token) >= '8' votes +1 else -1; bit = votes > 0). */
+  def simhash16(arr: ArrayData): UTF8String = {
+    val votes = new Array[Int](16)
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      val hex = md5Hex(arr.getUTF8String(e).getBytes)
+      var j = 0
+      while (j < 16) {
+        votes(j) += (if (hex(j) >= '8') 1 else -1)
+        j += 1
+      }
+      e += 1
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var j = 0
+    while (j < 16) { sb.append(if (votes(j) > 0) '1' else '0'); j += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** min over elements of md5(element || suffix) — the minhash /
+    * fingerprint primitive (≡ `array_min(transform(a, s => md5(concat(s,
+    * suffix))))`). Null for an empty array. */
+  def minMd5(arr: ArrayData, suffix: UTF8String): UTF8String = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val suf = suffix.getBytes
+    var min: String = null
+    var e = 0
+    while (e < n) {
+      val s = arr.getUTF8String(e).getBytes
+      val joined = new Array[Byte](s.length + suf.length)
+      System.arraycopy(s, 0, joined, 0, s.length)
+      System.arraycopy(suf, 0, joined, s.length, suf.length)
+      val hex = new String(md5Hex(joined))
+      if (min == null || hex.compareTo(min) < 0) min = hex
+      e += 1
+    }
+    UTF8String.fromString(min)
+  }
+}
+
+case class MinhashSlicedExpr(child: Expression, k: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty array -> null
+  override def prettyName: String = "minhash_sliced"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.minhashSliced(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextKernels.minhashSliced($c, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Simhash16Expr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash16"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.simhash16(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinMd5Expr(child: Expression, suffix: String)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty array -> null
+  override def prettyName: String = "min_md5"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.minMd5(a.asInstanceOf[ArrayData],
+      UTF8String.fromString(suffix))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sufRef = ctx.addReferenceObj("suffix",
+      UTF8String.fromString(suffix), classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextKernels.minMd5($c, $sufRef);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def minhashSliced(shingles: Column, k: Int): Column =
+    GraftColumnBridge.column(MinhashSlicedExpr(
+      GraftColumnBridge.expression(shingles), k))
+
+  def simhash16(tokens: Column): Column =
+    GraftColumnBridge.column(Simhash16Expr(
+      GraftColumnBridge.expression(tokens)))
+
+  def minMd5(arr: Column, suffix: String = ""): Column =
+    GraftColumnBridge.column(MinMd5Expr(
+      GraftColumnBridge.expression(arr), suffix))
+}

@@ -72,7 +72,7 @@ object DedupOps {
       .select(col("id"), shinglesOf(col("__t"), shingleN).as("__sh"))
       .cache()
     val sig = base.select(col("id"),
-      minhashSliced(col("__sh"), k).as("__m"))
+      graft.functions.TextExpressions.minhashSliced(col("__sh"), k).as("__m"))
     val bands = k / rowsPerBand
     val bandKeys = (0 until bands).map { b =>
       concat_ws("#",
@@ -125,7 +125,8 @@ object DedupOps {
   /** SimHash clusters: groups of docs with identical 16-bit simhash. */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-      simhash16(tokens(col(textCol))).as("simhash"))
+      graft.functions.TextExpressions.simhash16(tokens(col(textCol)))
+        .as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)

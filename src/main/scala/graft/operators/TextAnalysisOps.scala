@@ -92,5 +92,5 @@ object TextAnalysisOps {
     docs.select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), shinglesOf(col("__t"), 3).as("__sh"))
       .select(col(idCol),
-        array_min(transform(col("__sh"), s => md5(s))).as("fingerprint"))
+        graft.functions.TextExpressions.minMd5(col("__sh")).as("fingerprint"))
 }

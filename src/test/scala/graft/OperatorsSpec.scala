@@ -96,6 +96,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall over ${pairs.size} found pairs")
   }
 
+  test("text hash kernels match their HOF built-in forms exactly") {
+    import graft.functions.{TextExpressions, TextFunctions}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"),
+      (3L, "a a a repeated tokens a a"),
+      (4L, "punct, and 123 numbers!")
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("id"), col("t"),
+        TextFunctions.shinglesOf(col("t"), 3).as("sh"))
+    def check(): Unit = {
+      val rows = docs.select(col("id"),
+        TextExpressions.minhashSliced(col("sh"), 8).as("mk"),
+        TextFunctions.minhashSliced(col("sh"), 8).as("mh"),
+        TextExpressions.simhash16(col("t")).as("sk"),
+        TextFunctions.simhash16(col("t")).as("shh"),
+        TextExpressions.minMd5(col("sh"), "|0").as("fk"),
+        array_min(transform(col("sh"),
+          s => md5(concat(s, lit("|0"))))).as("fh")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"minhash id=${r.getLong(0)}")
+        assert(r.getString(3) == r.getString(4), s"simhash id=${r.getLong(0)}")
+        assert(r.getString(5) == r.getString(6), s"minmd5 id=${r.getLong(0)}")
+      }
+    }
+    check() // codegen
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check()
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("SignBands kernel matches the HOF plane-bit form exactly") {
     import graft.functions.{LshExpressions, VectorFunctions}
     val rnd = new scala.util.Random(11)
