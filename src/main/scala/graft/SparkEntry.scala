@@ -362,7 +362,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
         .select(col("doc_id"),
-          TextFunctions.shinglesOf(col("__t"), 3).as("__sh"))
+          TextExpressions.wordShingles(col("__t"), 3).as("__sh"))
         .select(col("doc_id"),
           TextExpressions.minMd5(col("__sh"), "|0").as("minhash0"),
           TextExpressions.minMd5(col("__sh"), "|1").as("minhash1"))

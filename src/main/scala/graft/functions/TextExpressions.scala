@@ -35,6 +35,37 @@ object TextKernels {
     out
   }
 
+  /** Word n-gram shingles (≡ TextFunctions.shinglesOf: space-joined
+    * n-token windows; short docs yield the whole text as one shingle). */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    val tok = arr.numElements()
+    if (tok >= n) {
+      val out = new Array[AnyRef](tok - n + 1)
+      var i = 0
+      while (i <= tok - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < tok) {
+        if (i > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i).toString)
+        i += 1
+      }
+      new GenericArrayData(Array[AnyRef](UTF8String.fromString(sb.toString)))
+    }
+  }
+
   /** k minhash slices: per shingle ONE md5, cut into k 4-hex windows,
     * element-wise minimum across shingles (≡ TextFunctions.minhashSliced,
     * ≡ DuckDB `min(substr(md5(s), 1+4i, 4))`). Null for an empty array
@@ -100,6 +131,21 @@ object TextKernels {
   }
 }
 
+case class WordShinglesExpr(child: Expression, n: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.wordShingles(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MinhashSlicedExpr(child: Expression, k: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
@@ -159,6 +205,10 @@ case class MinMd5Expr(child: Expression, suffix: String)
 }
 
 object TextExpressions {
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShinglesExpr(
+      GraftColumnBridge.expression(tokens), n))
+
   def minhashSliced(shingles: Column, k: Int): Column =
     GraftColumnBridge.column(MinhashSlicedExpr(
       GraftColumnBridge.expression(shingles), k))

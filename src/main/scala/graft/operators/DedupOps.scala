@@ -69,7 +69,9 @@ object DedupOps {
     // (an inline split would re-evaluate per element — see shinglesOf)
     val base = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
-      .select(col("id"), shinglesOf(col("__t"), shingleN).as("__sh"))
+      .select(col("id"),
+        graft.functions.TextExpressions.wordShingles(col("__t"), shingleN)
+          .as("__sh"))
       .cache()
     val sig = base.select(col("id"),
       graft.functions.TextExpressions.minhashSliced(col("__sh"), k).as("__m"))

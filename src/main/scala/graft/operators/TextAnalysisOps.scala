@@ -90,7 +90,8 @@ object TextAnalysisOps {
     * (the long-form explode+groupBy variant shuffled every shingle). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), shinglesOf(col("__t"), 3).as("__sh"))
+      .select(col(idCol),
+        graft.functions.TextExpressions.wordShingles(col("__t"), 3).as("__sh"))
       .select(col(idCol),
         graft.functions.TextExpressions.minMd5(col("__sh")).as("fingerprint"))
 }

@@ -109,6 +109,8 @@ class OperatorsSpec extends AnyFunSuite {
         TextFunctions.shinglesOf(col("t"), 3).as("sh"))
     def check(): Unit = {
       val rows = docs.select(col("id"),
+        TextExpressions.wordShingles(col("t"), 3).as("wk"),
+        TextFunctions.shinglesOf(col("t"), 3).as("wh"),
         TextExpressions.minhashSliced(col("sh"), 8).as("mk"),
         TextFunctions.minhashSliced(col("sh"), 8).as("mh"),
         TextExpressions.simhash16(col("t")).as("sk"),
@@ -117,9 +119,10 @@ class OperatorsSpec extends AnyFunSuite {
         array_min(transform(col("sh"),
           s => md5(concat(s, lit("|0"))))).as("fh")).collect()
       rows.foreach { r =>
-        assert(r.getSeq[String](1) == r.getSeq[String](2), s"minhash id=${r.getLong(0)}")
-        assert(r.getString(3) == r.getString(4), s"simhash id=${r.getLong(0)}")
-        assert(r.getString(5) == r.getString(6), s"minmd5 id=${r.getLong(0)}")
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"shingles id=${r.getLong(0)}")
+        assert(r.getSeq[String](3) == r.getSeq[String](4), s"minhash id=${r.getLong(0)}")
+        assert(r.getString(5) == r.getString(6), s"simhash id=${r.getLong(0)}")
+        assert(r.getString(7) == r.getString(8), s"minmd5 id=${r.getLong(0)}")
       }
     }
     check() // codegen
