@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native kernels for pairwise vector math. FP parity: each accumulator
+  * is the same left-to-right fold as the `aggregate`/`zip_with` built-in
+  * form (and DuckDB's `list_sum(list_transform(...))`), so results are
+  * bit-identical — only the interpreted-lambda overhead goes away. */
+object VectorKernels {
+
+  /** Cosine similarity; 0.0 when either vector has zero norm
+    * (≡ VectorFunctions.cosine). One pass, three accumulators. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na2 = 0.0; var nb2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    // separate folds, same order as norm(a)/norm(b) built-in form
+    i = 0
+    while (i < a.numElements()) { val x = a.getDouble(i); na2 += x * x; i += 1 }
+    i = 0
+    while (i < b.numElements()) { val y = b.getDouble(i); nb2 += y * y; i += 1 }
+    val na = math.sqrt(na2); val nb = math.sqrt(nb2)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+  }
+}
+
+case class CosineExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(
+    ArrayType(DoubleType, containsNull = false),
+    ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  def cosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

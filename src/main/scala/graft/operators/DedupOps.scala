@@ -201,7 +201,8 @@ object DedupOps {
       .join(v.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("v_a"), col("v_b")).as("cos"))
+        graft.functions.VectorExpressions.cosine(col("v_a"), col("v_b"))
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 

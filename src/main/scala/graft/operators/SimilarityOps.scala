@@ -121,7 +121,7 @@ object SimilarityOps {
 
     // each corpus vector has exactly one cell and probe cells are
     // distinct, so (query, neighbor) pairs are already unique
-    val rawCos = cosine(col("qv"), col("cv"))
+    val rawCos = graft.functions.VectorExpressions.cosine(col("qv"), col("cv"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

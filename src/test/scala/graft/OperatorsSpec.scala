@@ -136,11 +136,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("SignBands kernel matches the HOF plane-bit form exactly") {
-    import graft.functions.{LshExpressions, VectorFunctions}
+  test("SignBands and cosine kernels match the HOF forms exactly") {
+    import graft.functions.{LshExpressions, VectorExpressions, VectorFunctions}
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
       .toDF("id", "v")
+    // cosine kernel: bit-identical to the aggregate/zip_with fold
+    val pairs = vecs.alias("a").join(vecs.alias("b"),
+      col("a.id") < col("b.id"))
+      .select(VectorExpressions.cosine(col("a.v"), col("b.v")).as("ck"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("ch"))
+      .collect()
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
     val planes = VectorFunctions.hyperplanes(4, 6, 16)
     def hofBands = array(planes.map(tp =>
       concat(tp.map(p => VectorFunctions.planeBit(col("v"), p)): _*)): _*)
