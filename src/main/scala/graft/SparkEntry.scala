@@ -356,6 +356,26 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
+    // Exact dedup keep-first: the surviving row per content hash
+    // (lowest doc_id), i.e. DedupOps.exact itself (q30 covers the
+    // group-diagnostic view).
+    "q43_dedup_keepfirst" -> ((s, dir) => {
+      DedupOps.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Salted two-stage aggregation: the skew-mitigation plan must produce
+    // exactly the plain GROUP BY's results (oracle = unsalted form).
+    "q44_salted_agg" -> ((s, dir) => {
+      SkewOps.saltedAgg(ev(s, dir), "user_id", col("event_id"), 8,
+        partialExprs = Seq(count(lit(1)).as("pn"),
+          sum(col("value")).as("ps")),
+        mergeExprs = Seq(sum(col("pn")).as("n_events"),
+          round(sum(col("ps")), 2).as("sum_value")))
+        .orderBy(col("user_id"))
+    }),
+
     // MinHash signature head (minhash itself, oracle-checkable). Pure
     // projection chain over per-doc shingle arrays — no shuffle.
     "q31_minhash" -> ((s, dir) => {
@@ -786,6 +806,17 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
         |  min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q43_dedup_keepfirst" ->
+      """SELECT doc_id FROM documents
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q44_salted_agg" -> (EvCte +
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     "q31_minhash" ->
       """WITH toks AS (
