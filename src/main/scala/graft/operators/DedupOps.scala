@@ -60,8 +60,11 @@ object DedupOps {
     * per doc) and the candidate pairs. The earlier long-form variant
     * exploded ~400 shingle rows per doc through a window sort (2M-row
     * shuffle at sf0.1, measured ~3.5 s); this plan shuffles 20 k rows and
-    * runs ~3× faster end-to-end. `base` (id, shingle array) is cached for
-    * the verification join's reuse. */
+    * runs ~3× faster end-to-end. `base` is NOT cached: with the native
+    * shingle kernel, recomputing the projection chain for the
+    * verification branch measures the same as the memory-store round
+    * trip at sf0.1 — and materializing every document's shingle array
+    * would be a non-starter at corpus scale. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8,
                         rowsPerBand: Int = 2): DataFrame = {
@@ -72,7 +75,6 @@ object DedupOps {
       .select(col("id"),
         graft.functions.TextExpressions.wordShingles(col("__t"), shingleN)
           .as("__sh"))
-      .cache()
     val sig = base.select(col("id"),
       graft.functions.TextExpressions.minhashSliced(col("__sh"), k).as("__m"))
     val bands = k / rowsPerBand
