@@ -184,7 +184,6 @@ object DedupOps {
                         maxBucket: Int = 1000): DataFrame = {
     import graft.functions.VectorFunctions._
     val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .cache()
     val banded = embeddingBands(emb, idCol, vecCol, tables, bits, dim)
       .select(concat(col("t").cast("string"), lit("#"), col("bucket"))
         .as("band"), col("id"))
@@ -199,9 +198,16 @@ object DedupOps {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
+      .cache() // tiny (pairs only); referenced by candIds AND the join
+    // verification vectors: semi-join the corpus down to candidate ids
+    // FIRST, so the full vector frame is never cached or joined twice —
+    // at corpus scale only candidate vectors flow into the pair join
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val vSub = v.join(candIds, Seq("id"))
     cand
-      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(vSub.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vSub.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorExpressions.cosine(col("v_a"), col("v_b"))
           .as("cos"))
