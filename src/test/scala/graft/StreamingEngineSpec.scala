@@ -92,6 +92,54 @@ class StreamingEngineSpec extends AnyFunSuite {
     batchOut.unpersist()
   }
 
+  test("engine resumes from checkpoint: stop, append snapshots, restart") {
+    val landing = Files.createTempDirectory("graft_landing_r").toString
+    val outDir = Files.createTempDirectory("graft_sinks_r").toString
+    // phase 1: first 20 snapshots only
+    def snap(now: Double, aircraft: Seq[String]): String =
+      s"""{"now": $now, "aircraft": [${aircraft.mkString(", ")}]}"""
+    def ac(hex: String, seen: Double, lat: Double, lon: Double,
+           alt: Double): String =
+      s"""{"hex": "$hex", "seen": $seen, "lat": $lat, "lon": $lon, "alt_geom": $alt, "flight": "DAL123  "}"""
+    def writeRange(from: Int, until: Int): Unit =
+      (from until until).foreach { i =>
+        val now = 1718000000.0 + i * 10
+        val (la, lo) = Geo.destination(cfg.homeLat, cfg.homeLon, 40.0, 9.5 - i * 0.25)
+        AircraftJsonSource.appendSnapshot(landing,
+          snap(now, Seq(ac("abc123", 0.2, la, lo, 450.0))), i,
+          mtimeMillis = Some(now.toLong * 1000))
+      }
+    writeRange(0, 20)
+    val q1 = StreamingEngine.start(spark, landing, outDir, cfg, icao,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 8)
+    q1.awaitTermination(180000L)
+    // phase 2: rest of the flight + stale marker, SAME checkpoint/outDir
+    writeRange(20, 30)
+    val lastNow = 1718000000.0 + 30 * 10 + 100
+    AircraftJsonSource.appendSnapshot(landing,
+      snap(lastNow, Seq("""{"hex": "abc123", "seen": 150.0}""")), 30,
+      mtimeMillis = Some(lastNow.toLong * 1000))
+    val q2 = StreamingEngine.start(spark, landing, outDir, cfg, icao,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 8)
+    q2.awaitTermination(180000L)
+
+    val batchOut = TripEngine.runBatch(
+      AircraftJsonSource.readBatch(spark, landing), cfg, icao).cache()
+    // no duplicates, no gaps: streamed records across BOTH runs equal the
+    // single batch pass (state carried over the restart)
+    def recKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select("kind", "hex", "ts", "startTime", "endTime", "distance")
+        .collect().map(_.toSeq).toSeq
+    val got = recKeys(spark.read.parquet(s"$outDir/flight_records"))
+    val exp = recKeys(EngineSinks.flightRecords(batchOut))
+    assert(got.sortBy(_.toString) == exp.sortBy(_.toString))
+    assert(got.nonEmpty)
+    // the trip record exists exactly once (closed after the restart)
+    assert(spark.read.parquet(s"$outDir/flight_records")
+      .filter("kind = 'trip'").count() == 1)
+    batchOut.unpersist()
+  }
+
   test("kafka connector frame has (topic, key, value) with kind topics") {
     val landing = Files.createTempDirectory("graft_landing3").toString
     writeFixture(landing)
