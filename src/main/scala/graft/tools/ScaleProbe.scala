@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SessionOps, SimilarityOps}
+
+/** Dev-only scale probe: replicates the sf0.1 corpus N× (ids shifted per
+  * replica so keys stay distinct, texts/vectors perturbed per replica so
+  * content is not degenerate) and times the flagship operators. The point
+  * is cliff-hunting — a plan whose runtime grows super-linearly here has
+  * a shuffle or bucket problem that 1000 executors cannot save.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [N] [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(label: String)(df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def replicate(df: DataFrame, idCol: String): DataFrame =
+      (0 until n).map { r =>
+        df.withColumn(idCol, col(idCol) + lit(r.toLong * 10000000L))
+          .withColumn("__r", lit(r))
+      }.reduce(_ unionByName _)
+
+    // documents ×N, text salted per replica so replicas are not exact dups
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = replicate(docs0, "doc_id")
+      .withColumn("text", concat(col("text"), lit(" r"), col("__r")))
+      .drop("__r")
+    println(s"[probe] documents: ${docs0.count()} -> ${docs.count()}")
+    time(s"minhashCandidates x$n")(
+      DedupOps.minhashCandidates(docs, "doc_id", "text"))
+
+    // embeddings ×N, one element nudged per replica
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = replicate(emb0, "vec_id")
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i === 0, x + col("__r").cast("float") * 0.01f)
+          .otherwise(x)))
+      .drop("__r")
+    println(s"[probe] embeddings: ${emb0.count()} -> ${emb.count()}")
+    time(s"embeddingNearDups x$n")(
+      DedupOps.embeddingNearDups(emb, "vec_id", "embedding",
+        threshold = 0.9, dim = 64, tables = 8, bits = 12))
+    time(s"ivfTopK x$n corpus")(
+      SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = 64, bits = 8, probe = 3))
+
+    // events ×N through the flagship sessionize plan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("sec", expr("ts div 1000000000"))
+    val ev = replicate(ev0, "user_id").drop("__r")
+    println(s"[probe] events: ${ev0.count()} -> ${ev.count()}")
+    time(s"tripSummaries x$n")(
+      SessionOps.tripSummaries(ev, col("user_id"), col("sec"),
+        col("value"), 21600, 3600))
+    spark.stop()
+  }
+}
