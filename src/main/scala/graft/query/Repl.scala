@@ -42,12 +42,17 @@ class Repl(spark: SparkSession,
     dbs
   }
 
-  /** Q2: list tables in a database (dbread.py:33-36). */
+  /** Q2: list tables in a database (dbread.py:33-36). Like the
+    * reference's `list db/<name>`, the listing also becomes the
+    * `last_planes` working set bare `dump` iterates (dbread.py:36). */
   def listTables(db: String): Seq[String] = {
     val ts = spark.catalog.listTables(db).collect().map(_.name).toSeq
     ts.foreach(out)
+    lastTables = ts
     ts
   }
+
+  private var lastTables: Seq[String] = Nil
 
   /** `use <db>` / `use` (dbread.py:171-176): set or report the current
     * database. Setting an unknown db reports and keeps the old one. */
@@ -143,18 +148,21 @@ class Repl(spark: SparkSession,
   }
 
   /** `dump` with no args (dbread.py:127-130): pretty-print the first
-    * stored document of each last-search match. */
-  def dumpFirstDocs(): Unit = lastMatches match {
-    case None => out("no previous search")
-    case Some(df) =>
-      val keys = df.collect().map(_.get(0).toString)
-      val recs = spark.table(recordsView)
-      keys.foreach { k =>
-        firstDocJson(recs.filter(col("hex") === k)) match {
-          case Some(j) => out(j)
-          case None    => out(s"$k: no records")
-        }
+    * stored document of each `last_planes` entry — the last search's
+    * matches, or the last listing's tables when no search ran. */
+  def dumpFirstDocs(): Unit = {
+    val keys = lastMatches match {
+      case Some(df) => df.collect().map(_.get(0).toString).toSeq
+      case None     => lastTables
+    }
+    if (keys.isEmpty) { out("no previous search"); return }
+    val recs = spark.table(recordsView)
+    keys.foreach { k =>
+      firstDocJson(recs.filter(col("hex") === k)) match {
+        case Some(j) => out(j)
+        case None    => out(s"$k: no records")
       }
+    }
   }
 
   /** `dump <table>` (dbread.py:142-143): first row of a table as JSON. */
