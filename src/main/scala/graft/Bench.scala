@@ -27,8 +27,9 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { run(fn) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      // a failed query must read as failed, not as a fast run
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -32,6 +32,11 @@ object LshKernels {
 
   /** Per-table sign-bit bucket strings for one vector. */
   def signBands(v: ArrayData, tables: Int, bits: Int, dim: Int): ArrayData = {
+    // fail fast: an UnsafeArrayData read past numElements would return
+    // garbage (not throw), silently corrupting every bucket
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"signBands: vector has ${v.numElements()} dims, expected >= $dim")
     val ps = planes(tables, bits, dim)
     val out = new Array[AnyRef](tables)
     var t = 0

@@ -148,6 +148,8 @@ case class WordShinglesExpr(child: Expression, n: Int)
 
 case class MinhashSlicedExpr(child: Expression, k: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1 && k * 4 <= 32,
+    "k minhash slices of 4 hex chars must fit one md5 (1 <= k <= 8)")
   override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true

@@ -69,8 +69,11 @@ object DedupOps {
                         shingleN: Int = 3, k: Int = 8,
                         rowsPerBand: Int = 2): DataFrame = {
     // two-step projection: tokens materialized BEFORE the shingle lambda
-    // (an inline split would re-evaluate per element — see shinglesOf)
+    // (an inline split would re-evaluate per element — see shinglesOf).
+    // Null-text docs are dropped up front: they would otherwise share a
+    // null->empty band key and emit phantom candidate pairs.
     val base = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
       .select(col("id"),
         graft.functions.TextExpressions.wordShingles(col("__t"), shingleN)
@@ -198,7 +201,11 @@ object DedupOps {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-      .cache() // tiny (pairs only); referenced by candIds AND the join
+      // Referenced by candIds AND the join below; without reuse each
+      // reference re-executes the signature pipeline (measured 3-5x).
+      // The cache is session-lived — bulk callers invoking this per
+      // corpus slice should spark.catalog.clearCache() between slices.
+      .cache()
     // verification vectors: semi-join the corpus down to candidate ids
     // FIRST, so the full vector frame is never cached or joined twice —
     // at corpus scale only candidate vectors flow into the pair join

@@ -97,9 +97,8 @@ class Repl(spark: SparkSession,
     * per-trip count frame. */
   def inspectPlane(hex: String): DataFrame = {
     val recs = spark.table(recordsView)
-    val trips = recs.filter(col("kind") === "trip" && col("hex") === hex)
-      .withColumn("trip", row_number().over(
-        Window.partitionBy(col("hex")).orderBy(col("startTime"), col("ts"))))
+    val trips = graft.sinks.EngineSinks.withTripOrdinal(
+      recs.filter(col("kind") === "trip" && col("hex") === hex))
     val tripRows = trips
       .select("trip", "flightId", "startTime", "endTime", "distance")
       .orderBy("trip").collect()
@@ -246,6 +245,9 @@ class Repl(spark: SparkSession,
         case "use"     => use(parts.lift(1))
         case "search"  => search(parts.tail.mkString(" "))
         case "inspect" => inspect(parts(1))
+        // dot-in-arg routes to a file path — the reference's own
+        // heuristic (dbread.py:132); qualified table names need
+        // `dump <db> <file>`-style two-arg form or a rename.
         case "dump"    => parts.size match {
           case 1                              => dumpFirstDocs()
           case 2 if parts(1).contains(".")    => dump(parts(1))

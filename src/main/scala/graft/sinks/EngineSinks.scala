@@ -100,11 +100,7 @@ object EngineSinks {
     * start-time order). Filters stringified as `name (dist, alt), ...`,
     * extras → timestamps. */
   def csvExport(outputs: Dataset[Output]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    outputs.toDF().filter(col("kind") === "trip")
-      .withColumn("trip", row_number().over(
-        Window.partitionBy(col("hex"))
-          .orderBy(col("startTime"), col("ts"))))
+    withTripOrdinal(outputs.toDF().filter(col("kind") === "trip"))
       .select(
         col("hex").as("name"),
         col("flightId").as("flight_id"),
@@ -121,6 +117,17 @@ object EngineSinks {
           e => format_string("%s (%s, %s)", e.getField("key"),
             element_at(e.getField("value"), 1),
             element_at(e.getField("value"), 2)))).as("filters"))
+  }
+
+  /** Per-plane 1-based trip ordinal over trip-shaped rows (insertion
+    * order ≡ start-time order, csvdump.py:76). ONE definition — shared by
+    * the CSV export and the REPL's plane inspection so the two surfaces
+    * can never number trips differently. */
+  def withTripOrdinal(trips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    trips.withColumn("trip", row_number().over(
+      Window.partitionBy(col("hex"))
+        .orderBy(col("startTime"), col("ts"))))
   }
 
   /** Console top-k live view (S6/M6/M7): closest planes first, missing

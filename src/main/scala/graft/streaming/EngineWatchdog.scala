@@ -15,34 +15,43 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, Qu
   */
 class EngineWatchdog(stallAfterMs: Long = 60000L,
                      onStall: Long => Unit = _ => (),
-                     out: String => Unit = println(_: String))
+                     out: String => Unit = println(_: String),
+                     queryName: String = "airstrik-engine")
   extends StreamingQueryListener {
 
   private val lastDataMs = new AtomicLong(System.currentTimeMillis())
   @volatile private var stallFlagged = false
   @volatile var lastError: Option[String] = None
   @volatile var batchesSeen: Long = 0L
+  // the listener is session-global: watch ONLY the named engine query, or
+  // any other stream's progress would mask the decoder going silent
+  @volatile private var watchedId: Option[java.util.UUID] = None
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit = {
-    lastDataMs.set(System.currentTimeMillis())
-    stallFlagged = false
-  }
-
-  override def onQueryProgress(event: QueryProgressEvent): Unit = {
-    batchesSeen += 1
-    if (event.progress.numInputRows > 0) {
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    if (event.name == queryName) {
+      watchedId = Some(event.id)
       lastDataMs.set(System.currentTimeMillis())
       stallFlagged = false
-    } else checkStall()
-  }
+    }
 
-  override def onQueryIdle(event: QueryIdleEvent): Unit = checkStall()
+  override def onQueryProgress(event: QueryProgressEvent): Unit =
+    if (watchedId.contains(event.progress.id)) {
+      batchesSeen += 1
+      if (event.progress.numInputRows > 0) {
+        lastDataMs.set(System.currentTimeMillis())
+        stallFlagged = false
+      } else checkStall()
+    }
+
+  override def onQueryIdle(event: QueryIdleEvent): Unit =
+    if (watchedId.contains(event.id)) checkStall()
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-    event.exception.foreach { e =>
-      lastError = Some(e)
-      out(s"watchdog: engine query crashed: $e")
-    }
+    if (watchedId.contains(event.id))
+      event.exception.foreach { e =>
+        lastError = Some(e)
+        out(s"watchdog: engine query crashed: $e")
+      }
 
   private def checkStall(): Unit = {
     val silent = System.currentTimeMillis() - lastDataMs.get()

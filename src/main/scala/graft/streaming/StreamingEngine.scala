@@ -111,8 +111,8 @@ object StreamingEngine {
     * rows, then recompute and overwrite the daily_stats table. The
     * distinct-plane counters cannot be merged from partial aggregates, so
     * the raw rows (trip-level — tiny relative to tracks) are the upsert's
-    * source of truth; stats are collected to the driver before the
-    * overwrite because the rewrite reads the same table it replaces. */
+    * source of truth (a different path from the daily_stats table the
+    * overwrite replaces, so no read-under-overwrite hazard). */
   private[streaming] def upsertDailyStats(batch: Dataset[TripTracker.Output],
                                           batchId: Long, outDir: String,
                                           utcOffsetHours: Int): Unit = {
@@ -124,11 +124,9 @@ object StreamingEngine {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(s"$outDir/stats_rows")
-      val stats = EngineSinks.dailyStatsFromRows(
+      EngineSinks.dailyStatsFromRows(
         spark.read.parquet(s"$outDir/stats_rows"))
-      val materialized = stats.collect().toSeq // tiny: one row per day
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(materialized, 1), stats.schema)
+        .coalesce(1) // one row per day
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/daily_stats")
     }
   }
