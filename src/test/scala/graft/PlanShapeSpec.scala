@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the performance properties the plans
+  * were tuned for (pushdown, broadcast, no stray windows/cartesians)
+  * must survive refactors, not just the row-level results. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q02: predicates pushed to the parquet scan, columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"missing pushdown in:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_shipdate"),
+      "scan should read only the projected/filtered columns")
+  }
+
+  test("q03/q05: dimension joins broadcast, never cartesian") {
+    Seq("q03_broadcast_join", "q05_revenue_by_nation").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("q32: no window operator and no shingle-row explosion before banding") {
+    val p = plan("q32_minhash_lsh")
+    assert(!p.contains("Window"),
+      "minhash signatures must be array folds, not a window pass")
+    assert(p.contains("minhash_sliced"), "native kernel missing from plan")
+  }
+
+  test("q40: banding via the native kernel, candidate join not cartesian") {
+    val p = plan("q40_embed_neardup")
+    assert(p.contains("sign_bands"), "native sign-band kernel missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q18: sessionize plan has no join-back (single aggregation)") {
+    val p = plan("q18_trip_summary")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "trip summaries must be one aggregation, not stats joined to argmin")
+  }
+}
