@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the ONE JSON line Bench prints; sbt's default
+// LoggedOutput wraps forked-process stdout as "[info] {...}", which is
+// not valid JSON line-wise (BENCH_r02 recorded parsed=null for exactly
+// this reason). Stream the forked process's stdout through unmodified.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -631,9 +631,12 @@ object SparkEntry {
     "q22_user_profile" -> (EvCte +
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_click,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_purchase,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_error
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     "q23_lookback" -> (EvCte +
@@ -667,14 +670,20 @@ object SparkEntry {
         |    AS fake_class
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // NB: DuckDB sum() over integers yields HUGEINT, which pandas
+    // surfaces as a non-int64 dtype and the driver's hash compare
+    // rejects even when every value matches — cast to BIGINT wherever
+    // an integer sum reaches the output (round-2 lesson: q10/q15/q18/
+    // q22/q41 all failed hash_match on exactly this).
     "q10_sessionize" -> (EvCte +
       """, d AS (
         |  SELECT *, CASE WHEN sec - lag(sec) OVER
         |    (PARTITION BY user_id ORDER BY sec, event_id) > 21600
         |    THEN 1 ELSE 0 END AS ns FROM e),
         |s AS (
-        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
-        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  SELECT *, (sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING))::BIGINT
+        |    AS session_id
         |  FROM d)
         |SELECT user_id, session_id, count(*) AS n_points,
         |  min(sec) AS start_time, max(sec) AS end_time
@@ -725,7 +734,8 @@ object SparkEntry {
         |  count(*) AS total_trips,
         |  count(DISTINCT CASE WHEN value > 150 THEN user_id END)
         |    AS unique_alarm_planes,
-        |  sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS total_alarm_trips
+        |  sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)::BIGINT
+        |    AS total_alarm_trips
         |FROM e GROUP BY 1 ORDER BY date""".stripMargin),
 
     "q16_topk_latest" -> (EvCte +
@@ -759,8 +769,9 @@ object SparkEntry {
         |    (PARTITION BY user_id ORDER BY sec, event_id) > 21600
         |    THEN 1 ELSE 0 END AS ns FROM e),
         |s AS (
-        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
-        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  SELECT *, (sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING))::BIGINT
+        |    AS session_id
         |  FROM d),
         |stats AS (
         |  SELECT user_id, session_id, min(sec) AS start_time,
@@ -915,7 +926,7 @@ object SparkEntry {
         |),
         |g AS (SELECT t, bucket, count(*) AS n FROM bands GROUP BY t, bucket)
         |SELECT t, count(*) AS n_buckets, max(n) AS max_bucket,
-        |  sum(n * (n - 1)) AS pair_space_x2
+        |  sum(n * (n - 1))::BIGINT AS pair_space_x2
         |FROM g GROUP BY t ORDER BY t""".stripMargin),
 
     "q34_ann_cosine" ->

@@ -55,6 +55,15 @@ def main():
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); n_fail += 1; continue
         ok = True
         for c in s.columns:
+            # The driver's hash compare tolerates width differences within
+            # a kind (int32 rank vs BIGINT passed in round 2) but fails
+            # across kinds: DuckDB HUGEINT (integer sum()) surfaces as
+            # float64/object and broke q10/q15/q18/q22/q41 despite equal
+            # values. Mirror that: dtype *kind* must match.
+            if s[c].dtype.kind != d[c].dtype.kind:
+                print(f"FAIL {name}: col {c} dtype {s[c].dtype} vs "
+                      f"{d[c].dtype} (driver hash compare is kind-strict)")
+                ok = False; break
             a, b = s[c].values, d[c].values
             if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
                 af = a.astype(float); bf = b.astype(float)
