@@ -32,11 +32,19 @@ object LshKernels {
 
   /** Per-table sign-bit bucket strings for one vector. */
   def signBands(v: ArrayData, tables: Int, bits: Int, dim: Int): ArrayData = {
-    // fail fast: an UnsafeArrayData read past numElements would return
-    // garbage (not throw), silently corrupting every bucket
+    // fail fast: an UnsafeArrayData read past numElements (or of a null
+    // slot) would return garbage (not throw), silently corrupting every
+    // bucket
     if (v.numElements() < dim)
       throw new IllegalArgumentException(
         s"signBands: vector has ${v.numElements()} dims, expected >= $dim")
+    var k = 0
+    while (k < dim) {
+      if (v.isNullAt(k)) throw new IllegalArgumentException(
+        s"signBands: null element at index $k — LSH over vectors with " +
+          "null components is undefined; filter or impute upstream")
+      k += 1
+    }
     val ps = planes(tables, bits, dim)
     val out = new Array[AnyRef](tables)
     var t = 0
@@ -64,7 +72,11 @@ object LshKernels {
 case class SignBands(child: Expression, tables: Int, bits: Int, dim: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
 
-  override def inputTypes = Seq(ArrayType(DoubleType, containsNull = false))
+  // containsNull = true: ImplicitCastInputTypes cannot cast away element
+  // nullability, so a containsNull=false requirement fails analysis for
+  // externally written parquet (the common shape). Null elements are
+  // rejected at runtime with a descriptive error instead.
+  override def inputTypes = Seq(ArrayType(DoubleType, containsNull = true))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sign_bands"

@@ -36,9 +36,19 @@ object TextKernels {
   }
 
   /** Word n-gram shingles (≡ TextFunctions.shinglesOf: space-joined
-    * n-token windows; short docs yield the whole text as one shingle). */
+    * n-token windows; short docs yield the whole text as one shingle).
+    * Null tokens are skipped — same result as filtering them upstream
+    * (split() output never contains them; externally written
+    * element-nullable arrays might). */
   def wordShingles(arr: ArrayData, n: Int): ArrayData = {
-    val tok = arr.numElements()
+    val raw = arr.numElements()
+    val toks = new Array[UTF8String](raw)
+    var tok = 0
+    var r = 0
+    while (r < raw) {
+      if (!arr.isNullAt(r)) { toks(tok) = arr.getUTF8String(r); tok += 1 }
+      r += 1
+    }
     if (tok >= n) {
       val out = new Array[AnyRef](tok - n + 1)
       var i = 0
@@ -47,7 +57,7 @@ object TextKernels {
         var j = 0
         while (j < n) {
           if (j > 0) sb.append(' ')
-          sb.append(arr.getUTF8String(i + j).toString)
+          sb.append(toks(i + j).toString)
           j += 1
         }
         out(i) = UTF8String.fromString(sb.toString)
@@ -59,7 +69,7 @@ object TextKernels {
       var i = 0
       while (i < tok) {
         if (i > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(i).toString)
+        sb.append(toks(i).toString)
         i += 1
       }
       new GenericArrayData(Array[AnyRef](UTF8String.fromString(sb.toString)))
@@ -68,14 +78,15 @@ object TextKernels {
 
   /** k minhash slices: per shingle ONE md5, cut into k 4-hex windows,
     * element-wise minimum across shingles (≡ TextFunctions.minhashSliced,
-    * ≡ DuckDB `min(substr(md5(s), 1+4i, 4))`). Null for an empty array
-    * (as `array_min` of empty would be). */
+    * ≡ DuckDB `min(substr(md5(s), 1+4i, 4))`). Null for an empty (or
+    * all-null) array, as `array_min` would be; null elements are skipped
+    * like any SQL min does. */
   def minhashSliced(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
-    if (n == 0) return null
     val mins = new Array[String](k)
     var e = 0
     while (e < n) {
+      if (arr.isNullAt(e)) { e += 1 } else {
       val hex = md5Hex(arr.getUTF8String(e).getBytes)
       var i = 0
       while (i < k) {
@@ -84,17 +95,21 @@ object TextKernels {
         i += 1
       }
       e += 1
+      }
     }
+    if (mins(0) == null) return null // empty or all-null input
     new GenericArrayData(mins.map(UTF8String.fromString): Array[AnyRef])
   }
 
   /** 16-bit simhash over tokens (≡ TextFunctions.simhash16: hex digit j
-    * of md5(token) >= '8' votes +1 else -1; bit = votes > 0). */
+    * of md5(token) >= '8' votes +1 else -1; bit = votes > 0). Null
+    * tokens are skipped (no votes), as if filtered upstream. */
   def simhash16(arr: ArrayData): UTF8String = {
     val votes = new Array[Int](16)
     val n = arr.numElements()
     var e = 0
     while (e < n) {
+      if (arr.isNullAt(e)) { e += 1 } else {
       val hex = md5Hex(arr.getUTF8String(e).getBytes)
       var j = 0
       while (j < 16) {
@@ -102,6 +117,7 @@ object TextKernels {
         j += 1
       }
       e += 1
+      }
     }
     val sb = new java.lang.StringBuilder(16)
     var j = 0
@@ -111,14 +127,15 @@ object TextKernels {
 
   /** min over elements of md5(element || suffix) — the minhash /
     * fingerprint primitive (≡ `array_min(transform(a, s => md5(concat(s,
-    * suffix))))`). Null for an empty array. */
+    * suffix))))`). Null for an empty (or all-null) array; null elements
+    * are skipped like `array_min` skips nulls. */
   def minMd5(arr: ArrayData, suffix: UTF8String): UTF8String = {
     val n = arr.numElements()
-    if (n == 0) return null
     val suf = suffix.getBytes
     var min: String = null
     var e = 0
     while (e < n) {
+      if (arr.isNullAt(e)) { e += 1 } else {
       val s = arr.getUTF8String(e).getBytes
       val joined = new Array[Byte](s.length + suf.length)
       System.arraycopy(s, 0, joined, 0, s.length)
@@ -126,14 +143,16 @@ object TextKernels {
       val hex = new String(md5Hex(joined))
       if (min == null || hex.compareTo(min) < 0) min = hex
       e += 1
+      }
     }
+    if (min == null) return null
     UTF8String.fromString(min)
   }
 }
 
 case class WordShinglesExpr(child: Expression, n: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
-  override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = true))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_shingles"
@@ -150,7 +169,7 @@ case class MinhashSlicedExpr(child: Expression, k: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
   require(k >= 1 && k * 4 <= 32,
     "k minhash slices of 4 hex chars must fit one md5 (1 <= k <= 8)")
-  override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = true))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // empty array -> null
@@ -170,7 +189,7 @@ case class MinhashSlicedExpr(child: Expression, k: Int)
 
 case class Simhash16Expr(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
-  override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = true))
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash16"
@@ -184,7 +203,7 @@ case class Simhash16Expr(child: Expression)
 
 case class MinMd5Expr(child: Expression, suffix: String)
   extends UnaryExpression with ImplicitCastInputTypes {
-  override def inputTypes = Seq(ArrayType(StringType, containsNull = false))
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = true))
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // empty array -> null

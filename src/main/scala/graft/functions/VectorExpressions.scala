@@ -13,21 +13,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 object VectorKernels {
 
   /** Cosine similarity; 0.0 when either vector has zero norm
-    * (≡ VectorFunctions.cosine). One pass, three accumulators. */
+    * (≡ VectorFunctions.cosine). One pass, three accumulators.
+    * Dimension mismatches and null elements throw: the HOF form returns
+    * NULL there (zip_with pads with nulls), and silently returning a
+    * truncated-dot value would break the bit-parity claim. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine: dimension mismatch ($n vs ${b.numElements()}) — the " +
+          "zip_with built-in form returns NULL here; align vectors upstream")
     var dot = 0.0; var na2 = 0.0; var nb2 = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i); val y = b.getDouble(i)
-      dot += x * y
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"cosine: null element at index $i — filter or impute upstream")
+      dot += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     // separate folds, same order as norm(a)/norm(b) built-in form
     i = 0
-    while (i < a.numElements()) { val x = a.getDouble(i); na2 += x * x; i += 1 }
+    while (i < n) { val x = a.getDouble(i); na2 += x * x; i += 1 }
     i = 0
-    while (i < b.numElements()) { val y = b.getDouble(i); nb2 += y * y; i += 1 }
+    while (i < n) { val y = b.getDouble(i); nb2 += y * y; i += 1 }
     val na = math.sqrt(na2); val nb = math.sqrt(nb2)
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
   }
@@ -35,9 +44,12 @@ object VectorKernels {
 
 case class CosineExpr(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
+  // containsNull = true: element-nullable arrays (the common externally
+  // written parquet shape) must pass analysis; null elements are rejected
+  // at runtime with a descriptive error instead.
   override def inputTypes = Seq(
-    ArrayType(DoubleType, containsNull = false),
-    ArrayType(DoubleType, containsNull = false))
+    ArrayType(DoubleType, containsNull = true),
+    ArrayType(DoubleType, containsNull = true))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"

@@ -108,26 +108,42 @@ object StreamingEngine {
 
   /** S4/ST12 upsert (airstrik.py:677-685: insert day row, overwrite on
     * duplicate key): append this batch's compact (date, hex, alarm) trip
-    * rows, then recompute and overwrite the daily_stats table. The
-    * distinct-plane counters cannot be merged from partial aggregates, so
-    * the raw rows (trip-level — tiny relative to tracks) are the upsert's
-    * source of truth (a different path from the daily_stats table the
-    * overwrite replaces, so no read-under-overwrite hazard). */
+    * rows, then recompute daily_stats FOR THE DATES THIS BATCH TOUCHED
+    * only. The distinct-plane counters cannot be merged from partial
+    * aggregates, so the raw rows (trip-level — tiny relative to tracks)
+    * are the upsert's source of truth — but the recompute must not grow
+    * with engine lifetime: stats_rows is partitioned by date (pruned
+    * scan) and daily_stats by date with dynamic overwrite, so a batch
+    * pays O(trips on its own dates), not O(all trips ever). */
   private[streaming] def upsertDailyStats(batch: Dataset[TripTracker.Output],
                                           batchId: Long, outDir: String,
                                           utcOffsetHours: Int): Unit = {
     val spark = batch.sparkSession
     val rows = EngineSinks.statsRows(batch, utcOffsetHours)
-    if (!rows.isEmpty) {
+    // trip-end dates in one micro-batch: a handful — safe to collect
+    val touched = rows.select(col("date")).distinct()
+      .collect().map(_.getString(0))
+    if (touched.nonEmpty) {
+      // (date, batch_id) leaves keep the retry idempotency: a replayed
+      // batch dynamically overwrites exactly its own leaves
       rows.withColumn("batch_id", lit(batchId))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy("date", "batch_id")
         .parquet(s"$outDir/stats_rows")
+      // explicit schema: partition-column type inference would otherwise
+      // read `date` back as DateType; pinning it keeps the string
+      // contract AND the partition-pruned scan on the touched dates
       EngineSinks.dailyStatsFromRows(
-        spark.read.parquet(s"$outDir/stats_rows"))
-        .coalesce(1) // one row per day
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/daily_stats")
+        spark.read
+          .schema("hex STRING, alarm BOOLEAN, date STRING, batch_id BIGINT")
+          .parquet(s"$outDir/stats_rows")
+          .filter(col("date").isin(touched.toSeq: _*))) // partition-pruned
+        .coalesce(1) // one row per touched day
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(s"$outDir/daily_stats")
     }
   }
 }

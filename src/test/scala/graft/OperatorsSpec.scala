@@ -178,6 +178,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
   }
 
+  test("kernels accept element-nullable arrays (the external-parquet shape)") {
+    import graft.functions.{LshExpressions, TextExpressions, VectorExpressions}
+    // arrays built via when() are containsNull=true — the analysis-time
+    // shape that containsNull=false inputTypes used to reject outright
+    val docs = Seq((1L, "the quick brown fox jumps")).toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("t0"))
+      .select(col("id"),
+        transform(col("t0"), x => when(x =!= "quick", x)).as("t"))
+    assert(docs.schema("t").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val r = docs.select(
+      TextExpressions.wordShingles(col("t"), 3).as("sh"),
+      TextExpressions.simhash16(col("t")).as("sim"),
+      TextExpressions.minMd5(col("t")).as("mm")).collect()(0)
+    // null tokens skipped ≡ filtered upstream
+    assert(r.getSeq[String](0) == Seq("the brown fox", "brown fox jumps"))
+    assert(r.getString(1).length == 16 && r.getString(2) != null)
+    // all-null array -> null min (SQL min semantics)
+    val allNull = Seq(Tuple1(1L)).toDF("id")
+      .select(transform(array(lit("x")), x => when(x =!= "x", x)).as("t"))
+    assert(allNull.select(TextExpressions.minMd5(col("t")))
+      .collect()(0).isNullAt(0))
+    // numeric kernels: nullable-element type passes analysis; a null
+    // element or dim mismatch fails loud, not with garbage values
+    val vecs = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(transform(col("a"), x => when(x > 0, x)).as("a"), col("b"))
+    vecs.select(VectorExpressions.cosine(col("a"), col("a"))).collect()
+    vecs.select(LshExpressions.signBands(col("a"), 1, 2, 2)).collect()
+    // exceptions may surface bare or wrapped in SparkException depending
+    // on where the expression runs — walk the cause chain for the message
+    def failsWith(msg: String)(body: => Unit): Unit = {
+      val e = intercept[Throwable](body)
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains(msg)), s"got $msgs")
+    }
+    failsWith("dimension mismatch") {
+      vecs.select(VectorExpressions.cosine(col("a"), col("b"))).collect()
+    }
+    failsWith("null element") {
+      Seq(Tuple1(Array(1.0, 2.0))).toDF("a")
+        .select(transform(col("a"), x => when(x > 1.5, x)).as("a"))
+        .select(VectorExpressions.cosine(col("a"), col("a"))).collect()
+    }
+  }
+
   test("saltedJoin and saltedAgg equal their unsalted forms") {
     import graft.operators.SkewOps
     // hot key: 'h' has 900 of 1000 rows

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.config.AirstrikConfig
@@ -82,10 +83,17 @@ class StreamingEngineSpec extends AnyFunSuite {
     assert(recKeys(gotRecords) == recKeys(EngineSinks.flightRecords(batchOut)))
     assert(gotRecords.filter("kind = 'trip'").count() > 0)
 
-    // S4 daily stats: upserted table equals the batch aggregation
+    // S4 daily stats: upserted table equals the batch aggregation.
+    // `date` is a partition column on disk: the raw read-back puts it
+    // last and type-infers DATE — select canonical order and cast back.
+    val statsCols = Seq("date", "unique_planes", "total_trips",
+      "unique_alarm_planes", "total_alarm_trips")
     val gotStats = spark.read.parquet(s"$outDir/daily_stats")
+      .withColumn("date", col("date").cast("string"))
+      .select(statsCols.head, statsCols.tail: _*)
       .collect().map(_.toSeq).toSet
     val expStats = EngineSinks.dailyStats(batchOut, cfg.utcTimeOffset)
+      .select(statsCols.head, statsCols.tail: _*)
       .collect().map(_.toSeq).toSet
     assert(gotStats == expStats)
     assert(gotStats.nonEmpty)
