@@ -28,8 +28,17 @@ object Bench {
     // min of two timed runs per query: steady-state cost, not GC luck
     // (run-to-run totals otherwise fluctuate ~15% on local[32])
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_BENCH_ONLY=q32_minhash_lsh,q40_embed_neardup
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (0 until iters).map { _ =>
+        // queries that cache() internally (the LSH dedup family) would
+        // otherwise hand iteration 2 a warm memory store — every timed
+        // run must pay the full cold plan or the min is a fiction
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case _: Throwable => false }
         // a failed query must read as failed, not as a fast run

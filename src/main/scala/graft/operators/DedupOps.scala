@@ -111,11 +111,16 @@ object DedupOps {
       .distinct()
       .cache()
     // verify: shingle SETS materialized only for candidate docs — a
-    // semi-join against the cached array frame, no explode/collect_set
+    // semi-join against the cached array frame, no explode/collect_set.
+    // shSets is cached too: it's referenced by BOTH pair-side joins
+    // below, and each uncached reference would re-scan the full corpus
+    // and re-run the shingle kernel (candidates are tiny; the corpus
+    // pass is the expensive part).
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val shSets = base.join(candIds, Seq("id"))
       .select(col("id"), array_distinct(col("__sh")).as("sh"))
+      .cache()
     cand
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -211,7 +216,9 @@ object DedupOps {
     // at corpus scale only candidate vectors flow into the pair join
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
-    val vSub = v.join(candIds, Seq("id"))
+    // cached for the same reason as cand: both pair-side joins reference
+    // it, and an uncached reference re-scans the full vector corpus
+    val vSub = v.join(candIds, Seq("id")).cache()
     cand
       .join(vSub.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vSub.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
