@@ -24,13 +24,17 @@ object SimilarityOps {
     * `queries` and `corpus` both carry (idCol, vecCol array<float|double>).
     * Self-matches (same id) are excluded.
     *
-    * Plan: norms are computed once per side; dot products run as
-    * posexplode → broadcast-join on dimension → codegen'd hash aggregate
-    * (sum of products). This keeps the whole hot path in whole-stage
-    * codegen — the per-pair `zip_with`/`aggregate` lambda alternative is
-    * interpreted per element and measured ~5x slower. The corpus is
-    * scanned once with no corpus-side shuffle wider than (pair, partial
-    * sum), which is the shape that survives a 100x corpus scale-up.
+    * Plan: broadcast the (small) query side, scan the corpus ONCE, and
+    * score each pair with the native codegen cosine kernel
+    * ([[graft.functions.VectorExpressions.cosine]] — same left-fold
+    * order as the `aggregate`/`zip_with` built-in form and DuckDB's
+    * `list_sum(list_transform(...))`, so oracle parity is bit-exact).
+    * No corpus-side shuffle at all: the earlier posexplode → join-on-
+    * dimension → hash-aggregate form materialized |corpus|×dim rows and
+    * a pair-space aggregate; the kernel does the same flops in-register.
+    * Per-query top-k is the only exchange (|corpus|×|queries| scored
+    * rows → window). For large query sets use [[ivfTopK]] — brute force
+    * is the |queries| ≲ 10³ baseline at any corpus scale.
     *
     * `roundTo`: round cosine to N decimals BEFORE ranking so last-ulp FP
     * noise cannot flip cross-engine rankings (oracle parity). */
@@ -39,22 +43,12 @@ object SimilarityOps {
                      roundTo: Option[Int] = Some(6)): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
-      .withColumn("na", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
-      .withColumn("nb", norm(col("cv")))
-    val qd = q.select(col("query_id"), col("na"),
-      posexplode(col("qv")).as(Seq("i", "qx")))
-    val cd = c.select(col("neighbor_id"), col("nb"),
-      posexplode(col("cv")).as(Seq("i", "cx")))
-    val dots = cd.join(broadcast(qd), Seq("i"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"), col("na"), col("nb"))
-      .agg(sum(col("qx") * col("cx")).as("dot"))
-    val rawCos = when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
-      .otherwise(col("dot") / (col("na") * col("nb")))
-    val scored = dots.select(col("query_id"), col("neighbor_id"),
-      roundTo.fold(rawCos)(d => round(rawCos, d)).as("cos"))
+    val rawCos = graft.functions.VectorExpressions.cosine(col("qv"), col("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundTo.fold(rawCos)(d => round(rawCos, d)).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
