@@ -481,6 +481,45 @@ object SparkEntry {
         .orderBy(col("t"))
     }),
 
+    // PII scrubbing over synthetically injected emails/URLs (the corpus
+    // has none naturally — injection keeps the check data-bearing).
+    // Output carries a 16-hex signature of the scrubbed text instead of
+    // the text itself (exact-equality proof, small artifact).
+    "q45_pii_scrub" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com via http://ex.org/d/"),
+            col("doc_id").cast("string")).as("text"))
+      TextAnalysisOps.scrubPii(injected, "doc_id", "text")
+        .select(col("doc_id"),
+          substring(md5(col("scrubbed")), 1, 16).as("scrub_sig"),
+          col("n_emails"), col("n_urls"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals (duplicate n-gram fractions).
+    // Fractions emitted UNROUNDED: one division over identical integer
+    // operands is bit-identical across engines.
+    "q46_repetition" -> ((s, dir) =>
+      TextAnalysisOps.repetitionSignals(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Corpus-level vocabulary head: top-20 word 2-grams by count.
+    "q47_top_ngrams" -> ((s, dir) =>
+      TextAnalysisOps.topNgrams(t(s, dir, "documents"), "text", 2, 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("ngram").asc)))
+        .select(col("rank"), col("ngram"), col("n"))),
+
+    // Deterministic md5 hash sampling (reproducible 25% subset).
+    "q48_hash_sample" -> ((s, dir) =>
+      SamplingOps.hashSample(t(s, dir, "documents"), col("text"), 0.25)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // Multimodal plumbing (oracle-checkable scalar features): text as an
     // opaque binary media column; extract byte length, a content-hash
     // header, and a deterministic fake class (the decode STUB — real
@@ -1075,6 +1114,60 @@ object SparkEntry {
         |    ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
         |    / len(t)::DOUBLE AS stopword_ratio
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q45_pii_scrub" ->
+      ("""WITH inj AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
+        |    '@example.com via http://ex.org/d/' || doc_id::VARCHAR AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(md5(regexp_replace(regexp_replace(text,
+        |    '""".stripMargin + TextAnalysisOps.UrlPattern + "', '<URL>', 'g'),\n" +
+        "    '" + TextAnalysisOps.EmailPattern + "', '<EMAIL>', 'g')), 1, 16)" +
+        """ AS scrub_sig,
+        |  len(regexp_extract_all(text, '""".stripMargin +
+        TextAnalysisOps.EmailPattern + """')) AS n_emails,
+        |  len(regexp_extract_all(text, '""".stripMargin +
+        TextAnalysisOps.UrlPattern + """')) AS n_urls
+        |FROM inj ORDER BY doc_id""".stripMargin),
+
+    "q46_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      [array_to_string(t[i + 1:i + 2], ' ') FOR i IN range(len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END AS s2,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ') FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END AS s3
+        |  FROM toks)
+        |SELECT doc_id, len(s2) AS n_2grams,
+        |  (len(s2) - len(list_distinct(s2)))::DOUBLE / len(s2)
+        |    AS dup_2gram_frac,
+        |  (len(s3) - len(list_distinct(s3)))::DOUBLE / len(s3)
+        |    AS dup_3gram_frac
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q47_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT CASE WHEN len(t) >= 2 THEN
+        |      [array_to_string(t[i + 1:i + 2], ' ') FOR i IN range(len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |flat AS (SELECT unnest(s) AS ngram FROM sh),
+        |g AS (SELECT ngram, count(*) AS n FROM flat GROUP BY ngram)
+        |SELECT row_number() OVER (ORDER BY n DESC, ngram) AS rank, ngram, n
+        |FROM g ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "q48_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(text), 1, 8) >= '00000000'
+        |  AND substr(md5(text), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
 
     "q38_fingerprint" ->
       """WITH toks AS (

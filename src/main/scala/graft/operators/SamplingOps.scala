@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data subsetting.
+  *
+  * Random sampling (`df.sample`) is neither reproducible across engines
+  * nor stable across reruns of a changed corpus. Hash sampling is both:
+  * a row is kept iff the leading hex of md5(key) falls under the rate
+  * threshold, so the same key always lands on the same side of the cut —
+  * across engines (md5 is md5), across corpus versions (membership
+  * depends only on the row's own key), and across train/val splits
+  * (disjoint rate bands never overlap). This is the standard
+  * deterministic-split recipe for large corpora.
+  *
+  * Scale shape: pure filter on a projection — fully pushdown-friendly,
+  * no shuffle, trivially parallel.
+  */
+object SamplingOps {
+
+  /** 8-hex-digit threshold string for a sampling rate in [0, 1]:
+    * floor(rate * 16^8) zero-padded — string comparison against
+    * substr(md5(key), 1, 8) implements P(keep) = rate. */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    f"${math.floor(rate * 4294967296.0).toLong.min(4294967295L)}%08x"
+  }
+
+  /** Keep rows whose md5(key) leading 8 hex < threshold(rate).
+    * `band` shifts the cut window (band 1 = [rate, 2*rate), ...) so
+    * disjoint bands give non-overlapping splits (train/val/test). */
+  def hashSample(df: DataFrame, key: Column, rate: Double,
+                 band: Int = 0): DataFrame = {
+    val lo = rateThreshold(rate * band)
+    val hi = rateThreshold((rate * (band + 1)).min(1.0))
+    val h = substring(md5(key), 1, 8)
+    df.filter(h >= lo && h < hi)
+  }
+}

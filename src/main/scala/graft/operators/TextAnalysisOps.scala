@@ -94,4 +94,64 @@ object TextAnalysisOps {
         graft.functions.TextExpressions.wordShingles(col("__t"), 3).as("__sh"))
       .select(col(idCol),
         graft.functions.TextExpressions.minMd5(col("__sh")).as("fingerprint"))
+
+  /** PII patterns — ASCII classes only (no lookarounds, no unicode
+    * properties) so the Java and RE2 (DuckDB) regex engines match the
+    * same spans. Deliberately conservative: scrubbing for training data
+    * favors recall on the common shapes over RFC completeness. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[A-Za-z0-9./_%?=&#:-]+"
+
+  /** PII scrubbing pass: URLs then emails replaced with typed
+    * placeholder tags, plus per-document match counts (counted on the
+    * original text). Single projection, no shuffle — the canonical
+    * pre-training redaction map step. */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>").as("scrubbed"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+        .as("n_urls"))
+
+  /** Gopher-style repetition signals: the fraction of duplicate word
+    * 2-grams / 3-grams per document (1 - distinct/total). High values
+    * flag boilerplate and degenerate generations. Projection chain over
+    * per-doc shingle arrays — no shuffle. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    // unrounded: one division over identical integer operands is
+    // bit-identical across engines (the oracle-parity rule)
+    def dupFrac(sh: Column): Column =
+      (size(sh) - size(array_distinct(sh))).cast("double") / size(sh)
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        wordShingles(col("__t"), 2).as("__s2"),
+        wordShingles(col("__t"), 3).as("__s3"))
+      .select(col(idCol),
+        size(col("__s2")).as("n_2grams"),
+        dupFrac(col("__s2")).as("dup_2gram_frac"),
+        dupFrac(col("__s3")).as("dup_3gram_frac"))
+  }
+
+  /** Corpus-level top-k word n-grams by count (vocabulary head — the
+    * common first look at a new corpus). Explode → count is the right
+    * shape at scale: partial (map-side) aggregation collapses each
+    * partition's n-grams before the single shuffle, and hot n-grams are
+    * exactly the rows partial agg compresses best; the final top-k is a
+    * TakeOrdered, never a global sort. Deterministic tie-break on the
+    * n-gram string. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    docs.select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+  }
 }

@@ -225,6 +225,63 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubPii redacts emails/URLs and counts matches") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or see https://ex.org/p?q=1#f now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co one url http://a.b/c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.scrubPii(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "mail me at <EMAIL> or see <URL> now")
+    assert(got(0).getInt(2) == 1 && got(0).getInt(3) == 1)
+    assert(got(1).getString(1) == "no pii here at all")
+    assert(got(1).getInt(2) == 0 && got(1).getInt(3) == 0)
+    assert(got(2).getString(1) == "two mails <EMAIL> <EMAIL> one url <URL>")
+    assert(got(2).getInt(2) == 2 && got(2).getInt(3) == 1)
+  }
+
+  test("repetitionSignals: duplicate n-gram fractions") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "a a a"),            // 2-grams: [a a, a a] -> dup 1/2
+      (2L, "w x y z"),          // all distinct -> 0
+      (3L, "s")                 // short doc: single whole-text shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 2 && got(0).getDouble(2) == 0.5)
+    assert(got(1).getInt(1) == 3 && got(1).getDouble(2) == 0.0 &&
+      got(1).getDouble(3) == 0.0)
+    assert(got(2).getInt(1) == 1 && got(2).getDouble(2) == 0.0)
+  }
+
+  test("topNgrams: count-desc with ngram tie-break") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq((1L, "b c a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.topNgrams(docs, "text", 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head == ("b c", 3L))
+    assert(got.toSeq == got.toSeq.sortBy { case (g, n) => (-n, g) })
+  }
+
+  test("hashSample: deterministic, disjoint bands partition the corpus") {
+    import graft.operators.SamplingOps
+    val docs = (0 until 400).map(i => (i.toLong, s"doc body $i"))
+      .toDF("doc_id", "text")
+    val bands = (0 until 4).map(b =>
+      SamplingOps.hashSample(docs, col("text"), 0.25, band = b)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(bands.map(_.size).sum == 400, "bands must cover every row")
+    assert(bands.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
+    // reproducible: same input -> same membership
+    assert(SamplingOps.hashSample(docs, col("text"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == bands.head)
+    // rate is approximately honored (md5 is uniform)
+    assert(bands.head.size > 60 && bands.head.size < 140)
+  }
+
   test("saltedJoin and saltedAgg equal their unsalted forms") {
     import graft.operators.SkewOps
     // hot key: 'h' has 900 of 1000 rows
