@@ -397,6 +397,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup clusters: verified LSH pairs -> connected components ->
+    // one keeper per cluster (min doc_id).
+    "q49_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps
+        .minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"))
+      ClusterOps.dedupClusters(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     // SimHash 16-bit signatures.
     "q33_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -589,6 +600,45 @@ object SparkEntry {
       s"list_sum(list_transform(range(1, ${EmbDim + 1}), " +
         s"i -> $v[i] * (${planeListSql(p)})[i]))")
       .mkString("[", ",\n    ", "]")
+
+  /** The minhash-LSH CTE chain (toks → shingle sets → sliced signature →
+    * bands → candidate pairs → verified jaccard `j`) shared by q32 and
+    * q49. Emitted WITHOUT the leading WITH so callers can prepend
+    * `WITH` or `WITH RECURSIVE`. */
+  private def minhashCtesSql: String =
+    ("""toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      |      list_distinct([array_to_string(t[i + 1:i + 3], ' ')
+      |        FOR i IN range(len(t) - 2)])
+      |    ELSE [array_to_string(t, ' ')] END AS sh
+      |  FROM toks),
+      |flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+      (0 until 8).map(i =>
+        s"    min(substr(md5(s), ${1 + 4 * i}, 4)) AS m$i")
+        .mkString(",\n") +
+      "\n  FROM flat GROUP BY doc_id),\nbands AS (\n" +
+      (0 until 4).map { b =>
+        s"  SELECT doc_id, m${2 * b} || '#' || m${2 * b + 1} AS band FROM sig"
+      }.mkString("\n  UNION ALL\n") +
+      """
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b USING (band)
+      |  WHERE a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+      |      ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      |           len(list_distinct(sa.sh || sb.sh))::DOUBLE END AS jaccard
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b)""".stripMargin)
 
   /** events-with-seconds CTE used by most event oracles. */
   private val EvCte =
@@ -884,41 +934,28 @@ object SparkEntry {
         |FROM flat GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q32_minhash_lsh" ->
-      ("""WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
-        |      list_distinct([array_to_string(t[i + 1:i + 3], ' ')
-        |        FOR i IN range(len(t) - 2)])
-        |    ELSE [array_to_string(t, ' ')] END AS sh
-        |  FROM toks),
-        |flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |""".stripMargin +
-        (0 until 8).map(i =>
-          s"    min(substr(md5(s), ${1 + 4 * i}, 4)) AS m$i")
-          .mkString(",\n") +
-        "\n  FROM flat GROUP BY doc_id),\nbands AS (\n" +
-        (0 until 4).map { b =>
-          s"  SELECT doc_id, m${2 * b} || '#' || m${2 * b + 1} AS band FROM sig"
-        }.mkString("\n  UNION ALL\n") +
-        """
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b USING (band)
-        |  WHERE a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT c.id_a, c.id_b,
-        |    CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
-        |      ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-        |           len(list_distinct(sa.sh || sb.sh))::DOUBLE END AS jaccard
-        |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.id_a
-        |  JOIN sh sb ON sb.doc_id = c.id_b)
+      ("WITH " + minhashCtesSql + """
         |SELECT id_a, id_b, jaccard FROM j
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin),
+
+    // Near-dup clusters: q32's verified pairs -> connected components ->
+    // per-doc keeper (cluster-min id). Oracle: the same CTE chain plus a
+    // recursive reachability CTE (symmetric edges => component = the set
+    // of reachable ids; min over it = the keeper).
+    "q49_dedup_clusters" ->
+      ("WITH RECURSIVE " + minhashCtesSql + """,
+        |pairs AS (
+        |  SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+        |und AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b)
+        |SELECT id, min(r) AS rep, (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin),
 
     "q40_embed_neardup" -> (
       """WITH base AS (

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-dup PAIRS (minhash/embedding LSH output) into dedup
+  * CLUSTERS with one canonical keeper (the min id) per cluster.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts as its
+  * own representative; each round every node adopts the minimum
+  * representative among itself and its neighbors, until a round changes
+  * nothing. Converges in O(component diameter) rounds — near-dup graphs
+  * are bucket-induced near-cliques, so 2-4 rounds in practice; `maxIter`
+  * bounds adversarial chains (a path graph needs diameter rounds — for
+  * general deep graphs reach for the large-star/small-star variant,
+  * Kiveris et al. '14).
+  *
+  * Scale shape: each round is one join (edges ⋈ labels, both keyed) +
+  * one aggregate — all distributed; the driver loop carries only the
+  * scalar converged/changed flag (no row data ever crosses the driver).
+  * Labels are cached per round and the previous round unpersisted, so
+  * lineage stays one round deep.
+  */
+object ClusterOps {
+
+  /** (id, rep) for every node in `edges`, rep = min id of the node's
+    * component. Nodes not mentioned in any edge are absent (a doc with
+    * no near-dup pair is its own keeper by definition). */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+      .cache()
+    var labels = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("b"), col("rep").as("__nrep")),
+          Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("__nrep")).as("__nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("__nbr"), col("rep"))).as("rep"))
+        .cache()
+      // the count also materializes `next`, keeping lineage one round deep
+      val changed = next
+        .join(labels.select(col("id"), col("rep").as("__old")), Seq("id"))
+        .filter(col("rep") =!= col("__old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds the bound; raise maxIter or use a " +
+          "star-contraction variant for deep graphs")
+    labels
+  }
+
+  /** Near-dup dedup verdict per document: every doc in a cluster mapped
+    * to its keeper (cluster-min id); `keep = (id == rep)`. */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .withColumn("keep", col("id") === col("rep"))
+}

@@ -225,6 +225,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: chains, separate components, keep flags") {
+    import graft.operators.ClusterOps
+    // a 5-node path (needs multiple propagation rounds), a 2-clique,
+    // and a duplicate/reversed edge
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 10L)).toDF("id_a", "id_b")
+    val got = ClusterOps.dedupClusters(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (1L, false), 5L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false)))
+    // maxIter guard: a diameter-4 path cannot converge in 2 rounds
+    intercept[IllegalStateException] {
+      ClusterOps.connectedComponents(edges, "id_a", "id_b", maxIter = 2)
+        .collect()
+    }
+  }
+
   test("scrubPii redacts emails/URLs and counts matches") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
