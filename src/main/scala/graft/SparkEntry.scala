@@ -525,6 +525,18 @@ object SparkEntry {
           Window.orderBy(col("n").desc, col("ngram").asc)))
         .select(col("rank"), col("ngram"), col("n"))),
 
+    // Exact discrete quantiles of per-document token counts — the
+    // distribution-stats primitive behind percentile-based quality
+    // cutoffs. Aggregates to (value, count) before any ordering.
+    "q50_length_quantiles" -> ((s, dir) => {
+      val lengths = t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).as("n_tokens"))
+      DistributionOps
+        .discQuantiles(lengths, col("n_tokens"),
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy(col("p"))
+    }),
+
     // Deterministic md5 hash sampling (reproducible 25% subset).
     "q48_hash_sample" -> ((s, dir) =>
       SamplingOps.hashSample(t(s, dir, "documents"), col("text"), 0.25)
@@ -1205,6 +1217,22 @@ object SparkEntry {
         |WHERE substr(md5(text), 1, 8) >= '00000000'
         |  AND substr(md5(text), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+
+    "q50_length_quantiles" ->
+      """WITH lens AS (
+        |  SELECT len(string_split(text, ' ')) AS v FROM documents),
+        |c AS (SELECT v, count(*) AS cnt FROM lens GROUP BY v),
+        |cum AS (
+        |  SELECT v, (sum(cnt) OVER
+        |    (ORDER BY v ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM c),
+        |tot AS (SELECT count(*) AS n FROM lens),
+        |ps(p) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
+        |  (0.75::DOUBLE), (0.95::DOUBLE)),
+        |tgt AS (
+        |  SELECT p, floor(p * (n - 1))::BIGINT + 1 AS pos FROM ps, tot)
+        |SELECT p, min(v) AS value FROM tgt JOIN cum ON cum >= pos
+        |GROUP BY p ORDER BY p""".stripMargin,
 
     "q38_fingerprint" ->
       """WITH toks AS (

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics for corpus curation (length/quality cutoffs
+  * are usually set at percentiles, not absolute values).
+  *
+  * [[discQuantiles]] is the EXACT discrete quantile (the element at
+  * sorted position floor(p*(n-1)), zero-based — `quantile_disc`
+  * semantics, no interpolation, so results are engine-portable integers
+  * or exact input values, never synthesized floats).
+  *
+  * Scale shape: the input is first aggregated to (value, count) — one
+  * hash shuffle, output bounded by the value domain, not the corpus.
+  * The running-sum window then orders only the distinct values (a
+  * single-partition window over a domain-sized frame — thousands of
+  * rows when the corpus has billions), and quantile probes join against
+  * it broadcast. Nothing corpus-sized is ever globally sorted. For
+  * sketch-accuracy-is-fine cases, `approx_percentile` is the built-in
+  * alternative (not oracle-able bit-exactly, so not used here).
+  */
+object DistributionOps {
+
+  /** (p, value) for each requested quantile of `value` over `df`.
+    * `ps` must be in [0, 1]. */
+  def discQuantiles(df: DataFrame, value: Column, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "quantiles must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(value.as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts.select(col("v"), sum(col("cnt")).over(w).as("cum"))
+    val total = df.select(count(lit(1)).as("n"))
+    val targets = ps.toDF("p").crossJoin(total)
+      // zero-based rank floor(p*(n-1)) -> one-based cum threshold
+      .select(col("p"), (floor(col("p") * (col("n") - 1)) + 1).as("pos"))
+    targets.join(cum, col("cum") >= col("pos"))
+      .groupBy(col("p"), col("pos"))
+      .agg(min(col("v")).as("value"))
+      .select(col("p"), col("value"))
+  }
+}

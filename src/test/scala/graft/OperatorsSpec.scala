@@ -225,6 +225,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("discQuantiles: exact zero-based-rank selection, duplicates, ends") {
+    import graft.operators.DistributionOps
+    val vals = Seq(7, 1, 5, 3, 9, 1, 1, 2, 8, 6).toDF("v") // sorted: 1,1,1,2,3,5,6,7,8,9
+    val got = DistributionOps.discQuantiles(vals, col("v"),
+      Seq(0.0, 0.5, 1.0)).collect()
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    // p=0 -> rank 0 -> 1; p=.5 -> floor(.5*9)=4 -> 3; p=1 -> rank 9 -> 9
+    assert(got == Map(0.0 -> 1, 0.5 -> 3, 1.0 -> 9))
+  }
+
   test("connectedComponents: chains, separate components, keep flags") {
     import graft.operators.ClusterOps
     // a 5-node path (needs multiple propagation rounds), a 2-clique,
