@@ -26,11 +26,22 @@ object ClusterOps {
 
   /** (id, rep) for every node in `edges`, rep = min id of the node's
     * component. Nodes not mentioned in any edge are absent (a doc with
-    * no near-dup pair is its own keeper by definition). */
+    * no near-dup pair is its own keeper by definition). Ids must be
+    * numeric (the convergence witness sums them); hash or
+    * dense-rank string ids first. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val und = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+    def repSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("rep").cast("long"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // symmetrize in ONE pass over the (possibly expensive) edge lineage:
+    // a union of two selects would execute it once per branch
+    val und = edges
+      .select(explode(array(
+        struct(col(aCol).as("a"), col(bCol).as("b")),
+        struct(col(bCol).as("a"), col(aCol).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .cache()
     var labels = und.select(col("a").as("id")).distinct()
@@ -38,6 +49,11 @@ object ClusterOps {
       .cache()
     var iter = 0
     var converged = false
+    // labels only ever decrease, so sum(rep) is a strictly-decreasing
+    // convergence witness — one scalar aggregate per round, no
+    // old-vs-new join (and the aggregate materializes `next`, keeping
+    // lineage one round deep)
+    var prevSum = repSum(labels)
     while (!converged && iter < maxIter) {
       val nbrMin = und
         .join(labels.select(col("id").as("b"), col("rep").as("__nrep")),
@@ -48,14 +64,11 @@ object ClusterOps {
         .select(col("id"),
           least(col("rep"), coalesce(col("__nbr"), col("rep"))).as("rep"))
         .cache()
-      // the count also materializes `next`, keeping lineage one round deep
-      val changed = next
-        .join(labels.select(col("id"), col("rep").as("__old")), Seq("id"))
-        .filter(col("rep") =!= col("__old"))
-        .count()
+      val nextSum = repSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     if (!converged)
