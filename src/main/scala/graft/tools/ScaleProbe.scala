@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupOps, SessionOps, SimilarityOps}
+import graft.operators.{ClusterOps, DedupOps, DistributionOps, SessionOps,
+  SimilarityOps, TextAnalysisOps}
 
 /** Dev-only scale probe: replicates the sf0.1 corpus N× (ids shifted per
   * replica so keys stay distinct, texts/vectors perturbed per replica so
@@ -42,6 +43,20 @@ object ScaleProbe {
     println(s"[probe] documents: ${docs0.count()} -> ${docs.count()}")
     time(s"minhashCandidates x$n")(
       DedupOps.minhashCandidates(docs, "doc_id", "text"))
+    time(s"topNgrams x$n")(
+      TextAnalysisOps.topNgrams(docs, "text", 2, 20))
+    time(s"scrubPii x$n")(
+      TextAnalysisOps.scrubPii(docs, "doc_id", "text"))
+    time(s"discQuantiles x$n")(
+      DistributionOps.discQuantiles(
+        docs.select(size(split(col("text"), " ")).as("nt")),
+        col("nt"), Seq(0.25, 0.5, 0.75, 0.95)))
+    time(s"dedupClusters x$n")(
+      ClusterOps.dedupClusters(
+        DedupOps.minhashCandidates(docs, "doc_id", "text")
+          .filter(col("jaccard") >= 0.2)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b"))
 
     // embeddings ×N, one element nudged per replica
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
