@@ -48,4 +48,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "trip summaries must be one aggregation, not stats joined to argmin")
   }
+
+  test("q34: corpus never shuffled — broadcast pairing + kernel cosine") {
+    val p = plan("q34_ann_cosine")
+    assert(p.contains("cosine_sim"), "native cosine kernel missing")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side must pair via broadcast, not a shuffle join")
+    assert(!p.contains("PosExplode"),
+      "dot products must not materialize corpus x dim rows")
+  }
+
+  test("q45/q46: scrub and repetition are pure projections (no exchange)") {
+    Seq("q45_pii_scrub", "q46_repetition").foreach { q =>
+      val body = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // the trailing orderBy is presentation; no other exchange allowed
+      assert(body.split("Exchange").length <= 2,
+        s"$q should shuffle only for the final presentation sort:\n$body")
+    }
+  }
+
+  test("q47: partial aggregation before the shuffle, top-k not global sort") {
+    val p = plan("q47_top_ngrams")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "ngram counts must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort + limit")
+  }
+
+  test("q48: hash sampling is a scan + filter, no shuffle at all") {
+    val p = SamplingShape.plan(spark, dir)
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+}
+
+/** q48's query ends in a presentation orderBy; the operator itself must
+  * be shuffle-free, so assert on the operator, not the query. */
+private object SamplingShape {
+  import org.apache.spark.sql.{SparkSession, functions => F}
+  def plan(spark: SparkSession, dir: String): String =
+    graft.operators.SamplingOps.hashSample(
+      spark.read.parquet(s"$dir/documents.parquet"), F.col("text"), 0.25)
+      .queryExecution.executedPlan.toString
 }
