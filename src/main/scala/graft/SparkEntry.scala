@@ -525,6 +525,12 @@ object SparkEntry {
           Window.orderBy(col("n").desc, col("ngram").asc)))
         .select(col("rank"), col("ngram"), col("n"))),
 
+    // Salient terms per document: top-3 by smoothed TF-IDF.
+    "q51_tfidf_terms" -> ((s, dir) =>
+      TextAnalysisOps.tfIdfTopTerms(t(s, dir, "documents")
+          .filter(col("doc_id") < 100), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // Exact discrete quantiles of per-document token counts — the
     // distribution-stats primitive behind percentile-based quality
     // cutoffs. Aggregates to (value, count) before any ordering.
@@ -1217,6 +1223,26 @@ object SparkEntry {
         |WHERE substr(md5(text), 1, 8) >= '00000000'
         |  AND substr(md5(text), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+
+    "q51_tfidf_terms" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |tot AS (SELECT count(*) AS n FROM d),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln((n + 1)::DOUBLE / (df + 1)::DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term), tot),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q50_length_quantiles" ->
       """WITH lens AS (

@@ -138,6 +138,37 @@ object TextAnalysisOps {
         dupFrac(col("__s3")).as("dup_3gram_frac"))
   }
 
+  /** Top-k TF-IDF terms per document — the classic salient-term
+    * extraction for corpus exploration and topic labeling.
+    * idf = ln((N+1)/(df+1)), smoothed; score rounded to 6 dp BEFORE
+    * ranking with a term tie-break, so last-ulp noise cannot flip
+    * cross-engine rankings.
+    *
+    * Scale shape: three keyed shuffles — (doc, term) counts with
+    * map-side combine, the vocabulary aggregate (domain-sized), and the
+    * per-doc top-k window; the tf ⋈ df join is on the vocabulary, which
+    * AQE broadcasts when it fits. Nothing wider than (doc, term, tf) is
+    * ever shuffled. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.select(count(lit(1)).as("n"))
+    val scored = tf.join(df_, Seq("term")).crossJoin(total)
+      .select(col(idCol), col("term"),
+        round(col("tf") * log((col("n") + 1).cast("double") /
+          (col("df") + 1).cast("double")), 6).as("tfidf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Corpus-level top-k word n-grams by count (vocabulary head — the
     * common first look at a new corpus). Explode → count is the right
     * shape at scale: partial (map-side) aggregation collapses each

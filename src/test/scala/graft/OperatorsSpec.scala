@@ -287,6 +287,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).getInt(1) == 1 && got(2).getDouble(2) == 0.0)
   }
 
+  test("tfIdfTopTerms: rare terms outrank ubiquitous ones") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common other words here"),
+      (3L, "common more filler text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+    // 'common' appears in every doc (idf = ln(4/4) = 0) — even tf=3
+    // cannot beat the doc-unique 'rare1'
+    assert(got(0).getString(2) == "rare1")
+    assert(got.forall(_.getString(2) != "common") ||
+      got.exists(r => r.getString(2) == "common" && r.getDouble(3) == 0.0))
+  }
+
   test("topNgrams: count-desc with ngram tie-break") {
     import graft.operators.TextAnalysisOps
     val docs = Seq((1L, "b c a b c"), (2L, "b c d")).toDF("doc_id", "text")
