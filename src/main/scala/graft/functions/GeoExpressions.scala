@@ -126,6 +126,8 @@ object GeoExpressions {
   * Spark packaging for an engine extension (no session-local
   * `udf.register` needed). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GeoExpressions.registryEntries.foreach(ext.injectFunction)
+    KernelRegistry.registryEntries.foreach(ext.injectFunction)
+  }
 }

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable registrations for the native text/LSH/vector kernels.
+  *
+  * The geo pair registers in [[GeoExpressions.registryEntries]]; this
+  * object covers the rest of the kernel surface so a SQL-only user of the
+  * extension (`spark.sql.extensions=graft.functions.GraftExtensions`) can
+  * run the whole dedup/similarity pipeline without touching the Scala
+  * Column API:
+  *
+  *   - `word_shingles(tokens, n)`         — n-word shingles
+  *   - `minhash_sliced(shingles, k)`      — k minhashes from one md5
+  *   - `simhash16(tokens)`                — 16-bit simhash hex
+  *   - `min_md5(arr)` / `min_md5(arr, suffix)` — single minhash
+  *   - `sign_bands(vec, tables, bits, dim)` — random-hyperplane LSH buckets
+  *   - `cosine_sim(a, b)`                 — exact cosine similarity
+  *
+  * Static kernel parameters (band geometry, shingle width) must be
+  * constant-foldable: they select a memoized plane bank / fix codegen
+  * constants, so a per-row value is meaningless — reject it at analysis
+  * time rather than silently evaluating row 0's value.
+  */
+object KernelRegistry {
+
+  private def constInt(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: <$arg> must be a constant integer (it fixes the kernel's " +
+          "codegen constants and cannot vary per row)")
+    e.eval() match {
+      case i: Int   => i
+      case l: Long  => math.toIntExact(l)
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: <$arg> must be an integer literal, got $other")
+    }
+  }
+
+  private def constString(e: Expression, fn: String, arg: String): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: <$arg> must be a constant string")
+    e.eval() match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: <$arg> must be a string literal, got $other")
+    }
+  }
+
+  private def entry(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  val registryEntries: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    entry("word_shingles", classOf[WordShinglesExpr]) { es =>
+      require(es.length == 2, "word_shingles(tokens, n)")
+      WordShinglesExpr(es(0), constInt(es(1), "word_shingles", "n"))
+    },
+    entry("minhash_sliced", classOf[MinhashSlicedExpr]) { es =>
+      require(es.length == 2, "minhash_sliced(shingles, k)")
+      MinhashSlicedExpr(es(0), constInt(es(1), "minhash_sliced", "k"))
+    },
+    entry("simhash16", classOf[Simhash16Expr]) { es =>
+      require(es.length == 1, "simhash16(tokens)")
+      Simhash16Expr(es(0))
+    },
+    entry("min_md5", classOf[MinMd5Expr]) { es =>
+      require(es.length == 1 || es.length == 2,
+        "min_md5(arr) or min_md5(arr, suffix)")
+      val suffix =
+        if (es.length == 2) constString(es(1), "min_md5", "suffix") else ""
+      MinMd5Expr(es(0), suffix)
+    },
+    entry("sign_bands", classOf[SignBands]) { es =>
+      require(es.length == 4, "sign_bands(vec, tables, bits, dim)")
+      SignBands(es(0),
+        constInt(es(1), "sign_bands", "tables"),
+        constInt(es(2), "sign_bands", "bits"),
+        constInt(es(3), "sign_bands", "dim"))
+    },
+    entry("cosine_sim", classOf[CosineExpr]) { es =>
+      require(es.length == 2, "cosine_sim(a, b)")
+      CosineExpr(es(0), es(1))
+    })
+}

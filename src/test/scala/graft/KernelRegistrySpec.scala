@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{LshExpressions, TextExpressions, VectorExpressions}
+
+/** Every native kernel must be SQL-callable via GraftExtensions and agree
+  * exactly with its Column-API form (same Expression underneath — this
+  * guards the registry's argument plumbing, not the kernel math). */
+class KernelRegistrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "")
+    ).toDF("id", "body")
+  }
+
+  test("text kernels are SQL-callable and match the Column API") {
+    docs.createOrReplaceTempView("krs_docs")
+    val sql = spark.sql(
+      """SELECT id,
+        |       word_shingles(split(body, ' '), 3)      AS sh,
+        |       minhash_sliced(word_shingles(split(body, ' '), 3), 8) AS mh,
+        |       simhash16(split(body, ' '))              AS sim,
+        |       min_md5(split(body, ' '))                AS m0,
+        |       min_md5(split(body, ' '), ':1')          AS m1
+        |FROM krs_docs ORDER BY id""".stripMargin).collect()
+    val api = docs.select(col("id"),
+        TextExpressions.wordShingles(split(col("body"), " "), 3).as("sh"),
+        TextExpressions.minhashSliced(
+          TextExpressions.wordShingles(split(col("body"), " "), 3), 8).as("mh"),
+        TextExpressions.simhash16(split(col("body"), " ")).as("sim"),
+        TextExpressions.minMd5(split(col("body"), " ")).as("m0"),
+        TextExpressions.minMd5(split(col("body"), " "), ":1").as("m1"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
+  test("vector kernels are SQL-callable and match the Column API") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, 3.0, 4.0), Array(4.0, 3.0, 2.0, 1.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0))
+    ).toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("krs_vecs")
+    val sql = spark.sql(
+      """SELECT id, cosine_sim(a, b) AS c, sign_bands(a, 2, 3, 4) AS sb
+        |FROM krs_vecs ORDER BY id""".stripMargin).collect()
+    val api = vecs.select(col("id"),
+        VectorExpressions.cosine(col("a"), col("b")).as("c"),
+        LshExpressions.signBands(col("a"), 2, 3, 4).as("sb"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == api.toSeq)
+    // zero-norm convention holds through SQL
+    assert(sql(1).getDouble(1) == 0.0)
+  }
+
+  test("static kernel parameters reject non-constant arguments") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(split(body, ' '), cast(id AS int)) " +
+        "FROM krs_docs").collect()
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+}
