@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Connected components over an undirected edge list — the step that
   * turns near-dup PAIRS (minhash/embedding LSH output) into dedup
@@ -9,18 +10,29 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: iterative min-label propagation. Every node starts as its
   * own representative; each round every node adopts the minimum
-  * representative among itself and its neighbors, until a round changes
+  * representative over itself and its neighbors, until a round changes
   * nothing. Converges in O(component diameter) rounds — near-dup graphs
   * are bucket-induced near-cliques, so 2-4 rounds in practice; `maxIter`
   * bounds adversarial chains (a path graph needs diameter rounds — for
   * general deep graphs reach for the large-star/small-star variant,
   * Kiveris et al. '14).
   *
-  * Scale shape: each round is one join (edges ⋈ labels, both keyed) +
-  * one aggregate — all distributed; the driver loop carries only the
-  * scalar converged/changed flag (no row data ever crosses the driver).
-  * Labels are cached per round and the previous round unpersisted, so
-  * lineage stays one round deep.
+  * Scale shape: each round is ONE join (edges-with-self-loops ⋈ labels,
+  * both keyed) + one aggregate — the self-loop edges make `min(neighbor
+  * rep)` include the node's own rep, so no second labels join is needed.
+  * All distributed; the driver loop carries only the scalar
+  * converged/changed flag (no row data crosses the driver). Labels are
+  * cached per round and the previous round unpersisted, so lineage stays
+  * one round deep.
+  *
+  * Small-graph fast path: a near-dup edge list is usually MUCH smaller
+  * than the corpus that produced it (pairs survive banding AND a Jaccard
+  * gate). When the symmetrized edge list fits the same budget a broadcast
+  * join would ship to every executor (`localEdgeLimit`, default 1M
+  * edges), collect it once and run union-find on the driver — exact same
+  * result, zero per-round scheduling. This is the broadcast-hash-join
+  * trade, not a scale compromise: past the threshold (or for non-integral
+  * ids) the distributed loop runs unconditionally.
   */
 object ClusterOps {
 
@@ -30,11 +42,8 @@ object ClusterOps {
     * numeric (the convergence witness sums them); hash or
     * dense-rank string ids first. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    def repSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("rep").cast("long"))).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
+                          maxIter: Int = 25,
+                          localEdgeLimit: Long = 1000000L): DataFrame = {
     // symmetrize in ONE pass over the (possibly expensive) edge lineage:
     // a union of two selects would execute it once per branch
     val und = edges
@@ -44,9 +53,67 @@ object ClusterOps {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .cache()
-    var labels = und.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
+    val edgeCount = und.count()
+    val idType = und.schema("a").dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId && edgeCount <= localEdgeLimit) {
+      val out = localComponents(und, idType)
+      und.unpersist()
+      out
+    } else {
+      distributedComponents(und, maxIter)
+    }
+  }
+
+  /** Driver-side union-find over a collected (small) edge list; ships
+    * the same bytes a broadcast join would, with zero iterative jobs. */
+  private def localComponents(und: DataFrame,
+                              idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val spark = und.sparkSession
+    val edges = und
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      // path compression
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edges.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    // rep = min id per component: union-by-min keeps the root minimal,
+    // so find(x) IS the component min
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach { id => rows += ((id, find(id))) }
+    import spark.implicits._
+    rows.toSeq.toDF("id", "rep")
+      .select(col("id").cast(idType), col("rep").cast(idType))
+  }
+
+  private def distributedComponents(und: DataFrame, maxIter: Int): DataFrame = {
+    def repSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("rep").cast("long"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val ids = und.select(col("a").as("id")).distinct()
+    // self-loops fold the node's own rep into min(neighbor rep): each
+    // round is then a single join + aggregate, no second labels join
+    val undSelf = und
+      .union(ids.select(col("id").as("a"), col("id").as("b")))
       .cache()
+    var labels = ids.select(col("id"), col("id").as("rep")).cache()
     var iter = 0
     var converged = false
     // labels only ever decrease, so sum(rep) is a strictly-decreasing
@@ -55,14 +122,11 @@ object ClusterOps {
     // lineage one round deep)
     var prevSum = repSum(labels)
     while (!converged && iter < maxIter) {
-      val nbrMin = und
+      val next = undSelf
         .join(labels.select(col("id").as("b"), col("rep").as("__nrep")),
           Seq("b"))
         .groupBy(col("a").as("id"))
-        .agg(min(col("__nrep")).as("__nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("__nbr"), col("rep"))).as("rep"))
+        .agg(min(col("__nrep")).as("rep"))
         .cache()
       val nextSum = repSum(next)
       labels.unpersist()
@@ -71,6 +135,8 @@ object ClusterOps {
       prevSum = nextSum
       iter += 1
     }
+    undSelf.unpersist()
+    und.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +

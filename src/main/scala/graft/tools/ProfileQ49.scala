@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterOps, DedupOps}
+
+/** Dev profiler for the near-dup clustering path (q49). */
+object ProfileQ49 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q49] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    time("count")(docs.count())
+    val pairs = DedupOps
+      .minhashCandidates(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"))
+    val mat = time("pairs materialize")(pairs.cache().count())
+    println(s"[q49] pairs: $mat")
+    time("cc local fast path") {
+      ClusterOps.dedupClusters(pairs, "id_a", "id_b").count()
+    }
+    time("cc distributed loop") {
+      ClusterOps.connectedComponents(pairs, "id_a", "id_b",
+        localEdgeLimit = 0L).count()
+    }
+    spark.stop()
+  }
+}

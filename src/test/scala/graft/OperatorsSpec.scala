@@ -241,16 +241,23 @@ class OperatorsSpec extends AnyFunSuite {
     // and a duplicate/reversed edge
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 10L)).toDF("id_a", "id_b")
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // small-graph fast path (driver union-find) …
     val got = ClusterOps.dedupClusters(edges, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
       .toMap
-    assert(got == Map(
-      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
-      4L -> (1L, false), 5L -> (1L, false),
-      10L -> (10L, true), 11L -> (10L, false)))
+    assert(got == expected.map { case (id, rep) => id -> (rep, id == rep) })
+    // … and the distributed loop (forced via localEdgeLimit = 0) agree
+    val dist = ClusterOps.connectedComponents(edges, "id_a", "id_b",
+        localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
     // maxIter guard: a diameter-4 path cannot converge in 2 rounds
     intercept[IllegalStateException] {
-      ClusterOps.connectedComponents(edges, "id_a", "id_b", maxIter = 2)
+      ClusterOps.connectedComponents(edges, "id_a", "id_b", maxIter = 2,
+          localEdgeLimit = 0L)
         .collect()
     }
   }
