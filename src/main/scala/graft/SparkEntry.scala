@@ -531,6 +531,31 @@ object SparkEntry {
           .filter(col("doc_id") < 100), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Benchmark decontamination: every-20th doc plays the benchmark/eval
+    // set; the rest is the training corpus. The generated text shares
+    // enough natural 3-grams that the gate is data-bearing (~84% of
+    // train docs hit at sf0.01) — no synthetic injection needed.
+    "q52_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysisOps.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composite curation verdict (exact-dup keep-first → length →
+    // quality → repetition → language, first failure wins). Re-keyed
+    // duplicate copies exercise the exact-dup rule — the corpus has no
+    // natural exact duplicates.
+    "q53_curation_verdict" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withDups = docs.unionByName(
+        docs.filter(col("doc_id") % 50 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      TextAnalysisOps.curate(withDups, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact discrete quantiles of per-document token counts — the
     // distribution-stats primitive behind percentile-based quality
     // cutoffs. Aggregates to (value, count) before any ordering.
@@ -1243,6 +1268,82 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, term, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q52_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ') FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+        |flat AS (
+        |  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 20 <> 0),
+        |hits AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_hits
+        |  FROM flat JOIN bench USING (shingle) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0::BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q53_curation_verdict" ->
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 50 = 1),
+        |toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM input),
+        |parts AS (
+        |  SELECT doc_id, md5(text) AS sig, len(t) AS n_raw,
+        |    len(t)::DOUBLE AS n,
+        |    (length(text) - (len(t)::DOUBLE - 1)) / len(t)::DOUBLE AS mean_len,
+        |    len(list_filter(t, x -> x IN
+        |      ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+        |      / len(t)::DOUBLE AS stop_ratio,
+        |    len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ') FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END AS s3,
+        |    len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS en,
+        |    len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS fr,
+        |    len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS es,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(t, x -> x IN ('的','是','了','在','我'))) AS zh
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id, sig, n_raw,
+        |    (least(n / 100.0, 1.0) +
+        |     (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) +
+        |     (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END) +
+        |     distinct_ratio) / 4.0 AS q,
+        |    (len(s3) - len(list_distinct(s3)))::DOUBLE / len(s3) AS dup3,
+        |    CASE
+        |      WHEN greatest(en, fr, es, de, zh) = 0 THEN 'unk'
+        |      WHEN en >= fr AND en >= es AND en >= de AND en >= zh THEN 'en'
+        |      WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+        |      WHEN es >= de AND es >= zh THEN 'es'
+        |      WHEN de >= zh THEN 'de'
+        |      ELSE 'zh' END AS lang
+        |  FROM parts),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY sig ORDER BY doc_id)
+        |    AS rnk
+        |  FROM scored),
+        |verdict AS (
+        |  SELECT doc_id, CASE
+        |    WHEN rnk > 1 THEN 'exact_dup'
+        |    WHEN n_raw < 20 THEN 'too_short'
+        |    WHEN q < 0.72 THEN 'low_quality'
+        |    WHEN dup3 > 0.02 THEN 'repetitive'
+        |    WHEN lang <> 'en' THEN 'wrong_lang'
+        |    ELSE 'keep' END AS reason
+        |  FROM rk)
+        |SELECT doc_id, reason = 'keep' AS keep, reason
+        |FROM verdict ORDER BY doc_id""".stripMargin,
 
     "q50_length_quantiles" ->
       """WITH lens AS (

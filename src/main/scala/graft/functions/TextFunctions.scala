@@ -150,8 +150,13 @@ object TextFunctions {
   /** Heuristic quality score in [0,1]: blend of length, mean token
     * length, stopword ratio and distinct-token ratio (the standard
     * cheap pre-training quality gates; cf. Gopher/C4 rules). */
-  def qualityScore(text: Column): Column = {
-    val t = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreOf(tokens(text), text)
+
+  /** [[qualityScore]] over a MATERIALIZED token-array column — use this
+    * form when tokens are already projected (each reference of an inline
+    * `split` re-evaluates it; see [[shinglesOf]]). Identical formula, so
+    * results are bit-identical. */
+  def qualityScoreOf(t: Column, text: Column): Column = {
     val n = size(t).cast("double")
     val meanLen = (length(text) - (n - 1)) / n // chars net of separators
     val stopRatio = stopwordCount(t).cast("double") / n

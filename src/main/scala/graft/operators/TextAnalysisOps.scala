@@ -169,6 +169,91 @@ object TextAnalysisOps {
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram shingle with a benchmark/eval set — the standard test-set
+    * overlap gate run before pre-training.
+    *
+    * Scale shape: both sides reduce to DISTINCT shingles before the join
+    * (per-doc dedup on the train side collapses inside a projection; the
+    * bench side aggregates once). The benchmark set is orders of
+    * magnitude smaller than the corpus — its shingle set is broadcast,
+    * so the corpus is never shuffled; per-doc hit counts come from one
+    * keyed aggregate over only the MATCHING shingle rows. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val trainSh = train
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(col("__t"), n))).as("shingle"))
+    val benchSh = bench
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("shingle"))
+      .distinct()
+    val hits = trainSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Single-pass curation verdict: the composite keep/drop gate a
+    * pre-training pipeline applies after signal extraction. Rules, in
+    * precedence order (first failure names the reason):
+    * exact duplicate (keep-first by id) → too_short → low_quality →
+    * repetitive (dup 3-gram fraction) → wrong_lang → keep.
+    *
+    * Scale shape: all signals are computed in ONE narrow projection
+    * (id, md5 sig, token/quality/repetition stats, lang votes) — the
+    * full-width text column never survives past the scan. The only
+    * shuffle is the keep-first window over the 16-byte content
+    * signature, carrying ~50 bytes/row regardless of document size. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minTokens: Int = 20, minQuality: Double = 0.72,
+             maxDup3Frac: Double = 0.02, keepLang: String = "en"): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    import org.apache.spark.sql.expressions.Window
+    val s1 = docs.select(col(idCol), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__t"))
+    val s2 = s1.select(
+      (Seq(col(idCol), md5(col("__text")).as("__sig"),
+        size(col("__t")).as("__n"),
+        qualityScoreOf(col("__t"), col("__text")).as("__q"),
+        wordShingles(col("__t"), 3).as("__s3")) ++
+        Markers.map { case (lang, _) =>
+          markerHits(col("__t"), lang).as(s"__h_$lang")
+        }): _*)
+    val hit = Markers.map { case (lang, _) => lang -> col(s"__h_$lang") }.toMap
+    val lang =
+      when(greatest(Markers.map(m => hit(m._1)): _*) === 0, "unk")
+        .when(hit("en") >= hit("fr") && hit("en") >= hit("es") &&
+          hit("en") >= hit("de") && hit("en") >= hit("zh"), "en")
+        .when(hit("fr") >= hit("es") && hit("fr") >= hit("de") &&
+          hit("fr") >= hit("zh"), "fr")
+        .when(hit("es") >= hit("de") && hit("es") >= hit("zh"), "es")
+        .when(hit("de") >= hit("zh"), "de")
+        .otherwise("zh")
+    val s3 = s2.select(col(idCol), col("__sig"), col("__n"), col("__q"),
+      ((size(col("__s3")) - size(array_distinct(col("__s3"))))
+        .cast("double") / size(col("__s3"))).as("__dup3"),
+      lang.as("__lang"))
+    val rk = row_number().over(
+      Window.partitionBy(col("__sig")).orderBy(col(idCol)))
+    val reason =
+      when(col("__rk") > 1, "exact_dup")
+        .when(col("__n") < minTokens, "too_short")
+        .when(col("__q") < minQuality, "low_quality")
+        .when(col("__dup3") > maxDup3Frac, "repetitive")
+        .when(col("__lang") =!= keepLang, "wrong_lang")
+        .otherwise("keep")
+    s3.withColumn("__rk", rk)
+      .select(col(idCol), reason.as("reason"))
+      .select(col(idCol), (col("reason") === "keep").as("keep"), col("reason"))
+  }
+
   /** Corpus-level top-k word n-grams by count (vocabulary head — the
     * common first look at a new corpus). Explode → count is the right
     * shape at scale: partial (map-side) aggregation collapses each

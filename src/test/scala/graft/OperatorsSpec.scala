@@ -279,6 +279,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).getInt(2) == 2 && got(2).getInt(3) == 1)
   }
 
+  test("decontaminate flags benchmark shingle overlap") {
+    import graft.operators.TextAnalysisOps
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "beta gamma delta"
+      (2L, "zip zap zop quux corge"),   // no overlap
+      (3L, "beta gamma delta")          // the whole doc is a bench shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.decontaminate(train, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
+  }
+
+  test("curate: rule precedence and keep verdicts") {
+    import graft.operators.TextAnalysisOps
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat runs to the old barn in the quiet field while " +
+      "the birds sing of warm days"
+    val docs = Seq(
+      (1L, good),               // passes every gate
+      (2L, good),               // exact dup of 1 -> dropped (keep-first)
+      (3L, "short text here")   // too short
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.curate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, true, "keep"), (2L, false, "exact_dup"), (3L, false, "too_short")))
+  }
+
   test("repetitionSignals: duplicate n-gram fractions") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
