@@ -543,6 +543,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: concat-and-chunk docs into 512-token training
+    // sequences, bucketed (16 md5 buckets) so no global running sum
+    // serializes the corpus. Chunk math in the integer domain.
+    "q54_sequence_pack" -> ((s, dir) => {
+      PackingOps.sequencePack(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("__n")),
+        "doc_id", col("__n"), budget = 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source mixing weights (temperature sampling, alpha = 0.5). sqrt
+    // and max-normalization keep every step IEEE-exact across engines
+    // (a sum over sources would depend on accumulation order; max does
+    // not, and sqrt is correctly rounded everywhere).
+    "q55_source_mix" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val maxN = counts.agg(max(col("n_docs")).as("__max"))
+      counts.crossJoin(maxN)
+        .select(col("source"), col("n_docs"),
+          (sqrt(col("n_docs").cast("double")) /
+            sqrt(col("__max").cast("double"))).as("rel_weight"),
+          (sqrt(col("n_docs").cast("double")) /
+            sqrt(col("__max").cast("double")) /
+            col("n_docs").cast("double")).as("doc_weight"))
+        .orderBy(col("source"))
+    }),
+
     // Composite curation verdict (exact-dup keep-first → length →
     // quality → repetition → language, first failure wins). Re-keyed
     // duplicate copies exercise the exact-dup rule — the corpus has no
@@ -1288,6 +1318,32 @@ object SparkEntry {
         |  coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q54_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+        |    substr(md5(doc_id::VARCHAR), 1, 1) AS bucket
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, bucket,
+        |    coalesce(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS "offset"
+        |  FROM toks)
+        |SELECT doc_id, bucket, "offset",
+        |  bucket || '#' || ("offset" // 512)::VARCHAR AS pack_id
+        |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "q55_source_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs FROM documents
+        |  GROUP BY source),
+        |m AS (SELECT max(n_docs) AS mx FROM c)
+        |SELECT source, n_docs,
+        |  sqrt(n_docs::DOUBLE) / sqrt(mx::DOUBLE) AS rel_weight,
+        |  sqrt(n_docs::DOUBLE) / sqrt(mx::DOUBLE) / n_docs::DOUBLE
+        |    AS doc_weight
+        |FROM c, m ORDER BY source""".stripMargin,
 
     "q53_curation_verdict" ->
       """WITH input AS (

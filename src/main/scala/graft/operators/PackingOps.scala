@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget training
+  * sequences (concat-and-chunk, the standard GPT-style pretraining
+  * batch layout — documents are concatenated in a deterministic order
+  * and split every `budget` tokens; a doc's pack is the chunk its first
+  * token lands in).
+  *
+  * A single global running sum would serialize the corpus through one
+  * partition, so packing is bucketed: docs hash (md5 of id — stable,
+  * engine-portable) into `buckets` independent streams, each packed in
+  * id order. At 100 TB each bucket's window is a partition-local sort —
+  * the shuffle carries (id, bucket, n_tokens) only, and buckets scale
+  * the parallelism knob independently of the corpus. Chunk arithmetic
+  * stays in the integer domain (no FP division on offsets). */
+object PackingOps {
+
+  /** One row per doc: `pack_id` = "bucket#chunk", plus the doc's token
+    * offset within its bucket stream. `nTokens` must be an integral
+    * column. */
+  def sequencePack(docs: DataFrame, idCol: String, nTokens: Column,
+                   budget: Int, bucketHexChars: Int = 1): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      "bucketHexChars in [1,8] (16 to 4G buckets)")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, bucketHexChars)
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), bucket.as("bucket"),
+        nTokens.cast("long").as("__n"))
+      .withColumn("offset",
+        coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col(idCol), col("bucket"), col("offset"),
+        concat(col("bucket"), lit("#"),
+          expr(s"`offset` DIV $budget")).as("pack_id"))
+  }
+}

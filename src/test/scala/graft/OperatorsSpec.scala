@@ -279,6 +279,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).getInt(2) == 2 && got(2).getInt(3) == 1)
   }
 
+  test("sequencePack: bucketed concat-and-chunk offsets") {
+    import graft.operators.PackingOps
+    // single bucket (all ids collide when bucketHexChars chars match is
+    // impossible to force; instead verify per-bucket invariants)
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 600L))
+      .toDF("doc_id", "n")
+    val got = PackingOps.sequencePack(docs, "doc_id", col("n"), budget = 512)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    // offsets are per-bucket prefix sums in id order; pack = offset DIV 512
+    val byBucket = got.toSeq.groupBy(_._2._1)
+    byBucket.foreach { case (bucket, rows) =>
+      val ordered = rows.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (id, (_, offset, packId)) =>
+        assert(offset == cum, s"doc $id offset")
+        assert(packId == s"$bucket#${offset / 512}")
+        cum += Map(1L -> 300L, 2L -> 300L, 3L -> 100L, 4L -> 600L)(id)
+      }
+    }
+    // every doc lands somewhere, ids preserved
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("decontaminate flags benchmark shingle overlap") {
     import graft.operators.TextAnalysisOps
     val train = Seq(
