@@ -24,7 +24,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(label: String)(df: DataFrame): Unit = {
+    // by-name: operators with an eager phase (dedupClusters' local
+    // union-find collects at plan-build time) must be timed in full
+    def time(label: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -57,6 +59,18 @@ object ScaleProbe {
           .filter(col("jaccard") >= 0.2)
           .select(col("id_a"), col("id_b")),
         "id_a", "id_b"))
+
+    time(s"decontaminate x$n")(
+      TextAnalysisOps.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text"))
+    time(s"curate x$n")(
+      TextAnalysisOps.curate(docs, "doc_id", "text"))
+    time(s"sequencePack x$n")(
+      graft.operators.PackingOps.sequencePack(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("nt")),
+        "doc_id", col("nt"), budget = 512))
 
     // embeddings ×N, one element nudged per replica
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -80,6 +80,30 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = SamplingShape.plan(spark, dir)
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
+
+  test("q52: benchmark shingles broadcast — the corpus side never " +
+      "shuffles before the hit join") {
+    val p = plan("q52_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench shingle set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus x bench must not be a shuffle join")
+  }
+
+  test("q53: one narrow shuffle — text never crosses an exchange") {
+    val p = plan("q53_curation_verdict")
+    // exchanges: the sig window + the presentation sort, nothing more
+    assert(p.split("Exchange").length <= 3,
+      s"curation must shuffle only (id, sig, stats) rows:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q54: packing windows are bucket-partitioned, never global") {
+    val p = plan("q54_sequence_pack")
+    assert(p.contains("Window"), "packing needs its per-bucket window")
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"the running sum must partition by bucket, not run globally:\n$p")
+  }
 }
 
 /** q48's query ends in a presentation orderBy; the operator itself must
