@@ -554,6 +554,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Inverted index build: term -> df + capped sorted postings (the
+    // retrieval structure the decontamination/TF-IDF family reads).
+    "q56_inverted_index" -> ((s, dir) => {
+      TextAnalysisOps.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("term"))
+    }),
+
     // Source mixing weights (temperature sampling, alpha = 0.5). sqrt
     // and max-normalization keep every step IEEE-exact across engines
     // (a sum over sources would depend on accumulation order; max does
@@ -1333,6 +1340,15 @@ object SparkEntry {
         |SELECT doc_id, bucket, "offset",
         |  bucket || '#' || ("offset" // 512)::VARCHAR AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "q56_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(t) AS term FROM toks)
+        |SELECT term, count(*)::BIGINT AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:1000], ',') AS postings
+        |FROM flat GROUP BY term ORDER BY term""".stripMargin,
 
     "q55_source_mix" ->
       """WITH c AS (

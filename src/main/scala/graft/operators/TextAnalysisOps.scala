@@ -169,6 +169,28 @@ object TextAnalysisOps {
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Inverted index: term → document-frequency + sorted postings. The
+    * classic retrieval/search-index build, and the lookup structure
+    * decontamination and TF-IDF pipelines read from.
+    *
+    * Scale shape: per-doc distinct terms collapse inside a projection,
+    * so the single shuffle carries (term, id) pairs with map-side
+    * partial aggregation. Postings are capped at `maxPostings` ids per
+    * term (df still counts all) — stop-word postings otherwise grow with
+    * the corpus and a single array row must fit in executor memory; real
+    * index builds shard exactly this way. Emitted as a joined string:
+    * portable across engines and sinks. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 1000): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(array_distinct(col("__t"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          slice(sort_array(collect_list(col(idCol))), 1, maxPostings), ",")
+          .as("postings"))
+
   /** Benchmark decontamination: flag training documents sharing any word
     * n-gram shingle with a benchmark/eval set — the standard test-set
     * overlap gate run before pre-training.

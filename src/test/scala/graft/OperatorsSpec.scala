@@ -303,6 +303,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("invertedIndex: df counts all docs, postings sorted and capped") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (3L, "b a b"),      // per-doc distinct: a counted once
+      (1L, "a c"),
+      (2L, "c a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 2)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("a", 3L, "1,2"),   // df = 3, postings capped at 2, sorted
+      ("b", 1L, "3"),
+      ("c", 2L, "1,2")))
+  }
+
   test("decontaminate flags benchmark shingle overlap") {
     import graft.operators.TextAnalysisOps
     val train = Seq(
