@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.core.TripTracker
+import graft.model.ValueTs
+import graft.geo.Geo
+import graft.query.SearchParser
+
+/** Property-based invariants (SURVEY.md §5.3): geo-function ranges and
+  * symmetries, dedup idempotence, parser round-trips, pyRound banker's
+  * rounding. Pure Scala — no SparkSession, so the whole suite is
+  * milliseconds. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(label: String)(p: Prop): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, s"$label: ${r.status}")
+  }
+
+  // keep away from the poles where bearing/Vincenty degenerate and the
+  // reference (geopy on sane ADS-B coords) never operates
+  private val genLat = Gen.chooseNum(-85.0, 85.0)
+  private val genLon = Gen.chooseNum(-179.0, 179.0)
+
+  test("bearing is always in [0, 360)") {
+    check("bearing range")(Prop.forAll(genLat, genLon, genLat, genLon) {
+      (lat1, lon1, lat2, lon2) =>
+        val b = Geo.bearingDeg(lat1, lon1, lat2, lon2)
+        b >= 0.0 && b < 360.0
+    })
+  }
+
+  test("geodesic distance: non-negative, zero on identity, symmetric") {
+    check("geodesic")(Prop.forAll(genLat, genLon, genLat, genLon) {
+      (lat1, lon1, lat2, lon2) =>
+        val d = Geo.geodesicKm(lat1, lon1, lat2, lon2)
+        val back = Geo.geodesicKm(lat2, lon2, lat1, lon1)
+        d >= 0.0 &&
+          Geo.geodesicKm(lat1, lon1, lat1, lon1) == 0.0 &&
+          math.abs(d - back) <= 1e-9 * math.max(1.0, d)
+    })
+  }
+
+  test("geodesic vs haversine agree within ellipsoid flattening (0.6%)") {
+    check("geodesic~haversine")(Prop.forAll(genLat, genLon, genLat, genLon) {
+      (lat1, lon1, lat2, lon2) =>
+        val g = Geo.geodesicKm(lat1, lon1, lat2, lon2)
+        val h = Geo.haversineKm(lat1, lon1, lat2, lon2)
+        g < 1.0 || math.abs(g - h) / g < 0.006
+    })
+  }
+
+  test("destination round-trip: distance to destination equals input") {
+    val genBrg = Gen.chooseNum(0.0, 359.999)
+    val genKm = Gen.chooseNum(0.1, 1000.0)
+    check("destination roundtrip")(Prop.forAll(genLat, genLon, genBrg, genKm) {
+      (lat, lon, brg, km) =>
+        val (dLat, dLon) = Geo.destination(lat, lon, brg, km)
+        val d = Geo.geodesicKm(lat, lon, dLat, dLon)
+        math.abs(d - km) < 1e-6 * math.max(1.0, km)
+    })
+  }
+
+  test("patchAdd is idempotent and never reorders existing history") {
+    val genPair = for {
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+      t <- Gen.chooseNum(0.0, 100000.0)
+    } yield ValueTs(v, t)
+    check("patchAdd")(Prop.forAll(Gen.listOf(genPair), genPair) {
+      (hist, v) =>
+        val once = TripTracker.patchAdd(hist, v)
+        val twice = TripTracker.patchAdd(once, v)
+        twice == once &&                       // idempotent
+          once.containsSlice(hist) &&          // suffix preserved
+          once.contains(v)                     // value present after add
+    })
+  }
+
+  test("pyRound matches BigDecimal HALF_EVEN") {
+    val genX = Gen.chooseNum(-10000.0, 10000.0)
+    val genN = Gen.chooseNum(0, 6)
+    check("pyRound")(Prop.forAll(genX, genN) { (x, n) =>
+      val expected = BigDecimal(x)
+        .setScale(n, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      TripTracker.pyRound(x, n) == expected
+    })
+  }
+
+  test("search parser round-trips attr/op/value terms") {
+    val genAttr = Gen.oneOf(SearchParser.Attrs)
+    val genOp = Gen.oneOf(SearchParser.Ops)
+    val genVal = Gen.chooseNum(-10000.0, 10000.0)
+    check("parser")(Prop.forAll(genAttr, genOp, genVal) { (attr, op, v) =>
+      SearchParser.parseTerm(s"$attr$op$v") match {
+        case Some(p) => p.attr == attr && p.op == op && p.value == v
+        case None => false
+      }
+    })
+  }
+}
