@@ -554,6 +554,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Int8 scalar quantization of the embedding corpus (SQ8): global
+    // per-dim affine codes + worst-component reconstruction error.
+    // floor/least/max only — no round(), no FP accumulation.
+    "q57_sq8_quantize" -> ((s, dir) => {
+      SimilarityOps.sq8Quantize(t(s, dir, "embeddings"),
+        "vec_id", "embedding", EmbDim)
+        .orderBy(col("vec_id"))
+    }),
+
     // Inverted index build: term -> df + capped sorted postings (the
     // retrieval structure the decontamination/TF-IDF family reads).
     "q56_inverted_index" -> ((s, dir) => {
@@ -1340,6 +1349,28 @@ object SparkEntry {
         |SELECT doc_id, bucket, "offset",
         |  bucket || '#' || ("offset" // 512)::VARCHAR AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "q57_sq8_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |flat AS (SELECT i, v[i] AS x FROM v, range(1, 65) r(i)),
+        |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM flat GROUP BY i),
+        |lists AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |  FROM st),
+        |coded AS (
+        |  SELECT vec_id, v, mns, mxs,
+        |    [CASE WHEN mxs[i] = mns[i] THEN 0
+        |          ELSE least(255.0, floor((v[i] - mns[i]) * 255.0 /
+        |            (mxs[i] - mns[i])))::INTEGER END
+        |     FOR i IN range(1, 65)] AS codes
+        |  FROM v, lists)
+        |SELECT vec_id, array_to_string(codes, ',') AS codes,
+        |  list_max([abs(v[i] - (mns[i] + (codes[i]::DOUBLE + 0.5) *
+        |    (mxs[i] - mns[i]) / 255.0)) FOR i IN range(1, 65)])
+        |    AS max_abs_err
+        |FROM coded ORDER BY vec_id""".stripMargin,
 
     "q56_inverted_index" ->
       """WITH toks AS (

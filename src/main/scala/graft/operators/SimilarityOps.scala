@@ -72,6 +72,59 @@ object SimilarityOps {
     * Scale shape: corpus gets a single projection pass (no shuffle);
     * probed query cells are broadcast; the per-cell join output is the
     * only sized-by-candidates data. */
+  /** Int8 scalar quantization (SQ8) of an embedding column — the
+    * standard 4× compression applied before ANN indexing at corpus
+    * scale (code arrays ship through shuffles and sit in memory where
+    * float vectors cannot).
+    *
+    * Per-dimension affine codes against GLOBAL min/max: one tiny
+    * aggregate (dim rows after partial min/max — order-free, so
+    * cross-engine exact) broadcast back over the corpus; everything
+    * per-vector is a projection. `max_abs_err` reports the worst
+    * per-component reconstruction error from mid-rise decoding — max,
+    * not a sum, so no accumulation-order hazard. All arithmetic uses
+    * floor/least on identically-ordered IEEE ops (round() would diverge
+    * cross-engine: Spark rounds via decimal strings, DuckDB in binary). */
+  def sq8Quantize(emb: DataFrame, idCol: String, vecCol: String,
+                  dim: Int): DataFrame = {
+    val v = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    // per-dim corpus min/max, assembled into two dim-length arrays
+    val stats = v
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          e => e.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+          e => e.getField("mx")).as("mxs"))
+    val coded = v.crossJoin(broadcast(stats))
+      .select(col(idCol), col("v"), col("mns"), col("mxs"),
+        transform(sequence(lit(1), lit(dim)), i => {
+          val x = element_at(col("v"), i)
+          val mn = element_at(col("mns"), i)
+          val mx = element_at(col("mxs"), i)
+          when(mx === mn, lit(0))
+            .otherwise(least(lit(255.0),
+              floor((x - mn) * 255.0 / (mx - mn))).cast("int"))
+        }).as("codes"))
+    coded
+      .select(col(idCol), col("codes"),
+        array_max(transform(sequence(lit(1), lit(dim)), i => {
+          val x = element_at(col("v"), i)
+          val mn = element_at(col("mns"), i)
+          val mx = element_at(col("mxs"), i)
+          val decoded = mn +
+            (element_at(col("codes"), i).cast("double") + 0.5) *
+              (mx - mn) / 255.0
+          abs(x - decoded)
+        })).as("max_abs_err"))
+      .select(col(idCol),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("codes"),
+        col("max_abs_err"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               bits: Int = 8, probe: Int = 3,

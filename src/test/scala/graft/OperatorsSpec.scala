@@ -303,6 +303,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("sq8Quantize: affine codes against global per-dim min/max") {
+    import graft.operators.SimilarityOps
+    val emb = Seq(
+      (1L, Array(0.0f, 10.0f, 3.0f)),
+      (2L, Array(10.0f, 0.0f, 3.0f))   // dim 3 constant -> code 0, err 0
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.sq8Quantize(emb, "vec_id", "embedding", dim = 3)
+      .orderBy("vec_id").collect()
+    assert(got(0).getString(1) == "0,255,0")
+    assert(got(1).getString(1) == "255,0,0")
+    // mid-rise decode: worst err = 0.5 * range / 255
+    val expected = 0.5 * 10.0 / 255.0
+    got.foreach(r => assert(math.abs(r.getDouble(2) - expected) < 1e-9))
+  }
+
   test("invertedIndex: df counts all docs, postings sorted and capped") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
