@@ -37,4 +37,34 @@ object SamplingOps {
     val h = substring(md5(key), 1, 8)
     df.filter(h >= lo && h < hi)
   }
+
+  /** Exact-quota stratified sample: per stratum, keep the
+    * ceil(rate * n) rows with the smallest (md5(key), key) — hash
+    * sampling's determinism plus a hard per-group quota, so every
+    * stratum is represented at exactly the target ratio no matter how
+    * skewed the corpus mix is (plain hash sampling only hits the rate
+    * in expectation, which under-represents small strata).
+    *
+    * Scale shape: one shuffle on the stratum; the per-group window
+    * ranks by the 8-hex hash prefix, and quotas derive from a window
+    * count — no driver-side group enumeration. Strata are typically
+    * few and large; for a skewed stratum the rank window sorts that
+    * partition (the price of an exact quota — use hashSample when
+    * in-expectation rates are enough). */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val h = substring(md5(key), 1, 8)
+    val byHash = Window.partitionBy(stratum).orderBy(col("__h"), key)
+    val all = Window.partitionBy(stratum)
+    df.withColumn("__h", h)
+      .withColumn("__rk", row_number().over(byHash))
+      .withColumn("__n", count(lit(1)).over(all))
+      // integer-domain ceil: ceil(rate*n) = (num + den - 1) div den
+      // with rate expressed as a 1e6-denominator rational
+      .filter(col("__rk") * 1000000L <=
+        col("__n") * lit(math.round(rate * 1000000.0)) + lit(999999L))
+      .drop("__h", "__rk", "__n")
+  }
 }
