@@ -15,6 +15,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
     // absorb session/codegen/parquet-footer warmup outside the timed loop
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Time a noop-format write: every column is materialized, so column
@@ -31,20 +32,37 @@ object Bench {
     // dev filter: SPARK_GRAFT_BENCH_ONLY=q32_minhash_lsh,q40_embed_neardup
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      // queries that cache() internally (the LSH dedup family) would
+      // otherwise hand iteration 2 a warm memory store — every timed
+      // run must pay the full cold plan or the min is a fiction
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      // a failed query must read as failed, not as a fast run
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (0 until iters).map { _ =>
-        // queries that cache() internally (the LSH dedup family) would
-        // otherwise hand iteration 2 a warm memory store — every timed
-        // run must pay the full cold plan or the min is a fiction
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok = try { run(fn); true } catch { case _: Throwable => false }
-        // a failed query must read as failed, not as a fast run
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    // Noise defense: iterations are FULL SWEEPS over all queries, not
+    // back-to-back runs of one query — a transient contention stretch on
+    // the host (round 3 inflated five queries ~5x this way) then hits a
+    // query's samples at widely separated times, and min-of-sweeps
+    // discards it. Queries whose sweep samples still disagree >2x get
+    // one tie-breaking extra run each.
+    val sweeps: Seq[Map[String, Double]] = (0 until iters).map { _ =>
+      named.map { case (name, fn) => name -> timed(fn) }.toMap
+    }
+    val results = named.map { case (name, fn) =>
+      val ts = sweeps.map(_(name))
+      val best =
+        if (ts.contains(-1.0)) -1.0
+        else if (ts.max > 2.0 * ts.min && ts.min > 0.05) {
+          val t3 = timed(fn) // tie-break; a flaky failure keeps the min
+          if (t3 < 0) ts.min else math.min(ts.min, t3)
+        } else ts.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

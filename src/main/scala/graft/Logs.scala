@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.logging.log4j.Level
+import org.apache.logging.log4j.core.config.Configurator
+
+/** Log hygiene for the engine's entry points. */
+object Logs {
+
+  /** Silence WindowExec's "No Partition Defined" warning.
+    *
+    * The only unpartitioned windows in the engine are the rank-stamping
+    * passes over ALREADY-LIMITED results (q04/q16/q47: ≤25 rows post
+    * TakeOrdered) — Spark 4's EliminateWindowPartitions folds away any
+    * constant partition key, so the warning cannot be avoided at the
+    * plan level. Suppressing the logger keeps real warnings readable;
+    * protection against a genuinely unpartitioned window sneaking into
+    * a hot path lives in PlanShapeSpec's per-query plan guards, not in
+    * log grepping. */
+  def quietBenignWarnings(): Unit =
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+}

@@ -442,6 +442,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with LEARNED centroids: deterministic k-means (md5-seeded,
+    // scaled-integer sums, 3 iterations, 8 cells) + 2-nearest-cell
+    // probe. The oracle re-derives identical centroids from the parquet
+    // alone — integer-domain centroid math makes that possible.
+    "q58_kmeans_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.kmeansIvfTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = EmbDim,
+        cells = KmCells, iters = KmIters, probe = KmProbe)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Recall@5 of the learned-IVF result (q58) against the exact
+    // brute-force baseline (q34) — the ANN acceptance metric.
+    "q59_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = SimilarityOps.bruteForceTopK(
+        qs, emb, "vec_id", "embedding", 5)
+      val approx = SimilarityOps.kmeansIvfTopK(qs, emb,
+        "vec_id", "embedding", k = 5, dim = EmbDim,
+        cells = KmCells, iters = KmIters, probe = KmProbe)
+      SimilarityOps.recallAtK(approx, exact, 5)
+        .orderBy(col("query_id"))
+    }),
+
     // Language-ID heuristic (marker lexicon vote, two-stage projection).
     "q35_lang_id" -> ((s, dir) => {
       TextAnalysisOps.classifyLang(t(s, dir, "documents"), "doc_id", "text")
@@ -544,7 +571,7 @@ object SparkEntry {
     }),
 
     // Sequence packing: concat-and-chunk docs into 512-token training
-    // sequences, bucketed (16 md5 buckets) so no global running sum
+    // sequences, bucketed (256 md5 buckets) so no global running sum
     // serializes the corpus. Chunk math in the integer domain.
     "q54_sequence_pack" -> ((s, dir) => {
       PackingOps.sequencePack(
@@ -689,6 +716,104 @@ object SparkEntry {
       s"list_sum(list_transform(range(1, ${EmbDim + 1}), " +
         s"i -> $v[i] * (${planeListSql(p)})[i]))")
       .mkString("[", ",\n    ", "]")
+
+  // q58/q59 learned-IVF geometry.
+  private val KmCells = 8
+  private val KmIters = 3
+  private val KmProbe = 2
+
+  /** Deterministic k-means CTE chain (`v0` … `cents{KmIters}`), unrolled
+    * per iteration, mirroring [[graft.operators.SimilarityOps
+    * .kmeansCentroids]] op-for-op: md5 hash-sample seeding, scaled-
+    * integer (floor(x·2^20) BIGINT) per-cell sums so accumulation order
+    * can never leak into the centroids, squared-L2 as the same
+    * fixed-order fold, argmin via first-index-of-min. Emitted WITHOUT
+    * the leading WITH. */
+  private def kmeansCtesSql: String = {
+    val S = "1048576.0"
+    val dimR = s"range(1, ${EmbDim + 1})"
+    val base = Seq(
+      s"""v0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings)""",
+      s"""xs0 AS (
+         |  SELECT vec_id, v,
+         |    list_transform(v, x -> floor(x * $S)::BIGINT) AS xs
+         |  FROM v0)""",
+      s"""seeds AS (
+         |  SELECT list(v ORDER BY h) AS sv
+         |  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM v0
+         |        ORDER BY h LIMIT $KmCells))""",
+      s"""cents0 AS (
+         |  SELECT list_transform(sv, s ->
+         |    list_transform(s, x -> floor(x * $S) / $S)) AS cents
+         |  FROM seeds)""")
+    val iters = (1 to KmIters).flatMap { n =>
+      val p = n - 1
+      Seq(
+        s"""asg$n AS (
+           |  SELECT vec_id, xs,
+           |    list_transform(cents, c -> list_sum(list_transform($dimR,
+           |      i -> (v[i] - c[i]) * (v[i] - c[i])))) AS d
+           |  FROM xs0, cents$p)""",
+        s"""cell$n AS (
+           |  SELECT vec_id, xs, list_indexof(d, list_min(d)) AS cell
+           |  FROM asg$n)""",
+        s"""sums$n AS (
+           |  SELECT cell, i, sum(xs[i])::BIGINT AS s, count(*)::BIGINT AS n
+           |  FROM cell$n, $dimR r(i) GROUP BY cell, i)""",
+        s"""crows$n AS (
+           |  SELECT cell, list((s::DOUBLE / n::DOUBLE) / $S ORDER BY i) AS c
+           |  FROM sums$n GROUP BY cell)""",
+        s"""cents$n AS (
+           |  SELECT list_transform(range(1, ${KmCells + 1}), j ->
+           |    coalesce(m[j][1], cents[j])) AS cents
+           |  FROM (SELECT map(list(cell ORDER BY cell), list(c ORDER BY cell))
+           |          AS m FROM crows$n), cents$p)""")
+    }
+    (base ++ iters).map(_.stripMargin).mkString(",\n")
+  }
+
+  /** Learned-IVF candidate scoring CTEs (`ca`/`qd`/`qc`/`kcos6`): corpus
+    * assigned to its argmin cell, queries probing their KmProbe nearest
+    * cells, candidates scored with the q34 cosine form. Appends to
+    * [[kmeansCtesSql]]. */
+  private def kmeansIvfScoredSql: String = {
+    val cf = s"cents$KmIters"
+    val dimR = s"range(1, ${EmbDim + 1})"
+    val dOf = (v: String) =>
+      s"""list_transform(cents, c -> list_sum(list_transform($dimR,
+         |      i -> ($v[i] - c[i]) * ($v[i] - c[i]))))""".stripMargin
+    s"""ca AS (
+       |  SELECT vec_id AS neighbor_id, v AS cv,
+       |    list_indexof(d, list_min(d)) AS cell
+       |  FROM (SELECT vec_id, v, ${dOf("v")} AS d FROM v0, $cf)),
+       |qd AS (
+       |  SELECT vec_id AS query_id, v AS qv, ${dOf("v")} AS d
+       |  FROM v0, $cf WHERE vec_id < 8),
+       |qc AS (
+       |  SELECT query_id, qv, unnest(list_transform(
+       |      list_sort(list_transform(range(1, ${KmCells + 1}),
+       |        j -> {'d': d[j], 'i': j}))[1:$KmProbe],
+       |      s -> struct_extract(s, 'i'))) AS cell
+       |  FROM qd),
+       |kscored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_sum(list_transform($dimR, i -> qv[i] * cv[i])) AS dot,
+       |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+       |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+       |  FROM ca JOIN qc USING (cell)
+       |  WHERE query_id <> neighbor_id),
+       |kcos6 AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |      ELSE dot / (na * nb) END, 6) AS cos
+       |  FROM kscored),
+       |kranked AS (
+       |  SELECT query_id, neighbor_id, cos, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM kcos6)""".stripMargin
+  }
 
   /** The minhash-LSH CTE chain (toks → shingle sets → sliced signature →
     * bands → candidate pairs → verified jaccard `j`) shared by q32 and
@@ -1169,6 +1294,43 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    "q58_kmeans_ivf" -> (
+      s"""WITH $kmeansCtesSql,
+$kmeansIvfScoredSql
+SELECT query_id, rank, neighbor_id, cos FROM kranked
+WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    "q59_ivf_recall" -> (
+      s"""WITH $kmeansCtesSql,
+$kmeansIvfScoredSql,
+eq AS (SELECT vec_id AS query_id, v AS qv FROM v0 WHERE vec_id < 8),
+escored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, ${EmbDim + 1}), i -> qv[i] * v[i])) AS dot,
+    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+    sqrt(list_sum(list_transform(v, x -> x * x))) AS nb
+  FROM eq, v0 WHERE query_id <> vec_id),
+ecos6 AS (
+  SELECT query_id, neighbor_id,
+    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      ELSE dot / (na * nb) END, 6) AS cos
+  FROM escored),
+eranked AS (
+  SELECT query_id, neighbor_id, row_number() OVER
+    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM ecos6),
+ek AS (SELECT query_id, neighbor_id FROM eranked WHERE rank <= 5),
+ak AS (SELECT query_id, neighbor_id FROM kranked WHERE rank <= 5),
+rec AS (
+  SELECT e.query_id,
+    sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      AS n_hits
+  FROM ek e LEFT JOIN ak a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id)
+SELECT query_id, n_hits, n_hits::DOUBLE / 5.0 AS recall
+FROM rec ORDER BY query_id"""),
+
     "q36_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
@@ -1338,7 +1500,7 @@ object SparkEntry {
     "q54_sequence_pack" ->
       """WITH toks AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
-        |    substr(md5(doc_id::VARCHAR), 1, 1) AS bucket
+        |    substr(md5(doc_id::VARCHAR), 1, 2) AS bucket
         |  FROM documents),
         |packed AS (
         |  SELECT doc_id, bucket,

@@ -21,9 +21,17 @@ object PackingOps {
 
   /** One row per doc: `pack_id` = "bucket#chunk", plus the doc's token
     * offset within its bucket stream. `nTokens` must be an integral
-    * column. */
+    * column.
+    *
+    * `bucketHexChars` sets the parallelism: 2 hex chars = 256 buckets
+    * is the default — enough independent sort streams for a large
+    * cluster's cores while each bucket still packs long runs (1 char =
+    * 16 buckets under-parallelizes a big corpus into 16 giant
+    * partition-local sorts; 3-4 chars for 100 TB-class inputs). Bucket
+    * boundaries are also semantic: docs never pack across buckets, so
+    * more buckets = more (truncated) final chunks per corpus. */
   def sequencePack(docs: DataFrame, idCol: String, nTokens: Column,
-                   budget: Int, bucketHexChars: Int = 1): DataFrame = {
+                   budget: Int, bucketHexChars: Int = 2): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(bucketHexChars >= 1 && bucketHexChars <= 8,
       "bucketHexChars in [1,8] (16 to 4G buckets)")

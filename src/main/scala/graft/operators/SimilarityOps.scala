@@ -125,6 +125,134 @@ object SimilarityOps {
         col("max_abs_err"))
   }
 
+  /** Deterministic k-means coarse quantizer — the learned-centroid
+    * upgrade over [[ivfTopK]]'s data-independent sign-plane cells
+    * (learned cells track the corpus distribution, so cell populations
+    * balance and probe recall rises at the same scan fraction).
+    *
+    * Everything is exactly reproducible cross-engine (the DuckDB oracle
+    * re-derives identical centroids from the parquet alone):
+    *  - seeding: the `k` vectors with the smallest `md5(id)` — a
+    *    deterministic hash-sample, no RNG;
+    *  - centroid updates in the SCALED-INTEGER domain: components are
+    *    quantized `floor(x * 2^20)` to BIGINT, per-cell sums are exact
+    *    integers (order-free — FP partial-agg order can never leak in),
+    *    and the mean is two deterministic divisions;
+    *  - assignment: squared-L2 as a fixed-order left fold, argmin with
+    *    lowest-index tie-break (`array_position` of the min).
+    *
+    * Scale shape: each iteration is one corpus scan; the shuffle
+    * carries (cell, dim) partial sums — k×dim rows per partition after
+    * map-side combine, independent of corpus size. The returned k×dim
+    * centroid matrix is driver-side by construction (it becomes plan
+    * literals downstream). Train on a hash-sampled subset
+    * (`SamplingOps.hashSample`-style filter) at 100 TB — the quantizer
+    * needs distribution coverage, not every row. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, k: Int, iters: Int): Array[Array[Double]] = {
+    val S = 1048576.0 // 2^20: embeddings are O(1), so scaled longs are exact
+    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
+    val v0 = corpus.select(col(idCol).cast("string").as("__id"),
+      toDouble(col(vecCol)).as("__v"))
+    val seeds = v0.select(col("__v"), md5(col("__id")).as("__h"))
+      .orderBy(col("__h")).limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"corpus smaller than k=$k")
+    var cents = seeds.map(_.map(x => math.floor(x * S) / S))
+    for (_ <- 0 until iters) {
+      val sums = v0
+        .select(col("__v"),
+          transform(col("__v"), x => floor(x * S)).as("__xs"))
+        // materialize the distance array ONCE: min + position both
+        // reference the projected attribute, not re-evaluated folds
+        .select(col("__xs"),
+          array(cents.map(c => dist2(col("__v"), c)): _*).as("__d"))
+        .select(col("__xs"),
+          array_position(col("__d"), array_min(col("__d"))).as("cell"))
+        .select(col("cell"), posexplode(col("__xs")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        // posexplode is 0-based; cells are 1-based (array_position)
+        next(r.getLong(0).toInt - 1)(r.getInt(1)) =
+          (r.getLong(2).toDouble / r.getLong(3).toDouble) / S
+      } // cells with no members keep their previous centroid
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF ANN with LEARNED centroids: [[kmeansCentroids]] cells, each
+    * query probing its `probe` nearest cells by squared-L2 (the standard
+    * IVF probe order — no bit-flip heuristics needed once cells are
+    * learned). Scan cost ≈ probe/k of the corpus per query; cell
+    * populations are balanced by training, so the fraction holds.
+    *
+    * Plan: the k-means runs eagerly (driver-held k×dim matrix), then
+    * centroids enter the plan as literals — corpus assignment is a
+    * single projection pass, probed query cells broadcast, and the only
+    * sized-by-candidates data is the per-cell join output. Same output
+    * shape and determinism rules as [[bruteForceTopK]]. */
+  def kmeansIvfTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int, dim: Int,
+                    cells: Int = 8, iters: Int = 3, probe: Int = 2,
+                    roundTo: Option[Int] = Some(6)): DataFrame = {
+    require(probe >= 1 && probe <= cells, "1 <= probe <= cells")
+    val cents = kmeansCentroids(corpus, idCol, vecCol, dim, cells, iters)
+    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
+    def distArr(v: org.apache.spark.sql.Column) =
+      array(cents.map(c => dist2(v, c)): _*)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("__d", distArr(col("cv")))
+      .select(col("neighbor_id"), col("cv"),
+        array_position(col("__d"), array_min(col("__d"))).as("cell"))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("__d", distArr(col("qv")))
+      .select(col("query_id"), col("qv"),
+        explode(transform(
+          slice(array_sort(zip_with(col("__d"),
+            sequence(lit(1), lit(cells)),
+            (d, i) => struct(d.as("d"), i.as("i")))), 1, probe),
+          s => s.getField("i").cast("long"))).as("cell"))
+    val rawCos = graft.functions.VectorExpressions.cosine(col("qv"), col("cv"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundTo.fold(rawCos)(d => round(rawCos, d)).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank")
+  }
+
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * acceptance metric run on a query sample before committing an ANN
+    * config to a full-corpus pass. Both inputs are (query_id,
+    * neighbor_id[, ...]) top-k frames; every exact query id appears in
+    * the output (zero recall included). Counting is integral, the final
+    * ratio one exact division — cross-engine deterministic. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        (coalesce(col("__h"), lit(0L)).cast("double") / k.toDouble)
+          .as("recall"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               bits: Int = 8, probe: Int = 3,

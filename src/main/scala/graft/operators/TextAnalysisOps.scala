@@ -173,23 +173,36 @@ object TextAnalysisOps {
     * classic retrieval/search-index build, and the lookup structure
     * decontamination and TF-IDF pipelines read from.
     *
-    * Scale shape: per-doc distinct terms collapse inside a projection,
-    * so the single shuffle carries (term, id) pairs with map-side
-    * partial aggregation. Postings are capped at `maxPostings` ids per
-    * term (df still counts all) — stop-word postings otherwise grow with
-    * the corpus and a single array row must fit in executor memory; real
-    * index builds shard exactly this way. Emitted as a joined string:
-    * portable across engines and sinks. */
+    * Scale shape: one shuffle carries (term, id) pairs, partitioned by
+    * term for the ranking window; the groupBy reuses that partitioning
+    * (no second exchange). Postings are capped at `maxPostings` ids per
+    * term (df still counts all) — and the cap bounds the AGGREGATION
+    * BUFFER, not just the output: rows are ranked by a window
+    * `row_number() ≤ maxPostings` BEFORE `collect_list`, so a stop-word
+    * term's array buffer holds at most `maxPostings` ids no matter the
+    * corpus size. (The window itself buffers each term's rows in
+    * Spark's spillable window buffer — disk-backed, unlike an
+    * aggregation array.) df comes from a whole-partition count window
+    * over the same exchange. Real index builds shard exactly this way.
+    * Emitted as a joined string: portable across engines and sinks. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
-                    maxPostings: Int = 1000): DataFrame =
-    docs
+                    maxPostings: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), explode(array_distinct(col("__t"))).as("term"))
+    // ids are distinct per term (per-doc array_distinct), so rank-by-id
+    // selects exactly the smallest maxPostings ids — identical output to
+    // slicing the fully collected sorted list.
+    val byTerm = Window.partitionBy(col("term"))
+    pairs
+      .withColumn("__df", count(lit(1)).over(byTerm))
+      .withColumn("__rn", row_number().over(byTerm.orderBy(col(idCol))))
+      .filter(col("__rn") <= maxPostings)
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        array_join(
-          slice(sort_array(collect_list(col(idCol))), 1, maxPostings), ",")
-          .as("postings"))
+      .agg(max(col("__df")).as("df"),
+        array_join(sort_array(collect_list(col(idCol))), ",").as("postings"))
+  }
 
   /** Benchmark decontamination: flag training documents sharing any word
     * n-gram shingle with a benchmark/eval set — the standard test-set

@@ -24,6 +24,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
     // by-name: operators with an eager phase (dedupClusters' local
     // union-find collects at plan-build time) must be timed in full
     def time(label: String)(df: => DataFrame): Unit = {
@@ -60,6 +61,12 @@ object ScaleProbe {
           .select(col("id_a"), col("id_b")),
         "id_a", "id_b"))
 
+    // maxPostings=100 with replicated docs: every term's postings list
+    // far exceeds the cap, so this times the bounded-buffer path —
+    // runtime must stay ~linear in N, not blow up on stop-word terms
+    time(s"invertedIndex x$n")(
+      TextAnalysisOps.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 100))
     time(s"decontaminate x$n")(
       TextAnalysisOps.decontaminate(
         docs.filter(col("doc_id") % 20 =!= 0),

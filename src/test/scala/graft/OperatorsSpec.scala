@@ -279,6 +279,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).getInt(2) == 2 && got(2).getInt(3) == 1)
   }
 
+  test("kmeansIvfTopK: learned cells separate clusters; own-cluster " +
+      "neighbors at probe=1") {
+    // two well-separated clusters on a 4-dim sphere: after training,
+    // probe=1 must retrieve neighbors from the query's own cluster only
+    def v(base: Array[Double], eps: Double) =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 8).map(i => (i.toLong, v(a, i * 0.001))) ++
+      (8 until 16).map(i => (i.toLong, v(b, (i - 8) * 0.001)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansIvfTopK(
+      emb.filter(col("vec_id").isin(0L, 8L)), emb, "vec_id", "embedding",
+      k = 3, dim = 4, cells = 2, iters = 2, probe = 1)
+    val byQ = got.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(byQ(0L).subsetOf((1L to 7L).toSet), s"cluster A leaked: $byQ")
+    assert(byQ(8L).subsetOf((9L to 15L).toSet), s"cluster B leaked: $byQ")
+    // determinism: a second training run yields identical centroids
+    val c1 = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding", 4, 2, 2)
+    val c2 = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding", 4, 2, 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
+  test("recallAtK: overlap counts, zero-recall queries included") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 11L), (1L, 12L), (2L, 30L), (2L, 31L))
+      .toDF("query_id", "neighbor_id")
+    val got = SimilarityOps.recallAtK(approx, exact, 2)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
+  }
+
   test("sequencePack: bucketed concat-and-chunk offsets") {
     import graft.operators.PackingOps
     // single bucket (all ids collide when bucketHexChars chars match is

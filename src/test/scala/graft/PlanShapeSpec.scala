@@ -98,6 +98,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q56: postings rank-capped BEFORE the aggregate — the collect " +
+      "buffer is bounded at maxPostings per term") {
+    val p = plan("q56_inverted_index")
+    assert(p.contains("row_number"),
+      s"postings must be capped by a rank window pre-aggregate:\n$p")
+    // the groupBy reuses the window's term partitioning: exchanges are
+    // the (term, id) shuffle + the presentation sort, nothing more
+    assert(p.split("Exchange").length <= 3,
+      s"index build must shuffle once on term (+ presentation sort):\n$p")
+  }
+
   test("q54: packing windows are bucket-partitioned, never global") {
     val p = plan("q54_sequence_pack")
     assert(p.contains("Window"), "packing needs its per-bucket window")

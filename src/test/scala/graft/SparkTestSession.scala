@@ -14,6 +14,7 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
     s
   }
 }
