@@ -651,14 +651,28 @@ object SparkEntry {
     // opaque binary media column; extract byte length, a content-hash
     // header, and a deterministic fake class (the decode STUB — real
     // decoders plug into MultimodalOps).
+    // Multimodal metadata decode, END TO END REAL: deterministic PNG/
+    // JPEG/GIF containers are synthesized per doc_id (ImageCodecs
+    // writers — valid signatures, real CRCs), then imageMeta PARSES the
+    // actual bytes back (PNG IHDR / JPEG SOF0 walk / GIF descriptor).
+    // The oracle predicts mime/dims/channels/size from the generative
+    // formulas alone — it only matches if the parser truly recovers
+    // them from the byte stream.
     "q39_multimodal_features" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("media", encode(col("text"), "UTF-8"))
-        .select(col("doc_id"),
-          octet_length(col("text")).as("n_bytes"),
-          substring(md5(col("text")), 1, 8).as("header"),
-          ((octet_length(col("text")) +
-            size(split(col("text"), " "))) % 10).as("fake_class"))
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 317 + 16).toInt
+          val h = (id % 211 + 16).toInt
+          val bytes = (id % 3).toInt match {
+            case 0 => ImageCodecs.pngBytes(w, h,
+              colorType = if (id % 6 == 0) 6 else 2)
+            case 1 => ImageCodecs.jpegBytes(w, h)
+            case _ => ImageCodecs.gifBytes(w, h)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.imageMeta(media, "doc_id", "media")
         .orderBy(col("doc_id"))
     })
   )
@@ -966,11 +980,19 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, start_time""".stripMargin),
 
+    // Container sizes are format constants (dimensions only change 4
+    // header bytes) — computed by the actual writers, not hand-counted.
     "q39_multimodal_features" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  substr(md5(text), 1, 8) AS header,
-        |  (octet_length(encode(text)) + len(string_split(text, ' '))) % 10
-        |    AS fake_class
+      s"""SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN ${ImageCodecs.pngBytes(1, 1).length}
+        |    WHEN 1 THEN ${ImageCodecs.jpegBytes(1, 1).length}
+        |    ELSE ${ImageCodecs.gifBytes(1, 1).length} END::BIGINT AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS mime,
+        |  (doc_id % 317 + 16)::INTEGER AS width,
+        |  (doc_id % 211 + 16)::INTEGER AS height,
+        |  (CASE WHEN doc_id % 6 = 0 THEN 4 ELSE 3 END)::INTEGER AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // NB: DuckDB sum() over integers yields HUGEINT, which pandas

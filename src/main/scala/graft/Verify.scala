@@ -19,7 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.quietBenignWarnings()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_VERIFY_ONLY=q39_multimodal_features,q58_...
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -8,12 +8,16 @@ package graft.geo
   *     via geopy's Karney geodesic)
   *   - geodesic destination point (airstrik.py:244-252)
   *
-  * We implement Vincenty's inverse/direct formulae (public-domain algorithm,
-  * Vincenty 1975) on WGS-84 — agrees with Karney to well under a metre for
-  * non-antipodal pairs, with a haversine fallback for the rare
-  * non-convergent near-antipodal case. Haversine (spherical) is also exposed
-  * because it is expressible with Spark's codegen'd trig built-ins and is
-  * used by the SQL-oracle-checked query surface.
+  * The inverse (distance) is [[Karney]]'s algorithm (Karney 2013 — the
+  * same published algorithm geopy/GeographicLib implements), which
+  * converges for ALL pairs including near-antipodal ones. Vincenty's
+  * inverse (public-domain algorithm, Vincenty 1975) is retained as
+  * [[vincentyKm]]: an independent cross-check twin for the test suite
+  * (the two agree to sub-millimetre wherever Vincenty converges). The
+  * direct problem uses Vincenty's direct formula (no convergence issues
+  * there). Haversine (spherical) is also exposed because it is
+  * expressible with Spark's codegen'd trig built-ins and is used by the
+  * SQL-oracle-checked query surface.
   */
 object Geo {
   // WGS-84 ellipsoid
@@ -42,9 +46,16 @@ object Geo {
     2.0 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
-  /** Vincenty inverse: geodesic distance in km on WGS-84.
-    * Reference computes this via geopy (airstrik.py:400, 438, 258). */
-  def geodesicKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+  /** Geodesic distance in km on WGS-84 — Karney's algorithm, matching
+    * the reference's geopy backend including antipodal convergence
+    * (airstrik.py:400, 438, 258). */
+  def geodesicKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    Karney.inverseKm(lat1, lon1, lat2, lon2)
+
+  /** Vincenty inverse: independent cross-check twin for [[geodesicKm]]
+    * (sub-mm agreement where it converges; haversine fallback in the
+    * near-antipodal non-convergent region). */
+  def vincentyKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     if (lat1 == lat2 && lon1 == lon2) return 0.0
     val u1 = math.atan((1 - F) * math.tan(math.toRadians(lat1)))
     val u2 = math.atan((1 - F) * math.tan(math.toRadians(lat2)))

@@ -1,0 +1,441 @@
+package graft.geo
+
+/** Karney geodesic inverse on the WGS-84 ellipsoid.
+  *
+  * Implements the inverse problem from C. F. F. Karney, "Algorithms for
+  * geodesics", J. Geodesy 87, 43-55 (2013) — the same published
+  * algorithm geopy uses via GeographicLib (the reference engine's
+  * distance backend, airstrik.py:400, 438, 258). Sixth-order series on
+  * the auxiliary sphere + Newton's method with a bisection-safeguarded
+  * bracket and the astroid starting guess for nearly antipodal points.
+  * Unlike Vincenty's inverse ([[Geo.vincentyKm]], kept as the
+  * cross-check twin), this converges for ALL point pairs, including the
+  * near-antipodal region where Vincenty's fixed-point iteration
+  * oscillates.
+  *
+  * Distance only (azimuths are derived internally but not returned —
+  * the engine's query surface needs s12). Accuracy: round-off-limited
+  * (sub-millimetre); validated in GeoSpec against published
+  * GeographicLib values and a seeded 1 cm sweep vs Vincenty away from
+  * the antipodal region.
+  */
+object Karney {
+  private val A = 6378137.0
+  private val F = 1.0 / 298.257223563
+  private val F1 = 1.0 - F
+  private val B = A * F1
+  private val E2 = F * (2.0 - F)
+  private val Ep2 = E2 / (1.0 - E2)
+  private val N = F / (2.0 - F)
+
+  private val Tiny = math.sqrt(java.lang.Double.MIN_NORMAL)
+  private val Tol0 = 2.220446049250313e-16 // machine epsilon
+  private val Tol1 = 200.0 * Tol0
+  private val Tol2 = math.sqrt(Tol0)
+  private val TolB = Tol0 * Tol2
+  private val XThresh = 1000.0 * Tol2
+  private val Etol2 = 0.1 * Tol2 /
+    math.sqrt(math.max(0.001, math.abs(F)) * math.min(1.0, 1.0 - F / 2) / 2)
+  private val MaxIt1 = 20
+  private val MaxIt2 = MaxIt1 + 53 + 10
+
+  // --- angle helpers (degree domain, exact quadrant folding) -----------
+
+  /** sin/cos of an angle in degrees with EXACT values at multiples of
+    * 90° (fold into [-45°,45°] before touching radians — sind(180)
+    * must be exactly 0 for the meridian-case dispatch to fire). */
+  private def sincosd(x: Double): (Double, Double) = {
+    var r = x % 360.0
+    val q = math.rint(r / 90.0).toInt
+    r -= 90.0 * q
+    val rad = math.toRadians(r)
+    val s = math.sin(rad); val c = math.cos(rad)
+    (q & 3) match {
+      case 0 => (s, c)
+      case 1 => (c, -s)
+      case 2 => (-s, -c)
+      case _ => (-c, s)
+    }
+  }
+
+  /** lon2 − lon1 normalized to [−180, 180]. */
+  private def angDiff(lon1: Double, lon2: Double): Double = {
+    var d = (lon2 % 360.0) - (lon1 % 360.0)
+    if (d > 180.0) d -= 360.0 else if (d < -180.0) d += 360.0
+    d
+  }
+
+  private def norm(s: Double, c: Double): (Double, Double) = {
+    val h = math.hypot(s, c); (s / h, c / h)
+  }
+
+  // --- series (Karney 2013, eqs. 17/18/24/25, order 6) -----------------
+
+  private def a1m1f(eps: Double): Double = {
+    val t = eps * eps * (eps * eps * (eps * eps + 4.0) + 64.0) / 256.0
+    (t + eps) / (1.0 - eps)
+  }
+
+  private def c1f(eps: Double): Array[Double] = {
+    val e2 = eps * eps
+    val c = new Array[Double](6)
+    var d = eps
+    c(0) = d * ((6.0 - e2) * e2 - 16.0) / 32.0
+    d *= eps
+    c(1) = d * ((64.0 - 9.0 * e2) * e2 - 128.0) / 2048.0
+    d *= eps
+    c(2) = d * (9.0 * e2 - 16.0) / 768.0
+    d *= eps
+    c(3) = d * (3.0 * e2 - 5.0) / 512.0
+    d *= eps
+    c(4) = -7.0 * d / 1280.0
+    d *= eps
+    c(5) = -7.0 * d / 2048.0
+    c
+  }
+
+  private def a2m1f(eps: Double): Double = {
+    val t = eps * eps * (eps * eps * (25.0 * eps * eps + 36.0) + 64.0) / 256.0
+    (t - eps) / (1.0 + eps)
+  }
+
+  private def c2f(eps: Double): Array[Double] = {
+    val e2 = eps * eps
+    val c = new Array[Double](6)
+    var d = eps
+    c(0) = d * (e2 * (e2 + 2.0) + 16.0) / 32.0
+    d *= eps
+    c(1) = d * (e2 * (35.0 * e2 + 64.0) + 384.0) / 2048.0
+    d *= eps
+    c(2) = d * (15.0 * e2 + 80.0) / 768.0
+    d *= eps
+    c(3) = d * (7.0 * e2 + 35.0) / 512.0
+    d *= eps
+    c(4) = 63.0 * d / 1280.0
+    d *= eps
+    c(5) = 77.0 * d / 2048.0
+    c
+  }
+
+  /** A3 as a polynomial in eps; coefficients are polynomials in the
+    * third flattening n (paper eq. 24, order 6). */
+  private val A3x: Array[Double] = Array(
+    1.0,
+    (N - 1.0) / 2.0,
+    (N * (3.0 * N - 1.0) - 2.0) / 8.0,
+    ((-N - 3.0) * N - 1.0) / 16.0,
+    (-2.0 * N - 3.0) / 64.0,
+    -3.0 / 128.0)
+
+  private def a3f(eps: Double): Double = {
+    var v = 0.0
+    var i = A3x.length - 1
+    while (i >= 0) { v = v * eps + A3x(i); i -= 1 }
+    v
+  }
+
+  /** C3 coefficient polynomials in n (paper eq. 25, order 6): for each
+    * l = 1..5, the eps^j coefficients (j = l..5). */
+  private val C3x: Array[Array[Double]] = Array(
+    Array((1.0 - N) / 4.0, (1.0 - N * N) / 8.0,
+      ((3.0 - N) * N + 3.0) / 64.0, (2.0 * N + 5.0) / 128.0, 3.0 / 128.0),
+    Array(((N - 3.0) * N + 2.0) / 32.0, ((-3.0 * N - 2.0) * N + 3.0) / 64.0,
+      (N + 3.0) / 128.0, 5.0 / 256.0),
+    Array((N * (5.0 * N - 9.0) + 5.0) / 192.0, (9.0 - 10.0 * N) / 384.0,
+      7.0 / 512.0),
+    Array((7.0 - 14.0 * N) / 512.0, 7.0 / 512.0),
+    Array(21.0 / 2560.0))
+
+  private def c3f(eps: Double): Array[Double] = {
+    val c = new Array[Double](5)
+    var mult = 1.0
+    var l = 0
+    while (l < 5) {
+      mult *= eps
+      val p = C3x(l)
+      var v = 0.0
+      var j = p.length - 1
+      while (j >= 0) { v = v * eps + p(j); j -= 1 }
+      c(l) = mult * v
+      l += 1
+    }
+    c
+  }
+
+  /** Clenshaw sum of Σ c(j)·sin(2(j+1)σ). */
+  private def sinSeries(sinx: Double, cosx: Double, c: Array[Double]): Double = {
+    val ar = 2.0 * (cosx - sinx) * (cosx + sinx)
+    var y0 = 0.0; var y1 = 0.0
+    var k = c.length
+    while (k > 0) {
+      k -= 1
+      val t = ar * y0 - y1 + c(k)
+      y1 = y0; y0 = t
+    }
+    2.0 * sinx * cosx * y0
+  }
+
+  /** Distance/reduced-length integrals between σ1 and σ2:
+    * returns (s12b, m12b) — s12 = b·s12b; m12 = b·m12b. */
+  private def lengths(eps: Double, sig12: Double,
+                      ssig1: Double, csig1: Double, dn1: Double,
+                      ssig2: Double, csig2: Double, dn2: Double): (Double, Double) = {
+    val a1 = 1.0 + a1m1f(eps)
+    val a2 = 1.0 + a2m1f(eps)
+    val c1 = c1f(eps)
+    val c2 = c2f(eps)
+    val b1 = sinSeries(ssig2, csig2, c1) - sinSeries(ssig1, csig1, c1)
+    val b2 = sinSeries(ssig2, csig2, c2) - sinSeries(ssig1, csig1, c2)
+    val j12 = (a1 - a2) * sig12 + (a1 * b1 - a2 * b2)
+    val s12b = a1 * (sig12 + b1)
+    val m12b = dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2) -
+      csig1 * csig2 * j12
+    (s12b, m12b)
+  }
+
+  /** Solve the astroid equation k⁴+2k³−(x²+y²−1)k²−2y²k−y² = 0 for the
+    * positive root (paper §6 / eq. 57). */
+  private def astroid(x: Double, y: Double): Double = {
+    val p = x * x; val q = y * y
+    val r = (p + q - 1.0) / 6.0
+    if (q == 0.0 && r <= 0.0) 0.0
+    else {
+      val s = p * q / 4.0
+      val r2 = r * r; val r3 = r * r2
+      val disc = s * (s + 2.0 * r3)
+      var u = r
+      if (disc >= 0.0) {
+        var t3 = s + r3
+        t3 += (if (t3 < 0.0) -math.sqrt(disc) else math.sqrt(disc))
+        val t = math.cbrt(t3)
+        u += t + (if (t != 0.0) r2 / t else 0.0)
+      } else {
+        val ang = math.atan2(math.sqrt(-disc), -(s + r3))
+        u += 2.0 * r * math.cos(ang / 3.0)
+      }
+      val v = math.sqrt(u * u + q)
+      val uv = if (u < 0.0) q / (v - u) else u + v
+      val w = (uv - q) / (2.0 * v)
+      uv / (math.sqrt(uv + w * w) + w)
+    }
+  }
+
+  private final case class L12(lam12: Double, dlam12: Double,
+                               salp2: Double, calp2: Double,
+                               sig12: Double,
+                               ssig1: Double, csig1: Double,
+                               ssig2: Double, csig2: Double,
+                               eps: Double)
+
+  /** λ12(α1) and dλ12/dα1 on the auxiliary sphere (paper §4/eq. 46). */
+  private def lambda12(sbet1: Double, cbet1: Double, dn1: Double,
+                       sbet2: Double, cbet2: Double, dn2: Double,
+                       salp1In: Double, calp1In: Double,
+                       slam120: Double, clam120: Double,
+                       diffp: Boolean): L12 = {
+    var salp1 = salp1In; var calp1 = calp1In
+    if (sbet1 == 0.0 && calp1 == 0.0) calp1 = -Tiny // break degeneracy
+    val salp0 = salp1 * cbet1
+    val calp0 = math.hypot(calp1, salp1 * sbet1)
+    var ssig1 = sbet1; val somg1 = salp0 * sbet1
+    var csig1 = calp1 * cbet1; val comg1 = csig1
+    val n1 = norm(ssig1, csig1); ssig1 = n1._1; csig1 = n1._2
+    val salp2 = if (cbet2 != cbet1) salp0 / cbet2 else salp1
+    val calp2 =
+      if (cbet2 != cbet1 || math.abs(sbet2) != -sbet1)
+        math.sqrt(math.pow(calp1 * cbet1, 2) +
+          (if (cbet1 < -sbet1) (cbet2 - cbet1) * (cbet1 + cbet2)
+           else (sbet1 - sbet2) * (sbet1 + sbet2))) / cbet2
+      else math.abs(calp1)
+    var ssig2 = sbet2; val somg2 = salp0 * sbet2
+    var csig2 = calp2 * cbet2; val comg2 = csig2
+    val n2 = norm(ssig2, csig2); ssig2 = n2._1; csig2 = n2._2
+    val sig12 = math.atan2(
+      math.max(0.0, csig1 * ssig2 - ssig1 * csig2),
+      csig1 * csig2 + ssig1 * ssig2)
+    val somg12 = math.max(0.0, comg1 * somg2 - somg1 * comg2)
+    val comg12 = comg1 * comg2 + somg1 * somg2
+    val eta = math.atan2(somg12 * clam120 - comg12 * slam120,
+      comg12 * clam120 + somg12 * slam120)
+    val k2 = calp0 * calp0 * Ep2
+    val eps = k2 / (2.0 * (1.0 + math.sqrt(1.0 + k2)) + k2)
+    val c3 = c3f(eps)
+    val b312 = sinSeries(ssig2, csig2, c3) - sinSeries(ssig1, csig1, c3)
+    val domg12 = -F * a3f(eps) * salp0 * (sig12 + b312)
+    val lam12 = eta + domg12
+    val dlam12 =
+      if (!diffp) Double.NaN
+      else if (calp2 == 0.0) -2.0 * F1 * dn1 / sbet1
+      else {
+        val (_, m12b) = lengths(eps, sig12, ssig1, csig1, dn1,
+          ssig2, csig2, dn2)
+        m12b * F1 / (calp2 * cbet2)
+      }
+    L12(lam12, dlam12, salp2, calp2, sig12, ssig1, csig1, ssig2, csig2, eps)
+  }
+
+  /** Geodesic distance in metres between two (lat, lon) in degrees. */
+  def inverseMeters(lat1In: Double, lon1In: Double,
+                    lat2In: Double, lon2In: Double): Double = {
+    var lon12 = angDiff(lon1In, lon2In)
+    val lonsign = if (lon12 >= 0.0) 1.0 else -1.0
+    lon12 *= lonsign
+    var lat1 = math.max(-90.0, math.min(90.0, lat1In))
+    var lat2 = math.max(-90.0, math.min(90.0, lat2In))
+    if (math.abs(lat1) < math.abs(lat2)) { val t = lat1; lat1 = lat2; lat2 = t }
+    if (lat1 > 0) { lat1 = -lat1; lat2 = -lat2 } // canonical: lat1 <= 0
+
+    val lam12 = math.toRadians(lon12)
+    val (slam12, clam12) = sincosd(lon12)
+
+    val (sphi1, cphi1) = sincosd(lat1)
+    var sbet1 = F1 * sphi1; var cbet1 = cphi1
+    val nb1 = norm(sbet1, cbet1); sbet1 = nb1._1; cbet1 = math.max(Tiny, nb1._2)
+    val (sphi2, cphi2) = sincosd(lat2)
+    var sbet2 = F1 * sphi2; var cbet2 = cphi2
+    val nb2 = norm(sbet2, cbet2); sbet2 = nb2._1; cbet2 = math.max(Tiny, nb2._2)
+    // with |β1| the larger, clamp |β2| to it when the φ agree (polar care)
+    if (cbet1 < -sbet1) { if (cbet2 == cbet1) sbet2 = if (sbet2 < 0) sbet1 else -sbet1 }
+    else { if (math.abs(sbet2) == -sbet1) cbet2 = cbet1 }
+
+    val dn1 = math.sqrt(1.0 + Ep2 * sbet1 * sbet1)
+    val dn2 = math.sqrt(1.0 + Ep2 * sbet2 * sbet2)
+
+    // meridional geodesic (lon12 = 0 or 180 exactly after folding)
+    if (slam12 == 0.0 || lat1 == -90.0) {
+      val calp1 = clam12; val salp1 = slam12
+      val calp2 = 1.0
+      val ssig1 = sbet1; val csig1 = calp1 * cbet1
+      val ssig2 = sbet2; val csig2 = calp2 * cbet2
+      val sig12 = math.atan2(
+        math.max(0.0, csig1 * ssig2 - ssig1 * csig2),
+        csig1 * csig2 + ssig1 * ssig2)
+      val k2 = Ep2 // calp0 = 1 on a meridian
+      val eps = k2 / (2.0 * (1.0 + math.sqrt(1.0 + k2)) + k2)
+      val (s12b, m12b) = lengths(eps, sig12, ssig1, csig1, dn1,
+        ssig2, csig2, dn2)
+      if (sig12 < 1.0 || m12b >= 0.0)
+        return B * s12b
+      // else: prolate-style pathologies cannot occur on WGS-84; fall through
+    }
+
+    // equatorial geodesic
+    if (sbet1 == 0.0 && sbet2 == 0.0 && lam12 <= F1 * math.Pi)
+      return A * lam12
+
+    // ---- general case: Newton on alpha1 -------------------------------
+    val sbet12 = sbet2 * cbet1 - cbet2 * sbet1
+    val cbet12 = cbet2 * cbet1 + sbet2 * sbet1
+    val sbet12a = sbet2 * cbet1 + cbet2 * sbet1
+
+    var salp1 = 0.0; var calp1 = 0.0
+    var sig12 = -1.0
+    var shortDnm = Double.NaN
+
+    val shortline = cbet12 >= 0.0 && sbet12 < 0.5 && cbet2 * lam12 < 0.5
+    val (somg12i, comg12i) =
+      if (shortline) {
+        val sm = sbet1 + sbet2; val cm = cbet1 + cbet2
+        val sbetm2 = sm * sm / (sm * sm + cm * cm)
+        shortDnm = math.sqrt(1.0 + Ep2 * sbetm2)
+        val omg12 = lam12 / (F1 * shortDnm)
+        (math.sin(omg12), math.cos(omg12))
+      } else (slam12, clam12)
+
+    salp1 = cbet2 * somg12i
+    calp1 =
+      if (comg12i >= 0.0)
+        sbet12 + cbet2 * sbet1 * somg12i * somg12i / (1.0 + comg12i)
+      else
+        sbet12a - cbet2 * sbet1 * somg12i * somg12i / (1.0 - comg12i)
+    val ssig12i = math.hypot(salp1, calp1)
+    val csig12i = sbet1 * sbet2 + cbet1 * cbet2 * comg12i
+
+    if (shortline && ssig12i < Etol2) {
+      // very short line: the start IS the answer
+      sig12 = math.atan2(ssig12i, csig12i)
+      return B * shortDnm * sig12
+    } else if (!(math.abs(N) > 0.1 || csig12i >= 0.0 ||
+        ssig12i >= 6.0 * math.abs(N) * math.Pi * cbet1 * cbet1)) {
+      // nearly antipodal: astroid starting guess (paper §6)
+      val lam12x = math.atan2(-slam12, -clam12) // lam12 - pi
+      val k2 = sbet1 * sbet1 * Ep2
+      val eps = k2 / (2.0 * (1.0 + math.sqrt(1.0 + k2)) + k2)
+      val lamscale = F * cbet1 * a3f(eps) * math.Pi
+      val betscale = lamscale * cbet1
+      val x = lam12x / lamscale
+      val y = sbet12a / betscale
+      if (y > -Tol1 && x > -1.0 - XThresh) {
+        salp1 = math.min(1.0, -x)
+        calp1 = -math.sqrt(1.0 - salp1 * salp1)
+      } else {
+        val k = astroid(x, y)
+        val omg12a = lamscale * (-x * k / (1.0 + k))
+        val s = math.sin(omg12a); val c = -math.cos(omg12a)
+        salp1 = cbet2 * s
+        calp1 = sbet12a - cbet2 * sbet1 * s * s / (1.0 - c)
+      }
+    }
+
+    if (salp1 > 0.0) {
+      val nn = norm(salp1, calp1); salp1 = nn._1; calp1 = nn._2
+    } else { salp1 = 1.0; calp1 = 0.0 }
+
+    // Newton + bisection safeguard (paper §5; brackets as in
+    // GeographicLib's reference implementation of the algorithm)
+    var salp1a = Tiny; var calp1a = 1.0
+    var salp1b = Tiny; var calp1b = -1.0
+    var tripn = false; var tripb = false
+    var last: L12 = null
+    var numit = 0
+    var done = false
+    while (!done && numit < MaxIt2) {
+      val r = lambda12(sbet1, cbet1, dn1, sbet2, cbet2, dn2,
+        salp1, calp1, slam12, clam12, diffp = numit < MaxIt1)
+      last = r
+      val v = r.lam12
+      if (tripb || !(math.abs(v) >= (if (tripn) 8.0 else 1.0) * Tol0)) {
+        done = true
+      } else {
+        if (v > 0.0 && (numit > MaxIt1 ||
+            calp1 / salp1 > calp1b / salp1b)) {
+          salp1b = salp1; calp1b = calp1
+        } else if (v < 0.0 && (numit > MaxIt1 ||
+            calp1 / salp1 < calp1a / salp1a)) {
+          salp1a = salp1; calp1a = calp1
+        }
+        var stepped = false
+        if (numit < MaxIt1 && r.dlam12 > 0.0) {
+          val dalp1 = -v / r.dlam12
+          val sd = math.sin(dalp1); val cd = math.cos(dalp1)
+          val nsalp1 = salp1 * cd + calp1 * sd
+          if (nsalp1 > 0.0 && math.abs(dalp1) < math.Pi) {
+            calp1 = calp1 * cd - salp1 * sd
+            salp1 = nsalp1
+            val nn = norm(salp1, calp1); salp1 = nn._1; calp1 = nn._2
+            tripn = math.abs(v) <= 16.0 * Tol0
+            stepped = true
+          }
+        }
+        if (!stepped) {
+          salp1 = (salp1a + salp1b) / 2.0
+          calp1 = (calp1a + calp1b) / 2.0
+          val nn = norm(salp1, calp1); salp1 = nn._1; calp1 = nn._2
+          tripn = false
+          tripb = math.abs(salp1a - salp1) + (calp1a - calp1) < TolB ||
+            math.abs(salp1 - salp1b) + (calp1 - calp1b) < TolB
+        }
+        numit += 1
+      }
+    }
+    val (s12b, _) = lengths(last.eps, last.sig12,
+      last.ssig1, last.csig1, dn1, last.ssig2, last.csig2, dn2)
+    B * s12b
+  }
+
+  /** Geodesic distance in km. */
+  def inverseKm(lat1: Double, lon1: Double,
+                lat2: Double, lon2: Double): Double =
+    if (lat1 == lat2 && lon1 == lon2) 0.0
+    else inverseMeters(lat1, lon1, lat2, lon2) / 1000.0
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+import java.util.zip.CRC32
+
+/** Pure-JVM image container codecs: header PARSING for the three
+  * public formats a crawl corpus is mostly made of (PNG, JPEG, GIF),
+  * plus minimal-but-structurally-valid WRITERS used to synthesize
+  * deterministic fixtures. No external codec libraries — this is the
+  * real decode step for the metadata path (dimensions/channels/mime);
+  * pixel decoding stays out of scope (no codecs in this environment,
+  * and training-data curation mostly needs the header facts: filter by
+  * size/aspect/channels before paying for pixel decode).
+  *
+  * All parsers are defensive: any malformed/truncated/unknown payload
+  * yields None, never a throw — at corpus scale SOME bytes are garbage
+  * and a decoder that throws kills the executor task. */
+object ImageCodecs {
+
+  final case class ImageInfo(mime: String, width: Int, height: Int,
+                             channels: Int)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG colour type → sample channels (spec §11.2.2). */
+  private val PngChannels =
+    Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+
+  /** Parse a PNG signature + IHDR (first chunk by spec). */
+  def parsePng(b: Array[Byte]): Option[ImageInfo] =
+    if (b.length < 29 || !b.take(8).sameElements(PngSig)) None
+    else if (be32(b, 8) != 13 ||
+      new String(b.slice(12, 16), "US-ASCII") != "IHDR") None
+    else PngChannels.get(b(25) & 0xff).map { ch =>
+      ImageInfo("image/png", be32(b, 16), be32(b, 20), ch)
+    }.filter(i => i.width > 0 && i.height > 0)
+
+  /** Parse JPEG: walk the marker stream to the first SOF0/1/2 frame
+    * header (baseline/extended/progressive — the cases that matter). */
+  def parseJpeg(b: Array[Byte]): Option[ImageInfo] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    while (off + 9 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone markers, no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / start-of-scan before any SOF
+      } else {
+        val len = be16(b, off + 2)
+        if (len < 2 || off + 2 + len > b.length) return None
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          val h = be16(b, off + 5)
+          val w = be16(b, off + 7)
+          val ncomp = b(off + 9) & 0xff
+          return if (w > 0 && h > 0 && ncomp > 0)
+            Some(ImageInfo("image/jpeg", w, h, ncomp)) else None
+        }
+        off += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Parse a GIF87a/GIF89a logical screen descriptor. */
+  def parseGif(b: Array[Byte]): Option[ImageInfo] =
+    if (b.length < 10) None
+    else {
+      val sig = new String(b.take(6), "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") None
+      else {
+        val (w, h) = (le16(b, 6), le16(b, 8))
+        if (w > 0 && h > 0) Some(ImageInfo("image/gif", w, h, 3)) else None
+      }
+    }
+
+  /** Sniff + parse any supported container. */
+  def parse(b: Array[Byte]): Option[ImageInfo] =
+    if (b == null || b.length < 4) None
+    else (b(0) & 0xff) match {
+      case 0x89 => parsePng(b)
+      case 0xff => parseJpeg(b)
+      case 0x47 => parseGif(b)
+      case _    => None
+    }
+
+  // --- deterministic fixture writers -------------------------------------
+
+  /** Minimal structurally-valid PNG: signature + IHDR (real CRC) + IEND.
+    * `colorType` per spec: 0 gray, 2 rgb, 4 gray+alpha, 6 rgba. */
+  def pngBytes(width: Int, height: Int, colorType: Int = 2): Array[Byte] = {
+    require(PngChannels.contains(colorType), s"colorType $colorType")
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new CRC32
+      val tb = tag.getBytes("US-ASCII")
+      crc.update(tb); crc.update(body)
+      ByteBuffer.allocate(12 + body.length)
+        .putInt(body.length).put(tb).put(body)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Minimal JPEG header stream: SOI + JFIF APP0 + SOF0 (3 components,
+    * i.e. YCbCr) + EOI. */
+  def jpegBytes(width: Int, height: Int): Array[Byte] = {
+    val app0 = ByteBuffer.allocate(18)
+      .put(0xff.toByte).put(0xe0.toByte).putShort(16)
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte) // version 1.1
+      .put(0.toByte).putShort(1).putShort(1) // aspect 1:1
+      .put(0.toByte).put(0.toByte).array() // no thumbnail
+    val sof0 = {
+      val bb = ByteBuffer.allocate(21)
+      bb.put(0xff.toByte).put(0xc0.toByte).putShort(17)
+      bb.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      bb.put(3.toByte)
+      (1 to 3).foreach { c =>
+        bb.put(c.toByte).put(0x11.toByte).put(0.toByte)
+      }
+      bb.array()
+    }
+    Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ sof0 ++
+      Array(0xff, 0xd9).map(_.toByte)
+  }
+
+  /** GIF89a logical screen descriptor + trailer. */
+  def gifBytes(width: Int, height: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(14)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.put((width & 0xff).toByte).put(((width >> 8) & 0xff).toByte)
+    bb.put((height & 0xff).toByte).put(((height >> 8) & 0xff).toByte)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // no GCT
+    bb.put(0x3b.toByte) // trailer
+    bb.array()
+  }
+}

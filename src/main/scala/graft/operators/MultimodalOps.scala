@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed in partition
   * batches.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in
-  * this environment): [[FakeDecoder]] produces deterministic
-  * pseudo-features from the bytes. The Spark-side plumbing — schema,
-  * batched per-partition iteration, partitioning control, feature
-  * schema — is real and is exactly where a JNI/ONNX/ffmpeg decoder would
-  * plug in.
+  * Decode comes in two layers:
+  *  - container-header decode ([[imageMeta]]) is REAL — a pure-JVM
+  *    PNG/JPEG/GIF parse ([[ImageCodecs]]) recovering mime, dimensions
+  *    and channel count from the actual bytes (the facts curation
+  *    filters on before paying for pixel decode);
+  *  - pixel/feature decode remains a clearly-marked STUB
+  *    ([[FakeDecoder]]: deterministic pseudo-features — no pixel codecs
+  *    in this environment). The Spark-side plumbing — schema, batched
+  *    per-partition iteration, partitioning control, feature schema —
+  *    is real and is exactly where a JNI/ONNX/ffmpeg decoder would
+  *    plug in.
   *
   * Scale design: media rows are large (MBs); ops avoid wide shuffles of
   * the binary payload — features are extracted in a single mapPartitions
@@ -66,6 +71,34 @@ object MultimodalOps {
         }
       }
     }
+  }
+
+  /** REAL container-header decode over a binary media column: one
+    * mapPartitions pass parsing PNG IHDR / JPEG SOF / GIF descriptors
+    * ([[ImageCodecs.parse]]); unparseable payloads surface as
+    * mime='unknown' with zeroed dimensions rather than dropped rows
+    * (at corpus scale you triage the garbage, you don't silently lose
+    * it). Output carries only (id, n_bytes, header facts) — the binary
+    * payload is dropped in the same pass, so nothing media-sized ever
+    * reaches a shuffle. */
+  def imageMeta(media: DataFrame, idCol: String, binCol: String,
+                batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val n = if (bytes == null) 0L else bytes.length.toLong
+            ImageCodecs.parse(bytes) match {
+              case Some(i) => (id, n, i.mime, i.width, i.height, i.channels)
+              case None    => (id, n, "unknown", 0, 0, 0)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "n_bytes", "mime", "width", "height", "channels")
   }
 
   /** Frame sampling: every `stride`-th fixed-size window of the payload

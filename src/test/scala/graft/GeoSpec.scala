@@ -63,6 +63,54 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("karney vs vincenty: sub-cm agreement on a 2000-pair sweep") {
+    // two independent solvers of the same exact problem; any wrong
+    // series coefficient or iteration bug diverges at metre level
+    var checked = 0
+    (1 to 2000).foreach { _ =>
+      val (la1, lo1, la2, lo2) = (randLat(), randLon(), randLat(), randLon())
+      val v = Geo.vincentyKm(la1, lo1, la2, lo2)
+      val k = Geo.geodesicKm(la1, lo1, la2, lo2)
+      // skip the near-antipodal band where vincentyKm falls back to
+      // its (spherical) haversine escape hatch
+      if (k < 19900.0) {
+        checked += 1
+        assert(math.abs(v - k) < 1e-5,
+          s"($la1,$lo1)->($la2,$lo2): vincenty $v vs karney $k")
+      }
+    }
+    assert(checked > 1800)
+  }
+
+  test("karney: antipodal pairs converge to published values") {
+    // equatorial antipodes flip over the pole: half the meridian
+    // ellipse, 2 x 10001965.729 m (the WGS-84 meridian quadrant)
+    val eq = Geo.geodesicKm(0.0, 0.0, 0.0, 180.0)
+    assert(math.abs(eq - 20003.9314586) < 1e-4, s"got $eq")
+    // same flip from any longitude start
+    val eq2 = Geo.geodesicKm(0.0, 77.5, 0.0, -102.5)
+    assert(math.abs(eq2 - 20003.9314586) < 1e-4, s"got $eq2")
+    // pole to pole: exactly the meridian half-ellipse too
+    val pp = Geo.geodesicKm(90.0, 0.0, -90.0, 0.0)
+    assert(math.abs(pp - 20003.9314586) < 1e-4, s"got $pp")
+    // nearly antipodal off-meridian pairs: Vincenty oscillates here,
+    // Karney must converge to a finite length in the antipodal window
+    Seq((0.5, 0.0, -0.44, 179.7), (30.0, 10.0, -29.9, -169.8),
+      (5.0, 0.0, -5.1, 179.4)).foreach { case (a, b, c, d) =>
+        val km = Geo.geodesicKm(a, b, c, d)
+        assert(km > 19800 && km < 20010, s"($a,$b)->($c,$d): $km")
+      }
+  }
+
+  test("karney: meridional arcs match the series-summed meridian") {
+    // one degree of meridian arc at the equator (published WGS-84
+    // value 110574.3886 m) and at the pole (111693.8650 m)
+    val atEq = Geo.geodesicKm(0.0, 10.0, 1.0, 10.0)
+    assert(math.abs(atEq - 110.5743886) < 1e-4, s"got $atEq")
+    val atPole = Geo.geodesicKm(89.0, 10.0, 90.0, 10.0)
+    assert(math.abs(atPole - 111.6938650) < 1e-4, s"got $atPole")
+  }
+
   test("haversine within 0.6 percent of geodesic mid-range") {
     (1 to 200).foreach { _ =>
       val (la1, lo1, la2, lo2) = (randLat(), randLon(), randLat(), randLon())

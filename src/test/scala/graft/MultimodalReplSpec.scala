@@ -31,6 +31,54 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(byId(0L) != byId(1L))
   }
 
+  test("ImageCodecs: writer/parser round-trip for png, jpeg, gif") {
+    import graft.operators.ImageCodecs
+    val cases = Seq(
+      (ImageCodecs.pngBytes(640, 480, colorType = 2),
+        ("image/png", 640, 480, 3)),
+      (ImageCodecs.pngBytes(31, 7, colorType = 6),
+        ("image/png", 31, 7, 4)),
+      (ImageCodecs.jpegBytes(1920, 1080), ("image/jpeg", 1920, 1080, 3)),
+      (ImageCodecs.gifBytes(300, 200), ("image/gif", 300, 200, 3)))
+    cases.foreach { case (bytes, (mime, w, h, ch)) =>
+      val i = ImageCodecs.parse(bytes)
+      assert(i.contains(ImageCodecs.ImageInfo(mime, w, h, ch)),
+        s"parse mismatch for $mime: $i")
+    }
+  }
+
+  test("ImageCodecs: malformed payloads parse to None, never throw") {
+    import graft.operators.ImageCodecs
+    val bad = Seq(
+      Array.empty[Byte],
+      Array[Byte](0x12, 0x34),
+      "not an image at all".getBytes("UTF-8"),
+      ImageCodecs.pngBytes(8, 8).take(20),      // truncated mid-IHDR
+      ImageCodecs.jpegBytes(8, 8).take(3),      // truncated after SOI
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte),
+      ImageCodecs.gifBytes(8, 8).take(7))
+    bad.foreach(b => assert(ImageCodecs.parse(b).isEmpty))
+    assert(ImageCodecs.parse(null).isEmpty)
+  }
+
+  test("imageMeta: parses real bytes distributed, flags garbage rows") {
+    import graft.operators.ImageCodecs
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, ImageCodecs.pngBytes(20, 10)),
+      (2L, ImageCodecs.jpegBytes(33, 44)),
+      (3L, "junk".getBytes("UTF-8")))
+    val got = MultimodalOps.imageMeta(
+        rows.toDF("id", "media"), "id", "media")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, "image/png", 20, 10),
+      (2L, "image/jpeg", 33, 44),
+      (3L, "unknown", 0, 0)))
+  }
+
   test("sampleFrames: windowed frames with stride") {
     import spark.implicits._
     val ds = spark.createDataset(media(2))
