@@ -511,6 +511,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // LSH recall pre-flight: candidate recall of the q40 geometry vs
+    // exact ground truth on a deterministic 400-vector sample — the
+    // go/no-go check a user runs before a full-corpus LSH pass.
+    "q60_lsh_recall_probe" -> ((s, dir) => {
+      DedupOps.embeddingLshRecallProbe(embWithDups(s, dir), "vec_id",
+        "embedding", threshold = 0.9, dim = EmbDim,
+        tables = LshTables, bits = LshBits, sampleN = 400)
+    }),
+
     // LSH bucket diagnostics: per-table bucket count / max size / pair
     // space — the "no silent caps" visibility surface for q40's cap.
     "q41_lsh_bucket_stats" -> ((s, dir) => {
@@ -1223,6 +1232,46 @@ object SparkEntry {
         |  FROM j)
         |SELECT id_a, id_b, round(cos0, 6) AS cos FROM cosed
         |WHERE cos0 >= 0.9 ORDER BY id_a, id_b""".stripMargin),
+
+    "q60_lsh_recall_probe" -> (
+      """WITH base AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |allv AS (
+        |  SELECT id, v FROM base
+        |  UNION ALL
+        |  SELECT id + 100000, [0.0::DOUBLE] || v[2:] FROM base),
+        |v AS (
+        |  SELECT id, v FROM allv ORDER BY md5(id::VARCHAR) LIMIT 400),
+        |ex0 AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot,
+        |    sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb
+        |  FROM v a, v b WHERE a.id < b.id),
+        |exact AS (
+        |  SELECT id_a, id_b FROM ex0
+        |  WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |    ELSE dot / (na * nb) END) >= 0.9),
+        |bands AS (
+        |""".stripMargin + lshBandsSql +
+        """
+        |),
+        |b2 AS (SELECT id, t::VARCHAR || '#' || bucket AS band FROM bands),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM b2 a JOIN b2 b USING (band) WHERE a.id < b.id),
+        |caught AS (
+        |  SELECT id_a, id_b FROM exact INTERSECT SELECT id_a, id_b FROM cand)
+        |SELECT
+        |  (SELECT count(*) FROM v)::BIGINT AS n_sample,
+        |  (SELECT count(*) FROM exact)::BIGINT AS n_true_pairs,
+        |  (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
+        |  (SELECT count(*) FROM caught)::BIGINT AS n_caught,
+        |  CASE WHEN (SELECT count(*) FROM exact) > 0
+        |    THEN (SELECT count(*) FROM caught)::DOUBLE /
+        |      (SELECT count(*) FROM exact)::DOUBLE
+        |    ELSE NULL END AS recall""".stripMargin),
 
     "q41_lsh_bucket_stats" -> (
       """WITH base AS (

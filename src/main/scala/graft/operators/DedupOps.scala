@@ -228,6 +228,63 @@ object DedupOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** LSH pre-flight recall probe: for a banding geometry
+    * (tables × bits), measure CANDIDATE RECALL — the fraction of true
+    * ≥-threshold pairs that share at least one bucket — on a
+    * deterministic hash-sample of the corpus, against exact all-pairs
+    * ground truth. Run this before committing a geometry to a full
+    * 100 TB pass: it turns the observe() bucket metrics into a direct
+    * answer to "would this config have FOUND the dups?".
+    *
+    * `sampleN` caps the quadratic: the smallest-md5(id) rows — a
+    * deterministic, engine-portable sample. Exact pairs are
+    * broadcast-joined (sampleN² pairs, bounded by construction); LSH
+    * candidates run the SAME banding kernel as the production operator.
+    * One summary row: sample size, true/candidate/caught pair counts,
+    * recall (null when the sample holds no true pairs). */
+  def embeddingLshRecallProbe(emb: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, dim: Int,
+                              tables: Int = 12, bits: Int = 16,
+                              sampleN: Int = 512): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val sample = emb
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(sampleN)
+      .select(col("id"), col("v"))
+      .cache()
+    val a = sample.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = sample.select(col("id").as("id_b"), col("v").as("v_b"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.cosine(col("v_a"), col("v_b"))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val banded = embeddingBands(sample, "id", "v", tables, bits, dim)
+      .select(concat(col("t").cast("string"), lit("#"), col("bucket"))
+        .as("band"), col("id"))
+    val cand = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+      .cache()
+    val caught = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    sample.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_sample"), col("n_true_pairs"),
+        col("n_candidate_pairs"), col("n_caught"),
+        when(col("n_true_pairs") > 0,
+          col("n_caught").cast("double") /
+            col("n_true_pairs").cast("double")).as("recall"))
+  }
+
   /** Per-table LSH bucket diagnostics: bucket count, max bucket size and
     * the within-bucket pair space (×2). Makes recall holes and cap drops
     * visible — run it whenever `maxBucket` trims candidates. */

@@ -1,0 +1,82 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.config.AirstrikConfig
+
+/** Record-sink backends (S3): the reference writes flight records and
+  * the `stats` collection to MongoDB (airstrik.py:649-650 client, :585+
+  * per-plane records, :677-685 stats upsert). The engine's frames are
+  * backend-agnostic; this object carries the format/option plumbing for
+  * each backend so swapping is a config change, not a code change.
+  *
+  * The Mongo leg targets the public MongoDB Spark Connector (v10+)
+  * surface: `format("mongodb")` with `connection.uri` / `database` /
+  * `collection` options. The sandbox has no broker to integration-test
+  * against (documented gap); what IS tested is that every backend goes
+  * through the same [[write]] dispatch — the spec drives a local format
+  * through it and asserts the exact option set the Mongo branch emits. */
+object RecordSinks {
+
+  sealed trait RecordSink
+
+  /** Offline/harness backend: parquet dir, batch-id partitioned with
+    * dynamic overwrite (idempotent micro-batch retries). */
+  final case class ParquetDir(path: String) extends RecordSink
+
+  /** MongoDB Spark Connector (v10+) backend. The reference's per-plane
+    * collections (one per hex) don't map to a single DataFrame write;
+    * the relational twin is one collection with the `hex` column —
+    * same facts, query by hex instead of picking a collection. */
+  final case class Mongo(uri: String, database: String,
+                         collection: String) extends RecordSink
+
+  /** Escape hatch: any registered DataSource format + options. */
+  final case class Format(format: String,
+                          options: Map[String, String]) extends RecordSink
+
+  /** Mongo sink for the reference's flight-record stream, from config
+    * (`mongo_address`, airstrik.py:649; database from `--database-out`,
+    * airstrik.py:23). */
+  def mongoRecords(cfg: AirstrikConfig,
+                   databaseOut: String = "airstrikdb"): Mongo =
+    Mongo(s"mongodb://${cfg.mongoAddress}", databaseOut, "flight_records")
+
+  /** Mongo sink for the reference's `stats` collection
+    * (airstrik.py:670-685). */
+  def mongoStats(cfg: AirstrikConfig,
+                 databaseOut: String = "airstrikdb"): Mongo =
+    Mongo(s"mongodb://${cfg.mongoAddress}", databaseOut, "stats")
+
+  /** The (format, options, mode) a sink resolves to — pure, so the
+    * connector plumbing is unit-testable without a broker. */
+  def plan(sink: RecordSink): (String, Map[String, String], SaveMode) =
+    sink match {
+      case ParquetDir(path) =>
+        ("parquet",
+          Map("path" -> path, "partitionOverwriteMode" -> "dynamic"),
+          SaveMode.Overwrite)
+      case Mongo(uri, db, coll) =>
+        ("mongodb",
+          Map("connection.uri" -> uri, "database" -> db,
+            "collection" -> coll),
+          SaveMode.Append)
+      case Format(fmt, opts) => (fmt, opts, SaveMode.Append)
+    }
+
+  /** Write one micro-batch of records through the configured backend.
+    * Every backend takes the same path: stamp `batch_id`, resolve
+    * [[plan]], write. Parquet partitions by batch_id (dynamic overwrite
+    * = replayed batch replaces its own partition); append-mode backends
+    * carry batch_id as a column so downstream dedup/upsert can use it. */
+  def write(df: DataFrame, sink: RecordSink, batchId: Long): Unit = {
+    val stamped = df.withColumn("batch_id", lit(batchId))
+    val (fmt, opts, mode) = plan(sink)
+    val w = stamped.write.format(fmt).options(opts).mode(mode)
+    sink match {
+      case ParquetDir(_) => w.partitionBy("batch_id").save()
+      case _             => w.save()
+    }
+  }
+}

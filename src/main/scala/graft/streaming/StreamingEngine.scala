@@ -36,7 +36,9 @@ object StreamingEngine {
             cfg: AirstrikConfig, icao: Map[String, String] = Map.empty,
             trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
             console: Boolean = false,
-            maxFilesPerTrigger: Int = 100): StreamingQuery = {
+            maxFilesPerTrigger: Int = 100,
+            recordSink: Option[graft.sinks.RecordSinks.RecordSink] = None)
+      : StreamingQuery = {
     import spark.implicits._
     val pings = AircraftJsonSource.readStream(spark, landingDir,
         maxFilesPerTrigger)
@@ -52,7 +54,7 @@ object StreamingEngine {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[TripTracker.Output], batchId: Long) =>
-        fanOut(batch, batchId, outDir, cfg, console)
+        fanOut(batch, batchId, outDir, cfg, console, recordSink)
       }
       .start()
   }
@@ -68,7 +70,10 @@ object StreamingEngine {
   private[streaming] def fanOut(batch: Dataset[TripTracker.Output],
                                 batchId: Long, outDir: String,
                                 cfg: AirstrikConfig,
-                                console: Boolean): Unit = {
+                                console: Boolean,
+                                recordSink: Option[
+                                  graft.sinks.RecordSinks.RecordSink] = None)
+      : Unit = {
     batch.persist()
     try {
       def writeIdempotent(df: org.apache.spark.sql.DataFrame,
@@ -94,9 +99,14 @@ object StreamingEngine {
             System.err.println(s"[engine] kafka send failed: ${e.getMessage}")
         }
       }
-      // S3: decimated track points + trip summaries
-      writeIdempotent(EngineSinks.flightRecords(batch),
-        s"$outDir/flight_records")
+      // S3: decimated track points + trip summaries — through the
+      // configurable record-sink dispatch (parquet harness default;
+      // RecordSinks.mongoRecords(cfg) for the reference's Mongo leg)
+      graft.sinks.RecordSinks.write(
+        EngineSinks.flightRecords(batch),
+        recordSink.getOrElse(
+          graft.sinks.RecordSinks.ParquetDir(s"$outDir/flight_records")),
+        batchId)
       // S4: per-day stats upsert
       upsertDailyStats(batch, batchId, outDir, cfg.utcTimeOffset)
       // S6: live display

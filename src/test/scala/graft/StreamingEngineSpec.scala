@@ -148,6 +148,41 @@ class StreamingEngineSpec extends AnyFunSuite {
     batchOut.unpersist()
   }
 
+  test("record-sink dispatch: mongo plan carries the connector options; " +
+      "a local format swap runs the same write path") {
+    import graft.sinks.RecordSinks
+    import org.apache.spark.sql.SaveMode
+    val spark2 = spark
+    import spark2.implicits._
+    // the Mongo leg resolves config -> the public connector surface
+    val cfg = AirstrikConfig(mongoAddress = "mongohost:27017")
+    val (fmt, opts, mode) = RecordSinks.plan(RecordSinks.mongoRecords(cfg))
+    assert(fmt == "mongodb" && mode == SaveMode.Append)
+    assert(opts == Map(
+      "connection.uri" -> "mongodb://mongohost:27017",
+      "database" -> "airstrikdb",
+      "collection" -> "flight_records"))
+    assert(RecordSinks.plan(RecordSinks.mongoStats(cfg))._2("collection")
+      == "stats")
+    // format swap exercised end-to-end through the SAME dispatch: json
+    // backend via the generic options path (no format-specific code)
+    val dir = Files.createTempDirectory("graft_recsink").toString
+    val df = Seq(("abc123", 1.5), ("def456", 2.5)).toDF("hex", "distance")
+    RecordSinks.write(df, RecordSinks.Format("json", Map("path" -> dir)),
+      batchId = 7L)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("hex", "distance", "batch_id"))
+    assert(back.select("batch_id").distinct().as[Long].collect()
+      .toSeq == Seq(7L))
+    // and the parquet default keeps batch-id partitioned idempotency
+    val pdir = Files.createTempDirectory("graft_recsink_p").toString
+    RecordSinks.write(df, RecordSinks.ParquetDir(pdir), batchId = 3L)
+    RecordSinks.write(df, RecordSinks.ParquetDir(pdir), batchId = 3L) // retry
+    assert(spark.read.parquet(pdir).count() == 2, "replayed batch must " +
+      "replace its own partition, not append")
+  }
+
   test("kafka connector frame has (topic, key, value) with kind topics") {
     val landing = Files.createTempDirectory("graft_landing3").toString
     writeFixture(landing)
