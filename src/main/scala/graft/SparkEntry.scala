@@ -546,6 +546,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Paragraph-level exact dedup (boilerplate removal): every doc gets
+    // a trailing footer paragraph shared by its doc_id % 7 class — the
+    // dedup must keep each footer's first corpus occurrence only and
+    // every original paragraph (which are unique).
+    "q61_paragraph_dedup" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\nfooter boilerplate variant "),
+            (col("doc_id") % 7).cast("string")).as("text"))
+      TextAnalysisOps.paragraphDedup(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain URL stats (source triage): two URL shapes injected per
+    // doc — a doc-unique path on a % 5 host class and a shared tracker.
+    "q62_domain_stats" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" see http://ex"),
+            (col("doc_id") % 5).cast("string"), lit(".org/d/"),
+            col("doc_id").cast("string"),
+            lit(" and http://tracker.net/p")).as("text"))
+      TextAnalysisOps.domainStats(injected, "doc_id", "text")
+        .orderBy(col("host"))
+    }),
+
     // Gopher-style repetition signals (duplicate n-gram fractions).
     // Fractions emitted UNROUNDED: one division over identical integer
     // operands is bit-identical across engines.
@@ -1489,6 +1515,45 @@ FROM rec ORDER BY query_id"""),
         |  len(regexp_extract_all(text, '""".stripMargin +
         TextAnalysisOps.UrlPattern + """')) AS n_urls
         |FROM inj ORDER BY doc_id""".stripMargin),
+
+    "q61_paragraph_dedup" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text || e'\n\nfooter boilerplate variant ' ||
+        |    (doc_id % 7)::VARCHAR AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, e'\n\n') AS parts FROM inj),
+        |px AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'para': parts[i]}
+        |    FOR i IN range(1, len(parts) + 1)]) AS u
+        |  FROM sp),
+        |paras AS (
+        |  SELECT doc_id, u.pos AS pos, u.para AS para FROM px
+        |  WHERE length(u.para) > 0),
+        |rk AS (
+        |  SELECT doc_id, pos, para, row_number() OVER
+        |    (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+        |  FROM paras)
+        |SELECT doc_id,
+        |  count(*)::BIGINT AS n_paras,
+        |  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  substr(md5(coalesce(array_to_string(
+        |    list(para ORDER BY pos) FILTER (WHERE rk = 1), e'\n\n'), '')),
+        |    1, 16) AS dedup_sig
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q62_domain_stats" ->
+      ("""WITH inj AS (
+        |  SELECT doc_id, text || ' see http://ex' || (doc_id % 5)::VARCHAR ||
+        |    '.org/d/' || doc_id::VARCHAR || ' and http://tracker.net/p' AS text
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text,
+        |    '""" + TextAnalysisOps.UrlPattern + """')) AS url
+        |  FROM inj)
+        |SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+        |  count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM urls GROUP BY host ORDER BY host""").stripMargin,
 
     "q46_repetition" ->
       """WITH toks AS (

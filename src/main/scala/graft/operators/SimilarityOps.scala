@@ -154,8 +154,12 @@ object SimilarityOps {
     def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
       aggregate(zip_with(v, array(c.map(lit): _*),
         (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
+    // cached for the training loop only: seeds + one pass per iteration
+    // all read this narrow (id-hash, vector) projection — without the
+    // cache each iteration re-scans and re-decodes the source
     val v0 = corpus.select(col(idCol).cast("string").as("__id"),
       toDouble(col(vecCol)).as("__v"))
+      .cache()
     val seeds = v0.select(col("__v"), md5(col("__id")).as("__h"))
       .orderBy(col("__h")).limit(k)
       .collect().map(_.getSeq[Double](0).toArray)
@@ -183,6 +187,7 @@ object SimilarityOps {
       } // cells with no members keep their previous centroid
       cents = next
     }
+    v0.unpersist()
     cents
   }
 

@@ -289,6 +289,57 @@ object TextAnalysisOps {
       .select(col(idCol), (col("reason") === "keep").as("keep"), col("reason"))
   }
 
+  /** Paragraph-level exact dedup across the corpus (the CCNet/
+    * RefinedWeb boilerplate-removal pass): split each document on
+    * `sep`, keep the FIRST occurrence of every distinct paragraph
+    * corpus-wide (order: (doc, position)), and report per document how
+    * much survived plus a signature of the deduped text (rejoined in
+    * original position order).
+    *
+    * Scale shape: exactly one shuffle, keyed by the 16-byte paragraph
+    * md5 (the keep-first window); paragraphs ride it once — there is no
+    * all-pairs comparison anywhere. Empty paragraphs are dropped before
+    * the shuffle. Documents whose every paragraph is boilerplate
+    * surface with n_kept = 0 (md5 of '' for the signature), not dropped
+    * rows. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+    val w = Window.partitionBy(md5(col("para")))
+      .orderBy(col(idCol), col("pos"))
+    paras
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        substring(md5(array_join(transform(
+          array_sort(collect_list(when(col("__rk") === 1,
+            struct(col("pos"), col("para"))))),
+          s => s.getField("para")), sep)), 1, 16).as("dedup_sig"))
+  }
+
+  /** Per-domain URL statistics (crawl-curation source triage): every
+    * URL occurrence extracted from the text, grouped by host. Counts
+    * are occurrences and distinct documents — the shape domain
+    * allow/deny-listing reads.
+    *
+    * Scale shape: explode is (host, id) rows only — never the text —
+    * with map-side combine on the host key; one narrow shuffle. */
+  def domainStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+          .as("url"))
+      .select(col(idCol),
+        regexp_extract(col("url"), "https?://([^/]+)", 1).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Corpus-level top-k word n-grams by count (vocabulary head — the
     * common first look at a new corpus). Explode → count is the right
     * shape at scale: partial (map-side) aggregation collapses each

@@ -304,6 +304,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("kmeansCentroids: bit-identical across partitionings (the " +
+      "scaled-integer order-free claim)") {
+    // FP means would differ between 1 and 13 partitions (partial-agg
+    // summation order); integer-domain sums cannot
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1))).toDF(
+      "vec_id", "embedding")
+    val c1 = SimilarityOps.kmeansCentroids(
+      emb.repartition(1), "vec_id", "embedding", 8, 4, 3)
+    val c13 = SimilarityOps.kmeansCentroids(
+      emb.repartition(13), "vec_id", "embedding", 8, 4, 3)
+    assert(c1.map(_.toSeq).toSeq == c13.map(_.toSeq).toSeq,
+      "centroids must not depend on physical partitioning")
+  }
+
   test("recallAtK: overlap counts, zero-recall queries included") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "neighbor_id")
@@ -369,6 +385,37 @@ class OperatorsSpec extends AnyFunSuite {
       ("a", 3L, "1,2"),   // df = 3, postings capped at 2, sorted
       ("b", 1L, "3"),
       ("c", 2L, "1,2")))
+  }
+
+  test("paragraphDedup: first corpus occurrence wins, per-doc survival") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "alpha one\n\nshared footer\n\nbeta"),
+      (2L, "gamma two\n\nshared footer"),      // footer already seen in 1
+      (3L, "shared footer"),                   // everything is boilerplate
+      (4L, "alpha one\n\ndelta")               // first para seen in 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L),   // all first occurrences
+      (2L, 2L, 1L),   // footer deduped
+      (3L, 1L, 0L),   // fully boilerplate, still reported
+      (4L, 2L, 1L)))  // "alpha one" deduped
+  }
+
+  test("domainStats: host extraction with occurrence and doc counts") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "read http://a.com/x and http://a.com/y plus https://b.org/z"),
+      (2L, "again http://a.com/q"),
+      (3L, "no urls here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.domainStats(docs, "doc_id", "text")
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a.com", 3L, 2L), ("b.org", 1L, 1L)))
   }
 
   test("decontaminate flags benchmark shingle overlap") {
