@@ -109,6 +109,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"index build must shuffle once on term (+ presentation sort):\n$p")
   }
 
+  test("q58: learned centroids enter as literals — corpus assignment is " +
+      "a projection, candidates pair via broadcast") {
+    val p = plan("q58_kmeans_ivf")
+    assert(p.contains("array_position"),
+      "cell assignment must be an argmin projection")
+    assert(p.contains("BroadcastHashJoin"),
+      "probed query cells must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must never shuffle for the candidate join")
+    assert(p.contains("cosine_sim"), "native cosine kernel missing")
+  }
+
+  test("q61: paragraph dedup shuffles once on the paragraph hash") {
+    val p = plan("q61_paragraph_dedup")
+    assert(p.contains("md5(cast(para"),
+      "keep-first window must key on the paragraph md5")
+    // exchanges: para-hash window + per-doc aggregate + presentation sort
+    assert(p.split("Exchange").length <= 4,
+      s"paragraph dedup must not add extra shuffles:\n$p")
+  }
+
+  test("q62: domain stats map-side combine, text never shuffled") {
+    val p = plan("q62_domain_stats")
+    assert(p.contains("partial_count"),
+      "host counts must partially aggregate before the shuffle")
+    // exchanges: (host, doc) distinct pre-agg + host agg (the canonical
+    // two-level count-distinct plan) + presentation sort — all narrow
+    assert(p.split("Exchange").length <= 4,
+      s"domain stats must stay narrow two-level distinct:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q54: packing windows are bucket-partitioned, never global") {
     val p = plan("q54_sequence_pack")
     assert(p.contains("Window"), "packing needs its per-bucket window")
