@@ -289,6 +289,35 @@ object TextAnalysisOps {
       .select(col(idCol), (col("reason") === "keep").as("keep"), col("reason"))
   }
 
+  /** Per-source vocabulary statistics with APPROXIMATE distinct counts
+    * (HyperLogLog++): token totals are exact sums; the distinct-token
+    * count uses `approx_count_distinct(rsd)` — at 100 TB an exact
+    * per-source distinct over billions of tokens shuffles (source,
+    * token) for every token, while the HLL sketch is a few KB per
+    * source merged map-side. `rsd` is the standard-deviation knob
+    * (default 2.3%). The exact twin ([[exactVocab]]) exists for
+    * verification at test scale; sketches are engine-specific, so this
+    * operator is spec-checked against the exact twin rather than
+    * oracle-hashed. */
+  def approxVocab(docs: DataFrame, sourceCol: String, textCol: String,
+                  rsd: Double = 0.023): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("token"), rsd).as("approx_vocab"))
+
+  /** Exact twin of [[approxVocab]] — correct at any scale but shuffles
+    * every (source, token) pair; use for verification, not for the
+    * 100 TB pass. */
+  def exactVocab(docs: DataFrame, sourceCol: String,
+                 textCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("exact_vocab"))
+
   /** Paragraph-level exact dedup across the corpus (the CCNet/
     * RefinedWeb boilerplate-removal pass): split each document on
     * `sep`, keep the FIRST occurrence of every distinct paragraph

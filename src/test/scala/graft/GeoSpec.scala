@@ -111,6 +111,17 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(atPole - 111.6938650) < 1e-4, s"got $atPole")
   }
 
+  test("karney: exactly symmetric under endpoint swap") {
+    // the canonicalization (swap to |lat1| >= |lat2|, fold signs) makes
+    // both directions solve the identical problem — bit-equal results
+    (1 to 300).foreach { _ =>
+      val (la1, lo1, la2, lo2) = (randLat(), randLon(), randLat(), randLon())
+      val ab = Geo.geodesicKm(la1, lo1, la2, lo2)
+      val ba = Geo.geodesicKm(la2, lo2, la1, lo1)
+      assert(ab == ba, s"($la1,$lo1)<->($la2,$lo2): $ab vs $ba")
+    }
+  }
+
   test("haversine within 0.6 percent of geodesic mid-range") {
     (1 to 200).foreach { _ =>
       val (la1, lo1, la2, lo2) = (randLat(), randLon(), randLat(), randLon())

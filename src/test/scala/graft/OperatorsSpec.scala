@@ -418,6 +418,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a.com", 3L, 2L), ("b.org", 1L, 1L)))
   }
 
+  test("approxVocab: HLL distinct within rsd bounds of the exact twin") {
+    import graft.operators.TextAnalysisOps
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val approx = TextAnalysisOps.approxVocab(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val exact = TextAnalysisOps.exactVocab(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, (nTok, nVocab)) =>
+      val (aTok, aVocab) = approx(src)
+      assert(aTok == nTok, s"$src token totals must be exact")
+      // 2.3% rsd — allow 4 sigma
+      assert(math.abs(aVocab - nVocab) <= math.max(4, 0.1 * nVocab),
+        s"$src: approx $aVocab vs exact $nVocab")
+    }
+  }
+
   test("decontaminate flags benchmark shingle overlap") {
     import graft.operators.TextAnalysisOps
     val train = Seq(
