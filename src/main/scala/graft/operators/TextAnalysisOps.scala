@@ -249,10 +249,30 @@ object TextAnalysisOps {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Int = 20, minQuality: Double = 0.72,
              maxDup3Frac: Double = 0.02, keepLang: String = "en"): DataFrame = {
-    import graft.functions.TextExpressions.wordShingles
     import org.apache.spark.sql.expressions.Window
-    val s1 = docs.select(col(idCol), col(textCol).as("__text"),
-      tokens(col(textCol)).as("__t"))
+    val s3 = curationSignals(docs, idCol, textCol)
+    val rk = row_number().over(
+      Window.partitionBy(col("__sig")).orderBy(col(idCol)))
+    val reason =
+      when(col("__rk") > 1, "exact_dup")
+        .otherwise(gateReason(minTokens, minQuality, maxDup3Frac, keepLang))
+    s3.withColumn("__rk", rk)
+      .select(col(idCol), reason.as("reason"))
+      .select(col(idCol), (col("reason") === "keep").as("keep"), col("reason"))
+  }
+
+  /** The per-doc curation signals in ONE narrow projection pass:
+    * (id, __sig, __n, __q, __dup3, __lang) + `keep` pass-through
+    * columns; the text never survives past this select. Shared by the
+    * batch and streaming curation forms. */
+  private def curationSignals(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              keep: Seq[String] = Nil): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val keepCols = keep.map(col)
+    val s1 = docs.select(
+      (Seq(col(idCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__t")) ++ keepCols): _*)
     val s2 = s1.select(
       (Seq(col(idCol), md5(col("__text")).as("__sig"),
         size(col("__t")).as("__n"),
@@ -260,7 +280,7 @@ object TextAnalysisOps {
         wordShingles(col("__t"), 3).as("__s3")) ++
         Markers.map { case (lang, _) =>
           markerHits(col("__t"), lang).as(s"__h_$lang")
-        }): _*)
+        } ++ keepCols): _*)
     val hit = Markers.map { case (lang, _) => lang -> col(s"__h_$lang") }.toMap
     val lang =
       when(greatest(Markers.map(m => hit(m._1)): _*) === 0, "unk")
@@ -271,23 +291,44 @@ object TextAnalysisOps {
         .when(hit("es") >= hit("de") && hit("es") >= hit("zh"), "es")
         .when(hit("de") >= hit("zh"), "de")
         .otherwise("zh")
-    val s3 = s2.select(col(idCol), col("__sig"), col("__n"), col("__q"),
-      ((size(col("__s3")) - size(array_distinct(col("__s3"))))
-        .cast("double") / size(col("__s3"))).as("__dup3"),
-      lang.as("__lang"))
-    val rk = row_number().over(
-      Window.partitionBy(col("__sig")).orderBy(col(idCol)))
-    val reason =
-      when(col("__rk") > 1, "exact_dup")
-        .when(col("__n") < minTokens, "too_short")
-        .when(col("__q") < minQuality, "low_quality")
-        .when(col("__dup3") > maxDup3Frac, "repetitive")
-        .when(col("__lang") =!= keepLang, "wrong_lang")
-        .otherwise("keep")
-    s3.withColumn("__rk", rk)
-      .select(col(idCol), reason.as("reason"))
-      .select(col(idCol), (col("reason") === "keep").as("keep"), col("reason"))
+    s2.select(
+      (Seq(col(idCol), col("__sig"), col("__n"), col("__q"),
+        ((size(col("__s3")) - size(array_distinct(col("__s3"))))
+          .cast("double") / size(col("__s3"))).as("__dup3"),
+        lang.as("__lang")) ++ keepCols): _*)
   }
+
+  /** The stateless gate chain over [[curationSignals]] columns (all
+    * rules except exact-dup, which needs cross-doc state). */
+  private def gateReason(minTokens: Int, minQuality: Double,
+                         maxDup3Frac: Double, keepLang: String) =
+    when(col("__n") < minTokens, "too_short")
+      .when(col("__q") < minQuality, "low_quality")
+      .when(col("__dup3") > maxDup3Frac, "repetitive")
+      .when(col("__lang") =!= keepLang, "wrong_lang")
+      .otherwise("keep")
+
+  /** Streaming curation: the same gates over a document STREAM.
+    * Signals are stateless projections; the exact-dup rule becomes a
+    * watermark-bounded `dropDuplicatesWithinWatermark` on the content
+    * signature — duplicate arrivals inside the watermark are DROPPED
+    * (streaming append semantics label nothing retroactively; the batch
+    * form's keep-first-by-id becomes keep-first-by-arrival). State is
+    * one 16-byte signature per doc inside the watermark window —
+    * bounded, the only state in the pipeline. */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+                   eventTimeCol: String, watermarkDelay: String,
+                   minTokens: Int = 20, minQuality: Double = 0.72,
+                   maxDup3Frac: Double = 0.02,
+                   keepLang: String = "en"): DataFrame =
+    curationSignals(docs, idCol, textCol, keep = Seq(eventTimeCol))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__sig")
+      .select(col(idCol),
+        (gateReason(minTokens, minQuality, maxDup3Frac, keepLang)
+          === "keep").as("keep"),
+        gateReason(minTokens, minQuality, maxDup3Frac, keepLang)
+          .as("reason"))
 
   /** Per-source vocabulary statistics with APPROXIMATE distinct counts
     * (HyperLogLog++): token totals are exact sums; the distinct-token

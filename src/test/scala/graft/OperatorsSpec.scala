@@ -571,6 +571,33 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream: stateless gates + watermarked dedup on a stream") {
+    import graft.operators.TextAnalysisOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val good = ("the and of to is " * 8).trim            // en, long enough
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDS().toDF("doc_id", "text", "sec")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val out = TextAnalysisOps.curateStream(docs, "doc_id", "text",
+      "event_time", "10 seconds", minQuality = 0.0, maxDup3Frac = 2.0)
+    val q = out.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, good, 100L), (2L, "too short", 101L))
+      q.processAllAvailable()
+      mem.addData((3L, good, 102L), // exact dup of 1 inside the watermark
+        (4L, "le la les et est " + ("bon jour mot " * 10), 103L)) // fr
+      q.processAllAvailable()
+      val got = spark.table("curate_out")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got(1L) == "keep")
+      assert(got(2L) == "too_short")
+      assert(!got.contains(3L), "duplicate arrival must be dropped")
+      assert(got(4L) == "wrong_lang")
+    } finally q.stop()
+  }
+
   test("sessionize splits on gap > threshold") {
     val df = Seq(("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L), ("u", 300L))
       .map { case (k, t) => (k, t.toDouble) }.toDF("k", "ts")
