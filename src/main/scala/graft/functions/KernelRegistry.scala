@@ -88,5 +88,9 @@ object KernelRegistry {
     entry("cosine_sim", classOf[CosineExpr]) { es =>
       require(es.length == 2, "cosine_sim(a, b)")
       CosineExpr(es(0), es(1))
+    },
+    entry("argmin_l2", classOf[ArgminL2Expr]) { es =>
+      require(es.length == 2, "argmin_l2(vec, centroid_matrix)")
+      ArgminL2Expr(es(0), es(1))
     })
 }

@@ -42,6 +42,69 @@ object VectorKernels {
   }
 }
 
+object VectorKernelsArgmin {
+
+  /** 1-based argmin of squared-L2 distance between `v` and each row of
+    * the centroid matrix; per-centroid distance is the identical
+    * left-to-right fold as `aggregate(zip_with(v, c, (x,cc) =>
+    * (x-cc)*(x-cc)), 0.0, +)`, and strict `<` keeps the FIRST minimum —
+    * bit-equal to `array_position(d, array_min(d))` over the HOF
+    * distance array (the form the k-means operators started with and
+    * the DuckDB oracle still uses). */
+  def argminL2(v: ArrayData, cents: ArrayData): Long = {
+    val k = cents.numElements()
+    if (k == 0)
+      throw new IllegalArgumentException("argmin_l2: empty centroid matrix")
+    val n = v.numElements()
+    var best = 0.0
+    var bestJ = 0L
+    var j = 0
+    while (j < k) {
+      val c = cents.getArray(j)
+      if (c.numElements() != n)
+        throw new IllegalArgumentException(
+          s"argmin_l2: centroid $j has dim ${c.numElements()}, vector $n")
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i) || c.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"argmin_l2: null element at index $i — filter or impute upstream")
+        val d = v.getDouble(i) - c.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      if (j == 0 || acc < best) { best = acc; bestJ = j + 1 }
+      j += 1
+    }
+    bestJ
+  }
+}
+
+/** Nearest-centroid assignment (k-means cell) as a single codegen
+  * kernel: the HOF form builds a k-element distance array per row from
+  * k interpreted folds; this runs the same flops in-register and skips
+  * the array allocation. */
+case class ArgminL2Expr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(
+    ArrayType(DoubleType, containsNull = true),
+    ArrayType(ArrayType(DoubleType, containsNull = true),
+      containsNull = false))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "argmin_l2"
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    VectorKernelsArgmin.argminL2(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.VectorKernelsArgmin.argminL2($v, $c)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosineExpr(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
   // containsNull = true: element-nullable arrays (the common externally
@@ -67,4 +130,8 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def argminL2(v: Column, cents: Column): Column =
+    GraftColumnBridge.column(ArgminL2Expr(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(cents)))
 }

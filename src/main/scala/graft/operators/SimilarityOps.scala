@@ -151,9 +151,6 @@ object SimilarityOps {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       dim: Int, k: Int, iters: Int): Array[Array[Double]] = {
     val S = 1048576.0 // 2^20: embeddings are O(1), so scaled longs are exact
-    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
-      aggregate(zip_with(v, array(c.map(lit): _*),
-        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
     // cached for the training loop only: seeds + one pass per iteration
     // all read this narrow (id-hash, vector) projection — without the
     // cache each iteration re-scans and re-decodes the source
@@ -166,15 +163,14 @@ object SimilarityOps {
     require(seeds.length == k, s"corpus smaller than k=$k")
     var cents = seeds.map(_.map(x => math.floor(x * S) / S))
     for (_ <- 0 until iters) {
+      // assignment via the argmin_l2 codegen kernel — bit-equal to the
+      // array_position(array_min) HOF form (same fold, first-min), one
+      // in-register pass instead of k interpreted folds + an array
+      val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
       val sums = v0
-        .select(col("__v"),
-          transform(col("__v"), x => floor(x * S)).as("__xs"))
-        // materialize the distance array ONCE: min + position both
-        // reference the projected attribute, not re-evaluated folds
-        .select(col("__xs"),
-          array(cents.map(c => dist2(col("__v"), c)): _*).as("__d"))
-        .select(col("__xs"),
-          array_position(col("__d"), array_min(col("__d"))).as("cell"))
+        .select(transform(col("__v"), x => floor(x * S)).as("__xs"),
+          graft.functions.VectorExpressions.argminL2(col("__v"), centsLit)
+            .as("cell"))
         .select(col("cell"), posexplode(col("__xs")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -213,11 +209,15 @@ object SimilarityOps {
         (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
     def distArr(v: org.apache.spark.sql.Column) =
       array(cents.map(c => dist2(v, c)): _*)
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    // corpus side (the big side): native argmin kernel; the few query
+    // rows below keep the HOF distance array — they need every distance
+    // for the probe ordering, not just the argmin
     val c = corpus
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("__d", distArr(col("cv")))
       .select(col("neighbor_id"), col("cv"),
-        array_position(col("__d"), array_min(col("__d"))).as("cell"))
+        graft.functions.VectorExpressions.argminL2(col("cv"), centsLit)
+          .as("cell"))
     val q = queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("__d", distArr(col("qv")))

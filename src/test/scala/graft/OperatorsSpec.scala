@@ -279,6 +279,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).getInt(2) == 2 && got(2).getInt(3) == 1)
   }
 
+  test("argmin_l2 kernel matches the HOF argmin form exactly " +
+      "(codegen + interpreted)") {
+    import graft.functions.VectorExpressions
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("id", "v")
+    val cents = Array.fill(5)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
+    val hof = array_position(
+      array(cents.map(c => dist2(col("v"), c)): _*),
+      array_min(array(cents.map(c => dist2(col("v"), c)): _*)))
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    def check(): Unit = {
+      val rows = vecs.select(col("id"),
+        VectorExpressions.argminL2(col("v"), centsLit).as("k"),
+        hof.as("h")).collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"id=${r.getLong(0)}: kernel ${r.getLong(1)} vs hof ${r.getLong(2)}"))
+    }
+    check() // whole-stage codegen
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted nullSafeEval
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("kmeansIvfTopK: learned cells separate clusters; own-cluster " +
       "neighbors at probe=1") {
     // two well-separated clusters on a 4-dim sphere: after training,

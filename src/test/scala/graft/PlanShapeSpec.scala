@@ -112,8 +112,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q58: learned centroids enter as literals — corpus assignment is " +
       "a projection, candidates pair via broadcast") {
     val p = plan("q58_kmeans_ivf")
-    assert(p.contains("array_position"),
-      "cell assignment must be an argmin projection")
+    assert(p.contains("argmin_l2"),
+      "cell assignment must run in the native argmin kernel")
     assert(p.contains("BroadcastHashJoin"),
       "probed query cells must broadcast")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
