@@ -546,6 +546,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-quota stratified sample: every source represented at
+    // ceil(rate*n) no matter the corpus mix — the deterministic
+    // per-stratum variant of q48's hash sampling.
+    "q63_stratified_sample" -> ((s, dir) => {
+      SamplingOps.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id").cast("string"), rate = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
     // Paragraph-level exact dedup (boilerplate removal): every doc gets
     // a trailing footer paragraph shared by its doc_id % 7 class — the
     // dedup must keep each footer's first corpus occurrence only and
@@ -1515,6 +1525,18 @@ FROM rec ORDER BY query_id"""),
         |  len(regexp_extract_all(text, '""".stripMargin +
         TextAnalysisOps.UrlPattern + """')) AS n_urls
         |FROM inj ORDER BY doc_id""".stripMargin),
+
+    "q63_stratified_sample" ->
+      """WITH rk AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(doc_id::VARCHAR), 1, 8),
+        |        doc_id::VARCHAR) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source FROM rk
+        |WHERE rk * 1000000 <= n * 250000 + 999999
+        |ORDER BY doc_id""".stripMargin,
 
     "q61_paragraph_dedup" ->
       """WITH inj AS (

@@ -93,6 +93,17 @@ object ScaleProbe {
     time(s"ivfTopK x$n corpus")(
       SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", k = 5, dim = 64, bits = 8, probe = 3))
+    // k-means IVF: training (3 iterations over the replicated corpus)
+    // + assignment + probe — the per-iteration shuffle is k x dim rows
+    // regardless of N, so this must track the corpus scan, not blow up
+    time(s"kmeansIvfTopK x$n corpus")(
+      SimilarityOps.kmeansIvfTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = 64,
+        cells = 8, iters = 3, probe = 2))
+    time(s"lshRecallProbe x$n corpus")(
+      graft.operators.DedupOps.embeddingLshRecallProbe(emb, "vec_id",
+        "embedding", threshold = 0.9, dim = 64, tables = 8, bits = 12,
+        sampleN = 400))
 
     // events ×N through the flagship sessionize plan
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

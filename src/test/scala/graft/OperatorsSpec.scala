@@ -419,6 +419,25 @@ class OperatorsSpec extends AnyFunSuite {
       ("c", 2L, "1,2")))
   }
 
+  test("stratifiedSample: exact ceil quota per stratum, deterministic") {
+    import graft.operators.SamplingOps
+    // skewed strata: 100 vs 7 rows; plain hash sampling would miss the
+    // small one in expectation, the quota form cannot
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 107).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val got = SamplingOps.stratifiedSample(docs, col("src"),
+      col("id").cast("string"), rate = 0.25).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("big") == 25)   // ceil(0.25 * 100)
+    assert(bySrc("small") == 2)  // ceil(0.25 * 7)
+    // deterministic: rerun yields the same rows
+    val again = SamplingOps.stratifiedSample(docs, col("src"),
+      col("id").cast("string"), rate = 0.25).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("paragraphDedup: first corpus occurrence wins, per-doc survival") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
