@@ -546,6 +546,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus snapshot diff (incremental-run planning): the "new" corpus
+    // is derived deterministically — every 10th doc edited, every 17th
+    // dropped, a synthetic doc added per 23rd — and the diff must label
+    // exactly those.
+    "q64_corpus_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newer = old
+        .filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      DedupOps.corpusDiff(old, newer, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-quota stratified sample: every source represented at
     // ceil(rate*n) no matter the corpus mix — the deterministic
     // per-stratum variant of q48's hash sampling.
@@ -1525,6 +1543,25 @@ FROM rec ORDER BY query_id"""),
         |  len(regexp_extract_all(text, '""".stripMargin +
         TextAnalysisOps.UrlPattern + """')) AS n_urls
         |FROM inj ORDER BY doc_id""".stripMargin),
+
+    "q64_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM old WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new doc ' || doc_id::VARCHAR
+        |  FROM old WHERE doc_id % 23 = 0),
+        |o AS (SELECT doc_id, md5(text) AS osig FROM old),
+        |n AS (SELECT doc_id, md5(text) AS nsig FROM newer)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN osig <> nsig THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q63_stratified_sample" ->
       """WITH rk AS (

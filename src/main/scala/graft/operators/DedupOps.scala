@@ -44,6 +44,28 @@ object DedupOps {
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Corpus snapshot diff for incremental pipeline runs: compare two
+    * corpus versions by id, detecting content change via the 16-byte
+    * signature — the planning step that lets a 100 TB re-crawl
+    * reprocess only `added`/`changed` docs instead of everything.
+    *
+    * Scale shape: both sides reduce to (id, sig) projections before the
+    * full-outer join — the text never crosses an exchange; the join
+    * shuffles 24-byte rows on the id. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("__osig"))
+    val n = newDocs.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("__nsig"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__osig").isNull, "added")
+          .when(col("__nsig").isNull, "removed")
+          .when(col("__osig") =!= col("__nsig"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Exact-duplicate groups: content hash -> ids (diagnostic view). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))

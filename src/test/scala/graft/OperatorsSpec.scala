@@ -419,6 +419,16 @@ class OperatorsSpec extends AnyFunSuite {
       ("c", 2L, "1,2")))
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged") {
+    import graft.operators.DedupOps
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newer = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "text")
+    val got = DedupOps.corpusDiff(old, newer, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
   test("stratifiedSample: exact ceil quota per stratum, deterministic") {
     import graft.operators.SamplingOps
     // skewed strata: 100 vs 7 rows; plain hash sampling would miss the
