@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layout for co-located joins.
+  *
+  * At 100 TB the dominant cost of a fact-fact join is shuffling both
+  * sides on the key. Writing hot tables bucketed (hash-partitioned into
+  * a fixed file layout) AND sorted by the join key moves that shuffle
+  * to write time, once: every later join or aggregation on the bucket
+  * key runs exchange-free (Spark reads the bucket spec from the catalog
+  * and plans a zero-Exchange sort-merge join when bucket counts match).
+  * The curated-corpus pattern: curate once → write bucketed by doc_id →
+  * every downstream enrichment join is co-located.
+  *
+  * BucketingSpec pins the property: a self/two-table join over frames
+  * written through [[writeBucketed]] must contain NO Exchange.
+  */
+object Warehouse {
+
+  /** Write `df` as a bucketed + sorted managed parquet table.
+    * `nBuckets` should scale with the data: each bucket becomes one
+    * task's read unit on the join side — target 100-500 MB per bucket
+    * at the expected table size (buckets are per-writer-task files,
+    * so also keep nBuckets modest relative to write parallelism). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+}

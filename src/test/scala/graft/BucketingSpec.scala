@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warehouse
+
+/** The co-located-join property: tables written through
+  * [[Warehouse.writeBucketed]] with matching bucket counts must join
+  * WITHOUT a shuffle — the layout paid the exchange at write time. */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed tables join with zero exchanges") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val quality = docs.select(col("doc_id"),
+      (col("n_chars") % 100).as("q"))
+    Warehouse.writeBucketed(docs, "b_docs", "doc_id", 4)
+    Warehouse.writeBucketed(quality, "b_quality", "doc_id", 4)
+    // the fixture tables are broadcast-sized; disable broadcast so the
+    // planner exercises the bucketed sort-merge path under test (at real
+    // scale neither fact side fits a broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_docs")
+        .join(spark.table("b_quality"), Seq("doc_id"))
+      assert(joined.count() == docs.count())
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"bucketed join should sort-merge:\n$p")
+      assert(!p.contains("Exchange"),
+        s"matching-bucket join must NOT shuffle:\n$p")
+      // and a bucket-key aggregation is exchange-free too
+      val agg = spark.table("b_docs").groupBy("doc_id")
+        .agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-key aggregation must reuse the layout")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_quality")
+    }
+  }
+}
