@@ -139,7 +139,8 @@ object SimilarityOps {
     *    integers (order-free — FP partial-agg order can never leak in),
     *    and the mean is two deterministic divisions;
     *  - assignment: squared-L2 as a fixed-order left fold, argmin with
-    *    lowest-index tie-break (`array_position` of the min).
+    *    lowest-index tie-break — the native `argmin_l2` kernel, bit-equal
+    *    to `array_position` of the min over the HOF distance array.
     *
     * Scale shape: each iteration is one corpus scan; the shuffle
     * carries (cell, dim) partial sums — k×dim rows per partition after
@@ -177,7 +178,7 @@ object SimilarityOps {
         .collect()
       val next = cents.map(_.clone())
       sums.foreach { r =>
-        // posexplode is 0-based; cells are 1-based (array_position)
+        // posexplode is 0-based; cells are 1-based (argmin_l2)
         next(r.getLong(0).toInt - 1)(r.getInt(1)) =
           (r.getLong(2).toDouble / r.getLong(3).toDouble) / S
       } // cells with no members keep their previous centroid
