@@ -111,6 +111,18 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(atPole - 111.6938650) < 1e-4, s"got $atPole")
   }
 
+  test("karney: short lines (metre scale) stay accurate") {
+    // exercises the shortline fast path (start guess IS the answer);
+    // ~1.57 m east at 45N: dx = cos(45°) * 1e-5 deg of longitude
+    val m = Geo.geodesicKm(45.0, 7.0, 45.0, 7.00001) * 1000.0
+    val expected = 1e-5 / 360.0 * 2 * math.Pi *
+      6378137.0 * math.cos(math.toRadians(45.0))
+    assert(math.abs(m - expected) < 0.01, s"got $m vs ~$expected")
+    // agreement with Vincenty at metre scale too
+    val v = Geo.vincentyKm(45.0, 7.0, 45.0, 7.00001) * 1000.0
+    assert(math.abs(m - v) < 1e-4, s"karney $m vs vincenty $v") // 0.1 mm
+  }
+
   test("karney: exactly symmetric under endpoint swap") {
     // the canonicalization (swap to |lat1| >= |lat2|, fold signs) makes
     // both directions solve the identical problem — bit-equal results
