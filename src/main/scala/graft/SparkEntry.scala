@@ -546,6 +546,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram surprisal (LM-proxy quality): per-token -ln(p) quantized
+    // to integer micro-nats before the per-doc sum, so accumulation
+    // order cannot leak — the scaled-integer parity trick.
+    "q65_unigram_surprisal" -> ((s, dir) => {
+      TextAnalysisOps.unigramSurprisal(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus snapshot diff (incremental-run planning): the "new" corpus
     // is derived deterministically — every 10th doc edited, every 17th
     // dropped, a synthetic doc added per 23rd — and the diff must label
@@ -1543,6 +1552,21 @@ FROM rec ORDER BY query_id"""),
         |  len(regexp_extract_all(text, '""".stripMargin +
         TextAnalysisOps.UrlPattern + """')) AS n_urls
         |FROM inj ORDER BY doc_id""".stripMargin),
+
+    "q65_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+        |tot AS (SELECT sum(n)::BIGINT AS total FROM tf),
+        |scored AS (
+        |  SELECT doc_id,
+        |    floor(-ln(n::DOUBLE / total::DOUBLE) * 1e6)::BIGINT AS micro
+        |  FROM toks JOIN tf USING (token), tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(micro)::BIGINT AS surprisal_micro,
+        |  (sum(micro)::DOUBLE / count(*)::DOUBLE / 1e6) AS avg_surprisal
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q64_corpus_diff" ->
       """WITH old AS (SELECT doc_id, text FROM documents),

@@ -359,6 +359,42 @@ object TextAnalysisOps {
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("token")).as("exact_vocab"))
 
+  /** Unigram surprisal scoring — the language-model-proxy quality
+    * signal (CCNet-style): documents whose tokens are improbable under
+    * the corpus unigram distribution score high (gibberish, boilerplate
+    * IDs, foreign text); fluent text scores low. The poor man's
+    * perplexity filter, and the standard first cut before paying for a
+    * real LM pass.
+    *
+    * Cross-engine determinism: per-token surprisal −ln(count/total) is
+    * quantized to integer micro-nats (`floor(x·1e6)` BIGINT) BEFORE the
+    * per-doc sum — integer sums are accumulation-order-free, so
+    * partial-aggregation order can never leak into the result (the same
+    * scaled-integer trick as the k-means centroids). The final mean is
+    * one deterministic division.
+    *
+    * Scale shape: token counts with map-side combine (one narrow
+    * shuffle); the vocabulary frame is vocabulary-sized — AQE broadcasts
+    * it under the threshold, else it's a narrow shuffle join; per-doc
+    * re-aggregation carries (id, bigint). */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol)))
+      .as("token"))
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = tf.agg(sum(col("n")).as("total"))
+    val scored = toks.join(tf, Seq("token")).crossJoin(broadcast(total))
+      .select(col(idCol),
+        floor(-log(col("n").cast("double") / col("total").cast("double"))
+          * 1e6).cast("long").as("__micro"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__micro")).as("surprisal_micro"))
+      .select(col(idCol), col("n_tokens"), col("surprisal_micro"),
+        (col("surprisal_micro").cast("double") /
+          col("n_tokens").cast("double") / 1e6).as("avg_surprisal"))
+  }
+
   /** Paragraph-level exact dedup across the corpus (the CCNet/
     * RefinedWeb boilerplate-removal pass): split each document on
     * `sep`, keep the FIRST occurrence of every distinct paragraph

@@ -419,6 +419,20 @@ class OperatorsSpec extends AnyFunSuite {
       ("c", 2L, "1,2")))
   }
 
+  test("unigramSurprisal: rare tokens score high, integer-domain sums") {
+    import graft.operators.TextAnalysisOps
+    // corpus: "a" x 6, "b" x 2 -> p(a)=0.75, p(b)=0.25
+    val docs = Seq((1L, "a a a a"), (2L, "a a b b")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val sa = math.floor(-math.log(0.75) * 1e6).toLong // per-'a' micro-nats
+    val sb = math.floor(-math.log(0.25) * 1e6).toLong
+    assert(got(0) == (1L, 4L, 4 * sa, 4 * sa / 4.0 / 1e6))
+    assert(got(1) == (2L, 4L, 2 * sa + 2 * sb, (2 * sa + 2 * sb) / 4.0 / 1e6))
+    assert(got(1)._4 > got(0)._4, "doc with rarer tokens must score higher")
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged") {
     import graft.operators.DedupOps
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
