@@ -546,6 +546,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // OOV rate vs the corpus top-16 vocabulary (tokenizer-fit signal;
+    // 16 < the corpus's distinct-token count so fractions are
+    // data-bearing).
+    "q66_oov_rate" -> ((s, dir) => {
+      TextAnalysisOps.oovRate(t(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram surprisal (LM-proxy quality): per-token -ln(p) quantized
     // to integer micro-nats before the per-doc sum, so accumulation
     // order cannot leak — the scaled-integer parity trick.
@@ -1552,6 +1561,21 @@ FROM rec ORDER BY query_id"""),
         |  len(regexp_extract_all(text, '""".stripMargin +
         TextAnalysisOps.UrlPattern + """')) AS n_urls
         |FROM inj ORDER BY doc_id""".stripMargin),
+
+    "q66_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM toks GROUP BY token
+        |    ORDER BY n DESC, token ASC LIMIT 16))
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  (sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*)::DOUBLE) AS oov_frac
+        |FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q65_unigram_surprisal" ->
       """WITH toks AS (

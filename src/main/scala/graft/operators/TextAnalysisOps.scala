@@ -395,6 +395,32 @@ object TextAnalysisOps {
           col("n_tokens").cast("double") / 1e6).as("avg_surprisal"))
   }
 
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * tokens — the tokenizer-fit signal: documents full of tokens a
+    * fixed vocabulary can't cover tokenize into long byte-fallback
+    * sequences and waste budget. Deterministic vocabulary: count desc
+    * with token tie-break.
+    *
+    * Scale shape: vocabulary derivation is map-side-combined counts +
+    * TakeOrdered; the membership join broadcasts the (tiny) vocabulary;
+    * per-doc aggregation carries (id, two BIGINTs). The fraction is a
+    * single exact division. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 32000): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol)))
+      .as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1).as("__iv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_frac"))
+  }
+
   /** Paragraph-level exact dedup across the corpus (the CCNet/
     * RefinedWeb boilerplate-removal pass): split each document on
     * `sep`, keep the FIRST occurrence of every distinct paragraph

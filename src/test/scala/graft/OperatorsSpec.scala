@@ -433,6 +433,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1)._4 > got(0)._4, "doc with rarer tokens must score higher")
   }
 
+  test("oovRate: corpus-top-k vocabulary membership with tie-break") {
+    import graft.operators.TextAnalysisOps
+    // counts: a=4, b=3, c=2, d=1 -> vocab(2) = {a, b}
+    val docs = Seq((1L, "a a b c"), (2L, "a a b b c d")).toDF(
+      "doc_id", "text")
+    val got = TextAnalysisOps.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 0.25),        // c OOV
+      (2L, 6L, 2L, 2.0 / 6.0)))  // c, d OOV
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged") {
     import graft.operators.DedupOps
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
