@@ -546,6 +546,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter decontamination: same bench/train split as q52, but
+    // the bench set enters as a 32 KB bitmap literal and the corpus is
+    // probed by a pure projection — no join, no train-side shuffle.
+    // Bloom hits ⊇ q52's exact hits by construction.
+    "q67_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysisOps.bloomDecontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // OOV rate vs the corpus top-16 vocabulary (tokenizer-fit signal;
     // 16 < the corpus's distinct-token count so fractions are
     // data-bearing).
@@ -1737,6 +1749,42 @@ FROM rec ORDER BY query_id"""),
         |  FROM flat JOIN bench USING (shingle) GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(h.n_hits, 0::BIGINT) AS n_hits,
         |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Bloom probe rebuilt exactly: positions = disjoint 8-hex md5
+    // windows mod 2^18; "all probes set" ≡ membership of every
+    // position in the bench position set (a Bloom bitmap IS that set).
+    "q67_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ') FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |posset AS (
+        |  SELECT DISTINCT unnest([
+        |      ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 262144,
+        |      ('0x' || substr(md5(shingle), 9, 8))::BIGINT % 262144,
+        |      ('0x' || substr(md5(shingle), 17, 8))::BIGINT % 262144]) AS pos
+        |  FROM (SELECT DISTINCT unnest(s) AS shingle FROM sh
+        |        WHERE doc_id % 20 = 0)),
+        |flat AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 262144 AS p1,
+        |    ('0x' || substr(md5(shingle), 9, 8))::BIGINT % 262144 AS p2,
+        |    ('0x' || substr(md5(shingle), 17, 8))::BIGINT % 262144 AS p3
+        |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh
+        |        WHERE doc_id % 20 <> 0)),
+        |hits AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bloom_hits FROM flat
+        |  WHERE p1 IN (SELECT pos FROM posset)
+        |    AND p2 IN (SELECT pos FROM posset)
+        |    AND p3 IN (SELECT pos FROM posset)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_bloom_hits, 0::BIGINT) AS n_bloom_hits,
+        |  coalesce(h.n_bloom_hits, 0) > 0 AS bloom_flagged
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
 

@@ -472,6 +472,76 @@ object TextAnalysisOps {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Bloom-filter decontamination: the 100 TB scale path for benchmark
+    * overlap gating. [[decontaminate]] broadcasts the bench set's
+    * DISTINCT SHINGLE STRINGS and joins — fine while the eval suite is
+    * small, but a big held-out set (or a union of dozens of benchmarks)
+    * makes that broadcast gigabytes of strings and forces the corpus
+    * shingles through a join. This variant compresses the bench set
+    * into an m-bit Bloom bitmap (2^bits bits; `probes` md5-derived
+    * positions per shingle) and probes it with a PURE PROJECTION over
+    * the corpus: no join, no shuffle, no exchange at all on the train
+    * side — the bitmap at the default 2^18 bits is a 32 KB plan
+    * literal regardless of bench size.
+    *
+    * Bloom semantics: a shingle "hits" iff ALL probe positions are set,
+    * so hits ⊇ exact matches (no false negatives; false-positive rate
+    * ≈ (set_bits/m)^probes, sized by `bits`). Probe positions come
+    * from non-overlapping 8-hex-char windows of md5 — engine-portable
+    * integers, so an oracle can rebuild the identical position set.
+    *
+    * The build collects the distinct SET-BIT POSITIONS to the driver —
+    * bounded by m (the bitmap's own size) by construction, exactly the
+    * artifact a broadcast would ship anyway.
+    *
+    * Reference analog: airstrik.py has no decontamination; this extends
+    * the curation family (see [[decontaminate]]). */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         bits: Int = 18, probes: Int = 3): DataFrame = {
+    require(bits >= 6 && bits <= 28, "bits in [6, 28] (64 b .. 32 MB)")
+    require(probes >= 1 && probes <= 4, "probes in [1, 4]: md5 has 4 " +
+      "disjoint 8-hex windows")
+    import graft.functions.TextExpressions.wordShingles
+    val m = 1L << bits
+    // probe i = hex window [8i, 8i+8) of md5, mod m — unsigned 32-bit,
+    // so the Long cast and mod never see a negative value
+    def positions(hex: Column): Seq[Column] = (0 until probes).map(i =>
+      conv(substring(hex, 1 + 8 * i, 8), 16, 10).cast("long") % m)
+    val setBits = bench
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("shingle"))
+      .select(explode(array(positions(md5(col("shingle"))): _*)).as("pos"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long]((m >> 6).toInt)
+    setBits.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63).toInt)
+    val bmp = typedlit(words.toSeq)
+    // bit test per probe: getbit(word, pos%64) — variable-position, so
+    // the Column getbit form, not the literal-shift shiftright form.
+    // Positions are MATERIALIZED per shingle first: a lambda-referenced
+    // expression is re-evaluated per reference (no CSE), so probing
+    // straight off conv(substring(md5..)) would hash every shingle
+    // 2x per probe; an element_at off a bound array is a pointer read.
+    def passes(ps: Column): Column = (1 to probes).map { i =>
+      val p = element_at(ps, i)
+      call_function("getbit", element_at(bmp, (p / 64L).cast("int") + 1),
+        p % 64L) === 1
+    }.reduce(_ && _)
+    train
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        transform(array_distinct(wordShingles(col("__t"), n)),
+          s => md5(s)).as("__h"))
+      .select(col(idCol),
+        transform(col("__h"), h => array(positions(h): _*)).as("__p"))
+      .select(col(idCol),
+        size(filter(col("__p"), passes(_))).cast("long")
+          .as("n_bloom_hits"))
+      .select(col(idCol), col("n_bloom_hits"),
+        (col("n_bloom_hits") > 0).as("bloom_flagged"))
+  }
+
   /** Corpus-level top-k word n-grams by count (vocabulary head — the
     * common first look at a new corpus). Explode → count is the right
     * shape at scale: partial (map-side) aggregation collapses each

@@ -540,6 +540,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
   }
 
+  test("bloomDecontaminate: no false negatives; agrees with exact on " +
+      "a tiny bench (FP rate ~0 at 2^18 bits)") {
+    import graft.operators.TextAnalysisOps
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "beta gamma delta"
+      (2L, "zip zap zop quux corge"),   // no overlap
+      (3L, "beta gamma delta")          // the whole doc is a bench shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bloom = TextAnalysisOps.bloomDecontaminate(
+      train, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // with 9 set bits in 262144 the false-positive term is ~0: bloom
+    // output must equal the exact operator's on this input
+    assert(bloom.toSeq == Seq((1L, 1L, true), (2L, 0L, false),
+      (3L, 1L, true)))
+    // superset invariant on a wider corpus: bloom hits >= exact hits,
+    // flags never miss a contaminated doc
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} end$i"))
+      .toDF("doc_id", "text")
+    val b2 = corpus.filter(col("doc_id") % 6 === 0)
+    val t2 = corpus.filter(col("doc_id") % 6 =!= 0)
+    val exact = TextAnalysisOps.decontaminate(t2, b2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bl = TextAnalysisOps.bloomDecontaminate(t2, b2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == bl.keySet)
+    exact.foreach { case (id, n) =>
+      assert(bl(id) >= n, s"doc $id: bloom ${bl(id)} < exact $n") }
+  }
+
   test("curate: rule precedence and keep verdicts") {
     import graft.operators.TextAnalysisOps
     val good = "the quick brown fox jumps over the lazy dog and then " +

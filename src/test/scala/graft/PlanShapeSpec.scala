@@ -98,6 +98,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q67: bloom probe is a pure projection — no join, no corpus " +
+      "shuffle; only the presentation sort exchanges") {
+    val p = plan("q67_bloom_decontaminate")
+    assert(!p.contains("Join"),
+      s"bloom decontamination must not join the bench set:\n$p")
+    assert(p.split("Exchange").length <= 2,
+      s"corpus side must not shuffle (presentation sort only):\n$p")
+  }
+
   test("q56: postings rank-capped BEFORE the aggregate — the collect " +
       "buffer is bounded at maxPostings per term") {
     val p = plan("q56_inverted_index")
