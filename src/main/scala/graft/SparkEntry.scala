@@ -546,6 +546,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget selection: greedy keep-while-it-fits over the
+    // md5-ordered corpus, via the two-phase (bucketed) prefix sum —
+    // no global single-partition window. Integer domain throughout.
+    "q68_token_budget" -> ((s, dir) => {
+      SamplingOps.tokenBudgetSample(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("__n")),
+        "doc_id", col("__n"), budget = 6000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-filter decontamination: same bench/train split as q52, but
     // the bench set enters as a 32 KB bitmap literal and the corpus is
     // probed by a pure projection — no join, no train-side shuffle.
@@ -1751,6 +1762,23 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The oracle computes the SAME greedy selection with one flat
+    // window — the bucketed two-phase form must be indistinguishable
+    // (md5-prefix buckets refine the global (md5, id) order).
+    "q68_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS tok_offset
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tok_offset FROM o
+        |WHERE tok_offset + n_tokens <= 6000 ORDER BY doc_id""".stripMargin,
 
     // Bloom probe rebuilt exactly: positions = disjoint 8-hex md5
     // windows mod 2^18; "all probes set" ≡ membership of every

@@ -38,6 +38,55 @@ object SamplingOps {
     df.filter(h >= lo && h < hi)
   }
 
+  /** Greedy token-budget selection: walk the corpus in a deterministic
+    * pseudo-random order (md5 of the key) and keep every document that
+    * still FITS — the standard "give me exactly ~N tokens of this
+    * corpus" subsetting step for training-mix construction. A doc is
+    * kept iff the docs before it leave room: offset + n_tokens <=
+    * budget, where offset is the exclusive prefix sum of token counts
+    * in (md5(key), key) order.
+    *
+    * Scale shape: a NAIVE prefix sum is a single global window — the
+    * whole corpus serialized through one partition. This is the
+    * classic two-phase distributed scan instead: docs hash-bucket by
+    * their md5 PREFIX (so bucket order refines global order), each
+    * bucket prefix-sums locally under its own window partition, and
+    * the per-bucket totals (16^bucketHexChars tiny rows) prefix-sum
+    * once and broadcast back as bucket base offsets. The corpus
+    * shuffles once on the bucket key; the only single-partition window
+    * is over the bucket-total table, which is domain-sized by
+    * construction. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, nTokens: Column,
+                        budget: Long,
+                        bucketHexChars: Int = 2): DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      "bucketHexChars in [1,8]")
+    import org.apache.spark.sql.expressions.Window
+    val key = col(idCol)
+    val base = df
+      .select(key, md5(key.cast("string")).as("__h"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("__b", substring(col("__h"), 1, bucketHexChars))
+    val within = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketBase = base
+      .groupBy(col("__b")).agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__base",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__base"))
+    base
+      .withColumn("__off",
+        coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .join(broadcast(bucketBase), Seq("__b"))
+      .withColumn("tok_offset", col("__base") + col("__off"))
+      .filter(col("tok_offset") + col("n_tokens") <= budget)
+      .select(key, col("n_tokens"), col("tok_offset"))
+  }
+
   /** Exact-quota stratified sample: per stratum, keep the
     * ceil(rate * n) rows with the smallest (md5(key), key) — hash
     * sampling's determinism plus a hard per-group quota, so every

@@ -540,6 +540,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
   }
 
+  test("tokenBudgetSample: greedy fit in md5 order; bucketed two-phase " +
+      "prefix sum matches a flat reference; partitioning-invariant") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = (1 to 40).map(i => (i.toLong, 10L + (i % 7))).toDF("id", "n")
+    val budget = 200L
+    // flat reference: exclusive prefix sums in (md5(id), id) order
+    val ordered = (1 to 40).map(i => (i.toLong, 10L + (i % 7)))
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val expect = ordered.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, cum), (id, n)) => (id, n, cum + n)
+    }.tail.map { case (id, n, cumIncl) => (id, n, cumIncl - n) }
+      .filter { case (_, n, off) => off + n <= budget }
+      .sortBy(_._1)
+    Seq(1, 13).foreach { parts =>
+      val got = SamplingOps.tokenBudgetSample(
+        docs.repartition(parts), "id", col("n"), budget)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == expect, s"mismatch at $parts partitions")
+    }
+  }
+
   test("bloomDecontaminate: no false negatives; agrees with exact on " +
       "a tiny bench (FP rate ~0 at 2^18 bits)") {
     import graft.operators.TextAnalysisOps

@@ -107,6 +107,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus side must not shuffle (presentation sort only):\n$p")
   }
 
+  test("q68: two-phase prefix sum — corpus window bucket-partitioned, " +
+      "only the domain-sized bucket-total window is single-partition") {
+    val p = plan("q68_token_budget")
+    assert(p.contains("windowspecdefinition(__b#"),
+      s"corpus prefix sum must be partitioned by the md5 bucket:\n$p")
+    assert(p.split("Exchange SinglePartition").length == 2,
+      s"exactly one single-partition exchange (the 256-row totals):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket base offsets must broadcast back")
+  }
+
   test("q56: postings rank-capped BEFORE the aggregate — the collect " +
       "buffer is bounded at maxPostings per term") {
     val p = plan("q56_inverted_index")
