@@ -92,5 +92,30 @@ object KernelRegistry {
     entry("argmin_l2", classOf[ArgminL2Expr]) { es =>
       require(es.length == 2, "argmin_l2(vec, centroid_matrix)")
       ArgminL2Expr(es(0), es(1))
+    },
+    entry("bloom_hits", classOf[BloomHitsExpr]) { es =>
+      require(es.length == 5,
+        "bloom_hits(tokens, n, bits, probes, bitmap_words)")
+      BloomHitsExpr(es(0),
+        constInt(es(1), "bloom_hits", "n"),
+        constInt(es(2), "bloom_hits", "bits"),
+        constInt(es(3), "bloom_hits", "probes"),
+        constLongArray(es(4), "bloom_hits", "bitmap_words"))
     })
+
+  private def constLongArray(e: Expression, fn: String, arg: String): Seq[Long] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: <$arg> must be a constant array (the Bloom bitmap is a " +
+          "plan literal, not a per-row value)")
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+    (e.eval(), e.dataType) match {
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(LongType, _)) => a.toLongArray().toSeq
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(IntegerType, _)) => a.toIntArray().toSeq.map(_.toLong)
+      case (other, t) => throw new IllegalArgumentException(
+        s"$fn: <$arg> must be an array<bigint> literal, got $other: $t")
+    }
+  }
 }

@@ -125,6 +125,45 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Bloom-probe hit count: distinct word n-gram shingles of the token
+    * array whose `probes` md5-derived bit positions are ALL set in the
+    * `words` bitmap (little-endian within each 64-bit word). Position i
+    * of a shingle is the unsigned 32-bit big-endian value of md5 digest
+    * bytes [4i, 4i+4) mod 2^bits — byte-identical to the SQL chain
+    * `conv(substring(md5(s), 1+8i, 8), 16, 10) % m`, so any oracle that
+    * rebuilds positions from md5 hex gets the same answer. One md5 per
+    * distinct shingle, zero intermediate arrays — this replaces a
+    * transform/filter HOF chain that re-parsed the hex 3x per probe. */
+  def bloomHits(arr: ArrayData, n: Int, bits: Int, probes: Int,
+                words: Array[Long]): Long = {
+    val shingles = wordShingles(arr, n)
+    val seen = new java.util.HashSet[String]()
+    val md = mdLocal.get()
+    val m = 1L << bits
+    var hits = 0L
+    var e = 0
+    val cnt = shingles.numElements()
+    while (e < cnt) {
+      val u = shingles.getUTF8String(e)
+      if (seen.add(u.toString)) {
+        md.reset()
+        val d = md.digest(u.getBytes)
+        var ok = true
+        var i = 0
+        while (ok && i < probes) {
+          val v = ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
+            ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
+          val p = v % m
+          ok = ((words((p >> 6).toInt) >>> (p & 63).toInt) & 1L) == 1L
+          i += 1
+        }
+        if (ok) hits += 1
+      }
+      e += 1
+    }
+    hits
+  }
+
   /** min over elements of md5(element || suffix) — the minhash /
     * fingerprint primitive (≡ `array_min(transform(a, s => md5(concat(s,
     * suffix))))`). Null for an empty (or all-null) array; null elements
@@ -225,6 +264,36 @@ case class MinMd5Expr(child: Expression, suffix: String)
     copy(child = newChild)
 }
 
+/** Bloom-probe hit count over a constant bitmap (see
+  * [[TextKernels.bloomHits]]). The bitmap rides as a plan-reference
+  * long[] — at the default 2^18 bits it's 32 KB shipped once per task,
+  * never per row; `words` is kept as a Seq so case-class equality (and
+  * thus plan canonicalization) is structural, with the Array
+  * materialized once per executor via a transient lazy val. */
+case class BloomHitsExpr(child: Expression, n: Int, bits: Int, probes: Int,
+                         words: Seq[Long])
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(bits >= 6 && bits <= 28, "bits in [6, 28]")
+  require(probes >= 1 && probes <= 4,
+    "probes in [1, 4]: md5 has 4 disjoint 4-byte windows")
+  require(words.length == (1 << (bits - 6)),
+    s"bitmap must be exactly 2^$bits bits = ${1 << (bits - 6)} longs")
+  override def inputTypes = Seq(ArrayType(StringType, containsNull = true))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_hits"
+  @transient private lazy val wordArr: Array[Long] = words.toArray
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.bloomHits(a.asInstanceOf[ArrayData], n, bits, probes, wordArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", wordArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.bloomHits($c, $n, $bits, $probes, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(WordShinglesExpr(
@@ -241,4 +310,9 @@ object TextExpressions {
   def minMd5(arr: Column, suffix: String = ""): Column =
     GraftColumnBridge.column(MinMd5Expr(
       GraftColumnBridge.expression(arr), suffix))
+
+  def bloomHits(tokens: Column, n: Int, bits: Int, probes: Int,
+                words: Seq[Long]): Column =
+    GraftColumnBridge.column(BloomHitsExpr(
+      GraftColumnBridge.expression(tokens), n, bits, probes, words))
 }

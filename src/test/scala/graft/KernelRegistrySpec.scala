@@ -41,6 +41,23 @@ class KernelRegistrySpec extends AnyFunSuite {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("bloom_hits is SQL-callable and matches the Column API") {
+    docs.createOrReplaceTempView("krs_docs")
+    // bits=6 -> one 64-bit word; -1L = all bits set, so every distinct
+    // shingle hits and the count is exactly the distinct-shingle count
+    val sql = spark.sql(
+      """SELECT id,
+        |  bloom_hits(split(body, ' '), 2, 6, 2,
+        |             array(CAST(-1 AS BIGINT))) AS k
+        |FROM krs_docs ORDER BY id""".stripMargin).collect()
+    val api = docs.select(col("id"),
+        TextExpressions.bloomHits(split(col("body"), " "), 2, 6, 2,
+          Seq(-1L)).as("k"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == api.toSeq)
+    assert(sql(0).getLong(1) == 8L) // 9 tokens -> 8 distinct 2-shingles
+  }
+
   test("vector kernels are SQL-callable and match the Column API") {
     import spark.implicits._
     val vecs = Seq(

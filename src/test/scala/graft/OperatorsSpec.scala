@@ -565,6 +565,62 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom_hits kernel matches the HOF getbit chain exactly " +
+      "(codegen + interpreted)") {
+    import graft.functions.TextExpressions.{bloomHits, wordShingles}
+    val n = 3; val bits = 10; val probes = 3
+    val m = 1L << bits
+    // bitmap with a deterministic scatter of set bits
+    val words = new Array[Long](1 << (bits - 6))
+    val rnd = new scala.util.Random(7)
+    // ~70% fill: at 3 probes ≈1/3 of shingles hit, so the fixture
+    // exercises both branches (hit and miss) with certainty
+    (0 until 2200).foreach { _ =>
+      val p = rnd.nextInt(m.toInt)
+      words(p >> 6) |= 1L << (p & 63)
+    }
+    val bmp = typedlit(words.toSeq)
+    import org.apache.spark.sql.Column
+    def positions(hex: Column): Seq[Column] = (0 until probes).map(i =>
+      conv(substring(hex, 1 + 8 * i, 8), 16, 10).cast("long") % m)
+    def passes(ps: Column): Column = (1 to probes).map { i =>
+      val p = element_at(ps, i)
+      call_function("getbit", element_at(bmp, (p / 64L).cast("int") + 1),
+        p % 64L) === 1
+    }.reduce(_ && _)
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until (i % 9).toInt + 1).map(j => s"w${(i + j) % 13}")
+        .mkString(" "))).toDF("id", "text")
+    def check(): Unit = {
+      val got = docs
+        .select(col("id"),
+          bloomHits(split(col("text"), " "), n, bits, probes, words.toSeq)
+            .as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = docs
+        .select(col("id"), split(col("text"), " ").as("__t"))
+        .select(col("id"),
+          transform(array_distinct(wordShingles(col("__t"), n)),
+            s => md5(s)).as("__h"))
+        .select(col("id"),
+          transform(col("__h"), h => array(positions(h): _*)).as("__p"))
+        .select(col("id"),
+          size(filter(col("__p"), passes(_))).cast("long").as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp)
+      assert(exp.values.sum > 0, "fixture must produce some hits")
+    }
+    check() // whole-stage codegen
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted nullSafeEval
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("bloomDecontaminate: no false negatives; agrees with exact on " +
       "a tiny bench (FP rate ~0 at 2^18 bits)") {
     import graft.operators.TextAnalysisOps
