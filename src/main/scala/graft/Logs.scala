@@ -15,7 +15,13 @@ object Logs {
     * plan level. Suppressing the logger keeps real warnings readable;
     * protection against a genuinely unpartitioned window sneaking into
     * a hot path lives in PlanShapeSpec's per-query plan guards, not in
-    * log grepping. */
+    * log grepping.
+    *
+    * CONTRACT: this mutes the logger JVM-WIDE, including user-supplied
+    * plans in the same session — so every new `queries()` entry that
+    * uses a window MUST add a PlanShapeSpec guard pinning its partition
+    * keys; the log line will not warn for you. Call this only from
+    * engine mains (Bench/Verify/Repl), never from library code. */
   def quietBenignWarnings(): Unit =
     Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)

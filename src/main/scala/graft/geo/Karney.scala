@@ -58,9 +58,18 @@ object Karney {
     }
   }
 
+  /** Normalize an angle into [−180, 180] (GeographicLib AngNormalize):
+    * `%` alone leaves values in (−360, 360), so mixed-convention inputs
+    * like −350 vs 350 would otherwise difference to 340, not −20. */
+  private def angNorm(x: Double): Double = {
+    var r = x % 360.0
+    if (r > 180.0) r -= 360.0 else if (r < -180.0) r += 360.0
+    r
+  }
+
   /** lon2 − lon1 normalized to [−180, 180]. */
   private def angDiff(lon1: Double, lon2: Double): Double = {
-    var d = (lon2 % 360.0) - (lon1 % 360.0)
+    var d = angNorm(lon2) - angNorm(lon1)
     if (d > 180.0) d -= 360.0 else if (d < -180.0) d += 360.0
     d
   }

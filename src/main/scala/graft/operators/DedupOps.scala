@@ -54,15 +54,19 @@ object DedupOps {
     * shuffles 24-byte rows on the id. */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
+    // presence comes from a literal marker, not the signature's nullness:
+    // md5(NULL) is NULL, so a present row with null text would otherwise
+    // read as absent and misclassify as added/removed. Null-safe equality
+    // then treats (null text, null text) as unchanged.
     val o = oldDocs.select(col(idCol).as("__id"),
-      md5(col(textCol)).as("__osig"))
+      md5(col(textCol)).as("__osig"), lit(true).as("__old"))
     val n = newDocs.select(col(idCol).as("__id"),
-      md5(col(textCol)).as("__nsig"))
+      md5(col(textCol)).as("__nsig"), lit(true).as("__new"))
     o.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__osig").isNull, "added")
-          .when(col("__nsig").isNull, "removed")
-          .when(col("__osig") =!= col("__nsig"), "changed")
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(!(col("__osig") <=> col("__nsig")), "changed")
           .otherwise("unchanged").as("status"))
   }
 
@@ -296,7 +300,7 @@ object DedupOps {
       .distinct()
       .cache()
     val caught = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
-    sample.agg(count(lit(1)).as("n_sample"))
+    val summary = sample.agg(count(lit(1)).as("n_sample"))
       .crossJoin(exact.agg(count(lit(1)).as("n_true_pairs")))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
       .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
@@ -305,6 +309,16 @@ object DedupOps {
         when(col("n_true_pairs") > 0,
           col("n_caught").cast("double") /
             col("n_true_pairs").cast("double")).as("recall"))
+    // materialize the single summary row eagerly so the three probe
+    // caches can be dropped NOW — a long-lived session running repeated
+    // probes must not accumulate executor memory until an external
+    // clearCache (same discipline as kmeansCentroids' unpersist)
+    val rows = summary.collect().toSeq
+    sample.unpersist()
+    exact.unpersist()
+    cand.unpersist()
+    import scala.jdk.CollectionConverters._
+    emb.sparkSession.createDataFrame(rows.asJava, summary.schema)
   }
 
   /** Per-table LSH bucket diagnostics: bucket count, max bucket size and

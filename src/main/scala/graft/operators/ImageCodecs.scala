@@ -52,24 +52,32 @@ object ImageCodecs {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     var off = 2
-    while (off + 9 < b.length) {
+    while (off + 1 < b.length) {
       if ((b(off) & 0xff) != 0xff) return None
-      val marker = b(off + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        off += 2 // standalone markers, no length field
+      // the spec allows any number of 0xFF fill bytes before the marker
+      // code; `mOff` lands on the actual code byte
+      var mOff = off + 1
+      while (mOff + 1 < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1
+      val marker = b(mOff) & 0xff
+      if (marker == 0xff) return None // trailing fill, no marker code
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        off = mOff + 1 // standalone markers (SOI/TEM/RSTn), no length field
       } else if (marker == 0xd9 || marker == 0xda) {
         return None // EOI / start-of-scan before any SOF
       } else {
-        val len = be16(b, off + 2)
-        if (len < 2 || off + 2 + len > b.length) return None
+        if (mOff + 2 >= b.length) return None
+        val len = be16(b, mOff + 1)
+        if (len < 2 || mOff + 1 + len > b.length) return None
         if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
-          val h = be16(b, off + 5)
-          val w = be16(b, off + 7)
-          val ncomp = b(off + 9) & 0xff
+          if (len < 8) return None // SOF payload is >= 6 bytes + length
+          val h = be16(b, mOff + 4)
+          val w = be16(b, mOff + 6)
+          val ncomp = b(mOff + 8) & 0xff
           return if (w > 0 && h > 0 && ncomp > 0)
             Some(ImageInfo("image/jpeg", w, h, ncomp)) else None
         }
-        off += 2 + len
+        off = mOff + 1 + len
       }
     }
     None

@@ -22,6 +22,15 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(km - 111.319491) < 0.001, s"got $km")
   }
 
+  test("geodesic: out-of-convention longitudes normalize per-operand") {
+    // -350 ≡ +10 and +350 ≡ -10: each operand must normalize to
+    // [-180,180] BEFORE differencing (a single ±360 pass over the raw
+    // difference yields 340° instead of -20° and a wildly wrong s12)
+    val want = Geo.geodesicKm(20.0, 10.0, 30.0, -10.0)
+    assert(math.abs(Geo.geodesicKm(20.0, -350.0, 30.0, 350.0) - want) < 1e-9)
+    assert(math.abs(Geo.geodesicKm(20.0, 370.0, 30.0, -370.0) - want) < 1e-9)
+  }
+
   test("geodesic: coincident points are zero") {
     assert(Geo.geodesicKm(35.7270309, -78.695587, 35.7270309, -78.695587) == 0.0)
   }

@@ -47,6 +47,29 @@ class MultimodalReplSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageCodecs: jpeg fill bytes and TEM marker are tolerated") {
+    import graft.operators.ImageCodecs
+    // SOI, a TEM (standalone, no length), fill 0xFFs before an APP0,
+    // then SOF0 24x16 with 3 components — valid per the marker spec
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+    val sof = Array[Byte](8, 0, 16, 0, 24, 3) // precision, h, w, ncomp
+    val b = Array[Byte](0xff.toByte, 0xd8.toByte) ++         // SOI
+      Array[Byte](0xff.toByte, 0x01) ++                      // TEM
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte) ++  // fill + start of APP0 below
+      Array[Byte](0xe0.toByte, 0, 4, 0, 0) ++                // APP0 len=4
+      seg(0xc0, sof)
+    assert(ImageCodecs.parse(b)
+      .contains(ImageCodecs.ImageInfo("image/jpeg", 24, 16, 3)))
+    // fill bytes directly before the SOF code as well
+    val b2 = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xff.toByte) ++ seg(0xc0, sof).drop(1)
+    assert(ImageCodecs.parse(b2)
+      .contains(ImageCodecs.ImageInfo("image/jpeg", 24, 16, 3)))
+  }
+
   test("ImageCodecs: malformed payloads parse to None, never throw") {
     import graft.operators.ImageCodecs
     val bad = Seq(

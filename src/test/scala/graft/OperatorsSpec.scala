@@ -456,6 +456,35 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "removed"), (4L, "added")))
   }
 
+  test("corpusDiff: null text is content, not absence") {
+    import graft.operators.DedupOps
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val newer = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("c"))).toDF("id", "text")
+    val got = DedupOps.corpusDiff(old, newer, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // md5(NULL) is NULL: presence must come from the join marker, and
+    // null<=>null must read as unchanged, not added/removed
+    assert(got.toSeq == Seq((1L, "changed"), (2L, "unchanged"),
+      (3L, "changed")))
+  }
+
+  test("embeddingLshRecallProbe leaves no cached plans behind") {
+    import graft.operators.DedupOps
+    val rnd = new scala.util.Random(3)
+    val emb = (1L to 64L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = DedupOps.embeddingLshRecallProbe(
+      emb, "id", "embedding", threshold = 0.9, dim = 8,
+      tables = 4, bits = 8, sampleN = 32).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 32L)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "probe caches must be unpersisted before returning")
+  }
+
   test("stratifiedSample: exact ceil quota per stratum, deterministic") {
     import graft.operators.SamplingOps
     // skewed strata: 100 vs 7 rows; plain hash sampling would miss the
