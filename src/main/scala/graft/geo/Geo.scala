@@ -10,12 +10,12 @@ package graft.geo
   *
   * The inverse (distance) is [[Karney]]'s algorithm (Karney 2013 — the
   * same published algorithm geopy/GeographicLib implements), which
-  * converges for ALL pairs including near-antipodal ones. Vincenty's
-  * inverse (public-domain algorithm, Vincenty 1975) is retained as
-  * [[vincentyKm]]: an independent cross-check twin for the test suite
-  * (the two agree to sub-millimetre wherever Vincenty converges). The
-  * direct problem uses Vincenty's direct formula (no convergence issues
-  * there). Haversine (spherical) is also exposed because it is
+  * converges for ALL pairs including near-antipodal ones. The direct
+  * problem (destination) is [[Karney.direct]] from the same series.
+  * Vincenty's formulas (public-domain, Vincenty 1975) are retained as
+  * [[vincentyKm]] / [[vincentyDestination]]: independent cross-check
+  * twins for the test suite (agreement to sub-millimetre wherever
+  * Vincenty converges). Haversine (spherical) is also exposed because it is
   * expressible with Spark's codegen'd trig built-ins and is used by the
   * SQL-oracle-checked query surface.
   */
@@ -98,9 +98,26 @@ object Geo {
     B * bigA * (sigma - deltaSigma) / 1000.0
   }
 
-  /** Vincenty direct: destination (lat, lon) from origin at initial bearing
-    * `bearingDeg` after `km` on WGS-84 (reference airstrik.py:244-252). */
+  /** Destination (lat, lon) from origin at initial bearing `bearingDeg`
+    * after `km` on WGS-84 (reference airstrik.py:244-252, geopy's
+    * `geodesic().destination`) — Karney's direct solution, the same
+    * series family as [[geodesicKm]]. */
   def destination(lat: Double, lon: Double, bearingDegrees: Double, km: Double): (Double, Double) = {
+    if (km == 0.0) return (lat, lon)
+    val (la, lo, _) = Karney.direct(lat, lon, bearingDegrees, km * 1000.0)
+    (la, lo)
+  }
+
+  /** Destination plus the forward azimuth at arrival, in degrees
+    * normalized to [−180, 180] — the full direct-problem output. */
+  def destinationWithAzimuth(lat: Double, lon: Double,
+                             bearingDegrees: Double, km: Double): (Double, Double, Double) =
+    Karney.direct(lat, lon, bearingDegrees, km * 1000.0)
+
+  /** Vincenty direct (Vincenty 1975): independent cross-check twin for
+    * [[destination]] — the two agree to sub-millimetre everywhere (the
+    * direct problem has no antipodal pathology). */
+  def vincentyDestination(lat: Double, lon: Double, bearingDegrees: Double, km: Double): (Double, Double) = {
     if (km == 0.0) return (lat, lon)
     val s = km * 1000.0
     val alpha1 = math.toRadians(bearingDegrees)

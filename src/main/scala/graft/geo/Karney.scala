@@ -1,23 +1,26 @@
 package graft.geo
 
-/** Karney geodesic inverse on the WGS-84 ellipsoid.
+/** Karney geodesics on the WGS-84 ellipsoid.
   *
-  * Implements the inverse problem from C. F. F. Karney, "Algorithms for
-  * geodesics", J. Geodesy 87, 43-55 (2013) — the same published
-  * algorithm geopy uses via GeographicLib (the reference engine's
-  * distance backend, airstrik.py:400, 438, 258). Sixth-order series on
-  * the auxiliary sphere + Newton's method with a bisection-safeguarded
-  * bracket and the astroid starting guess for nearly antipodal points.
-  * Unlike Vincenty's inverse ([[Geo.vincentyKm]], kept as the
-  * cross-check twin), this converges for ALL point pairs, including the
+  * Implements the inverse AND direct problems from C. F. F. Karney,
+  * "Algorithms for geodesics", J. Geodesy 87, 43-55 (2013) — the same
+  * published algorithm geopy uses via GeographicLib (the reference
+  * engine's distance/destination backend, airstrik.py:400, 438, 258 and
+  * 244-252). Sixth-order series on the auxiliary sphere; the inverse
+  * adds Newton's method with a bisection-safeguarded bracket and the
+  * astroid starting guess for nearly antipodal points. Unlike
+  * Vincenty's inverse ([[Geo.vincentyKm]], kept as the cross-check
+  * twin), this converges for ALL point pairs, including the
   * near-antipodal region where Vincenty's fixed-point iteration
   * oscillates.
   *
-  * Distance only (azimuths are derived internally but not returned —
-  * the engine's query surface needs s12). Accuracy: round-off-limited
-  * (sub-millimetre); validated in GeoSpec against published
-  * GeographicLib values and a seeded 1 cm sweep vs Vincenty away from
-  * the antipodal region.
+  * Inverse returns s12 only (the engine's query surface needs the
+  * distance); the direct problem ([[direct]]) returns (lat2, lon2,
+  * azi2) from the same series — paper §3, using the reverted C1'
+  * expansion (eq. 21) to solve the distance integral for σ2. Accuracy:
+  * round-off-limited (sub-millimetre); validated in GeoSpec against
+  * published GeographicLib values, exact meridian/equator identities,
+  * and inverse/direct roundtrips.
   */
 object Karney {
   private val A = 6378137.0
@@ -106,6 +109,27 @@ object Karney {
   private def a2m1f(eps: Double): Double = {
     val t = eps * eps * (eps * eps * (25.0 * eps * eps + 36.0) + 64.0) / 256.0
     (t - eps) / (1.0 + eps)
+  }
+
+  /** Reverted series C1' (paper eq. 21, order 6): inverts τ(σ) so the
+    * direct problem can recover σ2 from the distance integral without
+    * iterating. */
+  private def c1pf(eps: Double): Array[Double] = {
+    val e2 = eps * eps
+    val c = new Array[Double](6)
+    var d = eps
+    c(0) = d * (e2 * (205.0 * e2 - 432.0) + 768.0) / 1536.0
+    d *= eps
+    c(1) = d * (e2 * (4005.0 * e2 - 4736.0) + 3840.0) / 12288.0
+    d *= eps
+    c(2) = d * (116.0 - 225.0 * e2) / 384.0
+    d *= eps
+    c(3) = d * (2695.0 - 7173.0 * e2) / 7680.0
+    d *= eps
+    c(4) = 3467.0 * d / 7680.0
+    d *= eps
+    c(5) = 38081.0 * d / 61440.0
+    c
   }
 
   private def c2f(eps: Double): Array[Double] = {
@@ -281,6 +305,88 @@ object Karney {
         m12b * F1 / (calp2 * cbet2)
       }
     L12(lam12, dlam12, salp2, calp2, sig12, ssig1, csig1, ssig2, csig2, eps)
+  }
+
+  /** Direct problem (paper §3): from (lat1, lon1) with initial azimuth
+    * `azi1` (degrees clockwise from north), travel `s12` metres along
+    * the geodesic; returns (lat2, lon2, azi2) in degrees, lon2 and azi2
+    * normalized to [−180, 180]. σ2 is recovered from the distance
+    * integral via the reverted series C1' (eq. 21) plus one Newton
+    * correction against the forward series, as the paper prescribes —
+    * no fixed-point iteration, so no convergence failures anywhere. */
+  def direct(lat1In: Double, lon1In: Double,
+             azi1In: Double, s12: Double): (Double, Double, Double) = {
+    val lat1 = math.max(-90.0, math.min(90.0, lat1In))
+    val azi1 = angNorm(azi1In)
+    val (salp1, calp1) = sincosd(azi1)
+
+    val (sphi1, cphi1) = sincosd(lat1)
+    var sbet1 = F1 * sphi1; var cbet1 = cphi1
+    val nb1 = norm(sbet1, cbet1); sbet1 = nb1._1; cbet1 = math.max(Tiny, nb1._2)
+
+    // α0: azimuth of the geodesic at the equator crossing (eq. 10)
+    val salp0 = salp1 * cbet1
+    val calp0 = math.hypot(calp1, salp1 * sbet1)
+
+    // σ1, ω1 (eq. 11): distance/longitude angles at the start point
+    var ssig1 = sbet1
+    val somg1 = salp0 * sbet1
+    var csig1 = if (sbet1 != 0.0 || calp1 != 0.0) cbet1 * calp1 else 1.0
+    val comg1 = csig1
+    val n1 = norm(ssig1, csig1); ssig1 = n1._1; csig1 = n1._2
+
+    val k2 = calp0 * calp0 * Ep2
+    val eps = k2 / (2.0 * (1.0 + math.sqrt(1.0 + k2)) + k2)
+
+    val a1m1 = a1m1f(eps)
+    val c1 = c1f(eps)
+    val b11 = sinSeries(ssig1, csig1, c1)
+    val sB11 = math.sin(b11); val cB11 = math.cos(b11)
+    // τ1 = σ1 + B11 (eq. 20)
+    val stau1 = ssig1 * cB11 + csig1 * sB11
+    val ctau1 = csig1 * cB11 - ssig1 * sB11
+
+    val c1p = c1pf(eps)
+    val c3 = c3f(eps)
+    val a3c = -F * salp0 * a3f(eps)
+    val b31 = sinSeries(ssig1, csig1, c3)
+
+    // τ12 = s12 / (b·A1); first σ12 estimate via the reverted series
+    val tau12 = s12 / (B * (1.0 + a1m1))
+    val st = math.sin(tau12); val ct = math.cos(tau12)
+    val b12p = -sinSeries(stau1 * ct + ctau1 * st, ctau1 * ct - stau1 * st, c1p)
+    var sig12 = tau12 - (b12p - b11)
+    var ssig12 = math.sin(sig12); var csig12 = math.cos(sig12)
+
+    // one Newton correction against the forward series (cleans up the
+    // O(eps^7) truncation of C1' — GeographicLib does the same)
+    {
+      val ssig2i = ssig1 * csig12 + csig1 * ssig12
+      val csig2i = csig1 * csig12 - ssig1 * ssig12
+      val b12 = sinSeries(ssig2i, csig2i, c1)
+      val serr = (1.0 + a1m1) * (sig12 + (b12 - b11)) - s12 / B
+      sig12 -= serr / math.sqrt(1.0 + k2 * ssig2i * ssig2i)
+      ssig12 = math.sin(sig12); csig12 = math.cos(sig12)
+    }
+
+    val ssig2 = ssig1 * csig12 + csig1 * ssig12
+    var csig2 = csig1 * csig12 - ssig1 * ssig12
+    // β2, α2, ω2 from σ2 (eq. 14 applied in reverse)
+    val sbet2 = calp0 * ssig2
+    var cbet2 = math.hypot(salp0, calp0 * csig2)
+    if (cbet2 == 0.0) { cbet2 = Tiny; csig2 = Tiny } // pole crossing
+    val somg2 = salp0 * ssig2; val comg2 = csig2
+    val salp2 = salp0; val calp2 = calp0 * csig2
+
+    // λ12 = ω12 + A3·(σ12 + (B32 − B31)) (eq. 23)
+    val omg12 = math.atan2(somg2 * comg1 - comg2 * somg1,
+      comg2 * comg1 + somg2 * somg1)
+    val b32 = sinSeries(ssig2, csig2, c3)
+    val lam12 = omg12 + a3c * (sig12 + (b32 - b31))
+    val lon2 = angNorm(angNorm(lon1In) + angNorm(math.toDegrees(lam12)))
+    val lat2 = math.toDegrees(math.atan2(sbet2, F1 * cbet2))
+    val azi2 = math.toDegrees(math.atan2(salp2, calp2))
+    (lat2, lon2, azi2)
   }
 
   /** Geodesic distance in metres between two (lat, lon) in degrees. */

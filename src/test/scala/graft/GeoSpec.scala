@@ -60,16 +60,83 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
-  test("destination then inverse recovers the distance") {
-    (1 to 200).foreach { _ =>
+  test("destination then inverse recovers the distance (sub-mm, global)") {
+    // direct and inverse are both Karney series: the roundtrip must
+    // close at round-off level, across the full distance range
+    (1 to 500).foreach { _ =>
       val la = randLat(); val lo = randLon()
       val brg = rnd.nextDouble() * 360
-      val km = rnd.nextDouble() * 500 + 0.1
+      val km = rnd.nextDouble() * 19000 + 0.1
       val (la2, lo2) = Geo.destination(la, lo, brg, km)
       val back = Geo.geodesicKm(la, lo, la2, lo2)
-      assert(math.abs(back - km) < 0.005 * km + 0.001,
+      assert(math.abs(back - km) < 1e-7 * math.max(1.0, km),
         s"dest($la,$lo,$brg,$km) -> ($la2,$lo2), inverse $back")
     }
+  }
+
+  test("direct: exact equatorial and meridional identities") {
+    // the equator is a geodesic: s metres due east from (0,0) lands at
+    // lon2 = deg(s/a) exactly, still on the equator, still heading east
+    val s = 2.0e6
+    val (laE, loE, azE) = Geo.destinationWithAzimuth(0.0, 0.0, 90.0, s / 1000.0)
+    assert(math.abs(laE) < 1e-9, s"lat $laE")
+    assert(math.abs(loE - math.toDegrees(s / 6378137.0)) < 1e-9, s"lon $loE")
+    assert(math.abs(azE - 90.0) < 1e-9, s"azi2 $azE")
+    // one published degree of meridian arc at the equator: 110574.3886 m
+    val (laM, loM, _) = Geo.destinationWithAzimuth(0.0, 10.0, 0.0, 110.5743886)
+    assert(math.abs(laM - 1.0) < 1e-7, s"lat $laM")
+    assert(math.abs(loM - 10.0) < 1e-12, s"lon $loM")
+    // the WGS-84 meridian quadrant (10001965.729 m) reaches the pole
+    val (laQ, _, _) = Geo.destinationWithAzimuth(0.0, 0.0, 0.0, 10001.9657293)
+    assert(math.abs(laQ - 90.0) < 1e-6, s"lat $laQ")
+  }
+
+  test("direct: karney vs vincenty destination sub-mm on a sweep") {
+    (1 to 1000).foreach { _ =>
+      val la = randLat(); val lo = randLon()
+      val brg = rnd.nextDouble() * 360
+      val km = rnd.nextDouble() * 5000 + 0.1
+      val (ka, ko) = Geo.destination(la, lo, brg, km)
+      val (va, vo) = Geo.vincentyDestination(la, lo, brg, km)
+      // compare as a surface distance, not in degree space
+      val gapKm = Geo.geodesicKm(ka, ko, va, vo)
+      assert(gapKm < 1e-6, // 1 mm
+        s"dest($la,$lo,$brg,$km): karney ($ka,$ko) vs vincenty ($va,$vo), gap ${gapKm * 1e6} mm")
+    }
+  }
+
+  test("direct: geodesic continuation — two legs equal one") {
+    // direct(p1, azi1, s+t) must land where a second direct() from the
+    // midpoint (using the arrival azimuth) does: pins azi2 correctness,
+    // not just the endpoint
+    (1 to 300).foreach { _ =>
+      val la = randLat(); val lo = randLon()
+      val brg = rnd.nextDouble() * 360
+      val s = rnd.nextDouble() * 4000 + 1.0
+      val t = rnd.nextDouble() * 4000 + 1.0
+      val (mLa, mLo, mAz) = Geo.destinationWithAzimuth(la, lo, brg, s)
+      val (aLa, aLo, _) = Geo.destinationWithAzimuth(mLa, mLo, mAz, t)
+      val (bLa, bLo, _) = Geo.destinationWithAzimuth(la, lo, brg, s + t)
+      val gapKm = Geo.geodesicKm(aLa, aLo, bLa, bLo)
+      assert(gapKm < 1e-6, s"continuation gap ${gapKm * 1e6} mm at ($la,$lo,$brg,$s+$t)")
+    }
+  }
+
+  test("direct: reversing along the arrival azimuth returns to start") {
+    (1 to 300).foreach { _ =>
+      val la = randLat(); val lo = randLon()
+      val brg = rnd.nextDouble() * 360
+      val km = rnd.nextDouble() * 9000 + 0.1
+      val (la2, lo2, az2) = Geo.destinationWithAzimuth(la, lo, brg, km)
+      val (laB, loB, _) = Geo.destinationWithAzimuth(la2, lo2, az2 + 180.0, km)
+      val gapKm = Geo.geodesicKm(la, lo, laB, loB)
+      assert(gapKm < 1e-6, s"return gap ${gapKm * 1e6} mm from ($la,$lo,$brg,$km)")
+    }
+  }
+
+  test("direct: zero distance is the identity") {
+    val (la, lo) = Geo.destination(12.34, -56.78, 123.0, 0.0)
+    assert(la == 12.34 && lo == -56.78)
   }
 
   test("karney vs vincenty: sub-cm agreement on a 2000-pair sweep") {
