@@ -148,6 +148,119 @@ class StreamingEngineSpec extends AnyFunSuite {
     batchOut.unpersist()
   }
 
+  test("soak: two-day flight program with restart — watermark, rollover, " +
+      "checkpoint recovery, full sink parity") {
+    // The full-pipeline integration the per-operator specs approximate
+    // piecewise (reference main loop airstrik.py:667-705): ST1 keyed
+    // state, ST3 gap timeout, ST9-ST11 alarm pipeline, ST12 daily
+    // rollup — driven through TWO calendar days and an engine restart
+    // in one program, then compared sink-by-sink against the batch path.
+    val landing = Files.createTempDirectory("graft_landing_soak").toString
+    val outDir = Files.createTempDirectory("graft_sinks_soak").toString
+    def snap(now: Double, aircraft: Seq[String]): String =
+      s"""{"now": $now, "aircraft": [${aircraft.mkString(", ")}]}"""
+    def ac(hex: String, seen: Double, lat: Double, lon: Double,
+           alt: Double, flight: Option[String]): String = {
+      val f = flight.map(x => s""", "flight": "$x"""").getOrElse("")
+      s"""{"hex": "$hex", "seen": $seen, "lat": $lat, "lon": $lon, "alt_geom": $alt$f}"""
+    }
+    val day1 = 1718000000.0          // 2024-06-10 UTC
+    val day2 = day1 + 86400.0        // same flight program, next day
+    def writeDay(base: Double, fileOffset: Int, withFar: Boolean): Int = {
+      (0 until 30).foreach { i =>
+        val now = base + i * 10
+        val (la1, lo1) = Geo.destination(cfg.homeLat, cfg.homeLon, 40.0, 9.5 - i * 0.25)
+        val planes = scala.collection.mutable.ListBuffer(
+          ac("abc123", 0.2, la1, lo1, 450.0, Some("DAL123  ")))
+        if (withFar) {
+          val (la2, lo2) = Geo.destination(cfg.homeLat, cfg.homeLon, 220.0, 60.0 + i * 0.5)
+          planes += ac("fff999", 0.3, la2, lo2, 9000.0, None)
+        }
+        AircraftJsonSource.appendSnapshot(landing, snap(now, planes.toSeq),
+          fileOffset + i, mtimeMillis = Some(now.toLong * 1000))
+      }
+      // stale marker past the remember gap closes the day's trips (ST3)
+      val lastNow = base + 30 * 10 + 100
+      val stale = scala.collection.mutable.ListBuffer(
+        """{"hex": "abc123", "seen": 150.0}""")
+      if (withFar) stale += """{"hex": "fff999", "seen": 150.0}"""
+      AircraftJsonSource.appendSnapshot(landing, snap(lastNow, stale.toSeq),
+        fileOffset + 30, mtimeMillis = Some(lastNow.toLong * 1000))
+      fileOffset + 31
+    }
+
+    // phase 1: day 1 (both planes), run to quiescence, stop
+    val next = writeDay(day1, 0, withFar = true)
+    val wd1 = new EngineWatchdog(stallAfterMs = 600000L, out = _ => ())
+    spark.streams.addListener(wd1)
+    val q1 = StreamingEngine.start(spark, landing, outDir, cfg, icao,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 8)
+    try q1.awaitTermination(180000L)
+    finally spark.streams.removeListener(wd1)
+    assert(wd1.lastError.isEmpty, s"day-1 run crashed: ${wd1.lastError}")
+    val offsetsDir = new java.io.File(s"$outDir/_checkpoint/offsets")
+    val batchesRun1 = offsetsDir.list().count(!_.endsWith(".tmp"))
+    assert(batchesRun1 >= 2, "day 1 should span multiple micro-batches")
+
+    // phase 2: day 2 lands AFTER the restart — state, watermark, and
+    // source offsets must all come back from the checkpoint
+    writeDay(day2, next, withFar = false)
+    val wd2 = new EngineWatchdog(stallAfterMs = 600000L, out = _ => ())
+    spark.streams.addListener(wd2)
+    val q2 = StreamingEngine.start(spark, landing, outDir, cfg, icao,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 8)
+    try q2.awaitTermination(180000L)
+    finally spark.streams.removeListener(wd2)
+    assert(wd2.lastError.isEmpty, s"day-2 run crashed: ${wd2.lastError}")
+    // checkpoint recovery, not a from-scratch rerun: batch ids CONTINUE
+    val batchesRun2 = offsetsDir.list().count(!_.endsWith(".tmp"))
+    assert(batchesRun2 > batchesRun1,
+      s"restarted run must append batches ($batchesRun1 -> $batchesRun2)")
+
+    // oracle: one batch pass over the whole two-day landing directory
+    val batchOut = TripEngine.runBatch(
+      AircraftJsonSource.readBatch(spark, landing), cfg, icao).cache()
+
+    // S3/ST7: flight records — exact multiset parity, no dupes, no gaps
+    def recKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select("kind", "hex", "flightId", "ts", "startTime", "endTime",
+        "distance").collect().map(_.toSeq).toSeq
+    val gotRecs = spark.read.parquet(s"$outDir/flight_records")
+    assert(recKeys(gotRecs).sortBy(_.toString) ==
+      recKeys(EngineSinks.flightRecords(batchOut)).sortBy(_.toString))
+    // exactly one trip summary per (plane, day): 2 for abc123, 1 for fff999
+    assert(gotRecs.filter("kind = 'trip' AND hex = 'abc123'").count() == 2,
+      "abc123 flies once per day; each day's trip closes exactly once")
+    // the far plane never matches a geofence filter: its trip summary is
+    // discarded at close (P5, airstrik.py:498-543) on both days
+    assert(gotRecs.filter("kind = 'trip' AND hex = 'fff999'").count() == 0)
+
+    // S5/ST11: alarm events — payload parity across both days
+    val gotEvents = spark.read.parquet(s"$outDir/events")
+      .select("key", "value")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expEvents = EngineSinks.kafkaEvents(batchOut)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotEvents == expEvents)
+    assert(gotEvents.nonEmpty)
+
+    // S4/ST12: daily stats — the day rollover upserted TWO date rows,
+    // each matching the batch aggregation
+    val statsCols = Seq("date", "unique_planes", "total_trips",
+      "unique_alarm_planes", "total_alarm_trips")
+    val gotStats = spark.read.parquet(s"$outDir/daily_stats")
+      .withColumn("date", col("date").cast("string"))
+      .select(statsCols.head, statsCols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    val expStats = EngineSinks.dailyStats(batchOut, cfg.utcTimeOffset)
+      .select(statsCols.head, statsCols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    assert(gotStats == expStats)
+    assert(gotStats.map(_.head).size == 2,
+      s"expected a day rollover (2 date rows), got $gotStats")
+    batchOut.unpersist()
+  }
+
   test("record-sink dispatch: mongo plan carries the connector options; " +
       "a local format swap runs the same write path") {
     import graft.sinks.RecordSinks
