@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
+import org.apache.spark.sql.types.StructType
+
+/** Test-only in-memory document store behind the standard DataSource
+  * write surface. Stands in for the MongoDB Spark Connector so the
+  * [[graft.sinks.RecordSinks]] dispatch can be executed end-to-end (not
+  * just planned) in a sandbox with no broker: `RecordSinks.write` →
+  * `DataFrameWriter.format(<this class>).options(<mongo option map>)
+  * .mode(Append).save()` → this provider records exactly what a real
+  * connector would have received. */
+object MemDocStore {
+  final case class Received(options: Map[String, String], mode: SaveMode,
+                            columns: Seq[String],
+                            rows: Seq[Map[String, Any]])
+  private val received = scala.collection.mutable.ArrayBuffer.empty[Received]
+  def append(r: Received): Unit = synchronized { received += r }
+  def all: Seq[Received] = synchronized { received.toList }
+  def clear(): Unit = synchronized { received.clear() }
+}
+
+class MemDocStoreProvider extends CreatableRelationProvider
+    with DataSourceRegister {
+  override def shortName(): String = "memdocstore"
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val sch = data.schema
+    val names = sch.fieldNames.toSeq
+    val rows = data.collect().map(r => names.zip(r.toSeq).toMap).toSeq
+    MemDocStore.append(MemDocStore.Received(
+      // materialize to a plain Map (drops the CaseInsensitiveMap wrapper)
+      parameters.iterator.toMap, mode, names, rows))
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = sch
+    }
+  }
+}

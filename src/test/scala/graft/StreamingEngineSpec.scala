@@ -296,6 +296,39 @@ class StreamingEngineSpec extends AnyFunSuite {
       "replace its own partition, not append")
   }
 
+  test("mongo dispatch executes end-to-end against an in-memory " +
+      "DataSource receiving the exact connector option map") {
+    import graft.sinks.RecordSinks
+    import org.apache.spark.sql.SaveMode
+    val spark2 = spark
+    import spark2.implicits._
+    // the exact (options, mode) the Mongo branch emits...
+    val mcfg = AirstrikConfig(mongoAddress = "mongohost:27017")
+    val (fmt, mongoOpts, mongoMode) =
+      RecordSinks.plan(RecordSinks.mongoRecords(mcfg))
+    assert(fmt == "mongodb" && mongoMode == SaveMode.Append)
+    // ...driven through the SAME write() dispatch, with only the format
+    // string swapped for a registered in-memory provider (what a real
+    // deployment swaps in reverse: memdocstore -> mongodb)
+    MemDocStore.clear()
+    val df = Seq(("abc123", 1.5), ("def456", 2.5)).toDF("hex", "distance")
+    RecordSinks.write(df,
+      RecordSinks.Format(classOf[MemDocStoreProvider].getName, mongoOpts),
+      batchId = 11L)
+    val got = MemDocStore.all
+    assert(got.size == 1, "exactly one connector save() call per batch")
+    assert(got.head.options == Map(
+      "connection.uri" -> "mongodb://mongohost:27017",
+      "database" -> "airstrikdb",
+      "collection" -> "flight_records"),
+      s"connector received ${got.head.options}")
+    assert(got.head.mode == SaveMode.Append)
+    assert(got.head.columns == Seq("hex", "distance", "batch_id"),
+      "batch_id must be stamped before the connector sees the frame")
+    assert(got.head.rows.map(r => (r("hex"), r("batch_id"))).toSet ==
+      Set(("abc123", 11L), ("def456", 11L)))
+  }
+
   test("kafka connector frame has (topic, key, value) with kind topics") {
     val landing = Files.createTempDirectory("graft_landing3").toString
     writeFixture(landing)
