@@ -198,13 +198,26 @@ object SimilarityOps {
     * centroids enter the plan as literals — corpus assignment is a
     * single projection pass, probed query cells broadcast, and the only
     * sized-by-candidates data is the per-cell join output. Same output
-    * shape and determinism rules as [[bruteForceTopK]]. */
+    * shape and determinism rules as [[bruteForceTopK]].
+    *
+    * `trainSampleRate`: the 100 TB recipe as a parameter — train the
+    * quantizer on a deterministic [[SamplingOps.hashSample]] of the
+    * corpus instead of every row (the quantizer needs distribution
+    * coverage, not completeness; training cost drops by 1/rate while
+    * the assignment/search passes still cover the full corpus).
+    * Sampled-trained centroids stay within ε of full-trained recall —
+    * pinned by spec. */
   def kmeansIvfTopK(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, k: Int, dim: Int,
                     cells: Int = 8, iters: Int = 3, probe: Int = 2,
-                    roundTo: Option[Int] = Some(6)): DataFrame = {
+                    roundTo: Option[Int] = Some(6),
+                    trainSampleRate: Option[Double] = None): DataFrame = {
     require(probe >= 1 && probe <= cells, "1 <= probe <= cells")
-    val cents = kmeansCentroids(corpus, idCol, vecCol, dim, cells, iters)
+    val trainSet = trainSampleRate.fold(corpus) { r =>
+      require(r > 0.0 && r <= 1.0, "0 < trainSampleRate <= 1")
+      SamplingOps.hashSample(corpus, col(idCol).cast("string"), r)
+    }
+    val cents = kmeansCentroids(trainSet, idCol, vecCol, dim, cells, iters)
     def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
       aggregate(zip_with(v, array(c.map(lit): _*),
         (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)

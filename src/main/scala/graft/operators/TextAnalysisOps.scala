@@ -404,15 +404,26 @@ object TextAnalysisOps {
     * Scale shape: vocabulary derivation is map-side-combined counts +
     * TakeOrdered; the membership join broadcasts the (tiny) vocabulary;
     * per-doc aggregation carries (id, two BIGINTs). The fraction is a
-    * single exact division. */
+    * single exact division.
+    *
+    * `broadcastVocab = false` is the vocabulary-scale fallback: a 32k
+    * vocabulary broadcasts in ~1 MB, but a 256k+ multilingual merge (or
+    * byte-pair vocab with long entries) can outgrow the driver/executor
+    * broadcast budget — the fallback shuffle-hash-joins on `token`
+    * instead (both sides exchange on the token key; the hint keeps AQE
+    * from re-promoting the join to broadcast). Identical results,
+    * pinned by spec. */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
-              vocabSize: Int = 32000): DataFrame = {
+              vocabSize: Int = 32000,
+              broadcastVocab: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol)))
       .as("token"))
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("token").asc).limit(vocabSize)
       .select(col("token"), lit(1).as("__iv"))
-    toks.join(broadcast(vocab), Seq("token"), "left")
+    val vocabSide =
+      if (broadcastVocab) broadcast(vocab) else vocab.hint("shuffle_hash")
+    toks.join(vocabSide, Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))

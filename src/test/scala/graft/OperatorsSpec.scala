@@ -336,6 +336,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("kmeansIvfTopK: hash-sampled training stays within epsilon of " +
+      "full-trained recall") {
+    // four well-separated clusters; deterministic within-cluster jitter
+    val centers = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    val rows = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.zipWithIndex.map { case (x, j) =>
+        x + (if (j == (i / 4) % 4) 0.002 * ((i / 16) + 1) else 0.0) })
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = SimilarityOps.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.recallAtK(approx, exact, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val full = SimilarityOps.kmeansIvfTopK(queries, emb, "vec_id",
+      "embedding", k = 5, dim = 4, cells = 4, iters = 3, probe = 2)
+    val sampled = SimilarityOps.kmeansIvfTopK(queries, emb, "vec_id",
+      "embedding", k = 5, dim = 4, cells = 4, iters = 3, probe = 2,
+      trainSampleRate = Some(0.5))
+    val (rf, rs) = (meanRecall(full), meanRecall(sampled))
+    assert(rf > 0.9, s"full-trained recall degenerate: $rf")
+    assert(rs >= rf - 0.1, s"sampled recall $rs fell below full $rf - 0.1")
+    // and the sampled training is deterministic too: same call, same result
+    val sampled2 = SimilarityOps.kmeansIvfTopK(queries, emb, "vec_id",
+      "embedding", k = 5, dim = 4, cells = 4, iters = 3, probe = 2,
+      trainSampleRate = Some(0.5))
+    assert(sampled.collect().map(_.toSeq).toSeq ==
+      sampled2.collect().map(_.toSeq).toSeq)
+  }
+
   test("kmeansCentroids: bit-identical across partitionings (the " +
       "scaled-integer order-free claim)") {
     // FP means would differ between 1 and 13 partitions (partial-agg
@@ -444,6 +477,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (1L, 4L, 1L, 0.25),        // c OOV
       (2L, 6L, 2L, 2.0 / 6.0)))  // c, d OOV
+  }
+
+  test("oovRate: shuffle-join fallback for broadcast-outgrowing vocabularies " +
+      "is result-identical and actually avoids the broadcast") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq((1L, "a a b c"), (2L, "a a b b c d"), (3L, "e e a"))
+      .toDF("doc_id", "text")
+    def rows(broadcastVocab: Boolean) =
+      TextAnalysisOps.oovRate(docs, "doc_id", "text", vocabSize = 2,
+        broadcastVocab = broadcastVocab)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(broadcastVocab = false) == rows(broadcastVocab = true))
+    // the fallback's membership join must be a shuffle join end-to-end
+    // (the hint also stops AQE from re-promoting it to broadcast)
+    val fb = TextAnalysisOps.oovRate(docs, "doc_id", "text", vocabSize = 2,
+      broadcastVocab = false)
+    fb.collect() // materialize so the AQE final plan is the real one
+    val plan = fb.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
   test("corpusDiff labels added/removed/changed/unchanged") {
