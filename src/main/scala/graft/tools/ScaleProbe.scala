@@ -25,12 +25,28 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.quietBenignWarnings()
+    // shuffle-bytes accounting: what each op actually puts on the wire
+    // (the number SCALING.md's per-op rows cite)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     // by-name: operators with an eager phase (dedupClusters' local
     // union-find collects at plan-build time) must be timed in full
     def time(label: String)(df: => DataFrame): Unit = {
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle before reading
+      Thread.sleep(200)
+      println(f"[probe] $label: $sec%.2f s, " +
+        f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB")
     }
     def replicate(df: DataFrame, idCol: String): DataFrame =
       (0 until n).map { r =>
@@ -71,6 +87,32 @@ object ScaleProbe {
       TextAnalysisOps.decontaminate(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), "doc_id", "text"))
+    // q67: same contamination task, Bloom-bitmap form — train side must
+    // stay shuffle-FREE (pure projection probe) at any N
+    time(s"bloomDecontaminate x$n")(
+      TextAnalysisOps.bloomDecontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text"))
+    // q61: paragraph text rides its ONE md5-keyed shuffle; must track N
+    time(s"paragraphDedup x$n")(
+      TextAnalysisOps.paragraphDedup(docs, "doc_id", "text", sep = " "))
+    // q65: (token) count shuffle + vocabulary join — both map-side combined
+    time(s"unigramSurprisal x$n")(
+      TextAnalysisOps.unigramSurprisal(docs, "doc_id", "text"))
+    // q66: vocabulary TakeOrdered + broadcast membership; the fallback
+    // shuffle join is what a 256k+ vocab would pay
+    time(s"oovRate x$n")(
+      TextAnalysisOps.oovRate(docs, "doc_id", "text"))
+    time(s"oovRate-shuffleJoin x$n")(
+      TextAnalysisOps.oovRate(docs, "doc_id", "text",
+        broadcastVocab = false))
+    // q68: two-phase distributed prefix sum — no global single-partition
+    // window anywhere, so runtime must stay ~linear
+    time(s"tokenBudgetSample x$n")(
+      graft.operators.SamplingOps.tokenBudgetSample(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("nt")),
+        "doc_id", col("nt"), budget = 100000L))
     time(s"curate x$n")(
       TextAnalysisOps.curate(docs, "doc_id", "text"))
     time(s"sequencePack x$n")(
@@ -100,6 +142,21 @@ object ScaleProbe {
       SimilarityOps.kmeansIvfTopK(emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", k = 5, dim = 64,
         cells = 8, iters = 3, probe = 2))
+    // 100 TB recipe: train the quantizer on a 10% hash sample — must
+    // roughly halve training cost while the search passes stay equal
+    time(s"kmeansIvfTopK sampled-train x$n corpus")(
+      SimilarityOps.kmeansIvfTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = 64,
+        cells = 8, iters = 3, probe = 2, trainSampleRate = Some(0.1)))
+    // q59: approx + exact + the overlap join, timed as the acceptance
+    // gate a user runs before committing a geometry
+    time(s"recallAtK x$n corpus")(
+      SimilarityOps.recallAtK(
+        SimilarityOps.kmeansIvfTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", k = 5, dim = 64,
+          cells = 8, iters = 3, probe = 2),
+        SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", k = 5), k = 5))
     time(s"lshRecallProbe x$n corpus")(
       graft.operators.DedupOps.embeddingLshRecallProbe(emb, "vec_id",
         "embedding", threshold = 0.9, dim = 64, tables = 8, bits = 12,
