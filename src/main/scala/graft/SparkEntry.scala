@@ -557,6 +557,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Epoch shuffle + sharding: every doc gets a position in a seeded
+    // deterministic permutation and a round-robin shard — the
+    // curated-corpus → K shuffled training shards step. Global rank
+    // via the two-phase bucketed scheme (no global window); the
+    // shard/offset split stays in the integer domain.
+    "q69_epoch_shards" -> ((s, dir) => {
+      SamplingOps.epochShards(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", numShards = 16, seed = "epoch1")
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-filter decontamination: same bench/train split as q52, but
     // the bench set enters as a 32 KB bitmap literal and the corpus is
     // probed by a pure projection — no join, no train-side shuffle.
@@ -1779,6 +1791,19 @@ FROM rec ORDER BY query_id"""),
         |  FROM d)
         |SELECT doc_id, n_tokens, tok_offset FROM o
         |WHERE tok_offset + n_tokens <= 6000 ORDER BY doc_id""".stripMargin,
+
+    // The oracle ranks with one flat window over the full corpus — the
+    // bucketed two-phase rank must be indistinguishable, and the
+    // shard/offset arithmetic is integer mod/div on both engines.
+    "q69_epoch_shards" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    (row_number() OVER (ORDER BY md5('epoch1:' || doc_id::VARCHAR),
+        |       doc_id) - 1)::BIGINT AS epoch_pos
+        |  FROM documents)
+        |SELECT doc_id, epoch_pos, epoch_pos % 16 AS shard,
+        |  epoch_pos // 16 AS shard_pos
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     // Bloom probe rebuilt exactly: positions = disjoint 8-hex md5
     // windows mod 2^18; "all probes set" ≡ membership of every

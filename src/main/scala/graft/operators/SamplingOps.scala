@@ -87,6 +87,54 @@ object SamplingOps {
       .select(key, col("n_tokens"), col("tok_offset"))
   }
 
+  /** Deterministic epoch shuffle + round-robin sharding: assign every
+    * row a position in a seeded pseudo-random permutation and a shard,
+    * the step that turns a curated corpus into K shuffled training
+    * shards. Order is (md5(seed:id), id) — change the seed, get an
+    * independent permutation for the next epoch; same seed, bit-equal
+    * layout on any engine. `shard = epoch_pos mod K` (round-robin over
+    * the shuffled order, so shard sizes differ by at most one and token
+    * mass balances in expectation), `shard_pos = epoch_pos div K` (the
+    * within-shard read order).
+    *
+    * Scale shape: the global rank is NOT a global window — rows bucket
+    * by their hash prefix (bucket order refines global order, same
+    * two-phase scheme as [[tokenBudgetSample]]), rank locally per
+    * bucket, and add broadcast per-bucket base offsets. One shuffle on
+    * the bucket key; the only single-partition window is over the
+    * 16^bucketHexChars bucket-count rows. Raise `bucketHexChars` to 3-4
+    * at 100 TB for 4096-65536 independent sort streams. */
+  def epochShards(df: DataFrame, idCol: String, numShards: Int,
+                  seed: String = "epoch0",
+                  bucketHexChars: Int = 2): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      "bucketHexChars in [1,8]")
+    import org.apache.spark.sql.expressions.Window
+    val key = col(idCol)
+    val base = df
+      .select(key,
+        md5(concat(lit(seed), lit(":"), key.cast("string"))).as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, bucketHexChars))
+    val within = Window.partitionBy(col("__b")).orderBy(col("__h"), key)
+    val bucketBase = base
+      .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__base",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__base"))
+    base
+      .withColumn("__rk", row_number().over(within))
+      .join(broadcast(bucketBase), Seq("__b"))
+      .withColumn("epoch_pos", col("__base") + col("__rk") - 1L)
+      // integer-domain split: mod/div, never FP division
+      .withColumn("shard", pmod(col("epoch_pos"), lit(numShards.toLong)))
+      .withColumn("shard_pos",
+        ((col("epoch_pos") - col("shard")) / numShards).cast("long"))
+      .select(key, col("epoch_pos"), col("shard"), col("shard_pos"))
+  }
+
   /** Exact-quota stratified sample: per stratum, keep the
     * ceil(rate * n) rows with the smallest (md5(key), key) — hash
     * sampling's determinism plus a hard per-group quota, so every

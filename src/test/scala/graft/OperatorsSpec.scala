@@ -498,6 +498,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("epochShards: seeded permutation, balanced round-robin shards") {
+    import graft.operators.SamplingOps
+    val docs = (0L until 103L).toDF("id")
+    val got = SamplingOps.epochShards(docs, "id", numShards = 4,
+      seed = "e1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // epoch_pos is a permutation of 0..n-1
+    assert(got.map(_._2).sorted.toSeq == (0L until 103L))
+    // shard/shard_pos derive from epoch_pos by integer mod/div
+    got.foreach { case (_, pos, shard, sp) =>
+      assert(shard == pos % 4 && sp == pos / 4)
+    }
+    // round-robin balance: shard sizes differ by at most one
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+    // deterministic: same seed reproduces; new seed permutes differently
+    val again = SamplingOps.epochShards(docs, "id", 4, seed = "e1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.forall { case (id, pos, _, _) => again(id) == pos })
+    val e2 = SamplingOps.epochShards(docs, "id", 4, seed = "e2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.exists { case (id, pos, _, _) => e2(id) != pos })
+    // the two-phase rank equals the flat global rank (bucket prefixes
+    // refine the global (md5, id) order) — cross-check with one window
+    val flat = docs
+      .withColumn("__h", md5(concat(lit("e1:"), col("id").cast("string"))))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("__h"), col("id"))) - 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.forall { case (id, pos, _, _) => flat(id) == pos })
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged") {
     import graft.operators.DedupOps
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")

@@ -118,6 +118,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "bucket base offsets must broadcast back")
   }
 
+  test("q69: epoch shuffle ranks per md5 bucket — only the domain-sized " +
+      "bucket-count window is single-partition") {
+    val p = plan("q69_epoch_shards")
+    assert(p.contains("windowspecdefinition(__b#"),
+      s"the permutation rank must be partitioned by the md5 bucket:\n$p")
+    assert(p.split("Exchange SinglePartition").length == 2,
+      s"exactly one single-partition exchange (the 256-row counts):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket base offsets must broadcast back")
+  }
+
   test("q56: postings rank-capped BEFORE the aggregate — the collect " +
       "buffer is bounded at maxPostings per term") {
     val p = plan("q56_inverted_index")
