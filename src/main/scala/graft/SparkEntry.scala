@@ -557,6 +557,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Domain blocklist verdicts: deny-list matching with subdomain
+    // (label-boundary suffix) semantics — doc_id%5==1 carries ex1.org,
+    // %5==3 carries ex3.org directly, %7==0 carries sub.ex3.org (the
+    // suffix-match case); everything else keeps.
+    "q70_domain_filter" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" see http://ex"),
+            (col("doc_id") % 5).cast("string"), lit(".org/d/"),
+            col("doc_id").cast("string"),
+            when(col("doc_id") % 7 === 0, lit(" http://sub.ex3.org/x"))
+              .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.domainBlocklist(injected, "doc_id", "text",
+        deny = Seq("ex1.org", "ex3.org"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Epoch shuffle + sharding: every doc gets a position in a seeded
     // deterministic permutation and a round-robin shard — the
     // curated-corpus → K shuffled training shards step. Global rank
@@ -1791,6 +1808,35 @@ FROM rec ORDER BY query_id"""),
         |  FROM d)
         |SELECT doc_id, n_tokens, tok_offset FROM o
         |WHERE tok_offset + n_tokens <= 6000 ORDER BY doc_id""".stripMargin,
+
+    // Same injection as the Spark side; deny matching spelled as
+    // equality-or-dotted-suffix per entry (LIKE dots are literal).
+    "q70_domain_filter" ->
+      ("""WITH inj AS (
+        |  SELECT doc_id, text || ' see http://ex' || (doc_id % 5)::VARCHAR ||
+        |    '.org/d/' || doc_id::VARCHAR ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ' http://sub.ex3.org/x'
+        |          ELSE '' END) AS text
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text,
+        |    '""" + graft.operators.TextAnalysisOps.UrlPattern + """')) AS url
+        |  FROM inj),
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, 'https?://([^/]+)', 1)) AS host
+        |  FROM urls),
+        |f AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_urls,
+        |    sum(CASE WHEN host = 'ex1.org' OR host LIKE '%.ex1.org'
+        |          OR host = 'ex3.org' OR host LIKE '%.ex3.org'
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_denied_urls
+        |  FROM h GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(f.n_urls, 0::BIGINT) AS n_urls,
+        |  coalesce(f.n_denied_urls, 0::BIGINT) AS n_denied_urls,
+        |  coalesce(f.n_denied_urls, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN f USING (doc_id)
+        |ORDER BY doc_id""").stripMargin,
 
     // The oracle ranks with one flat window over the full corpus — the
     // bucketed two-phase rank must be indistinguishable, and the

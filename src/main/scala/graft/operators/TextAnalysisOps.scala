@@ -483,6 +483,45 @@ object TextAnalysisOps {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** URL-domain blocklist verdicts — the deny-list pass every web
+    * curation pipeline runs before anything expensive (spam/SEO/adult
+    * domain lists). A host matches a deny entry `d` iff `host == d` OR
+    * `host` ends with `"." + d` — subdomains are covered,
+    * `notexample.com` is not (the suffix must start at a label
+    * boundary). Matching is case-insensitive. Docs with no URLs pass.
+    *
+    * Returns one row per doc: (id, n_urls, n_denied_urls, keep) —
+    * verdicts, not a filtered corpus, so the decision is auditable and
+    * the filter is `.filter(col("keep"))` away.
+    *
+    * Scale shape: the deny list enters the plan as an array literal
+    * (blocklists are 10^3-10^5 entries — KBs), so the match is a pure
+    * projection over the exploded URL rows; the only exchange is the
+    * per-doc count aggregation carrying (id, two BIGINTs). A list too
+    * big for a literal would swap to a broadcast join on a derived
+    * suffix key — same output contract. */
+  def domainBlocklist(docs: DataFrame, idCol: String, textCol: String,
+                      deny: Seq[String]): DataFrame = {
+    require(deny.nonEmpty, "deny list must not be empty")
+    val denyArr = array(deny.map(d => lit(d.toLowerCase)): _*)
+    docs
+      .select(col(idCol),
+        explode_outer(regexp_extract_all(col(textCol), lit(UrlPattern),
+          lit(0))).as("url"))
+      .withColumn("__host",
+        lower(regexp_extract(col("url"), "https?://([^/]+)", 1)))
+      .withColumn("__denied",
+        when(col("url").isNull, lit(0L)).otherwise(
+          exists(denyArr, d =>
+            col("__host") === d ||
+              col("__host").endsWith(concat(lit("."), d))).cast("long")))
+      .groupBy(col(idCol))
+      .agg(count(col("url")).as("n_urls"),
+        sum(col("__denied")).as("n_denied_urls"))
+      .select(col(idCol), col("n_urls"), col("n_denied_urls"),
+        (col("n_denied_urls") === 0L).as("keep"))
+  }
+
   /** Bloom-filter decontamination: the 100 TB scale path for benchmark
     * overlap gating. [[decontaminate]] broadcasts the bench set's
     * DISTINCT SHINGLE STRINGS and joins — fine while the eval suite is

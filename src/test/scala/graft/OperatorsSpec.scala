@@ -498,6 +498,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("domainBlocklist: label-boundary suffix match, url-less docs keep") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "spam at http://ads.example.com/x"),      // subdomain -> denied
+      (2L, "root http://example.com/y"),             // exact -> denied
+      (3L, "fine http://notexample.com/z"),          // no label boundary -> keep
+      (4L, "CASE http://ADS.EXAMPLE.COM/w"),         // case-insensitive -> denied
+      (5L, "two http://ok.org/a and http://example.com/b"), // one of two denied
+      (6L, "no urls at all")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.domainBlocklist(docs, "doc_id", "text",
+      deny = Seq("example.com"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, false), (2L, 1L, 1L, false), (3L, 1L, 0L, true),
+      (4L, 1L, 1L, false), (5L, 2L, 1L, false), (6L, 0L, 0L, true)))
+  }
+
   test("epochShards: seeded permutation, balanced round-robin shards") {
     import graft.operators.SamplingOps
     val docs = (0L until 103L).toDF("id")
