@@ -108,6 +108,17 @@ object Geo {
     (la, lo)
   }
 
+  /** Full inverse problem: (distance km, azi1, azi2) — forward
+    * azimuths at departure and arrival in degrees, [−180, 180]
+    * (GeographicLib's convention). `inverse(p1, p2)` and
+    * `direct(p1, azi1, s12)` are exact mutual inverses — closure
+    * pinned by spec. */
+  def inverseWithAzimuths(lat1: Double, lon1: Double,
+                          lat2: Double, lon2: Double): (Double, Double, Double) = {
+    val (m, a1, a2) = Karney.inverse(lat1, lon1, lat2, lon2)
+    (m / 1000.0, a1, a2)
+  }
+
   /** Destination plus the forward azimuth at arrival, in degrees
     * normalized to [−180, 180] — the full direct-problem output. */
   def destinationWithAzimuth(lat: Double, lon: Double,

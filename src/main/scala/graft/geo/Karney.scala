@@ -391,17 +391,50 @@ object Karney {
 
   /** Geodesic distance in metres between two (lat, lon) in degrees. */
   def inverseMeters(lat1In: Double, lon1In: Double,
-                    lat2In: Double, lon2In: Double): Double = {
+                    lat2In: Double, lon2In: Double): Double =
+    inverse(lat1In, lon1In, lat2In, lon2In)._1
+
+  /** Full inverse problem: (s12 metres, azi1, azi2) — the forward
+    * azimuths at departure and arrival in degrees, normalized to
+    * [−180, 180], GeographicLib's convention. The azimuth sines/cosines
+    * fall out of every solution branch at the canonical orientation
+    * (points swapped to |β1| ≥ |β2|, latitudes folded negative,
+    * longitudes folded positive); the final step undoes the folds:
+    * swap α1/α2 if the points were swapped, then flip the sine by the
+    * longitude fold and the cosine by the latitude fold. */
+  def inverse(lat1In: Double, lon1In: Double,
+              lat2In: Double, lon2In: Double): (Double, Double, Double) = {
     var lon12 = angDiff(lon1In, lon2In)
-    val lonsign = if (lon12 >= 0.0) 1.0 else -1.0
+    var lonsign = if (lon12 >= 0.0) 1.0 else -1.0
     lon12 *= lonsign
     var lat1 = math.max(-90.0, math.min(90.0, lat1In))
     var lat2 = math.max(-90.0, math.min(90.0, lat2In))
-    if (math.abs(lat1) < math.abs(lat2)) { val t = lat1; lat1 = lat2; lat2 = t }
-    if (lat1 > 0) { lat1 = -lat1; lat2 = -lat2 } // canonical: lat1 <= 0
+    val swapp = if (math.abs(lat1) < math.abs(lat2)) -1.0 else 1.0
+    if (swapp < 0) {
+      // swapping endpoints negates the longitude difference, so the
+      // mirror fold flips with it (|lon12| itself is unchanged)
+      lonsign = -lonsign
+      val t = lat1; lat1 = lat2; lat2 = t
+    }
+    val latsign = if (lat1 > 0) -1.0 else 1.0
+    lat1 *= latsign; lat2 *= latsign // canonical: lat1 <= 0
 
     val lam12 = math.toRadians(lon12)
     val (slam12, clam12) = sincosd(lon12)
+
+    // undo the canonicalization on the azimuth sines/cosines, then to
+    // degrees (GeographicLib's exact unfolding order)
+    def finish(s12: Double, salp1c: Double, calp1c: Double,
+               salp2c: Double, calp2c: Double): (Double, Double, Double) = {
+      var (s1, c1) = (salp1c, calp1c)
+      var (s2, c2) = (salp2c, calp2c)
+      if (swapp < 0) { val ts = s1; s1 = s2; s2 = ts
+                       val tc = c1; c1 = c2; c2 = tc }
+      s1 *= swapp * lonsign; c1 *= swapp * latsign
+      s2 *= swapp * lonsign; c2 *= swapp * latsign
+      (s12, math.toDegrees(math.atan2(s1, c1)),
+        math.toDegrees(math.atan2(s2, c2)))
+    }
 
     val (sphi1, cphi1) = sincosd(lat1)
     var sbet1 = F1 * sphi1; var cbet1 = cphi1
@@ -430,13 +463,14 @@ object Karney {
       val (s12b, m12b) = lengths(eps, sig12, ssig1, csig1, dn1,
         ssig2, csig2, dn2)
       if (sig12 < 1.0 || m12b >= 0.0)
-        return B * s12b
+        // heading toward the target longitude at 1; due north at 2
+        return finish(B * s12b, slam12, clam12, 0.0, 1.0)
       // else: prolate-style pathologies cannot occur on WGS-84; fall through
     }
 
-    // equatorial geodesic
+    // equatorial geodesic: due east the whole way
     if (sbet1 == 0.0 && sbet2 == 0.0 && lam12 <= F1 * math.Pi)
-      return A * lam12
+      return finish(A * lam12, 1.0, 0.0, 1.0, 0.0)
 
     // ---- general case: Newton on alpha1 -------------------------------
     val sbet12 = sbet2 * cbet1 - cbet2 * sbet1
@@ -467,9 +501,15 @@ object Karney {
     val csig12i = sbet1 * sbet2 + cbet1 * cbet2 * comg12i
 
     if (shortline && ssig12i < Etol2) {
-      // very short line: the start IS the answer
+      // very short line: the start IS the answer; α2 from the same
+      // spherical-triangle relations at the far endpoint
       sig12 = math.atan2(ssig12i, csig12i)
-      return B * shortDnm * sig12
+      var salp2 = cbet1 * somg12i
+      var calp2 = sbet12 - cbet1 * sbet2 *
+        (if (comg12i >= 0.0) somg12i * somg12i / (1.0 + comg12i)
+         else 1.0 - comg12i)
+      val n2a = norm(salp2, calp2); salp2 = n2a._1; calp2 = n2a._2
+      return finish(B * shortDnm * sig12, salp1, calp1, salp2, calp2)
     } else if (!(math.abs(N) > 0.1 || csig12i >= 0.0 ||
         ssig12i >= 6.0 * math.abs(N) * math.Pi * cbet1 * cbet1)) {
       // nearly antipodal: astroid starting guess (paper §6)
@@ -545,7 +585,7 @@ object Karney {
     }
     val (s12b, _) = lengths(last.eps, last.sig12,
       last.ssig1, last.csig1, dn1, last.ssig2, last.csig2, dn2)
-    B * s12b
+    finish(B * s12b, salp1, calp1, last.salp2, last.calp2)
   }
 
   /** Geodesic distance in km. */

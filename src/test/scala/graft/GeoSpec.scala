@@ -134,6 +134,43 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("inverse azimuths: cardinal directions exact") {
+    def azis(la1: Double, lo1: Double, la2: Double, lo2: Double) = {
+      val (_, a1, a2) = Geo.inverseWithAzimuths(la1, lo1, la2, lo2)
+      (a1, a2)
+    }
+    assert(azis(0, 0, 10, 0) == ((0.0, 0.0)))      // due north
+    assert(azis(10, 0, 0, 0) == ((180.0, 180.0)))  // due south
+    assert(azis(0, 0, 0, 10) == ((90.0, 90.0)))    // due east on equator
+    assert(azis(0, 10, 0, 0) == ((-90.0, -90.0)))  // due west on equator
+  }
+
+  test("inverse azimuths: closure with the direct problem, globally") {
+    // inverse(p1, p2) = (s, a1, a2); direct(p1, a1, s) must land on p2
+    // with arrival azimuth a2, and direct(p2, a2+180, s) must return to
+    // p1 — the two solvers are mutual inverses at round-off level
+    def angGap(x: Double, y: Double): Double = {
+      val d = math.abs(x - y) % 360.0
+      math.min(d, 360.0 - d)
+    }
+    (1 to 400).foreach { _ =>
+      val la1 = randLat(); val lo1 = randLon()
+      val la2 = randLat(); val lo2 = randLon()
+      val (km, a1, a2) = Geo.inverseWithAzimuths(la1, lo1, la2, lo2)
+      if (km > 0.001) {
+        val (dLa, dLo, dAz) = Geo.destinationWithAzimuth(la1, lo1, a1, km)
+        val gap = Geo.geodesicKm(dLa, dLo, la2, lo2)
+        assert(gap < 2e-6, // 2 mm
+          s"($la1,$lo1)->($la2,$lo2): direct along a1=$a1 missed by ${gap * 1e6} mm")
+        assert(angGap(dAz, a2) < 1e-6,
+          s"arrival azimuth $dAz vs inverse's $a2")
+        val (bLa, bLo, _) = Geo.destinationWithAzimuth(la2, lo2, a2 + 180.0, km)
+        val back = Geo.geodesicKm(bLa, bLo, la1, lo1)
+        assert(back < 2e-6, s"reverse leg missed by ${back * 1e6} mm")
+      }
+    }
+  }
+
   test("direct: zero distance is the identity") {
     val (la, lo) = Geo.destination(12.34, -56.78, 123.0, 0.0)
     assert(la == 12.34 && lo == -56.78)
