@@ -807,6 +807,30 @@ object SparkEntry {
         }.toDF("doc_id", "media")
       MultimodalOps.imageMeta(media, "doc_id", "media")
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL pixel decode end-to-end: synthesize PNGs whose samples
+    // follow a closed-form formula, push them through deflate on the
+    // write side and inflate + unfilter (filter type varies by id, so
+    // all five spec filters are exercised) on the read side, and emit
+    // exact per-channel sums. The oracle recomputes the sums from the
+    // formula alone — any decode defect breaks the hash match.
+    "q71_image_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 13 + 4).toInt
+          val h = (id % 11 + 4).toInt
+          val ct = (id % 4) match {
+            case 0 => 2; case 1 => 0; case 2 => 6; case _ => 4
+          }
+          val ft = (id % 5).toInt
+          val bytes = ImageCodecs.pngBytesWithPixels(w, h, ct, ft)(
+            (x, y, c) => ((id * 7 + x * 5 + y * 3 + c * 11) % 256).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.imagePixelStats(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1127,6 +1151,37 @@ object SparkEntry {
         |  (doc_id % 211 + 16)::INTEGER AS height,
         |  (CASE WHEN doc_id % 6 = 0 THEN 4 ELSE 3 END)::INTEGER AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The oracle never touches PNG bytes: it recomputes the per-channel
+    // sums from the pixel generator's closed form over the (x, y) grid.
+    // Spark's numbers come from decoding the actual deflated bitstream,
+    // so agreement proves inflate + unfilter are correct.
+    "q71_image_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id % 13 + 4)::INTEGER AS w,
+        |    (d.doc_id % 11 + 4)::INTEGER AS h,
+        |    (CASE d.doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 1
+        |      WHEN 2 THEN 4 ELSE 2 END)::INTEGER AS ch,
+        |    x.x, y.y
+        |  FROM documents d, generate_series(0, 16) x(x),
+        |    generate_series(0, 14) y(y)
+        |  WHERE x.x < d.doc_id % 13 + 4 AND y.y < d.doc_id % 11 + 4),
+        |s AS (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    any_value(ch) AS ch,
+        |    sum((doc_id * 7 + x * 5 + y * 3) % 256)::BIGINT AS s0,
+        |    sum((doc_id * 7 + x * 5 + y * 3 + 11) % 256)::BIGINT AS s1,
+        |    sum((doc_id * 7 + x * 5 + y * 3 + 22) % 256)::BIGINT AS s2,
+        |    sum((doc_id * 7 + x * 5 + y * 3 + 33) % 256)::BIGINT AS s3
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded, w AS width, h AS height,
+        |  ch AS channels, (w * h)::BIGINT AS n_pixels,
+        |  s0 AS c0_sum,
+        |  CASE WHEN ch > 1 THEN s1 END AS c1_sum,
+        |  CASE WHEN ch > 2 THEN s2 END AS c2_sum,
+        |  CASE WHEN ch > 3 THEN s3 END AS c3_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // NB: DuckDB sum() over integers yields HUGEINT, which pandas
     // surfaces as a non-int64 dtype and the driver's hash compare

@@ -3,14 +3,17 @@ package graft.operators
 import java.nio.ByteBuffer
 import java.util.zip.CRC32
 
-/** Pure-JVM image container codecs: header PARSING for the three
-  * public formats a crawl corpus is mostly made of (PNG, JPEG, GIF),
-  * plus minimal-but-structurally-valid WRITERS used to synthesize
-  * deterministic fixtures. No external codec libraries — this is the
-  * real decode step for the metadata path (dimensions/channels/mime);
-  * pixel decoding stays out of scope (no codecs in this environment,
-  * and training-data curation mostly needs the header facts: filter by
-  * size/aspect/channels before paying for pixel decode).
+/** Pure-JVM image codecs: header PARSING for the three public formats
+  * a crawl corpus is mostly made of (PNG, JPEG, GIF), REAL PIXEL DECODE
+  * for PNG ([[pngPixels]]: zlib inflate via `java.util.zip` + scanline
+  * unfiltering per the PNG spec §9 — all five filter types, colour
+  * types 0/2/3/4/6 at bit depth 8), and structurally-valid WRITERS
+  * used to synthesize deterministic fixtures ([[pngBytesWithPixels]]
+  * encodes real pixel data with a chosen filter type). No external
+  * codec libraries. JPEG/GIF pixel decode (entropy/LZW stages) remains
+  * out of scope — curation filters on header facts first, and PNG is
+  * the lossless format pixel-level pipelines (dedup by content,
+  * channel statistics) actually operate on.
   *
   * All parsers are defensive: any malformed/truncated/unknown payload
   * yields None, never a throw — at corpus scale SOME bytes are garbage
@@ -105,25 +108,210 @@ object ImageCodecs {
       case _    => None
     }
 
+  /** Decoded 8-bit image: row-major, channel-interleaved samples.
+    * Palette images come back expanded to 3-channel RGB. */
+  final case class PixelImage(width: Int, height: Int, channels: Int,
+                              pixels: Array[Byte])
+
+  /** Paeth predictor (PNG spec §9.4). */
+  private def paeth(a: Int, up: Int, ul: Int): Int = {
+    val p = a + up - ul
+    val pa = math.abs(p - a); val pb = math.abs(p - up)
+    val pc = math.abs(p - ul)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+  }
+
+  /** REAL PNG pixel decode: walk the chunk stream, inflate the IDAT
+    * concatenation, unfilter every scanline (filters 0-4), expand
+    * palettes. Supports the bit-depth-8, non-interlaced profile for all
+    * five colour types; anything else (16-bit, Adam7, malformed or
+    * truncated streams, bad CRCs are NOT checked — garbage surfaces via
+    * structure checks) returns None, never throws. */
+  def pngPixels(b: Array[Byte]): Option[PixelImage] = {
+    if (b == null || b.length < 45 || !b.take(8).sameElements(PngSig))
+      return None
+    var off = 8
+    var w = 0; var h = 0; var ct = 0
+    var seenIhdr = false; var done = false; var ok = true
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done && ok && off + 8 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12 + len > b.length) ok = false
+      else {
+        new String(b.slice(off + 4, off + 8), "US-ASCII") match {
+          case "IHDR" =>
+            if (len != 13) ok = false
+            else {
+              w = be32(b, off + 8); h = be32(b, off + 12)
+              val depth = b(off + 16) & 0xff; ct = b(off + 17) & 0xff
+              val comp = b(off + 18) & 0xff
+              val filt = b(off + 19) & 0xff
+              val il = b(off + 20) & 0xff
+              seenIhdr = true
+              // defensive dimension cap: 2^15 per axis keeps every
+              // buffer size within Int and bounds a hostile IHDR
+              ok = w > 0 && h > 0 && w <= 0x8000 && h <= 0x8000 &&
+                depth == 8 && comp == 0 && filt == 0 && il == 0 &&
+                PngChannels.contains(ct)
+            }
+          case "PLTE" => plte = b.slice(off + 8, off + 8 + len)
+          case "IDAT" => idat.write(b, off + 8, len)
+          case "IEND" => done = true
+          case _      => () // ancillary chunks skipped
+        }
+        off += 12 + len
+      }
+    }
+    if (!ok || !seenIhdr || idat.size() == 0) return None
+    if (ct == 3 && (plte == null || plte.length < 3 || plte.length % 3 != 0))
+      return None
+    val ch = PngChannels(ct)
+    val stride = w * ch
+    if (h.toLong * (1L + stride) > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var i = 0
+      while (i < stride) {
+        val v = raw(rowIn + i) & 0xff
+        val a = if (i >= ch) out(rowOut + i - ch) & 0xff else 0
+        val up = if (y > 0) out(rowOut - stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= ch) out(rowOut - stride + i - ch) & 0xff
+                 else 0
+        val rec = ft match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + up
+          case 3 => v + ((a + up) >> 1)
+          case _ => v + paeth(a, up, ul)
+        }
+        out(rowOut + i) = (rec & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    if (ct == 3) {
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = out(i) & 0xff
+        if (3 * idx + 2 >= plte.length) return None
+        rgb(3 * i) = plte(3 * idx)
+        rgb(3 * i + 1) = plte(3 * idx + 1)
+        rgb(3 * i + 2) = plte(3 * idx + 2)
+        i += 1
+      }
+      Some(PixelImage(w, h, 3, rgb))
+    } else Some(PixelImage(w, h, ch, out))
+  }
+
   // --- deterministic fixture writers -------------------------------------
+
+  private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val crc = new CRC32
+    val tb = tag.getBytes("US-ASCII")
+    crc.update(tb); crc.update(body)
+    ByteBuffer.allocate(12 + body.length)
+      .putInt(body.length).put(tb).put(body)
+      .putInt(crc.getValue.toInt).array()
+  }
+
+  private def ihdrBody(width: Int, height: Int, colorType: Int): Array[Byte] =
+    ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
 
   /** Minimal structurally-valid PNG: signature + IHDR (real CRC) + IEND.
     * `colorType` per spec: 0 gray, 2 rgb, 4 gray+alpha, 6 rgba. */
   def pngBytes(width: Int, height: Int, colorType: Int = 2): Array[Byte] = {
     require(PngChannels.contains(colorType), s"colorType $colorType")
-    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
-      val crc = new CRC32
-      val tb = tag.getBytes("US-ASCII")
-      crc.update(tb); crc.update(body)
-      ByteBuffer.allocate(12 + body.length)
-        .putInt(body.length).put(tb).put(body)
-        .putInt(crc.getValue.toInt).array()
+    PngSig ++ chunk("IHDR", ihdrBody(width, height, colorType)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Full PNG encode of real pixel data (deflated IDAT, every scanline
+    * filtered with `filterType` 0-4 — the encoder-side transform of the
+    * same spec §9 filters [[pngPixels]] undoes, so roundtrips exercise
+    * each unfilter path). `pixel(x, y, c)` supplies the 0-255 sample —
+    * for colour type 3 it supplies the palette INDEX and `palette` the
+    * RGB table. */
+  def pngBytesWithPixels(width: Int, height: Int, colorType: Int,
+                         filterType: Int, palette: Array[Byte] = null)
+                        (pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(PngChannels.contains(colorType), s"colorType $colorType")
+    require(filterType >= 0 && filterType <= 4, s"filterType $filterType")
+    require((colorType == 3) == (palette != null),
+      "palette iff colour type 3")
+    val ch = PngChannels(colorType)
+    val stride = width * ch
+    val img = new Array[Int](height * stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < ch) {
+          img(y * stride + x * ch + c) = pixel(x, y, c) & 0xff
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
     }
-    val ihdr = ByteBuffer.allocate(13)
-      .putInt(width).putInt(height)
-      .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IEND", Array.empty[Byte])
+    val raw = new Array[Byte](height * (1 + stride))
+    y = 0
+    while (y < height) {
+      raw(y * (1 + stride)) = filterType.toByte
+      var i = 0
+      while (i < stride) {
+        val v = img(y * stride + i)
+        val a = if (i >= ch) img(y * stride + i - ch) else 0
+        val up = if (y > 0) img((y - 1) * stride + i) else 0
+        val ul = if (y > 0 && i >= ch) img((y - 1) * stride + i - ch) else 0
+        val f = filterType match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - up
+          case 3 => v - ((a + up) >> 1)
+          case _ => v - paeth(a, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val buf = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val tmp = new Array[Byte](8192)
+      while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    } finally defl.end()
+    val plteChunk =
+      if (colorType == 3) chunk("PLTE", palette) else Array.empty[Byte]
+    PngSig ++ chunk("IHDR", ihdrBody(width, height, colorType)) ++
+      plteChunk ++ chunk("IDAT", buf.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
   }
 
   /** Minimal JPEG header stream: SOI + JFIF APP0 + SOF0 (3 components,

@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed in partition
   * batches.
   *
-  * Decode comes in two layers:
+  * Decode comes in three layers:
   *  - container-header decode ([[imageMeta]]) is REAL — a pure-JVM
   *    PNG/JPEG/GIF parse ([[ImageCodecs]]) recovering mime, dimensions
   *    and channel count from the actual bytes (the facts curation
   *    filters on before paying for pixel decode);
-  *  - pixel/feature decode remains a clearly-marked STUB
-  *    ([[FakeDecoder]]: deterministic pseudo-features — no pixel codecs
-  *    in this environment). The Spark-side plumbing — schema, batched
+  *  - PNG PIXEL decode ([[imagePixelStats]]) is REAL too — zlib
+  *    inflate + scanline unfiltering ([[ImageCodecs.pngPixels]]),
+  *    feeding exact per-channel statistics;
+  *  - learned-feature extraction remains a clearly-marked STUB
+  *    ([[FakeDecoder]]: deterministic pseudo-embeddings — no model
+  *    runtime in this environment), as does JPEG/GIF pixel decode
+  *    (entropy/LZW stages). The Spark-side plumbing — schema, batched
   *    per-partition iteration, partitioning control, feature schema —
   *    is real and is exactly where a JNI/ONNX/ffmpeg decoder would
   *    plug in.
@@ -99,6 +103,49 @@ object MultimodalOps {
         }
       }
       .toDF(idCol, "n_bytes", "mime", "width", "height", "channels")
+  }
+
+  /** REAL pixel statistics over a PNG binary column: decode every image
+    * ([[ImageCodecs.pngPixels]] — inflate + unfilter, the full lossless
+    * path) and emit exact per-channel sample SUMS plus pixel counts.
+    * Integer sums rather than float means: order-free, cross-engine
+    * exact, and the mean is one division away. Rows whose bytes are not
+    * a decodable bit-depth-8 PNG (other formats, garbage, 16-bit,
+    * interlaced) surface with decoded=false and null sums — triaged,
+    * not dropped.
+    *
+    * Scale shape: one mapPartitions pass; the MB-sized binary never
+    * leaves the scan task — only (id, flags, five BIGINTs) flow on. */
+  def imagePixelStats(media: DataFrame, idCol: String, binCol: String,
+                      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            ImageCodecs.pngPixels(bytes) match {
+              case Some(p) =>
+                val sums = new Array[Long](4)
+                var i = 0
+                while (i < p.pixels.length) {
+                  sums(i % p.channels) += p.pixels(i) & 0xff
+                  i += 1
+                }
+                def s(c: Int): Option[Long] =
+                  if (c < p.channels) Some(sums(c)) else None
+                (id, true, p.width, p.height, p.channels,
+                  p.width.toLong * p.height, s(0), s(1), s(2), s(3))
+              case None =>
+                (id, false, 0, 0, 0, 0L, Option.empty[Long],
+                  Option.empty[Long], Option.empty[Long], Option.empty[Long])
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "width", "height", "channels", "n_pixels",
+        "c0_sum", "c1_sum", "c2_sum", "c3_sum")
   }
 
   /** Frame sampling: every `stride`-th fixed-size window of the payload

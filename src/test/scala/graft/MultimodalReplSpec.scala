@@ -102,6 +102,78 @@ class MultimodalReplSpec extends AnyFunSuite {
       (3L, "unknown", 0, 0)))
   }
 
+  test("pngPixels: encode/decode round-trip across every colour type " +
+      "and filter type") {
+    import graft.operators.ImageCodecs
+    def px(x: Int, y: Int, c: Int): Int = (x * 5 + y * 3 + c * 11 + 7) % 256
+    for (ct <- Seq(0, 2, 4, 6); ft <- 0 to 4) {
+      val bytes = ImageCodecs.pngBytesWithPixels(7, 5, ct, ft)(px)
+      val got = ImageCodecs.pngPixels(bytes)
+      assert(got.isDefined, s"ct=$ct ft=$ft failed to decode")
+      val p = got.get
+      assert((p.width, p.height) == ((7, 5)))
+      val ch = p.channels
+      for (y <- 0 until 5; x <- 0 until 7; c <- 0 until ch)
+        assert((p.pixels(y * 7 * ch + x * ch + c) & 0xff) == px(x, y, c),
+          s"ct=$ct ft=$ft pixel ($x,$y,$c)")
+    }
+  }
+
+  test("pngPixels: palette images expand through PLTE to rgb") {
+    import graft.operators.ImageCodecs
+    val palette = Array[Byte](
+      10, 20, 30,  40, 50, 60,  70, 80, 90,  100, 110, 120)
+    val bytes = ImageCodecs.pngBytesWithPixels(4, 3, 3, 1,
+      palette = palette)((x, y, _) => (x + y) % 4)
+    val p = ImageCodecs.pngPixels(bytes).get
+    assert(p.channels == 3)
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3)
+      assert(p.pixels(y * 12 + x * 3 + c) == palette(((x + y) % 4) * 3 + c))
+  }
+
+  test("pngPixels: non-png, header-only and corrupt streams decode " +
+      "to None, never throw") {
+    import graft.operators.ImageCodecs
+    val good = ImageCodecs.pngBytesWithPixels(6, 4, 2, 4)((x, y, c) =>
+      x + y + c)
+    assert(ImageCodecs.pngPixels(good).isDefined)
+    assert(ImageCodecs.pngPixels(ImageCodecs.jpegBytes(6, 4)).isEmpty)
+    assert(ImageCodecs.pngPixels(ImageCodecs.pngBytes(6, 4)).isEmpty,
+      "header-only png has no IDAT")
+    assert(ImageCodecs.pngPixels(good.dropRight(20)).isEmpty, "truncated")
+    val corrupt = good.clone()
+    corrupt(good.length - 25) = (corrupt(good.length - 25) ^ 0x55).toByte
+    // corrupting deflate bytes must yield None (or a defensive decode),
+    // never an executor-killing throw
+    ImageCodecs.pngPixels(corrupt)
+    assert(ImageCodecs.pngPixels(null).isEmpty)
+  }
+
+  test("imagePixelStats: exact channel sums distributed; non-png rows " +
+      "surface undecoded") {
+    import graft.operators.ImageCodecs
+    val spark2 = spark
+    import spark2.implicits._
+    def px(x: Int, y: Int, c: Int): Int = (x + 2 * y + 3 * c) % 256
+    val rows = Seq(
+      (1L, ImageCodecs.pngBytesWithPixels(3, 2, 2, 0)(px)), // rgb
+      (2L, ImageCodecs.jpegBytes(8, 8)),                    // not decodable
+      (3L, ImageCodecs.pngBytesWithPixels(2, 2, 0, 2)(px))) // gray
+    val got = MultimodalOps.imagePixelStats(
+        rows.toDF("id", "media"), "id", "media")
+      .orderBy("id").collect()
+    // id=1: sums over x in 0..2, y in 0..1 of (x + 2y + 3c)
+    val s = (c: Int) => (for (y <- 0 to 1; x <- 0 to 2)
+      yield (x + 2 * y + 3 * c) % 256).sum.toLong
+    assert(got(0).getBoolean(1) && got(0).getInt(4) == 3)
+    assert((got(0).getLong(6), got(0).getLong(7), got(0).getLong(8)) ==
+      ((s(0), s(1), s(2))))
+    assert(got(0).isNullAt(9), "rgb has no 4th channel")
+    assert(!got(1).getBoolean(1) && got(1).isNullAt(6))
+    assert(got(2).getBoolean(1) && got(2).getInt(4) == 1 &&
+      got(2).getLong(6) == (0 + 1 + 2 + 3))
+  }
+
   test("sampleFrames: windowed frames with stride") {
     import spark.implicits._
     val ds = spark.createDataset(media(2))
