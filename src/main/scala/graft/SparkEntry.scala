@@ -831,6 +831,26 @@ object SparkEntry {
         }.toDF("doc_id", "media")
       MultimodalOps.imagePixelStats(media, "doc_id", "media")
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL audio decode end-to-end: RIFF/PCM WAVs synthesized from a
+    // closed-form sample generator (mono/stereo, 8/16-bit, three
+    // sample rates), decoded back to exact per-channel sums; the
+    // oracle recomputes from the formula alone.
+    "q72_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (id % 50 + 10).toInt
+          val ch = (id % 2 + 1).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val bits = if (id % 3 == 0) 8 else 16
+          val bytes = AudioCodecs.wavBytes(n, ch, rate, bits)((f, c) =>
+            (((id * 13 + f * 7 + c * 101) % 256) - 128).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.audioStats(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1181,6 +1201,32 @@ object SparkEntry {
         |  CASE WHEN ch > 1 THEN s1 END AS c1_sum,
         |  CASE WHEN ch > 2 THEN s2 END AS c2_sum,
         |  CASE WHEN ch > 3 THEN s3 END AS c3_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Same scheme for audio: the oracle never sees RIFF bytes — it
+    // recomputes sample sums and the integer-division duration from
+    // the generator formula; Spark decodes the actual PCM payload.
+    "q72_audio_stats" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id % 50 + 10)::INTEGER AS n,
+        |    (d.doc_id % 2 + 1)::INTEGER AS ch,
+        |    (8000 + (d.doc_id % 3) * 4000)::INTEGER AS rate,
+        |    (CASE WHEN d.doc_id % 3 = 0 THEN 8 ELSE 16 END)::INTEGER
+        |      AS bits,
+        |    f.f
+        |  FROM documents d, generate_series(0, 59) f(f)
+        |  WHERE f.f < d.doc_id % 50 + 10),
+        |s AS (
+        |  SELECT doc_id, any_value(n) AS n, any_value(ch) AS ch,
+        |    any_value(rate) AS rate, any_value(bits) AS bits,
+        |    sum((doc_id * 13 + f * 7) % 256 - 128)::BIGINT AS s0,
+        |    sum((doc_id * 13 + f * 7 + 101) % 256 - 128)::BIGINT AS s1
+        |  FROM fr GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded, ch AS channels,
+        |  rate AS sample_rate, bits, n::BIGINT AS n_frames,
+        |  (n * 1000 // rate)::BIGINT AS duration_ms,
+        |  s0 AS c0_sum, CASE WHEN ch > 1 THEN s1 END AS c1_sum
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // NB: DuckDB sum() over integers yields HUGEINT, which pandas

@@ -1,0 +1,124 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM WAV (RIFF/PCM) codec: REAL audio decode for the one
+  * container format that needs no entropy coder — linear PCM at 8 or
+  * 16 bits — plus a deterministic writer for fixtures. Covers the
+  * audio leg of the multimodal layer the way PNG covers images: parse
+  * the container, recover typed metadata (channels, sample rate, frame
+  * count) and the actual samples for exact statistics.
+  *
+  * Defensive like [[ImageCodecs]]: malformed/truncated/unsupported
+  * payloads yield None, never a throw. Compressed formats (MP3, AAC,
+  * Opus) remain out of scope — their entropy stages need real codec
+  * libraries; at curation time PCM is what lands after standardization
+  * anyway. */
+object AudioCodecs {
+
+  /** Decoded PCM audio: `samples(frame * channels + c)` is the signed
+    * sample value (8-bit payloads are centred: stored unsigned byte
+    * minus 128). */
+  final case class PcmAudio(channels: Int, sampleRate: Int,
+                            bitsPerSample: Int, nFrames: Int,
+                            samples: Array[Int]) {
+    def durationMs: Long = nFrames.toLong * 1000L / sampleRate
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b.slice(off, off + 4), "US-ASCII")
+
+  /** Parse + decode a RIFF/WAVE stream with a PCM `fmt ` chunk
+    * (audioFormat 1, 8 or 16 bits) and a `data` chunk. */
+  def parseWav(b: Array[Byte]): Option[PcmAudio] = {
+    if (b == null || b.length < 44) return None
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var channels = 0; var rate = 0; var bits = 0
+    var haveFmt = false
+    var data: (Int, Int) = null // (offset, length)
+    while (off + 8 <= b.length && data == null) {
+      val ctag = tag(b, off)
+      val clen = le32(b, off + 4)
+      if (clen < 0 || off + 8 + clen > b.length) return None
+      ctag match {
+        case "fmt " =>
+          if (clen < 16) return None
+          val audioFormat = le16(b, off + 8)
+          channels = le16(b, off + 10)
+          rate = le32(b, off + 12)
+          bits = le16(b, off + 22)
+          haveFmt = true
+          if (audioFormat != 1 || channels < 1 || channels > 8 ||
+            rate <= 0 || (bits != 8 && bits != 16)) return None
+        case "data" => data = (off + 8, clen)
+        case _      => () // LIST/INFO/fact etc. skipped
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off += 8 + clen + (clen & 1)
+    }
+    if (!haveFmt || data == null) return None
+    val (dOff, dLen) = data
+    val bytesPerSample = bits / 8
+    val frameBytes = channels * bytesPerSample
+    if (frameBytes == 0 || dLen % frameBytes != 0) return None
+    val nFrames = dLen / frameBytes
+    val samples = new Array[Int](nFrames * channels)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) =
+        if (bits == 16) le16(b, dOff + 2 * i).toShort.toInt
+        else (b(dOff + i) & 0xff) - 128
+      i += 1
+    }
+    Some(PcmAudio(channels, rate, bits, nFrames, samples))
+  }
+
+  /** Deterministic PCM WAV writer: `sample(frame, channel)` supplies
+    * signed values (clamped to the bit range). The exact inverse of
+    * [[parseWav]] — roundtrips are bit-exact. */
+  def wavBytes(nFrames: Int, channels: Int, sampleRate: Int,
+               bitsPerSample: Int = 16)
+              (sample: (Int, Int) => Int): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels $channels")
+    require(bitsPerSample == 8 || bitsPerSample == 16, "8 or 16 bits")
+    require(sampleRate > 0 && nFrames >= 0, "positive rate, frames >= 0")
+    val bytesPerSample = bitsPerSample / 8
+    val dataLen = nFrames * channels * bytesPerSample
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * bytesPerSample) // byte rate
+      .putShort((channels * bytesPerSample).toShort)  // block align
+      .putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val s = sample(f, c)
+        if (bitsPerSample == 16) {
+          val v = math.max(-32768, math.min(32767, s))
+          bb.putShort(v.toShort)
+        } else {
+          val v = math.max(-128, math.min(127, s))
+          bb.put((v + 128).toByte) // 8-bit WAV is unsigned
+        }
+        c += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+}

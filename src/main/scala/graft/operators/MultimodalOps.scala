@@ -148,6 +148,50 @@ object MultimodalOps {
         "c0_sum", "c1_sum", "c2_sum", "c3_sum")
   }
 
+  /** REAL audio statistics over a WAV binary column: decode RIFF/PCM
+    * ([[AudioCodecs.parseWav]]) and emit typed metadata (channels,
+    * rate, frames, duration) plus exact per-channel signed-sample sums
+    * for the first two channels (mono/stereo cover audio corpora;
+    * higher channels still decode, their sums just aren't columns).
+    * Non-WAV/garbage rows surface with decoded=false and nulls.
+    *
+    * Same scale shape as [[imagePixelStats]]: one mapPartitions pass,
+    * binary dropped in the scan task, only narrow integers flow on. */
+  def audioStats(media: DataFrame, idCol: String, binCol: String,
+                 batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            AudioCodecs.parseWav(bytes) match {
+              case Some(a) =>
+                var s0 = 0L; var s1 = 0L
+                var i = 0
+                while (i < a.samples.length) {
+                  (i % a.channels) match {
+                    case 0 => s0 += a.samples(i)
+                    case 1 => s1 += a.samples(i)
+                    case _ => ()
+                  }
+                  i += 1
+                }
+                (id, true, a.channels, a.sampleRate, a.bitsPerSample,
+                  a.nFrames.toLong, a.durationMs, Some(s0),
+                  if (a.channels > 1) Some(s1) else None)
+              case None =>
+                (id, false, 0, 0, 0, 0L, 0L, Option.empty[Long],
+                  Option.empty[Long])
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "channels", "sample_rate", "bits",
+        "n_frames", "duration_ms", "c0_sum", "c1_sum")
+  }
+
   /** Frame sampling: every `stride`-th fixed-size window of the payload
     * as a "frame" (stub for video keyframe extraction; shape + explode
     * semantics are the real plumbing). */

@@ -174,6 +174,48 @@ class MultimodalReplSpec extends AnyFunSuite {
       got(2).getLong(6) == (0 + 1 + 2 + 3))
   }
 
+  test("wav: bit-exact roundtrip for 8/16-bit mono/stereo; garbage None") {
+    import graft.operators.AudioCodecs
+    for (bits <- Seq(8, 16); ch <- Seq(1, 2)) {
+      def s(f: Int, c: Int): Int = ((f * 7 + c * 101 + 3) % 256) - 128
+      val bytes = AudioCodecs.wavBytes(25, ch, 16000, bits)(s)
+      val got = AudioCodecs.parseWav(bytes)
+      assert(got.isDefined, s"bits=$bits ch=$ch")
+      val a = got.get
+      assert((a.channels, a.sampleRate, a.bitsPerSample, a.nFrames) ==
+        ((ch, 16000, bits, 25)))
+      for (f <- 0 until 25; c <- 0 until ch)
+        assert(a.samples(f * ch + c) == s(f, c), s"bits=$bits frame $f ch $c")
+      assert(a.durationMs == 25L * 1000L / 16000L)
+    }
+    assert(AudioCodecs.parseWav(null).isEmpty)
+    assert(AudioCodecs.parseWav("RIFFjunk".getBytes("US-ASCII")).isEmpty)
+    val ok = AudioCodecs.wavBytes(10, 1, 8000)( (f, _) => f)
+    assert(AudioCodecs.parseWav(ok.dropRight(3)).isEmpty,
+      "truncated data chunk")
+    assert(AudioCodecs.parseWav(
+      graft.operators.ImageCodecs.pngBytes(4, 4)).isEmpty)
+  }
+
+  test("audioStats: exact per-channel sums distributed; non-wav rows " +
+      "surface undecoded") {
+    import graft.operators.AudioCodecs
+    val spark2 = spark
+    import spark2.implicits._
+    def s(f: Int, c: Int): Int = (f + 1) * (if (c == 0) 1 else -1)
+    val rows = Seq(
+      (1L, AudioCodecs.wavBytes(4, 2, 8000)(s)),  // stereo
+      (2L, "not audio".getBytes("UTF-8")))
+    val got = MultimodalOps.audioStats(
+        rows.toDF("id", "media"), "id", "media")
+      .orderBy("id").collect()
+    assert(got(0).getBoolean(1) && got(0).getInt(2) == 2)
+    assert(got(0).getLong(5) == 4L)
+    assert(got(0).getLong(7) == (1 + 2 + 3 + 4))
+    assert(got(0).getLong(8) == -(1 + 2 + 3 + 4))
+    assert(!got(1).getBoolean(1) && got(1).isNullAt(7))
+  }
+
   test("sampleFrames: windowed frames with stride") {
     import spark.implicits._
     val ds = spark.createDataset(media(2))
