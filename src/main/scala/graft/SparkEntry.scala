@@ -833,6 +833,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL GIF decode end-to-end: palette + pixel indices both follow
+    // closed forms; the bytes go through the LZW bitstream writer and
+    // the full LZW decoder (variable-width codes, clear resets) before
+    // the palette-expanded channel sums are taken. Same operator as
+    // q71 — decodePixels sniffs the container.
+    "q73_gif_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 13 + 4).toInt
+          val h = (id % 11 + 4).toInt
+          val palette = Array.tabulate(16 * 3) { j =>
+            (((j / 3) * 29 + (j % 3) * 17 + 7) % 256).toByte
+          }
+          val bytes = ImageCodecs.gifBytesWithPixels(w, h, palette)(
+            (x, y) => ((id + x * 3 + y * 5) % 16).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.imagePixelStats(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL audio decode end-to-end: RIFF/PCM WAVs synthesized from a
     // closed-form sample generator (mono/stereo, 8/16-bit, three
     // sample rates), decoded back to exact per-channel sums; the
@@ -1201,6 +1223,30 @@ object SparkEntry {
         |  CASE WHEN ch > 1 THEN s1 END AS c1_sum,
         |  CASE WHEN ch > 2 THEN s2 END AS c2_sum,
         |  CASE WHEN ch > 3 THEN s3 END AS c3_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // GIF oracle: palette lookup composed with the index formula, all
+    // in closed form — LZW encode/decode must be exact for the sums
+    // to hash-match.
+    "q73_gif_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id % 13 + 4)::INTEGER AS w,
+        |    (d.doc_id % 11 + 4)::INTEGER AS h,
+        |    (d.doc_id + x.x * 3 + y.y * 5) % 16 AS i
+        |  FROM documents d, generate_series(0, 16) x(x),
+        |    generate_series(0, 14) y(y)
+        |  WHERE x.x < d.doc_id % 13 + 4 AND y.y < d.doc_id % 11 + 4),
+        |s AS (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    sum((i * 29 + 7) % 256)::BIGINT AS s0,
+        |    sum((i * 29 + 24) % 256)::BIGINT AS s1,
+        |    sum((i * 29 + 41) % 256)::BIGINT AS s2
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded, w AS width, h AS height,
+        |  3 AS channels, (w * h)::BIGINT AS n_pixels,
+        |  s0 AS c0_sum, s1 AS c1_sum, s2 AS c2_sum,
+        |  CAST(NULL AS BIGINT) AS c3_sum
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // Same scheme for audio: the oracle never sees RIFF bytes — it

@@ -224,6 +224,149 @@ object ImageCodecs {
     } else Some(PixelImage(w, h, ch, out))
   }
 
+  /** REAL GIF pixel decode: logical screen + colour tables + the LZW
+    * bitstream (variable-width codes LSB-first, clear/EOI handling,
+    * the KwKwK case), palette-expanded to 3-channel RGB. Supports a
+    * single non-interlaced full-frame image — the shape of virtually
+    * every non-animated GIF; anything else (interlace, partial frames,
+    * corrupt streams) returns None, never throws. */
+  def gifPixels(b: Array[Byte]): Option[PixelImage] = {
+    if (b == null || b.length < 14) return None
+    val sig = new String(b.take(6), "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0 || w > 0x4000 || h > 0x4000) return None
+    val packed = b(10) & 0xff
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (off + 3 * n > b.length) return None
+      gct = b.slice(off, off + 3 * n); off += 3 * n
+    }
+    while (off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x21 => // extension block: label byte + data sub-blocks
+          off += 2
+          if (off >= b.length) return None
+          var bl = b(off) & 0xff
+          while (bl != 0) {
+            off += 1 + bl
+            if (off >= b.length) return None
+            bl = b(off) & 0xff
+          }
+          off += 1
+        case 0x2c => // image descriptor
+          if (off + 10 > b.length) return None
+          val ix = le16(b, off + 1); val iy = le16(b, off + 3)
+          val iw = le16(b, off + 5); val ih = le16(b, off + 7)
+          val ip = b(off + 9) & 0xff
+          off += 10
+          if ((ip & 0x40) != 0) return None // interlaced: unsupported
+          var ct = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (off + 3 * n > b.length) return None
+            ct = b.slice(off, off + 3 * n); off += 3 * n
+          }
+          if (ct == null) return None
+          if (ix != 0 || iy != 0 || iw != w || ih != h) return None
+          if (off >= b.length) return None
+          val mcs = b(off) & 0xff; off += 1
+          if (mcs < 2 || mcs > 11) return None
+          val data = new java.io.ByteArrayOutputStream()
+          if (off >= b.length) return None
+          var bl = b(off) & 0xff
+          while (bl != 0) {
+            if (off + 1 + bl > b.length) return None
+            data.write(b, off + 1, bl)
+            off += 1 + bl
+            if (off >= b.length) return None
+            bl = b(off) & 0xff
+          }
+          val idx = lzwDecode(data.toByteArray, mcs, w * h)
+          if (idx == null) return None
+          val entries = ct.length / 3
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val k = idx(i) & 0xff
+            if (k >= entries) return None
+            rgb(3 * i) = ct(3 * k)
+            rgb(3 * i + 1) = ct(3 * k + 1)
+            rgb(3 * i + 2) = ct(3 * k + 2)
+            i += 1
+          }
+          return Some(PixelImage(w, h, 3, rgb))
+        case 0x3b => return None // trailer before any image data
+        case _    => return None
+      }
+    }
+    None
+  }
+
+  /** GIF LZW decode (spec appendix F): LSB-first variable-width codes,
+    * dictionary as prefix/suffix arrays, clear resets, KwKwK handling.
+    * Returns exactly `nPixels` indices or null. */
+  private def lzwDecode(data: Array[Byte], mcs: Int,
+                        nPixels: Int): Array[Byte] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](nPixels)
+    val stack = new Array[Byte](4097)
+    var outN = 0
+    var codeSize = mcs + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    while (outN < nPixels) {
+      if (bitPos + codeSize > totalBits) return null
+      var code = 0
+      var i = 0
+      while (i < codeSize) {
+        val p = bitPos + i
+        if (((data(p >> 3) >> (p & 7)) & 1) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      if (code == clear) { codeSize = mcs + 1; next = eoi + 1; prev = -1 }
+      else if (code == eoi) return null // EOI with pixels missing
+      else {
+        var sp = 0
+        var cur = code
+        if (code >= next) {
+          // only the KwKwK pattern references one-past-the-dictionary
+          if (code != next || prev < 0) return null
+          var f = prev
+          while (f >= clear + 2) f = prefix(f)
+          stack(sp) = f.toByte; sp += 1
+          cur = prev
+        }
+        while (cur >= clear + 2) {
+          stack(sp) = suffix(cur); sp += 1
+          if (sp > 4096) return null
+          cur = prefix(cur)
+        }
+        if (cur >= clear) return null // clear/EOI as a string root
+        stack(sp) = cur.toByte; sp += 1
+        if (outN + sp > nPixels) return null
+        var j = sp - 1
+        while (j >= 0) { out(outN) = stack(j); outN += 1; j -= 1 }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          suffix(next) = stack(sp - 1) // first char of the emitted string
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    out
+  }
+
   // --- deterministic fixture writers -------------------------------------
 
   private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
@@ -347,4 +490,81 @@ object ImageCodecs {
     bb.put(0x3b.toByte) // trailer
     bb.array()
   }
+
+  /** Full GIF encode of real indexed pixel data. The LZW stream uses
+    * the classic "uncompressed" strategy: every pixel as a literal
+    * code with a clear code every 2^mcs − 2 literals so the code width
+    * never grows — maximally simple on the encode side while forcing
+    * the decoder through real clear-reset handling. `palette` is a
+    * power-of-two RGB table (6-765 bytes); `pixelIdx(x, y)` supplies
+    * the palette index. */
+  def gifBytesWithPixels(width: Int, height: Int, palette: Array[Byte])
+                        (pixelIdx: (Int, Int) => Int): Array[Byte] = {
+    require(palette.length % 3 == 0, "palette is RGB triples")
+    val entries = palette.length / 3
+    require(entries >= 2 && entries <= 256 &&
+      (entries & (entries - 1)) == 0, "power-of-two palette size")
+    val sizeField = 31 - Integer.numberOfLeadingZeros(entries) - 1
+    val mcs = math.max(2, 31 - Integer.numberOfLeadingZeros(entries))
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val codeSize = mcs + 1
+    // LSB-first bit packer
+    val packed = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nbits = 0
+    def put(code: Int): Unit = {
+      acc |= code << nbits; nbits += codeSize
+      while (nbits >= 8) { packed.write(acc & 0xff); acc >>= 8; nbits -= 8 }
+    }
+    put(clear)
+    var sinceClear = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (sinceClear == clear - 2) { put(clear); sinceClear = 0 }
+        put(pixelIdx(x, y) & (entries - 1))
+        sinceClear += 1
+        x += 1
+      }
+      y += 1
+    }
+    put(eoi)
+    if (nbits > 0) packed.write(acc & 0xff)
+    val lzw = packed.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0x80 | sizeField) // GCT present, 2^(sizeField+1) entries
+    out.write(0); out.write(0)  // bg index, aspect
+    out.write(palette, 0, palette.length)
+    out.write(0x2c) // image descriptor: full frame at (0,0), no LCT
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0)
+    out.write(mcs)
+    var off = 0
+    while (off < lzw.length) { // 255-byte sub-blocks
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Pixel decode for any supported lossless container (PNG or GIF);
+    * formats whose pixel stage needs an entropy decoder this library
+    * doesn't carry (JPEG) return None. */
+  def decodePixels(b: Array[Byte]): Option[PixelImage] =
+    if (b == null || b.length < 4) None
+    else (b(0) & 0xff) match {
+      case 0x89 => pngPixels(b)
+      case 0x47 => gifPixels(b)
+      case _    => None
+    }
 }

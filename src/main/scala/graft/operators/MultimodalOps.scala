@@ -105,14 +105,14 @@ object MultimodalOps {
       .toDF(idCol, "n_bytes", "mime", "width", "height", "channels")
   }
 
-  /** REAL pixel statistics over a PNG binary column: decode every image
-    * ([[ImageCodecs.pngPixels]] — inflate + unfilter, the full lossless
-    * path) and emit exact per-channel sample SUMS plus pixel counts.
-    * Integer sums rather than float means: order-free, cross-engine
-    * exact, and the mean is one division away. Rows whose bytes are not
-    * a decodable bit-depth-8 PNG (other formats, garbage, 16-bit,
-    * interlaced) surface with decoded=false and null sums — triaged,
-    * not dropped.
+  /** REAL pixel statistics over a lossless-image binary column: decode
+    * every image ([[ImageCodecs.decodePixels]] — PNG inflate+unfilter
+    * or GIF LZW+palette, the full lossless paths) and emit exact
+    * per-channel sample SUMS plus pixel counts. Integer sums rather
+    * than float means: order-free, cross-engine exact, and the mean is
+    * one division away. Rows whose bytes are not decodable (JPEG,
+    * garbage, 16-bit/interlaced profiles) surface with decoded=false
+    * and null sums — triaged, not dropped.
     *
     * Scale shape: one mapPartitions pass; the MB-sized binary never
     * leaves the scan task — only (id, flags, five BIGINTs) flow on. */
@@ -125,7 +125,7 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            ImageCodecs.pngPixels(bytes) match {
+            ImageCodecs.decodePixels(bytes) match {
               case Some(p) =>
                 val sums = new Array[Long](4)
                 var i = 0

@@ -174,6 +174,45 @@ class MultimodalReplSpec extends AnyFunSuite {
       got(2).getLong(6) == (0 + 1 + 2 + 3))
   }
 
+  test("gifPixels: LZW roundtrip across palette sizes, incl. code-width " +
+      "growth and clear resets") {
+    import graft.operators.ImageCodecs
+    for (entries <- Seq(2, 4, 16, 256)) {
+      val palette = Array.tabulate(entries * 3)(j => (j * 11 + 5).toByte)
+      def idx(x: Int, y: Int): Int = (x * 3 + y * 7) % entries
+      // 40x30 = 1200 px: with entries=2 (mcs 2, clear every 2 literals)
+      // the clear-reset path runs hundreds of times; with 256 the
+      // stream crosses sub-block boundaries
+      val bytes = ImageCodecs.gifBytesWithPixels(40, 30, palette)(idx)
+      val got = ImageCodecs.gifPixels(bytes)
+      assert(got.isDefined, s"entries=$entries failed to decode")
+      val p = got.get
+      assert((p.width, p.height, p.channels) == ((40, 30, 3)))
+      for (y <- 0 until 30; x <- 0 until 40; c <- 0 until 3)
+        assert(p.pixels(y * 120 + x * 3 + c) ==
+          palette(idx(x, y) * 3 + c), s"entries=$entries ($x,$y,$c)")
+    }
+    // decodePixels sniffs both lossless containers
+    val png = ImageCodecs.pngBytesWithPixels(4, 4, 2, 1)((x, y, c) => x + y + c)
+    assert(ImageCodecs.decodePixels(png).isDefined)
+    assert(ImageCodecs.decodePixels(ImageCodecs.jpegBytes(4, 4)).isEmpty)
+  }
+
+  test("gifPixels: malformed streams decode to None, never throw") {
+    import graft.operators.ImageCodecs
+    val palette = Array.tabulate(12)(j => j.toByte)
+    val good = ImageCodecs.gifBytesWithPixels(8, 6, palette)((x, y) =>
+      (x + y) % 4)
+    assert(ImageCodecs.gifPixels(good).isDefined)
+    assert(ImageCodecs.gifPixels(good.dropRight(10)).isEmpty, "truncated")
+    assert(ImageCodecs.gifPixels(ImageCodecs.gifBytes(8, 6)).isEmpty,
+      "descriptor-only gif has no image data")
+    val corrupt = good.clone()
+    corrupt(good.length - 12) = (corrupt(good.length - 12) ^ 0x7f).toByte
+    ImageCodecs.gifPixels(corrupt) // defensive decode or None, no throw
+    assert(ImageCodecs.gifPixels(null).isEmpty)
+  }
+
   test("wav: bit-exact roundtrip for 8/16-bit mono/stereo; garbage None") {
     import graft.operators.AudioCodecs
     for (bits <- Seq(8, 16); ch <- Seq(1, 2)) {
