@@ -855,6 +855,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL baseline-JPEG decode end-to-end: DC-only blocks (quant=8)
+    // decode to exactly dc+128 per sample, so the full Huffman entropy
+    // + dequant + IDCT path is closed-form checkable. Same operator
+    // as q71/q73 — decodePixels sniffs the container.
+    "q74_jpeg_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 * (id % 3 + 1)).toInt
+          val h = (8 * (id % 2 + 1)).toInt
+          val nc = if (id % 2 == 0) 3 else 1
+          val bytes = graft.operators.JpegCodec.encodeDcOnly(w, h, nc)(
+            (b, c) => (((id * 3 + b * 7 + c * 13) % 200) - 100).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.imagePixelStats(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL audio decode end-to-end: RIFF/PCM WAVs synthesized from a
     // closed-form sample generator (mono/stereo, 8/16-bit, three
     // sample rates), decoded back to exact per-channel sums; the
@@ -1246,6 +1265,36 @@ object SparkEntry {
         |SELECT doc_id, true AS decoded, w AS width, h AS height,
         |  3 AS channels, (w * h)::BIGINT AS n_pixels,
         |  s0 AS c0_sum, s1 AS c1_sum, s2 AS c2_sum,
+        |  CAST(NULL AS BIGINT) AS c3_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // JPEG oracle: every 8x8 block is uniform at dc+128, so channel
+    // sums are 64x the per-block closed form — the entropy decode,
+    // dequantization and IDCT all have to be exact for this to match.
+    "q74_jpeg_pixel_stats" ->
+      """WITH bl AS (
+        |  SELECT d.doc_id,
+        |    (8 * (d.doc_id % 3 + 1))::INTEGER AS w,
+        |    (8 * (d.doc_id % 2 + 1))::INTEGER AS h,
+        |    (CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 1 END)::INTEGER AS ch,
+        |    b.b
+        |  FROM documents d, generate_series(0, 5) b(b)
+        |  WHERE b.b < (d.doc_id % 3 + 1) * (d.doc_id % 2 + 1)),
+        |s AS (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    any_value(ch) AS ch,
+        |    sum(64 * (((doc_id * 3 + b * 7) % 200) - 100 + 128))::BIGINT
+        |      AS s0,
+        |    sum(64 * (((doc_id * 3 + b * 7 + 13) % 200) - 100 + 128))::BIGINT
+        |      AS s1,
+        |    sum(64 * (((doc_id * 3 + b * 7 + 26) % 200) - 100 + 128))::BIGINT
+        |      AS s2
+        |  FROM bl GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded, w AS width, h AS height,
+        |  ch AS channels, (w * h)::BIGINT AS n_pixels,
+        |  s0 AS c0_sum,
+        |  CASE WHEN ch > 1 THEN s1 END AS c1_sum,
+        |  CASE WHEN ch > 2 THEN s2 END AS c2_sum,
         |  CAST(NULL AS BIGINT) AS c3_sum
         |FROM s ORDER BY doc_id""".stripMargin,
 

@@ -557,14 +557,16 @@ object ImageCodecs {
     out.toByteArray
   }
 
-  /** Pixel decode for any supported lossless container (PNG or GIF);
-    * formats whose pixel stage needs an entropy decoder this library
-    * doesn't carry (JPEG) return None. */
+  /** Pixel decode for any supported container: PNG (inflate +
+    * unfilter), GIF (LZW + palette), baseline JPEG (Huffman + IDCT,
+    * native component samples — [[JpegCodec]]). Unsupported profiles
+    * within each format return None. */
   def decodePixels(b: Array[Byte]): Option[PixelImage] =
     if (b == null || b.length < 4) None
     else (b(0) & 0xff) match {
       case 0x89 => pngPixels(b)
       case 0x47 => gifPixels(b)
+      case 0xff => JpegCodec.decode(b)
       case _    => None
     }
 }

