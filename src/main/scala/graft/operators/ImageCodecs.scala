@@ -3,17 +3,15 @@ package graft.operators
 import java.nio.ByteBuffer
 import java.util.zip.CRC32
 
-/** Pure-JVM image codecs: header PARSING for the three public formats
-  * a crawl corpus is mostly made of (PNG, JPEG, GIF), REAL PIXEL DECODE
-  * for PNG ([[pngPixels]]: zlib inflate via `java.util.zip` + scanline
-  * unfiltering per the PNG spec §9 — all five filter types, colour
-  * types 0/2/3/4/6 at bit depth 8), and structurally-valid WRITERS
-  * used to synthesize deterministic fixtures ([[pngBytesWithPixels]]
-  * encodes real pixel data with a chosen filter type). No external
-  * codec libraries. JPEG/GIF pixel decode (entropy/LZW stages) remains
-  * out of scope — curation filters on header facts first, and PNG is
-  * the lossless format pixel-level pipelines (dedup by content,
-  * channel statistics) actually operate on.
+/** Pure-JVM image codecs: header PARSING and REAL PIXEL DECODE for the
+  * three public formats a crawl corpus is mostly made of — PNG
+  * ([[pngPixels]]: zlib inflate via `java.util.zip` + scanline
+  * unfiltering per spec §9, all five filter types, colour types
+  * 0/2/3/4/6 at bit depth 8), GIF ([[gifPixels]]: full LZW), and
+  * baseline JPEG (via [[JpegCodec]]) — plus structurally-valid WRITERS
+  * used to synthesize deterministic fixtures ([[pngBytesWithPixels]] /
+  * [[gifBytesWithPixels]] encode real pixel data). No external codec
+  * libraries anywhere.
   *
   * All parsers are defensive: any malformed/truncated/unknown payload
   * yields None, never a throw — at corpus scale SOME bytes are garbage

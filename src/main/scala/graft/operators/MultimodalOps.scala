@@ -12,15 +12,16 @@ import org.apache.spark.sql.functions._
   *    PNG/JPEG/GIF parse ([[ImageCodecs]]) recovering mime, dimensions
   *    and channel count from the actual bytes (the facts curation
   *    filters on before paying for pixel decode);
-  *  - PNG PIXEL decode ([[imagePixelStats]]) is REAL too — zlib
-  *    inflate + scanline unfiltering ([[ImageCodecs.pngPixels]]),
-  *    feeding exact per-channel statistics;
-  *  - learned-feature extraction remains a clearly-marked STUB
+  *  - PIXEL/SAMPLE decode ([[imagePixelStats]], [[audioStats]]) is
+  *    REAL too, for every container this library writes: PNG (zlib
+  *    inflate + scanline unfiltering), GIF (full LZW), baseline JPEG
+  *    (Huffman entropy decode + IDCT, [[JpegCodec]]), WAV RIFF/PCM
+  *    ([[AudioCodecs]]) — feeding exact per-channel statistics;
+  *  - learned-feature extraction remains the one clearly-marked STUB
   *    ([[FakeDecoder]]: deterministic pseudo-embeddings — no model
-  *    runtime in this environment), as does JPEG/GIF pixel decode
-  *    (entropy/LZW stages). The Spark-side plumbing — schema, batched
-  *    per-partition iteration, partitioning control, feature schema —
-  *    is real and is exactly where a JNI/ONNX/ffmpeg decoder would
+  *    runtime in this environment). The Spark-side plumbing — schema,
+  *    batched per-partition iteration, partitioning control, feature
+  *    schema — is real and is exactly where an ONNX/JNI encoder would
   *    plug in.
   *
   * Scale design: media rows are large (MBs); ops avoid wide shuffles of

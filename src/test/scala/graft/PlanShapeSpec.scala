@@ -129,6 +129,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "bucket base offsets must broadcast back")
   }
 
+  test("q71: media binary never crosses an exchange — decode happens " +
+      "in the scan task, only narrow stats shuffle") {
+    val p = plan("q71_image_pixel_stats")
+    // the one exchange is the presentation sort of (id, flags, sums)
+    assert(p.split("Exchange").length <= 2,
+      s"media payload must be dropped before any shuffle:\n$p")
+    assert(!p.contains("Join"), s"pixel stats is a single pass:\n$p")
+  }
+
   test("q56: postings rank-capped BEFORE the aggregate — the collect " +
       "buffer is bounded at maxPostings per term") {
     val p = plan("q56_inverted_index")
