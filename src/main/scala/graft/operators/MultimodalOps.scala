@@ -193,6 +193,75 @@ object MultimodalOps {
         "n_frames", "duration_ms", "c0_sum", "c1_sum")
   }
 
+  /** REAL content features from decoded pixels: an 8-dim descriptor of
+    * the image CONTENT, not its bytes — per-channel means, a coarse
+    * luma profile (left/right and top/bottom halves), aspect and
+    * log-size. Two encodings of the same pixels (different PNG filter
+    * strategies, PNG vs GIF of the same palette image) produce
+    * IDENTICAL features, so near-dup over this descriptor catches
+    * re-encoded duplicates that byte-hash dedup structurally cannot —
+    * the curation case that matters in a crawl. Undecodable rows get
+    * the content-hash fallback ([[FakeDecoder.decode]]) so they still
+    * dedup byte-identical copies.
+    *
+    * Every dimension is a deterministic integer-ratio computation —
+    * no FP accumulation-order hazard (sums are Long before the one
+    * division). Binary dropped in the same pass, as everywhere. */
+  def contentFeatures(media: DataFrame, idCol: String, binCol: String,
+                      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            ImageCodecs.decodePixels(bytes) match {
+              case Some(p) =>
+                val ch = p.channels
+                val n = p.width.toLong * p.height
+                val chSum = new Array[Long](4)
+                // luma = mean over channels; quadrant sums over luma
+                var left = 0L; var top = 0L; var total = 0L
+                var y = 0
+                while (y < p.height) {
+                  var x = 0
+                  while (x < p.width) {
+                    var l = 0L
+                    var c = 0
+                    while (c < ch) {
+                      val v = p.pixels((y * p.width + x) * ch + c) & 0xff
+                      chSum(c) += v; l += v
+                      c += 1
+                    }
+                    total += l
+                    if (x < p.width / 2) left += l
+                    if (y < p.height / 2) top += l
+                    x += 1
+                  }
+                  y += 1
+                }
+                def mean(c: Int): Float =
+                  if (c < ch) (chSum(c).toDouble / n / 255.0).toFloat
+                  else (chSum(ch - 1).toDouble / n / 255.0).toFloat
+                val denom = math.max(1L, total).toDouble
+                (id, true, Array(
+                  mean(0), mean(1), mean(2),
+                  (left / denom).toFloat,       // horizontal balance
+                  (top / denom).toFloat,        // vertical balance
+                  (p.width.toFloat / (p.width + p.height)), // aspect
+                  (math.log1p(n.toDouble) / 20.0).toFloat,  // log size
+                  ch / 4.0f))
+              case None =>
+                (id, false, FakeDecoder.decode(
+                  if (bytes == null) Array.empty[Byte] else bytes))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "features")
+  }
+
   /** Frame sampling: every `stride`-th fixed-size window of the payload
     * as a "frame" (stub for video keyframe extraction; shape + explode
     * semantics are the real plumbing). */

@@ -263,6 +263,36 @@ class MultimodalReplSpec extends AnyFunSuite {
     JpegCodec.decode(corrupt) // defensive: None or a decode, no throw
   }
 
+  test("contentFeatures: identical across re-encodings of the same " +
+      "pixels — what byte-hash dedup cannot see") {
+    import graft.operators.ImageCodecs
+    val spark2 = spark
+    import spark2.implicits._
+    val palette = Array.tabulate(16 * 3)(j => (j * 7 + 3).toByte)
+    def idx(x: Int, y: Int): Int = (x * 2 + y) % 16
+    // the SAME image content, three different byte streams:
+    val pngF0 = ImageCodecs.pngBytesWithPixels(12, 10, 2, 0)((x, y, c) =>
+      palette(idx(x, y) * 3 + c) & 0xff)
+    val pngF4 = ImageCodecs.pngBytesWithPixels(12, 10, 2, 4)((x, y, c) =>
+      palette(idx(x, y) * 3 + c) & 0xff)
+    val gif = ImageCodecs.gifBytesWithPixels(12, 10, palette)(idx)
+    assert(!pngF0.sameElements(pngF4) && !pngF0.sameElements(gif),
+      "encodings must differ at the byte level")
+    val rows = Seq((1L, pngF0), (2L, pngF4), (3L, gif),
+      (4L, "garbage".getBytes("UTF-8")))
+    val got = MultimodalOps.contentFeatures(
+        rows.toDF("id", "media"), "id", "media")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getSeq[Float](2)))
+    assert(got(0)._2 && got(1)._2 && got(2)._2 && !got(3)._2)
+    assert(got(0)._3 == got(1)._3,
+      "different PNG filter strategies, same content, same features")
+    assert(got(0)._3 == got(2)._3,
+      "PNG and GIF of the same pixels, same features")
+    assert(got(3)._3.length == 8, "fallback keeps the schema")
+    assert(got(3)._3 != got(0)._3)
+  }
+
   test("wav: bit-exact roundtrip for 8/16-bit mono/stereo; garbage None") {
     import graft.operators.AudioCodecs
     for (bits <- Seq(8, 16); ch <- Seq(1, 2)) {
