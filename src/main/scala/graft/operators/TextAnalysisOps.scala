@@ -522,6 +522,44 @@ object TextAnalysisOps {
         (col("n_denied_urls") === 0L).as("keep"))
   }
 
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb
+    * heuristic): deflate each document's UTF-8 bytes at a fixed level
+    * and report compressed/raw. Boilerplate, template spam and
+    * repetitive machine junk compress far below natural prose, so a
+    * very low ratio is a strong drop signal and a near-1.0 ratio flags
+    * binary-ish noise. One Deflater per partition, reset per document —
+    * no per-row allocation of the 256 KB zlib state.
+    *
+    * The byte count depends on the zlib build, so this op is
+    * spec-checked (ordering/monotonicity properties), not
+    * oracle-hashed — same policy as the HLL sketches. Scale shape:
+    * pure mapPartitions projection, no exchange. */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, "deflate level in [1, 9]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          if (text == null || text.isEmpty) (id, 0L, 0L, 1.0)
+          else {
+            val raw = text.getBytes("UTF-8")
+            defl.reset()
+            defl.setInput(raw)
+            defl.finish()
+            var n = 0L
+            while (!defl.finished()) n += defl.deflate(buf)
+            (id, raw.length.toLong, n, n.toDouble / raw.length)
+          }
+        }
+      }
+      .toDF(idCol, "n_raw_bytes", "n_deflate_bytes", "compress_ratio")
+  }
+
   /** Bloom-filter decontamination: the 100 TB scale path for benchmark
     * overlap gating. [[decontaminate]] broadcasts the bench set's
     * DISTINCT SHINGLE STRINGS and joins — fine while the eval suite is

@@ -115,6 +115,9 @@ object ScaleProbe {
         "doc_id", col("nt"), budget = 100000L))
     time(s"curate x$n")(
       TextAnalysisOps.curate(docs, "doc_id", "text"))
+    // projection-only quality signal: must track the scan, zero shuffle
+    time(s"compressionRatio x$n")(
+      TextAnalysisOps.compressionRatio(docs, "doc_id", "text"))
     time(s"sequencePack x$n")(
       graft.operators.PackingOps.sequencePack(
         docs.select(col("doc_id"),

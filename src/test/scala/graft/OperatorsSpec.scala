@@ -498,6 +498,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("compressionRatio: repetition compresses, entropy doesn't; " +
+      "deterministic across batch boundaries") {
+    import graft.operators.TextAnalysisOps
+    val junk = "buy now click here " * 200              // template spam
+    val prose = "The quick brown fox jumps over the lazy dog and then " +
+      "wanders toward a distant river where herons stand in the reeds. " +
+      "Every sentence here differs from its neighbours in structure. " +
+      "Some are long, winding through several clauses before arriving " +
+      "anywhere; others stop short. Numbers like 1729 and 28561 appear " +
+      "once each, as do words such as quixotic, byzantine, ephemeral."
+    val noise = new scala.util.Random(7).alphanumeric.take(2000).mkString
+    val docs = Seq((1L, junk), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps.compressionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 < 0.05, s"template spam must crush: ${byId(1L)}")
+    assert(byId(2L)._4 > byId(1L)._4 * 3, "prose compresses far less")
+    assert(byId(3L)._4 > byId(2L)._4, "random alphanumerics even less")
+    assert(byId(4L) == ((4L, 0L, 0L, 1.0)), "empty text is a no-op row")
+    // partitioning must not change results (Deflater reset per doc)
+    val re = TextAnalysisOps.compressionRatio(
+      docs.repartition(3), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("domainBlocklist: label-boundary suffix match, url-less docs keep") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
