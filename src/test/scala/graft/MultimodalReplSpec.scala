@@ -293,6 +293,34 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(got(3)._3 != got(0)._3)
   }
 
+  test("cross-encoding image dedup end-to-end: decode -> content " +
+      "features -> banded LSH finds the re-encoded pair") {
+    import graft.operators.{DedupOps, ImageCodecs}
+    val spark2 = spark
+    import spark2.implicits._
+    // six visually distinct images (different mean levels / gradients)
+    def img(seed: Int) = ImageCodecs.pngBytesWithPixels(16, 12, 2, 0)(
+      (x, y, c) => (seed * 40 + x * (seed % 3 + 1) + y + c * 9) % 256)
+    val palette = Array.tabulate(16 * 3)(j => ((j / 3) * 16 + (j % 3)).toByte)
+    val pngDup = ImageCodecs.pngBytesWithPixels(16, 12, 2, 4)((x, y, c) =>
+      palette(((x + y) % 16) * 3 + c) & 0xff)
+    val gifDup = ImageCodecs.gifBytesWithPixels(16, 12, palette)(
+      (x, y) => (x + y) % 16)
+    val rows = (0 until 6).map(i => (i.toLong, img(i))) ++
+      Seq((100L, pngDup), (101L, gifDup))
+    val feats = MultimodalOps.contentFeatures(
+      rows.toDF("id", "media"), "id", "media")
+    val dups = DedupOps.embeddingNearDups(feats.select("id", "features"),
+        "id", "features", threshold = 0.999999999, dim = 8,
+        tables = 4, bits = 4)
+    // identical features -> cosine 1 (to a ulp); visually distinct
+    // images sit well below the near-1 threshold
+    val pairs = dups.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((100L, 101L)),
+      s"exactly the re-encoded pair must surface: $pairs")
+  }
+
   test("wav: bit-exact roundtrip for 8/16-bit mono/stereo; garbage None") {
     import graft.operators.AudioCodecs
     for (bits <- Seq(8, 16); ch <- Seq(1, 2)) {
