@@ -574,6 +574,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML extraction: wrap each document's text in synthetic
+    // boilerplate (script/style payloads, comments, tags, entities)
+    // and recover clean text — the crawl pipeline's first transform.
+    "q75_html_to_text" -> ((s, dir) => {
+      val wrapped = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            lit("<html><head><script>var t=1;</script>"),
+            lit("<style>p{color:red}</style></head><body>"),
+            lit("<!-- id "), col("doc_id").cast("string"), lit(" -->"),
+            lit("<h1>Doc &amp; no. "), col("doc_id").cast("string"),
+            lit("</h1><p class=\"x\">"), col("text"),
+            lit(" &lt;end&gt;&nbsp;</p></body></html>")).as("html"))
+      TextAnalysisOps.htmlToText(wrapped, "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // Epoch shuffle + sharding: every doc gets a position in a seeded
     // deterministic permutation and a round-robin shard — the
     // curated-corpus → K shuffled training shards step. Global rank
@@ -2033,6 +2050,35 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Identical wrap + strip chain in SQL: same regexes, same entity
+    // order (named before &amp; — no double decode), same collapse.
+    "q75_html_to_text" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    '<html><head><script>var t=1;</script><style>p{color:red}' ||
+        |    '</style></head><body><!-- id ' || doc_id::VARCHAR ||
+        |    ' --><h1>Doc &amp; no. ' || doc_id::VARCHAR ||
+        |    '</h1><p class="x">' || text ||
+        |    ' &lt;end&gt;&nbsp;</p></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+        |              ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM w)
+        |SELECT doc_id, text, length(text)::BIGINT AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // The oracle ranks with one flat window over the full corpus — the
     // bucketed two-phase rank must be indistinguishable, and the

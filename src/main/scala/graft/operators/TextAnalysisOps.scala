@@ -522,6 +522,31 @@ object TextAnalysisOps {
         (col("n_denied_urls") === 0L).as("keep"))
   }
 
+  /** HTML → text extraction, the first step of a web-corpus pipeline:
+    * drop script/style payloads and comments, strip tags, decode the
+    * common entities, collapse whitespace. Deliberately a fixed
+    * regex/replace chain — deterministic, cross-engine reproducible
+    * (the DuckDB oracle runs the same chain), codegen'd, and good
+    * enough for curation-grade text (a browser-grade parser is a
+    * different tool). Entity decode order matters: named entities
+    * before `&amp;`, so `&amp;lt;` yields the literal `&lt;` instead
+    * of double-decoding.
+    *
+    * Scale shape: pure projection, no exchange. */
+  def htmlToText(docs: DataFrame, idCol: String,
+                 htmlCol: String): DataFrame = {
+    var t: org.apache.spark.sql.Column = col(htmlCol)
+    t = regexp_replace(t, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    t = regexp_replace(t, "(?s)<!--.*?-->", " ")
+    t = regexp_replace(t, "(?s)<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foreach { case (e, r) => t = replace(t, lit(e), lit(r)) }
+    t = trim(regexp_replace(t, "\\s+", " "))
+    docs.select(col(idCol), t.as("text"),
+      length(t).cast("long").as("n_chars"))
+  }
+
   /** Compression-ratio quality signal (the Gopher/RefinedWeb
     * heuristic): deflate each document's UTF-8 bytes at a fixed level
     * and report compressed/raw. Boilerplate, template spam and

@@ -498,6 +498,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("htmlToText: scripts/styles/comments/tags stripped, entities " +
+      "decoded once, whitespace collapsed") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "<html><SCRIPT>alert('x')</SCRIPT><p>Hello  <b>world</b></p></html>"),
+      (2L, "<style type=\"text/css\">body{}</style>A &amp;lt; B &lt; C"),
+      (3L, "<!-- secret -->keep<br/>this &nbsp; &quot;quoted&quot; &#39;q&#39;"),
+      (4L, "no markup at all")).toDF("doc_id", "html")
+    val got = TextAnalysisOps.htmlToText(docs, "doc_id", "html")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got(0) == ((1L, "Hello world")))
+    // &amp;lt; decodes to the LITERAL "&lt;" (no double decode); a real
+    // &lt; decodes to "<"
+    assert(got(1) == ((2L, "A &lt; B < C")))
+    assert(got(2) == ((3L, "keep this \"quoted\" 'q'")))
+    assert(got(3) == ((4L, "no markup at all")))
+  }
+
   test("compressionRatio: repetition compresses, entropy doesn't; " +
       "deterministic across batch boundaries") {
     import graft.operators.TextAnalysisOps
