@@ -574,6 +574,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC extraction: each doc becomes a two-record crawl archive
+    // (real ISO 28500 layout: WARC headers, embedded HTTP responses,
+    // exact Content-Lengths); the parser must recover URIs, statuses
+    // and byte-exact bodies. The web pipeline's front door.
+    "q76_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val recs = (0 until 2).map { r =>
+            (s"http://ex${id % 5}.org/d/$id/$r",
+              s"2026-01-0${r + 1}T00:00:00Z",
+              "text/html",
+              s"<p>Doc $id rec $r</p>" + text)
+          }
+          (id, graft.sources.WarcCodec.warcBytes(recs))
+        }.toDF("doc_id", "media")
+      MultimodalOps.warcRecords(media, "doc_id", "media")
+        .orderBy(col("doc_id"), col("rec"))
+    }),
+
     // HTML extraction: wrap each document's text in synthetic
     // boilerplate (script/style payloads, comments, tags, entities)
     // and recover clean text — the crawl pipeline's first transform.
@@ -2050,6 +2071,24 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // The oracle reconstructs every record field from the generator's
+    // closed form — URI arithmetic, constant status/mime, and the body
+    // string itself (byte length via strlen) — so WARC header parsing,
+    // HTTP envelope splitting and Content-Length handling must all be
+    // exact for the hash to match.
+    "q76_warc_extract" ->
+      """WITH r AS (
+        |  SELECT d.doc_id, g.r AS rec,
+        |    'http://ex' || (d.doc_id % 5)::VARCHAR || '.org/d/' ||
+        |      d.doc_id::VARCHAR || '/' || g.r::VARCHAR AS uri,
+        |    '<p>Doc ' || d.doc_id::VARCHAR || ' rec ' || g.r::VARCHAR ||
+        |      '</p>' || d.text AS body
+        |  FROM documents d, generate_series(0, 1) g(r))
+        |SELECT doc_id, rec::INTEGER AS rec, 'response' AS warc_type, uri,
+        |  200 AS status, 'text/html' AS mime,
+        |  strlen(body)::BIGINT AS n_body_bytes, body
+        |FROM r ORDER BY doc_id, rec""".stripMargin,
 
     // Identical wrap + strip chain in SQL: same regexes, same entity
     // order (named before &amp; — no double decode), same collapse.

@@ -262,6 +262,30 @@ object MultimodalOps {
       .toDF(idCol, "decoded", "features")
   }
 
+  /** WARC extraction over a binary column: parse each crawl archive
+    * ([[graft.sources.WarcCodec]]) and explode its records — type,
+    * target URI, HTTP status, content type, body bytes and UTF-8 text.
+    * The front door of the web pipeline: WARC → this → [[TextAnalysisOps
+    * .htmlToText]] → curation. One flatMap pass; the archive binary is
+    * dropped in the scan task and only record-sized rows flow on. */
+  def warcRecords(media: DataFrame, idCol: String,
+                  binCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.sources.WarcCodec.records(bytes).zipWithIndex.map {
+          case (r, i) =>
+            (id, i, r.warcType, r.targetUri, r.httpStatus, r.contentType,
+              r.body.length.toLong,
+              new String(r.body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF(idCol, "rec", "warc_type", "uri", "status", "mime",
+        "n_body_bytes", "body")
+  }
+
   /** Frame sampling: every `stride`-th fixed-size window of the payload
     * as a "frame" (stub for video keyframe extraction; shape + explode
     * semantics are the real plumbing). */

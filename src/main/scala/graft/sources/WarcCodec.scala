@@ -1,0 +1,124 @@
+package graft.sources
+
+/** Pure-JVM WARC (ISO 28500) codec — the container format web crawls
+  * actually arrive in (Common Crawl ships WARC). Parses the record
+  * stream: `WARC/1.x` header blocks with case-insensitive named
+  * fields, exact `Content-Length` payloads, and for `response`
+  * records the embedded HTTP message (status line, headers, body).
+  * Defensive throughout: a malformed record ends the parse with
+  * whatever was recovered so far — at corpus scale a truncated member
+  * must not discard the readable prefix, let alone kill the task.
+  *
+  * The companion [[warcBytes]] writes structurally-valid WARC for
+  * deterministic fixtures (gzip members are deliberately out of scope
+  * here — the harness corpus is uncompressed; at ingest time real
+  * .warc.gz splits per-record and inflates with `java.util.zip`, the
+  * same machinery [[graft.operators.ImageCodecs.pngPixels]] uses). */
+object WarcCodec {
+
+  final case class WarcRecord(warcType: String, targetUri: String,
+                              date: String, httpStatus: Int,
+                              contentType: String, body: Array[Byte])
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Index of the first CRLFCRLF at/after `from`, or -1. */
+  private def blankLine(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+        b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def headerMap(text: String): Map[String, String] =
+    text.split("\r\n").iterator.drop(1).flatMap { line =>
+      val k = line.indexOf(':')
+      if (k <= 0) None
+      else Some(line.substring(0, k).trim.toLowerCase ->
+        line.substring(k + 1).trim)
+    }.toMap
+
+  /** Parse every complete record in the stream. */
+  def records(b: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ListBuffer.empty[WarcRecord]
+    if (b == null) return out.toSeq
+    var off = 0
+    var ok = true
+    while (ok && off + 8 < b.length) {
+      // record header block starts with the WARC version line
+      if (!new String(b, off, math.min(5, b.length - off), Ascii)
+          .startsWith("WARC/")) { ok = false }
+      else {
+        val hEnd = blankLine(b, off)
+        if (hEnd < 0) ok = false
+        else {
+          val hdrs = headerMap(new String(b, off, hEnd - off, Ascii))
+          val len = hdrs.get("content-length").flatMap(_.toLongOption)
+            .getOrElse(-1L)
+          val pStart = hEnd + 4
+          if (len < 0 || pStart + len > b.length) ok = false
+          else {
+            val payload = java.util.Arrays.copyOfRange(
+              b, pStart, pStart + len.toInt)
+            val wtype = hdrs.getOrElse("warc-type", "unknown")
+            var status = 0
+            var ctype = hdrs.getOrElse("content-type", "")
+            var body = payload
+            if (wtype == "response" &&
+              new String(payload, 0, math.min(5, payload.length), Ascii)
+                .startsWith("HTTP/")) {
+              val he = blankLine(payload, 0)
+              if (he >= 0) {
+                val httpHead = new String(payload, 0, he, Ascii)
+                val statusLine = httpHead.takeWhile(_ != '\r')
+                status = statusLine.split(" ")
+                  .lift(1).flatMap(_.toIntOption).getOrElse(0)
+                ctype = headerMap(httpHead).getOrElse("content-type", ctype)
+                body = java.util.Arrays.copyOfRange(
+                  payload, he + 4, payload.length)
+              }
+            }
+            out += WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", ""),
+              hdrs.getOrElse("warc-date", ""), status, ctype, body)
+            // records are terminated by CRLFCRLF after the payload
+            off = pStart + len.toInt
+            while (off < b.length &&
+              (b(off) == '\r' || b(off) == '\n')) off += 1
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Write an uncompressed WARC stream of `response` records:
+    * (targetUri, date, contentType, body) each wrapped in an HTTP 200
+    * message. Deterministic — no UUIDs, no clocks: the record id
+    * derives from the target URI. */
+  def warcBytes(recs: Seq[(String, String, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (uri, date, ctype, bodyStr) =>
+      val body = bodyStr.getBytes(Utf8)
+      val http = (s"HTTP/1.1 200 OK\r\n" +
+        s"Content-Type: $ctype\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(Ascii)
+      val payloadLen = http.length + body.length
+      val hdr = (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:${uri.hashCode}>\r\n" +
+        s"WARC-Date: $date\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: $payloadLen\r\n\r\n").getBytes(Ascii)
+      out.write(hdr)
+      out.write(http)
+      out.write(body)
+      out.write("\r\n\r\n".getBytes(Ascii))
+    }
+    out.toByteArray
+  }
+}

@@ -321,6 +321,51 @@ class MultimodalReplSpec extends AnyFunSuite {
       s"exactly the re-encoded pair must surface: $pairs")
   }
 
+  test("warc: roundtrip recovers uri/status/mime and byte-exact bodies; " +
+      "truncation keeps the readable prefix") {
+    import graft.sources.WarcCodec
+    val recs = Seq(
+      ("http://a.example/1", "2026-01-01T00:00:00Z", "text/html",
+        "<p>hello</p>"),
+      ("http://b.example/2", "2026-01-02T00:00:00Z", "text/plain",
+        "plain body with \r\n line breaks and trailing spaces  "))
+    val bytes = WarcCodec.warcBytes(recs)
+    val got = WarcCodec.records(bytes)
+    assert(got.length == 2)
+    got.zip(recs).foreach { case (g, (uri, date, ct, body)) =>
+      assert(g.warcType == "response" && g.targetUri == uri &&
+        g.date == date && g.httpStatus == 200 && g.contentType == ct)
+      assert(new String(g.body, "UTF-8") == body, s"body mismatch for $uri")
+    }
+    // truncation mid-second-record: first record still parses
+    val cut = WarcCodec.records(bytes.dropRight(30))
+    assert(cut.length == 1 && cut.head.targetUri == "http://a.example/1")
+    assert(WarcCodec.records(null).isEmpty)
+    assert(WarcCodec.records("not a warc".getBytes("UTF-8")).isEmpty)
+    // a non-response record type surfaces with its raw payload
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Length: 7\r\n\r\npayload\r\n\r\n").getBytes("US-ASCII")
+    val gi = WarcCodec.records(info)
+    assert(gi.length == 1 && gi.head.warcType == "warcinfo" &&
+      new String(gi.head.body, "UTF-8") == "payload")
+  }
+
+  test("warc -> html -> text: the crawl pipeline chains end-to-end") {
+    import graft.operators.TextAnalysisOps
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val bytes = WarcCodec.warcBytes(Seq(
+      ("http://x.example/a", "2026-01-01T00:00:00Z", "text/html",
+        "<html><script>x()</script><body><p>Real &amp; clean</p></body></html>")))
+    val media = Seq((1L, bytes)).toDF("id", "media")
+    val texts = TextAnalysisOps.htmlToText(
+      MultimodalOps.warcRecords(media, "id", "media"), "uri", "body")
+    val row = texts.collect().head
+    assert(row.getString(0) == "http://x.example/a")
+    assert(row.getString(1) == "Real & clean")
+  }
+
   test("wav: bit-exact roundtrip for 8/16-bit mono/stereo; garbage None") {
     import graft.operators.AudioCodecs
     for (bits <- Seq(8, 16); ch <- Seq(1, 2)) {
