@@ -366,6 +366,34 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(row.getString(1) == "Real & clean")
   }
 
+  test("warc directory ingests as a STREAM: binaryFile source -> " +
+      "records -> clean text per micro-batch") {
+    import graft.operators.TextAnalysisOps
+    import graft.sources.WarcCodec
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_warc_stream").toString
+    (0 until 3).foreach { i =>
+      Files.write(Paths.get(s"$dir/crawl$i.warc"), WarcCodec.warcBytes(Seq(
+        (s"http://ex.org/$i", "2026-01-01T00:00:00Z", "text/html",
+          s"<body><p>doc &amp; $i</p><script>x()</script></body>"))))
+    }
+    val archives = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+      .load(dir)
+      .select(xxhash64(col("path")).as("id"), col("content"))
+    val texts = TextAnalysisOps.htmlToText(
+      MultimodalOps.warcRecords(archives, "id", "content"), "uri", "body")
+    val q = texts.writeStream.format("memory").queryName("warc_texts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000L) finally if (q.isActive) q.stop()
+    val got = spark.sql("SELECT uri, text FROM warc_texts ORDER BY uri")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == (0 until 3).map(i =>
+      (s"http://ex.org/$i", s"doc & $i")))
+  }
+
   test("wav: bit-exact roundtrip for 8/16-bit mono/stereo; garbage None") {
     import graft.operators.AudioCodecs
     for (bits <- Seq(8, 16); ch <- Seq(1, 2)) {
