@@ -9,11 +9,12 @@ package graft.sources
   * whatever was recovered so far — at corpus scale a truncated member
   * must not discard the readable prefix, let alone kill the task.
   *
-  * The companion [[warcBytes]] writes structurally-valid WARC for
-  * deterministic fixtures (gzip members are deliberately out of scope
-  * here — the harness corpus is uncompressed; at ingest time real
-  * .warc.gz splits per-record and inflates with `java.util.zip`, the
-  * same machinery [[graft.operators.ImageCodecs.pngPixels]] uses). */
+  * Gzipped archives (.warc.gz — Common Crawl's wire format, one gzip
+  * member per record) decompress transparently: [[records]] sniffs the
+  * 1f 8b magic and runs the stream through `GZIPInputStream`, which
+  * handles concatenated members natively. The companion [[warcBytes]]
+  * writes structurally-valid WARC for deterministic fixtures
+  * ([[warcGzBytes]] the per-record-member gzipped form). */
 object WarcCodec {
 
   final case class WarcRecord(warcType: String, targetUri: String,
@@ -42,10 +43,29 @@ object WarcCodec {
         line.substring(k + 1).trim)
     }.toMap
 
-  /** Parse every complete record in the stream. */
-  def records(b: Array[Byte]): Seq[WarcRecord] = {
+  /** Parse every complete record in the stream; gzipped input (by
+    * magic) is inflated first — multi-member streams, the .warc.gz
+    * layout, decompress end-to-end in one pass. */
+  def records(bIn: Array[Byte]): Seq[WarcRecord] = {
     val out = scala.collection.mutable.ListBuffer.empty[WarcRecord]
-    if (b == null) return out.toSeq
+    if (bIn == null) return out.toSeq
+    val b =
+      if (bIn.length > 2 && (bIn(0) & 0xff) == 0x1f &&
+          (bIn(1) & 0xff) == 0x8b) {
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bIn))
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](64 * 1024)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toByteArray
+        } catch {
+          // corrupt tail: GZIPInputStream has no partial-output API
+          // worth recovering here — treat the archive as unreadable
+          case _: java.io.IOException => return out.toSeq
+        }
+      } else bIn
     var off = 0
     var ok = true
     while (ok && off + 8 < b.length) {
@@ -118,6 +138,19 @@ object WarcCodec {
       out.write(http)
       out.write(body)
       out.write("\r\n\r\n".getBytes(Ascii))
+    }
+    out.toByteArray
+  }
+
+  /** The .warc.gz layout: each record its own gzip member, so readers
+    * can split archives at member boundaries without inflating
+    * everything (Common Crawl's convention). */
+  def warcGzBytes(recs: Seq[(String, String, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(warcBytes(Seq(r)))
+      gz.finish()
     }
     out.toByteArray
   }

@@ -366,6 +366,31 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(row.getString(1) == "Real & clean")
   }
 
+  test("warc.gz: per-record gzip members decompress transparently") {
+    import graft.sources.WarcCodec
+    val recs = Seq(
+      ("http://gz.example/1", "2026-01-01T00:00:00Z", "text/html", "<p>one</p>"),
+      ("http://gz.example/2", "2026-01-02T00:00:00Z", "text/html", "<p>two</p>"))
+    val gz = WarcCodec.warcGzBytes(recs)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val got = WarcCodec.records(gz)
+    assert(got.map(_.targetUri) ==
+      Seq("http://gz.example/1", "http://gz.example/2"))
+    assert(got.map(r => new String(r.body, "UTF-8")) ==
+      Seq("<p>one</p>", "<p>two</p>"))
+    // identical to the uncompressed parse of the same records
+    // (field-wise: Array[Byte] in a case class compares by reference)
+    val plain = WarcCodec.records(WarcCodec.warcBytes(recs))
+    assert(got.map(r => (r.warcType, r.targetUri, r.date, r.httpStatus,
+      r.contentType, r.body.toSeq)) ==
+      plain.map(r => (r.warcType, r.targetUri, r.date, r.httpStatus,
+        r.contentType, r.body.toSeq)))
+    // corrupt gzip tail: unreadable archive, empty result, no throw
+    val corrupt = gz.clone(); corrupt(gz.length - 5) = 0x55
+    WarcCodec.records(corrupt)
+    assert(WarcCodec.records(gz.take(10)).isEmpty)
+  }
+
   test("warc directory ingests as a STREAM: binaryFile source -> " +
       "records -> clean text per micro-batch") {
     import graft.operators.TextAnalysisOps
