@@ -574,6 +574,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization: mixed-case schemes/hosts, default ports
+    // and fragments all collapse to one dedup key; path case survives.
+    "q77_url_canonical" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("HTTP://EX"), (col("doc_id") % 5).cast("string"),
+            lit(".Org:80/Path/"), col("doc_id").cast("string"),
+            lit("?q=1#frag")).as("u1"),
+          concat(lit("https://www.ex"), (col("doc_id") % 5).cast("string"),
+            lit(".org:443"),
+            when(col("doc_id") % 2 === 0, lit("/A/b")).otherwise(lit("")))
+            .as("u2"))
+        .select(col("doc_id"),
+          explode(array(col("u1"), col("u2"))).as("url"))
+      graft.operators.UrlOps.canonicalizeUrls(urls, "doc_id", "url")
+        .orderBy(col("doc_id"), col("url"))
+    }),
+
     // WARC extraction: each doc becomes a two-record crawl archive
     // (real ISO 28500 layout: WARC headers, embedded HTTP responses,
     // exact Content-Lengths); the parser must recover URIs, statuses
@@ -2071,6 +2089,41 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Same canonicalization chain in SQL: fragment drop, scheme/host
+    // lowercase, default-port strip, empty-path -> '/'.
+    "q77_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id, unnest([
+        |    'HTTP://EX' || (doc_id % 5)::VARCHAR || '.Org:80/Path/' ||
+        |      doc_id::VARCHAR || '?q=1#frag',
+        |    'https://www.ex' || (doc_id % 5)::VARCHAR || '.org:443' ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN '/A/b' ELSE '' END)]) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS nf
+        |  FROM u),
+        |x AS (
+        |  SELECT doc_id, url, nf,
+        |    lower(regexp_extract(nf,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        |    regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest0
+        |  FROM p)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN nf
+        |    ELSE scheme || '://' ||
+        |      (CASE WHEN scheme = 'http'
+        |            THEN regexp_replace(host0, ':80$', '')
+        |            WHEN scheme = 'https'
+        |            THEN regexp_replace(host0, ':443$', '')
+        |            ELSE host0 END) ||
+        |      (CASE WHEN rest0 = '' THEN '/' ELSE rest0 END)
+        |  END AS canonical_url
+        |FROM x ORDER BY doc_id, url""".stripMargin,
 
     // The oracle reconstructs every record field from the generator's
     // closed form — URI arithmetic, constant status/mime, and the body

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the key-normalization step before URL-level
+  * dedup and domain joins: crawls see the same resource as
+  * `HTTP://Ex.Org:80/p#frag` and `http://ex.org/p`, and a dedup keyed
+  * on raw strings misses the equivalence.
+  *
+  * Canonical form (the conservative, semantics-preserving subset):
+  *   - fragment dropped (never sent to the server);
+  *   - scheme and host lowercased (case-insensitive by RFC 3986) —
+  *     path/query case is PRESERVED (significant on most servers);
+  *   - default ports stripped (:80 for http, :443 for https);
+  *   - empty path after the authority becomes "/".
+  *
+  * Built entirely from codegen'd string/regex built-ins, so the same
+  * chain is expressible in the SQL oracle verbatim. Non-URL strings
+  * (no scheme://) pass through with only the fragment drop. */
+object UrlOps {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val RestRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+  /** Canonicalize one URL column. */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
+    val host0 = lower(regexp_extract(noFrag, HostRe, 1))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest0 = regexp_extract(noFrag, RestRe, 1)
+    val rest = when(rest0 === "", lit("/")).otherwise(rest0)
+    when(scheme === "", noFrag) // not a URL: fragment drop only
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
+  /** Per-row canonical URLs plus the dedup key grouping: each input
+    * row keeps its raw URL and gains the canonical form — `groupBy
+    * ("canonical_url")` is then the URL-level dedup. */
+  def canonicalizeUrls(df: DataFrame, idCol: String,
+                       urlCol: String): DataFrame =
+    df.select(col(idCol), col(urlCol).as("url"),
+      canonicalize(col(urlCol)).as("canonical_url"))
+}

@@ -498,6 +498,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("urlCanonicalize: case/port/fragment variants collapse to one " +
+      "key; path case and real ports survive") {
+    import graft.operators.UrlOps
+    val rows = Seq(
+      (1L, "HTTP://Ex.Org:80/Path/To?Q=1#frag"),
+      (2L, "http://ex.org/Path/To?Q=1"),
+      (3L, "https://Ex.Org:443"),
+      (4L, "https://ex.org:8443/x"),   // non-default port survives
+      (5L, "FTP://Host:80/f"),          // :80 is not ftp's default
+      (6L, "not a url #note")).toDF("id", "url")
+    val got = UrlOps.canonicalizeUrls(rows, "id", "url")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, "http://ex.org/Path/To?Q=1"),
+      (2L, "http://ex.org/Path/To?Q=1"),
+      (3L, "https://ex.org/"),
+      (4L, "https://ex.org:8443/x"),
+      (5L, "ftp://host:80/f"),
+      (6L, "not a url ")))
+    // rows 1 and 2 now share the dedup key
+    assert(got(0)._2 == got(1)._2)
+  }
+
   test("htmlToText: scripts/styles/comments/tags stripped, entities " +
       "decoded once, whitespace collapsed") {
     import graft.operators.TextAnalysisOps
