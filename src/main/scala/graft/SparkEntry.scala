@@ -574,6 +574,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode normalization: decomposed accents (e + U+0301), the
+    // angstrom-sign singleton (U+212B -> U+00C5) and mixed case all
+    // collapse to one canonical byte form. The native NFC kernel runs
+    // against DuckDB's nfc_normalize — both implement the Unicode
+    // standard, so the bytes must agree exactly.
+    "q78_text_normalize" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" Café   ÜBER Å")).as("text"))
+      TextAnalysisOps.textNormalize(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization: mixed-case schemes/hosts, default ports
     // and fragments all collapse to one dedup key; path case survives.
     "q77_url_canonical" -> ((s, dir) => {
@@ -2089,6 +2103,19 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Oracle injects the SAME decomposed/singleton code points and
+    // runs DuckDB's standard-conformant NFC + lower + collapse.
+    "q78_text_normalize" ->
+      ("""SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(
+        |    text || ' Cafe""" + "́" + """   U""" + "̈" +
+        """BER """ + "Å" + """')), '\s+', ' ', 'g')) AS text,
+        |  length(trim(regexp_replace(lower(nfc_normalize(
+        |    text || ' Cafe""" + "́" + """   U""" + "̈" +
+        """BER """ + "Å" + """')), '\s+', ' ', 'g')))::BIGINT
+        |    AS n_chars
+        |FROM documents ORDER BY doc_id""").stripMargin,
 
     // Same canonicalization chain in SQL: fragment drop, scheme/host
     // lowercase, default-port strip, empty-path -> '/'.

@@ -71,6 +71,10 @@ object KernelRegistry {
       require(es.length == 1, "simhash16(tokens)")
       Simhash16Expr(es(0))
     },
+    entry("nfc_normalize", classOf[NfcNormalizeExpr]) { es =>
+      require(es.length == 1, "nfc_normalize(str)")
+      NfcNormalizeExpr(es(0))
+    },
     entry("min_md5", classOf[MinMd5Expr]) { es =>
       require(es.length == 1 || es.length == 2,
         "min_md5(arr) or min_md5(arr, suffix)")

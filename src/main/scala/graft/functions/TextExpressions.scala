@@ -35,6 +35,17 @@ object TextKernels {
     out
   }
 
+  /** Unicode NFC via the JDK Normalizer; composed-form fast path is
+    * inside the Normalizer (isNormalized check), so mostly-ASCII
+    * corpora pay a scan, not a rewrite. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+
   /** Word n-gram shingles (≡ TextFunctions.shinglesOf: space-joined
     * n-token windows; short docs yield the whole text as one shingle).
     * Null tokens are skipped — same result as filtering them upstream
@@ -294,7 +305,32 @@ case class BloomHitsExpr(child: Expression, n: Int, bits: Int, probes: Int,
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical composition): decomposed
+  * sequences like `e` + U+0301 compose to `é`, so hashing/dedup keys
+  * stop depending on which byte form a crawler happened to emit. The
+  * JDK's `java.text.Normalizer` implements the Unicode standard
+  * algorithm — output is defined by the standard, so it matches any
+  * conformant engine (DuckDB's `nfc_normalize` in the oracle)
+  * byte-for-byte. */
+case class NfcNormalizeExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.nfc(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  def nfcNormalize(s: Column): Column =
+    GraftColumnBridge.column(NfcNormalizeExpr(
+      GraftColumnBridge.expression(s)))
+
   def wordShingles(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(WordShinglesExpr(
       GraftColumnBridge.expression(tokens), n))

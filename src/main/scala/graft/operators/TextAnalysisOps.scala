@@ -547,6 +547,21 @@ object TextAnalysisOps {
       length(t).cast("long").as("n_chars"))
   }
 
+  /** Unicode-robust text normalization: NFC composition (native
+    * codegen kernel — decomposed accent sequences and compatibility
+    * singletons like U+212B compose to their canonical forms), then
+    * case fold and whitespace collapse. Run BEFORE any hashing/dedup:
+    * without it, byte-different spellings of identical text defeat
+    * every signature downstream. Pure projection, no exchange. */
+  def textNormalize(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = trim(regexp_replace(
+      lower(graft.functions.TextExpressions.nfcNormalize(col(textCol))),
+      "\\s+", " "))
+    docs.select(col(idCol), t.as("text"),
+      length(t).cast("long").as("n_chars"))
+  }
+
   /** Compression-ratio quality signal (the Gopher/RefinedWeb
     * heuristic): deflate each document's UTF-8 bytes at a fixed level
     * and report compressed/raw. Boilerplate, template spam and

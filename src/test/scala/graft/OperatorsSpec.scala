@@ -498,6 +498,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("textNormalize: NFC composes decomposed accents and singletons; " +
+      "byte-different spellings share one signature afterwards") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "Café  DÜBER"),  // decomposed
+      (2L, "café düber"),      // composed, already lowercase
+      (3L, "Ångström")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.textNormalize(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got(0)._2 == got(1)._2,
+      s"decomposed and composed forms must normalize equal: $got")
+    assert(got(0)._2 == "café düber")
+    assert(got(2)._2 == "ångström",
+      "U+212B must compose to U+00C5 then case-fold")
+    assert(got(0)._3 == 10L, "n_chars counts composed code points")
+  }
+
   test("urlCanonicalize: case/port/fragment variants collapse to one " +
       "key; path case and real ports survive") {
     import graft.operators.UrlOps
