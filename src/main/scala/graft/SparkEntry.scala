@@ -574,6 +574,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 top-k retrieval: every 97th document's first 8 tokens form a
+    // query; the corpus is ranked per query. Scores are integer
+    // micro-unit sums (q65's quantization scheme), so ranking is exact
+    // and ties break on doc_id.
+    "q79_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("qtext"))
+      RetrievalOps.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Unicode normalization: decomposed accents (e + U+0301), the
     // angstrom-sign singleton (U+212B -> U+00C5) and mixed case all
     // collapse to one canonical byte form. The native NFC kernel runs
@@ -2103,6 +2118,49 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Same BM25 AST: identical literals (2.2, 1.2, 0.25, 0.75 — never
+    // re-derived arithmetic), micro-quantized contributions, BIGINT
+    // score sums, doc_id tie-break.
+    "q79_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' '))::BIGINT AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs,
+        |            sum(dl)::BIGINT AS total_dl FROM base),
+        |q AS (SELECT doc_id AS query_id,
+        |        list_distinct(list_slice(string_split(text, ' '), 1, 8))
+        |          AS qt
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+        |termset AS (SELECT DISTINCT term FROM qterms),
+        |pairs AS (
+        |  SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+        |  JOIN termset USING (term)
+        |  GROUP BY term, doc_id, dl),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df
+        |          FROM pairs GROUP BY term),
+        |contrib AS (
+        |  SELECT query_id, doc_id,
+        |    floor(
+        |      ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)
+        |          + 1.0) *
+        |      ((tf::DOUBLE * 2.2) /
+        |       (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+        |         (dl::DOUBLE / (total_dl::DOUBLE / n_docs::DOUBLE)))))
+        |      * 1e6)::BIGINT AS c
+        |  FROM pairs JOIN dfreq USING (term) JOIN qterms USING (term),
+        |    stats),
+        |scored AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_micro
+        |           FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (SELECT query_id, doc_id, score_micro,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score_micro FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Oracle injects the SAME decomposed/singleton code points and
     // runs DuckDB's standard-conformant NFC + lower + collapse.

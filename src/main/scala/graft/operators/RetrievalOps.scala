@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Sparse lexical retrieval over the corpus — the ranking half of a
+  * retrieval-augmented pipeline (dedup/curation pick what to train on;
+  * BM25 picks what to retrieve at inference-data build time, e.g.
+  * mining hard negatives or building eval sets from the corpus itself).
+  *
+  * Cross-engine determinism: the only libm call is the idf `ln`; every
+  * per-pair contribution is quantized to integer micro-units
+  * (`floor(x * 1e6)`) BEFORE the per-document sum, so scores are
+  * order-free BIGINT sums and ranking ties break on doc_id — the same
+  * micro-quantization scheme as unigram surprisal (q65). All double
+  * constants are written as identical literals on both engines (never
+  * re-derived arithmetic like `k1 + 1`, whose rounding could differ
+  * from the literal).
+  */
+object RetrievalOps {
+
+  /** Okapi BM25 top-k: rank corpus documents for each query string.
+    *
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene non-negative idf `ln((N − df + 0.5)/(df + 0.5) + 1)`,
+    * k1 = 1.2, b = 0.75. Distinct query terms only (standard qtf ≈ 1).
+    *
+    * Scale shape: the corpus explodes to (doc, term) ONCE and is
+    * immediately semi-joined against the broadcast distinct-query-term
+    * set — rows for non-query terms never reach an exchange, so the one
+    * real shuffle (tf counting, map-side combined) is sized by matching
+    * tokens, not the corpus. df, the query list, and the global
+    * length stats are all broadcast. Document lengths are a projection
+    * (`size(split)`), never a shuffle. The final top-k window
+    * partitions on query_id; its input is the candidate set (docs
+    * sharing ≥1 term with a query) — with stopword-free queries this is
+    * a small corpus fraction; for stopword-heavy query sets, pre-drop
+    * high-df terms (their idf ≈ 0 contributes nothing) before the
+    * semi-join.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int = 10): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        size(col("__t")).cast("long").as("__dl"))
+    val stats = base.agg(count(lit(1)).as("__n_docs"),
+      sum(col("__dl")).as("__total_dl"))
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val termSet = qTerms.select(col("term")).distinct()
+    val pairs = base
+      .select(col("doc_id"), col("__dl"), explode(col("__t")).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .groupBy(col("term"), col("doc_id"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = pairs.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    // identical AST on the DuckDB side — see the q79 oracle SQL
+    val idf = log(
+      ((col("__n_docs") - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)) + lit(1.0))
+    val avgdl = col("__total_dl").cast("double") /
+      col("__n_docs").cast("double")
+    val norm = (col("__tf").cast("double") * lit(2.2)) /
+      (col("__tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("__dl").cast("double") / avgdl)))
+    val contrib = pairs
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * norm * lit(1e6)).cast("long").as("__c"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"))
+  }
+}

@@ -498,6 +498,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("bm25TopK: rare terms outrank common ones; scores are exact " +
+      "integer micro-sums with doc_id tie-break") {
+    import graft.operators.RetrievalOps
+    val docs = Seq(
+      (1L, "zebra runs fast"),
+      (2L, "the cat and the dog and the bird cat"),
+      (3L, "the cat sat"),
+      (4L, "cat naps here"),
+      (5L, "the dog barks")).toDF("doc_id", "text")
+    val qs = Seq((100L, "zebra cat")).toDF("query_id", "qtext")
+    val got = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byRank = got.map(_._2)
+    // zebra: df=1 (idf ln(4)); cat: df=3 (idf ln(12/7)) — the rare-term
+    // doc must lead regardless of tf/length normalization
+    assert(byRank.head == 1L,
+      s"the only zebra doc must rank first: ${got.toSeq}")
+    assert(got.forall(_._3 > 0L), "all matched docs carry positive scores")
+    // only docs sharing a term appear at all (doc 5 has neither term)
+    assert(byRank.toSet == Set(1L, 2L, 3L, 4L),
+      "exactly the term-overlapping docs appear")
+  }
+
   test("textNormalize: NFC composes decomposed accents and singletons; " +
       "byte-different spellings share one signature afterwards") {
     import graft.operators.TextAnalysisOps

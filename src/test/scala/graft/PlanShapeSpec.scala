@@ -43,6 +43,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q79: BM25 corpus rows semi-join broadcast query terms before " +
+      "any exchange; df/query/stats sides all broadcast") {
+    val p = plan("q79_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term filter must broadcast, not shuffle the corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join anywhere in the BM25 plan")
+    assert(!p.contains("CartesianProduct"),
+      "the scalar stats join must be a broadcast nested loop, not cartesian")
+  }
+
   test("q18: sessionize plan has no join-back (single aggregation)") {
     val p = plan("q18_trip_summary")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
