@@ -574,6 +574,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup over the dup-injected embedding corpus: k-means cells
+    // (same learned centroids as q58's machinery), within-cell cosine,
+    // drop rows with a lower-id near-duplicate neighbor. The injected
+    // perturbed copies (cos ≈ 0.99) are the semantic dups to catch.
+    "q80_semdedup" -> ((s, dir) => {
+      DedupOps.semDedup(embWithDups(s, dir), "vec_id", "embedding",
+        dim = EmbDim, cells = KmCells, iters = KmIters, threshold = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // BM25 top-k retrieval: every 97th document's first 8 tokens form a
     // query; the corpus is ranked per query. Scores are integer
     // micro-unit sums (q65's quantization scheme), so ranking is exact
@@ -1046,13 +1056,19 @@ object SparkEntry {
     * can never leak into the centroids, squared-L2 as the same
     * fixed-order fold, argmin via first-index-of-min. Emitted WITHOUT
     * the leading WITH. */
-  private def kmeansCtesSql: String = {
+  private def kmeansCtesSql: String = kmeansCtesSqlFrom(
+    s"""v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings)""".stripMargin)
+
+  /** [[kmeansCtesSql]] with a caller-supplied `v0` CTE (id `vec_id`,
+    * double vector `v`) — the dup-injected corpora train on exactly
+    * what the Spark side trains on. */
+  private def kmeansCtesSqlFrom(v0Sql: String): String = {
     val S = "1048576.0"
     val dimR = s"range(1, ${EmbDim + 1})"
     val base = Seq(
-      s"""v0 AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-         |  FROM embeddings)""",
+      v0Sql,
       s"""xs0 AS (
          |  SELECT vec_id, v,
          |    list_transform(v, x -> floor(x * $S)::BIGINT) AS xs
@@ -2118,6 +2134,42 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // SemDeDup oracle: k-means re-derived over the SAME dup-injected
+    // corpus (kmeansCtesSqlFrom), then within-cell pairwise cosine with
+    // the q34/q58 scoring form; verdicts compare the 6-dp ROUNDED value.
+    "q80_semdedup" -> (
+      s"""WITH ${kmeansCtesSqlFrom(
+        """v0 AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          |  FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000,
+          |    [0.0::DOUBLE] || list_transform(embedding, x -> x::DOUBLE)[2:]
+          |  FROM embeddings)""".stripMargin)},
+asgf AS (
+  SELECT vec_id, v, list_indexof(d, list_min(d)) AS cell
+  FROM (SELECT vec_id, v, list_transform(cents, c ->
+      list_sum(list_transform(range(1, ${EmbDim + 1}),
+        i -> (v[i] - c[i]) * (v[i] - c[i])))) AS d
+    FROM v0, cents$KmIters)),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, ${EmbDim + 1}),
+      i -> a.v[i] * b.v[i])) AS dot,
+    sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na,
+    sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb
+  FROM asgf a JOIN asgf b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+dc AS (
+  SELECT id_b, count(*)::BIGINT AS n_dup_lower FROM p
+  WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+    ELSE dot / (na * nb) END, 6) >= 0.9
+  GROUP BY id_b)
+SELECT a.vec_id, a.cell::BIGINT AS cell,
+  coalesce(dc.n_dup_lower, 0)::BIGINT AS n_dup_lower,
+  (dc.id_b IS NULL) AS keep
+FROM asgf a LEFT JOIN dc ON a.vec_id = dc.id_b
+ORDER BY a.vec_id"""),
 
     // Same BM25 AST: identical literals (2.2, 1.2, 0.25, 0.75 — never
     // re-derived arithmetic), micro-quantized contributions, BIGINT

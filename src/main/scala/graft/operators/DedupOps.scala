@@ -321,6 +321,53 @@ object DedupOps {
     emb.sparkSession.createDataFrame(rows.asJava, summary.schema)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    * clustering — k-means partitions the corpus into cells, then ONLY
+    * within-cell pairs are cosine-compared; a row is dropped when any
+    * LOWER-id same-cell neighbor scores ≥ `threshold` (deterministic
+    * keep-lowest-id representative; the paper keeps the
+    * farthest-from-centroid — same clusters, different but equally
+    * valid representative policy, and id-ordering is reproducible
+    * across engines).
+    *
+    * Scale shape: clustering is [[SimilarityOps.kmeansCentroids]]'s
+    * k×dim-bounded shuffle (hash-sample the training at 100 TB);
+    * centroids become plan literals, so assignment is a pure projection
+    * (native `argmin_l2` kernel). The pairwise stage shuffles once on
+    * the cell key and is quadratic ONLY within a cell — `cells` must
+    * scale with the corpus (SemDeDup uses ~0.1–1 cells per 1k docs) so
+    * cell populations, not the corpus, bound the join. Cosine is the
+    * native codegen kernel; the comparison uses the 6-dp ROUNDED value
+    * on both engines so the verdict is bit-deterministic. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               dim: Int, cells: Int, iters: Int,
+               threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions
+    val cents = SimilarityOps.kmeansCentroids(
+      emb, idCol, vecCol, dim, cells, iters)
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val assigned = emb
+      .select(col(idCol).as("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"),
+        VectorExpressions.argminL2(col("v"), centsLit).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorExpressions.cosine(col("va"), col("vb")), 6)
+        >= lit(threshold))
+    val dropCounts = dups.groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_lower"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropCounts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
+        col("n_dup_lower").isNull.as("keep"))
+  }
+
   /** Per-table LSH bucket diagnostics: bucket count, max bucket size and
     * the within-bucket pair space (×2). Makes recall holes and cap drops
     * visible — run it whenever `maxBucket` trims candidates. */

@@ -498,6 +498,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("semDedup: within-cell near-duplicates drop, lowest id kept; " +
+      "cross-cell lookalikes are never compared") {
+    import graft.operators.DedupOps
+    // two well-separated directions; ids 10/11 are an exact-duplicate
+    // pair, 20/21 a near-dup pair, 30 a singleton
+    val rows = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.02f, 0.0f)),
+      (21L, Array(0.0f, 1.0f, 0.0f, 0.02f)),
+      (30L, Array(0.7f, 0.7f, 0.1f, 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = DedupOps.semDedup(emb, "vec_id", "embedding",
+      dim = 4, cells = 2, iters = 3, threshold = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(10L) == (0L, true), s"lowest id of the exact pair stays: $got")
+    assert(got(11L) == (1L, false), s"higher id of the exact pair drops: $got")
+    assert(got(20L) == (0L, true), s"lowest id of the near pair stays: $got")
+    assert(got(21L) == (1L, false),
+      s"cos(20,21) ≈ 0.9996 ≥ 0.95 — higher id drops: $got")
+    assert(got(30L)._2, s"the diagonal singleton (cos < 0.71 to all) stays: $got")
+  }
+
   test("bm25TopK: rare terms outrank common ones; scores are exact " +
       "integer micro-sums with doc_id tie-break") {
     import graft.operators.RetrievalOps

@@ -54,6 +54,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "the scalar stats join must be a broadcast nested loop, not cartesian")
   }
 
+  test("q80: SemDeDup assignment is a kernel projection; pairing " +
+      "shuffles on the cell key only, never cartesian") {
+    val p = plan("q80_semdedup")
+    assert(p.contains("argmin_l2"),
+      "centroid assignment must be the native argmin kernel on literals")
+    assert(p.contains("cosine_sim"), "native cosine kernel missing")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairing must join on cell, not cross the corpus")
+  }
+
   test("q18: sessionize plan has no join-back (single aggregation)") {
     val p = plan("q18_trip_summary")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
