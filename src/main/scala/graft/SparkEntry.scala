@@ -574,6 +574,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Intra-doc line dedup: synthetic line structure injected (the
+    // corpus text is single-line) — a boilerplate line and the opening
+    // line each appear twice; dedup keeps first occurrences in order.
+    "q81_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val l1 = array_join(slice(toks, 1, 5), " ")
+      val l2 = lit("subscribe to our newsletter")
+      val l3 = array_join(slice(toks, 6, 5), " ")
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n", l1, l2, l3, l2, l1).as("text"))
+      TextAnalysisOps.lineDedup(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup over the dup-injected embedding corpus: k-means cells
     // (same learned centroids as q58's machinery), within-cell cosine,
     // drop rows with a lower-id near-duplicate neighbor. The injected
@@ -2134,6 +2149,28 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Same injection; first-occurrence keep via DuckDB's 1-based lambda
+    // index against list_position (≡ Spark's 0-based filter + 1).
+    "q81_line_dedup" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+        |      || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+        |    array_to_string(list_slice(string_split(text, ' '), 6, 10), ' ')
+        |      || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+        |      AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, (x, i) -> list_position(lines, x) = i)
+        |          AS kept
+        |      FROM l)
+        |SELECT doc_id, len(lines)::BIGINT AS n_lines,
+        |  len(kept)::BIGINT AS n_kept,
+        |  substr(md5(array_to_string(kept, chr(10))), 1, 16) AS dedup_sig
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // SemDeDup oracle: k-means re-derived over the SAME dup-injected
     // corpus (kmeansCtesSqlFrom), then within-cell pairwise cosine with

@@ -562,6 +562,28 @@ object TextAnalysisOps {
       length(t).cast("long").as("n_chars"))
   }
 
+  /** Intra-document line dedup (the trafilatura/RefinedWeb boilerplate
+    * pass that runs BEFORE corpus-wide dedup): repeated lines inside one
+    * document — nav bars, cookie banners, repeated footers — are
+    * dropped, keeping each line's first occurrence in order. Purely
+    * per-document, so it is a PROJECTION: no shuffle, no state, composes
+    * ahead of any corpus-level pass. The first-occurrence scan is
+    * O(lines²) per document via `array_position` — lines-per-doc is
+    * bounded (kilobyte-scale docs), so this stays cheap and
+    * codegen-friendly; corpus size never enters. Output carries counts
+    * plus a 16-hex signature of the deduped text (small artifact,
+    * exact-equality proof), matching q61's convention. */
+  def lineDedup(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines,
+      (x, i) => array_position(lines, x) === (i + lit(1)).cast("long"))
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      substring(md5(array_join(kept, "\n")), 1, 16).as("dedup_sig"))
+  }
+
   /** Compression-ratio quality signal (the Gopher/RefinedWeb
     * heuristic): deflate each document's UTF-8 bytes at a fixed level
     * and report compressed/raw. Boilerplate, template spam and

@@ -498,6 +498,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("lineDedup: repeated lines drop keeping first occurrence in " +
+      "order; the whole pass is a projection (no exchange)") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "intro\nnav bar\nbody text\nnav bar\nintro"),
+      (2L, "only line"),
+      (3L, "a\na\na")).toDF("doc_id", "text")
+    val q = TextAnalysisOps.lineDedup(docs, "doc_id", "text")
+    val got = q.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got(0)._2 == 5L && got(0)._3 == 3L,
+      s"doc 1 keeps intro/nav bar/body text: $got")
+    // signature must equal md5 of the first-occurrence-ordered rejoin
+    val expSig = java.security.MessageDigest.getInstance("MD5")
+      .digest("intro\nnav bar\nbody text".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(got(0)._4 == expSig, "kept lines rejoin in original order")
+    assert(got(1)._2 == 1L && got(1)._3 == 1L)
+    assert(got(2)._2 == 3L && got(2)._3 == 1L)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "line dedup must be a pure projection")
+  }
+
   test("semDedup: within-cell near-duplicates drop, lowest id kept; " +
       "cross-cell lookalikes are never compared") {
     import graft.operators.DedupOps
