@@ -574,6 +574,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual dHash over REAL decoded PNGs: 9x8 grayscale fixtures
+    // whose pixels follow a closed form (pairs of ids share a base
+    // image; odd ids get one pixel perturbed -> <=2 gradient bits
+    // flip). Spark hashes DECODED bytes (inflate + unfilter, all five
+    // PNG filters via id%5); the oracle recomputes the 64 bits from the
+    // formula — hash agreement proves decode + downsample + gradient.
+    "q82_image_dhash" -> ((s, dir) => {
+      MultimodalOps.imageDHash(dhashMedia(s, dir), "doc_id", "media")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Banded-hamming near-dup pairs over the q82 fingerprints: four
+    // 16-bit bands (pigeonhole-exact for d <= 3), xor/bit_count verify.
+    "q83_image_neardup" -> ((s, dir) => {
+      val hashes = MultimodalOps.imageDHash(
+        dhashMedia(s, dir), "doc_id", "media")
+      MultimodalOps.dhashNearDups(hashes, "doc_id", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Intra-doc line dedup: synthetic line structure injected (the
     // corpus text is single-line) — a boilerplate line and the opening
     // line each appear twice; dedup keeps first occurrences in order.
@@ -1017,6 +1037,23 @@ object SparkEntry {
   /** embeddings ∪ perturbed self-copies (id + 100000, first element
     * zeroed): constructed near-dup pairs at cos ≈ 0.99 on an otherwise
     * random corpus. */
+  /** 9x8 grayscale PNG fixtures for the dHash queries: id pairs share a
+    * base image (g = id/2 %% 25), odd ids get pixel (4,3) shifted by
+    * +128 — flips at most the two adjacent horizontal gradients. All
+    * five PNG filter types exercised via id %% 5. */
+  private def dhashMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = (id / 2 % 25).toInt
+      val ft = (id % 5).toInt
+      val bytes = ImageCodecs.pngBytesWithPixels(9, 8, 0, ft) { (x, y, _) =>
+        val v = ((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7) % 256
+        if (id % 2 == 1 && x == 4 && y == 3) (v + 128) % 256 else v
+      }
+      (id, bytes)
+    }.toDF("doc_id", "media")
+  }
+
   private def embWithDups(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     emb.unionByName(emb.select(
@@ -1024,6 +1061,37 @@ object SparkEntry {
       transform(col("embedding"),
         (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding")))
   }
+
+  /** dHash oracle CTEs: recompute the 64 gradient bits from the fixture
+    * pixel closed form (9×8 grid is already the dHash grid, so the
+    * block-mean downsample is the identity) → `hashes(doc_id,
+    * dhash_hi, dhash_lo)`. */
+  private def dhashHashCtesSql: String =
+    """px AS (
+      |  SELECT d.doc_id, (d.doc_id // 2) % 25 AS g, x.x, y.y
+      |  FROM documents d, generate_series(0, 8) x(x),
+      |    generate_series(0, 7) y(y)),
+      |pv AS (
+      |  SELECT doc_id, x, y,
+      |    CASE WHEN doc_id % 2 = 1 AND x = 4 AND y = 3
+      |      THEN (((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7) % 256
+      |            + 128) % 256
+      |      ELSE ((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7) % 256
+      |    END AS p
+      |  FROM px),
+      |bits AS (
+      |  SELECT a.doc_id, (a.y * 8 + a.x)::BIGINT AS j,
+      |    (CASE WHEN b.p > a.p THEN 1 ELSE 0 END)::BIGINT AS bit
+      |  FROM pv a JOIN pv b
+      |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN j >= 32 THEN bit << (j - 32) ELSE 0 END)::BIGINT
+      |      AS dhash_hi,
+      |    sum(CASE WHEN j < 32 THEN bit << j ELSE 0 END)::BIGINT
+      |      AS dhash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** DuckDB literal for a ±1 hyperplane. */
   private def planeListSql(p: Array[Double]): String =
@@ -2149,6 +2217,25 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Oracle never touches PNG bytes: the 64 bits come straight from
+    // the pixel formula. Agreement proves the real decode chain.
+    "q82_image_dhash" -> (
+      s"""WITH $dhashHashCtesSql
+SELECT doc_id, true AS decoded, dhash_hi, dhash_lo
+FROM hashes ORDER BY doc_id"""),
+
+    // Exact O(n²) hamming self-join — the oracle-side ground truth the
+    // banded Spark plan must reproduce verbatim at d <= 2.
+    "q83_image_neardup" -> (
+      s"""WITH $dhashHashCtesSql
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  (bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+   bit_count(xor(a.dhash_lo, b.dhash_lo)))::BIGINT AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE (bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+       bit_count(xor(a.dhash_lo, b.dhash_lo))) <= 2
+ORDER BY id_a, id_b"""),
 
     // Same injection; first-occurrence keep via DuckDB's 1-based lambda
     // index against list_position (≡ Spark's 0-based filter + 1).

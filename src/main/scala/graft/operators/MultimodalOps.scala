@@ -149,6 +149,112 @@ object MultimodalOps {
         "c0_sum", "c1_sum", "c2_sum", "c3_sum")
   }
 
+  /** Perceptual difference-hash (dHash) over a decoded image binary:
+    * integer block-mean downsample to a 9×8 intensity grid, then 64
+    * horizontal-gradient sign bits (`g(x+1,y) > g(x,y)`) — the standard
+    * near-duplicate image fingerprint (crop-resistant enough for
+    * crawl dedup, 8 bytes per image). Everything is integer-domain
+    * (block mean = floor(sum/count), Rec.601 integer luma for RGB), so
+    * the hash is bit-deterministic across engines and machines.
+    *
+    * The 64 bits are emitted as two non-negative BIGINT halves
+    * (`dhash_hi` = bits 32-63, `dhash_lo` = bits 0-31) so downstream
+    * hamming arithmetic (`bit_count(a ⊕ b)`) never meets sign bits.
+    * Undecodable rows surface with decoded=false and nulls.
+    *
+    * Scale shape: one mapPartitions pass — the image binary dies in the
+    * scan task; only (id, bool, two BIGINTs) flow on. Pair finding over
+    * the hashes is [[dhashNearDups]]. */
+  def imageDHash(media: DataFrame, idCol: String, binCol: String,
+                 batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            ImageCodecs.decodePixels(bytes) match {
+              case Some(p) =>
+                def gray(x: Int, y: Int): Int = {
+                  val base = (y * p.width + x) * p.channels
+                  if (p.channels >= 3) {
+                    val r = p.pixels(base) & 0xff
+                    val g = p.pixels(base + 1) & 0xff
+                    val b = p.pixels(base + 2) & 0xff
+                    (77 * r + 150 * g + 29 * b) >> 8
+                  } else p.pixels(base) & 0xff
+                }
+                // integer block mean to 9x8; blocks clamp to >=1 pixel
+                // (nearest-neighbor when upscaling tiny images)
+                val g9 = Array.tabulate(8, 9) { (yy, xx) =>
+                  val x0 = xx * p.width / 9
+                  val x1 = math.max((xx + 1) * p.width / 9, x0 + 1)
+                  val y0 = yy * p.height / 8
+                  val y1 = math.max((yy + 1) * p.height / 8, y0 + 1)
+                  var s = 0L; var n = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) { s += gray(x, y); n += 1; x += 1 }
+                    y += 1
+                  }
+                  (s / n).toInt
+                }
+                var hi = 0L; var lo = 0L
+                var j = 0
+                while (j < 64) {
+                  val yb = j / 8; val xb = j % 8
+                  if (g9(yb)(xb + 1) > g9(yb)(xb)) {
+                    if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+                  }
+                  j += 1
+                }
+                (id, true, Some(hi), Some(lo))
+              case None =>
+                (id, false, Option.empty[Long], Option.empty[Long])
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "dhash_hi", "dhash_lo")
+  }
+
+  /** Near-duplicate image pairs from [[imageDHash]] fingerprints:
+    * banded blocking (four 16-bit bands; hamming-≤-d pairs with d < 4
+    * must agree exactly on ≥ one band — pigeonhole, zero false
+    * negatives for d ≤ 3) generates candidates, then the exact hamming
+    * distance (`bit_count` of the xor, codegen'd) verifies.
+    *
+    * Scale shape: the LSH-banding pattern (q32/q40) on 8-byte keys —
+    * candidates come from four 16-bit-key joins, never an all-pairs
+    * scan; only (id, band) rows shuffle. */
+  def dhashNearDups(hashes: DataFrame, idCol: String,
+                    maxDist: Int = 2): DataFrame = {
+    require(maxDist <= 3, "banded blocking guarantees recall only for d <= 3")
+    val h = hashes.filter(col("decoded"))
+      .select(col(idCol).as("id"), col("dhash_hi").as("hi"),
+        col("dhash_lo").as("lo"))
+    val banded = h.select(col("id"), col("hi"), col("lo"),
+      explode(array(
+        concat_ws(":", lit(0), col("lo").bitwiseAND(lit(65535L))),
+        concat_ws(":", lit(1), shiftright(col("lo"), 16)),
+        concat_ws(":", lit(2), col("hi").bitwiseAND(lit(65535L))),
+        concat_ws(":", lit(3), shiftright(col("hi"), 16)))).as("band"))
+    val a = banded.select(col("band"), col("id").as("id_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** REAL audio statistics over a WAV binary column: decode RIFF/PCM
     * ([[AudioCodecs.parseWav]]) and emit typed metadata (channels,
     * rate, frames, duration) plus exact per-channel signed-sample sums

@@ -498,6 +498,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("imageDHash: 2x2-block downsample means are exact; RGB with " +
+      "r=g=b hashes identically to its grayscale twin") {
+    import graft.operators.{ImageCodecs, MultimodalOps}
+    def f(bx: Int, by: Int): Int = ((bx * 31 + by * 47) * 13 + 5) % 256
+    // 18x16 grayscale whose 2x2 blocks are constant -> downsample is f
+    val big = ImageCodecs.pngBytesWithPixels(18, 16, 0, 1) {
+      (x, y, _) => f(x / 2, y / 2) }
+    // 9x8 RGB with r=g=b=f: integer luma (77+150+29=256)>>8 is exact
+    val rgb = ImageCodecs.pngBytesWithPixels(9, 8, 2, 2) {
+      (x, y, _) => f(x, y) }
+    val small = ImageCodecs.pngBytesWithPixels(9, 8, 0, 0) {
+      (x, y, _) => f(x, y) }
+    val media = Seq((1L, big), (2L, rgb), (3L, small)).toDF("id", "media")
+    val got = MultimodalOps.imageDHash(media, "id", "media")
+      .orderBy("id").collect()
+      .map(r => (r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(got.forall(_._1), "all three fixtures must decode")
+    assert(got(0) == got(2), "block-constant 18x16 ≡ its 9x8 source grid")
+    assert(got(1) == got(2), "RGB r=g=b ≡ grayscale (exact integer luma)")
+    // cross-check one hash against the formula directly
+    var hi = 0L; var lo = 0L
+    for (j <- 0 until 64) {
+      val y = j / 8; val x = j % 8
+      if (f(x + 1, y) > f(x, y)) {
+        if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+      }
+    }
+    assert(got(2) == ((true, hi, lo)), "hash equals the gradient formula")
+  }
+
+  test("dhashNearDups: banded candidates reproduce the brute-force " +
+      "pair set exactly at d <= 2") {
+    import graft.operators.MultimodalOps
+    // deterministic pseudo-random 64-bit hashes + planted near pairs
+    def mix(i: Long): Long = {
+      var z = i * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val base = (0L until 40L).map(i => (i, mix(i)))
+    val planted = base.collect { case (i, h) if i % 4 == 0 =>
+      (i + 1000, h ^ (1L << (i % 64).toInt)) } // hamming-1 partners
+    val all = (base ++ planted).map { case (id, h) =>
+      (id, true, h >>> 32, h & 0xffffffffL) }
+    val hashes = all.toDF("id", "decoded", "dhash_hi", "dhash_lo")
+    val got = MultimodalOps.dhashNearDups(hashes, "id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, _, ha, la) <- all; (b, _, hb, lb) <- all if a < b
+      if java.lang.Long.bitCount(ha ^ hb) +
+        java.lang.Long.bitCount(la ^ lb) <= 2
+    } yield (a, b)).toSet
+    assert(got == brute, s"banding lost/invented pairs: " +
+      s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.size >= 10, "fixture must actually plant near pairs")
+  }
+
   test("lineDedup: repeated lines drop keeping first occurrence in " +
       "order; the whole pass is a projection (no exchange)") {
     import graft.operators.TextAnalysisOps

@@ -64,6 +64,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "within-cell pairing must join on cell, not cross the corpus")
   }
 
+  test("q82/q83: media binary dies in the scan; pair join is banded, " +
+      "never cartesian") {
+    val p82 = plan("q82_image_dhash")
+    // the one exchange is the presentation sort of (id, flag, hi, lo)
+    assert(p82.split("Exchange").length <= 2,
+      s"media payload must be dropped before any shuffle:\n$p82")
+    assert(!p82.contains("Join"), s"dhash is a single decode pass:\n$p82")
+    val p83 = plan("q83_image_neardup")
+    assert(!p83.contains("CartesianProduct"),
+      "hamming pairs must come from band joins, not an all-pairs cross")
+  }
+
   test("q18: sessionize plan has no join-back (single aggregation)") {
     val p = plan("q18_trip_summary")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
