@@ -574,6 +574,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // RAG chunking: 64-token windows, 16-token overlap, integer-domain
+    // chunk count; the last window always reaches the document end.
+    "q84_chunk_docs" -> ((s, dir) => {
+      TextAnalysisOps.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_index"))
+    }),
+
     // Perceptual dHash over REAL decoded PNGs: 9x8 grayscale fixtures
     // whose pixels follow a closed form (pairs of ids share a base
     // image; odd ids get one pixel perturbed -> <=2 gradient bits
@@ -2217,6 +2225,32 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Same windows via range-unnest + inclusive list_slice; `//` is the
+    // integer-domain twin of the Spark floor-division.
+    "q84_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN n > 64 THEN ((n - 64 + 47) // 48) + 1
+        |      ELSE 1 END AS n_chunks
+        |  FROM toks),
+        |e AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, n_chunks)) AS chunk_index
+        |  FROM c),
+        |ch AS (
+        |  SELECT doc_id, chunk_index,
+        |    list_slice(t, chunk_index * 48 + 1, chunk_index * 48 + 64)
+        |      AS ct
+        |  FROM e)
+        |SELECT doc_id, chunk_index::BIGINT AS chunk_index,
+        |  len(ct)::BIGINT AS n_chunk_tokens,
+        |  array_to_string(ct, ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_index""".stripMargin,
 
     // Oracle never touches PNG bytes: the 64 bits come straight from
     // the pixel formula. Agreement proves the real decode chain.

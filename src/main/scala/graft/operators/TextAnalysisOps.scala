@@ -562,6 +562,41 @@ object TextAnalysisOps {
       length(t).cast("long").as("n_chars"))
   }
 
+  /** Overlapping token-window chunking (the RAG/embedding-index
+    * preprocessing pass): each document yields ceil-covering windows of
+    * `chunkTokens` tokens advancing by `chunkTokens - overlap`, the
+    * last window always reaching the document's end. Chunk count is
+    * derived in the INTEGER domain (`(n - chunk + stride - 1) / stride
+    * + 1`), so chunk boundaries are bit-deterministic across engines.
+    *
+    * Scale shape: projection + generator only — `sequence` ×
+    * `posexplode` expands each doc to its own chunks with no exchange;
+    * chunk rows stay co-partitioned with their document, so a
+    * downstream embed/index stage starts shuffle-free. Row growth is
+    * the intended ~n/stride fan-out. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // double-div + floor ≡ integer `//`: exact since token counts are
+    // far below 2^53 and exact multiples divide exactly
+    val nChunks = when(n > chunkTokens,
+      floor((n - chunkTokens + (stride - 1)).cast("double") / stride)
+        .cast("int") + 1)
+      .otherwise(1)
+    docs.select(col(idCol), toks.as("__t"), nChunks.as("__nc"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => slice(col("__t"), i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_index", "__ct")))
+      .select(col(idCol), col("chunk_index").cast("long").as("chunk_index"),
+        size(col("__ct")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__ct"), " ").as("chunk_text"))
+  }
+
   /** Intra-document line dedup (the trafilatura/RefinedWeb boilerplate
     * pass that runs BEFORE corpus-wide dedup): repeated lines inside one
     * document — nav bars, cookie banners, repeated footers — are

@@ -498,6 +498,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("chunkDocs: windows cover every token, overlap is exact, the " +
+      "last window reaches the end; short docs yield one chunk") {
+    import graft.operators.TextAnalysisOps
+    val text140 = (1 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text140), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.chunkDocs(docs, "doc_id", "text",
+      chunkTokens = 64, overlap = 16)
+    val rows = got.orderBy("doc_id", "chunk_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 140 tokens, stride 48: chunks at 0/48/96 -> 3 (ceil((140-64)/48)+1)
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.length == 3, s"expected 3 chunks: ${d1.toSeq}")
+    assert(d1(0)._4.startsWith("w1 ") && d1(0)._3 == 64L)
+    assert(d1(1)._4.startsWith("w49 "), "stride must be 48 tokens")
+    assert(d1(2)._4.endsWith(" w140"), "last chunk reaches the end")
+    assert(d1(2)._3 == 44L, "tail chunk holds the remaining 44 tokens")
+    // overlap: chunk 1's first 16 tokens == chunk 0's last 16
+    assert(d1(0)._4.split(" ").takeRight(16).toSeq ==
+      d1(1)._4.split(" ").take(16).toSeq)
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._3 == 3L && d2(0)._4 == "a b c")
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must be a pure projection + generator")
+  }
+
   test("imageDHash: 2x2-block downsample means are exact; RGB with " +
       "r=g=b hashes identically to its grayscale twin") {
     import graft.operators.{ImageCodecs, MultimodalOps}
