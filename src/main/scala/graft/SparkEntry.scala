@@ -574,6 +574,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Hashed-linear classifier scoring (fastText-style plumbing):
+    // md5-derived milli-weights, integer dot product, one division.
+    "q87_hashed_classifier" -> ((s, dir) => {
+      ScoringOps.hashedLinearScore(t(s, dir, "documents"),
+        "doc_id", "text", buckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Image dedup end-to-end: dHash pairs (q83) -> connected
+    // components -> keep cluster-min — the full multimodal dedup
+    // verdict, same ClusterOps machinery as text near-dups (q49).
+    "q86_image_dedup_clusters" -> ((s, dir) => {
+      val hashes = MultimodalOps.imageDHash(
+        dhashMedia(s, dir), "doc_id", "media")
+      val pairs = MultimodalOps.dhashNearDups(hashes, "doc_id",
+        maxDist = 2).select(col("id_a"), col("id_b"))
+      ClusterOps.dedupClusters(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     // BPE tokenizer training: six merge iterations over the word
     // histogram — the real count→adopt→rewrite loop (driver-held
     // winners, k-means-style), not a canned vocabulary.
@@ -2265,6 +2285,45 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Same md5-derived milli-weight model; BIGINT sums, one division.
+    "q87_hashed_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 4096 AS bucket
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(bucket::VARCHAR), 1, 8))::BIGINT % 2001)
+        |      - 1000 AS wm
+        |  FROM b)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(wm)::BIGINT AS score_milli,
+        |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
+        |  (sum(wm) > 0) AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q49's recursive-reach component oracle over the q83 pair set.
+    "q86_image_dedup_clusters" -> (
+      s"""WITH RECURSIVE $dhashHashCtesSql,
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE (bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+         bit_count(xor(a.dhash_lo, b.dhash_lo))) <= 2),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b)
+SELECT id, min(r) AS rep, (id = min(r)) AS keep
+FROM reach GROUP BY id ORDER BY id"""),
 
     // Unrolled training loop; winners per rank via UNION ALL.
     "q85_bpe_train" -> (

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Learned-classifier scoring plumbing (the fastText-style quality /
+  * domain filter every modern curation pipeline runs): hash each token
+  * into a fixed bucket space, dot the bucket weights, threshold the
+  * mean. The PLUMBING — feature hashing, bucketing, an order-free
+  * integer-domain dot product, one exact division — is the real,
+  * scale-shaped part; the weight table here is derived from md5 so the
+  * oracle can re-derive it (a production model swaps in trained
+  * weights as a broadcast array or plan literal without touching the
+  * shape).
+  *
+  * Determinism: weights are integer MILLI-units (md5-derived BIGINT in
+  * [-1000, 1000]); per-doc scores are BIGINT sums — accumulation order
+  * cannot leak — and the only float op is the final division, identical
+  * AST on both engines. The keep verdict compares the INTEGER sum.
+  */
+object ScoringOps {
+
+  /** Score = mean over tokens of w[hash(token) % buckets], with
+    * w[b] = (uint32(md5(b)[0:8]) % 2001) - 1000 milli-units.
+    *
+    * Scale shape: weight derivation is pure projection (no weight
+    * table to join — and a real model's table would broadcast); the
+    * one shuffle is the per-doc sum with map-side combine carrying
+    * (id, BIGINT) rows. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 4096): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val bucket = conv(substring(md5(col("token")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val wMilli = (conv(substring(md5(bucket.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 2001) - 1000
+    toks.select(col(idCol), wMilli.as("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__w")).as("score_milli"))
+      .select(col(idCol), col("n_tokens"), col("score_milli"),
+        (col("score_milli").cast("double") /
+          (col("n_tokens").cast("double") * lit(1000.0))).as("score"),
+        (col("score_milli") > 0).as("keep"))
+  }
+}

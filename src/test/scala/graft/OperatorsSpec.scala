@@ -498,6 +498,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("hashedLinearScore: md5-derived milli weights sum in the " +
+      "integer domain and match a hand computation") {
+    import graft.operators.ScoringOps
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(tok: String): Long = {
+      val b = java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 4096
+      java.lang.Long.parseLong(md5hex(b.toString).take(8), 16) % 2001 - 1000
+    }
+    val docs = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val exp = 2 * weight("alpha") + weight("beta")
+    val r = ScoringOps.hashedLinearScore(docs, "doc_id", "text")
+      .collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == exp, s"milli sum must be $exp, got $r")
+    assert(r.getDouble(3) == exp.toDouble / 3000.0)
+    assert(r.getBoolean(4) == (exp > 0))
+  }
+
   test("bpeTrain learns merges by weighted pair frequency; bpeApply " +
       "replays them as a pure projection; run-boundary quirk pinned") {
     import graft.operators.TokenizerOps
