@@ -574,6 +574,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio fingerprint over REAL decoded PCM: 16-window integer
+    // energy-gradient bits; fixtures follow the q72 closed form with
+    // enough frames (40..239) that windows partition the track.
+    "q88_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (id % 200 + 40).toInt
+          val ch = (id % 2 + 1).toInt
+          val bytes = AudioCodecs.wavBytes(n, ch, 16000, 16)((f, c) =>
+            (((id * 13 + f * 7 + c * 101) % 256) - 128).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.audioFingerprint(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
+    }),
+
     // Hashed-linear classifier scoring (fastText-style plumbing):
     // md5-derived milli-weights, integer dot product, one division.
     "q87_hashed_classifier" -> ((s, dir) => {
@@ -2285,6 +2302,42 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Windowed integer energies recomputed from the sample closed form;
+    // Spark's numbers decode the actual RIFF/PCM bitstream.
+    "q88_audio_fingerprint" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, (d.doc_id % 200 + 40)::BIGINT AS n,
+        |    (d.doc_id % 2 + 1)::BIGINT AS ch, f.f
+        |  FROM documents d, generate_series(0, 239) f(f)
+        |  WHERE f.f < d.doc_id % 200 + 40),
+        |mono AS (
+        |  SELECT doc_id, n, f,
+        |    CASE WHEN ch = 1
+        |      THEN ((doc_id * 13 + f * 7) % 256) - 128
+        |      ELSE (((doc_id * 13 + f * 7) % 256) - 128)
+        |         + (((doc_id * 13 + f * 7 + 101) % 256) - 128)
+        |    END AS m
+        |  FROM fr),
+        |tot AS (
+        |  SELECT doc_id, any_value(n) AS n, sum(m * m)::BIGINT AS energy
+        |  FROM mono GROUP BY doc_id),
+        |we AS (
+        |  SELECT mono.doc_id, w.w, sum(m * m)::BIGINT AS e
+        |  FROM mono, generate_series(0, 15) w(w)
+        |  WHERE f >= (w.w * n) // 16
+        |    AND f < greatest(((w.w + 1) * n) // 16, (w.w * n) // 16 + 1)
+        |  GROUP BY mono.doc_id, w.w),
+        |fp AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.e > a.e THEN 1 << a.w ELSE 0 END)::BIGINT
+        |      AS fp
+        |  FROM we a JOIN we b
+        |    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  GROUP BY a.doc_id)
+        |SELECT t.doc_id, true AS decoded, t.n AS n_frames, fp.fp,
+        |  t.energy
+        |FROM tot t JOIN fp USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // Same md5-derived milli-weight model; BIGINT sums, one division.
     "q87_hashed_classifier" ->

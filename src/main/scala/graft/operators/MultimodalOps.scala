@@ -255,6 +255,68 @@ object MultimodalOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Audio fingerprint over REAL decoded PCM — the dHash idea in the
+    * time domain: mono-mix each frame (integer channel sum), split the
+    * track into `windows` equal spans, take exact integer energy sums
+    * per span, and emit the 15 energy-gradient sign bits
+    * (`E[w+1] > E[w]`) plus the total energy. Re-encodes, level shifts
+    * that preserve energy ordering, and container rewrites keep the
+    * fingerprint stable — the cheap first pass of audio dedup.
+    *
+    * All integer-domain (sample sums, squared-sample energies), so the
+    * fingerprint is bit-deterministic and oracle-checkable from a
+    * closed-form fixture. Same scale shape as [[audioStats]]: decode
+    * dies in the scan task; (id, flag, three BIGINTs) flow on. */
+  def audioFingerprint(media: DataFrame, idCol: String, binCol: String,
+                       windows: Int = 16,
+                       batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            AudioCodecs.parseWav(bytes) match {
+              case Some(a) if a.nFrames > 0 =>
+                def mono(f: Int): Long = {
+                  var c = 0; var s = 0L
+                  while (c < a.channels) {
+                    s += a.samples(f * a.channels + c); c += 1
+                  }
+                  s
+                }
+                var energy = 0L
+                var f = 0
+                while (f < a.nFrames) {
+                  val m = mono(f); energy += m * m; f += 1
+                }
+                val e = Array.tabulate(windows) { w =>
+                  val f0 = w * a.nFrames / windows
+                  val f1 = math.max((w + 1) * a.nFrames / windows, f0 + 1)
+                  var s = 0L; var g = f0
+                  while (g < f1) { val m = mono(g); s += m * m; g += 1 }
+                  s
+                }
+                var fp = 0L
+                var w = 0
+                while (w < windows - 1) {
+                  if (e(w + 1) > e(w)) fp |= 1L << w
+                  w += 1
+                }
+                (id, true, Some(a.nFrames.toLong), Some(fp), Some(energy))
+              case Some(a) =>
+                (id, true, Some(0L), Some(0L), Some(0L))
+              case None =>
+                (id, false, Option.empty[Long], Option.empty[Long],
+                  Option.empty[Long])
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "n_frames", "fp", "energy")
+  }
+
   /** REAL audio statistics over a WAV binary column: decode RIFF/PCM
     * ([[AudioCodecs.parseWav]]) and emit typed metadata (channels,
     * rate, frames, duration) plus exact per-channel signed-sample sums

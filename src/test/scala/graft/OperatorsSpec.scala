@@ -498,6 +498,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("audioFingerprint: energy-gradient bits match a hand " +
+      "computation and ignore the container's sample rate") {
+    import graft.operators.{AudioCodecs, MultimodalOps}
+    def s(f: Int): Int = (f * 37 % 256) - 128
+    val a = AudioCodecs.wavBytes(64, 1, 8000, 16)((f, _) => s(f))
+    val b = AudioCodecs.wavBytes(64, 1, 44100, 16)((f, _) => s(f))
+    val media = Seq((1L, a), (2L, b)).toDF("id", "media")
+    val got = MultimodalOps.audioFingerprint(media, "id", "media")
+      .orderBy("id").collect()
+      .map(r => (r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got(0)._1 && got(0)._2 == 64L)
+    assert(got(0) == got(1), "sample rate must not affect the fingerprint")
+    // hand-compute: 16 windows of 4 frames each
+    val e = Array.tabulate(16) { w =>
+      (w * 4 until w * 4 + 4).map(f => s(f).toLong * s(f)).sum }
+    var fp = 0L
+    for (w <- 0 until 15) if (e(w + 1) > e(w)) fp |= 1L << w
+    assert(got(0)._3 == fp, s"fp must be $fp, got ${got(0)._3}")
+    assert(got(0)._4 == e.sum, "total energy is the exact integer sum")
+  }
+
   test("hashedLinearScore: md5-derived milli weights sum in the " +
       "integer domain and match a hand computation") {
     import graft.operators.ScoringOps
