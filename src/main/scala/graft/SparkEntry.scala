@@ -574,6 +574,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end MULTIMODAL curation verdict: corpus-wide exact text
+    // dedup (injected dups), image near-dup clusters from REAL decoded
+    // pixels (q86 path), and a token-length gate compose into one
+    // keep/reason row per doc — gate precedence dup_text > dup_image >
+    // short. The pipeline-integration query: three operator families,
+    // one verdict.
+    "q89_multimodal_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs2 = docs.unionByName(docs.filter(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val wTxt = Window.partitionBy(md5(col("text")))
+        .orderBy(col("doc_id"))
+      val tk = docs2.select(col("doc_id"),
+        (row_number().over(wTxt) === 1).as("text_keep"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val hashes = MultimodalOps.imageDHash(
+        dhashMedia(s, dir), "doc_id", "media")
+      val pairs = MultimodalOps.dhashNearDups(hashes, "doc_id",
+        maxDist = 2).select(col("id_a"), col("id_b"))
+      val imgKeep = ClusterOps.dedupClusters(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("keep").as("__ik"))
+      tk.join(imgKeep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text_keep"),
+          coalesce(col("__ik"), lit(true)).as("image_keep"),
+          col("n_tokens"))
+        .select(col("doc_id"), col("text_keep"), col("image_keep"),
+          col("n_tokens"),
+          when(!col("text_keep"), "dup_text")
+            .when(!col("image_keep"), "dup_image")
+            .when(col("n_tokens") < 40, "short")
+            .otherwise("keep").as("reason"),
+          (col("text_keep") && col("image_keep") &&
+            (col("n_tokens") >= 40)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Audio fingerprint over REAL decoded PCM: 16-window integer
     // energy-gradient bits; fixtures follow the q72 closed form with
     // enough frames (40..239) that windows partition the track.
@@ -2302,6 +2338,45 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Assembled from the tested q30/q83/q86 oracle pieces: injected
+    // text dups, dHash-formula pairs, recursive components, one CASE.
+    "q89_multimodal_curate" -> (
+      s"""WITH RECURSIVE docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 1),
+tk AS (
+  SELECT doc_id,
+    (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+      AS text_keep,
+    len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM docs2),
+$dhashHashCtesSql,
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE (bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+         bit_count(xor(a.dhash_lo, b.dhash_lo))) <= 2),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b),
+comp AS (
+  SELECT id, (id = min(r)) AS keep FROM reach GROUP BY id)
+SELECT t.doc_id, t.text_keep,
+  coalesce(c.keep, true) AS image_keep, t.n_tokens,
+  CASE WHEN NOT t.text_keep THEN 'dup_text'
+       WHEN NOT coalesce(c.keep, true) THEN 'dup_image'
+       WHEN t.n_tokens < 40 THEN 'short'
+       ELSE 'keep' END AS reason,
+  (t.text_keep AND coalesce(c.keep, true) AND t.n_tokens >= 40) AS keep
+FROM tk t LEFT JOIN comp c ON t.doc_id = c.id
+ORDER BY t.doc_id"""),
 
     // Windowed integer energies recomputed from the sample closed form;
     // Spark's numbers decode the actual RIFF/PCM bitstream.
