@@ -574,6 +574,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic 80/10/10 train/val/test split: one projection,
+    // md5-band thresholds, membership depends only on the row's key.
+    "q90_hash_split" -> ((s, dir) => {
+      SamplingOps.hashSplit(t(s, dir, "documents"),
+        col("doc_id").cast("string"), 0.8, 0.1)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end MULTIMODAL curation verdict: corpus-wide exact text
     // dedup (injected dups), image near-dup clusters from REAL decoded
     // pixels (q86 path), and a token-length gate compose into one
@@ -2338,6 +2347,17 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Cut points interpolated from the SAME rateThreshold values the
+    // Spark plan compares against.
+    "q90_hash_split" -> (
+      s"""SELECT doc_id,
+  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8)}' THEN 'train'
+       WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8 + 0.1)}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""),
 
     // Assembled from the tested q30/q83/q86 oracle pieces: injected
     // text dups, dHash-formula pairs, recursive components, one CASE.

@@ -32,8 +32,10 @@ object RetrievalOps {
     * immediately semi-joined against the broadcast distinct-query-term
     * set — rows for non-query terms never reach an exchange, so the one
     * real shuffle (tf counting, map-side combined) is sized by matching
-    * tokens, not the corpus. df, the query list, and the global
-    * length stats are all broadcast. Document lengths are a projection
+    * tokens, not the corpus. df rides a count window over a narrow
+    * re-exchange of the same (term, doc, tf) rows — never a second
+    * pass over the corpus subtree; the query list and the global
+    * length stats are broadcast. Document lengths are a projection
     * (`size(split)`), never a shuffle. The final top-k window
     * partitions on query_id; its input is the candidate set (docs
     * sharing ≥1 term with a query) — with stopword-free queries this is
@@ -53,13 +55,16 @@ object RetrievalOps {
     val qTerms = queries.select(col(qIdCol).as("query_id"),
       explode(array_distinct(tokens(col(qTextCol)))).as("term"))
     val termSet = qTerms.select(col("term")).distinct()
+    // df via a count window over the (term, doc, tf) rows: one narrow
+    // extra exchange on `term` instead of recomputing the corpus
+    // explode + semi-join subtree for a second aggregation
     val pairs = base
       .select(col("doc_id"), col("__dl"), explode(col("__t")).as("term"))
       .join(broadcast(termSet), Seq("term"))
       .groupBy(col("term"), col("doc_id"), col("__dl"))
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = pairs.groupBy(col("term"))
-      .agg(count(lit(1)).as("__df"))
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
     // identical AST on the DuckDB side — see the q79 oracle SQL
     val idf = log(
       ((col("__n_docs") - col("__df")).cast("double") + lit(0.5)) /
@@ -71,7 +76,6 @@ object RetrievalOps {
         lit(1.2) * (lit(0.25) + lit(0.75) *
           (col("__dl").cast("double") / avgdl)))
     val contrib = pairs
-      .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(qTerms), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

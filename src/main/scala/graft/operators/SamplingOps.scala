@@ -38,6 +38,26 @@ object SamplingOps {
     df.filter(h >= lo && h < hi)
   }
 
+  /** One-pass deterministic train/val/test assignment — the split
+    * every pipeline needs BEFORE any training run, with the properties
+    * random splits lack: reproducible across engines and reruns,
+    * stable under corpus growth (a row's split depends only on its own
+    * key), and disjoint-by-construction (threshold bands partition the
+    * hash space). Pure projection: no shuffle, no state, pushes down.
+    * Fractions are [[rateThreshold]] 8-hex cut points — string
+    * comparisons against the md5 prefix, exactly [[hashSample]]'s
+    * membership rule, so `hashSplit(train)` ≡ `hashSample(rate)`. */
+  def hashSplit(df: DataFrame, key: Column, trainFrac: Double,
+                valFrac: Double): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      "fractions must be non-negative and sum to <= 1")
+    val h = substring(md5(key), 1, 8)
+    df.withColumn("split",
+      when(h < rateThreshold(trainFrac), "train")
+        .when(h < rateThreshold(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+
   /** Greedy token-budget selection: walk the corpus in a deterministic
     * pseudo-random order (md5 of the key) and keep every document that
     * still FITS — the standard "give me exactly ~N tokens of this

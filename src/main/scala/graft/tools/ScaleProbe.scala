@@ -123,6 +123,29 @@ object ScaleProbe {
         docs.select(col("doc_id"),
           size(split(col("text"), " ")).as("nt")),
         "doc_id", col("nt"), budget = 512))
+    // q79: the query set stays FIXED (replica 0's 51 queries) while the
+    // corpus grows — candidate rows, not the corpus, must set the cost
+    time(s"bm25TopK x$n corpus")(
+      graft.operators.RetrievalOps.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 10000000L)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 8), " ")
+              .as("qtext")),
+        "query_id", "qtext", k = 10))
+    // q81/q84: pure projections — must track the scan, zero shuffle
+    time(s"lineDedup x$n")(
+      TextAnalysisOps.lineDedup(docs, "doc_id", "text"))
+    time(s"chunkDocs x$n")(
+      TextAnalysisOps.chunkDocs(docs, "doc_id", "text"))
+    // q85: the corpus pass is the word histogram; iterations run on
+    // distinct words only, so N should barely move the loop cost
+    time(s"bpeTrain(4) x$n")(
+      graft.operators.TokenizerOps.bpeTrain(docs, "text", merges = 4))
+    // q87: hashing + integer dot product, one map-side-combined shuffle
+    time(s"hashedLinearScore x$n")(
+      graft.operators.ScoringOps.hashedLinearScore(docs, "doc_id",
+        "text"))
 
     // embeddings ×N, one element nudged per replica
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -164,6 +187,37 @@ object ScaleProbe {
       graft.operators.DedupOps.embeddingLshRecallProbe(emb, "vec_id",
         "embedding", threshold = 0.9, dim = 64, tables = 8, bits = 12,
         sampleN = 400))
+
+    // q80: SemDeDup's documented scale knob — cells grow WITH the
+    // corpus (8 per replica) so cell populations stay constant and the
+    // within-cell pairwise stays bounded; iters=2 keeps training short
+    time(s"semDedup x$n (cells=8n)")(
+      DedupOps.semDedup(emb, "vec_id", "embedding",
+        dim = 64, cells = 8 * n, iters = 2, threshold = 0.9))
+
+    // q82/q83: dHash + banded pairs over generated 9x8 PNGs; the group
+    // modulus scales with N so clique sizes stay ~20 (without this the
+    // fixture's cliques, not the operator, dominate — q40's artifact)
+    {
+      import spark.implicits._
+      val groups = 25 * n
+      val media = docs.select(col("doc_id")).as[Long].map { id =>
+        val g = (id / 2 % groups).toInt
+        val bytes = graft.operators.ImageCodecs.pngBytesWithPixels(
+          9, 8, 0, (id % 5).toInt) { (x, y, _) =>
+          val v = ((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7) % 256
+          if (id % 2 == 1 && x == 4 && y == 3) (v + 128) % 256 else v
+        }
+        (id, bytes)
+      }.toDF("doc_id", "media")
+      time(s"imageDHash x$n")(
+        graft.operators.MultimodalOps.imageDHash(media, "doc_id",
+          "media"))
+      time(s"dhashNearDups x$n (groups=25n)")(
+        graft.operators.MultimodalOps.dhashNearDups(
+          graft.operators.MultimodalOps.imageDHash(media, "doc_id",
+            "media"), "doc_id", maxDist = 2))
+    }
 
     // events ×N through the flagship sessionize plan
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -498,6 +498,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("hashSplit: every row lands in exactly one band, membership " +
+      "matches hashSample, and assignment survives corpus growth") {
+    import graft.operators.SamplingOps
+    val docs = (0L until 400L).map(i => Tuple1(i)).toDF("id")
+    val split = SamplingOps.hashSplit(docs, col("id").cast("string"),
+      0.8, 0.1)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 400L, "partition must be total")
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // band-0 sample at the train rate IS the train split
+    val sampleIds = SamplingOps.hashSample(docs, col("id").cast("string"),
+      0.8).collect().map(_.getLong(0)).toSet
+    val trainIds = split.filter(col("split") === "train")
+      .collect().map(_.getLong(0)).toSet
+    assert(sampleIds == trainIds, "hashSplit train ≡ hashSample(0.8)")
+    // growth stability: the first 200 ids keep their assignment
+    val small = SamplingOps.hashSplit(docs.filter(col("id") < 200),
+      col("id").cast("string"), 0.8, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bigMap = split.collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(small.forall { case (k, v) => bigMap(k) == v },
+      "membership depends only on the row's own key")
+  }
+
+  test("chunkDocs reconstruction property: dropping each non-first " +
+      "chunk's overlap prefix and concatenating restores the document") {
+    import graft.operators.TextAnalysisOps
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 30L).map { id =>
+      val n = 1 + rnd.nextInt(300)
+      (id, (1 to n).map(i => s"t$i").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val chunks = TextAnalysisOps.chunkDocs(df, "doc_id", "text",
+      chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val cs = chunks(id).sortBy(_._2).map(_._3)
+      val rebuilt = (cs.head.split(" ").toSeq +:
+        cs.tail.map(_.split(" ").drop(16).toSeq)).flatten.toSeq
+      assert(rebuilt == text.split(" ").toSeq,
+        s"doc $id: chunks must tile the document exactly")
+    }
+  }
+
+  test("lineDedup matches a reference first-occurrence dedup on " +
+      "random multi-line docs") {
+    import graft.operators.TextAnalysisOps
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 25L).map { id =>
+      val lines = (1 to 1 + rnd.nextInt(20))
+        .map(_ => s"line${rnd.nextInt(6)}")
+      (id, lines.mkString("\n"))
+    }
+    val got = TextAnalysisOps.lineDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    docs.foreach { case (id, text) =>
+      val lines = text.split("\n", -1).toSeq
+      val kept = lines.distinct // scala distinct keeps first occurrence
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      assert(got(id) == ((lines.size.toLong, kept.size.toLong, sig)),
+        s"doc $id mismatch")
+    }
+  }
+
   test("audioFingerprint: energy-gradient bits match a hand " +
       "computation and ignore the container's sample rate") {
     import graft.operators.{AudioCodecs, MultimodalOps}
