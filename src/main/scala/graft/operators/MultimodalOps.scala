@@ -149,7 +149,8 @@ object MultimodalOps {
         "c0_sum", "c1_sum", "c2_sum", "c3_sum")
   }
 
-  /** Perceptual difference-hash (dHash) over a decoded image binary:
+  /** Perceptual difference-hash (dHash, the public gradient-hash
+    * scheme popularized by Krawetz) over a decoded image binary:
     * integer block-mean downsample to a 9×8 intensity grid, then 64
     * horizontal-gradient sign bits (`g(x+1,y) > g(x,y)`) — the standard
     * near-duplicate image fingerprint (crop-resistant enough for

@@ -22,7 +22,8 @@ import graft.functions.TextFunctions.tokens
   */
 object RetrievalOps {
 
-  /** Okapi BM25 top-k: rank corpus documents for each query string.
+  /** Okapi BM25 top-k (Robertson & Walker '94; the non-negative idf is
+    * Lucene's BM25Similarity form): rank corpus docs per query string.
     *
     * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
     * with the Lucene non-negative idf `ln((N − df + 0.5)/(df + 0.5) + 1)`,

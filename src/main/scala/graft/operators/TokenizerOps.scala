@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Byte-pair-encoding tokenizer TRAINING — the real merge-learning
+/** Byte-pair-encoding tokenizer TRAINING (Gage 1994; applied to NMT
+  * subwords by Sennrich et al. 2016, ACL) — the real merge-learning
   * loop, not a regex approximation of its output: count adjacent
   * symbol pairs across the word histogram, adopt the most frequent
   * pair as a merge, rewrite, repeat. The learned merge table is the

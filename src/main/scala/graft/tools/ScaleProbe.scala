@@ -194,10 +194,20 @@ object ScaleProbe {
     time(s"semDedup x$n (cells=8n)")(
       DedupOps.semDedup(emb, "vec_id", "embedding",
         dim = 64, cells = 8 * n, iters = 2, threshold = 0.9))
+    // the balanced flat-IVF knob: cells ∝ √N makes assignment O(N√N)
+    // and within-cell pairwise O(N·N/√N) — both sides grow N^1.5
+    // instead of either going N²; the two rows bracket the tradeoff
+    time(s"semDedup x$n (cells=8*sqrt n)")(
+      DedupOps.semDedup(emb, "vec_id", "embedding",
+        dim = 64, cells = 8 * math.sqrt(n.toDouble).toInt, iters = 2,
+        threshold = 0.9))
 
     // q82/q83: dHash + banded pairs over generated 9x8 PNGs; the group
-    // modulus scales with N so clique sizes stay ~20 (without this the
-    // fixture's cliques, not the operator, dominate — q40's artifact)
+    // modulus scales with N so clique sizes stay ~200 (without this the
+    // fixture's cliques, not the operator, dominate — q40's artifact).
+    // The (g² % 251) term breaks the base pattern's mod-256 periodicity
+    // in g — without it groups g and g+256 render IDENTICAL images and
+    // cliques silently merge once 25n > 256
     {
       import spark.implicits._
       val groups = 25 * n
@@ -205,7 +215,8 @@ object ScaleProbe {
         val g = (id / 2 % groups).toInt
         val bytes = graft.operators.ImageCodecs.pngBytesWithPixels(
           9, 8, 0, (id % 5).toInt) { (x, y, _) =>
-          val v = ((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7) % 256
+          val v = ((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7 +
+            (g * g % 251) * (x + y)) % 256
           if (id % 2 == 1 && x == 4 && y == 3) (v + 128) % 256 else v
         }
         (id, bytes)
