@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AudioCodecs, ImageCodecs, JpegCodec}
+import graft.sources.WarcCodec
+
+/** Systematic corruption fuzz for every pure-JVM codec: the scan-task
+  * contract is "malformed input returns None/empty, NEVER a throw" — a
+  * single uncaught exception in a decoder kills the whole Spark task
+  * (and with it every other row in the partition). The per-format specs
+  * check single-point corruptions; this suite sweeps seeded bit flips,
+  * truncations at every boundary class, random garbage, and
+  * concatenation/doubling across all decoders at once. */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private def mutations(good: Array[Byte], seed: Int): Iterator[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed)
+    val flips = Iterator.tabulate(200) { _ =>
+      val m = good.clone()
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 + rnd.nextInt(255))).toByte
+      m
+    }
+    val shortCuts = Iterator.tabulate(math.min(17, good.length))(good.take)
+    val cuts = Iterator.tabulate(50) { _ =>
+      good.take(rnd.nextInt(good.length))
+    }
+    val garbage = Iterator.tabulate(50) { _ =>
+      val m = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(m)
+      m
+    }
+    val doubled = Iterator(good ++ good, good ++ good.take(7))
+    flips ++ shortCuts ++ cuts ++ garbage ++ doubled
+  }
+
+  private def sweep(label: String, good: Array[Byte], seed: Int)(
+      decoders: (String, Array[Byte] => Any)*): Unit = {
+    var n = 0
+    mutations(good, seed).foreach { m =>
+      n += 1
+      decoders.foreach { case (name, d) =>
+        try d(m)
+        catch {
+          case e: Throwable =>
+            fail(s"$label/$name threw ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage} (mutation #$n, len ${m.length})")
+        }
+      }
+    }
+    assert(n > 300, s"$label: sweep must actually run ($n mutations)")
+  }
+
+  test("PNG decoders survive 300+ seeded corruptions without throwing") {
+    val good = ImageCodecs.pngBytesWithPixels(9, 8, 0, 2)(
+      (x, y, _) => (x * 31 + y * 7) % 256)
+    sweep("png", good, 101)(
+      "parse" -> ImageCodecs.parse,
+      "decodePixels" -> ImageCodecs.decodePixels)
+  }
+
+  test("GIF decoders survive seeded corruptions without throwing") {
+    val palette = Array.tabulate(16 * 3)(j => (j * 17 % 256).toByte)
+    val good = ImageCodecs.gifBytesWithPixels(11, 7, palette)(
+      (x, y) => (x + y) % 16)
+    sweep("gif", good, 202)(
+      "parse" -> ImageCodecs.parse,
+      "decodePixels" -> ImageCodecs.decodePixels)
+  }
+
+  test("JPEG decoder survives seeded corruptions without throwing") {
+    val good = ImageCodecs.jpegBytes(24, 16)
+    sweep("jpeg", good, 303)(
+      "parse" -> ImageCodecs.parse,
+      "JpegCodec.decode" -> JpegCodec.decode)
+  }
+
+  test("WAV parser survives seeded corruptions without throwing") {
+    val good = AudioCodecs.wavBytes(48, 2, 16000, 16)(
+      (f, c) => (f * 7 + c * 3) % 200 - 100)
+    sweep("wav", good, 404)("parseWav" -> AudioCodecs.parseWav)
+  }
+
+  test("WARC parser (incl. gzip path) survives seeded corruptions") {
+    val recs = Seq(
+      ("response", "http://a.example/x", "text/html",
+        "<html><body>hello</body></html>"),
+      ("request", "http://a.example/x", "text/plain", "GET /x"))
+    sweep("warc", WarcCodec.warcBytes(recs), 505)(
+      "records" -> WarcCodec.records)
+    sweep("warc.gz", WarcCodec.warcGzBytes(recs), 606)(
+      "records" -> WarcCodec.records)
+  }
+}
