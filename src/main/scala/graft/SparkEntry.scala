@@ -574,6 +574,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Zipf-slope corpus health: integer-quantized least squares over
+    // the top-100 token ranks, one exact division at the end.
+    "q91_zipf_slope" -> ((s, dir) => {
+      TextAnalysisOps.zipfSlope(t(s, dir, "documents"), "text",
+        topK = 100)
+    }),
+
     // Deterministic 80/10/10 train/val/test split: one projection,
     // md5-band thresholds, membership depends only on the row's key.
     "q90_hash_split" -> ((s, dir) => {
@@ -2347,6 +2354,30 @@ FROM rec ORDER BY query_id"""),
         |  coalesce(f.n_denied_urls, 0) = 0 AS keep
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+
+    // Same micro-quantized sums; the slope is a ratio of exact BIGINTs.
+    "q91_zipf_slope" ->
+      """WITH counts AS (
+        |  SELECT token, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 100),
+        |ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM counts),
+        |q AS (
+        |  SELECT floor(ln(rank::DOUBLE) * 1e6)::BIGINT AS lx,
+        |    floor(ln(n::DOUBLE) * 1e6)::BIGINT AS ly
+        |  FROM ranked),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n_ranks, sum(lx)::BIGINT AS sx,
+        |    sum(ly)::BIGINT AS sy, sum(lx * ly)::BIGINT AS sxy,
+        |    sum(lx * lx)::BIGINT AS sxx
+        |  FROM q)
+        |SELECT n_ranks,
+        |  ((n_ranks * sxy - sx * sy)::DOUBLE /
+        |   (n_ranks * sxx - sx * sx)::DOUBLE) AS zipf_slope
+        |FROM s""".stripMargin,
 
     // Cut points interpolated from the SAME rateThreshold values the
     // Spark plan compares against.

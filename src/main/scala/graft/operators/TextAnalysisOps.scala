@@ -562,6 +562,45 @@ object TextAnalysisOps {
       length(t).cast("long").as("n_chars"))
   }
 
+  /** Zipf-slope vocabulary health check: least-squares slope of
+    * ln(count) on ln(rank) over the top-`topK` tokens. Natural corpora
+    * sit near −1; templated/spammy corpora flatten, truncated or
+    * over-deduplicated ones steepen — a one-number drift alarm for a
+    * recurring ingestion pipeline.
+    *
+    * Determinism: ln values are micro-quantized to BIGINTs BEFORE any
+    * sum (q65's trick), and the closed-form slope
+    * (kΣxy − ΣxΣy)/(kΣx² − (Σx)²) is computed from exact integer sums
+    * with ONE final double division — no float accumulation anywhere,
+    * so the slope is bit-identical across engines and partitionings.
+    * Bounds: lx,ly < 2^25 micro-nats, so every product and k-scaled
+    * sum stays far inside BIGINT.
+    *
+    * Scale shape: one map-side-combined token-count shuffle +
+    * TakeOrdered(topK); the regression runs on topK rows (the one
+    * unpartitioned window is over those bounded rows only). */
+  def zipfSlope(docs: DataFrame, textCol: String,
+                topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.orderBy(col("n").desc, col("token").asc)
+    val ranked = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(topK)
+      .withColumn("rank", row_number().over(byFreq))
+    val q = ranked.select(
+      floor(log(col("rank").cast("double")) * 1e6).cast("long").as("lx"),
+      floor(log(col("n").cast("double")) * 1e6).cast("long").as("ly"))
+    q.agg(count(lit(1)).as("n_ranks"), sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select(col("n_ranks"),
+        ((col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("zipf_slope"))
+  }
+
   /** Overlapping token-window chunking (the RAG/embedding-index
     * preprocessing pass): each document yields ceil-covering windows of
     * `chunkTokens` tokens advancing by `chunkTokens - overlap`, the

@@ -498,6 +498,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("zipfSlope: a constructed 1/rank corpus measures ~-1, a " +
+      "uniform corpus ~0") {
+    import graft.operators.TextAnalysisOps
+    // token w_i appears floor(3000/i) times, i = 1..40 -> slope ~ -1
+    val zipfText = (1 to 40).flatMap(i =>
+      Seq.fill(3000 / i)(s"w$i")).mkString(" ")
+    val uniText = (1 to 40).flatMap(i => Seq.fill(50)(s"u$i"))
+      .mkString(" ")
+    def slope(text: String): Double =
+      TextAnalysisOps.zipfSlope(Seq(Tuple1(text)).toDF("text"), "text",
+        topK = 40).collect()(0).getDouble(1)
+    val z = slope(zipfText)
+    assert(z < -0.9 && z > -1.1, s"zipf corpus slope must be ~-1, got $z")
+    val u = slope(uniText)
+    assert(math.abs(u) < 0.05, s"uniform corpus slope must be ~0, got $u")
+  }
+
   test("hashSplit: every row lands in exactly one band, membership " +
       "matches hashSample, and assignment survives corpus growth") {
     import graft.operators.SamplingOps
