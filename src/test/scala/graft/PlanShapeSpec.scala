@@ -76,6 +76,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "hamming pairs must come from band joins, not an all-pairs cross")
   }
 
+  test("q88: audio fingerprint is a single decode pass — one " +
+      "presentation exchange, no join") {
+    val p = plan("q88_audio_fingerprint")
+    assert(p.split("Exchange").length <= 2,
+      s"waveform must die in the scan task:\n$p")
+    assert(!p.contains("Join"), s"single pass expected:\n$p")
+  }
+
+  test("q90: hash split is projection-only ahead of the " +
+      "presentation sort") {
+    val p = plan("q90_hash_split")
+    assert(p.split("Exchange").length <= 2,
+      s"split assignment must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"pure projection expected:\n$p")
+  }
+
+  test("q91: zipf vocabulary comes from TakeOrdered, never a global " +
+      "sort of all tokens") {
+    val p = plan("q91_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k tokens must use TakeOrdered:\n$p")
+  }
+
   test("q18: sessionize plan has no join-back (single aggregation)") {
     val p = plan("q18_trip_summary")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
