@@ -574,6 +574,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Graded contamination: per-doc overlap FRACTION vs the benchmark
+    // shingle set (q52's binary flag, graded the GPT-3 way).
+    "q92_contamination_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysisOps.contaminationOverlap(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 with the stopword df-cap engaged (same queries as q79):
+    // terms with df > 0.78N drop before scoring — the documented
+    // candidate-explosion guard, exercised rather than just described.
+    "q93_bm25_dfcap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("qtext"))
+      RetrievalOps.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10, maxDfFrac = 0.78)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Zipf-slope corpus health: integer-quantized least squares over
     // the top-100 token ranks, one exact division at the end.
     "q91_zipf_slope" -> ((s, dir) => {
@@ -1166,6 +1190,50 @@ object SparkEntry {
       transform(col("embedding"),
         (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding")))
   }
+
+  /** BM25 oracle (q79/q93): identical AST to [[RetrievalOps.bm25TopK]];
+    * `dfCapSql` injects the optional stopword-cap WHERE into the
+    * contrib CTE. */
+  private def bm25OracleSql(dfCapSql: String): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    len(string_split(text, ' '))::BIGINT AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs,
+       |            sum(dl)::BIGINT AS total_dl FROM base),
+       |q AS (SELECT doc_id AS query_id,
+       |        list_distinct(list_slice(string_split(text, ' '), 1, 8))
+       |          AS qt
+       |      FROM documents WHERE doc_id % 97 = 0),
+       |qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+       |termset AS (SELECT DISTINCT term FROM qterms),
+       |pairs AS (
+       |  SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+       |  JOIN termset USING (term)
+       |  GROUP BY term, doc_id, dl),
+       |dfreq AS (SELECT term, count(*)::BIGINT AS df
+       |          FROM pairs GROUP BY term),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    floor(
+       |      ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)
+       |          + 1.0) *
+       |      ((tf::DOUBLE * 2.2) /
+       |       (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+       |         (dl::DOUBLE / (total_dl::DOUBLE / n_docs::DOUBLE)))))
+       |      * 1e6)::BIGINT AS c
+       |  FROM pairs JOIN dfreq USING (term) JOIN qterms USING (term),
+       |    stats
+       |$dfCapSql),
+       |scored AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_micro
+       |           FROM contrib GROUP BY query_id, doc_id),
+       |ranked AS (SELECT query_id, doc_id, score_micro,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id, score_micro FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** BPE-training oracle: the same count→adopt→rewrite loop unrolled
     * into chained CTEs, one (pairs, winner, rewrite) block per merge —
@@ -2619,45 +2687,34 @@ ORDER BY a.vec_id"""),
     // Same BM25 AST: identical literals (2.2, 1.2, 0.25, 0.75 — never
     // re-derived arithmetic), micro-quantized contributions, BIGINT
     // score sums, doc_id tie-break.
-    "q79_bm25_topk" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t,
-        |    len(string_split(text, ' '))::BIGINT AS dl
-        |  FROM documents),
-        |stats AS (SELECT count(*)::BIGINT AS n_docs,
-        |            sum(dl)::BIGINT AS total_dl FROM base),
-        |q AS (SELECT doc_id AS query_id,
-        |        list_distinct(list_slice(string_split(text, ' '), 1, 8))
-        |          AS qt
-        |      FROM documents WHERE doc_id % 97 = 0),
-        |qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
-        |termset AS (SELECT DISTINCT term FROM qterms),
-        |pairs AS (
-        |  SELECT term, doc_id, dl, count(*)::BIGINT AS tf
-        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
-        |  JOIN termset USING (term)
-        |  GROUP BY term, doc_id, dl),
-        |dfreq AS (SELECT term, count(*)::BIGINT AS df
-        |          FROM pairs GROUP BY term),
-        |contrib AS (
-        |  SELECT query_id, doc_id,
-        |    floor(
-        |      ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)
-        |          + 1.0) *
-        |      ((tf::DOUBLE * 2.2) /
-        |       (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
-        |         (dl::DOUBLE / (total_dl::DOUBLE / n_docs::DOUBLE)))))
-        |      * 1e6)::BIGINT AS c
-        |  FROM pairs JOIN dfreq USING (term) JOIN qterms USING (term),
-        |    stats),
-        |scored AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_micro
-        |           FROM contrib GROUP BY query_id, doc_id),
-        |ranked AS (SELECT query_id, doc_id, score_micro,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score_micro DESC, doc_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, doc_id, score_micro FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q79_bm25_topk" -> bm25OracleSql(dfCapSql = ""),
+
+    // The q79 pipeline with the df-cap WHERE engaged.
+    "q93_bm25_dfcap" -> bm25OracleSql(
+      dfCapSql = "  WHERE df::DOUBLE <= 0.78 * n_docs::DOUBLE"),
+
+    // Mirrors q67's shingle construction; bench set left-joined as a
+    // hit marker, fraction is one exact division.
+    "q92_contamination_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ')
+        |        FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |bsh AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+        |        WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+        |       WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_hits,
+        |  (sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE) AS overlap_frac
+        |FROM tr LEFT JOIN bsh b USING (shingle)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     // Oracle injects the SAME decomposed/singleton code points and
     // runs DuckDB's standard-conformant NFC + lower + collapse.

@@ -43,10 +43,15 @@ object RetrievalOps {
     * a small corpus fraction; for stopword-heavy query sets, pre-drop
     * high-df terms (their idf ≈ 0 contributes nothing) before the
     * semi-join.
+    *
+    * `maxDfFrac` is that stopword guard as a parameter: terms whose
+    * document frequency exceeds `maxDfFrac × N` are dropped BEFORE
+    * scoring — their idf is ≈ 0 anyway, and they are exactly the terms
+    * whose candidate lists explode the per-query window at scale.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int = 10): DataFrame = {
+               k: Int = 10, maxDfFrac: Double = 1.0): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("__t"))
       .select(col("doc_id"), col("__t"),
@@ -79,6 +84,8 @@ object RetrievalOps {
     val contrib = pairs
       .join(broadcast(qTerms), Seq("term"))
       .crossJoin(broadcast(stats))
+      .filter(col("__df").cast("double") <=
+        lit(maxDfFrac) * col("__n_docs").cast("double"))
       .select(col("query_id"), col("doc_id"),
         floor(idf * norm * lit(1e6)).cast("long").as("__c"))
     val scored = contrib.groupBy(col("query_id"), col("doc_id"))

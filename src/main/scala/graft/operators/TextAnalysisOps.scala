@@ -235,6 +235,36 @@ object TextAnalysisOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Graded contamination: per train document, the FRACTION of its
+    * distinct word n-gram shingles present in the benchmark set — the
+    * GPT-3-style overlap percentage that separates a stray quoted
+    * sentence (harmless, low overlap) from a verbatim test-set copy
+    * (overlap → 1.0), where [[decontaminate]]'s binary flag treats both
+    * alike. Same scale shape: bench shingles broadcast, the corpus
+    * never shuffles before the per-doc aggregation; the fraction is one
+    * exact division of BIGINTs. */
+  def contaminationOverlap(train: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val trainSh = train
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(col("__t"), n))).as("shingle"))
+    val benchSh = bench
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("shingle"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    trainSh.join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col(idCol), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("overlap_frac"))
+  }
+
   /** Single-pass curation verdict: the composite keep/drop gate a
     * pre-training pipeline applies after signal extraction. Rules, in
     * precedence order (first failure names the reason):

@@ -498,6 +498,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("contaminationOverlap grades: verbatim copy -> 1.0, one shared " +
+      "shingle -> partial, disjoint -> 0.0") {
+    import graft.operators.TextAnalysisOps
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),        // verbatim: 3 of 3
+      (2L, "a b the quick brown c d"),          // shares 1 of 5
+      (3L, "x y z w v")).toDF("doc_id", "text") // disjoint: 0 of 3
+    val got = TextAnalysisOps.contaminationOverlap(train, bench,
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)), s"$got")
+    assert(got(2L) == ((5L, 1L, 0.2)), s"$got")
+    assert(got(3L) == ((3L, 0L, 0.0)), s"$got")
+  }
+
+  test("bm25TopK maxDfFrac drops high-df terms from scoring") {
+    import graft.operators.RetrievalOps
+    val docs = Seq(
+      (1L, "common zebra"), (2L, "common cat"), (3L, "common dog"),
+      (4L, "common bird"), (5L, "common fish")).toDF("doc_id", "text")
+    val qs = Seq((9L, "common zebra")).toDF("query_id", "qtext")
+    // 'common' has df=5/5; with the cap at 0.5 only 'zebra' scores
+    val capped = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 5, maxDfFrac = 0.5)
+      .collect().map(_.getLong(2)).toSet
+    assert(capped == Set(1L),
+      s"only the zebra doc may score once 'common' is capped: $capped")
+    val uncapped = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(uncapped == Set(1L, 2L, 3L, 4L, 5L),
+      "without the cap every doc matches via 'common'")
+  }
+
   test("zipfSlope: a constructed 1/rank corpus measures ~-1, a " +
       "uniform corpus ~0") {
     import graft.operators.TextAnalysisOps
