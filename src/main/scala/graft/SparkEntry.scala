@@ -574,6 +574,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio exact dedup end-to-end: five re-labeled copies per group
+    // (generator keyed on doc_id % 100) collide on the decoded
+    // (frames, fingerprint, energy) triple; keep-first per group.
+    "q94_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id % 100
+          val n = (g % 200 + 40).toInt
+          val ch = (g % 2 + 1).toInt
+          val bytes = AudioCodecs.wavBytes(n, ch, 16000, 16)((f, c) =>
+            (((g * 13 + f * 7 + c * 101) % 256) - 128).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.audioDedup(
+        MultimodalOps.audioFingerprint(media, "doc_id", "media"),
+        "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Graded contamination: per-doc overlap FRACTION vs the benchmark
     // shingle set (q52's binary flag, graded the GPT-3 way).
     "q92_contamination_overlap" -> ((s, dir) => {
@@ -1190,6 +1210,42 @@ object SparkEntry {
       transform(col("embedding"),
         (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding")))
   }
+
+  /** Audio-fingerprint oracle CTEs (q88/q94): windowed integer
+    * energies + gradient bits from the q72-style sample closed form,
+    * per doc_id; `gExpr` is the generator key (the raw id for q88, a
+    * collision-group id for q94's dedup fixture). Yields `tot(doc_id,
+    * n, energy)` and `fp(doc_id, fp)`. */
+  private def audioFpCtesSql(gExpr: String): String =
+    s"""fr AS (
+       |  SELECT d.doc_id, ($gExpr % 200 + 40)::BIGINT AS n,
+       |    ($gExpr % 2 + 1)::BIGINT AS ch, f.f, $gExpr AS g
+       |  FROM documents d, generate_series(0, 239) f(f)
+       |  WHERE f.f < $gExpr % 200 + 40),
+       |mono AS (
+       |  SELECT doc_id, n, f,
+       |    CASE WHEN ch = 1
+       |      THEN ((g * 13 + f * 7) % 256) - 128
+       |      ELSE (((g * 13 + f * 7) % 256) - 128)
+       |         + (((g * 13 + f * 7 + 101) % 256) - 128)
+       |    END AS m
+       |  FROM fr),
+       |tot AS (
+       |  SELECT doc_id, any_value(n) AS n, sum(m * m)::BIGINT AS energy
+       |  FROM mono GROUP BY doc_id),
+       |we AS (
+       |  SELECT mono.doc_id, w.w, sum(m * m)::BIGINT AS e
+       |  FROM mono, generate_series(0, 15) w(w)
+       |  WHERE f >= (w.w * n) // 16
+       |    AND f < greatest(((w.w + 1) * n) // 16, (w.w * n) // 16 + 1)
+       |  GROUP BY mono.doc_id, w.w),
+       |fp AS (
+       |  SELECT a.doc_id,
+       |    sum(CASE WHEN b.e > a.e THEN 1 << a.w ELSE 0 END)::BIGINT
+       |      AS fp
+       |  FROM we a JOIN we b
+       |    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  GROUP BY a.doc_id)""".stripMargin
 
   /** BM25 oracle (q79/q93): identical AST to [[RetrievalOps.bm25TopK]];
     * `dfCapSql` injects the optional stopword-cap WHERE into the
@@ -2499,39 +2555,25 @@ ORDER BY t.doc_id"""),
 
     // Windowed integer energies recomputed from the sample closed form;
     // Spark's numbers decode the actual RIFF/PCM bitstream.
-    "q88_audio_fingerprint" ->
-      """WITH fr AS (
-        |  SELECT d.doc_id, (d.doc_id % 200 + 40)::BIGINT AS n,
-        |    (d.doc_id % 2 + 1)::BIGINT AS ch, f.f
-        |  FROM documents d, generate_series(0, 239) f(f)
-        |  WHERE f.f < d.doc_id % 200 + 40),
-        |mono AS (
-        |  SELECT doc_id, n, f,
-        |    CASE WHEN ch = 1
-        |      THEN ((doc_id * 13 + f * 7) % 256) - 128
-        |      ELSE (((doc_id * 13 + f * 7) % 256) - 128)
-        |         + (((doc_id * 13 + f * 7 + 101) % 256) - 128)
-        |    END AS m
-        |  FROM fr),
-        |tot AS (
-        |  SELECT doc_id, any_value(n) AS n, sum(m * m)::BIGINT AS energy
-        |  FROM mono GROUP BY doc_id),
-        |we AS (
-        |  SELECT mono.doc_id, w.w, sum(m * m)::BIGINT AS e
-        |  FROM mono, generate_series(0, 15) w(w)
-        |  WHERE f >= (w.w * n) // 16
-        |    AND f < greatest(((w.w + 1) * n) // 16, (w.w * n) // 16 + 1)
-        |  GROUP BY mono.doc_id, w.w),
-        |fp AS (
-        |  SELECT a.doc_id,
-        |    sum(CASE WHEN b.e > a.e THEN 1 << a.w ELSE 0 END)::BIGINT
-        |      AS fp
-        |  FROM we a JOIN we b
-        |    ON a.doc_id = b.doc_id AND b.w = a.w + 1
-        |  GROUP BY a.doc_id)
-        |SELECT t.doc_id, true AS decoded, t.n AS n_frames, fp.fp,
-        |  t.energy
-        |FROM tot t JOIN fp USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "q88_audio_fingerprint" -> (
+      s"""WITH ${audioFpCtesSql("d.doc_id")}
+SELECT t.doc_id, true AS decoded, t.n AS n_frames, fp.fp, t.energy
+FROM tot t JOIN fp USING (doc_id) ORDER BY t.doc_id"""),
+
+    // Same fingerprint CTEs with the generator keyed on doc_id % 100:
+    // five tracks per group are byte-identical recordings; dedup is
+    // the q30 keep-first window over the (frames, fp, energy) triple.
+    "q94_audio_dedup" -> (
+      s"""WITH ${audioFpCtesSql("(d.doc_id % 100)")},
+fpr AS (
+  SELECT t.doc_id, t.n AS n_frames, fp.fp, t.energy
+  FROM tot t JOIN fp USING (doc_id))
+SELECT doc_id, fp,
+  count(*) OVER (PARTITION BY n_frames, fp, energy)::BIGINT
+    AS n_copies,
+  (row_number() OVER (PARTITION BY n_frames, fp, energy
+    ORDER BY doc_id) = 1) AS keep
+FROM fpr ORDER BY doc_id"""),
 
     // Same md5-derived milli-weight model; BIGINT sums, one division.
     "q87_hashed_classifier" ->

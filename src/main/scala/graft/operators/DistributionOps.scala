@@ -26,6 +26,29 @@ object DistributionOps {
   /** (p, value) for each requested quantile of `value` over `df`.
     * `ps` must be in [0, 1]. */
   def discQuantiles(df: DataFrame, value: Column, ps: Seq[Double]): DataFrame = {
+    discQuantilesImpl(df, value, ps)
+  }
+
+  /** The sketch twin for 100 TB: `approx_percentile` (an order-free
+    * mergeable digest, KB-sized per partition) instead of the exact
+    * domain-sized cumulative window. accuracy=10000 bounds rank error
+    * at 1/10000 of the corpus. Engine-specific digest internals make
+    * this spec-checked against [[discQuantiles]] rather than
+    * oracle-hashed — the same policy as the HLL vocabulary twin. */
+  def approxQuantiles(df: DataFrame, value: Column, ps: Seq[Double],
+                      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "quantiles must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val arr = df.agg(percentile_approx(value,
+      array(ps.map(lit): _*), lit(accuracy)).as("__q"))
+    ps.zipWithIndex.toDF("p", "__i").crossJoin(arr)
+      .select(col("p"), element_at(col("__q"), col("__i") + 1).as("value"))
+  }
+
+  private def discQuantilesImpl(df: DataFrame, value: Column,
+                                ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "quantiles must be in [0, 1]")
     val spark = df.sparkSession

@@ -318,6 +318,24 @@ object MultimodalOps {
       .toDF(idCol, "decoded", "n_frames", "fp", "energy")
   }
 
+  /** Audio exact-dup verdict from [[audioFingerprint]] rows: tracks
+    * whose (frames, fingerprint, energy) triple collides are the same
+    * recording (re-containered/re-labeled copies collide by
+    * construction — the fingerprint ignores header metadata); keep the
+    * lowest id per collision group. One shuffle on the 24-byte triple,
+    * the q30 exact-dedup pattern on decoded-audio keys. */
+  def audioDedup(fingerprints: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("n_frames"), col("fp"), col("energy"))
+      .orderBy(col(idCol))
+    fingerprints.filter(col("decoded"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(
+        Window.partitionBy(col("n_frames"), col("fp"), col("energy"))))
+      .select(col(idCol), col("fp"), col("n_copies"),
+        (col("__rn") === 1).as("keep"))
+  }
+
   /** REAL audio statistics over a WAV binary column: decode RIFF/PCM
     * ([[AudioCodecs.parseWav]]) and emit typed metadata (channels,
     * rate, frames, duration) plus exact per-channel signed-sample sums

@@ -498,6 +498,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("approxQuantiles agrees with the exact twin at high accuracy " +
+      "(the HLL-twin policy for the quantile sketch)") {
+    import graft.operators.DistributionOps
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 8000).map(_ => math.abs(rnd.nextGaussian() * 40).toLong)
+      .toDF("v")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val exact = DistributionOps.discQuantiles(df, col("v"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val approx = DistributionOps.approxQuantiles(df, col("v"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    ps.foreach { p =>
+      assert(math.abs(exact(p) - approx(p)) <= 1,
+        s"p=$p exact=${exact(p)} approx=${approx(p)}")
+    }
+  }
+
   test("contaminationOverlap grades: verbatim copy -> 1.0, one shared " +
       "shingle -> partial, disjoint -> 0.0") {
     import graft.operators.TextAnalysisOps
