@@ -574,6 +574,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source curation mix: the q53 verdict chain over the raw
+    // corpus, rolled up to (source, reason) — the dashboard a pipeline
+    // operator reads before adjusting source weights.
+    "q95_source_mix_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = TextAnalysisOps.curate(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      v.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("reason"))
+    }),
+
     // Audio exact dedup end-to-end: five re-labeled copies per group
     // (generator keyed on doc_id % 100) collide on the decoded
     // (frames, fingerprint, energy) triple; keep-first per group.
@@ -1210,6 +1223,63 @@ object SparkEntry {
       transform(col("embedding"),
         (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding")))
   }
+
+  /** Curation-verdict oracle (q53/q95): the full gate chain (exact-dup
+    * window → too_short → low_quality → repetitive → wrong_lang) as
+    * CTEs ending in `verdict(doc_id, reason)`; `inputSql` supplies the
+    * corpus (injected or raw), `finalSql` the presentation query. */
+  private def curationOracleSql(inputSql: String,
+                                finalSql: String): String =
+    s"""WITH input AS (
+       |  $inputSql),
+       |toks AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS t FROM input),
+       |parts AS (
+       |  SELECT doc_id, md5(text) AS sig, len(t) AS n_raw,
+       |    len(t)::DOUBLE AS n,
+       |    (length(text) - (len(t)::DOUBLE - 1)) / len(t)::DOUBLE AS mean_len,
+       |    len(list_filter(t, x -> x IN
+       |      ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+       |      / len(t)::DOUBLE AS stop_ratio,
+       |    len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio,
+       |    CASE WHEN len(t) >= 3 THEN
+       |      [array_to_string(t[i + 1:i + 3], ' ') FOR i IN range(len(t) - 2)]
+       |    ELSE [array_to_string(t, ' ')] END AS s3,
+       |    len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS en,
+       |    len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS fr,
+       |    len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS es,
+       |    len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS de,
+       |    len(list_filter(t, x -> x IN ('的','是','了','在','我'))) AS zh
+       |  FROM toks),
+       |scored AS (
+       |  SELECT doc_id, sig, n_raw,
+       |    (least(n / 100.0, 1.0) +
+       |     (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) +
+       |     (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END) +
+       |     distinct_ratio) / 4.0 AS q,
+       |    (len(s3) - len(list_distinct(s3)))::DOUBLE / len(s3) AS dup3,
+       |    CASE
+       |      WHEN greatest(en, fr, es, de, zh) = 0 THEN 'unk'
+       |      WHEN en >= fr AND en >= es AND en >= de AND en >= zh THEN 'en'
+       |      WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+       |      WHEN es >= de AND es >= zh THEN 'es'
+       |      WHEN de >= zh THEN 'de'
+       |      ELSE 'zh' END AS lang
+       |  FROM parts),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY sig ORDER BY doc_id)
+       |    AS rnk
+       |  FROM scored),
+       |verdict AS (
+       |  SELECT doc_id, CASE
+       |    WHEN rnk > 1 THEN 'exact_dup'
+       |    WHEN n_raw < 20 THEN 'too_short'
+       |    WHEN q < 0.72 THEN 'low_quality'
+       |    WHEN dup3 > 0.02 THEN 'repetitive'
+       |    WHEN lang <> 'en' THEN 'wrong_lang'
+       |    ELSE 'keep' END AS reason
+       |  FROM rk)
+       |$finalSql""".stripMargin
 
   /** Audio-fingerprint oracle CTEs (q88/q94): windowed integer
     * energies + gradient bits from the q72-style sample closed form,
@@ -2959,61 +3029,22 @@ ORDER BY a.vec_id"""),
         |    AS doc_weight
         |FROM c, m ORDER BY source""".stripMargin,
 
-    "q53_curation_verdict" ->
-      """WITH input AS (
-        |  SELECT doc_id, text FROM documents
+    "q53_curation_verdict" -> curationOracleSql(
+      """SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
-        |  WHERE doc_id % 50 = 1),
-        |toks AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM input),
-        |parts AS (
-        |  SELECT doc_id, md5(text) AS sig, len(t) AS n_raw,
-        |    len(t)::DOUBLE AS n,
-        |    (length(text) - (len(t)::DOUBLE - 1)) / len(t)::DOUBLE AS mean_len,
-        |    len(list_filter(t, x -> x IN
-        |      ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
-        |      / len(t)::DOUBLE AS stop_ratio,
-        |    len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio,
-        |    CASE WHEN len(t) >= 3 THEN
-        |      [array_to_string(t[i + 1:i + 3], ' ') FOR i IN range(len(t) - 2)]
-        |    ELSE [array_to_string(t, ' ')] END AS s3,
-        |    len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS en,
-        |    len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS fr,
-        |    len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS es,
-        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS de,
-        |    len(list_filter(t, x -> x IN ('的','是','了','在','我'))) AS zh
-        |  FROM toks),
-        |scored AS (
-        |  SELECT doc_id, sig, n_raw,
-        |    (least(n / 100.0, 1.0) +
-        |     (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) +
-        |     (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END) +
-        |     distinct_ratio) / 4.0 AS q,
-        |    (len(s3) - len(list_distinct(s3)))::DOUBLE / len(s3) AS dup3,
-        |    CASE
-        |      WHEN greatest(en, fr, es, de, zh) = 0 THEN 'unk'
-        |      WHEN en >= fr AND en >= es AND en >= de AND en >= zh THEN 'en'
-        |      WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
-        |      WHEN es >= de AND es >= zh THEN 'es'
-        |      WHEN de >= zh THEN 'de'
-        |      ELSE 'zh' END AS lang
-        |  FROM parts),
-        |rk AS (
-        |  SELECT *, row_number() OVER (PARTITION BY sig ORDER BY doc_id)
-        |    AS rnk
-        |  FROM scored),
-        |verdict AS (
-        |  SELECT doc_id, CASE
-        |    WHEN rnk > 1 THEN 'exact_dup'
-        |    WHEN n_raw < 20 THEN 'too_short'
-        |    WHEN q < 0.72 THEN 'low_quality'
-        |    WHEN dup3 > 0.02 THEN 'repetitive'
-        |    WHEN lang <> 'en' THEN 'wrong_lang'
-        |    ELSE 'keep' END AS reason
-        |  FROM rk)
-        |SELECT doc_id, reason = 'keep' AS keep, reason
-        |FROM verdict ORDER BY doc_id""".stripMargin,
+        |  WHERE doc_id % 50 = 1""".stripMargin,
+      """SELECT doc_id, reason = 'keep' AS keep, reason
+        |FROM verdict ORDER BY doc_id""".stripMargin),
+
+    // The q53 verdict chain over the raw corpus, rolled up to the
+    // (source, reason) mix table — the curation dashboard row.
+    "q95_source_mix_report" -> curationOracleSql(
+      "SELECT doc_id, text FROM documents",
+      """SELECT d.source, v.reason, count(*)::BIGINT AS n_docs
+        |FROM verdict v JOIN documents d USING (doc_id)
+        |GROUP BY d.source, v.reason
+        |ORDER BY d.source, v.reason""".stripMargin),
 
     "q50_length_quantiles" ->
       """WITH lens AS (
