@@ -574,6 +574,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Packing efficiency report: per pack, docs/tokens/fill — the
+    // padding-waste dashboard behind a packing-budget choice.
+    "q96_pack_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("__n"))
+      PackingOps.sequencePack(docs, "doc_id", col("__n"), budget = 512)
+        .join(docs, Seq("doc_id"))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"),
+          (sum(col("__n")).cast("double") / lit(512.0)).as("fill_frac"))
+        .orderBy(col("pack_id"))
+    }),
+
     // Per-source curation mix: the q53 verdict chain over the raw
     // corpus, rolled up to (source, reason) — the dashboard a pipeline
     // operator reads before adjusting source weights.
@@ -2986,6 +2999,23 @@ ORDER BY a.vec_id"""),
         |SELECT doc_id, bucket, "offset",
         |  bucket || '#' || ("offset" // 512)::VARCHAR AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // q54's pack assignment rolled up to the per-pack fill table.
+    "q96_pack_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+        |    substr(md5(doc_id::VARCHAR), 1, 2) AS bucket
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, n, bucket,
+        |    coalesce(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS "offset"
+        |  FROM toks)
+        |SELECT bucket || '#' || ("offset" // 512)::VARCHAR AS pack_id,
+        |  count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  (sum(n)::DOUBLE / 512.0) AS fill_frac
+        |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q57_sq8_quantize" ->
       """WITH v AS (
