@@ -574,6 +574,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Embedding outliers: distance to the nearest learned centroid,
+    // top-20 by rounded distance — the cluster-distance junk filter.
+    "q98_embedding_outliers" -> ((s, dir) => {
+      SimilarityOps.centroidOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = EmbDim, cells = KmCells,
+        iters = KmIters, k = 20)
+        .orderBy(col("rank"))
+    }),
+
+    // Interpolated bigram surprisal (Jelinek-Mercer λ=0.75): the
+    // two-gram LM proxy, micro-nat quantized like q65.
+    "q97_bigram_surprisal" -> ((s, dir) => {
+      TextAnalysisOps.bigramSurprisal(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Packing efficiency report: per pack, docs/tokens/fill — the
     // padding-waste dashboard behind a packing-budget choice.
     "q96_pack_report" -> ((s, dir) => {
@@ -2999,6 +3016,54 @@ ORDER BY a.vec_id"""),
         |SELECT doc_id, bucket, "offset",
         |  bucket || '#' || ("offset" // 512)::VARCHAR AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // Centroids re-derived (q58 CTEs); rank on the 6-dp rounded
+    // min-distance with vec_id tie-break.
+    "q98_embedding_outliers" -> (
+      s"""WITH $kmeansCtesSql,
+asgf AS (
+  SELECT vec_id, list_indexof(d, list_min(d)) AS cell,
+    round(list_min(d), 6) AS dist2
+  FROM (SELECT vec_id, list_transform(cents, c ->
+      list_sum(list_transform(range(1, ${EmbDim + 1}),
+        i -> (v[i] - c[i]) * (v[i] - c[i])))) AS d
+    FROM v0, cents$KmIters)),
+ranked AS (
+  SELECT vec_id, cell, dist2,
+    row_number() OVER (ORDER BY dist2 DESC, vec_id) AS rank
+  FROM asgf)
+SELECT rank, vec_id, cell::BIGINT AS cell, dist2
+FROM ranked WHERE rank <= 20 ORDER BY rank"""),
+
+    // Same λ=0.75 interpolation from exact counts; micro-nat sums.
+    "q97_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, u.b['w1'] AS w1, u.b['w2'] AS w2
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        |    FROM toks WHERE len(t) >= 2) u),
+        |uni AS (
+        |  SELECT unnest(t) AS w FROM toks),
+        |cu AS (SELECT w, count(*)::BIGINT AS cu FROM uni GROUP BY w),
+        |cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bi
+        |       GROUP BY w1, w2),
+        |tot AS (SELECT sum(cu)::BIGINT AS tot FROM cu),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |    floor(-ln(0.75 * (cb::DOUBLE / c1.cu::DOUBLE)
+        |        + 0.25 * (c2.cu::DOUBLE / tot::DOUBLE)) * 1e6)::BIGINT
+        |      AS micro
+        |  FROM bi
+        |  JOIN cb USING (w1, w2)
+        |  JOIN cu c1 ON c1.w = bi.w1
+        |  JOIN cu c2 ON c2.w = bi.w2, tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(micro)::BIGINT AS surprisal_micro,
+        |  (sum(micro)::DOUBLE / count(*)::DOUBLE / 1e6) AS avg_surprisal
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q54's pack assignment rolled up to the per-pack fill table.
     "q96_pack_report" ->

@@ -253,6 +253,36 @@ object SimilarityOps {
       .withColumnRenamed("__rn", "rank")
   }
 
+  /** Embedding outlier score: squared-L2 distance to the NEAREST
+    * learned centroid — vectors far from every cluster are the
+    * mis-embedded/garbage rows a curation pass drops (the
+    * cluster-distance outlier filter). Reuses [[kmeansCentroids]];
+    * centroids enter as plan literals so scoring is one projection
+    * pass, and the top-k surfaces via TakeOrdered (never a global
+    * sort). Ranking uses the 6-dp ROUNDED distance with a vec_id
+    * tie-break — deterministic across engines. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, cells: Int, iters: Int,
+                       k: Int = 20): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, dim, cells, iters)
+    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val v = emb.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("__v"))
+    val scored = v.select(col("vec_id"),
+      graft.functions.VectorExpressions.argminL2(col("__v"), centsLit)
+        .as("cell"),
+      round(array_min(array(cents.map(c => dist2(col("__v"), c)): _*)), 6)
+        .as("dist2"))
+    val top = scored.orderBy(col("dist2").desc, col("vec_id").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("dist2").desc, col("vec_id").asc)))
+      .select(col("rank"), col("vec_id"), col("cell"), col("dist2"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * acceptance metric run on a query sample before committing an ANN
     * config to a full-corpus pass. Both inputs are (query_id,

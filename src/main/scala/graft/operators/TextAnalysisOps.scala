@@ -425,6 +425,59 @@ object TextAnalysisOps {
           col("n_tokens").cast("double") / 1e6).as("avg_surprisal"))
   }
 
+  /** Interpolated bigram surprisal — the Jelinek-Mercer smoothed
+    * two-gram LM proxy (p = λ·p(w₂|w₁) + (1−λ)·p(w₂)), one order up
+    * from [[unigramSurprisal]]: repeated-boilerplate word sequences
+    * score near-zero surprisal even when their unigrams are rare, and
+    * incoherent token salad scores high even when every word is
+    * common. λ = 0.75 (literal on both engines).
+    *
+    * Determinism: the interpolated probability is built from exact
+    * BIGINT counts with an identical-AST double expression, then
+    * quantized to integer micro-nats BEFORE the per-doc sum (the q65
+    * scheme) — order-free sums, one final exact division.
+    *
+    * Scale shape: bigram and unigram count shuffles are both map-side
+    * combined and vocabulary²-bounded (in practice Zipf keeps the
+    * distinct-bigram table far below corpus size); the per-doc pass
+    * joins the two count tables on narrow keys. The first token of
+    * each doc has no bigram context and is skipped (standard
+    * sentence-start handling without synthetic BOS). */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val bi = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2) // sequence(1,0) would run backwards
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__t) - 1), i -> " +
+          "struct(element_at(__t, i) AS w1, " +
+          "element_at(__t, i + 1) AS w2))")).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .filter(col("w1").isNotNull)
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val big = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val total = uni.agg(sum(col("cu")).as("tot"))
+    // identical AST in the oracle: lambda*cb/cw1 + (1-lambda)*cu/tot
+    val p = lit(0.75) *
+      (col("cb").cast("double") / col("__cw1").cast("double")) +
+      lit(0.25) * (col("cu").cast("double") / col("tot").cast("double"))
+    val scored = bi
+      .join(big, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("cu").as("__cw1")),
+        Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        floor(-log(p) * 1e6).cast("long").as("__micro"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__micro")).as("surprisal_micro"))
+      .select(col(idCol), col("n_bigrams"), col("surprisal_micro"),
+        (col("surprisal_micro").cast("double") /
+          col("n_bigrams").cast("double") / 1e6).as("avg_surprisal"))
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * tokens — the tokenizer-fit signal: documents full of tokens a
     * fixed vocabulary can't cover tokenize into long byte-fallback

@@ -498,6 +498,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("bigramSurprisal: repeated word sequences score far below " +
+      "unique sequences built from the same unigrams") {
+    import graft.operators.TextAnalysisOps
+    // both docs share a unigram pool; doc 1 repeats one bigram chain,
+    // doc 2 cycles unique pairings of the same words
+    val docs = Seq(
+      (1L, "a b a b a b a b a b a b"),
+      (2L, "a c b d a d b c a b d c")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(1L)._1 == 11L && got(2L)._1 == 11L,
+      s"n_bigrams = n_tokens - 1: $got")
+    assert(got(1L)._2 < got(2L)._2,
+      s"boilerplate chain must score below token salad: $got")
+  }
+
+  test("centroidOutliers: a vector far from every cluster ranks first") {
+    import graft.operators.SimilarityOps
+    val rows =
+      (1L to 6L).map(i => (i, Array(1.0f, 0.0f, 0.01f * i, 0.0f))) ++
+      (11L to 16L).map(i =>
+        (i, Array(0.0f, 1.0f, 0.0f, 0.01f * (i - 10)))) :+
+      (99L, Array(5.0f, -5.0f, 5.0f, -5.0f)) // nowhere near either
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.centroidOutliers(emb, "vec_id", "embedding",
+      dim = 4, cells = 2, iters = 3, k = 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(got.head == 99L, s"planted outlier must rank 1: ${got.toSeq}")
+  }
+
   test("approxQuantiles agrees with the exact twin at high accuracy " +
       "(the HLL-twin policy for the quantile sketch)") {
     import graft.operators.DistributionOps
