@@ -574,6 +574,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Containment dedup: truncated mirrors injected (first 12 tokens
+    // of every 25th doc) — subset pairs with LOW jaccard but
+    // containment 1.0, the case Jaccard-only dedup misses.
+    "q99_containment_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val injected = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 2)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 12), " ")
+              .as("text")))
+      DedupOps.containmentPairs(injected, "doc_id", "text",
+        threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Embedding outliers: distance to the nearest learned centroid,
     // top-20 by rounded distance — the cluster-distance junk filter.
     "q98_embedding_outliers" -> ((s, dir) => {
@@ -1597,8 +1612,17 @@ object SparkEntry {
     * q49. Emitted WITHOUT the leading WITH so callers can prepend
     * `WITH` or `WITH RECURSIVE`. */
   private def minhashCtesSql: String =
-    ("""toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    minhashCtesSqlFrom("SELECT doc_id, text FROM documents",
+      rowsPerBand = 2)
+
+  /** [[minhashCtesSql]] with a caller-supplied corpus and band
+    * geometry (`rowsPerBand = 1` → each hash its own band, the
+    * containment-friendly setting). */
+  private def minhashCtesSqlFrom(docsSql: String,
+                                 rowsPerBand: Int): String =
+    (s"""toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM ($docsSql)),
       |sh AS (
       |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
       |      list_distinct([array_to_string(t[i + 1:i + 3], ' ')
@@ -1613,8 +1637,10 @@ object SparkEntry {
         s"    min(substr(md5(s), ${1 + 4 * i}, 4)) AS m$i")
         .mkString(",\n") +
       "\n  FROM flat GROUP BY doc_id),\nbands AS (\n" +
-      (0 until 4).map { b =>
-        s"  SELECT doc_id, m${2 * b} || '#' || m${2 * b + 1} AS band FROM sig"
+      (0 until 8 / rowsPerBand).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => s"m$i").mkString(" || '#' || ")
+        s"  SELECT doc_id, $cols AS band FROM sig"
       }.mkString("\n  UNION ALL\n") +
       """
       |),
@@ -3016,6 +3042,28 @@ ORDER BY a.vec_id"""),
         |SELECT doc_id, bucket, "offset",
         |  bucket || '#' || ("offset" // 512)::VARCHAR AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // Single-hash bands (rowsPerBand=1) + exact containment verify on
+    // the candidate set, same injection.
+    "q99_containment_dedup" -> (
+      "WITH " + minhashCtesSqlFrom(
+        """SELECT doc_id, text FROM documents
+          |    UNION ALL
+          |    SELECT doc_id + 20000 AS doc_id,
+          |      array_to_string(list_slice(string_split(text, ' '), 1, 12),
+          |        ' ') AS text
+          |    FROM documents WHERE doc_id % 25 = 2""".stripMargin,
+        rowsPerBand = 1) +
+      """,
+        |co AS (
+        |  SELECT j.id_a, j.id_b, j.jaccard,
+        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |      least(len(sa.sh), len(sb.sh))::DOUBLE AS containment
+        |  FROM j
+        |  JOIN sh sa ON sa.doc_id = j.id_a
+        |  JOIN sh sb ON sb.doc_id = j.id_b)
+        |SELECT id_a, id_b, jaccard, containment FROM co
+        |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin),
 
     // Centroids re-derived (q58 CTEs); rank on the 6-dp rounded
     // min-distance with vec_id tie-break.

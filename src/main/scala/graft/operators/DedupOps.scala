@@ -154,6 +154,44 @@ object DedupOps {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Containment near-dup pairs (Broder's containment coefficient
+    * |A∩B| / min(|A|,|B|)): catches SUBSET duplication — a quoted
+    * excerpt, a truncated mirror, a syndicated lead paragraph — where
+    * Jaccard stays low because the union is dominated by the longer
+    * document. Candidates come from single-hash minhash bands
+    * (`rowsPerBand = 1`: each of the k hashes is its own band —
+    * per-hash collision probability equals the Jaccard, so a
+    * containment-c pair with size ratio r collides per hash with
+    * probability ≈ c·r/(1+r−c·r), and 8 independent hashes catch
+    * subset pairs the paired-band geometry was tuned to skip).
+    * Verification is exact on the candidate set; both jaccard and
+    * containment are emitted so the gap is visible.
+    *
+    * Scale shape: identical to [[minhashCandidates]] (one banding
+    * pass, bucket-capped pair explosion) plus one shingle-set join
+    * sized by the candidates, never the corpus. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3,
+                       threshold: Double = 0.9): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, shingleN,
+      k = 8, rowsPerBand = 1)
+    val sets = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"), array_distinct(
+        graft.functions.TextExpressions.wordShingles(col("__t"), shingleN))
+        .as("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sa")),
+        Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          least(size(col("sa")), size(col("sb"))).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= lit(threshold))
+  }
+
   /** Near-dup pairs at a Jaccard threshold (LSH candidates, verified). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame =

@@ -498,6 +498,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle join:\n$plan")
   }
 
+  test("containmentPairs catches a truncated mirror that Jaccard " +
+      "misses: containment 1.0 with low jaccard") {
+    import graft.operators.DedupOps
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, prefix),
+      (3L, (100 to 140).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.contains((1L, 2L)),
+      s"the prefix pair must surface: ${got.keySet}")
+    val (j, c) = got((1L, 2L))
+    assert(c == 1.0, s"prefix containment must be exactly 1.0, got $c")
+    assert(j < 0.25, s"jaccard must stay low for the subset pair: $j")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc must pair with nothing")
+  }
+
   test("bigramSurprisal: repeated word sequences score far below " +
       "unique sequences built from the same unigrams") {
     import graft.operators.TextAnalysisOps
