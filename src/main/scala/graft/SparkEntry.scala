@@ -574,6 +574,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // THE PIPELINE (q100): line dedup -> NFC normalize -> corpus-wide
+    // exact dedup -> length gate -> split assignment -> selection, as
+    // ONE declarative plan. Boilerplate lines and case/byte-variant
+    // spellings are injected so every stage is load-bearing: docs that
+    // differ only in line-noise + casing MUST collapse to one
+    // normalized form before the dedup window sees them.
+    "q100_pipeline" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val l1 = array_join(slice(toks, 1, 5), " ")
+      val l3 = array_join(slice(toks, 6, 5), " ")
+      val boiler = lit("Subscribe to our NEWSLETTER")
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n", l1, boiler, l3, boiler, l1).as("text"))
+        // every 40th doc: an UPPERCASED near-copy (id+40000) that only
+        // normalization can collapse onto its original
+        .unionByName(t(s, dir, "documents")
+          .filter(col("doc_id") % 40 === 3)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat_ws("\n", upper(l1), boiler, upper(l3), boiler,
+              upper(l1)).as("text")))
+      val lines = split(col("text"), "\n")
+      val kept = filter(lines,
+        (x, i) => array_position(lines, x) === (i + lit(1)).cast("long"))
+      val cleanedExpr = trim(regexp_replace(
+        lower(TextExpressions.nfcNormalize(array_join(kept, "\n"))),
+        "\\s+", " "))
+      val cleaned = injected.select(col("doc_id"),
+        cleanedExpr.as("clean"),
+        size(split(cleanedExpr, " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
+      val deduped = cleaned.withColumn("__rn", row_number().over(w))
+      val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+      deduped.select(col("doc_id"),
+        substring(md5(col("clean")), 1, 16).as("clean_sig"),
+        col("n_tokens"),
+        when(col("__rn") > 1, "dup")
+          .when(col("n_tokens") < 8, "short")
+          .otherwise("keep").as("reason"),
+        when(h < SamplingOps.rateThreshold(0.8), "train")
+          .when(h < SamplingOps.rateThreshold(0.8 + 0.1), "val")
+          .otherwise("test").as("split"))
+        .withColumn("selected",
+          col("reason") === "keep" && col("split") === "train")
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment dedup: truncated mirrors injected (first 12 tokens
     // of every 25th doc) — subset pairs with LOW jaccard but
     // containment 1.0, the case Jaccard-only dedup misses.
@@ -3042,6 +3089,57 @@ ORDER BY a.vec_id"""),
         |SELECT doc_id, bucket, "offset",
         |  bucket || '#' || ("offset" // 512)::VARCHAR AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // The whole chain mirrored: q81's line filter, q78's normalize,
+    // q30's keep-first window, q90's split thresholds, one CASE.
+    "q100_pipeline" -> (
+      s"""WITH inj AS (
+  SELECT doc_id,
+    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+      || chr(10) || 'Subscribe to our NEWSLETTER' || chr(10) ||
+    array_to_string(list_slice(string_split(text, ' '), 6, 10), ' ')
+      || chr(10) || 'Subscribe to our NEWSLETTER' || chr(10) ||
+    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+      AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 40000,
+    upper(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
+      || chr(10) || 'Subscribe to our NEWSLETTER' || chr(10) ||
+    upper(array_to_string(list_slice(string_split(text, ' '), 6, 10), ' '))
+      || chr(10) || 'Subscribe to our NEWSLETTER' || chr(10) ||
+    upper(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
+      AS text
+  FROM documents WHERE doc_id % 40 = 3),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+k AS (SELECT doc_id,
+        list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+      FROM l),
+cleaned AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(nfc_normalize(
+      array_to_string(kept, chr(10)))), '\\s+', ' ', 'g')) AS clean
+  FROM k),
+scored AS (
+  SELECT doc_id, clean,
+    len(string_split(clean, ' '))::BIGINT AS n_tokens,
+    row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+  FROM cleaned)
+SELECT doc_id, substr(md5(clean), 1, 16) AS clean_sig, n_tokens,
+  CASE WHEN rn > 1 THEN 'dup'
+       WHEN n_tokens < 8 THEN 'short'
+       ELSE 'keep' END AS reason,
+  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8)}' THEN 'train'
+       WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8 + 0.1)}' THEN 'val'
+       ELSE 'test' END AS split,
+  (CASE WHEN rn > 1 THEN 'dup'
+       WHEN n_tokens < 8 THEN 'short'
+       ELSE 'keep' END = 'keep'
+    AND substr(md5(doc_id::VARCHAR), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8)}') AS selected
+FROM scored ORDER BY doc_id"""),
 
     // Single-hash bands (rowsPerBand=1) + exact containment verify on
     // the candidate set, same injection.

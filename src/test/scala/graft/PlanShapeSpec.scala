@@ -100,6 +100,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k tokens must use TakeOrdered:\n$p")
   }
 
+  test("q100: the whole preprocessing pipeline is one projection " +
+      "chain + one dedup-window exchange — no join anywhere") {
+    val p = plan("q100_pipeline")
+    assert(!p.contains("Join"),
+      s"line dedup/normalize/split must all stay projection-side:\n$p")
+    // exchanges: union-side window partitioning + presentation sort
+    assert(p.split("Exchange").length <= 4,
+      s"only the dedup window and the sort may shuffle:\n$p")
+  }
+
   test("q18: sessionize plan has no join-back (single aggregation)") {
     val p = plan("q18_trip_summary")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
