@@ -175,6 +175,10 @@ object DedupOps {
                        threshold: Double = 0.9): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol, shingleN,
       k = 8, rowsPerBand = 1)
+    // the candidate frame is tiny and broadcasts into both set joins —
+    // the corpus-wide set projection STREAMS against it (measured
+    // faster than semi-join-restricting the sets first, which pays two
+    // extra exchanges)
     val sets = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
       .select(col("id"), array_distinct(

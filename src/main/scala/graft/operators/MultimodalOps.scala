@@ -233,9 +233,14 @@ object MultimodalOps {
   def dhashNearDups(hashes: DataFrame, idCol: String,
                     maxDist: Int = 2): DataFrame = {
     require(maxDist <= 3, "banded blocking guarantees recall only for d <= 3")
+    // cached: both join sides (and any downstream clustering) reference
+    // this frame — without reuse each reference re-runs the full image
+    // decode pass (8 bytes/row, bounded by the image count; same
+    // discipline as minhashCandidates' cand/shSets caches)
     val h = hashes.filter(col("decoded"))
       .select(col(idCol).as("id"), col("dhash_hi").as("hi"),
         col("dhash_lo").as("lo"))
+      .cache()
     val banded = h.select(col("id"), col("hi"), col("lo"),
       explode(array(
         concat_ws(":", lit(0), col("lo").bitwiseAND(lit(65535L))),
