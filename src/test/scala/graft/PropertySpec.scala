@@ -90,6 +90,60 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("dHash banding pigeonhole: hamming <= 3 pairs ALWAYS share a " +
+      "16-bit band — the zero-false-negative claim, fuzzed") {
+    val genHash = Gen.long
+    val genFlips = Gen.chooseNum(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 63)))
+    def bands(h: Long): Seq[Long] =
+      Seq(h & 0xffffL, (h >>> 16) & 0xffffL,
+        (h >>> 32) & 0xffffL, h >>> 48)
+    check("pigeonhole")(Prop.forAll(genHash, genFlips) { (h, flips) =>
+      val h2 = flips.foldLeft(h)((a, b) => a ^ (1L << b))
+      bands(h).zip(bands(h2)).exists { case (a, b) => a == b }
+    })
+  }
+
+  test("rateThreshold is monotone and hashSplit bands partition " +
+      "the hash space") {
+    import graft.operators.SamplingOps.rateThreshold
+    val genRate = Gen.chooseNum(0.0, 1.0)
+    check("threshold monotone")(Prop.forAll(genRate, genRate) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      rateThreshold(lo) <= rateThreshold(hi)
+    })
+    assert(rateThreshold(0.0) == "00000000" &&
+      rateThreshold(1.0) == "ffffffff")
+  }
+
+  test("chunk windows tile every document: starts cover all tokens, " +
+      "the last window reaches the end") {
+    val genN = Gen.chooseNum(1, 5000)
+    check("chunk tiling")(Prop.forAll(genN) { n =>
+      val (chunk, stride) = (64, 48)
+      val nChunks =
+        if (n > chunk) (n - chunk + stride - 1) / stride + 1 else 1
+      val starts = (0 until nChunks).map(_ * stride)
+      val covered = starts.forall(_ < n) &&
+        starts.last + chunk >= n // last window reaches the end
+      val gapFree = starts.sliding(2).forall {
+        case Seq(a, b) => b <= a + chunk; case _ => true }
+      covered && gapFree
+    })
+  }
+
+  test("NFC normalization is idempotent on arbitrary unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val genStr = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'e', '́', 'Å', 'Å',
+        'Å', 'ü', 'u', '̈', '中', ' '))).map(_.mkString)
+    check("nfc idempotent")(Prop.forAll(genStr) { s =>
+      val once = graft.functions.TextKernels.nfc(UTF8String.fromString(s))
+      val twice = graft.functions.TextKernels.nfc(once)
+      once.toString == twice.toString
+    })
+  }
+
   test("search parser round-trips attr/op/value terms") {
     val genAttr = Gen.oneOf(SearchParser.Attrs)
     val genOp = Gen.oneOf(SearchParser.Ops)
