@@ -360,6 +360,34 @@ object TextAnalysisOps {
         gateReason(minTokens, minQuality, maxDup3Frac, keepLang)
           .as("reason"))
 
+  /** Streaming curation-rate monitor: per event-time window, how many
+    * incoming documents hit each gate — the live dashboard behind a
+    * streaming ingest (a sudden `repetitive` spike means a crawler is
+    * looping; a `too_short` spike means an extractor broke upstream).
+    * Watermark + append output: a window's counts emit exactly once,
+    * when the watermark passes its end — the standard late-data-safe
+    * aggregation. Dedup is NOT applied first (the monitor counts what
+    * ARRIVES; chain [[curateStream]] for the filtered stream itself).
+    *
+    * Scale shape: stateful windowed count keyed by (window, reason) —
+    * state is windows × reasons regardless of document volume; the
+    * full-width text dies in the signal projection. */
+  def curationRateStream(docs: DataFrame, idCol: String, textCol: String,
+                         eventTimeCol: String, watermarkDelay: String,
+                         windowDuration: String,
+                         minTokens: Int = 20, minQuality: Double = 0.72,
+                         maxDup3Frac: Double = 0.02,
+                         keepLang: String = "en"): DataFrame =
+    curationSignals(docs, idCol, textCol, keep = Seq(eventTimeCol))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .select(col(eventTimeCol),
+        gateReason(minTokens, minQuality, maxDup3Frac, keepLang)
+          .as("reason"))
+      .groupBy(window(col(eventTimeCol), windowDuration), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("reason"),
+        col("n_docs"))
+
   /** Per-source vocabulary statistics with APPROXIMATE distinct counts
     * (HyperLogLog++): token totals are exact sums; the distinct-token
     * count uses `approx_count_distinct(rsd)` — at 100 TB an exact

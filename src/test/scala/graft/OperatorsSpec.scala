@@ -1415,6 +1415,36 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curationRateStream: windowed gate counts emit once the " +
+      "watermark closes the window") {
+    import graft.operators.TextAnalysisOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val good = ("the and of to is " * 8).trim
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDS().toDF("doc_id", "text", "sec")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val out = TextAnalysisOps.curationRateStream(docs, "doc_id", "text",
+      "event_time", "5 seconds", "60 seconds",
+      minQuality = 0.0, maxDup3Frac = 2.0)
+    val q = out.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, good, 100L), (2L, "too short", 110L),
+        (3L, good, 115L))
+      q.processAllAvailable()
+      // window [60,120) is still open — nothing emitted yet
+      assert(spark.table("rate_out").count() == 0L,
+        "open windows must not emit in append mode")
+      mem.addData((4L, good, 200L)) // watermark -> 195 closes [60,120)
+      q.processAllAvailable()
+      val got = spark.table("rate_out")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(got == Map("keep" -> 2L, "too_short" -> 1L),
+        s"closed window must report 2 keeps + 1 short: $got")
+    } finally q.stop()
+  }
+
   test("curateStream: stateless gates + watermarked dedup on a stream") {
     import graft.operators.TextAnalysisOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
