@@ -28,7 +28,8 @@ class KernelRegistrySpec extends AnyFunSuite {
         |       minhash_sliced(word_shingles(split(body, ' '), 3), 8) AS mh,
         |       simhash16(split(body, ' '))              AS sim,
         |       min_md5(split(body, ' '))                AS m0,
-        |       min_md5(split(body, ' '), ':1')          AS m1
+        |       min_md5(split(body, ' '), ':1')          AS m1,
+        |       nfc_normalize(body)                      AS nrm
         |FROM krs_docs ORDER BY id""".stripMargin).collect()
     val api = docs.select(col("id"),
         TextExpressions.wordShingles(split(col("body"), " "), 3).as("sh"),
@@ -36,7 +37,8 @@ class KernelRegistrySpec extends AnyFunSuite {
           TextExpressions.wordShingles(split(col("body"), " "), 3), 8).as("mh"),
         TextExpressions.simhash16(split(col("body"), " ")).as("sim"),
         TextExpressions.minMd5(split(col("body"), " ")).as("m0"),
-        TextExpressions.minMd5(split(col("body"), " "), ":1").as("m1"))
+        TextExpressions.minMd5(split(col("body"), " "), ":1").as("m1"),
+        TextExpressions.nfcNormalize(col("body")).as("nrm"))
       .orderBy("id").collect()
     assert(sql.toSeq == api.toSeq)
   }
