@@ -621,6 +621,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-document boilerplate line removal (C4/Dolma semantics):
+    // a cookie-banner line shared by each doc_id%4 class (~125 docs)
+    // must vanish from EVERY doc including the first; a doc-unique
+    // line stays; "ok" (2 chars < minChars) recurs everywhere but is
+    // protected by the length floor.
+    "q101_boilerplate_lines" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\ncookie banner class "),
+            (col("doc_id") % 4).cast("string"),
+            lit("\nunique line for doc "), col("doc_id").cast("string"),
+            lit("\nok")).as("text"))
+      TextAnalysisOps.commonLineFilter(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment dedup: truncated mirrors injected (first 12 tokens
     // of every 25th doc) — subset pairs with LOW jaccard but
     // containment 1.0, the case Jaccard-only dedup misses.
@@ -2513,6 +2529,32 @@ FROM rec ORDER BY query_id"""),
         |    list(para ORDER BY pos) FILTER (WHERE rk = 1), e'\n\n'), '')),
         |    1, 16) AS dedup_sig
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q101_boilerplate_lines" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text || e'\ncookie banner class ' ||
+        |    (doc_id % 4)::VARCHAR || e'\nunique line for doc ' ||
+        |    doc_id::VARCHAR || e'\nok' AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, e'\n') AS parts FROM inj),
+        |px AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'line': parts[i]}
+        |    FOR i IN range(1, len(parts) + 1)]) AS u
+        |  FROM sp),
+        |lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM px),
+        |common AS (
+        |  SELECT md5(line) AS h FROM lines WHERE length(line) >= 5
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |mk AS (
+        |  SELECT l.doc_id, l.pos, l.line, (c.h IS NOT NULL) AS is_common
+        |  FROM lines l LEFT JOIN common c
+        |    ON length(l.line) >= 5 AND md5(l.line) = c.h)
+        |SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN is_common THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+        |  substr(md5(coalesce(array_to_string(
+        |    list(line ORDER BY pos) FILTER (WHERE NOT is_common), e'\n'),
+        |    '')), 1, 16) AS dedup_sig
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q62_domain_stats" ->
       ("""WITH inj AS (

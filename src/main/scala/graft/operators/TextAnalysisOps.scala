@@ -576,6 +576,55 @@ object TextAnalysisOps {
           s => s.getField("para")), sep)), 1, 16).as("dedup_sig"))
   }
 
+  /** Cross-document boilerplate line removal (the C4 / Dolma pass,
+    * reference scope: corpus curation beyond airstrik's own surface):
+    * a line occurring in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, share buttons) and is
+    * removed from EVERY document — including the first occurrence,
+    * unlike [[paragraphDedup]]'s keep-first semantics, because a
+    * corpus-common line is noise wherever it appears. Lines shorter
+    * than `minChars` characters (blanks, bullets, "...") are never
+    * counted and never removed: too generic to be evidence of
+    * mirroring, and dropping them would mangle formatting.
+    *
+    * One row per doc: (id, n_lines, n_kept, dedup_sig), dedup_sig
+    * fingerprinting the surviving text rejoined in original order.
+    *
+    * Scale shape: candidate lines ride one shuffle keyed by their
+    * 16-byte md5 (map-side partial aggregation on (hash, id) before
+    * the distinct-doc count); the resulting common-line set — bounded
+    * by lines that recur ≥ minDocs times, orders of magnitude smaller
+    * than the corpus — joins back on the same 16-byte key, where AQE
+    * broadcasts it when it fits. Reassembly is the one unavoidable
+    * group-by-id. Raw text crosses an exchange only inside the
+    * reassembly; the counting side ships hashes. */
+  def commonLineFilter(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 3, minChars: Int = 5): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+    val common = lines.filter(length(col("line")) >= minChars)
+      .select(md5(col("line")).as("__h"), col(idCol))
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(true).as("__common"))
+    lines
+      // null hash for sub-minChars lines: null keys never join-match,
+      // so short lines are kept without a separate branch
+      .withColumn("__h",
+        when(length(col("line")) >= minChars, md5(col("line"))))
+      .join(common, Seq("__h"), "left_outer")
+      .withColumn("__keep", col("__common").isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        substring(md5(array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n")), 1, 16).as("dedup_sig"))
+  }
+
   /** Per-domain URL statistics (crawl-curation source triage): every
     * URL occurrence extracted from the text, grouped by host. Counts
     * are occurrences and distinct documents — the shape domain

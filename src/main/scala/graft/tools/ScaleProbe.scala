@@ -36,9 +36,13 @@ object ScaleProbe {
           shuffleBytes.addAndGet(
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
+    // dev filter: SPARK_GRAFT_PROBE_ONLY=commonLineFilter runs only the
+    // probes whose label contains the substring
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
     // by-name: operators with an eager phase (dedupClusters' local
     // union-find collects at plan-build time) must be timed in full
     def time(label: String)(df: => DataFrame): Unit = {
+      if (!only.forall(label.contains)) return
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -96,6 +100,14 @@ object ScaleProbe {
     // q61: paragraph text rides its ONE md5-keyed shuffle; must track N
     time(s"paragraphDedup x$n")(
       TextAnalysisOps.paragraphDedup(docs, "doc_id", "text", sep = " "))
+    // q101: adversarial shape — word-per-line text makes EVERY token a
+    // candidate line and the frequent vocabulary the common set, so the
+    // count shuffle AND the hash join back both carry full token volume;
+    // must stay ~linear in N
+    time(s"commonLineFilter x$n (word lines)")(
+      TextAnalysisOps.commonLineFilter(
+        docs.withColumn("text", regexp_replace(col("text"), " ", "\n")),
+        "doc_id", "text"))
     // q65: (token) count shuffle + vocabulary join — both map-side combined
     time(s"unigramSurprisal x$n")(
       TextAnalysisOps.unigramSurprisal(docs, "doc_id", "text"))

@@ -1135,6 +1135,28 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 2L, 1L)))  // "alpha one" deduped
   }
 
+  test("commonLineFilter: corpus-common lines removed from EVERY doc, " +
+      "short lines protected, unique lines kept") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "unique alpha\ncookie banner\nok"),
+      (2L, "unique beta\ncookie banner\nok"),
+      (3L, "unique gamma\ncookie banner\nok"),
+      (4L, "cookie banner\ncookie banner"), // fully boilerplate
+      (5L, "unique delta\nok")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.commonLineFilter(docs, "doc_id", "text",
+      minDocs = 3, minChars = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L),   // banner removed — including this FIRST occurrence
+      (2L, 3L, 2L),
+      (3L, 3L, 2L),
+      (4L, 2L, 0L),   // nothing survives, row still reported
+      (5L, 2L, 2L)))  // "ok" recurs in 4 docs but is under minChars
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(

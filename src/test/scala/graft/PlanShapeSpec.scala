@@ -248,6 +248,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q101: common-line count keys on the line md5 with partial " +
+      "aggregation; join-back on the 16 B hash, never cartesian") {
+    val p = plan("q101_boilerplate_lines")
+    assert(p.contains("md5(cast(line"),
+      "the distinct-doc count and the join-back must key on the line md5")
+    assert(p.contains("partial_count"),
+      "doc count must map-side combine before the shuffle")
+    // the join-back stays keyed (SMJ is the honest fallback when the
+    // common set outgrows broadcast; AQE converts it at runtime when
+    // it fits) — what must NEVER appear is an unkeyed pairing
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "join-back must stay keyed on the hash")
+    // exchanges: two-level count-distinct (2) + join sides (≤2) +
+    // per-doc reassembly + presentation sort
+    assert(p.split("Exchange").length <= 7,
+      s"boilerplate filter must not add extra shuffles:\n$p")
+  }
+
   test("q54: packing windows are bucket-partitioned, never global") {
     val p = plan("q54_sequence_pack")
     assert(p.contains("Window"), "packing needs its per-bucket window")
