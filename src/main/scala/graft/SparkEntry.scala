@@ -816,6 +816,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // In-engine classifier TRAINING (q102): balanced ±labels by doc
+    // parity, class-marker tokens injected ("goodtoken"/"badtoken"
+    // twice per doc); two deterministic GD iterations must drive the
+    // marker buckets' weights apart so keep tracks the label. The
+    // oracle re-derives the identical weights from the parquet alone.
+    "q102_classifier_train" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" goodtoken goodtoken"))
+              .otherwise(lit(" badtoken badtoken"))).as("text"),
+          (col("doc_id") % 2 === 0).as("label"))
+      ScoringOps.hashedLinearTrain(injected, "doc_id", "text", "label",
+        buckets = 512, iters = 2, lr = 0.001)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Score-weighted resampling (q103): q87's deterministic scores map
+    // to milli acceptance weights (500 + 5·floor-mean, clamped) and the
+    // exact integer accept test keeps docs with probability ∝ quality —
+    // the DCLM/FineWeb resampling move, reproducible bit-for-bit.
+    "q103_weighted_sample" -> ((s, dir) => {
+      val scored = ScoringOps.hashedLinearScore(t(s, dir, "documents"),
+        "doc_id", "text", buckets = 4096)
+      val mean = floor(col("score_milli").cast("double") /
+        col("n_tokens").cast("double"))
+      val w = greatest(lit(0L), least(lit(1000L),
+        lit(500L) + lit(5L) * mean))
+      SamplingOps.weightedSample(
+        scored.select(col("doc_id"), col("n_tokens"), col("score_milli"),
+          w.as("weight_milli")),
+        col("doc_id").cast("string"), col("weight_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Image dedup end-to-end: dHash pairs (q83) -> connected
     // components -> keep cluster-min — the full multimodal dedup
     // verdict, same ClusterOps machinery as text near-dups (q49).
@@ -2809,6 +2844,85 @@ FROM fpr ORDER BY doc_id"""),
         |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
         |  (sum(wm) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q87's scoring CTEs + the integer cross-multiplied accept test.
+    "q103_weighted_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 4096 AS bucket
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(bucket::VARCHAR), 1, 8))::BIGINT % 2001)
+        |      - 1000 AS wm
+        |  FROM b),
+        |sc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(wm)::BIGINT AS score_milli
+        |  FROM w GROUP BY doc_id),
+        |wt AS (
+        |  SELECT doc_id, n_tokens, score_milli,
+        |    greatest(0, least(1000, 500 + 5 * CAST(floor(
+        |      score_milli::DOUBLE / n_tokens::DOUBLE) AS BIGINT)))
+        |      AS weight_milli
+        |  FROM sc)
+        |SELECT doc_id, n_tokens, score_milli, weight_milli
+        |FROM wt
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * 1000
+        |  < weight_milli * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
+    // Re-derives hashedLinearTrain's two GD iterations exactly: BIGINT
+    // gradient sums (order-free), floor of one IEEE multiply per
+    // weight update, floor of one double division per prediction.
+    "q102_classifier_train" ->
+      """WITH lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE -1000 END AS ym,
+        |    text || CASE WHEN doc_id % 2 = 0
+        |      THEN ' goodtoken goodtoken'
+        |      ELSE ' badtoken badtoken' END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, ym, unnest(string_split(text, ' ')) AS token
+        |  FROM lab),
+        |feat AS (
+        |  SELECT doc_id, ym,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 512 AS bucket,
+        |    count(*)::BIGINT AS x
+        |  FROM toks GROUP BY doc_id, ym, bucket),
+        |dl AS (SELECT doc_id, sum(x)::BIGINT AS n FROM feat GROUP BY doc_id),
+        |g1 AS (SELECT bucket, sum(ym * x)::BIGINT AS grad
+        |  FROM feat GROUP BY bucket),
+        |w1 AS (SELECT bucket,
+        |  CAST(floor(grad::DOUBLE * 0.001) AS BIGINT) AS w FROM g1),
+        |p2 AS (
+        |  SELECT f.doc_id,
+        |    CAST(floor(sum(w1.w * f.x)::DOUBLE / any_value(d.n)::DOUBLE)
+        |      AS BIGINT) AS p
+        |  FROM feat f JOIN w1 USING (bucket) JOIN dl d ON d.doc_id = f.doc_id
+        |  GROUP BY f.doc_id),
+        |r2 AS (
+        |  SELECT l.doc_id, l.ym - p2.p AS r
+        |  FROM (SELECT DISTINCT doc_id, ym FROM feat) l
+        |  JOIN p2 ON p2.doc_id = l.doc_id),
+        |g2 AS (
+        |  SELECT f.bucket, sum(r2.r * f.x)::BIGINT AS grad
+        |  FROM feat f JOIN r2 USING (doc_id) GROUP BY f.bucket),
+        |w2 AS (
+        |  SELECT w1.bucket,
+        |    w1.w + CAST(floor(g2.grad::DOUBLE * 0.001) AS BIGINT) AS w
+        |  FROM w1 JOIN g2 USING (bucket))
+        |SELECT f.doc_id, any_value(d.n) AS n_tokens,
+        |  CAST(floor(sum(w2.w * f.x)::DOUBLE / any_value(d.n)::DOUBLE)
+        |    AS BIGINT) AS score_milli,
+        |  (CAST(floor(sum(w2.w * f.x)::DOUBLE / any_value(d.n)::DOUBLE)
+        |    AS BIGINT) > 0) AS keep
+        |FROM feat f JOIN w2 USING (bucket) JOIN dl d ON d.doc_id = f.doc_id
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // q49's recursive-reach component oracle over the q83 pair set.
     "q86_image_dedup_clusters" -> (

@@ -30,6 +30,28 @@ object SamplingOps {
   /** Keep rows whose md5(key) leading 8 hex < threshold(rate).
     * `band` shifts the cut window (band 1 = [rate, 2*rate), ...) so
     * disjoint bands give non-overlapping splits (train/val/test). */
+  /** Deterministic PER-ROW-weighted sampling (the DCLM/FineWeb-style
+    * quality-resampling move: keep a doc with probability proportional
+    * to a quality/classifier score instead of a hard threshold —
+    * preserves distributional coverage while up-weighting quality).
+    * `weightMilli` is the acceptance probability in milli-units
+    * (0 = never, 1000 = always; clamped), typically a calibrated
+    * mapping of a score column. Accept iff
+    * `u32(md5(key)) * 1000 < weightMilli * 2^32` — exact integer
+    * cross-multiplication, no float rounding anywhere, reproducible
+    * across engines/runs/partitionings (same md5-uniform machinery as
+    * [[hashSample]]; use a different key column to decorrelate from
+    * other sampling stages).
+    *
+    * Scale shape: pure projection + filter — zero shuffle at any
+    * corpus size. */
+  def weightedSample(df: DataFrame, key: Column,
+                     weightMilli: Column): DataFrame =
+    df.filter(
+      conv(substring(md5(key), 1, 8), 16, 10).cast("long") * 1000L <
+        greatest(lit(0L), least(lit(1000L),
+          weightMilli.cast("long"))) * 4294967296L)
+
   def hashSample(df: DataFrame, key: Column, rate: Double,
                  band: Int = 0): DataFrame = {
     val lo = rateThreshold(rate * band)

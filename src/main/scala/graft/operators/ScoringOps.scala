@@ -29,6 +29,99 @@ object ScoringOps {
     * table to join — and a real model's table would broadcast); the
     * one shuffle is the per-doc sum with map-side combine carrying
     * (id, BIGINT) rows. */
+  /** TRAIN the hashed-linear classifier in-engine (the fastText-style
+    * quality-filter recipe: label a seed set — e.g. wiki = positive,
+    * raw crawl = negative — train, then gate the corpus on the score).
+    * Full-batch gradient descent on squared loss against centered
+    * milli-labels (±1000), every step exactly reproducible
+    * cross-engine (the DuckDB oracle re-derives identical weights
+    * from the parquet alone):
+    *
+    *  - features: token-count histogram over `buckets` md5-hashed
+    *    buckets (the [[hashedLinearScore]] bucket function);
+    *  - weights: BIGINT milli-units, w₀ = 0; prediction is the
+    *    integer dot product floor-divided by doc length — order-free
+    *    integer sums, one deterministic double division per doc;
+    *  - update: wᵦ += floor(gradᵦ · lr) where gradᵦ = Σ_docs
+    *    residual·xᵦ is an exact BIGINT sum (accumulation order can
+    *    never leak) and the floor of an IEEE multiply is bit-equal on
+    *    both engines.
+    *
+    * Scale shape (the [[graft.operators.SimilarityOps.kmeansCentroids]]
+    * discipline): featurization pays its two shuffles ONCE into a
+    * scoped cache — (id, bucket) counts, then per-doc packed sparse
+    * arrays; each iteration is then a pure projection (weights enter
+    * as plan literals, the dot product folds the packed array) plus
+    * ONE buckets-sized shuffle of (bucket, BIGINT) partial sums,
+    * independent of corpus size after map-side combine. The driver
+    * holds `buckets` longs (KBs). `trainSampleRate` is the 100 TB
+    * recipe as a parameter: train on a deterministic
+    * [[SamplingOps.hashSample]] of the labeled seed set (the gradient
+    * needs class geometry, not every row) while the returned frame
+    * still scores EVERY input doc with the trained literal weights.
+    *
+    * Returns per-doc (id, n_tokens, score_milli, keep) under the
+    * TRAINED weights; `keep` thresholds the integer score at 0. */
+  def hashedLinearTrain(docs: DataFrame, idCol: String, textCol: String,
+                        labelCol: String, buckets: Int = 512,
+                        iters: Int = 2, lr: Double = 0.001,
+                        trainSampleRate: Option[Double] = None)
+      : DataFrame = {
+    val trainSet = trainSampleRate.fold(docs) { r =>
+      require(r > 0.0 && r <= 1.0, "0 < trainSampleRate <= 1")
+      SamplingOps.hashSample(docs, col(idCol).cast("string"), r)
+    }
+    def featurize(src: DataFrame): DataFrame = {
+      val toks = src.select(col(idCol).as("__id"),
+        when(col(labelCol), 1000L).otherwise(-1000L).as("__ym"),
+        explode(tokens(col(textCol))).as("token"))
+      val bucket = (conv(substring(md5(col("token")), 1, 8), 16, 10)
+        .cast("long") % buckets).cast("int")
+      toks.select(col("__id"), col("__ym"), bucket.as("__b"))
+        .groupBy(col("__id"), col("__ym"), col("__b"))
+        .agg(count(lit(1)).as("__x"))
+        .groupBy(col("__id"), col("__ym"))
+        .agg(collect_list(struct(col("__b"), col("__x"))).as("__f"),
+          sum(col("__x")).as("__n"))
+    }
+    def rawDot(w: Array[Long]) = {
+      val wLit = array(w.map(lit): _*)
+      aggregate(col("__f"), lit(0L), (acc, f) =>
+        acc + element_at(wLit, f.getField("__b") + 1) * f.getField("__x"))
+    }
+    def predMilli(w: Array[Long]) =
+      floor(rawDot(w).cast("double") / col("__n").cast("double"))
+        .cast("long")
+    val packed = featurize(trainSet).cache()
+    val w = Array.fill(buckets)(0L)
+    for (_ <- 0 until iters) {
+      val grads = packed
+        .select((col("__ym") - predMilli(w)).as("__r"),
+          explode(col("__f")).as("__e"))
+        .groupBy(col("__e.__b"))
+        .agg(sum(col("__r") * col("__e.__x")).as("__grad"))
+        .collect()
+      grads.foreach { row =>
+        w(row.getInt(0)) +=
+          math.floor(row.getLong(1).toDouble * lr).toLong
+      }
+    }
+    packed.unpersist()
+    // final scoring re-featurizes OUTSIDE the scoped cache (the
+    // returned plan must not depend on a cache this method releases)
+    featurize(docs)
+      .select(col("__id").as(idCol), col("__n").as("n_tokens"),
+        predMilli(w).as("score_milli"))
+      .withColumn("keep", col("score_milli") > 0L)
+  }
+
+  /** Score = mean over tokens of w[hash(token) % buckets], with
+    * w[b] = (uint32(md5(b)[0:8]) % 2001) - 1000 milli-units.
+    *
+    * Scale shape: weight derivation is pure projection (no weight
+    * table to join — and a real model's table would broadcast); the
+    * one shuffle is the per-doc sum with map-side combine carrying
+    * (id, BIGINT) rows. */
   def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
                         buckets: Int = 4096): DataFrame = {
     val toks = docs.select(col(idCol),

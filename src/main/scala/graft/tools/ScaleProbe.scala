@@ -158,6 +158,14 @@ object ScaleProbe {
     time(s"hashedLinearScore x$n")(
       graft.operators.ScoringOps.hashedLinearScore(docs, "doc_id",
         "text"))
+    // q102: featurize pays its shuffles once into the scoped cache;
+    // each GD iteration then shuffles only buckets-sized partial sums —
+    // iteration cost must track the corpus SCAN, not grow a new wide
+    // exchange per pass
+    time(s"hashedLinearTrain x$n")(
+      graft.operators.ScoringOps.hashedLinearTrain(
+        docs.withColumn("label", col("doc_id") % 2 === 0),
+        "doc_id", "text", "label", buckets = 512, iters = 2))
 
     // embeddings ×N, one element nudged per replica
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -1157,6 +1157,57 @@ class OperatorsSpec extends AnyFunSuite {
       (5L, 2L, 2L)))  // "ok" recurs in 4 docs but is under minChars
   }
 
+  test("hashedLinearTrain: GD separates marker classes, deterministic " +
+      "across runs") {
+    import graft.operators.ScoringOps
+    // marker-dominated docs (3 of 4 tokens are class markers): the
+    // classes must separate under FULL and hash-sampled training alike
+    val docs = (0L until 40L).map { i =>
+      val marker = if (i % 2 == 0) "good wiki prose" else "spam casino junk"
+      (i, s"d$i $marker", i % 2 == 0)
+    }.toDF("doc_id", "text", "label")
+    val run1 = ScoringOps.hashedLinearTrain(docs, "doc_id", "text",
+      "label", buckets = 64, iters = 2, lr = 0.001)
+      .orderBy("doc_id").collect()
+    // short docs, three marker tokens each: two iterations separate
+    // the classes exactly at the 0 threshold
+    run1.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(0) % 2 == 0),
+        s"doc ${r.getLong(0)} scored ${r.getLong(2)}")
+    }
+    // bit-for-bit deterministic: integer sums + literal weights
+    val run2 = ScoringOps.hashedLinearTrain(docs, "doc_id", "text",
+      "label", buckets = 64, iters = 2, lr = 0.001)
+      .orderBy("doc_id").collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+    // the 100 TB knob: hash-sampled training must still score (and
+    // correctly separate) EVERY doc — the sample only feeds gradients
+    val sampled = ScoringOps.hashedLinearTrain(docs, "doc_id", "text",
+      "label", buckets = 64, iters = 2, lr = 0.001,
+      trainSampleRate = Some(0.5))
+      .orderBy("doc_id").collect()
+    assert(sampled.length == 40)
+    sampled.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(0) % 2 == 0),
+        s"sampled-trained: doc ${r.getLong(0)} scored ${r.getLong(2)}")
+    }
+  }
+
+  test("weightedSample: 0 keeps none, 1000 keeps all, acceptance " +
+      "monotone and ~proportional to the weight") {
+    import graft.operators.SamplingOps
+    val df = spark.range(0, 2000).toDF("id")
+    def ids(w: Long): Set[Long] = SamplingOps.weightedSample(df,
+      col("id").cast("string"), lit(w))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(0L).isEmpty && ids(1000L).size == 2000)
+    val (k250, k750) = (ids(250L), ids(750L))
+    // same u32 per id: a doc kept at w is kept at every higher w
+    assert(k250.subsetOf(k750))
+    assert(math.abs(k250.size - 500) < 100 &&
+      math.abs(k750.size - 1500) < 100)
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(

@@ -267,6 +267,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"boilerplate filter must not add extra shuffles:\n$p")
   }
 
+  test("q102: trained weights enter the scoring plan as literals — " +
+      "featurize + projection, never a weight-table join") {
+    val p = plan("q102_classifier_train")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"scoring must not join a weight table:\n$p")
+    // exchanges: (id, bucket) count agg + per-doc pack + presentation sort
+    assert(p.split("Exchange").length <= 4,
+      s"scoring must stay featurize + projection:\n$p")
+  }
+
   test("q54: packing windows are bucket-partitioned, never global") {
     val p = plan("q54_sequence_pack")
     assert(p.contains("Window"), "packing needs its per-bucket window")
