@@ -851,6 +851,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixture balancing (q104): 50/30/20 target shares over three of
+    // the twenty 25-doc sources — the feasible total is bound by src0
+    // (25·1000 div 500 = 50 docs) and the quotas come out 25/15/10;
+    // untargeted sources must vanish.
+    "q104_mixture_balance" -> ((s, dir) => {
+      SamplingOps.mixtureBalance(t(s, dir, "documents"), "source",
+        col("doc_id").cast("string"),
+        Map("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus manifest (q105): the datasheet in one grouping-sets pass —
+    // exact copies of every 10th doc injected so the distinct-text
+    // column is load-bearing in every section, not equal to n_docs.
+    "q105_corpus_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val injected = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 4)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      TextAnalysisOps.corpusManifest(injected, "text", "lang", "source")
+        .orderBy(col("section"), col("key"))
+    }),
+
     // Image dedup end-to-end: dHash pairs (q83) -> connected
     // components -> keep cluster-min — the full multimodal dedup
     // verdict, same ClusterOps machinery as text near-dups (q49).
@@ -2844,6 +2868,51 @@ FROM fpr ORDER BY doc_id"""),
         |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
         |  (sum(wm) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same GROUPING SETS shape; DuckDB's GROUPING() mirrors Spark's.
+    "q105_corpus_manifest" ->
+      """WITH inj AS (
+        |  SELECT text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT text, lang, source FROM documents WHERE doc_id % 10 = 4),
+        |base AS (
+        |  SELECT lang, source,
+        |    len(string_split(text, ' '))::BIGINT AS nt,
+        |    length(text)::BIGINT AS nc,
+        |    md5(text) AS sig
+        |  FROM inj)
+        |SELECT
+        |  CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+        |       WHEN GROUPING(source) = 0 THEN 'source'
+        |       ELSE 'total' END AS section,
+        |  coalesce(lang, source, 'all') AS key,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(nt)::BIGINT AS n_tokens,
+        |  sum(nc)::BIGINT AS n_chars,
+        |  count(DISTINCT sig)::BIGINT AS n_distinct_texts
+        |FROM base
+        |GROUP BY GROUPING SETS ((), (lang), (source))
+        |ORDER BY section, key""".stripMargin,
+
+    // Scarcest-source feasible total + exact md5-rank quotas, all
+    // integer division (positive operands: DIV ≡ //).
+    "q104_mixture_balance" ->
+      """WITH t(src, tm) AS (
+        |  VALUES ('src0', 500), ('src1', 300), ('src2', 200)),
+        |c AS (
+        |  SELECT src, tm, coalesce(n, 0) AS n FROM t
+        |  LEFT JOIN (SELECT source AS src, count(*)::BIGINT AS n
+        |             FROM documents GROUP BY 1) USING (src)),
+        |tt AS (SELECT min(n * 1000 // tm) AS total FROM c),
+        |q AS (SELECT src, (tt.total * tm) // 1000 AS quota FROM c, tt),
+        |rk AS (
+        |  SELECT d.doc_id, d.source, q.quota,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY substr(md5(d.doc_id::VARCHAR), 1, 8),
+        |        d.doc_id::VARCHAR) AS rk
+        |  FROM documents d JOIN q ON q.src = d.source)
+        |SELECT doc_id, source FROM rk WHERE rk <= quota
+        |ORDER BY doc_id""".stripMargin,
 
     // q87's scoring CTEs + the integer cross-multiplied accept test.
     "q103_weighted_sample" ->

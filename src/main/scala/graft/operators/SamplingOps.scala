@@ -190,6 +190,64 @@ object SamplingOps {
     * few and large; for a skewed stratum the rank window sorts that
     * partition (the price of an exact quota — use hashSample when
     * in-expectation rates are enough). */
+  /** Balance a corpus to exact target source proportions (the mixture
+    * knob every dataset recipe publishes: "X% web, Y% books, Z% code").
+    * `targetsMilli` maps source → share in milli-units (sum ≤ 1000);
+    * sources absent from the map are dropped, and a targeted source
+    * absent from the corpus makes the whole result empty (the mix is
+    * infeasible) rather than silently re-normalizing. The output is
+    * the LARGEST corpus achieving the exact mix: the feasible total is
+    * bounded by the scarcest source, T = min_s (n_s·1000 div t_s),
+    * and each source contributes its quota (T·t_s div 1000) of
+    * lowest-md5(key) rows — deterministic, integer-only arithmetic.
+    *
+    * Scale shape: per-source counts are a narrow agg and quotas enter
+    * as a broadcast join. `exact = true` selects by md5-rank — one
+    * window partitioned by source, so a hot source's rows land in one
+    * window partition (fine to ~10^8 rows/source; the buffer is
+    * Spark's spillable window). At 100 TB set `exact = false`:
+    * in-expectation quotas by integer cross-multiplied acceptance
+    * (u32·n_s < quota_s·2^32) — pure projection after the tiny counts
+    * agg, no source-keyed shuffle, mix exact in expectation with √n
+    * deviation per source. */
+  def mixtureBalance(df: DataFrame, sourceCol: String, key: Column,
+                     targetsMilli: Map[String, Long],
+                     exact: Boolean = true): DataFrame = {
+    require(targetsMilli.nonEmpty && targetsMilli.values.forall(_ > 0) &&
+      targetsMilli.values.sum <= 1000,
+      "targets must be positive milli-shares summing to <= 1000")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsMilli.toSeq.toDF("__src", "__t")
+    // left join FROM targets: a targeted-but-absent source keeps n=0,
+    // forcing T=0 (infeasible mix -> empty result, never re-normalized)
+    val counts = targets.join(
+      df.groupBy(col(sourceCol).as("__src"))
+        .agg(count(lit(1)).as("__cnt")),
+      Seq("__src"), "left_outer")
+      .select(col("__src"), col("__t"),
+        coalesce(col("__cnt"), lit(0L)).as("__n"))
+    val tTotal = counts.select(
+      min(expr("__n * 1000 DIV __t")).as("__total"))
+    val quotas = counts.crossJoin(broadcast(tTotal))
+      .select(col("__src"), col("__n"),
+        expr("__total * __t DIV 1000").as("__q"))
+    val joined = df.join(broadcast(quotas), col(sourceCol) === col("__src"))
+    if (exact) {
+      val w = Window.partitionBy(col(sourceCol))
+        .orderBy(substring(md5(key), 1, 8), key)
+      joined.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= col("__q"))
+        .drop("__src", "__t", "__n", "__q", "__rk")
+    } else {
+      joined.filter(
+        conv(substring(md5(key), 1, 8), 16, 10).cast("long") * col("__n") <
+          col("__q") * 4294967296L)
+        .drop("__src", "__t", "__n", "__q")
+    }
+  }
+
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
                        rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")

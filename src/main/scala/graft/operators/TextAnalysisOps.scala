@@ -915,6 +915,43 @@ object TextAnalysisOps {
         (col("n_bloom_hits") > 0).as("bloom_flagged"))
   }
 
+  /** The corpus datasheet in ONE pass (the manifest every released
+    * dataset ships: totals, language mix, source mix, exact-dup rate):
+    * `GROUPING SETS ((), (lang), (source))` over a single scan, so one
+    * aggregation computes every section — no per-section re-scan, no
+    * union of three jobs. Rows: (section ∈ total/lang/source, key,
+    * n_docs, n_tokens, n_chars, n_distinct_texts); the distinct-text
+    * count (docs minus it = exact-dup volume) rides the same exchange.
+    *
+    * Scale shape: one corpus pass; the grouping-set expand triples the
+    * aggregate's input rows, but they are narrow projections (16-byte
+    * sig, two dim strings, three counters) and map-side combine
+    * collapses them to sections × keys partials before the wire. The
+    * output is dimension-cardinality-sized. */
+  def corpusManifest(docs: DataFrame, textCol: String,
+                     langCol: String, sourceCol: String): DataFrame = {
+    val base = docs.select(
+      col(langCol).as("lang"), col(sourceCol).as("source"),
+      size(split(col(textCol), " ")).cast("long").as("__nt"),
+      length(col(textCol)).cast("long").as("__nc"),
+      md5(col(textCol)).as("__sig"))
+    base.groupingSets(Seq(Seq(), Seq(col("lang")), Seq(col("source"))),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        countDistinct(col("__sig")).as("n_distinct_texts"),
+        grouping(col("lang")).as("__gl"),
+        grouping(col("source")).as("__gs"))
+      .select(
+        when(col("__gl") === 0, lit("lang"))
+          .when(col("__gs") === 0, lit("source"))
+          .otherwise(lit("total")).as("section"),
+        coalesce(col("lang"), col("source"), lit("all")).as("key"),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_distinct_texts"))
+  }
+
   /** Corpus-level top-k word n-grams by count (vocabulary head — the
     * common first look at a new corpus). Explode → count is the right
     * shape at scale: partial (map-side) aggregation collapses each

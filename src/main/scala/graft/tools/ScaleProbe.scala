@@ -167,6 +167,18 @@ object ScaleProbe {
         docs.withColumn("label", col("doc_id") % 2 === 0),
         "doc_id", "text", "label", buckets = 512, iters = 2))
 
+    // q104: both balance modes — the exact md5-rank window (hot-source
+    // partition carries that source's rows) vs the in-expectation
+    // acceptance (shuffle-free after the tiny counts agg); the gap
+    // between the two rows IS the documented 100 TB tradeoff
+    val mixTargets = Map("src0" -> 400L, "src1" -> 350L, "src2" -> 250L)
+    time(s"mixtureBalance x$n (exact window)")(
+      graft.operators.SamplingOps.mixtureBalance(docs, "source",
+        col("doc_id").cast("string"), mixTargets))
+    time(s"mixtureBalance x$n (in-expectation)")(
+      graft.operators.SamplingOps.mixtureBalance(docs, "source",
+        col("doc_id").cast("string"), mixTargets, exact = false))
+
     // embeddings ×N, one element nudged per replica
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
     val emb = replicate(emb0, "vec_id")

@@ -1208,6 +1208,34 @@ class OperatorsSpec extends AnyFunSuite {
       math.abs(k750.size - 1500) < 100)
   }
 
+  test("mixtureBalance: scarcest source binds the exact mix; absent " +
+      "target makes it empty; probabilistic twin tracks the quotas") {
+    import graft.operators.SamplingOps
+    val docs = ((0 until 100).map(i => (i.toLong, "web")) ++
+      (100 until 130).map(i => (i.toLong, "books")))
+      .toDF("doc_id", "source")
+    val targets = Map("web" -> 700L, "books" -> 300L)
+    // T = min(100000 div 700, 30000 div 300) = 100 -> quotas 70 / 30
+    val got = SamplingOps.mixtureBalance(docs, "source",
+      col("doc_id").cast("string"), targets)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("web" -> 70L, "books" -> 30L))
+    // a targeted source missing from the corpus: infeasible, EMPTY —
+    // never silently re-normalized
+    assert(SamplingOps.mixtureBalance(docs, "source",
+      col("doc_id").cast("string"),
+      Map("web" -> 500L, "code" -> 500L)).count() == 0L)
+    // shuffle-free twin: books quota equals its population (always
+    // accepted); web is binomial around 70
+    val approx = SamplingOps.mixtureBalance(docs, "source",
+      col("doc_id").cast("string"), targets, exact = false)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx("books") == 30L)
+    assert(math.abs(approx("web") - 70L) <= 20L)
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(

@@ -278,6 +278,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scoring must stay featurize + projection:\n$p")
   }
 
+  test("q104: quotas broadcast into the corpus join; selection window " +
+      "partitions by source, never global") {
+    val p = plan("q104_mixture_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the quota table must broadcast into the corpus join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-sized shuffle join in the balance plan:\n$p")
+    assert(p.contains("windowspecdefinition(source"),
+      s"the rank window must partition by source, not run globally:\n$p")
+  }
+
+  test("q105: the manifest is ONE grouping-sets aggregation — Expand " +
+      "over a single pass, no join, no per-section re-aggregation") {
+    val p = plan("q105_corpus_manifest")
+    assert(p.contains("Expand"),
+      "grouping sets must expand one scan into the section rows")
+    assert(!p.contains("Join"),
+      s"no join anywhere in the manifest plan:\n$p")
+    // exchanges: the two-level distinct aggregate + presentation sort
+    assert(p.split("Exchange").length <= 4,
+      s"manifest must stay a single aggregation tree:\n$p")
+  }
+
   test("q54: packing windows are bucket-partitioned, never global") {
     val p = plan("q54_sequence_pack")
     assert(p.contains("Window"), "packing needs its per-bucket window")
