@@ -875,6 +875,20 @@ object SparkEntry {
         .orderBy(col("section"), col("key"))
     }),
 
+    // Corpus drift (q106): corpus B = A plus a drift term injected
+    // into every 5th doc and with every 7th doc dropped — the injected
+    // term must rank first by JS contribution, shifted commons follow.
+    "q106_corpus_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = docs.filter(col("doc_id") % 7 =!= 2)
+        .select(concat(col("text"),
+          when(col("doc_id") % 5 === 1,
+            lit(" driftterm driftterm driftterm")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysisOps.corpusDrift(docs.select(col("text")), b, "text",
+        k = 20)
+    }),
+
     // Image dedup end-to-end: dHash pairs (q83) -> connected
     // components -> keep cluster-min — the full multimodal dedup
     // verdict, same ClusterOps machinery as text near-dups (q49).
@@ -2868,6 +2882,40 @@ FROM fpr ORDER BY doc_id"""),
         |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
         |  (sum(wm) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Identical JS AST: integer products inside ln, one floor at the
+    // end, DESC-contribution order with term tie-break.
+    "q106_corpus_drift" ->
+      """WITH bdocs AS (
+        |  SELECT text || CASE WHEN doc_id % 5 = 1
+        |    THEN ' driftterm driftterm driftterm' ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |ka AS (
+        |  SELECT term, count(*)::BIGINT AS cnt_a FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |kb AS (
+        |  SELECT term, count(*)::BIGINT AS cnt_b FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM bdocs)
+        |  GROUP BY term),
+        |tots AS (
+        |  SELECT (SELECT sum(cnt_a) FROM ka)::BIGINT AS ta,
+        |         (SELECT sum(cnt_b) FROM kb)::BIGINT AS tb),
+        |j AS (
+        |  SELECT coalesce(ka.term, kb.term) AS term,
+        |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |  FROM ka FULL OUTER JOIN kb ON ka.term = kb.term)
+        |SELECT term, cnt_a, cnt_b,
+        |  CAST(floor((
+        |    CASE WHEN cnt_a = 0 THEN 0.0 ELSE
+        |      (cnt_a::DOUBLE / ta::DOUBLE) * ln((2 * cnt_a * tb)::DOUBLE /
+        |        (cnt_a * tb + cnt_b * ta)::DOUBLE) END +
+        |    CASE WHEN cnt_b = 0 THEN 0.0 ELSE
+        |      (cnt_b::DOUBLE / tb::DOUBLE) * ln((2 * cnt_b * ta)::DOUBLE /
+        |        (cnt_a * tb + cnt_b * ta)::DOUBLE) END
+        |  ) * 500000.0) AS BIGINT) AS js_micro
+        |FROM j, tots
+        |ORDER BY js_micro DESC, term ASC LIMIT 20""".stripMargin,
 
     // Same GROUPING SETS shape; DuckDB's GROUPING() mirrors Spark's.
     "q105_corpus_manifest" ->

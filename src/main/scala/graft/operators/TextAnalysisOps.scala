@@ -915,6 +915,53 @@ object TextAnalysisOps {
         (col("n_bloom_hits") > 0).as("bloom_flagged"))
   }
 
+  /** Corpus drift monitor: per-term contributions to the Jensen-
+    * Shannon divergence between two corpora's unigram distributions —
+    * the "did this month's crawl shift?" check run before folding a
+    * new batch into the training mix. Emits the top-k drifted terms
+    * (term, cnt_a, cnt_b, js_micro) ranked by contribution; the JS
+    * total is the sum over all terms (pointwise ≥ 0 by the log-sum
+    * inequality), so top-k IS the explanation, not a sample.
+    *
+    * Determinism: the ln argument is built from exact integer products
+    * (2·ca·B vs ca·B + cb·A — no rate rounding before the log), each
+    * term's contribution is quantized to integer micro-nats with ONE
+    * floor at the end, and ties break on the term string. Counts are
+    * BIGINT; at extreme scale (ca·B near 2^63, i.e. both corpora in
+    * the multi-trillion-token range) pre-scale counts per-mille.
+    *
+    * Scale shape: two token-count aggregations (map-side combined, the
+    * q47 shape), a vocabulary-sized full-outer join on the term, two
+    * scalar totals broadcast, TakeOrdered top-k — never a global sort;
+    * nothing is ever sized by the corpora, only by the vocabulary. */
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String,
+                  k: Int = 20): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val ca = counts(a, "cnt_a")
+    val cb = counts(b, "cnt_b")
+    val tots = ca.agg(sum(col("cnt_a")).as("__ta"))
+      .crossJoin(cb.agg(sum(col("cnt_b")).as("__tb")))
+    val j = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(broadcast(tots))
+    val mixDen = (col("cnt_a") * col("__tb") + col("cnt_b") * col("__ta"))
+      .cast("double")
+    val t1 = when(col("cnt_a") === 0L, lit(0.0)).otherwise(
+      (col("cnt_a").cast("double") / col("__ta").cast("double")) *
+        log((lit(2L) * col("cnt_a") * col("__tb")).cast("double") / mixDen))
+    val t2 = when(col("cnt_b") === 0L, lit(0.0)).otherwise(
+      (col("cnt_b").cast("double") / col("__tb").cast("double")) *
+        log((lit(2L) * col("cnt_b") * col("__ta")).cast("double") / mixDen))
+    j.select(col("term"), col("cnt_a"), col("cnt_b"),
+        floor((t1 + t2) * lit(500000.0)).as("js_micro"))
+      .orderBy(col("js_micro").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** The corpus datasheet in ONE pass (the manifest every released
     * dataset ships: totals, language mix, source mix, exact-dup rate):
     * `GROUPING SETS ((), (lang), (source))` over a single scan, so one

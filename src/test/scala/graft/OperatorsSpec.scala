@@ -1236,6 +1236,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("corpusDrift: identical corpora are exactly zero; an injected " +
+      "term dominates the JS ranking") {
+    import graft.operators.TextAnalysisOps
+    val a = Seq("alpha beta gamma", "beta gamma delta", "alpha delta")
+      .toDF("text")
+    // identical distributions: integer products make ln(1) EXACT zero
+    val same = TextAnalysisOps.corpusDrift(a, a, "text", k = 10).collect()
+    assert(same.forall(_.getLong(3) == 0L), same.mkString(","))
+    val b = Seq("alpha beta gamma", "beta gamma delta spamword spamword",
+      "alpha delta").toDF("text")
+    val top = TextAnalysisOps.corpusDrift(a, b, "text", k = 3).collect()
+    assert(top.head.getString(0) == "spamword" && top.head.getLong(1) == 0L
+      && top.head.getLong(2) == 2L && top.head.getLong(3) > 0L)
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(

@@ -301,6 +301,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"manifest must stay a single aggregation tree:\n$p")
   }
 
+  test("q106: drift top-k is TakeOrdered over the vocabulary join — " +
+      "map-side combined counts, no global sort, no cartesian blowup") {
+    val p = plan("q106_corpus_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, never a global sort")
+    assert(p.contains("partial_count"),
+      "token counts must map-side combine before their shuffle")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row totals may nested-loop in:\n$p")
+  }
+
   test("q54: packing windows are bucket-partitioned, never global") {
     val p = plan("q54_sequence_pack")
     assert(p.contains("Window"), "packing needs its per-bucket window")
