@@ -889,6 +889,21 @@ object SparkEntry {
         k = 20)
     }),
 
+    // Embedding drift (q107): corpus B = A minus every 9th vector,
+    // with exact dyadic shifts (+0.25 on dim 4, -0.125 on dim 12)
+    // injected in the DOUBLE domain — those dims must rank 1st/2nd.
+    "q107_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val av = emb.select(
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      val bv = emb.filter(col("vec_id") % 9 =!= 3)
+        .select(transform(
+          graft.functions.VectorFunctions.toDouble(col("embedding")),
+          (x, i) => when(i === 3, x + lit(0.25))
+            .when(i === 11, x - lit(0.125)).otherwise(x)).as("v"))
+      SimilarityOps.embeddingDrift(av, bv, "v", dim = 64, k = 16)
+    }),
+
     // Image dedup end-to-end: dHash pairs (q83) -> connected
     // components -> keep cluster-min — the full multimodal dedup
     // verdict, same ClusterOps machinery as text near-dups (q49).
@@ -2882,6 +2897,37 @@ FROM fpr ORDER BY doc_id"""),
         |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
         |  (sum(wm) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Scaled-integer per-dim sums; one floored division per mean.
+    "q107_embedding_drift" ->
+      """WITH va AS (
+        |  SELECT [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |vb AS (
+        |  SELECT [CASE WHEN i = 4 THEN v[i] + 0.25
+        |               WHEN i = 12 THEN v[i] - 0.125
+        |               ELSE v[i] END FOR i IN range(1, 65)] AS v
+        |  FROM (SELECT [x::DOUBLE FOR x IN embedding] AS v
+        |        FROM embeddings WHERE vec_id % 9 <> 3)),
+        |fa AS (
+        |  SELECT i, sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS sa,
+        |    count(*)::BIGINT AS na
+        |  FROM va, range(1, 65) r(i) GROUP BY i),
+        |fb AS (
+        |  SELECT i, sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS sb,
+        |    count(*)::BIGINT AS nb
+        |  FROM vb, range(1, 65) r(i) GROUP BY i),
+        |m AS (
+        |  SELECT i,
+        |    CAST(floor((sa::DOUBLE * 1000000.0) /
+        |      (na::DOUBLE * 1048576.0)) AS BIGINT) AS mean_a_micro,
+        |    CAST(floor((sb::DOUBLE * 1000000.0) /
+        |      (nb::DOUBLE * 1048576.0)) AS BIGINT) AS mean_b_micro
+        |  FROM fa JOIN fb USING (i))
+        |SELECT i, mean_a_micro, mean_b_micro,
+        |  (mean_b_micro - mean_a_micro) AS delta_micro
+        |FROM m
+        |ORDER BY abs(mean_b_micro - mean_a_micro) DESC, i ASC
+        |LIMIT 16""".stripMargin,
 
     // Identical JS AST: integer products inside ln, one floor at the
     // end, DESC-contribution order with term tie-break.

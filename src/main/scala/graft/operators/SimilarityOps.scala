@@ -283,6 +283,46 @@ object SimilarityOps {
       .select(col("rank"), col("vec_id"), col("cell"), col("dist2"))
   }
 
+  /** Embedding-space drift between two corpora — the semantic twin of
+    * the token-level JS monitor
+    * ([[graft.operators.TextAnalysisOps.corpusDrift]]): per-dimension
+    * mean shift of the embedding distribution, top-k dimensions by
+    * |delta|. A topical/model shift moves means along specific
+    * directions long before token statistics notice; this is the
+    * cheap first check before re-training quantizers or re-balancing
+    * cells.
+    *
+    * Determinism (the [[kmeansCentroids]] scaled-integer discipline):
+    * components quantize to `floor(x·2^20)` BIGINTs, per-dim sums are
+    * exact order-free integers, and each mean becomes integer
+    * MICRO-units with exactly one floor of one double division —
+    * deltas are integer subtraction, ties break on the dimension.
+    *
+    * Scale shape: per-corpus, one posexplode projection into a
+    * dim-sized map-side-combined aggregate (the shuffle carries
+    * dim × partitions partial sums, corpus-independent); the join and
+    * top-k are dim-sized. Nothing is ever sized by the corpora. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                     dim: Int, k: Int = 16): DataFrame = {
+    val S = 1048576.0 // 2^20, the kmeansCentroids quantum
+    def dimSums(df: DataFrame, s: String, n: String) =
+      df.select(posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
+        .select((col("i") + 1).cast("long").as("i"),
+          floor(col("x") * S).as("__xq"))
+        .groupBy(col("i"))
+        .agg(sum(col("__xq")).as(s), count(lit(1)).as(n))
+    def meanMicro(s: String, n: String) =
+      floor((col(s).cast("double") * lit(1000000.0)) /
+        (col(n).cast("double") * lit(S))).cast("long")
+    dimSums(a, "__sa", "__na").join(dimSums(b, "__sb", "__nb"), Seq("i"))
+      .select(col("i"),
+        meanMicro("__sa", "__na").as("mean_a_micro"),
+        meanMicro("__sb", "__nb").as("mean_b_micro"))
+      .withColumn("delta_micro", col("mean_b_micro") - col("mean_a_micro"))
+      .orderBy(abs(col("delta_micro")).desc, col("i").asc)
+      .limit(k)
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * acceptance metric run on a query sample before committing an ANN
     * config to a full-corpus pass. Both inputs are (query_id,

@@ -1251,6 +1251,23 @@ class OperatorsSpec extends AnyFunSuite {
       && top.head.getLong(2) == 2L && top.head.getLong(3) > 0L)
   }
 
+  test("embeddingDrift: identical corpora give exact zero deltas; a " +
+      "shifted dimension ranks first with the shift in micro-units") {
+    import graft.operators.SimilarityOps
+    val a = Seq(
+      Array(0.5, -0.25, 0.125), Array(0.25, 0.5, -0.5),
+      Array(-0.125, 0.25, 0.25)).map(Tuple1(_)).toDF("v")
+    val same = SimilarityOps.embeddingDrift(a, a, "v", dim = 3, k = 3)
+      .collect()
+    assert(same.forall(_.getLong(3) == 0L), same.mkString(","))
+    // dyadic +0.5 on dim 2: quantization is exact, delta = 500000
+    val b = a.select(transform(col("v"),
+      (x, i) => when(i === 1, x + lit(0.5)).otherwise(x)).as("v"))
+    val top = SimilarityOps.embeddingDrift(a, b, "v", dim = 3, k = 1)
+      .collect().head
+    assert(top.getLong(0) == 2L && top.getLong(3) == 500000L, top.toString)
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
