@@ -388,6 +388,66 @@ object TextAnalysisOps {
       .select(col("window.start").as("window_start"), col("reason"),
         col("n_docs"))
 
+  /** Streaming half of the drift monitor: per event-time window, token
+    * counts (append mode — a window's counts emit exactly once when
+    * the watermark passes its end). State is windows × window
+    * vocabulary, independent of document volume; the text dies in the
+    * stateless explode. Feed the emitted rows (the sink table, or each
+    * foreachBatch increment) to [[windowDrift]] for the per-window JS
+    * verdict against a reference profile. */
+  def driftCountsStream(docs: DataFrame, textCol: String,
+                        eventTimeCol: String, watermarkDelay: String,
+                        windowDuration: String): DataFrame =
+    docs.withWatermark(eventTimeCol, watermarkDelay)
+      .select(col(eventTimeCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(window(col(eventTimeCol), windowDuration), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("term"),
+        col("cnt"))
+
+  /** Batch finisher for [[driftCountsStream]]: per window, the
+    * Jensen-Shannon divergence of the window's unigram distribution
+    * against a static reference profile (term, cnt) — the alarm wire
+    * for "this hour's crawl doesn't look like the corpus we curated".
+    * Reference terms ABSENT from a window need no expansion: their
+    * total contribution is the closed form ((T−M)/T)·ln2/2 where M is
+    * the window's matched reference mass — so the plan is one
+    * broadcast join + one per-window aggregate, never a windows ×
+    * vocabulary blow-up. Also reports the window's out-of-reference
+    * (OOV) token mass, the usual first symptom of drift.
+    *
+    * A window whose distribution equals the reference exactly yields
+    * js_micro = 0 exactly (ln(1) on identical doubles). */
+  def windowDrift(windowCounts: DataFrame,
+                  reference: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val refT = reference.agg(sum(col("cnt")).as("__t"))
+    val withN = windowCounts.withColumn("__n",
+      sum(col("cnt")).over(Window.partitionBy(col("window_start"))))
+    val j = withN
+      .join(broadcast(reference.select(col("term"), col("cnt").as("__r"))),
+        Seq("term"), "left_outer")
+      .crossJoin(broadcast(refT))
+    val p = col("cnt").cast("double") / col("__n").cast("double")
+    val q = col("__r").cast("double") / col("__t").cast("double")
+    val contrib = when(col("__r").isNotNull,
+        lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
+          q * log(lit(2.0) * q / (p + q))))
+      .otherwise(lit(0.5) * p * log(lit(2.0)))
+    j.groupBy(col("window_start"))
+      .agg(max(col("__n")).as("n_tokens"),
+        sum(when(col("__r").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("oov_tokens"),
+        sum(contrib).as("__js_rows"),
+        sum(coalesce(col("__r"), lit(0L))).as("__m"),
+        max(col("__t")).as("__tt"))
+      .select(col("window_start"), col("n_tokens"), col("oov_tokens"),
+        floor((col("__js_rows") +
+          lit(0.5) * ((col("__tt") - col("__m")).cast("double") /
+            col("__tt").cast("double")) * log(lit(2.0))) * lit(1000000.0))
+          .as("js_micro"))
+  }
+
   /** Per-source vocabulary statistics with APPROXIMATE distinct counts
     * (HyperLogLog++): token totals are exact sums; the distinct-token
     * count uses `approx_count_distinct(rsd)` — at 100 TB an exact

@@ -1578,6 +1578,46 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftCountsStream + windowDrift: counts emit on window close; " +
+      "a reference-matching window scores exactly zero, a drifted one " +
+      "positive with its OOV mass counted") {
+    import graft.operators.TextAnalysisOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val docs = mem.toDS().toDF("text", "sec")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val out = TextAnalysisOps.driftCountsStream(docs, "text",
+      "event_time", "5 seconds", "60 seconds")
+    val q = out.writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("alpha beta", 100L), ("alpha", 110L)) // [60,120)
+      q.processAllAvailable()
+      assert(spark.table("drift_out").count() == 0L,
+        "open windows must not emit in append mode")
+      mem.addData(("alpha spam spam", 130L)) // wm 125 closes [60,120)
+      q.processAllAvailable()
+      assert(spark.table("drift_out").count() == 2L, // w1: alpha, beta
+        "closing [60,120) must emit exactly its two term rows")
+      mem.addData(("filler", 250L)) // watermark 245 closes [120,180)
+      q.processAllAvailable()
+      val counts = spark.table("drift_out")
+      assert(counts.count() == 4L, // + w2: alpha, spam
+        counts.collect().mkString(","))
+      val ref = Seq(("alpha", 2L), ("beta", 1L)).toDF("term", "cnt")
+      val drift = TextAnalysisOps.windowDrift(counts, ref)
+        .orderBy("window_start").collect()
+      assert(drift.length == 2)
+      // [60,120) IS the reference distribution: exact zero
+      assert(drift(0).getLong(1) == 3L && drift(0).getLong(2) == 0L &&
+        drift(0).getLong(3) == 0L, drift(0).toString)
+      // [120,180): 2 of 3 tokens out-of-reference, positive JS
+      assert(drift(1).getLong(2) == 2L && drift(1).getLong(3) > 0L,
+        drift(1).toString)
+    } finally q.stop()
+  }
+
   test("curateStream: stateless gates + watermarked dedup on a stream") {
     import graft.operators.TextAnalysisOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
