@@ -167,6 +167,17 @@ object ScaleProbe {
         docs.withColumn("label", col("doc_id") % 2 === 0),
         "doc_id", "text", "label", buckets = 512, iters = 2))
 
+    // q105: the grouping-sets Expand triples aggregate input rows —
+    // runtime must track the scan, not the expansion factor
+    time(s"corpusManifest x$n")(
+      TextAnalysisOps.corpusManifest(docs, "text", "lang", "source"))
+    // q106: two count shuffles + a vocabulary-sized join; vocabulary
+    // grows slowly with N (replica-salted tails), so ~scan-linear
+    time(s"corpusDrift x$n")(
+      TextAnalysisOps.corpusDrift(docs.select(col("text")),
+        docs.filter(col("doc_id") % 7 =!= 2).select(col("text")),
+        "text"))
+
     // q104: both balance modes — the exact md5-rank window (hot-source
     // partition carries that source's rows) vs the in-expectation
     // acceptance (shuffle-free after the tiny counts agg); the gap
