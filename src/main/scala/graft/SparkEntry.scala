@@ -904,6 +904,25 @@ object SparkEntry {
       SimilarityOps.embeddingDrift(av, bv, "v", dim = 64, k = 16)
     }),
 
+    // Semantic decontamination (q108): benchmark = every 25th vector,
+    // nudged +0.001 on dim 1 in the DOUBLE domain (cos ≈ 1 to its
+    // source) — each bench vector must find its train origin through
+    // the cross-corpus banded LSH at threshold 0.99.
+    "q108_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 500000).as("vec_id"),
+          transform(
+            graft.functions.VectorFunctions.toDouble(col("embedding")),
+            (x, i) => when(i === 0, x + lit(0.001)).otherwise(x))
+            .as("embedding"))
+      DedupOps.crossEmbeddingMatches(emb, bench, "vec_id", "embedding",
+        threshold = 0.99, dim = EmbDim,
+        tables = LshTables, bits = LshBits)
+        .select(col("id_t"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_t"), col("id_b"))
+    }),
+
     // Image dedup end-to-end: dHash pairs (q83) -> connected
     // components -> keep cluster-min — the full multimodal dedup
     // verdict, same ClusterOps machinery as text near-dups (q49).
@@ -1629,7 +1648,11 @@ object SparkEntry {
     * with the same left-to-right summation order (list_sum over
     * list_transform ≡ the aggregate/zip_with fold), so sign bits are
     * bit-identical across engines. */
-  private def lshBandsSql: String = {
+  private def lshBandsSql: String = lshBandsSqlFrom("v")
+
+  /** Same sign-band chain reading (id, v) from an arbitrary CTE —
+    * cross-corpus callers (q108) band two sources with one builder. */
+  private def lshBandsSqlFrom(src: String): String = {
     val planes = VectorFunctions.hyperplanes(LshTables, LshBits, EmbDim)
     (0 until LshTables).map { t =>
       val bitsExpr = (0 until LshBits).map { j =>
@@ -1637,7 +1660,7 @@ object SparkEntry {
           s"i -> v[i] * (${planeListSql(planes(t)(j))})[i])) >= 0 " +
           "THEN '1' ELSE '0' END)"
       }.mkString(" || ")
-      s"  SELECT id, $t AS t, $bitsExpr AS bucket FROM v"
+      s"  SELECT id, $t AS t, $bitsExpr AS bucket FROM $src"
     }.mkString("\n  UNION ALL\n")
   }
 
@@ -2897,6 +2920,48 @@ FROM fpr ORDER BY doc_id"""),
         |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
         |  (sum(wm) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Two banded sides from one builder; q40's cosine verification.
+    "q108_semantic_decontaminate" -> (
+      """WITH v AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |w AS (
+        |  SELECT id + 500000 AS id,
+        |    [CASE WHEN i = 1 THEN v[i] + 0.001 ELSE v[i] END
+        |     FOR i IN range(1, 65)] AS v
+        |  FROM (SELECT vec_id AS id,
+        |          list_transform(embedding, x -> x::DOUBLE) AS v
+        |        FROM embeddings WHERE vec_id % 25 = 0)),
+        |bandsT AS (
+        |""".stripMargin + lshBandsSqlFrom("v") +
+        """
+        |),
+        |bandsB AS (
+        |""".stripMargin + lshBandsSqlFrom("w") +
+        """
+        |),
+        |bt AS (SELECT id, t::VARCHAR || '#' || bucket AS band FROM bandsT),
+        |bb AS (SELECT id, t::VARCHAR || '#' || bucket AS band FROM bandsB),
+        |cap AS (SELECT band FROM bb GROUP BY band HAVING count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT bt.id AS id_t, bb.id AS id_b
+        |  FROM bt JOIN bb USING (band) JOIN cap USING (band)),
+        |j AS (
+        |  SELECT c.id_t, c.id_b,
+        |    list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i]))
+        |      AS dot,
+        |    sqrt(list_sum(list_transform(va.v, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(vb.v, x -> x * x))) AS nb
+        |  FROM cand c
+        |  JOIN v va ON va.id = c.id_t
+        |  JOIN w vb ON vb.id = c.id_b),
+        |cosed AS (
+        |  SELECT id_t, id_b, CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |    ELSE dot / (na * nb) END AS cos0
+        |  FROM j)
+        |SELECT id_t, id_b, round(cos0, 6) AS cos FROM cosed
+        |WHERE cos0 >= 0.99 ORDER BY id_t, id_b""".stripMargin),
 
     // Scaled-integer per-dim sums; one floored division per mean.
     "q107_embedding_drift" ->

@@ -296,6 +296,57 @@ object DedupOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cross-corpus semantic matches — fuzzy DECONTAMINATION in
+    * embedding space (the modern complement to shingle-based q52/q67:
+    * paraphrased or reformatted benchmark leakage that exact n-grams
+    * miss): for every train vector, the benchmark vectors within
+    * cosine ≥ threshold, found via the same banded random-hyperplane
+    * geometry as [[embeddingNearDups]] but ACROSS two frames.
+    *
+    * Scale shape (asymmetric by design — the benchmark side is small):
+    * both sides band with the native sign-band kernel (key-only rows);
+    * bench buckets aggregate to (band, ids) — capped at `maxBucket`
+    * with dropped buckets surfaced via the `lsh_cross_buckets`
+    * observe() metric — and broadcast into the train band stream, so
+    * the train corpus is never shuffled for candidates. Verification
+    * touches only candidate ids: train vectors semi-join down first,
+    * the pair join emits exact cosine via the codegen kernel. */
+  def crossEmbeddingMatches(train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double, dim: Int,
+                            tables: Int = 12, bits: Int = 16,
+                            maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val band = (df: DataFrame, out: String) =>
+      embeddingBands(df, idCol, vecCol, tables, bits, dim)
+        .select(concat(col("t").cast("string"), lit("#"), col("bucket"))
+          .as("band"), col("id").as(out))
+    val benchBuckets = band(bench, "id_b").groupBy(col("band"))
+      .agg(collect_list(col("id_b")).as("bids"))
+      .observe("lsh_cross_buckets",
+        count(when(size(col("bids")) > maxBucket, true))
+          .as("dropped_buckets"),
+        max(size(col("bids"))).as("max_bucket"))
+      .filter(size(col("bids")) <= maxBucket)
+    val cand = band(train, "id_t")
+      .join(broadcast(benchBuckets), Seq("band"))
+      .select(col("id_t"), explode(col("bids")).as("id_b"))
+      .distinct()
+      .cache() // session-lived, as in embeddingNearDups
+    val candT = cand.select(col("id_t").as("id")).distinct()
+    val vT = train.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .join(candT, Seq("id")).cache()
+    val vB = bench.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    cand
+      .join(vT.select(col("id").as("id_t"), col("v").as("v_t")), Seq("id_t"))
+      .join(broadcast(vB.select(col("id").as("id_b"), col("v").as("v_b"))),
+        Seq("id_b"))
+      .select(col("id_t"), col("id_b"),
+        graft.functions.VectorExpressions.cosine(col("v_t"), col("v_b"))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH pre-flight recall probe: for a banding geometry
     * (tables × bits), measure CANDIDATE RECALL — the fraction of true
     * ≥-threshold pairs that share at least one bucket — on a

@@ -1268,6 +1268,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.getLong(0) == 2L && top.getLong(3) == 500000L, top.toString)
   }
 
+  test("crossEmbeddingMatches: a perturbed bench vector finds its train " +
+      "origin across corpora; an unrelated direction stays silent") {
+    import graft.operators.DedupOps
+    val train = Seq(
+      (1L, Array(1.0, 0.02, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.03, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0, 0.04))).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array(0.99, 0.03, 0.0, 0.0)), // ~train 1
+      (11L, Array(0.0, 0.0, 0.0, 1.0)))   // near-orthogonal to all
+      .toDF("vec_id", "embedding")
+    val got = DedupOps.crossEmbeddingMatches(train, bench, "vec_id",
+      "embedding", threshold = 0.9, dim = 4, tables = 8, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 10L)), s"perturbed copy must match: $got")
+    assert(!got.exists(_._2 == 11L), s"orthogonal probe must not: $got")
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(

@@ -312,6 +312,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the 1-row totals may nested-loop in:\n$p")
   }
 
+  test("q108: cross-corpus banding via the native kernel; bench " +
+      "buckets broadcast — the train side never shuffles for candidates") {
+    val p = plan("q108_semantic_decontaminate")
+    assert(p.contains("sign_bands"), "native sign-band kernel missing")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench bucket table must broadcast into the train band stream")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the band join, never all-pairs:\n$p")
+  }
+
   test("q54: packing windows are bucket-partitioned, never global") {
     val p = plan("q54_sequence_pack")
     assert(p.contains("Window"), "packing needs its per-bucket window")
