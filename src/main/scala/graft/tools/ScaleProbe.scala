@@ -231,6 +231,22 @@ object ScaleProbe {
         "embedding", threshold = 0.9, dim = 64, tables = 8, bits = 12,
         sampleN = 400))
 
+    // q108: the bench side stays FIXED (replica-0 every 25th vector,
+    // perturbed) while the train corpus grows — candidate volume and
+    // runtime must track the bench matches, with zero train-side
+    // candidate shuffle at any N
+    time(s"crossEmbeddingMatches x$n corpus")(
+      graft.operators.DedupOps.crossEmbeddingMatches(
+        emb,
+        emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 10000000L)
+          .select((col("vec_id") + 90000000L).as("vec_id"),
+            transform(graft.functions.VectorFunctions
+              .toDouble(col("embedding")),
+              (x, i) => when(i === 0, x + lit(0.001)).otherwise(x))
+              .as("embedding")),
+        "vec_id", "embedding", threshold = 0.99, dim = 64,
+        tables = 8, bits = 12))
+
     // q80: SemDeDup's documented scale knob — cells grow WITH the
     // corpus (8 per replica) so cell populations stay constant and the
     // within-cell pairwise stays bounded; iters=2 keeps training short
