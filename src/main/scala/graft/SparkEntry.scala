@@ -923,6 +923,19 @@ object SparkEntry {
         .orderBy(col("id_t"), col("id_b"))
     }),
 
+    // Visual decontamination (q109): flipped re-renders of every 20th
+    // image as the "benchmark" — each must match its even-id source at
+    // hamming ≤ 2 and its group's odd-id renders at hamming 0, through
+    // the cross-corpus banded blocking.
+    "q109_image_decontaminate" -> ((s, dir) => {
+      MultimodalOps.crossDhashMatches(
+        MultimodalOps.imageDHash(dhashMedia(s, dir), "doc_id", "media"),
+        MultimodalOps.imageDHash(dhashBenchMedia(s, dir), "doc_id",
+          "media"),
+        "doc_id", maxDist = 2)
+        .orderBy(col("id_t"), col("id_b"))
+    }),
+
     // Image dedup end-to-end: dHash pairs (q83) -> connected
     // components -> keep cluster-min — the full multimodal dedup
     // verdict, same ClusterOps machinery as text near-dups (q49).
@@ -1429,6 +1442,23 @@ object SparkEntry {
       }
       (id, bytes)
     }.toDF("doc_id", "media")
+  }
+
+  /** q109 benchmark side: every 20th doc's image re-rendered with the
+    * (4,3) flip applied unconditionally (the odd-id convention) — a
+    * "lightly edited" leak, ≤ 2 gradient bits from its even source and
+    * pixel-identical to the group's odd-id renders. */
+  private def dhashBenchMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter(_ % 20 == 0).map { id =>
+        val g = (id / 2 % 25).toInt
+        val bytes = ImageCodecs.pngBytesWithPixels(9, 8, 0, 0) { (x, y, _) =>
+          val v = ((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7) % 256
+          if (x == 4 && y == 3) (v + 128) % 256 else v
+        }
+        (id + 70000, bytes)
+      }.toDF("doc_id", "media")
   }
 
   private def embWithDups(s: SparkSession, dir: String): DataFrame = {
@@ -2920,6 +2950,43 @@ FROM fpr ORDER BY doc_id"""),
         |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
         |  (sum(wm) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Train hashes from the shared CTE builder; bench chain re-derives
+    // the always-flipped renders. Oracle is all-pairs ground truth —
+    // equal to the banded result because maxDist ≤ 3 recall is exact.
+    "q109_image_decontaminate" -> (
+      s"""WITH $dhashHashCtesSql,
+bpx AS (
+  SELECT d.doc_id + 70000 AS doc_id, (d.doc_id // 2) % 25 AS g, x.x, y.y
+  FROM documents d, generate_series(0, 8) x(x), generate_series(0, 7) y(y)
+  WHERE d.doc_id % 20 = 0),
+bpv AS (
+  SELECT doc_id, x, y,
+    CASE WHEN x = 4 AND y = 3
+      THEN (((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7) % 256
+            + 128) % 256
+      ELSE ((g + 1) * (x + 2) * (y + 3) + g * x * x + y * 7) % 256
+    END AS p
+  FROM bpx),
+bbits AS (
+  SELECT a.doc_id, (a.y * 8 + a.x)::BIGINT AS j,
+    (CASE WHEN b.p > a.p THEN 1 ELSE 0 END)::BIGINT AS bit
+  FROM bpv a JOIN bpv b
+    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8),
+bhashes AS (
+  SELECT doc_id,
+    sum(CASE WHEN j >= 32 THEN bit << (j - 32) ELSE 0 END)::BIGINT
+      AS dhash_hi,
+    sum(CASE WHEN j < 32 THEN bit << j ELSE 0 END)::BIGINT AS dhash_lo
+  FROM bbits GROUP BY doc_id)
+SELECT h.doc_id AS id_t, b.doc_id AS id_b,
+  (bit_count(xor(h.dhash_hi, b.dhash_hi)) +
+   bit_count(xor(h.dhash_lo, b.dhash_lo)))::BIGINT AS hamming
+FROM hashes h JOIN bhashes b ON
+  (bit_count(xor(h.dhash_hi, b.dhash_hi)) +
+   bit_count(xor(h.dhash_lo, b.dhash_lo))) <= 2
+ORDER BY id_t, id_b""".stripMargin),
 
     // Two banded sides from one builder; q40's cosine verification.
     "q108_semantic_decontaminate" -> (

@@ -261,6 +261,43 @@ object MultimodalOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Cross-corpus image matches — visual DECONTAMINATION (benchmark
+    * images leaked into training data, re-encoded or lightly edited):
+    * train dHashes against a small benchmark set, same 4×16-bit banded
+    * hamming blocking as [[dhashNearDups]] (exact recall for
+    * maxDist ≤ 3 by pigeonhole) but ACROSS frames. Inputs are
+    * [[imageDHash]] outputs for each side.
+    *
+    * Scale shape: the benchmark band table (4 rows per bench image) is
+    * tiny and broadcasts — the train side is a banding projection with
+    * NO shuffle for candidates; only matched pairs reach the distinct.
+    * The modality twin of the q108 embedding decontamination. */
+  def crossDhashMatches(train: DataFrame, bench: DataFrame,
+                        idCol: String, maxDist: Int = 2): DataFrame = {
+    require(maxDist <= 3, "banded blocking guarantees recall only for d <= 3")
+    def banded(h: DataFrame, suffix: String) =
+      h.filter(col("decoded"))
+        .select(col(idCol).as("id" + suffix),
+          col("dhash_hi").as("hi" + suffix),
+          col("dhash_lo").as("lo" + suffix))
+        .select(col("id" + suffix), col("hi" + suffix), col("lo" + suffix),
+          explode(array(
+            concat_ws(":", lit(0),
+              col("lo" + suffix).bitwiseAND(lit(65535L))),
+            concat_ws(":", lit(1), shiftright(col("lo" + suffix), 16)),
+            concat_ws(":", lit(2),
+              col("hi" + suffix).bitwiseAND(lit(65535L))),
+            concat_ws(":", lit(3), shiftright(col("hi" + suffix), 16))))
+            .as("band"))
+    banded(train, "_t").join(broadcast(banded(bench, "_b")), Seq("band"))
+      .select(col("id_t"), col("id_b"),
+        (bit_count(col("hi_t").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_t").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Audio fingerprint over REAL decoded PCM — the dHash idea in the
     * time domain: mono-mix each frame (integer channel sum), split the
     * track into `windows` equal spans, take exact integer energy sums

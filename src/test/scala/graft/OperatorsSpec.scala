@@ -1286,6 +1286,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 11L), s"orthogonal probe must not: $got")
   }
 
+  test("crossDhashMatches: a re-encoded near-copy matches its train " +
+      "origin across corpora; a different pattern stays silent") {
+    import graft.operators.{ImageCodecs, MultimodalOps}
+    def png(seed: Int, tweak: Boolean) =
+      ImageCodecs.pngBytesWithPixels(9, 8, 0, 0) { (x, y, _) =>
+        val v = (seed * (x + 2) * (y + 3) + x * x * 7 + y * 11) % 256
+        if (tweak && x == 2 && y == 5) (v + 128) % 256 else v
+      }
+    val train = Seq((1L, png(3, tweak = false)), (2L, png(40, tweak = false)))
+      .toDF("doc_id", "media")
+    val bench = Seq((10L, png(3, tweak = true))).toDF("doc_id", "media")
+    val got = MultimodalOps.crossDhashMatches(
+      MultimodalOps.imageDHash(train, "doc_id", "media"),
+      MultimodalOps.imageDHash(bench, "doc_id", "media"),
+      "doc_id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)), s"only the tweaked origin matches: $got")
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(

@@ -322,6 +322,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidates must come from the band join, never all-pairs:\n$p")
   }
 
+  test("q109: bench dHash bands broadcast into the train band stream; " +
+      "pairing stays banded, never cartesian") {
+    val p = plan("q109_image_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench band table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"cross matching must stay a banded broadcast join:\n$p")
+  }
+
   test("q54: packing windows are bucket-partitioned, never global") {
     val p = plan("q54_sequence_pack")
     assert(p.contains("Window"), "packing needs its per-bucket window")
