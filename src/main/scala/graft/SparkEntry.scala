@@ -936,6 +936,33 @@ object SparkEntry {
         .orderBy(col("id_t"), col("id_b"))
     }),
 
+    // Audio decontamination (q110): five benchmark clips re-rendered
+    // from the q94 closed form (same PCM, fresh ids ≅ container
+    // rewrite) — each must match its g-group's five train copies.
+    "q110_audio_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id % 100
+          val n = (g % 200 + 40).toInt
+          val ch = (g % 2 + 1).toInt
+          val bytes = AudioCodecs.wavBytes(n, ch, 16000, 16)((f, c) =>
+            (((g * 13 + f * 7 + c * 101) % 256) - 128).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      val bench = Seq(0L, 20L, 40L, 60L, 80L).map { g =>
+        val n = (g % 200 + 40).toInt
+        val ch = (g % 2 + 1).toInt
+        (90000L + g, AudioCodecs.wavBytes(n, ch, 16000, 16)((f, c) =>
+          (((g * 13 + f * 7 + c * 101) % 256) - 128).toInt))
+      }.toDF("doc_id", "media")
+      MultimodalOps.crossAudioMatches(
+        MultimodalOps.audioFingerprint(media, "doc_id", "media"),
+        MultimodalOps.audioFingerprint(bench, "doc_id", "media"),
+        "doc_id")
+        .orderBy(col("id_t"), col("id_b"))
+    }),
+
     // Image dedup end-to-end: dHash pairs (q83) -> connected
     // components -> keep cluster-min — the full multimodal dedup
     // verdict, same ClusterOps machinery as text near-dups (q49).
@@ -2950,6 +2977,50 @@ FROM fpr ORDER BY doc_id"""),
         |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
         |  (sum(wm) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Train fingerprints from the shared builder; bench chain
+    // re-derives the five clips from a VALUES list of g.
+    "q110_audio_decontaminate" -> (
+      s"""WITH ${audioFpCtesSql("(d.doc_id % 100)")},
+bfr AS (
+  SELECT 90000 + t.g AS doc_id, (t.g % 200 + 40)::BIGINT AS n,
+    (t.g % 2 + 1)::BIGINT AS ch, f.f, t.g AS g
+  FROM (VALUES (0), (20), (40), (60), (80)) t(g),
+    generate_series(0, 239) f(f)
+  WHERE f.f < t.g % 200 + 40),
+bmono AS (
+  SELECT doc_id, n, f,
+    CASE WHEN ch = 1
+      THEN ((g * 13 + f * 7) % 256) - 128
+      ELSE (((g * 13 + f * 7) % 256) - 128)
+         + (((g * 13 + f * 7 + 101) % 256) - 128)
+    END AS m
+  FROM bfr),
+btot AS (
+  SELECT doc_id, any_value(n) AS n, sum(m * m)::BIGINT AS energy
+  FROM bmono GROUP BY doc_id),
+bwe AS (
+  SELECT bmono.doc_id, w.w, sum(m * m)::BIGINT AS e
+  FROM bmono, generate_series(0, 15) w(w)
+  WHERE f >= (w.w * n) // 16
+    AND f < greatest(((w.w + 1) * n) // 16, (w.w * n) // 16 + 1)
+  GROUP BY bmono.doc_id, w.w),
+bfp AS (
+  SELECT a.doc_id,
+    sum(CASE WHEN b.e > a.e THEN 1 << a.w ELSE 0 END)::BIGINT AS fp
+  FROM bwe a JOIN bwe b
+    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+  GROUP BY a.doc_id),
+tr AS (
+  SELECT tot.doc_id, tot.n, tot.energy, fp.fp
+  FROM tot JOIN fp USING (doc_id)),
+br AS (
+  SELECT btot.doc_id, btot.n, btot.energy, bfp.fp
+  FROM btot JOIN bfp USING (doc_id))
+SELECT tr.doc_id AS id_t, br.doc_id AS id_b, tr.fp
+FROM tr JOIN br
+  ON tr.n = br.n AND tr.fp = br.fp AND tr.energy = br.energy
+ORDER BY id_t, id_b""".stripMargin),
 
     // Train hashes from the shared CTE builder; bench chain re-derives
     // the always-flipped renders. Oracle is all-pairs ground truth —

@@ -378,6 +378,24 @@ object MultimodalOps {
         (col("__rn") === 1).as("keep"))
   }
 
+  /** Cross-corpus audio matches — the audio leg of decontamination
+    * (benchmark clips leaked into training audio): exact equality on
+    * the [[audioFingerprint]] triple (frames, energy-gradient bits,
+    * total energy), which survives container rewrites and metadata
+    * edits of the same PCM. Bench triples broadcast; the train side is
+    * decode + projection with no candidate shuffle — the same
+    * asymmetric shape as the q108/q109 embedding/image legs. */
+  def crossAudioMatches(train: DataFrame, bench: DataFrame,
+                        idCol: String): DataFrame =
+    train.filter(col("decoded"))
+      .select(col(idCol).as("id_t"), col("n_frames"), col("fp"),
+        col("energy"))
+      .join(broadcast(bench.filter(col("decoded"))
+          .select(col(idCol).as("id_b"), col("n_frames"), col("fp"),
+            col("energy"))),
+        Seq("n_frames", "fp", "energy"))
+      .select(col("id_t"), col("id_b"), col("fp"))
+
   /** REAL audio statistics over a WAV binary column: decode RIFF/PCM
     * ([[AudioCodecs.parseWav]]) and emit typed metadata (channels,
     * rate, frames, duration) plus exact per-channel signed-sample sums

@@ -1305,6 +1305,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L)), s"only the tweaked origin matches: $got")
   }
 
+  test("crossAudioMatches: an identical-PCM re-render matches its train " +
+      "origin; a different clip stays silent") {
+    import graft.operators.{AudioCodecs, MultimodalOps}
+    def wav(seed: Int) = AudioCodecs.wavBytes(60, 1, 16000, 16)((f, _) =>
+      (((seed * 13 + f * 7) % 256) - 128).toInt)
+    val train = Seq((1L, wav(5)), (2L, wav(9))).toDF("doc_id", "media")
+    val bench = Seq((10L, wav(5))).toDF("doc_id", "media")
+    val got = MultimodalOps.crossAudioMatches(
+      MultimodalOps.audioFingerprint(train, "doc_id", "media"),
+      MultimodalOps.audioFingerprint(bench, "doc_id", "media"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)), s"only the re-render's origin: $got")
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
