@@ -1319,6 +1319,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L)), s"only the re-render's origin: $got")
   }
 
+  test("weightedSample: agrees with a reference implementation of the " +
+      "integer predicate for 3000 per-row weights") {
+    import graft.operators.SamplingOps
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("w", col("id") % 1001)
+    val got = SamplingOps.weightedSample(df, col("id").cast("string"),
+      col("w")).collect().map(_.getLong(0)).toSet
+    def u32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    }
+    val expect = (0L until 3000L).filter(id =>
+      u32(id.toString) * 1000L < (id % 1001) * 4294967296L).toSet
+    assert(got == expect,
+      s"diff: ${(got diff expect) ++ (expect diff got)}")
+  }
+
+  test("mixtureBalance: per-source output counts equal the integer " +
+      "quota formula across varied target mixes") {
+    import graft.operators.SamplingOps
+    val counts = Map("a" -> 137L, "b" -> 61L, "c" -> 29L)
+    val docs = counts.toSeq.zipWithIndex.flatMap { case ((s, n), k) =>
+      (0L until n).map(i => (k * 1000L + i, s))
+    }.toDF("doc_id", "source")
+    val mixes = Seq(
+      Map("a" -> 600L, "b" -> 250L, "c" -> 150L),
+      Map("a" -> 334L, "b" -> 333L, "c" -> 333L),
+      Map("a" -> 900L, "c" -> 100L))
+    mixes.foreach { targets =>
+      val t = targets.map { case (s, tm) => counts(s) * 1000L / tm }.min
+      val quotas = targets.map { case (s, tm) => s -> t * tm / 1000L }
+        .filter(_._2 > 0L)
+      val got = SamplingOps.mixtureBalance(docs, "source",
+        col("doc_id").cast("string"), targets)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == quotas, s"targets $targets: got $got, want $quotas")
+    }
+  }
+
+  test("embeddingDrift: swapping the corpora negates every delta") {
+    import graft.operators.SimilarityOps
+    val a = Seq(Array(0.3, -0.7, 0.11), Array(-0.2, 0.45, 0.6))
+      .map(Tuple1(_)).toDF("v")
+    val b = Seq(Array(0.9, 0.1, -0.33), Array(0.05, -0.5, 0.21))
+      .map(Tuple1(_)).toDF("v")
+    def deltas(x: org.apache.spark.sql.DataFrame,
+               y: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.embeddingDrift(x, y, "v", dim = 3, k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ab = deltas(a, b)
+    val ba = deltas(b, a)
+    assert(ab.keySet == ba.keySet &&
+      ab.forall { case (i, d) => ba(i) == -d }, s"$ab vs $ba")
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
