@@ -408,6 +408,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Quality-aware keepers (q111): same clusters as q49, but the
+    // representative is the longest member (ties → lowest id) — the
+    // keeper rule that drops truncated mirrors instead of sometimes
+    // keeping them.
+    "q111_quality_keepers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps
+        .minhashCandidates(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"))
+      ClusterOps.qualityKeepers(pairs, "id_a", "id_b",
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens")
+        .orderBy(col("id"))
+    }),
+
     // SimHash 16-bit signatures.
     "q33_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2323,6 +2340,31 @@ object SparkEntry {
         |  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b)
         |SELECT id, min(r) AS rep, (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY id""".stripMargin),
+
+    // q49's reach + per-cluster argmax on token count.
+    "q111_quality_keepers" ->
+      ("WITH RECURSIVE " + minhashCtesSql + """,
+        |pairs AS (
+        |  SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+        |und AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b),
+        |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |ql AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |rk AS (
+        |  SELECT c.id, c.cluster, q.n_tokens,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |      ORDER BY q.n_tokens DESC, c.id ASC) AS rk
+        |  FROM comp c JOIN ql q ON q.doc_id = c.id)
+        |SELECT id, cluster, n_tokens, (rk = 1) AS keep
+        |FROM rk ORDER BY id""".stripMargin),
 
     "q40_embed_neardup" -> (
       """WITH base AS (

@@ -150,4 +150,28 @@ object ClusterOps {
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     connectedComponents(pairs, aCol, bCol)
       .withColumn("keep", col("id") === col("rep"))
+
+  /** Quality-aware cluster representatives: among each near-dup
+    * cluster's members keep the one MAXIMIZING `qCol` (ties → lowest
+    * id) instead of [[dedupClusters]]' arbitrary min-id — the keeper
+    * rule production dedup actually wants (drop the truncated mirror,
+    * keep the full article; drop the low-score scrape, keep the clean
+    * copy).
+    *
+    * Scale shape: [[connectedComponents]]' cost plus one quality join
+    * and one rank window partitioned by cluster — clusters are
+    * near-dup groups (small by construction; a pathological mega-
+    * cluster means the LSH threshold is wrong, which the recall probe
+    * q60 flags first). */
+  def qualityKeepers(pairs: DataFrame, aCol: String, bCol: String,
+                     quality: DataFrame, idCol: String,
+                     qCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(qCol).desc, col("id").asc)
+    connectedComponents(pairs, aCol, bCol)
+      .select(col("id"), col("rep").as("cluster"))
+      .join(quality.select(col(idCol).as("id"), col(qCol)), Seq("id"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
 }

@@ -1377,6 +1377,20 @@ class OperatorsSpec extends AnyFunSuite {
       ab.forall { case (i, d) => ba(i) == -d }, s"$ab vs $ba")
   }
 
+  test("qualityKeepers: the highest-quality cluster member wins, not " +
+      "the min id; ties break low") {
+    import graft.operators.ClusterOps
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq((1L, 5L), (2L, 50L), (3L, 7L), (10L, 9L), (11L, 9L))
+      .toDF("doc_id", "n_tokens")
+    val keepers = ClusterOps.qualityKeepers(pairs, "id_a", "id_b",
+      quality, "doc_id", "n_tokens")
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3}: id 2 has the top quality (min-id rule would
+    // keep 1); cluster {10,11}: quality tie -> lowest id 10
+    assert(keepers == Set(2L, 10L), keepers.toString)
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
