@@ -425,6 +425,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Contamination excision (q112): a 6-token benchmark phrase is
+    // appended to every 7th doc — excision must cut exactly the
+    // phrase span (junction shingles mixing original tokens are not
+    // in the bench set) and leave every other doc untouched.
+    "q112_decontaminate_excise" -> ((s, dir) => {
+      import s.implicits._
+      val phrase = "leak phrase alpha beta gamma delta"
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" " + phrase)))
+            .otherwise(col("text")).as("text"))
+      TextAnalysisOps.decontaminateExcise(injected,
+        Seq(phrase).toDF("text"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash 16-bit signatures.
     "q33_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2340,6 +2357,60 @@ object SparkEntry {
         |  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b)
         |SELECT id, min(r) AS rep, (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY id""".stripMargin),
+
+    // Span-cover join instead of a correlated EXISTS; same
+    // short-doc whole-text shingle quirk as the minhash CTEs.
+    "q112_decontaminate_excise" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 1
+        |    THEN text || ' leak phrase alpha beta gamma delta'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |bt AS (
+        |  SELECT string_split('leak phrase alpha beta gamma delta', ' ')
+        |    AS t),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ')
+        |       FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END) AS shingle
+        |  FROM bt),
+        |tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM inj),
+        |wd AS (
+        |  SELECT doc_id, len(t)::BIGINT AS nt,
+        |    CASE WHEN len(t) >= 3 THEN 3
+        |         ELSE greatest(len(t), 1) END AS w
+        |  FROM tt),
+        |shx AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      [{'p': i - 1, 'sh': array_to_string(t[i:i + 2], ' ')}
+        |       FOR i IN range(1, len(t) - 1)]
+        |    ELSE [{'p': 0, 'sh': array_to_string(t, ' ')}] END) AS u
+        |  FROM tt),
+        |ms AS (
+        |  SELECT doc_id, u.p AS pos FROM shx
+        |  WHERE u.sh IN (SELECT shingle FROM bsh)),
+        |kx AS (
+        |  SELECT doc_id,
+        |    unnest([{'j': i - 1, 'tok': t[i]}
+        |            FOR i IN range(1, len(t) + 1)]) AS u
+        |  FROM tt),
+        |k AS (SELECT doc_id, u.j AS j, u.tok AS tok FROM kx),
+        |cov AS (
+        |  SELECT DISTINCT k.doc_id, k.j
+        |  FROM k JOIN ms ON ms.doc_id = k.doc_id
+        |  JOIN wd ON wd.doc_id = k.doc_id
+        |  WHERE ms.pos <= k.j AND k.j < ms.pos + wd.w),
+        |fl AS (
+        |  SELECT k.doc_id, k.j, k.tok, (cov.j IS NOT NULL) AS cut
+        |  FROM k LEFT JOIN cov ON cov.doc_id = k.doc_id AND cov.j = k.j)
+        |SELECT f.doc_id, any_value(w.nt) AS n_tokens,
+        |  sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  substr(md5(coalesce(array_to_string(
+        |    list(tok ORDER BY j) FILTER (WHERE NOT cut), ' '), '')),
+        |    1, 16) AS clean_sig
+        |FROM fl f JOIN wd w USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // q49's reach + per-cluster argmax on token count.
     "q111_quality_keepers" ->

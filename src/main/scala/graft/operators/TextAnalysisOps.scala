@@ -235,6 +235,53 @@ object TextAnalysisOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Contamination EXCISION — from flag to repair (the Lee et al.
+    * exact-substring practice): instead of dropping a contaminated
+    * document wholesale ([[decontaminate]]'s verdict), cut exactly the
+    * tokens covered by benchmark-matching n-gram spans and keep the
+    * rest. A doc with one quoted test question loses that span, not
+    * its other thousand tokens.
+    *
+    * Matching mirrors [[decontaminate]]: word shingles, docs shorter
+    * than `n` contribute their whole text as one shingle (and lose
+    * everything when it matches). A token is cut iff SOME matching
+    * shingle's [start, start+n) window covers it — overlapping matches
+    * merge naturally.
+    *
+    * Scale shape: bench shingles broadcast (as q52); matched START
+    * POSITIONS aggregate per doc (the list is matches-sized, tiny for
+    * sane corpora) and join back to the packed token array, where the
+    * cut is a pure array expression — the text crosses exactly one
+    * exchange, inside that join. */
+  def decontaminateExcise(train: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val benchSh = bench
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("shingle"))
+      .distinct()
+    val toks = train.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val starts = toks
+      .select(col(idCol),
+        posexplode(wordShingles(col("__t"), n)).as(Seq("pos", "shingle")))
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__starts"))
+    // span width: a shingle from a doc shorter than n covers the whole
+    // doc, so its window is the token count, not n
+    val width = greatest(least(lit(n), size(col("__t"))), lit(1))
+    val kept = filter(col("__t"), (_, i) =>
+      !exists(col("__starts"), s => s <= i && i < s + width))
+    toks.join(starts, Seq(idCol), "left_outer")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(kept)).cast("long").as("n_removed"),
+        substring(md5(array_join(kept, " ")), 1, 16).as("clean_sig"))
+  }
+
   /** Graded contamination: per train document, the FRACTION of its
     * distinct word n-gram shingles present in the benchmark set — the
     * GPT-3-style overlap percentage that separates a stray quoted

@@ -1391,6 +1391,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keepers == Set(2L, 10L), keepers.toString)
   }
 
+  test("decontaminateExcise: cuts exactly the matching spans (merged " +
+      "when overlapping), spares clean docs, empties verbatim copies") {
+    import graft.operators.TextAnalysisOps
+    val bench = Seq("a b c d").toDF("text") // shingles: "a b c", "b c d"
+    val train = Seq(
+      (1L, "x y a b c d z"), // starts 2,3 -> tokens 2..5 cut, "x y z" kept
+      (2L, "x y z"),         // untouched
+      (3L, "a b c")          // whole doc is a matching shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.decontaminateExcise(train, bench,
+      "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def sig(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(got.toSeq == Seq(
+      (1L, 7L, 4L, sig("x y z")),
+      (2L, 3L, 0L, sig("x y z")),
+      (3L, 3L, 3L, sig(""))), got.mkString(","))
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
