@@ -309,7 +309,19 @@ object MultimodalOps {
     * All integer-domain (sample sums, squared-sample energies), so the
     * fingerprint is bit-deterministic and oracle-checkable from a
     * closed-form fixture. Same scale shape as [[audioStats]]: decode
-    * dies in the scan task; (id, flag, three BIGINTs) flow on. */
+    * dies in the scan task; (id, flag, three BIGINTs) flow on.
+    *
+    * Overflow bound: with 16-bit PCM and c channels the mono sum is
+    * |m| ≤ c·32768, so each frame adds ≤ c²·2^30 to the Long energy
+    * accumulator — wraparound needs ≥ 2^33/c² full-scale frames
+    * (c=2: ~2.1e9 frames ≈ 12 hours at 48 kHz of constant clipping;
+    * real program material is 20–30 dB below that, pushing the bound
+    * to weeks). Past it the wrap is DETERMINISTIC (Long ring), so
+    * dedup equality/self-consistency still holds; only a downstream
+    * reading of `energy` as an absolute loudness could mislead, and
+    * per-window span sums wrap at the same bound. Tracks beyond that
+    * length should be chunked upstream (they exceed WAV's 4 GiB
+    * container limit anyway, so the codec can't produce them). */
   def audioFingerprint(media: DataFrame, idCol: String, binCol: String,
                        windows: Int = 16,
                        batchSize: Int = 64): DataFrame = {

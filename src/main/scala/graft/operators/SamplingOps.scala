@@ -206,10 +206,13 @@ object SamplingOps {
     * window partitioned by source, so a hot source's rows land in one
     * window partition (fine to ~10^8 rows/source; the buffer is
     * Spark's spillable window). At 100 TB set `exact = false`:
-    * in-expectation quotas by integer cross-multiplied acceptance
-    * (u32·n_s < quota_s·2^32) — pure projection after the tiny counts
-    * agg, no source-keyed shuffle, mix exact in expectation with √n
-    * deviation per source. */
+    * in-expectation quotas by a per-source 64-bit acceptance
+    * threshold ceil(quota_s·2^32 / n_s) — precomputed in DECIMAL in
+    * the source-sized quotas frame (so n_s or quota_s beyond 2^31
+    * can't overflow the product, which a row-side u32·n_s
+    * cross-multiply silently would), then a pure u32 < threshold
+    * projection: no source-keyed shuffle, mix exact in expectation
+    * with √n deviation per source. */
   def mixtureBalance(df: DataFrame, sourceCol: String, key: Column,
                      targetsMilli: Map[String, Long],
                      exact: Boolean = true): DataFrame = {
@@ -233,18 +236,25 @@ object SamplingOps {
     val quotas = counts.crossJoin(broadcast(tTotal))
       .select(col("__src"), col("__n"),
         expr("__total * __t DIV 1000").as("__q"))
+      // acceptance threshold for the inexact path, computed here where
+      // rows are source-count-sized: u32 < ceil(q*2^32/n) is exactly
+      // u32*n < q*2^32 for integer u32, but the product lives in
+      // DECIMAL(38,0) so counts past 2^31 can't wrap Long.
+      .withColumn("__thr", expr(
+        """CASE WHEN __n = 0 THEN 0L ELSE
+          |CAST((CAST(__q AS DECIMAL(38,0)) * 4294967296 + __n - 1)
+          |     DIV __n AS BIGINT) END""".stripMargin))
     val joined = df.join(broadcast(quotas), col(sourceCol) === col("__src"))
     if (exact) {
       val w = Window.partitionBy(col(sourceCol))
         .orderBy(substring(md5(key), 1, 8), key)
       joined.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= col("__q"))
-        .drop("__src", "__t", "__n", "__q", "__rk")
+        .drop("__src", "__t", "__n", "__q", "__thr", "__rk")
     } else {
       joined.filter(
-        conv(substring(md5(key), 1, 8), 16, 10).cast("long") * col("__n") <
-          col("__q") * 4294967296L)
-        .drop("__src", "__t", "__n", "__q")
+        conv(substring(md5(key), 1, 8), 16, 10).cast("long") < col("__thr"))
+        .drop("__src", "__t", "__n", "__q", "__thr")
     }
   }
 

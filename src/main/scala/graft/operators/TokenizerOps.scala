@@ -39,7 +39,8 @@ object TokenizerOps {
     * table (rank, left, right, freq) — `freq` is the pair's weighted
     * count at adoption time. */
   def bpeTrain(docs: DataFrame, textCol: String,
-               merges: Int): DataFrame = {
+               merges: Int, checkpointEvery: Int = 50): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -50,6 +51,13 @@ object TokenizerOps {
       .cache()
     val out = new scala.collection.mutable.ArrayBuffer[Row]
     var cur = words
+    // the frame currently pinned in the cache; rewrites chain literal
+    // `replace` projections onto it, so every CHECKPOINT_EVERY merges
+    // the rewritten histogram is materialized into a fresh cache and
+    // the predecessor released — keeping per-iteration lineage (and
+    // work) constant instead of re-running all k-1 prior rewrites at
+    // iteration k (O(merges^2) total at real vocab sizes of ~30k)
+    var pinned = words
     for (rank <- 1 to merges) {
       val a = split(trim(col("sym")), " ")
       val top = cur
@@ -68,8 +76,14 @@ object TokenizerOps {
       cur = cur.select(
         replace(col("sym"), lit(s" $l $r "), lit(s" $l$r ")).as("sym"),
         col("cnt"))
+      if (rank % checkpointEvery == 0 && rank < merges) {
+        cur = cur.cache()
+        cur.count() // eager: materialize before dropping the predecessor
+        pinned.unpersist()
+        pinned = cur
+      }
     }
-    words.unpersist()
+    pinned.unpersist()
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(out.asJava, StructType(Seq(
       StructField("rank", LongType, nullable = false),

@@ -1,0 +1,23 @@
+package org.apache.spark
+
+/** Deterministic listener-queue drain for graft's measurement tools.
+  *
+  * `SparkContext.listenerBus` and `LiveListenerBus.waitUntilEmpty` are
+  * `private[spark]`, so the one call graft needs — "block until every
+  * queued listener event has been delivered" — lives in this shim
+  * compiled into the `org.apache.spark` package (the conventional
+  * access pattern for test-only Spark internals; no Spark classes are
+  * modified or shadowed). Used by graft.tools.ScaleProbe so
+  * shuffle-byte accounting reads the counter only after the async
+  * AsyncEventQueue has delivered all stage-completed events, instead
+  * of hoping a fixed sleep was long enough on a loaded host.
+  */
+object GraftListenerDrain {
+
+  /** Wait until the listener bus is empty; returns false if the queue
+    * failed to drain within `timeoutMillis` (measurement should then
+    * be treated as possibly incomplete, not silently trusted). */
+  def drain(sc: SparkContext, timeoutMillis: Long): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMillis); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
+}

@@ -47,10 +47,14 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; settle before reading
-      Thread.sleep(200)
+      // listener events drain asynchronously; block until the bus is
+      // actually empty (a fixed sleep under-/over-counts on a loaded
+      // host), and say so if it never drained
+      val drained = org.apache.spark.GraftListenerDrain
+        .drain(spark.sparkContext, 10000L)
+      val tag = if (drained) "" else " (listener drain TIMED OUT)"
       println(f"[probe] $label: $sec%.2f s, " +
-        f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB")
+        f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB$tag")
     }
     def replicate(df: DataFrame, idCol: String): DataFrame =
       (0 until n).map { r =>

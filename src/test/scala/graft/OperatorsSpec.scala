@@ -761,6 +761,18 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, "aaaa")).toDF("doc_id", "text"), "doc_id", "text",
       Seq(("a", "a")))
     assert(quirk.collect()(0).getString(2) == "aa a a")
+    // the periodic re-materialization (lineage checkpoint every
+    // `checkpointEvery` merges, the real-vocab-size path) must not
+    // change the learned table: train 5 merges with a checkpoint
+    // every 2 and compare to the straight-lineage run
+    val corpus = Seq((1L, "the cat sat on the mat the cat"),
+      (2L, "a cat and a hat and a mat")).toDF("doc_id", "text")
+    val straight = TokenizerOps.bpeTrain(corpus, "text", merges = 5)
+      .orderBy("rank").collect().toSeq
+    val ckpt = TokenizerOps.bpeTrain(corpus, "text", merges = 5,
+      checkpointEvery = 2).orderBy("rank").collect().toSeq
+    assert(ckpt == straight,
+      s"checkpointed training diverged: $ckpt vs $straight")
   }
 
   test("chunkDocs: windows cover every token, overlap is exact, the " +
