@@ -86,10 +86,32 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Short self-defending summary LAST: the full per-query line above can
-    // outgrow the driver's tail-capture window (BENCH_r04 lost its head and
-    // parsed as null); the final bytes of output must always be valid JSON.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The full per-query map also goes to a FILE (one pretty-ish line per
+    // query so diffs read): the stdout line above can outgrow the driver's
+    // tail-capture window (BENCH_r05 kept only 56 of 105 per-query times),
+    // and the committed file is the durable per-query history.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try {
+      val header = s"""{
+  "metric": "total",
+  "value": $total,
+  "unit": "sec",
+  "sf": "$sfDir",
+  "n": ${results.size},
+  "queries": {
+"""
+      val body = results.map { case (k, v) => s"""    "$k": $v""" }
+        .mkString(",\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (header + body + "\n  }\n}\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    // Short self-defending summary LAST: the final bytes of output must
+    // always be valid JSON even if everything above scrolled away.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
