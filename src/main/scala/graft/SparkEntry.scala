@@ -1455,6 +1455,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Progressive (SOF2) JPEG decode end-to-end: even ids carry REAL
+    // progressive streams (DC-first at Al=1 precision, DC refinement,
+    // per-component AC scans as EOB runs, restart markers on ids
+    // divisible by 4), odd ids baseline streams with restart
+    // intervals 1..3 — both decode to the same dc+128 closed form as
+    // q74, and decode_mode makes the path observable per row.
+    "q113_jpeg_progressive" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 * (id % 3 + 1)).toInt
+          val h = (8 * (id % 2 + 1)).toInt
+          val nc = if (id % 2 == 0) 3 else 1
+          def dcf(b: Int, c: Int): Int =
+            (((id * 3 + b * 7 + c * 13) % 200) - 100).toInt
+          val bytes =
+            if (id % 2 == 0)
+              graft.operators.JpegCodec.encodeProgressiveDcOnly(w, h, nc,
+                restartEvery = if (id % 4 == 0) 2 else 0)(dcf)
+            else
+              graft.operators.JpegCodec.encodeDcOnly(w, h, nc,
+                restartEvery = (id % 3 + 1).toInt)(dcf)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.imagePixelStats(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL audio decode end-to-end: RIFF/PCM WAVs synthesized from a
     // closed-form sample generator (mono/stereo, 8/16-bit, three
     // sample rates), decoded back to exact per-channel sums; the
@@ -2072,7 +2100,8 @@ object SparkEntry {
         |    sum((doc_id * 7 + x * 5 + y * 3 + 22) % 256)::BIGINT AS s2,
         |    sum((doc_id * 7 + x * 5 + y * 3 + 33) % 256)::BIGINT AS s3
         |  FROM px GROUP BY doc_id)
-        |SELECT doc_id, true AS decoded, w AS width, h AS height,
+        |SELECT doc_id, true AS decoded, 'png' AS decode_mode,
+        |  w AS width, h AS height,
         |  ch AS channels, (w * h)::BIGINT AS n_pixels,
         |  s0 AS c0_sum,
         |  CASE WHEN ch > 1 THEN s1 END AS c1_sum,
@@ -2098,7 +2127,8 @@ object SparkEntry {
         |    sum((i * 29 + 24) % 256)::BIGINT AS s1,
         |    sum((i * 29 + 41) % 256)::BIGINT AS s2
         |  FROM px GROUP BY doc_id)
-        |SELECT doc_id, true AS decoded, w AS width, h AS height,
+        |SELECT doc_id, true AS decoded, 'gif' AS decode_mode,
+        |  w AS width, h AS height,
         |  3 AS channels, (w * h)::BIGINT AS n_pixels,
         |  s0 AS c0_sum, s1 AS c1_sum, s2 AS c2_sum,
         |  CAST(NULL AS BIGINT) AS c3_sum
@@ -2126,7 +2156,43 @@ object SparkEntry {
         |    sum(64 * (((doc_id * 3 + b * 7 + 26) % 200) - 100 + 128))::BIGINT
         |      AS s2
         |  FROM bl GROUP BY doc_id)
-        |SELECT doc_id, true AS decoded, w AS width, h AS height,
+        |SELECT doc_id, true AS decoded, 'jpeg_baseline' AS decode_mode,
+        |  w AS width, h AS height,
+        |  ch AS channels, (w * h)::BIGINT AS n_pixels,
+        |  s0 AS c0_sum,
+        |  CASE WHEN ch > 1 THEN s1 END AS c1_sum,
+        |  CASE WHEN ch > 2 THEN s2 END AS c2_sum,
+        |  CAST(NULL AS BIGINT) AS c3_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q74's closed form again — the progressive scan pipeline (DC
+    // successive approximation + AC EOB runs + restarts) and the
+    // baseline restart-marker path must both land on the exact same
+    // dc+128 samples for the hash to match; decode_mode derives from
+    // the id parity that picked the encoder.
+    "q113_jpeg_progressive" ->
+      """WITH bl AS (
+        |  SELECT d.doc_id,
+        |    (8 * (d.doc_id % 3 + 1))::INTEGER AS w,
+        |    (8 * (d.doc_id % 2 + 1))::INTEGER AS h,
+        |    (CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 1 END)::INTEGER AS ch,
+        |    b.b
+        |  FROM documents d, generate_series(0, 5) b(b)
+        |  WHERE b.b < (d.doc_id % 3 + 1) * (d.doc_id % 2 + 1)),
+        |s AS (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    any_value(ch) AS ch,
+        |    sum(64 * (((doc_id * 3 + b * 7) % 200) - 100 + 128))::BIGINT
+        |      AS s0,
+        |    sum(64 * (((doc_id * 3 + b * 7 + 13) % 200) - 100 + 128))::BIGINT
+        |      AS s1,
+        |    sum(64 * (((doc_id * 3 + b * 7 + 26) % 200) - 100 + 128))::BIGINT
+        |      AS s2
+        |  FROM bl GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg_progressive'
+        |    ELSE 'jpeg_baseline' END AS decode_mode,
+        |  w AS width, h AS height,
         |  ch AS channels, (w * h)::BIGINT AS n_pixels,
         |  s0 AS c0_sum,
         |  CASE WHEN ch > 1 THEN s1 END AS c1_sum,

@@ -8,7 +8,7 @@ import java.util.zip.CRC32
   * ([[pngPixels]]: zlib inflate via `java.util.zip` + scanline
   * unfiltering per spec §9, all five filter types, colour types
   * 0/2/3/4/6 at bit depth 8), GIF ([[gifPixels]]: full LZW), and
-  * baseline JPEG (via [[JpegCodec]]) — plus structurally-valid WRITERS
+  * baseline + progressive JPEG (via [[JpegCodec]]) — plus structurally-valid WRITERS
   * used to synthesize deterministic fixtures ([[pngBytesWithPixels]] /
   * [[gifBytesWithPixels]] encode real pixel data). No external codec
   * libraries anywhere.
@@ -556,7 +556,7 @@ object ImageCodecs {
   }
 
   /** Pixel decode for any supported container: PNG (inflate +
-    * unfilter), GIF (LZW + palette), baseline JPEG (Huffman + IDCT,
+    * unfilter), GIF (LZW + palette), baseline/progressive JPEG (Huffman + IDCT,
     * native component samples — [[JpegCodec]]). Unsupported profiles
     * within each format return None. */
   def decodePixels(b: Array[Byte]): Option[PixelImage] =
@@ -566,5 +566,19 @@ object ImageCodecs {
       case 0x47 => gifPixels(b)
       case 0xff => JpegCodec.decode(b)
       case _    => None
+    }
+
+  /** Container/profile sniff for observability (the `decode_mode`
+    * column): names the decode path the bytes take, WITHOUT decoding —
+    * so a row that falls back to header-only stats says why
+    * ("jpeg_other" = lossless/arithmetic profile this library
+    * documents as out of scope, "jpeg_malformed" = no valid SOF). */
+  def decodeModeOf(b: Array[Byte]): String =
+    if (b == null || b.length < 4) "unknown"
+    else (b(0) & 0xff) match {
+      case 0x89 => "png"
+      case 0x47 => "gif"
+      case 0xff => JpegCodec.sofMode(b)
+      case _    => "unknown"
     }
 }

@@ -2,26 +2,40 @@ package graft.operators
 
 import graft.operators.ImageCodecs.PixelImage
 
-/** Pure-JVM baseline JPEG decoder: the full sequential-DCT pipeline —
-  * segment walk (DQT/DHT/SOF0/SOF1/SOS), canonical Huffman entropy
-  * decode of the (run, size) coefficient stream with byte unstuffing,
-  * dequantization in zigzag order, float IDCT, level shift — emitting
+/** Pure-JVM JPEG decoder: sequential baseline (SOF0/1) AND progressive
+  * (SOF2) DCT modes — segment walk (DQT/DHT/SOF/DRI/SOS), canonical
+  * Huffman entropy decode with byte unstuffing, restart-interval
+  * resynchronization, progressive spectral selection + successive
+  * approximation (ITU T.81 §G: DC first/refine, AC first with EOB
+  * runs, AC refinement with correction bits), dequantization (8- and
+  * 16-bit tables) in zigzag order, float IDCT, level shift — emitting
   * the components' NATIVE samples (Y or YCbCr, no colour transform:
   * curation statistics want the decoded sample space, and omitting the
   * transform keeps the pipeline integer-verifiable). Subsampled chroma
   * (factors up to 2×2) is replication-upsampled to full resolution.
   *
-  * Out of scope, returning None: progressive (SOF2) and arithmetic
-  * modes, 16-bit quant tables, restart intervals, sampling factors
-  * above 2. Defensive like the other codecs — malformed input never
-  * throws.
+  * All scans decode into one raw-coefficient store (the progressive
+  * model; a baseline scan is the degenerate single full-band scan), so
+  * both modes share one entropy decoder and one dequant + IDCT pass.
+  * Memory: the store is 4 B/sample/component, bounded below by
+  * rejecting frames whose padded store would exceed 2^26 coefficients
+  * (≈256 MiB) — any progressive decoder pays full-frame coefficient
+  * memory (that is the format), it dies inside the scan task, and the
+  * bound keeps a hostile header from allocating GiBs.
   *
-  * The companion [[encodeDcOnly]] writes real baseline JPEGs whose
-  * blocks carry only DC coefficients, using its own (valid, minimal)
-  * Huffman tables carried in DHT as the format requires. With the
-  * quant value pinned to 8, a block's 64 samples decode to exactly
-  * dc + 128 — which is what lets a SQL oracle verify this decoder's
-  * entropy + IDCT path in closed form. */
+  * Out of scope, returning None: lossless/hierarchical/arithmetic
+  * modes (SOF3/5-7/9-11/13-15), 12-bit sample precision, sampling
+  * factors above 2. Defensive like the other codecs — malformed input
+  * never throws.
+  *
+  * The companions [[encodeDcOnly]] (baseline, optional restart
+  * markers) and [[encodeProgressiveDcOnly]] (SOF2: DC-first at Al=1,
+  * DC refine, per-component AC scans as EOB runs, optional restarts)
+  * write real JPEGs whose blocks carry only DC coefficients, using
+  * their own (valid, minimal) Huffman tables carried in DHT as the
+  * format requires. With the quant value pinned to 8, a block's 64
+  * samples decode to exactly dc + 128 — which is what lets a SQL
+  * oracle verify both entropy paths + IDCT in closed form. */
 object JpegCodec {
 
   /** Zigzag index → natural (row-major) index, JPEG spec figure A.6. */
@@ -79,7 +93,8 @@ object JpegCodec {
   }
 
   /** MSB-first bit reader over the entropy-coded segment with 0xFF00
-    * unstuffing; any other marker ends the stream. */
+    * unstuffing; any other marker ends the stream (restart markers are
+    * consumed explicitly via [[restartSync]]). */
   private final class BitReader(data: Array[Byte], start: Int) {
     private var pos = start
     private var acc = 0
@@ -112,6 +127,22 @@ object JpegCodec {
       }
       v
     }
+    /** Byte-align (discarding pad bits), skip to and consume the next
+      * RSTn marker; returns its index 0-7, or -1 if the next real
+      * marker is not a restart / the stream ends first. */
+    def restartSync(): Int = {
+      n = 0; acc = 0; ended = false
+      while (pos + 1 < data.length) {
+        if ((data(pos) & 0xff) == 0xff) {
+          val m = data(pos + 1) & 0xff
+          if (m >= 0xd0 && m <= 0xd7) { pos += 2; return m - 0xd0 }
+          else if (m == 0xff) pos += 1   // fill byte
+          else if (m == 0x00) pos += 2   // stuffed data byte: skip
+          else return -1                 // a real marker: scan overran
+        } else pos += 1
+      }
+      -1
+    }
   }
 
   /** Sign-extend a SIZE-category magnitude (spec F.12 EXTEND). */
@@ -121,9 +152,13 @@ object JpegCodec {
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int,
                                 var td: Int = 0, var ta: Int = 0)
 
-  /** Decode a baseline JPEG to native component samples (interleaved,
-    * `channels` = component count). */
-  def decode(b: Array[Byte]): Option[PixelImage] = {
+  /** Decode a baseline or progressive JPEG to native component samples
+    * (interleaved, `channels` = component count). */
+  def decode(b: Array[Byte]): Option[PixelImage] = decodeExt(b).map(_._1)
+
+  /** Decode plus the frame mode that was decoded: "jpeg_baseline"
+    * (SOF0/1) or "jpeg_progressive" (SOF2). */
+  def decodeExt(b: Array[Byte]): Option[(PixelImage, String)] = {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     val quant = new Array[Array[Int]](4)
@@ -131,198 +166,453 @@ object JpegCodec {
     val acTabs = new Array[Huff](4)
     var w = 0; var h = 0
     var comps: Array[Comp] = null
-    var off = 2
-    var sosAt = -1
-    var scanOrder: Array[Comp] = null
-    while (sosAt < 0) {
-      if (off + 1 >= b.length || (b(off) & 0xff) != 0xff) return None
-      var mOff = off + 1
-      while (mOff + 1 < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1
-      val marker = b(mOff) & 0xff
-      if (marker == 0xd8 || marker == 0x01 ||
-        (marker >= 0xd0 && marker <= 0xd7)) { off = mOff + 1 }
-      else if (marker == 0xd9) return None // EOI before scan
-      else {
-        if (mOff + 2 >= b.length) return None
-        val len = be16(b, mOff + 1)
-        if (len < 2 || mOff + 1 + len > b.length) return None
-        val seg = mOff + 3 // first payload byte
-        marker match {
-          case 0xdb => // DQT: one or more tables
-            var p = seg
-            while (p < mOff + 1 + len) {
-              val pq = (b(p) & 0xff) >> 4
-              val tq = b(p) & 0x0f
-              if (pq != 0 || tq > 3 || p + 65 > mOff + 1 + len) return None
-              quant(tq) = Array.tabulate(64)(i => b(p + 1 + i) & 0xff)
-              p += 65
-            }
-          case 0xc4 => // DHT: one or more tables
-            var p = seg
-            while (p < mOff + 1 + len) {
-              val tc = (b(p) & 0xff) >> 4
-              val th = b(p) & 0x0f
-              if (tc > 1 || th > 3 || p + 17 > mOff + 1 + len) return None
-              val bits = new Array[Int](17)
-              var total = 0
-              var i = 1
-              while (i <= 16) {
-                bits(i) = b(p + i) & 0xff; total += bits(i); i += 1
-              }
-              if (total > 256 || p + 17 + total > mOff + 1 + len) return None
-              val vals = Array.tabulate(total)(i => b(p + 17 + i) & 0xff)
-              val t = new Huff(bits, vals)
-              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
-              p += 17 + total
-            }
-          case 0xc0 | 0xc1 => // SOF0/1: baseline & extended sequential
-            if (len < 8) return None
-            val prec = b(seg) & 0xff
-            h = be16(b, seg + 1); w = be16(b, seg + 3)
-            val nc = b(seg + 5) & 0xff
-            if (prec != 8 || w <= 0 || h <= 0 || w > 0x4000 ||
-              h > 0x4000 || nc < 1 || nc > 4 ||
-              len < 8 + 3 * nc) return None
-            comps = Array.tabulate(nc) { i =>
-              val p = seg + 6 + 3 * i
-              val hv = b(p + 1) & 0xff
-              Comp(b(p) & 0xff, hv >> 4, hv & 0x0f, b(p + 2) & 0x0f)
-            }
-            if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2))
-              return None
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
-              0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic: not baseline
-          case 0xdd => // DRI: restart intervals unsupported unless zero
-            if (len < 4 || be16(b, seg) != 0) return None
-          case 0xda => // SOS
-            if (comps == null) return None
-            val ns = b(seg) & 0xff
-            if (ns != comps.length || len < 6 + 2 * ns) return None
-            scanOrder = new Array[Comp](ns)
-            var i = 0
-            while (i < ns) {
-              val cs = b(seg + 1 + 2 * i) & 0xff
-              val tt = b(seg + 2 + 2 * i) & 0xff
-              val c = comps.find(_.id == cs).getOrElse(return None)
-              c.td = tt >> 4; c.ta = tt & 0x0f
-              scanOrder(i) = c
-              i += 1
-            }
-            sosAt = mOff + 1 + len
-          case _ => () // APPn / COM / others: skip
-        }
-        off = mOff + 1 + len
+    var progressive = false
+    var ri = 0 // DRI: restart interval in MCUs (or blocks, non-interleaved)
+    var coef: Array[Array[Int]] = null // per comp: padded-grid blocks × 64
+    var bwPad: Array[Int] = null // MCU-padded block grid width, per comp
+    var bhPad: Array[Int] = null
+    var bwAct: Array[Int] = null // actual ceil(compDim/8) grid (scan order
+    var bhAct: Array[Int] = null // for non-interleaved scans, spec A.2.2)
+    var mcusX = 0; var mcusY = 0
+    var hMax = 1; var vMax = 1
+    val pred = new Array[Int](4)
+    var sawScan = false
+
+    /** Entropy-decode one scan into the coefficient store; false on any
+      * malformation. `scanIdx` holds frame-order component indices. */
+    def doScan(scanIdx: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+               start: Int): Boolean = {
+      val ns = scanIdx.length
+      if (se > 63 || ss > se || ah > 13 || al > 13) return false
+      if (!progressive && !(ss == 0 && se == 63 && ah == 0 && al == 0))
+        return false
+      if (progressive && ss == 0 && se != 0) return false
+      if (progressive && ss > 0 && ns != 1) return false
+      var i = 0
+      while (i < ns) {
+        val c = comps(scanIdx(i))
+        val needDc = ss == 0 && ah == 0 // baseline or DC-first
+        val needAc = !progressive || ss > 0 // any scan touching AC coefs
+        if (needDc && dcTabs(c.td) == null) return false
+        if (needAc && acTabs(c.ta) == null) return false
+        i += 1
       }
-    }
+      val br = new BitReader(b, start)
+      java.util.Arrays.fill(pred, 0)
+      var eobrun = 0
 
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcuW = 8 * hMax; val mcuH = 8 * vMax
-    val mcusX = (w + mcuW - 1) / mcuW
-    val mcusY = (h + mcuH - 1) / mcuH
-    // per-component planes at native resolution (padded to block grid)
-    val planes = comps.map { c =>
-      new Array[Byte]((mcusX * c.h * 8) * (mcusY * c.v * 8))
-    }
-    val planeW = comps.map(c => mcusX * c.h * 8)
-    for (c <- comps)
-      if (quant(c.tq) == null || dcTabs(c.td) == null ||
-        acTabs(c.ta) == null) return None
-
-    val br = new BitReader(b, sosAt)
-    val pred = new Array[Int](comps.length)
-    val coef = new Array[Int](64)
-    val block = new Array[Int](64)
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        var ci = 0
-        while (ci < scanOrder.length) {
-          val c = scanOrder(ci)
-          val compIdx = comps.indexWhere(_.id == c.id)
-          val q = quant(c.tq)
-          var by = 0
-          while (by < c.v) {
-            var bx = 0
-            while (bx < c.h) {
-              java.util.Arrays.fill(coef, 0)
-              val t = dcTabs(c.td).decode(br)
-              if (t < 0 || t > 15) return None
-              val diffBits = if (t == 0) 0 else br.receive(t)
-              if (diffBits < 0) return None
-              pred(compIdx) += extend(diffBits, t)
-              coef(0) = pred(compIdx) * q(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = acTabs(c.ta).decode(br)
-                if (rs < 0) return None
-                val r = rs >> 4; val s = rs & 0x0f
-                if (s == 0) {
-                  if (r == 15) k += 16 else eob = true
-                } else {
-                  k += r
-                  if (k > 63) return None
-                  val vbits = br.receive(s)
-                  if (vbits < 0) return None
-                  coef(Zigzag(k)) = extend(vbits, s) * q(k)
-                  k += 1
-                }
-              }
-              // IDCT (spec A.3.3) + level shift + clamp
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var sum = 0.0
-                  var v = 0
-                  while (v < 8) {
-                    var u = 0
-                    val cv = Cos(y)(v)
-                    while (u < 8) {
-                      val f = coef(v * 8 + u)
-                      if (f != 0) sum += Cos(x)(u) * cv * f
-                      u += 1
-                    }
-                    v += 1
-                  }
-                  val s0 = math.round(sum / 4.0 + 128.0).toInt
-                  block(y * 8 + x) = math.max(0, math.min(255, s0))
-                  x += 1
-                }
-                y += 1
-              }
-              // place block into the component plane
-              val px = (mx * c.h + bx) * 8
-              val py = (my * c.v + by) * 8
-              val pw = planeW(compIdx)
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  planes(compIdx)((py + yy) * pw + px + xx) =
-                    block(yy * 8 + xx).toByte
-                  xx += 1
-                }
-                yy += 1
-              }
-              bx += 1
+      def block(ci: Int, row: Int, col: Int): Boolean = {
+        val c = comps(ci)
+        val arr = coef(ci)
+        val base = (row * bwPad(ci) + col) * 64
+        if (!progressive) {
+          // full sequential block: DC diff + AC run-lengths, raw coefs
+          val t = dcTabs(c.td).decode(br)
+          if (t < 0 || t > 15) return false
+          val diffBits = if (t == 0) 0 else br.receive(t)
+          if (diffBits < 0) return false
+          pred(ci) += extend(diffBits, t)
+          arr(base) = pred(ci)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acTabs(c.ta).decode(br)
+            if (rs < 0) return false
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 else eob = true
+            } else {
+              k += r
+              if (k > 63) return false
+              val vb = br.receive(s)
+              if (vb < 0) return false
+              arr(base + Zigzag(k)) = extend(vb, s)
+              k += 1
             }
-            by += 1
           }
-          ci += 1
+          true
+        } else if (ss == 0 && ah == 0) { // DC first (point transform Al)
+          val t = dcTabs(c.td).decode(br)
+          if (t < 0 || t > 15) return false
+          val diffBits = if (t == 0) 0 else br.receive(t)
+          if (diffBits < 0) return false
+          pred(ci) += extend(diffBits, t)
+          arr(base) = pred(ci) << al
+          true
+        } else if (ss == 0) { // DC refine: one raw bit per block
+          val bit = br.nextBit()
+          if (bit < 0) return false
+          if (bit == 1) arr(base) |= (1 << al)
+          true
+        } else if (ah == 0) { // AC first scan with EOB runs (spec G.1.2.2)
+          if (eobrun > 0) { eobrun -= 1; true }
+          else {
+            var k = ss
+            var done = false
+            while (!done && k <= se) {
+              val rs = acTabs(c.ta).decode(br)
+              if (rs < 0) return false
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else { // EOBn: this block ends; run covers 2^r+ext blocks
+                  eobrun = 1 << r
+                  if (r > 0) {
+                    val eb = br.receive(r)
+                    if (eb < 0) return false
+                    eobrun += eb
+                  }
+                  eobrun -= 1 // current block consumed
+                  done = true
+                }
+              } else {
+                k += r
+                if (k > se) return false
+                val vb = br.receive(s)
+                if (vb < 0) return false
+                arr(base + Zigzag(k)) = extend(vb, s) << al
+                k += 1
+              }
+            }
+            true
+          }
+        } else { // AC refinement (spec G.1.2.3): correction bits
+          val p1 = 1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (!brk && k <= se) {
+              val rs = acTabs(c.ta).decode(br)
+              if (rs < 0) return false
+              var r = rs >> 4
+              val s = rs & 0x0f
+              var newVal = 0
+              if (s == 0) {
+                if (r != 15) { // EOBn: refine the band tail below
+                  eobrun = 1 << r
+                  if (r > 0) {
+                    val eb = br.receive(r)
+                    if (eb < 0) return false
+                    eobrun += eb
+                  }
+                  brk = true
+                }
+                // r == 15 (ZRL): skip 16 zero-history coefs below
+              } else {
+                if (s != 1) return false // refinement sends ±1 only
+                val sb = br.nextBit()
+                if (sb < 0) return false
+                newVal = if (sb == 1) p1 else -p1
+              }
+              if (!brk) {
+                // advance past r zero-history coefs, emitting a
+                // correction bit at every nonzero-history coef passed
+                var placed = false
+                while (!placed && k <= se) {
+                  val z = base + Zigzag(k)
+                  if (arr(z) != 0) {
+                    val cb = br.nextBit()
+                    if (cb < 0) return false
+                    if (cb == 1 && (arr(z) & p1) == 0)
+                      arr(z) += (if (arr(z) >= 0) p1 else -p1)
+                    k += 1
+                  } else {
+                    r -= 1
+                    if (r < 0) placed = true // the slot for newVal
+                    else k += 1
+                  }
+                }
+                if (newVal != 0 && k <= se) arr(base + Zigzag(k)) = newVal
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) { // refine remaining nonzero-history coefs
+            while (k <= se) {
+              val z = base + Zigzag(k)
+              if (arr(z) != 0) {
+                val cb = br.nextBit()
+                if (cb < 0) return false
+                if (cb == 1 && (arr(z) & p1) == 0)
+                  arr(z) += (if (arr(z) >= 0) p1 else -p1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+          true
         }
-        mx += 1
       }
-      my += 1
+
+      var ok = true
+      var unitsDone = 0
+      if (ns > 1) { // interleaved: MCU order
+        val totalUnits = mcusX * mcusY
+        var my = 0
+        while (ok && my < mcusY) {
+          var mx = 0
+          while (ok && mx < mcusX) {
+            var si = 0
+            while (ok && si < ns) {
+              val ci = scanIdx(si)
+              val c = comps(ci)
+              var by = 0
+              while (ok && by < c.v) {
+                var bx = 0
+                while (ok && bx < c.h) {
+                  ok = block(ci, my * c.v + by, mx * c.h + bx)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            unitsDone += 1
+            if (ok && ri > 0 && unitsDone % ri == 0 &&
+              unitsDone < totalUnits) {
+              if (br.restartSync() < 0) ok = false
+              else { java.util.Arrays.fill(pred, 0); eobrun = 0 }
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: raster over the comp's actual blocks
+        val ci = scanIdx(0)
+        val bw = bwAct(ci); val bh = bhAct(ci)
+        val totalUnits = bw * bh
+        var row = 0
+        while (ok && row < bh) {
+          var colI = 0
+          while (ok && colI < bw) {
+            ok = block(ci, row, colI)
+            unitsDone += 1
+            if (ok && ri > 0 && unitsDone % ri == 0 &&
+              unitsDone < totalUnits) {
+              if (br.restartSync() < 0) ok = false
+              else { java.util.Arrays.fill(pred, 0); eobrun = 0 }
+            }
+            colI += 1
+          }
+          row += 1
+        }
+      }
+      ok
+    }
+
+    // ---- segment walk: tables and scans in stream order -----------------
+    var off = 2
+    var done = false
+    while (!done) {
+      if (off + 1 >= b.length) {
+        if (sawScan) done = true else return None
+      } else if ((b(off) & 0xff) != 0xff) return None
+      else {
+        var mOff = off + 1
+        while (mOff < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1
+        if (mOff >= b.length) {
+          if (sawScan) done = true else return None
+        } else {
+          val marker = b(mOff) & 0xff
+          if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) { off = mOff + 1 }
+          else if (marker == 0xd9) {
+            if (sawScan) done = true else return None
+          } else {
+            if (mOff + 2 >= b.length) return None
+            val len = be16(b, mOff + 1)
+            if (len < 2 || mOff + 1 + len > b.length) return None
+            val seg = mOff + 3 // first payload byte
+            marker match {
+              case 0xdb => // DQT: 8-bit (Pq=0) or 16-bit (Pq=1) tables
+                var p = seg
+                while (p < mOff + 1 + len) {
+                  val pq = (b(p) & 0xff) >> 4
+                  val tq = b(p) & 0x0f
+                  if (pq > 1 || tq > 3) return None
+                  if (pq == 0) {
+                    if (p + 65 > mOff + 1 + len) return None
+                    quant(tq) = Array.tabulate(64)(i => b(p + 1 + i) & 0xff)
+                    p += 65
+                  } else {
+                    if (p + 129 > mOff + 1 + len) return None
+                    quant(tq) =
+                      Array.tabulate(64)(i => be16(b, p + 1 + 2 * i))
+                    p += 129
+                  }
+                }
+              case 0xc4 => // DHT: one or more tables
+                var p = seg
+                while (p < mOff + 1 + len) {
+                  val tc = (b(p) & 0xff) >> 4
+                  val th = b(p) & 0x0f
+                  if (tc > 1 || th > 3 || p + 17 > mOff + 1 + len)
+                    return None
+                  val bits = new Array[Int](17)
+                  var total = 0
+                  var i = 1
+                  while (i <= 16) {
+                    bits(i) = b(p + i) & 0xff; total += bits(i); i += 1
+                  }
+                  if (total > 256 || p + 17 + total > mOff + 1 + len)
+                    return None
+                  val vals = Array.tabulate(total)(i => b(p + 17 + i) & 0xff)
+                  val t = new Huff(bits, vals)
+                  if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                  p += 17 + total
+                }
+              case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
+                if (comps != null || len < 8) return None
+                progressive = marker == 0xc2
+                val prec = b(seg) & 0xff
+                h = be16(b, seg + 1); w = be16(b, seg + 3)
+                val nc = b(seg + 5) & 0xff
+                if (prec != 8 || w <= 0 || h <= 0 || w > 0x4000 ||
+                  h > 0x4000 || nc < 1 || nc > 4 ||
+                  len < 8 + 3 * nc) return None
+                comps = Array.tabulate(nc) { i =>
+                  val p = seg + 6 + 3 * i
+                  val hv = b(p + 1) & 0xff
+                  Comp(b(p) & 0xff, hv >> 4, hv & 0x0f, b(p + 2) & 0x0f)
+                }
+                if (comps.exists(c =>
+                  c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3))
+                  return None
+                hMax = comps.map(_.h).max
+                vMax = comps.map(_.v).max
+                mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+                mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+                bwPad = comps.map(c => mcusX * c.h)
+                bhPad = comps.map(c => mcusY * c.v)
+                bwAct = comps.map(c => (((w * c.h + hMax - 1) / hMax) + 7) / 8)
+                bhAct = comps.map(c => (((h * c.v + vMax - 1) / vMax) + 7) / 8)
+                val totalCoefs = comps.indices
+                  .map(i => bwPad(i).toLong * bhPad(i) * 64L).sum
+                if (totalCoefs > (1L << 26)) return None // ≈256 MiB store
+                coef = Array.tabulate(nc)(i =>
+                  new Array[Int](bwPad(i) * bhPad(i) * 64))
+              case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+                  0xcd | 0xce | 0xcf =>
+                return None // lossless/hierarchical/arithmetic modes
+              case 0xdd => // DRI: may change between scans
+                if (len < 4) return None
+                ri = be16(b, seg)
+              case 0xda => // SOS: decode the scan in place
+                if (comps == null) return None
+                val ns = b(seg) & 0xff
+                if (ns < 1 || ns > comps.length || len < 6 + 2 * ns)
+                  return None
+                val scanIdx = new Array[Int](ns)
+                var i = 0
+                while (i < ns) {
+                  val cs = b(seg + 1 + 2 * i) & 0xff
+                  val tt = b(seg + 2 + 2 * i) & 0xff
+                  val idx = comps.indexWhere(_.id == cs)
+                  if (idx < 0) return None
+                  comps(idx).td = tt >> 4
+                  comps(idx).ta = tt & 0x0f
+                  if (comps(idx).td > 3 || comps(idx).ta > 3) return None
+                  scanIdx(i) = idx
+                  i += 1
+                }
+                val ss = b(seg + 1 + 2 * ns) & 0xff
+                val se = b(seg + 2 + 2 * ns) & 0xff
+                val aa = b(seg + 3 + 2 * ns) & 0xff
+                val dataStart = mOff + 1 + len
+                if (!doScan(scanIdx, ss, se, aa >> 4, aa & 0x0f, dataStart))
+                  return None
+                sawScan = true
+                // resume the walk at the next true marker: stuffed FF00
+                // and RSTn belong to the entropy data just decoded
+                var p = dataStart
+                var end = -1
+                while (end < 0 && p + 1 < b.length) {
+                  if ((b(p) & 0xff) == 0xff) {
+                    val m = b(p + 1) & 0xff
+                    if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) p += 2
+                    else if (m == 0xff) p += 1
+                    else end = p
+                  } else p += 1
+                }
+                off = if (end >= 0) end else b.length
+              case _ => () // APPn / COM / others: skip
+            }
+            if (marker != 0xda) off = mOff + 1 + len
+          }
+        }
+      }
+    }
+    if (!sawScan || comps == null) return None
+    for (c <- comps) if (quant(c.tq) == null) return None
+
+    // dequant tables in natural order: qNat(Zigzag(k)) = q(k)
+    val qNat = comps.map { c =>
+      val q = quant(c.tq)
+      val nat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { nat(Zigzag(k)) = q(k); k += 1 }
+      nat
+    }
+    // dequant + IDCT (spec A.3.3) every padded block into comp planes
+    val planes = Array.tabulate(comps.length)(i =>
+      new Array[Byte]((bwPad(i) * 8) * (bhPad(i) * 8)))
+    val planeW = Array.tabulate(comps.length)(i => bwPad(i) * 8)
+    val tmp = new Array[Int](64)
+    val block = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val arr = coef(ci); val q = qNat(ci); val pw = planeW(ci)
+      var row = 0
+      while (row < bhPad(ci)) {
+        var colI = 0
+        while (colI < bwPad(ci)) {
+          val base = (row * bwPad(ci) + colI) * 64
+          var i = 0
+          while (i < 64) { tmp(i) = arr(base + i) * q(i); i += 1 }
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                val cv = Cos(y)(v)
+                while (u < 8) {
+                  val f = tmp(v * 8 + u)
+                  if (f != 0) sum += Cos(x)(u) * cv * f
+                  u += 1
+                }
+                v += 1
+              }
+              val s0 = math.round(sum / 4.0 + 128.0).toInt
+              block(y * 8 + x) = math.max(0, math.min(255, s0))
+              x += 1
+            }
+            y += 1
+          }
+          val px = colI * 8; val py = row * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((py + yy) * pw + px + xx) =
+                block(yy * 8 + xx).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          colI += 1
+        }
+        row += 1
+      }
+      ci += 1
     }
 
     // interleave at full resolution (replication upsample), crop pad
     val nc = comps.length
     val out = new Array[Byte](w * h * nc)
-    var ci = 0
+    ci = 0
     while (ci < nc) {
       val c = comps(ci)
       val sx = hMax / c.h; val sy = vMax / c.v
@@ -339,10 +629,43 @@ object JpegCodec {
       }
       ci += 1
     }
-    Some(PixelImage(w, h, nc, out))
+    Some((PixelImage(w, h, nc, out),
+      if (progressive) "jpeg_progressive" else "jpeg_baseline"))
   }
 
-  // --- DC-only fixture encoder -------------------------------------------
+  /** Frame-mode sniff without decoding — the observability hook for
+    * decode_mode columns: walks segments to the first SOF marker. */
+  def sofMode(b: Array[Byte]): String = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return "unknown"
+    var off = 2
+    while (off + 1 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return "jpeg_malformed"
+      var mOff = off + 1
+      while (mOff < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1
+      if (mOff >= b.length) return "jpeg_malformed"
+      val marker = b(mOff) & 0xff
+      if (marker == 0xd8 || marker == 0x01 ||
+        (marker >= 0xd0 && marker <= 0xd7)) { off = mOff + 1 }
+      else if (marker == 0xd9) return "jpeg_malformed" // EOI before SOF
+      else {
+        marker match {
+          case 0xc0 | 0xc1 => return "jpeg_baseline"
+          case 0xc2 => return "jpeg_progressive"
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf => return "jpeg_other"
+          case _ => ()
+        }
+        if (mOff + 2 >= b.length) return "jpeg_malformed"
+        val len = be16(b, mOff + 1)
+        if (len < 2 || mOff + 1 + len > b.length) return "jpeg_malformed"
+        off = mOff + 1 + len
+      }
+    }
+    "jpeg_malformed"
+  }
+
+  // --- DC-only fixture encoders ------------------------------------------
 
   /** Encode a real baseline JPEG whose every block carries only its DC
     * coefficient (AC all zero — EOB immediately after DC). 4:4:4
@@ -350,13 +673,17 @@ object JpegCodec {
     * valid Huffman tables written to DHT. With quantVal = 8 the decoded
     * block is uniformly dc + 128, exactly. `dc(blockIdx, comp)` gives
     * the block's DC value, |dc| ≤ 127; blockIdx is row-major over the
-    * (width/8 × height/8) grid. Width/height must be multiples of 8. */
-  def encodeDcOnly(width: Int, height: Int, nComp: Int, quantVal: Int = 8)
+    * (width/8 × height/8) grid. Width/height must be multiples of 8.
+    * `restartEvery` > 0 writes a DRI segment and an RSTn marker (with
+    * predictor reset) after every that-many MCUs. */
+  def encodeDcOnly(width: Int, height: Int, nComp: Int, quantVal: Int = 8,
+                   restartEvery: Int = 0)
                   (dc: (Int, Int) => Int): Array[Byte] = {
     require(width % 8 == 0 && height % 8 == 0 && width > 0 && height > 0,
       "dimensions must be positive multiples of 8")
     require(nComp == 1 || nComp == 3, "1 (gray) or 3 (YCbCr) components")
     require(quantVal >= 1 && quantVal <= 255, "quantVal in [1, 255]")
+    require(restartEvery >= 0, "restartEvery must be >= 0")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -378,6 +705,7 @@ object JpegCodec {
     u8(0xff); u8(0xc4); u16(2 + 17 + 1); u8(0x10)
     (1 to 16).foreach(l => u8(if (l == 1) 1 else 0))
     u8(0x00)
+    if (restartEvery > 0) { u8(0xff); u8(0xdd); u16(4); u16(restartEvery) }
     // SOS
     u8(0xff); u8(0xda); u16(2 + 1 + 2 * nComp + 3)
     u8(nComp)
@@ -400,10 +728,18 @@ object JpegCodec {
         i -= 1
       }
     }
+    def flushPad(): Unit = if (nbits > 0) { // pad with 1s, byte-align
+      val pad = acc << (8 - nbits) | ((1 << (8 - nbits)) - 1)
+      body.write(pad & 0xff)
+      if ((pad & 0xff) == 0xff) body.write(0x00)
+      acc = 0; nbits = 0
+    }
     val blocksX = width / 8; val blocksY = height / 8
+    val nBlocks = blocksX * blocksY
     val pred = new Array[Int](nComp)
+    var rstK = 0
     var b = 0
-    while (b < blocksX * blocksY) {
+    while (b < nBlocks) {
       var c = 0
       while (c < nComp) {
         val v = dc(b, c)
@@ -417,13 +753,150 @@ object JpegCodec {
         c += 1
       }
       b += 1
+      if (restartEvery > 0 && b % restartEvery == 0 && b < nBlocks) {
+        flushPad()
+        body.write(0xff); body.write(0xd0 + rstK % 8); rstK += 1
+        java.util.Arrays.fill(pred, 0)
+      }
     }
-    if (nbits > 0) { // pad with 1s
-      val pad = acc << (8 - nbits) | ((1 << (8 - nbits)) - 1)
-      body.write(pad & 0xff)
-      if ((pad & 0xff) == 0xff) body.write(0x00)
-    }
+    flushPad()
     body.writeTo(out)
+    u8(0xff); u8(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a real PROGRESSIVE (SOF2) JPEG with DC-only content that
+    * exercises every progressive decode path: scan 1 sends DC at Al=1
+    * precision interleaved (optionally with restart markers), scan 2
+    * refines the DC low bit (raw bits, no Huffman — as the spec
+    * defines DC refinement), then one AC scan per component covers the
+    * 1..63 band as maximal EOB runs (all ACs are zero). Same closed
+    * form as [[encodeDcOnly]]: with quantVal = 8 each block decodes to
+    * uniformly dc + 128, because ((dc>>1)<<1)|(dc&1) = dc for any sign
+    * (two's complement). */
+  def encodeProgressiveDcOnly(width: Int, height: Int, nComp: Int,
+                              quantVal: Int = 8, restartEvery: Int = 0)
+                             (dc: (Int, Int) => Int): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0 && width > 0 && height > 0,
+      "dimensions must be positive multiples of 8")
+    require(nComp == 1 || nComp == 3, "1 (gray) or 3 (YCbCr) components")
+    require(quantVal >= 1 && quantVal <= 255, "quantVal in [1, 255]")
+    require(restartEvery >= 0, "restartEvery must be >= 0")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+
+    u8(0xff); u8(0xd8) // SOI
+    u8(0xff); u8(0xdb); u16(2 + 65); u8(0x00) // DQT table 0
+    (0 until 64).foreach(_ => u8(quantVal))
+    // SOF2
+    u8(0xff); u8(0xc2); u16(2 + 6 + 3 * nComp)
+    u8(8); u16(height); u16(width); u8(nComp)
+    (1 to nComp).foreach { id => u8(id); u8(0x11); u8(0) }
+    // DHT DC table 0: categories 0..11 as 4-bit codes
+    u8(0xff); u8(0xc4); u16(2 + 17 + 12); u8(0x00)
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(u8)
+    // DHT AC table 0: EOBn symbols (r<<4 | 0) for r = 0..14, all 4-bit
+    // codes (15 <= 16 codes of length 4; canonical code of symbol
+    // r<<4 is the 4-bit value r)
+    u8(0xff); u8(0xc4); u16(2 + 17 + 15); u8(0x10)
+    (1 to 16).foreach(l => u8(if (l == 4) 15 else 0))
+    (0 to 14).foreach(r => u8(r << 4))
+    if (restartEvery > 0) { u8(0xff); u8(0xdd); u16(4); u16(restartEvery) }
+
+    final class BW {
+      val body = new java.io.ByteArrayOutputStream()
+      private var acc = 0
+      private var nbits = 0
+      def putBits(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1); nbits += 1
+          if (nbits == 8) {
+            body.write(acc & 0xff)
+            if ((acc & 0xff) == 0xff) body.write(0x00)
+            acc = 0; nbits = 0
+          }
+          i -= 1
+        }
+      }
+      def flushPad(): Unit = if (nbits > 0) {
+        val pad = acc << (8 - nbits) | ((1 << (8 - nbits)) - 1)
+        body.write(pad & 0xff)
+        if ((pad & 0xff) == 0xff) body.write(0x00)
+        acc = 0; nbits = 0
+      }
+      def rst(k: Int): Unit = {
+        flushPad(); body.write(0xff); body.write(0xd0 + k % 8)
+      }
+    }
+    val blocksX = width / 8; val blocksY = height / 8
+    val nBlocks = blocksX * blocksY
+
+    // scan 1: DC first, interleaved, Al=1 (sends dc >> 1, arithmetic)
+    u8(0xff); u8(0xda); u16(2 + 1 + 2 * nComp + 3)
+    u8(nComp); (1 to nComp).foreach { id => u8(id); u8(0x00) }
+    u8(0); u8(0); u8(0x01) // Ss=0 Se=0 Ah=0 Al=1
+    val bw1 = new BW
+    val pred = new Array[Int](nComp)
+    var rstK = 0
+    var b = 0
+    while (b < nBlocks) {
+      var c = 0
+      while (c < nComp) {
+        val v = dc(b, c)
+        require(v >= -127 && v <= 127, s"|dc| <= 127, got $v")
+        val vA = v >> 1 // the Al=1 point transform (arithmetic shift)
+        val diff = vA - pred(c); pred(c) = vA
+        val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bw1.putBits(s, 4)
+        if (s > 0)
+          bw1.putBits(if (diff > 0) diff else diff + (1 << s) - 1, s)
+        c += 1
+      }
+      b += 1
+      if (restartEvery > 0 && b % restartEvery == 0 && b < nBlocks) {
+        bw1.rst(rstK); rstK += 1
+        java.util.Arrays.fill(pred, 0)
+      }
+    }
+    bw1.flushPad(); bw1.body.writeTo(out)
+    // disable restarts for the remaining scans (encoder simplicity; a
+    // mid-stream DRI change is spec-legal and the decoder honours it)
+    if (restartEvery > 0) { u8(0xff); u8(0xdd); u16(4); u16(0) }
+
+    // scan 2: DC refine, interleaved, Ah=1 Al=0: raw low bit per block
+    u8(0xff); u8(0xda); u16(2 + 1 + 2 * nComp + 3)
+    u8(nComp); (1 to nComp).foreach { id => u8(id); u8(0x00) }
+    u8(0); u8(0); u8(0x10) // Ss=0 Se=0 Ah=1 Al=0
+    val bw2 = new BW
+    b = 0
+    while (b < nBlocks) {
+      var c = 0
+      while (c < nComp) { bw2.putBits(dc(b, c) & 1, 1); c += 1 }
+      b += 1
+    }
+    bw2.flushPad(); bw2.body.writeTo(out)
+
+    // scans 3+: per component, AC band 1..63 first scan — all zero, so
+    // the whole component is greedy maximal EOBn runs
+    (1 to nComp).foreach { id =>
+      u8(0xff); u8(0xda); u16(2 + 1 + 2 + 3)
+      u8(1); u8(id); u8(0x00)
+      u8(1); u8(63); u8(0x00) // Ss=1 Se=63 Ah=0 Al=0
+      val bw3 = new BW
+      var remaining = nBlocks
+      while (remaining > 0) {
+        var r = 0
+        while (r < 14 && (1 << (r + 1)) <= remaining) r += 1
+        val run = math.min(remaining, (1 << (r + 1)) - 1)
+        bw3.putBits(r, 4) // canonical code for symbol (r<<4) is r
+        if (r > 0) bw3.putBits(run - (1 << r), r)
+        remaining -= run
+      }
+      bw3.flushPad(); bw3.body.writeTo(out)
+    }
     u8(0xff); u8(0xd9) // EOI
     out.toByteArray
   }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *    filters on before paying for pixel decode);
   *  - PIXEL/SAMPLE decode ([[imagePixelStats]], [[audioStats]]) is
   *    REAL too, for every container this library writes: PNG (zlib
-  *    inflate + scanline unfiltering), GIF (full LZW), baseline JPEG
+  *    inflate + scanline unfiltering), GIF (full LZW), baseline + progressive JPEG
   *    (Huffman entropy decode + IDCT, [[JpegCodec]]), WAV RIFF/PCM
   *    ([[AudioCodecs]]) — feeding exact per-channel statistics;
   *  - learned-feature extraction remains the one clearly-marked STUB
@@ -126,6 +126,7 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
+            val mode = ImageCodecs.decodeModeOf(bytes)
             ImageCodecs.decodePixels(bytes) match {
               case Some(p) =>
                 val sums = new Array[Long](4)
@@ -136,17 +137,17 @@ object MultimodalOps {
                 }
                 def s(c: Int): Option[Long] =
                   if (c < p.channels) Some(sums(c)) else None
-                (id, true, p.width, p.height, p.channels,
+                (id, true, mode, p.width, p.height, p.channels,
                   p.width.toLong * p.height, s(0), s(1), s(2), s(3))
               case None =>
-                (id, false, 0, 0, 0, 0L, Option.empty[Long],
+                (id, false, mode, 0, 0, 0, 0L, Option.empty[Long],
                   Option.empty[Long], Option.empty[Long], Option.empty[Long])
             }
           }
         }
       }
-      .toDF(idCol, "decoded", "width", "height", "channels", "n_pixels",
-        "c0_sum", "c1_sum", "c2_sum", "c3_sum")
+      .toDF(idCol, "decoded", "decode_mode", "width", "height", "channels",
+        "n_pixels", "c0_sum", "c1_sum", "c2_sum", "c3_sum")
   }
 
   /** Perceptual difference-hash (dHash, the public gradient-hash

@@ -76,6 +76,24 @@ class CodecFuzzSpec extends AnyFunSuite {
       "JpegCodec.decode" -> JpegCodec.decode)
   }
 
+  test("JPEG decoder survives corruptions of baseline-with-restarts " +
+      "and progressive streams without throwing") {
+    def dc(b: Int, c: Int): Int = ((b * 37 + c * 53 + 11) % 200) - 100
+    sweep("jpeg-rst", JpegCodec.encodeDcOnly(24, 16, 3, restartEvery = 2)(dc),
+      707)(
+      "decode" -> JpegCodec.decode,
+      "sofMode" -> JpegCodec.sofMode)
+    sweep("jpeg-prog",
+      JpegCodec.encodeProgressiveDcOnly(24, 16, 3, restartEvery = 2)(dc),
+      808)(
+      "decode" -> JpegCodec.decode,
+      "sofMode" -> JpegCodec.sofMode)
+    sweep("jpeg-prog-gray",
+      JpegCodec.encodeProgressiveDcOnly(16, 16, 1)(dc), 909)(
+      "decode" -> JpegCodec.decode,
+      "sofMode" -> JpegCodec.sofMode)
+  }
+
   test("WAV parser survives seeded corruptions without throwing") {
     val good = AudioCodecs.wavBytes(48, 2, 16000, 16)(
       (f, c) => (f * 7 + c * 3) % 200 - 100)

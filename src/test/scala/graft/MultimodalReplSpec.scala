@@ -165,13 +165,17 @@ class MultimodalReplSpec extends AnyFunSuite {
     // id=1: sums over x in 0..2, y in 0..1 of (x + 2y + 3c)
     val s = (c: Int) => (for (y <- 0 to 1; x <- 0 to 2)
       yield (x + 2 * y + 3 * c) % 256).sum.toLong
-    assert(got(0).getBoolean(1) && got(0).getInt(4) == 3)
-    assert((got(0).getLong(6), got(0).getLong(7), got(0).getLong(8)) ==
+    assert(got(0).getBoolean(1) && got(0).getInt(5) == 3)
+    assert(got(0).getString(2) == "png")
+    assert((got(0).getLong(7), got(0).getLong(8), got(0).getLong(9)) ==
       ((s(0), s(1), s(2))))
-    assert(got(0).isNullAt(9), "rgb has no 4th channel")
-    assert(!got(1).getBoolean(1) && got(1).isNullAt(6))
-    assert(got(2).getBoolean(1) && got(2).getInt(4) == 1 &&
-      got(2).getLong(6) == (0 + 1 + 2 + 3))
+    assert(got(0).isNullAt(10), "rgb has no 4th channel")
+    assert(!got(1).getBoolean(1) && got(1).isNullAt(7))
+    assert(got(1).getString(2) == "jpeg_baseline",
+      "undecodable row still names its profile: decoded=false + " +
+        "decode_mode=jpeg_baseline reads as a truncated baseline stream")
+    assert(got(2).getBoolean(1) && got(2).getInt(5) == 1 &&
+      got(2).getLong(7) == (0 + 1 + 2 + 3))
   }
 
   test("gifPixels: LZW roundtrip across palette sizes, incl. code-width " +
@@ -246,6 +250,184 @@ class MultimodalReplSpec extends AnyFunSuite {
     val p = JpegCodec.decode(bytes).get
     assert((p.pixels(0) & 0xff) == 21 * 2 + 128)
     assert(p.pixels.forall(b => (b & 0xff) == 170))
+  }
+
+  test("jpeg: progressive DC-only decodes to exact uniform blocks " +
+      "through DC-first(Al=1) + DC-refine + AC EOB-run scans; restart " +
+      "markers resync in both modes") {
+    import graft.operators.{ImageCodecs, JpegCodec}
+    def dc(b: Int, c: Int): Int = ((b * 37 + c * 53 + 11) % 200) - 100
+    for (nComp <- Seq(1, 3); restartEvery <- Seq(0, 1, 2, 5)) {
+      val bytes = JpegCodec.encodeProgressiveDcOnly(24, 16, nComp,
+        restartEvery = restartEvery)(dc)
+      val got = JpegCodec.decodeExt(bytes)
+      assert(got.isDefined,
+        s"nComp=$nComp rst=$restartEvery failed to decode")
+      val (p, mode) = got.get
+      assert(mode == "jpeg_progressive")
+      assert((p.width, p.height, p.channels) == ((24, 16, nComp)))
+      for (by <- 0 until 2; bx <- 0 until 3; y <- 0 until 8; x <- 0 until 8;
+           c <- 0 until nComp) {
+        val expect = dc(by * 3 + bx, c) + 128
+        val gotV = p.pixels(((by * 8 + y) * 24 + bx * 8 + x) * nComp + c) & 0xff
+        assert(gotV == expect, s"prog nComp=$nComp rst=$restartEvery " +
+          s"block($bx,$by) sample($x,$y) ch$c: $gotV != $expect")
+      }
+      assert(ImageCodecs.decodePixels(bytes).isDefined)
+      assert(JpegCodec.sofMode(bytes) == "jpeg_progressive")
+    }
+    // baseline with restart intervals: same closed form, RSTn + DRI path
+    for (nComp <- Seq(1, 3); restartEvery <- Seq(1, 3)) {
+      val bytes = JpegCodec.encodeDcOnly(24, 16, nComp,
+        restartEvery = restartEvery)(dc)
+      val got = JpegCodec.decodeExt(bytes)
+      assert(got.isDefined, s"baseline rst=$restartEvery failed")
+      val (p, mode) = got.get
+      assert(mode == "jpeg_baseline")
+      for (b <- 0 until 6; c <- 0 until nComp)
+        assert((p.pixels(((b / 3 * 8) * 24 + b % 3 * 8) * nComp + c) & 0xff)
+          == dc(b, c) + 128, s"baseline rst=$restartEvery block $b ch $c")
+      assert(JpegCodec.sofMode(bytes) == "jpeg_baseline")
+    }
+  }
+
+  test("jpeg: progressive AC spectral-selection + successive-" +
+      "approximation (handcrafted stream: ZRL, EOB runs, correction " +
+      "bits) reconstructs the intended coefficients exactly") {
+    import graft.operators.JpegCodec
+    // gray 24x8 = 3 blocks, quant 8. Scan plan:
+    //  scan 1: DC first Al=0, dcs 10 / -6 / 1
+    //  scan 2: AC first 1..63 at Al=1:
+    //    block0: k=1 v=3, then 3 zeros, k=5 v=-2, EOB0
+    //    block1: EOB0
+    //    block2: ZRL (16 zeros), k=17 v=-1, EOB0
+    //  scan 3: AC refine 1..63 Ah=1 Al=0:
+    //    block0: sym(r=1,s=1,+): refines k=1 (bit 1: 6->7), places +1
+    //            at k=3; sym(r=0,s=1,-): places -1 at k=4; EOB0 with
+    //            tail refinement of k=5 (bit 1: -4 -> -5)
+    //    block1: EOB0 (no nonzero history, no bits)
+    //    block2: EOB0, tail refinement of k=17 (bit 0: -2 stays)
+    val bb = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bb.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    var acc = 0; var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) {
+          bb.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) bb.write(0x00)
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flushPad(): Unit = if (nb > 0) {
+      val pad = acc << (8 - nb) | ((1 << (8 - nb)) - 1)
+      bb.write(pad & 0xff)
+      if ((pad & 0xff) == 0xff) bb.write(0x00)
+      acc = 0; nb = 0
+    }
+    u8(0xff); u8(0xd8)
+    u8(0xff); u8(0xdb); u16(2 + 65); u8(0x00) // DQT const 8
+    (0 until 64).foreach(_ => u8(8))
+    u8(0xff); u8(0xc2); u16(2 + 6 + 3) // SOF2 gray 24x8
+    u8(8); u16(8); u16(24); u8(1); u8(1); u8(0x11); u8(0)
+    // DC table: categories 0..11, 4-bit codes (code == category)
+    u8(0xff); u8(0xc4); u16(2 + 17 + 12); u8(0x00)
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(u8)
+    // AC table: symbols [EOB0, 0x02, 0x32, 0x11, 0x01, ZRL] as 4-bit
+    // codes; canonical code of symbol i is the 4-bit value i
+    val acSyms = Seq(0x00, 0x02, 0x32, 0x11, 0x01, 0xf0)
+    u8(0xff); u8(0xc4); u16(2 + 17 + acSyms.length); u8(0x10)
+    (1 to 16).foreach(l => u8(if (l == 4) acSyms.length else 0))
+    acSyms.foreach(u8)
+    def sym(s: Int): Unit = putBits(acSyms.indexOf(s), 4)
+    // scan 1: DC first Al=0
+    u8(0xff); u8(0xda); u16(2 + 1 + 2 + 3)
+    u8(1); u8(1); u8(0x00); u8(0); u8(0); u8(0x00)
+    putBits(4, 4); putBits(10, 4)       // dc 10: cat 4, bits 1010
+    putBits(5, 4); putBits(-16 + 31, 5) // diff -16: cat 5
+    putBits(3, 4); putBits(7, 3)        // diff +7: cat 3
+    flushPad(); // scan 2: AC first 1..63, Al=1
+    u8(0xff); u8(0xda); u16(2 + 1 + 2 + 3)
+    u8(1); u8(1); u8(0x00); u8(1); u8(63); u8(0x01)
+    sym(0x02); putBits(3, 2)  // block0 k=1: v=3 -> stored 6
+    sym(0x32); putBits(1, 2)  // 3 zeros then v=-2 at k=5 -> stored -4
+    sym(0x00)                 // EOB0
+    sym(0x00)                 // block1: EOB0
+    sym(0xf0)                 // block2: ZRL
+    sym(0x01); putBits(0, 1)  // k=17: v=-1 -> stored -2
+    sym(0x00)                 // EOB0
+    flushPad(); // scan 3: AC refine 1..63, Ah=1 Al=0
+    u8(0xff); u8(0xda); u16(2 + 1 + 2 + 3)
+    u8(1); u8(1); u8(0x00); u8(1); u8(63); u8(0x10)
+    sym(0x11); putBits(1, 1) // + sign for the new coef
+    putBits(1, 1)            // correction k=1: 6 -> 7
+    sym(0x01); putBits(0, 1) // - sign, places -1 at k=4
+    sym(0x00)                // EOB0; tail:
+    putBits(1, 1)            //   correction k=5: -4 -> -5
+    sym(0x00)                // block1 EOB0 (no corrections)
+    sym(0x00)                // block2 EOB0; tail:
+    putBits(0, 1)            //   correction k=17: -2 stays
+    flushPad()
+    u8(0xff); u8(0xd9)
+    val p = JpegCodec.decode(bb.toByteArray)
+    assert(p.isDefined, "handcrafted progressive stream must decode")
+    val img = p.get
+    assert((img.width, img.height, img.channels) == ((24, 8, 1)))
+    // reference IDCT over the intended final coefficients (zigzag k ->
+    // natural via the spec's figure A.6 table, same math as decoder)
+    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val want = Array.fill(3)(new Array[Int](64))
+    want(0)(zig(0)) = 10; want(0)(zig(1)) = 7; want(0)(zig(3)) = 1
+    want(0)(zig(4)) = -1; want(0)(zig(5)) = -5
+    want(1)(zig(0)) = -6
+    want(2)(zig(0)) = 1; want(2)(zig(17)) = -2
+    val cosT = Array.tabulate(8, 8) { (x, u) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    for (blk <- 0 until 3; y <- 0 until 8; x <- 0 until 8) {
+      var sum = 0.0
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        val cv = cosT(y)(v)
+        while (u < 8) {
+          val f = want(blk)(v * 8 + u) * 8 // dequant
+          if (f != 0) sum += cosT(x)(u) * cv * f
+          u += 1
+        }
+        v += 1
+      }
+      val expect =
+        math.max(0, math.min(255, math.round(sum / 4.0 + 128.0).toInt))
+      val gotV = img.pixels(y * 24 + blk * 8 + x) & 0xff
+      assert(gotV == expect, s"block $blk sample($x,$y): $gotV != $expect")
+    }
+  }
+
+  test("jpeg: 16-bit (Pq=1) quant tables dequantize correctly") {
+    import graft.operators.JpegCodec
+    // take a DC-only baseline stream and rewrite its DQT to Pq=1 with
+    // value 256 (> 8-bit range): decoded sample = round(dc*256/8) + 128
+    val base = JpegCodec.encodeDcOnly(8, 8, 1)((_, _) => 3)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 2)                   // SOI
+    out.write(0xff); out.write(0xdb)        // DQT, Pq=1
+    out.write(0); out.write(2 + 129); out.write(0x10)
+    (0 until 64).foreach { _ => out.write(1); out.write(0) } // 256 BE
+    out.write(base, 2 + 69, base.length - (2 + 69)) // skip old DQT(69)
+    val p = JpegCodec.decode(out.toByteArray)
+    assert(p.isDefined, "Pq=1 stream must decode")
+    assert((p.get.pixels(0) & 0xff) == 224, // 3*256/8 + 128
+      s"got ${p.get.pixels(0) & 0xff}")
   }
 
   test("jpeg: malformed/unsupported streams decode to None, never throw") {
