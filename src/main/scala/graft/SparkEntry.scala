@@ -442,6 +442,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Intra-corpus repeated-substring excision (q114): a 9-token
+    // boilerplate footer is appended to every 5th doc — every footer
+    // 6-gram occurs ~100 times so the footer span is cut in each
+    // carrier, junction windows (mixing per-doc tokens) stay unique
+    // and survive, and docs without the footer keep any organic
+    // repeats the corpus itself has (the oracle recomputes those too).
+    "q114_repeated_substring_excise" -> ((s, dir) => {
+      val footer = "copy pasted footer begins here and repeats verbatim nine"
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" " + footer)))
+            .otherwise(col("text")).as("text"))
+      TextAnalysisOps.repeatedSubstringExcise(
+        injected, "doc_id", "text", k = 6)
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash 16-bit signatures.
     "q33_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2456,6 +2474,56 @@ object SparkEntry {
         |ms AS (
         |  SELECT doc_id, u.p AS pos FROM shx
         |  WHERE u.sh IN (SELECT shingle FROM bsh)),
+        |kx AS (
+        |  SELECT doc_id,
+        |    unnest([{'j': i - 1, 'tok': t[i]}
+        |            FOR i IN range(1, len(t) + 1)]) AS u
+        |  FROM tt),
+        |k AS (SELECT doc_id, u.j AS j, u.tok AS tok FROM kx),
+        |cov AS (
+        |  SELECT DISTINCT k.doc_id, k.j
+        |  FROM k JOIN ms ON ms.doc_id = k.doc_id
+        |  JOIN wd ON wd.doc_id = k.doc_id
+        |  WHERE ms.pos <= k.j AND k.j < ms.pos + wd.w),
+        |fl AS (
+        |  SELECT k.doc_id, k.j, k.tok, (cov.j IS NOT NULL) AS cut
+        |  FROM k LEFT JOIN cov ON cov.doc_id = k.doc_id AND cov.j = k.j)
+        |SELECT f.doc_id, any_value(w.nt) AS n_tokens,
+        |  sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  substr(md5(coalesce(array_to_string(
+        |    list(tok ORDER BY j) FILTER (WHERE NOT cut), ' '), '')),
+        |    1, 16) AS clean_sig
+        |FROM fl f JOIN wd w USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // q112's excision CTEs, but the "bench set" is the corpus's own
+    // globally-repeated 6-grams (count over ALL occurrences >= 2),
+    // grouped by the same 16-hex md5 prefix Spark shuffles.
+    "q114_repeated_substring_excise" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 1
+        |    THEN text ||
+        |      ' copy pasted footer begins here and repeats verbatim nine'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM inj),
+        |wd AS (
+        |  SELECT doc_id, len(t)::BIGINT AS nt,
+        |    CASE WHEN len(t) >= 6 THEN 6
+        |         ELSE greatest(len(t), 1) END AS w
+        |  FROM tt),
+        |shx AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 6 THEN
+        |      [{'p': i - 1, 'sh': array_to_string(t[i:i + 5], ' ')}
+        |       FOR i IN range(1, len(t) - 4)]
+        |    ELSE [{'p': 0, 'sh': array_to_string(t, ' ')}] END) AS u
+        |  FROM tt),
+        |rep AS (
+        |  SELECT substr(md5(u.sh), 1, 16) AS g FROM shx
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |ms AS (
+        |  SELECT doc_id, u.p AS pos FROM shx
+        |  WHERE substr(md5(u.sh), 1, 16) IN (SELECT g FROM rep)),
         |kx AS (
         |  SELECT doc_id,
         |    unnest([{'j': i - 1, 'tok': t[i]}

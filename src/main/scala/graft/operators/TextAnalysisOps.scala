@@ -282,6 +282,65 @@ object TextAnalysisOps {
         substring(md5(array_join(kept, " ")), 1, 16).as("clean_sig"))
   }
 
+  /** INTRA-corpus repeated-substring excision (the Lee et al. 2022
+    * ExactSubstr practice — "Deduplicating Training Data Makes
+    * Language Models Better" — approximated for a distributed engine):
+    * cut every token covered by a k-token window whose exact text
+    * occurs at least `minCount` times across the corpus, counting all
+    * occurrences — other documents or elsewhere in the same document.
+    * Lee et al. build a suffix array to find maximal repeats; the
+    * bucketed approximation here marks a span repeated iff EVERY one
+    * of its k-gram windows is globally repeated — a necessary
+    * condition needing no suffix structure, only a count per k-gram
+    * hash. Its false positives are adjacent windows that repeat
+    * against different partners (rare in practice, and conservative:
+    * boilerplate-adjacent text is removed, never kept). Docs shorter
+    * than k tokens contribute their whole text as one window — a
+    * short doc repeated `minCount` times loses everything, exactly
+    * the exact-duplicate limit of the definition.
+    *
+    * Scale shape: positions explode once (one row per token position,
+    * linear in corpus tokens), each row carrying (id, pos, 16-byte
+    * gram hash) — the gram TEXT never reaches an exchange. The global
+    * occurrence count rides a count window on the hash exchange (the
+    * invertedIndex/BM25-df idiom: counting costs no second shuffle);
+    * only REPEATED positions survive into the per-doc list (a small
+    * fraction of tokens for a sane corpus, whole-doc-sized only for
+    * wall-to-wall boilerplate), and the cut is the same pure array
+    * expression as [[decontaminateExcise]]. No all-pairs, no suffix
+    * arrays; two exchanges total (16-byte keys, then id-keyed lists). */
+  def repeatedSubstringExcise(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int = 8,
+                              minCount: Int = 2): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minCount >= 2,
+      "k must be >= 1 and minCount >= 2")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(wordShingles(col("__t"), k)).as(Seq("pos", "__sh")))
+      .select(col(idCol), col("pos"),
+        substring(md5(col("__sh")), 1, 16).as("__g"))
+    val byGram = Window.partitionBy(col("__g"))
+    val starts = grams
+      .withColumn("__c", count(lit(1)).over(byGram))
+      .filter(col("__c") >= minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__starts"))
+    // span width: a doc shorter than k has one whole-doc window
+    val width = greatest(least(lit(k), size(col("__t"))), lit(1))
+    val kept = filter(col("__t"), (_, i) =>
+      !exists(col("__starts"), s => s <= i && i < s + width))
+    toks.join(starts, Seq(idCol), "left_outer")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(kept)).cast("long").as("n_removed"),
+        substring(md5(array_join(kept, " ")), 1, 16).as("clean_sig"))
+  }
+
   /** Graded contamination: per train document, the FRACTION of its
     * distinct word n-gram shingles present in the benchmark set — the
     * GPT-3-style overlap percentage that separates a stray quoted

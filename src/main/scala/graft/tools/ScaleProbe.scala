@@ -112,6 +112,13 @@ object ScaleProbe {
       TextAnalysisOps.commonLineFilter(
         docs.withColumn("text", regexp_replace(col("text"), " ", "\n")),
         "doc_id", "text"))
+    // q114: one row per token position crosses the 16-B gram-hash
+    // exchange (count window rides it), repeated positions re-shuffle
+    // on id; both legs must stay linear in corpus tokens. Replica
+    // salting keeps cross-replica grams distinct, so the repeated set
+    // is the corpus's organic repetition, not an artifact of xN.
+    time(s"repeatedSubstringExcise x$n")(
+      TextAnalysisOps.repeatedSubstringExcise(docs, "doc_id", "text"))
     // q65: (token) count shuffle + vocabulary join — both map-side combined
     time(s"unigramSurprisal x$n")(
       TextAnalysisOps.unigramSurprisal(docs, "doc_id", "text"))

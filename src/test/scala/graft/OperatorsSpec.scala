@@ -1424,6 +1424,39 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 3L, 3L, sig(""))), got.mkString(","))
   }
 
+  test("repeatedSubstringExcise: cuts spans whose k-grams repeat " +
+      "globally — cross-doc, within-doc, and short-doc-duplicate " +
+      "cases; unique text survives") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      // docs 1 and 2 share the 3-token run "p q r" (embedded in
+      // different contexts: junction windows stay unique)
+      (1L, "a1 b1 p q r c1 d1"),
+      (2L, "a2 p q r b2 c2 d2"),
+      // doc 3 repeats "u v w" internally - both occurrences cut
+      (3L, "u v w m1 m2 u v w"),
+      // docs 4 and 5 are 2-token exact duplicates (< k: whole-doc
+      // window) - both fully removed
+      (4L, "s t"),
+      (5L, "s t"),
+      // doc 6 is entirely unique
+      (6L, "n1 n2 n3 n4 n5")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.repeatedSubstringExcise(
+        docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def sig(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(got.toSeq == Seq(
+      (1L, 7L, 3L, sig("a1 b1 c1 d1")),
+      (2L, 7L, 3L, sig("a2 b2 c2 d2")),
+      (3L, 8L, 6L, sig("m1 m2")),
+      (4L, 2L, 2L, sig("")),
+      (5L, 2L, 2L, sig("")),
+      (6L, 5L, 0L, sig("n1 n2 n3 n4 n5"))), got.mkString(","))
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
