@@ -460,6 +460,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CJK near-dup candidates (q115): unspaced 30-ideograph strings
+    // (odd ids differ from their even pair at one position) become
+    // char-unigram token streams via codepoint-class segmentation, so
+    // q32's minhash machinery — 3-gram shingles = character trigrams —
+    // finds the pairs whitespace tokenization is blind to.
+    "q115_cjk_neardup" -> ((s, dir) => {
+      val seg = cjkDocs(s, dir).select(col("doc_id"),
+        TextFunctions.segmentCjk(col("cjk")).as("text"))
+      DedupOps.minhashCandidates(seg, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // CJK corpus drift (q116): q106's JS-divergence monitor over
+    // segmented ideograph corpora — terms are single Han characters;
+    // corpus B drops every 7th doc and injects a tripled char into
+    // every 5th, which must surface in the top-k drifted terms.
+    "q116_cjk_drift" -> ((s, dir) => {
+      val seg = cjkDocs(s, dir).select(col("doc_id"),
+        TextFunctions.segmentCjk(col("cjk")).as("text"))
+      val b = seg.filter(col("doc_id") % 7 =!= 2)
+        .select(concat(col("text"),
+          when(col("doc_id") % 5 === 1, lit(" 漢 漢 漢"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.corpusDrift(seg.select(col("text")), b, "text",
+        k = 20)
+    }),
+
     // SimHash 16-bit signatures.
     "q33_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1922,6 +1951,58 @@ object SparkEntry {
     * bands → candidate pairs → verified jaccard `j`) shared by q32 and
     * q49. Emitted WITHOUT the leading WITH so callers can prepend
     * `WITH` or `WITH RECURSIVE`. */
+  /** CJK fixture alphabet: 20 common Han ideographs (all U+4E00-9FFF),
+    * identical literals on both engines. */
+  private val CjkAlphabet = Seq(
+    "漢", "字", "語", "文", "学",
+    "校", "日", "本", "中", "国",
+    "女", "子", "山", "川", "木",
+    "火", "水", "金", "土", "人")
+
+  /** CJK fixture: 30-ideograph UNSPACED strings built per doc from a
+    * per-position formula mixed through a double modulus `% 251 % 20`
+    * that is nonlinear in BOTH the group id g and the position i — a
+    * formula linear in g collapses mod the alphabet size and silently
+    * merges distinct groups into identical-content cliques (simulated:
+    * `(g*31 + 7i² + i) % 20` yields 12,250 jaccard≥0.5 pairs; this
+    * one yields exactly the 250 planted). Odd ids differ from their
+    * even pair at exactly position 7 (+997 before the final mod), so
+    * (2g, 2g+1) are the planted near-dup pairs. */
+  private def cjkDocs(s: SparkSession, dir: String): DataFrame = {
+    val alph = array(CjkAlphabet.map(lit): _*)
+    val g = expr("doc_id DIV 2")
+    t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("", transform(sequence(lit(0), lit(29)), i => {
+        val base = (g * g + (g + lit(13)) * (i + lit(7)) * (i + lit(7))
+          + i) % 251
+        val idx = when(col("doc_id") % 2 === 1 && i === lit(7),
+            (base + lit(997)) % 20)
+          .otherwise(base % 20)
+        element_at(alph, (idx + 1).cast("int"))
+      })).as("cjk"))
+  }
+
+  /** DuckDB twin of [[cjkDocs]] + [[graft.functions.TextFunctions
+    * .segmentCjk]]: same alphabet literals, same formula, same two
+    * regex replaces (RE2 `\x{...}` classes = the Java `\u` ranges). */
+  private def cjkSegSql: String = {
+    val alph = CjkAlphabet.mkString("['", "', '", "']")
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(cjk,
+       |    '([\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}])',
+       |    ' \\1 ', 'g'), '\\s+', ' ', 'g')) AS text
+       |FROM (
+       |  SELECT doc_id, array_to_string([
+       |    $alph[
+       |      CASE WHEN doc_id % 2 = 1 AND i = 7
+       |        THEN (((doc_id // 2) * (doc_id // 2) + ((doc_id // 2) + 13)
+       |          * (i + 7) * (i + 7) + i) % 251 + 997) % 20 + 1
+       |        ELSE ((doc_id // 2) * (doc_id // 2) + ((doc_id // 2) + 13)
+       |          * (i + 7) * (i + 7) + i) % 251 % 20 + 1 END]
+       |    FOR i IN range(30)], '') AS cjk
+       |  FROM documents)""".stripMargin
+  }
+
   private def minhashCtesSql: String =
     minhashCtesSqlFrom("SELECT doc_id, text FROM documents",
       rowsPerBand = 2)
@@ -2495,6 +2576,50 @@ object SparkEntry {
         |    1, 16) AS clean_sig
         |FROM fl f JOIN wd w USING (doc_id)
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // q32's minhash CTEs over the segmented CJK fixture: the
+    // parameterized builder guarantees geometry parity (8 slices,
+    // 2 rows/band, 3-gram shingles = char trigrams after segmentation).
+    "q115_cjk_neardup" ->
+      ("WITH " + minhashCtesSqlFrom(cjkSegSql, rowsPerBand = 2) + """
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // q106's JS CTEs over the segmented CJK fixture (terms = single
+    // ideographs; identical integer-domain micro-JS floor).
+    "q116_cjk_drift" ->
+      (s"""WITH seg AS (
+        |$cjkSegSql),
+        |bdocs AS (
+        |  SELECT text || CASE WHEN doc_id % 5 = 1
+        |    THEN ' 漢 漢 漢' ELSE '' END AS text
+        |  FROM seg WHERE doc_id % 7 <> 2),
+        |ka AS (
+        |  SELECT term, count(*)::BIGINT AS cnt_a FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM seg)
+        |  GROUP BY term),
+        |kb AS (
+        |  SELECT term, count(*)::BIGINT AS cnt_b FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM bdocs)
+        |  GROUP BY term),
+        |tots AS (
+        |  SELECT (SELECT sum(cnt_a) FROM ka)::BIGINT AS ta,
+        |         (SELECT sum(cnt_b) FROM kb)::BIGINT AS tb),
+        |j AS (
+        |  SELECT coalesce(ka.term, kb.term) AS term,
+        |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |  FROM ka FULL OUTER JOIN kb ON ka.term = kb.term)
+        |SELECT term, cnt_a, cnt_b,
+        |  CAST(floor((
+        |    CASE WHEN cnt_a = 0 THEN 0.0 ELSE
+        |      (cnt_a::DOUBLE / ta::DOUBLE) * ln((2 * cnt_a * tb)::DOUBLE /
+        |        (cnt_a * tb + cnt_b * ta)::DOUBLE) END +
+        |    CASE WHEN cnt_b = 0 THEN 0.0 ELSE
+        |      (cnt_b::DOUBLE / tb::DOUBLE) * ln((2 * cnt_b * ta)::DOUBLE /
+        |        (cnt_a * tb + cnt_b * ta)::DOUBLE) END
+        |  ) * 500000.0) AS BIGINT) AS js_micro
+        |FROM j, tots
+        |ORDER BY js_micro DESC, term ASC LIMIT 20""".stripMargin),
 
     // q112's excision CTEs, but the "bench set" is the corpus's own
     // globally-repeated 6-grams (count over ALL occurrences >= 2),

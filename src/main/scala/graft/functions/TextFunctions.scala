@@ -17,6 +17,26 @@ object TextFunctions {
   /** Whitespace tokens (single-space split; the corpus is space-joined). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** CJK codepoint-class segmentation (the public Unicode-rules
+    * fallback Lucene's CJK analyzers apply): Han ideographs, kana and
+    * Hangul syllables become single-character tokens by inserting
+    * spaces around each codepoint; all other scripts keep whitespace
+    * tokenization. TEXT → TEXT, so every token-based operator
+    * (shingle dedup q31/q32, BM25 q79, surprisal, drift q106, ...)
+    * gains a CJK mode through one projection —
+    * `docs.withColumn("text", segmentCjk(col("text")))` — instead of
+    * degrading to whole-sentence "tokens" on unspaced scripts.
+    * Character unigrams feed the standard CJK n-gram recipe: 3-gram
+    * shingles over segmented text ARE character trigrams. BMP ranges
+    * only (Han U+4E00-9FFF + ext A + compat, kana U+3040-30FF, Hangul
+    * syllables U+AC00-D7AF); ext-B ideographs pass through on the
+    * whitespace path. Codegen'd regexp_replace, exact DuckDB twin via
+    * the same two replaces. */
+  def segmentCjk(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text,
+      "([\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uAC00-\\uD7AF\\uF900-\\uFAFF])",
+      " $1 "), "\\s+", " "))
+
   /** Word n-gram shingles over a MATERIALIZED token-array column (pass a
     * bound column reference, not an inline `split` — an inline expression
     * is re-evaluated inside the lambda per element, turning this O(n)

@@ -584,6 +584,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0L, 0.0)), s"$got")
   }
 
+  test("segmentCjk: codepoint-class segmentation makes unspaced CJK " +
+      "searchable — exact split semantics, latin pass-through, and " +
+      "BM25 retrieval of an ideograph query (the q79 path)") {
+    import graft.functions.TextFunctions
+    import graft.operators.RetrievalOps
+    def seg(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextFunctions.segmentCjk(col("t")).as("s"))
+        .collect()(0).getString(0)
+    // Han + kana + hangul each become single-char tokens; latin runs
+    // keep word tokenization; whitespace collapses to single spaces
+    assert(seg("abc漢字かな한글 def") ==
+      "abc 漢 字 か な 한 글 def")
+    assert(seg(" hello   world ") == "hello world")
+    assert(seg("") == "")
+    // BM25 over segmented text: only segmentation makes the unspaced
+    // corpus match the two-ideograph query at all ("学校" is char
+    // bigram "学 校" on both sides after the projection)
+    val docs = Seq(
+      (1L, "今日は学校に行く"),
+      (2L, "明日は山に登る"),
+      (3L, "学校の先生は親切"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.segmentCjk(col("text")).as("text"))
+    val qs = Seq((9L, "学校")).toDF("query_id", "qtext")
+      .select(col("query_id"),
+        TextFunctions.segmentCjk(col("qtext")).as("qtext"))
+    val hits = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(hits == Set(1L, 3L),
+      s"docs 1 and 3 contain 学校, doc 2 does not: $hits")
+  }
+
   test("bm25TopK maxDfFrac drops high-df terms from scoring") {
     import graft.operators.RetrievalOps
     val docs = Seq(
