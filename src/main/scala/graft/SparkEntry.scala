@@ -489,6 +489,22 @@ object SparkEntry {
         k = 20)
     }),
 
+    // CJK BM25 (q117): q79's retrieval machinery over the segmented
+    // ideograph fixture — queries are each 97th doc's first 8
+    // characters; without segmentation the unspaced corpus would have
+    // zero term overlap with any query.
+    "q117_cjk_bm25" -> ((s, dir) => {
+      val seg = cjkDocs(s, dir).select(col("doc_id"),
+        TextFunctions.segmentCjk(col("cjk")).as("text"))
+      val qs = seg.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("qtext"))
+      RetrievalOps.bm25TopK(seg, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SimHash 16-bit signatures.
     "q33_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1702,16 +1718,25 @@ object SparkEntry {
     * `dfCapSql` injects the optional stopword-cap WHERE into the
     * contrib CTE. */
   private def bm25OracleSql(dfCapSql: String): String =
-    s"""WITH base AS (
+    bm25OracleSqlFrom("SELECT doc_id, text FROM documents", dfCapSql)
+
+  /** [[bm25OracleSql]] with a caller-supplied `(doc_id, text)` corpus
+    * (q117 passes the segmented CJK fixture); queries stay every 97th
+    * doc's first 8 tokens on both engines. */
+  private def bm25OracleSqlFrom(corpusSql: String,
+      dfCapSql: String): String =
+    s"""WITH corpus AS (
+       |$corpusSql),
+       |base AS (
        |  SELECT doc_id, string_split(text, ' ') AS t,
        |    len(string_split(text, ' '))::BIGINT AS dl
-       |  FROM documents),
+       |  FROM corpus),
        |stats AS (SELECT count(*)::BIGINT AS n_docs,
        |            sum(dl)::BIGINT AS total_dl FROM base),
        |q AS (SELECT doc_id AS query_id,
        |        list_distinct(list_slice(string_split(text, ' '), 1, 8))
        |          AS qt
-       |      FROM documents WHERE doc_id % 97 = 0),
+       |      FROM corpus WHERE doc_id % 97 = 0),
        |qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
        |termset AS (SELECT DISTINCT term FROM qterms),
        |pairs AS (
@@ -2620,6 +2645,10 @@ object SparkEntry {
         |  ) * 500000.0) AS BIGINT) AS js_micro
         |FROM j, tots
         |ORDER BY js_micro DESC, term ASC LIMIT 20""".stripMargin),
+
+    // q79's BM25 CTEs with the segmented CJK fixture as the corpus
+    // (the parameterized builder keeps scoring/ranking identical).
+    "q117_cjk_bm25" -> bm25OracleSqlFrom(cjkSegSql, dfCapSql = ""),
 
     // q112's excision CTEs, but the "bench set" is the corpus's own
     // globally-repeated 6-grams (count over ALL occurrences >= 2),
