@@ -505,6 +505,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Minhash band-geometry recall pre-flight (q118): q60's discipline
+    // for the shingle near-dup family — exact Jaccard on a bounded
+    // md5-ordered sample vs the production banding kernel, reported
+    // per Jaccard decile with the analytic 1-(1-j^r)^b prediction.
+    // Graded prefix-truncated variants (shingles of a prefix are a
+    // subset, so jaccard ≈ the kept fraction (doc_id%8+2)/10) populate
+    // the mid deciles the natural corpus lacks, making the probe trace
+    // the whole S-curve instead of just its tails.
+    "q118_minhash_recall_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val toksC = split(col("text"), " ")
+      val m = (col("doc_id") % 8) + 2
+      val variants = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(toksC, lit(1),
+            greatest(lit(3),
+              floor(size(toksC) * m / lit(10)).cast("int"))), " ")
+            .as("text"))
+      DedupOps.minhashRecallProbe(
+        docs.select(col("doc_id"), col("text")).unionByName(variants),
+        "doc_id", "text")
+    }),
+
     // SimHash 16-bit signatures.
     "q33_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2649,6 +2672,48 @@ object SparkEntry {
     // q79's BM25 CTEs with the segmented CJK fixture as the corpus
     // (the parameterized builder keeps scoring/ranking identical).
     "q117_cjk_bm25" -> bm25OracleSqlFrom(cjkSegSql, dfCapSql = ""),
+
+    // q118: the q32 minhash CTEs over an md5-ordered 256-doc sample,
+    // plus ALL-pairs exact jaccard and the per-decile S-curve. The
+    // analytic prediction is the same left-associated multiplication
+    // chain Spark builds (bit-identical doubles), micro-floored BEFORE
+    // the sum so aggregation stays in the integer domain.
+    "q118_minhash_recall_probe" ->
+      ("WITH " + minhashCtesSqlFrom(
+        """SELECT doc_id, text FROM (
+          |    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          |    UNION ALL
+          |    SELECT doc_id + 100000 AS doc_id,
+          |      array_to_string(t[1:GREATEST(3,
+          |        floor((len(t) * ((doc_id % 8) + 2)) / 10)::INT)], ' ')
+          |        AS text
+          |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          |          FROM documents WHERE text IS NOT NULL)
+          |    WHERE doc_id % 2 = 0) u
+          |  ORDER BY md5(doc_id::VARCHAR) LIMIT 256""".stripMargin,
+        rowsPerBand = 2) + """,
+        |allp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+        |      ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |           len(list_distinct(a.sh || b.sh))::DOUBLE END AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |fl AS (
+        |  SELECT LEAST(floor(p.j * 10)::INT, 9) AS j_bucket,
+        |    (CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS caught,
+        |    floor((1.0 - (1.0 - p.j * p.j) * (1.0 - p.j * p.j)
+        |      * (1.0 - p.j * p.j) * (1.0 - p.j * p.j)) * 1e6)::BIGINT
+        |      AS pred_micro
+        |  FROM allp p LEFT JOIN cand c
+        |    ON c.id_a = p.id_a AND c.id_b = p.id_b
+        |  WHERE p.j > 0)
+        |SELECT j_bucket, count(*)::BIGINT AS n_pairs,
+        |  sum(caught)::BIGINT AS n_caught,
+        |  sum(caught)::DOUBLE / count(*)::DOUBLE AS recall,
+        |  sum(pred_micro)::DOUBLE /
+        |    ((count(*) * 1000000)::BIGINT)::DOUBLE AS pred_recall
+        |FROM fl GROUP BY j_bucket ORDER BY j_bucket""".stripMargin),
 
     // q112's excision CTEs, but the "bench set" is the corpus's own
     // globally-repeated 6-grams (count over ALL occurrences >= 2),

@@ -76,6 +76,19 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** The k-slice minhash signature's band keys — THE banding kernel:
+    * [[minhashCandidates]] (q32/q49), containment banding and
+    * [[minhashRecallProbe]] all derive their buckets from this one
+    * construction, so the probe measures exactly the geometry
+    * production uses. */
+  private[graft] def minhashBandKeys(m: Column, k: Int,
+                                     rowsPerBand: Int): Seq[Column] =
+    (0 until k / rowsPerBand).map { b =>
+      concat_ws("#",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(m, i + 1)): _*)
+    }
+
   /** MinHash-LSH candidate pairs: docs sharing >= 1 of `k/rowsPerBand`
     * band keys, with the verified shingle-set Jaccard attached.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -106,13 +119,9 @@ object DedupOps {
           .as("__sh"))
     val sig = base.select(col("id"),
       graft.functions.TextExpressions.minhashSliced(col("__sh"), k).as("__m"))
-    val bands = k / rowsPerBand
-    val bandKeys = (0 until bands).map { b =>
-      concat_ws("#",
-        (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => element_at(col("__m"), i + 1)): _*)
-    }
-    val banded = sig.select(col("id"), explode(array(bandKeys: _*)).as("band"))
+    val banded = sig.select(col("id"),
+      explode(array(minhashBandKeys(col("__m"), k, rowsPerBand): _*))
+        .as("band"))
     // candidate pairs WITHOUT a self-join: one aggregate per bucket, then
     // pair explosion. A self-join would re-execute the whole signature
     // lineage once per branch (measured 3x slower); this is one pass.
@@ -412,6 +421,102 @@ object DedupOps {
     cand.unpersist()
     import scala.jdk.CollectionConverters._
     emb.sparkSession.createDataFrame(rows.asJava, summary.schema)
+  }
+
+  /** Minhash band-geometry recall pre-flight (the q60 discipline for
+    * the OTHER near-dup family): "would k=8, rowsPerBand=2 actually
+    * find my dups?" answered empirically BEFORE a corpus-scale q32/q99
+    * run. A deterministic md5-ordered sample computes exact shingle
+    * Jaccard on ALL its pairs (broadcast; sampleN² bounded by
+    * construction), runs the SAME [[minhashBandKeys]] banding kernel
+    * production uses, and reports per-Jaccard-decile rows tracing the
+    * measured LSH S-curve against the analytic collision probability
+    * 1-(1-j^r)^b (Broder/LSH theory; evaluated per pair via an
+    * explicit multiplication chain so the DuckDB twin is bit-identical,
+    * then micro-floored BEFORE summing — integer-domain aggregation).
+    * Columns: j_bucket (floor(j*10), 1.0 clamped to 9), n_pairs,
+    * n_caught, recall, pred_recall. A healthy geometry shows recall ≈
+    * pred_recall per bucket; a mis-sized one (too few bands for the
+    * target threshold) shows the measured curve undershooting at the
+    * thresholds the user cares about. */
+  def minhashRecallProbe(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 8,
+                         rowsPerBand: Int = 2,
+                         sampleN: Int = 256): DataFrame = {
+    val bands = k / rowsPerBand
+    // sample ids are picked on a NARROW (id, hash) frame — the
+    // md5 top-k is a TakeOrdered over ~24 B rows, so the corpus's
+    // text/token payload never reaches an exchange (measured: the
+    // wide-row variant shuffled linearly in corpus size); texts are
+    // fetched back through a broadcast semi-join on the 256 ids
+    val ids = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(sampleN)
+      .select(col("id"))
+    val sample = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .join(broadcast(ids), Seq("id"))
+      .select(col("id"),
+        graft.functions.TextExpressions.wordShingles(col("__t"), shingleN)
+          .as("__sh"))
+      .select(col("id"), col("__sh"),
+        array_distinct(col("__sh")).as("sh"))
+      .cache()
+    val a = sample.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sample.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") > 0)
+      .cache()
+    val sig = sample.select(col("id"),
+      graft.functions.TextExpressions.minhashSliced(col("__sh"), k)
+        .as("__m"))
+    val banded = sig.select(col("id"),
+      explode(array(minhashBandKeys(col("__m"), k, rowsPerBand): _*))
+        .as("band"))
+    val cand = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+      .cache()
+    // analytic collision probability via explicit multiplication chains
+    // (foldLeft = strict left association; the SQL twin writes the same
+    // left-associated product, so doubles match bit for bit)
+    def powChain(c: Column, n: Int): Column =
+      (1 until n).foldLeft(c)((acc, _) => acc * c)
+    val jr = powChain(col("j"), rowsPerBand)
+    val pred = lit(1.0) - powChain(lit(1.0) - jr, bands)
+    val flagged = exact
+      .join(cand.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .select(
+        least(floor(col("j") * 10).cast("int"), lit(9)).as("j_bucket"),
+        when(col("__hit").isNotNull, 1L).otherwise(0L).as("caught"),
+        floor(pred * 1e6).cast("long").as("pred_micro"))
+    val out = flagged.groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("caught")).as("n_caught"),
+        sum(col("pred_micro")).as("__pred_sum"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_pairs").cast("double"))
+          .as("recall"),
+        (col("__pred_sum").cast("double") /
+          (col("n_pairs") * 1000000L).cast("double")).as("pred_recall"))
+      .orderBy(col("j_bucket"))
+    // same eager-collect-then-unpersist discipline as the embedding
+    // probe: repeated pre-flights must not accumulate executor memory
+    import scala.jdk.CollectionConverters._
+    val rows2 = out.collect().toSeq
+    sample.unpersist()
+    exact.unpersist()
+    cand.unpersist()
+    docs.sparkSession.createDataFrame(rows2.asJava, out.schema)
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding

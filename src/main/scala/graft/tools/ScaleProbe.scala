@@ -241,6 +241,12 @@ object ScaleProbe {
       graft.operators.DedupOps.embeddingLshRecallProbe(emb, "vec_id",
         "embedding", threshold = 0.9, dim = 64, tables = 8, bits = 12,
         sampleN = 400))
+    // q118: sample is fixed-size, so the corpus-sized work is the
+    // md5 top-k sample scan alone — runtime must stay ~flat in N and
+    // the pair stage (sampleN² broadcast) must never hit an exchange
+    time(s"minhashRecallProbe x$n corpus")(
+      graft.operators.DedupOps.minhashRecallProbe(docs, "doc_id",
+        "text", sampleN = 256))
 
     // q108: the bench side stays FIXED (replica-0 every 25th vector,
     // perturbed) while the train corpus grows — candidate volume and

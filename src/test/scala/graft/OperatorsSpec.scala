@@ -1145,6 +1145,29 @@ class OperatorsSpec extends AnyFunSuite {
       "probe caches must be unpersisted before returning")
   }
 
+  test("minhashRecallProbe: identical pairs land in bucket 9 with " +
+      "recall 1.0 matching the analytic prediction, and probe caches " +
+      "are unpersisted") {
+    import graft.operators.DedupOps
+    // 15 planted identical pairs (2g, 2g+1); distinct g share no
+    // tokens, so every cross-pair has jaccard 0 and is filtered out
+    val docs = (0L until 30L).map { i =>
+      val g = i / 2
+      (i, s"w$g x$g y$g z$g a$g b$g")
+    }.toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = DedupOps.minhashRecallProbe(docs, "doc_id", "text",
+      sampleN = 30).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "probe caches must be unpersisted before returning")
+    assert(out.length == 1, s"only bucket 9 should have pairs: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getInt(0) == 9 && r.getLong(1) == 15L && r.getLong(2) == 15L)
+    assert(r.getDouble(3) == 1.0)           // measured recall
+    assert(r.getDouble(4) == 1.0)           // 1-(1-1^r)^b is exactly 1
+  }
+
   test("stratifiedSample: exact ceil quota per stratum, deterministic") {
     import graft.operators.SamplingOps
     // skewed strata: 100 vs 7 rows; plain hash sampling would miss the
