@@ -30,4 +30,36 @@ object Warehouse {
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** The full 100 TB scan posture in one write: directory-level
+    * partition pruning (`partCol`), row-group stats pruning (sorting by
+    * `bucketCol` makes per-row-group min/max disjoint, so a key-range
+    * scan touches ~one row group), per-column parquet BLOOM filters for
+    * point lookups on high-cardinality unsorted columns (where min/max
+    * spans everything and is useless), and bucket co-location for
+    * exchange-free downstream joins. Dictionary encoding is disabled
+    * for bloom columns: blooms exist precisely because those columns
+    * are too high-cardinality to dictionary-encode at real scale, and
+    * at test scale a residual dictionary would mask whether the bloom
+    * itself prunes (PruningSpec relies on that isolation).
+    *
+    * `rowGroupBytes` tunes `parquet.block.size`: the row group is the
+    * unit of both stats pruning and task splitting — at 100 TB keep the
+    * default ~128 MB; tests shrink it to force many groups per file. */
+  def writePrunedBucketed(df: DataFrame, table: String, partCol: String,
+                          bucketCol: String, nBuckets: Int,
+                          bloomCols: Seq[String] = Nil,
+                          rowGroupBytes: Long = 128L << 20): Unit = {
+    var w = df.write.mode("overwrite")
+      .format("parquet")
+      .option("parquet.block.size", rowGroupBytes.toString)
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    w.partitionBy(partCol)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
 }

@@ -45,4 +45,95 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_quality")
     }
   }
+
+  /** Rows a filtered table scan actually OUTPUTS — i.e. rows surviving
+    * parquet-side structural pruning (partition dirs, row-group stats,
+    * bloom), before Spark's FilterExec. The behavioral measure of "did
+    * the scan skip what it should have skipped". */
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    unwrap(df.queryExecution.executedPlan)
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+  }
+
+  test("writePrunedBucketed: partition, row-group stats and bloom " +
+      "pruning each verified behaviorally on a written table") {
+    val n = 40000L
+    val df = spark.range(n).select(
+      col("id").as("doc_id"),
+      (col("id") % 2).cast("string").as("part"),
+      md5(col("id").cast("string")).as("content_hash"),
+      // non-key payload so row groups hold real bytes
+      concat(md5((col("id") + 7).cast("string")),
+        md5((col("id") + 13).cast("string"))).as("payload"))
+    Warehouse.writePrunedBucketed(df, "p_docs", "part", "doc_id",
+      nBuckets = 2, bloomCols = Seq("content_hash"),
+      rowGroupBytes = 64L << 10)
+    // control: identical layout and encodings, just no bloom — isolates
+    // the bloom filter as the only possible pruner of an absent key
+    df.write.mode("overwrite").format("parquet")
+      .option("parquet.block.size", (64L << 10).toString)
+      .option("parquet.enable.dictionary#content_hash", "false")
+      .partitionBy("part").bucketBy(2, "doc_id").sortBy("doc_id")
+      .saveAsTable("p_docs_nobloom")
+    try {
+      val t = spark.table("p_docs")
+      // 1. partition pruning: a part predicate halves what the scan
+      // even reads, and the plan carries it as a PartitionFilter (not
+      // a pushed data filter)
+      val partScan = scanRows(t.filter(col("part") === "0"))
+      assert(partScan == n / 2, s"partition prune read $partScan rows")
+      val pp = t.filter(col("part") === "0")
+        .queryExecution.executedPlan.toString
+      assert(pp.contains("PartitionFilters: [isnotnull(part"),
+        s"part predicate must prune directories:\n$pp")
+      // 2. row-group stats pruning: files are sorted by doc_id, so a
+      // narrow id range must touch ~one row group per file, not the
+      // ~20k rows of the partition
+      val rangeScan = scanRows(
+        t.filter(col("part") === "0" && col("doc_id").between(100, 199)))
+      assert(rangeScan < n / 8,
+        s"sorted row-group stats should skip most groups, read $rangeScan")
+      // 3. bloom pruning: a point lookup for a hash that is absent but
+      // inside every min/max range outputs ZERO rows with the bloom...
+      val absent = "80000000000000000000000000000000"
+      val bloomScan = scanRows(t.filter(col("content_hash") === absent))
+      assert(bloomScan == 0L,
+        s"bloom filter should skip every row group, read $bloomScan")
+      // ...and the bloom is genuinely what did it: the no-bloom control
+      // with identical stats/encodings cannot prune that lookup
+      val controlScan = scanRows(spark.table("p_docs_nobloom")
+        .filter(col("content_hash") === absent))
+      assert(controlScan > 0L,
+        "control without bloom should read rows; if this is 0 another " +
+          "pruner is active and the bloom assertion above proves nothing")
+      // 4. the same table still joins exchange-free on the bucket key
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = t.join(spark.table("p_docs_nobloom")
+            .select(col("doc_id"), col("content_hash").as("h2")),
+          Seq("doc_id"))
+        assert(j.count() == n)
+        val jp = j.queryExecution.executedPlan.toString
+        assert(jp.contains("SortMergeJoin") && !jp.contains("Exchange"),
+          s"bucketed join must stay exchange-free:\n$jp")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS p_docs")
+      spark.sql("DROP TABLE IF EXISTS p_docs_nobloom")
+    }
+  }
 }
