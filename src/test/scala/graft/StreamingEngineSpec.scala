@@ -343,6 +343,31 @@ class StreamingEngineSpec extends AnyFunSuite {
     assert(frame.filter("key = 'abc123'").count() > 0)
   }
 
+  test("HONEST BLOCKER: no live Kafka round-trip is possible in this " +
+      "sandbox — the connector class itself is absent, pinned here so " +
+      "an environment that gains it flips this red") {
+    // What was attempted, in order:
+    //  1. spark-sql-kafka-0-10 / kafka-clients under /opt/spark/jars:
+    //     absent (287 jars, zero kafka artifacts).
+    //  2. dependency resolution: COURSIER_MODE=offline with zero egress
+    //     and no kafka artifacts in the local cache — adding the
+    //     libraryDependency cannot resolve (and build.sbt additions are
+    //     out of contract anyway).
+    //  3. an embedded in-JVM broker (the KafkaTestUtils pattern)
+    //     requires kafka.server.* from the kafka_2.13 server artifact —
+    //     same absence; the file-based harness lives in the
+    //     spark-sql-kafka TEST jar, equally unavailable.
+    // The production contract is still fully spec'd above: payload
+    // parity vs README.md:57-68 and the (topic, key, value) connector
+    // frame. The ONE untested inch is the broker handshake itself.
+    val e = intercept[Exception] {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("kafka", spark.sessionState.conf)
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"lookup failed for an unexpected reason: ${e.getMessage}")
+  }
+
   test("receiver.json stub matches the reference's dump978 startup write") {
     val dir = Files.createTempDirectory("graft_recv").toString
     AircraftJsonSource.writeReceiverJson(dir)
