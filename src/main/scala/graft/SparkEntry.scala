@@ -715,29 +715,10 @@ object SparkEntry {
           .select((col("doc_id") + 40000).as("doc_id"),
             concat_ws("\n", upper(l1), boiler, upper(l3), boiler,
               upper(l1)).as("text")))
-      val lines = split(col("text"), "\n")
-      val kept = filter(lines,
-        (x, i) => array_position(lines, x) === (i + lit(1)).cast("long"))
-      val cleanedExpr = trim(regexp_replace(
-        lower(TextExpressions.nfcNormalize(array_join(kept, "\n"))),
-        "\\s+", " "))
-      val cleaned = injected.select(col("doc_id"),
-        cleanedExpr.as("clean"),
-        size(split(cleanedExpr, " ")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
-      val deduped = cleaned.withColumn("__rn", row_number().over(w))
-      val h = substring(md5(col("doc_id").cast("string")), 1, 8)
-      deduped.select(col("doc_id"),
-        substring(md5(col("clean")), 1, 16).as("clean_sig"),
-        col("n_tokens"),
-        when(col("__rn") > 1, "dup")
-          .when(col("n_tokens") < 8, "short")
-          .otherwise("keep").as("reason"),
-        when(h < SamplingOps.rateThreshold(0.8), "train")
-          .when(h < SamplingOps.rateThreshold(0.8 + 0.1), "val")
-          .otherwise("test").as("split"))
-        .withColumn("selected",
-          col("reason") === "keep" && col("split") === "train")
+      // the clean/dedup/split/verdict chain is the SHARED pipeline
+      // core (CurationPipeline) — the streaming twin runs the same
+      // expressions, and this oracle row pins them for both
+      CurationPipeline.batchVerdicts(injected, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** The q100 curation pipeline's SHARED core: one stateless cleaning
+  * projection and one batch dedup finisher, factored so the batch plan
+  * (SparkEntry q100, oracle-checked) and the streaming twin
+  * ([[graft.streaming.CurationStream]]) run literally the same
+  * expressions — the streaming ≡ batch soak in CurationStreamSpec is
+  * meaningful only because neither side re-implements the other.
+  *
+  * Stage map (all stage semantics oracle-pinned through q100):
+  *  - intra-doc repeated-line excision (q81's first-occurrence filter)
+  *  - NFC normalize + casefold + whitespace collapse (q78)
+  *  - token count, 16-hex content signature
+  *  - deterministic md5 train/val/test split (q90's thresholds)
+  *  - keep-first signature dedup (q30) — the only stateful stage, a
+  *    window in batch, a keyed GroupState in streaming.
+  */
+object CurationPipeline {
+
+  /** Split thresholds exactly as q100 wrote them: `0.8 + 0.1` is kept
+    * as the literal double sum (≠ 0.9 in IEEE), so the 8-hex threshold
+    * strings — and therefore every doc's split — stay bit-identical to
+    * the oracle-verified batch plan. */
+  private val TrainThreshold = SamplingOps.rateThreshold(0.8)
+  private val ValThreshold = SamplingOps.rateThreshold(0.8 + 0.1)
+
+  /** The stateless cleaning projection: doc_id, `keep` passthroughs,
+    * clean text, token count, full + 16-hex content signature, split.
+    * Streaming-safe by construction (projection only, no shuffle). */
+  def cleanProject(df: DataFrame, idCol: String, textCol: String,
+                   keep: Seq[String] = Nil): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines,
+      (x, i) => array_position(lines, x) === (i + lit(1)).cast("long"))
+    val cleanedExpr = trim(regexp_replace(
+      lower(TextExpressions.nfcNormalize(array_join(kept, "\n"))),
+      "\\s+", " "))
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    df.select(col(idCol).as("doc_id") +: keep.map(col) :+
+      cleanedExpr.as("clean") :+
+      when(h < TrainThreshold, "train")
+        .when(h < ValThreshold, "val")
+        .otherwise("test").as("split"): _*)
+      .withColumn("n_tokens",
+        size(split(col("clean"), " ")).cast("long"))
+      .withColumn("__sig_full", md5(col("clean")))
+      .withColumn("clean_sig", substring(col("__sig_full"), 1, 16))
+  }
+
+  /** Reason precedence shared by both finishers: a later copy is `dup`
+    * even when it is also short (the batch window labels rn>1 first). */
+  private[graft] def reasonOf(isDup: Column, nTokens: Column): Column =
+    when(isDup, "dup").when(nTokens < 8, "short").otherwise("keep")
+
+  /** Batch finisher: keep-first dedup window over the FULL content
+    * md5 (16-hex `clean_sig` is the reporting form; grouping on it
+    * would differ from the oracle under prefix collisions), then
+    * reason + selected. Output = q100's exact column set and order. */
+  def batchVerdicts(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val cleaned = cleanProject(df, idCol, textCol)
+    val w = Window.partitionBy(col("__sig_full")).orderBy(col("doc_id"))
+    cleaned.withColumn("__rn", row_number().over(w))
+      .select(col("doc_id"), col("clean_sig"), col("n_tokens"),
+        reasonOf(col("__rn") > 1, col("n_tokens")).as("reason"),
+        col("split"))
+      .withColumn("selected",
+        col("reason") === "keep" && col("split") === "train")
+  }
+}

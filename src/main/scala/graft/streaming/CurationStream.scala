@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.CurationPipeline
+
+/** One row entering the signature-dedup state stage. */
+case class CurationDoc(doc_id: Long, ts: java.sql.Timestamp, sig: String,
+                       clean_sig: String, clean: String, n_tokens: Long,
+                       split: String)
+
+/** One per-document verdict, the streaming image of a q100 output row
+  * (plus event time and the clean text the monitors consume). */
+case class CurationVerdict(doc_id: Long, ts: java.sql.Timestamp,
+                           clean_sig: String, clean: String,
+                           n_tokens: Long, reason: String, split: String,
+                           selected: Boolean)
+
+/** Streaming twin of the q100 batch curation pipeline: the stateless
+  * gates (line excision, NFC+casefold normalize, token count, split),
+  * the keep-first signature dedup, and the drift / curation-rate
+  * monitors composed into ONE watermarked streaming query.
+  *
+  * Plan shape:
+  *  - [[CurationPipeline.cleanProject]] — the SAME projection the
+  *    oracle-checked batch plan runs; text width dies here, only
+  *    (id, ts, sig, clean, counts, split) reaches the exchange.
+  *  - `groupByKey(full content md5)` → `flatMapGroupsWithState`: state
+  *    is ONE BOOLEAN per distinct signature ever seen inside the dedup
+  *    horizon — the streaming form of q30/q100's keep-first window.
+  *    Within a micro-batch, a group's rows are processed in doc_id
+  *    order, so snapshot replay is batch-identical; across batches,
+  *    arrival order stands in for id order exactly like the polled
+  *    aircraft.json source (S1's snapshot discipline).
+  *  - the event-time timeout expires a signature `dedupHorizonMs`
+  *    after its last sighting: the state store is bounded by distinct
+  *    signatures per horizon, not by stream history — the 100 TB knob
+  *    (set it to the contamination window you actually care about;
+  *    the soak spec uses an effectively-infinite horizon to assert
+  *    exact batch equivalence).
+  *  - `foreachBatch` fans the verdict micro-batch to three appends:
+  *    per-doc verdicts (the q100 mirror), per-window curation-rate
+  *    increments, and per-window token-count increments for
+  *    [[graft.operators.TextAnalysisOps.windowDrift]]. Increment rows
+  *    are mergeable by sum (the S4 stats-row discipline), so the
+  *    monitor tables re-aggregate exactly regardless of batch cuts.
+  */
+object CurationStream {
+
+  /** The watermarked gates→dedup verdict stream (no sink). */
+  def verdicts(docs: DataFrame, idCol: String, textCol: String,
+               eventTimeCol: String, watermarkDelay: String,
+               dedupHorizonMs: Long): Dataset[CurationVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cleaned = CurationPipeline
+      .cleanProject(docs, idCol, textCol, keep = Seq(eventTimeCol))
+      .select(col("doc_id"), col(eventTimeCol).as("ts"),
+        col("__sig_full").as("sig"), col("clean_sig"), col("clean"),
+        col("n_tokens"), col("split"))
+      .withWatermark("ts", watermarkDelay)
+      .as[CurationDoc]
+
+    def update(sig: String, rows: Iterator[CurationDoc],
+               gs: GroupState[Boolean]): Iterator[CurationVerdict] = {
+      if (gs.hasTimedOut) {
+        gs.remove()
+        Iterator.empty
+      } else {
+        // doc_id order within the batch = the batch window's ORDER BY
+        val sorted = rows.toIndexedSeq.sortBy(_.doc_id)
+        var seen = gs.exists
+        val out = sorted.map { d =>
+          val dup = seen
+          seen = true
+          val reason =
+            if (dup) "dup" else if (d.n_tokens < 8) "short" else "keep"
+          CurationVerdict(d.doc_id, d.ts, d.clean_sig, d.clean,
+            d.n_tokens, reason, d.split,
+            reason == "keep" && d.split == "train")
+        }
+        gs.update(true)
+        gs.setTimeoutTimestamp(
+          sorted.map(_.ts.getTime).max + dedupHorizonMs)
+        out.iterator
+      }
+    }
+
+    cleaned.groupByKey(_.sig)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Start the composed query: verdicts + both monitor increment
+    * tables under `outDir`, checkpointed for restart. */
+  def start(docs: DataFrame, outDir: String,
+            idCol: String = "doc_id", textCol: String = "text",
+            eventTimeCol: String = "ts",
+            watermarkDelay: String = "0 seconds",
+            dedupHorizonMs: Long = 365L * 24 * 3600 * 1000,
+            windowDuration: String = "1 hour",
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    verdicts(docs, idCol, textCol, eventTimeCol, watermarkDelay,
+      dedupHorizonMs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[CurationVerdict], _: Long) =>
+        val df = batch.toDF().persist()
+        try {
+          df.drop("clean").write.mode("append")
+            .parquet(s"$outDir/verdicts")
+          df.groupBy(window(col("ts"), windowDuration), col("reason"))
+            .agg(count(lit(1)).as("n_docs"))
+            .select(col("window.start").as("window_start"),
+              col("reason"), col("n_docs"))
+            .write.mode("append").parquet(s"$outDir/curation_counts")
+          df.filter(col("reason") === "keep")
+            .select(window(col("ts"), windowDuration), explode(
+              graft.functions.TextFunctions.tokens(col("clean")))
+              .as("term"))
+            .groupBy(col("window.start").as("window_start"), col("term"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(s"$outDir/drift_counts")
+        } finally df.unpersist()
+      }
+      .start()
+}

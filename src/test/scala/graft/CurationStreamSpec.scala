@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationPipeline, TextAnalysisOps}
+import graft.streaming.CurationStream
+
+/** The q100 streaming-twin soak: gates + signature dedup + monitors in
+  * ONE watermarked query must equal the oracle-pinned batch plan on
+  * the same snapshots, across a checkpoint restart. */
+class CurationStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = 1718000000L // 2024-06-10 06:13:20 UTC
+
+  /** ≥8 tokens after cleaning, with an exactly-repeated line so the
+    * intra-doc excision stage is load-bearing on every doc. */
+  private def mkText(i: Int): String =
+    s"head$i one two three\nSubscribe NOW\nmid$i four five six\n" +
+      s"Subscribe NOW\ntail$i seven eight"
+
+  /** Branch precedence builds every stage's test population:
+    * cross-phase dups (i%9==5 points at ids 0–19), shorts, same-file
+    * dups, case variants only normalization can collapse. */
+  private def textOf(i: Int): String =
+    if (i % 9 == 5) mkText(i % 20)
+    else if (i % 7 == 3) "tiny doc"
+    else if (i % 5 == 4) mkText(i - 4)
+    else if (i % 11 == 6) mkText(i % 10).toUpperCase
+    else mkText(i)
+
+  private def rowsOf(ids: Range): Seq[(Long, java.sql.Timestamp, String)] =
+    ids.map(i => (i.toLong,
+      new java.sql.Timestamp((base + i * 60L) * 1000L), textOf(i)))
+
+  /** One snapshot file: a single parquet part moved into `src` with a
+    * controlled mtime so the file source replays in snapshot order. */
+  private def writeSnap(src: String, name: String, ids: Range,
+                        mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_cur_tmp").toString
+    rowsOf(ids).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = Path.of(src, s"$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+  }
+
+  test("streaming twin ≡ batch q100 plan across a restart, and both " +
+      "monitor increment tables re-aggregate exactly") {
+    val src = Files.createTempDirectory("graft_cur_src").toString
+    val out = Files.createTempDirectory("graft_cur_out").toString
+    val schema = rowsOf(0 until 1).toDF("doc_id", "ts", "text").schema
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = CurationStream.start(stream, out,
+        windowDuration = "1 hour")
+      q.awaitTermination(180000L)
+    }
+
+    // phase 1: two snapshots, two micro-batches
+    writeSnap(src, "f0", 0 until 20, 1000L)
+    writeSnap(src, "f1", 20 until 40, 2000L)
+    run()
+    // phase 2: a third snapshot lands AFTER the restart — the dedup
+    // state (signatures first seen in phase 1) must come back from
+    // the checkpoint for cross-phase dups to be labeled
+    writeSnap(src, "f2", 40 until 60, 3000L)
+    run()
+
+    val srcBatch = spark.read.parquet(s"$src/*.parquet").cache()
+    val expected = CurationPipeline
+      .batchVerdicts(srcBatch, "doc_id", "text").cache()
+    val got = spark.read.parquet(s"$out/verdicts").cache()
+
+    // per-doc verdicts: exact equality with the oracle-pinned batch
+    // plan, each doc exactly once
+    val cols = Seq("doc_id", "clean_sig", "n_tokens", "reason",
+      "split", "selected")
+    def keyed(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    assert(got.count() == 60L && expected.count() == 60L)
+    assert(keyed(got) == keyed(expected))
+    // the population exercised every verdict, including a CROSS-PHASE
+    // dup (doc 41 repeats doc 1's text; only recovered state can know)
+    val byReason = got.groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byReason.keySet == Set("keep", "short", "dup"), s"$byReason")
+    assert(got.filter(col("doc_id") === 41).select("reason")
+      .head().getString(0) == "dup",
+      "doc 41's dup verdict requires dedup state to survive the restart")
+
+    // curation-rate monitor: increments sum to the batch counts
+    val expRate = expected
+      .join(srcBatch.select(col("doc_id"), col("ts")), Seq("doc_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("reason"),
+        col("n_docs"))
+    val gotRate = spark.read.parquet(s"$out/curation_counts")
+      .groupBy("window_start", "reason")
+      .agg(sum("n_docs").as("n_docs"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(gotRate) == rows(expRate))
+    assert(gotRate.select("window_start").distinct().count() == 2,
+      "fixture must span two monitor windows")
+
+    // drift monitor: token increments sum to the batch counts of the
+    // KEPT stream, and feeding them to the windowDrift finisher with
+    // window-1's own profile as reference yields js_micro = 0 there
+    val cleaned = CurationPipeline
+      .cleanProject(srcBatch, "doc_id", "text", keep = Seq("ts"))
+    val expDrift = cleaned
+      .join(expected.filter(col("reason") === "keep").select("doc_id"),
+        Seq("doc_id"))
+      .select(window(col("ts"), "1 hour"),
+        explode(graft.functions.TextFunctions.tokens(col("clean")))
+          .as("term"))
+      .groupBy(col("window.start").as("window_start"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val gotDrift = spark.read.parquet(s"$out/drift_counts")
+      .groupBy("window_start", "term")
+      .agg(sum("cnt").as("cnt")).cache()
+    assert(rows(gotDrift) == rows(expDrift))
+    val w1 = gotDrift.select(min("window_start")).head().getTimestamp(0)
+    val ref = gotDrift.filter(col("window_start") === w1)
+      .select(col("term"), col("cnt"))
+    val js = TextAnalysisOps.windowDrift(gotDrift, ref)
+      .filter(col("window_start") === w1)
+      .select("js_micro").head().getLong(0)
+    assert(js == 0L, s"a window measured against itself must not drift")
+
+    srcBatch.unpersist(); expected.unpersist(); got.unpersist()
+    gotDrift.unpersist()
+  }
+}
