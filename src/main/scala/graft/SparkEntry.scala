@@ -1988,27 +1988,35 @@ object SparkEntry {
     "女", "子", "山", "川", "木",
     "火", "水", "金", "土", "人")
 
-  /** CJK fixture: 30-ideograph UNSPACED strings built per doc from a
-    * per-position formula mixed through a double modulus `% 251 % 20`
-    * that is nonlinear in BOTH the group id g and the position i — a
-    * formula linear in g collapses mod the alphabet size and silently
-    * merges distinct groups into identical-content cliques (simulated:
-    * `(g*31 + 7i² + i) % 20` yields 12,250 jaccard≥0.5 pairs; this
-    * one yields exactly the 250 planted). Odd ids differ from their
-    * even pair at exactly position 7 (+997 before the final mod), so
-    * (2g, 2g+1) are the planted near-dup pairs. */
+  /** CJK fixture: 30-ideograph UNSPACED strings, position i of group
+    * g = 2 hex chars of md5(g) mixed into the 20-ideograph alphabet.
+    * Hash mixing is the ONLY construction that stayed clique-free at
+    * every scale tried: any polynomial-in-g formula collapses modulo
+    * some period (mod 20 directly, or mod an inner modulus — the
+    * earlier `% 251` form silently merged groups 251 apart into
+    * identical-content cliques once sf0.1's 2500 groups exceeded the
+    * period, measured as ~47k phantom pairs). Simulated here: exactly
+    * the planted pairs — 250 at 500 docs, 2500 at 5000 — and nothing
+    * else. Odd ids differ from their even pair at exactly position 7
+    * (+997 ≡ +17 mod 20), so (2g, 2g+1) are the planted near-dups. */
   private def cjkDocs(s: SparkSession, dir: String): DataFrame = {
     val alph = array(CjkAlphabet.map(lit): _*)
-    val g = expr("doc_id DIV 2")
-    t(s, dir, "documents").select(col("doc_id"),
-      concat_ws("", transform(sequence(lit(0), lit(29)), i => {
-        val base = (g * g + (g + lit(13)) * (i + lit(7)) * (i + lit(7))
-          + i) % 251
-        val idx = when(col("doc_id") % 2 === 1 && i === lit(7),
-            (base + lit(997)) % 20)
-          .otherwise(base % 20)
-        element_at(alph, (idx + 1).cast("int"))
-      })).as("cjk"))
+    // md5 materialized ONCE per row before the lambda — an inline
+    // expression would re-evaluate inside transform per element
+    // (the wordShingles trap: 60 md5 calls per row, measured +25%)
+    val h = col("__h")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(expr("doc_id DIV 2").cast("string")).as("__h"))
+      .select(col("doc_id"),
+        concat_ws("", transform(sequence(lit(0), lit(29)), i => {
+          val base = (ascii(h.substr(i + 1, lit(1))) * 31 +
+            ascii(h.substr(i + 2, lit(1)))) % 20
+          val idx = when(col("doc_id") % 2 === 1 && i === lit(7),
+              (base + lit(997)) % 20)
+            .otherwise(base)
+          element_at(alph, (idx + 1).cast("int"))
+        })).as("cjk"))
   }
 
   /** DuckDB twin of [[cjkDocs]] + [[graft.functions.TextFunctions
@@ -2024,10 +2032,12 @@ object SparkEntry {
        |  SELECT doc_id, array_to_string([
        |    $alph[
        |      CASE WHEN doc_id % 2 = 1 AND i = 7
-       |        THEN (((doc_id // 2) * (doc_id // 2) + ((doc_id // 2) + 13)
-       |          * (i + 7) * (i + 7) + i) % 251 + 997) % 20 + 1
-       |        ELSE ((doc_id // 2) * (doc_id // 2) + ((doc_id // 2) + 13)
-       |          * (i + 7) * (i + 7) + i) % 251 % 20 + 1 END]
+       |        THEN ((ascii(substr(md5((doc_id // 2)::VARCHAR), i + 1, 1))
+       |          * 31 + ascii(substr(md5((doc_id // 2)::VARCHAR), i + 2, 1))
+       |          ) % 20 + 997) % 20 + 1
+       |        ELSE (ascii(substr(md5((doc_id // 2)::VARCHAR), i + 1, 1))
+       |          * 31 + ascii(substr(md5((doc_id // 2)::VARCHAR), i + 2, 1))
+       |          ) % 20 + 1 END]
        |    FOR i IN range(30)], '') AS cjk
        |  FROM documents)""".stripMargin
   }
