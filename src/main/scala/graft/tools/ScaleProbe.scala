@@ -306,6 +306,37 @@ object ScaleProbe {
             "media"), "doc_id", maxDist = 2))
     }
 
+    // streaming q100 twin: docs ×N through CurationStream via an
+    // in-memory file feed. The interesting numbers are wall time
+    // (must track N — per-batch work is batch-sized, state lookups
+    // O(1)) and the state-store row count (must equal DISTINCT clean
+    // signatures, not stream length — the dedup-horizon bound)
+    if (only.forall(s"curationStream x$n".contains)) {
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_cur").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_cur_out").toString
+      docs.select(col("doc_id"),
+          timestamp_seconds(lit(1718000000L) + col("doc_id") % 86400L)
+            .as("ts"), col("text"))
+        .write.mode("overwrite").parquet(feedDir)
+      val schema = spark.read.parquet(feedDir).schema
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.CurationStream.start(
+        spark.readStream.schema(schema).parquet(feedDir), outDir,
+        watermarkDelay = "0 seconds", windowDuration = "1 hour")
+      q.awaitTermination(600000L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 10000L)
+      val verdicts = spark.read.parquet(s"$outDir/verdicts")
+      val nOut = verdicts.count()
+      val distinctSigs = verdicts.select("clean_sig").distinct().count()
+      println(f"[probe] curationStream x$n: $sec%.2f s, " +
+        f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB, " +
+        s"$nOut verdicts, state bound = $distinctSigs distinct sigs")
+    }
+
     // events ×N through the flagship sessionize plan
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev0 = spark.read.parquet(s"$dir/events.parquet")
