@@ -505,6 +505,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Classifier evaluation (q119): the step between training (q102)
+    // and gating a corpus — exact midrank ROC-AUC + the confusion of
+    // q87's keep rule, over q102's injected-marker fixture so scores
+    // genuinely correlate with labels.
+    "q119_classifier_eval" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" goodtoken goodtoken"))
+              .otherwise(lit(" badtoken badtoken"))).as("text"))
+      val scored = ScoringOps.hashedLinearScore(injected,
+        "doc_id", "text", buckets = 4096)
+        .select(col("score_milli"),
+          (col("doc_id") % 2 === 0).as("label"))
+      ScoringOps.binaryEval(scored, "score_milli", "label")
+    }),
+
     // Minhash band-geometry recall pre-flight (q118): q60's discipline
     // for the shingle near-dup family — exact Jaccard on a bounded
     // md5-ordered sample vs the production banding kernel, reported
@@ -2663,6 +2680,66 @@ object SparkEntry {
     // q79's BM25 CTEs with the segmented CJK fixture as the corpus
     // (the parameterized builder keeps scoring/ranking identical).
     "q117_cjk_bm25" -> bm25OracleSqlFrom(cjkSegSql, dfCapSql = ""),
+
+    // q119: q87's scoring CTEs over the q102 marker-injected corpus,
+    // then the same integer AUC identity (2PN·AUC as a BIGINT sum over
+    // distinct scores) and threshold confusion; the three divisions
+    // are the only float ops on either engine.
+    "q119_classifier_eval" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0
+        |      THEN ' goodtoken goodtoken'
+        |      ELSE ' badtoken badtoken' END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM inj),
+        |bk AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 4096 AS bucket
+        |  FROM toks),
+        |wt AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(bucket::VARCHAR), 1, 8))::BIGINT % 2001)
+        |      - 1000 AS wm
+        |  FROM bk),
+        |ev AS (
+        |  SELECT sum(wm)::BIGINT AS sc, (doc_id % 2 = 0) AS label
+        |  FROM wt GROUP BY doc_id),
+        |g AS (
+        |  SELECT sc,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS np,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS nn
+        |  FROM ev GROUP BY sc),
+        |r AS (
+        |  SELECT sc, np, nn,
+        |    coalesce(sum(nn) OVER (ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS below
+        |  FROM g),
+        |a AS (
+        |  SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+        |    count(*)::BIGINT AS n_distinct_scores,
+        |    sum(2 * np * below + np * nn)::BIGINT AS auc_num
+        |  FROM r),
+        |c AS (
+        |  SELECT
+        |    sum(CASE WHEN label AND sc > 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS tp,
+        |    sum(CASE WHEN NOT label AND sc > 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS fp,
+        |    sum(CASE WHEN label AND sc <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS fn,
+        |    sum(CASE WHEN NOT label AND sc <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS tn
+        |  FROM ev)
+        |SELECT n_pos, n_neg, n_distinct_scores, auc_num,
+        |  auc_num::DOUBLE / (n_pos * n_neg * 2)::DOUBLE AS auc,
+        |  tp, fp, fn, tn,
+        |  tp::DOUBLE / (tp + fp)::DOUBLE AS prec,
+        |  tp::DOUBLE / (tp + fn)::DOUBLE AS rec
+        |FROM a, c""".stripMargin,
 
     // q118: the q32 minhash CTEs over an md5-ordered 256-doc sample,
     // plus ALL-pairs exact jaccard and the per-decile S-curve. The

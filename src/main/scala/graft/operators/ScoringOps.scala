@@ -139,4 +139,74 @@ object ScoringOps {
           (col("n_tokens").cast("double") * lit(1000.0))).as("score"),
         (col("score_milli") > 0).as("keep"))
   }
+
+  /** Exact tie-aware classifier evaluation — the step between training
+    * a quality filter (q102) and trusting it to gate a corpus: one row
+    * with ROC-AUC (Mann-Whitney with midrank tie credit) and the
+    * confusion/precision/recall of the `score > thresholdMilli` keep
+    * rule (q87's verdict). AUC identity used:
+    * 2·P·N·AUC = Σ_s (2·np_s·negBelow_s + np_s·nn_s) over distinct
+    * scores s — an INTEGER, so aggregation order cannot leak; the only
+    * float ops are three final divisions (identical AST on both
+    * engines).
+    *
+    * Scale shape: rows collapse to (distinct score, np, nn) with
+    * map-side combine first; the exclusive prefix sum of negatives
+    * over score order is the q68 two-phase scan, NOT a global window —
+    * scores shift-bucket by `sc DIV 2^bucketShift` (truncating
+    * division is monotone, so bucket order refines score order), each
+    * bucket prefix-sums under its own partition, and only the tiny
+    * bucket-total table crosses a single-partition window before
+    * broadcasting back. Bound: the numerator needs 2·P·N < 2^63 —
+    * eval sets beyond ~2e9 labeled rows must subsample first (labeled
+    * eval data is sample-sized by nature; documented, not guarded). */
+  def binaryEval(scored: DataFrame, scoreCol: String, labelCol: String,
+                 thresholdMilli: Long = 0L,
+                 bucketShift: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored
+      .groupBy(col(scoreCol).cast("long").as("sc"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+      .withColumn("__b", expr(s"sc DIV ${1L << bucketShift}"))
+    val within = Window.partitionBy(col("__b")).orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketBase = g.groupBy(col("__b"))
+      .agg(sum(col("nn")).as("__tot"))
+      .withColumn("__base",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__base"))
+    val ranked = g
+      .withColumn("__below0",
+        coalesce(sum(col("nn")).over(within), lit(0L)))
+      .join(broadcast(bucketBase), Seq("__b"))
+      .withColumn("below", col("__base") + col("__below0"))
+    val aucAgg = ranked.agg(
+      sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+      count(lit(1)).as("n_distinct_scores"),
+      sum(col("np") * col("below") * 2L + col("np") * col("nn"))
+        .as("auc_num"))
+    val sc = col(scoreCol).cast("long")
+    val conf = scored.agg(
+      sum(when(col(labelCol) && sc > thresholdMilli, 1L).otherwise(0L))
+        .as("tp"),
+      sum(when(!col(labelCol) && sc > thresholdMilli, 1L).otherwise(0L))
+        .as("fp"),
+      sum(when(col(labelCol) && sc <= thresholdMilli, 1L).otherwise(0L))
+        .as("fn"),
+      sum(when(!col(labelCol) && sc <= thresholdMilli, 1L).otherwise(0L))
+        .as("tn"))
+    aucAgg.crossJoin(conf).select(
+      col("n_pos"), col("n_neg"), col("n_distinct_scores"),
+      col("auc_num"),
+      (col("auc_num").cast("double") /
+        (col("n_pos") * col("n_neg") * 2L).cast("double")).as("auc"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+        .as("prec"),
+      (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+        .as("rec"))
+  }
 }

@@ -173,6 +173,16 @@ object ScaleProbe {
     // each GD iteration then shuffles only buckets-sized partial sums —
     // iteration cost must track the corpus SCAN, not grow a new wide
     // exchange per pass
+    // q119: (distinct score, np, nn) rows are the only shuffle after
+    // the score agg; the prefix sum is two-phase bucketed, never a
+    // global window
+    time(s"binaryEval x$n")(
+      graft.operators.ScoringOps.binaryEval(
+        graft.operators.ScoringOps.hashedLinearScore(docs,
+          "doc_id", "text", buckets = 4096)
+          .select(col("score_milli"),
+            (col("doc_id") % 2 === 0).as("label")),
+        "score_milli", "label"))
     time(s"hashedLinearTrain x$n")(
       graft.operators.ScoringOps.hashedLinearTrain(
         docs.withColumn("label", col("doc_id") % 2 === 0),

@@ -1145,6 +1145,31 @@ class OperatorsSpec extends AnyFunSuite {
       "probe caches must be unpersisted before returning")
   }
 
+  test("binaryEval: midrank-tie AUC matches the closed form and is " +
+      "invariant to the two-phase bucket shift") {
+    import graft.operators.ScoringOps
+    // pos scores {3,2,2}, neg {2,1}: U = 1+1+0.5+1+0.5+1 = 5 over 6
+    // pairs → AUC 5/6; integer numerator 2·P·N·AUC = 10
+    val df = Seq((3L, true), (2L, true), (2L, true), (2L, false),
+      (1L, false)).toDF("s", "l")
+    for (shift <- Seq(0, 1, 20)) {
+      val r = ScoringOps.binaryEval(df, "s", "l",
+        bucketShift = shift).head()
+      assert(r.getLong(0) == 3L && r.getLong(1) == 2L, s"shift=$shift")
+      assert(r.getLong(3) == 10L, s"auc_num shift=$shift: $r")
+      assert(r.getDouble(4) == 10.0 / 12.0, s"auc shift=$shift")
+      // keep rule s > 0: every row passes → tp=3 fp=2 fn=0 tn=0
+      assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ==
+        ((3L, 2L, 0L, 0L)), s"confusion shift=$shift")
+      assert(r.getDouble(9) == 0.6 && r.getDouble(10) == 1.0)
+    }
+    // degenerate-threshold sanity: perfect separation gives AUC 1
+    val perfect = Seq((5L, true), (4L, true), (1L, false))
+      .toDF("s", "l")
+    assert(ScoringOps.binaryEval(perfect, "s", "l").head()
+      .getDouble(4) == 1.0)
+  }
+
   test("minhashRecallProbe: identical pairs land in bucket 9 with " +
       "recall 1.0 matching the analytic prediction, and probe caches " +
       "are unpersisted") {
