@@ -505,6 +505,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Script-mix profile (q120): the router in front of segmentCjk —
+    // per-doc script-class counts, dominant script, and the
+    // needs_cjk_segmentation flag, over a corpus mixing pure-CJK,
+    // pure-Latin and mixed docs.
+    "q120_script_mix" -> ((s, dir) => {
+      val mixed = t(s, dir, "documents").join(cjkDocs(s, dir), Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("cjk"))
+            .when(col("doc_id") % 3 === 1, col("text"))
+            .otherwise(concat(col("cjk"), lit(" "), col("text")))
+            .as("text"))
+      TextAnalysisOps.scriptMix(mixed, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Classifier evaluation (q119): the step between training (q102)
     // and gating a corpus — exact midrank ROC-AUC + the confusion of
     // q87's keep rule, over q102's injected-marker fixture so scores
@@ -2036,17 +2051,10 @@ object SparkEntry {
         })).as("cjk"))
   }
 
-  /** DuckDB twin of [[cjkDocs]] + [[graft.functions.TextFunctions
-    * .segmentCjk]]: same alphabet literals, same formula, same two
-    * regex replaces (RE2 `\x{...}` classes = the Java `\u` ranges). */
-  private def cjkSegSql: String = {
+  /** DuckDB twin of [[cjkDocs]] alone (unsegmented `cjk` column). */
+  private def cjkRawSql: String = {
     val alph = CjkAlphabet.mkString("['", "', '", "']")
-    s"""SELECT doc_id,
-       |  trim(regexp_replace(regexp_replace(cjk,
-       |    '([\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}])',
-       |    ' \\1 ', 'g'), '\\s+', ' ', 'g')) AS text
-       |FROM (
-       |  SELECT doc_id, array_to_string([
+    s"""SELECT doc_id, array_to_string([
        |    $alph[
        |      CASE WHEN doc_id % 2 = 1 AND i = 7
        |        THEN ((ascii(substr(md5((doc_id // 2)::VARCHAR), i + 1, 1))
@@ -2056,8 +2064,19 @@ object SparkEntry {
        |          * 31 + ascii(substr(md5((doc_id // 2)::VARCHAR), i + 2, 1))
        |          ) % 20 + 1 END]
        |    FOR i IN range(30)], '') AS cjk
-       |  FROM documents)""".stripMargin
+       |  FROM documents""".stripMargin
   }
+
+  /** DuckDB twin of [[cjkDocs]] + [[graft.functions.TextFunctions
+    * .segmentCjk]]: same alphabet literals, same formula, same two
+    * regex replaces (RE2 `\x{...}` classes = the Java `\u` ranges). */
+  private def cjkSegSql: String =
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(cjk,
+       |    '([\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}])',
+       |    ' \\1 ', 'g'), '\\s+', ' ', 'g')) AS text
+       |FROM (
+       |  $cjkRawSql)""".stripMargin
 
   private def minhashCtesSql: String =
     minhashCtesSqlFrom("SELECT doc_id, text FROM documents",
@@ -2680,6 +2699,45 @@ object SparkEntry {
     // q79's BM25 CTEs with the segmented CJK fixture as the corpus
     // (the parameterized builder keeps scoring/ranking identical).
     "q117_cjk_bm25" -> bm25OracleSqlFrom(cjkSegSql, dfCapSql = ""),
+
+    // q120: the same remove-and-subtract char-class counts and the
+    // same dominant-precedence CASE chain over the mixed fixture.
+    "q120_script_mix" -> (
+      s"""WITH cjk AS (
+        |$cjkRawSql),
+        |mixed AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 3 = 0 THEN c.cjk
+        |         WHEN d.doc_id % 3 = 1 THEN d.text
+        |         ELSE c.cjk || ' ' || d.text END AS text
+        |  FROM documents d JOIN cjk c ON d.doc_id = c.doc_id),
+        |cnt AS (
+        |  SELECT doc_id, length(text)::INT AS n_chars,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}]',
+        |      '', 'g')))::INT AS n_han,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\\x{3040}-\\x{30FF}]', '', 'g')))::INT AS n_kana,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\\x{AC00}-\\x{D7AF}]', '', 'g')))::INT AS n_hangul,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[A-Za-z]', '', 'g')))::INT AS n_latin,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')))::INT AS n_digit
+        |  FROM mixed)
+        |SELECT doc_id, n_chars, n_han, n_kana, n_hangul, n_latin,
+        |  n_digit,
+        |  CASE
+        |    WHEN n_han >= n_kana AND n_han >= n_hangul
+        |      AND n_han >= n_latin AND n_han >= n_digit THEN 'han'
+        |    WHEN n_kana >= n_hangul AND n_kana >= n_latin
+        |      AND n_kana >= n_digit THEN 'kana'
+        |    WHEN n_hangul >= n_latin AND n_hangul >= n_digit
+        |      THEN 'hangul'
+        |    WHEN n_latin >= n_digit THEN 'latin'
+        |    ELSE 'digit' END AS dominant,
+        |  (n_han + n_kana + n_hangul > 0) AS needs_cjk_segmentation
+        |FROM cnt ORDER BY doc_id""".stripMargin),
 
     // q119: q87's scoring CTEs over the q102 marker-injected corpus,
     // then the same integer AUC identity (2PN·AUC as a BIGINT sum over

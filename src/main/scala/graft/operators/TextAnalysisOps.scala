@@ -37,6 +37,54 @@ object TextAnalysisOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("unk"))
   }
 
+  /** BMP script-class ranges (same ranges as
+    * [[graft.functions.TextFunctions.segmentCjk]] splits on, plus
+    * Latin/digit). char-class counting is `length(s) -
+    * length(remove(class))` — both engines global-replace, identical
+    * codepoint arithmetic on BMP text. */
+  private val ScriptClasses: Seq[(String, String)] = Seq(
+    "han" -> "\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF",
+    "kana" -> "\\u3040-\\u30FF",
+    "hangul" -> "\\uAC00-\\uD7AF",
+    "latin" -> "A-Za-z",
+    "digit" -> "0-9")
+
+  /** Per-document script-mix profile: counts per script class, the
+    * dominant class (fixed precedence han > kana > hangul > latin >
+    * digit on ties), and the `needs_cjk_segmentation` router flag —
+    * the pre-flight that decides which docs go through
+    * [[graft.functions.TextFunctions.segmentCjk]] before tokenizing
+    * (q115–q117's mode) and what a multilingual mixture report keys
+    * on. Pure projection; counts materialize once, the verdict
+    * when-chain reads the materialized columns (the classifyLang
+    * discipline). */
+  def scriptMix(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val counted = docs.select(
+      (col(idCol) +: length(col(textCol)).as("n_chars") +:
+        ScriptClasses.map { case (name, cls) =>
+          (length(col(textCol)) -
+            length(regexp_replace(col(textCol), s"[$cls]", "")))
+            .as(s"n_$name")
+        }): _*)
+    val n = ScriptClasses.map { case (name, _) =>
+      name -> col(s"n_$name") }.toMap
+    val dominant =
+      when(n("han") >= n("kana") && n("han") >= n("hangul") &&
+        n("han") >= n("latin") && n("han") >= n("digit"), "han")
+        .when(n("kana") >= n("hangul") && n("kana") >= n("latin") &&
+          n("kana") >= n("digit"), "kana")
+        .when(n("hangul") >= n("latin") && n("hangul") >= n("digit"),
+          "hangul")
+        .when(n("latin") >= n("digit"), "latin")
+        .otherwise("digit")
+    counted.select(col(idCol), col("n_chars"), col("n_han"),
+      col("n_kana"), col("n_hangul"), col("n_latin"), col("n_digit"),
+      dominant.as("dominant"),
+      (n("han") + n("kana") + n("hangul") > 0)
+        .as("needs_cjk_segmentation"))
+  }
+
   /** Two-stage language classification: hit counts projected ONCE, then a
     * when-chain over the materialized columns. Equivalent to
     * [[langGuess]] but ~5x cheaper: the single-Column form re-evaluates

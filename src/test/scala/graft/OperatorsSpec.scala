@@ -1145,6 +1145,29 @@ class OperatorsSpec extends AnyFunSuite {
       "probe caches must be unpersisted before returning")
   }
 
+  test("scriptMix: per-class counts, dominant precedence on ties, " +
+      "and the segmentation router flag") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "hello world 42"),          // latin with digits
+      (2L, "漢字かな한글ab1"),           // every class once+
+      (3L, "漢字ab"),                   // han ties latin → han wins
+      (4L, "12345"),                    // digits only
+      (5L, "")                          // empty → ties at 0 → han
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.scriptMix(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = got(i)
+    assert(row(0).getString(7) == "latin" && !row(0).getBoolean(8))
+    // doc 2: 2 han, 2 kana, 2 hangul, 2 latin, 1 digit → han by tie
+    assert((row(1).getInt(2), row(1).getInt(3), row(1).getInt(4),
+      row(1).getInt(5), row(1).getInt(6)) == ((2, 2, 2, 2, 1)))
+    assert(row(1).getString(7) == "han" && row(1).getBoolean(8))
+    assert(row(2).getString(7) == "han" && row(2).getBoolean(8))
+    assert(row(3).getString(7) == "digit" && !row(3).getBoolean(8))
+    assert(row(4).getString(7) == "han" && row(4).getInt(1) == 0)
+  }
+
   test("binaryEval: midrank-tie AUC matches the closed form and is " +
       "invariant to the two-phase bucket shift") {
     import graft.operators.ScoringOps
