@@ -224,10 +224,12 @@ object ImageCodecs {
 
   /** REAL GIF pixel decode: logical screen + colour tables + the LZW
     * bitstream (variable-width codes LSB-first, clear/EOI handling,
-    * the KwKwK case), palette-expanded to 3-channel RGB. Supports a
-    * single non-interlaced full-frame image — the shape of virtually
-    * every non-animated GIF; anything else (interlace, partial frames,
-    * corrupt streams) returns None, never throws. */
+    * the KwKwK case), palette-expanded to 3-channel RGB. Decodes the
+    * FIRST non-interlaced full-frame image and stops — which also
+    * makes animated GIFs yield their first frame (extensions,
+    * graphic-control blocks and trailing frames are skipped/ignored;
+    * spec-pinned in MultimodalReplSpec). Interlaced or partial-frame
+    * layouts and corrupt streams return None, never throw. */
   def gifPixels(b: Array[Byte]): Option[PixelImage] = {
     if (b == null || b.length < 14) return None
     val sig = new String(b.take(6), "US-ASCII")

@@ -202,6 +202,39 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(ImageCodecs.decodePixels(ImageCodecs.jpegBytes(4, 4)).isEmpty)
   }
 
+  test("gifPixels: ANIMATED gifs decode their first frame — the " +
+      "majority real-web shape (graphic-control extension + trailing " +
+      "frames are skipped/ignored, not rejected)") {
+    import graft.operators.ImageCodecs
+    val palette = Array.tabulate(12)(j => (j * 17 + 3).toByte)
+    def idx(x: Int, y: Int): Int = (x + 2 * y) % 4
+    val single = ImageCodecs.gifBytesWithPixels(8, 6, palette)(idx)
+    // splice an animation: NETSCAPE loop extension + a graphic-control
+    // extension before frame 1, and a second frame (a copy) before the
+    // trailer — exactly how animated encoders lay the stream out
+    assert((single.last & 0xff) == 0x3b)
+    val body = single.drop(13 + palette.length) // after header+GCT
+    val frame1 = body.dropRight(1)              // strip trailer
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(single, 0, 13 + palette.length)
+    // application extension (NETSCAPE2.0 loop forever)
+    out.write(Array[Byte](0x21, 0xff.toByte, 11) ++
+      "NETSCAPE2.0".getBytes("US-ASCII") ++
+      Array[Byte](3, 1, 0, 0, 0))
+    // graphic control extension: delay 10, no transparency
+    out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 10, 0, 0, 0))
+    out.write(frame1); out.write(frame1) // two frames
+    out.write(0x3b)
+    val animated = out.toByteArray
+    val got = ImageCodecs.gifPixels(animated)
+    assert(got.isDefined, "animated gif must decode its first frame")
+    val p = got.get
+    assert((p.width, p.height, p.channels) == ((8, 6, 3)))
+    for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+      assert(p.pixels((y * 8 + x) * 3 + c) ==
+        palette(idx(x, y) * 3 + c), s"($x,$y,$c)")
+  }
+
   test("gifPixels: malformed streams decode to None, never throw") {
     import graft.operators.ImageCodecs
     val palette = Array.tabulate(12)(j => j.toByte)
