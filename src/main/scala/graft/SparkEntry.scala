@@ -510,7 +510,10 @@ object SparkEntry {
     // needs_cjk_segmentation flag, over a corpus mixing pure-CJK,
     // pure-Latin and mixed docs.
     "q120_script_mix" -> ((s, dir) => {
-      val mixed = t(s, dir, "documents").join(cjkDocs(s, dir), Seq("doc_id"))
+      // text carried THROUGH the fixture projection (keep) — a
+      // documents ⋈ cjkDocs self-join here would shuffle both sides
+      // of the same table for nothing
+      val mixed = cjkDocs(s, dir, keep = Seq("text"))
         .select(col("doc_id"),
           when(col("doc_id") % 3 === 0, col("cjk"))
             .when(col("doc_id") % 3 === 1, col("text"))
@@ -2031,16 +2034,17 @@ object SparkEntry {
     * the planted pairs — 250 at 500 docs, 2500 at 5000 — and nothing
     * else. Odd ids differ from their even pair at exactly position 7
     * (+997 ≡ +17 mod 20), so (2g, 2g+1) are the planted near-dups. */
-  private def cjkDocs(s: SparkSession, dir: String): DataFrame = {
+  private def cjkDocs(s: SparkSession, dir: String,
+                      keep: Seq[String] = Nil): DataFrame = {
     val alph = array(CjkAlphabet.map(lit): _*)
     // md5 materialized ONCE per row before the lambda — an inline
     // expression would re-evaluate inside transform per element
     // (the wordShingles trap: 60 md5 calls per row, measured +25%)
     val h = col("__h")
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        md5(expr("doc_id DIV 2").cast("string")).as("__h"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keep.map(col) :+
+        md5(expr("doc_id DIV 2").cast("string")).as("__h"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
         concat_ws("", transform(sequence(lit(0), lit(29)), i => {
           val base = (ascii(h.substr(i + 1, lit(1))) * 31 +
             ascii(h.substr(i + 2, lit(1)))) % 20
@@ -2048,7 +2052,7 @@ object SparkEntry {
               (base + lit(997)) % 20)
             .otherwise(base)
           element_at(alph, (idx + 1).cast("int"))
-        })).as("cjk"))
+        })).as("cjk"): _*)
   }
 
   /** DuckDB twin of [[cjkDocs]] alone (unsegmented `cjk` column). */

@@ -110,6 +110,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the dedup window and the sort may shuffle:\n$p")
   }
 
+  test("q120: script mix is join-free — the fixture passthrough keeps " +
+      "the documents self-join out of the plan") {
+    val p = plan("q120_script_mix")
+    assert(!p.contains("Join"),
+      s"scriptMix over the mixed fixture must be one projection:\n$p")
+  }
+
+  test("q119: the AUC prefix sum is two-phase — every corpus-sized " +
+      "window partitions by the shift bucket; only the tiny " +
+      "bucket-total window runs single-partition") {
+    val p = plan("q119_classifier_eval")
+    // the distinct-score frame's running sum is PARTITIONED by the
+    // shift bucket and ordered by score within it
+    assert("windowspecdefinition\\(__b#\\d+L?, sc#".r
+      .findFirstIn(p).isDefined,
+      s"score-side window lost its bucket partitioning:\n$p")
+    // and no window is globally ordered by raw score (the naive
+    // single-partition prefix sum this operator exists to avoid)
+    assert("windowspecdefinition\\(sc#".r.findFirstIn(p).isEmpty,
+      s"found a global score-ordered window:\n$p")
+    // bucket bases broadcast back onto the score frame, never shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket bases must broadcast back, not shuffle:\n$p")
+  }
+
   test("q18: sessionize plan has no join-back (single aggregation)") {
     val p = plan("q18_trip_summary")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
