@@ -505,6 +505,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Incremental dedup (q121): a new increment (docs ≥ 300 plus
+    // re-submitted copies of 400–449) classified against the ledger
+    // of docs < 400 — the daily-ingest operation; history text is
+    // never read, only its signatures.
+    "q121_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val known = docs.filter(col("doc_id") < 400)
+        .select(md5(col("text")).as("sig")).distinct()
+      val inc = docs.filter(col("doc_id") >= 300)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id").between(400, 449))
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      DedupOps.incrementalDedup(inc, "doc_id", "text", known)
+        .orderBy(col("doc_id"))
+    }),
+
     // Script-mix profile (q120): the router in front of segmentCjk —
     // per-doc script-class counts, dominant script, and the
     // needs_cjk_segmentation flag, over a corpus mixing pure-CJK,
@@ -2703,6 +2719,27 @@ object SparkEntry {
     // q79's BM25 CTEs with the segmented CJK fixture as the corpus
     // (the parameterized builder keeps scoring/ranking identical).
     "q117_cjk_bm25" -> bm25OracleSqlFrom(cjkSegSql, dfCapSql = ""),
+
+    // q121: the same ledger/keep-first/status chain in SQL.
+    "q121_incremental_dedup" ->
+      """WITH known AS (
+        |  SELECT DISTINCT md5(text) AS sig FROM documents
+        |  WHERE doc_id < 400),
+        |inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id, text FROM documents
+        |  WHERE doc_id BETWEEN 400 AND 449),
+        |h AS (SELECT doc_id, md5(text) AS sig FROM inc),
+        |r AS (
+        |  SELECT doc_id, sig,
+        |    row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, sig,
+        |  CASE WHEN sig IN (SELECT sig FROM known) THEN 'dup_known'
+        |       WHEN rn > 1 THEN 'dup_increment'
+        |       ELSE 'new' END AS status
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // q120: the same remove-and-subtract char-class counts and the
     // same dominant-precedence CASE chain over the mixed fixture.

@@ -70,6 +70,35 @@ object DedupOps {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Incremental exact dedup: classify a NEW increment against the
+    * historical signature ledger without touching historical text —
+    * the batch mirror of [[graft.streaming.CurationStream]]'s keyed
+    * state, and the operation a daily 100 TB ingest actually runs
+    * (full-corpus re-dedup is a non-starter). Statuses: `dup_known`
+    * (signature already in the ledger — wins over everything, like
+    * the streaming state hit), `dup_increment` (repeat within the
+    * increment, keep-first by id), `new` (append `sig` to the ledger
+    * after this batch).
+    *
+    * Scale shape: the increment shuffles once on the content md5; the
+    * ledger side joins on its own 32-hex key and NEVER carries text —
+    * store it through [[graft.sources.Warehouse.writePrunedBucketed]]
+    * bucketed by `sig` and the ledger side of this join plans
+    * exchange-free, so per-ingest cost is O(increment), not
+    * O(history). */
+  def incrementalDedup(incoming: DataFrame, idCol: String,
+                       textCol: String, knownSigs: DataFrame): DataFrame = {
+    val inc = incoming.select(col(idCol), md5(col(textCol)).as("sig"))
+    val w = Window.partitionBy(col("sig")).orderBy(col(idCol))
+    inc.withColumn("__rn", row_number().over(w))
+      .join(knownSigs.select(col("sig"), lit(1).as("__k")),
+        Seq("sig"), "left")
+      .select(col(idCol), col("sig"),
+        when(col("__k").isNotNull, "dup_known")
+          .when(col("__rn") > 1, "dup_increment")
+          .otherwise("new").as("status"))
+  }
+
   /** Exact-duplicate groups: content hash -> ids (diagnostic view). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))

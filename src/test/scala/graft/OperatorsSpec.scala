@@ -1145,6 +1145,25 @@ class OperatorsSpec extends AnyFunSuite {
       "probe caches must be unpersisted before returning")
   }
 
+  test("incrementalDedup: known beats intra-increment, keep-first " +
+      "within the increment, history text never consulted") {
+    import graft.operators.DedupOps
+    val known = Seq(Tuple1("k")).toDF("t")
+      .select(md5(col("t")).as("sig"))
+    val inc = Seq(
+      (1L, "k"),  // in ledger → dup_known
+      (2L, "k"),  // ALSO in ledger: known wins over keep-first
+      (3L, "a"),  // first unseen → new
+      (4L, "a"),  // repeat within increment → dup_increment
+      (5L, "b")   // new
+    ).toDF("doc_id", "text")
+    val got = DedupOps.incrementalDedup(inc, "doc_id", "text", known)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "dup_known"), (2L, "dup_known"),
+      (3L, "new"), (4L, "dup_increment"), (5L, "new")))
+  }
+
   test("scriptMix: per-class counts, dominant precedence on ties, " +
       "and the segmentation router flag") {
     import graft.operators.TextAnalysisOps
