@@ -648,6 +648,42 @@ object SparkEntry {
         .orderBy(col("lang_guess"))
     }),
 
+    // Product-quantization ADC top-k: 4 subspace codebooks (8 codes
+    // each, deterministic k-means) compress every 64-dim vector to 4
+    // small codes; queries score the WHOLE corpus from codes + lookup
+    // tables alone. The compression leg of ANN (vs q58's pruning leg);
+    // the oracle re-derives all four codebooks from the parquet.
+    "q122_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.pqTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = EmbDim,
+        m = PqM, codes = PqCodes, iters = PqIters)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Recall@1 of the PQ-ADC result against the exact squared-L2
+    // baseline on the PLANTED near-dup fixture (q40's perturbed
+    // self-copies): the acceptance question at curation scale is "does
+    // the compressed index still retrieve the true near-neighbor?" —
+    // exact top-1 is the origin vector, and ADC must find it. (On
+    // unstructured uniform-random queries PQ recall is near zero by
+    // construction — all pairs are equidistant; the probe exists to
+    // measure exactly this before a full-corpus encode.)
+    "q123_pq_recall" -> ((s, dir) => {
+      val both = embWithDups(s, dir)
+      val qs = both.filter(col("vec_id") >= 100000L &&
+        col("vec_id") < 100008L)
+      val exact = SimilarityOps.bruteForceL2TopK(
+        qs, both, "vec_id", "embedding", 1)
+      val approx = SimilarityOps.pqTopK(qs, both,
+        "vec_id", "embedding", k = 1, dim = EmbDim,
+        m = PqM, codes = PqCodes, iters = PqIters)
+      SimilarityOps.recallAtK(approx, exact, 1)
+        .orderBy(col("query_id"))
+    }),
+
     // Quality scoring (length/stopword/distinct blend).
     "q36_quality" -> ((s, dir) => {
       TextAnalysisOps.quality(t(s, dir, "documents"), "doc_id", "text")
@@ -1943,47 +1979,120 @@ object SparkEntry {
   /** [[kmeansCtesSql]] with a caller-supplied `v0` CTE (id `vec_id`,
     * double vector `v`) — the dup-injected corpora train on exactly
     * what the Spark side trains on. */
-  private def kmeansCtesSqlFrom(v0Sql: String): String = {
+  private def kmeansCtesSqlFrom(v0Sql: String): String =
+    kmeansCtesGenSql("", v0Sql, EmbDim, KmCells, KmIters)
+
+  /** Fully parameterized k-means CTE chain: every CTE name carries
+    * `pfx` so several independent quantizers can train in ONE oracle
+    * query (the PQ oracle unrolls one chain per subspace). `v0Sql`
+    * must define `${pfx}v0(vec_id, v)` with `v` a dim-length DOUBLE
+    * list. Semantics identical to [[kmeansCtesSqlFrom]]. */
+  private def kmeansCtesGenSql(pfx: String, v0Sql: String, dim: Int,
+                               cells: Int, nIters: Int): String = {
     val S = "1048576.0"
-    val dimR = s"range(1, ${EmbDim + 1})"
+    val dimR = s"range(1, ${dim + 1})"
     val base = Seq(
       v0Sql,
-      s"""xs0 AS (
+      s"""${pfx}xs0 AS (
          |  SELECT vec_id, v,
          |    list_transform(v, x -> floor(x * $S)::BIGINT) AS xs
-         |  FROM v0)""",
-      s"""seeds AS (
+         |  FROM ${pfx}v0)""",
+      s"""${pfx}seeds AS (
          |  SELECT list(v ORDER BY h) AS sv
-         |  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM v0
-         |        ORDER BY h LIMIT $KmCells))""",
-      s"""cents0 AS (
+         |  FROM (SELECT md5(vec_id::VARCHAR) AS h, v FROM ${pfx}v0
+         |        ORDER BY h LIMIT $cells))""",
+      s"""${pfx}cents0 AS (
          |  SELECT list_transform(sv, s ->
          |    list_transform(s, x -> floor(x * $S) / $S)) AS cents
-         |  FROM seeds)""")
-    val iters = (1 to KmIters).flatMap { n =>
+         |  FROM ${pfx}seeds)""")
+    val iters = (1 to nIters).flatMap { n =>
       val p = n - 1
       Seq(
-        s"""asg$n AS (
+        s"""${pfx}asg$n AS (
            |  SELECT vec_id, xs,
            |    list_transform(cents, c -> list_sum(list_transform($dimR,
            |      i -> (v[i] - c[i]) * (v[i] - c[i])))) AS d
-           |  FROM xs0, cents$p)""",
-        s"""cell$n AS (
+           |  FROM ${pfx}xs0, ${pfx}cents$p)""",
+        s"""${pfx}cell$n AS (
            |  SELECT vec_id, xs, list_indexof(d, list_min(d)) AS cell
-           |  FROM asg$n)""",
-        s"""sums$n AS (
+           |  FROM ${pfx}asg$n)""",
+        s"""${pfx}sums$n AS (
            |  SELECT cell, i, sum(xs[i])::BIGINT AS s, count(*)::BIGINT AS n
-           |  FROM cell$n, $dimR r(i) GROUP BY cell, i)""",
-        s"""crows$n AS (
+           |  FROM ${pfx}cell$n, $dimR r(i) GROUP BY cell, i)""",
+        s"""${pfx}crows$n AS (
            |  SELECT cell, list((s::DOUBLE / n::DOUBLE) / $S ORDER BY i) AS c
-           |  FROM sums$n GROUP BY cell)""",
-        s"""cents$n AS (
-           |  SELECT list_transform(range(1, ${KmCells + 1}), j ->
+           |  FROM ${pfx}sums$n GROUP BY cell)""",
+        s"""${pfx}cents$n AS (
+           |  SELECT list_transform(range(1, ${cells + 1}), j ->
            |    coalesce(m[j][1], cents[j])) AS cents
            |  FROM (SELECT map(list(cell ORDER BY cell), list(c ORDER BY cell))
-           |          AS m FROM crows$n), cents$p)""")
+           |          AS m FROM ${pfx}crows$n), ${pfx}cents$p)""")
     }
     (base ++ iters).map(_.stripMargin).mkString(",\n")
+  }
+
+  // q122 PQ geometry: 4 subspaces × 16 dims, 8 codes each, 2 iterations.
+  private val PqM = 4
+  private val PqCodes = 8
+  private val PqIters = 2
+
+  /** PQ-ADC oracle CTEs: per-subspace k-means chains (prefixes `p0_` …),
+    * corpus codes via argmin per subspace, query ADC lookup tables, and
+    * the ranked ADC scan — mirroring [[graft.operators.SimilarityOps
+    * .pqTopK]] op-for-op (subspace slices are 1-based inclusive list
+    * slices of the SAME double vector both engines see). `baseSql` is
+    * the body of the `pqbase(vec_id, fv)` corpus CTE (codebooks train
+    * on exactly this frame); `queryPred` selects the query ids. */
+  private def pqAdcRankedSql(
+      baseSql: String =
+        """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS fv
+          |  FROM embeddings""".stripMargin,
+      queryPred: String = "vec_id < 8"): String = {
+    val sub = EmbDim / PqM
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = (s + 1) * sub
+    val subR = s"range(1, ${sub + 1})"
+    val chains = (0 until PqM).map { s =>
+      kmeansCtesGenSql(s"p${s}_",
+        s"""p${s}_v0 AS (
+           |  SELECT vec_id, fv[${lo(s)}:${hi(s)}] AS v FROM pqbase)"""
+          .stripMargin,
+        sub, PqCodes, PqIters)
+    }.mkString(",\n")
+    val centsFrom = (0 until PqM).map(s =>
+      s"(SELECT cents AS cents$s FROM p${s}_cents$PqIters)").mkString(", ")
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform($subR, i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    val codeCols = (0 until PqM).map { s =>
+      s"""list_indexof(list_transform(cents$s, c ->
+         |      ${d2(s"fv[${lo(s)}:${hi(s)}]", "c")}),
+         |      list_min(list_transform(cents$s, c ->
+         |      ${d2(s"fv[${lo(s)}:${hi(s)}]", "c")}))) AS c$s""".stripMargin
+    }.mkString(",\n    ")
+    val tabCols = (0 until PqM).map { s =>
+      s"""list_transform(cents$s, c ->
+         |      ${d2(s"fv[${lo(s)}:${hi(s)}]", "c")}) AS qt$s""".stripMargin
+    }.mkString(",\n    ")
+    val adc = (0 until PqM).map(s => s"qt$s[c$s]").mkString(" + ")
+    s"""pqbase AS (
+       |  $baseSql),
+       |$chains,
+       |pqenc AS (
+       |  SELECT vec_id AS neighbor_id,
+       |    $codeCols
+       |  FROM pqbase, $centsFrom),
+       |pqq AS (
+       |  SELECT vec_id AS query_id,
+       |    $tabCols
+       |  FROM pqbase, $centsFrom
+       |  WHERE $queryPred),
+       |pqranked AS (
+       |  SELECT query_id, neighbor_id, adc_dist2, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id)
+       |    AS rank
+       |  FROM (SELECT query_id, neighbor_id, round($adc, 6) AS adc_dist2
+       |        FROM pqenc, pqq WHERE query_id <> neighbor_id))"""
+      .stripMargin
   }
 
   /** Learned-IVF candidate scoring CTEs (`ca`/`qd`/`qc`/`kcos6`): corpus
@@ -3156,6 +3265,46 @@ rec AS (
   GROUP BY e.query_id)
 SELECT query_id, n_hits, n_hits::DOUBLE / 5.0 AS recall
 FROM rec ORDER BY query_id"""),
+
+    "q122_pq_topk" -> (
+      s"""WITH ${pqAdcRankedSql()}
+SELECT query_id, rank, neighbor_id, adc_dist2 FROM pqranked
+WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    "q123_pq_recall" -> (
+      s"""WITH ${pqAdcRankedSql(
+        baseSql =
+          """SELECT vec_id, fv FROM (
+            |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+            |      AS fv FROM embeddings
+            |    UNION ALL
+            |    SELECT vec_id + 100000,
+            |      [0.0::DOUBLE] || list_transform(embedding,
+            |        x -> x::DOUBLE)[2:]
+            |    FROM embeddings)""".stripMargin,
+        queryPred = "vec_id >= 100000 AND vec_id < 100008")},
+peq AS (SELECT vec_id AS query_id, fv AS qv FROM pqbase
+        WHERE vec_id >= 100000 AND vec_id < 100008),
+ped AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+      i -> (qv[i] - fv[i]) * (qv[i] - fv[i]))), 6) AS dist2
+  FROM peq, pqbase WHERE query_id <> vec_id),
+peranked AS (
+  SELECT query_id, neighbor_id, row_number() OVER
+    (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id) AS rank
+  FROM ped),
+pek AS (SELECT query_id, neighbor_id FROM peranked WHERE rank <= 1),
+pak AS (SELECT query_id, neighbor_id FROM pqranked WHERE rank <= 1),
+prec AS (
+  SELECT e.query_id,
+    sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      AS n_hits
+  FROM pek e LEFT JOIN pak a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id)
+SELECT query_id, n_hits, n_hits::DOUBLE / 1.0 AS recall
+FROM prec ORDER BY query_id"""),
 
     "q36_quality" ->
       """WITH toks AS (

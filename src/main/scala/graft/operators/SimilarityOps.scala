@@ -323,6 +323,162 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Exact squared-L2 top-k — the apples-to-apples acceptance baseline
+    * for [[pqTopK]] (ADC approximates L2, not cosine). Same broadcast
+    * shape as [[bruteForceTopK]]; distance is the fixed-order left fold
+    * over dimensions, rounded before ranking (cross-engine exact). */
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       roundTo: Option[Int] = Some(6)): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val rawD2 = aggregate(zip_with(col("qv"), col("cv"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundTo.fold(rawD2)(d => round(rawD2, d)).as("dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank")
+  }
+
+  /** Product-quantization codebooks: one deterministic k-means codebook
+    * per subspace (Jégou et al. 2011, "Product quantization for nearest
+    * neighbor search" — the standard ANN compression at corpus scale).
+    * The vector is split into `m` contiguous `dim/m`-dim subvectors;
+    * each subspace trains its own [[kmeansCentroids]] quantizer (same
+    * md5 seeding and scaled-integer update discipline, so the DuckDB
+    * oracle re-derives every codebook from the parquet alone).
+    *
+    * Returned as m × codes × (dim/m) — driver-held by construction
+    * (codes × dim doubles total), destined to become plan literals. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, codes: Int,
+                  iters: Int): IndexedSeq[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val S = 1048576.0 // the kmeansCentroids quantum — identical math
+    // one narrow cached projection serves seeding + every iteration;
+    // all m subspaces train from the SAME scans (the m independent
+    // kmeansCentroids calls would re-scan the corpus m x iters times)
+    val v0 = corpus.select(col(idCol).cast("string").as("__id"),
+      toDouble(col(vecCol)).as("__v"))
+      .cache()
+    // seed rows are subspace-independent (smallest md5(id) — the same
+    // rows each subspace-local kmeans would pick); slice driver-side
+    val seedRows = v0.select(col("__v"), md5(col("__id")).as("__h"))
+      .orderBy(col("__h")).limit(codes)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == codes, s"corpus smaller than codes=$codes")
+    var books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
+      seedRows.map(v => v.slice(s * subDim, (s + 1) * subDim)
+        .map(x => math.floor(x * S) / S))
+    }
+    for (_ <- 0 until iters) {
+      // ONE corpus pass: every subspace's argmin cell + scaled-integer
+      // partial sums ride a single (s, cell, j)-keyed aggregation whose
+      // shuffle carries dim x codes partials — corpus-size independent
+      val cellCols = (0 until m).map { s =>
+        graft.functions.VectorExpressions.argminL2(
+          slice(col("__v"), s * subDim + 1, subDim),
+          array(books(s).map(c => array(c.map(lit): _*)): _*)).as(s"__c$s")
+      }
+      val sIdx = floor(col("i") / subDim).cast("int")
+      val sums = v0
+        .select(transform(col("__v"), x => floor(x * S)).as("__xs") +:
+          cellCols: _*)
+        .select(array((0 until m).map(s => col(s"__c$s")): _*).as("__cs"),
+          posexplode(col("__xs")).as(Seq("i", "x")))
+        .select(sIdx.as("s"),
+          element_at(col("__cs"), sIdx + 1).as("cell"),
+          (col("i") % subDim).cast("int").as("j"), col("x"))
+        .groupBy(col("s"), col("cell"), col("j"))
+        .agg(sum(col("x")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        // argmin_l2 cells are 1-based; empty cells keep their centroid
+        next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) =
+          (r.getLong(3).toDouble / r.getLong(4).toDouble) / S
+      }
+      books = next
+    }
+    v0.unpersist()
+    books
+  }
+
+  /** PQ-ADC top-k: score every (query, corpus) pair from the corpus
+    * vector's PQ CODES alone — asymmetric distance computation. Each
+    * corpus vector is reduced to `m` small-int codes (one byte each at
+    * codes ≤ 256: a 64-dim float vector becomes 4 bytes at the m=4
+    * default — 64× less state than the floats); each query precomputes
+    * one m × codes lookup table of exact subspace distances, and the
+    * approximate squared-L2 is `Σ_s table_s[code_s]` — m array lookups
+    * + adds per pair, no float vector ever touched after encoding.
+    *
+    * This is the COMPRESSION leg of ANN (orthogonal to the PRUNING leg,
+    * [[kmeansIvfTopK]]): at 100 TB the encoded corpus (id + m bytes)
+    * fits where float embeddings cannot — the scan stays linear but
+    * reads ~1% of the bytes, and the codes frame is what an IVF cell
+    * layout would store per cell. Scale shape: codebooks train
+    * driver-side (hash-sample via `trainSampleRate` at scale), enter
+    * the plan as literals; encoding is ONE projection pass (m native
+    * argmin kernels, no shuffle); queries are broadcast with their
+    * lookup tables; the only exchange is the per-query top-k window.
+    *
+    * Determinism: codebooks are exactly reproducible (see
+    * [[kmeansCentroids]]); table entries are fixed-order left-fold
+    * subspace L2s; the ADC sum adds subspaces in index order; ranking
+    * uses the 6-dp rounded distance with a neighbor_id tie-break —
+    * bit-identical cross-engine. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int, dim: Int,
+             m: Int = 4, codes: Int = 8, iters: Int = 2,
+             roundTo: Option[Int] = Some(6),
+             trainSampleRate: Option[Double] = None): DataFrame = {
+    val subDim = dim / m
+    val trainSet = trainSampleRate.fold(corpus) { r =>
+      require(r > 0.0 && r <= 1.0, "0 < trainSampleRate <= 1")
+      SamplingOps.hashSample(corpus, col(idCol).cast("string"), r)
+    }
+    val books = pqCodebooks(trainSet, idCol, vecCol, dim, m, codes, iters)
+    def bookLit(s: Int) =
+      array(books(s).map(c => array(c.map(lit): _*)): _*)
+    def d2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
+    // corpus → m codes (the native argmin kernel per subspace), then the
+    // float vector is DROPPED — ADC only ever reads the codes
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id") +:
+        (0 until m).map(s => graft.functions.VectorExpressions
+          .argminL2(slice(col("cv"), s * subDim + 1, subDim), bookLit(s))
+          .as(s"c$s")): _*)
+    // queries → m distance lookup tables (exact subspace L2 to every code)
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id") +:
+        (0 until m).map(s => array((0 until codes).map(j =>
+          d2(slice(col("qv"), s * subDim + 1, subDim), books(s)(j))): _*)
+          .as(s"qt$s")): _*)
+    val adc = (0 until m).map(s =>
+      element_at(col(s"qt$s"), col(s"c$s").cast("int"))).reduce(_ + _)
+    val scored = enc.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundTo.fold(adc)(d => round(adc, d)).as("adc_dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank")
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * acceptance metric run on a query sample before committing an ANN
     * config to a full-corpus pass. Both inputs are (query_id,

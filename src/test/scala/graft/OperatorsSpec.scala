@@ -536,6 +536,56 @@ class OperatorsSpec extends AnyFunSuite {
       s"boilerplate chain must score below token salad: $got")
   }
 
+  test("pqTopK: ADC from codes alone keeps retrieval inside the query's " +
+      "cluster; codebooks and results bit-deterministic") {
+    import graft.operators.SimilarityOps
+    // two well-separated clusters in 8 dims (2 subspaces x 4 dims):
+    // ADC over 2 codes/subspace must keep neighbors in-cluster
+    val a = Array(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 8).map(i =>
+      (i.toLong, a.zipWithIndex.map { case (x, j) =>
+        (x + (if (j == 2) i * 0.001 else 0.0)).toFloat })) ++
+      (8 until 16).map(i =>
+        (i.toLong, b.zipWithIndex.map { case (x, j) =>
+          (x + (if (j == 2) (i - 8) * 0.001 else 0.0)).toFloat }))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.pqTopK(
+      emb.filter(col("vec_id").isin(0L, 8L)), emb, "vec_id", "embedding",
+      k = 3, dim = 8, m = 2, codes = 2, iters = 2)
+    val byQ = got.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(byQ(0L).subsetOf((1L to 7L).toSet), s"cluster A leaked: $byQ")
+    assert(byQ(8L).subsetOf((9L to 15L).toSet), s"cluster B leaked: $byQ")
+    // planted near-copy: a perturbed twin of a cluster-A vector lands on
+    // cluster-A codes, so its top-1 MUST come from cluster A (within a
+    // cell all members share codes — ADC ties resolve by id, which is
+    // the quantization resolution limit, not an error; origin-exact
+    // retrieval on real spread-out data is pinned by the q123 oracle)
+    val twin = Seq((100L, a.zipWithIndex.map { case (x, j) =>
+      (x + (if (j == 2) 0.0031 else 0.0)).toFloat }))
+      .toDF("vec_id", "embedding")
+    val withTwin = emb.unionByName(twin)
+    val top1 = SimilarityOps.pqTopK(
+      withTwin.filter(col("vec_id") === 100L), withTwin,
+      "vec_id", "embedding", k = 1, dim = 8, m = 2, codes = 2, iters = 2)
+      .collect()
+    assert(top1.head.getAs[Long]("neighbor_id") < 8L,
+      s"planted twin must retrieve from its own cluster: ${top1.toSeq}")
+    // determinism: codebooks and the full result reproduce bit-equal
+    val b1 = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 8, m = 2, codes = 2, iters = 2)
+    val b2 = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 8, m = 2, codes = 2, iters = 2)
+    assert(b1.map(_.map(_.toSeq).toSeq) == b2.map(_.map(_.toSeq).toSeq))
+    val again = SimilarityOps.pqTopK(
+      emb.filter(col("vec_id").isin(0L, 8L)), emb, "vec_id", "embedding",
+      k = 3, dim = 8, m = 2, codes = 2, iters = 2)
+    assert(got.collect().map(_.toSeq).toSeq ==
+      again.collect().map(_.toSeq).toSeq)
+  }
+
   test("centroidOutliers: a vector far from every cluster ranks first") {
     import graft.operators.SimilarityOps
     val rows =

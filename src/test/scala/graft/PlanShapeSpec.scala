@@ -253,6 +253,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("cosine_sim"), "native cosine kernel missing")
   }
 
+  test("q122: PQ codebooks are plan literals — encode is argmin kernel " +
+      "projections, queries broadcast, corpus never shuffle-joined") {
+    val p = plan("q122_pq_topk")
+    assert(p.contains("argmin_l2"),
+      "subspace encoding must run in the native argmin kernel")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query tables must pair via broadcast, not a shuffle join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must never shuffle for the ADC scan")
+    // after codebook training, the scoring plan itself shuffles only for
+    // the per-query top-k window + the presentation sort
+    assert(p.split("Exchange").length <= 4,
+      s"ADC scan grew unexpected exchanges:\n$p")
+  }
+
   test("q61: paragraph dedup shuffles once on the paragraph hash") {
     val p = plan("q61_paragraph_dedup")
     assert(p.contains("md5(cast(para"),
