@@ -690,6 +690,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher rule battery over structurally injected docs: bullets,
+    // ellipsis lines, '#' runs, and numeric tokens are appended to
+    // id-keyed slices so every line/symbol/alpha rule fires both ways
+    // (the raw corpus is single-line alpha word salad); word-count and
+    // mean-word-length rules are naturally data-bearing (10-99 words).
+    "q124_gopher_rules" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit("\n- b one\n- b two" +
+            "\n- b three\n- b four\n- b five\n- b six\n- b seven" +
+            "\n- b eight\n- b nine\n- b ten")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\nto be continued..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" ### ## #"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" 123 456 789 101 112 131 415 161 718 192 021 222"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.gopherRules(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Token statistics.
     "q37_token_stats" -> ((s, dir) => {
       TextAnalysisOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -3364,6 +3386,70 @@ FROM prec ORDER BY query_id"""),
         |  FROM scored)
         |SELECT lang_guess, count(*) AS n_docs
         |FROM guess GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+
+    "q124_gopher_rules" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN e'\n- b one\n- b two\n- b three\n- b four\n- b five\n- b six\n- b seven\n- b eight\n- b nine\n- b ten' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN e'\nto be continued...' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' ### ## #' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' 123 456 789 101 112 131 415 161 718 192 021 222' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    string_split_regex(text, '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+        |      AS n_ellipsis
+        |  FROM inj),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    len(lines)::BIGINT AS n_lines,
+        |    list_sum(list_transform(toks, t -> length(t)))::BIGINT
+        |      AS sum_word_len,
+        |    n_hash, n_ellipsis,
+        |    len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+        |      OR starts_with(ltrim(l), '* ')
+        |      OR starts_with(ltrim(l), '• ')))::BIGINT AS n_bullet,
+        |    len(list_filter(lines, l -> ends_with(l, '...')
+        |      OR ends_with(l, '…')))::BIGINT AS n_ell_lines,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
+        |      AS n_alpha,
+        |    len(list_filter(['the','a','an','and','or','of','to','in','is','it'],
+        |      s -> list_contains(toks, s)))::BIGINT AS n_stop
+        |  FROM parts),
+        |f AS (
+        |  SELECT doc_id, n_words, n_lines,
+        |    (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+        |    (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+        |      AS f_mean_word_len,
+        |    (10 * (n_hash + n_ellipsis) <= n_words) AS f_symbol_ratio,
+        |    (10 * n_bullet <= 9 * n_lines) AS f_bullet_lines,
+        |    (10 * n_ell_lines <= 3 * n_lines) AS f_ellipsis_lines,
+        |    (5 * n_alpha >= 4 * n_words) AS f_alpha_words,
+        |    (n_stop >= 2) AS f_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_words, n_lines, f_word_count, f_mean_word_len,
+        |  f_symbol_ratio, f_bullet_lines, f_ellipsis_lines, f_alpha_words,
+        |  f_stopwords,
+        |  ((CASE WHEN f_word_count THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_mean_word_len THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_symbol_ratio THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_bullet_lines THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_ellipsis_lines THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_alpha_words THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_stopwords THEN 0 ELSE 1 END))::BIGINT AS n_fail,
+        |  ((CASE WHEN f_word_count THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_mean_word_len THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_symbol_ratio THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_bullet_lines THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_ellipsis_lines THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_alpha_words THEN 0 ELSE 1 END) +
+        |   (CASE WHEN f_stopwords THEN 0 ELSE 1 END)) = 0 AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q37_token_stats" ->
       """WITH toks AS (

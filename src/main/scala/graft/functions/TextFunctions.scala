@@ -160,7 +160,9 @@ object TextFunctions {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
-  private val Stopwords =
+  /** The engine-wide stopword lexicon (shared by quality scoring and
+    * the Gopher rule battery so oracles cite one list). */
+  val Stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** Stopword count among tokens. */

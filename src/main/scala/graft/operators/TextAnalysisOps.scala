@@ -165,6 +165,65 @@ object TextAnalysisOps {
       size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
         .as("n_urls"))
 
+  /** The Gopher quality rule battery (Rae et al. 2021, Appendix A —
+    * the published heuristic filter suite every large-corpus pipeline
+    * re-implements): per-document boolean verdicts for
+    *
+    *  1. word count within [50, 100 000]
+    *  2. mean word length within [3, 10]
+    *  3. symbol-to-word ratio ('#' and '...') at most 0.1
+    *  4. at most 90% of lines starting with a bullet
+    *  5. at most 30% of lines ending with an ellipsis
+    *  6. at least 80% of words containing an alphabetic character
+    *  7. at least 2 distinct stopwords present
+    *
+    * plus `n_fail` and the combined `pass`. One pure projection —
+    * tokens/lines live only inside the row, nothing shuffles, and the
+    * flags compose with the q53 curation-verdict family at any scale.
+    *
+    * Every ratio threshold is evaluated as an INTEGER cross-multiply
+    * (e.g. `10·n_bullet ≤ 9·n_lines`), so there is no floating-point
+    * boundary for engines to disagree on. Words split on runs of
+    * whitespace; lines on newline. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val toks = split(txt, "\\s+")
+    val lines = split(txt, "\n")
+    val nWords = size(toks).cast("long")
+    val sumWordLen = aggregate(
+      transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    val nHash = (length(txt) - length(replace(txt, lit("#"), lit(""))))
+      .cast("long")
+    val nEllipsis = ((length(txt) -
+      length(replace(txt, lit("..."), lit("")))) / 3).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBulletLines = size(filter(lines, l =>
+      startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* ")) ||
+        startswith(ltrim(l), lit("• ")))).cast("long")
+    val nEllipsisLines = size(filter(lines, l =>
+      endswith(l, lit("...")) || endswith(l, lit("…")))).cast("long")
+    val nAlphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("long")
+    val stopArr = array(Stopwords.map(s => lit(s)): _*)
+    val nStopDistinct = size(filter(stopArr, s =>
+      array_contains(toks, s))).cast("long")
+    val flags = Seq(
+      "f_word_count" -> (nWords >= 50L && nWords <= 100000L),
+      "f_mean_word_len" ->
+        (lit(3L) * nWords <= sumWordLen && sumWordLen <= lit(10L) * nWords),
+      "f_symbol_ratio" -> (lit(10L) * (nHash + nEllipsis) <= nWords),
+      "f_bullet_lines" -> (lit(10L) * nBulletLines <= lit(9L) * nLines),
+      "f_ellipsis_lines" -> (lit(10L) * nEllipsisLines <= lit(3L) * nLines),
+      "f_alpha_words" -> (lit(5L) * nAlphaWords >= lit(4L) * nWords),
+      "f_stopwords" -> (nStopDistinct >= 2L))
+    val nFail = flags.map { case (_, f) =>
+      when(f, lit(0L)).otherwise(lit(1L)) }.reduce(_ + _)
+    docs.select(
+      col(idCol) +: nWords.as("n_words") +: nLines.as("n_lines") +:
+        flags.map { case (n, f) => f.as(n) } :+
+        nFail.as("n_fail") :+ (nFail === 0L).as("pass"): _*)
+  }
+
   /** Gopher-style repetition signals: the fraction of duplicate word
     * 2-grams / 3-grams per document (1 - distinct/total). High values
     * flag boilerplate and degenerate generations. Projection chain over

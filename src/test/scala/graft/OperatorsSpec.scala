@@ -536,6 +536,36 @@ class OperatorsSpec extends AnyFunSuite {
       s"boilerplate chain must score below token salad: $got")
   }
 
+  test("gopherRules: each rule fires on its crafted violator and only " +
+      "that rule; the clean doc passes all seven") {
+    import graft.operators.TextAnalysisOps
+    val clean = ((1 to 60).map(i => s"word$i") ++ Seq("the", "a"))
+      .mkString(" ")                                   // 62 words, all sane
+    val docs = Seq(
+      (1L, clean),
+      (2L, "the a short doc only"),                    // word count < 50
+      (3L, clean + " " + Array.fill(40)("x").mkString("#") + "#######"),
+      (4L, clean + "\n" + (1 to 10).map(i => s"- bullet $i").mkString("\n")),
+      (5L, clean + "\nfirst trailing line...\nsecond trailing line..."),
+      (6L, ((1 to 60).map(_.toString) ++ Seq("the", "a")).mkString(" ")),
+      (7L, (1 to 60).map(i => s"word$i").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = Seq("f_word_count", "f_mean_word_len",
+      "f_symbol_ratio", "f_bullet_lines", "f_ellipsis_lines",
+      "f_alpha_words", "f_stopwords")
+      .map(f => f -> got(id).getAs[Boolean](f)).toMap
+    assert(got(1L).getAs[Boolean]("pass"), s"clean doc must pass: ${flags(1L)}")
+    assert(!flags(2L)("f_word_count") && flags(2L)("f_stopwords"))
+    assert(!flags(3L)("f_symbol_ratio") && flags(3L)("f_word_count"))
+    assert(!flags(4L)("f_bullet_lines") && flags(4L)("f_symbol_ratio"))
+    assert(!flags(5L)("f_ellipsis_lines") && flags(5L)("f_bullet_lines"))
+    assert(!flags(6L)("f_alpha_words") && flags(6L)("f_word_count"))
+    assert(!flags(7L)("f_stopwords") && flags(7L)("f_alpha_words"))
+    assert(got(7L).getAs[Long]("n_fail") == 1L)
+  }
+
   test("pqTopK: ADC from codes alone keeps retrieval inside the query's " +
       "cluster; codebooks and results bit-deterministic") {
     import graft.operators.SimilarityOps
