@@ -712,6 +712,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Luhn-validated card scrubbing: public test numbers (spaced Visa,
+    // dashed Mastercard) are injected per id-slice alongside a
+    // checksum-broken twin — the broken one must be COUNTED as a
+    // candidate but left unscrubbed (precision: serials and order ids
+    // shaped like cards survive).
+    "q125_card_scrub" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" card 4111 1111 1111 1111 ok"))
+          .when(col("doc_id") % 4 === 1,
+            lit(" card 5555-5555-5555-4444 ok"))
+          .when(col("doc_id") % 4 === 2,
+            lit(" card 4111 1111 1111 1112 ok"))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.scrubCards(injected, "doc_id", "text")
+        .select(col("doc_id"),
+          substring(md5(col("scrubbed")), 1, 16).as("scrub_sig"),
+          col("n_candidates"), col("n_valid"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token statistics.
     "q37_token_stats" -> ((s, dir) => {
       TextAnalysisOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -3450,6 +3472,46 @@ FROM prec ORDER BY query_id"""),
         |   (CASE WHEN f_alpha_words THEN 0 ELSE 1 END) +
         |   (CASE WHEN f_stopwords THEN 0 ELSE 1 END)) = 0 AS pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q125_card_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN ' card 4111 1111 1111 1111 ok'
+        |      WHEN 1 THEN ' card 5555-5555-5555-4444 ok'
+        |      WHEN 2 THEN ' card 4111 1111 1111 1112 ok'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}') AS cands
+        |  FROM inj),
+        |v AS (
+        |  SELECT doc_id, text, cands,
+        |    list_filter(cands, c -> (
+        |      list_sum(list_transform(
+        |        range(1, length(regexp_replace(c, '[ -]', '', 'g')) + 1),
+        |        p -> CASE WHEN p % 2 = 0
+        |          THEN CASE WHEN 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT > 9
+        |            THEN 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT - 9
+        |            ELSE 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT END
+        |          ELSE substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT END)) % 10 = 0)) AS valid
+        |  FROM c)
+        |SELECT doc_id,
+        |  substr(md5(CASE WHEN len(valid) >= 1
+        |    THEN replace(text, valid[1], '<CARD>') ELSE text END), 1, 16)
+        |    AS scrub_sig,
+        |  len(cands) AS n_candidates,
+        |  len(valid) AS n_valid
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q37_token_stats" ->
       """WITH toks AS (

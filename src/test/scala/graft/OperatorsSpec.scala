@@ -566,6 +566,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(7L).getAs[Long]("n_fail") == 1L)
   }
 
+  test("scrubCards: Luhn gate separates real cards from lookalike digit " +
+      "runs; the replace fold handles several cards in one doc") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      // two valid cards (Visa spaced, Amex 15-digit plain) + one broken
+      (1L, "pay 4111 1111 1111 1111 or 378282246310005 not 4111 1111 1111 1112 end"),
+      (2L, "serial 1234567890123 and order 55555555555544 here"), // both fail Luhn
+      (3L, "no digits at all")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.scrubCards(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L)._2 == 3 && got(1L)._3 == 2, s"doc1: $got")
+    assert(got(1L)._1 ==
+      "pay <CARD> or <CARD> not 4111 1111 1111 1112 end",
+      "both valid cards scrubbed, the checksum-broken twin left intact")
+    assert(got(2L)._2 == 2 && got(2L)._3 == 0,
+      "lookalike digit runs are candidates but never scrubbed")
+    assert(got(2L)._1 == "serial 1234567890123 and order 55555555555544 here")
+    assert(got(3L) == (("no digits at all", 0, 0)))
+  }
+
   test("pqTopK: ADC from codes alone keeps retrieval inside the query's " +
       "cluster; codebooks and results bit-deterministic") {
     import graft.operators.SimilarityOps
