@@ -734,6 +734,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Mojibake detection + repair over injected double-encoding
+    // artifacts (the ASCII corpus has none naturally): Latin-1 digraph
+    // slice, smart-quote slice, replacement-char slice; the repaired
+    // text ships as a signature (exact-equality proof, small artifact).
+    "q126_mojibake" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" cafÃ© dÃ©jÃ  vu"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" donâ€™t â€œquote me"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" bad�byte"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.mojibakeRepair(injected, "doc_id", "text")
+        .select(col("doc_id"), col("n_latin1"), col("n_quote_seq"),
+          col("n_replacement"), col("mojibake"),
+          substring(md5(col("repaired")), 1, 16).as("repair_sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token statistics.
     "q37_token_stats" -> ((s, dir) => {
       TextAnalysisOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -3512,6 +3532,32 @@ FROM prec ORDER BY query_id"""),
         |  len(cands) AS n_candidates,
         |  len(valid) AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q126_mojibake" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© dÃ©jÃ  vu' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' donâ€™t â€œquote me' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' bad�byte' ELSE '' END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    ((length(text) - length(replace(text, 'Ã', '')))
+        |     + (length(text) - length(replace(text, 'Â', ''))))::BIGINT
+        |      AS n_latin1,
+        |    ((length(text) - length(replace(text, 'â€', ''))) // 2)::BIGINT
+        |      AS n_quote_seq,
+        |    (length(text) - length(replace(text, '�', '')))::BIGINT
+        |      AS n_replacement
+        |  FROM inj)
+        |SELECT doc_id, n_latin1, n_quote_seq, n_replacement,
+        |  (n_latin1 + n_quote_seq + n_replacement > 0) AS mojibake,
+        |  substr(md5(
+        |    replace(replace(replace(replace(replace(replace(replace(text,
+        |      'â€™', '’'), 'â€œ', '“'), 'â€“', '–'),
+        |      'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¼', 'ü'), 'Ã±', 'ñ')), 1, 16)
+        |    AS repair_sig
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q37_token_stats" ->
       """WITH toks AS (

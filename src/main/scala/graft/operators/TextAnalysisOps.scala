@@ -264,6 +264,47 @@ object TextAnalysisOps {
       size(valid).as("n_valid"))
   }
 
+  /** The common UTF-8-read-as-Latin-1 digraph repairs (the ftfy "sloppy
+    * Windows-1252" core subset, public knowledge): each key is what a
+    * UTF-8 byte pair/triple renders as when mis-decoded, each value the
+    * intended character. Patterns are mutually disjoint (distinct lead
+    * chars Ã / â), so the replace order cannot change the result.
+    * Space-adjacent pairs (e.g. `Ã` + NBSP for `à`) are deliberately
+    * NOT repaired — they collide with word boundaries and need the
+    * contextual heuristics a counting pass shouldn't have. */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¼" -> "ü", "Ã±" -> "ñ")
+
+  /** Mojibake detection + repair: the double-encoding artifacts real
+    * web crawls are full of — Latin-1 lead bytes (`Ã`, `Â`), smart-
+    * quote triples (`â€…`), and U+FFFD replacement chars — counted per
+    * document (character-count arithmetic, no regex so both engines'
+    * regex unicode dialects stay out of the picture) and the
+    * unambiguous digraphs repaired via [[MojibakeRepairs]]. Detection
+    * is evidence-counting, repair is a disjoint replace fold; both are
+    * pure projection. */
+  def mojibakeRepair(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val txt = col(textCol)
+    def countOf(pat: String): Column =
+      ((length(txt) - length(replace(txt, lit(pat), lit("")))) /
+        pat.length).cast("long")
+    val nLatin1 = countOf("Ã") + countOf("Â")
+    val nQuoteSeq = countOf("â€")
+    val nReplacement = countOf("�")
+    val repaired = MojibakeRepairs.foldLeft(txt) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+    docs.select(
+      col(idCol),
+      nLatin1.as("n_latin1"),
+      nQuoteSeq.as("n_quote_seq"),
+      nReplacement.as("n_replacement"),
+      (nLatin1 + nQuoteSeq + nReplacement > 0L).as("mojibake"),
+      repaired.as("repaired"))
+  }
+
   /** Gopher-style repetition signals: the fraction of duplicate word
     * 2-grams / 3-grams per document (1 - distinct/total). High values
     * flag boilerplate and degenerate generations. Projection chain over

@@ -587,6 +587,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == (("no digits at all", 0, 0)))
   }
 
+  test("mojibakeRepair: digraph evidence counted exactly, unambiguous " +
+      "repairs applied, clean text untouched") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "cafÃ© crÃ¨me donâ€™t â€œgo"),  // 2 latin1 digraphs + 2 triples
+      (2L, "plain ascii text"),
+      (3L, "lost�byte Â here")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.mojibakeRepair(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getString(5))).toMap
+    assert(got(1L) == ((2L, 2L, 0L, true, "café crème don’t “go")),
+      s"repair mismatch: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, false, "plain ascii text")))
+    // bare Â and U+FFFD are detected but not repaired (ambiguous)
+    assert(got(3L) == ((1L, 0L, 1L, true, "lost�byte Â here")))
+  }
+
   test("pqTopK: ADC from codes alone keeps retrieval inside the query's " +
       "cluster; codebooks and results bit-deterministic") {
     import graft.operators.SimilarityOps
