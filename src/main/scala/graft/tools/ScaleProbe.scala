@@ -74,6 +74,14 @@ object ScaleProbe {
       TextAnalysisOps.topNgrams(docs, "text", 2, 20))
     time(s"scrubPii x$n")(
       TextAnalysisOps.scrubPii(docs, "doc_id", "text"))
+    // the three round-6 projection passes: all shuffle-free by
+    // construction — the probe pins wall-clock linear in the corpus
+    time(s"gopherRules x$n")(
+      TextAnalysisOps.gopherRules(docs, "doc_id", "text"))
+    time(s"scrubCards x$n")(
+      TextAnalysisOps.scrubCards(docs, "doc_id", "text"))
+    time(s"mojibakeRepair x$n")(
+      TextAnalysisOps.mojibakeRepair(docs, "doc_id", "text"))
     time(s"discQuantiles x$n")(
       DistributionOps.discQuantiles(
         docs.select(size(split(col("text"), " ")).as("nt")),
@@ -247,6 +255,14 @@ object ScaleProbe {
           cells = 8, iters = 3, probe = 2),
         SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 8), emb,
           "vec_id", "embedding", k = 5), k = 5))
+    // PQ-ADC: codebook training is one fused scan per iteration (the
+    // (s, cell, j) shuffle is dim x codes partials regardless of N);
+    // the ADC scan is broadcast-driven — whole thing must track the
+    // corpus scan cost like kmeansIvfTopK does
+    time(s"pqTopK x$n corpus")(
+      SimilarityOps.pqTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = 64,
+        m = 4, codes = 8, iters = 2))
     time(s"lshRecallProbe x$n corpus")(
       graft.operators.DedupOps.embeddingLshRecallProbe(emb, "vec_id",
         "embedding", threshold = 0.9, dim = 64, tables = 8, bits = 12,
