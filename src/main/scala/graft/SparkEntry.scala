@@ -754,6 +754,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 line-then-page cleaning over a structured fixture: five proper
+    // sentences prepended (two for the %19 slice), the salad line plus
+    // injected short / javascript / lorem-ipsum / code lines exercise
+    // every line rule and every page verdict both ways.
+    "q127_c4_filter" -> ((s, dir) => {
+      val base5 = "First real sentence is here.\n" +
+        "Second real sentence follows now!\nThird one asks a question?\n" +
+        "Fourth sentence lands cleanly.\nFifth sentence closes things."
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 19 === 0,
+            lit("Only two sentences here. Second one lands."))
+            .otherwise(lit(base5)),
+          lit("\n"), col("text"),
+          when(col("doc_id") % 5 === 0, lit("\nok.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nplease enable javascript to continue."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit("\nfunction f() { return 1; }")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysisOps.c4Filter(injected, "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("n_sentences"), col("drop_reason"),
+          substring(md5(col("clean_text")), 1, 16).as("clean_sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token statistics.
     "q37_token_stats" -> ((s, dir) => {
       TextAnalysisOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -3557,6 +3587,51 @@ FROM prec ORDER BY query_id"""),
         |      'â€™', '’'), 'â€œ', '“'), 'â€“', '–'),
         |      'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¼', 'ü'), 'Ã±', 'ñ')), 1, 16)
         |    AS repair_sig
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q127_c4_filter" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 19 = 0
+        |      THEN 'Only two sentences here. Second one lands.'
+        |      ELSE e'First real sentence is here.\nSecond real sentence follows now!\nThird one asks a question?\nFourth sentence lands cleanly.\nFifth sentence closes things.'
+        |      END)
+        |    || chr(10) || text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN e'\nok.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN e'\nplease enable javascript to continue.' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN e'\nlorem ipsum dolor sit amet.' ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN e'\nfunction f() { return 1; }' ELSE '' END AS text
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM inj),
+        |c AS (
+        |  SELECT doc_id, text, lines, kept,
+        |    array_to_string(kept, chr(10)) AS clean_text
+        |  FROM k),
+        |m AS (
+        |  SELECT doc_id, text, clean_text,
+        |    len(lines) AS n_lines, len(kept) AS n_kept,
+        |    ((length(clean_text) - length(replace(clean_text, '.', '')))
+        |     + (length(clean_text) - length(replace(clean_text, '!', '')))
+        |     + (length(clean_text) - length(replace(clean_text, '?', ''))))
+        |      ::BIGINT AS n_sentences
+        |  FROM c)
+        |SELECT doc_id, n_lines, n_kept, n_sentences,
+        |  CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+        |    WHEN contains(text, '{') THEN 'brace'
+        |    WHEN n_sentences < 5 THEN 'few_sentences'
+        |    ELSE 'kept' END AS drop_reason,
+        |  substr(md5(clean_text), 1, 16) AS clean_sig
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q37_token_stats" ->

@@ -305,6 +305,53 @@ object TextAnalysisOps {
       repaired.as("repaired"))
   }
 
+  /** The C4 cleaning battery (Raffel et al. 2020 §2.2 — the published
+    * line-then-page filter the original C4 corpus was built with, and
+    * the standard complement to the page-level [[gopherRules]]):
+    *
+    * line level (lines failing any test are REMOVED, the page kept):
+    *  - must end in terminal punctuation (. ! ? ")
+    *  - must have at least 3 words
+    *  - must not mention javascript (case-insensitive)
+    *
+    * page level (failing pages are DROPPED, precedence as listed):
+    *  - `lorem_ipsum`: contains the placeholder text
+    *  - `brace`: contains '{' (code)
+    *  - `few_sentences`: fewer than 5 sentences remain after line
+    *    cleaning (sentence ≈ terminal-punctuation count, the standard
+    *    approximation)
+    *
+    * One projection: line split, keep-filter, rejoin, and verdicts all
+    * live inside the row. Emits the cleaned text plus count columns so
+    * the removal rate is observable (no silent caps). */
+  def c4Filter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val lines = split(txt, "\n")
+    val kept = filter(lines, l =>
+      (endswith(l, lit(".")) || endswith(l, lit("!")) ||
+        endswith(l, lit("?")) || endswith(l, lit("\""))) &&
+        size(split(l, " ")) >= 3 &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    def termCount(c: Column, pat: String): Column =
+      (length(c) - length(replace(c, lit(pat), lit("")))).cast("long")
+    docs.select(col(idCol), txt.as("__t"), kept.as("__k"),
+        clean.as("clean_text"), size(lines).as("n_lines"),
+        size(kept).as("n_kept"))
+      .select(col(idCol),
+        col("n_lines"), col("n_kept"),
+        (termCount(col("clean_text"), ".") +
+          termCount(col("clean_text"), "!") +
+          termCount(col("clean_text"), "?")).as("n_sentences"),
+        when(lower(col("__t")).contains("lorem ipsum"), lit("lorem_ipsum"))
+          .when(col("__t").contains("{"), lit("brace"))
+          .when(termCount(col("clean_text"), ".") +
+            termCount(col("clean_text"), "!") +
+            termCount(col("clean_text"), "?") < 5L, lit("few_sentences"))
+          .otherwise(lit("kept")).as("drop_reason"),
+        col("clean_text"))
+  }
+
   /** Gopher-style repetition signals: the fraction of duplicate word
     * 2-grams / 3-grams per document (1 - distinct/total). High values
     * flag boilerplate and degenerate generations. Projection chain over

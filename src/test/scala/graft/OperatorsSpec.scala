@@ -587,6 +587,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == (("no digits at all", 0, 0)))
   }
 
+  test("c4Filter: line rules remove exactly the offending lines; page " +
+      "verdicts apply in precedence order") {
+    import graft.operators.TextAnalysisOps
+    val five = "One sentence lands here.\nTwo sentences follow now!\n" +
+      "Three is a question?\nFour closes cleanly.\nFive wraps it up."
+    val docs = Seq(
+      (1L, five),                                     // clean: kept as-is
+      (2L, five + "\nno terminal punctuation line\nok.\n" +
+        "please enable javascript today."),           // 3 bad lines out
+      (3L, five + "\nlorem ipsum dolor sit amet."),   // page: lorem_ipsum
+      (4L, five + "\ncode blocks { are code."),       // page: brace
+      (5L, "Short page lands here. Second sentence stays.") // few_sentences
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.c4Filter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4),
+          r.getString(5))).toMap
+    assert(got(1L) == ((5, 5, 5L, "kept", five)))
+    assert(got(2L)._1 == 8 && got(2L)._2 == 5 && got(2L)._4 == "kept")
+    assert(got(2L)._5 == five, "every offending line removed, keepers intact")
+    assert(got(3L)._4 == "lorem_ipsum")
+    assert(got(4L)._4 == "brace")
+    assert(got(5L) == ((1, 1, 2L, "few_sentences",
+      "Short page lands here. Second sentence stays.")))
+  }
+
   test("mojibakeRepair: digraph evidence counted exactly, unambiguous " +
       "repairs applied, clean text untouched") {
     import graft.operators.TextAnalysisOps
