@@ -684,6 +684,23 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // IVF-PQ: the pruning and compression legs composed (the production
+    // ANN layout) — coarse cells gate the scan to probe/cells of the
+    // corpus, residual PQ codes quantize within cells, and ADC tables
+    // are built per probed cell from the query's residual. The oracle
+    // re-derives the coarse centroids, every residual, and all four
+    // residual codebooks from the parquet.
+    "q128_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = EmbDim,
+        cells = IpqCells, coarseIters = IpqCoarseIters, probe = IpqProbe,
+        m = PqM, codes = PqCodes, pqIters = PqIters)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Quality scoring (length/stopword/distinct blend).
     "q36_quality" -> ((s, dir) => {
       TextAnalysisOps.quality(t(s, dir, "documents"), "doc_id", "text")
@@ -2130,6 +2147,99 @@ object SparkEntry {
   private val PqCodes = 8
   private val PqIters = 2
 
+  // q128 IVF-PQ geometry: 8 coarse cells (2 iters), 2-cell probe,
+  // residual PQ with the q122 subspace geometry.
+  private val IpqCells = 8
+  private val IpqCoarseIters = 2
+  private val IpqProbe = 2
+
+  /** IVF-PQ oracle CTEs mirroring [[graft.operators.SimilarityOps
+    * .ivfPqTopK]]: coarse k-means chain (prefix `ic_`), residual frame,
+    * four residual-subspace k-means chains (prefixes `ip0_` …), encoded
+    * codes, per-(query, probed-cell) ADC tables from the query residual
+    * AGAINST THAT CELL, and the ranked scan (`ipqranked`). */
+  private def ivfPqRankedSql: String = {
+    val sub = EmbDim / PqM
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = (s + 1) * sub
+    val dimR = s"range(1, ${EmbDim + 1})"
+    val subR = s"range(1, ${sub + 1})"
+    def d2full(v: String, c: String) =
+      s"list_sum(list_transform($dimR, i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def d2sub(v: String, c: String) =
+      s"list_sum(list_transform($subR, i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    val coarse = kmeansCtesGenSql("ic_",
+      """ic_v0 AS (
+        |  SELECT vec_id, fv AS v FROM ipqbase)""".stripMargin,
+      EmbDim, IpqCells, IpqCoarseIters)
+    val chains = (0 until PqM).map { s =>
+      kmeansCtesGenSql(s"ip${s}_",
+        s"""ip${s}_v0 AS (
+           |  SELECT vec_id, rv[${lo(s)}:${hi(s)}] AS v FROM iresid)"""
+          .stripMargin,
+        sub, PqCodes, PqIters)
+    }.mkString(",\n")
+    val pqCentsFrom = (0 until PqM).map(s =>
+      s"(SELECT cents AS pcents$s FROM ip${s}_cents$PqIters)").mkString(", ")
+    val codeCols = (0 until PqM).map { s =>
+      s"""list_indexof(list_transform(pcents$s, c ->
+         |      ${d2sub(s"rv[${lo(s)}:${hi(s)}]", "c")}),
+         |      list_min(list_transform(pcents$s, c ->
+         |      ${d2sub(s"rv[${lo(s)}:${hi(s)}]", "c")}))) AS c$s"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val tabCols = (0 until PqM).map { s =>
+      s"""list_transform(pcents$s, c ->
+         |      ${d2sub(s"rq[${lo(s)}:${hi(s)}]", "c")}) AS qt$s"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val adc = (0 until PqM).map(s => s"qt$s[c$s]").mkString(" + ")
+    s"""ipqbase AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS fv
+       |  FROM embeddings),
+       |$coarse,
+       |icc AS (SELECT cents FROM ic_cents$IpqCoarseIters),
+       |iresid AS (
+       |  SELECT vec_id, cell,
+       |    list_transform($dimR, i -> v[i] - cents[cell][i]) AS rv
+       |  FROM (
+       |    SELECT vec_id, v, cents,
+       |      list_indexof(d, list_min(d)) AS cell
+       |    FROM (SELECT vec_id, v, cents,
+       |            list_transform(cents, c -> ${d2full("v", "c")}) AS d
+       |          FROM ic_v0, icc))),
+       |$chains,
+       |ipqenc AS (
+       |  SELECT vec_id AS neighbor_id, cell,
+       |    $codeCols
+       |  FROM iresid, $pqCentsFrom),
+       |ipqq0 AS (
+       |  SELECT vec_id AS query_id, fv AS qv,
+       |    list_transform(cents, c -> ${d2full("fv", "c")}) AS d
+       |  FROM ipqbase, icc WHERE vec_id < 8),
+       |ipqqc AS (
+       |  SELECT query_id, qv, unnest(list_transform(
+       |      list_sort(list_transform(range(1, ${IpqCells + 1}),
+       |        j -> {'d': d[j], 'i': j}))[1:$IpqProbe],
+       |      s -> struct_extract(s, 'i'))) AS cell
+       |  FROM ipqq0),
+       |ipqqr AS (
+       |  SELECT query_id, cell,
+       |    list_transform($dimR, i -> qv[i] - cents[cell][i]) AS rq
+       |  FROM ipqqc, icc),
+       |ipqqt AS (
+       |  SELECT query_id, cell,
+       |    $tabCols
+       |  FROM ipqqr, $pqCentsFrom),
+       |ipqranked AS (
+       |  SELECT query_id, neighbor_id, adc_dist2, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id)
+       |    AS rank
+       |  FROM (SELECT query_id, neighbor_id, round($adc, 6) AS adc_dist2
+       |        FROM ipqenc JOIN ipqqt USING (cell)
+       |        WHERE query_id <> neighbor_id))""".stripMargin
+  }
+
   /** PQ-ADC oracle CTEs: per-subspace k-means chains (prefixes `p0_` …),
     * corpus codes via argmin per subspace, query ADC lookup tables, and
     * the ranked ADC scan — mirroring [[graft.operators.SimilarityOps
@@ -3399,6 +3509,11 @@ prec AS (
   GROUP BY e.query_id)
 SELECT query_id, n_hits, n_hits::DOUBLE / 1.0 AS recall
 FROM prec ORDER BY query_id"""),
+
+    "q128_ivfpq_topk" -> (
+      s"""WITH $ivfPqRankedSql
+SELECT query_id, rank, neighbor_id, adc_dist2 FROM ipqranked
+WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     "q36_quality" ->
       """WITH toks AS (

@@ -479,6 +479,90 @@ object SimilarityOps {
       .withColumnRenamed("__rn", "rank")
   }
 
+  /** IVF-PQ: the two ANN legs COMPOSED, which is the production index
+    * layout (Jégou et al. 2011 §IV) — coarse k-means cells prune the
+    * scan to `probe`/`cells` of the corpus, and within cells vectors
+    * are stored as PQ codes of their RESIDUAL (vector − cell centroid);
+    * residuals concentrate near zero, so the same code budget quantizes
+    * them much more finely than raw vectors. Per (query, probed cell)
+    * the ADC lookup tables are built from the query's residual AGAINST
+    * THAT CELL — the table build is probe × m × codes subspace
+    * distances per query, and the scan reads only codes.
+    *
+    * Scale shape: both trainings are driver-held literals (coarse
+    * k×dim, codebooks m×codes×dim/m); corpus-side work is ONE
+    * projection pass (cell argmin + m residual-subspace argmins, all
+    * native kernels, no shuffle); probed queries broadcast with their
+    * per-cell tables; the only exchange is the top-k window. The
+    * encoded corpus is (id, cell, m codes) — the state that fits in
+    * memory at 100 TB where float vectors cannot.
+    *
+    * Same determinism discipline as [[pqTopK]] / [[kmeansIvfTopK]];
+    * the oracle re-derives the coarse centroids, every residual, and
+    * all m codebooks from the parquet alone. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int, dim: Int,
+                cells: Int = 8, coarseIters: Int = 2, probe: Int = 2,
+                m: Int = 4, codes: Int = 8, pqIters: Int = 2,
+                roundTo: Option[Int] = Some(6)): DataFrame = {
+    require(probe >= 1 && probe <= cells, "1 <= probe <= cells")
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val cents = kmeansCentroids(corpus, idCol, vecCol, dim, cells,
+      coarseIters)
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    def residOf(v: org.apache.spark.sql.Column,
+                cell: org.apache.spark.sql.Column) =
+      zip_with(v, element_at(centsLit, cell.cast("int")), (x, c) => x - c)
+    // corpus residual frame: train the codebooks on exactly this
+    val resid = corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cell",
+        graft.functions.VectorExpressions.argminL2(col("cv"), centsLit))
+      .withColumn("rv", residOf(col("cv"), col("cell")))
+    val books = pqCodebooks(resid, "neighbor_id", "rv", dim, m, codes,
+      pqIters)
+    def bookLit(s: Int) =
+      array(books(s).map(c => array(c.map(lit): _*)): _*)
+    def d2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
+    val enc = resid.select(col("neighbor_id") +: col("cell") +:
+      (0 until m).map(s => graft.functions.VectorExpressions
+        .argminL2(slice(col("rv"), s * subDim + 1, subDim), bookLit(s))
+        .as(s"c$s")): _*)
+    // queries: probe nearest cells by full-vector L2 (the q58 order),
+    // then per probed cell build ADC tables from the query's residual
+    // against THAT cell
+    def cellDistArr(v: org.apache.spark.sql.Column) =
+      array(cents.map(c => d2(v, c)): _*)
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("__d", cellDistArr(col("qv")))
+      .select(col("query_id"), col("qv"),
+        explode(transform(
+          slice(array_sort(zip_with(col("__d"),
+            sequence(lit(1), lit(cells)),
+            (d, i) => struct(d.as("d"), i.as("i")))), 1, probe),
+          s => s.getField("i").cast("long"))).as("cell"))
+      .withColumn("rq", residOf(col("qv"), col("cell")))
+      .select(col("query_id") +: col("cell") +:
+        (0 until m).map(s => array((0 until codes).map(j =>
+          d2(slice(col("rq"), s * subDim + 1, subDim), books(s)(j))): _*)
+          .as(s"qt$s")): _*)
+    val adc = (0 until m).map(s =>
+      element_at(col(s"qt$s"), col(s"c$s").cast("int"))).reduce(_ + _)
+    val scored = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundTo.fold(adc)(d => round(adc, d)).as("adc_dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank")
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * acceptance metric run on a query sample before committing an ANN
     * config to a full-corpus pass. Both inputs are (query_id,

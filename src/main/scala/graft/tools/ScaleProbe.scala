@@ -265,6 +265,13 @@ object ScaleProbe {
       SimilarityOps.pqTopK(emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", k = 5, dim = 64,
         m = 4, codes = 8, iters = 2))
+    // IVF-PQ: both trainings + the probed ADC scan — the composed
+    // index must keep tracking the corpus scan like its two legs do
+    time(s"ivfPqTopK x$n corpus")(
+      SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dim = 64,
+        cells = 8, coarseIters = 2, probe = 2,
+        m = 4, codes = 8, pqIters = 2))
     time(s"lshRecallProbe x$n corpus")(
       graft.operators.DedupOps.embeddingLshRecallProbe(emb, "vec_id",
         "embedding", threshold = 0.9, dim = 64, tables = 8, bits = 12,

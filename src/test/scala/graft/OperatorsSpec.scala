@@ -681,6 +681,33 @@ class OperatorsSpec extends AnyFunSuite {
       again.collect().map(_.toSeq).toSeq)
   }
 
+  test("ivfPqTopK: composed index keeps retrieval in the probed cluster " +
+      "and reproduces bit-exactly") {
+    import graft.operators.SimilarityOps
+    val a = Array(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 8).map(i =>
+      (i.toLong, a.zipWithIndex.map { case (x, j) =>
+        (x + (if (j == 2) i * 0.001 else 0.0)).toFloat })) ++
+      (8 until 16).map(i =>
+        (i.toLong, b.zipWithIndex.map { case (x, j) =>
+          (x + (if (j == 2) (i - 8) * 0.001 else 0.0)).toFloat }))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run() = SimilarityOps.ivfPqTopK(
+      emb.filter(col("vec_id").isin(0L, 8L)), emb, "vec_id", "embedding",
+      k = 3, dim = 8, cells = 2, coarseIters = 2, probe = 1,
+      m = 2, codes = 2, pqIters = 2)
+    val got = run()
+    val byQ = got.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(byQ(0L).subsetOf((1L to 7L).toSet),
+      s"probe=1 must stay in the query's own cell: $byQ")
+    assert(byQ(8L).subsetOf((9L to 15L).toSet), s"cluster B leaked: $byQ")
+    assert(got.collect().map(_.toSeq).toSeq ==
+      run().collect().map(_.toSeq).toSeq, "IVF-PQ must be deterministic")
+  }
+
   test("centroidOutliers: a vector far from every cluster ranks first") {
     import graft.operators.SimilarityOps
     val rows =

@@ -268,6 +268,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ADC scan grew unexpected exchanges:\n$p")
   }
 
+  test("q128: IVF-PQ corpus side is one kernel-projection pass — cell " +
+      "argmin + residual code argmins, candidates pair via broadcast") {
+    val p = plan("q128_ivfpq_topk")
+    assert(p.contains("argmin_l2"),
+      "cell + code assignment must run in the native argmin kernel")
+    assert(p.contains("BroadcastHashJoin"),
+      "probed query tables must broadcast on the cell key")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the encoded corpus must never shuffle for the ADC scan")
+  }
+
   test("q61: paragraph dedup shuffles once on the paragraph hash") {
     val p = plan("q61_paragraph_dedup")
     assert(p.contains("md5(cast(para"),
