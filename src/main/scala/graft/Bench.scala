@@ -18,6 +18,22 @@ object Bench {
     graft.Logs.quietBenignWarnings()
     // absorb session/codegen/parquet-footer warmup outside the timed loop
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Host-speed calibration: a fixed single-thread integer loop, timed
+    // (min of 3). Round-6 measured the SAME code on the SAME data ~1.5x
+    // slower than round 5 purely from host speed (A/B at the prior
+    // round's commit reproduced the slowdown) — cross-round totals are
+    // only comparable after normalizing by this number.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) print("") // keep the loop observable (defeat DCE)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSec = Seq(calibOnce(), calibOnce(), calibOnce()).min
     // Time a noop-format write: every column is materialized, so column
     // pruning cannot elide projection work the way `df.count()` would for
     // select-shaped queries.
@@ -87,7 +103,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calibSec,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full per-query map also goes to a FILE (one pretty-ish line per
     // query so diffs read): the stdout line above can outgrow the driver's
@@ -99,6 +115,7 @@ object Bench {
   "metric": "total",
   "value": $total,
   "unit": "sec",
+  "calib": $calibSec,
   "sf": "$sfDir",
   "n": ${results.size},
   "queries": {
@@ -112,7 +129,7 @@ object Bench {
     }
     // Short self-defending summary LAST: the final bytes of output must
     // always be valid JSON even if everything above scrolled away.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"calib":$calibSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
