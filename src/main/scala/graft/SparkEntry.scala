@@ -801,6 +801,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Feature-hashed text embedding: the in-engine text->vector bridge.
+    // Components ship as floor-quantized micro-units derived from the
+    // integer counts + integer norm (one double division per component
+    // — the cross-engine recipe), joined into a signature.
+    "q129_hashed_embed" -> ((s, dir) => {
+      val he = TextAnalysisOps.hashedEmbed(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64)
+      he.select(col("doc_id"), col("norm2"), col("n_nonzero"),
+        substring(md5(array_join(transform(col("counts"), c =>
+          floor((c.cast("double") * 1000000.0) /
+            sqrt(col("norm2").cast("double"))).cast("long").cast("string")),
+          ",")), 1, 16).as("emb_sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token statistics.
     "q37_token_stats" -> ((s, dir) => {
       TextAnalysisOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -3747,6 +3762,27 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |    WHEN n_sentences < 5 THEN 'few_sentences'
         |    ELSE 'kept' END AS drop_reason,
         |  substr(md5(clean_text), 1, 16) AS clean_sig
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q129_hashed_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), b ->
+        |      len(list_filter(t, tok ->
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 = b))::BIGINT)
+        |      AS counts
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, counts,
+        |    list_sum(list_transform(counts, x -> x * x))::BIGINT AS norm2,
+        |    len(list_filter(counts, x -> x > 0)) AS n_nonzero
+        |  FROM c)
+        |SELECT doc_id, norm2, n_nonzero,
+        |  substr(md5(array_to_string(list_transform(counts, x ->
+        |    floor((x::DOUBLE * 1000000.0) / sqrt(norm2::DOUBLE))::BIGINT
+        |      ::VARCHAR), ',')), 1, 16) AS emb_sig
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q37_token_stats" ->

@@ -352,6 +352,41 @@ object TextAnalysisOps {
         col("clean_text"))
   }
 
+  /** Feature-hashed text embedding (Weinberger et al. 2009 hashing
+    * trick): token-count histogram over `dim` md5-hashed buckets (the
+    * [[ScoringOps]] bucket discipline), L2-normalized — an in-engine
+    * text→vector bridge that feeds the whole embedding family
+    * (SemDeDup, ANN/PQ, semantic decontamination, drift) WITHOUT an
+    * external model. No semantic smarts, which is the point: dedup and
+    * drift need a cheap stable vector whose cosine tracks lexical
+    * overlap, and this one is reproducible from the parquet alone.
+    *
+    * Pure projection — bucket counts, the integer squared norm, and
+    * the normalized components all live inside the row (the O(T·dim)
+    * per-row filter-count is CPU inside the scan task, never a
+    * shuffle). `counts` and the integer `norm2` ride along so callers
+    * can derive exactly-comparable signatures (one double division per
+    * component, then floor — the established cross-engine recipe). */
+  def hashedEmbed(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 64): DataFrame = {
+    // native kernel: one md5 + one histogram slot per token, O(T + dim)
+    // per row (the HOF per-bucket rescan measured ~10× slower; the
+    // per-(token, bucket) md5 recompute before that, ~60× slower)
+    docs.select(col(idCol),
+        graft.functions.TextExpressions
+          .hashedCounts(tokens(col(textCol)), dim).as("counts"))
+      .select(col(idCol), col("counts"),
+        aggregate(col("counts"), lit(0L), (a, x) => a + x * x).as("norm2"),
+        size(filter(col("counts"), x => x > 0L)).as("n_nonzero"))
+      .select(col(idCol), col("counts"),
+        when(col("norm2") === 0L,
+          transform(col("counts"), x => x.cast("double")))
+          .otherwise(transform(col("counts"), x =>
+            x.cast("double") / sqrt(col("norm2").cast("double"))))
+          .as("embedding"),
+        col("norm2"), col("n_nonzero"))
+  }
+
   /** Gopher-style repetition signals: the fraction of duplicate word
     * 2-grams / 3-grams per document (1 - distinct/total). High values
     * flag boilerplate and degenerate generations. Projection chain over

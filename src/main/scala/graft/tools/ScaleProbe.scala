@@ -84,6 +84,8 @@ object ScaleProbe {
       TextAnalysisOps.mojibakeRepair(docs, "doc_id", "text"))
     time(s"c4Filter x$n")(
       TextAnalysisOps.c4Filter(docs, "doc_id", "text"))
+    time(s"hashedEmbed x$n")(
+      TextAnalysisOps.hashedEmbed(docs, "doc_id", "text"))
     time(s"discQuantiles x$n")(
       DistributionOps.discQuantiles(
         docs.select(size(split(col("text"), " ")).as("nt")),

@@ -613,6 +613,31 @@ class OperatorsSpec extends AnyFunSuite {
       "Short page lands here. Second sentence stays.")))
   }
 
+  test("hashedEmbed: unit-norm vectors whose cosine tracks lexical " +
+      "overlap; deterministic across runs") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // 7/8 shared
+      (3L, "one two three four five six seven eight")       // disjoint
+    ).toDF("doc_id", "text")
+    def embs() = TextAnalysisOps.hashedEmbed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](2).toArray).toMap
+    val e = embs()
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    e.values.foreach(v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9,
+        "embedding must be unit-norm"))
+    assert(cos(e(1L), e(2L)) > 0.8,
+      s"near-dup texts must stay close: ${cos(e(1L), e(2L))}")
+    assert(cos(e(1L), e(3L)) < cos(e(1L), e(2L)),
+      "disjoint text must be farther than the near-dup")
+    assert(embs().view.mapValues(_.toSeq).toMap ==
+      e.view.mapValues(_.toSeq).toMap, "must be deterministic")
+  }
+
   test("mojibakeRepair: digraph evidence counted exactly, unambiguous " +
       "repairs applied, clean text untouched") {
     import graft.operators.TextAnalysisOps
