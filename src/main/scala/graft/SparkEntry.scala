@@ -816,6 +816,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Drift in HASHED-embedding space (q129 bridge -> q107 monitor):
+    // corpus B is corpus A plus an injected marker token per doc — the
+    // marker's bucket dimension must dominate the drift ranking. The
+    // model-free semantic drift monitor.
+    "q130_hashed_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = TextAnalysisOps.hashedEmbed(docs, "doc_id", "text")
+        .select(col("embedding").as("v"))
+      val b = TextAnalysisOps.hashedEmbed(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" spamtoken spamtoken spamtoken"))
+            .as("text")),
+        "doc_id", "text")
+        .select(col("embedding").as("v"))
+      SimilarityOps.embeddingDrift(a, b, "v", dim = 64, k = 16)
+    }),
+
     // Token statistics.
     "q37_token_stats" -> ((s, dir) => {
       TextAnalysisOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -3763,6 +3780,52 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |    ELSE 'kept' END AS drop_reason,
         |  substr(md5(clean_text), 1, 16) AS clean_sig
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q130_hashed_drift" ->
+      """WITH ca AS (
+        |  SELECT list_transform(range(0, 64), b ->
+        |    len(list_filter(string_split(text, ' '), tok ->
+        |      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 = b))::BIGINT)
+        |    AS counts
+        |  FROM documents),
+        |va AS (
+        |  SELECT list_transform(counts, x -> x::DOUBLE /
+        |    sqrt(list_sum(list_transform(counts, y -> y * y))::DOUBLE))
+        |    AS v
+        |  FROM ca),
+        |cb AS (
+        |  SELECT list_transform(range(0, 64), b ->
+        |    len(list_filter(
+        |      string_split(text || ' spamtoken spamtoken spamtoken', ' '),
+        |      tok ->
+        |      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 = b))::BIGINT)
+        |    AS counts
+        |  FROM documents),
+        |vb AS (
+        |  SELECT list_transform(counts, x -> x::DOUBLE /
+        |    sqrt(list_sum(list_transform(counts, y -> y * y))::DOUBLE))
+        |    AS v
+        |  FROM cb),
+        |fa AS (
+        |  SELECT i, sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS sa,
+        |    count(*)::BIGINT AS na
+        |  FROM va, range(1, 65) r(i) GROUP BY i),
+        |fb AS (
+        |  SELECT i, sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS sb,
+        |    count(*)::BIGINT AS nb
+        |  FROM vb, range(1, 65) r(i) GROUP BY i),
+        |m AS (
+        |  SELECT i,
+        |    CAST(floor((sa::DOUBLE * 1000000.0) /
+        |      (na::DOUBLE * 1048576.0)) AS BIGINT) AS mean_a_micro,
+        |    CAST(floor((sb::DOUBLE * 1000000.0) /
+        |      (nb::DOUBLE * 1048576.0)) AS BIGINT) AS mean_b_micro
+        |  FROM fa JOIN fb USING (i))
+        |SELECT i, mean_a_micro, mean_b_micro,
+        |  (mean_b_micro - mean_a_micro) AS delta_micro
+        |FROM m
+        |ORDER BY abs(mean_b_micro - mean_a_micro) DESC, i ASC
+        |LIMIT 16""".stripMargin,
 
     "q129_hashed_embed" ->
       """WITH toks AS (
