@@ -160,6 +160,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q124/q125/q126/q127/q129: the round-6 curation passes are pure " +
+      "projections — only the presentation sort may shuffle") {
+    Seq("q124_gopher_rules", "q125_card_scrub", "q126_mojibake",
+      "q127_c4_filter", "q129_hashed_embed").foreach { q =>
+      val body = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(body.split("Exchange").length <= 2,
+        s"$q should shuffle only for the final presentation sort:\n$body")
+    }
+    assert(plan("q129_hashed_embed").contains("hashed_counts"),
+      "embedding histogram must run in the native kernel")
+  }
+
   test("q47: partial aggregation before the shuffle, top-k not global sort") {
     val p = plan("q47_top_ngrams")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
