@@ -566,6 +566,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(7L).getAs[Long]("n_fail") == 1L)
   }
 
+  test("luhnValid: matches a reference mod-10 over random digit strings " +
+      "and detects every single-digit substitution") {
+    import graft.operators.TextAnalysisOps
+    def refLuhn(d: String): Boolean = {
+      val s = d.reverse.zipWithIndex.map { case (c, i) =>
+        val x = c - '0'
+        if (i % 2 == 1) { val y = x * 2; if (y > 9) y - 9 else y } else x
+      }.sum
+      s % 10 == 0
+    }
+    val rnd = new scala.util.Random(7)
+    val randoms = (1 to 300).map { _ =>
+      val len = 13 + rnd.nextInt(7)
+      (1 to len).map(_ => rnd.nextInt(10)).mkString
+    }
+    val valids = randoms.map { n =>
+      (0 to 9).map(d => n.dropRight(1) + d).find(refLuhn).get
+    }
+    val mutated = valids.map { v => // exactly one digit substituted
+      val i = rnd.nextInt(v.length)
+      val nd = (v(i) - '0' + 1 + rnd.nextInt(9)) % 10
+      v.updated(i, ('0' + nd).toChar)
+    }
+    val all = (randoms ++ valids ++ mutated).distinct
+    val got = all.toDF("d")
+      .select(col("d"), TextAnalysisOps.luhnValid(col("d")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    all.foreach(d =>
+      assert(got(d) == refLuhn(d), s"reference mismatch on $d"))
+    valids.foreach(v => assert(got(v), s"constructed valid rejected: $v"))
+    mutated.foreach(m =>
+      assert(!got(m), s"single-digit substitution must invalidate: $m"))
+  }
+
   test("scrubCards: Luhn gate separates real cards from lookalike digit " +
       "runs; the replace fold handles several cards in one doc") {
     import graft.operators.TextAnalysisOps
