@@ -27,19 +27,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events with epoch-seconds ts (deterministic across engines).
-    * events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses as a
-    * timestamp — read it as raw Long nanos (runtime conf) and floor-divide
-    * in the integer domain (no double round-trip: 1.7e18 ns > 2^53). */
+  /** events with epoch-seconds ts (deterministic across engines; see
+    * [[graft.sources.EventTime]] for the physical-type matrix). */
   private def ev(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, dir, "events")
-    val sec = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        expr("ts div 1000000000")
-      case _ => col("ts").cast("long")
-    }
-    raw.withColumn("sec", sec)
+    raw.withColumn("sec", graft.sources.EventTime.secCol(raw))
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1191,6 +1184,18 @@ object SparkEntry {
         col("doc_id").cast("string"),
         Map("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance resampling (q131): target = every 10th doc, so
+    // the likelihood-ratio table is learned in-engine from the corpus
+    // itself and the selection provably reweights toward the target's
+    // hashed unigram+bigram profile. Weights are exact BIGINT dot
+    // products against a literal micro-quantized ratio table.
+    "q131_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      SamplingOps.dsirSelect(docs,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -4475,6 +4480,57 @@ ORDER BY id_t, id_b""".stripMargin),
         |  FROM documents d JOIN q ON q.src = d.source)
         |SELECT doc_id, source FROM rk WHERE rk <= quota
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR: hashed unigram+bigram buckets (the q46 shingle semantics
+    // for short docs), add-one smoothed log-likelihood-ratio table
+    // floor-quantized to micro units, exact BIGINT per-doc dot
+    // product, clamped-linear milli acceptance, md5 hash acceptance.
+    "q131_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |feat AS (
+        |  SELECT doc_id, list_concat(t,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      [array_to_string(t[i + 1:i + 2], ' ')
+        |       FOR i IN range(len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END) AS f
+        |  FROM toks),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), b ->
+        |      len(list_filter(f, tok ->
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 = b))
+        |        ::BIGINT) AS counts
+        |  FROM feat),
+        |tb AS (
+        |  SELECT i, sum(counts[i])::BIGINT AS tc
+        |  FROM cnt, range(1, 65) r(i) WHERE doc_id % 10 = 0 GROUP BY i),
+        |rb AS (
+        |  SELECT i, sum(counts[i])::BIGINT AS rc
+        |  FROM cnt, range(1, 65) r(i) GROUP BY i),
+        |tot AS (
+        |  SELECT (SELECT sum(tc) FROM tb)::BIGINT AS tt,
+        |         (SELECT sum(rc) FROM rb)::BIGINT AS rt),
+        |lr AS (
+        |  SELECT i, CAST(floor(1000000.0 *
+        |    (ln((tc + 1.0) / (tt + 64.0)) - ln((rc + 1.0) / (rt + 64.0))))
+        |    AS BIGINT) AS lrm
+        |  FROM tb JOIN rb USING (i), tot),
+        |lrl AS (SELECT list(lrm ORDER BY i) AS lrs FROM lr),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> counts[i] * lrs[i]))::BIGINT AS weight_micro
+        |  FROM cnt, lrl),
+        |m AS (
+        |  SELECT doc_id, weight_micro,
+        |    least(1000, greatest(0, 500 + CAST(floor(
+        |      weight_micro::DOUBLE / 1000.0) AS BIGINT))) AS accept_milli
+        |  FROM w)
+        |SELECT doc_id, weight_micro, accept_milli,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * 1000
+        |    < accept_milli * 4294967296 AS selected
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // q87's scoring CTEs + the integer cross-multiplied accept test.
     "q103_weighted_sample" ->

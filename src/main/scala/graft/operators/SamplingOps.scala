@@ -258,6 +258,83 @@ object SamplingOps {
     }
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how much more likely its
+    * hashed n-gram profile is under a TARGET corpus (e.g. wiki/books)
+    * than under the raw corpus itself, then resample with acceptance
+    * proportional to that likelihood ratio. This is the
+    * distribution-matching selector modern pretraining recipes run
+    * between dedup and tokenization.
+    *
+    * Features are the DSIR paper's: unigrams + word bigrams, hashed
+    * into `dim` buckets ([[graft.functions.TextKernels.hashedCounts]];
+    * bigrams via the q46 [[graft.functions.TextKernels.wordShingles]]
+    * semantics so short docs degrade identically cross-engine). Bucket
+    * probabilities are add-one smoothed; the per-bucket log-likelihood
+    * ratio is floor-quantized to integer MICRO-units driver-side, so
+    * the per-doc weight `Σ counts[b] · lrMicro[b]` is an exact BIGINT
+    * dot product — accumulation order cannot leak — and the DuckDB
+    * oracle re-derives identical weights from the parquet alone. The
+    * acceptance probability is a clamped linear squash of the weight
+    * into milli-units around 1/2 ([[weightedSample]]'s calibrated-
+    * mapping slot; the paper's Gumbel top-k needs a global sort, the
+    * hash-acceptance form is the shuffle-free 100 TB variant of the
+    * same resampling move).
+    *
+    * Scale shape: featurization is a pure projection on each corpus;
+    * the only actions are TWO dim-sized partial aggregates (bucket
+    * totals, map-side combined — the wire carries `dim` longs per
+    * partition, the driver holds 2·dim longs); the ratio table enters
+    * the scoring plan as a LITERAL array, so scoring + selection is
+    * again a pure projection — zero joins, zero shuffles on the raw
+    * corpus at any scale. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, dim: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.TextExpressions.{hashedCounts, wordShingles}
+    require(dim >= 1, "dim >= 1")
+
+    def featurize(df: DataFrame): DataFrame =
+      df.select(col(idCol), tokens(col(textCol)).as("__t"))
+        .select(col(idCol),
+          hashedCounts(concat(col("__t"), wordShingles(col("__t"), 2)),
+            dim).as("counts"))
+
+    // dim-sized total per corpus: one partial aggregate each, collected
+    // to the driver (2·dim longs — bounded by construction).
+    def bucketTotals(feat: DataFrame): Array[Long] = {
+      val aggs = (0 until dim).map(i =>
+        coalesce(sum(col("counts").getItem(i)), lit(0L)).as(s"b$i"))
+      val row = feat.agg(aggs.head, aggs.tail: _*).collect()(0)
+      Array.tabulate(dim)(row.getLong)
+    }
+
+    val rawFeat = featurize(raw)
+    val tc = bucketTotals(featurize(target))
+    val rc = bucketTotals(rawFeat)
+    val tT = tc.sum.toDouble
+    val rT = rc.sum.toDouble
+    // add-one smoothed log-likelihood ratio, floor-quantized to micro
+    // units (identical AST to the oracle's ln/floor chain)
+    val lrMicro: Seq[Long] = (0 until dim).map { b =>
+      math.floor(1000000.0 *
+        (math.log((tc(b) + 1.0) / (tT + dim.toDouble)) -
+         math.log((rc(b) + 1.0) / (rT + dim.toDouble)))).toLong
+    }
+
+    rawFeat
+      .select(col(idCol),
+        aggregate(zip_with(col("counts"), typedLit(lrMicro),
+          (c, l) => c * l), lit(0L), (a, x) => a + x).as("weight_micro"))
+      .withColumn("accept_milli",
+        least(lit(1000L), greatest(lit(0L),
+          lit(500L) + floor(col("weight_micro").cast("double") / 1000.0))))
+      .withColumn("selected",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") * 1000L < col("accept_milli") * 4294967296L)
+  }
+
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
                        rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")

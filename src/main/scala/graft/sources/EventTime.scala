@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Epoch-second derivation for the driver-generated `events.ts`
+  * column, robust to every physical type the fixture has shipped as:
+  *
+  *  - TIMESTAMP(NANOS) parquet: Spark 4 refuses it as a timestamp, so
+  *    callers set `spark.sql.legacy.parquet.nanosAsLong` and the
+  *    column arrives as raw Long nanos — floor-divide in the INTEGER
+  *    domain (no double round-trip: 1.7e18 ns > 2^53);
+  *  - timestamp[us] parquet (no tz): Spark reads TIMESTAMP_NTZ, which
+  *    cannot cast to BIGINT in Spark 4 — go through TIMESTAMP first
+  *    (wall-clock reinterpreted in the session zone; every graft entry
+  *    point pins `spark.sql.session.timeZone=UTC`, making this the
+  *    same integer DuckDB's `epoch(date_trunc('second', ts))` yields)
+  *    and truncate `unix_micros` to seconds;
+  *  - TIMESTAMP (tz-aware): `unix_micros` directly.
+  *
+  * Truncation vs flooring agrees because the fixture's epochs are
+  * positive. */
+object EventTime {
+
+  /** `sec`: epoch seconds of `df("ts")` as BIGINT. */
+  def secCol(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000000")
+    case TimestampNTZType =>
+      expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    case TimestampType => expr("unix_micros(ts) div 1000000")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported events.ts physical type: $other")
+  }
+}

@@ -22,9 +22,10 @@ object ReplDemo {
     // would register it)
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val rawEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rawEvents
       .select(concat(lit("plane-"), col("user_id")).as("key"),
-        expr("ts div 1000000000").cast("double").as("ts"),
+        graft.sources.EventTime.secCol(rawEvents).cast("double").as("ts"),
         when(col("event_type") === "click", "alt").otherwise("dist").as("attr"),
         col("value"))
       .createOrReplaceTempView("observations")

@@ -376,8 +376,8 @@ object ScaleProbe {
 
     // events ×N through the flagship sessionize plan
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev0 = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    val ev0 = evRaw.withColumn("sec", graft.sources.EventTime.secCol(evRaw))
     val ev = replicate(ev0, "user_id").drop("__r")
     println(s"[probe] events: ${ev0.count()} -> ${ev.count()}")
     time(s"tripSummaries x$n")(

@@ -1604,6 +1604,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("dsirSelect: target-profile docs outweigh off-profile docs; " +
+      "target ≡ raw makes every weight exactly zero") {
+    import graft.operators.SamplingOps
+    // two disjoint vocabularies; target = the "wiki" half
+    val wiki = (0L until 40L).map(i =>
+      (i, "the curated encyclopedia article text number " + (i % 7)))
+    val spam = (40L until 80L).map(i =>
+      (i, "buy cheap pills casino winner click now offer " + (i % 7)))
+    val raw = (wiki ++ spam).toDF("doc_id", "text")
+    val target = wiki.toDF("doc_id", "text")
+    val w = SamplingOps.dsirSelect(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wikiW = wiki.map(d => w(d._1))
+    val spamW = spam.map(d => w(d._1))
+    // every on-profile doc strictly outweighs every off-profile doc
+    assert(wikiW.min > spamW.max,
+      s"wiki min ${wikiW.min} !> spam max ${spamW.max}")
+    // on-profile docs carry positive log-likelihood-ratio mass
+    assert(wikiW.forall(_ > 0L) && spamW.forall(_ < 0L))
+    // degenerate direction: target ≡ raw -> p = q -> lr table all
+    // zeros -> weights exactly zero, acceptance exactly 1/2
+    val same = SamplingOps.dsirSelect(raw, raw, "doc_id", "text")
+      .collect()
+    assert(same.forall(r => r.getLong(1) == 0L && r.getLong(2) == 500L))
+  }
+
   test("corpusDrift: identical corpora are exactly zero; an injected " +
       "term dominates the JS ranking") {
     import graft.operators.TextAnalysisOps
