@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterOps, DedupOps, DistributionOps, SessionOps,
-  SimilarityOps, TextAnalysisOps}
+import graft.operators.{ClusterOps, DedupOps, DistributionOps, SamplingOps,
+  SessionOps, SimilarityOps, TextAnalysisOps}
 
 /** Dev-only scale probe: replicates the sf0.1 corpus N× (ids shifted per
   * replica so keys stay distinct, texts/vectors perturbed per replica so
@@ -86,6 +86,9 @@ object ScaleProbe {
       TextAnalysisOps.c4Filter(docs, "doc_id", "text"))
     time(s"hashedEmbed x$n")(
       TextAnalysisOps.hashedEmbed(docs, "doc_id", "text"))
+    time(s"dsirSelect x$n")(
+      SamplingOps.dsirSelect(docs,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"))
     time(s"discQuantiles x$n")(
       DistributionOps.discQuantiles(
         docs.select(size(split(col("text"), " ")).as("nt")),

@@ -173,6 +173,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "embedding histogram must run in the native kernel")
   }
 
+  test("q131: DSIR scoring is a join-free projection — the ratio table " +
+      "enters as a literal, only the presentation sort may shuffle") {
+    val p = plan("q131_dsir_select")
+    assert(!p.contains("Join"),
+      s"likelihood-ratio table must be a plan literal, never joined:\n$p")
+    assert(p.contains("hashed_counts"),
+      "unigram+bigram histogram must run in the native kernel")
+    assert(p.split("Exchange").length <= 2,
+      s"q131 should shuffle only for the final presentation sort:\n$p")
+  }
+
   test("q47: partial aggregation before the shuffle, top-k not global sort") {
     val p = plan("q47_top_ngrams")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
