@@ -1187,6 +1187,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-scaled mixture (q132): sources remapped to a skewed
+    // 250/200/50 split; α=0.5 flattens it so the small source's output
+    // share rises above its corpus share. sqrt is correctly-rounded
+    // IEEE, so the micro-quantized share table is bit-identical
+    // cross-engine and the rest is q104's integer quota machinery.
+    "q132_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("src3",
+        when(col("doc_id") < 250, "big")
+          .when(col("doc_id") < 450, "mid").otherwise("small"))
+      SamplingOps.temperatureMixture(d, "src3",
+        col("doc_id").cast("string"), alpha = 0.5)
+        .select(col("doc_id"), col("src3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling (q131): target = every 10th doc, so
     // the likelihood-ratio table is learned in-engine from the corpus
     // itself and the selection provably reweights toward the target's
@@ -4479,6 +4494,33 @@ ORDER BY id_t, id_b""".stripMargin),
         |        d.doc_id::VARCHAR) AS rk
         |  FROM documents d JOIN q ON q.src = d.source)
         |SELECT doc_id, source FROM rk WHERE rk <= quota
+        |ORDER BY doc_id""".stripMargin,
+
+    // q104's quota machinery with the share table derived in-query:
+    // micro-quantized sqrt(n) shares, integer milli division, then
+    // min-bound total + per-source md5-rank windows.
+    "q132_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 250 THEN 'big'
+        |         WHEN doc_id < 450 THEN 'mid' ELSE 'small' END AS src3
+        |  FROM documents),
+        |c AS (SELECT src3, count(*)::BIGINT AS n FROM d GROUP BY 1),
+        |r AS (SELECT src3, n,
+        |        CAST(floor(sqrt(n::DOUBLE) * 1000000.0) AS BIGINT) AS rm
+        |      FROM c),
+        |s AS (SELECT sum(rm)::BIGINT AS rsum FROM r),
+        |m AS (SELECT src3, n, (rm * 1000) // rsum AS tm FROM r, s
+        |      WHERE (rm * 1000) // rsum > 0),
+        |tt AS (SELECT min(n * 1000 // tm) AS total FROM m),
+        |q AS (SELECT src3, (tt.total * tm) // 1000 AS quota FROM m, tt),
+        |rk AS (
+        |  SELECT d.doc_id, d.src3, q.quota,
+        |    row_number() OVER (PARTITION BY d.src3
+        |      ORDER BY substr(md5(d.doc_id::VARCHAR), 1, 8),
+        |        d.doc_id::VARCHAR) AS rk
+        |  FROM d JOIN q USING (src3))
+        |SELECT doc_id, src3 FROM rk WHERE rk <= quota
         |ORDER BY doc_id""".stripMargin,
 
     // DSIR: hashed unigram+bigram buckets (the q46 shingle semantics

@@ -258,6 +258,47 @@ object SamplingOps {
     }
   }
 
+  /** Temperature-scaled mixture sampling (the GPT-3/PaLM mixing move:
+    * source share ∝ n^α with α < 1, flattening the natural skew so
+    * small high-quality sources are up-weighted without hand-tuned
+    * shares). Derives the milli-share table from per-source counts and
+    * delegates to [[mixtureBalance]] — one recipe knob instead of a
+    * hand-authored share map.
+    *
+    * Cross-engine determinism (α = 0.5, the common published setting):
+    * IEEE sqrt is correctly rounded, so `floor(sqrt(n)·1e6)` is
+    * bit-identical on any engine; shares then derive in pure INTEGER
+    * arithmetic `milli_s = r_micro_s·1000 div Σ r_micro` (order-free).
+    * Other α go through `math.pow` (documented: last-ulp parity not
+    * guaranteed by libm across engines). Sources whose share floors to
+    * 0 milli are dropped — an integer-milli mix cannot express them.
+    *
+    * Scale shape: ONE narrow per-source count aggregate collected to
+    * the driver (sources are domain-sized — dataset recipes have tens
+    * of sources, not millions), then [[mixtureBalance]]'s shape:
+    * broadcast quotas + per-source window (exact) or shuffle-free
+    * threshold projection (`exact = false`, the 100 TB default). */
+  def temperatureMixture(df: DataFrame, sourceCol: String, key: Column,
+                         alpha: Double = 0.5,
+                         exact: Boolean = true): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rMicro: Map[String, Long] = counts.map { case (s, n) =>
+      val r = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      s -> math.floor(r * 1000000.0).toLong
+    }
+    // BigInt: at α=1 a 1e10-row source has r_micro = 1e16, and
+    // r_micro·1000 would wrap Long (the q104-advice overflow class)
+    val rSum = rMicro.values.map(BigInt(_)).sum
+    val milli = rMicro
+      .map { case (s, r) => s -> (BigInt(r) * 1000 / rSum).toLong }
+      .filter(_._2 > 0L)
+    if (milli.isEmpty) df.limit(0)
+    else mixtureBalance(df, sourceCol, key, milli, exact)
+  }
+
   /** DSIR-style data selection via importance resampling (Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): score every raw document by how much more likely its

@@ -1604,6 +1604,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("temperatureMixture: α=0.5 lifts the small source above its " +
+      "corpus share; α=1 reproduces the natural mix") {
+    import graft.operators.SamplingOps
+    // 400 web / 100 books: books is 20% of the corpus
+    val docs = ((0 until 400).map(i => (i.toLong, "web")) ++
+      (400 until 500).map(i => (i.toLong, "books")))
+      .toDF("doc_id", "source")
+    val flat = SamplingOps.temperatureMixture(docs, "source",
+      col("doc_id").cast("string"), alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt shares: 20/10 -> milli 666/333; books binds T = 300;
+    // quotas web 199, books 99 -> books share ~33% > 20%
+    assert(flat == Map("web" -> 199L, "books" -> 99L), s"got $flat")
+    val books = flat("books").toDouble / flat.values.sum
+    assert(books > 0.25, s"temperature must lift books above 20%: $books")
+    // α=1: shares proportional to counts -> natural mix preserved
+    val nat = SamplingOps.temperatureMixture(docs, "source",
+      col("doc_id").cast("string"), alpha = 1.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natBooks = nat("books").toDouble / nat.values.sum
+    assert(math.abs(natBooks - 0.2) < 0.01,
+      s"alpha=1 must keep the natural 20% share: $natBooks")
+  }
+
   test("dsirSelect: target-profile docs outweigh off-profile docs; " +
       "target ≡ raw makes every weight exactly zero") {
     import graft.operators.SamplingOps
