@@ -744,6 +744,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Contact-PII scrubbing (q133): four injected slices — a real
+    // phone (valid), a bare 13-digit run (phone-shaped, no separator:
+    // counted, intact), a valid IP, an out-of-range dotted quad
+    // (counted, intact) — exercise both validators both ways.
+    "q133_contact_scrub" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" call +1 (415) 555-0123 now"))
+            .when(col("doc_id") % 4 === 1, lit(" id 4111111111111 ref"))
+            .when(col("doc_id") % 4 === 2, lit(" host 10.20.30.40 up"))
+            .otherwise(lit(" node 999.12.1.7 bad"))).as("text"))
+      TextAnalysisOps.scrubContacts(injected, "doc_id", "text")
+        .select(col("doc_id"),
+          substring(md5(col("scrubbed")), 1, 16).as("scrub_sig"),
+          col("n_ip_candidates"), col("n_ips"),
+          col("n_phone_candidates"), col("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mojibake detection + repair over injected double-encoding
     // artifacts (the ASCII corpus has none naturally): Latin-1 digraph
     // slice, smart-quote slice, replacement-char slice; the repaired
@@ -3729,6 +3748,52 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  len(cands) AS n_candidates,
         |  len(valid) AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // IP octet validation in the integer domain, IP scrub BEFORE the
+    // phone matcher, separator/plus context rule for phones; ≤1
+    // candidate per kind per doc, so the replace fold is one CASE.
+    "q133_contact_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN ' call +1 (415) 555-0123 now'
+        |      WHEN 1 THEN ' id 4111111111111 ref'
+        |      WHEN 2 THEN ' host 10.20.30.40 up'
+        |      ELSE ' node 999.12.1.7 bad' END AS text
+        |  FROM documents),
+        |ip AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') AS ipc
+        |  FROM inj),
+        |ipv AS (
+        |  SELECT doc_id, text, ipc,
+        |    list_filter(ipc, c -> len(list_filter(string_split(c, '.'),
+        |      o -> o::INT > 255)) = 0) AS ipok
+        |  FROM ip),
+        |s1 AS (
+        |  SELECT doc_id, ipc, ipok,
+        |    CASE WHEN len(ipok) >= 1
+        |      THEN replace(text, ipok[1], '<IP>') ELSE text END AS t1
+        |  FROM ipv),
+        |ph AS (
+        |  SELECT doc_id, ipc, ipok, t1,
+        |    regexp_extract_all(t1,
+        |      '\+?[0-9]{1,3}[- .]?\(?[0-9]{2,4}\)?[- .]?[0-9]{3,4}[- .]?[0-9]{3,4}')
+        |      AS phc
+        |  FROM s1),
+        |phv AS (
+        |  SELECT doc_id, ipc, ipok, t1, phc,
+        |    list_filter(phc, c ->
+        |      c LIKE '+%' OR regexp_matches(c, '[- .()]')) AS phok
+        |  FROM ph)
+        |SELECT doc_id,
+        |  substr(md5(CASE WHEN len(phok) >= 1
+        |    THEN replace(t1, phok[1], '<PHONE>') ELSE t1 END), 1, 16)
+        |    AS scrub_sig,
+        |  len(ipc) AS n_ip_candidates, len(ipok) AS n_ips,
+        |  len(phc) AS n_phone_candidates, len(phok) AS n_phones
+        |FROM phv ORDER BY doc_id""".stripMargin,
 
     "q126_mojibake" ->
       """WITH inj AS (

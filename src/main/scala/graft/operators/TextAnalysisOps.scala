@@ -264,6 +264,51 @@ object TextAnalysisOps {
       size(valid).as("n_valid"))
   }
 
+  /** Phone-shaped candidate: optional +country code, then
+    * separator-tolerant digit groups (9-15 digits by construction).
+    * ASCII, no lookarounds — Java and RE2 match identical spans. */
+  val PhonePattern =
+    "\\+?[0-9]{1,3}[- .]?\\(?[0-9]{2,4}\\)?[- .]?[0-9]{3,4}[- .]?[0-9]{3,4}"
+
+  /** Dotted-quad candidate; octet RANGE is validated separately (regex
+    * alternations for 0-255 differ subtly across engines). */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Contact-PII scrubbing: IPv4 addresses and phone numbers — the two
+    * shapes [[scrubPii]] (emails/URLs) and [[scrubCards]] leave on the
+    * table. Same validated-candidate discipline:
+    *
+    *  - IPv4 candidates are dotted quads, validated octet ≤ 255 in the
+    *    INTEGER domain (`999.12.1.7` is counted but left intact), and
+    *    scrubbed FIRST — so dotted quads never reach the phone matcher;
+    *  - phone candidates are matched on the IP-scrubbed text and
+    *    validated by a context rule: a leading `+` or at least one
+    *    separator (presidio-style precision move — a bare 9-15 digit
+    *    run is far more often an id/serial than a phone, and the
+    *    Luhn-validated card run belongs to [[scrubCards]]).
+    *
+    * Single projection: candidates, validation, and both replace folds
+    * live inside the row — zero shuffle at any corpus size. */
+  def scrubContacts(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val ipCands = regexp_extract_all(txt, lit(Ipv4Pattern), lit(0))
+    val ipValid = filter(ipCands, ip =>
+      forall(split(ip, "\\."), o => o.cast("int") <= 255))
+    val ipScrubbed = aggregate(ipValid, txt,
+      (acc, c) => replace(acc, c, lit("<IP>")))
+    val phCands = regexp_extract_all(ipScrubbed, lit(PhonePattern), lit(0))
+    val phValid = filter(phCands, p =>
+      p.startsWith("+") || p.rlike("[- .()]"))
+    docs.select(col(idCol),
+      aggregate(phValid, ipScrubbed,
+        (acc, c) => replace(acc, c, lit("<PHONE>"))).as("scrubbed"),
+      size(ipCands).as("n_ip_candidates"),
+      size(ipValid).as("n_ips"),
+      size(phCands).as("n_phone_candidates"),
+      size(phValid).as("n_phones"))
+  }
+
   /** The common UTF-8-read-as-Latin-1 digraph repairs (the ftfy "sloppy
     * Windows-1252" core subset, public knowledge): each key is what a
     * UTF-8 byte pair/triple renders as when mis-decoded, each value the

@@ -82,6 +82,8 @@ object ScaleProbe {
       TextAnalysisOps.scrubCards(docs, "doc_id", "text"))
     time(s"mojibakeRepair x$n")(
       TextAnalysisOps.mojibakeRepair(docs, "doc_id", "text"))
+    time(s"scrubContacts x$n")(
+      TextAnalysisOps.scrubContacts(docs, "doc_id", "text"))
     time(s"c4Filter x$n")(
       TextAnalysisOps.c4Filter(docs, "doc_id", "text"))
     time(s"hashedEmbed x$n")(

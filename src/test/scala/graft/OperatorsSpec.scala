@@ -1604,6 +1604,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("scrubContacts: octet-validated IPs scrub before the phone " +
+      "matcher; context rule keeps bare digit runs intact") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "call +1 (415) 555-0123 or 415.555.0199 today"),
+      (2L, "id 4111111111111 ref"),            // bare run: intact
+      (3L, "host 10.20.30.40 and 999.12.1.7"), // one valid, one not
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val r = TextAnalysisOps.scrubContacts(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getInt(2), x.getInt(3),
+          x.getInt(4), x.getInt(5))).toMap
+    assert(r(1L)._1 == "call <PHONE> or <PHONE> today", r(1L)._1)
+    assert(r(1L)._4 == 2 && r(1L)._5 == 2)
+    // 13 bare digits: phone-shaped candidate, no separator -> intact
+    assert(r(2L)._1.contains("4111111111111") &&
+      r(2L)._4 == 1 && r(2L)._5 == 0)
+    // valid quad scrubbed, out-of-range quad intact, neither re-matched
+    // as a phone
+    assert(r(3L)._1 == "host <IP> and 999.12.1.7" &&
+      r(3L)._2 == 2 && r(3L)._3 == 1 && r(3L)._4 == 0, r(3L).toString)
+    assert(r(4L) == ("nothing here", 0, 0, 0, 0))
+  }
+
   test("temperatureMixture: α=0.5 lifts the small source above its " +
       "corpus share; α=1 reproduces the natural mix") {
     import graft.operators.SamplingOps

@@ -160,10 +160,11 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q124/q125/q126/q127/q129: the round-6 curation passes are pure " +
-      "projections — only the presentation sort may shuffle") {
+  test("q124/q125/q126/q127/q129/q133: the round-6 curation passes are " +
+      "pure projections — only the presentation sort may shuffle") {
     Seq("q124_gopher_rules", "q125_card_scrub", "q126_mojibake",
-      "q127_c4_filter", "q129_hashed_embed").foreach { q =>
+      "q127_c4_filter", "q129_hashed_embed",
+      "q133_contact_scrub").foreach { q =>
       val body = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(body.split("Exchange").length <= 2,
