@@ -593,6 +593,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining (q134): per query, top-5 highest-cosine
+    // CROSS-label corpus vectors — the contrastive-training pair miner.
+    // Same scoring/ranking discipline as q34 with the label-mismatch
+    // predicate fused into the broadcast join.
+    "q134_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.hardNegatives(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        "label", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("query_label"), col("neighbor_label"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-style ANN: sign-LSH cells (6 bits = 64 cells) + 3-cell
     // multi-probe per query (own cell + two lowest-margin bit flips).
     // Same output shape as q34; approximate by design — the oracle
@@ -3455,6 +3469,38 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM cos6)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q34's scoring CTEs with the label-mismatch join predicate.
+    "q134_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS query_label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * cv[i])) AS dot,
+        |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+        |  FROM q, c WHERE query_label <> neighbor_label),
+        |cos6 AS (
+        |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |      ELSE dot / (na * nb) END, 6) AS cos
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+        |    row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM cos6)
+        |SELECT query_id, rank, neighbor_id, query_label, neighbor_label,
+        |  cos
+        |FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q42_ivf_topk" -> (

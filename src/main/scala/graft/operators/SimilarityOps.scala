@@ -56,6 +56,41 @@ object SimilarityOps {
       .withColumnRenamed("__rn", "rank")
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query vector, the top-k most similar corpus vectors with a
+    * DIFFERENT label — the "close but wrong" examples that make
+    * embedding models learn (random negatives are trivially far at
+    * scale; the highest-cosine cross-label neighbors carry the
+    * gradient). Same exact-scoring discipline as [[bruteForceTopK]]
+    * (native cosine kernel, rounded before ranking, deterministic
+    * tie-break), with the label-mismatch predicate fused into the
+    * broadcast join so same-label pairs are never scored.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — queries broadcast,
+    * corpus scanned once with zero shuffle, per-query top-k window over
+    * candidate rows only. Mining batches are naturally ≲10³ queries at
+    * a time; for bigger batches route through the IVF variants first
+    * and rescore their candidates cross-label. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int, roundTo: Option[Int] = Some(6)): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), toDouble(col(vecCol)).as("cv"))
+    val rawCos = graft.functions.VectorExpressions.cosine(col("qv"), col("cv"))
+    val scored = c.join(broadcast(q),
+      col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        roundTo.fold(rawCos)(d => round(rawCos, d)).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank")
+  }
+
   /** IVF-style ANN: sign-LSH cells + multi-probe.
     *
     * The coarse quantizer is `bits` deterministic Rademacher hyperplanes

@@ -1604,6 +1604,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("hardNegatives: only cross-label neighbors rank, and the " +
+      "planted near-identical wrong-label vector is the top negative") {
+    import graft.operators.SimilarityOps
+    // query 0 (label 0); vec 1 = near-copy with label 1 (the hard
+    // negative); vec 2 = same-label near-copy (must NEVER appear);
+    // vecs 3-4 = far wrong-label vectors
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.14f, 0.0f), 1),
+      (2L, Array(0.999f, 0.04f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.hardNegatives(
+      rows.filter(col("vec_id") === 0L), rows,
+      "vec_id", "embedding", "label", k = 10)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 4L),
+      got.mkString(","))
+    // the same-label near-copy is excluded even though its cosine tops
+    // every returned negative
+    assert(!got.exists(_.getAs[Long]("neighbor_id") == 2L))
+    assert(got.head.getAs[Double]("cos") > 0.98)
+  }
+
   test("scrubContacts: octet-validated IPs scrub before the phone " +
       "matcher; context rule keeps bare digit runs intact") {
     import graft.operators.TextAnalysisOps
