@@ -758,6 +758,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL snapshot dedup (q135): 500 fetches of 250 pages — case/port/
+    // fragment variance plus three query-string variants (leading utm,
+    // trailing utm, clean) that must all collapse to one canonical key;
+    // latest fetch wins, snapshot count observable.
+    "q135_url_snapshot_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTP://Site"), (col("doc_id") % 50).cast("string"),
+          lit(".Example.com:80/page/"),
+          (col("doc_id") % 250).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&id=7"))
+            .when(col("doc_id") % 3 === 1, lit("?id=7&utm_campaign=x"))
+            .otherwise(lit("?id=7")),
+          lit("#sec")).as("url"),
+        col("doc_id").as("fetch_ts"))
+      UrlOps.snapshotDedup(d, "doc_id", "url", "fetch_ts")
+        .orderBy(col("canonical_url"))
+    }),
+
     // Contact-PII scrubbing (q133): four injected slices — a real
     // phone (valid), a bare 13-digit run (phone-shaped, no separator:
     // counted, intact), a valid IP, an out-of-range dotted quad
@@ -3794,6 +3812,58 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  len(cands) AS n_candidates,
         |  len(valid) AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // q77's canonicalization chain + the two-pass tracking strip +
+    // latest-wins window keyed on the canonical URL.
+    "q135_url_snapshot_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTP://Site' || (doc_id % 50)::VARCHAR ||
+        |      '.Example.com:80/page/' || (doc_id % 250)::VARCHAR ||
+        |      CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&id=7'
+        |        WHEN 1 THEN '?id=7&utm_campaign=x' ELSE '?id=7' END ||
+        |      '#sec' AS url,
+        |    doc_id AS fetch_ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, fetch_ts,
+        |    regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |x AS (
+        |  SELECT doc_id, fetch_ts, nf,
+        |    lower(regexp_extract(nf,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        |    regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest0
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, fetch_ts,
+        |    CASE WHEN scheme = '' THEN nf
+        |      ELSE scheme || '://' ||
+        |        (CASE WHEN scheme = 'http'
+        |              THEN regexp_replace(host0, ':80$', '')
+        |              WHEN scheme = 'https'
+        |              THEN regexp_replace(host0, ':443$', '')
+        |              ELSE host0 END) ||
+        |        (CASE WHEN rest0 = '' THEN '/' ELSE rest0 END)
+        |    END AS cu0
+        |  FROM x),
+        |st AS (
+        |  SELECT doc_id, fetch_ts,
+        |    regexp_replace(regexp_replace(cu0,
+        |      '(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&', '', 'g'),
+        |      '[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$', '')
+        |      AS canonical_url
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id, canonical_url, fetch_ts,
+        |    count(*) OVER (PARTITION BY canonical_url) AS n_snapshots,
+        |    row_number() OVER (PARTITION BY canonical_url
+        |      ORDER BY fetch_ts DESC, doc_id DESC) AS rk
+        |  FROM st)
+        |SELECT doc_id, canonical_url, fetch_ts AS latest_ts, n_snapshots
+        |FROM w WHERE rk = 1 ORDER BY canonical_url""".stripMargin,
 
     // IP octet validation in the integer domain, IP scrub BEFORE the
     // phone matcher, separator/plus context rule for phones; ≤1

@@ -45,4 +45,47 @@ object UrlOps {
                        urlCol: String): DataFrame =
     df.select(col(idCol), col(urlCol).as("url"),
       canonicalize(col(urlCol)).as("canonical_url"))
+
+  /** Strip the common tracking parameters (`utm_*`, `fbclid`,
+    * `gclid`) — the aggressive step on top of [[canonicalize]] that
+    * URL-level DEDUP wants (two crawls of one page differ only in
+    * campaign junk) but semantic canonicalization must not do. Two
+    * regex passes keep separators well-formed: params followed by `&`
+    * drop with their own trailing `&` (the leading `?`/`&` survives
+    * for the successor); any remaining tracking param is terminal and
+    * drops WITH its leading separator. */
+  def stripTrackingParams(url: Column): Column = {
+    val mid = regexp_replace(url,
+      "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&", "")
+    regexp_replace(mid,
+      "[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$", "")
+  }
+
+  /** URL-level snapshot dedup, latest-wins (the re-crawl semantics of
+    * every web-scale corpus: CommonCrawl sees a page dozens of times —
+    * key on the tracking-stripped canonical URL, keep the newest
+    * fetch, count the snapshots so re-crawl rate is observable).
+    * Returns one row per canonical URL: the winning row's id, the
+    * canonical key, the winning fetch stamp, and `n_snapshots`.
+    *
+    * Scale shape: ONE shuffle on the canonical-url key carrying only
+    * (id, canonical_url, ts) — the document payload never moves; the
+    * caller semi-joins winners back on `idCol` for the text. Per-key
+    * window state is snapshot-count-sized (re-crawl counts, not corpus
+    * counts). */
+  def snapshotDedup(df: DataFrame, idCol: String, urlCol: String,
+                    tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canonical_url"))
+    val wOrd = w.orderBy(col(tsCol).desc, col(idCol).desc)
+    df.select(col(idCol),
+        stripTrackingParams(canonicalize(col(urlCol)))
+          .as("canonical_url"),
+        col(tsCol))
+      .withColumn("n_snapshots", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(wOrd))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("canonical_url"),
+        col(tsCol).as("latest_ts"), col("n_snapshots"))
+  }
 }

@@ -84,6 +84,17 @@ object ScaleProbe {
       TextAnalysisOps.mojibakeRepair(docs, "doc_id", "text"))
     time(s"scrubContacts x$n")(
       TextAnalysisOps.scrubContacts(docs, "doc_id", "text"))
+    // snapshot dedup: ~4 fetches per page at every N (url space grows
+    // with the corpus) — the shuffle must carry only (id, url, ts)
+    time(s"snapshotDedup x$n")(
+      graft.operators.UrlOps.snapshotDedup(
+        docs.select(col("doc_id"),
+          concat(lit("http://s"), (col("doc_id") % 17).cast("string"),
+            lit(".example.com/p/"),
+            (col("doc_id") % (1250L * n)).cast("string"),
+            lit("?utm_source=x")).as("url"),
+          col("doc_id").as("fetch_ts")),
+        "doc_id", "url", "fetch_ts"))
     time(s"c4Filter x$n")(
       TextAnalysisOps.c4Filter(docs, "doc_id", "text"))
     time(s"hashedEmbed x$n")(

@@ -1604,6 +1604,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("snapshotDedup: tracking variants collapse to one canonical " +
+      "key, the latest fetch wins, snapshot counts are exact") {
+    import graft.operators.UrlOps
+    val fetches = Seq(
+      (1L, "HTTP://Ex.Org:80/p?utm_source=a&id=1#f", 100L),
+      (2L, "http://ex.org/p?id=1&utm_campaign=b", 300L),
+      (3L, "http://ex.org/p?id=1", 200L),
+      (4L, "https://other.org/q", 50L))
+      .toDF("doc_id", "url", "fetch_ts")
+    val got = UrlOps.snapshotDedup(fetches, "doc_id", "url", "fetch_ts")
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(0), r.getLong(2), r.getLong(3))).toMap
+    // three spellings of one page: doc 2 (ts 300) wins, 3 snapshots
+    assert(got("http://ex.org/p?id=1") == ((2L, 300L, 3L)), got.toString)
+    // singleton page: empty path becomes "/", count 1
+    assert(got("https://other.org/q") == ((4L, 50L, 1L)))
+    assert(got.size == 2)
+    // strip is surgical: a non-tracking param between tracking params
+    // survives both passes
+    val s = fetches.sparkSession
+    import s.implicits._
+    val mixed = UrlOps.snapshotDedup(
+      Seq((9L, "http://ex.org/p?utm_a=1&keep=2&gclid=3", 1L))
+        .toDF("doc_id", "url", "fetch_ts"),
+      "doc_id", "url", "fetch_ts").collect()(0).getString(1)
+    assert(mixed == "http://ex.org/p?keep=2", mixed)
+  }
+
   test("hardNegatives: only cross-label neighbors rank, and the " +
       "planted near-identical wrong-label vector is the top negative") {
     import graft.operators.SimilarityOps
