@@ -758,6 +758,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Full redaction pass (q136): every PII kind injected on its own
+    // id-slice (email+URL always, card %4, phone %3, IP %5 — slices
+    // overlap, so single docs carry up to five kinds) through the ONE
+    // composed projection.
+    "q136_full_scrub" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via http://ex.org/d/"),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0, lit(" card 4111 1111 1111 1111"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" call +1 (415) 555-0123"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" from 10.0.0.7"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.fullScrub(injected, "doc_id", "text")
+        .select(col("doc_id"),
+          substring(md5(col("scrubbed")), 1, 16).as("scrub_sig"),
+          col("n_urls"), col("n_emails"), col("n_cards"),
+          col("n_ips"), col("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL snapshot dedup (q135): 500 fetches of 250 pages — case/port/
     // fragment variance plus three query-string variants (leading utm,
     // trailing utm, clean) that must all collapse to one canonical key;
@@ -3813,6 +3837,83 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  len(valid) AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin,
 
+    // The four-stage redaction chain in one SQL pass: URL/email
+    // replace, Luhn-gated card replace (q125's fold), octet-gated IP
+    // replace, context-gated phone replace — each stage's counts
+    // measured on the text as that stage sees it.
+    "q136_full_scrub" -> (
+      s"""WITH inj AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
+        |    '@example.com via http://ex.org/d/' || doc_id::VARCHAR ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' card 4111 1111 1111 1111' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' call +1 (415) 555-0123' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' from 10.0.0.7' ELSE '' END AS text
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text,
+        |      '${TextAnalysisOps.UrlPattern}')) AS n_urls,
+        |    len(regexp_extract_all(text,
+        |      '${TextAnalysisOps.EmailPattern}')) AS n_emails,
+        |    regexp_replace(regexp_replace(text,
+        |      '${TextAnalysisOps.UrlPattern}', '<URL>', 'g'),
+        |      '${TextAnalysisOps.EmailPattern}', '<EMAIL>', 'g') AS t1
+        |  FROM inj),
+        |cd AS (
+        |  SELECT doc_id, n_urls, n_emails, t1,
+        |    list_filter(regexp_extract_all(t1,
+        |      '${TextAnalysisOps.CardPattern}'), c -> (
+        |      list_sum(list_transform(
+        |        range(1, length(regexp_replace(c, '[ -]', '', 'g')) + 1),
+        |        p -> CASE WHEN p % 2 = 0
+        |          THEN CASE WHEN 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT > 9
+        |            THEN 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT - 9
+        |            ELSE 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT END
+        |          ELSE substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT END)) % 10 = 0)) AS cardok
+        |  FROM cnt),
+        |s2 AS (
+        |  SELECT doc_id, n_urls, n_emails, len(cardok) AS n_cards,
+        |    CASE WHEN len(cardok) >= 1
+        |      THEN replace(t1, cardok[1], '<CARD>') ELSE t1 END AS t2
+        |  FROM cd),
+        |ipx AS (
+        |  SELECT doc_id, n_urls, n_emails, n_cards, t2,
+        |    list_filter(regexp_extract_all(t2,
+        |      '${TextAnalysisOps.Ipv4Pattern}'),
+        |      c -> len(list_filter(string_split(c, '.'),
+        |        o -> o::INT > 255)) = 0) AS ipok
+        |  FROM s2),
+        |s3 AS (
+        |  SELECT doc_id, n_urls, n_emails, n_cards, len(ipok) AS n_ips,
+        |    CASE WHEN len(ipok) >= 1
+        |      THEN replace(t2, ipok[1], '<IP>') ELSE t2 END AS t3
+        |  FROM ipx),
+        |phx AS (
+        |  SELECT doc_id, n_urls, n_emails, n_cards, n_ips, t3,
+        |    list_filter(regexp_extract_all(t3,
+        |      '${TextAnalysisOps.PhonePattern}'),
+        |      c -> (c LIKE '+%' OR regexp_matches(c, '[- .()]'))
+        |        AND NOT regexp_matches(c,
+        |          '^[0-9]{4}([ -][0-9]{4}){1,4}$$')) AS phok
+        |  FROM s3)
+        |SELECT doc_id,
+        |  substr(md5(CASE WHEN len(phok) >= 1
+        |    THEN replace(t3, phok[1], '<PHONE>') ELSE t3 END), 1, 16)
+        |    AS scrub_sig,
+        |  n_urls, n_emails, n_cards, n_ips, len(phok) AS n_phones
+        |FROM phx ORDER BY doc_id""".stripMargin),
+
     // q77's canonicalization chain + the two-pass tracking strip +
     // latest-wins window keyed on the canonical URL.
     "q135_url_snapshot_dedup" ->
@@ -3901,7 +4002,9 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |phv AS (
         |  SELECT doc_id, ipc, ipok, t1, phc,
         |    list_filter(phc, c ->
-        |      c LIKE '+%' OR regexp_matches(c, '[- .()]')) AS phok
+        |      (c LIKE '+%' OR regexp_matches(c, '[- .()]'))
+        |      AND NOT regexp_matches(c,
+        |        '^[0-9]{4}([ -][0-9]{4}){1,4}$')) AS phok
         |  FROM ph)
         |SELECT doc_id,
         |  substr(md5(CASE WHEN len(phok) >= 1

@@ -274,6 +274,15 @@ object TextAnalysisOps {
     * alternations for 0-255 differ subtly across engines). */
   val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** Phone context rule: a `+` prefix or at least one separator
+    * (bare digit runs are ids/serials), and NOT a uniformly
+    * quad-grouped run (`4111 1111 1111` — card/serial grouping that a
+    * Luhn-INVALID card run would otherwise leak into the phone stage;
+    * no real phone format groups as 4-4-4). */
+  private def phoneContextValid(p: Column): Column =
+    (p.startsWith("+") || p.rlike("[- .()]")) &&
+      !p.rlike("^[0-9]{4}([ -][0-9]{4}){1,4}$")
+
   /** Contact-PII scrubbing: IPv4 addresses and phone numbers — the two
     * shapes [[scrubPii]] (emails/URLs) and [[scrubCards]] leave on the
     * table. Same validated-candidate discipline:
@@ -298,14 +307,53 @@ object TextAnalysisOps {
     val ipScrubbed = aggregate(ipValid, txt,
       (acc, c) => replace(acc, c, lit("<IP>")))
     val phCands = regexp_extract_all(ipScrubbed, lit(PhonePattern), lit(0))
-    val phValid = filter(phCands, p =>
-      p.startsWith("+") || p.rlike("[- .()]"))
+    val phValid = filter(phCands, phoneContextValid(_))
     docs.select(col(idCol),
       aggregate(phValid, ipScrubbed,
         (acc, c) => replace(acc, c, lit("<PHONE>"))).as("scrubbed"),
       size(ipCands).as("n_ip_candidates"),
       size(ipValid).as("n_ips"),
       size(phCands).as("n_phone_candidates"),
+      size(phValid).as("n_phones"))
+  }
+
+  /** The full redaction pass — [[scrubPii]] (URLs, emails),
+    * [[scrubCards]] (Luhn-validated), and [[scrubContacts]] (IPs,
+    * phones) composed at the EXPRESSION level into one projection, the
+    * way a production pipeline actually runs them (per-stage operators
+    * would each re-materialize the text). Order is load-bearing:
+    * URLs before emails (addresses appear inside URLs), cards before
+    * phones (13+-digit runs are card territory; the Luhn gate decides),
+    * IPs before phones (dotted quads are phone-shaped). Counts are
+    * per-kind VALIDATED matches, each measured on the text as that
+    * stage sees it.
+    *
+    * Scale shape: one pure projection — five candidate scans and four
+    * replace folds inside the row, zero shuffle at any corpus size. */
+  def fullScrub(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val nUrls = size(regexp_extract_all(txt, lit(UrlPattern), lit(0)))
+    val nEmails = size(regexp_extract_all(txt, lit(EmailPattern), lit(0)))
+    val t1 = regexp_replace(
+      regexp_replace(txt, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
+    val cardCands = regexp_extract_all(t1, lit(CardPattern), lit(0))
+    val cardValid = filter(cardCands,
+      c => luhnValid(regexp_replace(c, "[ -]", "")))
+    val t2 = aggregate(cardValid, t1,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+    val ipCands = regexp_extract_all(t2, lit(Ipv4Pattern), lit(0))
+    val ipValid = filter(ipCands, ip =>
+      forall(split(ip, "\\."), o => o.cast("int") <= 255))
+    val t3 = aggregate(ipValid, t2,
+      (acc, c) => replace(acc, c, lit("<IP>")))
+    val phCands = regexp_extract_all(t3, lit(PhonePattern), lit(0))
+    val phValid = filter(phCands, phoneContextValid(_))
+    val t4 = aggregate(phValid, t3,
+      (acc, c) => replace(acc, c, lit("<PHONE>")))
+    docs.select(col(idCol), t4.as("scrubbed"),
+      nUrls.as("n_urls"), nEmails.as("n_emails"),
+      size(cardValid).as("n_cards"), size(ipValid).as("n_ips"),
       size(phValid).as("n_phones"))
   }
 

@@ -84,6 +84,8 @@ object ScaleProbe {
       TextAnalysisOps.mojibakeRepair(docs, "doc_id", "text"))
     time(s"scrubContacts x$n")(
       TextAnalysisOps.scrubContacts(docs, "doc_id", "text"))
+    time(s"fullScrub x$n")(
+      TextAnalysisOps.fullScrub(docs, "doc_id", "text"))
     // snapshot dedup: ~4 fetches per page at every N (url space grows
     // with the corpus) — the shuffle must carry only (id, url, ts)
     time(s"snapshotDedup x$n")(

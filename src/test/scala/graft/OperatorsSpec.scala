@@ -1604,6 +1604,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("fullScrub: all five kinds redact in one pass; stage order " +
+      "protects cards from the phone matcher and IPs from both") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "mail a@b.org see http://b.org/x card 4111 1111 1111 1111 " +
+        "call +1 (415) 555-0123 from 10.0.0.7"),
+      (2L, "serial 4111 1111 1111 1112 stays; so does 999.1.2.3"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.fullScrub(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) ==
+      "mail <EMAIL> see <URL> card <CARD> call <PHONE> from <IP>",
+      r(1L).getString(1))
+    assert((2 to 6).map(r(1L).getInt) == Seq(1, 1, 1, 1, 1))
+    // Luhn-invalid card run and out-of-range quad both survive; the
+    // 19-digit-capable card matcher must not hand the run to the
+    // phone stage either
+    assert(r(2L).getString(1).contains("4111 1111 1111 1112") &&
+      r(2L).getString(1).contains("999.1.2.3"), r(2L).getString(1))
+    assert((2 to 6).map(r(2L).getInt) == Seq(0, 0, 0, 0, 0))
+  }
+
   test("snapshotDedup: tracking variants collapse to one canonical " +
       "key, the latest fetch wins, snapshot counts are exact") {
     import graft.operators.UrlOps

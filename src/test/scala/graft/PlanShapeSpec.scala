@@ -164,7 +164,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "pure projections — only the presentation sort may shuffle") {
     Seq("q124_gopher_rules", "q125_card_scrub", "q126_mojibake",
       "q127_c4_filter", "q129_hashed_embed",
-      "q133_contact_scrub").foreach { q =>
+      "q133_contact_scrub", "q136_full_scrub").foreach { q =>
       val body = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(body.split("Exchange").length <= 2,
