@@ -758,6 +758,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Memorization profile (q137): a 20-token constant phrase appended
+    // to every even doc plants 8 corpus-duplicated 13-gram shingles
+    // per injected doc; odd docs stay ~0 — the per-doc dup_frac split
+    // must be exact.
+    "q137_memorization_profile" -> ((s, dir) => {
+      val phrase = " alpha beta gamma delta epsilon zeta eta theta" +
+        " iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(phrase)).otherwise(lit("")))
+          .as("text"))
+      TextAnalysisOps.memorizationProfile(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Full redaction pass (q136): every PII kind injected on its own
     // id-slice (email+URL always, card %4, phone %3, IP %5 — slices
     // overlap, so single docs carry up to five kinds) through the ONE
@@ -3836,6 +3851,38 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  len(cands) AS n_candidates,
         |  len(valid) AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // 13-gram shingles (q46 short-doc semantics), per-doc distinct,
+    // hash-keyed document counts, join-back, per-doc dup fraction.
+    "q137_memorization_profile" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' alpha beta gamma delta epsilon zeta eta theta' ||
+        |        ' iota kappa lambda mu nu xi omicron pi rho sigma' ||
+        |        ' tau upsilon'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM inj),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 13 THEN
+        |      [array_to_string(t[i + 1:i + 13], ' ')
+        |       FOR i IN range(len(t) - 12)]
+        |    ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |p0 AS (
+        |  SELECT doc_id, unnest(list_distinct(s)) AS s1 FROM sh),
+        |p AS (
+        |  SELECT doc_id, substr(md5(s1), 1, 16) AS h FROM p0),
+        |c AS (SELECT h, count(*)::BIGINT AS nc FROM p GROUP BY h),
+        |j AS (SELECT doc_id, nc FROM p JOIN c USING (h))
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN nc >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_duplicated,
+        |  sum(CASE WHEN nc >= 2 THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*)::DOUBLE AS dup_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The four-stage redaction chain in one SQL pass: URL/email
     // replace, Luhn-gated card replace (q125's fold), octet-gated IP

@@ -1127,6 +1127,39 @@ object TextAnalysisOps {
     * broadcasts it when it fits. Reassembly is the one unavoidable
     * group-by-id. Raw text crosses an exchange only inside the
     * reassembly; the counting side ships hashes. */
+  /** Memorization-risk profile (the Lee et al. 2022 / Carlini et al.
+    * corpus-QA metric): for each document, the fraction of its DISTINCT
+    * word `n`-gram shingles that occur in at least one OTHER document —
+    * high dup_frac marks the boilerplate-heavy and mirrored docs a
+    * model is most likely to memorize verbatim. n = 13 is the
+    * published analysis constant; short docs degrade to the whole-text
+    * shingle ([[repetitionSignals]]' q46 semantics).
+    *
+    * Scale shape (the [[commonLineFilter]] discipline): per-doc
+    * distinct shingles become (id, 16 B md5) rows — raw text never
+    * leaves the scan task; ONE shuffle keys the shingle-document count
+    * on the hash with map-side combine; the count joins back on the
+    * same 16 B key; one per-doc aggregate. dup_frac is a single
+    * division of identical integer operands — bit-identical on any
+    * engine. */
+  def memorizationProfile(docs: DataFrame, idCol: String,
+                          textCol: String, n: Int = 13): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val pairs = docs
+      .select(col(idCol),
+        explode(array_distinct(
+          wordShingles(tokens(col(textCol)), n))).as("__s"))
+      .select(col(idCol), substring(md5(col("__s")), 1, 16).as("__h"))
+    val counts = pairs.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    pairs.join(counts, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_duplicated"))
+      .withColumn("dup_frac",
+        col("n_duplicated").cast("double") / col("n_shingles"))
+  }
+
   def commonLineFilter(docs: DataFrame, idCol: String, textCol: String,
                        minDocs: Int = 3, minChars: Int = 5): DataFrame = {
     val lines = docs

@@ -86,6 +86,10 @@ object ScaleProbe {
       TextAnalysisOps.scrubContacts(docs, "doc_id", "text"))
     time(s"fullScrub x$n")(
       TextAnalysisOps.fullScrub(docs, "doc_id", "text"))
+    // replicas share no 13-grams (salted text), so the dup set is the
+    // natural one at every N — this times the hash-keyed count + join
+    time(s"memorizationProfile x$n")(
+      TextAnalysisOps.memorizationProfile(docs, "doc_id", "text"))
     // snapshot dedup: ~4 fetches per page at every N (url space grows
     // with the corpus) — the shuffle must carry only (id, url, ts)
     time(s"snapshotDedup x$n")(

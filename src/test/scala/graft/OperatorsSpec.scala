@@ -1604,6 +1604,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("memorizationProfile: shared spans count once per doc, unique " +
+      "docs score zero, within-doc repeats don't inflate") {
+    import graft.operators.TextAnalysisOps
+    // docs 1/2 share "a b c d"; doc 3 is unique; doc 4 repeats its own
+    // text twice (distinct-per-doc must collapse it, dup only vs doc 1)
+    val docs = Seq(
+      (1L, "a b c d x1 y1"), (2L, "a b c d x2 y2"),
+      (3L, "p q r s t u"), (4L, "a b c d x1 a b c d x1"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.memorizationProfile(docs, "doc_id", "text",
+        n = 4)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2))).toMap
+    // doc1: shingles {abcd, bcdx1, cdx1y1} — abcd shared with 2 and 4,
+    // bcdx1 shared with 4
+    assert(r(1L) == ((3L, 2L)), r.toString)
+    assert(r(2L) == ((3L, 1L)))
+    assert(r(3L) == ((3L, 0L)))
+    // doc4: 7 raw shingles but the trailing repeat collapses under
+    // distinct-per-doc -> 5; dups vs doc1: abcd, bcdx1
+    assert(r(4L)._1 == 5L && r(4L)._2 == 2L, r(4L).toString)
+  }
+
   test("fullScrub: all five kinds redact in one pass; stage order " +
       "protects cards from the phone matcher and IPs from both") {
     import graft.operators.TextAnalysisOps
