@@ -328,6 +328,15 @@ object TextAnalysisOps {
     * per-kind VALIDATED matches, each measured on the text as that
     * stage sees it.
     *
+    * SINGLE-PASS semantics (what the oracle mirrors exactly): when two
+    * PII runs touch with no intervening text (e.g. two card numbers
+    * separated by one space form one 32-digit run), the greedy match
+    * boundary can leave a remnant that only a SECOND pass would catch —
+    * the standard single-pass scrubber behavior. For separated PII
+    * (any non-candidate character between runs) the pass is idempotent
+    * (spec-pinned). Run-to-fixpoint is a driver loop away if a corpus
+    * needs it.
+    *
     * Scale shape: one pure projection — five candidate scans and four
     * replace folds inside the row, zero shuffle at any corpus size. */
   def fullScrub(docs: DataFrame, idCol: String,

@@ -1604,6 +1604,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("fullScrub is idempotent: a second pass over scrubbed text " +
+      "finds nothing, for random PII-salted documents") {
+    import graft.operators.TextAnalysisOps
+    val rnd = new scala.util.Random(42)
+    val pii = Seq(" bob@x.org", " http://a.io/p?x=1", " +1 415-555-0123",
+      " 4111 1111 1111 1111", " 10.0.0.7", " 999.9.9.9", " 12345",
+      " 4111111111111111")
+    val words = Seq("lorem", "ipsum", "data", "7", "x9", "v2.0")
+    // salts separated by a word: single-pass scrubbing is idempotent
+    // for SEPARATED PII (adjacent runs can merge across a greedy match
+    // boundary — documented single-pass semantics, not tested here)
+    val docs = (0 until 60).map { i =>
+      val body = Seq.fill(rnd.nextInt(12))(
+        words(rnd.nextInt(words.size))).mkString(" ")
+      val salt = Seq.fill(rnd.nextInt(4))(
+        pii(rnd.nextInt(pii.size))).mkString(" and")
+      (i.toLong, body + salt)
+    }.toDF("doc_id", "text")
+    val once = TextAnalysisOps.fullScrub(docs, "doc_id", "text")
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    val twice = TextAnalysisOps.fullScrub(once, "doc_id", "text")
+      .collect()
+    assert(twice.forall(r => (2 to 6).forall(r.getInt(_) == 0)),
+      "second pass found candidates: " +
+        twice.filterNot(r => (2 to 6).forall(r.getInt(_) == 0))
+          .take(3).mkString("; "))
+    val first = once.collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(twice.forall(r => r.getString(1) == first(r.getLong(0))),
+      "second pass rewrote text")
+  }
+
   test("memorizationProfile: shared spans count once per doc, unique " +
       "docs score zero, within-doc repeats don't inflate") {
     import graft.operators.TextAnalysisOps
