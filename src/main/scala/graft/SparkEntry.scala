@@ -736,6 +736,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Curation funnel (q138): the q124 Gopher battery attributed to a
+    // FIRST-failing gate per doc (rule order), counted by source — the
+    // drop-accounting report a pipeline owner reads before moving any
+    // threshold.
+    "q138_curation_funnel" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit("\n- b one\n- b two" +
+            "\n- b three\n- b four\n- b five\n- b six\n- b seven" +
+            "\n- b eight\n- b nine\n- b ten")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\nto be continued..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" ### ## #"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" 123 456 789 101 112 131 415 161 718 192 021 222"))
+            .otherwise(lit(""))).as("text"))
+      val flags = TextAnalysisOps.gopherRules(injected, "doc_id", "text")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+      CurationPipeline.curationFunnel(flags, "source", Seq(
+        "word_count" -> col("f_word_count"),
+        "mean_word_len" -> col("f_mean_word_len"),
+        "symbol_ratio" -> col("f_symbol_ratio"),
+        "bullet_lines" -> col("f_bullet_lines"),
+        "ellipsis_lines" -> col("f_ellipsis_lines"),
+        "alpha_words" -> col("f_alpha_words"),
+        "stopwords" -> col("f_stopwords")))
+        .orderBy(col("source"), col("drop_stage"))
+    }),
+
     // Luhn-validated card scrubbing: public test numbers (spaced Visa,
     // dashed Mastercard) are injected per id-slice alongside a
     // checksum-broken twin — the broken one must be COUNTED as a
@@ -2600,6 +2631,55 @@ object SparkEntry {
       |  JOIN sh sb ON sb.doc_id = c.id_b)""".stripMargin)
 
   /** events-with-seconds CTE used by most event oracles. */
+  /** q124's Gopher-rule CTE chain (injection → parts → measures →
+    * per-rule flags in `f`), shared by the q124 flag dump and the q138
+    * funnel. */
+  private val GopherFlagCtes =
+    """WITH inj AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 5 = 0 THEN e'\n- b one\n- b two\n- b three\n- b four\n- b five\n- b six\n- b seven\n- b eight\n- b nine\n- b ten' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN e'\nto be continued...' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' ### ## #' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN ' 123 456 789 101 112 131 415 161 718 192 021 222' ELSE '' END
+      |    AS text
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    string_split_regex(text, '\s+') AS toks,
+      |    string_split(text, chr(10)) AS lines,
+      |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+      |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+      |      AS n_ellipsis
+      |  FROM inj),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(toks)::BIGINT AS n_words,
+      |    len(lines)::BIGINT AS n_lines,
+      |    list_sum(list_transform(toks, t -> length(t)))::BIGINT
+      |      AS sum_word_len,
+      |    n_hash, n_ellipsis,
+      |    len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+      |      OR starts_with(ltrim(l), '* ')
+      |      OR starts_with(ltrim(l), '• ')))::BIGINT AS n_bullet,
+      |    len(list_filter(lines, l -> ends_with(l, '...')
+      |      OR ends_with(l, '…')))::BIGINT AS n_ell_lines,
+      |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
+      |      AS n_alpha,
+      |    len(list_filter(['the','a','an','and','or','of','to','in','is','it'],
+      |      s -> list_contains(toks, s)))::BIGINT AS n_stop
+      |  FROM parts),
+      |f AS (
+      |  SELECT doc_id, n_words, n_lines,
+      |    (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+      |    (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+      |      AS f_mean_word_len,
+      |    (10 * (n_hash + n_ellipsis) <= n_words) AS f_symbol_ratio,
+      |    (10 * n_bullet <= 9 * n_lines) AS f_bullet_lines,
+      |    (10 * n_ell_lines <= 3 * n_lines) AS f_ellipsis_lines,
+      |    (5 * n_alpha >= 4 * n_words) AS f_alpha_words,
+      |    (n_stop >= 2) AS f_stopwords
+      |  FROM m)""".stripMargin
+
   private val EvCte =
     "WITH e AS (SELECT event_id, user_id, event_type, value, " +
       "epoch(date_trunc('second', ts))::BIGINT AS sec FROM events)"
@@ -3748,51 +3828,8 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |SELECT lang_guess, count(*) AS n_docs
         |FROM guess GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
 
-    "q124_gopher_rules" ->
-      """WITH inj AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 5 = 0 THEN e'\n- b one\n- b two\n- b three\n- b four\n- b five\n- b six\n- b seven\n- b eight\n- b nine\n- b ten' ELSE '' END ||
-        |    CASE WHEN doc_id % 7 = 0 THEN e'\nto be continued...' ELSE '' END ||
-        |    CASE WHEN doc_id % 11 = 0 THEN ' ### ## #' ELSE '' END ||
-        |    CASE WHEN doc_id % 13 = 0 THEN ' 123 456 789 101 112 131 415 161 718 192 021 222' ELSE '' END
-        |    AS text
-        |  FROM documents),
-        |parts AS (
-        |  SELECT doc_id,
-        |    string_split_regex(text, '\s+') AS toks,
-        |    string_split(text, chr(10)) AS lines,
-        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
-        |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
-        |      AS n_ellipsis
-        |  FROM inj),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(toks)::BIGINT AS n_words,
-        |    len(lines)::BIGINT AS n_lines,
-        |    list_sum(list_transform(toks, t -> length(t)))::BIGINT
-        |      AS sum_word_len,
-        |    n_hash, n_ellipsis,
-        |    len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
-        |      OR starts_with(ltrim(l), '* ')
-        |      OR starts_with(ltrim(l), '• ')))::BIGINT AS n_bullet,
-        |    len(list_filter(lines, l -> ends_with(l, '...')
-        |      OR ends_with(l, '…')))::BIGINT AS n_ell_lines,
-        |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
-        |      AS n_alpha,
-        |    len(list_filter(['the','a','an','and','or','of','to','in','is','it'],
-        |      s -> list_contains(toks, s)))::BIGINT AS n_stop
-        |  FROM parts),
-        |f AS (
-        |  SELECT doc_id, n_words, n_lines,
-        |    (n_words >= 50 AND n_words <= 100000) AS f_word_count,
-        |    (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
-        |      AS f_mean_word_len,
-        |    (10 * (n_hash + n_ellipsis) <= n_words) AS f_symbol_ratio,
-        |    (10 * n_bullet <= 9 * n_lines) AS f_bullet_lines,
-        |    (10 * n_ell_lines <= 3 * n_lines) AS f_ellipsis_lines,
-        |    (5 * n_alpha >= 4 * n_words) AS f_alpha_words,
-        |    (n_stop >= 2) AS f_stopwords
-        |  FROM m)
+    "q124_gopher_rules" -> (GopherFlagCtes +
+      """
         |SELECT doc_id, n_words, n_lines, f_word_count, f_mean_word_len,
         |  f_symbol_ratio, f_bullet_lines, f_ellipsis_lines, f_alpha_words,
         |  f_stopwords,
@@ -3810,7 +3847,27 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |   (CASE WHEN f_ellipsis_lines THEN 0 ELSE 1 END) +
         |   (CASE WHEN f_alpha_words THEN 0 ELSE 1 END) +
         |   (CASE WHEN f_stopwords THEN 0 ELSE 1 END)) = 0 AS pass
-        |FROM f ORDER BY doc_id""".stripMargin,
+        |FROM f ORDER BY doc_id""".stripMargin),
+
+    // The Gopher flags joined to source, first-failing-gate CASE in
+    // rule order, then the (source, stage) count.
+    "q138_curation_funnel" -> (GopherFlagCtes +
+      """
+        |, src AS (SELECT doc_id, source FROM documents),
+        |st AS (
+        |  SELECT s.source,
+        |    CASE WHEN NOT f_word_count THEN 'word_count'
+        |      WHEN NOT f_mean_word_len THEN 'mean_word_len'
+        |      WHEN NOT f_symbol_ratio THEN 'symbol_ratio'
+        |      WHEN NOT f_bullet_lines THEN 'bullet_lines'
+        |      WHEN NOT f_ellipsis_lines THEN 'ellipsis_lines'
+        |      WHEN NOT f_alpha_words THEN 'alpha_words'
+        |      WHEN NOT f_stopwords THEN 'stopwords'
+        |      ELSE 'kept' END AS drop_stage
+        |  FROM f JOIN src s USING (doc_id))
+        |SELECT source, drop_stage, count(*)::BIGINT AS n_docs
+        |FROM st GROUP BY source, drop_stage
+        |ORDER BY source, drop_stage""".stripMargin),
 
     "q125_card_scrub" ->
       """WITH inj AS (

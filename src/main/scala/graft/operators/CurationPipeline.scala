@@ -30,6 +30,28 @@ object CurationPipeline {
   private val TrainThreshold = SamplingOps.rateThreshold(0.8)
   private val ValThreshold = SamplingOps.rateThreshold(0.8 + 0.1)
 
+  /** Curation funnel: given ordered boolean gates over a verdict
+    * frame, attribute each document to its FIRST failing gate (or
+    * `kept`) and count by source — the drop-accounting report every
+    * pipeline owner reads before touching a threshold ("which filter
+    * costs me how much, where"). Generic over any gate battery:
+    * compose with [[graft.operators.TextAnalysisOps.gopherRules]]'
+    * flags, q127 C4 verdicts, dedup keep columns, classifier gates.
+    *
+    * Scale shape: one projection (the first-fail CASE) + one narrow
+    * aggregate of (source, stage) rows with map-side combine — output
+    * is sources × (gates + 1) rows regardless of corpus size. */
+  def curationFunnel(df: DataFrame, sourceCol: String,
+                     stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one gate")
+    val stage = stages.foldRight(lit("kept"): Column) {
+      case ((name, ok), acc) => when(!ok, lit(name)).otherwise(acc)
+    }
+    df.select(col(sourceCol).as("source"), stage.as("drop_stage"))
+      .groupBy(col("source"), col("drop_stage"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** The stateless cleaning projection: doc_id, `keep` passthroughs,
     * clean text, token count, full + 16-hex content signature, split.
     * Streaming-safe by construction (projection only, no shuffle). */

@@ -1604,6 +1604,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("curationFunnel: a doc failing several gates counts once at " +
+      "its FIRST failure; totals reconcile with the corpus") {
+    import graft.operators.CurationPipeline
+    val verdicts = Seq(
+      ("web", true, true),   // kept
+      ("web", false, false), // fails both -> counts at g1 only
+      ("web", true, false),  // -> g2
+      ("books", false, true),
+      ("books", true, true))
+      .toDF("source", "g1", "g2")
+    val got = CurationPipeline.curationFunnel(verdicts, "source",
+      Seq("g1" -> col("g1"), "g2" -> col("g2")))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("web", "kept") -> 1L, ("web", "g1") -> 1L, ("web", "g2") -> 1L,
+      ("books", "g1") -> 1L, ("books", "kept") -> 1L), got.toString)
+    assert(got.values.sum == 5L, "every doc lands in exactly one stage")
+  }
+
   test("fullScrub is idempotent: a second pass over scrubbed text " +
       "finds nothing, for random PII-salted documents") {
     import graft.operators.TextAnalysisOps
