@@ -804,6 +804,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-domain cap (q139): 20 synthetic domains x 25 docs (www on
+    // the even half must fold into the bare domain), quality = n_chars,
+    // cap 10 — exactly 200 keepers, rank ties broken by id.
+    "q139_domain_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("https://www.site"))
+            .otherwise(lit("https://site")),
+          (col("doc_id") % 20).cast("string"), lit(".example.com/a/"),
+          col("doc_id").cast("string")).as("url"),
+        col("n_chars"))
+      UrlOps.domainCap(d, "doc_id", "url", col("n_chars"),
+        maxPerDomain = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // Full redaction pass (q136): every PII kind injected on its own
     // id-slice (email+URL always, card %4, phone %3, IP %5 — slices
     // overlap, so single docs carry up to five kinds) through the ONE
@@ -3908,6 +3924,31 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  len(cands) AS n_candidates,
         |  len(valid) AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Host extract + www fold + per-domain quality rank window.
+    "q139_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://www.site'
+        |      ELSE 'https://site' END ||
+        |      (doc_id % 20)::VARCHAR || '.example.com/a/' ||
+        |      doc_id::VARCHAR AS url,
+        |    n_chars
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      'https?://([^/]+)', 1)), '^www\.', '') AS domain,
+        |    n_chars AS quality
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, domain, quality,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY quality DESC, doc_id ASC) AS domain_rank
+        |  FROM d)
+        |SELECT doc_id, domain, quality, domain_rank,
+        |  domain_rank <= 10 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // 13-gram shingles (q46 short-doc semantics), per-doc distinct,
     // hash-keyed document counts, join-back, per-doc dup fraction.

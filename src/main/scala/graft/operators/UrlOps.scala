@@ -61,6 +61,32 @@ object UrlOps {
       "[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$", "")
   }
 
+  /** Per-domain document cap (the anti-SEO-farm move web-scale
+    * recipes apply after URL dedup: no single domain may contribute
+    * more than `maxPerDomain` documents, and when it would, the
+    * HIGHEST-quality ones win). Domain = URL host, lowercased, with a
+    * leading `www.` stripped. Returns a VERDICT frame — (id, domain,
+    * the quality used, rank within domain, keep) — so the decision is
+    * auditable and the filter is `.filter(col("keep"))` away.
+    *
+    * Scale shape: only (id, domain, quality) ride the one
+    * domain-keyed shuffle — callers semi-join keepers back on `idCol`
+    * for the text; per-domain window state is domain-count-sized, and
+    * a pathological mega-domain is exactly the thing the cap is there
+    * to bound. */
+  def domainCap(df: DataFrame, idCol: String, urlCol: String,
+                quality: Column, maxPerDomain: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerDomain >= 1, "maxPerDomain >= 1")
+    val host = lower(regexp_extract(col(urlCol), "https?://([^/]+)", 1))
+    val domain = regexp_replace(host, "^www\\.", "")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    df.select(col(idCol), domain.as("domain"), quality.as("quality"))
+      .withColumn("domain_rank", row_number().over(w))
+      .withColumn("keep", col("domain_rank") <= maxPerDomain)
+  }
+
   /** URL-level snapshot dedup, latest-wins (the re-crawl semantics of
     * every web-scale corpus: CommonCrawl sees a page dozens of times —
     * key on the tracking-stripped canonical URL, keep the newest

@@ -1604,6 +1604,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("domainCap: www folds into the bare domain, best quality wins " +
+      "the cap, ties break by id") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (1L, "https://www.a.com/x", 50L), (2L, "https://a.com/y", 90L),
+      (3L, "https://A.com/z", 70L), (4L, "https://b.org/1", 10L),
+      (5L, "https://a.com/t", 90L)) // quality tie with 2 -> id wins
+      .toDF("doc_id", "url", "q")
+    val got = UrlOps.domainCap(docs, "doc_id", "url", col("q"), 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(3), r.getBoolean(4))).toMap
+    // a.com pool = docs 1,2,3,5 (www. and case fold in); top-2 by
+    // (quality desc, id asc) = 2 then 5
+    assert(got(2L) == (("a.com", 1, true)))
+    assert(got(5L) == (("a.com", 2, true)))
+    assert(got(3L) == (("a.com", 3, false)))
+    assert(got(1L) == (("a.com", 4, false)))
+    assert(got(4L) == (("b.org", 1, true)))
+  }
+
   test("curationFunnel: a doc failing several gates counts once at " +
       "its FIRST failure; totals reconcile with the corpus") {
     import graft.operators.CurationPipeline
