@@ -804,6 +804,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Balanced shards (q140): strata = source x char-length band;
+    // round-robin dealing within each stratum across 4 shards — every
+    // (stratum, shard) cell lands within ±1 of the stratum size / 4.
+    "q140_balanced_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      SamplingOps.balancedShards(d, "doc_id",
+        concat(col("source"), lit("/"),
+          least(lit(3L), expr("n_chars DIV 150")).cast("string")),
+        numShards = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-domain cap (q139): 20 synthetic domains x 25 docs (www on
     // the even half must fold into the bare domain), quality = n_chars,
     // cap 10 — exactly 200 keepers, rank ties broken by id.
@@ -3924,6 +3936,22 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  len(cands) AS n_candidates,
         |  len(valid) AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Stratum key, md5-rank window, round-robin modulo.
+    "q140_balanced_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    source || '/' || least(3, n_chars // 150)::VARCHAR
+        |      AS stratum
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, stratum,
+        |    row_number() OVER (PARTITION BY stratum
+        |      ORDER BY substr(md5(doc_id::VARCHAR), 1, 8),
+        |        doc_id::VARCHAR) AS rk
+        |  FROM d)
+        |SELECT doc_id, stratum, ((rk - 1) % 4)::INT AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Host extract + www fold + per-domain quality rank window.
     "q139_domain_cap" ->

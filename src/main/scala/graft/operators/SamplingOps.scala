@@ -258,6 +258,30 @@ object SamplingOps {
     }
   }
 
+  /** Stratum-balanced shard assignment (the curriculum/sharding step
+    * before training): within each stratum (source × quality band,
+    * typically), rank rows by their md5 and deal them round-robin
+    * across `numShards` — so EVERY shard receives an equal slice of
+    * every stratum (±1 row), unlike plain hash-splitting which only
+    * balances in expectation and lets a shard draw a skewed batch.
+    * Deterministic: same corpus → same shards, on any engine.
+    *
+    * Scale shape: one shuffle keyed on the stratum carrying (id,
+    * stratum) only; the per-stratum rank window is the price of the
+    * exact ±1 guarantee (strata are source×band-sized — use
+    * [[hashSplit]] when in-expectation balance is enough). */
+  def balancedShards(df: DataFrame, idCol: String, stratum: Column,
+                     numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(substring(md5(col(idCol).cast("string")), 1, 8),
+        col(idCol).cast("string"))
+    df.select(col(idCol), stratum.as("stratum"))
+      .withColumn("shard",
+        (row_number().over(w) - 1) % numShards)
+  }
+
   /** Temperature-scaled mixture sampling (the GPT-3/PaLM mixing move:
     * source share ∝ n^α with α < 1, flattening the natural skew so
     * small high-quality sources are up-weighted without hand-tuned

@@ -1604,6 +1604,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("balancedShards: every (stratum, shard) cell within ±1 of " +
+      "stratum/shards — the guarantee hash-splitting lacks") {
+    import graft.operators.SamplingOps
+    // skewed strata: 97 / 10 / 3 rows
+    val docs = ((0 until 97).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "mid")) ++
+      (200 until 203).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "s")
+    val cells = SamplingOps.balancedShards(docs, "doc_id", col("s"), 4)
+      .groupBy("stratum", "shard").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (st <- Seq("big" -> 97L, "mid" -> 10L, "tiny" -> 3L)) {
+      val sizes = (0 until 4).map(k => cells.getOrElse((st._1, k), 0L))
+      assert(sizes.sum == st._2)
+      assert(sizes.max - sizes.min <= 1L,
+        s"${st._1}: uneven shards $sizes")
+    }
+    // determinism: a second run assigns identical shards
+    val a = SamplingOps.balancedShards(docs, "doc_id", col("s"), 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val b = SamplingOps.balancedShards(docs, "doc_id", col("s"), 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a == b)
+  }
+
   test("domainCap: www folds into the bare domain, best quality wins " +
       "the cap, ties break by id") {
     import graft.operators.UrlOps
