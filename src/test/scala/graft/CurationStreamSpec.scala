@@ -143,4 +143,31 @@ class CurationStreamSpec extends AnyFunSuite {
     srcBatch.unpersist(); expected.unpersist(); got.unpersist()
     gotDrift.unpersist()
   }
+
+  test("fullScrub is streaming-safe: readStream through the composed " +
+      "redaction projection equals the batch pass row for row") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft_scrub_src").toString
+    val out = Files.createTempDirectory("graft_scrub_out").toString
+    (0 until 40).map(i => (i.toLong,
+      s"doc $i mail u$i@x.org see http://a.io/$i" +
+        (if (i % 2 == 0) " card 4111 1111 1111 1111" else "") +
+        (if (i % 3 == 0) s" ip 10.0.0.$i" else "") +
+        (if (i % 5 == 0) " call +1 415-555-0123" else "")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    val batchIn = spark.read.parquet(src)
+    val q = TextAnalysisOps.fullScrub(
+      spark.readStream.schema(batchIn.schema).parquet(src),
+      "doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/_cp")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$out/scrubbed")
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rowsOf(spark.read.parquet(s"$out/scrubbed")) ==
+      rowsOf(TextAnalysisOps.fullScrub(batchIn, "doc_id", "text")))
+  }
 }
