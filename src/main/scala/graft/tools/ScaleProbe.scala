@@ -90,6 +90,17 @@ object ScaleProbe {
     // natural one at every N — this times the hash-keyed count + join
     time(s"memorizationProfile x$n")(
       TextAnalysisOps.memorizationProfile(docs, "doc_id", "text"))
+    // fixed domain space: docs-per-domain grows with N, timing the
+    // per-domain rank window the cap exists to bound
+    time(s"domainCap x$n")(
+      graft.operators.UrlOps.domainCap(
+        docs.select(col("doc_id"),
+          concat(lit("http://s"), (col("doc_id") % 977).cast("string"),
+            lit(".com/p")).as("url"), col("n_chars")),
+        "doc_id", "url", col("n_chars"), 100))
+    time(s"balancedShards x$n")(
+      graft.operators.SamplingOps.balancedShards(
+        docs, "doc_id", col("source"), 16))
     // snapshot dedup: ~4 fetches per page at every N (url space grows
     // with the corpus) — the shuffle must carry only (id, url, ts)
     time(s"snapshotDedup x$n")(
