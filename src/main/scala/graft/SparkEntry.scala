@@ -593,6 +593,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Margin-based alignment mining (q141): exact copies of the EVEN
+    // queries planted in the corpus must mine with margin >> 1;
+    // odd queries' best random match hovers at margin ≈ 1 and the
+    // threshold rejects it — the hub-robust criterion raw cosine lacks.
+    "q141_margin_align" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val corpus = emb.filter(col("vec_id") >= 8)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+        .unionByName(queries.filter(col("vec_id") % 2 === 0)
+          .select((col("vec_id") + 20000L).as("vec_id"),
+            col("embedding")))
+      SimilarityOps.marginAlign(queries, corpus, "vec_id", "embedding",
+        k = 4, acceptMilli = 1050L)
+        .orderBy(col("query_id"))
+    }),
+
     // Hard-negative mining (q134): per query, top-5 highest-cosine
     // CROSS-label corpus vectors — the contrastive-training pair miner.
     // Same scoring/ranking discipline as q34 with the label-mismatch
@@ -3635,6 +3652,53 @@ object SparkEntry {
         |  FROM cos6)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q34's cosine CTEs on the copy-planted corpus, both-side top-4
+    // windows, ratio margin in floor-milli.
+    "q141_margin_align" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT vec_id + 10000 AS cand_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM embeddings WHERE vec_id >= 8
+        |  UNION ALL
+        |  SELECT vec_id + 20000 AS cand_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM embeddings WHERE vec_id < 8 AND vec_id % 2 = 0),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |      ELSE dot / (na * nb) END, 6) AS cos
+        |  FROM (
+        |    SELECT query_id, cand_id,
+        |      list_sum(list_transform(range(1, len(qv) + 1),
+        |        i -> qv[i] * cv[i])) AS dot,
+        |      sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+        |      sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+        |    FROM q, c)),
+        |tq AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rq
+        |  FROM scored),
+        |aq AS (SELECT query_id, sum(cos) AS sq FROM tq
+        |       WHERE rq <= 4 GROUP BY query_id),
+        |tc AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER
+        |    (PARTITION BY cand_id ORDER BY cos DESC, query_id) AS rc
+        |  FROM scored),
+        |ac AS (SELECT cand_id, sum(cos) AS sc FROM tc
+        |       WHERE rc <= 4 GROUP BY cand_id),
+        |b AS (SELECT query_id, cand_id, cos FROM tq WHERE rq = 1)
+        |SELECT b.query_id, b.cand_id, b.cos,
+        |  CAST(floor(8000.0 * b.cos / (sq + sc)) AS BIGINT)
+        |    AS margin_milli,
+        |  CAST(floor(8000.0 * b.cos / (sq + sc)) AS BIGINT) >= 1050
+        |    AS accepted
+        |FROM b JOIN aq USING (query_id) JOIN ac USING (cand_id)
+        |ORDER BY query_id""".stripMargin,
 
     // q34's scoring CTEs with the label-mismatch join predicate.
     "q134_hard_negatives" ->

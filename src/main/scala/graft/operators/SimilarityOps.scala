@@ -91,6 +91,59 @@ object SimilarityOps {
       .withColumnRenamed("__rn", "rank")
   }
 
+  /** Margin-based alignment mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix bitext-mining criterion): for each query, its
+    * best corpus candidate scored by the RATIO margin
+    * `cos(x,y) / ((avgk(x) + avgk(y)) / 2)` — cosine relative to both
+    * sides' local k-NN neighborhoods — which rejects hubs and
+    * density artifacts that a raw cosine threshold accepts. The
+    * standard mined-parallel-corpus builder for translation and
+    * cross-modal alignment.
+    *
+    * Determinism: cosines round to 6 dp before ranking (the q34
+    * discipline); the margin is emitted in floor-milli with one
+    * identical-AST multiply/divide, and `accepted` compares the
+    * INTEGER milli value.
+    *
+    * Scale shape: queries broadcast, corpus scanned once; the
+    * |Q|·|C| scored frame (three narrow columns) feeds BOTH top-k
+    * windows (per-query and per-candidate) and is the declared cost —
+    * linear in the corpus for a bounded query batch. For big query
+    * sets, pre-filter candidates with the IVF variants and margin-
+    * score their candidate lists instead. */
+  def marginAlign(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  acceptMilli: Long): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val rawCos = graft.functions.VectorExpressions.cosine(col("qv"),
+      col("cv"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        round(rawCos, 6).as("cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val wc = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cos").desc, col("query_id").asc)
+    val topQ = scored.withColumn("rq", row_number().over(wq))
+      .filter(col("rq") <= k)
+    val avgQ = topQ.groupBy(col("query_id"))
+      .agg(sum(col("cos")).as("sq"))
+    val avgC = scored.withColumn("rc", row_number().over(wc))
+      .filter(col("rc") <= k)
+      .groupBy(col("cand_id")).agg(sum(col("cos")).as("sc"))
+    topQ.filter(col("rq") === 1).drop("rq")
+      .join(avgQ, "query_id")
+      .join(avgC, "cand_id")
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        floor(lit(2000.0 * k) * col("cos") / (col("sq") + col("sc")))
+          .as("margin_milli"))
+      .withColumn("accepted", col("margin_milli") >= acceptMilli)
+  }
+
   /** IVF-style ANN: sign-LSH cells + multi-probe.
     *
     * The coarse quantizer is `bits` deterministic Rademacher hyperplanes

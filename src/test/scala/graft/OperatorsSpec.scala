@@ -1604,6 +1604,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("marginAlign: a planted copy mines with margin >> 1; a hub " +
+      "that is everyone's nearest neighbor is rejected by the ratio") {
+    import graft.operators.SimilarityOps
+    val rnd = new scala.util.Random(7)
+    def noise() = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+    def plus(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x + y }
+    val e = (i: Int) => Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    // queries: two directions with planted matches + one whose
+    // direction is absent from the corpus (its best match can only be
+    // the hub, weakly)
+    val queries = Seq(
+      (0L, e(0)), (1L, e(1)),
+      (2L, plus(e(2), noise())))
+      .toDF("vec_id", "embedding")
+    // corpus: exact copy of q0, near-copy of q1, a HUB (uniform vector
+    // moderately close to everything), and far distractors
+    val corpus = (Seq(
+      (100L, e(0)),                      // exact match for q0
+      (101L, plus(e(1), noise())),       // near match for q1
+      (102L, Array.fill(8)(0.35f))) ++   // hub
+      (103L to 110L).map(i => (i, noise())))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.marginAlign(queries, corpus, "vec_id",
+      "embedding", k = 3, acceptMilli = 1400L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(0L)._1 == 100L && got(0L)._3,
+      s"exact copy must mine: ${got(0L)}")
+    assert(got(1L)._1 == 101L && got(1L)._3,
+      s"near copy must mine: ${got(1L)}")
+    // q2's best is the hub at a cosine no higher than the hub's
+    // cosine to EVERYTHING — the ratio stays near 1 and rejects what
+    // a raw-cosine threshold at the same level would accept
+    assert(got(2L)._1 == 102L && !got(2L)._3,
+      s"hub match must be rejected: ${got(2L)}")
+  }
+
   test("balancedShards: every (stratum, shard) cell within ±1 of " +
       "stratum/shards — the guarantee hash-splitting lacks") {
     import graft.operators.SamplingOps
