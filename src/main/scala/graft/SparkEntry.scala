@@ -1306,6 +1306,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Score calibration (q142): labels drawn with P(pos) exactly
+    // (1000 + mean_milli) / 2000 via the md5 acceptance trick, so the
+    // measured per-bin rate must track the bin center — the calibrated
+    // acceptance the raw logit is not.
+    "q142_score_calibration" -> ((s, dir) => {
+      val scored = ScoringOps.hashedLinearScore(t(s, dir, "documents"),
+        "doc_id", "text", buckets = 4096)
+      val meanMilli = floor(col("score_milli").cast("double") /
+        col("n_tokens").cast("double")).cast("long")
+      val label = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 2000L <
+        lit(1000L) + greatest(lit(-1000L), least(lit(1000L), meanMilli))
+      ScoringOps.scoreCalibration(scored, "doc_id", meanMilli, label,
+        nBins = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // In-engine classifier TRAINING (q102): balanced ±labels by doc
     // parity, class-marker tokens injected ("goodtoken"/"badtoken"
     // twice per doc); two deterministic GD iterations must drive the
@@ -4783,6 +4800,43 @@ FROM fpr ORDER BY doc_id"""),
         |  (sum(wm)::DOUBLE / (count(*)::DOUBLE * 1000.0)) AS score,
         |  (sum(wm) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q87's scoring CTEs -> mean milli -> md5-drawn labels ->
+    // 10-bin table -> broadcast-back acceptance.
+    "q142_score_calibration" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 4096 AS bucket
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(bucket::VARCHAR), 1, 8))::BIGINT % 2001)
+        |      - 1000 AS wm
+        |  FROM b),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(sum(wm)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+        |      AS mm
+        |  FROM w GROUP BY doc_id),
+        |mb AS (
+        |  SELECT doc_id,
+        |    greatest(-1000, least(1000, mm)) AS mean_milli,
+        |    CAST(floor(((greatest(-1000, least(1000, mm)) + 1000) * 10)
+        |      ::DOUBLE / 2001.0) AS BIGINT) AS bin,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2000
+        |      < 1000 + greatest(-1000, least(1000, mm)))::INT AS y
+        |  FROM sc),
+        |tab AS (
+        |  SELECT bin, count(*)::BIGINT AS n_bin,
+        |    CAST(floor((sum(y) * 1000)::DOUBLE / count(*)::DOUBLE)
+        |      AS BIGINT) AS accept_milli
+        |  FROM mb GROUP BY bin)
+        |SELECT doc_id, mean_milli, bin, n_bin, accept_milli
+        |FROM mb JOIN tab USING (bin)
+        |ORDER BY doc_id""".stripMargin,
 
     // Train fingerprints from the shared builder; bench chain
     // re-derives the five clips from a VALUES list of g.

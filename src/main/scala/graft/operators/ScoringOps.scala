@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokens
@@ -138,6 +138,44 @@ object ScoringOps {
         (col("score_milli").cast("double") /
           (col("n_tokens").cast("double") * lit(1000.0))).as("score"),
         (col("score_milli") > 0).as("keep"))
+  }
+
+  /** Binned score calibration (the Platt-scaling-lite step between
+    * training a quality filter and USING its scores as probabilities):
+    * partition the milli-score axis into `nBins` equal bins, measure
+    * each bin's labeled positive rate on a held-out set, and emit the
+    * per-document acceptance probability from its bin's measured rate.
+    * The result plugs straight into [[SamplingOps.weightedSample]]'s
+    * milli slot — scores become CALIBRATED sampling probabilities
+    * instead of raw logits.
+    *
+    * All integer/exact: bins via one floor of a bounded product,
+    * rates as `n_pos·1000 div n` — the DuckDB oracle re-derives the
+    * identical table.
+    *
+    * Scale shape: ONE bins-sized aggregate (map-side combined) and a
+    * broadcast join of the bins-sized table back onto a projection —
+    * no corpus-sized shuffle anywhere. */
+  def scoreCalibration(scored: DataFrame, idCol: String,
+                       scoreMilli: Column, label: Column,
+                       nBins: Int = 20): DataFrame = {
+    require(nBins >= 2, "nBins >= 2")
+    val m = greatest(lit(-1000L), least(lit(1000L), scoreMilli))
+    // (m+1000) ∈ [0,2000]; ·nBins ≤ 40000 is double-exact, so floor
+    // of the division IS the integer bin
+    val bin = floor(((m + lit(1000L)) * lit(nBins.toLong))
+      .cast("double") / lit(2001.0)).cast("long")
+    val base = scored.select(col(idCol), m.as("mean_milli"),
+      bin.as("bin"), label.cast("long").as("__y"))
+    val table = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"), sum(col("__y")).as("__pos"))
+      .select(col("bin"), col("n_bin"),
+        floor((col("__pos") * 1000L).cast("double") /
+          col("n_bin").cast("double")).cast("long").as("accept_milli"))
+    base.drop("__y")
+      .join(broadcast(table), "bin")
+      .select(col(idCol), col("mean_milli"), col("bin"),
+        col("n_bin"), col("accept_milli"))
   }
 
   /** Exact tie-aware classifier evaluation — the step between training

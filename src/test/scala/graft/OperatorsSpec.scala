@@ -1604,6 +1604,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("scoreCalibration: per-bin acceptance equals the measured " +
+      "positive rate exactly; monotone labels give a monotone table") {
+    import graft.operators.ScoringOps
+    // two scores per bin across 4 bins of [-1000,1000] at nBins=4;
+    // labels: low bins all negative, high bins all positive, one
+    // mixed bin — rates must be 0 / 500 / 1000 milli exactly
+    val rows = Seq(
+      (1L, -900L, false), (2L, -850L, false),   // bin 0: 0/2
+      (3L, -300L, false), (4L, -250L, true),    // bin 1: 1/2
+      (5L, 300L, true), (6L, 350L, true),       // bin 2: 2/2
+      (7L, 900L, true), (8L, 950L, true))       // bin 3: 2/2
+      .toDF("doc_id", "m", "y")
+    val got = ScoringOps.scoreCalibration(rows, "doc_id", col("m"),
+      col("y"), nBins = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((0L, 2L, 0L)) && got(2L)._3 == 0L)
+    assert(got(3L) == ((1L, 2L, 500L)) && got(4L)._3 == 500L)
+    assert(got(5L)._3 == 1000L && got(7L)._3 == 1000L)
+    // monotone labels -> monotone acceptance across bins
+    val byBin = got.values.groupBy(_._1).view
+      .mapValues(_.head._3).toMap
+    assert(byBin.toSeq.sortBy(_._1).map(_._2) ==
+      Seq(0L, 500L, 1000L, 1000L))
+  }
+
   test("marginAlign: a planted copy mines with margin >> 1; a hub " +
       "that is everyone's nearest neighbor is rejected by the ratio") {
     import graft.operators.SimilarityOps
