@@ -593,6 +593,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Truncation recall (q143): exact top-5 at 16 and 32 kept dims vs
+    // the full 64 — the Matryoshka storage knob measured before any
+    // layout commitment.
+    "q143_truncation_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.truncationRecall(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 5, dims = Seq(16, 32))
+        .orderBy(col("trunc_dim"))
+    }),
+
     // Margin-based alignment mining (q141): exact copies of the EVEN
     // queries planted in the corpus must mine with margin >> 1;
     // odd queries' best random match hovers at margin ≈ 1 and the
@@ -3669,6 +3679,51 @@ object SparkEntry {
         |  FROM cos6)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Three q34 top-k chains (full, 16-dim, 32-dim prefixes) joined on
+    // (query, neighbor); floor-milli recall over k x |Q| = 40.
+    "q143_truncation_recall" -> (
+      "WITH " + Seq(("f", ""), ("16", "[1:16]"), ("32", "[1:32]"))
+        .map { case (tag, sl) =>
+          s"""q$tag AS (
+             |  SELECT vec_id AS query_id,
+             |    list_transform(embedding$sl, x -> x::DOUBLE) AS qv
+             |  FROM embeddings WHERE vec_id < 8),
+             |c$tag AS (
+             |  SELECT vec_id AS neighbor_id,
+             |    list_transform(embedding$sl, x -> x::DOUBLE) AS cv
+             |  FROM embeddings),
+             |t$tag AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER
+             |      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+             |      AS rk
+             |    FROM (
+             |      SELECT query_id, neighbor_id,
+             |        round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+             |          ELSE dot / (na * nb) END, 6) AS cos
+             |      FROM (
+             |        SELECT query_id, neighbor_id,
+             |          list_sum(list_transform(range(1, len(qv) + 1),
+             |            i -> qv[i] * cv[i])) AS dot,
+             |          sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
+             |          sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
+             |        FROM q$tag, c$tag WHERE query_id <> neighbor_id)))
+             |  WHERE rk <= 5)""".stripMargin
+        }.mkString(",\n") + """,
+        |u AS (
+        |  SELECT 16 AS trunc_dim, query_id, neighbor_id FROM t16
+        |  UNION ALL
+        |  SELECT 32 AS trunc_dim, query_id, neighbor_id FROM t32),
+        |j AS (
+        |  SELECT u.trunc_dim,
+        |    CASE WHEN tf.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM u LEFT JOIN tf ON tf.query_id = u.query_id
+        |    AND tf.neighbor_id = u.neighbor_id)
+        |SELECT trunc_dim, sum(hit)::BIGINT AS n_hits,
+        |  CAST(floor((sum(hit) * 1000)::DOUBLE / 40.0) AS BIGINT)
+        |    AS recall_milli
+        |FROM j GROUP BY trunc_dim ORDER BY trunc_dim""".stripMargin),
 
     // q34's cosine CTEs on the copy-planted corpus, both-side top-4
     // windows, ratio margin in floor-milli.

@@ -91,6 +91,45 @@ object SimilarityOps {
       .withColumnRenamed("__rn", "rank")
   }
 
+  /** Truncation-recall probe (the Matryoshka-representation question:
+    * how much top-k quality survives if we keep only the first `d`
+    * dimensions?): for each candidate prefix length, recall@k of the
+    * truncated-space exact top-k against the full-space exact top-k.
+    * The measured curve is the storage/latency knob for 100 TB vector
+    * corpora — a 4× dim cut that keeps 95% recall halves the ANN
+    * index twice over. Same pre-flight discipline as the q60/q118
+    * recall probes: measure BEFORE committing the corpus to a layout.
+    *
+    * Scale shape: one [[bruteForceTopK]] pass per probed dim + the
+    * full-dim reference (queries broadcast, corpus scanned once each);
+    * the recall join is on (query, neighbor) id pairs — k·|Q| rows.
+    * Exact integers out: hits and floor-milli recall. */
+  def truncationRecall(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "at least one truncation dim")
+    val full = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nq = queries.count()
+    val truncated = dims.map { d =>
+      val tq = queries.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val tc = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      bruteForceTopK(tq, tc, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("trunc_dim", lit(d))
+    }.reduce(_ unionByName _)
+    truncated
+      .join(full.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("trunc_dim"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("trunc_dim"), col("n_hits"),
+        floor((col("n_hits") * 1000L).cast("double") /
+          lit((k * nq).toDouble)).cast("long").as("recall_milli"))
+  }
+
   /** Margin-based alignment mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix bitext-mining criterion): for each query, its
     * best corpus candidate scored by the RATIO margin

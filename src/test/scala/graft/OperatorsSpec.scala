@@ -1604,6 +1604,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("truncationRecall: a prefix carrying all the signal scores " +
+      "1000 milli; a prefix carrying none collapses") {
+    import graft.operators.SimilarityOps
+    val rnd = new scala.util.Random(3)
+    // all discriminative signal lives in dims 0-3; dims 4-7 are pure
+    // noise — truncating to 4 keeps the ranking, truncating to a
+    // NOISE-ONLY suffix is impossible by prefix, so probe dims 4 vs 2
+    // where dims 0-1 are zero for every vector (no signal at d=2)
+    def v(i: Int) = Array(0.0f, 0.0f,
+      math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+      rnd.nextGaussian().toFloat * 0.01f,
+      rnd.nextGaussian().toFloat * 0.01f,
+      rnd.nextGaussian().toFloat * 0.01f,
+      rnd.nextGaussian().toFloat * 0.01f)
+    val corpus = (0 until 30).map(i => (i.toLong, v(i)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val got = SimilarityOps.truncationRecall(queries, corpus,
+      "vec_id", "embedding", k = 4, dims = Seq(2, 4))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // d=4 keeps dims 2-3 (the whole signal) -> high recall; d=2 sees
+    // only the zero dims -> cosine degenerate, recall near random
+    assert(got(4) >= 750L, s"signal prefix must keep recall: $got")
+    assert(got(2) < got(4), s"noise prefix must lose recall: $got")
+  }
+
   test("scoreCalibration: per-bin acceptance equals the measured " +
       "positive rate exactly; monotone labels give a monotone table") {
     import graft.operators.ScoringOps
