@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout for co-located joins.
   *
@@ -60,6 +61,33 @@ object Warehouse {
     w.partitionBy(partCol)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
+  /** ANN-aware vector layout: embeddings written PARTITIONED BY their
+    * IVF cell (nearest centroid via the `argmin_l2` codegen kernel,
+    * centroids as plan literals). A multi-probe ANN query then prunes
+    * at the DIRECTORY level — it reads only `probe` of `cells`
+    * partitions, turning the IVF scan-fraction argument into parquet
+    * file-listing arithmetic the cluster never even opens. The
+    * at-scale companion to [[graft.operators.SimilarityOps.ivfTopK]]
+    * and the PQ variants: train centroids once
+    * ([[graft.operators.SimilarityOps.kmeansCentroids]]), lay the
+    * corpus out by cell, and every subsequent query wave inherits the
+    * pruning for free. */
+  def writeCellPartitioned(emb: DataFrame, table: String, idCol: String,
+                           vecCol: String,
+                           centroids: Array[Array[Double]]): Unit = {
+    require(centroids.nonEmpty, "at least one centroid")
+    val centsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    emb
+      .withColumn("cell",
+        graft.functions.VectorExpressions.argminL2(
+          graft.functions.VectorFunctions.toDouble(col(vecCol)),
+          centsLit))
+      .write.mode("overwrite")
+      .format("parquet")
+      .partitionBy("cell")
       .saveAsTable(table)
   }
 }

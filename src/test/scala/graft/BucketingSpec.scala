@@ -136,4 +136,36 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS p_docs_nobloom")
     }
   }
+
+  test("writeCellPartitioned: a multi-probe ANN scan prunes to its " +
+      "probed cell directories, verified behaviorally") {
+    import graft.operators.SimilarityOps
+    import graft.sources.Warehouse
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 4000).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = SimilarityOps.kmeansCentroids(emb, "vec_id",
+      "embedding", dim = 8, k = 8, iters = 2)
+    Warehouse.writeCellPartitioned(emb, "cell_emb", "vec_id",
+      "embedding", cents)
+    try {
+      val t = spark.table("cell_emb")
+      val total = t.count()
+      assert(total == 4000L)
+      val probed = Seq(2L, 5L)
+      val inProbe = t.filter(col("cell").isin(probed: _*))
+      val probeRows = scanRows(inProbe)
+      // the scan reads ONLY the probed partitions' rows — directory
+      // pruning, not a post-scan filter
+      val expect = t.groupBy("cell").count().collect()
+        .filter(r => probed.contains(r.getLong(0)))
+        .map(_.getLong(1)).sum
+      assert(probeRows == expect && expect > 0 && expect < total,
+        s"probe scan read $probeRows rows, partitions hold $expect")
+      val plan = inProbe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cell"),
+        s"cell predicate must prune directories:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS cell_emb")
+  }
 }
