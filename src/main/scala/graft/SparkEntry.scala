@@ -1595,6 +1595,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // NDCG@10 (q144): graded judgments planted around each q79 query
+    // (own doc rel 2000, neighbors 1000/1000/500/500) — BM25 must put
+    // the query's own prefix-source doc at the top, so per-query NDCG
+    // lands high and the metric proves position-discounted gain.
+    "q144_ndcg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("qtext"))
+      val results = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+      val judgments = qs.select(col("query_id"))
+        .crossJoin(s.range(0, 5).select(col("id").as("off")))
+        .select(col("query_id"),
+          (col("query_id") + col("off")).as("doc_id"),
+          when(col("off") === 0, 2000L)
+            .when(col("off") <= 2, 1000L).otherwise(500L)
+            .as("rel_milli"))
+      RetrievalOps.ndcgAtK(results, judgments, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // Unicode normalization: decomposed accents (e + U+0301), the
     // angstrom-sign singleton (U+212B -> U+00C5) and mixed case all
     // collapse to one canonical byte form. The native NFC kernel runs
@@ -5418,6 +5441,36 @@ ORDER BY a.vec_id"""),
     // re-derived arithmetic), micro-quantized contributions, BIGINT
     // score sums, doc_id tie-break.
     "q79_bm25_topk" -> bm25OracleSql(dfCapSql = ""),
+
+    // q79's BM25 chain wrapped as a CTE; judgments from the offset
+    // VALUES list; natural-log DCG over retrieved and ideal orders.
+    "q144_ndcg" -> (
+      s"""WITH res AS (
+${bm25OracleSql(dfCapSql = "")}
+),
+j AS (
+  SELECT q.query_id, q.query_id + o.off AS doc_id,
+    CASE WHEN o.off = 0 THEN 2000
+         WHEN o.off <= 2 THEN 1000 ELSE 500 END AS rel_milli
+  FROM (SELECT DISTINCT query_id FROM res) q,
+    (VALUES (0), (1), (2), (3), (4)) o(off)),
+d AS (
+  SELECT r.query_id,
+    sum(coalesce(j.rel_milli, 0)::DOUBLE /
+      ln((r.rank + 1)::DOUBLE)) AS dcg
+  FROM res r LEFT JOIN j USING (query_id, doc_id)
+  WHERE r.rank <= 10 GROUP BY r.query_id),
+i AS (
+  SELECT query_id,
+    sum(rel_milli::DOUBLE / ln((irk + 1)::DOUBLE)) AS idcg
+  FROM (SELECT query_id, doc_id, rel_milli, row_number() OVER
+      (PARTITION BY query_id ORDER BY rel_milli DESC, doc_id ASC)
+      AS irk
+    FROM j)
+  WHERE irk <= 10 GROUP BY query_id)
+SELECT query_id,
+  CAST(floor(1000000.0 * dcg / idcg) AS BIGINT) AS ndcg_micro
+FROM d JOIN i USING (query_id) ORDER BY query_id"""),
 
     // The q79 pipeline with the df-cap WHERE engaged.
     "q93_bm25_dfcap" -> bm25OracleSql(

@@ -97,4 +97,37 @@ object RetrievalOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"))
   }
+
+  /** NDCG@k — the graded-relevance retrieval metric that closes the
+    * loop on the BM25 family (q119's ROC-AUC grades a binary
+    * classifier; ranking quality needs position-discounted gain).
+    * `results` carries (query_id, doc_id, rank); `judgments` carries
+    * (query_id, doc_id, rel_milli) graded relevance. DCG uses the
+    * natural log — the base cancels in the DCG/IDCG ratio, and `ln`
+    * is the identical AST on both engines. Per-query NDCG ships in
+    * floor-micro units.
+    *
+    * Scale shape: results are top-k-sized, judgments qrels-sized —
+    * both orders of magnitude below the corpus; one narrow join, one
+    * window over the judged sets, two tiny aggregates. */
+  def ndcgAtK(results: DataFrame, judgments: DataFrame,
+              k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val dcg = results.filter(col("rank") <= k)
+      .join(judgments, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("rel_milli"), lit(0L)).cast("double") /
+        log((col("rank") + 1).cast("double"))).as("dcg"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_milli").desc, col("doc_id").asc)
+    val idcg = judgments.withColumn("irk", row_number().over(w))
+      .filter(col("irk") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel_milli").cast("double") /
+        log((col("irk") + 1).cast("double"))).as("idcg"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"),
+        floor(lit(1000000.0) * col("dcg") / col("idcg"))
+          .cast("long").as("ndcg_micro"))
+  }
 }

@@ -1604,6 +1604,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("ndcgAtK: the ideal order scores exactly 1e6; swapping the top " +
+      "two graded docs costs the closed-form discount") {
+    import graft.operators.RetrievalOps
+    val judgments = Seq(
+      (1L, 10L, 2000L), (1L, 11L, 1000L), (1L, 12L, 500L))
+      .toDF("query_id", "doc_id", "rel_milli")
+    def results(order: Seq[Long]) =
+      order.zipWithIndex.map { case (d, i) => (1L, d, i + 1) }
+        .toDF("query_id", "doc_id", "rank")
+    val ideal = RetrievalOps.ndcgAtK(results(Seq(10L, 11L, 12L)),
+      judgments, 10).collect()(0).getLong(1)
+    assert(ideal == 1000000L, s"ideal order must be exactly 1e6: $ideal")
+    val swapped = RetrievalOps.ndcgAtK(results(Seq(11L, 10L, 12L)),
+      judgments, 10).collect()(0).getLong(1)
+    // closed form: dcg = 1000/ln2 + 2000/ln3 + 500/ln4;
+    // idcg = 2000/ln2 + 1000/ln3 + 500/ln4
+    val ln2 = math.log(2); val ln3 = math.log(3); val ln4 = math.log(4)
+    val expect = math.floor(1e6 * (1000 / ln2 + 2000 / ln3 + 500 / ln4) /
+      (2000 / ln2 + 1000 / ln3 + 500 / ln4)).toLong
+    assert(math.abs(swapped - expect) <= 1L,
+      s"swap cost: got $swapped expected $expect")
+    // an unjudged intruder at rank 1 contributes zero gain
+    val intruder = RetrievalOps.ndcgAtK(results(Seq(99L, 10L, 11L)),
+      judgments, 10).collect()(0).getLong(1)
+    assert(intruder < swapped && intruder < ideal)
+  }
+
   test("truncationRecall: a prefix carrying all the signal scores " +
       "1000 milli; a prefix carrying none collapses") {
     import graft.operators.SimilarityOps
