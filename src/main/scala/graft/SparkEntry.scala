@@ -1595,6 +1595,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Mergeable corpus sketch (q145): shard sketches (even/odd docs)
+    // merged slotwise must equal the whole-corpus sketch byte-for-byte
+    // — the union law that makes similarity federated across shards.
+    "q145_corpus_minhash_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merged = DedupOps.mergeCorpusMinhash(
+        DedupOps.corpusMinhash(docs.filter(col("doc_id") % 2 === 0),
+          "text"),
+        DedupOps.corpusMinhash(docs.filter(col("doc_id") % 2 === 1),
+          "text"))
+      val full = DedupOps.corpusMinhash(docs, "text")
+        .withColumnRenamed("min_hash", "full_min")
+      merged.withColumnRenamed("min_hash", "merged_min")
+        .join(full, "slot")
+        .select(col("slot"), col("merged_min"), col("full_min"),
+          (col("merged_min") === col("full_min")).as("merge_law_holds"))
+        .orderBy(col("slot"))
+    }),
+
     // NDCG@10 (q144): graded judgments planted around each q79 query
     // (own doc rel 2000, neighbors 1000/1000/500/500) — BM25 must put
     // the query's own prefix-source doc at the top, so per-query NDCG
@@ -3208,6 +3227,35 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Both sides computed DIRECTLY in SQL (shards via parity, union
+    // over everything): the Spark side merges, so equality of every
+    // slot proves the merge law cross-engine.
+    "q145_corpus_minhash_merge" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ')
+        |       FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END AS shingles
+        |  FROM toks),
+        |flat AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |slots AS (SELECT unnest(range(0, 8)) AS slot),
+        |a AS (
+        |  SELECT slot, min(md5(s || '|' || slot::VARCHAR)) AS ha
+        |  FROM flat, slots WHERE doc_id % 2 = 0 GROUP BY slot),
+        |b AS (
+        |  SELECT slot, min(md5(s || '|' || slot::VARCHAR)) AS hb
+        |  FROM flat, slots WHERE doc_id % 2 = 1 GROUP BY slot),
+        |f AS (
+        |  SELECT slot, min(md5(s || '|' || slot::VARCHAR)) AS full_min
+        |  FROM flat, slots GROUP BY slot)
+        |SELECT slot, least(ha, hb) AS merged_min, full_min,
+        |  least(ha, hb) = full_min AS merge_law_holds
+        |FROM a JOIN b USING (slot) JOIN f USING (slot)
+        |ORDER BY slot""".stripMargin,
 
     "q31_minhash" ->
       """WITH toks AS (

@@ -608,4 +608,40 @@ object DedupOps {
       .agg(count(lit(1)).as("n_buckets"),
         max(col("n")).as("max_bucket"),
         sum(col("n") * (col("n") - 1)).as("pair_space_x2"))
+
+  /** CORPUS-level minhash sketch: one (slot, min-hash) row per slot,
+    * where slot i holds `min over all shingles of md5(s || '|i')` (the
+    * q31 per-doc scheme lifted to the whole corpus). The point is the
+    * MERGE law `sketch(A ∪ B) = slotwise min(sketch(A), sketch(B))` —
+    * exact, not approximate — which makes corpus-level similarity
+    * federated: each shard/day/site sketches its own slice (k strings),
+    * sketches merge with [[mergeCorpusMinhash]] without re-reading any
+    * text, and slot-agreement between two corpus sketches estimates
+    * their shingle-set Jaccard. q145's oracle PROVES the law
+    * cross-engine: Spark merges two shard sketches, DuckDB sketches
+    * the union directly, and every slot must match byte-for-byte.
+    *
+    * Scale shape: the shingle stream fans out ×k slots but collapses
+    * by partial min to k rows per partition before the one k-row
+    * exchange — the wire carries k·partitions 32-char strings. */
+  def corpusMinhash(docs: DataFrame, textCol: String,
+                    k: Int = 8): DataFrame = {
+    require(k >= 1, "k >= 1")
+    docs
+      .select(explode(graft.functions.TextExpressions.wordShingles(
+        tokens(col(textCol)), 3)).as("s"))
+      .select(col("s"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("slot"))
+      .groupBy(col("slot"))
+      .agg(min(md5(concat(col("s"), lit("|"),
+        col("slot").cast("string")))).as("min_hash"))
+  }
+
+  /** Slotwise merge of two NON-EMPTY corpus sketches (the union law —
+    * see [[corpusMinhash]]). */
+  def mergeCorpusMinhash(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("slot"), col("min_hash").as("__ha"))
+      .join(b.select(col("slot"), col("min_hash").as("__hb")), "slot")
+      .select(col("slot"),
+        least(col("__ha"), col("__hb")).as("min_hash"))
 }

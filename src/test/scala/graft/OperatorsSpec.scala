@@ -1604,6 +1604,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("corpusMinhash merge law: slotwise min of shard sketches " +
+      "equals the union sketch for every slot, any split") {
+    import graft.operators.DedupOps
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"w${i % 13} w${(i * 7) % 17} w${(i * 3) % 11} " +
+        s"w${i % 5} common tail tokens here"))
+      .toDF("doc_id", "text")
+    for (m <- Seq(2L, 3L)) {
+      val shards = (0L until m).map(r =>
+        DedupOps.corpusMinhash(docs.filter(col("doc_id") % m === r),
+          "text"))
+      val merged = shards.reduce(DedupOps.mergeCorpusMinhash)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val full = DedupOps.corpusMinhash(docs, "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(merged == full, s"merge law broke at $m-way split")
+      assert(full.size == 8)
+    }
+  }
+
   test("ndcgAtK: the ideal order scores exactly 1e6; swapping the top " +
       "two graded docs costs the closed-form discount") {
     import graft.operators.RetrievalOps
