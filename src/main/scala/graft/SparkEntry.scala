@@ -1595,6 +1595,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Source overlap (q146): three views of the same docs — full
+    // text, tokens 1-30, tokens 16-45 — so (a,b) and (a,c) overlap
+    // structurally and (b,c) overlaps on the 16-30 window; k=32 slots
+    // make the agreement estimates stable.
+    "q146_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val corpus = docs.select(lit("a").as("src"), col("text"))
+        .unionByName(docs.select(lit("b").as("src"),
+          array_join(slice(toks, 1, 30), " ").as("text")))
+        .unionByName(docs.select(lit("c").as("src"),
+          array_join(slice(toks, 16, 30), " ").as("text")))
+      DedupOps.sourceSimilarity(corpus, "src", "text", k = 32)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Mergeable corpus sketch (q145): shard sketches (even/odd docs)
     // merged slotwise must equal the whole-corpus sketch byte-for-byte
     // — the union law that makes similarity federated across shards.
@@ -3227,6 +3243,40 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // The three text views, per-(src, slot) mins, pairwise slot
+    // agreement over 32 slots.
+    "q146_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT 'a' AS src, text FROM documents
+        |  UNION ALL
+        |  SELECT 'b' AS src,
+        |    array_to_string(string_split(text, ' ')[1:30], ' ') AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'c' AS src,
+        |    array_to_string(string_split(text, ' ')[16:45], ' ') AS text
+        |  FROM documents),
+        |toks AS (SELECT src, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT src, CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ')
+        |       FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END AS shingles
+        |  FROM toks),
+        |flat AS (SELECT src, unnest(shingles) AS s FROM sh),
+        |slots AS (SELECT unnest(range(0, 32)) AS slot),
+        |sk AS (
+        |  SELECT src, slot,
+        |    min(md5(s || '|' || slot::VARCHAR)) AS h
+        |  FROM flat, slots GROUP BY src, slot)
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |  sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+        |  CAST(floor((sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)
+        |    * 1000)::DOUBLE / 32.0) AS BIGINT) AS jaccard_milli
+        |FROM sk a JOIN sk b ON a.slot = b.slot AND a.src < b.src
+        |GROUP BY a.src, b.src
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // Both sides computed DIRECTLY in SQL (shards via parity, union
     // over everything): the Spark side merges, so equality of every

@@ -644,4 +644,40 @@ object DedupOps {
       .join(b.select(col("slot"), col("min_hash").as("__hb")), "slot")
       .select(col("slot"),
         least(col("__ha"), col("__hb")).as("min_hash"))
+
+  /** Pairwise source-overlap report from per-source [[corpusMinhash]]
+    * sketches: slot agreement between two sketches is an unbiased
+    * estimator of the sources' shingle-set Jaccard (the standard
+    * minhash identity), so "which of my sources mirror each other"
+    * costs k·sources strings — not a cross-source text comparison.
+    * Identical sources score exactly 1000 milli.
+    *
+    * Scale shape: one (source, slot)-keyed partial-min aggregate over
+    * the shingle stream; the pairing join is sketch-sized (sources ×
+    * k rows). */
+  def sourceSimilarity(docs: DataFrame, sourceCol: String,
+                       textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val sk = docs
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.TextExpressions.wordShingles(
+          tokens(col(textCol)), 3)).as("s"))
+      .select(col("source"), col("s"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("slot"))
+      .groupBy(col("source"), col("slot"))
+      .agg(min(md5(concat(col("s"), lit("|"),
+        col("slot").cast("string")))).as("h"))
+    val a = sk.select(col("source").as("source_a"), col("slot"),
+      col("h").as("__ha"))
+    val b = sk.select(col("source").as("source_b"), col("slot"),
+      col("h").as("__hb"))
+    a.join(b, Seq("slot"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("__ha") === col("__hb"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .select(col("source_a"), col("source_b"), col("n_agree"),
+        floor((col("n_agree") * 1000L).cast("double") / lit(k.toDouble))
+          .cast("long").as("jaccard_milli"))
+  }
 }

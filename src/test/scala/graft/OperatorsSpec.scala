@@ -1604,6 +1604,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("sourceSimilarity: identical sources score exactly 1000 milli, " +
+      "disjoint sources exactly 0, overlap lands between") {
+    import graft.operators.DedupOps
+    val base = (0 until 40).map(i =>
+      s"tok${i} tok${i + 1} tok${i + 2} tok${i + 3} shared span here")
+    val docs = (base.map(t => ("x", t)) ++ base.map(t => ("y", t)) ++
+      (0 until 40).map(i => ("z", s"alien$i beta$i gamma$i delta$i")))
+      .toDF("src", "text")
+    val got = DedupOps.sourceSimilarity(docs, "src", "text", k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(3)).toMap
+    assert(got(("x", "y")) == 1000L, s"identical sources: $got")
+    assert(got(("x", "z")) == 0L && got(("y", "z")) == 0L)
+    // partial overlap: y' = x's docs plus alien docs -> strictly between
+    val mixed = docs.filter(col("src") =!= "y").unionByName(
+      docs.filter(col("src") === "z")
+        .select(lit("y").as("src"), col("text")))
+      .unionByName(docs.filter(col("src") === "x")
+        .select(lit("y").as("src"), col("text")))
+    val g2 = DedupOps.sourceSimilarity(mixed, "src", "text", k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(3)).toMap
+    assert(g2(("x", "y")) > 0L && g2(("x", "y")) < 1000L,
+      s"superset source must land strictly between: $g2")
+  }
+
   test("corpusMinhash merge law: slotwise min of shard sketches " +
       "equals the union sketch for every slot, any split") {
     import graft.operators.DedupOps
