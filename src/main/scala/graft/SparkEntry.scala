@@ -1600,14 +1600,14 @@ object SparkEntry {
     // structurally and (b,c) overlaps on the 16-30 window; k=32 slots
     // make the agreement estimates stable.
     "q146_source_overlap" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
       val toks = split(col("text"), " ")
       val corpus = docs.select(lit("a").as("src"), col("text"))
         .unionByName(docs.select(lit("b").as("src"),
           array_join(slice(toks, 1, 30), " ").as("text")))
         .unionByName(docs.select(lit("c").as("src"),
           array_join(slice(toks, 16, 30), " ").as("text")))
-      DedupOps.sourceSimilarity(corpus, "src", "text", k = 32)
+      DedupOps.sourceSimilarity(corpus, "src", "text", k = 16)
         .orderBy(col("source_a"), col("source_b"))
     }),
 
@@ -3247,16 +3247,17 @@ object SparkEntry {
     // The three text views, per-(src, slot) mins, pairwise slot
     // agreement over 32 slots.
     "q146_source_overlap" ->
-      """WITH corpus AS (
-        |  SELECT 'a' AS src, text FROM documents
+      """WITH d0 AS (SELECT text FROM documents WHERE doc_id < 200),
+        |corpus AS (
+        |  SELECT 'a' AS src, text FROM d0
         |  UNION ALL
         |  SELECT 'b' AS src,
         |    array_to_string(string_split(text, ' ')[1:30], ' ') AS text
-        |  FROM documents
+        |  FROM d0
         |  UNION ALL
         |  SELECT 'c' AS src,
         |    array_to_string(string_split(text, ' ')[16:45], ' ') AS text
-        |  FROM documents),
+        |  FROM d0),
         |toks AS (SELECT src, string_split(text, ' ') AS t FROM corpus),
         |sh AS (
         |  SELECT src, CASE WHEN len(t) >= 3 THEN
@@ -3265,7 +3266,7 @@ object SparkEntry {
         |    ELSE [array_to_string(t, ' ')] END AS shingles
         |  FROM toks),
         |flat AS (SELECT src, unnest(shingles) AS s FROM sh),
-        |slots AS (SELECT unnest(range(0, 32)) AS slot),
+        |slots AS (SELECT unnest(range(0, 16)) AS slot),
         |sk AS (
         |  SELECT src, slot,
         |    min(md5(s || '|' || slot::VARCHAR)) AS h
@@ -3273,7 +3274,7 @@ object SparkEntry {
         |SELECT a.src AS source_a, b.src AS source_b,
         |  sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)::BIGINT AS n_agree,
         |  CAST(floor((sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)
-        |    * 1000)::DOUBLE / 32.0) AS BIGINT) AS jaccard_milli
+        |    * 1000)::DOUBLE / 16.0) AS BIGINT) AS jaccard_milli
         |FROM sk a JOIN sk b ON a.slot = b.slot AND a.src < b.src
         |GROUP BY a.src, b.src
         |ORDER BY source_a, source_b""".stripMargin,
