@@ -174,6 +174,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "embedding histogram must run in the native kernel")
   }
 
+  test("q134/q141: mining queries broadcast — the corpus side never " +
+      "feeds a shuffle join") {
+    Seq("q134_hard_negatives", "q141_margin_align").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$q must pair via broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q must never go cartesian:\n$p")
+    }
+  }
+
   test("q131: DSIR scoring is a join-free projection — the ratio table " +
       "enters as a literal, only the presentation sort may shuffle") {
     val p = plan("q131_dsir_select")
