@@ -101,6 +101,10 @@ object ScaleProbe {
     time(s"balancedShards x$n")(
       graft.operators.SamplingOps.balancedShards(
         docs, "doc_id", col("source"), 16))
+    // corpus sketch: k=8 salted mins over the shingle stream — the
+    // exchange must stay k rows per partition at any N
+    time(s"corpusMinhash x$n")(
+      DedupOps.corpusMinhash(docs, "text"))
     // snapshot dedup: ~4 fetches per page at every N (url space grows
     // with the corpus) — the shuffle must carry only (id, url, ts)
     time(s"snapshotDedup x$n")(
@@ -270,6 +274,11 @@ object ScaleProbe {
     time(s"ivfTopK x$n corpus")(
       SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", k = 5, dim = 64, bits = 8, probe = 3))
+    // margin mining: the |Q|x|C| narrow scored frame feeds both top-k
+    // windows — wall-clock and shuffle must stay linear in the corpus
+    time(s"marginAlign x$n corpus")(
+      SimilarityOps.marginAlign(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 4, acceptMilli = 1050L))
     // k-means IVF: training (3 iterations over the replicated corpus)
     // + assignment + probe — the per-iteration shuffle is k x dim rows
     // regardless of N, so this must track the corpus scan, not blow up
