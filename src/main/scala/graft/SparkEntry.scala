@@ -1595,6 +1595,40 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Release report (q147): the pre-release QA pass — 50 planted
+    // exact dups, PII on every 7th doc, the natural Gopher word-count
+    // split — rolled up per language AND in total via one cube.
+    "q147_release_report" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" contact a@b.co"))
+            .otherwise(lit(""))).as("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("lang"),
+          col("text")))
+      val flags = TextAnalysisOps.gopherRules(corpus, "doc_id", "text")
+      val dupW = Window.partitionBy(col("__sig")).orderBy(col("doc_id"))
+      val verdicts = corpus
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("__sig"),
+          (size(regexp_extract_all(col("text"),
+            lit(TextAnalysisOps.EmailPattern), lit(0))) > 0)
+            .as("has_pii"))
+        .withColumn("is_dup", row_number().over(dupW) > 1)
+        .join(flags.select(col("doc_id"), col("n_words"), col("pass")),
+          "doc_id")
+      verdicts.cube(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup").cast("long")).as("n_dups"),
+          sum(col("has_pii").cast("long")).as("n_pii"),
+          sum((!col("pass")).cast("long")).as("n_gate_fail"),
+          sum(col("n_words")).as("n_words"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang_key"),
+          col("n_docs"), col("n_dups"), col("n_pii"),
+          col("n_gate_fail"), col("n_words"))
+        .orderBy(col("lang_key"))
+    }),
+
     // Source overlap (q146): three views of the same docs — full
     // text, tokens 1-30, tokens 16-45 — so (a,b) and (a,c) overlap
     // structurally and (b,c) overlaps on the 16-30 window; k=32 slots
@@ -2761,18 +2795,28 @@ object SparkEntry {
       |  JOIN sh sb ON sb.doc_id = c.id_b)""".stripMargin)
 
   /** events-with-seconds CTE used by most event oracles. */
-  /** q124's Gopher-rule CTE chain (injection → parts → measures →
-    * per-rule flags in `f`), shared by the q124 flag dump and the q138
-    * funnel. */
-  private val GopherFlagCtes =
-    """WITH inj AS (
-      |  SELECT doc_id, text ||
+  /** Gopher-rule CTE chain (corpus body → parts → measures → per-rule
+    * flags in `f`) over a caller-supplied `(doc_id, text)` corpus.
+    * Shared by the q124 flag dump, the q138 funnel, and the q147
+    * release report. */
+  private def gopherFlagCtesFrom(corpusBody: String): String =
+    s"""WITH inj AS (
+      |$corpusBody),""".stripMargin + GopherFlagTail
+
+  /** q124/q138's corpus: the structurally injected documents.
+    * (lazy: [[GopherFlagTail]] is declared below — a strict val here
+    * would read it as null during object init). */
+  private lazy val GopherFlagCtes = gopherFlagCtesFrom(
+    """  SELECT doc_id, text ||
       |    CASE WHEN doc_id % 5 = 0 THEN e'\n- b one\n- b two\n- b three\n- b four\n- b five\n- b six\n- b seven\n- b eight\n- b nine\n- b ten' ELSE '' END ||
       |    CASE WHEN doc_id % 7 = 0 THEN e'\nto be continued...' ELSE '' END ||
       |    CASE WHEN doc_id % 11 = 0 THEN ' ### ## #' ELSE '' END ||
       |    CASE WHEN doc_id % 13 = 0 THEN ' 123 456 789 101 112 131 415 161 718 192 021 222' ELSE '' END
       |    AS text
-      |  FROM documents),
+      |  FROM documents""".stripMargin)
+
+  private val GopherFlagTail =
+    """
       |parts AS (
       |  SELECT doc_id,
       |    string_split_regex(text, '\s+') AS toks,
@@ -3243,6 +3287,45 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // The q147 corpus through the parameterized Gopher chain; dup and
+    // PII verdicts from a parallel meta CTE over the SAME corpus body;
+    // GROUPING SETS (lang),() mirrors the cube.
+    "q147_release_report" -> (gopherFlagCtesFrom(
+      """  SELECT doc_id, lang, text FROM (
+        |    WITH base AS (
+        |      SELECT doc_id, lang, text ||
+        |        CASE WHEN doc_id % 7 = 0 THEN ' contact a@b.co'
+        |          ELSE '' END AS text
+        |      FROM documents)
+        |    SELECT doc_id, lang, text FROM base
+        |    UNION ALL
+        |    SELECT doc_id + 10000 AS doc_id, lang, text FROM base
+        |    WHERE doc_id < 50)""".stripMargin) + s""",
+meta AS (
+  SELECT doc_id, lang, md5(text) AS sig,
+    len(regexp_extract_all(text,
+      '${TextAnalysisOps.EmailPattern}')) > 0 AS has_pii
+  FROM inj),
+dup AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY sig ORDER BY doc_id) > 1 AS is_dup
+  FROM meta),
+v AS (
+  SELECT m.lang, d.is_dup, m.has_pii,
+    NOT (f.f_word_count AND f.f_mean_word_len AND f.f_symbol_ratio
+      AND f.f_bullet_lines AND f.f_ellipsis_lines AND f.f_alpha_words
+      AND f.f_stopwords) AS gate_fail,
+    f.n_words
+  FROM f JOIN meta m USING (doc_id) JOIN dup d USING (doc_id))
+SELECT coalesce(lang, 'ALL') AS lang_key,
+  count(*)::BIGINT AS n_docs,
+  sum(is_dup::INT)::BIGINT AS n_dups,
+  sum(has_pii::INT)::BIGINT AS n_pii,
+  sum(gate_fail::INT)::BIGINT AS n_gate_fail,
+  sum(n_words)::BIGINT AS n_words
+FROM v GROUP BY GROUPING SETS ((lang), ())
+ORDER BY lang_key"""),
 
     // The three text views, per-(src, slot) mins, pairwise slot
     // agreement over 32 slots.

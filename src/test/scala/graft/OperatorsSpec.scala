@@ -1604,6 +1604,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("q147 release report: language rows reconcile exactly with the " +
+      "ALL row on every column") {
+    val rows = SparkEntry.queries("q147_release_report")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getLong)).toMap
+    val all = rows("ALL")
+    val langs = rows.filterNot(_._1 == "ALL").values
+    (0 until 5).foreach { i =>
+      assert(langs.map(_(i)).sum == all(i),
+        s"column $i: per-lang sum != ALL in $rows")
+    }
+    assert(all(1) > 0L && all(2) > 0L, "dups and PII must be planted")
+  }
+
   test("sourceSimilarity: identical sources score exactly 1000 milli, " +
       "disjoint sources exactly 0, overlap lands between") {
     import graft.operators.DedupOps
