@@ -557,6 +557,24 @@ object SparkEntry {
     // subset, so jaccard ≈ the kept fraction (doc_id%8+2)/10) populate
     // the mid deciles the natural corpus lacks, making the probe trace
     // the whole S-curve instead of just its tails.
+    // Precision twin of q118 (q148): same truncated-variant corpus,
+    // un-sampled; one aggregate over the verified candidate frame —
+    // how much of the verify stage the band geometry wastes.
+    "q148_minhash_precision_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val toksC = split(col("text"), " ")
+      val m = (col("doc_id") % 8) + 2
+      val variants = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(toksC, lit(1),
+            greatest(lit(3),
+              floor(size(toksC) * m / lit(10)).cast("int"))), " ")
+            .as("text"))
+      DedupOps.minhashPrecisionProbe(
+        docs.select(col("doc_id"), col("text")).unionByName(variants),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
     "q118_minhash_recall_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
       val toksC = split(col("text"), " ")
@@ -3657,6 +3675,29 @@ ORDER BY lang_key"""),
     // analytic prediction is the same left-associated multiplication
     // chain Spark builds (bit-identical doubles), micro-floored BEFORE
     // the sum so aggregation stays in the integer domain.
+    // q118's variant corpus (un-sampled) through the shared candidate
+    // CTEs; one aggregate over the verified jaccard column.
+    "q148_minhash_precision_probe" ->
+      ("WITH " + minhashCtesSqlFrom(
+        """SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |    array_to_string(t[1:GREATEST(3,
+          |      floor((len(t) * ((doc_id % 8) + 2)) / 10)::INT)], ' ')
+          |      AS text
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+          |        FROM documents WHERE text IS NOT NULL)
+          |  WHERE doc_id % 2 = 0""".stripMargin,
+        rowsPerBand = 2) + """
+        |SELECT count(*)::BIGINT AS n_candidates,
+        |  sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_true,
+        |  CASE WHEN count(*) = 0 THEN 1000 ELSE
+        |    CAST(floor((sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+        |      * 1000)::DOUBLE / count(*)::DOUBLE) AS BIGINT) END
+        |    AS precision_milli
+        |FROM j""".stripMargin),
+
     "q118_minhash_recall_probe" ->
       ("WITH " + minhashCtesSqlFrom(
         """SELECT doc_id, text FROM (

@@ -609,6 +609,31 @@ object DedupOps {
         max(col("n")).as("max_bucket"),
         sum(col("n") * (col("n") - 1)).as("pair_space_x2"))
 
+  /** Band-geometry PRECISION probe — the q118 recall probe's twin:
+    * of the candidate pairs the (k, rowsPerBand) banding emits, what
+    * fraction VERIFY at `threshold` exact Jaccard? Low precision means
+    * the geometry over-generates and the verify stage (the expensive
+    * part at scale) is mostly wasted work — the knob-tuning number to
+    * read next to recall before committing a dedup configuration.
+    * Empty candidate sets report precision 1000 (vacuously precise).
+    *
+    * Scale shape: one aggregate over [[minhashCandidates]]' already-
+    * verified candidate frame — no work beyond what the dedup itself
+    * pays. */
+  def minhashPrecisionProbe(docs: DataFrame, idCol: String,
+                            textCol: String, threshold: Double,
+                            shingleN: Int = 3, k: Int = 8,
+                            rowsPerBand: Int = 2): DataFrame =
+    minhashCandidates(docs, idCol, textCol, shingleN, k, rowsPerBand)
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L))
+          .as("n_true"))
+      .select(col("n_candidates"), col("n_true"),
+        when(col("n_candidates") === 0L, lit(1000L))
+          .otherwise(floor((col("n_true") * 1000L).cast("double") /
+            col("n_candidates").cast("double")).cast("long"))
+          .as("precision_milli"))
+
   /** CORPUS-level minhash sketch: one (slot, min-hash) row per slot,
     * where slot i holds `min over all shingles of md5(s || '|i')` (the
     * q31 per-doc scheme lifted to the whole corpus). The point is the

@@ -1604,6 +1604,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx("web") - 70L) <= 20L)
   }
 
+  test("minhashPrecisionProbe: exact copies verify, weak candidates " +
+      "count against precision, empty candidate set is vacuously 1000") {
+    import graft.operators.DedupOps
+    // pairs of exact copies (always candidates, always verify) plus
+    // singletons that can only pair spuriously
+    val texts = (0 until 12).map(i =>
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i")
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      texts.take(6).zipWithIndex.map { case (t, i) =>
+        (100L + i, t) }) // 6 exact dups
+      .toDF("doc_id", "text")
+    val r = DedupOps.minhashPrecisionProbe(docs, "doc_id", "text", 0.9)
+      .collect()(0)
+    assert(r.getLong(1) >= 6L, s"exact copies must verify: $r")
+    assert(r.getLong(1) <= r.getLong(0))
+    // no candidates at all: distinct vocabularies, precision vacuous
+    val lonely = Seq((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    val e = DedupOps.minhashPrecisionProbe(lonely, "doc_id", "text", 0.5)
+      .collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(2) == 1000L, e.toString)
+  }
+
   test("q147 release report: language rows reconcile exactly with the " +
       "ALL row on every column") {
     val rows = SparkEntry.queries("q147_release_report")(spark,
