@@ -1649,8 +1649,8 @@ object SparkEntry {
 
     // Source overlap (q146): three views of the same docs — full
     // text, tokens 1-30, tokens 16-45 — so (a,b) and (a,c) overlap
-    // structurally and (b,c) overlaps on the 16-30 window; k=32 slots
-    // make the agreement estimates stable.
+    // structurally and (b,c) overlaps on the 16-30 window; k=16 slots
+    // (matching the oracle) keep the agreement estimates stable.
     "q146_source_overlap" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
       val toks = split(col("text"), " ")
@@ -3346,7 +3346,7 @@ FROM v GROUP BY GROUPING SETS ((lang), ())
 ORDER BY lang_key"""),
 
     // The three text views, per-(src, slot) mins, pairwise slot
-    // agreement over 32 slots.
+    // agreement over 16 slots.
     "q146_source_overlap" ->
       """WITH d0 AS (SELECT text FROM documents WHERE doc_id < 200),
         |corpus AS (
@@ -3997,24 +3997,29 @@ ORDER BY lang_key"""),
         |      sqrt(list_sum(list_transform(qv, x -> x * x))) AS na,
         |      sqrt(list_sum(list_transform(cv, x -> x * x))) AS nb
         |    FROM q, c)),
-        |tq AS (
-        |  SELECT query_id, cand_id, cos, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rq
+        |sm AS (
+        |  SELECT query_id, cand_id, cos,
+        |    CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
         |  FROM scored),
-        |aq AS (SELECT query_id, sum(cos) AS sq FROM tq
+        |tq AS (
+        |  SELECT query_id, cand_id, cos, cos_micro, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rq
+        |  FROM sm),
+        |aq AS (SELECT query_id, sum(cos_micro) AS sq FROM tq
         |       WHERE rq <= 4 GROUP BY query_id),
         |tc AS (
-        |  SELECT query_id, cand_id, cos, row_number() OVER
+        |  SELECT query_id, cand_id, cos_micro, row_number() OVER
         |    (PARTITION BY cand_id ORDER BY cos DESC, query_id) AS rc
-        |  FROM scored),
-        |ac AS (SELECT cand_id, sum(cos) AS sc FROM tc
+        |  FROM sm),
+        |ac AS (SELECT cand_id, sum(cos_micro) AS sc FROM tc
         |       WHERE rc <= 4 GROUP BY cand_id),
-        |b AS (SELECT query_id, cand_id, cos FROM tq WHERE rq = 1)
+        |b AS (SELECT query_id, cand_id, cos, cos_micro FROM tq
+        |      WHERE rq = 1)
         |SELECT b.query_id, b.cand_id, b.cos,
-        |  CAST(floor(8000.0 * b.cos / (sq + sc)) AS BIGINT)
-        |    AS margin_milli,
-        |  CAST(floor(8000.0 * b.cos / (sq + sc)) AS BIGINT) >= 1050
-        |    AS accepted
+        |  CAST(floor(8000.0 * b.cos_micro / CAST(sq + sc AS DOUBLE))
+        |    AS BIGINT) AS margin_milli,
+        |  CAST(floor(8000.0 * b.cos_micro / CAST(sq + sc AS DOUBLE))
+        |    AS BIGINT) >= 1050 AS accepted
         |FROM b JOIN aq USING (query_id) JOIN ac USING (cand_id)
         |ORDER BY query_id""".stripMargin,
 
@@ -4290,7 +4295,9 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, text,
-        |    regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}') AS cands
+        |    regexp_extract_all(text,
+        |      '(^|[^0-9])([0-9](?:[ -]?[0-9]){12,18})([^0-9]|$)', 2)
+        |      AS cands
         |  FROM inj),
         |v AS (
         |  SELECT doc_id, text, cands,
@@ -4313,7 +4320,9 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  FROM c)
         |SELECT doc_id,
         |  substr(md5(CASE WHEN len(valid) >= 1
-        |    THEN replace(text, valid[1], '<CARD>') ELSE text END), 1, 16)
+        |    THEN regexp_replace(text,
+        |      '(^|[^0-9])' || valid[1] || '([^0-9]|$)',
+        |      '\1<CARD>\2', 'g') ELSE text END), 1, 16)
         |    AS scrub_sig,
         |  len(cands) AS n_candidates,
         |  len(valid) AS n_valid
@@ -4420,7 +4429,8 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |cd AS (
         |  SELECT doc_id, n_urls, n_emails, t1,
         |    list_filter(regexp_extract_all(t1,
-        |      '${TextAnalysisOps.CardPattern}'), c -> (
+        |      '(^|[^0-9])(${TextAnalysisOps.CardPattern})([^0-9]|$$)',
+        |      2), c -> (
         |      list_sum(list_transform(
         |        range(1, length(regexp_replace(c, '[ -]', '', 'g')) + 1),
         |        p -> CASE WHEN p % 2 = 0
@@ -4440,31 +4450,42 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |s2 AS (
         |  SELECT doc_id, n_urls, n_emails, len(cardok) AS n_cards,
         |    CASE WHEN len(cardok) >= 1
-        |      THEN replace(t1, cardok[1], '<CARD>') ELSE t1 END AS t2
+        |      THEN regexp_replace(t1,
+        |        '(^|[^0-9])' || cardok[1] || '([^0-9]|$$)',
+        |        '\\1<CARD>\\2', 'g') ELSE t1 END AS t2
         |  FROM cd),
         |ipx AS (
         |  SELECT doc_id, n_urls, n_emails, n_cards, t2,
         |    list_filter(regexp_extract_all(t2,
-        |      '${TextAnalysisOps.Ipv4Pattern}'),
+        |      '(^|[^0-9.])(${TextAnalysisOps.Ipv4Pattern})([^0-9.]|$$)',
+        |      2),
         |      c -> len(list_filter(string_split(c, '.'),
         |        o -> o::INT > 255)) = 0) AS ipok
         |  FROM s2),
         |s3 AS (
         |  SELECT doc_id, n_urls, n_emails, n_cards, len(ipok) AS n_ips,
         |    CASE WHEN len(ipok) >= 1
-        |      THEN replace(t2, ipok[1], '<IP>') ELSE t2 END AS t3
+        |      THEN regexp_replace(t2,
+        |        '(^|[^0-9.])' || replace(ipok[1], '.', '\\.')
+        |          || '([^0-9.]|$$)',
+        |        '\\1<IP>\\2', 'g') ELSE t2 END AS t3
         |  FROM ipx),
         |phx AS (
         |  SELECT doc_id, n_urls, n_emails, n_cards, n_ips, t3,
         |    list_filter(regexp_extract_all(t3,
-        |      '${TextAnalysisOps.PhonePattern}'),
+        |      '(^|[^0-9])(${TextAnalysisOps.PhonePattern})([^0-9]|$$)',
+        |      2),
         |      c -> (c LIKE '+%' OR regexp_matches(c, '[- .()]'))
         |        AND NOT regexp_matches(c,
         |          '^[0-9]{4}([ -][0-9]{4}){1,4}$$')) AS phok
         |  FROM s3)
         |SELECT doc_id,
         |  substr(md5(CASE WHEN len(phok) >= 1
-        |    THEN replace(t3, phok[1], '<PHONE>') ELSE t3 END), 1, 16)
+        |    THEN regexp_replace(t3,
+        |      '(^|[^0-9])' || replace(replace(replace(replace(
+        |        phok[1], '.', '\\.'), '+', '\\+'), '(', '\\('),
+        |        ')', '\\)') || '([^0-9]|$$)',
+        |      '\\1<PHONE>\\2', 'g') ELSE t3 END), 1, 16)
         |    AS scrub_sig,
         |  n_urls, n_emails, n_cards, n_ips, len(phok) AS n_phones
         |FROM phx ORDER BY doc_id""".stripMargin),
@@ -4508,7 +4529,8 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |st AS (
         |  SELECT doc_id, fetch_ts,
         |    regexp_replace(regexp_replace(cu0,
-        |      '(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&', '', 'g'),
+        |      '([?&])(?:(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&)+',
+        |      '\1', 'g'),
         |      '[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$', '')
         |      AS canonical_url
         |  FROM c),
@@ -4536,7 +4558,8 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |ip AS (
         |  SELECT doc_id, text,
         |    regexp_extract_all(text,
-        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') AS ipc
+        |      '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})([^0-9.]|$)',
+        |      2) AS ipc
         |  FROM inj),
         |ipv AS (
         |  SELECT doc_id, text, ipc,
@@ -4546,13 +4569,16 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |s1 AS (
         |  SELECT doc_id, ipc, ipok,
         |    CASE WHEN len(ipok) >= 1
-        |      THEN replace(text, ipok[1], '<IP>') ELSE text END AS t1
+        |      THEN regexp_replace(text,
+        |        '(^|[^0-9.])' || replace(ipok[1], '.', '\.')
+        |          || '([^0-9.]|$)',
+        |        '\1<IP>\2', 'g') ELSE text END AS t1
         |  FROM ipv),
         |ph AS (
         |  SELECT doc_id, ipc, ipok, t1,
         |    regexp_extract_all(t1,
-        |      '\+?[0-9]{1,3}[- .]?\(?[0-9]{2,4}\)?[- .]?[0-9]{3,4}[- .]?[0-9]{3,4}')
-        |      AS phc
+        |      '(^|[^0-9])(\+?[0-9]{1,3}[- .]?\(?[0-9]{2,4}\)?[- .]?[0-9]{3,4}[- .]?[0-9]{3,4})([^0-9]|$)',
+        |      2) AS phc
         |  FROM s1),
         |phv AS (
         |  SELECT doc_id, ipc, ipok, t1, phc,
@@ -4563,7 +4589,11 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |  FROM ph)
         |SELECT doc_id,
         |  substr(md5(CASE WHEN len(phok) >= 1
-        |    THEN replace(t1, phok[1], '<PHONE>') ELSE t1 END), 1, 16)
+        |    THEN regexp_replace(t1,
+        |      '(^|[^0-9])' || replace(replace(replace(replace(
+        |        phok[1], '.', '\.'), '+', '\+'), '(', '\('), ')', '\)')
+        |        || '([^0-9]|$)',
+        |      '\1<PHONE>\2', 'g') ELSE t1 END), 1, 16)
         |    AS scrub_sig,
         |  len(ipc) AS n_ip_candidates, len(ipok) AS n_ips,
         |  len(phc) AS n_phone_candidates, len(phok) AS n_phones
@@ -5679,20 +5709,21 @@ j AS (
     (VALUES (0), (1), (2), (3), (4)) o(off)),
 d AS (
   SELECT r.query_id,
-    sum(coalesce(j.rel_milli, 0)::DOUBLE /
-      ln((r.rank + 1)::DOUBLE)) AS dcg
+    sum(CAST(floor(coalesce(j.rel_milli, 0)::DOUBLE * 1000000.0 /
+      ln((r.rank + 1)::DOUBLE)) AS BIGINT)) AS dcg
   FROM res r LEFT JOIN j USING (query_id, doc_id)
   WHERE r.rank <= 10 GROUP BY r.query_id),
 i AS (
   SELECT query_id,
-    sum(rel_milli::DOUBLE / ln((irk + 1)::DOUBLE)) AS idcg
+    sum(CAST(floor(rel_milli::DOUBLE * 1000000.0 /
+      ln((irk + 1)::DOUBLE)) AS BIGINT)) AS idcg
   FROM (SELECT query_id, doc_id, rel_milli, row_number() OVER
       (PARTITION BY query_id ORDER BY rel_milli DESC, doc_id ASC)
       AS irk
     FROM j)
   WHERE irk <= 10 GROUP BY query_id)
 SELECT query_id,
-  CAST(floor(1000000.0 * dcg / idcg) AS BIGINT) AS ndcg_micro
+  CAST((1000000 * dcg) // idcg AS BIGINT) AS ndcg_micro
 FROM d JOIN i USING (query_id) ORDER BY query_id"""),
 
     // The q79 pipeline with the df-cap WHERE engaged.

@@ -662,11 +662,17 @@ object DedupOps {
         col("slot").cast("string")))).as("min_hash"))
   }
 
-  /** Slotwise merge of two NON-EMPTY corpus sketches (the union law —
-    * see [[corpusMinhash]]). */
+  /** Slotwise merge of two corpus sketches (the union law — see
+    * [[corpusMinhash]]). A FULL OUTER join with coalesce, not inner:
+    * an empty shard (no shingles — e.g. a day with no documents)
+    * yields zero slot rows, and an inner join would silently drop
+    * every slot of the other side instead of behaving as the identity
+    * element of the merge monoid. `least` ignores the null from a
+    * one-sided slot, so `merge(sketch, empty) = sketch` exactly. */
   def mergeCorpusMinhash(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("slot"), col("min_hash").as("__ha"))
-      .join(b.select(col("slot"), col("min_hash").as("__hb")), "slot")
+      .join(b.select(col("slot"), col("min_hash").as("__hb")),
+        Seq("slot"), "full_outer")
       .select(col("slot"),
         least(col("__ha"), col("__hb")).as("min_hash"))
 

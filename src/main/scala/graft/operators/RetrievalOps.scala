@@ -105,7 +105,13 @@ object RetrievalOps {
     * (query_id, doc_id, rel_milli) graded relevance. DCG uses the
     * natural log — the base cancels in the DCG/IDCG ratio, and `ln`
     * is the identical AST on both engines. Per-query NDCG ships in
-    * floor-micro units.
+    * floor-micro units. Each DCG TERM is floored to integer
+    * micro-units BEFORE the sum (the q42 discipline): double addition
+    * is accumulation-order sensitive, so summing raw doubles could
+    * land a boundary case differently under Spark's partial
+    * aggregation than under the single-threaded oracle. The final
+    * ratio is exact long arithmetic (1e6·dcg ≤ ~3e16 fits a long;
+    * all terms are non-negative so truncating division IS floor).
     *
     * Scale shape: results are top-k-sized, judgments qrels-sized —
     * both orders of magnitude below the corpus; one narrow join, one
@@ -116,18 +122,21 @@ object RetrievalOps {
     val dcg = results.filter(col("rank") <= k)
       .join(judgments, Seq("query_id", "doc_id"), "left")
       .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("rel_milli"), lit(0L)).cast("double") /
-        log((col("rank") + 1).cast("double"))).as("dcg"))
+      .agg(sum(floor(coalesce(col("rel_milli"), lit(0L))
+          .cast("double") * lit(1000000.0) /
+          log((col("rank") + 1).cast("double"))).cast("long"))
+        .as("dcg"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rel_milli").desc, col("doc_id").asc)
     val idcg = judgments.withColumn("irk", row_number().over(w))
       .filter(col("irk") <= k)
       .groupBy(col("query_id"))
-      .agg(sum(col("rel_milli").cast("double") /
-        log((col("irk") + 1).cast("double"))).as("idcg"))
+      .agg(sum(floor(col("rel_milli").cast("double") * lit(1000000.0) /
+          log((col("irk") + 1).cast("double"))).cast("long"))
+        .as("idcg"))
     dcg.join(idcg, "query_id")
       .select(col("query_id"),
-        floor(lit(1000000.0) * col("dcg") / col("idcg"))
-          .cast("long").as("ndcg_micro"))
+        expr("(1000000L * dcg) div idcg").cast("long")
+          .as("ndcg_micro"))
   }
 }

@@ -306,8 +306,16 @@ object SamplingOps {
                          alpha: Double = 0.5,
                          exact: Boolean = true): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Cast to string (a non-string source column would ClassCastException
+    // in getString) and reject nulls up front — a null source would
+    // otherwise surface later as an opaque mixtureBalance key failure.
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"temperatureMixture: null value in source column '$sourceCol'")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
     val rMicro: Map[String, Long] = counts.map { case (s, n) =>
       val r = if (alpha == 0.5) math.sqrt(n.toDouble)
               else math.pow(n.toDouble, alpha)

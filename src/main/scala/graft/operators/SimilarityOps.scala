@@ -160,9 +160,19 @@ object SimilarityOps {
       toDouble(col(vecCol)).as("cv"))
     val rawCos = graft.functions.VectorExpressions.cosine(col("qv"),
       col("cv"))
+    // Accumulate in integer MICRO-units, not doubles: a double sum is
+    // accumulation-order sensitive, and a ratio landing exactly on a
+    // floor boundary could then diverge between Spark's partial
+    // aggregation and the single-threaded oracle. Per-row quantize
+    // (floor before aggregate, stay integer — the q42 discipline),
+    // then every sum is exact long arithmetic. The numerator
+    // 2000·k·cos_micro ≤ 8e9 is double-exact, so the final ratio is
+    // one IEEE division on identical operands in both engines.
     val scored = c.join(broadcast(q))
       .select(col("query_id"), col("cand_id"),
         round(rawCos, 6).as("cos"))
+      .withColumn("cos_micro",
+        floor(col("cos") * lit(1000000.0) + lit(0.5)).cast("long"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     val wc = Window.partitionBy(col("cand_id"))
@@ -170,15 +180,16 @@ object SimilarityOps {
     val topQ = scored.withColumn("rq", row_number().over(wq))
       .filter(col("rq") <= k)
     val avgQ = topQ.groupBy(col("query_id"))
-      .agg(sum(col("cos")).as("sq"))
+      .agg(sum(col("cos_micro")).as("sq"))
     val avgC = scored.withColumn("rc", row_number().over(wc))
       .filter(col("rc") <= k)
-      .groupBy(col("cand_id")).agg(sum(col("cos")).as("sc"))
+      .groupBy(col("cand_id")).agg(sum(col("cos_micro")).as("sc"))
     topQ.filter(col("rq") === 1).drop("rq")
       .join(avgQ, "query_id")
       .join(avgC, "cand_id")
       .select(col("query_id"), col("cand_id"), col("cos"),
-        floor(lit(2000.0 * k) * col("cos") / (col("sq") + col("sc")))
+        floor(lit(2000.0 * k) * col("cos_micro") /
+          (col("sq") + col("sc")).cast("double"))
           .as("margin_milli"))
       .withColumn("accepted", col("margin_milli") >= acceptMilli)
   }

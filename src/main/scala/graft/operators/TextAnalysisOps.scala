@@ -249,17 +249,24 @@ object TextAnalysisOps {
     * failures (order ids, phone numbers, serials) are counted but left
     * intact, the precision/recall trade every PII pass at corpus scale
     * has to make (regex-only scrubbing mangles ~10x more non-PII).
+    * The replace is boundary-guarded and position-faithful (digit
+    * lookarounds around the `\Q…\E`-quoted candidate) so a candidate
+    * that is a PREFIX of a longer digit run elsewhere in the doc never
+    * clips it — see [[scrubContacts]] for the rationale.
     * Single projection: candidates, validation, and the replace fold
     * all live inside the row. */
   def scrubCards(docs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    val cands = regexp_extract_all(col(textCol), lit(CardPattern), lit(0))
+    val cands = regexp_extract_all(col(textCol),
+      lit(CardPatternGuarded), lit(0))
     val valid = filter(cands,
       c => luhnValid(regexp_replace(c, "[ -]", "")))
     docs.select(
       col(idCol),
       aggregate(valid, col(textCol),
-        (acc, c) => replace(acc, c, lit("<CARD>"))).as("scrubbed"),
+        (acc, c) => regexp_replace(acc,
+          concat(lit("(?<![0-9])\\Q"), c, lit("\\E(?![0-9])")),
+          lit("<CARD>"))).as("scrubbed"),
       size(cands).as("n_candidates"),
       size(valid).as("n_valid"))
   }
@@ -273,6 +280,22 @@ object TextAnalysisOps {
   /** Dotted-quad candidate; octet RANGE is validated separately (regex
     * alternations for 0-255 differ subtly across engines). */
   val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Boundary-guarded extraction forms (Java lookarounds): a candidate
+    * that is a SUB-RUN of a longer digit run is not PII at all — a
+    * 16-digit run inside a 20-digit serial is not a card, a
+    * phone-shaped prefix of a longer run is not a phone, a quad inside
+    * `1.2.3.4.5` is not an IP. Guarding at EXTRACTION (not just at
+    * replace) keeps candidate counts honest and makes the scrub passes
+    * idempotent: an embedded pseudo-candidate is neither counted nor
+    * re-found by a second pass. The DuckDB oracles emulate the
+    * lookbehind (RE2 has none) with a consuming `(^|[^0-9])(…)([^0-9]|$)`
+    * group-2 extraction — exact whenever candidates are separated by
+    * at least one non-candidate character, the corpus discipline the
+    * fixtures pin. */
+  val CardPatternGuarded = "(?<![0-9])" + CardPattern + "(?![0-9])"
+  val PhonePatternGuarded = "(?<![0-9])" + PhonePattern + "(?![0-9])"
+  val Ipv4PatternGuarded = "(?<![0-9.])" + Ipv4Pattern + "(?![0-9.])"
 
   /** Phone context rule: a `+` prefix or at least one separator
     * (bare digit runs are ids/serials), and NOT a uniformly
@@ -296,21 +319,37 @@ object TextAnalysisOps {
     *    run is far more often an id/serial than a phone, and the
     *    Luhn-validated card run belongs to [[scrubCards]]).
     *
+    * Redaction is POSITION-FAITHFUL, not literal-substring: each valid
+    * candidate is replaced via a regex anchored with boundary
+    * lookarounds (`(?<![0-9.])…(?![0-9.])` for quads, digit guards for
+    * phones), with the candidate itself `\Q…\E`-quoted. A literal
+    * `replace` would also hit PREFIXES of longer runs — `10.0.0.7`
+    * elsewhere in the doc plus `10.0.0.71` would leave `<IP>1` — and
+    * partially scrub digit runs adjacent to a quad. A guarded
+    * candidate that only occurs embedded in a longer run (version
+    * strings like `1.2.3.4.5`) is counted valid but left intact — the
+    * precision-preserving direction.
+    *
     * Single projection: candidates, validation, and both replace folds
     * live inside the row — zero shuffle at any corpus size. */
   def scrubContacts(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
     val txt = col(textCol)
-    val ipCands = regexp_extract_all(txt, lit(Ipv4Pattern), lit(0))
+    val ipCands = regexp_extract_all(txt, lit(Ipv4PatternGuarded), lit(0))
     val ipValid = filter(ipCands, ip =>
       forall(split(ip, "\\."), o => o.cast("int") <= 255))
     val ipScrubbed = aggregate(ipValid, txt,
-      (acc, c) => replace(acc, c, lit("<IP>")))
-    val phCands = regexp_extract_all(ipScrubbed, lit(PhonePattern), lit(0))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("(?<![0-9.])\\Q"), c, lit("\\E(?![0-9.])")),
+        lit("<IP>")))
+    val phCands = regexp_extract_all(ipScrubbed,
+      lit(PhonePatternGuarded), lit(0))
     val phValid = filter(phCands, phoneContextValid(_))
     docs.select(col(idCol),
       aggregate(phValid, ipScrubbed,
-        (acc, c) => replace(acc, c, lit("<PHONE>"))).as("scrubbed"),
+        (acc, c) => regexp_replace(acc,
+          concat(lit("(?<![0-9])\\Q"), c, lit("\\E(?![0-9])")),
+          lit("<PHONE>"))).as("scrubbed"),
       size(ipCands).as("n_ip_candidates"),
       size(ipValid).as("n_ips"),
       size(phCands).as("n_phone_candidates"),
@@ -346,20 +385,29 @@ object TextAnalysisOps {
     val nEmails = size(regexp_extract_all(txt, lit(EmailPattern), lit(0)))
     val t1 = regexp_replace(
       regexp_replace(txt, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
-    val cardCands = regexp_extract_all(t1, lit(CardPattern), lit(0))
+    val cardCands = regexp_extract_all(t1, lit(CardPatternGuarded), lit(0))
     val cardValid = filter(cardCands,
       c => luhnValid(regexp_replace(c, "[ -]", "")))
+    // Same boundary-guarded, position-faithful replace discipline as
+    // [[scrubContacts]] — a literal replace would clip prefixes of
+    // longer digit runs elsewhere in the document.
     val t2 = aggregate(cardValid, t1,
-      (acc, c) => replace(acc, c, lit("<CARD>")))
-    val ipCands = regexp_extract_all(t2, lit(Ipv4Pattern), lit(0))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("(?<![0-9])\\Q"), c, lit("\\E(?![0-9])")),
+        lit("<CARD>")))
+    val ipCands = regexp_extract_all(t2, lit(Ipv4PatternGuarded), lit(0))
     val ipValid = filter(ipCands, ip =>
       forall(split(ip, "\\."), o => o.cast("int") <= 255))
     val t3 = aggregate(ipValid, t2,
-      (acc, c) => replace(acc, c, lit("<IP>")))
-    val phCands = regexp_extract_all(t3, lit(PhonePattern), lit(0))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("(?<![0-9.])\\Q"), c, lit("\\E(?![0-9.])")),
+        lit("<IP>")))
+    val phCands = regexp_extract_all(t3, lit(PhonePatternGuarded), lit(0))
     val phValid = filter(phCands, phoneContextValid(_))
     val t4 = aggregate(phValid, t3,
-      (acc, c) => replace(acc, c, lit("<PHONE>")))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("(?<![0-9])\\Q"), c, lit("\\E(?![0-9])")),
+        lit("<PHONE>")))
     docs.select(col(idCol), t4.as("scrubbed"),
       nUrls.as("n_urls"), nEmails.as("n_emails"),
       size(cardValid).as("n_cards"), size(ipValid).as("n_ips"),

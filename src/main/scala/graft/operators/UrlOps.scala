@@ -50,13 +50,19 @@ object UrlOps {
     * `gclid`) — the aggressive step on top of [[canonicalize]] that
     * URL-level DEDUP wants (two crawls of one page differ only in
     * campaign junk) but semantic canonicalization must not do. Two
-    * regex passes keep separators well-formed: params followed by `&`
-    * drop with their own trailing `&` (the leading `?`/`&` survives
-    * for the successor); any remaining tracking param is terminal and
-    * drops WITH its leading separator. */
+    * regex passes keep separators well-formed, and BOTH anchor the
+    * param name to its leading `?`/`&` separator so a longer param
+    * merely CONTAINING a tracking name (`xfbclid`, `myutm_x`) is
+    * never clipped. The first pass eats a whole RUN of consecutive
+    * tracking params in one match (`+` over `name=val&` units, no
+    * lookbehind — RE2 has none, keeping the DuckDB oracle
+    * expressible) so the separator a match consumes can't hide the
+    * next param; the leading `?`/`&` survives for the successor. Any
+    * remaining tracking param is terminal and drops WITH its leading
+    * separator. */
   def stripTrackingParams(url: Column): Column = {
     val mid = regexp_replace(url,
-      "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&", "")
+      "([?&])(?:(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&)+", "$1")
     regexp_replace(mid,
       "[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$", "")
   }

@@ -1685,6 +1685,21 @@ class OperatorsSpec extends AnyFunSuite {
       assert(merged == full, s"merge law broke at $m-way split")
       assert(full.size == 8)
     }
+    // the empty sketch is the identity element: a shard with no
+    // documents yields ZERO slot rows, and the merge must pass the
+    // other side through unchanged (inner join would drop every slot)
+    val full = DedupOps.corpusMinhash(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val empty = DedupOps.corpusMinhash(docs.limit(0), "text")
+    for (withEmpty <- Seq(
+        DedupOps.mergeCorpusMinhash(DedupOps.corpusMinhash(docs, "text"),
+          empty),
+        DedupOps.mergeCorpusMinhash(empty,
+          DedupOps.corpusMinhash(docs, "text")))) {
+      val got = withEmpty.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == full, "merge with the empty sketch must be identity")
+    }
   }
 
   test("ndcgAtK: the ideal order scores exactly 1e6; swapping the top " +
@@ -1972,6 +1987,21 @@ class OperatorsSpec extends AnyFunSuite {
         .toDF("doc_id", "url", "fetch_ts"),
       "doc_id", "url", "fetch_ts").collect()(0).getString(1)
     assert(mixed == "http://ex.org/p?keep=2", mixed)
+    // the tracking-name match is anchored to its separator: a longer
+    // param merely CONTAINING a tracking name is never clipped, and a
+    // RUN of consecutive tracking params drops in one piece
+    val adversarial = UrlOps.snapshotDedup(
+      Seq((10L, "http://ex.org/p?a=1&xfbclid=2&b=3", 1L),
+          (11L, "http://ex.org/p?myutm_x=9&gclid=1&utm_a=2&utm_b=3&id=4", 2L),
+          (12L, "http://ex.org/p?utm_a=1&utm_b=2", 3L))
+        .toDF("doc_id", "url", "fetch_ts"),
+      "doc_id", "url", "fetch_ts").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(adversarial(10L) == "http://ex.org/p?a=1&xfbclid=2&b=3",
+      adversarial(10L))
+    assert(adversarial(11L) == "http://ex.org/p?myutm_x=9&id=4",
+      adversarial(11L))
+    assert(adversarial(12L) == "http://ex.org/p", adversarial(12L))
   }
 
   test("hardNegatives: only cross-label neighbors rank, and the " +
