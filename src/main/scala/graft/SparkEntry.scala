@@ -1545,6 +1545,17 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Batched BPE training (q149): same corpus and merge budget as
+    // q85 but THREE disjoint merges adopted per counting round — the
+    // driver-sync cut that makes a 30k-merge training loop ~3x fewer
+    // Spark jobs. Disjointness keeps each adopted pair's freq exactly
+    // its sequential count.
+    "q149_bpe_batch_train" -> ((s, dir) => {
+      TokenizerOps.bpeTrain(t(s, dir, "documents"), "text", merges = 6,
+        batch = 3)
+        .orderBy(col("rank"))
+    }),
+
     // RAG chunking: 64-token windows, 16-token overlap, integer-domain
     // chunk count; the last window always reaches the document end.
     "q84_chunk_docs" -> ((s, dir) => {
@@ -2354,6 +2365,63 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY 1)""".stripMargin
     (head +: (1 to merges).map(iter)).mkString(",\n")
+  }
+
+  /** Batched-BPE oracle: the [[graft.operators.TokenizerOps.bpeTrain]]
+    * `batch > 1` round unrolled — rank pairs, keep the top `4·m`
+    * window, adopt candidates symbol-disjoint from every higher-ranked
+    * window candidate (a NOT EXISTS self-join, exactly the operator's
+    * rule), cap `m` per round, rewrite with the adopted merges (nested
+    * replaces; a missing adoption slot replaces the never-occurring
+    * `chr(7)` sentinel, a no-op). Rounds always adopt >= 1 (the rank-1
+    * pair has no higher-ranked blocker), so `rounds = merges` unrolls
+    * are always enough before the global `merges` cap. Every CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default, and with 2·m scalar
+    * subqueries per rewrite the inlined expansion is exponential in
+    * the round count (it exhausted file handles re-scanning the
+    * parquet source before this hint). */
+  private def bpeBatchCtesSql(rounds: Int, m: Int): String = {
+    def iter(n: Int): String = {
+      val p = n - 1
+      val rewrite = (1 to m).foldLeft("sym") { (acc, k) =>
+        s"""replace($acc,
+           |    coalesce((SELECT ' ' || l || ' ' || r || ' '
+           |      FROM a$n WHERE ark = $k), chr(7)),
+           |    coalesce((SELECT ' ' || l || r || ' '
+           |      FROM a$n WHERE ark = $k), chr(7)))""".stripMargin
+      }
+      s"""p$n AS MATERIALIZED (
+         |  SELECT u.pr['l'] AS l, u.pr['r'] AS r, sum(cnt)::BIGINT AS c
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(a)),
+         |      i -> {'l': a[i], 'r': a[i + 1]})) AS pr
+         |    FROM (SELECT string_split(trim(sym), ' ') AS a, cnt
+         |          FROM w$p)
+         |    WHERE len(a) >= 2) u
+         |  GROUP BY 1, 2),
+         |r$n AS MATERIALIZED (
+         |  SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l, r)
+         |    AS rk
+         |  FROM p$n ORDER BY c DESC, l, r LIMIT ${4 * m}),
+         |a$n AS MATERIALIZED (
+         |  SELECT l, r, c, row_number() OVER (ORDER BY rk) AS ark
+         |  FROM r$n a
+         |  WHERE NOT EXISTS (SELECT 1 FROM r$n b WHERE b.rk < a.rk
+         |    AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r))
+         |  ORDER BY rk LIMIT $m),
+         |w$n AS MATERIALIZED (
+         |  SELECT $rewrite AS sym, cnt
+         |  FROM w$p)""".stripMargin
+    }
+    val head =
+      """w0 AS (
+        |  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+        |      || ' ' AS sym,
+        |    count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    (head +: (1 to rounds).map(iter)).mkString(",\n")
   }
 
   /** dHash oracle CTEs: recompute the 64 gradient bits from the fixture
@@ -5586,6 +5654,18 @@ ${(1 to 6).map(n =>
         s"""SELECT $n::BIGINT AS rank, l AS "left", r AS "right", c AS freq FROM m$n""")
         .mkString("\nUNION ALL\n")}
 ) ORDER BY rank"""),
+
+    // Unrolled batched rounds; global rank = (round, in-round
+    // adoption) order, capped at the merge budget.
+    "q149_bpe_batch_train" -> (
+      s"""WITH ${bpeBatchCtesSql(6, 3)}
+SELECT row_number() OVER (ORDER BY it, ark)::BIGINT AS rank,
+  l AS "left", r AS "right", c AS freq
+FROM (
+${(1 to 6).map(n => s"SELECT $n AS it, ark, l, r, c FROM a$n")
+        .mkString("\nUNION ALL\n")}
+)
+ORDER BY rank LIMIT 6"""),
 
     // Same windows via range-unnest + inclusive list_slice; `//` is the
     // integer-domain twin of the Spark floor-division.

@@ -37,10 +37,29 @@ object TokenizerOps {
 
   /** Train `merges` BPE merges over the corpus; returns the merge
     * table (rank, left, right, freq) — `freq` is the pair's weighted
-    * count at adoption time. */
+    * count at adoption time.
+    *
+    * `batch` (default 1 = canonical sequential BPE) adopts up to
+    * `batch` merges per counting round — the public fast-BPE /
+    * BPE-dropout observation that most top pairs are independent, so
+    * shipping ONE winner to the driver per round is the last
+    * O(vocab) driver-round-trip in a training loop. The batch rule is
+    * deterministic and engine-mirrorable: rank candidates by
+    * (count DESC, left, right), keep the top `4·batch` window, adopt a
+    * candidate iff it shares NO symbol with ANY higher-ranked window
+    * candidate (conservative: blockers need not themselves be
+    * adopted — this keeps the rule a self-join, not a sequential
+    * scan), cap at `batch` per round. Disjoint symbol sets mean the
+    * batched rewrites commute and every adopted pair's count is
+    * EXACTLY what sequential BPE would have seen; the divergence from
+    * sequential is only that a batch cannot adopt a pair CREATED by
+    * an earlier merge of the same round. Driver sync (Spark jobs)
+    * drops ~batch×; `freq` is the count at the round's start. */
   def bpeTrain(docs: DataFrame, textCol: String,
-               merges: Int, checkpointEvery: Int = 50): DataFrame = {
+               merges: Int, checkpointEvery: Int = 50,
+               batch: Int = 1): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
+    require(batch >= 1, "batch must be positive")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -58,9 +77,14 @@ object TokenizerOps {
     // work) constant instead of re-running all k-1 prior rewrites at
     // iteration k (O(merges^2) total at real vocab sizes of ~30k)
     var pinned = words
-    for (rank <- 1 to merges) {
+    // checkpoint cadence in ROUNDS: lineage grows by <= batch replaces
+    // per round, so the same merge budget spans checkpointEvery merges
+    val ckptRounds = math.max(1, checkpointEvery / batch)
+    var round = 0
+    while (out.size < merges) {
+      round += 1
       val a = split(trim(col("sym")), " ")
-      val top = cur
+      val cands = cur
         .filter(size(a) >= 2)
         .select(col("cnt"), explode(transform(sequence(lit(1), size(a) - 1),
           i => struct(element_at(a, i).as("l"),
@@ -68,21 +92,34 @@ object TokenizerOps {
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      require(top.nonEmpty, s"corpus exhausted after ${rank - 1} merges")
-      val (l, r, c) = (top(0).getString(0), top(0).getString(1),
-        top(0).getLong(2))
-      out += Row(rank.toLong, l, r, c)
-      cur = cur.select(
-        replace(col("sym"), lit(s" $l $r "), lit(s" $l$r ")).as("sym"),
-        col("cnt"))
-      if (rank % checkpointEvery == 0 && rank < merges) {
+        .limit(4 * batch).collect()
+      require(cands.nonEmpty, s"corpus exhausted after ${out.size} merges")
+      // adopt iff symbol-disjoint from every HIGHER-RANKED window
+      // candidate (the rank-1 pair is always adopted), cap at `batch`
+      val adopted = cands.zipWithIndex.filter { case (cand, i) =>
+        val (cl, cr) = (cand.getString(0), cand.getString(1))
+        cands.take(i).forall { b =>
+          val (bl, br) = (b.getString(0), b.getString(1))
+          bl != cl && bl != cr && br != cl && br != cr
+        }
+      }.map(_._1).take(batch)
+      for (t <- adopted)
+        out += Row((out.size + 1).toLong, t.getString(0), t.getString(1),
+          t.getLong(2))
+      cur = adopted.foldLeft(cur) { (df, t) =>
+        val (l, r) = (t.getString(0), t.getString(1))
+        df.select(
+          replace(col("sym"), lit(s" $l $r "), lit(s" $l$r ")).as("sym"),
+          col("cnt"))
+      }
+      if (round % ckptRounds == 0 && out.size < merges) {
         cur = cur.cache()
         cur.count() // eager: materialize before dropping the predecessor
         pinned.unpersist()
         pinned = cur
       }
     }
+    out.dropRightInPlace(out.size - merges)
     pinned.unpersist()
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(out.asJava, StructType(Seq(

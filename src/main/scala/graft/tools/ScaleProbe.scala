@@ -214,6 +214,27 @@ object ScaleProbe {
     // distinct words only, so N should barely move the loop cost
     time(s"bpeTrain(4) x$n")(
       graft.operators.TokenizerOps.bpeTrain(docs, "text", merges = 4))
+    // q149: same budget, batched adoption — the point is DRIVER SYNC,
+    // so count jobs too: batch=4 must run ~4x fewer counting rounds
+    locally {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jl = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(jl)
+      for (b <- Seq(1, 4)) {
+        jobs.set(0)
+        time(s"bpeTrain(8,batch=$b) x$n")(
+          graft.operators.TokenizerOps.bpeTrain(docs, "text",
+            merges = 8, batch = b))
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext,
+          10000L)
+        println(s"[probe]   bpeTrain(8,batch=$b): ${jobs.get()} jobs")
+      }
+      spark.sparkContext.removeSparkListener(jl)
+    }
     // q87: hashing + integer dot product, one map-side-combined shuffle
     time(s"hashedLinearScore x$n")(
       graft.operators.ScoringOps.hashedLinearScore(docs, "doc_id",

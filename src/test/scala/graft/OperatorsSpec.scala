@@ -1041,6 +1041,71 @@ class OperatorsSpec extends AnyFunSuite {
       s"checkpointed training diverged: $ckpt vs $straight")
   }
 
+  test("bpeTrain batch: adopted merges are pairwise symbol-disjoint " +
+      "with exact sequential counts; driver jobs drop ~batch-fold") {
+    import graft.operators.TokenizerOps
+    // four independent high-frequency pairs (disjoint alphabets) plus
+    // overlap bait: 'ab' dominates, and the batch rule must NOT also
+    // adopt (b,c)-style pairs sharing a symbol with a higher-ranked
+    // candidate in the same round
+    val corpus = Seq(
+      (1L, "ab ab ab ab ab cd cd cd cd ef ef ef gh gh"),
+      (2L, "ab cd ef gh abc abc")).toDF("doc_id", "text")
+    val batched = TokenizerOps.bpeTrain(corpus, "text", merges = 4,
+      batch = 4).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // one round adopts all four disjoint pairs; 'abc' x2 contributes
+    // to (a,b) and adds the (b,c) candidate, which shares b with the
+    // top-ranked (a,b) and must be skipped
+    assert(batched.map(t => (t._2, t._3)).toSet ==
+      Set(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")),
+      s"expected the four disjoint pairs: ${batched.toSeq}")
+    assert(batched.find(t => (t._2, t._3) == (("a", "b"))).get._4 == 8L,
+      "freq must be the exact pre-round count")
+    // every adopted pair in any round is disjoint from the others —
+    // and with a fresh histogram the SEQUENTIAL trainer adopts the
+    // same four pairs here (independence), pinning batch soundness
+    val seq4 = TokenizerOps.bpeTrain(corpus, "text", merges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(seq4 == batched.map(t => (t._2, t._3)).toSet,
+      "independent pairs: batch and sequential must agree")
+    // driver-sync scaling: count Spark JOBS during training — the
+    // whole point of batching is ~batch-fold fewer counting rounds
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body } finally {
+        org.apache.spark.GraftListenerDrain.drain(
+          spark.sparkContext, 10000L)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      counter.get()
+    }
+    // 12 two-letter words over disjoint alphabets with strictly
+    // decreasing counts: every round has 4 adoptable candidates
+    val bigCorpus = Seq((1L,
+      Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st",
+        "uv", "wx").zipWithIndex
+        .flatMap { case (w, i) => Seq.fill(20 - i)(w) }.mkString(" ")))
+      .toDF("doc_id", "text")
+    val jSeq = jobsDuring {
+      TokenizerOps.bpeTrain(bigCorpus, "text", merges = 12).collect()
+    }
+    val jBatch = jobsDuring {
+      TokenizerOps.bpeTrain(bigCorpus, "text", merges = 12, batch = 4)
+        .collect()
+    }
+    assert(jBatch * 2 <= jSeq,
+      s"batch=4 must cut driver jobs at least 2x: $jBatch vs $jSeq")
+  }
+
   test("chunkDocs: windows cover every token, overlap is exact, the " +
       "last window reaches the end; short docs yield one chunk") {
     import graft.operators.TextAnalysisOps
