@@ -711,4 +711,181 @@ object DedupOps {
         floor((col("n_agree") * 1000L).cast("double") / lit(k.toDouble))
           .cast("long").as("jaccard_milli"))
   }
+
+  // ---------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003)
+  // ---------------------------------------------------------------
+
+  /** Winnowing document fingerprints — the MOSS local fingerprinting
+    * scheme: hash every word `k`-gram, slide a window of `w`
+    * consecutive hashes, and select each window's minimum (rightmost
+    * on ties). Guarantees: any shared run of ≥ `w + k − 1` tokens
+    * shares ≥ 1 fingerprint, and selected density is ~`2/(w+1)` — a
+    * position-aware sample minhash can't give (minhash fingerprints
+    * the SET; winnowing fingerprints every long-enough SPAN, so a
+    * plagiarized paragraph inside an otherwise-unrelated doc is
+    * caught).
+    *
+    * The rightmost-min tie-break is encoded ORDER-FREE for the
+    * window `min`: each gram becomes the sortable string
+    * `hash | zero-padded (10^9 − pos)` — smaller hash wins first,
+    * and among equal hashes the LARGER position (smaller complement)
+    * wins. One `min` over a `[pos, pos+w−1]` row frame + a distinct
+    * is the whole selection — identical SQL on both engines.
+    *
+    * Returns one row per selected fingerprint: (id, fp_pos, fp_hash).
+    *
+    * Scale shape: the gram stream is a projection; selection is one
+    * per-doc window (partition = doc — bounded by doc length, never
+    * corpus-wide) and a distinct sized by selected fingerprints
+    * (~2/(w+1) of grams). Docs shorter than `w` grams contribute
+    * their single overall min (the standard boundary convention). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, "k >= 1, w >= 1")
+    import graft.functions.TextExpressions.wordShingles
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(
+        wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"),
+        concat(md5(col("gram")), lit("|"),
+          lpad((lit(1000000000) - col("pos")).cast("string"), 10, "0"))
+          .as("keyed"))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    // same partitioning AND ordering as `frame`: both window ops ride
+    // one exchange + one sort (an unordered spec here would force a
+    // second sort of the gram stream)
+    val all = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // full windows select per-window minima; a doc with < w grams
+    // has no full window and falls back to its single overall min
+    val sel = grams
+      .withColumn("__wmin", min(col("keyed")).over(frame))
+      .withColumn("__wn", count(lit(1)).over(frame))
+      .withColumn("__gmin", min(col("keyed")).over(all))
+      .withColumn("__n", count(lit(1)).over(all))
+      .select(col("id"),
+        when(col("__n") < w, col("__gmin"))
+          .otherwise(when(col("__wn") === w, col("__wmin"))).as("fp"))
+      .filter(col("fp").isNotNull)
+      .distinct()
+    sel.select(col("id"),
+      (lit(1000000000) - substring(col("fp"), 34, 10).cast("int"))
+        .as("fp_pos"),
+      substring(col("fp"), 1, 32).as("fp_hash"))
+  }
+
+  /** Winnowing overlap report: per doc, how many of its fingerprints
+    * are shared with ≥ 1 other document, and with how many partner
+    * docs — the corpus-level "who copies whom" summary MOSS builds
+    * from the same fingerprints. `minPartnersFp` suppresses
+    * single-fingerprint coincidences.
+    *
+    * Scale shape: fingerprints join on fp_hash (the ~2/(w+1) sample,
+    * never the text); the per-hash doc-list pairing is bucket-bounded
+    * exactly like [[minhashCandidates]] (`maxBucket` caps degenerate
+    * boilerplate hashes — those belong to line dedup, not
+    * fingerprint overlap). */
+  def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, w: Int = 5,
+                    minSharedFp: Int = 2): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w).cache()
+    val maxBucket = 1000
+    val buckets = fp.select(col("fp_hash"), col("id")).distinct()
+      .groupBy(col("fp_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(col("fp_hash"), explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("fp_hash"), col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val partner = pairs.groupBy(col("id_a"))
+      .agg(countDistinct(col("id_b")).as("n_partners"),
+        countDistinct(col("fp_hash")).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minSharedFp)
+    fp.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+      .join(partner.withColumnRenamed("id_a", "id"), Seq("id"), "left")
+      .select(col("id"), col("n_fp"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+  }
+
+  // ---------------------------------------------------------------
+  // Edit-distance-verified fuzzy dedup
+  // ---------------------------------------------------------------
+
+  /** Fuzzy near-dup pairs verified by RELATIVE edit distance: LSH
+    * minhash candidates (the [[minhashCandidates]] geometry — never
+    * all pairs) re-verified with character-level Levenshtein, keeping
+    * pairs with `lev ≤ maxLevMilli/1000 × max(len_a, len_b)`. Jaccard
+    * over shingle SETS is blind to ORDER and local edits (a shuffled
+    * paragraph keeps its shingles); edit distance is the stricter
+    * "same text modulo small edits" criterion near-dup policies often
+    * want before dropping a doc. The gate is an integer
+    * cross-multiply (`lev·1000 ≤ maxLevMilli·maxlen`) — no float
+    * thresholds.
+    *
+    * Scale shape: candidate generation is the banded LSH pass; text
+    * moves ONLY for candidate pairs (two id-keyed joins), and the
+    * O(len²) Levenshtein runs once per candidate pair — bounded by
+    * the LSH bucket cap, never corpus-quadratic. For corpora with
+    * long documents, gate candidates on a length-ratio filter first
+    * (a pair whose lengths differ more than the edit budget can
+    * never pass — checked here before the Levenshtein evaluates). */
+  def editDistanceNearDups(docs: DataFrame, idCol: String,
+                           textCol: String,
+                           maxLevMilli: Int = 200): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol)
+    val texts = docs.select(col(idCol).as("__id"),
+      col(textCol).as("__text"), length(col(textCol)).as("__len"))
+    cand
+      .join(texts.select(col("__id").as("id_a"), col("__text").as("__ta"),
+        col("__len").as("__la")), Seq("id_a"))
+      .join(texts.select(col("__id").as("id_b"), col("__text").as("__tb"),
+        col("__len").as("__lb")), Seq("id_b"))
+      // length pre-gate: |la - lb| > budget ⇒ lev > budget, skip the
+      // quadratic evaluation entirely
+      .filter(abs(col("__la") - col("__lb")) * 1000 <=
+        lit(maxLevMilli) * greatest(col("__la"), col("__lb")))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        greatest(col("__la"), col("__lb")).cast("long").as("max_len"))
+      .withColumn("near_dup",
+        col("lev") * 1000L <= lit(maxLevMilli.toLong) * col("max_len"))
+  }
+
+  /** Leakage-safe train/val/test split: near-dup CLUSTER
+    * representatives (not individual docs) are hash-assigned to
+    * splits, so every member of a near-dup cluster lands in the SAME
+    * split — the split-contamination guard (a train doc's near-twin
+    * in the test split leaks evaluation signal). Composes the
+    * connected-components keeper from [[minhashNearDups]]-style pairs
+    * with q90's deterministic md5 bucketing, applied to the
+    * REPRESENTATIVE id.
+    *
+    * `pairs` carries verified (id_a, id_b) near-dup edges; docs not
+    * in any pair are their own representative. Assignment is q90's
+    * [[SamplingOps.hashSplit]] md5-threshold scheme, keyed on
+    * `rep | seed` — same machinery, leakage-safe key.
+    *
+    * Scale shape: the component computation is [[ClusterOps
+    * .connectedComponents]] (edge-sized — near-dup pairs, never the
+    * corpus); assignment is a projection on the representative hash;
+    * the corpus joins the (id → rep) map once on id (the map is
+    * pair-member-sized, broadcastable). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                       seed: String = "split1"): DataFrame = {
+    val reps = ClusterOps.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id"), col("rep"))
+    val withRep = docs.select(col(idCol).as("id"))
+      .join(reps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    SamplingOps.hashSplit(withRep,
+      concat(col("rep").cast("string"), lit("|"), lit(seed)),
+      trainFrac, valFrac)
+  }
+
 }

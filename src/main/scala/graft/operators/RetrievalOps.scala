@@ -139,4 +139,104 @@ object RetrievalOps {
         expr("(1000000L * dcg) div idcg").cast("long")
           .as("ndcg_micro"))
   }
+
+  /** MRR / success@k — the binary-relevance twins of [[ndcgAtK]]:
+    * per query, the rank of the FIRST relevant result in the top-k
+    * (`0` when none), its reciprocal in exact integer micro-units
+    * (`1000000 div rank` — the same value on any engine), whether
+    * the query succeeded at all, and how many relevant docs the
+    * top-k holds. `qrels` carries binary (query_id, doc_id) pairs.
+    * Queries with results but no qrel hit report first_rank = 0 —
+    * never dropped (a dropped query silently inflates the mean).
+    *
+    * Scale shape: results are top-k-sized, qrels judgment-sized —
+    * one narrow join + one tiny aggregate; the corpus is never
+    * touched. */
+  def mrrAtK(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    results.filter(col("rank") <= k)
+      .join(qrels.select(col("query_id"), col("doc_id"),
+        lit(1L).as("__rel")), Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(min(when(col("__rel").isNotNull, col("rank"))), lit(0L))
+          .cast("long").as("first_rank"),
+        sum(coalesce(col("__rel"), lit(0L))).as("n_relevant_in_k"))
+      .select(col("query_id"), col("first_rank"),
+        when(col("first_rank") > 0L,
+          expr("1000000L div first_rank")).otherwise(lit(0L))
+          .cast("long").as("rr_micro"),
+        (col("first_rank") > 0L).as("success"),
+        col("n_relevant_in_k"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval merge: each system contributes
+    * `1000000 div (K + rank)` per (query, doc) it ranks (K = 60, the
+    * published constant), absent docs contribute 0, and the fused
+    * top-k re-ranks by the summed score. Integer division keeps every
+    * contribution exact cross-engine; ties break on doc_id. The
+    * canonical use: fuse BM25 (lexical) with an embedding-cosine
+    * ranking (semantic) — RRF needs no score calibration between
+    * systems because only RANKS enter.
+    *
+    * Scale shape: inputs are per-system top-k frames (query-sized ×
+    * k), the union + sum + window all operate on that tiny frame —
+    * the corpus was already reduced by the upstream rankers. */
+  def rrfFuse(systems: Seq[DataFrame], k: Int = 10,
+              kRrf: Int = 60): DataFrame = {
+    require(systems.nonEmpty, "at least one system")
+    val contrib = systems.map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000 div ($kRrf + rank)").cast("long").as("__c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_micro"),
+        count(lit(1)).as("n_systems"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_micro"), col("n_systems"))
+  }
+
+  /** Hashed-embedding dense top-k — the semantic leg for [[rrfFuse]]
+    * without an external model: both queries and corpus go through
+    * the [[TextAnalysisOps.hashedEmbed]] bridge (integer token-count
+    * histograms over `dim` md5 buckets), cosine is the exact integer
+    * dot product over the two count vectors divided by the product of
+    * IEEE square roots (each correctly rounded — bit-identical
+    * cross-engine), floored to micro. Rank ties break on doc_id.
+    *
+    * Scale shape: query vectors broadcast into one scan of the corpus
+    * vectors (a projection chain — the histogram kernel is per-row);
+    * the only shuffle is the per-query top-k window over the scored
+    * frame. For corpora where |Q|·|C| scoring is too hot, swap the
+    * scan for the IVF/PQ path (q122/q123) — same frame contract. */
+  def hashedDenseTopK(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, qIdCol: String,
+                      qTextCol: String, k: Int = 10,
+                      dim: Int = 64): DataFrame = {
+    val dv = TextAnalysisOps.hashedEmbed(docs, idCol, textCol, dim)
+      .select(col(idCol).as("doc_id"), col("counts").as("__dc"),
+        col("norm2").as("__dn"))
+    val qv = TextAnalysisOps.hashedEmbed(queries, qIdCol, qTextCol, dim)
+      .select(col(qIdCol).as("query_id"), col("counts").as("__qc"),
+        col("norm2").as("__qn"))
+    val dot = aggregate(zip_with(col("__qc"), col("__dc"), _ * _),
+      lit(0L), (a, x) => a + x)
+    val scored = dv.crossJoin(broadcast(qv))
+      .filter(col("__dn") > 0L && col("__qn") > 0L)
+      .select(col("query_id"), col("doc_id"),
+        floor(dot.cast("double") * lit(1000000.0) /
+          (sqrt(col("__qn").cast("double")) *
+            sqrt(col("__dn").cast("double"))))
+          .cast("long").as("cos_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("cos_micro"))
+  }
 }

@@ -1634,4 +1634,231 @@ object TextAnalysisOps {
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(k)
   }
+
+  // ---------------------------------------------------------------
+  // Secrets scanning (code-corpus hygiene)
+  // ---------------------------------------------------------------
+
+  /** PEM private-key block: BEGIN ... END fence pair with any
+    * algorithm label (`RSA`, `EC`, `OPENSSH`, bare). RE2 has no
+    * backreferences, so the END label is matched independently —
+    * fine for well-formed fences, and a mismatched-label pair is
+    * exactly the kind of thing we WANT inside the redacted span.
+    * `[\s\S]*?` (non-greedy) spans newlines identically in Java and
+    * RE2 without needing a DOTALL flag. */
+  val KeyBlockPattern: String =
+    "-----BEGIN [A-Z ]{0,12}PRIVATE KEY-----[\\s\\S]*?" +
+      "-----END [A-Z ]{0,12}PRIVATE KEY-----"
+
+  /** AWS access-key id (public format: `AKIA` + 16 uppercase
+    * base-32-ish chars) and GitHub fine-grained token (`ghp_` + 36
+    * alnum). Both boundary-guarded so a candidate embedded in a
+    * longer identifier is neither counted nor clipped. */
+  val AwsKeyPattern = "AKIA[0-9A-Z]{16}"
+  val GhTokenPattern = "ghp_[A-Za-z0-9]{36}"
+  val AwsKeyGuarded = "(?<![A-Za-z0-9])" + AwsKeyPattern + "(?![A-Za-z0-9])"
+  val GhTokenGuarded = "(?<![A-Za-z0-9])" + GhTokenPattern + "(?![A-Za-z0-9])"
+
+  /** Generic long-hex candidate (SHA-1-length and up). Shape alone is
+    * not a secret — git commit ids and checksums are exactly this
+    * shape — so candidates pass a distinct-character gate before
+    * redaction (a real key's hex is near-uniform; `aaaa…` padding and
+    * degenerate fills are not). */
+  val HexRunPattern = "[0-9a-f]{40,}"
+  val HexRunGuarded = "(?<![0-9a-fA-F])" + HexRunPattern + "(?![0-9a-fA-F])"
+
+  private val HexChars: Seq[String] = "0123456789abcdef".map(_.toString)
+
+  /** Secrets scan + redaction over a (code) corpus — the
+    * credential-hygiene pass every public-code training set runs
+    * (the gitleaks/trufflehog category, re-expressed as one Spark
+    * projection). Four detectors, ordered so earlier redactions
+    * cannot feed later matchers:
+    *
+    *  1. PEM private-key BLOCKS (multiline) → `<KEYBLOCK>`;
+    *  2. AWS access-key ids → `<AWSKEY>`;
+    *  3. GitHub `ghp_` tokens → `<GHTOKEN>`;
+    *  4. 40+-char hex runs → `<HEXSECRET>`, gated on ≥ `minDistinctHex`
+    *     distinct hex chars (entropy proxy in the exact integer
+    *     domain — a Shannon estimate would be a cross-engine float);
+    *     low-diversity runs are counted but left intact.
+    *
+    * Detectors 1-3 are full-pattern replaces (the pattern IS the
+    * validator); detector 4 extracts candidates, gates them, and
+    * replace-folds each valid candidate `\Q…\E`-quoted with hex
+    * boundary guards — the [[scrubContacts]] discipline, so a
+    * candidate that is a sub-run of a longer hex run elsewhere never
+    * clips it.
+    *
+    * Scale shape: one pure projection — four candidate scans and the
+    * replace folds live inside the row; zero shuffle at any corpus
+    * size. */
+  def scanSecrets(docs: DataFrame, idCol: String, textCol: String,
+                  minDistinctHex: Int = 8): DataFrame = {
+    val txt = col(textCol)
+    val nBlocks = size(regexp_extract_all(txt, lit(KeyBlockPattern), lit(0)))
+    val t1 = regexp_replace(txt, KeyBlockPattern, "<KEYBLOCK>")
+    val nAws = size(regexp_extract_all(t1, lit(AwsKeyGuarded), lit(0)))
+    val t2 = regexp_replace(t1, AwsKeyGuarded, "<AWSKEY>")
+    val nGh = size(regexp_extract_all(t2, lit(GhTokenGuarded), lit(0)))
+    val t3 = regexp_replace(t2, GhTokenGuarded, "<GHTOKEN>")
+    val hexCands = regexp_extract_all(t3, lit(HexRunGuarded), lit(0))
+    val hexValid = filter(hexCands, c =>
+      size(filter(typedLit(HexChars), h => contains(c, h)))
+        >= minDistinctHex)
+    val t4 = aggregate(hexValid, t3, (acc, c) =>
+      regexp_replace(acc,
+        concat(lit("(?<![0-9a-fA-F])\\Q"), c, lit("\\E(?![0-9a-fA-F])")),
+        lit("<HEXSECRET>")))
+    docs.select(col(idCol), t4.as("scrubbed"),
+      nBlocks.as("n_key_blocks"), nAws.as("n_aws_keys"),
+      nGh.as("n_gh_tokens"),
+      size(hexCands).as("n_hex_candidates"),
+      size(hexValid).as("n_hex_secrets"))
+  }
+
+  // ---------------------------------------------------------------
+  // License / copyright signal detection
+  // ---------------------------------------------------------------
+
+  /** Copyright-notice shape on LOWERCASED text: `copyright`, an
+    * optional `(c)`/`©`, a 19xx/20xx year. No lookarounds — Java and
+    * RE2 agree on every span. */
+  val CopyrightPattern = "copyright\\s*(\\(c\\)\\s*|©\\s*)?(19|20)[0-9]{2}"
+
+  /** SPDX tag (the machine-readable license header code corpora key
+    * on). Case-sensitive by spec. */
+  val SpdxPattern = "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)"
+
+  /** License / copyright signal detection — the rights-filtering pass
+    * a responsibly-sourced corpus runs before training: detect the
+    * machine-readable SPDX tag, the big license-family mentions, and
+    * copyright-notice density, and emit a keep/flag verdict. Signal
+    * counts are substring occurrence counts over lowercased text
+    * (`(len - len(replace)) / len(marker)` — exact integer arithmetic
+    * on both engines); only the SPDX tag and the copyright-year shape
+    * use a regex (shared pattern, no lookarounds).
+    *
+    * Verdict: `flagged` when a restrictive signal is present
+    * (`all rights reserved`, a GPL-family mention, or any copyright
+    * notice WITHOUT a permissive license mention); permissive tags
+    * (MIT / Apache / CC / BSD) alone keep the doc. This is a
+    * curation SIGNAL, not legal advice — the frame is the auditable
+    * input to a policy filter.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def licenseSignals(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val low = lower(col(textCol))
+    def hits(marker: String): Column =
+      ((length(low) - length(replace(low, lit(marker), lit("")))) /
+        lit(marker.length)).cast("long")
+    val nCopyright =
+      size(regexp_extract_all(low, lit(CopyrightPattern), lit(0))).cast("long")
+    val spdxId = regexp_extract(col(textCol), SpdxPattern, 1)
+    val nMit = hits("mit license")
+    val nApache = hits("apache license")
+    val nCc = hits("creative commons")
+    val nBsd = hits("bsd license")
+    val nGpl = hits("general public license")
+    val nRights = hits("all rights reserved")
+    val permissive = nMit + nApache + nCc + nBsd >
+      0L or (spdxId.isin("MIT", "Apache-2.0", "BSD-3-Clause",
+        "CC-BY-4.0") && length(spdxId) > 0)
+    val restrictive = (nRights > 0L) or (nGpl > 0L) or
+      (nCopyright > 0L && !permissive)
+    docs.select(col(idCol),
+      when(length(spdxId) > 0, spdxId).otherwise(lit("")).as("spdx_id"),
+      nCopyright.as("n_copyright"),
+      nMit.as("n_mit"), nApache.as("n_apache"), nCc.as("n_cc"),
+      nGpl.as("n_gpl"), nRights.as("n_rights_reserved"),
+      when(restrictive, lit("flagged")).otherwise(lit("keep"))
+        .as("verdict"))
+  }
+
+  /** Corpus-level distinct-n diversity per source — the lexical
+    * diversity lens on a training mix (Li et al. 2016's distinct-n
+    * lifted from generations to corpora): for n ∈ {1, 2, 3}, the
+    * EXACT count of distinct word n-grams per source and its milli
+    * ratio to total n-grams. A source whose ratio collapses is
+    * template farm / boilerplate / degenerate-generation territory —
+    * the corpus-level complement of q46's per-doc repetition flags.
+    * Ratios are `distinct·1000 div total` — exact integers.
+    *
+    * Scale shape: one (source, ngram)-keyed aggregate per n, each
+    * with map-side partial combine (hot n-grams collapse before the
+    * exchange); output is sources × 3 rows. Exact distinct at 100 TB
+    * is a real keyed shuffle — when the exactness isn't needed, the
+    * q15 HLL-sketch twin (`approx_count_distinct`) drops the wire
+    * cost to sketch-size per (source, n). */
+  def distinctNgramDiversity(docs: DataFrame, sourceCol: String,
+                             textCol: String): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val perN = (1 to 3).map { n =>
+      docs.select(col(sourceCol).as("source"),
+          explode(wordShingles(tokens(col(textCol)), n)).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(col("source"), lit(n).as("n"), col("n_total"),
+          col("n_distinct"),
+          expr("n_distinct * 1000 div n_total").cast("long")
+            .as("distinct_milli"))
+    }
+    perN.reduce(_ unionByName _)
+  }
+
+  /** Code-vs-prose heuristic signals — the modality gate a mixed
+    * crawl needs before prose-only quality rules (Gopher/C4 verdicts
+    * are meaningless on source code; code quality has its own
+    * battery): per-doc line-shape features in the exact integer
+    * domain, and a milli-score verdict.
+    *
+    * Features (all per non-empty line or per char, milli ratios):
+    *  - `punct_line_milli`: lines ending in `;`, `{`, `}`, `)` — the
+    *    statement/block shape;
+    *  - `indent_line_milli`: lines starting with ≥ 2 spaces or a tab
+    *    — block structure;
+    *  - `symbol_char_milli`: `(){}[]=;<>` density over all chars;
+    *  - `keyword_hits`: occurrences of the cross-language keyword set
+    *    (`def`, `function`, `return`, `import`, `class`, `const`,
+    *    `var`) as whole tokens.
+    *
+    * Verdict `is_code`: score = punct + indent + symbol·2 +
+    * min(keyword_hits, 5)·40, is_code at ≥ 250 — thresholds are
+    * corpus-tuned constants, the FRAME is the contract (policies
+    * re-cut on the raw signals).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def codeProseSignals(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines), lit(1)).cast("long")
+    val punctLines = size(filter(lines,
+      l => rtrim(l).rlike("[;{})]$"))).cast("long")
+    val indentLines = size(filter(lines,
+      l => l.rlike("^(  |\\t)"))).cast("long")
+    val nChars = greatest(length(col(textCol)), lit(1)).cast("long")
+    val symChars = (length(col(textCol)) -
+      length(translate(col(textCol), "(){}[]=;<>", ""))).cast("long")
+    val kw = size(filter(tokens(col(textCol)), t =>
+      t.isin("def", "function", "return", "import", "class",
+        "const", "var"))).cast("long")
+    docs.select(col(idCol), punctLines.as("__punct"),
+        indentLines.as("__indent"), nLines.as("__nl"),
+        symChars.as("__sym"), nChars.as("__nc"), kw.as("keyword_hits"))
+      .select(col(idCol),
+        expr("__punct * 1000 div __nl").cast("long")
+          .as("punct_line_milli"),
+        expr("__indent * 1000 div __nl").cast("long")
+          .as("indent_line_milli"),
+        expr("__sym * 1000 div __nc").cast("long")
+          .as("symbol_char_milli"),
+        col("keyword_hits"))
+      .withColumn("code_score_milli",
+        (col("punct_line_milli") + col("indent_line_milli") +
+          col("symbol_char_milli") * 2L +
+          least(col("keyword_hits"), lit(5L)) * 40L).cast("long"))
+      .withColumn("is_code", col("code_score_milli") >= 250L)
+  }
 }
