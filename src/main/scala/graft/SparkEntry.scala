@@ -1725,6 +1725,64 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // CCNet perplexity thirds (q159): the corpus's own interpolated
+    // bigram LM scores every doc; head/middle/tail by exact global
+    // rank — the quality cut CCNet applies before training.
+    "q159_ppl_buckets" -> ((s, dir) => {
+      TextAnalysisOps.perplexityBuckets(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Crawl-compliance metadata (q160): q75's synthetic page wrap
+    // plus robots/canonical slices — noindex pages must flag, the
+    // canonical link must surface for URL dedup.
+    "q160_html_meta" -> ((s, dir) => {
+      val wrapped = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "),
+          col("doc_id").cast("string"), lit("</title>"),
+          when(col("doc_id") % 4 === 0,
+            lit("<meta name=\"robots\" content=\"noindex\">"))
+            .when(col("doc_id") % 4 === 1,
+              lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+            .when(col("doc_id") % 4 === 2,
+              lit("<meta name=\"robots\" content=\"index,follow\">"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"http://ex.org/c/"),
+              (col("doc_id") % 250).cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("</head><body><p>"), col("text"),
+          lit("</p></body></html>")).as("html"))
+      TextAnalysisOps.htmlMeta(wrapped, "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // PageRank (q161): a deterministic 3-out-link graph over the doc
+    // id space (dst = affine maps mod N), three damped integer power
+    // iterations — the crawl-authority signal, bit-exact cross-engine.
+    "q161_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          explode(array(
+            expr("(doc_id * 7 + 1) % __n"),
+            expr("(doc_id * 13 + 2) % __n"),
+            expr("(doc_id * 29 + 3) % __n"))).as("dst"))
+      GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    }),
+
+    // Unigram-LM piece seeding (q162): the SentencePiece seed stage —
+    // top-50 substrings (len 2..6) of the word histogram by
+    // occurrence × frequency, the complement of q85's BPE merges.
+    "q162_piece_seed" -> ((s, dir) => {
+      TokenizerOps.pieceSeed(t(s, dir, "documents"), "text",
+        minLen = 2, maxLen = 6, k = 50)
+    }),
+
     // RAG chunking: 64-token windows, 16-token overlap, integer-domain
     // chunk count; the last window always reaches the document end.
     "q84_chunk_docs" -> ((s, dir) => {
@@ -3036,6 +3094,34 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 10000, text FROM documents
       |  WHERE doc_id % 25 = 0""".stripMargin
+
+  /** q97's interpolated-bigram-LM CTE chain through `scored`
+    * (per-bigram floor-micro surprisal rows), shared with q159's
+    * perplexity bucketing. */
+  private val BigramScoredCtesSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id, u.b['w1'] AS w1, u.b['w2'] AS w2
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+      |    FROM toks WHERE len(t) >= 2) u),
+      |uni AS (
+      |  SELECT unnest(t) AS w FROM toks),
+      |cu AS (SELECT w, count(*)::BIGINT AS cu FROM uni GROUP BY w),
+      |cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bi
+      |       GROUP BY w1, w2),
+      |tot AS (SELECT sum(cu)::BIGINT AS tot FROM cu),
+      |scored AS (
+      |  SELECT bi.doc_id,
+      |    floor(-ln(0.75 * (cb::DOUBLE / c1.cu::DOUBLE)
+      |        + 0.25 * (c2.cu::DOUBLE / tot::DOUBLE)) * 1e6)::BIGINT
+      |      AS micro
+      |  FROM bi
+      |  JOIN cb USING (w1, w2)
+      |  JOIN cu c1 ON c1.w = bi.w1
+      |  JOIN cu c2 ON c2.w = bi.w2, tot)""".stripMargin
 
   /** The hybrid-retrieval CTE chain shared by q154 (MRR rollup) and
     * q155 (fused frame): BM25 `ranked` (8-token queries) as the
@@ -6056,7 +6142,7 @@ ORDER BY rank LIMIT 6"""),
         |  FROM toks),
         |keyed AS (
         |  SELECT doc_id, u.p AS pos,
-        |    md5(u.g) || '|' ||
+        |    substr(md5(u.g), 1, 16) || '|' ||
         |      lpad((1000000000 - u.p)::VARCHAR, 10, '0') AS kv
         |  FROM grams),
         |win AS (
@@ -6076,8 +6162,8 @@ ORDER BY rank LIMIT 6"""),
         |  WHERE (CASE WHEN n < 5 THEN gmin
         |              WHEN wn = 5 THEN wmin END) IS NOT NULL),
         |fp AS (
-        |  SELECT id, substr(fp, 1, 32) AS fp_hash,
-        |    (1000000000 - substr(fp, 34, 10)::INT) AS fp_pos
+        |  SELECT id, substr(fp, 1, 16) AS fp_hash,
+        |    (1000000000 - substr(fp, 18, 10)::INT) AS fp_pos
         |  FROM sel),
         |bidis AS (SELECT DISTINCT fp_hash, id FROM fp),
         |bk AS (SELECT fp_hash, count(*) AS nb FROM bidis GROUP BY fp_hash),
@@ -6253,6 +6339,119 @@ ORDER BY rank LIMIT 6"""),
         |         < '${SamplingOps.rateThreshold(0.8 + 0.1)}' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM wr ORDER BY id""").stripMargin),
+
+    // q97's scored CTEs rolled to per-doc integer ppl, then a global
+    // (ppl, doc_id) rank — DuckDB's single window is exactly the
+    // Spark side's two-phase rank — and the (pos·3) div n thirds.
+    "q159_ppl_buckets" -> (
+      "WITH " + BigramScoredCtesSql + """,
+        |per AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    (sum(micro) // count(*))::BIGINT AS ppl_micro
+        |  FROM scored GROUP BY doc_id),
+        |tot2 AS (SELECT count(*)::BIGINT AS n FROM per),
+        |rk AS (
+        |  SELECT doc_id, n_bigrams, ppl_micro,
+        |    (row_number() OVER (ORDER BY ppl_micro, doc_id) - 1)::BIGINT
+        |      AS pos
+        |  FROM per)
+        |SELECT doc_id, n_bigrams, ppl_micro, pos,
+        |  CASE ((pos * 3) // n) WHEN 0 THEN 'head'
+        |       WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM rk, tot2 ORDER BY doc_id""".stripMargin),
+
+    // Same wrap, same three shared regexes (case-insensitive via
+    // (?i) in both engines), same contains-derived flags.
+    "q160_html_meta" -> (
+      s"""WITH wrapped AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>'
+        |    || CASE doc_id % 4
+        |         WHEN 0 THEN '<meta name="robots" content="noindex">'
+        |         WHEN 1 THEN '<meta name="robots" content="noindex,nofollow">'
+        |         WHEN 2 THEN '<meta name="robots" content="index,follow">'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN '<link rel="canonical" href="http://ex.org/c/'
+        |           || (doc_id % 250)::VARCHAR || '">'
+        |         ELSE '' END
+        |    || '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(html,
+        |      '${TextAnalysisOps.MetaRobotsPattern}', 1)) AS robots,
+        |    regexp_extract(html,
+        |      '${TextAnalysisOps.CanonicalLinkPattern}', 1)
+        |      AS canonical_url,
+        |    regexp_extract(html, '${TextAnalysisOps.TitlePattern}', 1)
+        |      AS title
+        |  FROM wrapped)
+        |SELECT doc_id, robots, canonical_url, title,
+        |  contains(robots, 'noindex') AS noindex,
+        |  contains(robots, 'nofollow') AS nofollow,
+        |  NOT contains(robots, 'noindex') AS indexable
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // Three unrolled integer power iterations over the affine-map
+    // edge set; per-edge division BEFORE the sum, exactly the
+    // operator's AST.
+    "q161_pagerank" -> (
+      """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst
+        |  FROM documents, cnt
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 2) % n FROM documents, cnt
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 29 + 3) % n FROM documents, cnt),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |od AS (SELECT src, count(*)::BIGINT AS out_degree
+        |       FROM e GROUP BY src),
+        |ind AS (SELECT dst, count(*)::BIGINT AS in_degree
+        |        FROM e GROUP BY dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |ed AS (SELECT e.src, e.dst, od.out_degree
+        |       FROM e JOIN od USING (src)),
+        |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),""".stripMargin +
+        (1 to 3).map { i =>
+          val p = i - 1
+          s"""
+             |c$i AS (
+             |  SELECT ed.dst, sum(r.r // ed.out_degree)::BIGINT AS s
+             |  FROM ed JOIN r$p r ON r.id = ed.src GROUP BY ed.dst),
+             |r$i AS (
+             |  SELECT n.id,
+             |    (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r
+             |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.id)""".stripMargin
+        }.mkString(",") + """
+        |SELECT n.id, coalesce(od.out_degree, 0)::BIGINT AS out_degree,
+        |  coalesce(ind.in_degree, 0)::BIGINT AS in_degree,
+        |  r3.r AS rank_micro
+        |FROM nodes n
+        |LEFT JOIN od ON od.src = n.id
+        |LEFT JOIN ind ON ind.dst = n.id
+        |JOIN r3 ON r3.id = n.id
+        |ORDER BY n.id""".stripMargin),
+
+    // Word histogram once, substring fan-out per length with the
+    // same i -> substr(w, i+1, L) enumeration, summed and top-50.
+    "q162_piece_seed" -> (
+      """WITH w AS (
+        |  SELECT w, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |p AS (
+        |""".stripMargin +
+        (2 to 6).map { len =>
+          s"""  SELECT unnest([substr(w, i + 1, $len)
+             |    FOR i IN range(length(w) - ${len - 1})]) AS piece, cnt
+             |  FROM w WHERE length(w) >= $len""".stripMargin
+        }.mkString("\n  UNION ALL\n") + """
+        |)
+        |SELECT piece, sum(cnt)::BIGINT AS score FROM p GROUP BY piece
+        |ORDER BY score DESC, piece ASC LIMIT 50""".stripMargin),
 
     // Same windows via range-unnest + inclusive list_slice; `//` is the
     // integer-domain twin of the Spark floor-division.
@@ -6672,33 +6871,11 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
 
     // Same λ=0.75 interpolation from exact counts; micro-nat sums.
     "q97_bigram_surprisal" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bi AS (
-        |  SELECT doc_id, u.b['w1'] AS w1, u.b['w2'] AS w2
-        |  FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
-        |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
-        |    FROM toks WHERE len(t) >= 2) u),
-        |uni AS (
-        |  SELECT unnest(t) AS w FROM toks),
-        |cu AS (SELECT w, count(*)::BIGINT AS cu FROM uni GROUP BY w),
-        |cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bi
-        |       GROUP BY w1, w2),
-        |tot AS (SELECT sum(cu)::BIGINT AS tot FROM cu),
-        |scored AS (
-        |  SELECT bi.doc_id,
-        |    floor(-ln(0.75 * (cb::DOUBLE / c1.cu::DOUBLE)
-        |        + 0.25 * (c2.cu::DOUBLE / tot::DOUBLE)) * 1e6)::BIGINT
-        |      AS micro
-        |  FROM bi
-        |  JOIN cb USING (w1, w2)
-        |  JOIN cu c1 ON c1.w = bi.w1
-        |  JOIN cu c2 ON c2.w = bi.w2, tot)
+      ("WITH " + BigramScoredCtesSql + """
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  sum(micro)::BIGINT AS surprisal_micro,
         |  (sum(micro)::DOUBLE / count(*)::DOUBLE / 1e6) AS avg_surprisal
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // q54's pack assignment rolled up to the per-pack fill table.
     "q96_pack_report" ->

@@ -1092,6 +1092,79 @@ object TextAnalysisOps {
           col("n_bigrams").cast("double") / 1e6).as("avg_surprisal"))
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): per-doc
+    * mean bigram surprisal from the corpus's OWN interpolated LM
+    * ([[bigramSurprisal]] — no external model), then head / middle /
+    * tail thirds by global perplexity rank. CCNet keeps head+middle
+    * as the quality cut; the bucket column is the auditable input to
+    * that policy. All integer: per-doc ppl is `surprisal_micro div
+    * n_bigrams`, the bucket is `(pos · 3) div n` over the exact
+    * global rank.
+    *
+    * The global rank is the q69 two-phase scheme, NOT a global
+    * window: docs bucket by the high bits of their ppl value (bucket
+    * order refines rank order), rank within buckets, and add
+    * broadcast per-bucket base offsets — no single-partition sort at
+    * any corpus size. Docs with < 2 tokens have no bigrams and are
+    * absent (the LM's domain, documented on [[bigramSurprisal]]). */
+  def perplexityBuckets(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = bigramSurprisal(docs, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"),
+        expr("surprisal_micro div n_bigrams").cast("long")
+          .as("ppl_micro"))
+    // ~0.065-nat granularity: enough buckets for parallel rank
+    // windows, coarse enough that the bucket table stays tiny
+    val base = per.withColumn("__b", expr("ppl_micro div 65536"))
+    val within = Window.partitionBy(col("__b"))
+      .orderBy(col("ppl_micro"), col(idCol))
+    val bucketBase = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__base",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__base"))
+    val total = base.agg(count(lit(1)).as("__tot"))
+    base.withColumn("__rk", row_number().over(within))
+      .join(broadcast(bucketBase), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .withColumn("pos", (col("__base") + col("__rk") - 1L).cast("long"))
+      .withColumn("ppl_bucket",
+        when(expr("pos * 3 div __tot") === 0L, lit("head"))
+          .when(expr("pos * 3 div __tot") === 1L, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("n_bigrams"), col("ppl_micro"),
+        col("pos"), col("ppl_bucket"))
+  }
+
+  /** Crawl-compliance metadata from raw HTML — the pre-extraction
+    * gate a responsible crawl pipeline runs BEFORE [[htmlToText]]:
+    * `<meta name="robots">` directives (noindex/nofollow), the
+    * `<link rel="canonical">` target (feeds q77/q135 URL dedup as
+    * the page's OWN canonical key), and the title. Pure projection —
+    * three shared case-insensitive regexes, no parsing state. */
+  val MetaRobotsPattern =
+    "(?i)<meta\\s+name=\"robots\"\\s+content=\"([^\"]*)\""
+  val CanonicalLinkPattern =
+    "(?i)<link\\s+rel=\"canonical\"\\s+href=\"([^\"]*)\""
+  val TitlePattern = "(?i)<title>([^<]*)</title>"
+
+  def htmlMeta(docs: DataFrame, idCol: String,
+               htmlCol: String): DataFrame = {
+    val robots = lower(regexp_extract(col(htmlCol),
+      MetaRobotsPattern, 1))
+    docs.select(col(idCol),
+      robots.as("robots"),
+      regexp_extract(col(htmlCol), CanonicalLinkPattern, 1)
+        .as("canonical_url"),
+      regexp_extract(col(htmlCol), TitlePattern, 1).as("title"),
+      contains(robots, lit("noindex")).as("noindex"),
+      contains(robots, lit("nofollow")).as("nofollow"))
+      .withColumn("indexable", !col("noindex"))
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * tokens — the tokenizer-fit signal: documents full of tokens a
     * fixed vocabulary can't cover tokenize into long byte-fallback

@@ -147,4 +147,40 @@ object TokenizerOps {
       size(toks).cast("long").as("n_bpe_tokens"),
       array_join(slice(toks, 1, 32), " ").as("head_tokens"))
   }
+
+  /** Unigram-LM candidate-piece seeding (the SentencePiece recipe's
+    * first stage, Kudo 2018 §3: seed the vocabulary with the most
+    * frequent substrings before EM pruning — done there with a
+    * suffix array, here with the corpus's word histogram): every
+    * substring of length `minLen..maxLen` of every distinct word,
+    * scored by occurrence count × word frequency; top-k by score with
+    * a piece tie-break. The complement of [[bpeTrain]]: BPE grows
+    * pieces bottom-up by merges, unigram-LM starts from a large seed
+    * set and prunes.
+    *
+    * Scale shape: the corpus is scanned ONCE into the map-side-
+    * combined word histogram (vocabulary-sized — corpus size never
+    * enters the substring stage); the substring fan-out is
+    * Σ_L (len−L+1) rows per DISTINCT word; scoring is one keyed
+    * aggregate over those rows and the final top-k is a TakeOrdered. */
+  def pieceSeed(docs: DataFrame, textCol: String,
+                minLen: Int = 2, maxLen: Int = 6,
+                k: Int = 50): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen, "1 <= minLen <= maxLen")
+    import graft.functions.TextFunctions.tokens
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val pieces = (minLen to maxLen).map { len =>
+      words.filter(length(col("w")) >= len)
+        .select(explode(expr(
+          s"transform(sequence(0, length(w) - $len), " +
+            s"i -> substring(w, i + 1, $len))")).as("piece"),
+          col("cnt"))
+    }.reduce(_ unionByName _)
+    pieces.groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("score"))
+      .orderBy(col("score").desc, col("piece").asc)
+      .limit(k)
+  }
 }

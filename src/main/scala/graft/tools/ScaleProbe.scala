@@ -42,7 +42,9 @@ object ScaleProbe {
     // by-name: operators with an eager phase (dedupClusters' local
     // union-find collects at plan-build time) must be timed in full
     def time(label: String)(df: => DataFrame): Unit = {
-      if (!only.forall(label.contains)) return
+      // comma-separated substrings, any match
+      if (!only.forall(_.split(",").exists(s => label.contains(s.trim))))
+        return
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -280,6 +282,110 @@ object ScaleProbe {
     time(s"mixtureBalance x$n (in-expectation)")(
       graft.operators.SamplingOps.mixtureBalance(docs, "source",
         col("doc_id").cast("string"), mixTargets, exact = false))
+
+    // q150/q151/q157: pure projections — must track the scan, 0 shuffle
+    time(s"scanSecrets x$n")(
+      TextAnalysisOps.scanSecrets(docs, "doc_id", "text"))
+    time(s"licenseSignals x$n")(
+      TextAnalysisOps.licenseSignals(docs, "doc_id", "text"))
+    time(s"codeProseSignals x$n")(
+      TextAnalysisOps.codeProseSignals(docs, "doc_id", "text"))
+    // Decorrelated replicas for the clique-sensitive ops: the default
+    // tail-salt leaves replicas of one doc near-identical, so every
+    // doc gains ~N near-twins and candidate/pair volume grows with
+    // the REPLICA clique, not the plan (the dedupClusters caveat).
+    // Salting every 2nd token means every word 3-gram contains a
+    // salted token, so cross-replica Jaccard ~ 0 (an every-4th salt
+    // left J ~ 0.33 — still a 37% band-collision rate, and candidate
+    // volume kept growing with the replica count). These rows measure
+    // plan scaling on a corpus whose near-dup rate stays the organic
+    // one at every N.
+    val docsDecor = replicate(docs0, "doc_id")
+      .withColumn("text", array_join(expr(
+        "transform(split(text, ' '), (t, i) -> " +
+          "CASE WHEN i % 2 = 0 THEN concat(t, 'x', __r) ELSE t END)"),
+        " "))
+      .drop("__r")
+    // q152: the gram stream rides ONE per-doc window sort; selected
+    // fingerprints (~2/(w+1) of grams) cross the fp_hash join — both
+    // legs must stay linear in corpus tokens
+    time(s"winnowOverlap x$n (replica cliques)")(
+      DedupOps.winnowOverlap(docs, "doc_id", "text"))
+    time(s"winnowOverlap x$n decorrelated")(
+      DedupOps.winnowOverlap(docsDecor, "doc_id", "text"))
+    // q153: candidates are the corpus's organic near-dups on the
+    // decorrelated fixture; text joins in for CANDIDATE pairs only
+    // and Levenshtein cost is candidate-bounded
+    time(s"editDistanceNearDups x$n (replica cliques)")(
+      DedupOps.editDistanceNearDups(docs, "doc_id", "text"))
+    time(s"editDistanceNearDups x$n decorrelated")(
+      DedupOps.editDistanceNearDups(docsDecor, "doc_id", "text"))
+    // q156: three (source, ngram)-keyed exact-distinct aggregates,
+    // map-side combined — wire is vocabulary-sized, not corpus-sized
+    time(s"distinctNgramDiversity x$n")(
+      TextAnalysisOps.distinctNgramDiversity(docs, "source", "text"))
+    // q154/q155: FIXED query set while the corpus grows — the lexical
+    // leg's candidate rows and the dense leg's |Q|·|C| scored frame
+    // are the declared costs; fusion itself is rank-sized
+    time(s"rrfHybrid x$n corpus")({
+      val qs = docs.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 10000000L)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("qtext"))
+      graft.operators.RetrievalOps.rrfFuse(Seq(
+        graft.operators.RetrievalOps.bm25TopK(docs, "doc_id", "text",
+          qs, "query_id", "qtext", k = 10),
+        graft.operators.RetrievalOps.hashedDenseTopK(docs, "doc_id",
+          "text", qs, "query_id", "qtext", k = 10)), k = 10)
+    })
+    // q159: the q97 LM shuffles (vocabulary-bounded) + the two-phase
+    // rank — no global window, so time must stay ~linear
+    time(s"perplexityBuckets x$n")(
+      TextAnalysisOps.perplexityBuckets(docs, "doc_id", "text"))
+    // q160: pure projection over synthetic page wraps
+    time(s"htmlMeta x$n")(
+      TextAnalysisOps.htmlMeta(
+        docs.select(col("doc_id"),
+          concat(lit("<html><head><title>t</title>"
+            + "<meta name=\"robots\" content=\"noindex\"></head><body>"),
+            col("text"), lit("</body></html>")).as("html")),
+        "doc_id", "html"))
+    // q161: node count grows with N (3 out-links each) — per
+    // iteration ONE edge-sized contribution shuffle + a nodes-sized
+    // rank table; must stay linear per iteration
+    time(s"pageRank x$n")({
+      val ids = docs.select(col("doc_id"))
+      val cnt = ids.agg(count(lit(1)).as("__n"))
+      graft.operators.GraphOps.pageRank(
+        ids.crossJoin(broadcast(cnt))
+          .select(col("doc_id").as("src"),
+            explode(array(
+              expr("(doc_id * 7 + 1) % __n"),
+              expr("(doc_id * 13 + 2) % __n"),
+              expr("(doc_id * 29 + 3) % __n"))).as("dst")),
+        "src", "dst", iters = 3)
+    })
+    // q162: corpus enters via ONE word histogram; the substring
+    // fan-out is distinct-word-bounded, so growth should be
+    // vocabulary-driven (replica salting grows the vocab slowly)
+    time(s"pieceSeed x$n")(
+      graft.operators.TokenizerOps.pieceSeed(docs, "text"))
+    // q158: exact twins planted per replica (cluster count grows with
+    // N); component propagation is edge-sized and assignment is a
+    // projection on the representative hash. Decorrelated corpus so
+    // the edge set is planted-twins + organic pairs, not replica
+    // cliques.
+    time(s"leakageSafeSplit x$n")({
+      val corpus = docsDecor.select(col("doc_id"), col("text"))
+        .unionByName(docsDecor.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            col("text")))
+      DedupOps.leakageSafeSplit(corpus, "doc_id",
+        DedupOps.minhashCandidates(corpus, "doc_id", "text")
+          .filter(col("jaccard") >= 0.2)
+          .select(col("id_a"), col("id_b")))
+    })
 
     // embeddings ×N, one element nudged per replica
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")

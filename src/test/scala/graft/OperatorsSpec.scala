@@ -3003,6 +3003,81 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains(("div", 3, 2L, 2L, 1000L))) // "w x y","x y z"
   }
 
+  test("perplexityBuckets ranks low-surprisal docs head, rare-bigram docs tail") {
+    // 6 docs over a tiny LM: docs repeating the corpus-dominant bigram
+    // score low surprisal; docs made of one-off bigrams score high
+    val common = "a b a b a b a b"
+    val docs = Seq(
+      (1L, common), (2L, common), (3L, common), (4L, common),
+      (5L, "c d e f g h"), (6L, "h g f e d c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.perplexityBuckets(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val buckets = got.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("ppl_bucket")).toMap
+    assert(buckets(5L) == "tail" && buckets(6L) == "tail")
+    assert(Seq(1L, 2L).forall(buckets(_) == "head"))
+    // positions are the exact global rank: 0..5, no gaps
+    assert(got.map(_.getAs[Long]("pos")).sorted.toSeq == (0L to 5L))
+  }
+
+  test("htmlMeta extracts robots/canonical/title and derives indexability") {
+    val docs = Seq(
+      (1L, "<html><head><title>Page One</title>" +
+        "<meta name=\"robots\" content=\"noindex,nofollow\">" +
+        "<link rel=\"canonical\" href=\"http://ex.org/one\">" +
+        "</head><body>x</body></html>"),
+      (2L, "<html><head><title>Page Two</title>" +
+        "<meta name=\"robots\" content=\"index,follow\"></head></html>"),
+      (3L, "<html><head></head><body>bare</body></html>")
+    ).toDF("doc_id", "html")
+    val got = TextAnalysisOps.htmlMeta(docs, "doc_id", "html")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("noindex"))
+    assert(got(0).getAs[Boolean]("nofollow"))
+    assert(!got(0).getAs[Boolean]("indexable"))
+    assert(got(0).getAs[String]("canonical_url") == "http://ex.org/one")
+    assert(got(0).getAs[String]("title") == "Page One")
+    assert(got(1).getAs[Boolean]("indexable"))
+    assert(!got(1).getAs[Boolean]("nofollow"))
+    assert(got(2).getAs[String]("robots") == "")
+    assert(got(2).getAs[Boolean]("indexable"))
+  }
+
+  test("pageRank: cycle is a fixed point, star concentrates then damps, degrees exact") {
+    // 3-cycle: every node keeps exactly 1e6 micro at every iteration
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val gotC = GraphOps.pageRank(cycle, "src", "dst", iters = 3)
+      .collect()
+    assert(gotC.forall(_.getAs[Long]("rank_micro") == 1000000L))
+    // star 1->3, 2->3: closed form per iteration
+    // it1: r3 = 150000 + 850*2e6 div 1000 = 1850000; r1 = r2 = 150000
+    // it2+: r3 = 150000 + 850*300000 div 1000 = 405000
+    val star = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val gotS = GraphOps.pageRank(star, "src", "dst", iters = 3)
+      .orderBy("id").collect()
+    assert(gotS(0).getAs[Long]("rank_micro") == 150000L)
+    assert(gotS(2).getAs[Long]("rank_micro") == 405000L)
+    assert(gotS(2).getAs[Long]("in_degree") == 2L)
+    assert(gotS(2).getAs[Long]("out_degree") == 0L)
+    // two iterations give the pre-fixed-point value
+    val gotS1 = GraphOps.pageRank(star, "src", "dst", iters = 1)
+      .orderBy("id").collect()
+    assert(gotS1(2).getAs[Long]("rank_micro") == 1850000L)
+  }
+
+  test("pieceSeed scores substrings by occurrence x word frequency with tie-break") {
+    val docs = Seq((1L, "abc abc bcd")).toDF("doc_id", "text")
+    val got = TokenizerOps.pieceSeed(docs, "text", minLen = 2,
+      maxLen = 3, k = 10).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("score")))
+    // bc: in abc(x2) + bcd(x1) = 3; ab/abc: 2; bcd/cd: 1
+    assert(got.head == ("bc", 3L))
+    assert(got(1) == ("ab", 2L))   // tie with abc broken by piece asc
+    assert(got(2) == ("abc", 2L))
+    assert(got.toMap.apply("cd") == 1L)
+  }
+
   test("codeProseSignals separates code-shaped from prose-shaped docs") {
     val code = "import os;\ndef f(x):\n  return x * 2;\nclass A {\n  var y = 1;\n}"
     val prose = "The quick brown fox jumps over the lazy dog and keeps " +
