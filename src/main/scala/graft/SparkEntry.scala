@@ -1783,6 +1783,60 @@ object SparkEntry {
         minLen = 2, maxLen = 6, k = 50)
     }),
 
+    // Cluster-balanced shards (q164): docs assign to their nearest
+    // seed-doc centroid in hashed-embedding space (argmax floor-micro
+    // cosine, tie -> lowest cell), then q140's ±1-balanced round-robin
+    // deals every cluster evenly across shards — topic-balanced
+    // curriculum construction without an external model.
+    "q164_cluster_shards" -> ((s, dir) => {
+      val emb = TextAnalysisOps.hashedEmbed(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("counts"), col("norm2"))
+      val seeds = emb.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("cell"), col("counts").as("__sc"),
+          col("norm2").as("__sn"))
+      val dot = aggregate(zip_with(col("counts"), col("__sc"), _ * _),
+        lit(0L), (a, x) => a + x)
+      val scored = emb.crossJoin(broadcast(seeds))
+        .filter(col("norm2") > 0L && col("__sn") > 0L)
+        .select(col("doc_id"),
+          col("cell"),
+          floor(dot.cast("double") * lit(1000000.0) /
+            (sqrt(col("norm2").cast("double")) *
+              sqrt(col("__sn").cast("double"))))
+            .cast("long").as("cos_micro"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cos_micro").desc, col("cell").asc)
+      val assign = scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), col("cell"))
+      SamplingOps.balancedShards(assign, "doc_id", col("cell"),
+        numShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer fertility (q163): q85's trained merges APPLIED back to
+    // the corpus (merge table as plan literals), rolled to per-source
+    // BPE-tokens-per-word — the tokenizer-fit dashboard that decides
+    // whether a source's text wastes sequence budget.
+    "q163_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TokenizerOps.bpeTrain(docs, "text", merges = 6)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TokenizerOps.bpeApply(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("__w")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("__w")).as("n_words"))
+        .select(col("source"), col("n_bpe_tokens"), col("n_words"),
+          expr("n_bpe_tokens * 1000 div n_words").cast("long")
+            .as("fertility_milli"))
+        .orderBy(col("source"))
+    }),
+
     // RAG chunking: 64-token windows, 16-token overlap, integer-domain
     // chunk count; the last window always reaches the document end.
     "q84_chunk_docs" -> ((s, dir) => {
@@ -6452,6 +6506,84 @@ ORDER BY rank LIMIT 6"""),
         |)
         |SELECT piece, sum(cnt)::BIGINT AS score FROM p GROUP BY piece
         |ORDER BY score DESC, piece ASC LIMIT 50""".stripMargin),
+
+    // q129's hashed-count CTEs for corpus + seed docs, the q155 dense
+    // leg's floor-micro cosine, argmax via the rank window, then
+    // q140's round-robin deal keyed on the cell.
+    "q164_cluster_shards" ->
+      """WITH dc AS (
+        |  SELECT doc_id, list_transform(range(0, 64), b ->
+        |      len(list_filter(string_split(text, ' '), tok ->
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 = b))
+        |        ::BIGINT) AS counts
+        |  FROM documents),
+        |dn AS (
+        |  SELECT doc_id, counts,
+        |    list_sum(list_transform(counts, x -> x * x))::BIGINT AS n2
+        |  FROM dc),
+        |seeds AS (SELECT doc_id AS cell, counts, n2 FROM dn
+        |          WHERE doc_id < 4),
+        |sc AS (
+        |  SELECT d.doc_id, s.cell,
+        |    floor(list_sum(list_transform(range(1, 65), i ->
+        |        d.counts[i] * s.counts[i]))::DOUBLE * 1000000.0 /
+        |      (sqrt(d.n2::DOUBLE) * sqrt(s.n2::DOUBLE)))::BIGINT
+        |      AS cos_micro
+        |  FROM dn d, seeds s WHERE d.n2 > 0 AND s.n2 > 0),
+        |asg AS (
+        |  SELECT doc_id, cell FROM (
+        |    SELECT doc_id, cell, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cos_micro DESC, cell) AS rk
+        |    FROM sc)
+        |  WHERE rk = 1),
+        |r AS (
+        |  SELECT doc_id, cell AS stratum,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY substr(md5(doc_id::VARCHAR), 1, 8),
+        |        doc_id::VARCHAR) AS rk
+        |  FROM asg)
+        |SELECT doc_id, stratum, ((rk - 1) % 8)::INT AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q85's unrolled training CTEs provide m1..m6; the apply replays
+    // them as six sequential replaces over every word OCCURRENCE
+    // (scalar subqueries = the plan-literal merge table), then the
+    // per-source rollup.
+    "q163_bpe_fertility" -> (
+      // NOTE: bpeCtesSql is interpolated OUTSIDE any stripMargin — a
+      // stripMargin over it would eat one pipe from its `||`
+      // continuation lines
+      s"WITH ${bpeCtesSql(6)},\n" +
+        """wocc AS (
+          |  SELECT source,
+          |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+          |      || ' ' AS sym
+          |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+          |        FROM documents)),
+          |""".stripMargin +
+        (1 to 6).map { i =>
+          val p = if (i == 1) "wocc" else s"ap${i - 1}"
+          s"""ap$i AS (
+             |  SELECT source, replace(sym,
+             |    ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i)
+             |      || ' ',
+             |    ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i)
+             |      || ' ') AS sym
+             |  FROM $p)""".stripMargin
+        }.mkString(",\n") + """,
+        |cnts AS (
+        |  SELECT source,
+        |    len(string_split(trim(sym), ' '))::BIGINT AS nt
+        |  FROM ap6),
+        |wc AS (
+        |  SELECT source, count(*)::BIGINT AS n_words
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY source)
+        |SELECT source, sum(nt)::BIGINT AS n_bpe_tokens, n_words,
+        |  (sum(nt) * 1000 // n_words)::BIGINT AS fertility_milli
+        |FROM cnts JOIN wc USING (source)
+        |GROUP BY source, n_words ORDER BY source""".stripMargin),
 
     // Same windows via range-unnest + inclusive list_slice; `//` is the
     // integer-domain twin of the Spark floor-division.

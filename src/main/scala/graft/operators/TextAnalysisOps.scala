@@ -1119,14 +1119,18 @@ object TextAnalysisOps {
     val base = per.withColumn("__b", expr("ppl_micro div 65536"))
     val within = Window.partitionBy(col("__b"))
       .orderBy(col("ppl_micro"), col(idCol))
-    val bucketBase = base.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__n"))
+    // ONE domain-sized bucket table serves both the base offsets and
+    // the total (a separate count(*) branch would re-execute the whole
+    // LM subtree a third time)
+    val bstats = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n")).cache()
+    val bucketBase = bstats
       .withColumn("__base",
         coalesce(sum(col("__n")).over(
           Window.orderBy(col("__b"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__b"), col("__base"))
-    val total = base.agg(count(lit(1)).as("__tot"))
+    val total = bstats.agg(sum(col("__n")).as("__tot"))
     base.withColumn("__rk", row_number().over(within))
       .join(broadcast(bucketBase), Seq("__b"))
       .crossJoin(broadcast(total))

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.UrlOps
+
+/** One fetch entering the per-canonical-key state stage. */
+case class UrlFetch(doc_id: Long, canonical_url: String,
+                    ts: java.sql.Timestamp)
+
+/** The per-key running winner (bestTs in epoch millis for the
+  * timeout arithmetic). */
+case class SnapshotState(bestId: Long, bestTs: Long, n: Long)
+
+/** The current winner row for a canonical key — the streaming image
+  * of one q135 batch output row. The LATEST emission per key is the
+  * batch answer. */
+case class SnapshotWinner(canonical_url: String, doc_id: Long,
+                          latest_ts: java.sql.Timestamp,
+                          n_snapshots: Long)
+
+/** Streaming twin of q135's URL snapshot dedup ([[UrlOps
+  * .snapshotDedup]]): a crawl FEED (the production shape — fetches
+  * arrive continuously, every page re-crawled again and again) folded
+  * to latest-fetch-wins per canonical URL with an observable snapshot
+  * count, as one watermarked stateful query.
+  *
+  * Plan shape:
+  *  - the canonicalize + tracking-strip chain is the SAME expression
+  *    the oracle-checked batch operator runs — stateless projection,
+  *    so the page payload dies before the state exchange; only
+  *    (id, canonical key, ts) reaches it (the batch operator's wire
+  *    discipline, kept under streaming);
+  *  - `groupByKey(canonical_url)` → `flatMapGroupsWithState` keeps
+  *    (bestId, bestTs, n) per key — 24 bytes, re-crawl-count
+  *    INDEPENDENT (the batch window buffers a key's snapshots; the
+  *    stream folds them as they arrive);
+  *  - winner rule ≡ the batch window's `ORDER BY ts DESC, id DESC`:
+  *    a fetch wins iff (ts, id) is strictly greater lexicographically;
+  *  - each micro-batch emits the key's CURRENT winner row; the last
+  *    emission per key is the batch answer (Update-mode semantics via
+  *    append + latest-wins on read, so the sink stays an append-only
+  *    file table — the S4 discipline);
+  *  - the event-time timeout expires keys `horizonMs` after their
+  *    last fetch: state is bounded by distinct pages per horizon, not
+  *    crawl history — a page re-fetched after expiry restarts its
+  *    snapshot count (documented; the soak spec pins exact batch
+  *    equivalence under an effectively-infinite horizon).
+  */
+object SnapshotDedupStream {
+
+  /** The watermarked winner stream (no sink). */
+  def winners(fetches: DataFrame, idCol: String, urlCol: String,
+              eventTimeCol: String, watermarkDelay: String,
+              horizonMs: Long): Dataset[SnapshotWinner] = {
+    val spark = fetches.sparkSession
+    import spark.implicits._
+    val keyed = fetches
+      .select(col(idCol).cast("long").as("doc_id"),
+        UrlOps.stripTrackingParams(UrlOps.canonicalize(col(urlCol)))
+          .as("canonical_url"),
+        col(eventTimeCol).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[UrlFetch]
+
+    def update(key: String, rows: Iterator[UrlFetch],
+               gs: GroupState[SnapshotState]): Iterator[SnapshotWinner] = {
+      if (gs.hasTimedOut) {
+        gs.remove()
+        Iterator.empty
+      } else {
+        var st = gs.getOption.getOrElse(SnapshotState(Long.MinValue,
+          Long.MinValue, 0L))
+        var latest = Long.MinValue
+        rows.foreach { f =>
+          val t = f.ts.getTime
+          latest = math.max(latest, t)
+          // the batch window's (ts DESC, id DESC) winner rule
+          if (t > st.bestTs || (t == st.bestTs && f.doc_id > st.bestId))
+            st = SnapshotState(f.doc_id, t, st.n + 1L)
+          else
+            st = st.copy(n = st.n + 1L)
+        }
+        gs.update(st)
+        gs.setTimeoutTimestamp(latest + horizonMs)
+        Iterator.single(SnapshotWinner(key, st.bestId,
+          new java.sql.Timestamp(st.bestTs), st.n))
+      }
+    }
+
+    keyed.groupByKey(_.canonical_url)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Winner stream → append-only parquet; the latest row per key on
+    * read is the batch [[UrlOps.snapshotDedup]] table. */
+  def start(fetches: DataFrame, outDir: String,
+            idCol: String = "doc_id", urlCol: String = "url",
+            eventTimeCol: String = "ts",
+            watermarkDelay: String = "0 seconds",
+            horizonMs: Long = 365L * 24 * 3600 * 1000,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    winners(fetches, idCol, urlCol, eventTimeCol, watermarkDelay,
+      horizonMs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[SnapshotWinner], bid: Long) =>
+        batch.toDF().withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$outDir/winners")
+      }
+      .start()
+}

@@ -371,6 +371,31 @@ object ScaleProbe {
     // vocabulary-driven (replica salting grows the vocab slowly)
     time(s"pieceSeed x$n")(
       graft.operators.TokenizerOps.pieceSeed(docs, "text"))
+    // q164: seed centroids broadcast into one corpus scan; the only
+    // shuffles are the per-doc argmax window and the per-cell deal
+    time(s"clusterShards x$n")({
+      val emb = TextAnalysisOps.hashedEmbed(docs, "doc_id", "text")
+        .select(col("doc_id"), col("counts"), col("norm2"))
+      val seeds = emb.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("cell"), col("counts").as("__sc"),
+          col("norm2").as("__sn"))
+      val dot = aggregate(zip_with(col("counts"), col("__sc"), _ * _),
+        lit(0L), (a, x) => a + x)
+      val scored = emb.crossJoin(broadcast(seeds))
+        .filter(col("norm2") > 0L && col("__sn") > 0L)
+        .select(col("doc_id"), col("cell"),
+          floor(dot.cast("double") * lit(1000000.0) /
+            (sqrt(col("norm2").cast("double")) *
+              sqrt(col("__sn").cast("double"))))
+            .cast("long").as("cos_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("cos_micro").desc, col("cell").asc)
+      graft.operators.SamplingOps.balancedShards(
+        scored.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).select(col("doc_id"), col("cell")),
+        "doc_id", col("cell"), 8)
+    })
     // q158: exact twins planted per replica (cluster count grows with
     // N); component propagation is edge-sized and assignment is a
     // projection on the representative hash. Decorrelated corpus so

@@ -425,6 +425,53 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(bucket"),
       s"the running sum must partition by bucket, not run globally:\n$p")
   }
+
+  test("q150/q151/q157/q160: the round-7 hygiene passes are pure " +
+      "projections — no join, only the presentation sort exchanges") {
+    Seq("q150_secrets_scan", "q151_license_signals",
+      "q157_code_prose", "q160_html_meta").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(p.split("Exchange").length <= 2,
+        s"$q must be projection-only ahead of the presentation sort:\n$p")
+    }
+  }
+
+  test("q159: perplexity rank is two-phase — the corpus rank window is " +
+      "ppl-bucket-partitioned, never global") {
+    val p = plan("q159_ppl_buckets")
+    assert(p.contains("row_number() windowspecdefinition(__b#"),
+      s"the global rank must partition by the ppl bucket:\n$p")
+    assert(!p.contains("row_number() windowspecdefinition(ppl_micro"),
+      s"no corpus-wide single-partition rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket base offsets must broadcast back")
+  }
+
+  test("q161: PageRank iterations are keyed joins — no cartesian, no " +
+      "global window anywhere in the three-iteration plan") {
+    val p = plan("q161_pagerank")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PageRank:\n$p")
+    assert(!p.contains("Window"),
+      s"rank updates must be aggregates, never windows:\n$p")
+  }
+
+  test("q162: piece seeding is histogram + fan-out + TakeOrdered — " +
+      "no join, no global sort") {
+    val p = plan("q162_piece_seed")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("Join"), s"piece seeding must not join:\n$p")
+  }
+
+  test("q152: winnowing windows are doc-partitioned — no " +
+      "single-partition exchange anywhere") {
+    val p = plan("q152_winnow_overlap")
+    assert(p.contains("windowspecdefinition(id#"),
+      s"the winnow selection must partition by doc id:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global window/sort in the fingerprint pipeline:\n$p")
+  }
 }
 
 /** q48's query ends in a presentation orderBy; the operator itself must

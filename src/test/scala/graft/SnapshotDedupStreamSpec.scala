@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.UrlOps
+import graft.streaming.SnapshotDedupStream
+
+/** The q135 streaming-twin soak: the crawl-feed latest-fetch-wins
+  * state fold must equal the oracle-pinned batch window on the same
+  * fetches, across a checkpoint restart (phase-2 winners must carry
+  * phase-1 snapshot counts back from state). */
+class SnapshotDedupStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = 1718000000L
+
+  /** 10 pages, 6 fetches each over 60 ids; three query-string
+    * spellings that must collapse to one canonical key. */
+  private def urlOf(i: Int): String =
+    s"HTTP://Ex.Example.com:80/p/${i % 10}" + ((i % 3) match {
+      case 0 => "?utm_source=f&id=1"
+      case 1 => "?id=1&utm_campaign=x"
+      case _ => "?id=1"
+    }) + "#frag"
+
+  private def rowsOf(ids: Range): Seq[(Long, java.sql.Timestamp, String)] =
+    ids.map(i => (i.toLong,
+      new java.sql.Timestamp((base + i * 60L) * 1000L), urlOf(i)))
+
+  private def writeSnap(src: String, name: String, ids: Range,
+                        mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_snap_tmp").toString
+    rowsOf(ids).toDF("doc_id", "ts", "url")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = Path.of(src, s"$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+  }
+
+  test("streaming latest-fetch-wins ≡ batch snapshotDedup across a restart") {
+    val src = Files.createTempDirectory("graft_snap_src").toString
+    val out = Files.createTempDirectory("graft_snap_out").toString
+    val schema = rowsOf(0 until 1).toDF("doc_id", "ts", "url").schema
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = SnapshotDedupStream.start(stream, out)
+      q.awaitTermination(180000L)
+    }
+
+    writeSnap(src, "f0", 0 until 30, 1000L)
+    run()
+    // restart: phase-2 fetches of the same pages — winners and counts
+    // must fold onto phase-1 state recovered from the checkpoint
+    writeSnap(src, "f1", 30 until 60, 2000L)
+    run()
+
+    val streamed = spark.read.parquet(s"$out/winners")
+    // the LATEST emission per key is the table
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url")).orderBy(col("batch_id").desc)
+    val got = streamed
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("canonical_url"), col("doc_id"),
+        col("latest_ts").cast("long").as("ts_sec"), col("n_snapshots"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    val batch = UrlOps.snapshotDedup(
+      spark.read.parquet(s"$src/*.parquet"), "doc_id", "url", "ts")
+      .select(col("canonical_url"), col("doc_id"),
+        col("latest_ts").cast("long").as("ts_sec"), col("n_snapshots"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    assert(got == batch,
+      s"stream/batch divergence:\n only stream: ${got -- batch}\n" +
+        s" only batch: ${batch -- got}")
+    // the re-crawl counts prove cross-restart state: 6 fetches/page
+    assert(batch.forall(_._4 == 6L), s"fixture shape: $batch")
+    assert(got.size == 10) // 10 pages, all spellings collapsed
+  }
+}
