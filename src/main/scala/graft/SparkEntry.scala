@@ -1783,6 +1783,35 @@ object SparkEntry {
         minLen = 2, maxLen = 6, k = 50)
     }),
 
+    // Instruction dedup (q166): documents become two-to-four-turn
+    // transcripts; %6==0 and %6==3 docs share one instruction up to
+    // case/whitespace — the normalized keep-first cut must collapse
+    // them while organic first-6-token instructions dedup naturally.
+    "q166_instruction_dedup" -> ((s, dir) => {
+      val convo = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("system: be concise\nuser: "),
+          when(col("doc_id") % 6 === 0,
+            lit("Please summarize   THE following text"))
+            .when(col("doc_id") % 6 === 3,
+              lit("please summarize the following text"))
+            .otherwise(array_join(slice(split(col("text"), " "), 1, 6),
+              " ")),
+          lit("\nassistant: "), col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nuser: anything else?\nassistant: no"))
+            .otherwise(lit(""))).as("text"))
+      ConversationOps.instructionDedup(
+        ConversationOps.parseTurns(convo, "doc_id", "text"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // FIM split (q167): PSM reordering with hash-derived split points
+    // — offsets, span lengths and the PSM text signature, all exact.
+    "q167_fim_split" -> ((s, dir) => {
+      TextAnalysisOps.fimSplit(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Web front-door funnel (q165): the crawl pipeline's gate chain —
     // robots noindex (q160), license verdict (q151), secrets (q150),
     // code modality (q157) — run over EXTRACTED page text (q75) and
@@ -6554,6 +6583,90 @@ ORDER BY rank LIMIT 6"""),
         |)
         |SELECT piece, sum(cnt)::BIGINT AS score FROM p GROUP BY piece
         |ORDER BY score DESC, piece ASC LIMIT 50""".stripMargin),
+
+    // Turn parsing via the same running-starter counter (window) and
+    // an ORDER BY string_agg regroup; arg_min picks the first user
+    // turn; normalized-md5 keep-first window.
+    "q166_instruction_dedup" ->
+      """WITH convo AS (
+        |  SELECT doc_id,
+        |    'system: be concise' || chr(10) || 'user: ' ||
+        |    CASE WHEN doc_id % 6 = 0
+        |         THEN 'Please summarize   THE following text'
+        |         WHEN doc_id % 6 = 3
+        |         THEN 'please summarize the following text'
+        |         ELSE array_to_string(string_split(text, ' ')[1:6], ' ')
+        |         END ||
+        |    chr(10) || 'assistant: ' || text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN chr(10) || 'user: anything else?' || chr(10)
+        |           || 'assistant: no'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i - 1 AS i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': string_split(text, chr(10))[i]}
+        |              FOR i IN range(1, len(string_split(text, chr(10)))
+        |                + 1)]) AS u
+        |    FROM convo)),
+        |tn AS (
+        |  SELECT doc_id, i, l,
+        |    sum(CASE WHEN regexp_matches(l,
+        |      '^(user|assistant|system): ') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS turn_idx
+        |  FROM ln),
+        |turns AS (
+        |  SELECT doc_id, turn_idx,
+        |    min(CASE WHEN regexp_matches(l,
+        |      '^(user|assistant|system): ')
+        |      THEN regexp_extract(l, '^(user|assistant|system): ', 1)
+        |      END) AS role,
+        |    string_agg(regexp_replace(l,
+        |      '^(user|assistant|system): ', ''), chr(10) ORDER BY i)
+        |      AS content
+        |  FROM tn WHERE turn_idx > 0 GROUP BY doc_id, turn_idx),
+        |fu AS (
+        |  SELECT doc_id,
+        |    substr(md5(trim(regexp_replace(lower(
+        |      arg_min(content, turn_idx)), '\s+', ' ', 'g'))), 1, 16)
+        |      AS instr_sig
+        |  FROM turns WHERE role = 'user' GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_turns,
+        |    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_user,
+        |    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_assistant
+        |  FROM turns GROUP BY doc_id)
+        |SELECT doc_id, instr_sig, n_turns, n_user, n_assistant,
+        |  (row_number() OVER (PARTITION BY instr_sig ORDER BY doc_id)
+        |    = 1) AS keep
+        |FROM fu JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Same u32 split-point arithmetic and substring tiling; substr is
+    // 1-based on both engines and empty spans round-trip as ''.
+    "q167_fim_split" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '|fim1|a'), 1, 8))
+        |      ::BIGINT AS ha,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '|fim1|b'), 1, 8))
+        |      ::BIGINT AS hb
+        |  FROM documents WHERE length(text) >= 2),
+        |p AS (
+        |  SELECT doc_id, text, n_chars, ha % n_chars AS p1,
+        |    (ha % n_chars) + (hb % (n_chars - (ha % n_chars) + 1))
+        |      AS p2
+        |  FROM f)
+        |SELECT doc_id, n_chars, p1, p2,
+        |  p1 AS len_prefix, p2 - p1 AS len_middle,
+        |  n_chars - p2 AS len_suffix,
+        |  substr(md5('<PRE>' || substr(text, 1, p1::INT)
+        |    || '<SUF>' || substr(text, (p2 + 1)::INT, (n_chars - p2)::INT)
+        |    || '<MID>' || substr(text, (p1 + 1)::INT, (p2 - p1)::INT)),
+        |    1, 16) AS psm_sig
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // The q160/q151/q150/q157 detector logic over the same wrap +
     // extraction, first-failure CASE, per-source rollup. Extraction

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation / instruction-data operators — the SFT side of the
+  * pipeline: chat transcripts are documents too, but their curation
+  * unit is the TURN (and the dedup unit is the normalized user
+  * instruction — near-identical prompts with different completions
+  * are the dominant redundancy in instruction corpora).
+  */
+object ConversationOps {
+
+  /** Parse a line-structured transcript (`role: content` per line,
+    * the common interchange shape) into one row per turn. Lines
+    * without a recognized `user:`/`assistant:`/`system:` prefix are
+    * CONTINUATIONS of the previous turn and fold into it, so
+    * multi-line contents round-trip; preamble lines before any role
+    * line are dropped.
+    *
+    * Scale shape: a line starts a new turn iff it matches the role
+    * prefix; the running turn index is one DOC-keyed window over
+    * (id, line) rows (bounded by lines-per-doc, never corpus-wide),
+    * and the regroup aggregates on the same (id, turn) keys —
+    * transcript lines are the only thing on the wire. Within-turn
+    * line order is restored by an explicit array_sort on the line
+    * index (collect_list order is not guaranteed). */
+  def parseTurns(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val isStart = (l: org.apache.spark.sql.Column) =>
+      l.rlike("^(user|assistant|system): ")
+    val cleaned = regexp_replace(col("__l"),
+      "^(user|assistant|system): ", "")
+    docs.select(col(idCol), lines.as("__lines"))
+      .select(col(idCol),
+        posexplode(col("__lines")).as(Seq("__i", "__l")))
+      .withColumn("turn_idx",
+        sum(when(isStart(col("__l")), 1).otherwise(0))
+          .over(Window.partitionBy(col(idCol)).orderBy(col("__i"))))
+      .filter(col("turn_idx") > 0)
+      .groupBy(col(idCol), col("turn_idx"))
+      .agg(
+        min(when(isStart(col("__l")),
+          regexp_extract(col("__l"), "^(user|assistant|system): ", 1)))
+          .as("role"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__i").as("i"),
+            cleaned.as("l")))),
+          s => s.getField("l")), "\n").as("content"))
+  }
+
+  /** Instruction-level dedup over parsed turns: each conversation's
+    * FIRST user turn is its instruction; instructions normalize
+    * (lower + whitespace collapse) and keep-first dedup on the
+    * normalized md5 — the alpaca-style redundancy cut. Returns one
+    * verdict row per conversation: the instruction signature, turn
+    * counts, and `keep`.
+    *
+    * Scale shape: the verdict needs one sig-keyed keep-first window
+    * over (id, 16 B sig) rows plus a turn-count aggregate on the doc
+    * key — content never crosses the dedup exchange. */
+  def instructionDedup(turns: DataFrame, idCol: String): DataFrame = {
+    val firstUser = turns.filter(col("role") === "user")
+      .groupBy(col(idCol))
+      .agg(min_by(col("content"), col("turn_idx")).as("__instr"))
+      .select(col(idCol),
+        substring(md5(trim(regexp_replace(lower(col("__instr")),
+          "\\s+", " "))), 1, 16).as("instr_sig"))
+    val counts = turns.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L))
+          .as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant"))
+    val w = Window.partitionBy(col("instr_sig")).orderBy(col(idCol))
+    firstUser
+      .withColumn("keep", row_number().over(w) === 1)
+      .join(counts, Seq(idCol))
+      .select(col(idCol), col("instr_sig"), col("n_turns"),
+        col("n_user"), col("n_assistant"), col("keep"))
+  }
+}

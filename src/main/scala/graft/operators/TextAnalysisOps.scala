@@ -1853,6 +1853,38 @@ object TextAnalysisOps {
         .as("verdict"))
   }
 
+  /** FIM (fill-in-the-middle) split — Bavarian et al. 2022's PSM
+    * transform for infilling training: two deterministic split points
+    * drawn from the doc's OWN hash partition the character range into
+    * prefix | middle | suffix, and the emitted training text is
+    * `<PRE> prefix <SUF> suffix <MID> middle` (the middle moves last
+    * so the model learns to infill). Split points are exact integer
+    * arithmetic on md5 u32s — reproducible across engines, runs and
+    * partitionings, and a different `seed` re-rolls the corpus for
+    * another epoch. Pure projection, zero shuffle. */
+  def fimSplit(docs: DataFrame, idCol: String, textCol: String,
+               seed: String = "fim1"): DataFrame = {
+    def u32(salt: String) =
+      conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(s"|$seed|$salt"))), 1, 8), 16, 10).cast("long")
+    docs
+      .filter(length(col(textCol)) >= 2)
+      .select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        u32("a").as("__ha"), u32("b").as("__hb"))
+      .withColumn("p1", expr("__ha % n_chars"))
+      .withColumn("p2", expr("p1 + (__hb % (n_chars - p1 + 1))"))
+      .select(col(idCol), col("n_chars"), col("p1"), col("p2"),
+        col("p1").as("len_prefix"),
+        (col("p2") - col("p1")).as("len_middle"),
+        (col("n_chars") - col("p2")).as("len_suffix"),
+        substring(md5(concat(lit("<PRE>"),
+          expr("substring(__t, 1, p1)"), lit("<SUF>"),
+          expr("substring(__t, p2 + 1, n_chars - p2)"), lit("<MID>"),
+          expr("substring(__t, p1 + 1, p2 - p1)"))), 1, 16)
+          .as("psm_sig"))
+  }
+
   /** Corpus-level distinct-n diversity per source — the lexical
     * diversity lens on a training mix (Li et al. 2016's distinct-n
     * lifted from generations to corpora): for n ∈ {1, 2, 3}, the

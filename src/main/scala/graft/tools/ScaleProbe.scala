@@ -371,6 +371,19 @@ object ScaleProbe {
     // vocabulary-driven (replica salting grows the vocab slowly)
     time(s"pieceSeed x$n")(
       graft.operators.TokenizerOps.pieceSeed(docs, "text"))
+    // q166: transcript lines through one doc-keyed window; only
+    // instruction signatures cross the dedup exchange
+    time(s"instructionDedup x$n")(
+      graft.operators.ConversationOps.instructionDedup(
+        graft.operators.ConversationOps.parseTurns(
+          docs.select(col("doc_id"),
+            concat(lit("user: "), col("text"), lit("\nassistant: ok"))
+              .as("text")),
+          "doc_id", "text"),
+        "doc_id"))
+    // q167: pure projection — must track the scan
+    time(s"fimSplit x$n")(
+      TextAnalysisOps.fimSplit(docs, "doc_id", "text"))
     // q164: seed centroids broadcast into one corpus scan; the only
     // shuffles are the per-doc argmax window and the per-cell deal
     time(s"clusterShards x$n")({

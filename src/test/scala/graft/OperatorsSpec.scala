@@ -3147,6 +3147,63 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("parseTurns folds continuations, drops preamble, keeps order") {
+    val docs = Seq(
+      (1L, "junk preamble\nsystem: be helpful\nuser: do X\nwith detail\n" +
+        "assistant: done\nuser: thanks")
+    ).toDF("doc_id", "text")
+    val got = ConversationOps.parseTurns(docs, "doc_id", "text")
+      .orderBy("turn_idx")
+      .select("turn_idx", "role", "content")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "system", "be helpful"),
+      (2L, "user", "do X\nwith detail"),
+      (3L, "assistant", "done"),
+      (4L, "user", "thanks")))
+  }
+
+  test("instructionDedup collapses case/whitespace instruction variants") {
+    val docs = Seq(
+      (1L, "user: Summarize   THIS text\nassistant: ok"),
+      (2L, "user: summarize this text\nassistant: sure\nuser: more\n" +
+        "assistant: yes"),
+      (3L, "user: a different ask\nassistant: fine")
+    ).toDF("doc_id", "text")
+    val turns = ConversationOps.parseTurns(docs, "doc_id", "text")
+    val got = ConversationOps.instructionDedup(turns, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("keep"))
+    assert(!got(1).getAs[Boolean]("keep"))       // normalized dup of 1
+    assert(got(0).getAs[String]("instr_sig") ==
+      got(1).getAs[String]("instr_sig"))
+    assert(got(2).getAs[Boolean]("keep"))
+    assert(got(1).getAs[Long]("n_turns") == 4L)
+    assert(got(1).getAs[Long]("n_user") == 2L)
+    assert(got(1).getAs[Long]("n_assistant") == 2L)
+  }
+
+  test("fimSplit: spans tile the doc, splits are deterministic and seeded") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "0123456789" * 10))
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps.fimSplit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val (n, p1, p2) = (r.getAs[Long]("n_chars"), r.getAs[Long]("p1"),
+        r.getAs[Long]("p2"))
+      assert(p1 >= 0 && p1 < n && p2 >= p1 && p2 <= n, r.toString)
+      assert(r.getAs[Long]("len_prefix") + r.getAs[Long]("len_middle") +
+        r.getAs[Long]("len_suffix") == n)
+    }
+    val again = TextAnalysisOps.fimSplit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val reseeded = TextAnalysisOps.fimSplit(docs, "doc_id", "text",
+      seed = "fim2").orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("p1")).toSeq !=
+      reseeded.map(_.getAs[Long]("p1")).toSeq)
+  }
+
   test("codeProseSignals separates code-shaped from prose-shaped docs") {
     val code = "import os;\ndef f(x):\n  return x * 2;\nclass A {\n  var y = 1;\n}"
     val prose = "The quick brown fox jumps over the lazy dog and keeps " +
