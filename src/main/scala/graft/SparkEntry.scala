@@ -1581,23 +1581,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // License signals (q151): six injected slices — SPDX tag,
+    // License signals (q151): seven injected slices — SPDX MIT tag,
     // MIT + copyright (permissive wins), all-rights-reserved, bare
-    // copyright, GPL mention, clean — exercise the verdict logic in
-    // both directions.
+    // copyright, GPL mention, bare SPDX GPL tag (copyleft without the
+    // license text spelled out), clean — exercise the verdict logic
+    // in both directions.
     "q151_license_signals" -> ((s, dir) => {
       val injected = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
-          when(col("doc_id") % 6 === 0,
+          when(col("doc_id") % 7 === 0,
             lit(" SPDX-License-Identifier: MIT"))
-            .when(col("doc_id") % 6 === 1,
+            .when(col("doc_id") % 7 === 1,
               lit(" Shared under the MIT License. Copyright (c) 2021 A."))
-            .when(col("doc_id") % 6 === 2,
+            .when(col("doc_id") % 7 === 2,
               lit(" Copyright 2019 MegaCorp. All rights reserved."))
-            .when(col("doc_id") % 6 === 3,
+            .when(col("doc_id") % 7 === 3,
               lit(" Copyright (c) 2020 Solo Author."))
-            .when(col("doc_id") % 6 === 4,
+            .when(col("doc_id") % 7 === 4,
               lit(" released under the GNU General Public License v3"))
+            .when(col("doc_id") % 7 === 5,
+              lit(" SPDX-License-Identifier: GPL-3.0-only"))
             .otherwise(lit(""))).as("text"))
       TextAnalysisOps.licenseSignals(injected, "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -6196,7 +6199,7 @@ ORDER BY rank LIMIT 6"""),
         |    list_filter(hc, c -> len(list_filter(
         |      ['0','1','2','3','4','5','6','7','8','9',
         |       'a','b','c','d','e','f'],
-        |      h -> contains(c, h))) >= 8) AS hok
+        |      h -> contains(lower(c), h))) >= 8) AS hok
         |  FROM hx)
         |SELECT doc_id,
         |  substr(md5(CASE WHEN len(hok) >= 1
@@ -6214,12 +6217,13 @@ ORDER BY rank LIMIT 6"""),
     "q151_license_signals" -> (
       s"""WITH inj AS (
         |  SELECT doc_id, text ||
-        |    CASE doc_id % 6
+        |    CASE doc_id % 7
         |      WHEN 0 THEN ' SPDX-License-Identifier: MIT'
         |      WHEN 1 THEN ' Shared under the MIT License. Copyright (c) 2021 A.'
         |      WHEN 2 THEN ' Copyright 2019 MegaCorp. All rights reserved.'
         |      WHEN 3 THEN ' Copyright (c) 2020 Solo Author.'
         |      WHEN 4 THEN ' released under the GNU General Public License v3'
+        |      WHEN 5 THEN ' SPDX-License-Identifier: GPL-3.0-only'
         |      ELSE '' END AS text
         |  FROM documents),
         |m AS (SELECT doc_id, text, lower(text) AS low FROM inj),
@@ -6250,6 +6254,7 @@ ORDER BY rank LIMIT 6"""),
         |SELECT doc_id, spdx_id, n_copyright, n_mit, n_apache, n_cc,
         |  n_gpl, n_rights_reserved,
         |  CASE WHEN n_rights_reserved > 0 OR n_gpl > 0
+        |    OR regexp_matches(spdx_id, '^(A?L?GPL)')
         |    OR (n_copyright > 0 AND NOT permissive)
         |    THEN 'flagged' ELSE 'keep' END AS verdict
         |FROM v ORDER BY doc_id""".stripMargin),
@@ -6729,7 +6734,9 @@ ORDER BY rank LIMIT 6"""),
         |  FROM ext),
         |licv AS (
         |  SELECT doc_id,
-        |    (n_rights > 0 OR n_gpl > 0 OR (n_copyright > 0 AND NOT
+        |    (n_rights > 0 OR n_gpl > 0
+        |      OR regexp_matches(spdx_id, '^(A?L?GPL)')
+        |      OR (n_copyright > 0 AND NOT
         |      (n_perm > 0 OR (spdx_id IN ('MIT', 'Apache-2.0',
         |        'BSD-3-Clause', 'CC-BY-4.0') AND length(spdx_id) > 0))))
         |      AS flagged

@@ -56,7 +56,10 @@ object ConversationOps {
     * (lower + whitespace collapse) and keep-first dedup on the
     * normalized md5 — the alpaca-style redundancy cut. Returns one
     * verdict row per conversation: the instruction signature, turn
-    * counts, and `keep`.
+    * counts, and `keep`. Conversations with NO user turn have no
+    * instruction and are OUT OF SCOPE — they drop from the verdict
+    * frame (filter them upstream if they should be kept unexamined;
+    * silently passing them would defeat the dedup's purpose).
     *
     * Scale shape: the verdict needs one sig-keyed keep-first window
     * over (id, 16 B sig) rows plus a turn-count aggregate on the doc

@@ -796,9 +796,16 @@ object DedupOps {
                     minSharedFp: Int = 2): DataFrame = {
     val fp = winnowFingerprints(docs, idCol, textCol, k, w).cache()
     val maxBucket = 1000
+    // cap drops surface via observe() (the minhashCandidates
+    // discipline) — a dropped bucket is corpus-wide boilerplate the
+    // overlap report intentionally ignores, but never silently
     val buckets = fp.select(col("fp_hash"), col("id")).distinct()
       .groupBy(col("fp_hash"))
       .agg(collect_list(col("id")).as("ids"))
+      .observe("winnow_buckets",
+        count(when(size(col("ids")) > maxBucket, true))
+          .as("dropped_buckets"),
+        max(size(col("ids"))).as("max_bucket"))
       .filter(size(col("ids")).between(2, maxBucket))
     val pairs = buckets
       .select(col("fp_hash"), explode(col("ids")).as("id_a"), col("ids"))

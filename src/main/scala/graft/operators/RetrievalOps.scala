@@ -154,9 +154,11 @@ object RetrievalOps {
     * touched. */
   def mrrAtK(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
+    // distinct: a duplicated qrel row would double-count
+    // n_relevant_in_k through the join
     results.filter(col("rank") <= k)
-      .join(qrels.select(col("query_id"), col("doc_id"),
-        lit(1L).as("__rel")), Seq("query_id", "doc_id"), "left")
+      .join(qrels.select(col("query_id"), col("doc_id")).distinct()
+        .withColumn("__rel", lit(1L)), Seq("query_id", "doc_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         coalesce(min(when(col("__rel").isNotNull, col("rank"))), lit(0L))

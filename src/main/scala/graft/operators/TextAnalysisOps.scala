@@ -1148,7 +1148,10 @@ object TextAnalysisOps {
     * `<meta name="robots">` directives (noindex/nofollow), the
     * `<link rel="canonical">` target (feeds q77/q135 URL dedup as
     * the page's OWN canonical key), and the title. Pure projection —
-    * three shared case-insensitive regexes, no parsing state. */
+    * three shared case-insensitive regexes, no parsing state. The
+    * FIRST matching tag of each kind wins (well-formed pages have one
+    * of each; a page with conflicting robots metas is malformed and
+    * first-wins is the deterministic reading). */
   val MetaRobotsPattern =
     "(?i)<meta\\s+name=\"robots\"\\s+content=\"([^\"]*)\""
   val CanonicalLinkPattern =
@@ -1736,12 +1739,13 @@ object TextAnalysisOps {
   val AwsKeyGuarded = "(?<![A-Za-z0-9])" + AwsKeyPattern + "(?![A-Za-z0-9])"
   val GhTokenGuarded = "(?<![A-Za-z0-9])" + GhTokenPattern + "(?![A-Za-z0-9])"
 
-  /** Generic long-hex candidate (SHA-1-length and up). Shape alone is
+  /** Generic long-hex candidate (SHA-1-length and up), either case —
+    * uppercase-hex dumps are as leaky as lowercase. Shape alone is
     * not a secret — git commit ids and checksums are exactly this
-    * shape — so candidates pass a distinct-character gate before
-    * redaction (a real key's hex is near-uniform; `aaaa…` padding and
-    * degenerate fills are not). */
-  val HexRunPattern = "[0-9a-f]{40,}"
+    * shape — so candidates pass a distinct-character gate (counted
+    * case-folded) before redaction (a real key's hex is near-uniform;
+    * `aaaa…` padding and degenerate fills are not). */
+  val HexRunPattern = "[0-9a-fA-F]{40,}"
   val HexRunGuarded = "(?<![0-9a-fA-F])" + HexRunPattern + "(?![0-9a-fA-F])"
 
   private val HexChars: Seq[String] = "0123456789abcdef".map(_.toString)
@@ -1781,7 +1785,7 @@ object TextAnalysisOps {
     val t3 = regexp_replace(t2, GhTokenGuarded, "<GHTOKEN>")
     val hexCands = regexp_extract_all(t3, lit(HexRunGuarded), lit(0))
     val hexValid = filter(hexCands, c =>
-      size(filter(typedLit(HexChars), h => contains(c, h)))
+      size(filter(typedLit(HexChars), h => contains(lower(c), h)))
         >= minDistinctHex)
     val t4 = aggregate(hexValid, t3, (acc, c) =>
       regexp_replace(acc,
@@ -1842,7 +1846,10 @@ object TextAnalysisOps {
     val permissive = nMit + nApache + nCc + nBsd >
       0L or (spdxId.isin("MIT", "Apache-2.0", "BSD-3-Clause",
         "CC-BY-4.0") && length(spdxId) > 0)
+    // a machine-readable copyleft tag flags even without the license
+    // text spelled out (headers usually carry ONLY the SPDX id)
     val restrictive = (nRights > 0L) or (nGpl > 0L) or
+      spdxId.rlike("^(A?L?GPL)") or
       (nCopyright > 0L && !permissive)
     docs.select(col(idCol),
       when(length(spdxId) > 0, spdxId).otherwise(lit("")).as("spdx_id"),
@@ -1861,7 +1868,9 @@ object TextAnalysisOps {
     * so the model learns to infill). Split points are exact integer
     * arithmetic on md5 u32s — reproducible across engines, runs and
     * partitionings, and a different `seed` re-rolls the corpus for
-    * another epoch. Pure projection, zero shuffle. */
+    * another epoch. Docs under 2 chars cannot be split and are
+    * dropped (route them to plain next-token data). Pure projection,
+    * zero shuffle. */
   def fimSplit(docs: DataFrame, idCol: String, textCol: String,
                seed: String = "fim1"): DataFrame = {
     def u32(salt: String) =

@@ -2836,7 +2836,8 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "Copyright 2019 MegaCorp. All rights reserved."),
       (4L, "Copyright (c) 2020 Solo Author."),
       (5L, "released under the GNU General Public License v3"),
-      (6L, "just some prose with no rights language")
+      (6L, "just some prose with no rights language"),
+      (7L, "code header SPDX-License-Identifier: GPL-3.0-only end")
     ).toDF("doc_id", "text")
     val got = TextAnalysisOps.licenseSignals(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -2849,6 +2850,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3).getAs[String]("verdict") == "flagged")   // bare copyright
     assert(got(4).getAs[String]("verdict") == "flagged")   // GPL family
     assert(got(5).getAs[String]("verdict") == "keep")
+    assert(got(6).getAs[String]("verdict") == "flagged")   // copyleft SPDX tag
   }
 
   test("winnowFingerprints: span guarantee, density, short-doc fallback, determinism") {
