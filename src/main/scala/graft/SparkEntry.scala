@@ -928,7 +928,7 @@ object SparkEntry {
         concat(col("text"),
           when(col("doc_id") % 4 === 0, lit(" call +1 (415) 555-0123 now"))
             .when(col("doc_id") % 4 === 1, lit(" id 4111111111111 ref"))
-            .when(col("doc_id") % 4 === 2, lit(" host 10.20.30.40 up"))
+            .when(col("doc_id") % 4 === 2, lit(" host 10.20.30.40. up"))
             .otherwise(lit(" node 999.12.1.7 bad"))).as("text"))
       TextAnalysisOps.scrubContacts(injected, "doc_id", "text")
         .select(col("doc_id"),
@@ -1745,12 +1745,14 @@ object SparkEntry {
         concat(
           lit("<html><head><title>Doc "),
           col("doc_id").cast("string"), lit("</title>"),
-          when(col("doc_id") % 4 === 0,
+          when(col("doc_id") % 5 === 0,
             lit("<meta name=\"robots\" content=\"noindex\">"))
-            .when(col("doc_id") % 4 === 1,
+            .when(col("doc_id") % 5 === 1,
               lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
-            .when(col("doc_id") % 4 === 2,
+            .when(col("doc_id") % 5 === 2,
               lit("<meta name=\"robots\" content=\"index,follow\">"))
+            .when(col("doc_id") % 5 === 3,
+              lit("<meta name=\"robots\" content=\"none\">"))
             .otherwise(lit("")),
           when(col("doc_id") % 3 === 0,
             concat(lit("<link rel=\"canonical\" href=\"http://ex.org/c/"),
@@ -5004,7 +5006,7 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |ipx AS (
         |  SELECT doc_id, n_urls, n_emails, n_cards, t2,
         |    list_filter(regexp_extract_all(t2,
-        |      '(^|[^0-9.])(${TextAnalysisOps.Ipv4Pattern})([^0-9.]|$$)',
+        |      '(^|[^0-9.])(${TextAnalysisOps.Ipv4Pattern})($$|[^0-9.]|\\.[^0-9]|\\.$$)',
         |      2),
         |      c -> len(list_filter(string_split(c, '.'),
         |        o -> o::INT > 255)) = 0) AS ipok
@@ -5014,7 +5016,7 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |    CASE WHEN len(ipok) >= 1
         |      THEN regexp_replace(t2,
         |        '(^|[^0-9.])' || replace(ipok[1], '.', '\\.')
-        |          || '([^0-9.]|$$)',
+        |          || '($$|[^0-9.]|\\.[^0-9]|\\.$$)',
         |        '\\1<IP>\\2', 'g') ELSE t2 END AS t3
         |  FROM ipx),
         |phx AS (
@@ -5099,13 +5101,13 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |    CASE doc_id % 4
         |      WHEN 0 THEN ' call +1 (415) 555-0123 now'
         |      WHEN 1 THEN ' id 4111111111111 ref'
-        |      WHEN 2 THEN ' host 10.20.30.40 up'
+        |      WHEN 2 THEN ' host 10.20.30.40. up'
         |      ELSE ' node 999.12.1.7 bad' END AS text
         |  FROM documents),
         |ip AS (
         |  SELECT doc_id, text,
         |    regexp_extract_all(text,
-        |      '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})([^0-9.]|$)',
+        |      '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})($|[^0-9.]|\.[^0-9]|\.$)',
         |      2) AS ipc
         |  FROM inj),
         |ipv AS (
@@ -5118,7 +5120,7 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |    CASE WHEN len(ipok) >= 1
         |      THEN regexp_replace(text,
         |        '(^|[^0-9.])' || replace(ipok[1], '.', '\.')
-        |          || '([^0-9.]|$)',
+        |          || '($|[^0-9.]|\.[^0-9]|\.$)',
         |        '\1<IP>\2', 'g') ELSE text END AS t1
         |  FROM ipv),
         |ph AS (
@@ -6233,18 +6235,20 @@ ORDER BY rank LIMIT 6"""),
         |      AS spdx_id,
         |    len(regexp_extract_all(low,
         |      '${TextAnalysisOps.CopyrightPattern}'))::BIGINT AS n_copyright,
-        |    ((length(low) - length(replace(low, 'mit license', '')))
-        |      // 11)::BIGINT AS n_mit,
-        |    ((length(low) - length(replace(low, 'apache license', '')))
-        |      // 14)::BIGINT AS n_apache,
-        |    ((length(low) - length(replace(low, 'creative commons', '')))
-        |      // 16)::BIGINT AS n_cc,
-        |    ((length(low) - length(replace(low, 'bsd license', '')))
-        |      // 11)::BIGINT AS n_bsd,
-        |    ((length(low) - length(replace(low, 'general public license', '')))
-        |      // 22)::BIGINT AS n_gpl,
-        |    ((length(low) - length(replace(low, 'all rights reserved', '')))
-        |      // 19)::BIGINT AS n_rights_reserved
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])mit license([^a-z]|$$)'))::BIGINT AS n_mit,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])apache license([^a-z]|$$)'))::BIGINT AS n_apache,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])creative commons([^a-z]|$$)'))::BIGINT AS n_cc,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])bsd license([^a-z]|$$)'))::BIGINT AS n_bsd,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])general public license([^a-z]|$$)'))::BIGINT
+        |      AS n_gpl,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])all rights reserved([^a-z]|$$)'))::BIGINT
+        |      AS n_rights_reserved
         |  FROM m),
         |v AS (
         |  SELECT *, (n_mit + n_apache + n_cc + n_bsd > 0
@@ -6334,13 +6338,14 @@ ORDER BY rank LIMIT 6"""),
         |    a.text AS ta, b.text AS tb, a.ln AS la, b.ln AS lb
         |  FROM j
         |  JOIN tx a ON a.id = j.id_a
-        |  JOIN tx b ON b.id = j.id_b
-        |  WHERE abs(a.ln - b.ln) * 1000 <= 200 * greatest(a.ln, b.ln))
+        |  JOIN tx b ON b.id = j.id_b)
         |SELECT id_a, id_b, jaccard,
-        |  levenshtein(ta, tb)::BIGINT AS lev,
+        |  (CASE WHEN abs(la - lb) * 1000 <= 200 * greatest(la, lb)
+        |     THEN levenshtein(ta, tb) END)::BIGINT AS lev,
         |  greatest(la, lb)::BIGINT AS max_len,
-        |  (levenshtein(ta, tb) * 1000 <= 200 * greatest(la, lb))
-        |    AS near_dup
+        |  coalesce((CASE WHEN abs(la - lb) * 1000 <= 200
+        |      * greatest(la, lb) THEN levenshtein(ta, tb) END)
+        |    * 1000 <= 200 * greatest(la, lb), false) AS near_dup
         |FROM p ORDER BY id_a, id_b""").stripMargin),
 
     // The q155 hybrid chain rolled up to MRR; qrels collapse to
@@ -6502,10 +6507,11 @@ ORDER BY rank LIMIT 6"""),
       s"""WITH wrapped AS (
         |  SELECT doc_id,
         |    '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>'
-        |    || CASE doc_id % 4
+        |    || CASE doc_id % 5
         |         WHEN 0 THEN '<meta name="robots" content="noindex">'
         |         WHEN 1 THEN '<meta name="robots" content="noindex,nofollow">'
         |         WHEN 2 THEN '<meta name="robots" content="index,follow">'
+        |         WHEN 3 THEN '<meta name="robots" content="none">'
         |         ELSE '' END
         |    || CASE WHEN doc_id % 3 = 0
         |         THEN '<link rel="canonical" href="http://ex.org/c/'
@@ -6522,12 +6528,17 @@ ORDER BY rank LIMIT 6"""),
         |      AS canonical_url,
         |    regexp_extract(html, '${TextAnalysisOps.TitlePattern}', 1)
         |      AS title
-        |  FROM wrapped)
+        |  FROM wrapped),
+        |f AS (
+        |  SELECT doc_id, robots, canonical_url, title,
+        |    len(list_filter(string_split(robots, ','),
+        |      t -> trim(t) IN ('noindex', 'none'))) > 0 AS noindex,
+        |    len(list_filter(string_split(robots, ','),
+        |      t -> trim(t) IN ('nofollow', 'none'))) > 0 AS nofollow
+        |  FROM m)
         |SELECT doc_id, robots, canonical_url, title,
-        |  contains(robots, 'noindex') AS noindex,
-        |  contains(robots, 'nofollow') AS nofollow,
-        |  NOT contains(robots, 'noindex') AS indexable
-        |FROM m ORDER BY doc_id""".stripMargin),
+        |  noindex, nofollow, NOT noindex AS indexable
+        |FROM f ORDER BY doc_id""".stripMargin),
 
     // Three unrolled integer power iterations over the affine-map
     // edge set; per-edge division BEFORE the sum, exactly the
@@ -6703,8 +6714,10 @@ ORDER BY rank LIMIT 6"""),
         |  FROM inj),
         |ext AS (
         |  SELECT doc_id, source,
-        |    NOT contains(lower(regexp_extract(html,
-        |      '${TextAnalysisOps.MetaRobotsPattern}', 1)), 'noindex')
+        |    NOT (len(list_filter(string_split(
+        |      lower(regexp_extract(html,
+        |        '${TextAnalysisOps.MetaRobotsPattern}', 1)), ','),
+        |      t -> trim(t) IN ('noindex', 'none'))) > 0)
         |      AS indexable,
         |    trim(regexp_replace(regexp_replace(html,
         |      '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS text
@@ -6714,21 +6727,20 @@ ORDER BY rank LIMIT 6"""),
         |    len(regexp_extract_all(lower(text),
         |      '${TextAnalysisOps.CopyrightPattern}'))::BIGINT
         |      AS n_copyright,
-        |    ((length(lower(text)) -
-        |      length(replace(lower(text), 'mit license', ''))) // 11
-        |      + (length(lower(text)) -
-        |      length(replace(lower(text), 'apache license', ''))) // 14
-        |      + (length(lower(text)) -
-        |      length(replace(lower(text), 'creative commons', ''))) // 16
-        |      + (length(lower(text)) -
-        |      length(replace(lower(text), 'bsd license', ''))) // 11)
-        |      ::BIGINT AS n_perm,
-        |    ((length(lower(text)) -
-        |      length(replace(lower(text), 'general public license', '')))
-        |      // 22)::BIGINT AS n_gpl,
-        |    ((length(lower(text)) -
-        |      length(replace(lower(text), 'all rights reserved', '')))
-        |      // 19)::BIGINT AS n_rights,
+        |    (len(regexp_extract_all(lower(text),
+        |       '(^|[^a-z])mit license([^a-z]|$$)'))
+        |     + len(regexp_extract_all(lower(text),
+        |       '(^|[^a-z])apache license([^a-z]|$$)'))
+        |     + len(regexp_extract_all(lower(text),
+        |       '(^|[^a-z])creative commons([^a-z]|$$)'))
+        |     + len(regexp_extract_all(lower(text),
+        |       '(^|[^a-z])bsd license([^a-z]|$$)')))::BIGINT AS n_perm,
+        |    len(regexp_extract_all(lower(text),
+        |      '(^|[^a-z])general public license([^a-z]|$$)'))::BIGINT
+        |      AS n_gpl,
+        |    len(regexp_extract_all(lower(text),
+        |      '(^|[^a-z])all rights reserved([^a-z]|$$)'))::BIGINT
+        |      AS n_rights,
         |    regexp_extract(text, '${TextAnalysisOps.SpdxPattern}', 1)
         |      AS spdx_id
         |  FROM ext),

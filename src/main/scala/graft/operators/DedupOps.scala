@@ -861,15 +861,20 @@ object DedupOps {
         col("__len").as("__la")), Seq("id_a"))
       .join(texts.select(col("__id").as("id_b"), col("__text").as("__tb"),
         col("__len").as("__lb")), Seq("id_b"))
-      // length pre-gate: |la - lb| > budget ⇒ lev > budget, skip the
-      // quadratic evaluation entirely
-      .filter(abs(col("__la") - col("__lb")) * 1000 <=
-        lit(maxLevMilli) * greatest(col("__la"), col("__lb")))
+      // length pre-gate: |la - lb| > budget ⇒ lev > budget, so the
+      // O(len²) evaluation is SKIPPED (lev stays null) but the pair
+      // keeps its verdict row — both rejection paths are observable
+      // in the same frame
+      .withColumn("__gate",
+        abs(col("__la") - col("__lb")) * 1000 <=
+          lit(maxLevMilli) * greatest(col("__la"), col("__lb")))
       .select(col("id_a"), col("id_b"), col("jaccard"),
-        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        when(col("__gate"),
+          levenshtein(col("__ta"), col("__tb")).cast("long")).as("lev"),
         greatest(col("__la"), col("__lb")).cast("long").as("max_len"))
       .withColumn("near_dup",
-        col("lev") * 1000L <= lit(maxLevMilli.toLong) * col("max_len"))
+        coalesce(col("lev") * 1000L <=
+          lit(maxLevMilli.toLong) * col("max_len"), lit(false)))
   }
 
   /** Leakage-safe train/val/test split: near-dup CLUSTER

@@ -32,8 +32,12 @@ object GraphOps {
     * one co-partitioned join per iteration after the first), then
     * contributions aggregate per dst with map-side combine; the rank
     * table is nodes-sized (8+8 B rows), never edge-sized. Degrees
-    * compute once. `iters` is a driver loop of narrow jobs — rank
-    * tables are cached per iteration and the previous one released. */
+    * compute once. `iters` is a driver loop: small counts chain as
+    * ONE lazy plan, and every 5th iteration materializes into a
+    * cache (its predecessor released) so deep runs keep bounded
+    * lineage; the edge/node/degree caches stay pinned for the life
+    * of the returned frame (the minhashCandidates discipline —
+    * memory there is nodes+edges-sized, not corpus-payload-sized). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, dampMilli: Int = 850): DataFrame = {
     require(iters >= 1, "iters >= 1")

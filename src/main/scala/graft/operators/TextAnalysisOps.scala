@@ -288,14 +288,22 @@ object TextAnalysisOps {
     * `1.2.3.4.5` is not an IP. Guarding at EXTRACTION (not just at
     * replace) keeps candidate counts honest and makes the scrub passes
     * idempotent: an embedded pseudo-candidate is neither counted nor
-    * re-found by a second pass. The DuckDB oracles emulate the
-    * lookbehind (RE2 has none) with a consuming `(^|[^0-9])(…)([^0-9]|$)`
-    * group-2 extraction — exact whenever candidates are separated by
-    * at least one non-candidate character, the corpus discipline the
-    * fixtures pin. */
+    * re-found by a second pass.
+    *
+    * The IPv4 TRAILING guard is `(?!\.?[0-9])` — "not followed by a
+    * further (possibly dotted) digit" — NOT the blunt `(?![0-9.])`: a
+    * quad at the end of a sentence (`the server at 10.0.0.7.`) is an
+    * IP, while `1.2.3.4.5` still rejects because `.5` follows. The
+    * DuckDB oracles emulate lookarounds (RE2 has none) with consuming
+    * groups, e.g. `(^|[^0-9])(…)($|[^0-9])` — exact whenever
+    * candidates are separated by at least TWO non-candidate
+    * characters (the consuming trailing group eats one separator, so
+    * two single-space-separated candidates would hide the second from
+    * the oracle scan); the fixtures pin that discipline. */
   val CardPatternGuarded = "(?<![0-9])" + CardPattern + "(?![0-9])"
   val PhonePatternGuarded = "(?<![0-9])" + PhonePattern + "(?![0-9])"
-  val Ipv4PatternGuarded = "(?<![0-9.])" + Ipv4Pattern + "(?![0-9.])"
+  val Ipv4PatternGuarded =
+    "(?<![0-9.])" + Ipv4Pattern + "(?!\\.?[0-9])"
 
   /** Phone context rule: a `+` prefix or at least one separator
     * (bare digit runs are ids/serials), and NOT a uniformly
@@ -340,7 +348,7 @@ object TextAnalysisOps {
       forall(split(ip, "\\."), o => o.cast("int") <= 255))
     val ipScrubbed = aggregate(ipValid, txt,
       (acc, c) => regexp_replace(acc,
-        concat(lit("(?<![0-9.])\\Q"), c, lit("\\E(?![0-9.])")),
+        concat(lit("(?<![0-9.])\\Q"), c, lit("\\E(?!\\.?[0-9])")),
         lit("<IP>")))
     val phCands = regexp_extract_all(ipScrubbed,
       lit(PhonePatternGuarded), lit(0))
@@ -400,7 +408,7 @@ object TextAnalysisOps {
       forall(split(ip, "\\."), o => o.cast("int") <= 255))
     val t3 = aggregate(ipValid, t2,
       (acc, c) => regexp_replace(acc,
-        concat(lit("(?<![0-9.])\\Q"), c, lit("\\E(?![0-9.])")),
+        concat(lit("(?<![0-9.])\\Q"), c, lit("\\E(?!\\.?[0-9])")),
         lit("<IP>")))
     val phCands = regexp_extract_all(t3, lit(PhonePatternGuarded), lit(0))
     val phValid = filter(phCands, phoneContextValid(_))
@@ -1162,13 +1170,21 @@ object TextAnalysisOps {
                htmlCol: String): DataFrame = {
     val robots = lower(regexp_extract(col(htmlCol),
       MetaRobotsPattern, 1))
+    // TOKEN matching over the comma-separated directive list — a
+    // substring test would both over-match and miss `content="none"`,
+    // the standard shorthand for noindex,nofollow
+    val toks = transform(split(robots, ","), t => trim(t))
+    val noindex = array_contains(toks, "noindex") ||
+      array_contains(toks, "none")
+    val nofollow = array_contains(toks, "nofollow") ||
+      array_contains(toks, "none")
     docs.select(col(idCol),
       robots.as("robots"),
       regexp_extract(col(htmlCol), CanonicalLinkPattern, 1)
         .as("canonical_url"),
       regexp_extract(col(htmlCol), TitlePattern, 1).as("title"),
-      contains(robots, lit("noindex")).as("noindex"),
-      contains(robots, lit("nofollow")).as("nofollow"))
+      noindex.as("noindex"),
+      nofollow.as("nofollow"))
       .withColumn("indexable", !col("noindex"))
   }
 
@@ -1831,9 +1847,13 @@ object TextAnalysisOps {
   def licenseSignals(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     val low = lower(col(textCol))
+    // word-boundary the marker (consuming groups — RE2-expressible for
+    // the oracle): a bare substring count would read "permit license
+    // verification" in contract prose as an MIT mention and suppress
+    // the bare-copyright flag
     def hits(marker: String): Column =
-      ((length(low) - length(replace(low, lit(marker), lit("")))) /
-        lit(marker.length)).cast("long")
+      size(regexp_extract_all(low,
+        lit("(^|[^a-z])" + marker + "([^a-z]|$)"), lit(0))).cast("long")
     val nCopyright =
       size(regexp_extract_all(low, lit(CopyrightPattern), lit(0))).cast("long")
     val spdxId = regexp_extract(col(textCol), SpdxPattern, 1)

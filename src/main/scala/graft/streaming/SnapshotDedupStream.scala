@@ -59,6 +59,11 @@ object SnapshotDedupStream {
     val spark = fetches.sparkSession
     import spark.implicits._
     val keyed = fetches
+      // a fetch without an event time cannot participate in
+      // latest-wins ordering NOR in watermarking — drop it up front
+      // (the state function would otherwise NPE on a poison record
+      // that replays forever from the checkpoint)
+      .filter(col(eventTimeCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         UrlOps.stripTrackingParams(UrlOps.canonicalize(col(urlCol)))
           .as("canonical_url"),
@@ -85,7 +90,10 @@ object SnapshotDedupStream {
             st = st.copy(n = st.n + 1L)
         }
         gs.update(st)
-        gs.setTimeoutTimestamp(latest + horizonMs)
+        // horizon counts from the key's NEWEST fetch ever seen, not
+        // the batch-local max: a late-arriving older fetch must not
+        // pull the expiry earlier (bestTs already tracks the max)
+        gs.setTimeoutTimestamp(math.max(latest, st.bestTs) + horizonMs)
         Iterator.single(SnapshotWinner(key, st.bestId,
           new java.sql.Timestamp(st.bestTs), st.n))
       }

@@ -2101,7 +2101,10 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "call +1 (415) 555-0123 or 415.555.0199 today"),
       (2L, "id 4111111111111 ref"),            // bare run: intact
       (3L, "host 10.20.30.40 and 999.12.1.7"), // one valid, one not
-      (4L, "nothing here")).toDF("doc_id", "text")
+      (4L, "nothing here"),
+      (5L, "see the server at 10.0.0.7."),     // sentence-ending period
+      (6L, "versions 1.2.3.4.5 stay intact")   // dotted continuation
+    ).toDF("doc_id", "text")
     val r = TextAnalysisOps.scrubContacts(docs, "doc_id", "text")
       .collect().map(x => x.getLong(0) ->
         (x.getString(1), x.getInt(2), x.getInt(3),
@@ -2116,6 +2119,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L)._1 == "host <IP> and 999.12.1.7" &&
       r(3L)._2 == 2 && r(3L)._3 == 1 && r(3L)._4 == 0, r(3L).toString)
     assert(r(4L) == ("nothing here", 0, 0, 0, 0))
+    // a quad at the end of a sentence IS an IP (the trailing guard
+    // rejects only dotted-digit continuations) ...
+    assert(r(5L)._1 == "see the server at <IP>." && r(5L)._3 == 1,
+      r(5L).toString)
+    // ... while the version-string quad stays embedded and intact
+    assert(r(6L)._1 == "versions 1.2.3.4.5 stay intact" &&
+      r(6L)._2 == 0, r(6L).toString)
   }
 
   test("temperatureMixture: α=0.5 lifts the small source above its " +
@@ -3031,7 +3041,9 @@ class OperatorsSpec extends AnyFunSuite {
         "</head><body>x</body></html>"),
       (2L, "<html><head><title>Page Two</title>" +
         "<meta name=\"robots\" content=\"index,follow\"></head></html>"),
-      (3L, "<html><head></head><body>bare</body></html>")
+      (3L, "<html><head></head><body>bare</body></html>"),
+      (4L, "<html><head><meta name=\"robots\" content=\"none\">" +
+        "</head><body>x</body></html>")
     ).toDF("doc_id", "html")
     val got = TextAnalysisOps.htmlMeta(docs, "doc_id", "html")
       .orderBy("doc_id").collect()
@@ -3044,6 +3056,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got(1).getAs[Boolean]("nofollow"))
     assert(got(2).getAs[String]("robots") == "")
     assert(got(2).getAs[Boolean]("indexable"))
+    // content="none" is the standard noindex,nofollow shorthand
+    assert(got(3).getAs[Boolean]("noindex"))
+    assert(got(3).getAs[Boolean]("nofollow"))
+    assert(!got(3).getAs[Boolean]("indexable"))
   }
 
   test("pageRank: cycle is a fixed point, star concentrates then damps, degrees exact") {
