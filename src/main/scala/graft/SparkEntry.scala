@@ -2656,17 +2656,17 @@ object SparkEntry {
     * doc's first 8 tokens on both engines. */
   private def bm25OracleSqlFrom(corpusSql: String,
       dfCapSql: String): String =
-    "WITH " + bm25RankedCtesFrom(corpusSql, dfCapSql, qSliceLen = 8) +
+    "WITH " + bm25RankedCtesFrom(corpusSql, dfCapSql) +
       """
         |SELECT query_id, rank, doc_id, score_micro FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** The BM25 CTE chain through `ranked` (no final SELECT), with the
-    * query slice length parameterized — q154's MRR wants DEGRADED
-    * 2-token queries, q155's RRF fuses the ranked frame with a dense
-    * leg. */
-  private def bm25RankedCtesFrom(corpusSql: String, dfCapSql: String,
-      qSliceLen: Int): String =
+  /** The BM25 CTE chain through `ranked` (no final SELECT): q79/q93/
+    * q117 add their final SELECT, q154/q155 extend it with the dense
+    * leg + RRF fusion. Queries are every 97th doc's first 8 tokens on
+    * both engines. */
+  private def bm25RankedCtesFrom(corpusSql: String,
+      dfCapSql: String): String =
     s"""corpus AS (
        |$corpusSql),
        |base AS (
@@ -2676,8 +2676,8 @@ object SparkEntry {
        |stats AS (SELECT count(*)::BIGINT AS n_docs,
        |            sum(dl)::BIGINT AS total_dl FROM base),
        |q AS (SELECT doc_id AS query_id,
-       |        list_distinct(list_slice(string_split(text, ' '), 1,
-       |          $qSliceLen)) AS qt
+       |        list_distinct(list_slice(string_split(text, ' '), 1, 8))
+       |          AS qt
        |      FROM corpus WHERE doc_id % 97 = 0),
        |qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
        |termset AS (SELECT DISTINCT term FROM qterms),
@@ -3266,7 +3266,7 @@ object SparkEntry {
     * `fr`. */
   private lazy val RrfHybridCtesSql: String =
     bm25RankedCtesFrom("SELECT doc_id, text FROM documents",
-      dfCapSql = "", qSliceLen = 8) + """,
+      dfCapSql = "") + """,
       |lex AS (SELECT query_id, doc_id, rank FROM ranked
       |        WHERE rank <= 10),
       |dc AS (
@@ -6350,6 +6350,9 @@ ORDER BY rank LIMIT 6"""),
 
     // The q155 hybrid chain rolled up to MRR; qrels collapse to
     // doc_id = query_id; reciprocal rank in exact integer division.
+    // (The operator's query universe is results ∪ qrels; here both
+    // sets are exactly the %97 queries — every query retrieves ≥ 1
+    // doc — so aggregating over `fr` alone is the same universe.)
     "q154_mrr" -> (
       "WITH " + RrfHybridCtesSql + """,
         |mr AS (

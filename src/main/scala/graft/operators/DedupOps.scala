@@ -853,8 +853,12 @@ object DedupOps {
     // ~180 MiB of corpus text through the pair joins without it)
     val candIds = cand.select(col("id_a").as("__id"))
       .union(cand.select(col("id_b"))).distinct()
+    // lengths as LONG up front: the gate's cross-multiplication on
+    // Int lengths would overflow for multi-megabyte documents (and
+    // throw under ANSI mode) — the verdict and the oracle are BIGINT
     val texts = docs.select(col(idCol).as("__id"),
-      col(textCol).as("__text"), length(col(textCol)).as("__len"))
+      col(textCol).as("__text"),
+      length(col(textCol)).cast("long").as("__len"))
       .join(candIds, Seq("__id"), "left_semi")
     cand
       .join(texts.select(col("__id").as("id_a"), col("__text").as("__ta"),
@@ -866,8 +870,8 @@ object DedupOps {
       // keeps its verdict row — both rejection paths are observable
       // in the same frame
       .withColumn("__gate",
-        abs(col("__la") - col("__lb")) * 1000 <=
-          lit(maxLevMilli) * greatest(col("__la"), col("__lb")))
+        abs(col("__la") - col("__lb")) * 1000L <=
+          lit(maxLevMilli.toLong) * greatest(col("__la"), col("__lb")))
       .select(col("id_a"), col("id_b"), col("jaccard"),
         when(col("__gate"),
           levenshtein(col("__ta"), col("__tb")).cast("long")).as("lev"),

@@ -156,14 +156,23 @@ object RetrievalOps {
     require(k >= 1, "k >= 1")
     // distinct: a duplicated qrel row would double-count
     // n_relevant_in_k through the join
-    results.filter(col("rank") <= k)
+    val perQuery = results.filter(col("rank") <= k)
       .join(qrels.select(col("query_id"), col("doc_id")).distinct()
         .withColumn("__rel", lit(1L)), Seq("query_id", "doc_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         coalesce(min(when(col("__rel").isNotNull, col("rank"))), lit(0L))
-          .cast("long").as("first_rank"),
-        sum(coalesce(col("__rel"), lit(0L))).as("n_relevant_in_k"))
+          .cast("long").as("__fr"),
+        sum(coalesce(col("__rel"), lit(0L))).as("__nrel"))
+    // the query UNIVERSE is results ∪ qrels: a judged query whose
+    // ranker returned NOTHING must still report first_rank = 0 —
+    // excluding the hardest misses silently inflates the mean
+    val universe = results.select(col("query_id"))
+      .union(qrels.select(col("query_id"))).distinct()
+    universe.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__fr"), lit(0L)).as("first_rank"),
+        coalesce(col("__nrel"), lit(0L)).as("n_relevant_in_k"))
       .select(col("query_id"), col("first_rank"),
         when(col("first_rank") > 0L,
           expr("1000000L div first_rank")).otherwise(lit(0L))

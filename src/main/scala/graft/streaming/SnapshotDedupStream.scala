@@ -105,11 +105,19 @@ object SnapshotDedupStream {
   }
 
   /** Winner stream → append-only parquet; the latest row per key on
-    * read is the batch [[UrlOps.snapshotDedup]] table. */
+    * read is the batch [[UrlOps.snapshotDedup]] table.
+    *
+    * `watermarkDelay` must cover the feed's DISORDER: Spark drops
+    * rows older than `max(event time) − delay` before they reach the
+    * state function, and crawl feeds are routinely out of order
+    * across micro-batches — a 0-second watermark silently undercounts
+    * re-crawls and can miss winners (diverging from the batch twin).
+    * The default covers a day of disorder; the soak spec exercises an
+    * out-of-order phase under it. */
   def start(fetches: DataFrame, outDir: String,
             idCol: String = "doc_id", urlCol: String = "url",
             eventTimeCol: String = "ts",
-            watermarkDelay: String = "0 seconds",
+            watermarkDelay: String = "24 hours",
             horizonMs: Long = 365L * 24 * 3600 * 1000,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     winners(fetches, idCol, urlCol, eventTimeCol, watermarkDelay,

@@ -32,10 +32,20 @@ class SnapshotDedupStreamSpec extends AnyFunSuite {
     ids.map(i => (i.toLong,
       new java.sql.Timestamp((base + i * 60L) * 1000L), urlOf(i)))
 
+  /** Out-of-order tail: fresh ids whose EVENT TIMES sit back inside
+    * phase 1 (older than everything phase 2 already processed) — the
+    * watermark-delay coverage case. */
+  private def lateRowsOf(ids: Range): Seq[(Long, java.sql.Timestamp, String)] =
+    ids.map(i => (i.toLong,
+      new java.sql.Timestamp((base + (i % 10) * 60L) * 1000L),
+      urlOf(i)))
+
   private def writeSnap(src: String, name: String, ids: Range,
-                        mtime: Long): Unit = {
+                        mtime: Long,
+                        rows: Range => Seq[(Long, java.sql.Timestamp,
+                          String)] = rowsOf): Unit = {
     val tmp = Files.createTempDirectory("graft_snap_tmp").toString
-    rowsOf(ids).toDF("doc_id", "ts", "url")
+    rows(ids).toDF("doc_id", "ts", "url")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
       .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -61,6 +71,11 @@ class SnapshotDedupStreamSpec extends AnyFunSuite {
     // restart: phase-2 fetches of the same pages — winners and counts
     // must fold onto phase-1 state recovered from the checkpoint
     writeSnap(src, "f1", 30 until 60, 2000L)
+    // phase 3 in the SAME run: out-of-order fetches whose event times
+    // sit back inside phase 1 — the default watermark delay must let
+    // them through to the state fold (a 0-second watermark would drop
+    // them and undercount re-crawls)
+    writeSnap(src, "f2", 100 until 110, 3000L, lateRowsOf)
     run()
 
     val streamed = spark.read.parquet(s"$out/winners")
@@ -83,8 +98,10 @@ class SnapshotDedupStreamSpec extends AnyFunSuite {
     assert(got == batch,
       s"stream/batch divergence:\n only stream: ${got -- batch}\n" +
         s" only batch: ${batch -- got}")
-    // the re-crawl counts prove cross-restart state: 6 fetches/page
-    assert(batch.forall(_._4 == 6L), s"fixture shape: $batch")
+    // the re-crawl counts prove cross-restart state AND the
+    // out-of-order phase reaching the fold: 6 in-order fetches + 1
+    // late fetch per page
+    assert(batch.forall(_._4 == 7L), s"fixture shape: $batch")
     assert(got.size == 10) // 10 pages, all spellings collapsed
   }
 }
