@@ -1788,6 +1788,24 @@ object SparkEntry {
         minLen = 2, maxLen = 6, k = 50)
     }),
 
+    // Video frame sampling (q168): REAL AVI containers (RIFF walk,
+    // avih header, 00db grayscale frames) built from a closed-form
+    // pixel formula; every 4th frame's exact pixel stats must match
+    // the formula recomputed in SQL — decode + sampling proven the
+    // q71/q72 way, completing the image/audio/video modality triad.
+    "q168_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (id % 5 + 8).toInt
+          (id, VideoCodecs.aviBytes(8, 6, n)((f, x, y) =>
+            ((id * 7 + f * 13 + x * 3 + y * 5) % 256).toInt))
+        }.toDF("doc_id", "media")
+      MultimodalOps.videoFrameSample(media, "doc_id", "media",
+        every = 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Instruction dedup (q166): documents become two-to-four-turn
     // transcripts; %6==0 and %6==3 docs share one instruction up to
     // case/whitespace — the normalized keep-first cut must collapse
@@ -6602,6 +6620,33 @@ ORDER BY rank LIMIT 6"""),
         |)
         |SELECT piece, sum(cnt)::BIGINT AS score FROM p GROUP BY piece
         |ORDER BY score DESC, piece ASC LIMIT 50""".stripMargin),
+
+    // Oracle never touches AVI bytes: sampled-frame stats come
+    // straight from the pixel formula over the 8x6 cell grid —
+    // agreement proves the RIFF walk + frame decode + sampling.
+    "q168_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 5 + 8)::INT AS n FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n, unnest(range(0, n))::INT AS f FROM d),
+        |sel AS (SELECT doc_id, n, f FROM fr WHERE f % 4 = 0),
+        |cells AS (
+        |  SELECT x, y
+        |  FROM (SELECT unnest(range(0, 8)) AS x),
+        |       (SELECT unnest(range(0, 6)) AS y)),
+        |px AS (
+        |  SELECT doc_id, n, f,
+        |    sum((doc_id * 7 + f * 13 + x * 3 + y * 5) % 256)::BIGINT
+        |      AS pix_sum,
+        |    min((doc_id * 7 + f * 13 + x * 3 + y * 5) % 256)::INT
+        |      AS pix_min,
+        |    max((doc_id * 7 + f * 13 + x * 3 + y * 5) % 256)::INT
+        |      AS pix_max
+        |  FROM sel, cells GROUP BY doc_id, n, f)
+        |SELECT doc_id, true AS decoded, 8 AS width, 6 AS height,
+        |  n::BIGINT AS n_frames, f AS frame_idx,
+        |  pix_sum, pix_min, pix_max
+        |FROM px ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Turn parsing via the same running-starter counter (window) and
     // an ORDER BY string_agg regroup; arg_min picks the first user

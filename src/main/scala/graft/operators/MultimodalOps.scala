@@ -582,4 +582,54 @@ object MultimodalOps {
     DedupOps.embeddingNearDups(feats, "id", "embedding", threshold,
       dim = FakeDecoder.EmbeddingDim, tables = 4, bits = 4)
   }
+
+  /** Video frame sampling over REAL parsed AVI containers — the video
+    * leg of the multimodal family, and the canonical video-corpus
+    * move: a clip's curation features come from a SAMPLE of its
+    * frames (every `every`-th, frame 0 always included), never a full
+    * decode of every frame downstream. Emits one row per SAMPLED
+    * frame with exact integer pixel stats (sum/min/max — the q71
+    * closed-form-oracle scheme); undecodable containers yield a
+    * single `decoded = false` row, never an exception.
+    *
+    * Scale shape: the container parses in the scan task and only
+    * (id, dims, frame_idx, three ints) rows flow on — the video
+    * binary never reaches an exchange, and sampled-frame rows are
+    * `ceil(n/every)` per clip. */
+  def videoFrameSample(media: DataFrame, idCol: String, binCol: String,
+                       every: Int = 4,
+                       batchSize: Int = 64): DataFrame = {
+    require(every >= 1, "every >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            VideoCodecs.parseAvi(bytes) match {
+              case Some(v) =>
+                (0 until v.nFrames by every).iterator.map { f =>
+                  val fr = v.frames(f)
+                  var s = 0L; var mn = 255; var mx = 0
+                  var i = 0
+                  while (i < fr.length) {
+                    val p = fr(i) & 0xff
+                    s += p
+                    if (p < mn) mn = p
+                    if (p > mx) mx = p
+                    i += 1
+                  }
+                  (id, true, v.width, v.height, v.nFrames.toLong,
+                    f, s, mn, mx)
+                }
+              case None =>
+                Iterator.single((id, false, 0, 0, 0L, 0, 0L, 0, 0))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "width", "height", "n_frames",
+        "frame_idx", "pix_sum", "pix_min", "pix_max")
+  }
 }

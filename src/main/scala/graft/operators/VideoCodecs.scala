@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal RIFF/AVI video container codec — the video leg of the
+  * multimodal family (PNG/GIF/JPEG images, WAV audio, WARC archives,
+  * and now AVI). Scope: uncompressed 8-bit grayscale DIB frames in
+  * `00db` chunks — the honest uncompressed-container baseline (as WAV
+  * is for audio); inter-frame codecs (`00dc` compressed chunks) would
+  * need real codec tables and stay out of scope, reported as
+  * undecodable. The RIFF walk matches [[AudioCodecs.parseWav]]'s
+  * discipline: bounds-checked chunk lengths, word-aligned skips,
+  * malformed containers return None (never throw).
+  *
+  * Layout parsed (public AVI RIFF spec): `RIFF('AVI ' LIST('hdrl'
+  * avih(56-byte main header)) LIST('movi' '00db'*))`; the writer
+  * emits exactly that, so roundtrips are bit-exact.
+  */
+object VideoCodecs {
+
+  /** Decoded video: 8-bit grayscale frames, row-major. */
+  case class Video(width: Int, height: Int, nFrames: Int,
+                   frames: Array[Array[Byte]])
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Parse an AVI container; None on any malformation (truncated
+    * chunk, frame size disagreeing with the header dimensions,
+    * declared-vs-actual frame count mismatch, no frames). */
+  def parseAvi(b: Array[Byte]): Option[Video] = {
+    if (b == null || b.length < 24) return None
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
+    var width = 0
+    var height = 0
+    var declared = -1
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val ctag = tag(b, off)
+        val clen = le32(b, off + 4)
+        if (clen < 0 || off + 8 + clen > end) return false
+        ctag match {
+          case "LIST" =>
+            if (clen < 4) return false
+            val ltype = tag(b, off + 8)
+            if (ltype == "hdrl" || ltype == "movi") {
+              if (!walk(off + 12, off + 8 + clen)) return false
+            }
+          case "avih" =>
+            if (clen < 40) return false
+            declared = le32(b, off + 8 + 16)
+            width = le32(b, off + 8 + 32)
+            height = le32(b, off + 8 + 36)
+          case "00db" =>
+            frames += java.util.Arrays.copyOfRange(b, off + 8,
+              off + 8 + clen)
+          case _ => () // strl/idx1/JUNK etc. skipped
+        }
+        off += 8 + clen + (clen & 1) // word alignment
+      }
+      true
+    }
+    if (!walk(12, b.length)) return None
+    if (width <= 0 || height <= 0 || frames.isEmpty) return None
+    if (frames.exists(_.length != width * height)) return None
+    if (declared >= 0 && declared != frames.length) return None
+    Some(Video(width, height, frames.length, frames.toArray))
+  }
+
+  /** Deterministic AVI writer: `pixel(frame, x, y)` supplies 0-255
+    * grayscale values. The exact inverse of [[parseAvi]]. */
+  def aviBytes(width: Int, height: Int, nFrames: Int)
+              (pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "positive dims")
+    val fsize = width * height
+    val pad = fsize & 1
+    val hdrlLen = 4 + 8 + 56
+    val moviLen = 4 + nFrames * (8 + fsize + pad)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = ByteBuffer.allocate(8 + riffLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def put4(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    put4("RIFF"); bb.putInt(riffLen); put4("AVI ")
+    put4("LIST"); bb.putInt(hdrlLen); put4("hdrl")
+    put4("avih"); bb.putInt(56)
+    // AVIMAINHEADER: usPerFrame, maxBps, padding, flags, totalFrames,
+    // initialFrames, streams, suggestedBuffer, width, height, rsv[4]
+    bb.putInt(33333).putInt(0).putInt(0).putInt(0).putInt(nFrames)
+      .putInt(0).putInt(1).putInt(fsize).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    put4("LIST"); bb.putInt(moviLen); put4("movi")
+    var f = 0
+    while (f < nFrames) {
+      put4("00db"); bb.putInt(fsize)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          bb.put((pixel(f, x, y) & 0xff).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      if (pad == 1) bb.put(0.toByte)
+      f += 1
+    }
+    bb.array()
+  }
+}

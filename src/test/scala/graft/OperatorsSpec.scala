@@ -3222,6 +3222,40 @@ class OperatorsSpec extends AnyFunSuite {
       reseeded.map(_.getAs[Long]("p1")).toSeq)
   }
 
+  test("AVI codec roundtrips; parser rejects malformed containers") {
+    val bytes = graft.operators.VideoCodecs.aviBytes(4, 3, 5)(
+      (f, x, y) => f * 10 + y * 4 + x)
+    val v = graft.operators.VideoCodecs.parseAvi(bytes).get
+    assert(v.width == 4 && v.height == 3 && v.nFrames == 5)
+    assert((v.frames(2)(7) & 0xff) == 2 * 10 + 1 * 4 + 3) // f=2,y=1,x=3
+    // truncated container, wrong magic, frame/header size mismatch
+    assert(graft.operators.VideoCodecs
+      .parseAvi(bytes.take(bytes.length - 4)).isEmpty)
+    val bad = bytes.clone(); bad(8) = 'X'.toByte
+    assert(graft.operators.VideoCodecs.parseAvi(bad).isEmpty)
+    // avih payload starts at 32 (RIFF 12 + LIST hdr 12 + chunk hdr 8);
+    // width LSB sits at payload + 32
+    val badW = bytes.clone(); badW(32 + 32) = 9
+    assert(graft.operators.VideoCodecs.parseAvi(badW).isEmpty)
+  }
+
+  test("videoFrameSample takes every Nth frame with exact pixel stats") {
+    val media = Seq(
+      (1L, graft.operators.VideoCodecs.aviBytes(2, 2, 9)(
+        (f, x, y) => f)),                       // constant frame f
+      (2L, "not a video".getBytes("US-ASCII"))
+    ).toDF("doc_id", "media")
+    val got = MultimodalOps.videoFrameSample(media, "doc_id", "media",
+      every = 4).orderBy("doc_id", "frame_idx").collect()
+    val ok = got.filter(_.getAs[Boolean]("decoded"))
+    assert(ok.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 4, 8))
+    assert(ok.map(_.getAs[Long]("pix_sum")).toSeq ==
+      Seq(0L, 16L, 32L)) // 4 pixels x f
+    assert(ok.forall(_.getAs[Long]("n_frames") == 9L))
+    val bad = got.filter(!_.getAs[Boolean]("decoded"))
+    assert(bad.length == 1 && bad.head.getAs[Long]("doc_id") == 2L)
+  }
+
   test("codeProseSignals separates code-shaped from prose-shaped docs") {
     val code = "import os;\ndef f(x):\n  return x * 2;\nclass A {\n  var y = 1;\n}"
     val prose = "The quick brown fox jumps over the lazy dog and keeps " +
