@@ -1806,6 +1806,40 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Video clip dedup (q169): re-uploaded clips collide on a
+    // DECODED-domain signature — md5 over the ordered sampled-frame
+    // (idx, sum, min, max) stat string — regardless of container
+    // bytes (the q94 audio-exact-dedup move for video). Twins planted
+    // with the base clip's pixel formula must collapse onto the
+    // lowest id.
+    "q169_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = (id % 5 + 8).toInt
+          def clip(base: Long) = VideoCodecs.aviBytes(8, 6, n)(
+            (f, x, y) => ((base * 7 + f * 13 + x * 3 + y * 5) % 256).toInt)
+          val rows = Seq((id, clip(id)))
+          if (id % 20 == 0) rows :+ ((id + 10000L, clip(id)))
+          else rows
+        }.toDF("doc_id", "media")
+      val fr = MultimodalOps.videoFrameSample(media, "doc_id", "media",
+        every = 4).filter(col("decoded"))
+      val sig = fr.groupBy(col("doc_id"), col("width"), col("height"),
+          col("n_frames"))
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("frame_idx").as("i"),
+            concat_ws(":", col("frame_idx"), col("pix_sum"),
+              col("pix_min"), col("pix_max")).as("s")))),
+          x => x.getField("s")), "|")).as("clip_sig"))
+      val w = Window.partitionBy(col("width"), col("height"),
+        col("n_frames"), col("clip_sig")).orderBy(col("doc_id"))
+      sig.withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), substring(col("clip_sig"), 1, 16)
+          .as("clip_sig"), col("n_frames"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Instruction dedup (q166): documents become two-to-four-turn
     // transcripts; %6==0 and %6==3 docs share one instruction up to
     // case/whitespace — the normalized keep-first cut must collapse
@@ -6647,6 +6681,44 @@ ORDER BY rank LIMIT 6"""),
         |  n::BIGINT AS n_frames, f AS frame_idx,
         |  pix_sum, pix_min, pix_max
         |FROM px ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Twins re-derive the base clip's pixel formula; the per-frame
+    // stat string, the ordered string_agg, and the keep-first window
+    // mirror the operator exactly (width/height are the constant 8x6
+    // on this fixture, so partitioning on n + sig is the same key).
+    "q169_video_dedup" ->
+      """WITH clips AS (
+        |  SELECT doc_id AS clip_id, doc_id AS base,
+        |    (doc_id % 5 + 8)::INT AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id, (doc_id % 5 + 8)::INT
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |fr AS (
+        |  SELECT clip_id, base, n, unnest(range(0, n))::INT AS f
+        |  FROM clips),
+        |sel AS (SELECT * FROM fr WHERE f % 4 = 0),
+        |cells AS (
+        |  SELECT x, y
+        |  FROM (SELECT unnest(range(0, 8)) AS x),
+        |       (SELECT unnest(range(0, 6)) AS y)),
+        |px AS (
+        |  SELECT clip_id, n, f,
+        |    sum((base * 7 + f * 13 + x * 3 + y * 5) % 256)::BIGINT AS s,
+        |    min((base * 7 + f * 13 + x * 3 + y * 5) % 256)::BIGINT AS mn,
+        |    max((base * 7 + f * 13 + x * 3 + y * 5) % 256)::BIGINT AS mx
+        |  FROM sel, cells GROUP BY clip_id, base, n, f),
+        |sg AS (
+        |  SELECT clip_id, n,
+        |    md5(string_agg(f::VARCHAR || ':' || s::VARCHAR || ':'
+        |      || mn::VARCHAR || ':' || mx::VARCHAR, '|' ORDER BY f))
+        |      AS clip_sig
+        |  FROM px GROUP BY clip_id, n)
+        |SELECT clip_id AS doc_id, substr(clip_sig, 1, 16) AS clip_sig,
+        |  n::BIGINT AS n_frames,
+        |  (row_number() OVER (PARTITION BY n, clip_sig
+        |    ORDER BY clip_id) = 1) AS keep
+        |FROM sg ORDER BY doc_id""".stripMargin,
 
     // Turn parsing via the same running-starter counter (window) and
     // an ORDER BY string_agg regroup; arg_min picks the first user
