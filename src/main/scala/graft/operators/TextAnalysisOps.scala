@@ -1156,20 +1156,43 @@ object TextAnalysisOps {
     * `<meta name="robots">` directives (noindex/nofollow), the
     * `<link rel="canonical">` target (feeds q77/q135 URL dedup as
     * the page's OWN canonical key), and the title. Pure projection —
-    * three shared case-insensitive regexes, no parsing state. The
+    * shared case-insensitive regexes, no parsing state. Attribute
+    * ORDER and QUOTE STYLE are both free in real markup
+    * (`<meta content="noindex" name="robots">`, single quotes), so
+    * each tag kind carries a forward (name-first) and a reversed
+    * (content-first) pattern, resolved first-nonempty with the
+    * forward reading winning — a compliance gate that required one
+    * fixed serialization would fail OPEN on reordered pages. The
     * FIRST matching tag of each kind wins (well-formed pages have one
     * of each; a page with conflicting robots metas is malformed and
     * first-wins is the deterministic reading). */
   val MetaRobotsPattern =
-    "(?i)<meta\\s+name=\"robots\"\\s+content=\"([^\"]*)\""
+    "(?i)<meta\\b[^>]*?\\bname\\s*=\\s*[\"']robots[\"']" +
+      "[^>]*?\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
+  val MetaRobotsPatternRev =
+    "(?i)<meta\\b[^>]*?\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']" +
+      "[^>]*?\\bname\\s*=\\s*[\"']robots[\"']"
   val CanonicalLinkPattern =
-    "(?i)<link\\s+rel=\"canonical\"\\s+href=\"([^\"]*)\""
+    "(?i)<link\\b[^>]*?\\brel\\s*=\\s*[\"']canonical[\"']" +
+      "[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"
+  val CanonicalLinkPatternRev =
+    "(?i)<link\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"']" +
+      "[^>]*?\\brel\\s*=\\s*[\"']canonical[\"']"
   val TitlePattern = "(?i)<title>([^<]*)</title>"
+
+  /** First-nonempty of the forward and reversed attribute-order
+    * extractions ([[regexp_extract]] yields `''` on no-match in both
+    * engines, so empty IS the no-match sentinel). */
+  private def extractEitherOrder(src: Column, fwd: String,
+                                 rev: String): Column = {
+    val a = regexp_extract(src, fwd, 1)
+    when(length(a) > 0, a).otherwise(regexp_extract(src, rev, 1))
+  }
 
   def htmlMeta(docs: DataFrame, idCol: String,
                htmlCol: String): DataFrame = {
-    val robots = lower(regexp_extract(col(htmlCol),
-      MetaRobotsPattern, 1))
+    val robots = lower(extractEitherOrder(col(htmlCol),
+      MetaRobotsPattern, MetaRobotsPatternRev))
     // TOKEN matching over the comma-separated directive list — a
     // substring test would both over-match and miss `content="none"`,
     // the standard shorthand for noindex,nofollow
@@ -1180,8 +1203,8 @@ object TextAnalysisOps {
       array_contains(toks, "none")
     docs.select(col(idCol),
       robots.as("robots"),
-      regexp_extract(col(htmlCol), CanonicalLinkPattern, 1)
-        .as("canonical_url"),
+      extractEitherOrder(col(htmlCol), CanonicalLinkPattern,
+        CanonicalLinkPatternRev).as("canonical_url"),
       regexp_extract(col(htmlCol), TitlePattern, 1).as("title"),
       noindex.as("noindex"),
       nofollow.as("nofollow"))
@@ -1747,11 +1770,16 @@ object TextAnalysisOps {
       "-----END [A-Z ]{0,12}PRIVATE KEY-----"
 
   /** AWS access-key id (public format: `AKIA` + 16 uppercase
-    * base-32-ish chars) and GitHub fine-grained token (`ghp_` + 36
-    * alnum). Both boundary-guarded so a candidate embedded in a
-    * longer identifier is neither counted nor clipped. */
+    * base-32-ish chars) and GitHub tokens: the classic family
+    * (`ghp_` personal, `gho_` OAuth, `ghs_` server-to-server,
+    * `ghr_` refresh, `ghu_` user-to-server — all 36 alnum after the
+    * prefix) plus the fine-grained `github_pat_` format (22 alnum,
+    * `_`, 59 alnum). Both boundary-guarded so a candidate embedded
+    * in a longer identifier is neither counted nor clipped. */
   val AwsKeyPattern = "AKIA[0-9A-Z]{16}"
-  val GhTokenPattern = "ghp_[A-Za-z0-9]{36}"
+  val GhTokenPattern =
+    "(?:github_pat_[A-Za-z0-9]{22}_[A-Za-z0-9]{59}" +
+      "|gh[oprsu]_[A-Za-z0-9]{36})"
   val AwsKeyGuarded = "(?<![A-Za-z0-9])" + AwsKeyPattern + "(?![A-Za-z0-9])"
   val GhTokenGuarded = "(?<![A-Za-z0-9])" + GhTokenPattern + "(?![A-Za-z0-9])"
 
@@ -1774,7 +1802,8 @@ object TextAnalysisOps {
     *
     *  1. PEM private-key BLOCKS (multiline) → `<KEYBLOCK>`;
     *  2. AWS access-key ids → `<AWSKEY>`;
-    *  3. GitHub `ghp_` tokens → `<GHTOKEN>`;
+    *  3. GitHub tokens (classic `gh[oprsu]_` + fine-grained
+    *     `github_pat_`) → `<GHTOKEN>`;
     *  4. 40+-char hex runs → `<HEXSECRET>`, gated on ≥ `minDistinctHex`
     *     distinct hex chars (entropy proxy in the exact integer
     *     domain — a Shannon estimate would be a cross-engine float);
@@ -1875,6 +1904,7 @@ object TextAnalysisOps {
       when(length(spdxId) > 0, spdxId).otherwise(lit("")).as("spdx_id"),
       nCopyright.as("n_copyright"),
       nMit.as("n_mit"), nApache.as("n_apache"), nCc.as("n_cc"),
+      nBsd.as("n_bsd"),
       nGpl.as("n_gpl"), nRights.as("n_rights_reserved"),
       when(restrictive, lit("flagged")).otherwise(lit("keep"))
         .as("verdict"))

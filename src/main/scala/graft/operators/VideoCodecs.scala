@@ -22,6 +22,13 @@ object VideoCodecs {
   case class Video(width: Int, height: Int, nFrames: Int,
                    frames: Array[Array[Byte]])
 
+  /** Sanity cap on declared frame dimensions. A hostile `avih`
+    * header can declare e.g. 65536×65536, whose Int pixel product
+    * overflows to 0 and would let empty `00db` chunks masquerade as
+    * decoded frames; dimensions are compared in Long and rejected
+    * past this cap before any frame is accepted. */
+  val MaxDimension = 16384
+
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
@@ -68,7 +75,9 @@ object VideoCodecs {
     }
     if (!walk(12, b.length)) return None
     if (width <= 0 || height <= 0 || frames.isEmpty) return None
-    if (frames.exists(_.length != width * height)) return None
+    if (width > MaxDimension || height > MaxDimension) return None
+    if (frames.exists(_.length.toLong != width.toLong * height))
+      return None
     if (declared >= 0 && declared != frames.length) return None
     Some(Video(width, height, frames.length, frames.toArray))
   }
