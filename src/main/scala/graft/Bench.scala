@@ -75,14 +75,26 @@ object Bench {
     // two silent regressions (a contention stretch that hits BOTH sweeps of
     // one query passes the >2x check), so any query that lands >1.8x its
     // previous-round time gets an extra re-measure before it's believed.
-    val prev: Map[String, Double] = {
+    // The threshold is CALIBRATION-SCALED: the minima were measured on a
+    // host whose calib is recorded next to them, so the comparable
+    // expectation on THIS host is `p * calibSec/prevCalib` — on raw
+    // seconds a real regression on a quiet host hides inside the
+    // host-noise allowance, and a clean query on a loaded host burns
+    // retries. The ratio is clamped to [0.5, 2.5] so a corrupted calib
+    // record can neither wipe the guard nor make it fire on everything.
+    val (prev: Map[String, Double], prevCalib: Double) = {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_prev.json")
       try {
         val txt = scala.io.Source.fromFile(p).mkString
-        """"(q[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        val qs = """"(q[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+        val c = """"calib"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(calibSec)
+        (qs, c)
+      } catch { case _: Throwable => (Map.empty[String, Double], calibSec) }
     }
+    val calibRatio =
+      math.max(0.5, math.min(2.5, calibSec / math.max(prevCalib, 1e-9)))
     val results = named.map { case (name, fn) =>
       val ts = sweeps.map(_(name))
       var best =
@@ -92,9 +104,15 @@ object Bench {
           if (t3 < 0) ts.min else math.min(ts.min, t3)
         } else ts.min
       prev.get(name).foreach { p =>
-        if (best > 1.8 * p && best > 0.2) {
+        val thresh = 1.8 * p * calibRatio
+        if (best > thresh && best > 0.2) {
+          println(f"[bench] regression-guard retry $name: " +
+            f"$best%.3fs > ${thresh}%.3fs " +
+            f"(prev $p%.3fs x 1.8 x calib $calibRatio%.3f)")
           val t4 = timed(fn)
           if (t4 >= 0) best = math.min(best, t4)
+          println(f"[bench] regression-guard verdict $name: $best%.3fs " +
+            (if (best > thresh) "CONFIRMED slower" else "transient"))
         }
       }
       name -> best

@@ -94,6 +94,41 @@ class CodecFuzzSpec extends AnyFunSuite {
       "sofMode" -> JpegCodec.sofMode)
   }
 
+  test("JPEG rejects pathological frame dimensions before allocating " +
+      "the coefficient store") {
+    def dc(b: Int, c: Int): Int = ((b * 37 + c * 53 + 11) % 200) - 100
+    val good = JpegCodec.encodeProgressiveDcOnly(24, 16, 3)(dc)
+    // locate SOF2: FF C2 len(2) prec(1) height(2) width(2)
+    val sof = good.indices.dropRight(1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc2).get
+    def withDims(h: Int, w: Int): Array[Byte] = {
+      val b = good.clone()
+      b(sof + 5) = ((h >> 8) & 0xff).toByte; b(sof + 6) = (h & 0xff).toByte
+      b(sof + 7) = ((w >> 8) & 0xff).toByte; b(sof + 8) = (w & 0xff).toByte
+      b
+    }
+    // past the per-axis cap (a 64k header would be negative in be16
+    // terms; 0x7fff is the largest representable hostile axis)
+    assert(JpegCodec.decode(withDims(0x7fff, 0x7fff)).isEmpty)
+    assert(JpegCodec.decode(withDims(1, 0x4001)).isEmpty)
+    // inside the per-axis cap but over the 2^26-coefficient store cap
+    val overStore = withDims(0x4000, 0x4000)
+    assert(JpegCodec.decode(overStore).isEmpty)
+    // no-allocation evidence: 200 rejections of the ≈3 GiB-store frame
+    // finish in trivial time; 200 real 256 MiB+ allocations would
+    // GC-thrash for far longer than the bound
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200) { assert(JpegCodec.decode(overStore).isEmpty); i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 2.0, f"pathological frames took $sec%.1fs for 200 " +
+      "rejections — the store is being allocated before the cap check")
+    // the cap is about hostile headers, not honest big-but-sane frames:
+    // a declared 1024x1024 still walks past SOF (it fails later only
+    // because the fixture's entropy data is 24x16-sized)
+    assert(JpegCodec.sofMode(withDims(1024, 1024)).contains("progressive"))
+  }
+
   test("WAV parser survives seeded corruptions without throwing") {
     val good = AudioCodecs.wavBytes(48, 2, 16000, 16)(
       (f, c) => (f * 7 + c * 3) % 200 - 100)

@@ -368,6 +368,24 @@ class StreamingEngineSpec extends AnyFunSuite {
       s"lookup failed for an unexpected reason: ${e.getMessage}")
   }
 
+  test("HONEST BLOCKER: no live MongoDB round-trip is possible in this " +
+      "sandbox — the mongo-spark connector is absent, pinned here so " +
+      "an environment that gains it flips this red") {
+    // The record-sink CONTRACT (upsert dispatch, per-date document
+    // shape — airstrik.py:649-650) is fully exercised against the
+    // in-memory DataSource twin (MemDocStoreProvider / RecordSinks
+    // specs); the one untested inch is the wire connector itself,
+    // mirrored on the Kafka blocker above. If `format("mongodb")`
+    // ever resolves here, this assertion fails and the live-broker
+    // soak becomes mandatory.
+    val e = intercept[Exception] {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("mongodb", spark.sessionState.conf)
+    }
+    assert(e.getMessage.toLowerCase.contains("mongodb"),
+      s"lookup failed for an unexpected reason: ${e.getMessage}")
+  }
+
   test("receiver.json stub matches the reference's dump978 startup write") {
     val dir = Files.createTempDirectory("graft_recv").toString
     AircraftJsonSource.writeReceiverJson(dir)
