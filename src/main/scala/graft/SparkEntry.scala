@@ -1882,6 +1882,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Approx distinct-n diversity (q170): the q156 HLL configuration
+    // for 100 TB, oracle-checked through a tolerance verdict — the
+    // sketch count itself is engine-specific, so the row emits the
+    // EXACT totals plus a boolean asserting the approx count lands
+    // within 4·rsd of the exact twin; the oracle recomputes the exact
+    // side and expects every verdict true. The q15 HLL policy, now
+    // verified rather than described.
+    "q170_distinct_ngrams_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rsd = 0.023
+      val ap = TextAnalysisOps.approxNgramDiversity(docs, "source",
+        "text", rsd)
+      val ex = TextAnalysisOps.distinctNgramDiversity(docs, "source",
+        "text")
+      ap.select(col("source"), col("n"), col("n_distinct_approx"))
+        .join(ex, Seq("source", "n"))
+        .select(col("source"), col("n"), col("n_total"),
+          col("n_distinct"),
+          (abs(col("n_distinct_approx") - col("n_distinct")) <=
+            greatest(lit(2L), (col("n_distinct") * lit(4 * rsd))
+              .cast("long"))).as("within_bounds"))
+        .orderBy(col("source"), col("n"))
+    }),
+
+    // Instruction dedup over JSONL transcripts (q171): the q166
+    // corpus re-serialized as one {"role", "content"} object per
+    // line (each side BUILDS its own JSON with its native writer and
+    // parses it back, so escaping round-trips are exercised, not
+    // compared); the dedup verdicts must be identical to q166's.
+    "q171_instruction_dedup_jsonl" -> ((s, dir) => {
+      def turn(role: String, content: Column): Column =
+        to_json(struct(lit(role).as("role"), content.as("content")))
+      val instr = when(col("doc_id") % 6 === 0,
+        lit("Please summarize   THE following text"))
+        .when(col("doc_id") % 6 === 3,
+          lit("please summarize the following text"))
+        .otherwise(array_join(slice(split(col("text"), " "), 1, 6), " "))
+      val convo = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          turn("system", lit("be concise")),
+          turn("user", instr),
+          turn("assistant", col("text")),
+          when(col("doc_id") % 4 === 0, concat_ws("\n",
+            turn("user", lit("anything else?")),
+            turn("assistant", lit("no"))))
+            .otherwise(lit(null))).as("text"))
+      ConversationOps.instructionDedup(
+        ConversationOps.parseTurnsJsonl(convo, "doc_id", "text"),
+        "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // FIM split (q167): PSM reordering with hash-derived split points
     // — offsets, span lengths and the PSM text signature, all exact.
     "q167_fim_split" -> ((s, dir) => {
@@ -6500,6 +6552,39 @@ ORDER BY rank LIMIT 6"""),
         |      UNION ALL SELECT * FROM a3)
         |ORDER BY source, n""".stripMargin,
 
+    // Exact side only: n_total / n_distinct recomputed, and the
+    // tolerance verdict is asserted TRUE — the oracle row goes red
+    // exactly when the Spark sketch drifts out of the 4·rsd band.
+    "q170_distinct_ngrams_approx" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |g1 AS (SELECT source, unnest(t) AS g FROM toks),
+        |a1 AS (SELECT source, 1 AS n, count(*)::BIGINT AS n_total,
+        |         count(DISTINCT g)::BIGINT AS n_distinct
+        |       FROM g1 GROUP BY source),
+        |g2 AS (
+        |  SELECT source, unnest(CASE WHEN len(t) >= 2 THEN
+        |      [array_to_string(t[i + 1:i + 2], ' ')
+        |       FOR i IN range(len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |a2 AS (SELECT source, 2 AS n, count(*)::BIGINT AS n_total,
+        |         count(DISTINCT g)::BIGINT AS n_distinct
+        |       FROM g2 GROUP BY source),
+        |g3 AS (
+        |  SELECT source, unnest(CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ')
+        |       FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |a3 AS (SELECT source, 3 AS n, count(*)::BIGINT AS n_total,
+        |         count(DISTINCT g)::BIGINT AS n_distinct
+        |       FROM g3 GROUP BY source)
+        |SELECT source, n, n_total, n_distinct, true AS within_bounds
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3)
+        |ORDER BY source, n""".stripMargin,
+
     // Line-shape features over chr(10)-split lines; symbol density
     // via per-char replace arithmetic; keywords as whole
     // space-tokens; identical integer milli scoring.
@@ -6814,6 +6899,66 @@ ORDER BY rank LIMIT 6"""),
         |      '^(user|assistant|system): ', ''), chr(10) ORDER BY i)
         |      AS content
         |  FROM tn WHERE turn_idx > 0 GROUP BY doc_id, turn_idx),
+        |fu AS (
+        |  SELECT doc_id,
+        |    substr(md5(trim(regexp_replace(lower(
+        |      arg_min(content, turn_idx)), '\s+', ' ', 'g'))), 1, 16)
+        |      AS instr_sig
+        |  FROM turns WHERE role = 'user' GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_turns,
+        |    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_user,
+        |    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_assistant
+        |  FROM turns GROUP BY doc_id)
+        |SELECT doc_id, instr_sig, n_turns, n_user, n_assistant,
+        |  (row_number() OVER (PARTITION BY instr_sig ORDER BY doc_id)
+        |    = 1) AS keep
+        |FROM fu JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // JSONL built with DuckDB's own to_json and read back with
+    // json_extract_string — each engine round-trips its own escaping;
+    // the turn/instruction logic is then q166's verbatim.
+    "q171_instruction_dedup_jsonl" ->
+      """WITH convo AS (
+        |  SELECT doc_id,
+        |    to_json(struct_pack(role := 'system',
+        |      content := 'be concise')) || chr(10) ||
+        |    to_json(struct_pack(role := 'user', content :=
+        |      CASE WHEN doc_id % 6 = 0
+        |           THEN 'Please summarize   THE following text'
+        |           WHEN doc_id % 6 = 3
+        |           THEN 'please summarize the following text'
+        |           ELSE array_to_string(string_split(text, ' ')[1:6], ' ')
+        |           END)) || chr(10) ||
+        |    to_json(struct_pack(role := 'assistant', content := text)) ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN chr(10) || to_json(struct_pack(role := 'user',
+        |             content := 'anything else?'))
+        |           || chr(10) || to_json(struct_pack(role := 'assistant',
+        |             content := 'no'))
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i - 1 AS i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': string_split(text, chr(10))[i]}
+        |              FOR i IN range(1, len(string_split(text, chr(10)))
+        |                + 1)]) AS u
+        |    FROM convo)),
+        |pj AS (
+        |  SELECT doc_id, i,
+        |    json_extract_string(l, '$.role') AS role,
+        |    json_extract_string(l, '$.content') AS content
+        |  FROM ln),
+        |turns AS (
+        |  SELECT doc_id, role, content,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS turn_idx
+        |  FROM pj
+        |  WHERE role IN ('user', 'assistant', 'system')
+        |    AND content IS NOT NULL),
         |fu AS (
         |  SELECT doc_id,
         |    substr(md5(trim(regexp_replace(lower(

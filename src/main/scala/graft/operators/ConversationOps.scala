@@ -51,6 +51,42 @@ object ConversationOps {
           s => s.getField("l")), "\n").as("content"))
   }
 
+  /** Per-line JSON schema for [[parseTurnsJsonl]]. */
+  private val TurnSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("role",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Parse a JSON-lines chat transcript (one `{"role": …,
+    * "content": …}` object per line — the other common interchange
+    * shape) into the same (id, turn_idx, role, content) frame as
+    * [[parseTurns]], so the downstream turn/instruction machinery
+    * ([[instructionDedup]]) is shared. JSONL needs no
+    * continuation-line folding — newlines inside a turn arrive
+    * `\n`-escaped and `from_json` unescapes them. Lines that fail to
+    * parse, carry an unrecognized role, or lack `content` are
+    * dropped (malformed interchange, not a turn); `turn_idx` numbers
+    * the surviving turns 1..n in line order.
+    *
+    * Scale shape: line explode → per-row `from_json` projection →
+    * one DOC-keyed row_number window (bounded by turns-per-doc,
+    * never corpus-wide). */
+  def parseTurnsJsonl(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol),
+        posexplode(col("__lines")).as(Seq("__i", "__l")))
+      .select(col(idCol), col("__i"),
+        from_json(col("__l"), TurnSchema).as("__j"))
+      .select(col(idCol), col("__i"),
+        col("__j.role").as("role"), col("__j.content").as("content"))
+      .filter(col("role").isin("user", "assistant", "system") &&
+        col("content").isNotNull)
+      .withColumn("turn_idx", row_number()
+        .over(Window.partitionBy(col(idCol)).orderBy(col("__i"))))
+      .select(col(idCol), col("turn_idx"), col("role"), col("content"))
+
   /** Instruction-level dedup over parsed turns: each conversation's
     * FIRST user turn is its instruction; instructions normalize
     * (lower + whitespace collapse) and keep-first dedup on the

@@ -1976,6 +1976,34 @@ object TextAnalysisOps {
     perN.reduce(_ unionByName _)
   }
 
+  /** HLL-sketch twin of [[distinctNgramDiversity]] — the 100 TB
+    * configuration: `approx_count_distinct(rsd)` replaces the exact
+    * distinct, dropping the per-(source, n) wire cost from
+    * every-distinct-ngram to sketch-size (a few KB) merged map-side.
+    * The exact variant's (source, ngram) shuffle grows with the
+    * vocabulary ITSELF — the one q156 cost that outpaces the data.
+    * Sketches are engine-specific, so cross-engine verification goes
+    * through a tolerance verdict against the exact twin (q170), not
+    * a raw-count hash; the spec additionally asserts the rsd bound
+    * per (source, n). */
+  def approxNgramDiversity(docs: DataFrame, sourceCol: String,
+                           textCol: String,
+                           rsd: Double = 0.023): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val perN = (1 to 3).map { n =>
+      docs.select(col(sourceCol).as("source"),
+          explode(wordShingles(tokens(col(textCol)), n)).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          approx_count_distinct(col("g"), rsd).as("n_distinct_approx"))
+        .select(col("source"), lit(n).as("n"), col("n_total"),
+          col("n_distinct_approx"),
+          expr("n_distinct_approx * 1000 div n_total").cast("long")
+            .as("distinct_milli_approx"))
+    }
+    perN.reduce(_ unionByName _)
+  }
+
   /** Code-vs-prose heuristic signals — the modality gate a mixed
     * crawl needs before prose-only quality rules (Gopher/C4 verdicts
     * are meaningless on source code; code quality has its own

@@ -381,6 +381,25 @@ object ScaleProbe {
               .as("text")),
           "doc_id", "text"),
         "doc_id"))
+    // q171: the JSONL interchange shape through the same dedup —
+    // per-line from_json is projection work; the shuffles match q166's
+    time(s"instructionDedupJsonl x$n")(
+      graft.operators.ConversationOps.instructionDedup(
+        graft.operators.ConversationOps.parseTurnsJsonl(
+          docs.select(col("doc_id"),
+            concat_ws("\n",
+              to_json(struct(lit("user").as("role"),
+                col("text").as("content"))),
+              to_json(struct(lit("assistant").as("role"),
+                lit("ok").as("content")))).as("text")),
+          "doc_id", "text"),
+        "doc_id"))
+    // q170: the HLL twin's exchange must be sketch-sized per
+    // (source, n) — NOT vocabulary-sized like the exact q156 shuffle
+    time(s"approxNgramDiversity x$n")(
+      TextAnalysisOps.approxNgramDiversity(docs, "source", "text"))
+    time(s"distinctNgramDiversity x$n (exact twin)")(
+      TextAnalysisOps.distinctNgramDiversity(docs, "source", "text"))
     // q167: pure projection — must track the scan
     time(s"fimSplit x$n")(
       TextAnalysisOps.fimSplit(docs, "doc_id", "text"))

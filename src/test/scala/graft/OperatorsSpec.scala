@@ -3031,6 +3031,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains(("div", 3, 2L, 2L, 1000L))) // "w x y","x y z"
   }
 
+  test("approxNgramDiversity: HLL distinct within rsd bounds of the exact twin") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val rsd = 0.023
+    val approx = TextAnalysisOps
+      .approxNgramDiversity(docs, "source", "text", rsd)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_distinct_approx")))
+      .toMap
+    val exact = TextAnalysisOps
+      .distinctNgramDiversity(docs, "source", "text")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_distinct")))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (key, (nTot, nDist)) =>
+      val (aTot, aDist) = approx(key)
+      assert(aTot == nTot, s"$key total n-grams must be exact")
+      // the q170 tolerance verdict, asserted per (source, n): 4 sigma
+      assert(math.abs(aDist - nDist) <= math.max(2, (4 * rsd * nDist).toLong),
+        s"$key: approx $aDist vs exact $nDist exceeds 4*rsd")
+    }
+  }
+
   test("perplexityBuckets ranks low-surprisal docs head, rare-bigram docs tail") {
     // 6 docs over a tiny LM: docs repeating the corpus-dominant bigram
     // score low surprisal; docs made of one-off bigrams score high
@@ -3211,6 +3237,39 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "user", "do X\nwith detail"),
       (3L, "assistant", "done"),
       (4L, "user", "thanks")))
+  }
+
+  test("parseTurnsJsonl unescapes content, drops malformed lines, matches " +
+      "the role-line parse on an equivalent transcript") {
+    val docs = Seq(
+      (1L, """{"role": "system", "content": "be helpful"}""" + "\n" +
+        """{"role": "user", "content": "do X\nwith detail"}""" + "\n" +
+        "not json at all\n" +
+        """{"role": "tool", "content": "unrecognized role"}""" + "\n" +
+        """{"role": "assistant"}""" + "\n" +
+        """{"role": "assistant", "content": "done \"ok\""}""")
+    ).toDF("doc_id", "text")
+    val got = ConversationOps.parseTurnsJsonl(docs, "doc_id", "text")
+      .orderBy("turn_idx")
+      .select("turn_idx", "role", "content")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "system", "be helpful"),
+      (2L, "user", "do X\nwith detail"),   // \n unescaped by from_json
+      (3L, "assistant", "done \"ok\"")))   // bad/partial lines dropped
+    // same conversation in both interchange shapes -> same turn frame
+    val lineDoc = Seq(
+      (7L, "system: be helpful\nuser: do X\nwith detail\n" +
+        "assistant: done")).toDF("doc_id", "text")
+    val jsonlDoc = Seq(
+      (7L, """{"role": "system", "content": "be helpful"}""" + "\n" +
+        """{"role": "user", "content": "do X\nwith detail"}""" + "\n" +
+        """{"role": "assistant", "content": "done"}""")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("turn_idx").select("turn_idx", "role", "content")
+        .as[(Long, String, String)].collect().toSeq
+    assert(norm(ConversationOps.parseTurns(lineDoc, "doc_id", "text")) ==
+      norm(ConversationOps.parseTurnsJsonl(jsonlDoc, "doc_id", "text")))
   }
 
   test("instructionDedup collapses case/whitespace instruction variants") {
