@@ -453,6 +453,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Verified repeated-substring excision (q172): q114's corpus plus
+    // a planted FALSE-POSITIVE chain — each %31==7 doc appends a
+    // unique 12-token chain whose 8-token prefix recurs in the next
+    // doc and 8-token suffix in the one after, so every chain window
+    // repeats but no single partner covers the whole span. The
+    // verified pass must keep those chains (n_spans_verified <
+    // n_spans there) while still cutting the footer (q114's true
+    // positive, whole-span-covered by any other carrier) and the
+    // prefix/suffix runs in the partner docs (each wholly inside its
+    // chain doc). Corpus note: the ~31-word fixture vocabulary makes
+    // many ORGANIC 6-grams repeat, so in some carriers the footer
+    // span merges with adjacent organic candidates into an
+    // incomplete span and survives — the keep-leaning semantics
+    // working as specified (both engines agree row for row).
+    "q172_repeated_substring_verified" -> ((s, dir) => {
+      val footer = "copy pasted footer begins here and repeats verbatim nine"
+      def chain(base: Column, from: Int, to: Int): Column =
+        array_join(transform(sequence(lit(from), lit(to)),
+          i => concat(lit("fp"), base.cast("string"), lit("_"),
+            i.cast("string"))), " ")
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" " + footer)))
+            .otherwise(col("text")),
+          when(col("doc_id") % 31 === 7,
+            concat(lit(" "), chain(col("doc_id"), 1, 12)))
+            .when(col("doc_id") % 31 === 8,
+              concat(lit(" "), chain(col("doc_id") - 1, 1, 8)))
+            .when(col("doc_id") % 31 === 9,
+              concat(lit(" "), chain(col("doc_id") - 2, 5, 12)))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.repeatedSubstringExciseVerified(
+        injected, "doc_id", "text", k = 6)
+        .orderBy(col("doc_id"))
+    }),
+
     // CJK near-dup candidates (q115): unspaced 30-ideograph strings
     // (odd ids differ from their even pair at one position) become
     // char-unigram token streams via codepoint-class segmentation, so
@@ -4471,6 +4508,116 @@ ORDER BY lang_key"""),
         |    list(tok ORDER BY j) FILTER (WHERE NOT cut), ' '), '')),
         |    1, 16) AS clean_sig
         |FROM fl f JOIN wd w USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // The q114 CTEs extended with span assembly (coverage-merged
+    // marked runs), the capped candidate self-join on the gram hash,
+    // per-(partner, shift) coverage counts, and the whole-span
+    // verification filter; excision then runs over VERIFIED spans
+    // only.
+    "q172_repeated_substring_verified" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 1
+        |      THEN text ||
+        |        ' copy pasted footer begins here and repeats verbatim nine'
+        |      ELSE text END) ||
+        |    (CASE WHEN doc_id % 31 = 7
+        |      THEN ' ' || array_to_string(
+        |        [('fp' || doc_id || '_' || i) FOR i IN range(1, 13)], ' ')
+        |      WHEN doc_id % 31 = 8
+        |      THEN ' ' || array_to_string(
+        |        [('fp' || (doc_id - 1) || '_' || i) FOR i IN range(1, 9)],
+        |        ' ')
+        |      WHEN doc_id % 31 = 9
+        |      THEN ' ' || array_to_string(
+        |        [('fp' || (doc_id - 2) || '_' || i) FOR i IN range(5, 13)],
+        |        ' ')
+        |      ELSE '' END) AS text
+        |  FROM documents),
+        |tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM inj),
+        |wd AS (
+        |  SELECT doc_id, len(t)::BIGINT AS nt,
+        |    CASE WHEN len(t) >= 6 THEN 6
+        |         ELSE greatest(len(t), 1) END AS w
+        |  FROM tt),
+        |shx AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 6 THEN
+        |      [{'p': i - 1, 'sh': array_to_string(t[i:i + 5], ' ')}
+        |       FOR i IN range(1, len(t) - 4)]
+        |    ELSE [{'p': 0, 'sh': array_to_string(t, ' ')}] END) AS u
+        |  FROM tt),
+        |g0 AS (
+        |  SELECT doc_id, u.p AS pos, substr(md5(u.sh), 1, 16) AS g
+        |  FROM shx),
+        |gc AS (SELECT g FROM g0 GROUP BY g HAVING count(*) >= 2),
+        |cand AS (
+        |  SELECT doc_id, pos, g,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos)
+        |      AS rk
+        |  FROM g0 WHERE g IN (SELECT g FROM gc)),
+        |sl AS (
+        |  SELECT doc_id, pos, g,
+        |    CASE WHEN pos - lag(pos)
+        |        OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+        |      THEN 0 ELSE 1 END AS nw
+        |  FROM cand),
+        |sp AS (
+        |  SELECT doc_id, pos, g,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM sl),
+        |sb AS (
+        |  SELECT doc_id, span_id, min(pos) AS s, max(pos) AS e,
+        |    count(*) AS nc
+        |  FROM sp GROUP BY doc_id, span_id),
+        |bs AS (
+        |  SELECT g, doc_id AS bid, pos AS bpos FROM cand
+        |  WHERE rk <= 64),
+        |pr AS (
+        |  SELECT a.doc_id AS aid, a.span_id, a.pos AS apos, bs.bid,
+        |    bs.bpos - a.pos AS shift
+        |  FROM sp a JOIN bs USING (g)
+        |  WHERE NOT (a.doc_id = bs.bid AND a.pos = bs.bpos)),
+        |cv AS (
+        |  SELECT aid, span_id, bid, shift, count(*) AS m
+        |  FROM pr GROUP BY aid, span_id, bid, shift),
+        |ver AS (
+        |  SELECT cv.aid AS doc_id, cv.span_id,
+        |    any_value(sb.s) AS s, any_value(sb.e) AS e
+        |  FROM cv JOIN sb
+        |    ON sb.doc_id = cv.aid AND sb.span_id = cv.span_id
+        |  WHERE sb.nc = sb.e - sb.s + 1 AND cv.m = sb.nc
+        |  GROUP BY cv.aid, cv.span_id
+        |  HAVING count(*) >= 1),
+        |ns AS (SELECT doc_id, count(*)::BIGINT AS nspans FROM sb
+        |       GROUP BY doc_id),
+        |vn AS (SELECT doc_id, count(*)::BIGINT AS nver FROM ver
+        |       GROUP BY doc_id),
+        |kx AS (
+        |  SELECT doc_id,
+        |    unnest([{'j': i - 1, 'tok': t[i]}
+        |            FOR i IN range(1, len(t) + 1)]) AS u
+        |  FROM tt),
+        |k AS (SELECT doc_id, u.j AS j, u.tok AS tok FROM kx),
+        |cov AS (
+        |  SELECT DISTINCT k.doc_id, k.j
+        |  FROM k JOIN ver ON ver.doc_id = k.doc_id
+        |  JOIN wd ON wd.doc_id = k.doc_id
+        |  WHERE ver.s <= k.j AND k.j < ver.e + wd.w),
+        |fl AS (
+        |  SELECT k.doc_id, k.j, k.tok, (cov.j IS NOT NULL) AS cut
+        |  FROM k LEFT JOIN cov ON cov.doc_id = k.doc_id
+        |    AND cov.j = k.j)
+        |SELECT f.doc_id, any_value(w.nt) AS n_tokens,
+        |  coalesce(any_value(n2.nspans), 0)::BIGINT AS n_spans,
+        |  coalesce(any_value(v2.nver), 0)::BIGINT AS n_spans_verified,
+        |  sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  substr(md5(coalesce(array_to_string(
+        |    list(tok ORDER BY j) FILTER (WHERE NOT cut), ' '), '')),
+        |    1, 16) AS clean_sig
+        |FROM fl f JOIN wd w USING (doc_id)
+        |LEFT JOIN ns n2 ON n2.doc_id = f.doc_id
+        |LEFT JOIN vn v2 ON v2.doc_id = f.doc_id
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // q49's reach + per-cluster argmax on token count.

@@ -769,6 +769,121 @@ object TextAnalysisOps {
         substring(md5(array_join(kept, " ")), 1, 16).as("clean_sig"))
   }
 
+  /** [[repeatedSubstringExcise]] with a candidate-bounded VERIFY
+    * stage. The k-gram necessary condition assembles maximal marked
+    * spans out of windows that may each repeat against a DIFFERENT
+    * partner — a chain like `A ⊃ [w1 w2][w2 w3]` with `w1 w2` only in
+    * B and `w2 w3` only in C is excised whole although the span
+    * itself occurs nowhere else. This variant excises a maximal span
+    * only when it is VERIFIED: some other single occurrence run
+    * (partner doc + alignment shift) covers EVERY window of the span
+    * — i.e. the whole span text genuinely occurs elsewhere as one
+    * contiguous run. Chains whose windows repeat against different
+    * partners stay intact; so the two operators bracket the
+    * suffix-array semantics of Lee et al. 2022: q114's is
+    * conservative toward REMOVAL (any repeated window cuts), this one
+    * toward KEEPING (only whole-span repeats cut — a span whose
+    * PREFIX alone repeats survives in full).
+    *
+    * Verification is candidates-only (the q99 discipline): the
+    * partner self-join runs on repeated positions exclusively, and
+    * the partner side is capped at `partnerCap` occurrences per gram
+    * (rank by (id, pos) — deterministic), so join volume is bounded
+    * by candidate-positions × cap; corpus-wide boilerplate grams
+    * whose occurrence lists are truncated surface via the
+    * `rsx_partner_cap` observe metric, never silently (a span needs
+    * only ONE covering partner, and wall-to-wall boilerplate keeps
+    * its top-ranked partners under any cap).
+    *
+    * Scale shape: the q114 exchanges (16 B gram keys with a count
+    * window, then id-keyed lists) plus one hash-keyed candidate join
+    * whose output is (ids, positions, shift) integers — gram text
+    * still never reaches an exchange; span assembly and coverage
+    * grouping are doc-keyed. */
+  def repeatedSubstringExciseVerified(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      minCount: Int = 2, partnerCap: Int = 64): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minCount >= 2,
+      "k must be >= 1 and minCount >= 2")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(wordShingles(col("__t"), k)).as(Seq("pos", "__sh")))
+      .select(col(idCol), col("pos"),
+        substring(md5(col("__sh")), 1, 16).as("__g"))
+    val byGram = Window.partitionBy(col("__g"))
+    val cand = grams
+      .withColumn("__c", count(lit(1)).over(byGram))
+      .filter(col("__c") >= minCount)
+      .withColumn("__rk",
+        row_number().over(byGram.orderBy(col(idCol), col("pos"))))
+      .observe("rsx_partner_cap",
+        count(when(col("__rk") > partnerCap, true))
+          .as("capped_occurrences"),
+        max(col("__c")).as("max_gram_count"))
+    // maximal marked spans: a new span starts when the previous
+    // marked window no longer touches this one's token range
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val sp = cand
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0)
+          .otherwise(1))
+      .withColumn("span_id", sum(col("__new")).over(byDoc))
+    val spanBounds = sp.groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"),
+        count(lit(1)).as("__nc"))
+    val bSide = cand.filter(col("__rk") <= partnerCap)
+      .select(col("__g"), col(idCol).as("__bid"),
+        col("pos").as("__bpos"))
+    val pairs = sp
+      .select(col("__g"), col(idCol).as("__aid"), col("span_id"),
+        col("pos").as("__apos"))
+      .join(bSide, Seq("__g"))
+      .filter(!(col("__aid") === col("__bid") &&
+        col("__apos") === col("__bpos")))
+      .select(col("__aid"), col("span_id"), col("__apos"),
+        col("__bid"), (col("__bpos") - col("__apos")).as("__shift"))
+    // a (partner, shift) pair covering every window of a COMPLETE
+    // span (no missing intermediate starts) is one contiguous
+    // occurrence of the whole span text elsewhere
+    val coverage = pairs
+      .groupBy(col("__aid"), col("span_id"), col("__bid"),
+        col("__shift"))
+      .agg(count(lit(1)).as("__m"))
+    val verified = coverage
+      .join(spanBounds.withColumnRenamed(idCol, "__aid"),
+        Seq("__aid", "span_id"))
+      .filter(col("__nc") === col("__e") - col("__s") + 1 &&
+        col("__m") === col("__nc"))
+      .groupBy(col("__aid"), col("span_id"), col("__s"), col("__e"))
+      .agg(count(lit(1)).as("__npartners"))
+      .filter(col("__npartners") >= minCount - 1)
+    val spanAgg = verified.groupBy(col("__aid"))
+      .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e")))
+        .as("__vspans"),
+        count(lit(1)).as("__nver"))
+      .withColumnRenamed("__aid", idCol)
+    val nspans = spanBounds.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nspans"))
+    val width = greatest(least(lit(k), size(col("__t"))), lit(1))
+    val kept = filter(col("__t"), (_, i) =>
+      !exists(col("__vspans"), v =>
+        v.getField("s") <= i && i < v.getField("e") + width))
+    toks
+      .join(nspans, Seq(idCol), "left_outer")
+      .join(spanAgg, Seq(idCol), "left_outer")
+      .withColumn("__vspans", coalesce(col("__vspans"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(col("__nspans"), lit(0L)).as("n_spans"),
+        coalesce(col("__nver"), lit(0L)).as("n_spans_verified"),
+        (size(col("__t")) - size(kept)).cast("long").as("n_removed"),
+        substring(md5(array_join(kept, " ")), 1, 16).as("clean_sig"))
+  }
+
   /** Graded contamination: per train document, the FRACTION of its
     * distinct word n-gram shingles present in the benchmark set — the
     * GPT-3-style overlap percentage that separates a stray quoted

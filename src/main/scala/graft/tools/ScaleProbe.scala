@@ -170,6 +170,12 @@ object ScaleProbe {
     // is the corpus's organic repetition, not an artifact of xN.
     time(s"repeatedSubstringExcise x$n")(
       TextAnalysisOps.repeatedSubstringExcise(docs, "doc_id", "text"))
+    // q172: the verify join ships (ids, positions, shift) integers for
+    // candidate positions only, partner side capped at 64/gram — the
+    // added wire over q114 must stay proportional to the candidate set
+    time(s"repeatedSubstringExciseVerified x$n")(
+      TextAnalysisOps.repeatedSubstringExciseVerified(
+        docs, "doc_id", "text"))
     // q65: (token) count shuffle + vocabulary join — both map-side combined
     time(s"unigramSurprisal x$n")(
       TextAnalysisOps.unigramSurprisal(docs, "doc_id", "text"))

@@ -2389,6 +2389,49 @@ class OperatorsSpec extends AnyFunSuite {
       (6L, 5L, 0L, sig("n1 n2 n3 n4 n5"))), got.mkString(","))
   }
 
+  test("repeatedSubstringExciseVerified: whole-span single-partner repeats " +
+      "cut; different-partner chains survive that the unverified pass eats") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      // A carries the 6-token chain c1..c6; B shares only its 4-token
+      // prefix c1..c4, C only its 4-token suffix c3..c6. With k=3,
+      // every chain window in A repeats (starts 0,1 vs B; 2,3 vs C as
+      // ONE marked span) — but no single partner covers the whole
+      // span, so the verified pass must keep A intact
+      (1L, "a1 a2 c1 c2 c3 c4 c5 c6 a3 a4"),
+      (2L, "b1 b2 c1 c2 c3 c4 b3 b4"),
+      (3L, "d1 d2 c3 c4 c5 c6 d3 d4"),
+      // E and F share the whole 5-token run "p q r s t": one partner
+      // covers the full span in each — excised in both, both passes
+      (4L, "e1 e2 p q r s t e3 e4"),
+      (5L, "f1 p q r s t f2 f3 f4"),
+      (6L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    def sig(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val ver = TextAnalysisOps.repeatedSubstringExciseVerified(
+        docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_spans_verified"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_sig")))
+    assert(ver.toSeq == Seq(
+      // A: one marked span, unverified, nothing removed
+      (1L, 1L, 0L, 0L, sig("a1 a2 c1 c2 c3 c4 c5 c6 a3 a4")),
+      // B/C: their 4-token sub-runs ARE wholly inside A — verified
+      (2L, 1L, 1L, 4L, sig("b1 b2 b3 b4")),
+      (3L, 1L, 1L, 4L, sig("d1 d2 d3 d4")),
+      (4L, 1L, 1L, 5L, sig("e1 e2 e3 e4")),
+      (5L, 1L, 1L, 5L, sig("f1 f2 f3 f4")),
+      (6L, 0L, 0L, 0L, sig("u1 u2 u3 u4 u5 u6"))), ver.mkString(","))
+    // the unverified pass eats A's whole chain — the bracket the two
+    // operators form around the suffix-array semantics
+    val unver = TextAnalysisOps.repeatedSubstringExcise(
+        docs, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 1L).collect()
+    assert(unver.head.getAs[Long]("n_removed") == 6L)
+  }
+
   test("domainStats: host extraction with occurrence and doc counts") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
