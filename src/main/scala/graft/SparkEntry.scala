@@ -551,6 +551,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Arrival-ordered signature pairs (q173): the batch anchor of the
+    // streaming LSH twin (MinhashDedupStream) — band-bucket collisions
+    // scored by minhash component agreement, pairs ordered by
+    // (ts, id) with ts a NON-id-ordered permutation so the arrival
+    // ordering is genuinely exercised; every %7==0 doc gets a
+    // one-token-tail twin whose signature agrees on most components.
+    "q173_minhash_sig_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 5000L).as("doc_id"),
+            concat(col("text"), lit(" twin tail")).as("text")))
+        .withColumn("ts", col("doc_id") * 37 % 500 * 60)
+      DedupOps.minhashSigPairs(corpus, "doc_id", "text", "ts")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Script-mix profile (q120): the router in front of segmentCjk —
     // per-doc script-class counts, dominant script, and the
     // needs_cjk_segmentation flag, over a corpus mixing pure-CJK,
@@ -4274,6 +4291,60 @@ ORDER BY lang_key"""),
     // q79's BM25 CTEs with the segmented CJK fixture as the corpus
     // (the parameterized builder keeps scoring/ranking identical).
     "q117_cjk_bm25" -> bm25OracleSqlFrom(cjkSegSql, dfCapSql = ""),
+
+    // The minhash signature reconstruction (per-shingle md5 cut into
+    // 4-hex slices, element-wise min), 4 paired bands, bucket-capped
+    // collisions, (ts, id) pair ordering, and per-component agreement
+    // counts — the streaming twin's batch anchor in SQL.
+    "q173_minhash_sig_pairs" -> (
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text, (doc_id * 37 % 500) * 60 AS ts
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000, text || ' twin tail',
+        |    ((doc_id + 5000) * 37 % 500) * 60
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |toks AS (
+        |  SELECT doc_id, ts, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, ts, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([array_to_string(t[i + 1:i + 3], ' ')
+        |        FOR i IN range(len(t) - 2)])
+        |    ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |flat AS (SELECT doc_id, ts, unnest(sh) AS s FROM sh),
+        |sig AS (
+        |  SELECT doc_id, any_value(ts) AS ts,
+        |${(0 until 8).map(i =>
+            s"    min(substr(md5(s), ${1 + 4 * i}, 4)) AS m$i")
+            .mkString(",\n")}
+        |  FROM flat GROUP BY doc_id),
+        |bands AS (
+        |${(0 until 4).map { b =>
+            s"  SELECT doc_id, m${2 * b} || '#' || m${2 * b + 1} AS band FROM sig"
+          }.mkString("\n  UNION ALL\n")}
+        |),
+        |bk AS (SELECT band, count(*) AS c FROM bands GROUP BY band),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b USING (band)
+        |  JOIN bk USING (band)
+        |  JOIN sig sa ON sa.doc_id = a.doc_id
+        |  JOIN sig sb ON sb.doc_id = b.doc_id
+        |  WHERE bk.c BETWEEN 2 AND 1000
+        |    AND (sa.ts < sb.ts
+        |      OR (sa.ts = sb.ts AND a.doc_id < b.doc_id)))
+        |SELECT p.id_a, p.id_b,
+        |  (${(0 until 8).map(i =>
+            s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+            .mkString("\n   + ")})::INT AS n_match
+        |FROM pr p
+        |JOIN sig sa ON sa.doc_id = p.id_a
+        |JOIN sig sb ON sb.doc_id = p.id_b
+        |WHERE (${(0 until 8).map(i =>
+            s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+            .mkString(" + ")}) >= 6
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // q121: the same ledger/keep-first/status chain in SQL.
     "q121_incremental_dedup" ->

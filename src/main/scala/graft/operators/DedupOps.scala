@@ -240,6 +240,56 @@ object DedupOps {
     minhashCandidates(docs, idCol, textCol)
       .filter(col("jaccard") >= threshold)
 
+  /** Arrival-ordered SIGNATURE-estimate near-dup pairs — the batch
+    * anchor of the streaming LSH twin
+    * ([[graft.streaming.MinhashDedupStream]]): band-bucket collisions
+    * scored by minhash component agreement (`n_match` of `k` — the
+    * LSH estimate of Jaccard, the only similarity a bounded-state
+    * stream can hold), each pair ordered by arrival `(ts, id)` so
+    * `id_a` is always the EARLIER document (the ingest question is
+    * "is this new doc a near-dup of anything already absorbed?").
+    * Exact-Jaccard verification stays available downstream via
+    * [[ngramJaccard]] on the pair frame — the stream emits the same
+    * candidates, so batch and stream verify identically.
+    *
+    * Scale shape: [[minhashCandidates]]'s exchanges exactly — the
+    * map-side signature chain, (band, id, ts, sig) rows, bucket-capped
+    * pair explosion (`lsh_sig_buckets` observe) — plus nothing: the
+    * estimate needs no second corpus pass at all. */
+  def minhashSigPairs(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, shingleN: Int = 3, k: Int = 8,
+                      rowsPerBand: Int = 2, minMatch: Int = 6,
+                      maxBucket: Int = 1000): DataFrame = {
+    val sig = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"),
+        graft.functions.TextExpressions.minhashSliced(
+          graft.functions.TextExpressions.wordShingles(
+            tokens(col(textCol)), shingleN), k).as("__m"))
+      .filter(col("__m").isNotNull)
+    val banded = sig.select(col("id"), col("__ts"), col("__m"),
+      explode(array(minhashBandKeys(col("__m"), k, rowsPerBand): _*))
+        .as("band"))
+    val buckets = banded.groupBy(col("band"))
+      .agg(collect_list(struct(col("__ts").as("ts"), col("id").as("id"),
+        col("__m").as("m"))).as("ms"))
+      .observe("lsh_sig_buckets",
+        count(when(size(col("ms")) > maxBucket, true))
+          .as("dropped_buckets"),
+        max(size(col("ms"))).as("max_bucket"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.ts") < col("b.ts") ||
+        (col("a.ts") === col("b.ts") && col("a.id") < col("b.id")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(filter(zip_with(col("a.m"), col("b.m"),
+          (x, y) => x === y), p => p)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .distinct()
+  }
+
   /** SimHash clusters: groups of docs with identical 16-bit simhash. */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),

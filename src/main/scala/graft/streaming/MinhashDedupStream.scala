@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+import graft.functions.TextExpressions
+import graft.functions.TextFunctions.tokens
+import graft.operators.DedupOps
+
+/** One banded document entering the per-bucket state stage. */
+case class BandedDoc(band: String, doc_id: Long,
+                     ts: java.sql.Timestamp, sig: Seq[String])
+
+/** One absorbed document inside a band bucket's state: id, event
+  * time (millis), and its k-component minhash signature (~k·4 chars
+  * — the ONLY per-doc payload the state ever holds; text never
+  * enters state). */
+case class BucketMember(id: Long, ts: Long, sig: Seq[String])
+
+/** Per-bucket state: absorbed members (capped), the newest event
+  * time ever seen (expiry anchor), and the cap-drop count. */
+case class BucketState(members: List[BucketMember], maxTs: Long,
+                       dropped: Long)
+
+/** A signature-estimate near-dup pair: `id_a` arrived earlier. */
+case class SigPair(id_a: Long, id_b: Long, n_match: Int)
+
+/** Streaming twin of the minhash-LSH near-dup family — incremental
+  * near-dup INGESTION: documents arrive continuously, and each new
+  * arrival must be checked against everything already absorbed
+  * without re-scanning the corpus (the q121 increment discipline
+  * lifted from exact signatures to the LSH geometry). This is the
+  * batch operator [[DedupOps.minhashSigPairs]] as one watermarked
+  * stateful query:
+  *
+  *  - the tokens → shingles → k-slice signature → band keys chain is
+  *    the SAME expression stack the batch operator runs — stateless
+  *    projection, so document text dies before the state exchange;
+  *    only (band, id, ts, k·4-char signature) reaches it;
+  *  - `groupByKey(band)` → `flatMapGroupsWithState` holds per bucket
+  *    the absorbed members' (id, ts, sig) — state is
+  *    members-per-bucket × signature size, re-ingest-rate
+  *    independent, and the `maxBucket` cap bounds degenerate
+  *    boilerplate buckets exactly like the batch operator's
+  *    bucket-cap filter (drops counted in state, never silent);
+  *  - each arrival is compared against EARLIER members only (the
+  *    batch `(ts, id)` pair ordering), emitting `(id_a, id_b,
+  *    n_match)` when at least `minMatch` of `k` signature components
+  *    agree — the LSH Jaccard estimate, the only similarity a
+  *    bounded-state stream can compute (exact-Jaccard verification
+  *    composes downstream on the pair frame, batch and stream
+  *    identically);
+  *  - a pair colliding in several bands emits once per band (bands
+  *    share no state); readers take `DISTINCT` — the batch
+  *    operator's cross-band `.distinct()`, moved to read time so the
+  *    sink stays append-only (the S4 discipline);
+  *  - the event-time timeout expires a bucket `horizonMs` after its
+  *    newest arrival: state is bounded by buckets-per-horizon — a
+  *    document re-ingested after expiry re-absorbs without its old
+  *    partners (documented; the soak spec pins exact batch
+  *    equivalence under an effectively-infinite horizon).
+  */
+object MinhashDedupStream {
+
+  /** The watermarked pair stream (no sink). */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+            eventTimeCol: String, watermarkDelay: String,
+            horizonMs: Long, shingleN: Int = 3, k: Int = 8,
+            rowsPerBand: Int = 2, minMatch: Int = 6,
+            maxBucket: Int = 1000): Dataset[SigPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      // no text → no signature; no event time → no ordering, no
+      // watermark: both are poison for the state fold, drop up front
+      .filter(col(textCol).isNotNull && col(eventTimeCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(eventTimeCol).as("ts"),
+        TextExpressions.minhashSliced(
+          TextExpressions.wordShingles(
+            tokens(col(textCol)), shingleN), k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(
+        explode(array(
+          DedupOps.minhashBandKeys(col("sig"), k, rowsPerBand): _*))
+          .as("band"),
+        col("doc_id"), col("ts"), col("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BandedDoc]
+
+    def update(key: String, rows: Iterator[BandedDoc],
+               gs: GroupState[BucketState]): Iterator[SigPair] = {
+      if (gs.hasTimedOut) {
+        gs.remove()
+        Iterator.empty
+      } else {
+        var st = gs.getOption.getOrElse(
+          BucketState(Nil, Long.MinValue, 0L))
+        // the timeout path only reaps IDLE buckets — a bucket whose
+        // timeout is overdue but that receives data in the same
+        // micro-batch is processed as data with its stale members
+        // still aboard. Evict on the data path too: a member is gone
+        // once the watermark has passed its event time by the
+        // horizon, so an arrival never pairs across the horizon
+        // regardless of batch/timeout interleaving
+        val wm = gs.getCurrentWatermarkMs()
+        if (wm > Long.MinValue)
+          st = st.copy(
+            members = st.members.filter(_.ts + horizonMs >= wm))
+        val out = List.newBuilder[SigPair]
+        // deterministic arrival order within the micro-batch: the
+        // batch operator's (ts, id) pair ordering
+        rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+          val t = r.ts.getTime
+          // a pair is emitted when its SECOND element is processed —
+          // whichever side that is: an out-of-order feed can deliver
+          // the (ts, id)-later document first, and the pair must
+          // still come out (ordered by event time, like the batch
+          // frame), not depend on arrival luck
+          st.members.foreach { m =>
+            if (!(m.ts == t && m.id == r.doc_id)) {
+              val nm = m.sig.iterator.zip(r.sig.iterator)
+                .count { case (x, y) => x == y }
+              if (nm >= minMatch) {
+                if (m.ts < t || (m.ts == t && m.id < r.doc_id))
+                  out += SigPair(m.id, r.doc_id, nm)
+                else out += SigPair(r.doc_id, m.id, nm)
+              }
+            }
+          }
+          st =
+            if (st.members.sizeIs < maxBucket)
+              st.copy(members = BucketMember(r.doc_id, t, r.sig)
+                :: st.members, maxTs = math.max(st.maxTs, t))
+            else
+              st.copy(maxTs = math.max(st.maxTs, t),
+                dropped = st.dropped + 1L)
+        }
+        gs.update(st)
+        gs.setTimeoutTimestamp(st.maxTs + horizonMs)
+        out.result().iterator
+      }
+    }
+
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Pair stream → append-only parquet; `DISTINCT (id_a, id_b,
+    * n_match)` on read is the batch [[DedupOps.minhashSigPairs]]
+    * frame. `watermarkDelay` must cover feed disorder exactly as in
+    * [[SnapshotDedupStream.start]]. */
+  def start(docs: DataFrame, outDir: String,
+            idCol: String = "doc_id", textCol: String = "text",
+            eventTimeCol: String = "ts",
+            watermarkDelay: String = "24 hours",
+            horizonMs: Long = 365L * 24 * 3600 * 1000,
+            minMatch: Int = 6,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    pairs(docs, idCol, textCol, eventTimeCol, watermarkDelay,
+      horizonMs, minMatch = minMatch)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[SigPair], bid: Long) =>
+        batch.toDF().withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$outDir/pairs")
+      }
+      .start()
+}

@@ -326,6 +326,14 @@ object ScaleProbe {
       DedupOps.editDistanceNearDups(docs, "doc_id", "text"))
     time(s"editDistanceNearDups x$n decorrelated")(
       DedupOps.editDistanceNearDups(docsDecor, "doc_id", "text"))
+    // q173: the streaming twin's batch anchor — signature-estimate
+    // pairs need NO second corpus pass (no shingle-set verify join),
+    // so the wire must be the banding exchange alone; decorrelated
+    // fixture because pair volume is clique-sensitive like q153
+    time(s"minhashSigPairs x$n decorrelated")(
+      DedupOps.minhashSigPairs(
+        docsDecor.withColumn("ts", col("doc_id") % 100000L),
+        "doc_id", "text", "ts"))
     // q156: three (source, ngram)-keyed exact-distinct aggregates,
     // map-side combined — wire is vocabulary-sized, not corpus-sized
     time(s"distinctNgramDiversity x$n")(

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+import graft.streaming.MinhashDedupStream
+
+/** The streaming-LSH soak: incremental near-dup ingestion over band
+  * buckets must equal the batch signature-pair frame on the same
+  * documents — across a checkpoint restart (phase-2 arrivals must
+  * pair against phase-1 members recovered from state) and an
+  * out-of-order phase (event times back inside phase 1). A separate
+  * case pins the event-time horizon: a bucket expires, and a twin
+  * ingested after expiry finds no partner — the documented
+  * divergence from the unbounded batch view. */
+class MinhashDedupStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = 1718000000L
+
+  /** 10 near-dup groups: 15 shared tokens per group plus one
+    * variant-specific tail token — most 3-gram shingles (and so most
+    * signature components) agree within a group, none across
+    * groups. */
+  private def textOf(i: Int): String = {
+    val g = i % 10
+    (1 to 15).map(w => s"g${g}w$w").mkString(" ") + s" v${i / 10}"
+  }
+
+  private def rowsOf(ids: Range): Seq[(Long, java.sql.Timestamp, String)] =
+    ids.map(i => (i.toLong,
+      new java.sql.Timestamp((base + i * 60L) * 1000L), textOf(i)))
+
+  /** Fresh ids whose event times sit back inside phase 1. */
+  private def lateRowsOf(ids: Range): Seq[(Long, java.sql.Timestamp, String)] =
+    ids.map(i => (i.toLong,
+      new java.sql.Timestamp((base + (i % 10) * 60L) * 1000L),
+      textOf(i)))
+
+  private def writeDocs(src: String, name: String, mtime: Long,
+                        rows: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+    val tmp = Files.createTempDirectory("graft_mh_tmp").toString
+    rows.toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = Path.of(src, s"$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+  }
+
+  private def schema = rowsOf(0 until 1)
+    .toDF("doc_id", "ts", "text").schema
+
+  test("streaming band-bucket near-dup pairs ≡ batch minhashSigPairs " +
+      "across a restart and an out-of-order phase") {
+    val src = Files.createTempDirectory("graft_mh_src").toString
+    val out = Files.createTempDirectory("graft_mh_out").toString
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = MinhashDedupStream.start(stream, out)
+      q.awaitTermination(180000L)
+    }
+
+    writeDocs(src, "f0", 1000L, rowsOf(0 until 30))
+    run()
+    // restart: phase-2 docs in the same groups — their pairs against
+    // phase-1 members must come out of state recovered from the
+    // checkpoint
+    writeDocs(src, "f1", 2000L, rowsOf(30 until 60))
+    // same run: out-of-order arrivals whose event times sit inside
+    // phase 1 — the watermark delay must let them into the fold, and
+    // their pairs must order by EVENT time, not arrival
+    writeDocs(src, "f2", 3000L, lateRowsOf(100 until 110))
+    run()
+
+    val got = spark.read.parquet(s"$out/pairs")
+      .select(col("id_a"), col("id_b"), col("n_match")).distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    val batch = DedupOps.minhashSigPairs(
+      spark.read.parquet(s"$src/*.parquet"), "doc_id", "text", "ts")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == batch,
+      s"stream/batch divergence:\n only stream: ${got -- batch}\n" +
+        s" only batch: ${batch -- got}")
+    // fixture sanity: the equivalence is not vacuous, crosses the
+    // restart, and the out-of-order docs pair as EARLIER elements
+    assert(batch.nonEmpty)
+    assert(batch.exists(p => p._1 < 30 && p._2 >= 30),
+      "no cross-restart pair — state did not survive the checkpoint")
+    assert(batch.exists(p => p._1 >= 100),
+      "no out-of-order doc ordered by event time as the earlier side")
+  }
+
+  test("event-time horizon expires bucket state: a twin ingested after " +
+      "the horizon finds no partner") {
+    val src = Files.createTempDirectory("graft_mh_src2").toString
+    val out = Files.createTempDirectory("graft_mh_out2").toString
+    val horizonMs = 3600L * 1000 // 1 hour
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = MinhashDedupStream.pairs(stream, "doc_id", "text", "ts",
+        watermarkDelay = "0 seconds", horizonMs = horizonMs)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.SigPair],
+           bid: Long) =>
+            b.toDF().withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(s"$out/pairs")
+        }
+        .start()
+      q.awaitTermination(180000L)
+    }
+    // doc 0 at t0; a filler (its own bucket) far past t0 + horizon
+    // advances the watermark so doc 0's buckets expire; doc 10 (same
+    // group as doc 0) after that must find empty buckets
+    val t0 = base * 1000L
+    writeDocs(src, "f0", 1000L, Seq(
+      (0L, new java.sql.Timestamp(t0), textOf(0))))
+    writeDocs(src, "f1", 2000L, Seq(
+      (500L, new java.sql.Timestamp(t0 + 3 * horizonMs),
+        "filler words entirely unlike any group text here")))
+    writeDocs(src, "f2", 3000L, Seq(
+      (10L, new java.sql.Timestamp(t0 + 4 * horizonMs), textOf(10))))
+    run()
+    val pairsDir = new java.io.File(s"$out/pairs")
+    val got: Set[(Long, Long)] =
+      if (!pairsDir.exists()) Set.empty
+      else spark.read.parquet(s"$out/pairs")
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+    assert(!got.contains((0L, 10L)),
+      "pair across the expired horizon — state did not expire")
+    // the batch view, blind to the horizon, DOES see the pair — the
+    // documented divergence this knob buys bounded state with
+    val batch = DedupOps.minhashSigPairs(
+      spark.read.parquet(s"$src/*.parquet"), "doc_id", "text", "ts")
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch.contains((0L, 10L)))
+  }
+}
