@@ -77,17 +77,128 @@ object Warehouse {
     * pruning for free. */
   def writeCellPartitioned(emb: DataFrame, table: String, idCol: String,
                            vecCol: String,
-                           centroids: Array[Array[Double]]): Unit = {
-    require(centroids.nonEmpty, "at least one centroid")
-    val centsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    emb
-      .withColumn("cell",
-        graft.functions.VectorExpressions.argminL2(
-          graft.functions.VectorFunctions.toDouble(col(vecCol)),
-          centsLit))
+                           centroids: Array[Array[Double]]): Unit =
+    cellAssigned(emb, vecCol, centroids)
       .write.mode("overwrite")
       .format("parquet")
       .partitionBy("cell")
       .saveAsTable(table)
+
+  /** CELL-PRESERVING append — incremental index maintenance for the
+    * [[writeCellPartitioned]] layout: new vectors are assigned with
+    * the SAME (now possibly stale) centroids the table was laid out
+    * with, so they land inside the existing cell directories and
+    * every reader's directory pruning keeps holding — an append must
+    * never silently re-cluster half an index. The cost of keeping
+    * the quantizer frozen is measured by [[cellStalenessProbe]]; the
+    * decision to pay for a re-layout belongs to its trigger rule,
+    * not to the append path. */
+  def appendCellPartitioned(emb: DataFrame, table: String,
+                            idCol: String, vecCol: String,
+                            centroids: Array[Array[Double]]): Unit =
+    cellAssigned(emb, vecCol, centroids)
+      .write.mode("append")
+      .format("parquet")
+      .partitionBy("cell")
+      .saveAsTable(table)
+
+  private def cellAssigned(emb: DataFrame, vecCol: String,
+                           centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid")
+    val centsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    emb.withColumn("cell",
+      graft.functions.VectorExpressions.argminL2(
+        graft.functions.VectorFunctions.toDouble(col(vecCol)),
+        centsLit))
+  }
+
+  /** STALENESS probe + re-cluster trigger for a cell-partitioned ANN
+    * table that has absorbed appends: measures what the FROZEN layout
+    * actually delivers on the grown corpus, and decides whether a
+    * re-layout is due. One row out:
+    *
+    *  - `recall_micro`: mean recall@k of the physical layout (stored
+    *    `cell` column on the corpus side — the probe measures the
+    *    directories as they exist, not a recomputed assignment) for a
+    *    deterministic hash-sample of the table's own vectors probing
+    *    their `probe` nearest STALE cells — exact brute-force top-k
+    *    as ground truth (the q59 acceptance machinery);
+    *  - `max_cell_milli`: the largest cell's share of the table — the
+    *    scan-fraction guarantee decays exactly as appended mass piles
+    *    into few cells, even while recall still looks fine;
+    *  - `needs_recluster` + `reason`: recall below `minRecallMicro`
+    *    (appends straddle stale cell boundaries — probes miss true
+    *    neighbors) or share above `maxCellShareMilli` (probe cost no
+    *    longer ≈ probe/cells of the corpus).
+    *
+    * Scale shape: query sample broadcast both into the probed-cell
+    * scan and the exact scorer (one corpus pass each); cell shares
+    * are a cells-sized aggregate. Run it per append batch — it costs
+    * two scans of the table at `queryRate` query load, against a full
+    * re-layout costing a complete re-write. */
+  def cellStalenessProbe(table: String, idCol: String, vecCol: String,
+                         centroids: Array[Array[Double]], k: Int = 5,
+                         probe: Int = 1, queryRate: Double = 0.02,
+                         minRecallMicro: Long = 900000L,
+                         maxCellShareMilli: Long = 500L): DataFrame = {
+    import graft.operators.{SamplingOps, SimilarityOps}
+    import graft.functions.VectorFunctions.toDouble
+    require(probe >= 1 && probe <= centroids.length,
+      "1 <= probe <= cells")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val t = spark.table(table)
+    val queries = SamplingOps.hashSample(
+      t.select(col(idCol), col(vecCol)),
+      col(idCol).cast("string"), queryRate)
+    // query side: `probe` nearest stale cells by squared-L2 (the
+    // kmeansIvfTopK probe order); corpus side: the STORED cell
+    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, y) => acc + y)
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("__d",
+        array(centroids.map(c => dist2(col("qv"), c)): _*))
+      .select(col("query_id"), col("qv"),
+        explode(transform(
+          slice(array_sort(zip_with(col("__d"),
+            sequence(lit(1), lit(centroids.length)),
+            (d, i) => struct(d.as("d"), i.as("i")))), 1, probe),
+          s => s.getField("i").cast("long"))).as("cell"))
+    val rawCos = graft.functions.VectorExpressions.cosine(
+      col("qv"), col("cv"))
+    val scored = t
+      .select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(rawCos, 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val approx = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val exact = SimilarityOps.bruteForceTopK(queries, t, idCol,
+      vecCol, k)
+    val rec = SimilarityOps.recallAtK(approx, exact, k)
+      .agg(count(lit(1)).as("n_queries"),
+        expr(s"sum(n_hits) * 1000000 div (count(1) * $k)")
+          .as("recall_micro"))
+    val share = t.groupBy(col("cell")).count()
+      .agg(expr("max(count) * 1000 div sum(count)")
+        .as("max_cell_milli"))
+    rec.crossJoin(share)
+      .select(col("n_queries"), col("recall_micro"),
+        col("max_cell_milli"),
+        (col("recall_micro") < minRecallMicro ||
+          col("max_cell_milli") > maxCellShareMilli)
+          .as("needs_recluster"),
+        when(col("recall_micro") < minRecallMicro,
+          lit("recall below threshold"))
+          .when(col("max_cell_milli") > maxCellShareMilli,
+            lit("cell share above threshold"))
+          .otherwise(lit("healthy")).as("reason"))
   }
 }

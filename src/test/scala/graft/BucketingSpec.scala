@@ -168,4 +168,82 @@ class BucketingSpec extends AnyFunSuite {
         s"cell predicate must prune directories:\n$plan")
     } finally spark.sql("DROP TABLE IF EXISTS cell_emb")
   }
+
+  test("appendCellPartitioned preserves pruning; staleness probe flags " +
+      "the grown corpus and passes the fresh one") {
+    import graft.operators.SimilarityOps
+    import graft.sources.Warehouse
+    val rnd = new scala.util.Random(23)
+    // two well-separated training clusters along dim 0
+    def cluster(n: Int, idBase: Long, center: Array[Double]) =
+      (0 until n).map { i =>
+        (idBase + i, Array.tabulate(8)(d =>
+          (center(d) + 0.3 * rnd.nextGaussian()).toFloat))
+      }
+    val a = cluster(1500, 0L, Array(3.0, 0, 0, 0, 0, 0, 0, 0)) ++
+      cluster(1500, 10000L, Array(-3.0, 0, 0, 0, 0, 0, 0, 0))
+    val embA = a.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.kmeansCentroids(embA, "vec_id",
+      "embedding", dim = 8, k = 2, iters = 3)
+    Warehouse.writeCellPartitioned(embA, "cell_emb_inc", "vec_id",
+      "embedding", cents)
+    try {
+      // healthy before the append: recall ~1, balanced cells
+      val fresh = Warehouse.cellStalenessProbe("cell_emb_inc",
+        "vec_id", "embedding", cents, maxCellShareMilli = 700L)
+        .collect().head
+      assert(!fresh.getAs[Boolean]("needs_recluster"), fresh.toString)
+      assert(fresh.getAs[Long]("recall_micro") >= 950000L)
+      // append a NEW cluster straddling the stale cell boundary
+      // (centered between the two trained centroids): cell-preserving
+      // by construction — assigned with the SAME centroids
+      // flat AGAINST the boundary: x barely straddles it while the
+      // other dims carry the spread, so each appended point's true
+      // neighbors mix both sides and a single-probe scan misses half
+      val b = (0 until 2000).map { i =>
+        (20000L + i, Array.tabulate(8)(d =>
+          if (d == 0) (if (i % 2 == 0) 0.05f else -0.05f)
+          else (0.3 * rnd.nextGaussian()).toFloat))
+      }
+      Warehouse.appendCellPartitioned(b.toDF("vec_id", "embedding"),
+        "cell_emb_inc", "vec_id", "embedding", cents)
+      val t = spark.table("cell_emb_inc")
+      assert(t.count() == 5000L)
+      // pruning survives the append: a probed-cell scan reads only
+      // its directories
+      val one = t.filter(col("cell") === 1L)
+      val got = scanRows(one)
+      val expect = t.groupBy("cell").count().collect()
+        .find(_.getLong(0) == 1L).get.getLong(1)
+      assert(got == expect && expect > 0 && expect < 5000L,
+        s"probe scan read $got rows, partition holds $expect")
+      val plan = one.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r
+        .findFirstIn(plan).isDefined, plan)
+      // the straddling appends split their true neighbors across the
+      // stale boundary: single-probe recall collapses for them, and
+      // the trigger fires
+      val grown = Warehouse.cellStalenessProbe("cell_emb_inc",
+        "vec_id", "embedding", cents, maxCellShareMilli = 700L)
+        .collect().head
+      assert(grown.getAs[Boolean]("needs_recluster"), grown.toString)
+      assert(grown.getAs[Long]("recall_micro") <
+        fresh.getAs[Long]("recall_micro"), grown.toString)
+      assert(grown.getAs[String]("reason") == "recall below threshold",
+        grown.toString)
+      // the cure the trigger asks for: retrain on the grown corpus,
+      // re-lay-out, probe healthy again
+      val snap = t.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+        .toDF("vec_id", "embedding")
+      val cents2 = SimilarityOps.kmeansCentroids(snap, "vec_id",
+        "embedding", dim = 8, k = 3, iters = 3)
+      Warehouse.writeCellPartitioned(snap, "cell_emb_inc",
+        "vec_id", "embedding", cents2)
+      val relaid = Warehouse.cellStalenessProbe("cell_emb_inc",
+        "vec_id", "embedding", cents2, maxCellShareMilli = 700L)
+        .collect().head
+      assert(!relaid.getAs[Boolean]("needs_recluster"), relaid.toString)
+    } finally spark.sql("DROP TABLE IF EXISTS cell_emb_inc")
+  }
 }
