@@ -1751,6 +1751,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LSH-routed hybrid fusion (q174): q155's exact chain with the
+    // dense leg forced through hashedDenseTopKAuto's LSH route
+    // (maxBroadcastQueries = 0 — the auto-switch itself is in the
+    // executed path): sign-projection cells over the hashed
+    // embeddings, own cell + lowest-|margin| flip per query, scoring
+    // restricted to cell-joined pairs. The oracle mirrors the plane
+    // bank and the probe rule, so the top-k is verified IDENTICAL
+    // through the approximate path — not merely close.
+    "q174_rrf_hybrid_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("qtext"))
+      val lex = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+      val dense = RetrievalOps.hashedDenseTopKAuto(docs, "doc_id",
+        "text", qs, "query_id", "qtext", k = 10,
+        maxBroadcastQueries = 0L)
+      RetrievalOps.rrfFuse(Seq(lex, dense), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Distinct-n diversity (q156): exact per-source distinct n-gram
     // ratios for n = 1..3 over the natural source split.
     "q156_distinct_ngrams" -> ((s, dir) => {
@@ -3441,8 +3464,10 @@ object SparkEntry {
     * q155 (fused frame): BM25 `ranked` (8-token queries) as the
     * lexical leg, the q129 hashed-embedding cosine as the dense leg,
     * RRF contributions `1e6 div (60 + rank)` summed and re-ranked in
-    * `fr`. */
-  private lazy val RrfHybridCtesSql: String =
+    * `fr`. Parameterized on the `scd` (scored-pairs) stage so q174
+    * can swap the broadcast |Q|·|C| scoring for the LSH-celled
+    * variant while every other stage stays verbatim. */
+  private def rrfHybridCtesWithScd(scdSql: String): String =
     bm25RankedCtesFrom("SELECT doc_id, text FROM documents",
       dfCapSql = "") + """,
       |lex AS (SELECT query_id, doc_id, rank FROM ranked
@@ -3469,13 +3494,7 @@ object SparkEntry {
       |  SELECT query_id, counts,
       |    list_sum(list_transform(counts, x -> x * x))::BIGINT AS n2
       |  FROM qcd),
-      |scd AS (
-      |  SELECT q.query_id, d.doc_id,
-      |    floor(list_sum(list_transform(range(1, 65), i ->
-      |        q.counts[i] * d.counts[i]))::DOUBLE * 1000000.0 /
-      |      (sqrt(q.n2::DOUBLE) * sqrt(d.n2::DOUBLE)))::BIGINT
-      |      AS cos_micro
-      |  FROM qnd q, dn d WHERE d.n2 > 0 AND q.n2 > 0),
+      |""".stripMargin + scdSql + """,
       |den AS (
       |  SELECT query_id, doc_id,
       |    row_number() OVER (PARTITION BY query_id
@@ -3496,6 +3515,66 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY rrf_micro DESC, doc_id) AS rank
       |  FROM f)""".stripMargin
+
+  private lazy val RrfHybridCtesSql: String = rrfHybridCtesWithScd(
+    """scd AS (
+      |  SELECT q.query_id, d.doc_id,
+      |    floor(list_sum(list_transform(range(1, 65), i ->
+      |        q.counts[i] * d.counts[i]))::DOUBLE * 1000000.0 /
+      |      (sqrt(q.n2::DOUBLE) * sqrt(d.n2::DOUBLE)))::BIGINT
+      |      AS cos_micro
+      |  FROM qnd q, dn d WHERE d.n2 > 0 AND q.n2 > 0)""".stripMargin)
+
+  /** The q174 LSH-celled `scd`: the SAME Rademacher plane bank as
+    * `RetrievalOps.hashedDenseTopKLsh` inlined as ±1 list literals
+    * (the q60 constants discipline), projections/signs/margins in the
+    * exact integer domain, own cell + lowest-|margin| single-bit flip
+    * per query, scoring restricted to cell-joined pairs. */
+  private lazy val RrfHybridLshCtesSql: String = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(1, 4, 64)
+      .head.map(_.map(_.toInt))
+    def projSql(src: String, j: Int): String =
+      s"list_sum(list_transform(range(1, 65), i -> $src[i] * " +
+        s"(${planes(j).mkString("[", ", ", "]")})[i]))"
+    val ownCell = (1 to 4).map(j =>
+      s"(CASE WHEN pr[$j] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val flipCell = (1 to 4).map(j =>
+      s"(CASE WHEN flip = $j THEN (CASE WHEN pr[$j] >= 0 " +
+        s"THEN '0' ELSE '1' END) ELSE (CASE WHEN pr[$j] >= 0 " +
+        s"THEN '1' ELSE '0' END) END)")
+      .mkString(" || ")
+    rrfHybridCtesWithScd(
+      s"""dcell AS (
+        |  SELECT doc_id, counts, n2,
+        |${(0 until 4).map(j =>
+             s"    (CASE WHEN ${projSql("counts", j)} >= 0 " +
+               "THEN '1' ELSE '0' END)")
+             .mkString(" ||\n")} AS cell
+        |  FROM dn),
+        |qpr AS (
+        |  SELECT query_id, counts, n2,
+        |    [${(0 until 4).map(j => projSql("counts", j))
+               .mkString(",\n     ")}] AS pr
+        |  FROM qnd),
+        |qfl AS (
+        |  SELECT query_id, counts, n2, pr,
+        |    list_sort(list_transform(range(1, 5),
+        |      i -> {'m': abs(pr[i]), 'i': i}))[1].i AS flip
+        |  FROM qpr),
+        |qcell AS (
+        |  SELECT query_id, counts, n2,
+        |    unnest([$ownCell, $flipCell]) AS cell
+        |  FROM qfl),
+        |scd AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    floor(list_sum(list_transform(range(1, 65), i ->
+        |        q.counts[i] * d.counts[i]))::DOUBLE * 1000000.0 /
+        |      (sqrt(q.n2::DOUBLE) * sqrt(d.n2::DOUBLE)))::BIGINT
+        |      AS cos_micro
+        |  FROM qcell q JOIN dcell d USING (cell)
+        |  WHERE d.n2 > 0 AND q.n2 > 0)""".stripMargin)
+  }
 
   /** [[minhashCtesSql]] with a caller-supplied corpus and band
     * geometry (`rowsPerBand = 1` → each hash its own band, the
@@ -6733,6 +6812,12 @@ ORDER BY rank LIMIT 6"""),
     // summed exactly, re-ranked with the doc_id tie-break.
     "q155_rrf_hybrid" -> (
       "WITH " + RrfHybridCtesSql + """
+        |SELECT query_id, rank, doc_id, rrf_micro, n_systems
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // The same fused SELECT over the LSH-celled scd stage.
+    "q174_rrf_hybrid_lsh" -> (
+      "WITH " + RrfHybridLshCtesSql + """
         |SELECT query_id, rank, doc_id, rrf_micro, n_systems
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -250,4 +250,101 @@ object RetrievalOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("cos_micro"))
   }
+
+  /** The scale path for [[hashedDenseTopK]]: the SAME scoring
+    * (integer dot, floored micro cosine, doc_id tie-break) restricted
+    * to sign-projection LSH cells, so the scored frame is
+    * Σ_cells |Q_cell|·|C_cell| rows instead of |Q|·|C|. Cells come
+    * from the deterministic Rademacher hyperplane bank
+    * ([[graft.functions.VectorFunctions.hyperplanes]] — the q60
+    * constants discipline, inlineable in the oracle); projections of
+    * the integer count histograms onto ±1 planes stay in the exact
+    * LONG domain end-to-end (sign, margins, probe order — no float
+    * anywhere before the final cosine). Multi-probe: each query
+    * searches its own cell plus `probe − 1` lowest-|margin| single-bit
+    * flips (the [[SimilarityOps.ivfTopK]] probe rule).
+    *
+    * Scale shape: corpus cells are one projection pass; query cells
+    * broadcast; the only sized-by-candidates data is the per-cell
+    * join output. Approximate by construction — a true neighbor in an
+    * unprobed cell is missed; [[SimilarityOps.recallAtK]] against
+    * [[hashedDenseTopK]] on a query sample is the acceptance probe. */
+  def hashedDenseTopKLsh(docs: DataFrame, idCol: String,
+                         textCol: String, queries: DataFrame,
+                         qIdCol: String, qTextCol: String, k: Int = 10,
+                         dim: Int = 64, bits: Int = 4,
+                         probe: Int = 2): DataFrame = {
+    require(probe >= 1 && probe <= bits, "1 <= probe <= bits")
+    val planes: Seq[Array[Long]] = graft.functions.VectorFunctions
+      .hyperplanes(1, bits, dim).head.map(_.map(_.toLong))
+    def proj(v: Column, p: Array[Long]): Column =
+      aggregate(zip_with(v, array(p.map(lit): _*), (x, y) => x * y),
+        lit(0L), (a, x) => a + x)
+    def cellStr(b: Column) =
+      array_join(transform(b, x => x.cast("string")), "")
+    val dv = TextAnalysisOps.hashedEmbed(docs, idCol, textCol, dim)
+      .select(col(idCol).as("doc_id"), col("counts").as("__dc"),
+        col("norm2").as("__dn"))
+      .withColumn("cell", concat(planes.map(p =>
+        when(proj(col("__dc"), p) >= 0L, lit("1"))
+          .otherwise(lit("0"))): _*))
+    val q0 = TextAnalysisOps.hashedEmbed(queries, qIdCol, qTextCol, dim)
+      .select(col(qIdCol).as("query_id"), col("counts").as("__qc"),
+        col("norm2").as("__qn"))
+      .withColumn("__p", array(planes.map(p =>
+        proj(col("__qc"), p)): _*))
+      .withColumn("__b", transform(col("__p"),
+        x => when(x >= 0L, lit(1)).otherwise(lit(0))))
+      .withColumn("__ord", array_sort(zip_with(col("__p"),
+        sequence(lit(0), lit(bits - 1)),
+        (p, i) => struct(abs(p).as("m"), i.as("i")))))
+    val cellCols = (0 until probe).map { j =>
+      if (j == 0) cellStr(col("__b"))
+      else {
+        val flip = element_at(col("__ord"), j).getField("i")
+        cellStr(zip_with(col("__b"), sequence(lit(0), lit(bits - 1)),
+          (b, i) => when(i === flip, lit(1) - b).otherwise(b)))
+      }
+    }
+    val qv = q0.select(col("query_id"), col("__qc"), col("__qn"),
+      explode(array(cellCols: _*)).as("cell"))
+    val dot = aggregate(zip_with(col("__qc"), col("__dc"), _ * _),
+      lit(0L), (a, x) => a + x)
+    // scored-pair cardinality surfaced (the sub-|Q|·|C| claim is the
+    // whole point of this route — it must be measurable, not asserted)
+    val scored = dv.join(broadcast(qv), Seq("cell"))
+      .filter(col("__dn") > 0L && col("__qn") > 0L)
+      .select(col("query_id"), col("doc_id"),
+        floor(dot.cast("double") * lit(1000000.0) /
+          (sqrt(col("__qn").cast("double")) *
+            sqrt(col("__dn").cast("double"))))
+          .cast("long").as("cos_micro"))
+      .observe("dense_lsh_scored", count(lit(1)).as("scored_rows"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("cos_micro"))
+  }
+
+  /** [[hashedDenseTopK]] with the route DECIDED IN CODE, not in a doc
+    * comment: at most `maxBroadcastQueries` queries, the exact
+    * broadcast |Q|·|C| scan is both correct and cheapest; past it,
+    * the scan cost scales with the query set and the call routes
+    * through the LSH-celled path. The one-row `count()` on the query
+    * frame is the price of the decision (queries are the small side
+    * by contract). */
+  def hashedDenseTopKAuto(docs: DataFrame, idCol: String,
+                          textCol: String, queries: DataFrame,
+                          qIdCol: String, qTextCol: String,
+                          k: Int = 10, dim: Int = 64,
+                          maxBroadcastQueries: Long = 256L,
+                          bits: Int = 4, probe: Int = 2): DataFrame =
+    if (queries.count() <= maxBroadcastQueries)
+      hashedDenseTopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
+        k, dim)
+    else
+      hashedDenseTopKLsh(docs, idCol, textCol, queries, qIdCol,
+        qTextCol, k, dim, bits, probe)
 }

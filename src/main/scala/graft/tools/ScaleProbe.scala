@@ -353,6 +353,38 @@ object ScaleProbe {
         graft.operators.RetrievalOps.hashedDenseTopK(docs, "doc_id",
           "text", qs, "query_id", "qtext", k = 10)), k = 10)
     })
+    // q174: the dense-leg auto-route at ~1e3 queries must take the
+    // LSH cells and score sub-|Q|·|C| pairs — the scored cardinality
+    // comes from the operator's own `dense_lsh_scored` observe metric
+    locally {
+      val scoredRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit =
+          qe.observedMetrics.get("dense_lsh_scored").foreach(r =>
+            scoredRows.set(r.getAs[Long]("scored_rows")))
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(ql)
+      val qsBig = docs.filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("qtext"))
+      val nQ = qsBig.count()
+      val nC = docs.count()
+      time(s"hashedDenseTopKAuto x$n ($nQ queries -> LSH route)")(
+        graft.operators.RetrievalOps.hashedDenseTopKAuto(docs,
+          "doc_id", "text", qsBig, "query_id", "qtext", k = 10))
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext,
+        10000L)
+      spark.listenerManager.unregister(ql)
+      println(f"[probe]   dense-lsh scored rows: ${scoredRows.get()} " +
+        f"of |Q|*|C| = ${nQ * nC} " +
+        f"(${100.0 * scoredRows.get() / (nQ * nC)}%.1f%%)")
+    }
     // q159: the q97 LM shuffles (vocabulary-bounded) + the two-phase
     // rank — no global window, so time must stay ~linear
     time(s"perplexityBuckets x$n")(

@@ -3058,6 +3058,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("cos_micro") < 1000000L)
   }
 
+  test("hashedDenseTopKAuto routes by query-set size; LSH route finds " +
+      "an exact copy and self-retrieves in its own cell") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qs = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("query_id"),
+        col("text").as("qtext"))
+    // small query set: the auto route IS the broadcast operator
+    val viaAuto = RetrievalOps.hashedDenseTopKAuto(docs, "doc_id",
+      "text", qs, "query_id", "qtext", k = 5,
+      maxBroadcastQueries = 1000L)
+      .collect().map(_.toString).sorted.toSeq
+    val broadcastPath = RetrievalOps.hashedDenseTopK(docs, "doc_id",
+      "text", qs, "query_id", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaAuto == broadcastPath)
+    // forced LSH route: identical frame contract, and a full-text
+    // query always lands in its own document's cell (identical
+    // histogram -> identical signs), so rank 1 is the doc itself at
+    // ~1000000 micro (floor(n2*1e6/sqrt(n2)^2) can land one ulp
+    // short — 999999 — when the squared root exceeds n2)
+    val viaLsh = RetrievalOps.hashedDenseTopKAuto(docs, "doc_id",
+      "text", qs, "query_id", "qtext", k = 5,
+      maxBroadcastQueries = 0L)
+    val lshPath = RetrievalOps.hashedDenseTopKLsh(docs, "doc_id",
+      "text", qs, "query_id", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaLsh.collect().map(_.toString).sorted.toSeq == lshPath)
+    val top1 = viaLsh.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id"), col("cos_micro"))
+      .collect()
+    assert(top1.nonEmpty)
+    assert(top1.forall(r => r.getLong(0) == r.getLong(1) &&
+      r.getLong(2) >= 999999L), top1.mkString(","))
+  }
+
   test("distinctNgramDiversity: exact distinct ratios per source and n") {
     val docs = Seq(
       ("rep", "a a a a"),            // 1-grams: 4 total 1 distinct
