@@ -1751,6 +1751,82 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // robots.txt verdicts (q175): the per-SITE crawl-compliance gate
+    // (q160's per-page twin) — three policy shapes (full allow/
+    // disallow mix with comments + bare Disallow no-op, no-star
+    // group, equal-length Allow/Disallow tie) against five path
+    // shapes exercise longest-prefix, tie-to-allow, no-match and
+    // no-group cases.
+    "q175_robots_txt" -> ((s, dir) => {
+      val policy = "# policy\nUser-agent: google\nDisallow: /\n" +
+        "User-agent: *\nAllow: /public/img  # images ok\n" +
+        "Disallow: /public\nDisallow: /private\nDisallow:\n"
+      val noStar = "User-agent: google\nDisallow: /\n"
+      val tie = "User-agent: *\nAllow: /a\nDisallow: /a\n"
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(policy))
+          .when(col("doc_id") % 3 === 1, lit(noStar))
+          .otherwise(lit(tie)).as("robots"),
+        when(col("doc_id") % 5 === 0, lit("/public/img/a.png"))
+          .when(col("doc_id") % 5 === 1, lit("/public/doc"))
+          .when(col("doc_id") % 5 === 2, lit("/private/x"))
+          .when(col("doc_id") % 5 === 3, lit("/a/page"))
+          .otherwise(lit("/open/page")).as("path"))
+      UrlOps.robotsVerdict(pages, "doc_id", "robots", "path")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Leet-folded wordlist gate (q176): obfuscated (b4dw0rd,
+    // EV1LTERM), cased, and substring-embedded slices exercise the
+    // normalization and the whole-token boundary in both directions.
+    "q176_wordlist_gate" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" b4dw0rd"))
+            .when(col("doc_id") % 9 === 1,
+              lit(" EV1LTERM plus BadWord"))
+            .when(col("doc_id") % 9 === 2, lit(" embadwordded"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.wordlistGate(injected, "doc_id", "text",
+        Seq("badword", "evilterm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Markdown structure (q177): injected heading/fence/link blocks
+    // (one with an unclosed trailing fence) over plain corpus text —
+    // the modality-routing profile for rendered-docs corpora.
+    "q177_markdown_structure" -> ((s, dir) => {
+      val mdBlock = "\n# T\n## S\nsee [l](http://x)\n" +
+        "```scala\nval x = 1\n```\n"
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(mdBlock))
+            .when(col("doc_id") % 6 === 1, lit("\n```python\nope"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.markdownStructure(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source percentile gate (q178): keep the top 30% of each
+    // source by n_chars — relative filtering that preserves the
+    // mixture while cutting each source's own tail.
+    "q178_percentile_gate" -> ((s, dir) => {
+      SamplingOps.perSourcePercentileGate(t(s, dir, "documents"),
+        "doc_id", "source", col("n_chars"), keepFrac = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget allocation (q179): largest-remainder split of a
+    // 100k-token budget across sources proportional to their token
+    // counts — sums exactly to budget, upsampling visible as
+    // n_epochs_milli.
+    "q179_token_budget" -> ((s, dir) => {
+      SamplingOps.tokenBudgetAllocate(t(s, dir, "documents"),
+        "source", size(split(col("text"), " ")).cast("long"),
+        budget = 100000L)
+        .orderBy(col("source"))
+    }),
+
     // LSH-routed hybrid fusion (q174): q155's exact chain with the
     // dense leg forced through hashedDenseTopKAuto's LSH route
     // (maxBroadcastQueries = 0 — the auto-switch itself is in the
@@ -6814,6 +6890,168 @@ ORDER BY rank LIMIT 6"""),
       "WITH " + RrfHybridCtesSql + """
         |SELECT query_id, rank, doc_id, rrf_micro, n_systems
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Star-group extraction via the same regex split, rule parse with
+    // comment strip, longest-prefix fold with tie-to-allow.
+    "q175_robots_txt" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN '# policy' || chr(10) ||
+        |        'User-agent: google' || chr(10) || 'Disallow: /'
+        |        || chr(10) || 'User-agent: *' || chr(10) ||
+        |        'Allow: /public/img  # images ok' || chr(10) ||
+        |        'Disallow: /public' || chr(10) ||
+        |        'Disallow: /private' || chr(10) || 'Disallow:'
+        |        || chr(10)
+        |      WHEN 1 THEN 'User-agent: google' || chr(10) ||
+        |        'Disallow: /' || chr(10)
+        |      ELSE 'User-agent: *' || chr(10) || 'Allow: /a'
+        |        || chr(10) || 'Disallow: /a' || chr(10) END AS robots,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/public/img/a.png'
+        |      WHEN 1 THEN '/public/doc'
+        |      WHEN 2 THEN '/private/x'
+        |      WHEN 3 THEN '/a/page'
+        |      ELSE '/open/page' END AS path
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, path,
+        |    list_filter(string_split_regex(robots, '(?i)User-agent:'),
+        |      s -> starts_with(trim(s), '*')) AS star
+        |  FROM pages),
+        |bod AS (
+        |  SELECT doc_id, path,
+        |    CASE WHEN len(star) > 0 THEN star[1] ELSE '' END AS body
+        |  FROM seg),
+        |rl AS (
+        |  SELECT doc_id, path,
+        |    list_filter(list_transform(string_split(body, chr(10)),
+        |      l -> {
+        |        't': regexp_extract(trim(regexp_replace(l, '#.*', '')),
+        |               '(?i)^(allow|disallow):', 1),
+        |        'p': trim(regexp_extract(
+        |               trim(regexp_replace(l, '#.*', '')),
+        |               '(?i)^(allow|disallow):(.*)', 2))}),
+        |      r -> length(r.t) > 0 AND length(r.p) > 0) AS rules
+        |  FROM bod),
+        |ap AS (
+        |  SELECT doc_id, path, rules,
+        |    list_filter(rules,
+        |      r -> substr(path, 1, length(r.p)) = r.p) AS app
+        |  FROM rl),
+        |bs AS (
+        |  SELECT doc_id, path, rules, app,
+        |    list_max(list_transform(app, r -> length(r.p))) AS best
+        |  FROM ap)
+        |SELECT doc_id, path, len(rules)::BIGINT AS n_rules,
+        |  coalesce(best, 0)::BIGINT AS match_len,
+        |  (len(app) = 0 OR len(list_filter(app,
+        |    r -> length(r.p) = best AND lower(r.t) = 'allow')) > 0)
+        |    AS allowed
+        |FROM bs ORDER BY doc_id""".stripMargin,
+
+    // Same translate fold, token split, literal-list membership.
+    "q176_wordlist_gate" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 9
+        |      WHEN 0 THEN ' b4dw0rd'
+        |      WHEN 1 THEN ' EV1LTERM plus BadWord'
+        |      WHEN 2 THEN ' embadwordded'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      translate(lower(text), '013457$@', 'oieastsa'),
+        |      '[^a-z]+'), t -> length(t) > 0) AS toks
+        |  FROM inj),
+        |h AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks, t ->
+        |      list_contains(['badword', 'evilterm'], t)) AS hits
+        |  FROM tk)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  len(hits)::BIGINT AS n_hits,
+        |  len(list_distinct(hits))::BIGINT AS n_terms_hit,
+        |  len(hits) > 0 AS flagged
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Line-anchored heading regexes, fence-line fold with odd-index
+    // info strings, link regex — all over the same injected blocks.
+    "q177_markdown_structure" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN chr(10) || '# T' || chr(10) || '## S'
+        |        || chr(10) || 'see [l](http://x)' || chr(10)
+        |        || '```scala' || chr(10) || 'val x = 1' || chr(10)
+        |        || '```' || chr(10)
+        |      WHEN 1 THEN chr(10) || '```python' || chr(10) || 'ope'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  FROM inj),
+        |fl AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l -> starts_with(trim(l), '```')) AS fl
+        |  FROM ln)
+        |SELECT doc_id,
+        |  len(list_filter(lines, l -> regexp_matches(l, '^#{1}[^#]')))
+        |    ::BIGINT AS n_h1,
+        |  len(list_filter(lines, l -> regexp_matches(l, '^#{2}[^#]')))
+        |    ::BIGINT AS n_h2,
+        |  len(list_filter(lines, l -> regexp_matches(l, '^#{3}[^#]')))
+        |    ::BIGINT AS n_h3,
+        |  (len(fl) // 2)::BIGINT AS n_fences,
+        |  len(fl) % 2 = 1 AS unclosed_fence,
+        |  len(regexp_extract_all(text, '\[[^\]]*\]\([^)]*\)'))
+        |    ::BIGINT AS n_links,
+        |  substr(md5(coalesce(array_to_string(
+        |    [trim(regexp_replace(trim(fl[i]), '^```', ''))
+        |     FOR i IN range(1, len(fl) + 1) IF i % 2 = 1], ','), '')),
+        |    1, 16) AS lang_sig
+        |FROM fl ORDER BY doc_id""".stripMargin,
+
+    // Rank/count windows per source, identical integer ceil quota.
+    "q178_percentile_gate" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars AS score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rank_in_source,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, score,
+        |  rank_in_source::BIGINT AS rank_in_source,
+        |  rank_in_source * 1000000 <= n * 300000 + 999999 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Largest-remainder arithmetic: integer base + modulo remainders,
+    // leftover handed out by remainder rank with source tie-break.
+    "q179_token_budget" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM c),
+        |b AS (
+        |  SELECT source, n_tokens,
+        |    (100000 * n_tokens) // tot AS base,
+        |    (100000 * n_tokens) % tot AS rem
+        |  FROM c, t),
+        |l AS (SELECT (100000 - sum(base))::BIGINT AS leftover FROM b),
+        |r AS (
+        |  SELECT source, n_tokens, base,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |  FROM b)
+        |SELECT source, n_tokens,
+        |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+        |    AS alloc_tokens,
+        |  ((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000)
+        |    // greatest(n_tokens, 1) AS n_epochs_milli
+        |FROM r, l ORDER BY source""".stripMargin,
 
     // The same fused SELECT over the LSH-celled scd stage.
     "q174_rrf_hybrid_lsh" -> (

@@ -424,4 +424,79 @@ object SamplingOps {
         col("__n") * lit(math.round(rate * 1000000.0)) + lit(999999L))
       .drop("__h", "__rk", "__n")
   }
+
+  /** Per-source percentile quality gate — RELATIVE filtering: keep
+    * the top `keepFrac` of each source by `score` rather than one
+    * global threshold (a global cut empties low-scoring sources
+    * entirely and keeps every doc of high-scoring ones; per-source
+    * percentiles preserve the mixture while still dropping each
+    * source's worst tail — the FineWeb-style per-dump discipline).
+    * Quota is the exact integer ceil of `keepFrac × n_source`; ranking
+    * ties break on id so the cut is deterministic.
+    *
+    * Scale shape: one shuffle on the source key for the rank window
+    * and count — rows carry (id, source, score). For corpora where a
+    * single source overwhelms one partition, pre-aggregate quantile
+    * thresholds instead (the q50 sketch route); the exact window is
+    * the verifiable semantics both implement. */
+  def perSourcePercentileGate(df: DataFrame, idCol: String,
+                              sourceCol: String, score: Column,
+                              keepFrac: Double): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0, "keepFrac in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col(sourceCol))
+    // rank over the ALIASED score: the caller's expression may name
+    // columns the projection below no longer carries
+    val ranked = Window.partitionBy(col(sourceCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    val fracMicro = math.round(keepFrac * 1000000.0)
+    df.select(col(idCol), col(sourceCol), score.as("score"))
+      .withColumn("rank_in_source", row_number().over(ranked))
+      .withColumn("__n", count(lit(1)).over(bySrc))
+      .withColumn("keep", col("rank_in_source") * 1000000L <=
+        col("__n") * lit(fracMicro) + lit(999999L))
+      .select(col(idCol), col(sourceCol), col("score"),
+        col("rank_in_source").cast("long").as("rank_in_source"),
+        col("keep"))
+  }
+
+  /** Token-budget allocation across sources by largest remainder
+    * (Hamilton's method) — the planning step before an epoch build:
+    * given per-source token counts and a total training budget,
+    * produce integer per-source allocations that sum EXACTLY to the
+    * budget and are proportional to the counts up to ±1 token. Exact
+    * integer arithmetic end-to-end: base = B·c_s div Σc, the
+    * B − Σbase leftover tokens go to the largest remainders
+    * (B·c_s mod Σc), ties on the source name — bit-identical on any
+    * engine and partitioning. Allocations above a source's own count
+    * mean upsampling (epochs > 1) for that source; the n_epochs_milli
+    * column makes that explicit.
+    *
+    * Scale shape: one map-side-combined count aggregate (the corpus
+    * scan), then everything is sources-sized. */
+  def tokenBudgetAllocate(docs: DataFrame, sourceCol: String,
+                          tokenCount: Column,
+                          budget: Long): DataFrame = {
+    require(budget >= 0L, "budget >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(sum(tokenCount).as("n_tokens"))
+    val tot = Window.partitionBy()
+    val byRem = Window.orderBy(col("__rem").desc, col(sourceCol).asc)
+    counts
+      .withColumn("__tot", sum(col("n_tokens")).over(tot))
+      .withColumn("__base",
+        expr(s"${budget}L * n_tokens div __tot"))
+      .withColumn("__rem",
+        expr(s"${budget}L * n_tokens % __tot"))
+      .withColumn("__left",
+        lit(budget) - sum(col("__base")).over(tot))
+      .withColumn("__rk", row_number().over(byRem))
+      .select(col(sourceCol), col("n_tokens"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .cast("long").as("alloc_tokens"))
+      .withColumn("n_epochs_milli",
+        expr("alloc_tokens * 1000 div greatest(n_tokens, 1)"))
+  }
 }

@@ -2025,6 +2025,75 @@ object TextAnalysisOps {
         .as("verdict"))
   }
 
+  /** Obfuscation-resistant blocked-term gate — the safety-wordlist
+    * pass every public-crawl pipeline runs, with the standard evasion
+    * normalized away first: text lowercases and leet substitutions
+    * fold (`0→o 1→i 3→e 4→a 5→s 7→t $→s @→a`) BEFORE whole-token
+    * matching against the blocked list, so `b4dw0rd` and `BADWORD`
+    * hit the same entry while `embadwordded` (substring) does not —
+    * token-boundary matching keeps the classic clbuttic-filter false
+    * positives out. Emits per doc the hit count, the count of
+    * DISTINCT blocked terms hit, and the flag verdict; the list rides
+    * as plan literals (wordlists are small by nature — route
+    * million-entry lists through [[bloomMembership]] instead).
+    *
+    * Scale shape: pure projection (translate + split + membership
+    * over an in-row literal array); zero shuffle. */
+  def wordlistGate(docs: DataFrame, idCol: String, textCol: String,
+                   blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocked list must be non-empty")
+    val norm = translate(lower(col(textCol)), "013457$@", "oieast" +
+      "sa")
+    val toks = filter(split(norm, "[^a-z]+"), t => length(t) > 0)
+    val blockedLit = typedLit(blocked.map(_.toLowerCase))
+    val hits = filter(toks, t => array_contains(blockedLit, t))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(hits).cast("long").as("n_hits"),
+      size(array_distinct(hits)).cast("long").as("n_terms_hit"),
+      (size(hits) > 0).as("flagged"))
+  }
+
+  /** Markdown structural profile — the shape signals a mixed crawl
+    * needs to ROUTE documents (rendered prose vs docs-with-code vs
+    * link farms) before content rules run: heading counts by level
+    * (1–3, line-anchored `#`), fenced code blocks (` ``` ` pairs —
+    * odd fence lines OPEN, so their info strings are the block
+    * languages; an unclosed trailing fence is reported, not
+    * miscounted), inline links (`[text](url)`), and a signature over
+    * the ordered fence-language list for grouping.
+    *
+    * Scale shape: pure projection — line split, regex extracts and
+    * the fence fold all in-row; zero shuffle. */
+  def markdownStructure(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def headings(level: Int): Column =
+      size(filter(lines, l =>
+        l.rlike(s"^#{$level}[^#]"))).cast("long")
+    val fenceLines = filter(lines, l => trim(l).startsWith("```"))
+    val nFenceLines = size(fenceLines)
+    // openers are the 1st, 3rd, 5th… fence lines; their info string
+    // (text after the backticks) names the block language
+    val langs = filter(
+      transform(zip_with(fenceLines,
+        sequence(lit(1), greatest(nFenceLines, lit(1))),
+        (l, i) => struct(l.as("l"), i.as("i"))),
+        s => when(s.getField("i") % 2 === 1,
+          trim(regexp_replace(trim(s.getField("l")), "^```", "")))
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+    docs.select(col(idCol),
+      headings(1).as("n_h1"), headings(2).as("n_h2"),
+      headings(3).as("n_h3"),
+      floor(nFenceLines / 2).cast("long").as("n_fences"),
+      (nFenceLines % 2 === 1).as("unclosed_fence"),
+      size(regexp_extract_all(col(textCol),
+        lit("\\[[^\\]]*\\]\\([^)]*\\)"), lit(0))).cast("long")
+        .as("n_links"),
+      substring(md5(array_join(langs, ",")), 1, 16).as("lang_sig"))
+  }
+
   /** FIM (fill-in-the-middle) split — Bavarian et al. 2022's PSM
     * transform for infilling training: two deterministic split points
     * drawn from the doc's OWN hash partition the character range into

@@ -120,4 +120,56 @@ object UrlOps {
       .select(col(idCol), col("canonical_url"),
         col(tsCol).as("latest_ts"), col("n_snapshots"))
   }
+
+  /** robots.txt path verdicts — the OTHER half of crawl compliance
+    * (q160 reads the per-PAGE meta directives; this reads the
+    * per-SITE exclusion file a crawler must consult BEFORE fetching).
+    * RFC 9309 core semantics, prefix rules: the `User-agent: *`
+    * group's `Allow`/`Disallow` lines apply by longest-path-prefix
+    * match, ties resolve to Allow, no matching rule (or no `*` group,
+    * or an empty rule path — "Disallow:" bare means nothing is
+    * disallowed) means allowed. Comments (`#…`) strip per line. Out
+    * of scope, documented: `*`/`$` wildcards inside rule paths and
+    * agent-specific groups (the fixture-bearing `*` group is the one
+    * a generic corpus crawler obeys).
+    *
+    * Input: one row per (page), `robotsCol` carrying the SITE's
+    * robots.txt body and `pathCol` the page's URL path. Pure
+    * projection — group extraction, rule parse and the longest-match
+    * fold all run inside the row; zero shuffle at any corpus size
+    * (join the site file in upstream by host — host-keyed, tiny). */
+  def robotsVerdict(pages: DataFrame, idCol: String, robotsCol: String,
+                    pathCol: String): DataFrame = {
+    // the `*` group: split on User-agent headers, keep the segment
+    // whose first token is `*`
+    val segs = split(col(robotsCol), "(?i)User-agent:")
+    val star = filter(segs, s => trim(s).startsWith("*"))
+    val body = when(size(star) > 0, element_at(star, 1))
+      .otherwise(lit(""))
+    // rules: (is_allow, path) per Allow/Disallow line, comments
+    // stripped, empty paths dropped (they permit by definition)
+    val rules = filter(
+      transform(split(body, "\n"), l => {
+        val clean = trim(regexp_replace(l, "#.*", ""))
+        struct(
+          regexp_extract(clean, "(?i)^(allow|disallow):", 1)
+            .as("t"),
+          trim(regexp_extract(clean, "(?i)^(allow|disallow):(.*)", 2))
+            .as("p"))
+      }),
+      r => length(r.getField("t")) > 0 && length(r.getField("p")) > 0)
+    val applicable = filter(rules, r =>
+      substring(col(pathCol), lit(1), length(r.getField("p")))
+        === r.getField("p"))
+    val bestLen = array_max(transform(applicable,
+      r => length(r.getField("p"))))
+    val allowed = size(applicable) === 0 ||
+      exists(applicable, r =>
+        length(r.getField("p")) === bestLen &&
+          lower(r.getField("t")) === "allow")
+    pages.select(col(idCol), col(pathCol).as("path"),
+      size(rules).cast("long").as("n_rules"),
+      coalesce(bestLen, lit(0)).cast("long").as("match_len"),
+      allowed.as("allowed"))
+  }
 }

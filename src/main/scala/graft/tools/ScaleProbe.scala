@@ -356,7 +356,8 @@ object ScaleProbe {
     // q174: the dense-leg auto-route at ~1e3 queries must take the
     // LSH cells and score sub-|Q|·|C| pairs — the scored cardinality
     // comes from the operator's own `dense_lsh_scored` observe metric
-    locally {
+    if (only.forall(_.split(",").exists(s =>
+        "hashedDenseTopKAuto".contains(s.trim)))) {
       val scoredRows = new java.util.concurrent.atomic.AtomicLong(-1L)
       val ql = new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(f: String,
@@ -449,6 +450,31 @@ object ScaleProbe {
     // q167: pure projection — must track the scan
     time(s"fimSplit x$n")(
       TextAnalysisOps.fimSplit(docs, "doc_id", "text"))
+    // q175/q176/q177: three more pure projections (robots parse,
+    // leet-fold wordlist, markdown profile) — zero shuffle at any N
+    time(s"robotsVerdict x$n")(
+      graft.operators.UrlOps.robotsVerdict(
+        docs.select(col("doc_id"),
+          lit("User-agent: *\nAllow: /public/img\nDisallow: /public\n")
+            .as("robots"),
+          concat(lit("/public/p"), (col("doc_id") % 97).cast("string"))
+            .as("path")),
+        "doc_id", "robots", "path"))
+    time(s"wordlistGate x$n")(
+      TextAnalysisOps.wordlistGate(docs, "doc_id", "text",
+        Seq("badword", "evilterm")))
+    time(s"markdownStructure x$n")(
+      TextAnalysisOps.markdownStructure(docs, "doc_id", "text"))
+    // q178: one source-keyed rank window over (id, source, score)
+    time(s"perSourcePercentileGate x$n")(
+      graft.operators.SamplingOps.perSourcePercentileGate(
+        docs, "doc_id", "source", col("n_chars"), 0.3))
+    // q179: corpus enters via one map-side-combined sum; everything
+    // after is sources-sized
+    time(s"tokenBudgetAllocate x$n")(
+      graft.operators.SamplingOps.tokenBudgetAllocate(
+        docs, "source", size(split(col("text"), " ")).cast("long"),
+        1000000L))
     // q164: seed centroids broadcast into one corpus scan; the only
     // shuffles are the per-doc argmax window and the per-cell deal
     time(s"clusterShards x$n")({

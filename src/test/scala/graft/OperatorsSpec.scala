@@ -3058,6 +3058,125 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("cos_micro") < 1000000L)
   }
 
+  test("robotsVerdict: longest-prefix rule wins, ties allow, no star " +
+      "group or no match allows, comments strip") {
+    import graft.operators.UrlOps
+    val robots = "# site policy\n" +
+      "User-agent: google\nDisallow: /\n\n" +
+      "User-agent: *\n" +
+      "Allow: /public/img  # images ok\n" +
+      "Disallow: /public\n" +
+      "Disallow: /private\n" +
+      "Disallow:\n"         // bare Disallow: no-op
+    val noStar = "User-agent: google\nDisallow: /\n"
+    val pages = Seq(
+      (1L, robots, "/public/img/a.png"), // Allow(11) beats Disallow(7)
+      (2L, robots, "/public/doc"),       // Disallow /public
+      (3L, robots, "/private/x"),        // Disallow /private
+      (4L, robots, "/open/page"),        // no rule matches
+      (5L, noStar, "/anything"),         // no * group -> allowed
+      (6L, robots, "/public")            // exact Disallow match
+    ).toDF("doc_id", "robots", "path")
+    val got = UrlOps.robotsVerdict(pages, "doc_id", "robots", "path")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("allowed"),
+        r.getAs[Long]("match_len")))
+    assert(got.toSeq == Seq((1L, true, 11L), (2L, false, 7L),
+      (3L, false, 8L), (4L, true, 0L), (5L, true, 0L), (6L, false, 7L)),
+      got.mkString(","))
+    // the tie-to-Allow rule: equal-length Allow and Disallow
+    val tie = "User-agent: *\nAllow: /a\nDisallow: /a\n"
+    val t2 = UrlOps.robotsVerdict(
+      Seq((1L, tie, "/a/x")).toDF("doc_id", "robots", "path"),
+      "doc_id", "robots", "path").collect().head
+    assert(t2.getAs[Boolean]("allowed"))
+  }
+
+  test("wordlistGate folds leet obfuscation, matches whole tokens only") {
+    val blocked = Seq("badword", "evilterm")
+    val docs = Seq(
+      (1L, "plain text with b4dw0rd inside"),
+      (2L, "EV1LTERM shouted and BadWord cased, badword again"),
+      (3L, "embadwordded substring must not hit"),
+      (4L, "entirely clean prose here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.wordlistGate(docs, "doc_id", "text",
+      blocked).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_terms_hit"), r.getAs[Boolean]("flagged")))
+    assert(got.toSeq == Seq((1L, 1L, 1L, true), (2L, 3L, 2L, true),
+      (3L, 0L, 0L, false), (4L, 0L, 0L, false)), got.mkString(","))
+  }
+
+  test("markdownStructure counts headings, fences with languages, links") {
+    val md = "# Title\n" +
+      "## Section\n" +
+      "### Sub\n" +
+      "## Another\n" +
+      "see [link](http://a) and [two](http://b)\n" +
+      "```scala\nval x = 1\n```\n" +
+      "prose\n" +
+      "```\nplain block\n```\n"
+    val docs = Seq((1L, md), (2L, "no structure at all"),
+      (3L, "```python\nunclosed fence")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.markdownStructure(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_h1") == 1L)
+    assert(got(0).getAs[Long]("n_h2") == 2L)
+    assert(got(0).getAs[Long]("n_h3") == 1L)
+    assert(got(0).getAs[Long]("n_fences") == 2L)
+    assert(!got(0).getAs[Boolean]("unclosed_fence"))
+    assert(got(0).getAs[Long]("n_links") == 2L)
+    def sig(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(got(0).getAs[String]("lang_sig") == sig("scala,"))
+    assert(got(1).getAs[Long]("n_fences") == 0L)
+    assert(got(1).getAs[String]("lang_sig") == sig(""))
+    assert(got(2).getAs[Long]("n_fences") == 0L)
+    assert(got(2).getAs[Boolean]("unclosed_fence"))
+    assert(got(2).getAs[String]("lang_sig") == sig("python"))
+  }
+
+  test("perSourcePercentileGate keeps the exact per-source ceil quota " +
+      "by score with id tie-break") {
+    import graft.operators.SamplingOps
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 5L), ("b", 6L, 1L)
+    ).toDF("source", "doc_id", "score")
+    val got = SamplingOps.perSourcePercentileGate(docs, "doc_id",
+      "source", col("score"), keepFrac = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("keep"),
+        r.getAs[Long]("rank_in_source")))
+    // a: ceil(0.5*4)=2 -> scores 30(id 2),30(id 4) keep; b: ceil(1)=1
+    assert(got.toSeq == Seq((1L, false, 4L), (2L, true, 1L),
+      (3L, false, 3L), (4L, true, 2L), (5L, true, 1L),
+      (6L, false, 2L)), got.mkString(","))
+  }
+
+  test("tokenBudgetAllocate: largest-remainder sums exactly to budget, " +
+      "proportional within one token") {
+    import graft.operators.SamplingOps
+    val docs = Seq(("a", 5L), ("a", 2L), ("b", 3L), ("c", 4L))
+      .toDF("source", "n_tok") // totals a=7 b=3 c=4, sum 14
+    val got = SamplingOps.tokenBudgetAllocate(docs, "source",
+      col("n_tok"), budget = 10L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("alloc_tokens"),
+        r.getAs[Long]("n_epochs_milli")))
+    // exact shares: a 5.0, b 2.142.., c 2.857..; bases 5,2,2 leave 1
+    // leftover -> largest remainder is c (12 mod 14 = 12)
+    assert(got.map(_._2).sum == 10L)
+    assert(got.toSeq == Seq(("a", 5L, 714L), ("b", 2L, 666L),
+      ("c", 3L, 750L)), got.mkString(","))
+    // upsampling visible: budget twice the corpus
+    val up = SamplingOps.tokenBudgetAllocate(docs, "source",
+      col("n_tok"), budget = 28L).collect()
+      .map(r => r.getAs[Long]("n_epochs_milli"))
+    assert(up.forall(_ == 2000L))
+  }
+
   test("hashedDenseTopKAuto routes by query-set size; LSH route finds " +
       "an exact copy and self-retrieves in its own cell") {
     val docs = spark.read
