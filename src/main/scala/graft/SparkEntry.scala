@@ -1751,6 +1751,97 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Link-graph authority over EXTRACTED links (q180): pages carry
+    // three affine-host anchors; extractLinks harvests the hrefs,
+    // hosts fold to integer ids, and q161's exact-integer PageRank
+    // runs over the REAL extracted edge set — the harvest-to-signal
+    // composition a crawl pipeline actually runs.
+    "q180_link_graph" -> ((s, dir) => {
+      def linkTo(mul: Int, add: Int): Column =
+        concat(lit("<a href=\"http://h"),
+          ((col("doc_id") * mul + add) % 50).cast("string"),
+          lit(".ex/p\">go</a>"))
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<html><body>"), linkTo(7, 1), lit(" "),
+          linkTo(13, 2), lit(" "), linkTo(29, 3),
+          lit("</body></html>")).as("html"))
+      val links = UrlOps.extractLinks(pages, "doc_id", "html")
+      val edges = links.select(
+          (col("doc_id") % 50).as("src"),
+          regexp_extract(col("href"), "http://h(\\d+)\\.ex", 1)
+            .cast("long").as("dst"))
+        .distinct()
+      GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    }),
+
+    // JSON metadata coverage (q181): each side serializes per-doc
+    // metadata with its OWN JSON writer (url always, lang on %3,
+    // score on %4) and reports per-field non-null coverage — the
+    // usable-metadata QA pass on a JSONL corpus.
+    "q181_json_coverage" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").select(
+        to_json(struct(
+          concat(lit("http://ex/"), col("doc_id").cast("string"))
+            .as("url"),
+          when(col("doc_id") % 3 === 0, col("lang")).as("lang"),
+          when(col("doc_id") % 4 === 0, col("n_chars")).as("score")))
+          .as("meta"))
+      TextAnalysisOps.jsonFieldCoverage(meta, "meta",
+        Seq("url", "lang", "score"))
+        .orderBy(col("field"))
+    }),
+
+    // Date extraction (q182): ISO and US shaped slices plus
+    // calendar-invalid decoys — regex shape alone must not count
+    // 2021-13-40; the latest valid date normalizes to epoch days.
+    "q182_extract_dates" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 8 === 0, lit(" dated 2021-03-05 end"))
+            .when(col("doc_id") % 8 === 1, lit(" on 3/4/2022 ok"))
+            .when(col("doc_id") % 8 === 2, lit(" bad 2021-13-40 x"))
+            .when(col("doc_id") % 8 === 3,
+              lit(" both 1999-12-31 and 12/31/2005"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.extractDates(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Readability (q183): the FK-grade quantized variant over corpus
+    // text with injected multi-sentence punctuation slices.
+    "q183_readability" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(". Second sentence here! A third one?"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.readability(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Registered domains (q184): subdomain spellings and cc-SLD
+    // hosts fold to eTLD+1 — the aggregation level domain curation
+    // decisions happen at.
+    "q184_registered_domains" -> ((s, dir) => {
+      val k = (col("doc_id") % 20).cast("string")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("http://news.site"), k, lit(".com/a")))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("https://blog.site"), k, lit(".com/b")))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("http://site"), k, lit(".com/c")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("http://x.y.site"), k, lit(".co.uk/d")))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("http://site"), k, lit(".co.uk/e")))
+          .otherwise(concat(lit("http://host"), k, lit("/f")))
+          .as("url"))
+      UrlOps.registeredDomains(urls, "doc_id", "url")
+        .orderBy(col("registered_domain"))
+    }),
+
     // robots.txt verdicts (q175): the per-SITE crawl-compliance gate
     // (q160's per-page twin) — three policy shapes (full allow/
     // disallow mix with comments + bare Disallow no-op, no-star
@@ -6890,6 +6981,184 @@ ORDER BY rank LIMIT 6"""),
       "WITH " + RrfHybridCtesSql + """
         |SELECT query_id, rank, doc_id, rrf_micro, n_systems
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Anchor regex extraction over the same page wrap, host-number
+    // edges, then q161's unrolled integer power iterations.
+    "q180_link_graph" -> (
+      s"""WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><body><a href="http://h'
+        |      || ((doc_id * 7 + 1) % 50)::VARCHAR
+        |      || '.ex/p">go</a> <a href="http://h'
+        |      || ((doc_id * 13 + 2) % 50)::VARCHAR
+        |      || '.ex/p">go</a> <a href="http://h'
+        |      || ((doc_id * 29 + 3) % 50)::VARCHAR
+        |      || '.ex/p">go</a></body></html>' AS html
+        |  FROM documents),
+        |lk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(html,
+        |    '${rx(UrlOps.AnchorPattern)}', 1)) AS href
+        |  FROM pages),
+        |e AS (
+        |  SELECT DISTINCT doc_id % 50 AS src,
+        |    regexp_extract(href, 'http://h(\\d+)\\.ex', 1)::BIGINT
+        |      AS dst
+        |  FROM lk),
+        |od AS (SELECT src, count(*)::BIGINT AS out_degree
+        |       FROM e GROUP BY src),
+        |ind AS (SELECT dst, count(*)::BIGINT AS in_degree
+        |        FROM e GROUP BY dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |ed AS (SELECT e.src, e.dst, od.out_degree
+        |       FROM e JOIN od USING (src)),
+        |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),""".stripMargin +
+        (1 to 3).map { i =>
+          val p = i - 1
+          s"""
+             |c$i AS (
+             |  SELECT ed.dst, sum(r.r // ed.out_degree)::BIGINT AS s
+             |  FROM ed JOIN r$p r ON r.id = ed.src GROUP BY ed.dst),
+             |r$i AS (
+             |  SELECT n.id,
+             |    (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r
+             |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.id)""".stripMargin
+        }.mkString(",") + """
+        |SELECT n.id, coalesce(od.out_degree, 0)::BIGINT AS out_degree,
+        |  coalesce(ind.in_degree, 0)::BIGINT AS in_degree,
+        |  r3.r AS rank_micro
+        |FROM nodes n
+        |LEFT JOIN od ON od.src = n.id
+        |LEFT JOIN ind ON ind.dst = n.id
+        |JOIN r3 ON r3.id = n.id
+        |ORDER BY n.id""".stripMargin),
+
+    // Each engine's own JSON writer + reader; presence = non-null
+    // extraction, coverage in exact milli.
+    "q181_json_coverage" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    to_json(struct_pack(
+        |      url := 'http://ex/' || doc_id::VARCHAR,
+        |      lang := CASE WHEN doc_id % 3 = 0 THEN lang END,
+        |      score := CASE WHEN doc_id % 4 = 0 THEN n_chars END))
+        |      ::VARCHAR AS meta
+        |  FROM documents),
+        |f AS (
+        |  SELECT field,
+        |    CASE field
+        |      WHEN 'url' THEN json_extract_string(meta, '$.url')
+        |      WHEN 'lang' THEN json_extract_string(meta, '$.lang')
+        |      ELSE json_extract_string(meta, '$.score') END AS v
+        |  FROM m, unnest(['url', 'lang', 'score']) AS t(field))
+        |SELECT field, count(*)::BIGINT AS n_records,
+        |  sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_present,
+        |  ((sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    * 1000) // count(*))::BIGINT AS coverage_milli
+        |FROM f GROUP BY field ORDER BY field""".stripMargin,
+
+    // Same shape regexes; validity via try_strptime (null on
+    // calendar-invalid), epoch days via date_diff.
+    "q182_extract_dates" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN ' dated 2021-03-05 end'
+        |      WHEN 1 THEN ' on 3/4/2022 ok'
+        |      WHEN 2 THEN ' bad 2021-13-40 x'
+        |      WHEN 3 THEN ' both 1999-12-31 and 12/31/2005'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '\b(\d{4}-\d{2}-\d{2})\b', 1),
+        |      s -> date_diff('day', DATE '1970-01-01',
+        |        try_strptime(s, '%Y-%m-%d')::DATE)),
+        |      x -> x IS NOT NULL) ||
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text,
+        |        '\b(\d{1,2}/\d{1,2}/\d{4})\b', 1),
+        |      s -> date_diff('day', DATE '1970-01-01',
+        |        try_strptime(s, '%-m/%-d/%Y')::DATE)),
+        |      x -> x IS NOT NULL) AS days
+        |  FROM inj)
+        |SELECT doc_id, len(days)::BIGINT AS n_dates,
+        |  list_max(days)::BIGINT AS latest_epoch_day
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Vowel-group syllables, sentence runs, the same quantized
+    // integer-division FK terms.
+    "q183_readability" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '. Second sentence here! A third one?'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> length(t) > 0) AS words
+        |  FROM inj),
+        |m AS (
+        |  SELECT doc_id,
+        |    greatest(len(words), 1)::BIGINT AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      ::BIGINT AS n_sentences,
+        |    coalesce(list_sum(list_transform(words, t ->
+        |      greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))),
+        |      0)::BIGINT AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  (390 * n_words // n_sentences
+        |    + 11800 * n_syllables // n_words - 15590)::BIGINT
+        |    AS fk_grade_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Host lowering, label arithmetic with the literal cc-SLD list,
+    // per-registered-domain distinct counts.
+    "q184_registered_domains" -> (
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'http://news.site' || (doc_id % 20)::VARCHAR
+        |        || '.com/a'
+        |      WHEN 1 THEN 'https://blog.site' || (doc_id % 20)::VARCHAR
+        |        || '.com/b'
+        |      WHEN 2 THEN 'http://site' || (doc_id % 20)::VARCHAR
+        |        || '.com/c'
+        |      WHEN 3 THEN 'http://x.y.site' || (doc_id % 20)::VARCHAR
+        |        || '.co.uk/d'
+        |      WHEN 4 THEN 'http://site' || (doc_id % 20)::VARCHAR
+        |        || '.co.uk/e'
+        |      ELSE 'http://host' || (doc_id % 20)::VARCHAR || '/f'
+        |      END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+        |      AS host
+        |  FROM u),
+        |lb AS (
+        |  SELECT doc_id, host, string_split(host, '.') AS l,
+        |    len(string_split(host, '.')) AS n
+        |  FROM h WHERE length(host) > 0),
+        |rd AS (
+        |  SELECT doc_id, host,
+        |    CASE WHEN n <= 2 THEN host
+        |      WHEN list_contains(
+        |          [${UrlOps.MultiPartSuffixes
+                     .map(s => s"'$s'").mkString(", ")}],
+        |          l[-2] || '.' || l[-1]) AND n >= 3
+        |        THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+        |      ELSE l[-2] || '.' || l[-1] END AS registered_domain
+        |  FROM lb)
+        |SELECT registered_domain, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT host)::BIGINT AS n_hosts,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM rd GROUP BY registered_domain
+        |ORDER BY registered_domain""".stripMargin),
 
     // Star-group extraction via the same regex split, rule parse with
     // comment strip, longest-prefix fold with tie-to-allow.

@@ -2094,6 +2094,91 @@ object TextAnalysisOps {
       substring(md5(array_join(langs, ",")), 1, 16).as("lang_sig"))
   }
 
+  /** JSON metadata field coverage — the first QA pass on a JSONL
+    * corpus with per-record metadata: for each field in the caller's
+    * list, how many records carry a non-null value and the milli
+    * coverage. A field at 40% coverage can't gate the corpus; this
+    * report is what decides which metadata is usable at all. Fields
+    * address top-level keys (`$.field` paths); nested paths work
+    * verbatim.
+    *
+    * Scale shape: one projection extracting all fields per row, one
+    * map-side-combined aggregate emitting fields-many rows. */
+  def jsonFieldCoverage(docs: DataFrame, jsonCol: String,
+                        fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "at least one field")
+    val perField = fields.map { f =>
+      struct(lit(f).as("field"),
+        when(get_json_object(col(jsonCol), s"$$.$f").isNotNull, 1L)
+          .otherwise(0L).as("present"))
+    }
+    docs.select(explode(array(perField: _*)).as("__f"))
+      .select(col("__f.field").as("field"),
+        col("__f.present").as("__p"))
+      .groupBy(col("field"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("__p")).as("n_present"))
+      .select(col("field"), col("n_records"), col("n_present"),
+        expr("n_present * 1000 div n_records").as("coverage_milli"))
+  }
+
+  /** Date extraction + normalization — the recency signal for
+    * staleness filtering and time-sliced corpora: ISO (`yyyy-MM-dd`)
+    * and US (`M/d/yyyy`) shaped substrings are extracted, VALIDATED
+    * by an actual calendar parse (a regex alone accepts 2021-13-40),
+    * and normalized to epoch days; per doc the count of valid dates
+    * and the latest epoch day (null when none). Cross-engine: both
+    * engines parse with a null-on-invalid strict parser and epoch-day
+    * arithmetic is integer.
+    *
+    * Scale shape: pure projection. */
+  def extractDates(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val iso = regexp_extract_all(col(textCol),
+      lit("\\b(\\d{4}-\\d{2}-\\d{2})\\b"), lit(1))
+    val us = regexp_extract_all(col(textCol),
+      lit("\\b(\\d{1,2}/\\d{1,2}/\\d{4})\\b"), lit(1))
+    val isoDays = filter(transform(iso,
+      s => datediff(try_to_date(s, "yyyy-MM-dd"), lit("1970-01-01"))),
+      d => d.isNotNull)
+    val usDays = filter(transform(us,
+      s => datediff(try_to_date(s, "M/d/yyyy"), lit("1970-01-01"))),
+      d => d.isNotNull)
+    val all = concat(isoDays, usDays)
+    docs.select(col(idCol),
+      size(all).cast("long").as("n_dates"),
+      array_max(all).cast("long").as("latest_epoch_day"))
+  }
+
+  /** Flesch–Kincaid grade estimate in the exact integer domain — the
+    * classic readability quality signal: syllables approximated as
+    * vowel GROUPS (`[aeiouy]+` runs — the standard cheap estimator),
+    * sentences as `[.!?]+` runs (min 1), and the grade formula's
+    * three terms quantized to milli with integer division:
+    * `390·W div S + 11800·Y div W − 15590`. Not the IEEE-float
+    * textbook number — the deterministic, cross-engine, rank-stable
+    * variant of it, which is what a corpus FILTER needs.
+    *
+    * Scale shape: pure projection. */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val low = lower(col(textCol))
+    val words = filter(split(low, "[^a-z]+"), w => length(w) > 0)
+    val nW = greatest(size(words), lit(1)).cast("long")
+    val nS = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+      lit(1)).cast("long")
+    val nY = aggregate(words, lit(0L), (acc, w) =>
+      acc + greatest(
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast("long"))
+    docs.select(col(idCol),
+        nW.as("n_words"), nS.as("n_sentences"), nY.as("n_syllables"))
+      .withColumn("fk_grade_milli",
+        expr("390 * n_words div n_sentences + " +
+          "11800 * n_syllables div n_words - 15590"))
+  }
+
   /** FIM (fill-in-the-middle) split — Bavarian et al. 2022's PSM
     * transform for infilling training: two deterministic split points
     * drawn from the doc's OWN hash partition the character range into

@@ -121,6 +121,79 @@ object UrlOps {
         col(tsCol).as("latest_ts"), col("n_snapshots"))
   }
 
+  /** Outlink extraction from raw HTML — anchors' hrefs paired with
+    * their anchor text (both quote styles; attributes before/after
+    * href tolerated via the non-greedy attr gap). The edge harvest
+    * feeding link-graph signals: compose with
+    * [[graft.operators.GraphOps.pageRank]] over host→host edges for
+    * crawl authority on REAL extracted links (q180). One row per
+    * anchor, in document order; pages with no anchors emit nothing.
+    *
+    * Scale shape: pure projection + explode — extraction lives in
+    * the row; downstream edge building aggregates (src_host,
+    * dst_host) pairs, never pages. */
+  val AnchorPattern: String =
+    "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>" +
+      "([^<]*)</a>"
+
+  def extractLinks(docs: DataFrame, idCol: String,
+                   htmlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol), lit(AnchorPattern),
+      lit(1))
+    val texts = regexp_extract_all(col(htmlCol), lit(AnchorPattern),
+      lit(2))
+    docs.select(col(idCol),
+        posexplode(zip_with(hrefs, texts,
+          (h, t) => struct(h.as("h"), t.as("t"))))
+          .as(Seq("link_idx", "__l")))
+      .select(col(idCol), col("link_idx"),
+        col("__l.h").as("href"),
+        trim(col("__l.t")).as("anchor_text"))
+  }
+
+  /** Registered-domain (eTLD+1) extraction — lite: hosts ending in a
+    * literal multi-part public suffix (`co.uk`-style cc-SLDs) keep
+    * their last THREE labels, every other host its last two; IPs and
+    * single-label hosts pass through whole. The real public-suffix
+    * list is thousands of entries maintained by Mozilla — this
+    * carries the common cc-SLD core as plan literals and documents
+    * the swap point (the matching rule is the PSL's own, only the
+    * list is abbreviated). Per-domain rollup: doc and host counts —
+    * the aggregation level domain-quality decisions actually happen
+    * at (blocking `spam.example.com` but not `example.com` just moves
+    * the spam one subdomain over).
+    *
+    * Scale shape: projection for the extraction; one map-side
+    * combined aggregate on the registered domain. */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+    "org.au", "co.jp", "ne.jp", "or.jp", "com.br", "com.cn",
+    "com.mx", "co.in", "co.kr", "com.tr", "com.ar", "co.za")
+
+  def registeredDomains(docs: DataFrame, idCol: String,
+                        urlCol: String): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "https?://([^/:?#]+)", 1))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    val isMulti = typedLit(MultiPartSuffixes)
+    val reg = when(n <= 2, host)
+      .when(array_contains(isMulti, lastTwo) && n >= 3, lastThree)
+      .otherwise(lastTwo)
+    docs.select(col(idCol), host.as("host"),
+        reg.as("registered_domain"))
+      .filter(length(col("host")) > 0)
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col(idCol)).as("n_docs"))
+  }
+
   /** robots.txt path verdicts — the OTHER half of crawl compliance
     * (q160 reads the per-PAGE meta directives; this reads the
     * per-SITE exclusion file a crawler must consult BEFORE fetching).

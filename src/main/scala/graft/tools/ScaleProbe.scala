@@ -465,6 +465,38 @@ object ScaleProbe {
         Seq("badword", "evilterm")))
     time(s"markdownStructure x$n")(
       TextAnalysisOps.markdownStructure(docs, "doc_id", "text"))
+    // q180: anchor extraction is projection + explode; the edge agg
+    // carries (src, dst) ints; pageRank's scaling is its own row
+    time(s"extractLinks x$n")(
+      graft.operators.UrlOps.extractLinks(
+        docs.select(col("doc_id"),
+          concat(lit("<p><a href=\"http://h"),
+            (col("doc_id") % 977).cast("string"),
+            lit(".ex/p\">go</a> <a href='http://h"),
+            ((col("doc_id") * 7) % 977).cast("string"),
+            lit(".ex/q'>also</a></p>")).as("html")),
+        "doc_id", "html"))
+    // q181: per-record field extraction + fields-sized aggregate
+    time(s"jsonFieldCoverage x$n")(
+      TextAnalysisOps.jsonFieldCoverage(
+        docs.select(to_json(struct(col("doc_id").as("id"),
+          col("source").as("src"),
+          when(col("doc_id") % 3 === 0, col("lang")).as("lang")))
+          .as("meta")),
+        "meta", Seq("id", "src", "lang")))
+    // q182/q183: pure projections
+    time(s"extractDates x$n")(
+      TextAnalysisOps.extractDates(docs, "doc_id", "text"))
+    time(s"readability x$n")(
+      TextAnalysisOps.readability(docs, "doc_id", "text"))
+    // q184: projection + one registered-domain aggregate
+    time(s"registeredDomains x$n")(
+      graft.operators.UrlOps.registeredDomains(
+        docs.select(col("doc_id"),
+          concat(lit("http://sub"), (col("doc_id") % 7).cast("string"),
+            lit(".site"), (col("doc_id") % 977).cast("string"),
+            lit(".com/p")).as("url")),
+        "doc_id", "url"))
     // q178: one source-keyed rank window over (id, source, score)
     time(s"perSourcePercentileGate x$n")(
       graft.operators.SamplingOps.perSourcePercentileGate(

@@ -3058,6 +3058,97 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("cos_micro") < 1000000L)
   }
 
+  test("extractLinks pairs hrefs with anchor text across quote styles " +
+      "and attribute layouts") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (1L, "<p>see <a href=\"http://a.com/x\">first link</a> and " +
+        "<a class='z' href='http://b.org/y' rel=nofollow> second </a>" +
+        "</p>"),
+      (2L, "no anchors at all <a>broken</a>")
+    ).toDF("doc_id", "html")
+    val got = UrlOps.extractLinks(docs, "doc_id", "html")
+      .orderBy("doc_id", "link_idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("link_idx"),
+        r.getAs[String]("href"), r.getAs[String]("anchor_text")))
+    assert(got.toSeq == Seq(
+      (1L, 0, "http://a.com/x", "first link"),
+      (1L, 1, "http://b.org/y", "second")), got.mkString(","))
+  }
+
+  test("registeredDomains folds subdomains to eTLD+1 with cc-SLD " +
+      "handling") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (1L, "http://news.example.com/a"),
+      (2L, "https://blogs.example.com/b"),
+      (3L, "http://example.com/c"),
+      (4L, "http://deep.sub.site.co.uk/d"),
+      (5L, "http://site.co.uk/e"),
+      (6L, "http://localhost/f")
+    ).toDF("doc_id", "url")
+    val got = UrlOps.registeredDomains(docs, "doc_id", "url")
+      .orderBy("registered_domain").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_urls"),
+        r.getAs[Long]("n_hosts"), r.getAs[Long]("n_docs")))
+    assert(got.toSeq == Seq(
+      ("example.com", 3L, 3L, 3L),
+      ("localhost", 1L, 1L, 1L),
+      ("site.co.uk", 2L, 2L, 2L)), got.mkString(","))
+  }
+
+  test("jsonFieldCoverage counts non-null fields per record") {
+    val docs = Seq(
+      ("""{"url": "http://a", "lang": "en", "score": 3}"""),
+      ("""{"url": "http://b", "lang": null}"""),
+      ("""{"url": "http://c"}"""),
+      ("""not json at all""")
+    ).toDF("meta")
+    val got = TextAnalysisOps.jsonFieldCoverage(docs, "meta",
+      Seq("url", "lang", "score"))
+      .orderBy("field").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_present"),
+        r.getAs[Long]("coverage_milli")))
+    assert(got.toSeq == Seq(("lang", 1L, 250L), ("score", 1L, 250L),
+      ("url", 3L, 750L)), got.mkString(","))
+  }
+
+  test("extractDates validates calendar dates and reports the latest " +
+      "epoch day") {
+    val docs = Seq(
+      (1L, "signed 2021-03-05, updated 2023-11-30 and 3/4/2022"),
+      (2L, "bogus 2021-13-40 and 13/32/2021 only"),
+      (3L, "no dates here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.extractDates(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_dates") == 3L)
+    // 2023-11-30 = 19691 days since epoch
+    assert(got(0).getAs[Long]("latest_epoch_day") == 19691L)
+    assert(got(1).getAs[Long]("n_dates") == 0L)
+    assert(got(1).isNullAt(got(1).fieldIndex("latest_epoch_day")))
+    assert(got(2).getAs[Long]("n_dates") == 0L)
+  }
+
+  test("readability: short simple prose grades below long-word prose; " +
+      "milli terms exact") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran. It was fun."),
+      (2L, "Extraordinarily complicated terminology necessitates " +
+        "considerable concentration.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 9 words, 3 sentences, 9 one-vowel-group syllables:
+    // 390*9 div 3 + 11800*9 div 9 - 15590 = 1170 + 11800 - 15590
+    assert(got(0).getAs[Long]("n_words") == 9L)
+    assert(got(0).getAs[Long]("n_sentences") == 3L)
+    assert(got(0).getAs[Long]("n_syllables") == 9L)
+    assert(got(0).getAs[Long]("fk_grade_milli") == -2620L)
+    assert(got(1).getAs[Long]("fk_grade_milli") >
+      got(0).getAs[Long]("fk_grade_milli"))
+  }
+
   test("robotsVerdict: longest-prefix rule wins, ties allow, no star " +
       "group or no match allows, comments strip") {
     import graft.operators.UrlOps
