@@ -1854,14 +1854,21 @@ object SparkEntry {
         "Disallow: /public\nDisallow: /private\nDisallow:\n"
       val noStar = "User-agent: google\nDisallow: /\n"
       val tie = "User-agent: *\nAllow: /a\nDisallow: /a\n"
+      val crlf = "User-agent: *\r\nDisallow: /private\r\n"
+      val stacked = "User-agent: *\nUser-agent: googlebot\n" +
+        "Disallow: /x\n\nUser-agent: other\nDisallow: /y\n"
       val pages = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, lit(policy))
-          .when(col("doc_id") % 3 === 1, lit(noStar))
-          .otherwise(lit(tie)).as("robots"),
-        when(col("doc_id") % 5 === 0, lit("/public/img/a.png"))
-          .when(col("doc_id") % 5 === 1, lit("/public/doc"))
-          .when(col("doc_id") % 5 === 2, lit("/private/x"))
-          .when(col("doc_id") % 5 === 3, lit("/a/page"))
+        when(col("doc_id") % 5 === 0, lit(policy))
+          .when(col("doc_id") % 5 === 1, lit(noStar))
+          .when(col("doc_id") % 5 === 2, lit(tie))
+          .when(col("doc_id") % 5 === 3, lit(crlf))
+          .otherwise(lit(stacked)).as("robots"),
+        when(col("doc_id") % 7 === 0, lit("/public/img/a.png"))
+          .when(col("doc_id") % 7 === 1, lit("/public/doc"))
+          .when(col("doc_id") % 7 === 2, lit("/private/x"))
+          .when(col("doc_id") % 7 === 3, lit("/a/page"))
+          .when(col("doc_id") % 7 === 4, lit("/x/page"))
+          .when(col("doc_id") % 7 === 5, lit("/y/page"))
           .otherwise(lit("/open/page")).as("path"))
       UrlOps.robotsVerdict(pages, "doc_id", "robots", "path")
         .orderBy(col("doc_id"))
@@ -7072,13 +7079,14 @@ ORDER BY rank LIMIT 6"""),
         |d AS (
         |  SELECT doc_id,
         |    list_filter(list_transform(
-        |      regexp_extract_all(text, '\b(\d{4}-\d{2}-\d{2})\b', 1),
+        |      regexp_extract_all(text,
+        |        '(^|[^0-9-])(\d{4}-\d{2}-\d{2})([^0-9]|$)', 2),
         |      s -> date_diff('day', DATE '1970-01-01',
         |        try_strptime(s, '%Y-%m-%d')::DATE)),
         |      x -> x IS NOT NULL) ||
         |    list_filter(list_transform(
         |      regexp_extract_all(text,
-        |        '\b(\d{1,2}/\d{1,2}/\d{4})\b', 1),
+        |        '(^|[^0-9/])(\d{1,2}/\d{1,2}/\d{4})([^0-9/]|$)', 2),
         |      s -> date_diff('day', DATE '1970-01-01',
         |        try_strptime(s, '%-m/%-d/%Y')::DATE)),
         |      x -> x IS NOT NULL) AS days
@@ -7160,12 +7168,13 @@ ORDER BY rank LIMIT 6"""),
         |FROM rd GROUP BY registered_domain
         |ORDER BY registered_domain""".stripMargin),
 
-    // Star-group extraction via the same regex split, rule parse with
-    // comment strip, longest-prefix fold with tie-to-allow.
+    // CRLF normalization, UA-segment structs, the RFC group-chaining
+    // scan (a segment's rules bind to * iff a * agent appears in its
+    // UA run), then the longest-prefix fold with tie-to-allow.
     "q175_robots_txt" ->
       """WITH pages AS (
         |  SELECT doc_id,
-        |    CASE doc_id % 3
+        |    CASE doc_id % 5
         |      WHEN 0 THEN '# policy' || chr(10) ||
         |        'User-agent: google' || chr(10) || 'Disallow: /'
         |        || chr(10) || 'User-agent: *' || chr(10) ||
@@ -7175,35 +7184,51 @@ ORDER BY rank LIMIT 6"""),
         |        || chr(10)
         |      WHEN 1 THEN 'User-agent: google' || chr(10) ||
         |        'Disallow: /' || chr(10)
-        |      ELSE 'User-agent: *' || chr(10) || 'Allow: /a'
-        |        || chr(10) || 'Disallow: /a' || chr(10) END AS robots,
-        |    CASE doc_id % 5
+        |      WHEN 2 THEN 'User-agent: *' || chr(10) || 'Allow: /a'
+        |        || chr(10) || 'Disallow: /a' || chr(10)
+        |      WHEN 3 THEN 'User-agent: *' || chr(13) || chr(10) ||
+        |        'Disallow: /private' || chr(13) || chr(10)
+        |      ELSE 'User-agent: *' || chr(10) ||
+        |        'User-agent: googlebot' || chr(10) || 'Disallow: /x'
+        |        || chr(10) || chr(10) || 'User-agent: other'
+        |        || chr(10) || 'Disallow: /y' || chr(10) END AS robots,
+        |    CASE doc_id % 7
         |      WHEN 0 THEN '/public/img/a.png'
         |      WHEN 1 THEN '/public/doc'
         |      WHEN 2 THEN '/private/x'
         |      WHEN 3 THEN '/a/page'
+        |      WHEN 4 THEN '/x/page'
+        |      WHEN 5 THEN '/y/page'
         |      ELSE '/open/page' END AS path
         |  FROM documents),
-        |seg AS (
+        |rsg AS (
         |  SELECT doc_id, path,
-        |    list_filter(string_split_regex(robots, '(?i)User-agent:'),
-        |      s -> starts_with(trim(s), '*')) AS star
+        |    string_split_regex(regexp_replace(robots, '\r', '', 'g'),
+        |      '(?i)User-agent:') AS rawsegs
         |  FROM pages),
-        |bod AS (
+        |sgx AS (
         |  SELECT doc_id, path,
-        |    CASE WHEN len(star) > 0 THEN star[1] ELSE '' END AS body
-        |  FROM seg),
+        |    [{'agent': trim(regexp_replace(
+        |        string_split(s, chr(10))[1], '#.*', '')),
+        |      'rules': list_filter(list_transform(
+        |        string_split(s, chr(10)), l ->
+        |        {'t': regexp_extract(trim(regexp_replace(l, '#.*', '')),
+        |                '(?i)^(allow|disallow):', 1),
+        |         'p': trim(regexp_extract(
+        |                trim(regexp_replace(l, '#.*', '')),
+        |                '(?i)^(allow|disallow):(.*)', 2))}),
+        |        r -> length(r.t) > 0 AND length(r.p) > 0)}
+        |     FOR s IN rawsegs[2:]] AS sgt
+        |  FROM rsg),
         |rl AS (
         |  SELECT doc_id, path,
-        |    list_filter(list_transform(string_split(body, chr(10)),
-        |      l -> {
-        |        't': regexp_extract(trim(regexp_replace(l, '#.*', '')),
-        |               '(?i)^(allow|disallow):', 1),
-        |        'p': trim(regexp_extract(
-        |               trim(regexp_replace(l, '#.*', '')),
-        |               '(?i)^(allow|disallow):(.*)', 2))}),
-        |      r -> length(r.t) > 0 AND length(r.p) > 0) AS rules
-        |  FROM bod),
+        |    flatten([sgt[i].rules FOR i IN range(1, len(sgt) + 1)
+        |      IF len(list_filter(
+        |           range(coalesce(list_max(
+        |             [CASE WHEN len(sgt[j].rules) > 0 THEN j END
+        |              FOR j IN range(1, i)]), 0) + 1, i + 1),
+        |           j -> sgt[j].agent = '*')) > 0]) AS rules
+        |  FROM sgx),
         |ap AS (
         |  SELECT doc_id, path, rules,
         |    list_filter(rules,
@@ -7261,18 +7286,23 @@ ORDER BY rank LIMIT 6"""),
         |      ELSE '' END AS text
         |  FROM documents),
         |ln AS (
-        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+        |    string_split_regex(text,
+        |      '(?m)^ *```[^\n]*(\n|$)') AS segs
         |  FROM inj),
         |fl AS (
         |  SELECT doc_id, text, lines,
-        |    list_filter(lines, l -> starts_with(trim(l), '```')) AS fl
+        |    list_filter(lines, l -> starts_with(trim(l), '```')) AS fl,
+        |    coalesce(array_to_string(
+        |      [segs[i] FOR i IN range(1, len(segs) + 1)
+        |       IF i % 2 = 1], chr(10)), '') AS outside
         |  FROM ln)
         |SELECT doc_id,
-        |  len(list_filter(lines, l -> regexp_matches(l, '^#{1}[^#]')))
+        |  len(regexp_extract_all(outside, '(?m)^#{1}[^#]'))
         |    ::BIGINT AS n_h1,
-        |  len(list_filter(lines, l -> regexp_matches(l, '^#{2}[^#]')))
+        |  len(regexp_extract_all(outside, '(?m)^#{2}[^#]'))
         |    ::BIGINT AS n_h2,
-        |  len(list_filter(lines, l -> regexp_matches(l, '^#{3}[^#]')))
+        |  len(regexp_extract_all(outside, '(?m)^#{3}[^#]'))
         |    ::BIGINT AS n_h3,
         |  (len(fl) // 2)::BIGINT AS n_fences,
         |  len(fl) % 2 = 1 AS unclosed_fence,

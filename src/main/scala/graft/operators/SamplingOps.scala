@@ -485,10 +485,20 @@ object SamplingOps {
     val byRem = Window.orderBy(col("__rem").desc, col(sourceCol).asc)
     counts
       .withColumn("__tot", sum(col("n_tokens")).over(tot))
-      .withColumn("__base",
-        expr(s"${budget}L * n_tokens div __tot"))
-      .withColumn("__rem",
-        expr(s"${budget}L * n_tokens % __tot"))
+      // budget·n overflows Long at exactly the training-budget
+      // scales this exists for (1e12 budget × 1e7-token source =
+      // 1e19 > Long.MaxValue). Factor budget = q·tot + r: the q·n
+      // part stays ≤ budget in Long, and the r·n part (< tot²) runs
+      // through DECIMAL(38,0) integral div/mod — exact on both
+      // engines (the oracle uses HUGEINT)
+      .withColumn("__q", expr(s"${budget}L div __tot"))
+      .withColumn("__r", expr(s"${budget}L % __tot"))
+      .withColumn("__base", expr("__q * n_tokens + " +
+        "cast(cast(__r as decimal(38,0)) * n_tokens div __tot " +
+        "as bigint)"))
+      .withColumn("__rem", expr(
+        "cast(cast(__r as decimal(38,0)) * n_tokens % __tot " +
+          "as bigint)"))
       .withColumn("__left",
         lit(budget) - sum(col("__base")).over(tot))
       .withColumn("__rk", row_number().over(byRem))

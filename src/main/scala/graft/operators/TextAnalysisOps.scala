@@ -2039,13 +2039,31 @@ object TextAnalysisOps {
     *
     * Scale shape: pure projection (translate + split + membership
     * over an in-row literal array); zero shuffle. */
+  /** The leet fold as plain Scala — applied to the BLOCKED LIST too,
+    * so an entry like `b4dw0rd` (or one a curator typed with a digit)
+    * matches the same normalized space as the text; without this, any
+    * entry containing a foldable char could never match anything,
+    * including its own literal spelling. */
+  private def leetFold(s: String): String = {
+    val from = "013457$@"
+    val to = "oieastsa"
+    s.toLowerCase.map { c =>
+      val i = from.indexOf(c)
+      if (i >= 0) to(i) else c
+    }
+  }
+
   def wordlistGate(docs: DataFrame, idCol: String, textCol: String,
                    blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "blocked list must be non-empty")
+    val folded = blocked.map(leetFold).distinct
+    require(folded.forall(_.matches("[a-z]+")),
+      "blocked entries must fold to pure letters (tokens are " +
+        s"[a-z]+ after the fold): ${folded.filterNot(_.matches("[a-z]+"))}")
     val norm = translate(lower(col(textCol)), "013457$@", "oieast" +
       "sa")
     val toks = filter(split(norm, "[^a-z]+"), t => length(t) > 0)
-    val blockedLit = typedLit(blocked.map(_.toLowerCase))
+    val blockedLit = typedLit(folded)
     val hits = filter(toks, t => array_contains(blockedLit, t))
     docs.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),
@@ -2068,9 +2086,19 @@ object TextAnalysisOps {
   def markdownStructure(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val lines = split(col(textCol), "\n")
+    // fence lines delimit the text into alternating outside/inside
+    // segments; headings count over the OUTSIDE segments only (a
+    // fenced `# comment` is code, not structure — counting it would
+    // inflate exactly the docs-with-code class this profile routes)
+    val fenceSplitRe = "(?m)^ *```[^\\n]*(\\n|$)"
+    val segs = split(col(textCol), fenceSplitRe)
+    val outside = array_join(filter(
+      zip_with(segs, sequence(lit(1), greatest(size(segs), lit(1))),
+        (s, i) => when(i % 2 === 1, s)),
+      x => x.isNotNull), "\n")
     def headings(level: Int): Column =
-      size(filter(lines, l =>
-        l.rlike(s"^#{$level}[^#]"))).cast("long")
+      size(regexp_extract_all(outside,
+        lit(s"(?m)^#{$level}[^#]"), lit(0))).cast("long")
     val fenceLines = filter(lines, l => trim(l).startsWith("```"))
     val nFenceLines = size(fenceLines)
     // openers are the 1st, 3rd, 5th… fence lines; their info string
@@ -2134,10 +2162,15 @@ object TextAnalysisOps {
     * Scale shape: pure projection. */
   def extractDates(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
+    // boundary guards are CONSUMING groups, not \b: a `\b` after the
+    // day would reject `2021-03-05T12:00:00Z` (digit→T is
+    // word-to-word, no boundary) — and ISO datetimes are the
+    // dominant machine-written date shape in crawls. RE2 has no
+    // lookarounds, so the oracle shares these exact guards.
     val iso = regexp_extract_all(col(textCol),
-      lit("\\b(\\d{4}-\\d{2}-\\d{2})\\b"), lit(1))
+      lit("(^|[^0-9-])(\\d{4}-\\d{2}-\\d{2})([^0-9]|$)"), lit(2))
     val us = regexp_extract_all(col(textCol),
-      lit("\\b(\\d{1,2}/\\d{1,2}/\\d{4})\\b"), lit(1))
+      lit("(^|[^0-9/])(\\d{1,2}/\\d{1,2}/\\d{4})([^0-9/]|$)"), lit(2))
     val isoDays = filter(transform(iso,
       s => datediff(try_to_date(s, "yyyy-MM-dd"), lit("1970-01-01"))),
       d => d.isNotNull)

@@ -123,32 +123,33 @@ object UrlOps {
 
   /** Outlink extraction from raw HTML — anchors' hrefs paired with
     * their anchor text (both quote styles; attributes before/after
-    * href tolerated via the non-greedy attr gap). The edge harvest
-    * feeding link-graph signals: compose with
+    * href tolerated via the non-greedy attr gap; NESTED markup inside
+    * the anchor — `<img>`, `<b>`, spans — is tolerated and stripped
+    * from the text, so image links and styled anchors reach the
+    * harvest instead of silently dropping). The edge harvest feeding
+    * link-graph signals: compose with
     * [[graft.operators.GraphOps.pageRank]] over host→host edges for
     * crawl authority on REAL extracted links (q180). One row per
     * anchor, in document order; pages with no anchors emit nothing.
     *
-    * Scale shape: pure projection + explode — extraction lives in
-    * the row; downstream edge building aggregates (src_host,
-    * dst_host) pairs, never pages. */
+    * Scale shape: pure projection + explode — the full page is
+    * regex-scanned ONCE (group 0); href/text then extract from each
+    * short matched anchor string, not the page. */
   val AnchorPattern: String =
     "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>" +
-      "([^<]*)</a>"
+      "((?s:.*?))</a>"
 
   def extractLinks(docs: DataFrame, idCol: String,
                    htmlCol: String): DataFrame = {
-    val hrefs = regexp_extract_all(col(htmlCol), lit(AnchorPattern),
-      lit(1))
-    val texts = regexp_extract_all(col(htmlCol), lit(AnchorPattern),
-      lit(2))
+    val anchors = regexp_extract_all(col(htmlCol), lit(AnchorPattern),
+      lit(0))
     docs.select(col(idCol),
-        posexplode(zip_with(hrefs, texts,
-          (h, t) => struct(h.as("h"), t.as("t"))))
-          .as(Seq("link_idx", "__l")))
+        posexplode(anchors).as(Seq("link_idx", "__a")))
       .select(col(idCol), col("link_idx"),
-        col("__l.h").as("href"),
-        trim(col("__l.t")).as("anchor_text"))
+        regexp_extract(col("__a"), AnchorPattern, 1).as("href"),
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(col("__a"), AnchorPattern, 2),
+          "<[^>]*>", " "), "\\s+", " ")).as("anchor_text"))
   }
 
   /** Registered-domain (eTLD+1) extraction — lite: hosts ending in a
@@ -182,7 +183,12 @@ object UrlOps {
       element_at(labels, -3), element_at(labels, -2),
       element_at(labels, -1))
     val isMulti = typedLit(MultiPartSuffixes)
-    val reg = when(n <= 2, host)
+    // address-literal hosts carry no label hierarchy: IPv4 dotted
+    // quads and bracketed IPv6 pass through whole (folding an IP to
+    // its "last two octets" would merge unrelated hosts)
+    val isAddress = host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") ||
+      host.startsWith("[")
+    val reg = when(n <= 2 || isAddress, host)
       .when(array_contains(isMulti, lastTwo) && n >= 3, lastThree)
       .otherwise(lastTwo)
     docs.select(col(idCol), host.as("host"),
@@ -197,40 +203,65 @@ object UrlOps {
   /** robots.txt path verdicts — the OTHER half of crawl compliance
     * (q160 reads the per-PAGE meta directives; this reads the
     * per-SITE exclusion file a crawler must consult BEFORE fetching).
-    * RFC 9309 core semantics, prefix rules: the `User-agent: *`
-    * group's `Allow`/`Disallow` lines apply by longest-path-prefix
-    * match, ties resolve to Allow, no matching rule (or no `*` group,
-    * or an empty rule path — "Disallow:" bare means nothing is
-    * disallowed) means allowed. Comments (`#…`) strip per line. Out
-    * of scope, documented: `*`/`$` wildcards inside rule paths and
-    * agent-specific groups (the fixture-bearing `*` group is the one
-    * a generic corpus crawler obeys).
+    * RFC 9309 core semantics, prefix rules: the `*` group's
+    * `Allow`/`Disallow` lines apply by longest-path-prefix match,
+    * ties resolve to Allow, no matching rule (or no `*` group, or an
+    * empty rule path — "Disallow:" bare means nothing is disallowed)
+    * means allowed. A GROUP is a run of consecutive `User-agent`
+    * lines plus the rules that follow (RFC 9309 §2.2.1), so
+    * `User-agent: *` stacked with other agents over one rule block
+    * still binds the rules to `*`. CRLF-served files (the common
+    * on-disk form) normalize before parsing — a trailing `\r` on a
+    * rule path would otherwise never prefix-match and the gate would
+    * fail OPEN. Comments (`#…`) strip per line. Out of scope,
+    * documented: `*`/`$` wildcards inside rule paths, and
+    * agent-SPECIFIC rule resolution (the `*` group is the one a
+    * generic corpus crawler obeys).
     *
     * Input: one row per (page), `robotsCol` carrying the SITE's
     * robots.txt body and `pathCol` the page's URL path. Pure
     * projection — group extraction, rule parse and the longest-match
-    * fold all run inside the row; zero shuffle at any corpus size
-    * (join the site file in upstream by host — host-keyed, tiny). */
+    * fold all run inside the row (the group-chaining scan is
+    * O(segments²) over the handful of UA groups a real file has);
+    * zero shuffle at any corpus size (join the site file in upstream
+    * by host — host-keyed, tiny). */
   def robotsVerdict(pages: DataFrame, idCol: String, robotsCol: String,
                     pathCol: String): DataFrame = {
-    // the `*` group: split on User-agent headers, keep the segment
-    // whose first token is `*`
-    val segs = split(col(robotsCol), "(?i)User-agent:")
-    val star = filter(segs, s => trim(s).startsWith("*"))
-    val body = when(size(star) > 0, element_at(star, 1))
-      .otherwise(lit(""))
-    // rules: (is_allow, path) per Allow/Disallow line, comments
-    // stripped, empty paths dropped (they permit by definition)
-    val rules = filter(
-      transform(split(body, "\n"), l => {
-        val clean = trim(regexp_replace(l, "#.*", ""))
+    val normalized = regexp_replace(col(robotsCol), "\r", "")
+    def cleanLine(l: Column): Column =
+      trim(regexp_replace(l, "#.*", ""))
+    def parseRules(seg: Column): Column = filter(
+      transform(split(seg, "\n"), l =>
         struct(
-          regexp_extract(clean, "(?i)^(allow|disallow):", 1)
+          regexp_extract(cleanLine(l), "(?i)^(allow|disallow):", 1)
             .as("t"),
-          trim(regexp_extract(clean, "(?i)^(allow|disallow):(.*)", 2))
-            .as("p"))
-      }),
-      r => length(r.getField("t")) > 0 && length(r.getField("p")) > 0)
+          trim(regexp_extract(cleanLine(l),
+            "(?i)^(allow|disallow):(.*)", 2)).as("p"))),
+      r => length(r.getField("t")) > 0 &&
+        length(r.getField("p")) > 0)
+    // one struct per UA segment: its agent name and its own rules
+    // (segment 0 — pre-UA preamble — is dropped)
+    val sgArr = transform(split(normalized, "(?i)User-agent:"),
+      s => struct(
+        cleanLine(element_at(split(s, "\n"), 1)).as("agent"),
+        parseRules(s).as("rules")))
+    // slice length must stay in-range: start + Int.MaxValue overflows
+    // and returns an EMPTY array
+    val sgt = slice(sgArr, lit(2), size(sgArr))
+    // a segment's rules bind to `*` iff a `*` agent appears in its
+    // UA run: between the last rule-bearing segment before it and
+    // itself, inclusive
+    val idxs = sequence(lit(1), greatest(size(sgt), lit(1)))
+    val rules = flatten(filter(transform(idxs, i => {
+      val ruleBearingBefore = filter(transform(sequence(lit(1), i),
+        j => when(j < i &&
+          size(try_element_at(sgt, j).getField("rules")) > 0, j)),
+        x => x.isNotNull)
+      val runStart = coalesce(array_max(ruleBearingBefore), lit(0)) + 1
+      when(exists(sequence(runStart, i), j =>
+        try_element_at(sgt, j).getField("agent") === "*"),
+        try_element_at(sgt, i).getField("rules"))
+    }), x => x.isNotNull))
     val applicable = filter(rules, r =>
       substring(col(pathCol), lit(1), length(r.getField("p")))
         === r.getField("p"))

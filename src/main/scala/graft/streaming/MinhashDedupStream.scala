@@ -42,9 +42,16 @@ case class SigPair(id_a: Long, id_b: Long, n_match: Int)
   *  - `groupByKey(band)` → `flatMapGroupsWithState` holds per bucket
   *    the absorbed members' (id, ts, sig) — state is
   *    members-per-bucket × signature size, re-ingest-rate
-  *    independent, and the `maxBucket` cap bounds degenerate
-  *    boilerplate buckets exactly like the batch operator's
-  *    bucket-cap filter (drops counted in state, never silent);
+  *    independent. The `maxBucket` cap bounds degenerate boilerplate
+  *    buckets with DIFFERENT semantics than the batch operator, and
+  *    deliberately so: batch sees the whole bucket and drops an
+  *    over-cap bucket's pairs entirely; a stream cannot retro-drop
+  *    what it already emitted, so a full bucket stops — over-cap
+  *    arrivals neither pair nor enter state (counted in `dropped`,
+  *    never silent). The batch-equivalence contract therefore holds
+  *    for buckets within the cap (a degenerate bucket is exact-dedup
+  *    territory in both designs); the spec pins BOTH the equivalence
+  *    under the cap and the documented divergence over it;
   *  - each arrival is compared against EARLIER members only (the
   *    batch `(ts, id)` pair ordering), emitting `(id_a, id_b,
   *    n_match)` when at least `minMatch` of `k` signature components
@@ -114,29 +121,33 @@ object MinhashDedupStream {
         // batch operator's (ts, id) pair ordering
         rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
           val t = r.ts.getTime
-          // a pair is emitted when its SECOND element is processed —
-          // whichever side that is: an out-of-order feed can deliver
-          // the (ts, id)-later document first, and the pair must
-          // still come out (ordered by event time, like the batch
-          // frame), not depend on arrival luck
-          st.members.foreach { m =>
-            if (!(m.ts == t && m.id == r.doc_id)) {
-              val nm = m.sig.iterator.zip(r.sig.iterator)
-                .count { case (x, y) => x == y }
-              if (nm >= minMatch) {
-                if (m.ts < t || (m.ts == t && m.id < r.doc_id))
-                  out += SigPair(m.id, r.doc_id, nm)
-                else out += SigPair(r.doc_id, m.id, nm)
+          if (st.members.sizeIs < maxBucket) {
+            // a pair is emitted when its SECOND element is processed
+            // — whichever side that is: an out-of-order feed can
+            // deliver the (ts, id)-later document first, and the
+            // pair must still come out (ordered by event time, like
+            // the batch frame), not depend on arrival luck
+            st.members.foreach { m =>
+              if (!(m.ts == t && m.id == r.doc_id)) {
+                val nm = m.sig.iterator.zip(r.sig.iterator)
+                  .count { case (x, y) => x == y }
+                if (nm >= minMatch) {
+                  if (m.ts < t || (m.ts == t && m.id < r.doc_id))
+                    out += SigPair(m.id, r.doc_id, nm)
+                  else out += SigPair(r.doc_id, m.id, nm)
+                }
               }
             }
+            st = st.copy(members = BucketMember(r.doc_id, t, r.sig)
+              :: st.members, maxTs = math.max(st.maxTs, t))
+          } else {
+            // full bucket: the arrival neither pairs nor enters
+            // state — pairing against retained members while being
+            // dropped oneself would be a half-membership neither
+            // the batch view nor a re-run could reproduce
+            st = st.copy(maxTs = math.max(st.maxTs, t),
+              dropped = st.dropped + 1L)
           }
-          st =
-            if (st.members.sizeIs < maxBucket)
-              st.copy(members = BucketMember(r.doc_id, t, r.sig)
-                :: st.members, maxTs = math.max(st.maxTs, t))
-            else
-              st.copy(maxTs = math.max(st.maxTs, t),
-                dropped = st.dropped + 1L)
         }
         gs.update(st)
         gs.setTimeoutTimestamp(st.maxTs + horizonMs)

@@ -99,6 +99,57 @@ class MinhashDedupStreamSpec extends AnyFunSuite {
       "no out-of-order doc ordered by event time as the earlier side")
   }
 
+  test("maxBucket: a full bucket stops — over-cap arrivals neither " +
+      "pair nor enter state; batch drops the whole bucket (the " +
+      "documented divergence)") {
+    val src = Files.createTempDirectory("graft_mh_src3").toString
+    val out = Files.createTempDirectory("graft_mh_out3").toString
+    // five IDENTICAL docs (identical signature -> identical key in
+    // every band, so all four buckets share one membership), cap 3
+    val sameText = (1 to 15).map(w => s"g0w$w").mkString(" ")
+    val rows = Seq(0, 10, 20, 30, 40).map(i => (i.toLong,
+      new java.sql.Timestamp((base + i * 60L) * 1000L), sameText))
+    writeDocs(src, "f0", 1000L, rows)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = MinhashDedupStream.pairs(stream, "doc_id", "text", "ts",
+      watermarkDelay = "24 hours", horizonMs = 365L * 86400000L,
+      maxBucket = 3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.SigPair],
+         bid: Long) =>
+          b.toDF().write.mode("append").parquet(s"$out/pairs")
+      }
+      .start()
+    q.awaitTermination(180000L)
+    val got = spark.read.parquet(s"$out/pairs")
+      .select(col("id_a"), col("id_b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    // only the first three members (ts order: 0, 10, 20) pair — the
+    // expectation is the UNcapped batch frame over just those three
+    val expected = DedupOps.minhashSigPairs(
+      spark.read.parquet(s"$src/*.parquet")
+        .filter(col("doc_id") <= 20L),
+      "doc_id", "text", "ts")
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"only stream: ${got -- expected}; only batch3: ${expected -- got}")
+    assert(got.forall(p => p._1 <= 20L && p._2 <= 20L), got.toString)
+    // the batch view at the same cap drops the over-cap bucket
+    // entirely — the documented divergence
+    val batch = DedupOps.minhashSigPairs(
+      spark.read.parquet(s"$src/*.parquet"), "doc_id", "text", "ts",
+      maxBucket = 3)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch.isEmpty, batch.toString)
+  }
+
   test("event-time horizon expires bucket state: a twin ingested after " +
       "the horizon finds no partner") {
     val src = Files.createTempDirectory("graft_mh_src2").toString

@@ -3065,7 +3065,11 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "<p>see <a href=\"http://a.com/x\">first link</a> and " +
         "<a class='z' href='http://b.org/y' rel=nofollow> second </a>" +
         "</p>"),
-      (2L, "no anchors at all <a>broken</a>")
+      (2L, "no anchors at all <a>broken</a>"),
+      // nested markup: image links and styled anchors must reach the
+      // harvest, with the markup stripped from the text
+      (3L, "<a href=\"http://c.net/z\"><img src=\"p.png\"></a> then " +
+        "<a href='http://d.io/w'>click <b>here</b>\nnow</a>")
     ).toDF("doc_id", "html")
     val got = UrlOps.extractLinks(docs, "doc_id", "html")
       .orderBy("doc_id", "link_idx").collect()
@@ -3073,7 +3077,9 @@ class OperatorsSpec extends AnyFunSuite {
         r.getAs[String]("href"), r.getAs[String]("anchor_text")))
     assert(got.toSeq == Seq(
       (1L, 0, "http://a.com/x", "first link"),
-      (1L, 1, "http://b.org/y", "second")), got.mkString(","))
+      (1L, 1, "http://b.org/y", "second"),
+      (3L, 0, "http://c.net/z", ""),
+      (3L, 1, "http://d.io/w", "click here now")), got.mkString(","))
   }
 
   test("registeredDomains folds subdomains to eTLD+1 with cc-SLD " +
@@ -3085,13 +3091,19 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "http://example.com/c"),
       (4L, "http://deep.sub.site.co.uk/d"),
       (5L, "http://site.co.uk/e"),
-      (6L, "http://localhost/f")
+      (6L, "http://localhost/f"),
+      // address-literal hosts pass through whole — never folded to
+      // their "last two octets"
+      (7L, "http://192.168.1.1/g"),
+      (8L, "http://10.0.1.1/h")
     ).toDF("doc_id", "url")
     val got = UrlOps.registeredDomains(docs, "doc_id", "url")
       .orderBy("registered_domain").collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_urls"),
         r.getAs[Long]("n_hosts"), r.getAs[Long]("n_docs")))
     assert(got.toSeq == Seq(
+      ("10.0.1.1", 1L, 1L, 1L),
+      ("192.168.1.1", 1L, 1L, 1L),
       ("example.com", 3L, 3L, 3L),
       ("localhost", 1L, 1L, 1L),
       ("site.co.uk", 2L, 2L, 2L)), got.mkString(","))
@@ -3118,7 +3130,10 @@ class OperatorsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "signed 2021-03-05, updated 2023-11-30 and 3/4/2022"),
       (2L, "bogus 2021-13-40 and 13/32/2021 only"),
-      (3L, "no dates here")
+      (3L, "no dates here"),
+      // ISO datetimes (the dominant machine-written form): the date
+      // part must extract even glued to the time
+      (4L, "published 2022-06-15T08:30:00Z on the site")
     ).toDF("doc_id", "text")
     val got = TextAnalysisOps.extractDates(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -3128,6 +3143,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("n_dates") == 0L)
     assert(got(1).isNullAt(got(1).fieldIndex("latest_epoch_day")))
     assert(got(2).getAs[Long]("n_dates") == 0L)
+    assert(got(3).getAs[Long]("n_dates") == 1L, got(3).toString)
+    // 2022-06-15 = 19158 days since epoch
+    assert(got(3).getAs[Long]("latest_epoch_day") == 19158L)
   }
 
   test("readability: short simple prose grades below long-word prose; " +
@@ -3181,6 +3199,29 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, tie, "/a/x")).toDF("doc_id", "robots", "path"),
       "doc_id", "robots", "path").collect().head
     assert(t2.getAs[Boolean]("allowed"))
+    // CRLF-served file: the gate must not fail open on trailing \r
+    val crlf = "User-agent: *\r\nDisallow: /private\r\n"
+    val t3 = UrlOps.robotsVerdict(
+      Seq((1L, crlf, "/private/x")).toDF("doc_id", "robots", "path"),
+      "doc_id", "robots", "path").collect().head
+    assert(!t3.getAs[Boolean]("allowed"), t3.toString)
+    // RFC 9309 group: stacked User-agent lines share one rule block
+    val stacked = "User-agent: *\nUser-agent: googlebot\n" +
+      "Disallow: /x\n\nUser-agent: other\nDisallow: /y\n"
+    val t4 = UrlOps.robotsVerdict(
+      Seq((1L, stacked, "/x/page"), (2L, stacked, "/y/page"))
+        .toDF("doc_id", "robots", "path"),
+      "doc_id", "robots", "path").orderBy("doc_id").collect()
+    assert(!t4(0).getAs[Boolean]("allowed"), t4(0).toString)
+    // /y belongs to the `other` group only — * does not see it
+    assert(t4(1).getAs[Boolean]("allowed"), t4(1).toString)
+    // * listed SECOND in the stacked run binds the same rules
+    val stacked2 = "User-agent: googlebot\nUser-agent: *\n" +
+      "Disallow: /z\n"
+    val t5 = UrlOps.robotsVerdict(
+      Seq((1L, stacked2, "/z/q")).toDF("doc_id", "robots", "path"),
+      "doc_id", "robots", "path").collect().head
+    assert(!t5.getAs[Boolean]("allowed"), t5.toString)
   }
 
   test("wordlistGate folds leet obfuscation, matches whole tokens only") {
@@ -3197,6 +3238,20 @@ class OperatorsSpec extends AnyFunSuite {
         r.getAs[Long]("n_terms_hit"), r.getAs[Boolean]("flagged")))
     assert(got.toSeq == Seq((1L, 1L, 1L, true), (2L, 3L, 2L, true),
       (3L, 0L, 0L, false), (4L, 0L, 0L, false)), got.mkString(","))
+    // a blocked entry SPELLED with leet chars folds too — it must
+    // match both its literal and folded text spellings
+    val g2 = TextAnalysisOps.wordlistGate(
+      Seq((1L, "saw b4dw0rd here"), (2L, "saw badword here"),
+        (3L, "clean")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("B4DW0RD"))
+      .orderBy("doc_id").collect().map(_.getAs[Boolean]("flagged"))
+    assert(g2.toSeq == Seq(true, true, false))
+    // an entry that folds outside [a-z]+ can never match a token —
+    // reject loudly instead of silently scanning for nothing
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.wordlistGate(docs, "doc_id", "text",
+        Seq("two words"))
+    }
   }
 
   test("markdownStructure counts headings, fences with languages, links") {
@@ -3226,6 +3281,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).getAs[Long]("n_fences") == 0L)
     assert(got(2).getAs[Boolean]("unclosed_fence"))
     assert(got(2).getAs[String]("lang_sig") == sig("python"))
+    // # comments inside fences are code, not headings
+    val fenced = Seq((1L,
+      "# Real\n```python\n# load data\n# clean data\n```\n## After"))
+      .toDF("doc_id", "text")
+    val gf = TextAnalysisOps.markdownStructure(fenced, "doc_id", "text")
+      .collect().head
+    assert(gf.getAs[Long]("n_h1") == 1L, gf.toString)
+    assert(gf.getAs[Long]("n_h2") == 1L, gf.toString)
+    assert(gf.getAs[Long]("n_fences") == 1L)
   }
 
   test("perSourcePercentileGate keeps the exact per-source ceil quota " +
