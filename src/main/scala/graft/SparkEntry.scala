@@ -1751,6 +1751,72 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Stopword-family language mix (q185): the corpus vocabulary is
+    // synthetic (zero natural function words), so the injected en/de/
+    // fr/es phrases and the en+fr mixed slice fully control family
+    // hits, dominance and the mixed flag.
+    "q185_language_mix" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0,
+            lit(" the cat and the dog is of that kind with food for all"))
+            .when(col("doc_id") % 9 === 1,
+              lit(" der hund und die katze ist nicht mit ein problem"))
+            .when(col("doc_id") % 9 === 2,
+              lit(" le texte est dans les pages pour que"))
+            .when(col("doc_id") % 9 === 3,
+              lit(" el libro los datos las tablas una para pero como sus"))
+            .when(col("doc_id") % 9 === 4,
+              lit(" the report and the note le texte est dans les pages"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.stopwordLanguageMix(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Epoch plan (q186): q179's allocation carried to per-doc keep
+    // verdicts — hash-ordered greedy fill per source, crossing doc
+    // kept, plan fully auditable.
+    "q186_epoch_plan" -> ((s, dir) => {
+      SamplingOps.epochPlan(t(s, dir, "documents"), "doc_id",
+        "source", size(split(col("text"), " ")).cast("long"),
+        budget = 20000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repeated sentences (q187): a cookie-banner sentence planted in
+    // every 4th doc must count as corpus-repeated; the abbreviation
+    // slice must stay one sentence.
+    "q187_repeated_sentences" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(". We use cookies to improve your experience."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 10 === 1,
+            lit(" Mr. Smith arrived, e.g. early."))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.repeatedSentences(injected, "doc_id", "text",
+        minCount = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML table profile (q188): injected table markup over prose
+    // wraps — the structured-content router.
+    "q188_table_profile" -> ((s, dir) => {
+      val wrapped = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<p>"), col("text"), lit("</p>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<table><tr><td>a</td><td>b</td></tr>" +
+              "<tr><td>c</td><td>d</td></tr></table>"))
+            .when(col("doc_id") % 5 === 1,
+              lit("<table><tr><th>h</th></tr></table>" +
+                "<TABLE>\n<tr>\n<td>x</td><td>y</td><td>z</td>" +
+                "</tr>\n</TABLE>"))
+            .otherwise(lit(""))).as("html"))
+      TextAnalysisOps.htmlTableProfile(wrapped, "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // Link-graph authority over EXTRACTED links (q180): pages carry
     // three affine-host anchors; extractLinks harvests the hrefs,
     // hosts fold to integer ids, and q161's exact-integer PageRank
@@ -6988,6 +7054,161 @@ ORDER BY rank LIMIT 6"""),
       "WITH " + RrfHybridCtesSql + """
         |SELECT query_id, rank, doc_id, rrf_micro, n_systems
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // The disjoint family lists as literals, whole-token membership,
+    // reverse-fold dominance with alphabetical ties, the >=2
+    // families >= 3 hits mixed flag.
+    "q185_language_mix" -> (
+      s"""WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 9
+        |      WHEN 0 THEN ' the cat and the dog is of that kind with food for all'
+        |      WHEN 1 THEN ' der hund und die katze ist nicht mit ein problem'
+        |      WHEN 2 THEN ' le texte est dans les pages pour que'
+        |      WHEN 3 THEN ' el libro los datos las tablas una para pero como sus'
+        |      WHEN 4 THEN ' the report and the note le texte est dans les pages'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> length(t) > 0) AS toks
+        |  FROM inj),
+        |h AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |${TextAnalysisOps.StopwordFamilies.map { case (fam, words) =>
+             s"    len(list_filter(toks, t -> list_contains([" +
+               words.map(w => s"'$w'").mkString(", ") +
+               s"], t)))::BIGINT AS hits_$fam"
+           }.mkString(",\n")}
+        |  FROM tk),
+        |d AS (
+        |  SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr)
+        |    AS best
+        |  FROM h)
+        |SELECT doc_id, n_tokens, hits_de, hits_en, hits_es, hits_fr,
+        |  CASE WHEN best = 0 THEN 'none'
+        |    WHEN hits_de = best THEN 'de'
+        |    WHEN hits_en = best THEN 'en'
+        |    WHEN hits_es = best THEN 'es'
+        |    ELSE 'fr' END AS dominant_family,
+        |  ((CASE WHEN hits_de >= 3 THEN 1 ELSE 0 END +
+        |    CASE WHEN hits_en >= 3 THEN 1 ELSE 0 END +
+        |    CASE WHEN hits_es >= 3 THEN 1 ELSE 0 END +
+        |    CASE WHEN hits_fr >= 3 THEN 1 ELSE 0 END) >= 2) AS mixed
+        |FROM d ORDER BY doc_id""".stripMargin),
+
+    // q179's allocation arithmetic + the per-source hash-ordered
+    // running sum; keep iff the sum BEFORE the doc is under the
+    // allocation.
+    "q186_epoch_plan" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM c),
+        |b AS (
+        |  SELECT source, n_tokens,
+        |    (20000 * n_tokens) // tot AS base,
+        |    (20000 * n_tokens) % tot AS rem
+        |  FROM c, t),
+        |l AS (SELECT (20000 - sum(base))::BIGINT AS leftover FROM b),
+        |r AS (
+        |  SELECT source, base,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |  FROM b),
+        |al AS (
+        |  SELECT source,
+        |    (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+        |      AS alloc_tokens
+        |  FROM r, l),
+        |dk AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    substr(md5(doc_id::VARCHAR), 1, 8) AS h
+        |  FROM documents),
+        |cs AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS cum_before
+        |  FROM dk)
+        |SELECT cs.doc_id, cs.source, cs.n_tokens, cs.cum_before,
+        |  al.alloc_tokens, cs.cum_before < al.alloc_tokens AS keep
+        |FROM cs JOIN al USING (source)
+        |ORDER BY cs.doc_id""".stripMargin,
+
+    // Abbreviation masking with 'g' replaces, the same [.!?]+ split,
+    // normalized-sentence signatures counted corpus-wide.
+    "q187_repeated_sentences" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN '. We use cookies to improve your experience.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 1
+        |      THEN ' Mr. Smith arrived, e.g. early.'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |mk AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      '(?i)\b(mr|dr|st)\.', '\1', 'g'),
+        |      '(?i)\b([ei])\.(g|e)\.', '\1\2', 'g') AS masked
+        |  FROM inj),
+        |sn AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(list_transform(
+        |      string_split_regex(masked, '[.!?]+'),
+        |      s -> trim(regexp_replace(s, '\s+', ' ', 'g'))),
+        |      s -> length(s) > 0)) AS s
+        |  FROM mk),
+        |sg AS (
+        |  SELECT doc_id, substr(md5(lower(s)), 1, 16) AS sig FROM sn),
+        |ct AS (SELECT sig, count(*)::BIGINT AS c FROM sg GROUP BY sig)
+        |SELECT doc_id, count(*)::BIGINT AS n_sentences,
+        |  sum(CASE WHEN ct.c >= 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_repeated,
+        |  ((sum(CASE WHEN ct.c >= 3 THEN 1 ELSE 0 END)::BIGINT * 1000)
+        |    // count(*))::BIGINT AS repeated_milli
+        |FROM sg JOIN ct USING (sig)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Non-greedy table spans, per-span row/cell regex counts summed.
+    "q188_table_profile" ->
+      """WITH wrapped AS (
+        |  SELECT doc_id,
+        |    '<p>' || text || '</p>' ||
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '<table><tr><td>a</td><td>b</td></tr>'
+        |        || '<tr><td>c</td><td>d</td></tr></table>'
+        |      WHEN 1 THEN '<table><tr><th>h</th></tr></table>'
+        |        || '<TABLE>' || chr(10) || '<tr>' || chr(10)
+        |        || '<td>x</td><td>y</td><td>z</td>'
+        |        || '</tr>' || chr(10) || '</TABLE>'
+        |      ELSE '' END AS html
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(html, '(?is)<table\b.*?</table>')
+        |      AS tables
+        |  FROM wrapped)
+        |SELECT doc_id, len(tables)::BIGINT AS n_tables,
+        |  coalesce(list_sum(list_transform(tables, t ->
+        |    len(regexp_extract_all(t, '(?i)<tr[\s>]')))), 0)::BIGINT
+        |    AS n_rows,
+        |  coalesce(list_sum(list_transform(tables, t ->
+        |    len(regexp_extract_all(t, '(?i)<t[dh][\s>]')))), 0)
+        |    ::BIGINT AS n_cells,
+        |  CASE WHEN coalesce(list_sum(list_transform(tables, t ->
+        |      len(regexp_extract_all(t, '(?i)<tr[\s>]')))), 0) > 0
+        |    THEN (coalesce(list_sum(list_transform(tables, t ->
+        |        len(regexp_extract_all(t, '(?i)<t[dh][\s>]')))), 0)
+        |      * 1000) // coalesce(list_sum(list_transform(tables, t ->
+        |        len(regexp_extract_all(t, '(?i)<tr[\s>]')))), 0)
+        |    ELSE 0 END::BIGINT AS cells_per_row_milli
+        |FROM tb ORDER BY doc_id""".stripMargin,
 
     // Anchor regex extraction over the same page wrap, host-number
     // edges, then q161's unrolled integer power iterations.

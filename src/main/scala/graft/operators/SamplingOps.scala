@@ -509,4 +509,37 @@ object SamplingOps {
       .withColumn("n_epochs_milli",
         expr("alloc_tokens * 1000 div greatest(n_tokens, 1)"))
   }
+
+  /** Epoch plan — [[tokenBudgetAllocate]] carried down to DOCUMENT
+    * verdicts: within each source, docs are ordered by their md5
+    * hash (the deterministic shuffle every epoch builder needs — no
+    * engine RNG, reproducible across runs and partitionings, id
+    * tie-break) and kept greedily until the source's allocation is
+    * filled; the doc that crosses the boundary is kept (token budgets
+    * are soft at doc granularity — the alternative silently
+    * undershoots every source). Emits per doc the running token sum
+    * before it and the keep verdict, so the plan is auditable and the
+    * filter is `.filter(col("keep"))` away.
+    *
+    * Scale shape: one source-keyed window over (id, source, tokens,
+    * 8-hex hash) rows; allocations are sources-sized and broadcast
+    * into the verdict join. */
+  def epochPlan(docs: DataFrame, idCol: String, sourceCol: String,
+                tokenCount: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = tokenBudgetAllocate(docs, sourceCol, tokenCount,
+      budget).select(col(sourceCol), col("alloc_tokens"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(sourceCol),
+        tokenCount.as("n_tokens"),
+        substring(md5(col(idCol).cast("string")), 1, 8).as("__h"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(alloc), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("cum_before"), col("alloc_tokens"),
+        (col("cum_before") < col("alloc_tokens")).as("keep"))
+  }
 }

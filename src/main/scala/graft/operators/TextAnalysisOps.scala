@@ -2212,6 +2212,130 @@ object TextAnalysisOps {
           "11800 * n_syllables div n_words - 15590"))
   }
 
+  /** Function-word families for [[stopwordLanguageMix]] —
+    * deliberately DISJOINT lists (shared Romance articles like `la`
+    * are assigned to one family only), so family hits never
+    * double-count. The standard stopword-profiling trick: function
+    * words are the highest-frequency tokens of every natural
+    * language and survive topic shift, so their family mix separates
+    * same-SCRIPT languages that [[scriptMix]] cannot (en/de/fr/es
+    * are all Latin script). */
+  val StopwordFamilies: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+      "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with",
+      "for"),
+    "es" -> Seq("el", "los", "las", "una", "para", "pero", "como",
+      "sus"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour",
+      "que"))
+
+  /** Intra-document language-mix profile over stopword families —
+    * the quality lens on same-script language mixing (machine
+    * translation dumps, boilerplate in a second language, half-
+    * translated pages): per doc the hit count per family, the
+    * dominant family (`none` when nothing hits; ties break
+    * alphabetically), and a `mixed` flag when at least two families
+    * hit `minFamilyHits`+ times. Whole-token matching on lowercased
+    * text.
+    *
+    * Scale shape: pure projection (family lists are plan literals). */
+  def stopwordLanguageMix(docs: DataFrame, idCol: String,
+                          textCol: String,
+                          minFamilyHits: Int = 3): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z]+"),
+      t => length(t) > 0)
+    val hitCols = StopwordFamilies.map { case (fam, words) =>
+      fam -> size(filter(toks,
+        t => array_contains(typedLit(words), t))).cast("long")
+    }
+    val best = greatest(hitCols.map(_._2): _*)
+    // alphabetical tie-break: walk families in reverse order so the
+    // first alphabetical max overwrites later ones
+    val dom = StopwordFamilies.reverse.foldLeft(lit("none")) {
+      case (acc, (fam, words)) =>
+        val h = size(filter(toks,
+          t => array_contains(typedLit(words), t))).cast("long")
+        when(best > 0L && h === best, lit(fam)).otherwise(acc)
+    }
+    val nMixed = hitCols.map { case (_, h) =>
+      when(h >= minFamilyHits.toLong, 1).otherwise(0)
+    }.reduce(_ + _)
+    docs.select(col(idCol) +:
+      size(toks).cast("long").as("n_tokens") +:
+      hitCols.map { case (fam, h) => h.as(s"hits_$fam") } :+
+      dom.as("dominant_family") :+
+      (nMixed >= 2).as("mixed"): _*)
+  }
+
+  /** Sentence segmentation + corpus-level repeated-sentence report —
+    * the C4-style boilerplate pass at SENTENCE granularity (cookie
+    * banners, policy sentences, share-this prompts recur verbatim
+    * across pages while their surrounding documents differ): split
+    * on `[.!?]+` runs with an abbreviation guard (`Mr.`/`Dr.`/`St.`/
+    * `e.g.`/`i.e.` do not end sentences), normalize (lower +
+    * whitespace collapse), count each normalized sentence
+    * corpus-wide, and report per doc how many of its sentences are
+    * corpus-repeated (`>= minCount` occurrences).
+    *
+    * Scale shape: sentences explode once, carrying (id, 16 B sig) to
+    * the count exchange (the q114 discipline — sentence TEXT never
+    * reaches an exchange); the per-doc rollup re-keys on id. */
+  def repeatedSentences(docs: DataFrame, idCol: String,
+                        textCol: String,
+                        minCount: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // abbreviation guard: mask the dot so the split cannot fire on it
+    val masked = regexp_replace(
+      regexp_replace(col(textCol),
+        "(?i)\\b(mr|dr|st)\\.", "$1"),
+      "(?i)\\b([ei])\\.(g|e)\\.", "$1$2")
+    val sentences = filter(
+      transform(split(masked, "[.!?]+"),
+        s => trim(regexp_replace(s, "\\s+", " "))),
+      s => length(s) > 0)
+    val sents = docs.select(col(idCol),
+        posexplode(sentences).as(Seq("__i", "__s")))
+      .select(col(idCol), col("__i"),
+        substring(md5(lower(col("__s"))), 1, 16).as("__sig"))
+    val bySig = Window.partitionBy(col("__sig"))
+    sents
+      .withColumn("__c", count(lit(1)).over(bySig))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("__c") >= minCount.toLong, 1L).otherwise(0L))
+          .as("n_repeated"))
+      .select(col(idCol), col("n_sentences"), col("n_repeated"),
+        expr("n_repeated * 1000 div n_sentences")
+          .as("repeated_milli"))
+  }
+
+  /** HTML table profile — the structured-content complement of
+    * [[markdownStructure]] for rendered pages: table count, total
+    * rows and cells, and milli cells-per-row — the signals that
+    * separate data-bearing pages (keep for table-understanding
+    * corpora, or route to structured extraction) from prose. Spans
+    * extract non-greedily, rows/cells count per span.
+    *
+    * Scale shape: pure projection. */
+  def htmlTableProfile(docs: DataFrame, idCol: String,
+                       htmlCol: String): DataFrame = {
+    val tables = regexp_extract_all(col(htmlCol),
+      lit("(?is)<table\\b.*?</table>"), lit(0))
+    def countIn(span: Column, pat: String): Column =
+      size(regexp_extract_all(span, lit(pat), lit(0)))
+    val rows = aggregate(tables, lit(0L),
+      (acc, t) => acc + countIn(t, "(?i)<tr[\\s>]").cast("long"))
+    val cells = aggregate(tables, lit(0L),
+      (acc, t) => acc + countIn(t, "(?i)<t[dh][\\s>]").cast("long"))
+    docs.select(col(idCol),
+        size(tables).cast("long").as("n_tables"),
+        rows.as("n_rows"), cells.as("n_cells"))
+      .withColumn("cells_per_row_milli",
+        when(col("n_rows") > 0L,
+          expr("n_cells * 1000 div n_rows")).otherwise(lit(0L)))
+  }
+
   /** FIM (fill-in-the-middle) split — Bavarian et al. 2022's PSM
     * transform for infilling training: two deterministic split points
     * drawn from the doc's OWN hash partition the character range into

@@ -497,6 +497,24 @@ object ScaleProbe {
             lit(".site"), (col("doc_id") % 977).cast("string"),
             lit(".com/p")).as("url")),
         "doc_id", "url"))
+    // q185/q188: pure projections
+    time(s"stopwordLanguageMix x$n")(
+      TextAnalysisOps.stopwordLanguageMix(docs, "doc_id", "text"))
+    time(s"htmlTableProfile x$n")(
+      TextAnalysisOps.htmlTableProfile(
+        docs.select(col("doc_id"),
+          concat(lit("<p>"), col("text"),
+            lit("</p><table><tr><td>a</td></tr></table>")).as("html")),
+        "doc_id", "html"))
+    // q187: (id, 16 B sentence sig) through the count exchange, then
+    // the id-keyed rollup — the q114 wire discipline at sentence level
+    time(s"repeatedSentences x$n")(
+      TextAnalysisOps.repeatedSentences(docs, "doc_id", "text"))
+    // q186: one source-keyed running-sum window over (id, source,
+    // tokens, 8-hex) rows; allocations broadcast
+    time(s"epochPlan x$n")(
+      graft.operators.SamplingOps.epochPlan(docs, "doc_id", "source",
+        size(split(col("text"), " ")).cast("long"), 1000000L))
     // q178: one source-keyed rank window over (id, source, score)
     time(s"perSourcePercentileGate x$n")(
       graft.operators.SamplingOps.perSourcePercentileGate(

@@ -3058,6 +3058,110 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("cos_micro") < 1000000L)
   }
 
+  test("epochPlan keeps hash-ordered docs per source until the " +
+      "allocation fills; the crossing doc stays") {
+    import graft.operators.SamplingOps
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 10L),
+      ("b", 5L, 20L), ("b", 6L, 20L)
+    ).toDF("source", "doc_id", "n_tok")
+    // budget 40 over totals a=40 b=40: alloc a=20 b=20
+    val got = SamplingOps.epochPlan(docs, "doc_id", "source",
+      col("n_tok"), budget = 40L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cum_before"),
+        r.getAs[Boolean]("keep")))
+    // source a: exactly 2 of 4 docs keep (20 tokens); which two is
+    // hash-order determined but the SUM is exact
+    val aKept = got.filter(g => g._1 <= 4 && g._3)
+    assert(aKept.length == 2, got.mkString(","))
+    // source b: first by hash keeps (cum 0 < 20), second crosses at
+    // cum 20 -> not < 20 -> dropped
+    val bKept = got.filter(g => g._1 >= 5 && g._3)
+    assert(bKept.length == 1, got.mkString(","))
+    // determinism: same input -> same verdicts
+    val again = SamplingOps.epochPlan(docs, "doc_id", "source",
+      col("n_tok"), budget = 40L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cum_before"),
+        r.getAs[Boolean]("keep")))
+    assert(got.toSeq == again.toSeq)
+    // the crossing doc keeps: odd budget forces a partial last doc
+    val odd = SamplingOps.epochPlan(docs, "doc_id", "source",
+      col("n_tok"), budget = 50L).collect()
+      .filter(_.getAs[String]("source") == "a")
+    // alloc a = 25: two full docs (20) + the crossing third (cum 20 < 25)
+    assert(odd.count(_.getAs[Boolean]("keep")) == 3)
+  }
+
+  test("stopwordLanguageMix profiles disjoint families, flags mixing, " +
+      "ties alphabetical") {
+    val docs = Seq(
+      (1L, "the cat and the dog is of that kind with food for all"),
+      (2L, "der hund und die katze ist nicht mit ein problem"),
+      // genuinely mixed: 4 en + 4 fr hits
+      (3L, "the report and the note le texte est dans les pages"),
+      (4L, "zzz qqq www rrr ttt yyy"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.stopwordLanguageMix(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("dominant_family") == "en")
+    assert(!got(0).getAs[Boolean]("mixed"))
+    assert(got(1).getAs[String]("dominant_family") == "de")
+    assert(got(1).getAs[Long]("hits_de") == 7L)
+    assert(got(2).getAs[Boolean]("mixed"), got(2).toString)
+    assert(got(3).getAs[String]("dominant_family") == "none")
+    assert(got(3).getAs[Long]("hits_en") == 0L)
+    assert(got(4).getAs[String]("dominant_family") == "none")
+    // tie: equal en and fr hits -> alphabetically first wins
+    val tie = TextAnalysisOps.stopwordLanguageMix(
+      Seq((1L, "the and le la")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(tie.getAs[String]("dominant_family") == "en")
+  }
+
+  test("repeatedSentences counts corpus-repeated sentences, guards " +
+      "abbreviations") {
+    val policy = "We use cookies to improve your experience"
+    val docs = Seq(
+      (1L, s"Unique opening here. $policy. Unique closing one."),
+      (2L, s"Other intro text! $policy. More unique prose two."),
+      (3L, s"Third doc start? $policy. Tail text three."),
+      // abbreviation guard: Mr. / e.g. must not split
+      (4L, "Mr. Smith arrived, e.g. early. Second sentence here.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.repeatedSentences(docs, "doc_id", "text",
+      minCount = 3).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_sentences") == 3L)
+    assert(got(0).getAs[Long]("n_repeated") == 1L)
+    assert(got(0).getAs[Long]("repeated_milli") == 333L)
+    assert(got(1).getAs[Long]("n_repeated") == 1L)
+    assert(got(2).getAs[Long]("n_repeated") == 1L)
+    // doc 4: "Mr. Smith arrived, e.g. early." is ONE sentence
+    assert(got(3).getAs[Long]("n_sentences") == 2L, got(3).toString)
+    assert(got(3).getAs[Long]("n_repeated") == 0L)
+  }
+
+  test("htmlTableProfile counts tables, rows, cells") {
+    val docs = Seq(
+      (1L, "<p>pre</p><table><tr><td>a</td><td>b</td></tr>" +
+        "<tr><td>c</td><td>d</td></tr></table>" +
+        "<table class=\"x\">\n<tr>\n<th>h1</th><th>h2</th><th>h3</th>" +
+        "</tr>\n</table>"),
+      (2L, "no tables at all"),
+      (3L, "<table><tr><td>only</td></tr></table>")
+    ).toDF("doc_id", "html")
+    val got = TextAnalysisOps.htmlTableProfile(docs, "doc_id", "html")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tables"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("cells_per_row_milli")))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 3L, 7L, 2333L),
+      (2L, 0L, 0L, 0L, 0L),
+      (3L, 1L, 1L, 1L, 1000L)), got.mkString(","))
+  }
+
   test("extractLinks pairs hrefs with anchor text across quote styles " +
       "and attribute layouts") {
     import graft.operators.UrlOps
