@@ -7083,19 +7083,21 @@ ORDER BY rank LIMIT 6"""),
            }.mkString(",\n")}
         |  FROM tk),
         |d AS (
-        |  SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr)
-        |    AS best
+        |  SELECT *, greatest(${
+             TextAnalysisOps.StopwordFamilies.map("hits_" + _._1)
+               .mkString(", ")}) AS best
         |  FROM h)
-        |SELECT doc_id, n_tokens, hits_de, hits_en, hits_es, hits_fr,
+        |SELECT doc_id, n_tokens, ${
+             TextAnalysisOps.StopwordFamilies.map("hits_" + _._1)
+               .mkString(", ")},
         |  CASE WHEN best = 0 THEN 'none'
-        |    WHEN hits_de = best THEN 'de'
-        |    WHEN hits_en = best THEN 'en'
-        |    WHEN hits_es = best THEN 'es'
-        |    ELSE 'fr' END AS dominant_family,
-        |  ((CASE WHEN hits_de >= 3 THEN 1 ELSE 0 END +
-        |    CASE WHEN hits_en >= 3 THEN 1 ELSE 0 END +
-        |    CASE WHEN hits_es >= 3 THEN 1 ELSE 0 END +
-        |    CASE WHEN hits_fr >= 3 THEN 1 ELSE 0 END) >= 2) AS mixed
+        |${TextAnalysisOps.StopwordFamilies.map { case (fam, _) =>
+             s"    WHEN hits_$fam = best THEN '$fam'"
+           }.mkString("\n")}
+        |    ELSE 'none' END AS dominant_family,
+        |  ((${TextAnalysisOps.StopwordFamilies.map { case (fam, _) =>
+               s"CASE WHEN hits_$fam >= 3 THEN 1 ELSE 0 END"
+             }.mkString(" +\n    ")}) >= 2) AS mixed
         |FROM d ORDER BY doc_id""".stripMargin),
 
     // q179's allocation arithmetic + the per-source hash-ordered
@@ -7166,14 +7168,20 @@ ORDER BY rank LIMIT 6"""),
         |  FROM mk),
         |sg AS (
         |  SELECT doc_id, substr(md5(lower(s)), 1, 16) AS sig FROM sn),
-        |ct AS (SELECT sig, count(*)::BIGINT AS c FROM sg GROUP BY sig)
-        |SELECT doc_id, count(*)::BIGINT AS n_sentences,
-        |  sum(CASE WHEN ct.c >= 3 THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_repeated,
-        |  ((sum(CASE WHEN ct.c >= 3 THEN 1 ELSE 0 END)::BIGINT * 1000)
-        |    // count(*))::BIGINT AS repeated_milli
-        |FROM sg JOIN ct USING (sig)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |ct AS (SELECT sig, count(*)::BIGINT AS c FROM sg GROUP BY sig),
+        |ru AS (
+        |  SELECT doc_id, count(*)::BIGINT AS ns,
+        |    sum(CASE WHEN ct.c >= 3 THEN 1 ELSE 0 END)::BIGINT AS nr
+        |  FROM sg JOIN ct USING (sig)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ru.ns, 0)::BIGINT AS n_sentences,
+        |  coalesce(ru.nr, 0)::BIGINT AS n_repeated,
+        |  CASE WHEN coalesce(ru.ns, 0) > 0
+        |    THEN (coalesce(ru.nr, 0) * 1000) // ru.ns
+        |    ELSE 0 END::BIGINT AS repeated_milli
+        |FROM documents d LEFT JOIN ru ON ru.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Non-greedy table spans, per-span row/cell regex counts summed.
     "q188_table_profile" ->
@@ -7297,21 +7305,26 @@ ORDER BY rank LIMIT 6"""),
         |      WHEN 3 THEN ' both 1999-12-31 and 12/31/2005'
         |      ELSE '' END AS text
         |  FROM documents),
+        |tkz AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[^0-9/-]+'),
+        |      t -> length(t) > 0) AS dtoks
+        |  FROM inj),
         |d AS (
         |  SELECT doc_id,
         |    list_filter(list_transform(
-        |      regexp_extract_all(text,
-        |        '(^|[^0-9-])(\d{4}-\d{2}-\d{2})([^0-9]|$)', 2),
+        |      list_filter(dtoks,
+        |        t -> regexp_matches(t, '^\d{4}-\d{2}-\d{2}$')),
         |      s -> date_diff('day', DATE '1970-01-01',
         |        try_strptime(s, '%Y-%m-%d')::DATE)),
         |      x -> x IS NOT NULL) ||
         |    list_filter(list_transform(
-        |      regexp_extract_all(text,
-        |        '(^|[^0-9/])(\d{1,2}/\d{1,2}/\d{4})([^0-9/]|$)', 2),
+        |      list_filter(dtoks,
+        |        t -> regexp_matches(t, '^\d{1,2}/\d{1,2}/\d{4}$')),
         |      s -> date_diff('day', DATE '1970-01-01',
         |        try_strptime(s, '%-m/%-d/%Y')::DATE)),
         |      x -> x IS NOT NULL) AS days
-        |  FROM inj)
+        |  FROM tkz)
         |SELECT doc_id, len(days)::BIGINT AS n_dates,
         |  list_max(days)::BIGINT AS latest_epoch_day
         |FROM d ORDER BY doc_id""".stripMargin,
@@ -7438,17 +7451,19 @@ ORDER BY rank LIMIT 6"""),
         |         'p': trim(regexp_extract(
         |                trim(regexp_replace(l, '#.*', '')),
         |                '(?i)^(allow|disallow):(.*)', 2))}),
-        |        r -> length(r.t) > 0 AND length(r.p) > 0)}
+        |        r -> length(r.t) > 0)}
         |     FOR s IN rawsegs[2:]] AS sgt
         |  FROM rsg),
         |rl AS (
         |  SELECT doc_id, path,
-        |    flatten([sgt[i].rules FOR i IN range(1, len(sgt) + 1)
-        |      IF len(list_filter(
-        |           range(coalesce(list_max(
-        |             [CASE WHEN len(sgt[j].rules) > 0 THEN j END
-        |              FOR j IN range(1, i)]), 0) + 1, i + 1),
-        |           j -> sgt[j].agent = '*')) > 0]) AS rules
+        |    list_filter(
+        |      flatten([sgt[i].rules FOR i IN range(1, len(sgt) + 1)
+        |        IF len(list_filter(
+        |             range(coalesce(list_max(
+        |               [CASE WHEN len(sgt[j].rules) > 0 THEN j END
+        |                FOR j IN range(1, i)]), 0) + 1, i + 1),
+        |             j -> sgt[j].agent = '*')) > 0]),
+        |      r -> length(r.p) > 0) AS rules
         |  FROM sgx),
         |ap AS (
         |  SELECT doc_id, path, rules,
@@ -7513,7 +7528,7 @@ ORDER BY rank LIMIT 6"""),
         |  FROM inj),
         |fl AS (
         |  SELECT doc_id, text, lines,
-        |    list_filter(lines, l -> starts_with(trim(l), '```')) AS fl,
+        |    list_filter(lines, l -> regexp_matches(l, '^ *```')) AS fl,
         |    coalesce(array_to_string(
         |      [segs[i] FOR i IN range(1, len(segs) + 1)
         |       IF i % 2 = 1], chr(10)), '') AS outside

@@ -2099,7 +2099,11 @@ object TextAnalysisOps {
     def headings(level: Int): Column =
       size(regexp_extract_all(outside,
         lit(s"(?m)^#{$level}[^#]"), lit(0))).cast("long")
-    val fenceLines = filter(lines, l => trim(l).startsWith("```"))
+    // the SAME fence criterion as the split above (space-indented
+    // only) — two disagreeing detectors would let a tab-indented
+    // fence count as a block while its contents still count as
+    // structure
+    val fenceLines = filter(lines, l => l.rlike("^ *```"))
     val nFenceLines = size(fenceLines)
     // openers are the 1st, 3rd, 5th… fence lines; their info string
     // (text after the backticks) names the block language
@@ -2162,15 +2166,22 @@ object TextAnalysisOps {
     * Scale shape: pure projection. */
   def extractDates(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    // boundary guards are CONSUMING groups, not \b: a `\b` after the
-    // day would reject `2021-03-05T12:00:00Z` (digit→T is
-    // word-to-word, no boundary) — and ISO datetimes are the
-    // dominant machine-written date shape in crawls. RE2 has no
-    // lookarounds, so the oracle shares these exact guards.
-    val iso = regexp_extract_all(col(textCol),
-      lit("(^|[^0-9-])(\\d{4}-\\d{2}-\\d{2})([^0-9]|$)"), lit(2))
-    val us = regexp_extract_all(col(textCol),
-      lit("(^|[^0-9/])(\\d{1,2}/\\d{1,2}/\\d{4})([^0-9/]|$)"), lit(2))
+    // tokenize-then-full-match, not in-text guards: consuming guard
+    // groups make matching non-overlapping (a date one separator
+    // after another date is silently skipped), and `\b` rejects ISO
+    // datetimes (`2021-03-05T…` — digit→T is no boundary). Splitting
+    // on every char that cannot belong to a date yields clean
+    // candidate tokens; a token is a date iff it matches WHOLE, so
+    // `2021-03-051` and `2021-01-02-x` never count. RE2 has no
+    // lookarounds, so the oracle shares this exact scheme.
+    val dtoks = filter(split(col(textCol), "[^0-9/-]+"),
+      t => length(t) > 0)
+    val iso = filter(transform(dtoks,
+      t => regexp_extract(t, "^(\\d{4}-\\d{2}-\\d{2})$", 1)),
+      s => length(s) > 0)
+    val us = filter(transform(dtoks,
+      t => regexp_extract(t, "^(\\d{1,2}/\\d{1,2}/\\d{4})$", 1)),
+      s => length(s) > 0)
     val isoDays = filter(transform(iso,
       s => datediff(try_to_date(s, "yyyy-MM-dd"), lit("1970-01-01"))),
       d => d.isNotNull)
@@ -2251,11 +2262,11 @@ object TextAnalysisOps {
     }
     val best = greatest(hitCols.map(_._2): _*)
     // alphabetical tie-break: walk families in reverse order so the
-    // first alphabetical max overwrites later ones
-    val dom = StopwordFamilies.reverse.foldLeft(lit("none")) {
-      case (acc, (fam, words)) =>
-        val h = size(filter(toks,
-          t => array_contains(typedLit(words), t))).cast("long")
+    // first alphabetical max overwrites later ones; REUSES hitCols —
+    // a second expression build here would silently drift if the hit
+    // definition changes
+    val dom = hitCols.reverse.foldLeft(lit("none")) {
+      case (acc, (fam, h)) =>
         when(best > 0L && h === best, lit(fam)).otherwise(acc)
     }
     val nMixed = hitCols.map { case (_, h) =>
@@ -2299,15 +2310,24 @@ object TextAnalysisOps {
       .select(col(idCol), col("__i"),
         substring(md5(lower(col("__s"))), 1, 16).as("__sig"))
     val bySig = Window.partitionBy(col("__sig"))
-    sents
+    val rollup = sents
       .withColumn("__c", count(lit(1)).over(bySig))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_sentences"),
+      .agg(count(lit(1)).as("__ns"),
         sum(when(col("__c") >= minCount.toLong, 1L).otherwise(0L))
-          .as("n_repeated"))
-      .select(col(idCol), col("n_sentences"), col("n_repeated"),
-        expr("n_repeated * 1000 div n_sentences")
-          .as("repeated_milli"))
+          .as("__nr"))
+    // every input doc gets a row — a doc with zero sentences (empty,
+    // whitespace, pure punctuation) reports 0/0/0 instead of
+    // silently vanishing from the profile
+    docs.select(col(idCol))
+      .join(rollup, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__ns"), lit(0L)).as("n_sentences"),
+        coalesce(col("__nr"), lit(0L)).as("n_repeated"))
+      .withColumn("repeated_milli",
+        when(col("n_sentences") > 0L,
+          expr("n_repeated * 1000 div n_sentences"))
+          .otherwise(lit(0L)))
   }
 
   /** HTML table profile — the structured-content complement of

@@ -230,21 +230,26 @@ object UrlOps {
     val normalized = regexp_replace(col(robotsCol), "\r", "")
     def cleanLine(l: Column): Column =
       trim(regexp_replace(l, "#.*", ""))
-    def parseRules(seg: Column): Column = filter(
+    // ALL directive lines, bare `Disallow:` included — a group whose
+    // only rule is a bare Disallow is still RULE-BEARING (it ends its
+    // UA run; treating it as rule-less would chain its User-agent
+    // line into the NEXT group and bind that group's rules to `*`).
+    // Empty-path directives drop later, at match time, where their
+    // permit-by-definition semantics belong.
+    def parseDirectives(seg: Column): Column = filter(
       transform(split(seg, "\n"), l =>
         struct(
           regexp_extract(cleanLine(l), "(?i)^(allow|disallow):", 1)
             .as("t"),
           trim(regexp_extract(cleanLine(l),
             "(?i)^(allow|disallow):(.*)", 2)).as("p"))),
-      r => length(r.getField("t")) > 0 &&
-        length(r.getField("p")) > 0)
+      r => length(r.getField("t")) > 0)
     // one struct per UA segment: its agent name and its own rules
     // (segment 0 — pre-UA preamble — is dropped)
     val sgArr = transform(split(normalized, "(?i)User-agent:"),
       s => struct(
         cleanLine(element_at(split(s, "\n"), 1)).as("agent"),
-        parseRules(s).as("rules")))
+        parseDirectives(s).as("rules")))
     // slice length must stay in-range: start + Int.MaxValue overflows
     // and returns an EMPTY array
     val sgt = slice(sgArr, lit(2), size(sgArr))
@@ -252,7 +257,7 @@ object UrlOps {
     // UA run: between the last rule-bearing segment before it and
     // itself, inclusive
     val idxs = sequence(lit(1), greatest(size(sgt), lit(1)))
-    val rules = flatten(filter(transform(idxs, i => {
+    val rulesAll = flatten(filter(transform(idxs, i => {
       val ruleBearingBefore = filter(transform(sequence(lit(1), i),
         j => when(j < i &&
           size(try_element_at(sgt, j).getField("rules")) > 0, j)),
@@ -262,6 +267,9 @@ object UrlOps {
         try_element_at(sgt, j).getField("agent") === "*"),
         try_element_at(sgt, i).getField("rules"))
     }), x => x.isNotNull))
+    // empty-path directives (bare `Disallow:`) permit by definition —
+    // they shaped the grouping above but never match a path
+    val rules = filter(rulesAll, r => length(r.getField("p")) > 0)
     val applicable = filter(rules, r =>
       substring(col(pathCol), lit(1), length(r.getField("p")))
         === r.getField("p"))

@@ -3140,6 +3140,15 @@ class OperatorsSpec extends AnyFunSuite {
     // doc 4: "Mr. Smith arrived, e.g. early." is ONE sentence
     assert(got(3).getAs[Long]("n_sentences") == 2L, got(3).toString)
     assert(got(3).getAs[Long]("n_repeated") == 0L)
+    // zero-sentence docs still get a row (0/0/0), never vanish
+    val zero = TextAnalysisOps.repeatedSentences(
+      Seq((1L, "..."), (2L, "   "), (3L, "real text here."))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(zero.length == 3)
+    assert(zero(0).getAs[Long]("n_sentences") == 0L)
+    assert(zero(0).getAs[Long]("repeated_milli") == 0L)
+    assert(zero(2).getAs[Long]("n_sentences") == 1L)
   }
 
   test("htmlTableProfile counts tables, rows, cells") {
@@ -3250,6 +3259,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3).getAs[Long]("n_dates") == 1L, got(3).toString)
     // 2022-06-15 = 19158 days since epoch
     assert(got(3).getAs[Long]("latest_epoch_day") == 19158L)
+    // adjacent dates one separator apart: non-overlapping in-text
+    // matching would silently drop every second one
+    val adj = TextAnalysisOps.extractDates(
+      Seq((1L, "2021-01-01,2021-01-02,2021-01-03 and 3/4/2022 3/5/2022"))
+        .toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(adj.getAs[Long]("n_dates") == 5L, adj.toString)
+    // a date glued into a longer token is NOT a date
+    val glued = TextAnalysisOps.extractDates(
+      Seq((1L, "id 2021-03-051 and range 2021-01-02-x"))
+        .toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(glued.getAs[Long]("n_dates") == 0L, glued.toString)
   }
 
   test("readability: short simple prose grades below long-word prose; " +
@@ -3326,6 +3346,16 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, stacked2, "/z/q")).toDF("doc_id", "robots", "path"),
       "doc_id", "robots", "path").collect().head
     assert(!t5.getAs[Boolean]("allowed"), t5.toString)
+    // a group whose ONLY rule is a bare Disallow: is still
+    // rule-bearing — its UA line must NOT chain into the next group
+    // and bind that group's rules to *
+    val bare = "User-agent: *\nDisallow:\n\n" +
+      "User-agent: foo\nDisallow: /b\n"
+    val t6 = UrlOps.robotsVerdict(
+      Seq((1L, bare, "/b/x")).toDF("doc_id", "robots", "path"),
+      "doc_id", "robots", "path").collect().head
+    assert(t6.getAs[Boolean]("allowed"), t6.toString)
+    assert(t6.getAs[Long]("n_rules") == 0L, t6.toString)
   }
 
   test("wordlistGate folds leet obfuscation, matches whole tokens only") {
