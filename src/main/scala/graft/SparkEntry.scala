@@ -1751,6 +1751,66 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // TAR archive walk (q189): each doc becomes a two-member ustar
+    // archive (text + a JSON meta member); the parser's member
+    // listing, sizes and content digests must equal the oracle's
+    // recomputation from the member strings — agreement proves the
+    // header walk, octal/checksum handling and data slicing.
+    "q189_tar_members" -> ((s, dir) => {
+      import s.implicits._
+      val members = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val tar = graft.sources.TarCodec.tarBytes(Seq(
+            (s"doc_$id.txt", text.getBytes("UTF-8")),
+            (s"meta/$id.json", s"""{"id": $id}""".getBytes("UTF-8"))))
+          graft.sources.TarCodec.parse(tar).get.zipWithIndex.map {
+            case (m, i) => (id, i, m.name, m.size, m.data)
+          }
+        }.toDF("doc_id", "member_idx", "name", "size", "data")
+      members.select(col("doc_id"), col("member_idx"), col("name"),
+          col("size"),
+          substring(md5(col("data")), 1, 16).as("content_sig"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
+    // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
+    // (plus a combined homoglyph+leet slice) must flag; confusable
+    // counts surface script spoofing even without listed terms.
+    "q190_homoglyph_scan" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit(" bаdword alert"))
+            .when(col("doc_id") % 11 === 1,
+              lit(" ѕсript only"))
+            .when(col("doc_id") % 11 === 2,
+              lit(" bаdw0rd combo"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.homoglyphScan(injected, "doc_id", "text",
+        Seq("badword", "evilterm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sitemap harvest (q191): group-independent Sitemap: lines
+    // (CRLF, indentation, any position) explode to the crawl
+    // frontier's seed list.
+    "q191_robots_sitemaps" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("User-agent: *\r\nDisallow: /p\r\n" +
+            "Sitemap: https://ex.org/s"),
+            (col("doc_id") % 13).cast("string"),
+            lit(".xml\r\nUser-agent: foo\nDisallow: /x\n" +
+              "  sitemap: https://ex.org/news.xml\n")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("User-agent: *\n  Sitemap: https://ex.org/m"),
+              (col("doc_id") % 7).cast("string"), lit(".xml\n")))
+          .otherwise(lit("User-agent: *\nDisallow:\n")).as("robots"))
+      UrlOps.robotsSitemaps(pages, "doc_id", "robots")
+        .orderBy(col("doc_id"), col("sitemap_idx"))
+    }),
+
     // Stopword-family language mix (q185): the corpus vocabulary is
     // synthetic (zero natural function words), so the injected en/de/
     // fr/es phrases and the en+fr mixed slice fully control family
@@ -7054,6 +7114,95 @@ ORDER BY rank LIMIT 6"""),
       "WITH " + RrfHybridCtesSql + """
         |SELECT query_id, rank, doc_id, rrf_micro, n_systems
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // The oracle never touches tar bytes: names, byte sizes and
+    // content digests come straight from the member strings —
+    // agreement proves the ustar walk.
+    "q189_tar_members" ->
+      """WITH m AS (
+        |  SELECT doc_id, 0 AS member_idx,
+        |    'doc_' || doc_id::VARCHAR || '.txt' AS name,
+        |    strlen(text)::BIGINT AS size,
+        |    substr(md5(text), 1, 16) AS content_sig
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'meta/' || doc_id::VARCHAR || '.json',
+        |    strlen('{"id": ' || doc_id::VARCHAR || '}')::BIGINT,
+        |    substr(md5('{"id": ' || doc_id::VARCHAR || '}'), 1, 16)
+        |  FROM documents)
+        |SELECT doc_id, member_idx, name, size, content_sig
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
+
+    // The same homoglyph translate (confusable chars inline as UTF-8
+    // literals), leet fold, whole-token membership, confusable-class
+    // count.
+    "q190_homoglyph_scan" -> (
+      s"""WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 11
+        |      WHEN 0 THEN ' bаdword alert'
+        |      WHEN 1 THEN ' ѕсript only'
+        |      WHEN 2 THEN ' bаdw0rd combo'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lower(text) AS low,
+        |    translate(translate(lower(text),
+        |      '${TextAnalysisOps.HomoglyphFrom}',
+        |      '${TextAnalysisOps.HomoglyphTo}'),
+        |      '013457$$@', 'oieastsa') AS norm
+        |  FROM inj),
+        |tk AS (
+        |  SELECT doc_id, low,
+        |    list_filter(string_split_regex(norm, '[^a-z]+'),
+        |      t -> length(t) > 0) AS toks
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, low, toks,
+        |    list_filter(toks, t ->
+        |      list_contains(['badword', 'evilterm'], t)) AS hits
+        |  FROM tk)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(low,
+        |    '[${TextAnalysisOps.HomoglyphFrom}]'))::BIGINT
+        |    AS n_confusables,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(hits)::BIGINT AS n_hits,
+        |  len(hits) > 0 AS flagged
+        |FROM h ORDER BY doc_id""".stripMargin),
+
+    // The same (?im) multiline scan with ordinal positions.
+    "q191_robots_sitemaps" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'User-agent: *' || chr(13) || chr(10) ||
+        |        'Disallow: /p' || chr(13) || chr(10) ||
+        |        'Sitemap: https://ex.org/s' || (doc_id % 13)::VARCHAR
+        |        || '.xml' || chr(13) || chr(10) ||
+        |        'User-agent: foo' || chr(10) || 'Disallow: /x'
+        |        || chr(10) || '  sitemap: https://ex.org/news.xml'
+        |        || chr(10)
+        |      WHEN 1 THEN 'User-agent: *' || chr(10) ||
+        |        '  Sitemap: https://ex.org/m' || (doc_id % 7)::VARCHAR
+        |        || '.xml' || chr(10)
+        |      ELSE 'User-agent: *' || chr(10) || 'Disallow:'
+        |        || chr(10) END AS robots
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(
+        |      regexp_replace(robots, '\r', '', 'g'),
+        |      '(?im)^\s*sitemap:\s*(\S+)', 1) AS urls
+        |  FROM pages)
+        |SELECT doc_id, u.i - 1 AS sitemap_idx, u.x AS sitemap_url
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest([{'i': i, 'x': urls[i]}
+        |            FOR i IN range(1, len(urls) + 1)]) AS u
+        |  FROM x)
+        |ORDER BY doc_id, sitemap_idx""".stripMargin,
 
     // The disjoint family lists as literals, whole-token membership,
     // reverse-fold dominance with alphabetical ties, the >=2

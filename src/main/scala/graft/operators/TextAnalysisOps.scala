@@ -2053,22 +2053,72 @@ object TextAnalysisOps {
     }
   }
 
-  def wordlistGate(docs: DataFrame, idCol: String, textCol: String,
-                   blocked: Seq[String]): DataFrame = {
+  private def foldedBlockedList(blocked: Seq[String]): Seq[String] = {
     require(blocked.nonEmpty, "blocked list must be non-empty")
     val folded = blocked.map(leetFold).distinct
     require(folded.forall(_.matches("[a-z]+")),
       "blocked entries must fold to pure letters (tokens are " +
         s"[a-z]+ after the fold): ${folded.filterNot(_.matches("[a-z]+"))}")
-    val norm = translate(lower(col(textCol)), "013457$@", "oieast" +
-      "sa")
+    folded
+  }
+
+  /** The shared gate core: leet-fold a (pre-normalized) text column,
+    * tokenize, count blocked hits. */
+  private def gateHits(text: Column,
+                       folded: Seq[String]): (Column, Column) = {
+    val norm = translate(lower(text), "013457$@", "oieastsa")
     val toks = filter(split(norm, "[^a-z]+"), t => length(t) > 0)
-    val blockedLit = typedLit(folded)
-    val hits = filter(toks, t => array_contains(blockedLit, t))
+    val hits = filter(toks, t =>
+      array_contains(typedLit(folded), t))
+    (toks, hits)
+  }
+
+  def wordlistGate(docs: DataFrame, idCol: String, textCol: String,
+                   blocked: Seq[String]): DataFrame = {
+    val (toks, hits) = gateHits(col(textCol),
+      foldedBlockedList(blocked))
     docs.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),
       size(hits).cast("long").as("n_hits"),
       size(array_distinct(hits)).cast("long").as("n_terms_hit"),
+      (size(hits) > 0).as("flagged"))
+  }
+
+  /** Cyrillic/Greek → Latin confusable map (lowercase; apply
+    * [[lower]] first so uppercase confusables fold through their own
+    * lowercase). The common homoglyph-evasion core — the Unicode
+    * confusables table is thousands of entries; this carries the
+    * high-frequency Cyrillic/Greek lookalikes and documents the swap
+    * point. */
+  val HomoglyphFrom: String =
+    "аеорсухіѕ" +
+      "οαερντι"
+  val HomoglyphTo: String = "aeopcyxis" + "oaepvti"
+
+  def homoglyphFold(text: Column): Column =
+    translate(text, HomoglyphFrom, HomoglyphTo)
+
+  /** Homoglyph-aware blocked-term scan — [[wordlistGate]]'s
+    * adversarial-evasion complement: mixed-script spoofing
+    * (`bаdword` with a Cyrillic а) defeats a plain wordlist AND
+    * the leet fold because the confusable is a different CODEPOINT,
+    * not a different glyph. Text lowercases, confusables fold to
+    * Latin, then the same leet fold + whole-token gate runs; the
+    * confusable count is emitted alongside (a high count with zero
+    * hits is its own signal — script spoofing without listed terms).
+    *
+    * Scale shape: pure projection. */
+  def homoglyphScan(docs: DataFrame, idCol: String, textCol: String,
+                    blocked: Seq[String]): DataFrame = {
+    val lowered = lower(col(textCol))
+    val (toks, hits) = gateHits(homoglyphFold(lowered),
+      foldedBlockedList(blocked))
+    docs.select(col(idCol),
+      size(regexp_extract_all(lowered,
+        lit(s"[$HomoglyphFrom]"), lit(0))).cast("long")
+        .as("n_confusables"),
+      size(toks).cast("long").as("n_tokens"),
+      size(hits).cast("long").as("n_hits"),
       (size(hits) > 0).as("flagged"))
   }
 

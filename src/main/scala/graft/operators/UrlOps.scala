@@ -225,6 +225,21 @@ object UrlOps {
     * O(segments²) over the handful of UA groups a real file has);
     * zero shuffle at any corpus size (join the site file in upstream
     * by host — host-keyed, tiny). */
+  /** Sitemap declarations from robots.txt — `Sitemap:` lines are
+    * group-INDEPENDENT by the spec (they apply file-wide, any
+    * position), so extraction is one multiline scan, CRLF-normalized
+    * like [[robotsVerdict]]. One row per declared sitemap URL in file
+    * order; files without declarations emit nothing. The crawl
+    * frontier's seed harvest. Pure projection + explode. */
+  def robotsSitemaps(pages: DataFrame, idCol: String,
+                     robotsCol: String): DataFrame = {
+    val normalized = regexp_replace(col(robotsCol), "\r", "")
+    val urls = regexp_extract_all(normalized,
+      lit("(?im)^\\s*sitemap:\\s*(\\S+)"), lit(1))
+    pages.select(col(idCol),
+        posexplode(urls).as(Seq("sitemap_idx", "sitemap_url")))
+  }
+
   def robotsVerdict(pages: DataFrame, idCol: String, robotsCol: String,
                     pathCol: String): DataFrame = {
     val normalized = regexp_replace(col(robotsCol), "\r", "")

@@ -515,6 +515,17 @@ object ScaleProbe {
     time(s"epochPlan x$n")(
       graft.operators.SamplingOps.epochPlan(docs, "doc_id", "source",
         size(split(col("text"), " ")).cast("long"), 1000000L))
+    // q190/q191: two more pure projections
+    time(s"homoglyphScan x$n")(
+      TextAnalysisOps.homoglyphScan(docs, "doc_id", "text",
+        Seq("badword", "evilterm")))
+    time(s"robotsSitemaps x$n")(
+      graft.operators.UrlOps.robotsSitemaps(
+        docs.select(col("doc_id"),
+          concat(lit("User-agent: *\nSitemap: https://ex.org/s"),
+            (col("doc_id") % 977).cast("string"), lit(".xml\n"))
+            .as("robots")),
+        "doc_id", "robots"))
     // q178: one source-keyed rank window over (id, source, score)
     time(s"perSourcePercentileGate x$n")(
       graft.operators.SamplingOps.perSourcePercentileGate(

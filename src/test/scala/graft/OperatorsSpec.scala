@@ -3058,6 +3058,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("cos_micro") < 1000000L)
   }
 
+  test("TarCodec roundtrips members, verifies checksums, rejects " +
+      "malformation and exotic typeflags") {
+    import graft.sources.TarCodec
+    val members = Seq(
+      ("docs/a.txt", "hello tar world".getBytes("UTF-8")),
+      ("docs/b.txt", ("x" * 700).getBytes("UTF-8")), // spans 2 blocks
+      ("empty.txt", Array.empty[Byte]))
+    val bytes = TarCodec.tarBytes(members)
+    assert(bytes.length % 512 == 0)
+    val got = TarCodec.parse(bytes).get
+    assert(got.map(_.name) == members.map(_._1))
+    assert(got.map(_.size) == Seq(15L, 700L, 0L))
+    assert(got(0).data.toSeq == members(0)._2.toSeq)
+    assert(got(1).data.toSeq == members(1)._2.toSeq)
+    // truncated archive (no zero-block trailer)
+    assert(TarCodec.parse(bytes.take(bytes.length - 1024)).isEmpty)
+    // corrupt one header byte -> checksum fails
+    val bad = bytes.clone(); bad(0) = 'Z'.toByte
+    assert(TarCodec.parse(bad).isEmpty)
+    // exotic typeflag (symlink '2') rejects the archive
+    val link = bytes.clone(); link(156) = '2'.toByte
+    assert(TarCodec.parse(link).isEmpty)
+    // non-512-multiple
+    assert(TarCodec.parse(bytes ++ Array[Byte](1)).isEmpty)
+  }
+
+  test("homoglyphScan folds Cyrillic/Greek confusables before the gate") {
+    // 'bаdword' with Cyrillic а (U+0430); 'ѕсam'-style all-Cyrillic
+    val cyrA = "а"; val cyrS = "ѕ"; val cyrC = "с"
+    val docs = Seq(
+      (1L, s"plain b${cyrA}dword evades a naive list"),
+      (2L, s"${cyrS}${cyrC}ammy but no listed term"),
+      (3L, "clean latin text"),
+      (4L, s"leet AND script: b${cyrA}dw0rd")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.homoglyphScan(docs, "doc_id", "text",
+      Seq("badword")).orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("flagged"), got(0).toString)
+    assert(got(0).getAs[Long]("n_confusables") == 1L)
+    assert(!got(1).getAs[Boolean]("flagged"))
+    assert(got(1).getAs[Long]("n_confusables") == 2L)
+    assert(!got(2).getAs[Boolean]("flagged"))
+    assert(got(2).getAs[Long]("n_confusables") == 0L)
+    // homoglyph + leet combined still folds through
+    assert(got(3).getAs[Boolean]("flagged"), got(3).toString)
+  }
+
+  test("robotsSitemaps extracts group-independent declarations, CRLF ok") {
+    import graft.operators.UrlOps
+    val robots = "User-agent: *\r\nDisallow: /private\r\n" +
+      "Sitemap: https://ex.org/sitemap.xml\r\n" +
+      "User-agent: foo\nDisallow: /x\n" +
+      "  sitemap: https://ex.org/news.xml\n"
+    val docs = Seq((1L, robots), (2L, "User-agent: *\nDisallow:\n"))
+      .toDF("doc_id", "robots")
+    val got = UrlOps.robotsSitemaps(docs, "doc_id", "robots")
+      .orderBy("doc_id", "sitemap_idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("sitemap_idx"),
+        r.getAs[String]("sitemap_url")))
+    assert(got.toSeq == Seq(
+      (1L, 0, "https://ex.org/sitemap.xml"),
+      (1L, 1, "https://ex.org/news.xml")), got.mkString(","))
+  }
+
   test("epochPlan keeps hash-ordered docs per source until the " +
       "allocation fills; the crossing doc stays") {
     import graft.operators.SamplingOps
