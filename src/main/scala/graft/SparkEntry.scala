@@ -7194,7 +7194,7 @@ ORDER BY rank LIMIT 6"""),
         |  SELECT doc_id,
         |    regexp_extract_all(
         |      regexp_replace(robots, '\r', '', 'g'),
-        |      '(?im)^\s*sitemap:\s*(\S+)', 1) AS urls
+        |      '(?im)^[ \t]*sitemap:[ \t]*(\S+)', 1) AS urls
         |  FROM pages)
         |SELECT doc_id, u.i - 1 AS sitemap_idx, u.x AS sitemap_url
         |FROM (

@@ -235,7 +235,7 @@ object UrlOps {
                      robotsCol: String): DataFrame = {
     val normalized = regexp_replace(col(robotsCol), "\r", "")
     val urls = regexp_extract_all(normalized,
-      lit("(?im)^\\s*sitemap:\\s*(\\S+)"), lit(1))
+      lit("(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)"), lit(1))
     pages.select(col(idCol),
         posexplode(urls).as(Seq("sitemap_idx", "sitemap_url")))
   }

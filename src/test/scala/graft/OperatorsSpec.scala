@@ -3077,11 +3077,48 @@ class OperatorsSpec extends AnyFunSuite {
     // corrupt one header byte -> checksum fails
     val bad = bytes.clone(); bad(0) = 'Z'.toByte
     assert(TarCodec.parse(bad).isEmpty)
-    // exotic typeflag (symlink '2') rejects the archive
+    // recompute the checksum after a header edit so the edited field
+    // itself (not the checksum) is what the parser judges
+    def refreshChecksum(arr: Array[Byte], h: Int): Unit = {
+      var s = 0L
+      for (i <- 0 until 512)
+        s += (if (i >= 148 && i < 156) ' '.toInt else arr(h + i) & 0xff)
+      val cs = java.lang.Long.toOctalString(s)
+      ("0" * (6 - cs.length) + cs).getBytes("US-ASCII")
+        .copyToArray(arr, h + 148)
+      arr(h + 154) = 0; arr(h + 155) = ' '
+    }
+    // exotic typeflag (symlink '2') rejects the archive — with a
+    // VALID checksum, so the typeflag branch is what fires
     val link = bytes.clone(); link(156) = '2'.toByte
+    refreshChecksum(link, 0)
     assert(TarCodec.parse(link).isEmpty)
+    // directory entries skip cleanly (valid checksum, zero size)
+    val dirTar = TarCodec.tarBytes(Seq(("d/", Array.empty[Byte]),
+      ("d/f.txt", "in dir".getBytes("UTF-8"))))
+    dirTar(156) = '5'.toByte
+    refreshChecksum(dirTar, 0)
+    val dirGot = TarCodec.parse(dirTar).get
+    assert(dirGot.map(_.name) == Seq("d/f.txt"))
+    // ustar prefix field re-joins long paths
+    val pfx = bytes.clone()
+    "deep/prefix/dir".getBytes("US-ASCII").copyToArray(pfx, 345)
+    refreshChecksum(pfx, 0)
+    assert(TarCodec.parse(pfx).get.head.name ==
+      "deep/prefix/dir/docs/a.txt")
+    // hostile size near Int.MaxValue: must reject, never throw (an
+    // Int block product would wrap past the bounds check)
+    val huge = bytes.clone()
+    "17777777777".getBytes("US-ASCII").copyToArray(huge, 124)
+    huge(135) = 0
+    refreshChecksum(huge, 0)
+    assert(TarCodec.parse(huge).isEmpty)
     // non-512-multiple
     assert(TarCodec.parse(bytes ++ Array[Byte](1)).isEmpty)
+    // writer rejects names its ASCII encoding would corrupt
+    intercept[IllegalArgumentException] {
+      TarCodec.tarBytes(Seq(("résumé.txt", Array[Byte](1))))
+    }
   }
 
   test("homoglyphScan folds Cyrillic/Greek confusables before the gate") {
@@ -3111,7 +3148,9 @@ class OperatorsSpec extends AnyFunSuite {
       "Sitemap: https://ex.org/sitemap.xml\r\n" +
       "User-agent: foo\nDisallow: /x\n" +
       "  sitemap: https://ex.org/news.xml\n"
-    val docs = Seq((1L, robots), (2L, "User-agent: *\nDisallow:\n"))
+    val docs = Seq((1L, robots), (2L, "User-agent: *\nDisallow:\n"),
+      // a BARE Sitemap: line must not capture the next line's token
+      (3L, "Sitemap:\nUser-agent: *\nDisallow: /x\n"))
       .toDF("doc_id", "robots")
     val got = UrlOps.robotsSitemaps(docs, "doc_id", "robots")
       .orderBy("doc_id", "sitemap_idx").collect()
