@@ -1751,6 +1751,53 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Delimited-text profile (q192): CSV/TSV/pipe-shaped slices must
+    // sniff their delimiter from header-row consistency; prose stays
+    // non-tabular.
+    "q192_delimited_profile" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("h1,h2,h3\nv"), id, lit(",1,2\nv"), id,
+            lit(",3,4\nx,y,z")))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit("c1\tc2\nv"), id, lit("\t9\nw\t8")))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit("p|q\n1|"), id, lit("\n2|3\n4|5")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.delimitedProfile(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Shard manifest (q193): balanced shards + order-insensitive
+    // content checksums — the reproducibility record per shard.
+    "q193_shard_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val assigned = SamplingOps.balancedShards(docs, "doc_id",
+        col("source"), 8)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("n_tok",
+          size(split(col("text"), " ")).cast("long"))
+      SamplingOps.shardManifest(assigned, "shard", "doc_id",
+        col("n_tok"), "text")
+        .orderBy(col("shard"))
+    }),
+
+    // Template prefixes (q194): every 13th doc gets the same
+    // six-token head — plus whatever organic prefix collisions the
+    // tiny-vocabulary corpus produces (both engines agree on those
+    // too).
+    "q194_template_prefixes" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("welcome to our store the best deals "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.templatePrefixes(injected, "doc_id", "text",
+        k = 6, minDocs = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // TAR archive walk (q189): each doc becomes a two-member ustar
     // archive (text + a JSON meta member); the parser's member
     // listing, sizes and content digests must equal the oracle's
@@ -7114,6 +7161,106 @@ ORDER BY rank LIMIT 6"""),
       "WITH " + RrfHybridCtesSql + """
         |SELECT query_id, rank, doc_id, rrf_micro, n_systems
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Per-candidate split counts against the first non-empty line,
+    // the same strict-> fold order, identical gates.
+    "q192_delimited_profile" -> (
+      s"""WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'h1,h2,h3' || chr(10) || 'v'
+        |        || doc_id::VARCHAR || ',1,2' || chr(10) || 'v'
+        |        || doc_id::VARCHAR || ',3,4' || chr(10) || 'x,y,z'
+        |      WHEN 1 THEN 'c1' || chr(9) || 'c2' || chr(10) || 'v'
+        |        || doc_id::VARCHAR || chr(9) || '9' || chr(10)
+        |        || 'w' || chr(9) || '8'
+        |      WHEN 2 THEN 'p|q' || chr(10) || '1|'
+        |        || doc_id::VARCHAR || chr(10) || '2|3' || chr(10)
+        |        || '4|5'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> length(trim(l)) > 0) AS lines
+        |  FROM inj),
+        |c AS (
+        |  SELECT doc_id, len(lines)::BIGINT AS n_lines,
+        |${TextAnalysisOps.DelimiterCandidates.map { case (n, d) =>
+             // the regex string passes through verbatim (SQL quotes
+             // do not process backslashes); only the literal TAB
+             // char becomes its \t spelling
+             val esc = if (d == "\t") "\\t" else d
+             s"""    len(string_split_regex(lines[1], '$esc'))
+        |      AS rc_$n,
+        |    len(list_filter(lines, l ->
+        |      len(string_split_regex(l, '$esc')) =
+        |      len(string_split_regex(lines[1], '$esc'))))::BIGINT
+        |      AS cons_$n"""
+           }.mkString(",\n")}
+        |  FROM ln),
+        |w AS (
+        |  SELECT doc_id, n_lines,
+        |${{
+             val cands = TextAnalysisOps.DelimiterCandidates.map(_._1)
+             def fold(field: String, zero: String): String =
+               cands.foldLeft(zero) { (acc, n) =>
+                 s"CASE WHEN rc_$n >= 2 AND cons_$n > (" +
+                   cands.takeWhile(_ != n).foldLeft("0::BIGINT") {
+                     (a2, m) =>
+                       s"CASE WHEN rc_$m >= 2 AND cons_$m > ($a2) " +
+                         s"THEN cons_$m ELSE ($a2) END"
+                   } + s") THEN ${field.replace("%", n)} ELSE ($acc) END"
+               }
+             s"""    ${fold("'%'", "'none'")} AS delimiter,
+        |    (${fold("rc_%", "0")})::BIGINT AS n_cols,
+        |    (${fold("cons_%", "0::BIGINT")})::BIGINT AS cons"""
+           }}
+        |  FROM c)
+        |SELECT doc_id, n_lines, delimiter, n_cols,
+        |  CASE WHEN n_lines > 0 THEN (cons * 1000) // n_lines
+        |    ELSE 0 END::BIGINT AS consistency_milli,
+        |  (n_lines >= 3 AND n_cols >= 2 AND
+        |   (CASE WHEN n_lines > 0 THEN (cons * 1000) // n_lines
+        |     ELSE 0 END) >= 900) AS is_tabular
+        |FROM w ORDER BY doc_id""".stripMargin),
+
+    // balancedShards' per-stratum hash window + the order-free
+    // content sums, BIGINT-cast before the signature.
+    "q193_shard_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    (row_number() OVER (PARTITION BY source
+        |       ORDER BY substr(md5(doc_id::VARCHAR), 1, 8),
+        |         doc_id::VARCHAR) - 1) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS n_tokens,
+        |  substr(md5(sum(('0x' || substr(md5(doc_id::VARCHAR || '|'
+        |    || text), 1, 8))::BIGINT)::BIGINT::VARCHAR), 1, 16)
+        |    AS manifest_sig
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // First-k-token signatures counted corpus-wide.
+    "q194_template_prefixes" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN 'welcome to our store the best deals ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    substr(md5(array_to_string(
+        |      string_split(text, ' ')[1:6], ' ')), 1, 16) AS prefix_sig
+        |  FROM inj),
+        |c AS (SELECT prefix_sig, count(*)::BIGINT AS n FROM s
+        |      GROUP BY prefix_sig)
+        |SELECT s.doc_id, s.prefix_sig, c.n AS n_docs_sharing,
+        |  c.n >= 5 AS is_template_prefix
+        |FROM s JOIN c USING (prefix_sig)
+        |ORDER BY s.doc_id""".stripMargin,
 
     // The oracle never touches tar bytes: names, byte sizes and
     // content digests come straight from the member strings —

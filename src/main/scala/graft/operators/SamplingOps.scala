@@ -510,6 +510,32 @@ object SamplingOps {
         expr("alloc_tokens * 1000 div greatest(n_tokens, 1)"))
   }
 
+  /** Shard manifest with ORDER-INSENSITIVE content checksums — the
+    * reproducibility record an epoch build ships next to its shards:
+    * per shard, doc and token counts plus a content signature that is
+    * a SUM of per-doc md5-derived u32s, so it is independent of row
+    * order, partitioning and engine (integer addition commutes; a
+    * concatenation hash would differ per shuffle). Re-running the
+    * build and diffing manifests answers "did the shards change"
+    * without reading shard bytes.
+    *
+    * Scale shape: one map-side-combined aggregate on the shard key,
+    * rows carrying (shard, 8 B hash-int, token count). */
+  def shardManifest(assigned: DataFrame, shardCol: String,
+                    idCol: String, tokenCount: Column,
+                    textCol: String): DataFrame = {
+    val docSig = conv(substring(md5(concat(
+      col(idCol).cast("string"), lit("|"), col(textCol))), 1, 8),
+      16, 10).cast("long")
+    assigned.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount).as("n_tokens"),
+        sum(docSig).as("content_sum"))
+      .select(col(shardCol), col("n_docs"), col("n_tokens"),
+        substring(md5(col("content_sum").cast("string")), 1, 16)
+          .as("manifest_sig"))
+  }
+
   /** Epoch plan — [[tokenBudgetAllocate]] carried down to DOCUMENT
     * verdicts: within each source, docs are ordered by their md5
     * hash (the deterministic shuffle every epoch builder needs — no

@@ -2406,6 +2406,87 @@ object TextAnalysisOps {
           expr("n_cells * 1000 div n_rows")).otherwise(lit(0L)))
   }
 
+  /** Delimited-text (CSV/TSV-ish) profile — the tabular-modality
+    * router: crawls carry raw CSV/TSV files that prose rules mangle
+    * and table-understanding corpora want intact. For each candidate
+    * delimiter (tab, comma, semicolon, pipe) the FIRST non-empty
+    * line's field count is the reference (the header-row convention)
+    * and consistency is the share of non-empty lines with that exact
+    * count; the winning delimiter maximizes (consistent lines, with
+    * ≥ 2 columns), ties in the fixed candidate order. `is_tabular`
+    * gates on ≥ 3 lines, ≥ 2 columns, ≥ 900 milli consistency.
+    *
+    * Scale shape: pure projection (per-line splits fold in-row). */
+  /** (name, split REGEX) per candidate — regex strings shared
+    * verbatim with the oracle (RE2 and Java agree on all four). */
+  val DelimiterCandidates: Seq[(String, String)] = Seq(
+    "tab" -> "\t", "comma" -> ",", "semicolon" -> ";",
+    "pipe" -> "\\|")
+
+  def delimitedProfile(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"),
+      l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    // per candidate: (name, reference cols, consistent-line count)
+    val cands = DelimiterCandidates.map { case (cname, d) =>
+      val refCols = size(split(try_element_at(lines, lit(1)), d))
+      val consistent = size(filter(lines,
+        l => size(split(l, d)) === refCols)).cast("long")
+      (cname, refCols, consistent)
+    }
+    // winner: most consistent lines among candidates with >= 2
+    // reference columns; earlier candidate wins ties (strict > on
+    // later entries)
+    val zero: (Column, Column, Column) = (lit("none"), lit(0), lit(0L))
+    val (wName, wCols, wCons) = cands.foldLeft(zero) {
+      case ((an, ac, as_), (cname, rc, cons)) =>
+        val better = rc >= 2 && cons > as_
+        (when(better, lit(cname)).otherwise(an),
+          when(better, rc).otherwise(ac),
+          when(better, cons).otherwise(as_))
+    }
+    docs.select(col(idCol),
+        nLines.as("n_lines"),
+        wName.as("delimiter"),
+        coalesce(wCols, lit(0)).cast("long").as("n_cols"),
+        wCons.as("__cons"))
+      .withColumn("consistency_milli",
+        when(col("n_lines") > 0L,
+          expr("__cons * 1000 div n_lines")).otherwise(lit(0L)))
+      .withColumn("is_tabular",
+        col("n_lines") >= 3L && col("n_cols") >= 2L &&
+          col("consistency_milli") >= 900L)
+      .drop("__cons")
+  }
+
+  /** Corpus-level template-prefix report — template-farm detection at
+    * the document HEAD: docs opening with the same `k` tokens
+    * (auto-generated product pages, mirrored article headers, form
+    * letters) share a prefix signature; groups with `minDocs`+
+    * members are template families. Per doc: its prefix signature,
+    * how many docs share it, and the flag — the corpus-level
+    * complement of [[graft.operators.ConversationOps.instructionDedup]]'s
+    * first-turn cut.
+    *
+    * Scale shape: (id, 16 B sig) through one count exchange — the
+    * q114 wire discipline; docs shorter than `k` tokens sign their
+    * whole text. */
+  def templatePrefixes(docs: DataFrame, idCol: String,
+                       textCol: String, k: Int = 6,
+                       minDocs: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val sig = substring(md5(array_join(
+      slice(toks, 1, k), " ")), 1, 16)
+    val bySig = Window.partitionBy(col("prefix_sig"))
+    docs.select(col(idCol), sig.as("prefix_sig"))
+      .withColumn("n_docs_sharing",
+        count(lit(1)).over(bySig).cast("long"))
+      .withColumn("is_template_prefix",
+        col("n_docs_sharing") >= minDocs.toLong)
+  }
+
   /** FIM (fill-in-the-middle) split — Bavarian et al. 2022's PSM
     * transform for infilling training: two deterministic split points
     * drawn from the doc's OWN hash partition the character range into

@@ -526,6 +526,19 @@ object ScaleProbe {
             (col("doc_id") % 977).cast("string"), lit(".xml\n"))
             .as("robots")),
         "doc_id", "robots"))
+    // q192: pure projection (four per-line split folds in-row)
+    time(s"delimitedProfile x$n")(
+      TextAnalysisOps.delimitedProfile(docs, "doc_id", "text"))
+    // q194: (id, 16 B prefix sig) through one count exchange
+    time(s"templatePrefixes x$n")(
+      TextAnalysisOps.templatePrefixes(docs, "doc_id", "text"))
+    // q193: shard-keyed map-side-combined sums
+    time(s"shardManifest x$n")(
+      graft.operators.SamplingOps.shardManifest(
+        docs.withColumn("shard", col("doc_id") % 16)
+          .withColumn("n_tok",
+            size(split(col("text"), " ")).cast("long")),
+        "shard", "doc_id", col("n_tok"), "text"))
     // q178: one source-keyed rank window over (id, source, score)
     time(s"perSourcePercentileGate x$n")(
       graft.operators.SamplingOps.perSourcePercentileGate(

@@ -3058,6 +3058,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("cos_micro") < 1000000L)
   }
 
+  test("delimitedProfile sniffs the delimiter from header-row " +
+      "consistency, ties break in candidate order") {
+    val docs = Seq(
+      (1L, "a,b,c\n1,2,3\n4,5,6\n7,8,9"),             // clean CSV
+      (2L, "x\ty\n1\t2\n3\t4"),                        // TSV, 2 lines + header
+      (3L, "just ordinary prose without structure"),   // 1 col everywhere
+      (4L, "a;b\n1;2\n3,4;5\nbroken line"),            // inconsistent
+      (5L, "p|q|r\n1|2|3\n4|5|6")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.delimitedProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("delimiter"),
+        r.getAs[Long]("n_cols"), r.getAs[Long]("consistency_milli"),
+        r.getAs[Boolean]("is_tabular")))
+    assert(got(0) == ((1L, "comma", 3L, 1000L, true)), got(0))
+    assert(got(1) == ((2L, "tab", 2L, 1000L, true)), got(1))
+    assert(!got(2)._5 && got(2)._2 == "none")
+    assert(!got(3)._5, got(3))
+    assert(got(4) == ((5L, "pipe", 3L, 1000L, true)), got(4))
+  }
+
+  test("templatePrefixes flags shared document heads at the minDocs " +
+      "threshold") {
+    val tpl = "welcome to our store the best"
+    val docs = (1L to 6L).map(i => (i, s"$tpl deals number $i here")) ++
+      Seq((7L, "a one-off document about something"),
+        (8L, "another unique head entirely"))
+    val got = TextAnalysisOps.templatePrefixes(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 6,
+      minDocs = 5).orderBy("doc_id").collect()
+    assert(got.take(6).forall(_.getAs[Boolean]("is_template_prefix")))
+    assert(got.take(6).forall(_.getAs[Long]("n_docs_sharing") == 6L))
+    assert(!got(6).getAs[Boolean]("is_template_prefix"))
+    assert(got(6).getAs[Long]("n_docs_sharing") == 1L)
+  }
+
+  test("shardManifest checksums are order-insensitive and change when " +
+      "content changes") {
+    import graft.operators.SamplingOps
+    val a = Seq((0, 1L, "alpha text", 2L), (0, 2L, "beta text", 2L),
+      (1, 3L, "gamma text", 2L))
+      .toDF("shard", "doc_id", "text", "n_tok")
+    val b = Seq((0, 2L, "beta text", 2L), (1, 3L, "gamma text", 2L),
+      (0, 1L, "alpha text", 2L)) // same rows, different order
+      .toDF("shard", "doc_id", "text", "n_tok")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      SamplingOps.shardManifest(df, "shard", "doc_id", col("n_tok"),
+        "text").orderBy("shard").collect()
+        .map(r => (r.getInt(0), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[String]("manifest_sig")))
+    assert(m(a).toSeq == m(b).toSeq)
+    val c = Seq((0, 1L, "alpha text CHANGED", 2L),
+      (0, 2L, "beta text", 2L), (1, 3L, "gamma text", 2L))
+      .toDF("shard", "doc_id", "text", "n_tok")
+    assert(m(a)(0)._4 != m(c)(0)._4) // shard 0 changed
+    assert(m(a)(1)._4 == m(c)(1)._4) // shard 1 untouched
+  }
+
   test("TarCodec roundtrips members, verifies checksums, rejects " +
       "malformation and exotic typeflags") {
     import graft.sources.TarCodec
