@@ -7254,7 +7254,7 @@ ORDER BY rank LIMIT 6"""),
         |  SELECT doc_id,
         |    substr(md5(array_to_string(
         |      string_split(text, ' ')[1:6], ' ')), 1, 16) AS prefix_sig
-        |  FROM inj),
+        |  FROM inj WHERE text IS NOT NULL),
         |c AS (SELECT prefix_sig, count(*)::BIGINT AS n FROM s
         |      GROUP BY prefix_sig)
         |SELECT s.doc_id, s.prefix_sig, c.n AS n_docs_sharing,

@@ -2406,31 +2406,43 @@ object TextAnalysisOps {
           expr("n_cells * 1000 div n_rows")).otherwise(lit(0L)))
   }
 
-  /** Delimited-text (CSV/TSV-ish) profile — the tabular-modality
-    * router: crawls carry raw CSV/TSV files that prose rules mangle
-    * and table-understanding corpora want intact. For each candidate
-    * delimiter (tab, comma, semicolon, pipe) the FIRST non-empty
-    * line's field count is the reference (the header-row convention)
-    * and consistency is the share of non-empty lines with that exact
-    * count; the winning delimiter maximizes (consistent lines, with
-    * ≥ 2 columns), ties in the fixed candidate order. `is_tabular`
-    * gates on ≥ 3 lines, ≥ 2 columns, ≥ 900 milli consistency.
-    *
-    * Scale shape: pure projection (per-line splits fold in-row). */
   /** (name, split REGEX) per candidate — regex strings shared
-    * verbatim with the oracle (RE2 and Java agree on all four). */
+    * verbatim with the q192 oracle (RE2 and Java agree on all
+    * four). */
   val DelimiterCandidates: Seq[(String, String)] = Seq(
     "tab" -> "\t", "comma" -> ",", "semicolon" -> ";",
     "pipe" -> "\\|")
 
+  /** Delimited-text (CSV/TSV-ish) profile — the tabular-modality
+    * router: crawls carry raw CSV/TSV files that prose rules mangle
+    * and table-understanding corpora want intact. For each
+    * [[DelimiterCandidates]] entry (tab, comma, semicolon, pipe) the
+    * FIRST non-empty line's field count is the reference (the
+    * header-row convention) and consistency is the share of
+    * non-empty lines with that exact count; the winning delimiter
+    * maximizes (consistent lines, with ≥ 2 columns), ties in the
+    * fixed candidate order. `is_tabular` gates on ≥ 3 lines, ≥ 2
+    * columns, ≥ 900 milli consistency.
+    *
+    * Scale shape: pure projection (per-line splits fold in-row; the
+    * lines array and the four header counts are STAGED so lambda
+    * bodies reference bound columns — an inline header split inside
+    * the per-line filter would re-split the header once per line). */
   def delimitedProfile(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"),
+    val linesExpr = filter(split(col(textCol), "\n"),
       l => length(trim(l)) > 0)
+    val staged = DelimiterCandidates.foldLeft(
+      docs.withColumn("__lines", linesExpr)) {
+      case (df, (cname, d)) =>
+        df.withColumn(s"__rc_$cname",
+          size(split(try_element_at(col("__lines"), lit(1)), d)))
+    }
+    val lines = col("__lines")
     val nLines = size(lines).cast("long")
     // per candidate: (name, reference cols, consistent-line count)
     val cands = DelimiterCandidates.map { case (cname, d) =>
-      val refCols = size(split(try_element_at(lines, lit(1)), d))
+      val refCols = col(s"__rc_$cname")
       val consistent = size(filter(lines,
         l => size(split(l, d)) === refCols)).cast("long")
       (cname, refCols, consistent)
@@ -2446,7 +2458,7 @@ object TextAnalysisOps {
           when(better, rc).otherwise(ac),
           when(better, cons).otherwise(as_))
     }
-    docs.select(col(idCol),
+    staged.select(col(idCol),
         nLines.as("n_lines"),
         wName.as("delimiter"),
         coalesce(wCols, lit(0)).cast("long").as("n_cols"),
@@ -2480,7 +2492,12 @@ object TextAnalysisOps {
     val sig = substring(md5(array_join(
       slice(toks, 1, k), " ")), 1, 16)
     val bySig = Window.partitionBy(col("prefix_sig"))
-    docs.select(col(idCol), sig.as("prefix_sig"))
+    // null-text docs have no head to sign and are dropped up front
+    // (the minhashCandidates discipline) — a NULL signature would
+    // also diverge from the oracle's equality join, where NULL never
+    // matches NULL
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), sig.as("prefix_sig"))
       .withColumn("n_docs_sharing",
         count(lit(1)).over(bySig).cast("long"))
       .withColumn("is_template_prefix",

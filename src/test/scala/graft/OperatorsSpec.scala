@@ -3065,7 +3065,10 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "x\ty\n1\t2\n3\t4"),                        // TSV, 2 lines + header
       (3L, "just ordinary prose without structure"),   // 1 col everywhere
       (4L, "a;b\n1;2\n3,4;5\nbroken line"),            // inconsistent
-      (5L, "p|q|r\n1|2|3\n4|5|6")
+      (5L, "p|q|r\n1|2|3\n4|5|6"),
+      // comma and semicolon TIE (both 2 cols, all 3 lines
+      // consistent): the earlier candidate must win
+      (6L, "a,b;c\n1,2;3\n4,5;6")
     ).toDF("doc_id", "text")
     val got = TextAnalysisOps.delimitedProfile(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -3077,6 +3080,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got(2)._5 && got(2)._2 == "none")
     assert(!got(3)._5, got(3))
     assert(got(4) == ((5L, "pipe", 3L, 1000L, true)), got(4))
+    // the strict-> tie-break: comma (earlier candidate) wins the tie
+    assert(got(5) == ((6L, "comma", 2L, 1000L, true)), got(5))
   }
 
   test("templatePrefixes flags shared document heads at the minDocs " +
