@@ -1751,6 +1751,48 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PII risk tiers (q195): q136's overlapping injection slices
+    // produce every tier — cards force high, phone+email medium→high
+    // combinations, email-only low.
+    "q195_pii_risk_tiers" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via http://ex.org/d/"),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0, lit(" card 4111 1111 1111 1111"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" call +1 (415) 555-0123"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" from 10.0.0.7"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.piiRiskTiers(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Manifest diff (q196): build A vs build B where shard 2's docs
+    // under id 100 changed text, shard 7 was dropped, and a new
+    // shard 8 appeared — the incremental-build contract.
+    "q196_manifest_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      def manifest(df: org.apache.spark.sql.DataFrame) =
+        SamplingOps.shardManifest(df, "shard", "doc_id",
+          col("n_tok"), "text")
+      val oldB = manifest(docs.withColumn("shard", col("doc_id") % 8))
+      val newDocs = docs
+        .withColumn("shard", col("doc_id") % 8)
+        .filter(col("shard") =!= 7)
+        .withColumn("text",
+          when(col("shard") === 2 && col("doc_id") < 100,
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("shard", lit(8L)))
+      SamplingOps.manifestDiff(oldB, manifest(newDocs), "shard")
+        .orderBy(col("shard"))
+    }),
+
     // Delimited-text profile (q192): CSV/TSV/pipe-shaped slices must
     // sniff their delimiter from header-row consistency; prose stays
     // non-tabular.
@@ -4044,6 +4086,84 @@ object SparkEntry {
     "github_pat_ABCDEFGHIJ0123456789ab_" +
       "cdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ012345678"
 
+  /** The q136 full-scrub CTE chain (fixture injection through
+    * the validated candidate lists in `phx`) — shared by the q136
+    * redaction check and the q195 risk-tier rollup. */
+  private lazy val FullScrubCtesSql: String =
+    s"""inj AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
+        |    '@example.com via http://ex.org/d/' || doc_id::VARCHAR ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' card 4111 1111 1111 1111' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' call +1 (415) 555-0123' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' from 10.0.0.7' ELSE '' END AS text
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text,
+        |      '${TextAnalysisOps.UrlPattern}')) AS n_urls,
+        |    len(regexp_extract_all(text,
+        |      '${TextAnalysisOps.EmailPattern}')) AS n_emails,
+        |    regexp_replace(regexp_replace(text,
+        |      '${TextAnalysisOps.UrlPattern}', '<URL>', 'g'),
+        |      '${TextAnalysisOps.EmailPattern}', '<EMAIL>', 'g') AS t1
+        |  FROM inj),
+        |cd AS (
+        |  SELECT doc_id, n_urls, n_emails, t1,
+        |    list_filter(regexp_extract_all(t1,
+        |      '(^|[^0-9])(${TextAnalysisOps.CardPattern})([^0-9]|$$)',
+        |      2), c -> (
+        |      list_sum(list_transform(
+        |        range(1, length(regexp_replace(c, '[ -]', '', 'g')) + 1),
+        |        p -> CASE WHEN p % 2 = 0
+        |          THEN CASE WHEN 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT > 9
+        |            THEN 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT - 9
+        |            ELSE 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT END
+        |          ELSE substr(regexp_replace(c, '[ -]', '', 'g'),
+        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
+        |              1)::INT END)) % 10 = 0)) AS cardok
+        |  FROM cnt),
+        |s2 AS (
+        |  SELECT doc_id, n_urls, n_emails, len(cardok) AS n_cards,
+        |    CASE WHEN len(cardok) >= 1
+        |      THEN regexp_replace(t1,
+        |        '(^|[^0-9])' || cardok[1] || '([^0-9]|$$)',
+        |        '\\1<CARD>\\2', 'g') ELSE t1 END AS t2
+        |  FROM cd),
+        |ipx AS (
+        |  SELECT doc_id, n_urls, n_emails, n_cards, t2,
+        |    list_filter(regexp_extract_all(t2,
+        |      '(^|[^0-9.])(${TextAnalysisOps.Ipv4Pattern})($$|[^0-9.]|\\.[^0-9]|\\.$$)',
+        |      2),
+        |      c -> len(list_filter(string_split(c, '.'),
+        |        o -> o::INT > 255)) = 0) AS ipok
+        |  FROM s2),
+        |s3 AS (
+        |  SELECT doc_id, n_urls, n_emails, n_cards, len(ipok) AS n_ips,
+        |    CASE WHEN len(ipok) >= 1
+        |      THEN regexp_replace(t2,
+        |        '(^|[^0-9.])' || replace(ipok[1], '.', '\\.')
+        |          || '($$|[^0-9.]|\\.[^0-9]|\\.$$)',
+        |        '\\1<IP>\\2', 'g') ELSE t2 END AS t3
+        |  FROM ipx),
+        |phx AS (
+        |  SELECT doc_id, n_urls, n_emails, n_cards, n_ips, t3,
+        |    list_filter(regexp_extract_all(t3,
+        |      '(^|[^0-9])(${TextAnalysisOps.PhonePattern})([^0-9]|$$)',
+        |      2),
+        |      c -> (c LIKE '+%' OR regexp_matches(c, '[- .()]'))
+        |        AND NOT regexp_matches(c,
+        |          '^[0-9]{4}([ -][0-9]{4}){1,4}$$')) AS phok
+        |  FROM s3)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5738,89 +5858,41 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
     // replace, context-gated phone replace — each stage's counts
     // measured on the text as that stage sees it.
     "q136_full_scrub" -> (
-      s"""WITH inj AS (
-        |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
-        |    '@example.com via http://ex.org/d/' || doc_id::VARCHAR ||
-        |    CASE WHEN doc_id % 4 = 0
-        |      THEN ' card 4111 1111 1111 1111' ELSE '' END ||
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN ' call +1 (415) 555-0123' ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0
-        |      THEN ' from 10.0.0.7' ELSE '' END AS text
-        |  FROM documents),
-        |cnt AS (
-        |  SELECT doc_id, text,
-        |    len(regexp_extract_all(text,
-        |      '${TextAnalysisOps.UrlPattern}')) AS n_urls,
-        |    len(regexp_extract_all(text,
-        |      '${TextAnalysisOps.EmailPattern}')) AS n_emails,
-        |    regexp_replace(regexp_replace(text,
-        |      '${TextAnalysisOps.UrlPattern}', '<URL>', 'g'),
-        |      '${TextAnalysisOps.EmailPattern}', '<EMAIL>', 'g') AS t1
-        |  FROM inj),
-        |cd AS (
-        |  SELECT doc_id, n_urls, n_emails, t1,
-        |    list_filter(regexp_extract_all(t1,
-        |      '(^|[^0-9])(${TextAnalysisOps.CardPattern})([^0-9]|$$)',
-        |      2), c -> (
-        |      list_sum(list_transform(
-        |        range(1, length(regexp_replace(c, '[ -]', '', 'g')) + 1),
-        |        p -> CASE WHEN p % 2 = 0
-        |          THEN CASE WHEN 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
-        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
-        |              1)::INT > 9
-        |            THEN 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
-        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
-        |              1)::INT - 9
-        |            ELSE 2 * substr(regexp_replace(c, '[ -]', '', 'g'),
-        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
-        |              1)::INT END
-        |          ELSE substr(regexp_replace(c, '[ -]', '', 'g'),
-        |              length(regexp_replace(c, '[ -]', '', 'g')) - p + 1,
-        |              1)::INT END)) % 10 = 0)) AS cardok
-        |  FROM cnt),
-        |s2 AS (
-        |  SELECT doc_id, n_urls, n_emails, len(cardok) AS n_cards,
-        |    CASE WHEN len(cardok) >= 1
-        |      THEN regexp_replace(t1,
-        |        '(^|[^0-9])' || cardok[1] || '([^0-9]|$$)',
-        |        '\\1<CARD>\\2', 'g') ELSE t1 END AS t2
-        |  FROM cd),
-        |ipx AS (
-        |  SELECT doc_id, n_urls, n_emails, n_cards, t2,
-        |    list_filter(regexp_extract_all(t2,
-        |      '(^|[^0-9.])(${TextAnalysisOps.Ipv4Pattern})($$|[^0-9.]|\\.[^0-9]|\\.$$)',
-        |      2),
-        |      c -> len(list_filter(string_split(c, '.'),
-        |        o -> o::INT > 255)) = 0) AS ipok
-        |  FROM s2),
-        |s3 AS (
-        |  SELECT doc_id, n_urls, n_emails, n_cards, len(ipok) AS n_ips,
-        |    CASE WHEN len(ipok) >= 1
-        |      THEN regexp_replace(t2,
-        |        '(^|[^0-9.])' || replace(ipok[1], '.', '\\.')
-        |          || '($$|[^0-9.]|\\.[^0-9]|\\.$$)',
-        |        '\\1<IP>\\2', 'g') ELSE t2 END AS t3
-        |  FROM ipx),
-        |phx AS (
-        |  SELECT doc_id, n_urls, n_emails, n_cards, n_ips, t3,
-        |    list_filter(regexp_extract_all(t3,
-        |      '(^|[^0-9])(${TextAnalysisOps.PhonePattern})([^0-9]|$$)',
-        |      2),
-        |      c -> (c LIKE '+%' OR regexp_matches(c, '[- .()]'))
-        |        AND NOT regexp_matches(c,
-        |          '^[0-9]{4}([ -][0-9]{4}){1,4}$$')) AS phok
-        |  FROM s3)
+      "WITH " + FullScrubCtesSql + """
         |SELECT doc_id,
         |  substr(md5(CASE WHEN len(phok) >= 1
         |    THEN regexp_replace(t3,
         |      '(^|[^0-9])' || replace(replace(replace(replace(
-        |        phok[1], '.', '\\.'), '+', '\\+'), '(', '\\('),
-        |        ')', '\\)') || '([^0-9]|$$)',
-        |      '\\1<PHONE>\\2', 'g') ELSE t3 END), 1, 16)
+        |        phok[1], '.', '\.'), '+', '\+'), '(', '\('),
+        |        ')', '\)') || '([^0-9]|$)',
+        |      '\1<PHONE>\2', 'g') ELSE t3 END), 1, 16)
         |    AS scrub_sig,
         |  n_urls, n_emails, n_cards, n_ips, len(phok) AS n_phones
         |FROM phx ORDER BY doc_id""".stripMargin),
+
+    // The q136 counts chain rolled to identifying-kind counts and a
+    // routing tier — cards alone are high, three identifying kinds
+    // are high, two medium, one low.
+    "q195_pii_risk_tiers" -> (
+      "WITH " + FullScrubCtesSql + """,
+        |k AS (
+        |  SELECT doc_id, n_urls, n_emails, n_cards, n_ips,
+        |    len(phok) AS n_phones,
+        |    ((CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n_cards > 0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n_ips > 0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN len(phok) > 0 THEN 1 ELSE 0 END))::BIGINT
+        |      AS n_identifying_kinds
+        |  FROM phx)
+        |SELECT doc_id, n_urls, n_emails, n_cards, n_ips, n_phones,
+        |  n_identifying_kinds,
+        |  CASE WHEN n_cards > 0 OR n_identifying_kinds >= 3
+        |      THEN 'high'
+        |    WHEN n_identifying_kinds = 2 THEN 'medium'
+        |    WHEN n_identifying_kinds = 1 THEN 'low'
+        |    ELSE 'none' END AS risk_tier
+        |FROM k ORDER BY doc_id""".stripMargin),
+
 
     // q77's canonicalization chain + the two-pass tracking strip +
     // latest-wins window keyed on the canonical URL.
@@ -7161,6 +7233,47 @@ ORDER BY rank LIMIT 6"""),
       "WITH " + RrfHybridCtesSql + """
         |SELECT query_id, rank, doc_id, rrf_micro, n_systems
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Both builds' manifests via the q193 sum formula, FULL OUTER
+    // joined to the per-shard status.
+    "q196_manifest_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |newd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN shard = 2 AND doc_id < 100
+        |      THEN text || ' updated' ELSE text END AS text,
+        |    CASE WHEN shard = 2 AND doc_id < 100
+        |      THEN len(string_split(text || ' updated', ' '))::BIGINT
+        |      ELSE n_tok END AS n_tok,
+        |    shard
+        |  FROM base WHERE shard <> 7
+        |  UNION ALL
+        |  SELECT doc_id, text, n_tok, 8 FROM base WHERE doc_id < 50),
+        |om AS (
+        |  SELECT shard, count(*)::BIGINT AS n_docs,
+        |    substr(md5(sum(('0x' || substr(md5(doc_id::VARCHAR || '|'
+        |      || text), 1, 8))::BIGINT)::BIGINT::VARCHAR), 1, 16)
+        |      AS sig
+        |  FROM base GROUP BY shard),
+        |nm AS (
+        |  SELECT shard, count(*)::BIGINT AS n_docs,
+        |    substr(md5(sum(('0x' || substr(md5(doc_id::VARCHAR || '|'
+        |      || text), 1, 8))::BIGINT)::BIGINT::VARCHAR), 1, 16)
+        |      AS sig
+        |  FROM newd GROUP BY shard)
+        |SELECT coalesce(om.shard, nm.shard) AS shard,
+        |  coalesce(om.n_docs, 0)::BIGINT AS old_n_docs,
+        |  coalesce(nm.n_docs, 0)::BIGINT AS new_n_docs,
+        |  CASE WHEN om.sig IS NULL THEN 'added'
+        |    WHEN nm.sig IS NULL THEN 'removed'
+        |    WHEN om.sig = nm.sig THEN 'same'
+        |    ELSE 'changed' END AS status
+        |FROM om FULL OUTER JOIN nm ON om.shard = nm.shard
+        |ORDER BY shard""".stripMargin,
 
     // Per-candidate split counts against the first non-empty line,
     // the same strict-> fold order, identical gates.

@@ -536,6 +536,34 @@ object SamplingOps {
           .as("manifest_sig"))
   }
 
+  /** Manifest DIFF between two corpus builds — the "what changed"
+    * answer without reading shard bytes: full-outer join of two
+    * [[shardManifest]] frames, per shard a status of `added` /
+    * `removed` / `changed` (signature differs) / `same`. Running it
+    * per build turns the manifests into an incremental-build
+    * contract: downstream consumers re-process `changed`+`added`
+    * shards only.
+    *
+    * Scale shape: both sides are shards-sized frames; the join is
+    * trivially broadcast. */
+  def manifestDiff(oldM: DataFrame, newM: DataFrame,
+                   shardCol: String): DataFrame = {
+    val o = oldM.select(col(shardCol),
+      col("n_docs").as("old_n_docs"),
+      col("manifest_sig").as("old_sig"))
+    val n = newM.select(col(shardCol),
+      col("n_docs").as("new_n_docs"),
+      col("manifest_sig").as("new_sig"))
+    o.join(n, Seq(shardCol), "full_outer")
+      .select(col(shardCol),
+        coalesce(col("old_n_docs"), lit(0L)).as("old_n_docs"),
+        coalesce(col("new_n_docs"), lit(0L)).as("new_n_docs"),
+        when(col("old_sig").isNull, lit("added"))
+          .when(col("new_sig").isNull, lit("removed"))
+          .when(col("old_sig") === col("new_sig"), lit("same"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Epoch plan — [[tokenBudgetAllocate]] carried down to DOCUMENT
     * verdicts: within each source, docs are ordered by their md5
     * hash (the deterministic shuffle every epoch builder needs — no

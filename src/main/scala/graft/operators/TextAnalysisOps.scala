@@ -422,6 +422,33 @@ object TextAnalysisOps {
       size(phValid).as("n_phones"))
   }
 
+  /** PII risk tiers — [[fullScrub]]'s counts rolled to a ROUTING
+    * decision: documents carrying several identifying-PII kinds
+    * (emails, cards, IPs, phones — URLs are contextual, not
+    * identifying) need the strict scrub path and human review
+    * sampling; a single stray email does not. Cards alone are
+    * `high` (regulated data); three identifying kinds `high`, two
+    * `medium`, one `low`, none `none`. Counts re-emitted so the tier
+    * is auditable.
+    *
+    * Scale shape: [[fullScrub]]'s pure projection; the tier is
+    * in-row arithmetic (the scrubbed text itself is dropped — this
+    * frame routes, the scrub pass redacts). */
+  def piiRiskTiers(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val s = fullScrub(docs, idCol, textCol)
+    val kinds = Seq("n_emails", "n_cards", "n_ips", "n_phones")
+      .map(c => when(col(c) > 0, 1).otherwise(0)).reduce(_ + _)
+    s.withColumn("n_identifying_kinds", kinds.cast("long"))
+      .withColumn("risk_tier",
+        when(col("n_cards") > 0 ||
+          col("n_identifying_kinds") >= 3L, lit("high"))
+          .when(col("n_identifying_kinds") === 2L, lit("medium"))
+          .when(col("n_identifying_kinds") === 1L, lit("low"))
+          .otherwise(lit("none")))
+      .drop("scrubbed")
+  }
+
   /** The common UTF-8-read-as-Latin-1 digraph repairs (the ftfy "sloppy
     * Windows-1252" core subset, public knowledge): each key is what a
     * UTF-8 byte pair/triple renders as when mis-decoded, each value the

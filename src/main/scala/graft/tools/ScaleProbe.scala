@@ -526,6 +526,9 @@ object ScaleProbe {
             (col("doc_id") % 977).cast("string"), lit(".xml\n"))
             .as("robots")),
         "doc_id", "robots"))
+    // q195: fullScrub's projection + in-row tier arithmetic
+    time(s"piiRiskTiers x$n")(
+      TextAnalysisOps.piiRiskTiers(docs, "doc_id", "text"))
     // q192: pure projection (four per-line split folds in-row)
     time(s"delimitedProfile x$n")(
       TextAnalysisOps.delimitedProfile(docs, "doc_id", "text"))

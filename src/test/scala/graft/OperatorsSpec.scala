@@ -3058,6 +3058,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("cos_micro") < 1000000L)
   }
 
+  test("piiRiskTiers routes by identifying-kind counts; cards force high") {
+    val docs = Seq(
+      (1L, "mail me at a@b.com only"),                       // low
+      (2L, "a@b.com and call +1 (415) 555-0123"),            // medium
+      (3L, "a@b.com, +1 (415) 555-0123, from 10.0.0.7"),     // high (3 kinds)
+      (4L, "card 4111 1111 1111 1111 alone"),                // high (card)
+      (5L, "no pii here, see http://ex.org only")            // none (url not identifying)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.piiRiskTiers(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_identifying_kinds"),
+        r.getAs[String]("risk_tier")))
+    assert(got.toSeq == Seq((1L, 1L, "low"), (2L, 2L, "medium"),
+      (3L, 3L, "high"), (4L, 1L, "high"), (5L, 0L, "none")),
+      got.mkString(","))
+  }
+
+  test("manifestDiff reports added/removed/changed/same per shard") {
+    import graft.operators.SamplingOps
+    def m(rows: Seq[(Int, Long, String, Long)]) =
+      SamplingOps.shardManifest(
+        rows.toDF("shard", "doc_id", "text", "n_tok"),
+        "shard", "doc_id", col("n_tok"), "text")
+    val old = m(Seq((0, 1L, "a", 1L), (1, 2L, "b", 1L),
+      (2, 3L, "c", 1L)))
+    val neu = m(Seq((0, 1L, "a", 1L), (1, 2L, "b CHANGED", 1L),
+      (3, 4L, "d", 1L)))
+    val got = SamplingOps.manifestDiff(old, neu, "shard")
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getAs[String]("status")))
+    assert(got.toSeq == Seq((0, "same"), (1, "changed"),
+      (2, "removed"), (3, "added")), got.mkString(","))
+  }
+
   test("delimitedProfile sniffs the delimiter from header-row " +
       "consistency, ties break in candidate order") {
     val docs = Seq(
