@@ -1787,6 +1787,10 @@ object SparkEntry {
           when(col("shard") === 2 && col("doc_id") < 100,
             concat(col("text"), lit(" updated")))
             .otherwise(col("text")))
+        // re-derive token counts AFTER the text rewrite so changed
+        // docs carry fresh n_tok (the oracle recomputes from text)
+        .withColumn("n_tok",
+          size(split(col("text"), " ")).cast("long"))
         .unionByName(docs.filter(col("doc_id") < 50)
           .withColumn("shard", lit(8L)))
       SamplingOps.manifestDiff(oldB, manifest(newDocs), "shard")
@@ -2041,16 +2045,20 @@ object SparkEntry {
     "q184_registered_domains" -> ((s, dir) => {
       val k = (col("doc_id") % 20).cast("string")
       val urls = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 6 === 0,
+        when(col("doc_id") % 7 === 0,
           concat(lit("http://news.site"), k, lit(".com/a")))
-          .when(col("doc_id") % 6 === 1,
+          .when(col("doc_id") % 7 === 1,
             concat(lit("https://blog.site"), k, lit(".com/b")))
-          .when(col("doc_id") % 6 === 2,
+          .when(col("doc_id") % 7 === 2,
             concat(lit("http://site"), k, lit(".com/c")))
-          .when(col("doc_id") % 6 === 3,
+          .when(col("doc_id") % 7 === 3,
             concat(lit("http://x.y.site"), k, lit(".co.uk/d")))
-          .when(col("doc_id") % 6 === 4,
+          .when(col("doc_id") % 7 === 4,
             concat(lit("http://site"), k, lit(".co.uk/e")))
+          // IPv4 address-literal hosts: >=4 labels, must pass
+          // through whole (NOT fold to the last two octets)
+          .when(col("doc_id") % 7 === 5,
+            concat(lit("http://10.0."), k, lit(".1/g")))
           .otherwise(concat(lit("http://host"), k, lit("/f")))
           .as("url"))
       UrlOps.registeredDomains(urls, "doc_id", "url")
@@ -7772,7 +7780,7 @@ ORDER BY rank LIMIT 6"""),
     "q184_registered_domains" -> (
       s"""WITH u AS (
         |  SELECT doc_id,
-        |    CASE doc_id % 6
+        |    CASE doc_id % 7
         |      WHEN 0 THEN 'http://news.site' || (doc_id % 20)::VARCHAR
         |        || '.com/a'
         |      WHEN 1 THEN 'https://blog.site' || (doc_id % 20)::VARCHAR
@@ -7783,6 +7791,8 @@ ORDER BY rank LIMIT 6"""),
         |        || '.co.uk/d'
         |      WHEN 4 THEN 'http://site' || (doc_id % 20)::VARCHAR
         |        || '.co.uk/e'
+        |      WHEN 5 THEN 'http://10.0.' || (doc_id % 20)::VARCHAR
+        |        || '.1/g'
         |      ELSE 'http://host' || (doc_id % 20)::VARCHAR || '/f'
         |      END AS url
         |  FROM documents),
@@ -7797,7 +7807,10 @@ ORDER BY rank LIMIT 6"""),
         |  FROM h WHERE length(host) > 0),
         |rd AS (
         |  SELECT doc_id, host,
-        |    CASE WHEN n <= 2 THEN host
+        |    CASE WHEN n <= 2
+        |        OR regexp_matches(host,
+        |             '^\\d{1,3}(\\.\\d{1,3}){3}$$')
+        |        OR host LIKE '[%' THEN host
         |      WHEN list_contains(
         |          [${UrlOps.MultiPartSuffixes
                      .map(s => s"'$s'").mkString(", ")}],

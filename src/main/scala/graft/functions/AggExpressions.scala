@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Bounded top-N aggregate: the smallest `n` values of the child per
+  * group, returned as an ascending-sorted array.
+  *
+  * This is the scale-safe replacement for the hot-key rank-window idiom
+  * `row_number().over(Window.partitionBy(key).orderBy(v)) <= n`: Spark
+  * evaluates an unordered/ranked window with a full shuffle on the key
+  * followed by SINGLE-TASK evaluation of each key group, so a Zipfian
+  * content key (a boilerplate gram, a stopword term) concentrates
+  * O(corpus) rows in one task. A `TypedImperativeAggregate` instead
+  * rides normal partial aggregation: every map task keeps at most `n`
+  * values per key in a bounded heap, the exchange carries only those
+  * `<= n`-element partial buffers, and the final merge per key touches
+  * `<= n * numPartialBuffers` values — no task ever holds a key group's
+  * full row set. Hash-identical output to the window form when the
+  * ranked values are distinct per group (rank `<= n` then selects
+  * exactly the `n` smallest).
+  *
+  * Values must be of an orderable type (longs, strings, structs for
+  * lexicographic (id, pos) ranks). Nulls are skipped. Runs in
+  * `ObjectHashAggregateExec` (spillable object buffers).
+  */
+case class BoundedTopNAgg(
+    child: Expression,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[Any]]
+  with UnaryLike[Expression] {
+
+  require(n >= 1, "bounded_top_n: n must be >= 1")
+
+  override def prettyName: String = "bounded_top_n"
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(child.dataType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
+  @transient private lazy val ord: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+
+  // max-heap over the kept smallest-n: the head is the current cutoff
+  override def createAggregationBuffer(): java.util.PriorityQueue[Any] =
+    new java.util.PriorityQueue[Any](math.min(n, 16) + 1, ord.reverse)
+
+  private def add(buf: java.util.PriorityQueue[Any], v: Any): Unit = {
+    if (buf.size < n) buf.offer(v)
+    else if (ord.lt(v, buf.peek)) { buf.poll(); buf.offer(v) }
+  }
+
+  override def update(buf: java.util.PriorityQueue[Any],
+                      input: InternalRow): java.util.PriorityQueue[Any] = {
+    val v = child.eval(input)
+    // copy: unsafe-backed values (strings, structs) alias the input row
+    if (v != null) add(buf, InternalRow.copyValue(v))
+    buf
+  }
+
+  override def merge(buf: java.util.PriorityQueue[Any],
+                     other: java.util.PriorityQueue[Any])
+      : java.util.PriorityQueue[Any] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Any]): Any = {
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr,
+      ord.asInstanceOf[java.util.Comparator[AnyRef]])
+    new GenericArrayData(arr)
+  }
+
+  @transient private lazy val proj =
+    UnsafeProjection.create(Array[DataType](child.dataType))
+
+  override def serialize(buf: java.util.PriorityQueue[Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val u = proj.apply(InternalRow(it.next()))
+      out.writeInt(u.getSizeInBytes)
+      out.write(u.getBytes)
+    }
+    out.writeInt(-1)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.PriorityQueue[Any] = {
+    val buf = createAggregationBuffer()
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    var sz = in.readInt()
+    while (sz >= 0) {
+      val b = new Array[Byte](sz)
+      in.readFully(b)
+      val row = new UnsafeRow(1)
+      row.pointTo(b, sz)
+      add(buf, InternalRow.copyValue(row.get(0, child.dataType)))
+      sz = in.readInt()
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopNAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopNAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedTopNAgg =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the custom aggregates. */
+object AggFunctions {
+
+  /** Smallest `n` values of `c` per group, ascending-sorted array.
+    * Bounded partial-aggregation buffers — see [[BoundedTopNAgg]]. */
+  def boundedTopN(c: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      BoundedTopNAgg(GraftColumnBridge.expression(c), n)
+        .toAggregateExpression())
+}

@@ -377,18 +377,23 @@ object MultimodalOps {
     * whose (frames, fingerprint, energy) triple collides are the same
     * recording (re-containered/re-labeled copies collide by
     * construction — the fingerprint ignores header metadata); keep the
-    * lowest id per collision group. One shuffle on the 24-byte triple,
-    * the q30 exact-dedup pattern on decoded-audio keys. */
+    * lowest id per collision group. Group size and min-id come from a
+    * map-side-combined aggregate on the 24-byte triple, equi-joined
+    * back (the aggregated frame has one row per distinct fingerprint)
+    * — no per-group window, so a pathologically replicated recording
+    * never serializes its copies through one task. The fingerprint
+    * rows are evaluated once per join branch; decode cost is linear
+    * and embarrassingly parallel (persist the fingerprint frame if
+    * decode dominates). */
   def audioDedup(fingerprints: DataFrame, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("n_frames"), col("fp"), col("energy"))
-      .orderBy(col(idCol))
-    fingerprints.filter(col("decoded"))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("n_copies", count(lit(1)).over(
-        Window.partitionBy(col("n_frames"), col("fp"), col("energy"))))
+    val decoded = fingerprints.filter(col("decoded"))
+    val groups = decoded
+      .groupBy(col("n_frames"), col("fp"), col("energy"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("__minid"))
+    decoded
+      .join(groups, Seq("n_frames", "fp", "energy"))
       .select(col(idCol), col("fp"), col("n_copies"),
-        (col("__rn") === 1).as("keep"))
+        (col(idCol) === col("__minid")).as("keep"))
   }
 
   /** Cross-corpus audio matches — the audio leg of decontamination

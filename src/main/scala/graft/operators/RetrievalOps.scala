@@ -33,10 +33,15 @@ object RetrievalOps {
     * immediately semi-joined against the broadcast distinct-query-term
     * set — rows for non-query terms never reach an exchange, so the one
     * real shuffle (tf counting, map-side combined) is sized by matching
-    * tokens, not the corpus. df rides a count window over a narrow
-    * re-exchange of the same (term, doc, tf) rows — never a second
-    * pass over the corpus subtree; the query list and the global
-    * length stats are broadcast. Document lengths are a projection
+    * tokens, not the corpus. df is a per-term `groupBy.count` over the
+    * same (term, doc, tf) subtree — partially aggregatable, so a
+    * stopword term that slips past the guard arrives at its reducer
+    * as one partial count per partition instead of holding its whole
+    * posting list in a single window task — broadcast-joined back
+    * (the df frame is at most one row per query term). Catalyst's
+    * exchange reuse evaluates the shared (term, doc, tf) exchange
+    * once, never a second pass over the corpus subtree; the query
+    * list and the global length stats are broadcast. Document lengths are a projection
     * (`size(split)`), never a shuffle. The final top-k window
     * partitions on query_id; its input is the candidate set (docs
     * sharing ≥1 term with a query) — with stopword-free queries this is
@@ -61,16 +66,18 @@ object RetrievalOps {
     val qTerms = queries.select(col(qIdCol).as("query_id"),
       explode(array_distinct(tokens(col(qTextCol)))).as("term"))
     val termSet = qTerms.select(col("term")).distinct()
-    // df via a count window over the (term, doc, tf) rows: one narrow
-    // extra exchange on `term` instead of recomputing the corpus
-    // explode + semi-join subtree for a second aggregation
-    val pairs = base
+    val tf = base
       .select(col("doc_id"), col("__dl"), explode(col("__t")).as("term"))
       .join(broadcast(termSet), Seq("term"))
       .groupBy(col("term"), col("doc_id"), col("__dl"))
       .agg(count(lit(1)).as("__tf"))
-      .withColumn("__df",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
+    // df per term: map-side-combined aggregate over the SAME
+    // (term, doc, tf) exchange (Catalyst reuses the identical
+    // subtree), broadcast back — at most one row per query term, and
+    // no per-term window task ever buffers a posting list
+    val dfs = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val pairs = tf.join(broadcast(dfs), Seq("term"))
     // identical AST on the DuckDB side — see the q79 oracle SQL
     val idf = log(
       ((col("__n_docs") - col("__df")).cast("double") + lit(0.5)) /
@@ -332,19 +339,31 @@ object RetrievalOps {
     * comment: at most `maxBroadcastQueries` queries, the exact
     * broadcast |Q|·|C| scan is both correct and cheapest; past it,
     * the scan cost scales with the query set and the call routes
-    * through the LSH-celled path. The one-row `count()` on the query
-    * frame is the price of the decision (queries are the small side
-    * by contract). */
+    * through the LSH-celled path.
+    *
+    * Routing cost: a caller that already knows |Q| passes
+    * `queryCountHint` and no Spark job runs at call time. Without a
+    * hint the query frame is persisted BEFORE the one-row `count()`,
+    * so the decision job materializes the rows the chosen route then
+    * reuses — the query source is scanned once, not twice (queries
+    * are the small side by contract, so the persist is bounded). */
   def hashedDenseTopKAuto(docs: DataFrame, idCol: String,
                           textCol: String, queries: DataFrame,
                           qIdCol: String, qTextCol: String,
                           k: Int = 10, dim: Int = 64,
                           maxBroadcastQueries: Long = 256L,
-                          bits: Int = 4, probe: Int = 2): DataFrame =
-    if (queries.count() <= maxBroadcastQueries)
-      hashedDenseTopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
+                          bits: Int = 4, probe: Int = 2,
+                          queryCountHint: Option[Long] = None)
+      : DataFrame = {
+    val q = if (queryCountHint.isDefined) queries
+      else queries.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nQ = queryCountHint.getOrElse(q.count())
+    if (nQ <= maxBroadcastQueries)
+      hashedDenseTopK(docs, idCol, textCol, q, qIdCol, qTextCol,
         k, dim)
     else
-      hashedDenseTopKLsh(docs, idCol, textCol, queries, qIdCol,
+      hashedDenseTopKLsh(docs, idCol, textCol, q, qIdCol,
         qTextCol, k, dim, bits, probe)
+  }
 }

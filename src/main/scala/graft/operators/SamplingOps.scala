@@ -425,6 +425,51 @@ object SamplingOps {
       .drop("__h", "__rk", "__n")
   }
 
+  /** [[stratifiedSample]] with the skew route decided IN CODE (the
+    * q174 auto-route discipline, replacing a doc-comment caveat):
+    * the exact route ranks each stratum's rows by sampling hash in a
+    * per-stratum window — EXACT ceil(rate·n) rows, but a stratum's
+    * whole row set funnels through one indivisible window task, so a
+    * 90%-one-stratum corpus single-tasks at scale. Past
+    * `maxExactPerStratum` rows in any stratum the call routes to
+    * hash-threshold Bernoulli sampling over the SAME sampling frame
+    * (keep iff the row's uint32 md5 prefix < rate·2³²): a pure
+    * projection — ZERO shuffle at any corpus size — deterministic,
+    * engine-portable, and per-stratum counts land within binomial
+    * deviation of rate·n instead of exactly ceil(rate·n). The chosen
+    * route is reported via the `stratified_route` observe metric
+    * (exact = 0, threshold = 1) plus kept-row count, so the
+    * approximation is always surfaced, never silent.
+    *
+    * Route decision: one per-stratum count aggregate collected at
+    * call time (a stratum-sized frame — the price of the decision);
+    * pass `maxStratumHint` when the caller already knows the largest
+    * stratum to skip that job. */
+  def stratifiedSampleAuto(df: DataFrame, stratum: Column, key: Column,
+                           rate: Double,
+                           maxExactPerStratum: Long = 10000000L,
+                           maxStratumHint: Option[Long] = None)
+      : DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    val maxStratum = maxStratumHint.getOrElse {
+      val r = df.groupBy(stratum.as("__st"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val rateMicro = math.round(rate * 1000000.0)
+    if (maxStratum <= maxExactPerStratum)
+      stratifiedSample(df, stratum, key, rate)
+        .observe("stratified_route", max(lit(0L)).as("route"),
+          count(lit(1)).as("kept_rows"))
+    else
+      df.filter(
+          conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+            * 1000000L < lit(rateMicro * 4294967296L))
+        .observe("stratified_route", max(lit(1L)).as("route"),
+          count(lit(1)).as("kept_rows"))
+  }
+
   /** Per-source percentile quality gate — RELATIVE filtering: keep
     * the top `keepFrac` of each source by `score` rather than one
     * global threshold (a global cut empties low-scoring sources
@@ -458,6 +503,79 @@ object SamplingOps {
       .select(col(idCol), col(sourceCol), col("score"),
         col("rank_in_source").cast("long").as("rank_in_source"),
         col("keep"))
+  }
+
+  /** [[perSourcePercentileGate]] with the skew route decided IN CODE
+    * (the q174 auto-route discipline, replacing the doc-comment
+    * caveat): the exact route's per-source rank window funnels a
+    * dominant source's whole row set through one indivisible task.
+    * Past `maxExactPerSource` rows in any source the call routes to
+    * the THRESHOLD path — the q50 domain-aggregation move: rows
+    * aggregate to per-(source, score) counts (map-side combined; the
+    * frame is bounded by the score DOMAIN per source, not its row
+    * count), a running sum over the distinct scores finds the exact
+    * quota-percentile threshold per source, and the verdict joins
+    * back broadcast (one row per source). Keep = `score >= threshold`
+    * — EXACT on scores, but boundary-score ties are all kept rather
+    * than id-tie-broken to the exact quota, so kept counts can
+    * overshoot by up to (tie group − 1) rows; the overshoot is
+    * surfaced via the `percentile_gate_route` observe metric
+    * (`overshoot_rows`), never silent. Output carries `keep` only
+    * (no per-row `rank_in_source` — producing exact ranks is
+    * precisely the corpus-keyed window this route exists to avoid);
+    * both routes emit the same (id, source, score, keep) schema.
+    *
+    * Route decision: one per-source count aggregate collected at call
+    * time; pass `maxSourceHint` to skip it. */
+  def perSourcePercentileGateAuto(df: DataFrame, idCol: String,
+                                  sourceCol: String, score: Column,
+                                  keepFrac: Double,
+                                  maxExactPerSource: Long = 10000000L,
+                                  maxSourceHint: Option[Long] = None)
+      : DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0, "keepFrac in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(sourceCol), score.as("score"))
+    val maxSource = maxSourceHint.getOrElse {
+      val r = base.groupBy(col(sourceCol))
+        .agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val fracMicro = math.round(keepFrac * 1000000.0)
+    if (maxSource <= maxExactPerSource)
+      perSourcePercentileGate(df, idCol, sourceCol, score, keepFrac)
+        .select(col(idCol), col(sourceCol), col("score"), col("keep"))
+        .observe("percentile_gate_route", max(lit(0L)).as("route"),
+          sum(lit(0L)).as("overshoot_rows"))
+    else {
+      val counts = base.groupBy(col(sourceCol), col("score"))
+        .agg(count(lit(1)).as("__c"))
+      // per-source totals: source-sized frame, broadcast back
+      val totals = counts.groupBy(col(sourceCol))
+        .agg(sum(col("__c")).as("__n"))
+      // running sum over DISTINCT scores, best-first — the window
+      // partition is the per-source score domain, NOT its row count
+      val wDesc = Window.partitionBy(col(sourceCol))
+        .orderBy(col("score").desc)
+      val cum = counts.join(broadcast(totals), Seq(sourceCol))
+        .withColumn("__cum", sum(col("__c")).over(wDesc))
+        .withColumn("__q", expr(
+          s"(__n * ${fracMicro}L + 999999L) div 1000000L"))
+      // a score group is (partially) inside the quota iff the rows
+      // strictly better than it don't already fill it
+      val thr = cum.filter(col("__cum") - col("__c") < col("__q"))
+        .groupBy(col(sourceCol))
+        .agg(min(col("score")).as("__thr"),
+          max(col("__cum")).as("__kept"), max(col("__q")).as("__qq"))
+        .observe("percentile_gate_route", max(lit(1L)).as("route"),
+          sum(col("__kept") - col("__qq")).as("overshoot_rows"))
+      base.join(broadcast(thr.select(col(sourceCol), col("__thr"))),
+          Seq(sourceCol), "left_outer")
+        .select(col(idCol), col(sourceCol), col("score"),
+          (col("__thr").isNotNull &&
+            col("score") >= col("__thr")).as("keep"))
+    }
   }
 
   /** Token-budget allocation across sources by largest remainder

@@ -628,35 +628,33 @@ object TextAnalysisOps {
     * classic retrieval/search-index build, and the lookup structure
     * decontamination and TF-IDF pipelines read from.
     *
-    * Scale shape: one shuffle carries (term, id) pairs, partitioned by
-    * term for the ranking window; the groupBy reuses that partitioning
-    * (no second exchange). Postings are capped at `maxPostings` ids per
-    * term (df still counts all) — and the cap bounds the AGGREGATION
-    * BUFFER, not just the output: rows are ranked by a window
-    * `row_number() ≤ maxPostings` BEFORE `collect_list`, so a stop-word
-    * term's array buffer holds at most `maxPostings` ids no matter the
-    * corpus size. (The window itself buffers each term's rows in
-    * Spark's spillable window buffer — disk-backed, unlike an
-    * aggregation array.) df comes from a whole-partition count window
-    * over the same exchange. Real index builds shard exactly this way.
-    * Emitted as a joined string: portable across engines and sinks. */
+    * Scale shape: ONE aggregation over the (term, id) pairs — df is a
+    * plain `count` (partially aggregatable, map-side combined) and the
+    * postings cap runs in [[graft.functions.BoundedTopNAgg]], a
+    * bounded-heap `TypedImperativeAggregate` whose partial buffers
+    * hold at most `maxPostings` ids per term per map task. No window:
+    * the previous rank-window form shuffled every (term, id) pair onto
+    * its term and evaluated each term group in a SINGLE task — a
+    * stop-word term concentrates O(corpus) rows in one task at scale.
+    * Here the exchange carries only `<= maxPostings`-element partial
+    * heaps plus partial counts, so the hot term's final merge touches
+    * `maxPostings * numPartialBuffers` values, never its full posting
+    * list. df still counts all occurrences (ids are distinct per term
+    * via the per-doc array_distinct, so the smallest-n heap equals the
+    * rank-capped list exactly). Real index builds shard exactly this
+    * way. Emitted as a joined string: portable across engines/sinks. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     maxPostings: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.AggFunctions.boundedTopN
     val pairs = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), explode(array_distinct(col("__t"))).as("term"))
-    // ids are distinct per term (per-doc array_distinct), so rank-by-id
-    // selects exactly the smallest maxPostings ids — identical output to
-    // slicing the fully collected sorted list.
-    val byTerm = Window.partitionBy(col("term"))
     pairs
-      .withColumn("__df", count(lit(1)).over(byTerm))
-      .withColumn("__rn", row_number().over(byTerm.orderBy(col(idCol))))
-      .filter(col("__rn") <= maxPostings)
       .groupBy(col("term"))
-      .agg(max(col("__df")).as("df"),
-        array_join(sort_array(collect_list(col(idCol))), ",").as("postings"))
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(boundedTopN(col(idCol), maxPostings),
+            x => x.cast("string")), ",").as("postings"))
   }
 
   /** Benchmark decontamination: flag training documents sharing any word
@@ -756,19 +754,23 @@ object TextAnalysisOps {
     *
     * Scale shape: positions explode once (one row per token position,
     * linear in corpus tokens), each row carrying (id, pos, 16-byte
-    * gram hash) — the gram TEXT never reaches an exchange. The global
-    * occurrence count rides a count window on the hash exchange (the
-    * invertedIndex/BM25-df idiom: counting costs no second shuffle);
-    * only REPEATED positions survive into the per-doc list (a small
-    * fraction of tokens for a sane corpus, whole-doc-sized only for
-    * wall-to-wall boilerplate), and the cut is the same pure array
-    * expression as [[decontaminateExcise]]. No all-pairs, no suffix
-    * arrays; two exchanges total (16-byte keys, then id-keyed lists). */
+    * gram hash) — the gram TEXT never reaches an exchange. Global
+    * occurrence counts come from `groupBy(gram).count()` — partially
+    * aggregatable, map-side combined, so a corpus-wide boilerplate
+    * gram arrives at its reducer as one partial count per upstream
+    * partition, NOT as O(corpus) rows in a single window task (the
+    * hot-key shape the old count-window form had) — and repeated
+    * positions are restored by a left-semi equi-join of the position
+    * rows against the repeated-gram keys (hash join streams the big
+    * side; AQE splits any residual skew). Only REPEATED positions
+    * survive into the per-doc list (a small fraction of tokens for a
+    * sane corpus, whole-doc-sized only for wall-to-wall boilerplate),
+    * and the cut is the same pure array expression as
+    * [[decontaminateExcise]]. No all-pairs, no suffix arrays. */
   def repeatedSubstringExcise(docs: DataFrame, idCol: String,
                               textCol: String, k: Int = 8,
                               minCount: Int = 2): DataFrame = {
     import graft.functions.TextExpressions.wordShingles
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minCount >= 2,
       "k must be >= 1 and minCount >= 2")
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
@@ -777,10 +779,12 @@ object TextAnalysisOps {
         posexplode(wordShingles(col("__t"), k)).as(Seq("pos", "__sh")))
       .select(col(idCol), col("pos"),
         substring(md5(col("__sh")), 1, 16).as("__g"))
-    val byGram = Window.partitionBy(col("__g"))
-    val starts = grams
-      .withColumn("__c", count(lit(1)).over(byGram))
+    val repeatedGrams = grams
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
+      .select(col("__g"))
+    val starts = grams
+      .join(repeatedGrams, Seq("__g"), "left_semi")
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__starts"))
     // span width: a doc shorter than k has one whole-doc window
@@ -822,11 +826,14 @@ object TextAnalysisOps {
     * only ONE covering partner, and wall-to-wall boilerplate keeps
     * its top-ranked partners under any cap).
     *
-    * Scale shape: the q114 exchanges (16 B gram keys with a count
-    * window, then id-keyed lists) plus one hash-keyed candidate join
-    * whose output is (ids, positions, shift) integers — gram text
-    * still never reaches an exchange; span assembly and coverage
-    * grouping are doc-keyed. */
+    * Scale shape: the q114 exchanges (16 B gram keys through a
+    * map-side-combined count + bounded top-N aggregate, then id-keyed
+    * lists) plus one hash-keyed candidate join whose output is (ids,
+    * positions, shift) integers — gram text still never reaches an
+    * exchange; no count/rank window over the gram key (the partner
+    * cap is [[graft.functions.BoundedTopNAgg]], partial buffers
+    * `<= partnerCap` structs per gram per map task); span assembly
+    * and coverage grouping are doc-keyed. */
   def repeatedSubstringExciseVerified(
       docs: DataFrame, idCol: String, textCol: String, k: Int = 8,
       minCount: Int = 2, partnerCap: Int = 64): DataFrame = {
@@ -840,16 +847,25 @@ object TextAnalysisOps {
         posexplode(wordShingles(col("__t"), k)).as(Seq("pos", "__sh")))
       .select(col(idCol), col("pos"),
         substring(md5(col("__sh")), 1, 16).as("__g"))
-    val byGram = Window.partitionBy(col("__g"))
-    val cand = grams
-      .withColumn("__c", count(lit(1)).over(byGram))
+    // per-gram stats in ONE bounded aggregation: occurrence count
+    // (map-side combined) + the partnerCap smallest (id, pos)
+    // occurrences via the bounded-heap top-N aggregate — no count or
+    // rank window, so a corpus-wide boilerplate gram never
+    // concentrates its O(corpus) occurrence rows in a single task
+    val gramStats = grams
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c"),
+        graft.functions.AggFunctions.boundedTopN(
+          struct(col(idCol).as("id"), col("pos").as("p")),
+          partnerCap).as("__top"))
       .filter(col("__c") >= minCount)
-      .withColumn("__rk",
-        row_number().over(byGram.orderBy(col(idCol), col("pos"))))
       .observe("rsx_partner_cap",
-        count(when(col("__rk") > partnerCap, true))
+        sum(when(col("__c") > partnerCap,
+          col("__c") - lit(partnerCap.toLong)).otherwise(lit(0L)))
           .as("capped_occurrences"),
         max(col("__c")).as("max_gram_count"))
+    val cand = grams
+      .join(gramStats.select(col("__g")), Seq("__g"), "left_semi")
     // maximal marked spans: a new span starts when the previous
     // marked window no longer touches this one's token range
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
@@ -861,9 +877,10 @@ object TextAnalysisOps {
     val spanBounds = sp.groupBy(col(idCol), col("span_id"))
       .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"),
         count(lit(1)).as("__nc"))
-    val bSide = cand.filter(col("__rk") <= partnerCap)
-      .select(col("__g"), col(idCol).as("__bid"),
-        col("pos").as("__bpos"))
+    val bSide = gramStats
+      .select(col("__g"), explode(col("__top")).as("__b"))
+      .select(col("__g"), col("__b").getField("id").as("__bid"),
+        col("__b").getField("p").as("__bpos"))
     val pairs = sp
       .select(col("__g"), col(idCol).as("__aid"), col("span_id"),
         col("pos").as("__apos"))
@@ -2366,13 +2383,18 @@ object TextAnalysisOps {
     * corpus-wide, and report per doc how many of its sentences are
     * corpus-repeated (`>= minCount` occurrences).
     *
-    * Scale shape: sentences explode once, carrying (id, 16 B sig) to
-    * the count exchange (the q114 discipline — sentence TEXT never
-    * reaches an exchange); the per-doc rollup re-keys on id. */
+    * Scale shape: sentences explode once, carrying (id, 16 B sig).
+    * Corpus-wide counts are `groupBy(sig).count()` — map-side
+    * combined, so a boilerplate sentence repeated across the whole
+    * corpus reaches its reducer as one partial count per upstream
+    * partition, not as O(corpus) rows in one window task — and the
+    * per-sentence repeat flag comes back via a left-outer equi-join
+    * against the (tiny) repeated-sig set; the per-doc rollup re-keys
+    * on id. Sentence TEXT never reaches an exchange (q114
+    * discipline). */
   def repeatedSentences(docs: DataFrame, idCol: String,
                         textCol: String,
                         minCount: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // abbreviation guard: mask the dot so the split cannot fire on it
     val masked = regexp_replace(
       regexp_replace(col(textCol),
@@ -2386,13 +2408,15 @@ object TextAnalysisOps {
         posexplode(sentences).as(Seq("__i", "__s")))
       .select(col(idCol), col("__i"),
         substring(md5(lower(col("__s"))), 1, 16).as("__sig"))
-    val bySig = Window.partitionBy(col("__sig"))
+    val repeatedSigs = sents
+      .groupBy(col("__sig")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount.toLong)
+      .select(col("__sig"), lit(1L).as("__rep"))
     val rollup = sents
-      .withColumn("__c", count(lit(1)).over(bySig))
+      .join(repeatedSigs, Seq("__sig"), "left_outer")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__ns"),
-        sum(when(col("__c") >= minCount.toLong, 1L).otherwise(0L))
-          .as("__nr"))
+        sum(coalesce(col("__rep"), lit(0L))).as("__nr"))
     // every input doc gets a row — a doc with zero sentences (empty,
     // whitespace, pure punctuation) reports 0/0/0 instead of
     // silently vanishing from the profile

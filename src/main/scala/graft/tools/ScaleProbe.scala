@@ -28,6 +28,12 @@ object ScaleProbe {
     // shuffle-bytes accounting: what each op actually puts on the wire
     // (the number SCALING.md's per-op rows cite)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-TASK shuffle-read high-water mark: the hot-key-skew signal.
+    // A count/rank window over a Zipfian key funnels the hot group
+    // into ONE task — shuffle MiB stays "linear" while one task reads
+    // O(corpus) records; this metric catches what totals cannot.
+    val maxTaskShuffleRecords =
+      new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -35,6 +41,11 @@ object ScaleProbe {
             : Unit =
           shuffleBytes.addAndGet(
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            maxTaskShuffleRecords.getAndAccumulate(
+              te.taskMetrics.shuffleReadMetrics.recordsRead, Math.max)
       })
     // dev filter: SPARK_GRAFT_PROBE_ONLY=commonLineFilter runs only the
     // probes whose label contains the substring
@@ -46,6 +57,7 @@ object ScaleProbe {
       if (!only.forall(_.split(",").exists(s => label.contains(s.trim))))
         return
       shuffleBytes.set(0L)
+      maxTaskShuffleRecords.set(0L)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -56,7 +68,8 @@ object ScaleProbe {
         .drain(spark.sparkContext, 10000L)
       val tag = if (drained) "" else " (listener drain TIMED OUT)"
       println(f"[probe] $label: $sec%.2f s, " +
-        f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB$tag")
+        f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB, " +
+        s"max-task read ${maxTaskShuffleRecords.get()} rows$tag")
     }
     def replicate(df: DataFrame, idCol: String): DataFrame =
       (0 until n).map { r =>
@@ -92,6 +105,69 @@ object ScaleProbe {
     // natural one at every N — this times the hash-keyed count + join
     time(s"memorizationProfile x$n")(
       TextAnalysisOps.memorizationProfile(docs, "doc_id", "text"))
+
+    // HOT-KEY SKEW fixtures (round-9 item 1): one 8-token gram (= one
+    // hot term, one hot gram hash) planted in 50% of docs, one hot
+    // sentence likewise. Data-replication probes scale VOLUME but not
+    // KEY SKEW, so the pre-round-9 count/rank-window plans looked
+    // "linear" here while funneling the hot group into ONE task. The
+    // `max-task read` column is the verdict: the window baseline
+    // concentrates O(corpus/2) rows in one task; the round-9
+    // aggregate+join-back / bounded-top-N plans keep the aggregate
+    // stage's per-task read at partial-count size, and the remaining
+    // join-back concentration is a shuffled HASH JOIN with ONE row on
+    // the build side per hot key — AQE-skew-splittable (windows are
+    // not: a window group is indivisible by construction).
+    {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextExpressions.wordShingles
+      // AQE partition coalescing merges the toy-scale shuffles into
+      // one task (total MiB ≪ advisory size), which would report a
+      // bogus "everything in one task" max-read — disable it HERE so
+      // the metric isolates genuine key concentration; restored after
+      // the block (coalescing is right for the volume probes)
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val hotGram = "hk1 hk2 hk3 hk4 hk5 hk6 hk7 hk8"
+      val skewDocs = docs.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(lit(hotGram + " . "), col("text")))
+          .otherwise(col("text")))
+      time(s"invertedIndex SKEW x$n (hot term in 50% of docs)")(
+        TextAnalysisOps.invertedIndex(skewDocs, "doc_id", "text"))
+      time(s"repeatedSubstringExcise SKEW x$n")(
+        TextAnalysisOps.repeatedSubstringExcise(skewDocs, "doc_id",
+          "text"))
+      time(s"repeatedSubstringExciseVerified SKEW x$n")(
+        TextAnalysisOps.repeatedSubstringExciseVerified(skewDocs,
+          "doc_id", "text"))
+      time(s"repeatedSentences SKEW x$n (hot sentence in 50% of docs)")(
+        TextAnalysisOps.repeatedSentences(
+          docs.withColumn("text",
+            when(col("doc_id") % 2 === 0,
+              concat(lit("This exact sentence repeats corpus wide. "),
+                col("text"))).otherwise(col("text"))),
+          "doc_id", "text"))
+      // the pre-round-9 plan shape, inlined as the A/B baseline: a
+      // count window over the gram hash — its max-task read IS the
+      // hot gram's full occurrence count
+      time(s"windowBaseline SKEW x$n (count window over gram key)") {
+        val toks = skewDocs.select(col("doc_id"),
+          split(col("text"), " ").as("__t"))
+        val grams = toks.select(col("doc_id"),
+            posexplode(wordShingles(col("__t"), 8))
+              .as(Seq("pos", "__sh")))
+          .select(col("doc_id"), col("pos"),
+            substring(md5(col("__sh")), 1, 16).as("__g"))
+        grams
+          .withColumn("__c",
+            count(lit(1)).over(Window.partitionBy(col("__g"))))
+          .filter(col("__c") >= 2)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      }
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
     // fixed domain space: docs-per-domain grows with N, timing the
     // per-domain rank window the cap exists to bound
     time(s"domainCap x$n")(

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.AggFunctions.boundedTopN
+
+/** [[graft.functions.BoundedTopNAgg]] — the bounded-heap top-N
+  * aggregate that replaced the hot-key rank-window idiom (round-9
+  * item 1). Semantics must equal
+  * `row_number().over(partitionBy(key).orderBy(v)) <= n` when values
+  * are distinct per group; buffers must survive the partial → shuffle
+  * → final serialize/deserialize path. */
+class AggExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("boundedTopN keeps the n smallest longs per group, ascending") {
+    val df = Seq(
+      ("a", 5L), ("a", 1L), ("a", 9L), ("a", 3L), ("a", 7L),
+      ("b", 2L), ("b", 8L),
+      ("c", 4L)
+    ).toDF("k", "v").repartition(8) // force multi-partition partial+merge
+    val got = df.groupBy("k").agg(boundedTopN(col("v"), 3).as("top"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList))
+    assert(got.toSeq == Seq(
+      ("a", List(1L, 3L, 5L)),   // capped at 3, smallest, sorted
+      ("b", List(2L, 8L)),       // group smaller than n: all values
+      ("c", List(4L))))
+  }
+
+  test("boundedTopN matches the rank-window form on a skewed key " +
+      "(the q56 postings-cap contract)") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot key holding most rows — the shape the aggregate exists for
+    val rows = (1 to 500).map(i => ("hot", i.toLong * 7 % 501)) ++
+      (1 to 5).map(i => ("cold", i.toLong))
+    val df = rows.toDF("k", "v").repartition(16)
+    val viaAgg = df.groupBy("k")
+      .agg(boundedTopN(col("v"), 10).as("top"))
+      .select(col("k"), array_join(transform(col("top"),
+        x => x.cast("string")), ",").as("s"))
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .groupBy("k")
+      .agg(array_join(transform(sort_array(collect_list(col("v"))),
+        x => x.cast("string")), ",").as("s"))
+    val a = viaAgg.orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    val b = viaWindow.orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("boundedTopN orders structs lexicographically (the q172 " +
+      "(id, pos) partner-cap rank) and skips nulls") {
+    val df = Seq(
+      ("g1", Some(2L), 1),
+      ("g1", Some(1L), 9),
+      ("g1", Some(1L), 2),
+      ("g1", None, 0),       // null id -> null struct field still ranks;
+      ("g2", Some(3L), 3)    // whole-null child rows are exercised below
+    ).toDF("g", "id", "pos")
+    val got = df
+      .filter(col("id").isNotNull) // partner rows are non-null by construction
+      .groupBy("g")
+      .agg(boundedTopN(struct(col("id"), col("pos")), 2).as("top"))
+      .orderBy("g")
+      .collect()
+      .map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getInt(1))).toList))
+    assert(got.toSeq == Seq(
+      ("g1", List((1L, 2), (1L, 9))), // lexicographic: id first, then pos
+      ("g2", List((3L, 3)))))
+    // null child values are skipped, not ranked
+    val nulls = Seq(("g", Option.empty[Long]), ("g", Some(5L)))
+      .toDF("k", "v")
+      .groupBy("k").agg(boundedTopN(col("v"), 3).as("top"))
+      .collect().map(_.getSeq[Long](1).toList)
+    assert(nulls.head == List(5L))
+  }
+
+  test("boundedTopN runs in ObjectHashAggregate with partial " +
+      "aggregation — no window, no single-task key concentration") {
+    val df = (1 to 100).map(i => ("k" + (i % 3), i.toLong)).toDF("k", "v")
+    val p = df.groupBy("k").agg(boundedTopN(col("v"), 5))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"plan:\n$p")
+    assert(!p.contains("Window"), s"plan:\n$p")
+    // partial + final mode pair present (map-side combine happens)
+    assert(p.split("ObjectHashAggregate").length >= 3,
+      s"expected partial AND final aggregate nodes:\n$p")
+  }
+}

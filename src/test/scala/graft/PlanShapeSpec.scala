@@ -267,15 +267,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"pixel stats is a single pass:\n$p")
   }
 
-  test("q56: postings rank-capped BEFORE the aggregate — the collect " +
-      "buffer is bounded at maxPostings per term") {
+  test("q56: no window over the term key — df and the postings cap ride " +
+      "ONE bounded aggregation (partial buffers <= maxPostings per term)") {
     val p = plan("q56_inverted_index")
-    assert(p.contains("row_number"),
-      s"postings must be capped by a rank window pre-aggregate:\n$p")
-    // the groupBy reuses the window's term partitioning: exchanges are
-    // the (term, id) shuffle + the presentation sort, nothing more
+    assert(!p.contains("Window"),
+      s"a count/rank window on `term` single-tasks every stopword group:\n$p")
+    assert(p.contains("bounded_top_n"),
+      s"postings cap must run in the bounded top-N aggregate:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed-imperative aggregate should run in ObjectHashAggregate:\n$p")
+    // one (term) exchange + the presentation sort, nothing more
     assert(p.split("Exchange").length <= 3,
       s"index build must shuffle once on term (+ presentation sort):\n$p")
+  }
+
+  test("hot-key discipline: q114/q172/q187 have no count/rank window over " +
+      "a content key — counts aggregate map-side and join back") {
+    Seq("q114_repeated_substring_excise",
+        "q172_repeated_substring_verified",
+        "q187_repeated_sentences").foreach { q =>
+      val p = plan(q)
+      // q114/q187 need no window at all; q172's only windows are
+      // doc-keyed (span assembly: lag/sum over the document id, whose
+      // group size is bounded by document length, not corpus size)
+      val windowed = p.split("\n").filter(_.contains("Window"))
+      assert(windowed.forall(l =>
+          !l.contains("__g") && !l.contains("__sig") &&
+            !l.contains("term")),
+        s"$q must not window over a Zipfian content key:\n$p")
+      assert(p.contains("HashAggregate") ||
+          p.contains("ObjectHashAggregate"),
+        s"$q content-key counts must be partial aggregates:\n$p")
+    }
+  }
+
+  test("q79: BM25 df is a map-side-combined aggregate broadcast back, " +
+      "not a count window over the term key") {
+    val p = plan("q79_bm25_topk")
+    val windowed = p.split("\n").filter(_.contains("Window"))
+    assert(windowed.forall(l => !l.contains("term")),
+      s"df must not ride a window over `term`:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-term df frame must broadcast back:\n$p")
   }
 
   test("q58: learned centroids enter as literals — corpus assignment is " +
