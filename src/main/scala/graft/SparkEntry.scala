@@ -2137,6 +2137,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Percentile gate, THRESHOLD route (q197): the q178 gate with the
+    // skew route forced (maxExactPerSource = 10 < every source) — the
+    // domain-aggregated exact-threshold path a dominant source rides
+    // at scale. Keep = score >= per-source quota-percentile threshold;
+    // boundary ties all kept (overshoot surfaced via observe).
+    "q197_percentile_gate_auto" -> ((s, dir) => {
+      SamplingOps.perSourcePercentileGateAuto(t(s, dir, "documents"),
+        "doc_id", "source", col("n_chars"), keepFrac = 0.3,
+        maxExactPerSource = 10L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified sample, BERNOULLI route (q198): the hash-threshold
+    // projection path a dominant stratum rides at scale — keep iff
+    // the row's uint32 md5 prefix < rate * 2^32. Deterministic and
+    // engine-portable, zero shuffle.
+    "q198_stratified_auto" -> ((s, dir) => {
+      SamplingOps.stratifiedSampleAuto(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id").cast("string"), rate = 0.25,
+        maxExactPerStratum = 10L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-budget allocation (q179): largest-remainder split of a
     // 100k-token budget across sources proportional to their token
     // counts — sums exactly to budget, upsampling visible as
@@ -7984,6 +8008,40 @@ ORDER BY rank LIMIT 6"""),
         |  rank_in_source::BIGINT AS rank_in_source,
         |  rank_in_source * 1000000 <= n * 300000 + 999999 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Threshold route twin: domain-aggregated per-(source, score)
+    // counts, best-first running sum over DISTINCT scores, exact
+    // integer quota, keep = score >= threshold (ties all kept).
+    "q197_percentile_gate_auto" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars AS score FROM documents),
+        |counts AS (
+        |  SELECT source, score, count(*)::BIGINT AS c
+        |  FROM base GROUP BY source, score),
+        |totals AS (
+        |  SELECT source, sum(c)::BIGINT AS n FROM counts
+        |  GROUP BY source),
+        |cum AS (
+        |  SELECT counts.source, score, c, n,
+        |    sum(c) OVER (PARTITION BY counts.source
+        |      ORDER BY score DESC)::BIGINT AS cumc,
+        |    (n * 300000 + 999999) // 1000000 AS q
+        |  FROM counts JOIN totals ON counts.source = totals.source),
+        |thr AS (
+        |  SELECT source, min(score) AS thr
+        |  FROM cum WHERE cumc - c < q GROUP BY source)
+        |SELECT b.doc_id, b.source, b.score,
+        |  (t.thr IS NOT NULL AND b.score >= t.thr) AS keep
+        |FROM base b LEFT JOIN thr t ON b.source = t.source
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Bernoulli route twin: the same uint32-md5-prefix sampling frame,
+    // threshold compare in exact integer arithmetic.
+    "q198_stratified_auto" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |  * 1000000 < 250000 * 4294967296
+        |ORDER BY doc_id""".stripMargin,
 
     // Largest-remainder arithmetic: integer base + modulo remainders,
     // leftover handed out by remainder rank with source tie-break.

@@ -165,6 +165,26 @@ object ScaleProbe {
           .filter(col("__c") >= 2)
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       }
+      // 90%-one-source fixture (round-9 item 4): the auto-routed
+      // sampling/gating ops must show no single-task concentration
+      // when one source dominates — the threshold/Bernoulli routes
+      // aggregate per (source, score) domain or project per row,
+      // never rank the dominant source's rows in one window task
+      val skewSrc = docs.withColumn("source",
+        when(col("doc_id") % 10 < 9, lit("dominant"))
+          .otherwise(col("source")))
+      time(s"percentileGateAuto SKEW x$n (90% one source)")(
+        graft.operators.SamplingOps.perSourcePercentileGateAuto(
+          skewSrc, "doc_id", "source", col("n_chars"), 0.3,
+          maxExactPerSource = 1000L))
+      time(s"stratifiedSampleAuto SKEW x$n (90% one stratum)")(
+        graft.operators.SamplingOps.stratifiedSampleAuto(skewSrc,
+          col("source"), col("doc_id").cast("string"), 0.25,
+          maxExactPerStratum = 1000L))
+      // the exact-window route on the same fixture, as the A/B
+      time(s"percentileGateWindowBaseline SKEW x$n (90% one source)")(
+        graft.operators.SamplingOps.perSourcePercentileGate(
+          skewSrc, "doc_id", "source", col("n_chars"), 0.3))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

@@ -3644,6 +3644,66 @@ class OperatorsSpec extends AnyFunSuite {
       (6L, false, 2L)), got.mkString(","))
   }
 
+  test("perSourcePercentileGateAuto: exact route matches the window " +
+      "gate; threshold route keeps >= quota with boundary ties all kept") {
+    import graft.operators.SamplingOps
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (5L, "a", 50L),
+      (6L, "b", 5L), (7L, "b", 5L), (8L, "b", 5L), (9L, "b", 9L)
+    ).toDF("doc_id", "source", "score")
+    val auto = SamplingOps.perSourcePercentileGateAuto(docs, "doc_id",
+      "source", col("score"), keepFrac = 0.4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("keep")))
+    val win = SamplingOps.perSourcePercentileGate(docs, "doc_id",
+      "source", col("score"), keepFrac = 0.4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("keep")))
+    assert(auto.toSeq == win.toSeq, "exact route must equal the gate")
+    // threshold route (forced): a has distinct scores -> identical to
+    // exact (quota 2: 50, 40); b quota = ceil(0.4*4) = 2 -> best 9,
+    // then the 5-tie group starts within quota so ALL ties keep
+    val thr = SamplingOps.perSourcePercentileGateAuto(docs, "doc_id",
+      "source", col("score"), keepFrac = 0.4, maxExactPerSource = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("keep")))
+    assert(thr.toSeq == Seq((1L, false), (2L, false), (3L, false),
+      (4L, true), (5L, true), (6L, true), (7L, true), (8L, true),
+      (9L, true)), thr.mkString(","))
+  }
+
+  test("stratifiedSampleAuto: exact route equals stratifiedSample; " +
+      "Bernoulli route is the deterministic md5-prefix threshold") {
+    import graft.operators.SamplingOps
+    val docs = (1 to 400).map(i => (i.toLong, "s" + (i % 2)))
+      .toDF("doc_id", "source")
+    val key = col("doc_id").cast("string")
+    val exact = SamplingOps.stratifiedSampleAuto(docs, col("source"),
+      key, 0.25).orderBy("doc_id").collect().map(_.getLong(0))
+    val direct = SamplingOps.stratifiedSample(docs, col("source"),
+      key, 0.25).orderBy("doc_id").collect().map(_.getLong(0))
+    assert(exact.toSeq == direct.toSeq)
+    assert(exact.length == 100, "ceil(0.25*200) per stratum = 50+50")
+    // Bernoulli route (forced): independently recompute the md5
+    // threshold filter on the driver — determinism + exact membership
+    val bern = SamplingOps.stratifiedSampleAuto(docs, col("source"),
+      key, 0.25, maxExactPerStratum = 10L)
+      .collect().map(_.getLong(0)).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex8(s: String): Long = {
+      val h = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16)
+    }
+    val expected = (1 to 400)
+      .filter(i => hex8(i.toString) * 1000000L < 250000L * 4294967296L)
+      .map(_.toLong).toSet
+    assert(bern == expected)
+    // binomial sanity: ~100 expected at rate 0.25 over 400 rows
+    assert(bern.size > 60 && bern.size < 140, s"got ${bern.size}")
+  }
+
   test("tokenBudgetAllocate: largest-remainder sums exactly to budget, " +
       "proportional within one token") {
     import graft.operators.SamplingOps
