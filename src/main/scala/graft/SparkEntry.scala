@@ -1844,19 +1844,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // TAR archive walk (q189): each doc becomes a two-member ustar
-    // archive (text + a JSON meta member); the parser's member
-    // listing, sizes and content digests must equal the oracle's
-    // recomputation from the member strings — agreement proves the
-    // header walk, octal/checksum handling and data slicing.
+    // TAR archive walk (q189): each doc becomes a three-member ustar
+    // archive (text + a JSON meta member + a >100-char GNU-long-name
+    // member); the parser's member listing, sizes and content digests
+    // must equal the oracle's recomputation from the member strings —
+    // agreement proves the header walk, octal/checksum handling, data
+    // slicing and the 'L' long-name resolution.
     "q189_tar_members" -> ((s, dir) => {
       import s.implicits._
       val members = t(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
+          val longPath = ("deep/nested/path/segments/" * 4) +
+            s"long_name_member_$id.dat"
           val tar = graft.sources.TarCodec.tarBytes(Seq(
             (s"doc_$id.txt", text.getBytes("UTF-8")),
-            (s"meta/$id.json", s"""{"id": $id}""".getBytes("UTF-8"))))
+            (s"meta/$id.json", s"""{"id": $id}""".getBytes("UTF-8")),
+            (longPath, s"long $id".getBytes("UTF-8"))))
           graft.sources.TarCodec.parse(tar).get.zipWithIndex.map {
             case (m, i) => (id, i, m.name, m.size, m.data)
           }
@@ -1865,6 +1869,121 @@ object SparkEntry {
           col("size"),
           substring(md5(col("data")), 1, 16).as("content_sig"))
         .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
+    // TAR → curation composition (q199, round-9 item 5): tarballs as
+    // first-class corpus input. Each doc becomes a tarball holding an
+    // HTML page member + a GNU-long-name ('L') plain-text member; the
+    // pipeline walks the archive, routes members by extension (html →
+    // tag-strip extraction, txt → pass-through) and runs the full
+    // curation gate chain over the member-level corpus — the q165
+    // funnel pattern fed from an archive instead of a column.
+    "q199_tar_curation" -> ((s, dir) => {
+      import s.implicits._
+      val members = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val html = s"<html><head><title>Doc $id</title></head>" +
+            s"<body><p>$text</p></body></html>"
+          val longTxt = ("archive/extracted/corpus/shard/" * 4) +
+            s"note_$id.txt"
+          val note = if (id % 3 == 0) s"short note $id"
+            else text + s" member $id"
+          val tar = graft.sources.TarCodec.tarBytes(Seq(
+            (s"page_$id.html", html.getBytes("UTF-8")),
+            (longTxt, note.getBytes("UTF-8"))))
+          graft.sources.TarCodec.parse(tar).get.map { m =>
+            (id, m.name, new String(m.data, "UTF-8"))
+          }
+        }.toDF("doc_id", "name", "raw")
+      val mid = (col("doc_id") * 2 +
+        when(col("name").endsWith(".html"), 0).otherwise(1)).as("mid")
+      val htmlM = members.filter(col("name").endsWith(".html"))
+        .select(mid, col("raw").as("html"))
+      val extracted = TextAnalysisOps.htmlToText(htmlM, "mid", "html")
+        .select(col("mid"), col("text"))
+      val txtM = members.filter(col("name").endsWith(".txt"))
+        .select(mid, col("raw").as("text"))
+      TextAnalysisOps.curate(extracted.unionByName(txtM), "mid", "text")
+        .select(expr("mid div 2").as("doc_id"),
+          pmod(col("mid"), lit(2)).as("member_idx"),
+          col("keep"), col("reason"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
+    // Web-text standard clean (q200, round-9 item 8): the canonical
+    // hygiene pipeline VERIFIED AS A UNIT — C4 line/page filtering →
+    // gopher page rules on the line-cleaned text → mojibake repair →
+    // content-signature dedup — with funnel-order drop accounting so
+    // every stage's cost is surfaced, no silent drops. The fixture
+    // plants every failure mode: js lines (removed, page kept), lorem
+    // and brace pages (dropped), a symbol-heavy gopher failure, a
+    // mojibake line (repaired, never dropped), and a constant page
+    // repeated corpus-wide that must collapse to one primary.
+    "q200_web_standard_clean" -> ((s, dir) => {
+      val five = "First real sentence is here.\n" +
+        "Second real sentence follows now!\n" +
+        "Third one asks a question?\n" +
+        "Fourth sentence lands cleanly.\n" +
+        "Fifth sentence closes things.\n" +
+        "The filler paragraph continues with several additional " +
+        "plain words to clear the gopher gate.\n" +
+        "It keeps the language simple and uses the common " +
+        "stopwords of English in every line.\n" +
+        "Nothing unusual appears in this block at all."
+      val dup = "the dedup target page repeats across the corpus " +
+        "so the final stage must collapse it to one primary copy. " +
+        "it carries enough words to clear the gopher word count " +
+        "gate. the sentences are plain and short. they use common " +
+        "stopwords of the language. nothing here is code or " +
+        "markup. the page ends cleanly."
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 17 === 0, lit(dup))
+          .otherwise(concat(
+            when(col("doc_id") % 5 === 0,
+              lit("donâ€™t â€œquote this Ã©dition broken line " +
+                "here.\n")).otherwise(lit("")),
+            lit(five), lit("\n"), col("text"), lit("."),
+            when(col("doc_id") % 7 === 0,
+              lit("\nplease enable javascript to continue."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit("\nlorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              lit("\nfunction f() { return 1; }"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 19 === 0,
+              lit("\nRating summary ### ### ### ### ### ### ### " +
+                "### ### ### overall good."))
+              .otherwise(lit("")))).as("text"))
+      val c4r = TextAnalysisOps.c4Filter(injected, "doc_id", "text")
+      val gop = TextAnalysisOps.gopherRules(
+        c4r.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text").select(col("doc_id"), col("pass"))
+      val moj = TextAnalysisOps.mojibakeRepair(
+        c4r.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text").select(col("doc_id"), col("repaired"))
+      val gates0 = injected.select(col("doc_id"), col("source"))
+        .join(c4r.select(col("doc_id"),
+          (col("drop_reason") === "kept").as("__c4")), Seq("doc_id"))
+        .join(gop, Seq("doc_id")).join(moj, Seq("doc_id"))
+      // dedup runs over SURVIVORS only (funnel semantics): group
+      // stats + equi-join back — the round-9 discipline, no window
+      val surv = gates0.filter(col("__c4") && col("pass"))
+        .select(col("doc_id"), md5(col("repaired")).as("__sig"))
+      val groups = surv.groupBy(col("__sig"))
+        .agg(min(col("doc_id")).as("__primary"))
+      val uniq = surv.join(groups, Seq("__sig"))
+        .select(col("doc_id"),
+          (col("doc_id") === col("__primary")).as("__uniq"))
+      CurationPipeline.curationFunnel(
+        gates0.join(uniq, Seq("doc_id"), "left_outer")
+          .withColumn("__uniq", coalesce(col("__uniq"), lit(true))),
+        "source", Seq("c4" -> col("__c4"), "gopher" -> col("pass"),
+          "dedup" -> col("__uniq")))
+        .orderBy(col("source"), col("drop_stage"))
     }),
 
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
@@ -7422,9 +7541,114 @@ ORDER BY rank LIMIT 6"""),
         |    'meta/' || doc_id::VARCHAR || '.json',
         |    strlen('{"id": ' || doc_id::VARCHAR || '}')::BIGINT,
         |    substr(md5('{"id": ' || doc_id::VARCHAR || '}'), 1, 16)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    repeat('deep/nested/path/segments/', 4)
+        |      || 'long_name_member_' || doc_id::VARCHAR || '.dat',
+        |    strlen('long ' || doc_id::VARCHAR)::BIGINT,
+        |    substr(md5('long ' || doc_id::VARCHAR), 1, 16)
         |  FROM documents)
         |SELECT doc_id, member_idx, name, size, content_sig
         |FROM m ORDER BY doc_id, member_idx""".stripMargin,
+
+    // Member texts reconstructed in SQL (html member through the same
+    // tag-strip/space-collapse chain as q165's ext CTE, txt member
+    // literal), then the standard curation CTE chain over member ids.
+    // (interpolated into curationOracleSql's stripMargin region: no
+    // line here may BEGIN with '|' — concat '||' stays at line ends)
+    "q199_tar_curation" -> curationOracleSql(
+      """SELECT doc_id * 2 AS doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      '<html><head><title>Doc ' || doc_id::VARCHAR ||
+        |        '</title></head><body><p>' || text ||
+        |        '</p></body></html>',
+        |      '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'short note ' || doc_id::VARCHAR
+        |      ELSE text || ' member ' || doc_id::VARCHAR END
+        |  FROM documents""".stripMargin,
+      """SELECT doc_id // 2 AS doc_id, doc_id % 2 AS member_idx,
+        |  reason = 'keep' AS keep, reason
+        |FROM verdict ORDER BY doc_id, member_idx""".stripMargin),
+
+    // The composed standard clean: C4 line/page CTEs, the shared
+    // GopherFlagTail over the line-cleaned text, the q126 repair
+    // chain, survivor-only dedup grouping, first-fail funnel CASE.
+    "q200_web_standard_clean" -> (
+      """WITH injected AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN 'the dedup target page repeats across the corpus so the final stage must collapse it to one primary copy. it carries enough words to clear the gopher word count gate. the sentences are plain and short. they use common stopwords of the language. nothing here is code or markup. the page ends cleanly.'
+        |    ELSE
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN e'donâ€™t â€œquote this Ã©dition broken line here.\n'
+        |        ELSE '' END ||
+        |      e'First real sentence is here.\nSecond real sentence follows now!\nThird one asks a question?\nFourth sentence lands cleanly.\nFifth sentence closes things.\nThe filler paragraph continues with several additional plain words to clear the gopher gate.\nIt keeps the language simple and uses the common stopwords of English in every line.\nNothing unusual appears in this block at all.'
+        |      || chr(10) || text || '.' ||
+        |      CASE WHEN doc_id % 7 = 0 THEN e'\nplease enable javascript to continue.' ELSE '' END ||
+        |      CASE WHEN doc_id % 11 = 0 THEN e'\nlorem ipsum dolor sit amet.' ELSE '' END ||
+        |      CASE WHEN doc_id % 13 = 0 THEN e'\nfunction f() { return 1; }' ELSE '' END ||
+        |      CASE WHEN doc_id % 19 = 0 THEN e'\nRating summary ### ### ### ### ### ### ### ### ### ### overall good.' ELSE '' END
+        |    END AS text
+        |  FROM documents),
+        |c4 AS (
+        |  SELECT doc_id, text,
+        |    coalesce(array_to_string(list_filter(
+        |      string_split(text, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!')
+        |        OR ends_with(l, '?') OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')), chr(10)), '')
+        |      AS clean
+        |  FROM injected),
+        |c4v AS (
+        |  SELECT doc_id, clean,
+        |    CASE WHEN contains(lower(text), 'lorem ipsum')
+        |        THEN 'lorem_ipsum'
+        |      WHEN contains(text, '{') THEN 'brace'
+        |      WHEN (length(clean) - length(replace(clean, '.', '')))
+        |         + (length(clean) - length(replace(clean, '!', '')))
+        |         + (length(clean) - length(replace(clean, '?', ''))) < 5
+        |        THEN 'few_sentences'
+        |      ELSE 'kept' END AS drop_reason
+        |  FROM c4),
+        |inj AS (SELECT doc_id, clean AS text FROM c4v),""".stripMargin +
+      GopherFlagTail + """
+        |, moj AS (
+        |  SELECT doc_id,
+        |    md5(replace(replace(replace(replace(replace(replace(replace(
+        |      clean,
+        |      'â€™', '’'), 'â€œ', '“'), 'â€“', '–'),
+        |      'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¼', 'ü'), 'Ã±', 'ñ')) AS sig
+        |  FROM c4v),
+        |gates AS (
+        |  SELECT i.doc_id, i.source,
+        |    (v.drop_reason = 'kept') AS c4ok,
+        |    (f.f_word_count AND f.f_mean_word_len AND f.f_symbol_ratio
+        |      AND f.f_bullet_lines AND f.f_ellipsis_lines
+        |      AND f.f_alpha_words AND f.f_stopwords) AS gok,
+        |    m.sig
+        |  FROM injected i
+        |  JOIN c4v v ON i.doc_id = v.doc_id
+        |  JOIN f ON i.doc_id = f.doc_id
+        |  JOIN moj m ON i.doc_id = m.doc_id),
+        |grp AS (
+        |  SELECT sig, min(doc_id) AS primary_id FROM gates
+        |  WHERE c4ok AND gok GROUP BY sig),
+        |st AS (
+        |  SELECT g.source,
+        |    CASE WHEN NOT g.c4ok THEN 'c4'
+        |      WHEN NOT g.gok THEN 'gopher'
+        |      WHEN g.doc_id <> gr.primary_id THEN 'dedup'
+        |      ELSE 'kept' END AS drop_stage
+        |  FROM gates g LEFT JOIN grp gr ON g.sig = gr.sig)
+        |SELECT source, drop_stage, count(*)::BIGINT AS n_docs
+        |FROM st GROUP BY source, drop_stage
+        |ORDER BY source, drop_stage""".stripMargin),
 
     // The same homoglyph translate (confusable chars inline as UTF-8
     // literals), leet fold, whole-token membership, confusable-class

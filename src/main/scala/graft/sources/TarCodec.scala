@@ -10,12 +10,18 @@ package graft.sources
   * Scope: POSIX ustar regular files (typeflag '0' or NUL), directory
   * entries skipped, 512-byte blocks, octal size fields, checksum
   * VERIFIED (header bytes summed with the chksum field as spaces —
-  * the spec's own rule), and the ustar prefix[155] field honored
-  * (long paths re-join as prefix + "/" + name). Out of scope,
-  * returning None: GNU long-name extensions ('L'), PAX headers
-  * ('x'/'g'), links, sparse files — a real archive using them is
-  * reported undecodable rather than half-parsed. Defensive like the other codecs: truncated blocks,
-  * bad octal, bad checksum → None, never a throw.
+  * the spec's own rule), the ustar prefix[155] field honored
+  * (long paths re-join as prefix + "/" + name), and the GNU
+  * long-NAME extension ('L': a "././@LongLink" pseudo-member whose
+  * DATA is the following member's real path, NUL-terminated) — the
+  * one GNU extension common enough to matter, since git-generated
+  * tarballs emit it for >100-char paths. Out of scope, returning
+  * None: PAX headers ('x'/'g'), GNU long LINKNAME ('K'), links,
+  * sparse files — a real archive using them is reported undecodable
+  * rather than half-parsed. Defensive like the other codecs:
+  * truncated blocks, bad octal, bad checksum, a dangling or doubled
+  * 'L' record, an oversized (> 4096 B) long name → None, never a
+  * throw.
   *
   * Layout (public ustar spec): 512-byte header per member — name[100]
   * mode[8] uid[8] gid[8] size[12] mtime[12] chksum[8] typeflag[1]
@@ -74,8 +80,12 @@ object TarCodec {
       return None
     val out = Seq.newBuilder[TarMember]
     var off = 0
+    // a pending GNU 'L' long name applies to the NEXT header only
+    var pendingName: String = null
     while (off + 512 <= b.length) {
       if (b(off) == 0) {
+        // a long-name record with no following member is malformed
+        if (pendingName != null) return None
         // end marker: require the two zero blocks to actually exist
         var i = off
         val end = math.min(b.length, off + 1024)
@@ -94,32 +104,60 @@ object TarCodec {
       // POSIX ustar splits long paths into prefix[155] + name[100]
       val prefix = str(b, off + 345, 155)
       val base = str(b, off, 100)
-      val name = if (prefix.isEmpty) base else prefix + "/" + base
-      if (tfByte == '0'.toInt || tfByte == 0) {
+      val splitName =
+        if (prefix.isEmpty) base else prefix + "/" + base
+      if (tfByte == 'L'.toInt) {
+        // GNU long name: data holds the real path, NUL-terminated.
+        // Doubled 'L', empty or implausibly long (> 4096 B) names
+        // are malformed, not silently truncated.
+        if (pendingName != null) return None
+        if (size == 0 || size > 4096) return None
+        pendingName = str(b, off + 512, size.toInt)
+        if (pendingName.isEmpty) return None
+      } else if (tfByte == '0'.toInt || tfByte == 0) {
+        val name = if (pendingName != null) pendingName else splitName
+        pendingName = null
         out += TarMember(name, size,
           java.util.Arrays.copyOfRange(b, off + 512,
             off + 512 + size.toInt))
         ()
-      } else if (tfByte != '5'.toInt) return None // links/PAX/etc.
+      } else if (tfByte == '5'.toInt) {
+        pendingName = null // a long dir name consumes its record
+      } else return None // links/PAX/'K'/etc.
       off += 512 + dataBlocks.toInt * 512
     }
     None // ran off the end without the zero-block trailer
   }
 
   /** Deterministic ustar writer — the exact inverse of [[parse]] for
-    * regular-file members. */
+    * regular-file members. Names longer than 100 bytes are emitted
+    * the way GNU tar (and git archive) emit them: a typeflag-'L'
+    * "././@LongLink" record carrying the NUL-terminated real path,
+    * followed by the member header with the name truncated to its
+    * first 100 bytes. */
   def tarBytes(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     require(members.forall { case (n, _) =>
-      n.length <= 100 && n.forall(c => c >= 0x20 && c < 0x7f)
-    }, "names must be printable ASCII, <= 100 bytes (the " +
-      "prefix-field split for longer/unicode paths is a parse-side " +
+      n.nonEmpty && n.length <= 4096 &&
+        n.forall(c => c >= 0x20 && c < 0x7f)
+    }, "names must be printable ASCII, 1..4096 bytes (the " +
+      "prefix-field split for unicode paths is a parse-side " +
       "feature only)")
-    val total = members.map { case (_, d) =>
+    // physical records: each long-named member is preceded by its
+    // GNU 'L' pseudo-record whose data is the path + NUL
+    val records: Seq[(String, Byte, Array[Byte])] =
+      members.flatMap { case (name, data) =>
+        if (name.length <= 100) Seq((name, '0'.toByte, data))
+        else Seq(
+          ("././@LongLink", 'L'.toByte,
+            name.getBytes("US-ASCII") :+ 0.toByte),
+          (name.substring(0, 100), '0'.toByte, data))
+      }
+    val total = records.map { case (_, _, d) =>
       512 + ((d.length + 511) / 512) * 512
     }.sum + 1024
     val out = new Array[Byte](total)
     var off = 0
-    members.foreach { case (name, data) =>
+    records.foreach { case (name, typeflag, data) =>
       val h = off
       name.getBytes("US-ASCII").copyToArray(out, h)
       def putOctal(v: Long, fOff: Int, len: Int): Unit = {
@@ -133,7 +171,7 @@ object TarCodec {
       putOctal(0, h + 116, 8)             // gid
       putOctal(data.length.toLong, h + 124, 12)
       putOctal(0, h + 136, 12)            // mtime
-      out(h + 156) = '0'                  // regular file
+      out(h + 156) = typeflag
       "ustar".getBytes("US-ASCII").copyToArray(out, h + 257)
       out(h + 262) = 0
       "00".getBytes("US-ASCII").copyToArray(out, h + 263) // version

@@ -3218,6 +3218,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("TarCodec GNU long-name ('L'): >100-char paths round-trip; " +
+      "dangling or doubled L records reject") {
+    import graft.sources.TarCodec
+    val longName = ("deeply/nested/directory/structure/" * 4) +
+      "leaf_file_with_a_rather_long_name.txt"
+    assert(longName.length > 100)
+    val bytes = TarCodec.tarBytes(Seq(
+      (longName, "payload".getBytes("UTF-8")),
+      ("short.txt", "x".getBytes("UTF-8"))))
+    val got = TarCodec.parse(bytes).get
+    assert(got.map(_.name) == Seq(longName, "short.txt"),
+      got.map(_.name).mkString(","))
+    assert(new String(got.head.data, "UTF-8") == "payload")
+    // physical layout: the GNU pseudo-record precedes the member,
+    // name "././@LongLink", typeflag 'L', data = path + NUL
+    assert(new String(bytes, 0, 13, "US-ASCII") == "././@LongLink")
+    assert((bytes(156) & 0xff) == 'L'.toInt)
+    // the 'L' record occupies header + one data block here
+    val lRecLen = 512 + ((longName.length + 1 + 511) / 512) * 512
+    // dangling 'L' (no following member) is malformed, not a member
+    val dangling = bytes.take(lRecLen) ++ Array.fill(1024)(0.toByte)
+    assert(TarCodec.parse(dangling).isEmpty)
+    // doubled 'L' is malformed
+    val doubled = bytes.take(lRecLen) ++ bytes
+    assert(TarCodec.parse(doubled).isEmpty)
+    // a long DIRECTORY name consumes its record and the dir still
+    // skips (the long name must not leak onto the next member)
+    val dirTar = TarCodec.tarBytes(Seq(
+      (("very/long/dir/" * 9) + "d/", Array.empty[Byte]),
+      ("f.txt", "in dir".getBytes("UTF-8"))))
+    // flip the truncated dir header (record AFTER the 'L' one) to '5'
+    dirTar(lRecLenFor(("very/long/dir/" * 9) + "d/") + 156) = '5'.toByte
+    refreshChecksum2(dirTar, lRecLenFor(("very/long/dir/" * 9) + "d/"))
+    val dirGot = TarCodec.parse(dirTar).get
+    assert(dirGot.map(_.name) == Seq("f.txt"))
+  }
+
+  private def lRecLenFor(name: String): Int =
+    512 + ((name.length + 1 + 511) / 512) * 512
+
+  private def refreshChecksum2(arr: Array[Byte], h: Int): Unit = {
+    var s = 0L
+    for (i <- 0 until 512)
+      s += (if (i >= 148 && i < 156) ' '.toInt else arr(h + i) & 0xff)
+    val cs = java.lang.Long.toOctalString(s)
+    ("0" * (6 - cs.length) + cs).getBytes("US-ASCII")
+      .copyToArray(arr, h + 148)
+    arr(h + 154) = 0; arr(h + 155) = ' '
+  }
+
   test("homoglyphScan folds Cyrillic/Greek confusables before the gate") {
     // 'bаdword' with Cyrillic а (U+0430); 'ѕсam'-style all-Cyrillic
     val cyrA = "а"; val cyrS = "ѕ"; val cyrC = "с"
