@@ -282,9 +282,27 @@ object TripTracker {
   }
 
   /** patch_add (airstrik.py:211-220): append only if the [value,ts] pair
-    * never occurred anywhere in the history. */
+    * never occurred anywhere in the history.
+    *
+    * The reference scans the WHOLE history per packet (`if v not in
+    * hist`) — O(trip²) for a long-lived trip, measured at 437 s for a
+    * single 81k-ping stuck-transponder key in the round-9 skew probe.
+    * The engine processes each key's packets sorted by (now, seen), so
+    * insertion timestamps are non-decreasing and a (value, ts) PAIR can
+    * only recur inside the leading run of entries sharing `v.ts`:
+    * scanning just that run gives the same answer in O(equal-ts run).
+    * An out-of-order caller (none in the engine — both runBatch and
+    * runStreaming sort) falls back to the full scan, so the
+    * anywhere-in-history semantics hold unconditionally. */
   def patchAdd(hist: List[ValueTs], v: ValueTs): List[ValueTs] =
-    if (hist.contains(v)) hist else v :: hist
+    hist match {
+      case h :: _ if v.ts > h.ts => v :: hist
+      case h :: _ if v.ts == h.ts =>
+        if (hist.iterator.takeWhile(_.ts == v.ts).contains(v)) hist
+        else v :: hist
+      case Nil => v :: hist
+      case _ => if (hist.contains(v)) hist else v :: hist
+    }
 
   /** Decimated live track record (airstrik.py:601-614). */
   private def trackOutput(st: State, now: Double): Output =

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The streaming stages composed into ONE continuous query graph —
+  * ingest → curation gates + signature dedup → minhash near-dup over
+  * the SURVIVING documents' cleaned text → append sink. The reference
+  * engine is ultimately a continuous pipeline (poll → process → sink);
+  * this is the curation side's equivalent composition, and the
+  * per-stream specs cannot see the bugs that live BETWEEN stages
+  * (watermark propagation through the first stateful operator, state
+  * recovery of two operators from one checkpoint, an exact-dup that
+  * must be consumed by stage one before stage two ever sees it).
+  *
+  * Plan shape: one logical plan with TWO chained stateful operators —
+  * the signature-dedup `flatMapGroupsWithState` (state: one boolean
+  * per distinct content signature inside the dedup horizon), then the
+  * band-bucket near-dup `flatMapGroupsWithState` (state: absorbed
+  * (id, ts, sig) members per band bucket inside the near-dup horizon).
+  * Text width dies in the stateless projection before the first
+  * exchange; only cleaned SURVIVOR text re-enters the banding
+  * projection between the stages, and only (band, id, ts, k·4-char
+  * signature) reaches the second exchange. Both state stores are
+  * horizon-bounded — the composition adds no state beyond its stages.
+  *
+  * Batch equivalence (pinned by the soak spec): the pair stream,
+  * DISTINCT'd on read, equals [[graft.operators.DedupOps
+  * .minhashSigPairs]] over exactly the documents the batch q100 plan
+  * keeps — i.e. near-dup detection over the curated corpus, not the
+  * raw feed.
+  */
+object CurationIngestStream {
+
+  /** The composed verdicts → keep-filter → banded-pair stream (no
+    * sink). */
+  def curatedPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   eventTimeCol: String = "ts",
+                   watermarkDelay: String = "0 seconds",
+                   dedupHorizonMs: Long = 365L * 24 * 3600 * 1000,
+                   nearDupHorizonMs: Long = 365L * 24 * 3600 * 1000,
+                   minMatch: Int = 6): Dataset[SigPair] = {
+    val kept = CurationStream.verdicts(docs, idCol, textCol,
+      eventTimeCol, watermarkDelay, dedupHorizonMs)
+      .toDF()
+      .filter(col("reason") === "keep")
+      .select(col("doc_id"), col("ts"), col("clean").as("text"))
+    MinhashDedupStream.pairs(kept, "doc_id", "text", "ts",
+      watermarkDelay, nearDupHorizonMs, minMatch = minMatch)
+  }
+
+  /** Start the composed query: one checkpoint covers both state
+    * stores; pairs append with their batch id (the S4 append-only
+    * discipline — readers take DISTINCT).
+    *
+    * Spark's global-watermark correctness check rejects ANY stateful
+    * operator downstream of `flatMapGroupsWithState` because a state
+    * function COULD emit rows older than watermark − delay (e.g. on
+    * the timeout path). This composition cannot: the dedup stage's
+    * timeout path emits nothing, and its data path re-emits exactly
+    * the current micro-batch's rows with their event times unchanged
+    * — every emitted row was on-time for stage one and is therefore
+    * on-time for stage two under the same watermark column and
+    * delay. The check must stay disabled while the query RUNS (the
+    * streaming thread re-analyzes asynchronously — a scoped restore
+    * races it), so `start` leaves it off and returns; callers that
+    * want the session guard back re-enable it after termination. The
+    * soak spec pins exact batch equivalence across restarts, which
+    * would fail if late-row discards ever fired. */
+  def start(docs: DataFrame, outDir: String,
+            idCol: String = "doc_id", textCol: String = "text",
+            eventTimeCol: String = "ts",
+            watermarkDelay: String = "0 seconds",
+            dedupHorizonMs: Long = 365L * 24 * 3600 * 1000,
+            nearDupHorizonMs: Long = 365L * 24 * 3600 * 1000,
+            minMatch: Int = 6,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val writer = curatedPairs(docs, idCol, textCol, eventTimeCol,
+      watermarkDelay, dedupHorizonMs, nearDupHorizonMs, minMatch)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[SigPair], bid: Long) =>
+        batch.toDF().withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$outDir/pairs")
+      }
+    docs.sparkSession.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+    writer.start()
+  }
+}

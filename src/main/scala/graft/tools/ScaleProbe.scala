@@ -854,6 +854,41 @@ object ScaleProbe {
     time(s"tripSummaries x$n")(
       SessionOps.tripSummaries(ev, col("user_id"), col("sec"),
         col("value"), 21600, 3600))
+
+    // trip-pipeline hot-key probe (round-9 item 7): a STUCK
+    // TRANSPONDER — one hex emitting 90% of the packet stream —
+    // concentrates in one state task, the engine-side analog of the
+    // content-key windows. State is bounded regardless (per-key
+    // history caps: latLonPacketAgeMax positions + alarm edges), and
+    // per-ping work is O(cap + thinkAhead) = constant, so the hot
+    // task's TIME is linear in its ping count — bounded only by
+    // feed cadence. The mitigation is the reference's own knob,
+    // upstream cadence decimation; measured as the third row.
+    {
+      import spark.implicits._
+      val cfg = graft.config.AirstrikConfig()
+      val nP = 9000 * n
+      def ping(i: Long, hex: String): graft.model.AircraftPing =
+        graft.model.AircraftPing(1718000000.0 + i, hex, Some("STK1"),
+          0.1, Some(35.70 + (i % 100) * 1e-4),
+          Some(-78.70 + (i % 100) * 1e-4), Some(90.0), Some(1000.0))
+      // 90% one hex at 1 Hz + 10% across 111 cold hexes
+      val skewFeed = spark.range(nP)
+        .map(i => ping(i, if (i % 10 == 0) s"c${i % 111}" else "stuck01"))
+      val balancedFeed = spark.range(nP)
+        .map(i => ping(i / 500, s"h${i % 500}"))
+      time(s"tripEngine SKEW x$n (90% one hex @1Hz)")(
+        graft.core.TripEngine.runBatch(skewFeed, cfg).toDF())
+      time(s"tripEngine BALANCED x$n (same volume, 500 hexes)")(
+        graft.core.TripEngine.runBatch(balancedFeed, cfg).toDF())
+      // mitigation: decimate the hot key's cadence 15x upstream (the
+      // reference's decimationFactor) BEFORE the state exchange —
+      // a projection-level filter, no per-key state needed
+      val decimated = skewFeed
+        .filter(p => p.hex != "stuck01" || p.now.toLong % 15 == 0)
+      time(s"tripEngine SKEW-DECIMATED x$n (hot hex /15)")(
+        graft.core.TripEngine.runBatch(decimated, cfg).toDF())
+    }
     spark.stop()
   }
 }

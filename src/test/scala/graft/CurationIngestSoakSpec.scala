@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationPipeline, DedupOps}
+import graft.streaming.CurationIngestStream
+
+/** Round-9 item 3: the end-to-end streaming soak — ingest → curation
+  * (gates + signature dedup) → minhash near-dup over survivors → sink
+  * as ONE query graph with two chained stateful operators, across a
+  * checkpoint kill/restart, with per-run state-size assertions.
+  *
+  * The composition is load-bearing in ways the per-stream specs can't
+  * see: an exact duplicate must be consumed by the dedup stage so the
+  * near-dup stage NEVER pairs it; near-dup groups must pair across the
+  * restart out of both recovered state stores; and the final state
+  * row counts must equal (distinct signatures, active band buckets) —
+  * bounded by content diversity, not stream length. */
+class CurationIngestSoakSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = 1718000000L
+
+  /** Near-dup groups over CLEANED text: group g shares 15 tokens, each
+    * variant adds a tail token — most signature components agree
+    * within a group, none across. Every doc also carries a repeated
+    * line ("Subscribe NOW") so the line-excision stage is
+    * load-bearing, and group texts are ≥ 8 tokens (curation keep). */
+  private def groupText(i: Int): String = {
+    val g = i % 5
+    (1 to 15).map(w => s"g${g}w$w").mkString(" ") +
+      s"\nSubscribe NOW\nv${i / 5} extra tail tokens here" +
+      s"\nSubscribe NOW"
+  }
+
+  /** Population: near-dup groups (kept), exact dups of earlier docs
+    * (consumed by the dedup stage), and shorts (gated out). */
+  private def textOf(i: Int): String =
+    if (i % 9 == 7) groupText(i - 7)   // exact dup of an earlier doc
+    else if (i % 7 == 3) "tiny doc"    // short -> gated
+    else groupText(i)
+
+  private def rowsOf(ids: Range): Seq[(Long, java.sql.Timestamp, String)] =
+    ids.map(i => (i.toLong,
+      new java.sql.Timestamp((base + i * 60L) * 1000L), textOf(i)))
+
+  private def writeDocs(src: String, name: String, mtime: Long,
+                        rows: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+    val tmp = Files.createTempDirectory("graft_ci_tmp").toString
+    rows.toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = Path.of(src, s"$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+  }
+
+  test("composed ingest→curate→near-dup graph ≡ batch pipeline on the " +
+      "same snapshots across a restart; state bounded by content " +
+      "diversity in both stores") {
+    val src = Files.createTempDirectory("graft_ci_src").toString
+    val out = Files.createTempDirectory("graft_ci_out").toString
+    val schema = rowsOf(0 until 1).toDF("doc_id", "ts", "text").schema
+
+    var lastStateRows: Seq[Long] = Nil
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = CurationIngestStream.start(stream, out)
+      try q.awaitTermination(180000L)
+      finally spark.conf.set("spark.sql.streaming.statefulOperator." +
+        "checkCorrectness.enabled", "true") // guard back for the suite
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      // state-size assertion source: the final progress of this run
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      if (progs.nonEmpty)
+        lastStateRows = progs.last.stateOperators
+          .map(_.numRowsTotal).toSeq
+    }
+
+    // phase 1: two snapshots, two micro-batches; phase 2 lands after
+    // a full kill/restart — cross-restart pairs and cross-restart
+    // exact dups need BOTH recovered state stores
+    writeDocs(src, "f0", 1000L, rowsOf(0 until 20))
+    writeDocs(src, "f1", 2000L, rowsOf(20 until 40))
+    run()
+    writeDocs(src, "f2", 3000L, rowsOf(40 until 60))
+    run()
+
+    val srcBatch = spark.read.parquet(s"$src/*.parquet").cache()
+    // batch pipeline: q100 verdicts -> keep set -> near-dup pairs
+    // over the kept documents' CLEANED text
+    val verdicts = CurationPipeline
+      .batchVerdicts(srcBatch, "doc_id", "text")
+    val keptIds = verdicts.filter(col("reason") === "keep")
+      .select("doc_id")
+    val keptClean = CurationPipeline
+      .cleanProject(srcBatch, "doc_id", "text", keep = Seq("ts"))
+      .join(keptIds, Seq("doc_id"))
+      .select(col("doc_id"), col("ts"), col("clean"))
+    val expected = DedupOps.minhashSigPairs(
+      keptClean, "doc_id", "clean", "ts")
+      .as[(Long, Long, Int)].collect().toSet
+
+    val got = spark.read.parquet(s"$out/pairs")
+      .select(col("id_a"), col("id_b"), col("n_match")).distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"stream/batch divergence:\n only stream: ${got -- expected}\n" +
+        s" only batch: ${expected -- got}")
+
+    // the composition is load-bearing, not vacuous:
+    assert(expected.nonEmpty)
+    // (a) cross-restart near-dup pair out of recovered bucket state
+    assert(expected.exists(p => p._1 < 40 && p._2 >= 40),
+      "no cross-restart pair — bucket state did not survive")
+    // (b) exact dups were consumed by the dedup stage BEFORE the
+    // near-dup stage: no emitted pair touches a dup doc
+    val dupIds = verdicts.filter(col("reason") === "dup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dupIds.nonEmpty, "fixture must contain exact dups")
+    assert(got.forall(p => !dupIds.contains(p._1) &&
+        !dupIds.contains(p._2)),
+      "a pair touched an exact-dup doc — stage order broken")
+    // (c) a cross-restart exact dup exists (recovered SIGNATURE state
+    // consumed it): i % 9 == 7 dups in phase 2 point at phase-1 texts
+    assert(dupIds.exists(_ >= 40),
+      "no cross-restart exact dup — signature state did not survive")
+
+    // state bounded by content diversity: the two stores' final row
+    // counts are exactly (distinct signatures, active band buckets)
+    val nSigs = CurationPipeline
+      .cleanProject(srcBatch, "doc_id", "text")
+      .select("__sig_full").distinct().count()
+    val nBuckets = keptClean
+      .select(explode(array(DedupOps.minhashBandKeys(
+        graft.functions.TextExpressions.minhashSliced(
+          graft.functions.TextExpressions.wordShingles(
+            graft.functions.TextFunctions.tokens(col("clean")), 3), 8),
+        8, 2): _*)).as("band"))
+      .distinct().count()
+    assert(lastStateRows.sorted == Seq(nSigs, nBuckets).sorted,
+      s"state rows $lastStateRows != expected " +
+        s"(sigs=$nSigs, buckets=$nBuckets)")
+    srcBatch.unpersist()
+  }
+}
