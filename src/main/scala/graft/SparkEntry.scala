@@ -1986,6 +1986,72 @@ object SparkEntry {
         .orderBy(col("source"), col("drop_stage"))
     }),
 
+    // Crawl politeness schedule (q201): per-host md5-ordered fetch
+    // slots under a per-host delay with a hard budget — the frontier
+    // step between URL harvest and the fetcher fleet. 20 hosts × ~25
+    // URLs against a budget of 10 exercises the cap on every host.
+    "q201_politeness_schedule" -> ((s, dir) => {
+      val k = col("doc_id") % 20
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("http://site"), k.cast("string"), lit(".com/p"),
+          col("doc_id").cast("string")).as("url"),
+        ((k % 5 + 1) * 100).cast("long").as("delay"))
+      UrlOps.politenessSchedule(urls, "doc_id", "url", col("delay"),
+        maxPerHost = 10)
+        .orderBy(col("host"), col("slot"))
+    }),
+
+    // Preference pairs (q202): DPO/RLHF data prep — best vs worst
+    // candidate per shared prompt with deterministic id tie-breaks;
+    // singletons and zero margins emit nothing.
+    "q202_preference_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("prompt "), (col("doc_id") % 40).cast("string"))
+          .as("prompt"), col("n_chars"))
+      ConversationOps.preferencePairs(docs, "doc_id", "prompt",
+        col("n_chars"))
+        .orderBy(col("prompt_sig"))
+    }),
+
+    // Freshness decay (q203): exact integer halving-bucket weights by
+    // crawl age + md5 acceptance — recency-weighted corpus sampling.
+    "q203_freshness_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        (lit(1718000000L) - (col("doc_id") % 400) * 86400L)
+          .as("crawl_ts"))
+      SamplingOps.freshnessWeights(docs, "doc_id", col("crawl_ts"),
+        nowTs = 1718000000L, halfLifeDays = 60)
+        .orderBy(col("doc_id"))
+    }),
+
+    // KS drift (q204): per-source micro-CDF sup distance of the
+    // n_chars distribution vs the corpus — "did this dump's length
+    // profile shift?" as an exact engine-portable statistic.
+    "q204_ks_drift" -> ((s, dir) => {
+      graft.operators.DistributionOps.ksDrift(
+        t(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Anchor-text harvest (q205): link texts aggregated per CANONICAL
+    // target (case/port variants must merge), with a bounded
+    // lexicographic anchor sample per target.
+    "q205_anchor_harvest" -> ((s, dir) => {
+      val k = (col("doc_id") % 17).cast("string")
+      val html = concat(
+        lit("<a href=\"http://T"), k,
+        lit(".example.com:80/page\">Guide "),
+        (col("doc_id") % 5).cast("string"), lit("</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" <a href=\"http://t"), k,
+            lit(".example.com/page\">click here</a>")))
+          .otherwise(lit("")))
+      UrlOps.anchorHarvest(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html", maxAnchors = 3)
+        .orderBy(col("target"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -7649,6 +7715,147 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, drop_stage, count(*)::BIGINT AS n_docs
         |FROM st GROUP BY source, drop_stage
         |ORDER BY source, drop_stage""".stripMargin),
+
+    // Rank window on (md5 prefix, id) per host — valid in the oracle;
+    // the Spark side rides the bounded top-N aggregate instead.
+    "q201_politeness_schedule" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'http://site' || (doc_id % 20)::VARCHAR || '.com/p'
+        |      || doc_id::VARCHAR AS url,
+        |    (((doc_id % 20) % 5 + 1) * 100)::BIGINT AS delay
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url, delay,
+        |    lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+        |      AS host
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, host, delay,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY substr(md5(url), 1, 8), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY host) AS n_urls
+        |  FROM h WHERE length(host) > 0)
+        |SELECT doc_id, host, (rk - 1)::BIGINT AS slot,
+        |  ((rk - 1) * delay)::BIGINT AS fetch_offset_ms,
+        |  n_urls::BIGINT AS n_urls
+        |FROM r WHERE rk <= 10 ORDER BY host, slot""".stripMargin,
+
+    // Best/worst rank windows with the same (score, id) tie-breaks.
+    "q202_preference_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    substr(md5('prompt ' || (doc_id % 40)::VARCHAR), 1, 16)
+        |      AS prompt_sig,
+        |    n_chars::BIGINT AS score
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY prompt_sig
+        |      ORDER BY score DESC, doc_id ASC) AS rb,
+        |    row_number() OVER (PARTITION BY prompt_sig
+        |      ORDER BY score ASC, doc_id ASC) AS rw,
+        |    count(*) OVER (PARTITION BY prompt_sig) AS n
+        |  FROM b),
+        |ch AS (SELECT prompt_sig, n, doc_id AS chosen_id,
+        |  score AS chosen_score FROM r1 WHERE rb = 1),
+        |rj AS (SELECT prompt_sig, doc_id AS rejected_id,
+        |  score AS rejected_score FROM r1 WHERE rw = 1)
+        |SELECT c.prompt_sig, c.n::BIGINT AS n_candidates, chosen_id,
+        |  chosen_score, rejected_id, rejected_score,
+        |  (chosen_score - rejected_score)::BIGINT AS margin
+        |FROM ch c JOIN rj USING (prompt_sig)
+        |WHERE n >= 2 AND chosen_score - rejected_score >= 1
+        |ORDER BY c.prompt_sig""".stripMargin,
+
+    // The same halving-bucket arithmetic and md5 threshold.
+    "q203_freshness_weights" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    1718000000 - (doc_id % 400) * 86400 AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, (1718000000 - ts) // 86400 AS age_days
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id, age_days,
+        |    least(age_days // 60, 30) AS kk
+        |  FROM m)
+        |SELECT doc_id, age_days::BIGINT AS age_days,
+        |  (1000000 // (1 << kk))::BIGINT AS weight_micro,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    * 1000000 < (1000000 // (1 << kk)) * 4294967296
+        |    AS selected
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Domain-aggregated micro-CDFs, sup over corpus jump points.
+    "q204_ks_drift" ->
+      """WITH b AS (SELECT source, n_chars AS v FROM documents),
+        |sc AS (
+        |  SELECT source, v, count(*)::BIGINT AS c
+        |  FROM b GROUP BY source, v),
+        |t AS (
+        |  SELECT source, sum(c)::BIGINT AS n_s FROM sc
+        |  GROUP BY source),
+        |cc AS (SELECT v, sum(c)::BIGINT AS ccc FROM sc GROUP BY v),
+        |cum AS (
+        |  SELECT v, sum(ccc) OVER (ORDER BY v)::BIGINT AS cum_c
+        |  FROM cc),
+        |nt AS (SELECT count(*)::BIGINT AS n_total FROM b),
+        |grid AS (
+        |  SELECT t.source, t.n_s, cum.v, cum.cum_c
+        |  FROM t CROSS JOIN cum),
+        |j AS (
+        |  SELECT g.source, g.n_s, g.v, g.cum_c,
+        |    coalesce(sc.c, 0)::BIGINT AS c
+        |  FROM grid g LEFT JOIN sc
+        |    ON g.source = sc.source AND g.v = sc.v),
+        |cs AS (
+        |  SELECT source, n_s, v, cum_c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT
+        |      AS cum_s
+        |  FROM j)
+        |SELECT cs.source, max(cs.n_s)::BIGINT AS n_rows,
+        |  max(abs(cum_s * 1000000 // n_s
+        |    - cum_c * 1000000 // n_total))::BIGINT AS ks_micro
+        |FROM cs CROSS JOIN nt
+        |GROUP BY cs.source ORDER BY cs.source""".stripMargin,
+
+    // Targets reconstructed post-canonicalization; counts two-level,
+    // sample = the 3 lexicographically-smallest distinct anchors.
+    "q205_anchor_harvest" ->
+      """WITH u AS (
+        |  SELECT doc_id, (doc_id % 17)::VARCHAR AS k,
+        |    (doc_id % 5)::VARCHAR AS a
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    'http://t' || k || '.example.com/page' AS target,
+        |    'guide ' || a AS anchor
+        |  FROM u
+        |  UNION ALL
+        |  SELECT doc_id, 'http://t' || k || '.example.com/page',
+        |    'click here'
+        |  FROM u WHERE doc_id % 3 = 0),
+        |p AS (
+        |  SELECT target, anchor, count(*)::BIGINT AS c
+        |  FROM l GROUP BY target, anchor),
+        |g AS (
+        |  SELECT target, sum(c)::BIGINT AS n_links,
+        |    count(*)::BIGINT AS n_anchors
+        |  FROM p GROUP BY target),
+        |s AS (
+        |  SELECT target, anchor,
+        |    row_number() OVER (PARTITION BY target ORDER BY anchor)
+        |      AS rk
+        |  FROM p),
+        |sm AS (
+        |  SELECT target,
+        |    string_agg(anchor, '|' ORDER BY anchor) AS anchor_sample
+        |  FROM s WHERE rk <= 3 GROUP BY target)
+        |SELECT g.target, g.n_links, g.n_anchors, sm.anchor_sample
+        |FROM g JOIN sm USING (target)
+        |ORDER BY g.target""".stripMargin,
 
     // The same homoglyph translate (confusable chars inline as UTF-8
     // literals), leet fold, whole-token membership, confusable-class

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,5 +119,40 @@ object ConversationOps {
       .join(counts, Seq(idCol))
       .select(col(idCol), col("instr_sig"), col("n_turns"),
         col("n_user"), col("n_assistant"), col("keep"))
+  }
+
+  /** Preference-pair preparation (the DPO/RLHF data-prep step): among
+    * candidate responses sharing a prompt, pick the best- and
+    * worst-scored as (chosen, rejected) and keep the pair only when
+    * the score margin is decisive. Ties break to the LOWEST id on
+    * both sides, so the pair is deterministic on any engine; prompt
+    * groups with a single candidate or an indecisive margin emit
+    * nothing (they have no training signal).
+    *
+    * Scale shape: one map-side-combined aggregation on the 16-byte
+    * prompt signature — argmax/argmin ride lexicographic MIN/MAX over
+    * (score, id) structs (plain aggregates, partial buffers are one
+    * struct each), so a viral prompt with millions of candidate
+    * responses never concentrates its rows in a rank-window task. */
+  def preferencePairs(docs: DataFrame, idCol: String,
+                      promptCol: String, score: Column,
+                      minMargin: Long = 1L): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("__id"),
+      substring(md5(col(promptCol)), 1, 16).as("prompt_sig"),
+      score.cast("long").as("__score"))
+    base.groupBy(col("prompt_sig"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("__score").as("s"), (-col("__id")).as("ni")))
+          .as("__best"),
+        min(struct(col("__score").as("s"), col("__id").as("i")))
+          .as("__worst"))
+      .select(col("prompt_sig"), col("n_candidates"),
+        (-col("__best").getField("ni")).as("chosen_id"),
+        col("__best").getField("s").as("chosen_score"),
+        col("__worst").getField("i").as("rejected_id"),
+        col("__worst").getField("s").as("rejected_score"))
+      .withColumn("margin",
+        col("chosen_score") - col("rejected_score"))
+      .filter(col("n_candidates") >= 2L && col("margin") >= minMargin)
   }
 }

@@ -47,6 +47,51 @@ object DistributionOps {
       .select(col("p"), element_at(col("__q"), col("__i") + 1).as("value"))
   }
 
+  /** Kolmogorov–Smirnov-style distribution drift per source: the
+    * maximum micro-CDF distance between each source's `value`
+    * distribution and the whole corpus's — the statistic behind "did
+    * this dump's length/quality profile shift?" checks, where the
+    * q106 JS divergence compares token MIXES and this compares a
+    * numeric distribution's SHAPE. Exact integer micro-CDFs
+    * (`cum·1e6 div n` on both sides) keep the statistic
+    * engine-portable; the sup runs over every corpus-wide jump point,
+    * which is where the sup of a step-function difference lives.
+    *
+    * Scale shape: the q50 domain-aggregation discipline — rows
+    * collapse to (source, value) counts map-side; every window runs
+    * over DISTINCT values (the value domain per source / corpus, not
+    * row counts); the (sources × domain) evaluation grid is
+    * domain-sized. Nothing corpus-sized is sorted or collected. */
+  def ksDrift(df: DataFrame, sourceCol: String,
+              value: Column): DataFrame = {
+    val base = df.select(col(sourceCol).as("source"), value.as("v"))
+    val srcCounts = base.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = srcCounts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"))
+    val corpusCounts = srcCounts.groupBy(col("v"))
+      .agg(sum(col("c")).as("cc"))
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val corpusCum = corpusCounts
+      .withColumn("cum_c", sum(col("cc")).over(wAll))
+      .select(col("v"), col("cum_c"))
+    val nTotal = base.agg(count(lit(1)).as("n_total"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    totals.crossJoin(corpusCum) // sources × domain grid
+      .join(srcCounts, Seq("source", "v"), "left_outer")
+      .withColumn("cum_s",
+        sum(coalesce(col("c"), lit(0L))).over(wSrc))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("__diff", abs(
+        expr("cum_s * 1000000L div n_s") -
+          expr("cum_c * 1000000L div n_total")))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_rows"),
+        max(col("__diff")).as("ks_micro"))
+  }
+
   private def discQuantilesImpl(df: DataFrame, value: Column,
                                 ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),

@@ -505,6 +505,37 @@ object SamplingOps {
         col("keep"))
   }
 
+  /** Freshness-decay acceptance weights: exponentially down-weight
+    * stale documents by crawl age, in EXACT integer arithmetic —
+    * weight halves every `halfLifeDays` via whole halving buckets
+    * (`k = age_days div halfLife`, `weight_micro = 1e6 div 2^k`), so
+    * the weights are bit-identical on any engine (a float `2^(-x)`
+    * would drift at the last ulp across pow implementations). The
+    * acceptance verdict reuses the established md5-threshold frame
+    * (the q103/q198 discipline): deterministic, re-runnable,
+    * engine-portable. `k` caps at 30 (weight 0 below one-in-a-billion
+    * — stale beyond relevance).
+    *
+    * Scale shape: pure projection — zero shuffle at any corpus
+    * size. */
+  def freshnessWeights(df: DataFrame, idCol: String, crawlTs: Column,
+                       nowTs: Long, halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays >= 1")
+    df.select(col(idCol), crawlTs.cast("long").as("__ts"))
+      .withColumn("age_days",
+        expr(s"(${nowTs}L - __ts) div 86400L"))
+      .withColumn("__k",
+        least(expr(s"age_days div ${halfLifeDays}L"), lit(30L)))
+      .withColumn("weight_micro",
+        expr("1000000L div shiftleft(1L, cast(__k as int))"))
+      .withColumn("selected",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") * 1000000L <
+          col("weight_micro") * 4294967296L)
+      .select(col(idCol), col("age_days"), col("weight_micro"),
+        col("selected"))
+  }
+
   /** [[perSourcePercentileGate]] with the skew route decided IN CODE
     * (the q174 auto-route discipline, replacing the doc-comment
     * caveat): the exact route's per-source rank window funnels a

@@ -309,4 +309,75 @@ object UrlOps {
       coalesce(bestLen, lit(0)).cast("long").as("match_len"),
       allowed.as("allowed"))
   }
+
+  /** Crawl politeness schedule: per-host fetch slots under a per-host
+    * delay (the robots `Crawl-delay` contract) with a hard per-host
+    * URL budget — the frontier-scheduling step between URL harvest
+    * and the fetcher fleet. URLs are ordered inside each host by
+    * their md5 (a deterministic "politeness shuffle" that decorrelates
+    * fetch order from discovery order) and assigned slot k, i.e.
+    * fetch offset k·delay; over-budget URLs are dropped, visible as
+    * `n_urls` vs the emitted slot count.
+    *
+    * Scale shape: ONE bounded aggregation on the host key — the slot
+    * assignment needs a dense per-host sequence, which is exactly the
+    * rank-window shape a Zipfian host distribution breaks at scale,
+    * so the budget rides [[graft.functions.BoundedTopNAgg]]: partial
+    * buffers hold at most `maxPerHost` (hash, id) pairs per host per
+    * map task, and a mega-host's URL list never single-tasks. */
+  def politenessSchedule(df: DataFrame, idCol: String, urlCol: String,
+                         delayMs: Column,
+                         maxPerHost: Int = 1000): DataFrame = {
+    import graft.functions.AggFunctions.boundedTopN
+    val host = lower(regexp_extract(col(urlCol),
+      "https?://([^/:?#]+)", 1))
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(urlCol).as("__url"), host.as("host"),
+        delayMs.cast("long").as("__delay"))
+      .filter(length(col("host")) > 0)
+    base.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        max(col("__delay")).as("__d"),
+        boundedTopN(struct(
+          substring(md5(col("__url")), 1, 8).as("h"),
+          col("__id").as("id")), maxPerHost).as("__sched"))
+      .select(col("host"), col("n_urls"), col("__d"),
+        posexplode(col("__sched")).as(Seq("slot", "__s")))
+      .select(col("__s").getField("id").as("doc_id"), col("host"),
+        col("slot").cast("long").as("slot"),
+        (col("slot") * col("__d")).cast("long").as("fetch_offset_ms"),
+        col("n_urls"))
+  }
+
+  /** Anchor-text harvest: aggregate the link texts pointing AT each
+    * canonical target URL — the classic relevance signal (anchor text
+    * describes the target better than the target describes itself)
+    * used for retrieval-training data and link-spam analysis. Emits
+    * per target: total in-links, distinct anchor phrasings, and a
+    * deterministic bounded sample of the lexicographically-smallest
+    * anchors.
+    *
+    * Scale shape: two-level aggregation — (target, anchor) counts
+    * collapse map-side first (the Zipfian "click here" anchor arrives
+    * at its reducer as partial counts), then a per-target bounded
+    * aggregation whose sample rides [[graft.functions
+    * .BoundedTopNAgg]] (≤ `maxAnchors` strings per target per
+    * buffer). No window, no unbounded collect. */
+  def anchorHarvest(docs: DataFrame, idCol: String, htmlCol: String,
+                    maxAnchors: Int = 8): DataFrame = {
+    import graft.functions.AggFunctions.boundedTopN
+    val links = extractLinks(docs, idCol, htmlCol)
+      .filter(length(col("href")) > 0 && length(col("anchor_text")) > 0)
+      .select(canonicalize(col("href")).as("target"),
+        lower(col("anchor_text")).as("anchor"))
+    links.groupBy(col("target"), col("anchor"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("target"))
+      .agg(sum(col("__c")).as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        boundedTopN(col("anchor"), maxAnchors).as("__top"))
+      .select(col("target"), col("n_links").cast("long").as("n_links"),
+        col("n_anchors").cast("long").as("n_anchors"),
+        array_join(col("__top"), "|").as("anchor_sample"))
+  }
 }

@@ -185,6 +185,32 @@ object ScaleProbe {
       time(s"percentileGateWindowBaseline SKEW x$n (90% one source)")(
         graft.operators.SamplingOps.perSourcePercentileGate(
           skewSrc, "doc_id", "source", col("n_chars"), 0.3))
+      // round-9 wave A ops under the same 90%-one-key skew: the
+      // politeness budget and the anchor sample both ride the bounded
+      // top-N aggregate, so one mega-host / one viral target must not
+      // concentrate; ksDrift runs the q50 domain-aggregation shape
+      val skewUrls = docs.select(col("doc_id"),
+        concat(lit("http://"),
+          when(col("doc_id") % 10 < 9, lit("megahost.com"))
+            .otherwise(concat(lit("h"),
+              (col("doc_id") % 97).cast("string"), lit(".com"))),
+          lit("/p"), col("doc_id").cast("string")).as("url"))
+      time(s"politenessSchedule SKEW x$n (90% one host)")(
+        graft.operators.UrlOps.politenessSchedule(skewUrls,
+          "doc_id", "url", lit(100L), maxPerHost = 1000))
+      val skewHtml = docs.select(col("doc_id"),
+        concat(lit("<a href=\"http://"),
+          when(col("doc_id") % 10 < 9, lit("viral.com/page"))
+            .otherwise(concat(lit("t"),
+              (col("doc_id") % 97).cast("string"), lit(".com/p"))),
+          lit("\">anchor "), (col("doc_id") % 23).cast("string"),
+          lit("</a>")).as("html"))
+      time(s"anchorHarvest SKEW x$n (90% one target)")(
+        graft.operators.UrlOps.anchorHarvest(skewHtml,
+          "doc_id", "html"))
+      time(s"ksDrift SKEW x$n (90% one source)")(
+        graft.operators.DistributionOps.ksDrift(skewSrc,
+          "source", col("n_chars")))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

@@ -3754,6 +3754,112 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bern.size > 60 && bern.size < 140, s"got ${bern.size}")
   }
 
+  test("politenessSchedule: md5-ordered slots under per-host delay, " +
+      "over-budget URLs dropped visibly") {
+    import graft.operators.UrlOps
+    val docs = (1 to 6).map(i => (i.toLong, s"http://a.com/p$i")) ++
+      Seq((7L, "http://b.org/x"), (8L, "http://b.org/y"),
+        (9L, "not a url"))
+    val got = UrlOps.politenessSchedule(docs.toDF("doc_id", "url"),
+      "doc_id", "url", lit(200L), maxPerHost = 4)
+      .orderBy("host", "slot").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // a.com: 6 urls, budget 4 -> slots 0..3 at 0/200/400/600ms
+    val aRows = got.filter(_._1 == "a.com")
+    assert(aRows.length == 4 && aRows.forall(_._4 == 6L))
+    assert(aRows.map(_._3).toSeq == Seq(0L, 200L, 400L, 600L))
+    // b.org keeps both; slot order = md5(url) order, deterministic
+    val bRows = got.filter(_._1 == "b.org")
+    assert(bRows.length == 2 && bRows.forall(_._4 == 2L))
+    // non-urls are excluded entirely
+    assert(!got.exists(_._1 == ""))
+    // slot order is by url md5, not doc id: recompute on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h8(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val expectA = (1 to 6).map(i => (h8(s"http://a.com/p$i"), i.toLong))
+      .sorted.take(4).map(_._2)
+    val gotA = UrlOps.politenessSchedule(docs.toDF("doc_id", "url"),
+      "doc_id", "url", lit(200L), maxPerHost = 4)
+      .filter(col("host") === "a.com").orderBy("slot")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(gotA == expectA)
+  }
+
+  test("anchorHarvest merges canonical targets, counts distinct " +
+      "anchors, bounded lexicographic sample") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (1L, "<a href=\"http://T.com:80/p\">Click Here</a>"),
+      (2L, "<a href=\"http://t.com/p\">click here</a> " +
+        "<a href=\"http://t.com/p\">best docs</a>"),
+      (3L, "<a href=\"http://other.io/q\">zzz</a>" +
+        "<a href=\"\">empty href skipped</a>")
+    ).toDF("doc_id", "html")
+    val got = UrlOps.anchorHarvest(docs, "doc_id", "html",
+      maxAnchors = 1)
+      .orderBy("target").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // port-80 strip + host lowercase merge doc 1 into t.com/p
+    assert(got.toSeq == Seq(
+      ("http://other.io/q", 1L, 1L, "zzz"),
+      ("http://t.com/p", 3L, 2L, "best docs")))
+  }
+
+  test("preferencePairs: argmax/argmin per prompt with id tie-breaks; " +
+      "singletons and indecisive margins drop") {
+    import graft.operators.ConversationOps
+    val docs = Seq(
+      (1L, "p1", 10L), (2L, "p1", 30L), (3L, "p1", 30L),
+      (4L, "p2", 5L), (5L, "p2", 5L),     // margin 0 -> dropped
+      (6L, "p3", 9L)                      // singleton -> dropped
+    ).toDF("doc_id", "prompt", "score")
+    val got = ConversationOps.preferencePairs(docs, "doc_id",
+      "prompt", col("score"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(6)))
+    // p1: chosen = min-id of the 30s (doc 2), rejected = doc 1,
+    // margin 20
+    assert(got.toSeq == Seq((3L, 2L, 1L, 20L)))
+  }
+
+  test("freshnessWeights: exact halving buckets, k cap, md5 acceptance") {
+    import graft.operators.SamplingOps
+    val now = 1718000000L
+    val docs = Seq(
+      (1L, now),                       // age 0 -> 1e6
+      (2L, now - 59L * 86400),         // age 59, hl 60 -> k0 -> 1e6
+      (3L, now - 60L * 86400),         // k1 -> 500000
+      (4L, now - 200L * 86400),        // k3 -> 125000
+      (5L, now - 100000L * 86400)      // k capped at 30
+    ).toDF("doc_id", "crawl_ts")
+    val got = SamplingOps.freshnessWeights(docs, "doc_id",
+      col("crawl_ts"), now, halfLifeDays = 60)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1000000L), (2L, 1000000L),
+      (3L, 500000L), (4L, 125000L), (5L, 1000000L >> 30)))
+  }
+
+  test("ksDrift: exact micro-CDF sup distance per source") {
+    import graft.operators.DistributionOps
+    // corpus: a = {1,1,2,3}, b = {3,4}; total = {1,1,2,3,3,4}
+    val docs = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 3L), ("b", 4L)).toDF("source", "v")
+    val got = DistributionOps.ksDrift(docs, "source", col("v"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // corpus CDF micro at v=1: 2/6=333333, v=2: 3/6=500000,
+    // v=3: 5/6=833333, v=4: 1000000
+    // a: cum 2/4=500000, 3/4=750000, 4/4=1e6, 1e6
+    //    diffs: 166667, 250000, 166667, 0 -> 250000
+    // b: 0, 0, 1/2=500000, 1e6
+    //    diffs: 333333, 500000, 333333, 0 -> 500000
+    assert(got.toSeq == Seq(("a", 4L, 250000L), ("b", 2L, 500000L)))
+  }
+
   test("tokenBudgetAllocate: largest-remainder sums exactly to budget, " +
       "proportional within one token") {
     import graft.operators.SamplingOps
