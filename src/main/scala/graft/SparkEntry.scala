@@ -2052,6 +2052,98 @@ object SparkEntry {
         .orderBy(col("target"))
     }),
 
+    // Chunk-level dedup audit (q206): every 6th doc gets the same
+    // 80-token boilerplate head, so its first RAG chunk collides
+    // cross-doc while unique tails keep later chunks distinct.
+    "q206_chunk_dedup_audit" -> ((s, dir) => {
+      val bp = (1 to 80).map("bp" + _).mkString(" ")
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(bp + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.chunkDedupAudit(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Re-crawl churn (q207): crawl B drops every 13th URL, rewrites
+    // every 5th page, and adds /new pages — per-host change
+    // accounting with the changed-among-present churn rate.
+    "q207_recrawl_churn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = (col("doc_id") % 23).cast("string")
+      val url = concat(lit("http://h"), k, lit(".com/p"),
+        col("doc_id").cast("string"))
+      val oldC = docs.select(url.as("url"), col("text"))
+      val newC = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(url.as("url"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .select(concat(lit("http://h"), k, lit(".com/new"),
+            col("doc_id").cast("string")).as("url"), col("text")))
+      UrlOps.recrawlChurn(oldC, newC, "url", "text")
+        .orderBy(col("host"))
+    }),
+
+    // Unigram entropy (q208): per-doc lexical diversity in exact
+    // per-term-floored micro-nats.
+    "q208_unigram_entropy" -> ((s, dir) => {
+      TextAnalysisOps.unigramEntropy(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Split-leakage audit (q209): near-dup twins planted across the
+    // train/val/test hash split — the eval-contamination check. LSH
+    // candidates verified by Jaccard, then pair counts by split pair
+    // with cross-split pairs flagged as leaks.
+    "q209_split_leakage" -> ((s, dir) => {
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs0.unionByName(
+        docs0.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"),
+            concat(col("text"), lit(" tail note added")).as("text")))
+      val split = SamplingOps.hashSplit(corpus,
+          col("doc_id").cast("string"), 0.8, 0.1)
+        .select(col("doc_id"), col("split"))
+      DedupOps.minhashCandidates(corpus, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .join(split.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leak", col("split_a") =!= col("split_b"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // Crawl frontier (q210): robots sitemap harvest → URL dedup
+    // (min doc id per sitemap URL) → politeness schedule — the
+    // q191 + q201 composition that turns robots files into a fetch
+    // plan.
+    "q210_crawl_frontier" -> ((s, dir) => {
+      val k = (col("doc_id") % 15).cast("string")
+      val robots = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("User-agent: *\nDisallow: /private\n" +
+            "Sitemap: http://s"), k, lit(".org/map"),
+          (col("doc_id") % 7).cast("string"), lit(".xml"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("\n  sitemap: http://s"), k,
+              lit(".org/extra.xml"))).otherwise(lit("")))
+          .as("robots"))
+      val frontier = UrlOps.robotsSitemaps(robots, "doc_id", "robots")
+        .groupBy(col("sitemap_url"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      UrlOps.politenessSchedule(
+        frontier.select(col("doc_id"), col("sitemap_url").as("url")),
+        "doc_id", "url", lit(250L), maxPerHost = 5)
+        .orderBy(col("host"), col("slot"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -7715,6 +7807,178 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, drop_stage, count(*)::BIGINT AS n_docs
         |FROM st GROUP BY source, drop_stage
         |ORDER BY source, drop_stage""".stripMargin),
+
+    // The q84 chunk CTEs over the boilerplate-injected corpus, then
+    // per-sig distinct-doc counts joined back.
+    "q206_chunk_dedup_audit" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN array_to_string(list_transform(range(1, 81),
+        |        i -> 'bp' || i), ' ') || ' ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM inj),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN n > 64 THEN ((n - 64 + 47) // 48) + 1
+        |      ELSE 1 END AS n_chunks
+        |  FROM toks),
+        |e AS (
+        |  SELECT doc_id, t, unnest(range(0, n_chunks)) AS ci
+        |  FROM c),
+        |ch AS (
+        |  SELECT doc_id,
+        |    substr(md5(array_to_string(
+        |      list_slice(t, ci * 48 + 1, ci * 48 + 64), ' ')), 1, 16)
+        |      AS sig
+        |  FROM e),
+        |nd AS (
+        |  SELECT sig, count(DISTINCT doc_id)::BIGINT AS ndocs
+        |  FROM ch GROUP BY sig),
+        |fl AS (
+        |  SELECT ch.doc_id,
+        |    CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END AS sh
+        |  FROM ch JOIN nd USING (sig))
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(sh)::BIGINT AS n_shared,
+        |  (sum(sh) * 1000 // count(*))::BIGINT AS shared_milli
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Full-outer join of the two crawls' signatures, host rollup.
+    "q207_recrawl_churn" ->
+      """WITH oldc AS (
+        |  SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/p'
+        |    || doc_id::VARCHAR AS url,
+        |    substr(md5(text), 1, 16) AS so
+        |  FROM documents),
+        |newc AS (
+        |  SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/p'
+        |    || doc_id::VARCHAR AS url,
+        |    substr(md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |      ELSE text END), 1, 16) AS sn
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/new'
+        |    || doc_id::VARCHAR,
+        |    substr(md5(text), 1, 16)
+        |  FROM documents WHERE doc_id < 40),
+        |j AS (
+        |  SELECT coalesce(o.url, n.url) AS url,
+        |    CASE WHEN o.so IS NULL THEN 'added'
+        |      WHEN n.sn IS NULL THEN 'removed'
+        |      WHEN o.so = n.sn THEN 'same'
+        |      ELSE 'changed' END AS st
+        |  FROM oldc o FULL OUTER JOIN newc n ON o.url = n.url),
+        |h AS (
+        |  SELECT lower(regexp_extract(url,
+        |    'https?://([^/:?#]+)', 1)) AS host, st
+        |  FROM j),
+        |g AS (
+        |  SELECT host, count(*)::BIGINT AS n_urls,
+        |    sum(CASE WHEN st = 'same' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_same,
+        |    sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_changed,
+        |    sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_added,
+        |    sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_removed
+        |  FROM h WHERE length(host) > 0 GROUP BY host)
+        |SELECT host, n_urls, n_same, n_changed, n_added, n_removed,
+        |  CASE WHEN n_changed + n_same > 0
+        |    THEN n_changed * 1000 // (n_changed + n_same)
+        |    ELSE 0 END::BIGINT AS churn_milli
+        |FROM g ORDER BY host""".stripMargin,
+
+    // Same per-term floor-then-integer-sum entropy.
+    "q208_unigram_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS dt
+        |  FROM documents)
+        |SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |  len(dt)::BIGINT AS n_distinct,
+        |  coalesce(list_sum(list_transform(dt, x ->
+        |    floor(1000000.0
+        |      * (len(list_filter(t, y -> y = x))::DOUBLE
+        |         / len(t)::DOUBLE)
+        |      * ln(len(t)::DOUBLE
+        |         / len(list_filter(t, y -> y = x))::DOUBLE))
+        |      ::BIGINT)), 0)::BIGINT AS entropy_micro
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // Twin corpus + the shared minhash CTE chain + the hash split at
+    // the exact IEEE thresholds, pair counts by split pair.
+    "q209_split_leakage" -> (
+      s"""WITH corpus0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' tail note added'
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |""".stripMargin +
+        minhashCtesSqlFrom("SELECT doc_id, text FROM corpus0",
+          rowsPerBand = 2) +
+      s""",
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+        |        < '${SamplingOps.rateThreshold(0.8)}' THEN 'train'
+        |      WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+        |        < '${SamplingOps.rateThreshold(0.8 + 0.1)}' THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM corpus0)
+        |SELECT a.split AS split_a, b.split AS split_b,
+        |  count(*)::BIGINT AS n_pairs,
+        |  (a.split <> b.split) AS leak
+        |FROM j
+        |JOIN sp a ON j.id_a = a.doc_id
+        |JOIN sp b ON j.id_b = b.doc_id
+        |WHERE j.jaccard >= 0.5
+        |GROUP BY a.split, b.split
+        |ORDER BY split_a, split_b""".stripMargin),
+
+    // Sitemap harvest (q191's extraction) → per-URL min-doc dedup →
+    // the q201 politeness ranking.
+    "q210_crawl_frontier" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    'User-agent: *' || chr(10) || 'Disallow: /private'
+        |    || chr(10) || 'Sitemap: http://s'
+        |    || (doc_id % 15)::VARCHAR || '.org/map'
+        |    || (doc_id % 7)::VARCHAR || '.xml'
+        |    || CASE WHEN doc_id % 2 = 0
+        |      THEN chr(10) || '  sitemap: http://s'
+        |        || (doc_id % 15)::VARCHAR || '.org/extra.xml'
+        |      ELSE '' END AS robots
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(
+        |      regexp_replace(robots, '\r', '', 'g'),
+        |      '(?im)^[ \t]*sitemap:[ \t]*(\S+)', 1)) AS url
+        |  FROM pages),
+        |f AS (
+        |  SELECT url, min(doc_id)::BIGINT AS doc_id
+        |  FROM x GROUP BY url),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+        |      AS host
+        |  FROM f),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY substr(md5(url), 1, 8), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY host) AS n_urls
+        |  FROM h WHERE length(host) > 0)
+        |SELECT doc_id, host, (rk - 1)::BIGINT AS slot,
+        |  ((rk - 1) * 250)::BIGINT AS fetch_offset_ms,
+        |  n_urls::BIGINT AS n_urls
+        |FROM r WHERE rk <= 5 ORDER BY host, slot""".stripMargin,
 
     // Rank window on (md5 prefix, id) per host — valid in the oracle;
     // the Spark side rides the bounded top-N aggregate instead.

@@ -1670,6 +1670,68 @@ object TextAnalysisOps {
     * chunk rows stay co-partitioned with their document, so a
     * downstream embed/index stage starts shuffle-free. Row growth is
     * the intended ~n/stride fan-out. */
+  /** Chunk-level dedup audit over [[chunkDocs]] output: the fraction
+    * of each document's RAG chunks that also appear verbatim in OTHER
+    * documents — the chunk-granular complement of document dedup
+    * (header/footer boilerplate survives doc-level dedup yet floods a
+    * retrieval index with identical chunks).
+    *
+    * Scale shape: chunks carry only (id, 16 B sig) to the exchanges;
+    * the cross-doc count is two map-side-combined aggregations
+    * ((sig, doc) distinct, then per-sig doc counts) left-outer-joined
+    * back on the sig — the round-9 hot-key discipline, so a
+    * corpus-wide boilerplate chunk never single-tasks. */
+  def chunkDedupAudit(docs: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int = 64, overlap: Int = 16,
+                      minDocs: Int = 2): DataFrame = {
+    val chunks = chunkDocs(docs, idCol, textCol, chunkTokens, overlap)
+      .select(col(idCol), substring(md5(col("chunk_text")), 1, 16)
+        .as("__sig"))
+    val sharedSigs = chunks.select(col(idCol), col("__sig")).distinct()
+      .groupBy(col("__sig")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs.toLong)
+      .select(col("__sig"), lit(1L).as("__shared"))
+    chunks.join(sharedSigs, Seq("__sig"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__shared"), lit(0L))).as("n_shared"))
+      .withColumn("shared_milli",
+        expr("n_shared * 1000 div n_chunks"))
+  }
+
+  /** Per-document unigram entropy in micro-nats — the
+    * lexical-diversity signal that separates natural prose (high
+    * entropy) from degenerate generations and keyword stuffing (low):
+    * `Σ_t floor(1e6 · (c_t/n) · ln(n/c_t))` over the doc's own token
+    * distribution. Each term floors to an integer BEFORE the sum, so
+    * the result is order-free and engine-portable (a float
+    * accumulation would depend on summation order/algorithm); the
+    * per-term double chain is the established identical-AST ln/floor
+    * recipe (q65/q106).
+    *
+    * Scale shape: pure projection; the in-row cost is O(tokens ×
+    * distinct tokens) — fine for documents, switch to the q65
+    * corpus-aggregated form for degenerate million-token rows. */
+  def unigramEntropy(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        array_sort(array_distinct(col("__t"))).as("__dt"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__dt")).cast("long").as("n_distinct"),
+        aggregate(
+          transform(col("__dt"),
+            t => size(filter(col("__t"), x => x === t))),
+          lit(0L),
+          (acc, c) => acc +
+            floor(lit(1000000.0) *
+              (c.cast("double") / col("n_tokens").cast("double")) *
+              log(col("n_tokens").cast("double") / c.cast("double")))
+              .cast("long"))
+          .as("entropy_micro"))
+  }
+
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
                 chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,

@@ -349,6 +349,50 @@ object UrlOps {
         col("n_urls"))
   }
 
+  /** Re-crawl churn: join two crawl snapshots of the same URL space
+    * and roll per-host change accounting — the freshness signal that
+    * drives re-crawl scheduling (a host whose pages never change can
+    * be fetched monthly; a news host hourly) and the denominator for
+    * incremental-build sizing. Per URL the verdict is
+    * added / removed / changed / same by content signature; per host
+    * the rollup carries the four counts and `churn_milli` =
+    * changed·1000 div (changed + same) (the rate among URLs present
+    * in BOTH crawls).
+    *
+    * Scale shape: content dies to a 16 B md5 in each side's
+    * projection; one full-outer hash join on the URL key; the host
+    * rollup is a map-side-combined aggregate. */
+  def recrawlChurn(oldCrawl: DataFrame, newCrawl: DataFrame,
+                   urlCol: String, textCol: String): DataFrame = {
+    def side(df: DataFrame, sig: String) =
+      df.select(col(urlCol).as("url"),
+        substring(md5(col(textCol)), 1, 16).as(sig))
+    val joined = side(oldCrawl, "__so")
+      .join(side(newCrawl, "__sn"), Seq("url"), "full_outer")
+      .select(col("url"),
+        lower(regexp_extract(col("url"), "https?://([^/:?#]+)", 1))
+          .as("host"),
+        when(col("__so").isNull, "added")
+          .when(col("__sn").isNull, "removed")
+          .when(col("__so") === col("__sn"), "same")
+          .otherwise("changed").as("__st"))
+      .filter(length(col("host")) > 0)
+    joined.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("__st") === "same", 1L).otherwise(0L))
+          .as("n_same"),
+        sum(when(col("__st") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("__st") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("__st") === "removed", 1L).otherwise(0L))
+          .as("n_removed"))
+      .withColumn("churn_milli",
+        when(col("n_changed") + col("n_same") > 0L,
+          expr("n_changed * 1000 div (n_changed + n_same)"))
+          .otherwise(lit(0L)))
+  }
+
   /** Anchor-text harvest: aggregate the link texts pointing AT each
     * canonical target URL — the classic relevance signal (anchor text
     * describes the target better than the target describes itself)

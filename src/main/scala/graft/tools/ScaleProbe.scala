@@ -211,6 +211,17 @@ object ScaleProbe {
       time(s"ksDrift SKEW x$n (90% one source)")(
         graft.operators.DistributionOps.ksDrift(skewSrc,
           "source", col("n_chars")))
+      // chunk-level dedup audit with a corpus-wide boilerplate chunk
+      // (50% of docs share an 80-token head): the shared-chunk sig is
+      // the hot key; counts aggregate map-side and join back
+      val bp = (1 to 80).map("bp" + _).mkString(" ")
+      time(s"chunkDedupAudit SKEW x$n (boilerplate chunk in 50%)")(
+        TextAnalysisOps.chunkDedupAudit(
+          docs.withColumn("text",
+            when(col("doc_id") % 2 === 0,
+              concat(lit(bp + " "), col("text")))
+              .otherwise(col("text"))),
+          "doc_id", "text"))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

@@ -3754,6 +3754,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bern.size > 60 && bern.size < 140, s"got ${bern.size}")
   }
 
+  test("chunkDedupAudit flags cross-doc verbatim chunks, in-doc " +
+      "repeats don't count") {
+    import graft.operators.TextAnalysisOps
+    val bp = (1 to 80).map("bp" + _).mkString(" ")
+    val docs = Seq(
+      (1L, bp + " " + (1 to 40).map("a" + _).mkString(" ")),
+      (2L, bp + " " + (1 to 40).map("b" + _).mkString(" ")),
+      (3L, (1 to 120).map("c" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.chunkDedupAudit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1/2: chunk 0 (tokens 1-64, all boilerplate) identical
+    // across docs -> shared; later chunks carry unique tails
+    val (d1, d2, d3) = (got(0), got(1), got(2))
+    assert(d1._3 == 1L && d2._3 == 1L, s"$d1 $d2")
+    assert(d3._3 == 0L)
+    assert(d1._4 == 1000L / d1._2)
+  }
+
+  test("unigramEntropy: exact per-term floored micro-nats, order-free") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "a a b b"),        // 2 x floor(1e6 * .5 * ln 2)
+      (2L, "a b c d"),        // 4 x floor(1e6 * .25 * ln 4)
+      (3L, "a a a a")         // zero entropy
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.unigramEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val h2 = math.floor(1e6 * 0.5 * math.log(2.0)).toLong
+    val h4 = math.floor(1e6 * 0.25 * math.log(4.0)).toLong
+    assert(got.toSeq == Seq((1L, 4L, 2L, 2 * h2), (2L, 4L, 4L, 4 * h4),
+      (3L, 4L, 1L, 0L)))
+  }
+
+  test("recrawlChurn: per-host added/removed/changed/same + churn rate") {
+    import graft.operators.UrlOps
+    val oldC = Seq(
+      ("http://a.com/1", "t1"), ("http://a.com/2", "t2"),
+      ("http://a.com/3", "t3"), ("http://b.io/x", "same text")
+    ).toDF("url", "text")
+    val newC = Seq(
+      ("http://a.com/1", "t1"),          // same
+      ("http://a.com/2", "t2 CHANGED"),  // changed
+      ("http://a.com/4", "new page"),    // added; /3 removed
+      ("http://b.io/x", "same text")
+    ).toDF("url", "text")
+    val got = UrlOps.recrawlChurn(oldC, newC, "url", "text")
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("a.com", 4L, 1L, 1L, 1L, 1L, 500L),
+      ("b.io", 1L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("politenessSchedule: md5-ordered slots under per-host delay, " +
       "over-budget URLs dropped visibly") {
     import graft.operators.UrlOps
