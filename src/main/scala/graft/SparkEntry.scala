@@ -7851,21 +7851,26 @@ ORDER BY rank LIMIT 6"""),
     // Full-outer join of the two crawls' signatures, host rollup.
     "q207_recrawl_churn" ->
       """WITH oldc AS (
-        |  SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/p'
-        |    || doc_id::VARCHAR AS url,
-        |    substr(md5(text), 1, 16) AS so
-        |  FROM documents),
+        |  SELECT url, min(so) AS so FROM (
+        |    SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/p'
+        |      || doc_id::VARCHAR AS url,
+        |      substr(md5(text), 1, 16) AS so
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY url),
         |newc AS (
-        |  SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/p'
-        |    || doc_id::VARCHAR AS url,
-        |    substr(md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
-        |      ELSE text END), 1, 16) AS sn
-        |  FROM documents WHERE doc_id % 13 <> 0
-        |  UNION ALL
-        |  SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/new'
-        |    || doc_id::VARCHAR,
-        |    substr(md5(text), 1, 16)
-        |  FROM documents WHERE doc_id < 40),
+        |  SELECT url, min(sn) AS sn FROM (
+        |    SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/p'
+        |      || doc_id::VARCHAR AS url,
+        |      substr(md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |        ELSE text END), 1, 16) AS sn
+        |    FROM documents WHERE doc_id % 13 <> 0
+        |      AND text IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.com/new'
+        |      || doc_id::VARCHAR,
+        |      substr(md5(text), 1, 16)
+        |    FROM documents WHERE doc_id < 40 AND text IS NOT NULL)
+        |  GROUP BY url),
         |j AS (
         |  SELECT coalesce(o.url, n.url) AS url,
         |    CASE WHEN o.so IS NULL THEN 'added'
@@ -7897,8 +7902,10 @@ ORDER BY rank LIMIT 6"""),
     // Same per-term floor-then-integer-sum entropy.
     "q208_unigram_entropy" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t,
-        |    list_sort(list_distinct(string_split(text, ' '))) AS dt
+        |  SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t,
+        |    list_sort(list_distinct(
+        |      string_split(coalesce(text, ''), ' '))) AS dt
         |  FROM documents)
         |SELECT doc_id, len(t)::BIGINT AS n_tokens,
         |  len(dt)::BIGINT AS n_distinct,
@@ -8043,7 +8050,7 @@ ORDER BY rank LIMIT 6"""),
         |  FROM b),
         |k AS (
         |  SELECT doc_id, age_days,
-        |    least(age_days // 60, 30) AS kk
+        |    least(greatest(age_days // 60, 0), 30) AS kk
         |  FROM m)
         |SELECT doc_id, age_days::BIGINT AS age_days,
         |  (1000000 // (1 << kk))::BIGINT AS weight_micro,

@@ -287,21 +287,29 @@ object TripTracker {
     * The reference scans the WHOLE history per packet (`if v not in
     * hist`) — O(trip²) for a long-lived trip, measured at 437 s for a
     * single 81k-ping stuck-transponder key in the round-9 skew probe.
-    * The engine processes each key's packets sorted by (now, seen), so
-    * insertion timestamps are non-decreasing and a (value, ts) PAIR can
-    * only recur inside the leading run of entries sharing `v.ts`:
-    * scanning just that run gives the same answer in O(equal-ts run).
-    * An out-of-order caller (none in the engine — both runBatch and
-    * runStreaming sort) falls back to the full scan, so the
-    * anywhere-in-history semantics hold unconditionally. */
+    * This form instead maintains the list NON-INCREASING BY ts (an
+    * invariant of this function, independent of call order): an
+    * in-order insert (v.ts above the head) is O(1), and any other
+    * insert walks only to its ts position, dedups against the
+    * equal-ts run there (the only place a (value, ts) PAIR can hide
+    * in a ts-sorted list — exact anywhere-in-history semantics), and
+    * splices in place. The engine feeds packets sorted by (now, seen)
+    * per batch, so the walk is empty in batch mode; a LATE streaming
+    * arrival (event time below the head) pays O(newer entries) —
+    * bounded by the disorder window — and lands at its event-time
+    * position, keeping the newest-EVENT-TIME entry at the head (the
+    * single-stream reference can never see disorder, so this is the
+    * only self-consistent extension of its semantics). */
   def patchAdd(hist: List[ValueTs], v: ValueTs): List[ValueTs] =
     hist match {
       case h :: _ if v.ts > h.ts => v :: hist
-      case h :: _ if v.ts == h.ts =>
-        if (hist.iterator.takeWhile(_.ts == v.ts).contains(v)) hist
-        else v :: hist
-      case Nil => v :: hist
-      case _ => if (hist.contains(v)) hist else v :: hist
+      case Nil => v :: Nil
+      case _ =>
+        val newer = hist.takeWhile(_.ts > v.ts)
+        val rest = hist.drop(newer.length)
+        val run = rest.takeWhile(_.ts == v.ts)
+        if (run.contains(v)) hist
+        else newer ::: (v :: rest)
     }
 
   /** Decimated live track record (airstrik.py:601-614). */

@@ -140,6 +140,11 @@ object ConversationOps {
     val base = docs.select(col(idCol).cast("long").as("__id"),
       substring(md5(col(promptCol)), 1, 16).as("prompt_sig"),
       score.cast("long").as("__score"))
+      // an unscored candidate carries no preference signal and must
+      // not poison its group: struct MIN orders nulls FIRST, so one
+      // NULL score would become rejected_score = NULL -> margin NULL
+      // -> the whole (valid) pair silently dropped
+      .filter(col("__score").isNotNull)
     base.groupBy(col("prompt_sig"))
       .agg(count(lit(1)).as("n_candidates"),
         max(struct(col("__score").as("s"), (-col("__id")).as("ni")))

@@ -343,10 +343,12 @@ object RetrievalOps {
     *
     * Routing cost: a caller that already knows |Q| passes
     * `queryCountHint` and no Spark job runs at call time. Without a
-    * hint the query frame is persisted BEFORE the one-row `count()`,
-    * so the decision job materializes the rows the chosen route then
-    * reuses — the query source is scanned once, not twice (queries
-    * are the small side by contract, so the persist is bounded). */
+    * hint, one `count()` job runs and the chosen route re-scans the
+    * query source (two scans of the SMALL side). Deliberately NOT
+    * cached here: a library-level `persist` with no unpersist hook
+    * would pin the query frame in executor storage for the session
+    * lifetime on every call — callers who care persist/unpersist the
+    * frame themselves around the call, or pass the hint. */
   def hashedDenseTopKAuto(docs: DataFrame, idCol: String,
                           textCol: String, queries: DataFrame,
                           qIdCol: String, qTextCol: String,
@@ -355,15 +357,12 @@ object RetrievalOps {
                           bits: Int = 4, probe: Int = 2,
                           queryCountHint: Option[Long] = None)
       : DataFrame = {
-    val q = if (queryCountHint.isDefined) queries
-      else queries.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nQ = queryCountHint.getOrElse(q.count())
+    val nQ = queryCountHint.getOrElse(queries.count())
     if (nQ <= maxBroadcastQueries)
-      hashedDenseTopK(docs, idCol, textCol, q, qIdCol, qTextCol,
+      hashedDenseTopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
         k, dim)
     else
-      hashedDenseTopKLsh(docs, idCol, textCol, q, qIdCol,
+      hashedDenseTopKLsh(docs, idCol, textCol, queries, qIdCol,
         qTextCol, k, dim, bits, probe)
   }
 }

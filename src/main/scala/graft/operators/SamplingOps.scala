@@ -463,9 +463,7 @@ object SamplingOps {
         .observe("stratified_route", max(lit(0L)).as("route"),
           count(lit(1)).as("kept_rows"))
     else
-      df.filter(
-          conv(substring(md5(key), 1, 8), 16, 10).cast("long")
-            * 1000000L < lit(rateMicro * 4294967296L))
+      df.filter(acceptsAtRateMicro(key, lit(rateMicro)))
         .observe("stratified_route", max(lit(1L)).as("route"),
           count(lit(1)).as("kept_rows"))
   }
@@ -505,6 +503,16 @@ object SamplingOps {
         col("keep"))
   }
 
+  /** The shared md5-acceptance frame: keep a row iff its key's uint32
+    * md5 prefix falls under `rateMicro` millionths of the 2³² space.
+    * Deterministic, re-runnable, engine-portable — ONE definition so
+    * every sampling op's arithmetic stays bit-identical to the
+    * oracles' (`rateThreshold` is the string-compare twin the SQL
+    * side uses). */
+  def acceptsAtRateMicro(key: Column, rateMicro: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") * 1000000L <
+      rateMicro * 4294967296L
+
   /** Freshness-decay acceptance weights: exponentially down-weight
     * stale documents by crawl age, in EXACT integer arithmetic —
     * weight halves every `halfLifeDays` via whole halving buckets
@@ -524,14 +532,17 @@ object SamplingOps {
     df.select(col(idCol), crawlTs.cast("long").as("__ts"))
       .withColumn("age_days",
         expr(s"(${nowTs}L - __ts) div 86400L"))
+      // clamp BOTH ends: a future-dated crawl ts (clock skew, bad
+      // feed) must get FULL weight, not a negative shift (1 << -1
+      // masks to 2^63 and zeroes the freshest docs)
       .withColumn("__k",
-        least(expr(s"age_days div ${halfLifeDays}L"), lit(30L)))
+        least(greatest(expr(s"age_days div ${halfLifeDays}L"),
+          lit(0L)), lit(30L)))
       .withColumn("weight_micro",
         expr("1000000L div shiftleft(1L, cast(__k as int))"))
       .withColumn("selected",
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long") * 1000000L <
-          col("weight_micro") * 4294967296L)
+        acceptsAtRateMicro(col(idCol).cast("string"),
+          col("weight_micro")))
       .select(col(idCol), col("age_days"), col("weight_micro"),
         col("selected"))
   }

@@ -1714,7 +1714,11 @@ object TextAnalysisOps {
     * corpus-aggregated form for degenerate million-token rows. */
   def unigramEntropy(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
-    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // null text normalizes to empty BEFORE tokenization: otherwise
+    // every stat comes back NULL while the oracle's coalesce yields 0
+    // (the q194 null-parity lesson)
+    docs.select(col(idCol),
+        tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .select(col(idCol), col("__t"),
         size(col("__t")).cast("long").as("n_tokens"),
         array_sort(array_distinct(col("__t"))).as("__dt"))

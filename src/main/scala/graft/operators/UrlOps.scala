@@ -24,6 +24,13 @@ object UrlOps {
   private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val RestRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
 
+  /** Lowercased host of an http(s) URL — the ONE definition every
+    * host-keyed rollup shares (politeness, churn, registered
+    * domains), so a URL-edge fix lands everywhere at once. Empty
+    * string for non-URLs. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "https?://([^/:?#]+)", 1))
+
   /** Canonicalize one URL column. */
   def canonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
@@ -173,8 +180,7 @@ object UrlOps {
 
   def registeredDomains(docs: DataFrame, idCol: String,
                         urlCol: String): DataFrame = {
-    val host = lower(regexp_extract(col(urlCol),
-      "https?://([^/:?#]+)", 1))
+    val host = hostOf(col(urlCol))
     val labels = split(host, "\\.")
     val n = size(labels)
     val lastTwo = concat_ws(".",
@@ -329,10 +335,8 @@ object UrlOps {
                          delayMs: Column,
                          maxPerHost: Int = 1000): DataFrame = {
     import graft.functions.AggFunctions.boundedTopN
-    val host = lower(regexp_extract(col(urlCol),
-      "https?://([^/:?#]+)", 1))
     val base = df.select(col(idCol).cast("long").as("__id"),
-        col(urlCol).as("__url"), host.as("host"),
+        col(urlCol).as("__url"), hostOf(col(urlCol)).as("host"),
         delayMs.cast("long").as("__delay"))
       .filter(length(col("host")) > 0)
     base.groupBy(col("host"))
@@ -364,14 +368,19 @@ object UrlOps {
     * rollup is a map-side-combined aggregate. */
   def recrawlChurn(oldCrawl: DataFrame, newCrawl: DataFrame,
                    urlCol: String, textCol: String): DataFrame = {
+    // null content cannot witness presence (md5(NULL) = NULL would
+    // misread a fetched page as "added"/"removed"); duplicate URL
+    // rows within one snapshot collapse to their MIN signature so a
+    // double-listed URL cannot fan the full-outer join out and
+    // inflate the per-host counts
     def side(df: DataFrame, sig: String) =
-      df.select(col(urlCol).as("url"),
-        substring(md5(col(textCol)), 1, 16).as(sig))
+      df.filter(col(textCol).isNotNull)
+        .select(col(urlCol).as("url"),
+          substring(md5(col(textCol)), 1, 16).as(sig))
+        .groupBy(col("url")).agg(min(col(sig)).as(sig))
     val joined = side(oldCrawl, "__so")
       .join(side(newCrawl, "__sn"), Seq("url"), "full_outer")
-      .select(col("url"),
-        lower(regexp_extract(col("url"), "https?://([^/:?#]+)", 1))
-          .as("host"),
+      .select(col("url"), hostOf(col("url")).as("host"),
         when(col("__so").isNull, "added")
           .when(col("__sn").isNull, "removed")
           .when(col("__so") === col("__sn"), "same")

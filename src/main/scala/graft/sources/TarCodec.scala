@@ -136,10 +136,13 @@ object TarCodec {
     * followed by the member header with the name truncated to its
     * first 100 bytes. */
   def tarBytes(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    // 4095, not 4096: the 'L' record's data is the name + NUL, and
+    // [[parse]] bounds that record's SIZE at 4096 — a 4096-byte name
+    // would round-trip to None
     require(members.forall { case (n, _) =>
-      n.nonEmpty && n.length <= 4096 &&
+      n.nonEmpty && n.length <= 4095 &&
         n.forall(c => c >= 0x20 && c < 0x7f)
-    }, "names must be printable ASCII, 1..4096 bytes (the " +
+    }, "names must be printable ASCII, 1..4095 bytes (the " +
       "prefix-field split for unicode paths is a parse-side " +
       "feature only)")
     // physical records: each long-named member is preceded by its

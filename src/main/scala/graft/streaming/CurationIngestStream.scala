@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery,
+  StreamingQueryListener, Trigger}
 
 /** The streaming stages composed into ONE continuous query graph —
   * ingest → curation gates + signature dedup → minhash near-dup over
@@ -63,12 +64,14 @@ object CurationIngestStream {
     * the current micro-batch's rows with their event times unchanged
     * — every emitted row was on-time for stage one and is therefore
     * on-time for stage two under the same watermark column and
-    * delay. The check must stay disabled while the query RUNS (the
-    * streaming thread re-analyzes asynchronously — a scoped restore
-    * races it), so `start` leaves it off and returns; callers that
-    * want the session guard back re-enable it after termination. The
-    * soak spec pins exact batch equivalence across restarts, which
-    * would fail if late-row discards ever fired. */
+    * delay. The check must stay disabled while the query ANALYZES
+    * (the streaming thread analyzes asynchronously — a scoped restore
+    * at `start`-return races it), so `start` leaves it off and
+    * registers a one-shot listener that restores the session default
+    * when THIS query terminates — the guard is back for everything
+    * that runs after, without a manual-restore contract on callers.
+    * The soak spec pins exact batch equivalence across restarts,
+    * which would fail if late-row discards ever fired. */
   def start(docs: DataFrame, outDir: String,
             idCol: String = "doc_id", textCol: String = "text",
             eventTimeCol: String = "ts",
@@ -87,9 +90,25 @@ object CurationIngestStream {
         batch.toDF().withColumn("batch_id", lit(bid))
           .write.mode("append").parquet(s"$outDir/pairs")
       }
-    docs.sparkSession.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
-      "false")
-    writer.start()
+    val spark = docs.sparkSession
+    val key =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(key, "false")
+    val q = writer.start()
+    val qid = q.id
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            spark.conf.set(key, "true")
+            spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 }

@@ -3224,6 +3224,15 @@ class OperatorsSpec extends AnyFunSuite {
     val longName = ("deeply/nested/directory/structure/" * 4) +
       "leaf_file_with_a_rather_long_name.txt"
     assert(longName.length > 100)
+    // boundary: a 4095-byte name round-trips (4096 would write an 'L'
+    // record of size 4097, which parse bounds out)
+    val maxName = "d/" + ("x" * 4093)
+    val maxGot = TarCodec.parse(TarCodec.tarBytes(
+      Seq((maxName, "p".getBytes("UTF-8"))))).get
+    assert(maxGot.head.name == maxName)
+    intercept[IllegalArgumentException] {
+      TarCodec.tarBytes(Seq(("y" * 4096, "p".getBytes("UTF-8"))))
+    }
     val bytes = TarCodec.tarBytes(Seq(
       (longName, "payload".getBytes("UTF-8")),
       ("short.txt", "x".getBytes("UTF-8"))))
@@ -3869,9 +3878,11 @@ class OperatorsSpec extends AnyFunSuite {
       "singletons and indecisive margins drop") {
     import graft.operators.ConversationOps
     val docs = Seq(
-      (1L, "p1", 10L), (2L, "p1", 30L), (3L, "p1", 30L),
-      (4L, "p2", 5L), (5L, "p2", 5L),     // margin 0 -> dropped
-      (6L, "p3", 9L)                      // singleton -> dropped
+      (1L, "p1", Some(10L)), (2L, "p1", Some(30L)),
+      (3L, "p1", Some(30L)),
+      (4L, "p2", Some(5L)), (5L, "p2", Some(5L)), // margin 0 -> drop
+      (6L, "p3", Some(9L)),                       // singleton -> drop
+      (7L, "p1", None)  // unscored: skipped, must NOT null the margin
     ).toDF("doc_id", "prompt", "score")
     val got = ConversationOps.preferencePairs(docs, "doc_id",
       "prompt", col("score"))
@@ -3890,14 +3901,16 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, now - 59L * 86400),         // age 59, hl 60 -> k0 -> 1e6
       (3L, now - 60L * 86400),         // k1 -> 500000
       (4L, now - 200L * 86400),        // k3 -> 125000
-      (5L, now - 100000L * 86400)      // k capped at 30
+      (5L, now - 100000L * 86400),     // k capped at 30
+      (6L, now + 90L * 86400)          // FUTURE ts -> clamp to full
     ).toDF("doc_id", "crawl_ts")
     val got = SamplingOps.freshnessWeights(docs, "doc_id",
       col("crawl_ts"), now, halfLifeDays = 60)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 1000000L), (2L, 1000000L),
-      (3L, 500000L), (4L, 125000L), (5L, 1000000L >> 30)))
+      (3L, 500000L), (4L, 125000L), (5L, 1000000L >> 30),
+      (6L, 1000000L)))
   }
 
   test("ksDrift: exact micro-CDF sup distance per source") {

@@ -65,18 +65,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("patchAdd is idempotent and never reorders existing history") {
+  test("patchAdd: idempotent, exact pair dedup, ts-sorted invariant " +
+      "maintained under ANY insert order (incl. out-of-order)") {
     val genPair = for {
       v <- Gen.chooseNum(-1000.0, 1000.0)
-      t <- Gen.chooseNum(0.0, 100000.0)
+      // a small ts domain forces frequent collisions/out-of-order
+      t <- Gen.oneOf(1.0, 2.0, 3.0, 5.0, 8.0)
     } yield ValueTs(v, t)
     check("patchAdd")(Prop.forAll(Gen.listOf(genPair), genPair) {
-      (hist, v) =>
+      (inserts, v) =>
+        // histories only ever exist as patchAdd folds from Nil — the
+        // ts-sorted invariant is the function's own, so the property
+        // domain is lists IT built, in any (disordered) feed order
+        val hist = inserts.foldLeft(List.empty[ValueTs])(
+          TripTracker.patchAdd)
         val once = TripTracker.patchAdd(hist, v)
         val twice = TripTracker.patchAdd(once, v)
-        twice == once &&                       // idempotent
-          once.containsSlice(hist) &&          // suffix preserved
-          once.contains(v)                     // value present after add
+        twice == once &&                        // idempotent
+          once.contains(v) &&                   // value present
+          hist.forall(once.contains) &&         // nothing lost
+          once.distinct == once &&              // exact pair dedup
+          once.map(_.ts).sliding(2).forall {    // non-increasing ts
+            case Seq(a, b) => a >= b
+            case _ => true
+          }
     })
   }
 
