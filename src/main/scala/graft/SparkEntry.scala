@@ -2144,6 +2144,65 @@ object SparkEntry {
         .orderBy(col("host"), col("slot"))
     }),
 
+    // Repetition loops (q211): planted p=1 and p=2 tails plus pure
+    // p=2 loop pages — degenerate-generation detection by fundamental
+    // period.
+    "q211_repetition_loops" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" stop stop stop stop stop stop")))
+          .when(col("doc_id") % 9 === 1,
+            concat(col("text"), lit(" yes no yes no yes no yes no")))
+          .when(col("doc_id") % 9 === 2,
+            lit("loop the loop the loop the loop the loop the loop"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.repetitionLoops(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Count-of-counts (q212): the Good-Turing N_r table over corpus
+    // bigrams with a clamped tail bucket.
+    "q212_count_of_counts" -> ((s, dir) => {
+      TextAnalysisOps.ngramCountOfCounts(t(s, dir, "documents"),
+        "text", n = 2, maxR = 10L)
+        .orderBy(col("r"))
+    }),
+
+    // URL syndication (q213): canonical URLs shared across sources —
+    // per-source-pair overlap counts.
+    "q213_url_syndication" -> ((s, dir) => {
+      val url = concat(lit("http://syn"),
+        (col("doc_id") % 50).cast("string"), lit(".com/art"),
+        (col("doc_id") % 25).cast("string"))
+      UrlOps.urlSyndication(
+        t(s, dir, "documents").select(url.as("url"), col("source")),
+        "url", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Numeric density (q214): whole-token integer/year/decimal/percent
+    // counts with milli density; every 4th doc carries a numeric tail.
+    "q214_numeric_density" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" 42 3.14 2021 77% filler")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.numericDensity(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Shrunk host quality (q215): empirical-Bayes smoothing of
+    // per-host mean quality toward the corpus mean.
+    "q215_shrunk_host_quality" -> ((s, dir) => {
+      val url = concat(lit("http://d"),
+        (col("doc_id") % 30).cast("string"), lit(".com/p"),
+        col("doc_id").cast("string"))
+      UrlOps.shrunkHostQuality(
+        t(s, dir, "documents").select(url.as("url"), col("n_chars")),
+        "url", col("n_chars"), priorN = 25L)
+        .orderBy(col("host"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -7807,6 +7866,138 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, drop_stage, count(*)::BIGINT AS n_docs
         |FROM st GROUP BY source, drop_stage
         |ORDER BY source, drop_stage""".stripMargin),
+
+    // Per-period match fractions over the token list, greatest with
+    // first-match (smallest-p) tie resolution.
+    "q211_repetition_loops" -> (
+      s"""WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN text || ' stop stop stop stop stop stop'
+        |    WHEN doc_id % 9 = 1
+        |      THEN text || ' yes no yes no yes no yes no'
+        |    WHEN doc_id % 9 = 2
+        |      THEN 'loop the loop the loop the loop the loop the loop'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM inj),
+        |f AS (
+        |  SELECT doc_id, n,
+        |""".stripMargin +
+        (1 to 8).map(p =>
+          s"    CASE WHEN n > $p THEN len(list_filter(" +
+            s"range($p + 1, n + 1), i -> t[i] = t[i - $p])) " +
+            s"* 1000 // (n - $p) ELSE 0 END AS f$p")
+          .mkString(",\n") +
+      s"""
+        |  FROM tk),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    greatest(f1, f2, f3, f4, f5, f6, f7, f8) AS best,
+        |    f1, f2, f3, f4, f5, f6, f7, f8
+        |  FROM f)
+        |SELECT doc_id, n::BIGINT AS n_tokens,
+        |  (CASE ${(1 to 8).map(p =>
+               s"WHEN f$p = best THEN $p").mkString(" ")}
+        |    END)::BIGINT AS best_period,
+        |  best::BIGINT AS loop_milli,
+        |  best >= 500 AS loopy
+        |FROM g ORDER BY doc_id""".stripMargin),
+
+    // Bigram hash counts map-side, then the clamped N_r histogram.
+    "q212_count_of_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        |      [array_to_string(t[i + 1:i + 2], ' ')
+        |       FOR i IN range(len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |fl AS (
+        |  SELECT substr(md5(s), 1, 16) AS h
+        |  FROM (SELECT unnest(sh) AS s FROM sh)),
+        |c AS (SELECT h, count(*)::BIGINT AS c FROM fl GROUP BY h)
+        |SELECT least(c, 11)::BIGINT AS r,
+        |  count(*)::BIGINT AS n_ngrams
+        |FROM c GROUP BY r ORDER BY r""".stripMargin,
+
+    // Distinct (url, source), per-URL sorted source sets, pair
+    // explosion of the >= 2 sets.
+    "q213_url_syndication" ->
+      """WITH u AS (
+        |  SELECT DISTINCT
+        |    'http://syn' || (doc_id % 50)::VARCHAR || '.com/art'
+        |      || (doc_id % 25)::VARCHAR AS url,
+        |    source
+        |  FROM documents),
+        |s AS (
+        |  SELECT url, list_sort(list(DISTINCT source)) AS ss
+        |  FROM u GROUP BY url),
+        |p AS (
+        |  SELECT a.sa AS source_a, b.sb AS source_b
+        |  FROM (SELECT url, unnest(ss) AS sa FROM s
+        |        WHERE len(ss) >= 2) a
+        |  JOIN (SELECT url, unnest(ss) AS sb FROM s
+        |        WHERE len(ss) >= 2) b USING (url)
+        |  WHERE a.sa < b.sb)
+        |SELECT source_a, source_b, count(*)::BIGINT AS n_shared_urls
+        |FROM p GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Whole-token regex counts + milli density.
+    "q214_numeric_density" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' 42 3.14 2021 77% filler'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM inj),
+        |m AS (
+        |  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |    len(list_filter(t, x ->
+        |      regexp_matches(x, '^[0-9]+$')))::BIGINT AS n_ints,
+        |    len(list_filter(t, x ->
+        |      regexp_matches(x, '^(19|20)[0-9]{2}$')))::BIGINT
+        |      AS n_years,
+        |    len(list_filter(t, x ->
+        |      regexp_matches(x, '^[0-9]+\.[0-9]+$')))::BIGINT
+        |      AS n_decimals,
+        |    len(list_filter(t, x ->
+        |      regexp_matches(x, '^[0-9]+(\.[0-9]+)?%$')))::BIGINT
+        |      AS n_percents
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, n_ints, n_years, n_decimals,
+        |  n_percents,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (n_ints + n_decimals + n_percents) * 1000 // n_tokens
+        |    ELSE 0 END::BIGINT AS numeric_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Host sums + the broadcast corpus mean, exact shrinkage
+    // arithmetic.
+    "q215_shrunk_host_quality" ->
+      """WITH b AS (
+        |  SELECT 'd' || (doc_id % 30)::VARCHAR || '.com' AS host,
+        |    n_chars::BIGINT AS q
+        |  FROM documents),
+        |gm AS (
+        |  SELECT (sum(q)::BIGINT * 1000) // count(*) AS gmv FROM b),
+        |g AS (
+        |  SELECT host, count(*)::BIGINT AS n_docs,
+        |    sum(q)::BIGINT AS sq
+        |  FROM b GROUP BY host)
+        |SELECT host, n_docs,
+        |  (sq * 1000 // n_docs)::BIGINT AS mean_milli,
+        |  ((sq * 1000 + 25 * gmv) // (n_docs + 25))::BIGINT
+        |    AS shrunk_milli,
+        |  gmv::BIGINT AS corpus_milli
+        |FROM g CROSS JOIN gm ORDER BY host""".stripMargin,
 
     // The q84 chunk CTEs over the boilerplate-injected corpus, then
     // per-sig distinct-doc counts joined back.

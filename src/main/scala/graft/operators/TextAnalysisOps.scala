@@ -1736,6 +1736,92 @@ object TextAnalysisOps {
           .as("entropy_micro"))
   }
 
+  /** Repetition-loop detector — degenerate generation cleanup: find
+    * the token period `p ≤ maxPeriod` maximizing the fraction of
+    * positions where `tok[i] == tok[i-p]` ("the the the" loops at
+    * p=1, ABAB chatter at p=2, looping sentences at higher p). Emits
+    * the best period, its match rate in milli, and the `loopy` flag
+    * at `minLoopMilli`. Ties break to the SMALLEST period (the
+    * fundamental one). Exact integer arithmetic; docs shorter than
+    * p+1 tokens score 0 at that period.
+    *
+    * Scale shape: pure projection — per-row cost O(tokens ×
+    * maxPeriod), all in-row. */
+  def repetitionLoops(docs: DataFrame, idCol: String, textCol: String,
+                      maxPeriod: Int = 8,
+                      minLoopMilli: Long = 500L): DataFrame = {
+    require(maxPeriod >= 1, "maxPeriod >= 1")
+    val n = size(col("__t"))
+    def fracMilli(p: Int): Column =
+      when(n > p,
+        size(filter(sequence(lit(p + 1), n),
+          i => element_at(col("__t"), i) ===
+            element_at(col("__t"), i - p))).cast("long") * 1000L /
+          (n - p).cast("long"))
+        .otherwise(lit(0L))
+    // stage the per-period fractions as bound columns once — best and
+    // bestP below reference each several times (re-eval discipline)
+    val withF = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol) +: size(col("__t")).cast("long")
+        .as("n_tokens") +:
+        (1 to maxPeriod).map(p =>
+          floor(fracMilli(p)).cast("long").as(s"__f$p")): _*)
+    val best = greatest((1 to maxPeriod).map(p => col(s"__f$p")): _*)
+    val bestP = (1 to maxPeriod).reverse.foldLeft(lit(0L)) {
+      case (acc, p) =>
+        when(col(s"__f$p") === best, lit(p.toLong)).otherwise(acc)
+    }
+    withF.select(col(idCol), col("n_tokens"),
+        bestP.as("best_period"), best.as("loop_milli"))
+      .withColumn("loopy", col("loop_milli") >= minLoopMilli)
+  }
+
+  /** N-gram count-of-counts (the Good–Turing / Kneser–Ney smoothing
+    * prep): how many distinct n-grams occur exactly r times, for
+    * r = 1..maxR plus one tail bucket — the N_r table every discount
+    * estimator reads, and a corpus-health fingerprint (singleton mass
+    * vs boilerplate head) in its own right.
+    *
+    * Scale shape: (16 B gram hash) → map-side-combined counts, then a
+    * second tiny aggregate on the clamped count — nothing row-sized
+    * past the first exchange, no windows. */
+  def ngramCountOfCounts(docs: DataFrame, textCol: String,
+                         n: Int = 2, maxR: Long = 10L): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val grams = docs
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("__g"))
+      .select(substring(md5(col("__g")), 1, 16).as("__h"))
+    grams.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .select(least(col("__c"), lit(maxR + 1L)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_ngrams"))
+  }
+
+  /** Numeric-content profile: integers, 4-digit years, decimals and
+    * percent tokens per document, with density per mille of tokens —
+    * separates data-bearing text (tables, stats, finance) from prose
+    * for routing, and flags digit-noise documents. Whole-token
+    * matches only (the non-overlap regex discipline).
+    *
+    * Scale shape: pure projection. */
+  def numericDensity(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def countTok(re: String): Column =
+      size(filter(toks, t => t.rlike(re))).cast("long")
+    docs.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        countTok("^[0-9]+$").as("n_ints"),
+        countTok("^(19|20)[0-9]{2}$").as("n_years"),
+        countTok("^[0-9]+\\.[0-9]+$").as("n_decimals"),
+        countTok("^[0-9]+(\\.[0-9]+)?%$").as("n_percents"))
+      .withColumn("numeric_milli",
+        when(col("n_tokens") > 0L,
+          expr("(n_ints + n_decimals + n_percents) * 1000 " +
+            "div n_tokens")).otherwise(lit(0L)))
+  }
+
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
                 chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,

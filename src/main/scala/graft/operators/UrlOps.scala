@@ -402,6 +402,60 @@ object UrlOps {
           .otherwise(lit(0L)))
   }
 
+  /** Cross-source URL syndication: canonical URLs appearing in more
+    * than one source — content syndication / mirror detection, and
+    * the double-counting audit for mixture weights (a press release
+    * crawled via five feeds is one document, not five). Emits the
+    * per-source-pair shared-URL counts.
+    *
+    * Scale shape: (canonical url, source) distinct map-side; per-URL
+    * source SETS are bounded by the source cardinality (a config-
+    * sized list, not a corpus dimension), so the collect_set buffer
+    * and the pair explosion are both tiny per URL. */
+  def urlSyndication(df: DataFrame, urlCol: String,
+                     sourceCol: String): DataFrame = {
+    val canon = df
+      .select(canonicalize(col(urlCol)).as("url"),
+        col(sourceCol).as("source"))
+      .distinct()
+    val sets = canon.groupBy(col("url"))
+      .agg(sort_array(collect_set(col("source"))).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+    sets
+      .select(explode(col("__ss")).as("source_a"), col("__ss"))
+      .select(col("source_a"), explode(col("__ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_urls"))
+  }
+
+  /** Per-host quality with empirical-Bayes shrinkage: a host's mean
+    * quality pulled toward the corpus mean by `priorN` pseudo-counts
+    * — `shrunk = (Σq·1000 + priorN·corpus_milli) div (n + priorN)` in
+    * exact integers — so a two-document spam host can't earn a
+    * perfect score and a two-document gem isn't condemned; the
+    * standard smoothing before domain-level keep/drop thresholds.
+    *
+    * Scale shape: one map-side-combined host aggregate; the corpus
+    * mean is a single broadcast row. */
+  def shrunkHostQuality(df: DataFrame, urlCol: String,
+                        quality: Column,
+                        priorN: Long = 25L): DataFrame = {
+    val base = df.select(hostOf(col(urlCol)).as("host"),
+        quality.cast("long").as("__q"))
+      .filter(length(col("host")) > 0)
+    val global = base.agg(
+      expr("sum(__q) * 1000 div count(1)").as("__gm"))
+    base.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__q")).as("__sq"))
+      .crossJoin(broadcast(global))
+      .select(col("host"), col("n_docs"),
+        expr("__sq * 1000 div n_docs").as("mean_milli"),
+        expr(s"(__sq * 1000 + ${priorN}L * __gm) " +
+          s"div (n_docs + ${priorN}L)").as("shrunk_milli"),
+        col("__gm").as("corpus_milli"))
+  }
+
   /** Anchor-text harvest: aggregate the link texts pointing AT each
     * canonical target URL — the classic relevance signal (anchor text
     * describes the target better than the target describes itself)

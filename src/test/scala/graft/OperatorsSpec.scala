@@ -3763,6 +3763,92 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bern.size > 60 && bern.size < 140, s"got ${bern.size}")
   }
 
+  test("repetitionLoops finds the fundamental period with smallest-p " +
+      "tie-break; clean prose scores low") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "go go go go go go"),                 // p=1 full loop
+      (2L, "a b a b a b a b"),                   // p=2 (p=1 scores 0)
+      (3L, "one two three four five six seven"), // clean
+      (4L, "x")                                  // shorter than p+1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.repetitionLoops(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got(0) == (1L, 1L, 1000L, true))
+    assert(got(1)._2 == 2L && got(1)._3 == 1000L && got(1)._4)
+    assert(got(2)._3 == 0L && !got(2)._4)
+    assert(got(3) == (4L, 1L, 0L, false),
+      "sub-period docs must score 0 at every period, tie to p=1")
+  }
+
+  test("ngramCountOfCounts: N_r histogram with clamped tail bucket") {
+    import graft.operators.TextAnalysisOps
+    // bigrams: "a b" x3 (two docs), "b a" x2, "b c" x1, "c d" x1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps.ngramCountOfCounts(docs, "text",
+      n = 2, maxR = 2)
+      .orderBy("r").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // doc1 bigrams: ab, ba, ab; doc2: ab, bc, cd
+    // counts: ab=3 (clamped to 3 = maxR+1 tail), ba=1, bc=1, cd=1
+    assert(got.toSeq == Seq((1L, 3L), (3L, 1L)))
+  }
+
+  test("urlSyndication: per-source-pair shared canonical URLs; " +
+      "single-source URLs drop") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      ("http://X.com:80/a", "s1"), ("http://x.com/a", "s2"),
+      ("http://x.com/a", "s3"),
+      ("http://y.io/b", "s1"), ("http://y.io/b", "s2"),
+      ("http://z.net/c", "s1")   // single source -> dropped
+    ).toDF("url", "source")
+    val got = UrlOps.urlSyndication(docs, "url", "source")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("s1", "s2", 2L), ("s1", "s3", 1L),
+      ("s2", "s3", 1L)))
+  }
+
+  test("numericDensity counts whole numeric tokens and milli density") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "sales rose 12 % to 3.5 in 2024 total 1999"),
+      (2L, "no numbers at all here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.numericDensity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // tokens: sales rose 12 % to 3.5 in 2024 total 1999 -> 10 tokens
+    // ints: 12, 2024, 1999; years: 2024, 1999; decimals: 3.5; pct: 0
+    // ('%' alone is not a percent TOKEN like '12%')
+    assert(got(0) == (1L, 3L, 2L, 1L, 0L, (3L + 1L) * 1000L / 10L))
+    assert(got(1) == (2L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("shrunkHostQuality pulls small hosts toward the corpus mean") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      ("http://big.com/1", 800L), ("http://big.com/2", 800L),
+      ("http://big.com/3", 800L), ("http://big.com/4", 800L),
+      ("http://tiny.org/1", 0L)
+    ).toDF("url", "q")
+    val got = UrlOps.shrunkHostQuality(docs, "url", col("q"),
+      priorN = 4L)
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // corpus mean = 3200*1000/5 = 640000
+    // big: mean 800000, shrunk = (3200000 + 4*640000)/8 = 720000
+    // tiny: mean 0, shrunk = (0 + 4*640000)/5 = 512000
+    assert(got.toSeq == Seq(("big.com", 4L, 800000L, 720000L),
+      ("tiny.org", 1L, 0L, 512000L)))
+  }
+
   test("chunkDedupAudit flags cross-doc verbatim chunks, in-doc " +
       "repeats don't count") {
     import graft.operators.TextAnalysisOps
