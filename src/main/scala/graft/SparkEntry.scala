@@ -2203,6 +2203,89 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // Delimited-record extraction (q216): the q192 corpus through the
+    // sniff → route → explode chain; tabular docs become (row, col,
+    // value) cells, headers skipped, ragged rows dropped.
+    "q216_delimited_records" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("h1,h2,h3\nv"), id, lit(",1,2\nv"), id,
+            lit(",3,4\nx,y,z")))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit("c1\tc2\nv"), id, lit("\t9\nw\t8")))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit("p|q\n1|"), id, lit("\n2|3\n4|5")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.delimitedRecords(injected, "doc_id", "text")
+        .orderBy(col("doc_id"), col("row_idx"), col("col_idx"))
+    }),
+
+    // Per-source dup report (q217): every 7th doc is the same
+    // mirrored page — the later sources absorb the dup count.
+    "q217_source_dup_report" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 7 === 0,
+          lit("this exact page is mirrored across the dumps " +
+            "many times over"))
+          .otherwise(col("text")).as("text"))
+      DedupOps.sourceDupReport(injected, "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Unicode hygiene audit (q218): planted zero-width, bidi-control
+    // and BOM/control slices — the trojan-source scan.
+    "q218_unicode_audit" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit("\u200B\u200D"))
+            .when(col("doc_id") % 6 === 1,
+              lit(" \u202Ereversed\u202C"))
+            .when(col("doc_id") % 6 === 2,
+              lit(" bom\uFEFF and ctrl\u0007"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.unicodeAudit(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Packing efficiency (q219): per-bucket fill rate of the q54
+    // token-budget packing — the padding-waste report a training run
+    // reads before fixing sequence length.
+    "q219_packing_efficiency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val packed = graft.operators.PackingOps.sequencePack(docs,
+        "doc_id", col("n_tok"), budget = 512, bucketHexChars = 1)
+      packed.join(docs, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("n_tok")).as("n_tokens"))
+        .withColumn("fill_milli",
+          expr("n_tokens * 1000 div (n_packs * 512)"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Conversation balance (q220): role counts, alternation
+    // violations and opening-role gate over parsed chat transcripts.
+    "q220_conversation_balance" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val conv = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          lit("user: a\nuser: b\nassistant: c"))
+          .when(col("doc_id") % 6 === 1,
+            lit("assistant: starts wrong\nuser: q"))
+          .when(col("doc_id") % 6 === 2,
+            lit("system: rules\nuser: ask\nassistant: answer"))
+          .otherwise(concat(lit("user: q "), id,
+            lit("\nassistant: a "), id,
+            lit("\nuser: follow\nassistant: done"))).as("text"))
+      ConversationOps.conversationBalance(
+        ConversationOps.parseTurns(conv, "doc_id", "text"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -4163,6 +4246,64 @@ object SparkEntry {
        |    ' \\1 ', 'g'), '\\s+', ' ', 'g')) AS text
        |FROM (
        |  $cjkRawSql)""".stripMargin
+
+  /** The q192 delimiter-sniffing CTE chain (inj → ln → c → w with
+    * the generated per-candidate folds), shared by the q192 profile
+    * and the q216 record extraction. `w` exposes (doc_id, n_lines,
+    * delimiter, n_cols, cons). */
+  private lazy val DelimitedProfileCtesSql: String =
+    (      s"""WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'h1,h2,h3' || chr(10) || 'v'
+        |        || doc_id::VARCHAR || ',1,2' || chr(10) || 'v'
+        |        || doc_id::VARCHAR || ',3,4' || chr(10) || 'x,y,z'
+        |      WHEN 1 THEN 'c1' || chr(9) || 'c2' || chr(10) || 'v'
+        |        || doc_id::VARCHAR || chr(9) || '9' || chr(10)
+        |        || 'w' || chr(9) || '8'
+        |      WHEN 2 THEN 'p|q' || chr(10) || '1|'
+        |        || doc_id::VARCHAR || chr(10) || '2|3' || chr(10)
+        |        || '4|5'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> length(trim(l)) > 0) AS lines
+        |  FROM inj),
+        |c AS (
+        |  SELECT doc_id, len(lines)::BIGINT AS n_lines,
+        |${TextAnalysisOps.DelimiterCandidates.map { case (n, d) =>
+             // the regex string passes through verbatim (SQL quotes
+             // do not process backslashes); only the literal TAB
+             // char becomes its \t spelling
+             val esc = if (d == "\t") "\\t" else d
+             s"""    len(string_split_regex(lines[1], '$esc'))
+        |      AS rc_$n,
+        |    len(list_filter(lines, l ->
+        |      len(string_split_regex(l, '$esc')) =
+        |      len(string_split_regex(lines[1], '$esc'))))::BIGINT
+        |      AS cons_$n"""
+           }.mkString(",\n")}
+        |  FROM ln),
+        |w AS (
+        |  SELECT doc_id, n_lines,
+        |${{
+             val cands = TextAnalysisOps.DelimiterCandidates.map(_._1)
+             def fold(field: String, zero: String): String =
+               cands.foldLeft(zero) { (acc, n) =>
+                 s"CASE WHEN rc_$n >= 2 AND cons_$n > (" +
+                   cands.takeWhile(_ != n).foldLeft("0::BIGINT") {
+                     (a2, m) =>
+                       s"CASE WHEN rc_$m >= 2 AND cons_$m > ($a2) " +
+                         s"THEN cons_$m ELSE ($a2) END"
+                   } + s") THEN ${field.replace("%", n)} ELSE ($acc) END"
+               }
+             s"""    ${fold("'%'", "'none'")} AS delimiter,
+        |    (${fold("rc_%", "0")})::BIGINT AS n_cols,
+        |    (${fold("cons_%", "0::BIGINT")})::BIGINT AS cons"""
+           }}
+        |  FROM c)""").stripMargin
 
   private def minhashCtesSql: String =
     minhashCtesSqlFrom("SELECT doc_id, text FROM documents",
@@ -7645,59 +7786,8 @@ ORDER BY rank LIMIT 6"""),
 
     // Per-candidate split counts against the first non-empty line,
     // the same strict-> fold order, identical gates.
-    "q192_delimited_profile" -> (
-      s"""WITH inj AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 7
-        |      WHEN 0 THEN 'h1,h2,h3' || chr(10) || 'v'
-        |        || doc_id::VARCHAR || ',1,2' || chr(10) || 'v'
-        |        || doc_id::VARCHAR || ',3,4' || chr(10) || 'x,y,z'
-        |      WHEN 1 THEN 'c1' || chr(9) || 'c2' || chr(10) || 'v'
-        |        || doc_id::VARCHAR || chr(9) || '9' || chr(10)
-        |        || 'w' || chr(9) || '8'
-        |      WHEN 2 THEN 'p|q' || chr(10) || '1|'
-        |        || doc_id::VARCHAR || chr(10) || '2|3' || chr(10)
-        |        || '4|5'
-        |      ELSE text END AS text
-        |  FROM documents),
-        |ln AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, chr(10)),
-        |      l -> length(trim(l)) > 0) AS lines
-        |  FROM inj),
-        |c AS (
-        |  SELECT doc_id, len(lines)::BIGINT AS n_lines,
-        |${TextAnalysisOps.DelimiterCandidates.map { case (n, d) =>
-             // the regex string passes through verbatim (SQL quotes
-             // do not process backslashes); only the literal TAB
-             // char becomes its \t spelling
-             val esc = if (d == "\t") "\\t" else d
-             s"""    len(string_split_regex(lines[1], '$esc'))
-        |      AS rc_$n,
-        |    len(list_filter(lines, l ->
-        |      len(string_split_regex(l, '$esc')) =
-        |      len(string_split_regex(lines[1], '$esc'))))::BIGINT
-        |      AS cons_$n"""
-           }.mkString(",\n")}
-        |  FROM ln),
-        |w AS (
-        |  SELECT doc_id, n_lines,
-        |${{
-             val cands = TextAnalysisOps.DelimiterCandidates.map(_._1)
-             def fold(field: String, zero: String): String =
-               cands.foldLeft(zero) { (acc, n) =>
-                 s"CASE WHEN rc_$n >= 2 AND cons_$n > (" +
-                   cands.takeWhile(_ != n).foldLeft("0::BIGINT") {
-                     (a2, m) =>
-                       s"CASE WHEN rc_$m >= 2 AND cons_$m > ($a2) " +
-                         s"THEN cons_$m ELSE ($a2) END"
-                   } + s") THEN ${field.replace("%", n)} ELSE ($acc) END"
-               }
-             s"""    ${fold("'%'", "'none'")} AS delimiter,
-        |    (${fold("rc_%", "0")})::BIGINT AS n_cols,
-        |    (${fold("cons_%", "0::BIGINT")})::BIGINT AS cons"""
-           }}
-        |  FROM c)
+    "q192_delimited_profile" -> (DelimitedProfileCtesSql +
+      """
         |SELECT doc_id, n_lines, delimiter, n_cols,
         |  CASE WHEN n_lines > 0 THEN (cons * 1000) // n_lines
         |    ELSE 0 END::BIGINT AS consistency_milli,
@@ -7866,6 +7956,160 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, drop_stage, count(*)::BIGINT AS n_docs
         |FROM st GROUP BY source, drop_stage
         |ORDER BY source, drop_stage""".stripMargin),
+
+    // The shared q192 sniff CTEs + lateral row/field explosion of the
+    // tabular winners.
+    "q216_delimited_records" -> (DelimitedProfileCtesSql + s""",
+        |tab AS (
+        |  SELECT w.doc_id, w.delimiter, w.n_cols, ln.lines
+        |  FROM w JOIN ln ON w.doc_id = ln.doc_id
+        |  WHERE w.n_lines >= 3 AND w.n_cols >= 2
+        |    AND (CASE WHEN w.n_lines > 0
+        |      THEN (w.cons * 1000) // w.n_lines ELSE 0 END) >= 900),
+        |rw AS (
+        |  SELECT doc_id, delimiter, n_cols, g.li, lines[g.li] AS l
+        |  FROM tab, generate_series(2, 200) g(li)
+        |  WHERE g.li <= len(lines)),
+        |fx AS (
+        |  SELECT doc_id, (li - 1)::BIGINT AS row_idx, n_cols,
+        |    string_split_regex(l, CASE delimiter
+        |${TextAnalysisOps.DelimiterCandidates.map { case (n, d) =>
+             val esc = if (d == "\t") "\\t" else d
+             s"      WHEN '$n' THEN '$esc'"
+           }.mkString("\n|")}
+        |      END) AS f
+        |  FROM rw)
+        |SELECT doc_id, row_idx, (c.ci - 1)::BIGINT AS col_idx,
+        |  f[c.ci] AS value
+        |FROM fx, generate_series(1, 50) c(ci)
+        |WHERE len(f) = n_cols AND c.ci <= len(f)
+        |ORDER BY doc_id, row_idx, col_idx""".stripMargin),
+
+    // Corpus-wide min-id primaries joined back, source rollup.
+    "q217_source_dup_report" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'this exact page is mirrored across the dumps many times over'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |sg AS (SELECT doc_id, source, md5(text) AS sig FROM inj),
+        |pr AS (SELECT sig, min(doc_id) AS pid FROM sg GROUP BY sig)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN sg.doc_id <> pr.pid THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_dups,
+        |  (sum(CASE WHEN sg.doc_id <> pr.pid THEN 1 ELSE 0 END)
+        |    * 1000 // count(*))::BIGINT AS dup_milli
+        |FROM sg JOIN pr USING (sig)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // chr()-built injections, RE2 codepoint classes.
+    "q218_unicode_audit" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 6 = 0 THEN chr(8203) || chr(8205)
+        |      WHEN doc_id % 6 = 1
+        |        THEN ' ' || chr(8238) || 'reversed' || chr(8236)
+        |      WHEN doc_id % 6 = 2
+        |        THEN ' bom' || chr(65279) || ' and ctrl' || chr(7)
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[\x{200b}-\x{200f}]'))::BIGINT AS n_zero_width,
+        |  len(regexp_extract_all(text,
+        |    '[\x{202a}-\x{202e}\x{2066}-\x{2069}]'))::BIGINT
+        |    AS n_bidi,
+        |  len(regexp_extract_all(text,
+        |    '[\x{0000}-\x{0008}\x{000b}\x{000c}\x{000e}-\x{001f}]'))
+        |    ::BIGINT AS n_control,
+        |  len(regexp_extract_all(text, '\x{feff}'))::BIGINT AS n_bom,
+        |  (len(regexp_extract_all(text,
+        |     '[\x{202a}-\x{202e}\x{2066}-\x{2069}]')) > 0
+        |   OR len(regexp_extract_all(text,
+        |     '[\x{0000}-\x{0008}\x{000b}\x{000c}\x{000e}-\x{001f}]'))
+        |     > 0) AS suspicious
+        |FROM inj ORDER BY doc_id""".stripMargin,
+
+    // The q54 bucket/offset arithmetic, rolled to per-bucket fill.
+    "q219_packing_efficiency" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    substr(md5(doc_id::VARCHAR), 1, 1) AS bucket
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS off
+        |  FROM d),
+        |p AS (
+        |  SELECT bucket, doc_id, n_tok,
+        |    bucket || '#' || (off // 512)::VARCHAR AS pack_id
+        |  FROM o)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT pack_id)::BIGINT AS n_packs,
+        |  sum(n_tok)::BIGINT AS n_tokens,
+        |  (sum(n_tok)::BIGINT * 1000)
+        |    // (count(DISTINCT pack_id) * 512) AS fill_milli
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Role lines ranked per doc, lag for repeats, first-role gate.
+    "q220_conversation_balance" ->
+      """WITH conv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN 'user: a' || chr(10) || 'user: b' || chr(10)
+        |        || 'assistant: c'
+        |    WHEN doc_id % 6 = 1
+        |      THEN 'assistant: starts wrong' || chr(10) || 'user: q'
+        |    WHEN doc_id % 6 = 2
+        |      THEN 'system: rules' || chr(10) || 'user: ask'
+        |        || chr(10) || 'assistant: answer'
+        |    ELSE 'user: q ' || doc_id::VARCHAR || chr(10)
+        |      || 'assistant: a ' || doc_id::VARCHAR || chr(10)
+        |      || 'user: follow' || chr(10) || 'assistant: done'
+        |    END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': lines[i]}
+        |        FOR i IN range(1, len(lines) + 1)]) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |          FROM conv))),
+        |rl AS (
+        |  SELECT doc_id, i,
+        |    regexp_extract(l, '^(user|assistant|system): ', 1)
+        |      AS role
+        |  FROM ln
+        |  WHERE regexp_matches(l, '^(user|assistant|system): ')),
+        |tn AS (
+        |  SELECT doc_id, role,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS turn_idx,
+        |    lag(role) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM rl),
+        |g AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_turns,
+        |    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_user,
+        |    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_assistant,
+        |    sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_system,
+        |    sum(CASE WHEN prev IS NOT NULL AND prev = role
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_repeat_role,
+        |    min(CASE WHEN turn_idx = 1 THEN role END) AS first_role
+        |  FROM tn GROUP BY doc_id)
+        |SELECT doc_id, n_turns, n_user, n_assistant, n_system,
+        |  n_repeat_role, first_role,
+        |  (n_repeat_role = 0 AND n_user >= 1 AND n_assistant >= 1
+        |   AND (first_role = 'user' OR first_role = 'system'))
+        |    AS well_formed
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // Per-period match fractions over the token list, greatest with
     // first-match (smallest-p) tie resolution.

@@ -121,6 +121,41 @@ object ConversationOps {
         col("n_user"), col("n_assistant"), col("keep"))
   }
 
+  /** Conversation shape profile over a [[parseTurns]] /
+    * [[parseTurnsJsonl]] frame — the chat-corpus structural QA gate:
+    * per-role turn counts, consecutive-same-role violations (a
+    * well-formed dialog alternates), and the opening role.
+    * `well_formed` = no repeats, at least one user and one assistant
+    * turn, opens with user or system — the rows an SFT build keeps
+    * without repair.
+    *
+    * Scale shape: one DOC-keyed lag window (bounded by turns per
+    * doc), then a per-doc aggregate. */
+  def conversationBalance(turns: DataFrame,
+                          idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx"))
+    turns
+      .withColumn("__prev", lag(col("role"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L))
+          .as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant"),
+        sum(when(col("role") === "system", 1L).otherwise(0L))
+          .as("n_system"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") === col("role"), 1L).otherwise(0L))
+          .as("n_repeat_role"),
+        min(when(col("turn_idx") === 1, col("role")))
+          .as("first_role"))
+      .withColumn("well_formed",
+        col("n_repeat_role") === 0L && col("n_user") >= 1L &&
+          col("n_assistant") >= 1L &&
+          (col("first_role") === "user" ||
+            col("first_role") === "system"))
+  }
+
   /** Preference-pair preparation (the DPO/RLHF data-prep step): among
     * candidate responses sharing a prompt, pick the best- and
     * worst-scored as (chosen, rejected) and keep the pair only when

@@ -31,6 +31,32 @@ object DedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Per-source exact-duplication report — "which dump is internally
+    * duplicated, and how badly": each document's primary is the
+    * min-id holder of its content signature CORPUS-WIDE (so
+    * cross-source copies count against the later source, matching
+    * keep-first dedup's actual removals), rolled up per source as a
+    * dup rate in milli. The number that decides whether a source
+    * needs its own dedup pass before mixing.
+    *
+    * Scale shape: (source, id, 16 B sig) projections; the per-sig
+    * min-id is a map-side-combined aggregate equi-joined back (the
+    * round-9 hot-key discipline — a viral page never single-tasks);
+    * the source rollup is one tiny aggregate. */
+  def sourceDupReport(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val sigs = docs.select(col(idCol), col(sourceCol).as("source"),
+      md5(col(textCol)).as("__sig"))
+    val prim = sigs.groupBy(col("__sig"))
+      .agg(min(col(idCol)).as("__pid"))
+    sigs.join(prim, Seq("__sig"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(idCol) =!= col("__pid"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .withColumn("dup_milli", expr("n_dups * 1000 div n_docs"))
+  }
+
   /** Streaming exact dedup (Structured Streaming native): first document
     * per content hash survives; duplicate arrivals within the watermark
     * horizon are dropped and state for a hash is evicted once the

@@ -2675,6 +2675,61 @@ object TextAnalysisOps {
       .drop("__cons")
   }
 
+  /** Record extraction from sniffed delimited documents — the step
+    * AFTER [[delimitedProfile]]'s routing verdict: tabular docs
+    * explode into (doc, row, col, value) cells for
+    * table-understanding corpora and structured-extraction training.
+    * Header row skipped (row_idx counts data rows from 1); rows whose
+    * field count disagrees with the sniffed width are dropped (ragged
+    * tails), consistent with the profile's consistency rule.
+    *
+    * Scale shape: the profile verdict joins back on the id; cells are
+    * a projection + explode — no shuffle beyond the verdict join. */
+  def delimitedRecords(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val prof = delimitedProfile(docs, idCol, textCol)
+      .filter(col("is_tabular"))
+      .select(col(idCol), col("delimiter"), col("n_cols"))
+    val lines = docs.join(prof, Seq(idCol))
+      .withColumn("__lines", filter(split(col(textCol), "\n"),
+        l => length(trim(l)) > 0))
+      .select(col(idCol), col("delimiter"), col("n_cols"),
+        posexplode(col("__lines")).as(Seq("__li", "__l")))
+      .filter(col("__li") >= 1) // line 0 is the header
+    val fields = DelimiterCandidates.map { case (cname, d) =>
+      when(col("delimiter") === cname, split(col("__l"), d))
+    }.reduce(coalesce(_, _))
+    lines.withColumn("__f", fields)
+      .filter(size(col("__f")) === col("n_cols"))
+      .select(col(idCol), col("__li").cast("long").as("row_idx"),
+        posexplode(col("__f")).as(Seq("col_idx", "value")))
+      .select(col(idCol), col("row_idx"),
+        col("col_idx").cast("long").as("col_idx"), col("value"))
+  }
+
+  /** Unicode hygiene audit — the trojan-source / invisible-character
+    * scan: zero-width characters (ZWSP..RLM), bidi control characters
+    * (the CVE-2021-42574 vector — text that renders differently than
+    * it parses), other C0 controls (newline/tab excluded), and BOMs.
+    * Per-doc counts plus the `suspicious` flag (any bidi or stray
+    * control) — run it before code or instruction corpora ship.
+    *
+    * Scale shape: pure projection. */
+  def unicodeAudit(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def countRe(re: String): Column =
+      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .cast("long")
+    docs.select(col(idCol),
+        countRe("[\\u200B-\\u200F]").as("n_zero_width"),
+        countRe("[\\u202A-\\u202E\\u2066-\\u2069]").as("n_bidi"),
+        countRe("[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]")
+          .as("n_control"),
+        countRe("\\uFEFF").as("n_bom"))
+      .withColumn("suspicious",
+        col("n_bidi") > 0L || col("n_control") > 0L)
+  }
+
   /** Corpus-level template-prefix report — template-farm detection at
     * the document HEAD: docs opening with the same `k` tokens
     * (auto-generated product pages, mirrored article headers, form
@@ -2684,25 +2739,28 @@ object TextAnalysisOps {
     * complement of [[graft.operators.ConversationOps.instructionDedup]]'s
     * first-turn cut.
     *
-    * Scale shape: (id, 16 B sig) through one count exchange — the
-    * q114 wire discipline; docs shorter than `k` tokens sign their
-    * whole text. */
+    * Scale shape: (id, 16 B sig) through a map-side-combined count
+    * equi-joined back — the round-9 hot-key discipline (a dominant
+    * template family is exactly a Zipfian head key, and the previous
+    * count window would single-task it); docs shorter than `k`
+    * tokens sign their whole text. */
   def templatePrefixes(docs: DataFrame, idCol: String,
                        textCol: String, k: Int = 6,
                        minDocs: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
     val sig = substring(md5(array_join(
       slice(toks, 1, k), " ")), 1, 16)
-    val bySig = Window.partitionBy(col("prefix_sig"))
     // null-text docs have no head to sign and are dropped up front
     // (the minhashCandidates discipline) — a NULL signature would
     // also diverge from the oracle's equality join, where NULL never
     // matches NULL
-    docs.filter(col(textCol).isNotNull)
+    val sigs = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), sig.as("prefix_sig"))
-      .withColumn("n_docs_sharing",
-        count(lit(1)).over(bySig).cast("long"))
+    val counts = sigs.groupBy(col("prefix_sig"))
+      .agg(count(lit(1)).as("n_docs_sharing"))
+    sigs.join(counts, Seq("prefix_sig"))
+      .select(col(idCol), col("prefix_sig"),
+        col("n_docs_sharing").cast("long").as("n_docs_sharing"))
       .withColumn("is_template_prefix",
         col("n_docs_sharing") >= minDocs.toLong)
   }

@@ -3763,6 +3763,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bern.size > 60 && bern.size < 140, s"got ${bern.size}")
   }
 
+  test("delimitedRecords explodes sniffed tabular docs to cells, " +
+      "skips headers and ragged rows, leaves prose alone") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "h1,h2\na,1\nb,2\nc,3"),
+      (2L, "plain prose with no structure at all"),
+      // 10 lines, 1 ragged: 900 milli consistency keeps it tabular
+      (3L, "x|y\n1|2\nragged|row|extra\n3|4\n5|6\n7|8\n9|10\n" +
+        "11|12\n13|14\n15|16")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.delimitedRecords(docs, "doc_id", "text")
+      .orderBy("doc_id", "row_idx", "col_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, 0L, "a"), (1L, 1L, 1L, "1"),
+      (1L, 2L, 0L, "b"), (1L, 2L, 1L, "2"),
+      (1L, 3L, 0L, "c"), (1L, 3L, 1L, "3")))
+    assert(!got.exists(_._1 == 2L), "prose must emit no cells")
+    // doc 3: ragged row (line idx 2) dropped, the other 8 data rows
+    // extracted as 16 cells
+    val d3 = got.filter(_._1 == 3L).map(r => (r._2, r._3, r._4)).toSeq
+    assert(d3.length == 16 && !d3.exists(_._1 == 2L), d3.toString)
+    assert(d3.take(4) == Seq((1L, 0L, "1"), (1L, 1L, "2"),
+      (3L, 0L, "3"), (3L, 1L, "4")))
+  }
+
+  test("unicodeAudit counts zero-width/bidi/control/BOM and flags " +
+      "trojan-source suspects") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "clean text\twith tab\nand newline"),
+      (2L, "zero\u200Bwidth only"),
+      (3L, "bidi \u202Eevil\u202C attack"),
+      (4L, "ctrl\u0007bell and \uFEFFbom")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.unicodeAudit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got(0) == (1L, 0L, 0L, 0L, 0L, false),
+      "tab/newline are NOT control hits")
+    assert(got(1) == (2L, 1L, 0L, 0L, 0L, false))
+    assert(got(2) == (3L, 0L, 2L, 0L, 0L, true))
+    assert(got(3) == (4L, 0L, 0L, 1L, 1L, true))
+  }
+
+  test("sourceDupReport: corpus-wide primaries, per-source dup rates") {
+    import graft.operators.DedupOps
+    val docs = Seq(
+      (1L, "unique one", "a"), (2L, "shared page", "a"),
+      (3L, "shared page", "b"), (4L, "shared page", "b"),
+      (5L, "unique two", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.sourceDupReport(docs, "doc_id", "text",
+      "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // primary of "shared page" is doc 2 (source a) -> b's copies are
+    // both dups, a has none
+    assert(got.toSeq == Seq(("a", 2L, 0L, 0L),
+      ("b", 3L, 2L, 666L)))
+  }
+
+  test("conversationBalance: role counts, alternation violations, " +
+      "opening-role gate") {
+    import graft.operators.ConversationOps
+    val docs = Seq(
+      (1L, "user: hi\nassistant: hello\nuser: more\nassistant: sure"),
+      (2L, "user: a\nuser: b\nassistant: c"),      // repeat violation
+      (3L, "assistant: starts wrong\nuser: q"),    // bad opener
+      (4L, "system: be nice\nuser: q\nassistant: a")
+    ).toDF("doc_id", "text")
+    val turns = ConversationOps.parseTurns(docs, "doc_id", "text")
+    val got = ConversationOps.conversationBalance(turns, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5),
+        r.getString(6), r.getBoolean(7)))
+    assert(got(0) == (1L, 4L, 0L, "user", true))
+    assert(got(1) == (2L, 3L, 1L, "user", false))
+    assert(got(2) == (3L, 2L, 0L, "assistant", false))
+    assert(got(3) == (4L, 3L, 0L, "system", true))
+  }
+
   test("repetitionLoops finds the fundamental period with smallest-p " +
       "tie-break; clean prose scores low") {
     import graft.operators.TextAnalysisOps

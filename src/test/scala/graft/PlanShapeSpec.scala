@@ -281,11 +281,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"index build must shuffle once on term (+ presentation sort):\n$p")
   }
 
-  test("hot-key discipline: q114/q172/q187 have no count/rank window over " +
-      "a content key — counts aggregate map-side and join back") {
+  test("hot-key discipline: q114/q172/q187/q194 have no count/rank window " +
+      "over a content key — counts aggregate map-side and join back") {
     Seq("q114_repeated_substring_excise",
         "q172_repeated_substring_verified",
-        "q187_repeated_sentences").foreach { q =>
+        "q187_repeated_sentences",
+        "q194_template_prefixes").foreach { q =>
       val p = plan(q)
       // q114/q187 need no window at all; q172's only windows are
       // doc-keyed (span assembly: lag/sum over the document id, whose
@@ -293,7 +294,7 @@ class PlanShapeSpec extends AnyFunSuite {
       val windowed = p.split("\n").filter(_.contains("Window"))
       assert(windowed.forall(l =>
           !l.contains("__g") && !l.contains("__sig") &&
-            !l.contains("term")),
+            !l.contains("prefix_sig") && !l.contains("term")),
         s"$q must not window over a Zipfian content key:\n$p")
       assert(p.contains("HashAggregate") ||
           p.contains("ObjectHashAggregate"),
