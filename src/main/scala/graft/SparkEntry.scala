@@ -7963,7 +7963,7 @@ ORDER BY rank LIMIT 6"""),
         |tab AS (
         |  SELECT w.doc_id, w.delimiter, w.n_cols, ln.lines
         |  FROM w JOIN ln ON w.doc_id = ln.doc_id
-        |  WHERE w.n_lines >= 3 AND w.n_cols >= 2
+        |  WHERE w.n_lines >= 3 AND w.n_cols >= 2 AND w.n_cols <= 50
         |    AND (CASE WHEN w.n_lines > 0
         |      THEN (w.cons * 1000) // w.n_lines ELSE 0 END) >= 900),
         |rw AS (
@@ -8154,7 +8154,8 @@ ORDER BY rank LIMIT 6"""),
     // Bigram hash counts map-side, then the clamped N_r histogram.
     "q212_count_of_counts" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL),
         |sh AS (
         |  SELECT doc_id, CASE WHEN len(t) >= 2 THEN
         |      [array_to_string(t[i + 1:i + 2], ' ')

@@ -299,7 +299,15 @@ object TripTracker {
     * bounded by the disorder window — and lands at its event-time
     * position, keeping the newest-EVENT-TIME entry at the head (the
     * single-stream reference can never see disorder, so this is the
-    * only self-consistent extension of its semantics). */
+    * only self-consistent extension of its semantics).
+    *
+    * STATE-COMPAT NOTE: the sorted invariant holds for lists this
+    * function built. Checkpoint state written by the pre-round-9
+    * head-prepend form can hold UNSORTED lists, on which the fast
+    * path could skip a deep duplicate — restart stateful pipelines
+    * from fresh checkpoints across this upgrade (the standard
+    * stateful-semantics-change discipline; Spark offers no state
+    * migration hook here). */
   def patchAdd(hist: List[ValueTs], v: ValueTs): List[ValueTs] =
     hist match {
       case h :: _ if v.ts > h.ts => v :: hist

@@ -1790,6 +1790,9 @@ object TextAnalysisOps {
                          n: Int = 2, maxR: Long = 10L): DataFrame = {
     import graft.functions.TextExpressions.wordShingles
     val grams = docs
+      // null text yields no grams (the minhashCandidates discipline —
+      // an md5(NULL) group would also diverge from the oracle)
+      .filter(col(textCol).isNotNull)
       .select(tokens(col(textCol)).as("__t"))
       .select(explode(wordShingles(col("__t"), n)).as("__g"))
       .select(substring(md5(col("__g")), 1, 16).as("__h"))
@@ -1807,11 +1810,13 @@ object TextAnalysisOps {
     * Scale shape: pure projection. */
   def numericDensity(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // stage the split once — six downstream references would re-split
+    // per reference on non-codegen paths (the re-eval discipline)
     def countTok(re: String): Column =
-      size(filter(toks, t => t.rlike(re))).cast("long")
-    docs.select(col(idCol),
-        size(toks).cast("long").as("n_tokens"),
+      size(filter(col("__t"), t => t.rlike(re))).cast("long")
+    docs.withColumn("__t", tokens(col(textCol)))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
         countTok("^[0-9]+$").as("n_ints"),
         countTok("^(19|20)[0-9]{2}$").as("n_years"),
         countTok("^[0-9]+\\.[0-9]+$").as("n_decimals"),
@@ -2681,21 +2686,27 @@ object TextAnalysisOps {
     * table-understanding corpora and structured-extraction training.
     * Header row skipped (row_idx counts data rows from 1); rows whose
     * field count disagrees with the sniffed width are dropped (ragged
-    * tails), consistent with the profile's consistency rule.
+    * tails), consistent with the profile's consistency rule. Hard
+    * caps — `maxDataRows` rows per doc, `maxCols` sniffed width —
+    * are part of the CONTRACT (mirrored exactly by the oracle): a
+    * million-line CSV is a file, not a document, and belongs to a
+    * file-level reader.
     *
     * Scale shape: the profile verdict joins back on the id; cells are
     * a projection + explode — no shuffle beyond the verdict join. */
   def delimitedRecords(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
+                       textCol: String, maxDataRows: Int = 199,
+                       maxCols: Int = 50): DataFrame = {
     val prof = delimitedProfile(docs, idCol, textCol)
-      .filter(col("is_tabular"))
+      .filter(col("is_tabular") && col("n_cols") <= maxCols)
       .select(col(idCol), col("delimiter"), col("n_cols"))
     val lines = docs.join(prof, Seq(idCol))
       .withColumn("__lines", filter(split(col(textCol), "\n"),
         l => length(trim(l)) > 0))
       .select(col(idCol), col("delimiter"), col("n_cols"),
         posexplode(col("__lines")).as(Seq("__li", "__l")))
-      .filter(col("__li") >= 1) // line 0 is the header
+      // line 0 is the header; the row cap is contract, not truncation
+      .filter(col("__li") >= 1 && col("__li") <= maxDataRows)
     val fields = DelimiterCandidates.map { case (cname, d) =>
       when(col("delimiter") === cname, split(col("__l"), d))
     }.reduce(coalesce(_, _))

@@ -91,24 +91,47 @@ object CurationIngestStream {
           .write.mode("append").parquet(s"$outDir/pairs")
       }
     val spark = docs.sparkSession
-    val key =
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    spark.conf.set(key, "false")
+    // refcounted guard handling: the restore races async analysis if
+    // done naively (a stopped run's termination event can arrive while
+    // a restarted run is still analyzing, and q.id is STABLE across
+    // restarts of one checkpoint). The counter increments BEFORE the
+    // conf flips, each termination is matched by RUN id (unique per
+    // run), and the conf is restored — to the value the session had
+    // before the FIRST active composed query, not a hardcoded default
+    // — only when the last active one terminates.
+    activeComposedQueries.synchronized {
+      if (activeComposedQueries.get == 0)
+        priorCheckValue = spark.conf.getOption(CheckKey)
+      activeComposedQueries.incrementAndGet()
+      spark.conf.set(CheckKey, "false")
+    }
     val q = writer.start()
-    val qid = q.id
+    val runId = q.runId
     spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
+      new StreamingQueryListener {
         override def onQueryStarted(
             e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
             e: StreamingQueryListener.QueryProgressEvent): Unit = ()
         override def onQueryTerminated(
             e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == qid) {
-            spark.conf.set(key, "true")
+          if (e.runId == runId) {
+            activeComposedQueries.synchronized {
+              if (activeComposedQueries.decrementAndGet() == 0)
+                priorCheckValue match {
+                  case Some(v) => spark.conf.set(CheckKey, v)
+                  case None => spark.conf.unset(CheckKey)
+                }
+            }
             spark.streams.removeListener(this)
           }
       })
     q
   }
+
+  private val CheckKey =
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+  private val activeComposedQueries =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var priorCheckValue: Option[String] = None
 }
