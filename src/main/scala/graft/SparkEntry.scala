@@ -2286,6 +2286,98 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Composite quality index (q221): gopher pass + entropy + loop
+    // penalty folded into one clamped milli score — the single number
+    // downstream sampling reads.
+    "q221_quality_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = TextAnalysisOps.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pass"))
+      val e = TextAnalysisOps.unigramEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("entropy_micro"))
+      val l = TextAnalysisOps.repetitionLoops(docs, "doc_id", "text")
+        .select(col("doc_id"), col("loop_milli"))
+      g.join(e, Seq("doc_id")).join(l, Seq("doc_id"))
+        .select(col("doc_id"),
+          (when(col("pass"), 300L).otherwise(0L) +
+            least(expr("entropy_micro div 10000"), lit(300L)) -
+            least(expr("loop_milli div 2"), lit(200L))).as("__raw"))
+        .select(col("doc_id"),
+          greatest(col("__raw"), lit(0L)).as("quality_index_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Pagination stitch (q222): planted page-2 twins whose head IS
+    // the base doc's tail; the template cap keeps boilerplate
+    // openers/closers out.
+    "q222_pagination_stitch" -> ((s, dir) => {
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val twins = docs0
+        .filter(col("doc_id") % 8 === 0 &&
+          size(split(col("text"), " ")) >= 8)
+        .select((col("doc_id") + 30000L).as("doc_id"),
+          concat(
+            array_join(slice(split(col("text"), " "), -8, 8), " "),
+            lit(" continuation page "),
+            col("doc_id").cast("string"),
+            lit(" follows here with more words")).as("text"))
+      TextAnalysisOps.paginationStitch(docs0.unionByName(twins),
+        "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Crawl-depth profile (q223): depth mix per host over a
+    // variable-depth URL fixture.
+    "q223_crawl_depth" -> ((s, dir) => {
+      val k = (col("doc_id") % 12).cast("string")
+      val segs = concat(
+        when(col("doc_id") % 5 >= 1,
+          concat(lit("/s1"),
+            when(col("doc_id") % 5 >= 2, lit("/s2"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 >= 3, lit("/s3"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 >= 4, lit("/s4"))
+              .otherwise(lit(""))))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("/"))
+          .otherwise(concat(lit("/p"), col("doc_id").cast("string"))))
+      UrlOps.crawlDepthProfile(
+        t(s, dir, "documents").select(
+          concat(lit("http://h"), k, lit(".com"), segs).as("url")),
+        "url")
+        .orderBy(col("host"))
+    }),
+
+    // Role-wise PII rollup (q224): emails/URLs per chat role — which
+    // side of the dialog leaks.
+    "q224_role_pii" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val conv = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("user: please reach me at u"), id,
+          lit("@mail.com for details\n"),
+          lit("assistant: see https://help.example.org/a"), id,
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" or mail admin"), id, lit("@corp.io")))
+            .otherwise(lit("")),
+          lit("\nuser: thanks a lot\nassistant: welcome"))
+          .as("text"))
+      val turns = ConversationOps.parseTurns(conv, "doc_id", "text")
+      turns.groupBy(col("role"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(size(regexp_extract_all(col("content"),
+            lit(TextAnalysisOps.EmailPattern), lit(0))).cast("long"))
+            .as("n_emails"),
+          sum(size(regexp_extract_all(col("content"),
+            lit(TextAnalysisOps.UrlPattern), lit(0))).cast("long"))
+            .as("n_urls"))
+        .withColumn("pii_per_milli_turns",
+          expr("(n_emails + n_urls) * 1000 div n_turns"))
+        .orderBy(col("role"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -7956,6 +8048,154 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, drop_stage, count(*)::BIGINT AS n_docs
         |FROM st GROUP BY source, drop_stage
         |ORDER BY source, drop_stage""".stripMargin),
+
+    // The gopher flag CTEs + the q208 entropy chain + the q211 loop
+    // fractions, folded with the same clamps.
+    "q221_quality_index" -> (gopherFlagCtesFrom(
+        "  SELECT doc_id, text FROM documents") + s""",
+        |ent AS (
+        |  SELECT doc_id, coalesce(list_sum(list_transform(dt, x ->
+        |    floor(1000000.0
+        |      * (len(list_filter(t, y -> y = x))::DOUBLE
+        |         / len(t)::DOUBLE)
+        |      * ln(len(t)::DOUBLE
+        |         / len(list_filter(t, y -> y = x))::DOUBLE))
+        |      ::BIGINT)), 0)::BIGINT AS entropy_micro
+        |  FROM (SELECT doc_id,
+        |      string_split(coalesce(text, ''), ' ') AS t,
+        |      list_sort(list_distinct(
+        |        string_split(coalesce(text, ''), ' '))) AS dt
+        |    FROM inj)),
+        |lt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM inj),
+        |lf AS (
+        |  SELECT doc_id,
+        |${(1 to 8).map(p =>
+             s"    CASE WHEN n > $p THEN len(list_filter(" +
+               s"range($p + 1, n + 1), i -> t[i] = t[i - $p])) " +
+               s"* 1000 // (n - $p) ELSE 0 END AS f$p")
+             .mkString(",\n|")}
+        |  FROM lt),
+        |lg AS (
+        |  SELECT doc_id,
+        |    greatest(f1, f2, f3, f4, f5, f6, f7, f8) AS loop_milli
+        |  FROM lf),
+        |fp AS (
+        |  SELECT doc_id,
+        |    (f_word_count AND f_mean_word_len AND f_symbol_ratio
+        |      AND f_bullet_lines AND f_ellipsis_lines
+        |      AND f_alpha_words AND f_stopwords) AS pass
+        |  FROM f)
+        |SELECT fp.doc_id, greatest(
+        |  (CASE WHEN pass THEN 300 ELSE 0 END)
+        |  + least(entropy_micro // 10000, 300)
+        |  - least(loop_milli // 2, 200), 0)::BIGINT
+        |  AS quality_index_milli
+        |FROM fp
+        |JOIN ent ON fp.doc_id = ent.doc_id
+        |JOIN lg ON fp.doc_id = lg.doc_id
+        |ORDER BY fp.doc_id""".stripMargin),
+
+    // Twin corpus (tail-of-base as head), per-sig caps, sig equi-join.
+    "q222_pagination_stitch" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000,
+        |    array_to_string(string_split(text, ' ')[-8:], ' ')
+        |    || ' continuation page ' || doc_id::VARCHAR
+        |    || ' follows here with more words'
+        |  FROM documents
+        |  WHERE doc_id % 8 = 0 AND len(string_split(text, ' ')) >= 8),
+        |tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM base
+        |  WHERE text IS NOT NULL),
+        |el AS (SELECT doc_id, t FROM tk WHERE len(t) >= 8),
+        |hd AS (
+        |  SELECT doc_id AS id_b,
+        |    substr(md5(array_to_string(t[1:8], ' ')), 1, 16) AS sig
+        |  FROM el),
+        |tl AS (
+        |  SELECT doc_id AS id_a,
+        |    substr(md5(array_to_string(t[-8:], ' ')), 1, 16) AS sig
+        |  FROM el),
+        |ok AS (
+        |  SELECT tc.sig FROM
+        |    (SELECT sig, count(*) AS c FROM tl GROUP BY sig) tc
+        |  JOIN (SELECT sig, count(*) AS c FROM hd GROUP BY sig) hc
+        |    ON tc.sig = hc.sig
+        |  WHERE tc.c <= 64 AND hc.c <= 64)
+        |SELECT tl.id_a, hd.id_b, tl.sig AS span_sig
+        |FROM tl JOIN ok ON tl.sig = ok.sig
+        |JOIN hd ON tl.sig = hd.sig
+        |WHERE tl.id_a <> hd.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Depth = non-empty path segments; host rollup.
+    "q223_crawl_depth" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'http://h' || (doc_id % 12)::VARCHAR || '.com'
+        |    || (CASE WHEN doc_id % 5 >= 1 THEN '/s1' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 >= 2 THEN '/s2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 >= 3 THEN '/s3' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 >= 4 THEN '/s4' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '/'
+        |        ELSE '/p' || doc_id::VARCHAR END) AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT lower(regexp_extract(url,
+        |      'https?://([^/:?#]+)', 1)) AS host,
+        |    len(list_filter(string_split(
+        |      regexp_replace(url, '^https?://[^/]*', ''), '/'),
+        |      s -> length(s) > 0))::BIGINT AS dep
+        |  FROM u)
+        |SELECT host, count(*)::BIGINT AS n_urls,
+        |  (sum(dep)::BIGINT * 1000 // count(*))::BIGINT
+        |    AS mean_depth_milli,
+        |  max(dep)::BIGINT AS max_depth,
+        |  sum(CASE WHEN dep = 0 THEN 1 ELSE 0 END)::BIGINT AS n_root
+        |FROM d WHERE length(host) > 0
+        |GROUP BY host ORDER BY host""".stripMargin,
+
+    // Role lines with stripped content, RE2-safe email/url counts.
+    "q224_role_pii" -> (
+      s"""WITH conv AS (
+        |  SELECT doc_id,
+        |    'user: please reach me at u' || doc_id::VARCHAR ||
+        |      '@mail.com for details' || chr(10) ||
+        |    'assistant: see https://help.example.org/a'
+        |      || doc_id::VARCHAR ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' or mail admin' || doc_id::VARCHAR || '@corp.io'
+        |      ELSE '' END || chr(10) ||
+        |    'user: thanks a lot' || chr(10) || 'assistant: welcome'
+        |      AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |  FROM conv),
+        |rl AS (
+        |  SELECT doc_id,
+        |    regexp_extract(l, '^(user|assistant|system): ', 1)
+        |      AS role,
+        |    regexp_replace(l, '^(user|assistant|system): ', '')
+        |      AS content
+        |  FROM ln
+        |  WHERE regexp_matches(l, '^(user|assistant|system): '))
+        |SELECT role, count(*)::BIGINT AS n_turns,
+        |  sum(len(regexp_extract_all(content,
+        |    '${TextAnalysisOps.EmailPattern}')))::BIGINT AS n_emails,
+        |  sum(len(regexp_extract_all(content,
+        |    '${TextAnalysisOps.UrlPattern}')))::BIGINT AS n_urls,
+        |  ((sum(len(regexp_extract_all(content,
+        |      '${TextAnalysisOps.EmailPattern}')))
+        |    + sum(len(regexp_extract_all(content,
+        |      '${TextAnalysisOps.UrlPattern}')))) * 1000
+        |    // count(*))::BIGINT AS pii_per_milli_turns
+        |FROM rl GROUP BY role ORDER BY role""".stripMargin),
 
     // The shared q192 sniff CTEs + lateral row/field explosion of the
     // tabular winners.

@@ -2718,6 +2718,47 @@ object TextAnalysisOps {
         col("col_idx").cast("long").as("col_idx"), col("value"))
   }
 
+  /** Pagination-stitch detection: document pairs where A's last `k`
+    * tokens ARE B's first `k` tokens — the signature of one logical
+    * document split across crawl pages (or chunk boundaries) with an
+    * overlap, the precondition for stitching them back together.
+    * Sigs held by more than `maxPerSig` heads or tails are templates
+    * (shared boilerplate openers/closers), not pagination, and are
+    * dropped — surfaced via the `pagination_stitch` observe metric,
+    * never silently.
+    *
+    * Scale shape: docs reduce to (id, 16 B head sig) and (id, 16 B
+    * tail sig) projections; per-sig counts are map-side-combined
+    * aggregates; the candidate join is a hash equi-join on the sig
+    * restricted to under-cap sigs. No windows, no all-pairs. */
+  def paginationStitch(docs: DataFrame, idCol: String,
+                       textCol: String, k: Int = 8,
+                       maxPerSig: Int = 64): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+    def sigOf(sl: Column): Column =
+      substring(md5(array_join(sl, " ")), 1, 16)
+    val heads = base.select(col(idCol).as("id_b"),
+      sigOf(slice(col("__t"), 1, k)).as("__sig"))
+    val tails = base.select(col(idCol).as("id_a"),
+      sigOf(slice(col("__t"), -k, k)).as("__sig"))
+    val okSigs = tails.groupBy(col("__sig"))
+      .agg(count(lit(1)).as("__tc"))
+      .join(heads.groupBy(col("__sig"))
+        .agg(count(lit(1)).as("__hc")), Seq("__sig"))
+      .observe("pagination_stitch",
+        sum(when(col("__tc") > maxPerSig ||
+          col("__hc") > maxPerSig, 1L).otherwise(0L))
+          .as("capped_sigs"))
+      .filter(col("__tc") <= maxPerSig && col("__hc") <= maxPerSig)
+      .select(col("__sig"))
+    tails.join(okSigs, Seq("__sig"), "left_semi")
+      .join(heads, Seq("__sig"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sig").as("span_sig"))
+  }
+
   /** Unicode hygiene audit — the trojan-source / invisible-character
     * scan: zero-width characters (ZWSP..RLM), bidi control characters
     * (the CVE-2021-42574 vector — text that renders differently than

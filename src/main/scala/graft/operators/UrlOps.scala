@@ -402,6 +402,30 @@ object UrlOps {
           .otherwise(lit(0L)))
   }
 
+  /** Per-host crawl-depth profile: URL path depth distribution (path
+    * segments after the authority) per host — deep-path-heavy hosts
+    * are calendar/faceted-navigation traps the frontier should
+    * de-prioritize; root-heavy hosts are hubs. Exact integer milli
+    * mean.
+    *
+    * Scale shape: depth is a projection; one map-side-combined host
+    * aggregate. */
+  def crawlDepthProfile(df: DataFrame, urlCol: String): DataFrame = {
+    val path = regexp_replace(col(urlCol), "^https?://[^/]*", "")
+    val depth = size(filter(split(path, "/"),
+      s => length(s) > 0)).cast("long")
+    df.select(hostOf(col(urlCol)).as("host"), depth.as("__d"))
+      .filter(length(col("host")) > 0)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("__d")).as("__sd"),
+        max(col("__d")).as("max_depth"),
+        sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_root"))
+      .select(col("host"), col("n_urls"),
+        expr("__sd * 1000 div n_urls").as("mean_depth_milli"),
+        col("max_depth"), col("n_root"))
+  }
+
   /** Cross-source URL syndication: canonical URLs appearing in more
     * than one source — content syndication / mirror detection, and
     * the double-counting audit for mixture weights (a press release

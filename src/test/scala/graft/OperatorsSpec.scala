@@ -3763,6 +3763,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bern.size > 60 && bern.size < 140, s"got ${bern.size}")
   }
 
+  test("paginationStitch pairs tail==head overlaps, drops template " +
+      "sigs at the cap") {
+    import graft.operators.TextAnalysisOps
+    val overlap = (1 to 8).map("o" + _).mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 20).map("a" + _).mkString(" ") + " " + overlap),
+      (2L, overlap + " " + (1 to 20).map("b" + _).mkString(" ")),
+      (3L, (1 to 30).map("c" + _).mkString(" ")),  // unrelated
+      // template closer/opener shared by 3 docs on each side: with
+      // maxPerSig = 2 the sig is capped out
+      (10L, (1 to 9).map("x" + _).mkString(" ") + " " +
+        (1 to 8).map("t" + _).mkString(" ")),
+      (11L, (1 to 10).map("y" + _).mkString(" ") + " " +
+        (1 to 8).map("t" + _).mkString(" ")),
+      (12L, (1 to 11).map("z" + _).mkString(" ") + " " +
+        (1 to 8).map("t" + _).mkString(" ")),
+      (13L, (1 to 8).map("t" + _).mkString(" ") + " follow one"),
+      (14L, (1 to 8).map("t" + _).mkString(" ") + " follow two"),
+      (15L, (1 to 8).map("t" + _).mkString(" ") + " follow three")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.paginationStitch(docs, "doc_id", "text",
+      k = 8, maxPerSig = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)),
+      s"template sig (3 tails x 3 heads) must cap out: $got")
+  }
+
+  test("crawlDepthProfile: per-host depth stats in exact milli") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      "http://a.com/", "http://a.com/x", "http://a.com/x/y/z",
+      "http://b.io/p"
+    ).toDF("url")
+    val got = UrlOps.crawlDepthProfile(docs, "url")
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // a.com depths: 0, 1, 3 -> mean 1333 milli, max 3, one root
+    assert(got.toSeq == Seq(("a.com", 3L, 1333L, 3L, 1L),
+      ("b.io", 1L, 1000L, 1L, 0L)))
+  }
+
   test("delimitedRecords explodes sniffed tabular docs to cells, " +
       "skips headers and ragged rows, leaves prose alone") {
     import graft.operators.TextAnalysisOps
