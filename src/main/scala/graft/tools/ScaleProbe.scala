@@ -222,6 +222,21 @@ object ScaleProbe {
               concat(lit(bp + " "), col("text")))
               .otherwise(col("text"))),
           "doc_id", "text"))
+      // viral page in 50% of docs: the dup-report primary aggregation
+      // must stay map-side; same fixture through paginationStitch,
+      // whose template cap must excise the hot head/tail sig
+      val viral = docs
+        .withColumn("source",
+          concat(lit("s"), (col("doc_id") % 7).cast("string")))
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0,
+            lit((1 to 40).map("vp" + _).mkString(" ")))
+            .otherwise(col("text")))
+      time(s"sourceDupReport SKEW x$n (viral page in 50%)")(
+        graft.operators.DedupOps.sourceDupReport(viral,
+          "doc_id", "text", "source"))
+      time(s"paginationStitch SKEW x$n (template head/tail in 50%)")(
+        TextAnalysisOps.paginationStitch(viral, "doc_id", "text"))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

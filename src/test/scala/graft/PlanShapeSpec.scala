@@ -302,6 +302,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q201/q205: per-key budgets and samples ride the bounded top-N " +
+      "aggregate — no rank window over host or target keys") {
+    Seq("q201_politeness_schedule", "q205_anchor_harvest",
+        "q210_crawl_frontier").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not window over a Zipfian key:\n$p")
+      assert(p.contains("bounded_top_n"),
+        s"$q must cap via the bounded top-N aggregate:\n$p")
+    }
+  }
+
+  test("q217/q222: dup primaries and stitch sigs aggregate map-side " +
+      "and equi-join back — no window over a content signature") {
+    Seq("q217_source_dup_report", "q222_pagination_stitch").foreach {
+      q =>
+        val p = plan(q)
+        assert(!p.contains("Window"),
+          s"$q must not window over a content sig:\n$p")
+        assert(p.contains("HashAggregate") ||
+            p.contains("ObjectHashAggregate"),
+          s"$q counts must be partial aggregates:\n$p")
+    }
+  }
+
   test("q79: BM25 df is a map-side-combined aggregate broadcast back, " +
       "not a count window over the term key") {
     val p = plan("q79_bm25_topk")
