@@ -2378,6 +2378,41 @@ object SparkEntry {
         .orderBy(col("role"))
     }),
 
+    // Source similarity matrix (q225): per-source k-min sketches,
+    // pairwise slot-match Jaccard estimates — which dumps overlap.
+    "q225_source_similarity" -> ((s, dir) => {
+      DedupOps.sourceMinhashMatrix(t(s, dir, "documents"), "text",
+        "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Per-source contamination (q226): every 31st doc doubles as the
+    // benchmark; rates roll per source.
+    "q226_source_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysisOps.decontaminate(docs, bench, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(col("n_hits")).as("n_hits"))
+        .withColumn("contaminated_milli",
+          expr("n_contaminated * 1000 div n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // Span-corruption masks (q227): deterministic phased T5-style
+    // mask spans per doc.
+    "q227_span_corruption" -> ((s, dir) => {
+      TextAnalysisOps.spanCorruptionMasks(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"), col("sentinel_idx"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -8048,6 +8083,83 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, drop_stage, count(*)::BIGINT AS n_docs
         |FROM st GROUP BY source, drop_stage
         |ORDER BY source, drop_stage""".stripMargin),
+
+    // Salted slot-mins per source, pairwise slot-match counts.
+    "q225_source_similarity" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT source, CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i + 1:i + 3], ' ')
+        |       FOR i IN range(len(t) - 2)]
+        |    ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |fl AS (SELECT source, unnest(sh) AS s FROM sh),
+        |sl AS (
+        |  SELECT source, s, unnest(range(0, 8)) AS slot FROM fl),
+        |sk AS (
+        |  SELECT source, slot,
+        |    min(md5(s || '|' || slot::VARCHAR)) AS mh
+        |  FROM sl GROUP BY source, slot)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_match,
+        |  (sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) * 1000 // 8)
+        |    ::BIGINT AS jaccard_est_milli
+        |FROM sk a JOIN sk b
+        |  ON a.slot = b.slot AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Per-doc distinct shingles vs the %31 benchmark set, source
+    // rollup.
+    "q226_source_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([array_to_string(t[i + 1:i + 3], ' ')
+        |        FOR i IN range(len(t) - 2)])
+        |    ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(sh) AS s FROM sh
+        |  WHERE doc_id % 31 = 0),
+        |tf AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |ht AS (
+        |  SELECT tf.doc_id, count(*)::BIGINT AS n_hits
+        |  FROM tf JOIN bsh ON tf.s = bsh.s GROUP BY tf.doc_id),
+        |j AS (
+        |  SELECT d.source, coalesce(ht.n_hits, 0) AS n_hits
+        |  FROM (SELECT doc_id, source FROM documents) d
+        |  LEFT JOIN ht USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_contaminated,
+        |  sum(n_hits)::BIGINT AS n_hits,
+        |  (sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1000
+        |    // count(*))::BIGINT AS contaminated_milli
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // Phased multiples of the stride, whole-span-inside filter, the
+    // same 1-based slices.
+    "q227_span_corruption" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |sp AS (
+        |  SELECT doc_id, t,
+        |    unnest(list_filter(range(0, n), p ->
+        |      (p - (doc_id % 20)) % 20 = 0 AND p + 3 <= n)) AS p
+        |  FROM tk)
+        |SELECT doc_id,
+        |  ((p - (doc_id % 20)) // 20)::BIGINT AS sentinel_idx,
+        |  p::BIGINT AS span_start,
+        |  array_to_string(t[p + 1:p + 3], ' ') AS masked_text
+        |FROM sp ORDER BY doc_id, sentinel_idx""".stripMargin,
 
     // The gopher flag CTEs + the q208 entropy chain + the q211 loop
     // fractions, folded with the same clamps.

@@ -738,6 +738,43 @@ object DedupOps {
         col("slot").cast("string")))).as("min_hash"))
   }
 
+  /** Per-source k-min sketch similarity matrix: each source gets the
+    * [[corpusMinhash]] sketch (k salted slot-mins over its 3-gram
+    * shingles), and every source pair's slot-match count estimates
+    * their shingle-set Jaccard — the corpus-level "which dumps
+    * overlap" heat map that drives mixture and dedup-order decisions
+    * without any document-level join.
+    *
+    * Scale shape: sketches are map-side-combined MIN aggregates
+    * (k rows per source on the wire regardless of corpus size); the
+    * pairwise comparison is a slot-keyed join of two (sources × k)
+    * tiny frames. */
+  def sourceMinhashMatrix(docs: DataFrame, textCol: String,
+                          sourceCol: String, k: Int = 8): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    require(k >= 1, "k >= 1")
+    val sk = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(wordShingles(tokens(col(textCol)), 3)).as("s"))
+      .select(col("source"), col("s"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("slot"))
+      .groupBy(col("source"), col("slot"))
+      .agg(min(md5(concat(col("s"), lit("|"),
+        col("slot").cast("string")))).as("mh"))
+    val a = sk.select(col("source").as("source_a"), col("slot"),
+      col("mh").as("__ma"))
+    val b = sk.select(col("source").as("source_b"), col("slot"),
+      col("mh").as("__mb"))
+    a.join(b, Seq("slot"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("__ma") === col("__mb"), 1L).otherwise(0L))
+        .as("n_match"))
+      .withColumn("jaccard_est_milli",
+        expr(s"n_match * 1000 div $k"))
+  }
+
   /** Slotwise merge of two corpus sketches (the union law — see
     * [[corpusMinhash]]). A FULL OUTER join with coalesce, not inner:
     * an empty shard (no shingles — e.g. a day with no documents)

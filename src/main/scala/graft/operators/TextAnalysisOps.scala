@@ -2718,6 +2718,39 @@ object TextAnalysisOps {
         col("col_idx").cast("long").as("col_idx"), col("value"))
   }
 
+  /** T5-style span-corruption mask prep (Raffel et al. 2020 §3.1.4):
+    * deterministic, engine-portable mask spans — span starts at token
+    * positions `p ≡ doc_id (mod stride)` with the whole span inside
+    * the doc, giving a `spanLen/stride` corruption rate with
+    * non-overlapping spans (stride ≥ spanLen) and a per-doc phase so
+    * spans don't align corpus-wide. Emits one row per sentinel:
+    * (doc, sentinel_idx, span_start, masked text) — the columns a
+    * denoising-objective builder consumes. No RNG: re-runs and both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: pure projection + explode. */
+  def spanCorruptionMasks(docs: DataFrame, idCol: String,
+                          textCol: String, spanLen: Int = 3,
+                          stride: Int = 20): DataFrame = {
+    require(spanLen >= 1 && stride >= spanLen,
+      "need 1 <= spanLen <= stride")
+    val staged = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("__off", (col(idCol) % stride).cast("int"))
+    staged
+      .select(col(idCol), col("__t"),
+        posexplode(filter(sequence(lit(0), col("__n") - 1),
+          p => pmod(p - col("__off"), lit(stride)) === 0 &&
+            p + spanLen <= col("__n")))
+          .as(Seq("sentinel_idx", "span_start")))
+      .select(col(idCol),
+        col("sentinel_idx").cast("long").as("sentinel_idx"),
+        col("span_start").cast("long").as("span_start"),
+        array_join(slice(col("__t"), col("span_start") + 1,
+          lit(spanLen)), " ").as("masked_text"))
+  }
+
   /** Pagination-stitch detection: document pairs where A's last `k`
     * tokens ARE B's first `k` tokens — the signature of one logical
     * document split across crawl pages (or chunk boundaries) with an

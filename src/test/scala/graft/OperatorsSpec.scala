@@ -3763,6 +3763,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bern.size > 60 && bern.size < 140, s"got ${bern.size}")
   }
 
+  test("sourceMinhashMatrix: identical sources estimate 1000 milli, " +
+      "disjoint estimate low") {
+    import graft.operators.DedupOps
+    val tA = (1 to 30).map("a" + _).mkString(" ")
+    val tB = (1 to 30).map("b" + _).mkString(" ")
+    val docs = Seq(
+      ("s1", tA), ("s2", tA),      // identical shingle sets
+      ("s3", tB)                   // disjoint
+    ).toDF("source", "text")
+    val got = DedupOps.sourceMinhashMatrix(docs, "text", "source")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq.contains(("s1", "s2", 1000L)))
+    assert(got.filter(p => p._1 == "s1" && p._2 == "s3")
+      .forall(_._3 == 0L))
+  }
+
+  test("spanCorruptionMasks: deterministic phased spans, whole span " +
+      "inside the doc, ~spanLen/stride rate") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (0L, (1 to 45).map("w" + _).mkString(" ")),  // phase 0
+      (5L, (1 to 45).map("v" + _).mkString(" ")),  // phase 5
+      (40L, "short doc here")                      // phase 0, n=3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.spanCorruptionMasks(docs, "doc_id",
+      "text")
+      .orderBy("doc_id", "sentinel_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // doc 0: starts 0, 20, 40 (40+3 <= 45)
+    assert(got.filter(_._1 == 0L).map(x => (x._2, x._3)).toSeq ==
+      Seq((0L, 0L), (1L, 20L), (2L, 40L)))
+    assert(got.find(_._1 == 0L).get._4 == "w1 w2 w3")
+    // doc 5: starts 5, 25 (45 excluded: 45+3 > 45)
+    assert(got.filter(_._1 == 5L).map(_._3).toSeq == Seq(5L, 25L))
+    // doc 40: phase 0, n=3 -> one whole-doc span
+    assert(got.filter(_._1 == 40L).map(_._4).toSeq ==
+      Seq("short doc here"))
+  }
+
   test("paginationStitch pairs tail==head overlaps, drops template " +
       "sigs at the cap") {
     import graft.operators.TextAnalysisOps
