@@ -4432,6 +4432,23 @@ object SparkEntry {
            }}
         |  FROM c)""").stripMargin
 
+  /** q211's per-period loop-fraction SQL columns over a CTE exposing
+    * `(doc_id, t, n)` — shared by the q211 dump and q221's composite
+    * so a boundary fix lands in both. */
+  private def loopFractionColsSql: Seq[String] =
+    (1 to 8).map(p =>
+      s"    CASE WHEN n > $p THEN len(list_filter(" +
+        s"range($p + 1, n + 1), i -> t[i] = t[i - $p])) " +
+        s"* 1000 // (n - $p) ELSE 0 END AS f$p")
+
+  /** q208's per-doc entropy value over `(t, dt)` columns — shared by
+    * the q208 dump and q221's composite. */
+  private val EntropySumSql: String =
+    "coalesce(list_sum(list_transform(dt, x -> " +
+      "floor(1000000.0 * (len(list_filter(t, y -> y = x))::DOUBLE " +
+      "/ len(t)::DOUBLE) * ln(len(t)::DOUBLE " +
+      "/ len(list_filter(t, y -> y = x))::DOUBLE))::BIGINT)), 0)"
+
   private def minhashCtesSql: String =
     minhashCtesSqlFrom("SELECT doc_id, text FROM documents",
       rowsPerBand = 2)
@@ -8166,13 +8183,7 @@ ORDER BY rank LIMIT 6"""),
     "q221_quality_index" -> (gopherFlagCtesFrom(
         "  SELECT doc_id, text FROM documents") + s""",
         |ent AS (
-        |  SELECT doc_id, coalesce(list_sum(list_transform(dt, x ->
-        |    floor(1000000.0
-        |      * (len(list_filter(t, y -> y = x))::DOUBLE
-        |         / len(t)::DOUBLE)
-        |      * ln(len(t)::DOUBLE
-        |         / len(list_filter(t, y -> y = x))::DOUBLE))
-        |      ::BIGINT)), 0)::BIGINT AS entropy_micro
+        |  SELECT doc_id, ${EntropySumSql}::BIGINT AS entropy_micro
         |  FROM (SELECT doc_id,
         |      string_split(coalesce(text, ''), ' ') AS t,
         |      list_sort(list_distinct(
@@ -8184,11 +8195,7 @@ ORDER BY rank LIMIT 6"""),
         |  FROM inj),
         |lf AS (
         |  SELECT doc_id,
-        |${(1 to 8).map(p =>
-             s"    CASE WHEN n > $p THEN len(list_filter(" +
-               s"range($p + 1, n + 1), i -> t[i] = t[i - $p])) " +
-               s"* 1000 // (n - $p) ELSE 0 END AS f$p")
-             .mkString(",\n|")}
+        |${loopFractionColsSql.mkString(",\n|")}
         |  FROM lt),
         |lg AS (
         |  SELECT doc_id,
@@ -8261,7 +8268,8 @@ ORDER BY rank LIMIT 6"""),
         |  SELECT lower(regexp_extract(url,
         |      'https?://([^/:?#]+)', 1)) AS host,
         |    len(list_filter(string_split(
-        |      regexp_replace(url, '^https?://[^/]*', ''), '/'),
+        |      regexp_replace(regexp_replace(url, '[?#].*$', ''),
+        |        '^https?://[^/]*', ''), '/'),
         |      s -> length(s) > 0))::BIGINT AS dep
         |  FROM u)
         |SELECT host, count(*)::BIGINT AS n_urls,
@@ -8483,11 +8491,7 @@ ORDER BY rank LIMIT 6"""),
         |f AS (
         |  SELECT doc_id, n,
         |""".stripMargin +
-        (1 to 8).map(p =>
-          s"    CASE WHEN n > $p THEN len(list_filter(" +
-            s"range($p + 1, n + 1), i -> t[i] = t[i - $p])) " +
-            s"* 1000 // (n - $p) ELSE 0 END AS f$p")
-          .mkString(",\n") +
+        loopFractionColsSql.mkString(",\n") +
       s"""
         |  FROM tk),
         |g AS (
@@ -8688,8 +8692,8 @@ ORDER BY rank LIMIT 6"""),
         |FROM g ORDER BY host""".stripMargin,
 
     // Same per-term floor-then-integer-sum entropy.
-    "q208_unigram_entropy" ->
-      """WITH toks AS (
+    "q208_unigram_entropy" -> (
+      s"""WITH toks AS (
         |  SELECT doc_id,
         |    string_split(coalesce(text, ''), ' ') AS t,
         |    list_sort(list_distinct(
@@ -8697,14 +8701,8 @@ ORDER BY rank LIMIT 6"""),
         |  FROM documents)
         |SELECT doc_id, len(t)::BIGINT AS n_tokens,
         |  len(dt)::BIGINT AS n_distinct,
-        |  coalesce(list_sum(list_transform(dt, x ->
-        |    floor(1000000.0
-        |      * (len(list_filter(t, y -> y = x))::DOUBLE
-        |         / len(t)::DOUBLE)
-        |      * ln(len(t)::DOUBLE
-        |         / len(list_filter(t, y -> y = x))::DOUBLE))
-        |      ::BIGINT)), 0)::BIGINT AS entropy_micro
-        |FROM toks ORDER BY doc_id""".stripMargin,
+        |  ${EntropySumSql}::BIGINT AS entropy_micro
+        |FROM toks ORDER BY doc_id""".stripMargin),
 
     // Twin corpus + the shared minhash CTE chain + the hash split at
     // the exact IEEE thresholds, pair counts by split pair.

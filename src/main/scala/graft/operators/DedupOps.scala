@@ -728,15 +728,27 @@ object DedupOps {
   def corpusMinhash(docs: DataFrame, textCol: String,
                     k: Int = 8): DataFrame = {
     require(k >= 1, "k >= 1")
-    docs
-      .select(explode(graft.functions.TextExpressions.wordShingles(
-        tokens(col(textCol)), 3)).as("s"))
-      .select(col("s"),
-        explode(sequence(lit(0L), lit((k - 1).toLong))).as("slot"))
-      .groupBy(col("slot"))
-      .agg(min(md5(concat(col("s"), lit("|"),
-        col("slot").cast("string")))).as("min_hash"))
+    saltedSlotMins(
+      docs.select(explode(graft.functions.TextExpressions.wordShingles(
+        tokens(col(textCol)), 3)).as("s")),
+      k, Nil, "min_hash")
   }
+
+  /** The k-min sketch kernel shared by [[corpusMinhash]] (no group
+    * key) and [[sourceMinhashMatrix]] (per source): salted slot
+    * expansion → per-(group, slot) MIN of the salted md5. One
+    * definition, so the salting scheme can never diverge between the
+    * corpus sketch, the per-source sketches, and the
+    * [[mergeCorpusMinhash]] union law that assumes compatibility. */
+  private def saltedSlotMins(shingles: DataFrame, k: Int,
+                             group: Seq[String],
+                             outCol: String): DataFrame =
+    shingles
+      .select((group.map(col) :+ col("s") :+
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("slot")): _*)
+      .groupBy((group.map(col) :+ col("slot")): _*)
+      .agg(min(md5(concat(col("s"), lit("|"),
+        col("slot").cast("string")))).as(outCol))
 
   /** Per-source k-min sketch similarity matrix: each source gets the
     * [[corpusMinhash]] sketch (k salted slot-mins over its 3-gram
@@ -753,15 +765,11 @@ object DedupOps {
                           sourceCol: String, k: Int = 8): DataFrame = {
     import graft.functions.TextExpressions.wordShingles
     require(k >= 1, "k >= 1")
-    val sk = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(sourceCol).as("source"),
-        explode(wordShingles(tokens(col(textCol)), 3)).as("s"))
-      .select(col("source"), col("s"),
-        explode(sequence(lit(0L), lit((k - 1).toLong))).as("slot"))
-      .groupBy(col("source"), col("slot"))
-      .agg(min(md5(concat(col("s"), lit("|"),
-        col("slot").cast("string")))).as("mh"))
+    val sk = saltedSlotMins(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(sourceCol).as("source"),
+          explode(wordShingles(tokens(col(textCol)), 3)).as("s")),
+      k, Seq("source"), "mh")
     val a = sk.select(col("source").as("source_a"), col("slot"),
       col("mh").as("__ma"))
     val b = sk.select(col("source").as("source_b"), col("slot"),

@@ -411,7 +411,11 @@ object UrlOps {
     * Scale shape: depth is a projection; one map-side-combined host
     * aggregate. */
   def crawlDepthProfile(df: DataFrame, urlCol: String): DataFrame = {
-    val path = regexp_replace(col(urlCol), "^https?://[^/]*", "")
+    // strip query/fragment FIRST: slashes inside ?path=/a/b are data,
+    // not path depth (faceted URLs are exactly what this profiles)
+    val path = regexp_replace(
+      regexp_replace(col(urlCol), "[?#].*$", ""),
+      "^https?://[^/]*", "")
     val depth = size(filter(split(path, "/"),
       s => length(s) > 0)).cast("long")
     df.select(hostOf(col(urlCol)).as("host"), depth.as("__d"))

@@ -3835,7 +3835,9 @@ class OperatorsSpec extends AnyFunSuite {
     import graft.operators.UrlOps
     val docs = Seq(
       "http://a.com/", "http://a.com/x", "http://a.com/x/y/z",
-      "http://b.io/p"
+      "http://b.io/p",
+      // query/fragment slashes are data, not depth
+      "http://c.net/search?path=/a/b/c", "http://c.net/?q=/x#frag/y"
     ).toDF("url")
     val got = UrlOps.crawlDepthProfile(docs, "url")
       .orderBy("host").collect()
@@ -3843,7 +3845,8 @@ class OperatorsSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))
     // a.com depths: 0, 1, 3 -> mean 1333 milli, max 3, one root
     assert(got.toSeq == Seq(("a.com", 3L, 1333L, 3L, 1L),
-      ("b.io", 1L, 1000L, 1L, 0L)))
+      ("b.io", 1L, 1000L, 1L, 0L),
+      ("c.net", 2L, 500L, 1L, 1L)))
   }
 
   test("delimitedRecords explodes sniffed tabular docs to cells, " +

@@ -302,8 +302,8 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q201/q205: per-key budgets and samples ride the bounded top-N " +
-      "aggregate — no rank window over host or target keys") {
+  test("q201/q205/q210: per-key budgets and samples ride the bounded " +
+      "top-N aggregate — no rank window over host or target keys") {
     Seq("q201_politeness_schedule", "q205_anchor_harvest",
         "q210_crawl_frontier").foreach { q =>
       val p = plan(q)
