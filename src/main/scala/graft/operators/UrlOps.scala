@@ -109,24 +109,24 @@ object UrlOps {
     *
     * Scale shape: ONE shuffle on the canonical-url key carrying only
     * (id, canonical_url, ts) — the document payload never moves; the
-    * caller semi-joins winners back on `idCol` for the text. Per-key
-    * window state is snapshot-count-sized (re-crawl counts, not corpus
-    * counts). */
+    * caller semi-joins winners back on `idCol` for the text. Round 9:
+    * latest-wins is a lexicographic MAX over (ts, id) structs inside
+    * ONE map-side-combined aggregation — no window, no join, so even
+    * a pathologically re-fetched URL crosses the wire as one partial
+    * (struct, count) per upstream partition. */
   def snapshotDedup(df: DataFrame, idCol: String, urlCol: String,
-                    tsCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("canonical_url"))
-    val wOrd = w.orderBy(col(tsCol).desc, col(idCol).desc)
+                    tsCol: String): DataFrame =
     df.select(col(idCol),
         stripTrackingParams(canonicalize(col(urlCol)))
           .as("canonical_url"),
         col(tsCol))
-      .withColumn("n_snapshots", count(lit(1)).over(w))
-      .withColumn("__rk", row_number().over(wOrd))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("canonical_url"),
-        col(tsCol).as("latest_ts"), col("n_snapshots"))
-  }
+      .groupBy(col("canonical_url"))
+      .agg(max(struct(col(tsCol), col(idCol))).as("__w"),
+        count(lit(1)).as("n_snapshots"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("canonical_url"),
+        col("__w").getField(tsCol).as("latest_ts"),
+        col("n_snapshots"))
 
   /** Outlink extraction from raw HTML — anchors' hrefs paired with
     * their anchor text (both quote styles; attributes before/after
