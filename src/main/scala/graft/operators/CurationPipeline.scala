@@ -80,22 +80,17 @@ object CurationPipeline {
   private[graft] def reasonOf(isDup: Column, nTokens: Column): Column =
     when(isDup, "dup").when(nTokens < 8, "short").otherwise("keep")
 
-  /** Batch finisher: keep-first dedup over the FULL content md5
-    * (16-hex `clean_sig` is the reporting form; grouping on it would
-    * differ from the oracle under prefix collisions) via min-id
-    * aggregate + join-back (round-9 hot-key discipline — the old
-    * keep-first window single-tasked a mass-duplicated signature),
-    * then reason + selected. Output = q100's exact column set and
-    * order. */
+  /** Batch finisher: keep-first dedup window over the FULL content
+    * md5 (16-hex `clean_sig` is the reporting form; grouping on it
+    * would differ from the oracle under prefix collisions), then
+    * reason + selected. Output = q100's exact column set and order. */
   def batchVerdicts(df: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
     val cleaned = cleanProject(df, idCol, textCol)
-    val prim = cleaned.groupBy(col("__sig_full"))
-      .agg(min(col("doc_id")).as("__pid"))
-    cleaned.join(prim, Seq("__sig_full"))
+    val w = Window.partitionBy(col("__sig_full")).orderBy(col("doc_id"))
+    cleaned.withColumn("__rn", row_number().over(w))
       .select(col("doc_id"), col("clean_sig"), col("n_tokens"),
-        reasonOf(col("doc_id") =!= col("__pid"), col("n_tokens"))
-          .as("reason"),
+        reasonOf(col("__rn") > 1, col("n_tokens")).as("reason"),
         col("split"))
       .withColumn("selected",
         col("reason") === "keep" && col("split") === "train")

@@ -23,20 +23,12 @@ import graft.functions.TextFunctions._
 object DedupOps {
 
   /** Exact dedup: keep the lowest-id doc per identical text.
-    * Round 9 moved this — the most-used dedup primitive — off the
-    * keep-first window onto min-id aggregate + equi-join back: a
-    * virally mass-duplicated page is exactly a Zipfian content hash,
-    * and a window group is indivisible (one task sorts every copy)
-    * while the aggregate combines map-side and the join-back is an
-    * AQE-splittable hash join with ONE build row per hash. Hash keys,
-    * never raw text, on every exchange. */
+    * One shuffle on the content hash (never on the raw text — a 100 KB
+    * document would make terrible shuffle keys). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSig = docs.withColumn("__sig", md5(col(textCol)))
-    val prim = withSig.groupBy(col("__sig"))
-      .agg(min(col(idCol)).as("__pid"))
-    withSig.join(prim, Seq("__sig"))
-      .filter(col(idCol) === col("__pid"))
-      .drop("__sig", "__pid")
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Per-source exact-duplication report — "which dump is internally
@@ -123,16 +115,13 @@ object DedupOps {
   def incrementalDedup(incoming: DataFrame, idCol: String,
                        textCol: String, knownSigs: DataFrame): DataFrame = {
     val inc = incoming.select(col(idCol), md5(col(textCol)).as("sig"))
-    // keep-first via min-id join-back, not a window: a mass-duplicated
-    // arrival in one increment is the same Zipfian hash the corpus
-    // form guards against (see [[exact]])
-    val prim = inc.groupBy(col("sig")).agg(min(col(idCol)).as("__pid"))
-    inc.join(prim, Seq("sig"))
+    val w = Window.partitionBy(col("sig")).orderBy(col(idCol))
+    inc.withColumn("__rn", row_number().over(w))
       .join(knownSigs.select(col("sig"), lit(1).as("__k")),
         Seq("sig"), "left")
       .select(col(idCol), col("sig"),
         when(col("__k").isNotNull, "dup_known")
-          .when(col(idCol) =!= col("__pid"), "dup_increment")
+          .when(col("__rn") > 1, "dup_increment")
           .otherwise("new").as("status"))
   }
 

@@ -972,16 +972,14 @@ object TextAnalysisOps {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Int = 20, minQuality: Double = 0.72,
              maxDup3Frac: Double = 0.02, keepLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val s3 = curationSignals(docs, idCol, textCol)
-    // keep-first via min-id join-back (round-9 hot-key discipline):
-    // a mass-duplicated page is a Zipfian signature, and the old
-    // keep-first window would single-task its whole copy set
-    val prim = s3.groupBy(col("__sig"))
-      .agg(min(col(idCol)).as("__pid"))
+    val rk = row_number().over(
+      Window.partitionBy(col("__sig")).orderBy(col(idCol)))
     val reason =
-      when(col(idCol) =!= col("__pid"), "exact_dup")
+      when(col("__rk") > 1, "exact_dup")
         .otherwise(gateReason(minTokens, minQuality, maxDup3Frac, keepLang))
-    s3.join(prim, Seq("__sig"))
+    s3.withColumn("__rk", rk)
       .select(col(idCol), reason.as("reason"))
       .select(col(idCol), (col("reason") === "keep").as("keep"), col("reason"))
   }
@@ -1424,26 +1422,20 @@ object TextAnalysisOps {
     * rows. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val paras = docs
       .select(col(idCol), posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
       .filter(length(col("para")) > 0)
-      .withColumn("__h", md5(col("para")))
-    // first occurrence = lexicographic MIN (id, pos) per paragraph
-    // hash — map-side combined + join-back (round-9 hot-key
-    // discipline: an empty/boilerplate paragraph is a Zipfian hash
-    // the old keep-first window would single-task)
-    val prim = paras.groupBy(col("__h"))
-      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
-    paras.join(prim, Seq("__h"))
-      .withColumn("__keep",
-        col(idCol) === col("__first").getField(idCol) &&
-          col("pos") === col("__first").getField("pos"))
+    val w = Window.partitionBy(md5(col("para")))
+      .orderBy(col(idCol), col("pos"))
+    paras
+      .withColumn("__rk", row_number().over(w))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
         substring(md5(array_join(transform(
-          array_sort(collect_list(when(col("__keep"),
+          array_sort(collect_list(when(col("__rk") === 1,
             struct(col("pos"), col("para"))))),
           s => s.getField("para")), sep)), 1, 16).as("dedup_sig"))
   }

@@ -100,14 +100,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k tokens must use TakeOrdered:\n$p")
   }
 
-  test("q100: the preprocessing pipeline is one projection chain + " +
-      "a min-id dedup aggregate joined back — no window over the sig") {
+  test("q100: the whole preprocessing pipeline is one projection " +
+      "chain + one dedup-window exchange — no join anywhere") {
     val p = plan("q100_pipeline")
-    assert(!p.contains("Window"),
-      s"keep-first must not window over the content sig:\n$p")
-    // exchanges: union-side sig aggregate + sig join + presentation
-    assert(p.split("Exchange").length <= 6,
-      s"only the dedup aggregate/join and the sort may shuffle:\n$p")
+    assert(!p.contains("Join"),
+      s"line dedup/normalize/split must all stay projection-side:\n$p")
+    // exchanges: union-side window partitioning + presentation sort
+    assert(p.split("Exchange").length <= 4,
+      s"only the dedup window and the sort may shuffle:\n$p")
   }
 
   test("q120: script mix is join-free — the fixture passthrough keeps " +
@@ -219,13 +219,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus x bench must not be a shuffle join")
   }
 
-  test("q53: keep-first is min-id aggregate + join-back, no window " +
-      "over the content sig; text never crosses an exchange") {
+  test("q53: one narrow shuffle — text never crosses an exchange") {
     val p = plan("q53_curation_verdict")
-    assert(!p.contains("Window"),
-      s"a keep-first window single-tasks a mass-duplicated sig:\n$p")
-    // exchanges: the sig aggregate + the sig join + presentation sort
-    assert(p.split("Exchange").length <= 5,
+    // exchanges: the sig window + the presentation sort, nothing more
+    assert(p.split("Exchange").length <= 3,
       s"curation must shuffle only (id, sig, stats) rows:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
@@ -378,16 +375,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "the encoded corpus must never shuffle for the ADC scan")
   }
 
-  test("q61: paragraph dedup keys on the paragraph hash with no " +
-      "keep-first window (min-(id,pos) aggregate + join-back)") {
+  test("q61: paragraph dedup shuffles once on the paragraph hash") {
     val p = plan("q61_paragraph_dedup")
     assert(p.contains("md5(cast(para"),
-      "keep-first must key on the paragraph md5")
-    assert(!p.contains("Window"),
-      s"an empty/boilerplate paragraph hash must not single-task:\n$p")
-    // exchanges: hash aggregate + hash join + per-doc aggregate +
-    // presentation sort
-    assert(p.split("Exchange").length <= 6,
+      "keep-first window must key on the paragraph md5")
+    // exchanges: para-hash window + per-doc aggregate + presentation sort
+    assert(p.split("Exchange").length <= 4,
       s"paragraph dedup must not add extra shuffles:\n$p")
   }
 
