@@ -36,9 +36,10 @@ case class SnapshotWinner(canonical_url: String, doc_id: Long,
   *    discipline, kept under streaming);
   *  - `groupByKey(canonical_url)` → `flatMapGroupsWithState` keeps
   *    (bestId, bestTs, n) per key — 24 bytes, re-crawl-count
-  *    INDEPENDENT (the batch window buffers a key's snapshots; the
-  *    stream folds them as they arrive);
-  *  - winner rule ≡ the batch window's `ORDER BY ts DESC, id DESC`:
+  *    INDEPENDENT, the same bound as the batch side's lexicographic
+  *    `max(struct(ts, id))` aggregate (one partial struct per
+  *    upstream partition): the stream folds arrivals incrementally;
+  *  - winner rule ≡ the batch aggregate's max over (ts, id):
   *    a fetch wins iff (ts, id) is strictly greater lexicographically;
   *  - each micro-batch emits the key's CURRENT winner row; the last
   *    emission per key is the batch answer (Update-mode semantics via

@@ -314,6 +314,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q135: snapshot dedup is one map-side-combined struct-max " +
+      "aggregate — no window, no join over the canonical-url key") {
+    val p = plan("q135_url_snapshot_dedup")
+    assert(!p.contains("Window"),
+      s"q135 must not window over the canonical-url key:\n$p")
+    assert(!p.contains("Join"),
+      s"q135 must not join — the winner is a struct-max aggregate:\n$p")
+    // struct max lowers to SortAggregate (structs are not
+    // hash-aggregable); the scale property is the partial_ stage —
+    // one (struct, count) per upstream partition crosses the wire.
+    assert(p.contains("partial_max(struct"),
+      s"q135 winner must combine map-side:\n$p")
+  }
+
   test("q217/q222: dup primaries and stitch sigs aggregate map-side " +
       "and equi-join back — no window over a content signature") {
     Seq("q217_source_dup_report", "q222_pagination_stitch").foreach {
