@@ -2413,6 +2413,110 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("sentinel_idx"))
     }),
 
+    // Canary exposure audit (q228): planted registry canaries traced
+    // across the hashSplit boundary — the %11==0 slice carries one
+    // canary (id-dependent), the %11==5 slice a doubled + second
+    // canary, CANARY-9 stays unplanted and must report zero, and any
+    // canary whose carriers straddle splits must flag leaked.
+    "q228_canary_audit" -> ((s, dir) => {
+      val injected = SamplingOps.hashSplit(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" CANARY-"),
+                (col("doc_id") % 8).cast("string"), lit("-SECRET")))
+              .when(col("doc_id") % 11 === 5,
+                lit(" CANARY-0-SECRET xx CANARY-0-SECRET" +
+                  " CANARY-3-SECRET"))
+              .otherwise(lit(""))).as("text")),
+        col("doc_id").cast("string"), 0.8, 0.1)
+      TextAnalysisOps.canaryAudit(injected, "doc_id", "text", "split",
+        (0 to 7).map(i => s"CANARY-$i-SECRET") :+ "CANARY-9-SECRET")
+        .orderBy(col("canary"))
+    }),
+
+    // Watermark z-score (q229): every 17th doc is REPLACED by a
+    // planted all-green Kirchenbauer chain (z ~= 13.7); natural text
+    // sits at z ~ 0; the %17==1 slice exercises the empty/short-doc
+    // arm (n_scored = 0).
+    "q229_watermark_zscore" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, lit(WatermarkChain))
+          .when(col("doc_id") % 17 === 1, lit(""))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.watermarkZScore(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Code-clone classes (q230): synthesized code corpus — two
+    // parameterized templates (identifiers/constants vary per doc,
+    // structure doesn't) normalize into two big type-2 clone classes;
+    // the %9==3 slice plants an un-normalizable token ('@' || id) so
+    // singleton classes are exercised too.
+    "q230_code_clones" -> ((s, dir) => {
+      val idm = (m: Int) => (col("doc_id") % m).cast("string")
+      val code = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 3,
+            concat(lit("def g ( ) { return @"),
+              col("doc_id").cast("string"), lit(" }")))
+            .when(col("doc_id") % 2 === 0,
+              concat(lit("def f"), idm(7), lit(" ( x"), idm(5),
+                lit(" ) { return x"), idm(5), lit(" + "),
+                col("doc_id").cast("string"), lit(" }")))
+            .otherwise(
+              concat(lit("while n"), idm(5), lit(" < 10 { n"), idm(5),
+                lit(" = n"), idm(5),
+                lit(" * 2 } return \"done\"")))
+            .as("text"))
+      TextAnalysisOps.codeCloneClasses(code, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Notebook cells (q231): nbformat-4 JSON built per doc (2 or 3
+    // cells, markdown without execution_count, an escaped newline in
+    // the source); the %9==8 slice is corrupt JSON and must surface
+    // as the parsed=false row, not vanish.
+    "q231_notebook_cells" -> ((s, dir) => {
+      val nb = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 8, lit("not a notebook"))
+          .otherwise(concat(
+            lit("{\"nbformat\":4,\"cells\":[" +
+              "{\"cell_type\":\"code\",\"execution_count\":1," +
+              "\"source\":\"print("),
+            col("doc_id").cast("string"),
+            lit(")\"},{\"cell_type\":\"markdown\"," +
+              "\"source\":\"# Title\\nline two\"}"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(",{\"cell_type\":\"code\"," +
+                "\"execution_count\":2,\"source\":\"x = "),
+                (col("doc_id") % 5).cast("string"), lit("\"}")))
+              .otherwise(lit("")),
+            lit("]}"))).as("nb_json"))
+      ConversationOps.notebookCells(nb, "doc_id", "nb_json")
+        .orderBy(col("doc_id"), col("cell_idx"))
+    }),
+
+    // Gazetteer names (q232): planted "Given Surname" bigrams —
+    // single hit, double hit, a lowercase pair that must NOT match,
+    // and a given+given pair that must NOT match.
+    "q232_gazetteer_names" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" Contact Alice Johnson today."))
+            .when(col("doc_id") % 7 === 1,
+              lit(" Bob Smith met Carol Nguyen yesterday"))
+            .when(col("doc_id") % 7 === 2, lit(" alice johnson"))
+            .when(col("doc_id") % 7 === 3, lit(" Alice Bob"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.gazetteerNames(injected, "doc_id", "text",
+        givenNames = Seq("Alice", "Bob", "Carol", "David", "Emma"),
+        surnames = Seq("Johnson", "Smith", "Nguyen", "Garcia", "Lee"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -4443,6 +4547,18 @@ object SparkEntry {
 
   /** q208's per-doc entropy value over `(t, dt)` columns — shared by
     * the q208 dump and q221's composite. */
+  /** q229 fixture: a 64-token walk over green edges of the
+    * Kirchenbauer hash (every consecutive pair hashes under the
+    * gamma=0.25 cut), found by offline search over a 41-word vocab —
+    * all 63 transitions green, z ~= 13.75. */
+  private val WatermarkChain: String =
+    "forest sun the blue star slow stone runs valley lazy apple red " +
+      "dog lazy quick cloud star fish lemon and valley blue desert " +
+      "runs mountain moon quick river mountain bird tree cat dog and " +
+      "house fast green grape and stone snake meadow sun the lion " +
+      "fish quick moon lazy lemon blue mountain runs jumps quick " +
+      "desert slow cloud fast fish forest sun wolf lazy"
+
   private val EntropySumSql: String =
     "coalesce(list_sum(list_transform(dt, x -> " +
       "floor(1000000.0 * (len(list_filter(t, y -> y = x))::DOUBLE " +
@@ -8177,6 +8293,200 @@ ORDER BY rank LIMIT 6"""),
         |  p::BIGINT AS span_start,
         |  array_to_string(t[p + 1:p + 3], ' ') AS masked_text
         |FROM sp ORDER BY doc_id, sentinel_idx""".stripMargin,
+
+    // Registry x corpus occurrence counts via length arithmetic, the
+    // hashSplit threshold bands inlined (0.8 -> cccccccc, 0.9 ->
+    // e6666666), zero-hit canaries restored by the registry left join.
+    "q228_canary_audit" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') ||
+        |    CASE WHEN doc_id % 11 = 0 THEN
+        |      ' CANARY-' || (doc_id % 8)::VARCHAR || '-SECRET'
+        |    WHEN doc_id % 11 = 5 THEN
+        |      ' CANARY-0-SECRET xx CANARY-0-SECRET CANARY-3-SECRET'
+        |    ELSE '' END AS text,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc'
+        |      THEN 'train'
+        |    WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666666'
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents),
+        |reg AS (
+        |  SELECT unnest(['CANARY-0-SECRET', 'CANARY-1-SECRET',
+        |    'CANARY-2-SECRET', 'CANARY-3-SECRET', 'CANARY-4-SECRET',
+        |    'CANARY-5-SECRET', 'CANARY-6-SECRET', 'CANARY-7-SECRET',
+        |    'CANARY-9-SECRET']) AS canary),
+        |hits AS (
+        |  SELECT r.canary, i.split,
+        |    (length(i.text) - length(replace(i.text, r.canary, '')))
+        |      // length(r.canary) AS occ
+        |  FROM reg r, injected i),
+        |agg AS (
+        |  SELECT canary, count(*)::BIGINT AS n_docs,
+        |    sum(occ)::BIGINT AS n_occurrences,
+        |    array_to_string(list_sort(list_distinct(list(split))), ',')
+        |      AS splits,
+        |    (count(DISTINCT split) > 1) AS leaked
+        |  FROM hits WHERE occ > 0 GROUP BY canary)
+        |SELECT r.canary, coalesce(a.n_docs, 0)::BIGINT AS n_docs,
+        |  coalesce(a.n_occurrences, 0)::BIGINT AS n_occurrences,
+        |  coalesce(a.splits, '') AS splits,
+        |  coalesce(a.leaked, FALSE) AS leaked
+        |FROM reg r LEFT JOIN agg a USING (canary)
+        |ORDER BY r.canary""".stripMargin,
+
+    // Green-pair hash replay + the binomial z in one floor — the
+    // planted chain must flag, natural text must not, the empty slice
+    // must score n_scored = 0.
+    "q229_watermark_zscore" ->
+      ("""WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN '""" + WatermarkChain +
+        """'
+        |    WHEN doc_id % 17 = 1 THEN '' ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        |  FROM injected),
+        |stats AS (
+        |  SELECT doc_id, (len(t) - 1)::BIGINT AS n_scored,
+        |    (CASE WHEN len(t) >= 2 THEN
+        |      len(list_filter(range(1, len(t)), i ->
+        |        ('0x' || substr(md5(t[i] || chr(1) || t[i + 1]), 1, 8)
+        |          )::BIGINT % 1000 < 250))
+        |    ELSE 0 END)::BIGINT AS n_green
+        |  FROM toks)
+        |SELECT doc_id, n_scored, n_green,
+        |  (CASE WHEN n_scored > 0 THEN
+        |    floor(1000000.0 *
+        |      (n_green::DOUBLE - 0.25 * n_scored::DOUBLE) /
+        |      sqrt(0.25 * 0.75 * n_scored::DOUBLE))
+        |  ELSE 0 END)::BIGINT AS z_micro,
+        |  n_scored >= 16 AND (CASE WHEN n_scored > 0 THEN
+        |    floor(1000000.0 *
+        |      (n_green::DOUBLE - 0.25 * n_scored::DOUBLE) /
+        |      sqrt(0.25 * 0.75 * n_scored::DOUBLE))
+        |  ELSE 0 END) >= 2000000 AS watermarked
+        |FROM stats ORDER BY doc_id""").stripMargin,
+
+    // Token-level type-2 normalization (keyword keep / N / S / ID /
+    // pass-through), md5 signature, class sizes via GROUP BY +
+    // join-back — the synthesized templates collapse into two big
+    // clone classes plus the @id singletons.
+    "q230_code_clones" ->
+      """WITH code AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 3 THEN
+        |      'def g ( ) { return @' || doc_id::VARCHAR || ' }'
+        |    WHEN doc_id % 2 = 0 THEN
+        |      'def f' || (doc_id % 7)::VARCHAR || ' ( x'
+        |        || (doc_id % 5)::VARCHAR || ' ) { return x'
+        |        || (doc_id % 5)::VARCHAR || ' + '
+        |        || doc_id::VARCHAR || ' }'
+        |    ELSE
+        |      'while n' || (doc_id % 5)::VARCHAR || ' < 10 { n'
+        |        || (doc_id % 5)::VARCHAR || ' = n'
+        |        || (doc_id % 5)::VARCHAR || ' * 2 } return "done"'
+        |    END AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sigs AS (
+        |  SELECT doc_id, substr(md5(array_to_string(list_transform(
+        |      string_split(coalesce(text, ''), ' '), tk ->
+        |      CASE WHEN list_contains(['def', 'return', 'if', 'else',
+        |          'for', 'while', 'class', 'import', 'val', 'var'],
+        |          tk) THEN tk
+        |        WHEN regexp_matches(tk, '^[0-9]+$')
+        |          OR regexp_matches(tk, '^[0-9]+\.[0-9]+$') THEN 'N'
+        |        WHEN regexp_matches(tk, '^".*"$') THEN 'S'
+        |        WHEN regexp_matches(tk, '^[A-Za-z_][A-Za-z0-9_]*$')
+        |          THEN 'ID'
+        |        ELSE tk END), ' ')), 1, 16) AS clone_sig
+        |  FROM code),
+        |classes AS (
+        |  SELECT clone_sig, count(*)::BIGINT AS clone_class_size,
+        |    min(doc_id) AS canonical_id
+        |  FROM sigs GROUP BY clone_sig)
+        |SELECT s.doc_id, s.clone_sig, c.clone_class_size,
+        |  c.canonical_id, c.clone_class_size >= 2 AS is_clone
+        |FROM sigs s JOIN classes c USING (clone_sig)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // nbformat-4 JSON built per doc, cells exploded by index path;
+    // invalid JSON surfaces as the parsed=false row. Each engine
+    // parses its own JSON escaping (the q171 discipline).
+    "q231_notebook_cells" ->
+      """WITH nb AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 9 = 8 THEN 'not a notebook'
+        |    ELSE '{"nbformat":4,"cells":[{"cell_type":"code",'
+        |      || '"execution_count":1,"source":"print('
+        |      || doc_id::VARCHAR || ')"},{"cell_type":"markdown",'
+        |      || '"source":"# Title\nline two"}'
+        |      || CASE WHEN doc_id % 2 = 0 THEN
+        |           ',{"cell_type":"code","execution_count":2,'
+        |             || '"source":"x = ' || (doc_id % 5)::VARCHAR
+        |             || '"}'
+        |         ELSE '' END
+        |      || ']}'
+        |    END AS j
+        |  FROM documents),
+        |valid AS (
+        |  SELECT doc_id, j FROM nb WHERE json_valid(j)),
+        |cells AS (
+        |  SELECT doc_id, TRUE AS parsed, i::INTEGER AS cell_idx,
+        |    json_extract_string(j,
+        |      '$.cells[' || i::VARCHAR || '].cell_type') AS cell_type,
+        |    TRY_CAST(json_extract(j,
+        |      '$.cells[' || i::VARCHAR || '].execution_count')
+        |      AS INTEGER) AS execution_count,
+        |    json_extract_string(j,
+        |      '$.cells[' || i::VARCHAR || '].source') AS source
+        |  FROM valid, UNNEST(range(json_array_length(j,
+        |    '$.cells')::BIGINT)) AS u(i)),
+        |bad AS (
+        |  SELECT doc_id, FALSE AS parsed, -1 AS cell_idx,
+        |    NULL::VARCHAR AS cell_type, NULL::INTEGER
+        |    AS execution_count, NULL::VARCHAR AS source
+        |  FROM nb WHERE NOT json_valid(j))
+        |SELECT doc_id, parsed, cell_idx, cell_type, execution_count,
+        |  source,
+        |  (CASE WHEN source IS NOT NULL THEN
+        |    len(string_split(source, chr(10))) ELSE 0 END)::BIGINT
+        |    AS n_lines,
+        |  (CASE WHEN source IS NOT NULL THEN length(source)
+        |    ELSE 0 END)::BIGINT AS n_chars
+        |FROM (SELECT * FROM cells UNION ALL SELECT * FROM bad)
+        |ORDER BY doc_id, cell_idx""".stripMargin,
+
+    // Capitalized bigram gazetteer match — the lowercase and
+    // given+given plants must NOT match.
+    "q232_gazetteer_names" ->
+      """WITH injected AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' Contact Alice Johnson today.'
+        |    WHEN doc_id % 7 = 1 THEN ' Bob Smith met Carol Nguyen yesterday'
+        |    WHEN doc_id % 7 = 2 THEN ' alice johnson'
+        |    WHEN doc_id % 7 = 3 THEN ' Alice Bob'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        |  FROM injected),
+        |hits AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        |    list_filter(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i + 1]),
+        |      p -> list_contains(['Alice', 'Bob', 'Carol', 'David',
+        |          'Emma'], string_split(p, ' ')[1])
+        |        AND list_contains(['Johnson', 'Smith', 'Nguyen',
+        |          'Garcia', 'Lee'], string_split(p, ' ')[2]))
+        |    ELSE []::VARCHAR[] END AS h
+        |  FROM toks)
+        |SELECT doc_id, len(h)::BIGINT AS n_name_hits,
+        |  coalesce(array_to_string(list_sort(list_distinct(h)), '; '),
+        |    '') AS names_found,
+        |  len(h) > 0 AS has_person_name
+        |FROM hits ORDER BY doc_id""".stripMargin,
 
     // The gopher flag CTEs + the q208 entropy chain + the q211 loop
     // fractions, folded with the same clamps.

@@ -195,4 +195,54 @@ object ConversationOps {
         col("chosen_score") - col("rejected_score"))
       .filter(col("n_candidates") >= 2L && col("margin") >= minMargin)
   }
+
+  /** Notebook schema for [[notebookCells]] — the nbformat-4 subset
+    * that matters for corpus building (source as a plain string; the
+    * array-of-lines variant is normalized upstream by `nbconvert`). */
+  private val NotebookSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("nbformat",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cells",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("execution_count",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType)))))))
+
+  /** Jupyter notebook (.ipynb) parsing — notebooks are a first-class
+    * code-corpus input (GitHub alone hosts tens of millions), but the
+    * trainable content is the CELLS, not the JSON wrapper: outputs,
+    * metadata, and base64 images are noise. Parses the nbformat-4
+    * structure and emits one row per cell (notebook id, cell index,
+    * type, execution count, source text, line/char counts).
+    * Unparseable notebooks surface as a single `parsed = false` row
+    * with `cell_idx = -1` — corrupt inputs are counted, never
+    * silently dropped.
+    *
+    * Scale shape: `from_json` + posexplode are in-row (row growth
+    * bounded by cells-per-notebook); no shuffle, no state. */
+  def notebookCells(docs: DataFrame, idCol: String,
+                    jsonCol: String): DataFrame = {
+    docs.select(col(idCol),
+        from_json(col(jsonCol), NotebookSchema).as("__nb"))
+      .select(col(idCol),
+        col("__nb").getField("cells").isNotNull.as("parsed"),
+        posexplode_outer(col("__nb").getField("cells"))
+          .as(Seq("__i", "__c")))
+      .select(col(idCol), col("parsed"),
+        coalesce(col("__i"), lit(-1)).cast("int").as("cell_idx"),
+        col("__c").getField("cell_type").as("cell_type"),
+        col("__c").getField("execution_count").as("execution_count"),
+        col("__c").getField("source").as("source"))
+      .withColumn("n_lines",
+        when(col("source").isNotNull,
+          size(split(col("source"), "\n")).cast("long"))
+          .otherwise(0L))
+      .withColumn("n_chars",
+        when(col("source").isNotNull,
+          length(col("source")).cast("long")).otherwise(0L))
+  }
 }

@@ -2997,4 +2997,184 @@ object TextAnalysisOps {
           least(col("keyword_hits"), lit(5L)) * 40L).cast("long"))
       .withColumn("is_code", col("code_score_milli") >= 250L)
   }
+
+  /** Canary exposure audit (the data-side half of Carlini et al.
+    * 2019's "Secret Sharer" methodology): datasets plant unique
+    * canary strings to trace data flow and measure memorization; the
+    * audit scans the processed corpus for every registry entry and
+    * reports where each canary ended UP — how many docs, how many
+    * occurrences, and which train/val/test splits it reached.
+    * `leaked` flags a canary visible from more than one split (a
+    * canary duplicated across the split boundary invalidates the
+    * exposure measurement — the eval split can "see" it).
+    * Zero-hit canaries are reported with zero counts, never dropped
+    * (a vanished canary is the other failure worth noticing).
+    *
+    * Scale shape: per-doc occurrence counts fold in-row (length
+    * arithmetic per registry literal), the hit array is filtered
+    * in-row BEFORE exploding (canary-free docs — the overwhelming
+    * majority — contribute zero exploded rows), and the aggregate
+    * keys on the canary string: registry-sized cardinality, map-side
+    * combined. The zero-hit join is registry × registry. */
+  def canaryAudit(docs: DataFrame, idCol: String, textCol: String,
+                  splitCol: String,
+                  canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "canary registry must be non-empty")
+    require(canaries.forall(_.nonEmpty), "canaries must be non-empty")
+    val spark = docs.sparkSession
+    val perDoc = array(canaries.map { c =>
+      struct(lit(c).as("canary"),
+        ((length(coalesce(col(textCol), lit(""))) -
+          length(replace(coalesce(col(textCol), lit("")), lit(c),
+            lit("")))) / lit(c.length)).cast("long").as("occ"))
+    }: _*)
+    val hits = docs
+      .select(col(splitCol).as("__split"),
+        explode(filter(perDoc, s => s.getField("occ") > 0L))
+          .as("__e"))
+      .select(col("__split"), col("__e").getField("canary").as("canary"),
+        col("__e").getField("occ").as("occ"))
+      .groupBy(col("canary"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("occ")).as("n_occurrences"),
+        array_join(array_sort(collect_set(col("__split"))), ",")
+          .as("splits"),
+        (size(collect_set(col("__split"))) > 1).as("leaked"))
+    val registry = spark.range(1)
+      .select(explode(array(canaries.map(lit): _*)).as("canary"))
+    registry.join(hits, Seq("canary"), "left")
+      .select(col("canary"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+        coalesce(col("splits"), lit("")).as("splits"),
+        coalesce(col("leaked"), lit(false)).as("leaked"))
+  }
+
+  /** Green-list watermark detector (Kirchenbauer et al. 2023, "A
+    * Watermark for Large Language Models"): a watermarking decoder
+    * seeds a PRNG with the previous token and restricts sampling to a
+    * "green" fraction gamma of the vocabulary; the detector replays
+    * the partition — token i is green iff
+    * `u32(md5(tok[i-1] || \\u0001 || tok[i])) % 1000 < gammaMilli` —
+    * and tests the green count against the binomial null:
+    * `z = (g - gamma*T) / sqrt(gamma*(1-gamma)*T)` over `T = n-1`
+    * scored transitions. Natural text scores z ~ 0; watermarked text
+    * scores z in the double digits. The filter flags synthetic
+    * (watermarked-model) text before it enters a training corpus.
+    *
+    * `z_micro` is floored once per doc; `watermarked` requires both a
+    * minimum evidence base (`minScored` transitions) and
+    * `z >= zThresholdMicro`. Docs with fewer than 2 tokens score 0.
+    *
+    * Scale shape: pure projection — the pair hash, green fold, and
+    * z arithmetic are all in-row; zero shuffle. */
+  def watermarkZScore(docs: DataFrame, idCol: String, textCol: String,
+                      gammaMilli: Long = 250L,
+                      minScored: Long = 16L,
+                      zThresholdMicro: Long = 2000000L): DataFrame = {
+    require(gammaMilli > 0 && gammaMilli < 1000, "gamma in (0, 1)")
+    val n = size(col("__t"))
+    val pairs = when(n >= 2,
+      zip_with(slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
+        (a, b) => concat(a, lit("\u0001"), b)))
+      .otherwise(array().cast("array<string>"))
+    val g = lit(gammaMilli).cast("double") / 1000.0
+    docs.select(col(idCol),
+        tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col(idCol),
+        (n - 1).cast("long").as("__raw_t"),
+        size(filter(pairs, p =>
+          conv(substring(md5(p), 1, 8), 16, 10).cast("long") % 1000L
+            < gammaMilli)).cast("long").as("n_green"))
+      .select(col(idCol),
+        greatest(col("__raw_t"), lit(0L)).as("n_scored"),
+        col("n_green"))
+      .withColumn("z_micro",
+        when(col("n_scored") > 0L,
+          floor(lit(1000000.0) *
+            (col("n_green").cast("double") -
+              g * col("n_scored").cast("double")) /
+            sqrt(g * (lit(1.0) - g) * col("n_scored").cast("double")))
+            .cast("long"))
+          .otherwise(0L))
+      .withColumn("watermarked",
+        col("n_scored") >= minScored &&
+          col("z_micro") >= zThresholdMicro)
+  }
+
+  /** Type-2 code-clone classes (the SourcererCC/NiCad normalization
+    * family, Sajnani et al. 2016): identifiers, numeric literals, and
+    * string literals are folded to class tokens (`ID` / `N` / `S`)
+    * while language keywords and operators keep their spelling, so
+    * two functions that differ only in naming and constants hash to
+    * the same normalized signature. Emits one row per input doc with
+    * its clone-class size and the class's canonical (minimum) doc id;
+    * `is_clone` marks membership in a class of 2+.
+    *
+    * Token-level normalization (whitespace tokens classified one at a
+    * time) rather than regex-over-source: RE2-safe (no lookahead), and
+    * the same classification runs verbatim in the SQL oracle.
+    *
+    * Scale shape: normalization is in-row; class sizes are a
+    * signature-keyed count aggregate equi-joined back (the hot-key
+    * discipline — a corpus-wide template is a Zipfian signature, and
+    * the aggregate combines map-side while the join-back splits under
+    * AQE). Only (id, 16 B sig) rows cross the wire. */
+  def codeCloneClasses(docs: DataFrame, idCol: String, textCol: String,
+                       keywords: Seq[String] = Seq("def", "return",
+                         "if", "else", "for", "while", "class",
+                         "import", "val", "var")): DataFrame = {
+    val kw = array(keywords.map(lit): _*)
+    val norm = transform(tokens(coalesce(col(textCol), lit(""))), t =>
+      when(array_contains(kw, t), t)
+        .when(t.rlike("^[0-9]+$") || t.rlike("^[0-9]+\\.[0-9]+$"),
+          lit("N"))
+        .when(t.rlike("^\".*\"$"), lit("S"))
+        .when(t.rlike("^[A-Za-z_][A-Za-z0-9_]*$"), lit("ID"))
+        .otherwise(t))
+    val sigs = docs.select(col(idCol),
+      substring(md5(array_join(norm, " ")), 1, 16).as("clone_sig"))
+    val classes = sigs.groupBy(col("clone_sig"))
+      .agg(count(lit(1)).as("clone_class_size"),
+        min(col(idCol)).as("canonical_id"))
+    sigs.join(classes, Seq("clone_sig"))
+      .select(col(idCol), col("clone_sig"), col("clone_class_size"),
+        col("canonical_id"),
+        (col("clone_class_size") >= 2L).as("is_clone"))
+  }
+
+  /** Gazetteer person-name detection — the PII arm the regex
+    * detectors can't cover: names have no syntax, so the standard
+    * move (Dolma's PII pass, presidio's person recognizer) is a
+    * curated name list matched against capitalized token pairs.
+    * A hit is a bigram whose first token is in the given-name list
+    * and second in the surname list (case-sensitive — capitalization
+    * IS the signal that separates "Alice Johnson" from "alice
+    * johnson" the common noun phrase). Emits per doc the hit count,
+    * the distinct matched names ('; '-joined, sorted), and the flag.
+    *
+    * Scale shape: pure projection — the name lists are literal
+    * arrays folded in-row; zero shuffle, zero joins. */
+  def gazetteerNames(docs: DataFrame, idCol: String, textCol: String,
+                     givenNames: Seq[String],
+                     surnames: Seq[String]): DataFrame = {
+    val given = array(givenNames.map(lit): _*)
+    val sur = array(surnames.map(lit): _*)
+    val n = size(col("__t"))
+    val pairs = when(n >= 2,
+      zip_with(slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val hits = filter(pairs, p =>
+      array_contains(given, element_at(split(p, " "), 1)) &&
+        array_contains(sur, element_at(split(p, " "), 2)))
+    docs.select(col(idCol),
+        tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col(idCol), hits.as("__hits"))
+      .select(col(idCol),
+        size(col("__hits")).cast("long").as("n_name_hits"),
+        array_join(array_sort(array_distinct(col("__hits"))), "; ")
+          .as("names_found"))
+      .withColumn("has_person_name", col("n_name_hits") > 0L)
+  }
 }

@@ -237,6 +237,30 @@ object ScaleProbe {
           "doc_id", "text", "source"))
       time(s"paginationStitch SKEW x$n (template head/tail in 50%)")(
         TextAnalysisOps.paginationStitch(viral, "doc_id", "text"))
+      // wave-F ops under key skew. canaryAudit: a canary planted in
+      // 50% of docs is the worst case for the audit — the aggregate
+      // key space is the REGISTRY (bounded by construction), so the
+      // hot canary's counts combine map-side and one partial row per
+      // partition crosses the wire. codeCloneClasses: a template in
+      // 50% of docs is ONE hot clone_sig; class sizes must aggregate
+      // map-side, with the join-back AQE-splittable.
+      time(s"canaryAudit SKEW x$n (one canary in 50% of docs)")(
+        TextAnalysisOps.canaryAudit(
+          docs.withColumn("text",
+            when(col("doc_id") % 2 === 0,
+              concat(col("text"), lit(" CANARY-HOT-SECRET")))
+              .otherwise(col("text")))
+            .withColumn("split", lit("train")),
+          "doc_id", "text", "split",
+          (0 to 7).map(i => s"CANARY-$i-SECRET") :+
+            "CANARY-HOT-SECRET"))
+      time(s"codeCloneClasses SKEW x$n (one template in 50% of docs)")(
+        TextAnalysisOps.codeCloneClasses(
+          docs.withColumn("text",
+            when(col("doc_id") % 2 === 0,
+              lit("def f ( x ) { return x + 1 }"))
+              .otherwise(col("text"))),
+          "doc_id", "text"))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

@@ -4607,4 +4607,148 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("keyword_hits") >= 2L)
     assert(got(1).getAs[Long]("symbol_char_milli") == 0L)
   }
+
+  test("canaryAudit: occurrence counts, split reach, leak flag, " +
+      "zero-hit canaries surfaced") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "intro CANARY-A-X body", "train"),
+      (2L, "CANARY-A-X twice CANARY-A-X", "train"),
+      (3L, "eval doc with CANARY-B-X", "val"),
+      (4L, "train doc with CANARY-B-X", "train"), // B straddles splits
+      (5L, "no canaries here", "test"),
+      (6L, null.asInstanceOf[String], "train")
+    ).toDF("doc_id", "text", "split")
+    val got = TextAnalysisOps.canaryAudit(docs, "doc_id", "text",
+      "split", Seq("CANARY-A-X", "CANARY-B-X", "CANARY-Z-X"))
+      .orderBy("canary").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_docs") == 2L &&
+      got(0).getAs[Long]("n_occurrences") == 3L &&
+      got(0).getAs[String]("splits") == "train" &&
+      !got(0).getAs[Boolean]("leaked"), s"A: ${got(0)}")
+    assert(got(1).getAs[Long]("n_docs") == 2L &&
+      got(1).getAs[String]("splits") == "train,val" &&
+      got(1).getAs[Boolean]("leaked"),
+      s"B straddles the split boundary: ${got(1)}")
+    assert(got(2).getAs[Long]("n_docs") == 0L &&
+      got(2).getAs[String]("splits") == "" &&
+      !got(2).getAs[Boolean]("leaked"),
+      s"unplanted canary reports zero, never vanishes: ${got(2)}")
+  }
+
+  test("watermarkZScore: planted green chain flags at z >> threshold, " +
+      "z is self-consistent, short docs score zero") {
+    import graft.operators.TextAnalysisOps
+    val chain = "forest sun the blue star slow stone runs valley " +
+      "lazy apple red dog lazy quick cloud star fish lemon and " +
+      "valley blue desert runs mountain moon quick river mountain " +
+      "bird tree cat dog and house fast green grape and stone snake " +
+      "meadow sun the lion fish quick moon lazy lemon blue mountain " +
+      "runs jumps quick desert slow cloud fast fish forest sun wolf lazy"
+    val docs = Seq(
+      (1L, chain),
+      (2L, ""),
+      (3L, "single"),
+      (4L, "the quick brown fox jumps over the lazy dog near the " +
+        "river while evening settles in very softly tonight")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.watermarkZScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_scored") == 63L)
+    assert(got(0).getAs[Long]("n_green") == 63L,
+      s"offline-searched chain must be all-green: ${got(0)}")
+    assert(got(0).getAs[Boolean]("watermarked"))
+    // z self-consistency on every row with evidence
+    got.filter(_.getAs[Long]("n_scored") > 0L).foreach { r =>
+      val t = r.getAs[Long]("n_scored").toDouble
+      val g = r.getAs[Long]("n_green").toDouble
+      val z = math.floor(1e6 * (g - 0.25 * t) /
+        math.sqrt(0.25 * 0.75 * t)).toLong
+      assert(r.getAs[Long]("z_micro") == z, s"z mismatch: $r")
+    }
+    assert(got(1).getAs[Long]("n_scored") == 0L &&
+      got(1).getAs[Long]("z_micro") == 0L &&
+      !got(1).getAs[Boolean]("watermarked"))
+    assert(got(2).getAs[Long]("n_scored") == 0L, "1 token = 0 pairs")
+    assert(!got(3).getAs[Boolean]("watermarked"),
+      s"natural text must not flag: ${got(3)}")
+  }
+
+  test("codeCloneClasses: type-2 variants (renamed ids, different " +
+      "constants/strings) collapse; structure differences separate") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "def f1 ( x ) { return x + 42 }"),
+      (2L, "def g2 ( y ) { return y + 7 }"),     // type-2 clone of 1
+      (3L, "while n < 10 { n = n * 2 }"),        // different structure
+      (4L, "def f1 ( x ) { print \"a\" }"),
+      (5L, "def q ( z ) { print \"bbb\" }")      // clone of 4 (S fold)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.codeCloneClasses(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("clone_sig") ==
+      got(1).getAs[String]("clone_sig"))
+    assert(got(0).getAs[Long]("clone_class_size") == 2L)
+    assert(got(1).getAs[Long]("canonical_id") == 1L)
+    assert(got(0).getAs[Boolean]("is_clone"))
+    assert(!got(2).getAs[Boolean]("is_clone"),
+      "while-loop structure is its own class")
+    assert(got(3).getAs[String]("clone_sig") ==
+      got(4).getAs[String]("clone_sig"),
+      "string literals fold to S regardless of content")
+    assert(got(0).getAs[String]("clone_sig") !=
+      got(3).getAs[String]("clone_sig"),
+      "keyword spelling (return vs print-call shape) must separate")
+  }
+
+  test("notebookCells: nbformat cells explode with types and counts; " +
+      "corrupt JSON surfaces as the parsed=false row") {
+    import graft.operators.ConversationOps
+    val nb = "{\"nbformat\":4,\"cells\":[" +
+      "{\"cell_type\":\"code\",\"execution_count\":3," +
+      "\"source\":\"import os\\nprint(1)\"}," +
+      "{\"cell_type\":\"markdown\",\"source\":\"# T\"}]}"
+    val docs = Seq((1L, nb), (2L, "not json")).toDF("nb_id", "j")
+    val got = ConversationOps.notebookCells(docs, "nb_id", "j")
+      .orderBy("nb_id", "cell_idx").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Boolean]("parsed") &&
+      got(0).getAs[Int]("cell_idx") == 0 &&
+      got(0).getAs[String]("cell_type") == "code" &&
+      got(0).getAs[Int]("execution_count") == 3 &&
+      got(0).getAs[Long]("n_lines") == 2L,
+      s"code cell: ${got(0)}")
+    assert(got(1).getAs[String]("cell_type") == "markdown" &&
+      got(1).isNullAt(got(1).fieldIndex("execution_count")) &&
+      got(1).getAs[Long]("n_lines") == 1L, s"markdown cell: ${got(1)}")
+    assert(!got(2).getAs[Boolean]("parsed") &&
+      got(2).getAs[Int]("cell_idx") == -1 &&
+      got(2).getAs[Long]("n_chars") == 0L,
+      s"corrupt notebook row: ${got(2)}")
+  }
+
+  test("gazetteerNames: capitalized given+surname bigrams hit; " +
+      "lowercase and given+given pairs do not") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "please ask Alice Johnson or Bob Smith about it"),
+      (2L, "alice johnson is lowercase"),
+      (3L, "Alice Bob is two given names"),
+      (4L, "Alice Johnson met Alice Johnson"), // duplicate name, 2 hits
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.gazetteerNames(docs, "doc_id", "text",
+      givenNames = Seq("Alice", "Bob"),
+      surnames = Seq("Johnson", "Smith")).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_name_hits") == 2L)
+    assert(got(0).getAs[String]("names_found") ==
+      "Alice Johnson; Bob Smith")
+    assert(got(1).getAs[Long]("n_name_hits") == 0L)
+    assert(got(2).getAs[Long]("n_name_hits") == 0L)
+    assert(got(3).getAs[Long]("n_name_hits") == 2L &&
+      got(3).getAs[String]("names_found") == "Alice Johnson",
+      "distinct names dedupe in names_found")
+    assert(!got(4).getAs[Boolean]("has_person_name"))
+  }
 }
