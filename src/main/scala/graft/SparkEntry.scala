@@ -2517,6 +2517,67 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Citation density (q233): planted DOI/arXiv/bracket/author-year
+    // marks — the 4-signal slice and 3-signal slice flag academic,
+    // the single-bracket slice does not.
+    "q233_citation_density" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            lit(" See 10.1234/abc.def [12] and arXiv:2106.01345" +
+              " for details (Smith, 2020)"))
+            .when(col("doc_id") % 13 === 1,
+              lit(" as shown [1] [2] (Lee et al. 2022)"))
+            .when(col("doc_id") % 13 === 2, lit(" totally [99] casual"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.citationSignals(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Math signals (q234): LaTeX slice, operator-dense equation
+    // slice, and the documented money-pair caveat slice (inline
+    // segment without operator density must NOT flag).
+    "q234_math_signals" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"),
+            lit(" \\frac{a}{b} + \\sqrt{x} = y")))
+          .when(col("doc_id") % 13 === 1,
+            lit("$x^2 + y^2 = z^2$ where x = 3"))
+          .when(col("doc_id") % 13 === 2,
+            lit("prices are $5 and $10 today"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.mathSignals(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // De-hyphenation (q235): LF and CRLF line-broken words re-join
+    // (2 repairs), compound hyphens survive, plain line breaks
+    // untouched. Repaired text compared by signature.
+    "q235_dehyphenate" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          lit("exam-\nple and wor-\r\nld plus state-of-the-art tail"))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" no hyphens\nhere")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.dehyphenate(injected, "doc_id", "text")
+        .select(col("doc_id"),
+          substring(md5(col("text")), 1, 16).as("repaired_sig"),
+          col("n_repairs"), col("n_linebreaks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Truncation loss (q236): token mass falling off a context-40
+    // cut, per source — the sequence-length sizing audit.
+    "q236_truncation_loss" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      SamplingOps.truncationLoss(docs, "source",
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long"),
+        contextLen = 40L)
+        .orderBy(col("source"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -8487,6 +8548,118 @@ ORDER BY rank LIMIT 6"""),
         |    '') AS names_found,
         |  len(h) > 0 AS has_person_name
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    // Four regexp_extract_all counts per doc (group 0 explicit — the
+    // engines default differently), integer kilotoken density.
+    "q233_citation_density" ->
+      """WITH injected AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      ' See 10.1234/abc.def [12] and arXiv:2106.01345' ||
+        |      ' for details (Smith, 2020)'
+        |    WHEN doc_id % 13 = 1 THEN ' as shown [1] [2] (Lee et al. 2022)'
+        |    WHEN doc_id % 13 = 2 THEN ' totally [99] casual'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(coalesce(text, ''),
+        |      '\b10\.[0-9]{4,9}/[^ ]+', 0))::BIGINT AS n_doi,
+        |    len(regexp_extract_all(coalesce(text, ''),
+        |      'arXiv:[0-9]{4}\.[0-9]{4,5}', 0))::BIGINT AS n_arxiv,
+        |    len(regexp_extract_all(coalesce(text, ''),
+        |      '\[[0-9]{1,3}\]', 0))::BIGINT AS n_bracket_cites,
+        |    len(regexp_extract_all(coalesce(text, ''),
+        |      '\([A-Z][a-z]+(?: et al\.)?,? (19|20)[0-9]{2}\)',
+        |      0))::BIGINT AS n_author_year,
+        |    greatest(len(string_split(coalesce(text, ''), ' ')),
+        |      1)::BIGINT AS n_tokens
+        |  FROM injected)
+        |SELECT doc_id, n_doi, n_arxiv, n_bracket_cites, n_author_year,
+        |  n_tokens,
+        |  (n_doi + n_arxiv + n_bracket_cites + n_author_year)::BIGINT
+        |    AS n_citation_signals,
+        |  ((n_doi + n_arxiv + n_bracket_cites + n_author_year) * 1000
+        |    // n_tokens)::BIGINT AS cite_per_kilotoken,
+        |  (n_doi + n_arxiv + n_bracket_cites + n_author_year) >= 3
+        |    AS is_academic
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // LaTeX commands, inline segments, operator-char density via the
+    // translate-diff trick, digit-token ratio.
+    "q234_math_signals" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      text || ' \frac{a}{b} + \sqrt{x} = y'
+        |    WHEN doc_id % 13 = 1 THEN '$x^2 + y^2 = z^2$ where x = 3'
+        |    WHEN doc_id % 13 = 2 THEN 'prices are $5 and $10 today'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, coalesce(text, '') AS t FROM injected),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '\\[a-zA-Z]+', 0))::BIGINT
+        |      AS n_latex_cmds,
+        |    len(regexp_extract_all(t, '\$[^$]+\$', 0))::BIGINT
+        |      AS n_inline_math,
+        |    (length(t) - length(replace(replace(replace(replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |      t, '=', ''), '+', ''), '*', ''), '/', ''), '^', ''),
+        |      '<', ''), '>', ''), '{', ''), '}', ''), '|', ''))
+        |      )::BIGINT AS op_chars,
+        |    greatest(length(t), 1)::BIGINT AS n_chars,
+        |    len(list_filter(string_split(t, ' '),
+        |      tk -> regexp_matches(tk, '^[0-9.]+$')))::BIGINT
+        |      AS digit_toks,
+        |    greatest(len(string_split(t, ' ')), 1)::BIGINT AS n_toks
+        |  FROM sig)
+        |SELECT doc_id, n_latex_cmds, n_inline_math,
+        |  (op_chars * 1000 // n_chars)::BIGINT AS operator_char_milli,
+        |  (digit_toks * 1000 // n_toks)::BIGINT AS digit_token_milli,
+        |  n_latex_cmds >= 2 OR (n_inline_math >= 1 AND
+        |    (op_chars * 1000 // n_chars) >= 60) AS is_math
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Line-broken word re-join with RE2 \1\2 backrefs + the 'g' flag;
+    // repair counts from the same pattern.
+    "q235_dehyphenate" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      'exam-' || chr(10) || 'ple and wor-' || chr(13) ||
+        |      chr(10) || 'ld plus state-of-the-art tail'
+        |    WHEN doc_id % 7 = 1 THEN
+        |      text || ' no hyphens' || chr(10) || 'here'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, coalesce(text, '') AS t FROM injected)
+        |SELECT doc_id,
+        |  substr(md5(regexp_replace(t, '([a-z])-\r?\n([a-z])',
+        |    '\1\2', 'g')), 1, 16) AS repaired_sig,
+        |  len(regexp_extract_all(t, '([a-z])-\r?\n([a-z])',
+        |    0))::BIGINT AS n_repairs,
+        |  (len(string_split(t, chr(10))) - 1)::BIGINT AS n_linebreaks
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Source-keyed truncation mass at context 40.
+    "q236_truncation_loss" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    len(string_split(coalesce(text, ''), ' '))::BIGINT AS tk
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN tk > 40 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_truncated,
+        |  sum(tk)::BIGINT AS tokens_total,
+        |  sum(greatest(tk - 40, 0))::BIGINT AS tokens_lost,
+        |  (sum(CASE WHEN tk > 40 THEN 1 ELSE 0 END)::BIGINT * 1000
+        |    // count(*))::BIGINT AS truncated_milli,
+        |  (sum(greatest(tk - 40, 0))::BIGINT * 1000
+        |    // greatest(sum(tk)::BIGINT, 1))::BIGINT AS lost_milli
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     // The gopher flag CTEs + the q208 entropy chain + the q211 loop
     // fractions, folded with the same clamps.

@@ -724,6 +724,33 @@ object SamplingOps {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Context-length truncation audit — the question every sequence
+    * length decision needs answered BEFORE training: at context `L`,
+    * how many documents get cut and how much token mass falls off the
+    * end, per source (the counterpart of the q219 packing-fill audit:
+    * that one prices padding waste, this one prices truncation
+    * waste). Emits per source the doc count, truncated-doc count,
+    * total/lost token mass, and both rates in milli.
+    *
+    * Scale shape: one source-keyed aggregate over (source, tokens)
+    * rows — map-side combined, source-cardinality output. */
+  def truncationLoss(docs: DataFrame, sourceCol: String,
+                     tokenCount: Column, contextLen: Long): DataFrame = {
+    require(contextLen >= 1L, "contextLen >= 1")
+    docs.select(col(sourceCol), tokenCount.cast("long").as("__tok"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__tok") > contextLen, 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(col("__tok")).as("tokens_total"),
+        sum(greatest(col("__tok") - contextLen, lit(0L)))
+          .as("tokens_lost"))
+      .withColumn("truncated_milli",
+        expr("n_truncated * 1000 div n_docs"))
+      .withColumn("lost_milli",
+        expr("tokens_lost * 1000 div greatest(tokens_total, 1)"))
+  }
+
   /** Epoch plan — [[tokenBudgetAllocate]] carried down to DOCUMENT
     * verdicts: within each source, docs are ordered by their md5
     * hash (the deterministic shuffle every epoch builder needs — no

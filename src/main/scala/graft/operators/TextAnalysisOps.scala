@@ -2998,6 +2998,96 @@ object TextAnalysisOps {
       .withColumn("is_code", col("code_score_milli") >= 250L)
   }
 
+  /** Citation-density signals — the standard router for academic /
+    * scientific text (the S2ORC/peS2o-style corpora are built by
+    * PROMOTING documents with real citation structure): DOIs, arXiv
+    * identifiers, numeric bracket citations, and author-year
+    * parentheticals, counted per doc with a per-kilotoken density.
+    * `is_academic` fires at `minSignals` total citation marks (the
+    * frame is the contract; policies re-cut on the raw counts).
+    *
+    * Scale shape: pure projection — four regexp_extract_all folds
+    * in-row, zero shuffle. */
+  def citationSignals(docs: DataFrame, idCol: String, textCol: String,
+                      minSignals: Long = 3L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    docs.select(col(idCol),
+        cnt("\\b10\\.[0-9]{4,9}/[^ ]+").as("n_doi"),
+        cnt("arXiv:[0-9]{4}\\.[0-9]{4,5}").as("n_arxiv"),
+        cnt("\\[[0-9]{1,3}\\]").as("n_bracket_cites"),
+        cnt("\\([A-Z][a-z]+(?: et al\\.)?,? (19|20)[0-9]{2}\\)")
+          .as("n_author_year"),
+        greatest(size(tokens(t)), lit(1)).cast("long").as("n_tokens"))
+      .withColumn("n_citation_signals",
+        col("n_doi") + col("n_arxiv") + col("n_bracket_cites") +
+          col("n_author_year"))
+      .withColumn("cite_per_kilotoken",
+        expr("n_citation_signals * 1000 div n_tokens"))
+      .withColumn("is_academic",
+        col("n_citation_signals") >= minSignals)
+  }
+
+  /** Math-content signals — the router for mathematical text (math
+    * corpora like OpenWebMath/AMPS are mined by detecting LaTeX and
+    * equation structure, not by domain lists): LaTeX command count,
+    * inline `$...$` segment count, math-operator character density,
+    * and digit-token ratio. `is_math` fires on LaTeX presence or
+    * operator density past `minOperatorMilli` (documented caveat: a
+    * dollar-quoted money PAIR can read as one inline segment; the
+    * LaTeX-command count is the high-precision arm).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def mathSignals(docs: DataFrame, idCol: String, textCol: String,
+                  minOperatorMilli: Long = 60L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nChars = greatest(length(t), lit(1)).cast("long")
+    val opChars = (length(t) -
+      length(translate(t, "=+*/^<>{}|", ""))).cast("long")
+    val toks = tokens(t)
+    docs.select(col(idCol),
+        size(regexp_extract_all(t, lit("\\\\[a-zA-Z]+"), lit(0)))
+          .cast("long").as("n_latex_cmds"),
+        size(regexp_extract_all(t, lit("\\$[^$]+\\$"), lit(0)))
+          .cast("long").as("n_inline_math"),
+        opChars.as("__op"), nChars.as("__nc"),
+        size(filter(toks, tk => tk.rlike("^[0-9.]+$"))).cast("long")
+          .as("__digit_toks"),
+        greatest(size(toks), lit(1)).cast("long").as("__nt"))
+      .select(col(idCol), col("n_latex_cmds"), col("n_inline_math"),
+        expr("__op * 1000 div __nc").cast("long")
+          .as("operator_char_milli"),
+        expr("__digit_toks * 1000 div __nt").cast("long")
+          .as("digit_token_milli"))
+      .withColumn("is_math",
+        col("n_latex_cmds") >= 2L ||
+          (col("n_inline_math") >= 1L &&
+            col("operator_char_milli") >= minOperatorMilli))
+  }
+
+  /** De-hyphenation of line-broken words — the dominant artifact of
+    * PDF/column text extraction ("exam-\nple" for "example"): a
+    * lowercase letter, a hyphen, a line break (optionally CR), then a
+    * lowercase letter re-joins into one word; every other hyphen and
+    * line break is untouched (real compounds like "state-of-the-art"
+    * keep their hyphens because they break without a newline). Emits
+    * the repaired text plus the repair count so the funnel is
+    * auditable.
+    *
+    * Scale shape: pure projection — one global-flag regexp_replace +
+    * one count, in-row, zero shuffle. */
+  def dehyphenate(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val re = "([a-z])-\\r?\\n([a-z])"
+    docs.select(col(idCol),
+      regexp_replace(t, re, "$1$2").as("text"),
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+        .as("n_repairs"),
+      (size(split(t, "\n")) - 1).cast("long").as("n_linebreaks"))
+  }
+
   /** Canary exposure audit (the data-side half of Carlini et al.
     * 2019's "Secret Sharer" methodology): datasets plant unique
     * canary strings to trace data flow and measure memorization; the

@@ -4728,6 +4728,94 @@ class OperatorsSpec extends AnyFunSuite {
       s"corrupt notebook row: ${got(2)}")
   }
 
+  test("citationSignals: DOI/arXiv/bracket/author-year counted, " +
+      "density integer, threshold gates is_academic") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "We follow 10.1145/3297858.3304007 and arXiv:2204.02311 " +
+        "plus [3] [17] (Kaplan et al. 2020) (Brown, 2020)"),
+      (2L, "casual mention of [5] only"),
+      (3L, "no citations at all in this prose"),
+      (4L, "version 10.2 of the product shipped [v2]")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.citationSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_doi") == 1L &&
+      got(0).getAs[Long]("n_arxiv") == 1L &&
+      got(0).getAs[Long]("n_bracket_cites") == 2L &&
+      got(0).getAs[Long]("n_author_year") == 2L &&
+      got(0).getAs[Boolean]("is_academic"), s"academic row: ${got(0)}")
+    assert(got(1).getAs[Long]("n_citation_signals") == 1L &&
+      !got(1).getAs[Boolean]("is_academic"))
+    assert(got(2).getAs[Long]("n_citation_signals") == 0L)
+    assert(got(3).getAs[Long]("n_doi") == 0L,
+      "bare version number 10.2 must not read as a DOI")
+    assert(got(3).getAs[Long]("n_bracket_cites") == 0L,
+      "[v2] is not a numeric citation")
+  }
+
+  test("mathSignals: LaTeX and operator-dense equations flag; the " +
+      "money-pair inline caveat does not") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "we have \\frac{a}{b} and \\sqrt{x} in the derivation"),
+      (2L, "$x^2 + y^2 = z^2$ where x = 3"),
+      (3L, "prices are $5 and $10 today"),
+      (4L, "plain prose with nothing mathematical about it")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.mathSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_latex_cmds") == 2L &&
+      got(0).getAs[Boolean]("is_math"), s"latex row: ${got(0)}")
+    assert(got(1).getAs[Long]("n_inline_math") == 1L &&
+      got(1).getAs[Long]("operator_char_milli") >= 60L &&
+      got(1).getAs[Boolean]("is_math"), s"equation row: ${got(1)}")
+    assert(got(2).getAs[Long]("n_inline_math") == 1L &&
+      !got(2).getAs[Boolean]("is_math"),
+      s"money pair reads as one segment but must not flag: ${got(2)}")
+    assert(!got(3).getAs[Boolean]("is_math"))
+  }
+
+  test("dehyphenate re-joins LF and CRLF line-broken words, keeps " +
+      "compound hyphens and plain breaks") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "exam-\nple and wor-\r\nld"),
+      (2L, "state-of-the-art stays\nintact"),
+      (3L, "chain a-\nb-\nc resolves leftmost non-overlapping")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.dehyphenate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("text") == "example and world")
+    assert(got(0).getAs[Long]("n_repairs") == 2L)
+    assert(got(1).getAs[String]("text") == "state-of-the-art stays\nintact",
+      "compound hyphens and plain breaks untouched")
+    assert(got(1).getAs[Long]("n_repairs") == 0L &&
+      got(1).getAs[Long]("n_linebreaks") == 1L)
+    assert(got(2).getAs[String]("text") == "chain ab-\nc resolves " +
+      "leftmost non-overlapping",
+      "overlapping candidates resolve leftmost, engine-portable")
+  }
+
+  test("truncationLoss: per-source truncated counts and lost token " +
+      "mass at the context cut") {
+    import graft.operators.SamplingOps
+    val docs = Seq(
+      ("web", 10L), ("web", 50L), ("web", 100L),
+      ("books", 30L), ("books", 40L)
+    ).toDF("source", "tok")
+    val got = SamplingOps.truncationLoss(docs, "source", col("tok"),
+      contextLen = 40L).orderBy("source").collect()
+    assert(got(0).getAs[String]("source") == "books" &&
+      got(0).getAs[Long]("n_truncated") == 0L &&
+      got(0).getAs[Long]("tokens_lost") == 0L)
+    assert(got(1).getAs[Long]("n_docs") == 3L &&
+      got(1).getAs[Long]("n_truncated") == 2L &&
+      got(1).getAs[Long]("tokens_lost") == 70L &&
+      got(1).getAs[Long]("truncated_milli") == 666L &&
+      got(1).getAs[Long]("lost_milli") == 437L, s"web: ${got(1)}")
+  }
+
   test("gazetteerNames: capitalized given+surname bigrams hit; " +
       "lowercase and given+given pairs do not") {
     import graft.operators.TextAnalysisOps
