@@ -2476,11 +2476,18 @@ object SparkEntry {
 
     // Notebook cells (q231): nbformat-4 JSON built per doc (2 or 3
     // cells, markdown without execution_count, an escaped newline in
-    // the source); the %9==8 slice is corrupt JSON and must surface
-    // as the parsed=false row, not vanish.
+    // the source); the %9==8 slice is corrupt JSON, %9==7 a VALID
+    // empty-cells notebook (parsed=true, no cells), %9==6 missing the
+    // cells field, %9==5 a non-array cells field — all four must
+    // surface as one cell_idx=-1 row each, never vanish.
     "q231_notebook_cells" -> ((s, dir) => {
       val nb = t(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 9 === 8, lit("not a notebook"))
+          .when(col("doc_id") % 9 === 7,
+            lit("{\"nbformat\":4,\"cells\":[]}"))
+          .when(col("doc_id") % 9 === 6, lit("{\"nbformat\":4}"))
+          .when(col("doc_id") % 9 === 5,
+            lit("{\"nbformat\":4,\"cells\":3}"))
           .otherwise(concat(
             lit("{\"nbformat\":4,\"cells\":[" +
               "{\"cell_type\":\"code\",\"execution_count\":1," +
@@ -4606,13 +4613,13 @@ object SparkEntry {
         s"range($p + 1, n + 1), i -> t[i] = t[i - $p])) " +
         s"* 1000 // (n - $p) ELSE 0 END AS f$p")
 
-  /** q208's per-doc entropy value over `(t, dt)` columns — shared by
-    * the q208 dump and q221's composite. */
   /** q229 fixture: a 64-token walk over green edges of the
     * Kirchenbauer hash (every consecutive pair hashes under the
     * gamma=0.25 cut), found by offline search over a 41-word vocab —
-    * all 63 transitions green, z ~= 13.75. */
-  private val WatermarkChain: String =
+    * all 63 transitions green, z ~= 13.75. Package-visible so the
+    * OperatorsSpec chain test covers the SAME string the q229 fixture
+    * and oracle bench (no drift between test and benched fixture). */
+  private[graft] val WatermarkChain: String =
     "forest sun the blue star slow stone runs valley lazy apple red " +
       "dog lazy quick cloud star fish lemon and valley blue desert " +
       "runs mountain moon quick river mountain bird tree cat dog and " +
@@ -4620,6 +4627,8 @@ object SparkEntry {
       "fish quick moon lazy lemon blue mountain runs jumps quick " +
       "desert slow cloud fast fish forest sun wolf lazy"
 
+  /** q208's per-doc entropy value over `(t, dt)` columns — shared by
+    * the q208 dump and q221's composite. */
   private val EntropySumSql: String =
     "coalesce(list_sum(list_transform(dt, x -> " +
       "floor(1000000.0 * (len(list_filter(t, y -> y = x))::DOUBLE " +
@@ -8473,12 +8482,18 @@ ORDER BY rank LIMIT 6"""),
         |FROM sigs s JOIN classes c USING (clone_sig)
         |ORDER BY s.doc_id""".stripMargin,
 
-    // nbformat-4 JSON built per doc, cells exploded by index path;
-    // invalid JSON surfaces as the parsed=false row. Each engine
-    // parses its own JSON escaping (the q171 discipline).
+    // nbformat-4 JSON built per doc, cells exploded by index path.
+    // `parsed` mirrors Spark's from_json null semantics exactly:
+    // false for invalid JSON / missing cells / non-array cells, true
+    // for a valid empty cell list — and every no-cell notebook emits
+    // one cell_idx=-1 row. Each engine parses its own JSON escaping
+    // (the q171 discipline).
     "q231_notebook_cells" ->
       """WITH nb AS (
         |  SELECT doc_id, CASE WHEN doc_id % 9 = 8 THEN 'not a notebook'
+        |    WHEN doc_id % 9 = 7 THEN '{"nbformat":4,"cells":[]}'
+        |    WHEN doc_id % 9 = 6 THEN '{"nbformat":4}'
+        |    WHEN doc_id % 9 = 5 THEN '{"nbformat":4,"cells":3}'
         |    ELSE '{"nbformat":4,"cells":[{"cell_type":"code",'
         |      || '"execution_count":1,"source":"print('
         |      || doc_id::VARCHAR || ')"},{"cell_type":"markdown",'
@@ -8491,8 +8506,18 @@ ORDER BY rank LIMIT 6"""),
         |      || ']}'
         |    END AS j
         |  FROM documents),
-        |valid AS (
-        |  SELECT doc_id, j FROM nb WHERE json_valid(j)),
+        |typed AS (
+        |  SELECT doc_id, j,
+        |    coalesce(CASE WHEN json_valid(j) THEN
+        |      json_type(j, '$.cells') = 'ARRAY' ELSE FALSE END,
+        |      FALSE) AS has_cells
+        |  FROM nb),
+        |sized AS (
+        |  SELECT doc_id, j, has_cells,
+        |    CASE WHEN has_cells THEN
+        |      json_array_length(j, '$.cells')::BIGINT
+        |    ELSE -1 END AS n_cells
+        |  FROM typed),
         |cells AS (
         |  SELECT doc_id, TRUE AS parsed, i::INTEGER AS cell_idx,
         |    json_extract_string(j,
@@ -8502,13 +8527,13 @@ ORDER BY rank LIMIT 6"""),
         |      AS INTEGER) AS execution_count,
         |    json_extract_string(j,
         |      '$.cells[' || i::VARCHAR || '].source') AS source
-        |  FROM valid, UNNEST(range(json_array_length(j,
-        |    '$.cells')::BIGINT)) AS u(i)),
-        |bad AS (
-        |  SELECT doc_id, FALSE AS parsed, -1 AS cell_idx,
+        |  FROM sized, UNNEST(range(greatest(n_cells, 0))) AS u(i)
+        |  WHERE has_cells),
+        |nocell AS (
+        |  SELECT doc_id, has_cells AS parsed, -1 AS cell_idx,
         |    NULL::VARCHAR AS cell_type, NULL::INTEGER
         |    AS execution_count, NULL::VARCHAR AS source
-        |  FROM nb WHERE NOT json_valid(j))
+        |  FROM sized WHERE NOT has_cells OR n_cells = 0)
         |SELECT doc_id, parsed, cell_idx, cell_type, execution_count,
         |  source,
         |  (CASE WHEN source IS NOT NULL THEN
@@ -8516,7 +8541,7 @@ ORDER BY rank LIMIT 6"""),
         |    AS n_lines,
         |  (CASE WHEN source IS NOT NULL THEN length(source)
         |    ELSE 0 END)::BIGINT AS n_chars
-        |FROM (SELECT * FROM cells UNION ALL SELECT * FROM bad)
+        |FROM (SELECT * FROM cells UNION ALL SELECT * FROM nocell)
         |ORDER BY doc_id, cell_idx""".stripMargin,
 
     // Capitalized bigram gazetteer match — the lowercase and

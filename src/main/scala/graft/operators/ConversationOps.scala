@@ -218,9 +218,12 @@ object ConversationOps {
     * metadata, and base64 images are noise. Parses the nbformat-4
     * structure and emits one row per cell (notebook id, cell index,
     * type, execution count, source text, line/char counts).
-    * Unparseable notebooks surface as a single `parsed = false` row
-    * with `cell_idx = -1` — corrupt inputs are counted, never
-    * silently dropped.
+    * Notebooks that yield NO cells still emit exactly one
+    * `cell_idx = -1` row — never silently dropped — with `parsed`
+    * separating the cases: `parsed = false` for corrupt JSON or a
+    * missing/non-array `cells` field, `parsed = true` for a valid
+    * notebook whose cell list is simply empty (real GitHub data has
+    * plenty of both).
     *
     * Scale shape: `from_json` + posexplode are in-row (row growth
     * bounded by cells-per-notebook); no shuffle, no state. */

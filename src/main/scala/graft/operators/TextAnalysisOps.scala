@@ -3041,20 +3041,24 @@ object TextAnalysisOps {
     * Scale shape: pure projection, zero shuffle. */
   def mathSignals(docs: DataFrame, idCol: String, textCol: String,
                   minOperatorMilli: Long = 60L): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
-    val nChars = greatest(length(t), lit(1)).cast("long")
-    val opChars = (length(t) -
-      length(translate(t, "=+*/^<>{}|", ""))).cast("long")
-    val toks = tokens(t)
+    // stage text and its token split once — every later reference
+    // reads the bound columns (the re-evaluation discipline: an
+    // unstaged Column re-runs its whole tree per reference)
     docs.select(col(idCol),
-        size(regexp_extract_all(t, lit("\\\\[a-zA-Z]+"), lit(0)))
-          .cast("long").as("n_latex_cmds"),
-        size(regexp_extract_all(t, lit("\\$[^$]+\\$"), lit(0)))
-          .cast("long").as("n_inline_math"),
-        opChars.as("__op"), nChars.as("__nc"),
-        size(filter(toks, tk => tk.rlike("^[0-9.]+$"))).cast("long")
-          .as("__digit_toks"),
-        greatest(size(toks), lit(1)).cast("long").as("__nt"))
+        coalesce(col(textCol), lit("")).as("__x"))
+      .select(col(idCol), col("__x"), tokens(col("__x")).as("__t"))
+      .select(col(idCol),
+        size(regexp_extract_all(col("__x"), lit("\\\\[a-zA-Z]+"),
+          lit(0))).cast("long").as("n_latex_cmds"),
+        size(regexp_extract_all(col("__x"), lit("\\$[^$]+\\$"),
+          lit(0))).cast("long").as("n_inline_math"),
+        (length(col("__x")) -
+          length(translate(col("__x"), "=+*/^<>{}|", "")))
+          .cast("long").as("__op"),
+        greatest(length(col("__x")), lit(1)).cast("long").as("__nc"),
+        size(filter(col("__t"), tk => tk.rlike("^[0-9.]+$")))
+          .cast("long").as("__digit_toks"),
+        greatest(size(col("__t")), lit(1)).cast("long").as("__nt"))
       .select(col(idCol), col("n_latex_cmds"), col("n_inline_math"),
         expr("__op * 1000 div __nc").cast("long")
           .as("operator_char_milli"),
@@ -3112,14 +3116,19 @@ object TextAnalysisOps {
     require(canaries.nonEmpty, "canary registry must be non-empty")
     require(canaries.forall(_.nonEmpty), "canaries must be non-empty")
     val spark = docs.sparkSession
+    // text and its length stage once per row; only the per-canary
+    // replace is inherent work (N replaces, not N extra text scans)
     val perDoc = array(canaries.map { c =>
       struct(lit(c).as("canary"),
-        ((length(coalesce(col(textCol), lit(""))) -
-          length(replace(coalesce(col(textCol), lit("")), lit(c),
-            lit("")))) / lit(c.length)).cast("long").as("occ"))
+        ((col("__len") - length(replace(col("__x"), lit(c), lit(""))))
+          / lit(c.length)).cast("long").as("occ"))
     }: _*)
     val hits = docs
       .select(col(splitCol).as("__split"),
+        coalesce(col(textCol), lit("")).as("__x"))
+      .select(col("__split"), col("__x"),
+        length(col("__x")).as("__len"))
+      .select(col("__split"),
         explode(filter(perDoc, s => s.getField("occ") > 0L))
           .as("__e"))
       .select(col("__split"), col("__e").getField("canary").as("canary"),
@@ -3251,13 +3260,15 @@ object TextAnalysisOps {
     val given = array(givenNames.map(lit): _*)
     val sur = array(surnames.map(lit): _*)
     val n = size(col("__t"))
+    // test the zipped tokens directly and join only the matches —
+    // no build-then-re-split roundtrip per pair
     val pairs = when(n >= 2,
-      zip_with(slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
-        (a, b) => concat(a, lit(" "), b)))
+      zip_with(slice(col("__t"), lit(1), n - 1),
+        slice(col("__t"), lit(2), n - 1),
+        (a, b) => when(array_contains(given, a) &&
+          array_contains(sur, b), concat(a, lit(" "), b))))
       .otherwise(array().cast("array<string>"))
-    val hits = filter(pairs, p =>
-      array_contains(given, element_at(split(p, " "), 1)) &&
-        array_contains(sur, element_at(split(p, " "), 2)))
+    val hits = filter(pairs, p => p.isNotNull)
     docs.select(col(idCol),
         tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .select(col(idCol), hits.as("__hits"))

@@ -4640,12 +4640,9 @@ class OperatorsSpec extends AnyFunSuite {
   test("watermarkZScore: planted green chain flags at z >> threshold, " +
       "z is self-consistent, short docs score zero") {
     import graft.operators.TextAnalysisOps
-    val chain = "forest sun the blue star slow stone runs valley " +
-      "lazy apple red dog lazy quick cloud star fish lemon and " +
-      "valley blue desert runs mountain moon quick river mountain " +
-      "bird tree cat dog and house fast green grape and stone snake " +
-      "meadow sun the lion fish quick moon lazy lemon blue mountain " +
-      "runs jumps quick desert slow cloud fast fish forest sun wolf lazy"
+    // the SAME constant the q229 fixture and oracle use — a private
+    // copy here could drift and keep testing a stale chain
+    val chain = SparkEntry.WatermarkChain
     val docs = Seq(
       (1L, chain),
       (2L, ""),
@@ -4709,10 +4706,20 @@ class OperatorsSpec extends AnyFunSuite {
       "{\"cell_type\":\"code\",\"execution_count\":3," +
       "\"source\":\"import os\\nprint(1)\"}," +
       "{\"cell_type\":\"markdown\",\"source\":\"# T\"}]}"
-    val docs = Seq((1L, nb), (2L, "not json")).toDF("nb_id", "j")
+    val docs = Seq((1L, nb), (2L, "not json"),
+      (3L, "{\"nbformat\":4,\"cells\":[]}"),
+      (4L, "{\"nbformat\":4}"),
+      (5L, "{\"nbformat\":4,\"cells\":3}")).toDF("nb_id", "j")
     val got = ConversationOps.notebookCells(docs, "nb_id", "j")
       .orderBy("nb_id", "cell_idx").collect()
-    assert(got.length == 3)
+    assert(got.length == 6)
+    assert(got(3).getAs[Boolean]("parsed") &&
+      got(3).getAs[Int]("cell_idx") == -1,
+      s"valid empty cell list: parsed=true, one -1 row: ${got(3)}")
+    assert(!got(4).getAs[Boolean]("parsed"),
+      s"missing cells field: parsed=false: ${got(4)}")
+    assert(!got(5).getAs[Boolean]("parsed"),
+      s"non-array cells field: parsed=false: ${got(5)}")
     assert(got(0).getAs[Boolean]("parsed") &&
       got(0).getAs[Int]("cell_idx") == 0 &&
       got(0).getAs[String]("cell_type") == "code" &&
