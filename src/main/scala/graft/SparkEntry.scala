@@ -2585,6 +2585,84 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Main-content extraction (q237): link-dense nav/footer blocks
+    // and a below-threshold stub drop; the prose block (the real doc
+    // text inside <p>) survives.
+    "q237_main_content" -> ((s, dir) => {
+      val html = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<div>Nav: <a href=\"/a\">Home</a> " +
+            "<a href=\"/b\">About</a> <a href=\"/c\">Contact</a></div>"),
+          lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+          lit("<div><a href=\"/x\">c1</a> <a href=\"/y\">c2</a></div>" +
+            "<p>Short.</p>")).as("html"))
+      TextAnalysisOps.mainContent(html, "doc_id", "html")
+        .select(col("doc_id"),
+          substring(md5(col("main_text")), 1, 16).as("main_sig"),
+          col("n_blocks"), col("n_kept"), col("main_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Street-address PII (q238): plain address, city+ZIP tail, and
+    // two must-not-match plants (lowercase street, PO box).
+    "q238_street_addresses" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" Visit 123 Main Street for details"))
+            .when(col("doc_id") % 7 === 1,
+              lit(" at 4 Oak Hill Ave, Springfield, IL 62704 now"))
+            .when(col("doc_id") % 7 === 2, lit(" 99999 lowercase street"))
+            .when(col("doc_id") % 7 === 3, lit(" PO Box 12"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.scrubAddresses(injected, "doc_id", "text")
+        .select(col("doc_id"),
+          substring(md5(col("scrubbed")), 1, 16).as("scrub_sig"),
+          col("n_addresses"), col("has_address"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Page furniture (q239): running header x3, three page-number
+    // grammars; the %5==1 slice has one trailing page number only.
+    "q239_page_furniture" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          lit("ACME Quarterly Report\nreal content line one\n" +
+            "Page 1 of 9\nACME Quarterly Report\nmore content here\n" +
+            "2\nACME Quarterly Report\n- 3 -\nfinal content"))
+          .when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit("\nPage 2")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.pageFurnitureStrip(injected, "doc_id", "text")
+        .select(col("doc_id"),
+          substring(md5(col("text")), 1, 16).as("clean_sig"),
+          col("n_lines"), col("n_pagenum_removed"),
+          col("n_header_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PDF clean composition (q240): page-furniture strip FIRST, then
+    // de-hyphenation — removal re-joins a word hyphenated ACROSS a
+    // page boundary ('con-' / 'Page 2' / 'tent'), which the reverse
+    // order cannot repair. Both ops are column-preserving, so the
+    // counts flow through the chain without join-backs.
+    "q240_pdf_clean" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          lit("ACME Corp\nintro exam-\nple text continues\nPage 1\n" +
+            "ACME Corp\nsecond page con-\nPage 2\ntent here\n" +
+            "ACME Corp\nthird page words\nPage 3"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.dehyphenate(
+        TextAnalysisOps.pageFurnitureStrip(injected, "doc_id", "text"),
+        "doc_id", "text")
+        .select(col("doc_id"),
+          substring(md5(col("text")), 1, 16).as("clean_sig"),
+          col("n_repairs"), col("n_pagenum_removed"),
+          col("n_header_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Homoglyph-aware gate (q190): Cyrillic-spoofed blocked terms
     // (plus a combined homoglyph+leet slice) must flag; confusable
     // counts surface script spoofing even without listed terms.
@@ -4626,6 +4704,41 @@ object SparkEntry {
       "house fast green grape and stone snake meadow sun the lion " +
       "fish quick moon lazy lemon blue mountain runs jumps quick " +
       "desert slow cloud fast fish forest sun wolf lazy"
+
+  /** Page-furniture CTE chain over an `injected(doc_id, t)` CTE —
+    * shared by the q239 dump and q240's PDF-clean composite. Emits
+    * `strip(doc_id, cleaned, n_lines, n_pagenum_removed,
+    * n_header_removed)`. Deliberately margin-free and with no line
+    * beginning in `|` (it is concatenated INSIDE the callers'
+    * stripMargin regions — the q163 helper-pipe-eating trap). */
+  private val PageFurnitureCtesSql: String =
+    "lns AS (\n" +
+      "  SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS ls\n" +
+      "  FROM injected),\n" +
+      "furn AS (\n" +
+      "  SELECT doc_id, ls,\n" +
+      "    list_filter(ls, l -> regexp_matches(trim(l),\n" +
+      "      '^(Page |page )?[0-9]{1,4}( of [0-9]{1,4})?$" +
+      "|^- ?[0-9]{1,4} ?-$')) AS pn,\n" +
+      "    list_filter(ls, l -> NOT regexp_matches(trim(l),\n" +
+      "      '^(Page |page )?[0-9]{1,4}( of [0-9]{1,4})?$" +
+      "|^- ?[0-9]{1,4} ?-$')\n" +
+      "      AND length(trim(l)) BETWEEN 1 AND 60\n" +
+      "      AND len(list_filter(ls, x -> trim(x) = trim(l))) >= 3)\n" +
+      "      AS hdr\n" +
+      "  FROM lns),\n" +
+      "strip AS (\n" +
+      "  SELECT doc_id,\n" +
+      "    coalesce(array_to_string(list_filter(ls,\n" +
+      "      l -> NOT regexp_matches(trim(l),\n" +
+      "        '^(Page |page )?[0-9]{1,4}( of [0-9]{1,4})?$" +
+      "|^- ?[0-9]{1,4} ?-$')\n" +
+      "        AND NOT list_contains(hdr, l)), chr(10)), '')\n" +
+      "      AS cleaned,\n" +
+      "    len(ls)::BIGINT AS n_lines,\n" +
+      "    len(pn)::BIGINT AS n_pagenum_removed,\n" +
+      "    len(hdr)::BIGINT AS n_header_removed\n" +
+      "  FROM furn)"
 
   /** q208's per-doc entropy value over `(t, dt)` columns — shared by
     * the q208 dump and q221's composite. */
@@ -8668,6 +8781,122 @@ ORDER BY rank LIMIT 6"""),
         |    0))::BIGINT AS n_repairs,
         |  (len(string_split(t, chr(10))) - 1)::BIGINT AS n_linebreaks
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Block split on closing tags, per-block tag strip + whitespace
+    // collapse, anchor-text chars via nested regexp folds, index-
+    // parallel lists instead of structs.
+    "q237_main_content" ->
+      """WITH html AS (
+        |  SELECT doc_id,
+        |    '<div>Nav: <a href="/a">Home</a> <a href="/b">About</a>' ||
+        |    ' <a href="/c">Contact</a></div><p>' ||
+        |    coalesce(text, '') ||
+        |    '</p><div><a href="/x">c1</a> <a href="/y">c2</a></div>' ||
+        |    '<p>Short.</p>' AS h
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, regexp_split_to_array(h,
+        |    '(?i)</(p|div|li|h[1-6]|td|section|article)>') AS bs
+        |  FROM html),
+        |scored AS (
+        |  SELECT doc_id,
+        |    list_transform(bs, b -> trim(regexp_replace(
+        |      regexp_replace(b, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS txts,
+        |    list_transform(bs, b -> coalesce(list_sum(
+        |      list_transform(regexp_extract_all(b,
+        |        '(?is)<a [^>]*>.*?</a>', 0),
+        |        a -> length(trim(regexp_replace(regexp_replace(a,
+        |          '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))),
+        |      0)::BIGINT) AS links
+        |  FROM blk),
+        |kept AS (
+        |  SELECT doc_id,
+        |    list_filter(txts, x -> length(x) > 0) AS nonempty,
+        |    list_transform(list_filter(range(1, len(txts) + 1),
+        |      i -> length(txts[i]) >= 30
+        |        AND links[i] * 1000 <= 333 * length(txts[i])
+        |        AND length(txts[i]) > 0),
+        |      i -> txts[i]) AS keeps
+        |  FROM scored)
+        |SELECT doc_id,
+        |  substr(md5(coalesce(
+        |    array_to_string(keeps, chr(10)), '')), 1, 16) AS main_sig,
+        |  len(nonempty)::BIGINT AS n_blocks,
+        |  len(keeps)::BIGINT AS n_kept,
+        |  length(coalesce(array_to_string(keeps, chr(10)), ''))::BIGINT
+        |    AS main_chars
+        |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // One boundary-anchored RE2 pattern (no lookarounds), global
+    // replace + count from the same pattern.
+    "q238_street_addresses" ->
+      """WITH injected AS (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      ' Visit 123 Main Street for details'
+        |    WHEN doc_id % 7 = 1 THEN
+        |      ' at 4 Oak Hill Ave, Springfield, IL 62704 now'
+        |    WHEN doc_id % 7 = 2 THEN ' 99999 lowercase street'
+        |    WHEN doc_id % 7 = 3 THEN ' PO Box 12'
+        |    ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(md5(regexp_replace(t,
+        |    '\b[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? (Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl|Way)\b(, [A-Z][a-z]+, [A-Z]{2} [0-9]{5})?',
+        |    '<ADDRESS>', 'g')), 1, 16) AS scrub_sig,
+        |  len(regexp_extract_all(t,
+        |    '\b[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? (Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl|Way)\b(, [A-Z][a-z]+, [A-Z]{2} [0-9]{5})?',
+        |    0))::BIGINT AS n_addresses,
+        |  len(regexp_extract_all(t,
+        |    '\b[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? (Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl|Way)\b(, [A-Z][a-z]+, [A-Z]{2} [0-9]{5})?',
+        |    0)) > 0 AS has_address
+        |FROM injected ORDER BY doc_id""".stripMargin,
+
+    // Page-number grammar + within-doc repeated short lines, raw-line
+    // removal against the trim-matched header set.
+    "q239_page_furniture" ->
+      ("""WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      'ACME Quarterly Report' || chr(10) ||
+        |      'real content line one' || chr(10) || 'Page 1 of 9' ||
+        |      chr(10) || 'ACME Quarterly Report' || chr(10) ||
+        |      'more content here' || chr(10) || '2' || chr(10) ||
+        |      'ACME Quarterly Report' || chr(10) || '- 3 -' ||
+        |      chr(10) || 'final content'
+        |    WHEN doc_id % 5 = 1 THEN text || chr(10) || 'Page 2'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |""" + PageFurnitureCtesSql + """
+        |SELECT doc_id,
+        |  substr(md5(cleaned), 1, 16) AS clean_sig,
+        |  n_lines, n_pagenum_removed, n_header_removed
+        |FROM strip ORDER BY doc_id""").stripMargin,
+
+    // Furniture strip FIRST, then de-hyphenation over the cleaned
+    // text — the cross-page hyphen ('con-' / 'Page 2' / 'tent')
+    // repairs only in this order.
+    "q240_pdf_clean" ->
+      ("""WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'ACME Corp' || chr(10) || 'intro exam-' || chr(10) ||
+        |      'ple text continues' || chr(10) || 'Page 1' || chr(10) ||
+        |      'ACME Corp' || chr(10) || 'second page con-' || chr(10) ||
+        |      'Page 2' || chr(10) || 'tent here' || chr(10) ||
+        |      'ACME Corp' || chr(10) || 'third page words' || chr(10) ||
+        |      'Page 3'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |""" + PageFurnitureCtesSql + """
+        |SELECT doc_id,
+        |  substr(md5(regexp_replace(cleaned,
+        |    '([a-z])-\r?\n([a-z])', '\1\2', 'g')), 1, 16) AS clean_sig,
+        |  len(regexp_extract_all(cleaned, '([a-z])-\r?\n([a-z])',
+        |    0))::BIGINT AS n_repairs,
+        |  n_pagenum_removed, n_header_removed
+        |FROM strip ORDER BY doc_id""").stripMargin,
 
     // Source-keyed truncation mass at context 40.
     "q236_truncation_loss" ->

@@ -2998,6 +2998,121 @@ object TextAnalysisOps {
       .withColumn("is_code", col("code_score_milli") >= 250L)
   }
 
+  /** Main-content extraction — the Arc90-readability / trafilatura
+    * move, heuristics-only: split the page into block-level segments,
+    * score each by visible text length and LINK DENSITY (navigation,
+    * sidebars, and footers are link-dense and text-poor), and keep
+    * the prose blocks. The single highest-value transform on raw
+    * crawl HTML: tag-stripping alone keeps every nav menu in the
+    * training text.
+    *
+    * A block survives iff its visible text has at least
+    * `minBlockChars` chars AND its anchor-text share is at most
+    * `maxLinkMilli`. Emits the joined main text plus block counts so
+    * the drop rate is auditable.
+    *
+    * Scale shape: pure projection — block split, per-block tag strip
+    * and anchor arithmetic all fold in-row; zero shuffle. */
+  def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
+                  minBlockChars: Int = 30,
+                  maxLinkMilli: Long = 333L): DataFrame = {
+    val stripWs = (c: Column) =>
+      trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "),
+        "\\s+", " "))
+    val blockText = (b: Column) => stripWs(b)
+    val anchorChars = (b: Column) =>
+      aggregate(
+        transform(
+          regexp_extract_all(b, lit("(?is)<a [^>]*>.*?</a>"), lit(0)),
+          a => length(stripWs(a)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val blocks = split(coalesce(col(htmlCol), lit("")),
+      "(?i)</(p|div|li|h[1-6]|td|section|article)>")
+    docs.select(col(idCol),
+        transform(blocks, b =>
+          struct(blockText(b).as("txt"), anchorChars(b).as("link")))
+          .as("__b"))
+      .select(col(idCol),
+        filter(col("__b"), s => length(s.getField("txt")) > 0)
+          .as("__b"))
+      .select(col(idCol), col("__b"),
+        filter(col("__b"), s =>
+          length(s.getField("txt")) >= minBlockChars &&
+            s.getField("link") * 1000L <=
+              lit(maxLinkMilli) * length(s.getField("txt")))
+          .as("__kept"))
+      .select(col(idCol),
+        array_join(transform(col("__kept"), s => s.getField("txt")),
+          "\n").as("main_text"),
+        size(col("__b")).cast("long").as("n_blocks"),
+        size(col("__kept")).cast("long").as("n_kept"))
+      .withColumn("main_chars", length(col("main_text")).cast("long"))
+  }
+
+  /** Street-address PII (the Dolma PII category the contact scrubbers
+    * leave on the table): civic number + capitalized street name
+    * (1-2 words) + a street-type suffix, optionally with a
+    * `, City, ST 12345` tail. Boundary-anchored, RE2-safe (no
+    * lookarounds — the suffix-word boundary is the anchor), replaced
+    * globally with `<ADDRESS>`. Counted before scrubbing so the
+    * funnel is auditable.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def scrubAddresses(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val re = "\\b[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? " +
+      "(Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive" +
+      "|Dr|Court|Ct|Place|Pl|Way)\\b(, [A-Z][a-z]+, [A-Z]{2} " +
+      "[0-9]{5})?"
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol),
+      regexp_replace(t, re, "<ADDRESS>").as("scrubbed"),
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+        .as("n_addresses"))
+      .withColumn("has_address", col("n_addresses") > 0L)
+  }
+
+  /** Page-furniture removal — the second dominant PDF/OCR extraction
+    * artifact after hyphenated line breaks ([[dehyphenate]]):
+    * page-number lines (`12`, `Page 3 of 10`, `- 7 -`) and running
+    * headers/footers (short lines repeated across pages of the SAME
+    * document) removed, everything else untouched. Emits the cleaned
+    * text plus per-kind removal counts.
+    *
+    * A line is furniture iff (a) its trimmed form matches the
+    * page-number grammar, or (b) its trimmed form is 1-60 chars and
+    * occurs at least `minRepeat` times in the document (the running
+    * header signature — content sentences repeat across DOCUMENTS,
+    * not within one).
+    *
+    * Scale shape: pure projection; the repeat count is an in-row
+    * O(lines²) fold bounded by lines-per-document (a 1000-page scan
+    * is ~50k lines — still in-row, never a shuffle key). */
+  def pageFurnitureStrip(docs: DataFrame, idCol: String,
+                         textCol: String,
+                         minRepeat: Int = 3): DataFrame = {
+    val pageNumRe =
+      "^(Page |page )?[0-9]{1,4}( of [0-9]{1,4})?$|^- ?[0-9]{1,4} ?-$"
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val isPageNum = (l: Column) => trim(l).rlike(pageNumRe)
+    // column-preserving, like [[dehyphenate]], so the two PDF repairs
+    // chain without join-backs
+    docs.withColumn("__l", lines)
+      .withColumn("__pn", filter(col("__l"), l => isPageNum(l)))
+      .withColumn("__hdr", filter(col("__l"), l =>
+        !isPageNum(l) &&
+          length(trim(l)) >= 1 && length(trim(l)) <= 60 &&
+          size(filter(col("__l"), x => trim(x) === trim(l)))
+            >= minRepeat))
+      .withColumn("n_lines", size(col("__l")).cast("long"))
+      .withColumn("n_pagenum_removed", size(col("__pn")).cast("long"))
+      .withColumn("n_header_removed", size(col("__hdr")).cast("long"))
+      .withColumn(textCol,
+        array_join(filter(col("__l"), l =>
+          !isPageNum(l) && !array_contains(col("__hdr"), l)), "\n"))
+      .drop("__l", "__pn", "__hdr")
+  }
+
   /** Citation-density signals — the standard router for academic /
     * scientific text (the S2ORC/peS2o-style corpora are built by
     * PROMOTING documents with real citation structure): DOIs, arXiv
@@ -3085,11 +3200,15 @@ object TextAnalysisOps {
                   textCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val re = "([a-z])-\\r?\\n([a-z])"
-    docs.select(col(idCol),
-      regexp_replace(t, re, "$1$2").as("text"),
-      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
-        .as("n_repairs"),
-      (size(split(t, "\n")) - 1).cast("long").as("n_linebreaks"))
+    // column-preserving (counts derive from the ORIGINAL text, then
+    // the text column is replaced in place) so repair chains like
+    // q240's furniture->dehyphenate compose without join-backs
+    docs
+      .withColumn("n_repairs",
+        size(regexp_extract_all(t, lit(re), lit(0))).cast("long"))
+      .withColumn("n_linebreaks",
+        (size(split(t, "\n")) - 1).cast("long"))
+      .withColumn(textCol, regexp_replace(t, re, "$1$2"))
   }
 
   /** Canary exposure audit (the data-side half of Carlini et al.

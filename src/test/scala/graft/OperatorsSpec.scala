@@ -4735,6 +4735,86 @@ class OperatorsSpec extends AnyFunSuite {
       s"corrupt notebook row: ${got(2)}")
   }
 
+  test("mainContent keeps prose blocks, drops link-dense nav and " +
+      "short stubs") {
+    import graft.operators.TextAnalysisOps
+    val prose = "This is a long paragraph of real prose content " +
+      "that easily clears the minimum block length threshold."
+    val docs = Seq(
+      (1L, "<div><a href=\"/a\">Home</a> <a href=\"/b\">About</a>" +
+        "</div><p>" + prose + "</p><p>Stub.</p>"),
+      (2L, "<div>" + prose + " <a href=\"/x\">one small link</a>" +
+        "</div>"),
+      (3L, "")
+    ).toDF("doc_id", "html")
+    val got = TextAnalysisOps.mainContent(docs, "doc_id", "html")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("main_text") == prose,
+      s"only the prose block survives: ${got(0)}")
+    assert(got(0).getAs[Long]("n_blocks") == 3L &&
+      got(0).getAs[Long]("n_kept") == 1L)
+    assert(got(1).getAs[Long]("n_kept") == 1L,
+      "a mostly-prose block with one small link stays under the " +
+        "link-density cut")
+    assert(got(2).getAs[Long]("n_blocks") == 0L &&
+      got(2).getAs[String]("main_text") == "")
+  }
+
+  test("scrubAddresses: civic+street+suffix hits, city/ZIP tail, " +
+      "lowercase and PO-box non-hits") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "Visit 123 Main Street for details"),
+      (2L, "at 4 Oak Hill Ave, Springfield, IL 62704 now"),
+      (3L, "99999 lowercase street and PO Box 12"),
+      (4L, "ships 10 Downing St and 1600 Pennsylvania Ave today")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.scrubAddresses(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("scrubbed") ==
+      "Visit <ADDRESS> for details")
+    assert(got(1).getAs[String]("scrubbed") == "at <ADDRESS> now",
+      s"city/ZIP tail folds into the match: ${got(1)}")
+    assert(got(2).getAs[Long]("n_addresses") == 0L &&
+      !got(2).getAs[Boolean]("has_address"))
+    assert(got(3).getAs[Long]("n_addresses") == 2L)
+  }
+
+  test("pageFurnitureStrip removes page numbers and repeated " +
+      "headers, keeps content and rare lines") {
+    import graft.operators.TextAnalysisOps
+    val doc = "ACME Report\nalpha content\nPage 1 of 3\n" +
+      "ACME Report\nbeta content\n2\nACME Report\n- 3 -\ngamma end"
+    val docs = Seq((1L, doc),
+      (2L, "once-only header\nbody text\nonce-only header")).toDF(
+      "doc_id", "text")
+    val got = TextAnalysisOps.pageFurnitureStrip(docs, "doc_id",
+      "text").orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("text") ==
+      "alpha content\nbeta content\ngamma end", s"row1: ${got(0)}")
+    assert(got(0).getAs[Long]("n_pagenum_removed") == 3L &&
+      got(0).getAs[Long]("n_header_removed") == 3L)
+    assert(got(1).getAs[Long]("n_header_removed") == 0L,
+      "a twice-repeated line stays below the minRepeat=3 bar")
+  }
+
+  test("pdf clean chain: furniture strip then dehyphenate repairs " +
+      "a word hyphenated across a page boundary") {
+    import graft.operators.TextAnalysisOps
+    val doc = "hdr\nsecond page con-\nPage 2\ntent here\nhdr\nx\nhdr"
+    val docs = Seq((1L, doc)).toDF("doc_id", "text")
+    val got = TextAnalysisOps.dehyphenate(
+      TextAnalysisOps.pageFurnitureStrip(docs, "doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(got(0).getAs[String]("text") ==
+      "second page content here\nx",
+      s"cross-page hyphen repairs only after furniture removal: " +
+        s"${got(0)}")
+    assert(got(0).getAs[Long]("n_repairs") == 1L &&
+      got(0).getAs[Long]("n_pagenum_removed") == 1L &&
+      got(0).getAs[Long]("n_header_removed") == 3L)
+  }
+
   test("citationSignals: DOI/arXiv/bracket/author-year counted, " +
       "density integer, threshold gates is_academic") {
     import graft.operators.TextAnalysisOps
