@@ -2524,6 +2524,68 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // EXIF metadata (q241): synthesized JPEG+APP1 in BOTH byte
+    // orders, GPS IFD on the %4 slice (the location-PII flag), a
+    // corrupt slice that must surface as decoded=false.
+    "q241_exif_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 11 == 7) "not a jpeg".getBytes("US-ASCII")
+            else ExifCodec.jpegWithExif(
+              make = s"Cam${id % 5}", model = s"M${id % 3}",
+              orientation = (id % 8 + 1).toInt,
+              dateTime = s"2020:01:0${id % 9 + 1} 12:00:00",
+              gps = id % 4 == 0, bigEndian = id % 2 == 1)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.exifMeta(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Scene cuts (q242): pixel formula shifts every 3 frames (scene
+    // term), so within-scene deltas are 0 and scene transitions carry
+    // a mod-256 step; one-frame and corrupt slices exercise the
+    // no-transition arms.
+    "q242_video_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 9 == 5) "xx".getBytes("US-ASCII")
+            else {
+              val n = if (id % 13 == 11) 1 else (id % 4 + 9).toInt
+              VideoCodecs.aviBytes(8, 6, n)((f, x, y) =>
+                ((id * 7 + (f / 3) * 50 + x * 3 + y * 5) % 256).toInt)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.videoSceneCuts(media, "doc_id", "media")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Audio silence (q243): planted silent head (id%10 frames) and
+    // tail (id%7 frames), mono/stereo alternating; scattered
+    // low-amplitude frames inside the signal count as silent but
+    // never extend the lead/trail runs.
+    "q243_audio_silence" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (id % 50 + 60).toInt
+          val ch = (id % 2 + 1).toInt
+          val head = (id % 10).toInt
+          val tail = (id % 7).toInt
+          val bytes = AudioCodecs.wavBytes(n, ch, 16000, 16)((f, c) =>
+            if (f < head || f >= n - tail) 0
+            else ((id * 31 + f * 17 + c * 7) % 2000 - 1000).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      MultimodalOps.audioSilence(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
+    }),
+
     // Citation density (q233): planted DOI/arXiv/bracket/author-year
     // marks — the 4-signal slice and 3-signal slice flag academic,
     // the single-bracket slice does not.
@@ -8686,6 +8748,107 @@ ORDER BY rank LIMIT 6"""),
         |    '') AS names_found,
         |  len(h) > 0 AS has_person_name
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    // EXIF twin re-derives the planted IFD0 values from the doc_id
+    // arithmetic — the parser's output IS the writer's input.
+    "q241_exif_meta" ->
+      """SELECT doc_id,
+        |  (doc_id % 11 <> 7) AS decoded,
+        |  CASE WHEN doc_id % 11 = 7 THEN NULL
+        |    WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+        |  CASE WHEN doc_id % 11 = 7 THEN NULL
+        |    ELSE 'Cam' || (doc_id % 5)::VARCHAR END AS make,
+        |  CASE WHEN doc_id % 11 = 7 THEN NULL
+        |    ELSE 'M' || (doc_id % 3)::VARCHAR END AS model,
+        |  (CASE WHEN doc_id % 11 = 7 THEN 0
+        |    ELSE doc_id % 8 + 1 END)::INT AS orientation,
+        |  CASE WHEN doc_id % 11 = 7 THEN NULL
+        |    ELSE '2020:01:0' || (doc_id % 9 + 1)::VARCHAR
+        |      || ' 12:00:00' END AS datetime,
+        |  (doc_id % 11 <> 7 AND doc_id % 4 = 0) AS has_gps
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Frame-delta twin: mean abs diff of the mod-256 pixel formulas
+    // across the scene boundary, exact integer milli.
+    "q242_video_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 13 = 11 THEN 1
+        |      ELSE doc_id % 4 + 9 END)::INT AS n,
+        |    (doc_id % 9 = 5) AS corrupt
+        |  FROM documents),
+        |tr AS (
+        |  SELECT doc_id, n, unnest(range(1, n))::INT AS f
+        |  FROM d WHERE NOT corrupt AND n >= 2),
+        |cells AS (
+        |  SELECT x, y
+        |  FROM (SELECT unnest(range(0, 8)) AS x),
+        |       (SELECT unnest(range(0, 6)) AS y)),
+        |px AS (
+        |  SELECT doc_id, f,
+        |    sum(abs(
+        |      ((doc_id * 7 + ((f - 1) // 3) * 50 + x * 3 + y * 5)
+        |        % 256) -
+        |      ((doc_id * 7 + (f // 3) * 50 + x * 3 + y * 5)
+        |        % 256)))::BIGINT AS sad
+        |  FROM tr, cells GROUP BY doc_id, f),
+        |r1 AS (
+        |  SELECT doc_id, TRUE AS decoded, f AS frame_idx,
+        |    (sad * 1000 // (48 * 255))::BIGINT AS delta_milli
+        |  FROM px),
+        |r2 AS (
+        |  SELECT doc_id, TRUE AS decoded, 0 AS frame_idx,
+        |    0::BIGINT AS delta_milli
+        |  FROM d WHERE NOT corrupt AND n < 2),
+        |r3 AS (
+        |  SELECT doc_id, FALSE AS decoded, 0 AS frame_idx,
+        |    0::BIGINT AS delta_milli
+        |  FROM d WHERE corrupt)
+        |SELECT doc_id, decoded, frame_idx, delta_milli,
+        |  delta_milli >= 100 AS is_cut
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |  UNION ALL SELECT * FROM r3)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Silence twin: per-frame max-channel amplitude from the sample
+    // formula, lead = first non-silent index (n if none), trail from
+    // the last non-silent index.
+    "q243_audio_silence" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 50 + 60)::INT AS n,
+        |    (doc_id % 2 + 1)::INT AS ch,
+        |    (doc_id % 10)::INT AS head, (doc_id % 7)::INT AS tail
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n, ch, head, tail,
+        |    unnest(range(n))::INT AS f
+        |  FROM d),
+        |amp AS (
+        |  SELECT doc_id, n, f,
+        |    CASE WHEN f < head OR f >= n - tail THEN 0
+        |    ELSE greatest(
+        |      abs((doc_id * 31 + f * 17) % 2000 - 1000),
+        |      CASE WHEN ch = 2 THEN
+        |        abs((doc_id * 31 + f * 17 + 7) % 2000 - 1000)
+        |      ELSE 0 END)
+        |    END AS mx
+        |  FROM fr),
+        |agg AS (
+        |  SELECT doc_id, n,
+        |    sum(CASE WHEN mx < 100 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_silent,
+        |    min(CASE WHEN mx >= 100 THEN f END) AS first_ns,
+        |    max(CASE WHEN mx >= 100 THEN f END) AS last_ns
+        |  FROM amp GROUP BY doc_id, n)
+        |SELECT doc_id, TRUE AS decoded, n::BIGINT AS n_frames,
+        |  n_silent,
+        |  (n_silent * 1000 // n)::BIGINT AS silent_milli,
+        |  (coalesce(first_ns, n)::BIGINT * 1000 // 16000)
+        |    AS leading_silence_ms,
+        |  ((CASE WHEN last_ns IS NULL THEN 0
+        |    ELSE n - 1 - last_ns END)::BIGINT * 1000 // 16000)
+        |    AS trailing_silence_ms
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // Four regexp_extract_all counts per doc (group 0 explicit — the
     // engines default differently), integer kilotoken density.

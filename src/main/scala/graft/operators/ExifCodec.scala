@@ -1,0 +1,209 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal EXIF (APP1/TIFF) metadata codec — the metadata leg of the
+  * image family. Training-data relevance: EXIF is where image PII
+  * hides (GPS coordinates, camera serials, timestamps); a curation
+  * pipeline must at minimum DETECT a GPS IFD before images enter a
+  * corpus, and orientation is required to interpret pixels at all.
+  *
+  * Scope (public EXIF 2.3 / TIFF 6.0 layout): the APP1 `Exif\0\0`
+  * payload's IFD0 with ASCII/SHORT/LONG entries — Make (0x010F),
+  * Model (0x0110), Orientation (0x0112), DateTime (0x0132), and the
+  * GPS IFD pointer (0x8825, surfaced as a presence flag — the
+  * defensive read: ANY GPS IFD means location PII, its contents never
+  * need decoding to act). Both byte orders (`II`/`MM`) parse; the
+  * writer emits either. Defensive like every codec here: truncated
+  * segments, bad magic, out-of-bounds offsets, or absent APP1 return
+  * None — never throw.
+  */
+object ExifCodec {
+
+  /** Decoded IFD0 metadata. `hasGps` = a 0x8825 GPS IFD pointer
+    * exists (location PII present). */
+  case class Exif(bigEndian: Boolean, make: Option[String],
+                  model: Option[String], orientation: Option[Int],
+                  dateTime: Option[String], hasGps: Boolean)
+
+  // ---- writer ----------------------------------------------------------
+
+  /** A metadata-bearing JPEG: SOI + APP1(Exif) + EOI. Pixel data is
+    * not the point of this codec — [[JpegCodec]] owns scans; this is
+    * the minimal container real EXIF tooling accepts. */
+  def jpegWithExif(make: String, model: String, orientation: Int,
+                   dateTime: String, gps: Boolean,
+                   bigEndian: Boolean = false): Array[Byte] = {
+    val app1 = app1Payload(make, model, orientation, dateTime, gps,
+      bigEndian)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe1) // APP1
+    val len = app1.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(app1, 0, app1.length)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** `Exif\0\0` + TIFF header + IFD0 (+ optional minimal GPS IFD).
+    * Entries are emitted in ascending tag order as TIFF requires;
+    * ASCII values longer than 4 bytes go to the data area with
+    * offsets relative to the TIFF header, exactly the on-disk layout
+    * cameras write. */
+  def app1Payload(make: String, model: String, orientation: Int,
+                  dateTime: String, gps: Boolean,
+                  bigEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "orientation 1-8")
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    def w8(v: Int): Unit = buf += (v & 0xff).toByte
+    def w16(v: Int): Unit =
+      if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w8(v >> 24); w8(v >> 16); w8(v >> 8); w8(v) }
+      else { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+
+    buf ++= "Exif".getBytes(StandardCharsets.US_ASCII); w8(0); w8(0)
+    val tiff0 = buf.length // offsets below are relative to here
+    if (bigEndian) { w8('M'); w8('M') } else { w8('I'); w8('I') }
+    w16(42); w32(8) // magic + IFD0 offset
+
+    val mk = make.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+    val md = model.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+    val dt = dateTime.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+    val nEntries = if (gps) 5 else 4
+    // IFD0 starts at 8; data area follows entries + next-IFD pointer
+    val dataStart = 8 + 2 + nEntries * 12 + 4
+    var dataOff = dataStart
+    val mkOff = { val o = dataOff; dataOff += mk.length; o }
+    val mdOff = { val o = dataOff; dataOff += md.length; o }
+    val dtOff = { val o = dataOff; dataOff += dt.length; o }
+    val gpsOff = dataOff // GPS IFD (if present) lands after strings
+
+    w16(nEntries)
+    def asciiEntry(tagId: Int, bytes: Array[Byte], off: Int): Unit = {
+      w16(tagId); w16(2); w32(bytes.length)
+      if (bytes.length <= 4) {
+        var i = 0
+        while (i < 4) { w8(if (i < bytes.length) bytes(i) else 0); i += 1 }
+      } else w32(off)
+    }
+    asciiEntry(0x010f, mk, mkOff)
+    asciiEntry(0x0110, md, mdOff)
+    // orientation: SHORT, count 1 — the value left-justifies in the
+    // 4-byte slot in EITHER byte order (w16 handles the order)
+    w16(0x0112); w16(3); w32(1); w16(orientation); w16(0)
+    asciiEntry(0x0132, dt, dtOff)
+    if (gps) { w16(0x8825); w16(4); w32(1); w32(gpsOff) }
+    w32(0) // next IFD
+    buf ++= mk; buf ++= md; buf ++= dt
+    if (gps) {
+      // minimal GPS IFD: one GPSVersionID entry (BYTE x4, inline)
+      w16(1)
+      w16(0x0000); w16(1); w32(4); w8(2); w8(3); w8(0); w8(0)
+      w32(0)
+    }
+    // sanity: the precomputed offsets must match what we emitted
+    require(tiff0 + dataStart <= buf.length, "layout arithmetic")
+    buf.toArray
+  }
+
+  // ---- parser ----------------------------------------------------------
+
+  /** Walk the JPEG segment stream to APP1 `Exif\0\0` and decode IFD0.
+    * None for non-JPEG bytes, missing/truncated APP1, bad TIFF magic,
+    * or any out-of-bounds structure. */
+  def parse(b: Array[Byte]): Option[Exif] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no EXIF
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone markers carry no length
+      } else {
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > b.length) return None
+        if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+            b(off + 4) == 'E' && b(off + 5) == 'x' &&
+            b(off + 6) == 'i' && b(off + 7) == 'f' &&
+            b(off + 8) == 0 && b(off + 9) == 0) {
+          return parseTiff(b, off + 10, off + 2 + len)
+        }
+        off += 2 + len
+      }
+    }
+    None
+  }
+
+  private def parseTiff(b: Array[Byte], t0: Int,
+                        end: Int): Option[Exif] = {
+    if (t0 + 8 > end) return None
+    val big = (b(t0) & 0xff, b(t0 + 1) & 0xff) match {
+      case ('M', 'M') => true
+      case ('I', 'I') => false
+      case _ => return None
+    }
+    def u16(o: Int): Int =
+      if (o + 2 > end) -1
+      else if (big) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    def u32(o: Int): Long =
+      if (o + 4 > end) -1L
+      else if (big)
+        ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      else
+        ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+          ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    if (u16(t0 + 2) != 42) return None
+    val ifd0 = u32(t0 + 4)
+    if (ifd0 < 0 || t0 + ifd0 + 2 > end) return None
+    val e0 = t0 + ifd0.toInt
+    val n = u16(e0)
+    if (n < 0 || e0 + 2 + n * 12 + 4 > end) return None
+
+    var make: Option[String] = None
+    var model: Option[String] = None
+    var orientation: Option[Int] = None
+    var dateTime: Option[String] = None
+    var hasGps = false
+
+    def ascii(count: Long, valOff: Int): Option[String] = {
+      if (count <= 0 || count > 4096) return None
+      val src =
+        if (count <= 4) valOff
+        else {
+          val o = u32(valOff)
+          if (o < 0) return None
+          t0 + o.toInt
+        }
+      if (src < 0 || src + count > end) return None
+      var len = count.toInt
+      while (len > 0 && b(src + len - 1) == 0) len -= 1
+      Some(new String(b, src, len, StandardCharsets.US_ASCII))
+    }
+
+    var i = 0
+    while (i < n) {
+      val eo = e0 + 2 + i * 12
+      val tagId = u16(eo)
+      val typ = u16(eo + 2)
+      val count = u32(eo + 4)
+      val valOff = eo + 8
+      tagId match {
+        case 0x010f if typ == 2 => make = ascii(count, valOff)
+        case 0x0110 if typ == 2 => model = ascii(count, valOff)
+        case 0x0112 if typ == 3 && count == 1 =>
+          orientation = Some(u16(valOff))
+        case 0x0132 if typ == 2 => dateTime = ascii(count, valOff)
+        case 0x8825 => hasGps = true
+        case _ => ()
+      }
+      i += 1
+    }
+    Some(Exif(big, make, model, orientation, dateTime, hasGps))
+  }
+}

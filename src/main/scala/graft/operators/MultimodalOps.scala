@@ -637,4 +637,143 @@ object MultimodalOps {
       .toDF(idCol, "decoded", "width", "height", "n_frames",
         "frame_idx", "pix_sum", "pix_min", "pix_max")
   }
+
+  /** EXIF metadata extraction ([[ExifCodec]]): IFD0 make / model /
+    * orientation / datetime plus the GPS-IFD presence flag — the
+    * location-PII gate image curation needs BEFORE pixels are ever
+    * decoded (any 0x8825 pointer means coordinates are embedded; the
+    * defensive read never decodes them). Undecodable or EXIF-less
+    * images surface as `decoded = false` rows.
+    *
+    * Scale shape: one mapPartitions pass, binary dropped in the same
+    * task; only the small metadata row survives. */
+  def exifMeta(media: DataFrame, idCol: String, binCol: String,
+               batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            ExifCodec.parse(bytes) match {
+              case Some(e) =>
+                (id, true, if (e.bigEndian) "MM" else "II",
+                  e.make.orNull, e.model.orNull,
+                  e.orientation.getOrElse(0), e.dateTime.orNull,
+                  e.hasGps)
+              case None =>
+                (id, false, null.asInstanceOf[String], null, null, 0,
+                  null, false)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "byte_order", "make", "model",
+        "orientation", "datetime", "has_gps")
+  }
+
+  /** Scene-cut detection over decoded AVI frames: mean absolute
+    * pixel difference between consecutive frames in milli (of the
+    * 255 full scale), a transition flagged as a cut at `cutMilli`.
+    * The standard first step of video curation — sampling ([[
+    * videoFrameSample]]) wants scene-aligned keyframes, and dedup
+    * wants per-scene signatures, both downstream of this frame-delta
+    * profile. Emits one row per transition (frame f-1 -> f).
+    *
+    * Scale shape: one mapPartitions decode pass; per-row output is
+    * (id, transition, delta) — the frames never leave the task. */
+  def videoSceneCuts(media: DataFrame, idCol: String, binCol: String,
+                     cutMilli: Long = 100L,
+                     batchSize: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            VideoCodecs.parseAvi(bytes) match {
+              case Some(v) if v.nFrames >= 2 =>
+                val npix = v.width * v.height
+                (1 until v.nFrames).iterator.map { f =>
+                  val a = v.frames(f - 1); val b = v.frames(f)
+                  var sum = 0L
+                  var i = 0
+                  while (i < npix) {
+                    val d = (a(i) & 0xff) - (b(i) & 0xff)
+                    sum += (if (d < 0) -d else d)
+                    i += 1
+                  }
+                  val milli = sum * 1000L / (npix.toLong * 255L)
+                  (id, true, f, milli, milli >= cutMilli)
+                }
+              case Some(_) =>
+                Iterator.single((id, true, 0, 0L, false))
+              case None =>
+                Iterator.single((id, false, 0, 0L, false))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "frame_idx", "delta_milli", "is_cut")
+  }
+
+  /** Silence profile over decoded WAV samples: a frame is silent iff
+    * its max absolute amplitude across channels is under `threshold`
+    * (16-bit domain). Emits the silent fraction plus leading/trailing
+    * silence in frames and ms — the trim-and-gate numbers speech
+    * curation cuts on (a mostly-silent clip is dead weight; leading
+    * silence is trimmed before feature extraction).
+    *
+    * Scale shape: one mapPartitions decode pass, integer arithmetic,
+    * binary dropped in-task. */
+  def audioSilence(media: DataFrame, idCol: String, binCol: String,
+                   threshold: Int = 100,
+                   batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            AudioCodecs.parseWav(bytes) match {
+              case Some(a) if a.nFrames > 0 =>
+                val ch = a.channels
+                def silent(f: Int): Boolean = {
+                  var c = 0
+                  var mx = 0
+                  while (c < ch) {
+                    val s = a.samples(f * ch + c)
+                    val v = if (s < 0) -s else s
+                    if (v > mx) mx = v
+                    c += 1
+                  }
+                  mx < threshold
+                }
+                var nSilent = 0L
+                var f = 0
+                while (f < a.nFrames) {
+                  if (silent(f)) nSilent += 1
+                  f += 1
+                }
+                var lead = 0
+                while (lead < a.nFrames && silent(lead)) lead += 1
+                var trail = 0
+                while (trail < a.nFrames - lead &&
+                    silent(a.nFrames - 1 - trail)) trail += 1
+                (id, true, a.nFrames.toLong, nSilent,
+                  nSilent * 1000L / a.nFrames,
+                  lead.toLong * 1000L / a.sampleRate,
+                  trail.toLong * 1000L / a.sampleRate)
+              case _ =>
+                (id, false, 0L, 0L, 0L, 0L, 0L)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "n_frames", "n_silent", "silent_milli",
+        "leading_silence_ms", "trailing_silence_ms")
+  }
 }

@@ -4735,6 +4735,79 @@ class OperatorsSpec extends AnyFunSuite {
       s"corrupt notebook row: ${got(2)}")
   }
 
+  test("ExifCodec roundtrips both byte orders; GPS flag, truncation " +
+      "and bad magic reject") {
+    import graft.operators.ExifCodec
+    for (big <- Seq(false, true)) {
+      val b = ExifCodec.jpegWithExif("CamX", "M7", 6,
+        "2021:12:31 23:59:59", gps = big, bigEndian = big)
+      val e = ExifCodec.parse(b).get
+      assert(e.bigEndian == big && e.make.contains("CamX") &&
+        e.model.contains("M7") && e.orientation.contains(6) &&
+        e.dateTime.contains("2021:12:31 23:59:59") &&
+        e.hasGps == big, s"roundtrip ($big): $e")
+    }
+    val ok = ExifCodec.jpegWithExif("a", "b", 1, "t", gps = false)
+    assert(ExifCodec.parse(ok.take(ok.length - 10)).isEmpty,
+      "truncated APP1 must reject, not throw")
+    val bad = ok.clone(); bad(10) = 'X'.toByte // break the Exif magic
+    assert(ExifCodec.parse(bad).isEmpty,
+      "an APP1 without the Exif\\0\\0 magic is not EXIF")
+    assert(ExifCodec.parse("nope".getBytes("US-ASCII")).isEmpty)
+    // a JPEG with no APP1 at all (SOI+EOI) has no EXIF
+    assert(ExifCodec.parse(Array(0xff, 0xd8, 0xff, 0xd9)
+      .map(_.toByte)).isEmpty)
+  }
+
+  test("videoSceneCuts: within-scene deltas are zero, boundary " +
+      "deltas flag; one-frame and corrupt arms surface") {
+    import graft.operators.{MultimodalOps, VideoCodecs}
+    val spark2 = spark
+    import spark2.implicits._
+    val clip = VideoCodecs.aviBytes(8, 6, 6)((f, x, y) =>
+      ((f / 3) * 120 + x + y) % 256)
+    val one = VideoCodecs.aviBytes(8, 6, 1)((_, _, _) => 5)
+    val media = Seq((1L, clip), (2L, one),
+      (3L, "zz".getBytes("US-ASCII"))).toDF("doc_id", "media")
+    val got = MultimodalOps.videoSceneCuts(media, "doc_id", "media")
+      .orderBy("doc_id", "frame_idx").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.length == 5)
+    assert(d1.filter(_.getAs[Boolean]("is_cut")).map(
+      _.getAs[Int]("frame_idx")).toSeq == Seq(3),
+      "only the f=2->3 scene boundary cuts")
+    assert(d1.filter(!_.getAs[Boolean]("is_cut")).forall(
+      _.getAs[Long]("delta_milli") == 0L))
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[Boolean]("decoded") &&
+      !d2(0).getAs[Boolean]("is_cut"))
+    assert(!got.filter(_.getLong(0) == 3L)(0).getAs[Boolean]("decoded"))
+  }
+
+  test("audioSilence: lead/trail runs, scattered silent frames " +
+      "count but don't extend runs, all-silent clip") {
+    import graft.operators.{AudioCodecs, MultimodalOps}
+    val spark2 = spark
+    import spark2.implicits._
+    // 16 frames: 3 silent head, 2 silent tail, one scattered silent
+    // frame at f=8, signal amplitude 5000 elsewhere
+    // 1 kHz rate so the ms conversions are non-degenerate integers
+    val wav = AudioCodecs.wavBytes(16, 1, 1000, 16)((f, _) =>
+      if (f < 3 || f >= 14 || f == 8) 0 else 5000)
+    val allSilent = AudioCodecs.wavBytes(8, 1, 1000, 16)((_, _) => 0)
+    val media = Seq((1L, wav), (2L, allSilent)).toDF("doc_id", "media")
+    val got = MultimodalOps.audioSilence(media, "doc_id", "media")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_silent") == 6L, s"row1: ${got(0)}")
+    assert(got(0).getAs[Long]("leading_silence_ms") == 3L)
+    assert(got(0).getAs[Long]("trailing_silence_ms") == 2L,
+      "the scattered f=8 silent frame must not extend the tail run")
+    assert(got(1).getAs[Long]("n_silent") == 8L &&
+      got(1).getAs[Long]("leading_silence_ms") == 8L &&
+      got(1).getAs[Long]("trailing_silence_ms") == 0L,
+      s"all-silent: lead=n, trail=0: ${got(1)}")
+  }
+
   test("mainContent keeps prose blocks, drops link-dense nav and " +
       "short stubs") {
     import graft.operators.TextAnalysisOps
