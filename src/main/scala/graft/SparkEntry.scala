@@ -2524,6 +2524,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Pair hygiene (q244): the q83 dHash fixture repurposed as an
+    // (image, caption) corpus — ids sharing (gradient, parity) are
+    // pixel-identical, so duplicate-image groups with DISTINCT
+    // captions (alt-text spam shape) occur naturally; empty, bare-URL
+    // and too-short caption slices exercise the caption gate.
+    "q244_pair_hygiene" -> ((s, dir) => {
+      val caps = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 4, lit(""))
+          .when(col("doc_id") % 13 === 5, lit("http://x.com/a"))
+          .when(col("doc_id") % 13 === 6, lit("two words"))
+          .otherwise(col("text")).as("caption"))
+      val pairs = dhashMedia(s, dir).join(caps, Seq("doc_id"))
+      MultimodalOps.pairHygiene(pairs, "doc_id", "media", "caption")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding health (q245): planted NaN component (%37) and zero
+    // vector (%41); natural vectors report exact floored norms.
+    "q245_embedding_health" -> ((s, dir) => {
+      val v = col("embedding")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 41 === 0,
+          transform(v, _ => lit(0f)))
+          .when(col("vec_id") % 37 === 0,
+            concat(array(lit(Float.NaN)),
+              slice(v, lit(2), size(v) - 1)))
+          .otherwise(v).as("embedding"))
+      SimilarityOps.embeddingHealth(emb, "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
     // EXIF metadata (q241): synthesized JPEG+APP1 in BOTH byte
     // orders, GPS IFD on the %4 slice (the location-PII flag), a
     // corrupt slice that must surface as decoded=false.
@@ -8748,6 +8779,70 @@ ORDER BY rank LIMIT 6"""),
         |    '') AS names_found,
         |  len(h) > 0 AS has_person_name
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    // The q83 dHash pixel chain + caption gate + per-hash counts with
+    // the (hash, caption-sig)-distinct two-step.
+    "q244_pair_hygiene" -> (
+      "WITH " + dhashHashCtesSql + """,
+        |caps AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 4 THEN ''
+        |    WHEN doc_id % 13 = 5 THEN 'http://x.com/a'
+        |    WHEN doc_id % 13 = 6 THEN 'two words'
+        |    ELSE text END AS cap
+        |  FROM documents),
+        |j AS (
+        |  SELECT h.doc_id, h.dhash_hi, h.dhash_lo,
+        |    substr(md5(coalesce(cap, '')), 1, 16) AS capsig,
+        |    (length(trim(cap)) > 0
+        |      AND len(string_split(cap, ' ')) >= 3
+        |      AND NOT regexp_matches(cap, '^https?://[^ ]*$'))
+        |      AS caption_ok
+        |  FROM hashes h JOIN caps USING (doc_id)),
+        |si AS (
+        |  SELECT dhash_hi, dhash_lo, count(*)::BIGINT AS n_same_image
+        |  FROM j GROUP BY dhash_hi, dhash_lo),
+        |dc AS (
+        |  SELECT dhash_hi, dhash_lo,
+        |    count(*)::BIGINT AS n_distinct_captions
+        |  FROM (SELECT DISTINCT dhash_hi, dhash_lo, capsig FROM j)
+        |  GROUP BY dhash_hi, dhash_lo)
+        |SELECT j.doc_id, TRUE AS decoded, j.dhash_hi, j.dhash_lo,
+        |  j.caption_ok, si.n_same_image, dc.n_distinct_captions,
+        |  dc.n_distinct_captions > 1 AS caption_conflict,
+        |  j.caption_ok AS keep
+        |FROM j JOIN si USING (dhash_hi, dhash_lo)
+        |JOIN dc USING (dhash_hi, dhash_lo)
+        |ORDER BY j.doc_id""").stripMargin,
+
+    // Health twin: the x - x != 0 non-finite identity, sequential
+    // squared-sum fold, floored micro norm.
+    "q245_embedding_health" ->
+      """WITH inj AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 41 = 0 THEN
+        |      list_transform(embedding, x -> 0::FLOAT)
+        |    WHEN vec_id % 37 = 0 THEN
+        |      list_concat(['NaN'::FLOAT], embedding[2:])
+        |    ELSE embedding END AS v
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT vec_id, len(v)::BIGINT AS n_dims,
+        |    len(list_filter(v, x -> NOT (x - x = 0))) > 0
+        |      AS has_nonfinite,
+        |    list_sum(list_transform(v,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS ss
+        |  FROM inj),
+        |n AS (
+        |  SELECT vec_id, n_dims, has_nonfinite, ss,
+        |    (CASE WHEN has_nonfinite THEN -1
+        |      ELSE floor(1000000.0 * sqrt(ss)) END)::BIGINT
+        |      AS norm_micro
+        |  FROM h)
+        |SELECT vec_id, n_dims, norm_micro,
+        |  (NOT has_nonfinite AND ss = 0) AS is_zero, has_nonfinite,
+        |  (NOT has_nonfinite AND norm_micro < 1000) AS is_degenerate
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     // EXIF twin re-derives the planted IFD0 values from the doc_id
     // arithmetic — the parser's output IS the writer's input.

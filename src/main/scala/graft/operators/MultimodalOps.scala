@@ -638,6 +638,52 @@ object MultimodalOps {
         "frame_idx", "pix_sum", "pix_min", "pix_max")
   }
 
+  /** Image-text pair hygiene — the LAION-style pairing audit run
+    * before any (image, caption) corpus is trained on: per pair, (a)
+    * the caption gate (non-empty, at least `minCaptionTokens` tokens,
+    * not a bare URL), and (b) the duplicate-image view via the
+    * [[imageDHash]] fingerprint — how many pairs share this image and
+    * how many DISTINCT captions they carry. A duplicated image with
+    * many captions is the classic alt-text spam shape; one caption
+    * duplicated across images is benign.
+    *
+    * Scale shape: caption checks fold in-row; per-image counts are a
+    * dhash-keyed aggregate equi-joined back (the hot-key discipline —
+    * a viral image is a Zipfian fingerprint), and distinct captions
+    * count via the (hash, caption-sig)-distinct two-step, never a
+    * collect_set that grows with the hot group. */
+  def pairHygiene(pairs: DataFrame, idCol: String, binCol: String,
+                  captionCol: String,
+                  minCaptionTokens: Int = 3): DataFrame = {
+    val hashes = imageDHash(pairs, idCol, binCol)
+    val caps = pairs.select(col(idCol),
+        coalesce(col(captionCol), lit("")).as("__cap"))
+      .select(col(idCol),
+        substring(md5(col("__cap")), 1, 16).as("__capsig"),
+        (length(trim(col("__cap"))) > 0 &&
+          size(split(col("__cap"), " ")) >= minCaptionTokens &&
+          !col("__cap").rlike("^https?://[^ ]*$")).as("caption_ok"))
+    val joined = hashes.join(caps, Seq(idCol))
+    val sameImage = joined.filter(col("decoded"))
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_same_image"))
+    val distinctCaps = joined.filter(col("decoded"))
+      .select(col("dhash_hi"), col("dhash_lo"), col("__capsig"))
+      .distinct()
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_distinct_captions"))
+    joined
+      .join(sameImage, Seq("dhash_hi", "dhash_lo"), "left")
+      .join(distinctCaps, Seq("dhash_hi", "dhash_lo"), "left")
+      .select(col(idCol), col("decoded"), col("dhash_hi"),
+        col("dhash_lo"), col("caption_ok"),
+        coalesce(col("n_same_image"), lit(0L)).as("n_same_image"),
+        coalesce(col("n_distinct_captions"), lit(0L))
+          .as("n_distinct_captions"))
+      .withColumn("caption_conflict", col("n_distinct_captions") > 1L)
+      .withColumn("keep", col("decoded") && col("caption_ok"))
+  }
+
   /** EXIF metadata extraction ([[ExifCodec]]): IFD0 make / model /
     * orientation / datetime plus the GPS-IFD presence flag — the
     * location-PII gate image curation needs BEFORE pixels are ever

@@ -774,4 +774,37 @@ object SimilarityOps {
       .filter(col("__rn") <= k)
       .withColumnRenamed("__rn", "rank")
   }
+
+  /** Embedding health audit — the data-quality gate BEFORE any vector
+    * lands in an ANN index: dimension count, L2 norm (micro, floored
+    * once), the zero vector, non-finite components (NaN/Inf from a
+    * broken encoder batch — detected via the portable `x - x != 0`
+    * identity, true exactly for NaN and ±Inf), and the
+    * degenerate-norm flag (a near-zero norm makes cosine meaningless
+    * and collapses IVF training). [[centroidOutliers]] finds
+    * CONTENT anomalies; this finds BROKEN vectors — both run, this
+    * one first.
+    *
+    * Scale shape: pure projection — the squared-sum fold and every
+    * flag are in-row; zero shuffle. */
+  def embeddingHealth(emb: DataFrame, idCol: String, vecCol: String,
+                      degenerateMicro: Long = 1000L): DataFrame = {
+    val v = col(vecCol)
+    val nonfinite = size(filter(v,
+      x => !(x - x === lit(0f)))) > 0
+    val ss = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    emb.select(col(idCol),
+        size(v).cast("long").as("n_dims"),
+        nonfinite.as("has_nonfinite"), ss.as("__ss"))
+      .withColumn("norm_micro",
+        when(col("has_nonfinite"), lit(-1L))
+          .otherwise(floor(lit(1000000.0) * sqrt(col("__ss")))
+            .cast("long")))
+      .select(col(idCol), col("n_dims"), col("norm_micro"),
+        (!col("has_nonfinite") && col("__ss") === 0.0).as("is_zero"),
+        col("has_nonfinite"),
+        (!col("has_nonfinite") &&
+          col("norm_micro") < degenerateMicro).as("is_degenerate"))
+  }
 }

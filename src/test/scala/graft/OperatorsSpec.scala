@@ -4735,6 +4735,68 @@ class OperatorsSpec extends AnyFunSuite {
       s"corrupt notebook row: ${got(2)}")
   }
 
+  test("pairHygiene: duplicate images aggregate distinct captions, " +
+      "caption gate, undecoded arm") {
+    import graft.operators.{ImageCodecs, MultimodalOps}
+    val spark2 = spark
+    import spark2.implicits._
+    // non-monotonic gradient (the q83 fixture family): a simple
+    // x-linear ramp makes EVERY image hash to all-ones
+    def img(seed: Int) = ImageCodecs.pngBytesWithPixels(9, 8, 0, 0) {
+      (x, y, _) =>
+        ((seed + 1) * (x + 2) * (y + 3) + seed * x * x + y * 7) % 256
+    }
+    val rows = Seq(
+      (1L, img(1), "a clear photo of a mountain lake"),
+      (2L, img(1), "totally different caption for same pixels"),
+      (3L, img(1), "a clear photo of a mountain lake"), // dup caption
+      (4L, img(2), "unique image with a good caption"),
+      (5L, img(3), "http://spam.example/click"),
+      (6L, "junk".getBytes("US-ASCII"), "caption on a broken image"))
+    val pairs = rows.toDF("pair_id", "media", "caption")
+    val got = MultimodalOps.pairHygiene(pairs, "pair_id", "media",
+      "caption").orderBy("pair_id").collect()
+    assert(got(0).getAs[Long]("n_same_image") == 3L &&
+      got(0).getAs[Long]("n_distinct_captions") == 2L &&
+      got(0).getAs[Boolean]("caption_conflict"),
+      s"dup image, 2 distinct captions: ${got(0)}")
+    assert(got(3).getAs[Long]("n_same_image") == 1L &&
+      !got(3).getAs[Boolean]("caption_conflict") &&
+      got(3).getAs[Boolean]("keep"))
+    assert(!got(4).getAs[Boolean]("caption_ok") &&
+      !got(4).getAs[Boolean]("keep"), "bare URL caption gates out")
+    assert(!got(5).getAs[Boolean]("decoded") &&
+      got(5).getAs[Long]("n_same_image") == 0L &&
+      !got(5).getAs[Boolean]("keep"), s"broken image row: ${got(5)}")
+  }
+
+  test("embeddingHealth: exact norms, zero vector, NaN and Inf " +
+      "components flag non-finite") {
+    import graft.operators.SimilarityOps
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = Seq(
+      (1L, Array(3f, 4f)),                       // norm 5
+      (2L, Array(0f, 0f)),                       // zero
+      (3L, Array(Float.NaN, 1f)),                // NaN
+      (4L, Array(Float.PositiveInfinity, 1f)),   // Inf
+      (5L, Array(0.0005f, 0f))                   // degenerate norm
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.embeddingHealth(emb, "vec_id",
+      "embedding").orderBy("vec_id").collect()
+    assert(got(0).getAs[Long]("norm_micro") == 5000000L &&
+      !got(0).getAs[Boolean]("is_degenerate"))
+    assert(got(1).getAs[Boolean]("is_zero") &&
+      got(1).getAs[Boolean]("is_degenerate"))
+    assert(got(2).getAs[Boolean]("has_nonfinite") &&
+      got(2).getAs[Long]("norm_micro") == -1L &&
+      !got(2).getAs[Boolean]("is_zero"))
+    assert(got(3).getAs[Boolean]("has_nonfinite"),
+      "Inf - Inf = NaN != 0 must flag")
+    assert(got(4).getAs[Boolean]("is_degenerate") &&
+      !got(4).getAs[Boolean]("is_zero"))
+  }
+
   test("ExifCodec roundtrips both byte orders; GPS flag, truncation " +
       "and bad magic reject") {
     import graft.operators.ExifCodec
