@@ -2534,7 +2534,7 @@ object SparkEntry {
         when(col("doc_id") % 13 === 4, lit(""))
           .when(col("doc_id") % 13 === 5, lit("http://x.com/a"))
           .when(col("doc_id") % 13 === 6, lit("two words"))
-          .otherwise(col("text")).as("caption"))
+          .otherwise(coalesce(col("text"), lit(""))).as("caption"))
       val pairs = dhashMedia(s, dir).join(caps, Seq("doc_id"))
       MultimodalOps.pairHygiene(pairs, "doc_id", "media", "caption")
         .orderBy(col("doc_id"))
@@ -2700,7 +2700,7 @@ object SparkEntry {
     // two must-not-match plants (lowercase street, PO box).
     "q238_street_addresses" -> ((s, dir) => {
       val injected = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
+        concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 7 === 0,
             lit(" Visit 123 Main Street for details"))
             .when(col("doc_id") % 7 === 1,
@@ -4804,26 +4804,43 @@ object SparkEntry {
     * n_header_removed)`. Deliberately margin-free and with no line
     * beginning in `|` (it is concatenated INSIDE the callers'
     * stripMargin regions — the q163 helper-pipe-eating trap). */
+  /** q238's street-address regex as one shared SQL-literal fragment
+    * (single line, no margin pipes — interpolated inside a
+    * stripMargin region). Matches the operator's pattern verbatim. */
+  private val AddressReSql: String =
+    "\\b[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? " +
+      "(Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive" +
+      "|Dr|Court|Ct|Place|Pl|Way)\\b(, [A-Z][a-z]+, [A-Z]{2} " +
+      "[0-9]{5})?"
+
   private val PageFurnitureCtesSql: String =
     "lns AS (\n" +
       "  SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS ls\n" +
       "  FROM injected),\n" +
+      // match key = CR stripped + trimmed, mirroring the operator's
+      // engine-portable normalization (RE2 `$` would not match before
+      // a trailing \r; Java would)
       "furn AS (\n" +
       "  SELECT doc_id, ls,\n" +
-      "    list_filter(ls, l -> regexp_matches(trim(l),\n" +
+      "    list_filter(ls, l -> regexp_matches(\n" +
+      "      trim(replace(l, chr(13), '')),\n" +
       "      '^(Page |page )?[0-9]{1,4}( of [0-9]{1,4})?$" +
       "|^- ?[0-9]{1,4} ?-$')) AS pn,\n" +
-      "    list_filter(ls, l -> NOT regexp_matches(trim(l),\n" +
+      "    list_filter(ls, l -> NOT regexp_matches(\n" +
+      "      trim(replace(l, chr(13), '')),\n" +
       "      '^(Page |page )?[0-9]{1,4}( of [0-9]{1,4})?$" +
       "|^- ?[0-9]{1,4} ?-$')\n" +
-      "      AND length(trim(l)) BETWEEN 1 AND 60\n" +
-      "      AND len(list_filter(ls, x -> trim(x) = trim(l))) >= 3)\n" +
+      "      AND length(trim(replace(l, chr(13), '')))" +
+      " BETWEEN 1 AND 60\n" +
+      "      AND len(list_filter(ls, x -> trim(replace(x, chr(13)," +
+      " '')) = trim(replace(l, chr(13), '')))) >= 3)\n" +
       "      AS hdr\n" +
       "  FROM lns),\n" +
       "strip AS (\n" +
       "  SELECT doc_id,\n" +
       "    coalesce(array_to_string(list_filter(ls,\n" +
-      "      l -> NOT regexp_matches(trim(l),\n" +
+      "      l -> NOT regexp_matches(\n" +
+      "        trim(replace(l, chr(13), '')),\n" +
       "        '^(Page |page )?[0-9]{1,4}( of [0-9]{1,4})?$" +
       "|^- ?[0-9]{1,4} ?-$')\n" +
       "        AND NOT list_contains(hdr, l)), chr(10)), '')\n" +
@@ -8789,7 +8806,7 @@ ORDER BY rank LIMIT 6"""),
         |    CASE WHEN doc_id % 13 = 4 THEN ''
         |    WHEN doc_id % 13 = 5 THEN 'http://x.com/a'
         |    WHEN doc_id % 13 = 6 THEN 'two words'
-        |    ELSE text END AS cap
+        |    ELSE coalesce(text, '') END AS cap
         |  FROM documents),
         |j AS (
         |  SELECT h.doc_id, h.dhash_hi, h.dhash_lo,
@@ -9060,13 +9077,13 @@ ORDER BY rank LIMIT 6"""),
         |  SELECT doc_id,
         |    list_transform(bs, b -> trim(regexp_replace(
         |      regexp_replace(b, '<[^>]*>', ' ', 'g'),
-        |      '\s+', ' ', 'g'))) AS txts,
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS txts,
         |    list_transform(bs, b -> coalesce(list_sum(
         |      list_transform(regexp_extract_all(b,
         |        '(?is)<a [^>]*>.*?</a>', 0),
         |        a -> length(trim(regexp_replace(regexp_replace(a,
-        |          '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))),
-        |      0)::BIGINT) AS links
+        |          '<[^>]*>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ',
+        |          'g'))))), 0)::BIGINT) AS links
         |  FROM blk),
         |kept AS (
         |  SELECT doc_id,
@@ -9086,10 +9103,11 @@ ORDER BY rank LIMIT 6"""),
         |    AS main_chars
         |FROM kept ORDER BY doc_id""".stripMargin,
 
-    // One boundary-anchored RE2 pattern (no lookarounds), global
-    // replace + count from the same pattern.
+    // One boundary-anchored RE2 pattern (no lookarounds), written
+    // ONCE and interpolated into both the replace and the count;
+    // has_address derives from n_addresses.
     "q238_street_addresses" ->
-      """WITH injected AS (
+      (s"""WITH injected AS (
         |  SELECT doc_id, coalesce(text, '') ||
         |    CASE WHEN doc_id % 7 = 0 THEN
         |      ' Visit 123 Main Street for details'
@@ -9098,18 +9116,17 @@ ORDER BY rank LIMIT 6"""),
         |    WHEN doc_id % 7 = 2 THEN ' 99999 lowercase street'
         |    WHEN doc_id % 7 = 3 THEN ' PO Box 12'
         |    ELSE '' END AS t
-        |  FROM documents)
-        |SELECT doc_id,
-        |  substr(md5(regexp_replace(t,
-        |    '\b[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? (Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl|Way)\b(, [A-Z][a-z]+, [A-Z]{2} [0-9]{5})?',
-        |    '<ADDRESS>', 'g')), 1, 16) AS scrub_sig,
-        |  len(regexp_extract_all(t,
-        |    '\b[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? (Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl|Way)\b(, [A-Z][a-z]+, [A-Z]{2} [0-9]{5})?',
-        |    0))::BIGINT AS n_addresses,
-        |  len(regexp_extract_all(t,
-        |    '\b[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? (Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl|Way)\b(, [A-Z][a-z]+, [A-Z]{2} [0-9]{5})?',
-        |    0)) > 0 AS has_address
-        |FROM injected ORDER BY doc_id""".stripMargin,
+        |  FROM documents),
+        |scr AS (
+        |  SELECT doc_id,
+        |    substr(md5(regexp_replace(t, '$AddressReSql',
+        |      '<ADDRESS>', 'g')), 1, 16) AS scrub_sig,
+        |    len(regexp_extract_all(t, '$AddressReSql',
+        |      0))::BIGINT AS n_addresses
+        |  FROM injected)
+        |SELECT doc_id, scrub_sig, n_addresses,
+        |  n_addresses > 0 AS has_address
+        |FROM scr ORDER BY doc_id""").stripMargin,
 
     // Page-number grammar + within-doc repeated short lines, raw-line
     // removal against the trim-matched header set.

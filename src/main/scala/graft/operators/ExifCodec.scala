@@ -72,12 +72,18 @@ object ExifCodec {
     val md = model.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
     val dt = dateTime.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
     val nEntries = if (gps) 5 else 4
-    // IFD0 starts at 8; data area follows entries + next-IFD pointer
+    // IFD0 starts at 8; data area follows entries + next-IFD pointer.
+    // Values of <= 4 bytes inline in the entry slot and consume NO
+    // data-area space — appending them anyway would leave orphan
+    // bytes no real camera layout carries.
     val dataStart = 8 + 2 + nEntries * 12 + 4
     var dataOff = dataStart
-    val mkOff = { val o = dataOff; dataOff += mk.length; o }
-    val mdOff = { val o = dataOff; dataOff += md.length; o }
-    val dtOff = { val o = dataOff; dataOff += dt.length; o }
+    def claim(v: Array[Byte]): Int =
+      if (v.length <= 4) 0
+      else { val o = dataOff; dataOff += v.length; o }
+    val mkOff = claim(mk)
+    val mdOff = claim(md)
+    val dtOff = claim(dt)
     val gpsOff = dataOff // GPS IFD (if present) lands after strings
 
     w16(nEntries)
@@ -96,7 +102,9 @@ object ExifCodec {
     asciiEntry(0x0132, dt, dtOff)
     if (gps) { w16(0x8825); w16(4); w32(1); w32(gpsOff) }
     w32(0) // next IFD
-    buf ++= mk; buf ++= md; buf ++= dt
+    if (mk.length > 4) buf ++= mk
+    if (md.length > 4) buf ++= md
+    if (dt.length > 4) buf ++= dt
     if (gps) {
       // minimal GPS IFD: one GPSVersionID entry (BYTE x4, inline)
       w16(1)

@@ -664,17 +664,15 @@ object MultimodalOps {
           size(split(col("__cap"), " ")) >= minCaptionTokens &&
           !col("__cap").rlike("^https?://[^ ]*$")).as("caption_ok"))
     val joined = hashes.join(caps, Seq(idCol))
-    val sameImage = joined.filter(col("decoded"))
+    // one aggregation, one join-back: count(DISTINCT capsig) plans as
+    // the same expand + two-stage partial aggregate the two-step
+    // would, without a second shuffle + join on the hot dhash key
+    val perImage = joined.filter(col("decoded"))
       .groupBy(col("dhash_hi"), col("dhash_lo"))
-      .agg(count(lit(1)).as("n_same_image"))
-    val distinctCaps = joined.filter(col("decoded"))
-      .select(col("dhash_hi"), col("dhash_lo"), col("__capsig"))
-      .distinct()
-      .groupBy(col("dhash_hi"), col("dhash_lo"))
-      .agg(count(lit(1)).as("n_distinct_captions"))
+      .agg(count(lit(1)).as("n_same_image"),
+        countDistinct(col("__capsig")).as("n_distinct_captions"))
     joined
-      .join(sameImage, Seq("dhash_hi", "dhash_lo"), "left")
-      .join(distinctCaps, Seq("dhash_hi", "dhash_lo"), "left")
+      .join(perImage, Seq("dhash_hi", "dhash_lo"), "left")
       .select(col(idCol), col("decoded"), col("dhash_hi"),
         col("dhash_lo"), col("caption_ok"),
         coalesce(col("n_same_image"), lit(0L)).as("n_same_image"),
@@ -787,11 +785,15 @@ object MultimodalOps {
             AudioCodecs.parseWav(bytes) match {
               case Some(a) if a.nFrames > 0 =>
                 val ch = a.channels
+                // the threshold is in the 16-bit domain; 8-bit
+                // samples scale up by 256 before comparing, so the
+                // same loudness gates identically at either depth
+                val scale = if (a.bitsPerSample == 8) 256 else 1
                 def silent(f: Int): Boolean = {
                   var c = 0
                   var mx = 0
                   while (c < ch) {
-                    val s = a.samples(f * ch + c)
+                    val s = a.samples(f * ch + c) * scale
                     val v = if (s < 0) -s else s
                     if (v > mx) mx = v
                     c += 1

@@ -3016,9 +3016,11 @@ object TextAnalysisOps {
   def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
                   minBlockChars: Int = 30,
                   maxLinkMilli: Long = 333L): DataFrame = {
+    // explicit whitespace class: Java \s and RE2 \s disagree on \x0B,
+    // and the oracle runs RE2 — spell the class out on both sides
     val stripWs = (c: Column) =>
       trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "),
-        "\\s+", " "))
+        "[ \\t\\n\\x0B\\f\\r]+", " "))
     val blockText = (b: Column) => stripWs(b)
     val anchorChars = (b: Column) =>
       aggregate(
@@ -3094,15 +3096,21 @@ object TextAnalysisOps {
     val pageNumRe =
       "^(Page |page )?[0-9]{1,4}( of [0-9]{1,4})?$|^- ?[0-9]{1,4} ?-$"
     val lines = split(coalesce(col(textCol), lit("")), "\n")
-    val isPageNum = (l: Column) => trim(l).rlike(pageNumRe)
+    // match key: CR stripped + trimmed. CRLF text leaves a trailing
+    // \r on every split line, and Java's `$` would match before it
+    // while RE2's (the oracle) would not — normalizing the KEY keeps
+    // the grammar engine-portable and lets "hdr\r\n" repeats match
+    // their "hdr\n" twins; removal still drops the raw line
+    val norm = (l: Column) => trim(regexp_replace(l, "\r", ""))
+    val isPageNum = (l: Column) => norm(l).rlike(pageNumRe)
     // column-preserving, like [[dehyphenate]], so the two PDF repairs
     // chain without join-backs
     docs.withColumn("__l", lines)
       .withColumn("__pn", filter(col("__l"), l => isPageNum(l)))
       .withColumn("__hdr", filter(col("__l"), l =>
         !isPageNum(l) &&
-          length(trim(l)) >= 1 && length(trim(l)) <= 60 &&
-          size(filter(col("__l"), x => trim(x) === trim(l)))
+          length(norm(l)) >= 1 && length(norm(l)) <= 60 &&
+          size(filter(col("__l"), x => norm(x) === norm(l)))
             >= minRepeat))
       .withColumn("n_lines", size(col("__l")).cast("long"))
       .withColumn("n_pagenum_removed", size(col("__pn")).cast("long"))

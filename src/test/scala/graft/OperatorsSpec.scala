@@ -4868,6 +4868,16 @@ class OperatorsSpec extends AnyFunSuite {
       got(1).getAs[Long]("leading_silence_ms") == 8L &&
       got(1).getAs[Long]("trailing_silence_ms") == 0L,
       s"all-silent: lead=n, trail=0: ${got(1)}")
+    // 8-bit WAV: amplitude 90 of 127 is ~70% full scale — LOUD; the
+    // 16-bit-domain threshold must scale, not mute the whole clip
+    val wav8 = AudioCodecs.wavBytes(10, 1, 1000, 8)((f, _) =>
+      if (f < 2) 0 else 90)
+    val got8 = MultimodalOps.audioSilence(
+      Seq((1L, wav8)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect()(0)
+    assert(got8.getAs[Long]("n_silent") == 2L &&
+      got8.getAs[Long]("leading_silence_ms") == 2L,
+      s"8-bit loudness must not read as silence: $got8")
   }
 
   test("mainContent keeps prose blocks, drops link-dense nav and " +
@@ -4921,7 +4931,10 @@ class OperatorsSpec extends AnyFunSuite {
     val doc = "ACME Report\nalpha content\nPage 1 of 3\n" +
       "ACME Report\nbeta content\n2\nACME Report\n- 3 -\ngamma end"
     val docs = Seq((1L, doc),
-      (2L, "once-only header\nbody text\nonce-only header")).toDF(
+      (2L, "once-only header\nbody text\nonce-only header"),
+      // CRLF: the trailing \r must not defeat the page-number
+      // grammar or split the header group from its LF twins
+      (3L, "hdr\r\n2\r\nbody line\nhdr\nmore text\nhdr")).toDF(
       "doc_id", "text")
     val got = TextAnalysisOps.pageFurnitureStrip(docs, "doc_id",
       "text").orderBy("doc_id").collect()
@@ -4931,6 +4944,10 @@ class OperatorsSpec extends AnyFunSuite {
       got(0).getAs[Long]("n_header_removed") == 3L)
     assert(got(1).getAs[Long]("n_header_removed") == 0L,
       "a twice-repeated line stays below the minRepeat=3 bar")
+    assert(got(2).getAs[Long]("n_pagenum_removed") == 1L &&
+      got(2).getAs[Long]("n_header_removed") == 3L &&
+      got(2).getAs[String]("text") == "body line\nmore text",
+      s"CRLF row: ${got(2)}")
   }
 
   test("pdf clean chain: furniture strip then dehyphenate repairs " +
