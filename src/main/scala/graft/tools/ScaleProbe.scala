@@ -261,6 +261,28 @@ object ScaleProbe {
               lit("def f ( x ) { return x + 1 }"))
               .otherwise(col("text"))),
           "doc_id", "text"))
+      // a viral image in 50% of pairs: one hot dhash; counts must
+      // combine map-side, the join-back AQE-splittable — and the
+      // distinct-caption side must ride the expand two-stage plan,
+      // never a per-group set
+      time(s"pairHygiene SKEW x$n (one image in 50% of pairs)") {
+        import graft.operators.ImageCodecs
+        val spark2 = spark
+        import spark2.implicits._
+        val pairs = docs.select(col("doc_id"), col("text")).as[(Long,
+            String)]
+          .map { case (id, text) =>
+            val seed = if (id % 2 == 0) 1 else (id % 25).toInt + 2
+            val img = ImageCodecs.pngBytesWithPixels(9, 8, 0, 0) {
+              (x, y, _) =>
+                ((seed + 1) * (x + 2) * (y + 3) + seed * x * x +
+                  y * 7) % 256
+            }
+            (id, img, if (text == null) "" else text)
+          }.toDF("doc_id", "media", "caption")
+        graft.operators.MultimodalOps.pairHygiene(pairs, "doc_id",
+          "media", "caption")
+      }
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

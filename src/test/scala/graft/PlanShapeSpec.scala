@@ -328,6 +328,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q135 winner must combine map-side:\n$p")
   }
 
+  test("q230/q244: clone classes and pair hygiene aggregate map-side " +
+      "on their content keys and equi-join back — no window, no " +
+      "cartesian") {
+    Seq("q230_code_clones", "q244_pair_hygiene").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not window over a content key:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not go cartesian:\n$p")
+      assert(p.contains("HashAggregate") ||
+          p.contains("ObjectHashAggregate"),
+        s"$q counts must be partial aggregates:\n$p")
+    }
+  }
+
   test("q217/q222: dup primaries and stitch sigs aggregate map-side " +
       "and equi-join back — no window over a content signature") {
     Seq("q217_source_dup_report", "q222_pagination_stitch").foreach {
