@@ -2524,6 +2524,69 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL templates (q246): a calendar generator and a hex session-id
+    // echo (both traps) vs a 7-page site (not a trap); duplicates
+    // must not count (distinct instantiations only).
+    "q246_url_templates" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("http://trap.com/calendar/2020/"),
+            col("doc_id").cast("string")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("http://ok.com/page"),
+              (col("doc_id") % 7).cast("string")))
+          .otherwise(concat(lit("http://s.com/item/"),
+            substring(md5(col("doc_id").cast("string")), 1, 12)))
+          .as("url"))
+      UrlOps.urlTemplates(urls, "url")
+        .orderBy(col("host"), col("path_template"))
+    }),
+
+    // Dedup threshold curve (q247): the q32 verified pairs swept over
+    // six candidate cuts — zero-survivor thresholds still report.
+    "q247_dedup_curve" -> ((s, dir) => {
+      val pairs = DedupOps.minhashCandidates(t(s, dir, "documents"),
+        "doc_id", "text")
+      DedupOps.thresholdCurve(pairs, "id_a", "id_b", "jaccard",
+        Seq(100L, 200L, 400L, 600L, 800L, 950L))
+        .orderBy(col("threshold_milli"))
+    }),
+
+    // Quality-length correlation (q248): exact decimal moment sums,
+    // one float expression per source — the "is the signal just
+    // length?" audit on (tokens, distinct tokens).
+    "q248_quality_length_corr" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(col("source"),
+          split(coalesce(col("text"), lit("")), " ").as("__t"))
+        .select(col("source"), size(col("__t")).as("__nt"),
+          size(array_distinct(col("__t"))).as("__nd"))
+      DistributionOps.pearsonCorr(m, "source", col("__nt"),
+        col("__nd"))
+        .orderBy(col("source"))
+    }),
+
+    // Column type inference (q249): a 5-column CSV built per doc —
+    // int / decimal / date / bool / string columns, an empty-cell
+    // slice, and a 'yes' pollution slice the bool majority absorbs.
+    "q249_column_types" -> ((s, dir) => {
+      val i = (k: Int) => (col("doc_id") * 3 + k).cast("string")
+      def row(k: Int) = concat(
+        i(k), lit(","),
+        when(col("doc_id") % 11 === 3 && lit(k) === 1, lit(""))
+          .otherwise(concat(((col("doc_id") + k) % 100).cast("string"),
+            lit("."), (col("doc_id") % 10).cast("string"))),
+        lit(",2021-03-1"), lit(k.toString), lit(","),
+        when(col("doc_id") % 13 === 6 && lit(k) === 2, lit("yes"))
+          .otherwise(when((col("doc_id") + k) % 2 === 0, lit("true"))
+            .otherwise(lit("false"))),
+        lit(",n"), col("doc_id").cast("string"))
+      val csv = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("id,price,when,flag,name\n"),
+          row(0), lit("\n"), row(1), lit("\n"), row(2)).as("csv"))
+      TextAnalysisOps.delimitedColumnTypes(csv, "doc_id", "csv")
+        .orderBy(col("doc_id"), col("col_idx"))
+    }),
+
     // Pair hygiene (q244): the q83 dHash fixture repurposed as an
     // (image, caption) corpus — ids sharing (gradient, parity) are
     // pixel-identical, so duplicate-image groups with DISTINCT
@@ -8796,6 +8859,168 @@ ORDER BY rank LIMIT 6"""),
         |    '') AS names_found,
         |  len(h) > 0 AS has_person_name
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    // The fixture URLs are pre-canonical (lowercase scheme/host, no
+    // ports/fragments/tracking params — the q77 oracle covers the
+    // canonicalize chain itself), so the twin templates the raw urls:
+    // hex runs to H first, then digit runs to N, DISTINCT counts.
+    "q246_url_templates" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'http://trap.com/calendar/2020/' || doc_id::VARCHAR
+        |    WHEN doc_id % 3 = 1 THEN
+        |      'http://ok.com/page' || (doc_id % 7)::VARCHAR
+        |    ELSE 'http://s.com/item/'
+        |      || substr(md5(doc_id::VARCHAR), 1, 12) END AS u
+        |  FROM documents),
+        |tpl AS (
+        |  SELECT u,
+        |    lower(regexp_extract(u, 'https?://([^/:?#]+)', 1)) AS host,
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(u, '^https?://[^/]*', ''),
+        |      '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g')
+        |      AS path_template
+        |  FROM urls)
+        |SELECT host, path_template,
+        |  count(DISTINCT u)::BIGINT AS n_urls,
+        |  min(u) AS sample_url,
+        |  count(DISTINCT u) >= 20 AS is_trap
+        |FROM tpl GROUP BY host, path_template
+        |ORDER BY host, path_template""".stripMargin,
+
+    // The q32 minhash chain's verified pairs crossed with the literal
+    // threshold list; doc counts via the distinct-explode two-step.
+    "q247_dedup_curve" -> (
+      "WITH " + minhashCtesSql + """,
+        |th AS (
+        |  SELECT unnest([100, 200, 400, 600, 800, 950])
+        |    AS threshold_milli),
+        |surv AS (
+        |  SELECT t.threshold_milli, j.id_a, j.id_b
+        |  FROM j, th t WHERE j.jaccard * 1000.0 >= t.threshold_milli),
+        |pc AS (
+        |  SELECT threshold_milli, count(*)::BIGINT AS n_pairs
+        |  FROM surv GROUP BY threshold_milli),
+        |dc AS (
+        |  SELECT threshold_milli, count(*)::BIGINT AS n_docs_in_pairs
+        |  FROM (SELECT DISTINCT threshold_milli, d FROM (
+        |    SELECT threshold_milli, unnest([id_a, id_b]) AS d
+        |    FROM surv))
+        |  GROUP BY threshold_milli)
+        |SELECT t.threshold_milli::BIGINT AS threshold_milli,
+        |  coalesce(pc.n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(dc.n_docs_in_pairs, 0)::BIGINT AS n_docs_in_pairs
+        |FROM th t
+        |LEFT JOIN pc ON pc.threshold_milli = t.threshold_milli
+        |LEFT JOIN dc ON dc.threshold_milli = t.threshold_milli
+        |ORDER BY t.threshold_milli""").stripMargin,
+
+    // HUGEINT moment sums mirroring Spark's DECIMAL(38,0) exactly;
+    // one double expression per source at the end.
+    "q248_quality_length_corr" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    len(string_split(coalesce(text, ''), ' ')) AS x,
+        |    len(list_distinct(string_split(coalesce(text, ''), ' ')))
+        |      AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*)::HUGEINT AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+        |    sum(x::HUGEINT * x::HUGEINT) AS sxx,
+        |    sum(y::HUGEINT * y::HUGEINT) AS syy
+        |  FROM m GROUP BY source)
+        |SELECT source, n::BIGINT AS n,
+        |  (CASE WHEN (n * sxx - sx * sx)::DOUBLE *
+        |      (n * syy - sy * sy)::DOUBLE > 0.0 THEN
+        |    floor(1000000.0 * (n * sxy - sx * sy)::DOUBLE /
+        |      sqrt((n * sxx - sx * sx)::DOUBLE *
+        |        (n * syy - sy * sy)::DOUBLE))
+        |  ELSE 0 END)::BIGINT AS corr_micro
+        |FROM a ORDER BY source""".stripMargin,
+
+    // The same 5-column CSV rebuilt in SQL, cells classified with the
+    // identical grammar, majority with the narrower-type-wins order.
+    "q249_column_types" ->
+      """WITH built AS (
+        |  SELECT doc_id, 'id,price,when,flag,name' || chr(10) ||
+        |    (doc_id * 3)::VARCHAR || ',' ||
+        |    (CASE WHEN FALSE THEN '' ELSE
+        |      ((doc_id + 0) % 100)::VARCHAR || '.' ||
+        |      (doc_id % 10)::VARCHAR END) ||
+        |    ',2021-03-10,' ||
+        |    (CASE WHEN (doc_id + 0) % 2 = 0 THEN 'true'
+        |      ELSE 'false' END) || ',n' || doc_id::VARCHAR ||
+        |    chr(10) ||
+        |    (doc_id * 3 + 1)::VARCHAR || ',' ||
+        |    (CASE WHEN doc_id % 11 = 3 THEN '' ELSE
+        |      ((doc_id + 1) % 100)::VARCHAR || '.' ||
+        |      (doc_id % 10)::VARCHAR END) ||
+        |    ',2021-03-11,' ||
+        |    (CASE WHEN (doc_id + 1) % 2 = 0 THEN 'true'
+        |      ELSE 'false' END) || ',n' || doc_id::VARCHAR ||
+        |    chr(10) ||
+        |    (doc_id * 3 + 2)::VARCHAR || ',' ||
+        |    (CASE WHEN FALSE THEN '' ELSE
+        |      ((doc_id + 2) % 100)::VARCHAR || '.' ||
+        |      (doc_id % 10)::VARCHAR END) ||
+        |    ',2021-03-12,' ||
+        |    (CASE WHEN doc_id % 13 = 6 THEN 'yes' ELSE
+        |      CASE WHEN (doc_id + 2) % 2 = 0 THEN 'true'
+        |        ELSE 'false' END END) || ',n' || doc_id::VARCHAR
+        |    AS csv
+        |  FROM documents),
+        |lns AS (
+        |  SELECT doc_id, string_split(csv, chr(10)) AS ls
+        |  FROM built),
+        |rows_ AS (
+        |  SELECT doc_id, string_split(ls[li], ',') AS cs
+        |  FROM lns, UNNEST(range(1, len(ls) + 1)) AS u(li)
+        |  WHERE li >= 2),
+        |cell AS (
+        |  SELECT doc_id, (ci - 1)::INT AS col_idx, cs[ci] AS c
+        |  FROM rows_, UNNEST(range(1, len(cs) + 1)) AS u2(ci)),
+        |k AS (
+        |  SELECT doc_id, col_idx,
+        |    CASE WHEN c = '' THEN 'empty'
+        |    WHEN regexp_matches(c, '^[+-]?[0-9]+$') THEN 'int'
+        |    WHEN regexp_matches(c, '^[+-]?[0-9]+\.[0-9]+$')
+        |      THEN 'decimal'
+        |    WHEN regexp_matches(c, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        |      THEN 'date'
+        |    WHEN c IN ('true', 'false') THEN 'bool'
+        |    ELSE 'string' END AS k
+        |  FROM cell),
+        |agg AS (
+        |  SELECT doc_id, col_idx, count(*)::BIGINT AS n_cells,
+        |    sum(CASE WHEN k = 'int' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_int,
+        |    sum(CASE WHEN k = 'decimal' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_decimal,
+        |    sum(CASE WHEN k = 'date' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_date,
+        |    sum(CASE WHEN k = 'bool' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_bool,
+        |    sum(CASE WHEN k = 'empty' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_empty,
+        |    sum(CASE WHEN k = 'string' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_string
+        |  FROM k GROUP BY doc_id, col_idx),
+        |mx AS (
+        |  SELECT *, greatest(n_int, n_decimal, n_date, n_bool,
+        |    n_string) AS m
+        |  FROM agg)
+        |SELECT doc_id, col_idx, n_cells, n_int, n_decimal, n_date,
+        |  n_bool, n_empty, n_string,
+        |  CASE WHEN m = 0 THEN 'empty'
+        |    WHEN n_int = m THEN 'int'
+        |    WHEN n_decimal = m THEN 'decimal'
+        |    WHEN n_date = m THEN 'date'
+        |    WHEN n_bool = m THEN 'bool'
+        |    ELSE 'string' END AS inferred_type
+        |FROM mx ORDER BY doc_id, col_idx""".stripMargin,
 
     // The q83 dHash pixel chain + caption gate + per-hash counts with
     // the (hash, caption-sig)-distinct two-step.

@@ -1034,4 +1034,41 @@ object DedupOps {
       trainFrac, valFrac)
   }
 
+  /** Dedup-threshold sensitivity curve — the tuning table every
+    * near-dup deployment needs BEFORE committing a threshold: for
+    * each candidate cut, how many verified pairs survive and how many
+    * documents they touch. Sweeping θ on the verified-pair frame is
+    * one cheap rollup; re-running dedup per θ is a corpus pass each.
+    * Thresholds with ZERO surviving pairs still report (a silent gap
+    * reads as "not evaluated").
+    *
+    * Scale shape: pairs are candidate-sized (LSH-bounded), the
+    * threshold list is literal-sized and broadcast; the doc-side
+    * count is an explode(×2) + distinct bounded by pairs × |θ|. */
+  def thresholdCurve(pairs: DataFrame, aCol: String, bCol: String,
+                     scoreCol: String,
+                     thresholdsMilli: Seq[Long]): DataFrame = {
+    require(thresholdsMilli.nonEmpty, "at least one threshold")
+    val spark = pairs.sparkSession
+    val th = spark.range(1).select(
+      explode(array(thresholdsMilli.map(lit): _*))
+        .as("threshold_milli"))
+    val surv = pairs
+      .crossJoin(broadcast(th))
+      .filter(col(scoreCol) * 1000.0 >= col("threshold_milli"))
+    val pairCounts = surv.groupBy(col("threshold_milli"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = surv
+      .select(col("threshold_milli"),
+        explode(array(col(aCol), col(bCol))).as("__d"))
+      .distinct()
+      .groupBy(col("threshold_milli"))
+      .agg(count(lit(1)).as("n_docs_in_pairs"))
+    th.join(pairCounts, Seq("threshold_milli"), "left")
+      .join(docCounts, Seq("threshold_milli"), "left")
+      .select(col("threshold_milli"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_in_pairs"), lit(0L))
+          .as("n_docs_in_pairs"))
+  }
 }

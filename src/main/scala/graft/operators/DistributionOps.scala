@@ -112,4 +112,41 @@ object DistributionOps {
       .agg(min(col("v")).as("value"))
       .select(col("p"), col("value"))
   }
+
+  /** Per-group Pearson correlation of two integer metrics — the
+    * sanity check behind every quality signal ("is this classifier
+    * just measuring length?"): the five moment sums accumulate as
+    * EXACT DECIMAL(38,0) integers (order-free, overflow-safe past the
+    * Long range a 1e12-row corpus would hit), and only the final
+    * correlation touches floating point — one expression per group,
+    * floored to micro. Degenerate groups (constant x or y) report 0.
+    *
+    * Scale shape: one group-keyed map-side-combined aggregate over
+    * (group, x, y) rows; group-cardinality output. */
+  def pearsonCorr(df: DataFrame, groupCol: String, x: Column,
+                  y: Column): DataFrame = {
+    val xd = x.cast("long").cast("decimal(38,0)")
+    val yd = y.cast("long").cast("decimal(38,0)")
+    df.select(col(groupCol), xd.as("__x"), yd.as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select(col(groupCol), col("n"),
+        when(
+          (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double") *
+            (col("n") * col("__syy") - col("__sy") * col("__sy"))
+              .cast("double") > 0.0,
+          floor(lit(1000000.0) *
+            (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+              .cast("double") /
+            sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double") *
+              (col("n") * col("__syy") - col("__sy") * col("__sy"))
+                .cast("double"))).cast("long"))
+          .otherwise(0L).as("corr_micro"))
+  }
 }

@@ -2998,6 +2998,52 @@ object TextAnalysisOps {
       .withColumn("is_code", col("code_score_milli") >= 250L)
   }
 
+  /** Delimited-column type inference — the ingestion step after the
+    * q192 structure profile: classify every cell of a delimited
+    * document (int / decimal / ISO date / bool / empty / string) and
+    * infer each column's type as the majority class among non-empty
+    * cells, ties broken by the fixed class order (int, decimal, date,
+    * bool, string — the narrower type wins). The header row is
+    * skipped when `hasHeader`. An all-empty column infers `empty`.
+    *
+    * Scale shape: two in-row explodes (lines × cells, bounded by
+    * document size) into a (doc, col_idx)-keyed map-side-combined
+    * aggregate — output is documents × columns. */
+  def delimitedColumnTypes(docs: DataFrame, idCol: String,
+                           textCol: String, delim: String = ",",
+                           hasHeader: Boolean = true): DataFrame = {
+    val cellClass =
+      when(col("__c") === "", "empty")
+        .when(col("__c").rlike("^[+-]?[0-9]+$"), "int")
+        .when(col("__c").rlike("^[+-]?[0-9]+\\.[0-9]+$"), "decimal")
+        .when(col("__c").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+        .when(col("__c").isin("true", "false"), "bool")
+        .otherwise("string")
+    def cnt(k: String) =
+      sum(when(col("__k") === k, 1L).otherwise(0L)).as("n_" + k)
+    val counted = docs
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__li", "__line")))
+      .filter(if (hasHeader) col("__li") >= 1 else lit(true))
+      .select(col(idCol),
+        posexplode(split(col("__line"), java.util.regex.Pattern
+          .quote(delim))).as(Seq("col_idx", "__c")))
+      .withColumn("__k", cellClass)
+      .groupBy(col(idCol), col("col_idx"))
+      .agg(count(lit(1)).as("n_cells"), cnt("int"), cnt("decimal"),
+        cnt("date"), cnt("bool"), cnt("empty"), cnt("string"))
+    val mx = greatest(col("n_int"), col("n_decimal"), col("n_date"),
+      col("n_bool"), col("n_string"))
+    counted.withColumn("inferred_type",
+      when(mx === 0L, "empty")
+        .when(col("n_int") === mx, "int")
+        .when(col("n_decimal") === mx, "decimal")
+        .when(col("n_date") === mx, "date")
+        .when(col("n_bool") === mx, "bool")
+        .otherwise("string"))
+  }
+
   /** Main-content extraction — the Arc90-readability / trafilatura
     * move, heuristics-only: split the page into block-level segments,
     * score each by visible text length and LINK DENSITY (navigation,

@@ -515,4 +515,33 @@ object UrlOps {
         col("n_anchors").cast("long").as("n_anchors"),
         array_join(col("__top"), "|").as("anchor_sample"))
   }
+
+  /** URL-template mining — crawl-trap detection (every crawler's
+    * defense against calendar pages, session-id echoes, and infinite
+    * pagination): canonicalized paths fold hex runs (>= 8 chars, the
+    * session-id shape) to `H` and digit runs to `N`, and per
+    * (host, template) the URL count tells the story — a template
+    * with thousands of instantiations is a generator, not content.
+    * `is_trap` fires at `trapThreshold` URLs; the min URL per
+    * template is kept as the inspectable sample.
+    *
+    * Scale shape: canonicalize + template are in-row; the rollup
+    * keys on (host, template) with map-side-combined count/min —
+    * template cardinality output, a Zipfian trap template combines
+    * to one partial row per partition. */
+  def urlTemplates(df: DataFrame, urlCol: String,
+                   trapThreshold: Long = 20L): DataFrame = {
+    val canon = stripTrackingParams(canonicalize(col(urlCol)))
+    df.select(canon.as("__u"))
+      .select(col("__u"), hostOf(col("__u")).as("host"),
+        regexp_replace(regexp_replace(
+          regexp_replace(col("__u"), "^https?://[^/]*", ""),
+          "[0-9a-f]{8,}", "H"), "[0-9]+", "N").as("path_template"))
+      .groupBy(col("host"), col("path_template"))
+      // DISTINCT urls: a re-crawled page is re-crawl volume, not a
+      // generator — only distinct instantiations indicate a trap
+      .agg(countDistinct(col("__u")).as("n_urls"),
+        min(col("__u")).as("sample_url"))
+      .withColumn("is_trap", col("n_urls") >= trapThreshold)
+  }
 }

@@ -4735,6 +4735,79 @@ class OperatorsSpec extends AnyFunSuite {
       s"corrupt notebook row: ${got(2)}")
   }
 
+  test("urlTemplates: hex and digit runs fold, distinct counts gate " +
+      "the trap flag, re-crawls don't count") {
+    import graft.operators.UrlOps
+    val urls = ((1 to 30).map(i => s"http://t.com/cal/$i") ++
+      Seq("http://t.com/cal/1", "http://t.com/cal/1") ++ // re-crawls
+      Seq("http://ok.com/about", "http://ok.com/about") ++
+      (1 to 3).map(i => s"http://s.com/sess/deadbeef99$i"))
+      .map(Tuple1(_))
+    val df = urls.toDF("url")
+    val got = UrlOps.urlTemplates(df, "url", trapThreshold = 20L)
+      .orderBy("host", "path_template").collect()
+    val byKey = got.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val cal = byKey(("t.com", "/cal/N"))
+    assert(cal.getAs[Long]("n_urls") == 30L &&
+      cal.getAs[Boolean]("is_trap"),
+      s"30 distinct instantiations = trap; re-crawls ignored: $cal")
+    assert(!byKey(("ok.com", "/about")).getAs[Boolean]("is_trap"))
+    val sess = byKey(("s.com", "/sess/H"))
+    assert(sess.getAs[Long]("n_urls") == 3L,
+      s"hex run folds to H before digits: $sess")
+  }
+
+  test("thresholdCurve: survivors per cut, doc reach, zero-survivor " +
+      "thresholds still report") {
+    import graft.operators.DedupOps
+    val pairs = Seq(
+      (1L, 2L, 0.95), (1L, 3L, 0.95), (4L, 5L, 0.55), (6L, 7L, 0.30)
+    ).toDF("id_a", "id_b", "jaccard")
+    val got = DedupOps.thresholdCurve(pairs, "id_a", "id_b",
+      "jaccard", Seq(200L, 500L, 900L, 990L))
+      .orderBy("threshold_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((200L, 4L, 7L), (500L, 3L, 5L),
+      (900L, 2L, 3L), (990L, 0L, 0L)), s"curve: ${got.toSeq}")
+  }
+
+  test("pearsonCorr: exact +1/-1 on linear data, 0 on constant " +
+      "columns, floored micro") {
+    import graft.operators.DistributionOps
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("down", 1L, 9L), ("down", 2L, 6L), ("down", 3L, 3L),
+      ("flat", 5L, 1L), ("flat", 5L, 2L), ("flat", 5L, 3L)
+    ).toDF("g", "x", "y")
+    val got = DistributionOps.pearsonCorr(df, "g", col("x"), col("y"))
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("corr_micro")).toMap
+    assert(got("up") == 1000000L, s"perfect positive: $got")
+    assert(got("down") == -1000000L, s"perfect negative: $got")
+    assert(got("flat") == 0L, "constant x is degenerate, reports 0")
+  }
+
+  test("delimitedColumnTypes: majority inference with " +
+      "narrower-type-wins ties, header skipped, empties excluded") {
+    import graft.operators.TextAnalysisOps
+    val csv = "id,price,when,flag,mixed\n" +
+      "1,3.50,2021-01-02,true,7\n" +
+      "2,4.25,2021-01-03,false,x\n" +
+      "3,,2021-01-04,yes,8"
+    val docs = Seq((1L, csv)).toDF("doc_id", "csv")
+    val got = TextAnalysisOps.delimitedColumnTypes(docs, "doc_id",
+      "csv").orderBy("col_idx").collect()
+    val types = got.map(_.getAs[String]("inferred_type")).toSeq
+    assert(types == Seq("int", "decimal", "date", "bool", "int"),
+      s"inferred: $types")
+    assert(got(1).getAs[Long]("n_empty") == 1L &&
+      got(1).getAs[Long]("n_decimal") == 2L,
+      "empty cells counted separately, never vote")
+    assert(got(4).getAs[Long]("n_int") == 2L &&
+      got(4).getAs[Long]("n_string") == 1L,
+      "mixed column resolves to the majority class")
+  }
+
   test("pairHygiene: duplicate images aggregate distinct captions, " +
       "caption gate, undecoded arm") {
     import graft.operators.{ImageCodecs, MultimodalOps}
