@@ -8877,9 +8877,11 @@ ORDER BY rank LIMIT 6"""),
         |tpl AS (
         |  SELECT u,
         |    lower(regexp_extract(u, 'https?://([^/:?#]+)', 1)) AS host,
-        |    regexp_replace(regexp_replace(
-        |      regexp_replace(u, '^https?://[^/]*', ''),
-        |      '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g')
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(u, '^https?://[^/?#]*', ''),
+        |      '(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}',
+        |      'N', 'g'),
+        |      '(?i)[0-9a-f]{8,}', 'N', 'g'), '[0-9]+', 'N', 'g')
         |      AS path_template
         |  FROM urls)
         |SELECT host, path_template,
@@ -8973,7 +8975,7 @@ ORDER BY rank LIMIT 6"""),
         |    AS csv
         |  FROM documents),
         |lns AS (
-        |  SELECT doc_id, string_split(csv, chr(10)) AS ls
+        |  SELECT doc_id, regexp_split_to_array(csv, '\r?\n') AS ls
         |  FROM built),
         |rows_ AS (
         |  SELECT doc_id, string_split(ls[li], ',') AS cs
@@ -8990,7 +8992,7 @@ ORDER BY rank LIMIT 6"""),
         |      THEN 'decimal'
         |    WHEN regexp_matches(c, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
         |      THEN 'date'
-        |    WHEN c IN ('true', 'false') THEN 'bool'
+        |    WHEN lower(c) IN ('true', 'false') THEN 'bool'
         |    ELSE 'string' END AS k
         |  FROM cell),
         |agg AS (

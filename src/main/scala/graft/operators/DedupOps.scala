@@ -1049,23 +1049,37 @@ object DedupOps {
                      scoreCol: String,
                      thresholdsMilli: Seq[Long]): DataFrame = {
     require(thresholdsMilli.nonEmpty, "at least one threshold")
+    require(thresholdsMilli.distinct.size == thresholdsMilli.size,
+      "duplicate thresholds would double-count the curve")
     val spark = pairs.sparkSession
     val th = spark.range(1).select(
       explode(array(thresholdsMilli.map(lit): _*))
         .as("threshold_milli"))
-    val surv = pairs
+    // one pass over the surviving pairs: each explodes to a pair
+    // marker and its two doc markers, distinct-ed per threshold, so
+    // the (possibly expensive) pair lineage executes ONCE — not once
+    // per output statistic
+    val marks = pairs
       .crossJoin(broadcast(th))
       .filter(col(scoreCol) * 1000.0 >= col("threshold_milli"))
-    val pairCounts = surv.groupBy(col("threshold_milli"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val docCounts = surv
+      .select(col("threshold_milli"), explode(array(
+        struct(lit("pair").as("kind"),
+          concat(col(aCol).cast("string"), lit("|"),
+            col(bCol).cast("string")).as("key")),
+        struct(lit("doc").as("kind"), col(aCol).cast("string")
+          .as("key")),
+        struct(lit("doc").as("kind"), col(bCol).cast("string")
+          .as("key")))).as("__m"))
       .select(col("threshold_milli"),
-        explode(array(col(aCol), col(bCol))).as("__d"))
+        col("__m").getField("kind").as("__kind"),
+        col("__m").getField("key").as("__key"))
       .distinct()
       .groupBy(col("threshold_milli"))
-      .agg(count(lit(1)).as("n_docs_in_pairs"))
-    th.join(pairCounts, Seq("threshold_milli"), "left")
-      .join(docCounts, Seq("threshold_milli"), "left")
+      .agg(sum(when(col("__kind") === "pair", 1L).otherwise(0L))
+        .as("n_pairs"),
+        sum(when(col("__kind") === "doc", 1L).otherwise(0L))
+          .as("n_docs_in_pairs"))
+    th.join(marks, Seq("threshold_milli"), "left")
       .select(col("threshold_milli"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_in_pairs"), lit(0L))

@@ -120,6 +120,12 @@ object DistributionOps {
     * Long range a 1e12-row corpus would hit), and only the final
     * correlation touches floating point — one expression per group,
     * floored to micro. Degenerate groups (constant x or y) report 0.
+    * Rows with a NULL metric on either side are DROPPED as complete
+    * pairs (the `corr()` convention — counting them in n while the
+    * sums skip them would silently bias every group they touch).
+    * Bound: the moment products cap at 38 decimal digits; past that
+    * (x ~ 1e7 over ~1e12 rows) the group reports 0 rather than a
+    * wrong value — re-scale the metric if the envelope is near.
     *
     * Scale shape: one group-keyed map-side-combined aggregate over
     * (group, x, y) rows; group-cardinality output. */
@@ -128,6 +134,7 @@ object DistributionOps {
     val xd = x.cast("long").cast("decimal(38,0)")
     val yd = y.cast("long").cast("decimal(38,0)")
     df.select(col(groupCol), xd.as("__x"), yd.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),

@@ -3017,13 +3017,16 @@ object TextAnalysisOps {
         .when(col("__c").rlike("^[+-]?[0-9]+$"), "int")
         .when(col("__c").rlike("^[+-]?[0-9]+\\.[0-9]+$"), "decimal")
         .when(col("__c").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
-        .when(col("__c").isin("true", "false"), "bool")
+        // True/FALSE spellings (pandas exports) count as bool
+        .when(lower(col("__c")).isin("true", "false"), "bool")
         .otherwise("string")
     def cnt(k: String) =
       sum(when(col("__k") === k, 1L).otherwise(0L)).as("n_" + k)
     val counted = docs
       .select(col(idCol),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        // CRLF documents split clean — a trailing \r would fail
+        // every class regex and mis-type the last column
+        posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
           .as(Seq("__li", "__line")))
       .filter(if (hasHeader) col("__li") >= 1 else lit(true))
       .select(col(idCol),
@@ -3035,13 +3038,25 @@ object TextAnalysisOps {
         cnt("date"), cnt("bool"), cnt("empty"), cnt("string"))
     val mx = greatest(col("n_int"), col("n_decimal"), col("n_date"),
       col("n_bool"), col("n_string"))
-    counted.withColumn("inferred_type",
+    val inferred = counted.withColumn("inferred_type",
       when(mx === 0L, "empty")
         .when(col("n_int") === mx, "int")
         .when(col("n_decimal") === mx, "decimal")
         .when(col("n_date") === mx, "date")
         .when(col("n_bool") === mx, "bool")
         .otherwise("string"))
+    // a doc with no data rows (empty text, header-only) must still
+    // report — one col_idx = -1 row, never a silent vanish (the
+    // thresholdCurve zero-still-reports discipline)
+    val noData = docs.select(col(idCol))
+      .join(inferred.select(col(idCol)).distinct(), Seq(idCol),
+        "left_anti")
+      .select((Seq(col(idCol), lit(-1).as("col_idx"),
+        lit(0L).as("n_cells")) ++
+        Seq("int", "decimal", "date", "bool", "empty", "string")
+          .map(k => lit(0L).as("n_" + k)) :+
+        lit("empty").as("inferred_type")): _*)
+    inferred.unionByName(noData)
   }
 
   /** Main-content extraction — the Arc90-readability / trafilatura

@@ -532,11 +532,24 @@ object UrlOps {
   def urlTemplates(df: DataFrame, urlCol: String,
                    trapThreshold: Long = 20L): DataFrame = {
     val canon = stripTrackingParams(canonicalize(col(urlCol)))
+    // every id-shaped run folds to the SAME token so a generator
+    // whose ids straddle a length or alphabet boundary (7- vs
+    // 9-digit pages, digit-heavy vs letter-heavy hex) can never
+    // split across templates: UUIDs first, then 8+-char hex runs
+    // (case-insensitive), then any digit run. Base64-ish alnum ids
+    // (letters past 'f') are out of grammar — documented, since any
+    // long-alnum fold would also swallow real words.
+    val tpl = Seq(
+      "(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}" +
+        "-[0-9a-f]{12}",
+      "(?i)[0-9a-f]{8,}",
+      "[0-9]+").foldLeft(
+      regexp_replace(col("__u"), "^https?://[^/?#]*", "")) {
+      (acc, re) => regexp_replace(acc, re, "N")
+    }
     df.select(canon.as("__u"))
       .select(col("__u"), hostOf(col("__u")).as("host"),
-        regexp_replace(regexp_replace(
-          regexp_replace(col("__u"), "^https?://[^/]*", ""),
-          "[0-9a-f]{8,}", "H"), "[0-9]+", "N").as("path_template"))
+        tpl.as("path_template"))
       .groupBy(col("host"), col("path_template"))
       // DISTINCT urls: a re-crawled page is re-crawl volume, not a
       // generator — only distinct instantiations indicate a trap

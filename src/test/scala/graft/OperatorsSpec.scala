@@ -4752,9 +4752,31 @@ class OperatorsSpec extends AnyFunSuite {
       cal.getAs[Boolean]("is_trap"),
       s"30 distinct instantiations = trap; re-crawls ignored: $cal")
     assert(!byKey(("ok.com", "/about")).getAs[Boolean]("is_trap"))
-    val sess = byKey(("s.com", "/sess/H"))
+    val sess = byKey(("s.com", "/sess/N"))
     assert(sess.getAs[Long]("n_urls") == 3L,
-      s"hex run folds to H before digits: $sess")
+      s"hex run folds to the same N token as digits: $sess")
+  }
+
+  test("urlTemplates grammar: uppercase hex, UUIDs, straddling digit " +
+      "lengths, and path-less query URLs all unify") {
+    import graft.operators.UrlOps
+    val df = Seq(
+      "http://a.com/s/DEADBEEF01",      // uppercase hex
+      "http://a.com/s/deadbeef99",      // lowercase hex
+      "http://a.com/s/9999995",         // 7 digits
+      "http://a.com/s/1234567890",      // 10 digits
+      "http://b.com/u/550e8400-e29b-41d4-a716-446655440000", // UUID
+      "http://c.com?sid=deadbeef12345678" // path-less query
+    ).map(Tuple1(_)).toDF("url")
+    val got = UrlOps.urlTemplates(df, "url", trapThreshold = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_urls"))).toSet
+    assert(got.contains(("a.com", "/s/N", 4L)),
+      s"hex (either case) and digit runs of any length share one " +
+        s"template: $got")
+    assert(got.contains(("b.com", "/u/N", 1L)), s"UUID folds: $got")
+    assert(got.contains(("c.com", "?sid=N", 1L)),
+      s"query on a path-less URL keeps its shape: $got")
   }
 
   test("thresholdCurve: survivors per cut, doc reach, zero-survivor " +
@@ -4785,6 +4807,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("up") == 1000000L, s"perfect positive: $got")
     assert(got("down") == -1000000L, s"perfect negative: $got")
     assert(got("flat") == 0L, "constant x is degenerate, reports 0")
+    // a NULL metric drops the PAIR — it must not bias n vs the sums
+    val withNull = Seq(("g", Some(1L), Some(10L)),
+      ("g", Some(2L), Some(20L)), ("g", Some(3L), Some(30L)),
+      ("g", None, Some(5L))).toDF("g", "x", "y")
+    val gotN = DistributionOps.pearsonCorr(withNull, "g", col("x"),
+      col("y")).collect()(0)
+    assert(gotN.getAs[Long]("n") == 3L &&
+      gotN.getAs[Long]("corr_micro") == 1000000L,
+      s"null pair dropped whole: $gotN")
   }
 
   test("delimitedColumnTypes: majority inference with " +
@@ -4806,6 +4837,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4).getAs[Long]("n_int") == 2L &&
       got(4).getAs[Long]("n_string") == 1L,
       "mixed column resolves to the majority class")
+    // CRLF rows, pandas-style True/False, and a header-only doc
+    val more = Seq(
+      (2L, "id,flag\r\n1,True\r\n2,FALSE\r\n3,True"),
+      (3L, "id,price")).toDF("doc_id", "csv")
+    val g2 = TextAnalysisOps.delimitedColumnTypes(more, "doc_id",
+      "csv").orderBy("doc_id", "col_idx").collect()
+    assert(g2(1).getAs[String]("inferred_type") == "bool" &&
+      g2(1).getAs[Long]("n_bool") == 3L,
+      s"CRLF + mixed-case bools: ${g2(1)}")
+    assert(g2(2).getAs[Int]("col_idx") == -1 &&
+      g2(2).getAs[String]("inferred_type") == "empty",
+      s"header-only doc reports, never vanishes: ${g2(2)}")
   }
 
   test("pairHygiene: duplicate images aggregate distinct captions, " +
