@@ -2587,6 +2587,162 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("col_idx"))
     }),
 
+    // Canonical pick (q250): planted exact-dup clusters (every third
+    // doc collapses onto its DIV-30 group's shared text — ~10-member
+    // clusters) with a per-copy quality term so clusters mix
+    // distinct-quality members (best wins) and equal-quality members
+    // (min-id tie); the untouched docs stay singletons, which the
+    // operator excludes.
+    "q250_canonical_pick" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("dup seed "), expr("doc_id DIV 30")
+            .cast("string"), lit(" body body alpha beta")))
+          .otherwise(col("text")).as("text"))
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val members = d.select(col("doc_id"),
+        md5(col("text")).as("cluster"),
+        size(array_distinct(toks)).cast("long").as("__nd"),
+        size(toks).cast("long").as("__nt"))
+        // type-token ratio in micro units + a per-copy freshness
+        // term (doc_id % 7) standing in for crawl recency; integer
+        // DIV keeps the tie structure exact across engines
+        .select(col("doc_id"), col("cluster"),
+          expr("__nd * 1000000 DIV __nt + doc_id % 7").as("q_micro"))
+      ClusterOps.canonicalReport(members, "doc_id", "cluster",
+        col("q_micro"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Special tokens (q251): planted tokenizer control strings —
+    // single hit, double hit, a marker inside a longer template, and
+    // clean docs that must not report.
+    "q251_special_tokens" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 0, lit(" <|endoftext|>"))
+            .when(col("doc_id") % 9 === 1, lit(" </s></s>"))
+            .when(col("doc_id") % 9 === 2,
+              lit("\n<|im_start|>user say hi<|im_end|>"))
+            .when(col("doc_id") % 9 === 3, lit(" [INST] do [/INST]"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.specialTokenScan(injected, "doc_id", "text",
+        Seq("<|endoftext|>", "</s>", "<|im_start|>", "[INST]",
+          "<pad>"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    // Annotator agreement (q258): four annotators with partial
+    // coverage — b mostly copies a (high kappa), c is label-constant
+    // against a's mixed labels (kappa near 0), and the (c, d) pair is
+    // constant-vs-constant: po = 1, pe = 1, kappa_den = 0 (the
+    // undefined edge the rational output keeps exact).
+    "q258_annotator_agreement" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val labelOf = (k: Column) =>
+        when(k % 3 === 0, lit("good"))
+          .when(k % 3 === 1, lit("ok")).otherwise(lit("bad"))
+      val a = d.select(col("doc_id"), lit("a").as("annotator"),
+        labelOf(col("doc_id")).as("label"))
+      val b = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), lit("b").as("annotator"),
+          labelOf(when(col("doc_id") % 10 === 0,
+            col("doc_id") + 1).otherwise(col("doc_id"))).as("label"))
+      val c = d.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), lit("c").as("annotator"),
+          lit("good").as("label"))
+      val dd = d.filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id"), lit("d").as("annotator"),
+          lit("good").as("label"))
+      ScoringOps.annotatorAgreement(
+        a.unionByName(b).unionByName(c).unionByName(dd),
+        "doc_id", "annotator", "label")
+        .orderBy(col("ann_a"), col("ann_b"))
+    }),
+
+    // Packing curve (q254): the q219 layout swept over five context
+    // lengths in one pass — fill rate vs split-doc count is the
+    // max_seq_len trade a training run actually decides on.
+    "q254_packing_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      PackingOps.packingCurve(docs, "doc_id", col("n_tok"),
+        budgets = Seq(128, 256, 512, 1024, 2048),
+        bucketHexChars = 1)
+        .orderBy(col("budget"))
+    }),
+
+    // Media sniff (q256): magic bytes vs declared extension — a
+    // truthful .jpg, a PNG lying as .jpg, an HTML error page behind
+    // an image link, a RIFF/WAVE with the form tag at offset 8, an
+    // empty payload, and undetectable bytes.
+    "q256_media_sniff" -> ((s, dir) => {
+      val m = col("doc_id") % 8
+      val hx = when(m === 0, lit("FFD8FFE000104A464946"))
+        .when(m === 1, lit("89504E470D0A1A0A"))
+        .when(m === 2, lit("474946383961"))
+        .when(m === 3, lit("3C21444F43545950452068746D6C3E"))
+        .when(m === 4, lit("52494646240000005741564520666D7420"))
+        .when(m === 5, lit(""))
+        .when(m === 6, lit("504B03040A00"))
+        .otherwise(lit("68656C6C6F"))
+      val ext = when(m === 0, lit("jpg")).when(m === 1, lit("jpg"))
+        .when(m === 2, lit("gif")).when(m === 3, lit("jpg"))
+        .when(m === 4, lit("wav")).when(m === 5, lit("png"))
+        .when(m === 6, lit("zip")).otherwise(lit("bin"))
+      val media = t(s, dir, "documents").select(col("doc_id"),
+        unhex(hx).as("bytes"), ext.as("ext"))
+      MultimodalOps.mediaSniff(media, "doc_id", "bytes", "ext")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bitext alignment (q252): a well-aligned pair, a too-short
+    // target, a numeral mismatch, an empty target, and a 5x-repeated
+    // target that trips the ratio band.
+    "q252_bitext_align" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val src = concat(lit("the order total is "), id,
+        lit(" units and some more words here"))
+      val okTgt = concat(lit("le total de la commande est "), id,
+        lit(" unites et encore des mots ici"))
+      val tgt = when(col("doc_id") % 7 === 1, lit("oui"))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("le total de la commande est "),
+            (col("doc_id") + 1).cast("string"),
+            lit(" unites et encore des mots ici")))
+        .when(col("doc_id") % 7 === 3, lit(""))
+        .when(col("doc_id") % 7 === 4,
+          concat(okTgt, lit(" "), okTgt, lit(" "), okTgt, lit(" "),
+            okTgt, lit(" "), okTgt))
+        .otherwise(okTgt)
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        src.as("src"), tgt.as("tgt"))
+      TextAnalysisOps.bitextAlign(pairs, "doc_id", "src", "tgt")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic shuffle (q257): seeded (shard, pos) training
+    // order — re-derivable per doc, distinct per seed.
+    "q257_deterministic_shuffle" -> ((s, dir) => {
+      SamplingOps.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = "run1", shardHexChars = 1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // MAD outliers (q259): doc-length outlier gate per source with a
+    // planted 50x length inflation on the %53 slice — the median and
+    // MAD must NOT move (robustness is the point), the outlier count
+    // must catch the slice.
+    "q259_mad_outliers" -> ((s, dir) => {
+      val v = size(split(col("text"), " ")).cast("long") *
+        when(col("doc_id") % 53 === 0, 50L).otherwise(1L)
+      DistributionOps.madOutliers(
+        t(s, dir, "documents").select(col("source"), v.as("len")),
+        "source", col("len"), k = 3)
+        .orderBy(col("source"))
+    }),
+
     // Pair hygiene (q244): the q83 dHash fixture repurposed as an
     // (image, caption) corpus — ids sharing (gradient, parity) are
     // pixel-identical, so duplicate-image groups with DISTINCT
@@ -9023,6 +9179,306 @@ ORDER BY rank LIMIT 6"""),
         |    WHEN n_bool = m THEN 'bool'
         |    ELSE 'string' END AS inferred_type
         |FROM mx ORDER BY doc_id, col_idx""".stripMargin,
+
+    // Two cluster-keyed rollups with a max-quality join between them —
+    // the same window-free shape as the Spark plan.
+    "q250_canonical_pick" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'dup seed ' ||
+        |      (doc_id // 30)::VARCHAR || ' body body alpha beta'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, md5(text) AS cluster,
+        |    (len(list_distinct(string_split(coalesce(text, ''), ' ')))
+        |       ::BIGINT * 1000000)
+        |      // len(string_split(coalesce(text, ''), ' '))::BIGINT
+        |      + doc_id % 7 AS q
+        |  FROM src),
+        |st AS (
+        |  SELECT cluster, count(*)::BIGINT AS n_members,
+        |    max(q)::BIGINT AS best_q_micro,
+        |    min(q)::BIGINT AS worst_q_micro
+        |  FROM m GROUP BY cluster HAVING count(*) >= 2),
+        |cn AS (
+        |  SELECT m.cluster, min(m.doc_id)::BIGINT AS canonical_id
+        |  FROM m JOIN st ON m.cluster = st.cluster
+        |    AND m.q = st.best_q_micro
+        |  GROUP BY m.cluster)
+        |SELECT st.cluster, cn.canonical_id, st.n_members,
+        |  (st.n_members - 1)::BIGINT AS n_dropped,
+        |  st.best_q_micro, st.worst_q_micro
+        |FROM st JOIN cn ON st.cluster = cn.cluster
+        |ORDER BY st.cluster""".stripMargin,
+
+    // Substring-count identity per (doc, token); hits only.
+    "q251_special_tokens" ->
+      """WITH injected AS (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' <|endoftext|>'
+        |    WHEN doc_id % 9 = 1 THEN ' </s></s>'
+        |    WHEN doc_id % 9 = 2 THEN chr(10) ||
+        |      '<|im_start|>user say hi<|im_end|>'
+        |    WHEN doc_id % 9 = 3 THEN ' [INST] do [/INST]'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT unnest(['<|endoftext|>', '</s>', '<|im_start|>',
+        |    '[INST]', '<pad>']) AS token),
+        |h AS (
+        |  SELECT doc_id, token,
+        |    (length(text) - length(replace(text, token, '')))
+        |      // length(token) AS n_hits
+        |  FROM injected CROSS JOIN tk)
+        |SELECT doc_id, token, n_hits::BIGINT AS n_hits
+        |FROM h WHERE n_hits > 0
+        |ORDER BY doc_id, token""".stripMargin,
+
+    // Self-join on the item key, pair marginals multiplied on equal
+    // label, kappa left as the exact integer rational.
+    "q258_annotator_agreement" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |lab AS (
+        |  SELECT doc_id, 'a' AS annotator,
+        |    CASE doc_id % 3 WHEN 0 THEN 'good' WHEN 1 THEN 'ok'
+        |      ELSE 'bad' END AS label
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'b',
+        |    CASE (CASE WHEN doc_id % 10 = 0 THEN doc_id + 1
+        |        ELSE doc_id END) % 3
+        |      WHEN 0 THEN 'good' WHEN 1 THEN 'ok' ELSE 'bad' END
+        |  FROM d WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'c', 'good' FROM d WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'd', 'good' FROM d WHERE doc_id % 8 = 0),
+        |j AS (
+        |  SELECT x.annotator AS ann_a, y.annotator AS ann_b,
+        |    x.label AS la, y.label AS lb
+        |  FROM lab x JOIN lab y ON x.doc_id = y.doc_id
+        |    AND x.annotator < y.annotator),
+        |base AS (
+        |  SELECT ann_a, ann_b, count(*)::BIGINT AS n_shared,
+        |    sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_agree
+        |  FROM j GROUP BY ann_a, ann_b),
+        |ma AS (
+        |  SELECT ann_a, ann_b, la, count(*)::BIGINT AS ca
+        |  FROM j GROUP BY ann_a, ann_b, la),
+        |mb AS (
+        |  SELECT ann_a, ann_b, lb, count(*)::BIGINT AS cb
+        |  FROM j GROUP BY ann_a, ann_b, lb),
+        |ch AS (
+        |  SELECT ma.ann_a, ma.ann_b, sum(ca * cb)::BIGINT AS chance
+        |  FROM ma JOIN mb ON ma.ann_a = mb.ann_a
+        |    AND ma.ann_b = mb.ann_b AND ma.la = mb.lb
+        |  GROUP BY ma.ann_a, ma.ann_b)
+        |SELECT b.ann_a, b.ann_b, b.n_shared, b.n_agree,
+        |  (b.n_agree * 1000) // b.n_shared AS po_milli,
+        |  (b.n_agree * b.n_shared - coalesce(ch.chance, 0))::BIGINT
+        |    AS kappa_num,
+        |  (b.n_shared * b.n_shared - coalesce(ch.chance, 0))::BIGINT
+        |    AS kappa_den
+        |FROM base b LEFT JOIN ch ON b.ann_a = ch.ann_a
+        |  AND b.ann_b = ch.ann_b
+        |ORDER BY b.ann_a, b.ann_b""".stripMargin,
+
+    // The q219 offset CTE crossed with the budget list; chunk counts
+    // from per-bucket ceil, splits from boundary-straddle arithmetic.
+    "q254_packing_curve" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n,
+        |    substr(md5(doc_id::VARCHAR), 1, 1) AS bucket
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, bucket, n,
+        |    coalesce(sum(n) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS off
+        |  FROM d),
+        |b AS (
+        |  SELECT unnest([128, 256, 512, 1024, 2048])::BIGINT
+        |    AS budget),
+        |s AS (
+        |  SELECT budget, bucket, count(*)::BIGINT AS docs,
+        |    sum(n)::BIGINT AS toks,
+        |    max(off + n)::BIGINT AS total,
+        |    sum(CASE WHEN n > 0 AND (off + n - 1) // budget
+        |      <> off // budget THEN 1 ELSE 0 END)::BIGINT AS spl
+        |  FROM o CROSS JOIN b GROUP BY budget, bucket)
+        |SELECT budget, sum(docs)::BIGINT AS n_docs,
+        |  sum(toks)::BIGINT AS n_tokens,
+        |  sum((total + budget - 1) // budget)::BIGINT AS n_packs,
+        |  (sum(toks)::BIGINT * 1000)
+        |    // (sum((total + budget - 1) // budget)::BIGINT * budget)
+        |    AS fill_milli,
+        |  sum(spl)::BIGINT AS n_split_docs
+        |FROM s GROUP BY budget ORDER BY budget""".stripMargin,
+
+    // Detection runs in the hex domain on both engines — no blob
+    // decode anywhere; n_bytes = hex length / 2.
+    "q256_media_sniff" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'FFD8FFE000104A464946'
+        |      WHEN 1 THEN '89504E470D0A1A0A'
+        |      WHEN 2 THEN '474946383961'
+        |      WHEN 3 THEN '3C21444F43545950452068746D6C3E'
+        |      WHEN 4 THEN '52494646240000005741564520666D7420'
+        |      WHEN 5 THEN ''
+        |      WHEN 6 THEN '504B03040A00'
+        |      ELSE '68656C6C6F' END AS hx,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'jpg' WHEN 1 THEN 'jpg' WHEN 2 THEN 'gif'
+        |      WHEN 3 THEN 'jpg' WHEN 4 THEN 'wav' WHEN 5 THEN 'png'
+        |      WHEN 6 THEN 'zip' ELSE 'bin' END AS ext
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hx = '' THEN 'empty'
+        |    WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |    WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |    WHEN substr(hx, 1, 6) = '474946' THEN 'gif'
+        |    WHEN substr(hx, 1, 8) IN ('49492A00', '4D4D002A')
+        |      THEN 'tiff'
+        |    WHEN substr(hx, 1, 8) = '25504446' THEN 'pdf'
+        |    WHEN substr(hx, 1, 8) = '504B0304' THEN 'zip'
+        |    WHEN substr(hx, 1, 8) = '52494646'
+        |      AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |    WHEN substr(hx, 1, 8) = '52494646'
+        |      AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+        |    WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
+        |    WHEN substr(hx, 1, 18) IN ('3C21444F4354595045',
+        |        '3C21646F6374797065')
+        |      OR substr(hx, 1, 10) IN ('3C68746D6C', '3C48544D4C')
+        |      THEN 'html'
+        |    ELSE 'unknown' END AS detected,
+        |    CASE WHEN lower(ext) = 'jpg' THEN 'jpeg'
+        |      ELSE lower(coalesce(ext, '')) END AS declared,
+        |    (length(hx) // 2)::BIGINT AS n_bytes
+        |  FROM m)
+        |SELECT doc_id, declared, detected, n_bytes,
+        |  detected <> declared AS mismatch
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Token counts via whitespace split with empties dropped; digit
+    // runs sorted and ','-joined; first failing check wins.
+    "q252_bitext_align" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'the order total is ' || doc_id::VARCHAR ||
+        |      ' units and some more words here' AS src,
+        |    CASE WHEN doc_id % 7 = 1 THEN 'oui'
+        |    WHEN doc_id % 7 = 2 THEN
+        |      'le total de la commande est ' ||
+        |      (doc_id + 1)::VARCHAR ||
+        |      ' unites et encore des mots ici'
+        |    WHEN doc_id % 7 = 3 THEN ''
+        |    WHEN doc_id % 7 = 4 THEN
+        |      repeat('le total de la commande est ' ||
+        |        doc_id::VARCHAR ||
+        |        ' unites et encore des mots ici ', 4) ||
+        |      'le total de la commande est ' || doc_id::VARCHAR ||
+        |      ' unites et encore des mots ici'
+        |    ELSE 'le total de la commande est ' || doc_id::VARCHAR
+        |      || ' unites et encore des mots ici' END AS tgt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(src, '\s+'),
+        |      x -> x <> ''))::BIGINT AS src_tokens,
+        |    len(list_filter(string_split_regex(tgt, '\s+'),
+        |      x -> x <> ''))::BIGINT AS tgt_tokens,
+        |    coalesce(array_to_string(list_sort(
+        |      regexp_extract_all(src, '[0-9]+')), ','), '')
+        |      AS src_numbers,
+        |    coalesce(array_to_string(list_sort(
+        |      regexp_extract_all(tgt, '[0-9]+')), ','), '')
+        |      AS tgt_numbers
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, src_tokens, tgt_tokens,
+        |    CASE WHEN src_tokens > 0
+        |      THEN (tgt_tokens * 1000) // src_tokens END
+        |      AS ratio_milli,
+        |    src_numbers, tgt_numbers
+        |  FROM c)
+        |SELECT doc_id, src_tokens, tgt_tokens, ratio_milli,
+        |  src_numbers, tgt_numbers,
+        |  CASE WHEN src_tokens = 0 OR tgt_tokens = 0 THEN 'empty'
+        |  WHEN ratio_milli < 300 OR ratio_milli > 3000 THEN 'ratio'
+        |  WHEN src_numbers <> tgt_numbers THEN 'numbers'
+        |  ELSE 'ok' END AS verdict
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same md5 order key; pos = 0-based rank within the first-hex
+    // shard.
+    "q257_deterministic_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('run1:' || doc_id::VARCHAR) AS hh
+        |  FROM documents)
+        |SELECT doc_id, substr(hh, 1, 1) AS shard,
+        |  (row_number() OVER (PARTITION BY substr(hh, 1, 1)
+        |    ORDER BY hh, doc_id) - 1)::BIGINT AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Lower medians over (source, value) domain counts, deviations
+    // re-collapsed the same way, then one gated rollup.
+    "q259_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    (len(string_split(text, ' ')) *
+        |      CASE WHEN doc_id % 53 = 0 THEN 50 ELSE 1 END)::BIGINT
+        |      AS v
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, v, count(*)::BIGINT AS c
+        |  FROM b GROUP BY source, v),
+        |tot AS (
+        |  SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY source),
+        |cum AS (
+        |  SELECT source, v, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT
+        |      AS cum
+        |  FROM cnt),
+        |med AS (
+        |  SELECT c2.source, min(c2.v)::BIGINT AS median
+        |  FROM cum c2 JOIN tot t ON c2.source = t.source
+        |  WHERE c2.cum >= (t.n - 1) // 2 + 1
+        |  GROUP BY c2.source),
+        |dev AS (
+        |  SELECT c.source, abs(c.v - m.median) AS v,
+        |    sum(c.c)::BIGINT AS c
+        |  FROM cnt c JOIN med m ON c.source = m.source
+        |  GROUP BY c.source, abs(c.v - m.median)),
+        |dcum AS (
+        |  SELECT source, v, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT
+        |      AS cum
+        |  FROM dev),
+        |mad AS (
+        |  SELECT d2.source, min(d2.v)::BIGINT AS mad
+        |  FROM dcum d2 JOIN tot t ON d2.source = t.source
+        |  WHERE d2.cum >= (t.n - 1) // 2 + 1
+        |  GROUP BY d2.source),
+        |g AS (
+        |  SELECT c.source, sum(c.c)::BIGINT AS n_rows,
+        |    max(m.median)::BIGINT AS median,
+        |    max(a.mad)::BIGINT AS mad,
+        |    sum(CASE WHEN abs(c.v - m.median) > a.mad * 3
+        |      THEN c.c ELSE 0 END)::BIGINT AS n_outliers
+        |  FROM cnt c
+        |  JOIN med m ON c.source = m.source
+        |  JOIN mad a ON c.source = a.source
+        |  GROUP BY c.source)
+        |SELECT source, n_rows, median, mad, n_outliers,
+        |  (n_outliers * 1000) // n_rows AS outlier_milli
+        |FROM g ORDER BY source""".stripMargin,
 
     // The q83 dHash pixel chain + caption gate + per-hash counts with
     // the (hash, caption-sig)-distinct two-step.

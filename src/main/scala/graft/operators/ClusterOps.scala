@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
@@ -173,5 +173,47 @@ object ClusterOps {
       .select(col("id"), col("rep").as("cluster"))
       .join(quality.select(col(idCol).as("id"), col(qCol)), Seq("id"))
       .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** Per-cluster canonical-copy report: which member of each duplicate
+    * cluster is KEPT (highest quality, ties → lowest id) and what was
+    * dropped — the audit record a dedup pass publishes alongside the
+    * deduped corpus, so "why did my doc disappear" has a queryable
+    * answer. Singleton clusters are excluded (nothing was decided).
+    *
+    * Unlike [[qualityKeepers]] (a per-member keep flag via a rank
+    * window over the cluster key) this is the window-free shape: two
+    * cluster-keyed aggregates with a join back between them. Both
+    * exchanges hash on `cluster`, both aggregates are map-side
+    * combinable, and no single task ever holds a whole cluster's rows
+    * sorted — a pathological mega-cluster (bad LSH threshold) degrades
+    * into a big but PARTIAL aggregation instead of one sorting task.
+    *
+    * `members`: one row per (id, cluster) with the member's quality.
+    * `qualityMicro` must be integral (micro-units) — ties are resolved
+    * exactly, never through FP rounding. */
+  def canonicalReport(members: DataFrame, idCol: String,
+                      clusterCol: String,
+                      qualityMicro: Column): DataFrame = {
+    val m = members.select(col(idCol).cast("long").as("__id"),
+      col(clusterCol).cast("string").as("cluster"),
+      qualityMicro.cast("long").as("__q"))
+    val stats = m.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("__q")).as("best_q_micro"),
+        min(col("__q")).as("worst_q_micro"))
+      .filter(col("n_members") >= 2)
+    // canonical = min id among members at the cluster max quality;
+    // the equi-join keys both sides on cluster (no broadcast needed:
+    // stats is cluster-sized but unbounded — AQE broadcasts when small)
+    val canon = m.join(stats.select(col("cluster"),
+        col("best_q_micro")), Seq("cluster"))
+      .filter(col("__q") === col("best_q_micro"))
+      .groupBy(col("cluster"))
+      .agg(min(col("__id")).as("canonical_id"))
+    stats.join(canon, Seq("cluster"))
+      .select(col("cluster"), col("canonical_id"), col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"),
+        col("best_q_micro"), col("worst_q_micro"))
   }
 }

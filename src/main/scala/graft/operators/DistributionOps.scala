@@ -156,4 +156,61 @@ object DistributionOps {
                 .cast("double"))).cast("long"))
           .otherwise(0L).as("corr_micro"))
   }
+
+  /** Robust per-source outlier gate: median / MAD (median absolute
+    * deviation) on an integer metric — the heavy-tail-safe cousin of
+    * the z-score cut (one 100 MB doc moves a mean+stddev gate; it
+    * cannot move the median of a million docs). A doc is an outlier
+    * when |x − median| > k·MAD; k = 3 by tradition (≈ 2σ under
+    * normality with the 1.4826 consistency factor folded in).
+    *
+    * One row per source: `n_rows`, `median`, `mad`, `n_outliers`,
+    * `outlier_milli`. Medians are exact LOWER medians (the
+    * [[discQuantiles]] convention: the value at zero-based rank
+    * ⌊(n−1)/2⌋), so everything stays in the integer domain.
+    *
+    * Scale shape: the q50 domain-aggregation discipline, twice — rows
+    * collapse to (source, value) counts map-side, the per-source
+    * cumulative windows run over the DISTINCT value domain (not row
+    * counts), and the deviation pass reuses the same collapsed frame
+    * joined with the source-sized median table. A dominant source
+    * costs its value-DOMAIN size in one task, not its row count. */
+  def madOutliers(df: DataFrame, sourceCol: String, value: Column,
+                  k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df.select(col(sourceCol).as("source"),
+      value.cast("long").as("v"))
+    val counts = base.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    def lowerMedian(cnts: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = cnts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      cnts.withColumn("cum", sum(col("c")).over(w))
+        .join(tot, Seq("source"))
+        // one-based cum threshold for zero-based rank ⌊(n−1)/2⌋
+        .filter(col("cum") >= expr("(n - 1) DIV 2") + 1L)
+        .groupBy(col("source"))
+        .agg(min(col("v")).as(out), max(col("n")).as(s"__n_$out"))
+    }
+    val med = lowerMedian(counts, "median")
+    val devCounts = counts.join(med.select(col("source"),
+        col("median")), Seq("source"))
+      .select(col("source"), abs(col("v") - col("median")).as("v"),
+        col("c"))
+      .groupBy(col("source"), col("v")).agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(devCounts, "mad")
+    val gated = counts.join(med.select(col("source"), col("median")),
+        Seq("source"))
+      .join(mad.select(col("source"), col("mad")), Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_rows"),
+        max(col("median")).as("median"), max(col("mad")).as("mad"),
+        sum(when(abs(col("v") - col("median")) >
+          col("mad") * k.toLong, col("c")).otherwise(0L))
+          .as("n_outliers"))
+    gated.select(col("source"), col("n_rows"), col("median"),
+      col("mad"), col("n_outliers"),
+      expr("n_outliers * 1000 DIV n_rows").as("outlier_milli"))
+  }
 }

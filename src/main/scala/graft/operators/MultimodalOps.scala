@@ -824,4 +824,57 @@ object MultimodalOps {
       .toDF(idCol, "decoded", "n_frames", "n_silent", "silent_milli",
         "leading_silence_ms", "trailing_silence_ms")
   }
+
+  /** Magic-byte format sniffing vs the declared extension — crawled
+    * media lies about its type constantly (a `.jpg` URL serving PNG,
+    * an HTML error page behind an image link), and routing bytes to
+    * the wrong decoder wastes a cluster pass. Detection reads the
+    * leading bytes only (plus the RIFF form tag at offset 8), so the
+    * scan never touches the payload.
+    *
+    * Formats: jpeg FFD8FF, png 89504E47, gif 474946, bmp 424D,
+    * tiff II*\0 / MM\0*, pdf %PDF, zip PK\3\4, riff→wav/avi by form
+    * tag, html by a `<!DOCTYPE`/`<!doctype`/`<html`/`<HTML` byte
+    * prefix (the error-page tell; matched in the hex domain — a blob
+    * is not text, so no engine-specific binary→string decode is
+    * involved). NULL/empty bytes → 'empty', anything else →
+    * 'unknown'. `mismatch` = detected format ≠ declared extension
+    * (with jpg/jpeg folded); undetected bytes always mismatch a
+    * declared media type.
+    *
+    * Scale shape: pure projection over hex prefixes of a 16-byte
+    * substring — zero shuffle; Catalyst prunes the full binary column
+    * when the caller selects only the verdict columns. */
+  def mediaSniff(media: DataFrame, idCol: String, bytesCol: String,
+                 declaredCol: String): DataFrame = {
+    val h = hex(substring(col(bytesCol), 1, 16))
+    val detected =
+      when(col(bytesCol).isNull || length(col(bytesCol)) === 0,
+        "empty")
+      .when(substring(h, 1, 6) === "FFD8FF", "jpeg")
+      .when(substring(h, 1, 8) === "89504E47", "png")
+      .when(substring(h, 1, 6) === "474946", "gif")
+      .when(substring(h, 1, 8) === "49492A00" ||
+        substring(h, 1, 8) === "4D4D002A", "tiff")
+      .when(substring(h, 1, 8) === "25504446", "pdf")
+      .when(substring(h, 1, 8) === "504B0304", "zip")
+      .when(substring(h, 1, 8) === "52494646" &&
+        substring(h, 17, 8) === "57415645", "wav")
+      .when(substring(h, 1, 8) === "52494646" &&
+        substring(h, 17, 8) === "41564920", "avi")
+      .when(substring(h, 1, 4) === "424D", "bmp")
+      // "<!DOCTYPE" / "<!doctype" / "<html" / "<HTML" as hex bytes
+      .when(substring(h, 1, 18) === "3C21444F4354595045" ||
+        substring(h, 1, 18) === "3C21646F6374797065" ||
+        substring(h, 1, 10) === "3C68746D6C" ||
+        substring(h, 1, 10) === "3C48544D4C", "html")
+      .otherwise("unknown")
+    val declNorm = when(lower(col(declaredCol)) === "jpg", "jpeg")
+      .otherwise(lower(coalesce(col(declaredCol), lit(""))))
+    media.select(col(idCol), declNorm.as("declared"),
+        detected.as("detected"),
+        coalesce(length(col(bytesCol)).cast("long"), lit(0L))
+          .as("n_bytes"))
+      .withColumn("mismatch", col("detected") =!= col("declared"))
+  }
 }

@@ -47,4 +47,68 @@ object PackingOps {
         concat(col("bucket"), lit("#"),
           expr(s"`offset` DIV $budget")).as("pack_id"))
   }
+
+  /** Context-length sweep for the [[sequencePack]] layout: one row per
+    * candidate budget with the corpus-level fill rate, pack count, and
+    * the number of documents a chunk boundary would SPLIT — the table
+    * a training run reads to pick `max_seq_len` (small budgets waste
+    * little padding but shred long documents; large budgets keep docs
+    * whole but underfill the tail chunk of every bucket).
+    *
+    * The bucketed running offsets — the only windowed work — are
+    * computed ONCE and shared across every budget; the sweep itself is
+    * a literal-array explode (×|budgets|) into two map-side-combinable
+    * aggregates ((budget, bucket) then budget). Re-running
+    * [[sequencePack]] per budget would repeat the offset shuffle
+    * |budgets| times for identical results.
+    *
+    * `n_packs` counts ceil(bucket_tokens / budget) chunks per bucket —
+    * concat-and-chunk emits every chunk including the partial tail;
+    * `fill_milli` = total_tokens·1000 / (n_packs·budget);
+    * `n_split_docs` counts docs whose [offset, offset+n) straddles a
+    * chunk boundary (their text is divided across training sequences).
+    * Empty docs (n = 0) occupy no tokens and cannot straddle. */
+  def packingCurve(docs: DataFrame, idCol: String, nTokens: Column,
+                   budgets: Seq[Int],
+                   bucketHexChars: Int = 2): DataFrame = {
+    require(budgets.nonEmpty, "at least one budget")
+    require(budgets.forall(_ > 0), "budgets must be positive")
+    require(budgets.distinct.size == budgets.size,
+      "duplicate budgets would double-count the curve")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      "bucketHexChars in [1,8] (16 to 4G buckets)")
+    val bucket = substring(md5(col(idCol).cast("string")), 1,
+      bucketHexChars)
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs
+      .select(col(idCol), bucket.as("bucket"),
+        nTokens.cast("long").as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val swept = offs
+      .select(col("bucket"), col("__n"), col("__off"),
+        explode(array(budgets.map(b => lit(b.toLong)): _*))
+          .as("budget"))
+    val perBucket = swept.groupBy(col("budget"), col("bucket"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(col("__n")).as("__toks"),
+        // chunks in this bucket = ceil(total / budget); total =
+        // last doc's offset + length = max(off + n) (offsets are a
+        // prefix sum, so the max IS the bucket total)
+        max(col("__off") + col("__n")).as("__total"),
+        sum(when(col("__n") > 0L &&
+          expr("(__off + __n - 1) DIV budget") =!=
+            expr("__off DIV budget"), 1L).otherwise(0L))
+          .as("__split"))
+    perBucket.groupBy(col("budget"))
+      .agg(sum(col("__docs")).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(expr("(__total + budget - 1) DIV budget")).as("n_packs"),
+        sum(col("__split")).as("n_split_docs"))
+      .select(col("budget"), col("n_docs"), col("n_tokens"),
+        col("n_packs"),
+        expr("n_tokens * 1000 DIV (n_packs * budget)")
+          .as("fill_milli"),
+        col("n_split_docs"))
+  }
 }

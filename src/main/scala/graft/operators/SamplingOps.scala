@@ -783,4 +783,41 @@ object SamplingOps {
         col("cum_before"), col("alloc_tokens"),
         (col("cum_before") < col("alloc_tokens")).as("keep"))
   }
+
+  /** Deterministic corpus shuffle: assign every doc a (shard, pos)
+    * training order from a seeded hash — the "shuffle the corpus
+    * before writing training shards" step, with the properties
+    * `ORDER BY rand()` lacks: reproducible across engines and reruns,
+    * re-derivable per doc (provenance: where did doc X land in run
+    * S?), and a different-but-deterministic order per `seed`.
+    *
+    * Order key = md5(seed ‖ ':' ‖ id): shard = first `shardHexChars`
+    * hex chars (16^chars shards), pos = 0-based rank of the full hash
+    * within the shard. Training reads shards in any order, rows in
+    * pos order; two docs never collide (the id tie-breaks equal
+    * hashes).
+    *
+    * Scale shape: the canonical distributed sort — one shuffle on the
+    * shard key, then a per-shard rank. md5 spreads docs uniformly, so
+    * every shard holds ~N/16^chars rows REGARDLESS of data skew
+    * (the hot-key window hazard needs a skewed key; a cryptographic
+    * hash of a unique id cannot produce one). Size `shardHexChars`
+    * so a shard's (id, hash) pairs sort in one task's memory: 2 hex
+    * chars ≈ N/256, 4 ≈ N/65536 for 100 TB-class corpora. */
+  def deterministicShuffle(docs: DataFrame, idCol: String,
+                           seed: String,
+                           shardHexChars: Int = 2): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      "shardHexChars in [1,8]")
+    require(!seed.contains(':'), "seed must not contain ':'")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    docs.select(col(idCol), h.as("__h"))
+      .withColumn("shard", substring(col("__h"), 1, shardHexChars))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

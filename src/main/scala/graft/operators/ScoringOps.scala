@@ -247,4 +247,69 @@ object ScoringOps {
       (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
         .as("rec"))
   }
+
+  /** Inter-annotator agreement over a labeling table (item, annotator,
+    * label) — the audit run before trusting human preference/quality
+    * labels as training signal: raw percent agreement is inflated by
+    * class imbalance, so Cohen's kappa (Cohen 1960) corrects each
+    * annotator PAIR by the agreement their marginal label
+    * distributions would produce by chance.
+    *
+    * One row per unordered annotator pair (a < b) over the items BOTH
+    * labeled: `n_shared`, `n_agree`, `po_milli` = observed agreement,
+    * and kappa as the exact integer rational `kappa_num/kappa_den`
+    * (num = n·agree − Σ_l cA_l·cB_l, den = n² − Σ_l cA_l·cB_l, both
+    * over shared items only). Kappa is deliberately NOT divided:
+    * milli-rounding a ratio that can be negative invites engine
+    * rounding-mode drift, and `den = 0` (both marginals degenerate on
+    * one label) is undefined — emitting the rational keeps both cases
+    * exact and lets the caller choose presentation.
+    *
+    * Scale shape: one self-equi-join on the item key (co-partitioned,
+    * fan-out per item = C(annotators-on-item, 2) — annotation budgets
+    * bound this at single digits), then three (pair[, label])-keyed
+    * map-side-combinable aggregates; pairs × labels is tiny. */
+  def annotatorAgreement(labels: DataFrame, itemCol: String,
+                         annotatorCol: String,
+                         labelCol: String): DataFrame = {
+    val l = labels.select(col(itemCol).as("__item"),
+      col(annotatorCol).cast("string").as("__ann"),
+      col(labelCol).cast("string").as("__lab"))
+    val joined = l.select(col("__item"), col("__ann").as("ann_a"),
+        col("__lab").as("__la"))
+      .join(l.select(col("__item"), col("__ann").as("ann_b"),
+        col("__lab").as("__lb")), Seq("__item"))
+      .filter(col("ann_a") < col("ann_b"))
+    val base = joined.groupBy(col("ann_a"), col("ann_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(col("__la") === col("__lb"), 1L).otherwise(0L))
+          .as("n_agree"))
+    // chance term: Σ_l cA_l · cB_l from the pair's marginals over the
+    // SHARED items (a full outer join keeps labels one side never used)
+    val margA = joined.groupBy(col("ann_a"), col("ann_b"), col("__la"))
+      .agg(count(lit(1)).as("__ca"))
+    // rename the right side before joining: a self-derived join's
+    // unqualified columns resolve ambiguously (Spark warns and may
+    // pick a trivially-true predicate)
+    val margB = joined.groupBy(col("ann_a"), col("ann_b"), col("__lb"))
+      .agg(count(lit(1)).as("__cb"))
+      .select(col("ann_a").as("__b_anna"),
+        col("ann_b").as("__b_annb"), col("__lb"), col("__cb"))
+    val chance = margA
+      .join(margB, col("ann_a") === col("__b_anna") &&
+        col("ann_b") === col("__b_annb") &&
+        col("__la") === col("__lb"))
+      .select(col("ann_a"), col("ann_b"),
+        (col("__ca") * col("__cb")).as("__p"))
+      .groupBy(col("ann_a"), col("ann_b"))
+      .agg(sum(col("__p")).as("__chance"))
+    base.join(chance, Seq("ann_a", "ann_b"), "left")
+      .select(col("ann_a"), col("ann_b"), col("n_shared"),
+        col("n_agree"),
+        expr("n_agree * 1000 DIV n_shared").as("po_milli"),
+        (col("n_agree") * col("n_shared") -
+          coalesce(col("__chance"), lit(0L))).as("kappa_num"),
+        (col("n_shared") * col("n_shared") -
+          coalesce(col("__chance"), lit(0L))).as("kappa_den"))
+  }
 }

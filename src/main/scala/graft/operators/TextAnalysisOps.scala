@@ -3466,4 +3466,85 @@ object TextAnalysisOps {
           .as("names_found"))
       .withColumn("has_person_name", col("n_name_hits") > 0L)
   }
+
+  /** Special-token contamination scan — documents containing literal
+    * tokenizer control strings (`<|endoftext|>`, `</s>`, ChatML
+    * markers, instruction-template brackets) poison training: the
+    * tokenizer maps them to CONTROL ids, so one stray
+    * `<|endoftext|>` mid-document truncates the example or splices
+    * unrelated text into one sequence. Scanning for them before
+    * tokenization is standard corpus hygiene (the same scan doubles
+    * as a synthetic-data tell: templated generations leak their chat
+    * scaffolding verbatim).
+    *
+    * Emits one row per (doc, token) with `n_hits` ≥ 1 — occurrence
+    * counts by the exact substring-count identity
+    * `(len(text) − len(replace(text, tok, ''))) / len(tok)`, which is
+    * engine-portable integer arithmetic (no regex, so tokens with
+    * regex metacharacters like `<|` need no escaping).
+    *
+    * Scale shape: pure projection — the token list is a literal array
+    * exploded in-row (×|tokens| row amplification before the hit
+    * filter, |tokens| is O(10)); zero shuffle, zero joins. */
+  def specialTokenScan(docs: DataFrame, idCol: String, textCol: String,
+                       tokens: Seq[String]): DataFrame = {
+    require(tokens.nonEmpty, "at least one token to scan for")
+    require(tokens.distinct.size == tokens.size,
+      "duplicate scan tokens would double-report")
+    require(tokens.forall(_.nonEmpty), "empty scan token")
+    val txt = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol), txt.as("__text"),
+        explode(array(tokens.map(lit): _*)).as("token"))
+      .select(col(idCol), col("token"),
+        ((length(col("__text")) -
+          length(replace(col("__text"), col("token"), lit("")))) /
+          length(col("token"))).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0L)
+  }
+
+  /** Bitext (parallel-corpus) alignment audit — machine-translation
+    * pairs die from misalignment, not noise: an off-by-one sentence
+    * alignment makes every pair after it teach the model a wrong
+    * mapping. The two cheap signals that catch most of it (the
+    * Gale–Church '93 premise, plus the numeral check every WMT
+    * cleaning pass runs): length ratio — translations track source
+    * length within a band — and number parity — digits survive
+    * translation verbatim, so the digit-run multisets must match.
+    *
+    * One row per pair: token counts, `ratio_milli` =
+    * tgt_tokens·1000/src_tokens, the sorted digit-run lists as
+    * ','-joined strings, and `verdict` ∈ {'ok', 'empty', 'ratio',
+    * 'numbers'} (first failing check wins; ratio band
+    * [`minRatioMilli`, `maxRatioMilli`]).
+    *
+    * Scale shape: pure projection — regex digit-run extraction and
+    * the ratio arithmetic fold in-row; zero shuffle. */
+  def bitextAlign(pairs: DataFrame, idCol: String, srcCol: String,
+                  tgtCol: String, minRatioMilli: Long = 300L,
+                  maxRatioMilli: Long = 3000L): DataFrame = {
+    require(minRatioMilli >= 1L && maxRatioMilli >= minRatioMilli,
+      "ratio band must be positive and ordered")
+    def toks(c: Column) = size(filter(
+      split(coalesce(c, lit("")), "\\s+"), t => t =!= ""))
+    def nums(c: Column) = array_join(array_sort(
+      regexp_extract_all(coalesce(c, lit("")), lit("[0-9]+"), lit(0))),
+      ",")
+    val out = pairs.select(col(idCol),
+      toks(col(srcCol)).cast("long").as("src_tokens"),
+      toks(col(tgtCol)).cast("long").as("tgt_tokens"),
+      nums(col(srcCol)).as("src_numbers"),
+      nums(col(tgtCol)).as("tgt_numbers"))
+    out.select(col(idCol), col("src_tokens"), col("tgt_tokens"),
+        when(col("src_tokens") > 0L,
+          expr("tgt_tokens * 1000 DIV src_tokens"))
+          .otherwise(lit(null).cast("long")).as("ratio_milli"),
+        col("src_numbers"), col("tgt_numbers"))
+      .withColumn("verdict",
+        when(col("src_tokens") === 0L || col("tgt_tokens") === 0L,
+          "empty")
+          .when(col("ratio_milli") < minRatioMilli ||
+            col("ratio_milli") > maxRatioMilli, "ratio")
+          .when(col("src_numbers") =!= col("tgt_numbers"), "numbers")
+          .otherwise("ok"))
+  }
 }

