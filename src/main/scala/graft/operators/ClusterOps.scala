@@ -191,11 +191,13 @@ object ClusterOps {
     *
     * `members`: one row per (id, cluster) with the member's quality.
     * `qualityMicro` must be integral (micro-units) — ties are resolved
-    * exactly, never through FP rounding. */
+    * exactly, never through FP rounding. Ids keep their own type
+    * (numeric or string — `min` orders either; unlike
+    * [[connectedComponents]] nothing here needs numeric ids). */
   def canonicalReport(members: DataFrame, idCol: String,
                       clusterCol: String,
                       qualityMicro: Column): DataFrame = {
-    val m = members.select(col(idCol).cast("long").as("__id"),
+    val m = members.select(col(idCol).as("__id"),
       col(clusterCol).cast("string").as("cluster"),
       qualityMicro.cast("long").as("__q"))
     val stats = m.groupBy(col("cluster"))

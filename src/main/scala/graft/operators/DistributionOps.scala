@@ -191,7 +191,7 @@ object DistributionOps {
         // one-based cum threshold for zero-based rank ⌊(n−1)/2⌋
         .filter(col("cum") >= expr("(n - 1) DIV 2") + 1L)
         .groupBy(col("source"))
-        .agg(min(col("v")).as(out), max(col("n")).as(s"__n_$out"))
+        .agg(min(col("v")).as(out))
     }
     val med = lowerMedian(counts, "median")
     val devCounts = counts.join(med.select(col("source"),

@@ -107,8 +107,11 @@ object PackingOps {
         sum(col("__split")).as("n_split_docs"))
       .select(col("budget"), col("n_docs"), col("n_tokens"),
         col("n_packs"),
-        expr("n_tokens * 1000 DIV (n_packs * budget)")
-          .as("fill_milli"),
+        // an all-empty corpus has zero packs; NULL fill (undefined)
+        // beats an ANSI divide-by-zero at collect time
+        when(col("n_packs") > 0L,
+          expr("n_tokens * 1000 DIV (n_packs * budget)"))
+          .otherwise(lit(null).cast("long")).as("fill_milli"),
         col("n_split_docs"))
   }
 }

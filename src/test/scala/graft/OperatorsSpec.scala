@@ -5379,6 +5379,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(web.getAs[Long]("n_outliers") == 2L, s"extremes: $web")
   }
 
+  test("canonicalReport keeps string ids intact (no numeric cast)") {
+    val members = Seq(
+      ("doc-a1", "c1", 10L), ("doc-b2", "c1", 30L)
+    ).toDF("id", "cluster", "q")
+    val got = ClusterOps.canonicalReport(members, "id", "cluster",
+      col("q")).collect()
+    assert(got.length == 1 &&
+      got(0).getAs[String]("canonical_id") == "doc-b2")
+  }
+
+  test("packingCurve on an all-empty corpus reports zero packs and " +
+      "NULL fill instead of dividing by zero") {
+    val got = PackingOps.packingCurve(
+      Seq((1L, 0L), (2L, 0L)).toDF("id", "n"), "id", col("n"),
+      budgets = Seq(128), bucketHexChars = 1).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("n_packs") == 0L &&
+      got(0).isNullAt(got(0).fieldIndex("fill_milli")))
+  }
+
   test("packingCurve is consistent with sequencePack pack ids at the " +
       "same budget and bucketing") {
     val docs = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
