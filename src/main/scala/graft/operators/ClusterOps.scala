@@ -182,17 +182,20 @@ object ClusterOps {
     * answer. Singleton clusters are excluded (nothing was decided).
     *
     * Unlike [[qualityKeepers]] (a per-member keep flag via a rank
-    * window over the cluster key) this is the window-free shape: two
-    * cluster-keyed aggregates with a join back between them. Both
-    * exchanges hash on `cluster`, both aggregates are map-side
-    * combinable, and no single task ever holds a whole cluster's rows
-    * sorted — a pathological mega-cluster (bad LSH threshold) degrades
-    * into a big but PARTIAL aggregation instead of one sorting task.
+    * window over the cluster key) this is ONE cluster-keyed aggregate:
+    * the keeper rule "max quality, ties → min id" is exactly
+    * `min_by(id, (−q, id))`, and min_by/count/max/min all combine
+    * map-side, so a pathological mega-cluster (bad LSH threshold)
+    * collapses to one row per map partition before the single
+    * exchange — no task ever holds a cluster's rows, sorted or
+    * otherwise. (A join-back formulation re-concentrates the hot
+    * cluster in one join task — the ScaleProbe MEGA-CLUSTER fixture
+    * measured it as bad as the rank window it replaced.)
     *
     * `members`: one row per (id, cluster) with the member's quality.
     * `qualityMicro` must be integral (micro-units) — ties are resolved
     * exactly, never through FP rounding. Ids keep their own type
-    * (numeric or string — `min` orders either; unlike
+    * (numeric or string — ordering works for either; unlike
     * [[connectedComponents]] nothing here needs numeric ids). */
   def canonicalReport(members: DataFrame, idCol: String,
                       clusterCol: String,
@@ -200,20 +203,13 @@ object ClusterOps {
     val m = members.select(col(idCol).as("__id"),
       col(clusterCol).cast("string").as("cluster"),
       qualityMicro.cast("long").as("__q"))
-    val stats = m.groupBy(col("cluster"))
+    m.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         max(col("__q")).as("best_q_micro"),
-        min(col("__q")).as("worst_q_micro"))
+        min(col("__q")).as("worst_q_micro"),
+        min_by(col("__id"), struct((-col("__q")).as("nq"),
+          col("__id").as("id"))).as("canonical_id"))
       .filter(col("n_members") >= 2)
-    // canonical = min id among members at the cluster max quality;
-    // the equi-join keys both sides on cluster (no broadcast needed:
-    // stats is cluster-sized but unbounded — AQE broadcasts when small)
-    val canon = m.join(stats.select(col("cluster"),
-        col("best_q_micro")), Seq("cluster"))
-      .filter(col("__q") === col("best_q_micro"))
-      .groupBy(col("cluster"))
-      .agg(min(col("__id")).as("canonical_id"))
-    stats.join(canon, Seq("cluster"))
       .select(col("cluster"), col("canonical_id"), col("n_members"),
         (col("n_members") - 1L).as("n_dropped"),
         col("best_q_micro"), col("worst_q_micro"))

@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterOps, DedupOps, DistributionOps, SamplingOps,
-  SessionOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{ClusterOps, DedupOps, DistributionOps, PackingOps,
+  SamplingOps, SessionOps, SimilarityOps, TextAnalysisOps}
 
 /** Dev-only scale probe: replicates the sf0.1 corpus N× (ids shifted per
   * replica so keys stay distinct, texts/vectors perturbed per replica so
@@ -942,6 +942,62 @@ object ScaleProbe {
         f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB, " +
         s"$nOut verdicts, state bound = $distinctSigs distinct sigs")
     }
+
+    // round-9 wave q250-q259: the scale-shape claims, measured.
+    // canonicalReport's pitch is mega-cluster safety: HALF the corpus
+    // in ONE duplicate cluster must collapse map-side (max-task read
+    // bounded by map partitions), never one task holding the cluster.
+    {
+      // same rationale as the hot-key block above: coalescing merges
+      // these toy-scale shuffles into one task and masks the per-key
+      // distribution the probe exists to measure
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val members = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("MEGA"))
+          .otherwise(md5(col("text"))).as("cluster"),
+        (col("doc_id") % 100L).as("q"))
+      time(s"canonicalReport MEGA-CLUSTER x$n (50% one cluster)")(
+        ClusterOps.canonicalReport(members, "doc_id", "cluster",
+          col("q")))
+      // the window-shaped alternative this operator replaces, for the
+      // max-task contrast (rank over the cluster key)
+      time(s"canonicalReport WINDOW-BASELINE x$n (same fixture)") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("q").desc, col("doc_id").asc)
+        members.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+      }
+      // madOutliers under a dominant source: 90% one source; the
+      // domain-aggregation claim is max-task ~ value DOMAIN, not rows
+      time(s"madOutliers 90%-one-source x$n")(
+        DistributionOps.madOutliers(
+          docs.select(
+            when(col("doc_id") % 10 < 9, lit("web"))
+              .otherwise(lit("books")).as("source"),
+            size(split(col("text"), " ")).cast("long").as("len")),
+          "source", col("len")))
+      // deterministicShuffle: uniform md5 shards by construction —
+      // per-shard rank tasks hold ~N/shards regardless of input skew
+      // (ids are unique; a crypto hash cannot make a hot key)
+      time(s"deterministicShuffle x$n (256 shards)")(
+        SamplingOps.deterministicShuffle(docs.select(col("doc_id")),
+          "doc_id", "probe", shardHexChars = 2))
+      // packingCurve: offsets once, budgets exploded in-row — shuffle
+      // is docs-sized smalls × |budgets| through two partial aggs
+      time(s"packingCurve x$n (5 budgets)")(
+        PackingOps.packingCurve(
+          docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("nt")),
+          "doc_id", col("nt"), Seq(128, 256, 512, 1024, 2048)))
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    // specialTokenScan: pure projection — the probe pins zero shuffle
+    time(s"specialTokenScan x$n")(
+      TextAnalysisOps.specialTokenScan(docs, "doc_id", "text",
+        Seq("<|endoftext|>", "</s>", "<|im_start|>", "[INST]")))
 
     // events ×N through the flagship sessionize plan
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
