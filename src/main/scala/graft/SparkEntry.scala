@@ -2730,6 +2730,71 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CMS heavy hitters (q260): the mergeable token-count sketch —
+    // common words read back their true-plus-collision counts, an
+    // absent token reads its cells' collision mass.
+    "q260_cms_heavy_hitters" -> ((s, dir) => {
+      TextAnalysisOps.cmsTokenCounts(t(s, dir, "documents"), "text",
+        queryTokens = Seq("join", "hash", "scan", "the",
+          "zzz_absent"),
+        width = 64, depth = 3)
+        .orderBy(col("token"))
+    }),
+
+    // Curriculum order (q261): 4 difficulty phases by exact length
+    // quantiles, seeded shuffle within each phase.
+    "q261_curriculum_order" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("diff"))
+      SamplingOps.curriculumOrder(base, "doc_id", col("diff"),
+        nPhases = 4, seed = "cur1", shardHexChars = 1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Metadata drift (q262): between builds, lang coverage rises, a
+    // legacy field disappears, a quality field appears — the
+    // incremental-build schema audit.
+    "q262_metadata_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("http://ex/"), col("doc_id").cast("string"))
+      val oldM = docs.select(to_json(struct(url.as("url"),
+        when(col("doc_id") % 3 === 0, col("lang")).as("lang"),
+        when(col("doc_id") % 4 === 0, lit("x")).as("legacy"),
+        lit(null).cast("string").as("quality"))).as("meta"))
+      val newM = docs.select(to_json(struct(url.as("url"),
+        when(col("doc_id") % 6 < 5, col("lang")).as("lang"),
+        lit(null).cast("string").as("legacy"),
+        when(col("doc_id") % 2 === 0,
+          col("doc_id").cast("string")).as("quality"))).as("meta"))
+      TextAnalysisOps.metadataDrift(oldM, newM, "meta",
+        Seq("url", "lang", "legacy", "quality"))
+        .orderBy(col("field"))
+    }),
+
+    // Link spam (q263): a 4-host reciprocal link farm against an
+    // organic host population (mostly one-way links, one accidental
+    // reciprocal pair) plus a self-link slice.
+    "q263_link_spam" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val organic = d.filter(col("doc_id") % 10 >= 4).select(
+        concat(lit("h"), (col("doc_id") % 50).cast("string"))
+          .as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + 1 +
+          lit(11) * (expr("doc_id DIV 50") % 5)) % 50).cast("string"))
+          .as("dst"))
+      val farm = d.filter(col("doc_id") % 10 < 4).select(
+        concat(lit("f"), (col("doc_id") % 4).cast("string"))
+          .as("src"),
+        concat(lit("f"), ((col("doc_id") % 4 +
+          (expr("doc_id DIV 4") % 3) + 1) % 4).cast("string"))
+          .as("dst"))
+      val selfE = d.filter(col("doc_id") % 97 === 0).select(
+        lit("h7").as("src"), lit("h7").as("dst"))
+      UrlOps.linkSpamSignals(
+        organic.unionByName(farm).unionByName(selfE), "src", "dst")
+        .orderBy(col("host"))
+    }),
+
     // MAD outliers (q259): doc-length outlier gate per source with a
     // planted 50x length inflation on the %53 slice — the median and
     // MAD must NOT move (robustness is the point), the outlier count
@@ -9479,6 +9544,151 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, n_rows, median, mad, n_outliers,
         |  (n_outliers * 1000) // n_rows AS outlier_milli
         |FROM g ORDER BY source""".stripMargin,
+
+    // Same md5 cell grid built in SQL; estimates are min over the
+    // depth cells with empty cells as 0.
+    "q260_cms_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |nz AS (SELECT token FROM tk WHERE token <> ''),
+        |r AS (
+        |  SELECT token, unnest(range(0, 3)) AS row FROM nz),
+        |b AS (
+        |  SELECT row,
+        |    ('0x' || substr(md5(row::VARCHAR || ':' || token), 1, 8))
+        |      ::BIGINT % 64 AS bucket
+        |  FROM r),
+        |sk AS (
+        |  SELECT row, bucket, count(*)::BIGINT AS c
+        |  FROM b GROUP BY row, bucket),
+        |q AS (
+        |  SELECT unnest(['join', 'hash', 'scan', 'the',
+        |    'zzz_absent']) AS token),
+        |qr AS (SELECT token, unnest(range(0, 3)) AS row FROM q),
+        |qb AS (
+        |  SELECT token, row,
+        |    ('0x' || substr(md5(row::VARCHAR || ':' || token), 1, 8))
+        |      ::BIGINT % 64 AS bucket
+        |  FROM qr)
+        |SELECT qb.token, min(coalesce(sk.c, 0))::BIGINT AS cms_count
+        |FROM qb LEFT JOIN sk ON qb.row = sk.row
+        |  AND qb.bucket = sk.bucket
+        |GROUP BY qb.token ORDER BY qb.token""".stripMargin,
+
+    // q50's lower-quantile CTE makes the cuts; phase = cuts <= score
+    // via a cuts-sized cross join; in-phase order = the q257 rank.
+    "q261_curriculum_order" ->
+      """WITH s AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS sc
+        |  FROM documents),
+        |c AS (SELECT sc AS v, count(*) AS cnt FROM s GROUP BY sc),
+        |cum AS (
+        |  SELECT v, (sum(cnt) OVER
+        |    (ORDER BY v ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM c),
+        |tot AS (SELECT count(*) AS n FROM s),
+        |ps(p) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
+        |  (0.75::DOUBLE)),
+        |tgt AS (
+        |  SELECT p, floor(p * (n - 1))::BIGINT + 1 AS pos
+        |  FROM ps, tot),
+        |cuts AS (
+        |  SELECT p, min(v) AS cut FROM tgt JOIN cum ON cum >= pos
+        |  GROUP BY p),
+        |ph AS (
+        |  SELECT s.doc_id, s.sc,
+        |    sum(CASE WHEN s.sc >= c.cut THEN 1 ELSE 0 END)::BIGINT
+        |      AS phase
+        |  FROM s CROSS JOIN cuts c GROUP BY s.doc_id, s.sc),
+        |h AS (
+        |  SELECT doc_id, sc, phase,
+        |    md5('cur1:' || doc_id::VARCHAR) AS hh
+        |  FROM ph)
+        |SELECT doc_id, sc AS score_micro, phase,
+        |  substr(hh, 1, 1) AS shard,
+        |  (row_number() OVER (PARTITION BY phase, substr(hh, 1, 1)
+        |    ORDER BY hh, doc_id) - 1)::BIGINT AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Coverage counts re-derived arithmetically from the injection
+    // conditions (independent of the JSON encoding).
+    "q262_metadata_drift" ->
+      """WITH tot AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS ol,
+        |    sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS og,
+        |    sum(CASE WHEN doc_id % 6 < 5 THEN 1 ELSE 0 END)::BIGINT
+        |      AS nl,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS nq
+        |  FROM documents),
+        |f AS (
+        |  SELECT 'url' AS field, n AS op, n AS np FROM tot
+        |  UNION ALL SELECT 'lang', ol, nl FROM tot
+        |  UNION ALL SELECT 'legacy', og, 0 FROM tot
+        |  UNION ALL SELECT 'quality', 0, nq FROM tot),
+        |r AS (
+        |  SELECT f.field, t.n AS old_records, t.n AS new_records,
+        |    f.op AS old_present, f.np AS new_present,
+        |    (f.op * 1000) // t.n AS old_milli,
+        |    (f.np * 1000) // t.n AS new_milli
+        |  FROM f, tot t)
+        |SELECT field, old_records, new_records, old_present,
+        |  new_present, old_milli, new_milli,
+        |  (new_milli - old_milli) AS delta_milli,
+        |  CASE WHEN old_present = 0 AND new_present > 0 THEN 'added'
+        |  WHEN old_present > 0 AND new_present = 0 THEN 'removed'
+        |  ELSE 'stable' END AS status
+        |FROM r ORDER BY field""".stripMargin,
+
+    // Distinct host pairs, reciprocity via the reversed-pair left
+    // join, host rollups.
+    "q263_link_spam" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |organic AS (
+        |  SELECT 'h' || (doc_id % 50)::VARCHAR AS src,
+        |    'h' || ((doc_id * 7 + 1 +
+        |      11 * ((doc_id // 50) % 5)) % 50)::VARCHAR AS dst
+        |  FROM d WHERE doc_id % 10 >= 4),
+        |farm AS (
+        |  SELECT 'f' || (doc_id % 4)::VARCHAR AS src,
+        |    'f' || ((doc_id % 4 + (doc_id // 4) % 3 + 1) % 4)
+        |      ::VARCHAR AS dst
+        |  FROM d WHERE doc_id % 10 < 4),
+        |selfe AS (
+        |  SELECT 'h7' AS src, 'h7' AS dst FROM d
+        |  WHERE doc_id % 97 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT * FROM organic UNION ALL SELECT * FROM farm
+        |  UNION ALL SELECT * FROM selfe)),
+        |ns AS (SELECT src, dst FROM e WHERE src <> dst),
+        |sl AS (
+        |  SELECT src, 1::BIGINT AS self FROM e WHERE src = dst),
+        |o AS (
+        |  SELECT ns.src, count(*)::BIGINT AS out_degree,
+        |    sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_reciprocal
+        |  FROM ns LEFT JOIN ns r ON ns.src = r.dst
+        |    AND ns.dst = r.src
+        |  GROUP BY ns.src),
+        |i AS (
+        |  SELECT dst AS src, count(*)::BIGINT AS in_degree
+        |  FROM ns GROUP BY dst)
+        |SELECT o.src AS host, o.out_degree,
+        |  coalesce(i.in_degree, 0)::BIGINT AS in_degree,
+        |  o.n_reciprocal,
+        |  (o.n_reciprocal * 1000) // o.out_degree
+        |    AS reciprocity_milli,
+        |  coalesce(sl.self, 0)::BIGINT AS n_self_links,
+        |  (o.out_degree >= 3 AND
+        |    (o.n_reciprocal * 1000) // o.out_degree >= 800)
+        |    AS is_spammy
+        |FROM o LEFT JOIN i ON o.src = i.src
+        |LEFT JOIN sl ON o.src = sl.src
+        |ORDER BY host""".stripMargin,
 
     // The q83 dHash pixel chain + caption gate + per-hash counts with
     // the (hash, caption-sig)-distinct two-step.

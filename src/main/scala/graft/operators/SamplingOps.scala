@@ -820,4 +820,53 @@ object SamplingOps {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Curriculum training order: phase docs by difficulty quantile,
+    * then shuffle deterministically WITHIN each phase — the
+    * easy-to-hard schedule (Bengio et al. 2009) as a corpus layout:
+    * training reads phases in order, and within a phase the order is
+    * [[deterministicShuffle]]'s seeded (shard, pos).
+    *
+    * Phase cuts are exact lower quantiles of `scoreMicro` at
+    * i/nPhases — computed by the q50 domain-aggregation discipline
+    * (counts per distinct score, cumulative over the DOMAIN), then
+    * collected as nPhases−1 scalars (bounded by construction) and
+    * folded in-row: `phase` = number of cuts ≤ score, so phase 0 is
+    * the easiest quantile. Equal scores always land in one phase
+    * (cuts are score VALUES, not ranks — quantile ties never split).
+    *
+    * Scale shape: one domain-sized quantile aggregate, then a pure
+    * projection for the phase, then the [[deterministicShuffle]]
+    * sort: rank windows partition on (phase, shard) — md5 spreads
+    * docs uniformly over shards within every phase, so per-task rank
+    * work is ~N/(nPhases·16^shardHexChars). */
+  def curriculumOrder(docs: DataFrame, idCol: String,
+                      scoreMicro: Column, nPhases: Int = 4,
+                      seed: String = "curriculum",
+                      shardHexChars: Int = 2): DataFrame = {
+    require(nPhases >= 2 && nPhases <= 64, "nPhases in [2,64]")
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      "shardHexChars in [1,8]")
+    require(!seed.contains(':'), "seed must not contain ':'")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol),
+      scoreMicro.cast("long").as("__s"))
+    val ps = (1 until nPhases).map(_.toDouble / nPhases)
+    val cuts = DistributionOps.discQuantiles(base, col("__s"), ps)
+      .select(col("value").cast("long")).collect().map(_.getLong(0))
+      .sorted
+    val phase = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(col("__s") >= c, 1L).otherwise(0L)
+    }
+    val h = md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col("phase"), col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    base.withColumn("phase", phase)
+      .withColumn("__h", h)
+      .withColumn("shard", substring(col("__h"), 1, shardHexChars))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("__s").as("score_micro"), col("phase"),
+        col("shard"), col("pos"))
+  }
 }

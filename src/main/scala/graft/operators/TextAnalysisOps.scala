@@ -2405,6 +2405,39 @@ object TextAnalysisOps {
         expr("n_present * 1000 div n_records").as("coverage_milli"))
   }
 
+  /** Metadata schema drift between two corpus builds — the
+    * incremental-build audit [[jsonFieldCoverage]] feeds: per field,
+    * coverage in the old and new snapshots, the milli delta, and a
+    * status (`added` — absent before, present now; `removed` —
+    * present before, gone now; `stable`). A field silently dropping
+    * from 90% to 0% coverage is how a downstream gate starts passing
+    * everything; this surfaces it before the gate runs.
+    *
+    * Scale shape: two [[jsonFieldCoverage]] passes (each one
+    * projection + fields-sized aggregate) joined on the fields-sized
+    * key — nothing corpus-sized crosses the join. */
+  def metadataDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                    jsonCol: String, fields: Seq[String]): DataFrame = {
+    val o = jsonFieldCoverage(oldDocs, jsonCol, fields)
+      .select(col("field"), col("n_records").as("old_records"),
+        col("n_present").as("old_present"),
+        col("coverage_milli").as("old_milli"))
+    val n = jsonFieldCoverage(newDocs, jsonCol, fields)
+      .select(col("field"), col("n_records").as("new_records"),
+        col("n_present").as("new_present"),
+        col("coverage_milli").as("new_milli"))
+    o.join(n, Seq("field"))
+      .select(col("field"), col("old_records"), col("new_records"),
+        col("old_present"), col("new_present"), col("old_milli"),
+        col("new_milli"),
+        (col("new_milli") - col("old_milli")).as("delta_milli"),
+        when(col("old_present") === 0L && col("new_present") > 0L,
+          "added")
+          .when(col("old_present") > 0L && col("new_present") === 0L,
+            "removed")
+          .otherwise("stable").as("status"))
+  }
+
   /** Date extraction + normalization — the recency signal for
     * staleness filtering and time-sliced corpora: ISO (`yyyy-MM-dd`)
     * and US (`M/d/yyyy`) shaped substrings are extracted, VALIDATED
@@ -3500,6 +3533,57 @@ object TextAnalysisOps {
           length(replace(col("__text"), col("token"), lit("")))) /
           length(col("token"))).cast("long").as("n_hits"))
       .filter(col("n_hits") > 0L)
+  }
+
+  /** Count-min sketch token frequencies (Cormode & Muthukrishnan
+    * 2005) — the mergeable heavy-hitter primitive for corpus-scale
+    * token accounting: the sketch is a fixed `depth × width` integer
+    * grid regardless of vocabulary size, so per-shard sketches add
+    * cell-wise (KBs on the wire where the exact q47 counts ship the
+    * vocabulary), and any token's count reads back as the MIN over
+    * its `depth` cells — an overestimate only, never under.
+    *
+    * Cell assignment is engine-portable md5 arithmetic
+    * (`md5(row ":" token)` → first 8 hex → mod width), so the sketch
+    * AND its estimates are deterministic and oracle-checkable, unlike
+    * library sketches with private hash families. Absent tokens read
+    * as their cells' collision mass (possibly 0) — the documented CMS
+    * contract.
+    *
+    * Scale shape: one explode(×depth) into a (depth·width)-keyed
+    * map-side-combined aggregate (output ≤ depth·width rows); query
+    * tokens are a literal-sized frame broadcast-joined against the
+    * sketch. */
+  def cmsTokenCounts(docs: DataFrame, textCol: String,
+                     queryTokens: Seq[String], width: Int = 1024,
+                     depth: Int = 3): DataFrame = {
+    require(width >= 16, "width >= 16")
+    require(depth >= 1 && depth <= 8, "depth in [1,8]")
+    require(queryTokens.nonEmpty, "at least one query token")
+    require(queryTokens.distinct.size == queryTokens.size,
+      "duplicate query tokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def cell(row: Column, token: Column): Column =
+      conv(substring(md5(concat(row.cast("string"), lit(":"), token)),
+        1, 8), 16, 10).cast("long") % width.toLong
+    val sketch = docs
+      .select(explode(split(coalesce(col(textCol), lit("")), " "))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .select(explode(array((0 until depth).map(lit): _*)).as("row"),
+        col("token"))
+      .select(col("row"), cell(col("row"), col("token")).as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val q = queryTokens.flatMap(t => (0 until depth).map(i => (t, i)))
+      .toDF("token", "row")
+      .withColumn("bucket", cell(col("row"), col("token")))
+    // left-outer keeps empty cells as 0; the sketch (≤ depth·width
+    // rows by construction) broadcasts, never the corpus
+    q.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("__c"), lit(0L))).as("cms_count"))
   }
 
   /** Bitext (parallel-corpus) alignment audit — machine-translation

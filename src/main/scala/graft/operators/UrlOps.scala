@@ -557,4 +557,55 @@ object UrlOps {
         min(col("__u")).as("sample_url"))
       .withColumn("is_trap", col("n_urls") >= trapThreshold)
   }
+
+  /** Host-level link-spam signals over a (src_host, dst_host) edge
+    * list — the pre-PageRank hygiene pass (Gyöngyi & Garcia-Molina's
+    * link-spam taxonomy): link farms are near-cliques, so their tell
+    * is RECIPROCITY — a large out-degree where most outlinks link
+    * back. Organic hosts link out far more than they are linked back
+    * by the same hosts.
+    *
+    * One row per host appearing as a link SOURCE: distinct out/in
+    * degree, reciprocal outlink count (the reverse edge exists),
+    * `reciprocity_milli`, self-link count, and the spam flag
+    * (out_degree ≥ `minOutDegree` AND reciprocity ≥
+    * `spamReciprocityMilli`). Self-links are excluded from degrees
+    * and reciprocity (trivially reciprocal) and surfaced separately.
+    *
+    * Scale shape: edges dedup to distinct host pairs (pair-keyed,
+    * map-side combined); reciprocity is ONE self-equi-join on the
+    * full pair key (src, dst) = (dst, src) — pair keys are near-
+    * unique, so no hot-key concentration even for a mega-host (its
+    * edges spread over its distinct partners); host rollups are
+    * map-side-combined aggregates. */
+  def linkSpamSignals(edges: DataFrame, srcCol: String,
+                      dstCol: String,
+                      minOutDegree: Long = 3L,
+                      spamReciprocityMilli: Long = 800L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    val nonSelf = e.filter(col("src") =!= col("dst"))
+    val self = e.filter(col("src") === col("dst"))
+      .select(col("src"), lit(1L).as("__self"))
+    val rev = nonSelf.select(col("dst").as("src"),
+      col("src").as("dst"), lit(1L).as("__rev"))
+    val out = nonSelf.join(rev, Seq("src", "dst"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("out_degree"),
+        sum(coalesce(col("__rev"), lit(0L))).as("n_reciprocal"))
+    val in = nonSelf.groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_degree"))
+      .select(col("dst").as("src"), col("in_degree"))
+    out.join(in, Seq("src"), "left")
+      .join(self, Seq("src"), "left")
+      .select(col("src").as("host"), col("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        col("n_reciprocal"),
+        expr("n_reciprocal * 1000 DIV out_degree")
+          .as("reciprocity_milli"),
+        coalesce(col("__self"), lit(0L)).as("n_self_links"))
+      .withColumn("is_spammy",
+        col("out_degree") >= minOutDegree &&
+          col("reciprocity_milli") >= spamReciprocityMilli)
+  }
 }

@@ -5398,6 +5398,97 @@ class OperatorsSpec extends AnyFunSuite {
       got(0).isNullAt(got(0).fieldIndex("fill_milli")))
   }
 
+  test("cmsTokenCounts never underestimates, reads exact counts " +
+      "absent collisions, and absent tokens read collision mass only") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq((1L, "a a a b"), (2L, "a b c"), (3L, ""))
+      .toDF("id", "text")
+    val got = TextAnalysisOps.cmsTokenCounts(docs, "text",
+      queryTokens = Seq("a", "b", "c", "nope"),
+      width = 4096, depth = 3)
+      .orderBy("token").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cms_count"))
+      .toMap
+    // wide sketch, 3 tokens: no collisions -> exact
+    assert(got("a") == 4L && got("b") == 2L && got("c") == 1L)
+    assert(got("nope") == 0L)
+    // tiny sketch: estimates are still >= truth (CMS contract)
+    val tiny = TextAnalysisOps.cmsTokenCounts(docs, "text",
+      queryTokens = Seq("a", "b", "c"), width = 16, depth = 2)
+      .collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cms_count"))
+      .toMap
+    assert(tiny("a") >= 4L && tiny("b") >= 2L && tiny("c") >= 1L)
+  }
+
+  test("curriculumOrder: quantile phases are monotone in score, " +
+      "equal scores share a phase, in-phase order is dense") {
+    val docs = (1L to 100L).map(i => (i, i * 10L)).toDF("id", "s")
+    val got = SamplingOps.curriculumOrder(docs, "id", col("s"),
+      nPhases = 4, seed = "t", shardHexChars = 1)
+    val rows = got.orderBy("id").collect()
+    // scores are strictly increasing with id -> phase is monotone
+    val phases = rows.map(_.getAs[Long]("phase"))
+    assert(phases.zip(phases.tail).forall { case (a, b) => a <= b })
+    assert(phases.distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // each quartile has ~25 members (exact lower-quantile cuts)
+    val sizes = phases.groupBy(identity).view.mapValues(_.length)
+    assert(sizes.values.forall(n => n >= 24 && n <= 26), s"$sizes")
+    // equal scores -> same phase
+    val eq = SamplingOps.curriculumOrder(
+      (1L to 20L).map(i => (i, 5L)).toDF("id", "s"), "id", col("s"),
+      nPhases = 4, seed = "t", shardHexChars = 1)
+      .select("phase").distinct().count()
+    assert(eq == 1L, "a constant score cannot split across phases")
+    // dense per (phase, shard) positions
+    val dense = got.groupBy("phase", "shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("hi"))
+      .filter(col("hi") =!= col("n") - 1).count()
+    assert(dense == 0L)
+  }
+
+  test("metadataDrift: added, removed, stable fields with coverage " +
+      "deltas") {
+    import graft.operators.TextAnalysisOps
+    val oldM = Seq("""{"a":1,"gone":2}""", """{"a":1}""")
+      .toDF("meta")
+    val newM = Seq("""{"a":1,"fresh":3}""", """{"fresh":4}""")
+      .toDF("meta")
+    val got = TextAnalysisOps.metadataDrift(oldM, newM, "meta",
+      Seq("a", "gone", "fresh")).orderBy("field").collect()
+    val byF = got.map(r => r.getAs[String]("field") -> r).toMap
+    assert(byF("a").getAs[String]("status") == "stable" &&
+      byF("a").getAs[Long]("delta_milli") == -500L)
+    assert(byF("gone").getAs[String]("status") == "removed")
+    assert(byF("fresh").getAs[String]("status") == "added" &&
+      byF("fresh").getAs[Long]("new_present") == 2L)
+  }
+
+  test("linkSpamSignals: a reciprocal clique flags, one-way chains " +
+      "and self-links do not") {
+    val edges = Seq(
+      // 3-clique, both directions
+      ("s1", "s2"), ("s2", "s1"), ("s1", "s3"), ("s3", "s1"),
+      ("s2", "s3"), ("s3", "s2"),
+      // organic: a -> b -> c one-way, a has 3 outlinks (min degree)
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      // self-link + duplicate edge (must not double-count)
+      ("a", "a"), ("a", "b")
+    ).toDF("src", "dst")
+    val got = UrlOps.linkSpamSignals(edges, "src", "dst",
+      minOutDegree = 2L)
+      .collect().map(r => r.getAs[String]("host") -> r).toMap
+    assert(got("s1").getAs[Boolean]("is_spammy") &&
+      got("s1").getAs[Long]("reciprocity_milli") == 1000L)
+    assert(!got("a").getAs[Boolean]("is_spammy") &&
+      got("a").getAs[Long]("out_degree") == 3L &&
+      got("a").getAs[Long]("n_self_links") == 1L &&
+      got("a").getAs[Long]("n_reciprocal") == 0L)
+    assert(got("b").getAs[Long]("in_degree") == 1L)
+    assert(!got.contains("c") && !got.contains("d"),
+      "sink-only hosts are not link sources")
+  }
+
   test("packingCurve is consistent with sequencePack pack ids at the " +
       "same budget and bucketing") {
     val docs = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
