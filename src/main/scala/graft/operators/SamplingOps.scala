@@ -810,15 +810,28 @@ object SamplingOps {
     require(shardHexChars >= 1 && shardHexChars <= 8,
       "shardHexChars in [1,8]")
     require(!seed.contains(':'), "seed must not contain ':'")
+    seededOrder(docs, idCol, seed, shardHexChars, Nil)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Shared seeded-order machinery for [[deterministicShuffle]] and
+    * [[curriculumOrder]]: one definition of the order-key format
+    * (`md5(seed ':' id)`), the shard prefix, and the (hash, id)
+    * tie-break — kept in one place so the two public contracts cannot
+    * drift apart. `extraPartitionCols` prepend to the rank partition
+    * (e.g. the curriculum phase). */
+  private def seededOrder(docs: DataFrame, idCol: String, seed: String,
+                          shardHexChars: Int,
+                          extraPartitionCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = md5(concat(lit(seed), lit(":"),
       col(idCol).cast("string")))
-    val w = Window.partitionBy(col("shard"))
+    val w = Window
+      .partitionBy((extraPartitionCols :+ "shard").map(col): _*)
       .orderBy(col("__h"), col(idCol))
-    docs.select(col(idCol), h.as("__h"))
+    docs.withColumn("__h", h)
       .withColumn("shard", substring(col("__h"), 1, shardHexChars))
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
-      .select(col(idCol), col("shard"), col("pos"))
   }
 
   /** Curriculum training order: phase docs by difficulty quantile,
@@ -834,6 +847,8 @@ object SamplingOps {
     * folded in-row: `phase` = number of cuts ≤ score, so phase 0 is
     * the easiest quantile. Equal scores always land in one phase
     * (cuts are score VALUES, not ranks — quantile ties never split).
+    * Null scores are DROPPED (a row with no difficulty cannot be
+    * ordered into a curriculum; score them or filter them first).
     *
     * Scale shape: one domain-sized quantile aggregate, then a pure
     * projection for the phase, then the [[deterministicShuffle]]
@@ -848,24 +863,22 @@ object SamplingOps {
     require(shardHexChars >= 1 && shardHexChars <= 8,
       "shardHexChars in [1,8]")
     require(!seed.contains(':'), "seed must not contain ':'")
-    import org.apache.spark.sql.expressions.Window
+    // null scores cannot be ordered into a curriculum: dropped with a
+    // documented contract (they would otherwise shift every quantile
+    // cut via NULLS FIRST while landing in phase 0 themselves)
     val base = docs.select(col(idCol),
       scoreMicro.cast("long").as("__s"))
+      .filter(col("__s").isNotNull)
     val ps = (1 until nPhases).map(_.toDouble / nPhases)
     val cuts = DistributionOps.discQuantiles(base, col("__s"), ps)
-      .select(col("value").cast("long")).collect().map(_.getLong(0))
+      .select(col("value").cast("long")).collect()
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
       .sorted
     val phase = cuts.foldLeft(lit(0L)) { (acc, c) =>
       acc + when(col("__s") >= c, 1L).otherwise(0L)
     }
-    val h = md5(concat(lit(seed), lit(":"),
-      col(idCol).cast("string")))
-    val w = Window.partitionBy(col("phase"), col("shard"))
-      .orderBy(col("__h"), col(idCol))
-    base.withColumn("phase", phase)
-      .withColumn("__h", h)
-      .withColumn("shard", substring(col("__h"), 1, shardHexChars))
-      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+    seededOrder(base.withColumn("phase", phase), idCol, seed,
+      shardHexChars, Seq("phase"))
       .select(col(idCol), col("__s").as("score_micro"), col("phase"),
         col("shard"), col("pos"))
   }

@@ -2426,7 +2426,17 @@ object TextAnalysisOps {
       .select(col("field"), col("n_records").as("new_records"),
         col("n_present").as("new_present"),
         col("coverage_milli").as("new_milli"))
-    o.join(n, Seq("field"))
+    // full outer + zero-coalesce: an EMPTY build (zero rows -> zero
+    // coverage rows) must read as all-absent, not silently drop every
+    // field — the first-build/dropped-build case is the audit's point
+    o.join(n, Seq("field"), "full_outer")
+      .select(col("field"),
+        coalesce(col("old_records"), lit(0L)).as("old_records"),
+        coalesce(col("new_records"), lit(0L)).as("new_records"),
+        coalesce(col("old_present"), lit(0L)).as("old_present"),
+        coalesce(col("new_present"), lit(0L)).as("new_present"),
+        coalesce(col("old_milli"), lit(0L)).as("old_milli"),
+        coalesce(col("new_milli"), lit(0L)).as("new_milli"))
       .select(col("field"), col("old_records"), col("new_records"),
         col("old_present"), col("new_present"), col("old_milli"),
         col("new_milli"),
@@ -3557,7 +3567,11 @@ object TextAnalysisOps {
   def cmsTokenCounts(docs: DataFrame, textCol: String,
                      queryTokens: Seq[String], width: Int = 1024,
                      depth: Int = 3): DataFrame = {
-    require(width >= 16, "width >= 16")
+    // the upper bound keeps the grid broadcastable — a huge width
+    // degenerates the sketch toward a vocabulary-sized table and
+    // breaks the KB-scale merge contract
+    require(width >= 16 && width <= (1 << 20),
+      "width in [16, 2^20] (the grid must stay broadcast-sized)")
     require(depth >= 1 && depth <= 8, "depth in [1,8]")
     require(queryTokens.nonEmpty, "at least one query token")
     require(queryTokens.distinct.size == queryTokens.size,

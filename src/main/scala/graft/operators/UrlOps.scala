@@ -596,16 +596,25 @@ object UrlOps {
     val in = nonSelf.groupBy(col("dst"))
       .agg(count(lit(1)).as("in_degree"))
       .select(col("dst").as("src"), col("in_degree"))
-    out.join(in, Seq("src"), "left")
-      .join(self, Seq("src"), "left")
-      .select(col("src").as("host"), col("out_degree"),
+    // full outer against the self-link frame: a host whose ONLY
+    // outlinks are self-links still appears as a link source and
+    // must surface its n_self_links (0 out-degree, reciprocity 0)
+    out.join(self, Seq("src"), "full_outer")
+      .join(in, Seq("src"), "left")
+      .select(col("src").as("host"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"),
-        col("n_reciprocal"),
-        expr("n_reciprocal * 1000 DIV out_degree")
-          .as("reciprocity_milli"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"),
         coalesce(col("__self"), lit(0L)).as("n_self_links"))
+      .withColumn("reciprocity_milli",
+        when(col("out_degree") > 0L,
+          expr("n_reciprocal * 1000 DIV out_degree"))
+          .otherwise(lit(0L)))
       .withColumn("is_spammy",
         col("out_degree") >= minOutDegree &&
           col("reciprocity_milli") >= spamReciprocityMilli)
+      .select(col("host"), col("out_degree"), col("in_degree"),
+        col("n_reciprocal"), col("reciprocity_milli"),
+        col("n_self_links"), col("is_spammy"))
   }
 }

@@ -5489,6 +5489,49 @@ class OperatorsSpec extends AnyFunSuite {
       "sink-only hosts are not link sources")
   }
 
+  test("metadataDrift against an empty old build reports every " +
+      "present field as added, not an empty frame") {
+    import graft.operators.TextAnalysisOps
+    val empty = spark.emptyDataFrame
+      .withColumn("meta", lit(null).cast("string")).limit(0)
+      .select(col("meta"))
+    val newM = Seq("""{"a":1}""").toDF("meta")
+    val got = TextAnalysisOps.metadataDrift(empty, newM, "meta",
+      Seq("a", "b")).orderBy("field").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("status") == "added" &&
+      got(0).getAs[Long]("old_records") == 0L)
+    assert(got(1).getAs[String]("status") == "stable",
+      "absent-in-both stays stable (nothing changed)")
+  }
+
+  test("linkSpamSignals surfaces a host whose only outlinks are " +
+      "self-links") {
+    val got = UrlOps.linkSpamSignals(
+      Seq(("x", "x"), ("a", "b")).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getAs[String]("host") -> r).toMap
+    assert(got.contains("x"), "self-only host must appear")
+    assert(got("x").getAs[Long]("n_self_links") == 1L &&
+      got("x").getAs[Long]("out_degree") == 0L &&
+      got("x").getAs[Long]("reciprocity_milli") == 0L &&
+      !got("x").getAs[Boolean]("is_spammy"))
+  }
+
+  test("curriculumOrder drops null scores instead of crashing or " +
+      "mis-phasing") {
+    val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)),
+      (4L, Some(20L)), (5L, Some(40L))).toDF("id", "s")
+    val got = SamplingOps.curriculumOrder(docs, "id", col("s"),
+      nPhases = 2, seed = "t", shardHexChars = 1)
+    assert(got.count() == 4L && got.filter(col("id") === 2L).count()
+      == 0L)
+    // all-null input: empty result, no NPE
+    val allNull = Seq((1L, None: Option[Long]), (2L, None))
+      .toDF("id", "s")
+    assert(SamplingOps.curriculumOrder(allNull, "id", col("s"),
+      nPhases = 2, seed = "t", shardHexChars = 1).count() == 0L)
+  }
+
   test("packingCurve is consistent with sequencePack pack ids at the " +
       "same budget and bucketing") {
     val docs = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
