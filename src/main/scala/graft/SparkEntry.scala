@@ -2730,6 +2730,70 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Speech rate (q264): chars-per-second ASR alignment gate — ok,
+    // fast (tiny duration), slow (inflated duration), zero-duration
+    // and empty-transcript arms.
+    "q264_speech_rate" -> ((s, dir) => {
+      val m = col("doc_id") % 11
+      val nch = length(col("text"))
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        col("text").as("transcript"),
+        when(m === 0, 100L)
+          .when(m === 1, nch.cast("long") * 1000L)
+          .when(m === 2, 0L)
+          .otherwise(nch.cast("long") * 80L).as("dur_ms"),
+        when(m === 3, lit("")).otherwise(col("text"))
+          .as("transcript2"))
+      MultimodalOps.speechRateAudit(
+        base.select(col("doc_id"), col("dur_ms"),
+          col("transcript2").as("transcript")),
+        "doc_id", col("dur_ms"), "transcript")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Needle planting (q265): the long-context eval grid — one needle
+    // per (doc, depth), re-found by substring scan, uniqueness
+    // verified.
+    "q265_needle_planting" -> ((s, dir) => {
+      TextAnalysisOps.needlePlanting(t(s, dir, "documents"),
+        "doc_id", "text", depthsMilli = Seq(0L, 250L, 500L, 750L,
+          1000L))
+        .orderBy(col("doc_id"), col("depth_milli"))
+    }),
+
+    // AI-disclaimer scan (q266): planted assistant boilerplate — a
+    // double-phrase refusal, a half-flagged two-turn doc, and a USER
+    // saying the phrase (must not flag).
+    "q266_ai_disclaimer" -> ((s, dir) => {
+      val m = col("doc_id") % 8
+      val id = col("doc_id").cast("string")
+      val text = when(m === 0,
+        lit("user: help me\nassistant: As an AI language model, " +
+          "I cannot fulfill that request."))
+        .when(m === 1,
+          lit("user: q\nassistant: Sure thing.\nuser: more\n" +
+            "assistant: I am unable to help with that."))
+        .when(m === 2,
+          lit("user: pretend you are as an AI language model\n" +
+            "assistant: Sure."))
+        .otherwise(concat(lit("user: hi "), id,
+          lit("\nassistant: hello "), id))
+      val turns = ConversationOps.parseTurns(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+      ConversationOps.disclaimerScan(turns, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quasi-identifier risk (q267): k-anonymity over banded
+    // (lang, length band, id band) combos per source.
+    "q267_quasi_id_risk" -> ((s, dir) => {
+      TextAnalysisOps.quasiIdRisk(t(s, dir, "documents"), "source",
+        concat_ws("|", col("lang"), expr("n_chars DIV 200"),
+          col("doc_id") % 25))
+        .orderBy(col("source"))
+    }),
+
     // CMS heavy hitters (q260): the mergeable token-count sketch —
     // common words read back their true-plus-collision counts, an
     // absent token reads its cells' collision mass.
@@ -9544,6 +9608,93 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, n_rows, median, mad, n_outliers,
         |  (n_outliers * 1000) // n_rows AS outlier_milli
         |FROM g ORDER BY source""".stripMargin,
+
+    // Integer cps arithmetic with the same first-fail verdict order.
+    "q264_speech_rate" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 100
+        |    WHEN doc_id % 11 = 1 THEN length(text)::BIGINT * 1000
+        |    WHEN doc_id % 11 = 2 THEN 0
+        |    ELSE length(text)::BIGINT * 80 END AS duration_ms,
+        |    CASE WHEN doc_id % 11 = 3 THEN '' ELSE text END AS tr
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, length(tr)::BIGINT AS n_chars, duration_ms,
+        |    CASE WHEN duration_ms > 0
+        |      THEN (length(tr)::BIGINT * 1000000) // duration_ms
+        |      END AS cps_milli
+        |  FROM b)
+        |SELECT doc_id, n_chars, duration_ms::BIGINT AS duration_ms,
+        |  cps_milli,
+        |  CASE WHEN n_chars = 0 OR coalesce(duration_ms, 0) <= 0
+        |    THEN 'empty'
+        |  WHEN cps_milli < 2000 THEN 'slow'
+        |  WHEN cps_milli > 40000 THEN 'fast'
+        |  ELSE 'ok' END AS verdict
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Token-boundary insertion via list slicing; the needle re-found
+    // by strpos and uniqueness by the substring-count identity.
+    "q265_needle_planting" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t, len(t)::BIGINT AS n,
+        |    unnest([0, 250, 500, 750, 1000])::BIGINT AS depth_milli
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, depth_milli, n AS n_tokens,
+        |    (n * depth_milli) // 1000 AS insert_pos,
+        |    'The magic number is ' || doc_id::VARCHAR || '-' ||
+        |      depth_milli::VARCHAR || '.' AS needle,
+        |    array_to_string(list_concat(list_concat(
+        |      list_slice(t, 1, ((n * depth_milli) // 1000)::INT),
+        |      ['The magic number is ' || doc_id::VARCHAR || '-' ||
+        |        depth_milli::VARCHAR || '.']),
+        |      list_slice(t, ((n * depth_milli) // 1000)::INT + 1,
+        |        n::INT)), ' ') AS planted
+        |  FROM g)
+        |SELECT doc_id, depth_milli, needle, n_tokens, insert_pos,
+        |  strpos(planted, needle)::BIGINT AS found_at_chars,
+        |  (length(planted) - length(replace(planted, needle, '')))
+        |    = length(needle) AS unique_hit,
+        |  length(planted)::BIGINT AS n_chars_planted
+        |FROM p ORDER BY doc_id, depth_milli""".stripMargin,
+
+    // Flag counts re-derived arithmetically from the injection arms
+    // (independent of the turn parser).
+    "q266_ai_disclaimer" ->
+      """WITH b AS (SELECT doc_id, doc_id % 8 AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN m = 1 THEN 2 ELSE 1 END::BIGINT
+        |    AS n_assistant_turns,
+        |  CASE WHEN m = 0 OR m = 1 THEN 1 ELSE 0 END::BIGINT
+        |    AS n_flagged_turns,
+        |  CASE WHEN m = 0
+        |    THEN 'as an ai language model; i cannot fulfill'
+        |  WHEN m = 1 THEN 'i am unable to'
+        |  ELSE '' END AS phrases_found,
+        |  CASE WHEN m = 0 THEN 1000 WHEN m = 1 THEN 500
+        |    ELSE 0 END::BIGINT AS flagged_milli
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // (source, combo) domain counts rolled up per source.
+    "q267_quasi_id_risk" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    lang || '|' || (n_chars // 200)::VARCHAR || '|' ||
+        |      (doc_id % 25)::VARCHAR AS combo,
+        |    count(*)::BIGINT AS k
+        |  FROM documents GROUP BY source, combo)
+        |SELECT source, sum(k)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_combos,
+        |  sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_k1_combos,
+        |  ((sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT * 1000)
+        |    // sum(k)::BIGINT)::BIGINT AS risk_milli
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // Same md5 cell grid built in SQL; estimates are min over the
     // depth cells with empty cells as 0.

@@ -248,4 +248,51 @@ object ConversationOps {
         when(col("source").isNotNull,
           length(col("source")).cast("long")).otherwise(0L))
   }
+
+  /** AI-disclaimer / refusal-boilerplate scan over parsed turns — the
+    * ShareGPT-era SFT hygiene pass: assistant responses carrying
+    * model-identity disclaimers ("as an AI language model…") or
+    * refusal boilerplate teach the downstream model to emit the
+    * upstream model's scaffolding, so curation drops or rewrites the
+    * offending transcripts. Matching is case-insensitive literal
+    * substring over a caller-extensible phrase list (a regex union
+    * would need escaping and gains nothing for fixed phrases).
+    *
+    * One row per doc with at least one assistant turn: assistant/
+    * flagged turn counts, `flagged_milli`, and the distinct phrases
+    * found ('; '-joined, sorted). Non-assistant turns never match
+    * (a USER saying "as an AI" is a prompt, not contamination).
+    *
+    * Scale shape: phrase flags fold in-row over the turns frame
+    * (literal explode × |phrases| before the hit filter), then one
+    * doc-keyed map-side-combinable aggregate. */
+  def disclaimerScan(turns: DataFrame, idCol: String,
+                     phrases: Seq[String] = Seq(
+                       "as an ai language model", "as an ai,",
+                       "i cannot fulfill", "i'm sorry, but i can",
+                       "i am unable to", "as a language model"))
+      : DataFrame = {
+    require(phrases.nonEmpty, "at least one phrase")
+    require(phrases.forall(p => p == p.toLowerCase),
+      "phrases must be lowercase (matching lowercases the content)")
+    val lc = lower(coalesce(col("content"), lit("")))
+    val hits = filter(array(phrases.map(lit): _*),
+      p => col("__lc").contains(p))
+    turns
+      .select(col(idCol), col("role"), lc.as("__lc"))
+      .withColumn("__hits",
+        when(col("role") === "assistant", hits)
+          .otherwise(array().cast("array<string>")))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant_turns"),
+        sum(when(size(col("__hits")) > 0, 1L).otherwise(0L))
+          .as("n_flagged_turns"),
+        array_join(array_sort(array_distinct(flatten(
+          collect_list(col("__hits"))))), "; ").as("phrases_found"))
+      .filter(col("n_assistant_turns") > 0L)
+      .withColumn("flagged_milli",
+        expr("n_flagged_turns * 1000 DIV n_assistant_turns"))
+  }
 }

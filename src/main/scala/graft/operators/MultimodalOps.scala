@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video as
@@ -845,6 +845,42 @@ object MultimodalOps {
     * Scale shape: pure projection over hex prefixes of a 16-byte
     * substring — zero shuffle; Catalyst prunes the full binary column
     * when the caller selects only the verdict columns. */
+  /** Speech-rate alignment audit for (audio, transcript) pairs — the
+    * ASR-corpus analog of the bitext length-ratio gate: human speech
+    * lands in a narrow characters-per-second band, so a transcript
+    * far outside it is misaligned (wrong clip, truncated transcript,
+    * or music labeled as speech). The standard cut keeps roughly
+    * 2–40 chars/sec (the Kaldi/ESPnet data-prep convention).
+    *
+    * One row per pair: `n_chars`, `duration_ms`, `cps_milli`
+    * (chars/sec in milli, NULL at zero duration) and the verdict —
+    * `empty` (no transcript or no audio), `slow`, `fast`, or `ok`
+    * (first failing check wins).
+    *
+    * Scale shape: pure projection — integer arithmetic in-row,
+    * zero shuffle. */
+  def speechRateAudit(pairs: DataFrame, idCol: String,
+                      durationMs: Column, transcriptCol: String,
+                      minCpsMilli: Long = 2000L,
+                      maxCpsMilli: Long = 40000L): DataFrame = {
+    require(minCpsMilli >= 1L && maxCpsMilli >= minCpsMilli,
+      "cps band must be positive and ordered")
+    pairs.select(col(idCol),
+        length(coalesce(col(transcriptCol), lit(""))).cast("long")
+          .as("n_chars"),
+        durationMs.cast("long").as("duration_ms"))
+      .withColumn("cps_milli",
+        when(col("duration_ms") > 0L,
+          expr("n_chars * 1000000 DIV duration_ms"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("verdict",
+        when(col("n_chars") === 0L ||
+          coalesce(col("duration_ms"), lit(0L)) <= 0L, "empty")
+          .when(col("cps_milli") < minCpsMilli, "slow")
+          .when(col("cps_milli") > maxCpsMilli, "fast")
+          .otherwise("ok"))
+  }
+
   def mediaSniff(media: DataFrame, idCol: String, bytesCol: String,
                  declaredCol: String): DataFrame = {
     val h = hex(substring(col(bytesCol), 1, 16))

@@ -3600,6 +3600,90 @@ object TextAnalysisOps {
       .agg(min(coalesce(col("__c"), lit(0L))).as("cms_count"))
   }
 
+  /** Needle-in-a-haystack eval construction — plant a per-doc marker
+    * sentence at controlled DEPTHS of each document and verify the
+    * planting, producing the (context, needle, position) table a
+    * long-context retrieval eval consumes. Depth is a token fraction
+    * (`depth_milli`/1000 of the way through the doc), the standard
+    * axis of the eval's depth × length grid; the needle lands at a
+    * token boundary so it never splits a word.
+    *
+    * One row per (doc, depth): the planted text, the insertion token
+    * index, the needle's 1-based char offset RE-FOUND by substring
+    * search (`found_at_chars`, the audit — 0 would mean the build is
+    * broken), and `unique_hit` (the needle occurs exactly once — a
+    * needle colliding with natural text invalidates the eval item).
+    *
+    * Scale shape: pure projection — token slicing and the substring
+    * re-scan fold in-row; the depth grid is a literal explode. */
+  def needlePlanting(docs: DataFrame, idCol: String, textCol: String,
+                     depthsMilli: Seq[Long],
+                     needlePrefix: String = "The magic number is ")
+      : DataFrame = {
+    require(depthsMilli.nonEmpty, "at least one depth")
+    require(depthsMilli.forall(d => d >= 0L && d <= 1000L),
+      "depths in [0, 1000] milli")
+    require(depthsMilli.distinct.size == depthsMilli.size,
+      "duplicate depths")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val needle = concat(lit(needlePrefix),
+      col(idCol).cast("string"), lit("-"),
+      col("depth_milli").cast("string"), lit("."))
+    val n = size(col("__t"))
+    val pos = expr("cast(n_tokens * depth_milli DIV 1000 as int)")
+    docs.select(col(idCol), toks.as("__t"),
+        explode(array(depthsMilli.map(lit): _*)).as("depth_milli"))
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("insert_pos", pos.cast("long"))
+      .withColumn("needle", needle)
+      .withColumn("planted", array_join(concat(
+        slice(col("__t"), lit(1), col("insert_pos").cast("int")),
+        array(col("needle")),
+        slice(col("__t"), col("insert_pos").cast("int") + 1,
+          greatest(n - col("insert_pos").cast("int"), lit(0)))),
+        " "))
+      .withColumn("found_at_chars",
+        instr(col("planted"), col("needle")).cast("long"))
+      .withColumn("unique_hit",
+        (length(col("planted")) -
+          length(replace(col("planted"), col("needle"), lit("")))) ===
+          length(col("needle")))
+      .select(col(idCol), col("depth_milli"), col("needle"),
+        col("n_tokens"), col("insert_pos"), col("found_at_chars"),
+        col("unique_hit"),
+        length(col("planted")).cast("long").as("n_chars_planted"))
+  }
+
+  /** Quasi-identifier uniqueness risk (k-anonymity audit, Sweeney
+    * 2002) — PII scrubbing removes direct identifiers, but a COMBO of
+    * innocuous fields (language × length band × date band…) can still
+    * single a record out: a combo shared by k records gives each
+    * k-anonymity, and k = 1 records are re-identifiable. Per source:
+    * row count, distinct combos, combos at k = 1, rows in them, and
+    * `risk_milli` (fraction of rows that are combo-unique).
+    *
+    * `combo` is the caller's quasi-identifier expression (typically a
+    * struct or concat of banded fields — band BEFORE auditing: exact
+    * values make every row unique and the audit vacuous).
+    *
+    * Scale shape: the domain-aggregation discipline — rows collapse
+    * to (source, combo) counts map-side; the rollup is combo-domain-
+    * sized, never row-sized. */
+  def quasiIdRisk(df: DataFrame, sourceCol: String,
+                  combo: Column): DataFrame = {
+    df.select(col(sourceCol).as("source"),
+        combo.cast("string").as("__c"))
+      .groupBy(col("source"), col("__c"))
+      .agg(count(lit(1)).as("__k"))
+      .groupBy(col("source"))
+      .agg(sum(col("__k")).as("n_rows"),
+        count(lit(1)).as("n_combos"),
+        sum(when(col("__k") === 1L, 1L).otherwise(0L))
+          .as("n_k1_combos"))
+      .withColumn("risk_milli",
+        expr("n_k1_combos * 1000 DIV n_rows"))
+  }
+
   /** Bitext (parallel-corpus) alignment audit — machine-translation
     * pairs die from misalignment, not noise: an off-by-one sentence
     * alignment makes every pair after it teach the model a wrong

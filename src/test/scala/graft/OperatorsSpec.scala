@@ -5532,6 +5532,78 @@ class OperatorsSpec extends AnyFunSuite {
       nPhases = 2, seed = "t", shardHexChars = 1).count() == 0L)
   }
 
+  test("speechRateAudit: ok band, slow, fast, zero-duration and " +
+      "empty-transcript arms; first failing check wins") {
+    val rows = Seq(
+      (1L, 1000L, "twelve chars"),   // 12 chars / 1 s = 12 cps -> ok
+      (2L, 10000L, "hi"),            // 0.2 cps -> slow
+      (3L, 10L, "way too many characters for ten ms"), // fast
+      (4L, 0L, "text"),              // zero duration -> empty
+      (5L, 1000L, ""),               // empty transcript
+      (6L, 1000L, null.asInstanceOf[String])
+    ).toDF("id", "dur", "tr")
+    val got = MultimodalOps.speechRateAudit(rows, "id", col("dur"),
+      "tr").orderBy("id").collect()
+    assert(got.map(_.getAs[String]("verdict")).toSeq ==
+      Seq("ok", "slow", "fast", "empty", "empty", "empty"))
+    assert(got(0).getAs[Long]("cps_milli") == 12000L)
+    assert(got(3).isNullAt(got(3).fieldIndex("cps_milli")))
+  }
+
+  test("needlePlanting: depth 0/500/1000 land at the right token " +
+      "boundaries, needles re-found and unique") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq((7L, "a b c d")).toDF("id", "text")
+    val got = TextAnalysisOps.needlePlanting(docs, "id", "text",
+      depthsMilli = Seq(0L, 500L, 1000L))
+      .orderBy("depth_milli").collect()
+    val planted = got.map(r => r.getAs[Long]("depth_milli") ->
+      r.getAs[Long]("insert_pos")).toMap
+    assert(planted == Map(0L -> 0L, 500L -> 2L, 1000L -> 4L))
+    assert(got.forall(_.getAs[Long]("found_at_chars") > 0L))
+    assert(got.forall(_.getAs[Boolean]("unique_hit")))
+    // depth 0: needle first; depth 1000: needle last
+    assert(got(0).getAs[Long]("found_at_chars") == 1L)
+  }
+
+  test("disclaimerScan: assistant boilerplate flags, user saying the " +
+      "phrase does not, clean docs report zero") {
+    val turns = Seq(
+      (1L, 1, "user", "help"),
+      (1L, 2, "assistant", "As an AI language model, I cannot " +
+        "fulfill that."),
+      (2L, 1, "user", "you are as an AI language model"),
+      (2L, 2, "assistant", "Sure."),
+      (3L, 1, "assistant", "fine answer"),
+      (3L, 2, "assistant", "I am unable to help.")
+    ).toDF("doc_id", "turn_idx", "role", "content")
+    val got = ConversationOps.disclaimerScan(turns, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_flagged_turns") == 1L &&
+      got(0).getAs[String]("phrases_found") ==
+        "as an ai language model; i cannot fulfill")
+    assert(got(1).getAs[Long]("n_flagged_turns") == 0L &&
+      got(1).getAs[String]("phrases_found") == "")
+    assert(got(2).getAs[Long]("flagged_milli") == 500L)
+  }
+
+  test("quasiIdRisk: unique combos count as k=1 risk, shared combos " +
+      "do not") {
+    import graft.operators.TextAnalysisOps
+    val rows = Seq(
+      ("web", "en|1"), ("web", "en|1"), ("web", "en|2"),
+      ("web", "fr|9"), ("books", "en|1")
+    ).toDF("source", "combo")
+    val got = TextAnalysisOps.quasiIdRisk(rows, "source", col("combo"))
+      .orderBy("source").collect()
+    val web = got(1)
+    assert(web.getAs[Long]("n_rows") == 4L &&
+      web.getAs[Long]("n_combos") == 3L &&
+      web.getAs[Long]("n_k1_combos") == 2L &&
+      web.getAs[Long]("risk_milli") == 500L)
+    assert(got(0).getAs[Long]("n_k1_combos") == 1L)
+  }
+
   test("packingCurve is consistent with sequencePack pack ids at the " +
       "same budget and bucketing") {
     val docs = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
