@@ -2735,19 +2735,16 @@ object SparkEntry {
     // and empty-transcript arms.
     "q264_speech_rate" -> ((s, dir) => {
       val m = col("doc_id") % 11
-      val nch = length(col("text"))
+      val nch = length(coalesce(col("text"), lit("")))
       val base = t(s, dir, "documents").select(col("doc_id"),
-        col("text").as("transcript"),
         when(m === 0, 100L)
           .when(m === 1, nch.cast("long") * 1000L)
           .when(m === 2, 0L)
           .otherwise(nch.cast("long") * 80L).as("dur_ms"),
         when(m === 3, lit("")).otherwise(col("text"))
-          .as("transcript2"))
-      MultimodalOps.speechRateAudit(
-        base.select(col("doc_id"), col("dur_ms"),
-          col("transcript2").as("transcript")),
-        "doc_id", col("dur_ms"), "transcript")
+          .as("transcript"))
+      MultimodalOps.speechRateAudit(base, "doc_id", col("dur_ms"),
+        "transcript")
         .orderBy(col("doc_id"))
     }),
 
@@ -2789,7 +2786,8 @@ object SparkEntry {
     // (lang, length band, id band) combos per source.
     "q267_quasi_id_risk" -> ((s, dir) => {
       TextAnalysisOps.quasiIdRisk(t(s, dir, "documents"), "source",
-        concat_ws("|", col("lang"), expr("n_chars DIV 200"),
+        concat_ws("|", coalesce(col("lang"), lit("")),
+          expr("coalesce(n_chars, 0) DIV 200"),
           col("doc_id") % 25))
         .orderBy(col("source"))
     }),
@@ -9614,10 +9612,13 @@ ORDER BY rank LIMIT 6"""),
       """WITH b AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0 THEN 100
-        |    WHEN doc_id % 11 = 1 THEN length(text)::BIGINT * 1000
+        |    WHEN doc_id % 11 = 1
+        |      THEN length(coalesce(text, ''))::BIGINT * 1000
         |    WHEN doc_id % 11 = 2 THEN 0
-        |    ELSE length(text)::BIGINT * 80 END AS duration_ms,
-        |    CASE WHEN doc_id % 11 = 3 THEN '' ELSE text END AS tr
+        |    ELSE length(coalesce(text, ''))::BIGINT * 80 END
+        |      AS duration_ms,
+        |    CASE WHEN doc_id % 11 = 3 THEN ''
+        |      ELSE coalesce(text, '') END AS tr
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, length(tr)::BIGINT AS n_chars, duration_ms,
@@ -9684,7 +9685,8 @@ ORDER BY rank LIMIT 6"""),
     "q267_quasi_id_risk" ->
       """WITH c AS (
         |  SELECT source,
-        |    lang || '|' || (n_chars // 200)::VARCHAR || '|' ||
+        |    coalesce(lang, '') || '|' ||
+        |      (coalesce(n_chars, 0) // 200)::VARCHAR || '|' ||
         |      (doc_id % 25)::VARCHAR AS combo,
         |    count(*)::BIGINT AS k
         |  FROM documents GROUP BY source, combo)

@@ -845,6 +845,26 @@ object MultimodalOps {
     * Scale shape: pure projection over hex prefixes of a 16-byte
     * substring — zero shuffle; Catalyst prunes the full binary column
     * when the caller selects only the verdict columns. */
+  /** Magic-byte format sniffing vs the declared extension — crawled
+    * media lies about its type constantly (a `.jpg` URL serving PNG,
+    * an HTML error page behind an image link), and routing bytes to
+    * the wrong decoder wastes a cluster pass. Detection reads the
+    * leading bytes only (plus the RIFF form tag at offset 8), so the
+    * scan never touches the payload.
+    *
+    * Formats: jpeg FFD8FF, png 89504E47, gif 474946, bmp 424D,
+    * tiff II*\0 / MM\0*, pdf %PDF, zip PK\3\4, riff→wav/avi by form
+    * tag, html by a `<!DOCTYPE`/`<!doctype`/`<html`/`<HTML` byte
+    * prefix (the error-page tell; matched in the hex domain — a blob
+    * is not text, so no engine-specific binary→string decode is
+    * involved). NULL/empty bytes → 'empty', anything else →
+    * 'unknown'. `mismatch` = detected format ≠ declared extension
+    * (with jpg/jpeg folded); undetected bytes always mismatch a
+    * declared media type.
+    *
+    * Scale shape: pure projection over hex prefixes of a 16-byte
+    * substring — zero shuffle; Catalyst prunes the full binary column
+    * when the caller selects only the verdict columns. */
   /** Speech-rate alignment audit for (audio, transcript) pairs — the
     * ASR-corpus analog of the bitext length-ratio gate: human speech
     * lands in a narrow characters-per-second band, so a transcript
@@ -913,4 +933,6 @@ object MultimodalOps {
           .as("n_bytes"))
       .withColumn("mismatch", col("detected") =!= col("declared"))
   }
+
+
 }
