@@ -2730,6 +2730,70 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // OCR artifacts (q268): shattered words, digit-in-word glyph
+    // confusion, presentation-form ligatures; x86-style tokens and
+    // clean prose must not flag.
+    "q268_ocr_artifacts" -> ((s, dir) => {
+      val m = col("doc_id") % 9
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(m === 0, lit(" t h e s h a t t e r e d t e x t" +
+            " h e r e n o w a g a i n m o r e"))
+            .when(m === 1, lit(" w0rd l1ke m1xed w1th gl0tch"))
+            .when(m === 2, lit(" the ﬁne ﬂow"))
+            .when(m === 3, lit(" x86 4th v2 100 IPv6"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysisOps.ocrArtifacts(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Email structure (q269): header zone, quoted replies, signature
+    // marker; a no-blank-line doc's zone is the whole doc.
+    "q269_email_structure" -> ((s, dir) => {
+      val m = col("doc_id") % 7
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, lit("From: a@b.c\nSubject: hi\n\nbody line\n" +
+          "> quoted\n> more\n-- \nsig text"))
+          .when(m === 1, lit("Subject: only\nX-Header: v\n\nplain"))
+          .when(m === 2, lit("From: x\nTo: y"))
+          .when(m === 3, lit("> all quoted\n> here"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.emailStructure(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temporal split audit (q270): date-based split with planted
+    // wrong-side docs (%37) and undated docs (%41).
+    "q270_temporal_split_audit" -> ((s, dir) => {
+      val day = when(col("doc_id") % 41 === 0,
+        lit(null).cast("long"))
+        .otherwise(lit(18000L) + (col("doc_id") * 7) % 1400)
+      val base = when(day <= 18699L, "train").otherwise("eval")
+      val split = when(col("doc_id") % 37 === 0,
+        when(base === "train", "eval").otherwise("train"))
+        .otherwise(base)
+      SamplingOps.temporalSplitAudit(
+        t(s, dir, "documents").select(col("doc_id"),
+          split.as("split"), day.as("day")),
+        "split", col("day"), cutoffDay = 18699L)
+        .orderBy(col("split"))
+    }),
+
+    // Code imports (q271): Python and JS forms side by side; a JS
+    // default import must not leak into the Python form.
+    "q271_code_imports" -> ((s, dir) => {
+      val m = col("doc_id") % 8
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, lit("import os\nimport numpy.linalg\n" +
+          "from collections import deque\nx = 1"))
+          .when(m === 1, lit("const a = require('lodash')\n" +
+            "import React from 'react'\nimport {x} from 'react'"))
+          .when(m === 2, lit("import foo from 'bar'"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysisOps.codeImports(injected, "doc_id", "text")
+        .orderBy(col("module"), col("form"))
+    }),
+
     // Speech rate (q264): chars-per-second ASR alignment gate — ok,
     // fast (tiny duration), slow (inflated duration), zero-duration
     // and empty-transcript arms.
@@ -9606,6 +9670,173 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, n_rows, median, mad, n_outliers,
         |  (n_outliers * 1000) // n_rows AS outlier_milli
         |FROM g ORDER BY source""".stripMargin,
+
+    // Anchored token regexes (regexp_matches is contains-semantics,
+    // so ^$ anchors are load-bearing); ligature count via replace
+    // length diff.
+    "q268_ocr_artifacts" ->
+      """WITH injected AS (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN ' t h e s h a t t e r e d t e x t' ||
+        |        ' h e r e n o w a g a i n m o r e'
+        |    WHEN doc_id % 9 = 1 THEN ' w0rd l1ke m1xed w1th gl0tch'
+        |    WHEN doc_id % 9 = 2 THEN ' the ﬁne ﬂow'
+        |    WHEN doc_id % 9 = 3 THEN ' x86 4th v2 100 IPv6'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '') AS t,
+        |    text AS x
+        |  FROM injected),
+        |m AS (
+        |  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |    len(list_filter(t,
+        |      x -> regexp_matches(x, '^[A-Za-z]$')))::BIGINT AS s,
+        |    len(list_filter(t,
+        |      x -> regexp_matches(x, '^[A-Za-z]+[0-9]+[A-Za-z]+$')))
+        |      ::BIGINT AS mx,
+        |    (length(x) - length(regexp_replace(x, '[ﬀ-ﬆ]', '', 'g')))
+        |      ::BIGINT AS n_ligatures
+        |  FROM c)
+        |SELECT doc_id, n_tokens, n_ligatures,
+        |  CASE WHEN n_tokens > 0 THEN (s * 1000) // n_tokens
+        |    ELSE 0 END AS single_char_milli,
+        |  CASE WHEN n_tokens > 0 THEN (mx * 1000) // n_tokens
+        |    ELSE 0 END AS digit_mix_milli,
+        |  (CASE WHEN n_tokens > 0 THEN (s * 1000) // n_tokens
+        |      ELSE 0 END > 150
+        |    OR CASE WHEN n_tokens > 0 THEN (mx * 1000) // n_tokens
+        |      ELSE 0 END > 50
+        |    OR n_ligatures > 0) AS ocr_suspect
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Header zone via first-blank-line position (whole doc when
+    // absent); split keeps trailing empties on both engines.
+    "q269_email_structure" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'From: a@b.c' || chr(10) || 'Subject: hi' ||
+        |        chr(10) || chr(10) || 'body line' || chr(10) ||
+        |        '> quoted' || chr(10) || '> more' || chr(10) ||
+        |        '-- ' || chr(10) || 'sig text'
+        |    WHEN doc_id % 7 = 1 THEN 'Subject: only' || chr(10) ||
+        |      'X-Header: v' || chr(10) || chr(10) || 'plain'
+        |    WHEN doc_id % 7 = 2 THEN 'From: x' || chr(10) || 'To: y'
+        |    WHEN doc_id % 7 = 3 THEN '> all quoted' || chr(10) ||
+        |      '> here'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    string_split(coalesce(text, ''), chr(10)) AS ls
+        |  FROM injected),
+        |z AS (
+        |  SELECT doc_id, ls, len(ls)::BIGINT AS n_lines,
+        |    CASE WHEN list_position(ls, '') IS NOT NULL
+        |      THEN list_position(ls, '') - 1
+        |      ELSE len(ls) END AS ze
+        |  FROM l),
+        |f AS (
+        |  SELECT doc_id, n_lines,
+        |    list_slice(ls, 1, ze) AS hz, ls
+        |  FROM z)
+        |SELECT doc_id, n_lines,
+        |  len(list_filter(hz,
+        |    x -> regexp_matches(x, '^[A-Za-z][A-Za-z-]*: ')))
+        |    ::BIGINT AS n_header_lines,
+        |  len(list_filter(hz,
+        |    x -> regexp_matches(x, '^[Ff]rom: '))) > 0 AS has_from,
+        |  len(list_filter(hz,
+        |    x -> regexp_matches(x, '^[Ss]ubject: '))) > 0
+        |    AS has_subject,
+        |  len(list_filter(ls, x -> x LIKE '>%'))::BIGINT
+        |    AS n_quoted_lines,
+        |  (list_contains(ls, '-- ') OR list_contains(ls, '--'))
+        |    AS has_signature,
+        |  CASE WHEN n_lines > 0
+        |    THEN (len(list_filter(ls, x -> x LIKE '>%'))::BIGINT
+        |      * 1000) // n_lines
+        |    ELSE 0 END AS quoted_milli
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Split-keyed rollup; CASE null-day arithmetic matches the
+    // operator's when-chain.
+    "q270_temporal_split_audit" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 41 = 0 THEN NULL
+        |      ELSE 18000 + (doc_id * 7) % 1400 END AS day
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, day,
+        |    CASE WHEN doc_id % 37 = 0 THEN
+        |      CASE WHEN (CASE WHEN day <= 18699 THEN 'train'
+        |        ELSE 'eval' END) = 'train' THEN 'eval'
+        |        ELSE 'train' END
+        |    ELSE CASE WHEN day <= 18699 THEN 'train' ELSE 'eval' END
+        |    END AS split
+        |  FROM b)
+        |SELECT split, count(*)::BIGINT AS n_docs,
+        |  min(day)::BIGINT AS min_day, max(day)::BIGINT AS max_day,
+        |  sum(CASE WHEN day IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_undated,
+        |  sum(CASE WHEN split = 'train' AND day > 18699 THEN 1
+        |    WHEN split <> 'train' AND day <= 18699 THEN 1
+        |    ELSE 0 END)::BIGINT AS n_violations,
+        |  ((sum(CASE WHEN split = 'train' AND day > 18699 THEN 1
+        |    WHEN split <> 'train' AND day <= 18699 THEN 1
+        |    ELSE 0 END)::BIGINT * 1000) // count(*)::BIGINT)::BIGINT
+        |    AS violation_milli
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    // Both language forms re-extracted in SQL; root package by
+    // prefix regex.
+    "q271_code_imports" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 0 THEN 'import os' || chr(10) ||
+        |      'import numpy.linalg' || chr(10) ||
+        |      'from collections import deque' || chr(10) || 'x = 1'
+        |    WHEN doc_id % 8 = 1
+        |      THEN 'const a = require(''lodash'')' || chr(10) ||
+        |        'import React from ''react''' || chr(10) ||
+        |        'import {x} from ''react'''
+        |    WHEN doc_id % 8 = 2 THEN 'import foo from ''bar'''
+        |    ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, 'py_import' AS form,
+        |    unnest(regexp_extract_all(text,
+        |      '(?m)^\s*import\s+([A-Za-z0-9_.]+)(?:\s+as\s+\w+)?\s*$',
+        |      1)) AS m
+        |  FROM injected
+        |  UNION ALL
+        |  SELECT doc_id, 'py_from',
+        |    unnest(regexp_extract_all(text,
+        |      '(?m)^\s*from\s+([A-Za-z0-9_.]+)\s+import', 1))
+        |  FROM injected
+        |  UNION ALL
+        |  SELECT doc_id, 'js_require',
+        |    unnest(regexp_extract_all(text,
+        |      'require\(''([^'']+)''\)', 1))
+        |  FROM injected
+        |  UNION ALL
+        |  SELECT doc_id, 'js_import',
+        |    unnest(regexp_extract_all(text,
+        |      'import[^\n]*\sfrom\s+''([^'']+)''', 1))
+        |  FROM injected),
+        |mods AS (
+        |  SELECT doc_id, form,
+        |    regexp_extract(m, '^([A-Za-z0-9_@-]+)', 1) AS module
+        |  FROM hits)
+        |SELECT module, form, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_occurrences
+        |FROM mods WHERE module <> ''
+        |GROUP BY module, form ORDER BY module, form""".stripMargin,
 
     // Integer cps arithmetic with the same first-fail verdict order.
     "q264_speech_rate" ->

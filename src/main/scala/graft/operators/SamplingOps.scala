@@ -834,6 +834,37 @@ object SamplingOps {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Temporal-split leakage audit — time-based train/eval splits (the
+    * only honest split for forecast-shaped evals, and the standard
+    * guard against benchmark answers leaking from post-benchmark web
+    * text) rot silently: one backfilled crawl date puts future text
+    * in train. Per split: doc count, day range, and the violation
+    * count against the declared `cutoffDay` — a TRAIN doc violates by
+    * being dated AFTER the cutoff, any other split by being dated ON
+    * OR BEFORE it. Docs with NULL days are counted separately (a
+    * dateless doc cannot be placed, which is itself a finding).
+    *
+    * Scale shape: one split-keyed map-side-combined aggregate. */
+  def temporalSplitAudit(df: DataFrame, splitCol: String,
+                         epochDay: Column, cutoffDay: Long,
+                         trainSplit: String = "train"): DataFrame = {
+    val d = epochDay.cast("long")
+    df.select(col(splitCol).as("split"), d.as("__d"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__d")).as("min_day"),
+        max(col("__d")).as("max_day"),
+        sum(when(col("__d").isNull, 1L).otherwise(0L))
+          .as("n_undated"),
+        sum(when(col("split") === trainSplit &&
+          col("__d") > cutoffDay, 1L)
+          .when(col("split") =!= trainSplit &&
+            col("__d") <= cutoffDay, 1L)
+          .otherwise(0L)).as("n_violations"))
+      .withColumn("violation_milli",
+        expr("n_violations * 1000 DIV n_docs"))
+  }
+
   /** Curriculum training order: phase docs by difficulty quantile,
     * then shuffle deterministically WITHIN each phase — the
     * easy-to-hard schedule (Bengio et al. 2009) as a corpus layout:

@@ -3654,6 +3654,136 @@ object TextAnalysisOps {
         length(col("planted")).cast("long").as("n_chars_planted"))
   }
 
+  /** OCR-artifact signals — scanned-document corpora (the PDF/book
+    * slice of every web-scale mix) carry a failure mode the generic
+    * quality gates miss: OCR shatters words into single characters,
+    * confuses letter/digit glyphs (l↔1, O↔0), and leaks Unicode
+    * presentation-form ligatures (ﬁ ﬂ) that no human typed. Three
+    * cheap per-doc rates catch most of it.
+    *
+    * One row per doc: token count, `single_char_milli` (1-char
+    * alphabetic tokens — "t h e" shatter), `digit_mix_milli` (tokens
+    * mixing digits INSIDE letters — w0rd, l1ke; pure numbers and
+    * codes like x86 don't match), `n_ligatures` (U+FB00–FB06), and
+    * `ocr_suspect` at the caller's thresholds.
+    *
+    * Scale shape: pure projection — token filters fold in-row. */
+  def ocrArtifacts(docs: DataFrame, idCol: String, textCol: String,
+                   singleCharMilliMax: Long = 150L,
+                   digitMixMilliMax: Long = 50L): DataFrame = {
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val nTok = size(col("__t")).cast("long")
+    val single = size(filter(col("__t"),
+      t => t.rlike("^[A-Za-z]$"))).cast("long")
+    // digits strictly inside letters: letter+digit+letter-bearing
+    // tokens like w0rd / l1ke; x86 / 4th / v2 stay clean
+    val mixed = size(filter(col("__t"),
+      t => t.rlike("^[A-Za-z]+[0-9]+[A-Za-z]+$"))).cast("long")
+    val liga = (length(col("__x")) -
+      length(regexp_replace(col("__x"), "[ﬀ-ﬆ]", "")))
+      .cast("long")
+    docs.select(col(idCol), toks.as("__t"),
+        coalesce(col(textCol), lit("")).as("__x"))
+      .select(col(idCol), nTok.as("n_tokens"), single.as("__s"),
+        mixed.as("__m"), liga.as("n_ligatures"))
+      .withColumn("single_char_milli",
+        when(col("n_tokens") > 0L, expr("__s * 1000 DIV n_tokens"))
+          .otherwise(0L))
+      .withColumn("digit_mix_milli",
+        when(col("n_tokens") > 0L, expr("__m * 1000 DIV n_tokens"))
+          .otherwise(0L))
+      .withColumn("ocr_suspect",
+        col("single_char_milli") > singleCharMilliMax ||
+          col("digit_mix_milli") > digitMixMilliMax ||
+          col("n_ligatures") > 0L)
+      .drop("__s", "__m")
+  }
+
+  /** Email/forum structure profile — mailing-list and forum dumps
+    * (a classic corpus slice) interleave RFC-822-ish headers, quoted
+    * replies, and signature blocks with the actual prose; training on
+    * them raw teaches the model to emit `>` walls and `Re: Re: Re:`.
+    * Per doc: header-line count in the header zone (lines before the
+    * first blank line — the whole doc when no blank line exists; a
+    * header line is `Name: value` with a hyphenated-word name),
+    * From:/Subject: presence, quoted-reply lines (leading `>`),
+    * `quoted_milli`, and the `-- ` signature marker (trailing-space
+    * and bare variants).
+    *
+    * Scale shape: pure projection — line splitting and the zone
+    * arithmetic fold in-row. */
+  def emailStructure(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val firstBlank = array_position(col("__l"), "")
+    val zoneEnd = when(firstBlank > 0, firstBlank - 1)
+      .otherwise(size(col("__l"))).cast("int")
+    val headerZone = slice(col("__l"), lit(1), greatest(zoneEnd,
+      lit(0)))
+    val isHeader = (l: Column) => l.rlike("^[A-Za-z][A-Za-z-]*: ")
+    docs.select(col(idCol), lines.as("__l"))
+      .select(col(idCol),
+        size(col("__l")).cast("long").as("n_lines"),
+        size(filter(headerZone, isHeader)).cast("long")
+          .as("n_header_lines"),
+        exists(headerZone, l => l.rlike("^[Ff]rom: "))
+          .as("has_from"),
+        exists(headerZone, l => l.rlike("^[Ss]ubject: "))
+          .as("has_subject"),
+        size(filter(col("__l"), l => l.startsWith(">")))
+          .cast("long").as("n_quoted_lines"),
+        array_contains(col("__l"), "-- ")
+          .or(array_contains(col("__l"), "--")).as("has_signature"))
+      .withColumn("quoted_milli",
+        when(col("n_lines") > 0L,
+          expr("n_quoted_lines * 1000 DIV n_lines")).otherwise(0L))
+  }
+
+  /** Code-import extraction — the dependency census of a code corpus:
+    * which modules the corpus imports and how often, the table that
+    * drives language/framework mix decisions and stale-API audits
+    * (training data full of `imp` Python-2 idioms ages the model).
+    * Python (`import x`, `from x import …`) and JavaScript
+    * (`require('x')`, `import … from 'x'`) forms; the module is the
+    * root package (dots/slashes truncated).
+    *
+    * Output: one row per (module, form) with importing-doc and total
+    * occurrence counts. A popular module is a Zipf-head key, but the
+    * counts are map-side-combined aggregates — the hot module arrives
+    * as partials, never as a row set in one task.
+    *
+    * Scale shape: per-line regex extraction folds in-row (explode ×
+    * matches), then one (module, form)-keyed aggregate. */
+  def codeImports(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def grab(pattern: String, form: String) =
+      docs.select(col(idCol),
+        explode(regexp_extract_all(txt, lit(pattern), lit(1)))
+          .as("__m"))
+        .select(col(idCol), lit(form).as("form"),
+          // root package: cut at the first . or /
+          regexp_extract(col("__m"), "^([A-Za-z0-9_@-]+)", 1)
+            .as("module"))
+        .filter(col("module") =!= "")
+    val all =
+      // the end-of-line anchor (with an optional `as` alias) keeps
+      // JS `import x from 'y'` lines out of the Python form
+      grab("(?m)^\\s*import\\s+([A-Za-z0-9_.]+)" +
+        "(?:\\s+as\\s+\\w+)?\\s*$", "py_import")
+        .unionByName(
+          grab("(?m)^\\s*from\\s+([A-Za-z0-9_.]+)\\s+import",
+            "py_from"))
+        .unionByName(
+          grab("require\\('([^']+)'\\)", "js_require"))
+        .unionByName(
+          grab("import[^\\n]*\\sfrom\\s+'([^']+)'", "js_import"))
+    all.groupBy(col("module"), col("form"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+  }
+
   /** Quasi-identifier uniqueness risk (k-anonymity audit, Sweeney
     * 2002) — PII scrubbing removes direct identifiers, but a COMBO of
     * innocuous fields (language × length band × date band…) can still

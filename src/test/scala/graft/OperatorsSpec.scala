@@ -5604,6 +5604,97 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("n_k1_combos") == 1L)
   }
 
+  test("ocrArtifacts: shattered words, in-word digits, ligatures " +
+      "flag; x86/4th/v2 style tokens do not") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "t h e b r o k e n"),            // 8/8 single chars
+      (2L, "w0rd l1ke normal text here yes"), // 2/6 digit-mix
+      (3L, "the ﬁne print"),                // ligature
+      (4L, "x86 4th v2 100 IPv6 normal"),   // none of these flag
+      (5L, "perfectly normal prose here")
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.ocrArtifacts(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("single_char_milli") == 1000L &&
+      got(0).getAs[Boolean]("ocr_suspect"))
+    assert(got(1).getAs[Long]("digit_mix_milli") == 333L &&
+      got(1).getAs[Boolean]("ocr_suspect"))
+    assert(got(2).getAs[Long]("n_ligatures") == 1L &&
+      got(2).getAs[Boolean]("ocr_suspect"))
+    assert(!got(3).getAs[Boolean]("ocr_suspect"),
+      s"codes must not flag: ${got(3)}")
+    assert(!got(4).getAs[Boolean]("ocr_suspect"))
+  }
+
+  test("emailStructure: header zone ends at first blank line (whole " +
+      "doc when absent), quotes and signature detected") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "From: a@b\nSubject: s\n\nbody\n> q1\n> q2\n-- \nsig"),
+      (2L, "From: x\nTo: y"),           // no blank: zone = all
+      (3L, "plain text\nFrom: fake\n\nrest"), // header NOT at top
+      (4L, "")
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.emailStructure(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_header_lines") == 2L &&
+      got(0).getAs[Boolean]("has_from") &&
+      got(0).getAs[Boolean]("has_subject") &&
+      got(0).getAs[Long]("n_quoted_lines") == 2L &&
+      got(0).getAs[Boolean]("has_signature") &&
+      got(0).getAs[Long]("quoted_milli") == 250L)
+    assert(got(1).getAs[Long]("n_header_lines") == 2L &&
+      !got(1).getAs[Boolean]("has_subject"))
+    // zone is lines BEFORE the blank: 'plain text' + 'From: fake'
+    assert(got(2).getAs[Long]("n_header_lines") == 1L &&
+      got(2).getAs[Boolean]("has_from"))
+    assert(got(3).getAs[Long]("n_quoted_lines") == 0L)
+  }
+
+  test("temporalSplitAudit: train-after-cutoff and eval-before-" +
+      "cutoff violate; undated docs counted, never violations") {
+    val rows = Seq(
+      ("train", Some(10L)), ("train", Some(20L)),
+      ("train", Some(31L)),           // violation (> 30)
+      ("eval", Some(35L)), ("eval", Some(30L)), // 30 violates (<=)
+      ("eval", None), ("train", None)
+    ).toDF("split", "day")
+    val got = SamplingOps.temporalSplitAudit(rows, "split",
+      col("day"), cutoffDay = 30L).orderBy("split").collect()
+    val ev = got(0); val tr = got(1)
+    assert(tr.getAs[Long]("n_violations") == 1L &&
+      tr.getAs[Long]("n_undated") == 1L &&
+      tr.getAs[Long]("max_day") == 31L)
+    assert(ev.getAs[Long]("n_violations") == 1L &&
+      ev.getAs[Long]("n_undated") == 1L &&
+      ev.getAs[Long]("min_day") == 30L)
+  }
+
+  test("codeImports: python and js forms, root-package fold, js " +
+      "default import stays out of the python form") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "import os\nimport numpy.linalg as la\n" +
+        "from collections import deque"),
+      (2L, "const _ = require('lodash')\nimport R from 'react'"),
+      (3L, "import foo from 'bar'"),   // js only
+      (4L, "prose, no code")
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.codeImports(docs, "id", "text")
+      .collect()
+      .map(r => (r.getAs[String]("module"), r.getAs[String]("form"))
+        -> r.getAs[Long]("n_occurrences")).toMap
+    assert(got(("os", "py_import")) == 1L)
+    assert(got(("numpy", "py_import")) == 1L, "as-alias + root fold")
+    assert(got(("collections", "py_from")) == 1L)
+    assert(got(("lodash", "js_require")) == 1L)
+    assert(got(("react", "js_import")) == 1L)
+    assert(got(("bar", "js_import")) == 1L)
+    assert(!got.contains(("foo", "py_import")),
+      "js default import must not leak into the python form")
+  }
+
   test("packingCurve is consistent with sequencePack pack ids at the " +
       "same budget and bucketing") {
     val docs = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
