@@ -9695,8 +9695,8 @@ ORDER BY rank LIMIT 6"""),
         |  SELECT doc_id, len(t)::BIGINT AS n_tokens,
         |    len(list_filter(t,
         |      x -> regexp_matches(x, '^[A-Za-z]$')))::BIGINT AS s,
-        |    len(list_filter(t,
-        |      x -> regexp_matches(x, '^[A-Za-z]+[0-9]+[A-Za-z]+$')))
+        |    len(list_filter(t, x -> regexp_matches(x,
+        |      '^[A-Za-z][A-Za-z0-9]*[0-9][A-Za-z0-9]*[A-Za-z]$')))
         |      ::BIGINT AS mx,
         |    (length(x) - length(regexp_replace(x, '[ﬀ-ﬆ]', '', 'g')))
         |      ::BIGINT AS n_ligatures
@@ -9736,7 +9736,7 @@ ORDER BY rank LIMIT 6"""),
         |  FROM injected),
         |z AS (
         |  SELECT doc_id, ls, len(ls)::BIGINT AS n_lines,
-        |    CASE WHEN list_position(ls, '') IS NOT NULL
+        |    CASE WHEN coalesce(list_position(ls, ''), 0) > 0
         |      THEN list_position(ls, '') - 1
         |      ELSE len(ls) END AS ze
         |  FROM l),

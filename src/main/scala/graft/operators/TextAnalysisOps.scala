@@ -3676,10 +3676,12 @@ object TextAnalysisOps {
     val nTok = size(col("__t")).cast("long")
     val single = size(filter(col("__t"),
       t => t.rlike("^[A-Za-z]$"))).cast("long")
-    // digits strictly inside letters: letter+digit+letter-bearing
-    // tokens like w0rd / l1ke; x86 / 4th / v2 stay clean
+    // digits strictly inside letters: starts and ends with a letter
+    // with at least one digit between — catches multi-run damage
+    // (m1x3d) as well as w0rd; x86 / 4th / v2 / IPv6 stay clean
     val mixed = size(filter(col("__t"),
-      t => t.rlike("^[A-Za-z]+[0-9]+[A-Za-z]+$"))).cast("long")
+      t => t.rlike("^[A-Za-z][A-Za-z0-9]*[0-9][A-Za-z0-9]*[A-Za-z]$")))
+      .cast("long")
     val liga = (length(col("__x")) -
       length(regexp_replace(col("__x"), "[ﬀ-ﬆ]", "")))
       .cast("long")
@@ -3758,28 +3760,28 @@ object TextAnalysisOps {
   def codeImports(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
-    def grab(pattern: String, form: String) =
-      docs.select(col(idCol),
-        explode(regexp_extract_all(txt, lit(pattern), lit(1)))
-          .as("__m"))
-        .select(col(idCol), lit(form).as("form"),
-          // root package: cut at the first . or /
-          regexp_extract(col("__m"), "^([A-Za-z0-9_@-]+)", 1)
-            .as("module"))
-        .filter(col("module") =!= "")
-    val all =
-      // the end-of-line anchor (with an optional `as` alias) keeps
-      // JS `import x from 'y'` lines out of the Python form
-      grab("(?m)^\\s*import\\s+([A-Za-z0-9_.]+)" +
-        "(?:\\s+as\\s+\\w+)?\\s*$", "py_import")
-        .unionByName(
-          grab("(?m)^\\s*from\\s+([A-Za-z0-9_.]+)\\s+import",
-            "py_from"))
-        .unionByName(
-          grab("require\\('([^']+)'\\)", "js_require"))
-        .unionByName(
-          grab("import[^\\n]*\\sfrom\\s+'([^']+)'", "js_import"))
-    all.groupBy(col("module"), col("form"))
+    // all four forms extracted in ONE projection over ONE scan (a
+    // union of per-form selects would re-read the corpus per form) —
+    // the end-of-line anchor (with an optional `as` alias) keeps
+    // JS `import x from 'y'` lines out of the Python form
+    def arm(pattern: String, form: String) =
+      struct(lit(form).as("form"),
+        regexp_extract_all(txt, lit(pattern), lit(1)).as("ms"))
+    val forms = array(
+      arm("(?m)^\\s*import\\s+([A-Za-z0-9_.]+)" +
+        "(?:\\s+as\\s+\\w+)?\\s*$", "py_import"),
+      arm("(?m)^\\s*from\\s+([A-Za-z0-9_.]+)\\s+import", "py_from"),
+      arm("require\\('([^']+)'\\)", "js_require"),
+      arm("import[^\\n]*\\sfrom\\s+'([^']+)'", "js_import"))
+    docs.select(col(idCol), explode(forms).as("__f"))
+      .select(col(idCol), col("__f.form").as("form"),
+        explode(col("__f.ms")).as("__m"))
+      .select(col(idCol), col("form"),
+        // root package: cut at the first . or /
+        regexp_extract(col("__m"), "^([A-Za-z0-9_@-]+)", 1)
+          .as("module"))
+      .filter(col("module") =!= "")
+      .groupBy(col("module"), col("form"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
   }

@@ -5609,7 +5609,7 @@ class OperatorsSpec extends AnyFunSuite {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
       (1L, "t h e b r o k e n"),            // 8/8 single chars
-      (2L, "w0rd l1ke normal text here yes"), // 2/6 digit-mix
+      (2L, "w0rd m1x3d normal text here yes"), // 2/6 incl. multi-run
       (3L, "the ﬁne print"),                // ligature
       (4L, "x86 4th v2 100 IPv6 normal"),   // none of these flag
       (5L, "perfectly normal prose here")
