@@ -751,6 +751,35 @@ object SamplingOps {
         expr("tokens_lost * 1000 div greatest(tokens_total, 1)"))
   }
 
+  /** [[truncationLoss]] swept over candidate context lengths in ONE
+    * pass — the padding-vs-truncation trade table ([[packingCurve]]'s
+    * counterpart on the loss side): per (source, context length),
+    * docs cut and token mass lost. The sweep is a literal-array
+    * explode into the same source-keyed map-side aggregate; running
+    * [[truncationLoss]] per length would re-scan the corpus
+    * |lengths| times for identical results. */
+  def truncationCurve(docs: DataFrame, sourceCol: String,
+                      tokenCount: Column,
+                      contextLens: Seq[Long]): DataFrame = {
+    require(contextLens.nonEmpty, "at least one context length")
+    require(contextLens.forall(_ >= 1L), "context lengths >= 1")
+    require(contextLens.distinct.size == contextLens.size,
+      "duplicate context lengths would double-count the curve")
+    docs.select(col(sourceCol), tokenCount.cast("long").as("__tok"),
+        explode(array(contextLens.map(lit): _*)).as("context_len"))
+      .groupBy(col(sourceCol), col("context_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__tok") > col("context_len"), 1L)
+          .otherwise(0L)).as("n_truncated"),
+        sum(col("__tok")).as("tokens_total"),
+        sum(greatest(col("__tok") - col("context_len"), lit(0L)))
+          .as("tokens_lost"))
+      .withColumn("truncated_milli",
+        expr("n_truncated * 1000 div n_docs"))
+      .withColumn("lost_milli",
+        expr("tokens_lost * 1000 div greatest(tokens_total, 1)"))
+  }
+
   /** Epoch plan — [[tokenBudgetAllocate]] carried down to DOCUMENT
     * verdicts: within each source, docs are ordered by their md5
     * hash (the deterministic shuffle every epoch builder needs — no
