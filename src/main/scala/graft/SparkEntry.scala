@@ -2784,7 +2784,8 @@ object SparkEntry {
     "q274_truncation_curve" -> ((s, dir) => {
       SamplingOps.truncationCurve(
         t(s, dir, "documents").select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tok")),
+          size(split(coalesce(col("text"), lit("")), " "))
+            .cast("long").as("n_tok")),
         "source", col("n_tok"), contextLens = Seq(64L, 128L, 256L,
           512L))
         .orderBy(col("source"), col("context_len"))
@@ -9763,14 +9764,14 @@ ORDER BY rank LIMIT 6"""),
         |      || '#### 1,234'
         |    WHEN 4 THEN 'Reasoning only.' || chr(10) ||
         |      '#### unknown'
-        |    ELSE text END AS text
+        |    ELSE coalesce(text, '') END AS text
         |  FROM documents),
         |x AS (
         |  SELECT doc_id,
-        |    regexp_extract(text, '(?m)^#### (.*)$', 1)
+        |    regexp_extract(text, '(?m)^#### ([^\r\n]*)', 1)
         |      AS answer_raw,
         |    regexp_extract_all(
-        |      regexp_replace(text, '(?m)^####.*$', '', 'g'),
+        |      regexp_replace(text, '(?m)^####[^\n]*', '', 'g'),
         |      '-?[0-9][0-9,]*(?:\.[0-9]+)?') AS nums
         |  FROM injected),
         |y AS (
@@ -9825,7 +9826,8 @@ ORDER BY rank LIMIT 6"""),
     "q274_truncation_curve" ->
       """WITH d AS (
         |  SELECT source,
-        |    len(string_split(text, ' '))::BIGINT AS tok
+        |    len(string_split(coalesce(text, ''), ' '))::BIGINT
+        |      AS tok
         |  FROM documents),
         |ls AS (
         |  SELECT unnest([64, 128, 256, 512])::BIGINT

@@ -3802,9 +3802,12 @@ object TextAnalysisOps {
   def mathAnswers(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
-    val answerRaw = regexp_extract(txt, "(?m)^#### (.*)$", 1)
+    // [^\r\n]* not (.*)$: Java's multiline $ stops before \r but
+    // RE2's does not, so a CRLF answer would capture a trailing \r
+    // on the oracle side only (the 17e90bd divergence class)
+    val answerRaw = regexp_extract(txt, "(?m)^#### ([^\r\n]*)", 1)
     val norm = (c: Column) => replace(trim(c), lit(","), lit(""))
-    val body = regexp_replace(txt, "(?m)^####.*$", "")
+    val body = regexp_replace(txt, "(?m)^####[^\n]*", "")
     val bodyNums = regexp_extract_all(body,
       lit("-?[0-9][0-9,]*(?:\\.[0-9]+)?"), lit(0))
     docs.select(col(idCol), answerRaw.as("answer_raw"),

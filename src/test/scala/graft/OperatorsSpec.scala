@@ -5704,12 +5704,15 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "no marker but numbers 7 9"),
       (4L, "Total is 1,234 here.\n#### 1,234"),
       (5L, "words only\n#### unknown"),
-      (6L, "negative case -3 result.\n#### -3")
+      (6L, "negative case -3 result.\n#### -3"),
+      (7L, "crlf doc has 12 here.\r\n#### 12\r\ntrailer")
     ).toDF("id", "text")
     val got = TextAnalysisOps.mathAnswers(docs, "id", "text")
       .orderBy("id").collect()
     assert(got.map(_.getAs[Boolean]("consistent")).toSeq ==
-      Seq(true, false, false, true, false, true))
+      Seq(true, false, false, true, false, true, true))
+    assert(got(6).getAs[String]("answer_raw") == "12",
+      "CRLF must not leak a trailing \\r into the capture")
     assert(!got(2).getAs[Boolean]("has_marker"))
     assert(got(3).getAs[String]("answer_norm") == "1234" &&
       got(3).getAs[String]("last_body_number") == "1234")
