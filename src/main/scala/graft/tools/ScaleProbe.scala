@@ -991,6 +991,39 @@ object ScaleProbe {
           docs.select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("nt")),
           "doc_id", col("nt"), Seq(128, 256, 512, 1024, 2048)))
+      // cmsTokenCounts: the sketch claim — shuffle is bounded by the
+      // depth×width grid regardless of corpus or vocabulary size
+      time(s"cmsTokenCounts x$n (3x1024 grid)")(
+        TextAnalysisOps.cmsTokenCounts(docs, "text",
+          Seq("join", "hash", "scan", "zzz"), width = 1024,
+          depth = 3))
+      // linkSpamSignals under a MEGA-HOST: one host is the source of
+      // half the edges — pair keys stay near-unique, so the
+      // reciprocity join never concentrates; host rollups combine
+      // map-side
+      time(s"linkSpamSignals MEGA-HOST x$n (50% one src)") {
+        val edges = docs.select(
+          when(col("doc_id") % 2 === 0, lit("mega"))
+            .otherwise(concat(lit("h"), (col("doc_id") % 999)
+              .cast("string"))).as("src"),
+          concat(lit("d"), (col("doc_id") % 100000).cast("string"))
+            .as("dst"))
+        graft.operators.UrlOps.linkSpamSignals(edges, "src", "dst")
+      }
+      // codeImports with a VIRAL module (an import line in 50% of
+      // docs): the hot module key arrives as map-side count partials
+      time(s"codeImports VIRAL-MODULE x$n (import in 50% of docs)")(
+        TextAnalysisOps.codeImports(docs.withColumn("text",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("import numpy\n"), col("text")))
+            .otherwise(col("text"))), "doc_id", "text"))
+      // curriculumOrder: quantile cuts via domain aggregation, then
+      // per-(phase, shard) rank tasks ~N/(phases·shards)
+      time(s"curriculumOrder x$n (4 phases, 16 shards)")(
+        SamplingOps.curriculumOrder(
+          docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("s")),
+          "doc_id", col("s"), nPhases = 4, shardHexChars = 1))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }
