@@ -2730,6 +2730,91 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Tool calls (q276): valid call, broken JSON, unknown tool,
+    // missing required arg, and a two-call turn.
+    "q276_tool_calls" -> ((s, dir) => {
+      val m = col("doc_id") % 8
+      val ok = "<tool_call>{\"name\": \"search\", \"arguments\": " +
+        "{\"query\": \"x\"}}</tool_call>"
+      val text = when(m === 0,
+        lit("user: find x\nassistant: " + ok))
+        .when(m === 1,
+          lit("user: q\nassistant: <tool_call>{oops}</tool_call>"))
+        .when(m === 2,
+          lit("user: q\nassistant: <tool_call>{\"name\": " +
+            "\"frobnicate\", \"arguments\": {}}</tool_call>"))
+        .when(m === 3,
+          lit("user: q\nassistant: <tool_call>{\"name\": \"calc\", " +
+            "\"arguments\": {\"wrong\": \"1\"}}</tool_call>"))
+        .when(m === 4,
+          lit("user: q\nassistant: " + ok +
+            " and <tool_call>{nope}</tool_call>"))
+        .otherwise(concat(lit("user: hi\nassistant: hello "),
+          col("doc_id").cast("string")))
+      val turns = ConversationOps.parseTurns(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+      ConversationOps.toolCallAudit(turns, "doc_id",
+        registry = Map("search" -> "query", "calc" -> "expr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Lang-script audit (q277): CJK text under a latin-declared
+    // lang, cyrillic likewise, a 'zh' label on latin text, and
+    // honest passes everywhere else.
+    "q277_lang_script" -> ((s, dir) => {
+      val m = col("doc_id") % 13
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, lit("中文测试文本内容在这里继续"))
+          .when(m === 1, lit("русский текст пример здесь"))
+          .otherwise(col("text")).as("text"),
+        when(m === 2, lit("zh")).otherwise(col("lang")).as("lang"))
+      TextAnalysisOps.langScriptAudit(base, "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // LaTeX clean (q278): preamble + comments + post-document junk
+    // stripped with counts; a comment-only doc without the document
+    // environment keeps its non-comment lines.
+    "q278_latex_clean" -> ((s, dir) => {
+      val m = col("doc_id") % 6
+      val tex = when(m === 0, concat(
+        lit("\\documentclass{article}\n% preamble note\n" +
+          "\\begin{document}\nBody text "),
+        col("doc_id").cast("string"),
+        lit(".\n% a comment\nMore body.\n\\end{document}\n" +
+          "trailing junk")))
+        .when(m === 1, lit("% only comments\n% here\nreal line"))
+        .otherwise(col("text"))
+      TextAnalysisOps.latexClean(
+        t(s, dir, "documents").select(col("doc_id"), tex.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Grounding audit (q279): fully grounded slice, partial with a
+    // fabricated tail, fully foreign, short-present and
+    // short-absent answers.
+    "q279_grounding_audit" -> ((s, dir) => {
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val m = col("doc_id") % 8
+      val answer = when(m === 0,
+        array_join(slice(toks, 1, 30), " "))
+        .when(m === 1, concat(array_join(slice(toks, 1, 20), " "),
+          lit(" totally novel fabricated claim about dragons here " +
+            "now appearing")))
+        .when(m === 2, lit("completely unrelated fabricated " +
+          "sentence with many novel tokens"))
+        .when(m === 3, array_join(slice(toks, 5, 3), " "))
+        .when(m === 4, lit("xyzzy plugh"))
+        .otherwise(array_join(slice(toks, 1, 30), " "))
+      TextAnalysisOps.groundingAudit(
+        t(s, dir, "documents").select(col("doc_id"),
+          answer.as("answer"), col("text").as("context")),
+        "doc_id", "answer", "context")
+        .orderBy(col("doc_id"))
+    }),
+
     // Math answers (q272): GSM8K-style marker parsing — consistent,
     // last-number mismatch, no marker, comma-grouped, non-numeric.
     "q272_math_answers" -> ((s, dir) => {
@@ -9746,6 +9831,174 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, n_rows, median, mad, n_outliers,
         |  (n_outliers * 1000) // n_rows AS outlier_milli
         |FROM g ORDER BY source""".stripMargin,
+
+    // Verdicts re-derived arithmetically from the injection arms.
+    "q276_tool_calls" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 8 AS m FROM documents
+        |  WHERE doc_id % 8 <= 4)
+        |SELECT doc_id,
+        |  CASE WHEN m = 4 THEN 2 ELSE 1 END::BIGINT AS n_calls,
+        |  CASE WHEN m = 1 OR m = 4 THEN 1 ELSE 0 END::BIGINT
+        |    AS n_bad_json,
+        |  CASE WHEN m = 2 THEN 1 ELSE 0 END::BIGINT
+        |    AS n_unknown_tool,
+        |  CASE WHEN m = 3 THEN 1 ELSE 0 END::BIGINT
+        |    AS n_missing_arg,
+        |  (m = 0) AS all_valid
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Script counts via regexp-strip length diffs over the same
+    // Unicode ranges; dominance ties break latin-first.
+    "q277_lang_script" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN '中文测试文本内容在这里继续'
+        |    WHEN doc_id % 13 = 1 THEN 'русский текст пример здесь'
+        |    ELSE coalesce(text, '') END AS text,
+        |    CASE WHEN doc_id % 13 = 2 THEN 'zh' ELSE lang END
+        |      AS lang
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[A-Za-z]', '', 'g')))::BIGINT AS n_latin,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\x{4E00}-\x{9FFF}]', '', 'g')))::BIGINT AS n_cjk,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')))::BIGINT
+        |      AS n_cyrillic,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\x{0600}-\x{06FF}]', '', 'g')))::BIGINT AS n_arabic,
+        |    CASE WHEN lang IN ('en', 'de', 'fr', 'es', 'it', 'pt',
+        |      'nl') THEN 'latin'
+        |    WHEN lang IN ('zh', 'ja') THEN 'cjk'
+        |    WHEN lang = 'ru' THEN 'cyrillic'
+        |    WHEN lang = 'ar' THEN 'arabic'
+        |    ELSE 'any' END AS expected_script
+        |  FROM b),
+        |d AS (
+        |  SELECT *,
+        |    CASE WHEN n_latin + n_cjk + n_cyrillic + n_arabic = 0
+        |      THEN 'none'
+        |    WHEN n_latin >= greatest(n_cjk, n_cyrillic, n_arabic)
+        |      THEN 'latin'
+        |    WHEN n_cjk >= greatest(n_cyrillic, n_arabic) THEN 'cjk'
+        |    WHEN n_cyrillic >= n_arabic THEN 'cyrillic'
+        |    ELSE 'arabic' END AS dominant_script
+        |  FROM c)
+        |SELECT doc_id, lang, n_latin, n_cjk, n_cyrillic, n_arabic,
+        |  expected_script, dominant_script,
+        |  (expected_script <> 'any' AND dominant_script <> 'none'
+        |    AND dominant_script <> expected_script) AS mismatch
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // split_part-free: string_split's last/first elements mirror
+    // substring_index(-1)/(1) incl. the absent-delimiter case.
+    "q278_latex_clean" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN '\documentclass{article}' || chr(10) ||
+        |        '% preamble note' || chr(10) ||
+        |        '\begin{document}' || chr(10) || 'Body text ' ||
+        |        doc_id::VARCHAR || '.' || chr(10) || '% a comment'
+        |        || chr(10) || 'More body.' || chr(10) ||
+        |        '\end{document}' || chr(10) || 'trailing junk'
+        |    WHEN doc_id % 6 = 1 THEN '% only comments' || chr(10)
+        |      || '% here' || chr(10) || 'real line'
+        |    ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, '\begin{document}') AS pre
+        |  FROM b),
+        |t2 AS (
+        |  SELECT doc_id, text,
+        |    string_split(pre[len(pre)], '\end{document}')[1]
+        |      AS body
+        |  FROM s)
+        |SELECT doc_id, length(text)::BIGINT AS n_chars_raw,
+        |  contains(text, '\begin{document}') AS had_preamble,
+        |  len(list_filter(string_split(body, chr(10)),
+        |    x -> left(x, 1) = '%'))::BIGINT AS n_comment_lines,
+        |  regexp_replace(body, '(?m)^%[^\n]*\n?', '', 'g')
+        |    AS cleaned,
+        |  length(regexp_replace(body, '(?m)^%[^\n]*\n?', '', 'g'))
+        |    ::BIGINT AS n_chars_clean
+        |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    // 5-gram lists via comprehension, distinct + intersect; short
+    // answers by boundary-padded containment.
+    "q279_grounding_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS ct,
+        |    coalesce(text, '') AS ctx
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, ctx,
+        |    CASE doc_id % 8
+        |    WHEN 0 THEN array_to_string(list_slice(ct, 1, 30), ' ')
+        |    WHEN 1 THEN array_to_string(list_slice(ct, 1, 20), ' ')
+        |      || ' totally novel fabricated claim about dragons' ||
+        |      ' here now appearing'
+        |    WHEN 2 THEN 'completely unrelated fabricated sentence'
+        |      || ' with many novel tokens'
+        |    WHEN 3 THEN array_to_string(list_slice(ct, 5, 7), ' ')
+        |    WHEN 4 THEN 'xyzzy plugh'
+        |    ELSE array_to_string(list_slice(ct, 1, 30), ' ') END
+        |      AS ans
+        |  FROM p),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(ans), '\s+'),
+        |      x -> x <> '') AS at,
+        |    list_filter(string_split_regex(lower(ctx), '\s+'),
+        |      x -> x <> '') AS ct
+        |  FROM a),
+        |g AS (
+        |  SELECT doc_id, at, ct,
+        |    CASE WHEN len(at) >= 5 THEN list_distinct(
+        |      [array_to_string(list_slice(at, i, i + 4), ' ')
+        |        FOR i IN range(1, len(at) - 3)])
+        |    WHEN len(at) > 0
+        |      THEN [array_to_string(at, ' ')]
+        |    ELSE [] END AS ag,
+        |    CASE WHEN len(ct) >= 5 THEN list_distinct(
+        |      [array_to_string(list_slice(ct, i, i + 4), ' ')
+        |        FOR i IN range(1, len(ct) - 3)])
+        |    WHEN len(ct) > 0
+        |      THEN [array_to_string(ct, ' ')]
+        |    ELSE [] END AS cg
+        |  FROM tk)
+        |SELECT doc_id, len(ag)::BIGINT AS n_spans,
+        |  (CASE WHEN len(at) >= 5
+        |    THEN len(list_intersect(ag, cg))
+        |  WHEN len(at) > 0 THEN
+        |    CASE WHEN strpos(' ' || array_to_string(ct, ' ') || ' ',
+        |      ' ' || array_to_string(at, ' ') || ' ') > 0
+        |      THEN 1 ELSE 0 END
+        |  ELSE 0 END)::BIGINT AS n_supported,
+        |  CASE WHEN len(ag) > 0 THEN
+        |    ((CASE WHEN len(at) >= 5
+        |      THEN len(list_intersect(ag, cg))
+        |    WHEN len(at) > 0 THEN
+        |      CASE WHEN strpos(' ' || array_to_string(ct, ' ')
+        |        || ' ', ' ' || array_to_string(at, ' ') || ' ') > 0
+        |        THEN 1 ELSE 0 END
+        |    ELSE 0 END)::BIGINT * 1000) // len(ag)::BIGINT
+        |  ELSE 0 END AS grounded_milli,
+        |  (CASE WHEN len(ag) > 0 THEN
+        |    ((CASE WHEN len(at) >= 5
+        |      THEN len(list_intersect(ag, cg))
+        |    WHEN len(at) > 0 THEN
+        |      CASE WHEN strpos(' ' || array_to_string(ct, ' ')
+        |        || ' ', ' ' || array_to_string(at, ' ') || ' ') > 0
+        |        THEN 1 ELSE 0 END
+        |    ELSE 0 END)::BIGINT * 1000) // len(ag)::BIGINT
+        |  ELSE 0 END) < 600 AS hallucination_suspect
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // Same marker/number regexes; answers compared as comma-stripped
     // strings.

@@ -249,6 +249,63 @@ object ConversationOps {
           length(col("source")).cast("long")).otherwise(0L))
   }
 
+  /** Tool-call validation over parsed turns — modern SFT data carries
+    * structured function calls (`<tool_call>{json}</tool_call>` in
+    * assistant turns), and malformed ones are worse than none: the
+    * model learns to emit unparseable calls. Three checks per call,
+    * cheapest first: the payload parses as JSON, the tool name is in
+    * the registry, and the registry's required argument is present
+    * under `$.arguments`.
+    *
+    * One row per doc that has ≥ 1 call: call count, counts failing
+    * each check (a call is counted at its FIRST failing check), and
+    * `all_valid`. Only assistant turns are scanned.
+    *
+    * `registry`: tool name → required argument name.
+    *
+    * Scale shape: call extraction + JSON probes fold in-row (explode
+    * × calls-per-turn), then one doc-keyed map-side aggregate. */
+  def toolCallAudit(turns: DataFrame, idCol: String,
+                    registry: Map[String, String]): DataFrame = {
+    require(registry.nonEmpty, "at least one registered tool")
+    val calls = regexp_extract_all(
+      coalesce(col("content"), lit("")),
+      lit("<tool_call>([^<]*)</tool_call>"), lit(1))
+    val names = map(registry.toSeq.sortBy(_._1).flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    // $-probe: get_json_object returns NULL for unparseable JSON
+    val validJson = get_json_object(col("__c"), "$").isNotNull
+    val name = get_json_object(col("__c"), "$.name")
+    val known = name.isNotNull && map_contains_key(names, name)
+    // try_: under ANSI a plain element_at would throw on a missing
+    // key even though the when-chain shields it — belt and braces
+    val reqArg = try_element_at(names, name)
+    // get_json_object needs a literal path, so probe the arguments
+    // OBJECT's key set instead of a dynamic $.arguments.<req> path
+    val hasArg = array_contains(
+      json_object_keys(get_json_object(col("__c"), "$.arguments")),
+      reqArg)
+    turns.filter(col("role") === "assistant")
+      .select(col(idCol), explode(calls).as("__c"))
+      .select(col(idCol),
+        when(!validJson, "bad_json")
+          .when(!known, "unknown_tool")
+          .when(!hasArg, "missing_arg")
+          .otherwise("ok").as("__v"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(when(col("__v") === "bad_json", 1L).otherwise(0L))
+          .as("n_bad_json"),
+        sum(when(col("__v") === "unknown_tool", 1L).otherwise(0L))
+          .as("n_unknown_tool"),
+        sum(when(col("__v") === "missing_arg", 1L).otherwise(0L))
+          .as("n_missing_arg"))
+      .withColumn("all_valid",
+        col("n_bad_json") + col("n_unknown_tool") +
+          col("n_missing_arg") === 0L)
+  }
+
   /** AI-disclaimer / refusal-boilerplate scan over parsed turns — the
     * ShareGPT-era SFT hygiene pass: assistant responses carrying
     * model-identity disclaimers ("as an AI language model…") or

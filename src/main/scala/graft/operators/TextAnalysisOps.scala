@@ -3896,6 +3896,139 @@ object TextAnalysisOps {
         array_join(array_sort(col("__h")), "; ").as("phrases_found"))
   }
 
+  /** Declared-language vs script audit — `lang` metadata lies (a
+    * crawler inherits the site default; a CMS labels everything
+    * `en`), and a mislabeled doc poisons per-language routing,
+    * tokenizer fertility stats, and language-balanced sampling. The
+    * cheap detector: count characters per script block and compare
+    * the DOMINANT script against the one the declared language
+    * implies. Only clear contradictions flag — a declared language
+    * outside the map, or a doc with no scripted characters, never
+    * does.
+    *
+    * One row per doc: per-script counts, `dominant_script`
+    * (latin/cjk/cyrillic/arabic/none; ties break by that order),
+    * `expected_script` ('any' when unmapped), and `mismatch`.
+    *
+    * Scale shape: pure projection — four regexp-strip length diffs
+    * fold in-row. */
+  def langScriptAudit(docs: DataFrame, idCol: String,
+                      textCol: String, langCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def cnt(range: String) =
+      (length(txt) - length(regexp_replace(txt, range, "")))
+        .cast("long")
+    val latinToLangs = Seq("en", "de", "fr", "es", "it", "pt", "nl")
+    val expected = when(col(langCol).isin(latinToLangs.map(
+      x => x: Any): _*), "latin")
+      .when(col(langCol).isin("zh", "ja"), "cjk")
+      .when(col(langCol) === "ru", "cyrillic")
+      .when(col(langCol) === "ar", "arabic")
+      .otherwise("any")
+    docs.select(col(idCol), col(langCol).as("lang"),
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("[\\x{4E00}-\\x{9FFF}]").as("n_cjk"),
+        cnt("[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
+        cnt("[\\x{0600}-\\x{06FF}]").as("n_arabic"),
+        expected.as("expected_script"))
+      .withColumn("dominant_script",
+        when(col("n_latin") + col("n_cjk") + col("n_cyrillic") +
+          col("n_arabic") === 0L, "none")
+          .when(col("n_latin") >= greatest(col("n_cjk"),
+            col("n_cyrillic"), col("n_arabic")), "latin")
+          .when(col("n_cjk") >= greatest(col("n_cyrillic"),
+            col("n_arabic")), "cjk")
+          .when(col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+          .otherwise("arabic"))
+      .withColumn("mismatch",
+        col("expected_script") =!= "any" &&
+          col("dominant_script") =!= "none" &&
+          col("dominant_script") =!= col("expected_script"))
+  }
+
+  /** LaTeX source cleanup — paper corpora (arXiv-class) arrive as
+    * TeX: the preamble before `\begin{document}` is package noise,
+    * everything after `\end{document}` is junk, and `%`-comment lines
+    * are author notes that leak TODOs and reviewer remarks. This
+    * strips all three (line-start comments only — a mid-line `\%` is
+    * an escaped percent, and mid-line comment handling needs a real
+    * lexer) and accounts for what was removed.
+    *
+    * One row per doc: `cleaned`, `had_preamble`, `n_comment_lines`,
+    * chars before/after.
+    *
+    * Scale shape: pure projection. */
+  def latexClean(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val afterPre = substring_index(txt, "\\begin{document}", -1)
+    val body = substring_index(afterPre, "\\end{document}", 1)
+    docs.select(col(idCol),
+        length(txt).cast("long").as("n_chars_raw"),
+        txt.contains("\\begin{document}").as("had_preamble"),
+        body.as("__b"))
+      .select(col(idCol), col("n_chars_raw"), col("had_preamble"),
+        size(filter(split(col("__b"), "\n", -1),
+          l => l.startsWith("%"))).cast("long")
+          .as("n_comment_lines"),
+        // \n? consumes the comment line's newline too — content-only
+        // removal would leave a blank line per comment
+        regexp_replace(col("__b"), "(?m)^%[^\\n]*\\n?", "")
+          .as("cleaned"))
+      .withColumn("n_chars_clean",
+        length(col("cleaned")).cast("long"))
+  }
+
+  /** Answer-grounding audit for (answer, context) pairs — RAG and
+    * summarization SFT data is curated on SUPPORT: an answer span
+    * absent from its context is a training example that teaches
+    * hallucination. The standard cheap check (the FActScore/RAGAS
+    * n-gram precursor): what fraction of the answer's token 5-grams
+    * appear verbatim in the context.
+    *
+    * One row per pair: distinct answer spans, supported count,
+    * `grounded_milli`, and the suspect flag below
+    * `minGroundedMilli`. Answers shorter than the span width count
+    * as one whole-answer span (exact-containment check).
+    *
+    * Scale shape: pure projection — n-gram arrays and the
+    * intersection fold in-row, bounded by document length. */
+  def groundingAudit(pairs: DataFrame, idCol: String,
+                     answerCol: String, contextCol: String,
+                     spanTokens: Int = 5,
+                     minGroundedMilli: Long = 600L): DataFrame = {
+    require(spanTokens >= 2, "spanTokens >= 2")
+    def toks(c: Column) = filter(
+      split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
+    def grams(t: Column) = array_distinct(
+      when(size(t) >= spanTokens,
+        transform(sequence(lit(1), size(t) - (spanTokens - 1)),
+          i => array_join(slice(t, i, lit(spanTokens)), " ")))
+        .otherwise(when(size(t) > 0, array(array_join(t, " ")))
+          .otherwise(array().cast("array<string>"))))
+    // short answers (< spanTokens) can't intersect the context's
+    // 5-grams — their single whole-answer span is checked by
+    // boundary-padded containment in the joined context instead
+    val shortHit = when(
+      instr(concat(lit(" "), array_join(col("__c"), " "), lit(" ")),
+        concat(lit(" "), array_join(col("__a"), " "), lit(" "))) > 0,
+      1L).otherwise(0L)
+    pairs.select(col(idCol), toks(col(answerCol)).as("__a"),
+        toks(col(contextCol)).as("__c"))
+      .select(col(idCol),
+        size(grams(col("__a"))).cast("long").as("n_spans"),
+        when(size(col("__a")) >= spanTokens,
+          size(array_intersect(grams(col("__a")),
+            grams(col("__c")))).cast("long"))
+          .when(size(col("__a")) > 0, shortHit)
+          .otherwise(0L).as("n_supported"))
+      .withColumn("grounded_milli",
+        when(col("n_spans") > 0L,
+          expr("n_supported * 1000 DIV n_spans")).otherwise(0L))
+      .withColumn("hallucination_suspect",
+        col("grounded_milli") < minGroundedMilli)
+  }
+
   /** Quasi-identifier uniqueness risk (k-anonymity audit, Sweeney
     * 2002) — PII scrubbing removes direct identifiers, but a COMBO of
     * innocuous fields (language × length band × date band…) can still
