@@ -2749,6 +2749,9 @@ object SparkEntry {
         .when(m === 4,
           lit("user: q\nassistant: " + ok +
             " and <tool_call>{nope}</tool_call>"))
+        .when(m === 5,
+          lit("user: q\nassistant: <tool_call>{\"name\": " +
+            "\"search\"}</tool_call>"))
         .otherwise(concat(lit("user: hi\nassistant: hello "),
           col("doc_id").cast("string")))
       val turns = ConversationOps.parseTurns(
@@ -9836,14 +9839,14 @@ ORDER BY rank LIMIT 6"""),
     "q276_tool_calls" ->
       """WITH b AS (
         |  SELECT doc_id, doc_id % 8 AS m FROM documents
-        |  WHERE doc_id % 8 <= 4)
+        |  WHERE doc_id % 8 <= 5)
         |SELECT doc_id,
         |  CASE WHEN m = 4 THEN 2 ELSE 1 END::BIGINT AS n_calls,
         |  CASE WHEN m = 1 OR m = 4 THEN 1 ELSE 0 END::BIGINT
         |    AS n_bad_json,
         |  CASE WHEN m = 2 THEN 1 ELSE 0 END::BIGINT
         |    AS n_unknown_tool,
-        |  CASE WHEN m = 3 THEN 1 ELSE 0 END::BIGINT
+        |  CASE WHEN m = 3 OR m = 5 THEN 1 ELSE 0 END::BIGINT
         |    AS n_missing_arg,
         |  (m = 0) AS all_valid
         |FROM b ORDER BY doc_id""".stripMargin,
@@ -9911,22 +9914,29 @@ ORDER BY rank LIMIT 6"""),
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, text,
-        |    string_split(text, '\begin{document}') AS pre
+        |    CASE WHEN strpos(text, '\begin{document}') > 0
+        |      THEN substr(text, strpos(text, '\begin{document}')
+        |        + 16)
+        |      ELSE text END AS ap
         |  FROM b),
         |t2 AS (
         |  SELECT doc_id, text,
-        |    string_split(pre[len(pre)], '\end{document}')[1]
-        |      AS body
-        |  FROM s)
+        |    string_split(ap, '\end{document}')[1] AS body
+        |  FROM s),
+        |t3 AS (
+        |  SELECT doc_id, text, body,
+        |    string_split(body, chr(10)) AS ls
+        |  FROM t2)
         |SELECT doc_id, length(text)::BIGINT AS n_chars_raw,
         |  contains(text, '\begin{document}') AS had_preamble,
-        |  len(list_filter(string_split(body, chr(10)),
-        |    x -> left(x, 1) = '%'))::BIGINT AS n_comment_lines,
-        |  regexp_replace(body, '(?m)^%[^\n]*\n?', '', 'g')
-        |    AS cleaned,
-        |  length(regexp_replace(body, '(?m)^%[^\n]*\n?', '', 'g'))
-        |    ::BIGINT AS n_chars_clean
-        |FROM t2 ORDER BY doc_id""".stripMargin,
+        |  len(list_filter(ls, x -> left(x, 1) = '%'))::BIGINT
+        |    AS n_comment_lines,
+        |  coalesce(array_to_string(list_filter(ls,
+        |    x -> left(x, 1) <> '%'), chr(10)), '') AS cleaned,
+        |  length(coalesce(array_to_string(list_filter(ls,
+        |    x -> left(x, 1) <> '%'), chr(10)), ''))::BIGINT
+        |    AS n_chars_clean
+        |FROM t3 ORDER BY doc_id""".stripMargin,
 
     // 5-gram lists via comprehension, distinct + intersect; short
     // answers by boundary-padded containment.

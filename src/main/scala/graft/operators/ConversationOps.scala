@@ -282,10 +282,13 @@ object ConversationOps {
     // key even though the when-chain shields it — belt and braces
     val reqArg = try_element_at(names, name)
     // get_json_object needs a literal path, so probe the arguments
-    // OBJECT's key set instead of a dynamic $.arguments.<req> path
-    val hasArg = array_contains(
+    // OBJECT's key set instead of a dynamic $.arguments.<req> path.
+    // coalesce(false): a call with NO arguments object yields NULL
+    // keys → NULL contains → the !hasArg branch would be skipped and
+    // the most malformed call would read "ok"
+    val hasArg = coalesce(array_contains(
       json_object_keys(get_json_object(col("__c"), "$.arguments")),
-      reqArg)
+      reqArg), lit(false))
     turns.filter(col("role") === "assistant")
       .select(col(idCol), explode(calls).as("__c"))
       .select(col(idCol),

@@ -3918,6 +3918,11 @@ object TextAnalysisOps {
     def cnt(range: String) =
       (length(txt) - length(regexp_replace(txt, range, "")))
         .cast("long")
+    // the CJK class reuses [[ScriptClasses]]' han + kana ranges —
+    // counting U+4E00–9FFF alone would make kana-dominant Japanese
+    // (correctly labeled ja) flag as latin on its incidental ASCII
+    val sc = ScriptClasses.toMap
+    val cjkCls = s"[${sc("han")}${sc("kana")}]"
     val latinToLangs = Seq("en", "de", "fr", "es", "it", "pt", "nl")
     val expected = when(col(langCol).isin(latinToLangs.map(
       x => x: Any): _*), "latin")
@@ -3926,8 +3931,8 @@ object TextAnalysisOps {
       .when(col(langCol) === "ar", "arabic")
       .otherwise("any")
     docs.select(col(idCol), col(langCol).as("lang"),
-        cnt("[A-Za-z]").as("n_latin"),
-        cnt("[\\x{4E00}-\\x{9FFF}]").as("n_cjk"),
+        cnt(s"[${sc("latin")}]").as("n_latin"),
+        cnt(cjkCls).as("n_cjk"),
         cnt("[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
         cnt("[\\x{0600}-\\x{06FF}]").as("n_arabic"),
         expected.as("expected_script"))
@@ -3961,19 +3966,26 @@ object TextAnalysisOps {
   def latexClean(docs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
-    val afterPre = substring_index(txt, "\\begin{document}", -1)
+    // FIRST \begin{document}: a verbatim/listing example of the
+    // marker later in the body must not discard the real body
+    // (substring_index(-1) would cut at the LAST occurrence)
+    val markerPos = instr(txt, "\\begin{document}")
+    val afterPre = when(markerPos > 0,
+      txt.substr(markerPos + lit("\\begin{document}".length),
+        length(txt))).otherwise(txt)
     val body = substring_index(afterPre, "\\end{document}", 1)
+    // line-split strip, not (?m)^ regex: Java's multiline ^ also
+    // fires after \r, U+0085 and U+2028/9 while RE2's fires after
+    // \n only — split + filter is codepoint-identical on both
+    val lines = split(col("__b"), "\n", -1)
     docs.select(col(idCol),
         length(txt).cast("long").as("n_chars_raw"),
         txt.contains("\\begin{document}").as("had_preamble"),
         body.as("__b"))
       .select(col(idCol), col("n_chars_raw"), col("had_preamble"),
-        size(filter(split(col("__b"), "\n", -1),
-          l => l.startsWith("%"))).cast("long")
+        size(filter(lines, l => l.startsWith("%"))).cast("long")
           .as("n_comment_lines"),
-        // \n? consumes the comment line's newline too — content-only
-        // removal would leave a blank line per comment
-        regexp_replace(col("__b"), "(?m)^%[^\\n]*\\n?", "")
+        array_join(filter(lines, l => !l.startsWith("%")), "\n")
           .as("cleaned"))
       .withColumn("n_chars_clean",
         length(col("cleaned")).cast("long"))

@@ -5784,16 +5784,23 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 1, "assistant", "<tool_call>{\"name\": \"calc\", " +
         "\"arguments\": {\"wrong\": \"1\"}}</tool_call>"),
       (5L, 1, "user", "<tool_call>{\"name\": \"search\"}</tool_call>"),
-      (6L, 1, "assistant", "no calls here")
+      (6L, 1, "assistant", "no calls here"),
+      // valid JSON, known tool, NO arguments object at all — must
+      // read missing_arg, not fall through a NULL chain to "ok"
+      (7L, 1, "assistant", "<tool_call>{\"name\": \"search\"}" +
+        "</tool_call>")
     ).toDF("doc_id", "turn_idx", "role", "content")
     val got = ConversationOps.toolCallAudit(turns, "doc_id",
       Map("search" -> "query", "calc" -> "expr"))
       .orderBy("doc_id").collect()
-    assert(got.length == 4, "user-turn and call-free docs absent")
+    assert(got.length == 5, "user-turn and call-free docs absent")
     assert(got(0).getAs[Boolean]("all_valid"))
     assert(got(1).getAs[Long]("n_bad_json") == 1L)
     assert(got(2).getAs[Long]("n_unknown_tool") == 1L)
     assert(got(3).getAs[Long]("n_missing_arg") == 1L)
+    assert(got(4).getAs[Long]("n_missing_arg") == 1L &&
+      !got(4).getAs[Boolean]("all_valid"),
+      s"no-arguments call must fail: ${got(4)}")
   }
 
   test("langScriptAudit: cjk under en flags, latin under zh flags, " +
@@ -5822,10 +5829,16 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "\\documentclass{x}\n% note\n\\begin{document}\nbody\n" +
         "% c1\nmore\n\\end{document}\njunk"),
       (2L, "% only\nreal"),
-      (3L, "plain text, no tex")
+      (3L, "plain text, no tex"),
+      // the marker quoted INSIDE the body must not re-cut the doc
+      (4L, "\\begin{document}\nreal body\nexample: " +
+        "\\begin{document}\nmore real\n\\end{document}")
     ).toDF("id", "text")
     val got = TextAnalysisOps.latexClean(docs, "id", "text")
       .orderBy("id").collect()
+    assert(got(3).getAs[String]("cleaned") ==
+      "\nreal body\nexample: \\begin{document}\nmore real\n",
+      s"split at FIRST marker: ${got(3)}")
     assert(got(0).getAs[Boolean]("had_preamble") &&
       got(0).getAs[String]("cleaned") == "\nbody\nmore\n" &&
       got(0).getAs[Long]("n_comment_lines") == 1L,
