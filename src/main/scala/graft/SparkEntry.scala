@@ -2730,6 +2730,66 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Pack segments (q280): the attention-mask table — per chunk,
+    // ordered chunk-local (doc, start, end) segments incl. docs
+    // straddling chunk boundaries.
+    "q280_pack_segments" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      PackingOps.packSegments(docs, "doc_id", col("n_tok"),
+        budget = 512, bucketHexChars = 1)
+        .orderBy(col("bucket"), col("chunk"))
+    }),
+
+    // Wiki clean (q281): refs (inline + self-closing), innermost
+    // templates, piped and plain links — counts + cleaned text.
+    "q281_wiki_clean" -> ((s, dir) => {
+      val m = col("doc_id") % 7
+      val wiki = when(m === 0,
+        lit("Intro [[Paris|the city]] text <ref name=\"a\">cite" +
+          "</ref> more {{Infobox|x=1}} end [[Simple]] done."))
+        .when(m === 1,
+          lit("<ref/> self closed <ref name=\"b\"/> and " +
+            "{{nested {{inner}} outer}} here"))
+        .when(m === 2, lit("[[OnlyTarget]] and [[a|b]] plus [[c|d]]"))
+        .otherwise(col("text"))
+      TextAnalysisOps.wikiClean(
+        t(s, dir, "documents").select(col("doc_id"),
+          wiki.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Meta robots (q282): both attribute orders, case-insensitive
+    // content, the none shorthand, and tag-free pages staying
+    // indexable.
+    "q282_meta_robots" -> ((s, dir) => {
+      val m = col("doc_id") % 8
+      val html = when(m === 0,
+        lit("<html><meta name=\"robots\" content=\"noindex, " +
+          "nofollow\"><body>x</body>"))
+        .when(m === 1,
+          lit("<meta content=\"NOARCHIVE\" name=\"robots\">page"))
+        .when(m === 2, lit("<meta name=\"robots\" content=\"none\">"))
+        .when(m === 3,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .otherwise(col("text"))
+      TextAnalysisOps.metaRobots(
+        t(s, dir, "documents").select(col("doc_id"),
+          html.as("html")), "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Pack source mix (q283): per packed sequence, how many sources
+    // mix and who dominates — the cross-doc attention review.
+    "q283_pack_source_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      PackingOps.packSourceMix(docs, "doc_id", "source",
+        col("n_tok"), budget = 256, bucketHexChars = 1)
+        .orderBy(col("pack_id"))
+    }),
+
     // Tool calls (q276): valid call, broken JSON, unknown tool,
     // missing required arg, and a two-call turn.
     "q276_tool_calls" -> ((s, dir) => {
@@ -9834,6 +9894,150 @@ ORDER BY rank LIMIT 6"""),
         |SELECT source, n_rows, median, mad, n_outliers,
         |  (n_outliers * 1000) // n_rows AS outlier_milli
         |FROM g ORDER BY source""".stripMargin,
+
+    // The q219 offsets CTE exploded per touched chunk; segments
+    // string_agg'd in (start, end, doc) order.
+    "q280_pack_segments" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n,
+        |    substr(md5(doc_id::VARCHAR), 1, 1) AS bucket
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, bucket, n,
+        |    coalesce(sum(n) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS off
+        |  FROM d),
+        |nz AS (SELECT * FROM o WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, bucket, n, off,
+        |    unnest(range(off // 512, (off + n - 1) // 512 + 1))
+        |      AS chunk
+        |  FROM nz),
+        |s AS (
+        |  SELECT doc_id, bucket, chunk,
+        |    greatest(off, chunk * 512) - chunk * 512 AS st,
+        |    least(off + n, (chunk + 1) * 512) - chunk * 512 AS en
+        |  FROM e)
+        |SELECT bucket || '#' || chunk::VARCHAR AS pack_id, bucket,
+        |  chunk::BIGINT AS chunk, count(*)::BIGINT AS n_segments,
+        |  sum(en - st)::BIGINT AS filled_tokens,
+        |  string_agg(doc_id::VARCHAR || ':' || st::VARCHAR || '-'
+        |    || en::VARCHAR, ';'
+        |    ORDER BY st, en, doc_id::VARCHAR) AS segments
+        |FROM s GROUP BY bucket, chunk
+        |ORDER BY bucket, chunk""".stripMargin,
+
+    // Same regex chain with RE2 backrefs; counts from extract_all.
+    "q281_wiki_clean" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |    WHEN 0 THEN 'Intro [[Paris|the city]] text ' ||
+        |      '<ref name="a">cite</ref> more {{Infobox|x=1}} end '
+        |      || '[[Simple]] done.'
+        |    WHEN 1 THEN '<ref/> self closed <ref name="b"/> and ' ||
+        |      '{{nested {{inner}} outer}} here'
+        |    WHEN 2 THEN '[[OnlyTarget]] and [[a|b]] plus [[c|d]]'
+        |    ELSE coalesce(text, '') END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    len(regexp_extract_all(t,
+        |      '<ref[^>/]*/>|<ref[^>]*>[\s\S]*?</ref>'))::BIGINT
+        |      AS n_refs,
+        |    len(regexp_extract_all(t, '\{\{[^{}]*\}\}'))::BIGINT
+        |      AS n_templates,
+        |    len(regexp_extract_all(t,
+        |      '\[\[[^\]|]*\|([^\]]*)\]\]'))::BIGINT
+        |      AS n_piped_links,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '<ref[^>/]*/>|<ref[^>]*>[\s\S]*?</ref>', '', 'g'),
+        |      '\{\{[^{}]*\}\}', '', 'g'),
+        |      '\[\[[^\]|]*\|([^\]]*)\]\]', '\1', 'g') AS t2
+        |  FROM b)
+        |SELECT doc_id, length(t)::BIGINT AS n_chars_raw, n_refs,
+        |  n_templates, n_piped_links,
+        |  len(regexp_extract_all(t2, '\[\[([^\]|]*)\]\]'))::BIGINT
+        |    AS n_plain_links,
+        |  regexp_replace(t2, '\[\[([^\]|]*)\]\]', '\1', 'g')
+        |    AS cleaned,
+        |  length(regexp_replace(t2, '\[\[([^\]|]*)\]\]', '\1', 'g'))
+        |    ::BIGINT AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Both attribute orders, lowercased content, none implies
+    // noindex+nofollow.
+    "q282_meta_robots" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |    WHEN 0 THEN '<html><meta name="robots" content=' ||
+        |      '"noindex, nofollow"><body>x</body>'
+        |    WHEN 1 THEN '<meta content="NOARCHIVE" ' ||
+        |      'name="robots">page'
+        |    WHEN 2 THEN '<meta name="robots" content="none">'
+        |    WHEN 3 THEN '<meta name="robots" content=' ||
+        |      '"index, follow">'
+        |    ELSE coalesce(text, '') END AS h
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    lower(CASE WHEN regexp_extract(h,
+        |      '(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1)
+        |      <> '' THEN regexp_extract(h,
+        |      '(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1)
+        |    ELSE regexp_extract(h,
+        |      '(?i)<meta\s+content="([^"]*)"\s+name="robots"', 1)
+        |    END) AS robots_content
+        |  FROM b)
+        |SELECT doc_id, robots_content,
+        |  (contains(robots_content, 'noindex')
+        |    OR contains(robots_content, 'none')) AS noindex,
+        |  (contains(robots_content, 'nofollow')
+        |    OR contains(robots_content, 'none')) AS nofollow,
+        |  contains(robots_content, 'noarchive') AS noarchive,
+        |  NOT (contains(robots_content, 'noindex')
+        |    OR contains(robots_content, 'none')) AS indexable
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    // (pack, source) counts, then the max joined back for the
+    // majority (min source on ties).
+    "q283_pack_source_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n,
+        |    substr(md5(doc_id::VARCHAR), 1, 1) AS bucket
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, bucket,
+        |    coalesce(sum(n) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS off
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    bucket || '#' || (off // 256)::VARCHAR AS pack_id
+        |  FROM o),
+        |pc AS (
+        |  SELECT pack_id, source, count(*)::BIGINT AS c
+        |  FROM p GROUP BY pack_id, source),
+        |mx AS (
+        |  SELECT pack_id, max(c) AS maxc, sum(c)::BIGINT AS n_docs,
+        |    count(*)::BIGINT AS n_sources
+        |  FROM pc GROUP BY pack_id),
+        |mj AS (
+        |  SELECT pc.pack_id, min(pc.source) AS major_source
+        |  FROM pc JOIN mx ON pc.pack_id = mx.pack_id
+        |    AND pc.c = mx.maxc
+        |  GROUP BY pc.pack_id)
+        |SELECT mx.pack_id, mx.n_docs, mx.n_sources, mj.major_source,
+        |  (mx.maxc * 1000) // mx.n_docs AS major_milli
+        |FROM mx JOIN mj ON mx.pack_id = mj.pack_id
+        |ORDER BY mx.pack_id""".stripMargin,
 
     // Verdicts re-derived arithmetically from the injection arms.
     "q276_tool_calls" ->

@@ -114,4 +114,91 @@ object PackingOps {
           .otherwise(lit(null).cast("long")).as("fill_milli"),
         col("n_split_docs"))
   }
+
+  /** Per-chunk document segments for the [[sequencePack]] layout —
+    * the attention-mask table: a packed training sequence holds
+    * slices of several documents, and cross-document attention must
+    * be masked at their boundaries, so the trainer needs, per chunk,
+    * the ordered (doc, start, end) segments. A doc spanning a chunk
+    * boundary contributes a segment to EVERY chunk it touches.
+    *
+    * One row per non-empty chunk: `pack_id` (bucket#chunk),
+    * `n_segments`, `filled_tokens`, and `segments` — the ordered
+    * list as a canonical `doc:start-end` string (';'-joined, offsets
+    * chunk-local, end exclusive). Empty docs occupy no tokens and
+    * produce no segments.
+    *
+    * Scale shape: the [[sequencePack]] offsets (bucketed windows),
+    * then an explode bounded by chunks-per-doc (≤ n/budget + 1) into
+    * a (bucket, chunk)-keyed aggregate whose groups are bounded by
+    * chunk capacity — never corpus-sized. */
+  def packSegments(docs: DataFrame, idCol: String, nTokens: Column,
+                   budget: Int,
+                   bucketHexChars: Int = 2): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      "bucketHexChars in [1,8]")
+    val bucket = substring(md5(col(idCol).cast("string")), 1,
+      bucketHexChars)
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs
+      .select(col(idCol), bucket.as("bucket"),
+        nTokens.cast("long").as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .filter(col("__n") > 0L)
+    val b = lit(budget.toLong)
+    offs
+      .select(col(idCol), col("bucket"), col("__n"), col("__off"),
+        explode(sequence(expr(s"__off DIV $budget"),
+          expr(s"(__off + __n - 1) DIV $budget"))).as("chunk"))
+      .select(col(idCol), col("bucket"), col("chunk"),
+        (greatest(col("__off"), col("chunk") * b) -
+          col("chunk") * b).as("__s"),
+        (least(col("__off") + col("__n"), (col("chunk") + 1L) * b) -
+          col("chunk") * b).as("__e"))
+      .groupBy(col("bucket"), col("chunk"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__e") - col("__s")).as("filled_tokens"),
+        array_join(transform(array_sort(collect_list(struct(
+          col("__s").as("s"), col("__e").as("e"),
+          col(idCol).cast("string").as("d")))),
+          x => concat(x.getField("d"), lit(":"),
+            x.getField("s").cast("string"), lit("-"),
+            x.getField("e").cast("string"))), ";").as("segments"))
+      .select(concat(col("bucket"), lit("#"),
+          col("chunk").cast("string")).as("pack_id"),
+        col("bucket"), col("chunk"), col("n_segments"),
+        col("filled_tokens"), col("segments"))
+  }
+
+  /** Source mix per packed sequence — cross-document attention
+    * contamination review: a chunk packing slices from five sources
+    * behaves differently from a single-source chunk, so the trainer
+    * reads, per pack, how mixed it is. One row per pack: doc count,
+    * distinct sources, the majority source (ties → lexicographically
+    * smallest) and its milli share — all by doc count at the pack's
+    * chunk-of-start grain (the [[sequencePack]] `pack_id`).
+    *
+    * Scale shape: two map-side-combined aggregates — (pack, source)
+    * counts, then a pack-keyed `min_by` fold (the q250 discipline:
+    * no window, no join-back). */
+  def packSourceMix(docs: DataFrame, idCol: String,
+                    sourceCol: String, nTokens: Column, budget: Int,
+                    bucketHexChars: Int = 2): DataFrame = {
+    val packed = sequencePack(docs, idCol, nTokens, budget,
+      bucketHexChars)
+    packed.join(docs.select(col(idCol), col(sourceCol).as("__src")),
+        Seq(idCol))
+      .groupBy(col("pack_id"), col("__src"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("pack_id"))
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        min_by(col("__src"), struct((-col("__c")).as("nc"),
+          col("__src").as("s"))).as("major_source"),
+        max(col("__c")).as("__maxc"))
+      .withColumn("major_milli", expr("__maxc * 1000 DIV n_docs"))
+      .drop("__maxc")
+  }
 }

@@ -3991,6 +3991,75 @@ object TextAnalysisOps {
         length(col("cleaned")).cast("long"))
   }
 
+  /** Wiki markup cleanup — wiki dumps are a corpus staple and their
+    * markup is neither HTML nor TeX: `<ref>` citations (inline and
+    * self-closing), `{{template}}` transclusions, and `[[target|
+    * label]]` links. This strips refs and INNERMOST templates (one
+    * deterministic pass — nested outer braces stay, documented: full
+    * nesting needs a parser) and folds links to their display text,
+    * with counts for everything removed.
+    *
+    * Scale shape: pure projection — a fixed chain of
+    * regexp_replace/extract folds in-row. */
+  def wikiClean(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val refPat = "<ref[^>/]*/>|<ref[^>]*>[\\s\\S]*?</ref>"
+    val tplPat = "\\{\\{[^{}]*\\}\\}"
+    val pipedPat = "\\[\\[[^\\]|]*\\|([^\\]]*)\\]\\]"
+    val plainPat = "\\[\\[([^\\]|]*)\\]\\]"
+    def cntMatches(c: Column, pat: String) =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    docs.select(col(idCol), txt.as("__t"))
+      .select(col(idCol),
+        length(col("__t")).cast("long").as("n_chars_raw"),
+        cntMatches(col("__t"), refPat).as("n_refs"),
+        cntMatches(col("__t"), tplPat).as("n_templates"),
+        cntMatches(col("__t"), pipedPat).as("n_piped_links"),
+        regexp_replace(regexp_replace(regexp_replace(
+          col("__t"), refPat, ""), tplPat, ""),
+          pipedPat, "$1").as("__t2"))
+      .select(col(idCol), col("n_chars_raw"), col("n_refs"),
+        col("n_templates"), col("n_piped_links"),
+        cntMatches(col("__t2"), plainPat).as("n_plain_links"),
+        regexp_replace(col("__t2"), plainPat, "$1").as("cleaned"))
+      .withColumn("n_chars_clean",
+        length(col("cleaned")).cast("long"))
+  }
+
+  /** Page-level robots directives — robots.txt governs CRAWLING, but
+    * `<meta name="robots">` governs INDEXING/ARCHIVING per page, and
+    * a corpus honoring publisher intent drops noindex/noarchive
+    * pages even when the crawl was allowed. Parses the content attr
+    * in BOTH attribute orders (the q160 htmlMeta lesson: real HTML
+    * puts content first about a third of the time), case-insensitive.
+    *
+    * One row per doc: the raw directive string (empty when no tag),
+    * noindex/nofollow/noarchive flags (`none` implies
+    * noindex+nofollow per the spec), and `indexable`.
+    *
+    * Scale shape: pure projection. */
+  def metaRobots(docs: DataFrame, idCol: String,
+                 htmlCol: String): DataFrame = {
+    val txt = coalesce(col(htmlCol), lit(""))
+    val fwd = regexp_extract(txt,
+      "(?i)<meta\\s+name=\"robots\"\\s+content=\"([^\"]*)\"", 1)
+    val rev = regexp_extract(txt,
+      "(?i)<meta\\s+content=\"([^\"]*)\"\\s+name=\"robots\"", 1)
+    docs.select(col(idCol),
+        lower(when(fwd =!= "", fwd).otherwise(rev))
+          .as("robots_content"))
+      .withColumn("noindex",
+        col("robots_content").contains("noindex") ||
+          col("robots_content").contains("none"))
+      .withColumn("nofollow",
+        col("robots_content").contains("nofollow") ||
+          col("robots_content").contains("none"))
+      .withColumn("noarchive",
+        col("robots_content").contains("noarchive"))
+      .withColumn("indexable", !col("noindex"))
+  }
+
   /** Answer-grounding audit for (answer, context) pairs — RAG and
     * summarization SFT data is curated on SUPPORT: an answer span
     * absent from its context is a training example that teaches

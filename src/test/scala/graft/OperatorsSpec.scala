@@ -5872,6 +5872,112 @@ class OperatorsSpec extends AnyFunSuite {
       got(4).getAs[Boolean]("hallucination_suspect"))
   }
 
+  test("packSegments: chunk-local offsets, boundary straddle emits " +
+      "two segments, chunks fill exactly, empty docs vanish") {
+    // one bucket by construction would need md5 control; instead
+    // assert invariants that hold per (bucket, chunk) regardless
+    val docs = (1L to 50L).map(i => (i, if (i % 9 == 0) 0L else 37L))
+      .toDF("id", "n")
+    val got = PackingOps.packSegments(docs, "id", col("n"),
+      budget = 64, bucketHexChars = 1)
+    val rows = got.collect()
+    // every chunk except possibly a bucket's last is exactly full
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+    byBucket.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk"))
+      sorted.dropRight(1).foreach { r =>
+        assert(r.getAs[Long]("filled_tokens") == 64L, s"full: $r")
+      }
+    }
+    // segments parse back and tile each chunk without gaps
+    rows.foreach { r =>
+      val segs = r.getAs[String]("segments").split(";")
+        .map { s =>
+          val Array(_, span) = s.split(":")
+          val Array(a, b) = span.split("-").map(_.toLong)
+          (a, b)
+        }
+      assert(segs.length == r.getAs[Long]("n_segments"))
+      assert(segs.head._1 == 0L || segs.head._1 > 0L)
+      segs.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 == s2, s"gap: $r")
+        case _ =>
+      }
+      assert(segs.map(x => x._2 - x._1).sum ==
+        r.getAs[Long]("filled_tokens"))
+    }
+    // empty docs appear nowhere
+    assert(!rows.exists(_.getAs[String]("segments").split(";")
+      .exists(s => s.startsWith("9:") || s.startsWith("18:"))))
+  }
+
+  test("wikiClean: refs (inline + self-closing), innermost " +
+      "templates, piped and plain links, counts") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "A [[Paris|city]] x <ref>c</ref> {{T|1}} [[B]]."),
+      (2L, "<ref/> and <ref name=\"z\"/> {{o {{i}} u}}"),
+      (3L, "plain prose")
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.wikiClean(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[String]("cleaned") == "A city x  " +
+      " [[B]].".replace("[[B]]", "B"), s"${got(0)}")
+    assert(got(0).getAs[Long]("n_refs") == 1L &&
+      got(0).getAs[Long]("n_templates") == 1L &&
+      got(0).getAs[Long]("n_piped_links") == 1L &&
+      got(0).getAs[Long]("n_plain_links") == 1L)
+    assert(got(1).getAs[Long]("n_refs") == 2L &&
+      got(1).getAs[Long]("n_templates") == 1L,
+      "only the innermost template strips in one pass")
+    assert(got(1).getAs[String]("cleaned").contains("{{o ") &&
+      !got(1).getAs[String]("cleaned").contains("{{i}}"))
+    assert(got(2).getAs[String]("cleaned") == "plain prose")
+  }
+
+  test("metaRobots: both attribute orders, case fold, none " +
+      "shorthand, absent tag stays indexable") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "<meta name=\"robots\" content=\"noindex,nofollow\">"),
+      (2L, "<meta content=\"NOARCHIVE\" name=\"robots\">"),
+      (3L, "<meta name=\"robots\" content=\"none\">"),
+      (4L, "<p>no meta here</p>")
+    ).toDF("id", "html")
+    val got = TextAnalysisOps.metaRobots(docs, "id", "html")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Boolean]("noindex") &&
+      got(0).getAs[Boolean]("nofollow") &&
+      !got(0).getAs[Boolean]("indexable"))
+    assert(got(1).getAs[Boolean]("noarchive") &&
+      got(1).getAs[Boolean]("indexable"))
+    assert(got(2).getAs[Boolean]("noindex") &&
+      got(2).getAs[Boolean]("nofollow"), "none implies both")
+    assert(got(3).getAs[Boolean]("indexable") &&
+      got(3).getAs[String]("robots_content") == "")
+  }
+
+  test("packSourceMix: majority source by count with lexicographic " +
+      "tie-break, docs and sources counted per pack") {
+    // control the pack: single bucket via one-doc... use invariants:
+    val docs = (1L to 60L)
+      .map(i => (i, if (i % 3 == 0) "web" else "books", 10L))
+      .toDF("id", "src", "n")
+    val got = PackingOps.packSourceMix(docs, "id", "src", col("n"),
+      budget = 40, bucketHexChars = 1).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Long]("n_sources") >= 1L &&
+        r.getAs[Long]("n_sources") <= 2L)
+      assert(Seq("web", "books")
+        .contains(r.getAs[String]("major_source")))
+      assert(r.getAs[Long]("major_milli") >= 1000L /
+        r.getAs[Long]("n_sources"))
+    }
+    val total = got.map(_.getAs[Long]("n_docs")).sum
+    assert(total == 60L, "every doc lands in exactly one pack")
+  }
+
   test("packingCurve is consistent with sequencePack pack ids at the " +
       "same budget and bucketing") {
     val docs = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
