@@ -4640,6 +4640,95 @@ object SparkEntry {
         }.toDF("doc_id", "media")
       MultimodalOps.audioStats(media, "doc_id", "media")
         .orderBy(col("doc_id"))
+    }),
+
+    // ZIP archive walk (q284): each doc becomes a three-member zip
+    // (a STORED text member, a DEFLATED json member, a DEFLATED
+    // unicode-named member); the parser's central-directory listing,
+    // uncompressed sizes, methods and content digests must equal the
+    // oracle's recomputation from the member strings — agreement
+    // proves the EOCD scan, central/local header walk, raw-inflate
+    // path and CRC verification.
+    "q284_zip_members" -> ((s, dir) => {
+      import s.implicits._
+      val members = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val zip = graft.sources.ZipCodec.zipBytes(Seq(
+            (s"doc_$id.txt", text.getBytes("UTF-8"), false),
+            (s"data/doc_$id.json",
+              s"""{"id": $id}""".getBytes("UTF-8"), true),
+            (s"notes/résumé_$id.md",
+              (text + s" note $id").getBytes("UTF-8"), true)))
+          graft.sources.ZipCodec.parse(zip).get.zipWithIndex.map {
+            case (m, i) => (id, i, m.name, m.size, m.method, m.data)
+          }
+        }.toDF("doc_id", "member_idx", "name", "size", "method",
+          "data")
+      members.select(col("doc_id"), col("member_idx"), col("name"),
+          col("size"), col("method").cast("long").as("method"),
+          substring(md5(col("data")), 1, 16).as("content_sig"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
+    // Consistent pseudonymization (q285): the same address anywhere
+    // in the corpus folds to the same keyed token — repeated
+    // correspondent in one doc (1 distinct / 2 hits), two distinct
+    // addresses, mixed case folding, and email-free docs passing
+    // through untouched.
+    "q285_pseudonymize" -> ((s, dir) => {
+      val k = (col("doc_id") % 50).cast("string")
+      val m = col("doc_id") % 6
+      val prefix = when(m === 0, concat(lit("Contact user"), k,
+          lit("@example.com for details. ")))
+        .when(m === 1, concat(lit("From user"), k,
+          lit("@example.com to Admin. CC user"), k,
+          lit("@example.com. ")))
+        .when(m === 2, concat(lit("Reach admin"), k,
+          lit("@corp.net or user"), k, lit("@example.com. ")))
+        .when(m === 3, lit("Mixed case USER5@Example.COM writes. "))
+        .otherwise(lit(""))
+      TextAnalysisOps.pseudonymizeEmails(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(prefix, col("text")).as("text")),
+        "doc_id", "text", salt = "r9")
+        .orderBy(col("doc_id"))
+    }),
+
+    // DoReMi reweighting step (q286): per-source mixture weights
+    // nudged by excess loss (synthesized deterministically from
+    // per-source mean length), exact-integer multiplicative-weights
+    // update + largest-remainder renormalization + uniform smoothing.
+    "q286_doremi_step" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dom = docs.groupBy(col("source").as("domain"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("chars"))
+      val tot = dom.agg(sum(col("n")).as("tot"))
+      val base = dom.crossJoin(broadcast(tot))
+        .withColumn("w_micro", expr("n * 1000000L div tot"))
+        .withColumn("excess_milli",
+          expr("(chars div n) % 2000L - 500L"))
+      SamplingOps.doremiStep(base, "domain", col("w_micro"),
+          col("excess_milli"))
+        .orderBy(col("domain"))
+    }),
+
+    // Contributor cap (q287): a Zipfian author distribution (one bot
+    // account owns ~40% of docs) capped at 5 docs/contributor via
+    // the bounded top-N aggregate — kept/trimmed token accounting
+    // plus the kept-id lists.
+    "q287_contributor_cap" -> ((s, dir) => {
+      val author = when(col("doc_id") % 10 < 4, lit(0L))
+        .otherwise(col("doc_id") % 97 + 1)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        author.as("contributor"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      SamplingOps.contributorCap(docs, "doc_id", "contributor",
+          col("n_tok"), maxDocs = 5)
+        .withColumn("kept_ids", concat_ws(",",
+          transform(col("kept_ids"), _.cast("string"))))
+        .orderBy(col("contributor"))
     })
   )
 
@@ -13719,6 +13808,127 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  FROM toks)
         |SELECT doc_id,
         |  list_min([md5(s) FOR s IN shingles]) AS fingerprint
-        |FROM sh ORDER BY doc_id""".stripMargin
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // Three members per doc: stored text, deflated json, deflated
+    // unicode-named note — the oracle recomputes name/size/digest
+    // from the member strings; `method` pins which codec path ran.
+    "q284_zip_members" ->
+      """WITH m AS (
+        |  SELECT doc_id, 0 AS member_idx,
+        |    'doc_' || doc_id::VARCHAR || '.txt' AS name,
+        |    strlen(text)::BIGINT AS size, 0::BIGINT AS method,
+        |    substr(md5(text), 1, 16) AS content_sig
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'data/doc_' || doc_id::VARCHAR || '.json',
+        |    strlen('{"id": ' || doc_id::VARCHAR || '}')::BIGINT,
+        |    8::BIGINT,
+        |    substr(md5('{"id": ' || doc_id::VARCHAR || '}'), 1, 16)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    'notes/résumé_' || doc_id::VARCHAR || '.md',
+        |    strlen(text || ' note ' || doc_id::VARCHAR)::BIGINT,
+        |    8::BIGINT,
+        |    substr(md5(text || ' note ' || doc_id::VARCHAR), 1, 16)
+        |  FROM documents)
+        |SELECT doc_id, member_idx, name, size, method, content_sig
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
+
+    // The injected addresses are the corpus's only email matches
+    // (verified: zero natural hits), so the oracle reconstructs the
+    // scrubbed text directly with the same keyed-digest tokens.
+    "q285_pseudonymize" ->
+      """WITH base AS (
+        |  SELECT doc_id, (doc_id % 50)::VARCHAR AS k, text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, text,
+        |    'u' || substr(md5('r9:user' || k || '@example.com'),
+        |      1, 12) || '@anon.invalid' AS t_user,
+        |    'u' || substr(md5('r9:admin' || k || '@corp.net'),
+        |      1, 12) || '@anon.invalid' AS t_admin,
+        |    'u' || substr(md5('r9:user5@example.com'),
+        |      1, 12) || '@anon.invalid' AS t_mixed
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'Contact ' || t_user
+        |      || ' for details. ' || text
+        |    WHEN 1 THEN 'From ' || t_user || ' to Admin. CC '
+        |      || t_user || '. ' || text
+        |    WHEN 2 THEN 'Reach ' || t_admin || ' or ' || t_user
+        |      || '. ' || text
+        |    WHEN 3 THEN 'Mixed case ' || t_mixed
+        |      || ' writes. ' || text
+        |    ELSE text END AS scrubbed,
+        |  (CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2
+        |    WHEN 3 THEN 1 ELSE 0 END)::BIGINT AS n_emails,
+        |  (CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |    WHEN 3 THEN 1 ELSE 0 END)::BIGINT AS n_distinct
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    // Same exact-integer chain: MW update, floor shares, the
+    // largest-remainder bump ranked by (rem DESC, domain ASC), then
+    // uniform smoothing — bit-identical arithmetic on both engines.
+    "q286_doremi_step" ->
+      """WITH dom AS (
+        |  SELECT source AS domain, count(*)::BIGINT AS n,
+        |    sum(strlen(text))::BIGINT AS chars
+        |  FROM documents GROUP BY source),
+        |tt AS (SELECT (sum(n))::BIGINT AS tot FROM dom),
+        |base AS (
+        |  SELECT domain, n * 1000000 // tot AS w_micro,
+        |    (chars // n) % 2000 - 500 AS excess_milli
+        |  FROM dom, tt),
+        |raw AS (
+        |  SELECT *, w_micro * (1000000 +
+        |      1000000 * least(greatest(excess_milli, 0), 10000)
+        |        // 1000) // 1000000 AS w_raw
+        |  FROM base),
+        |t2 AS (SELECT (sum(w_raw))::BIGINT AS wtot FROM raw),
+        |sh AS (
+        |  SELECT *, w_raw * 1000000 // wtot AS fl,
+        |    w_raw * 1000000 % wtot AS rem
+        |  FROM raw, t2),
+        |def AS (SELECT (1000000 - sum(fl))::BIGINT AS d FROM sh),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM sh),
+        |rk AS (
+        |  SELECT domain, excess_milli, fl,
+        |    row_number() OVER (ORDER BY rem DESC, domain ASC) - 1
+        |      AS rnk
+        |  FROM sh)
+        |SELECT domain, excess_milli::BIGINT AS excess_milli,
+        |  (fl + CASE WHEN rnk < d THEN 1 ELSE 0 END)::BIGINT
+        |    AS w_norm,
+        |  ((1000000 - 10000) *
+        |      (fl + CASE WHEN rnk < d THEN 1 ELSE 0 END) // 1000000
+        |    + 10000 // k)::BIGINT AS weight_micro
+        |FROM rk, def, kk ORDER BY domain""".stripMargin,
+
+    "q287_contributor_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 4 THEN 0
+        |      ELSE doc_id % 97 + 1 END AS contributor,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY contributor ORDER BY doc_id) AS rn
+        |  FROM d)
+        |SELECT contributor::BIGINT AS contributor,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS tok_total,
+        |  least(count(*), 5)::BIGINT AS n_kept,
+        |  sum(CASE WHEN rn <= 5 THEN n_tok ELSE 0 END)::BIGINT
+        |    AS tok_kept,
+        |  string_agg(CASE WHEN rn <= 5 THEN doc_id::VARCHAR END,
+        |    ',' ORDER BY doc_id) AS kept_ids,
+        |  (sum(n_tok) - sum(CASE WHEN rn <= 5 THEN n_tok ELSE 0 END)
+        |    )::BIGINT AS tok_trimmed
+        |FROM r GROUP BY contributor ORDER BY contributor""".stripMargin
   )
 }

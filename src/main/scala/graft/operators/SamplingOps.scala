@@ -942,4 +942,129 @@ object SamplingOps {
       .select(col(idCol), col("__s").as("score_micro"), col("phase"),
         col("shard"), col("pos"))
   }
+
+  /** One multiplicative-weights domain-reweighting step — the update
+    * at the core of DoReMi (Xie et al. 2023): domains where the proxy
+    * model's excess loss over the reference is largest get their
+    * mixture weight raised, then the distribution is renormalized and
+    * smoothed toward uniform. This library computes the data-side
+    * step (the losses arrive as columns from the training harness).
+    *
+    * Exact integer arithmetic, per the [[freshnessWeights]]
+    * discipline: the exponential update is taken in its standard
+    * linearized multiplicative-weights form `w * (1 + eta * excess)`
+    * (Arora, Hazan & Kale 2012, the (1+epsilon*m) rule — DoReMi's
+    * exp(eta*excess) to first order), with micro-scaled longs
+    * throughout, so the output is bit-identical on any engine; a
+    * float `exp` would drift at the last ulp across libm
+    * implementations. Negative excess (domain already better than
+    * reference) clamps to zero — weights never decay below their
+    * renormalized share, matching DoReMi's max(0, ·) clipping.
+    *
+    * `w_raw = w_micro * (1e6 + eta_micro * min(excess_milli, cap) div
+    * 1000) div 1e6`, renormalized to sum 1e6 by largest-remainder
+    * (exact, order-free), then smoothed:
+    * `w_out = (1-smooth) * w_norm + smooth * uniform`.
+    *
+    * Scale shape: `domains` is domain-cardinality-sized (tens to
+    * thousands of rows at any corpus size); one single-row total
+    * broadcast-joined back. The heavy per-token losses are upstream
+    * aggregates, not this step's input. */
+  def doremiStep(domains: DataFrame, domainCol: String,
+                 weightMicro: Column, excessLossMilli: Column,
+                 etaMicro: Long = 1000000L, smoothMicro: Long = 10000L,
+                 excessCapMilli: Long = 10000L): DataFrame = {
+    require(etaMicro >= 0L, "etaMicro >= 0")
+    require(smoothMicro >= 0L && smoothMicro <= 1000000L,
+      "smoothMicro in [0, 1e6]")
+    require(excessCapMilli >= 1L, "excessCapMilli >= 1")
+    val base = domains.select(col(domainCol).as("domain"),
+      weightMicro.cast("long").as("w_micro"),
+      excessLossMilli.cast("long").as("excess_milli"))
+    val raw = base.withColumn("__exc",
+        least(greatest(col("excess_milli"), lit(0L)),
+          lit(excessCapMilli)))
+      .withColumn("w_raw",
+        expr(s"w_micro * (1000000L + ${etaMicro}L * __exc div 1000L)" +
+          " div 1000000L"))
+    val tot = raw.agg(sum(col("w_raw")).as("__tot"))
+    // largest-remainder renormalization to EXACTLY 1e6: floor shares,
+    // then the deficit goes to the largest remainders (domain name
+    // breaks ties) — order-free and engine-exact, unlike a float
+    // normalize-and-round whose per-row rounding need not sum to 1.
+    val shared = raw.crossJoin(broadcast(tot))
+      .withColumn("__floor", expr("w_raw * 1000000L div __tot"))
+      .withColumn("__rem", expr("w_raw * 1000000L % __tot"))
+    val deficit = shared.agg(
+      (lit(1000000L) - sum(col("__floor"))).as("__def"))
+    doremiStepFinish(shared, deficit, smoothMicro)
+  }
+
+  /** Finish [[doremiStep]]: absorb the largest-remainder deficit and
+    * smooth toward uniform. The remainder ranking joins the tiny
+    * domain frame against itself on `__rem` strictly-greater (domain
+    * cardinality squared, still trivially small) — no global window,
+    * no single-task concentration even if this were misused on a
+    * larger frame. */
+  private def doremiStepFinish(shared: DataFrame, deficit: DataFrame,
+                               smoothMicro: Long): DataFrame = {
+    val left = shared.select(col("domain"), col("w_micro"),
+      col("excess_milli"), col("__floor"), col("__rem"))
+    val right = left.select(col("__rem").as("__r2"),
+      col("domain").as("__d2"))
+    // rank = number of rows with a strictly larger remainder, ties
+    // broken by domain string ordering (deterministic)
+    val ranked = left.join(right,
+        col("__r2") > col("__rem") ||
+          (col("__r2") === col("__rem") && col("__d2") < col("domain")),
+        "left")
+      .groupBy(col("domain"), col("w_micro"), col("excess_milli"),
+        col("__floor"), col("__rem"))
+      .agg(count(col("__d2")).as("__rank"))
+    val k = ranked.agg(count(lit(1)).as("__k"))
+    ranked.crossJoin(broadcast(deficit)).crossJoin(broadcast(k))
+      .withColumn("w_norm",
+        col("__floor") + when(col("__rank") < col("__def"), 1L)
+          .otherwise(0L))
+      .withColumn("weight_micro",
+        expr(s"(1000000L - ${smoothMicro}L) * w_norm div 1000000L" +
+          s" + ${smoothMicro}L div __k"))
+      .select(col("domain"), col("excess_milli"), col("w_norm"),
+        col("weight_micro"))
+  }
+
+  /** Per-contributor contribution cap — bound how much any single
+    * author/user/channel contributes to the training corpus, the
+    * standard preprocessing step for user-level memorization and
+    * privacy control (the per-user bounding that user-level DP
+    * analyses assume, and that dedup alone does not give: one prolific
+    * author is not a duplicate). Keeps each contributor's FIRST
+    * `maxDocs` documents by id (stable across reruns; re-crawls
+    * append, so first-by-id is oldest), reports what the cap trims.
+    *
+    * Scale shape: contributors are a Zipfian key (one bot account can
+    * own millions of rows), so the kept set rides [[graft.functions.AggFunctions.boundedTopN]]
+    * — bounded partial buffers per map task, no rank window, no
+    * single-task key group. One aggregation, one output row per
+    * contributor. */
+  def contributorCap(docs: DataFrame, idCol: String,
+                     contributorCol: String, tokens: Column,
+                     maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1 && maxDocs <= 100000, "maxDocs in [1, 1e5]")
+    val base = docs.select(col(contributorCol).as("contributor"),
+      col(idCol).cast("long").as("__id"),
+      coalesce(tokens.cast("long"), lit(0L)).as("__tok"))
+    base.groupBy(col("contributor"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("tok_total"),
+        graft.functions.AggFunctions.boundedTopN(
+          struct(col("__id"), col("__tok")), maxDocs).as("__kept"))
+      .select(col("contributor"), col("n_docs"), col("tok_total"),
+        least(col("n_docs"), lit(maxDocs.toLong)).as("n_kept"),
+        aggregate(col("__kept"), lit(0L),
+          (acc, s) => acc + s.getField("__tok")).as("tok_kept"),
+        transform(col("__kept"), s => s.getField("__id"))
+          .as("kept_ids"))
+      .withColumn("tok_trimmed", col("tok_total") - col("tok_kept"))
+  }
 }

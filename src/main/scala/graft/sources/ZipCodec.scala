@@ -1,0 +1,239 @@
+package graft.sources
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Minimal ZIP archive codec — with [[TarCodec]] and [[WarcCodec]],
+  * the third leg of the drop-format family: ZIP is what ad-hoc
+  * dataset uploads, scraped document bundles and Office-adjacent
+  * formats (docx/xlsx are ZIPs) actually arrive as. Ingest stays
+  * "walk the archive, emit (member name, bytes)"; everything
+  * downstream is the existing text/codec machinery.
+  *
+  * Parse strategy (public PKWARE APPNOTE layout): locate the
+  * end-of-central-directory record by scanning BACK from the file
+  * tail (EOCD sig 0x06054b50, up to the 64 KiB max comment), read
+  * the central-directory offset/count, walk the central-directory
+  * entries (sig 0x02014b50) for the AUTHORITATIVE name / method /
+  * crc / sizes, and only then jump to each member's local header
+  * (sig 0x04034b50) to slice its data. Central-directory-first is
+  * the standard-library approach too: it makes bit-3 (streaming
+  * data-descriptor) archives parseable because the central entry
+  * always carries the real sizes even when the local header holds
+  * zeros.
+  *
+  * Methods: 0 (stored) and 8 (deflate, raw/nowrap `Inflater`) — the
+  * only two the spec requires and ~all real archives use. Every
+  * member's inflated bytes are CRC-32-verified against the central
+  * entry. Names decode as UTF-8 (correct for bit-11 archives and a
+  * superset-of-ASCII guess otherwise, documented). Out of scope,
+  * returning None rather than half-parsing: encryption (flag bit 0),
+  * ZIP64 (0xFFFFFFFF/0xFFFF sentinel sizes, counts or offsets —
+  * single members >4 GiB belong on a streaming path, not in a column),
+  * multi-disk archives, and any other compression method. Defensive
+  * like the codec family: truncated records, overlapping/oob slices,
+  * CRC or size mismatches, inflate errors → None, never a throw.
+  *
+  * [[zipBytes]] writes the same subset (stored or deflated members,
+  * UTF-8 names with bit 11 set, central directory + EOCD), so
+  * roundtrips are bit-exact.
+  */
+object ZipCodec {
+
+  /** One parsed member: path, uncompressed size, method (0 stored /
+    * 8 deflate) and the decompressed data. */
+  case class ZipMember(name: String, size: Long, method: Int,
+                       data: Array[Byte])
+
+  private val LocalSig = 0x04034b50
+  private val CentralSig = 0x02014b50
+  private val EocdSig = 0x06054b50
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Scan back from the tail for the EOCD signature (the record is
+    * 22 bytes + a comment of up to 65535). Returns its offset. */
+  private def findEocd(b: Array[Byte]): Option[Int] = {
+    val min = math.max(0, b.length - 22 - 65535)
+    var i = b.length - 22
+    while (i >= min) {
+      if (u32(b, i) == EocdSig &&
+          // the comment length must make the record end at the tail —
+          // rejects a sig byte pattern inside member data
+          i + 22 + u16(b, i + 20) == b.length)
+        return Some(i)
+      i -= 1
+    }
+    None
+  }
+
+  private def inflateRaw(comp: Array[Byte], outLen: Int): Option[Array[Byte]] = {
+    val inf = new Inflater(true) // raw deflate: zip stores no zlib wrapper
+    try {
+      inf.setInput(comp)
+      val out = new Array[Byte](outLen)
+      var done = 0
+      while (done < outLen && !inf.finished()) {
+        val n = inf.inflate(out, done, outLen - done)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        done += n
+      }
+      if (done != outLen) return None
+      // a stream that keeps producing past the declared size is corrupt
+      val probe = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(probe) > 0) return None
+      Some(out)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Parse an archive; None on any malformation or out-of-scope
+    * feature (encryption, ZIP64, methods other than stored/deflate). */
+  def parse(b: Array[Byte]): Option[Seq[ZipMember]] = {
+    if (b == null || b.length < 22) return None
+    val eocd = findEocd(b) match {
+      case Some(o) => o case None => return None
+    }
+    val nDisk = u16(b, eocd + 4)
+    val nDiskCd = u16(b, eocd + 6)
+    val nHere = u16(b, eocd + 8)
+    val nTotal = u16(b, eocd + 10)
+    val cdSize = u32(b, eocd + 12)
+    val cdOff = u32(b, eocd + 16)
+    if (nDisk != 0 || nDiskCd != 0 || nHere != nTotal) return None
+    // ZIP64 sentinels in the EOCD → out of scope
+    if (nTotal == 0xffff || cdOff == 0xffffffffL || cdSize == 0xffffffffL)
+      return None
+    if (cdOff + cdSize > eocd) return None
+    val members = Vector.newBuilder[ZipMember]
+    var p = cdOff.toInt
+    val cdEnd = (cdOff + cdSize).toInt
+    var i = 0
+    while (i < nTotal) {
+      if (p + 46 > cdEnd || u32(b, p) != CentralSig) return None
+      val flags = u16(b, p + 8)
+      val method = u16(b, p + 10)
+      val crc = u32(b, p + 16)
+      val csize = u32(b, p + 20)
+      val usize = u32(b, p + 24)
+      val nameLen = u16(b, p + 28)
+      val extraLen = u16(b, p + 30)
+      val commentLen = u16(b, p + 32)
+      val localOff = u32(b, p + 42)
+      if ((flags & 0x1) != 0) return None // encrypted
+      if (method != 0 && method != 8) return None
+      if (csize == 0xffffffffL || usize == 0xffffffffL ||
+          localOff == 0xffffffffL) return None // ZIP64
+      if (p + 46 + nameLen > cdEnd) return None
+      val name = new String(b, p + 46, nameLen, "UTF-8")
+      // local header: sig + fixed 30 bytes, then ITS OWN name/extra
+      // lengths (they may differ from the central entry's — e.g. a
+      // streaming writer adds local extra fields)
+      val lo = localOff.toInt
+      if (lo < 0 || lo + 30 > b.length || u32(b, lo) != LocalSig)
+        return None
+      val lNameLen = u16(b, lo + 26)
+      val lExtraLen = u16(b, lo + 28)
+      val dataOff = lo + 30 + lNameLen + lExtraLen
+      if (dataOff + csize > b.length || dataOff + csize > cdOff)
+        return None
+      if (usize > 64L * 1024 * 1024) return None // column-cell bound
+      val comp = java.util.Arrays.copyOfRange(
+        b, dataOff, (dataOff + csize).toInt)
+      val data =
+        if (method == 0) {
+          if (csize != usize) return None
+          comp
+        } else inflateRaw(comp, usize.toInt) match {
+          case Some(d) => d case None => return None
+        }
+      val c = new CRC32(); c.update(data)
+      if (c.getValue != crc) return None
+      // directory entries (trailing '/', zero size) are skipped, same
+      // as TarCodec's typeflag-'5' rule
+      if (!(name.endsWith("/") && usize == 0))
+        members += ZipMember(name, usize, method, data)
+      p += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    Some(members.result())
+  }
+
+  private def deflateRaw(data: Array[Byte]): Array[Byte] = {
+    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      defl.setInput(data); defl.finish()
+      val out = new ByteBuilder(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.add(buf, defl.deflate(buf))
+      out.toArray
+    } finally defl.end()
+  }
+
+  private final class ByteBuilder(hint: Int) {
+    private var a = new Array[Byte](math.max(hint, 64))
+    private var len = 0
+    def add(src: Array[Byte], n: Int): Unit = {
+      if (len + n > a.length)
+        a = java.util.Arrays.copyOf(a, math.max(a.length * 2, len + n))
+      System.arraycopy(src, 0, a, len, n); len += n
+    }
+    def add(src: Array[Byte]): Unit = add(src, src.length)
+    def addU16(v: Int): Unit =
+      add(Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    def addU32(v: Long): Unit =
+      add(Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte))
+    def size: Int = len
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, len)
+  }
+
+  /** Write an archive: (path, bytes, deflate?) members, UTF-8 names
+    * (general-purpose bit 11), central directory, EOCD. */
+  def zipBytes(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new ByteBuilder(1024)
+    val central = new ByteBuilder(256)
+    members.foreach { case (path, data, deflate) =>
+      val nameB = path.getBytes("UTF-8")
+      val crc = { val c = new CRC32(); c.update(data); c.getValue }
+      val (method, comp) =
+        if (deflate) (8, deflateRaw(data)) else (0, data)
+      val localOff = out.size
+      out.addU32(LocalSig)
+      out.addU16(20)          // version needed
+      out.addU16(0x0800)      // flags: UTF-8 names
+      out.addU16(method)
+      out.addU16(0); out.addU16(0x21) // mod time/date (fixed, determinism)
+      out.addU32(crc)
+      out.addU32(comp.length); out.addU32(data.length)
+      out.addU16(nameB.length); out.addU16(0)
+      out.add(nameB); out.add(comp)
+      central.addU32(CentralSig)
+      central.addU16(20); central.addU16(20)
+      central.addU16(0x0800); central.addU16(method)
+      central.addU16(0); central.addU16(0x21)
+      central.addU32(crc)
+      central.addU32(comp.length); central.addU32(data.length)
+      central.addU16(nameB.length); central.addU16(0); central.addU16(0)
+      central.addU16(0)       // disk number
+      central.addU16(0)       // internal attrs
+      central.addU32(0)       // external attrs
+      central.addU32(localOff)
+      central.add(nameB)
+    }
+    val cdOff = out.size
+    val cd = central.toArray
+    out.add(cd)
+    out.addU32(EocdSig)
+    out.addU16(0); out.addU16(0)
+    out.addU16(members.size); out.addU16(members.size)
+    out.addU32(cd.length); out.addU32(cdOff)
+    out.addU16(0)
+    out.toArray
+  }
+}

@@ -1024,6 +1024,17 @@ object ScaleProbe {
           docs.select(col("doc_id"),
             length(col("text")).cast("long").as("s")),
           "doc_id", col("s"), nPhases = 4, shardHexChars = 1))
+      // contributorCap under a BOT account owning 50% of docs: the
+      // kept set rides the bounded top-N aggregate — the hot
+      // contributor arrives as ≤ maxDocs-element partial buffers per
+      // map task, never as its full row set in one reduce task
+      time(s"contributorCap BOT x$n (50% one contributor, cap 5)")(
+        SamplingOps.contributorCap(
+          docs.select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, lit(0L))
+              .otherwise(col("doc_id") % 997 + 1).as("who"),
+            length(col("text")).cast("long").as("tok")),
+          "doc_id", "who", col("tok"), maxDocs = 5))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

@@ -5995,4 +5995,163 @@ class OperatorsSpec extends AnyFunSuite {
     assert(curve.getAs[Long]("n_tokens") ==
       (1L to 40L).map(i => (i % 7) + 1).sum)
   }
+
+  test("ZipCodec roundtrips stored + deflated members, verifies CRCs, " +
+      "rejects malformation, encryption and ZIP64") {
+    import graft.sources.ZipCodec
+    val members = Seq(
+      ("docs/a.txt", "hello zip world".getBytes("UTF-8"), false),
+      ("docs/big.txt", ("abc" * 5000).getBytes("UTF-8"), true),
+      ("résumé.md", "unicode name ünïcode".getBytes("UTF-8"), true),
+      ("empty.bin", Array.empty[Byte], false))
+    val bytes = ZipCodec.zipBytes(members)
+    val got = ZipCodec.parse(bytes).get
+    assert(got.map(_.name) == members.map(_._1))
+    assert(got.map(_.method) == Seq(0, 8, 8, 0))
+    assert(got.map(_.size) == members.map(_._2.length.toLong))
+    got.zip(members).foreach { case (m, (_, data, _)) =>
+      assert(m.data.toSeq == data.toSeq)
+    }
+    // deflate actually compressed the repetitive member
+    assert(bytes.length <
+      members.map(_._2.length).sum + 200 * members.size)
+    // truncation anywhere → None (EOCD gone or slices run oob)
+    assert(ZipCodec.parse(bytes.take(bytes.length - 3)).isEmpty)
+    assert(ZipCodec.parse(bytes.take(20)).isEmpty)
+    // corrupt one data byte → CRC mismatch (first local header is
+    // 30 + name bytes in, so offset 30+10 lands inside member 0 data)
+    val bad = bytes.clone(); bad(30 + 10) = 'Z'.toByte
+    assert(ZipCodec.parse(bad).isEmpty)
+    // encrypted flag in the central entry → honest reject; the
+    // central dir starts after all local sections, scan for its sig
+    def findCentral(b: Array[Byte]): Int = {
+      var i = 0
+      while (!(b(i) == 0x50 && b(i + 1) == 0x4b && b(i + 2) == 0x01 &&
+        b(i + 3) == 0x02)) i += 1
+      i
+    }
+    val enc = bytes.clone()
+    enc(findCentral(enc) + 8) = 1 // flag bit 0
+    assert(ZipCodec.parse(enc).isEmpty)
+    // unsupported method (bzip2 = 12) → None
+    val meth = bytes.clone()
+    meth(findCentral(meth) + 10) = 12
+    assert(ZipCodec.parse(meth).isEmpty)
+    // ZIP64 sentinel sizes → None
+    val z64 = bytes.clone()
+    val c0 = findCentral(z64)
+    for (i <- 0 until 4) z64(c0 + 20 + i) = 0xff.toByte
+    assert(ZipCodec.parse(z64).isEmpty)
+    // directory entries (trailing '/', zero size) skip cleanly
+    val withDir = ZipCodec.zipBytes(Seq(
+      ("d/", Array.empty[Byte], false),
+      ("d/f.txt", "in dir".getBytes("UTF-8"), false)))
+    assert(ZipCodec.parse(withDir).get.map(_.name) == Seq("d/f.txt"))
+    // an EOCD-sig byte pattern INSIDE member data must not win the
+    // tail scan: the comment-length consistency check rejects it
+    val trap = ZipCodec.zipBytes(Seq(("t.bin",
+      Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ new Array[Byte](18),
+      false)))
+    assert(ZipCodec.parse(trap).get.head.size == 22L)
+  }
+
+  test("pseudonymizeEmails: corpus-consistent tokens, case folding, " +
+      "repeated addresses, email-free and null text") {
+    val docs = Seq(
+      (1L, "write a@x.com and b@y.net today"),
+      (2L, "again a@x.com here"),
+      (3L, "case A@X.COM folded"),
+      (4L, "twice c@z.org then c@z.org again"),
+      (5L, "no address at all"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.pseudonymizeEmails(docs, "id", "text",
+      salt = "s1").orderBy("id").collect()
+    def tok(e: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s1:$e".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "u" + hex.take(12) + "@anon.invalid"
+    }
+    assert(got(0).getAs[String]("scrubbed") ==
+      s"write ${tok("a@x.com")} and ${tok("b@y.net")} today")
+    assert(got(0).getAs[Long]("n_emails") == 2L)
+    assert(got(0).getAs[Long]("n_distinct") == 2L)
+    // same address in another doc → same token (the whole point)
+    assert(got(1).getAs[String]("scrubbed") ==
+      s"again ${tok("a@x.com")} here")
+    // case folds to the same token
+    assert(got(2).getAs[String]("scrubbed") ==
+      s"case ${tok("a@x.com")} folded")
+    // repeated in one doc: 2 hits, 1 distinct
+    assert(got(3).getAs[Long]("n_emails") == 2L)
+    assert(got(3).getAs[Long]("n_distinct") == 1L)
+    // untouched / null-safe
+    assert(got(4).getAs[String]("scrubbed") == "no address at all")
+    assert(got(4).getAs[Long]("n_emails") == 0L)
+    assert(got(5).getAs[String]("scrubbed") == "")
+    // salt changes every token (per-release re-keying)
+    val resalted = TextAnalysisOps.pseudonymizeEmails(docs, "id",
+      "text", salt = "s2").orderBy("id").collect()
+    assert(resalted(0).getAs[String]("scrubbed") !=
+      got(0).getAs[String]("scrubbed"))
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.pseudonymizeEmails(docs, "id", "text", salt = "")
+    }
+  }
+
+  test("doremiStep: renormalized weights sum to exactly 1e6, excess " +
+      "raises share, negative excess clamps to the renormalized floor") {
+    val domains = Seq(
+      ("web", 500000L, 2000L),   // high excess → weight up
+      ("books", 300000L, 0L),    // neutral
+      ("code", 200000L, -800L)   // negative → clamped, weight down only
+    ).toDF("domain", "w", "x")
+    val got = SamplingOps.doremiStep(domains, "domain", col("w"),
+      col("x"), etaMicro = 1000000L, smoothMicro = 0L)
+      .orderBy("domain").collect()
+    val byDom = got.map(r => r.getAs[String]("domain") ->
+      r.getAs[Long]("w_norm")).toMap
+    assert(got.map(_.getAs[Long]("w_norm")).sum == 1000000L)
+    // web's share grew past its input, code's shrank
+    assert(byDom("web") > 500000L)
+    assert(byDom("code") < 200000L)
+    // clamped negative behaves exactly like zero excess
+    val zeroed = SamplingOps.doremiStep(
+      Seq(("web", 500000L, 2000L), ("books", 300000L, 0L),
+        ("code", 200000L, 0L)).toDF("domain", "w", "x"),
+      "domain", col("w"), col("x"),
+      etaMicro = 1000000L, smoothMicro = 0L)
+      .orderBy("domain").collect()
+    assert(got.map(_.getAs[Long]("w_norm")).toSeq ==
+      zeroed.map(_.getAs[Long]("w_norm")).toSeq)
+    // smoothing pulls toward uniform without reordering
+    val smoothed = SamplingOps.doremiStep(domains, "domain", col("w"),
+      col("x"), etaMicro = 1000000L, smoothMicro = 300000L)
+      .orderBy("domain").collect()
+    val sm = smoothed.map(r => r.getAs[String]("domain") ->
+      r.getAs[Long]("weight_micro")).toMap
+    assert(sm("web") < byDom("web") && sm("code") > byDom("code"))
+  }
+
+  test("contributorCap keeps first-K by id under a hot contributor " +
+      "and accounts kept/trimmed tokens exactly") {
+    val docs = ((1L to 20L).map(i => (i, "bot", i * 10L)) ++
+      Seq((100L, "human", 7L))).toDF("id", "who", "n")
+    val got = SamplingOps.contributorCap(docs, "id", "who", col("n"),
+      maxDocs = 3).orderBy("contributor").collect()
+    val bot = got(0)
+    assert(bot.getAs[String]("contributor") == "bot")
+    assert(bot.getAs[Long]("n_docs") == 20L)
+    assert(bot.getAs[Long]("n_kept") == 3L)
+    assert(bot.getAs[scala.collection.Seq[Long]]("kept_ids").toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(bot.getAs[Long]("tok_kept") == 10L + 20L + 30L)
+    assert(bot.getAs[Long]("tok_total") == (1L to 20L).map(_ * 10).sum)
+    assert(bot.getAs[Long]("tok_trimmed") ==
+      bot.getAs[Long]("tok_total") - 60L)
+    val human = got(1)
+    assert(human.getAs[Long]("n_kept") == 1L)
+    assert(human.getAs[Long]("tok_trimmed") == 0L)
+  }
 }

@@ -560,6 +560,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"no global window/sort in the fingerprint pipeline:\n$p")
   }
+
+  test("q287: contributor cap rides the bounded top-N aggregate — no " +
+      "rank window over the Zipfian contributor key, one aggregation") {
+    val p = plan("q287_contributor_cap")
+    assert(p.contains("bounded_top_n"),
+      s"the kept set must be the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no window over contributor (a Zipfian key):\n$p")
+  }
+
+  test("q286: DoReMi totals broadcast back — domain-frame joins " +
+      "never shuffle or sort-merge") {
+    val p = plan("q286_doremi_step")
+    assert(!p.contains("SortMergeJoin"),
+      s"domain-cardinality frames must broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      !p.contains("Window"),
+      s"no global window in the remainder ranking:\n$p")
+  }
 }
 
 /** q48's query ends in a presentation orderBy; the operator itself must
