@@ -4729,6 +4729,261 @@ object SparkEntry {
         .withColumn("kept_ids", concat_ws(",",
           transform(col("kept_ids"), _.cast("string"))))
         .orderBy(col("contributor"))
+    }),
+
+    // Unified-diff mining (q288): every third doc becomes a one-file
+    // git patch (1 hunk, +2/-1), every third a two-file patch with a
+    // commit header (3 hunks, +2/-2), the rest stay prose — the
+    // file/hunk/add/delete census must match the oracle's RE2
+    // recomputation (the +++ /--- header subtraction instead of a
+    // lookahead is exactly the RE2-compatibility discipline).
+    "q288_commit_diffs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val f = (id % 7).cast("string")
+      val one = concat(
+        lit("diff --git a/src/f"), f, lit(".py b/src/f"), f,
+        lit(".py\n--- a/src/f"), f, lit(".py\n+++ b/src/f"), f,
+        lit(".py\n@@ -1,3 +1,4 @@\n ctx\n-old line "), ids,
+        lit("\n+new line "), ids, lit("\n+extra\n"), col("text"))
+      val two = concat(
+        lit("commit "), ids, lit("\n\n    fix: adjust\n\n"),
+        lit("diff --git a/a.go b/a.go\n--- a/a.go\n+++ b/a.go\n"),
+        lit("@@ -10,2 +10,1 @@\n context\n-gone "), ids, lit("\n"),
+        lit("diff --git a/b.go b/b.go\n--- a/b.go\n+++ b/b.go\n"),
+        lit("@@ -1,1 +1,2 @@\n keep\n+added\n@@ -8,1 +8,1 @@\n-x\n+y\n"))
+      val text = when(id % 3 === 0, one).when(id % 3 === 1, two)
+        .otherwise(col("text"))
+      TextAnalysisOps.unifiedDiffStats(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stack-trace / log-spill scan (q289): one doc slice gets a
+    // Python traceback (header + 2 frames), one a 4-frame JVM trace,
+    // one becomes 80% timestamped log lines; the per-(source,
+    // verdict) rollup with summed signal counters must match.
+    "q289_stacktrace_scan" -> ((s, dir) => {
+      val id = col("doc_id")
+      val py = concat(col("text"),
+        lit("\nTraceback (most recent call last):\n  File \"app.py\"" +
+          ", line "), (id % 90 + 1).cast("string"),
+        lit(", in main\n    run()\n  File \"lib.py\", line 7, in run" +
+          "\nValueError: bad "), id.cast("string"))
+      val jvm = concat(col("text"),
+        lit("\nException in thread \"main\" java.lang.IllegalState" +
+          "Exception\n  at com.app.Main.run(Main.java:"),
+        (id % 50 + 1).cast("string"),
+        lit(")\n  at com.app.Main.main(Main.java:9)\n  at org.Runner" +
+          ".invoke(Runner.java:101)\n  at org.Runner.main(Runner" +
+          ".java:55)"))
+      val log = concat(
+        lit("2024-01-15 12:00:01 INFO start\n2024-01-15 12:00:02 " +
+          "INFO step\n2024-01-15 12:00:03 WARN slow\n2024-01-15 " +
+          "12:00:04 INFO done\n"), col("text"))
+      val text = when(id % 7 === 1, py).when(id % 7 === 2, jvm)
+        .when(id % 7 === 3, log).otherwise(col("text"))
+      TextAnalysisOps.stackTraceScan(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"), col("verdict"))
+    }),
+
+    // MCQ answer-letter bias (q290): even docs get an `Answer: X`
+    // line (uniform by id%4, plus a second line every sixth doc);
+    // src3 is planted 70% 'A' — the per-(source, letter) histogram,
+    // integer micro shares, and the per-source bias flag must match.
+    "q290_choice_bias" -> ((s, dir) => {
+      val id = col("doc_id")
+      val biased = col("source") === "src3" && id % 10 < 7
+      val idx = when(biased, lit(0L)).otherwise(id % 4)
+      val letter = lit("ABCD").substr(
+        (idx + 1).cast("int"), lit(1))
+      val letter2 = lit("ABCD").substr(
+        ((id % 4 + 1) % 4 + 1).cast("int"), lit(1))
+      val text = when(id % 2 === 0,
+          concat(col("text"), lit("\nAnswer: "), letter,
+            when(id % 6 === 0, concat(lit("\nAnswer: "), letter2))
+              .otherwise(lit(""))))
+        .otherwise(col("text"))
+      TextAnalysisOps.choiceBias(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"), col("letter"))
+    }),
+
+    // Encoded-blob scan (q291): one doc slice carries a 48-144 char
+    // base64 run, another a 32-72 char hex run (which the base64
+    // counter also sees when long enough — by design, and
+    // cross-checked by the oracle computing both independently);
+    // run-length sums, longest run, and the share gate must match.
+    "q291_encoded_blobs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val b64doc = concat(col("text"), lit(" b64:"),
+        expr("repeat('QmFzZTY0QmxvYg==', cast(doc_id % 7 + 3 as int))"))
+      val hexdoc = concat(col("text"), lit(" hex:"),
+        expr("repeat('deadbeef', cast(doc_id % 6 + 4 as int))"))
+      val text = when(id % 5 === 0, b64doc).when(id % 5 === 1, hexdoc)
+        .otherwise(col("text"))
+      TextAnalysisOps.encodedBlobScan(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Proximity search (q292): the two corpus-common terms 'hash'
+    // and 'table' — in-row positional min-gap vs the oracle's
+    // list-comprehension positions; occurrence counts, the null
+    // min_gap when either term is absent, and the gap≤3 flag.
+    "q292_phrase_proximity" -> ((s, dir) => {
+      RetrievalOps.phraseProximity(t(s, dir, "documents"),
+          "doc_id", "text", "hash", "table", maxGap = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Lexical diversity (q293): in-row TTR + sorted-neighbor hapax
+    // vs the oracle's relational unnest-group-count — the same
+    // numbers from two opposite plan shapes is the point.
+    "q293_lexical_diversity" -> ((s, dir) => {
+      TextAnalysisOps.lexicalDiversity(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSON-LD census (q294): every doc carries a planted block —
+    // Article, a Recipe+Product pair, an unparseable block
+    // (INVALID), or valid JSON without @type (NONE); the per-type
+    // block/doc counts must match the oracle's json_valid-gated
+    // extraction.
+    "q294_jsonld_extract" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val pre = lit("<script type=\"application/ld+json\">")
+      val post = lit("</script>")
+      val m = id % 4
+      val blocks = when(m === 0, concat(pre,
+          lit("{\"@context\":\"https://schema.org\",\"@type\":" +
+            "\"Article\",\"headline\":\"h"), ids, lit("\"}"), post))
+        .when(m === 1, concat(pre,
+          lit("{\"@type\":\"Recipe\",\"name\":\"r"), ids,
+          lit("\"}"), post, lit("<p>and</p>"), pre,
+          lit("{\"@type\":\"Product\",\"sku\":"), ids, lit("}"), post))
+        .when(m === 2, concat(pre, lit("{\"@type\":\"Broken\""), post))
+        .otherwise(concat(pre, lit("{\"name\":\"x"), ids,
+          lit("\"}"), post))
+      TextAnalysisOps.jsonldTypes(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), blocks).as("text")),
+        "doc_id", "text")
+        .orderBy(col("jsonld_type"))
+    }),
+
+    // Context-trim audit (q295): four conversation shapes (budget 6
+    // whitespace tokens) — a suffix that keeps 1-or-2 turns
+    // depending on the id-varied user-turn length, a fully-kept
+    // short chat, a single over-budget turn (kept_turns 0, null
+    // first-kept), and four 1-token turns all kept.
+    "q295_turn_trim" -> ((s, dir) => {
+      val id = col("doc_id")
+      val m = id % 4
+      val userW = expr("trim(repeat('w ', cast(doc_id % 3 + 2 as int)))")
+      val conv = when(m === 0, concat(
+          lit("system: keep short\nuser: "), userW,
+          lit("\nassistant: w w w w")))
+        .when(m === 1, lit("user: one\nassistant: two words"))
+        .when(m === 2, lit("user: w w w w w w w w"))
+        .otherwise(lit("user: a\nassistant: b\nuser: c\nassistant: d"))
+      val turns = ConversationOps.parseTurns(
+        t(s, dir, "documents").select(col("doc_id"), conv.as("text")),
+        "doc_id", "text")
+      ConversationOps.contextTrim(turns, "doc_id", budgetTokens = 6L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // License-compatibility mix (q296): q151's eight license slices
+    // rolled up per source into tier counts + integer shares + the
+    // review gate — copyleft outranks the copyright line GPL text
+    // always carries, permissive outranks bare-copyright.
+    "q296_license_compat" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(col("text"), element_at(array(
+          lit(" SPDX-License-Identifier: MIT"),
+          lit(" Shared under the MIT License. Copyright (c) 2021 A."),
+          lit(" Copyright 2019 MegaCorp. All rights reserved."),
+          lit(" Copyright (c) 2020 Solo Author."),
+          lit(" released under the GNU General Public License v3"),
+          lit(" SPDX-License-Identifier: GPL-3.0-only"),
+          lit(" Distributed under the BSD License. Copyright (c) " +
+            "2018 B."),
+          lit("")), (col("doc_id") % 8 + 1).cast("int"))).as("text"))
+      TextAnalysisOps.licenseCompatMix(injected, "doc_id", "text",
+          "source")
+        .orderBy(col("source"), col("tier"))
+    }),
+
+    // DOM depth profile (q297): nested-div wraps of id-varied depth,
+    // an unclosed fragment (positive balance), void-only tags (zero
+    // depth), stray closes (negative balance), and tag-free prose —
+    // max prefix sum + balance vs the oracle's list recomputation.
+    "q297_dom_depth" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wrap = concat(
+        expr("repeat('<div>', cast(doc_id % 4 + 2 as int))"),
+        lit("<p>"), col("text"), lit("</p>"),
+        expr("repeat('</div>', cast(doc_id % 4 + 2 as int))"))
+      val text = when(id % 5 === 0, wrap)
+        .when(id % 5 === 1,
+          concat(lit("<div><section><p>"), col("text")))
+        .when(id % 5 === 2,
+          concat(lit("<br><img><meta>"), col("text"),
+            lit("<b>x</b><hr>")))
+        .when(id % 5 === 3, concat(lit("</div></div>"), col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.domDepthProfile(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text", deepThreshold = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup-weighted source mix (q298): a viral page planted across
+    // sources (id%7) plus a case/whitespace-variant cluster (id%11)
+    // that must normalize together — raw vs effective shares in
+    // exact micro-units.
+    "q298_effective_mix" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 7 === 0, lit("mirrored page alpha"))
+        .when(id % 11 === 3,
+          when(id % 2 === 0, lit("Mirrored  Page beta"))
+            .otherwise(lit("mirrored   page  BETA")))
+        .otherwise(col("text"))
+      SamplingOps.dedupWeightedMix(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Acronym mining (q299): valid definitions (initials spell the
+    // acronym), a repeated definition (mention vs doc counts), an
+    // initials mismatch kept but marked invalid, and a bare
+    // parenthetical with no capitalized expansion (no match).
+    "q299_acronym_mining" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"),
+        when(id % 6 === 0, lit(" Large Language Model (LLM) is here."))
+          .when(id % 6 === 1, lit(" Graphics Processing Unit (GPU) " +
+            "used. Graphics Processing Unit (GPU) again."))
+          .when(id % 6 === 2, lit(" Some Random Words (XYZ) mismatch."))
+          .when(id % 6 === 3, lit(" plain (NASA) parens."))
+          .otherwise(lit("")))
+      TextAnalysisOps.acronymMining(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("acronym"), col("expansion"))
     })
   )
 
@@ -13929,6 +14184,444 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    ',' ORDER BY doc_id) AS kept_ids,
         |  (sum(n_tok) - sum(CASE WHEN rn <= 5 THEN n_tok ELSE 0 END)
         |    )::BIGINT AS tok_trimmed
-        |FROM r GROUP BY contributor ORDER BY contributor""".stripMargin
+        |FROM r GROUP BY contributor ORDER BY contributor""".stripMargin,
+
+    "q288_commit_diffs" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 3
+        |    WHEN 0 THEN 'diff --git a/src/f' || (doc_id % 7)::VARCHAR
+        |      || '.py b/src/f' || (doc_id % 7)::VARCHAR || '.py'
+        |      || chr(10) || '--- a/src/f' || (doc_id % 7)::VARCHAR
+        |      || '.py' || chr(10) || '+++ b/src/f'
+        |      || (doc_id % 7)::VARCHAR || '.py' || chr(10)
+        |      || '@@ -1,3 +1,4 @@' || chr(10) || ' ctx' || chr(10)
+        |      || '-old line ' || doc_id::VARCHAR || chr(10)
+        |      || '+new line ' || doc_id::VARCHAR || chr(10)
+        |      || '+extra' || chr(10) || text
+        |    WHEN 1 THEN 'commit ' || doc_id::VARCHAR || chr(10)
+        |      || chr(10) || '    fix: adjust' || chr(10) || chr(10)
+        |      || 'diff --git a/a.go b/a.go' || chr(10)
+        |      || '--- a/a.go' || chr(10) || '+++ b/a.go' || chr(10)
+        |      || '@@ -10,2 +10,1 @@' || chr(10) || ' context'
+        |      || chr(10) || '-gone ' || doc_id::VARCHAR || chr(10)
+        |      || 'diff --git a/b.go b/b.go' || chr(10)
+        |      || '--- a/b.go' || chr(10) || '+++ b/b.go' || chr(10)
+        |      || '@@ -1,1 +1,2 @@' || chr(10) || ' keep' || chr(10)
+        |      || '+added' || chr(10) || '@@ -8,1 +8,1 @@' || chr(10)
+        |      || '-x' || chr(10) || '+y' || chr(10)
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '(?m)^diff --git '))::BIGINT
+        |      AS n_files,
+        |    len(regexp_extract_all(t, '(?m)^@@ -[0-9]'))::BIGINT
+        |      AS n_hunks,
+        |    (len(regexp_extract_all(t, '(?m)^\+'))
+        |      - len(regexp_extract_all(t, '(?m)^\+\+\+ ')))::BIGINT
+        |      AS added,
+        |    (len(regexp_extract_all(t, '(?m)^-'))
+        |      - len(regexp_extract_all(t, '(?m)^--- ')))::BIGINT
+        |      AS deleted
+        |  FROM d)
+        |SELECT doc_id, n_files, n_hunks, added, deleted,
+        |  (added - deleted)::BIGINT AS net_lines,
+        |  (n_files > 0 AND n_hunks > 0) AS is_diff
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q289_stacktrace_scan" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CASE doc_id % 7
+        |    WHEN 1 THEN text || chr(10)
+        |      || 'Traceback (most recent call last):' || chr(10)
+        |      || '  File "app.py", line '
+        |      || (doc_id % 90 + 1)::VARCHAR || ', in main' || chr(10)
+        |      || '    run()' || chr(10)
+        |      || '  File "lib.py", line 7, in run' || chr(10)
+        |      || 'ValueError: bad ' || doc_id::VARCHAR
+        |    WHEN 2 THEN text || chr(10)
+        |      || 'Exception in thread "main" java.lang.IllegalState'
+        |      || 'Exception' || chr(10)
+        |      || '  at com.app.Main.run(Main.java:'
+        |      || (doc_id % 50 + 1)::VARCHAR || ')' || chr(10)
+        |      || '  at com.app.Main.main(Main.java:9)' || chr(10)
+        |      || '  at org.Runner.invoke(Runner.java:101)' || chr(10)
+        |      || '  at org.Runner.main(Runner.java:55)'
+        |    WHEN 3 THEN '2024-01-15 12:00:01 INFO start' || chr(10)
+        |      || '2024-01-15 12:00:02 INFO step' || chr(10)
+        |      || '2024-01-15 12:00:03 WARN slow' || chr(10)
+        |      || '2024-01-15 12:00:04 INFO done' || chr(10) || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t,
+        |      'Traceback \(most recent call last\):'))::BIGINT
+        |      AS py_heads,
+        |    len(regexp_extract_all(t,
+        |      '(?m)^ *File "[^"]+", line [0-9]+'))::BIGINT
+        |      AS py_frames,
+        |    len(regexp_extract_all(t,
+        |      '(?m)^[ \t]+at [A-Za-z0-9_$.]+\([^)\n]*\)'))::BIGINT
+        |      AS jvm_frames,
+        |    len(regexp_extract_all(t,
+        |      '(?m)^\[?[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}'
+        |      ))::BIGINT AS log_lines,
+        |    len(string_split(t, chr(10)))::BIGINT AS n_lines
+        |  FROM d),
+        |v AS (
+        |  SELECT *, CASE
+        |    WHEN py_heads > 0 OR py_frames + jvm_frames >= 3
+        |      THEN 'trace'
+        |    WHEN log_lines * 10 >= n_lines * 3 THEN 'log_spill'
+        |    ELSE 'clean' END AS verdict
+        |  FROM sig)
+        |SELECT source, verdict, count(*)::BIGINT AS n_docs,
+        |  sum(py_heads)::BIGINT AS py_heads,
+        |  sum(py_frames)::BIGINT AS py_frames,
+        |  sum(jvm_frames)::BIGINT AS jvm_frames,
+        |  sum(log_lines)::BIGINT AS log_lines
+        |FROM v GROUP BY source, verdict
+        |ORDER BY source, verdict""".stripMargin,
+
+    "q290_choice_bias" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || chr(10)
+        |      || 'Answer: ' || substr('ABCD',
+        |        (CASE WHEN source = 'src3' AND doc_id % 10 < 7
+        |          THEN 0 ELSE doc_id % 4 END)::INT + 1, 1)
+        |      || CASE WHEN doc_id % 6 = 0 THEN chr(10)
+        |        || 'Answer: '
+        |        || substr('ABCD', ((doc_id % 4 + 1) % 4)::INT + 1, 1)
+        |        ELSE '' END
+        |    ELSE text END AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT source, unnest(regexp_extract_all(t,
+        |    '(?m)^Answer: ([A-D])$', 1)) AS letter
+        |  FROM d),
+        |pl AS (
+        |  SELECT source, letter, count(*)::BIGINT AS n
+        |  FROM l GROUP BY source, letter),
+        |ps AS (
+        |  SELECT source, sum(n)::BIGINT AS total,
+        |    max(n)::BIGINT AS max_n
+        |  FROM pl GROUP BY source)
+        |SELECT pl.source, letter, n, total,
+        |  (n * 1000000 // total)::BIGINT AS share_micro,
+        |  (max_n * 1000000 // total > 350000) AS biased
+        |FROM pl JOIN ps USING (source)
+        |ORDER BY source, letter""".stripMargin,
+
+    "q291_encoded_blobs" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN text || ' b64:'
+        |      || repeat('QmFzZTY0QmxvYg==', (doc_id % 7 + 3)::INT)
+        |    WHEN 1 THEN text || ' hex:'
+        |      || repeat('deadbeef', (doc_id % 6 + 4)::INT)
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(regexp_extract_all(t,
+        |      '[A-Za-z0-9+/=]{40,}'), x -> len(x))), 0)::BIGINT
+        |      AS b64_chars,
+        |    coalesce(list_max(list_transform(regexp_extract_all(t,
+        |      '[A-Za-z0-9+/=]{40,}'), x -> len(x))), 0)::BIGINT
+        |      AS longest_b64,
+        |    coalesce(list_sum(list_transform(regexp_extract_all(t,
+        |      '(?i)[0-9a-f]{32,}'), x -> len(x))), 0)::BIGINT
+        |      AS hex_chars,
+        |    greatest(len(t), 1)::BIGINT AS n_chars
+        |  FROM d)
+        |SELECT doc_id, b64_chars, longest_b64, hex_chars, n_chars,
+        |  (b64_chars * 1000000 // n_chars)::BIGINT
+        |    AS blob_share_micro,
+        |  CASE WHEN b64_chars * 1000000 // n_chars > 300000
+        |    THEN 'encoded_blob' ELSE 'clean' END AS verdict
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q292_phrase_proximity" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_filter(generate_series(1, len(toks)),
+        |      i -> toks[i] = 'hash') AS pa,
+        |    list_filter(generate_series(1, len(toks)),
+        |      i -> toks[i] = 'table') AS pb
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, len(pa)::BIGINT AS n_a,
+        |    len(pb)::BIGINT AS n_b,
+        |    list_min(flatten(list_transform(pa,
+        |      x -> list_transform(pb, y -> abs(x - y)))))::BIGINT
+        |      AS min_gap
+        |  FROM p)
+        |SELECT doc_id, n_a, n_b, min_gap,
+        |  coalesce(min_gap <= 3, false) AS near
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q293_lexical_diversity" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |f AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM u GROUP BY doc_id, tok),
+        |a AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tok,
+        |    count(*)::BIGINT AS n_distinct,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_distinct, hapax,
+        |  (n_distinct * 1000000 // greatest(n_tok, 1))::BIGINT
+        |    AS ttr_micro,
+        |  (hapax * 1000000 // greatest(n_distinct, 1))::BIGINT
+        |    AS hapax_micro
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q294_jsonld_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 4
+        |    WHEN 0 THEN '<script type="application/ld+json">'
+        |      || '{"@context":"https://schema.org","@type":'
+        |      || '"Article","headline":"h' || doc_id::VARCHAR
+        |      || '"}' || '</script>'
+        |    WHEN 1 THEN '<script type="application/ld+json">'
+        |      || '{"@type":"Recipe","name":"r' || doc_id::VARCHAR
+        |      || '"}' || '</script><p>and</p>'
+        |      || '<script type="application/ld+json">'
+        |      || '{"@type":"Product","sku":' || doc_id::VARCHAR
+        |      || '}' || '</script>'
+        |    WHEN 2 THEN '<script type="application/ld+json">'
+        |      || '{"@type":"Broken"' || '</script>'
+        |    ELSE '<script type="application/ld+json">'
+        |      || '{"name":"x' || doc_id::VARCHAR || '"}'
+        |      || '</script>' END AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t,
+        |    '(?is)<script type="application/ld\+json">(.*?)</script>',
+        |    1)) AS blk
+        |  FROM d),
+        |ty AS (
+        |  SELECT doc_id, CASE WHEN NOT json_valid(blk)
+        |      THEN 'INVALID'
+        |    ELSE coalesce(json_extract_string(blk, '$."@type"'),
+        |      'NONE') END AS jsonld_type
+        |  FROM b)
+        |SELECT jsonld_type, count(*)::BIGINT AS n_blocks,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM ty GROUP BY jsonld_type
+        |ORDER BY jsonld_type""".stripMargin,
+
+    "q295_turn_trim" ->
+      """WITH conv AS (
+        |  SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN 'system: keep short' || chr(10)
+        |      || 'user: '
+        |      || trim(repeat('w ', (doc_id % 3 + 2)::INT))
+        |      || chr(10) || 'assistant: w w w w'
+        |    WHEN 1 THEN 'user: one' || chr(10)
+        |      || 'assistant: two words'
+        |    WHEN 2 THEN 'user: w w w w w w w w'
+        |    ELSE 'user: a' || chr(10) || 'assistant: b' || chr(10)
+        |      || 'user: c' || chr(10) || 'assistant: d'
+        |    END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': lines[i]}
+        |        FOR i IN range(1, len(lines) + 1)]) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |          FROM conv))),
+        |tn AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS turn_idx,
+        |    regexp_extract(l, '^(user|assistant|system): ', 1)
+        |      AS role,
+        |    len(string_split(regexp_replace(l,
+        |      '^(user|assistant|system): ', ''), ' '))::BIGINT
+        |      AS tok
+        |  FROM ln
+        |  WHERE regexp_matches(l, '^(user|assistant|system): ')),
+        |c AS (
+        |  SELECT doc_id, turn_idx, role, tok,
+        |    sum(tok) OVER (PARTITION BY doc_id ORDER BY turn_idx DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tn)
+        |SELECT doc_id, count(*)::BIGINT AS n_turns,
+        |  sum(tok)::BIGINT AS n_tokens,
+        |  coalesce(count(*) FILTER (WHERE cum <= 6), 0)::BIGINT
+        |    AS kept_turns,
+        |  coalesce(sum(tok) FILTER (WHERE cum <= 6), 0)::BIGINT
+        |    AS kept_tokens,
+        |  (sum(tok)
+        |    - coalesce(sum(tok) FILTER (WHERE cum <= 6), 0))::BIGINT
+        |    AS dropped_tokens,
+        |  (min(turn_idx) FILTER (WHERE cum <= 6))::BIGINT
+        |    AS first_kept_idx,
+        |  arg_min(role, turn_idx) FILTER (WHERE cum <= 6)
+        |    AS first_kept_role
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q296_license_compat" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN ' SPDX-License-Identifier: MIT'
+        |      WHEN 1 THEN ' Shared under the MIT License. Copyright (c) 2021 A.'
+        |      WHEN 2 THEN ' Copyright 2019 MegaCorp. All rights reserved.'
+        |      WHEN 3 THEN ' Copyright (c) 2020 Solo Author.'
+        |      WHEN 4 THEN ' released under the GNU General Public License v3'
+        |      WHEN 5 THEN ' SPDX-License-Identifier: GPL-3.0-only'
+        |      WHEN 6 THEN ' Distributed under the BSD License. Copyright (c) 2018 B.'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, text, lower(text) AS low
+        |  FROM inj),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract(text,
+        |      'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1)
+        |      AS spdx_id,
+        |    len(regexp_extract_all(low,
+        |      'copyright\s*(\(c\)\s*|©\s*)?(19|20)[0-9]{2}'))
+        |      AS n_copyright,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])mit license([^a-z]|$)')) AS n_mit,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])apache license([^a-z]|$)')) AS n_apache,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])creative commons([^a-z]|$)')) AS n_cc,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])bsd license([^a-z]|$)')) AS n_bsd,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])general public license([^a-z]|$)')) AS n_gpl,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])all rights reserved([^a-z]|$)')) AS n_rights
+        |  FROM m),
+        |tiers AS (
+        |  SELECT source, CASE
+        |    WHEN n_gpl > 0 OR regexp_matches(spdx_id, '^(A?L?GPL)')
+        |      THEN 'copyleft'
+        |    WHEN n_mit + n_apache + n_cc + n_bsd > 0
+        |      OR spdx_id IN ('MIT', 'Apache-2.0', 'BSD-3-Clause',
+        |        'CC-BY-4.0') THEN 'permissive'
+        |    WHEN n_rights > 0 OR n_copyright > 0 THEN 'restricted'
+        |    ELSE 'none' END AS tier
+        |  FROM c),
+        |pt AS (
+        |  SELECT source, tier, count(*)::BIGINT AS n_docs
+        |  FROM tiers GROUP BY source, tier),
+        |ps AS (
+        |  SELECT source, sum(n_docs)::BIGINT AS total,
+        |    sum(CASE WHEN tier IN ('copyleft', 'restricted')
+        |      THEN n_docs ELSE 0 END)::BIGINT AS n_restricted
+        |  FROM pt GROUP BY source)
+        |SELECT pt.source, tier, n_docs, total,
+        |  (n_docs * 1000000 // total)::BIGINT AS share_micro,
+        |  (n_restricted * 1000000 // total > 250000) AS needs_review
+        |FROM pt JOIN ps USING (source)
+        |ORDER BY source, tier""".stripMargin,
+
+    "q297_dom_depth" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN repeat('<div>', (doc_id % 4 + 2)::INT)
+        |      || '<p>' || text || '</p>'
+        |      || repeat('</div>', (doc_id % 4 + 2)::INT)
+        |    WHEN 1 THEN '<div><section><p>' || text
+        |    WHEN 2 THEN '<br><img><meta>' || text || '<b>x</b><hr>'
+        |    WHEN 3 THEN '</div></div>' || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(t,
+        |      '</?[a-zA-Z][a-zA-Z0-9]*'), tg -> CASE
+        |        WHEN starts_with(tg, '</') THEN -1
+        |        WHEN lower(regexp_replace(tg, '^<', '')) IN ('area',
+        |          'base', 'br', 'col', 'embed', 'hr', 'img', 'input',
+        |          'link', 'meta', 'source', 'track', 'wbr') THEN 0
+        |        ELSE 1 END) AS vals
+        |  FROM d)
+        |SELECT doc_id, len(vals)::BIGINT AS n_tags,
+        |  greatest(coalesce(list_max(list_transform(
+        |    generate_series(1, len(vals)),
+        |    i -> list_sum(vals[1:i]))), 0), 0)::BIGINT AS max_depth,
+        |  coalesce(list_sum(vals), 0)::BIGINT AS balance,
+        |  greatest(coalesce(list_max(list_transform(
+        |    generate_series(1, len(vals)),
+        |    i -> list_sum(vals[1:i]))), 0), 0) >= 4 AS deep
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q298_effective_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CASE
+        |    WHEN doc_id % 7 = 0 THEN 'mirrored page alpha'
+        |    WHEN doc_id % 11 = 3 THEN CASE WHEN doc_id % 2 = 0
+        |      THEN 'Mirrored  Page beta'
+        |      ELSE 'mirrored   page  BETA' END
+        |    ELSE text END AS t
+        |  FROM documents),
+        |sg AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(t)), '\s+', ' ', 'g'))
+        |      AS sig
+        |  FROM d),
+        |cl AS (SELECT sig, count(*)::BIGINT AS n FROM sg
+        |  GROUP BY sig),
+        |ps AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(1000000 // n)::BIGINT AS eff_docs_micro
+        |  FROM sg JOIN cl USING (sig) GROUP BY source),
+        |tt AS (
+        |  SELECT sum(n_docs)::BIGINT AS td,
+        |    sum(eff_docs_micro)::BIGINT AS te
+        |  FROM ps)
+        |SELECT source, n_docs, eff_docs_micro,
+        |  (n_docs * 1000000 // td)::BIGINT AS raw_share_micro,
+        |  (eff_docs_micro * 1000000 // greatest(te, 1))::BIGINT
+        |    AS eff_share_micro
+        |FROM ps, tt ORDER BY source""".stripMargin,
+
+    "q299_acronym_mining" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 6
+        |    WHEN 0 THEN ' Large Language Model (LLM) is here.'
+        |    WHEN 1 THEN ' Graphics Processing Unit (GPU) used.'
+        |      || ' Graphics Processing Unit (GPU) again.'
+        |    WHEN 2 THEN ' Some Random Words (XYZ) mismatch.'
+        |    WHEN 3 THEN ' plain (NASA) parens.'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, list_zip(
+        |    list_transform(regexp_extract_all(t,
+        |      '((?:[A-Z][a-z]+ ){2,6})\(([A-Z]{2,8})\)', 1),
+        |      e -> trim(e)),
+        |    regexp_extract_all(t,
+        |      '((?:[A-Z][a-z]+ ){2,6})\(([A-Z]{2,8})\)', 2)) AS prs
+        |  FROM d),
+        |u AS (SELECT doc_id, unnest(prs) AS pr FROM p),
+        |e AS (
+        |  SELECT doc_id, pr[1] AS expansion, pr[2] AS acronym
+        |  FROM u WHERE pr[2] IS NOT NULL)
+        |SELECT acronym, expansion,
+        |  count(*)::BIGINT AS n_mentions,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  (list_aggregate(list_transform(
+        |    string_split(expansion, ' '), w -> w[1]),
+        |    'string_agg', '') = acronym) AS valid
+        |FROM e GROUP BY acronym, expansion
+        |ORDER BY acronym, expansion""".stripMargin
   )
 }

@@ -355,4 +355,47 @@ object ConversationOps {
       .withColumn("flagged_milli",
         expr("n_flagged_turns * 1000 DIV n_assistant_turns"))
   }
+
+  /** Context-window trimming audit — serving and SFT-packing both
+    * truncate long conversations to a token budget by keeping the
+    * most recent turns (the standard suffix policy; a pinned system
+    * prompt is the caller's re-concatenation). This measures what
+    * that policy DOES to a corpus before anyone commits to it: per
+    * conversation, how many trailing turns fit the budget, the
+    * kept/dropped token split, and which turn becomes the (possibly
+    * mid-context) new first turn. A turn is kept iff the running
+    * token sum from the END through that turn is within the budget;
+    * whitespace tokens, integer arithmetic.
+    *
+    * Input: a parsed turn frame ([[parseTurns]] /
+    * [[parseTurnsJsonl]] shape: id, turn_idx, role, content).
+    *
+    * Scale shape: one DOC-keyed running-sum window (bounded by
+    * turns-per-doc, never corpus-wide — the [[parseTurns]]
+    * discipline) into a doc-keyed aggregate. */
+  def contextTrim(turns: DataFrame, idCol: String,
+                  budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val tok = size(split(coalesce(col("content"), lit("")), " ", -1))
+      .cast("long")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .withColumn("__tok", tok)
+      .withColumn("__keep", sum(col("__tok")).over(w) <= budgetTokens)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_turns"),
+        sum(when(col("__keep"), col("__tok")).otherwise(0L))
+          .as("kept_tokens"),
+        min(when(col("__keep"),
+          struct(col("turn_idx"), col("role")))).as("__first"))
+      .select(col(idCol), col("n_turns"), col("n_tokens"),
+        col("kept_turns"), col("kept_tokens"),
+        (col("n_tokens") - col("kept_tokens")).as("dropped_tokens"),
+        col("__first.turn_idx").as("first_kept_idx"),
+        col("__first.role").as("first_kept_role"))
+  }
 }

@@ -365,4 +365,41 @@ object RetrievalOps {
       hashedDenseTopKLsh(docs, idCol, textCol, queries, qIdCol,
         qTextCol, k, dim, bits, probe)
   }
+
+  /** Proximity (positional-phrase) search — the retrieval predicate
+    * BM25 can't express: "the two terms occur NEAR each other" (a
+    * positional-index query in Lucene terms). Token positions are
+    * computed IN-ROW (index-carrying `transform` over the whitespace
+    * split, filtered to each term), and the minimum absolute position
+    * gap is the flattened cross of the two (small) position lists —
+    * the per-document work is O(occurrences(a) × occurrences(b)),
+    * bounded by term frequency, never by corpus size.
+    *
+    * Output: one row per doc — per-term occurrence counts, `min_gap`
+    * (null when either term is absent), and `near` (gap ≤ maxGap).
+    *
+    * Scale shape: pure projection, zero shuffle. The positional-
+    * INDEX formulation (posexplode → term filter → per-doc regroup)
+    * only wins when the predicate runs against a PRE-BUILT index
+    * many times; for a one-shot scan the in-row form reads the
+    * corpus once and ships nothing. */
+  def phraseProximity(docs: DataFrame, idCol: String, textCol: String,
+                      termA: String, termB: String,
+                      maxGap: Int = 3): DataFrame = {
+    require(termA.nonEmpty && termB.nonEmpty, "terms must be non-empty")
+    val toks = split(lower(coalesce(col(textCol), lit(""))), " ", -1)
+    def positions(term: String): Column = filter(
+      transform(toks, (x, i) => when(x === term, i + 1)
+        .otherwise(lit(-1))), p => p > 0)
+    val gaps = flatten(transform(col("__pa"),
+      a => transform(col("__pb"), b => abs(a - b))))
+    docs.select(col(idCol), positions(termA).as("__pa"),
+        positions(termB).as("__pb"))
+      .select(col(idCol),
+        size(col("__pa")).cast("long").as("n_a"),
+        size(col("__pb")).cast("long").as("n_b"),
+        array_min(gaps).cast("long").as("min_gap"))
+      .withColumn("near",
+        coalesce(col("min_gap") <= maxGap, lit(false)))
+  }
 }

@@ -1067,4 +1067,47 @@ object SamplingOps {
           .as("kept_ids"))
       .withColumn("tok_trimmed", col("tok_total") - col("tok_kept"))
   }
+
+  /** Dedup-weighted source mix — the mixture table that tells the
+    * truth about duplication: a source whose volume is syndicated
+    * copies contributes far less EFFECTIVE data than its raw share
+    * claims, and sampling weights built on raw counts over-train on
+    * it. Each doc gets weight 1e6/n (n = its exact-dup cluster size
+    * on the normalized-text md5 — the q30 signature); per source,
+    * the raw share is compared with the effective (weight-summed)
+    * share. Exact integer arithmetic throughout (per-doc weights are
+    * integer-divided micro-units, so a cluster's weights sum to
+    * ≤ 1e6 with the remainder dropped — deterministic on both
+    * engines).
+    *
+    * Output: one row per source — doc count, effective doc count in
+    * micro-units, raw and effective integer shares.
+    *
+    * Scale shape: one content-keyed count aggregate (map-side
+    * combined; the viral page arrives as partials) equi-joined back
+    * on the signature — a streaming hash join, no window, the exact
+    * replacement shape the round-8 audit prescribed; per-source
+    * rollups are source-cardinality-sized, with totals derived from
+    * re-grouping the tiny per-source frame and broadcast back. */
+  def dedupWeightedMix(docs: DataFrame, idCol: String,
+                       textCol: String, sourceCol: String): DataFrame = {
+    val sig = md5(regexp_replace(
+      lower(trim(coalesce(col(textCol), lit("")))), "\\s+", " "))
+    val based = docs.select(col(idCol), col(sourceCol).as("source"),
+      sig.as("__sig"))
+    val clusters = based.groupBy(col("__sig"))
+      .agg(count(lit(1)).as("__n"))
+    val perSource = based.join(clusters, Seq("__sig"))
+      .withColumn("__w", expr("1000000L div __n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("eff_docs_micro"))
+    val totals = perSource.agg(sum(col("n_docs")).as("__td"),
+      sum(col("eff_docs_micro")).as("__te"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("eff_docs_micro"),
+        expr("n_docs * 1000000L div __td").as("raw_share_micro"),
+        expr("eff_docs_micro * 1000000L div greatest(__te, 1L)")
+          .as("eff_share_micro"))
+  }
 }

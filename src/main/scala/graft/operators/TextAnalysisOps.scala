@@ -2190,7 +2190,8 @@ object TextAnalysisOps {
     *
     * Scale shape: pure projection, zero shuffle. */
   def licenseSignals(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame = {
+                     textCol: String,
+                     passthrough: Seq[String] = Nil): DataFrame = {
     val low = lower(col(textCol))
     // word-boundary the marker (consuming groups — RE2-expressible for
     // the oracle): a bare substring count would read "permit license
@@ -2216,14 +2217,14 @@ object TextAnalysisOps {
     val restrictive = (nRights > 0L) or (nGpl > 0L) or
       spdxId.rlike("^(A?L?GPL)") or
       (nCopyright > 0L && !permissive)
-    docs.select(col(idCol),
+    docs.select(col(idCol) +: passthrough.map(col) ++: Seq(
       when(length(spdxId) > 0, spdxId).otherwise(lit("")).as("spdx_id"),
       nCopyright.as("n_copyright"),
       nMit.as("n_mit"), nApache.as("n_apache"), nCc.as("n_cc"),
       nBsd.as("n_bsd"),
       nGpl.as("n_gpl"), nRights.as("n_rights_reserved"),
       when(restrictive, lit("flagged")).otherwise(lit("keep"))
-        .as("verdict"))
+        .as("verdict")): _*)
   }
 
   /** Obfuscation-resistant blocked-term gate — the safety-wordlist
@@ -4226,5 +4227,359 @@ object TextAnalysisOps {
       size(hits).cast("long").as("n_emails"),
       size(array_distinct(transform(hits, m => lower(m))))
         .cast("long").as("n_distinct"))
+  }
+
+  /** Unified-diff mining — commit-history corpora (the code-LLM
+    * staple: (diff, message) pairs for commit-message generation and
+    * patch models) arrive as raw `git show`/`git format-patch` text;
+    * the census that drives their curation is structural: how many
+    * files a patch touches, how many hunks, and the add/delete line
+    * balance (a 10k-line vendored-dependency bump is noise; a 5-line
+    * fix with a hunk header is signal). Counts follow the unified
+    * format (POSIX diff -u / git-diff(1)): `diff --git` file headers,
+    * `@@` hunk headers, and body lines opening with exactly one
+    * `+`/`-` — computed as (all `^+` lines) − (`^+++ ` header lines),
+    * a subtraction instead of a lookahead because RE2 (the oracle's
+    * engine) has no lookahead.
+    *
+    * Output: one row per doc — file/hunk counts, added/deleted body
+    * lines, `net_lines`, and `is_diff` (at least one file header and
+    * one hunk header).
+    *
+    * Scale shape: pure projection — every count is a regex fold over
+    * the row's own text; zero shuffle at any corpus size. */
+  def unifiedDiffStats(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val plusAll = n("(?m)^\\+")
+    val plusHdr = n("(?m)^\\+\\+\\+ ")
+    val minusAll = n("(?m)^-")
+    val minusHdr = n("(?m)^--- ")
+    docs.select(col(idCol),
+        n("(?m)^diff --git ").as("n_files"),
+        n("(?m)^@@ -[0-9]").as("n_hunks"),
+        (plusAll - plusHdr).as("added"),
+        (minusAll - minusHdr).as("deleted"))
+      .withColumn("net_lines", col("added") - col("deleted"))
+      .withColumn("is_diff",
+        col("n_files") > 0 && col("n_hunks") > 0)
+  }
+
+  /** Stack-trace / log-spill contamination scan — crash dumps pasted
+    * into issues and CI logs syndicated into crawls are a known code-
+    * corpus pollutant: they are machine-generated, near-duplicate by
+    * construction (the same frame lines recur across thousands of
+    * dumps), and teach the model to emit tracebacks mid-completion.
+    * Three signal families, counted per doc and rolled up per source:
+    * Python (`Traceback (most recent call last):` headers + `File
+    * "…", line N` frames), JVM (`at pkg.Class.method(File.java:N)`
+    * frames), and timestamped log lines (ISO `YYYY-MM-DD hh:mm:ss`
+    * line openers). A doc is a `trace` when it carries a traceback
+    * header or ≥ 3 frame lines, a `log_spill` when ≥ 30% of its lines
+    * are timestamped, else `clean` (trace wins ties — frames are the
+    * stronger signal).
+    *
+    * Output: one row per (source, verdict) with doc counts and the
+    * summed signal counters — the rate table a corpus report quotes.
+    *
+    * Scale shape: per-doc regex folds in-row; the rollup keys on
+    * (source, verdict) — a handful of groups arriving as map-side
+    * partials, never a row set in one task. */
+  def stackTraceScan(docs: DataFrame, textCol: String,
+                     sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val pyHead = n("Traceback \\(most recent call last\\):")
+    val pyFrames = n("(?m)^ *File \"[^\"]+\", line [0-9]+")
+    val jvmFrames = n("(?m)^[ \\t]+at [A-Za-z0-9_$.]+\\([^)\\n]*\\)")
+    val logLines =
+      n("(?m)^\\[?[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}")
+    val nLines = (size(split(txt, "\n", -1))).cast("long")
+    val sig = docs.select(col(sourceCol).as("source"),
+      pyHead.as("py_heads"), pyFrames.as("py_frames"),
+      jvmFrames.as("jvm_frames"), logLines.as("log_lines"),
+      nLines.as("n_lines"))
+    val verdict = when(col("py_heads") > 0 ||
+        col("py_frames") + col("jvm_frames") >= 3, "trace")
+      .when(col("log_lines") * 10 >= col("n_lines") * 3, "log_spill")
+      .otherwise("clean")
+    sig.withColumn("verdict", verdict)
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("py_heads")).as("py_heads"),
+        sum(col("py_frames")).as("py_frames"),
+        sum(col("jvm_frames")).as("jvm_frames"),
+        sum(col("log_lines")).as("log_lines"))
+  }
+
+  /** Multiple-choice answer-letter bias audit — eval-style SFT data
+    * (MMLU-format `Answer: C` lines) trains a letter PRIOR when the
+    * gold-letter distribution is skewed, and graders that shuffle
+    * options at test time then expose it as a real accuracy drop; the
+    * standard pre-flight is the per-source letter histogram with a
+    * max-share flag against the uniform baseline. Letters are line-
+    * anchored `Answer: X` extractions (A–D).
+    *
+    * Output: one row per (source, letter) — count, the source total,
+    * `share_micro` (integer micro-units), and `biased` (the SOURCE's
+    * max letter share exceeds `maxShareMicro`).
+    *
+    * Scale shape: one (source, letter)-keyed aggregate (≤ 4 rows per
+    * source, map-side combined); totals and the max share derive from
+    * that aggregate frame — grouping the already-tiny result, never
+    * re-scanning or windowing the corpus — and join back broadcast. */
+  def choiceBias(docs: DataFrame, textCol: String, sourceCol: String,
+                 maxShareMicro: Long = 350000L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val letters = regexp_extract_all(txt,
+      lit("(?m)^Answer: ([A-D])$"), lit(1))
+    val perLetter = docs
+      .select(col(sourceCol).as("source"), explode(letters).as("letter"))
+      .groupBy(col("source"), col("letter"))
+      .agg(count(lit(1)).as("n"))
+    val perSource = perLetter.groupBy(col("source"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("max_n"))
+    perLetter.join(broadcast(perSource), Seq("source"))
+      .select(col("source"), col("letter"), col("n"),
+        col("total"),
+        expr("n * 1000000L div total").as("share_micro"),
+        (expr("max_n * 1000000L div total") > maxShareMicro)
+          .as("biased"))
+  }
+
+  /** Encoded-blob detection — base64 payloads (inlined images, wheel
+    * metadata, serialized models) and hex dumps inflate token counts
+    * with incompressible noise and are the classic "why is this 2 MB
+    * source file" answer; C4/Gopher-class pipelines gate on the share
+    * of the document occupied by such runs. Two alphabets, counted
+    * independently (a long hex run also matches the base64 alphabet —
+    * the hex counter is the diagnostic for WHICH kind): base64 runs
+    * ≥ 40 chars of `[A-Za-z0-9+/=]`, hex runs ≥ 32 of `[0-9a-f]`
+    * (case-folded). The gate flags docs whose base64-run share
+    * exceeds `maxShareMicro` of the text.
+    *
+    * Output: one row per doc — total/longest base64-run chars, hex-run
+    * chars, `blob_share_micro`, and the verdict.
+    *
+    * Scale shape: pure projection — run extraction and the length
+    * folds (`aggregate` over the match list) are in-row. */
+  def encodedBlobScan(docs: DataFrame, idCol: String, textCol: String,
+                      maxShareMicro: Long = 300000L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def runs(pattern: String): Column =
+      regexp_extract_all(txt, lit(pattern), lit(0))
+    def totalLen(rs: Column): Column = aggregate(
+      transform(rs, r => length(r).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val b64 = runs("[A-Za-z0-9+/=]{40,}")
+    val hex = runs("(?i)[0-9a-f]{32,}")
+    docs.select(col(idCol),
+        totalLen(b64).as("b64_chars"),
+        aggregate(transform(b64, r => length(r).cast("long")),
+          lit(0L), (a, x) => greatest(a, x)).as("longest_b64"),
+        totalLen(hex).as("hex_chars"),
+        greatest(length(txt).cast("long"), lit(1L)).as("n_chars"))
+      .withColumn("blob_share_micro",
+        expr("b64_chars * 1000000L div n_chars"))
+      .withColumn("verdict",
+        when(col("blob_share_micro") > maxShareMicro, "encoded_blob")
+          .otherwise("clean"))
+  }
+
+  /** Lexical-diversity profile — type-token ratio and hapax share
+    * per document, the classic signals separating generated /
+    * keyword-stuffed text (low TTR: the same tokens loop) and OCR
+    * noise (high hapax: garbled one-off tokens) from prose. Both
+    * ratios fold IN-ROW: distinct count via `array_distinct`, hapax
+    * (frequency-1 tokens) by sorting the token array once and
+    * counting elements that differ from BOTH neighbors — linear in
+    * document length, no per-token shuffle (the relational
+    * unnest-group-count formulation ships every token; this ships
+    * nothing).
+    *
+    * Output: one row per doc — token/distinct/hapax counts and
+    * integer micro-unit ratios (`ttr_micro` = distinct/tokens,
+    * `hapax_micro` = hapax/distinct).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = split(lower(coalesce(col(textCol), lit(""))), " ", -1)
+    val sorted = array_sort(toks)
+    val n = size(sorted)
+    // element differs from both neighbors ⇒ frequency 1 (CASE arms
+    // evaluate lazily, so element_at never sees index 0 / n+1)
+    val isHapax = transform(sorted, (x, i) =>
+      when((i === 0 || element_at(sorted, i) =!= x) &&
+        (i === n - 1 || element_at(sorted, i + lit(2)) =!= x), 1L)
+        .otherwise(0L))
+    docs.select(col(idCol),
+        n.cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        aggregate(isHapax, lit(0L), (a, x) => a + x).as("hapax"))
+      .withColumn("ttr_micro",
+        expr("n_distinct * 1000000L div greatest(n_tok, 1L)"))
+      .withColumn("hapax_micro",
+        expr("hapax * 1000000L div greatest(n_distinct, 1L)"))
+  }
+
+  /** JSON-LD structured-data census — schema.org blocks in
+    * `<script type="application/ld+json">` tags are the highest-
+    * precision page-type signal a crawl carries (Article vs Product
+    * vs Recipe decides routing into prose/commerce/instruction
+    * pipelines long before any text classifier runs). Blocks are
+    * extracted with a non-greedy tag match, validity-probed (the
+    * whole-document JSON path returns null iff the block fails to
+    * parse), and bucketed by their `@type` — `INVALID` for
+    * unparseable blocks, `NONE` for valid JSON without a type.
+    *
+    * Output: one row per type bucket — block and document counts.
+    *
+    * Scale shape: extraction and parsing fold in-row; the census
+    * keys on the type — a handful of schema.org names, map-side
+    * combined. */
+  def jsonldTypes(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val blocks = regexp_extract_all(txt,
+      lit("(?is)<script type=\"application/ld\\+json\">(.*?)</script>"),
+      lit(1))
+    val bucket = when(get_json_object(col("__b"), "$").isNull,
+        lit("INVALID"))
+      .otherwise(coalesce(get_json_object(col("__b"), "$['@type']"),
+        lit("NONE")))
+    docs.select(col(idCol), explode(blocks).as("__b"))
+      .select(col(idCol), bucket.as("jsonld_type"))
+      .groupBy(col("jsonld_type"))
+      .agg(count(lit(1)).as("n_blocks"),
+        countDistinct(col(idCol)).as("n_docs"))
+  }
+
+  /** License-compatibility mix — the per-source rollup of
+    * [[licenseSignals]] a corpus-mixing decision actually reads:
+    * each doc tiers to `copyleft` (GPL-family mention or an
+    * (A/L)GPL SPDX tag — wins over everything, copyleft text often
+    * also carries a copyright line), `permissive` (MIT / Apache /
+    * CC / BSD mention or tag), `restricted` (flagged without a
+    * permissive grant: all-rights-reserved or a bare copyright
+    * notice), else `none`. Per source: tier counts, integer shares,
+    * and `needs_review` when the copyleft+restricted share exceeds
+    * the threshold. A curation signal, not legal advice — same
+    * caveat as the underlying detector.
+    *
+    * Scale shape: the detector is [[licenseSignals]]'s pure
+    * projection (source passed through, no join-back); the rollup
+    * keys on (source, tier) — ≤ 4 rows per source, map-side
+    * combined; totals derive from re-grouping that tiny frame and
+    * broadcast back. */
+  def licenseCompatMix(docs: DataFrame, idCol: String,
+                       textCol: String, sourceCol: String,
+                       maxRestrictedMicro: Long = 250000L): DataFrame = {
+    val sig = licenseSignals(docs, idCol, textCol, Seq(sourceCol))
+    val copyleft = col("n_gpl") > 0L ||
+      col("spdx_id").rlike("^(A?L?GPL)")
+    val permissive =
+      col("n_mit") + col("n_apache") + col("n_cc") + col("n_bsd") > 0L ||
+        col("spdx_id").isin("MIT", "Apache-2.0", "BSD-3-Clause",
+          "CC-BY-4.0")
+    val tier = when(copyleft, "copyleft")
+      .when(permissive, "permissive")
+      .when(col("verdict") === "flagged", "restricted")
+      .otherwise("none")
+    val perTier = sig.withColumn("tier", tier)
+      .groupBy(col(sourceCol).as("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perSource = perTier.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("total"),
+        sum(when(col("tier").isin("copyleft", "restricted"),
+          col("n_docs")).otherwise(0L)).as("n_restricted"))
+    perTier.join(broadcast(perSource), Seq("source"))
+      .select(col("source"), col("tier"), col("n_docs"), col("total"),
+        expr("n_docs * 1000000L div total").as("share_micro"),
+        (expr("n_restricted * 1000000L div total") > maxRestrictedMicro)
+          .as("needs_review"))
+  }
+
+  /** HTML void elements (no closing tag by spec — WHATWG HTML,
+    * "void elements"): their open tags contribute no nesting. */
+  private val VoidElements = Seq("area", "base", "br", "col", "embed",
+    "hr", "img", "input", "link", "meta", "source", "track", "wbr")
+
+  /** DOM nesting-depth profile — template-heavy pages (nav-stuffed
+    * boilerplate, table-layout relics) carry pathological tag
+    * nesting that main-content extraction and html→text both choke
+    * on; the depth census is the routing signal. Tag tokens are the
+    * regex-lexed open/close names (attributes and `/>`-self-closing
+    * not distinguished — an XML self-closing open counts as a
+    * nesting open, documented); each open is +1, each close −1,
+    * void elements 0, and `max_depth` is the maximum PREFIX SUM of
+    * that delta sequence — computed in-row by one linear
+    * `aggregate` fold with a (running, max) struct accumulator.
+    * `balance` is the final sum (non-zero ⇒ unclosed/spurious tags).
+    *
+    * Output: one row per doc — tag count, max depth, balance, and
+    * `deep` (max_depth ≥ the flag threshold).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def domDepthProfile(docs: DataFrame, idCol: String, textCol: String,
+                      deepThreshold: Int = 20): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val tags = regexp_extract_all(txt,
+      lit("</?[a-zA-Z][a-zA-Z0-9]*"), lit(0))
+    val deltas = transform(tags, t =>
+      when(t.startsWith("</"), lit(-1L))
+        .when(lower(regexp_replace(t, "^<", ""))
+          .isin(VoidElements: _*), lit(0L))
+        .otherwise(lit(1L)))
+    val acc0 = struct(lit(0L).as("cur"), lit(0L).as("mx"))
+    val folded = aggregate(deltas, acc0, (a, d) => {
+      val cur = a.getField("cur") + d
+      struct(cur.as("cur"), greatest(a.getField("mx"), cur).as("mx"))
+    })
+    docs.select(col(idCol),
+        size(tags).cast("long").as("n_tags"),
+        folded.getField("mx").as("max_depth"),
+        folded.getField("cur").as("balance"))
+      .withColumn("deep", col("max_depth") >= deepThreshold)
+  }
+
+  /** Acronym-expansion mining — `Spelled Out Form (ACRO)` patterns
+    * are the terminology census of a domain corpus (which
+    * abbreviations a model will meet, and whether the corpus defines
+    * them) and a glossary-construction primitive. Matches are
+    * 2–6 capitalized words directly before a parenthesized 2–8
+    * letter uppercase token; the pair is `valid` when the words'
+    * initials spell the acronym exactly (the standard filter — a
+    * coincidental parenthetical after capitalized prose fails it).
+    * Both capture groups come from the same pattern, so the two
+    * extraction lists align index-for-index and `zip_with` re-pairs
+    * them in-row.
+    *
+    * Output: one row per (acronym, expansion) — mention/doc counts
+    * and the validity bit.
+    *
+    * Scale shape: extraction + initial-check fold in-row; the census
+    * keys on the (acronym, expansion) pair — vocabulary-sized,
+    * map-side combined. */
+  def acronymMining(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val pattern = "((?:[A-Z][a-z]+ ){2,6})\\(([A-Z]{2,8})\\)"
+    val exps = regexp_extract_all(txt, lit(pattern), lit(1))
+    val acros = regexp_extract_all(txt, lit(pattern), lit(2))
+    val pairs = zip_with(exps, acros, (e, a) =>
+      struct(trim(e).as("expansion"), a.as("acronym")))
+    val initials = concat_ws("",
+      transform(split(col("expansion"), " "), w => substring(w, 1, 1)))
+    docs.select(col(idCol), explode(pairs).as("__p"))
+      .select(col(idCol), col("__p.expansion").as("expansion"),
+        col("__p.acronym").as("acronym"))
+      .groupBy(col("acronym"), col("expansion"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .withColumn("valid", initials === col("acronym"))
   }
 }

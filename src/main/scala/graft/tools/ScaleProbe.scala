@@ -1035,6 +1035,18 @@ object ScaleProbe {
               .otherwise(col("doc_id") % 997 + 1).as("who"),
             length(col("text")).cast("long").as("tok")),
           "doc_id", "who", col("tok"), maxDocs = 5))
+      // dedupWeightedMix under a VIRAL page owning 50% of docs: the
+      // sig-count aggregate arrives as map-side partials; the
+      // join-back is a streaming hash join — the viral sig's rows
+      // pass through without buffering (the window-replacement shape)
+      time(s"dedupWeightedMix VIRAL x$n (50% one page)")(
+        SamplingOps.dedupWeightedMix(
+          docs.select(col("doc_id"),
+            when(col("doc_id") % 2 === 0,
+              lit("the same viral page body"))
+              .otherwise(col("text")).as("text"),
+            (col("doc_id") % 20).cast("string").as("src")),
+          "doc_id", "text", "src"))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

@@ -6154,4 +6154,335 @@ class OperatorsSpec extends AnyFunSuite {
     assert(human.getAs[Long]("n_kept") == 1L)
     assert(human.getAs[Long]("tok_trimmed") == 0L)
   }
+
+  test("unifiedDiffStats: file/hunk headers, +/- body-vs-header " +
+      "subtraction, non-diff and null text") {
+    val patch =
+      "diff --git a/x.py b/x.py\n--- a/x.py\n+++ b/x.py\n" +
+      "@@ -1,2 +1,3 @@\n ctx\n-gone\n+one\n+two\n" +
+      "diff --git a/y.py b/y.py\n--- a/y.py\n+++ b/y.py\n" +
+      "@@ -4,1 +4,1 @@\n-a\n+b\n"
+    val docs = Seq(
+      (1L, patch),
+      // prose with a leading '-' line and a '+' line that are NOT
+      // inside a diff: counted as body lines but is_diff stays false
+      (2L, "notes\n+pro\n-con\nend"),
+      (3L, "plain prose only"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.unifiedDiffStats(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_files") == 2L)
+    assert(got(0).getAs[Long]("n_hunks") == 2L)
+    assert(got(0).getAs[Long]("added") == 3L)   // one, two, b
+    assert(got(0).getAs[Long]("deleted") == 2L) // gone, a
+    assert(got(0).getAs[Long]("net_lines") == 1L)
+    assert(got(0).getAs[Boolean]("is_diff"))
+    assert(got(1).getAs[Long]("added") == 1L)
+    assert(got(1).getAs[Long]("deleted") == 1L)
+    assert(!got(1).getAs[Boolean]("is_diff"))
+    assert(got(2).getAs[Long]("n_files") == 0L &&
+      got(2).getAs[Long]("added") == 0L)
+    assert(got(3).getAs[Long]("n_hunks") == 0L &&
+      !got(3).getAs[Boolean]("is_diff"))
+  }
+
+  test("stackTraceScan: traceback header wins, 3-frame JVM threshold, " +
+      "30% log-line share, clean docs stay clean") {
+    val py = "code\nTraceback (most recent call last):\n" +
+      "  File \"a.py\", line 3, in main\n    go()\nKeyError: 'x'"
+    val jvm2 = "err\n  at a.B.c(B.java:1)\n  at a.B.d(B.java:2)"
+    val jvm3 = jvm2 + "\n\tat a.B.e(B.java:3)" // tab-indented 3rd frame
+    val logs = "2024-02-01 00:00:01 INFO a\n2024-02-01T00:00:02 WARN b\n" +
+      "[2024-02-01 00:00:03] ERROR c\nplain\nplain2"
+    val docs = Seq(
+      (1L, py, "s1"),
+      (2L, jvm2, "s1"),   // 2 frames, no header → clean
+      (3L, jvm3, "s1"),   // 3 frames → trace
+      (4L, logs, "s2"),   // 3 of 5 lines timestamped → log_spill
+      (5L, "nothing here", "s2"),
+      (6L, null.asInstanceOf[String], "s2")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.stackTraceScan(docs, "text", "src")
+      .orderBy("source", "verdict").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("verdict"))
+        -> r.getAs[Long]("n_docs")).toMap
+    assert(got == Map(("s1", "clean") -> 1L, ("s1", "trace") -> 2L,
+      ("s2", "clean") -> 2L, ("s2", "log_spill") -> 1L))
+    // the python row carried exactly 1 header and 1 frame line
+    val s1trace = TextAnalysisOps.stackTraceScan(docs, "text", "src")
+      .filter(col("source") === "s1" && col("verdict") === "trace")
+      .collect().head
+    assert(s1trace.getAs[Long]("py_heads") == 1L)
+    assert(s1trace.getAs[Long]("py_frames") == 1L)
+    assert(s1trace.getAs[Long]("jvm_frames") == 3L)
+  }
+
+  test("choiceBias: per-source letter histogram, integer micro " +
+      "shares, bias flag against the max-share threshold") {
+    def doc(src: String, letters: String*) =
+      (src, letters.map("Answer: " + _).mkString("q\n", "\n", ""))
+    val docs = (Seq.fill(7)(doc("skew", "A")) ++
+      Seq(doc("skew", "B"), doc("skew", "C"), doc("skew", "D")) ++
+      Seq(doc("fair", "A"), doc("fair", "B"), doc("fair", "C"),
+        doc("fair", "D"),
+        // mid-text "Answer: E" and unanchored mention must not count
+        ("fair", "Answer: E\nsee Answer: A inline")))
+      .toDF("src", "text")
+    val got = TextAnalysisOps.choiceBias(docs, "text", "src")
+      .orderBy("source", "letter").collect()
+    val skewA = got.find(r => r.getAs[String]("source") == "skew" &&
+      r.getAs[String]("letter") == "A").get
+    assert(skewA.getAs[Long]("n") == 7L)
+    assert(skewA.getAs[Long]("total") == 10L)
+    assert(skewA.getAs[Long]("share_micro") == 700000L)
+    assert(skewA.getAs[Boolean]("biased"))
+    val fair = got.filter(_.getAs[String]("source") == "fair")
+    assert(fair.length == 4) // E never extracted
+    assert(fair.forall(!_.getAs[Boolean]("biased")))
+    assert(fair.forall(_.getAs[Long]("share_micro") == 250000L))
+  }
+
+  test("encodedBlobScan: run-length sums, longest run, hex/base64 " +
+      "overlap, share gate, short runs ignored") {
+    val b40 = "A" * 20 + "b+/=" * 5      // 40-char base64 run
+    val hex40 = "deadbeef" * 5            // 40 chars: hex AND base64
+    val docs = Seq(
+      (1L, "x " + b40 + " y " + ("Q" * 50)),  // two runs: 40 + 50
+      (2L, "h " + hex40),
+      (3L, "short QmFzZTY0 tokens only"),     // <40 → no run
+      (4L, b40),                              // whole doc is the run
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.encodedBlobScan(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("b64_chars") == 90L)
+    assert(got(0).getAs[Long]("longest_b64") == 50L)
+    assert(got(0).getAs[Long]("hex_chars") == 0L)
+    // a 40-char hex run matches BOTH alphabets (by design)
+    assert(got(1).getAs[Long]("hex_chars") == 40L)
+    assert(got(1).getAs[Long]("b64_chars") == 40L)
+    assert(got(2).getAs[Long]("b64_chars") == 0L)
+    assert(got(2).getAs[String]("verdict") == "clean")
+    // run == whole text → share 1e6, gated
+    assert(got(3).getAs[Long]("blob_share_micro") == 1000000L)
+    assert(got(3).getAs[String]("verdict") == "encoded_blob")
+    // null text → zeroes, n_chars floor of 1, clean
+    assert(got(4).getAs[Long]("b64_chars") == 0L &&
+      got(4).getAs[Long]("n_chars") == 1L &&
+      got(4).getAs[String]("verdict") == "clean")
+  }
+
+  test("phraseProximity: adjacent / gapped / repeated occurrences, " +
+      "absent term yields null gap, case folding") {
+    val docs = Seq(
+      (1L, "the hash table wins"),          // adjacent → gap 1
+      (2L, "hash a b c table"),             // gap 4 > 3 → not near
+      (3L, "table x hash y z table hash"),  // min over 2×2 pairs
+      (4L, "hash only here"),               // b absent → null
+      (5L, "HASH then TABLE quick"),        // folds to near
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = RetrievalOps.phraseProximity(docs, "id", "text",
+      "hash", "table", maxGap = 3).orderBy("id").collect()
+    assert(got(0).getAs[Long]("min_gap") == 1L &&
+      got(0).getAs[Boolean]("near"))
+    assert(got(1).getAs[Long]("min_gap") == 4L &&
+      !got(1).getAs[Boolean]("near"))
+    // positions: hash {3,7}, table {1,6} → min |7-6| = 1
+    assert(got(2).getAs[Long]("n_a") == 2L &&
+      got(2).getAs[Long]("n_b") == 2L &&
+      got(2).getAs[Long]("min_gap") == 1L)
+    assert(got(3).isNullAt(got(3).fieldIndex("min_gap")) &&
+      !got(3).getAs[Boolean]("near"))
+    assert(got(4).getAs[Boolean]("near"))
+    assert(got(5).getAs[Long]("n_a") == 0L &&
+      !got(5).getAs[Boolean]("near"))
+    intercept[IllegalArgumentException] {
+      RetrievalOps.phraseProximity(docs, "id", "text", "", "x")
+    }
+  }
+
+  test("lexicalDiversity: TTR and hapax from sorted neighbors — " +
+      "repeats, all-distinct, all-same, single token, null") {
+    val docs = Seq(
+      (1L, "a b a c b d"),   // 6 tok, 4 distinct, hapax {c,d}=2
+      (2L, "w x y z"),       // all hapax
+      (3L, "s s s s"),       // one type, zero hapax
+      (4L, "solo"),          // 1/1/1
+      (5L, null.asInstanceOf[String]) // "" → [""]: 1 tok, 1 type
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.lexicalDiversity(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_tok") == 6L)
+    assert(got(0).getAs[Long]("n_distinct") == 4L)
+    assert(got(0).getAs[Long]("hapax") == 2L)
+    assert(got(0).getAs[Long]("ttr_micro") == 666666L)
+    assert(got(0).getAs[Long]("hapax_micro") == 500000L)
+    assert(got(1).getAs[Long]("hapax") == 4L &&
+      got(1).getAs[Long]("ttr_micro") == 1000000L)
+    assert(got(2).getAs[Long]("n_distinct") == 1L &&
+      got(2).getAs[Long]("hapax") == 0L &&
+      got(2).getAs[Long]("ttr_micro") == 250000L)
+    assert(got(3).getAs[Long]("hapax") == 1L &&
+      got(3).getAs[Long]("hapax_micro") == 1000000L)
+    assert(got(4).getAs[Long]("n_tok") == 1L &&
+      got(4).getAs[Long]("n_distinct") == 1L)
+  }
+
+  test("jsonldTypes: type buckets, INVALID for unparseable, NONE " +
+      "for typeless, multi-block docs counted once per doc") {
+    def blk(j: String) =
+      s"""<script type="application/ld+json">$j</script>"""
+    val docs = Seq(
+      (1L, "x" + blk("""{"@type":"Article","h":"a"}""")),
+      (2L, blk("""{"@type":"Article"}""") +
+        blk("""{"@type":"Product","sku":2}""")),
+      (3L, blk("""{"@type":"Broken""")),      // invalid JSON
+      (4L, blk("""{"name":"no type"}""")),     // valid, no @type
+      (5L, "no blocks at all"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.jsonldTypes(docs, "id", "text")
+      .orderBy("jsonld_type").collect()
+      .map(r => r.getAs[String]("jsonld_type") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_docs"))).toMap
+    assert(got == Map("Article" -> (2L, 2L), "Product" -> (1L, 1L),
+      "INVALID" -> (1L, 1L), "NONE" -> (1L, 1L)))
+  }
+
+  test("contextTrim: suffix keep under the budget, over-budget " +
+      "first turn, zero-kept conversation, exact token accounting") {
+    val turns = Seq(
+      // doc 1: tokens 2,3,4 — budget 6 keeps only the last turn
+      (1L, 1L, "system", "keep it short"),
+      (1L, 2L, "user", "a b c"),
+      (1L, 3L, "assistant", "w x y z"),
+      // doc 2: 1+2 → both kept, first kept is turn 1 (user)
+      (2L, 1L, "user", "hi"),
+      (2L, 2L, "assistant", "a b"),
+      // doc 3: single 8-token turn exceeds the budget → nothing kept
+      (3L, 1L, "user", "1 2 3 4 5 6 7 8")
+    ).toDF("id", "turn_idx", "role", "content")
+    val got = ConversationOps.contextTrim(turns, "id",
+      budgetTokens = 6L).orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_turns") == 3L)
+    assert(got(0).getAs[Long]("n_tokens") == 3L + 3L + 4L)
+    assert(got(0).getAs[Long]("kept_turns") == 1L)
+    assert(got(0).getAs[Long]("kept_tokens") == 4L)
+    assert(got(0).getAs[Long]("dropped_tokens") == 6L)
+    assert(got(0).getAs[Long]("first_kept_idx") == 3L)
+    assert(got(0).getAs[String]("first_kept_role") == "assistant")
+    assert(got(1).getAs[Long]("kept_turns") == 2L &&
+      got(1).getAs[Long]("first_kept_idx") == 1L &&
+      got(1).getAs[String]("first_kept_role") == "user")
+    assert(got(2).getAs[Long]("kept_turns") == 0L &&
+      got(2).getAs[Long]("dropped_tokens") == 8L &&
+      got(2).isNullAt(got(2).fieldIndex("first_kept_idx")))
+    intercept[IllegalArgumentException] {
+      ConversationOps.contextTrim(turns, "id", budgetTokens = 0L)
+    }
+  }
+
+  test("licenseCompatMix: tier precedence (copyleft > permissive > " +
+      "restricted), shares, and the review gate") {
+    val docs = Seq(
+      // GPL text also carries a copyright line → still copyleft
+      (1L, "s1", "GNU General Public License. Copyright 2020 X."),
+      (2L, "s1", "MIT License applies"),
+      (3L, "s1", "Copyright 2019 Y. All rights reserved."),
+      (4L, "s1", "no license text at all"),
+      (5L, "s2", "SPDX-License-Identifier: Apache-2.0"),
+      (6L, "s2", "plain prose")
+    ).toDF("id", "src", "text")
+    val got = TextAnalysisOps.licenseCompatMix(docs, "id", "text",
+      "src", maxRestrictedMicro = 250000L)
+      .orderBy("source", "tier").collect()
+    val s1 = got.filter(_.getAs[String]("source") == "s1")
+      .map(r => r.getAs[String]("tier") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("share_micro"))).toMap
+    assert(s1 == Map("copyleft" -> (1L, 250000L),
+      "permissive" -> (1L, 250000L), "restricted" -> (1L, 250000L),
+      "none" -> (1L, 250000L)))
+    // s1: 2 of 4 restricted-or-copyleft = 500000 > 250000 → review
+    assert(got.filter(_.getAs[String]("source") == "s1")
+      .forall(_.getAs[Boolean]("needs_review")))
+    // s2: zero restricted → no review
+    assert(got.filter(_.getAs[String]("source") == "s2")
+      .forall(!_.getAs[Boolean]("needs_review")))
+  }
+
+  test("domDepthProfile: max prefix-sum depth, void elements, " +
+      "unbalanced fragments, stray closes floor at zero") {
+    val docs = Seq(
+      (1L, "<div><ul><li>a</li><li>b</li></ul></div>"), // depth 3
+      (2L, "<div><p>open"),                   // unclosed: bal 2
+      (3L, "</div>text"),                     // stray close: bal -1
+      (4L, "<br><img>line<hr>"),              // voids only: depth 0
+      (5L, "no tags"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.domDepthProfile(docs, "id", "text",
+      deepThreshold = 3).orderBy("id").collect()
+    assert(got(0).getAs[Long]("max_depth") == 3L &&
+      got(0).getAs[Long]("balance") == 0L &&
+      got(0).getAs[Boolean]("deep"))
+    assert(got(1).getAs[Long]("max_depth") == 2L &&
+      got(1).getAs[Long]("balance") == 2L)
+    assert(got(2).getAs[Long]("max_depth") == 0L &&
+      got(2).getAs[Long]("balance") == -1L)
+    assert(got(3).getAs[Long]("max_depth") == 0L &&
+      got(3).getAs[Long]("n_tags") == 3L)
+    assert(got(4).getAs[Long]("n_tags") == 0L &&
+      !got(4).getAs[Boolean]("deep"))
+    assert(got(5).getAs[Long]("max_depth") == 0L)
+  }
+
+  test("dedupWeightedMix: cluster weights normalize case/whitespace, " +
+      "integer micro accounting, unique docs keep full weight") {
+    val docs = Seq(
+      (1L, "a", "The  Same PAGE"),   // 3-copy cluster across sources
+      (2L, "a", "the same page"),
+      (3L, "b", "the   same page "),
+      (4L, "a", "unique one"),
+      (5L, "b", "unique two"),
+      (6L, "b", "unique three")
+    ).toDF("id", "src", "text")
+    val got = SamplingOps.dedupWeightedMix(docs, "id", "text", "src")
+      .orderBy("source").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("n_docs") == 3L)
+    // a: 2 cluster members (333333 each) + 1 unique = 1666666
+    assert(a.getAs[Long]("eff_docs_micro") == 1666666L)
+    // b: 1 member + 2 unique = 2333333
+    assert(b.getAs[Long]("eff_docs_micro") == 2333333L)
+    assert(a.getAs[Long]("raw_share_micro") == 500000L)
+    // effective: a holds 1666666 of 3999999
+    assert(a.getAs[Long]("eff_share_micro") == 416666L)
+    assert(b.getAs[Long]("eff_share_micro") == 583333L)
+  }
+
+  test("acronymMining: initials validation, repeated definitions, " +
+      "lowercase context never matches") {
+    val docs = Seq(
+      (1L, "the Large Language Model (LLM) rose"),
+      (2L, "again Large Language Model (LLM) and " +
+        "Graphics Processing Unit (GPU)"),
+      (3L, "a Some Random Words (XYZ) pair"),
+      (4L, "lowercase words before (ABC) parens"),
+      (5L, "Too (AB) short context")  // one capitalized word < 2
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.acronymMining(docs, "id", "text")
+      .orderBy("acronym").collect()
+    assert(got.length == 3)
+    val llm = got.find(_.getAs[String]("acronym") == "LLM").get
+    assert(llm.getAs[String]("expansion") == "Large Language Model")
+    assert(llm.getAs[Long]("n_mentions") == 2L &&
+      llm.getAs[Long]("n_docs") == 2L)
+    assert(llm.getAs[Boolean]("valid"))
+    assert(got.find(_.getAs[String]("acronym") == "GPU").get
+      .getAs[Boolean]("valid"))
+    val xyz = got.find(_.getAs[String]("acronym") == "XYZ").get
+    assert(!xyz.getAs[Boolean]("valid"))
+  }
 }

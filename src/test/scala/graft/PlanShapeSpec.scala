@@ -579,6 +579,24 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("Window"),
       s"no global window in the remainder ranking:\n$p")
   }
+
+  test("q290/q296: per-source rollups re-group the tiny aggregate " +
+      "frame and broadcast totals back — no window, no sort-merge") {
+    for (q <- Seq("q290_choice_bias", "q296_license_compat")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: shares derive from aggregates, never a window:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: the per-source totals frame must broadcast:\n$p")
+    }
+  }
+
+  test("q298: effective mix is aggregate + streaming join-back on " +
+      "the content sig — no window over the viral key") {
+    val p = plan("q298_effective_mix")
+    assert(!p.contains("Window"),
+      s"cluster sizes come from groupBy(sig).count, not a window:\n$p")
+  }
 }
 
 /** q48's query ends in a presentation orderBy; the operator itself must
