@@ -4984,6 +4984,87 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), text.as("text")),
         "doc_id", "text")
         .orderBy(col("acronym"), col("expansion"))
+    }),
+
+    // Junk-page gate (q300): soft-404s, access walls, JS shells,
+    // cookie interstitials, paywalls — plus a doc carrying BOTH an
+    // error phrase and a cookie phrase (precedence: the error wins);
+    // per-(source, verdict) rollup with summed signal counts.
+    "q300_junk_pages" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 9 === 0,
+          lit(" Error 404 Not Found - page not found."))
+        .when(id % 9 === 1, lit(" Access denied. 403 Forbidden."))
+        .when(id % 9 === 2,
+          lit(" Please enable JavaScript to view this site."))
+        .when(id % 9 === 3, lit(" We use cookies. Accept cookies " +
+          "to proceed. Cookie policy."))
+        .when(id % 9 === 4,
+          lit(" Subscribe to continue reading. Premium content."))
+        .when(id % 9 === 5,
+          lit(" Error: page not found, but we use cookies too."))
+        .otherwise(lit("")))
+      TextAnalysisOps.junkPageScan(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"), col("verdict"))
+    }),
+
+    // Unfilled-template scan (q301): jinja variables (spaced and
+    // repeated), block tags, an angle placeholder, printf-style
+    // keys — counts, sorted distinct variable names, verdict.
+    "q301_unfilled_templates" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 7 === 0,
+          lit(" Hello {{name}}, your order {{ order_id }} is ready."))
+        .when(id % 7 === 1,
+          lit(" {% if user %}Hi{% endif %} and <FULL_NAME> here."))
+        .when(id % 7 === 2,
+          lit(" Dear %(first_name)s, count %(count)s."))
+        .when(id % 7 === 3, lit(" repeated {{name}} twice {{name}}."))
+        .otherwise(lit("")))
+      TextAnalysisOps.unfilledTemplates(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Markdown link hygiene (q302): inline + image links, resolved
+    // and broken reference-style uses, case-folded ids per
+    // CommonMark, external-target counts.
+    "q302_markdown_links" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 6 === 0,
+          lit(" see [docs](https://example.com/d) and " +
+            "![logo](img.png)"))
+        .when(id % 6 === 1,
+          lit(" use [guide][setup] then\n[setup]: https://ex.com/s"))
+        .when(id % 6 === 2, lit(" broken [link][missing] here"))
+        .when(id % 6 === 3, lit(" case [x][ID] and\n[id]: /local"))
+        .otherwise(lit("")))
+      TextAnalysisOps.markdownLinks(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // FAQ pair mining (q303): a single pair, a two-pair doc whose
+    // second answer sits after a blank line (the \n+ arm), and an
+    // unanswered question that must extract nothing.
+    "q303_faq_pairs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 5 === 0,
+          lit("\nQ: how do I reset?\nA: press the red button."))
+        .when(id % 5 === 1,
+          lit("\nQ: first question?\nA: first answer.\n" +
+            "Q: second question?\n\nA: second answer, with gap."))
+        .when(id % 5 === 2, lit("\nQ: unanswered question?"))
+        .otherwise(lit("")))
+      TextAnalysisOps.faqPairs(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"), col("pair_idx"))
     })
   )
 
@@ -14622,6 +14703,151 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    string_split(expansion, ' '), w -> w[1]),
         |    'string_agg', '') = acronym) AS valid
         |FROM e GROUP BY acronym, expansion
-        |ORDER BY acronym, expansion""".stripMargin
+        |ORDER BY acronym, expansion""".stripMargin,
+
+    "q300_junk_pages" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lower(text || CASE doc_id % 9
+        |    WHEN 0 THEN ' Error 404 Not Found - page not found.'
+        |    WHEN 1 THEN ' Access denied. 403 Forbidden.'
+        |    WHEN 2 THEN ' Please enable JavaScript to view this site.'
+        |    WHEN 3 THEN ' We use cookies. Accept cookies to proceed.'
+        |      || ' Cookie policy.'
+        |    WHEN 4 THEN ' Subscribe to continue reading.'
+        |      || ' Premium content.'
+        |    WHEN 5 THEN ' Error: page not found, but we use'
+        |      || ' cookies too.'
+        |    ELSE '' END) AS low
+        |  FROM documents),
+        |sig AS (
+        |  SELECT source,
+        |    (len(regexp_extract_all(low, 'page not found'))
+        |     + len(regexp_extract_all(low, 'error 404'))
+        |     + len(regexp_extract_all(low, '404 not found'))
+        |     + len(regexp_extract_all(low, 'access denied'))
+        |     + len(regexp_extract_all(low, '403 forbidden')))::BIGINT
+        |      AS n_error,
+        |    (len(regexp_extract_all(low, 'enable javascript'))
+        |     + len(regexp_extract_all(low, 'javascript is disabled'))
+        |     + len(regexp_extract_all(low,
+        |         'javascript is required')))::BIGINT AS n_js,
+        |    (len(regexp_extract_all(low, 'accept cookies'))
+        |     + len(regexp_extract_all(low, 'we use cookies'))
+        |     + len(regexp_extract_all(low, 'cookie policy')))::BIGINT
+        |      AS n_cookie,
+        |    (len(regexp_extract_all(low, 'subscribe to continue'))
+        |     + len(regexp_extract_all(low, 'sign in to continue'))
+        |     + len(regexp_extract_all(low, 'premium content')))
+        |      ::BIGINT AS n_paywall
+        |  FROM d),
+        |v AS (
+        |  SELECT *, CASE WHEN n_error > 0 THEN 'error_page'
+        |    WHEN n_js > 0 THEN 'js_wall'
+        |    WHEN n_cookie > 0 THEN 'cookie_wall'
+        |    WHEN n_paywall > 0 THEN 'paywall'
+        |    ELSE 'ok' END AS verdict
+        |  FROM sig)
+        |SELECT source, verdict, count(*)::BIGINT AS n_docs,
+        |  sum(n_error)::BIGINT AS n_error,
+        |  sum(n_js)::BIGINT AS n_js,
+        |  sum(n_cookie)::BIGINT AS n_cookie,
+        |  sum(n_paywall)::BIGINT AS n_paywall
+        |FROM v GROUP BY source, verdict
+        |ORDER BY source, verdict""".stripMargin,
+
+    "q301_unfilled_templates" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 7
+        |    WHEN 0 THEN ' Hello {{name}}, your order {{ order_id }}'
+        |      || ' is ready.'
+        |    WHEN 1 THEN ' {% if user %}Hi{% endif %} and'
+        |      || ' <FULL_NAME> here.'
+        |    WHEN 2 THEN ' Dear %(first_name)s, count %(count)s.'
+        |    WHEN 3 THEN ' repeated {{name}} twice {{name}}.'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t,
+        |      '\{\{ *([a-zA-Z0-9_.]+) *\}\}', 1) AS jv,
+        |    len(regexp_extract_all(t, '\{% *[a-z]+[^}]*%\}'))::BIGINT
+        |      AS n_jinja_blocks,
+        |    len(regexp_extract_all(t, '<[A-Z][A-Z0-9_]{3,}>'))
+        |      ::BIGINT AS n_angle,
+        |    len(regexp_extract_all(t, '%\([a-z_]+\)s'))::BIGINT
+        |      AS n_printf
+        |  FROM d)
+        |SELECT doc_id, len(jv)::BIGINT AS n_jinja_vars,
+        |  n_jinja_blocks, n_angle, n_printf,
+        |  coalesce(list_aggregate(list_sort(list_distinct(jv)),
+        |    'string_agg', ','), '') AS jinja_var_names,
+        |  CASE WHEN len(jv) + n_jinja_blocks + n_angle + n_printf > 0
+        |    THEN 'unfilled' ELSE 'clean' END AS verdict
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q302_markdown_links" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 6
+        |    WHEN 0 THEN ' see [docs](https://example.com/d) and'
+        |      || ' ![logo](img.png)'
+        |    WHEN 1 THEN ' use [guide][setup] then' || chr(10)
+        |      || '[setup]: https://ex.com/s'
+        |    WHEN 2 THEN ' broken [link][missing] here'
+        |    WHEN 3 THEN ' case [x][ID] and' || chr(10)
+        |      || '[id]: /local'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t,
+        |      '\[[^\]]*\]\([^)]+\)'))::BIGINT AS n_inline,
+        |    len(regexp_extract_all(t,
+        |      '!\[[^\]]*\]\([^)]+\)'))::BIGINT AS n_images,
+        |    list_transform(regexp_extract_all(t,
+        |      '\[[^\]]+\]\[([a-zA-Z0-9_-]+)\]', 1),
+        |      u -> lower(u)) AS uses,
+        |    list_transform(regexp_extract_all(t,
+        |      '(?m)^\[([a-zA-Z0-9_-]+)\]: ', 1),
+        |      u -> lower(u)) AS defs,
+        |    len(regexp_extract_all(t, '\]\(https?://'))::BIGINT
+        |      AS n_external
+        |  FROM d)
+        |SELECT doc_id, n_inline, n_images,
+        |  len(uses)::BIGINT AS n_ref_uses,
+        |  len(defs)::BIGINT AS n_ref_defs,
+        |  len(list_filter(uses, u -> NOT list_contains(defs, u)))
+        |    ::BIGINT AS n_broken_refs,
+        |  n_external
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q303_faq_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 5
+        |    WHEN 0 THEN chr(10) || 'Q: how do I reset?' || chr(10)
+        |      || 'A: press the red button.'
+        |    WHEN 1 THEN chr(10) || 'Q: first question?' || chr(10)
+        |      || 'A: first answer.' || chr(10)
+        |      || 'Q: second question?' || chr(10) || chr(10)
+        |      || 'A: second answer, with gap.'
+        |    WHEN 2 THEN chr(10) || 'Q: unanswered question?'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t,
+        |      '(?m)^Q: ([^\n]*)\n+A: ([^\n]*)', 1) AS qs,
+        |    regexp_extract_all(t,
+        |      '(?m)^Q: ([^\n]*)\n+A: ([^\n]*)', 2) AS ans
+        |  FROM d),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest([{'i': i, 'q': qs[i], 'a': ans[i]}
+        |      FOR i IN range(1, len(qs) + 1)]) AS pr
+        |  FROM p)
+        |SELECT doc_id, pr.i::BIGINT AS pair_idx,
+        |  pr.q AS question, pr.a AS answer,
+        |  len(string_split(pr.q, ' '))::BIGINT AS q_tokens,
+        |  len(string_split(pr.a, ' '))::BIGINT AS a_tokens
+        |FROM u ORDER BY doc_id, pair_idx""".stripMargin
   )
 }

@@ -4582,4 +4582,144 @@ object TextAnalysisOps {
         countDistinct(col(idCol)).as("n_docs"))
       .withColumn("valid", initials === col("acronym"))
   }
+
+  /** Junk-page gate — a crawl's highest-volume non-content pages are
+    * machine responses, not prose: soft-404s (an HTTP 200 whose BODY
+    * says "page not found" — invisible to status-code filtering),
+    * access walls, cookie-consent interstitials, disabled-JavaScript
+    * shells, and paywall stubs. Phrase-count signals on lowercased
+    * text; verdict precedence error_page > js_wall > cookie_wall >
+    * paywall > ok (an error page often ALSO mentions cookies — the
+    * stronger diagnosis wins).
+    *
+    * Output: one row per (source, verdict) — doc counts and summed
+    * signal counters, the junk-rate table a crawl report quotes.
+    *
+    * Scale shape: per-doc phrase counts fold in-row; the rollup keys
+    * on (source, verdict) — ≤ 5 rows per source, map-side combined. */
+  def junkPageScan(docs: DataFrame, textCol: String,
+                   sourceCol: String): DataFrame = {
+    val low = lower(coalesce(col(textCol), lit("")))
+    // phrases are letters/digits/spaces only — literal on both
+    // engines (no Pattern.quote: RE2 lacks \Q…\E)
+    def hits(phrases: Seq[String]): Column = {
+      require(phrases.forall(_.matches("[a-z0-9 ]+")),
+        "phrases must be regex-literal (letters/digits/spaces)")
+      phrases.map(p => size(regexp_extract_all(low, lit(p), lit(0)))
+        .cast("long")).reduce(_ + _)
+    }
+    val sig = docs.select(col(sourceCol).as("source"),
+      hits(Seq("page not found", "error 404", "404 not found",
+        "access denied", "403 forbidden")).as("n_error"),
+      hits(Seq("enable javascript", "javascript is disabled",
+        "javascript is required")).as("n_js"),
+      hits(Seq("accept cookies", "we use cookies", "cookie policy"))
+        .as("n_cookie"),
+      hits(Seq("subscribe to continue", "sign in to continue",
+        "premium content")).as("n_paywall"))
+    val verdict = when(col("n_error") > 0, "error_page")
+      .when(col("n_js") > 0, "js_wall")
+      .when(col("n_cookie") > 0, "cookie_wall")
+      .when(col("n_paywall") > 0, "paywall")
+      .otherwise("ok")
+    sig.withColumn("verdict", verdict)
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_error")).as("n_error"),
+        sum(col("n_js")).as("n_js"),
+        sum(col("n_cookie")).as("n_cookie"),
+        sum(col("n_paywall")).as("n_paywall"))
+  }
+
+  /** Unfilled-template scan — SFT corpora assembled from prompt
+    * templates leak their scaffolding when a fill step fails:
+    * `{{name}}` jinja variables, `{% if … %}` blocks, `<UPPER_CASE>`
+    * angle placeholders (≥ 4 chars — shorter would collide with
+    * uppercase HTML), and `%(key)s` printf-style keys. A model
+    * trained on these emits them verbatim at inference — the defect
+    * this scan exists to catch before training.
+    *
+    * Output: one row per doc — per-family counts, the sorted
+    * distinct jinja variable names, and the verdict.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def unfilledTemplates(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val jinjaVars = regexp_extract_all(txt,
+      lit("\\{\\{ *([a-zA-Z0-9_.]+) *\\}\\}"), lit(1))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    docs.select(col(idCol),
+        size(jinjaVars).cast("long").as("n_jinja_vars"),
+        n("\\{% *[a-z]+[^}]*%\\}").as("n_jinja_blocks"),
+        n("<[A-Z][A-Z0-9_]{3,}>").as("n_angle"),
+        n("%\\([a-z_]+\\)s").as("n_printf"),
+        array_join(array_sort(array_distinct(jinjaVars)), ",")
+          .as("jinja_var_names"))
+      .withColumn("verdict",
+        when(col("n_jinja_vars") + col("n_jinja_blocks") +
+          col("n_angle") + col("n_printf") > 0, "unfilled")
+          .otherwise("clean"))
+  }
+
+  /** Markdown link hygiene — docs converted from wikis and READMEs
+    * carry links whose TARGETS died in conversion: reference-style
+    * uses (`[text][id]`) without a matching `[id]:` definition
+    * render as literal brackets, exactly the artifact a text corpus
+    * should not teach. Census per doc: inline links (image syntax
+    * included — its `[alt](url)` tail matches, counted separately
+    * under images), reference uses/definitions (ids case-folded per
+    * the CommonMark match rule), unresolved uses, and external
+    * (http/https) targets.
+    *
+    * Scale shape: pure projection — extraction and the resolve check
+    * (`filter` against the def list) fold in-row. */
+  def markdownLinks(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val uses = transform(regexp_extract_all(txt,
+      lit("\\[[^\\]]+\\]\\[([a-zA-Z0-9_-]+)\\]"), lit(1)), lower(_))
+    val defs = transform(regexp_extract_all(txt,
+      lit("(?m)^\\[([a-zA-Z0-9_-]+)\\]: "), lit(1)), lower(_))
+    docs.select(col(idCol),
+      n("\\[[^\\]]*\\]\\([^)]+\\)").as("n_inline"),
+      n("!\\[[^\\]]*\\]\\([^)]+\\)").as("n_images"),
+      size(uses).cast("long").as("n_ref_uses"),
+      size(defs).cast("long").as("n_ref_defs"),
+      size(filter(uses, u => !array_contains(defs, u))).cast("long")
+        .as("n_broken_refs"),
+      n("\\]\\(https?://").as("n_external"))
+  }
+
+  /** FAQ pair mining — `Q:`/`A:` line pairs are free instruction
+    * data hiding in crawl prose, and the extraction that turns a
+    * documents table into an SFT seed set. A pair is a line-anchored
+    * `Q: …` whose next non-empty line is `A: …`; both capture groups
+    * come from one pattern, so the question and answer lists align
+    * index-for-index ([[acronymMining]]'s zip discipline).
+    *
+    * Output: one row per extracted pair — 1-based pair index within
+    * the doc, question, answer, and whitespace token counts.
+    *
+    * Scale shape: extraction folds in-row; row growth is the pair
+    * count (explode), no shuffle. */
+  def faqPairs(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val pattern = "(?m)^Q: ([^\n]*)\n+A: ([^\n]*)"
+    val qs = regexp_extract_all(txt, lit(pattern), lit(1))
+    val as_ = regexp_extract_all(txt, lit(pattern), lit(2))
+    docs.select(col(idCol),
+        posexplode(zip_with(qs, as_,
+          (q, a) => struct(q.as("q"), a.as("a"))))
+          .as(Seq("__pos", "__p")))
+      .select(col(idCol), (col("__pos") + 1).cast("long")
+          .as("pair_idx"),
+        col("__p.q").as("question"), col("__p.a").as("answer"),
+        size(split(col("__p.q"), " ", -1)).cast("long").as("q_tokens"),
+        size(split(col("__p.a"), " ", -1)).cast("long").as("a_tokens"))
+  }
 }

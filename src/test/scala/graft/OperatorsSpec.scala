@@ -6485,4 +6485,96 @@ class OperatorsSpec extends AnyFunSuite {
     val xyz = got.find(_.getAs[String]("acronym") == "XYZ").get
     assert(!xyz.getAs[Boolean]("valid"))
   }
+
+  test("junkPageScan: verdict precedence (error > js > cookie > " +
+      "paywall), phrase counting, clean docs stay ok") {
+    val docs = Seq(
+      (1L, "Error 404 Not Found - page not found.", "s1"),
+      (2L, "Please enable JavaScript. We use cookies.", "s1"),
+      (3L, "We use cookies. Cookie policy applies.", "s1"),
+      (4L, "Subscribe to continue reading this.", "s2"),
+      (5L, "perfectly fine prose", "s2"),
+      (6L, null.asInstanceOf[String], "s2")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.junkPageScan(docs, "text", "src")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[String]("verdict")) -> r.getAs[Long]("n_docs")).toMap
+    assert(got == Map(("s1", "error_page") -> 1L,
+      ("s1", "js_wall") -> 1L, ("s1", "cookie_wall") -> 1L,
+      ("s2", "paywall") -> 1L, ("s2", "ok") -> 2L))
+    // doc 1 carries three error phrases at once
+    val row = TextAnalysisOps.junkPageScan(docs, "text", "src")
+      .filter(col("verdict") === "error_page").collect().head
+    assert(row.getAs[Long]("n_error") == 3L)
+  }
+
+  test("unfilledTemplates: jinja vars/blocks, angle placeholders, " +
+      "printf keys, distinct sorted names, clean verdict") {
+    val docs = Seq(
+      (1L, "Hi {{name}} and {{ user.email }} and {{name}}"),
+      (2L, "{% for x in xs %}{{x}}{% endfor %}"),
+      (3L, "fill <FULL_NAME> but keep <a> and <BR> html"),
+      (4L, "send to %(email)s now"),
+      (5L, "nothing templated"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.unfilledTemplates(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_jinja_vars") == 3L)
+    assert(got(0).getAs[String]("jinja_var_names") ==
+      "name,user.email")
+    assert(got(1).getAs[Long]("n_jinja_blocks") == 2L &&
+      got(1).getAs[Long]("n_jinja_vars") == 1L)
+    // <BR> is 2 chars, <a> lowercase — neither matches; FULL_NAME does
+    assert(got(2).getAs[Long]("n_angle") == 1L)
+    assert(got(3).getAs[Long]("n_printf") == 1L)
+    assert(got(4).getAs[String]("verdict") == "clean" &&
+      got(4).getAs[String]("jinja_var_names") == "")
+    assert(got(5).getAs[String]("verdict") == "clean")
+  }
+
+  test("markdownLinks: inline/image overlap, case-folded ref " +
+      "resolution, broken refs, external targets") {
+    val docs = Seq(
+      (1L, "[a](http://x.com) ![i](p.png) [b](local.md)"),
+      (2L, "[t][ref1] [u][REF2]\n[ref1]: /a\n[ref2]: https://b"),
+      (3L, "[dangling][nope] twice [again][nope]"),
+      (4L, "no links at all"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.markdownLinks(docs, "id", "text")
+      .orderBy("id").collect()
+    // image's [alt](url) tail also matches the inline pattern
+    assert(got(0).getAs[Long]("n_inline") == 3L &&
+      got(0).getAs[Long]("n_images") == 1L &&
+      got(0).getAs[Long]("n_external") == 1L)
+    assert(got(1).getAs[Long]("n_ref_uses") == 2L &&
+      got(1).getAs[Long]("n_ref_defs") == 2L &&
+      got(1).getAs[Long]("n_broken_refs") == 0L)
+    assert(got(2).getAs[Long]("n_broken_refs") == 2L)
+    assert(got(3).getAs[Long]("n_inline") == 0L)
+    assert(got(4).getAs[Long]("n_ref_uses") == 0L)
+  }
+
+  test("faqPairs: pair extraction, blank-line gap, unanswered " +
+      "question extracts nothing, token counts") {
+    val docs = Seq(
+      (1L, "intro\nQ: how?\nA: like this."),
+      (2L, "Q: one?\nA: first.\nQ: two?\n\nA: second with gap."),
+      (3L, "Q: no answer here?"),
+      (4L, "A: answer without question.")
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.faqPairs(docs, "id", "text")
+      .orderBy("id", "pair_idx").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[String]("question") == "how?" &&
+      got(0).getAs[String]("answer") == "like this." &&
+      got(0).getAs[Long]("q_tokens") == 1L &&
+      got(0).getAs[Long]("a_tokens") == 2L)
+    assert(got(1).getAs[Long]("pair_idx") == 1L &&
+      got(1).getAs[String]("answer") == "first.")
+    assert(got(2).getAs[Long]("pair_idx") == 2L &&
+      got(2).getAs[String]("question") == "two?" &&
+      got(2).getAs[String]("answer") == "second with gap.")
+  }
 }
