@@ -5065,6 +5065,78 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), text.as("text")),
         "doc_id", "text")
         .orderBy(col("doc_id"), col("pair_idx"))
+    }),
+
+    // PII span offsets (q304): email-then-url, url-only, and
+    // double-email docs — the split-around-pattern offset arithmetic
+    // must agree with the oracle's list-comprehension recomputation
+    // (and the spec pins substring(text, start, len) == matched).
+    "q304_pii_spans" -> ((s, dir) => {
+      val id = col("doc_id")
+      val k = (id % 50).cast("string")
+      val text = when(id % 4 === 0,
+          concat(lit("write user"), k, lit("@ex.com then "),
+            col("text"), lit(" see https://ex.com/p"), k))
+        .when(id % 4 === 1,
+          concat(col("text"), lit(" visit https://site"), k,
+            lit(".org/a?x=1 now")))
+        .when(id % 4 === 2,
+          concat(lit("a@b.co meets c@d.io in "), col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.piiSpans(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"), col("span_idx"))
+    }),
+
+    // Temporal sanity (q305): a valid leap day next to an impossible
+    // one, a post-cutoff date, bad month/day fields, and a clean
+    // min/max range — calendar arithmetic, no date parser on either
+    // engine.
+    "q305_date_sanity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 6 === 0,
+          lit(" on 2024-02-29 and 2023-02-29."))
+        .when(id % 6 === 1, lit(" due 2031-01-15 maybe."))
+        .when(id % 6 === 2, lit(" bad 2020-13-01 and 2021-04-31."))
+        .when(id % 6 === 3, lit(" from 2019-01-05 to 2022-11-30."))
+        .otherwise(lit("")))
+      TextAnalysisOps.dateSanity(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Collocations (q306): PMI-lift top-20 with a planted
+    // always-adjacent pair riding the corpus vocabulary; DECIMAL
+    // cross-multiply vs the oracle's HUGEINT — identical integer
+    // quotients.
+    "q306_collocations" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 3 === 0,
+          lit(" quantum flux"))
+        .when(id % 3 === 1, lit(" quantum flux capacitor"))
+        .otherwise(lit("")))
+      TextAnalysisOps.collocations(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "text", minCount = 5L, k = 20)
+        .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+    }),
+
+    // Social-marker profile (q307): hashtags/mentions/RT planted on
+    // id residues that interact with the source assignment, so some
+    // sources cross the social threshold and others stay prose.
+    "q307_social_markers" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 8 === 0,
+          lit(" check #ai and @alice today"))
+        .when(id % 8 === 1, lit(" RT @bob: #ml rocks"))
+        .otherwise(lit("")))
+      TextAnalysisOps.socialMarkers(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -14848,6 +14920,146 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  pr.q AS question, pr.a AS answer,
         |  len(string_split(pr.q, ' '))::BIGINT AS q_tokens,
         |  len(string_split(pr.a, ' '))::BIGINT AS a_tokens
-        |FROM u ORDER BY doc_id, pair_idx""".stripMargin
+        |FROM u ORDER BY doc_id, pair_idx""".stripMargin,
+
+    "q304_pii_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN 'write user' || (doc_id % 50)::VARCHAR
+        |      || '@ex.com then ' || text || ' see https://ex.com/p'
+        |      || (doc_id % 50)::VARCHAR
+        |    WHEN 1 THEN text || ' visit https://site'
+        |      || (doc_id % 50)::VARCHAR || '.org/a?x=1 now'
+        |    WHEN 2 THEN 'a@b.co meets c@d.io in ' || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t,
+        |      'https?://[A-Za-z0-9./_%?=&#:-]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |      AS hits,
+        |    string_split_regex(t,
+        |      'https?://[A-Za-z0-9./_%?=&#:-]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |      AS segs
+        |  FROM d),
+        |u AS (
+        |  SELECT doc_id, unnest([{'i': i,
+        |    'st': 1 + list_sum(list_transform(segs[1:i],
+        |        s -> len(s)))
+        |      + coalesce(list_sum(list_transform(hits[1:i-1],
+        |          h -> len(h))), 0),
+        |    'h': hits[i]} FOR i IN range(1, len(hits) + 1)]) AS sp
+        |  FROM x)
+        |SELECT doc_id, sp.i::BIGINT AS span_idx,
+        |  CASE WHEN starts_with(sp.h, 'http') THEN 'url'
+        |    ELSE 'email' END AS span_type,
+        |  sp.st::BIGINT AS "start",
+        |  (sp.st + len(sp.h))::BIGINT AS end_excl,
+        |  sp.h AS matched
+        |FROM u ORDER BY doc_id, span_idx""".stripMargin,
+
+    "q305_date_sanity" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 6
+        |    WHEN 0 THEN ' on 2024-02-29 and 2023-02-29.'
+        |    WHEN 1 THEN ' due 2031-01-15 maybe.'
+        |    WHEN 2 THEN ' bad 2020-13-01 and 2021-04-31.'
+        |    WHEN 3 THEN ' from 2019-01-05 to 2022-11-30.'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, regexp_extract_all(t,
+        |    '[0-9]{4}-[0-9]{2}-[0-9]{2}') AS ds
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, ds, list_transform(ds, s -> {'s': s,
+        |    'valid': substr(s, 6, 2)::INT BETWEEN 1 AND 12
+        |      AND substr(s, 9, 2)::INT >= 1
+        |      AND substr(s, 9, 2)::INT <= CASE
+        |        WHEN substr(s, 6, 2)::INT IN (1,3,5,7,8,10,12)
+        |          THEN 31
+        |        WHEN substr(s, 6, 2)::INT IN (4,6,9,11) THEN 30
+        |        WHEN substr(s, 6, 2)::INT = 2 THEN
+        |          CASE WHEN (substr(s, 1, 4)::INT % 4 = 0
+        |              AND substr(s, 1, 4)::INT % 100 <> 0)
+        |            OR substr(s, 1, 4)::INT % 400 = 0
+        |          THEN 29 ELSE 28 END
+        |        ELSE 0 END}) AS ps
+        |  FROM c),
+        |v AS (
+        |  SELECT doc_id, ds, ps,
+        |    list_transform(list_filter(ps, q -> q.valid),
+        |      q -> q.s) AS vd
+        |  FROM p)
+        |SELECT doc_id, len(ds)::BIGINT AS n_dates,
+        |  len(list_filter(ps, q -> NOT q.valid))::BIGINT
+        |    AS n_invalid,
+        |  len(list_filter(vd, s -> s > '2025-06-30'))::BIGINT
+        |    AS n_future,
+        |  list_min(vd) AS min_date, list_max(vd) AS max_date
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q306_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 3
+        |    WHEN 0 THEN ' quantum flux'
+        |    WHEN 1 THEN ' quantum flux capacitor'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(t), ' '),
+        |    x -> x <> '') AS tks
+        |  FROM d),
+        |bg AS (
+        |  SELECT unnest([{'a': tks[i], 'b': tks[i + 1]}
+        |    FOR i IN range(1, len(tks))]) AS p
+        |  FROM tk),
+        |pc AS (
+        |  SELECT p.a AS w1, p.b AS w2, count(*)::BIGINT AS n_ab
+        |  FROM bg GROUP BY p.a, p.b),
+        |uc AS (
+        |  SELECT w, count(*)::BIGINT AS n_w FROM (
+        |    SELECT unnest(tks) AS w FROM tk) GROUP BY w),
+        |tt AS (SELECT sum(n_ab)::BIGINT AS n_tot FROM pc)
+        |SELECT w1, w2, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+        |  ((n_ab::HUGEINT * n_tot * 1000000)
+        |    // (ua.n_w::HUGEINT * ub.n_w))::BIGINT AS lift_micro
+        |FROM pc JOIN uc ua ON pc.w1 = ua.w
+        |  JOIN uc ub ON pc.w2 = ub.w
+        |  CROSS JOIN tt
+        |WHERE n_ab >= 5
+        |ORDER BY lift_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q307_social_markers" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 8
+        |    WHEN 0 THEN ' check #ai and @alice today'
+        |    WHEN 1 THEN ' RT @bob: #ml rocks'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '#[A-Za-z0-9_]+'))::BIGINT
+        |      AS h,
+        |    len(regexp_extract_all(t, '@[A-Za-z0-9_]+'))::BIGINT
+        |      AS m,
+        |    len(regexp_extract_all(t, '(^|[^A-Za-z])RT @'))::BIGINT
+        |      AS r
+        |  FROM d),
+        |ps AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN h + m + r > 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_social_docs,
+        |    sum(h)::BIGINT AS n_hashtags,
+        |    sum(m)::BIGINT AS n_mentions,
+        |    sum(r)::BIGINT AS n_retweets
+        |  FROM sig GROUP BY source)
+        |SELECT source, n_docs, n_social_docs, n_hashtags,
+        |  n_mentions, n_retweets,
+        |  (n_social_docs * 1000000 // n_docs)::BIGINT
+        |    AS social_share_micro,
+        |  CASE WHEN n_social_docs * 1000000 // n_docs > 300000
+        |    THEN 'social' ELSE 'prose' END AS verdict
+        |FROM ps ORDER BY source""".stripMargin
   )
 }

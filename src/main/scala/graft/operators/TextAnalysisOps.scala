@@ -4722,4 +4722,173 @@ object TextAnalysisOps {
         size(split(col("__p.q"), " ", -1)).cast("long").as("q_tokens"),
         size(split(col("__p.a"), " ", -1)).cast("long").as("a_tokens"))
   }
+
+  /** PII span offsets — redaction AUDIT and span-labeled NER training
+    * data both need positions, not just scrubbed text: one row per
+    * detected URL/email with its 1-based character offset. Offsets
+    * are reconstructed IN-ROW from the split-around-pattern segments
+    * (the [[pseudonymizeEmails]] machinery): match i starts at
+    * 1 + Σ len(segments 1..i+1's prefix) + Σ len(matches before i) —
+    * no match-offset primitive exists in either engine, so the
+    * arithmetic identity IS the cross-engine contract (the spec pins
+    * `substring(text, start, len) == matched`). URL and email share
+    * one alternation (URL first) so offsets stay consistent when
+    * both appear; the span type is recovered from the match shape.
+    *
+    * Scale shape: pure projection; row growth = spans per doc
+    * (explode). The per-match prefix sums are O(spans²) array
+    * slices — bounded by PII density, not document length. */
+  def piiSpans(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val pattern = UrlPattern + "|" + EmailPattern
+    val segs = split(txt, pattern, -1)
+    val hits = regexp_extract_all(txt, lit(pattern), lit(0))
+    val segLens = transform(segs, s => length(s).cast("long"))
+    val hitLens = transform(hits, h => length(h).cast("long"))
+    val spans = transform(hits, (h, i) => struct(
+      (i + 1).cast("long").as("span_idx"),
+      when(h.startsWith("http"), "url").otherwise("email")
+        .as("span_type"),
+      (lit(1L) +
+        aggregate(slice(segLens, lit(1), i + 1), lit(0L), _ + _) +
+        aggregate(slice(hitLens, lit(1), i), lit(0L), _ + _))
+        .as("start"),
+      length(h).cast("long").as("len"),
+      h.as("matched")))
+    docs.select(col(idCol), explode(spans).as("__s"))
+      .select(col(idCol), col("__s.span_idx").as("span_idx"),
+        col("__s.span_type").as("span_type"),
+        col("__s.start").as("start"),
+        (col("__s.start") + col("__s.len")).as("end_excl"),
+        col("__s.matched").as("matched"))
+  }
+
+  /** Temporal-sanity audit — ISO dates in a corpus are metadata gold
+    * (recency weighting, temporal splits) but only when they parse:
+    * scraped text is full of `2023-02-29`-class impossibilities (OCR,
+    * template bugs) and post-cutoff dates that leak eval periods.
+    * Validity is CALENDAR ARITHMETIC, not a parser — month/day range
+    * against days-in-month with the Gregorian leap rule — because two
+    * engines' date parsers disagree on exactly the malformed inputs
+    * this audit exists to count; `future` compares ISO strings
+    * lexicographically (order-isomorphic to dates).
+    *
+    * Output: one row per doc — date/invalid/future counts and the
+    * valid min/max (null when no valid date).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def dateSanity(docs: DataFrame, idCol: String, textCol: String,
+                 futureCutoff: String = "2025-06-30"): DataFrame = {
+    require(futureCutoff.matches("[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+      "cutoff must be an ISO yyyy-MM-dd date")
+    val txt = coalesce(col(textCol), lit(""))
+    val dates = regexp_extract_all(txt,
+      lit("[0-9]{4}-[0-9]{2}-[0-9]{2}"), lit(0))
+    val parsed = transform(dates, s => {
+      val y = substring(s, 1, 4).cast("int")
+      val m = substring(s, 6, 2).cast("int")
+      val d = substring(s, 9, 2).cast("int")
+      val leap = (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
+      val dim = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+        .when(m.isin(4, 6, 9, 11), 30)
+        .when(m === 2, when(leap, 29).otherwise(28))
+        .otherwise(0)
+      struct(s.as("s"), (m >= 1 && m <= 12 && d >= 1 && d <= dim)
+        .as("valid"))
+    })
+    val validDates = transform(
+      filter(parsed, p => p.getField("valid")), _.getField("s"))
+    docs.select(col(idCol),
+      size(dates).cast("long").as("n_dates"),
+      size(filter(parsed, p => !p.getField("valid"))).cast("long")
+        .as("n_invalid"),
+      size(filter(validDates, _ > futureCutoff)).cast("long")
+        .as("n_future"),
+      array_min(validDates).as("min_date"),
+      array_max(validDates).as("max_date"))
+  }
+
+  /** Collocation census — corpus-level PMI-lift ranking of adjacent
+    * word pairs (Church & Hanks 1990's association ratio, integer
+    * form): `lift = P(ab) / (P(a)·P(b))` in micro-units, computed as
+    * `n_ab·N·1e6 div (n_a·n_b)` with the cross-multiply staged
+    * through DECIMAL(38,0) (the [[SamplingOps.mixtureBalance]]
+    * overflow discipline — at corpus scale `n_ab·N` wraps a BIGINT).
+    * A `minCount` floor kills the hapax-pair noise PMI is notorious
+    * for; ties break lexicographically for a total order.
+    *
+    * Output: top-k rows — pair, counts, `lift_micro`.
+    *
+    * Scale shape: bigram and unigram counts are map-side-combined
+    * aggregates (vocabulary-bounded); the pair frame joins the
+    * unigram frame on each side's term key (hash joins of aggregate
+    * frames, no window); top-k is TakeOrdered. */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), " ", -1),
+      t => t =!= "")
+    val n = size(toks)
+    val bigrams = filter(
+      zip_with(toks,
+        concat(slice(toks, lit(2), greatest(n - 1, lit(0))),
+          array(lit(null).cast("string"))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+    val pairCounts = docs.select(explode(bigrams).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uniCounts = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = pairCounts.agg(sum(col("n_ab")).as("n_tot"))
+    pairCounts.filter(col("n_ab") >= minCount)
+      .join(uniCounts.select(col("w").as("w1"),
+        col("n_w").as("n_a")), Seq("w1"))
+      .join(uniCounts.select(col("w").as("w2"),
+        col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_tot * 1000000" +
+          " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Social-media marker profile — tweet/forum dumps need different
+    * cleaning than prose (mention scrubbing, hashtag folding, RT
+    * chains are near-dups), so routing needs the census first:
+    * hashtags, @mentions, and retweet markers per source, with the
+    * share of docs carrying any marker and a social/prose verdict.
+    *
+    * Scale shape: in-row counts → a source-keyed rollup with the
+    * re-group-the-tiny-frame share arithmetic. */
+  def socialMarkers(docs: DataFrame, textCol: String,
+                    sourceCol: String,
+                    socialShareMicro: Long = 300000L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val sig = docs.select(col(sourceCol).as("source"),
+      n("#[A-Za-z0-9_]+").as("n_hashtags"),
+      n("@[A-Za-z0-9_]+").as("n_mentions"),
+      n("(^|[^A-Za-z])RT @").as("n_retweets"))
+    val perSource = sig.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hashtags") + col("n_mentions") +
+          col("n_retweets") > 0, 1L).otherwise(0L)).as("n_social_docs"),
+        sum(col("n_hashtags")).as("n_hashtags"),
+        sum(col("n_mentions")).as("n_mentions"),
+        sum(col("n_retweets")).as("n_retweets"))
+    perSource
+      .withColumn("social_share_micro",
+        expr("n_social_docs * 1000000L div n_docs"))
+      .withColumn("verdict",
+        when(col("social_share_micro") > socialShareMicro, "social")
+          .otherwise("prose"))
+  }
 }

@@ -6577,4 +6577,108 @@ class OperatorsSpec extends AnyFunSuite {
       got(2).getAs[String]("question") == "two?" &&
       got(2).getAs[String]("answer") == "second with gap.")
   }
+
+  test("piiSpans: offsets reconstruct the exact source span — " +
+      "substring(text, start, len) == matched for every span") {
+    val docs = Seq(
+      (1L, "mail a@b.com then see https://x.io/p?q=1 and c@d.org."),
+      (2L, "https://only.url/here"),
+      (3L, "no pii at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.piiSpans(docs, "id", "text")
+      .orderBy("id", "span_idx").collect()
+    assert(got.length == 4)
+    // doc 1: email, url, email in order
+    assert(got.take(3).map(_.getAs[String]("span_type")).toSeq ==
+      Seq("email", "url", "email"))
+    // the contract: offsets point at the exact span
+    val text1 = "mail a@b.com then see https://x.io/p?q=1 and c@d.org."
+    got.take(3).foreach { r =>
+      val start = r.getAs[Long]("start").toInt
+      val end = r.getAs[Long]("end_excl").toInt
+      assert(text1.substring(start - 1, end - 1) ==
+        r.getAs[String]("matched"))
+    }
+    assert(got(0).getAs[Long]("start") == 6L &&
+      got(0).getAs[String]("matched") == "a@b.com")
+    // url-only doc: span starts at 1
+    assert(got(3).getAs[Long]("start") == 1L &&
+      got(3).getAs[String]("span_type") == "url")
+  }
+
+  test("dateSanity: leap rules, invalid month/day, future cutoff, " +
+      "valid min/max, dateless docs") {
+    val docs = Seq(
+      (1L, "ok 2024-02-29 bad 2023-02-29 and 1900-02-29"),
+      (2L, "bad 2021-13-05 and 2021-04-31 and 2021-00-10"),
+      (3L, "seen 2019-03-14 then 2031-12-01 and 2000-02-29"),
+      (4L, "no dates"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.dateSanity(docs, "id", "text",
+      futureCutoff = "2025-06-30").orderBy("id").collect()
+    // 1900 is NOT a leap year (century rule); 2000 IS (400 rule)
+    assert(got(0).getAs[Long]("n_dates") == 3L &&
+      got(0).getAs[Long]("n_invalid") == 2L &&
+      got(0).getAs[String]("min_date") == "2024-02-29")
+    assert(got(1).getAs[Long]("n_invalid") == 3L &&
+      got(1).isNullAt(got(1).fieldIndex("min_date")))
+    assert(got(2).getAs[Long]("n_invalid") == 0L &&
+      got(2).getAs[Long]("n_future") == 1L &&
+      got(2).getAs[String]("min_date") == "2000-02-29" &&
+      got(2).getAs[String]("max_date") == "2031-12-01")
+    assert(got(3).getAs[Long]("n_dates") == 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.dateSanity(docs, "id", "text", "junk")
+    }
+  }
+
+  test("collocations: always-adjacent pair tops the lift ranking, " +
+      "minCount floors hapax pairs, exact integer lift") {
+    // 'aa bb' always together (6x); filler pairs are frequent but
+    // independent; 'rare pair' appears twice — floored out
+    val docs = (1L to 6L).map(i =>
+      (i, "x y aa bb x y z w")) ++ Seq(
+      (7L, "rare pair"), (8L, "rare pair"))
+    val df = docs.toDF("id", "text")
+    val got = TextAnalysisOps.collocations(df, "text",
+      minCount = 3L, k = 10).collect()
+    assert(got.forall(_.getAs[Long]("n_ab") >= 3L))
+    val top = got.head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) ==
+      ("aa", "bb"))
+    // exact lift: n_ab=6, n_tot=6*7+2=44, n_a=n_b=6
+    // 6*44*1e6 div 36 = 7333333
+    assert(top.getAs[Long]("lift_micro") == 7333333L)
+    assert(!got.exists(r => r.getAs[String]("w1") == "rare"))
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.collocations(df, "text", minCount = 0L)
+    }
+  }
+
+  test("socialMarkers: per-source marker census, share gate, " +
+      "email @ counts as a (documented) mention") {
+    val docs = Seq(
+      (1L, "see #ai and @alice plus #ml", "soc"),
+      (2L, "RT @bob: great", "soc"),
+      (3L, "plain words", "soc"),
+      (4L, "prose only here", "lit"),
+      (5L, "more prose", "lit"),
+      (6L, null.asInstanceOf[String], "lit")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.socialMarkers(docs, "text", "src")
+      .orderBy("source").collect()
+    val lit0 = got(0); val soc = got(1)
+    assert(soc.getAs[String]("source") == "soc" &&
+      soc.getAs[Long]("n_hashtags") == 2L &&
+      soc.getAs[Long]("n_mentions") == 2L &&
+      soc.getAs[Long]("n_retweets") == 1L &&
+      soc.getAs[Long]("n_social_docs") == 2L &&
+      soc.getAs[Long]("social_share_micro") == 666666L &&
+      soc.getAs[String]("verdict") == "social")
+    assert(lit0.getAs[String]("source") == "lit" &&
+      lit0.getAs[Long]("n_social_docs") == 0L &&
+      lit0.getAs[String]("verdict") == "prose")
+  }
 }
