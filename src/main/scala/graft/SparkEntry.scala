@@ -5137,6 +5137,82 @@ object SparkEntry {
           col("source")),
         "text", "source")
         .orderBy(col("source"))
+    }),
+
+    // Minified/generated code (q308): a single-line bundle (500+
+    // chars, dense semicolons), an @generated header that outranks
+    // its own minified shape, normal multi-line code, plain prose.
+    "q308_minified_code" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 5 === 0, concat(lit("var a=1;"),
+          expr("repeat('f(x);g(y);', cast(doc_id % 7 + 60 as int))")))
+        .when(id % 5 === 1,
+          concat(lit("// @generated do not edit\n"), col("text")))
+        .when(id % 5 === 2,
+          concat(lit("def f():\n  return 1\n"), col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.minifiedCode(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Placeable parity (q309): a faithful translation, a dropped %s,
+    // an added {extra} with a duplicated %s (multiset inequality but
+    // set-level diagnostics), and placeable-free pairs.
+    "q309_placeable_parity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val src = when(id % 4 === 3, col("text"))
+        .otherwise(lit("Hello %s, you have %d items in {cart}."))
+      val tgt = when(id % 4 === 0,
+          lit("Hola %s, tienes %d en {cart}."))
+        .when(id % 4 === 1, lit("Hola, tienes %d en {cart}."))
+        .when(id % 4 === 2, lit("Hola %s %s, {cart} y {extra}."))
+        .otherwise(col("text"))
+      TextAnalysisOps.placeableParity(
+        t(s, dir, "documents").select(col("doc_id"), src.as("src"),
+          tgt.as("tgt")),
+        "doc_id", "src", "tgt")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Front matter (q310): full title/date/tags block, title-only,
+    // a broken opener that must NOT parse, and plain prose.
+    "q310_frontmatter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val text = when(id % 4 === 0, concat(
+          lit("---\ntitle: Doc "), ids,
+          lit("\ndate: 2024-01-02\ntags: a,b\n---\n"), col("text")))
+        .when(id % 4 === 1,
+          concat(lit("---\ntitle: Only\n---\n"), col("text")))
+        .when(id % 4 === 2, concat(lit("--- broken opener\n"),
+          col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.frontmatter(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Commented-out code (q311): three disabled statements among
+    // four comments (fires), prose comments (clean), two code-like
+    // lines under the floor (clean).
+    "q311_commented_code" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 5 === 0, concat(
+          lit("# x = 1\n# compute(y)\n# if cond:\n# real comment\n"),
+          col("text")))
+        .when(id % 5 === 1,
+          concat(lit("// note: explains why\n// see docs\n"),
+            col("text")))
+        .when(id % 5 === 2,
+          concat(lit("# keep(x)\n# old = 2\n"), col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.commentedCode(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -15060,6 +15136,130 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    AS social_share_micro,
         |  CASE WHEN n_social_docs * 1000000 // n_docs > 300000
         |    THEN 'social' ELSE 'prose' END AS verdict
-        |FROM ps ORDER BY source""".stripMargin
+        |FROM ps ORDER BY source""".stripMargin,
+
+    "q308_minified_code" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN 'var a=1;'
+        |      || repeat('f(x);g(y);', (doc_id % 7 + 60)::INT)
+        |    WHEN 1 THEN '// @generated do not edit' || chr(10)
+        |      || text
+        |    WHEN 2 THEN 'def f():' || chr(10) || '  return 1'
+        |      || chr(10) || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(string_split(t, chr(10)))::BIGINT AS n_lines,
+        |    greatest(len(t), 1)::BIGINT AS n_chars,
+        |    coalesce(list_max(list_transform(
+        |      string_split(t, chr(10)), l -> len(l))), 0)::BIGINT
+        |      AS max_line_len,
+        |    len(regexp_extract_all(t, ';'))::BIGINT AS n_semicolons,
+        |    (len(regexp_extract_all(lower(t), '@generated'))
+        |     + len(regexp_extract_all(lower(t), 'do not edit'))
+        |     + len(regexp_extract_all(lower(t), 'auto-generated')))
+        |      ::BIGINT AS n_gen_markers
+        |  FROM d),
+        |v AS (
+        |  SELECT *, (n_chars // n_lines)::BIGINT AS avg_line_len,
+        |    (n_semicolons * 1000000 // n_chars)::BIGINT AS semi_micro
+        |  FROM c)
+        |SELECT doc_id, n_lines, n_chars, max_line_len, n_semicolons,
+        |  n_gen_markers, avg_line_len, semi_micro,
+        |  CASE WHEN n_gen_markers > 0 THEN 'generated'
+        |    WHEN max_line_len >= 500
+        |      OR (avg_line_len >= 160 AND semi_micro >= 20000)
+        |      THEN 'minified'
+        |    ELSE 'ok' END AS verdict
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q309_placeable_parity" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 3 THEN text
+        |      ELSE 'Hello %s, you have %d items in {cart}.' END
+        |      AS src,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'Hola %s, tienes %d en {cart}.'
+        |      WHEN 1 THEN 'Hola, tienes %d en {cart}.'
+        |      WHEN 2 THEN 'Hola %s %s, {cart} y {extra}.'
+        |      ELSE text END AS tgt
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_sort(regexp_extract_all(src,
+        |      '%[0-9$]*[sdif]|\{[a-zA-Z0-9_]*\}')) AS s,
+        |    list_sort(regexp_extract_all(tgt,
+        |      '%[0-9$]*[sdif]|\{[a-zA-Z0-9_]*\}')) AS t
+        |  FROM d)
+        |SELECT doc_id, len(s)::BIGINT AS n_src,
+        |  len(t)::BIGINT AS n_tgt,
+        |  (s = t) AS parity,
+        |  coalesce(list_aggregate(list_filter(list_distinct(s),
+        |    x -> NOT list_contains(t, x)), 'string_agg', ','), '')
+        |    AS src_only,
+        |  coalesce(list_aggregate(list_filter(list_distinct(t),
+        |    x -> NOT list_contains(s, x)), 'string_agg', ','), '')
+        |    AS tgt_only
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q310_frontmatter" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN '---' || chr(10) || 'title: Doc '
+        |      || doc_id::VARCHAR || chr(10) || 'date: 2024-01-02'
+        |      || chr(10) || 'tags: a,b' || chr(10) || '---'
+        |      || chr(10) || text
+        |    WHEN 1 THEN '---' || chr(10) || 'title: Only'
+        |      || chr(10) || '---' || chr(10) || text
+        |    WHEN 2 THEN '--- broken opener' || chr(10) || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_extract(t, '(?s)^---\n(.*?)\n---', 1) AS blk
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, blk,
+        |    list_sort(list_distinct(regexp_extract_all(blk,
+        |      '(?m)^([a-zA-Z_][a-zA-Z0-9_-]*):', 1))) AS keys
+        |  FROM c)
+        |SELECT doc_id, (len(blk) > 0) AS has_frontmatter,
+        |  len(keys)::BIGINT AS n_keys,
+        |  coalesce(list_aggregate(keys, 'string_agg', ','), '')
+        |    AS keys,
+        |  list_contains(keys, 'title') AS has_title,
+        |  list_contains(keys, 'date') AS has_date,
+        |  list_contains(keys, 'tags') AS has_tags
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q311_commented_code" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN '# x = 1' || chr(10) || '# compute(y)'
+        |      || chr(10) || '# if cond:' || chr(10)
+        |      || '# real comment' || chr(10) || text
+        |    WHEN 1 THEN '// note: explains why' || chr(10)
+        |      || '// see docs' || chr(10) || text
+        |    WHEN 2 THEN '# keep(x)' || chr(10) || '# old = 2'
+        |      || chr(10) || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '(?m)^ *(//|#)'))::BIGINT
+        |      AS n_comment_lines,
+        |    len(regexp_extract_all(t, '(?m)^ *(//|#+) *'
+        |      || '(if |for |while |return |def |function |'
+        |      || '[a-zA-Z_][a-zA-Z0-9_.]*\s*(\(|= ))'))::BIGINT
+        |      AS n_code_like
+        |  FROM d)
+        |SELECT doc_id, n_comment_lines, n_code_like,
+        |  CASE WHEN n_code_like >= 3
+        |      AND n_code_like * 2 >= n_comment_lines
+        |    THEN 'disabled_code' ELSE 'ok' END AS verdict
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -4891,4 +4891,126 @@ object TextAnalysisOps {
         when(col("social_share_micro") > socialShareMicro, "social")
           .otherwise("prose"))
   }
+
+  /** Minified / generated code detection — bundler output and
+    * codegen artifacts are the code-corpus equivalent of boilerplate:
+    * megabyte single-line files teach nothing and blow the token
+    * budget, and `@generated` files are noise by their own
+    * declaration. Line-shape metrics (max/avg line length, semicolon
+    * density) plus the standard generated-file markers; verdict
+    * precedence generated > minified > ok (a generated file is often
+    * ALSO minified — the declaration is the stronger signal).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def minifiedCode(docs: DataFrame, idCol: String, textCol: String,
+                   maxLineLen: Int = 500, avgLineLen: Int = 160,
+                   semiMicro: Long = 20000L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val lines = split(txt, "\n", -1)
+    val low = lower(txt)
+    val genHits =
+      size(regexp_extract_all(low, lit("@generated"), lit(0))) +
+      size(regexp_extract_all(low, lit("do not edit"), lit(0))) +
+      size(regexp_extract_all(low, lit("auto-generated"), lit(0)))
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        greatest(length(txt).cast("long"), lit(1L)).as("n_chars"),
+        aggregate(transform(lines, l => length(l).cast("long")),
+          lit(0L), (a, x) => greatest(a, x)).as("max_line_len"),
+        size(regexp_extract_all(txt, lit(";"), lit(0))).cast("long")
+          .as("n_semicolons"),
+        genHits.cast("long").as("n_gen_markers"))
+      .withColumn("avg_line_len",
+        expr("n_chars div n_lines"))
+      .withColumn("semi_micro",
+        expr("n_semicolons * 1000000L div n_chars"))
+      .withColumn("verdict",
+        when(col("n_gen_markers") > 0, "generated")
+          .when(col("max_line_len") >= maxLineLen ||
+            (col("avg_line_len") >= avgLineLen &&
+              col("semi_micro") >= semiMicro), "minified")
+          .otherwise("ok"))
+  }
+
+  /** Translation placeable parity — MT corpora die quietly when a
+    * target segment drops or mangles the `%s` / `{name}` placeholders
+    * the source carries (the model then emits broken templates in
+    * production). Per pair: printf-style and brace-style placeables
+    * extracted from both sides, compared as SORTED LISTS (order-free
+    * multiset equality — translations legitimately reorder); the
+    * set-level asymmetric leftovers are surfaced for diagnosis.
+    *
+    * Scale shape: pure projection over the pair frame, zero
+    * shuffle. */
+  def placeableParity(pairs: DataFrame, idCol: String,
+                      srcCol: String, tgtCol: String): DataFrame = {
+    val pattern = "%[0-9$]*[sdif]|\\{[a-zA-Z0-9_]*\\}"
+    def ps(c: String): Column = array_sort(
+      regexp_extract_all(coalesce(col(c), lit("")), lit(pattern),
+        lit(0)))
+    pairs.select(col(idCol), ps(srcCol).as("__s"), ps(tgtCol).as("__t"))
+      .select(col(idCol),
+        size(col("__s")).cast("long").as("n_src"),
+        size(col("__t")).cast("long").as("n_tgt"),
+        (col("__s") === col("__t")).as("parity"),
+        array_join(array_except(col("__s"), col("__t")), ",")
+          .as("src_only"),
+        array_join(array_except(col("__t"), col("__s")), ",")
+          .as("tgt_only"))
+  }
+
+  /** Markdown front-matter extraction — static-site and docs corpora
+    * carry their metadata as a leading `---` YAML block; the key
+    * census (which docs declare titles, dates, tags) is the metadata-
+    * coverage table that decides whether front matter is worth
+    * parsing as structure or stripping as noise. The block is the
+    * non-greedy leading `--- … ---` span; keys are line-anchored
+    * `name:` fields inside it.
+    *
+    * Output: one row per doc — presence, key count, sorted key list,
+    * and the three canonical-key booleans.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def frontmatter(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val block = regexp_extract(txt, "(?s)^---\n(.*?)\n---", 1)
+    val keys = array_sort(array_distinct(regexp_extract_all(block,
+      lit("(?m)^([a-zA-Z_][a-zA-Z0-9_-]*):"), lit(1))))
+    docs.select(col(idCol),
+        (length(block) > 0).as("has_frontmatter"),
+        size(keys).cast("long").as("n_keys"),
+        array_join(keys, ",").as("keys"),
+        array_contains(keys, "title").as("has_title"),
+        array_contains(keys, "date").as("has_date"),
+        array_contains(keys, "tags").as("has_tags"))
+  }
+
+  /** Commented-out code detection — disabled code left in comments
+    * is the classic code-review smell, and in training data it
+    * teaches the model to produce commented-out blocks mid-file.
+    * Comment lines (`//` or `#` openers) are classified code-like
+    * when the remainder matches a call / assignment / branch shape;
+    * the verdict fires on ≥ `minLines` code-like comment lines
+    * forming ≥ half the doc's comments.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def commentedCode(docs: DataFrame, idCol: String, textCol: String,
+                    minLines: Int = 3): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val nComment = n("(?m)^ *(//|#)")
+    // comment opener followed by a code shape: a call `name(`, an
+    // assignment `name =` (not ==), or a branch/def keyword
+    val nCode = n("(?m)^ *(//|#+) *" +
+      "(if |for |while |return |def |function |" +
+      "[a-zA-Z_][a-zA-Z0-9_.]*\\s*(\\(|= ))")
+    docs.select(col(idCol), nComment.as("n_comment_lines"),
+        nCode.as("n_code_like"))
+      .withColumn("verdict",
+        when(col("n_code_like") >= minLines &&
+          col("n_code_like") * 2 >= col("n_comment_lines"),
+          "disabled_code").otherwise("ok"))
+  }
 }

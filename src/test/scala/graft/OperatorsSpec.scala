@@ -6681,4 +6681,95 @@ class OperatorsSpec extends AnyFunSuite {
       lit0.getAs[Long]("n_social_docs") == 0L &&
       lit0.getAs[String]("verdict") == "prose")
   }
+
+  test("minifiedCode: long-line bundle, generated marker outranks " +
+      "shape, normal code and prose stay ok") {
+    val bundle = "var a=1;" + "f(x);g(y);" * 60
+    val docs = Seq(
+      (1L, bundle),
+      (2L, "// @generated do not edit\n" + bundle),
+      (3L, "def f():\n  return 1\n\nprint(f())"),
+      (4L, "plain prose with one; semicolon"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.minifiedCode(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[String]("verdict") == "minified" &&
+      got(0).getAs[Long]("max_line_len") == bundle.length.toLong)
+    assert(got(1).getAs[String]("verdict") == "generated" &&
+      got(1).getAs[Long]("n_gen_markers") == 2L)
+    assert(got(2).getAs[String]("verdict") == "ok")
+    assert(got(3).getAs[String]("verdict") == "ok")
+    assert(got(4).getAs[String]("verdict") == "ok" &&
+      got(4).getAs[Long]("n_chars") == 1L)
+  }
+
+  test("placeableParity: multiset equality under reorder, dropped " +
+      "and added placeables, positional printf forms") {
+    val docs = Seq(
+      (1L, "%s bought %d of {item}", "{item}: %d por %s"), // reorder ok
+      (2L, "%s and %s twice", "%s once"),        // count mismatch
+      (3L, "use %1$s here", "use %1$s aqui"),    // positional form
+      (4L, "no placeables", "sin nada")
+    ).toDF("id", "src", "tgt")
+    val got = TextAnalysisOps.placeableParity(docs, "id", "src",
+      "tgt").orderBy("id").collect()
+    assert(got(0).getAs[Boolean]("parity") &&
+      got(0).getAs[Long]("n_src") == 3L)
+    assert(!got(1).getAs[Boolean]("parity") &&
+      got(1).getAs[String]("src_only") == "" && // %s present in both
+      got(1).getAs[Long]("n_src") == 2L &&
+      got(1).getAs[Long]("n_tgt") == 1L)
+    assert(got(2).getAs[Boolean]("parity"))
+    assert(got(3).getAs[Boolean]("parity") &&
+      got(3).getAs[Long]("n_src") == 0L)
+  }
+
+  test("frontmatter: key census, canonical-key flags, broken opener " +
+      "and missing block yield none") {
+    val docs = Seq(
+      (1L, "---\ntitle: X\ndate: 2024-01-01\ntags: a\n---\nbody"),
+      (2L, "---\ncustom-key: v\n_under: w\n---\nbody"),
+      (3L, "--- not a block\ntitle: nope"),
+      (4L, "no block at all"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.frontmatter(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Boolean]("has_frontmatter") &&
+      got(0).getAs[String]("keys") == "date,tags,title" &&
+      got(0).getAs[Boolean]("has_title") &&
+      got(0).getAs[Boolean]("has_date") &&
+      got(0).getAs[Boolean]("has_tags"))
+    assert(got(1).getAs[Long]("n_keys") == 2L &&
+      !got(1).getAs[Boolean]("has_title"))
+    assert(!got(2).getAs[Boolean]("has_frontmatter") &&
+      got(2).getAs[Long]("n_keys") == 0L)
+    assert(!got(3).getAs[Boolean]("has_frontmatter"))
+    assert(!got(4).getAs[Boolean]("has_frontmatter"))
+  }
+
+  test("commentedCode: disabled statements fire at the floor and " +
+      "share, prose comments and sparse code-likes stay ok") {
+    val docs = Seq(
+      (1L, "# x = 1\n# run(y)\n# while z:\n# note\ncode"),
+      (2L, "// explains the approach\n// more prose\ncode"),
+      (3L, "# a(1)\n# b = 2\ncode"),  // 2 code-like < floor
+      // 3 code-like but 8 comments -> share under half
+      (4L, (1 to 3).map(i => s"# f$i(x)").mkString("\n") + "\n" +
+        (1 to 5).map(i => s"# prose note $i").mkString("\n")),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.commentedCode(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[String]("verdict") == "disabled_code" &&
+      got(0).getAs[Long]("n_code_like") == 3L &&
+      got(0).getAs[Long]("n_comment_lines") == 4L)
+    assert(got(1).getAs[String]("verdict") == "ok" &&
+      got(1).getAs[Long]("n_code_like") == 0L)
+    assert(got(2).getAs[String]("verdict") == "ok")
+    assert(got(3).getAs[String]("verdict") == "ok" &&
+      got(3).getAs[Long]("n_comment_lines") == 8L)
+    assert(got(4).getAs[String]("verdict") == "ok")
+  }
 }
