@@ -5213,6 +5213,64 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), text.as("text")),
         "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Degree-capped co-citation (q312): ~17 docs share each source
+    // key and contribute 3 targets apiece, so every source exceeds
+    // the cap — the bounded top-N keeps the 8 lexicographically
+    // smallest targets before any pairing, and the oracle's
+    // row_number cap must agree pair-for-pair.
+    "q312_cocitation" -> ((s, dir) => {
+      val id = col("doc_id")
+      val edges = t(s, dir, "documents").select(
+        concat(lit("s"), (id % 30).cast("string")).as("src"),
+        explode(array(
+          concat(lit("d"), (id % 5).cast("string")),
+          concat(lit("d"), ((id * 3 + 1) % 7).cast("string")),
+          concat(lit("d"), ((id * 5 + 2) % 11).cast("string"))))
+          .as("dst"))
+      GraphOps.cocitation(edges, "src", "dst", maxOut = 8, k = 20)
+        .orderBy(col("n_cociting").desc, col("p1"), col("p2"))
+    }),
+
+    // Cumulative monthly revenue (q313): aggregate-then-window — the
+    // running sum runs over the nation×month frame, with month
+    // revenues rounded BEFORE accumulation so the cumulative is a
+    // deterministic sequential sum on both engines.
+    "q313_cumulative_revenue" -> ((s, dir) => {
+      val facts = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+      RollupOps.cumulativeMonthlyRevenue(facts, "n_name",
+          "o_orderdate",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .orderBy(col("n_name"), col("month"))
+    }),
+
+    // Status pivot (q314): order counts by priority with statuses as
+    // pinned columns — Spark's relational pivot plans as ONE
+    // aggregate with CASE projections, matched against the oracle's
+    // explicit CASE sums.
+    "q314_priority_pivot" -> ((s, dir) => {
+      RollupOps.statusPivot(t(s, dir, "orders"), "o_orderpriority",
+          "o_orderstatus", Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Ordered event funnel (q315): view → click → signup → purchase
+    // with strictly-after timing on second-truncated event times —
+    // each stage one user-keyed min-aggregate joined to the previous
+    // stage's frame.
+    "q315_event_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      SessionOps.eventFunnel(ev, "user_id",
+          graft.sources.EventTime.secCol(ev), "event_type",
+          Seq("view", "click", "signup", "purchase"))
+        .orderBy(col("stage_idx"))
     })
   )
 
@@ -15260,6 +15318,89 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  CASE WHEN n_code_like >= 3
         |      AND n_code_like * 2 >= n_comment_lines
         |    THEN 'disabled_code' ELSE 'ok' END AS verdict
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q312_cocitation" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || (doc_id % 30)::VARCHAR AS src, dst
+        |  FROM (SELECT doc_id, unnest([
+        |      'd' || (doc_id % 5)::VARCHAR,
+        |      'd' || ((doc_id * 3 + 1) % 7)::VARCHAR,
+        |      'd' || ((doc_id * 5 + 2) % 11)::VARCHAR]) AS dst
+        |    FROM documents)),
+        |r AS (
+        |  SELECT src, dst, row_number() OVER
+        |    (PARTITION BY src ORDER BY dst) AS rn
+        |  FROM e),
+        |kk AS (SELECT src, dst FROM r WHERE rn <= 8)
+        |SELECT a.dst AS p1, b.dst AS p2,
+        |  count(*)::BIGINT AS n_cociting
+        |FROM kk a JOIN kk b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY a.dst, b.dst
+        |ORDER BY n_cociting DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "q313_cumulative_revenue" ->
+      """WITH m AS (
+        |  SELECT n_name,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)
+        |      ::BIGINT AS month_revenue_cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, strftime(o_orderdate, '%Y-%m'))
+        |SELECT n_name, month, month_revenue_cents,
+        |  (sum(month_revenue_cents) OVER (PARTITION BY n_name
+        |    ORDER BY month ROWS UNBOUNDED PRECEDING))::BIGINT
+        |    AS cum_revenue_cents
+        |FROM m ORDER BY n_name, month""".stripMargin,
+
+    "q314_priority_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    ::BIGINT AS "F",
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |    ::BIGINT AS "O",
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |    ::BIGINT AS "P",
+        |  count(*)::BIGINT AS total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q315_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS sec
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(sec) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(sec) AS t FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'click' AND sec > s1.t
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(sec) AS t FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE event_type = 'signup' AND sec > s2.t
+        |  GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(sec) AS t FROM e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE event_type = 'purchase' AND sec > s3.t
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)),
+        |p AS (SELECT stage_idx + 1 AS stage_idx, n_users AS prev
+        |  FROM c)
+        |SELECT c.stage_idx::BIGINT AS stage_idx, stage,
+        |  c.n_users::BIGINT AS n_users,
+        |  (CASE WHEN p.prev IS NULL THEN 1000000
+        |    ELSE c.n_users * 1000000 // greatest(p.prev, 1) END)
+        |    ::BIGINT AS conv_from_prev_micro
+        |FROM c LEFT JOIN p USING (stage_idx)
+        |ORDER BY stage_idx""".stripMargin
   )
 }

@@ -89,4 +89,40 @@ object GraphOps {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"),
         col("rank_micro"))
   }
+
+  /** Degree-capped co-citation (Small 1973): two pages are related
+    * when the same sources cite both — the link-graph similarity
+    * signal that needs no content at all. The naive self-join is a
+    * scale trap: one hub citing 10⁵ pages emits C(10⁵,2) ≈ 5·10⁹
+    * pairs from a single group. The cap is therefore applied FIRST,
+    * and with the bounded top-N aggregate (smallest `maxOut` targets
+    * per source, deterministic) — partial buffers per map task,
+    * never the hub's full citation list in one reduce task; pair
+    * fan-out is then ≤ C(maxOut,2) per source by construction.
+    *
+    * Output: top-k (p1, p2) pairs (p1 < p2) by co-citation count.
+    *
+    * Scale shape: distinct → one bounded aggregate → in-row pair
+    * expansion (explode of a ≤ C(maxOut,2) array) → map-side-
+    * combined pair counts → TakeOrdered. */
+  def cocitation(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxOut: Int = 8, k: Int = 20): DataFrame = {
+    require(maxOut >= 2 && maxOut <= 1024, "maxOut in [2, 1024]")
+    val kept = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .groupBy(col("src"))
+      .agg(graft.functions.AggFunctions.boundedTopN(col("dst"), maxOut)
+        .as("__ds"))
+    val pairs = flatten(transform(col("__ds"), (a, i) =>
+      transform(
+        slice(col("__ds"), i + lit(2),
+          greatest(size(col("__ds")) - i - 1, lit(0))),
+        b => struct(a.as("p1"), b.as("p2")))))
+    kept.select(explode(pairs).as("__p"))
+      .select(col("__p.p1").as("p1"), col("__p.p2").as("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_cociting"))
+      .orderBy(col("n_cociting").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
 }

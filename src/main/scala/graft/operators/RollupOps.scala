@@ -41,4 +41,60 @@ object RollupOps {
       .orderBy(coalesce(rank, lit(nullRank)).asc, key.asc)
       .limit(k)
   }
+
+  /** Cumulative revenue by group and month — the classic running-
+    * total report, built the only way it scales: aggregate FIRST
+    * (group × month revenue, map-side combined over the corpus),
+    * window SECOND (the running sum runs over the aggregate frame,
+    * whose cardinality is groups × months — thousands of rows, not
+    * the fact table). Month revenues are rounded to 2 dp BEFORE the
+    * running sum, so the cumulative is a deterministic sequential
+    * sum of identical addends on any engine.
+    *
+    * Output: one row per (group, month) — month label (yyyy-MM
+    * string, never a raw timestamp), monthly and cumulative revenue
+    * in integer CENTS: the month aggregate is rounded once (the only
+    * float-boundary crossing — aggregate-level rounding absorbs
+    * shuffle-order ulp drift), and the running total accumulates
+    * exact BIGINTs after that. Rounding the cumulative itself would
+    * re-roll the half-way dice on every row (measured: a .105-class
+    * boundary diverged Spark's decimal-string HALF_UP from the
+    * oracle's binary rounding at sf0.01 row 855).
+    *
+    * Scale shape: one fact-table aggregate; the window's partitions
+    * are month-count-sized. */
+  def cumulativeMonthlyRevenue(facts: DataFrame, groupCol: String,
+                               dateCol: String,
+                               revenue: Column): DataFrame = {
+    val monthly = facts
+      .groupBy(col(groupCol).as("grp"),
+        date_format(col(dateCol), "yyyy-MM").as("month"))
+      .agg(round(sum(revenue) * 100, 0).cast("long")
+        .as("month_revenue_cents"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_revenue_cents",
+        sum(col("month_revenue_cents")).over(w))
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** Status pivot — counts of one categorical crossed with another
+    * as columns (Spark's relational `pivot`, planned as a single
+    * aggregate with CASE projections — one pass, no join). Values
+    * are pinned by the caller so the schema is static (an unpinned
+    * pivot runs a distinct-scan first AND makes the output schema
+    * data-dependent — both wrong at scale).
+    *
+    * Scale shape: one map-side-combined aggregate keyed by the row
+    * dimension. */
+  def statusPivot(df: DataFrame, rowCol: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivot values must be pinned")
+    df.groupBy(col(rowCol))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .na.fill(0L, values)
+      .withColumn("total", values.map(col).reduce(_ + _))
+  }
 }

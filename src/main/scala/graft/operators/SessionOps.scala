@@ -51,4 +51,60 @@ object SessionOps {
         min_by(tsSeconds, struct(value, tsSeconds)).as("closest_time"))
       .filter(col("end_time") - col("start_time") >= lit(minTripSeconds))
   }
+
+  /** Ordered event funnel — the product-analytics staple: of the
+    * users who did stage 1, how many went on to stage 2 STRICTLY
+    * AFTER it, then stage 3 after that, … Each stage is one
+    * filtered aggregate (earliest qualifying time per user) joined
+    * user-keyed to the previous stage's frame — no per-user event
+    * sort, no window over a user's whole history (a bot user's
+    * million events arrive at each stage as map-side min() partials).
+    * The event scan is re-read once per stage with the stage's type
+    * filter pushed to the source.
+    *
+    * Output: one row per stage — users reaching it and the
+    * integer-micro conversion from the previous stage.
+    *
+    * Scale shape: S user-keyed min-aggregates + S−1 hash joins of
+    * user-cardinality frames; final counts are single-row frames
+    * unioned. */
+  def eventFunnel(events: DataFrame, userCol: String, secCol: Column,
+                  typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2 && stages.distinct.size == stages.size,
+      "need >= 2 distinct stages")
+    val spark = events.sparkSession
+    val stageFrames = stages.zipWithIndex
+      .foldLeft(List.empty[(String, DataFrame)]) {
+        case (acc, (stage, i)) =>
+          val base = events
+            .filter(col(typeCol) === stage)
+            .select(col(userCol).as("__u"), secCol.as("__sec"))
+          val frame = acc.headOption match {
+            case None =>
+              base.groupBy(col("__u")).agg(min(col("__sec")).as("__t"))
+            case Some((_, prev)) =>
+              base.join(prev.select(col("__u"),
+                  col("__t").as("__pt")), Seq("__u"))
+                .filter(col("__sec") > col("__pt"))
+                .groupBy(col("__u"))
+                .agg(min(col("__sec")).as("__t"))
+          }
+          (stage, frame) :: acc
+      }.reverse
+    val counts = stageFrames.zipWithIndex.map { case ((stage, f), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(stage).as("stage"), col("n_users"))
+    }
+    val all = counts.reduce(_.unionByName(_))
+    // conversion against the previous stage: the frame is
+    // stage-count-sized — a self-join by adjacent index costs nothing
+    val prevs = all.select((col("stage_idx") + 1).as("stage_idx"),
+      col("n_users").as("__prev"))
+    all.join(prevs, Seq("stage_idx"), "left")
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        when(col("__prev").isNull, lit(1000000L))
+          .otherwise(expr("n_users * 1000000L div greatest(__prev, 1L)"))
+          .as("conv_from_prev_micro"))
+  }
 }

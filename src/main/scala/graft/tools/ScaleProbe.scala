@@ -1047,6 +1047,19 @@ object ScaleProbe {
               .otherwise(col("text")).as("text"),
             (col("doc_id") % 20).cast("string").as("src")),
           "doc_id", "text", "src"))
+      // cocitation under a HUB citing 50% of pages: without the cap
+      // the hub alone would emit C(docs/2, 2) pairs; the bounded
+      // top-N keeps 8 targets per source so pair fan-out is ≤ 28
+      // per source at any hub size
+      time(s"cocitation HUB x$n (one src on 50% of edges, cap 8)")(
+        graft.operators.GraphOps.cocitation(
+          docs.select(
+            when(col("doc_id") % 2 === 0, lit("hub"))
+              .otherwise(concat(lit("s"),
+                (col("doc_id") % 997).cast("string"))).as("src"),
+            concat(lit("p"), (col("doc_id") % 4999).cast("string"))
+              .as("dst")),
+          "src", "dst", maxOut = 8, k = 50))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }

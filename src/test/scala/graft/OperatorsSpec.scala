@@ -6772,4 +6772,94 @@ class OperatorsSpec extends AnyFunSuite {
       got(3).getAs[Long]("n_comment_lines") == 8L)
     assert(got(4).getAs[String]("verdict") == "ok")
   }
+
+  test("cocitation: pair counts, the degree cap keeps the smallest " +
+      "targets, duplicate edges collapse first") {
+    val edges = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "a"), ("s2", "b"),
+      ("s3", "a"), ("s3", "b"), ("s3", "b"), // dup edge
+      // hub citing 6 targets, cap 3 keeps a,b,c only
+      ("hub", "a"), ("hub", "b"), ("hub", "c"),
+      ("hub", "x"), ("hub", "y"), ("hub", "z")
+    ).toDF("src", "dst")
+    val got = GraphOps.cocitation(edges, "src", "dst", maxOut = 3,
+      k = 10).collect()
+    val m = got.map(r => (r.getAs[String]("p1"),
+      r.getAs[String]("p2")) -> r.getAs[Long]("n_cociting")).toMap
+    // (a,b): s1, s2, s3, hub = 4; hub's x/y/z never pair (capped)
+    assert(m(("a", "b")) == 4L)
+    assert(m(("a", "c")) == 2L && m(("b", "c")) == 2L)
+    assert(!m.keySet.exists(p => p._1 == "x" || p._2 == "x"))
+    // top row is the most co-cited pair
+    assert(got.head.getAs[Long]("n_cociting") == 4L)
+  }
+
+  test("cumulativeMonthlyRevenue: aggregate-then-window running " +
+      "total in exact cents, per-group isolation") {
+    val facts = Seq(
+      ("A", "2024-01-15", 10.004), // month rounds to 1000 cents
+      ("A", "2024-01-20", 5.0),
+      ("A", "2024-02-01", 2.5),
+      ("B", "2024-01-02", 7.25)
+    ).toDF("grp", "d", "rev")
+      .withColumn("d", to_timestamp(col("d")))
+    val got = RollupOps.cumulativeMonthlyRevenue(facts, "grp", "d",
+      col("rev")).orderBy("grp", "month").collect()
+    assert(got(0).getAs[String]("month") == "2024-01" &&
+      got(0).getAs[Long]("month_revenue_cents") == 1500L &&
+      got(0).getAs[Long]("cum_revenue_cents") == 1500L)
+    assert(got(1).getAs[Long]("month_revenue_cents") == 250L &&
+      got(1).getAs[Long]("cum_revenue_cents") == 1750L)
+    // B's running total never sees A's months
+    assert(got(2).getAs[String]("grp") == "B" &&
+      got(2).getAs[Long]("cum_revenue_cents") == 725L)
+  }
+
+  test("statusPivot: pinned values become columns, absent combos " +
+      "fill zero, total sums the row") {
+    val df = Seq(("p1", "F"), ("p1", "F"), ("p1", "O"),
+      ("p2", "P")).toDF("prio", "status")
+    val got = RollupOps.statusPivot(df, "prio", "status",
+      Seq("F", "O", "P")).orderBy("prio").collect()
+    assert(got(0).getAs[Long]("F") == 2L &&
+      got(0).getAs[Long]("O") == 1L &&
+      got(0).getAs[Long]("P") == 0L &&
+      got(0).getAs[Long]("total") == 3L)
+    assert(got(1).getAs[Long]("P") == 1L &&
+      got(1).getAs[Long]("total") == 1L)
+    intercept[IllegalArgumentException] {
+      RollupOps.statusPivot(df, "prio", "status", Nil)
+    }
+  }
+
+  test("eventFunnel: strictly-after ordering, stage dropout, " +
+      "conversion micro-shares, out-of-order events never count") {
+    val events = Seq(
+      // u1 completes all four in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "signup"),
+      (1L, 40L, "purchase"),
+      // u2 views then clicks; signup BEFORE the click -> stops there
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 15L, "signup"),
+      // u3 clicks without ever viewing -> never enters
+      (3L, 5L, "click"), (3L, 6L, "signup"),
+      // u4 view-only
+      (4L, 1L, "view"),
+      // u5: click at the SAME second as view -> strictly-after fails
+      (5L, 10L, "view"), (5L, 10L, "click")
+    ).toDF("user_id", "sec", "event_type")
+    val got = SessionOps.eventFunnel(events, "user_id", col("sec"),
+      "event_type", Seq("view", "click", "signup", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(got.map(_.getAs[Long]("n_users")).toSeq ==
+      Seq(4L, 2L, 1L, 1L))
+    assert(got(0).getAs[Long]("conv_from_prev_micro") == 1000000L)
+    assert(got(1).getAs[Long]("conv_from_prev_micro") == 500000L)
+    assert(got(2).getAs[Long]("conv_from_prev_micro") == 500000L)
+    assert(got(3).getAs[Long]("conv_from_prev_micro") == 1000000L)
+    intercept[IllegalArgumentException] {
+      SessionOps.eventFunnel(events, "user_id", col("sec"),
+        "event_type", Seq("view"))
+    }
+  }
 }

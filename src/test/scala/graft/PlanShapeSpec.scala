@@ -597,6 +597,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"cluster sizes come from groupBy(sig).count, not a window:\n$p")
   }
+
+  test("q312: co-citation caps via the bounded top-N aggregate — " +
+      "no rank window over the hub key, top-k is TakeOrdered") {
+    val p = plan("q312_cocitation")
+    assert(p.contains("bounded_top_n"),
+      s"the citation cap must be the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no window over src (a hub is a Zipfian key):\n$p")
+    assert(p.contains("TakeOrdered"),
+      s"top-k must be TakeOrdered, not sort+limit stages:\n$p")
+  }
+
+  test("q314: the pinned pivot plans as ONE aggregate — no join, " +
+      "no expand-per-value scans") {
+    val p = plan("q314_priority_pivot")
+    assert(!p.contains("Join"), s"pivot must not join:\n$p")
+    assert(p.split("HashAggregate").length <= 5,
+      s"one partial+final aggregate pair expected:\n$p")
+  }
 }
 
 /** q48's query ends in a presentation orderBy; the operator itself must
