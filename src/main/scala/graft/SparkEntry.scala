@@ -5271,6 +5271,48 @@ object SparkEntry {
           graft.sources.EventTime.secCol(ev), "event_type",
           Seq("view", "click", "signup", "purchase"))
         .orderBy(col("stage_idx"))
+    }),
+
+    // Last-touch attribution (q316): each purchase as-of joined to
+    // the latest prior click (AsOfJoin's union+carry plan vs the
+    // oracle's native ASOF JOIN — two entirely different plans, same
+    // rows), bucketed by attribution lag.
+    "q316_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      SessionOps.lastTouchAttribution(ev, "user_id",
+          graft.sources.EventTime.secCol(ev), "event_type",
+          touchType = "click", convType = "purchase")
+        .orderBy(col("bucket"))
+    }),
+
+    // Retention cohorts (q317): first-event epoch-week cohorts ×
+    // active-week offsets, distinct users — pure integer week
+    // arithmetic.
+    "q317_retention_cohorts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      SessionOps.retentionCohorts(ev, "user_id",
+          graft.sources.EventTime.secCol(ev))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Transition matrix (q318): first-order event-type Markov counts
+    // with (sec, event_id) tie-broken ordering and integer shares
+    // per from-type.
+    "q318_transition_matrix" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      SessionOps.transitionMatrix(ev, "user_id",
+          graft.sources.EventTime.secCol(ev), "event_type",
+          "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Value anomalies (q319): the z²>9 outlier flag in exact integer
+    // cents — cross-multiplied variance test, no float comparison
+    // anywhere near the flag boundary.
+    "q319_value_anomalies" -> ((s, dir) => {
+      SessionOps.valueAnomalies(t(s, dir, "events"), "event_type",
+          col("value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -15401,6 +15443,85 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    ELSE c.n_users * 1000000 // greatest(p.prev, 1) END)
         |    ::BIGINT AS conv_from_prev_micro
         |FROM c LEFT JOIN p USING (stage_idx)
-        |ORDER BY stage_idx""".stripMargin
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q316_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS sec
+        |  FROM events),
+        |pr AS (SELECT user_id, sec FROM e
+        |  WHERE event_type = 'purchase'),
+        |tq AS (SELECT user_id, sec FROM e
+        |  WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT pr.sec AS psec, tq.sec AS tsec
+        |  FROM pr ASOF LEFT JOIN tq
+        |    ON pr.user_id = tq.user_id AND tq.sec <= pr.sec)
+        |SELECT CASE WHEN tsec IS NULL THEN 'none'
+        |    WHEN psec - tsec <= 3600 THEN 'within_1h'
+        |    WHEN psec - tsec <= 86400 THEN 'within_24h'
+        |    ELSE 'older' END AS bucket,
+        |  count(*)::BIGINT AS n_conversions
+        |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q317_retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    (epoch(date_trunc('second', ts))::BIGINT // 604800)
+        |      AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM w
+        |  GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM w)
+        |SELECT cohort_week::BIGINT AS cohort_week,
+        |  (wk - cohort_week)::BIGINT AS week_offset,
+        |  count(DISTINCT a.user_id)::BIGINT AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY cohort_week, wk - cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q318_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS sec
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS from_type
+        |  FROM e),
+        |pc AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM l WHERE from_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |tt AS (SELECT from_type, sum(n)::BIGINT AS tot FROM pc
+        |  GROUP BY from_type)
+        |SELECT pc.from_type, to_type, n,
+        |  (n * 1000000 // tot)::BIGINT AS share_micro
+        |FROM pc JOIN tt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q319_value_anomalies" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    round(value * 100, 0)::BIGINT AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(c::HUGEINT) AS s,
+        |    sum(c::HUGEINT * c) AS ssq
+        |  FROM b GROUP BY event_type),
+        |f AS (
+        |  SELECT b.event_type,
+        |    CASE WHEN (b.c::HUGEINT * n - s)
+        |        * (b.c::HUGEINT * n - s)
+        |      > 9 * (n * ssq - s * s) THEN 1 ELSE 0 END AS anom
+        |  FROM b JOIN st USING (event_type))
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(anom)::BIGINT AS n_anomalies,
+        |  (sum(anom) * 1000000 // count(*))::BIGINT
+        |    AS anomaly_micro
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

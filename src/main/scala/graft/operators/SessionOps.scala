@@ -107,4 +107,129 @@ object SessionOps {
           .otherwise(expr("n_users * 1000000L div greatest(__prev, 1L)"))
           .as("conv_from_prev_micro"))
   }
+
+  /** Last-touch attribution — for each conversion event, the latest
+    * touch event at or before it (the as-of join, [[AsOfJoin]]'s
+    * union+carry plan — never a range self-join), bucketed by
+    * attribution lag. The report is the bucket histogram: how much
+    * conversion volume is attributable within an hour, within a day,
+    * only to older touches, or not at all.
+    *
+    * Scale shape: one as-of join keyed by user (the carry window is
+    * user-keyed — bounded by events-per-user, the engine's trip
+    * discipline) into a 4-row bucket aggregate. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           secCol: Column, typeCol: String,
+                           touchType: String,
+                           convType: String): DataFrame = {
+    require(touchType != convType, "touch and conversion must differ")
+    val probes = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), secCol.as("__sec"))
+    val quotes = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("__u"), secCol.as("__sec"),
+        secCol.as("touch_sec"))
+    val joined = AsOfJoin.asOf(probes, quotes, "__u", "__sec")
+    val lag = col("__sec") - col("touch_sec")
+    val bucket = when(col("touch_sec").isNull, "none")
+      .when(lag <= 3600L, "within_1h")
+      .when(lag <= 86400L, "within_24h")
+      .otherwise("older")
+    joined.select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** Weekly retention cohorts — the activation dashboard: users
+    * bucketed by their FIRST-event week, counted in every later week
+    * they showed any activity. Weeks are integer epoch-weeks
+    * (sec div 604800) — no calendar parsing, no timezone, identical
+    * arithmetic on any engine.
+    *
+    * Output: one row per (cohort_week, week_offset) — distinct
+    * active users.
+    *
+    * Scale shape: first-event week is a user-keyed min aggregate;
+    * activity is a distinct over (user, week); one user-keyed hash
+    * join; the cohort matrix is weeks² rows. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       secCol: Column): DataFrame = {
+    val weeks = events.select(col(userCol).as("__u"),
+      (secCol / 604800L).cast("long").as("__w"))
+    val cohort = weeks.groupBy(col("__u"))
+      .agg(min(col("__w")).as("cohort_week"))
+    weeks.distinct()
+      .join(cohort, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
+
+  /** Event-transition matrix — the first-order Markov census of user
+    * behavior: counts of (event → next event) per user timeline,
+    * with each from-type's integer share. Ordering is (sec,
+    * event_id) so same-second events resolve deterministically; the
+    * lag window is USER-keyed (bounded by events-per-user — the trip
+    * discipline; a bot user concentrates its own timeline in one
+    * task, which per-key state makes irreducible and the decimation
+    * lever bounds upstream).
+    *
+    * Scale shape: one user-keyed lag window → a (from, to)-keyed
+    * aggregate (event-type² rows, map-side combined); shares derive
+    * from re-grouping that tiny frame, broadcast back. */
+  def transitionMatrix(events: DataFrame, userCol: String,
+                       secCol: Column, typeCol: String,
+                       idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__sec"), col("__id"))
+    val pairs = events.select(col(userCol).as("__u"),
+        secCol.as("__sec"), col(idCol).as("__id"),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000L div __tot").as("share_micro"))
+  }
+
+  /** Per-type value anomalies in EXACT integer arithmetic — the
+    * 3σ outlier flag without a single float comparison: values are
+    * integer cents, per-type (n, Σv, Σv²) are exact sums, and the
+    * flag `(v·n − s)² > 9·(n·ssq − s²)` is the z²>9 test cleared of
+    * divisions (both sides through DECIMAL(38,0) — at corpus scale
+    * v·n wraps BIGINT). Two engines disagree on float variance by
+    * shuffle-order ulps exactly at the flag boundary; integers
+    * cannot.
+    *
+    * Output: one row per event type — n, anomaly count, integer
+    * anomaly share.
+    *
+    * Scale shape: one type-keyed stats aggregate (map-side combined,
+    * event-type-cardinality rows) broadcast back over one event
+    * scan; final frame is type-sized. */
+  def valueAnomalies(events: DataFrame, typeCol: String,
+                     value: Column): DataFrame = {
+    val cents = round(value * 100, 0).cast("long")
+    val base = events.select(col(typeCol).as("event_type"),
+      cents.as("__c"))
+    val stats = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"),
+        sum(expr("CAST(__c AS DECIMAL(38,0))")).as("__s"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__ssq"))
+    base.join(broadcast(stats), Seq("event_type"))
+      .withColumn("__anom",
+        expr("""CASE WHEN
+          |  (CAST(__c AS DECIMAL(38,0)) * __n - __s)
+          |    * (CAST(__c AS DECIMAL(38,0)) * __n - __s)
+          |  > 9 * (__n * __ssq - __s * __s)
+          |THEN 1L ELSE 0L END""".stripMargin))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__anom")).as("n_anomalies"))
+      .withColumn("anomaly_micro",
+        expr("n_anomalies * 1000000L div n"))
+  }
 }

@@ -6862,4 +6862,80 @@ class OperatorsSpec extends AnyFunSuite {
         "event_type", Seq("view"))
     }
   }
+
+  test("lastTouchAttribution: latest prior touch wins, inclusive " +
+      "same-second, lag buckets, touchless conversions") {
+    val events = Seq(
+      (1L, 100L, "click"), (1L, 2000L, "click"),
+      (1L, 3000L, "purchase"),                // latest click, 1000s
+      (2L, 10L, "click"), (2L, 10L + 90000L, "purchase"), // older
+      (3L, 50L, "purchase"),                  // no click -> none
+      (4L, 70L, "click"), (4L, 70L, "purchase"), // same second
+      (5L, 100L, "purchase"), (5L, 200L, "click") // click AFTER
+    ).toDF("user_id", "sec", "event_type")
+    val got = SessionOps.lastTouchAttribution(events, "user_id",
+      col("sec"), "event_type", "click", "purchase")
+      .collect().map(r => r.getAs[String]("bucket") ->
+        r.getAs[Long]("n_conversions")).toMap
+    assert(got == Map("within_1h" -> 2L, "older" -> 1L,
+      "none" -> 2L))
+    intercept[IllegalArgumentException] {
+      SessionOps.lastTouchAttribution(events, "user_id", col("sec"),
+        "event_type", "click", "click")
+    }
+  }
+
+  test("retentionCohorts: epoch-week cohorts, distinct users per " +
+      "offset, returning users count once per week") {
+    val wk = 604800L
+    val events = Seq(
+      (1L, 0L), (1L, wk + 5L), (1L, wk + 9L),   // w0 cohort, back w1
+      (2L, 3L), (2L, 2 * wk),                   // w0 cohort, back w2
+      (3L, wk)                                  // w1 cohort only
+    ).toDF("user_id", "sec")
+    val got = SessionOps.retentionCohorts(events, "user_id",
+      col("sec")).orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L,
+      (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
+  test("transitionMatrix: per-user ordering with id tie-breaks, " +
+      "from-type shares, single-event users contribute nothing") {
+    val events = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"),
+      (1L, 3L, 30L, "view"),
+      // same-second pair ordered by event_id
+      (2L, 4L, 5L, "view"), (2L, 5L, 5L, "click"),
+      (3L, 6L, 1L, "purchase") // alone: no transition
+    ).toDF("user_id", "event_id", "sec", "event_type")
+    val got = SessionOps.transitionMatrix(events, "user_id",
+      col("sec"), "event_type", "event_id")
+      .orderBy("from_type", "to_type").collect()
+    val m = got.map(r => (r.getAs[String]("from_type"),
+      r.getAs[String]("to_type")) ->
+      (r.getAs[Long]("n"), r.getAs[Long]("share_micro"))).toMap
+    // view->click twice (u1, u2 — u2's same-second pair ordered by
+    // id), click->view once (u1); u3's lone event contributes none.
+    // Every from-type's transitions happen to be all-one-target here,
+    // so both shares are a full million.
+    assert(m == Map(("view", "click") -> (2L, 1000000L),
+      ("click", "view") -> (1L, 1000000L)))
+  }
+
+  test("valueAnomalies: integer z-squared flag, one extreme value " +
+      "flags, tight clusters flag nothing") {
+    val events = (1 to 99).map(i => ("a", 10.0)) ++ Seq(("a", 500.0)) ++
+      (1 to 50).map(_ => ("b", 7.25))
+    val df = events.toDF("event_type", "value")
+    val got = SessionOps.valueAnomalies(df, "event_type",
+      col("value")).orderBy("event_type").collect()
+    assert(got(0).getAs[Long]("n") == 100L &&
+      got(0).getAs[Long]("n_anomalies") == 1L &&
+      got(0).getAs[Long]("anomaly_micro") == 10000L)
+    // zero variance: nothing can exceed 3 sigma
+    assert(got(1).getAs[Long]("n_anomalies") == 0L)
+  }
 }
