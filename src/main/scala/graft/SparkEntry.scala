@@ -5313,6 +5313,52 @@ object SparkEntry {
       SessionOps.valueAnomalies(t(s, dir, "events"), "event_type",
           col("value"))
         .orderBy(col("event_type"))
+    }),
+
+    // Hourly gap-fill (q320): the (hour × type) monitoring grid with
+    // ZERO rows for silent hours — sequence explode of the bound
+    // frame crossed with distinct types, counts left-joined.
+    "q320_hourly_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      RollupOps.hourlyGapfill(ev,
+          graft.sources.EventTime.secCol(ev), "event_type")
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Top spenders per nation (q321): window-free top-3 via the
+    // bounded top-N aggregate on (−cents, custkey) — the oracle's
+    // rank window must agree row-for-row.
+    "q321_top_spenders" -> ((s, dir) => {
+      val totals = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+      RollupOps.topNPerGroup(totals, "n_name", "c_custkey",
+          col("cents"), k = 3)
+        .orderBy(col("n_name"), col("rank"))
+    }),
+
+    // JSON props stats (q322): per-type census of the `k` field —
+    // null rate, range, sum, cardinality.
+    "q322_props_stats" -> ((s, dir) => {
+      SessionOps.jsonPropStats(t(s, dir, "events"), "event_type",
+          "props", "k")
+        .orderBy(col("event_type"))
+    }),
+
+    // Re-order gaps (q323): per-customer inter-order day gaps
+    // (epoch-day integers, orderkey tie-breaks) into retention
+    // bands.
+    "q323_reorder_gaps" -> ((s, dir) => {
+      SessionOps.reorderGaps(t(s, dir, "orders"), "o_custkey",
+          expr("unix_micros(cast(o_orderdate as timestamp))" +
+            " div 86400000000"),
+          "o_orderkey")
+        .orderBy(col("bucket"))
     })
   )
 
@@ -15522,6 +15568,75 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  sum(anom)::BIGINT AS n_anomalies,
         |  (sum(anom) * 1000000 // count(*))::BIGINT
         |    AS anomaly_micro
-        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q320_hourly_gapfill" ->
+      """WITH b AS (
+        |  SELECT epoch(date_trunc('second', ts))::BIGINT // 3600
+        |    AS hour, event_type
+        |  FROM events),
+        |bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM b),
+        |hours AS (SELECT unnest(generate_series(mn, mx)) AS hour
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM b),
+        |c AS (SELECT hour, event_type, count(*)::BIGINT AS n
+        |  FROM b GROUP BY hour, event_type)
+        |SELECT h.hour::BIGINT AS hour,
+        |  t.event_type AS event_type,
+        |  coalesce(n, 0)::BIGINT AS n_events
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN c ON c.hour = h.hour
+        |  AND c.event_type = t.event_type
+        |ORDER BY h.hour, t.event_type""".stripMargin,
+
+    "q321_top_spenders" ->
+      """WITH tot AS (
+        |  SELECT o_custkey,
+        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT n_name, c_custkey, cents
+        |  FROM tot JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY n_name
+        |    ORDER BY cents DESC, c_custkey) AS rn
+        |  FROM j)
+        |SELECT n_name, rn::BIGINT AS rank, c_custkey,
+        |  cents AS total_cents
+        |FROM r WHERE rn <= 3 ORDER BY n_name, rank""".stripMargin,
+
+    "q322_props_stats" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(coalesce(props, ''))
+        |      THEN TRY_CAST(json_extract_string(props, '$.k')
+        |        AS BIGINT) END AS v
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_absent,
+        |  min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+        |  sum(v)::BIGINT AS sum_v,
+        |  count(DISTINCT v)::BIGINT AS n_distinct
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q323_reorder_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch(o_orderdate)::BIGINT // 86400 AS d
+        |  FROM orders),
+        |g AS (
+        |  SELECT d - lag(d) OVER (PARTITION BY o_custkey
+        |    ORDER BY d, o_orderkey) AS gap
+        |  FROM o)
+        |SELECT CASE WHEN gap <= 7 THEN 'within_7d'
+        |    WHEN gap <= 30 THEN 'within_30d'
+        |    WHEN gap <= 90 THEN 'within_90d'
+        |    ELSE 'over_90d' END AS bucket,
+        |  count(*)::BIGINT AS n_gaps
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -97,4 +97,62 @@ object RollupOps {
       .na.fill(0L, values)
       .withColumn("total", values.map(col).reduce(_ + _))
   }
+
+  /** Gap-filled hourly rate grid — monitoring charts need the ZERO
+    * hours (an outage reads as a missing row to a naive groupBy, and
+    * as a zero to this): the (hour × type) dimension grid is
+    * generated from the corpus min/max hour (`sequence` explode of a
+    * single aggregate row crossed with the distinct type frame) and
+    * the observed counts left-join onto it. Hours are integer
+    * epoch-hours — no calendar arithmetic.
+    *
+    * Scale shape: one map-side-combined (hour, type) count aggregate;
+    * the grid is (hour-span × types) rows built from a single-row
+    * bound frame — broadcast joins both ways. */
+  def hourlyGapfill(events: DataFrame, secCol: Column,
+                    typeCol: String): DataFrame = {
+    val base = events.select((secCol / 3600L).cast("long").as("hour"),
+      col(typeCol).as("event_type"))
+    val bounds = base.agg(min(col("hour")).as("__mn"),
+      max(col("hour")).as("__mx"))
+    val hours = bounds
+      .select(explode(sequence(col("__mn"), col("__mx"))).as("hour"))
+    val types = base.select(col("event_type")).distinct()
+    val counts = base.groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("__n"))
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("__n"), lit(0L)).as("n_events"))
+  }
+
+  /** Window-free top-N per group — "top k customers per nation"
+    * without `row_number() over (partition by group)`: per-entity
+    * totals aggregate first (exact integer cents — float spend would
+    * make the RANKING itself shuffle-order-dependent at ties), then
+    * the per-group top-k rides the bounded top-N aggregate on
+    * (−total, entity) structs: k-element partial buffers per map
+    * task, no rank window, no single-task group. The explode back to
+    * rows is ≤ k per group.
+    *
+    * Scale shape: two aggregates (entity totals; group top-k) + one
+    * broadcast-sized explode. */
+  def topNPerGroup(totals: DataFrame, groupCol: String,
+                   entityCol: String, totalCents: Column,
+                   k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, "k in [1, 1e4]")
+    val kept = totals
+      .select(col(groupCol).as("grp"), col(entityCol).as("__e"),
+        totalCents.as("__c"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.AggFunctions.boundedTopN(
+        struct((-col("__c")).as("neg"), col("__e").as("e")), k)
+        .as("__top"))
+    kept.select(col("grp").as(groupCol),
+        posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col(groupCol), (col("__pos") + 1).cast("long")
+          .as("rank"),
+        col("__s.e").as(entityCol),
+        (-col("__s.neg")).as("total_cents"))
+  }
 }

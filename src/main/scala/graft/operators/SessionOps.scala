@@ -232,4 +232,53 @@ object SessionOps {
       .withColumn("anomaly_micro",
         expr("n_anomalies * 1000000L div n"))
   }
+
+  /** Semi-structured payload stats — event `props` arrive as JSON
+    * strings; the field-level census (null rate, range, cardinality
+    * of a declared field) is the schema-inference step before anyone
+    * commits to parsing them as columns. Extraction is per-row
+    * `get_json_object` (null for missing field OR unparseable
+    * payload — both are "absent" to the census).
+    *
+    * Scale shape: in-row extraction into one type-keyed aggregate. */
+  def jsonPropStats(events: DataFrame, typeCol: String,
+                    propsCol: String, field: String): DataFrame = {
+    require(field.matches("[a-zA-Z_][a-zA-Z0-9_]*"),
+      "field must be a plain identifier")
+    val v = get_json_object(coalesce(col(propsCol), lit("")),
+      "$." + field).cast("long")
+    events.select(col(typeCol).as("event_type"), v.as("__v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_absent"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"),
+        sum(col("__v")).as("sum_v"),
+        countDistinct(col("__v")).as("n_distinct"))
+  }
+
+  /** Re-order gap histogram — the repeat-behavior profile: per
+    * customer, days between consecutive orders (date ties broken by
+    * the order key for a deterministic timeline), bucketed into the
+    * standard retention bands. Days are integer epoch-days — no
+    * calendar arithmetic.
+    *
+    * Scale shape: one CUSTOMER-keyed lag window (bounded by
+    * orders-per-customer — the trip discipline) into a 4-row bucket
+    * aggregate. */
+  def reorderGaps(orders: DataFrame, custCol: String, dayCol: Column,
+                  idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__c"))
+      .orderBy(col("__d"), col("__id"))
+    val gaps = orders.select(col(custCol).as("__c"),
+        dayCol.as("__d"), col(idCol).as("__id"))
+      .withColumn("__gap", col("__d") - lag(col("__d"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val bucket = when(col("__gap") <= 7L, "within_7d")
+      .when(col("__gap") <= 30L, "within_30d")
+      .when(col("__gap") <= 90L, "within_90d")
+      .otherwise("over_90d")
+    gaps.select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
 }

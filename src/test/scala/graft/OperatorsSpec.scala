@@ -6938,4 +6938,81 @@ class OperatorsSpec extends AnyFunSuite {
     // zero variance: nothing can exceed 3 sigma
     assert(got(1).getAs[Long]("n_anomalies") == 0L)
   }
+
+  test("hourlyGapfill: silent hours appear as zeros for every type, " +
+      "counts land on the right cell") {
+    val events = Seq(
+      (3600L, "view"), (3700L, "view"), (3800L, "click"),
+      // hour 2 silent, hour 3 active again
+      (3 * 3600L + 10L, "view")
+    ).toDF("sec", "event_type")
+    val got = RollupOps.hourlyGapfill(events, col("sec"),
+      "event_type").orderBy("hour", "event_type").collect()
+    // hours 1..3 × 2 types = 6 rows
+    assert(got.length == 6)
+    val m = got.map(r => (r.getAs[Long]("hour"),
+      r.getAs[String]("event_type")) -> r.getAs[Long]("n_events"))
+      .toMap
+    assert(m((1L, "view")) == 2L && m((1L, "click")) == 1L)
+    assert(m((2L, "view")) == 0L && m((2L, "click")) == 0L)
+    assert(m((3L, "view")) == 1L && m((3L, "click")) == 0L)
+  }
+
+  test("topNPerGroup: bounded top-k by exact cents with entity " +
+      "tie-breaks, no group exceeds k") {
+    val totals = Seq(
+      ("N1", 1L, 500L), ("N1", 2L, 900L), ("N1", 3L, 900L),
+      ("N1", 4L, 100L),
+      ("N2", 5L, 50L)
+    ).toDF("grp", "ent", "cents")
+    val got = RollupOps.topNPerGroup(totals, "grp", "ent",
+      col("cents"), k = 2).orderBy("grp", "rank").collect()
+    assert(got.length == 3)
+    // ties on 900 resolve by entity asc: 2 before 3
+    assert(got(0).getAs[Long]("ent") == 2L &&
+      got(0).getAs[Long]("rank") == 1L &&
+      got(0).getAs[Long]("total_cents") == 900L)
+    assert(got(1).getAs[Long]("ent") == 3L &&
+      got(1).getAs[Long]("rank") == 2L)
+    assert(got(2).getAs[String]("grp") == "N2" &&
+      got(2).getAs[Long]("ent") == 5L)
+  }
+
+  test("jsonPropStats: field census with absent/unparseable rows " +
+      "counted as nulls") {
+    val events = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
+      ("a", """{"other": 1}"""),   // field absent
+      ("a", "not json at all"),    // unparseable
+      ("b", """{"k": 5}"""),
+      ("b", null.asInstanceOf[String])
+    ).toDF("event_type", "props")
+    val got = SessionOps.jsonPropStats(events, "event_type",
+      "props", "k").orderBy("event_type").collect()
+    assert(got(0).getAs[Long]("n") == 4L &&
+      got(0).getAs[Long]("n_absent") == 2L &&
+      got(0).getAs[Long]("min_v") == 5L &&
+      got(0).getAs[Long]("max_v") == 7L &&
+      got(0).getAs[Long]("sum_v") == 12L &&
+      got(0).getAs[Long]("n_distinct") == 2L)
+    assert(got(1).getAs[Long]("n_absent") == 1L &&
+      got(1).getAs[Long]("n_distinct") == 1L)
+    intercept[IllegalArgumentException] {
+      SessionOps.jsonPropStats(events, "event_type", "props", "k; x")
+    }
+  }
+
+  test("reorderGaps: per-customer day gaps with id tie-breaks, " +
+      "single-order customers contribute nothing") {
+    val orders = Seq(
+      (1L, 101L, 0L), (1L, 102L, 5L), (1L, 103L, 45L),
+      (2L, 201L, 10L), (2L, 202L, 200L),
+      (3L, 301L, 7L) // single order
+    ).toDF("cust", "okey", "day")
+    val got = SessionOps.reorderGaps(orders, "cust", col("day"),
+      "okey").collect().map(r => r.getAs[String]("bucket") ->
+      r.getAs[Long]("n_gaps")).toMap
+    assert(got == Map("within_7d" -> 1L, "within_90d" -> 1L,
+      "over_90d" -> 1L))
+  }
 }
