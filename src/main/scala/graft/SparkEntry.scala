@@ -5359,6 +5359,85 @@ object SparkEntry {
             " div 86400000000"),
           "o_orderkey")
         .orderBy(col("bucket"))
+    }),
+
+    // PII echo audit (q324): the assistant repeats the user's email
+    // in one slice, paraphrases without it in another, and one
+    // conversation is email-free — the cross-turn echo count must
+    // match.
+    "q324_pii_echo" -> ((s, dir) => {
+      val id = col("doc_id")
+      val k = (id % 50).cast("string")
+      val conv = when(id % 3 === 0, concat(
+          lit("user: my email is user"), k,
+          lit("@ex.com please\nassistant: confirming user"), k,
+          lit("@ex.com is set")))
+        .when(id % 3 === 1, concat(
+          lit("user: contact me at user"), k,
+          lit("@ex.com\nassistant: done, noted your address")))
+        .otherwise(lit("user: no address here\nassistant: ok"))
+      val turns = ConversationOps.parseTurns(
+        t(s, dir, "documents").select(col("doc_id"), conv.as("text")),
+        "doc_id", "text")
+      ConversationOps.piiEchoAudit(turns, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Heading hierarchy (q325): well-formed ladders, a level skip, a
+    // too-deep opener, legal up-transitions, heading-free prose.
+    "q325_heading_hierarchy" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 5 === 0,
+          concat(lit("# T\n## A\n### B\n"), col("text")))
+        .when(id % 5 === 1,
+          concat(lit("# T\n### deep skip\n"), col("text")))
+        .when(id % 5 === 2,
+          concat(lit("### starts deep\n#### next\n"), col("text")))
+        .when(id % 5 === 3,
+          concat(lit("## A\n# up\n## down\n"), col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.headingHierarchy(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Shortener census (q326): bit.ly/t.co links vs full URLs per
+    // source, integer shares.
+    "q326_shortener_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val k = (id % 50).cast("string")
+      val text = concat(col("text"), when(id % 6 === 0,
+          concat(lit(" see https://bit.ly/x"), k,
+            lit(" and https://example.com/full")))
+        .when(id % 6 === 1, lit(" go https://t.co/abc"))
+        .when(id % 6 === 2, lit(" ref https://example.org/page"))
+        .otherwise(lit("")))
+      UrlOps.shortenerCensus(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Instruction complexity (q327): imperative openers, doubled
+    // constraint markers, numbered steps — integer score and tier.
+    "q327_instruction_complexity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 6 === 0, concat(
+          lit("Write a function. It must use recursion.\n" +
+            "1. do this\n2. do that\n"), col("text")))
+        .when(id % 6 === 1,
+          concat(lit("Explain X. Then compare Y.\n"), col("text")))
+        .when(id % 6 === 2, concat(
+          lit("Generate a list. You must include exactly 5 items, " +
+            "at least 3 unique, no more than 10 words each.\n" +
+            "List the results.\n"), col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.instructionComplexity(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -15637,6 +15716,150 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    ELSE 'over_90d' END AS bucket,
         |  count(*)::BIGINT AS n_gaps
         |FROM g WHERE gap IS NOT NULL
-        |GROUP BY bucket ORDER BY bucket""".stripMargin
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q324_pii_echo" ->
+      """WITH conv AS (
+        |  SELECT doc_id, CASE doc_id % 3
+        |    WHEN 0 THEN 'user: my email is user'
+        |      || (doc_id % 50)::VARCHAR || '@ex.com please'
+        |      || chr(10) || 'assistant: confirming user'
+        |      || (doc_id % 50)::VARCHAR || '@ex.com is set'
+        |    WHEN 1 THEN 'user: contact me at user'
+        |      || (doc_id % 50)::VARCHAR || '@ex.com' || chr(10)
+        |      || 'assistant: done, noted your address'
+        |    ELSE 'user: no address here' || chr(10)
+        |      || 'assistant: ok' END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': lines[i]}
+        |        FOR i IN range(1, len(lines) + 1)]) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |          FROM conv))),
+        |tn AS (
+        |  SELECT doc_id, i,
+        |    regexp_extract(l, '^(user|assistant|system): ', 1)
+        |      AS role,
+        |    lower(regexp_replace(l,
+        |      '^(user|assistant|system): ', '')) AS content
+        |  FROM ln
+        |  WHERE regexp_matches(l, '^(user|assistant|system): ')),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(coalesce(
+        |      list(regexp_extract_all(content,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |        FILTER (WHERE role = 'user'), []))) AS emails,
+        |    coalesce(string_agg(content, chr(10))
+        |      FILTER (WHERE role = 'assistant'), '') AS asm
+        |  FROM tn GROUP BY doc_id)
+        |SELECT doc_id, len(emails)::BIGINT AS n_user_emails,
+        |  len(list_filter(emails, e -> contains(asm, e)))::BIGINT
+        |    AS n_echoed,
+        |  CASE WHEN len(list_filter(emails,
+        |      e -> contains(asm, e))) > 0
+        |    THEN 'echo' ELSE 'clean' END AS verdict
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q325_heading_hierarchy" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN '# T' || chr(10) || '## A' || chr(10)
+        |      || '### B' || chr(10) || text
+        |    WHEN 1 THEN '# T' || chr(10) || '### deep skip'
+        |      || chr(10) || text
+        |    WHEN 2 THEN '### starts deep' || chr(10)
+        |      || '#### next' || chr(10) || text
+        |    WHEN 3 THEN '## A' || chr(10) || '# up' || chr(10)
+        |      || '## down' || chr(10) || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |lv AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(t, '(?m)^(#{1,6}) ',
+        |      1), h -> len(h)) AS levels
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, len(levels)::BIGINT AS n_headings,
+        |    coalesce(levels[1], 0)::BIGINT AS first_level,
+        |    coalesce(list_max(levels), 0)::BIGINT AS max_level,
+        |    len(list_filter(generate_series(1, len(levels) - 1),
+        |      i -> levels[i + 1] > levels[i] + 1))::BIGINT
+        |      AS n_skips
+        |  FROM lv)
+        |SELECT doc_id, n_headings, first_level, max_level, n_skips,
+        |  (n_skips = 0 AND (n_headings = 0 OR first_level <= 2))
+        |    AS well_formed
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q326_shortener_census" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 6
+        |    WHEN 0 THEN ' see https://bit.ly/x'
+        |      || (doc_id % 50)::VARCHAR
+        |      || ' and https://example.com/full'
+        |    WHEN 1 THEN ' go https://t.co/abc'
+        |    WHEN 2 THEN ' ref https://example.org/page'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(t,
+        |      'https?://[A-Za-z0-9./_%?=&#:-]+') AS urls
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, source, len(urls)::BIGINT AS n,
+        |    len(list_filter(list_transform(urls,
+        |      x -> lower(regexp_extract(x, 'https?://([^/:?#]+)',
+        |        1))),
+        |      hh -> hh IN ('bit.ly', 't.co', 'goo.gl',
+        |        'tinyurl.com', 'ow.ly', 'is.gd', 'buff.ly')))
+        |      ::BIGINT AS s
+        |  FROM u)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n)::BIGINT AS n_urls,
+        |  sum(s)::BIGINT AS n_shortened,
+        |  (sum(s) * 1000000 // greatest(sum(n), 1))::BIGINT
+        |    AS short_share_micro
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "q327_instruction_complexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(CASE doc_id % 6
+        |    WHEN 0 THEN 'Write a function. It must use recursion.'
+        |      || chr(10) || '1. do this' || chr(10) || '2. do that'
+        |      || chr(10) || text
+        |    WHEN 1 THEN 'Explain X. Then compare Y.' || chr(10)
+        |      || text
+        |    WHEN 2 THEN 'Generate a list. You must include exactly'
+        |      || ' 5 items, at least 3 unique, no more than 10'
+        |      || ' words each.' || chr(10) || 'List the results.'
+        |      || chr(10) || text
+        |    ELSE text END) AS low
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(low,
+        |      '(?m)^ *(write|list|explain|create|generate'
+        |      || '|summarize|translate|describe|compare|implement) '
+        |      ))::BIGINT AS n_imperatives,
+        |    len(regexp_extract_all(low,
+        |      '(^|[^a-z])(must|at least|at most|exactly'
+        |      || '|no more than|without using)([^a-z]|$)'))::BIGINT
+        |      AS n_constraints,
+        |    len(regexp_extract_all(low, '(?m)^[0-9]+\. '))::BIGINT
+        |      AS n_steps
+        |  FROM d)
+        |SELECT doc_id, n_imperatives, n_constraints, n_steps,
+        |  (n_imperatives + n_constraints * 2 + n_steps)::BIGINT
+        |    AS score,
+        |  CASE WHEN n_imperatives + n_constraints * 2 + n_steps >= 6
+        |      THEN 'complex'
+        |    WHEN n_imperatives + n_constraints * 2 + n_steps >= 2
+        |      THEN 'moderate'
+        |    ELSE 'basic' END AS tier
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -398,4 +398,39 @@ object ConversationOps {
         col("__first.turn_idx").as("first_kept_idx"),
         col("__first.role").as("first_kept_role"))
   }
+
+  /** Cross-turn PII echo audit — the privacy failure REDACTION
+    * misses: the user states an address once, the assistant repeats
+    * it, and a user-turn-only scrub leaves the echo in the training
+    * signal. Per conversation: the distinct (case-folded) emails the
+    * USER turns carry, and how many of them any ASSISTANT turn
+    * echoes verbatim.
+    *
+    * Input: a parsed turn frame ([[parseTurns]] shape).
+    *
+    * Scale shape: one DOC-keyed aggregate (emails and assistant text
+    * both bounded by conversation size — the [[parseTurns]]
+    * discipline); the echo check is an in-row list filter. */
+  def piiEchoAudit(turns: DataFrame, idCol: String): DataFrame = {
+    val emails = regexp_extract_all(
+      lower(coalesce(col("content"), lit(""))),
+      lit(graft.operators.TextAnalysisOps.EmailPattern), lit(0))
+    turns
+      .select(col(idCol),
+        when(col("role") === "user", emails)
+          .otherwise(array().cast("array<string>")).as("__em"),
+        when(col("role") === "assistant",
+          lower(coalesce(col("content"), lit(""))))
+          .otherwise(lit("")).as("__at"))
+      .groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(col("__em"))))
+          .as("__emails"),
+        concat_ws("\n", collect_list(col("__at"))).as("__asm"))
+      .select(col(idCol),
+        size(col("__emails")).cast("long").as("n_user_emails"),
+        size(filter(col("__emails"),
+          e => col("__asm").contains(e))).cast("long").as("n_echoed"))
+      .withColumn("verdict",
+        when(col("n_echoed") > 0, "echo").otherwise("clean"))
+  }
 }

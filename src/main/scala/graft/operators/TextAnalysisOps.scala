@@ -5013,4 +5013,68 @@ object TextAnalysisOps {
           col("n_code_like") * 2 >= col("n_comment_lines"),
           "disabled_code").otherwise("ok"))
   }
+
+  /** Heading-hierarchy lint — converted docs (PDF→md, wiki→md) skip
+    * levels (`#` straight to `###`), which breaks every downstream
+    * section-split heuristic; the lint is the routing signal for
+    * re-conversion. Levels are the `#`-run lengths of line-anchored
+    * headings IN ORDER; a skip is any transition descending more
+    * than one level deeper.
+    *
+    * Scale shape: pure projection — the transition check is an
+    * index-carrying in-row fold. */
+  def headingHierarchy(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val levels = transform(
+      regexp_extract_all(txt, lit("(?m)^(#{1,6}) "), lit(1)),
+      h => length(h))
+    val skips = size(filter(
+      zip_with(levels,
+        concat(slice(levels, lit(2),
+          greatest(size(levels) - 1, lit(0))),
+          array(lit(null).cast("int"))),
+        (cur, nxt) => nxt.isNotNull && nxt > cur + 1),
+      x => x)).cast("long")
+    docs.select(col(idCol),
+        size(levels).cast("long").as("n_headings"),
+        coalesce(try_element_at(levels, lit(1)), lit(0)).cast("long")
+          .as("first_level"),
+        coalesce(array_max(levels), lit(0)).cast("long")
+          .as("max_level"),
+        skips.as("n_skips"))
+      .withColumn("well_formed",
+        col("n_skips") === 0L &&
+          (col("n_headings") === 0L || col("first_level") <= 2L))
+  }
+
+  /** Instruction-complexity tiers — SFT curricula and difficulty-
+    * balanced sampling both need a cheap complexity proxy BEFORE any
+    * model scores the data: imperative openers (a fixed verb list at
+    * line starts), constraint markers ("must", "at least", "exactly",
+    * "no more than"), and numbered steps, folded into an integer
+    * score (constraints weigh double — they bind the output space)
+    * and tiered basic / moderate / complex.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def instructionComplexity(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val low = lower(coalesce(col(textCol), lit("")))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(low, lit(pattern), lit(0))).cast("long")
+    val imperatives = n("(?m)^ *(write|list|explain|create|generate" +
+      "|summarize|translate|describe|compare|implement) ")
+    val constraints = n("(^|[^a-z])(must|at least|at most|exactly" +
+      "|no more than|without using)([^a-z]|$)")
+    val steps = n("(?m)^[0-9]+\\. ")
+    docs.select(col(idCol), imperatives.as("n_imperatives"),
+        constraints.as("n_constraints"), steps.as("n_steps"))
+      .withColumn("score",
+        col("n_imperatives") + col("n_constraints") * 2 +
+          col("n_steps"))
+      .withColumn("tier",
+        when(col("score") >= 6, "complex")
+          .when(col("score") >= 2, "moderate")
+          .otherwise("basic"))
+  }
 }

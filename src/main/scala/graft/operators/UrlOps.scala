@@ -617,4 +617,35 @@ object UrlOps {
         col("n_reciprocal"), col("reciprocity_milli"),
         col("n_self_links"), col("is_spammy"))
   }
+
+  /** The well-known URL-shortener hosts (public lists; the heads of
+    * every link-rot study). */
+  val ShortenerHosts = Seq("bit.ly", "t.co", "goo.gl", "tinyurl.com",
+    "ow.ly", "is.gd", "buff.ly")
+
+  /** Shortener-link census — shortened URLs are opaque (no routing
+    * signal) and rot fastest (the redirect service outlives nothing),
+    * so a source whose links are mostly shorteners is a link-rot
+    * liability for any citation-grounded use. Per source: link and
+    * shortener counts via [[hostOf]] on the extracted URLs, integer
+    * share.
+    *
+    * Scale shape: in-row extraction into a source-keyed rollup. */
+  def shortenerCensus(docs: DataFrame, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val urls = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit(graft.operators.TextAnalysisOps.UrlPattern), lit(0))
+    val hosts = transform(urls, u => hostOf(u))
+    val shorteners = filter(hosts,
+      h => ShortenerHosts.map(s => h === s).reduce(_ || _))
+    docs.select(col(sourceCol).as("source"),
+        size(urls).cast("long").as("__n"),
+        size(shorteners).cast("long").as("__s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_urls"),
+        sum(col("__s")).as("n_shortened"))
+      .withColumn("short_share_micro",
+        expr("n_shortened * 1000000L div greatest(n_urls, 1L)"))
+  }
 }

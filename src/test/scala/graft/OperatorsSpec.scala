@@ -7015,4 +7015,88 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map("within_7d" -> 1L, "within_90d" -> 1L,
       "over_90d" -> 1L))
   }
+
+  test("piiEchoAudit: verbatim echo flags, paraphrase does not, " +
+      "case-folded matching, repeated user emails count once") {
+    val turns = Seq(
+      (1L, 1L, "user", "mail me at A@B.com and a@b.com again"),
+      (1L, 2L, "assistant", "ok, a@b.com it is"),
+      (2L, 1L, "user", "reach me at x@y.org"),
+      (2L, 2L, "assistant", "noted, will do"),
+      (3L, 1L, "user", "no address"),
+      (3L, 2L, "assistant", "fine c@d.net is mine") // assistant-only
+    ).toDF("id", "turn_idx", "role", "content")
+    val got = ConversationOps.piiEchoAudit(turns, "id")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_user_emails") == 1L &&
+      got(0).getAs[Long]("n_echoed") == 1L &&
+      got(0).getAs[String]("verdict") == "echo")
+    assert(got(1).getAs[Long]("n_echoed") == 0L &&
+      got(1).getAs[String]("verdict") == "clean")
+    // assistant-only email is never a user leak
+    assert(got(2).getAs[Long]("n_user_emails") == 0L &&
+      got(2).getAs[String]("verdict") == "clean")
+  }
+
+  test("headingHierarchy: skips only on descending jumps, deep " +
+      "opener breaks well-formedness, heading-free docs pass") {
+    val docs = Seq(
+      (1L, "# a\n## b\n### c\n## back\n# top"),
+      (2L, "# a\n#### jump"),
+      (3L, "### deep start\n## up"),
+      (4L, "no headings"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.headingHierarchy(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_skips") == 0L &&
+      got(0).getAs[Boolean]("well_formed") &&
+      got(0).getAs[Long]("max_level") == 3L)
+    assert(got(1).getAs[Long]("n_skips") == 1L &&
+      !got(1).getAs[Boolean]("well_formed"))
+    assert(got(2).getAs[Long]("first_level") == 3L &&
+      got(2).getAs[Long]("n_skips") == 0L &&
+      !got(2).getAs[Boolean]("well_formed"))
+    assert(got(3).getAs[Long]("n_headings") == 0L &&
+      got(3).getAs[Boolean]("well_formed"))
+    assert(got(4).getAs[Boolean]("well_formed"))
+  }
+
+  test("shortenerCensus: shortener hosts counted against all URLs " +
+      "per source, URL-free docs keep zero share") {
+    val docs = Seq(
+      (1L, "x https://bit.ly/a and https://example.com/b", "s1"),
+      (2L, "y https://t.co/z", "s1"),
+      (3L, "plain", "s2"),
+      (4L, null.asInstanceOf[String], "s2")
+    ).toDF("id", "text", "src")
+    val got = UrlOps.shortenerCensus(docs, "text", "src")
+      .orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_urls") == 3L &&
+      got(0).getAs[Long]("n_shortened") == 2L &&
+      got(0).getAs[Long]("short_share_micro") == 666666L)
+    assert(got(1).getAs[Long]("n_urls") == 0L &&
+      got(1).getAs[Long]("short_share_micro") == 0L)
+  }
+
+  test("instructionComplexity: line-anchored imperatives, doubled " +
+      "constraints, numbered steps, tier thresholds") {
+    val docs = Seq(
+      (1L, "Write a parser.\n1. read\n2. parse\nIt must not crash."),
+      (2L, "Explain the approach briefly."),
+      (3L, "just prose, nothing imperative"),
+      (4L, "You must use exactly two loops, at least one recursive.")
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.instructionComplexity(docs, "id",
+      "text").orderBy("id").collect()
+    // write(1) + must(2) + steps(2) = 5 -> moderate
+    assert(got(0).getAs[Long]("score") == 5L &&
+      got(0).getAs[String]("tier") == "moderate")
+    assert(got(1).getAs[Long]("score") == 1L &&
+      got(1).getAs[String]("tier") == "basic")
+    assert(got(2).getAs[Long]("score") == 0L)
+    // must + exactly + at least = 3 constraints * 2 = 6 -> complex
+    assert(got(3).getAs[Long]("n_constraints") == 3L &&
+      got(3).getAs[String]("tier") == "complex")
+  }
 }
