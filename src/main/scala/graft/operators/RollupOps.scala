@@ -155,4 +155,38 @@ object RollupOps {
         col("__s.e").as(entityCol),
         (-col("__s.neg")).as("total_cents"))
   }
+
+  /** Hourly rate anomalies — [[hourlyGapfill]] composed with the
+    * exact-integer z²>9 flag ([[SessionOps.valueAnomalies]]'s
+    * discipline): the gap-filled grid makes SILENT hours part of the
+    * distribution (an outage is an anomaly a groupBy-only monitor
+    * never sees), and the flag is a DECIMAL cross-multiply over
+    * integer counts — no float boundary.
+    *
+    * Output: one row per event type — hours observed, anomalous
+    * hours, and the extreme hour counts.
+    *
+    * Scale shape: the gapfill aggregate + a type-keyed stats
+    * aggregate broadcast back over the (hour-span × types) grid. */
+  def rateAnomalies(events: DataFrame, secCol: Column,
+                    typeCol: String): DataFrame = {
+    val grid = hourlyGapfill(events, secCol, typeCol)
+    val stats = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"),
+        sum(expr("CAST(n_events AS DECIMAL(38,0))")).as("__s"),
+        sum(expr("CAST(n_events AS DECIMAL(38,0)) * n_events"))
+          .as("__ssq"))
+    grid.join(broadcast(stats), Seq("event_type"))
+      .withColumn("__anom",
+        expr("""CASE WHEN
+          |  (CAST(n_events AS DECIMAL(38,0)) * __n - __s)
+          |    * (CAST(n_events AS DECIMAL(38,0)) * __n - __s)
+          |  > 9 * (__n * __ssq - __s * __s)
+          |THEN 1L ELSE 0L END""".stripMargin))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("__anom")).as("n_anomalous_hours"),
+        min(col("n_events")).as("min_hourly"),
+        max(col("n_events")).as("max_hourly"))
+  }
 }

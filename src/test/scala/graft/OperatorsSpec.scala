@@ -7099,4 +7099,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3).getAs[Long]("n_constraints") == 3L &&
       got(3).getAs[String]("tier") == "complex")
   }
+
+  test("triangleCount: known graphs — a triangle, a square (none), " +
+      "K4 (four), duplicate/reversed edges collapse") {
+    def count(edges: Seq[(String, String)]): (Long, Long) = {
+      val got = GraphOps.triangleCount(
+        edges.toDF("x", "y"), "x", "y").collect().head
+      (got.getAs[Long]("n_triangles"), got.getAs[Long]("n_edges"))
+    }
+    assert(count(Seq(("a", "b"), ("b", "c"), ("c", "a"))) == (1L, 3L))
+    // reversed + duplicate edges are the same triangle
+    assert(count(Seq(("a", "b"), ("b", "a"), ("b", "c"),
+      ("c", "a"), ("a", "c"))) == (1L, 3L))
+    // square: 4 edges, no triangle
+    assert(count(Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("d", "a"))) == (0L, 4L))
+    // K4: C(4,3) = 4 triangles on 6 edges
+    assert(count(Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"))) == (4L, 6L))
+    // self-loops are dropped
+    assert(count(Seq(("a", "a"), ("a", "b"), ("b", "c"),
+      ("c", "a"))) == (1L, 3L))
+  }
+
+  test("rateAnomalies: a burst hour flags against the gap-filled " +
+      "distribution, steady types stay clean") {
+    // type 'a': 1 event/hour for hours 0..9, then 50 in hour 10
+    val a = (0L to 9L).map(h => (h * 3600L + 1L, "a")) ++
+      (1 to 50).map(i => (10L * 3600L + i.toLong, "a"))
+    // type 'b': steady 2/hour over the same span
+    val b = (0L to 10L).flatMap(h =>
+      Seq((h * 3600L + 2L, "b"), (h * 3600L + 3L, "b")))
+    val events = (a ++ b).toDF("sec", "event_type")
+    val got = RollupOps.rateAnomalies(events, col("sec"),
+      "event_type").orderBy("event_type").collect()
+    assert(got(0).getAs[Long]("n_hours") == 11L &&
+      got(0).getAs[Long]("n_anomalous_hours") == 1L &&
+      got(0).getAs[Long]("max_hourly") == 50L)
+    assert(got(1).getAs[Long]("n_anomalous_hours") == 0L &&
+      got(1).getAs[Long]("min_hourly") == 2L)
+  }
 }
