@@ -5556,6 +5556,57 @@ object SparkEntry {
       RollupOps.rateAnomalies(ev,
           graft.sources.EventTime.secCol(ev), "event_type")
         .orderBy(col("event_type"))
+    }),
+
+    // Usage Gini (q332): activity inequality computed from the
+    // count-histogram — the rank-sum term telescopes per bucket, so
+    // no entity-level sort exists anywhere.
+    "q332_usage_gini" -> ((s, dir) => {
+      DistributionOps.usageGini(t(s, dir, "events"), "user_id")
+    }),
+
+    // Seasonality matrix (q333): day-of-week × hour-of-day × type
+    // counts in pure epoch arithmetic.
+    "q333_seasonality" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      RollupOps.seasonalityMatrix(ev,
+          graft.sources.EventTime.secCol(ev), "event_type")
+        .orderBy(col("dow"), col("hour_of_day"), col("event_type"))
+    }),
+
+    // Distinctive terms (q334): each source carries a planted
+    // marker term (zz + source) that must top its lift ranking;
+    // global counts re-aggregate the (source, term) frame, the
+    // per-source top-3 rides the bounded top-N.
+    "q334_distinctive_terms" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(col("text"), lit(" zz"), col("source"), lit(" zz"),
+          col("source")).as("text"))
+      TextAnalysisOps.distinctiveTerms(injected, "text", "source",
+          minCount = 5L, k = 3)
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // Session durations (q335): q10's sessionization composed into
+    // the duration histogram (single-point / ≤1h / ≤6h / >6h).
+    "q335_session_durations" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = SessionOps.sessionize(
+          ev.select(col("user_id"),
+            graft.sources.EventTime.secCol(ev).as("sec")),
+          col("user_id"), col("sec"), gapSeconds = 21600)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg((max(col("sec")) - min(col("sec"))).as("dur"),
+          count(lit(1)).as("n"))
+      val bucket = when(col("n") === 1, "single")
+        .when(col("dur") <= 3600L, "le_1h")
+        .when(col("dur") <= 21600L, "le_6h")
+        .otherwise("gt_6h")
+      sessions.select(bucket.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -16207,6 +16258,95 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  sum(a)::BIGINT AS n_anomalous_hours,
         |  min(n_events)::BIGINT AS min_hourly,
         |  max(n_events)::BIGINT AS max_hourly
-        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q332_usage_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*)::BIGINT AS c FROM events
+        |  GROUP BY user_id),
+        |h AS (SELECT c AS v, count(*)::BIGINT AS f FROM c
+        |  GROUP BY c),
+        |r AS (
+        |  SELECT v, f,
+        |    sum(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - f
+        |      AS s
+        |  FROM h),
+        |a AS (
+        |  SELECT sum(f)::HUGEINT AS n,
+        |    sum(v::HUGEINT * f) AS t,
+        |    sum(v::HUGEINT * (f::HUGEINT * s
+        |      + (f * (f + 1)) // 2)) AS six
+        |  FROM r)
+        |SELECT n::BIGINT AS n_entities, t::BIGINT AS total_events,
+        |  ((2 * six - (n + 1) * t) * 1000000 // (n * t))::BIGINT
+        |    AS gini_micro
+        |FROM a""".stripMargin,
+
+    "q333_seasonality" ->
+      """WITH e AS (
+        |  SELECT epoch(date_trunc('second', ts))::BIGINT AS sec,
+        |    event_type
+        |  FROM events)
+        |SELECT ((sec // 86400 + 3) % 7)::BIGINT AS dow,
+        |  ((sec // 3600) % 24)::BIGINT AS hour_of_day,
+        |  event_type, count(*)::BIGINT AS n_events
+        |FROM e GROUP BY dow, hour_of_day, event_type
+        |ORDER BY dow, hour_of_day, event_type""".stripMargin,
+
+    "q334_distinctive_terms" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    text || ' zz' || source || ' zz' || source AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, term, count(*)::BIGINT AS n_st FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split(lower(t), ' '), x -> x <> '')) AS term
+        |    FROM d)
+        |  GROUP BY source, term),
+        |g AS (SELECT term, sum(n_st)::BIGINT AS n_t FROM st
+        |  GROUP BY term),
+        |ps AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM st
+        |  GROUP BY source),
+        |cc AS (SELECT sum(n_s)::BIGINT AS n_c FROM ps),
+        |lifted AS (
+        |  SELECT st.source, st.term, n_st,
+        |    ((n_st::HUGEINT * n_c * 1000000)
+        |      // (n_t::HUGEINT * n_s))::BIGINT AS lift_micro
+        |  FROM st JOIN g USING (term) JOIN ps USING (source)
+        |  CROSS JOIN cc
+        |  WHERE n_st >= 5),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY lift_micro DESC, term) AS rn
+        |  FROM lifted)
+        |SELECT source, rn::BIGINT AS rank, term,
+        |  n_st AS n_in_source, lift_micro
+        |FROM r WHERE rn <= 3 ORDER BY source, rank""".stripMargin,
+
+    "q335_session_durations" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch(date_trunc('second', ts))::BIGINT AS sec
+        |  FROM events),
+        |d AS (
+        |  SELECT *, CASE WHEN sec - lag(sec) OVER
+        |    (PARTITION BY user_id ORDER BY sec) > 21600
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY sec ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d),
+        |g AS (
+        |  SELECT user_id, session_id,
+        |    max(sec) - min(sec) AS dur, count(*) AS n
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT CASE WHEN n = 1 THEN 'single'
+        |    WHEN dur <= 3600 THEN 'le_1h'
+        |    WHEN dur <= 21600 THEN 'le_6h'
+        |    ELSE 'gt_6h' END AS bucket,
+        |  count(*)::BIGINT AS n_sessions
+        |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

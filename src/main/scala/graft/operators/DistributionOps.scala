@@ -213,4 +213,49 @@ object DistributionOps {
       col("mad"), col("n_outliers"),
       expr("n_outliers * 1000 DIV n_rows").as("outlier_milli"))
   }
+
+  /** Usage Gini coefficient FROM THE HISTOGRAM — inequality of
+    * per-entity activity (the bot-concentration number a platform
+    * report quotes), computed without ever sorting the entities:
+    * per-entity counts collapse to a (count-value → frequency)
+    * histogram whose cardinality is the number of DISTINCT activity
+    * levels (tiny under any real distribution), and the rank-sum
+    * term of the exact Gini — G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over
+    * ascending-sorted x — telescopes per histogram bucket: a bucket
+    * (v, f) starting at cumulative rank s contributes
+    * v·(f·s + f(f+1)/2). The only window runs over the HISTOGRAM
+    * frame (window-after-aggregate); every product stages through
+    * DECIMAL(38,0).
+    *
+    * Output: one row — entities, total events, `gini_micro`.
+    *
+    * Scale shape: entity-keyed count aggregate → value-keyed
+    * histogram aggregate → a histogram-sized window + single-row
+    * reduction. */
+  def usageGini(df: DataFrame, entityCol: String): DataFrame = {
+    val counts = df.groupBy(col(entityCol).as("__e"))
+      .agg(count(lit(1)).as("__c"))
+    val hist = counts.groupBy(col("__c").as("v"))
+      .agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("__s", sum(col("f")).over(w) - col("f"))
+      // f·(f+1) is even, so integer DIV 2 is exact; the product fits
+      // a BIGINT below ~3e9 entities in ONE bucket (documented bound)
+      .withColumn("__blockranks",
+        expr("CAST(f AS DECIMAL(38,0)) * __s" +
+          " + CAST(f * (f + 1) DIV 2 AS DECIMAL(38,0))"))
+      .withColumn("__ix", expr(
+        "CAST(v AS DECIMAL(38,0)) * __blockranks"))
+    ranked.agg(
+        sum(col("f")).as("n_entities"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * f")).as("__t"),
+        sum(col("__ix")).as("__six"))
+      .select(col("n_entities"),
+        col("__t").cast("long").as("total_events"),
+        expr("""CAST((2 * __six - (n_entities + 1) * __t) * 1000000
+          |  DIV (CAST(n_entities AS DECIMAL(38,0)) * __t)
+          |  AS BIGINT)""".stripMargin).as("gini_micro"))
+  }
 }

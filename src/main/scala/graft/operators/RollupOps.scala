@@ -189,4 +189,22 @@ object RollupOps {
         min(col("n_events")).as("min_hourly"),
         max(col("n_events")).as("max_hourly"))
   }
+
+  /** Day-of-week × hour-of-day seasonality matrix — the weekly-
+    * rhythm heatmap behind capacity planning and bot detection (a
+    * human audience has one; a scraper doesn't). Both axes are pure
+    * epoch arithmetic (1970-01-01 was a Thursday, so
+    * `(epoch_day + 3) % 7` lands Monday on 0) — no calendar, no
+    * timezone, identical on any engine.
+    *
+    * Scale shape: one map-side-combined aggregate on a 168-cell ×
+    * types key space. */
+  def seasonalityMatrix(events: DataFrame, secCol: Column,
+                        typeCol: String): DataFrame =
+    events.select(
+        ((secCol / 86400L).cast("long") + 3L).mod(7L).as("dow"),
+        (secCol / 3600L).cast("long").mod(24L).as("hour_of_day"),
+        col(typeCol).as("event_type"))
+      .groupBy(col("dow"), col("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
 }

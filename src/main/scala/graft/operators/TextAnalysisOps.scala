@@ -5077,4 +5077,55 @@ object TextAnalysisOps {
           .when(col("score") >= 2, "moderate")
           .otherwise("basic"))
   }
+
+  /** Distinctive terms per source — the log-odds-style "what makes
+    * this source different" report, in exact integer lift:
+    * `lift = (count_in_source · corpus_total) /
+    * (count_global · source_total)` in micro-units with the
+    * cross-multiply through DECIMAL(38,0). Global counts and totals
+    * derive from RE-AGGREGATING the (source, term) frame — the
+    * corpus is scanned once; a `minCount` floor kills hapax noise,
+    * and the per-source top-k rides the bounded top-N aggregate on
+    * (−lift, term) — no rank window over the source key.
+    *
+    * Output: (source, rank, term, n_in_source, lift_micro), ≤ k rows
+    * per source.
+    *
+    * Scale shape: one corpus scan → (source, term) aggregate
+    * (map-side combined, vocabulary-bounded) → re-aggregated global
+    * frames joined back on the term key → bounded top-N explode. */
+  def distinctiveTerms(docs: DataFrame, textCol: String,
+                       sourceCol: String, minCount: Long = 5L,
+                       k: Int = 5): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), " ", -1),
+      t => t =!= "")
+    val st = docs
+      .select(col(sourceCol).as("source"), explode(toks).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_st"))
+    val global = st.groupBy(col("term")).agg(sum(col("n_st")).as("n_t"))
+    val perSource = st.groupBy(col("source"))
+      .agg(sum(col("n_st")).as("n_s"))
+    val corpus = perSource.agg(sum(col("n_s")).as("n_c"))
+    val lifted = st.filter(col("n_st") >= minCount)
+      .join(global, Seq("term"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("lift_micro",
+        expr("CAST(CAST(n_st AS DECIMAL(38,0)) * n_c * 1000000" +
+          " DIV (CAST(n_t AS DECIMAL(38,0)) * n_s) AS BIGINT)"))
+    lifted
+      .groupBy(col("source"))
+      .agg(graft.functions.AggFunctions.boundedTopN(
+        struct((-col("lift_micro")).as("neg"), col("term").as("t"),
+          col("n_st").as("c")), k).as("__top"))
+      .select(col("source"),
+        posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("source"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__s.t").as("term"), col("__s.c").as("n_in_source"),
+        (-col("__s.neg")).as("lift_micro"))
+  }
 }

@@ -7139,4 +7139,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("n_anomalous_hours") == 0L &&
       got(1).getAs[Long]("min_hourly") == 2L)
   }
+
+  test("usageGini: perfect equality scores zero, known two-level " +
+      "split matches the hand-computed coefficient") {
+    // 4 entities, 1 event each: gini = 0
+    val eq = (1L to 4L).map(u => (u, "e")).toDF("u", "x")
+    val g0 = DistributionOps.usageGini(eq, "u").collect().head
+    assert(g0.getAs[Long]("n_entities") == 4L &&
+      g0.getAs[Long]("gini_micro") == 0L)
+    // 3 entities with 1 event, 1 with 7: sorted x = (1,1,1,7)
+    // G = 2*(1+2+3+7*4)/(4*10) - 5/4 = 68/40 - 50/40 = 18/40 = 0.45
+    val skew = ((1L to 3L).map(u => (u, "e")) ++
+      (1 to 7).map(_ => (9L, "e"))).toDF("u", "x")
+    val g1 = DistributionOps.usageGini(skew, "u").collect().head
+    assert(g1.getAs[Long]("total_events") == 10L &&
+      g1.getAs[Long]("gini_micro") == 450000L)
+  }
+
+  test("seasonalityMatrix: epoch arithmetic lands 1970-01-01 on " +
+      "Thursday, hours wrap, counts aggregate") {
+    val events = Seq(
+      (0L, "a"),               // day 0 = Thursday (dow 3), hour 0
+      (86400L * 4 + 3600L * 25, "a"), // day 5+1h -> Tue? check below
+      (3600L * 23, "b")        // Thursday, hour 23
+    ).toDF("sec", "event_type")
+    val got = RollupOps.seasonalityMatrix(events, col("sec"),
+      "event_type").orderBy("dow", "hour_of_day").collect()
+    val m = got.map(r => (r.getAs[Long]("dow"),
+      r.getAs[Long]("hour_of_day"),
+      r.getAs[String]("event_type")) -> r.getAs[Long]("n_events"))
+      .toMap
+    // 1970-01-01 = Thursday; 0=Monday indexing -> dow 3
+    assert(m((3L, 0L, "a")) == 1L)
+    assert(m((3L, 23L, "b")) == 1L)
+    // day 5 hour 1 (the +25h wraps) = Wednesday dow 2? day index:
+    // (4*86400 + 25*3600) / 86400 = day 5 -> (5+3)%7 = 1 = Tuesday
+    assert(m((1L, 1L, "a")) == 1L)
+  }
+
+  test("distinctiveTerms: planted markers dominate their source, " +
+      "shared background terms sit near lift 1, floor applies") {
+    val docs = (1L to 20L).map { i =>
+      val src = if (i % 2 == 0) "s1" else "s2"
+      (i, src, s"common words here zz$src zz$src")
+    }.toDF("id", "src", "text")
+    val got = TextAnalysisOps.distinctiveTerms(docs, "text", "src",
+      minCount = 5L, k = 2).orderBy("source", "rank").collect()
+    assert(got.length == 4)
+    assert(got(0).getAs[String]("source") == "s1" &&
+      got(0).getAs[String]("term") == "zzs1")
+    assert(got(2).getAs[String]("source") == "s2" &&
+      got(2).getAs[String]("term") == "zzs2")
+    // the marker appears only in its source: lift = n_c / n_s = 2
+    assert(got(0).getAs[Long]("lift_micro") == 2000000L)
+    // rank-2 terms are the shared background at lift ~1
+    assert(got(1).getAs[Long]("lift_micro") == 1000000L)
+  }
 }
