@@ -5607,6 +5607,42 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("bucket"))
+    }),
+
+    // Label-margin audit (q336): every 19th vector mislabeled to the
+    // next class — the exact-integer nearest-centroid check must
+    // count the planted confusions identically on both engines
+    // (grid quantization, rounded-division centroids, integer d²).
+    "q336_label_margin" -> ((s, dir) => {
+      val relabeled = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"),
+        when(col("vec_id") % 19 === 0, (col("label") + 1) % 10)
+          .otherwise(col("label")).as("label"))
+      SimilarityOps.labelMarginAudit(relabeled, "vec_id",
+          "embedding", "label")
+        .orderBy(col("label"))
+    }),
+
+    // Vector collisions (q337): two planted constant-vector groups
+    // (one spanning labels — contradictory), the rest unique.
+    "q337_vector_collisions" -> ((s, dir) => {
+      val const = (v: Double) => transform(col("embedding"),
+        _ => lit(v).cast("float"))
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 21 < 2, const(0.25))
+          .when(col("vec_id") % 25 === 3, const(-0.5))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+      SimilarityOps.vectorCollisions(emb, "vec_id", "embedding",
+        "label")
+    }),
+
+    // Centroid distances (q338): the label-adjacency matrix from
+    // the same integer centroids — 45 unordered pairs.
+    "q338_centroid_distances" -> ((s, dir) => {
+      SimilarityOps.centroidDistances(t(s, dir, "embeddings"),
+          "embedding", "label")
+        .orderBy(col("label_a"), col("label_b"))
     })
   )
 
@@ -16347,6 +16383,95 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    WHEN dur <= 21600 THEN 'le_6h'
         |    ELSE 'gt_6h' END AS bucket,
         |  count(*)::BIGINT AS n_sessions
-        |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q336_label_margin" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 19 = 0 THEN (label + 1) % 10
+        |      ELSE label END AS lab,
+        |    list_transform(embedding,
+        |      x -> round(x::DOUBLE * 1000, 0)::BIGINT + 1048576)
+        |      AS q
+        |  FROM embeddings),
+        |dm AS (
+        |  SELECT lab, u.d AS d, sum(u.x)::BIGINT AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM (SELECT lab, unnest([{'d': i, 'x': q[i]}
+        |    FOR i IN range(1, len(q) + 1)]) AS u FROM e)
+        |  GROUP BY lab, u.d),
+        |cent AS (
+        |  SELECT lab, list((2 * s + n) // (2 * n) ORDER BY d)
+        |    AS cvec
+        |  FROM dm GROUP BY lab),
+        |cr AS (
+        |  SELECT e.vec_id, e.lab, c.lab AS clab,
+        |    list_sum(list_transform(generate_series(1, len(e.q)),
+        |      i -> (e.q[i] - c.cvec[i]) * (e.q[i] - c.cvec[i])))
+        |      ::BIGINT AS d2
+        |  FROM e CROSS JOIN cent c),
+        |nr AS (
+        |  SELECT vec_id, lab, clab,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, clab) AS rn
+        |  FROM cr)
+        |SELECT lab::INT AS label, count(*)::BIGINT AS n_vectors,
+        |  sum(CASE WHEN clab <> lab THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_confused,
+        |  (sum(CASE WHEN clab <> lab THEN 1 ELSE 0 END) * 1000000
+        |    // count(*))::BIGINT AS confused_micro
+        |FROM nr WHERE rn = 1 GROUP BY lab ORDER BY label""".stripMargin,
+
+    "q337_vector_collisions" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN vec_id % 21 < 2 THEN
+        |      list_transform(embedding, x -> 0.25::FLOAT)
+        |    WHEN vec_id % 25 = 3 THEN
+        |      list_transform(embedding, x -> (-0.5)::FLOAT)
+        |    ELSE embedding END AS emb
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT md5(list_aggregate(list_transform(emb,
+        |    x -> (round(x::DOUBLE * 1000, 0)::BIGINT + 1048576)
+        |      ::VARCHAR), 'string_agg', ',')) AS sig, label
+        |  FROM e),
+        |g AS (
+        |  SELECT sig, count(*)::BIGINT AS n,
+        |    count(DISTINCT label)::BIGINT AS nl
+        |  FROM s GROUP BY sig)
+        |SELECT sum(n)::BIGINT AS n_vectors,
+        |  sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_collision_groups,
+        |  sum(CASE WHEN n >= 2 THEN n ELSE 0 END)::BIGINT
+        |    AS n_vectors_in_collisions,
+        |  sum(CASE WHEN n >= 2 AND nl >= 2 THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_contradictory_groups
+        |FROM g""".stripMargin,
+
+    "q338_centroid_distances" ->
+      """WITH e AS (
+        |  SELECT label AS lab,
+        |    list_transform(embedding,
+        |      x -> round(x::DOUBLE * 1000, 0)::BIGINT + 1048576)
+        |      AS q
+        |  FROM embeddings),
+        |dm AS (
+        |  SELECT lab, u.d AS d, sum(u.x)::BIGINT AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM (SELECT lab, unnest([{'d': i, 'x': q[i]}
+        |    FOR i IN range(1, len(q) + 1)]) AS u FROM e)
+        |  GROUP BY lab, u.d),
+        |cent AS (
+        |  SELECT lab, list((2 * s + n) // (2 * n) ORDER BY d)
+        |    AS cvec
+        |  FROM dm GROUP BY lab)
+        |SELECT a.lab::INT AS label_a, b.lab::INT AS label_b,
+        |  list_sum(list_transform(generate_series(1, len(a.cvec)),
+        |    i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i])))
+        |    ::BIGINT AS d2_grid
+        |FROM cent a CROSS JOIN cent b
+        |WHERE a.lab < b.lab
+        |ORDER BY label_a, label_b""".stripMargin
   )
 }

@@ -807,4 +807,140 @@ object SimilarityOps {
         (!col("has_nonfinite") &&
           col("norm_micro") < degenerateMicro).as("is_degenerate"))
   }
+
+  /** Quantize a float vector onto a positive integer grid: scaled,
+    * rounded, shifted by `QuantShift` so every later division and
+    * difference stays in non-negative integers (Spark's `div`
+    * truncates toward zero, DuckDB's `//` floors — they agree only
+    * on non-negatives; the shift cancels in every difference). */
+  private val QuantShift = 1 << 20
+  private def quantized(vec: org.apache.spark.sql.Column,
+                        scale: Int): org.apache.spark.sql.Column =
+    transform(vec,
+      // widen to double BEFORE the multiply: float×int arithmetic
+      // differs from the oracle's double math near rounding
+      // boundaries; float→double widening is exact
+      x => round(x.cast("double") * scale, 0).cast("long") +
+        lit(QuantShift.toLong))
+
+  /** Label-margin audit in EXACT integers — the label-noise census:
+    * for each vector, is its own label's centroid actually the
+    * nearest? Vectors quantize onto an integer grid; per-label
+    * centroids are the ROUNDED-DIVISION grid points of the
+    * coordinate sums (deterministic integers — a float mean would
+    * put the nearest-centroid comparison at the mercy of
+    * shuffle-order ulps, the q319 argument); squared distances are
+    * integer sums, and the nearest label is the lexicographic min of
+    * (d², label). A vector whose nearest centroid is another label's
+    * is `confused` — the standard mislabeling / cluster-overlap
+    * signal.
+    *
+    * Output: one row per label — vectors, confusions, integer
+    * confusion share.
+    *
+    * Scale shape: one (label, dim) sum aggregate (map-side combined,
+    * labels×dims rows) re-assembled into a LABELS-sized broadcast
+    * frame; the vector scan crosses it (row growth × labels, linear)
+    * and reduces per vector then per label. */
+  def labelMarginAudit(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, scale: Int = 1000)
+      : DataFrame = {
+    val q = quantized(col(vecCol), scale)
+    val base = emb.select(col(idCol).as("__id"),
+      col(labelCol).as("__lab"), q.as("__q"))
+    val dims = base.select(col("__lab"),
+        posexplode(col("__q")).as(Seq("__d", "__x")))
+      .groupBy(col("__lab"), col("__d"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+    // centroid on the SAME grid: rounded division (2s + n) div (2n),
+    // exact and floor==truncate because everything is non-negative
+    val cents = dims
+      .withColumn("__c", expr("(2 * __s + __n) div (2 * __n)"))
+      .groupBy(col("__lab"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("__d"), col("__c")))), s => s.getField("__c"))
+        .as("__cvec"))
+    val crossed = base.crossJoin(broadcast(
+        cents.select(col("__lab").as("__clab"), col("__cvec"))))
+      .withColumn("__d2", aggregate(
+        zip_with(col("__q"), col("__cvec"),
+          (x, c) => (x - c) * (x - c)),
+        lit(0L), (a, v) => a + v))
+    val nearest = crossed.groupBy(col("__id"), col("__lab"))
+      .agg(min(struct(col("__d2"), col("__clab"))).as("__near"))
+      .select(col("__lab"),
+        (col("__near.__clab") =!= col("__lab")).as("__confused"))
+    nearest.groupBy(col("__lab").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("__confused"), 1L).otherwise(0L))
+          .as("n_confused"))
+      .withColumn("confused_micro",
+        expr("n_confused * 1000000L div n_vectors"))
+  }
+
+  /** Exact-duplicate vector census on the quantized grid — identical
+    * embeddings with DIFFERENT labels are direct annotation
+    * contradictions (two "ground truths" for one point), and
+    * identical embeddings at volume are upstream pipeline bugs
+    * (a default vector, a failed encoder). Collision key = md5 of
+    * the quantized coordinate list.
+    *
+    * Output: one row — vectors, collision groups (size ≥ 2), vectors
+    * inside collisions, and contradictory groups (≥ 2 labels).
+    *
+    * Scale shape: one signature-keyed aggregate (map-side combined;
+    * the q30 shape) reduced to a single row. */
+  def vectorCollisions(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, scale: Int = 1000)
+      : DataFrame = {
+    val sig = md5(concat_ws(",",
+      transform(quantized(col(vecCol), scale), _.cast("string"))))
+    val groups = emb.select(sig.as("__sig"),
+        col(labelCol).as("__lab"))
+      .groupBy(col("__sig"))
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col("__lab")).as("__nl"))
+    groups.agg(sum(col("__n")).as("n_vectors"),
+      sum(when(col("__n") >= 2, 1L).otherwise(0L))
+        .as("n_collision_groups"),
+      sum(when(col("__n") >= 2, col("__n")).otherwise(0L))
+        .as("n_vectors_in_collisions"),
+      sum(when(col("__n") >= 2 && col("__nl") >= 2, 1L)
+        .otherwise(0L)).as("n_contradictory_groups"))
+  }
+
+  /** Inter-centroid distance matrix — which labels are semantically
+    * adjacent (merge candidates / likely confusion pairs), from the
+    * same exact-integer centroids as [[labelMarginAudit]].
+    *
+    * Output: one row per unordered label pair — integer squared
+    * grid distance.
+    *
+    * Scale shape: the centroid frame is labels-sized; the pair
+    * cross is labels². */
+  def centroidDistances(emb: DataFrame, vecCol: String,
+                        labelCol: String, scale: Int = 1000)
+      : DataFrame = {
+    val q = quantized(col(vecCol), scale)
+    val dims = emb.select(col(labelCol).as("__lab"),
+        posexplode(q).as(Seq("__d", "__x")))
+      .groupBy(col("__lab"), col("__d"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+    val cents = dims
+      .withColumn("__c", expr("(2 * __s + __n) div (2 * __n)"))
+      .groupBy(col("__lab"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("__d"), col("__c")))), s => s.getField("__c"))
+        .as("__cvec"))
+    val a = cents.select(col("__lab").as("label_a"),
+      col("__cvec").as("__va"))
+    val b = cents.select(col("__lab").as("label_b"),
+      col("__cvec").as("__vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        aggregate(zip_with(col("__va"), col("__vb"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+          .as("d2_grid"))
+  }
 }

@@ -7195,4 +7195,56 @@ class OperatorsSpec extends AnyFunSuite {
     // rank-2 terms are the shared background at lift ~1
     assert(got(1).getAs[Long]("lift_micro") == 1000000L)
   }
+
+  test("labelMarginAudit: well-separated clusters have zero " +
+      "confusion, a mislabeled point lands on the other centroid") {
+    // label 0 around (0, 0), label 1 around (10, 10); one point at
+    // (10.1, 10.0) labeled 0 -> nearest centroid is label 1
+    val emb = Seq(
+      (1L, Array(0.0f, 0.1f), 0),
+      (2L, Array(0.1f, 0.0f), 0),
+      (3L, Array(10.0f, 10.1f), 1),
+      (4L, Array(10.1f, 10.0f), 1),
+      (5L, Array(10.1f, 10.0f), 0) // mislabeled
+    ).toDF("id", "vec", "label")
+    val got = SimilarityOps.labelMarginAudit(emb, "id", "vec",
+      "label").orderBy("label").collect()
+    assert(got(0).getAs[Long]("n_vectors") == 3L &&
+      got(0).getAs[Long]("n_confused") == 1L &&
+      got(0).getAs[Long]("confused_micro") == 333333L)
+    assert(got(1).getAs[Long]("n_confused") == 0L)
+  }
+
+  test("vectorCollisions: identical quantized vectors group, " +
+      "cross-label groups read contradictory") {
+    val emb = Seq(
+      (1L, Array(0.25f, 0.25f), 0),
+      (2L, Array(0.25f, 0.25f), 1),  // same vec, other label
+      (3L, Array(0.5f, 0.5f), 2),
+      (4L, Array(0.5f, 0.5f), 2),    // same vec, same label
+      (5L, Array(0.9f, 0.1f), 3)     // unique
+    ).toDF("id", "vec", "label")
+    val got = SimilarityOps.vectorCollisions(emb, "id", "vec",
+      "label").collect().head
+    assert(got.getAs[Long]("n_vectors") == 5L)
+    assert(got.getAs[Long]("n_collision_groups") == 2L)
+    assert(got.getAs[Long]("n_vectors_in_collisions") == 4L)
+    assert(got.getAs[Long]("n_contradictory_groups") == 1L)
+  }
+
+  test("centroidDistances: grid distances between known centroids") {
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 2.0f), 2)
+    ).toDF("id", "vec", "label")
+    val got = SimilarityOps.centroidDistances(emb, "vec", "label")
+      .orderBy("label_a", "label_b").collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+        r.getAs[Long]("d2_grid")).toMap
+    // scale 1000: c0=(0,0), c1=(1000,0), c2=(0,2000)
+    assert(got((0, 1)) == 1000000L)
+    assert(got((0, 2)) == 4000000L)
+    assert(got((1, 2)) == 1000000L + 4000000L)
+  }
 }
