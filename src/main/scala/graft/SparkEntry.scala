@@ -5643,6 +5643,104 @@ object SparkEntry {
       SimilarityOps.centroidDistances(t(s, dir, "embeddings"),
           "embedding", "label")
         .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // Price dispersion (q339): per part, how many suppliers ship it
+    // and how far their realized unit prices spread — exact cents
+    // (unit price = extendedprice/quantity staged as cents DIV
+    // integer quantity; lineitem prices are quantity-scaled in this
+    // corpus).
+    "q339_price_dispersion" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("cast(round(l_extendedprice * 100, 0) as bigint)" +
+            " div greatest(cast(l_quantity as bigint), 1L)")
+            .as("unit_cents"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lines"),
+          min(col("unit_cents")).as("min_unit_cents"),
+          max(col("unit_cents")).as("max_unit_cents"))
+        .withColumn("spread_micro",
+          expr("(max_unit_cents - min_unit_cents) * 1000000L" +
+            " div greatest(min_unit_cents, 1L)"))
+        .filter(col("n_suppliers") >= 2)
+        .orderBy(col("l_partkey"))
+    }),
+
+    // RFM codes (q340): recency/frequency/monetary banded on FIXED
+    // integer thresholds (reference day pinned at 2001-09-01 —
+    // nothing clock-dependent), 3-digit code census.
+    "q340_rfm_fixed" -> ((s, dir) => {
+      val day = expr("unix_micros(cast(o_orderdate as timestamp))" +
+        " div 86400000000")
+      val refDay = lit(11566L) // 2001-09-01 in epoch days
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(day).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents"))
+      val r = when(refDay - col("last_day") <= 365L, 3)
+        .when(refDay - col("last_day") <= 1095L, 2).otherwise(1)
+      val f = when(col("freq") >= 20L, 3)
+        .when(col("freq") >= 8L, 2).otherwise(1)
+      val m = when(col("cents") >= 300000000L, 3)
+        .when(col("cents") >= 100000000L, 2).otherwise(1)
+      per.select(concat(r.cast("string"), f.cast("string"),
+          m.cast("string")).as("rfm"))
+        .groupBy(col("rfm"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("rfm"))
+    }),
+
+    // Trade flows (q341): supplier nation × customer nation revenue
+    // matrix in exact cents — TPC-H Q7's shape with both dimension
+    // legs broadcast.
+    "q341_trade_flows" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100, 0).cast("long").as("cents"))
+      val nations = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(nations, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      li.join(t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"))
+    }),
+
+    // Discount bands (q342): revenue and volume by discount band ×
+    // quantity band — the margin-policy matrix, banded on exact
+    // integer milli-discounts.
+    "q342_discount_bands" -> ((s, dir) => {
+      val dmilli = round(col("l_discount") * 1000, 0).cast("long")
+      val dband = when(dmilli === 0L, "none")
+        .when(dmilli <= 30L, "low")
+        .when(dmilli <= 70L, "mid").otherwise("high")
+      val qband = when(col("l_quantity") <= 10, "small")
+        .when(col("l_quantity") <= 30, "medium").otherwise("large")
+      t(s, dir, "lineitem")
+        .select(dband.as("discount_band"), qband.as("quantity_band"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100, 0).cast("long").as("cents"))
+        .groupBy(col("discount_band"), col("quantity_band"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("discount_band"), col("quantity_band"))
     })
   )
 
@@ -16472,6 +16570,84 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    ::BIGINT AS d2_grid
         |FROM cent a CROSS JOIN cent b
         |WHERE a.lab < b.lab
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    "q339_price_dispersion" ->
+      """WITH u AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(l_extendedprice * 100, 0)::BIGINT
+        |      // greatest(l_quantity::BIGINT, 1) AS unit_cents
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_partkey,
+        |    count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+        |    count(*)::BIGINT AS n_lines,
+        |    min(unit_cents)::BIGINT AS min_unit_cents,
+        |    max(unit_cents)::BIGINT AS max_unit_cents
+        |  FROM u GROUP BY l_partkey)
+        |SELECT l_partkey, n_suppliers, n_lines, min_unit_cents,
+        |  max_unit_cents,
+        |  ((max_unit_cents - min_unit_cents) * 1000000
+        |    // greatest(min_unit_cents, 1))::BIGINT AS spread_micro
+        |FROM g WHERE n_suppliers >= 2
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q340_rfm_fixed" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    max(epoch(o_orderdate)::BIGINT // 86400) AS last_day,
+        |    count(*)::BIGINT AS freq,
+        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |code AS (
+        |  SELECT
+        |    (CASE WHEN 11566 - last_day <= 365 THEN 3
+        |      WHEN 11566 - last_day <= 1095 THEN 2
+        |      ELSE 1 END)::VARCHAR ||
+        |    (CASE WHEN freq >= 20 THEN 3 WHEN freq >= 8 THEN 2
+        |      ELSE 1 END)::VARCHAR ||
+        |    (CASE WHEN cents >= 300000000 THEN 3
+        |      WHEN cents >= 100000000 THEN 2 ELSE 1 END)::VARCHAR
+        |      AS rfm
+        |  FROM per)
+        |SELECT rfm, count(*)::BIGINT AS n_customers
+        |FROM code GROUP BY rfm ORDER BY rfm""".stripMargin,
+
+    "q341_trade_flows" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |    ::BIGINT)::BIGINT AS revenue_cents,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY sn.n_name, cn.n_name
+        |ORDER BY supp_nation, cust_nation""".stripMargin,
+
+    "q342_discount_bands" ->
+      """WITH b AS (
+        |  SELECT CASE
+        |      WHEN round(l_discount * 1000, 0)::BIGINT = 0
+        |        THEN 'none'
+        |      WHEN round(l_discount * 1000, 0)::BIGINT <= 30
+        |        THEN 'low'
+        |      WHEN round(l_discount * 1000, 0)::BIGINT <= 70
+        |        THEN 'mid'
+        |      ELSE 'high' END AS discount_band,
+        |    CASE WHEN l_quantity <= 10 THEN 'small'
+        |      WHEN l_quantity <= 30 THEN 'medium'
+        |      ELSE 'large' END AS quantity_band,
+        |    round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |      ::BIGINT AS cents
+        |  FROM lineitem)
+        |SELECT discount_band, quantity_band,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(cents)::BIGINT AS revenue_cents
+        |FROM b GROUP BY discount_band, quantity_band
+        |ORDER BY discount_band, quantity_band""".stripMargin
   )
 }
