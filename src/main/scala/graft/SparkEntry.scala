@@ -5741,6 +5741,144 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           sum(col("cents")).as("revenue_cents"))
         .orderBy(col("discount_band"), col("quantity_band"))
+    }),
+
+    // Basket pairs (q343): parts co-purchased within an order — the
+    // q312 cap discipline on market baskets (an order's items ride
+    // the bounded top-N before pairing), with exact-integer
+    // confidence and lift against part frequencies.
+    "q343_basket_pairs" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          col("l_partkey").as("part"))
+      val kept = items.distinct()
+        .groupBy(col("okey"))
+        .agg(graft.functions.AggFunctions.boundedTopN(col("part"), 8)
+          .as("__ps"))
+      val pairs = flatten(transform(col("__ps"), (a, i) =>
+        transform(slice(col("__ps"), i + lit(2),
+          greatest(size(col("__ps")) - i - 1, lit(0))),
+          b => struct(a.as("p1"), b.as("p2")))))
+      val pairCounts = kept.select(explode(pairs).as("__p"))
+        .select(col("__p.p1").as("p1"), col("__p.p2").as("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val partOrders = items.distinct().groupBy(col("part"))
+        .agg(count(lit(1)).as("n_p"))
+      val totalOrders = items.select(col("okey")).distinct()
+        .agg(count(lit(1)).as("n_o"))
+      pairCounts
+        .join(partOrders.select(col("part").as("p1"),
+          col("n_p").as("n_a")), Seq("p1"))
+        .join(partOrders.select(col("part").as("p2"),
+          col("n_p").as("n_b")), Seq("p2"))
+        .crossJoin(broadcast(totalOrders))
+        .select(col("p1"), col("p2"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          expr("n_ab * 1000000L div n_a").as("confidence_micro"),
+          expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_o * 1000000" +
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+            .as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("p1"), col("p2"))
+        .limit(25)
+    }),
+
+    // Churn waterfall (q344): per order-year — active, retained
+    // (active previous year too), new, churned-from-previous;
+    // integer epoch-day years via the 1995-anchored date range.
+    "q344_churn_waterfall" -> ((s, dir) => {
+      val year = expr("year(cast(o_orderdate as timestamp))")
+        .cast("long")
+      val cy = t(s, dir, "orders")
+        .select(col("o_custkey").as("cust"), year.as("yr"))
+        .distinct()
+      val prev = cy.select(col("cust"), (col("yr") + 1).as("yr"),
+        lit(1L).as("__p"))
+      val cur = cy.join(prev, Seq("cust", "yr"), "left_outer")
+      val active = cur.groupBy(col("yr"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("__p").isNotNull, 1L).otherwise(0L))
+            .as("retained"))
+        .withColumn("new_customers", col("active") - col("retained"))
+      val churned = cy.join(
+          cy.select(col("cust"), (col("yr") - 1).as("yr"),
+            lit(1L).as("__n")),
+          Seq("cust", "yr"), "left_outer")
+        .filter(col("__n").isNull)
+        .groupBy((col("yr") + 1).as("yr"))
+        .agg(count(lit(1)).as("churned_from_prev"))
+      active.join(churned, Seq("yr"), "left_outer")
+        .select(col("yr"), col("active"), col("retained"),
+          col("new_customers"),
+          coalesce(col("churned_from_prev"), lit(0L))
+            .as("churned_from_prev"))
+        .orderBy(col("yr"))
+    }),
+
+    // Supplier HHI (q345): revenue-concentration index per part
+    // brand — integer micro shares squared and summed (an HHI of
+    // 1e6 is a monopoly), the market-structure number in exact
+    // arithmetic.
+    "q345_supplier_hhi" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val totals = rev.groupBy(col("p_brand"))
+        .agg(sum(col("cents")).as("__tot"),
+          count(lit(1)).as("n_suppliers"))
+      rev.join(broadcast(totals), Seq("p_brand"))
+        .withColumn("__share",
+          expr("cents * 1000000L div greatest(__tot, 1L)"))
+        .groupBy(col("p_brand"))
+        .agg(max(col("n_suppliers")).as("n_suppliers"),
+          expr("CAST(sum(CAST(__share AS DECIMAL(38,0)) * __share)" +
+            " DIV 1000000 AS BIGINT)").as("hhi_micro"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Bot signals (q346): per-user burstiness — max events in one
+    // hour, distinct inter-event gaps vs gaps (a metronome bot has
+    // few distinct gaps), type diversity; verdict census.
+    "q346_bot_signals" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sec = graft.sources.EventTime.secCol(ev)
+      val base = ev.select(col("user_id"), sec.as("sec"),
+        col("event_id"), col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val gapped = base
+        .withColumn("__gap", col("sec") - lag(col("sec"), 1).over(w))
+      val perUser = gapped.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("__gap")).as("n_distinct_gaps"),
+          sum(when(col("__gap").isNotNull, 1L).otherwise(0L))
+            .as("n_gaps"))
+      val hourly = base
+        .select(col("user_id"), (col("sec") / 3600L).cast("long")
+          .as("hr"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("user_id"))
+        .agg(max(col("__c")).as("max_per_hour"))
+      val flagged = perUser.join(hourly, Seq("user_id"))
+        .withColumn("regular_micro",
+          expr("n_distinct_gaps * 1000000L div greatest(n_gaps, 1L)"))
+        .withColumn("verdict",
+          when(col("n_events") >= 20L &&
+            (col("max_per_hour") >= 10L ||
+              col("regular_micro") <= 200000L), "bot_like")
+            .otherwise("human_like"))
+      flagged.groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy(col("verdict"))
     })
   )
 
@@ -16648,6 +16786,117 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  count(*)::BIGINT AS n_lines,
         |  sum(cents)::BIGINT AS revenue_cents
         |FROM b GROUP BY discount_band, quantity_band
-        |ORDER BY discount_band, quantity_band""".stripMargin
+        |ORDER BY discount_band, quantity_band""".stripMargin,
+
+    "q343_basket_pairs" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT okey, part, row_number() OVER
+        |    (PARTITION BY okey ORDER BY part) AS rn
+        |  FROM it),
+        |kk AS (SELECT okey, part FROM r WHERE rn <= 8),
+        |pc AS (
+        |  SELECT a.part AS p1, b.part AS p2,
+        |    count(*)::BIGINT AS n_ab
+        |  FROM kk a JOIN kk b ON a.okey = b.okey
+        |    AND a.part < b.part
+        |  GROUP BY a.part, b.part
+        |  HAVING count(*) >= 3),
+        |po AS (SELECT part, count(*)::BIGINT AS n_p FROM it
+        |  GROUP BY part),
+        |tot AS (SELECT count(DISTINCT okey)::BIGINT AS n_o FROM it)
+        |SELECT p1, p2, n_ab, a.n_p AS n_a, b.n_p AS n_b,
+        |  (n_ab * 1000000 // a.n_p)::BIGINT AS confidence_micro,
+        |  ((n_ab::HUGEINT * n_o * 1000000)
+        |    // (a.n_p::HUGEINT * b.n_p))::BIGINT AS lift_micro
+        |FROM pc JOIN po a ON pc.p1 = a.part
+        |JOIN po b ON pc.p2 = b.part CROSS JOIN tot
+        |ORDER BY lift_micro DESC, p1, p2 LIMIT 25""".stripMargin,
+
+    "q344_churn_waterfall" ->
+      """WITH cy AS (
+        |  SELECT DISTINCT o_custkey AS cust,
+        |    year(o_orderdate)::BIGINT AS yr
+        |  FROM orders),
+        |act AS (
+        |  SELECT c.yr, count(*)::BIGINT AS active,
+        |    sum(CASE WHEN p.cust IS NOT NULL THEN 1 ELSE 0 END)
+        |      ::BIGINT AS retained
+        |  FROM cy c LEFT JOIN cy p
+        |    ON c.cust = p.cust AND p.yr = c.yr - 1
+        |  GROUP BY c.yr),
+        |ch AS (
+        |  SELECT (c.yr + 1)::BIGINT AS yr,
+        |    count(*)::BIGINT AS churned_from_prev
+        |  FROM cy c LEFT JOIN cy n
+        |    ON c.cust = n.cust AND n.yr = c.yr + 1
+        |  WHERE n.cust IS NULL
+        |  GROUP BY c.yr + 1)
+        |SELECT act.yr, active, retained,
+        |  (active - retained)::BIGINT AS new_customers,
+        |  coalesce(churned_from_prev, 0)::BIGINT
+        |    AS churned_from_prev
+        |FROM act LEFT JOIN ch ON act.yr = ch.yr
+        |ORDER BY act.yr""".stripMargin,
+
+    "q345_supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT p_brand, l_suppkey,
+        |    sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT
+        |      AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_suppkey),
+        |tot AS (
+        |  SELECT p_brand, sum(cents)::BIGINT AS t,
+        |    count(*)::BIGINT AS n_suppliers
+        |  FROM rev GROUP BY p_brand),
+        |sh AS (
+        |  SELECT rev.p_brand, n_suppliers,
+        |    (cents * 1000000 // greatest(t, 1))::HUGEINT AS share
+        |  FROM rev JOIN tot USING (p_brand))
+        |SELECT p_brand, max(n_suppliers)::BIGINT AS n_suppliers,
+        |  (sum(share * share) // 1000000)::BIGINT AS hhi_micro
+        |FROM sh GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q346_bot_signals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type,
+        |    sec - lag(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS gap
+        |  FROM e),
+        |pu AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_events,
+        |    count(DISTINCT event_type)::BIGINT AS n_types,
+        |    count(DISTINCT gap)::BIGINT AS n_distinct_gaps,
+        |    sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_gaps
+        |  FROM g GROUP BY user_id),
+        |h AS (
+        |  SELECT user_id, max(c)::BIGINT AS max_per_hour FROM (
+        |    SELECT user_id, sec // 3600 AS hr,
+        |      count(*)::BIGINT AS c
+        |    FROM e GROUP BY user_id, sec // 3600)
+        |  GROUP BY user_id),
+        |f AS (
+        |  SELECT pu.user_id, n_events,
+        |    n_distinct_gaps * 1000000 // greatest(n_gaps, 1)
+        |      AS regular_micro,
+        |    max_per_hour
+        |  FROM pu JOIN h ON pu.user_id = h.user_id),
+        |v AS (
+        |  SELECT CASE WHEN n_events >= 20
+        |      AND (max_per_hour >= 10 OR regular_micro <= 200000)
+        |    THEN 'bot_like' ELSE 'human_like' END AS verdict,
+        |    n_events
+        |  FROM f)
+        |SELECT verdict, count(*)::BIGINT AS n_users,
+        |  sum(n_events)::BIGINT AS n_events
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
   )
 }
