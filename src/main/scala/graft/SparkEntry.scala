@@ -5879,6 +5879,67 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"),
           sum(col("n_events")).as("n_events"))
         .orderBy(col("verdict"))
+    }),
+
+    // Delimiter balance (q347): unclosed paren+bracket, odd quote,
+    // a fully balanced set, untouched prose.
+    "q347_delimiter_balance" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 5 === 0,
+          lit(" (unclosed [bracket"))
+        .when(id % 5 === 1, lit(" \"odd quote here"))
+        .when(id % 5 === 2, lit(" {a} (b) [c] \"d\" balanced"))
+        .otherwise(lit("")))
+      TextAnalysisOps.delimiterBalance(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Number-locale audit (q348): comma-grouped, dot-grouped, a
+    // mixed doc, and plain numbers that vote for neither.
+    "q348_number_locale" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 6 === 0,
+          lit(" total 1,234.56 and 12,345,678.90"))
+        .when(id % 6 === 1, lit(" preis 1.234,56 euro"))
+        .when(id % 6 === 2, lit(" both 1,234.56 und 1.234,56"))
+        .otherwise(lit(" plain 1234 and 12.5")))
+      TextAnalysisOps.numberLocaleAudit(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Casing profile (q349): an all-caps spam line replaces one doc
+    // slice (shouting), a Title Case headline prefixes another.
+    "q349_casing_profile" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 5 === 0,
+          lit("FREE OFFER CLICK NOW LIMITED TIME ONLY ACT FAST"))
+        .when(id % 5 === 1,
+          concat(lit("The Quick Brown Title Case Line\n"),
+            col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.casingProfile(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Elongations (q350): stretched social-register words; the
+    // longest run and the distinct run list must match.
+    "q350_elongations" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 4 === 0,
+          lit(" soooo coool yesss"))
+        .when(id % 4 === 1, lit(" loooooong"))
+        .otherwise(lit("")))
+      TextAnalysisOps.elongations(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -16897,6 +16958,105 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  FROM f)
         |SELECT verdict, count(*)::BIGINT AS n_users,
         |  sum(n_events)::BIGINT AS n_events
-        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    "q347_delimiter_balance" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 5
+        |    WHEN 0 THEN ' (unclosed [bracket'
+        |    WHEN 1 THEN ' "odd quote here'
+        |    WHEN 2 THEN ' {a} (b) [c] "d" balanced'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    (len(regexp_extract_all(t, '\('))
+        |      - len(regexp_extract_all(t, '\)')))::BIGINT
+        |      AS paren_balance,
+        |    (len(regexp_extract_all(t, '\['))
+        |      - len(regexp_extract_all(t, '\]')))::BIGINT
+        |      AS bracket_balance,
+        |    (len(regexp_extract_all(t, '\{'))
+        |      - len(regexp_extract_all(t, '\}')))::BIGINT
+        |      AS brace_balance,
+        |    (len(regexp_extract_all(t, '"')) % 2)::BIGINT
+        |      AS quote_parity
+        |  FROM d)
+        |SELECT doc_id, paren_balance, bracket_balance,
+        |  brace_balance, quote_parity,
+        |  (paren_balance = 0 AND bracket_balance = 0
+        |    AND brace_balance = 0 AND quote_parity = 0) AS balanced
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q348_number_locale" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 6
+        |    WHEN 0 THEN ' total 1,234.56 and 12,345,678.90'
+        |    WHEN 1 THEN ' preis 1.234,56 euro'
+        |    WHEN 2 THEN ' both 1,234.56 und 1.234,56'
+        |    ELSE ' plain 1234 and 12.5' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t,
+        |      '(^|[^0-9.,])[0-9]{1,3}(,[0-9]{3})+\.[0-9]+'))::BIGINT
+        |      AS cg,
+        |    len(regexp_extract_all(t,
+        |      '(^|[^0-9.,])[0-9]{1,3}(\.[0-9]{3})+,[0-9]+'))::BIGINT
+        |      AS dg
+        |  FROM d)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(cg)::BIGINT AS n_comma_grouped,
+        |  sum(dg)::BIGINT AS n_dot_grouped,
+        |  sum(CASE WHEN cg > 0 AND dg > 0 THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_mixed_docs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q349_casing_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN
+        |      'FREE OFFER CLICK NOW LIMITED TIME ONLY ACT FAST'
+        |    WHEN 1 THEN 'The Quick Brown Title Case Line'
+        |      || chr(10) || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t,
+        |      '(^|[^A-Za-z])[A-Z]{2,}([^A-Za-z]|$)'))::BIGINT
+        |      AS n_caps_words,
+        |    len(regexp_extract_all(t,
+        |      '(^|[^A-Za-z])[A-Z][a-z]+([^A-Za-z]|$)'))::BIGINT
+        |      AS n_title_words,
+        |    greatest(len(regexp_extract_all(t, '[A-Za-z]{2,}')),
+        |      1)::BIGINT AS n_words
+        |  FROM d)
+        |SELECT doc_id, n_caps_words, n_title_words, n_words,
+        |  (n_caps_words * 1000000 // n_words)::BIGINT AS caps_micro,
+        |  CASE WHEN n_caps_words * 1000000 // n_words > 300000
+        |    THEN 'shouting' ELSE 'normal' END AS verdict
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q350_elongations" -> {
+      val runPattern = ('a' to 'z').map(c => s"$c{3,}").mkString("|")
+      s"""WITH d AS (
+        |  SELECT doc_id, lower(text || CASE doc_id % 4
+        |    WHEN 0 THEN ' soooo coool yesss'
+        |    WHEN 1 THEN ' loooooong'
+        |    ELSE '' END) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t, '$runPattern') AS runs
+        |  FROM d)
+        |SELECT doc_id, len(runs)::BIGINT AS n_runs,
+        |  coalesce(list_max(list_transform(runs, r -> len(r))), 0)
+        |    ::BIGINT AS longest_run,
+        |  coalesce(list_aggregate(list_sort(list_distinct(runs)),
+        |    'string_agg', ','), '') AS runs,
+        |  (len(runs) > 0) AS has_elongation
+        |FROM c ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -5128,4 +5128,105 @@ object TextAnalysisOps {
         col("__s.t").as("term"), col("__s.c").as("n_in_source"),
         (-col("__s.neg")).as("lift_micro"))
   }
+
+  /** Delimiter-balance lint — unclosed quotes, brackets and parens
+    * are the fingerprint of mid-sentence truncation and broken
+    * extraction (a doc cut inside a quotation teaches the model to
+    * never close one). Pair balances are open−close counts; quotes
+    * (self-delimiting) check parity instead.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def delimiterBalance(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    docs.select(col(idCol),
+        (n("\\(") - n("\\)")).as("paren_balance"),
+        (n("\\[") - n("\\]")).as("bracket_balance"),
+        (n("\\{") - n("\\}")).as("brace_balance"),
+        (n("\"") % 2).as("quote_parity"))
+      .withColumn("balanced",
+        col("paren_balance") === 0L && col("bracket_balance") === 0L &&
+          col("brace_balance") === 0L && col("quote_parity") === 0L)
+  }
+
+  /** Number-format locale audit — `1,234.56` (comma-grouping) vs
+    * `1.234,56` (dot-grouping) styles disagree between locales, and
+    * a mixed-style document usually means concatenated sources or a
+    * broken converter; the per-source census drives the numeric-
+    * normalization choice. Both patterns demand a grouping separator
+    * AND a decimal part, so plain integers and plain decimals vote
+    * for neither.
+    *
+    * Scale shape: in-row counts into a source-keyed rollup. */
+  def numberLocaleAudit(docs: DataFrame, textCol: String,
+                        sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val commaGrouped =
+      n("(^|[^0-9.,])[0-9]{1,3}(,[0-9]{3})+\\.[0-9]+")
+    val dotGrouped =
+      n("(^|[^0-9.,])[0-9]{1,3}(\\.[0-9]{3})+,[0-9]+")
+    docs.select(col(sourceCol).as("source"),
+        commaGrouped.as("__c"), dotGrouped.as("__d"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__c")).as("n_comma_grouped"),
+        sum(col("__d")).as("n_dot_grouped"),
+        sum(when(col("__c") > 0 && col("__d") > 0, 1L).otherwise(0L))
+          .as("n_mixed_docs"))
+  }
+
+  /** Casing profile — ALL-CAPS shouting and Title Case Headline
+    * runs separate listings/headlines/spam from prose; the share
+    * census routes them to the right cleaning. Words are ≥ 2 chars
+    * so initials and "A" don't count as shouting. Non-overlapping
+    * matching consumes the separator, so ADJACENT qualifying words
+    * alternate (an all-caps line counts ~half its words) — a
+    * deterministic undercount, identical on both engines, and the
+    * share threshold is calibrated for it.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def casingProfile(docs: DataFrame, idCol: String,
+                    textCol: String,
+                    shoutMicro: Long = 300000L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val capsWords = n("(^|[^A-Za-z])[A-Z]{2,}([^A-Za-z]|$)")
+    val titleWords = n("(^|[^A-Za-z])[A-Z][a-z]+([^A-Za-z]|$)")
+    val words = n("[A-Za-z]{2,}")
+    docs.select(col(idCol), capsWords.as("n_caps_words"),
+        titleWords.as("n_title_words"),
+        greatest(words, lit(1L)).as("n_words"))
+      .withColumn("caps_micro",
+        expr("n_caps_words * 1000000L div n_words"))
+      .withColumn("verdict",
+        when(col("caps_micro") > shoutMicro, "shouting")
+          .otherwise("normal"))
+  }
+
+  /** Elongation detection — "soooo coool" letter-stretching is the
+    * social-register marker normalizers either fold (sentiment
+    * corpora) or preserve (style transfer); either way the census
+    * comes first. A run is 3+ of the SAME letter (RE2 has no
+    * backreferences, so the 26 per-letter alternations are spelled
+    * out — identical on both engines).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def elongations(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val low = lower(coalesce(col(textCol), lit("")))
+    val pattern = ('a' to 'z').map(c => s"$c{3,}").mkString("|")
+    val runs = regexp_extract_all(low, lit(pattern), lit(0))
+    docs.select(col(idCol),
+        size(runs).cast("long").as("n_runs"),
+        coalesce(aggregate(transform(runs,
+          r => length(r).cast("long")), lit(0L),
+          (a, x) => greatest(a, x)), lit(0L)).as("longest_run"),
+        array_join(array_sort(array_distinct(runs)), ",").as("runs"))
+      .withColumn("has_elongation", col("n_runs") > 0L)
+  }
 }

@@ -7247,4 +7247,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((0, 2)) == 4000000L)
     assert(got((1, 2)) == 1000000L + 4000000L)
   }
+
+  test("delimiterBalance: pair balances, quote parity, nesting " +
+      "order is NOT checked (count-based lint)") {
+    val docs = Seq(
+      (1L, "(a [b {c} d] e)"),     // balanced
+      (2L, "(open [twice"),        // +1 paren, +1 bracket
+      (3L, "say \"this and \"that\""), // 3 quotes -> odd
+      (4L, ")( reversed but counts cancel"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.delimiterBalance(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Boolean]("balanced"))
+    assert(got(1).getAs[Long]("paren_balance") == 1L &&
+      got(1).getAs[Long]("bracket_balance") == 1L &&
+      !got(1).getAs[Boolean]("balanced"))
+    assert(got(2).getAs[Long]("quote_parity") == 1L)
+    // count-based: reversed order still balances (documented)
+    assert(got(3).getAs[Boolean]("balanced"))
+    assert(got(4).getAs[Boolean]("balanced"))
+  }
+
+  test("numberLocaleAudit: grouped-with-decimal forms vote, plain " +
+      "integers and decimals vote for neither, mixed docs count") {
+    val docs = Seq(
+      (1L, "pay 1,234.56 then 12,345,678.90", "us"),
+      (2L, "zahle 1.234,56 dann 9.876.543,21", "de"),
+      (3L, "both 1,234.56 and 1.234,56 here", "mx"),
+      (4L, "plain 1234 and 12.5 and 1,234 alone", "us")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.numberLocaleAudit(docs, "text", "src")
+      .orderBy("source").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_comma_grouped"),
+          r.getAs[Long]("n_dot_grouped"),
+          r.getAs[Long]("n_mixed_docs"))).toMap
+    assert(got("us") == (2L, 0L, 0L)) // doc 4 votes for neither
+    assert(got("de") == (0L, 2L, 0L))
+    assert(got("mx") == (1L, 1L, 1L))
+  }
+
+  test("casingProfile: caps share flags shouting, title case does " +
+      "not, short uppercase tokens need 2+ chars") {
+    val docs = Seq(
+      (1L, "BUY NOW FREE DEAL"),
+      (2L, "The Quick Brown Fox Jumps Over The Lazy Dog"),
+      (3L, "normal prose with One Name and an ID here"),
+      (4L, "A I single letters never count")
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.casingProfile(docs, "id", "text")
+      .orderBy("id").collect()
+    // non-overlapping matches consume the separator, so ADJACENT
+    // caps words alternate: BUY and FREE match, NOW and DEAL are
+    // skipped — a documented undercount, identical on both engines
+    assert(got(0).getAs[String]("verdict") == "shouting" &&
+      got(0).getAs[Long]("n_caps_words") == 2L)
+    assert(got(1).getAs[String]("verdict") == "normal")
+    assert(got(2).getAs[Long]("n_caps_words") == 1L) // ID
+    assert(got(3).getAs[Long]("n_caps_words") == 0L)
+  }
+
+  test("elongations: 3+ same-letter runs, longest run length, " +
+      "sorted distinct run list, double letters never count") {
+    val docs = Seq(
+      (1L, "soooo coool yesss"),
+      (2L, "really good roommate"), // ll/oo/mm are pairs only
+      (3L, "whaaaaat"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.elongations(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_runs") == 3L &&
+      got(0).getAs[Long]("longest_run") == 4L &&
+      got(0).getAs[String]("runs") == "ooo,oooo,sss")
+    assert(got(1).getAs[Long]("n_runs") == 0L &&
+      !got(1).getAs[Boolean]("has_elongation"))
+    assert(got(2).getAs[Long]("longest_run") == 5L)
+    assert(got(3).getAs[Long]("n_runs") == 0L)
+  }
 }
