@@ -387,6 +387,10 @@ object RetrievalOps {
                       termA: String, termB: String,
                       maxGap: Int = 3): DataFrame = {
     require(termA.nonEmpty && termB.nonEmpty, "terms must be non-empty")
+    // matching lowercases the text; a cased term would never match
+    require(termA == termA.toLowerCase && termB == termB.toLowerCase,
+      "terms must be lowercase")
+    require(maxGap >= 1, "maxGap must be positive")
     val toks = split(lower(coalesce(col(textCol), lit(""))), " ", -1)
     def positions(term: String): Column = filter(
       transform(toks, (x, i) => when(x === term, i + 1)

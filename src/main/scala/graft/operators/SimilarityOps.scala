@@ -812,7 +812,11 @@ object SimilarityOps {
     * rounded, shifted by `QuantShift` so every later division and
     * difference stays in non-negative integers (Spark's `div`
     * truncates toward zero, DuckDB's `//` floors — they agree only
-    * on non-negatives; the shift cancels in every difference). */
+    * on non-negatives; the shift cancels in every difference).
+    * Valid for coordinates with |x·scale| < 2^20 — i.e. |x| < ~1048
+    * at the default scale, far beyond any normalized embedding; a
+    * coordinate outside that range would go negative after the
+    * shift and re-open the floor/truncate divergence. */
   private val QuantShift = 1 << 20
   private def quantized(vec: org.apache.spark.sql.Column,
                         scale: Int): org.apache.spark.sql.Column =

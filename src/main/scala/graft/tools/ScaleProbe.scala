@@ -1060,6 +1060,29 @@ object ScaleProbe {
             concat(lit("p"), (col("doc_id") % 4999).cast("string"))
               .as("dst")),
           "src", "dst", maxOut = 8, k = 50))
+      // distinctiveTerms under a VIRAL term (in 50% of docs): the
+      // hot term arrives at the (source, term) aggregate as map-side
+      // partials and at the global re-aggregate as ≤ sources rows;
+      // top-k is the bounded aggregate, never a source-keyed rank
+      time(s"distinctiveTerms VIRAL x$n (one term in 50% of docs)")(
+        TextAnalysisOps.distinctiveTerms(
+          docs.select(
+            when(col("doc_id") % 2 === 0,
+              concat(col("text"), lit(" viralterm")))
+              .otherwise(col("text")).as("text"),
+            (col("doc_id") % 20).cast("string").as("src")),
+          "text", "src", minCount = 5L, k = 5))
+      // triangleCount under the same mega-hub edge list: orientation
+      // bounds the hub's wedge contribution by its OUT-degree
+      time(s"triangleCount HUB x$n (one node on 50% of edges)")(
+        graft.operators.GraphOps.triangleCount(
+          docs.select(
+            when(col("doc_id") % 2 === 0, lit("hub"))
+              .otherwise(concat(lit("s"),
+                (col("doc_id") % 997).cast("string"))).as("x"),
+            concat(lit("p"), (col("doc_id") % 4999).cast("string"))
+              .as("y")),
+          "x", "y"))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }
