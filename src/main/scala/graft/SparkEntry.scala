@@ -5940,6 +5940,68 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), text.as("text")),
         "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Whitespace artifacts (q351): tabs, multi-space runs, trailing
+    // whitespace, NBSP — conversion-residue lint.
+    "q351_whitespace_artifacts" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 6 === 0,
+          lit("\tcol1\tcol2"))
+        .when(id % 6 === 1, lit(" doubled  spaces   here"))
+        .when(id % 6 === 2, lit(" trailing \nnext line  \nend"))
+        .when(id % 6 === 3, lit(" \u00A0bound"))
+        .otherwise(lit("")))
+      TextAnalysisOps.whitespaceArtifacts(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Typo candidates (q352): planted distance-1 typos (tabl, hashh,
+    // valu) must pair with their frequent corrections; the planted
+    // TRANSPOSITION 'tabel' shares deletion signatures with 'table'
+    // but fails the levenshtein<=1 verify — the re-verification is
+    // the point.
+    "q352_typo_candidates" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 199 === 0,
+          lit(" tabl hashh valu"))
+        .when(id % 199 === 1, lit(" tabel"))
+        .otherwise(lit("")))
+      TextAnalysisOps.typoCandidates(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "text", minFreq = 50L, maxRareFreq = 3L, minLen = 4, k = 25)
+        .orderBy(col("n_corr").desc, col("typo"), col("correction"))
+    }),
+
+    // Benford digits (q353): deterministic planted integers — the
+    // leading-digit census against the fixed log expectation.
+    "q353_benford_digits" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), lit(" n"),
+        ((id * id) % 997).cast("string"), lit(" m"),
+        ((id * 7) % 1003).cast("string"))
+      TextAnalysisOps.benfordDigits(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "text")
+        .orderBy(col("digit"))
+    }),
+
+    // Percent sanity (q354): id-varied percentages, some over 100 —
+    // the impossible-quantity lint per source.
+    "q354_percent_sanity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 3 === 0,
+          concat(lit(" grew "), (id % 150).cast("string"),
+            lit("% last year")))
+        .when(id % 3 === 1, lit(" exactly 100% done"))
+        .otherwise(lit("")))
+      TextAnalysisOps.percentSanity(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -17057,6 +17119,111 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    'string_agg', ','), '') AS runs,
         |  (len(runs) > 0) AS has_elongation
         |FROM c ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q351_whitespace_artifacts" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 6
+        |    WHEN 0 THEN chr(9) || 'col1' || chr(9) || 'col2'
+        |    WHEN 1 THEN ' doubled  spaces   here'
+        |    WHEN 2 THEN ' trailing ' || chr(10) || 'next line  '
+        |      || chr(10) || 'end'
+        |    WHEN 3 THEN ' ' || chr(160) || 'bound'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '\t'))::BIGINT AS n_tabs,
+        |    len(regexp_extract_all(t, '  +'))::BIGINT
+        |      AS n_multispace_runs,
+        |    len(regexp_extract_all(t, '(?m)[ \t]+$'))::BIGINT
+        |      AS n_trailing_ws_lines,
+        |    len(regexp_extract_all(t, chr(160)))::BIGINT AS n_nbsp
+        |  FROM d)
+        |SELECT doc_id, n_tabs, n_multispace_runs,
+        |  n_trailing_ws_lines, n_nbsp,
+        |  CASE WHEN n_tabs + n_multispace_runs
+        |    + n_trailing_ws_lines + n_nbsp > 0
+        |  THEN 'messy' ELSE 'clean' END AS verdict
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q352_typo_candidates" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 199
+        |    WHEN 0 THEN ' tabl hashh valu'
+        |    WHEN 1 THEN ' tabel'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |census AS (
+        |  SELECT term, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(list_filter(string_split(lower(t), ' '),
+        |      x -> x <> '')) AS term FROM d)
+        |  GROUP BY term),
+        |rare AS (
+        |  SELECT term AS typo, n AS n_typo,
+        |    unnest([term] || [substr(term, 1, i - 1)
+        |      || substr(term, i + 1, len(term))
+        |      FOR i IN range(1, len(term) + 1)]) AS sig
+        |  FROM census WHERE n <= 3 AND len(term) >= 4),
+        |freq AS (
+        |  SELECT term AS correction, n AS n_corr,
+        |    unnest([term] || [substr(term, 1, i - 1)
+        |      || substr(term, i + 1, len(term))
+        |      FOR i IN range(1, len(term) + 1)]) AS sig
+        |  FROM census WHERE n >= 50),
+        |cand AS (
+        |  SELECT DISTINCT typo, correction, n_typo, n_corr
+        |  FROM rare JOIN freq USING (sig)
+        |  WHERE typo <> correction
+        |    AND levenshtein(typo, correction) <= 1)
+        |SELECT typo, correction, n_typo, n_corr
+        |FROM cand
+        |ORDER BY n_corr DESC, typo, correction LIMIT 25""".stripMargin,
+
+    "q353_benford_digits" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' n'
+        |    || ((doc_id * doc_id) % 997)::VARCHAR || ' m'
+        |    || ((doc_id * 7) % 1003)::VARCHAR AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT digit, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(regexp_extract_all(t,
+        |      '(^|[^0-9.])([1-9])[0-9]*', 2)) AS digit FROM d)
+        |  GROUP BY digit),
+        |tt AS (SELECT sum(n)::BIGINT AS t FROM c)
+        |SELECT digit, n,
+        |  (n * 1000000 // t)::BIGINT AS share_micro,
+        |  (CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |    WHEN '3' THEN 124939 WHEN '4' THEN 96910
+        |    WHEN '5' THEN 79181 WHEN '6' THEN 66947
+        |    WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |    ELSE 45757 END)::BIGINT AS benford_micro,
+        |  abs(n * 1000000 // t - CASE digit
+        |    WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |    WHEN '3' THEN 124939 WHEN '4' THEN 96910
+        |    WHEN '5' THEN 79181 WHEN '6' THEN 66947
+        |    WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |    ELSE 45757 END)::BIGINT AS deviation_micro
+        |FROM c CROSS JOIN tt ORDER BY digit""".stripMargin,
+
+    "q354_percent_sanity" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 3
+        |    WHEN 0 THEN ' grew ' || (doc_id % 150)::VARCHAR
+        |      || '% last year'
+        |    WHEN 1 THEN ' exactly 100% done'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, list_transform(regexp_extract_all(t,
+        |    '([0-9]{1,9})%', 1), p -> p::BIGINT) AS ps
+        |  FROM d)
+        |SELECT source,
+        |  sum(len(ps))::BIGINT AS n_percents,
+        |  sum(len(list_filter(ps, p -> p > 100)))::BIGINT
+        |    AS n_over_100,
+        |  max(coalesce(list_max(ps), 0))::BIGINT AS max_percent
+        |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -5229,4 +5229,118 @@ object TextAnalysisOps {
         array_join(array_sort(array_distinct(runs)), ",").as("runs"))
       .withColumn("has_elongation", col("n_runs") > 0L)
   }
+
+  /** Whitespace-artifact lint — tabs in prose, multi-space runs,
+    * trailing whitespace, and non-breaking spaces are conversion
+    * residue that inflates tokenizer vocabularies (every distinct
+    * whitespace shape mints tokens) and breaks exact-match dedup.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def whitespaceArtifacts(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    docs.select(col(idCol),
+        n("\t").as("n_tabs"),
+        n("  +").as("n_multispace_runs"),
+        n("(?m)[ \t]+$").as("n_trailing_ws_lines"),
+        n("\u00A0").as("n_nbsp"))
+      .withColumn("verdict",
+        when(col("n_tabs") + col("n_multispace_runs") +
+          col("n_trailing_ws_lines") + col("n_nbsp") > 0, "messy")
+          .otherwise("clean"))
+  }
+
+  /** Typo-candidate mining by deletion signatures (the SymSpell
+    * construction, Garbe 2012): a rare token is an edit-distance-1
+    * variant of a frequent one iff their deletion-signature sets
+    * intersect (the token itself + every single-char deletion) — so
+    * candidate generation is a signature equi-join, never an
+    * all-pairs distance scan. Survivors are re-verified with the
+    * exact `levenshtein` ≤ 1 (signatures admit a few distance-2
+    * length-equal pairs).
+    *
+    * Output: top-k (typo, correction) pairs by correction frequency.
+    *
+    * Scale shape: token census (map-side combined) → signature
+    * explode (≤ len+1 rows per SURVIVING vocab entry — the
+    * frequency floors prune first) → signature-keyed hash join →
+    * TakeOrdered. */
+  def typoCandidates(docs: DataFrame, textCol: String,
+                     minFreq: Long = 50L, maxRareFreq: Long = 3L,
+                     minLen: Int = 4, k: Int = 25): DataFrame = {
+    require(minFreq > maxRareFreq, "frequency bands must not overlap")
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), " ", -1),
+      t => t =!= "")
+    val census = docs.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val sigs = expr("""concat(array(term),
+      |transform(sequence(1, length(term)),
+      |  i -> concat(substring(term, 1, i - 1),
+      |    substring(term, i + 1, length(term)))))""".stripMargin)
+    def sigFrame(f: DataFrame, termAs: String, nAs: String) = f
+      .withColumn("__sig", explode(sigs))
+      .select(col("__sig"), col("term").as(termAs), col("n").as(nAs))
+    val rare = sigFrame(census.filter(col("n") <= maxRareFreq &&
+      length(col("term")) >= minLen), "typo", "n_typo")
+    val freq = sigFrame(census.filter(col("n") >= minFreq),
+      "correction", "n_corr")
+    rare.join(freq, Seq("__sig"))
+      .select(col("typo"), col("correction"), col("n_typo"),
+        col("n_corr")).distinct()
+      .filter(col("typo") =!= col("correction") &&
+        levenshtein(col("typo"), col("correction")) <= 1)
+      .orderBy(col("n_corr").desc, col("typo"), col("correction"))
+      .limit(k)
+  }
+
+  /** Benford leading-digit census — naturally occurring numbers
+    * follow log₁₀(1+1/d); synthetic or fabricated numerics don't
+    * (the classic forensic signal, Benford 1938). Integer tokens'
+    * leading digits against the fixed expectation in micro-units.
+    *
+    * Scale shape: in-row extraction into a 9-row aggregate. */
+  def benfordDigits(docs: DataFrame, textCol: String): DataFrame = {
+    val expected = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val txt = coalesce(col(textCol), lit(""))
+    val digits = regexp_extract_all(txt,
+      lit("(^|[^0-9.])([1-9])[0-9]*"), lit(2))
+    val counts = docs.select(explode(digits).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val expectedCol = expected.foldLeft(lit(0L)) {
+      case (acc, (d, micro)) =>
+        when(col("digit") === d.toString, lit(micro)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div __t").as("share_micro"),
+        expectedCol.as("benford_micro"))
+      .withColumn("deviation_micro",
+        abs(col("share_micro") - col("benford_micro")))
+  }
+
+  /** Quantity-sanity lint: percentages over 100 — template bugs and
+    * OCR column-merges produce "350% of users", and grounded-QA
+    * training data must not contain them.
+    *
+    * Scale shape: in-row extraction into a source-keyed rollup. */
+  def percentSanity(docs: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val pcts = transform(regexp_extract_all(txt,
+      lit("([0-9]{1,9})%"), lit(1)), p => p.cast("long"))
+    docs.select(col(sourceCol).as("source"),
+        size(pcts).cast("long").as("__n"),
+        size(filter(pcts, p => p > 100L)).cast("long").as("__over"),
+        coalesce(array_max(pcts), lit(0L)).as("__max"))
+      .groupBy(col("source"))
+      .agg(sum(col("__n")).as("n_percents"),
+        sum(col("__over")).as("n_over_100"),
+        max(col("__max")).as("max_percent"))
+  }
 }

@@ -7326,4 +7326,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).getAs[Long]("longest_run") == 5L)
     assert(got(3).getAs[Long]("n_runs") == 0L)
   }
+
+  test("whitespaceArtifacts: tabs, multi-space runs, trailing " +
+      "whitespace lines, NBSP — clean prose stays clean") {
+    val docs = Seq(
+      (1L, "a\tb\tc"),
+      (2L, "one  two   three"),      // two runs
+      (3L, "line one \nline two\t\nok"),
+      (4L, "hard\u00A0space"),
+      (5L, "perfectly normal text"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.whitespaceArtifacts(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_tabs") == 2L &&
+      got(0).getAs[String]("verdict") == "messy")
+    assert(got(1).getAs[Long]("n_multispace_runs") == 2L)
+    assert(got(2).getAs[Long]("n_trailing_ws_lines") == 2L)
+    assert(got(3).getAs[Long]("n_nbsp") == 1L)
+    assert(got(4).getAs[String]("verdict") == "clean")
+    assert(got(5).getAs[String]("verdict") == "clean")
+  }
+
+  test("typoCandidates: deletion-signature pairs verified by exact " +
+      "distance — transpositions share signatures but are rejected") {
+    val base = (1 to 60).map(i => (i.toLong, "table value hash"))
+    val docs = (base ++ Seq(
+      (100L, "tabl appears once"),   // deletion: distance 1
+      (101L, "tabel appears once"),  // transposition: distance 2
+      (102L, "vplue appears once")   // substitution: distance 1
+    )).toDF("id", "text")
+    val got = TextAnalysisOps.typoCandidates(docs, "text",
+      minFreq = 50L, maxRareFreq = 3L, minLen = 4, k = 10)
+      .collect()
+    val pairs = got.map(r => (r.getAs[String]("typo"),
+      r.getAs[String]("correction"))).toSet
+    assert(pairs.contains(("tabl", "table")))
+    assert(pairs.contains(("vplue", "value")))
+    // tabel-table is levenshtein 2: signature overlap alone must
+    // not admit it
+    assert(!pairs.exists(_._1 == "tabel"))
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.typoCandidates(docs, "text", minFreq = 2L,
+        maxRareFreq = 3L)
+    }
+  }
+
+  test("benfordDigits: leading digits census with boundary guards " +
+      "and the fixed expectation table") {
+    val docs = Seq(
+      (1L, "n1 n12 n134 n19"),   // all lead with 1
+      (2L, "x2.5 and 0.37 here"), // 2 leads; .37's 3 is guarded
+      (3L, "v900 and 9 alone")
+    ).toDF("id", "text")
+    val got = TextAnalysisOps.benfordDigits(docs, "text")
+      .orderBy("digit").collect()
+      .map(r => r.getAs[String]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("benford_micro"))).toMap
+    assert(got("1") == (4L, 301030L))
+    assert(got("2") == (1L, 176091L))
+    assert(got("9") == (2L, 45757L))
+    assert(!got.contains("3")) // 0.37 never counts
+  }
+
+  test("percentSanity: over-100 percentages flag, boundary 100 does " +
+      "not, max tracked per source") {
+    val docs = Seq(
+      (1L, "grew 350% then 99%", "a"),
+      (2L, "exactly 100% done", "a"),
+      (3L, "no percents", "b")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.percentSanity(docs, "text", "src")
+      .orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_percents") == 3L &&
+      got(0).getAs[Long]("n_over_100") == 1L &&
+      got(0).getAs[Long]("max_percent") == 350L)
+    assert(got(1).getAs[Long]("n_percents") == 0L &&
+      got(1).getAs[Long]("max_percent") == 0L)
+  }
 }
