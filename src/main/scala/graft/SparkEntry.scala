@@ -6002,6 +6002,68 @@ object SparkEntry {
           col("source")),
         "text", "source")
         .orderBy(col("source"))
+    }),
+
+    // Response diversity (q355): one duplicate-instruction cluster
+    // with verbatim responses (avg Jaccard = 1e6, redundant) and one
+    // with id-varying responses (only the shared leading trigram
+    // survives → 200000, diverse); unique instructions drop.
+    "q355_response_diversity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val conv = when(id % 9 === 0,
+          lit("user: tell me a joke\nassistant: the same exact " +
+            "joke text here"))
+        .when(id % 9 === 1, concat(
+          lit("user: sing a song\nassistant: la la number "),
+          (id % 7).cast("string"), lit(" tune")))
+        .otherwise(concat(lit("user: please summarize item "), ids,
+          lit("\nassistant: sure thing")))
+      val turns = ConversationOps.parseTurns(
+        t(s, dir, "documents").select(col("doc_id"), conv.as("text")),
+        "doc_id", "text")
+      ConversationOps.responseDiversity(turns, "doc_id",
+          maxPerGroup = 4)
+        .orderBy(col("instr_sig"))
+    }),
+
+    // Title dedup (q356): two planted shared titles (a markdown
+    // heading and an error page) must cluster across sources.
+    "q356_title_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 11 === 0,
+          concat(lit("# Welcome Home\n"), col("text")))
+        .when(id % 11 === 1,
+          concat(lit("ERROR 404 Not Found\n"), col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.titleDedup(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "doc_id", "text", "source")
+        .orderBy(col("title"))
+    }),
+
+    // Split-balance audit (q357): the q90 hash split measured per
+    // source against its declared 80/10/10 in integer micro-units.
+    "q357_split_balance" -> ((s, dir) => {
+      SamplingOps.splitBalanceAudit(t(s, dir, "documents"),
+          col("doc_id").cast("string"), "source", 0.8, 0.1)
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // Sentence types (q358): planted interrogative/exclamatory/
+    // declarative enders — the per-source tone mix.
+    "q358_sentence_types" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 4 === 0,
+          lit(" Really? Yes! Done."))
+        .when(id % 4 === 1, lit(" One. Two. Three."))
+        .otherwise(lit("")))
+      TextAnalysisOps.sentenceTypes(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -17224,6 +17286,153 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  sum(len(list_filter(ps, p -> p > 100)))::BIGINT
         |    AS n_over_100,
         |  max(coalesce(list_max(ps), 0))::BIGINT AS max_percent
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q355_response_diversity" ->
+      """WITH conv AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 9 = 0 THEN 'user: tell me a joke'
+        |      || chr(10)
+        |      || 'assistant: the same exact joke text here'
+        |    WHEN doc_id % 9 = 1 THEN 'user: sing a song' || chr(10)
+        |      || 'assistant: la la number '
+        |      || (doc_id % 7)::VARCHAR || ' tune'
+        |    ELSE 'user: please summarize item ' || doc_id::VARCHAR
+        |      || chr(10) || 'assistant: sure thing' END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': lines[i]}
+        |        FOR i IN range(1, len(lines) + 1)]) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |          FROM conv))),
+        |tn AS (
+        |  SELECT doc_id, i,
+        |    regexp_extract(l, '^(user|assistant|system): ', 1)
+        |      AS role,
+        |    regexp_replace(l, '^(user|assistant|system): ', '')
+        |      AS content,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS turn_idx
+        |  FROM ln
+        |  WHERE regexp_matches(l, '^(user|assistant|system): ')),
+        |fu AS (
+        |  SELECT doc_id, substring(md5(trim(regexp_replace(lower(
+        |    arg_min(content, turn_idx)), '\s+', ' ', 'g'))), 1, 16)
+        |    AS instr_sig
+        |  FROM tn WHERE role = 'user' GROUP BY doc_id),
+        |fa AS (
+        |  SELECT doc_id, arg_min(content, turn_idx) AS response
+        |  FROM tn WHERE role = 'assistant' GROUP BY doc_id),
+        |j AS (
+        |  SELECT fu.doc_id, instr_sig, response
+        |  FROM fu JOIN fa ON fu.doc_id = fa.doc_id),
+        |sz AS (
+        |  SELECT instr_sig, count(*)::BIGINT AS n_convs
+        |  FROM j GROUP BY instr_sig HAVING count(*) >= 2),
+        |kept AS (
+        |  SELECT instr_sig, doc_id,
+        |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |      FOR i IN range(1, len(tk) - 1)]) AS g
+        |  FROM (
+        |    SELECT j.instr_sig, j.doc_id,
+        |      list_filter(string_split(lower(response), ' '),
+        |        x -> x <> '') AS tk,
+        |      row_number() OVER (PARTITION BY j.instr_sig
+        |        ORDER BY j.doc_id) AS rn
+        |    FROM j JOIN sz ON j.instr_sig = sz.instr_sig)
+        |  WHERE rn <= 4),
+        |pj AS (
+        |  SELECT a.instr_sig,
+        |    len(list_filter(a.g, x -> list_contains(b.g, x)))
+        |      ::BIGINT AS inter,
+        |    (len(a.g) + len(b.g)
+        |      - len(list_filter(a.g, x -> list_contains(b.g, x))))
+        |      ::BIGINT AS uni
+        |  FROM kept a JOIN kept b ON a.instr_sig = b.instr_sig
+        |    AND a.doc_id < b.doc_id),
+        |agg AS (
+        |  SELECT instr_sig, count(*)::BIGINT AS np,
+        |    sum(inter * 1000000 // greatest(uni, 1))::BIGINT AS sj
+        |  FROM pj GROUP BY instr_sig),
+        |kc AS (
+        |  SELECT instr_sig, count(*)::BIGINT AS n_compared
+        |  FROM kept GROUP BY instr_sig)
+        |SELECT sz.instr_sig, n_convs, n_compared,
+        |  (sj // np)::BIGINT AS avg_jaccard_micro,
+        |  CASE WHEN sj // np >= 800000 THEN 'redundant'
+        |    ELSE 'diverse' END AS verdict
+        |FROM sz JOIN agg ON sz.instr_sig = agg.instr_sig
+        |JOIN kc ON sz.instr_sig = kc.instr_sig
+        |ORDER BY sz.instr_sig""".stripMargin,
+
+    "q356_title_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CASE
+        |    WHEN doc_id % 11 = 0 THEN '# Welcome Home' || chr(10)
+        |      || text
+        |    WHEN doc_id % 11 = 1 THEN 'ERROR 404 Not Found'
+        |      || chr(10) || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |ti AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(
+        |      string_split(t, chr(10))[1]), '^#{1,6} ', ''),
+        |      '\s+', ' ', 'g')) AS title, source
+        |  FROM d)
+        |SELECT title, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT source)::BIGINT AS n_sources
+        |FROM ti WHERE title <> ''
+        |GROUP BY title HAVING count(*) >= 2
+        |ORDER BY title""".stripMargin,
+
+    "q357_split_balance" ->
+      """WITH s AS (
+        |  SELECT source, CASE
+        |    WHEN substring(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc'
+        |      THEN 'train'
+        |    WHEN substring(md5(doc_id::VARCHAR), 1, 8) < 'e6666666'
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, split, count(*)::BIGINT AS n
+        |  FROM s GROUP BY source, split),
+        |t AS (SELECT source, sum(n)::BIGINT AS tt FROM c
+        |  GROUP BY source)
+        |SELECT c.source, split, n,
+        |  (n * 1000000 // tt)::BIGINT AS share_micro,
+        |  (CASE split WHEN 'train' THEN 800000 WHEN 'val'
+        |    THEN 100000 ELSE 100000 END)::BIGINT AS declared_micro,
+        |  abs(n * 1000000 // tt - CASE split WHEN 'train'
+        |    THEN 800000 WHEN 'val' THEN 100000 ELSE 100000 END)
+        |    ::BIGINT AS deviation_micro,
+        |  (abs(n * 1000000 // tt - CASE split WHEN 'train'
+        |    THEN 800000 WHEN 'val' THEN 100000 ELSE 100000 END)
+        |    > 50000) AS out_of_tolerance
+        |FROM c JOIN t ON c.source = t.source
+        |ORDER BY c.source, split""".stripMargin,
+
+    "q358_sentence_types" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 4
+        |    WHEN 0 THEN ' Really? Yes! Done.'
+        |    WHEN 1 THEN ' One. Two. Three.'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '\?'))::BIGINT AS q,
+        |    len(regexp_extract_all(t, '!'))::BIGINT AS e,
+        |    len(regexp_extract_all(t, '\.'))::BIGINT AS p
+        |  FROM d)
+        |SELECT source, sum(q)::BIGINT AS n_questions,
+        |  sum(e)::BIGINT AS n_exclaims,
+        |  sum(p)::BIGINT AS n_periods,
+        |  (sum(q) * 1000000
+        |    // greatest(sum(q) + sum(e) + sum(p), 1))::BIGINT
+        |    AS question_micro
         |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 }

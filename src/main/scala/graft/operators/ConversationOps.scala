@@ -433,4 +433,74 @@ object ConversationOps {
       .withColumn("verdict",
         when(col("n_echoed") > 0, "echo").otherwise("clean"))
   }
+
+  /** Response diversity per duplicate-instruction cluster — when the
+    * SAME instruction recurs across an SFT corpus, the value of the
+    * duplicates depends on whether the responses differ (paraphrase
+    * diversity trains robustness; verbatim copies are just weight on
+    * one answer). Per normalized-instruction cluster: up to
+    * `maxPerGroup` responses (the bounded top-N by conversation id —
+    * no rank window over the instruction sig, a viral prompt is a
+    * Zipf-head key), pairwise word-trigram Jaccard over that bounded
+    * array, averaged in integer micro-units (pair intersections and
+    * unions computed in-row; the division happens on exploded pair
+    * rows so it stays integer DIV on both engines).
+    *
+    * Output: one row per cluster with >= 2 conversations.
+    *
+    * Scale shape: two doc-keyed aggregates (first user / assistant
+    * turn), one sig-keyed bounded aggregate, in-row pair expansion
+    * (<= C(maxPerGroup, 2) structs), a tiny regroup. */
+  def responseDiversity(turns: DataFrame, idCol: String,
+                        maxPerGroup: Int = 4,
+                        redundantMicro: Long = 800000L): DataFrame = {
+    require(maxPerGroup >= 2 && maxPerGroup <= 64,
+      "maxPerGroup in [2, 64]")
+    val firstUser = turns.filter(col("role") === "user")
+      .groupBy(col(idCol))
+      .agg(min_by(col("content"), col("turn_idx")).as("__instr"))
+      .select(col(idCol),
+        substring(md5(trim(regexp_replace(lower(col("__instr")),
+          "\\s+", " "))), 1, 16).as("instr_sig"))
+    val firstAsst = turns.filter(col("role") === "assistant")
+      .groupBy(col(idCol))
+      .agg(min_by(col("content"), col("turn_idx")).as("response"))
+    val grouped = firstUser.join(firstAsst, Seq(idCol))
+      .groupBy(col("instr_sig"))
+      .agg(count(lit(1)).as("n_convs"),
+        graft.functions.AggFunctions.boundedTopN(
+          struct(col(idCol).cast("long").as("id"),
+            col("response").as("r")), maxPerGroup).as("__kept"))
+      .filter(col("n_convs") >= 2)
+    // distinct word-trigram set per kept response
+    val grams = transform(col("__kept"), s => {
+      val toks = filter(split(lower(s.getField("r")), " ", -1),
+        t => t =!= "")
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+        i => concat_ws(" ", element_at(toks, i),
+          element_at(toks, i + 1), element_at(toks, i + 2))))
+    })
+    // ordered pairs as (intersection, union) structs — no division
+    // inside the lambda; that happens on the exploded rows below
+    val pairs = flatten(transform(col("__g"), (a, i) =>
+      transform(slice(col("__g"), i + lit(2),
+        greatest(size(col("__g")) - i - 1, lit(0))), b =>
+        struct(size(array_intersect(a, b)).cast("long").as("inter"),
+          (size(a).cast("long") + size(b).cast("long") -
+            size(array_intersect(a, b)).cast("long")).as("uni")))))
+    grouped.withColumn("__g", grams)
+      .select(col("instr_sig"), col("n_convs"),
+        size(col("__g")).cast("long").as("n_compared"),
+        explode(pairs).as("__p"))
+      .groupBy(col("instr_sig"), col("n_convs"), col("n_compared"))
+      .agg(count(lit(1)).as("__np"),
+        sum(expr("__p.inter * 1000000L div greatest(__p.uni, 1L)"))
+          .as("__sj"))
+      .select(col("instr_sig"), col("n_convs"), col("n_compared"),
+        expr("__sj div __np").as("avg_jaccard_micro"))
+      .withColumn("verdict",
+        when(col("avg_jaccard_micro") >= redundantMicro, "redundant")
+          .otherwise("diverse"))
+  }
 }

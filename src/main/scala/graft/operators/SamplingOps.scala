@@ -1110,4 +1110,45 @@ object SamplingOps {
         expr("eff_docs_micro * 1000000L div greatest(__te, 1L)")
           .as("eff_share_micro"))
   }
+
+  /** Split-balance audit — hash splits are only balanced in
+    * EXPECTATION, and a correlated key (sequential ids, per-source
+    * id ranges) can skew a stratum badly; this measures realized
+    * shares against the declared fractions per source so a bad split
+    * is caught before training. Deviation is integer micro-units of
+    * the source's own size.
+    *
+    * Output: one row per (source, split) — counts, realized and
+    * declared shares, deviation, and the tolerance flag.
+    *
+    * Scale shape: [[hashSplit]]'s projection into a
+    * (source, split)-keyed aggregate; per-source totals re-group the
+    * tiny frame and broadcast back. */
+  def splitBalanceAudit(df: DataFrame, key: Column, sourceCol: String,
+                        trainFrac: Double, valFrac: Double,
+                        toleranceMicro: Long = 50000L): DataFrame = {
+    val declared = Map(
+      "train" -> math.round(trainFrac * 1000000),
+      "val" -> math.round(valFrac * 1000000),
+      "test" -> math.round((1.0 - trainFrac - valFrac) * 1000000))
+    val counts = hashSplit(df, key, trainFrac, valFrac)
+      .groupBy(col(sourceCol).as("source"), col("split"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("__t"))
+    val declaredCol = declared.foldLeft(lit(0L)) {
+      case (acc, (s, micro)) =>
+        when(col("split") === s, lit(micro)).otherwise(acc)
+    }
+    counts.join(broadcast(totals), Seq("source"))
+      .withColumn("share_micro", expr("n * 1000000L div __t"))
+      .withColumn("declared_micro", declaredCol)
+      .withColumn("deviation_micro",
+        abs(col("share_micro") - col("declared_micro")))
+      .withColumn("out_of_tolerance",
+        col("deviation_micro") > toleranceMicro)
+      .select(col("source"), col("split"), col("n"),
+        col("share_micro"), col("declared_micro"),
+        col("deviation_micro"), col("out_of_tolerance"))
+  }
 }

@@ -5343,4 +5343,53 @@ object TextAnalysisOps {
         sum(col("__over")).as("n_over_100"),
         max(col("__max")).as("max_percent"))
   }
+
+  /** Duplicate-title census — mirrored articles, boilerplate pages
+    * ("Home", "404") and template families share titles long before
+    * their bodies are compared; the title-cluster table is the cheap
+    * first dedup signal and the landing-page detector. The title is
+    * the first line (leading markdown heading marks stripped),
+    * normalized lower + whitespace-collapsed.
+    *
+    * Output: one row per duplicated title (≥ 2 docs) — doc and
+    * source counts.
+    *
+    * Scale shape: in-row title extraction into one title-keyed
+    * aggregate (map-side combined; a viral title arrives as
+    * partials). */
+  def titleDedup(docs: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val firstLine = element_at(split(txt, "\n", 2), 1)
+    val title = trim(regexp_replace(
+      regexp_replace(lower(firstLine), "^#{1,6} ", ""), "\\s+", " "))
+    docs.select(title.as("title"), col(sourceCol).as("source"))
+      .filter(col("title") =!= "")
+      .groupBy(col("title"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** Sentence-type mix — question/exclamation/statement ender
+    * shares per source: QA and forum dumps skew interrogative,
+    * encyclopedic text declarative; the mix routes tone-sensitive
+    * filtering.
+    *
+    * Scale shape: in-row counts into a source-keyed rollup. */
+  def sentenceTypes(docs: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    docs.select(col(sourceCol).as("source"),
+        n("\\?").as("__q"), n("!").as("__e"), n("\\.").as("__p"))
+      .groupBy(col("source"))
+      .agg(sum(col("__q")).as("n_questions"),
+        sum(col("__e")).as("n_exclaims"),
+        sum(col("__p")).as("n_periods"))
+      .withColumn("question_micro",
+        expr("n_questions * 1000000L div " +
+          "greatest(n_questions + n_exclaims + n_periods, 1L)"))
+  }
 }

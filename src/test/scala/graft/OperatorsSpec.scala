@@ -7404,4 +7404,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("n_percents") == 0L &&
       got(1).getAs[Long]("max_percent") == 0L)
   }
+
+  test("responseDiversity: verbatim duplicate responses read " +
+      "redundant, varied responses diverse, singletons drop") {
+    val turns = Seq(
+      // cluster A: same instruction, identical responses
+      (1L, 1L, "user", "tell me a joke"),
+      (1L, 2L, "assistant", "why did the chicken cross the road"),
+      (2L, 1L, "user", "Tell me a  joke"), // normalizes to same sig
+      (2L, 2L, "assistant", "why did the chicken cross the road"),
+      // cluster B: same instruction, disjoint responses
+      (3L, 1L, "user", "sing a song"),
+      (3L, 2L, "assistant", "do re mi fa sol la ti"),
+      (4L, 1L, "user", "sing a song"),
+      (4L, 2L, "assistant", "row your boat gently down stream"),
+      // singleton
+      (5L, 1L, "user", "unique ask"),
+      (5L, 2L, "assistant", "unique answer")
+    ).toDF("id", "turn_idx", "role", "content")
+    val got = ConversationOps.responseDiversity(turns, "id")
+      .orderBy("instr_sig").collect()
+    assert(got.length == 2)
+    val byVerdict = got.map(r => r.getAs[String]("verdict") ->
+      (r.getAs[Long]("n_convs"), r.getAs[Long]("avg_jaccard_micro")))
+      .toMap
+    assert(byVerdict("redundant") == (2L, 1000000L))
+    assert(byVerdict("diverse")._2 == 0L) // disjoint trigram sets
+    intercept[IllegalArgumentException] {
+      ConversationOps.responseDiversity(turns, "id", maxPerGroup = 1)
+    }
+  }
+
+  test("titleDedup: first-line titles normalize across heading " +
+      "marks, case, and spacing; unique titles drop") {
+    val docs = Seq(
+      (1L, "# Welcome  Home\nbody a", "s1"),
+      (2L, "welcome home\nbody b", "s2"),
+      (3L, "WELCOME HOME\nbody c", "s2"),
+      (4L, "Something Unique\nbody", "s1"),
+      (5L, "\nempty first line", "s1")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.titleDedup(docs, "id", "text", "src")
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("title") == "welcome home" &&
+      got.head.getAs[Long]("n_docs") == 3L &&
+      got.head.getAs[Long]("n_sources") == 2L)
+  }
+
+  test("splitBalanceAudit: declared micro shares per split, " +
+      "deviations flag against tolerance") {
+    val docs = (1L to 1000L).map(i => (i, "s")).toDF("id", "src")
+    val got = SamplingOps.splitBalanceAudit(docs,
+      col("id").cast("string"), "src", 0.8, 0.1,
+      toleranceMicro = 1000000L) // never flags at this tolerance
+      .orderBy("split").collect()
+    assert(got.length == 3)
+    val m = got.map(r => r.getAs[String]("split") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("declared_micro"))).toMap
+    assert(m("train")._2 == 800000L && m("val")._2 == 100000L &&
+      m("test")._2 == 100000L)
+    assert(m.values.map(_._1).sum == 1000L)
+    assert(got.forall(!_.getAs[Boolean]("out_of_tolerance")))
+  }
+
+  test("sentenceTypes: ender counts and the question share") {
+    val docs = Seq(
+      (1L, "Really? Are you sure? Yes! Done.", "qa"),
+      (2L, "One. Two. Three.", "enc")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.sentenceTypes(docs, "text", "src")
+      .orderBy("source").collect()
+    val qa = got.find(_.getAs[String]("source") == "qa").get
+    assert(qa.getAs[Long]("n_questions") == 2L &&
+      qa.getAs[Long]("n_exclaims") == 1L &&
+      qa.getAs[Long]("n_periods") == 1L &&
+      qa.getAs[Long]("question_micro") == 500000L)
+    val enc = got.find(_.getAs[String]("source") == "enc").get
+    assert(enc.getAs[Long]("question_micro") == 0L)
+  }
 }
