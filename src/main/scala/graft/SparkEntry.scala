@@ -6064,6 +6064,71 @@ object SparkEntry {
           col("source")),
         "text", "source")
         .orderBy(col("source"))
+    }),
+
+    // Signature-collision audit (q359): how many DISTINCT full md5
+    // content signatures collide at 8/12/16 hex — the birthday-bound
+    // measurement behind every truncated-sig width choice in the
+    // engine.
+    "q359_sig_collision_audit" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(md5(col("text")).as("sig")).distinct()
+      sigs.agg(count(lit(1)).as("n_sigs"),
+          countDistinct(substring(col("sig"), 1, 8)).as("p8"),
+          countDistinct(substring(col("sig"), 1, 12)).as("p12"),
+          countDistinct(substring(col("sig"), 1, 16)).as("p16"))
+        .select(col("n_sigs"),
+          (col("n_sigs") - col("p8")).as("collisions_8hex"),
+          (col("n_sigs") - col("p12")).as("collisions_12hex"),
+          (col("n_sigs") - col("p16")).as("collisions_16hex"))
+    }),
+
+    // Daily trend (q360): exact-integer OLS slope over gap-filled
+    // daily counts per event type.
+    "q360_daily_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      RollupOps.dailyTrend(ev,
+          graft.sources.EventTime.secCol(ev), "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // Value log2 histogram (q361): per-type order-of-magnitude mix
+    // of event values in cents — `length(bin(cents))` is the integer
+    // ⌊log₂⌋+1, identical arithmetic on both engines.
+    "q361_value_log2_histogram" -> ((s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      t(s, dir, "events")
+        .select(col("event_type"),
+          when(cents <= 0L, lit(0L))
+            .otherwise(length(bin(cents)).cast("long"))
+            .as("log2_bucket"))
+        .groupBy(col("event_type"), col("log2_bucket"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"), col("log2_bucket"))
+    }),
+
+    // Audience overlap (q362): Jaccard of user audiences between
+    // event-type pairs — who views also clicks?
+    "q362_audience_overlap" -> ((s, dir) => {
+      val ut = t(s, dir, "events")
+        .select(col("user_id").as("u"), col("event_type").as("ty"))
+        .distinct()
+      val sizes = ut.groupBy(col("ty")).agg(count(lit(1)).as("n"))
+      val inter = ut.select(col("u"), col("ty").as("type_a"))
+        .join(ut.select(col("u"), col("ty").as("type_b")), Seq("u"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.select(col("ty").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("ty").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("n_a"), col("n_b"),
+          expr("n_both * 1000000L div (n_a + n_b - n_both)")
+            .as("jaccard_micro"))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
@@ -17433,6 +17498,79 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  (sum(q) * 1000000
         |    // greatest(sum(q) + sum(e) + sum(p), 1))::BIGINT
         |    AS question_micro
-        |FROM c GROUP BY source ORDER BY source""".stripMargin
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q359_sig_collision_audit" ->
+      """WITH s AS (
+        |  SELECT DISTINCT md5(text) AS sig FROM documents)
+        |SELECT count(*)::BIGINT AS n_sigs,
+        |  (count(*) - count(DISTINCT substring(sig, 1, 8)))::BIGINT
+        |    AS collisions_8hex,
+        |  (count(*) - count(DISTINCT substring(sig, 1, 12)))::BIGINT
+        |    AS collisions_12hex,
+        |  (count(*) - count(DISTINCT substring(sig, 1, 16)))::BIGINT
+        |    AS collisions_16hex
+        |FROM s""".stripMargin,
+
+    "q360_daily_trend" ->
+      """WITH b AS (
+        |  SELECT epoch(date_trunc('second', ts))::BIGINT // 86400
+        |    AS day, event_type
+        |  FROM events),
+        |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM b),
+        |days AS (SELECT unnest(generate_series(mn, mx)) AS day
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM b),
+        |c AS (SELECT day, event_type, count(*)::BIGINT AS n
+        |  FROM b GROUP BY day, event_type),
+        |grid AS (
+        |  SELECT t.event_type AS event_type, d.day AS day,
+        |    coalesce(n, 0)::BIGINT AS y
+        |  FROM days d CROSS JOIN types t
+        |  LEFT JOIN c ON c.day = d.day
+        |    AND c.event_type = t.event_type),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days,
+        |    sum(day::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(day::HUGEINT * y) AS sxy,
+        |    sum(day::HUGEINT * day) AS sxx
+        |  FROM grid GROUP BY event_type)
+        |SELECT event_type, n_days, sy::BIGINT AS total_events,
+        |  (1000 * (n_days * sxy - sx * sy)
+        |    // (n_days * sxx - sx * sx))::BIGINT AS slope_milli,
+        |  CASE WHEN 1000 * (n_days * sxy - sx * sy)
+        |      // (n_days * sxx - sx * sx) > 0 THEN 'rising'
+        |    WHEN 1000 * (n_days * sxy - sx * sy)
+        |      // (n_days * sxx - sx * sx) < 0 THEN 'falling'
+        |    ELSE 'flat' END AS trend
+        |FROM st ORDER BY event_type""".stripMargin,
+
+    "q361_value_log2_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN round(value * 100, 0)::BIGINT <= 0 THEN 0
+        |      ELSE length(bin(round(value * 100, 0)::BIGINT))
+        |      END::BIGINT AS log2_bucket
+        |  FROM events)
+        |SELECT event_type, log2_bucket, count(*)::BIGINT AS n_events
+        |FROM b GROUP BY event_type, log2_bucket
+        |ORDER BY event_type, log2_bucket""".stripMargin,
+
+    "q362_audience_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS ty
+        |  FROM events),
+        |sz AS (SELECT ty, count(*)::BIGINT AS n FROM ut GROUP BY ty),
+        |inter AS (
+        |  SELECT a.ty AS type_a, b.ty AS type_b,
+        |    count(*)::BIGINT AS n_both
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.ty < b.ty
+        |  GROUP BY a.ty, b.ty)
+        |SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+        |  (n_both * 1000000 // (sa.n + sb.n - n_both))::BIGINT
+        |    AS jaccard_micro
+        |FROM inter JOIN sz sa ON type_a = sa.ty
+        |JOIN sz sb ON type_b = sb.ty
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

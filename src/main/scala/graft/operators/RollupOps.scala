@@ -207,4 +207,48 @@ object RollupOps {
         col(typeCol).as("event_type"))
       .groupBy(col("dow"), col("hour_of_day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Daily trend slope in EXACT integers — is each event type's
+    * volume rising or falling? Ordinary least squares over the
+    * GAP-FILLED daily counts (a silent day is a zero, not a missing
+    * point — omitting it biases the slope up), with the slope's
+    * numerator and denominator kept as separate DECIMAL(38,0)
+    * cross-products: `slope_milli = 1000·(nΣxy − ΣxΣy) div
+    * (nΣx² − (Σx)²)` — no float ever enters, so the rising/falling
+    * verdict can't flip on summation order.
+    *
+    * Scale shape: one (day, type) count aggregate; the daily grid is
+    * a broadcast sequence explode (the [[hourlyGapfill]] shape); the
+    * regression sums are one type-keyed aggregate over the grid. */
+  def dailyTrend(events: DataFrame, secCol: Column,
+                 typeCol: String): DataFrame = {
+    val base = events.select((secCol / 86400L).cast("long").as("day"),
+      col(typeCol).as("event_type"))
+    val bounds = base.agg(min(col("day")).as("__mn"),
+      max(col("day")).as("__mx"))
+    val days = bounds
+      .select(explode(sequence(col("__mn"), col("__mx"))).as("day"))
+    val types = base.select(col("event_type")).distinct()
+    val counts = base.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("__n"))
+    val grid = days.crossJoin(broadcast(types))
+      .join(counts, Seq("day", "event_type"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("__n"), lit(0L)).as("y"))
+    grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("CAST(day AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("__sy"),
+        sum(expr("CAST(day AS DECIMAL(38,0)) * y")).as("__sxy"),
+        sum(expr("CAST(day AS DECIMAL(38,0)) * day")).as("__sxx"))
+      .select(col("event_type"), col("n_days"),
+        col("__sy").cast("long").as("total_events"),
+        expr("""CAST(1000 * (n_days * __sxy - __sx * __sy)
+          |  DIV (n_days * __sxx - __sx * __sx) AS BIGINT)"""
+          .stripMargin).as("slope_milli"))
+      .withColumn("trend",
+        when(col("slope_milli") > 0, "rising")
+          .when(col("slope_milli") < 0, "falling")
+          .otherwise("flat"))
+  }
 }

@@ -7483,4 +7483,28 @@ class OperatorsSpec extends AnyFunSuite {
     val enc = got.find(_.getAs[String]("source") == "enc").get
     assert(enc.getAs[Long]("question_micro") == 0L)
   }
+
+  test("dailyTrend: exact OLS slope over gap-filled days — rising, " +
+      "falling through a SILENT day, and flat") {
+    val day = 86400L
+    val events = // 'up': 1,2,3 events on days 0,1,2
+      (1 to 1).map(_ => (0L * day + 1, "up")) ++
+      (1 to 2).map(i => (1L * day + i, "up")) ++
+      (1 to 3).map(i => (2L * day + i, "up")) ++
+      // 'down': 4 events day 0, NONE day 1 (gap!), 1 event day 2
+      (1 to 4).map(i => (0L * day + i, "down")) ++
+      Seq((2L * day + 1, "down")) ++
+      // 'flat': 2 per day
+      (0L to 2L).flatMap(d => Seq((d * day + 5, "flat"),
+        (d * day + 6, "flat")))
+    val got = RollupOps.dailyTrend(events.toDF("sec", "event_type"),
+      col("sec"), "event_type").orderBy("event_type").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[String]("trend"), r.getAs[Long]("slope_milli")))
+      .toMap
+    assert(got("up")._1 == "rising" && got("up")._2 == 1000L)
+    // down: y = (4, 0, 1) -> slope -1.5 -> -1500 milli
+    assert(got("down")._1 == "falling" && got("down")._2 == -1500L)
+    assert(got("flat")._1 == "flat" && got("flat")._2 == 0L)
+  }
 }
