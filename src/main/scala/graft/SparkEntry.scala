@@ -6129,6 +6129,77 @@ object SparkEntry {
           expr("n_both * 1000000L div (n_a + n_b - n_both)")
             .as("jaccard_micro"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Events ROLLUP (q363): (type, dow) counts with the subtotal
+    // and grand-total levels from ONE relational ROLLUP pass —
+    // Spark plans it as a single Expand + aggregate, matched against
+    // the oracle's ROLLUP.
+    "q363_events_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sec = graft.sources.EventTime.secCol(ev)
+      ev.select(col("event_type"),
+          ((sec / 86400L).cast("long") + 3L).mod(7L).as("dow"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .rollup(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("value_cents"))
+        .select(coalesce(col("event_type"), lit("ALL"))
+            .as("event_type"),
+          coalesce(col("dow"), lit(-1L)).as("dow"),
+          col("n_events"), col("value_cents"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // Shipment span (q364): days between an order's first and last
+    // line shipment, banded — the split-shipment histogram.
+    "q364_shipment_span" -> ((s, dir) => {
+      val day = expr("unix_micros(cast(l_shipdate as timestamp))" +
+        " div 86400000000")
+      val spans = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg((max(day) - min(day)).as("span_days"),
+          count(lit(1)).as("n_lines"))
+      spans.select(when(col("n_lines") === 1, "single_line")
+          .when(col("span_days") === 0L, "same_day")
+          .when(col("span_days") <= 30L, "within_30d")
+          .when(col("span_days") <= 90L, "within_90d")
+          .otherwise("over_90d").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Lang × length matrix (q365): the two-dimensional corpus shape
+    // table behind per-language length cutoffs.
+    "q365_lang_length_matrix" -> ((s, dir) => {
+      val band = when(col("n_chars") < 100L, "short")
+        .when(col("n_chars") < 140L, "medium").otherwise("long")
+      t(s, dir, "documents")
+        .select(col("lang"), band.as("length_band"))
+        .groupBy(col("lang"), col("length_band"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("length_band"))
+    }),
+
+    // Priority mix by year (q366): does the urgent share drift? —
+    // year × priority counts with the per-year urgent share derived
+    // by re-grouping the tiny aggregate.
+    "q366_priority_by_year" -> ((s, dir) => {
+      val yr = expr("year(cast(o_orderdate as timestamp))")
+        .cast("long")
+      val counts = t(s, dir, "orders")
+        .groupBy(yr.as("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      val totals = counts.groupBy(col("yr"))
+        .agg(sum(col("n_orders")).as("__t"),
+          sum(when(col("o_orderpriority") === "1-URGENT",
+            col("n_orders")).otherwise(0L)).as("__u"))
+      counts.join(broadcast(totals), Seq("yr"))
+        .select(col("yr"), col("o_orderpriority"), col("n_orders"),
+          expr("n_orders * 1000000L div __t").as("share_micro"),
+          expr("__u * 1000000L div __t").as("urgent_share_micro"))
+        .orderBy(col("yr"), col("o_orderpriority"))
     })
   )
 
@@ -17571,6 +17642,63 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    AS jaccard_micro
         |FROM inter JOIN sz sa ON type_a = sa.ty
         |JOIN sz sb ON type_b = sb.ty
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q363_events_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    ((epoch(date_trunc('second', ts))::BIGINT // 86400 + 3)
+        |      % 7)::BIGINT AS dow,
+        |    round(value * 100, 0)::BIGINT AS cents
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(dow, -1)::BIGINT AS dow,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(cents)::BIGINT AS value_cents
+        |FROM b GROUP BY ROLLUP (event_type, dow)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    "q364_shipment_span" ->
+      """WITH s AS (
+        |  SELECT l_orderkey,
+        |    max(epoch(l_shipdate)::BIGINT // 86400)
+        |      - min(epoch(l_shipdate)::BIGINT // 86400)
+        |      AS span_days,
+        |    count(*)::BIGINT AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey),
+        |v AS (
+        |  SELECT CASE WHEN n_lines = 1 THEN 'single_line'
+        |    WHEN span_days = 0 THEN 'same_day'
+        |    WHEN span_days <= 30 THEN 'within_30d'
+        |    WHEN span_days <= 90 THEN 'within_90d'
+        |    ELSE 'over_90d' END AS bucket
+        |  FROM s)
+        |SELECT bucket, count(*)::BIGINT AS n_orders
+        |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q365_lang_length_matrix" ->
+      """SELECT lang,
+        |  CASE WHEN n_chars < 100 THEN 'short'
+        |    WHEN n_chars < 140 THEN 'medium'
+        |    ELSE 'long' END AS length_band,
+        |  count(*)::BIGINT AS n_docs
+        |FROM documents GROUP BY lang, length_band
+        |ORDER BY lang, length_band""".stripMargin,
+
+    "q366_priority_by_year" ->
+      """WITH c AS (
+        |  SELECT year(o_orderdate)::BIGINT AS yr, o_orderpriority,
+        |    count(*)::BIGINT AS n_orders
+        |  FROM orders GROUP BY yr, o_orderpriority),
+        |t AS (
+        |  SELECT yr, sum(n_orders)::BIGINT AS tt,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN n_orders ELSE 0 END)::BIGINT AS uu
+        |  FROM c GROUP BY yr)
+        |SELECT c.yr, o_orderpriority, n_orders,
+        |  (n_orders * 1000000 // tt)::BIGINT AS share_micro,
+        |  (uu * 1000000 // tt)::BIGINT AS urgent_share_micro
+        |FROM c JOIN t ON c.yr = t.yr
+        |ORDER BY c.yr, o_orderpriority""".stripMargin
   )
 }
