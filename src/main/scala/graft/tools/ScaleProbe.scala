@@ -1083,6 +1083,20 @@ object ScaleProbe {
             concat(lit("p"), (col("doc_id") % 4999).cast("string"))
               .as("y")),
           "x", "y"))
+      // eventFunnel under a BOT user emitting 90% of events: each
+      // stage is a user-keyed min() aggregate — the bot's events
+      // arrive as map-side partials, never as its sorted history
+      time(s"eventFunnel BOT x$n (90% one user)") {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val sec = graft.sources.EventTime.secCol(ev)
+        graft.operators.SessionOps.eventFunnel(
+          ev.select(
+            when(col("event_id") % 10 < 9, lit(0L))
+              .otherwise(col("user_id")).as("user_id"),
+            sec.as("sec"), col("event_type")),
+          "user_id", col("sec"), "event_type",
+          Seq("view", "click", "signup", "purchase"))
+      }
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }
