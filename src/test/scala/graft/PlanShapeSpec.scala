@@ -616,6 +616,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length <= 5,
       s"one partial+final aggregate pair expected:\n$p")
   }
+
+  test("q321/q334/q343/q355: every per-group top-k in the wave " +
+      "family rides the bounded top-N — no rank window over the " +
+      "group key") {
+    for (q <- Seq("q321_top_spenders", "q334_distinctive_terms",
+        "q343_basket_pairs", "q355_response_diversity")) {
+      val p = plan(q)
+      assert(p.contains("bounded_top_n"),
+        s"$q: the per-group selection must be the bounded-heap " +
+          s"aggregate:\n$p")
+    }
+    // the pure-aggregate three have no window at all; q355 keeps
+    // parseTurns' DOC-keyed turn-index window (the documented
+    // bounded-by-conversation class) but must never window over the
+    // instruction signature (the Zipf-head key)
+    for (q <- Seq("q321_top_spenders", "q334_distinctive_terms",
+        "q343_basket_pairs")) {
+      assert(!plan(q).contains("Window"),
+        s"$q: no rank window over a group key")
+    }
+    assert(!"windowspecdefinition\\(instr_sig".r
+        .findFirstIn(plan("q355_response_diversity")).isDefined,
+      "q355: no window over the instruction signature")
+  }
+
+  test("q336/q352: label margins and typo candidates are aggregate " +
+      "+ join shapes — no window, no cartesian product") {
+    for (q <- Seq("q336_label_margin", "q352_typo_candidates")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: no window:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no cartesian (the label cross is a broadcast nested " +
+          s"loop over a labels-sized frame; signatures equi-join):\n$p")
+    }
+  }
 }
 
 /** q48's query ends in a presentation orderBy; the operator itself must
