@@ -16703,7 +16703,21 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |      '(^|[^a-z])all rights reserved([^a-z]|$)')) AS n_rights,
         |    len(regexp_extract_all(lower(t),
         |      'copyright\s*(\(c\)\s*|©\s*)?(19|20)[0-9]{2}'))
-        |      AS n_copy
+        |      AS n_copy,
+        |    len(regexp_extract_all(lower(t),
+        |      '(^|[^a-z])general public license([^a-z]|$)'))
+        |      AS n_gpl,
+        |    (len(regexp_extract_all(lower(t),
+        |        '(^|[^a-z])mit license([^a-z]|$)'))
+        |     + len(regexp_extract_all(lower(t),
+        |        '(^|[^a-z])apache license([^a-z]|$)'))
+        |     + len(regexp_extract_all(lower(t),
+        |        '(^|[^a-z])creative commons([^a-z]|$)'))
+        |     + len(regexp_extract_all(lower(t),
+        |        '(^|[^a-z])bsd license([^a-z]|$)'))) AS n_perm,
+        |    regexp_extract(t,
+        |      'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1)
+        |      AS spdx_id
         |  FROM inj),
         |v AS (
         |  SELECT source, CASE
@@ -16712,7 +16726,11 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |      AND n_semi * 1000000 // n_chars >= 20000)
         |      THEN 'minified'
         |    WHEN n_aws > 0 THEN 'secrets'
-        |    WHEN n_rights > 0 OR n_copy > 0 THEN 'license'
+        |    WHEN n_rights > 0 OR n_gpl > 0
+        |      OR regexp_matches(spdx_id, '^(A?L?GPL)')
+        |      OR (n_copy > 0 AND NOT (n_perm > 0
+        |        OR spdx_id IN ('MIT', 'Apache-2.0', 'BSD-3-Clause',
+        |          'CC-BY-4.0'))) THEN 'license'
         |    ELSE 'kept' END AS drop_stage
         |  FROM sig)
         |SELECT source, drop_stage, count(*)::BIGINT AS n_docs

@@ -476,10 +476,14 @@ object ConversationOps {
     val grams = transform(col("__kept"), s => {
       val toks = filter(split(lower(s.getField("r")), " ", -1),
         t => t =!= "")
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-        i => concat_ws(" ", element_at(toks, i),
-          element_at(toks, i + 1), element_at(toks, i + 2))))
+      // responses under 3 tokens have NO trigrams: guard the range —
+      // sequence(1, 0) would otherwise auto-step DOWN to [1, 0] and
+      // element_at(toks, 0) throws (review finding, q355 crash class)
+      when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2)))))
+        .otherwise(array().cast("array<string>"))
     })
     // ordered pairs as (intersection, union) structs — no division
     // inside the lambda; that happens on the exploded rows below

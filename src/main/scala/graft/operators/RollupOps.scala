@@ -80,22 +80,24 @@ object RollupOps {
   }
 
   /** Status pivot — counts of one categorical crossed with another
-    * as columns (Spark's relational `pivot`, planned as a single
-    * aggregate with CASE projections — one pass, no join). Values
-    * are pinned by the caller so the schema is static (an unpinned
-    * pivot runs a distinct-scan first AND makes the output schema
-    * data-dependent — both wrong at scale).
+    * as columns, planned as ONE aggregate of CASE sums (exactly what
+    * Catalyst lowers a pinned `pivot` to, spelled out so the `total`
+    * column can be a true `count(*)`: the pinned-columns SUM would
+    * silently undercount the moment the data grows an unpinned value
+    * — review finding). Values are pinned by the caller so the
+    * schema is static (an unpinned pivot runs a distinct-scan first
+    * AND makes the output schema data-dependent — both wrong at
+    * scale).
     *
     * Scale shape: one map-side-combined aggregate keyed by the row
     * dimension. */
   def statusPivot(df: DataFrame, rowCol: String, pivotCol: String,
                   values: Seq[String]): DataFrame = {
     require(values.nonEmpty, "pivot values must be pinned")
+    val cells = values.map(v =>
+      sum(when(col(pivotCol) === v, 1L).otherwise(0L)).as(v))
     df.groupBy(col(rowCol))
-      .pivot(pivotCol, values)
-      .agg(count(lit(1)))
-      .na.fill(0L, values)
-      .withColumn("total", values.map(col).reduce(_ + _))
+      .agg(cells.head, cells.tail :+ count(lit(1)).as("total"): _*)
   }
 
   /** Gap-filled hourly rate grid — monitoring charts need the ZERO
@@ -109,22 +111,34 @@ object RollupOps {
     * Scale shape: one map-side-combined (hour, type) count aggregate;
     * the grid is (hour-span × types) rows built from a single-row
     * bound frame — broadcast joins both ways. */
-  def hourlyGapfill(events: DataFrame, secCol: Column,
-                    typeCol: String): DataFrame = {
-    val base = events.select((secCol / 3600L).cast("long").as("hour"),
+  /** The gap-filled (bucket × type) grid shared by [[hourlyGapfill]],
+    * [[rateAnomalies]] and [[dailyTrend]] — one definition of the
+    * bounds/sequence/distinct-types/left-join shape so the
+    * empty-input and broadcast behavior can never drift between the
+    * three (review finding: it had been copy-pasted per grain). */
+  private def gapfillGrid(events: DataFrame, secCol: Column,
+                          typeCol: String, bucketSeconds: Long,
+                          bucketName: String): DataFrame = {
+    val base = events.select(
+      (secCol / bucketSeconds).cast("long").as(bucketName),
       col(typeCol).as("event_type"))
-    val bounds = base.agg(min(col("hour")).as("__mn"),
-      max(col("hour")).as("__mx"))
-    val hours = bounds
-      .select(explode(sequence(col("__mn"), col("__mx"))).as("hour"))
+    val bounds = base.agg(min(col(bucketName)).as("__mn"),
+      max(col(bucketName)).as("__mx"))
+    val buckets = bounds
+      .select(explode(sequence(col("__mn"), col("__mx")))
+        .as(bucketName))
     val types = base.select(col("event_type")).distinct()
-    val counts = base.groupBy(col("hour"), col("event_type"))
+    val counts = base.groupBy(col(bucketName), col("event_type"))
       .agg(count(lit(1)).as("__n"))
-    hours.crossJoin(broadcast(types))
-      .join(counts, Seq("hour", "event_type"), "left")
-      .select(col("hour"), col("event_type"),
+    buckets.crossJoin(broadcast(types))
+      .join(counts, Seq(bucketName, "event_type"), "left")
+      .select(col(bucketName), col("event_type"),
         coalesce(col("__n"), lit(0L)).as("n_events"))
   }
+
+  def hourlyGapfill(events: DataFrame, secCol: Column,
+                    typeCol: String): DataFrame =
+    gapfillGrid(events, secCol, typeCol, 3600L, "hour")
 
   /** Window-free top-N per group — "top k customers per nation"
     * without `row_number() over (partition by group)`: per-entity
@@ -222,19 +236,9 @@ object RollupOps {
     * regression sums are one type-keyed aggregate over the grid. */
   def dailyTrend(events: DataFrame, secCol: Column,
                  typeCol: String): DataFrame = {
-    val base = events.select((secCol / 86400L).cast("long").as("day"),
-      col(typeCol).as("event_type"))
-    val bounds = base.agg(min(col("day")).as("__mn"),
-      max(col("day")).as("__mx"))
-    val days = bounds
-      .select(explode(sequence(col("__mn"), col("__mx"))).as("day"))
-    val types = base.select(col("event_type")).distinct()
-    val counts = base.groupBy(col("day"), col("event_type"))
-      .agg(count(lit(1)).as("__n"))
-    val grid = days.crossJoin(broadcast(types))
-      .join(counts, Seq("day", "event_type"), "left")
+    val grid = gapfillGrid(events, secCol, typeCol, 86400L, "day")
       .select(col("event_type"), col("day"),
-        coalesce(col("__n"), lit(0L)).as("y"))
+        col("n_events").as("y"))
     grid.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(expr("CAST(day AS DECIMAL(38,0))")).as("__sx"),

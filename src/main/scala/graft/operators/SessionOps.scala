@@ -72,10 +72,9 @@ object SessionOps {
                   typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.size >= 2 && stages.distinct.size == stages.size,
       "need >= 2 distinct stages")
-    val spark = events.sparkSession
-    val stageFrames = stages.zipWithIndex
+    val stageFrames = stages
       .foldLeft(List.empty[(String, DataFrame)]) {
-        case (acc, (stage, i)) =>
+        case (acc, stage) =>
           val base = events
             .filter(col(typeCol) === stage)
             .select(col(userCol).as("__u"), secCol.as("__sec"))

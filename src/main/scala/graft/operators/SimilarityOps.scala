@@ -846,24 +846,32 @@ object SimilarityOps {
     * labels×dims rows) re-assembled into a LABELS-sized broadcast
     * frame; the vector scan crosses it (row growth × labels, linear)
     * and reduces per vector then per label. */
+  /** Per-label integer-grid centroids — shared by
+    * [[labelMarginAudit]] and [[centroidDistances]] so the
+    * rounded-division formula can never drift between them: the
+    * (label, dim) coordinate sums become grid points via
+    * `(2s + n) div (2n)` (exact, and floor == truncate because the
+    * quantized grid is non-negative). */
+  private def gridCentroids(emb: DataFrame, vecCol: String,
+                            labelCol: String, scale: Int): DataFrame =
+    emb.select(col(labelCol).as("__lab"),
+        posexplode(quantized(col(vecCol), scale))
+          .as(Seq("__d", "__x")))
+      .groupBy(col("__lab"), col("__d"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__c", expr("(2 * __s + __n) div (2 * __n)"))
+      .groupBy(col("__lab"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("__d"), col("__c")))), s => s.getField("__c"))
+        .as("__cvec"))
+
   def labelMarginAudit(emb: DataFrame, idCol: String, vecCol: String,
                        labelCol: String, scale: Int = 1000)
       : DataFrame = {
     val q = quantized(col(vecCol), scale)
     val base = emb.select(col(idCol).as("__id"),
       col(labelCol).as("__lab"), q.as("__q"))
-    val dims = base.select(col("__lab"),
-        posexplode(col("__q")).as(Seq("__d", "__x")))
-      .groupBy(col("__lab"), col("__d"))
-      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
-    // centroid on the SAME grid: rounded division (2s + n) div (2n),
-    // exact and floor==truncate because everything is non-negative
-    val cents = dims
-      .withColumn("__c", expr("(2 * __s + __n) div (2 * __n)"))
-      .groupBy(col("__lab"))
-      .agg(transform(array_sort(collect_list(
-          struct(col("__d"), col("__c")))), s => s.getField("__c"))
-        .as("__cvec"))
+    val cents = gridCentroids(emb, vecCol, labelCol, scale)
     val crossed = base.crossJoin(broadcast(
         cents.select(col("__lab").as("__clab"), col("__cvec"))))
       .withColumn("__d2", aggregate(
@@ -925,17 +933,7 @@ object SimilarityOps {
   def centroidDistances(emb: DataFrame, vecCol: String,
                         labelCol: String, scale: Int = 1000)
       : DataFrame = {
-    val q = quantized(col(vecCol), scale)
-    val dims = emb.select(col(labelCol).as("__lab"),
-        posexplode(q).as(Seq("__d", "__x")))
-      .groupBy(col("__lab"), col("__d"))
-      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
-    val cents = dims
-      .withColumn("__c", expr("(2 * __s + __n) div (2 * __n)"))
-      .groupBy(col("__lab"))
-      .agg(transform(array_sort(collect_list(
-          struct(col("__d"), col("__c")))), s => s.getField("__c"))
-        .as("__cvec"))
+    val cents = gridCentroids(emb, vecCol, labelCol, scale)
     val a = cents.select(col("__lab").as("label_a"),
       col("__cvec").as("__va"))
     val b = cents.select(col("__lab").as("label_b"),

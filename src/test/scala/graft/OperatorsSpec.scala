@@ -7420,11 +7420,21 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 2L, "assistant", "row your boat gently down stream"),
       // singleton
       (5L, 1L, "user", "unique ask"),
-      (5L, 2L, "assistant", "unique answer")
+      (5L, 2L, "assistant", "unique answer"),
+      // cluster C: sub-trigram responses (the crash class: a 2-token
+      // response must yield an EMPTY gram set, not element_at(_, 0))
+      (6L, 1L, "user", "thanks"),
+      (6L, 2L, "assistant", "sure thing"),
+      (7L, 1L, "user", "thanks"),
+      (7L, 2L, "assistant", "ok")
     ).toDF("id", "turn_idx", "role", "content")
     val got = ConversationOps.responseDiversity(turns, "id")
       .orderBy("instr_sig").collect()
-    assert(got.length == 2)
+    assert(got.length == 3)
+    // the sub-trigram cluster compares two empty gram sets: 0/0 -> 0
+    val tiny = got.filter(_.getAs[Long]("n_convs") == 2L)
+      .filter(_.getAs[Long]("avg_jaccard_micro") == 0L)
+    assert(tiny.length >= 1)
     val byVerdict = got.map(r => r.getAs[String]("verdict") ->
       (r.getAs[Long]("n_convs"), r.getAs[Long]("avg_jaccard_micro")))
       .toMap
