@@ -6200,6 +6200,51 @@ object SparkEntry {
           expr("n_orders * 1000000L div __t").as("share_micro"),
           expr("__u * 1000000L div __t").as("urgent_share_micro"))
         .orderBy(col("yr"), col("o_orderpriority"))
+    }),
+
+    // Grouped discrete stats (q367): exact per-source token-count
+    // quartiles + mode from the value HISTOGRAM — the scale-safe
+    // replacement for a per-source rank-window percentile on
+    // discrete domains.
+    "q367_source_token_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      DistributionOps.groupedDiscreteStats(docs, "source",
+          col("n_tok"))
+        .orderBy(col("source"))
+    }),
+
+    // User-activity stats (q368): the same histogram machinery over
+    // per-user event counts per type.
+    "q368_user_activity_stats" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      DistributionOps.groupedDiscreteStats(perUser, "event_type",
+          col("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Next-day return (q369): of each type's active (user, day)
+    // pairs, how many were followed by activity the NEXT day —
+    // the daily stickiness rate.
+    "q369_next_day_return" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sec = graft.sources.EventTime.secCol(ev)
+      val ud = ev.select(col("user_id").as("u"),
+          (sec / 86400L).cast("long").as("day"),
+          col("event_type").as("ty"))
+        .distinct()
+      val next = ud.select(col("u"), (col("day") - 1).as("day"),
+        col("ty"), lit(1L).as("__r"))
+      ud.join(next, Seq("u", "day", "ty"), "left_outer")
+        .groupBy(col("ty").as("event_type"))
+        .agg(count(lit(1)).as("n_user_days"),
+          sum(when(col("__r").isNotNull, 1L).otherwise(0L))
+            .as("n_returned"))
+        .withColumn("return_micro",
+          expr("n_returned * 1000000L div n_user_days"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -17717,6 +17762,86 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  (n_orders * 1000000 // tt)::BIGINT AS share_micro,
         |  (uu * 1000000 // tt)::BIGINT AS urgent_share_micro
         |FROM c JOIN t ON c.yr = t.yr
-        |ORDER BY c.yr, o_orderpriority""".stripMargin
+        |ORDER BY c.yr, o_orderpriority""".stripMargin,
+
+    "q367_source_token_stats" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(string_split(text, ' '))::BIGINT AS v
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, v, count(*)::BIGINT AS f
+        |  FROM d GROUP BY source, v),
+        |c AS (
+        |  SELECT *, sum(f) OVER (PARTITION BY source ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |t AS (
+        |  SELECT source, max(cum)::BIGINT AS n,
+        |    min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+        |  FROM c GROUP BY source),
+        |m AS (
+        |  SELECT source, v AS mode_v FROM (
+        |    SELECT source, v, row_number() OVER
+        |      (PARTITION BY source ORDER BY f DESC, v ASC) AS rn
+        |    FROM h) WHERE rn = 1)
+        |SELECT c.source, max(n)::BIGINT AS n,
+        |  max(min_v)::BIGINT AS min_v, max(max_v)::BIGINT AS max_v,
+        |  max(mode_v)::BIGINT AS mode_v,
+        |  min(CASE WHEN cum * 4 >= n * 1 THEN v END)::BIGINT AS p25,
+        |  min(CASE WHEN cum * 4 >= n * 2 THEN v END)::BIGINT
+        |    AS median,
+        |  min(CASE WHEN cum * 4 >= n * 3 THEN v END)::BIGINT AS p75
+        |FROM c JOIN t ON c.source = t.source
+        |JOIN m ON c.source = m.source
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
+
+    "q368_user_activity_stats" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*)::BIGINT AS v
+        |  FROM events GROUP BY event_type, user_id),
+        |h AS (
+        |  SELECT event_type, v, count(*)::BIGINT AS f
+        |  FROM pu GROUP BY event_type, v),
+        |c AS (
+        |  SELECT *, sum(f) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |t AS (
+        |  SELECT event_type, max(cum)::BIGINT AS n,
+        |    min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+        |  FROM c GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, v AS mode_v FROM (
+        |    SELECT event_type, v, row_number() OVER
+        |      (PARTITION BY event_type ORDER BY f DESC, v ASC)
+        |      AS rn
+        |    FROM h) WHERE rn = 1)
+        |SELECT c.event_type, max(n)::BIGINT AS n,
+        |  max(min_v)::BIGINT AS min_v, max(max_v)::BIGINT AS max_v,
+        |  max(mode_v)::BIGINT AS mode_v,
+        |  min(CASE WHEN cum * 4 >= n * 1 THEN v END)::BIGINT AS p25,
+        |  min(CASE WHEN cum * 4 >= n * 2 THEN v END)::BIGINT
+        |    AS median,
+        |  min(CASE WHEN cum * 4 >= n * 3 THEN v END)::BIGINT AS p75
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |JOIN m ON c.event_type = m.event_type
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+
+    "q369_next_day_return" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    epoch(date_trunc('second', ts))::BIGINT // 86400 AS day,
+        |    event_type AS ty
+        |  FROM events)
+        |SELECT a.ty AS event_type,
+        |  count(*)::BIGINT AS n_user_days,
+        |  sum(CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_returned,
+        |  (sum(CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*))::BIGINT AS return_micro
+        |FROM ud a LEFT JOIN ud b
+        |  ON a.u = b.u AND a.ty = b.ty AND b.day = a.day + 1
+        |GROUP BY a.ty ORDER BY event_type""".stripMargin
   )
 }

@@ -232,6 +232,46 @@ object DistributionOps {
     * Scale shape: entity-keyed count aggregate → value-keyed
     * histogram aggregate → a histogram-sized window + single-row
     * reduction. */
+  /** Exact grouped quartiles + mode from the VALUE HISTOGRAM — the
+    * scale-safe form of "median per group" for discrete domains
+    * (token counts, line counts, per-entity event counts): rows
+    * collapse to (group, value) counts first, and the only window
+    * runs over each group's HISTOGRAM (bounded by the group's
+    * distinct values — hundreds for count-like domains — never its
+    * row count). Quantiles are `quantile_disc` semantics: the
+    * element at 1-based rank ⌈p·n⌉, engine-portable integers; ties
+    * in the mode break to the SMALLEST value.
+    *
+    * This is the exact alternative the per-group rank-window
+    * percentile (the round-8 audit's flagged shape) needs on
+    * discrete domains; continuous domains should keep the sketch
+    * route.
+    *
+    * Scale shape: one (group, value) aggregate (map-side combined) →
+    * a histogram-sized window → one row per group. */
+  def groupedDiscreteStats(df: DataFrame, groupCol: String,
+                           value: Column): DataFrame = {
+    val hist = df.select(col(groupCol).as("grp"),
+        value.cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("f")).over(w))
+    val totals = cum.groupBy(col("grp"))
+      .agg(max(col("__cum")).as("n"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        max_by(col("v"), struct(col("f"), -col("v"))).as("mode_v"))
+    def q(p: Int): Column =
+      min(when(col("__cum") * 4 >= col("n") * p, col("v")))
+    cum.join(totals, Seq("grp"))
+      .groupBy(col("grp").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        max(col("mode_v")).as("mode_v"),
+        q(1).as("p25"), q(2).as("median"), q(3).as("p75"))
+  }
+
   def usageGini(df: DataFrame, entityCol: String): DataFrame = {
     val counts = df.groupBy(col(entityCol).as("__e"))
       .agg(count(lit(1)).as("__c"))

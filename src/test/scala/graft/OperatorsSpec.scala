@@ -7517,4 +7517,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("down")._1 == "falling" && got("down")._2 == -1500L)
     assert(got("flat")._1 == "flat" && got("flat")._2 == 0L)
   }
+
+  test("groupedDiscreteStats: exact quartiles at ceil(p*n) ranks, " +
+      "mode ties break to the smallest value") {
+    // group A values: 1,2,2,3,3,3,4,4,4,4 (n=10)
+    val a = Seq(1, 2, 2, 3, 3, 3, 4, 4, 4, 4).map(v => ("A", v))
+    // group B: single value; mode tie 5 vs 7 at f=2 -> 5 wins
+    val b = Seq(("B", 5), ("B", 5), ("B", 7), ("B", 7), ("B", 9))
+    val got = DistributionOps.groupedDiscreteStats(
+      (a ++ b).toDF("grp", "v"), "grp", col("v"))
+      .orderBy("grp").collect()
+    val ga = got(0)
+    // ranks: p25 -> ceil(2.5)=3rd value = 2; median -> 5th = 3;
+    // p75 -> ceil(7.5)=8th = 4; mode = 4 (f=4)
+    assert(ga.getAs[Long]("n") == 10L &&
+      ga.getAs[Long]("p25") == 2L &&
+      ga.getAs[Long]("median") == 3L &&
+      ga.getAs[Long]("p75") == 4L &&
+      ga.getAs[Long]("mode_v") == 4L &&
+      ga.getAs[Long]("min_v") == 1L && ga.getAs[Long]("max_v") == 4L)
+    val gb = got(1)
+    assert(gb.getAs[Long]("median") == 7L &&
+      gb.getAs[Long]("mode_v") == 5L)
+  }
 }
