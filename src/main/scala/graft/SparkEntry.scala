@@ -6245,6 +6245,64 @@ object SparkEntry {
         .withColumn("return_micro",
           expr("n_returned * 1000000L div n_user_days"))
         .orderBy(col("event_type"))
+    }),
+
+    // Year mentions (q370): boundary-guarded 19xx/20xx tokens,
+    // bucketed by decade per source.
+    "q370_year_mentions" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 5 === 0,
+          lit(" back in 1987 then 2015 and 2023."))
+        .when(id % 5 === 1, lit(" est. 1999."))
+        .otherwise(lit("")))
+      TextAnalysisOps.yearMentions(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"), col("decade"))
+    }),
+
+    // TLD census (q371): .gov/.edu vs .biz outbound-link mixes.
+    "q371_tld_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 7 === 0,
+          lit(" see https://data.gov/a and https://example.edu/b"))
+        .when(id % 7 === 1, lit(" buy https://shop.biz/x now"))
+        .otherwise(lit("")))
+      TextAnalysisOps.tldCensus(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"), col("tld"))
+    }),
+
+    // Vocab growth (q372): the shared salad vocabulary lands at
+    // checkpoint 1; a planted per-doc unique token keeps the curve
+    // growing across every checkpoint (Heaps' law census).
+    "q372_vocab_growth" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 3 === 0,
+          concat(lit(" uniq"), id.cast("string")))
+        .otherwise(lit("")))
+      TextAnalysisOps.vocabGrowth(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text", checkpointEvery = 100L)
+        .orderBy(col("checkpoint"))
+    }),
+
+    // Period spacing (q373): merged `word.Next` vs spaced enders —
+    // the stripped-markup / OCR-merge rate per source.
+    "q373_period_spacing" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 6 === 0,
+          lit(" end.Next sentence.More text."))
+        .when(id % 6 === 1, lit(" end. Next one. More words."))
+        .otherwise(lit("")))
+      TextAnalysisOps.periodSpacing(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+          col("source")),
+        "text", "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -17842,6 +17900,85 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    * 1000000 // count(*))::BIGINT AS return_micro
         |FROM ud a LEFT JOIN ud b
         |  ON a.u = b.u AND a.ty = b.ty AND b.day = a.day + 1
-        |GROUP BY a.ty ORDER BY event_type""".stripMargin
+        |GROUP BY a.ty ORDER BY event_type""".stripMargin,
+
+    "q370_year_mentions" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 5
+        |    WHEN 0 THEN ' back in 1987 then 2015 and 2023.'
+        |    WHEN 1 THEN ' est. 1999.'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |y AS (
+        |  SELECT source, unnest(list_transform(
+        |    regexp_extract_all(t,
+        |      '(^|[^0-9.])((19|20)[0-9]{2})([^0-9]|$)', 2),
+        |    x -> x::BIGINT)) AS yr
+        |  FROM d)
+        |SELECT source, (yr // 10 * 10)::BIGINT AS decade,
+        |  count(*)::BIGINT AS n_mentions
+        |FROM y GROUP BY source, decade
+        |ORDER BY source, decade""".stripMargin,
+
+    "q371_tld_census" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 7
+        |    WHEN 0 THEN ' see https://data.gov/a'
+        |      || ' and https://example.edu/b'
+        |    WHEN 1 THEN ' buy https://shop.biz/x now'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT source, unnest(regexp_extract_all(t,
+        |    'https?://[A-Za-z0-9./_%?=&#:-]+')) AS url
+        |  FROM d),
+        |tl AS (
+        |  SELECT source, regexp_extract(lower(url),
+        |    'https?://[^/:?#]*\.([a-z]{2,12})([/:?#]|$)', 1) AS tld
+        |  FROM u)
+        |SELECT source, tld, count(*)::BIGINT AS n_links
+        |FROM tl WHERE tld <> ''
+        |GROUP BY source, tld ORDER BY source, tld""".stripMargin,
+
+    "q372_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+        |    THEN ' uniq' || doc_id::VARCHAR ELSE '' END AS t
+        |  FROM documents),
+        |fd AS (
+        |  SELECT term, min(doc_id) AS f FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(lower(t), ' '), x -> x <> '')) AS term
+        |    FROM d)
+        |  GROUP BY term),
+        |h AS (
+        |  SELECT (f // 100 + 1)::BIGINT AS checkpoint,
+        |    count(*)::BIGINT AS new_types
+        |  FROM fd GROUP BY checkpoint)
+        |SELECT checkpoint, new_types,
+        |  (sum(new_types) OVER (ORDER BY checkpoint
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cumulative_vocab,
+        |  (checkpoint * 100)::BIGINT AS docs_seen
+        |FROM h ORDER BY checkpoint""".stripMargin,
+
+    "q373_period_spacing" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 6
+        |    WHEN 0 THEN ' end.Next sentence.More text.'
+        |    WHEN 1 THEN ' end. Next one. More words.'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '[a-z]\.[A-Z][a-z]'))::BIGINT
+        |      AS m,
+        |    len(regexp_extract_all(t, '[a-z]\. [A-Z][a-z]'))::BIGINT
+        |      AS s
+        |  FROM d)
+        |SELECT source, sum(m)::BIGINT AS n_merged,
+        |  sum(s)::BIGINT AS n_spaced,
+        |  (sum(m) * 1000000 // greatest(sum(m) + sum(s), 1))::BIGINT
+        |    AS merged_micro
+        |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -5344,6 +5344,110 @@ object TextAnalysisOps {
         max(col("__max")).as("max_percent"))
   }
 
+  /** Year-mention histogram — the recency profile of what a corpus
+    * TALKS ABOUT (distinct from when it was written, q182's date
+    * extraction): four-digit 19xx/20xx tokens with boundary guards,
+    * bucketed by decade per source.
+    *
+    * Scale shape: in-row extraction into a (source, decade)
+    * aggregate. */
+  def yearMentions(docs: DataFrame, textCol: String,
+                   sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    // the leading guard also excludes '.': "3.2019" is a decimal
+    // fraction, not a year (the benfordDigits guard)
+    val years = transform(regexp_extract_all(txt,
+      lit("(^|[^0-9.])((19|20)[0-9]{2})([^0-9]|$)"), lit(2)),
+      y => y.cast("long"))
+    docs.select(col(sourceCol).as("source"), explode(years).as("y"))
+      .select(col("source"), (expr("y div 10") * 10).as("decade"))
+      .groupBy(col("source"), col("decade"))
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
+  /** TLD census — the top-level-domain mix of a source's outbound
+    * links (.gov/.edu-heavy sources cite differently than .biz
+    * farms); the registrable-domain rollup (q184) answers WHO is
+    * linked, this answers WHAT KIND.
+    *
+    * Scale shape: in-row extraction into a (source, tld)
+    * aggregate. */
+  def tldCensus(docs: DataFrame, textCol: String,
+                sourceCol: String): DataFrame = {
+    val urls = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit(UrlPattern), lit(0))
+    val tlds = transform(urls, u =>
+      regexp_extract(lower(u), "https?://[^/:?#]*\\.([a-z]{2,12})" +
+        "([/:?#]|$)", 1))
+    docs.select(col(sourceCol).as("source"),
+        explode(tlds).as("tld"))
+      .filter(col("tld") =!= "")
+      .groupBy(col("source"), col("tld"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** Vocabulary-growth census (Heaps' law, Heaps 1978) — distinct
+    * vocabulary as a function of corpus position: each token's FIRST
+    * document (a token-keyed min aggregate — the content key arrives
+    * as map-side partials) is bucketed by document-id checkpoint,
+    * and the cumulative sum over the CHECKPOINT histogram (a
+    * checkpoints-sized window) is the growth curve corpus reports
+    * plot to decide whether more data still buys new vocabulary.
+    *
+    * Output: one row per checkpoint — new types in the bucket and
+    * the cumulative vocabulary.
+    *
+    * Scale shape: one (token → min doc) aggregate, one
+    * checkpoint-keyed histogram, one window over the
+    * checkpoints-sized frame. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  checkpointEvery: Long = 100L): DataFrame = {
+    require(checkpointEvery >= 1, "checkpoint width must be positive")
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), " ", -1),
+      t => t =!= "")
+    val firstDoc = docs
+      .select(col(idCol).cast("long").as("__id"),
+        explode(toks).as("term"))
+      .groupBy(col("term")).agg(min(col("__id")).as("__first"))
+    val hist = firstDoc
+      .groupBy(((col("__first") / checkpointEvery).cast("long") + 1)
+        .as("checkpoint"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("checkpoint"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist
+      .withColumn("cumulative_vocab", sum(col("new_types")).over(w))
+      .withColumn("docs_seen", col("checkpoint") * checkpointEvery)
+  }
+
+  /** Period-spacing lint — `word.Next` with no space after the
+    * period is the signature of stripped markup and merged OCR
+    * columns; its rate per source decides whether a de-merging pass
+    * is worth running. Guarded against decimals (digit on either
+    * side never counts) and ellipses.
+    *
+    * Scale shape: in-row counts into a source-keyed rollup. */
+  def periodSpacing(docs: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val merged = n("[a-z]\\.[A-Z][a-z]")
+    val spaced = n("[a-z]\\. [A-Z][a-z]")
+    docs.select(col(sourceCol).as("source"), merged.as("__m"),
+        spaced.as("__s"))
+      .groupBy(col("source"))
+      .agg(sum(col("__m")).as("n_merged"),
+        sum(col("__s")).as("n_spaced"))
+      .withColumn("merged_micro",
+        expr("n_merged * 1000000L div " +
+          "greatest(n_merged + n_spaced, 1L)"))
+  }
+
   /** Duplicate-title census — mirrored articles, boilerplate pages
     * ("Home", "404") and template families share titles long before
     * their bodies are compared; the title-cluster table is the cheap

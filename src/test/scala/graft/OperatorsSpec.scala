@@ -7540,4 +7540,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gb.getAs[Long]("median") == 7L &&
       gb.getAs[Long]("mode_v") == 5L)
   }
+
+  test("yearMentions: boundary guards exclude 5-digit runs and " +
+      "decimals, decades bucket correctly") {
+    val docs = Seq(
+      (1L, "founded 1987, revised 2015 and 2023", "a"),
+      (2L, "zip 19104 and 3.2019 never count, 1999 does", "a"),
+      (3L, "no years", "b")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.yearMentions(docs, "text", "src")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("decade")) -> r.getAs[Long]("n_mentions"))
+      .toMap
+    assert(got == Map(("a", 1980L) -> 1L, ("a", 2010L) -> 1L,
+      ("a", 2020L) -> 1L, ("a", 1990L) -> 1L))
+  }
+
+  test("vocabGrowth: shared vocab lands at checkpoint 1, unique " +
+      "tokens keep the curve climbing, cumulative telescopes") {
+    val docs = (0L until 300L).map(i =>
+      (i, s"common words here uniq$i")).toDF("id", "text")
+    val got = TextAnalysisOps.vocabGrowth(docs, "id", "text",
+      checkpointEvery = 100L).orderBy("checkpoint").collect()
+    assert(got.length == 3)
+    // checkpoint 1: 3 shared + 100 uniq; 2 and 3: 100 uniq each
+    assert(got(0).getAs[Long]("new_types") == 103L &&
+      got(0).getAs[Long]("cumulative_vocab") == 103L)
+    assert(got(1).getAs[Long]("new_types") == 100L &&
+      got(1).getAs[Long]("cumulative_vocab") == 203L)
+    assert(got(2).getAs[Long]("cumulative_vocab") == 303L &&
+      got(2).getAs[Long]("docs_seen") == 300L)
+  }
+
+  test("periodSpacing: merged vs spaced enders, decimals never " +
+      "count, share in micro") {
+    val docs = Seq(
+      (1L, "end.Next more.Again fine. Good one. Pi is 3.14", "a"),
+      (2L, "all spaced. Here too. Done", "b")
+    ).toDF("id", "text", "src")
+    val got = TextAnalysisOps.periodSpacing(docs, "text", "src")
+      .orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_merged") == 2L &&
+      got(0).getAs[Long]("n_spaced") == 2L &&
+      got(0).getAs[Long]("merged_micro") == 500000L)
+    assert(got(1).getAs[Long]("n_merged") == 0L)
+  }
 }
