@@ -6303,6 +6303,110 @@ object SparkEntry {
           col("source")),
         "text", "source")
         .orderBy(col("source"))
+    }),
+
+    // Response length by depth (q374): do assistant responses shrink
+    // as conversations go long? — token stats per assistant turn
+    // position (a turn-position-keyed aggregate, positions are small
+    // integers).
+    "q374_depth_length" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val long = concat(lit("user: start "), ids,
+        lit("\nassistant: a full first answer with several words\n" +
+          "user: more\nassistant: shorter reply now\n" +
+          "user: again\nassistant: ok"))
+      val short = concat(lit("user: quick "), ids,
+        lit("\nassistant: one complete answer here"))
+      val turns = ConversationOps.parseTurns(
+        t(s, dir, "documents").select(col("doc_id"),
+          when(id % 2 === 0, long).otherwise(short).as("text")),
+        "doc_id", "text")
+      turns.filter(col("role") === "assistant")
+        .select(col("turn_idx"),
+          size(split(col("content"), " ", -1)).cast("long")
+            .as("__tok"))
+        .groupBy(col("turn_idx"))
+        .agg(count(lit(1)).as("n_responses"),
+          sum(col("__tok")).as("total_tokens"),
+          min(col("__tok")).as("min_tokens"),
+          max(col("__tok")).as("max_tokens"))
+        .withColumn("avg_tokens_milli",
+          expr("total_tokens * 1000L div n_responses"))
+        .orderBy(col("turn_idx"))
+    }),
+
+    // Bullet styles (q375): '-' vs '*' vs '+' list markers per doc —
+    // mixed styles are the converted-doc fingerprint.
+    "q375_bullet_styles" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 5 === 0,
+          lit("\n- one\n- two\n* three"))
+        .when(id % 5 === 1, lit("\n* a\n* b"))
+        .when(id % 5 === 2, lit("\n+ x\n- y\n+ z"))
+        .otherwise(lit("")))
+      val t2 = t(s, dir, "documents").select(col("doc_id"),
+        text.as("text"))
+      val txt = coalesce(col("text"), lit(""))
+      def n(p: String) = size(regexp_extract_all(txt, lit(p),
+        lit(0))).cast("long")
+      t2.select(col("doc_id"),
+          n("(?m)^- ").as("n_dash"),
+          n("(?m)^\\* ").as("n_star"),
+          n("(?m)^\\+ ").as("n_plus"))
+        .withColumn("mixed",
+          (when(col("n_dash") > 0, 1).otherwise(0) +
+            when(col("n_star") > 0, 1).otherwise(0) +
+            when(col("n_plus") > 0, 1).otherwise(0)) >= 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Currency census (q376): $/EUR/GBP amount mentions per source —
+    // the commerce-content signal.
+    "q376_currency_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 6 === 0,
+          lit(" costs $19.99 or $5"))
+        .when(id % 6 === 1, lit(" price €12,50 here"))
+        .when(id % 6 === 2, lit(" fee £7 total"))
+        .otherwise(lit("")))
+      val t2 = t(s, dir, "documents").select(col("doc_id"),
+        text.as("text"), col("source"))
+      val txt = coalesce(col("text"), lit(""))
+      def n(p: String) = size(regexp_extract_all(txt, lit(p),
+        lit(0))).cast("long")
+      t2.select(col("source"),
+          n("\\$[0-9]").as("__d"), n("€[0-9]").as("__e"),
+          n("£[0-9]").as("__p"))
+        .groupBy(col("source"))
+        .agg(sum(col("__d")).as("n_dollar"),
+          sum(col("__e")).as("n_euro"),
+          sum(col("__p")).as("n_pound"))
+        .orderBy(col("source"))
+    }),
+
+    // FAQ quality (q377): the q303 pair extraction composed into the
+    // answer-quality gate — a one-token answer is filler, a
+    // question-terminated "answer" is a broken parse.
+    "q377_faq_quality" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(col("text"), when(id % 5 === 0,
+          lit("\nQ: how do I start?\nA: press the power button " +
+            "and wait for the light."))
+        .when(id % 5 === 1, lit("\nQ: is it on?\nA: yes."))
+        .when(id % 5 === 2,
+          lit("\nQ: first thing?\nA: what do you mean?"))
+        .otherwise(lit("")))
+      val pairs = TextAnalysisOps.faqPairs(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+      pairs.select(
+          when(col("a_tokens") <= 1L, "filler_answer")
+            .when(col("answer").endsWith("?"), "question_answer")
+            .otherwise("ok").as("verdict"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("verdict"))
     })
   )
 
@@ -17979,6 +18083,116 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  sum(s)::BIGINT AS n_spaced,
         |  (sum(m) * 1000000 // greatest(sum(m) + sum(s), 1))::BIGINT
         |    AS merged_micro
-        |FROM c GROUP BY source ORDER BY source""".stripMargin
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q374_depth_length" ->
+      """WITH conv AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |    THEN 'user: start ' || doc_id::VARCHAR || chr(10)
+        |      || 'assistant: a full first answer with several words'
+        |      || chr(10) || 'user: more' || chr(10)
+        |      || 'assistant: shorter reply now' || chr(10)
+        |      || 'user: again' || chr(10) || 'assistant: ok'
+        |    ELSE 'user: quick ' || doc_id::VARCHAR || chr(10)
+        |      || 'assistant: one complete answer here' END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': lines[i]}
+        |        FOR i IN range(1, len(lines) + 1)]) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |          FROM conv))),
+        |tn AS (
+        |  SELECT doc_id,
+        |    regexp_extract(l, '^(user|assistant|system): ', 1)
+        |      AS role,
+        |    regexp_replace(l, '^(user|assistant|system): ', '')
+        |      AS content,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS turn_idx
+        |  FROM ln
+        |  WHERE regexp_matches(l, '^(user|assistant|system): ')),
+        |a AS (
+        |  SELECT turn_idx,
+        |    len(string_split(content, ' '))::BIGINT AS tok
+        |  FROM tn WHERE role = 'assistant')
+        |SELECT turn_idx::BIGINT AS turn_idx,
+        |  count(*)::BIGINT AS n_responses,
+        |  sum(tok)::BIGINT AS total_tokens,
+        |  min(tok)::BIGINT AS min_tokens,
+        |  max(tok)::BIGINT AS max_tokens,
+        |  (sum(tok) * 1000 // count(*))::BIGINT AS avg_tokens_milli
+        |FROM a GROUP BY turn_idx ORDER BY turn_idx""".stripMargin,
+
+    "q375_bullet_styles" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 5
+        |    WHEN 0 THEN chr(10) || '- one' || chr(10) || '- two'
+        |      || chr(10) || '* three'
+        |    WHEN 1 THEN chr(10) || '* a' || chr(10) || '* b'
+        |    WHEN 2 THEN chr(10) || '+ x' || chr(10) || '- y'
+        |      || chr(10) || '+ z'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '(?m)^- '))::BIGINT AS n_dash,
+        |    len(regexp_extract_all(t, '(?m)^\* '))::BIGINT
+        |      AS n_star,
+        |    len(regexp_extract_all(t, '(?m)^\+ '))::BIGINT
+        |      AS n_plus
+        |  FROM d)
+        |SELECT doc_id, n_dash, n_star, n_plus,
+        |  ((CASE WHEN n_dash > 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_star > 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_plus > 0 THEN 1 ELSE 0 END) >= 2)
+        |    AS mixed
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q376_currency_census" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text || CASE doc_id % 6
+        |    WHEN 0 THEN ' costs $19.99 or $5'
+        |    WHEN 1 THEN ' price €12,50 here'
+        |    WHEN 2 THEN ' fee £7 total'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '\$[0-9]'))::BIGINT AS dd,
+        |    len(regexp_extract_all(t, '€[0-9]'))::BIGINT AS ee,
+        |    len(regexp_extract_all(t, '£[0-9]'))::BIGINT AS pp
+        |  FROM d)
+        |SELECT source, sum(dd)::BIGINT AS n_dollar,
+        |  sum(ee)::BIGINT AS n_euro, sum(pp)::BIGINT AS n_pound
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q377_faq_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 5
+        |    WHEN 0 THEN chr(10) || 'Q: how do I start?' || chr(10)
+        |      || 'A: press the power button and wait for the light.'
+        |    WHEN 1 THEN chr(10) || 'Q: is it on?' || chr(10)
+        |      || 'A: yes.'
+        |    WHEN 2 THEN chr(10) || 'Q: first thing?' || chr(10)
+        |      || 'A: what do you mean?'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t,
+        |      '(?m)^Q: ([^\n]*)\n+A: ([^\n]*)', 2) AS ans
+        |  FROM d),
+        |u AS (SELECT doc_id, unnest(ans) AS answer FROM p),
+        |v AS (
+        |  SELECT CASE
+        |    WHEN len(string_split(answer, ' ')) <= 1
+        |      THEN 'filler_answer'
+        |    WHEN answer LIKE '%?' THEN 'question_answer'
+        |    ELSE 'ok' END AS verdict
+        |  FROM u)
+        |SELECT verdict, count(*)::BIGINT AS n_pairs
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
   )
 }
