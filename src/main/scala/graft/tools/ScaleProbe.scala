@@ -1097,6 +1097,24 @@ object ScaleProbe {
           "user_id", col("sec"), "event_type",
           Seq("view", "click", "signup", "purchase"))
       }
+      // vocabGrowth with every doc repeating one VIRAL token: the
+      // token-keyed min(doc) aggregate receives it as partials; the
+      // only window runs over the checkpoints-sized histogram
+      time(s"vocabGrowth VIRAL x$n (one token in every doc)")(
+        TextAnalysisOps.vocabGrowth(
+          docs.select(col("doc_id"),
+            concat(col("text"), lit(" viraltoken")).as("text")),
+          "doc_id", "text", checkpointEvery = 1000L))
+      // groupedDiscreteStats with 90% of rows in ONE group: the
+      // group's rows collapse to its (value, freq) histogram before
+      // the window — max-task input is the histogram, not the group
+      time(s"groupedDiscreteStats SKEW x$n (90% one group)")(
+        DistributionOps.groupedDiscreteStats(
+          docs.select(
+            when(col("doc_id") % 10 < 9, lit("hot"))
+              .otherwise(lit("cold")).as("grp"),
+            (length(col("text")) % 200).cast("long").as("v")),
+          "grp", col("v")))
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }
