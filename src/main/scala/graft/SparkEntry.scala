@@ -1337,11 +1337,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val docs2 = docs.unionByName(docs.filter(col("doc_id") % 50 === 1)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      val wTxt = Window.partitionBy(md5(col("text")))
-        .orderBy(col("doc_id"))
-      val tk = docs2.select(col("doc_id"),
-        (row_number().over(wTxt) === 1).as("text_keep"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val tk = DedupOps.keepFirstFlag(
+        docs2.select(col("doc_id"), md5(col("text")).as("__sig"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", col("__sig"), "text_keep")
+        .select(col("doc_id"), col("text_keep"), col("n_tokens"))
       val hashes = MultimodalOps.imageDHash(
         dhashMedia(s, dir), "doc_id", "media")
       val pairs = MultimodalOps.dhashNearDups(hashes, "doc_id",
@@ -3873,9 +3873,9 @@ object SparkEntry {
             concat_ws(":", col("frame_idx"), col("pix_sum"),
               col("pix_min"), col("pix_max")).as("s")))),
           x => x.getField("s")), "|")).as("clip_sig"))
-      val w = Window.partitionBy(col("width"), col("height"),
-        col("n_frames"), col("clip_sig")).orderBy(col("doc_id"))
-      sig.withColumn("keep", row_number().over(w) === 1)
+      DedupOps.keepFirstFlag(sig, "doc_id",
+          struct(col("width"), col("height"), col("n_frames"),
+            col("clip_sig")), "keep")
         .select(col("doc_id"), substring(col("clip_sig"), 1, 16)
           .as("clip_sig"), col("n_frames"), col("keep"))
         .orderBy(col("doc_id"))
@@ -4145,13 +4145,14 @@ object SparkEntry {
         .select((col("doc_id") + 10000L).as("doc_id"), col("lang"),
           col("text")))
       val flags = TextAnalysisOps.gopherRules(corpus, "doc_id", "text")
-      val dupW = Window.partitionBy(col("__sig")).orderBy(col("doc_id"))
-      val verdicts = corpus
-        .select(col("doc_id"), col("lang"), md5(col("text")).as("__sig"),
-          (size(regexp_extract_all(col("text"),
-            lit(TextAnalysisOps.EmailPattern), lit(0))) > 0)
-            .as("has_pii"))
-        .withColumn("is_dup", row_number().over(dupW) > 1)
+      val verdicts = DedupOps.keepFirstFlag(corpus
+          .select(col("doc_id"), col("lang"),
+            md5(col("text")).as("__sig"),
+            (size(regexp_extract_all(col("text"),
+              lit(TextAnalysisOps.EmailPattern), lit(0))) > 0)
+              .as("has_pii")),
+          "doc_id", col("__sig"), "__first")
+        .withColumn("is_dup", !col("__first"))
         .join(flags.select(col("doc_id"), col("n_words"), col("pass")),
           "doc_id")
       verdicts.cube(col("lang"))
@@ -4669,6 +4670,61 @@ object SparkEntry {
           col("size"), col("method").cast("long").as("method"),
           substring(md5(col("data")), 1, 16).as("content_sig"))
         .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
+    // ZIP → curation composition (q378, round-9 item 8): the q199
+    // discipline for the OTHER common drop format — each doc becomes
+    // a zip holding an HTML page (stored), a plain-text note
+    // (deflate) and a BINARY blob (deflate); the pipeline walks the
+    // central directory, routes members by extension (html →
+    // tag-strip extraction, txt → pass-through, bin → routed out at
+    // the `textual` gate), runs the full curation chain over the
+    // member-level corpus and reports the per-extension FUNNEL so
+    // every drop is accounted. Member bytes never reach an exchange
+    // (decode in the scan task, q284 discipline).
+    "q378_zip_curation" -> ((s, dir) => {
+      import s.implicits._
+      val members = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val html = s"<html><head><title>Doc $id</title></head>" +
+            s"<body><p>$text</p></body></html>"
+          val note = if (id % 3 == 0) s"short note $id"
+            else text + s" member $id"
+          val blob = Array.tabulate[Byte](64)(i =>
+            ((id * 31 + i * 7) % 251).toByte)
+          val zip = graft.sources.ZipCodec.zipBytes(Seq(
+            (s"page_$id.html", html.getBytes("UTF-8"), false),
+            (s"note_$id.txt", note.getBytes("UTF-8"), true),
+            (s"data/blob_$id.bin", blob, true)))
+          graft.sources.ZipCodec.parse(zip).get.zipWithIndex.map {
+            case (m, i) =>
+              val isText = m.name.endsWith(".html") ||
+                m.name.endsWith(".txt")
+              (id, i.toLong, m.name,
+                if (isText) new String(m.data, "UTF-8") else null)
+          }
+        }.toDF("doc_id", "member_idx", "name", "raw")
+      val mid = (col("doc_id") * 3 + col("member_idx")).as("mid")
+      val htmlM = members.filter(col("name").endsWith(".html"))
+        .select(mid, col("raw").as("html"))
+      val extracted = TextAnalysisOps.htmlToText(htmlM, "mid", "html")
+        .select(col("mid"), col("text"))
+      val txtM = members.filter(col("name").endsWith(".txt"))
+        .select(mid, col("raw").as("text"))
+      val verdicts = TextAnalysisOps.curate(
+        extracted.unionByName(txtM), "mid", "text")
+      val gates = members
+        .select((col("doc_id") * 3 + col("member_idx")).as("mid"),
+          regexp_extract(col("name"), "\\.([a-z]+)$", 1).as("ext"),
+          col("raw").isNotNull.as("__textual"))
+        .join(verdicts.select(col("mid"), col("keep")), Seq("mid"),
+          "left_outer")
+        .withColumn("__keep", coalesce(col("keep"), lit(false)))
+      CurationPipeline.curationFunnel(gates, "ext",
+        Seq("textual" -> col("__textual"),
+          "curation" -> col("__keep")))
+        .orderBy(col("source"), col("drop_stage"))
     }),
 
     // Consistent pseudonymization (q285): the same address anywhere
@@ -5412,6 +5468,8 @@ object SparkEntry {
             lit(" and https://example.com/full")))
         .when(id % 6 === 1, lit(" go https://t.co/abc"))
         .when(id % 6 === 2, lit(" ref https://example.org/page"))
+        // subdomained shortener: the suffix-match arm must count it
+        .when(id % 6 === 3, lit(" w https://www.bit.ly/q"))
         .otherwise(lit("")))
       UrlOps.shortenerCensus(
         t(s, dir, "documents").select(col("doc_id"), text.as("text"),
@@ -9278,10 +9336,11 @@ WHERE rank <= 5 ORDER BY query_id, rank"""),
         |r AS (
         |  SELECT doc_id, domain, quality,
         |    row_number() OVER (PARTITION BY domain
-        |      ORDER BY quality DESC, doc_id ASC) AS domain_rank
+        |      ORDER BY quality DESC, doc_id ASC) AS rk
         |  FROM d)
-        |SELECT doc_id, domain, quality, domain_rank,
-        |  domain_rank <= 10 AS keep
+        |SELECT doc_id, domain, quality,
+        |  CASE WHEN rk <= 10 THEN rk END AS domain_rank,
+        |  rk <= 10 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
     // 13-gram shingles (q46 short-doc semantics), per-doc distinct,
@@ -15515,6 +15574,34 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |SELECT doc_id, member_idx, name, size, method, content_sig
         |FROM m ORDER BY doc_id, member_idx""".stripMargin,
 
+    // ZIP curation funnel: text members (mid%3=0 html-extracted,
+    // mid%3=1 note) through the shared curate CTEs; bin members
+    // (one per doc) drop at the textual gate by construction.
+    "q378_zip_curation" -> curationOracleSql(
+      """SELECT doc_id * 3 AS doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      '<html><head><title>Doc ' || doc_id::VARCHAR ||
+        |        '</title></head><body><p>' || text ||
+        |        '</p></body></html>',
+        |      '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'short note ' || doc_id::VARCHAR
+        |      ELSE text || ' member ' || doc_id::VARCHAR END
+        |  FROM documents""".stripMargin,
+      """SELECT source, drop_stage, count(*)::BIGINT AS n_docs FROM (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'html'
+        |      ELSE 'txt' END AS source,
+        |    CASE WHEN reason = 'keep' THEN 'kept'
+        |      ELSE 'curation' END AS drop_stage
+        |  FROM verdict
+        |  UNION ALL
+        |  SELECT 'bin', 'textual' FROM documents)
+        |GROUP BY source, drop_stage
+        |ORDER BY source, drop_stage""".stripMargin),
+
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the
     // scrubbed text directly with the same keyed-digest tokens.
@@ -16721,14 +16808,14 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |      list(regexp_extract_all(content,
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |        FILTER (WHERE role = 'user'), []))) AS emails,
-        |    coalesce(string_agg(content, chr(10))
-        |      FILTER (WHERE role = 'assistant'), '') AS asm
+        |    list_distinct(flatten(coalesce(
+        |      list(regexp_extract_all(content,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |        FILTER (WHERE role = 'assistant'), []))) AS aemails
         |  FROM tn GROUP BY doc_id)
         |SELECT doc_id, len(emails)::BIGINT AS n_user_emails,
-        |  len(list_filter(emails, e -> contains(asm, e)))::BIGINT
-        |    AS n_echoed,
-        |  CASE WHEN len(list_filter(emails,
-        |      e -> contains(asm, e))) > 0
+        |  len(list_intersect(emails, aemails))::BIGINT AS n_echoed,
+        |  CASE WHEN len(list_intersect(emails, aemails)) > 0
         |    THEN 'echo' ELSE 'clean' END AS verdict
         |FROM g ORDER BY doc_id""".stripMargin,
 
@@ -16771,6 +16858,7 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |      || ' and https://example.com/full'
         |    WHEN 1 THEN ' go https://t.co/abc'
         |    WHEN 2 THEN ' ref https://example.org/page'
+        |    WHEN 3 THEN ' w https://www.bit.ly/q'
         |    ELSE '' END AS t
         |  FROM documents),
         |u AS (
@@ -16783,8 +16871,11 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |    len(list_filter(list_transform(urls,
         |      x -> lower(regexp_extract(x, 'https?://([^/:?#]+)',
         |        1))),
-        |      hh -> hh IN ('bit.ly', 't.co', 'goo.gl',
-        |        'tinyurl.com', 'ow.ly', 'is.gd', 'buff.ly')))
+        |      hh -> list_contains(['bit.ly', 't.co', 'goo.gl',
+        |          'tinyurl.com', 'ow.ly', 'is.gd', 'buff.ly'], hh)
+        |        OR len(list_filter(['bit.ly', 't.co', 'goo.gl',
+        |          'tinyurl.com', 'ow.ly', 'is.gd', 'buff.ly'],
+        |          ss -> ends_with(hh, '.' || ss))) > 0))
         |      ::BIGINT AS s
         |  FROM u)
         |SELECT source, count(*)::BIGINT AS n_docs,
@@ -17008,13 +17099,14 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |      list(regexp_extract_all(lower(content),
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |        FILTER (WHERE role = 'user'), []))) AS emails,
-        |    coalesce(string_agg(lower(content), chr(10))
-        |      FILTER (WHERE role = 'assistant'), '') AS asm
+        |    list_distinct(flatten(coalesce(
+        |      list(regexp_extract_all(lower(content),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |        FILTER (WHERE role = 'assistant'), []))) AS aemails
         |  FROM tn GROUP BY doc_id),
         |echo AS (
         |  SELECT doc_id,
-        |    (len(list_filter(emails, e -> contains(asm, e))) = 0)
-        |      AS ok_echo
+        |    (len(list_intersect(emails, aemails)) = 0) AS ok_echo
         |  FROM em),
         |fu AS (
         |  SELECT doc_id,

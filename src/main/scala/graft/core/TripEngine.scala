@@ -18,6 +18,34 @@ import graft.core.TripTracker.{Output, State}
   */
 object TripEngine {
 
+  /** Optional upstream feed-rate cap — ST7's decimation applied as a
+    * FEED filter (the stuck-transponder lever SCALING.md names as the
+    * deployment answer, now a flag instead of advice): at most one
+    * ping per hex per `minInterval` seconds survives, the first by
+    * (now, seen) in each (hex, floor(now/minInterval)) bucket.
+    *
+    * Scale shape: a map-side-combined `min_by` aggregate — a stuck
+    * transponder flooding at 100 Hz collapses to one partial per map
+    * task per bucket BEFORE the state exchange, so the hot key's
+    * state task sees `minInterval`-cadence input regardless of feed
+    * rate. Per-key trip SEMANTICS under the cap are exactly the
+    * reference's own cadence-decimation behavior (ST7). */
+  private[graft] def rateLimitBatch(pings: Dataset[AircraftPing],
+                                    minInterval: Double)
+      : Dataset[AircraftPing] = {
+    import org.apache.spark.sql.functions._
+    val spark = pings.sparkSession
+    import spark.implicits._
+    val cols = pings.toDF().columns.toSeq
+    pings.toDF()
+      .groupBy(col("hex").as("__h"),
+        floor(col("now") / minInterval).as("__b"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col("now"), col("seen"))).as("__p"))
+      .select(col("__p.*"))
+      .as[AircraftPing]
+  }
+
   /** Batch replay: process a full Dataset of pings (from replayed
     * aircraft.json snapshots) key by key, in snapshot order.
     *
@@ -26,13 +54,20 @@ object TripEngine {
     * snapshot still lists the plane with seen > remember (airstrik.py:482);
     * end-of-data finalization is the documented semantic improvement
     * (SURVEY.md §7.4.4).
+    *
+    * `feedMinInterval`: optional per-key feed-rate cap (OFF by
+    * default — trips then see every packet, reference-exact); see
+    * [[rateLimitBatch]].
     */
   def runBatch(pings: Dataset[AircraftPing], cfg: AirstrikConfig,
                icao: Map[String, String] = Map.empty,
-               finalizeAtEnd: Boolean = false): Dataset[Output] = {
+               finalizeAtEnd: Boolean = false,
+               feedMinInterval: Option[Double] = None): Dataset[Output] = {
     val spark = pings.sparkSession
     import spark.implicits._
-    pings.groupByKey(_.hex).flatMapGroups { (hex, it) =>
+    val fed = feedMinInterval.map(rateLimitBatch(pings, _))
+      .getOrElse(pings)
+    fed.groupByKey(_.hex).flatMapGroups { (hex, it) =>
       val sorted = it.toIndexedSeq.sortBy(p => (p.now, p.seen))
       var st: Option[State] = None
       val out = scala.collection.mutable.ListBuffer.empty[Output]
@@ -54,11 +89,27 @@ object TripEngine {
     * `flatMapGroupsWithState` with an event-time timeout standing in for
     * the reference's `seen > remember` gap detection (ST3). Callers must
     * have applied `withWatermark` on a timestamp column derived from
-    * `now` before `groupByKey`. */
+    * `now` before `groupByKey`.
+    *
+    * `feedMinInterval`: optional per-key feed-rate cap — the streaming
+    * twin of [[rateLimitBatch]], implemented as
+    * `dropDuplicatesWithinWatermark` on (hex, cadence bucket): the
+    * FIRST ARRIVAL per bucket survives (arrival order, where the
+    * batch form takes the (now, seen) minimum — the difference only
+    * matters for out-of-order packets inside one bucket), and dedup
+    * state evicts with the watermark. Chaining a stateful dedup ahead
+    * of `flatMapGroupsWithState` needs
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * = false (the [[graft.streaming.CurationIngestStream]] discipline
+    * — the dedup emits rows with their original event time, so the
+    * downstream watermark is unaffected). */
   def runStreaming(pings: Dataset[AircraftPing], cfg: AirstrikConfig,
-                   icao: Map[String, String] = Map.empty): Dataset[Output] = {
+                   icao: Map[String, String] = Map.empty,
+                   feedMinInterval: Option[Double] = None)
+      : Dataset[Output] = {
     val spark = pings.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions._
 
     def update(hex: String, rows: Iterator[AircraftPing],
                gs: GroupState[State]): Iterator[Output] = {
@@ -88,7 +139,16 @@ object TripEngine {
       }
     }
 
-    pings.groupByKey(_.hex)
+    val fed = feedMinInterval match {
+      case Some(iv) =>
+        pings.toDF()
+          .withColumn("__bucket", floor(col("now") / iv))
+          .dropDuplicatesWithinWatermark(Seq("hex", "__bucket"))
+          .drop("__bucket")
+          .as[AircraftPing]
+      case None => pings
+    }
+    fed.groupByKey(_.hex)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }

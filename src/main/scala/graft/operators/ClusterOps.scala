@@ -159,20 +159,28 @@ object ClusterOps {
     * copy).
     *
     * Scale shape: [[connectedComponents]]' cost plus one quality join
-    * and one rank window partitioned by cluster — clusters are
-    * near-dup groups (small by construction; a pathological mega-
-    * cluster means the LSH threshold is wrong, which the recall probe
-    * q60 flags first). */
+    * and ONE map-side-combined min aggregate per cluster — the keeper
+    * rule "max quality, ties → min id" is `min(struct(−q, id))`, whose
+    * partial buffers hold one struct per cluster per map task, so a
+    * pathological mega-cluster (bad LSH threshold — q60's recall probe
+    * flags it first, but the plan no longer depends on that) collapses
+    * map-side instead of single-tasking a rank window (round-9 weak
+    * finding). Keeper flags join back on the UNIQUE member id — no
+    * skewed exchange. `qCol` must be numeric (it is negated for the
+    * descending order). */
   def qualityKeepers(pairs: DataFrame, aCol: String, bCol: String,
                      quality: DataFrame, idCol: String,
                      qCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col(qCol).desc, col("id").asc)
-    connectedComponents(pairs, aCol, bCol)
+    val members = connectedComponents(pairs, aCol, bCol)
       .select(col("id"), col("rep").as("cluster"))
       .join(quality.select(col(idCol).as("id"), col(qCol)), Seq("id"))
-      .withColumn("keep", row_number().over(w) === 1)
+    val keepers = members.groupBy(col("cluster"))
+      .agg(min(struct(negate(col(qCol)).as("nq"),
+        col("id").as("id"))).as("__w"))
+      .select(col("__w").getField("id").as("__kid"))
+    members.join(keepers, col("id") === col("__kid"), "left")
+      .withColumn("keep", col("__kid").isNotNull)
+      .drop("__kid")
   }
 
   /** Per-cluster canonical-copy report: which member of each duplicate

@@ -97,9 +97,12 @@ object ConversationOps {
     * frame (filter them upstream if they should be kept unexamined;
     * silently passing them would defeat the dedup's purpose).
     *
-    * Scale shape: the verdict needs one sig-keyed keep-first window
-    * over (id, 16 B sig) rows plus a turn-count aggregate on the doc
-    * key — content never crosses the dedup exchange. */
+    * Scale shape: the keep-first verdict rides
+    * [[graft.operators.DedupOps.keepFirstFlag]] — a map-side-combined
+    * min-id aggregate on the 16-byte instruction signature plus a
+    * unique-id flag join — so a template instruction duplicated across
+    * an SFT corpus collapses map-side instead of single-tasking a rank
+    * window; content never crosses the dedup exchange. */
   def instructionDedup(turns: DataFrame, idCol: String): DataFrame = {
     val firstUser = turns.filter(col("role") === "user")
       .groupBy(col(idCol))
@@ -113,9 +116,8 @@ object ConversationOps {
           .as("n_user"),
         sum(when(col("role") === "assistant", 1L).otherwise(0L))
           .as("n_assistant"))
-    val w = Window.partitionBy(col("instr_sig")).orderBy(col(idCol))
-    firstUser
-      .withColumn("keep", row_number().over(w) === 1)
+    graft.operators.DedupOps
+      .keepFirstFlag(firstUser, idCol, col("instr_sig"), "keep")
       .join(counts, Seq(idCol))
       .select(col(idCol), col("instr_sig"), col("n_turns"),
         col("n_user"), col("n_assistant"), col("keep"))
@@ -408,28 +410,35 @@ object ConversationOps {
     *
     * Input: a parsed turn frame ([[parseTurns]] shape).
     *
-    * Scale shape: one DOC-keyed aggregate (emails and assistant text
-    * both bounded by conversation size — the [[parseTurns]]
-    * discipline); the echo check is an in-row list filter. */
+    * The echo test compares the user-turn email set against the
+    * assistant turns' own EXTRACTED email set (set intersection), not
+    * raw substring containment of the concatenated assistant text — a
+    * user email that happens to be a prefix of a different
+    * assistant-mentioned address (a@b.co inside a@b.com) must not
+    * count as an echo (round-9 advisory).
+    *
+    * Scale shape: one DOC-keyed aggregate (both email sets bounded by
+    * conversation size — the [[parseTurns]] discipline); the echo
+    * check is an in-row set intersection. */
   def piiEchoAudit(turns: DataFrame, idCol: String): DataFrame = {
     val emails = regexp_extract_all(
       lower(coalesce(col("content"), lit(""))),
       lit(graft.operators.TextAnalysisOps.EmailPattern), lit(0))
+    val none = array().cast("array<string>")
     turns
       .select(col(idCol),
-        when(col("role") === "user", emails)
-          .otherwise(array().cast("array<string>")).as("__em"),
-        when(col("role") === "assistant",
-          lower(coalesce(col("content"), lit(""))))
-          .otherwise(lit("")).as("__at"))
+        when(col("role") === "user", emails).otherwise(none).as("__em"),
+        when(col("role") === "assistant", emails).otherwise(none)
+          .as("__ae"))
       .groupBy(col(idCol))
       .agg(array_distinct(flatten(collect_list(col("__em"))))
           .as("__emails"),
-        concat_ws("\n", collect_list(col("__at"))).as("__asm"))
+        array_distinct(flatten(collect_list(col("__ae"))))
+          .as("__aemails"))
       .select(col(idCol),
         size(col("__emails")).cast("long").as("n_user_emails"),
-        size(filter(col("__emails"),
-          e => col("__asm").contains(e))).cast("long").as("n_echoed"))
+        size(array_intersect(col("__emails"), col("__aemails")))
+          .cast("long").as("n_echoed"))
       .withColumn("verdict",
         when(col("n_echoed") > 0, "echo").otherwise("clean"))
   }
@@ -468,8 +477,12 @@ object ConversationOps {
     val grouped = firstUser.join(firstAsst, Seq(idCol))
       .groupBy(col("instr_sig"))
       .agg(count(lit(1)).as("n_convs"),
+        // id kept in its NATIVE type: struct ordering works for
+        // numeric and string ids alike — a lossy cast("long") made
+        // UUID-style string ids NULL, collapsing every selection key
+        // and making the kept set arbitrary (round-9 advisory)
         graft.functions.AggFunctions.boundedTopN(
-          struct(col(idCol).cast("long").as("id"),
+          struct(col(idCol).as("id"),
             col("response").as("r")), maxPerGroup).as("__kept"))
       .filter(col("n_convs") >= 2)
     // distinct word-trigram set per kept response

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextExpressions
@@ -80,17 +79,21 @@ object CurationPipeline {
   private[graft] def reasonOf(isDup: Column, nTokens: Column): Column =
     when(isDup, "dup").when(nTokens < 8, "short").otherwise("keep")
 
-  /** Batch finisher: keep-first dedup window over the FULL content
-    * md5 (16-hex `clean_sig` is the reporting form; grouping on it
+  /** Batch finisher: keep-first dedup over the FULL content md5
+    * (16-hex `clean_sig` is the reporting form; grouping on it
     * would differ from the oracle under prefix collisions), then
-    * reason + selected. Output = q100's exact column set and order. */
+    * reason + selected. Output = q100's exact column set and order.
+    * The dedup verdict rides [[graft.operators.DedupOps.keepFirstFlag]]
+    * — min-id aggregate + unique-id flag join — so a page duplicated
+    * across the whole batch collapses map-side instead of
+    * single-tasking a rank window. */
   def batchVerdicts(df: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
     val cleaned = cleanProject(df, idCol, textCol)
-    val w = Window.partitionBy(col("__sig_full")).orderBy(col("doc_id"))
-    cleaned.withColumn("__rn", row_number().over(w))
+    graft.operators.DedupOps
+      .keepFirstFlag(cleaned, "doc_id", col("__sig_full"), "__first")
       .select(col("doc_id"), col("clean_sig"), col("n_tokens"),
-        reasonOf(col("__rn") > 1, col("n_tokens")).as("reason"),
+        reasonOf(!col("__first"), col("n_tokens")).as("reason"),
         col("split"))
       .withColumn("selected",
         col("reason") === "keep" && col("split") === "train")

@@ -23,12 +23,44 @@ import graft.functions.TextFunctions._
 object DedupOps {
 
   /** Exact dedup: keep the lowest-id doc per identical text.
-    * One shuffle on the content hash (never on the raw text — a 100 KB
-    * document would make terrible shuffle keys). */
+    * ONE map-side-combined aggregate on the content md5 — `min_by`
+    * keeps exactly one full row per distinct text per map partition,
+    * so a page duplicated a million times corpus-wide collapses to one
+    * partial per upstream task before the single exchange. (The rank
+    * window this replaced serialized every copy — full document text
+    * included — through one window task; round-9 weak finding.) */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = docs.columns.toSeq
+    docs.groupBy(md5(col(textCol)))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__keep"))
+      .select(cols.map(c => col("__keep").getField(c).as(c)): _*)
+  }
+
+  /** Scale-safe keep-first verdict: flags, per row, whether that row is
+    * its `sig` group's minimum-`idCol` member — the replacement for the
+    * hot-key-fragile `row_number().over(Window.partitionBy(sig))` shape.
+    *
+    * Shape: one map-side-combined `min(id)` aggregate on the signature
+    * (a corpus-wide duplicated page collapses to one partial per map
+    * task), re-keyed to the UNIQUE id before the flag join — so neither
+    * exchange ever sees the hot signature's fan-out: the aggregate
+    * combines it away map-side and the join hashes on ids, which are
+    * unique by contract. A rank window, by contrast, must serialize
+    * every copy of the hot signature through one task.
+    *
+    * Requires `idCol` values unique within `rows` (the usual doc-id
+    * contract; duplicate ids would duplicate their rows through the
+    * join). `sig` is any expression over `rows`' columns. */
+  def keepFirstFlag(rows: DataFrame, idCol: String, sig: Column,
+                    flag: String): DataFrame = {
+    val keepers = rows
+      .select(col(idCol).as("__kf_id"), sig.as("__kf_sig"))
+      .groupBy(col("__kf_sig"))
+      .agg(min(col("__kf_id")).as("__kf_keep"))
+      .select(col("__kf_keep"))
+    rows.join(keepers, col(idCol) === col("__kf_keep"), "left")
+      .withColumn(flag, col("__kf_keep").isNotNull)
+      .drop("__kf_keep")
   }
 
   /** Per-source exact-duplication report — "which dump is internally
@@ -115,13 +147,12 @@ object DedupOps {
   def incrementalDedup(incoming: DataFrame, idCol: String,
                        textCol: String, knownSigs: DataFrame): DataFrame = {
     val inc = incoming.select(col(idCol), md5(col(textCol)).as("sig"))
-    val w = Window.partitionBy(col("sig")).orderBy(col(idCol))
-    inc.withColumn("__rn", row_number().over(w))
+    keepFirstFlag(inc, idCol, col("sig"), "__first")
       .join(knownSigs.select(col("sig"), lit(1).as("__k")),
         Seq("sig"), "left")
       .select(col(idCol), col("sig"),
         when(col("__k").isNotNull, "dup_known")
-          .when(col("__rn") > 1, "dup_increment")
+          .when(!col("__first"), "dup_increment")
           .otherwise("new").as("status"))
   }
 

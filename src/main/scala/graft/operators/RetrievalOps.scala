@@ -391,6 +391,10 @@ object RetrievalOps {
     require(termA == termA.toLowerCase && termB == termB.toLowerCase,
       "terms must be lowercase")
     require(maxGap >= 1, "maxGap must be positive")
+    // with equal terms every occurrence pairs with itself: min_gap is
+    // always 0 and `near` always true — a silently meaningless result
+    // (round-9 advisory); proximity is a two-term predicate
+    require(termA != termB, "termA and termB must differ")
     val toks = split(lower(coalesce(col(textCol), lit(""))), " ", -1)
     def positions(term: String): Column = filter(
       transform(toks, (x, i) => when(x === term, i + 1)

@@ -966,20 +966,20 @@ object TextAnalysisOps {
     *
     * Scale shape: all signals are computed in ONE narrow projection
     * (id, md5 sig, token/quality/repetition stats, lang votes) — the
-    * full-width text column never survives past the scan. The only
-    * shuffle is the keep-first window over the 16-byte content
-    * signature, carrying ~50 bytes/row regardless of document size. */
+    * full-width text column never survives past the scan. The
+    * keep-first dedup verdict rides
+    * [[graft.operators.DedupOps.keepFirstFlag]] (min-id aggregate on
+    * the 16-byte signature + unique-id flag join), so a corpus-wide
+    * duplicated page collapses map-side instead of single-tasking a
+    * rank window. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Int = 20, minQuality: Double = 0.72,
              maxDup3Frac: Double = 0.02, keepLang: String = "en"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s3 = curationSignals(docs, idCol, textCol)
-    val rk = row_number().over(
-      Window.partitionBy(col("__sig")).orderBy(col(idCol)))
     val reason =
-      when(col("__rk") > 1, "exact_dup")
+      when(!col("__first"), "exact_dup")
         .otherwise(gateReason(minTokens, minQuality, maxDup3Frac, keepLang))
-    s3.withColumn("__rk", rk)
+    DedupOps.keepFirstFlag(s3, idCol, col("__sig"), "__first")
       .select(col(idCol), reason.as("reason"))
       .select(col(idCol), (col("reason") === "keep").as("keep"), col("reason"))
   }
@@ -1113,10 +1113,21 @@ object TextAnalysisOps {
     * js_micro = 0 exactly (ln(1) on identical doubles). */
   def windowDrift(windowCounts: DataFrame,
                   reference: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val refT = reference.agg(sum(col("cnt")).as("__t"))
-    val withN = windowCounts.withColumn("__n",
-      sum(col("cnt")).over(Window.partitionBy(col("window_start"))))
+    // per-window token total as groupBy + join-back (one tiny row per
+    // time window — AQE broadcasts it), not a window-keyed total
+    // window, which would single-task each time window's vocabulary.
+    // The total is keyed under a RENAMED column: this is a self-join
+    // of windowCounts with its own aggregate, and identical attribute
+    // ids on both sides fail analysis when the input is a named view
+    // (memory-sink streams)
+    val totals = windowCounts
+      .select(col("window_start").as("__ws"), col("cnt"))
+      .groupBy(col("__ws"))
+      .agg(sum(col("cnt")).as("__n"))
+    val withN = windowCounts
+      .join(totals, col("window_start") === col("__ws"))
+      .drop("__ws")
     val j = withN
       .join(broadcast(reference.select(col("term"), col("cnt").as("__r"))),
         Seq("term"), "left_outer")
@@ -1414,30 +1425,41 @@ object TextAnalysisOps {
     * much survived plus a signature of the deduped text (rejoined in
     * original position order).
     *
-    * Scale shape: exactly one shuffle, keyed by the 16-byte paragraph
-    * md5 (the keep-first window); paragraphs ride it once — there is no
-    * all-pairs comparison anywhere. Empty paragraphs are dropped before
-    * the shuffle. Documents whose every paragraph is boilerplate
-    * surface with n_kept = 0 (md5 of '' for the signature), not dropped
-    * rows. */
+    * Scale shape: the keep-first decision is ONE map-side-combined
+    * `min_by` aggregate on the 16-byte paragraph md5 — the winning
+    * (id, pos, para) per distinct paragraph collapses to one partial
+    * per map task, so a corpus-wide boilerplate paragraph ("All rights
+    * reserved.") never serializes its millions of copies through one
+    * task (the rank window this replaced did; round-9 weak finding).
+    * The per-doc rollups then join on the UNIFORM doc id. There is no
+    * all-pairs comparison anywhere; empty paragraphs are dropped
+    * before any exchange. Documents whose every paragraph is
+    * boilerplate surface with n_kept = 0 (md5 of '' for the
+    * signature), not dropped rows. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val paras = docs
       .select(col(idCol), posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
       .filter(length(col("para")) > 0)
-    val w = Window.partitionBy(md5(col("para")))
-      .orderBy(col(idCol), col("pos"))
-    paras
-      .withColumn("__rk", row_number().over(w))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+    val perDoc = paras.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"))
+    val kept = paras.groupBy(md5(col("para")))
+      .agg(min_by(struct(col(idCol), col("pos"), col("para")),
+        struct(col(idCol), col("pos"))).as("__k"))
+      .select(col("__k").getField(idCol).as(idCol),
+        col("__k").getField("pos").as("pos"),
+        col("__k").getField("para").as("para"))
+    val keptRoll = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
         substring(md5(array_join(transform(
-          array_sort(collect_list(when(col("__rk") === 1,
-            struct(col("pos"), col("para"))))),
+          array_sort(collect_list(struct(col("pos"), col("para")))),
           s => s.getField("para")), sep)), 1, 16).as("dedup_sig"))
+    perDoc.join(keptRoll, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_sig"),
+          substring(md5(lit("")), 1, 16)).as("dedup_sig"))
   }
 
   /** Cross-document boilerplate line removal (the C4 / Dolma pass,
@@ -4394,21 +4416,31 @@ object TextAnalysisOps {
     * keyword-stuffed text (low TTR: the same tokens loop) and OCR
     * noise (high hapax: garbled one-off tokens) from prose. Both
     * ratios fold IN-ROW: distinct count via `array_distinct`, hapax
-    * (frequency-1 tokens) by sorting the token array once and
-    * counting elements that differ from BOTH neighbors — linear in
-    * document length, no per-token shuffle (the relational
-    * unnest-group-count formulation ships every token; this ships
-    * nothing).
+    * (frequency-1 tokens) by sorting the token array ONCE — staged as
+    * a real column — and counting elements that differ from BOTH
+    * neighbors. Linear in document length past the one O(n log n)
+    * sort, no per-token shuffle (the relational unnest-group-count
+    * formulation ships every token; this ships nothing).
     *
     * Output: one row per doc — token/distinct/hapax counts and
     * integer micro-unit ratios (`ttr_micro` = distinct/tokens,
     * `hapax_micro` = hapax/distinct).
     *
-    * Scale shape: pure projection, zero shuffle. */
+    * Scale shape: pure projection, zero shuffle. The sorted array
+    * MUST be a staged column, not an inline expression: Catalyst
+    * subexpression elimination does not reach inside lambda bodies,
+    * so an inline `array_sort` is re-evaluated by every `element_at`
+    * in the hapax lambda — O(n² log n) per document (round-9 weak
+    * finding: 26 s at sf0.1 for a zero-shuffle projection). With the
+    * attribute staged, each `element_at` is an O(1) index into the
+    * already-sorted array. */
   def lexicalDiversity(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val toks = split(lower(coalesce(col(textCol), lit(""))), " ", -1)
-    val sorted = array_sort(toks)
+    val staged = docs.select(col(idCol),
+      array_sort(toks).as("__sorted"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val sorted = col("__sorted")
     val n = size(sorted)
     // element differs from both neighbors ⇒ frequency 1 (CASE arms
     // evaluate lazily, so element_at never sees index 0 / n+1)
@@ -4416,9 +4448,9 @@ object TextAnalysisOps {
       when((i === 0 || element_at(sorted, i) =!= x) &&
         (i === n - 1 || element_at(sorted, i + lit(2)) =!= x), 1L)
         .otherwise(0L))
-    docs.select(col(idCol),
+    staged.select(col(idCol),
         n.cast("long").as("n_tok"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        col("n_distinct"),
         aggregate(isHapax, lit(0L), (a, x) => a + x).as("hapax"))
       .withColumn("ttr_micro",
         expr("n_distinct * 1000000L div greatest(n_tok, 1L)"))
@@ -5403,6 +5435,17 @@ object TextAnalysisOps {
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
                   checkpointEvery: Long = 100L): DataFrame = {
     require(checkpointEvery >= 1, "checkpoint width must be positive")
+    // "corpus position" is id arithmetic — fail fast on non-numeric
+    // ids rather than silently NULLing them through a lossy cast
+    // (round-9 advisory: a UUID id would collapse every first-doc
+    // bucket into one NULL checkpoint)
+    val idType = docs.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType).contains(idType),
+      s"vocabGrowth needs an integral id column; got $idType")
     val toks = filter(
       split(lower(coalesce(col(textCol), lit(""))), " ", -1),
       t => t =!= "")
@@ -5410,8 +5453,10 @@ object TextAnalysisOps {
       .select(col(idCol).cast("long").as("__id"),
         explode(toks).as("term"))
       .groupBy(col("term")).agg(min(col("__id")).as("__first"))
+    // integer-domain div (the Column `/` is DOUBLE division — exact
+    // only below 2^53; `div` matches the oracle's `//` everywhere)
     val hist = firstDoc
-      .groupBy(((col("__first") / checkpointEvery).cast("long") + 1)
+      .groupBy((expr(s"__first div ${checkpointEvery}L") + 1)
         .as("checkpoint"))
       .agg(count(lit(1)).as("new_types"))
     val w = org.apache.spark.sql.expressions.Window

@@ -79,25 +79,38 @@ object UrlOps {
     * more than `maxPerDomain` documents, and when it would, the
     * HIGHEST-quality ones win). Domain = URL host, lowercased, with a
     * leading `www.` stripped. Returns a VERDICT frame — (id, domain,
-    * the quality used, rank within domain, keep) — so the decision is
-    * auditable and the filter is `.filter(col("keep"))` away.
+    * the quality used, rank within domain for KEPT rows (NULL past the
+    * cap), keep) — so the decision is auditable and the filter is
+    * `.filter(col("keep"))` away. `quality` must be numeric (it is
+    * negated to order the bounded heap descending).
     *
-    * Scale shape: only (id, domain, quality) ride the one
-    * domain-keyed shuffle — callers semi-join keepers back on `idCol`
-    * for the text; per-domain window state is domain-count-sized, and
-    * a pathological mega-domain is exactly the thing the cap is there
-    * to bound. */
+    * Scale shape: ONE bounded aggregation on the domain key — the kept
+    * set rides [[graft.functions.BoundedTopNAgg]], whose partial
+    * buffers hold at most `maxPerDomain` (−quality, id) pairs per
+    * domain per map task, so the mega-domain the cap exists to bound
+    * never single-tasks (the rank window this replaced serialized the
+    * whole domain through one task; round-9 weak finding). Ranks past
+    * the cap are deliberately NOT materialized: a dense rank over a
+    * 10M-page SEO farm is unbounded per-key state for a number nobody
+    * keeps. The keeper flags join back on the UNIQUE id — no skewed
+    * exchange anywhere. */
   def domainCap(df: DataFrame, idCol: String, urlCol: String,
                 quality: Column, maxPerDomain: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.AggFunctions.boundedTopN
     require(maxPerDomain >= 1, "maxPerDomain >= 1")
     val host = lower(regexp_extract(col(urlCol), "https?://([^/]+)", 1))
     val domain = regexp_replace(host, "^www\\.", "")
-    val w = Window.partitionBy(col("domain"))
-      .orderBy(col("quality").desc, col(idCol).asc)
-    df.select(col(idCol), domain.as("domain"), quality.as("quality"))
-      .withColumn("domain_rank", row_number().over(w))
-      .withColumn("keep", col("domain_rank") <= maxPerDomain)
+    val base = df.select(col(idCol), domain.as("domain"),
+      quality.as("quality"))
+    val tops = base.groupBy(col("domain"))
+      .agg(boundedTopN(struct(negate(col("quality")).as("nq"),
+        col(idCol).as("id")), maxPerDomain).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__slot", "__s")))
+      .select(col("__s").getField("id").as("__kid"),
+        (col("__slot") + 1).cast("int").as("domain_rank"))
+    base.join(tops, col(idCol) === col("__kid"), "left")
+      .drop("__kid")
+      .withColumn("keep", col("domain_rank").isNotNull)
   }
 
   /** URL-level snapshot dedup, latest-wins (the re-crawl semantics of
@@ -636,8 +649,12 @@ object UrlOps {
     val urls = regexp_extract_all(coalesce(col(textCol), lit("")),
       lit(graft.operators.TextAnalysisOps.UrlPattern), lit(0))
     val hosts = transform(urls, u => hostOf(u))
+    // subdomained forms count too (www.bit.ly, api.tinyurl.com) —
+    // exact-equality matching undercounted the shortener share
+    // (round-9 advisory)
     val shorteners = filter(hosts,
-      h => ShortenerHosts.map(s => h === s).reduce(_ || _))
+      h => ShortenerHosts.map(s => h === s || h.endsWith("." + s))
+        .reduce(_ || _))
     docs.select(col(sourceCol).as("source"),
         size(urls).cast("long").as("__n"),
         size(shorteners).cast("long").as("__s"))

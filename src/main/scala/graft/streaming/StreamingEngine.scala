@@ -24,6 +24,54 @@ import graft.sources.AircraftJsonSource
   */
 object StreamingEngine {
 
+  /** Trip-state format version carried as a checkpoint-side marker.
+    * Version 2 = the round-9 order-aware `patchAdd` (histories
+    * NON-INCREASING by ts — an invariant the fast path relies on).
+    * Pre-round-9 checkpoints (head-prepend form, no marker) can hold
+    * UNSORTED histories on which the order-aware insert could skip a
+    * deep duplicate — they must not be resumed silently. */
+  private[graft] val StateVersion = 2
+
+  private[graft] val StateVersionFile = "_graft_state_version"
+
+  /** Fail fast on a checkpoint written by an incompatible state
+    * format, instead of a scaladoc caveat: a marker file is written
+    * next to the checkpoint's offset log at creation; opening a
+    * checkpoint that has offsets but no marker (pre-round-9), or a
+    * different version, throws with the recovery instruction. Uses
+    * the Hadoop FS API so the guard works on any checkpoint scheme
+    * (local, HDFS, object store). */
+  private[graft] def guardStateVersion(spark: SparkSession,
+                                           checkpointDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dir, StateVersionFile)
+    val offsets = new org.apache.hadoop.fs.Path(dir, "offsets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      require(got == StateVersion.toString,
+        s"checkpoint $checkpointDir carries trip-state version $got, " +
+          s"this engine writes version $StateVersion — state formats " +
+          "are incompatible; restart from a fresh checkpoint " +
+          "(delete it or point outDir elsewhere)")
+    } else if (fs.exists(offsets) &&
+        fs.listStatus(offsets).nonEmpty) {
+      throw new IllegalStateException(
+        s"checkpoint $checkpointDir predates the trip-state version " +
+          s"marker (pre-round-9 patch_add format): resumed histories " +
+          "may be unsorted and the order-aware dedup could miss deep " +
+          "duplicates — restart from a fresh checkpoint")
+    } else {
+      fs.mkdirs(dir)
+      val out = fs.create(marker, true)
+      try out.write(StateVersion.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** Start the engine on a snapshot landing directory.
     *
     * @param landingDir directory where decoder snapshots land (S1)
@@ -47,6 +95,7 @@ object StreamingEngine {
       // still count; anything later would have closed the trip anyway
       .withWatermark("eventTime", s"${cfg.remember.toLong} seconds")
       .as[AircraftPing]
+    guardStateVersion(spark, s"$outDir/_checkpoint")
     val outputs = TripEngine.runStreaming(pings, cfg, icao)
     outputs.writeStream
       .queryName("airstrik-engine")

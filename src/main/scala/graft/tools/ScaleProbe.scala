@@ -286,12 +286,97 @@ object ScaleProbe {
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }
-    // fixed domain space: docs-per-domain grows with N, timing the
-    // per-domain rank window the cap exists to bound
+    // ROUND-10 HOT-SIGNATURE fixtures (round-9 item 1): ONE content
+    // signature planted in 50% of docs — the corpus-wide duplicated
+    // page / boilerplate paragraph / template instruction that the 13
+    // formerly-weak keep-first queries single-tasked through a rank
+    // window. The swept shapes (min/min_by aggregate on the signature,
+    // flag join re-keyed to the UNIQUE id) must keep `max-task read`
+    // at partial-aggregate size: the hot signature collapses to one
+    // partial per map task BEFORE its exchange, and the flag join
+    // hashes on ids, which are uniform by construction.
+    {
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 50% of docs share ONE text -> one hot md5 across every
+      // text-keyed keep-first
+      val hotDocs = docs.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          lit("the exact same viral page body replicated corpus wide"))
+          .otherwise(col("text")))
+      time(s"DedupOps.exact HOT-SIG x$n (one text in 50% of docs)")(
+        graft.operators.DedupOps.exact(hotDocs, "doc_id", "text"))
+      time(s"curate HOT-SIG x$n (one text in 50% of docs)")(
+        TextAnalysisOps.curate(
+          hotDocs.select(col("doc_id"), col("text")), "doc_id", "text"))
+      time(s"batchVerdicts HOT-SIG x$n (one text in 50% of docs)")(
+        graft.operators.CurationPipeline.batchVerdicts(
+          hotDocs, "doc_id", "text"))
+      time(s"incrementalDedup HOT-SIG x$n (one text in 50% of docs)")(
+        graft.operators.DedupOps.incrementalDedup(hotDocs, "doc_id",
+          "text", hotDocs.filter(col("doc_id") % 97 === 0)
+            .select(md5(col("text")).as("sig")).distinct()))
+      // one boilerplate paragraph in EVERY doc (the "All rights
+      // reserved." case): one hot paragraph md5
+      time(s"paragraphDedup HOT-SIG x$n (boilerplate para in all docs)")(
+        TextAnalysisOps.paragraphDedup(
+          docs.withColumn("text",
+            concat(col("text"), lit("\n\nAll rights reserved."))),
+          "doc_id", "text"))
+      // one template instruction in 50% of conversations
+      time(s"instructionDedup HOT-SIG x$n (template instr in 50%)")(
+        graft.operators.ConversationOps.instructionDedup(
+          graft.operators.ConversationOps.parseTurns(
+            docs.select(col("doc_id"),
+              concat(lit("user: "),
+                when(col("doc_id") % 2 === 0,
+                  lit("please summarize the following"))
+                  .otherwise(col("text")),
+                lit("\nassistant: ok")).as("text")),
+            "doc_id", "text"), "doc_id"))
+      // one mega-cluster holding 50% of members (pathological LSH):
+      // the keeper must come from a map-side-combined min, never a
+      // cluster-keyed rank window
+      time(s"qualityKeepers HOT-SIG x$n (one cluster = 50% of docs)") {
+        val members = docs.select(col("doc_id"))
+        val pairs = members.filter(col("doc_id") % 2 === 0)
+          .select(lit(0L).as("id_a"), col("doc_id").as("id_b"))
+          .filter(col("id_b") =!= 0L)
+        ClusterOps.qualityKeepers(pairs, "id_a", "id_b",
+          docs.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars")
+      }
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    // q293 doc-LENGTH scaling (round-9 item 2): the hapax fold must be
+    // linear in document length past the one staged sort — the
+    // pre-round-10 inline-sort plan was O(n² log n) per doc (100×
+    // worse for 10× longer docs); these two rows must stay ~10× apart
+    time(s"lexicalDiversity len1x x$n")(
+      TextAnalysisOps.lexicalDiversity(docs, "doc_id", "text"))
+    time(s"lexicalDiversity len10x x$n")(
+      TextAnalysisOps.lexicalDiversity(
+        docs.withColumn("text",
+          array_join(array_repeat(col("text"), 10), " ")),
+        "doc_id", "text"))
+    // fixed domain space: docs-per-domain grows with N — the cap's
+    // kept set rides the bounded top-N aggregate (partial buffers hold
+    // ≤ maxPerDomain entries per domain per map task), so the mega-
+    // domain never single-tasks; plus an explicit 90%-one-domain case
     time(s"domainCap x$n")(
       graft.operators.UrlOps.domainCap(
         docs.select(col("doc_id"),
           concat(lit("http://s"), (col("doc_id") % 977).cast("string"),
+            lit(".com/p")).as("url"), col("n_chars")),
+        "doc_id", "url", col("n_chars"), 100))
+    time(s"domainCap HOT-SIG x$n (90% of urls on one domain)")(
+      graft.operators.UrlOps.domainCap(
+        docs.select(col("doc_id"),
+          concat(lit("http://"),
+            when(col("doc_id") % 10 < 9, lit("megafarm"))
+              .otherwise(concat(lit("s"),
+                (col("doc_id") % 977).cast("string"))),
             lit(".com/p")).as("url"), col("n_chars")),
         "doc_id", "url", col("n_chars"), 100))
     time(s"balancedShards x$n")(

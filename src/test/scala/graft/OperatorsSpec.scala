@@ -1919,13 +1919,17 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("doc_id", "url", "q")
     val got = UrlOps.domainCap(docs, "doc_id", "url", col("q"), 2)
       .collect().map(r => r.getLong(0) ->
-        (r.getString(1), r.getInt(3), r.getBoolean(4))).toMap
+        (r.getString(1),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          r.getBoolean(4))).toMap
     // a.com pool = docs 1,2,3,5 (www. and case fold in); top-2 by
-    // (quality desc, id asc) = 2 then 5
+    // (quality desc, id asc) = 2 then 5; past the cap the rank is
+    // deliberately NULL (a dense rank over a mega-domain is unbounded
+    // per-key state for a number nobody keeps)
     assert(got(2L) == (("a.com", 1, true)))
     assert(got(5L) == (("a.com", 2, true)))
-    assert(got(3L) == (("a.com", 3, false)))
-    assert(got(1L) == (("a.com", 4, false)))
+    assert(got(3L) == (("a.com", -1, false)))
+    assert(got(1L) == (("a.com", -1, false)))
     assert(got(4L) == (("b.org", 1, true)))
   }
 
@@ -7024,7 +7028,11 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 1L, "user", "reach me at x@y.org"),
       (2L, 2L, "assistant", "noted, will do"),
       (3L, 1L, "user", "no address"),
-      (3L, 2L, "assistant", "fine c@d.net is mine") // assistant-only
+      (3L, 2L, "assistant", "fine c@d.net is mine"), // assistant-only
+      // prefix of a DIFFERENT assistant address: NOT an echo (the
+      // pre-round-10 substring containment called this one)
+      (4L, 1L, "user", "ping a@b.co please"),
+      (4L, 2L, "assistant", "I only know a@b.com, not yours")
     ).toDF("id", "turn_idx", "role", "content")
     val got = ConversationOps.piiEchoAudit(turns, "id")
       .orderBy("id").collect()
@@ -7036,6 +7044,9 @@ class OperatorsSpec extends AnyFunSuite {
     // assistant-only email is never a user leak
     assert(got(2).getAs[Long]("n_user_emails") == 0L &&
       got(2).getAs[String]("verdict") == "clean")
+    assert(got(3).getAs[Long]("n_user_emails") == 1L &&
+      got(3).getAs[Long]("n_echoed") == 0L &&
+      got(3).getAs[String]("verdict") == "clean")
   }
 
   test("headingHierarchy: skips only on descending jumps, deep " +
@@ -7067,14 +7078,17 @@ class OperatorsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "x https://bit.ly/a and https://example.com/b", "s1"),
       (2L, "y https://t.co/z", "s1"),
+      // subdomained shortener counts; 'habit.ly' must NOT (suffix
+      // match is on '.bit.ly', not a substring)
+      (5L, "z https://www.bit.ly/q not https://habit.ly/h", "s1"),
       (3L, "plain", "s2"),
       (4L, null.asInstanceOf[String], "s2")
     ).toDF("id", "text", "src")
     val got = UrlOps.shortenerCensus(docs, "text", "src")
       .orderBy("source").collect()
-    assert(got(0).getAs[Long]("n_urls") == 3L &&
-      got(0).getAs[Long]("n_shortened") == 2L &&
-      got(0).getAs[Long]("short_share_micro") == 666666L)
+    assert(got(0).getAs[Long]("n_urls") == 5L &&
+      got(0).getAs[Long]("n_shortened") == 3L &&
+      got(0).getAs[Long]("short_share_micro") == 600000L)
     assert(got(1).getAs[Long]("n_urls") == 0L &&
       got(1).getAs[Long]("short_share_micro") == 0L)
   }

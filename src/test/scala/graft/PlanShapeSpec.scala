@@ -100,14 +100,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k tokens must use TakeOrdered:\n$p")
   }
 
-  test("q100: the whole preprocessing pipeline is one projection " +
-      "chain + one dedup-window exchange — no join anywhere") {
+  test("q100: projection chain + map-side-combined sig dedup — no " +
+      "window; the keep-first flag joins on the unique doc id") {
     val p = plan("q100_pipeline")
-    assert(!p.contains("Join"),
-      s"line dedup/normalize/split must all stay projection-side:\n$p")
-    // exchanges: union-side window partitioning + presentation sort
-    assert(p.split("Exchange").length <= 4,
-      s"only the dedup window and the sort may shuffle:\n$p")
+    assert(!p.contains("Window"),
+      s"the keep-first verdict must not be a rank window:\n$p")
+    assert(p.contains("partial_min"),
+      s"sig keep-first must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the flag join must broadcast/hash at this SF:\n$p")
   }
 
   test("q120: script mix is join-free — the fixture passthrough keeps " +
@@ -219,11 +220,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus x bench must not be a shuffle join")
   }
 
-  test("q53: one narrow shuffle — text never crosses an exchange") {
+  test("q53: narrow shuffles only — no rank window; the dedup flag " +
+      "is a map-side-combined min aggregate joined on the doc id") {
     val p = plan("q53_curation_verdict")
-    // exchanges: the sig window + the presentation sort, nothing more
-    assert(p.split("Exchange").length <= 3,
-      s"curation must shuffle only (id, sig, stats) rows:\n$p")
+    assert(!p.contains("Window"),
+      s"the keep-first verdict must not be a rank window:\n$p")
+    assert(p.contains("partial_min"),
+      s"sig keep-first must combine map-side:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -404,13 +407,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "the encoded corpus must never shuffle for the ADC scan")
   }
 
-  test("q61: paragraph dedup shuffles once on the paragraph hash") {
+  test("q61: paragraph keep-first is a map-side-combined min_by on " +
+      "the paragraph hash — no rank window") {
     val p = plan("q61_paragraph_dedup")
     assert(p.contains("md5(cast(para"),
-      "keep-first window must key on the paragraph md5")
-    // exchanges: para-hash window + per-doc aggregate + presentation sort
-    assert(p.split("Exchange").length <= 4,
-      s"paragraph dedup must not add extra shuffles:\n$p")
+      "keep-first aggregate must key on the paragraph md5")
+    assert(!p.contains("Window"),
+      s"a corpus-wide boilerplate paragraph must never single-task a " +
+        s"rank window:\n$p")
+    assert(p.contains("partial_min_by"),
+      s"the winning (id,pos,para) must combine map-side:\n$p")
+  }
+
+  test("round-10 sweep: no window keyed by a content signature " +
+      "anywhere in the 13 formerly-weak queries — every surviving " +
+      "window partitions by the doc key") {
+    val swept = Seq("q43_dedup_keepfirst", "q53_curation_verdict",
+      "q61_paragraph_dedup", "q89_multimodal_curate",
+      "q95_source_mix_report", "q100_pipeline", "q111_quality_keepers",
+      "q121_incremental_dedup", "q139_domain_cap", "q147_release_report",
+      "q166_instruction_dedup", "q171_instruction_dedup_jsonl",
+      "q330_sft_funnel")
+    val winRe = "windowspecdefinition\\(([A-Za-z_0-9]+)#".r
+    swept.foreach { q =>
+      val p = plan(q)
+      val keys = winRe.findAllMatchIn(p).map(_.group(1)).toSet
+      assert(keys.subsetOf(Set("doc_id")),
+        s"$q has a window keyed by ${keys -- Set("doc_id")} — the " +
+          s"round-10 keep-first sweep must not regress:\n$p")
+    }
   }
 
   test("q62: domain stats map-side combine, text never shuffled") {

@@ -417,4 +417,37 @@ class StreamingEngineSpec extends AnyFunSuite {
     assert(recs.columns.contains("trip"))
     assert(recs.filter("name = 'abc123' AND trip = 1").count() == 1)
   }
+
+  test("state-version guard: fresh checkpoint writes the marker, a " +
+      "matching marker passes, a planted pre-round-9 checkpoint and a " +
+      "wrong version both refuse to start") {
+    import java.nio.file.Paths
+    // fresh dir: marker written, second open passes
+    val fresh = Files.createTempDirectory("graft_guard_f").toString
+    val ckpt = s"$fresh/_checkpoint"
+    StreamingEngine.guardStateVersion(spark, ckpt)
+    assert(Files.exists(
+      Paths.get(ckpt, StreamingEngine.StateVersionFile)))
+    StreamingEngine.guardStateVersion(spark, ckpt) // idempotent
+    // planted OLD-format checkpoint: offsets exist, no marker — the
+    // pre-round-9 patch_add histories may be unsorted; must fail fast
+    val old = Files.createTempDirectory("graft_guard_o").toString
+    val oldCkpt = s"$old/_checkpoint"
+    Files.createDirectories(Paths.get(oldCkpt, "offsets"))
+    Files.writeString(Paths.get(oldCkpt, "offsets", "0"), "v1")
+    val e = intercept[IllegalStateException] {
+      StreamingEngine.guardStateVersion(spark, oldCkpt)
+    }
+    assert(e.getMessage.contains("pre-round-9"))
+    // wrong version marker: incompatible, must fail fast
+    val bad = Files.createTempDirectory("graft_guard_b").toString
+    val badCkpt = s"$bad/_checkpoint"
+    Files.createDirectories(Paths.get(badCkpt))
+    Files.writeString(
+      Paths.get(badCkpt, StreamingEngine.StateVersionFile), "1")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingEngine.guardStateVersion(spark, badCkpt)
+    }
+    assert(e2.getMessage.contains("incompatible"))
+  }
 }

@@ -98,4 +98,33 @@ class TripEngineSpec extends AnyFunSuite {
         s"timeout finalization missing; kinds $kinds")
     } finally q.stop()
   }
+
+  test("feed-rate cap: capped runBatch equals the manually decimated " +
+      "feed exactly; the flag off sees every packet") {
+    import spark.implicits._
+    // a stuck transponder at 1 Hz for 600 s on top of the normal fixture
+    val stuck = (0 until 600).map { i =>
+      val (la, lo) = away(9.0 + (i % 50) * 0.01)
+      AircraftPing(2000.0 + i, "stk001", Some("STK1"), 0.1,
+        Some(la), Some(lo), None, Some(1000.0))
+    }
+    val all = stuck ++ fixture
+    val feed = spark.createDataset(all)
+    // the cap's contract: first ping by (now, seen) per
+    // (hex, floor(now/15)) bucket
+    val manual = all.groupBy(p => (p.hex, math.floor(p.now / 15.0).toLong))
+      .values.map(_.minBy(p => (p.now, p.seen))).toSeq
+    def keys(out: Seq[TripTracker.Output]) =
+      out.map(o => (o.kind, o.hex, o.ts, o.distance)).sortBy(_.toString)
+    val capped = TripEngine.runBatch(feed, cfg,
+      feedMinInterval = Some(15.0)).collect().toSeq
+    val expected = TripEngine.runBatch(spark.createDataset(manual),
+      cfg).collect().toSeq
+    assert(keys(capped) == keys(expected))
+    // and the cap genuinely engaged: the uncapped run processes the
+    // full 1 Hz flood (more track records for the stuck hex)
+    val uncapped = TripEngine.runBatch(feed, cfg).collect().toSeq
+    assert(uncapped.count(_.hex == "stk001") >
+      capped.count(_.hex == "stk001"))
+  }
 }
