@@ -4727,6 +4727,184 @@ object SparkEntry {
         .orderBy(col("source"), col("drop_stage"))
     }),
 
+    // Retention cohorts (q379): users by first-activity day × the
+    // day offsets they return at — offset 0 is the cohort size.
+    "q379_retention_cohorts" -> ((s, dir) => {
+      RollupOps.retentionCohorts(ev(s, dir), col("sec"), "user_id")
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Ordered funnel (q380): view → click → purchase with each stage
+    // strictly AFTER the previous stage's first qualifying event —
+    // co-occurrence without order must NOT convert.
+    "q380_funnel_conversion" -> ((s, dir) => {
+      RollupOps.funnelConversion(ev(s, dir), col("sec"), "user_id",
+        "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    }),
+
+    // User lifecycle (q381): first/last day, distinct active days,
+    // event count, integer-exact lifecycle class.
+    "q381_user_lifecycle" -> ((s, dir) => {
+      RollupOps.userLifecycle(ev(s, dir), col("sec"), "user_id")
+        .orderBy(col("user"))
+    }),
+
+    // Activity concentration (q382): the exact top-decile share via
+    // the histogram-telescoped cut (boundary ties contribute their
+    // common per-user count — no per-user rank anywhere).
+    "q382_top_decile_share" -> ((s, dir) => {
+      RollupOps.topDecileShare(ev(s, dir), "user_id")
+    }),
+
+    // POV profile (q383): pronoun slices planted per id class — the
+    // whole-token match must not count "i" inside other words, and
+    // ties must break first > second > third.
+    "q383_pov_profile" -> ((s, dir) => {
+      val id = col("doc_id")
+      val prefix = when(id % 5 === 0,
+          lit("I took my dog and we went out. "))
+        .when(id % 5 === 1,
+          lit("You should check your settings now. "))
+        .when(id % 5 === 2,
+          lit("He told her they would see them. "))
+        .when(id % 5 === 3,
+          lit("I saw you and they saw me. ")) // 2-1-1: first wins
+        .otherwise(lit(""))
+      TextAnalysisOps.povProfile(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(prefix, col("text")).as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dialogue share (q384): quoted spans planted on one slice, an
+    // UNPAIRED quote on another (must match nothing).
+    "q384_dialogue_share" -> ((s, dir) => {
+      val id = col("doc_id")
+      val injected = when(id % 4 === 0,
+          concat(lit("\"Hello there,\" she said. \"Come in.\" "),
+            col("text")))
+        .when(id % 4 === 1, concat(lit("An unpaired \" quote. "),
+          col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.dialogueShare(
+        t(s, dir, "documents").select(col("doc_id"),
+          injected.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Contraction / formality (q385): contraction-heavy and
+    // ALL-CAPS slices must tier informal; clean prose formal.
+    "q385_contraction_formality" -> ((s, dir) => {
+      val id = col("doc_id")
+      val injected = when(id % 6 === 0,
+          concat(lit("don't we're it'll I've he'd I'm okay. "),
+            col("text")))
+        .when(id % 6 === 1,
+          concat(lit("THIS IS VERY URGENT PLEASE READ NOW. "),
+            col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.contractionFormality(
+        t(s, dir, "documents").select(col("doc_id"),
+          injected.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Retrieval hubness (q386): the q79 BM25 top-k table rolled to
+    // per-doc list membership — universal docs crowd many lists.
+    "q386_retrieval_hubness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("qtext"))
+      RetrievalOps.hubnessCensus(
+        RetrievalOps.bm25TopK(docs, "doc_id", "text",
+          qs, "query_id", "qtext", k = 10),
+        "doc_id", "rank", hubMin = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Indentation profile (q387): tab, 4-space, 2-space, mixed and
+    // flat docs; the style vote takes the narrowest consistent read.
+    "q387_indent_profile" -> ((s, dir) => {
+      val id = col("doc_id")
+      val body = when(id % 5 === 0,
+          lit("def f():\n\treturn 1\n\tdone = 2"))
+        .when(id % 5 === 1,
+          lit("def g():\n    x = 1\n        y = 2\n    return x"))
+        .when(id % 5 === 2,
+          lit("if a:\n  b = 1\n  c = 2"))
+        .when(id % 5 === 3,
+          lit("mix:\n\tone\n  two"))
+        .otherwise(col("text"))
+      TextAnalysisOps.indentProfile(
+        t(s, dir, "documents").select(col("doc_id"),
+          body.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // OG tag census (q388): og:type/title/image in both attribute
+    // orders and both quote styles; un-tagged docs read NONE.
+    "q388_og_tags" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = when(id % 4 === 0,
+          concat(lit("<head><meta property=\"og:type\" " +
+            "content=\"article\"><meta property=\"og:title\" " +
+            "content=\"T"), id.cast("string"),
+            lit("\"></head><body>"), col("text"), lit("</body>")))
+        .when(id % 4 === 1,
+          concat(lit("<head><meta content='video' " +
+            "property='og:type'><meta property='og:image' " +
+            "content='http://ex.org/i.png'></head>"), col("text")))
+        .when(id % 4 === 2,
+          concat(lit("<head><meta property=\"og:title\" " +
+            "content=\"only title\"></head>"), col("text")))
+        .otherwise(col("text"))
+      UrlOps.ogTags(
+        t(s, dir, "documents").select(col("doc_id"),
+          html.as("html")), "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Comment share (q389): line comments, a block spanning lines,
+    // same-line open+close, and comment-free prose.
+    "q389_comment_share" -> ((s, dir) => {
+      val id = col("doc_id")
+      val body = when(id % 5 === 0,
+          lit("// header\nx = 1\n# note\ny = 2"))
+        .when(id % 5 === 1,
+          lit("/* open\nstill comment\nclose */\ncode = 1"))
+        .when(id % 5 === 2,
+          lit("a = 1\n/* inline */ b = 2\nc = 3"))
+        .when(id % 5 === 3,
+          lit("-- sql style\nSELECT 1\n\n-- more"))
+        .otherwise(col("text"))
+      TextAnalysisOps.commentShare(
+        t(s, dir, "documents").select(col("doc_id"),
+          body.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // rel pagination census (q390): start/middle/end/standalone
+    // chain roles per source, attribute order and quote style free.
+    "q390_rel_pagination" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = when(id % 6 === 0,
+          concat(lit("<link rel=\"next\" href=\"/p2\">"), col("text")))
+        .when(id % 6 === 1,
+          concat(lit("<link href='/p1' rel='prev'>" +
+            "<link rel='next' href='/p3'>"), col("text")))
+        .when(id % 6 === 2,
+          concat(lit("<link rel=\"prev\" href=\"/p9\">"), col("text")))
+        .otherwise(col("text"))
+      UrlOps.relPagination(
+        t(s, dir, "documents").select(col("doc_id"),
+          html.as("html"), col("source")), "html", "source")
+        .orderBy(col("source"), col("chain_role"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -15601,6 +15779,314 @@ FROM ranked WHERE rank <= 20 ORDER BY rank"""),
         |  SELECT 'bin', 'textual' FROM documents)
         |GROUP BY source, drop_stage
         |ORDER BY source, drop_stage""".stripMargin),
+
+    "q379_retention_cohorts" -> (EvCte + """,
+        |d AS (SELECT DISTINCT user_id, sec // 86400 AS day FROM e),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d
+        |      GROUP BY user_id)
+        |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+        |  count(DISTINCT d.user_id)::BIGINT AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q380_funnel_conversion" -> (EvCte + """,
+        |s1 AS (SELECT user_id, min(sec) AS ts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.sec) AS ts FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.sec > s1.ts
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.sec) AS ts FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec > s2.ts
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |    count(*)::BIGINT AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3)
+        |SELECT stage_idx, stage, n_users,
+        |  CASE
+        |    WHEN lag(n_users) OVER (ORDER BY stage_idx) IS NULL
+        |      THEN 1000
+        |    WHEN lag(n_users) OVER (ORDER BY stage_idx) = 0 THEN 0
+        |    ELSE n_users * 1000 //
+        |      lag(n_users) OVER (ORDER BY stage_idx)
+        |    END AS conversion_milli
+        |FROM c ORDER BY stage_idx""".stripMargin),
+
+    "q381_user_lifecycle" -> (EvCte + """,
+        |u AS (SELECT user_id AS "user", sec // 86400 AS day FROM e)
+        |SELECT "user", min(day) AS first_day, max(day) AS last_day,
+        |  count(DISTINCT day)::BIGINT AS active_days,
+        |  count(*)::BIGINT AS n_events,
+        |  max(day) - min(day) + 1 AS span_days,
+        |  CASE WHEN count(DISTINCT day) = 1 THEN 'one_day'
+        |    WHEN count(DISTINCT day) * 2 >= max(day) - min(day) + 1
+        |      THEN 'regular'
+        |    ELSE 'sporadic' END AS lifecycle
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q382_top_decile_share" -> (EvCte + """,
+        |pu AS (SELECT user_id, count(*)::BIGINT AS n FROM e
+        |  GROUP BY user_id),
+        |lv AS (SELECT n, count(*)::BIGINT AS users,
+        |  n * count(*) AS events FROM pu GROUP BY n),
+        |t AS (SELECT sum(users)::BIGINT AS tu,
+        |  sum(events)::BIGINT AS te FROM lv),
+        |r AS (SELECT lv.*,
+        |  coalesce(sum(users) OVER (ORDER BY n DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS bef, t.tu, t.te FROM lv, t),
+        |k AS (SELECT *, (tu + 9) // 10 AS kk FROM r)
+        |SELECT max(tu)::BIGINT AS n_users,
+        |  max(kk)::BIGINT AS top_users,
+        |  sum(greatest(0, least(users, kk - bef)) * n)::BIGINT
+        |    AS top_events,
+        |  max(te)::BIGINT AS total_events,
+        |  sum(greatest(0, least(users, kk - bef)) * n)::BIGINT
+        |    * 1000 // greatest(max(te), 1) AS share_milli
+        |FROM k""".stripMargin),
+
+    "q383_pov_profile" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN 'I took my dog and we went out. ' || text
+        |    WHEN 1 THEN 'You should check your settings now. ' || text
+        |    WHEN 2 THEN 'He told her they would see them. ' || text
+        |    WHEN 3 THEN 'I saw you and they saw me. ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x <> ''),
+        |      x -> regexp_replace(x, '[^a-z'']+$', '')) AS ws
+        |  FROM inj),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ws, x -> list_contains(
+        |      ['i','we','me','us','my','our','mine','ours'], x)))
+        |      ::BIGINT AS n_first,
+        |    len(list_filter(ws, x -> list_contains(
+        |      ['you','your','yours'], x)))::BIGINT AS n_second,
+        |    len(list_filter(ws, x -> list_contains(
+        |      ['he','she','they','him','her','them','his','hers',
+        |       'their','theirs'], x)))::BIGINT AS n_third
+        |  FROM w)
+        |SELECT doc_id, n_first, n_second, n_third,
+        |  CASE WHEN n_first + n_second + n_third = 0 THEN 'none'
+        |    WHEN n_first >= n_second AND n_first >= n_third
+        |      THEN 'first'
+        |    WHEN n_second >= n_third THEN 'second'
+        |    ELSE 'third' END AS pov
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q384_dialogue_share" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN '"Hello there," she said. "Come in." ' || text
+        |    WHEN 1 THEN 'An unpaired " quote. ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, regexp_extract_all(text, '"[^"]*"') AS qs,
+        |    greatest(length(text), 1)::BIGINT AS n_chars
+        |  FROM inj)
+        |SELECT doc_id, len(qs)::BIGINT AS n_quotes,
+        |  coalesce(list_sum(list_transform(qs,
+        |    x -> length(x)::BIGINT)), 0)::BIGINT AS quoted_chars,
+        |  n_chars,
+        |  coalesce(list_sum(list_transform(qs,
+        |    x -> length(x)::BIGINT)), 0)::BIGINT * 1000000
+        |    // n_chars AS dialogue_micro
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q385_contraction_formality" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 6
+        |    WHEN 0 THEN 'don''t we''re it''ll I''ve he''d I''m okay. '
+        |      || text
+        |    WHEN 1 THEN 'THIS IS VERY URGENT PLEASE READ NOW. '
+        |      || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    greatest(len(list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '')), 1)
+        |      ::BIGINT AS n_tokens,
+        |    len(regexp_extract_all(lower(text),
+        |      '[a-z]+''(t|re|ll|ve|d|s|m)\b'))::BIGINT
+        |      AS n_contractions,
+        |    len(regexp_extract_all(text, '\b[A-Z]{2,}\b'))::BIGINT
+        |      AS n_caps
+        |  FROM inj)
+        |SELECT doc_id, n_tokens, n_contractions, n_caps,
+        |  n_contractions * 1000 // n_tokens AS contraction_permille,
+        |  n_caps * 1000 // n_tokens AS caps_permille,
+        |  CASE WHEN n_contractions * 1000 // n_tokens >= 15
+        |      OR n_caps * 1000 // n_tokens >= 15 THEN 'informal'
+        |    ELSE 'formal' END AS register
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q386_retrieval_hubness" -> (
+      s"""WITH res AS (
+${bm25OracleSql(dfCapSql = "")}
+)
+SELECT doc_id, count(*)::BIGINT AS n_lists,
+  min(rank)::BIGINT AS best_rank,
+  count(*) >= 2 AS is_hub
+FROM res GROUP BY doc_id ORDER BY doc_id"""),
+
+    "q387_indent_profile" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN 'def f():' || chr(10) || chr(9) ||
+        |      'return 1' || chr(10) || chr(9) || 'done = 2'
+        |    WHEN 1 THEN 'def g():' || chr(10) || '    x = 1' ||
+        |      chr(10) || '        y = 2' || chr(10) ||
+        |      '    return x'
+        |    WHEN 2 THEN 'if a:' || chr(10) || '  b = 1' ||
+        |      chr(10) || '  c = 2'
+        |    WHEN 3 THEN 'mix:' || chr(10) || chr(9) || 'one' ||
+        |      chr(10) || '  two'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM inj),
+        |c AS (
+        |  SELECT doc_id, len(ls)::BIGINT AS n_lines,
+        |    len(list_filter(ls, x -> regexp_matches(x, '^\t')))
+        |      ::BIGINT AS n_tab,
+        |    len(list_filter(ls, x -> regexp_matches(x, '^ ')))
+        |      ::BIGINT AS n_sp,
+        |    len(list_filter(ls, x -> regexp_matches(x, '^(  )+\S')))
+        |      ::BIGINT AS v2,
+        |    len(list_filter(ls,
+        |      x -> regexp_matches(x, '^(    )+\S')))::BIGINT AS v4,
+        |    len(list_filter(ls,
+        |      x -> regexp_matches(x, '^(        )+\S')))::BIGINT
+        |      AS v8
+        |  FROM l)
+        |SELECT doc_id, n_lines, n_tab AS n_tab_indented,
+        |  n_sp AS n_space_indented,
+        |  CASE WHEN n_tab > 0 AND n_sp > 0 THEN 'mixed'
+        |    WHEN n_tab > 0 THEN 'tabs'
+        |    WHEN v8 * 2 >= v2 AND v8 > 0 THEN 'spaces8'
+        |    WHEN v4 * 2 >= v2 AND v4 > 0 THEN 'spaces4'
+        |    WHEN v2 > 0 THEN 'spaces2'
+        |    ELSE 'flat' END AS indent_style
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q388_og_tags" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN '<head><meta property="og:type" ' ||
+        |      'content="article"><meta property="og:title" ' ||
+        |      'content="T' || doc_id::VARCHAR ||
+        |      '"></head><body>' || text || '</body>'
+        |    WHEN 1 THEN '<head><meta content=''video'' ' ||
+        |      'property=''og:type''><meta property=''og:image'' ' ||
+        |      'content=''http://ex.org/i.png''></head>' || text
+        |    WHEN 2 THEN '<head><meta property="og:title" ' ||
+        |      'content="only title"></head>' || text
+        |    ELSE text END AS h
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  regexp_extract_all(h, '(?i)<meta[^>]*>') AS ms FROM inj),
+        |g AS (SELECT doc_id, list_filter(ms,
+        |  x -> regexp_extract(x,
+        |    '(?i)property\s*=\s*["'']og:([a-z:_]+)["'']', 1) <> '')
+        |  AS ogs FROM m),
+        |ty AS (SELECT doc_id, list_filter(ogs,
+        |  x -> lower(regexp_extract(x,
+        |    '(?i)property\s*=\s*["'']og:([a-z:_]+)["'']', 1))
+        |    = 'type') AS tt, ogs FROM g)
+        |SELECT doc_id, len(ogs)::BIGINT AS n_og_tags,
+        |  CASE WHEN len(tt) > 0
+        |    THEN lower(regexp_extract(tt[1],
+        |      '(?i)content\s*=\s*["'']([^"'']*)["'']', 1))
+        |    ELSE 'NONE' END AS og_type,
+        |  len(list_filter(ogs, x -> lower(regexp_extract(x,
+        |    '(?i)property\s*=\s*["'']og:([a-z:_]+)["'']', 1))
+        |    = 'title')) > 0 AS has_title,
+        |  len(list_filter(ogs, x -> lower(regexp_extract(x,
+        |    '(?i)property\s*=\s*["'']og:([a-z:_]+)["'']', 1))
+        |    = 'image')) > 0 AS has_image
+        |FROM ty ORDER BY doc_id""".stripMargin,
+
+    "q389_comment_share" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN '// header' || chr(10) || 'x = 1' ||
+        |      chr(10) || '# note' || chr(10) || 'y = 2'
+        |    WHEN 1 THEN '/* open' || chr(10) || 'still comment' ||
+        |      chr(10) || 'close */' || chr(10) || 'code = 1'
+        |    WHEN 2 THEN 'a = 1' || chr(10) || '/* inline */ b = 2'
+        |      || chr(10) || 'c = 3'
+        |    WHEN 3 THEN '-- sql style' || chr(10) || 'SELECT 1' ||
+        |      chr(10) || chr(10) || '-- more'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': ls[i]}
+        |        FOR i IN range(1, len(ls) + 1)]) AS u
+        |    FROM (SELECT doc_id, string_split(t, chr(10)) AS ls
+        |          FROM inj))),
+        |nb AS (SELECT doc_id, i, l FROM ln
+        |  WHERE regexp_matches(l, '\S')),
+        |evt AS (SELECT doc_id, i, l,
+        |  contains(l, '/*') AS o, contains(l, '*/') AS c FROM nb),
+        |st AS (SELECT doc_id, i, l, o, c,
+        |  coalesce(last_value(
+        |    CASE WHEN c THEN 0 WHEN o THEN 1 END IGNORE NULLS)
+        |    OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS blk
+        |  FROM evt),
+        |cm AS (SELECT doc_id, count(*)::BIGINT AS n_code_lines,
+        |  sum(CASE WHEN blk = 1 OR o
+        |      OR regexp_matches(l, '^\s*(//|#|--)')
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_comment_lines
+        |  FROM st GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_code_lines, 0)::BIGINT AS n_code_lines,
+        |  coalesce(n_comment_lines, 0)::BIGINT AS n_comment_lines,
+        |  coalesce(n_comment_lines, 0) * 1000
+        |    // greatest(coalesce(n_code_lines, 0), 1)
+        |    AS comment_permille
+        |FROM documents d LEFT JOIN cm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q390_rel_pagination" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source, CASE doc_id % 6
+        |    WHEN 0 THEN '<link rel="next" href="/p2">' || text
+        |    WHEN 1 THEN '<link href=''/p1'' rel=''prev''>' ||
+        |      '<link rel=''next'' href=''/p3''>' || text
+        |    WHEN 2 THEN '<link rel="prev" href="/p9">' || text
+        |    ELSE text END AS h
+        |  FROM documents),
+        |r AS (SELECT source,
+        |  CASE WHEN regexp_matches(h,
+        |      '(?i)<link[^>]*rel\s*=\s*["'']next["''][^>]*>')
+        |    AND regexp_matches(h,
+        |      '(?i)<link[^>]*rel\s*=\s*["'']prev["''][^>]*>')
+        |    THEN 'middle'
+        |    WHEN regexp_matches(h,
+        |      '(?i)<link[^>]*rel\s*=\s*["'']next["''][^>]*>')
+        |    THEN 'start'
+        |    WHEN regexp_matches(h,
+        |      '(?i)<link[^>]*rel\s*=\s*["'']prev["''][^>]*>')
+        |    THEN 'end'
+        |    ELSE 'standalone' END AS chain_role
+        |  FROM inj)
+        |SELECT source, chain_role, count(*)::BIGINT AS n_docs
+        |FROM r GROUP BY source, chain_role
+        |ORDER BY source, chain_role""".stripMargin,
 
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the

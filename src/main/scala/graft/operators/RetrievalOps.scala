@@ -410,4 +410,22 @@ object RetrievalOps {
       .withColumn("near",
         coalesce(col("min_gap") <= maxGap, lit(false)))
   }
+
+  /** Retrieval hubness census over a top-k result table (the
+    * [[bm25TopK]] / [[hashedDenseTopK]] output shape): per retrieved
+    * doc, how many queries' top-k lists contain it, its best rank,
+    * and a hub verdict at `hubMin` — the classic failure mode of
+    * embedding/lexical retrieval where a few "universal" documents
+    * crowd every result list (high-hubness docs poison retrieval
+    * training data as false positives for most of their queries).
+    *
+    * Scale shape: ONE doc-keyed aggregate over (query, doc, rank)
+    * rows — counts and min combine map-side, so even a doc returned
+    * for every query crosses the wire as one partial per map task. */
+  def hubnessCensus(topk: DataFrame, docCol: String,
+                    rankCol: String, hubMin: Long = 3L): DataFrame =
+    topk.groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_lists"),
+        min(col(rankCol)).as("best_rank"))
+      .withColumn("is_hub", col("n_lists") >= hubMin)
 }

@@ -255,4 +255,145 @@ object RollupOps {
           .when(col("slope_milli") < 0, "falling")
           .otherwise("flat"))
   }
+
+  /** Retention cohort matrix — the canonical product-analytics view,
+    * here the QA surface for any event/feedback stream feeding a
+    * training pipeline: users grouped by FIRST-activity day (their
+    * cohort), and per (cohort, day-offset) cell the DISTINCT users
+    * active again at that offset. Offset 0 is the cohort size by
+    * construction, so each row reads directly as "of the users who
+    * arrived on day C, N were back D days later".
+    *
+    * Scale shape: the (user, day) projection is distinct-compressed
+    * first (bounded by users × active days, far below event count);
+    * the first-day is a user-keyed min aggregate (uniform key,
+    * map-side combined) equi-joined back on the uniform user id; the
+    * cell count is one (cohort, offset) aggregate. No hot keys
+    * anywhere — a power user compresses to their active-day set
+    * before any exchange. */
+  def retentionCohorts(events: DataFrame, secCol: Column,
+                       userCol: String): DataFrame = {
+    val days = events.select(col(userCol).as("user"),
+        (secCol / 86400L).cast("long").as("day"))
+      .distinct()
+    val firsts = days.groupBy(col("user"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(firsts, Seq("user"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user")).as("n_users"))
+  }
+
+  /** Ordered-funnel conversion: a user reaches stage i+1 only with an
+    * event of that stage's type STRICTLY AFTER their first qualifying
+    * stage-i event (the product-analytics "did the click follow the
+    * view" semantics, not mere co-occurrence). One row per stage:
+    * users reaching it and conversion from the previous stage in
+    * milli (first stage: 1000 by definition).
+    *
+    * Scale shape: per stage ONE user-keyed conditional-min aggregate
+    * joined on the uniform user id — the stage chain is a Scala fold
+    * over lazily-composed frames, so the plan is `stages` narrow
+    * aggregates and joins; no per-user event list is ever collected
+    * (a power user's history never rides one task). The final
+    * stage-count table is `stages` rows; its lag window is
+    * single-partition by construction and bounded by the stage
+    * count. */
+  def funnelConversion(events: DataFrame, secCol: Column,
+                       userCol: String, typeCol: String,
+                       stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    require(stages.distinct.size == stages.size,
+      "funnel stages must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(userCol).as("user"),
+      col(typeCol).as("__t"), secCol.as("__s"))
+    val first = base.filter(col("__t") === stages.head)
+      .groupBy(col("user")).agg(min(col("__s")).as("__ts"))
+    val frames = stages.tail.scanLeft(first) { (prev, st) =>
+      base.filter(col("__t") === st)
+        .join(prev.select(col("user"), col("__ts").as("__prev")),
+          Seq("user"))
+        .filter(col("__s") > col("__prev"))
+        .groupBy(col("user")).agg(min(col("__s")).as("__ts"))
+    }
+    val counts = frames.zip(stages).zipWithIndex.map {
+      case ((f, name), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy(col("stage_idx"))
+    counts
+      .withColumn("__prev_n", lag(col("n_users"), 1).over(w))
+      .withColumn("conversion_milli",
+        when(col("__prev_n").isNull, 1000L)
+          .when(col("__prev_n") === 0L, 0L)
+          .otherwise(expr("n_users * 1000 div __prev_n")))
+      .drop("__prev_n")
+  }
+
+  /** Per-user lifecycle profile: first/last active day, distinct
+    * active days, span, event count, and a lifecycle class —
+    * `one_day` (never returned), `regular` (active at least half the
+    * days of their span), `sporadic` otherwise. All integer-exact.
+    *
+    * Scale shape: ONE user-keyed aggregate (uniform key, map-side
+    * combined); the distinct-day count rides the same exchange. */
+  def userLifecycle(events: DataFrame, secCol: Column,
+                    userCol: String): DataFrame =
+    events.select(col(userCol).as("user"),
+        (secCol / 86400L).cast("long").as("__day"))
+      .groupBy(col("user"))
+      .agg(min(col("__day")).as("first_day"),
+        max(col("__day")).as("last_day"),
+        countDistinct(col("__day")).as("active_days"),
+        count(lit(1)).as("n_events"))
+      .withColumn("span_days",
+        col("last_day") - col("first_day") + 1L)
+      .withColumn("lifecycle",
+        when(col("active_days") === 1L, "one_day")
+          .when(col("active_days") * 2L >= col("span_days"), "regular")
+          .otherwise("sporadic"))
+
+  /** Activity concentration: the EXACT share of all events produced
+    * by the most-active 1/`decile` of users (ties at the boundary
+    * broken by taking the tied users' common per-user count — exact
+    * because every tied user contributes identically). The "is this
+    * stream three bots in a trench coat" number.
+    *
+    * Scale shape: the q367 histogram-telescope discipline — per-user
+    * counts (uniform key) collapse to one row per DISTINCT activity
+    * LEVEL, and the top-k cut runs over that levels histogram (its
+    * single-partition running window is bounded by the number of
+    * distinct activity counts, never by users or events). Output is
+    * one row. */
+  def topDecileShare(events: DataFrame, userCol: String,
+                     decile: Int = 10): DataFrame = {
+    require(decile >= 2, "decile must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy(col(userCol).as("user"))
+      .agg(count(lit(1)).as("__n"))
+    val levels = perUser.groupBy(col("__n"))
+      .agg(count(lit(1)).as("__users"))
+      .withColumn("__events", col("__n") * col("__users"))
+    val w = Window.orderBy(col("__n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = levels.agg(sum(col("__users")).as("__tu"),
+      sum(col("__events")).as("__te"))
+    levels
+      .withColumn("__before", coalesce(sum(col("__users")).over(w),
+        lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__k", expr(s"(__tu + ${decile - 1}) div $decile"))
+      .withColumn("__take",
+        greatest(lit(0L), least(col("__users"),
+          col("__k") - col("__before"))))
+      .agg(max(col("__tu")).as("n_users"),
+        max(col("__k")).as("top_users"),
+        sum(col("__take") * col("__n")).as("top_events"),
+        max(col("__te")).as("total_events"))
+      .withColumn("share_milli",
+        expr("top_events * 1000 div greatest(total_events, 1)"))
+  }
 }

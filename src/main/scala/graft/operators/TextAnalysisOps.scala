@@ -5541,4 +5541,169 @@ object TextAnalysisOps {
         expr("n_questions * 1000000L div " +
           "greatest(n_questions + n_exclaims + n_periods, 1L)"))
   }
+
+  /** Point-of-view profile — first/second/third-person pronoun
+    * counts and the dominant POV per document: narrative fiction
+    * leans first/third, instructions second, encyclopedic text none —
+    * the router deciding which style filters apply at all. Matching
+    * is whole-token over the case-folded whitespace split (`"i"`
+    * inside "it" never counts). Ties break first > second > third
+    * (the more specific narrative signal wins); zero pronouns →
+    * `none`.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def povProfile(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+      t => t =!= "")
+    // trailing punctuation stripped so "me." counts
+    val words = transform(toks,
+      t => regexp_replace(t, "[^a-z']+$", ""))
+    def hits(set: Seq[String]): Column =
+      size(filter(words,
+        w => set.map(s => w === s).reduce(_ || _))).cast("long")
+    docs.select(col(idCol),
+        hits(Seq("i", "we", "me", "us", "my", "our", "mine", "ours"))
+          .as("n_first"),
+        hits(Seq("you", "your", "yours")).as("n_second"),
+        hits(Seq("he", "she", "they", "him", "her", "them", "his",
+          "hers", "their", "theirs")).as("n_third"))
+      .withColumn("pov",
+        when(col("n_first") + col("n_second") + col("n_third") === 0L,
+          "none")
+          .when(col("n_first") >= col("n_second") &&
+            col("n_first") >= col("n_third"), "first")
+          .when(col("n_second") >= col("n_third"), "second")
+          .otherwise("third"))
+  }
+
+  /** Quoted-dialogue share — the mass of text inside double-quote
+    * pairs and the quote-block count per document: high share flags
+    * fiction/interview/chat transcripts, which most prose quality
+    * gates mis-score (dialogue is short, fragmentary, pronoun-heavy
+    * by design — route it, don't drop it). An unpaired trailing
+    * quote matches nothing (the regex needs both ends).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def dialogueShare(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val quotes = regexp_extract_all(txt, lit("\"[^\"]*\""), lit(0))
+    docs.select(col(idCol),
+        size(quotes).cast("long").as("n_quotes"),
+        aggregate(transform(quotes, q => length(q).cast("long")),
+          lit(0L), (a, x) => a + x).as("quoted_chars"),
+        greatest(length(txt).cast("long"), lit(1L)).as("n_chars"))
+      .withColumn("dialogue_micro",
+        expr("quoted_chars * 1000000L div n_chars"))
+  }
+
+  /** Contraction / formality profile — contractions per 1000 tokens
+    * (apostrophe forms: don't, we're, it'll, I've, he'd, I'm) and
+    * the ALL-CAPS word share: informal web text contracts and
+    * shouts, formal/encyclopedic text does neither. The formality
+    * tier is a fixed integer cut so corpus mixes can be balanced on
+    * it.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def contractionFormality(docs: DataFrame, idCol: String,
+                           textCol: String,
+                           informalPerMille: Long = 15L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val nTok = greatest(
+      size(filter(split(txt, "\\s+"), t => t =!= "")).cast("long"),
+      lit(1L))
+    val contractions = size(regexp_extract_all(lower(txt),
+      lit("[a-z]+'(t|re|ll|ve|d|s|m)\\b"), lit(0))).cast("long")
+    val capsWords = size(regexp_extract_all(txt,
+      lit("\\b[A-Z]{2,}\\b"), lit(0))).cast("long")
+    docs.select(col(idCol), nTok.as("n_tokens"),
+        contractions.as("n_contractions"), capsWords.as("n_caps"))
+      .withColumn("contraction_permille",
+        expr("n_contractions * 1000L div n_tokens"))
+      .withColumn("caps_permille",
+        expr("n_caps * 1000L div n_tokens"))
+      .withColumn("register",
+        when(col("contraction_permille") >= informalPerMille ||
+          col("caps_permille") >= informalPerMille, "informal")
+          .otherwise("formal"))
+  }
+
+  /** Indentation profile for code documents — tab-indented vs
+    * space-indented line counts and the 2/4/8-space style vote: the
+    * mixed-indentation doc is the concatenation artifact a code
+    * corpus wants surfaced before a syntax-sensitive tokenizer eats
+    * it. A line votes for the SMALLEST style its leading run is a
+    * multiple of (4 spaces votes 2+4, 8 votes all three) — the modal
+    * style is the narrowest consistent read.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def indentProfile(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    def nMatch(p: String): Column =
+      size(filter(lines, l => l.rlike(p))).cast("long")
+    val tabLines = nMatch("^\\t")
+    val spaceLines = nMatch("^ ")
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        tabLines.as("n_tab_indented"),
+        spaceLines.as("n_space_indented"),
+        nMatch("^(  )+\\S").as("__v2"),
+        nMatch("^(    )+\\S").as("__v4"),
+        nMatch("^(        )+\\S").as("__v8"))
+      .withColumn("indent_style",
+        when(col("n_tab_indented") > 0L && col("n_space_indented") > 0L,
+          "mixed")
+          .when(col("n_tab_indented") > 0L, "tabs")
+          .when(col("__v8") * 2L >= col("__v2") && col("__v8") > 0L,
+            "spaces8")
+          .when(col("__v4") * 2L >= col("__v2") && col("__v4") > 0L,
+            "spaces4")
+          .when(col("__v2") > 0L, "spaces2")
+          .otherwise("flat"))
+      .drop("__v2", "__v4", "__v8")
+  }
+
+  /** Comment-line share for code documents — `//`, `#`, `--` and
+    * block `/* */` comment LINES as a fraction of non-blank lines:
+    * near-zero flags minified/generated code, near-one flags
+    * license-header boilerplate files; both are curation routes.
+    * Block state is folded line-by-line with an in-row aggregate
+    * (open/close markers toggle a counter — nesting is not tracked,
+    * matching the common C-family single-level semantics).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def commentShare(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val nonBlank = filter(lines, l => l.rlike("\\S"))
+    // fold: (comment_lines, in_block); a line counts when it starts
+    // a line comment outside a block, or any part of it is inside a
+    // block span
+    val counted = aggregate(nonBlank,
+      struct(lit(0L).as("n"), lit(0).as("blk")),
+      (acc, l) => {
+        val inBlk = acc.getField("blk") === 1
+        val opens = l.contains("/*")
+        val closes = l.contains("*/")
+        val lineComment = l.rlike("^\\s*(//|#|--)")
+        val isComment = inBlk || opens || lineComment
+        val nextBlk = when(inBlk && closes, 0)
+          .when(inBlk, 1)
+          .when(opens && !closes, 1)
+          .otherwise(0)
+        struct(
+          (acc.getField("n") +
+            when(isComment, 1L).otherwise(0L)).as("n"),
+          nextBlk.as("blk"))
+      },
+      acc => acc.getField("n"))
+    docs.select(col(idCol),
+        size(nonBlank).cast("long").as("n_code_lines"),
+        counted.as("n_comment_lines"))
+      .withColumn("comment_permille",
+        expr("n_comment_lines * 1000L div greatest(n_code_lines, 1L)"))
+  }
 }

@@ -665,4 +665,58 @@ object UrlOps {
       .withColumn("short_share_micro",
         expr("n_shortened * 1000000L div greatest(n_urls, 1L)"))
   }
+
+  /** Open Graph tag census — `og:*` meta properties are the page's
+    * own self-description (article vs product vs video), usually
+    * higher-precision than any content classifier and set on exactly
+    * the professionally-published pages a quality-weighted corpus
+    * wants to find. Per doc: the `og:type` value (NONE when the tag
+    * set carries no type), title/image presence, and the tag count;
+    * attribute order is free (property before or after content),
+    * quoting `"` or `'`.
+    *
+    * Scale shape: in-row regex extraction, pure projection. */
+  def ogTags(docs: DataFrame, idCol: String,
+             htmlCol: String): DataFrame = {
+    val html = coalesce(col(htmlCol), lit(""))
+    val metas = regexp_extract_all(html, lit("(?i)<meta[^>]*>"),
+      lit(0))
+    def prop(m: Column): Column = lower(coalesce(
+      regexp_extract(m,
+        "(?i)property\\s*=\\s*[\"']og:([a-z:_]+)[\"']", 1), lit("")))
+    val ogs = filter(metas, m => prop(m) =!= "")
+    val content = (m: Column) => regexp_extract(m,
+      "(?i)content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val typeTag = filter(ogs, m => prop(m) === "type")
+    docs.select(col(idCol),
+        size(ogs).cast("long").as("n_og_tags"),
+        when(size(typeTag) > 0,
+          lower(content(element_at(typeTag, 1))))
+          .otherwise("NONE").as("og_type"),
+        exists(ogs, m => prop(m) === "title").as("has_title"),
+        exists(ogs, m => prop(m) === "image").as("has_image"))
+  }
+
+  /** rel=next/prev pagination census — multi-page articles declare
+    * their chain in `<link rel="next/prev">`; a corpus that treats
+    * each page as an independent document splits every long article
+    * at arbitrary boundaries. The chain ROLE per doc (start = next
+    * only, middle = both, end = prev only, standalone = neither)
+    * is the stitch-planning signal, rolled up per source. Attribute
+    * order free, quoting free.
+    *
+    * Scale shape: in-row extraction into a source-keyed rollup. */
+  def relPagination(docs: DataFrame, htmlCol: String,
+                    sourceCol: String): DataFrame = {
+    val html = coalesce(col(htmlCol), lit(""))
+    def has(rel: String): Column = html.rlike(
+      "(?i)<link[^>]*rel\\s*=\\s*[\"']" + rel + "[\"'][^>]*>")
+    val role = when(has("next") && has("prev"), "middle")
+      .when(has("next"), "start")
+      .when(has("prev"), "end")
+      .otherwise("standalone")
+    docs.select(col(sourceCol).as("source"), role.as("chain_role"))
+      .groupBy(col("source"), col("chain_role"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

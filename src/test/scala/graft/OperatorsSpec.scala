@@ -7599,4 +7599,208 @@ class OperatorsSpec extends AnyFunSuite {
       got(0).getAs[Long]("merged_micro") == 500000L)
     assert(got(1).getAs[Long]("n_merged") == 0L)
   }
+
+  test("retentionCohorts: cohort by first day, offset 0 is cohort " +
+      "size, same-day repeat events count once") {
+    // user 1: days 0,1,3 (two events day 0); user 2: day 0 only;
+    // user 3: days 2,3
+    val ev = Seq((1L, 10L), (1L, 20L), (1L, 86410L), (1L, 259300L),
+      (2L, 50L), (3L, 172900L), (3L, 259600L))
+      .toDF("user_id", "sec")
+    val got = RollupOps.retentionCohorts(ev, col("sec"), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got((0L, 0L)) == 2L) // users 1 and 2 arrive day 0
+    assert(got((0L, 1L)) == 1L && got((0L, 3L)) == 1L)
+    assert(got((2L, 0L)) == 1L && got((2L, 1L)) == 1L)
+    assert(!got.contains((0L, 2L)))
+  }
+
+  test("funnelConversion: order matters — a purchase BEFORE the " +
+      "view never converts; conversion is integer milli") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 20L),
+      (3L, "view", 10L), (3L, "click", 5L), // click precedes: stops
+      (4L, "click", 1L)) // never viewed: not even stage 1
+      .toDF("user_id", "event_type", "sec")
+    val got = RollupOps.funnelConversion(ev, col("sec"), "user_id",
+      "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(got(0).getAs[Long]("n_users") == 3L &&
+      got(0).getAs[Long]("conversion_milli") == 1000L)
+    assert(got(1).getAs[Long]("n_users") == 2L && // users 1, 2
+      got(1).getAs[Long]("conversion_milli") == 666L)
+    assert(got(2).getAs[Long]("n_users") == 1L && // only user 1
+      got(2).getAs[Long]("conversion_milli") == 500L)
+  }
+
+  test("userLifecycle: one-day, regular (active >= half the span) " +
+      "and sporadic classes, exact day accounting") {
+    val ev = Seq(
+      (1L, 10L), (1L, 20L), // one day
+      (2L, 0L), (2L, 86400L), (2L, 259200L), // days 0,1,3: 3/4 regular
+      (3L, 0L), (3L, 864000L)) // days 0,10: 2/11 sporadic
+      .toDF("user_id", "sec")
+    val got = RollupOps.userLifecycle(ev, col("sec"), "user_id")
+      .orderBy("user").collect()
+    assert(got(0).getAs[String]("lifecycle") == "one_day" &&
+      got(0).getAs[Long]("n_events") == 2L)
+    assert(got(1).getAs[String]("lifecycle") == "regular" &&
+      got(1).getAs[Long]("active_days") == 3L &&
+      got(1).getAs[Long]("span_days") == 4L)
+    assert(got(2).getAs[String]("lifecycle") == "sporadic" &&
+      got(2).getAs[Long]("span_days") == 11L)
+  }
+
+  test("topDecileShare: exact boundary handling — tied users at the " +
+      "cut contribute their common count, never a fractional split") {
+    // 10 users: one with 100 events, nine with 10 -> top decile
+    // (k = 1 user) holds 100 of 190
+    val ev = (0L until 100L).map(i => (1L, i)) ++
+      (2L to 10L).flatMap(u => (0L until 10L).map(i => (u, i)))
+    val got = RollupOps.topDecileShare(
+      ev.toDF("user_id", "x"), "user_id").collect().head
+    assert(got.getAs[Long]("n_users") == 10L &&
+      got.getAs[Long]("top_users") == 1L &&
+      got.getAs[Long]("top_events") == 100L &&
+      got.getAs[Long]("total_events") == 190L &&
+      got.getAs[Long]("share_milli") == 526L)
+    // all users tied: k users x the common count
+    val tied = (1L to 10L).flatMap(u => (0L until 5L).map(i => (u, i)))
+    val g2 = RollupOps.topDecileShare(
+      tied.toDF("user_id", "x"), "user_id").collect().head
+    assert(g2.getAs[Long]("top_events") == 5L &&
+      g2.getAs[Long]("share_milli") == 100L)
+  }
+
+  test("povProfile: whole-token matching (no 'i' inside 'it'), " +
+      "trailing punctuation stripped, tie breaks first>second>third") {
+    val docs = Seq(
+      (1L, "I took my dog. We ran."), // first
+      (2L, "You should check your list, it is big."), // second
+      (3L, "He told her all of it."), // third
+      (4L, "I saw you and they saw me."), // 2-1-1 tie -> first
+      (5L, "it is big and little")) // none ('it' != 'i')
+      .toDF("id", "text")
+    val got = TextAnalysisOps.povProfile(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[String]("pov") == "first" &&
+      got(0).getAs[Long]("n_first") == 3L) // i, my, we
+    assert(got(1).getAs[String]("pov") == "second")
+    assert(got(2).getAs[String]("pov") == "third")
+    assert(got(3).getAs[String]("pov") == "first" &&
+      got(3).getAs[Long]("n_first") == 2L &&
+      got(3).getAs[Long]("n_second") == 1L)
+    assert(got(4).getAs[String]("pov") == "none")
+  }
+
+  test("dialogueShare: paired quotes measured, an unpaired quote " +
+      "matches nothing, empty text safe") {
+    val docs = Seq(
+      (1L, "\"Hi,\" she said. \"Go.\" rest"), // quotes: 5 + 4 chars
+      (2L, "an unpaired \" mark only"),
+      (3L, "")).toDF("id", "text")
+    val got = TextAnalysisOps.dialogueShare(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_quotes") == 2L &&
+      got(0).getAs[Long]("quoted_chars") == 10L) // "Hi," + "Go." 
+    assert(got(1).getAs[Long]("n_quotes") == 0L &&
+      got(1).getAs[Long]("dialogue_micro") == 0L)
+    assert(got(2).getAs[Long]("n_chars") == 1L)
+  }
+
+  test("contractionFormality: contraction rate and caps share tier " +
+      "informal; clean prose stays formal") {
+    val docs = Seq(
+      (1L, "don't we're it'll fine okay then"), // 3/6 tokens
+      (2L, "THIS IS URGENT now please read it today ok"),
+      (3L, "a perfectly calm and formal sentence indeed"))
+      .toDF("id", "text")
+    val got = TextAnalysisOps.contractionFormality(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[String]("register") == "informal" &&
+      got(0).getAs[Long]("n_contractions") == 3L)
+    assert(got(1).getAs[String]("register") == "informal" &&
+      got(1).getAs[Long]("n_caps") == 3L)
+    assert(got(2).getAs[String]("register") == "formal")
+  }
+
+  test("hubnessCensus: per-doc list membership with best rank; the " +
+      "hub threshold flags multi-list docs") {
+    val topk = Seq(
+      (10L, 1, 100L), (10L, 2, 200L), (10L, 3, 300L),
+      (20L, 1, 200L), (20L, 2, 100L),
+      (30L, 1, 300L)).toDF("query_id", "rank", "doc_id")
+    val got = RetrievalOps.hubnessCensus(topk, "doc_id", "rank",
+      hubMin = 2L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2),
+        r.getBoolean(3))).toMap
+    assert(got(100L) == ((2L, 1, true)))
+    assert(got(200L) == ((2L, 1, true)))
+    assert(got(300L) == ((2L, 1, true)))
+  }
+
+  test("indentProfile: tabs/spaces2/spaces4/mixed/flat verdicts, " +
+      "deeper multiples vote the narrowest consistent style") {
+    val docs = Seq(
+      (1L, "a:\n\tx\n\ty"),
+      (2L, "a:\n    x\n        y\n    z"),
+      (3L, "a:\n  x\n  y"),
+      (4L, "a:\n\tx\n  y"),
+      (5L, "plain text only")).toDF("id", "text")
+    val got = TextAnalysisOps.indentProfile(docs, "id", "text")
+      .orderBy("id").collect().map(_.getAs[String]("indent_style"))
+    assert(got.toSeq == Seq("tabs", "spaces4", "spaces2", "mixed",
+      "flat"))
+  }
+
+  test("ogTags: attribute order and quote style free, og:type " +
+      "surfaces, untagged docs read NONE") {
+    val docs = Seq(
+      (1L, "<meta property=\"og:type\" content=\"article\">" +
+        "<meta property=\"og:title\" content=\"T\">"),
+      (2L, "<meta content='video' property='og:type'>"),
+      (3L, "<meta name=\"robots\" content=\"noindex\">"))
+      .toDF("id", "html")
+    val got = UrlOps.ogTags(docs, "id", "html").orderBy("id").collect()
+    assert(got(0).getAs[String]("og_type") == "article" &&
+      got(0).getAs[Boolean]("has_title") &&
+      got(0).getAs[Long]("n_og_tags") == 2L)
+    assert(got(1).getAs[String]("og_type") == "video" &&
+      !got(1).getAs[Boolean]("has_title"))
+    assert(got(2).getAs[String]("og_type") == "NONE" &&
+      got(2).getAs[Long]("n_og_tags") == 0L)
+  }
+
+  test("commentShare: line markers, a block spanning lines, " +
+      "same-line open+close leaves the block closed") {
+    val docs = Seq(
+      (1L, "// a\nx = 1\n# b\ny = 2"), // 2 of 4
+      (2L, "/* open\nmid\nclose */\ncode"), // 3 of 4
+      (3L, "a\n/* inline */ b\nc"), // 1 of 3; c NOT in block
+      (4L, "just\nprose")).toDF("id", "text")
+    val got = TextAnalysisOps.commentShare(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_comment_lines") == 2L &&
+      got(0).getAs[Long]("comment_permille") == 500L)
+    assert(got(1).getAs[Long]("n_comment_lines") == 3L)
+    assert(got(2).getAs[Long]("n_comment_lines") == 1L)
+    assert(got(3).getAs[Long]("n_comment_lines") == 0L)
+  }
+
+  test("relPagination: start/middle/end/standalone roles roll up " +
+      "per source") {
+    val docs = Seq(
+      (1L, "<link rel=\"next\" href=\"/2\">", "a"),
+      (2L, "<link href='/1' rel='prev'><link rel='next' href='/3'>",
+        "a"),
+      (3L, "<link rel=\"prev\" href=\"/2\">", "a"),
+      (4L, "no links here", "b")).toDF("id", "html", "src")
+    val got = UrlOps.relPagination(docs, "html", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(got(("a", "start")) == 1L && got(("a", "middle")) == 1L &&
+      got(("a", "end")) == 1L && got(("b", "standalone")) == 1L)
+  }
 }
