@@ -4905,6 +4905,103 @@ object SparkEntry {
         .orderBy(col("source"), col("chain_role"))
     }),
 
+    // Citation density (q391): bracketed numerics, author-year
+    // parentheticals and daggers per 1k tokens; natural prose stays
+    // sparse.
+    "q391_citation_density" -> ((s, dir) => {
+      val id = col("doc_id")
+      val injected = when(id % 6 === 0,
+          concat(col("text"),
+            lit(" as shown [1] and [23] later [4]")))
+        .when(id % 6 === 1,
+          concat(col("text"),
+            lit(" (Smith, 2020) argued (Lee et al., 2021)")))
+        .when(id % 6 === 2, concat(col("text"),
+          lit(" see note† and more‡")))
+        .otherwise(col("text"))
+      TextAnalysisOps.citationDensity(
+        t(s, dir, "documents").select(col("doc_id"),
+          injected.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source duplication matrix (q392): three viral pages
+    // replicated across sources — the pairwise shared-signature
+    // counts that decide dedup-before-mixing.
+    "q392_source_overlap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val injected = when(id % 7 === 0,
+          concat(lit("shared viral page "), (id % 3).cast("string")))
+        .otherwise(col("text"))
+      DedupOps.sourceOverlapMatrix(
+        t(s, dir, "documents").select(col("doc_id"),
+          injected.as("text"), col("source")), "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // HITS (q393): exact-integer hubs/authorities over a synthetic
+    // affine link graph (two L-infinity-normalized iterations).
+    "q393_hits_scores" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("src"),
+          ((col("doc_id") * 7 + 3) % 40).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphOps.hits(edges, "src", "dst", iters = 2)
+        .orderBy(col("id"))
+    }),
+
+    // Simpson diversity (q394): the log-free mixture diversity in
+    // exact micro — one row for the whole corpus.
+    "q394_simpson_diversity" -> ((s, dir) => {
+      SamplingOps.simpsonDiversity(t(s, dir, "documents"), "source")
+    }),
+
+    // Keyword stuffing (q395): a 30x-repeated keyword must dominate
+    // the mode share; natural prose must not trip the gate.
+    "q395_keyword_stuffing" -> ((s, dir) => {
+      val id = col("doc_id")
+      val injected = when(id % 7 === 0,
+          concat(col("text"), lit(" "), lit("buy " * 30)))
+        .otherwise(col("text"))
+      TextAnalysisOps.keywordStuffing(
+        t(s, dir, "documents").select(col("doc_id"),
+          injected.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language interleave (q396): alternating en/fr lines flag; an
+    // all-English doc and natural prose do not.
+    "q396_lang_interleave" -> ((s, dir) => {
+      val id = col("doc_id")
+      val body = when(id % 8 === 0,
+          lit("the cat is here\nle chat est la\n" +
+            "the dog is here\nle chien est la"))
+        .when(id % 8 === 1,
+          lit("the cat is here\nthe dog is also here\n" +
+            "and the end is near"))
+        .otherwise(col("text"))
+      TextAnalysisOps.langInterleave(
+        t(s, dir, "documents").select(col("doc_id"),
+          body.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Invisible characters (q397): zero-width, BOM, soft hyphen and
+    // NBSP censuses with the suspect/artifacts/clean verdict.
+    "q397_invisible_chars" -> ((s, dir) => {
+      val id = col("doc_id")
+      val injected = when(id % 9 === 0,
+          concat(lit("pre\u200Bfix"), col("text"),
+            lit("\u200Btail\u00A0end")))
+        .when(id % 9 === 1, concat(lit("\uFEFF"), col("text")))
+        .when(id % 9 === 2, concat(lit("hy\u00ADphen"), col("text")))
+        .otherwise(col("text"))
+      TextAnalysisOps.invisibleChars(
+        t(s, dir, "documents").select(col("doc_id"),
+          injected.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -16087,6 +16184,205 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |SELECT source, chain_role, count(*)::BIGINT AS n_docs
         |FROM r GROUP BY source, chain_role
         |ORDER BY source, chain_role""".stripMargin,
+
+    "q391_citation_density" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 6
+        |    WHEN 0 THEN text || ' as shown [1] and [23] later [4]'
+        |    WHEN 1 THEN text ||
+        |      ' (Smith, 2020) argued (Lee et al., 2021)'
+        |    WHEN 2 THEN text || ' see note† and more‡'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    greatest(len(list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '')), 1)
+        |      ::BIGINT AS n_tokens,
+        |    len(regexp_extract_all(text, '\[\d{1,3}\]'))::BIGINT
+        |      AS n_bracket,
+        |    len(regexp_extract_all(text,
+        |      '\([A-Z][a-z]+(?: et al\.?| and [A-Z][a-z]+)?, \d{4}\)'
+        |      ))::BIGINT AS n_author_year,
+        |    len(regexp_extract_all(text, '[†‡]'))::BIGINT
+        |      AS n_daggers
+        |  FROM inj)
+        |SELECT doc_id, n_tokens, n_bracket, n_author_year, n_daggers,
+        |  (n_bracket + n_author_year + n_daggers) * 1000 // n_tokens
+        |    AS citation_permille,
+        |  (n_bracket + n_author_year + n_daggers) * 1000 // n_tokens
+        |    >= 5 AS is_dense
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q392_source_overlap" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'shared viral page ' || (doc_id % 3)::VARCHAR
+        |      ELSE text END AS text
+        |  FROM documents),
+        |s AS (SELECT DISTINCT md5(text) AS sig, source FROM inj),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b
+        |  FROM s a JOIN s b
+        |  ON a.sig = b.sig AND a.source < b.source)
+        |SELECT source_a, source_b, count(*)::BIGINT AS n_shared_sigs
+        |FROM p GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q393_hits_scores" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT doc_id % 40 AS src,
+        |    (doc_id * 7 + 3) % 40 AS dst
+        |  FROM documents
+        |  WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM ed UNION SELECT dst FROM ed)),
+        |h0 AS (SELECT id, 1000::BIGINT AS m FROM nodes),
+        |a1r AS (SELECT dst AS id, sum(h0.m)::BIGINT AS s
+        |  FROM ed JOIN h0 ON h0.id = ed.src GROUP BY dst),
+        |a1 AS (SELECT n.id, coalesce(s, 0)::BIGINT * 1000
+        |    // greatest((SELECT max(s) FROM a1r), 1) AS m
+        |  FROM nodes n LEFT JOIN a1r USING (id)),
+        |h1r AS (SELECT src AS id, sum(a1.m)::BIGINT AS s
+        |  FROM ed JOIN a1 ON a1.id = ed.dst GROUP BY src),
+        |h1 AS (SELECT n.id, coalesce(s, 0)::BIGINT * 1000
+        |    // greatest((SELECT max(s) FROM h1r), 1) AS m
+        |  FROM nodes n LEFT JOIN h1r USING (id)),
+        |a2r AS (SELECT dst AS id, sum(h1.m)::BIGINT AS s
+        |  FROM ed JOIN h1 ON h1.id = ed.src GROUP BY dst),
+        |a2 AS (SELECT n.id, coalesce(s, 0)::BIGINT * 1000
+        |    // greatest((SELECT max(s) FROM a2r), 1) AS m
+        |  FROM nodes n LEFT JOIN a2r USING (id)),
+        |h2r AS (SELECT src AS id, sum(a2.m)::BIGINT AS s
+        |  FROM ed JOIN a2 ON a2.id = ed.dst GROUP BY src),
+        |h2 AS (SELECT n.id, coalesce(s, 0)::BIGINT * 1000
+        |    // greatest((SELECT max(s) FROM h2r), 1) AS m
+        |  FROM nodes n LEFT JOIN h2r USING (id))
+        |SELECT n.id, h2.m AS hub_milli, a2.m AS auth_milli
+        |FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
+        |ORDER BY n.id""".stripMargin,
+
+    "q394_simpson_diversity" ->
+      """WITH c AS (
+        |  SELECT source, count(*)::BIGINT AS n FROM documents
+        |  GROUP BY source),
+        |t AS (SELECT count(*)::BIGINT AS n_sources,
+        |  sum(n)::BIGINT AS n_docs,
+        |  sum(n::HUGEINT * (n - 1)) AS same FROM c)
+        |SELECT n_sources, n_docs,
+        |  (same * 1000000 // (n_docs::HUGEINT *
+        |    greatest(n_docs - 1, 1)))::BIGINT AS simpson_micro,
+        |  1000000 - (same * 1000000 // (n_docs::HUGEINT *
+        |    greatest(n_docs - 1, 1)))::BIGINT AS diversity_micro
+        |FROM t""".stripMargin,
+
+    "q395_keyword_stuffing" ->
+      ("""WITH inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' ' || repeat('buy ', 30)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS t
+        |  FROM inj),
+        |tc AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM tok
+        |  GROUP BY doc_id, t),
+        |mc AS (SELECT doc_id, max(c)::BIGINT AS max_count,
+        |  sum(c)::BIGINT AS n_tokens FROM tc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(max_count, 0)::BIGINT AS max_count,
+        |  coalesce(max_count, 0) * 1000
+        |    // greatest(coalesce(n_tokens, 0), 1)
+        |    AS top_share_milli,
+        |  (coalesce(n_tokens, 0) >= 20 AND coalesce(max_count, 0)
+        |    * 1000 // greatest(coalesce(n_tokens, 0), 1) >= 200)
+        |    AS stuffed
+        |FROM documents d LEFT JOIN mc USING (doc_id)
+        |ORDER BY doc_id""").stripMargin,
+
+    "q396_lang_interleave" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 8
+        |    WHEN 0 THEN 'the cat is here' || chr(10) ||
+        |      'le chat est la' || chr(10) || 'the dog is here' ||
+        |      chr(10) || 'le chien est la'
+        |    WHEN 1 THEN 'the cat is here' || chr(10) ||
+        |      'the dog is also here' || chr(10) ||
+        |      'and the end is near'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u.i, u.l FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'l': ls[i]}
+        |        FOR i IN range(1, len(ls) + 1)]) AS u
+        |    FROM (SELECT doc_id, string_split(t, chr(10)) AS ls
+        |          FROM inj))),
+        |tk AS (SELECT doc_id, i,
+        |  list_filter(string_split_regex(lower(l), '\s+'),
+        |    x -> x <> '') AS toks FROM ln),
+        |vv AS (SELECT doc_id, i,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['the','and','of','to','is'], x))) AS en,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['le','la','les','et','est'], x))) AS fr,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['el','los','y','es','las'], x))) AS es,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['der','die','das','und','ist'], x))) AS de
+        |  FROM tk),
+        |lv AS (SELECT doc_id, i,
+        |  CASE WHEN greatest(en, fr, es, de) = 0 THEN 'unk'
+        |    WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+        |    WHEN fr >= es AND fr >= de THEN 'fr'
+        |    WHEN es >= de THEN 'es'
+        |    ELSE 'de' END AS v FROM vv),
+        |nl AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM ln
+        |  GROUP BY doc_id),
+        |vt AS (SELECT doc_id, i, v,
+        |  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM lv WHERE v <> 'unk'),
+        |fa AS (SELECT doc_id, count(*)::BIGINT AS n_voted,
+        |  sum(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_flips
+        |  FROM vt GROUP BY doc_id)
+        |SELECT nl.doc_id, nl.n_lines,
+        |  coalesce(n_voted, 0)::BIGINT AS n_voted,
+        |  coalesce(n_flips, 0)::BIGINT AS n_flips,
+        |  coalesce(n_flips, 0) >= 3 AS interleaved
+        |FROM nl LEFT JOIN fa USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q397_invisible_chars" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 9
+        |    WHEN 0 THEN 'pre' || chr(8203) || 'fix' || text ||
+        |      chr(8203) || 'tail' || chr(160) || 'end'
+        |    WHEN 1 THEN chr(65279) || text
+        |    WHEN 2 THEN 'hy' || chr(173) || 'phen' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text,
+        |      '[\x{200b}\x{200c}\x{200d}]'))::BIGINT AS n_zero_width,
+        |    len(regexp_extract_all(text, '[\x{feff}]'))::BIGINT
+        |      AS n_bom,
+        |    len(regexp_extract_all(text, '[\x{00ad}]'))::BIGINT
+        |      AS n_soft_hyphen,
+        |    len(regexp_extract_all(text, '[\x{00a0}]'))::BIGINT
+        |      AS n_nbsp
+        |  FROM inj)
+        |SELECT doc_id, n_zero_width, n_bom, n_soft_hyphen, n_nbsp,
+        |  n_zero_width + n_bom + n_soft_hyphen + n_nbsp
+        |    AS n_invisible,
+        |  CASE WHEN n_zero_width + n_bom > 0 THEN 'suspect'
+        |    WHEN n_zero_width + n_bom + n_soft_hyphen + n_nbsp > 0
+        |      THEN 'artifacts'
+        |    ELSE 'clean' END AS verdict
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the

@@ -156,6 +156,35 @@ object DedupOps {
           .otherwise("new").as("status"))
   }
 
+  /** Cross-source duplication matrix — for every source PAIR, how
+    * many distinct content signatures appear in BOTH: the planning
+    * table for mixture construction ("CC-2023 is 40% contained in
+    * CC-2024; dedup before mixing or the page is double-weighted").
+    * Complements [[sourceDupReport]] (per-source internal dup rate)
+    * with the pairwise BETWEEN-source view.
+    *
+    * Scale shape: (sig, source) distinct-compressed first; the
+    * per-sig source set rides `collect_set`, bounded by the SOURCE
+    * COUNT (not by copies — a page duplicated a million times within
+    * one source is one set element), then in-row pair expansion
+    * (≤ C(sources, 2)) into a map-side-combined pair count. */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String,
+                          sourceCol: String): DataFrame = {
+    val sigs = docs.select(md5(col(textCol)).as("__sig"),
+      col(sourceCol).as("__src")).distinct()
+    val sets = sigs.groupBy(col("__sig"))
+      .agg(array_sort(collect_set(col("__src"))).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+    val pairs = flatten(transform(col("__ss"), (a, i) =>
+      transform(slice(col("__ss"), i + lit(2),
+        greatest(size(col("__ss")) - i - 1, lit(0))), b =>
+        struct(a.as("source_a"), b.as("source_b")))))
+    sets.select(explode(pairs).as("__p"))
+      .select(col("__p.source_a"), col("__p.source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_sigs"))
+  }
+
   /** Exact-duplicate groups: content hash -> ids (diagnostic view). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))

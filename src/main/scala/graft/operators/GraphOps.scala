@@ -185,4 +185,49 @@ object GraphOps {
       .withColumn("closed_micro",
         expr("n_triangles * 1000000L div greatest(n_wedges, 1L)"))
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) in EXACT integers:
+    * the PageRank complement that separates "points at good pages"
+    * (hub — a link directory) from "is pointed at by good hubs"
+    * (authority — the canonical page), the pair a crawl frontier and
+    * a source-weighting pass both want. Each iteration sums the
+    * opposite score over the edge set and renormalizes by the MAX to
+    * 1000 milli (the L∞ form — the textbook L2 norm is a float;
+    * max-normalization keeps every score an exact integer, so
+    * verdicts are bit-identical across engines and partitionings;
+    * the RANKING is what downstream uses and it is norm-invariant).
+    *
+    * Scale shape: per iteration one src-keyed and one dst-keyed
+    * map-side-combined sum over the edge table joined to the
+    * nodes-sized score frame (the [[pageRank]] Pregel shape); the
+    * max is a single-row aggregate broadcast back. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters in [1, 20]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct().cache()
+    def normalize(raw: DataFrame, keyAs: String): DataFrame = {
+      val mx = raw.agg(max(col("__s")).as("__mx"))
+      nodes.join(raw.withColumnRenamed(keyAs, "id"), Seq("id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr("coalesce(__s, 0L) * 1000 div greatest(__mx, 1L)")
+            .as("__m"))
+    }
+    var hub = nodes.select(col("id"), lit(1000L).as("__m"))
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = normalize(
+        e.join(hub.select(col("id").as("src"), col("__m")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("__m")).as("__s")), "dst")
+      hub = normalize(
+        e.join(auth.select(col("id").as("dst"), col("__m")), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("__m")).as("__s")), "src")
+    }
+    nodes
+      .join(hub.withColumnRenamed("__m", "hub_milli"), Seq("id"))
+      .join(auth.withColumnRenamed("__m", "auth_milli"), Seq("id"))
+  }
 }

@@ -1151,4 +1151,30 @@ object SamplingOps {
         col("share_micro"), col("declared_micro"),
         col("deviation_micro"), col("out_of_tolerance"))
   }
+
+  /** Simpson diversity of the source mix in EXACT integers: the
+    * probability two randomly drawn documents share a source,
+    * `Σ nᵢ(nᵢ−1) / (N(N−1))`, in micro — plus its complement (the
+    * Gini–Simpson diversity). Unlike Shannon entropy this needs no
+    * logarithm, so the verdict is bit-identical across engines — the
+    * one-number "is this corpus actually mixed or is it one dump
+    * with garnish" gate. Products ride DECIMAL(38,0): at 100 TB,
+    * N(N−1) overflows a long.
+    *
+    * Scale shape: one source-keyed count (map-side combined,
+    * sources-bounded output) + a single-row rollup. */
+  def simpsonDiversity(docs: DataFrame, sourceCol: String): DataFrame =
+    docs.groupBy(col(sourceCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("__n")).as("n_docs"),
+        sum(expr("CAST(__n AS DECIMAL(38,0)) * (__n - 1)"))
+          .as("__same"))
+      .select(col("n_sources"), col("n_docs"),
+        expr("""CAST(__same * 1000000
+          |  DIV (CAST(n_docs AS DECIMAL(38,0)) *
+          |       greatest(n_docs - 1, 1)) AS BIGINT)"""
+          .stripMargin).as("simpson_micro"))
+      .withColumn("diversity_micro",
+        lit(1000000L) - col("simpson_micro"))
 }

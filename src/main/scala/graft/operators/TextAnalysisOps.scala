@@ -5666,6 +5666,152 @@ object TextAnalysisOps {
       .drop("__v2", "__v4", "__v8")
   }
 
+  /** Citation-density profile — bracketed numeric citations `[12]`,
+    * author-year parentheticals `(Name, 2020)` and footnote daggers
+    * per 1000 tokens: the academic/reference-text router (citation-
+    * dense pages are high-value for factuality training and need
+    * reference-section stripping BEFORE n-gram stats, which citation
+    * markers otherwise pollute).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def citationDensity(docs: DataFrame, idCol: String,
+                      textCol: String,
+                      densePerMille: Long = 5L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val nTok = greatest(
+      size(filter(split(txt, "\\s+"), t => t =!= "")).cast("long"),
+      lit(1L))
+    docs.select(col(idCol), nTok.as("n_tokens"),
+        n("\\[\\d{1,3}\\]").as("n_bracket"),
+        n("\\([A-Z][a-z]+(?: et al\\.?| and [A-Z][a-z]+)?, \\d{4}\\)")
+          .as("n_author_year"),
+        n("[†‡]").as("n_daggers"))
+      .withColumn("citation_permille",
+        expr("(n_bracket + n_author_year + n_daggers) * 1000L" +
+          " div n_tokens"))
+      .withColumn("is_dense",
+        col("citation_permille") >= densePerMille)
+  }
+
+  /** Invisible-character census — zero-width space/joiner/non-joiner,
+    * BOM, soft hyphen and NBSP counts per document: the SEO-cloaking
+    * and copy-paste-artifact signal (zero-width runs break exact
+    * dedup, inflate token counts, and hide spam terms from whole-token
+    * gates). The class is matched by codepoint, so the census is
+    * encoding-exact.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def invisibleChars(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(cls: String): Column =
+      size(regexp_extract_all(txt, lit(cls), lit(0))).cast("long")
+    docs.select(col(idCol),
+        n("[\\x{200b}\\x{200c}\\x{200d}]").as("n_zero_width"),
+        n("[\\x{feff}]").as("n_bom"),
+        n("[\\x{00ad}]").as("n_soft_hyphen"),
+        n("[\\x{00a0}]").as("n_nbsp"))
+      .withColumn("n_invisible",
+        col("n_zero_width") + col("n_bom") + col("n_soft_hyphen") +
+          col("n_nbsp"))
+      .withColumn("verdict",
+        when(col("n_zero_width") + col("n_bom") > 0L, "suspect")
+          .when(col("n_invisible") > 0L, "artifacts")
+          .otherwise("clean"))
+  }
+
+  /** Keyword-stuffing score — the maximum single-token share of a
+    * document (SEO spam repeats its keyword; the mode share separates
+    * it from legitimate repetition that [[TextAnalysisOps]]' dup-3-gram
+    * fraction measures at the phrase level). The mode count folds
+    * IN-ROW over the staged sorted token array (the q293 discipline:
+    * the sort is a real column, the fold reads attributes) — longest
+    * equal-neighbor run of a sorted array IS the mode count.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def keywordStuffing(docs: DataFrame, idCol: String, textCol: String,
+                      stuffedMilli: Long = 200L,
+                      minTokens: Long = 20L): DataFrame = {
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+      t => t =!= "")
+    val staged = docs.select(col(idCol),
+      array_sort(toks).as("__sorted"))
+    val sorted = col("__sorted")
+    // fold state packed as (current run, best run) in one long:
+    // run * 2^20 + best — both bounded by document length
+    val best = aggregate(
+      sequence(lit(2), greatest(size(sorted), lit(2))),
+      lit(1L * (1L << 20) + 1L),
+      (acc, i) => {
+        val run = shiftright(acc, 20)
+        val bst = acc.bitwiseAND(lit((1L << 20) - 1L))
+        val nextRun = when(
+          element_at(sorted, i) === element_at(sorted, i - 1),
+          run + 1L).otherwise(1L)
+        (nextRun * lit(1L << 20)) + greatest(bst, nextRun)
+      },
+      acc => acc.bitwiseAND(lit((1L << 20) - 1L)))
+    staged.select(col(idCol),
+        size(sorted).cast("long").as("n_tokens"),
+        // <= 1 token: the fold's i-1 index would be out of range
+        when(size(sorted) <= 1, size(sorted).cast("long"))
+          .otherwise(best).as("max_count"))
+      .withColumn("top_share_milli",
+        expr("max_count * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("stuffed",
+        col("n_tokens") >= minTokens &&
+          col("top_share_milli") >= stuffedMilli)
+  }
+
+  /** Line-level language-interleave audit — adjacent lines voting for
+    * DIFFERENT languages (the same 5-language stopword vote the
+    * curation gate uses, per line): the signature of merged OCR
+    * columns, parallel-corpus dumps and machine-mixed pages, which a
+    * DOCUMENT-level language id averages away. Lines with no vote
+    * (`unk`) neither flip nor break a run.
+    *
+    * Scale shape: pure projection (nested in-row transforms), zero
+    * shuffle. */
+  def langInterleave(docs: DataFrame, idCol: String, textCol: String,
+                     flipsForInterleaved: Long = 3L): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    def hitCount(lineToks: Column, set: Seq[String]): Column =
+      size(filter(lineToks, t => set.map(s => t === s).reduce(_ || _)))
+    val votes = transform(lines, l => {
+      val lt = filter(split(lower(l), "\\s+"), t => t =!= "")
+      val en = hitCount(lt, Seq("the", "and", "of", "to", "is"))
+      val fr = hitCount(lt, Seq("le", "la", "les", "et", "est"))
+      val es = hitCount(lt, Seq("el", "los", "y", "es", "las"))
+      val de = hitCount(lt, Seq("der", "die", "das", "und", "ist"))
+      when(greatest(en, fr, es, de) === 0, "unk")
+        .when(en >= fr && en >= es && en >= de, "en")
+        .when(fr >= es && fr >= de, "fr")
+        .when(es >= de, "es")
+        .otherwise("de")
+    })
+    // the voted array is STAGED (q293 discipline): the flip fold's
+    // element_at reads an attribute, not a per-element re-filter
+    val staged = docs.select(col(idCol),
+      size(votes).cast("long").as("n_lines"),
+      filter(votes, v => v =!= "unk").as("__voted"))
+    val voted = col("__voted")
+    val flips = when(size(voted) <= 1, 0L).otherwise(
+      aggregate(
+        sequence(lit(2), greatest(size(voted), lit(2))),
+        lit(0L),
+        (acc, i) => acc + when(
+          element_at(voted, i) =!= element_at(voted, i - 1), 1L)
+          .otherwise(0L)))
+    staged.select(col(idCol), col("n_lines"),
+        size(voted).cast("long").as("n_voted"),
+        flips.as("n_flips"))
+      .withColumn("interleaved",
+        col("n_flips") >= flipsForInterleaved)
+  }
+
   /** Comment-line share for code documents — `//`, `#`, `--` and
     * block `/* */` comment LINES as a fraction of non-blank lines:
     * near-zero flags minified/generated code, near-one flags

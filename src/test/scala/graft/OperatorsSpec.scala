@@ -7789,6 +7789,121 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3).getAs[Long]("n_comment_lines") == 0L)
   }
 
+  test("citationDensity: brackets, author-year (incl. et al.), " +
+      "daggers; prose stays sparse") {
+    val docs = Seq(
+      (1L, "result [1] and [12] hold (Smith, 2020) see (Lee et al., " +
+        "2021) plus note†"),
+      (2L, "a plain sentence with no citations at all here"))
+      .toDF("id", "text")
+    val got = TextAnalysisOps.citationDensity(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_bracket") == 2L &&
+      got(0).getAs[Long]("n_author_year") == 2L &&
+      got(0).getAs[Long]("n_daggers") == 1L &&
+      got(0).getAs[Boolean]("is_dense"))
+    assert(got(1).getAs[Long]("citation_permille") == 0L &&
+      !got(1).getAs[Boolean]("is_dense"))
+  }
+
+  test("sourceOverlapMatrix: pairwise shared-signature counts — " +
+      "copies within one source never inflate the pair count") {
+    val docs = Seq(
+      (1L, "shared page", "a"), (2L, "shared page", "b"),
+      (3L, "shared page", "b"), // within-b copy: still ONE set entry
+      (4L, "other page", "a"), (5L, "other page", "c"),
+      (6L, "unique", "c")).toDF("id", "text", "src")
+    val got = DedupOps.sourceOverlapMatrix(docs, "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(got(("a", "b")) == 1L && got(("a", "c")) == 1L)
+    assert(!got.contains(("b", "c")))
+  }
+
+  test("hits: the pointed-at node gets authority, the pointer hub — " +
+      "exact milli, max-normalized") {
+    // star: 1,2,3 -> 0; 0 -> 4
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.hits(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // node 0 is the sole 3-in-degree authority; 1..3 are pure hubs
+    assert(got(0L)._2 == 1000L, s"auth of 0: $got")
+    assert(got(1L)._1 == 1000L && got(1L)._2 == 0L)
+    assert(got(4L)._1 == 0L) // sink: no outlinks, no hub mass
+  }
+
+  test("simpsonDiversity: single-source corpus reads 1e6, a uniform " +
+      "mix reads the closed form") {
+    val one = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("id", "src")
+    val g1 = SamplingOps.simpsonDiversity(one, "src").collect().head
+    assert(g1.getAs[Long]("simpson_micro") == 1000000L &&
+      g1.getAs[Long]("diversity_micro") == 0L)
+    // 2 sources x 2 docs: P(same) = 2*2*1/(4*3) = 1/3
+    val mix = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "src")
+    val g2 = SamplingOps.simpsonDiversity(mix, "src").collect().head
+    assert(g2.getAs[Long]("simpson_micro") == 333333L)
+  }
+
+  test("keywordStuffing: the mode share flags a stuffed doc; a " +
+      "single-token and empty doc are safe") {
+    val docs = Seq(
+      (1L, ("buy " * 30) + "now from our store today please " +
+        "with more words here"),
+      (2L, "a normal sentence with distinct words only"),
+      (3L, "one"),
+      (4L, "")).toDF("id", "text")
+    val got = TextAnalysisOps.keywordStuffing(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("max_count") == 30L &&
+      got(0).getAs[Boolean]("stuffed"))
+    assert(!got(1).getAs[Boolean]("stuffed") &&
+      got(1).getAs[Long]("max_count") == 1L)
+    assert(got(2).getAs[Long]("max_count") == 1L &&
+      !got(2).getAs[Boolean]("stuffed"))
+    assert(got(3).getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("langInterleave: alternating en/fr lines flip; unk lines " +
+      "neither flip nor break a run") {
+    val docs = Seq(
+      (1L, "the cat is here\nle chat est la\nthe dog is here\n" +
+        "le chien est la"),
+      (2L, "the cat is here\n12345\nthe dog is also here"),
+      (3L, "der hund ist da\nel perro es grande"))
+      .toDF("id", "text")
+    val got = TextAnalysisOps.langInterleave(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_flips") == 3L &&
+      got(0).getAs[Boolean]("interleaved"))
+    // the unk middle line carries the en run across: zero flips
+    assert(got(1).getAs[Long]("n_voted") == 2L &&
+      got(1).getAs[Long]("n_flips") == 0L)
+    assert(got(2).getAs[Long]("n_flips") == 1L &&
+      !got(2).getAs[Boolean]("interleaved"))
+  }
+
+  test("invisibleChars: zero-width/BOM suspect, soft-hyphen/NBSP " +
+      "artifacts, plain text clean") {
+    val docs = Seq(
+      (1L, "pre\u200Bfix and\u200Done more"),
+      (2L, "\uFEFFbom start"),
+      (3L, "hy\u00ADphen and a\u00A0gap"),
+      (4L, "perfectly plain")).toDF("id", "text")
+    val got = TextAnalysisOps.invisibleChars(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_zero_width") == 2L &&
+      got(0).getAs[String]("verdict") == "suspect")
+    assert(got(1).getAs[Long]("n_bom") == 1L &&
+      got(1).getAs[String]("verdict") == "suspect")
+    assert(got(2).getAs[Long]("n_soft_hyphen") == 1L &&
+      got(2).getAs[Long]("n_nbsp") == 1L &&
+      got(2).getAs[String]("verdict") == "artifacts")
+    assert(got(3).getAs[String]("verdict") == "clean")
+  }
+
   test("relPagination: start/middle/end/standalone roles roll up " +
       "per source") {
     val docs = Seq(
