@@ -5002,6 +5002,76 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sentence burstiness (q398): a metronome doc (identical
+    // sentence lengths) reads cv2 = 0 and flags uniform; natural
+    // prose stays bursty.
+    "q398_sentence_burstiness" -> ((s, dir) => {
+      val id = col("doc_id")
+      val body = when(id % 7 === 0,
+          lit(("the cat sat on the mat today. " * 8).trim))
+        .when(id % 7 === 1,
+          lit("Short one. A much longer sentence with many more " +
+            "words inside it. Tiny. Medium length here. End now."))
+        .otherwise(col("text"))
+      TextAnalysisOps.sentenceBurstiness(
+        t(s, dir, "documents").select(col("doc_id"),
+          body.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Order lead time (q399): order date -> FIRST line shipment per
+    // priority — the relational lead-time report (exact integer
+    // day arithmetic, mean in milli).
+    "q399_order_lead_time" -> ((s, dir) => {
+      val firstShip = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min(expr("unix_micros(cast(l_shipdate as timestamp))" +
+          " div 86400000000")).as("__ship"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("unix_micros(cast(o_orderdate as timestamp))" +
+            " div 86400000000").as("__ord"))
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          (col("__ship") - col("__ord")).as("__lead"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("__lead")).as("__s"),
+          max(col("__lead")).as("max_lead_days"))
+        .select(col("priority"), col("n_orders"),
+          expr("__s * 1000 div n_orders").as("mean_lead_milli"),
+          col("max_lead_days"))
+        .orderBy(col("priority"))
+    }),
+
+    // Crawl frontier (q400): the composed crawl plan — robots.txt
+    // verdicts gate the URL set, the survivors get per-host polite
+    // fetch slots. Hosts h0/h1 disallow /private, h2 disallows all,
+    // h3/h4 have no * group (everything allowed).
+    "q400_crawl_frontier" -> ((s, dir) => {
+      val id = col("doc_id")
+      val hostK = (id % 5).cast("string")
+      val path = when(id % 2 === 0,
+          concat(lit("/public/p"), id.cast("string")))
+        .otherwise(concat(lit("/private/p"), id.cast("string")))
+      val robots = when(id % 5 < 2,
+          lit("User-agent: *\nDisallow: /private\n"))
+        .when(id % 5 === 2, lit("User-agent: *\nDisallow: /\n"))
+        .otherwise(lit("User-agent: googlebot\nDisallow: /\n"))
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("http://h"), hostK, lit(".com"), path).as("url"),
+        robots.as("robots"), path.as("path"))
+      val allowed = pages.join(
+        UrlOps.robotsVerdict(pages.select(col("doc_id"),
+            col("robots"), col("path")), "doc_id", "robots", "path")
+          .filter(col("allowed")).select(col("doc_id")),
+        Seq("doc_id"))
+      UrlOps.politenessSchedule(
+        allowed.withColumn("delay", lit(500L)),
+        "doc_id", "url", col("delay"), maxPerHost = 40)
+        .orderBy(col("host"), col("slot"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -16383,6 +16453,90 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |      THEN 'artifacts'
         |    ELSE 'clean' END AS verdict
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q398_sentence_burstiness" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 7
+        |    WHEN 0 THEN trim(repeat('the cat sat on the mat today. ',
+        |      8))
+        |    WHEN 1 THEN 'Short one. A much longer sentence with ' ||
+        |      'many more words inside it. Tiny. Medium length ' ||
+        |      'here. End now.'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(list_transform(
+        |        string_split_regex(text, '[.!?]+'), s -> trim(s)),
+        |        s -> s <> ''),
+        |      s -> len(list_filter(string_split_regex(s, '\s+'),
+        |        x -> x <> ''))::BIGINT) AS lens
+        |  FROM inj),
+        |c AS (
+        |  SELECT doc_id, len(lens)::BIGINT AS n_sentences,
+        |    coalesce(list_sum(lens), 0)::BIGINT AS sx,
+        |    coalesce(list_sum(list_transform(lens, x -> x * x)), 0)
+        |      ::BIGINT AS sxx
+        |  FROM l)
+        |SELECT doc_id, n_sentences, sx AS n_tokens,
+        |  CASE WHEN sx = 0 THEN 0
+        |    ELSE ((n_sentences::HUGEINT * sxx - sx::HUGEINT * sx)
+        |      * 1000000 // (sx::HUGEINT * sx))::BIGINT
+        |    END AS cv2_micro,
+        |  (n_sentences >= 5 AND
+        |    CASE WHEN sx = 0 THEN 0
+        |      ELSE ((n_sentences::HUGEINT * sxx - sx::HUGEINT * sx)
+        |        * 1000000 // (sx::HUGEINT * sx))::BIGINT END
+        |    < 100000) AS uniform
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q399_order_lead_time" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey,
+        |    min(epoch(date_trunc('second', l_shipdate))::BIGINT
+        |      // 86400) AS ship_day
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    fs.ship_day -
+        |      epoch(date_trunc('second', o.o_orderdate))::BIGINT
+        |        // 86400 AS lead
+        |  FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey)
+        |SELECT priority, count(*)::BIGINT AS n_orders,
+        |  sum(lead)::BIGINT * 1000 // count(*) AS mean_lead_milli,
+        |  max(lead)::BIGINT AS max_lead_days
+        |FROM j GROUP BY priority ORDER BY priority""".stripMargin,
+
+    // Fixed per-host robots policies fold to a closed-form allowed
+    // CASE; the surviving URLs ride the q201 politeness CTEs.
+    "q400_crawl_frontier" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'http://h' || (doc_id % 5)::VARCHAR || '.com' ||
+        |      CASE WHEN doc_id % 2 = 0
+        |        THEN '/public/p' || doc_id::VARCHAR
+        |        ELSE '/private/p' || doc_id::VARCHAR END AS url,
+        |    CASE
+        |      WHEN doc_id % 5 < 2 THEN doc_id % 2 = 0
+        |      WHEN doc_id % 5 = 2 THEN FALSE
+        |      ELSE TRUE END AS allowed
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+        |      AS host
+        |  FROM u WHERE allowed),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY substr(md5(url), 1, 8), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY host) AS n_urls
+        |  FROM h WHERE length(host) > 0)
+        |SELECT doc_id, host, (rk - 1)::BIGINT AS slot,
+        |  ((rk - 1) * 500)::BIGINT AS fetch_offset_ms,
+        |  n_urls::BIGINT AS n_urls
+        |FROM r WHERE rk <= 40 ORDER BY host, slot""".stripMargin,
 
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the

@@ -5812,6 +5812,46 @@ object TextAnalysisOps {
         col("n_flips") >= flipsForInterleaved)
   }
 
+  /** Sentence-length burstiness — the relative variance (CV² =
+    * population variance over squared mean, in micro) of per-sentence
+    * token counts: human prose is bursty (CV² typically well above
+    * 0.1); templated and machine-generated text runs eerily uniform.
+    * All integer-exact: `cv2_micro = 10⁶·(n·Σx² − (Σx)²) div (Σx)²`
+    * with the product in DECIMAL(38,0) so long documents cannot
+    * overflow. `uniform` flags docs with ≥ `minSentences` sentences
+    * under `uniformMicro`.
+    *
+    * Scale shape: pure projection; the per-sentence length array is
+    * STAGED (q293 discipline) before the sum folds read it. */
+  def sentenceBurstiness(docs: DataFrame, idCol: String,
+                         textCol: String,
+                         uniformMicro: Long = 100000L,
+                         minSentences: Long = 5L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val lens = transform(
+      filter(transform(split(txt, "[.!?]+"), s => trim(s)),
+        s => s =!= ""),
+      s => size(filter(split(s, "\\s+"), t => t =!= "")).cast("long"))
+    val staged = docs.select(col(idCol), lens.as("__lens"))
+    staged.select(col(idCol),
+        size(col("__lens")).cast("long").as("n_sentences"),
+        aggregate(col("__lens"), lit(0L), (a, x) => a + x).as("__sx"),
+        aggregate(col("__lens"), lit(0L), (a, x) => a + x * x)
+          .as("__sxx"))
+      .withColumn("n_tokens", col("__sx"))
+      .withColumn("cv2_micro",
+        when(col("__sx") === 0L, 0L).otherwise(
+          expr("""CAST(CAST(n_sentences AS DECIMAL(38,0)) * __sxx
+            |  - CAST(__sx AS DECIMAL(38,0)) * __sx AS DECIMAL(38,0))
+            |  * 1000000 DIV (CAST(__sx AS DECIMAL(38,0)) * __sx)"""
+            .stripMargin).cast("long")))
+      .withColumn("uniform",
+        col("n_sentences") >= minSentences &&
+          col("cv2_micro") < uniformMicro)
+      .select(col(idCol), col("n_sentences"), col("n_tokens"),
+        col("cv2_micro"), col("uniform"))
+  }
+
   /** Comment-line share for code documents — `//`, `#`, `--` and
     * block `/* */` comment LINES as a fraction of non-blank lines:
     * near-zero flags minified/generated code, near-one flags

@@ -7904,6 +7904,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3).getAs[String]("verdict") == "clean")
   }
 
+  test("sentenceBurstiness: a metronome doc reads cv2 = 0 and flags " +
+      "uniform; varied lengths read the closed form; empty is safe") {
+    val docs = Seq(
+      (1L, "one two three. one two three! one two three? one two " +
+        "three. one two three."),
+      // lengths 2 and 4: n=2, sx=6, sxx=20 -> (40-36)*1e6/36 = 111111
+      (2L, "two words. four words are here."),
+      (3L, "")).toDF("id", "text")
+    val got = TextAnalysisOps.sentenceBurstiness(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("cv2_micro") == 0L &&
+      got(0).getAs[Long]("n_sentences") == 5L &&
+      got(0).getAs[Boolean]("uniform"))
+    assert(got(1).getAs[Long]("cv2_micro") == 111111L &&
+      !got(1).getAs[Boolean]("uniform"))
+    assert(got(2).getAs[Long]("n_sentences") == 0L &&
+      got(2).getAs[Long]("cv2_micro") == 0L)
+  }
+
   test("relPagination: start/middle/end/standalone roles roll up " +
       "per source") {
     val docs = Seq(
