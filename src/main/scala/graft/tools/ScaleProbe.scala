@@ -1218,6 +1218,49 @@ object ScaleProbe {
       SessionOps.tripSummaries(ev, col("user_id"), col("sec"),
         col("value"), 21600, 3600))
 
+    // round-10 event-analytics ops under a POWER USER (one user_id
+    // re-assigned 50% of all events): retentionCohorts compresses to
+    // (user, day) DISTINCT before any exchange — the hot user is at
+    // most their active-day count; funnelConversion is conditional-min
+    // aggregates (one partial per map task per user); topDecileShare
+    // collapses to distinct activity LEVELS
+    {
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val power = ev.withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(42L))
+          .otherwise(col("user_id")))
+      time(s"retentionCohorts POWER-USER x$n (one user = 50%)")(
+        graft.operators.RollupOps.retentionCohorts(power,
+          col("sec"), "user_id"))
+      time(s"funnelConversion POWER-USER x$n (one user = 50%)")(
+        graft.operators.RollupOps.funnelConversion(power, col("sec"),
+          "user_id", "event_type", Seq("view", "click", "purchase")))
+      time(s"topDecileShare POWER-USER x$n (one user = 50%)")(
+        graft.operators.RollupOps.topDecileShare(power, "user_id"))
+      // one content signature in 50% of docs across every source:
+      // the per-sig source SET is bounded by the source count, so the
+      // hot signature's million copies never serialize anywhere
+      time(s"sourceOverlapMatrix HOT-SIG x$n (one text in 50%)")(
+        graft.operators.DedupOps.sourceOverlapMatrix(
+          docs.withColumn("text",
+            when(col("doc_id") % 2 === 0, lit("the viral page"))
+              .otherwise(col("text"))), "text", "source"))
+      // a universal doc present in EVERY query's top-k: hubness is
+      // one map-side-combined aggregate — the hub doc crosses the
+      // wire as one partial per task
+      time(s"hubnessCensus HOT-DOC x$n (one doc in every list)") {
+        val lists = docs.select((col("doc_id") % 1000).as("query_id"),
+          (col("doc_id") % 10 + 1).cast("int").as("rank"),
+          when(col("doc_id") % 10 === 0, lit(777L))
+            .otherwise(col("doc_id")).as("doc_id"))
+        graft.operators.RetrievalOps.hubnessCensus(lists, "doc_id",
+          "rank")
+      }
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+
     // trip-pipeline hot-key probe (round-9 item 7): a STUCK
     // TRANSPONDER — one hex emitting 90% of the packet stream —
     // concentrates in one state task, the engine-side analog of the

@@ -419,6 +419,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the winning (id,pos,para) must combine map-side:\n$p")
   }
 
+  test("q379: cohort matrix scans only (ts, user_id), first-day is " +
+      "a map-side-combined min, no window anywhere") {
+    val p = plan("q379_retention_cohorts")
+    assert(p.contains("partial_min"),
+      s"first-activity day must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"the cohort matrix must be pure aggregates:\n$p")
+    assert(p.contains("ReadSchema: struct<ts:") &&
+      !p.contains("event_type"),
+      s"the events scan must prune to (ts, user_id):\n$p")
+  }
+
+  test("q380: the funnel is a chain of conditional-min aggregates — " +
+      "no per-user event collect, no window") {
+    val p = plan("q380_funnel_conversion")
+    assert(!p.contains("collect_list"),
+      s"a power user's history must never ride one task:\n$p")
+    assert(p.contains("partial_min"),
+      s"stage firsts must combine map-side:\n$p")
+  }
+
+  test("q386: hubness is ONE map-side-combined doc aggregate on top " +
+      "of the BM25 chain — the only windows are per-query ranks") {
+    val p = plan("q386_retrieval_hubness")
+    val winRe = "windowspecdefinition\\(([A-Za-z_0-9]+)#".r
+    val keys = winRe.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("query_id")),
+      s"hubness must not add non-query windows (got $keys):\n$p")
+    assert(p.contains("partial_count"),
+      s"list membership must combine map-side:\n$p")
+  }
+
   test("round-10 sweep: no window keyed by a content signature " +
       "anywhere in the 13 formerly-weak queries — every surviving " +
       "window partitions by the doc key") {
