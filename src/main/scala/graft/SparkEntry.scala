@@ -5072,6 +5072,73 @@ object SparkEntry {
         .orderBy(col("host"), col("slot"))
     }),
 
+    // Query-param census (q401): tracking, session and pagination
+    // keys counted once per URL, case-folded, with host spread.
+    "q401_param_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(lit("http://s"), (id % 9).cast("string"),
+        lit(".com/p"), id.cast("string"),
+        when(id % 4 === 0, lit("?utm_source=x&page=2"))
+          .when(id % 4 === 1, lit("?SESSIONID=abc"))
+          .when(id % 4 === 2,
+            concat(lit("?fbclid=z&page="), id.cast("string")))
+          .otherwise(lit("")))
+      UrlOps.queryParamCensus(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+        .orderBy(col("param"))
+    }),
+
+    // Length-quality bias (q402): a source whose quality signal is
+    // pure length reads a strong slope; the audit is exact-integer
+    // OLS per source.
+    "q402_length_quality_bias" -> ((s, dir) => {
+      TextAnalysisOps.lengthQualitySlope(t(s, dir, "documents"),
+        "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Dedup survivorship (q403): cross-source clones (a 'mirror'
+    // source re-hosting every 5th doc) — the dropped side must
+    // concentrate in the mirror and the audit must show it.
+    "q403_dedup_survivorship" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrored = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text"),
+            lit("mirror").as("source")))
+      DedupOps.dedupSurvivorship(mirrored, "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // SFT template openers (q404): the conversation-side twin of
+    // q194 — shared instruction prefixes across an SFT corpus,
+    // rolled to the distinct (prefix, share) census.
+    "q404_sft_template_openers" -> ((s, dir) => {
+      val id = col("doc_id")
+      val instr = when(id % 5 === 0,
+          lit("please summarize the following text carefully"))
+        .when(id % 5 === 1,
+          concat(lit("write a python function for task "),
+            id.cast("string")))
+        .otherwise(concat(
+          array_join(slice(split(col("text"), " "), 1, 5), " "),
+          lit(" now")))
+      val convo = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("user: "), instr,
+          lit("\nassistant: done")).as("text"))
+      val turns = ConversationOps.parseTurns(convo, "doc_id", "text")
+      val firstUser = turns.filter(col("role") === "user")
+        .groupBy(col("doc_id"))
+        .agg(min_by(col("content"), col("turn_idx")).as("instr"))
+      TextAnalysisOps.templatePrefixes(firstUser, "doc_id", "instr",
+          k = 4, minDocs = 5)
+        .filter(col("is_template_prefix"))
+        .select(col("prefix_sig"), col("n_docs_sharing")).distinct()
+        .orderBy(col("prefix_sig"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -16537,6 +16604,101 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  ((rk - 1) * 500)::BIGINT AS fetch_offset_ms,
         |  n_urls::BIGINT AS n_urls
         |FROM r WHERE rk <= 40 ORDER BY host, slot""".stripMargin,
+
+    "q401_param_census" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'http://s' || (doc_id % 9)::VARCHAR || '.com/p' ||
+        |      doc_id::VARCHAR ||
+        |      CASE doc_id % 4
+        |        WHEN 0 THEN '?utm_source=x&page=2'
+        |        WHEN 1 THEN '?SESSIONID=abc'
+        |        WHEN 2 THEN '?fbclid=z&page=' || doc_id::VARCHAR
+        |        ELSE '' END AS url
+        |  FROM documents),
+        |k AS (
+        |  SELECT lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+        |      AS host,
+        |    unnest(list_distinct(list_transform(
+        |      list_filter(string_split(
+        |        regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |        p -> p <> ''),
+        |      p -> lower(regexp_extract(p, '^([^=]*)', 1))))) AS param
+        |  FROM u)
+        |SELECT param, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT host)::BIGINT AS n_hosts
+        |FROM k WHERE param <> ''
+        |GROUP BY param ORDER BY param""".stripMargin,
+
+    "q402_length_quality_bias" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))::BIGINT AS x,
+        |    len(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')))::BIGINT AS dt
+        |  FROM documents),
+        |p AS (SELECT source, x,
+        |  dt * 1000000 // greatest(x, 1) AS y FROM d),
+        |a AS (
+        |  SELECT source, count(*)::HUGEINT AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+        |  FROM p GROUP BY source)
+        |SELECT source, n::BIGINT AS n_docs,
+        |  (CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |    ELSE 1000000 * (n * sxy - sx * sy)
+        |      // (n * sxx - sx * sx) END)::BIGINT AS slope_micro,
+        |  abs(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |    ELSE 1000000 * (n * sxy - sx * sy)
+        |      // (n * sxx - sx * sx) END) >= 100 AS length_biased
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q403_dedup_survivorship" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000, text, 'mirror' FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |s AS (SELECT doc_id, source, md5(text) AS sig,
+        |  length(text)::BIGINT AS len FROM m),
+        |f AS (SELECT sig, min(doc_id) AS keep_id FROM s GROUP BY sig),
+        |v AS (SELECT s.*, s.doc_id = f.keep_id AS keep
+        |  FROM s JOIN f USING (sig))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dropped,
+        |  sum(CASE WHEN keep THEN len ELSE 0 END)::BIGINT * 1000
+        |    // greatest(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+        |      ::BIGINT, 1)
+        |    AS kept_mean_len_milli,
+        |  sum(CASE WHEN NOT keep THEN len ELSE 0 END)::BIGINT * 1000
+        |    // greatest(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+        |      ::BIGINT, 1)
+        |    AS dropped_mean_len_milli
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "q404_sft_template_openers" ->
+      """WITH conv AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN 'please summarize the following text carefully'
+        |    WHEN 1 THEN 'write a python function for task ' ||
+        |      doc_id::VARCHAR
+        |    ELSE array_to_string((string_split(text, ' '))[1:5], ' ')
+        |      || ' now' END AS instr
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    substr(md5(array_to_string(
+        |      (string_split(instr, ' '))[1:4], ' ')), 1, 16)
+        |      AS prefix_sig
+        |  FROM conv),
+        |c AS (SELECT prefix_sig, count(*)::BIGINT AS n_docs_sharing
+        |  FROM sig GROUP BY prefix_sig)
+        |SELECT DISTINCT prefix_sig, n_docs_sharing FROM c
+        |WHERE n_docs_sharing >= 5
+        |ORDER BY prefix_sig""".stripMargin,
 
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the

@@ -185,6 +185,39 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_sigs"))
   }
 
+  /** Dedup survivorship audit — per source, what keep-first dedup
+    * KEEPS versus DROPS, with exact mean-length milli for both sides:
+    * dedup is never neutral (boilerplate is short, mirrors truncate,
+    * and the dropped side of a cross-source dedup concentrates in the
+    * LATER dump), and this is the table that shows the skew before a
+    * mixture is trained on it.
+    *
+    * Scale shape: [[keepFirstFlag]]'s discipline (min-id aggregate +
+    * unique-id flag join) over (id, sig, len) projections, then one
+    * source-keyed rollup. */
+  def dedupSurvivorship(docs: DataFrame, idCol: String,
+                        textCol: String,
+                        sourceCol: String): DataFrame = {
+    val narrow = docs.select(col(idCol),
+      col(sourceCol).as("source"),
+      md5(col(textCol)).as("__sig"),
+      length(col(textCol)).cast("long").as("__len"))
+    keepFirstFlag(narrow, idCol, col("__sig"), "__keep")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__keep"), col("__len")).otherwise(0L))
+          .as("__kl"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("__kn"),
+        sum(when(!col("__keep"), col("__len")).otherwise(0L))
+          .as("__dl"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        expr("__kl * 1000 div greatest(__kn, 1L)")
+          .as("kept_mean_len_milli"),
+        expr("__dl * 1000 div greatest(n_dropped, 1L)")
+          .as("dropped_mean_len_milli"))
+  }
+
   /** Exact-duplicate groups: content hash -> ids (diagnostic view). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))

@@ -5812,6 +5812,44 @@ object TextAnalysisOps {
         col("n_flips") >= flipsForInterleaved)
   }
 
+  /** Length-vs-quality bias audit — the OLS slope of a quality
+    * signal on document length, per source, in EXACT integers (the
+    * [[RollupOps.dailyTrend]] DECIMAL(38,0) cross-product form): the
+    * classic failure of learned and heuristic quality scores is being
+    * a length detector in disguise, and a strongly positive slope on
+    * a length-matched source says exactly that. `y` here is the
+    * distinct-token ratio in micro (any per-doc integer signal
+    * works); `x` is the token count.
+    *
+    * Scale shape: per-doc (x, y) in ONE projection; per-source sums
+    * map-side combine; output is sources-sized. */
+  def lengthQualitySlope(docs: DataFrame, idCol: String,
+                         textCol: String,
+                         sourceCol: String): DataFrame = {
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+      t => t =!= "")
+    val staged = docs.select(col(sourceCol).as("source"),
+      size(toks).cast("long").as("__x"),
+      size(array_distinct(toks)).cast("long").as("__d"))
+    staged
+      .withColumn("__y",
+        expr("__d * 1000000L div greatest(__x, 1L)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(__x AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(__y AS DECIMAL(38,0))")).as("__sy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __y")).as("__sxy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __x")).as("__sxx"))
+      .select(col("source"), col("n_docs"),
+        expr("""CAST(CASE WHEN n_docs * __sxx - __sx * __sx = 0
+          |  THEN 0 ELSE 1000000 * (n_docs * __sxy - __sx * __sy)
+          |    DIV (n_docs * __sxx - __sx * __sx) END AS BIGINT)"""
+          .stripMargin).as("slope_micro"))
+      .withColumn("length_biased",
+        abs(col("slope_micro")) >= 100L)
+  }
+
   /** Sentence-length burstiness — the relative variance (CV² =
     * population variance over squared mean, in micro) of per-sentence
     * token counts: human prose is bursty (CV² typically well above

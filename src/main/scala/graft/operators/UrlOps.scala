@@ -666,6 +666,31 @@ object UrlOps {
         expr("n_shortened * 1000000L div greatest(n_urls, 1L)"))
   }
 
+  /** Query-parameter census — which `?key=value` keys the corpus's
+    * URLs actually carry, with URL and distinct-host counts per key:
+    * the evidence table behind a tracking-param strip list
+    * ([[stripTrackingParams]] strips a FIXED list; this measures what
+    * else is out there — session ids, pagination, A/B arms) and the
+    * canary for URL-keyed dedup quality. Keys are counted once per
+    * URL (a repeated `page=` doesn't double-count) and case-folded.
+    *
+    * Scale shape: in-row extraction + explode of the per-URL
+    * DISTINCT key set (bounded by query-string size) into one
+    * map-side-combined key census. */
+  def queryParamCensus(df: DataFrame, idCol: String,
+                       urlCol: String): DataFrame = {
+    val q = regexp_extract(col(urlCol), "\\?([^#]*)", 1)
+    val keys = array_distinct(transform(
+      filter(split(q, "&"), p => p =!= ""),
+      p => lower(regexp_extract(p, "^([^=]*)", 1))))
+    df.select(hostOf(col(urlCol)).as("host"), keys.as("__k"))
+      .select(col("host"), explode(col("__k")).as("param"))
+      .filter(col("param") =!= "")
+      .groupBy(col("param"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"))
+  }
+
   /** Open Graph tag census — `og:*` meta properties are the page's
     * own self-description (article vs product vs video), usually
     * higher-precision than any content classifier and set on exactly

@@ -7904,6 +7904,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3).getAs[String]("verdict") == "clean")
   }
 
+  test("queryParamCensus: keys counted once per URL, case-folded, " +
+      "host spread exact; fragment and bare URLs safe") {
+    val docs = Seq(
+      (1L, "http://a.com/x?page=1&Page=2&utm_source=t"),
+      (2L, "http://b.com/y?page=9"),
+      (3L, "http://a.com/z#frag"),
+      (4L, "http://c.com/plain")).toDF("id", "url")
+    val got = UrlOps.queryParamCensus(docs, "id", "url")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // page appears once per URL even when spelled twice
+    assert(got("page") == ((2L, 2L)))
+    assert(got("utm_source") == ((1L, 1L)))
+    assert(got.size == 2)
+  }
+
+  test("lengthQualitySlope: a source whose quality falls with " +
+      "length reads a negative slope; a flat source reads zero") {
+    val longDoc = (1 to 50).map(i => s"w$i w$i").mkString(" ")
+    val docs = Seq(
+      // distinct-ratio drops as length grows -> negative slope
+      (1L, "a b c d", "biased"), (2L, longDoc, "biased"),
+      (3L, "x y z", "flat"), (4L, "p q r", "flat"))
+      .toDF("id", "text", "src")
+    val got = TextAnalysisOps.lengthQualitySlope(docs, "id", "text",
+      "src").collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("biased")._1 < 0L && got("biased")._2)
+    assert(got("flat")._1 == 0L && !got("flat")._2)
+  }
+
+  test("dedupSurvivorship: the mirror source absorbs the drops and " +
+      "mean lengths are exact milli") {
+    val docs = Seq(
+      (1L, "original text here", "a"),
+      (2L, "another document", "a"),
+      (10L, "original text here", "mirror"), // later copy: dropped
+      (11L, "fresh mirror only", "mirror"))
+      .toDF("id", "text", "src")
+    val got = DedupOps.dedupSurvivorship(docs, "id", "text", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("a") == ((2L, 0L,
+      (18L + 16L) * 1000L / 2L, 0L)))
+    assert(got("mirror") == ((2L, 1L, 17000L, 18000L)))
+  }
+
   test("sentenceBurstiness: a metronome doc reads cv2 = 0 and flags " +
       "uniform; varied lengths read the closed form; empty is safe") {
     val docs = Seq(
