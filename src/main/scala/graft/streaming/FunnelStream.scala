@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+/** One event entering the per-user funnel state stage. */
+case class FunnelEvent(user_id: Long, event_type: String,
+                       ts: java.sql.Timestamp)
+
+/** Per-user funnel progress: the index of the NEXT stage awaited and
+  * the epoch-millis of the last stage conversion (a candidate event
+  * must be strictly after it — the batch operator's rule). */
+case class FunnelProgress(nextStage: Int, lastTs: Long)
+
+/** A stage conversion: user u reached stage i (1-based) at ts. The
+  * per-stage row counts of this stream ARE the batch
+  * [[graft.operators.RollupOps.funnelConversion]] `n_users` column. */
+case class StageReached(user_id: Long, stage_idx: Int, stage: String,
+                        ts: java.sql.Timestamp)
+
+/** Streaming twin of [[graft.operators.RollupOps.funnelConversion]]:
+  * the ordered funnel (view → click → purchase) folded incrementally
+  * over a live event stream — per user, stage i+1 converts only on an
+  * event of that stage's type STRICTLY AFTER the stage-i conversion,
+  * and each conversion is emitted exactly once, when it happens (the
+  * alerting form of the batch report: "user U just reached checkout").
+  *
+  * Plan shape:
+  *  - stateless projection to (user, type, ts) — nothing else reaches
+  *    the state exchange;
+  *  - `groupByKey(user)` → `flatMapGroupsWithState` holding ONE
+  *    12-byte (nextStage, lastTs) struct per ACTIVE user — state is
+  *    bounded by concurrently-active users, not event history, and a
+  *    user who completes the funnel is evicted immediately;
+  *  - within a micro-batch arrivals sort by event time, so intra-batch
+  *    disorder can never convert stages out of order;
+  *  - the event-time timeout expires users idle past `horizonMs`
+  *    (abandoned carts leave the store), keeping state bounded under
+  *    churn.
+  *
+  * Equivalence contract (pinned by the spec): with a horizon covering
+  * the data and arrivals that respect per-user event order ACROSS
+  * micro-batches (intra-batch disorder is sorted away), the per-stage
+  * conversion counts equal the batch operator's — the greedy
+  * first-qualifying-event chain IS the batch min-chain when events are
+  * consumed in event-time order. A cross-batch LATE event (older than
+  * an already-taken conversion) cannot retract it under append
+  * semantics; the watermark bounds how late such an event can arrive
+  * at all (the TripEngine disorder discipline). */
+object FunnelStream {
+
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  eventTimeCol: String, stages: Seq[String],
+                  watermarkDelay: String,
+                  horizonMs: Long): Dataset[StageReached] = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    require(stages.distinct.size == stages.size, "stages distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val keyed = events
+      .filter(col(eventTimeCol).isNotNull)
+      // only funnel-stage events reach the state exchange
+      .filter(stages.map(col(typeCol) === _).reduce(_ || _))
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("event_type"),
+        col(eventTimeCol).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelEvent]
+
+    def update(user: Long, rows: Iterator[FunnelEvent],
+               gs: GroupState[FunnelProgress]): Iterator[StageReached] = {
+      if (gs.hasTimedOut) {
+        gs.remove()
+        Iterator.empty
+      } else {
+        var st = gs.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+        var latest = Long.MinValue
+        val out = scala.collection.mutable.ListBuffer.empty[StageReached]
+        rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          .foreach { e =>
+            val t = e.ts.getTime
+            latest = math.max(latest, t)
+            if (st.nextStage < stages.length &&
+                stageIdx(e.event_type) == st.nextStage &&
+                (st.nextStage == 0 || t > st.lastTs)) {
+              out += StageReached(user, st.nextStage + 1,
+                stages(st.nextStage), e.ts)
+              st = FunnelProgress(st.nextStage + 1, t)
+            }
+          }
+        if (st.nextStage >= stages.length) gs.remove()
+        else {
+          gs.update(st)
+          gs.setTimeoutTimestamp(
+            math.max(latest, st.lastTs) + horizonMs)
+        }
+        out.iterator
+      }
+    }
+
+    keyed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Transition stream → append-only parquet (the batch n_users per
+    * stage = count of rows per stage_idx on read). */
+  def start(events: DataFrame, outDir: String,
+            userCol: String = "user_id", typeCol: String = "event_type",
+            eventTimeCol: String = "ts",
+            stages: Seq[String] = Seq("view", "click", "purchase"),
+            watermarkDelay: String = "24 hours",
+            horizonMs: Long = 365L * 24 * 3600 * 1000,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    transitions(events, userCol, typeCol, eventTimeCol, stages,
+      watermarkDelay, horizonMs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[StageReached], bid: Long) =>
+        batch.toDF().withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$outDir/transitions")
+      }
+      .start()
+}

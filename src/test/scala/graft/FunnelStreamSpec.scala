@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.RollupOps
+import graft.streaming.FunnelStream
+
+/** The q380 streaming-twin soak: the per-user funnel state fold's
+  * per-stage conversion counts must equal the oracle-pinned batch
+  * operator on the same events, across a checkpoint restart (phase-2
+  * conversions must resume from phase-1 stage progress), and a
+  * completed user must leave the state store. */
+class FunnelStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = 1718000000L
+  private val stages = Seq("view", "click", "purchase")
+
+  /** 40 users in four behavior classes:
+    *  %4==0 full ordered chain (view@t0, click@t1, purchase@t2)
+    *  %4==1 purchase BEFORE view (never converts past view)
+    *  %4==2 view then click only
+    *  %4==3 noise events only (never enters the funnel)
+    * Phase 1 carries everything up to each user's first event + some
+    * seconds; phase 2 the rest — so full-chain users STRADDLE the
+    * restart with state mid-funnel. */
+  private def eventsOf(phase: Int): Seq[(Long, String, java.sql.Timestamp)] =
+    (0 until 40).flatMap { u =>
+      def ts(off: Long) =
+        new java.sql.Timestamp((base + u * 1000L + off) * 1000L)
+      val rows: Seq[(Long, String, Long)] = (u % 4) match {
+        case 0 => Seq((u.toLong, "purchase", 300L),
+          (u.toLong, "view", 10L), (u.toLong, "click", 200L))
+          .map { case (a, b, o) => (a, b, o) }
+        case 1 => Seq((u.toLong, "purchase", 5L),
+          (u.toLong, "view", 10L), (u.toLong, "click", 2L))
+        case 2 => Seq((u.toLong, "view", 10L), (u.toLong, "click", 90L))
+        case _ => Seq((u.toLong, "error", 10L), (u.toLong, "signup", 20L))
+      }
+      rows.filter { case (_, _, off) =>
+        if (phase == 1) off <= 50L else off > 50L }
+        .map { case (uu, t, off) => (uu, t, ts(off)) }
+    }
+
+  private def writeEvents(src: String, name: String, phase: Int,
+                          mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_fun_tmp").toString
+    eventsOf(phase).toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = Path.of(src, s"$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+  }
+
+  test("streaming funnel ≡ batch funnelConversion across a restart; " +
+      "completed users leave the state store") {
+    val src = Files.createTempDirectory("graft_fun_src").toString
+    val out = Files.createTempDirectory("graft_fun_out").toString
+    val schema = eventsOf(1).toDF("user_id", "event_type", "ts").schema
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = FunnelStream.start(stream, out, stages = stages)
+      q.awaitTermination(180000L)
+    }
+
+    writeEvents(src, "p1", 1, 1000L)
+    run()
+    writeEvents(src, "p2", 2, 2000L)
+    run()
+
+    val got = spark.read.parquet(s"$out/transitions")
+    // exactly-once per (user, stage): no batch replay duplicates
+    assert(got.groupBy("user_id", "stage_idx").count()
+      .filter(col("count") > 1).count() == 0)
+    val streamed = got.groupBy("stage_idx").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val all = (eventsOf(1) ++ eventsOf(2))
+      .toDF("user_id", "event_type", "ts")
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+    val batch = RollupOps.funnelConversion(all, col("sec"), "user_id",
+      "event_type", stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+    assert(streamed == batch,
+      s"streamed $streamed vs batch $batch")
+    // sanity on the fixture: 30 views (classes 0,1,2), 20 clicks
+    // (classes 0,2 — class 1's click precedes its view), 10 purchases
+    // (class 0 only)
+    assert(batch == Map(1 -> 30L, 2 -> 20L, 3 -> 10L))
+
+    // completed users (class 0) were evicted at conversion; the state
+    // store holds only the still-open ones. Spark surfaces state rows
+    // via the state progress metrics — assert indirectly: a THIRD run
+    // with a repeat purchase for a completed user emits nothing (the
+    // user restarts from stage 0 only if state was evicted — and a
+    // purchase cannot convert stage 1)
+    val tmp = Files.createTempDirectory("graft_fun_tmp2").toString
+    Seq((0L, "purchase",
+      new java.sql.Timestamp((base + 2000L) * 1000L)))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Path.of(src, "p3.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    run()
+    val after = spark.read.parquet(s"$out/transitions")
+    assert(after.count() == got.count(),
+      "a post-completion event must not emit a transition")
+  }
+}
