@@ -198,9 +198,11 @@ object GraphOps {
     * the RANKING is what downstream uses and it is norm-invariant).
     *
     * Scale shape: per iteration one src-keyed and one dst-keyed
-    * map-side-combined sum over the edge table joined to the
-    * nodes-sized score frame (the [[pageRank]] Pregel shape); the
-    * max is a single-row aggregate broadcast back. */
+    * map-side-combined sum over the edge table joined to the SPARSE
+    * score frame (zero-score nodes contribute nothing to either sum,
+    * so they never ride an iteration — the dense zeros materialize
+    * once, in the final output join); the max is a single-row
+    * aggregate broadcast back. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters in [1, 20]")
@@ -208,26 +210,33 @@ object GraphOps {
       .distinct().cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct().cache()
-    def normalize(raw: DataFrame, keyAs: String): DataFrame = {
+    // sparse milli-normalization: scores are non-negative and absent
+    // = 0, so the max over present rows IS the max, and rows that
+    // normalize to 0 can drop (they add nothing to the next sum)
+    def normSparse(raw: DataFrame, keyAs: String): DataFrame = {
       val mx = raw.agg(max(col("__s")).as("__mx"))
-      nodes.join(raw.withColumnRenamed(keyAs, "id"), Seq("id"), "left")
+      raw.withColumnRenamed(keyAs, "id")
         .crossJoin(broadcast(mx))
         .select(col("id"),
-          expr("coalesce(__s, 0L) * 1000 div greatest(__mx, 1L)")
-            .as("__m"))
+          expr("__s * 1000 div greatest(__mx, 1L)").as("__m"))
+        .filter(col("__m") =!= 0L)
     }
     var hub = nodes.select(col("id"), lit(1000L).as("__m"))
     var auth = hub
     for (_ <- 1 to iters) {
-      auth = normalize(
+      auth = normSparse(
         e.join(hub.select(col("id").as("src"), col("__m")), Seq("src"))
           .groupBy(col("dst")).agg(sum(col("__m")).as("__s")), "dst")
-      hub = normalize(
+      hub = normSparse(
         e.join(auth.select(col("id").as("dst"), col("__m")), Seq("dst"))
           .groupBy(col("src")).agg(sum(col("__m")).as("__s")), "src")
     }
     nodes
-      .join(hub.withColumnRenamed("__m", "hub_milli"), Seq("id"))
-      .join(auth.withColumnRenamed("__m", "auth_milli"), Seq("id"))
+      .join(hub.withColumnRenamed("__m", "hub_milli"), Seq("id"), "left")
+      .join(auth.withColumnRenamed("__m", "auth_milli"), Seq("id"),
+        "left")
+      .select(col("id"),
+        coalesce(col("hub_milli"), lit(0L)).as("hub_milli"),
+        coalesce(col("auth_milli"), lit(0L)).as("auth_milli"))
   }
 }

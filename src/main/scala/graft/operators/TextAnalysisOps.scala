@@ -5778,19 +5778,39 @@ object TextAnalysisOps {
   def langInterleave(docs: DataFrame, idCol: String, textCol: String,
                      flipsForInterleaved: Long = 3L): DataFrame = {
     val lines = split(coalesce(col(textCol), lit("")), "\n")
-    def hitCount(lineToks: Column, set: Seq[String]): Column =
-      size(filter(lineToks, t => set.map(s => t === s).reduce(_ || _)))
+    // ONE tokenize + ONE fold per line: the four language counters
+    // ride a single packed long (16 bits each — line length bounded
+    // far below 65k stopword hits per language), so the line is
+    // tokenized once instead of once per language (the q293
+    // reevaluation discipline inside nested lambdas)
+    def isIn(t: Column, set: Seq[String]): Column =
+      set.map(s => t === s).reduce(_ || _)
     val votes = transform(lines, l => {
-      val lt = filter(split(lower(l), "\\s+"), t => t =!= "")
-      val en = hitCount(lt, Seq("the", "and", "of", "to", "is"))
-      val fr = hitCount(lt, Seq("le", "la", "les", "et", "est"))
-      val es = hitCount(lt, Seq("el", "los", "y", "es", "las"))
-      val de = hitCount(lt, Seq("der", "die", "das", "und", "ist"))
-      when(greatest(en, fr, es, de) === 0, "unk")
-        .when(en >= fr && en >= es && en >= de, "en")
-        .when(fr >= es && fr >= de, "fr")
-        .when(es >= de, "es")
-        .otherwise("de")
+      val packed = aggregate(
+        filter(split(lower(l), "\\s+"), t => t =!= ""),
+        lit(0L),
+        (a, t) => a +
+          when(isIn(t, Seq("the", "and", "of", "to", "is")), 1L)
+            .otherwise(0L) +
+          when(isIn(t, Seq("le", "la", "les", "et", "est")),
+            lit(1L << 16)).otherwise(0L) +
+          when(isIn(t, Seq("el", "los", "y", "es", "las")),
+            lit(1L << 32)).otherwise(0L) +
+          when(isIn(t, Seq("der", "die", "das", "und", "ist")),
+            lit(1L << 48)).otherwise(0L))
+      // bind `packed` ONCE as a lambda attribute (a bare val is an
+      // EXPRESSION — the four counter reads would re-run the fold)
+      element_at(transform(array(packed), p => {
+        val en = p.bitwiseAND(lit(0xffffL))
+        val fr = shiftright(p, 16).bitwiseAND(lit(0xffffL))
+        val es = shiftright(p, 32).bitwiseAND(lit(0xffffL))
+        val de = shiftright(p, 48).bitwiseAND(lit(0xffffL))
+        when(greatest(en, fr, es, de) === 0, "unk")
+          .when(en >= fr && en >= es && en >= de, "en")
+          .when(fr >= es && fr >= de, "fr")
+          .when(es >= de, "es")
+          .otherwise("de")
+      }), 1)
     })
     // the voted array is STAGED (q293 discipline): the flip fold's
     // element_at reads an attribute, not a per-element re-filter
