@@ -5139,6 +5139,45 @@ object SparkEntry {
         .orderBy(col("prefix_sig"))
     }),
 
+    // Emoji census (q405): pictographs and dingbats planted on two
+    // slices; emoji-free sources read zero density.
+    "q405_emoji_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val injected = when(id % 6 === 0,
+          concat(col("text"), lit(" nice 😀🚀")))
+        .when(id % 6 === 1, concat(col("text"), lit(" ok ✅")))
+        .otherwise(col("text"))
+      TextAnalysisOps.emojiCensus(
+        t(s, dir, "documents").select(col("doc_id"),
+          injected.as("text"), col("source")), "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Date-format census (q406): ISO, ambiguous slashed and
+    // written-month mentions per source.
+    "q406_date_format_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val injected = when(id % 5 === 0,
+          concat(col("text"), lit(" released 2024-03-05 then")))
+        .when(id % 5 === 1, concat(col("text"),
+          lit(" on 3/5/2024 and 12/11/24")))
+        .when(id % 5 === 2, concat(col("text"),
+          lit(" dated March 5, 2024 here")))
+        .otherwise(col("text"))
+      TextAnalysisOps.dateFormatCensus(
+        t(s, dir, "documents").select(col("doc_id"),
+          injected.as("text"), col("source")), "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Declared-vs-detected language agreement (q407): the ORGANIC
+    // lang column audited against the stopword vote — no injection.
+    "q407_lang_agreement" -> ((s, dir) => {
+      TextAnalysisOps.langAgreement(t(s, dir, "documents"),
+        "text", "lang")
+        .orderBy(col("declared"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -16699,6 +16738,95 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |SELECT DISTINCT prefix_sig, n_docs_sharing FROM c
         |WHERE n_docs_sharing >= 5
         |ORDER BY prefix_sig""".stripMargin,
+
+    "q405_emoji_census" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source, CASE doc_id % 6
+        |    WHEN 0 THEN text || ' nice ' || chr(128512) || chr(128640)
+        |    WHEN 1 THEN text || ' ok ' || chr(9989)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '[\x{1F000}-\x{1FAFF}\x{2600}-\x{27BF}\x{FE0F}]'))
+        |      ::BIGINT AS n,
+        |    length(text)::BIGINT AS ch
+        |  FROM inj)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_with_emoji,
+        |  sum(n)::BIGINT AS n_emoji,
+        |  sum(n)::BIGINT * 1000000000 //
+        |    greatest(sum(ch)::BIGINT, 1) AS emoji_per_kchar_micro
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q406_date_format_census" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source, CASE doc_id % 5
+        |    WHEN 0 THEN text || ' released 2024-03-05 then'
+        |    WHEN 1 THEN text || ' on 3/5/2024 and 12/11/24'
+        |    WHEN 2 THEN text || ' dated March 5, 2024 here'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '\b\d{4}-\d{2}-\d{2}\b'))::BIGINT AS iso,
+        |    len(regexp_extract_all(text,
+        |      '\b\d{1,2}/\d{1,2}/\d{2,4}\b'))::BIGINT AS sl,
+        |    len(regexp_extract_all(text,
+        |      '\b(January|February|March|April|May|June|July|August|September|October|November|December) \d{1,2}, \d{4}\b'
+        |      ))::BIGINT AS mn
+        |  FROM inj)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(iso)::BIGINT AS n_iso, sum(sl)::BIGINT AS n_slashed,
+        |  sum(mn)::BIGINT AS n_month_name,
+        |  sum(sl)::BIGINT * 1000 //
+        |    greatest(sum(iso)::BIGINT + sum(sl)::BIGINT
+        |      + sum(mn)::BIGINT, 1)
+        |    AS ambiguous_milli
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q407_lang_agreement" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |v AS (
+        |  SELECT lang,
+        |    len(list_filter(t, x -> x IN
+        |      ('the','and','of','to','is')))::BIGINT AS en,
+        |    len(list_filter(t, x -> x IN
+        |      ('le','la','les','et','est')))::BIGINT AS fr,
+        |    len(list_filter(t, x -> x IN
+        |      ('el','la','los','y','es')))::BIGINT AS es,
+        |    len(list_filter(t, x -> x IN
+        |      ('der','die','das','und','ist')))::BIGINT AS de,
+        |    len(list_filter(t, x -> x IN
+        |      ('的','是','了','在','我')))::BIGINT AS zh
+        |  FROM toks),
+        |d AS (
+        |  SELECT lang AS declared,
+        |    CASE WHEN greatest(en, fr, es, de, zh) = 0 THEN 'unk'
+        |      WHEN en >= fr AND en >= es AND en >= de AND en >= zh
+        |        THEN 'en'
+        |      WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+        |      WHEN es >= de AND es >= zh THEN 'es'
+        |      WHEN de >= zh THEN 'de'
+        |      ELSE 'zh' END AS v
+        |  FROM v)
+        |SELECT declared, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN v = declared THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_agree,
+        |  sum(CASE WHEN v = 'unk' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_unk,
+        |  sum(CASE WHEN v = declared THEN 1 ELSE 0 END)::BIGINT
+        |    * 1000 // greatest(count(*) -
+        |      sum(CASE WHEN v = 'unk' THEN 1 ELSE 0 END)::BIGINT, 1)
+        |    AS agree_milli
+        |FROM d GROUP BY declared ORDER BY declared""".stripMargin,
 
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the

@@ -5832,6 +5832,114 @@ object TextAnalysisOps {
         col("n_flips") >= flipsForInterleaved)
   }
 
+  /** Emoji census — emoji codepoints (pictographs, transport,
+    * symbols, dingbats, variation selector) per source with document
+    * reach and per-kilochar density: the social/chat-register router
+    * (emoji-dense text needs different quality gates than prose, and
+    * some tokenizers explode on it).
+    *
+    * Scale shape: in-row counts into a source-keyed rollup. */
+  def emojiCensus(docs: DataFrame, textCol: String,
+                  sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val n = size(regexp_extract_all(txt,
+      lit("[\\x{1F000}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{FE0F}]"),
+      lit(0))).cast("long")
+    docs.select(col(sourceCol).as("source"), n.as("__n"),
+        length(txt).cast("long").as("__c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > 0L, 1L).otherwise(0L))
+          .as("docs_with_emoji"),
+        sum(col("__n")).as("n_emoji"),
+        sum(col("__c")).as("__chars"))
+      .withColumn("emoji_per_kchar_micro",
+        expr("n_emoji * 1000000000L div greatest(__chars, 1L)"))
+      .drop("__chars")
+  }
+
+  /** Date-format census — ISO (2024-03-05), slashed (3/5/2024 —
+    * ambiguous US/EU) and written-month (March 5, 2024) date mentions
+    * per source: the locale signal behind normalization decisions
+    * (slashed dates can't be parsed without a locale policy; a source
+    * where they dominate needs one declared).
+    *
+    * Scale shape: in-row counts into a source-keyed rollup. */
+  def dateFormatCensus(docs: DataFrame, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def n(p: String): Column =
+      size(regexp_extract_all(txt, lit(p), lit(0))).cast("long")
+    val months = "(January|February|March|April|May|June|July|" +
+      "August|September|October|November|December)"
+    docs.select(col(sourceCol).as("source"),
+        n("\\b\\d{4}-\\d{2}-\\d{2}\\b").as("__iso"),
+        n("\\b\\d{1,2}/\\d{1,2}/\\d{2,4}\\b").as("__sl"),
+        n(s"\\b$months \\d{1,2}, \\d{4}\\b").as("__mn"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__iso")).as("n_iso"),
+        sum(col("__sl")).as("n_slashed"),
+        sum(col("__mn")).as("n_month_name"))
+      .withColumn("ambiguous_milli",
+        expr("n_slashed * 1000 div " +
+          "greatest(n_iso + n_slashed + n_month_name, 1L)"))
+  }
+
+  /** Declared-vs-detected language agreement — the metadata QA gate:
+    * per DECLARED language label, how many documents the 5-language
+    * stopword vote (the curate/q53 sets and tie order, en>fr>es>de>zh)
+    * actually agrees with. A label whose agreement collapses means
+    * the upstream metadata is wrong — and every per-language
+    * threshold keyed on it inherits the error. `unk` votes (no
+    * stopword hit) are surfaced separately, not counted as
+    * disagreement.
+    *
+    * Scale shape: the vote folds in-row (one packed-long pass — the
+    * langInterleave binding discipline); one label-keyed rollup. */
+  def langAgreement(docs: DataFrame, textCol: String,
+                    langCol: String): DataFrame = {
+    def isIn(t: Column, set: Seq[String]): Column =
+      set.map(s => t === s).reduce(_ || _)
+    val packed = aggregate(
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        t => t =!= ""),
+      lit(0L),
+      (a, t) => a +
+        when(isIn(t, Seq("the", "and", "of", "to", "is")), 1L)
+          .otherwise(0L) +
+        when(isIn(t, Seq("le", "la", "les", "et", "est")),
+          lit(1L << 12)).otherwise(0L) +
+        when(isIn(t, Seq("el", "la", "los", "y", "es")),
+          lit(1L << 24)).otherwise(0L) +
+        when(isIn(t, Seq("der", "die", "das", "und", "ist")),
+          lit(1L << 36)).otherwise(0L) +
+        when(isIn(t, Seq("的", "是", "了", "在", "我")),
+          lit(1L << 48)).otherwise(0L))
+    val vote = element_at(transform(array(packed), p => {
+      val en = p.bitwiseAND(lit(0xfffL))
+      val fr = shiftright(p, 12).bitwiseAND(lit(0xfffL))
+      val es = shiftright(p, 24).bitwiseAND(lit(0xfffL))
+      val de = shiftright(p, 36).bitwiseAND(lit(0xfffL))
+      val zh = shiftright(p, 48).bitwiseAND(lit(0xfffL))
+      when(greatest(en, fr, es, de, zh) === 0, "unk")
+        .when(en >= fr && en >= es && en >= de && en >= zh, "en")
+        .when(fr >= es && fr >= de && fr >= zh, "fr")
+        .when(es >= de && es >= zh, "es")
+        .when(de >= zh, "de")
+        .otherwise("zh")
+    }), 1)
+    docs.select(col(langCol).as("declared"), vote.as("__v"))
+      .groupBy(col("declared"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__v") === col("declared"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("__v") === "unk", 1L).otherwise(0L))
+          .as("n_unk"))
+      .withColumn("agree_milli",
+        expr("n_agree * 1000 div greatest(n_docs - n_unk, 1L)"))
+  }
+
   /** Length-vs-quality bias audit — the OLS slope of a quality
     * signal on document length, per source, in EXACT integers (the
     * [[RollupOps.dailyTrend]] DECIMAL(38,0) cross-product form): the

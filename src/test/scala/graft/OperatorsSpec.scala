@@ -7904,6 +7904,107 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3).getAs[String]("verdict") == "clean")
   }
 
+  test("randomized invariants: keepFirstFlag keeps EXACTLY the min id " +
+      "per signature on arbitrary duplication patterns; " +
+      "topDecileShare partitions events exactly; funnel counts are " +
+      "monotone non-increasing") {
+    val rnd = new scala.util.Random(41)
+    // 300 rows over ~40 distinct sigs with a deliberately hot one
+    val rows = (0L until 300L).map { i =>
+      val sig = if (rnd.nextInt(3) == 0) "HOT"
+        else s"s${rnd.nextInt(40)}"
+      (i, sig)
+    }
+    val flagged = DedupOps.keepFirstFlag(
+      rows.toDF("id", "sig"), "id", col("sig"), "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val bySig = flagged.groupBy(_._2)
+    bySig.foreach { case (sig, grp) =>
+      val keepers = grp.filter(_._3)
+      assert(keepers.length == 1, s"$sig must have ONE keeper")
+      assert(keepers.head._1 == grp.map(_._1).min,
+        s"$sig keeper must be the min id")
+    }
+    assert(flagged.length == rows.length, "no row lost or duplicated")
+
+    // topDecileShare: top + rest == total on random activity shapes
+    val ev = (0L until 500L).map { i =>
+      (rnd.nextInt(37).toLong, i) }
+    val td = RollupOps.topDecileShare(
+      ev.toDF("user_id", "x"), "user_id").collect().head
+    val (tu, te, tot) = (td.getAs[Long]("top_users"),
+      td.getAs[Long]("top_events"), td.getAs[Long]("total_events"))
+    assert(tot == 500L && te <= tot && tu >= 1L)
+    // exactness: top_events equals the brute-force top-k sum with
+    // (count desc, any tie order) — tie groups share a count, so the
+    // sum is order-invariant
+    val counts = ev.groupBy(_._1).map(_._2.size.toLong).toSeq
+      .sorted(Ordering[Long].reverse)
+    assert(te == counts.take(tu.toInt).sum)
+
+    // funnel monotonicity on random event soup
+    val soup = (0L until 600L).map { i =>
+      (rnd.nextInt(50).toLong,
+        Seq("view", "click", "purchase", "error")(rnd.nextInt(4)),
+        rnd.nextInt(10000).toLong) }
+    val fun = RollupOps.funnelConversion(
+      soup.toDF("user_id", "event_type", "sec"), col("sec"),
+      "user_id", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect().map(_.getAs[Long]("n_users"))
+    assert(fun.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      s"funnel must be non-increasing: ${fun.toSeq}")
+  }
+
+  test("emojiCensus: pictographs and dingbats count, reach and " +
+      "density exact; plain prose reads zero") {
+    val docs = Seq(
+      (1L, "great 😀🚀 stuff", "a"),
+      (2L, "done ✅", "a"),
+      (3L, "plain words only here", "b")).toDF("id", "text", "src")
+    val got = TextAnalysisOps.emojiCensus(docs, "text", "src")
+      .orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_emoji") == 3L &&
+      got(0).getAs[Long]("docs_with_emoji") == 2L)
+    assert(got(1).getAs[Long]("n_emoji") == 0L &&
+      got(1).getAs[Long]("emoji_per_kchar_micro") == 0L)
+  }
+
+  test("dateFormatCensus: ISO, slashed and written-month forms " +
+      "counted; the ambiguity share is the slashed fraction") {
+    val docs = Seq(
+      (1L, "v2 shipped 2024-03-05 and 2024-04-01", "a"),
+      (2L, "met on 3/5/2024 then 12/11/24", "a"),
+      (3L, "dated March 5, 2024 and May 1, 2020", "b"))
+      .toDF("id", "text", "src")
+    val got = TextAnalysisOps.dateFormatCensus(docs, "text", "src")
+      .orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_iso") == 2L &&
+      got(0).getAs[Long]("n_slashed") == 2L &&
+      got(0).getAs[Long]("ambiguous_milli") == 500L)
+    assert(got(1).getAs[Long]("n_month_name") == 2L &&
+      got(1).getAs[Long]("ambiguous_milli") == 0L)
+  }
+
+  test("langAgreement: matching labels agree, a mislabeled doc " +
+      "disagrees, stopword-free docs surface as unk") {
+    val docs = Seq(
+      (1L, "the cat and the dog is here", "en"),
+      (2L, "le chat est la et les chiens", "fr"),
+      (3L, "the end is near and the time is now", "fr"), // mislabel
+      (4L, "12345 67890", "en")) // no stopwords -> unk
+      .toDF("id", "text", "lang")
+    val got = TextAnalysisOps.langAgreement(docs, "text", "lang")
+      .orderBy("declared").collect()
+    val en = got(0)
+    assert(en.getAs[Long]("n_docs") == 2L &&
+      en.getAs[Long]("n_agree") == 1L &&
+      en.getAs[Long]("n_unk") == 1L &&
+      en.getAs[Long]("agree_milli") == 1000L) // unk excluded
+    val fr = got(1)
+    assert(fr.getAs[Long]("n_agree") == 1L &&
+      fr.getAs[Long]("agree_milli") == 500L)
+  }
+
   test("queryParamCensus: keys counted once per URL, case-folded, " +
       "host spread exact; fragment and bare URLs safe") {
     val docs = Seq(
