@@ -5178,6 +5178,58 @@ object SparkEntry {
         .orderBy(col("declared"))
     }),
 
+    // Crawl frontier with robots pacing (q408): the q400 composition
+    // with the delay READ FROM robots.txt — hosts h0/h1 declare
+    // Crawl-delay: 2 (2000 ms slots), h3/h4 carry no * group and ride
+    // the 500 ms default; h2 stays fully disallowed.
+    "q408_crawl_frontier_delay" -> ((s, dir) => {
+      val id = col("doc_id")
+      val hostK = (id % 5).cast("string")
+      val path = when(id % 2 === 0,
+          concat(lit("/public/p"), id.cast("string")))
+        .otherwise(concat(lit("/private/p"), id.cast("string")))
+      val robots = when(id % 5 < 2,
+          lit("User-agent: *\nCrawl-delay: 2\nDisallow: /private\n"))
+        .when(id % 5 === 2, lit("User-agent: *\nDisallow: /\n"))
+        .otherwise(lit("User-agent: googlebot\nDisallow: /\n"))
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("http://h"), hostK, lit(".com"), path).as("url"),
+        robots.as("robots"), path.as("path"))
+      val allowed = pages
+        .join(UrlOps.robotsVerdict(pages.select(col("doc_id"),
+            col("robots"), col("path")), "doc_id", "robots", "path")
+          .filter(col("allowed")).select(col("doc_id")), Seq("doc_id"))
+        .join(UrlOps.robotsCrawlDelay(pages.select(col("doc_id"),
+            col("robots")), "doc_id", "robots")
+          .select(col("doc_id"), col("crawl_delay_sec")),
+          Seq("doc_id"))
+        .withColumn("delay",
+          coalesce(col("crawl_delay_sec") * 1000L, lit(500L)))
+      UrlOps.politenessSchedule(allowed, "doc_id", "url",
+        col("delay"), maxPerHost = 40)
+        .orderBy(col("host"), col("slot"))
+    }),
+
+    // Sitemap coverage (q409): declared vs crawled set algebra per
+    // host — every 3rd page missing from the crawl, ghost pages
+    // declared but never fetched, orphans crawled but undeclared.
+    "q409_sitemap_coverage" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(lit("http://h"), (id % 5).cast("string"),
+        lit(".com/p"), id.cast("string"))
+      val docs = t(s, dir, "documents")
+      val declared = docs
+        .filter(id % 7 =!= 0) // orphans: crawled but undeclared
+        .select(url.as("url"))
+        .unionByName(docs.filter(id % 11 === 0)
+          .select(concat(lit("http://h"), (id % 5).cast("string"),
+            lit(".com/ghost/g"), id.cast("string")).as("url")))
+      val crawled = docs.filter(id % 3 =!= 0) // crawl gaps
+        .select(url.as("url"))
+      UrlOps.sitemapCoverage(declared, "url", crawled, "url")
+        .orderBy(col("host"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -16827,6 +16879,70 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |      sum(CASE WHEN v = 'unk' THEN 1 ELSE 0 END)::BIGINT, 1)
         |    AS agree_milli
         |FROM d GROUP BY declared ORDER BY declared""".stripMargin,
+
+    // Hosts h0/h1 pace at their declared 2000 ms, h3/h4 at the 500 ms
+    // default; allowed-set CASE identical to q400's.
+    "q408_crawl_frontier_delay" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'http://h' || (doc_id % 5)::VARCHAR || '.com' ||
+        |      CASE WHEN doc_id % 2 = 0
+        |        THEN '/public/p' || doc_id::VARCHAR
+        |        ELSE '/private/p' || doc_id::VARCHAR END AS url,
+        |    CASE
+        |      WHEN doc_id % 5 < 2 THEN doc_id % 2 = 0
+        |      WHEN doc_id % 5 = 2 THEN FALSE
+        |      ELSE TRUE END AS allowed,
+        |    CASE WHEN doc_id % 5 < 2 THEN 2000 ELSE 500 END AS delay
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url, delay,
+        |    lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+        |      AS host
+        |  FROM u WHERE allowed),
+        |r AS (
+        |  SELECT doc_id, host, delay,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY substr(md5(url), 1, 8), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY host) AS n_urls
+        |  FROM h WHERE length(host) > 0)
+        |SELECT doc_id, host, (rk - 1)::BIGINT AS slot,
+        |  ((rk - 1) * delay)::BIGINT AS fetch_offset_ms,
+        |  n_urls::BIGINT AS n_urls
+        |FROM r WHERE rk <= 40 ORDER BY host, slot""".stripMargin,
+
+    "q409_sitemap_coverage" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'http://h' || (doc_id % 5)::VARCHAR || '.com/p' ||
+        |      doc_id::VARCHAR AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT DISTINCT url FROM base WHERE doc_id % 7 <> 0
+        |  UNION
+        |  SELECT DISTINCT 'http://h' || (doc_id % 5)::VARCHAR ||
+        |    '.com/ghost/g' || doc_id::VARCHAR
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |c AS (
+        |  SELECT DISTINCT url FROM base WHERE doc_id % 3 <> 0),
+        |j AS (
+        |  SELECT coalesce(d.url, c.url) AS u,
+        |    d.url IS NOT NULL AS dd, c.url IS NOT NULL AS cc
+        |  FROM d FULL OUTER JOIN c ON d.url = c.url)
+        |SELECT lower(regexp_extract(u, 'https?://([^/:?#]+)', 1))
+        |    AS host,
+        |  sum(CASE WHEN dd AND cc THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_both,
+        |  sum(CASE WHEN NOT cc THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_sitemap_only,
+        |  sum(CASE WHEN NOT dd THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_crawled_only,
+        |  sum(CASE WHEN dd AND cc THEN 1 ELSE 0 END)::BIGINT * 1000
+        |    // greatest(sum(CASE WHEN dd AND cc THEN 1 ELSE 0 END)
+        |      ::BIGINT +
+        |      sum(CASE WHEN NOT cc THEN 1 ELSE 0 END)::BIGINT, 1)
+        |    AS coverage_milli
+        |FROM j GROUP BY host ORDER BY host""".stripMargin,
 
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the

@@ -691,6 +691,70 @@ object UrlOps {
         countDistinct(col("host")).as("n_hosts"))
   }
 
+  /** robots.txt `Crawl-delay` for the `*` agent — the fetch-pacing
+    * directive [[robotsVerdict]] ignores (it gates WHAT may be
+    * fetched; this sets HOW FAST): seconds from the first segment
+    * whose OWN `User-agent` line is `*` and which carries a
+    * `Crawl-delay`. Documented simplification vs the verdict's full
+    * RFC 9309 group-chaining: a Crawl-delay bound to `*` through a
+    * stacked multi-agent UA run is not resolved (real robots files
+    * put the delay directly under `User-agent: *`; the full chain
+    * lives in [[robotsVerdict]] where allow/disallow semantics demand
+    * it). CRLF normalized; comments stripped off the agent line.
+    *
+    * Scale shape: pure projection. */
+  def robotsCrawlDelay(pages: DataFrame, idCol: String,
+                       robotsCol: String): DataFrame = {
+    val normalized = regexp_replace(col(robotsCol), "\r", "")
+    def cleanLine(l: Column): Column =
+      trim(regexp_replace(l, "#.*", ""))
+    val sgArr = transform(split(normalized, "(?i)User-agent:"),
+      s => struct(
+        cleanLine(element_at(split(s, "\n"), 1)).as("agent"),
+        regexp_extract(s, "(?im)^[ \\t]*crawl-delay:[ \\t]*(\\d+)", 1)
+          .as("d")))
+    val staged = pages.withColumn("__sg",
+      filter(slice(sgArr, lit(2), greatest(size(sgArr) - 1, lit(0))),
+        g => g.getField("agent") === "*" &&
+          length(g.getField("d")) > 0))
+    staged.select(col(idCol),
+        when(size(col("__sg")) > 0,
+          element_at(col("__sg"), 1).getField("d").cast("long"))
+          .as("crawl_delay_sec"))
+      .withColumn("has_delay", col("crawl_delay_sec").isNotNull)
+  }
+
+  /** Sitemap-vs-crawl coverage — per host, the set algebra between
+    * the pages a site DECLARES (its sitemap urlset) and the pages the
+    * crawl actually HAS: `sitemap_only` is the frontier the crawl is
+    * missing, `crawled_only` the orphan pages the site no longer
+    * advertises (prime link-rot candidates), and `coverage_milli` the
+    * crawl's share of the declared set. URL equality is exact string
+    * equality — run both sides through [[canonicalize]] /
+    * [[stripTrackingParams]] first if spellings vary.
+    *
+    * Scale shape: both sides distinct-compress to bare URLs, one
+    * full-outer join on the URL key, one host-keyed rollup. */
+  def sitemapCoverage(declared: DataFrame, declaredUrlCol: String,
+                      crawled: DataFrame,
+                      crawledUrlCol: String): DataFrame = {
+    val d = declared.select(col(declaredUrlCol).as("__u")).distinct()
+      .withColumn("__d", lit(1))
+    val c = crawled.select(col(crawledUrlCol).as("__u")).distinct()
+      .withColumn("__c", lit(1))
+    d.join(c, Seq("__u"), "full_outer")
+      .select(hostOf(col("__u")).as("host"), col("__d"), col("__c"))
+      .groupBy(col("host"))
+      .agg(sum(when(col("__d").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L))
+          .as("n_sitemap_only"),
+        sum(when(col("__d").isNull, 1L).otherwise(0L))
+          .as("n_crawled_only"))
+      .withColumn("coverage_milli",
+        expr("n_both * 1000 div greatest(n_both + n_sitemap_only, 1L)"))
+  }
+
   /** Open Graph tag census — `og:*` meta properties are the page's
     * own self-description (article vs product vs video), usually
     * higher-precision than any content classifier and set on exactly

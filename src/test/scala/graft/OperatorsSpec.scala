@@ -7955,6 +7955,38 @@ class OperatorsSpec extends AnyFunSuite {
       s"funnel must be non-increasing: ${fun.toSeq}")
   }
 
+  test("robotsCrawlDelay: delay read from the * group, other agents' " +
+      "delays ignored, comment-bearing agent lines parse, absent " +
+      "delay reads null") {
+    val docs = Seq(
+      (1L, "User-agent: *\nCrawl-delay: 7\nDisallow: /x\n"),
+      (2L, "User-agent: googlebot\nCrawl-delay: 1\n" +
+        "User-agent: * # all\nCrawl-delay: 3\n"),
+      (3L, "User-agent: googlebot\nCrawl-delay: 9\n"),
+      (4L, "User-agent: *\nDisallow: /\n"))
+      .toDF("id", "robots")
+    val got = UrlOps.robotsCrawlDelay(docs, "id", "robots")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(1L) == 7L && got(2L) == 3L)
+    assert(got(3L) == -1L && got(4L) == -1L)
+  }
+
+  test("sitemapCoverage: both/sitemap-only/crawled-only partition " +
+      "the URL union per host; coverage is the crawled share of " +
+      "the declared set") {
+    val declared = Seq("http://a.com/1", "http://a.com/2",
+      "http://a.com/ghost", "http://b.com/1").toDF("u")
+    val crawled = Seq("http://a.com/1", "http://a.com/2",
+      "http://a.com/orphan", "http://b.com/1").toDF("u")
+    val got = UrlOps.sitemapCoverage(declared, "u", crawled, "u")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("a.com") == ((2L, 1L, 1L, 666L)))
+    assert(got("b.com") == ((1L, 0L, 0L, 1000L)))
+  }
+
   test("emojiCensus: pictographs and dingbats count, reach and " +
       "density exact; plain prose reads zero") {
     val docs = Seq(
