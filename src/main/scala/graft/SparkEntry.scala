@@ -5230,6 +5230,37 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // Double-fire audit (q410): every 13th event re-fired twice and
+    // every 29th once more — the excess shares must be exact.
+    "q410_double_fire" -> ((s, dir) => {
+      val base = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("sec"))
+      val doubled = base
+        .unionByName(base.filter(col("sec") % 13 === 0))
+        .unionByName(base.filter(col("sec") % 13 === 0))
+        .unionByName(base.filter(col("sec") % 29 === 0))
+      RollupOps.doubleFireAudit(doubled, col("sec"), "user_id",
+        "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // Markup share (q411): style-sheet soup routes drop, tag-bearing
+    // pages strip, prose passes.
+    "q411_markup_share" -> ((s, dir) => {
+      val id = col("doc_id")
+      val body = when(id % 7 === 0,
+          concat(lit("<div class=\"page\"><p>"), col("text"),
+            lit("</p><span>x</span></div>")))
+        .when(id % 7 === 1,
+          lit("<style>.a{color:red}</style><div><br><hr>" +
+            "<meta x=\"1\"><link y='2'><b>t</b></div>"))
+        .otherwise(col("text"))
+      TextAnalysisOps.markupShare(
+        t(s, dir, "documents").select(col("doc_id"),
+          body.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -16943,6 +16974,55 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |      sum(CASE WHEN NOT cc THEN 1 ELSE 0 END)::BIGINT, 1)
         |    AS coverage_milli
         |FROM j GROUP BY host ORDER BY host""".stripMargin,
+
+    "q410_double_fire" -> (EvCte + """,
+        |base AS (SELECT user_id, event_type, sec FROM e),
+        |dup AS (
+        |  SELECT * FROM base
+        |  UNION ALL SELECT * FROM base WHERE sec % 13 = 0
+        |  UNION ALL SELECT * FROM base WHERE sec % 13 = 0
+        |  UNION ALL SELECT * FROM base WHERE sec % 29 = 0),
+        |k AS (
+        |  SELECT user_id, event_type, sec, count(*)::BIGINT AS n
+        |  FROM dup GROUP BY user_id, event_type, sec)
+        |SELECT event_type, sum(n)::BIGINT AS n_events,
+        |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dup_keys,
+        |  sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT
+        |    AS n_excess,
+        |  sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT * 1000
+        |    // greatest(sum(n)::BIGINT, 1) AS excess_milli
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "q411_markup_share" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE doc_id % 7
+        |    WHEN 0 THEN '<div class="page"><p>' || text ||
+        |      '</p><span>x</span></div>'
+        |    WHEN 1 THEN '<style>.a{color:red}</style><div><br><hr>'
+        |      || '<meta x="1"><link y=''2''><b>t</b></div>'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '<[^>]*>') AS tags,
+        |    greatest(length(text), 1)::BIGINT AS n_chars
+        |  FROM inj)
+        |SELECT doc_id, len(tags)::BIGINT AS n_tags,
+        |  coalesce(list_sum(list_transform(tags,
+        |    t -> length(t)::BIGINT)), 0)::BIGINT AS markup_chars,
+        |  n_chars,
+        |  coalesce(list_sum(list_transform(tags,
+        |    t -> length(t)::BIGINT)), 0)::BIGINT * 1000 // n_chars
+        |    AS markup_milli,
+        |  CASE WHEN coalesce(list_sum(list_transform(tags,
+        |      t -> length(t)::BIGINT)), 0) * 1000 // n_chars >= 700
+        |      THEN 'drop'
+        |    WHEN coalesce(list_sum(list_transform(tags,
+        |      t -> length(t)::BIGINT)), 0) * 1000 // n_chars >= 50
+        |      THEN 'strip'
+        |    ELSE 'prose' END AS route
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the

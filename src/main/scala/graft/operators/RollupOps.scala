@@ -256,6 +256,31 @@ object RollupOps {
           .otherwise("flat"))
   }
 
+  /** Telemetry double-fire audit — events identical on
+    * (user, type, second) are client retries / double-taps / SDK bugs
+    * that silently inflate every downstream count: per event type,
+    * the distinct duplicated keys, the excess event count, and the
+    * excess share in milli — the number that says whether dedup must
+    * run BEFORE the analytics layer.
+    *
+    * Scale shape: one (user, type, sec) count aggregate (map-side
+    * combined — a double-fire storm on one key collapses to partials)
+    * rolled to a type-keyed report. */
+  def doubleFireAudit(events: DataFrame, secCol: Column,
+                      userCol: String, typeCol: String): DataFrame =
+    events.select(col(userCol).as("__u"), col(typeCol).as("event_type"),
+        secCol.as("__s"))
+      .groupBy(col("__u"), col("event_type"), col("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("__n")).as("n_events"),
+        sum(when(col("__n") > 1L, 1L).otherwise(0L))
+          .as("n_dup_keys"),
+        sum(when(col("__n") > 1L, col("__n") - 1L).otherwise(0L))
+          .as("n_excess"))
+      .withColumn("excess_milli",
+        expr("n_excess * 1000 div greatest(n_events, 1L)"))
+
   /** Retention cohort matrix — the canonical product-analytics view,
     * here the QA surface for any event/feedback stream feeding a
     * training pipeline: users grouped by FIRST-activity day (their

@@ -5832,6 +5832,31 @@ object TextAnalysisOps {
         col("n_flips") >= flipsForInterleaved)
   }
 
+  /** Markup share — the byte fraction of a document living inside
+    * `<...>` tags: the "is this really text or is it markup soup"
+    * router that decides whether a doc goes through tag-strip
+    * extraction at all (near-zero = prose as-is; near-one = a style
+    * sheet that a text pipeline should drop, not strip). Counted on
+    * the raw tag spans, including attributes.
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def markupShare(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val tags = regexp_extract_all(txt, lit("<[^>]*>"), lit(0))
+    docs.select(col(idCol),
+        size(tags).cast("long").as("n_tags"),
+        aggregate(transform(tags, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("markup_chars"),
+        greatest(length(txt).cast("long"), lit(1L)).as("n_chars"))
+      .withColumn("markup_milli",
+        expr("markup_chars * 1000L div n_chars"))
+      .withColumn("route",
+        when(col("markup_milli") >= 700L, "drop")
+          .when(col("markup_milli") >= 50L, "strip")
+          .otherwise("prose"))
+  }
+
   /** Emoji census — emoji codepoints (pictographs, transport,
     * symbols, dingbats, variation selector) per source with document
     * reach and per-kilochar density: the social/chat-register router

@@ -7955,6 +7955,38 @@ class OperatorsSpec extends AnyFunSuite {
       s"funnel must be non-increasing: ${fun.toSeq}")
   }
 
+  test("doubleFireAudit: identical (user,type,sec) events count as " +
+      "excess; distinct seconds never do") {
+    val ev = Seq(
+      (1L, "click", 10L), (1L, "click", 10L), (1L, "click", 10L),
+      (1L, "click", 11L),
+      (2L, "view", 10L), (2L, "view", 20L)).toDF("user_id",
+      "event_type", "sec")
+    val got = RollupOps.doubleFireAudit(ev, col("sec"), "user_id",
+      "event_type").collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("click") == ((4L, 1L, 2L, 500L)))
+    assert(got("view") == ((2L, 0L, 0L, 0L)))
+  }
+
+  test("markupShare: style soup routes drop, tagged prose strips, " +
+      "plain text passes") {
+    val docs = Seq(
+      (1L, "<style>.a{x}</style><div><b>t</b></div>"),
+      (2L, "<p>a decent paragraph of actual readable text here</p>"),
+      (3L, "no tags at all in this one"),
+      (4L, "")).toDF("id", "text")
+    val got = TextAnalysisOps.markupShare(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getAs[String]("route") == "drop")
+    assert(got(1).getAs[String]("route") == "strip" &&
+      got(1).getAs[Long]("n_tags") == 2L)
+    assert(got(2).getAs[String]("route") == "prose" &&
+      got(2).getAs[Long]("markup_milli") == 0L)
+    assert(got(3).getAs[Long]("n_chars") == 1L)
+  }
+
   test("robotsCrawlDelay: delay read from the * group, other agents' " +
       "delays ignored, comment-bearing agent lines parse, absent " +
       "delay reads null") {
