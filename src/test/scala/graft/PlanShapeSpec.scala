@@ -459,7 +459,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q95_source_mix_report", "q100_pipeline", "q111_quality_keepers",
       "q121_incremental_dedup", "q139_domain_cap", "q147_release_report",
       "q166_instruction_dedup", "q171_instruction_dedup_jsonl",
-      "q330_sft_funnel")
+      "q330_sft_funnel", "q169_video_dedup", "q403_dedup_survivorship")
     val winRe = "windowspecdefinition\\(([A-Za-z_0-9]+)#".r
     swept.foreach { q =>
       val p = plan(q)
