@@ -1,0 +1,29 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Driver-contract smoke: `entry` returns rows on sf0.001 and every
+  * `queries` key has an `oracleSql` twin (a missing twin downgrades
+  * the driver's correctness row to a weaker rows-only check — this
+  * catches it before the driver does). */
+object SmokeEntry {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows = $n")
+    require(n > 0, "driver smoke: entry must return rows")
+    require(graft.SparkEntry.oracleSql.keySet ==
+      graft.SparkEntry.queries.keySet,
+      "every query must have an oracle twin; missing: " +
+        (graft.SparkEntry.queries.keySet --
+          graft.SparkEntry.oracleSql.keySet) +
+        "; orphan oracles: " +
+        (graft.SparkEntry.oracleSql.keySet --
+          graft.SparkEntry.queries.keySet))
+    println(s"[smoke] ${graft.SparkEntry.queries.size} queries, " +
+      "oracle keys aligned")
+    spark.stop()
+  }
+}
