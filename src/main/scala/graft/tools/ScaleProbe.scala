@@ -316,6 +316,9 @@ object ScaleProbe {
         graft.operators.DedupOps.incrementalDedup(hotDocs, "doc_id",
           "text", hotDocs.filter(col("doc_id") % 97 === 0)
             .select(md5(col("text")).as("sig")).distinct()))
+      time(s"dedupSurvivorship HOT-SIG x$n (one text in 50% of docs)")(
+        graft.operators.DedupOps.dedupSurvivorship(hotDocs, "doc_id",
+          "text", "source"))
       // one boilerplate paragraph in EVERY doc (the "All rights
       // reserved." case): one hot paragraph md5
       time(s"paragraphDedup HOT-SIG x$n (boilerplate para in all docs)")(
