@@ -33,6 +33,11 @@ object TripEngine {
   private[graft] def rateLimitBatch(pings: Dataset[AircraftPing],
                                     minInterval: Double)
       : Dataset[AircraftPing] = {
+    // minInterval = 0 makes floor(now/0) = +Infinity — EVERY ping of a
+    // hex collapses into one bucket (silent near-total feed loss);
+    // negative values invert the bucketing (round-10 advisory)
+    require(minInterval > 0 && !minInterval.isNaN,
+      s"feedMinInterval must be a positive number of seconds, got $minInterval")
     import org.apache.spark.sql.functions._
     val spark = pings.sparkSession
     import spark.implicits._
@@ -141,6 +146,8 @@ object TripEngine {
 
     val fed = feedMinInterval match {
       case Some(iv) =>
+        require(iv > 0 && !iv.isNaN,
+          s"feedMinInterval must be a positive number of seconds, got $iv")
         pings.toDF()
           .withColumn("__bucket", floor(col("now") / iv))
           .dropDuplicatesWithinWatermark(Seq("hex", "__bucket"))

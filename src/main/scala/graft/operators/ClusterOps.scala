@@ -174,8 +174,15 @@ object ClusterOps {
     val members = connectedComponents(pairs, aCol, bCol)
       .select(col("id"), col("rep").as("cluster"))
       .join(quality.select(col(idCol).as("id"), col(qCol)), Seq("id"))
+    // NULL quality must sort LAST (the replaced rank window's desc
+    // NULLS LAST): a bare negate(NULL) = NULL sorts FIRST in the
+    // ascending struct min, silently crowning a null-quality member
+    // cluster keeper (round-10 advisory) — coalesce to +MaxValue so a
+    // null-quality member wins only a cluster with no scored member
     val keepers = members.groupBy(col("cluster"))
-      .agg(min(struct(negate(col(qCol)).as("nq"),
+      .agg(min(struct(
+        coalesce(negate(col(qCol)).cast("double"),
+          lit(Double.MaxValue)).as("nq"),
         col("id").as("id"))).as("__w"))
       .select(col("__w").getField("id").as("__kid"))
     members.join(keepers, col("id") === col("__kid"), "left")
@@ -189,8 +196,9 @@ object ClusterOps {
     * deduped corpus, so "why did my doc disappear" has a queryable
     * answer. Singleton clusters are excluded (nothing was decided).
     *
-    * Unlike [[qualityKeepers]] (a per-member keep flag via a rank
-    * window over the cluster key) this is ONE cluster-keyed aggregate:
+    * Unlike [[qualityKeepers]] (a per-member keep flag: a cluster-min
+    * aggregate whose keeper ids join back on the unique member id)
+    * this is ONE cluster-keyed aggregate end to end:
     * the keeper rule "max quality, ties → min id" is exactly
     * `min_by(id, (−q, id))`, and min_by/count/max/min all combine
     * map-side, so a pathological mega-cluster (bad LSH threshold)
@@ -215,7 +223,10 @@ object ClusterOps {
       .agg(count(lit(1)).as("n_members"),
         max(col("__q")).as("best_q_micro"),
         min(col("__q")).as("worst_q_micro"),
-        min_by(col("__id"), struct((-col("__q")).as("nq"),
+        // NULLS LAST: a bare -NULL sorts first and would crown a
+        // null-quality member canonical (the qualityKeepers fix)
+        min_by(col("__id"), struct(
+          coalesce(-col("__q"), lit(Long.MaxValue)).as("nq"),
           col("__id").as("id"))).as("canonical_id"))
       .filter(col("n_members") >= 2)
       .select(col("cluster"), col("canonical_id"), col("n_members"),

@@ -5740,20 +5740,24 @@ object TextAnalysisOps {
     val staged = docs.select(col(idCol),
       array_sort(toks).as("__sorted"))
     val sorted = col("__sorted")
-    // fold state packed as (current run, best run) in one long:
-    // run * 2^20 + best — both bounded by document length
+    // fold state packed as (current run, best run) in one long with
+    // 31-bit fields: run * 2^31 + best. Both are bounded by the token
+    // count, and a Spark array caps at Int.MaxValue elements, so
+    // 31 bits hold ANY possible run — the earlier 20-bit layout
+    // overflowed best into the run bits past 2^20 repeats of one
+    // token (round-10 advisory)
     val best = aggregate(
       sequence(lit(2), greatest(size(sorted), lit(2))),
-      lit(1L * (1L << 20) + 1L),
+      lit(1L * (1L << 31) + 1L),
       (acc, i) => {
-        val run = shiftright(acc, 20)
-        val bst = acc.bitwiseAND(lit((1L << 20) - 1L))
+        val run = shiftright(acc, 31)
+        val bst = acc.bitwiseAND(lit((1L << 31) - 1L))
         val nextRun = when(
           element_at(sorted, i) === element_at(sorted, i - 1),
           run + 1L).otherwise(1L)
-        (nextRun * lit(1L << 20)) + greatest(bst, nextRun)
+        (nextRun * lit(1L << 31)) + greatest(bst, nextRun)
       },
-      acc => acc.bitwiseAND(lit((1L << 20) - 1L)))
+      acc => acc.bitwiseAND(lit((1L << 31) - 1L)))
     staged.select(col(idCol),
         size(sorted).cast("long").as("n_tokens"),
         // <= 1 token: the fold's i-1 index would be out of range

@@ -102,8 +102,13 @@ object UrlOps {
     val domain = regexp_replace(host, "^www\\.", "")
     val base = df.select(col(idCol), domain.as("domain"),
       quality.as("quality"))
+    // NULLS LAST for null quality (matching the replaced rank
+    // window's desc order): negate(NULL) = NULL would sort FIRST in
+    // the ascending bounded heap and top the cap (round-10 advisory)
     val tops = base.groupBy(col("domain"))
-      .agg(boundedTopN(struct(negate(col("quality")).as("nq"),
+      .agg(boundedTopN(struct(
+        coalesce(negate(col("quality")).cast("double"),
+          lit(Double.MaxValue)).as("nq"),
         col(idCol).as("id")), maxPerDomain).as("__top"))
       .select(posexplode(col("__top")).as(Seq("__slot", "__s")))
       .select(col("__s").getField("id").as("__kid"),

@@ -5,8 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, Trigger}
 
-/** One event entering the per-user funnel state stage. */
-case class FunnelEvent(user_id: Long, event_type: String,
+/** One event entering the per-user funnel state stage. The user id is
+  * carried as a STRING: a cast to string is lossless and distinct for
+  * both integral and UUID-style ids, where a cast("long") silently
+  * turned non-numeric ids into NULL and then crashed deserialization
+  * on the non-nullable key (round-10 advisory). */
+case class FunnelEvent(user_id: String, event_type: String,
                        ts: java.sql.Timestamp)
 
 /** Per-user funnel progress: the index of the NEXT stage awaited and
@@ -17,7 +21,7 @@ case class FunnelProgress(nextStage: Int, lastTs: Long)
 /** A stage conversion: user u reached stage i (1-based) at ts. The
   * per-stage row counts of this stream ARE the batch
   * [[graft.operators.RollupOps.funnelConversion]] `n_users` column. */
-case class StageReached(user_id: Long, stage_idx: Int, stage: String,
+case class StageReached(user_id: String, stage_idx: Int, stage: String,
                         ts: java.sql.Timestamp)
 
 /** Streaming twin of [[graft.operators.RollupOps.funnelConversion]]:
@@ -64,13 +68,13 @@ object FunnelStream {
       .filter(col(eventTimeCol).isNotNull)
       // only funnel-stage events reach the state exchange
       .filter(stages.map(col(typeCol) === _).reduce(_ || _))
-      .select(col(userCol).cast("long").as("user_id"),
+      .select(col(userCol).cast("string").as("user_id"),
         col(typeCol).as("event_type"),
         col(eventTimeCol).as("ts"))
       .withWatermark("ts", watermarkDelay)
       .as[FunnelEvent]
 
-    def update(user: Long, rows: Iterator[FunnelEvent],
+    def update(user: String, rows: Iterator[FunnelEvent],
                gs: GroupState[FunnelProgress]): Iterator[StageReached] = {
       if (gs.hasTimedOut) {
         gs.remove()
@@ -107,7 +111,11 @@ object FunnelStream {
   }
 
   /** Transition stream → append-only parquet (the batch n_users per
-    * stage = count of rows per stage_idx on read). */
+    * stage = count of rows per stage_idx on read). NOTE: the state key
+    * changed Long → String when the lossy id cast was removed; a
+    * checkpoint written by the old key type cannot be resumed — start
+    * from a fresh `outDir` (same recovery rule as
+    * [[StreamingEngine]]'s state-version guard). */
   def start(events: DataFrame, outDir: String,
             userCol: String = "user_id", typeCol: String = "event_type",
             eventTimeCol: String = "ts",

@@ -118,4 +118,29 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(after.count() == got.count(),
       "a post-completion event must not emit a transition")
   }
+
+  test("UUID-style string user ids flow through natively — the lossy " +
+      "long cast made them NULL and crashed deserialization " +
+      "(round-10 advisory)") {
+    val src = Files.createTempDirectory("graft_funs_src").toString
+    val out = Files.createTempDirectory("graft_funs_out").toString
+    def ts(off: Long) = new java.sql.Timestamp((base + off) * 1000L)
+    val df = Seq(
+      ("9f8a3c1e-aaaa", "view", ts(1)),
+      ("9f8a3c1e-aaaa", "click", ts(2)),
+      ("9f8a3c1e-aaaa", "purchase", ts(3)),
+      ("0b2d4f6a-bbbb", "view", ts(1)),
+      // purchase cannot convert stage 2 — stays mid-funnel
+      ("0b2d4f6a-bbbb", "purchase", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(df.schema).parquet(src)
+    val q = FunnelStream.start(stream, out, stages = stages)
+    q.awaitTermination(180000L)
+    val byUser = spark.read.parquet(s"$out/transitions")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byUser == Map("9f8a3c1e-aaaa" -> 3L, "0b2d4f6a-bbbb" -> 1L),
+      byUser.toString)
+  }
 }

@@ -1933,6 +1933,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) == (("b.org", 1, true)))
   }
 
+  test("domainCap: a null-quality page sorts LAST, never topping the " +
+      "cap over scored pages (round-10 advisory)") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (1L, "https://a.com/x", Some(50L)),
+      (2L, "https://a.com/y", None),     // null quality
+      (3L, "https://a.com/z", Some(70L)),
+      (4L, "https://c.net/only", None))  // null but alone in domain
+      .toDF("doc_id", "url", "q")
+    val got = UrlOps.domainCap(docs, "doc_id", "url", col("q"), 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // a.com top-2 = the two SCORED pages (3 then 1); the null page is
+    // cut. A null page still wins a domain with no scored member.
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true),
+      got.toString)
+  }
+
   test("curationFunnel: a doc failing several gates counts once at " +
       "its FIRST failure; totals reconcile with the corpus") {
     import graft.operators.CurationPipeline
@@ -2336,6 +2353,19 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(col("keep")).collect().map(_.getLong(0)).toSet
     // cluster {1,2,3}: id 2 has the top quality (min-id rule would
     // keep 1); cluster {10,11}: quality tie -> lowest id 10
+    assert(keepers == Set(2L, 10L), keepers.toString)
+  }
+
+  test("qualityKeepers: a null-quality member never beats a scored " +
+      "one (NULLS LAST, round-10 advisory)") {
+    import graft.operators.ClusterOps
+    val pairs = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq((1L, None), (2L, Some(3L)),
+      (10L, None), (11L, None)) // all-null cluster: min id wins
+      .toDF("doc_id", "n_tokens")
+    val keepers = ClusterOps.qualityKeepers(pairs, "id_a", "id_b",
+      quality, "doc_id", "n_tokens")
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
     assert(keepers == Set(2L, 10L), keepers.toString)
   }
 
@@ -5393,6 +5423,20 @@ class OperatorsSpec extends AnyFunSuite {
       got(0).getAs[String]("canonical_id") == "doc-b2")
   }
 
+  test("canonicalReport: a null-quality member never beats a scored " +
+      "one (NULLS LAST, round-10 advisory)") {
+    val members = Seq(
+      ("doc-a1", "c1", Some(10L)), ("doc-b2", "c1", None),
+      ("doc-c3", "c2", None), ("doc-d4", "c2", None)
+    ).toDF("id", "cluster", "q")
+    val got = ClusterOps.canonicalReport(members, "id", "cluster",
+      col("q")).orderBy("cluster").collect()
+    assert(got(0).getAs[String]("canonical_id") == "doc-a1",
+      "scored member must win over the null-quality one")
+    assert(got(1).getAs[String]("canonical_id") == "doc-c3",
+      "an all-null cluster falls to the min id")
+  }
+
   test("packingCurve on an all-empty corpus reports zero packs and " +
       "NULL fill instead of dividing by zero") {
     val got = PackingOps.packingCurve(
@@ -7864,6 +7908,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).getAs[Long]("max_count") == 1L &&
       !got(2).getAs[Boolean]("stuffed"))
     assert(got(3).getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("keywordStuffing: a run past 2^20 does not overflow the packed " +
+      "fold state (round-10 advisory: 20-bit fields corrupted it)") {
+    val n = (1 << 20) + 37 // 1,048,613 repeats of one token
+    val docs = Seq((1L, "x " * n)).toDF("id", "text")
+    val got = TextAnalysisOps.keywordStuffing(docs, "id", "text")
+      .collect().head
+    assert(got.getAs[Long]("n_tokens") == n.toLong)
+    assert(got.getAs[Long]("max_count") == n.toLong,
+      s"max_count=${got.getAs[Long]("max_count")} expected $n")
+    assert(got.getAs[Long]("top_share_milli") == 1000L &&
+      got.getAs[Boolean]("stuffed"))
   }
 
   test("langInterleave: alternating en/fr lines flip; unk lines " +

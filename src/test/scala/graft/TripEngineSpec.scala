@@ -127,4 +127,21 @@ class TripEngineSpec extends AnyFunSuite {
     assert(uncapped.count(_.hex == "stk001") >
       capped.count(_.hex == "stk001"))
   }
+
+  test("feed-rate cap rejects non-positive intervals up front " +
+      "(interval 0 would collapse every ping into one bucket — " +
+      "round-10 advisory)") {
+    import spark.implicits._
+    val feed = spark.createDataset(fixture)
+    for (bad <- Seq(0.0, -5.0, Double.NaN)) {
+      val e = intercept[IllegalArgumentException] {
+        TripEngine.runBatch(feed, cfg, feedMinInterval = Some(bad))
+      }
+      assert(e.getMessage.contains("positive"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        TripEngine.runStreaming(feed, cfg, feedMinInterval = Some(bad))
+      }
+      assert(e2.getMessage.contains("positive"), e2.getMessage)
+    }
+  }
 }
