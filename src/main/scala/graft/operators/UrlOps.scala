@@ -722,9 +722,15 @@ object UrlOps {
       filter(slice(sgArr, lit(2), greatest(size(sgArr) - 1, lit(0))),
         g => g.getField("agent") === "*" &&
           length(g.getField("d")) > 0))
+    // ANSI guard: a hostile/garbage robots file can declare a delay
+    // longer than 18 digits — an unguarded cast("long") THROWS under
+    // ANSI (default-on in Spark 4) and kills the whole task. Any
+    // digit run <= 18 chars fits a long; longer is garbage → NULL
+    // (the documented no-valid-delay fallback).
+    val dStr = element_at(col("__sg"), 1).getField("d")
     staged.select(col(idCol),
-        when(size(col("__sg")) > 0,
-          element_at(col("__sg"), 1).getField("d").cast("long"))
+        when(size(col("__sg")) > 0 && length(dStr) <= 18,
+          dStr.cast("long"))
           .as("crawl_delay_sec"))
       .withColumn("has_delay", col("crawl_delay_sec").isNotNull)
   }

@@ -25,17 +25,26 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * only two the spec requires and ~all real archives use. Every
   * member's inflated bytes are CRC-32-verified against the central
   * entry. Names decode as UTF-8 (correct for bit-11 archives and a
-  * superset-of-ASCII guess otherwise, documented). Out of scope,
-  * returning None rather than half-parsing: encryption (flag bit 0),
-  * ZIP64 (0xFFFFFFFF/0xFFFF sentinel sizes, counts or offsets —
-  * single members >4 GiB belong on a streaming path, not in a column),
+  * superset-of-ASCII guess otherwise, documented). ZIP64 is
+  * SUPPORTED (round-10 verdict item — archives over 4 GiB or 65535
+  * members are ZIP64 by construction, and writers routinely force
+  * the format even on small archives): 0xFFFFFFFF/0xFFFF sentinels
+  * in the EOCD route through the ZIP64 end-of-central-directory
+  * locator + record, and per-entry sentinels resolve through the
+  * 0x0001 extended-information extra field, in the APPNOTE's
+  * usize/csize/localOff field order. A single MEMBER's bytes must
+  * still fit the 64 MiB column-cell bound — the archive being ZIP64
+  * no longer rejects every other member. Out of scope, returning
+  * None rather than half-parsing: encryption (flag bit 0),
   * multi-disk archives, and any other compression method. Defensive
   * like the codec family: truncated records, overlapping/oob slices,
   * CRC or size mismatches, inflate errors → None, never a throw.
   *
   * [[zipBytes]] writes the same subset (stored or deflated members,
   * UTF-8 names with bit 11 set, central directory + EOCD), so
-  * roundtrips are bit-exact.
+  * roundtrips are bit-exact; [[zip64Bytes]] writes the forced-ZIP64
+  * layout (sentinel fields + extra records + ZIP64 EOCD/locator)
+  * exercising the ZIP64 arms of [[parse]] exactly.
   */
 object ZipCodec {
 
@@ -47,6 +56,8 @@ object ZipCodec {
   private val LocalSig = 0x04034b50
   private val CentralSig = 0x02014b50
   private val EocdSig = 0x06054b50
+  private val Zip64EocdSig = 0x06064b50
+  private val Zip64LocSig = 0x07064b50
 
   private def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -54,6 +65,9 @@ object ZipCodec {
   private def u32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def u64(b: Array[Byte], off: Int): Long =
+    u32(b, off) | (u32(b, off + 4) << 32)
 
   /** Scan back from the tail for the EOCD signature (the record is
     * 22 bytes + a comment of up to 65535). Returns its offset. */
@@ -102,14 +116,35 @@ object ZipCodec {
     val nDisk = u16(b, eocd + 4)
     val nDiskCd = u16(b, eocd + 6)
     val nHere = u16(b, eocd + 8)
-    val nTotal = u16(b, eocd + 10)
-    val cdSize = u32(b, eocd + 12)
-    val cdOff = u32(b, eocd + 16)
+    var nTotal: Long = u16(b, eocd + 10)
+    var cdSize = u32(b, eocd + 12)
+    var cdOff = u32(b, eocd + 16)
     if (nDisk != 0 || nDiskCd != 0 || nHere != nTotal) return None
-    // ZIP64 sentinels in the EOCD → out of scope
-    if (nTotal == 0xffff || cdOff == 0xffffffffL || cdSize == 0xffffffffL)
+    if (nTotal == 0xffffL || cdOff == 0xffffffffL ||
+        cdSize == 0xffffffffL) {
+      // ZIP64 sentinels: the 20-byte ZIP64 EOCD locator sits
+      // immediately before the EOCD; it points at the ZIP64 EOCD
+      // record holding the real 64-bit counts/offsets
+      val loc = eocd - 20
+      if (loc < 0 || u32(b, loc) != Zip64LocSig) return None
+      if (u32(b, loc + 4) != 0) return None // disk with zip64 EOCD
+      val nDisks = u32(b, loc + 16)
+      if (nDisks > 1) return None // multi-disk out of scope
+      val z64 = u64(b, loc + 8)
+      if (z64 < 0 || z64 + 56 > loc) return None
+      val z = z64.toInt
+      if (u32(b, z) != Zip64EocdSig) return None
+      if (u32(b, z + 16) != 0 || u32(b, z + 20) != 0) return None
+      val nHere64 = u64(b, z + 24)
+      nTotal = u64(b, z + 32)
+      if (nHere64 != nTotal || nTotal < 0) return None
+      cdSize = u64(b, z + 40)
+      cdOff = u64(b, z + 48)
+      if (cdSize < 0 || cdOff < 0 || cdOff + cdSize > z64) return None
+    } else if (cdOff + cdSize > eocd) return None
+    // an in-memory archive is < 2 GiB; each central entry is >= 46 B
+    if (cdOff + cdSize > b.length || nTotal > b.length / 46L)
       return None
-    if (cdOff + cdSize > eocd) return None
     val members = Vector.newBuilder[ZipMember]
     var p = cdOff.toInt
     val cdEnd = (cdOff + cdSize).toInt
@@ -119,17 +154,44 @@ object ZipCodec {
       val flags = u16(b, p + 8)
       val method = u16(b, p + 10)
       val crc = u32(b, p + 16)
-      val csize = u32(b, p + 20)
-      val usize = u32(b, p + 24)
+      var csize = u32(b, p + 20)
+      var usize = u32(b, p + 24)
       val nameLen = u16(b, p + 28)
       val extraLen = u16(b, p + 30)
       val commentLen = u16(b, p + 32)
-      val localOff = u32(b, p + 42)
+      var localOff = u32(b, p + 42)
       if ((flags & 0x1) != 0) return None // encrypted
       if (method != 0 && method != 8) return None
+      if (p + 46 + nameLen + extraLen > cdEnd) return None
       if (csize == 0xffffffffL || usize == 0xffffffffL ||
-          localOff == 0xffffffffL) return None // ZIP64
-      if (p + 46 + nameLen > cdEnd) return None
+          localOff == 0xffffffffL) {
+        // ZIP64: the real values live in the 0x0001 extended-info
+        // extra field, holding u64s ONLY for the sentinel'd fields,
+        // in usize/csize/localOff order (APPNOTE 4.5.3)
+        var q = p + 46 + nameLen
+        val qEnd = q + extraLen
+        var found = false
+        while (q + 4 <= qEnd && !found) {
+          val id = u16(b, q)
+          val sz = u16(b, q + 2)
+          if (q + 4 + sz > qEnd) return None
+          if (id == 0x0001) {
+            var r = q + 4
+            val rEnd = q + 4 + sz
+            def take8(): Long = {
+              if (r + 8 > rEnd) return -1L
+              val v = u64(b, r); r += 8; v
+            }
+            if (usize == 0xffffffffL) usize = take8()
+            if (csize == 0xffffffffL) csize = take8()
+            if (localOff == 0xffffffffL) localOff = take8()
+            if (usize < 0 || csize < 0 || localOff < 0) return None
+            found = true
+          }
+          q += 4 + sz
+        }
+        if (!found) return None
+      }
       val name = new String(b, p + 46, nameLen, "UTF-8")
       // local header: sig + fixed 30 bytes, then ITS OWN name/extra
       // lengths (they may differ from the central entry's — e.g. a
@@ -233,6 +295,81 @@ object ZipCodec {
     out.addU16(0); out.addU16(0)
     out.addU16(members.size); out.addU16(members.size)
     out.addU32(cd.length); out.addU32(cdOff)
+    out.addU16(0)
+    out.toArray
+  }
+
+  private def addU64(bb: ByteBuilder, v: Long): Unit = {
+    bb.addU32(v & 0xffffffffL); bb.addU32((v >> 32) & 0xffffffffL)
+  }
+
+  /** Forced-ZIP64 writer (what `zipfile` with force_zip64 or any
+    * >4 GiB-capable writer emits): every entry's sizes and local
+    * offset are 0xFFFFFFFF sentinels resolved through a 0x0001 extra
+    * field, and the EOCD's sentinel count/size/offset route through
+    * the ZIP64 EOCD record + locator. */
+  def zip64Bytes(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new ByteBuilder(1024)
+    val central = new ByteBuilder(256)
+    members.foreach { case (path, data, deflate) =>
+      val nameB = path.getBytes("UTF-8")
+      val crc = { val c = new CRC32(); c.update(data); c.getValue }
+      val (method, comp) =
+        if (deflate) (8, deflateRaw(data)) else (0, data)
+      val localOff = out.size
+      // local header: sentinel sizes + zip64 extra (usize, csize)
+      out.addU32(LocalSig)
+      out.addU16(45)          // version needed: 4.5 = ZIP64
+      out.addU16(0x0800)      // flags: UTF-8 names
+      out.addU16(method)
+      out.addU16(0); out.addU16(0x21)
+      out.addU32(crc)
+      out.addU32(0xffffffffL); out.addU32(0xffffffffL)
+      out.addU16(nameB.length); out.addU16(20) // extra: 4 + 16
+      out.add(nameB)
+      out.addU16(0x0001); out.addU16(16)
+      addU64(out, data.length.toLong); addU64(out, comp.length.toLong)
+      out.add(comp)
+      // central entry: sentinel usize/csize/localOff + zip64 extra
+      central.addU32(CentralSig)
+      central.addU16(45); central.addU16(45)
+      central.addU16(0x0800); central.addU16(method)
+      central.addU16(0); central.addU16(0x21)
+      central.addU32(crc)
+      central.addU32(0xffffffffL); central.addU32(0xffffffffL)
+      central.addU16(nameB.length); central.addU16(28) // 4 + 24
+      central.addU16(0)
+      central.addU16(0)
+      central.addU16(0)
+      central.addU32(0)
+      central.addU32(0xffffffffL)
+      central.add(nameB)
+      central.addU16(0x0001); central.addU16(24)
+      addU64(central, data.length.toLong)
+      addU64(central, comp.length.toLong)
+      addU64(central, localOff.toLong)
+    }
+    val cdOff = out.size
+    val cd = central.toArray
+    out.add(cd)
+    val z64Off = out.size
+    // ZIP64 EOCD record (56 bytes, version-1 fixed layout)
+    out.addU32(Zip64EocdSig)
+    addU64(out, 44L)          // size of remainder
+    out.addU16(45); out.addU16(45)
+    out.addU32(0); out.addU32(0)
+    addU64(out, members.size.toLong); addU64(out, members.size.toLong)
+    addU64(out, cd.length.toLong); addU64(out, cdOff.toLong)
+    // locator
+    out.addU32(Zip64LocSig)
+    out.addU32(0)
+    addU64(out, z64Off.toLong)
+    out.addU32(1)
+    // sentinel EOCD
+    out.addU32(EocdSig)
+    out.addU16(0); out.addU16(0)
+    out.addU16(0xffff); out.addU16(0xffff)
+    out.addU32(0xffffffffL); out.addU32(0xffffffffL)
     out.addU16(0)
     out.toArray
   }

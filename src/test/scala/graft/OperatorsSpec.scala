@@ -3219,11 +3219,17 @@ class OperatorsSpec extends AnyFunSuite {
         .copyToArray(arr, h + 148)
       arr(h + 154) = 0; arr(h + 155) = ' '
     }
-    // exotic typeflag (symlink '2') rejects the archive — with a
+    // symlink entries are SKIPPED like directories (round 10: failing
+    // the archive over one link lost every other member) — with a
     // VALID checksum, so the typeflag branch is what fires
     val link = bytes.clone(); link(156) = '2'.toByte
     refreshChecksum(link, 0)
-    assert(TarCodec.parse(link).isEmpty)
+    assert(TarCodec.parse(link).get.map(_.name) ==
+      Seq("docs/b.txt", "empty.txt"))
+    // a genuinely exotic typeflag (fifo '6') still rejects
+    val fifo = bytes.clone(); fifo(156) = '6'.toByte
+    refreshChecksum(fifo, 0)
+    assert(TarCodec.parse(fifo).isEmpty)
     // directory entries skip cleanly (valid checksum, zero size)
     val dirTar = TarCodec.tarBytes(Seq(("d/", Array.empty[Byte]),
       ("d/f.txt", "in dir".getBytes("UTF-8"))))
@@ -3296,6 +3302,147 @@ class OperatorsSpec extends AnyFunSuite {
     refreshChecksum2(dirTar, lRecLenFor(("very/long/dir/" * 9) + "d/"))
     val dirGot = TarCodec.parse(dirTar).get
     assert(dirGot.map(_.name) == Seq("f.txt"))
+  }
+
+  test("TarCodec PAX ('x') headers: path/size records override the " +
+      "ustar fields; 'g' globals skip; malformed records reject " +
+      "(round-10 verdict item)") {
+    import graft.sources.TarCodec
+    // the PAX writer twin: every member rides an 'x' record
+    val longName = ("pax/deeply/nested/" * 7) + "leaf.txt"
+    val members = Seq(
+      (longName, "pax payload".getBytes("UTF-8")),
+      ("short.txt", ("y" * 700).getBytes("UTF-8")),
+      ("empty.txt", Array.empty[Byte]))
+    val bytes = TarCodec.paxBytes(members)
+    assert(bytes.length % 512 == 0)
+    // physical layout: first record is the 'x' extended header
+    assert((bytes(156) & 0xff) == 'x'.toInt)
+    val got = TarCodec.parse(bytes).get
+    assert(got.map(_.name) == members.map(_._1),
+      got.map(_.name).mkString(","))
+    assert(got.map(_.size) == Seq(11L, 700L, 0L))
+    assert(new String(got.head.data, "UTF-8") == "pax payload")
+    // the POSIX record layout: "len key=value\n" with len counting
+    // its own digits (used below to locate record boundaries)
+    def paxRec(k: String, v: String): Array[Byte] = {
+      val body = s" $k=$v\n"
+      var len = body.length + 1
+      while (len.toString.length + body.length != len)
+        len = len.toString.length + body.length
+      (len.toString + body).getBytes("UTF-8")
+    }
+    // 'g' global header (git archive emits one carrying `comment`):
+    // validated, skipped, no override leaks
+    val g = TarCodec.paxBytes(Seq(("a.txt", "hello".getBytes("UTF-8"))))
+    // flip the first 'x' to 'g': its path record must NOT rename a.txt
+    val gt = g.clone(); gt(156) = 'g'.toByte
+    // recompute checksum of the flipped header
+    def refresh(arr: Array[Byte], h: Int): Unit = {
+      var s = 0L
+      for (i <- 0 until 512)
+        s += (if (i >= 148 && i < 156) ' '.toInt else arr(h + i) & 0xff)
+      val cs = java.lang.Long.toOctalString(s)
+      ("0" * (6 - cs.length) + cs).getBytes("US-ASCII")
+        .copyToArray(arr, h + 148)
+      arr(h + 154) = 0; arr(h + 155) = ' '
+    }
+    refresh(gt, 0)
+    val gGot = TarCodec.parse(gt).get
+    assert(gGot.map(_.name) == Seq("a.txt"),
+      "a 'g' global's path record must not rename the next member")
+    // dangling 'x' (no following member) is malformed
+    val xRecLen = {
+      val rec = paxRec("path", "a.txt") ++ paxRec("size", "5")
+      512 + ((rec.length + 511) / 512) * 512
+    }
+    val dangling = g.take(xRecLen) ++ Array.fill(1024)(0.toByte)
+    assert(TarCodec.parse(dangling).isEmpty)
+    // malformed pax record: a length that does not end in newline
+    val badRec = g.clone()
+    // the record data starts at offset 512; corrupt its first digit
+    badRec(512) = 'x'.toByte
+    assert(TarCodec.parse(badRec).isEmpty)
+  }
+
+  test("TarCodec GNU 'K' long-linkname and base-256 sizes: a 'K' + " +
+      "symlink pair skips cleanly; a binary size field parses") {
+    import graft.sources.TarCodec
+    val bytes = TarCodec.tarBytes(Seq(
+      ("real.txt", "keep me".getBytes("UTF-8")),
+      ("link_target_marker.txt", "x".getBytes("UTF-8"))))
+    def refresh(arr: Array[Byte], h: Int): Unit = {
+      var s = 0L
+      for (i <- 0 until 512)
+        s += (if (i >= 148 && i < 156) ' '.toInt else arr(h + i) & 0xff)
+      val cs = java.lang.Long.toOctalString(s)
+      ("0" * (6 - cs.length) + cs).getBytes("US-ASCII")
+        .copyToArray(arr, h + 148)
+      arr(h + 154) = 0; arr(h + 155) = ' '
+    }
+    // turn the SECOND member into a 'K' record followed by nothing —
+    // dangling 'K' is malformed
+    val secondOff = 512 + 512 // header + one data block of member 1
+    val dang = bytes.clone(); dang(secondOff + 156) = 'K'.toByte
+    refresh(dang, secondOff)
+    assert(TarCodec.parse(dang).isEmpty)
+    // 'K' followed by a symlink: both skip, the real member survives
+    val withLink = TarCodec.tarBytes(Seq(
+      ("klink_name_record", ("../target/path" + " ")
+        .getBytes("US-ASCII")),
+      ("the_symlink", Array.empty[Byte]),
+      ("real.txt", "keep me".getBytes("UTF-8"))))
+    withLink(156) = 'K'.toByte
+    refresh(withLink, 0)
+    val linkHdr = 512 + 512 // K header + its one data block
+    withLink(linkHdr + 156) = '2'.toByte
+    refresh(withLink, linkHdr)
+    val got = TarCodec.parse(withLink).get
+    assert(got.map(_.name) == Seq("real.txt"))
+    // base-256 size: rewrite member 1's size field as binary
+    val b256 = bytes.clone()
+    java.util.Arrays.fill(b256, 124, 136, 0.toByte)
+    b256(124) = 0x80.toByte
+    b256(135) = 7.toByte // size 7 = "keep me".length
+    refresh(b256, 0)
+    val g2 = TarCodec.parse(b256).get
+    assert(g2.head.size == 7L &&
+      new String(g2.head.data, "UTF-8") == "keep me")
+  }
+
+  test("ZipCodec ZIP64: forced-zip64 archives (sentinel EOCD + " +
+      "0x0001 extras) round-trip; truncation still rejects " +
+      "(round-10 verdict item)") {
+    import graft.sources.ZipCodec
+    val members = Seq(
+      ("docs/a.txt", "hello zip64 world".getBytes("UTF-8"), false),
+      ("docs/big.txt", ("abc" * 5000).getBytes("UTF-8"), true),
+      ("empty.bin", Array.empty[Byte], false))
+    val bytes = ZipCodec.zip64Bytes(members)
+    val got = ZipCodec.parse(bytes).get
+    assert(got.map(_.name) == members.map(_._1))
+    assert(got.map(_.method) == Seq(0, 8, 0))
+    assert(got.map(_.size) == members.map(_._2.length.toLong))
+    got.zip(members).foreach { case (m, (_, data, _)) =>
+      assert(m.data.toSeq == data.toSeq)
+    }
+    // the EOCD genuinely carries sentinels (the ZIP64 path, not the
+    // classic one, is what parsed this archive)
+    val eocd = bytes.length - 22
+    assert((bytes(eocd + 10) & 0xff) == 0xff &&
+      (bytes(eocd + 11) & 0xff) == 0xff)
+    // truncating the zip64 EOCD record away → None
+    assert(ZipCodec.parse(bytes.take(bytes.length - 60)).isEmpty)
+    // corrupt a data byte → CRC mismatch → None (first member's data
+    // starts after its 30-byte local header + 10-byte name + 20-byte
+    // zip64 extra)
+    val bad = bytes.clone(); bad(30 + 10 + 20 + 2) = 'Z'.toByte
+    assert(ZipCodec.parse(bad).isEmpty)
+    // a locator pointing past the file → None
+    val badLoc = bytes.clone()
+    val locOff = bytes.length - 22 - 20
+    badLoc(locOff + 8) = 0x70.toByte
+    assert(ZipCodec.parse(badLoc).isEmpty)
   }
 
   private def lRecLenFor(name: String): Int =
@@ -6045,7 +6192,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("ZipCodec roundtrips stored + deflated members, verifies CRCs, " +
-      "rejects malformation, encryption and ZIP64") {
+      "rejects malformation and encryption") {
     import graft.sources.ZipCodec
     val members = Seq(
       ("docs/a.txt", "hello zip world".getBytes("UTF-8"), false),
@@ -6085,7 +6232,8 @@ class OperatorsSpec extends AnyFunSuite {
     val meth = bytes.clone()
     meth(findCentral(meth) + 10) = 12
     assert(ZipCodec.parse(meth).isEmpty)
-    // ZIP64 sentinel sizes → None
+    // a ZIP64 sentinel size WITHOUT the 0x0001 extra field that must
+    // carry the real value → malformed, None
     val z64 = bytes.clone()
     val c0 = findCentral(z64)
     for (i <- 0 until 4) z64(c0 + 20 + i) = 0xff.toByte
