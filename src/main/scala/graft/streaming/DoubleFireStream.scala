@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming twin of [[graft.operators.RollupOps.doubleFireAudit]]:
+  * the batch audit COUNTS telemetry double-fires (the same user
+  * emitting the same event type in the same second — the retry-bug /
+  * at-least-once-delivery signature); the streaming twin REPAIRS the
+  * stream live, keeping exactly one row per (user, event type,
+  * second) via `dropDuplicatesWithinWatermark`.
+  *
+  * Equivalence contract (pinned by the spec): kept rows = distinct
+  * (user, type, sec) keys, so per event type
+  * `raw count − kept count == doubleFireAudit.n_excess` on the same
+  * events — including across a checkpoint restart (the dedup state
+  * lives in the state store, so a phase-2 replay of a phase-1 key
+  * within the watermark is still dropped; exactly-once per key).
+  * A duplicate arriving LATER than the watermark delay can be
+  * re-admitted — the same watermark-bounded contract as the funnel
+  * and minhash twins ([[FunnelStream]], the TripEngine disorder
+  * discipline).
+  *
+  * Plan shape: a stateless projection to (user, type, ts, sec), ONE
+  * dedup state exchange keyed by the (user, type, sec) triple —
+  * state is one small row per distinct key inside the watermark
+  * horizon, evicted as the watermark passes; no aggregation state,
+  * no per-user history. User ids stay in their NATIVE type (the
+  * FunnelStream round-10 lesson: a lossy numeric cast corrupts
+  * string/UUID ids silently). */
+object DoubleFireStream {
+
+  /** The repaired stream: one row per (user, event type, second). */
+  def deduped(events: DataFrame, userCol: String, typeCol: String,
+              eventTimeCol: String,
+              watermarkDelay: String): DataFrame =
+    events
+      .filter(col(eventTimeCol).isNotNull)
+      .select(col(userCol).as("user_id"),
+        col(typeCol).as("event_type"),
+        col(eventTimeCol).as("ts"))
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "sec"))
+
+  /** Deduped stream → append-only parquet. Reading the output and
+    * diffing per-type counts against the raw feed IS the batch
+    * audit's n_excess (the spec's equivalence pin). */
+  def start(events: DataFrame, outDir: String,
+            userCol: String = "user_id", typeCol: String = "event_type",
+            eventTimeCol: String = "ts",
+            watermarkDelay: String = "24 hours",
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    deduped(events, userCol, typeCol, eventTimeCol, watermarkDelay)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       bid: Long) =>
+        batch.withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$outDir/deduped")
+      }
+      .start()
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.RollupOps
+import graft.streaming.DoubleFireStream
+
+/** The q410 streaming-twin soak: the live dedup's per-type
+  * (raw − kept) counts must equal the oracle-pinned batch
+  * doubleFireAudit's n_excess on the same events, across a checkpoint
+  * restart — including a phase-2 REPLAY of a phase-1 key, which the
+  * persisted dedup state must still drop. */
+class DoubleFireStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = 1718100000L
+
+  /** 30 users in three behavior classes per event type:
+    *  %3==0 clean: one view, one click, distinct seconds
+    *  %3==1 double-fired view (same user+type+sec twice)
+    *  %3==2 triple-fired click + a clean view
+    * Phase 1 carries each user's first occurrence of every key (plus
+    * one dup); phase 2 the remaining dups AND a replay of a phase-1
+    * key (user 1's view) that the restart-persisted state must drop.
+    * UUID-style string ids exercise the native-id contract. */
+  private def eventsOf(phase: Int): Seq[(String, String, java.sql.Timestamp)] =
+    (0 until 30).flatMap { u =>
+      val uid = s"u-${"%04d".format(u)}-beef"
+      def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000L)
+      // (type, sec, phase)
+      val rows: Seq[(String, Long, Int)] = (u % 3) match {
+        case 0 => Seq(("view", u * 10L, 1), ("click", u * 10L + 5, 1))
+        case 1 => Seq(("view", u * 10L, 1), ("view", u * 10L, 1),
+          ("view", u * 10L, 2)) // third fire arrives after restart
+        case _ => Seq(("click", u * 10L, 1), ("click", u * 10L, 2),
+          ("click", u * 10L, 2), ("view", u * 10L + 3, 1))
+      }
+      val replay = if (u == 1 && phase == 2)
+        Seq(("view", u * 10L, 2)) else Seq.empty
+      (rows ++ replay).filter(_._3 == phase)
+        .map { case (t, sec, _) => (uid, t, ts(sec)) }
+    }
+
+  private def writeEvents(src: String, name: String, phase: Int,
+                          mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_dfs_tmp").toString
+    eventsOf(phase).toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = Path.of(src, s"$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+  }
+
+  test("streaming dedup ≡ batch doubleFireAudit across a restart; " +
+      "a replayed phase-1 key is dropped by persisted state") {
+    val src = Files.createTempDirectory("graft_dfs_src").toString
+    val out = Files.createTempDirectory("graft_dfs_out").toString
+    val schema = eventsOf(1).toDF("user_id", "event_type", "ts").schema
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = DoubleFireStream.start(stream, out)
+      q.awaitTermination(180000L)
+    }
+
+    writeEvents(src, "p1", 1, 1000L)
+    run()
+    writeEvents(src, "p2", 2, 2000L)
+    run()
+
+    val kept = spark.read.parquet(s"$out/deduped")
+    // exactly-once per key: no (user, type, sec) appears twice, even
+    // across the restart (user 1's phase-2 replay must be dropped)
+    assert(kept.groupBy("user_id", "event_type", "sec").count()
+      .filter(col("count") > 1).count() == 0)
+
+    val all = (eventsOf(1) ++ eventsOf(2))
+      .toDF("user_id", "event_type", "ts")
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+    val audit = RollupOps.doubleFireAudit(all, col("sec"),
+      "user_id", "event_type")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+
+    val rawByType = all.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByType = kept.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    audit.foreach { case (tpe, (nEvents, nExcess)) =>
+      assert(rawByType(tpe) == nEvents, s"$tpe raw count")
+      assert(rawByType(tpe) - keptByType(tpe) == nExcess,
+        s"$tpe: raw ${rawByType(tpe)} - kept ${keptByType(tpe)} " +
+          s"must equal batch n_excess $nExcess")
+    }
+    // fixture sanity: class-1 users (10 of them) fire view 3x +
+    // user 1's replay -> view excess = 10*2 + 1 = 21; class-2 users
+    // (10) fire click 3x -> click excess = 20
+    assert(audit("view")._2 == 21L, audit.toString)
+    assert(audit("click")._2 == 20L, audit.toString)
+    // string ids survived natively
+    assert(kept.filter(col("user_id").startsWith("u-")).count() ==
+      kept.count())
+  }
+}

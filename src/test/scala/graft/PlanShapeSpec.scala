@@ -440,6 +440,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"stage firsts must combine map-side:\n$p")
   }
 
+  test("q381: user lifecycle is pure user-keyed aggregates — no " +
+      "window, no per-user event collect, map-side combine") {
+    val p = plan("q381_user_lifecycle")
+    assert(!p.contains("Window"),
+      s"lifecycle classing must be aggregate arithmetic, not ranks:\n$p")
+    assert(!p.contains("collect_list"),
+      s"a power user's history must never ride one task:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"per-user firsts/counts must combine map-side:\n$p")
+  }
+
+  test("q382: top-decile share is the histogram-telescoped cut — the " +
+      "only window rides the bounded count-histogram, never a " +
+      "per-user rank") {
+    val p = plan("q382_top_decile_share")
+    val winRe = "windowspecdefinition\\(([A-Za-z_0-9]+)#".r
+    val keys = winRe.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("__n")),
+      s"the running cut must order the (count -> users) HISTOGRAM " +
+        s"(bounded by distinct activity levels), got windows on " +
+        s"$keys:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the totals join must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-user counts must combine map-side:\n$p")
+  }
+
+  test("q393: HITS iterations are keyed joins + map-side sums — no " +
+      "cartesian, no window, no per-node collect") {
+    val p = plan("q393_hits_scores")
+    assert(!p.contains("CartesianProduct"),
+      s"score propagation must join on the edge keys:\n$p")
+    assert(!p.contains("Window"), s"no rank window:\n$p")
+    assert(!p.contains("collect_list"),
+      s"a hub's neighbor set must never ride one task:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-node score sums must combine map-side:\n$p")
+  }
+
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
       "of the BM25 chain — the only windows are per-query ranks") {
     val p = plan("q386_retrieval_hubness")
