@@ -7651,6 +7651,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("responseDiversity: UUID-style string conversation ids select " +
+      "deterministically (the old lossy long cast NULLed them all)") {
+    val turns = Seq(
+      ("conv-aa11", 1L, "user", "tell me a joke"),
+      ("conv-aa11", 2L, "assistant", "why did the chicken cross"),
+      ("conv-bb22", 1L, "user", "tell me a joke"),
+      ("conv-bb22", 2L, "assistant", "why did the chicken cross"),
+      ("conv-cc33", 1L, "user", "tell me a joke"),
+      ("conv-cc33", 2L, "assistant", "a horse walks into a bar")
+    ).toDF("id", "turn_idx", "role", "content")
+    // maxPerGroup = 2: the kept pair must be the two LOWEST ids
+    // (aa11, bb22 — identical responses -> jaccard 1.0), so the
+    // verdict is deterministic: redundant
+    val got = ConversationOps.responseDiversity(turns, "id",
+      maxPerGroup = 2).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_convs") == 3L)
+    assert(got.head.getAs[Long]("avg_jaccard_micro") == 1000000L &&
+      got.head.getAs[String]("verdict") == "redundant",
+      got.head.toString)
+  }
+
   test("titleDedup: first-line titles normalize across heading " +
       "marks, case, and spacing; unique titles drop") {
     val docs = Seq(
@@ -7776,6 +7798,17 @@ class OperatorsSpec extends AnyFunSuite {
       got(1).getAs[Long]("cumulative_vocab") == 203L)
     assert(got(2).getAs[Long]("cumulative_vocab") == 303L &&
       got(2).getAs[Long]("docs_seen") == 300L)
+  }
+
+  test("vocabGrowth: a string id column fails FAST with the contract " +
+      "error (the old lossy cast silently collapsed every first-doc " +
+      "bucket into one NULL checkpoint)") {
+    val docs = Seq(("doc-uuid-1", "a b c"), ("doc-uuid-2", "c d"))
+      .toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysisOps.vocabGrowth(docs, "id", "text")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
   test("periodSpacing: merged vs spaced enders, decimals never " +
