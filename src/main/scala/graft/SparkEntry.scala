@@ -5261,6 +5261,120 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PAX tar walk (q412): each doc becomes a POSIX-pax archive (the
+    // layout modern GNU tar emits by DEFAULT — every member preceded
+    // by an 'x' extended header whose path/size records are the
+    // authoritative values, names >100 chars carried ONLY there).
+    // Round-trip digests against the oracle's recomputation prove the
+    // 'x' record parsing, the path/size overrides and the data
+    // slicing under the override; round 10 honest-rejected this
+    // entire layout.
+    "q412_pax_members" -> ((s, dir) => {
+      import s.implicits._
+      val members = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val longPath = ("pax/deeply/nested/path/segments/" * 4) +
+            s"member_$id.txt"
+          val tar = graft.sources.TarCodec.paxBytes(Seq(
+            (longPath, text.getBytes("UTF-8")),
+            (s"meta/$id.pax.json",
+              s"""{"pax": $id}""".getBytes("UTF-8"))))
+          graft.sources.TarCodec.parse(tar).get.zipWithIndex.map {
+            case (m, i) => (id, i, m.name, m.size, m.data)
+          }
+        }.toDF("doc_id", "member_idx", "name", "size", "data")
+      members.select(col("doc_id"), col("member_idx"), col("name"),
+          col("size"),
+          substring(md5(col("data")), 1, 16).as("content_sig"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
+    // ZIP64 walk (q413): each doc becomes a forced-ZIP64 archive
+    // (sentinel EOCD + locator + per-entry 0x0001 extras — the layout
+    // any >4 GiB archive has by construction): one stored and one
+    // deflated member. Digest agreement proves the ZIP64
+    // EOCD/locator chain, the extra-field size/offset resolution and
+    // CRC-verified inflation; round 10 honest-rejected this layout.
+    "q413_zip64_members" -> ((s, dir) => {
+      import s.implicits._
+      val members = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val zip = graft.sources.ZipCodec.zip64Bytes(Seq(
+            (s"doc_$id.txt", text.getBytes("UTF-8"), false),
+            (s"packed/$id.blob",
+              (text + s" tail $id").getBytes("UTF-8"), true)))
+          graft.sources.ZipCodec.parse(zip).get.zipWithIndex.map {
+            case (m, i) => (id, i, m.name, m.size, m.method, m.data)
+          }
+        }.toDF("doc_id", "member_idx", "name", "size", "method", "data")
+      members.select(col("doc_id"), col("member_idx"), col("name"),
+          col("size"), col("method"),
+          substring(md5(col("data")), 1, 16).as("content_sig"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
+    // Preference-pair hygiene (q414): pairs synthesized per id class —
+    // identical (%9=0), rejected-is-prefix truncation (%9=1), a
+    // two-char rejected forcing length skew (%9=2), and a prefixed
+    // variant that is NOT a prefix pair for the rest.
+    "q414_preference_audit" -> ((s, dir) => {
+      val m = col("doc_id") % 9
+      val rejected = when(m === 0, col("text"))
+        .when(m === 1, col("text").substr(lit(1),
+          greatest((length(col("text")) / 2).cast("int"), lit(1))))
+        .when(m === 2, lit("no"))
+        .otherwise(concat(lit("alt: "), col("text")))
+      ConversationOps.preferencePairAudit(
+        t(s, dir, "documents").select(col("doc_id"),
+          col("text").as("chosen"), rejected.as("rejected")),
+        "doc_id", "chosen", "rejected")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Short-answer leak scan (q415): QA items cut from every 17th
+    // doc's own text — the question (chars 1..30) and a nearby answer
+    // (chars 35..44) reproduce in the source doc by construction
+    // (leak at offset 4), and may echo in others only if the exact
+    // substrings recur; one planted far-answer item (chars 400..409)
+    // must NOT leak within the 100-char window unless echoed.
+    "q415_answer_leak" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val near = docs.filter(col("doc_id") % 17 === 0 &&
+          length(col("text")) >= 60)
+        .select(substring(col("text"), 1, 30).as("question"),
+          substring(col("text"), 35, 10).as("answer"))
+      val far = docs.filter(col("doc_id") % 17 === 0 &&
+          length(col("text")) >= 420)
+        .select(substring(col("text"), 1, 30).as("question"),
+          substring(col("text"), 400, 10).as("answer"))
+      TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+        near.unionByName(far), "question", "answer",
+        windowChars = 100)
+        .orderBy(col("doc_id"), col("question_sig"),
+          col("q_pos"), col("answer_offset"))
+    }),
+
+    // Pack-boundary contamination (q416): of the intra-chunk doc
+    // junctions in the q54 packing layout, how many read as
+    // continuation bridges (mid-sentence end -> lowercase start)?
+    "q416_pack_boundary" -> ((s, dir) => {
+      PackingOps.packBoundaryAudit(t(s, dir, "documents"), "doc_id",
+        "text", size(split(col("text"), " ")), budget = 256,
+        bucketHexChars = 2)
+    }),
+
+    // Padded-batch waste curve (q417): the pad-vs-pack decision table
+    // next to q96's packing curve — same token counts, bucketed
+    // static batches instead of concat-and-chunk.
+    "q417_padding_waste" -> ((s, dir) => {
+      PackingOps.paddingWaste(t(s, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")), batchSize = 8,
+        boundaries = Seq(64L, 128L, 256L, 512L))
+        .orderBy(col("boundary"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -17023,6 +17137,166 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |      THEN 'strip'
         |    ELSE 'prose' END AS route
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The oracle never touches tar bytes: the PAX walk's names,
+    // sizes and digests recompute from the member strings.
+    "q412_pax_members" ->
+      """WITH m AS (
+        |  SELECT doc_id, 0 AS member_idx,
+        |    repeat('pax/deeply/nested/path/segments/', 4) ||
+        |      'member_' || doc_id::VARCHAR || '.txt' AS name,
+        |    strlen(text)::BIGINT AS size,
+        |    substr(md5(text), 1, 16) AS content_sig
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'meta/' || doc_id::VARCHAR || '.pax.json',
+        |    strlen('{"pax": ' || doc_id::VARCHAR || '}')::BIGINT,
+        |    substr(md5('{"pax": ' || doc_id::VARCHAR || '}'), 1, 16)
+        |  FROM documents)
+        |SELECT doc_id, member_idx, name, size, content_sig
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
+
+    "q414_preference_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id, text AS chosen,
+        |    CASE doc_id % 9
+        |      WHEN 0 THEN text
+        |      WHEN 1 THEN substring(text, 1,
+        |        greatest(length(text) // 2, 1))
+        |      WHEN 2 THEN 'no'
+        |      ELSE 'alt: ' || text END AS rejected
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    length(chosen)::BIGINT AS len_chosen,
+        |    length(rejected)::BIGINT AS len_rejected,
+        |    (chosen = rejected) AS identical,
+        |    (length(rejected) > 0 AND length(rejected) < length(chosen)
+        |      AND starts_with(chosen, rejected))
+        |      AS rejected_prefix_of_chosen,
+        |    (length(chosen) > 0 AND length(chosen) < length(rejected)
+        |      AND starts_with(rejected, chosen))
+        |      AS chosen_prefix_of_rejected
+        |  FROM p)
+        |SELECT doc_id, len_chosen, len_rejected, identical,
+        |  rejected_prefix_of_chosen, chosen_prefix_of_rejected,
+        |  len_chosen - len_rejected AS len_delta,
+        |  abs(len_chosen - len_rejected) * 1000
+        |    // greatest(len_chosen + len_rejected, 1) AS skew_milli,
+        |  CASE WHEN identical THEN 'identical'
+        |    WHEN rejected_prefix_of_chosen OR chosen_prefix_of_rejected
+        |      THEN 'truncation_pair'
+        |    WHEN abs(len_chosen - len_rejected) * 1000
+        |      // greatest(len_chosen + len_rejected, 1) >= 700
+        |      THEN 'length_skew'
+        |    ELSE 'ok' END AS verdict
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q415_answer_leak" ->
+      """WITH raw AS (
+        |  SELECT substring(text, 1, 30) AS question,
+        |    substring(text, 35, 10) AS answer
+        |  FROM documents WHERE doc_id % 17 = 0 AND length(text) >= 60
+        |  UNION ALL
+        |  SELECT substring(text, 1, 30), substring(text, 400, 10)
+        |  FROM documents WHERE doc_id % 17 = 0 AND length(text) >= 420),
+        |items AS (
+        |  SELECT DISTINCT lower(trim(question)) AS q,
+        |    lower(trim(answer)) AS a
+        |  FROM raw
+        |  WHERE length(lower(trim(question))) > 0
+        |    AND length(lower(trim(answer))) > 0),
+        |j AS (
+        |  SELECT d.doc_id, i.q, i.a,
+        |    lower(coalesce(d.text, '')) AS txt,
+        |    strpos(lower(coalesce(d.text, '')), i.q) AS qpos
+        |  FROM documents d CROSS JOIN items i),
+        |k AS (
+        |  SELECT doc_id, q, qpos,
+        |    strpos(substring(txt, qpos + length(q),
+        |      100 + length(a)), a) AS apos
+        |  FROM j WHERE qpos > 0)
+        |SELECT doc_id, substr(md5(q), 1, 16) AS question_sig,
+        |  qpos::BIGINT AS q_pos, (apos - 1)::BIGINT AS answer_offset
+        |FROM k WHERE apos > 0
+        |ORDER BY doc_id, question_sig, q_pos, answer_offset""".stripMargin,
+
+    "q416_pack_boundary" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS bucket,
+        |    len(string_split(text, ' '))::BIGINT AS n,
+        |    substr(trim(text), 1, 1) AS first_c,
+        |    CASE WHEN length(trim(text)) > 0
+        |      THEN substr(trim(text), length(trim(text)), 1)
+        |      ELSE '' END AS last_c
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n, first_c,
+        |    coalesce(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS off,
+        |    lag(last_c) OVER (PARTITION BY bucket ORDER BY doc_id)
+        |      AS prev_last
+        |  FROM s WHERE n > 0),
+        |f AS (
+        |  SELECT *,
+        |    (prev_last IN ('.', '!', '?', '"', '''', ')', ':', ';'))
+        |      AS term,
+        |    regexp_matches(first_c, '^[a-z]$') AS lower_start,
+        |    regexp_matches(first_c, '^[A-Z0-9]$') AS cap_start
+        |  FROM o WHERE prev_last IS NOT NULL AND off % 256 <> 0)
+        |SELECT count(*)::BIGINT AS n_junctions,
+        |  coalesce(sum(CASE WHEN NOT term AND lower_start
+        |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_bridges,
+        |  coalesce(sum(CASE WHEN term AND cap_start
+        |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_clean_stops,
+        |  coalesce(sum(CASE WHEN NOT term AND lower_start
+        |    THEN 1 ELSE 0 END), 0)::BIGINT * 1000
+        |    // greatest(count(*), 1) AS bridge_milli
+        |FROM f""".stripMargin,
+
+    "q417_padding_waste" ->
+      """WITH s AS (
+        |  SELECT len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT (CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |    WHEN n <= 256 THEN 256 ELSE 512 END)::BIGINT AS boundary,
+        |    n, least(n, 512) AS kept FROM s),
+        |g AS (
+        |  SELECT boundary, count(*)::BIGINT AS n_docs,
+        |    sum(kept)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN n > 512 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_truncated,
+        |    sum(CASE WHEN n > 512 THEN n - 512 ELSE 0 END)::BIGINT
+        |      AS tokens_lost
+        |  FROM b GROUP BY boundary)
+        |SELECT boundary, n_docs, n_tokens, n_truncated, tokens_lost,
+        |  (n_docs + 7) // 8 AS n_batches,
+        |  ((n_docs + 7) // 8) * 8 * boundary AS allocated,
+        |  (((n_docs + 7) // 8) * 8 * boundary - n_tokens) * 1000
+        |    // greatest(((n_docs + 7) // 8) * 8 * boundary, 1)
+        |    AS waste_milli
+        |FROM g ORDER BY boundary""".stripMargin,
+
+    // Same discipline for ZIP64: the oracle recomputes the member
+    // table from strings; only the engine walks the sentinel chain.
+    "q413_zip64_members" ->
+      """WITH m AS (
+        |  SELECT doc_id, 0 AS member_idx,
+        |    'doc_' || doc_id::VARCHAR || '.txt' AS name,
+        |    strlen(text)::BIGINT AS size, 0 AS method,
+        |    substr(md5(text), 1, 16) AS content_sig
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'packed/' || doc_id::VARCHAR || '.blob',
+        |    strlen(text || ' tail ' || doc_id::VARCHAR)::BIGINT, 8,
+        |    substr(md5(text || ' tail ' || doc_id::VARCHAR), 1, 16)
+        |  FROM documents)
+        |SELECT doc_id, member_idx, name, size, method, content_sig
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
 
     // The injected addresses are the corpus's only email matches
     // (verified: zero natural hits), so the oracle reconstructs the

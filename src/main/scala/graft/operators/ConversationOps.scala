@@ -198,6 +198,50 @@ object ConversationOps {
       .filter(col("n_candidates") >= 2L && col("margin") >= minMargin)
   }
 
+  /** Preference-pair hygiene audit — the input check for DPO/RLHF
+    * training over EXISTING (chosen, rejected) pairs, catching the
+    * three pair defects every public preference set ships some of:
+    * IDENTICAL pairs (zero preference signal, pure gradient noise),
+    * TRUNCATION pairs (one side is a strict prefix of the other —
+    * the "preference" is just generation length, usually an API
+    * cutoff artifact), and LENGTH SKEW (the sides differ so much in
+    * length that the reward model learns length, the classic RLHF
+    * length-bias driver). Unlike [[preferencePairs]] (which BUILDS
+    * pairs from scored candidates) this audits pairs someone else
+    * built.
+    *
+    * One row per pair: lengths, delta, `skew_milli` =
+    * |delta|·1000/(len_c+len_r), the two prefix flags, and the
+    * verdict (`identical` > `truncation_pair` > `length_skew` > `ok`).
+    *
+    * Scale shape: pure projection, zero shuffle. */
+  def preferencePairAudit(pairs: DataFrame, idCol: String,
+                          chosenCol: String, rejectedCol: String,
+                          skewMilli: Long = 700L): DataFrame = {
+    require(skewMilli >= 0 && skewMilli <= 1000,
+      "skewMilli in [0, 1000]")
+    val c = coalesce(col(chosenCol), lit(""))
+    val r = coalesce(col(rejectedCol), lit(""))
+    pairs
+      .select(col(idCol),
+        length(c).cast("long").as("len_chosen"),
+        length(r).cast("long").as("len_rejected"),
+        (c === r).as("identical"),
+        (length(r) > 0 && length(r) < length(c) && startswith(c, r))
+          .as("rejected_prefix_of_chosen"),
+        (length(c) > 0 && length(c) < length(r) && startswith(r, c))
+          .as("chosen_prefix_of_rejected"))
+      .withColumn("len_delta", col("len_chosen") - col("len_rejected"))
+      .withColumn("skew_milli", expr(
+        "abs(len_delta) * 1000 div greatest(len_chosen + len_rejected, 1L)"))
+      .withColumn("verdict",
+        when(col("identical"), "identical")
+          .when(col("rejected_prefix_of_chosen") ||
+            col("chosen_prefix_of_rejected"), "truncation_pair")
+          .when(col("skew_milli") >= skewMilli, "length_skew")
+          .otherwise("ok"))
+  }
+
   /** Notebook schema for [[notebookCells]] — the nbformat-4 subset
     * that matters for corpus building (source as a plain string; the
     * array-of-lines variant is normalized upstream by `nbconvert`). */

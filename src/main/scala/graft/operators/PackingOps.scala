@@ -201,4 +201,108 @@ object PackingOps {
       .withColumn("major_milli", expr("__maxc * 1000 DIV n_docs"))
       .drop("__maxc")
   }
+
+  /** Pack-boundary contamination audit — concat-and-chunk places the
+    * END of one document flush against the START of the next inside a
+    * training sequence, and without cross-document attention masking
+    * the model learns the junction as real text. The dangerous
+    * junctions are the ones that READ like a continuation: the
+    * previous doc ends mid-sentence (no terminal punctuation) and the
+    * next begins lowercase — a "continuation bridge" the loss happily
+    * models. This audits the [[sequencePack]] layout BEFORE training:
+    * of the intra-chunk junctions (a junction at a chunk edge is cut
+    * by the chunking itself), how many are bridges?
+    *
+    * One summary row: `n_junctions` (adjacent non-empty doc pairs in
+    * the same chunk), `n_bridges`, `n_clean_stops` (terminal end AND
+    * capital/digit start — the junction EOS insertion makes harmless),
+    * `bridge_milli`.
+    *
+    * Scale shape: the same bucketed running-offset windows as
+    * [[sequencePack]] (partition-local sorts on the hash bucket), a
+    * lag(1) on the SAME window spec (no extra exchange), then one
+    * map-side-combined global aggregate. The text itself never rides
+    * the shuffle: only each doc's first/last non-whitespace char. */
+  def packBoundaryAudit(docs: DataFrame, idCol: String,
+                        textCol: String, nTokens: Column, budget: Int,
+                        bucketHexChars: Int = 2): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      "bucketHexChars in [1,8]")
+    val bucket = substring(md5(col(idCol).cast("string")), 1,
+      bucketHexChars)
+    val t = trim(coalesce(col(textCol), lit("")))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, -1)
+    val staged = docs
+      .select(col(idCol), bucket.as("bucket"),
+        nTokens.cast("long").as("__n"),
+        substring(t, 1, 1).as("__first"),
+        // last char: substring from the end (1-char slice)
+        substring(t, -1, 1).as("__last"))
+      .filter(col("__n") > 0L)
+      .withColumn("__off", coalesce(sum(col("__n")).over(wSum), lit(0L)))
+      .withColumn("__prev_last", lag(col("__last"), 1).over(w))
+    val terminal = col("__prev_last").isin(".", "!", "?", "\"", "'",
+      ")", ":", ";")
+    val lowerStart = col("__first").rlike("^[a-z]$")
+    val capStart = col("__first").rlike("^[A-Z0-9]$")
+    staged
+      // intra-chunk junction: this doc does NOT start a new chunk
+      .filter(col("__prev_last").isNotNull &&
+        expr(s"__off % $budget") =!= 0L)
+      .agg(count(lit(1)).as("n_junctions"),
+        sum(when(!terminal && lowerStart, 1L).otherwise(0L))
+          .as("n_bridges"),
+        sum(when(terminal && capStart, 1L).otherwise(0L))
+          .as("n_clean_stops"))
+      .withColumn("bridge_milli",
+        expr("n_bridges * 1000 DIV greatest(n_junctions, 1L)"))
+  }
+
+  /** Padded-batch waste curve — the OTHER batching strategy next to
+    * [[packingCurve]]'s concat-and-chunk: length-bucketed batches
+    * padded to their bucket boundary (the static-shape layout
+    * XLA-style trainers want). Every doc lands in the smallest
+    * boundary that holds it (longer docs TRUNCATE to the largest);
+    * each bucket's rows batch `batchSize` at a time, the tail batch
+    * padding out with ghost rows. Per boundary: docs, real tokens,
+    * allocated tokens (batches × batchSize × boundary), truncated
+    * docs and lost tokens, and `waste_milli` — the padding share the
+    * trainer pays. Reading this against packingCurve's `fill_milli`
+    * IS the pack-vs-pad decision for a corpus.
+    *
+    * Scale shape: one in-row bucket assignment (literal boundary
+    * array) into a map-side-combined aggregate on the bounded
+    * boundary key. */
+  def paddingWaste(docs: DataFrame, idCol: String, nTokens: Column,
+                   batchSize: Int, boundaries: Seq[Long]): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(boundaries.nonEmpty && boundaries.forall(_ > 0),
+      "positive boundaries")
+    require(boundaries.distinct.size == boundaries.size &&
+      boundaries == boundaries.sorted, "boundaries strictly ascending")
+    val maxB = boundaries.max
+    val n = nTokens.cast("long")
+    // smallest boundary >= len; docs past the largest truncate to it
+    val boundary = boundaries.foldRight(lit(maxB): Column) {
+      (b, acc) => when(n <= b, lit(b)).otherwise(acc)
+    }
+    docs
+      .select(boundary.as("boundary"), n.as("__n"),
+        least(n, lit(maxB)).as("__kept"))
+      .groupBy(col("boundary"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__kept")).as("n_tokens"),
+        sum(when(col("__n") > maxB, 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(when(col("__n") > maxB, col("__n") - maxB).otherwise(0L))
+          .as("tokens_lost"))
+      .withColumn("n_batches",
+        expr(s"(n_docs + ${batchSize - 1}) DIV $batchSize"))
+      .withColumn("allocated",
+        expr(s"n_batches * $batchSize * boundary"))
+      .withColumn("waste_milli",
+        expr("(allocated - n_tokens) * 1000 DIV greatest(allocated, 1L)"))
+  }
 }

@@ -3568,6 +3568,63 @@ object TextAnalysisOps {
       .filter(col("n_hits") > 0L)
   }
 
+  /** Short-answer leak scan — n-gram decontamination
+    * ([[decontaminate]], [[bloomDecontaminate]]) cannot catch a
+    * benchmark ANSWER that is shorter than the shingle width:
+    * "Paris", "42" or "photosynthesis" occur innocently everywhere,
+    * so flagging bare occurrences would excise half the corpus, and
+    * shingle matching skips them entirely. The standard repair is
+    * QUESTION-ANCHORED: a document leaks a QA item only when the
+    * question's text occurs AND the answer occurs within
+    * `windowChars` characters after the question ends — the shape an
+    * actual leaked answer key has. Matching is case-folded exact
+    * substring (no regex — benchmark questions contain
+    * metacharacters).
+    *
+    * Emits one row per (doc, leaked item): doc id, the question's
+    * 16-hex signature, the question's 1-based position and the
+    * answer's offset past the question end. Clean docs emit nothing
+    * (the caller anti-joins to excise or drop).
+    *
+    * Scale shape: the QA table is benchmark-sized and BROADCAST; the
+    * in-row amplification (×|items| before the leak filter) is the
+    * [[decontaminate]] discipline; the only post-filter work is
+    * projection — zero shuffle on the corpus side. */
+  def answerLeakScan(docs: DataFrame, idCol: String, textCol: String,
+                     qa: DataFrame, questionCol: String,
+                     answerCol: String,
+                     windowChars: Int = 200): DataFrame = {
+    require(windowChars > 0, "windowChars must be positive")
+    val items = qa.select(
+        lower(trim(col(questionCol))).as("__q"),
+        lower(trim(col(answerCol))).as("__a"))
+      .filter(length(col("__q")) > 0 && length(col("__a")) > 0)
+      .distinct()
+    val txt = lower(coalesce(col(textCol), lit("")))
+    val joined = docs.select(col(idCol), txt.as("__txt"))
+      .join(broadcast(items))
+    val qPos = locate_col(col("__q"), col("__txt"))
+    // the answer must START within windowChars of the question's end:
+    // search a tail slice of windowChars + len(answer) chars
+    val qEnd = col("__qpos") + length(col("__q"))
+    val tail = col("__txt").substr(qEnd, lit(windowChars) +
+      length(col("__a")))
+    joined
+      .withColumn("__qpos", qPos)
+      .filter(col("__qpos") > 0)
+      .withColumn("__apos", locate_col(col("__a"), tail))
+      .filter(col("__apos") > 0)
+      .select(col(idCol),
+        substring(md5(col("__q")), 1, 16).as("question_sig"),
+        col("__qpos").cast("long").as("q_pos"),
+        (col("__apos") - 1).cast("long").as("answer_offset"))
+  }
+
+  /** `locate` with Column needle (the functions.locate overloads only
+    * take a literal string needle). */
+  private def locate_col(needle: Column, hay: Column): Column =
+    call_function("locate", needle, hay)
+
   /** Count-min sketch token frequencies (Cormode & Muthukrishnan
     * 2005) — the mergeable heavy-hitter primitive for corpus-scale
     * token accounting: the sketch is a fixed `depth × width` integer

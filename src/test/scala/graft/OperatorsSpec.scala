@@ -8388,4 +8388,116 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(("a", "start")) == 1L && got(("a", "middle")) == 1L &&
       got(("a", "end")) == 1L && got(("b", "standalone")) == 1L)
   }
+
+  test("preferencePairAudit: identical, truncation (both directions), " +
+      "length-skew and ok pairs classify with the right precedence") {
+    import graft.operators.ConversationOps
+    val pairs = Seq(
+      (1L, "same answer", "same answer"),            // identical
+      (2L, "a long full response here", "a long"),   // rejected prefix
+      (3L, "short", "short but then much longer"),   // chosen prefix
+      (4L, "x" * 100, "ok"),                         // length skew
+      (5L, "a fine answer", "a different answer"),   // ok
+      (6L, "", "")                                    // both empty
+    ).toDF("pair_id", "chosen", "rejected")
+    val got = ConversationOps.preferencePairAudit(pairs, "pair_id",
+      "chosen", "rejected")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("skew_milli"))).toMap
+    assert(got(1L)._1 == "identical")
+    assert(got(2L)._1 == "truncation_pair")
+    assert(got(3L)._1 == "truncation_pair")
+    assert(got(4L)._1 == "length_skew" && got(4L)._2 >= 700L)
+    assert(got(5L)._1 == "ok")
+    // empty-vs-empty is identical, not a prefix pair (guarded)
+    assert(got(6L)._1 == "identical")
+  }
+
+  test("answerLeakScan: answer within the window after the question " +
+      "leaks; answer outside the window or question absent do not") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "Q: what is the capital of france? A: paris, obviously."),
+      (2L, "what is the capital of france? " + ("filler " * 40) +
+        "paris at the very end"),
+      (3L, "paris appears but the question never does"),
+      (4L, "WHAT IS THE CAPITAL OF FRANCE? immediately PARIS")
+    ).toDF("doc_id", "text")
+    val qa = Seq(("What is the capital of France?", "Paris"))
+      .toDF("question", "answer")
+    val got = TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+      qa, "question", "answer", windowChars = 60)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("answer_offset"))
+      .toMap
+    // doc 1 leaks (answer 4 chars past the question); doc 4 leaks
+    // case-folded; doc 2's answer is ~280 chars past (outside 60);
+    // doc 3 never states the question
+    assert(got.keySet == Set(1L, 4L), got.toString)
+    assert(got(1L) == 4L, got.toString)
+  }
+
+  test("packBoundaryAudit: a deterministic single-bucket layout " +
+      "counts the bridge and the clean stop exactly") {
+    import graft.operators.PackingOps
+    // force one bucket by using ONE doc id class? md5 buckets differ;
+    // instead use bucketHexChars=1 and ids that land in the same
+    // bucket: probe md5 prefixes in-test and pick 3 colliding ids
+    val ids = (1L to 200L)
+      .groupBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(1))
+      .values.find(_.size >= 3).get.take(3).toSeq.sorted
+    val docs = Seq(
+      (ids(0), "ends mid sentence no stop xx xx xx xx xx xx"), // 10 toks
+      (ids(1), "lowercase start then more words xx xx xx xx."), // 9 toks, terminal
+      (ids(2), "Capital start for the final doc xx xx xx")      // 8 toks
+    ).toDF("doc_id", "text")
+    val got = PackingOps.packBoundaryAudit(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")),
+      budget = 1000, bucketHexChars = 1).collect().head
+    // budget >> total: both junctions intra-chunk; junction 1->2 is a
+    // bridge (no terminal + lowercase), 2->3 is a clean stop
+    assert(got.getAs[Long]("n_junctions") == 2L, got.toString)
+    assert(got.getAs[Long]("n_bridges") == 1L, got.toString)
+    assert(got.getAs[Long]("n_clean_stops") == 1L, got.toString)
+    assert(got.getAs[Long]("bridge_milli") == 500L)
+    // budget = doc 1's exact token count (11): the 1->2 junction lands
+    // ON a chunk edge (cut by the chunking, not a junction); 2->3 at
+    // offset 20 stays intra-chunk
+    val edge = PackingOps.packBoundaryAudit(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")),
+      budget = 11, bucketHexChars = 1).collect().head
+    assert(edge.getAs[Long]("n_junctions") == 1L &&
+      edge.getAs[Long]("n_bridges") == 0L &&
+      edge.getAs[Long]("n_clean_stops") == 1L, edge.toString)
+  }
+
+  test("paddingWaste: bucket assignment, ghost rows in tail batches, " +
+      "truncation past the top boundary") {
+    import graft.operators.PackingOps
+    // lens: 5 docs of 10 toks -> bucket 16; 3 of 30 -> bucket 32;
+    // 1 of 100 -> truncates to 64
+    val docs = ((1 to 5).map(i => (i.toLong, 10L)) ++
+      (6 to 8).map(i => (i.toLong, 30L)) ++ Seq((9L, 100L)))
+      .toDF("doc_id", "n")
+    val got = PackingOps.paddingWaste(docs, "doc_id", col("n"),
+      batchSize = 4, boundaries = Seq(16L, 32L, 64L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_batches"),
+          r.getAs[Long]("allocated"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_truncated"), r.getAs[Long]("tokens_lost")))
+      .toMap
+    // bucket 16: 5 docs -> 2 batches -> 2*4*16 = 128 alloc, 50 real
+    assert(got(16L) == ((5L, 2L, 128L, 50L, 0L, 0L)), got.toString)
+    // bucket 32: 3 docs -> 1 batch -> 128 alloc, 90 real
+    assert(got(32L) == ((3L, 1L, 128L, 90L, 0L, 0L)))
+    // bucket 64: the 100-token doc truncates: 64 kept, 36 lost
+    assert(got(64L) == ((1L, 1L, 256L, 64L, 1L, 36L)))
+    intercept[IllegalArgumentException] {
+      PackingOps.paddingWaste(docs, "doc_id", col("n"), 4,
+        Seq(32L, 16L)) // not ascending
+    }
+  }
 }

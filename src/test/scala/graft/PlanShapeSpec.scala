@@ -479,6 +479,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-node score sums must combine map-side:\n$p")
   }
 
+  test("q415: the QA table broadcasts (benchmark-sized side input); " +
+      "the corpus never shuffles for the leak scan") {
+    val p = plan("q415_answer_leak")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the QA items must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle:\n$p")
+  }
+
+  test("q416: pack-boundary windows ride the hash bucket only; the " +
+      "junction rollup is one map-side-combined aggregate and the " +
+      "text never rides the exchange") {
+    val p = plan("q416_pack_boundary")
+    val winRe = "windowspecdefinition\\(([A-Za-z_0-9]+)#".r
+    val keys = winRe.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("bucket")),
+      s"offset/lag windows must partition by the hash bucket, got " +
+        s"$keys:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the junction rollup must combine map-side:\n$p")
+    // only (id, first/last char, token count) cross the shuffle — the
+    // exchange must not carry the text column itself
+    assert(!"Exchange hashpartitioning[^\\n]*text#".r
+      .findFirstIn(p).isDefined,
+      s"the text column must be projected away before the bucket " +
+        s"exchange:\n$p")
+  }
+
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
       "of the BM25 chain — the only windows are per-query ranks") {
     val p = plan("q386_retrieval_hubness")
