@@ -5375,6 +5375,82 @@ object SparkEntry {
         .orderBy(col("boundary"))
     }),
 
+    // Chat-template render (q418): four-turn conversations rendered
+    // to the ChatML layout — digest/length agreement proves the turn
+    // ordering and exact template bytes; every 11th doc carries a
+    // literal <|im_end|> in its user turn and must flag unrenderable.
+    "q418_chat_render" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val inj = when(col("doc_id") % 11 === 0,
+        lit(" echo <|im_end|> raw")).otherwise(lit(""))
+      val turnRows = t(s, dir, "documents").select(col("doc_id"),
+        explode(array(
+          struct(lit(1L).as("turn_idx"), lit("system").as("role"),
+            lit("be concise").as("content")),
+          struct(lit(2L).as("turn_idx"), lit("user").as("role"),
+            concat(lit("summarize doc "), id, inj).as("content")),
+          struct(lit(3L).as("turn_idx"), lit("assistant").as("role"),
+            concat(lit("summary: "), substring(col("text"), 1, 60))
+              .as("content")),
+          struct(lit(4L).as("turn_idx"), lit("user").as("role"),
+            lit("thanks").as("content")))).as("t"))
+        .select(col("doc_id"), col("t.turn_idx"), col("t.role"),
+          col("t.content"))
+      ConversationOps.renderChat(turnRows, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding↔corpus integrity (q419): planted defects — every
+    // 13th vector dropped (missing), %19 duplicated, %17 re-keyed
+    // +10000 (dangling), %23=1 nulled, %29=2 sliced to 10 dims.
+    "q419_embedding_coverage" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 13 =!= 0)
+        .withColumn("embedding",
+          when(col("vec_id") % 23 === 1,
+            lit(null).cast("array<float>"))
+            .when(col("vec_id") % 29 === 2,
+              slice(col("embedding"), 1, 10))
+            .otherwise(col("embedding")))
+      val dup = emb.filter(col("vec_id") % 19 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val dangling = emb.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      val all = base.select(col("vec_id"), col("embedding"))
+        .unionByName(dup).unionByName(dangling)
+      SimilarityOps.embeddingCoverage(t(s, dir, "documents"), "doc_id",
+        all, "vec_id", "embedding", expectedDim = 64)
+    }),
+
+    // robots.txt × meta-robots consistency (q420): the two crawl
+    // signals disagree in both directions — robots allows but the
+    // page says noindex (fetch wasted), robots blocks but the page
+    // says index (the index goes blind). Composition of q175's
+    // verdict with the q-meta extraction on a one-group policy.
+    "q420_robots_consistency" -> ((s, dir) => {
+      val robots = when(col("doc_id") % 3 === 0,
+          lit("User-agent: *\nDisallow: /private\n"))
+        .otherwise(lit("User-agent: *\nDisallow:\n"))
+      val path = when(col("doc_id") % 2 === 0, lit("/private/page"))
+        .otherwise(lit("/public/page"))
+      val html = when(col("doc_id") % 5 === 0,
+          lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+        .when(col("doc_id") % 5 === 1,
+          lit("<meta content=\"index,follow\" name=\"robots\">"))
+        .otherwise(lit("<p>no meta</p>"))
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        robots.as("robots"), path.as("path"), html.as("html"))
+      UrlOps.robotsVerdict(pages, "doc_id", "robots", "path")
+        .join(TextAnalysisOps.metaRobots(pages, "doc_id", "html")
+          .select(col("doc_id"), col("indexable")), Seq("doc_id"))
+        .select(col("doc_id"), col("path"), col("allowed"),
+          col("indexable"),
+          when(col("allowed") && !col("indexable"), "fetch_wasted")
+            .when(!col("allowed") && col("indexable"), "index_blind")
+            .otherwise("consistent").as("consistency"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -17279,6 +17355,98 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    // greatest(((n_docs + 7) // 8) * 8 * boundary, 1)
         |    AS waste_milli
         |FROM g ORDER BY boundary""".stripMargin,
+
+    "q418_chat_render" ->
+      """WITH turns AS (
+        |  SELECT doc_id, 1 AS turn_idx, 'system' AS role,
+        |    'be concise' AS content FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'user',
+        |    'summarize doc ' || doc_id::VARCHAR ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' echo <|im_end|> raw'
+        |      ELSE '' END
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'assistant',
+        |    'summary: ' || substring(text, 1, 60) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'user', 'thanks' FROM documents),
+        |r AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_turns,
+        |    sum(CASE WHEN contains(content, '<|im_start|>')
+        |      OR contains(content, '<|im_end|>') THEN 1 ELSE 0
+        |      END)::BIGINT AS n_marker_collisions,
+        |    string_agg('<|im_start|>' || role || chr(10) || content ||
+        |      '<|im_end|>' || chr(10), '' ORDER BY turn_idx)
+        |      AS rendered
+        |  FROM turns GROUP BY doc_id)
+        |SELECT doc_id, n_turns, n_marker_collisions,
+        |  length(rendered)::BIGINT AS n_chars,
+        |  substr(md5(rendered), 1, 16) AS render_sig,
+        |  (n_marker_collisions = 0) AS renderable
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q419_embedding_coverage" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 23 = 1 THEN NULL
+        |      WHEN vec_id % 29 = 2 THEN embedding[1:10]
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 13 <> 0),
+        |allv AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings
+        |  WHERE vec_id % 17 = 0),
+        |vb AS (
+        |  SELECT vec_id, count(*)::BIGINT AS nv,
+        |    sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0
+        |      END)::BIGINT AS nnull,
+        |    sum(CASE WHEN embedding IS NOT NULL
+        |      AND len(embedding) <> 64 THEN 1 ELSE 0
+        |      END)::BIGINT AS nwrong
+        |  FROM allv GROUP BY vec_id),
+        |j AS (
+        |  SELECT d.doc_id AS did, vb.vec_id, vb.nv, vb.nnull, vb.nwrong
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  FULL OUTER JOIN vb ON d.doc_id = vb.vec_id)
+        |SELECT
+        |  sum(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_docs,
+        |  coalesce(sum(nv), 0)::BIGINT AS n_vectors,
+        |  sum(CASE WHEN did IS NOT NULL AND nv IS NOT NULL THEN 1
+        |    ELSE 0 END)::BIGINT AS n_docs_with_vec,
+        |  sum(CASE WHEN did IS NOT NULL AND nv IS NULL THEN 1
+        |    ELSE 0 END)::BIGINT AS n_docs_missing_vec,
+        |  coalesce(sum(CASE WHEN did IS NULL THEN nv ELSE 0 END),
+        |    0)::BIGINT AS n_dangling_vecs,
+        |  sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dup_vec_ids,
+        |  coalesce(sum(nnull), 0)::BIGINT AS n_null_vecs,
+        |  coalesce(sum(nwrong), 0)::BIGINT AS n_wrong_dim,
+        |  (sum(CASE WHEN did IS NOT NULL AND nv IS NOT NULL THEN 1
+        |    ELSE 0 END)::BIGINT * 1000
+        |    // greatest(sum(CASE WHEN did IS NOT NULL THEN 1 ELSE 0
+        |    END), 1))::BIGINT AS coverage_milli
+        |FROM j""".stripMargin,
+
+    // The oracle recomputes the one-group robots semantics and the
+    // meta extraction directly (the q175 discipline).
+    "q420_robots_consistency" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN '/private/page'
+        |      ELSE '/public/page' END AS path,
+        |    NOT (doc_id % 3 = 0 AND doc_id % 2 = 0) AS allowed,
+        |    NOT (doc_id % 5 = 0) AS indexable
+        |  FROM documents)
+        |SELECT doc_id, path, allowed, indexable,
+        |  CASE WHEN allowed AND NOT indexable THEN 'fetch_wasted'
+        |    WHEN NOT allowed AND indexable THEN 'index_blind'
+        |    ELSE 'consistent' END AS consistency
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Same discipline for ZIP64: the oracle recomputes the member
     // table from strings; only the engine walks the sentinel chain.

@@ -242,6 +242,38 @@ object ConversationOps {
           .otherwise("ok"))
   }
 
+  /** Chat-template rendering — the inverse of [[parseTurns]]: turns →
+    * the single training string in the ChatML-style layout
+    * (`<|im_start|>role\ncontent<|im_end|>\n` per turn, turn order by
+    * `turn_idx`), which is the actual SFT serialization step. Emits
+    * per conversation the render's length and 16-hex digest (not the
+    * string itself — render output belongs in a sink, not a report
+    * column) plus the COLLISION audit: a turn whose content already
+    * contains a template marker breaks the render's parseability (the
+    * [[graft.operators.TextAnalysisOps.specialTokenScan]] poisoning
+    * class, caught here at the exact step it bites).
+    *
+    * Scale shape: ONE conversation-keyed aggregate; the render folds
+    * over the collected turn structs in-row (bounded by turns per
+    * conversation — the [[parseTurns]] discipline). */
+  def renderChat(turns: DataFrame, idCol: String): DataFrame = {
+    val marker = col("content").contains("<|im_start|>") ||
+      col("content").contains("<|im_end|>")
+    val rendered = array_join(
+      transform(
+        array_sort(collect_list(struct(col("turn_idx").as("i"),
+          col("role").as("r"),
+          coalesce(col("content"), lit("")).as("c")))),
+        s => concat(lit("<|im_start|>"), s.getField("r"), lit("\n"),
+          s.getField("c"), lit("<|im_end|>\n"))), "")
+    turns.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(marker, 1L).otherwise(0L)).as("n_marker_collisions"),
+        length(rendered).cast("long").as("n_chars"),
+        substring(md5(rendered), 1, 16).as("render_sig"))
+      .withColumn("renderable", col("n_marker_collisions") === 0L)
+  }
+
   /** Notebook schema for [[notebookCells]] — the nbformat-4 subset
     * that matters for corpus building (source as a plain string; the
     * array-of-lines variant is normalized upstream by `nbconvert`). */

@@ -787,6 +787,51 @@ object SimilarityOps {
     *
     * Scale shape: pure projection — the squared-sum fold and every
     * flag are in-row; zero shuffle. */
+  /** Embedding↔corpus referential integrity — the join-hygiene audit
+    * run before ANY retrieval/dedup pass that assumes "every doc has
+    * exactly one vector": docs with NO vector silently vanish from an
+    * ANN index, DANGLING vectors (no doc) surface ghost results,
+    * DUPLICATE vector ids make joins fan out, and wrong-dimension or
+    * null vectors crash or skew the kernel. One summary row counts
+    * each defect class; [[embeddingHealth]] is the per-vector
+    * complement (norms/NaN), this is the per-CORPUS one.
+    *
+    * Scale shape: both sides distinct-compress to bare ids before one
+    * full-outer join on the unique id key; the defect counts are
+    * map-side-combined aggregates. Nothing wider than (id, n_dims)
+    * ever shuffles. */
+  def embeddingCoverage(docs: DataFrame, docIdCol: String,
+                        emb: DataFrame, vecIdCol: String,
+                        vecCol: String, expectedDim: Int): DataFrame = {
+    require(expectedDim > 0, "expectedDim must be positive")
+    val d = docs.select(col(docIdCol).as("__id")).distinct()
+      .withColumn("__d", lit(1))
+    val vecs = emb.select(col(vecIdCol).as("__id"),
+      when(col(vecCol).isNull, lit(-1))
+        .otherwise(size(col(vecCol))).as("__dims"))
+    val vById = vecs.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nv"),
+        sum(when(col("__dims") === -1, 1L).otherwise(0L)).as("__nnull"),
+        sum(when(col("__dims") =!= -1 && col("__dims") =!= expectedDim,
+          1L).otherwise(0L)).as("__nwrong"))
+    d.join(vById, Seq("__id"), "full_outer")
+      .agg(
+        sum(when(col("__d").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        coalesce(sum(col("__nv")), lit(0L)).as("n_vectors"),
+        sum(when(col("__d").isNotNull && col("__nv").isNotNull, 1L)
+          .otherwise(0L)).as("n_docs_with_vec"),
+        sum(when(col("__d").isNotNull && col("__nv").isNull, 1L)
+          .otherwise(0L)).as("n_docs_missing_vec"),
+        sum(when(col("__d").isNull, col("__nv")).otherwise(0L))
+          .as("n_dangling_vecs"),
+        sum(when(col("__nv") > 1L, 1L).otherwise(0L))
+          .as("n_dup_vec_ids"),
+        coalesce(sum(col("__nnull")), lit(0L)).as("n_null_vecs"),
+        coalesce(sum(col("__nwrong")), lit(0L)).as("n_wrong_dim"))
+      .withColumn("coverage_milli",
+        expr("n_docs_with_vec * 1000 div greatest(n_docs, 1L)"))
+  }
+
   def embeddingHealth(emb: DataFrame, idCol: String, vecCol: String,
                       degenerateMicro: Long = 1000L): DataFrame = {
     val v = col(vecCol)

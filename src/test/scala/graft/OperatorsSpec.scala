@@ -8474,6 +8474,55 @@ class OperatorsSpec extends AnyFunSuite {
       edge.getAs[Long]("n_clean_stops") == 1L, edge.toString)
   }
 
+  test("renderChat: turn order, exact template layout, marker " +
+      "collisions flagged, null content renders empty") {
+    import graft.operators.ConversationOps
+    val turns = Seq(
+      (1L, 2L, "assistant", "hi there"),
+      (1L, 1L, "user", "hello"),        // out-of-order input
+      (2L, 1L, "user", "echo <|im_end|> this"), // collision
+      (2L, 2L, "assistant", "done"),
+      (3L, 1L, "user", null.asInstanceOf[String])
+    ).toDF("id", "turn_idx", "role", "content")
+    val got = ConversationOps.renderChat(turns, "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val expect1 = "<|im_start|>user\nhello<|im_end|>\n" +
+      "<|im_start|>assistant\nhi there<|im_end|>\n"
+    def sig(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(got(1L).getAs[String]("render_sig") == sig(expect1))
+    assert(got(1L).getAs[Long]("n_chars") == expect1.length.toLong)
+    assert(got(1L).getAs[Boolean]("renderable"))
+    assert(got(2L).getAs[Long]("n_marker_collisions") == 1L &&
+      !got(2L).getAs[Boolean]("renderable"))
+    assert(got(3L).getAs[String]("render_sig") ==
+      sig("<|im_start|>user\n<|im_end|>\n"))
+  }
+
+  test("embeddingCoverage: missing, dangling, duplicate, null and " +
+      "wrong-dim vectors each count once") {
+    import graft.operators.SimilarityOps
+    val docs = (1L to 6L).map(i => Tuple1(i)).toDF("doc_id")
+    val emb = Seq(
+      (1L, Some(Seq(1f, 2f))), (2L, Some(Seq(3f, 4f))),
+      (2L, Some(Seq(3f, 4f))),            // duplicate vec id
+      (4L, None),                          // null vector
+      (5L, Some(Seq(1f, 2f, 3f))),         // wrong dim
+      (9L, Some(Seq(0f, 0f)))              // dangling
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.embeddingCoverage(docs, "doc_id",
+      emb, "vec_id", "embedding", expectedDim = 2).collect().head
+    assert(got.getAs[Long]("n_docs") == 6L)
+    assert(got.getAs[Long]("n_vectors") == 6L)
+    assert(got.getAs[Long]("n_docs_with_vec") == 4L) // 1,2,4,5
+    assert(got.getAs[Long]("n_docs_missing_vec") == 2L) // 3,6
+    assert(got.getAs[Long]("n_dangling_vecs") == 1L)
+    assert(got.getAs[Long]("n_dup_vec_ids") == 1L)
+    assert(got.getAs[Long]("n_null_vecs") == 1L)
+    assert(got.getAs[Long]("n_wrong_dim") == 1L)
+    assert(got.getAs[Long]("coverage_milli") == 666L)
+  }
+
   test("paddingWaste: bucket assignment, ghost rows in tail batches, " +
       "truncation past the top boundary") {
     import graft.operators.PackingOps
