@@ -5451,6 +5451,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Scholarly-identifier census (q421): arXiv/DOI ids planted per
+    // id class (repeated hub ids + per-doc unique DOIs), trailing
+    // punctuation on the DOI, both arXiv cases.
+    "q421_citation_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val inj = when(id % 6 === 0, lit(" see arXiv:2104.08691."))
+        .when(id % 6 === 1, concat(lit(" see arxiv:17"),
+          lpad((id % 100).cast("string"), 2, "0"), lit(".03762")))
+        .when(id % 6 === 2, lit(" doi 10.1038/nature14539,"))
+        .when(id % 6 === 3, concat(lit(" cite 10.1145/"),
+          id.cast("string"), lit(".")))
+        .otherwise(lit(""))
+      TextAnalysisOps.citationIds(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), inj).as("text"), col("source")),
+        "doc_id", "text", "source")
+        .orderBy(col("source"), col("kind"))
+    }),
+
+    // Arithmetic-consistency audit (q422): correct +/-/* claims, a
+    // planted off-by-one sum, and a mixed doc with one right and one
+    // wrong claim — the synthetic-math QC gate.
+    "q422_arithmetic_audit" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = (id % 90) + 10
+      val b = (id % 9) + 1
+      def cl(x: Column, op: String, y: Column, r: Column): Column =
+        concat(x.cast("string"), lit(s" $op "), y.cast("string"),
+          lit(" = "), r.cast("string"))
+      val inj = when(id % 5 === 0, concat(lit(" "), cl(a, "+", b, a + b)))
+        .when(id % 5 === 1, concat(lit(" "), cl(a, "-", b, a - b + 1)))
+        .when(id % 5 === 2, concat(lit(" "), cl(a, "*", b, a * b)))
+        .when(id % 5 === 3, concat(lit(" "), cl(a, "+", b, a + b),
+          lit(" and "), cl(a, "*", b, a * b + 2)))
+        .otherwise(lit(""))
+      TextAnalysisOps.arithmeticAudit(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), inj).as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -17431,6 +17473,55 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    // greatest(sum(CASE WHEN did IS NOT NULL THEN 1 ELSE 0
         |    END), 1))::BIGINT AS coverage_milli
         |FROM j""".stripMargin,
+
+    "q421_citation_census" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN ' see arXiv:2104.08691.'
+        |      WHEN 1 THEN ' see arxiv:17' ||
+        |        lpad((doc_id % 100)::VARCHAR, 2, '0') || '.03762'
+        |      WHEN 2 THEN ' doi 10.1038/nature14539,'
+        |      WHEN 3 THEN ' cite 10.1145/' || doc_id::VARCHAR || '.'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source, 'arxiv' AS kind,
+        |    unnest(regexp_extract_all(lower(text),
+        |      'arxiv:(\d{4}\.\d{4,5})', 1)) AS ref
+        |  FROM d2
+        |  UNION ALL
+        |  SELECT doc_id, source, 'doi',
+        |    unnest(list_transform(
+        |      regexp_extract_all(text, '\b10\.\d{4,9}/[^\s"<>]+'),
+        |      d -> regexp_replace(d, '[.,;)\]]+$', '')))
+        |  FROM d2)
+        |SELECT source, kind, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_refs,
+        |  count(DISTINCT ref)::BIGINT AS n_distinct_refs
+        |FROM u GROUP BY source, kind
+        |ORDER BY source, kind""".stripMargin,
+
+    // The base text is digit-free, so the oracle recomputes the
+    // planted claims directly instead of re-running the regex.
+    "q422_arithmetic_audit" ->
+      """WITH f AS (
+        |  SELECT doc_id, (doc_id % 90) + 10 AS a, (doc_id % 9) + 1 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (CASE doc_id % 5 WHEN 3 THEN 2 WHEN 4 THEN 0
+        |    ELSE 1 END)::BIGINT AS n_claims,
+        |  (CASE doc_id % 5 WHEN 1 THEN 1 WHEN 3 THEN 1
+        |    ELSE 0 END)::BIGINT AS n_wrong,
+        |  CASE doc_id % 5
+        |    WHEN 1 THEN a::VARCHAR || ' - ' || b::VARCHAR || ' = ' ||
+        |      (a - b + 1)::VARCHAR
+        |    WHEN 3 THEN a::VARCHAR || ' * ' || b::VARCHAR || ' = ' ||
+        |      (a * b + 2)::VARCHAR
+        |    ELSE NULL END AS first_wrong,
+        |  (CASE doc_id % 5 WHEN 1 THEN false WHEN 3 THEN false
+        |    ELSE true END) AS arithmetic_ok
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // The oracle recomputes the one-group robots semantics and the
     // meta extraction directly (the q175 discipline).

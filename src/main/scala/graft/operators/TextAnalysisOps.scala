@@ -3568,6 +3568,80 @@ object TextAnalysisOps {
       .filter(col("n_hits") > 0L)
   }
 
+  /** Scholarly-identifier census — arXiv ids and DOIs extracted per
+    * document and rolled up per source: academic corpora are curated
+    * on citation density and provenance, and the SAME identifier
+    * recurring across thousands of docs is either a hub paper or a
+    * boilerplate reference list worth deduping. Patterns avoid
+    * lookarounds (portable across Java regex and RE2); DOIs strip
+    * trailing sentence punctuation.
+    *
+    * One row per (source, kind ∈ arxiv|doi): docs carrying at least
+    * one id, total and distinct ids.
+    *
+    * Scale shape: in-row extraction, explode bounded by ids-per-doc,
+    * one (source, kind)-keyed aggregate (count_distinct on the id
+    * rides the standard two-level aggregate). */
+  def citationIds(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val arxiv = regexp_extract_all(lower(txt),
+      lit("arxiv:(\\d{4}\\.\\d{4,5})"), lit(1))
+    val doi = transform(
+      regexp_extract_all(txt, lit("\\b10\\.\\d{4,9}/[^\\s\"<>]+"),
+        lit(0)),
+      d => regexp_replace(d, "[.,;)\\]]+$", ""))
+    docs.select(col(idCol).as("__doc"), col(sourceCol).as("source"),
+        explode(array(
+          struct(lit("arxiv").as("kind"), arxiv.as("ids")),
+          struct(lit("doi").as("kind"), doi.as("ids")))).as("k"))
+      .select(col("__doc"), col("source"), col("k.kind").as("kind"),
+        explode(col("k.ids")).as("ref")) // drops id-free (kind, doc)s
+      .groupBy(col("source"), col("kind"))
+      .agg(countDistinct(col("__doc")).as("n_docs"),
+        count(lit(1)).as("n_refs"),
+        countDistinct(col("ref")).as("n_distinct_refs"))
+  }
+
+  /** Arithmetic-consistency audit — synthetic math data ships wrong
+    * equations (a generation artifact: the chain-of-thought drifts
+    * and the stated result no longer matches), and one bad
+    * "2 + 3 = 6" in a million teaches exactly the error it states.
+    * Extracts `a op b = c` claims (op ∈ +, -, *; operands up to 9
+    * digits — products stay inside a long) and CHECKS them; per doc:
+    * claims, wrong claims, and the first wrong claim verbatim for
+    * triage.
+    *
+    * Scale shape: pure projection — extraction and verification fold
+    * in-row over the match array; zero shuffle. */
+  def arithmeticAudit(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    // result bounded to 18 digits: it must cast to long WITHOUT an
+    // ANSI overflow throw (a 19-digit garbage "result" is wrong by
+    // construction but must not kill the task)
+    val pat = "(\\d{1,9}) ?([+\\-*]) ?(\\d{1,9}) ?= ?(-?\\d{1,18})"
+    val txt = coalesce(col(textCol), lit(""))
+    val claims = regexp_extract_all(txt, lit(pat), lit(0))
+    def g(m: Column, i: Int): Column =
+      regexp_extract(m, pat, i)
+    val wrongs = filter(claims, m => {
+      val a = g(m, 1).cast("long")
+      val b = g(m, 3).cast("long")
+      val c = g(m, 4).cast("long")
+      val truth = when(g(m, 2) === "+", a + b)
+        .when(g(m, 2) === "-", a - b)
+        .otherwise(a * b)
+      !(truth === c)
+    })
+    docs.select(col(idCol),
+        size(claims).cast("long").as("n_claims"),
+        size(wrongs).cast("long").as("n_wrong"),
+        // try_element_at: a clean doc's empty array must read NULL,
+        // not throw under ANSI
+        try_element_at(wrongs, lit(1)).as("first_wrong"))
+      .withColumn("arithmetic_ok", col("n_wrong") === 0L)
+  }
+
   /** Short-answer leak scan — n-gram decontamination
     * ([[decontaminate]], [[bloomDecontaminate]]) cannot catch a
     * benchmark ANSWER that is shorter than the shingle width:

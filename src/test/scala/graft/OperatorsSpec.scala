@@ -8523,6 +8523,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("coverage_milli") == 666L)
   }
 
+  test("citationIds: arXiv ids and DOIs census per source; trailing " +
+      "punctuation strips; id-free docs emit nothing") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "see arXiv:2104.08691 and arxiv:1706.03762.", "a"),
+      (2L, "cites doi 10.1038/nature14539, and 10.1145/3442188.3445922.",
+        "a"),
+      (3L, "arXiv:1706.03762 again", "a"),
+      (4L, "no identifiers here", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysisOps.citationIds(docs, "doc_id", "text",
+      "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // source a / arxiv: docs 1,3; 3 refs; 2 distinct (1706 repeats)
+    assert(got(("a", "arxiv")) == ((2L, 3L, 2L)), got.toString)
+    // source a / doi: doc 2; 2 refs; 2 distinct (trailing ., strip)
+    assert(got(("a", "doi")) == ((1L, 2L, 2L)), got.toString)
+    assert(!got.contains(("b", "arxiv")) && !got.contains(("b", "doi")))
+  }
+
+  test("arithmeticAudit: wrong sums flag with the claim verbatim; " +
+      "correct +/-/* claims and claim-free docs pass") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "we compute 2 + 3 = 5 and 10 - 4 = 6 and 7 * 8 = 56"),
+      (2L, "but 2 + 3 = 6 slipped through"),
+      (3L, "and 123456789 * 987654321 = 3 is absurd"),
+      (4L, "no math at all"),
+      (5L, "19-digit garbage: 1 + 1 = 999999999999999999")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.arithmeticAudit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_claims") == 3L &&
+      got(0).getAs[Long]("n_wrong") == 0L &&
+      got(0).getAs[Boolean]("arithmetic_ok"))
+    assert(got(1).getAs[Long]("n_wrong") == 1L &&
+      got(1).getAs[String]("first_wrong") == "2 + 3 = 6")
+    assert(got(2).getAs[Long]("n_wrong") == 1L,
+      "a 17-digit true product must be computed exactly, not floated")
+    assert(got(3).getAs[Long]("n_claims") == 0L &&
+      got(3).isNullAt(got(3).fieldIndex("first_wrong")))
+    assert(got(4).getAs[Long]("n_wrong") == 1L,
+      "an 18-digit wrong result must compare, not overflow")
+  }
+
   test("paddingWaste: bucket assignment, ghost rows in tail batches, " +
       "truncation past the top boundary") {
     import graft.operators.PackingOps
