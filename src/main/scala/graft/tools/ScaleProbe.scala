@@ -1298,6 +1298,53 @@ object ScaleProbe {
       time(s"tripEngine SKEW-DECIMATED x$n (hot hex /15)")(
         graft.core.TripEngine.runBatch(decimated, cfg).toDF())
     }
+
+    // ROUND-11 fixtures: the new wave's scale claims, measured.
+    {
+      // max-task numbers must reflect the PARTITIONING, not AQE's
+      // small-data coalescing (which funnels a tiny fixture into one
+      // task and fakes a skew signal)
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val docs11 = replicate(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      // (a) HOT-VEC: ONE vec_id owning 50% of all embedding rows (a
+      // re-ingestion bug duplicating a single key) — the per-id
+      // aggregate must combine map-side, so the full-outer join sees
+      // one row for the hot id, never its fan-out
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val hotVecs = replicate(emb, "vec_id")
+        .withColumn("vec_id",
+          when(col("vec_id") % 2 === 0, lit(7L))
+            .otherwise(col("vec_id")))
+      time(s"embeddingCoverage HOT-VEC x$n (one id on 50% of rows)")(
+        graft.operators.SimilarityOps.embeddingCoverage(
+          docs11, "doc_id", hotVecs, "vec_id", "embedding", 64))
+      // (b) answerLeakScan cost is LINEAR in the benchmark size and
+      // shuffle-free — the 10x-items row prices the in-row scan so
+      // "shard the QA set" has a measured slope, not a hunch
+      def qaOf(k: Int) = emb.limit(k)
+        .select(concat(lit("question prefix "), col("vec_id"))
+          .as("question"),
+          concat(lit("answer "), col("vec_id")).as("answer"))
+      time(s"answerLeakScan x$n (50 items)")(
+        graft.operators.TextAnalysisOps.answerLeakScan(
+          docs11, "doc_id", "text", qaOf(50), "question", "answer"))
+      time(s"answerLeakScan x$n (500 items, expect ~10x in-row cost)")(
+        graft.operators.TextAnalysisOps.answerLeakScan(
+          docs11, "doc_id", "text", qaOf(500), "question", "answer"))
+      // (c) packBoundaryAudit: the bucket count is the window-task
+      // knob — max-task read must drop ~16x from 16 to 256 buckets
+      val nTok = size(split(col("text"), " "))
+      time(s"packBoundaryAudit x$n (16 buckets)")(
+        graft.operators.PackingOps.packBoundaryAudit(
+          docs11, "doc_id", "text", nTok, 256, bucketHexChars = 1))
+      time(s"packBoundaryAudit x$n (256 buckets)")(
+        graft.operators.PackingOps.packBoundaryAudit(
+          docs11, "doc_id", "text", nTok, 256, bucketHexChars = 2))
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
     spark.stop()
   }
 }
