@@ -5493,6 +5493,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Shard-balance audit (q423): the md5 16-shard split's per-shard
+    // source mix vs the global mix — hash sharding's miniature-corpus
+    // promise, measured in exact milli.
+    "q423_shard_balance" -> ((s, dir) => {
+      val sharded = t(s, dir, "documents").select(
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        col("source"))
+      SamplingOps.shardBalanceAudit(sharded, "shard", "source")
+        .orderBy(col("shard"))
+    }),
+
+    // JSONL transcript-format audit (q424): per id class the lines
+    // carry a clean transcript, garbage JSON, a scalar-JSON line, an
+    // unknown role, or a content-less turn — counting what
+    // parseTurnsJsonl would silently drop.
+    "q424_jsonl_audit" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val good = concat(lit("{\"role\": \"user\", \"content\": \"q "),
+        id, lit("\"}\n{\"role\": \"assistant\", \"content\": \"a "),
+        id, lit("\"}"))
+      val m = col("doc_id") % 7
+      val text = when(m === 0, good)
+        .when(m === 1, concat(good, lit("\nnot json at all")))
+        .when(m === 2, concat(good, lit("\n5")))
+        .when(m === 3, concat(good,
+          lit("\n{\"role\": \"narrator\", \"content\": \"x\"}")))
+        .when(m === 4, concat(good, lit("\n{\"role\": \"user\"}")))
+        .when(m === 5, concat(
+          lit("{\"role\": \"system\", \"content\": \"sys\"}\n"), good))
+        .otherwise(lit(""))
+      ConversationOps.jsonlTurnAudit(
+        t(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -17522,6 +17558,101 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  (CASE doc_id % 5 WHEN 1 THEN false WHEN 3 THEN false
         |    ELSE true END) AS arithmetic_ok
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q423_shard_balance" ->
+      """WITH cell AS (
+        |  SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS shard, source,
+        |    count(*)::BIGINT AS nss
+        |  FROM documents GROUP BY 1, 2),
+        |ps AS (SELECT shard, sum(nss)::BIGINT AS nshard
+        |  FROM cell GROUP BY shard),
+        |src AS (SELECT source, sum(nss)::BIGINT AS nsrc
+        |  FROM cell GROUP BY source),
+        |tot AS (SELECT sum(nss)::BIGINT AS ntot FROM cell),
+        |grid AS (
+        |  SELECT ps.shard, ps.nshard, src.source, src.nsrc
+        |  FROM ps CROSS JOIN src),
+        |diffs AS (
+        |  SELECT g.shard, g.source, g.nshard,
+        |    abs(coalesce(c.nss, 0) * 1000 // g.nshard -
+        |      g.nsrc * 1000 // t.ntot) AS diff
+        |  FROM grid g
+        |  LEFT JOIN cell c ON g.shard = c.shard AND g.source = c.source
+        |  CROSS JOIN tot t)
+        |SELECT shard, max(nshard)::BIGINT AS n_docs,
+        |  (sum(diff) // 2)::BIGINT AS tv_milli,
+        |  -- (max diff, ties -> min source) as one sortable string:
+        |  -- this DuckDB's min_by rejects struct keys
+        |  min_by(source,
+        |    lpad((1000 - diff)::VARCHAR, 4, '0') || '|' || source)
+        |    AS worst_source,
+        |  (sum(diff) // 2 <= 50) AS balanced
+        |FROM diffs GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q424_jsonl_audit" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN '{"role": "user", "content": "q ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) ||
+        |        '{"role": "assistant", "content": "a ' ||
+        |        doc_id::VARCHAR || '"}'
+        |      WHEN 1 THEN '{"role": "user", "content": "q ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) ||
+        |        '{"role": "assistant", "content": "a ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) || 'not json at all'
+        |      WHEN 2 THEN '{"role": "user", "content": "q ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) ||
+        |        '{"role": "assistant", "content": "a ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) || '5'
+        |      WHEN 3 THEN '{"role": "user", "content": "q ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) ||
+        |        '{"role": "assistant", "content": "a ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) ||
+        |        '{"role": "narrator", "content": "x"}'
+        |      WHEN 4 THEN '{"role": "user", "content": "q ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) ||
+        |        '{"role": "assistant", "content": "a ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) || '{"role": "user"}'
+        |      WHEN 5 THEN '{"role": "system", "content": "sys"}' ||
+        |        chr(10) || '{"role": "user", "content": "q ' ||
+        |        doc_id::VARCHAR || '"}' || chr(10) ||
+        |        '{"role": "assistant", "content": "a ' ||
+        |        doc_id::VARCHAR || '"}'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |nz AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM d2),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN json_valid(line)
+        |      THEN json_extract_string(line, '$.role')
+        |      ELSE NULL END AS role,
+        |    CASE WHEN json_valid(line)
+        |      THEN json_extract_string(line, '$.content')
+        |      ELSE NULL END AS content
+        |  FROM nz WHERE length(trim(line)) > 0),
+        |g AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |    sum(CASE WHEN role IN ('user', 'assistant', 'system')
+        |      AND content IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_turns,
+        |    sum(CASE WHEN role IS NULL
+        |      OR role NOT IN ('user', 'assistant', 'system')
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_invalid,
+        |    sum(CASE WHEN role IN ('user', 'assistant', 'system')
+        |      AND content IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_missing_content
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(g.n_lines, 0) AS n_lines,
+        |  coalesce(g.n_turns, 0) AS n_turns,
+        |  coalesce(g.n_invalid, 0) AS n_invalid,
+        |  coalesce(g.n_missing_content, 0) AS n_missing_content,
+        |  (coalesce(g.n_invalid, 0) = 0
+        |    AND coalesce(g.n_missing_content, 0) = 0) AS well_formed
+        |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The oracle recomputes the one-group robots semantics and the
     // meta extraction directly (the q175 discipline).

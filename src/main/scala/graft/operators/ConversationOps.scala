@@ -198,6 +198,44 @@ object ConversationOps {
       .filter(col("n_candidates") >= 2L && col("margin") >= minMargin)
   }
 
+  /** JSONL transcript-format audit — [[parseTurnsJsonl]] DROPS
+    * malformed lines by design (a parser must not fail a corpus over
+    * one bad row), which means format rot is invisible until the turn
+    * counts look wrong. This counts what the parser would drop and
+    * why, per document: total non-empty lines, well-formed turns,
+    * INVALID lines (unparseable JSON, or JSON without a recognized
+    * `role` — the two collapse into one bucket because engines
+    * disagree on which scalar-JSON edge is "valid JSON"), and
+    * valid-role lines missing `content`.
+    *
+    * Scale shape: pure projection — per-line classification folds
+    * in-row; zero shuffle. */
+  def jsonlTurnAudit(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val lines = filter(
+      split(coalesce(col(textCol), lit("")), "\n"),
+      l => length(trim(l)) > 0)
+    def roleOf(l: Column): Column =
+      from_json(l, TurnSchema).getField("role")
+    def contentOf(l: Column): Column =
+      from_json(l, TurnSchema).getField("content")
+    def validRole(l: Column): Column =
+      // a NULL role makes isin NULL, which a bare negation would drop
+      // from the invalid count — pin the three-valued logic to false
+      coalesce(roleOf(l).isin("user", "assistant", "system"),
+        lit(false))
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => validRole(l) &&
+          contentOf(l).isNotNull)).cast("long").as("n_turns"),
+        size(filter(lines, l => !validRole(l)))
+          .cast("long").as("n_invalid"),
+        size(filter(lines, l => validRole(l) &&
+          contentOf(l).isNull)).cast("long").as("n_missing_content"))
+      .withColumn("well_formed",
+        col("n_invalid") === 0L && col("n_missing_content") === 0L)
+  }
+
   /** Preference-pair hygiene audit — the input check for DPO/RLHF
     * training over EXISTING (chosen, rejected) pairs, catching the
     * three pair defects every public preference set ships some of:

@@ -681,6 +681,56 @@ object SamplingOps {
     *
     * Scale shape: one map-side-combined aggregate on the shard key,
     * rows carrying (shard, 8 B hash-int, token count). */
+  /** Shard-balance audit — hash sharding ([[epochShards]],
+    * [[hashSplit]]) PROMISES every shard is a miniature of the
+    * corpus, and training-on-shards quietly assumes it (per-shard
+    * loss curves, curriculum phases, distributed eval all read one
+    * shard as representative). This measures the promise: per shard,
+    * the total-variation-style distance between its source mix and
+    * the global mix, in milli (sum over sources of |shard share −
+    * global share| / 2, integer arithmetic), plus the worst source
+    * (ties → lexicographically first).
+    *
+    * Scale shape: one (shard, source) aggregate (bounded key domain),
+    * tiny broadcast joins of the per-shard / per-source / global
+    * totals, one shard-keyed rollup. The corpus crosses one exchange
+    * as (shard, source) partial counts. */
+  def shardBalanceAudit(docs: DataFrame, shardCol: String,
+                        sourceCol: String): DataFrame = {
+    val cell = docs.select(col(shardCol).as("shard"),
+        col(sourceCol).as("source"))
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("__nss"))
+    val perShard = cell.groupBy(col("shard"))
+      .agg(sum(col("__nss")).as("__nshard"))
+    val perSource = cell.groupBy(col("source"))
+      .agg(sum(col("__nss")).as("__nsrc"))
+    val total = cell.agg(sum(col("__nss")).as("__ntot"))
+    // a shard missing a source entirely still owes that source's
+    // global share to the distance: build the full shard x source
+    // grid (bounded domains) before differencing
+    val grid = perShard.crossJoin(broadcast(perSource))
+    val diffs = grid
+      .join(cell, Seq("shard", "source"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("shard"), col("source"), col("__nshard"),
+        // integer-domain div on both engines (Spark `/` is double
+        // division and its long cast TRUNCATES where DuckDB's cast
+        // rounds — div/`//` agree exactly on non-negatives)
+        expr("coalesce(__nss, 0L) * 1000 div __nshard")
+          .as("__ss_milli"),
+        expr("__nsrc * 1000 div __ntot").as("__gs_milli"))
+      .withColumn("__diff",
+        abs(col("__ss_milli") - col("__gs_milli")))
+    diffs.groupBy(col("shard"))
+      .agg(max(col("__nshard")).as("n_docs"),
+        expr("sum(__diff) div 2").as("tv_milli"),
+        min_by(col("source"),
+          struct((-col("__diff")).as("nd"), col("source").as("s")))
+          .as("worst_source"))
+      .withColumn("balanced", col("tv_milli") <= 50L)
+  }
+
   def shardManifest(assigned: DataFrame, shardCol: String,
                     idCol: String, tokenCount: Column,
                     textCol: String): DataFrame = {

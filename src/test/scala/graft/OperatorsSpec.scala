@@ -8569,6 +8569,60 @@ class OperatorsSpec extends AnyFunSuite {
       "an 18-digit wrong result must compare, not overflow")
   }
 
+  test("shardBalanceAudit: a perfectly mirrored shard reads 0, a " +
+      "single-source shard reads the full distance, missing sources " +
+      "count") {
+    import graft.operators.SamplingOps
+    // global mix: a 50%, b 50% (overall). shard s1 mirrors it; shard
+    // s2 is all-a (missing b entirely)
+    val docs = (
+      (1 to 4).map(i => (s"d$i", "s1", if (i % 2 == 0) "a" else "b")) ++
+      (5 to 8).map(i => (s"d$i", "s2", "a")) ++
+      (9 to 12).map(i => (s"d$i", "s3", "b"))
+    ).toDF("doc_id", "shard", "source")
+    val got = SamplingOps.shardBalanceAudit(docs, "shard", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tv_milli"),
+          r.getAs[String]("worst_source"),
+          r.getAs[Boolean]("balanced"))).toMap
+    // global: a = 6/12 = 500 milli, b = 500 milli
+    // s1: a 500, b 500 -> tv 0, balanced
+    assert(got("s1") == ((4L, 0L, "a", true)), got.toString)
+    // s2: a 1000 (|1000-500| = 500), b 0 (|0-500| = 500) -> tv 500,
+    // worst ties at 500 -> lexicographically first = a
+    assert(got("s2") == ((4L, 500L, "a", false)), got.toString)
+    assert(got("s3") == ((4L, 500L, "a", false)), got.toString)
+  }
+
+  test("jsonlTurnAudit: good turns, garbage JSON, scalar JSON, wrong " +
+      "role and missing content classify; blank lines are skipped") {
+    import graft.operators.ConversationOps
+    val docs = Seq(
+      (1L, """{"role": "user", "content": "hi"}""" + "\n" +
+        """{"role": "assistant", "content": "hello"}"""),
+      (2L, """{"role": "user", "content": "q"}""" + "\n\n" +
+        "not json at all\n" +
+        "5\n" +
+        """{"role": "narrator", "content": "x"}""" + "\n" +
+        """{"role": "user"}"""),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = ConversationOps.jsonlTurnAudit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_lines") == 2L &&
+      got(0).getAs[Long]("n_turns") == 2L &&
+      got(0).getAs[Boolean]("well_formed"))
+    // doc 2: 5 non-empty lines; 1 good turn; garbage + scalar +
+    // wrong-role = 3 invalid; role-without-content = 1
+    assert(got(1).getAs[Long]("n_lines") == 5L &&
+      got(1).getAs[Long]("n_turns") == 1L &&
+      got(1).getAs[Long]("n_invalid") == 3L &&
+      got(1).getAs[Long]("n_missing_content") == 1L &&
+      !got(1).getAs[Boolean]("well_formed"))
+    assert(got(2).getAs[Long]("n_lines") == 0L &&
+      got(2).getAs[Boolean]("well_formed"))
+  }
+
   test("paddingWaste: bucket assignment, ghost rows in tail batches, " +
       "truncation past the top boundary") {
     import graft.operators.PackingOps
