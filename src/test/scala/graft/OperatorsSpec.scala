@@ -8569,6 +8569,87 @@ class OperatorsSpec extends AnyFunSuite {
       "an 18-digit wrong result must compare, not overflow")
   }
 
+  test("paddingWaste conserves tokens over random lengths: kept + " +
+      "lost = original, docs partition across buckets, allocation " +
+      "covers kept tokens") {
+    import graft.operators.PackingOps
+    val rnd = new scala.util.Random(411)
+    val lens = (1 to 500).map(i =>
+      (i.toLong, (rnd.nextInt(700) + 1).toLong))
+    val docs = lens.toDF("doc_id", "n")
+    val got = PackingOps.paddingWaste(docs, "doc_id", col("n"),
+      batchSize = 7, boundaries = Seq(32L, 128L, 512L)).collect()
+    val total = lens.map(_._2).sum
+    val kept = got.map(_.getAs[Long]("n_tokens")).sum
+    val lost = got.map(_.getAs[Long]("tokens_lost")).sum
+    assert(kept + lost == total, s"kept $kept + lost $lost != $total")
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 500L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("allocated") >= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("waste_milli") >= 0L &&
+        r.getAs[Long]("waste_milli") <= 1000L)
+    }
+  }
+
+  test("preferencePairAudit invariants over random pairs: one verdict " +
+      "each, identical implies zero delta, truncation implies strict " +
+      "length order") {
+    import graft.operators.ConversationOps
+    val rnd = new scala.util.Random(422)
+    def s() = Iterator.fill(rnd.nextInt(30))(
+      ('a' + rnd.nextInt(3)).toChar).mkString
+    val pairs = (1 to 400).map { i =>
+      val c = s()
+      val r = rnd.nextInt(4) match {
+        case 0 => c                                  // identical
+        case 1 => c.take(math.max(1, c.length / 2))  // prefix-ish
+        case _ => s()
+      }
+      (i.toLong, c, r)
+    }.toDF("pair_id", "chosen", "rejected")
+    val got = ConversationOps.preferencePairAudit(pairs, "pair_id",
+      "chosen", "rejected").collect()
+    assert(got.length == 400)
+    got.foreach { r =>
+      val v = r.getAs[String]("verdict")
+      assert(Set("identical", "truncation_pair", "length_skew", "ok")(v))
+      if (v == "identical") {
+        assert(r.getAs[Long]("len_delta") == 0L)
+        assert(r.getAs[Boolean]("identical"))
+      }
+      if (v == "truncation_pair")
+        assert(r.getAs[Long]("len_chosen") !=
+          r.getAs[Long]("len_rejected"))
+      if (r.getAs[Boolean]("identical")) assert(v == "identical")
+    }
+  }
+
+  test("arithmeticAudit never flags correct random claims and always " +
+      "catches a planted wrong one") {
+    import graft.operators.TextAnalysisOps
+    val rnd = new scala.util.Random(433)
+    val docs = (1 to 300).map { i =>
+      val a = rnd.nextInt(1000000000).toLong
+      val b = rnd.nextInt(1000000000).toLong
+      val op = Seq("+", "-", "*")(rnd.nextInt(3))
+      val truth = op match {
+        case "+" => a + b case "-" => a - b case _ => a * b
+      }
+      val wrong = i % 3 == 0
+      val stated = if (wrong) truth + 1 + rnd.nextInt(5) else truth
+      (i.toLong, s"claim: $a $op $b = $stated end", wrong)
+    }
+    val got = TextAnalysisOps.arithmeticAudit(
+      docs.map(d => (d._1, d._2)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_wrong"))
+      .toMap
+    docs.foreach { case (id, txt, wrong) =>
+      assert(got(id) == (if (wrong) 1L else 0L),
+        s"doc $id ($txt): n_wrong ${got(id)}, expected wrong=$wrong")
+    }
+  }
+
   test("shardBalanceAudit: a perfectly mirrored shard reads 0, a " +
       "single-source shard reads the full distance, missing sources " +
       "count") {
