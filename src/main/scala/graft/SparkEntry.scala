@@ -5529,6 +5529,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixed-drop archive walk (q425): a binary column holding PAX
+    // tarballs, forced-ZIP64 archives and plain non-archive bytes —
+    // the sniff-and-walk ingest report counts members per format and
+    // reports the alien bytes as undecodable instead of dropping
+    // them.
+    "q425_archive_walk" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.TarCodec.paxBytes(Seq(
+              (s"m_$id.txt", text.getBytes("UTF-8"))))
+            case 1 => graft.sources.ZipCodec.zip64Bytes(Seq(
+              (s"m_$id.txt", text.getBytes("UTF-8"), true)))
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+      ArchiveOps.walkReport(bin, "doc_id", "bin")
+        .orderBy(col("format"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -17653,6 +17676,24 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    AND coalesce(g.n_missing_content, 0) = 0) AS well_formed
         |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The oracle never touches archive bytes: member counts and byte
+    // sums recompute from the member strings per format class.
+    "q425_archive_walk" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'tar' WHEN 1 THEN 'zip'
+        |      ELSE 'unknown' END AS format,
+        |    strlen(text)::BIGINT AS n
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_archives,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_decodable,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_members,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE sum(n) END)::BIGINT AS member_bytes
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
 
     // The oracle recomputes the one-group robots semantics and the
     // meta extraction directly (the q175 discipline).

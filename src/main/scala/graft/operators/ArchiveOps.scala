@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{TarCodec, ZipCodec}
+
+/** The generic archive walk — the reusable form of the q189/q284
+  * query pattern: a corpus drop arrives as a BINARY column of mixed
+  * archives (tarballs from one mirror, zips from another, some
+  * corrupt), and ingest is "sniff the format, walk the members, emit
+  * (member name, bytes)". Sniffing is by magic bytes (PK local/EOCD
+  * signatures for zip — ZIP64 included; the ustar magic at offset 257
+  * for tar — PAX and GNU long-name layouts included, since
+  * [[graft.sources.TarCodec]] parses them as of round 11).
+  *
+  * Undecodable rows are REPORTED, never dropped: an archive that
+  * sniffs to no format, or fails its codec's defensive parse, emits
+  * exactly one `member_idx = -1` row with `decodable = false` (the
+  * [[ConversationOps.notebookCells]] honest-reporting discipline), so
+  * member counts and failure counts come from one frame.
+  *
+  * Scale shape: one flatMap projection — archive bytes are consumed
+  * inside the scan task and only member-level rows leave it; nothing
+  * archive-sized shuffles. The doc id crosses as a STRING (the
+  * lossless direction — a long cast corrupts UUID ids; round-10
+  * advisory family). */
+object ArchiveOps {
+
+  private def sniff(b: Array[Byte]): String = {
+    if (b == null || b.length < 4) "unknown"
+    else if (b(0) == 'P' && b(1) == 'K' &&
+      ((b(2) == 3 && b(3) == 4) || (b(2) == 5 && b(3) == 6)))
+      "zip"
+    else if (b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
+      b(259) == 't' && b(260) == 'a' && b(261) == 'r')
+      "tar"
+    else "unknown"
+  }
+
+  /** One row per member: (doc_id, format, member_idx, name, size,
+    * data, decodable); undecodable archives yield one
+    * (format-or-unknown, -1, null, 0, null, false) row. */
+  def members(docs: DataFrame, idCol: String,
+              bytesCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("string").as("doc_id"),
+        col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        def bad(fmt: String) =
+          Seq((id, fmt, -1, null: String, 0L, null: Array[Byte], false))
+        sniff(bytes) match {
+          case "zip" => ZipCodec.parse(bytes) match {
+            case Some(ms) => ms.zipWithIndex.map { case (m, i) =>
+              (id, "zip", i, m.name, m.size, m.data, true) }
+            case None => bad("zip")
+          }
+          case "tar" => TarCodec.parse(bytes) match {
+            case Some(ms) => ms.zipWithIndex.map { case (m, i) =>
+              (id, "tar", i, m.name, m.size, m.data, true) }
+            case None => bad("tar")
+          }
+          case _ => bad("unknown")
+        }
+      }
+      .toDF("doc_id", "format", "member_idx", "name", "size", "data",
+        "decodable")
+  }
+
+  /** Per-format walk census: archives, decodable archives, members,
+    * member bytes — the drop-ingest report. */
+  def walkReport(docs: DataFrame, idCol: String,
+                 bytesCol: String): DataFrame =
+    members(docs, idCol, bytesCol)
+      .groupBy(col("format"))
+      .agg(countDistinct(col("doc_id")).as("n_archives"),
+        countDistinct(when(col("decodable"), col("doc_id")))
+          .as("n_decodable"),
+        sum(when(col("decodable"), 1L).otherwise(0L)).as("n_members"),
+        coalesce(sum(when(col("decodable"), col("size"))), lit(0L))
+          .as("member_bytes"))
+}

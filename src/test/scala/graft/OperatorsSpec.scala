@@ -8650,6 +8650,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ArchiveOps sniffs tar/PAX/zip/ZIP64 by magic, walks members, " +
+      "and reports truncated or alien bytes as undecodable rows") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{TarCodec, ZipCodec}
+    val zipOk = ZipCodec.zipBytes(Seq(("z.txt",
+      "zip body".getBytes("UTF-8"), false)))
+    val rows = Seq(
+      ("a-1", TarCodec.tarBytes(Seq(("t.txt",
+        "tar body".getBytes("UTF-8"))))),
+      ("b-2", TarCodec.paxBytes(Seq(("p.txt",
+        "pax body".getBytes("UTF-8"))))),
+      ("c-3", zipOk),
+      ("d-4", ZipCodec.zip64Bytes(Seq(("z64.txt",
+        "zip64 body".getBytes("UTF-8"), true)))),
+      ("e-5", zipOk.take(zipOk.length - 5)), // sniffs zip, parse fails
+      ("f-6", "just some text".getBytes("UTF-8")))
+      .toDF("id", "bin")
+    val got = ArchiveOps.members(rows, "id", "bin")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getString(3),
+          r.getBoolean(6))).toMap
+    assert(got("a-1") == (("tar", 0, "t.txt", true)))
+    assert(got("b-2") == (("tar", 0, "p.txt", true)))
+    assert(got("c-3") == (("zip", 0, "z.txt", true)))
+    assert(got("d-4") == (("zip", 0, "z64.txt", true)))
+    assert(got("e-5") == (("zip", -1, null, false)))
+    assert(got("f-6") == (("unknown", -1, null, false)))
+    val rep = ArchiveOps.walkReport(rows, "id", "bin")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("tar") == ((2L, 2L, 2L)))
+    assert(rep("zip") == ((3L, 2L, 2L)))
+    assert(rep("unknown") == ((1L, 0L, 0L)))
+  }
+
   test("shardBalanceAudit: a perfectly mirrored shard reads 0, a " +
       "single-source shard reads the full distance, missing sources " +
       "count") {
