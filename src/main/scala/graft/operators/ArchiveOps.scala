@@ -51,15 +51,25 @@ object ArchiveOps {
       .flatMap { case (id, bytes) =>
         def bad(fmt: String) =
           Seq((id, fmt, -1, null: String, 0L, null: Array[Byte], false))
+        // a VALID archive with zero members must still appear (one
+        // decodable member_idx = -1 row), or it vanishes from every
+        // downstream count
+        def ok(fmt: String,
+               ms: Seq[(String, Long, Array[Byte])]) =
+          if (ms.isEmpty)
+            Seq((id, fmt, -1, null: String, 0L,
+              null: Array[Byte], true))
+          else ms.zipWithIndex.map { case ((n, sz, d), i) =>
+            (id, fmt, i, n, sz, d, true) }
         sniff(bytes) match {
           case "zip" => ZipCodec.parse(bytes) match {
-            case Some(ms) => ms.zipWithIndex.map { case (m, i) =>
-              (id, "zip", i, m.name, m.size, m.data, true) }
+            case Some(ms) =>
+              ok("zip", ms.map(m => (m.name, m.size, m.data)))
             case None => bad("zip")
           }
           case "tar" => TarCodec.parse(bytes) match {
-            case Some(ms) => ms.zipWithIndex.map { case (m, i) =>
-              (id, "tar", i, m.name, m.size, m.data, true) }
+            case Some(ms) =>
+              ok("tar", ms.map(m => (m.name, m.size, m.data)))
             case None => bad("tar")
           }
           case _ => bad("unknown")
@@ -78,7 +88,8 @@ object ArchiveOps {
       .agg(countDistinct(col("doc_id")).as("n_archives"),
         countDistinct(when(col("decodable"), col("doc_id")))
           .as("n_decodable"),
-        sum(when(col("decodable"), 1L).otherwise(0L)).as("n_members"),
-        coalesce(sum(when(col("decodable"), col("size"))), lit(0L))
-          .as("member_bytes"))
+        sum(when(col("decodable") && col("member_idx") >= 0, 1L)
+          .otherwise(0L)).as("n_members"),
+        coalesce(sum(when(col("decodable") && col("member_idx") >= 0,
+          col("size"))), lit(0L)).as("member_bytes"))
 }

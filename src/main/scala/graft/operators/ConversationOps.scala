@@ -215,23 +215,26 @@ object ConversationOps {
     val lines = filter(
       split(coalesce(col(textCol), lit("")), "\n"),
       l => length(trim(l)) > 0)
-    def roleOf(l: Column): Column =
-      from_json(l, TurnSchema).getField("role")
-    def contentOf(l: Column): Column =
-      from_json(l, TurnSchema).getField("content")
-    def validRole(l: Column): Column =
+    // parse each line ONCE into a staged struct array (the q293
+    // lambda-binding discipline — the counts below would otherwise
+    // re-run from_json up to five times per line)
+    val staged = docs.select(col(idCol),
+      transform(lines, l => from_json(l, TurnSchema)).as("__p"))
+    def validRole(s: Column): Column =
       // a NULL role makes isin NULL, which a bare negation would drop
       // from the invalid count — pin the three-valued logic to false
-      coalesce(roleOf(l).isin("user", "assistant", "system"),
+      coalesce(s.getField("role").isin("user", "assistant", "system"),
         lit(false))
-    docs.select(col(idCol),
-        size(lines).cast("long").as("n_lines"),
-        size(filter(lines, l => validRole(l) &&
-          contentOf(l).isNotNull)).cast("long").as("n_turns"),
-        size(filter(lines, l => !validRole(l)))
+    val p = col("__p")
+    staged.select(col(idCol),
+        size(p).cast("long").as("n_lines"),
+        size(filter(p, s => validRole(s) &&
+          s.getField("content").isNotNull)).cast("long").as("n_turns"),
+        size(filter(p, s => !validRole(s)))
           .cast("long").as("n_invalid"),
-        size(filter(lines, l => validRole(l) &&
-          contentOf(l).isNull)).cast("long").as("n_missing_content"))
+        size(filter(p, s => validRole(s) &&
+          s.getField("content").isNull)).cast("long")
+          .as("n_missing_content"))
       .withColumn("well_formed",
         col("n_invalid") === 0L && col("n_missing_content") === 0L)
   }

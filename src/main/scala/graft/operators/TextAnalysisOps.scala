@@ -3658,7 +3658,11 @@ object TextAnalysisOps {
     * Emits one row per (doc, leaked item): doc id, the question's
     * 16-hex signature, the question's 1-based position and the
     * answer's offset past the question end. Clean docs emit nothing
-    * (the caller anti-joins to excise or drop).
+    * (the caller anti-joins to excise or drop). The window anchors at
+    * the question's FIRST occurrence only — a doc repeating the
+    * question with the answer after a later occurrence is not
+    * flagged; the precision-preserving direction, documented rather
+    * than silently widened.
     *
     * Scale shape: the QA table is benchmark-sized and BROADCAST; the
     * in-row amplification (×|items| before the leak filter) is the

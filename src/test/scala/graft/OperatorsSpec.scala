@@ -8683,6 +8683,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rep("tar") == ((2L, 2L, 2L)))
     assert(rep("zip") == ((3L, 2L, 2L)))
     assert(rep("unknown") == ((1L, 0L, 0L)))
+    // a VALID zero-member archive must not vanish: one decodable
+    // member_idx = -1 row, counted as an archive but not a member
+    val empty = Seq(("g-7", ZipCodec.zipBytes(Seq.empty)))
+      .toDF("id", "bin")
+    val er = ArchiveOps.members(empty, "id", "bin").collect()
+    assert(er.length == 1 && er.head.getInt(2) == -1 &&
+      er.head.getBoolean(6), er.mkString(","))
+    val erep = ArchiveOps.walkReport(empty, "id", "bin").collect().head
+    assert(erep.getAs[Long]("n_archives") == 1L &&
+      erep.getAs[Long]("n_decodable") == 1L &&
+      erep.getAs[Long]("n_members") == 0L)
   }
 
   test("shardBalanceAudit: a perfectly mirrored shard reads 0, a " +

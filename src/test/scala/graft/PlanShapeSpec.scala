@@ -508,6 +508,24 @@ class PlanShapeSpec extends AnyFunSuite {
         s"exchange:\n$p")
   }
 
+  test("q418/q423/q424: the round-11 audits keep their shapes — " +
+      "render is one conversation-keyed aggregate, shard balance " +
+      "broadcasts its totals, the JSONL audit is windowless") {
+    val render = plan("q418_chat_render")
+    assert(!render.contains("Window"),
+      s"renderChat must be one aggregate, not a window:\n$render")
+    val shard = plan("q423_shard_balance")
+    assert(!shard.contains("CartesianProduct") &&
+      !shard.contains("SortMergeJoin"),
+      s"the per-source/global totals must broadcast:\n$shard")
+    val jsonl = plan("q424_jsonl_audit")
+    assert(!jsonl.contains("Window") && !jsonl.contains("Join"),
+      s"the JSONL audit is a pure projection:\n$jsonl")
+    // the line array parses ONCE: exactly one from_json in the plan
+    assert("from_json".r.findAllIn(jsonl).size <= 2,
+      s"from_json must be staged, not re-run per count:\n$jsonl")
+  }
+
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
       "of the BM25 chain — the only windows are per-query ranks") {
     val p = plan("q386_retrieval_hubness")
