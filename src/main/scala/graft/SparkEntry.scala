@@ -5552,6 +5552,37 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // Serialized-form dedup (q426): exact dedup on the RENDERED
+    // training string — two conversations that differ in content are
+    // kept apart, while re-labeled or re-split copies that serialize
+    // identically collapse; keep-first on the render digest (the
+    // hot-key-safe min aggregate + unique-id join-back shape). Every
+    // 4th conversation is a verbatim copy of its %4==0 neighbor.
+    "q426_render_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      // %4 in {0,1} render identically (same anchor text), others
+      // are unique
+      val anchor = when(id % 4 <= 1, (id - (id % 4)).cast("string"))
+        .otherwise(id.cast("string"))
+      val turnRows = t(s, dir, "documents").select(col("doc_id"),
+        explode(array(
+          struct(lit(1L).as("turn_idx"), lit("user").as("role"),
+            concat(lit("do task "), anchor).as("content")),
+          struct(lit(2L).as("turn_idx"), lit("assistant").as("role"),
+            concat(lit("done: "), anchor).as("content")))).as("t"))
+        .select(col("doc_id"), col("t.turn_idx"), col("t.role"),
+          col("t.content"))
+      val rendered = ConversationOps.renderChat(turnRows, "doc_id")
+      // keep-first via the hot-key discipline: min-id aggregate on
+      // the sig, flag join re-keyed to the UNIQUE doc id — a
+      // mega-template's copies must never re-concentrate in one join
+      // task (the round-10 sweep rule)
+      DedupOps.keepFirstFlag(
+        rendered.select(col("doc_id"), col("render_sig")),
+        "doc_id", col("render_sig"), "keep")
+        .orderBy(col("doc_id"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -17694,6 +17725,28 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  (CASE WHEN format = 'unknown' THEN 0
         |    ELSE sum(n) END)::BIGINT AS member_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q426_render_dedup" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    '<|im_start|>user' || chr(10) || 'do task ' ||
+        |    (CASE WHEN doc_id % 4 <= 1 THEN doc_id - doc_id % 4
+        |      ELSE doc_id END)::VARCHAR || '<|im_end|>' || chr(10) ||
+        |    '<|im_start|>assistant' || chr(10) || 'done: ' ||
+        |    (CASE WHEN doc_id % 4 <= 1 THEN doc_id - doc_id % 4
+        |      ELSE doc_id END)::VARCHAR || '<|im_end|>' || chr(10)
+        |      AS rendered
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, substr(md5(rendered), 1, 16) AS render_sig
+        |  FROM r),
+        |w AS (
+        |  SELECT render_sig, min(doc_id) AS keep_id
+        |  FROM s GROUP BY render_sig)
+        |SELECT s.doc_id, s.render_sig,
+        |  (s.doc_id = w.keep_id) AS keep
+        |FROM s JOIN w USING (render_sig)
+        |ORDER BY s.doc_id""".stripMargin,
 
     // The oracle recomputes the one-group robots semantics and the
     // meta extraction directly (the q175 discipline).
