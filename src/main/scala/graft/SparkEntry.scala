@@ -5583,6 +5583,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-aware budget shift (q427): dedup changes the MIXTURE, not
+    // just the volume — two planted viral bodies concentrate dup mass
+    // in whichever sources carry them, so the post-dedup Hamilton
+    // allocation (q179's exact modular arithmetic) moves tokens
+    // between sources. One row per source: raw vs deduped counts and
+    // allocations, and the shift.
+    "q427_dedup_budget_shift" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 7 === 0, lit("shared viral body alpha"))
+          .when(col("doc_id") % 11 === 0, lit("shared viral body beta"))
+          .otherwise(col("text")).as("text"))
+      val kept = DedupOps.keepFirstFlag(injected, "doc_id",
+        md5(col("text")), "keep").filter(col("keep"))
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val raw = SamplingOps.tokenBudgetAllocate(injected, "source",
+        nTok, 100000L)
+        .select(col("source"), col("n_tokens").as("raw_tokens"),
+          col("alloc_tokens").as("raw_alloc"))
+      val ded = SamplingOps.tokenBudgetAllocate(kept, "source",
+        nTok, 100000L)
+        .select(col("source"), col("n_tokens").as("dedup_tokens"),
+          col("alloc_tokens").as("dedup_alloc"))
+      raw.join(ded, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("raw_tokens"), lit(0L)).as("raw_tokens"),
+          coalesce(col("raw_alloc"), lit(0L)).as("raw_alloc"),
+          coalesce(col("dedup_tokens"), lit(0L)).as("dedup_tokens"),
+          coalesce(col("dedup_alloc"), lit(0L)).as("dedup_alloc"))
+        .withColumn("alloc_shift",
+          col("dedup_alloc") - col("raw_alloc"))
+        .orderBy(col("source"))
+    }),
+
     // Consistent pseudonymization (q285): the same address anywhere
     // in the corpus folds to the same keyed token — repeated
     // correspondent in one doc (1 distinct / 2 hits), two distinct
@@ -17747,6 +17781,69 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  (s.doc_id = w.keep_id) AS keep
         |FROM s JOIN w USING (render_sig)
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q427_dedup_budget_shift" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'shared viral body alpha'
+        |      WHEN doc_id % 11 = 0 THEN 'shared viral body beta'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT md5(text) AS sig, min(doc_id) AS keep_id
+        |  FROM inj GROUP BY md5(text)),
+        |kept AS (
+        |  SELECT i.* FROM inj i
+        |  JOIN keepers k ON i.doc_id = k.keep_id),
+        |rc AS (
+        |  SELECT source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM inj GROUP BY source),
+        |rt AS (SELECT sum(n_tokens)::BIGINT AS tot FROM rc),
+        |rb AS (
+        |  SELECT source, n_tokens,
+        |    (100000 * n_tokens) // tot AS base,
+        |    (100000 * n_tokens) % tot AS rem
+        |  FROM rc, rt),
+        |rl AS (SELECT (100000 - sum(base))::BIGINT AS leftover FROM rb),
+        |rr AS (
+        |  SELECT source, n_tokens, base,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |  FROM rb),
+        |raw AS (
+        |  SELECT source, n_tokens AS raw_tokens,
+        |    (base + CASE WHEN rk <= leftover THEN 1 ELSE 0
+        |      END)::BIGINT AS raw_alloc
+        |  FROM rr, rl),
+        |dc AS (
+        |  SELECT source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM kept GROUP BY source),
+        |dt AS (SELECT sum(n_tokens)::BIGINT AS tot FROM dc),
+        |db AS (
+        |  SELECT source, n_tokens,
+        |    (100000 * n_tokens) // tot AS base,
+        |    (100000 * n_tokens) % tot AS rem
+        |  FROM dc, dt),
+        |dl AS (SELECT (100000 - sum(base))::BIGINT AS leftover FROM db),
+        |dr AS (
+        |  SELECT source, n_tokens, base,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |  FROM db),
+        |ded AS (
+        |  SELECT source, n_tokens AS dedup_tokens,
+        |    (base + CASE WHEN rk <= leftover THEN 1 ELSE 0
+        |      END)::BIGINT AS dedup_alloc
+        |  FROM dr, dl)
+        |SELECT source,
+        |  coalesce(raw_tokens, 0)::BIGINT AS raw_tokens,
+        |  coalesce(raw_alloc, 0)::BIGINT AS raw_alloc,
+        |  coalesce(dedup_tokens, 0)::BIGINT AS dedup_tokens,
+        |  coalesce(dedup_alloc, 0)::BIGINT AS dedup_alloc,
+        |  (coalesce(dedup_alloc, 0) - coalesce(raw_alloc, 0))::BIGINT
+        |    AS alloc_shift
+        |FROM raw FULL OUTER JOIN ded USING (source)
+        |ORDER BY source""".stripMargin,
 
     // The oracle recomputes the one-group robots semantics and the
     // meta extraction directly (the q175 discipline).
