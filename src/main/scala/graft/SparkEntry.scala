@@ -5356,6 +5356,21 @@ object SparkEntry {
           col("q_pos"), col("answer_offset"))
     }),
 
+    // Answer-leak excision (q428): the q415 scan's repair twin —
+    // cut the earliest question-through-answer span per doc
+    // (case-sensitive so positions index the original text), keep
+    // the rest; clean docs pass through with their own digest.
+    "q428_leak_excise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qa = docs.filter(col("doc_id") % 17 === 0 &&
+          length(col("text")) >= 60)
+        .select(substring(col("text"), 1, 30).as("question"),
+          substring(col("text"), 35, 10).as("answer"))
+      TextAnalysisOps.answerLeakExcise(docs, "doc_id", "text", qa,
+        "question", "answer", windowChars = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Pack-boundary contamination (q416): of the intra-chunk doc
     // junctions in the q54 packing layout, how many read as
     // continuation bridges (mid-sentence end -> lowercase start)?
@@ -17463,6 +17478,40 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  qpos::BIGINT AS q_pos, (apos - 1)::BIGINT AS answer_offset
         |FROM k WHERE apos > 0
         |ORDER BY doc_id, question_sig, q_pos, answer_offset""".stripMargin,
+
+    "q428_leak_excise" ->
+      """WITH items AS (
+        |  SELECT DISTINCT trim(substring(text, 1, 30)) AS q,
+        |    trim(substring(text, 35, 10)) AS a
+        |  FROM documents WHERE doc_id % 17 = 0 AND length(text) >= 60),
+        |it AS (
+        |  SELECT q, a FROM items
+        |  WHERE length(q) > 0 AND length(a) > 0),
+        |cand AS (
+        |  SELECT d.doc_id, d.text, i.q, i.a,
+        |    strpos(d.text, i.q) AS qpos
+        |  FROM documents d CROSS JOIN it i),
+        |c2 AS (
+        |  SELECT doc_id, text, q, a, qpos,
+        |    strpos(substring(text, qpos + length(q),
+        |      100 + length(a)), a) AS apos
+        |  FROM cand WHERE qpos > 0),
+        |leaks AS (
+        |  SELECT doc_id, qpos,
+        |    qpos + length(q) + apos - 1 + length(a) AS cut_end,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY qpos, q, apos, a) AS rk
+        |  FROM c2 WHERE apos > 0),
+        |pick AS (SELECT doc_id, qpos, cut_end FROM leaks WHERE rk = 1)
+        |SELECT d.doc_id,
+        |  (p.doc_id IS NOT NULL) AS leaked,
+        |  coalesce(p.cut_end - p.qpos, 0)::BIGINT AS n_chars_cut,
+        |  substr(md5(CASE WHEN p.doc_id IS NOT NULL
+        |    THEN substring(d.text, 1, p.qpos - 1) ||
+        |      substring(d.text, p.cut_end)
+        |    ELSE d.text END), 1, 16) AS cleaned_sig
+        |FROM documents d LEFT JOIN pick p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q416_pack_boundary" ->
       """WITH s AS (

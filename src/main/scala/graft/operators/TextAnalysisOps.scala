@@ -3703,6 +3703,66 @@ object TextAnalysisOps {
   private def locate_col(needle: Column, hay: Column): Column =
     call_function("locate", needle, hay)
 
+  /** Answer-leak EXCISION — from flag to repair (the
+    * [[decontaminateExcise]] progression applied to
+    * [[answerLeakScan]]): instead of dropping a leaking document, cut
+    * the question-through-answer span and keep the rest. Matching is
+    * CASE-SENSITIVE here (unlike the scan's case-folded flagging):
+    * cut positions must index the ORIGINAL text, and lowercasing can
+    * change string length under unicode, so the repair only cuts
+    * exact-case matches — the precision-preserving direction. ONE
+    * span is cut per document per pass: the earliest leak
+    * (ties → question then answer text); documents with several
+    * distinct leaks converge by re-running the pass to fixpoint
+    * (leaks are rare — one pass is the common case).
+    *
+    * One row per input document: `leaked`, `n_chars_cut` and the
+    * 16-hex digest of the (possibly repaired) text.
+    *
+    * Scale shape: the scan's broadcast shape for candidates, ONE
+    * doc-keyed min aggregate picking the span, and a join back on the
+    * UNIQUE doc id (hot-key safe) where the cut is a pure substring
+    * projection. */
+  def answerLeakExcise(docs: DataFrame, idCol: String, textCol: String,
+                       qa: DataFrame, questionCol: String,
+                       answerCol: String,
+                       windowChars: Int = 200): DataFrame = {
+    require(windowChars > 0, "windowChars must be positive")
+    val items = qa.select(trim(col(questionCol)).as("__q"),
+        trim(col(answerCol)).as("__a"))
+      .filter(length(col("__q")) > 0 && length(col("__a")) > 0)
+      .distinct()
+    val txt = coalesce(col(textCol), lit(""))
+    val cand = docs.select(col(idCol), txt.as("__txt"))
+      .join(broadcast(items))
+      .withColumn("__qpos", locate_col(col("__q"), col("__txt")))
+      .filter(col("__qpos") > 0)
+      .withColumn("__apos", locate_col(col("__a"),
+        col("__txt").substr(col("__qpos") + length(col("__q")),
+          lit(windowChars) + length(col("__a")))))
+      .filter(col("__apos") > 0)
+    val spans = cand.groupBy(col(idCol))
+      .agg(min(struct(col("__qpos").as("qp"),
+        col("__q").as("q"), col("__apos").as("ap"),
+        col("__a").as("a"))).as("__s"))
+      .select(col(idCol).as("__sid"),
+        col("__s.qp").as("__qp"),
+        (col("__s.qp") + length(col("__s.q")) + col("__s.ap") - 1 +
+          length(col("__s.a"))).as("__cut_end"))
+    docs.select(col(idCol), txt.as("__txt"))
+      .join(spans, col(idCol) === col("__sid"), "left")
+      .select(col(idCol),
+        col("__sid").isNotNull.as("leaked"),
+        when(col("__sid").isNotNull,
+          col("__cut_end") - col("__qp"))
+          .otherwise(lit(0L)).cast("long").as("n_chars_cut"),
+        substring(md5(when(col("__sid").isNotNull,
+          concat(col("__txt").substr(lit(1), col("__qp") - 1),
+            col("__txt").substr(col("__cut_end"),
+              length(col("__txt")))))
+          .otherwise(col("__txt"))), 1, 16).as("cleaned_sig"))
+  }
+
   /** Count-min sketch token frequencies (Cormode & Muthukrishnan
     * 2005) — the mergeable heavy-hitter primitive for corpus-scale
     * token accounting: the sketch is a fixed `depth × width` integer

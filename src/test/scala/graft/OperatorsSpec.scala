@@ -8436,6 +8436,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) == 4L, got.toString)
   }
 
+  test("answerLeakExcise cuts exactly the question-through-answer " +
+      "span of the earliest leak, case-sensitively, and spares clean " +
+      "docs") {
+    import graft.operators.TextAnalysisOps
+    def sig(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val docs = Seq(
+      (1L, "intro. What is X? Answer: gold. outro."),
+      (2L, "case differs: what is x? answer: GOLD nearby"),
+      (3L, "totally clean document"),
+      // two leaks: the EARLIER question wins the single-pass cut
+      (4L, "What is X? gold first. Who is Y? silver after.")
+    ).toDF("doc_id", "text")
+    val qa = Seq(("What is X?", "gold"), ("Who is Y?", "silver"))
+      .toDF("question", "answer")
+    val got = TextAnalysisOps.answerLeakExcise(docs, "doc_id", "text",
+      qa, "question", "answer", windowChars = 30)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: cut "What is X? Answer: gold" (q at 8, answer ends at 30)
+    assert(got(1L)._1 && got(1L)._3 == sig("intro. . outro."),
+      got(1L).toString)
+    assert(got(1L)._2 == ("What is X? Answer: gold").length.toLong)
+    // doc 2: case-sensitive repair does NOT cut (scan-level flagging
+    // is the case-folded one)
+    assert(got(2L) == ((false, 0L, sig(
+      "case differs: what is x? answer: GOLD nearby"))))
+    assert(got(3L) == ((false, 0L, sig("totally clean document"))))
+    // doc 4: earliest leak (What is X? ... gold) is cut; the second
+    // question survives this pass
+    assert(got(4L)._1 &&
+      got(4L)._3 == sig(" first. Who is Y? silver after."),
+      got(4L).toString)
+  }
+
   test("packBoundaryAudit: a deterministic single-bucket layout " +
       "counts the bridge and the clean stop exactly") {
     import graft.operators.PackingOps
