@@ -5334,21 +5334,23 @@ object SparkEntry {
     }),
 
     // Short-answer leak scan (q415): QA items cut from every 17th
-    // doc's own text — the question (chars 1..30) and a nearby answer
-    // (chars 35..44) reproduce in the source doc by construction
-    // (leak at offset 4), and may echo in others only if the exact
-    // substrings recur; one planted far-answer item (chars 400..409)
-    // must NOT leak within the 100-char window unless echoed.
+    // doc's own text — the question (chars 1..30) and a WORD-ALIGNED
+    // nearby answer (words 8-9, so the boundary rule can fire)
+    // reproduce in the source doc by construction, and may echo in
+    // others only where the exact strings recur at word boundaries;
+    // one planted far-answer item (words 80-81) must NOT leak within
+    // the 100-char window unless echoed.
     "q415_answer_leak" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      val words = split(col("text"), " ")
       val near = docs.filter(col("doc_id") % 17 === 0 &&
           length(col("text")) >= 60)
         .select(substring(col("text"), 1, 30).as("question"),
-          substring(col("text"), 35, 10).as("answer"))
+          array_join(slice(words, 8, 2), " ").as("answer"))
       val far = docs.filter(col("doc_id") % 17 === 0 &&
-          length(col("text")) >= 420)
+          size(words) >= 81)
         .select(substring(col("text"), 1, 30).as("question"),
-          substring(col("text"), 400, 10).as("answer"))
+          array_join(slice(words, 80, 2), " ").as("answer"))
       TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
         near.unionByName(far), "question", "answer",
         windowChars = 100)
@@ -5365,7 +5367,8 @@ object SparkEntry {
       val qa = docs.filter(col("doc_id") % 17 === 0 &&
           length(col("text")) >= 60)
         .select(substring(col("text"), 1, 30).as("question"),
-          substring(col("text"), 35, 10).as("answer"))
+          array_join(slice(split(col("text"), " "), 8, 2), " ")
+            .as("answer"))
       TextAnalysisOps.answerLeakExcise(docs, "doc_id", "text", qa,
         "question", "answer", windowChars = 100)
         .orderBy(col("doc_id"))
@@ -17453,11 +17456,16 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
     "q415_answer_leak" ->
       """WITH raw AS (
         |  SELECT substring(text, 1, 30) AS question,
-        |    substring(text, 35, 10) AS answer
+        |    array_to_string(list_slice(string_split(text, ' '), 8, 9),
+        |      ' ') AS answer
         |  FROM documents WHERE doc_id % 17 = 0 AND length(text) >= 60
         |  UNION ALL
-        |  SELECT substring(text, 1, 30), substring(text, 400, 10)
-        |  FROM documents WHERE doc_id % 17 = 0 AND length(text) >= 420),
+        |  SELECT substring(text, 1, 30),
+        |    array_to_string(list_slice(string_split(text, ' '),
+        |      80, 81), ' ')
+        |  FROM documents
+        |  WHERE doc_id % 17 = 0
+        |    AND len(string_split(text, ' ')) >= 81),
         |items AS (
         |  SELECT DISTINCT lower(trim(question)) AS q,
         |    lower(trim(answer)) AS a
@@ -17470,19 +17478,29 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    strpos(lower(coalesce(d.text, '')), i.q) AS qpos
         |  FROM documents d CROSS JOIN items i),
         |k AS (
-        |  SELECT doc_id, q, qpos,
+        |  SELECT doc_id, q, a, txt, qpos,
         |    strpos(substring(txt, qpos + length(q),
         |      100 + length(a)), a) AS apos
-        |  FROM j WHERE qpos > 0)
+        |  FROM j WHERE qpos > 0),
+        |b AS (
+        |  SELECT doc_id, q, qpos, apos,
+        |    qpos + length(q) + apos - 1 AS ansstart,
+        |    substring(txt, qpos + length(q) + apos - 2, 1) AS left_c,
+        |    substring(txt, qpos + length(q) + apos - 1 + length(a), 1)
+        |      AS right_c
+        |  FROM k WHERE apos > 0)
         |SELECT doc_id, substr(md5(q), 1, 16) AS question_sig,
         |  qpos::BIGINT AS q_pos, (apos - 1)::BIGINT AS answer_offset
-        |FROM k WHERE apos > 0
+        |FROM b
+        |WHERE NOT regexp_matches(left_c, '^[A-Za-z0-9]$')
+        |  AND NOT regexp_matches(right_c, '^[A-Za-z0-9]$')
         |ORDER BY doc_id, question_sig, q_pos, answer_offset""".stripMargin,
 
     "q428_leak_excise" ->
       """WITH items AS (
         |  SELECT DISTINCT trim(substring(text, 1, 30)) AS q,
-        |    trim(substring(text, 35, 10)) AS a
+        |    trim(array_to_string(list_slice(string_split(text, ' '),
+        |      8, 9), ' ')) AS a
         |  FROM documents WHERE doc_id % 17 = 0 AND length(text) >= 60),
         |it AS (
         |  SELECT q, a FROM items
@@ -17501,7 +17519,13 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    qpos + length(q) + apos - 1 + length(a) AS cut_end,
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY qpos, q, apos, a) AS rk
-        |  FROM c2 WHERE apos > 0),
+        |  FROM c2
+        |  WHERE apos > 0
+        |    AND NOT regexp_matches(substring(text,
+        |      qpos + length(q) + apos - 2, 1), '^[A-Za-z0-9]$')
+        |    AND NOT regexp_matches(substring(text,
+        |      qpos + length(q) + apos - 1 + length(a), 1),
+        |      '^[A-Za-z0-9]$')),
         |pick AS (SELECT doc_id, qpos, cut_end FROM leaks WHERE rk = 1)
         |SELECT d.doc_id,
         |  (p.doc_id IS NOT NULL) AS leaked,

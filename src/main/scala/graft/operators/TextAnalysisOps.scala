@@ -3619,11 +3619,19 @@ object TextAnalysisOps {
     // result bounded to 18 digits: it must cast to long WITHOUT an
     // ANSI overflow throw (a 19-digit garbage "result" is wrong by
     // construction but must not kill the task)
-    val pat = "(\\d{1,9}) ?([+\\-*]) ?(\\d{1,9}) ?= ?(-?\\d{1,18})"
+    val core = "(\\d{1,9}) ?([+\\-*]) ?(\\d{1,9}) ?= ?(-?\\d{1,18})"
+    // lookarounds guard against MISPARSED claims: "-3 + 4 = 1" must
+    // not read as 3+4=1, and "3.5 + 2 = 5.5" must not read as
+    // 5+2=5 — a truncated operand turns correct math into a false
+    // positive. (Engine-side Java regex only; the oracle recomputes
+    // the planted claims directly and never runs this pattern.)
+    // the lookahead rejects a DECIMAL continuation (".5"), not a
+    // sentence-ending period: "= 7." stays a claim, "= 5.5" does not
+    val pat = "(?<![-.\\d])" + core + "(?!\\.?\\d)"
     val txt = coalesce(col(textCol), lit(""))
     val claims = regexp_extract_all(txt, lit(pat), lit(0))
     def g(m: Column, i: Int): Column =
-      regexp_extract(m, pat, i)
+      regexp_extract(m, core, i)
     val wrongs = filter(claims, m => {
       val a = g(m, 1).cast("long")
       val b = g(m, 3).cast("long")
@@ -3658,11 +3666,15 @@ object TextAnalysisOps {
     * Emits one row per (doc, leaked item): doc id, the question's
     * 16-hex signature, the question's 1-based position and the
     * answer's offset past the question end. Clean docs emit nothing
-    * (the caller anti-joins to excise or drop). The window anchors at
-    * the question's FIRST occurrence only — a doc repeating the
-    * question with the answer after a later occurrence is not
-    * flagged; the precision-preserving direction, documented rather
-    * than silently widened.
+    * (the caller anti-joins to excise or drop). Two documented
+    * precision rules: the window anchors at the question's FIRST
+    * occurrence only (a doc repeating the question with the answer
+    * after a later occurrence is not flagged), and the answer match
+    * is WORD-BOUNDED — "42" inside "420" or "paris" inside "pariser"
+    * is not an answer (the substring-containment false-positive class
+    * the piiEchoAudit round-10 advisory named); the boundary test is
+    * explicit adjacent-char checks, portable to engines without
+    * regex lookarounds.
     *
     * Scale shape: the QA table is benchmark-sized and BROADCAST; the
     * in-row amplification (×|items| before the leak filter) is the
@@ -3687,11 +3699,20 @@ object TextAnalysisOps {
     val qEnd = col("__qpos") + length(col("__q"))
     val tail = col("__txt").substr(qEnd, lit(windowChars) +
       length(col("__a")))
+    // word boundary: the chars hugging the matched answer must not be
+    // alphanumeric (string edges count as boundaries)
+    val ansStart = col("__qpos") + length(col("__q")) +
+      col("__apos") - 1
+    val leftOk = !col("__txt").substr(ansStart - 1, lit(1))
+      .rlike("^[A-Za-z0-9]$")
+    val rightOk = !col("__txt")
+      .substr(ansStart + length(col("__a")), lit(1))
+      .rlike("^[A-Za-z0-9]$")
     joined
       .withColumn("__qpos", qPos)
       .filter(col("__qpos") > 0)
       .withColumn("__apos", locate_col(col("__a"), tail))
-      .filter(col("__apos") > 0)
+      .filter(col("__apos") > 0 && leftOk && rightOk)
       .select(col(idCol),
         substring(md5(col("__q")), 1, 16).as("question_sig"),
         col("__qpos").cast("long").as("q_pos"),
@@ -3733,6 +3754,8 @@ object TextAnalysisOps {
       .filter(length(col("__q")) > 0 && length(col("__a")) > 0)
       .distinct()
     val txt = coalesce(col(textCol), lit(""))
+    val exAnsStart = col("__qpos") + length(col("__q")) +
+      col("__apos") - 1
     val cand = docs.select(col(idCol), txt.as("__txt"))
       .join(broadcast(items))
       .withColumn("__qpos", locate_col(col("__q"), col("__txt")))
@@ -3740,7 +3763,13 @@ object TextAnalysisOps {
       .withColumn("__apos", locate_col(col("__a"),
         col("__txt").substr(col("__qpos") + length(col("__q")),
           lit(windowChars) + length(col("__a")))))
-      .filter(col("__apos") > 0)
+      .filter(col("__apos") > 0 &&
+        // the scan's word-boundary rule: a mid-word "answer" is not
+        // an answer and must not trigger surgery
+        !col("__txt").substr(exAnsStart - 1, lit(1))
+          .rlike("^[A-Za-z0-9]$") &&
+        !col("__txt").substr(exAnsStart + length(col("__a")), lit(1))
+          .rlike("^[A-Za-z0-9]$"))
     val spans = cand.groupBy(col(idCol))
       .agg(min(struct(col("__qpos").as("qp"),
         col("__q").as("q"), col("__apos").as("ap"),

@@ -8434,6 +8434,13 @@ class OperatorsSpec extends AnyFunSuite {
     // doc 3 never states the question
     assert(got.keySet == Set(1L, 4L), got.toString)
     assert(got(1L) == 4L, got.toString)
+    // word boundary: "par" inside "paris" is NOT an answer (the
+    // substring-containment false-positive class)
+    val sub = TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+      Seq(("What is the capital of France?", "par"))
+        .toDF("question", "answer"),
+      "question", "answer", windowChars = 60).count()
+    assert(sub == 0L, "a mid-word answer match must not flag")
   }
 
   test("answerLeakExcise cuts exactly the question-through-answer " +
@@ -8469,6 +8476,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L)._1 &&
       got(4L)._3 == sig(" first. Who is Y? silver after."),
       got(4L).toString)
+    // word boundary: "gol" inside "gold" must not trigger surgery
+    val sub = TextAnalysisOps.answerLeakExcise(docs, "doc_id", "text",
+      Seq(("What is X?", "gol")).toDF("question", "answer"),
+      "question", "answer", windowChars = 30)
+      .filter(col("leaked")).count()
+    assert(sub == 0L, "a mid-word answer match must not cut")
   }
 
   test("packBoundaryAudit: a deterministic single-bucket layout " +
@@ -8602,6 +8615,20 @@ class OperatorsSpec extends AnyFunSuite {
       got(3).isNullAt(got(3).fieldIndex("first_wrong")))
     assert(got(4).getAs[Long]("n_wrong") == 1L,
       "an 18-digit wrong result must compare, not overflow")
+    // misparse guards: a negative operand or decimal math must not
+    // truncate into a false positive; a sentence-ending period after
+    // a correct result is still a (correct) claim
+    val guard = Seq(
+      (10L, "note -3 + 4 = 1 holds"),      // would misread as 3+4=1
+      (11L, "and 3.5 + 2 = 5.5 too"),      // would misread as 5+2=5
+      (12L, "so 3 + 4 = 7. Next sentence") // correct, period after
+    ).toDF("doc_id", "text")
+    val g2 = TextAnalysisOps.arithmeticAudit(guard, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(g2(0).getAs[Long]("n_wrong") == 0L, g2(0).toString)
+    assert(g2(1).getAs[Long]("n_wrong") == 0L, g2(1).toString)
+    assert(g2(2).getAs[Long]("n_claims") == 1L &&
+      g2(2).getAs[Long]("n_wrong") == 0L, g2(2).toString)
   }
 
   test("paddingWaste conserves tokens over random lengths: kept + " +
