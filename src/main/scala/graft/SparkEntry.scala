@@ -5374,6 +5374,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML lang-attribute audit (q429): per id class the page
+    // declares the matching language, a regional variant (folds to
+    // the primary), a wrong language, or nothing.
+    "q429_html_lang_audit" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val html = when(m === 0, concat(lit("<html lang=\""),
+          col("lang"), lit("\"><body>page</body></html>")))
+        .when(m === 1, concat(lit("<html dir='ltr' lang='"),
+          col("lang"), lit("-XX'><body>page</body>")))
+        .when(m === 2, lit("<html lang=\"zz\"><body>page</body>"))
+        .otherwise(lit("<html><body>no attr</body>"))
+      TextAnalysisOps.htmlLangAudit(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html"),
+          col("lang"), col("source")),
+        "html", "lang", "source")
+        .orderBy(col("source"))
+    }),
+
     // Pack-boundary contamination (q416): of the intra-chunk doc
     // junctions in the q54 packing layout, how many read as
     // continuation bridges (mid-sentence end -> lowercase start)?
@@ -17536,6 +17554,22 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    ELSE d.text END), 1, 16) AS cleaned_sig
         |FROM documents d LEFT JOIN pick p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // No document language is 'zz', so the class arithmetic is exact.
+    "q429_html_lang_audit" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END AS has,
+        |    CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END AS agree,
+        |    CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS mism
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(has)::BIGINT AS n_declared,
+        |  sum(agree)::BIGINT AS n_agree,
+        |  sum(mism)::BIGINT AS n_mismatch,
+        |  (sum(mism) * 1000 // greatest(sum(has), 1))::BIGINT
+        |    AS mismatch_milli
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q416_pack_boundary" ->
       """WITH s AS (

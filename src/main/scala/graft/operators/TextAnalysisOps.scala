@@ -1381,6 +1381,41 @@ object TextAnalysisOps {
       .withColumn("indexable", !col("noindex"))
   }
 
+  /** HTML lang-attribute audit — a crawl carries two cheap language
+    * claims before any classifier runs: the page's own `<html lang>`
+    * attribute and the pipeline's metadata column. Disagreement is
+    * the mislabel tell that decides whether a source's language
+    * metadata can be trusted for routing (the content-side vote is
+    * [[stopwordLanguageMix]] / [[classifyLang]]; this audit is the
+    * zero-model precursor). BCP-47 subtags fold to the primary
+    * ("en-US" agrees with "en").
+    *
+    * Per source: docs, docs declaring an attribute, agreements,
+    * mismatches, and `mismatch_milli` over the DECLARING docs (pages
+    * without the attribute are silent, not wrong).
+    *
+    * Scale shape: in-row extraction into one source-keyed rollup. */
+  def htmlLangAudit(docs: DataFrame, htmlCol: String,
+                    claimedLangCol: String,
+                    sourceCol: String): DataFrame = {
+    val declared = lower(regexp_extract(
+      coalesce(col(htmlCol), lit("")),
+      "(?i)<html[^>]*\\slang=[\"']([A-Za-z-]+)[\"']", 1))
+    val primary = regexp_extract(declared, "^([a-z]+)", 1)
+    val claimed = lower(trim(coalesce(col(claimedLangCol), lit(""))))
+    docs.select(col(sourceCol).as("source"),
+        (primary =!= "").as("__has"),
+        (primary =!= "" && primary === claimed).as("__agree"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__has"), 1L).otherwise(0L)).as("n_declared"),
+        sum(when(col("__agree"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("__has") && !col("__agree"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .withColumn("mismatch_milli",
+        expr("n_mismatch * 1000 div greatest(n_declared, 1L)"))
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * tokens — the tokenizer-fit signal: documents full of tokens a
     * fixed vocabulary can't cover tokenize into long byte-fallback

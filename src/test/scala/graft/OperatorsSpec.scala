@@ -8758,6 +8758,25 @@ class OperatorsSpec extends AnyFunSuite {
       erep.getAs[Long]("n_members") == 0L)
   }
 
+  test("htmlLangAudit: BCP-47 subtags fold to the primary, missing " +
+      "attributes are silent not wrong, mismatches count per source") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "<html lang=\"en\"><body>x</body></html>", "en", "a"),
+      (2L, "<html dir='ltr' lang='en-US'><body>y</body>", "en", "a"),
+      (3L, "<html lang=\"de\"><body>z</body>", "en", "a"),
+      (4L, "<html><body>no attr</body>", "en", "a"),
+      (5L, "<html lang='FR'>", "fr", "b")
+    ).toDF("doc_id", "html", "lang", "source")
+    val got = TextAnalysisOps.htmlLangAudit(docs, "html", "lang",
+      "source").collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_declared"),
+          r.getAs[Long]("n_agree"), r.getAs[Long]("n_mismatch"),
+          r.getAs[Long]("mismatch_milli"))).toMap
+    assert(got("a") == ((4L, 3L, 2L, 1L, 333L)), got.toString)
+    assert(got("b") == ((1L, 1L, 1L, 0L, 0L)), got.toString)
+  }
+
   test("shardBalanceAudit: a perfectly mirrored shard reads 0, a " +
       "single-source shard reads the full distance, missing sources " +
       "count") {
