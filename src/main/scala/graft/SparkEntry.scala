@@ -5375,19 +5375,28 @@ object SparkEntry {
     }),
 
     // HTML lang-attribute audit (q429): per id class the page
-    // declares the matching language, a regional variant (folds to
-    // the primary), a wrong language, or nothing.
+    // declares the matching language (quoted or the valid-HTML
+    // unquoted form), a regional variant on either side (both fold
+    // to the primary), a wrong language, or nothing.
     "q429_html_lang_audit" -> ((s, dir) => {
-      val m = col("doc_id") % 4
+      val m = col("doc_id") % 6
       val html = when(m === 0, concat(lit("<html lang=\""),
           col("lang"), lit("\"><body>page</body></html>")))
         .when(m === 1, concat(lit("<html dir='ltr' lang='"),
           col("lang"), lit("-XX'><body>page</body>")))
         .when(m === 2, lit("<html lang=\"zz\"><body>page</body>"))
+        .when(m === 4, concat(lit("<html lang="), col("lang"),
+          lit("><body>unquoted</body></html>")))
+        .when(m === 5, concat(lit("<html lang=\""), col("lang"),
+          lit("-US\"><body>page</body>")))
         .otherwise(lit("<html><body>no attr</body>"))
+      // m=5 also carries the regional tag in the METADATA column —
+      // the symmetric-fold arm (claimed "xx-US" vs declared "xx-US")
+      val claimed = when(m === 5, concat(col("lang"), lit("-US")))
+        .otherwise(col("lang"))
       TextAnalysisOps.htmlLangAudit(
         t(s, dir, "documents").select(col("doc_id"), html.as("html"),
-          col("lang"), col("source")),
+          claimed.as("lang"), col("source")),
         "html", "lang", "source")
         .orderBy(col("source"))
     }),
@@ -17555,13 +17564,17 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |FROM documents d LEFT JOIN pick p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
-    // No document language is 'zz', so the class arithmetic is exact.
+    // No document language is 'zz', so the class arithmetic is exact:
+    // m=0 quoted agree, m=1 declared-regional agree, m=2 mismatch,
+    // m=3 undeclared, m=4 unquoted agree, m=5 both-sides-regional
+    // agree (the symmetric-fold arm).
     "q429_html_lang_audit" ->
       """WITH f AS (
         |  SELECT source,
-        |    CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END AS has,
-        |    CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END AS agree,
-        |    CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS mism
+        |    CASE WHEN doc_id % 6 <> 3 THEN 1 ELSE 0 END AS has,
+        |    CASE WHEN doc_id % 6 IN (0, 1, 4, 5) THEN 1 ELSE 0 END
+        |      AS agree,
+        |    CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS mism
         |  FROM documents)
         |SELECT source, count(*)::BIGINT AS n_docs,
         |  sum(has)::BIGINT AS n_declared,

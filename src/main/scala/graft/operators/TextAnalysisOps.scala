@@ -1387,8 +1387,11 @@ object TextAnalysisOps {
     * the mislabel tell that decides whether a source's language
     * metadata can be trusted for routing (the content-side vote is
     * [[stopwordLanguageMix]] / [[classifyLang]]; this audit is the
-    * zero-model precursor). BCP-47 subtags fold to the primary
-    * ("en-US" agrees with "en").
+    * zero-model precursor). BCP-47 subtags fold to the primary on
+    * BOTH sides ("en-US" agrees with "en", and a metadata "en-US"
+    * agrees with a declared "en-US" or "en"); unquoted attribute
+    * values (`<html lang=en>` — valid HTML, common in the wild)
+    * count as declared.
     *
     * Per source: docs, docs declaring an attribute, agreements,
     * mismatches, and `mismatch_milli` over the DECLARING docs (pages
@@ -1398,14 +1401,19 @@ object TextAnalysisOps {
   def htmlLangAudit(docs: DataFrame, htmlCol: String,
                     claimedLangCol: String,
                     sourceCol: String): DataFrame = {
+    // optional quote: matches lang="en-US", lang='en' AND the
+    // unquoted lang=en form (value ends where [A-Za-z-] does)
     val declared = lower(regexp_extract(
       coalesce(col(htmlCol), lit("")),
-      "(?i)<html[^>]*\\slang=[\"']([A-Za-z-]+)[\"']", 1))
+      "(?i)<html[^>]*\\slang=[\"']?([A-Za-z-]+)", 1))
     val primary = regexp_extract(declared, "^([a-z]+)", 1)
     val claimed = lower(trim(coalesce(col(claimedLangCol), lit(""))))
+    // fold the claimed side symmetrically — metadata "en-US" against
+    // a page declaring "en-US" is agreement, not a mismatch
+    val claimedPrimary = regexp_extract(claimed, "^([a-z]+)", 1)
     docs.select(col(sourceCol).as("source"),
         (primary =!= "").as("__has"),
-        (primary =!= "" && primary === claimed).as("__agree"))
+        (primary =!= "" && primary === claimedPrimary).as("__agree"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__has"), 1L).otherwise(0L)).as("n_declared"),
@@ -3711,14 +3719,30 @@ object TextAnalysisOps {
     * explicit adjacent-char checks, portable to engines without
     * regex lookarounds.
     *
-    * Scale shape: the QA table is benchmark-sized and BROADCAST; the
-    * in-row amplification (×|items| before the leak filter) is the
-    * [[decontaminate]] discipline; the only post-filter work is
-    * projection — zero shuffle on the corpus side. */
+    * Scale shape: the QA table is benchmark-sized and BROADCAST by
+    * default; the in-row amplification (×|items| before the leak
+    * filter) is the [[decontaminate]] discipline; the only
+    * post-filter work is projection — zero shuffle on the corpus
+    * side. `broadcastQa = false` is the QA-scale fallback (the
+    * [[oovRate]] `broadcastVocab` pattern): a benchmark suite
+    * broadcasts in KBs, but the union of all eval sets plus their
+    * paraphrase expansions can outgrow the broadcast budget — the
+    * fallback nominates (doc, item) candidate pairs through an exact
+    * anchor join (xxhash64 of the question's first
+    * [[QaAnchorLen]]-chars prefix against the doc's same-length
+    * character grams — any true substring match shares its anchor, so
+    * nomination has no false negatives; hash collisions only add
+    * candidates that the exact verification below discards), both
+    * sides exchanging on the anchor key under a `shuffle_hash` hint
+    * that keeps AQE from re-promoting the join to broadcast. Doc-side
+    * gram fan-out is O(|text|) rows of (id, 8-byte hash) — the honest
+    * price of exact matching without the broadcast; identical
+    * results, pinned by spec. */
   def answerLeakScan(docs: DataFrame, idCol: String, textCol: String,
                      qa: DataFrame, questionCol: String,
                      answerCol: String,
-                     windowChars: Int = 200): DataFrame = {
+                     windowChars: Int = 200,
+                     broadcastQa: Boolean = true): DataFrame = {
     require(windowChars > 0, "windowChars must be positive")
     val items = qa.select(
         lower(trim(col(questionCol))).as("__q"),
@@ -3726,8 +3750,7 @@ object TextAnalysisOps {
       .filter(length(col("__q")) > 0 && length(col("__a")) > 0)
       .distinct()
     val txt = lower(coalesce(col(textCol), lit("")))
-    val joined = docs.select(col(idCol), txt.as("__txt"))
-      .join(broadcast(items))
+    val joined = qaCandidatePairs(docs, idCol, txt, items, broadcastQa)
     val qPos = locate_col(col("__q"), col("__txt"))
     // the answer must START within windowChars of the question's end:
     // search a tail slice of windowChars + len(answer) chars
@@ -3759,6 +3782,50 @@ object TextAnalysisOps {
   private def locate_col(needle: Column, hay: Column): Column =
     call_function("locate", needle, hay)
 
+  /** Anchor-prefix length for the non-broadcast QA candidate join:
+    * long enough that an anchor is selective, short enough that real
+    * benchmark questions exceed it (shorter questions anchor on their
+    * full text — the doc side grams every distinct short length too,
+    * bounded by this constant). */
+  private val QaAnchorLen = 24
+
+  /** (doc, QA item) candidate pairs for the leak scan/excise:
+    * `broadcastQa = true` is the broadcast cross join (every doc sees
+    * every item in-row, zero corpus shuffle); `false` is the exact
+    * anchor-nomination arm — join doc character-gram hashes against
+    * item anchor hashes on the anchor key (shuffle_hash, AQE cannot
+    * re-promote a hinted join), then re-attach the doc text by its
+    * UNIQUE id. Items must already be distinct with non-empty
+    * `__q`/`__a`. Output columns: (idCol, __txt, __q, __a) — the
+    * caller applies the exact position/window/boundary verification,
+    * which also disposes of anchor-hash collisions. */
+  private def qaCandidatePairs(docs: DataFrame, idCol: String,
+                               txt: Column, items: DataFrame,
+                               broadcastQa: Boolean): DataFrame = {
+    val base = docs.select(col(idCol), txt.as("__txt"))
+    if (broadcastQa) return base.join(broadcast(items))
+    val keyed = items.withColumn("__h",
+      xxhash64(substring(col("__q"), 1, QaAnchorLen)))
+    // distinct anchor lengths actually present — ≤ QaAnchorLen values
+    // (a map-side-combined scalar aggregate, driver-bounded)
+    val lens = keyed.select(least(length(col("__q")),
+        lit(QaAnchorLen)).cast("int").as("__l"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (lens.isEmpty) return base.join(broadcast(items)) // no items
+    val gramArrays = lens.map { l =>
+      when(length(col("__txt")) >= l, array_distinct(
+        transform(sequence(lit(1), length(col("__txt")) - l + 1),
+          p => xxhash64(col("__txt").substr(p, lit(l))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val grams = base.select(col(idCol),
+      explode(array_distinct(concat(gramArrays: _*))).as("__h"))
+    grams.join(keyed.hint("shuffle_hash"), Seq("__h"))
+      .select(col(idCol), col("__q"), col("__a"))
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("__txt"), col("__q"), col("__a"))
+  }
+
   /** Answer-leak EXCISION — from flag to repair (the
     * [[decontaminateExcise]] progression applied to
     * [[answerLeakScan]]): instead of dropping a leaking document, cut
@@ -3778,11 +3845,16 @@ object TextAnalysisOps {
     * Scale shape: the scan's broadcast shape for candidates, ONE
     * doc-keyed min aggregate picking the span, and a join back on the
     * UNIQUE doc id (hot-key safe) where the cut is a pure substring
-    * projection. */
+    * projection. `broadcastQa = false` routes candidate generation
+    * through the scan's exact anchor-nomination arm (shuffle_hash on
+    * the anchor key; see [[answerLeakScan]]) for QA tables too big to
+    * broadcast — here the anchors are case-SENSITIVE like the match
+    * itself. Identical results, pinned by spec. */
   def answerLeakExcise(docs: DataFrame, idCol: String, textCol: String,
                        qa: DataFrame, questionCol: String,
                        answerCol: String,
-                       windowChars: Int = 200): DataFrame = {
+                       windowChars: Int = 200,
+                       broadcastQa: Boolean = true): DataFrame = {
     require(windowChars > 0, "windowChars must be positive")
     val items = qa.select(trim(col(questionCol)).as("__q"),
         trim(col(answerCol)).as("__a"))
@@ -3791,8 +3863,7 @@ object TextAnalysisOps {
     val txt = coalesce(col(textCol), lit(""))
     val exAnsStart = col("__qpos") + length(col("__q")) +
       col("__apos") - 1
-    val cand = docs.select(col(idCol), txt.as("__txt"))
-      .join(broadcast(items))
+    val cand = qaCandidatePairs(docs, idCol, txt, items, broadcastQa)
       .withColumn("__qpos", locate_col(col("__q"), col("__txt")))
       .filter(col("__qpos") > 0)
       .withColumn("__apos", locate_col(col("__a"),

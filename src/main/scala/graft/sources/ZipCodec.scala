@@ -131,7 +131,9 @@ object ZipCodec {
       val nDisks = u32(b, loc + 16)
       if (nDisks > 1) return None // multi-disk out of scope
       val z64 = u64(b, loc + 8)
-      if (z64 < 0 || z64 + 56 > loc) return None
+      // overflow-safe form: z64 + 56 wraps negative for z64 near
+      // Long.MaxValue, letting a negative .toInt index through
+      if (z64 < 0 || z64 > loc - 56) return None
       val z = z64.toInt
       if (u32(b, z) != Zip64EocdSig) return None
       if (u32(b, z + 16) != 0 || u32(b, z + 20) != 0) return None
@@ -140,7 +142,9 @@ object ZipCodec {
       if (nHere64 != nTotal || nTotal < 0) return None
       cdSize = u64(b, z + 40)
       cdOff = u64(b, z + 48)
-      if (cdSize < 0 || cdOff < 0 || cdOff + cdSize > z64) return None
+      // cdOff > z64 - cdSize, not cdOff + cdSize > z64: the sum wraps
+      // for crafted u64 values and a wrapped-negative total passes
+      if (cdSize < 0 || cdOff < 0 || cdOff > z64 - cdSize) return None
     } else if (cdOff + cdSize > eocd) return None
     // an in-memory archive is < 2 GiB; each central entry is >= 46 B
     if (cdOff + cdSize > b.length || nTotal > b.length / 46L)
@@ -196,13 +200,19 @@ object ZipCodec {
       // local header: sig + fixed 30 bytes, then ITS OWN name/extra
       // lengths (they may differ from the central entry's — e.g. a
       // streaming writer adds local extra fields)
+      // bound-check in Long BEFORE truncating: localOff near
+      // 0x7FFFFFFF makes `lo + 30` wrap negative after .toInt and a
+      // crafted archive indexes out of bounds instead of returning None
+      if (localOff < 0 || localOff > b.length - 30) return None
       val lo = localOff.toInt
-      if (lo < 0 || lo + 30 > b.length || u32(b, lo) != LocalSig)
-        return None
+      if (u32(b, lo) != LocalSig) return None
       val lNameLen = u16(b, lo + 26)
       val lExtraLen = u16(b, lo + 28)
       val dataOff = lo + 30 + lNameLen + lExtraLen
-      if (dataOff + csize > b.length || dataOff + csize > cdOff)
+      // csize > b.length - dataOff is the overflow-safe spelling of
+      // dataOff + csize > b.length (csize is attacker-controlled u64)
+      if (csize < 0 || csize > b.length - dataOff ||
+          dataOff + csize > cdOff)
         return None
       if (usize > 64L * 1024 * 1024) return None // column-cell bound
       val comp = java.util.Arrays.copyOfRange(

@@ -8484,6 +8484,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sub == 0L, "a mid-word answer match must not cut")
   }
 
+  test("answerLeakScan/answerLeakExcise: the broadcastQa=false " +
+      "anchor-nomination arm returns identical results to the " +
+      "broadcast arm across long and short questions") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "Q: what is the capital of france? A: paris, obviously."),
+      (2L, "what is the capital of france? " + ("filler " * 40) +
+        "paris at the very end"),
+      (3L, "paris appears but the question never does"),
+      (4L, "WHAT IS THE CAPITAL OF FRANCE? immediately PARIS"),
+      (5L, "short anchor: What is X? Answer: gold. outro."),
+      (6L, "What is X? gold first. Who is Y? silver after."),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    // a 30-char question (anchors on its 24-char prefix) AND two
+    // sub-anchor-length questions (anchor on their full text) — both
+    // fallback code paths
+    val qa = Seq(
+      ("What is the capital of France?", "Paris"),
+      ("What is X?", "gold"),
+      ("Who is Y?", "silver")
+    ).toDF("question", "answer")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val scanB = TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+      qa, "question", "answer", windowChars = 60)
+    val scanS = TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+      qa, "question", "answer", windowChars = 60, broadcastQa = false)
+    assert(rows(scanB) == rows(scanS),
+      s"scan arms diverge:\n${rows(scanB)}\nvs\n${rows(scanS)}")
+    assert(rows(scanB).nonEmpty, "parity fixture must actually leak")
+    val exB = TextAnalysisOps.answerLeakExcise(docs, "doc_id", "text",
+      qa, "question", "answer", windowChars = 30)
+    val exS = TextAnalysisOps.answerLeakExcise(docs, "doc_id", "text",
+      qa, "question", "answer", windowChars = 30, broadcastQa = false)
+    assert(rows(exB) == rows(exS),
+      s"excise arms diverge:\n${rows(exB)}\nvs\n${rows(exS)}")
+    // the word-boundary rejection holds in the fallback arm too
+    assert(TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+      Seq(("What is the capital of France?", "par"))
+        .toDF("question", "answer"),
+      "question", "answer", windowChars = 60,
+      broadcastQa = false).count() == 0L)
+  }
+
   test("packBoundaryAudit: a deterministic single-bucket layout " +
       "counts the bridge and the clean stop exactly") {
     import graft.operators.PackingOps
@@ -8758,7 +8803,8 @@ class OperatorsSpec extends AnyFunSuite {
       erep.getAs[Long]("n_members") == 0L)
   }
 
-  test("htmlLangAudit: BCP-47 subtags fold to the primary, missing " +
+  test("htmlLangAudit: BCP-47 subtags fold to the primary on BOTH " +
+      "sides, unquoted lang=en counts as declared, missing " +
       "attributes are silent not wrong, mismatches count per source") {
     import graft.operators.TextAnalysisOps
     val docs = Seq(
@@ -8766,7 +8812,16 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "<html dir='ltr' lang='en-US'><body>y</body>", "en", "a"),
       (3L, "<html lang=\"de\"><body>z</body>", "en", "a"),
       (4L, "<html><body>no attr</body>", "en", "a"),
-      (5L, "<html lang='FR'>", "fr", "b")
+      (5L, "<html lang='FR'>", "fr", "b"),
+      // unquoted attribute value — valid HTML the quoted-only
+      // pattern silently missed (round-11 verdict)
+      (6L, "<html lang=en><body>u</body></html>", "en", "c"),
+      (7L, "<html lang=pt-BR dir=ltr>", "pt", "c"),
+      // regional tag in the METADATA column — the declared side
+      // agrees exactly; pre-fix this counted as a mismatch
+      (8L, "<html lang=\"en-US\">", "en-US", "c"),
+      (9L, "<html lang=\"en\">", "en-GB", "c"),
+      (10L, "<html lang=de>", "en", "c")
     ).toDF("doc_id", "html", "lang", "source")
     val got = TextAnalysisOps.htmlLangAudit(docs, "html", "lang",
       "source").collect().map(r => r.getString(0) ->
@@ -8775,6 +8830,9 @@ class OperatorsSpec extends AnyFunSuite {
           r.getAs[Long]("mismatch_milli"))).toMap
     assert(got("a") == ((4L, 3L, 2L, 1L, 333L)), got.toString)
     assert(got("b") == ((1L, 1L, 1L, 0L, 0L)), got.toString)
+    // c: 5 docs, all declared; 6/7 unquoted agree, 8/9 fold-agree,
+    // 10 unquoted mismatch
+    assert(got("c") == ((5L, 5L, 4L, 1L, 200L)), got.toString)
   }
 
   test("shardBalanceAudit: a perfectly mirrored shard reads 0, a " +

@@ -489,6 +489,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus side must not shuffle:\n$p")
   }
 
+  test("answerLeakScan broadcastQa=false: candidate nomination " +
+      "exchanges on the anchor key through a ShuffledHashJoin that " +
+      "AQE never re-promotes to broadcast") {
+    import spark.implicits._
+    import graft.operators.TextAnalysisOps
+    val docs = (1L to 50L).map(i => (i,
+      s"doc $i body. What is the capital of France? Paris here."))
+      .toDF("doc_id", "text")
+    val qa = Seq(("What is the capital of France?", "Paris"),
+      ("Who is Y?", "silver")).toDF("question", "answer")
+    val df = TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+      qa, "question", "answer", windowChars = 60, broadcastQa = false)
+    df.collect() // force AQE to finalize — the pin is on the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"the anchor join must stay shuffle-hash under AQE:\n$p")
+    assert("Exchange hashpartitioning\\(__h#".r.findFirstIn(p).isDefined,
+      s"both sides must exchange on the anchor key:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the fallback must not cross-join the corpus:\n$p")
+  }
+
   test("q416: pack-boundary windows ride the hash bucket only; the " +
       "junction rollup is one map-side-combined aggregate and the " +
       "text never rides the exchange") {
