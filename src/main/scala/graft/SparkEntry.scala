@@ -5358,6 +5358,57 @@ object SparkEntry {
           col("q_pos"), col("answer_offset"))
     }),
 
+    // Shuffle-fallback leak scan (q431): q415's exact semantics
+    // through the broadcastQa=false arm — anchor-hash nomination
+    // joined shuffle_hash on the anchor key for QA tables too big to
+    // broadcast. Same oracle as q415: the arms are pinned identical.
+    "q431_leak_scan_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = split(col("text"), " ")
+      val near = docs.filter(col("doc_id") % 17 === 0 &&
+          length(col("text")) >= 60)
+        .select(substring(col("text"), 1, 30).as("question"),
+          array_join(slice(words, 8, 2), " ").as("answer"))
+      val far = docs.filter(col("doc_id") % 17 === 0 &&
+          size(words) >= 81)
+        .select(substring(col("text"), 1, 30).as("question"),
+          array_join(slice(words, 80, 2), " ").as("answer"))
+      TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+        near.unionByName(far), "question", "answer",
+        windowChars = 100, broadcastQa = false)
+        .orderBy(col("doc_id"), col("question_sig"),
+          col("q_pos"), col("answer_offset"))
+    }),
+
+    // Nested text extraction (q432): the q430 drop's text leaves
+    // pulled through the streaming twin's extraction hook — composite
+    // lossless string ids ("<archive>!<path>"), UTF-8 decode; archive
+    // leaves (deep.tar) and binary members never pass.
+    "q432_archive_text" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.TarCodec.tarBytes(Seq(
+              ("inner.zip", graft.sources.ZipCodec.zipBytes(Seq(
+                ("m.txt", tb, false)))),
+              ("plain.txt", tb)))
+            case 1 => graft.sources.TarCodec.tarBytes(Seq(
+              ("inner.zip", graft.sources.ZipCodec.zipBytes(Seq(
+                ("deep.tar", graft.sources.TarCodec.tarBytes(Seq(
+                  ("d.txt", tb))), false))))))
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+        .withColumn("ts", lit("2024-06-11 00:00:00").cast("timestamp"))
+      graft.streaming.ArchiveIngestStream.textMembers(bin)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Answer-leak excision (q428): the q415 scan's repair twin —
     // cut the earliest question-through-answer span per doc
     // (case-sensitive so positions index the original text), keep
@@ -5595,6 +5646,56 @@ object SparkEntry {
         }.toDF("doc_id", "bin")
       ArchiveOps.walkReport(bin, "doc_id", "bin")
         .orderBy(col("format"))
+    }),
+
+    // Gzip-layer drop census (q433): the two shapes a mirror actually
+    // serves — tar.gz bundles (transparent unwrap, compound format
+    // label) and bare .jsonl.gz shards (inflated bytes as one
+    // null-named member) — plus raw non-archive bytes.
+    "q433_targz_walk" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.GzipCodec.gzipBytes(
+              graft.sources.TarCodec.tarBytes(Seq(("t.txt", tb))))
+            case 1 => graft.sources.GzipCodec.gzipBytes(tb)
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+      ArchiveOps.walkReport(bin, "doc_id", "bin")
+        .orderBy(col("format"))
+    }),
+
+    // Nested-drop walk (q430): real crawl drops carry zip-in-tar —
+    // the bounded-depth recursive walk surfaces inner members
+    // (depth 2) instead of opaque container bytes, while an archive
+    // BELOW the depth bound (tar-in-zip-in-tar) stays an honest
+    // opaque archive leaf. Census per (depth, format).
+    "q430_nested_walk" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.TarCodec.tarBytes(Seq(
+              ("inner.zip", graft.sources.ZipCodec.zipBytes(Seq(
+                ("m.txt", tb, false)))),
+              ("plain.txt", tb)))
+            case 1 => graft.sources.TarCodec.tarBytes(Seq(
+              ("inner.zip", graft.sources.ZipCodec.zipBytes(Seq(
+                ("deep.tar", graft.sources.TarCodec.tarBytes(Seq(
+                  ("d.txt", tb))), false))))))
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+      ArchiveOps.nestedWalkReport(bin, "doc_id", "bin")
+        .orderBy(col("depth"), col("format"))
     }),
 
     // Serialized-form dedup (q426): exact dedup on the RENDERED
@@ -17523,6 +17624,63 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  AND NOT regexp_matches(right_c, '^[A-Za-z0-9]$')
         |ORDER BY doc_id, question_sig, q_pos, answer_offset""".stripMargin,
 
+    // q431 is q415 through the non-broadcast arm — by contract the
+    // SAME results, so the oracle is q415's verbatim.
+    "q431_leak_scan_shuffle" ->
+      """WITH raw AS (
+        |  SELECT substring(text, 1, 30) AS question,
+        |    array_to_string(list_slice(string_split(text, ' '), 8, 9),
+        |      ' ') AS answer
+        |  FROM documents WHERE doc_id % 17 = 0 AND length(text) >= 60
+        |  UNION ALL
+        |  SELECT substring(text, 1, 30),
+        |    array_to_string(list_slice(string_split(text, ' '),
+        |      80, 81), ' ')
+        |  FROM documents
+        |  WHERE doc_id % 17 = 0
+        |    AND len(string_split(text, ' ')) >= 81),
+        |items AS (
+        |  SELECT DISTINCT lower(trim(question)) AS q,
+        |    lower(trim(answer)) AS a
+        |  FROM raw
+        |  WHERE length(lower(trim(question))) > 0
+        |    AND length(lower(trim(answer))) > 0),
+        |j AS (
+        |  SELECT d.doc_id, i.q, i.a,
+        |    lower(coalesce(d.text, '')) AS txt,
+        |    strpos(lower(coalesce(d.text, '')), i.q) AS qpos
+        |  FROM documents d CROSS JOIN items i),
+        |k AS (
+        |  SELECT doc_id, q, a, txt, qpos,
+        |    strpos(substring(txt, qpos + length(q),
+        |      100 + length(a)), a) AS apos
+        |  FROM j WHERE qpos > 0),
+        |b AS (
+        |  SELECT doc_id, q, qpos, apos,
+        |    qpos + length(q) + apos - 1 AS ansstart,
+        |    substring(txt, qpos + length(q) + apos - 2, 1) AS left_c,
+        |    substring(txt, qpos + length(q) + apos - 1 + length(a), 1)
+        |      AS right_c
+        |  FROM k WHERE apos > 0)
+        |SELECT doc_id, substr(md5(q), 1, 16) AS question_sig,
+        |  qpos::BIGINT AS q_pos, (apos - 1)::BIGINT AS answer_offset
+        |FROM b
+        |WHERE NOT regexp_matches(left_c, '^[A-Za-z0-9]$')
+        |  AND NOT regexp_matches(right_c, '^[A-Za-z0-9]$')
+        |ORDER BY doc_id, question_sig, q_pos, answer_offset""".stripMargin,
+
+    // Only the %3=0 docs carry text-suffixed leaves: m.txt inside the
+    // nested zip and the plain.txt sibling; the %3=1 deep.tar is an
+    // archive leaf (never decoded as text), %3=2 isn't an archive.
+    "q432_archive_text" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id::VARCHAR || '!inner.zip!m.txt' AS doc_id, text
+        |FROM b
+        |UNION ALL
+        |SELECT doc_id::VARCHAR || '!plain.txt', text FROM b
+        |ORDER BY doc_id""".stripMargin,
+
     "q428_leak_excise" ->
       """WITH items AS (
         |  SELECT DISTINCT trim(substring(text, 1, 30)) AS q,
@@ -17879,6 +18037,57 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  (CASE WHEN format = 'unknown' THEN 0
         |    ELSE sum(n) END)::BIGINT AS member_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q433_targz_walk" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'tar.gz' WHEN 1 THEN 'gz'
+        |      ELSE 'unknown' END AS format,
+        |    strlen(text)::BIGINT AS n
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_archives,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_decodable,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_members,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE sum(n) END)::BIGINT AS member_bytes
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    // Sizes are exact functions of the fixture writers: a stored
+    // single-member zip is 108 + L bytes for a 5-char name
+    // (local 30+5+L, central 46+5, EOCD 22; 114 + T for the 8-char
+    // "deep.tar"), a one-member ustar tar is 1536 + ceil(L/512)*512.
+    // Containers and depth-0 marker rows carry no data bytes.
+    "q430_nested_walk" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 3 AS m, strlen(text)::BIGINT AS L,
+        |    (1536 + ((strlen(text) + 511) // 512) * 512)::BIGINT AS T
+        |  FROM documents),
+        |r AS (
+        |  SELECT 0 AS depth, 'unknown' AS format, 0 AS is_member,
+        |    0 AS is_arch, 0 AS dec, 0::BIGINT AS declared,
+        |    0::BIGINT AS carried
+        |  FROM b WHERE m = 2
+        |  UNION ALL
+        |  SELECT 1, 'tar', 1, 1, 1,
+        |    CASE WHEN m = 0 THEN 108 + L ELSE 114 + T END, 0::BIGINT
+        |  FROM b WHERE m IN (0, 1)
+        |  UNION ALL
+        |  SELECT 1, 'tar', 1, 0, 1, L, L FROM b WHERE m = 0
+        |  UNION ALL
+        |  SELECT 2, 'zip', 1, CASE WHEN m = 1 THEN 1 ELSE 0 END, 1,
+        |    CASE WHEN m = 0 THEN L ELSE T END,
+        |    CASE WHEN m = 0 THEN L ELSE T END
+        |  FROM b WHERE m IN (0, 1))
+        |SELECT depth, format, count(*)::BIGINT AS n_rows,
+        |  sum(is_member)::BIGINT AS n_members,
+        |  sum(is_arch)::BIGINT AS n_archive_members,
+        |  sum(dec)::BIGINT AS n_decodable,
+        |  sum(declared)::BIGINT AS declared_bytes,
+        |  sum(carried)::BIGINT AS carried_bytes
+        |FROM r GROUP BY depth, format
+        |ORDER BY depth, format""".stripMargin,
 
     "q426_render_dedup" ->
       """WITH r AS (

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{TarCodec, ZipCodec}
+import graft.sources.{GzipCodec, TarCodec, ZipCodec}
 
 /** The generic archive walk — the reusable form of the q189/q284
   * query pattern: a corpus drop arrives as a BINARY column of mixed
@@ -12,7 +12,12 @@ import graft.sources.{TarCodec, ZipCodec}
   * (member name, bytes)". Sniffing is by magic bytes (PK local/EOCD
   * signatures for zip — ZIP64 included; the ustar magic at offset 257
   * for tar — PAX and GNU long-name layouts included, since
-  * [[graft.sources.TarCodec]] parses them as of round 11).
+  * [[graft.sources.TarCodec]] parses them as of round 11; the RFC
+  * 1952 gzip magic as of round 12 — `.tar.gz`/`.zip.gz` unwrap
+  * transparently under a compound format label, and a bare `.gz` of
+  * plain content (the `.jsonl.gz` shard shape) surfaces its inflated
+  * bytes as one null-named member, all under the same bounded
+  * inflation budget).
   *
   * Undecodable rows are REPORTED, never dropped: an archive that
   * sniffs to no format, or fails its codec's defensive parse, emits
@@ -35,49 +40,206 @@ object ArchiveOps {
     else if (b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
       b(259) == 't' && b(260) == 'a' && b(261) == 'r')
       "tar"
+    else if (GzipCodec.sniff(b)) "gz"
     else "unknown"
   }
 
   /** One row per member: (doc_id, format, member_idx, name, size,
     * data, decodable); undecodable archives yield one
-    * (format-or-unknown, -1, null, 0, null, false) row. */
-  def members(docs: DataFrame, idCol: String,
-              bytesCol: String): DataFrame = {
+    * (format-or-unknown, -1, null, 0, null, false) row. The flat
+    * (depth-1) projection of [[walkBytes]] — gzip roots unwrap
+    * transparently (`tar.gz`/`zip.gz` formats; a bare `.gz` of plain
+    * content surfaces its inflated bytes as one null-named member),
+    * and the recursive walk's cumulative inflation cap applies. */
+  def members(docs: DataFrame, idCol: String, bytesCol: String,
+              inflationCapBytes: Long = 256L * 1024 * 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("string").as("doc_id"),
         col(bytesCol).as("bytes"))
       .as[(String, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        def bad(fmt: String) =
-          Seq((id, fmt, -1, null: String, 0L, null: Array[Byte], false))
-        // a VALID archive with zero members must still appear (one
-        // decodable member_idx = -1 row), or it vanishes from every
-        // downstream count
-        def ok(fmt: String,
-               ms: Seq[(String, Long, Array[Byte])]) =
-          if (ms.isEmpty)
-            Seq((id, fmt, -1, null: String, 0L,
-              null: Array[Byte], true))
-          else ms.zipWithIndex.map { case ((n, sz, d), i) =>
-            (id, fmt, i, n, sz, d, true) }
-        sniff(bytes) match {
-          case "zip" => ZipCodec.parse(bytes) match {
-            case Some(ms) =>
-              ok("zip", ms.map(m => (m.name, m.size, m.data)))
-            case None => bad("zip")
-          }
-          case "tar" => TarCodec.parse(bytes) match {
-            case Some(ms) =>
-              ok("tar", ms.map(m => (m.name, m.size, m.data)))
-            case None => bad("tar")
-          }
-          case _ => bad("unknown")
-        }
+        walkBytes(bytes, maxDepth = 1, inflationCapBytes).map(w =>
+          (id, w.format, w.memberIdx, w.name, w.size, w.data,
+            w.decodable))
       }
       .toDF("doc_id", "format", "member_idx", "name", "size", "data",
         "decodable")
   }
+
+  /** Bounded-depth RECURSIVE archive walk — real crawl drops carry
+    * zip-in-tar and tar-in-zip; the flat [[members]] surfaces inner
+    * archives as opaque member bytes, this walks them. One row per
+    * member slot, schema `(doc_id, depth, format, member_idx, name,
+    * size, data, decodable, is_archive)`:
+    *
+    *  - `depth`: archive-nesting level of the member (root members
+    *    are depth 1; members of an archive nested inside the root are
+    *    depth 2). Root-level failure/empty marker rows sit at depth 0
+    *    with `member_idx = -1`, exactly like [[members]].
+    *  - `name`: the full nested path, levels joined with `"!"`
+    *    (`"bundle.zip!inner/doc.txt"`).
+    *  - `format`: the format of the archive CONTAINING the row's
+    *    member (the [[members]] convention).
+    *  - a member that is itself an archive and was WALKED keeps its
+    *    row as a container marker: `is_archive = true`, `data = null`
+    *    (its content rides the child rows), `decodable = true`. An
+    *    empty walked archive is a container row with no children.
+    *  - a member that sniffs as an archive but FAILS its codec's
+    *    parse keeps its bytes (`data` retained, composable with a
+    *    manual re-walk) and reads `decodable = false` — the honest
+    *    per-member twin of the root-level failure row.
+    *  - an archive member AT the depth bound stays an opaque leaf
+    *    (`is_archive = true`, bytes retained, `decodable = true`) —
+    *    depth capping is not an error.
+    *
+    * Zip-bomb guard: `maxDepth` bounds nesting (a zip quine recurses
+    * forever without it), and `inflationCapBytes` bounds the
+    * CUMULATIVE declared member bytes per root archive across all
+    * levels — once the running total crosses the cap, every further
+    * member row in that root emits with `data = null` and
+    * `decodable = false` (honest over-cap rows; counts survive, the
+    * inflated payload does not ship).
+    *
+    * Scale shape: identical to [[members]] — one flatMap projection,
+    * archive bytes consumed inside the scan task, only member-level
+    * rows leave it; recursion is per-row local and bounded by
+    * `maxDepth` × the cap. `maxDepth = 1` is exactly the flat walk
+    * (spec-pinned against [[members]]). */
+  /** One emitted walk row (sans the doc id): see [[membersRecursive]]
+    * for the field contract. */
+  case class WalkRow(depth: Int, format: String, memberIdx: Int,
+                     name: String, size: Long, data: Array[Byte],
+                     decodable: Boolean, isArchive: Boolean)
+
+  /** The per-archive recursive walk as a plain function — the unit
+    * [[membersRecursive]] flatMaps and the streaming twin
+    * ([[graft.streaming.ArchiveIngestStream]]) reuses to carry its
+    * own passthrough columns without re-implementing the walk. */
+  def walkBytes(bytes: Array[Byte], maxDepth: Int = 2,
+                inflationCapBytes: Long = 256L * 1024 * 1024)
+      : Seq[WalkRow] = {
+    require(maxDepth >= 1, "maxDepth must be at least 1 (the flat walk)")
+    require(inflationCapBytes > 0, "inflationCapBytes must be positive")
+    val out = Vector.newBuilder[WalkRow]
+    var inflated = 0L
+    // format dispatch with the gzip LAYER unwrapped transparently:
+    // returns (format label, members). tar.gz / zip.gz parse their
+    // inflated payload under the compound label; a bare gz of plain
+    // content yields ONE null-named pseudo-member holding the
+    // inflated bytes (the .jsonl.gz shape); gunzip is bounded by the
+    // REMAINING inflation budget (bomb defense).
+    def parseAs(b: Array[Byte])
+        : (String, Option[Seq[(String, Long, Array[Byte])]]) =
+      sniff(b) match {
+        case "zip" => ("zip", ZipCodec.parse(b)
+          .map(_.map(m => (m.name, m.size, m.data))))
+        case "tar" => ("tar", TarCodec.parse(b)
+          .map(_.map(m => (m.name, m.size, m.data))))
+        case "gz" =>
+          GzipCodec.gunzip(b, inflationCapBytes - inflated) match {
+            case None => ("gz", None)
+            case Some(inner) => sniff(inner) match {
+              case "zip" => ("zip.gz", ZipCodec.parse(inner)
+                .map(_.map(m => (m.name, m.size, m.data))))
+              case "tar" => ("tar.gz", TarCodec.parse(inner)
+                .map(_.map(m => (m.name, m.size, m.data))))
+              case _ => ("gz",
+                Some(Seq((null, inner.length.toLong, inner))))
+            }
+          }
+        case f => (f, None)
+      }
+    // walk the MEMBERS of an already-parsed archive at nesting
+    // level `depth` (its members emit at depth + 1)
+    def walk(ms: Seq[(String, Long, Array[Byte])], depth: Int,
+             fmt: String, prefix: String): Unit = {
+      var idx = 0
+      ms.foreach { case (n, sz, d) =>
+        val path = if (n == null) null else prefix + n
+        inflated += sz
+        val childFmt = sniff(d)
+        if (inflated > inflationCapBytes)
+          out += WalkRow(depth + 1, fmt, idx, path, sz,
+            null, decodable = false, isArchive = childFmt != "unknown")
+        else if (childFmt != "unknown" && depth + 1 < maxDepth) {
+          parseAs(d) match {
+            case ("gz", Some(pseudo)) =>
+              // a plain .gz member decompresses IN PLACE: same row,
+              // inflated bytes and size (the .jsonl.gz-in-tar shape)
+              val (_, isz, inner) = pseudo.head
+              inflated += isz
+              if (inflated > inflationCapBytes)
+                out += WalkRow(depth + 1, fmt, idx, path, sz, null,
+                  decodable = false, isArchive = true)
+              else
+                out += WalkRow(depth + 1, fmt, idx, path, isz, inner,
+                  decodable = true, isArchive = false)
+            case (label, Some(children)) =>
+              out += WalkRow(depth + 1, fmt, idx, path, sz,
+                null, decodable = true, isArchive = true)
+              walk(children, depth + 1, label, path + "!")
+            case (_, None) =>
+              out += WalkRow(depth + 1, fmt, idx, path, sz,
+                d, decodable = false, isArchive = true)
+          }
+        } else
+          out += WalkRow(depth + 1, fmt, idx, path, sz,
+            d, decodable = true, isArchive = childFmt != "unknown")
+        idx += 1
+      }
+    }
+    parseAs(bytes) match {
+      case (label, Some(ms)) if ms.nonEmpty => walk(ms, 0, label, "")
+      case (label, Some(_)) => // valid empty archive: the marker row
+        out += WalkRow(0, label, -1, null, 0L, null,
+          decodable = true, isArchive = false)
+      case (label, None) =>
+        out += WalkRow(0, label, -1, null, 0L, null,
+          decodable = false, isArchive = false)
+    }
+    out.result()
+  }
+
+  def membersRecursive(docs: DataFrame, idCol: String,
+                       bytesCol: String, maxDepth: Int = 2,
+                       inflationCapBytes: Long = 256L * 1024 * 1024)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("string").as("doc_id"),
+        col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        walkBytes(bytes, maxDepth, inflationCapBytes).map(w =>
+          (id, w.depth, w.format, w.memberIdx, w.name, w.size, w.data,
+            w.decodable, w.isArchive))
+      }
+      .toDF("doc_id", "depth", "format", "member_idx", "name", "size",
+        "data", "decodable", "is_archive")
+  }
+
+  /** Per (depth, format) census over [[membersRecursive]] — the
+    * nested-drop ingest report: rows, members, members that are
+    * themselves archives, decodable rows, declared bytes and the
+    * bytes actually carried on rows (containers and over-cap rows
+    * carry none). */
+  def nestedWalkReport(docs: DataFrame, idCol: String,
+                       bytesCol: String, maxDepth: Int = 2,
+                       inflationCapBytes: Long = 256L * 1024 * 1024)
+      : DataFrame =
+    membersRecursive(docs, idCol, bytesCol, maxDepth, inflationCapBytes)
+      .groupBy(col("depth"), col("format"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("member_idx") >= 0, 1L).otherwise(0L))
+          .as("n_members"),
+        sum(when(col("is_archive"), 1L).otherwise(0L))
+          .as("n_archive_members"),
+        sum(when(col("decodable"), 1L).otherwise(0L))
+          .as("n_decodable"),
+        coalesce(sum(col("size")), lit(0L)).as("declared_bytes"),
+        coalesce(sum(when(col("data").isNotNull, col("size"))
+          .otherwise(0L)), lit(0L)).as("carried_bytes"))
 
   /** Per-format walk census: archives, decodable archives, members,
     * member bytes — the drop-ingest report. */

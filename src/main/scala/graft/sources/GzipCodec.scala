@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Minimal gzip (RFC 1952) codec — the compression LAYER the other
+  * drop formats arrive wrapped in: `.tar.gz` bundles and bare
+  * `.jsonl.gz` / `.txt.gz` shards are the two most common shapes a
+  * dataset mirror actually serves. Unlike [[TarCodec]]/[[ZipCodec]]
+  * this is not an archive (no members, no directory) — it wraps ONE
+  * byte stream — so [[graft.operators.ArchiveOps]] treats it as a
+  * transparent layer: gunzip, re-sniff, and either walk the inner
+  * archive (`tar.gz` / `zip.gz`) or surface the inflated bytes as a
+  * single pseudo-member (`.jsonl.gz`).
+  *
+  * Decompression is BOUNDED ([[gunzip]]'s `maxOut`): gzip's header
+  * carries no trustworthy inflated size (ISIZE is mod 2^32 and
+  * attacker-controlled), so the only bomb defense is to stop
+  * inflating past the cap — output past `maxOut` → None, honest
+  * undecodable, never an allocation proportional to the lie.
+  * Defensive like the codec family: bad magic, truncated streams,
+  * CRC mismatches (GZIPInputStream verifies), garbage → None, never
+  * a throw. Concatenated gzip members (valid per RFC 1952, and what
+  * `cat a.gz b.gz` produces) inflate as one stream, matching `gzip
+  * -d` behavior.
+  *
+  * [[gzipBytes]] writes the single-member form, so roundtrips are
+  * exact on content (gzip headers carry an OS byte + mtime, zeroed
+  * here for determinism).
+  */
+object GzipCodec {
+
+  /** RFC 1952 magic: 0x1f 0x8b. */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 3 && (b(0) & 0xff) == 0x1f &&
+      (b(1) & 0xff) == 0x8b
+
+  /** Bounded gunzip: the inflated bytes, or None on malformation OR
+    * on output exceeding `maxOut` (zip-bomb defense — never allocate
+    * what the stream claims, only what it actually yields under the
+    * cap). */
+  def gunzip(b: Array[Byte], maxOut: Long): Option[Array[Byte]] = {
+    if (!sniff(b) || maxOut <= 0) return None
+    val cap = math.min(maxOut, Int.MaxValue - 16L).toInt
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(b))
+      try {
+        var out = new Array[Byte](math.min(cap, 64 * 1024))
+        var len = 0
+        var n = 0
+        while (n >= 0) {
+          if (len == out.length) {
+            if (len >= cap) {
+              // at the cap with the stream still producing → bomb
+              if (in.read() >= 0) return None
+              n = -1
+            } else out = java.util.Arrays.copyOf(out,
+              math.min(cap.toLong, out.length * 2L).toInt)
+          }
+          if (n >= 0) {
+            n = in.read(out, len, out.length - len)
+            if (n > 0) len += n
+          }
+        }
+        Some(java.util.Arrays.copyOf(out, len))
+      } finally in.close()
+    } catch {
+      case _: java.io.IOException => None // truncated/corrupt/CRC
+    }
+  }
+
+  /** Deterministic single-member writer (mtime zero, default OS
+    * byte) — the exact inverse of [[gunzip]] on content. */
+  def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+}

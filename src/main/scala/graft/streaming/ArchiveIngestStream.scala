@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.ArchiveOps
+
+/** Streaming twin of the [[graft.operators.ArchiveOps]] walk — the
+  * corpus-drop ingest as a LIVE landing-directory stream instead of a
+  * batch pass: mirrors / uploaders drop mixed archives (tarballs,
+  * zips, nested zip-in-tar, the odd corrupt or alien file) into a
+  * directory; `readStream` over it + the recursive walk emits member
+  * rows continuously, with the file source's checkpoint providing
+  * exactly-once per landed file across restarts.
+  *
+  * Equivalence contract (pinned by the soak spec): the walk is
+  * STATELESS, so the streamed member rows over a set of landed
+  * archives equal [[ArchiveOps.membersRecursive]] over the same rows
+  * read as a batch — including across a checkpoint restart (phase-1
+  * files must not re-emit; exactly-once comes from the source's file
+  * tracking, not from dedup state).
+  *
+  * Plan shape: one stateless flatMap projection per micro-batch —
+  * archive bytes die inside the scan task, only member rows reach the
+  * sink; no watermark, no state store, no exchange at all before the
+  * sink (the same scale shape as the batch walk).
+  *
+  * Downstream composition: [[textMembers]] extracts decoded text
+  * leaves keyed by the LOSSLESS string id `"<archive id>!<member
+  * path>"` with the archive row's event time carried through — the
+  * frame a curation funnel consumes. (Composing into
+  * [[CurationStream.verdicts]] in ONE query needs that stream's
+  * `doc_id: Long` contract loosened to string ids first — the
+  * round-10 id-cast rule forbids forcing these composite ids through
+  * a numeric cast; recorded as a contract row in ADVICE/COVERAGE.)
+  */
+object ArchiveIngestStream {
+
+  /** The streaming member-row frame — [[ArchiveOps.membersRecursive]]
+    * applied to an unbounded landing stream (stateless, streamable
+    * as-is). */
+  def members(archives: DataFrame, idCol: String = "doc_id",
+              bytesCol: String = "bin", maxDepth: Int = 2,
+              inflationCapBytes: Long = 256L * 1024 * 1024): DataFrame =
+    ArchiveOps.membersRecursive(archives, idCol, bytesCol, maxDepth,
+      inflationCapBytes)
+
+  /** Decoded text leaves ready for a downstream curation funnel:
+    * `(doc_id, ts, text)` where `doc_id = "<archive id>!<member
+    * path>"` (string composition — lossless for UUID/string archive
+    * ids) and `ts` is the archive row's event time, carried through
+    * the walk for watermarking downstream. Members are kept when they
+    * carry data, sit at a real member slot, are not archives
+    * themselves, and their path ends in one of `textExtensions` — a
+    * trailing `.gz` is stripped before matching, so an in-place
+    * decompressed `shard.jsonl.gz` member matches `.jsonl` (a `.gz`
+    * member still compressed because it sat AT the depth bound is an
+    * archive leaf and never reaches the extension test). */
+  def textMembers(archives: DataFrame, idCol: String = "doc_id",
+                  bytesCol: String = "bin",
+                  eventTimeCol: String = "ts",
+                  maxDepth: Int = 2,
+                  inflationCapBytes: Long = 256L * 1024 * 1024,
+                  textExtensions: Set[String] =
+                    Set(".txt", ".md", ".json", ".jsonl", ".html"))
+      : DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col(idCol).cast("string").as("doc_id"),
+        col(bytesCol).as("bytes"),
+        col(eventTimeCol).cast("timestamp").as("ts"))
+      .as[(String, Array[Byte], java.sql.Timestamp)]
+      .flatMap { case (id, bytes, ts) =>
+        ArchiveOps.walkBytes(bytes, maxDepth, inflationCapBytes)
+          .collect {
+            case w if w.memberIdx >= 0 && !w.isArchive &&
+                w.data != null && w.name != null &&
+                textExtensions.exists(e =>
+                  w.name.endsWith(e) ||
+                    (w.name.endsWith(".gz") &&
+                      w.name.dropRight(3).endsWith(e))) =>
+              (id + "!" + w.name, ts,
+                new String(w.data, java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+      .toDF("doc_id", "ts", "text")
+  }
+
+  /** Member rows → append-only parquet: one checkpoint, exactly-once
+    * per landed file; readers take the rows as-is (the walk emits no
+    * duplicates). */
+  def start(archives: DataFrame, outDir: String,
+            idCol: String = "doc_id", bytesCol: String = "bin",
+            maxDepth: Int = 2,
+            inflationCapBytes: Long = 256L * 1024 * 1024,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    members(archives, idCol, bytesCol, maxDepth, inflationCapBytes)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       bid: Long) =>
+        batch.withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$outDir/members")
+      }
+      .start()
+}

@@ -1345,6 +1345,48 @@ object ScaleProbe {
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.enabled", "true")
     }
+
+    // ROUND-12 fixtures: the fallback arm's shuffle price and the
+    // recursive walk's depth cost, measured.
+    {
+      import spark.implicits._
+      val docs12 = replicate(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      val emb12 = spark.read.parquet(s"$dir/embeddings.parquet")
+      def qaOf(k: Int) = emb12.limit(k)
+        .select(concat(lit("question prefix "), col("vec_id"))
+          .as("question"),
+          concat(lit("answer "), col("vec_id")).as("answer"))
+      // (a) broadcast vs anchor-join fallback on the SAME corpus and
+      // QA set: the fallback's doc-side gram fan-out is the honest
+      // price of exactness without a broadcast — this row prices it
+      // (shuffle bytes appear in the per-op wire volume line)
+      time(s"answerLeakScan x$n BROADCAST (50 items)")(
+        graft.operators.TextAnalysisOps.answerLeakScan(
+          docs12, "doc_id", "text", qaOf(50), "question", "answer"))
+      time(s"answerLeakScan x$n FALLBACK shuffle_hash (50 items)")(
+        graft.operators.TextAnalysisOps.answerLeakScan(
+          docs12, "doc_id", "text", qaOf(50), "question", "answer",
+          broadcastQa = false))
+      // (b) recursive walk: nested tar(zip(text)) drops at depth 1
+      // (opaque containers) vs depth 2 (inner members walked) — the
+      // recursion premium is per-row local decode, no extra shuffle
+      val nestedDrop = docs12.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          (id, graft.sources.TarCodec.tarBytes(Seq(
+            ("inner.zip", graft.sources.ZipCodec.zipBytes(Seq(
+              ("m.txt", tb, false)))),
+            ("shard.jsonl.gz", graft.sources.GzipCodec.gzipBytes(tb)))))
+        }.toDF("doc_id", "bin")
+      time(s"membersRecursive x$n depth=1 (opaque containers)")(
+        graft.operators.ArchiveOps.nestedWalkReport(
+          nestedDrop, "doc_id", "bin", maxDepth = 1))
+      time(s"membersRecursive x$n depth=2 (inner members walked)")(
+        graft.operators.ArchiveOps.nestedWalkReport(
+          nestedDrop, "doc_id", "bin", maxDepth = 2))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.ArchiveOps
+import graft.sources.{TarCodec, ZipCodec}
+import graft.streaming.ArchiveIngestStream
+
+/** The archive-ingest streaming-twin soak: member rows streamed off a
+  * landing directory must equal the batch recursive walk over the
+  * same archives — across a checkpoint restart, with phase-1 files
+  * emitted exactly once (the file source's tracking, since the walk
+  * itself is stateless). Closes the last batch/stream asymmetry in
+  * the ingest family (round-11 verdict item 6). */
+class ArchiveIngestStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val ts0 = new java.sql.Timestamp(1718100000000L)
+
+  private def archivesOf(phase: Int)
+      : Seq[(String, Array[Byte], java.sql.Timestamp)] = {
+    val innerZip = ZipCodec.zipBytes(Seq(
+      ("m.txt", "nested text body".getBytes("UTF-8"), false)))
+    phase match {
+      case 1 => Seq(
+        ("a-0001-beef", TarCodec.tarBytes(Seq(
+          ("one.txt", "first member".getBytes("UTF-8")),
+          ("two.md", "second member".getBytes("UTF-8")))), ts0),
+        ("a-0002-beef", "not an archive at all".getBytes("UTF-8"), ts0),
+        ("a-0003-beef", ZipCodec.zipBytes(Seq(
+          ("z.txt", "zip member".getBytes("UTF-8"), true))), ts0))
+      case _ => Seq(
+        // the nested drop arrives AFTER the restart
+        ("a-0004-beef", TarCodec.tarBytes(Seq(
+          ("inner.zip", innerZip),
+          ("notes.txt", "outer leaf".getBytes("UTF-8")))), ts0),
+        ("a-0005-beef", TarCodec.tarBytes(Seq(
+          ("img.bin", Array[Byte](1, 2, 3, 4)))), ts0))
+    }
+  }
+
+  private def writeArchives(src: String, name: String, phase: Int,
+                            mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_ais_tmp").toString
+    archivesOf(phase).toDF("doc_id", "bin", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Path.of(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = Path.of(src, s"$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+  }
+
+  test("streamed member census ≡ batch membersRecursive across a " +
+      "checkpoint restart; phase-1 files emit exactly once") {
+    val src = Files.createTempDirectory("graft_ais_src").toString
+    val out = Files.createTempDirectory("graft_ais_out").toString
+    val schema = archivesOf(1).toDF("doc_id", "bin", "ts").schema
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = ArchiveIngestStream.start(stream, out)
+      q.awaitTermination(180000L)
+    }
+
+    writeArchives(src, "p1", 1, 1000L)
+    run()
+    writeArchives(src, "p2", 2, 2000L)
+    run() // restart from the same checkpoint
+
+    def key(r: org.apache.spark.sql.Row): String =
+      Seq(r.getAs[String]("doc_id"), r.getAs[Int]("depth"),
+        r.getAs[String]("format"), r.getAs[Int]("member_idx"),
+        r.getAs[String]("name"), r.getAs[Long]("size"),
+        Option(r.getAs[Array[Byte]]("data"))
+          .map(java.util.Arrays.hashCode).getOrElse(0),
+        r.getAs[Boolean]("decodable"), r.getAs[Boolean]("is_archive"))
+        .mkString("|")
+
+    val streamed = spark.read.parquet(s"$out/members")
+    val streamedKeys = streamed.collect().map(key).sorted.toSeq
+    // exactly-once: no member row appears twice even though the query
+    // restarted between the phases
+    assert(streamedKeys.distinct.size == streamedKeys.size,
+      s"restart re-emitted rows:\n${streamedKeys.mkString("\n")}")
+    // census parity: streamed rows = the batch recursive walk over
+    // the same landing rows read as one batch frame
+    val batchDf = (archivesOf(1) ++ archivesOf(2))
+      .toDF("doc_id", "bin", "ts")
+    val batchKeys = ArchiveOps.membersRecursive(batchDf, "doc_id", "bin")
+      .collect().map(key).sorted.toSeq
+    assert(streamedKeys == batchKeys,
+      s"stream/batch census diverged:\n$streamedKeys\nvs\n$batchKeys")
+    // the nested member actually surfaced through the stream
+    assert(streamedKeys.exists(_.contains("inner.zip!m.txt")))
+
+    // downstream hook: text leaves carry the composite lossless id,
+    // the archive's event time, and decode UTF-8 — only text-suffixed
+    // non-archive leaves pass (img.bin and the inner.zip container
+    // do not)
+    val texts = ArchiveIngestStream.textMembers(batchDf)
+      .collect().map(r => r.getString(0) ->
+        (r.getTimestamp(1), r.getString(2))).toMap
+    assert(texts.keySet == Set(
+      "a-0001-beef!one.txt", "a-0001-beef!two.md",
+      "a-0003-beef!z.txt", "a-0004-beef!inner.zip!m.txt",
+      "a-0004-beef!notes.txt"), texts.keySet.toString)
+    assert(texts("a-0004-beef!inner.zip!m.txt") ==
+      ((ts0, "nested text body")))
+  }
+}

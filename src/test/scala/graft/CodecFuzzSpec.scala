@@ -160,6 +160,14 @@ class CodecFuzzSpec extends AnyFunSuite {
       "parse" -> TarCodec.parse)
   }
 
+  test("GZIP decoder survives seeded corruptions without throwing") {
+    import graft.sources.GzipCodec
+    val good = GzipCodec.gzipBytes(
+      ("gzip fuzz body " * 40).getBytes("UTF-8"))
+    sweep("gz", good, 1111)(
+      "gunzip" -> (b => GzipCodec.gunzip(b, 1 << 20)))
+  }
+
   test("ZIP parser (classic + forced-ZIP64 layouts) survives seeded " +
       "corruptions without throwing") {
     import graft.sources.ZipCodec

@@ -8803,6 +8803,166 @@ class OperatorsSpec extends AnyFunSuite {
       erep.getAs[Long]("n_members") == 0L)
   }
 
+  test("membersRecursive walks nested archives to the depth bound, " +
+      "caps cumulative inflation (zip-bomb guard), retains bytes on " +
+      "inner parse failures, and degenerates to the flat walk at " +
+      "maxDepth=1") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{TarCodec, ZipCodec}
+    val innerZip = ZipCodec.zipBytes(Seq(("m.txt",
+      "inner zip body".getBytes("UTF-8"), false)))
+    val deepTar = TarCodec.tarBytes(Seq(("d.txt",
+      "level three".getBytes("UTF-8"))))
+    val zipOfTar = ZipCodec.zipBytes(Seq(("deep.tar", deepTar, false)))
+    val brokenZip = innerZip.take(innerZip.length - 5)
+    val emptyZip = ZipCodec.zipBytes(Seq.empty)
+    val rows = Seq(
+      // tar -> [zip(m.txt), plain.txt]: the zip is walked at depth 2
+      ("n-1", TarCodec.tarBytes(Seq(("inner.zip", innerZip),
+        ("plain.txt", "leaf".getBytes("UTF-8"))))),
+      // tar -> zip -> tar(d.txt): level 3 is past maxDepth=2 — the
+      // deep tar stays an opaque archive leaf
+      ("n-2", TarCodec.tarBytes(Seq(("zt.zip", zipOfTar)))),
+      // tar -> broken zip: sniffs zip, parse fails — bytes retained,
+      // decodable=false on the member row
+      ("n-3", TarCodec.tarBytes(Seq(("broken.zip", brokenZip)))),
+      // tar -> empty zip: container row, no children
+      ("n-4", TarCodec.tarBytes(Seq(("empty.zip", emptyZip))))
+    ).toDF("id", "bin")
+    val got = ArchiveOps.membersRecursive(rows, "id", "bin")
+      .collect().map(r => (r.getString(0), r.getString(4)) ->
+        (r.getInt(1), r.getString(2), r.getInt(3), r.getLong(5),
+          r.get(6) != null, r.getBoolean(7), r.getBoolean(8))).toMap
+    // n-1: container zip at depth 1 (data consumed), plain leaf at
+    // depth 1, inner member at depth 2 under the "!"-joined path
+    assert(got(("n-1", "inner.zip")) ==
+      ((1, "tar", 0, innerZip.length.toLong, false, true, true)))
+    assert(got(("n-1", "plain.txt")) == ((1, "tar", 1, 4L, true, true,
+      false)))
+    assert(got(("n-1", "inner.zip!m.txt")) ==
+      ((2, "zip", 0, 14L, true, true, false)))
+    // n-2: the zip walks (depth 2), the tar inside it does NOT
+    assert(got(("n-2", "zt.zip")) ==
+      ((1, "tar", 0, zipOfTar.length.toLong, false, true, true)))
+    assert(got(("n-2", "zt.zip!deep.tar")) ==
+      ((2, "zip", 0, deepTar.length.toLong, true, true, true)))
+    assert(!got.contains(("n-2", "zt.zip!deep.tar!d.txt")),
+      "depth 3 must not be walked at maxDepth=2")
+    // n-3: failed inner archive keeps its bytes, flags undecodable
+    assert(got(("n-3", "broken.zip")) ==
+      ((1, "tar", 0, brokenZip.length.toLong, true, false, true)))
+    // n-4: empty inner archive = container row, zero children
+    assert(got(("n-4", "empty.zip")) ==
+      ((1, "tar", 0, emptyZip.length.toLong, false, true, true)))
+    assert(!got.keys.exists { case (id, p) =>
+      id == "n-4" && p != null && p.startsWith("empty.zip!") })
+    // deeper bound: maxDepth=3 reaches d.txt
+    val deep3 = ArchiveOps.membersRecursive(rows, "id", "bin",
+      maxDepth = 3).collect()
+      .map(r => (r.getString(0), r.getString(4))).toSet
+    assert(deep3.contains(("n-2", "zt.zip!deep.tar!d.txt")))
+    // bomb guard: a 10-byte cap trips after the first member of n-1
+    // (inner.zip declares > 10 bytes) — over-cap rows are honest
+    // decodable=false, data-null rows, and nothing recurses
+    val capped = ArchiveOps.membersRecursive(
+      rows.filter(col("id") === "n-1"), "id", "bin",
+      inflationCapBytes = 10L).collect()
+      .map(r => r.getString(4) ->
+        (r.get(6) != null, r.getBoolean(7))).toMap
+    assert(capped("inner.zip") == ((false, false)))
+    assert(capped("plain.txt") == ((false, false)))
+    assert(!capped.contains("inner.zip!m.txt"),
+      "an over-cap archive member must not recurse")
+    // maxDepth=1 is exactly the flat walk (plus the marker columns)
+    val mixed = Seq(
+      ("p-1", TarCodec.tarBytes(Seq(("t.txt",
+        "tar body".getBytes("UTF-8"))))),
+      ("p-2", "just some text".getBytes("UTF-8")),
+      ("p-3", ZipCodec.zipBytes(Seq.empty))).toDF("id", "bin")
+    val flat = ArchiveOps.members(mixed, "id", "bin").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getLong(4), r.getBoolean(6))).sortBy(_._1)
+    val rec1 = ArchiveOps.membersRecursive(mixed, "id", "bin",
+      maxDepth = 1).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getInt(3),
+        r.getString(4), r.getLong(5), r.getBoolean(7))).sortBy(_._1)
+    assert(flat.toSeq == rec1.toSeq,
+      s"maxDepth=1 must equal the flat walk:\n$flat\nvs\n$rec1")
+  }
+
+  test("gzip layer unwraps transparently: tar.gz walks its members, " +
+      "bare .gz surfaces inflated content, .jsonl.gz members " +
+      "decompress in place, bombs and garbage stay honest") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{GzipCodec, TarCodec}
+    val text = "shard line one\nshard line two".getBytes("UTF-8")
+    val tarGz = GzipCodec.gzipBytes(TarCodec.tarBytes(Seq(
+      ("a.txt", "member body".getBytes("UTF-8")))))
+    val rows = Seq(
+      ("g-1", tarGz),
+      ("g-2", GzipCodec.gzipBytes(text)),        // bare .jsonl.gz shape
+      ("g-3", GzipCodec.gzipBytes(text).take(8)) // truncated gz
+    ).toDF("id", "bin")
+    val flat = ArchiveOps.members(rows, "id", "bin")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getString(3),
+          Option(r.getAs[Array[Byte]]("data"))
+            .map(new String(_, "UTF-8")).orNull,
+          r.getBoolean(6))).toMap
+    // tar.gz: compound label, tar members surface through the wrapper
+    assert(flat("g-1") == (("tar.gz", 0, "a.txt", "member body", true)),
+      flat("g-1").toString)
+    // bare gz of plain content: one null-named member, inflated bytes
+    assert(flat("g-2") == (("gz", 0, null,
+      "shard line one\nshard line two", true)), flat("g-2").toString)
+    assert(flat("g-3") == (("gz", -1, null, null, false)))
+    // nested: a tar carrying shard.jsonl.gz decompresses IN PLACE at
+    // maxDepth 2 (same row, inflated size/bytes, not an archive)...
+    val nested = Seq(("g-4", TarCodec.tarBytes(Seq(
+      ("shard.jsonl.gz", GzipCodec.gzipBytes(text)),
+      ("inner.tgz", tarGz))))).toDF("id", "bin")
+    val rec = ArchiveOps.membersRecursive(nested, "id", "bin")
+      .collect().map(r => r.getString(4) ->
+        (r.getInt(1), r.getString(2), r.getLong(5),
+          Option(r.getAs[Array[Byte]]("data"))
+            .map(new String(_, "UTF-8")).orNull,
+          r.getBoolean(7), r.getBoolean(8))).toMap
+    assert(rec("shard.jsonl.gz") ==
+      ((1, "tar", text.length.toLong,
+        "shard line one\nshard line two", true, false)),
+      rec("shard.jsonl.gz").toString)
+    // ...and a tar.gz member walks its inner members at depth 2
+    assert(rec("inner.tgz") ==
+      ((1, "tar", tarGz.length.toLong, null, true, true)))
+    assert(rec("inner.tgz!a.txt") ==
+      ((2, "tar.gz", 11L, "member body", true, false)))
+    // ...but AT the depth bound the .gz member stays an opaque
+    // compressed archive leaf
+    val rec1 = ArchiveOps.membersRecursive(nested, "id", "bin",
+      maxDepth = 1).collect()
+      .map(r => r.getString(4) -> r.getBoolean(8)).toMap
+    assert(rec1("shard.jsonl.gz") && rec1("inner.tgz"),
+      "at the bound, gz members must stay opaque archive leaves")
+    // bomb guard: gunzip output past the budget → honest failure row
+    val bomb = GzipCodec.gzipBytes(new Array[Byte](1 << 20)) // 1 MiB zeros
+    val bombed = ArchiveOps.members(
+      Seq(("g-5", bomb)).toDF("id", "bin"),
+      "id", "bin", inflationCapBytes = 1024L).collect().head
+    assert(bombed.getInt(2) == -1 && !bombed.getBoolean(6),
+      bombed.toString)
+    // GzipCodec contract directly: bounded, never-throw, roundtrip
+    assert(GzipCodec.gunzip(bomb, 1 << 21).exists(_.length == (1 << 20)))
+    assert(GzipCodec.gunzip(bomb, 1 << 10).isEmpty)
+    assert(GzipCodec.gunzip(text, 1 << 20).isEmpty) // not gzip
+    assert(GzipCodec.gunzip(GzipCodec.gzipBytes(text), 1 << 20)
+      .exists(_.sameElements(text)))
+    // exact-boundary: cap exactly the inflated size still succeeds
+    assert(GzipCodec.gunzip(GzipCodec.gzipBytes(text),
+      text.length.toLong).exists(_.sameElements(text)))
+    assert(GzipCodec.gunzip(GzipCodec.gzipBytes(text),
+      text.length - 1L).isEmpty)
+  }
+
   test("htmlLangAudit: BCP-47 subtags fold to the primary on BOTH " +
       "sides, unquoted lang=en counts as declared, missing " +
       "attributes are silent not wrong, mismatches count per source") {

@@ -549,6 +549,80 @@ class PlanShapeSpec extends AnyFunSuite {
       s"from_json must be staged, not re-run per count:\n$jsonl")
   }
 
+  test("q425/q430/q433: the archive walks are flatMap projections — " +
+      "no join, census combines map-side, and no exchange ever " +
+      "carries the archive or member payload bytes") {
+    Seq("q425_archive_walk", "q430_nested_walk",
+      "q433_targz_walk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be a single walk pass:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q census must combine map-side:\n$p")
+      assert(!"Exchange [^\\n]*(bin|bytes|data)#".r
+        .findFirstIn(p).isDefined,
+        s"$q must drop archive/member payloads before any exchange:\n$p")
+    }
+  }
+
+  test("q426: render dedup keeps the keep-first shape — one " +
+      "conversation-keyed render aggregate, a map-side-combined min " +
+      "on the render signature, and no rank window anywhere") {
+    val p = plan("q426_render_dedup")
+    assert(!p.contains("Window"),
+      s"keep-first must be the min aggregate, not a rank window:\n$p")
+    assert(p.contains("partial_min"),
+      s"the keep-first min must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the flag join must key on the doc id:\n$p")
+    val winRe = "windowspecdefinition\\(([A-Za-z_0-9]+)#".r
+    assert(winRe.findAllMatchIn(p).isEmpty,
+      "no window may key on the render signature (hot-template skew)")
+  }
+
+  test("q427: the corpus collapses to the bounded source frame " +
+      "map-side BEFORE any window or single-partition exchange; both " +
+      "Hamilton allocations ride that tiny frame; no cartesian") {
+    val p = plan("q427_dedup_budget_shift")
+    assert(!p.contains("CartesianProduct"),
+      s"the allocation frames must join on source, never cross:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-source token sums must combine map-side:\n$p")
+    // the Hamilton row_number windows order by __rem on the
+    // POST-AGGREGATE frame — a window keyed by a doc/content column
+    // would mean corpus rows reached the single-partition stage
+    val winRe = "windowspecdefinition\\(([A-Za-z_0-9]+)#".r
+    val keys = winRe.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("__rem")),
+      s"allocation windows must ride the bounded source frame, got " +
+        s"$keys:\n$p")
+    // every single-partition exchange sits above a source-keyed
+    // aggregate (bounded cardinality), never above a raw scan
+    assert(!"Exchange SinglePartition[^\\n]*\\n[^\\n]*FileScan".r
+      .findFirstIn(p).isDefined,
+      s"no corpus rows may funnel through one partition:\n$p")
+  }
+
+  test("q428: leak excise keeps the scan's broadcast + one doc-keyed " +
+      "min aggregate + unique-id join-back shape") {
+    val p = plan("q428_leak_excise")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the QA items must broadcast:\n$p")
+    assert(p.contains("partial_min"),
+      s"the earliest-span pick must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"span selection must not be a rank window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs shape anywhere in the excise:\n$p")
+    // any shuffle join must key on the UNIQUE doc id (hot-key safe);
+    // a join on the question sig or span key would re-concentrate a
+    // mega-leak's copies in one task
+    val smjRe = "SortMergeJoin \\[([A-Za-z_0-9]+)#".r
+    val smjKeys = smjRe.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(smjKeys.subsetOf(Set("doc_id", "__sid")),
+      s"the join-back must ride the unique doc id, got $smjKeys:\n$p")
+  }
+
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
       "of the BM25 chain — the only windows are per-query ranks") {
     val p = plan("q386_retrieval_hubness")
