@@ -5648,6 +5648,51 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // Wildcard robots rules (q435): RFC 9309 §2.2.3 — `*` spans
+    // characters, trailing `$` anchors at the path end, the
+    // most-octets rule wins (the /docs Allow re-opens a subtree the
+    // global *.pdf$ Disallow closed).
+    "q435_robots_wildcards" -> ((s, dir) => {
+      val m = col("doc_id") % 6
+      val pid = concat(lit("p"), col("doc_id").cast("string"))
+      val path = when(m === 0, concat(lit("/files/"), pid, lit(".pdf")))
+        .when(m === 1, concat(lit("/docs/"), pid, lit(".pdf")))
+        .when(m === 2, concat(lit("/files/"), pid, lit(".pdf.html")))
+        .when(m === 3, concat(lit("/tmp-"), pid))
+        .when(m === 4, concat(lit("/open/"), pid))
+        .otherwise(concat(lit("/docs/"), pid, lit(".txt")))
+      val robots = lit("User-agent: *\nDisallow: /*.pdf$\n" +
+        "Allow: /docs/*.pdf$\nDisallow: /tmp*\n")
+      UrlOps.robotsVerdict(
+        t(s, dir, "documents").select(col("doc_id"),
+          robots.as("robots"), path.as("path")),
+        "doc_id", "robots", "path")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Chained robots pacing (q434): the RFC 9309 §2.2.1 UA-run
+    // closure — a delay in a stacked multi-agent group's shared rule
+    // block resolves to *, a delay-only group ends its run (no leak
+    // into a following * group), no-*-group and overflow-digit files
+    // fall back to NULL.
+    "q434_chained_crawl_delay" -> ((s, dir) => {
+      val m = col("doc_id") % 5
+      val robots = when(m === 0,
+          lit("User-agent: *\nCrawl-delay: 3\nDisallow: /p\n"))
+        .when(m === 1, lit("User-agent: *\nUser-agent: gptbot\n" +
+          "Crawl-delay: 4\nDisallow: /x\n"))
+        .when(m === 2, lit("User-agent: a\nCrawl-delay: 9\n" +
+          "User-agent: *\nDisallow: /y\n"))
+        .when(m === 3, lit("User-agent: googlebot\nCrawl-delay: 8\n"))
+        .otherwise(concat(lit("User-agent: *\nCrawl-delay: "),
+          lit("9" * 40), lit("\n")))
+      UrlOps.robotsCrawlDelay(
+        t(s, dir, "documents").select(col("doc_id"),
+          robots.as("robots")),
+        "doc_id", "robots")
+        .orderBy(col("doc_id"))
+    }),
+
     // Gzip-layer drop census (q433): the two shapes a mirror actually
     // serves — tar.gz bundles (transparent unwrap, compound format
     // label) and bare .jsonl.gz shards (inflated bytes as one
@@ -18037,6 +18082,30 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  (CASE WHEN format = 'unknown' THEN 0
         |    ELSE sum(n) END)::BIGINT AS member_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    // Rule octets: "/*.pdf$" = 7, "/docs/*.pdf$" = 12, "/tmp*" = 5.
+    "q435_robots_wildcards" ->
+      """WITH f AS (SELECT doc_id, doc_id % 6 AS m,
+        |  'p' || doc_id::VARCHAR AS pid FROM documents)
+        |SELECT doc_id,
+        |  CASE m WHEN 0 THEN '/files/' || pid || '.pdf'
+        |    WHEN 1 THEN '/docs/' || pid || '.pdf'
+        |    WHEN 2 THEN '/files/' || pid || '.pdf.html'
+        |    WHEN 3 THEN '/tmp-' || pid
+        |    WHEN 4 THEN '/open/' || pid
+        |    ELSE '/docs/' || pid || '.txt' END AS path,
+        |  3::BIGINT AS n_rules,
+        |  (CASE m WHEN 0 THEN 7 WHEN 1 THEN 12 WHEN 3 THEN 5
+        |    ELSE 0 END)::BIGINT AS match_len,
+        |  m IN (1, 2, 4, 5) AS allowed
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q434_chained_crawl_delay" ->
+      """SELECT doc_id,
+        |  (CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 4
+        |    ELSE NULL END)::BIGINT AS crawl_delay_sec,
+        |  doc_id % 5 IN (0, 1) AS has_delay
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q433_targz_walk" ->
       """WITH f AS (

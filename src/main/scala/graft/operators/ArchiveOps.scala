@@ -172,9 +172,19 @@ object ArchiveOps {
               if (inflated > inflationCapBytes)
                 out += WalkRow(depth + 1, fmt, idx, path, sz, null,
                   decodable = false, isArchive = true)
-              else
+              else if (sniff(inner) == "unknown")
                 out += WalkRow(depth + 1, fmt, idx, path, isz, inner,
                   decodable = true, isArchive = false)
+              else {
+                // the inflated payload is ITSELF walkable (gz-of-gz):
+                // container row + child walk — each layer costs one
+                // depth level, the quine/bomb defense working as
+                // intended (walk() re-charges the child's size)
+                inflated -= isz
+                out += WalkRow(depth + 1, fmt, idx, path, sz, null,
+                  decodable = true, isArchive = true)
+                walk(pseudo, depth + 1, "gz", path + "!")
+              }
             case (label, Some(children)) =>
               out += WalkRow(depth + 1, fmt, idx, path, sz,
                 null, decodable = true, isArchive = true)

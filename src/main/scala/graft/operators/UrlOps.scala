@@ -237,10 +237,13 @@ object UrlOps {
     * still binds the rules to `*`. CRLF-served files (the common
     * on-disk form) normalize before parsing — a trailing `\r` on a
     * rule path would otherwise never prefix-match and the gate would
-    * fail OPEN. Comments (`#…`) strip per line. Out of scope,
-    * documented: `*`/`$` wildcards inside rule paths, and
-    * agent-SPECIFIC rule resolution (the `*` group is the one a
-    * generic corpus crawler obeys).
+    * fail OPEN. Comments (`#…`) strip per line. RFC 9309 §2.2.3
+    * wildcards in rule paths are SUPPORTED as of round 12 (`*` = any
+    * run, trailing `$` = end anchor; most-octets-rule precedence,
+    * ties → Allow), via a hybrid matcher that keeps plain rules on
+    * the cheap prefix test. Out of scope, documented: agent-SPECIFIC
+    * rule resolution (the `*` group is the one a generic corpus
+    * crawler obeys).
     *
     * Input: one row per (page), `robotsCol` carrying the SITE's
     * robots.txt body and `pathCol` the page's URL path. Pure
@@ -319,9 +322,34 @@ object UrlOps {
     val ruled = staged.withColumn("__rules",
       filter(rulesAll, r => length(r.getField("p")) > 0))
     val rules = col("__rules")
-    val applicable = filter(rules, r =>
-      substring(col(pathCol), lit(1), length(r.getField("p")))
-        === r.getField("p"))
+    // RFC 9309 §2.2.3 wildcard rule paths (round-12 closure of the
+    // previous out-of-scope note): `*` matches any run of characters,
+    // a TRAILING `$` anchors the rule at the path's end. HYBRID
+    // matching keeps the common case cheap: plain rules (the vast
+    // majority) stay a substring prefix test; only rules actually
+    // carrying a metachar compile to a regex — escape every regex
+    // metachar in the rule, re-open `\*` → `.*`, and strip a trailing
+    // `\$` back to an end anchor. Precedence is per the RFC: the
+    // most-octets RULE wins, ties resolve to Allow.
+    val applicable = filter(rules, r => {
+      val p = r.getField("p")
+      val hasMeta = p.contains("*") || p.endsWith("$")
+      // escape ONLY the ASCII regex metachars: backslash-escaping an
+      // arbitrary char is NOT safe in Java regex (`\é` — backslash
+      // before a non-ASCII letter — is a PatternSyntaxException, so a
+      // hostile rule like `/*é` would kill the task); non-metachar
+      // bytes match themselves unescaped
+      val esc = regexp_replace(p,
+        "([\\\\^$.|?*+()\\[\\]{}])", "\\\\$1")
+      val wild = regexp_replace(esc, "\\\\\\*", ".*")
+      val pat = concat(lit("^"),
+        when(p.endsWith("$"),
+          concat(wild.substr(lit(1), length(wild) - 2), lit("$")))
+          .otherwise(wild))
+      when(hasMeta, regexp_like(col(pathCol), pat))
+        .otherwise(
+          substring(col(pathCol), lit(1), length(p)) === p)
+    })
     val bestLen = array_max(transform(applicable,
       r => length(r.getField("p"))))
     val allowed = size(applicable) === 0 ||
@@ -698,38 +726,66 @@ object UrlOps {
 
   /** robots.txt `Crawl-delay` for the `*` agent — the fetch-pacing
     * directive [[robotsVerdict]] ignores (it gates WHAT may be
-    * fetched; this sets HOW FAST): seconds from the first segment
-    * whose OWN `User-agent` line is `*` and which carries a
-    * `Crawl-delay`. Documented simplification vs the verdict's full
-    * RFC 9309 group-chaining: a Crawl-delay bound to `*` through a
-    * stacked multi-agent UA run is not resolved (real robots files
-    * put the delay directly under `User-agent: *`; the full chain
-    * lives in [[robotsVerdict]] where allow/disallow semantics demand
-    * it). CRLF normalized; comments stripped off the agent line.
+    * fetched; this sets HOW FAST): seconds from the FIRST group whose
+    * UA run binds `*` and which carries a `Crawl-delay`. Full RFC
+    * 9309 §2.2.1 group chaining (the round-12 closure of the previous
+    * documented simplification): a run of consecutive `User-agent`
+    * lines shares one rule block, so `User-agent: *` stacked with
+    * other agents over a `Crawl-delay` resolves — and a group that
+    * carries ONLY a `Crawl-delay` still ENDS its UA run (any known
+    * directive — allow/disallow/crawl-delay — is rule-bearing here),
+    * so a delay declared for another agent never leaks into a
+    * following `*` group. CRLF normalized; comments stripped.
     *
-    * Scale shape: pure projection. */
+    * Documented divergence from [[robotsVerdict]]'s grouping: the
+    * verdict treats only allow/disallow as rule-bearing, so a
+    * crawl-delay-only group chains its UA line into the NEXT group
+    * there — the conservative, fail-CLOSED direction for
+    * permissions; pacing resolves strictly (recorded in ADVICE).
+    *
+    * Scale shape: pure projection (the run scan is O(segments²) over
+    * the handful of UA groups a real file has). */
   def robotsCrawlDelay(pages: DataFrame, idCol: String,
                        robotsCol: String): DataFrame = {
     val normalized = regexp_replace(col(robotsCol), "\r", "")
     def cleanLine(l: Column): Column =
       trim(regexp_replace(l, "#.*", ""))
+    // one struct per UA segment: its agent, its own Crawl-delay
+    // digits, and whether it is rule-bearing (ends a UA run)
     val sgArr = transform(split(normalized, "(?i)User-agent:"),
       s => struct(
         cleanLine(element_at(split(s, "\n"), 1)).as("agent"),
         regexp_extract(s, "(?im)^[ \\t]*crawl-delay:[ \\t]*(\\d+)", 1)
-          .as("d")))
-    val staged = pages.withColumn("__sg",
-      filter(slice(sgArr, lit(2), greatest(size(sgArr) - 1, lit(0))),
-        g => g.getField("agent") === "*" &&
-          length(g.getField("d")) > 0))
+          .as("d"),
+        exists(split(s, "\n"), l =>
+          length(regexp_extract(cleanLine(l),
+            "(?i)^(allow|disallow|crawl-delay):", 1)) > 0).as("rb")))
+    val staged = pages.withColumn("__sgt",
+      slice(sgArr, lit(2), size(sgArr)))
+    val sgt = col("__sgt")
+    val idxs = sequence(lit(1), greatest(size(sgt), lit(1)))
+    // segment i's delay binds to `*` iff `*` appears in its UA run:
+    // between the last rule-bearing segment before it and itself
+    // (the robotsVerdict chaining scan, rb-extended to crawl-delay)
+    val starDelays = filter(transform(idxs, i => {
+      val ruleBearingBefore = filter(transform(sequence(lit(1), i),
+        j => when(j < i && try_element_at(sgt, j).getField("rb"), j)),
+        x => x.isNotNull)
+      val runStart = coalesce(array_max(ruleBearingBefore), lit(0)) + 1
+      when(exists(sequence(runStart, i), j =>
+        try_element_at(sgt, j).getField("agent") === "*") &&
+        length(try_element_at(sgt, i).getField("d")) > 0,
+        try_element_at(sgt, i).getField("d"))
+    }), x => x.isNotNull)
+    val ruled = staged.withColumn("__sd", starDelays)
     // ANSI guard: a hostile/garbage robots file can declare a delay
     // longer than 18 digits — an unguarded cast("long") THROWS under
     // ANSI (default-on in Spark 4) and kills the whole task. Any
     // digit run <= 18 chars fits a long; longer is garbage → NULL
     // (the documented no-valid-delay fallback).
-    val dStr = element_at(col("__sg"), 1).getField("d")
-    staged.select(col(idCol),
-        when(size(col("__sg")) > 0 && length(dStr) <= 18,
+    val dStr = element_at(col("__sd"), 1)
+    ruled.select(col(idCol),
+        when(size(col("__sd")) > 0 && length(dStr) <= 18,
           dStr.cast("long"))
           .as("crawl_delay_sec"))
       .withColumn("has_delay", col("crawl_delay_sec").isNotNull)

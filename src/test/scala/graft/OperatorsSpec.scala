@@ -3796,6 +3796,45 @@ class OperatorsSpec extends AnyFunSuite {
       "doc_id", "robots", "path").collect().head
     assert(t6.getAs[Boolean]("allowed"), t6.toString)
     assert(t6.getAs[Long]("n_rules") == 0L, t6.toString)
+    // RFC 9309 §2.2.3 wildcards (round-12): `*` spans characters,
+    // trailing `$` anchors at the path end; most-octets rule wins;
+    // regex metachars in paths stay literal
+    val wild = "User-agent: *\n" +
+      "Disallow: /*.pdf$\n" +          // any path ending .pdf
+      "Allow: /docs/*.pdf$\n" +        // longer rule re-allows /docs
+      "Disallow: /tmp*\n" +            // prefix wildcard
+      "Disallow: /exact$\n"            // end-anchored literal
+    val w = UrlOps.robotsVerdict(Seq(
+        (1L, wild, "/files/a.pdf"),      // *.pdf$ -> disallowed
+        (2L, wild, "/docs/b.pdf"),       // longer Allow wins
+        (3L, wild, "/files/a.pdf.html"), // $ anchor -> no match
+        (4L, wild, "/tmp-cache/x"),      // /tmp* prefix
+        (5L, wild, "/exact"),            // anchored exact
+        (6L, wild, "/exactly")           // anchor rejects superstring
+      ).toDF("doc_id", "robots", "path"),
+      "doc_id", "robots", "path").orderBy("doc_id").collect()
+      .map(r => r.getAs[Boolean]("allowed"))
+    assert(w.toSeq == Seq(false, true, true, false, false, true),
+      w.mkString(","))
+    // a literal dot in a rule must not act as regex-any: /a.b may
+    // not match /aXb
+    val dotty = "User-agent: *\nDisallow: /a.b*\n"
+    val d = UrlOps.robotsVerdict(Seq(
+        (1L, dotty, "/a.b/c"), (2L, dotty, "/aXb/c"))
+        .toDF("doc_id", "robots", "path"),
+      "doc_id", "robots", "path").orderBy("doc_id").collect()
+      .map(r => r.getAs[Boolean]("allowed"))
+    assert(d.toSeq == Seq(false, true), d.mkString(","))
+    // unicode next to a wildcard must not kill the task (the escaper
+    // backslashes ASCII metachars ONLY — `\é` is a
+    // PatternSyntaxException in Java regex) and must match literally
+    val uni = "User-agent: *\nDisallow: /*é$\n"
+    val u = UrlOps.robotsVerdict(Seq(
+        (1L, uni, "/docé"), (2L, uni, "/doc"))
+        .toDF("doc_id", "robots", "path"),
+      "doc_id", "robots", "path").orderBy("doc_id").collect()
+      .map(r => r.getAs[Boolean]("allowed"))
+    assert(u.toSeq == Seq(false, true), u.mkString(","))
   }
 
   test("wordlistGate folds leet obfuscation, matches whole tokens only") {
@@ -8227,19 +8266,34 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("robotsCrawlDelay: delay read from the * group, other agents' " +
       "delays ignored, comment-bearing agent lines parse, absent " +
-      "delay reads null") {
+      "delay reads null; stacked UA runs chain and delay-only " +
+      "groups end their run (RFC 9309 §2.2.1)") {
     val docs = Seq(
       (1L, "User-agent: *\nCrawl-delay: 7\nDisallow: /x\n"),
       (2L, "User-agent: googlebot\nCrawl-delay: 1\n" +
         "User-agent: * # all\nCrawl-delay: 3\n"),
       (3L, "User-agent: googlebot\nCrawl-delay: 9\n"),
-      (4L, "User-agent: *\nDisallow: /\n"))
+      (4L, "User-agent: *\nDisallow: /\n"),
+      // the round-12 chaining closure: * stacked over another agent,
+      // the delay in the RUN's shared rule block resolves to *
+      (5L, "User-agent: *\nUser-agent: gptbot\nCrawl-delay: 4\n" +
+        "Disallow: /x\n"),
+      // a delay-only group is rule-bearing: it ENDS its UA run, so
+      // agent a's 9 must not leak into the following * group
+      (6L, "User-agent: a\nCrawl-delay: 9\nUser-agent: *\n" +
+        "Disallow: /y\n"),
+      // first *-bound group wins when several carry delays
+      (7L, "User-agent: *\nCrawl-delay: 2\nUser-agent: *\n" +
+        "Crawl-delay: 8\n"))
       .toDF("id", "robots")
     val got = UrlOps.robotsCrawlDelay(docs, "id", "robots")
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(got(1L) == 7L && got(2L) == 3L)
     assert(got(3L) == -1L && got(4L) == -1L)
+    assert(got(5L) == 4L, s"stacked UA run must chain: $got")
+    assert(got(6L) == -1L, s"delay-only group must end its run: $got")
+    assert(got(7L) == 2L, s"first *-bound delay wins: $got")
   }
 
   test("sitemapCoverage: both/sitemap-only/crawled-only partition " +
@@ -8950,6 +9004,22 @@ class OperatorsSpec extends AnyFunSuite {
       "id", "bin", inflationCapBytes = 1024L).collect().head
     assert(bombed.getInt(2) == -1 && !bombed.getBoolean(6),
       bombed.toString)
+    // gz-of-gz: one depth level per layer (the quine defense) — the
+    // flat walk surfaces the once-inflated STILL-COMPRESSED payload;
+    // the depth-2 walk reaches the plain content
+    val gzgz = GzipCodec.gzipBytes(GzipCodec.gzipBytes(text))
+    val gzgzFlat = ArchiveOps.members(
+      Seq(("g-6", gzgz)).toDF("id", "bin"), "id", "bin")
+      .collect().head
+    assert(gzgzFlat.getInt(2) == 0 && gzgzFlat.getBoolean(6) &&
+      GzipCodec.sniff(gzgzFlat.getAs[Array[Byte]]("data")),
+      "flat walk must surface the inner gz layer compressed")
+    val gzgzDeep = ArchiveOps.membersRecursive(
+      Seq(("g-6", gzgz)).toDF("id", "bin"), "id", "bin")
+      .filter(col("data").isNotNull).collect().head
+    assert(new String(gzgzDeep.getAs[Array[Byte]]("data"), "UTF-8") ==
+      "shard line one\nshard line two",
+      "depth-2 walk must reach the plain content through both layers")
     // GzipCodec contract directly: bounded, never-throw, roundtrip
     assert(GzipCodec.gunzip(bomb, 1 << 21).exists(_.length == (1 << 20)))
     assert(GzipCodec.gunzip(bomb, 1 << 10).isEmpty)

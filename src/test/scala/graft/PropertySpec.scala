@@ -167,4 +167,57 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("gzip roundtrip: gunzip(gzipBytes(b)) == b for arbitrary " +
+      "bytes; the cap is exact (len succeeds, len-1 rejects)") {
+    import graft.sources.GzipCodec
+    val genBytes = Gen.chooseNum(0, 4096)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+    check("gzip roundtrip")(Prop.forAll(genBytes) { b =>
+      val z = GzipCodec.gzipBytes(b)
+      val exact = GzipCodec.gunzip(z, math.max(b.length.toLong, 1L))
+        .exists(_.sameElements(b))
+      val under = b.length < 2 ||
+        GzipCodec.gunzip(z, b.length - 1L).isEmpty
+      exact && under
+    })
+  }
+
+  test("walkBytes invariants on arbitrary nested drops: depth never " +
+      "exceeds the bound, carried bytes respect the inflation cap, " +
+      "container rows never carry data, marker rows only at depth 0") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{GzipCodec, TarCodec, ZipCodec}
+    val genLeaf = Gen.chooseNum(0, 200)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar))
+      .map(_.mkString.getBytes("UTF-8"))
+    // random nested composition up to 3 physical levels
+    def wrap(inner: Array[Byte], how: Int): Array[Byte] = how match {
+      case 0 => TarCodec.tarBytes(Seq(("m.bin", inner)))
+      case 1 => ZipCodec.zipBytes(Seq(("m.bin", inner, true)))
+      case 2 => GzipCodec.gzipBytes(inner)
+      case _ => inner // raw
+    }
+    val genDrop = for {
+      leaf <- genLeaf
+      l1 <- Gen.chooseNum(0, 3)
+      l2 <- Gen.chooseNum(0, 3)
+      l3 <- Gen.chooseNum(0, 3)
+    } yield wrap(wrap(wrap(leaf, l1), l2), l3)
+    val genDepth = Gen.chooseNum(1, 3)
+    val genCap = Gen.oneOf(64L, 1024L, 1L << 20)
+    check("walkBytes invariants")(
+      Prop.forAll(genDrop, genDepth, genCap) { (drop, maxDepth, cap) =>
+        val rows = ArchiveOps.walkBytes(drop, maxDepth, cap)
+        rows.nonEmpty &&
+          rows.forall(w => w.depth <= maxDepth) &&
+          rows.filter(_.data != null).map(_.size).sum <= cap &&
+          // a decodable archive member BELOW the bound was walked →
+          // its row is a container and must not carry data
+          rows.forall(w => !(w.isArchive && w.decodable &&
+            w.memberIdx >= 0 && w.depth < maxDepth) || w.data == null) &&
+          rows.forall(w => w.memberIdx >= 0 || w.depth == 0)
+      })
+  }
 }
