@@ -5648,6 +5648,48 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // Agent-specific robots verdicts (q436): a named crawler obeys
+    // its most-specific matching group — the graftbot-images group
+    // (with its /private/img re-Allow) preempts both the graftbot
+    // group and the disallow-everything * group.
+    "q436_robots_for_agent" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val pid = concat(lit("p"), col("doc_id").cast("string"))
+      val path = when(m === 0, concat(lit("/private/img/"), pid))
+        .when(m === 1, concat(lit("/private/"), pid))
+        .when(m === 2, concat(lit("/open/"), pid))
+        .otherwise(concat(lit("/"), pid))
+      val robots = lit("User-agent: *\nDisallow: /\n\n" +
+        "User-agent: graftbot\nDisallow: /private\n\n" +
+        "User-agent: graftbot-images\nAllow: /private/img\n" +
+        "Disallow: /private\n")
+      UrlOps.robotsVerdictFor(
+        t(s, dir, "documents").select(col("doc_id"),
+          robots.as("robots"), path.as("path")),
+        "doc_id", "robots", "path", "graftbot-images")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Agent-specific crawl delay (q437): the named crawler's group
+    // preempts * (a matching group WITHOUT a delay reads NULL — no
+    // fall-through); unmatched files ride the * delay; no groups at
+    // all reads NULL.
+    "q437_crawl_delay_for_agent" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val robots = when(m === 0,
+          lit("User-agent: *\nCrawl-delay: 10\n\n" +
+            "User-agent: graftbot\nCrawl-delay: 2\n"))
+        .when(m === 1, lit("User-agent: *\nCrawl-delay: 10\n"))
+        .when(m === 2, lit("User-agent: *\nCrawl-delay: 10\n\n" +
+          "User-agent: graftbot\nDisallow: /x\n"))
+        .otherwise(lit("# no groups at all\n"))
+      UrlOps.robotsCrawlDelayFor(
+        t(s, dir, "documents").select(col("doc_id"),
+          robots.as("robots")),
+        "doc_id", "robots", "graftbot")
+        .orderBy(col("doc_id"))
+    }),
+
     // Wildcard robots rules (q435): RFC 9309 §2.2.3 — `*` spans
     // characters, trailing `$` anchors at the path end, the
     // most-octets rule wins (the /docs Allow re-opens a subtree the
@@ -18082,6 +18124,29 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  (CASE WHEN format = 'unknown' THEN 0
         |    ELSE sum(n) END)::BIGINT AS member_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    // The bound graftbot-images group has 2 rules; match lens:
+    // "/private/img" = 12, "/private" = 8.
+    "q436_robots_for_agent" ->
+      """WITH f AS (SELECT doc_id, doc_id % 4 AS m,
+        |  'p' || doc_id::VARCHAR AS pid FROM documents)
+        |SELECT doc_id,
+        |  CASE m WHEN 0 THEN '/private/img/' || pid
+        |    WHEN 1 THEN '/private/' || pid
+        |    WHEN 2 THEN '/open/' || pid
+        |    ELSE '/' || pid END AS path,
+        |  2::BIGINT AS n_rules,
+        |  (CASE m WHEN 0 THEN 12 WHEN 1 THEN 8
+        |    ELSE 0 END)::BIGINT AS match_len,
+        |  m <> 1 AS allowed
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q437_crawl_delay_for_agent" ->
+      """SELECT doc_id,
+        |  (CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 10
+        |    ELSE NULL END)::BIGINT AS crawl_delay_sec,
+        |  doc_id % 4 IN (0, 1) AS has_delay
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Rule octets: "/*.pdf$" = 7, "/docs/*.pdf$" = 12, "/tmp*" = 5.
     "q435_robots_wildcards" ->

@@ -241,9 +241,9 @@ object UrlOps {
     * wildcards in rule paths are SUPPORTED as of round 12 (`*` = any
     * run, trailing `$` = end anchor; most-octets-rule precedence,
     * ties → Allow), via a hybrid matcher that keeps plain rules on
-    * the cheap prefix test. Out of scope, documented: agent-SPECIFIC
-    * rule resolution (the `*` group is the one a generic corpus
-    * crawler obeys).
+    * the cheap prefix test. This entry point resolves the `*` group
+    * (what a generic corpus crawler obeys); [[robotsVerdictFor]]
+    * resolves a NAMED crawler's most-specific matching group.
     *
     * Input: one row per (page), `robotsCol` carrying the SITE's
     * robots.txt body and `pathCol` the page's URL path. Pure
@@ -268,7 +268,32 @@ object UrlOps {
   }
 
   def robotsVerdict(pages: DataFrame, idCol: String, robotsCol: String,
-                    pathCol: String): DataFrame = {
+                    pathCol: String): DataFrame =
+    robotsVerdictImpl(pages, idCol, robotsCol, pathCol, None)
+
+  /** Agent-SPECIFIC robots verdicts — the round-12 closure of the
+    * last out-of-scope robots note: a NAMED crawler (RFC 9309 §2.2.1
+    * product token, e.g. "graftbot-images") obeys the group with the
+    * MOST SPECIFIC matching user-agent — the longest agent token the
+    * crawler's token starts with (case-insensitive; "graftbot"
+    * matches "graftbot-images", "graftbot-images" is more specific) —
+    * and falls back to the `*` groups only when NO specific group
+    * matches. The chosen groups are authoritative: an empty matching
+    * group means everything is allowed, even if `*` disallows (the
+    * RFC's own precedence). Matching, chaining, wildcards and
+    * precedence are [[robotsVerdict]]'s, unchanged. */
+  def robotsVerdictFor(pages: DataFrame, idCol: String,
+                       robotsCol: String, pathCol: String,
+                       agent: String): DataFrame = {
+    require(agent.trim.nonEmpty && agent.trim != "*",
+      "agent must be a concrete product token (use robotsVerdict " +
+        "for the * group)")
+    robotsVerdictImpl(pages, idCol, robotsCol, pathCol, Some(agent))
+  }
+
+  private def robotsVerdictImpl(pages: DataFrame, idCol: String,
+                                robotsCol: String, pathCol: String,
+                                agentOpt: Option[String]): DataFrame = {
     val normalized = regexp_replace(col(robotsCol), "\r", "")
     def cleanLine(l: Column): Column =
       trim(regexp_replace(l, "#.*", ""))
@@ -302,20 +327,38 @@ object UrlOps {
     val staged = pages.withColumn("__sgt",
       slice(sgArr, lit(2), size(sgArr)))
     val sgt = col("__sgt")
-    // a segment's rules bind to `*` iff a `*` agent appears in its
-    // UA run: between the last rule-bearing segment before it and
-    // itself, inclusive
+    // a segment's rules bind to an agent iff a matching UA line
+    // appears in its UA run: between the last rule-bearing segment
+    // before it and itself, inclusive
     val idxs = sequence(lit(1), greatest(size(sgt), lit(1)))
-    val rulesAll = flatten(filter(transform(idxs, i => {
-      val ruleBearingBefore = filter(transform(sequence(lit(1), i),
-        j => when(j < i &&
-          size(try_element_at(sgt, j).getField("rules")) > 0, j)),
-        x => x.isNotNull)
-      val runStart = coalesce(array_max(ruleBearingBefore), lit(0)) + 1
-      when(exists(sequence(runStart, i), j =>
-        try_element_at(sgt, j).getField("agent") === "*"),
-        try_element_at(sgt, i).getField("rules"))
-    }), x => x.isNotNull))
+    def boundRules(bind: Column => Column): Column =
+      flatten(filter(transform(idxs, i => {
+        val ruleBearingBefore = filter(transform(sequence(lit(1), i),
+          j => when(j < i &&
+            size(try_element_at(sgt, j).getField("rules")) > 0, j)),
+          x => x.isNotNull)
+        val runStart = coalesce(array_max(ruleBearingBefore),
+          lit(0)) + 1
+        when(exists(sequence(runStart, i), j =>
+          bind(try_element_at(sgt, j).getField("agent"))),
+          try_element_at(sgt, i).getField("rules"))
+      }), x => x.isNotNull))
+    val starRules = boundRules(a => a === "*")
+    val rulesAll = agentOpt match {
+      case None => starRules
+      case Some(t0) =>
+        // specificity = length of the matched agent token; the
+        // longest match preempts everything, `*` only on no match
+        val t = t0.trim.toLowerCase(java.util.Locale.ROOT)
+        def mLen(a: Column): Column =
+          when(a =!= "*" && length(a) > 0 &&
+            lit(t).startsWith(lower(a)), length(a)).otherwise(lit(0))
+        val bestAgent = array_max(transform(sgt,
+          g => mLen(g.getField("agent"))))
+        when(bestAgent > 0,
+          boundRules(a => mLen(a) === bestAgent && bestAgent > 0))
+          .otherwise(starRules)
+    }
     // empty-path directives (bare `Disallow:`) permit by definition —
     // they shaped the grouping above but never match a path; rules
     // are staged too: three downstream expressions walk them
@@ -746,7 +789,28 @@ object UrlOps {
     * Scale shape: pure projection (the run scan is O(segments²) over
     * the handful of UA groups a real file has). */
   def robotsCrawlDelay(pages: DataFrame, idCol: String,
-                       robotsCol: String): DataFrame = {
+                       robotsCol: String): DataFrame =
+    robotsCrawlDelayImpl(pages, idCol, robotsCol, None)
+
+  /** Agent-specific `Crawl-delay` — [[robotsVerdictFor]]'s pacing
+    * twin: the named crawler's most-specific matching groups preempt
+    * the `*` groups entirely (a matching group that carries NO delay
+    * reads NULL — the chosen group is authoritative, it does not
+    * fall through to `*`'s delay); `*` resolves only when no
+    * specific group matches. */
+  def robotsCrawlDelayFor(pages: DataFrame, idCol: String,
+                          robotsCol: String,
+                          agent: String): DataFrame = {
+    require(agent.trim.nonEmpty && agent.trim != "*",
+      "agent must be a concrete product token (use robotsCrawlDelay " +
+        "for the * group)")
+    robotsCrawlDelayImpl(pages, idCol, robotsCol, Some(agent))
+  }
+
+  private def robotsCrawlDelayImpl(pages: DataFrame, idCol: String,
+                                   robotsCol: String,
+                                   agentOpt: Option[String])
+      : DataFrame = {
     val normalized = regexp_replace(col(robotsCol), "\r", "")
     def cleanLine(l: Column): Column =
       trim(regexp_replace(l, "#.*", ""))
@@ -764,20 +828,38 @@ object UrlOps {
       slice(sgArr, lit(2), size(sgArr)))
     val sgt = col("__sgt")
     val idxs = sequence(lit(1), greatest(size(sgt), lit(1)))
-    // segment i's delay binds to `*` iff `*` appears in its UA run:
-    // between the last rule-bearing segment before it and itself
-    // (the robotsVerdict chaining scan, rb-extended to crawl-delay)
-    val starDelays = filter(transform(idxs, i => {
-      val ruleBearingBefore = filter(transform(sequence(lit(1), i),
-        j => when(j < i && try_element_at(sgt, j).getField("rb"), j)),
-        x => x.isNotNull)
-      val runStart = coalesce(array_max(ruleBearingBefore), lit(0)) + 1
-      when(exists(sequence(runStart, i), j =>
-        try_element_at(sgt, j).getField("agent") === "*") &&
-        length(try_element_at(sgt, i).getField("d")) > 0,
-        try_element_at(sgt, i).getField("d"))
-    }), x => x.isNotNull)
-    val ruled = staged.withColumn("__sd", starDelays)
+    // segment i's delay binds to an agent iff a matching UA line
+    // appears in its UA run: between the last rule-bearing segment
+    // before it and itself (the robotsVerdict chaining scan,
+    // rb-extended to crawl-delay)
+    def boundDelays(bind: Column => Column): Column =
+      filter(transform(idxs, i => {
+        val ruleBearingBefore = filter(transform(sequence(lit(1), i),
+          j => when(j < i && try_element_at(sgt, j).getField("rb"),
+            j)),
+          x => x.isNotNull)
+        val runStart = coalesce(array_max(ruleBearingBefore),
+          lit(0)) + 1
+        when(exists(sequence(runStart, i), j =>
+          bind(try_element_at(sgt, j).getField("agent"))) &&
+          length(try_element_at(sgt, i).getField("d")) > 0,
+          try_element_at(sgt, i).getField("d"))
+      }), x => x.isNotNull)
+    val starDelays = boundDelays(a => a === "*")
+    val delays = agentOpt match {
+      case None => starDelays
+      case Some(t0) =>
+        val t = t0.trim.toLowerCase(java.util.Locale.ROOT)
+        def mLen(a: Column): Column =
+          when(a =!= "*" && length(a) > 0 &&
+            lit(t).startsWith(lower(a)), length(a)).otherwise(lit(0))
+        val bestAgent = array_max(transform(sgt,
+          g => mLen(g.getField("agent"))))
+        when(bestAgent > 0,
+          boundDelays(a => mLen(a) === bestAgent && bestAgent > 0))
+          .otherwise(starDelays)
+    }
+    val ruled = staged.withColumn("__sd", delays)
     // ANSI guard: a hostile/garbage robots file can declare a delay
     // longer than 18 digits — an unguarded cast("long") THROWS under
     // ANSI (default-on in Spark 4) and kills the whole task. Any

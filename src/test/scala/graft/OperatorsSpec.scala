@@ -3837,6 +3837,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.toSeq == Seq(false, true), u.mkString(","))
   }
 
+  test("robotsVerdictFor/robotsCrawlDelayFor: the most specific " +
+      "matching agent group preempts *, empty matching groups allow, " +
+      "unmatched crawlers fall back to the * group") {
+    import graft.operators.UrlOps
+    val robots = "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nDisallow: /private\n\n" +
+      "User-agent: graftbot-images\nAllow: /private/img\n" +
+      "Disallow: /private\n"
+    val pages = Seq(
+      (1L, robots, "/private/img/x"),
+      (2L, robots, "/private/doc"),
+      (3L, robots, "/open/x")
+    ).toDF("doc_id", "robots", "path")
+    // "graftbot-images-v2" starts with both tokens: the 15-char group
+    // is more specific than the 8-char one and binds alone
+    val img = UrlOps.robotsVerdictFor(pages, "doc_id", "robots",
+      "path", "Graftbot-Images-v2").orderBy("doc_id").collect()
+      .map(r => (r.getAs[Boolean]("allowed"), r.getAs[Long]("n_rules")))
+    assert(img.toSeq == Seq((true, 2L), (false, 2L), (true, 2L)),
+      img.mkString(","))
+    // plain "graftbot": only the 8-char group binds — /private/img
+    // has no Allow there
+    val bot = UrlOps.robotsVerdictFor(pages, "doc_id", "robots",
+      "path", "graftbot").orderBy("doc_id").collect()
+      .map(r => r.getAs[Boolean]("allowed"))
+    assert(bot.toSeq == Seq(false, false, true), bot.mkString(","))
+    // unmatched crawler rides the * group: everything disallowed
+    val other = UrlOps.robotsVerdictFor(pages, "doc_id", "robots",
+      "path", "otherbot").collect().map(_.getAs[Boolean]("allowed"))
+    assert(other.forall(!_), other.mkString(","))
+    // an EMPTY matching group is authoritative: all allowed even
+    // though * disallows everything
+    val emptyGroup = "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nDisallow:\n"
+    val eg = UrlOps.robotsVerdictFor(
+      Seq((1L, emptyGroup, "/anything")).toDF("doc_id", "robots",
+        "path"),
+      "doc_id", "robots", "path", "graftbot").collect().head
+    assert(eg.getAs[Boolean]("allowed") &&
+      eg.getAs[Long]("n_rules") == 0L, eg.toString)
+    // delay twin: specific preempts *, a matching group WITHOUT a
+    // delay reads NULL (no fall-through), unmatched rides *
+    val dRobots = "User-agent: *\nCrawl-delay: 10\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 2\n\n" +
+      "User-agent: quietbot\nDisallow: /x\n"
+    val dPages = Seq((1L, dRobots)).toDF("doc_id", "robots")
+    def delayFor(a: String): Long = {
+      val r = UrlOps.robotsCrawlDelayFor(dPages, "doc_id", "robots",
+        a).collect().head
+      if (r.isNullAt(1)) -1L else r.getLong(1)
+    }
+    assert(delayFor("graftbot") == 2L)
+    assert(delayFor("quietbot") == -1L,
+      "a matching group without a delay must not fall through to *")
+    assert(delayFor("otherbot") == 10L)
+    // guard: * is not a product token
+    intercept[IllegalArgumentException] {
+      UrlOps.robotsVerdictFor(pages, "doc_id", "robots", "path", "*")
+    }
+  }
+
   test("wordlistGate folds leet obfuscation, matches whole tokens only") {
     val blocked = Seq("badword", "evilterm")
     val docs = Seq(
