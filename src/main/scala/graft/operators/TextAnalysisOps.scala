@@ -1401,11 +1401,22 @@ object TextAnalysisOps {
   def htmlLangAudit(docs: DataFrame, htmlCol: String,
                     claimedLangCol: String,
                     sourceCol: String): DataFrame = {
-    // optional quote: matches lang="en-US", lang='en' AND the
-    // unquoted lang=en form (value ends where [A-Za-z-] does)
-    val declared = lower(regexp_extract(
-      coalesce(col(htmlCol), lit("")),
-      "(?i)<html[^>]*\\slang=[\"']?([A-Za-z-]+)", 1))
+    // ATTRIBUTE-PAIR scan, not a single backtracking regex: greedy
+    // `<html[^>]*lang=` can bind a bare ` lang=` inside a PRECEDING
+    // attribute's quoted value (`<html lang="en" data-p="a lang=fr">`
+    // would declare fr). Scanning name=value pairs left-to-right
+    // consumes quoted values whole, so in-value text never starts a
+    // pair; the first pair named lang (xml:lang's suffix matches too,
+    // which is itself a language declaration) is the declared value —
+    // quoted or the valid-HTML unquoted form.
+    val htmlAttrs = regexp_extract(coalesce(col(htmlCol), lit("")),
+      "(?i)<html\\b([^>]*)", 1)
+    val attrPairs = regexp_extract_all(htmlAttrs,
+      lit("(?i)([A-Za-z-]+)=(\"[^\"]*\"|'[^']*'|[A-Za-z-]+)"), lit(0))
+    val langPair = try_element_at(filter(attrPairs,
+      p => lower(p).startsWith("lang=")), lit(1))
+    val declared = lower(regexp_extract(coalesce(langPair, lit("")),
+      "(?i)^lang=[\"']?([A-Za-z-]+)", 1))
     val primary = regexp_extract(declared, "^([a-z]+)", 1)
     val claimed = lower(trim(coalesce(col(claimedLangCol), lit(""))))
     // fold the claimed side symmetrically — metadata "en-US" against
@@ -3822,6 +3833,12 @@ object TextAnalysisOps {
       explode(array_distinct(concat(gramArrays: _*))).as("__h"))
     grams.join(keyed.hint("shuffle_hash"), Seq("__h"))
       .select(col(idCol), col("__q"), col("__a"))
+      // DISTINCT before the join-back: duplicate doc ids (a corpus
+      // scanned before dedup) nominate the same (id, item) pair once
+      // per physical row, and the join-back would cross-multiply —
+      // distinct pairs × N physical rows = exactly the broadcast
+      // arm's N verification rows (arms-identical even on dup ids)
+      .distinct()
       .join(base, Seq(idCol))
       .select(col(idCol), col("__txt"), col("__q"), col("__a"))
   }

@@ -291,6 +291,33 @@ object UrlOps {
     robotsVerdictImpl(pages, idCol, robotsCol, pathCol, Some(agent))
   }
 
+  /** The agent-group selector shared by [[robotsVerdictImpl]] and
+    * [[robotsCrawlDelayImpl]] (ONE copy so verdicts and delays can
+    * never desynchronize on which group a crawler obeys): `bound`
+    * materializes whatever the caller binds (rules / delays) for the
+    * UA runs matching a given agent predicate; with no agent, bind
+    * `*`; with one, the most specific matching token — the longest
+    * agent the crawler's product token starts with, case-insensitive
+    * — preempts everything and `*` resolves only on no match. */
+  private def agentBound(sgt: Column, agentOpt: Option[String],
+                         bound: (Column => Column) => Column)
+      : Column = {
+    val star = bound(a => a === "*")
+    agentOpt match {
+      case None => star
+      case Some(t0) =>
+        val t = t0.trim.toLowerCase(java.util.Locale.ROOT)
+        def mLen(a: Column): Column =
+          when(a =!= "*" && length(a) > 0 &&
+            lit(t).startsWith(lower(a)), length(a)).otherwise(lit(0))
+        val bestAgent = array_max(transform(sgt,
+          g => mLen(g.getField("agent"))))
+        when(bestAgent > 0,
+          bound(a => mLen(a) === bestAgent && bestAgent > 0))
+          .otherwise(star)
+    }
+  }
+
   private def robotsVerdictImpl(pages: DataFrame, idCol: String,
                                 robotsCol: String, pathCol: String,
                                 agentOpt: Option[String]): DataFrame = {
@@ -343,22 +370,7 @@ object UrlOps {
           bind(try_element_at(sgt, j).getField("agent"))),
           try_element_at(sgt, i).getField("rules"))
       }), x => x.isNotNull))
-    val starRules = boundRules(a => a === "*")
-    val rulesAll = agentOpt match {
-      case None => starRules
-      case Some(t0) =>
-        // specificity = length of the matched agent token; the
-        // longest match preempts everything, `*` only on no match
-        val t = t0.trim.toLowerCase(java.util.Locale.ROOT)
-        def mLen(a: Column): Column =
-          when(a =!= "*" && length(a) > 0 &&
-            lit(t).startsWith(lower(a)), length(a)).otherwise(lit(0))
-        val bestAgent = array_max(transform(sgt,
-          g => mLen(g.getField("agent"))))
-        when(bestAgent > 0,
-          boundRules(a => mLen(a) === bestAgent && bestAgent > 0))
-          .otherwise(starRules)
-    }
+    val rulesAll = agentBound(sgt, agentOpt, boundRules)
     // empty-path directives (bare `Disallow:`) permit by definition —
     // they shaped the grouping above but never match a path; rules
     // are staged too: three downstream expressions walk them
@@ -845,21 +857,8 @@ object UrlOps {
           length(try_element_at(sgt, i).getField("d")) > 0,
           try_element_at(sgt, i).getField("d"))
       }), x => x.isNotNull)
-    val starDelays = boundDelays(a => a === "*")
-    val delays = agentOpt match {
-      case None => starDelays
-      case Some(t0) =>
-        val t = t0.trim.toLowerCase(java.util.Locale.ROOT)
-        def mLen(a: Column): Column =
-          when(a =!= "*" && length(a) > 0 &&
-            lit(t).startsWith(lower(a)), length(a)).otherwise(lit(0))
-        val bestAgent = array_max(transform(sgt,
-          g => mLen(g.getField("agent"))))
-        when(bestAgent > 0,
-          boundDelays(a => mLen(a) === bestAgent && bestAgent > 0))
-          .otherwise(starDelays)
-    }
-    val ruled = staged.withColumn("__sd", delays)
+    val ruled = staged.withColumn("__sd",
+      agentBound(sgt, agentOpt, boundDelays))
     // ANSI guard: a hostile/garbage robots file can declare a delay
     // longer than 18 digits — an unguarded cast("long") THROWS under
     // ANSI (default-on in Spark 4) and kills the whole task. Any

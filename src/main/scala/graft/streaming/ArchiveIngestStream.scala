@@ -87,9 +87,11 @@ object ArchiveIngestStream {
       .toDF("doc_id", "ts", "text")
   }
 
-  /** Member rows → append-only parquet: one checkpoint, exactly-once
-    * per landed file; readers take the rows as-is (the walk emits no
-    * duplicates). */
+  /** Member rows → batch_id-partitioned parquet with dynamic
+    * partition overwrite (the StreamingEngine.fanOut exactly-once
+    * discipline): a batch replayed after a crash-between-write-and-
+    * checkpoint-commit overwrites its OWN partition instead of
+    * appending duplicates, so readers take the rows as-is. */
   def start(archives: DataFrame, outDir: String,
             idCol: String = "doc_id", bytesCol: String = "bin",
             maxDepth: Int = 2,
@@ -103,7 +105,10 @@ object ArchiveIngestStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        bid: Long) =>
         batch.withColumn("batch_id", lit(bid))
-          .write.mode("append").parquet(s"$outDir/members")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outDir/members")
       }
       .start()
 }

@@ -8642,6 +8642,19 @@ class OperatorsSpec extends AnyFunSuite {
         .toDF("question", "answer"),
       "question", "answer", windowChars = 60,
       broadcastQa = false).count() == 0L)
+    // DUPLICATE doc ids (a corpus scanned before dedup): the
+    // broadcast arm verifies each physical row; the fallback's
+    // pair-distinct + join-back must produce exactly the same rows,
+    // not the pairs×rows cross-product
+    val dup = docs.unionByName(docs.filter(col("doc_id") === 1L))
+    val dupB = TextAnalysisOps.answerLeakScan(dup, "doc_id", "text",
+      qa, "question", "answer", windowChars = 60)
+    val dupS = TextAnalysisOps.answerLeakScan(dup, "doc_id", "text",
+      qa, "question", "answer", windowChars = 60, broadcastQa = false)
+    assert(rows(dupB) == rows(dupS),
+      s"dup-id arms diverge:\n${rows(dupB)}\nvs\n${rows(dupS)}")
+    assert(dupB.filter(col("doc_id") === 1L).count() == 2L,
+      "both physical copies of a leaking doc must flag")
   }
 
   test("packBoundaryAudit: a deterministic single-bucket layout " +
@@ -9112,7 +9125,17 @@ class OperatorsSpec extends AnyFunSuite {
       // agrees exactly; pre-fix this counted as a mismatch
       (8L, "<html lang=\"en-US\">", "en-US", "c"),
       (9L, "<html lang=\"en\">", "en-GB", "c"),
-      (10L, "<html lang=de>", "en", "c")
+      (10L, "<html lang=de>", "en", "c"),
+      // adversarial: a bare ` lang=` INSIDE another attribute's
+      // quoted value must not shadow the real lang attribute (the
+      // greedy single-regex form declared fr here), either order;
+      // and a decoy BEFORE the real attribute must not win either
+      (11L, "<html lang=\"en\" data-params=\"a=1 lang=fr\">", "en",
+        "e"),
+      (12L, "<html data-x='keep lang=fr here' lang='en'>", "en", "e"),
+      // a lang decoy in a LATER tag's attributes never reaches the
+      // <html> scan at all
+      (13L, "<html lang=en><span lang=\"fr\">x</span>", "en", "e")
     ).toDF("doc_id", "html", "lang", "source")
     val got = TextAnalysisOps.htmlLangAudit(docs, "html", "lang",
       "source").collect().map(r => r.getString(0) ->
@@ -9124,6 +9147,8 @@ class OperatorsSpec extends AnyFunSuite {
     // c: 5 docs, all declared; 6/7 unquoted agree, 8/9 fold-agree,
     // 10 unquoted mismatch
     assert(got("c") == ((5L, 5L, 4L, 1L, 200L)), got.toString)
+    // e: every decoy row declares en and agrees
+    assert(got("e") == ((3L, 3L, 3L, 0L, 0L)), got.toString)
   }
 
   test("shardBalanceAudit: a perfectly mirrored shard reads 0, a " +
