@@ -623,6 +623,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the join-back must ride the unique doc id, got $smjKeys:\n$p")
   }
 
+  test("q434-q437: the robots family stays projection-only — the " +
+      "group-chaining scan, wildcard matching and agent resolution " +
+      "all run in-row; no join, no window, one presentation sort") {
+    Seq("q434_chained_crawl_delay", "q435_robots_wildcards",
+      "q436_robots_for_agent", "q437_crawl_delay_for_agent")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Join"),
+          s"$q must resolve robots in-row, never via a join:\n$p")
+        assert(!p.contains("Window"), s"$q must not window:\n$p")
+        assert(p.split("Exchange").length <= 2,
+          s"$q: only the presentation sort may exchange:\n$p")
+      }
+  }
+
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
       "of the BM25 chain — the only windows are per-query ranks") {
     val p = plan("q386_retrieval_hubness")
