@@ -180,6 +180,20 @@ class CodecFuzzSpec extends AnyFunSuite {
       "parse" -> ZipCodec.parse)
   }
 
+  test("recursive archive walk survives seeded corruptions of nested " +
+      "tar(zip + jsonl.gz) and gzipped-tar drops without throwing") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{GzipCodec, TarCodec, ZipCodec}
+    val text = ("nested payload " * 30).getBytes("UTF-8")
+    val nested = TarCodec.tarBytes(Seq(
+      ("inner.zip", ZipCodec.zipBytes(Seq(("m.txt", text, true)))),
+      ("shard.jsonl.gz", GzipCodec.gzipBytes(text))))
+    sweep("walk.nested", nested, 1212)(
+      "walkBytes" -> (b => ArchiveOps.walkBytes(b, 3, 1L << 20)))
+    sweep("walk.targz", GzipCodec.gzipBytes(nested), 1313)(
+      "walkBytes" -> (b => ArchiveOps.walkBytes(b, 3, 1L << 20)))
+  }
+
   test("TAR size-field boundaries (8 GiB octal ceiling, base-256 at " +
       "2^63-1 and overflowing, PAX len at the 2^24 guard) route to " +
       "None, never a throw") {
