@@ -5648,6 +5648,30 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // Sitemap XML extraction (q438): fetched sitemap documents —
+    // urlset pages yield page URLs (entity-decoded), sitemapindex
+    // pages yield child sitemap URLs, alien bytes read unknown with
+    // an honest null-loc row.
+    "q438_sitemap_locs" -> ((s, dir) => {
+      val m = col("doc_id") % 3
+      val h = concat(lit("http://h"), col("doc_id").cast("string"),
+        lit(".com"))
+      val idStr = col("doc_id").cast("string")
+      val xml = when(m === 0, concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"x\">\n" +
+            "<url><loc> "), h, lit("/p"), idStr,
+          lit("?x=1&amp;y=2 </loc></url>\n<url><loc>"), h,
+          lit("/q"), idStr, lit("</loc></url>\n</urlset>")))
+        .when(m === 1, concat(lit("<sitemapindex><sitemap><loc>"),
+          h, lit("/s"), idStr,
+          lit(".xml</loc></sitemap></sitemapindex>")))
+        .otherwise(lit("just text, not a sitemap"))
+      UrlOps.sitemapLocs(
+        t(s, dir, "documents").select(col("doc_id"), xml.as("xml")),
+        "doc_id", "xml")
+        .orderBy(col("doc_id"), col("loc_idx"))
+    }),
+
     // Agent-specific robots verdicts (q436): a named crawler obeys
     // its most-specific matching group — the graftbot-images group
     // (with its /private/img re-Allow) preempts both the graftbot
@@ -18124,6 +18148,22 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  (CASE WHEN format = 'unknown' THEN 0
         |    ELSE sum(n) END)::BIGINT AS member_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q438_sitemap_locs" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS m,
+        |  'http://h' || doc_id::VARCHAR || '.com' AS h,
+        |  doc_id::VARCHAR AS i FROM documents)
+        |SELECT doc_id, 'urlset' AS kind, 0 AS loc_idx,
+        |  h || '/p' || i || '?x=1&y=2' AS loc_url
+        |FROM f WHERE m = 0
+        |UNION ALL
+        |SELECT doc_id, 'urlset', 1, h || '/q' || i FROM f WHERE m = 0
+        |UNION ALL
+        |SELECT doc_id, 'index', 0, h || '/s' || i || '.xml'
+        |FROM f WHERE m = 1
+        |UNION ALL
+        |SELECT doc_id, 'unknown', NULL, NULL FROM f WHERE m = 2
+        |ORDER BY doc_id, loc_idx""".stripMargin,
 
     // The bound graftbot-images group has 2 rules; match lens:
     // "/private/img" = 12, "/private" = 8.

@@ -267,6 +267,44 @@ object UrlOps {
         posexplode(urls).as(Seq("sitemap_idx", "sitemap_url")))
   }
 
+  /** Sitemap XML `<loc>` extraction — the parser behind the
+    * [[sitemapCoverage]] story: [[robotsSitemaps]] harvests the
+    * sitemap URLs a robots.txt declares, this reads the fetched
+    * sitemap DOCUMENTS. Two kinds (sitemaps.org protocol): `urlset`
+    * pages yield their page URLs, `sitemapindex` pages yield their
+    * CHILD sitemap URLs (the crawler fetches those next — one more
+    * frontier hop, composable by re-applying this to the children).
+    * `<loc>` values trim surrounding whitespace and decode the five
+    * XML entities (`&amp;` is routine inside real sitemap URLs; the
+    * non-amp entities decode first so `&amp;lt;` single-decodes to
+    * a literal `&lt;`, never double). Pages that sniff to neither
+    * root element read `kind = unknown`; pages without locs keep one
+    * null-loc row (posexplode_outer — honest presence, the
+    * [[graft.operators.ArchiveOps]] marker-row discipline).
+    *
+    * Scale shape: pure projection + bounded explode (locs per
+    * sitemap ≤ the protocol's own 50k cap); nothing page-sized
+    * survives past the extraction. */
+  def sitemapLocs(pages: DataFrame, idCol: String,
+                  xmlCol: String): DataFrame = {
+    val xml = coalesce(col(xmlCol), lit(""))
+    val kind = when(xml.rlike("(?is)<\\s*sitemapindex[\\s>]"),
+        "index")
+      .when(xml.rlike("(?is)<\\s*urlset[\\s>]"), "urlset")
+      .otherwise("unknown")
+    def decode(c: Column): Column = {
+      val nonAmp = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(c, "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&apos;", "'")
+      regexp_replace(nonAmp, "&amp;", "&")
+    }
+    val locs = transform(regexp_extract_all(xml,
+      lit("(?is)<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)),
+      l => decode(l))
+    pages.select(col(idCol), kind.as("kind"),
+      posexplode_outer(locs).as(Seq("loc_idx", "loc_url")))
+  }
+
   def robotsVerdict(pages: DataFrame, idCol: String, robotsCol: String,
                     pathCol: String): DataFrame =
     robotsVerdictImpl(pages, idCol, robotsCol, pathCol, None)

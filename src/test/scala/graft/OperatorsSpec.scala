@@ -3837,6 +3837,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.toSeq == Seq(false, true), u.mkString(","))
   }
 
+  test("sitemapLocs: urlset vs sitemapindex kinds, entity decode, " +
+      "whitespace trim, locless and alien pages keep honest rows") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (1L, "<?xml version=\"1.0\"?>\n<urlset xmlns=\"x\">\n" +
+        "<url><loc> http://a.com/p?x=1&amp;y=2 </loc></url>\n" +
+        "<url><loc>http://a.com/q</loc></url>\n</urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>http://a.com/s1.xml</loc>" +
+        "</sitemap></sitemapindex>"),
+      (3L, "<urlset></urlset>"),            // declared but empty
+      (4L, "just some text, not xml"),
+      // &amp;lt; must single-decode to a literal &lt;, never to <
+      (5L, "<urlset><url><loc>http://a.com/r?a=&amp;lt;b</loc>" +
+        "</url></urlset>")
+    ).toDF("doc_id", "xml")
+    val got = UrlOps.sitemapLocs(docs, "doc_id", "xml")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(2)).map(_.toString.toInt).getOrElse(-1)) ->
+        (r.getString(1), r.getString(3))).toMap
+    assert(got((1L, 0)) == (("urlset", "http://a.com/p?x=1&y=2")))
+    assert(got((1L, 1)) == (("urlset", "http://a.com/q")))
+    assert(got((2L, 0)) == (("index", "http://a.com/s1.xml")))
+    assert(got((3L, -1)) == (("urlset", null)))
+    assert(got((4L, -1)) == (("unknown", null)))
+    assert(got((5L, 0)) == (("urlset", "http://a.com/r?a=&lt;b")))
+    assert(got.size == 6)
+  }
+
   test("robotsVerdictFor/robotsCrawlDelayFor: the most specific " +
       "matching agent group preempts *, empty matching groups allow, " +
       "unmatched crawlers fall back to the * group") {
