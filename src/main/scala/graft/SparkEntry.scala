@@ -5759,6 +5759,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Zstd-layer drop census (q439): the dominant public-corpus shard
+    // shapes today — .tar.zst bundles (transparent unwrap, compound
+    // format label) and bare .jsonl.zst shards (inflated bytes as one
+    // null-named member) — plus raw non-archive bytes; the RFC 8878
+    // twin of the q433 gzip census.
+    "q439_tarzst_walk" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.ZstdCodec.zstdBytes(
+              graft.sources.TarCodec.tarBytes(Seq(("t.txt", tb))))
+            case 1 => graft.sources.ZstdCodec.zstdBytes(tb)
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+      ArchiveOps.walkReport(bin, "doc_id", "bin")
+        .orderBy(col("format"))
+    }),
+
+    // Zstd text leaves (q440): the q432 extraction through the zstd
+    // layer — a tar carrying doc.txt + an in-place decompressed
+    // shard.jsonl.zst, and a whole tar.zst bundle; the round-13
+    // content gate is ON (real text passes, the lossy-decode path is
+    // never taken).
+    "q440_zst_text" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.TarCodec.tarBytes(Seq(
+              ("doc.txt", tb),
+              ("shard.jsonl.zst", graft.sources.ZstdCodec.zstdBytes(tb))))
+            case 1 => graft.sources.ZstdCodec.zstdBytes(
+              graft.sources.TarCodec.tarBytes(Seq(("z.txt", tb))))
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+        .withColumn("ts", lit("2024-06-11 00:00:00").cast("timestamp"))
+      graft.streaming.ArchiveIngestStream.textMembers(bin)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gzip-layer drop census (q433): the two shapes a mirror actually
     // serves — tar.gz bundles (transparent unwrap, compound format
     // label) and bare .jsonl.gz shards (inflated bytes as one
@@ -18211,6 +18261,37 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    ELSE NULL END)::BIGINT AS crawl_delay_sec,
         |  doc_id % 5 IN (0, 1) AS has_delay
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q439_tarzst_walk" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'tar.zst' WHEN 1 THEN 'zst'
+        |      ELSE 'unknown' END AS format,
+        |    strlen(text)::BIGINT AS n
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_archives,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_decodable,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_members,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE sum(n) END)::BIGINT AS member_bytes
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    // %3=0 docs yield doc.txt plus the in-place decompressed
+    // shard.jsonl.zst (same text); %3=1 yields z.txt through the
+    // tar.zst wrapper; %3=2 isn't an archive.
+    "q440_zst_text" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |c AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id::VARCHAR || '!doc.txt' AS doc_id, text FROM b
+        |UNION ALL
+        |SELECT doc_id::VARCHAR || '!shard.jsonl.zst', text FROM b
+        |UNION ALL
+        |SELECT doc_id::VARCHAR || '!z.txt', text FROM c
+        |ORDER BY doc_id""".stripMargin,
 
     "q433_targz_walk" ->
       """WITH f AS (

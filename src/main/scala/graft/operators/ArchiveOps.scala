@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{GzipCodec, TarCodec, ZipCodec}
+import graft.sources.{GzipCodec, TarCodec, ZipCodec, ZstdCodec}
 
 /** The generic archive walk — the reusable form of the q189/q284
   * query pattern: a corpus drop arrives as a BINARY column of mixed
@@ -13,11 +13,12 @@ import graft.sources.{GzipCodec, TarCodec, ZipCodec}
   * signatures for zip — ZIP64 included; the ustar magic at offset 257
   * for tar — PAX and GNU long-name layouts included, since
   * [[graft.sources.TarCodec]] parses them as of round 11; the RFC
-  * 1952 gzip magic as of round 12 — `.tar.gz`/`.zip.gz` unwrap
-  * transparently under a compound format label, and a bare `.gz` of
-  * plain content (the `.jsonl.gz` shard shape) surfaces its inflated
-  * bytes as one null-named member, all under the same bounded
-  * inflation budget).
+  * 1952 gzip magic as of round 12 and the RFC 8878 zstd magic as of
+  * round 13 — `.tar.gz`/`.zip.gz`/`.tar.zst`/`.zip.zst` unwrap
+  * transparently under a compound format label, and a bare `.gz` /
+  * `.zst` of plain content (the `.jsonl.gz` / `.jsonl.zst` shard
+  * shapes) surfaces its inflated bytes as one null-named member, all
+  * under the same bounded inflation budget).
   *
   * Undecodable rows are REPORTED, never dropped: an archive that
   * sniffs to no format, or fails its codec's defensive parse, emits
@@ -41,6 +42,7 @@ object ArchiveOps {
       b(259) == 't' && b(260) == 'a' && b(261) == 'r')
       "tar"
     else if (GzipCodec.sniff(b)) "gz"
+    else if (ZstdCodec.sniff(b)) "zst"
     else "unknown"
   }
 
@@ -50,7 +52,17 @@ object ArchiveOps {
     * (depth-1) projection of [[walkBytes]] — gzip roots unwrap
     * transparently (`tar.gz`/`zip.gz` formats; a bare `.gz` of plain
     * content surfaces its inflated bytes as one null-named member),
-    * and the recursive walk's cumulative inflation cap applies. */
+    * and the recursive walk's cumulative inflation cap applies.
+    *
+    * BEHAVIOR NOTE (since the round-12 gz layer landed): this flat
+    * walk shares the recursive walk's 256 MiB default inflation cap —
+    * an archive DECLARING more than the cap emits honest
+    * data-null/undecodable rows for the over-cap tail instead of
+    * decoding fully, and gz inputs that previously read `unknown` now
+    * decode. Callers ingesting large legitimate archives should raise
+    * `inflationCapBytes` explicitly; the default stays bounded because
+    * an unbounded default is exactly the zip-bomb surface the cap
+    * exists to close. */
   def members(docs: DataFrame, idCol: String, bytesCol: String,
               inflationCapBytes: Long = 256L * 1024 * 1024): DataFrame = {
     val spark = docs.sparkSession
@@ -99,7 +111,15 @@ object ArchiveOps {
     * levels — once the running total crosses the cap, every further
     * member row in that root emits with `data = null` and
     * `decodable = false` (honest over-cap rows; counts survive, the
-    * inflated payload does not ship).
+    * inflated payload does not ship). The cap also bounds the IN-TASK
+    * materialization, not just shipping: the remaining allowance is
+    * threaded into [[graft.sources.ZipCodec.parse]] (members past it
+    * are never inflated or copied — overlapping central entries
+    * cannot amplify a small archive into an executor OOM) and into
+    * every gunzip. One observable nuance: a member whose payload was
+    * withheld by the budget cannot be sniffed, so its over-cap row
+    * reads `is_archive = false` even when its name suggests an
+    * archive.
     *
     * Scale shape: identical to [[members]] — one flatMap projection,
     * archive bytes consumed inside the scan task, only member-level
@@ -129,22 +149,45 @@ object ArchiveOps {
     // content yields ONE null-named pseudo-member holding the
     // inflated bytes (the .jsonl.gz shape); gunzip is bounded by the
     // REMAINING inflation budget (bomb defense).
+    // Zip materialization is budgeted by the REMAINING inflation
+    // allowance (over-budget members come back data-null and the walk
+    // marks them undecodable): overlapping central entries can make a
+    // tiny zip DECLARE unbounded CRC-valid inflated bytes, so the
+    // charge must land before the inflate, inside the codec — the
+    // walk's own cap only trims what SHIPS. Tar needs no budget
+    // (members are raw slices, total bounded by the archive bytes);
+    // gunzip is budgeted the same way.
     def parseAs(b: Array[Byte])
         : (String, Option[Seq[(String, Long, Array[Byte])]]) =
       sniff(b) match {
-        case "zip" => ("zip", ZipCodec.parse(b)
-          .map(_.map(m => (m.name, m.size, m.data))))
+        case "zip" => ("zip",
+          ZipCodec.parse(b, inflationCapBytes - inflated)
+            .map(_.map(m => (m.name, m.size, m.data))))
         case "tar" => ("tar", TarCodec.parse(b)
           .map(_.map(m => (m.name, m.size, m.data))))
         case "gz" =>
           GzipCodec.gunzip(b, inflationCapBytes - inflated) match {
             case None => ("gz", None)
             case Some(inner) => sniff(inner) match {
-              case "zip" => ("zip.gz", ZipCodec.parse(inner)
-                .map(_.map(m => (m.name, m.size, m.data))))
+              case "zip" => ("zip.gz",
+                ZipCodec.parse(inner, inflationCapBytes - inflated)
+                  .map(_.map(m => (m.name, m.size, m.data))))
               case "tar" => ("tar.gz", TarCodec.parse(inner)
                 .map(_.map(m => (m.name, m.size, m.data))))
               case _ => ("gz",
+                Some(Seq((null, inner.length.toLong, inner))))
+            }
+          }
+        case "zst" =>
+          ZstdCodec.unzstd(b, inflationCapBytes - inflated) match {
+            case None => ("zst", None)
+            case Some(inner) => sniff(inner) match {
+              case "zip" => ("zip.zst",
+                ZipCodec.parse(inner, inflationCapBytes - inflated)
+                  .map(_.map(m => (m.name, m.size, m.data))))
+              case "tar" => ("tar.zst", TarCodec.parse(inner)
+                .map(_.map(m => (m.name, m.size, m.data))))
+              case _ => ("zst",
                 Some(Seq((null, inner.length.toLong, inner))))
             }
           }
@@ -157,6 +200,12 @@ object ArchiveOps {
       var idx = 0
       ms.foreach { case (n, sz, d) =>
         val path = if (n == null) null else prefix + n
+        // a null-named pseudo-member (a bare compression layer) has no
+        // path level of its own: its children prefix from the EMPTY
+        // string, never from the literal "null" that String concat
+        // would fabricate (gzip(gzip(tar)) at the root surfaced
+        // members as "null!m.txt" before this)
+        val childPfx = if (path == null) "" else path + "!"
         inflated += sz
         val childFmt = sniff(d)
         if (inflated > inflationCapBytes)
@@ -164,9 +213,10 @@ object ArchiveOps {
             null, decodable = false, isArchive = childFmt != "unknown")
         else if (childFmt != "unknown" && depth + 1 < maxDepth) {
           parseAs(d) match {
-            case ("gz", Some(pseudo)) =>
-              // a plain .gz member decompresses IN PLACE: same row,
-              // inflated bytes and size (the .jsonl.gz-in-tar shape)
+            case (layer @ ("gz" | "zst"), Some(pseudo)) =>
+              // a plain compression-layer member (.gz / .zst)
+              // decompresses IN PLACE: same row, inflated bytes and
+              // size (the .jsonl.gz / .jsonl.zst-in-tar shape)
               val (_, isz, inner) = pseudo.head
               inflated += isz
               if (inflated > inflationCapBytes)
@@ -176,19 +226,20 @@ object ArchiveOps {
                 out += WalkRow(depth + 1, fmt, idx, path, isz, inner,
                   decodable = true, isArchive = false)
               else {
-                // the inflated payload is ITSELF walkable (gz-of-gz):
-                // container row + child walk — each layer costs one
-                // depth level, the quine/bomb defense working as
-                // intended (walk() re-charges the child's size)
+                // the inflated payload is ITSELF walkable (gz-of-gz,
+                // zst-of-gz, …): container row + child walk — each
+                // layer costs one depth level, the quine/bomb defense
+                // working as intended (walk() re-charges the child's
+                // size)
                 inflated -= isz
                 out += WalkRow(depth + 1, fmt, idx, path, sz, null,
                   decodable = true, isArchive = true)
-                walk(pseudo, depth + 1, "gz", path + "!")
+                walk(pseudo, depth + 1, layer, childPfx)
               }
             case (label, Some(children)) =>
               out += WalkRow(depth + 1, fmt, idx, path, sz,
                 null, decodable = true, isArchive = true)
-              walk(children, depth + 1, label, path + "!")
+              walk(children, depth + 1, label, childPfx)
             case (_, None) =>
               out += WalkRow(depth + 1, fmt, idx, path, sz,
                 d, decodable = false, isArchive = true)

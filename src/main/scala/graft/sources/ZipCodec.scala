@@ -107,8 +107,28 @@ object ZipCodec {
   }
 
   /** Parse an archive; None on any malformation or out-of-scope
-    * feature (encryption, ZIP64, methods other than stored/deflate). */
-  def parse(b: Array[Byte]): Option[Seq[ZipMember]] = {
+    * feature (encryption, multi-disk, methods other than
+    * stored/deflate).
+    *
+    * `budget` bounds the bytes this call will MATERIALIZE (inflate or
+    * copy): members are charged their declared uncompressed size in
+    * central-directory order, and once the running total exceeds the
+    * budget every further member returns with `data = null`
+    * (name/size/method survive — honest over-budget rows, the
+    * [[graft.operators.ArchiveOps]] walk marks them undecodable).
+    * This closes the amplification hole the after-the-fact walk cap
+    * could not: nothing in the ZIP format stops n central entries
+    * from pointing at the SAME deflated blob (overlapping data
+    * ranges), so a 64 KiB archive can DECLARE len/46 × 64 MiB of
+    * CRC-valid inflated bytes — charging before inflating bounds the
+    * allocation at `budget` instead of at the lie. ([[TarCodec]]
+    * needs no budget: tar members are raw slices of the archive
+    * bytes, so total materialization is bounded by the input
+    * already.) Over-budget members skip local-header validation and
+    * CRC entirely — attacker-controlled ranges are not touched once
+    * the budget says their payload will not ship. */
+  def parse(b: Array[Byte],
+            budget: Long = Long.MaxValue): Option[Seq[ZipMember]] = {
     if (b == null || b.length < 22) return None
     val eocd = findEocd(b) match {
       case Some(o) => o case None => return None
@@ -150,6 +170,7 @@ object ZipCodec {
     if (cdOff + cdSize > b.length || nTotal > b.length / 46L)
       return None
     val members = Vector.newBuilder[ZipMember]
+    var charged = 0L // cumulative declared usize (the budget meter)
     var p = cdOff.toInt
     val cdEnd = (cdOff + cdSize).toInt
     var i = 0
@@ -197,6 +218,16 @@ object ZipCodec {
         if (!found) return None
       }
       val name = new String(b, p + 46, nameLen, "UTF-8")
+      if (usize > 64L * 1024 * 1024) return None // column-cell bound
+      val isDir = name.endsWith("/") && usize == 0
+      charged += usize
+      if (charged > budget) {
+        // over budget: never touch the data range — emit the member
+        // with its declared metadata and no payload
+        if (!isDir) members += ZipMember(name, usize, method, null)
+        p += 46 + nameLen + extraLen + commentLen
+        i += 1
+      } else {
       // local header: sig + fixed 30 bytes, then ITS OWN name/extra
       // lengths (they may differ from the central entry's — e.g. a
       // streaming writer adds local extra fields)
@@ -214,7 +245,6 @@ object ZipCodec {
       if (csize < 0 || csize > b.length - dataOff ||
           dataOff + csize > cdOff)
         return None
-      if (usize > 64L * 1024 * 1024) return None // column-cell bound
       val comp = java.util.Arrays.copyOfRange(
         b, dataOff, (dataOff + csize).toInt)
       val data =
@@ -228,10 +258,10 @@ object ZipCodec {
       if (c.getValue != crc) return None
       // directory entries (trailing '/', zero size) are skipped, same
       // as TarCodec's typeflag-'5' rule
-      if (!(name.endsWith("/") && usize == 0))
-        members += ZipMember(name, usize, method, data)
+      if (!isDir) members += ZipMember(name, usize, method, data)
       p += 46 + nameLen + extraLen + commentLen
       i += 1
+      }
     }
     Some(members.result())
   }

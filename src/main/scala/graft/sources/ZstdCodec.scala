@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import com.github.luben.zstd.{ZstdInputStreamNoFinalizer,
+  ZstdOutputStreamNoFinalizer}
+
+/** Minimal zstd (RFC 8878) layer codec — the compression wrapper the
+  * dominant public-corpus shard shapes actually use today:
+  * `.jsonl.zst` shards and `.tar.zst` bundles are what Dolma,
+  * RedPajama and most Common-Crawl derivatives serve, where older
+  * mirrors serve gzip. Like [[GzipCodec]] this is a LAYER, not an
+  * archive (one byte stream, no members), so
+  * [[graft.operators.ArchiveOps]] treats it transparently: decompress,
+  * re-sniff, and either walk the inner archive (`tar.zst`/`zip.zst`)
+  * or surface the decompressed bytes as a single null-named
+  * pseudo-member (`.jsonl.zst`).
+  *
+  * Implementation rides the zstd-jni streaming API (public library,
+  * shipped with Spark itself — it is how Spark reads zstd parquet and
+  * shuffle blocks), NOT a hand-rolled FSE/Huffman decoder: the format
+  * is public (RFC 8878) but its entropy stages are exactly the kind
+  * of subtly-wrong reimplementation a data engine should not carry
+  * when the reference decoder is already on every executor classpath.
+  *
+  * Decompression is BOUNDED ([[unzstd]]'s `maxOut`) the same way
+  * [[GzipCodec.gunzip]] is: zstd's frame header MAY declare a content
+  * size but it is attacker-controlled (and optional), so the only
+  * bomb defense is to stop once output exceeds the cap — never an
+  * allocation proportional to the claim. Defensive like the codec
+  * family: bad magic, truncated frames, checksum mismatches
+  * (zstd-jni verifies when the frame carries one), dictionary-needing
+  * frames, garbage → None, never a throw. Concatenated frames (what
+  * `cat a.zst b.zst` produces — RFC 8878 §3 calls the sequence valid)
+  * decode as one stream, matching `zstd -d` behavior; skippable
+  * frames between data frames are skipped by the decoder.
+  *
+  * [[zstdBytes]] writes one single-segment, dictionary-less frame at
+  * the default level with the content size recorded, so roundtrips
+  * are exact on content.
+  */
+object ZstdCodec {
+
+  /** RFC 8878 §3.1.1 frame magic: 0xFD2FB528 little-endian. */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (b(0) & 0xff) == 0x28 &&
+      (b(1) & 0xff) == 0xb5 && (b(2) & 0xff) == 0x2f &&
+      (b(3) & 0xff) == 0xfd
+
+  /** Bounded decompress: the inflated bytes, or None on malformation
+    * OR on output exceeding `maxOut` (bomb defense — allocation
+    * follows actual yield under the cap, never the frame header's
+    * claim). */
+  def unzstd(b: Array[Byte], maxOut: Long): Option[Array[Byte]] = {
+    if (!sniff(b) || maxOut <= 0) return None
+    val cap = math.min(maxOut, Int.MaxValue - 16L).toInt
+    try {
+      val in = new ZstdInputStreamNoFinalizer(new ByteArrayInputStream(b))
+      try {
+        var out = new Array[Byte](math.min(cap, 64 * 1024))
+        var len = 0
+        var n = 0
+        while (n >= 0) {
+          if (len == out.length) {
+            if (len >= cap) {
+              // at the cap with the stream still producing → bomb
+              if (in.read() >= 0) return None
+              n = -1
+            } else out = java.util.Arrays.copyOf(out,
+              math.min(cap.toLong, out.length * 2L).toInt)
+          }
+          if (n >= 0) {
+            n = in.read(out, len, out.length - len)
+            if (n > 0) len += n
+          }
+        }
+        Some(java.util.Arrays.copyOf(out, len))
+      } finally in.close()
+    } catch {
+      // zstd-jni surfaces malformations as IOException from the
+      // stream API and ZstdException (a RuntimeException) from the
+      // native layer — both mean "not a decodable frame here"
+      case _: java.io.IOException => None
+      case _: com.github.luben.zstd.ZstdException => None
+    }
+  }
+
+  /** Deterministic single-frame writer (default level, content size
+    * recorded, no dictionary) — the exact inverse of [[unzstd]] on
+    * content. */
+  def zstdBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val z = new ZstdOutputStreamNoFinalizer(bos)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+}

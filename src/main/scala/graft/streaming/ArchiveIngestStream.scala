@@ -53,18 +53,24 @@ object ArchiveIngestStream {
     * the walk for watermarking downstream. Members are kept when they
     * carry data, sit at a real member slot, are not archives
     * themselves, and their path ends in one of `textExtensions` — a
-    * trailing `.gz` is stripped before matching, so an in-place
-    * decompressed `shard.jsonl.gz` member matches `.jsonl` (a `.gz`
-    * member still compressed because it sat AT the depth bound is an
-    * archive leaf and never reaches the extension test). */
+    * trailing `.gz` / `.zst` is stripped before matching, so an
+    * in-place decompressed `shard.jsonl.gz` or `shard.jsonl.zst`
+    * member matches `.jsonl` (a compressed member that sat AT the
+    * depth bound is an archive leaf and never reaches the extension
+    * test). With `sniffContent` (the default) the BYTES are gated
+    * too, because the name is attacker-controlled: members must
+    * strict-decode as UTF-8 (no lossy U+FFFD substitution) with at
+    * most 1% control characters outside \t \n \r — a binary blob
+    * named `payload.txt` is rejected, not decoded into the funnel.
+    * `sniffContent = false` restores the pre-round-13 lossy decode. */
   def textMembers(archives: DataFrame, idCol: String = "doc_id",
                   bytesCol: String = "bin",
                   eventTimeCol: String = "ts",
                   maxDepth: Int = 2,
                   inflationCapBytes: Long = 256L * 1024 * 1024,
                   textExtensions: Set[String] =
-                    Set(".txt", ".md", ".json", ".jsonl", ".html"))
-      : DataFrame = {
+                    Set(".txt", ".md", ".json", ".jsonl", ".html"),
+                  sniffContent: Boolean = true): DataFrame = {
     val spark = archives.sparkSession
     import spark.implicits._
     archives.select(col(idCol).cast("string").as("doc_id"),
@@ -73,18 +79,59 @@ object ArchiveIngestStream {
       .as[(String, Array[Byte], java.sql.Timestamp)]
       .flatMap { case (id, bytes, ts) =>
         ArchiveOps.walkBytes(bytes, maxDepth, inflationCapBytes)
-          .collect {
-            case w if w.memberIdx >= 0 && !w.isArchive &&
-                w.data != null && w.name != null &&
-                textExtensions.exists(e =>
-                  w.name.endsWith(e) ||
-                    (w.name.endsWith(".gz") &&
-                      w.name.dropRight(3).endsWith(e))) =>
-              (id + "!" + w.name, ts,
-                new String(w.data, java.nio.charset.StandardCharsets.UTF_8))
+          .iterator
+          .filter(w => w.memberIdx >= 0 && !w.isArchive &&
+            w.data != null && w.name != null &&
+            textExtensions.exists(e =>
+              w.name.endsWith(e) || stripLayerExt(w.name).exists(
+                _.endsWith(e))))
+          .flatMap { w =>
+            val text =
+              if (sniffContent) decodeStrictText(w.data)
+              else Some(new String(w.data,
+                java.nio.charset.StandardCharsets.UTF_8))
+            text.map(t => (id + "!" + w.name, ts, t))
           }
+          .toSeq
       }
       .toDF("doc_id", "ts", "text")
+  }
+
+  /** The member name with one trailing compression-layer extension
+    * (`.gz` / `.zst`) stripped — how an in-place decompressed
+    * `shard.jsonl.zst` member reaches the `.jsonl` test. */
+  private def stripLayerExt(name: String): Option[String] =
+    if (name.endsWith(".gz")) Some(name.dropRight(3))
+    else if (name.endsWith(".zst")) Some(name.dropRight(4))
+    else None
+
+  /** Content gate (the NAME of a member is attacker-controlled; its
+    * bytes are not text because someone called them `.txt`): strict
+    * UTF-8 decode — any malformed sequence rejects, instead of the
+    * lossy U+FFFD substitution `new String` would silently perform —
+    * plus a printable-ratio bound: more than 1% control characters
+    * outside \t \n \r (C0, C1, DEL) reads as binary that happens to
+    * be UTF-8-valid, and is rejected too. */
+  private[streaming] def decodeStrictText(bytes: Array[Byte])
+      : Option[String] = {
+    import java.nio.charset.{CodingErrorAction, StandardCharsets}
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      val s = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      var ctrl = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if ((c < 0x20 && c != '\t' && c != '\n' && c != '\r') ||
+            (c >= 0x7f && c < 0xa0)) ctrl += 1
+        i += 1
+      }
+      if (ctrl.toLong * 100 > s.length) None else Some(s)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => None
+    }
   }
 
   /** Member rows → batch_id-partitioned parquet with dynamic

@@ -168,6 +168,14 @@ class CodecFuzzSpec extends AnyFunSuite {
       "gunzip" -> (b => GzipCodec.gunzip(b, 1 << 20)))
   }
 
+  test("ZSTD decoder survives seeded corruptions without throwing") {
+    import graft.sources.ZstdCodec
+    val good = ZstdCodec.zstdBytes(
+      ("zstd fuzz body " * 40).getBytes("UTF-8"))
+    sweep("zst", good, 1414)(
+      "unzstd" -> (b => ZstdCodec.unzstd(b, 1 << 20)))
+  }
+
   test("ZIP parser (classic + forced-ZIP64 layouts) survives seeded " +
       "corruptions without throwing") {
     import graft.sources.ZipCodec
@@ -175,9 +183,9 @@ class CodecFuzzSpec extends AnyFunSuite {
       ("a.txt", "hello zip".getBytes("UTF-8"), false),
       ("b/deflated.txt", ("z" * 900).getBytes("UTF-8"), true))
     sweep("zip", ZipCodec.zipBytes(members), 909)(
-      "parse" -> ZipCodec.parse)
+      "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
     sweep("zip64", ZipCodec.zip64Bytes(members), 1010)(
-      "parse" -> ZipCodec.parse)
+      "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
   }
 
   test("recursive archive walk survives seeded corruptions of nested " +
@@ -191,6 +199,15 @@ class CodecFuzzSpec extends AnyFunSuite {
     sweep("walk.nested", nested, 1212)(
       "walkBytes" -> (b => ArchiveOps.walkBytes(b, 3, 1L << 20)))
     sweep("walk.targz", GzipCodec.gzipBytes(nested), 1313)(
+      "walkBytes" -> (b => ArchiveOps.walkBytes(b, 3, 1L << 20)))
+    // the zstd layer through the same composed walk (sniff → layer
+    // unwrap → recursion → inflation accounting), including a
+    // .jsonl.zst member alongside the gz one
+    import graft.sources.ZstdCodec
+    val nestedZ = TarCodec.tarBytes(Seq(
+      ("inner.zip", ZipCodec.zipBytes(Seq(("m.txt", text, true)))),
+      ("shard.jsonl.zst", ZstdCodec.zstdBytes(text))))
+    sweep("walk.tarzst", ZstdCodec.zstdBytes(nestedZ), 1515)(
       "walkBytes" -> (b => ArchiveOps.walkBytes(b, 3, 1L << 20)))
   }
 

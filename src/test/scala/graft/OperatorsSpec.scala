@@ -9135,6 +9135,209 @@ class OperatorsSpec extends AnyFunSuite {
       text.length - 1L).isEmpty)
   }
 
+  test("zstd layer unwraps transparently: tar.zst walks its members, " +
+      "bare .zst surfaces inflated content, .jsonl.zst members " +
+      "decompress in place, bombs / truncation / concatenation stay " +
+      "honest") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{TarCodec, ZstdCodec}
+    val text = "shard line one\nshard line two".getBytes("UTF-8")
+    val tarZst = ZstdCodec.zstdBytes(TarCodec.tarBytes(Seq(
+      ("a.txt", "member body".getBytes("UTF-8")))))
+    val rows = Seq(
+      ("z-1", tarZst),
+      ("z-2", ZstdCodec.zstdBytes(text)),        // bare .jsonl.zst shape
+      ("z-3", ZstdCodec.zstdBytes(text).take(8)) // truncated frame
+    ).toDF("id", "bin")
+    val flat = ArchiveOps.members(rows, "id", "bin")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getString(3),
+          Option(r.getAs[Array[Byte]]("data"))
+            .map(new String(_, "UTF-8")).orNull,
+          r.getBoolean(6))).toMap
+    assert(flat("z-1") == (("tar.zst", 0, "a.txt", "member body", true)),
+      flat("z-1").toString)
+    assert(flat("z-2") == (("zst", 0, null,
+      "shard line one\nshard line two", true)), flat("z-2").toString)
+    assert(flat("z-3") == (("zst", -1, null, null, false)))
+    // nested: shard.jsonl.zst decompresses IN PLACE at depth 2, a
+    // tar.zst member walks its inner members at depth 2
+    val nested = Seq(("z-4", TarCodec.tarBytes(Seq(
+      ("shard.jsonl.zst", ZstdCodec.zstdBytes(text)),
+      ("inner.tzst", tarZst))))).toDF("id", "bin")
+    val rec = ArchiveOps.membersRecursive(nested, "id", "bin")
+      .collect().map(r => r.getString(4) ->
+        (r.getInt(1), r.getString(2), r.getLong(5),
+          Option(r.getAs[Array[Byte]]("data"))
+            .map(new String(_, "UTF-8")).orNull,
+          r.getBoolean(7), r.getBoolean(8))).toMap
+    assert(rec("shard.jsonl.zst") ==
+      ((1, "tar", text.length.toLong,
+        "shard line one\nshard line two", true, false)),
+      rec("shard.jsonl.zst").toString)
+    assert(rec("inner.tzst") ==
+      ((1, "tar", tarZst.length.toLong, null, true, true)))
+    assert(rec("inner.tzst!a.txt") ==
+      ((2, "tar.zst", 11L, "member body", true, false)))
+    // at the depth bound the .zst member stays an opaque archive leaf
+    val rec1 = ArchiveOps.membersRecursive(nested, "id", "bin",
+      maxDepth = 1).collect()
+      .map(r => r.getString(4) -> r.getBoolean(8)).toMap
+    assert(rec1("shard.jsonl.zst") && rec1("inner.tzst"))
+    // ZstdCodec contract directly: bounded, never-throw, roundtrip,
+    // concatenated frames (RFC 8878 §3 — `cat a.zst b.zst`)
+    val bomb = ZstdCodec.zstdBytes(new Array[Byte](1 << 20))
+    assert(ZstdCodec.unzstd(bomb, 1 << 21).exists(_.length == (1 << 20)))
+    assert(ZstdCodec.unzstd(bomb, 1 << 10).isEmpty)
+    assert(ZstdCodec.unzstd(text, 1 << 20).isEmpty) // not zstd
+    assert(ZstdCodec.unzstd(ZstdCodec.zstdBytes(text), 1 << 20)
+      .exists(_.sameElements(text)))
+    assert(ZstdCodec.unzstd(
+      ZstdCodec.zstdBytes(text) ++ ZstdCodec.zstdBytes(text), 1 << 20)
+      .exists(_.sameElements(text ++ text)))
+    // exact-boundary semantics match GzipCodec's
+    assert(ZstdCodec.unzstd(ZstdCodec.zstdBytes(text),
+      text.length.toLong).exists(_.sameElements(text)))
+    assert(ZstdCodec.unzstd(ZstdCodec.zstdBytes(text),
+      text.length - 1L).isEmpty)
+    // cross-layer tower: zst(gz(tar)) costs one depth level per layer
+    val zstGzTar = ZstdCodec.zstdBytes(graft.sources.GzipCodec.gzipBytes(
+      TarCodec.tarBytes(Seq(("t.txt", text)))))
+    val tower = ArchiveOps.membersRecursive(
+      Seq(("z-5", zstGzTar)).toDF("id", "bin"), "id", "bin",
+      maxDepth = 3).collect()
+      .map(r => (r.getString(4), r.getString(2),
+        Option(r.getAs[Array[Byte]]("data"))
+          .map(new String(_, "UTF-8")).orNull))
+    assert(tower.exists { case (n, f, d) =>
+      n == "t.txt" && f == "tar.gz" && d == new String(text, "UTF-8") },
+      tower.mkString("; "))
+  }
+
+  test("zip budget threading: overlapping central entries cannot " +
+      "amplify a small archive — members past the budget come back " +
+      "data-null without being inflated, and the walk marks them " +
+      "undecodable") {
+    import graft.operators.ArchiveOps
+    import graft.sources.ZipCodec
+    def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 4) { b(off + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    // n central entries all pointing at the SAME local header/blob:
+    // nothing in the format forbids overlapping data ranges, so the
+    // archive DECLARES n × usize bytes while storing one copy
+    def overlapZip(data: Array[Byte], n: Int): Array[Byte] = {
+      val single = ZipCodec.zipBytes(Seq(("m.txt", data, true)))
+      val eocd = single.length - 22
+      val cdOff = u32(single, eocd + 16).toInt
+      val cdSize = u32(single, eocd + 12).toInt
+      val central = java.util.Arrays.copyOfRange(single, cdOff,
+        cdOff + cdSize)
+      val out = new Array[Byte](cdOff + central.length * n + 22)
+      System.arraycopy(single, 0, out, 0, cdOff)
+      var i = 0
+      while (i < n) {
+        System.arraycopy(central, 0, out, cdOff + i * central.length,
+          central.length)
+        i += 1
+      }
+      val e = cdOff + central.length * n
+      System.arraycopy(single, eocd, out, e, 22)
+      putU16(out, e + 8, n); putU16(out, e + 10, n)
+      putU32(out, e + 12, central.length.toLong * n)
+      putU32(out, e + 16, cdOff.toLong)
+      out
+    }
+    // correctness on a small fixture: 10 entries × 100 B, budget 250 —
+    // entries 1–2 materialize, 3–10 are honest data-null members
+    val data = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val small = overlapZip(data, 10)
+    val ms = ZipCodec.parse(small, budget = 250L).get
+    assert(ms.length == 10)
+    assert(ms.take(2).forall(m => m.data != null &&
+      m.data.sameElements(data)))
+    assert(ms.drop(2).forall(m => m.data == null && m.size == 100L &&
+      m.name == "m.txt"))
+    // the unbounded default still materializes everything
+    assert(ZipCodec.parse(small).get.forall(_.data != null))
+    // the walk marks codec-withheld members undecodable (data null)
+    val walked = ArchiveOps.walkBytes(small,
+      inflationCapBytes = 250L)
+    assert(walked.count(w => w.data != null && w.decodable) == 2)
+    assert(walked.count(w => w.data == null && !w.decodable) == 8)
+    // allocation evidence: 512 entries × 8 MiB declared = 4 GiB; with
+    // a 1 MiB budget NOTHING materializes, so 50 parses finish in
+    // trivial time (50 × 4 GiB of real inflation would take minutes)
+    val big = overlapZip(new Array[Byte](8 << 20), 512)
+    val t0 = System.nanoTime()
+    var k = 0
+    while (k < 50) {
+      val r = ZipCodec.parse(big, budget = 1L << 20).get
+      assert(r.length == 512 && r.forall(_.data == null))
+      k += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 5.0, f"budgeted parse took $sec%.1fs for 50 passes — " +
+      "the declared bytes are being materialized before the charge")
+  }
+
+  test("a root compression tower (gzip of gzip of tar) walks without " +
+      "fabricating a literal 'null' path level") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{GzipCodec, TarCodec}
+    val text = "tower body".getBytes("UTF-8")
+    val gzgzTar = GzipCodec.gzipBytes(GzipCodec.gzipBytes(
+      TarCodec.tarBytes(Seq(("m.txt", text)))))
+    val names = ArchiveOps.walkBytes(gzgzTar, maxDepth = 3)
+      .map(_.name)
+    assert(names.contains("m.txt"), names.mkString("; "))
+    assert(!names.exists(n => n != null && n.contains("null")),
+      s"fabricated 'null' path level: ${names.mkString("; ")}")
+    // and through textMembers the composite id is "<id>!m.txt"
+    val ids = graft.streaming.ArchiveIngestStream.textMembers(
+      Seq(("t-1", gzgzTar)).toDF("doc_id", "bin")
+        .withColumn("ts", lit("2024-06-11 00:00:00").cast("timestamp")),
+      maxDepth = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("t-1!m.txt"), ids.mkString("; "))
+  }
+
+  test("textMembers content gate: a binary blob named .txt is " +
+      "rejected, not lossily decoded; sniffContent=false restores " +
+      "the lossy decode") {
+    import graft.sources.TarCodec
+    import graft.streaming.ArchiveIngestStream
+    val good = "real text content".getBytes("UTF-8")
+    // invalid UTF-8 (0xFF can start no sequence) + NULs: a disguised
+    // binary payload
+    val binary = Array[Byte](-1, 0, 12, -2, 0, 66, 0, 0, -1, 7)
+    // UTF-8-VALID binary: control-character soup must trip the
+    // printable-ratio bound even though the decode succeeds
+    val ctrlSoup = Array.tabulate[Byte](64)(i => (i % 8).toByte)
+    val tar = TarCodec.tarBytes(Seq(
+      ("good.txt", good),
+      ("disguised.txt", binary),
+      ("soup.txt", ctrlSoup)))
+    val df = Seq(("a-1", tar)).toDF("doc_id", "bin")
+      .withColumn("ts", lit("2024-06-11 00:00:00").cast("timestamp"))
+    val gated = ArchiveIngestStream.textMembers(df)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(gated == Map("a-1!good.txt" -> "real text content"),
+      gated.toString)
+    // the pre-gate behavior stays reachable
+    val lossy = ArchiveIngestStream.textMembers(df, sniffContent = false)
+      .collect().map(_.getString(0)).toSet
+    assert(lossy == Set("a-1!good.txt", "a-1!disguised.txt",
+      "a-1!soup.txt"), lossy.toString)
+  }
+
   test("htmlLangAudit: BCP-47 subtags fold to the primary on BOTH " +
       "sides, unquoted lang=en counts as declared, missing " +
       "attributes are silent not wrong, mismatches count per source") {
