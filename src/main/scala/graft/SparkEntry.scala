@@ -5759,6 +5759,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Archive→curation funnel, batch twin (q441): text leaves pulled
+    // out of landed tar drops flow straight into the q100 curation
+    // verdict chain on their composite string ids — keep-first orders
+    // those ids LEXICOGRAPHICALLY on both engines (min over strings /
+    // row_number over VARCHAR), the contract the round-13 one-query
+    // streaming funnel (ArchiveIngestStream.curatedText) is soaked
+    // against. b.txt duplicates a.txt inside every drop; s.txt is the
+    // same short text in every drop (one corpus-wide dup group whose
+    // keeper is the lexicographically smallest composite id).
+    "q441_archive_curate" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          (id, graft.sources.TarCodec.tarBytes(Seq(
+            ("a.txt", tb), ("b.txt", tb),
+            ("s.txt", "tiny doc".getBytes("UTF-8")))))
+        }.toDF("doc_id", "bin")
+        .withColumn("ts", lit("2024-06-11 00:00:00").cast("timestamp"))
+      CurationPipeline.batchVerdicts(
+        graft.streaming.ArchiveIngestStream.textMembers(bin),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Zstd-layer drop census (q439): the dominant public-corpus shard
     // shapes today — .tar.zst bundles (transparent unwrap, compound
     // format label) and bare .jsonl.zst shards (inflated bytes as one
@@ -18261,6 +18287,46 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    ELSE NULL END)::BIGINT AS crawl_delay_sec,
         |  doc_id % 5 IN (0, 1) AS has_delay
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The q100 verdict chain over the composite member ids; the dup
+    // keeper inside each drop is a.txt (a < b lexicographically), the
+    // corpus-wide 'tiny doc' keeper is the smallest "N!s.txt" string.
+    "q441_archive_curate" ->
+      (s"""WITH m AS (
+  SELECT doc_id::VARCHAR || '!a.txt' AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id::VARCHAR || '!b.txt', text FROM documents
+  UNION ALL
+  SELECT doc_id::VARCHAR || '!s.txt', 'tiny doc' FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM m),
+k AS (SELECT doc_id,
+        list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+      FROM l),
+cleaned AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(nfc_normalize(
+      array_to_string(kept, chr(10)))), '\\s+', ' ', 'g')) AS clean
+  FROM k),
+scored AS (
+  SELECT doc_id, clean,
+    len(string_split(clean, ' '))::BIGINT AS n_tokens,
+    row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+  FROM cleaned)
+SELECT doc_id, substr(md5(clean), 1, 16) AS clean_sig, n_tokens,
+  CASE WHEN rn > 1 THEN 'dup'
+       WHEN n_tokens < 8 THEN 'short'
+       ELSE 'keep' END AS reason,
+  CASE WHEN substr(md5(doc_id), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8)}' THEN 'train'
+       WHEN substr(md5(doc_id), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8 + 0.1)}' THEN 'val'
+       ELSE 'test' END AS split,
+  (CASE WHEN rn > 1 THEN 'dup'
+       WHEN n_tokens < 8 THEN 'short'
+       ELSE 'keep' END = 'keep'
+    AND substr(md5(doc_id), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8)}') AS selected
+FROM scored ORDER BY doc_id"""),
 
     "q439_tarzst_walk" ->
       """WITH f AS (

@@ -28,12 +28,13 @@ import graft.operators.ArchiveOps
   *
   * Downstream composition: [[textMembers]] extracts decoded text
   * leaves keyed by the LOSSLESS string id `"<archive id>!<member
-  * path>"` with the archive row's event time carried through — the
-  * frame a curation funnel consumes. (Composing into
-  * [[CurationStream.verdicts]] in ONE query needs that stream's
-  * `doc_id: Long` contract loosened to string ids first — the
-  * round-10 id-cast rule forbids forcing these composite ids through
-  * a numeric cast; recorded as a contract row in ADVICE/COVERAGE.)
+  * path>"` with the archive row's event time carried through, and
+  * [[curatedText]] composes those leaves into
+  * [[CurationStream.verdicts]] as ONE streaming query — archives land,
+  * per-member curation verdicts come out, one checkpoint covers the
+  * whole funnel ([[CurationStream]]'s doc ids are strings as of
+  * round 13, so the composite ids flow through without the forbidden
+  * numeric cast).
   */
 object ArchiveIngestStream {
 
@@ -133,6 +134,32 @@ object ArchiveIngestStream {
       case _: java.nio.charset.CharacterCodingException => None
     }
   }
+
+  /** The ONE-QUERY archive→curation funnel: landed archives walk to
+    * text leaves ([[textMembers]] — stateless) which flow straight
+    * into the gates + keep-first signature dedup of
+    * [[CurationStream.verdicts]] (one stateful operator, one
+    * checkpoint). Per-member verdicts keyed by the composite string
+    * id `"<archive id>!<member path>"`; batch twin =
+    * [[graft.operators.CurationPipeline.batchVerdicts]] over the
+    * batch [[textMembers]] frame (keep-first orders composite ids
+    * lexicographically on BOTH sides — the q441 oracle pins the
+    * semantics, the soak spec pins stream ≡ batch across restarts). */
+  def curatedText(archives: DataFrame, idCol: String = "doc_id",
+                  bytesCol: String = "bin",
+                  eventTimeCol: String = "ts",
+                  maxDepth: Int = 2,
+                  inflationCapBytes: Long = 256L * 1024 * 1024,
+                  textExtensions: Set[String] =
+                    Set(".txt", ".md", ".json", ".jsonl", ".html"),
+                  sniffContent: Boolean = true,
+                  watermarkDelay: String = "0 seconds",
+                  dedupHorizonMs: Long = 365L * 24 * 3600 * 1000)
+      : Dataset[CurationVerdict] =
+    CurationStream.verdicts(
+      textMembers(archives, idCol, bytesCol, eventTimeCol, maxDepth,
+        inflationCapBytes, textExtensions, sniffContent),
+      "doc_id", "text", "ts", watermarkDelay, dedupHorizonMs)
 
   /** Member rows → batch_id-partitioned parquet with dynamic
     * partition overwrite (the StreamingEngine.fanOut exactly-once

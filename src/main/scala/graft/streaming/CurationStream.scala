@@ -7,14 +7,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 
 import graft.operators.CurationPipeline
 
-/** One row entering the signature-dedup state stage. */
-case class CurationDoc(doc_id: Long, ts: java.sql.Timestamp, sig: String,
+/** One row entering the signature-dedup state stage. `doc_id` is a
+  * STRING (the lossless direction — round-13 loosening so the archive
+  * funnel's composite `"<archive>!<path>"` ids flow through without
+  * the forbidden numeric cast); `doc_ord` is the keep-first ordering
+  * key (see [[CurationStream.verdicts]]). */
+case class CurationDoc(doc_id: String, doc_ord: String,
+                       ts: java.sql.Timestamp, sig: String,
                        clean_sig: String, clean: String, n_tokens: Long,
                        split: String)
 
 /** One per-document verdict, the streaming image of a q100 output row
   * (plus event time and the clean text the monitors consume). */
-case class CurationVerdict(doc_id: Long, ts: java.sql.Timestamp,
+case class CurationVerdict(doc_id: String, ts: java.sql.Timestamp,
                            clean_sig: String, clean: String,
                            n_tokens: Long, reason: String, split: String,
                            selected: Boolean)
@@ -50,15 +55,31 @@ case class CurationVerdict(doc_id: Long, ts: java.sql.Timestamp,
   */
 object CurationStream {
 
-  /** The watermarked gates→dedup verdict stream (no sink). */
+  /** The watermarked gates→dedup verdict stream (no sink).
+    *
+    * Doc ids cross as STRINGS (lossless for the archive funnel's
+    * composite `"<archive>!<path>"` ids and for UUIDs; the round-10
+    * id-cast rule forbids forcing either through a numeric cast). The
+    * within-batch keep-first ordering matches the batch twin's
+    * `min(doc_id)` in the id column's OWN domain: a numeric input
+    * column orders numerically (via a zero-padded sort key — numeric
+    * ids are assumed non-negative, as everywhere the md5-split rides
+    * them), a string input column orders lexicographically — exactly
+    * what [[graft.operators.DedupOps.keepFirstFlag]]'s `min` computes
+    * on each type, so stream ≡ batch holds for both id shapes. */
   def verdicts(docs: DataFrame, idCol: String, textCol: String,
                eventTimeCol: String, watermarkDelay: String,
                dedupHorizonMs: Long): Dataset[CurationVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val numericId = docs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val cleaned = CurationPipeline
       .cleanProject(docs, idCol, textCol, keep = Seq(eventTimeCol))
-      .select(col("doc_id"), col(eventTimeCol).as("ts"),
+      .select(col("doc_id").cast("string").as("doc_id"),
+        (if (numericId) lpad(col("doc_id").cast("string"), 20, "0")
+         else col("doc_id").cast("string")).as("doc_ord"),
+        col(eventTimeCol).as("ts"),
         col("__sig_full").as("sig"), col("clean_sig"), col("clean"),
         col("n_tokens"), col("split"))
       .withWatermark("ts", watermarkDelay)
@@ -70,8 +91,9 @@ object CurationStream {
         gs.remove()
         Iterator.empty
       } else {
-        // doc_id order within the batch = the batch window's ORDER BY
-        val sorted = rows.toIndexedSeq.sortBy(_.doc_id)
+        // doc_ord order within the batch = the batch window's ORDER BY
+        // in the id column's own domain (numeric or lexicographic)
+        val sorted = rows.toIndexedSeq.sortBy(_.doc_ord)
         var seen = gs.exists
         val out = sorted.map { d =>
           val dup = seen

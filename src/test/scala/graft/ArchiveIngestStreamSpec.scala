@@ -114,4 +114,81 @@ class ArchiveIngestStreamSpec extends AnyFunSuite {
     assert(texts("a-0004-beef!inner.zip!m.txt") ==
       ((ts0, "nested text body")))
   }
+
+  test("one-query archive→curation funnel ≡ batch verdicts across a " +
+      "checkpoint restart: composite string ids flow through the " +
+      "dedup state, cross-restart dups need recovered state") {
+    import graft.operators.CurationPipeline
+    val textA = "alpha one two three four five six seven eight"
+    val textB = "bravo nine ten eleven twelve thirteen fourteen " +
+      "fifteen sixteen"
+    def tarOf(ms: (String, String)*): Array[Byte] =
+      TarCodec.tarBytes(ms.map { case (n, t) =>
+        (n, t.getBytes("UTF-8")) })
+    def phaseRows(phase: Int)
+        : Seq[(String, Array[Byte], java.sql.Timestamp)] = phase match {
+      case 1 => Seq(
+        // b.txt duplicates a.txt WITHIN the drop ("c-01!a.txt" <
+        // "c-01!b.txt" — the within-batch lexicographic keep-first)
+        ("c-01", tarOf("a.txt" -> textA, "b.txt" -> textA), ts0),
+        ("c-02", tarOf("s.txt" -> "tiny doc"), ts0))
+      case _ =>
+        val ts1 = new java.sql.Timestamp(ts0.getTime + 60000L)
+        Seq(
+          // late.txt repeats phase-1 text: only RECOVERED signature
+          // state can label it dup after the restart
+          ("c-03", tarOf("late.txt" -> textA), ts1),
+          ("c-04", tarOf("fresh.txt" -> textB), ts1))
+    }
+    val src = Files.createTempDirectory("graft_aisf_src").toString
+    val out = Files.createTempDirectory("graft_aisf_out").toString
+    val schema = phaseRows(1).toDF("doc_id", "bin", "ts").schema
+    def writePhase(name: String, phase: Int, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_aisf_tmp").toString
+      phaseRows(phase).toDF("doc_id", "bin", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Path.of(tmp)).toArray
+        .map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = Path.of(src, s"$name.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = ArchiveIngestStream.curatedText(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$out/verdicts")
+        .start()
+      assert(q.awaitTermination(180000L), "funnel did not finish")
+    }
+    writePhase("p1", 1, 1000L)
+    run()
+    writePhase("p2", 2, 2000L)
+    run() // restart from the same checkpoint
+    val cols = Seq("doc_id", "clean_sig", "n_tokens", "reason",
+      "split", "selected")
+    def keyed(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[String])
+    val got = spark.read.parquet(s"$out/verdicts")
+    val batchDf = (phaseRows(1) ++ phaseRows(2))
+      .toDF("doc_id", "bin", "ts")
+    val expected = CurationPipeline.batchVerdicts(
+      ArchiveIngestStream.textMembers(batchDf), "doc_id", "text")
+    assert(keyed(got) == keyed(expected),
+      s"funnel/batch divergence:\n${keyed(got)}\nvs\n${keyed(expected)}")
+    // the population is load-bearing: every verdict class fired, and
+    // the cross-restart dup proves the state survived
+    val reasons = got.collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("reason"))
+      .toMap
+    assert(reasons == Map(
+      "c-01!a.txt" -> "keep", "c-01!b.txt" -> "dup",
+      "c-02!s.txt" -> "short", "c-03!late.txt" -> "dup",
+      "c-04!fresh.txt" -> "keep"), reasons.toString)
+  }
 }

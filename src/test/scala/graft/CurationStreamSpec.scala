@@ -82,12 +82,14 @@ class CurationStreamSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$out/verdicts").cache()
 
     // per-doc verdicts: exact equality with the oracle-pinned batch
-    // plan, each doc exactly once
+    // plan, each doc exactly once (the stream's doc_id is a string
+    // as of round 13 — the batch side casts for the compare)
     val cols = Seq("doc_id", "clean_sig", "n_tokens", "reason",
       "split", "selected")
     def keyed(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
-      df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
-        .sortBy(_.head.asInstanceOf[Long])
+      df.withColumn("doc_id", col("doc_id").cast("string"))
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[String])
     assert(got.count() == 60L && expected.count() == 60L)
     assert(keyed(got) == keyed(expected))
     // the population exercised every verdict, including a CROSS-PHASE
@@ -95,7 +97,7 @@ class CurationStreamSpec extends AnyFunSuite {
     val byReason = got.groupBy("reason").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byReason.keySet == Set("keep", "short", "dup"), s"$byReason")
-    assert(got.filter(col("doc_id") === 41).select("reason")
+    assert(got.filter(col("doc_id") === "41").select("reason")
       .head().getString(0) == "dup",
       "doc 41's dup verdict requires dedup state to survive the restart")
 
