@@ -5672,6 +5672,95 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("loc_idx"))
     }),
 
+    // Rich sitemap entries (q442): lastmod (raw + epoch seconds),
+    // changefreq (case-folded) and priority (protocol-shape guarded)
+    // per <url>/<sitemap> block; a loc-less block keeps a presence
+    // row, alien bytes read unknown.
+    "q442_sitemap_entries" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val h = concat(lit("http://h"), col("doc_id").cast("string"),
+        lit(".com"))
+      val idStr = col("doc_id").cast("string")
+      val xml = when(m === 0, concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"x\">\n" +
+            "<url><loc> "), h, lit("/p"), idStr,
+          lit("?x=1&amp;y=2 </loc>" +
+            "<lastmod>2024-03-05T10:20:30Z</lastmod>" +
+            "<changefreq>DAILY</changefreq>" +
+            "<priority>0.8</priority></url>\n<url><loc>"), h,
+          lit("/q"), idStr,
+          lit("</loc><priority>high</priority></url>\n</urlset>")))
+        .when(m === 1, concat(lit("<sitemapindex><sitemap><loc>"),
+          h, lit("/s"), idStr,
+          lit(".xml</loc><lastmod>2024-04-01</lastmod>" +
+            "</sitemap></sitemapindex>")))
+        .when(m === 2, lit("<urlset><url>" +
+          "<changefreq>weekly</changefreq></url></urlset>"))
+        .otherwise(lit("just text, not a sitemap"))
+      UrlOps.sitemapEntries(
+        t(s, dir, "documents").select(col("doc_id"), xml.as("xml")),
+        "doc_id", "xml")
+        .orderBy(col("doc_id"), col("entry_idx"))
+    }),
+
+    // Bounded-depth sitemapindex closure (q443): each %3==0 doc is an
+    // index listing ITSELF (the cycle arm — visited-dedup keeps it
+    // from refetching) plus its two successor sitemaps; successors
+    // are urlsets reached at depth 2 iff their document exists.
+    "q443_sitemap_closure" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      def smUrl(c: Column) = concat(lit("http://s.org/sm"),
+        c.cast("string"), lit(".xml"))
+      val u = smUrl(col("doc_id"))
+      val xml = when(col("doc_id") % 3 === 0, concat(
+          lit("<sitemapindex><sitemap><loc>"), u,
+          lit("</loc></sitemap><sitemap><loc>"),
+          smUrl(col("doc_id") + 1),
+          lit("</loc></sitemap><sitemap><loc>"),
+          smUrl(col("doc_id") + 2),
+          lit("</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>http://s.org/p"), idStr,
+          lit("</loc><lastmod>2024-05-01</lastmod>" +
+            "<changefreq>daily</changefreq></url></urlset>")))
+      val fetched = t(s, dir, "documents")
+        .select(col("doc_id"), u.as("url"), xml.as("xml"))
+      val roots = fetched.filter(col("doc_id") % 3 === 0)
+        .select(col("url"))
+      UrlOps.sitemapClosure(fetched, "url", "xml", roots, "url",
+        maxDepth = 2)
+        .orderBy(col("depth"), col("sitemap_url"), col("entry_idx"))
+    }),
+
+    // Recrawl schedule (q444): sitemap entries → changefreq/lastmod
+    // due decision at a fixed "now" → per-host politeness slots over
+    // the due URLs (the q201 composition) — the recrawl-scheduling
+    // half of the crawl story q438 opened. Only never-changefreq
+    // pages WITH a known lastmod sit out.
+    "q444_recrawl_schedule" -> ((s, dir) => {
+      val i = col("doc_id")
+      val m5 = i % 5
+      val freq = when(m5 === 0, "hourly").when(m5 === 1, "daily")
+        .when(m5 === 2, "weekly").when(m5 === 3, "never")
+        .otherwise("sometimes")
+      val lastmod = when(i % 2 === 0,
+        lit("<lastmod>2024-06-01T00:00:00Z</lastmod>"))
+        .otherwise(lit(""))
+      val xml = concat(lit("<urlset><url><loc>http://site"),
+        (i % 20).cast("string"), lit(".com/p"), i.cast("string"),
+        lit("</loc>"), lastmod, lit("<changefreq>"), freq,
+        lit("</changefreq></url></urlset>"))
+      val entries = UrlOps.sitemapEntries(
+        t(s, dir, "documents").select(col("doc_id"), xml.as("xml")),
+        "doc_id", "xml")
+      // now = 2024-06-08T00:00:00Z — exactly lastmod + 7 days, so the
+      // weekly and default periods are due AT the boundary
+      val due = UrlOps.recrawlDue(entries, lit(1717804800L))
+      UrlOps.politenessSchedule(due.filter(col("due")),
+        "doc_id", "loc_url", lit(250L), maxPerHost = 5)
+        .orderBy(col("host"), col("slot"))
+    }),
+
     // Agent-specific robots verdicts (q436): a named crawler obeys
     // its most-specific matching group — the graftbot-images group
     // (with its /private/img re-Allow) preempts both the graftbot
@@ -18240,6 +18329,95 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |UNION ALL
         |SELECT doc_id, 'unknown', NULL, NULL FROM f WHERE m = 2
         |ORDER BY doc_id, loc_idx""".stripMargin,
+
+    // Epoch seconds computed from NAIVE timestamps on the DuckDB side
+    // (Z stripped) — fixture lastmods are UTC-only, and Spark's
+    // session timezone is UTC, so the integer seconds agree exactly.
+    "q442_sitemap_entries" ->
+      """WITH f AS (SELECT doc_id, doc_id % 4 AS m,
+        |  'http://h' || doc_id::VARCHAR || '.com' AS h,
+        |  doc_id::VARCHAR AS i FROM documents)
+        |SELECT doc_id, 'urlset' AS kind, 0 AS entry_idx,
+        |  h || '/p' || i || '?x=1&y=2' AS loc_url,
+        |  '2024-03-05T10:20:30Z' AS lastmod,
+        |  epoch(TIMESTAMP '2024-03-05 10:20:30')::BIGINT
+        |    AS lastmod_sec,
+        |  'daily' AS changefreq, 0.8::DOUBLE AS priority
+        |FROM f WHERE m = 0
+        |UNION ALL
+        |SELECT doc_id, 'urlset', 1, h || '/q' || i, NULL, NULL, NULL,
+        |  NULL
+        |FROM f WHERE m = 0
+        |UNION ALL
+        |SELECT doc_id, 'index', 0, h || '/s' || i || '.xml',
+        |  '2024-04-01', epoch(TIMESTAMP '2024-04-01')::BIGINT, NULL,
+        |  NULL
+        |FROM f WHERE m = 1
+        |UNION ALL
+        |SELECT doc_id, 'urlset', 0, NULL, NULL, NULL, 'weekly', NULL
+        |FROM f WHERE m = 2
+        |UNION ALL
+        |SELECT doc_id, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM f WHERE m = 3
+        |ORDER BY doc_id, entry_idx""".stripMargin,
+
+    // Depth 1: every %3==0 root's three index entries (self + two
+    // successors). Depth 2: a successor's urlset entry exists iff its
+    // DOCUMENT exists (the join on r enforces the root's existence
+    // too, matching the closure's fetched-join semantics).
+    "q443_sitemap_closure" ->
+      """WITH sm AS (SELECT doc_id,
+        |  'http://s.org/sm' || doc_id::VARCHAR || '.xml' AS u
+        |  FROM documents),
+        |d1 AS (
+        |  SELECT 1 AS depth, u AS sitemap_url, 'index' AS kind,
+        |    x.entry_idx,
+        |    'http://s.org/sm' || (doc_id + x.off)::VARCHAR || '.xml'
+        |      AS loc_url,
+        |    NULL AS lastmod, NULL AS lastmod_sec,
+        |    NULL AS changefreq, NULL AS priority
+        |  FROM sm CROSS JOIN (VALUES (0, 0), (1, 1), (2, 2))
+        |    AS x(entry_idx, off)
+        |  WHERE doc_id % 3 = 0),
+        |d2 AS (
+        |  SELECT 2 AS depth, s.u AS sitemap_url, 'urlset' AS kind,
+        |    0 AS entry_idx,
+        |    'http://s.org/p' || s.doc_id::VARCHAR AS loc_url,
+        |    '2024-05-01' AS lastmod,
+        |    epoch(TIMESTAMP '2024-05-01')::BIGINT AS lastmod_sec,
+        |    'daily' AS changefreq, NULL AS priority
+        |  FROM sm s JOIN documents r
+        |    ON r.doc_id = s.doc_id
+        |      - (CASE WHEN s.doc_id % 3 = 1 THEN 1 ELSE 2 END)
+        |  WHERE s.doc_id % 3 <> 0 AND r.doc_id % 3 = 0)
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |ORDER BY depth, sitemap_url, entry_idx""".stripMargin,
+
+    // The q201 politeness ranking over the due population: everything
+    // is due at now = lastmod + 7d except never-changefreq pages with
+    // a known lastmod (doc_id % 5 = 3 AND even).
+    "q444_recrawl_schedule" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'http://site' || (doc_id % 20)::VARCHAR || '.com/p'
+        |      || doc_id::VARCHAR AS url
+        |  FROM documents
+        |  WHERE NOT (doc_id % 5 = 3 AND doc_id % 2 = 0)),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+        |      AS host
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY substr(md5(url), 1, 8), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY host) AS n_urls
+        |  FROM h WHERE length(host) > 0)
+        |SELECT doc_id, host, (rk - 1)::BIGINT AS slot,
+        |  ((rk - 1) * 250)::BIGINT AS fetch_offset_ms,
+        |  n_urls::BIGINT AS n_urls
+        |FROM r WHERE rk <= 5 ORDER BY host, slot""".stripMargin,
 
     // The bound graftbot-images group has 2 rules; match lens:
     // "/private/img" = 12, "/private" = 8.

@@ -3803,35 +3803,35 @@ object TextAnalysisOps {
   /** (doc, QA item) candidate pairs for the leak scan/excise:
     * `broadcastQa = true` is the broadcast cross join (every doc sees
     * every item in-row, zero corpus shuffle); `false` is the exact
-    * anchor-nomination arm — join doc character-gram hashes against
-    * item anchor hashes on the anchor key (shuffle_hash, AQE cannot
-    * re-promote a hinted join), then re-attach the doc text by its
-    * UNIQUE id. Items must already be distinct with non-empty
-    * `__q`/`__a`. Output columns: (idCol, __txt, __q, __a) — the
-    * caller applies the exact position/window/boundary verification,
-    * which also disposes of anchor-hash collisions. */
+    * anchor-nomination arm — LONG items (question ≥ the fixed anchor
+    * length) join doc character-gram hashes against item anchor
+    * hashes on the anchor key (shuffle_hash, AQE cannot re-promote a
+    * hinted join), then re-attach the doc text by its UNIQUE id;
+    * SHORT items (question under the anchor length — a sliver of any
+    * real benchmark) broadcast directly, so the doc side grams at ONE
+    * fixed length and the whole plan stays LAZY (the previous
+    * distinct-lengths probe ran a hidden Spark job at
+    * DataFrame-construction time — round-12 advice). Items must
+    * already be distinct with non-empty `__q`/`__a`. Output columns:
+    * (idCol, __txt, __q, __a) — the caller applies the exact
+    * position/window/boundary verification, which also disposes of
+    * anchor-hash collisions. */
   private def qaCandidatePairs(docs: DataFrame, idCol: String,
                                txt: Column, items: DataFrame,
                                broadcastQa: Boolean): DataFrame = {
     val base = docs.select(col(idCol), txt.as("__txt"))
     if (broadcastQa) return base.join(broadcast(items))
-    val keyed = items.withColumn("__h",
-      xxhash64(substring(col("__q"), 1, QaAnchorLen)))
-    // distinct anchor lengths actually present — ≤ QaAnchorLen values
-    // (a map-side-combined scalar aggregate, driver-bounded)
-    val lens = keyed.select(least(length(col("__q")),
-        lit(QaAnchorLen)).cast("int").as("__l"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    if (lens.isEmpty) return base.join(broadcast(items)) // no items
-    val gramArrays = lens.map { l =>
-      when(length(col("__txt")) >= l, array_distinct(
-        transform(sequence(lit(1), length(col("__txt")) - l + 1),
-          p => xxhash64(col("__txt").substr(p, lit(l))))))
-        .otherwise(array().cast("array<bigint>"))
-    }
+    val longi = items.filter(length(col("__q")) >= QaAnchorLen)
+      .withColumn("__h",
+        xxhash64(substring(col("__q"), 1, QaAnchorLen)))
+    val shorti = items.filter(length(col("__q")) < QaAnchorLen)
     val grams = base.select(col(idCol),
-      explode(array_distinct(concat(gramArrays: _*))).as("__h"))
-    grams.join(keyed.hint("shuffle_hash"), Seq("__h"))
+      explode(when(length(col("__txt")) >= QaAnchorLen, array_distinct(
+        transform(
+          sequence(lit(1), length(col("__txt")) - QaAnchorLen + 1),
+          p => xxhash64(col("__txt").substr(p, lit(QaAnchorLen))))))
+        .otherwise(array().cast("array<bigint>"))).as("__h"))
+    val nominated = grams.join(longi.hint("shuffle_hash"), Seq("__h"))
       .select(col(idCol), col("__q"), col("__a"))
       // DISTINCT before the join-back: duplicate doc ids (a corpus
       // scanned before dedup) nominate the same (id, item) pair once
@@ -3841,6 +3841,11 @@ object TextAnalysisOps {
       .distinct()
       .join(base, Seq(idCol))
       .select(col(idCol), col("__txt"), col("__q"), col("__a"))
+    // the short-item arm is the broadcast shape over the SHORT subset
+    // only — per physical doc row × item, exactly what the broadcast
+    // arm would emit for those items (arms stay identical)
+    nominated.unionByName(base.join(broadcast(shorti))
+      .select(col(idCol), col("__txt"), col("__q"), col("__a")))
   }
 
   /** Answer-leak EXCISION — from flag to repair (the

@@ -359,6 +359,18 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(!delays(4L), "a 40-digit Crawl-delay must fall back to NULL")
     assert(UrlOps.robotsSitemaps(docs, "id", "text")
       .count() >= 1) // the giant Sitemap line still harvests
+    // the sitemap completion family: rich entries (hostile lastmod /
+    // priority / nested tags), the due decision, and the bounded
+    // closure must all complete over the same hostile rows
+    assert(UrlOps.sitemapEntries(docs, "id", "text")
+      .count() >= hostiles.length)
+    assert(UrlOps.recrawlDue(UrlOps.sitemapEntries(docs, "id", "text"),
+      org.apache.spark.sql.functions.lit(1717804800L)).count() >= 0)
+    assert(UrlOps.sitemapClosure(
+      docs.select(col("path").as("u"), col("text")),
+      "u", "text",
+      docs.select(col("path").as("r")), "r", maxDepth = 2)
+      .count() >= 0)
     assert(TextAnalysisOps.delimitedProfile(docs, "id", "text")
       .count() == hostiles.length)
     // null text rows survive every parser too

@@ -3926,6 +3926,161 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("unifiedGroups: a crawl-delay-only group ends its UA run for " +
+      "the verdict too, so verdict and delay resolve the SAME groups " +
+      "on the divergence fixture") {
+    import graft.operators.UrlOps
+    // the divergence shape: agent a's group carries ONLY a delay;
+    // under the default verdict model that group is rule-less, its
+    // UA line chains into the * group and binds * rules to a
+    val robots = "User-agent: a\nCrawl-delay: 5\n" +
+      "User-agent: *\nDisallow: /x\n"
+    val pages = Seq((1L, robots, "/x/page")).toDF(
+      "doc_id", "robots", "path")
+    val dflt = UrlOps.robotsVerdictFor(pages, "doc_id", "robots",
+      "path", "a").collect().head
+    assert(!dflt.getAs[Boolean]("allowed") &&
+      dflt.getAs[Long]("n_rules") == 1L,
+      s"default model: a chains into * and inherits Disallow /x: $dflt")
+    val uni = UrlOps.robotsVerdictFor(pages, "doc_id", "robots",
+      "path", "a", unifiedGroups = true).collect().head
+    assert(uni.getAs[Boolean]("allowed") &&
+      uni.getAs[Long]("n_rules") == 0L,
+      s"unified model: a's delay-only group is authoritative: $uni")
+    // the delay op agrees with the UNIFIED verdict's group resolution
+    // on the same file (both see a's own group)
+    val d = UrlOps.robotsCrawlDelayFor(pages, "doc_id", "robots", "a")
+      .collect().head
+    assert(d.getLong(1) == 5L)
+    // the * crawler is identical under both models (its group is
+    // rule-bearing either way)
+    val starD = UrlOps.robotsVerdict(pages, "doc_id", "robots", "path")
+      .collect().head.getAs[Boolean]("allowed")
+    val starU = UrlOps.robotsVerdict(pages, "doc_id", "robots", "path",
+      unifiedGroups = true).collect().head.getAs[Boolean]("allowed")
+    assert(!starD && !starU)
+  }
+
+  test("sitemapEntries: per-entry lastmod/changefreq/priority with " +
+      "ANSI-guarded typing; loc-less blocks and alien pages keep " +
+      "honest rows") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (1L, "<urlset><url><loc> http://a.com/p?x=1&amp;y=2 </loc>" +
+        "<lastmod>2024-03-05T10:20:30Z</lastmod>" +
+        "<changefreq>DAILY</changefreq><priority>0.8</priority>" +
+        "</url><url><loc>http://a.com/q</loc>" +
+        "<priority>high</priority></url></urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>http://a.com/s1.xml</loc>" +
+        "<lastmod>2024-04-01</lastmod></sitemap></sitemapindex>"),
+      (3L, "<urlset><url><changefreq>weekly</changefreq></url>" +
+        "</urlset>"),                        // loc-less block
+      (4L, "not xml"),
+      // hostile lastmod: garbage parses to NULL seconds, no throw
+      (5L, "<urlset><url><loc>http://a.com/r</loc>" +
+        "<lastmod>not-a-date</lastmod></url></urlset>")
+    ).toDF("doc_id", "xml")
+    val got = UrlOps.sitemapEntries(docs, "doc_id", "xml")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(2)).map(_.toString.toInt).getOrElse(-1)) ->
+        (r.getString(1), r.getString(3), r.getString(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5), r.getString(6),
+          if (r.isNullAt(7)) -1.0 else r.getDouble(7))).toMap
+    // 2024-03-05T10:20:30Z = 1709634030; 2024-04-01 = 1711929600
+    assert(got((1L, 0)) == (("urlset", "http://a.com/p?x=1&y=2",
+      "2024-03-05T10:20:30Z", 1709634030L, "daily", 0.8)),
+      got((1L, 0)).toString)
+    assert(got((1L, 1)) == (("urlset", "http://a.com/q", null, -1L,
+      null, -1.0)))
+    assert(got((2L, 0)) == (("index", "http://a.com/s1.xml",
+      "2024-04-01", 1711929600L, null, -1.0)))
+    assert(got((3L, 0)) == (("urlset", null, null, -1L, "weekly",
+      -1.0)))
+    assert(got((4L, -1)) == (("unknown", null, null, -1L, null, -1.0)))
+    assert(got((5L, 0)) == (("urlset", "http://a.com/r", "not-a-date",
+      -1L, null, -1.0)))
+    assert(got.size == 6)
+  }
+
+  test("sitemapClosure: index entries feed the next level, cycles and " +
+      "unfetched children drop out, depth is bounded") {
+    import graft.operators.UrlOps
+    def urlset(p: String) =
+      s"<urlset><url><loc>http://a.com/$p</loc></url></urlset>"
+    def index(children: String*) =
+      "<sitemapindex>" + children.map(c =>
+        s"<sitemap><loc>$c</loc></sitemap>").mkString +
+        "</sitemapindex>"
+    val fetched = Seq(
+      // root lists itself (cycle), a real child, a deeper index and
+      // an unfetched URL
+      ("http://a.com/root.xml", index("http://a.com/root.xml",
+        "http://a.com/a.xml", "http://a.com/idx2.xml",
+        "http://a.com/missing.xml")),
+      ("http://a.com/a.xml", urlset("p1")),
+      ("http://a.com/idx2.xml", index("http://a.com/b.xml")),
+      ("http://a.com/b.xml", urlset("p2"))
+    ).toDF("url", "xml")
+    val roots = Seq("http://a.com/root.xml").toDF("r")
+    val got = UrlOps.sitemapClosure(fetched, "url", "xml", roots, "r",
+      maxDepth = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(3)).map(_.toString.toInt).getOrElse(-1)) ->
+        (r.getString(2), r.getString(4))).toMap
+    assert(got((1, "http://a.com/root.xml", 0)) ==
+      (("index", "http://a.com/root.xml")))
+    assert(got((2, "http://a.com/a.xml", 0)) ==
+      (("urlset", "http://a.com/p1")))
+    assert(got((2, "http://a.com/idx2.xml", 0)) ==
+      (("index", "http://a.com/b.xml")))
+    assert(got((3, "http://a.com/b.xml", 0)) ==
+      (("urlset", "http://a.com/p2")))
+    // the self-cycle was not refetched, the unfetched child dropped
+    assert(!got.keys.exists { case (d, u, _) =>
+      u == "http://a.com/root.xml" && d > 1 })
+    assert(!got.keys.exists(_._2 == "http://a.com/missing.xml"))
+    // the depth bound holds: maxDepth=2 never reaches b.xml's urlset
+    val shallow = UrlOps.sitemapClosure(fetched, "url", "xml", roots,
+      "r", maxDepth = 2).collect().map(_.getString(1)).toSet
+    assert(!shallow.contains("http://a.com/b.xml"))
+  }
+
+  test("recrawlDue: changefreq periods, the lastmod-unknown and " +
+      "never arms, and the at-boundary due decision") {
+    import graft.operators.UrlOps
+    def page(freq: String, lastmod: String) =
+      "<urlset><url><loc>http://a.com/p</loc>" +
+        (if (lastmod.isEmpty) "" else s"<lastmod>$lastmod</lastmod>") +
+        (if (freq.isEmpty) "" else s"<changefreq>$freq</changefreq>") +
+        "</url></urlset>"
+    val lm = "2024-06-01T00:00:00Z" // 1717200000
+    val docs = Seq(
+      (1L, page("hourly", lm)), (2L, page("daily", lm)),
+      (3L, page("weekly", lm)), (4L, page("never", lm)),
+      (5L, page("never", "")), (6L, page("garbage", lm)),
+      (7L, page("", "")), (8L, page("yearly", lm))
+    ).toDF("doc_id", "xml")
+    val entries = UrlOps.sitemapEntries(docs, "doc_id", "xml")
+    // now = lastmod + exactly 7 days: weekly and the 7-day default
+    // are due AT the boundary; yearly is not
+    val due = UrlOps.recrawlDue(entries, lit(1717804800L))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(r.fieldIndex("period_sec"))) -1L
+         else r.getAs[Long]("period_sec"),
+          r.getAs[Boolean]("due"))).toMap
+    assert(due(1L) == ((3600L, true)))
+    assert(due(2L) == ((86400L, true)))
+    assert(due(3L) == ((604800L, true)))
+    assert(due(4L) == ((-1L, false)),
+      "never with a known lastmod is not due")
+    assert(due(5L) == ((-1L, true)),
+      "never WITHOUT a lastmod is unverifiable -> due")
+    assert(due(6L) == ((604800L, true)),
+      "unknown hints read the default period")
+    assert(due(7L) == ((604800L, true)))
+    assert(due(8L) == ((31536000L, false)))
+  }
+
   test("wordlistGate folds leet obfuscation, matches whole tokens only") {
     val blocked = Seq("badword", "evilterm")
     val docs = Seq(

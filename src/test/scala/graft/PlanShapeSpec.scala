@@ -638,6 +638,33 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("q442/q443/q444: sitemap entries stay projection-only, the " +
+      "closure's joins are bounded by maxDepth, and the recrawl " +
+      "schedule is one bounded aggregation — no window anywhere") {
+    val pe = plan("q442_sitemap_entries")
+    assert(!pe.contains("Join"),
+      s"entry extraction must be a projection, never a join:\n$pe")
+    assert(!pe.contains("Window"), s"q442 must not window:\n$pe")
+    assert(pe.split("Exchange").length <= 2,
+      s"q442: only the presentation sort may exchange:\n$pe")
+    val pc = plan("q443_sitemap_closure")
+    // one equi-join per level against the fetched table plus the
+    // frontier's visited anti-join — bounded by maxDepth (2 here),
+    // never a cartesian, never a window
+    assert(!pc.contains("CartesianProduct") && !pc.contains("Window"),
+      s"q443 must stay bounded equi-joins:\n$pc")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(pc).size
+    assert(joins <= 4,
+      s"q443 at maxDepth=2 must hold <= 4 joins, got $joins:\n$pc")
+    val ps = plan("q444_recrawl_schedule")
+    assert(!ps.contains("Window"),
+      s"q444's slots must ride the bounded top-N aggregate, not a " +
+        s"rank window:\n$ps")
+    assert(ps.contains("bounded_top_n"),
+      s"q444 must schedule via the bounded aggregate:\n$ps")
+  }
+
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
       "of the BM25 chain — the only windows are per-query ranks") {
     val p = plan("q386_retrieval_hubness")
