@@ -9355,6 +9355,24 @@ class OperatorsSpec extends AnyFunSuite {
       text.length.toLong).exists(_.sameElements(text)))
     assert(ZstdCodec.unzstd(ZstdCodec.zstdBytes(text),
       text.length - 1L).isEmpty)
+    // a skippable frame (RFC 8878 §3.1.2, magic 0x184D2A5x) BETWEEN
+    // data frames is skipped by the decoder, not an error
+    val skippable = Array[Byte](0x50, 0x2a, 0x4d, 0x18, // LE magic
+      4, 0, 0, 0,                                       // size = 4
+      1, 2, 3, 4)                                       // payload
+    assert(ZstdCodec.unzstd(
+      ZstdCodec.zstdBytes(text) ++ skippable ++
+        ZstdCodec.zstdBytes(text), 1 << 20)
+      .exists(_.sameElements(text ++ text)),
+      "a skippable frame between data frames must be skipped")
+    // a frame REQUIRING a dictionary reads honest None (dict-less
+    // scope): flip the frame-header descriptor's DID flag bits and
+    // append a dictionary id the decoder cannot have
+    val framed = ZstdCodec.zstdBytes(text)
+    val dicted = framed.clone()
+    dicted(4) = (dicted(4) | 0x03).toByte // FHD: 4-byte dictionary id
+    assert(ZstdCodec.unzstd(dicted, 1 << 20).isEmpty,
+      "a dictionary-needing frame must read None, not throw")
     // cross-layer tower: zst(gz(tar)) costs one depth level per layer
     val zstGzTar = ZstdCodec.zstdBytes(graft.sources.GzipCodec.gzipBytes(
       TarCodec.tarBytes(Seq(("t.txt", text)))))

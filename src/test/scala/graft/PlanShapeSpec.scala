@@ -507,9 +507,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the anchor join must stay shuffle-hash under AQE:\n$p")
     assert("Exchange hashpartitioning\\(__h#".r.findFirstIn(p).isDefined,
       s"both sides must exchange on the anchor key:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"the fallback must not cross-join the corpus:\n$p")
+    // round 13: short items (question under the anchor length) ride a
+    // BROADCAST of that small subset — the only permissible
+    // corpus-touching nested loop; an unhinted CartesianProduct
+    // anywhere still fails
+    assert(!p.contains("CartesianProduct"),
+      s"the fallback must never cartesian the corpus:\n$p")
   }
 
   test("q416: pack-boundary windows ride the hash bucket only; the " +
