@@ -425,7 +425,10 @@ object UrlOps {
     * with a known lastmod is not due (the page says it is static),
     * `never` WITHOUT one stays due — the hint is unverifiable.
     * Feed the due rows into [[politenessSchedule]] for per-host fetch
-    * slots (the q444 composition). Pure projection. */
+    * slots (the q444 composition); [[sitemapClosure]] rows carry no
+    * numeric id, so schedule those keyed by the URL itself
+    * (`idCol = urlCol` — the schedule's id keeps its own type).
+    * Pure projection. */
   def recrawlDue(entries: DataFrame, nowSec: Column,
                  defaultPeriodSec: Long = 7L * 86400): DataFrame = {
     val freq = col("changefreq")
@@ -543,21 +546,26 @@ object UrlOps {
           trim(regexp_extract(cleanLine(l),
             "(?i)^(allow|disallow):(.*)", 2)).as("p"))),
       r => length(r.getField("t")) > 0)
-    // what ENDS a UA run: allow/disallow always; crawl-delay too when
-    // the caller opted into the delay op's unified group model
-    val rbPat =
-      if (unifiedGroups) "(?i)^(allow|disallow|crawl-delay):"
-      else "(?i)^(allow|disallow):"
+    // what ENDS a UA run: allow/disallow always — read downstream
+    // from the STAGED rules field for free; crawl-delay too when the
+    // caller opted into the delay op's unified group model, which is
+    // the ONLY case paying an extra per-line scan here (the default
+    // path's "db" field is a constant and the q175-measured parse
+    // cost stays unchanged)
+    val delayBearing: Column => Column =
+      if (unifiedGroups)
+        s => exists(split(s, "\n"), l =>
+          length(regexp_extract(cleanLine(l),
+            "(?i)^(crawl-delay):", 1)) > 0)
+      else _ => lit(false)
     // one struct per UA segment: its agent name, its own rules, and
-    // whether it is rule-bearing (segment 0 — pre-UA preamble — is
-    // dropped)
+    // whether it carries a crawl-delay (segment 0 — pre-UA preamble —
+    // is dropped)
     val sgArr = transform(split(normalized, "(?i)User-agent:"),
       s => struct(
         cleanLine(element_at(split(s, "\n"), 1)).as("agent"),
         parseDirectives(s).as("rules"),
-        exists(split(s, "\n"), l =>
-          length(regexp_extract(cleanLine(l), rbPat, 1)) > 0)
-          .as("rb")))
+        delayBearing(s).as("db")))
     // MATERIALIZE the parsed segments once per row before the
     // group-chaining scan: expression trees are re-evaluated per
     // reference, and the scan references the segment array O(n²)
@@ -576,7 +584,8 @@ object UrlOps {
       flatten(filter(transform(idxs, i => {
         val ruleBearingBefore = filter(transform(sequence(lit(1), i),
           j => when(j < i &&
-            try_element_at(sgt, j).getField("rb"), j)),
+            (size(try_element_at(sgt, j).getField("rules")) > 0 ||
+              try_element_at(sgt, j).getField("db")), j)),
           x => x.isNotNull)
         val runStart = coalesce(array_max(ruleBearingBefore),
           lit(0)) + 1
@@ -650,7 +659,12 @@ object UrlOps {
                          delayMs: Column,
                          maxPerHost: Int = 1000): DataFrame = {
     import graft.functions.AggFunctions.boundedTopN
-    val base = df.select(col(idCol).cast("long").as("__id"),
+    // the id keeps its OWN type (bounded_top_n orders any orderable
+    // struct): long doc ids schedule as longs, and a caller with no
+    // numeric id can schedule keyed by the URL string itself
+    // (idCol = urlCol — the sitemapClosure → recrawlDue composition,
+    // whose rows carry no numeric id)
+    val base = df.select(col(idCol).as("__id"),
         col(urlCol).as("__url"), hostOf(col(urlCol)).as("host"),
         delayMs.cast("long").as("__delay"))
       .filter(length(col("host")) > 0)

@@ -2,8 +2,7 @@ package graft.sources
 
 import java.io.ByteArrayInputStream
 
-import com.github.luben.zstd.{ZstdInputStreamNoFinalizer,
-  ZstdOutputStreamNoFinalizer}
+import com.github.luben.zstd.{Zstd, ZstdInputStreamNoFinalizer}
 
 /** Minimal zstd (RFC 8878) layer codec — the compression wrapper the
   * dominant public-corpus shard shapes actually use today:
@@ -85,13 +84,11 @@ object ZstdCodec {
     }
   }
 
-  /** Deterministic single-frame writer (default level, content size
-    * recorded, no dictionary) — the exact inverse of [[unzstd]] on
-    * content. */
-  def zstdBytes(data: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val z = new ZstdOutputStreamNoFinalizer(bos)
-    z.write(data); z.close()
-    bos.toByteArray
-  }
+  /** Deterministic single-frame writer (default level, no
+    * dictionary) — the exact inverse of [[unzstd]] on content. The
+    * ONE-SHOT compress API, not the streaming one, so the frame
+    * header genuinely records the content size (streaming writers
+    * cannot know it up front and leave the field absent). */
+  def zstdBytes(data: Array[Byte]): Array[Byte] =
+    Zstd.compress(data, Zstd.defaultCompressionLevel())
 }

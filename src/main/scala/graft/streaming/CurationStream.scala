@@ -61,19 +61,37 @@ object CurationStream {
     * composite `"<archive>!<path>"` ids and for UUIDs; the round-10
     * id-cast rule forbids forcing either through a numeric cast). The
     * within-batch keep-first ordering matches the batch twin's
-    * `min(doc_id)` in the id column's OWN domain: a numeric input
-    * column orders numerically (via a zero-padded sort key — numeric
-    * ids are assumed non-negative, as everywhere the md5-split rides
-    * them), a string input column orders lexicographically — exactly
-    * what [[graft.operators.DedupOps.keepFirstFlag]]'s `min` computes
-    * on each type, so stream ≡ batch holds for both id shapes. */
+    * `min(doc_id)` in the id column's OWN domain: an INTEGRAL input
+    * column orders numerically (via a zero-padded sort key — ids are
+    * assumed non-negative, as everywhere the md5-split rides them;
+    * a Long's 19 digits fit the 20-char pad exactly), every other
+    * type orders by its string form — exactly what
+    * [[graft.operators.DedupOps.keepFirstFlag]]'s `min` computes on
+    * longs and strings, so stream ≡ batch holds for both id shapes.
+    * (Float/Double/Decimal ids deliberately do NOT get the padded
+    * key: "1.5" pads to a different order than its numeric value, and
+    * a 38-digit decimal would overflow — then silently truncate —
+    * the pad. An id that is genuinely fractional belongs in a string
+    * column anyway.)
+    *
+    * MIGRATION NOTE (round 13): `CurationVerdict.doc_id` changed
+    * Long → String, so the parquet this stream's sinks append carries
+    * `doc_id: string`. An outDir holding pre-round-13 files mixes
+    * bigint and string doc_id across files and fails schema merge on
+    * read — start new output directories (or rewrite old files) when
+    * upgrading; the checkpoint itself is unaffected. */
   def verdicts(docs: DataFrame, idCol: String, textCol: String,
                eventTimeCol: String, watermarkDelay: String,
                dedupHorizonMs: Long): Dataset[CurationVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val numericId = docs.schema(idCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val numericId = {
+      import org.apache.spark.sql.types._
+      docs.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     val cleaned = CurationPipeline
       .cleanProject(docs, idCol, textCol, keep = Seq(eventTimeCol))
       .select(col("doc_id").cast("string").as("doc_id"),

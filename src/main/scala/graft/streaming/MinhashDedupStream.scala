@@ -9,23 +9,34 @@ import graft.functions.TextExpressions
 import graft.functions.TextFunctions.tokens
 import graft.operators.DedupOps
 
-/** One banded document entering the per-bucket state stage. */
-case class BandedDoc(band: String, doc_id: Long,
+/** One banded document entering the per-bucket state stage. `doc_id`
+  * is a STRING (round 13 — the lossless direction, so the curation
+  * funnel's composite `"<archive>!<path>"` ids compose through
+  * without the forbidden numeric cast); `doc_ord` is the equal-ts
+  * tie-break key in the id column's own domain (zero-padded for
+  * integral inputs, the raw string otherwise — the
+  * [[CurationStream]] rule). */
+case class BandedDoc(band: String, doc_id: String, doc_ord: String,
                      ts: java.sql.Timestamp, sig: Seq[String])
 
-/** One absorbed document inside a band bucket's state: id, event
-  * time (millis), and its k-component minhash signature (~k·4 chars
-  * — the ONLY per-doc payload the state ever holds; text never
-  * enters state). */
-case class BucketMember(id: Long, ts: Long, sig: Seq[String])
+/** One absorbed document inside a band bucket's state: id (+ its
+  * ordering key), event time (millis), and its k-component minhash
+  * signature (~k·4 chars — the ONLY per-doc payload the state ever
+  * holds; text never enters state). */
+case class BucketMember(id: String, ord: String, ts: Long,
+                        sig: Seq[String])
 
 /** Per-bucket state: absorbed members (capped), the newest event
   * time ever seen (expiry anchor), and the cap-drop count. */
 case class BucketState(members: List[BucketMember], maxTs: Long,
                        dropped: Long)
 
-/** A signature-estimate near-dup pair: `id_a` arrived earlier. */
-case class SigPair(id_a: Long, id_b: Long, n_match: Int)
+/** A signature-estimate near-dup pair: `id_a` arrived earlier.
+  * MIGRATION NOTE (round 13): `id_a`/`id_b` changed Long → String —
+  * pre-round-13 pairs parquet mixes bigint and string columns across
+  * files and fails schema merge; start new output directories when
+  * upgrading. */
+case class SigPair(id_a: String, id_b: String, n_match: Int)
 
 /** Streaming twin of the minhash-LSH near-dup family — incremental
   * near-dup INGESTION: documents arrive continuously, and each new
@@ -79,11 +90,24 @@ object MinhashDedupStream {
             maxBucket: Int = 1000): Dataset[SigPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // equal-ts tie-break in the id column's OWN domain, matching the
+    // batch twin's natural-type `a.id < b.id`: integral inputs order
+    // numerically via the zero-padded key, everything else by its
+    // string form (the CurationStream round-13 rule)
+    val numericId = {
+      import org.apache.spark.sql.types._
+      docs.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     val banded = docs
       // no text → no signature; no event time → no ordering, no
       // watermark: both are poison for the state fold, drop up front
       .filter(col(textCol).isNotNull && col(eventTimeCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(col(idCol).cast("string").as("doc_id"),
+        (if (numericId) lpad(col(idCol).cast("string"), 20, "0")
+         else col(idCol).cast("string")).as("doc_ord"),
         col(eventTimeCol).as("ts"),
         TextExpressions.minhashSliced(
           TextExpressions.wordShingles(
@@ -93,7 +117,7 @@ object MinhashDedupStream {
         explode(array(
           DedupOps.minhashBandKeys(col("sig"), k, rowsPerBand): _*))
           .as("band"),
-        col("doc_id"), col("ts"), col("sig"))
+        col("doc_id"), col("doc_ord"), col("ts"), col("sig"))
       .withWatermark("ts", watermarkDelay)
       .as[BandedDoc]
 
@@ -119,7 +143,7 @@ object MinhashDedupStream {
         val out = List.newBuilder[SigPair]
         // deterministic arrival order within the micro-batch: the
         // batch operator's (ts, id) pair ordering
-        rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+        rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_ord)).foreach { r =>
           val t = r.ts.getTime
           if (st.members.sizeIs < maxBucket) {
             // a pair is emitted when its SECOND element is processed
@@ -132,14 +156,15 @@ object MinhashDedupStream {
                 val nm = m.sig.iterator.zip(r.sig.iterator)
                   .count { case (x, y) => x == y }
                 if (nm >= minMatch) {
-                  if (m.ts < t || (m.ts == t && m.id < r.doc_id))
+                  if (m.ts < t || (m.ts == t && m.ord < r.doc_ord))
                     out += SigPair(m.id, r.doc_id, nm)
                   else out += SigPair(r.doc_id, m.id, nm)
                 }
               }
             }
-            st = st.copy(members = BucketMember(r.doc_id, t, r.sig)
-              :: st.members, maxTs = math.max(st.maxTs, t))
+            st = st.copy(
+              members = BucketMember(r.doc_id, r.doc_ord, t, r.sig)
+                :: st.members, maxTs = math.max(st.maxTs, t))
           } else {
             // full bucket: the arrival neither pairs nor enters
             // state — pairing against retained members while being

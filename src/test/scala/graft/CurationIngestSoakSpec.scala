@@ -109,7 +109,9 @@ class CurationIngestSoakSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
 
     val got = spark.read.parquet(s"$out/pairs")
-      .select(col("id_a"), col("id_b"), col("n_match")).distinct()
+      // round 13: the stream's pair ids are strings (numeric here)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("n_match")).distinct()
       .as[(Long, Long, Int)].collect().toSet
     assert(got == expected,
       s"stream/batch divergence:\n only stream: ${got -- expected}\n" +
@@ -149,5 +151,60 @@ class CurationIngestSoakSpec extends AnyFunSuite {
       s"state rows $lastStateRows != expected " +
         s"(sigs=$nSigs, buckets=$nBuckets)")
     srcBatch.unpersist()
+  }
+
+  test("composite string ids compose through the WHOLE graph: " +
+      "archive leaves → curation → near-dup pairs in one query ≡ " +
+      "the batch pipeline on the same string ids") {
+    import graft.sources.TarCodec
+    import graft.streaming.ArchiveIngestStream
+    // six archives; members share near-dup group texts (i%5 via
+    // groupText) so pairs form ACROSS archives; one exact dup member
+    val src = Files.createTempDirectory("graft_cif_src").toString
+    val out = Files.createTempDirectory("graft_cif_out").toString
+    val rows = (0 until 12).map { i =>
+      val members = Seq(
+        (s"m$i.txt", groupText(i).getBytes("UTF-8"))) ++
+        (if (i == 7) Seq(("dup.txt", groupText(0).getBytes("UTF-8")))
+         else Nil)
+      (s"arc-%02d".format(i), TarCodec.tarBytes(members),
+        new java.sql.Timestamp((base + i * 60L) * 1000L))
+    }
+    rows.toDF("doc_id", "bin", "ts").write.mode("overwrite")
+      .parquet(src)
+    val schema = rows.take(1).toDF("doc_id", "bin", "ts").schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = CurationIngestStream.start(
+      ArchiveIngestStream.textMembers(stream), out)
+    try q.awaitTermination(180000L)
+    finally spark.conf.set("spark.sql.streaming.statefulOperator." +
+      "checkCorrectness.enabled", "true")
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    val got = spark.read.parquet(s"$out/pairs")
+      .select(col("id_a"), col("id_b"), col("n_match")).distinct()
+      .as[(String, String, Int)].collect().toSet
+    // batch twin on the SAME composite string ids
+    val leaves = ArchiveIngestStream.textMembers(
+      spark.read.parquet(s"$src/*.parquet"))
+    val verdicts = CurationPipeline
+      .batchVerdicts(leaves, "doc_id", "text")
+    val keptClean = CurationPipeline
+      .cleanProject(leaves, "doc_id", "text", keep = Seq("ts"))
+      .join(verdicts.filter(col("reason") === "keep")
+        .select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("ts"), col("clean"))
+    val expected = DedupOps.minhashSigPairs(
+      keptClean, "doc_id", "clean", "ts")
+      .as[(String, String, Int)].collect().toSet
+    assert(got == expected,
+      s"only stream: ${got -- expected}\nonly batch: ${expected -- got}")
+    assert(expected.nonEmpty, "fixture must pair across archives")
+    assert(expected.exists(p =>
+      p._1.contains("!") && p._2.contains("!")),
+      "pairs must carry the composite lossless ids")
+    // the exact dup (arc-07!dup.txt repeats arc-00!m0.txt) was
+    // consumed by the curation stage — no pair touches it
+    assert(got.forall(p => !p._1.endsWith("dup.txt") &&
+      !p._2.endsWith("dup.txt")))
   }
 }

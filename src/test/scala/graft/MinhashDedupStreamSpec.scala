@@ -82,7 +82,9 @@ class MinhashDedupStreamSpec extends AnyFunSuite {
     run()
 
     val got = spark.read.parquet(s"$out/pairs")
-      .select(col("id_a"), col("id_b"), col("n_match")).distinct()
+      // round 13: the stream's pair ids are strings (numeric here)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("n_match")).distinct()
       .as[(Long, Long, Int)].collect().toSet
     val batch = DedupOps.minhashSigPairs(
       spark.read.parquet(s"$src/*.parquet"), "doc_id", "text", "ts")
@@ -126,7 +128,8 @@ class MinhashDedupStreamSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(180000L)
     val got = spark.read.parquet(s"$out/pairs")
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .distinct()
       .as[(Long, Long)].collect().toSet
     // only the first three members (ts order: 0, 10, 20) pair — the
     // expectation is the UNcapped batch frame over just those three
@@ -188,7 +191,7 @@ class MinhashDedupStreamSpec extends AnyFunSuite {
     val got: Set[(Long, Long)] =
       if (!pairsDir.exists()) Set.empty
       else spark.read.parquet(s"$out/pairs")
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .as[(Long, Long)].collect().toSet
     assert(!got.contains((0L, 10L)),
       "pair across the expired horizon — state did not expire")

@@ -4079,6 +4079,17 @@ class OperatorsSpec extends AnyFunSuite {
       "unknown hints read the default period")
     assert(due(7L) == ((604800L, true)))
     assert(due(8L) == ((31536000L, false)))
+    // the closure → due → schedule composition: closure rows carry no
+    // numeric id, so the schedule keys by the URL itself — the id
+    // keeps its own type (round-13 politenessSchedule genericity)
+    val sched = UrlOps.politenessSchedule(
+      UrlOps.recrawlDue(entries, lit(1717804800L))
+        .filter(col("due")),
+      "loc_url", "loc_url", lit(100L), maxPerHost = 10)
+      .collect()
+    assert(sched.nonEmpty)
+    assert(sched.forall(_.getString(0) == "http://a.com/p"),
+      "the schedule id must be the URL string itself")
   }
 
   test("wordlistGate folds leet obfuscation, matches whole tokens only") {
