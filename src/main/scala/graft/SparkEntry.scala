@@ -4261,6 +4261,26 @@ object SparkEntry {
     // (real ISO 28500 layout: WARC headers, embedded HTTP responses,
     // exact Content-Lengths); the parser must recover URIs, statuses
     // and byte-exact bodies. The web pipeline's front door.
+    // WARC over zstd (q445): q76's exact record chain through the
+    // .warc.zst layout — one zstd frame per record, concatenated
+    // frames decoding end-to-end under the bounded-inflation contract.
+    "q445_warczst_extract" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val recs = (0 until 2).map { r =>
+            (s"http://ex${id % 5}.org/d/$id/$r",
+              s"2026-01-0${r + 1}T00:00:00Z",
+              "text/html",
+              s"<p>Doc $id rec $r</p>" + text)
+          }
+          (id, graft.sources.WarcCodec.warcZstBytes(recs))
+        }.toDF("doc_id", "media")
+      MultimodalOps.warcRecords(media, "doc_id", "media")
+        .orderBy(col("doc_id"), col("rec"))
+    }),
+
     "q76_warc_extract" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -16550,6 +16570,21 @@ FROM d JOIN i USING (query_id) ORDER BY query_id"""),
     // string itself (byte length via strlen) — so WARC header parsing,
     // HTTP envelope splitting and Content-Length handling must all be
     // exact for the hash to match.
+    // q445 is q76 through the .warc.zst layout — by contract the
+    // SAME records, so the oracle is q76's verbatim.
+    "q445_warczst_extract" ->
+      """WITH r AS (
+        |  SELECT d.doc_id, g.r AS rec,
+        |    'http://ex' || (d.doc_id % 5)::VARCHAR || '.org/d/' ||
+        |      d.doc_id::VARCHAR || '/' || g.r::VARCHAR AS uri,
+        |    '<p>Doc ' || d.doc_id::VARCHAR || ' rec ' || g.r::VARCHAR ||
+        |      '</p>' || d.text AS body
+        |  FROM documents d, generate_series(0, 1) g(r))
+        |SELECT doc_id, rec::INTEGER AS rec, 'response' AS warc_type, uri,
+        |  200 AS status, 'text/html' AS mime,
+        |  strlen(body)::BIGINT AS n_body_bytes, body
+        |FROM r ORDER BY doc_id, rec""".stripMargin,
+
     "q76_warc_extract" ->
       """WITH r AS (
         |  SELECT d.doc_id, g.r AS rec,

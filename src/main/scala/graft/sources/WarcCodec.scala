@@ -9,12 +9,18 @@ package graft.sources
   * whatever was recovered so far — at corpus scale a truncated member
   * must not discard the readable prefix, let alone kill the task.
   *
-  * Gzipped archives (.warc.gz — Common Crawl's wire format, one gzip
-  * member per record) decompress transparently: [[records]] sniffs the
-  * 1f 8b magic and runs the stream through `GZIPInputStream`, which
-  * handles concatenated members natively. The companion [[warcBytes]]
-  * writes structurally-valid WARC for deterministic fixtures
-  * ([[warcGzBytes]] the per-record-member gzipped form). */
+  * Compressed archives decompress transparently: [[records]] sniffs
+  * the gzip 1f 8b magic (.warc.gz — Common Crawl's wire format, one
+  * gzip member per record; `GZIPInputStream` handles concatenated
+  * members natively) and, as of round 13, the zstd magic (.warc.zst —
+  * the per-record zstd-frame layout newer pipelines serve;
+  * [[ZstdCodec.unzstd]] decodes concatenated frames the same way).
+  * Decompression is BOUNDED by `maxInflateBytes` (round 13 — the
+  * codec-family bomb defense this parser previously lacked: a 64 MiB
+  * cell claiming gigabytes now reads unreadable instead of allocating
+  * the lie). The companion [[warcBytes]] writes structurally-valid
+  * WARC for deterministic fixtures ([[warcGzBytes]] /
+  * [[warcZstBytes]] the per-record-member compressed forms). */
 object WarcCodec {
 
   final case class WarcRecord(warcType: String, targetUri: String,
@@ -43,27 +49,29 @@ object WarcCodec {
         line.substring(k + 1).trim)
     }.toMap
 
-  /** Parse every complete record in the stream; gzipped input (by
-    * magic) is inflated first — multi-member streams, the .warc.gz
-    * layout, decompress end-to-end in one pass. */
-  def records(bIn: Array[Byte]): Seq[WarcRecord] = {
+  /** Parse every complete record in the stream; compressed input (by
+    * magic — gzip or zstd) is inflated first, bounded by
+    * `maxInflateBytes` — multi-member/multi-frame streams, the
+    * .warc.gz / .warc.zst layouts, decompress end-to-end in one
+    * pass. */
+  def records(bIn: Array[Byte],
+              maxInflateBytes: Long = 1L << 30): Seq[WarcRecord] = {
     val out = scala.collection.mutable.ListBuffer.empty[WarcRecord]
     if (bIn == null) return out.toSeq
     val b =
       if (bIn.length > 2 && (bIn(0) & 0xff) == 0x1f &&
           (bIn(1) & 0xff) == 0x8b) {
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bIn))
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](64 * 1024)
-          var n = in.read(tmp)
-          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          buf.toByteArray
-        } catch {
-          // corrupt tail: GZIPInputStream has no partial-output API
-          // worth recovering here — treat the archive as unreadable
-          case _: java.io.IOException => return out.toSeq
+        GzipCodec.gunzip(bIn, maxInflateBytes) match {
+          // corrupt tail or over the inflation bound: treat the
+          // archive as unreadable (no partial-output recovery —
+          // the bounded-decompress family contract)
+          case Some(inflated) => inflated
+          case None => return out.toSeq
+        }
+      } else if (ZstdCodec.sniff(bIn)) {
+        ZstdCodec.unzstd(bIn, maxInflateBytes) match {
+          case Some(inflated) => inflated
+          case None => return out.toSeq
         }
       } else bIn
     var off = 0
@@ -151,6 +159,17 @@ object WarcCodec {
       val gz = new java.util.zip.GZIPOutputStream(out)
       gz.write(warcBytes(Seq(r)))
       gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** The .warc.zst layout: each record its own zstd frame (the same
+    * member-boundary-splittable convention as .warc.gz, on the codec
+    * newer pipelines serve). */
+  def warcZstBytes(recs: Seq[(String, String, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      out.write(ZstdCodec.zstdBytes(warcBytes(Seq(r))))
     }
     out.toByteArray
   }

@@ -1386,6 +1386,57 @@ object ScaleProbe {
       time(s"membersRecursive x$n depth=2 (inner members walked)")(
         graft.operators.ArchiveOps.nestedWalkReport(
           nestedDrop, "doc_id", "bin", maxDepth = 2))
+      // (c) zstd layer: the q440 drop shape — a tar holding a plain
+      // text leaf and an in-place-decompressed .jsonl.zst member, the
+      // whole bundle zstd-wrapped. The layer decode premium must be
+      // per-row local like gzip's: 0 B shuffle beyond the census rows
+      val zstDrop = docs12.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          (id, graft.sources.ZstdCodec.zstdBytes(
+            graft.sources.TarCodec.tarBytes(Seq(
+              ("doc.txt", tb),
+              ("shard.jsonl.zst",
+                graft.sources.ZstdCodec.zstdBytes(tb))))))
+        }.toDF("doc_id", "bin")
+      time(s"tar.zst walk x$n (zstd layer + in-place member)")(
+        graft.operators.ArchiveOps.nestedWalkReport(
+          zstDrop, "doc_id", "bin", maxDepth = 2))
+      // (d) sitemap closure: the q443 web — every third doc an index
+      // (self-cycle + two successors), the rest urlsets — closure is
+      // maxDepth equi-joins on the sitemap URL; frontiers are
+      // sitemap-COUNT-sized, so the joins broadcast under AQE
+      val fetched12 = docs12.select(col("doc_id"),
+        concat(lit("http://s.org/sm"), col("doc_id").cast("string"),
+          lit(".xml")).as("url"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit("<sitemapindex><sitemap><loc>http://s.org/sm"),
+          col("doc_id").cast("string"),
+          lit(".xml</loc></sitemap><sitemap><loc>http://s.org/sm"),
+          (col("doc_id") + 1).cast("string"),
+          lit(".xml</loc></sitemap><sitemap><loc>http://s.org/sm"),
+          (col("doc_id") + 2).cast("string"),
+          lit(".xml</loc></sitemap></sitemapindex>")))
+          .otherwise(concat(
+            lit("<urlset><url><loc>http://s.org/p"),
+            col("doc_id").cast("string"),
+            lit("</loc><lastmod>2024-05-01</lastmod>" +
+              "<changefreq>daily</changefreq></url></urlset>")))
+          .as("xml"))
+      time(s"sitemapClosure x$n depth=2")(
+        graft.operators.UrlOps.sitemapClosure(fetched12, "url", "xml",
+          fetched12.filter(col("doc_id") % 3 === 0).select(col("url")),
+          "url", maxDepth = 2))
+      // (e) the one-query funnel's batch shape: archive drops → text
+      // leaves → curation verdicts on composite string ids — the text
+      // crosses exactly once (into the signature projection)
+      time(s"archiveCurate x$n (drops → leaves → verdicts)")(
+        graft.operators.CurationPipeline.batchVerdicts(
+          graft.streaming.ArchiveIngestStream.textMembers(
+            zstDrop.withColumn("ts",
+              lit("2024-06-11 00:00:00").cast("timestamp"))),
+          "doc_id", "text"))
     }
     spark.stop()
   }

@@ -141,9 +141,21 @@ class CodecFuzzSpec extends AnyFunSuite {
         "<html><body>hello</body></html>"),
       ("request", "http://a.example/x", "text/plain", "GET /x"))
     sweep("warc", WarcCodec.warcBytes(recs), 505)(
-      "records" -> WarcCodec.records)
+      "records" -> ((b: Array[Byte]) => WarcCodec.records(b)))
     sweep("warc.gz", WarcCodec.warcGzBytes(recs), 606)(
-      "records" -> WarcCodec.records)
+      "records" -> ((b: Array[Byte]) => WarcCodec.records(b)))
+    sweep("warc.zst", WarcCodec.warcZstBytes(recs), 1616)(
+      "records" -> ((b: Array[Byte]) => WarcCodec.records(b)))
+    // bounded inflation (round 13): a compressed cell claiming more
+    // than the cap reads unreadable, never an allocation of the lie
+    val big = WarcCodec.warcBytes(Seq(("http://a/x", "2026-01-01",
+      "text/plain", "x" * (1 << 20))))
+    assert(WarcCodec.records(
+      graft.sources.GzipCodec.gzipBytes(big), 1024L).isEmpty)
+    assert(WarcCodec.records(
+      graft.sources.ZstdCodec.zstdBytes(big), 1024L).isEmpty)
+    assert(WarcCodec.records(
+      graft.sources.ZstdCodec.zstdBytes(big), 4L << 20).nonEmpty)
   }
 
   test("TAR parser (ustar + PAX + GNU-L layouts) survives seeded " +
