@@ -5752,6 +5752,39 @@ object SparkEntry {
         .orderBy(col("depth"), col("sitemap_url"), col("entry_idx"))
     }),
 
+    // Incremental sitemap closure (q446): the sitemaps.org use of
+    // <lastmod> ON <sitemap> entries — a child whose declared lastmod
+    // predates the cutoff is not refetched (its entry row still
+    // emits); the self-cycle child carries no lastmod and stays in
+    // the frontier, where the visited set drops it.
+    "q446_sitemap_incremental" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      def smUrl(c: Column) = concat(lit("http://s.org/sm"),
+        c.cast("string"), lit(".xml"))
+      val u = smUrl(col("doc_id"))
+      val xml = when(col("doc_id") % 3 === 0, concat(
+          lit("<sitemapindex><sitemap><loc>"), u,
+          lit("</loc></sitemap><sitemap><loc>"),
+          smUrl(col("doc_id") + 1),
+          lit("</loc><lastmod>2024-05-01</lastmod>" +
+            "</sitemap><sitemap><loc>"),
+          smUrl(col("doc_id") + 2),
+          lit("</loc><lastmod>2024-06-01</lastmod>" +
+            "</sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>http://s.org/p"), idStr,
+          lit("</loc></url></urlset>")))
+      val fetched = t(s, dir, "documents")
+        .select(col("doc_id"), u.as("url"), xml.as("xml"))
+      val roots = fetched.filter(col("doc_id") % 3 === 0)
+        .select(col("url"))
+      // cutoff 2024-05-15: the i+1 children (lastmod 2024-05-01) are
+      // pruned, the i+2 children (2024-06-01) walk
+      UrlOps.sitemapClosure(fetched, "url", "xml", roots, "url",
+        maxDepth = 2, modifiedSinceSec = 1715731200L)
+        .orderBy(col("depth"), col("sitemap_url"), col("entry_idx"))
+    }),
+
     // Recrawl schedule (q444): sitemap entries → changefreq/lastmod
     // due decision at a fixed "now" → per-host politeness slots over
     // the due URLs (the q201 composition) — the recrawl-scheduling
@@ -18425,6 +18458,39 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |    ON r.doc_id = s.doc_id
         |      - (CASE WHEN s.doc_id % 3 = 1 THEN 1 ELSE 2 END)
         |  WHERE s.doc_id % 3 <> 0 AND r.doc_id % 3 = 0)
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |ORDER BY depth, sitemap_url, entry_idx""".stripMargin,
+
+    // Depth 1: every root's three index entries (self without
+    // lastmod, i+1 old, i+2 new). Depth 2: ONLY the i+2 child's
+    // urlset row — i+1 is pruned by the cutoff, self by the visited
+    // set.
+    "q446_sitemap_incremental" ->
+      """WITH sm AS (SELECT doc_id,
+        |  'http://s.org/sm' || doc_id::VARCHAR || '.xml' AS u
+        |  FROM documents),
+        |d1 AS (
+        |  SELECT 1 AS depth, u AS sitemap_url, 'index' AS kind,
+        |    x.entry_idx,
+        |    'http://s.org/sm' || (doc_id + x.off)::VARCHAR || '.xml'
+        |      AS loc_url,
+        |    x.lm AS lastmod,
+        |    CASE WHEN x.lm IS NULL THEN NULL
+        |      ELSE epoch(try_cast(x.lm AS TIMESTAMP)) END::BIGINT
+        |      AS lastmod_sec,
+        |    NULL::VARCHAR AS changefreq, NULL::DOUBLE AS priority
+        |  FROM sm CROSS JOIN (VALUES (0, 0, NULL),
+        |    (1, 1, '2024-05-01'), (2, 2, '2024-06-01'))
+        |    AS x(entry_idx, off, lm)
+        |  WHERE doc_id % 3 = 0),
+        |d2 AS (
+        |  SELECT 2 AS depth, s.u AS sitemap_url, 'urlset' AS kind,
+        |    0 AS entry_idx,
+        |    'http://s.org/p' || s.doc_id::VARCHAR AS loc_url,
+        |    NULL::VARCHAR AS lastmod, NULL::BIGINT AS lastmod_sec,
+        |    NULL::VARCHAR AS changefreq, NULL::DOUBLE AS priority
+        |  FROM sm s JOIN documents r ON r.doc_id = s.doc_id - 2
+        |  WHERE s.doc_id % 3 = 2 AND r.doc_id % 3 = 0)
         |SELECT * FROM d1 UNION ALL SELECT * FROM d2
         |ORDER BY depth, sitemap_url, entry_idx""".stripMargin,
 

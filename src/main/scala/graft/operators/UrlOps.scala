@@ -378,6 +378,15 @@ object UrlOps {
     * `kind = index` rows whose `loc_url` never appears as a
     * `sitemap_url`.
     *
+    * `modifiedSinceSec` makes the closure INCREMENTAL — the
+    * sitemaps.org purpose of `<lastmod>` on `<sitemap>` entries: a
+    * child sitemap whose declared lastmod is KNOWN and older than the
+    * cutoff is not descended into (its pages are unchanged since the
+    * last crawl), while children with no/unparseable lastmod still
+    * walk (unknown freshness → fetch, the [[recrawlDue]] direction).
+    * The pruned child's index-entry row still emits — pruning is
+    * about refetching, never about hiding the declaration.
+    *
     * Scale shape: `maxDepth` equi-joins on the sitemap URL key (each
     * level one join + the [[sitemapEntries]] projection), frontiers
     * DISTINCT'd and anti-joined against the visited set — no driver
@@ -386,7 +395,8 @@ object UrlOps {
     * the default 3 tolerates real-world nesting). */
   def sitemapClosure(fetched: DataFrame, urlCol: String,
                      xmlCol: String, roots: DataFrame,
-                     rootUrlCol: String, maxDepth: Int = 3): DataFrame = {
+                     rootUrlCol: String, maxDepth: Int = 3,
+                     modifiedSinceSec: Long = Long.MinValue): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 8,
       "maxDepth must be in 1..8 (each level adds a join to the plan)")
     val docs = fetched.select(col(urlCol).cast("string")
@@ -403,7 +413,9 @@ object UrlOps {
       out = Some(out.map(_.unionByName(entries)).getOrElse(entries))
       if (depth < maxDepth) {
         val children = entries
-          .filter(col("kind") === "index" && col("loc_url").isNotNull)
+          .filter(col("kind") === "index" && col("loc_url").isNotNull &&
+            (col("lastmod_sec").isNull ||
+              col("lastmod_sec") >= modifiedSinceSec))
           .select(col("loc_url").as("sitemap_url")).distinct()
         frontier = children.join(visited, Seq("sitemap_url"),
           "left_anti")

@@ -4043,6 +4043,29 @@ class OperatorsSpec extends AnyFunSuite {
     val shallow = UrlOps.sitemapClosure(fetched, "url", "xml", roots,
       "r", maxDepth = 2).collect().map(_.getString(1)).toSet
     assert(!shallow.contains("http://a.com/b.xml"))
+    // incremental pruning: a child whose index-entry lastmod predates
+    // the cutoff is not refetched; no/unparseable lastmod still walks
+    val fetched2 = Seq(
+      ("http://a.com/root.xml", "<sitemapindex>" +
+        "<sitemap><loc>http://a.com/old.xml</loc>" +
+        "<lastmod>2024-01-01</lastmod></sitemap>" +
+        "<sitemap><loc>http://a.com/new.xml</loc>" +
+        "<lastmod>2024-06-01</lastmod></sitemap>" +
+        "<sitemap><loc>http://a.com/nolm.xml</loc></sitemap>" +
+        "</sitemapindex>"),
+      ("http://a.com/old.xml", urlset("pOld")),
+      ("http://a.com/new.xml", urlset("pNew")),
+      ("http://a.com/nolm.xml", urlset("pNoLm"))
+    ).toDF("url", "xml")
+    // cutoff 2024-03-01
+    val inc = UrlOps.sitemapClosure(fetched2, "url", "xml", roots, "r",
+      maxDepth = 2, modifiedSinceSec = 1709251200L).collect()
+    val walked = inc.filter(_.getInt(0) == 2).map(_.getString(1)).toSet
+    assert(walked == Set("http://a.com/new.xml",
+      "http://a.com/nolm.xml"), walked.toString)
+    // the pruned child's index-entry row still emits at depth 1
+    assert(inc.exists(r => r.getInt(0) == 1 &&
+      r.getString(4) == "http://a.com/old.xml"))
   }
 
   test("recrawlDue: changefreq periods, the lastmod-unknown and " +
