@@ -5752,6 +5752,46 @@ object SparkEntry {
         .orderBy(col("depth"), col("sitemap_url"), col("entry_idx"))
     }),
 
+    // The crawl story end-to-end (q447): robots files declare their
+    // group's root sitemap → closure walks index → urlset over the
+    // fetched table → changefreq/lastmod due decision → per-host
+    // politeness slots keyed by the URL itself. The q191 + q443 +
+    // q444 + q201 composition as ONE plan: never-changefreq pages
+    // with a known lastmod sit out, everything else is due.
+    "q447_crawl_story" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      def smUrl(c: Column) = concat(lit("http://s.org/sm"),
+        c.cast("string"), lit(".xml"))
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(col("doc_id"),
+        concat(lit("User-agent: *\nDisallow: /private\nSitemap: "),
+          smUrl(col("doc_id") - col("doc_id") % 3)).as("robots"))
+      val roots = UrlOps.robotsSitemaps(robots, "doc_id", "robots")
+        .select(col("sitemap_url")).distinct()
+      val freq = when(col("doc_id") % 2 === 1, "never")
+        .otherwise("daily")
+      val xml = when(col("doc_id") % 3 === 0, concat(
+          lit("<sitemapindex><sitemap><loc>"),
+          smUrl(col("doc_id") + 1),
+          lit("</loc></sitemap><sitemap><loc>"),
+          smUrl(col("doc_id") + 2),
+          lit("</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>http://site"),
+          (col("doc_id") % 20).cast("string"), lit(".com/p"), idStr,
+          lit("</loc><lastmod>2024-05-01</lastmod><changefreq>"),
+          freq, lit("</changefreq></url></urlset>")))
+      val fetched = docs.select(col("doc_id"), smUrl(col("doc_id"))
+        .as("url"), xml.as("xml"))
+      val closure = UrlOps.sitemapClosure(fetched, "url", "xml",
+        roots, "sitemap_url", maxDepth = 2)
+      val due = UrlOps.recrawlDue(closure, lit(1717804800L))
+        .filter(col("due"))
+      UrlOps.politenessSchedule(due, "loc_url", "loc_url", lit(250L),
+        maxPerHost = 5)
+        .orderBy(col("host"), col("slot"))
+    }),
+
     // Incremental sitemap closure (q446): the sitemaps.org use of
     // <lastmod> ON <sitemap> entries — a child whose declared lastmod
     // predates the cutoff is not refetched (its entry row still
@@ -18460,6 +18500,42 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  WHERE s.doc_id % 3 <> 0 AND r.doc_id % 3 = 0)
         |SELECT * FROM d1 UNION ALL SELECT * FROM d2
         |ORDER BY depth, sitemap_url, entry_idx""".stripMargin,
+
+    // Declared roots = each doc's group root (exists by construction
+    // for contiguous ids; the join keeps it honest anyway); walked
+    // urlsets = children of existing roots; due = the even
+    // (daily-changefreq) pages; schedule = q201's ranking keyed by
+    // the URL string itself.
+    "q447_crawl_story" ->
+      """WITH decl AS (
+        |  SELECT DISTINCT (doc_id - doc_id % 3) AS k FROM documents),
+        |roots AS (
+        |  SELECT d.doc_id AS k FROM documents d
+        |  JOIN decl ON decl.k = d.doc_id
+        |  WHERE d.doc_id % 3 = 0),
+        |u AS (
+        |  SELECT d.doc_id AS j FROM documents d
+        |  JOIN roots r ON r.k = d.doc_id
+        |    - (CASE WHEN d.doc_id % 3 = 1 THEN 1 ELSE 2 END)
+        |  WHERE d.doc_id % 3 <> 0 AND d.doc_id % 2 = 0),
+        |urls AS (
+        |  SELECT 'http://site' || (j % 20)::VARCHAR || '.com/p'
+        |    || j::VARCHAR AS url FROM u),
+        |h AS (
+        |  SELECT url,
+        |    lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+        |      AS host
+        |  FROM urls),
+        |r2 AS (
+        |  SELECT url, host,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY substr(md5(url), 1, 8), url) AS rk,
+        |    count(*) OVER (PARTITION BY host) AS n_urls
+        |  FROM h WHERE length(host) > 0)
+        |SELECT url AS doc_id, host, (rk - 1)::BIGINT AS slot,
+        |  ((rk - 1) * 250)::BIGINT AS fetch_offset_ms,
+        |  n_urls::BIGINT AS n_urls
+        |FROM r2 WHERE rk <= 5 ORDER BY host, slot""".stripMargin,
 
     // Depth 1: every root's three index entries (self without
     // lastmod, i+1 old, i+2 new). Depth 2: ONLY the i+2 child's

@@ -666,6 +666,14 @@ class PlanShapeSpec extends AnyFunSuite {
         s"rank window:\n$ps")
     assert(ps.contains("bounded_top_n"),
       s"q444 must schedule via the bounded aggregate:\n$ps")
+    // the full crawl-story composition inherits every piece's shape:
+    // no window anywhere, no cartesian, the schedule on the bounded
+    // aggregate
+    val pw = plan("q447_crawl_story")
+    assert(!pw.contains("Window") && !pw.contains("CartesianProduct"),
+      s"q447 must compose without windows or cartesians:\n$pw")
+    assert(pw.contains("bounded_top_n"),
+      s"q447 must schedule via the bounded aggregate:\n$pw")
   }
 
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
