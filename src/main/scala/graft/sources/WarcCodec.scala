@@ -59,8 +59,7 @@ object WarcCodec {
     val out = scala.collection.mutable.ListBuffer.empty[WarcRecord]
     if (bIn == null) return out.toSeq
     val b =
-      if (bIn.length > 2 && (bIn(0) & 0xff) == 0x1f &&
-          (bIn(1) & 0xff) == 0x8b) {
+      if (GzipCodec.sniff(bIn)) {
         GzipCodec.gunzip(bIn, maxInflateBytes) match {
           // corrupt tail or over the inflation bound: treat the
           // archive as unreadable (no partial-output recovery —

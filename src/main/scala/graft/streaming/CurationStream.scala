@@ -61,18 +61,13 @@ object CurationStream {
     * composite `"<archive>!<path>"` ids and for UUIDs; the round-10
     * id-cast rule forbids forcing either through a numeric cast). The
     * within-batch keep-first ordering matches the batch twin's
-    * `min(doc_id)` in the id column's OWN domain: an INTEGRAL input
-    * column orders numerically (via a zero-padded sort key — ids are
-    * assumed non-negative, as everywhere the md5-split rides them;
-    * a Long's 19 digits fit the 20-char pad exactly), every other
-    * type orders by its string form — exactly what
+    * `min(doc_id)` in the id column's OWN domain — ONE definition,
+    * [[StreamIds.ordKey]], shared with [[MinhashDedupStream]]:
+    * integral and scale-0 decimal ids order numerically via a
+    * zero-padded key, everything else by its string form (UTF-8-byte
+    * compared, matching Spark's `UTF8String` ordering) — exactly what
     * [[graft.operators.DedupOps.keepFirstFlag]]'s `min` computes on
-    * longs and strings, so stream ≡ batch holds for both id shapes.
-    * (Float/Double/Decimal ids deliberately do NOT get the padded
-    * key: "1.5" pads to a different order than its numeric value, and
-    * a 38-digit decimal would overflow — then silently truncate —
-    * the pad. An id that is genuinely fractional belongs in a string
-    * column anyway.)
+    * each type, so stream ≡ batch holds for every id shape.
     *
     * MIGRATION NOTE (round 13): `CurationVerdict.doc_id` changed
     * Long → String, so the parquet this stream's sinks append carries
@@ -85,18 +80,11 @@ object CurationStream {
                dedupHorizonMs: Long): Dataset[CurationVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val numericId = {
-      import org.apache.spark.sql.types._
-      docs.schema(idCol).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-    }
+    val idType = docs.schema(idCol).dataType
     val cleaned = CurationPipeline
       .cleanProject(docs, idCol, textCol, keep = Seq(eventTimeCol))
       .select(col("doc_id").cast("string").as("doc_id"),
-        (if (numericId) lpad(col("doc_id").cast("string"), 20, "0")
-         else col("doc_id").cast("string")).as("doc_ord"),
+        StreamIds.ordKey(idType, col("doc_id")).as("doc_ord"),
         col(eventTimeCol).as("ts"),
         col("__sig_full").as("sig"), col("clean_sig"), col("clean"),
         col("n_tokens"), col("split"))
@@ -110,8 +98,10 @@ object CurationStream {
         Iterator.empty
       } else {
         // doc_ord order within the batch = the batch window's ORDER BY
-        // in the id column's own domain (numeric or lexicographic)
-        val sorted = rows.toIndexedSeq.sortBy(_.doc_ord)
+        // in the id column's own domain (numeric or lexicographic);
+        // string compares are UTF-8-byte like Spark's, not UTF-16
+        val sorted = rows.toIndexedSeq
+          .sortBy(_.doc_ord)(StreamIds.utf8Ordering)
         var seen = gs.exists
         val out = sorted.map { d =>
           val dup = seen

@@ -35,7 +35,11 @@ case class BucketState(members: List[BucketMember], maxTs: Long,
   * MIGRATION NOTE (round 13): `id_a`/`id_b` changed Long → String —
   * pre-round-13 pairs parquet mixes bigint and string columns across
   * files and fails schema merge; start new output directories when
-  * upgrading. */
+  * upgrading. The STATE schema changed too ([[BucketMember]] gained
+  * `ord` and its id became a string), so pre-round-13 CHECKPOINTS
+  * cannot be resumed either — restart this stream from a fresh
+  * checkpoint (unlike [[CurationStream]], whose Boolean state is
+  * unchanged and whose checkpoints survive). */
 case class SigPair(id_a: String, id_b: String, n_match: Int)
 
 /** Streaming twin of the minhash-LSH near-dup family — incremental
@@ -91,23 +95,15 @@ object MinhashDedupStream {
     val spark = docs.sparkSession
     import spark.implicits._
     // equal-ts tie-break in the id column's OWN domain, matching the
-    // batch twin's natural-type `a.id < b.id`: integral inputs order
-    // numerically via the zero-padded key, everything else by its
-    // string form (the CurationStream round-13 rule)
-    val numericId = {
-      import org.apache.spark.sql.types._
-      docs.schema(idCol).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-    }
+    // batch twin's natural-type `a.id < b.id` — ONE definition shared
+    // with CurationStream ([[StreamIds.ordKey]])
+    val idType = docs.schema(idCol).dataType
     val banded = docs
       // no text → no signature; no event time → no ordering, no
       // watermark: both are poison for the state fold, drop up front
       .filter(col(textCol).isNotNull && col(eventTimeCol).isNotNull)
       .select(col(idCol).cast("string").as("doc_id"),
-        (if (numericId) lpad(col(idCol).cast("string"), 20, "0")
-         else col(idCol).cast("string")).as("doc_ord"),
+        StreamIds.ordKey(idType, col(idCol)).as("doc_ord"),
         col(eventTimeCol).as("ts"),
         TextExpressions.minhashSliced(
           TextExpressions.wordShingles(
@@ -143,7 +139,9 @@ object MinhashDedupStream {
         val out = List.newBuilder[SigPair]
         // deterministic arrival order within the micro-batch: the
         // batch operator's (ts, id) pair ordering
-        rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_ord)).foreach { r =>
+        rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_ord))(
+          Ordering.Tuple2(Ordering.Long, StreamIds.utf8Ordering))
+          .foreach { r =>
           val t = r.ts.getTime
           if (st.members.sizeIs < maxBucket) {
             // a pair is emitted when its SECOND element is processed
@@ -156,7 +154,8 @@ object MinhashDedupStream {
                 val nm = m.sig.iterator.zip(r.sig.iterator)
                   .count { case (x, y) => x == y }
                 if (nm >= minMatch) {
-                  if (m.ts < t || (m.ts == t && m.ord < r.doc_ord))
+                  if (m.ts < t || (m.ts == t &&
+                      StreamIds.utf8Lt(m.ord, r.doc_ord)))
                     out += SigPair(m.id, r.doc_id, nm)
                   else out += SigPair(r.doc_id, m.id, nm)
                 }

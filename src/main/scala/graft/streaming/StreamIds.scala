@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** THE definition of "keep-first / tie-break order in the id column's
+  * own domain" shared by [[CurationStream]] and [[MinhashDedupStream]]
+  * (one copy, so the two streams' ordering semantics can never
+  * desynchronize): ids cross the state boundary as STRINGS (lossless
+  * for composite/UUID ids), and the ordering key reproduces what the
+  * batch twins' `min(id)` / `a.id < b.id` compute on the ORIGINAL
+  * column type —
+  *
+  *  - integral types order numerically via a zero-padded key (a
+  *    Long's 19 digits fit the 20-char pad; ids are assumed
+  *    non-negative, as everywhere the md5-split rides them);
+  *  - scale-0 decimals (the warehouse/JDBC id shape) order
+  *    numerically too, padded to 39 (DecimalType's 38-digit maximum
+  *    fits exactly);
+  *  - everything else orders by its string form.
+  *
+  * Fractional numerics deliberately get NO padded key ("1.5" pads to
+  * a different order than its numeric value) — an id that is
+  * genuinely fractional belongs in a string column.
+  *
+  * String comparisons on the driver/executor side use
+  * [[utf8Ordering]], not Java's `compareTo`: the batch twins compare
+  * Spark `UTF8String`s, which order by UTF-8 BYTES — for
+  * supplementary-plane characters (an emoji in an archive member
+  * path) Java's UTF-16 code-unit order DIVERGES from byte order
+  * (surrogates sort low), and the stream ≡ batch contract would break
+  * on exactly the exotic ids the string loosening exists for. */
+private[graft] object StreamIds {
+
+  /** The ordering-key COLUMN for an id column of type `dt`. */
+  def ordKey(dt: DataType, id: Column): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      lpad(id.cast("string"), 20, "0")
+    case d: DecimalType if d.scale == 0 =>
+      lpad(id.cast("string"), 39, "0")
+    case _ => id.cast("string")
+  }
+
+  /** UTF-8-byte (= Spark `UTF8String` binary) ordering for the
+    * state-side sorts and tie-breaks. */
+  val utf8Ordering: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  def utf8Lt(a: String, b: String): Boolean =
+    utf8Ordering.compare(a, b) < 0
+}

@@ -146,6 +146,43 @@ class CurationStreamSpec extends AnyFunSuite {
     gotDrift.unpersist()
   }
 
+  test("StreamIds: the shared ordering key is numeric for integral " +
+      "and scale-0 decimal ids, raw-string otherwise; string compares " +
+      "are UTF-8-byte like Spark's, not UTF-16") {
+    import graft.streaming.StreamIds
+    import org.apache.spark.sql.types._
+    val df = Seq(("x", 1)).toDF("a", "b")
+    def key(dt: DataType, v: String): String =
+      df.select(StreamIds.ordKey(dt, lit(v).cast(dt)).as("k"))
+        .head().getString(0)
+    // integral: 2 < 10 numerically AND under the padded key
+    assert(key(LongType, "2") < key(LongType, "10"))
+    // scale-0 decimal: the warehouse id shape orders numerically too
+    // (9 < 10 — raw strings would say "10" < "9")
+    assert(key(DecimalType(10, 0), "9") < key(DecimalType(10, 0), "10"))
+    // a 38-digit decimal fits the 39-char pad without truncation
+    val big = "9" * 38
+    assert(key(DecimalType(38, 0), big).length == 39)
+    assert(key(DecimalType(38, 0), "1") < key(DecimalType(38, 0), big))
+    // strings pass through raw
+    assert(key(StringType, "a!b") == "a!b")
+    // UTF-8-byte ordering: U+1F600 (surrogate pair in UTF-16, F0-lead
+    // in UTF-8) must sort ABOVE U+E000 (EE-lead) — Java's compareTo
+    // says the opposite
+    val emoji = "a" + new String(Character.toChars(0x1F600))
+    val pua = "a"
+    assert(emoji.compareTo(pua) < 0, "fixture: Java orders them low")
+    assert(StreamIds.utf8Ordering.compare(emoji, pua) > 0,
+      "UTF-8 byte order must match Spark's UTF8String compare")
+    // and the batch side agrees: Spark's min() picks the EE-lead one
+    val sparkMin = Seq(emoji, pua).toDF("id")
+      .agg(min(col("id"))).head().getString(0)
+    assert(StreamIds.utf8Ordering.compare(sparkMin, emoji) < 0 ||
+      sparkMin == pua)
+    assert(sparkMin == pua,
+      s"Spark min must agree with utf8Ordering, got $sparkMin")
+  }
+
   test("fullScrub is streaming-safe: readStream through the composed " +
       "redaction projection equals the batch pass row for row") {
     import org.apache.spark.sql.streaming.Trigger
