@@ -287,13 +287,23 @@ object UrlOps {
     * survives past the extraction. */
   def sitemapLocs(pages: DataFrame, idCol: String,
                   xmlCol: String): DataFrame = {
-    val xml = coalesce(col(xmlCol), lit(""))
+    val xml = stripCdata(coalesce(col(xmlCol), lit("")))
     val locs = transform(regexp_extract_all(xml,
       lit("(?is)<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)),
       l => decodeXmlEntities(l))
     pages.select(col(idCol), sitemapKind(xml).as("kind"),
       posexplode_outer(locs).as(Seq("loc_idx", "loc_url")))
   }
+
+  /** Unwrap CDATA sections — real-world sitemaps routinely wrap locs
+    * as `<loc><![CDATA[http://…]]></loc>`, which the `[^<]` value
+    * scan cannot see through. Pragmatic parser note: per XML, CDATA
+    * contents are literal (no entity decoding), but after unwrapping
+    * they flow through the same entity decode as plain values — real
+    * sitemap CDATA holds already-literal URLs, where the decode is a
+    * no-op. */
+  private def stripCdata(c: Column): Column =
+    regexp_replace(c, "(?s)<!\\[CDATA\\[(.*?)\\]\\]>", "$1")
 
   /** sitemaps.org root-element sniff shared by [[sitemapLocs]] and
     * [[sitemapEntries]]. */
@@ -329,7 +339,7 @@ object UrlOps {
     * shape — nothing page-sized survives the extraction. */
   def sitemapEntries(pages: DataFrame, idCol: String,
                      xmlCol: String): DataFrame = {
-    val xml = coalesce(col(xmlCol), lit(""))
+    val xml = stripCdata(coalesce(col(xmlCol), lit("")))
     val kind = sitemapKind(xml)
     // `<sitemap[\s>]` cannot swallow `<sitemapindex>`: the char after
     // the tag name must be whitespace or `>`

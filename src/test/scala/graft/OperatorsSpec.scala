@@ -3978,7 +3978,11 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "not xml"),
       // hostile lastmod: garbage parses to NULL seconds, no throw
       (5L, "<urlset><url><loc>http://a.com/r</loc>" +
-        "<lastmod>not-a-date</lastmod></url></urlset>")
+        "<lastmod>not-a-date</lastmod></url></urlset>"),
+      // CDATA-wrapped loc — the real-world shape the [^<] value scan
+      // cannot see through without the unwrap
+      (6L, "<urlset><url><loc><![CDATA[ http://a.com/cd?x=1 ]]></loc>" +
+        "<changefreq>daily</changefreq></url></urlset>")
     ).toDF("doc_id", "xml")
     val got = UrlOps.sitemapEntries(docs, "doc_id", "xml")
       .collect().map(r => (r.getLong(0),
@@ -3999,7 +4003,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((4L, -1)) == (("unknown", null, null, -1L, null, -1.0)))
     assert(got((5L, 0)) == (("urlset", "http://a.com/r", "not-a-date",
       -1L, null, -1.0)))
-    assert(got.size == 6)
+    assert(got((6L, 0)) == (("urlset", "http://a.com/cd?x=1", null,
+      -1L, "daily", -1.0)), got((6L, 0)).toString)
+    assert(got.size == 7)
   }
 
   test("sitemapClosure: index entries feed the next level, cycles and " +
