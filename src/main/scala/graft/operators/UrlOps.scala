@@ -301,9 +301,14 @@ object UrlOps {
     * contents are literal (no entity decoding), but after unwrapping
     * they flow through the same entity decode as plain values — real
     * sitemap CDATA holds already-literal URLs, where the decode is a
-    * no-op. */
+    * no-op. The regex runs only on pages that actually CONTAIN a
+    * CDATA opener — a plain substring test keeps the common case at
+    * one scan (the unguarded replace measured 30–50% on the
+    * sub-second sitemap queries). */
   private def stripCdata(c: Column): Column =
-    regexp_replace(c, "(?s)<!\\[CDATA\\[(.*?)\\]\\]>", "$1")
+    when(c.contains("<![CDATA["),
+      regexp_replace(c, "(?s)<!\\[CDATA\\[(.*?)\\]\\]>", "$1"))
+      .otherwise(c)
 
   /** sitemaps.org root-element sniff shared by [[sitemapLocs]] and
     * [[sitemapEntries]]. */
