@@ -5752,6 +5752,29 @@ object SparkEntry {
         .orderBy(col("depth"), col("sitemap_url"), col("entry_idx"))
     }),
 
+    // Unified robots group model (q448): with unifiedGroups a
+    // crawl-delay-ONLY group ends its UA run for the VERDICT too —
+    // agent a's delay-only group is authoritative (empty → all
+    // allowed) instead of chaining into the * group's Disallow; a
+    // group carrying real rules binds them as usual.
+    "q448_robots_unified" -> ((s, dir) => {
+      val m = col("doc_id") % 3
+      val pid = concat(lit("p"), col("doc_id").cast("string"))
+      val robots = when(m === 2,
+          lit("User-agent: a\nCrawl-delay: 5\nDisallow: /y\n" +
+            "User-agent: *\nDisallow: /\n"))
+        .otherwise(lit("User-agent: a\nCrawl-delay: 5\n" +
+          "User-agent: *\nDisallow: /x\n"))
+      val path = when(m === 0, concat(lit("/x/"), pid))
+        .when(m === 1, concat(lit("/open/"), pid))
+        .otherwise(concat(lit("/y/"), pid))
+      UrlOps.robotsVerdictFor(
+        t(s, dir, "documents").select(col("doc_id"),
+          robots.as("robots"), path.as("path")),
+        "doc_id", "robots", "path", "a", unifiedGroups = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // The crawl story end-to-end (q447): robots files declare their
     // group's root sitemap → closure walks index → urlset over the
     // fetched table → changefreq/lastmod due decision → per-host
@@ -18500,6 +18523,22 @@ FROM res GROUP BY doc_id ORDER BY doc_id"""),
         |  WHERE s.doc_id % 3 <> 0 AND r.doc_id % 3 = 0)
         |SELECT * FROM d1 UNION ALL SELECT * FROM d2
         |ORDER BY depth, sitemap_url, entry_idx""".stripMargin,
+
+    // Agent a's delay-only group is authoritative under the unified
+    // model: m in (0,1) bind ZERO rules and allow; m=2's group
+    // carries Disallow /y (2 octets) and blocks the /y path.
+    "q448_robots_unified" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN '/x/p' || doc_id::VARCHAR
+        |    WHEN 1 THEN '/open/p' || doc_id::VARCHAR
+        |    ELSE '/y/p' || doc_id::VARCHAR END AS path,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_rules,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 0 END)::BIGINT
+        |    AS match_len,
+        |  doc_id % 3 <> 2 AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Declared roots = each doc's group root (exists by construction
     // for contiguous ids; the join keeps it honest anyway); walked
