@@ -9413,6 +9413,17 @@ class OperatorsSpec extends AnyFunSuite {
     dicted(4) = (dicted(4) | 0x03).toByte // FHD: 4-byte dictionary id
     assert(ZstdCodec.unzstd(dicted, 1 << 20).isEmpty,
       "a dictionary-needing frame must read None, not throw")
+    // zip.zst compound: a zipped bundle under the zstd layer parses
+    // under the compound label with the inflation budget threaded
+    // into the zip parse
+    val zipZst = ZstdCodec.zstdBytes(graft.sources.ZipCodec.zipBytes(
+      Seq(("z.txt", "zip member body".getBytes("UTF-8"), true))))
+    val zz = ArchiveOps.members(
+      Seq(("z-6", zipZst)).toDF("id", "bin"), "id", "bin")
+      .collect().head
+    assert(zz.getString(1) == "zip.zst" && zz.getString(3) == "z.txt" &&
+      new String(zz.getAs[Array[Byte]]("data"), "UTF-8") ==
+        "zip member body", zz.toString)
     // cross-layer tower: zst(gz(tar)) costs one depth level per layer
     val zstGzTar = ZstdCodec.zstdBytes(graft.sources.GzipCodec.gzipBytes(
       TarCodec.tarBytes(Seq(("t.txt", text)))))

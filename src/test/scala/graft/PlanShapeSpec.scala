@@ -630,7 +630,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "group-chaining scan, wildcard matching and agent resolution " +
       "all run in-row; no join, no window, one presentation sort") {
     Seq("q434_chained_crawl_delay", "q435_robots_wildcards",
-      "q436_robots_for_agent", "q437_crawl_delay_for_agent")
+      "q436_robots_for_agent", "q437_crawl_delay_for_agent",
+      "q448_robots_unified")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("Join"),
