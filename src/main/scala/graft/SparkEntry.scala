@@ -5990,6 +5990,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bzip2-layer drop census (q449): the OLD dump shapes — .tar.bz2
+    // bundles and bare .xml.bz2 streams (Wikipedia dumps) — plus raw
+    // bytes; the bzip2 twin of the q433/q439 censuses.
+    "q449_tarbz2_walk" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.Bzip2Codec.bzip2Bytes(
+              graft.sources.TarCodec.tarBytes(Seq(("t.txt", tb))))
+            case 1 => graft.sources.Bzip2Codec.bzip2Bytes(tb)
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+      ArchiveOps.walkReport(bin, "doc_id", "bin")
+        .orderBy(col("format"))
+    }),
+
+    // Xz-layer drop census (q450): .tar.xz source bundles and bare
+    // .xml.xz mirrors; the xz twin of the same census.
+    "q450_tarxz_walk" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.XzCodec.xzBytes(
+              graft.sources.TarCodec.tarBytes(Seq(("t.txt", tb))))
+            case 1 => graft.sources.XzCodec.xzBytes(tb)
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+      ArchiveOps.walkReport(bin, "doc_id", "bin")
+        .orderBy(col("format"))
+    }),
+
     // Zstd-layer drop census (q439): the dominant public-corpus shard
     // shapes today — .tar.zst bundles (transparent unwrap, compound
     // format label) and bare .jsonl.zst shards (inflated bytes as one
@@ -18721,6 +18762,38 @@ SELECT doc_id, substr(md5(clean), 1, 16) AS clean_sig, n_tokens,
     AND substr(md5(doc_id), 1, 8)
          < '${SamplingOps.rateThreshold(0.8)}') AS selected
 FROM scored ORDER BY doc_id"""),
+
+    "q449_tarbz2_walk" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'tar.bz2' WHEN 1 THEN 'bz2'
+        |      ELSE 'unknown' END AS format,
+        |    strlen(text)::BIGINT AS n
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_archives,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_decodable,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_members,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE sum(n) END)::BIGINT AS member_bytes
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q450_tarxz_walk" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'tar.xz' WHEN 1 THEN 'xz'
+        |      ELSE 'unknown' END AS format,
+        |    strlen(text)::BIGINT AS n
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_archives,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_decodable,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_members,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE sum(n) END)::BIGINT AS member_bytes
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
 
     "q439_tarzst_walk" ->
       """WITH f AS (

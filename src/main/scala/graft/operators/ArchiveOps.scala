@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{GzipCodec, TarCodec, ZipCodec, ZstdCodec}
+import graft.sources.{Bzip2Codec, GzipCodec, TarCodec, XzCodec,
+  ZipCodec, ZstdCodec}
 
 /** The generic archive walk — the reusable form of the q189/q284
   * query pattern: a corpus drop arrives as a BINARY column of mixed
@@ -43,8 +44,21 @@ object ArchiveOps {
       "tar"
     else if (GzipCodec.sniff(b)) "gz"
     else if (ZstdCodec.sniff(b)) "zst"
+    else if (Bzip2Codec.sniff(b)) "bz2"
+    else if (XzCodec.sniff(b)) "xz"
     else "unknown"
   }
+
+  /** The compression-LAYER family: label → bounded decompressor. One
+    * table so the walk's unwrap, the compound labels (`tar.gz`,
+    * `zip.zst`, `tar.bz2`, …) and the in-place member decompression
+    * treat every layer identically. */
+  private val layers: Map[String, (Array[Byte], Long) => Option[Array[Byte]]] =
+    Map(
+      "gz" -> (GzipCodec.gunzip _),
+      "zst" -> (ZstdCodec.unzstd _),
+      "bz2" -> (Bzip2Codec.unbzip2 _),
+      "xz" -> (XzCodec.unxz _))
 
   /** One row per member: (doc_id, format, member_idx, name, size,
     * data, decodable); undecodable archives yield one
@@ -165,29 +179,16 @@ object ArchiveOps {
             .map(_.map(m => (m.name, m.size, m.data))))
         case "tar" => ("tar", TarCodec.parse(b)
           .map(_.map(m => (m.name, m.size, m.data))))
-        case "gz" =>
-          GzipCodec.gunzip(b, inflationCapBytes - inflated) match {
-            case None => ("gz", None)
+        case layer if layers.contains(layer) =>
+          layers(layer)(b, inflationCapBytes - inflated) match {
+            case None => (layer, None)
             case Some(inner) => sniff(inner) match {
-              case "zip" => ("zip.gz",
+              case "zip" => (s"zip.$layer",
                 ZipCodec.parse(inner, inflationCapBytes - inflated)
                   .map(_.map(m => (m.name, m.size, m.data))))
-              case "tar" => ("tar.gz", TarCodec.parse(inner)
+              case "tar" => (s"tar.$layer", TarCodec.parse(inner)
                 .map(_.map(m => (m.name, m.size, m.data))))
-              case _ => ("gz",
-                Some(Seq((null, inner.length.toLong, inner))))
-            }
-          }
-        case "zst" =>
-          ZstdCodec.unzstd(b, inflationCapBytes - inflated) match {
-            case None => ("zst", None)
-            case Some(inner) => sniff(inner) match {
-              case "zip" => ("zip.zst",
-                ZipCodec.parse(inner, inflationCapBytes - inflated)
-                  .map(_.map(m => (m.name, m.size, m.data))))
-              case "tar" => ("tar.zst", TarCodec.parse(inner)
-                .map(_.map(m => (m.name, m.size, m.data))))
-              case _ => ("zst",
+              case _ => (layer,
                 Some(Seq((null, inner.length.toLong, inner))))
             }
           }
@@ -213,10 +214,10 @@ object ArchiveOps {
             null, decodable = false, isArchive = childFmt != "unknown")
         else if (childFmt != "unknown" && depth + 1 < maxDepth) {
           parseAs(d) match {
-            case (layer @ ("gz" | "zst"), Some(pseudo)) =>
-              // a plain compression-layer member (.gz / .zst)
-              // decompresses IN PLACE: same row, inflated bytes and
-              // size (the .jsonl.gz / .jsonl.zst-in-tar shape)
+            case (layer, Some(pseudo)) if layers.contains(layer) =>
+              // a plain compression-layer member (.gz / .zst / .bz2 /
+              // .xz) decompresses IN PLACE: same row, inflated bytes
+              // and size (the .jsonl.gz / .jsonl.zst-in-tar shape)
               val (_, isz, inner) = pseudo.head
               inflated += isz
               if (inflated > inflationCapBytes)

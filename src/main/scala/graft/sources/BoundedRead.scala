@@ -1,0 +1,37 @@
+package graft.sources
+
+/** THE bounded-decompress read loop shared by every compression-layer
+  * codec ([[GzipCodec]], [[ZstdCodec]], [[Bzip2Codec]], [[XzCodec]]):
+  * no layer format carries a trustworthy inflated size (absent,
+  * optional, or attacker-controlled in all four), so the only bomb
+  * defense is to stop once output exceeds the cap — allocation
+  * follows actual yield under the cap, never the container's claim.
+  * Output past `maxOut` → None; the exact boundary succeeds. One copy
+  * so the at-cap semantics can never drift between codecs. */
+private[sources] object BoundedRead {
+
+  /** Drain `in` into a byte array of at most `maxOut` bytes; None if
+    * the stream keeps producing past the cap. The caller owns
+    * `in` (close + exception handling). */
+  def drain(in: java.io.InputStream, maxOut: Long): Option[Array[Byte]] = {
+    val cap = math.min(maxOut, Int.MaxValue - 16L).toInt
+    var out = new Array[Byte](math.min(cap, 64 * 1024))
+    var len = 0
+    var n = 0
+    while (n >= 0) {
+      if (len == out.length) {
+        if (len >= cap) {
+          // at the cap with the stream still producing → bomb
+          if (in.read() >= 0) return None
+          n = -1
+        } else out = java.util.Arrays.copyOf(out,
+          math.min(cap.toLong, out.length * 2L).toInt)
+      }
+      if (n >= 0) {
+        n = in.read(out, len, out.length - len)
+        if (n > 0) len += n
+      }
+    }
+    Some(java.util.Arrays.copyOf(out, len))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import org.apache.commons.compress.compressors.bzip2.{
+  BZip2CompressorInputStream, BZip2CompressorOutputStream}
+
+/** Minimal bzip2 layer codec — the compression wrapper the OLDER
+  * public dumps actually use: Wikipedia database dumps ship
+  * `.xml.bz2`, many archival corpora serve `.tar.bz2`. Like
+  * [[GzipCodec]]/[[ZstdCodec]] this is a LAYER (one byte stream, no
+  * members) that [[graft.operators.ArchiveOps]] unwraps
+  * transparently.
+  *
+  * Implementation rides Apache commons-compress's decoder (public
+  * library, on the Spark classpath already — Spark reads bzip2 text
+  * files through the Hadoop codec of the same format); no new
+  * dependency. Decompression is BOUNDED ([[unbzip2]]'s `maxOut`,
+  * the [[BoundedRead]] family contract — bzip2's ~1.4 MB block
+  * memory is format-bounded, but total OUTPUT is not). Defensive:
+  * bad magic, truncated streams, CRC mismatches (the decoder
+  * verifies block and stream CRCs), garbage → None, never a throw.
+  * Concatenated streams (what `cat a.bz2 b.bz2` produces) decode as
+  * one stream, matching `bzcat` behavior.
+  *
+  * [[bzip2Bytes]] writes one single-stream form (block size 9), so
+  * roundtrips are exact on content. */
+object Bzip2Codec {
+
+  /** "BZh" + block-size digit '1'..'9'. */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && b(0) == 'B' && b(1) == 'Z' &&
+      b(2) == 'h' && b(3) >= '1' && b(3) <= '9'
+
+  /** Bounded decompress: the inflated bytes, or None on malformation
+    * OR on output exceeding `maxOut` (bomb defense). */
+  def unbzip2(b: Array[Byte], maxOut: Long): Option[Array[Byte]] = {
+    if (!sniff(b) || maxOut <= 0) return None
+    try {
+      val in = new BZip2CompressorInputStream(
+        new ByteArrayInputStream(b), /* decompressConcatenated = */ true)
+      try BoundedRead.drain(in, maxOut)
+      finally in.close()
+    } catch {
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic single-stream writer (block size 9) — the exact
+    * inverse of [[unbzip2]] on content. */
+  def bzip2Bytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val z = new BZip2CompressorOutputStream(bos, 9)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import org.apache.commons.compress.compressors.xz.{
+  XZCompressorInputStream, XZCompressorOutputStream}
+
+/** Minimal xz layer codec — `.tar.xz` source releases and `.xml.xz`
+  * dump mirrors, completing the layer family next to gzip / zstd /
+  * bzip2. Rides commons-compress + the xz library (both on the Spark
+  * classpath); no new dependency.
+  *
+  * Decompression is BOUNDED twice: [[unxz]]'s `maxOut` caps the
+  * OUTPUT ([[BoundedRead]] contract), and the decoder's own memory
+  * limit (256 MiB) caps the DICTIONARY allocation — an xz header can
+  * declare a multi-GiB LZMA2 dictionary that would be allocated
+  * before a single output byte, so the output cap alone is not
+  * enough for this format (MemoryLimitException routes to the same
+  * honest None). Defensive: bad magic, truncated streams, check
+  * mismatches, garbage → None, never a throw. Concatenated streams
+  * decode as one, matching `xz -d` behavior.
+  *
+  * [[xzBytes]] writes one single-stream form (default LZMA2 preset),
+  * so roundtrips are exact on content. */
+object XzCodec {
+
+  /** xz magic: FD '7' 'z' 'X' 'Z' 00. */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 6 && (b(0) & 0xff) == 0xfd &&
+      b(1) == '7' && b(2) == 'z' && b(3) == 'X' && b(4) == 'Z' &&
+      b(5) == 0
+
+  /** Bounded decompress: the inflated bytes, or None on malformation,
+    * output past `maxOut`, or a dictionary past the decoder memory
+    * limit. */
+  def unxz(b: Array[Byte], maxOut: Long): Option[Array[Byte]] = {
+    if (!sniff(b) || maxOut <= 0) return None
+    try {
+      val in = new XZCompressorInputStream(
+        new ByteArrayInputStream(b), /* decompressConcatenated = */ true,
+        /* memoryLimitInKb = */ 256 * 1024)
+      try BoundedRead.drain(in, maxOut)
+      finally in.close()
+    } catch {
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic single-stream writer — the exact inverse of
+    * [[unxz]] on content. */
+  def xzBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val z = new XZCompressorOutputStream(bos)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+}

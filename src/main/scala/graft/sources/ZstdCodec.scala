@@ -52,29 +52,10 @@ object ZstdCodec {
     * claim). */
   def unzstd(b: Array[Byte], maxOut: Long): Option[Array[Byte]] = {
     if (!sniff(b) || maxOut <= 0) return None
-    val cap = math.min(maxOut, Int.MaxValue - 16L).toInt
     try {
       val in = new ZstdInputStreamNoFinalizer(new ByteArrayInputStream(b))
-      try {
-        var out = new Array[Byte](math.min(cap, 64 * 1024))
-        var len = 0
-        var n = 0
-        while (n >= 0) {
-          if (len == out.length) {
-            if (len >= cap) {
-              // at the cap with the stream still producing → bomb
-              if (in.read() >= 0) return None
-              n = -1
-            } else out = java.util.Arrays.copyOf(out,
-              math.min(cap.toLong, out.length * 2L).toInt)
-          }
-          if (n >= 0) {
-            n = in.read(out, len, out.length - len)
-            if (n > 0) len += n
-          }
-        }
-        Some(java.util.Arrays.copyOf(out, len))
-      } finally in.close()
+      try BoundedRead.drain(in, maxOut)
+      finally in.close()
     } catch {
       // zstd-jni surfaces malformations as IOException from the
       // stream API and ZstdException (a RuntimeException) from the

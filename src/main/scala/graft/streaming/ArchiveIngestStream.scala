@@ -99,11 +99,14 @@ object ArchiveIngestStream {
   }
 
   /** The member name with one trailing compression-layer extension
-    * (`.gz` / `.zst`) stripped — how an in-place decompressed
-    * `shard.jsonl.zst` member reaches the `.jsonl` test. */
+    * (`.gz` / `.zst` / `.bz2` / `.xz`) stripped — how an in-place
+    * decompressed `shard.jsonl.zst` member reaches the `.jsonl`
+    * test. */
   private def stripLayerExt(name: String): Option[String] =
     if (name.endsWith(".gz")) Some(name.dropRight(3))
     else if (name.endsWith(".zst")) Some(name.dropRight(4))
+    else if (name.endsWith(".bz2")) Some(name.dropRight(4))
+    else if (name.endsWith(".xz")) Some(name.dropRight(3))
     else None
 
   /** Content gate (the NAME of a member is attacker-controlled; its

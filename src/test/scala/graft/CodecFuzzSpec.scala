@@ -188,6 +188,16 @@ class CodecFuzzSpec extends AnyFunSuite {
       "unzstd" -> (b => ZstdCodec.unzstd(b, 1 << 20)))
   }
 
+  test("BZIP2 and XZ decoders survive seeded corruptions without " +
+      "throwing") {
+    import graft.sources.{Bzip2Codec, XzCodec}
+    val body = ("layer fuzz body " * 40).getBytes("UTF-8")
+    sweep("bz2", Bzip2Codec.bzip2Bytes(body), 1717)(
+      "unbzip2" -> (b => Bzip2Codec.unbzip2(b, 1 << 20)))
+    sweep("xz", XzCodec.xzBytes(body), 1818)(
+      "unxz" -> (b => XzCodec.unxz(b, 1 << 20)))
+  }
+
   test("ZIP parser (classic + forced-ZIP64 layouts) survives seeded " +
       "corruptions without throwing") {
     import graft.sources.ZipCodec

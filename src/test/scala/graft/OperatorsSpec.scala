@@ -9438,6 +9438,65 @@ class OperatorsSpec extends AnyFunSuite {
       tower.mkString("; "))
   }
 
+  test("bzip2/xz layers unwrap transparently: tar.bz2 / tar.xz walk " +
+      "their members, bare streams surface content, in-place members " +
+      "decompress, bombs / truncation / concatenation stay honest") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{Bzip2Codec, TarCodec, XzCodec}
+    val text = "shard line one\nshard line two".getBytes("UTF-8")
+    val rows = Seq(
+      ("b-1", Bzip2Codec.bzip2Bytes(TarCodec.tarBytes(Seq(
+        ("a.txt", "member body".getBytes("UTF-8")))))),
+      ("b-2", Bzip2Codec.bzip2Bytes(text)),        // bare .xml.bz2 shape
+      ("b-3", Bzip2Codec.bzip2Bytes(text).take(8)), // truncated
+      ("x-1", XzCodec.xzBytes(TarCodec.tarBytes(Seq(
+        ("a.txt", "member body".getBytes("UTF-8")))))),
+      ("x-2", XzCodec.xzBytes(text)),
+      ("x-3", XzCodec.xzBytes(text).take(8))
+    ).toDF("id", "bin")
+    val flat = ArchiveOps.members(rows, "id", "bin")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getString(3),
+          Option(r.getAs[Array[Byte]]("data"))
+            .map(new String(_, "UTF-8")).orNull,
+          r.getBoolean(6))).toMap
+    assert(flat("b-1") == (("tar.bz2", 0, "a.txt", "member body", true)))
+    assert(flat("b-2") == (("bz2", 0, null,
+      "shard line one\nshard line two", true)))
+    assert(flat("b-3") == (("bz2", -1, null, null, false)))
+    assert(flat("x-1") == (("tar.xz", 0, "a.txt", "member body", true)))
+    assert(flat("x-2") == (("xz", 0, null,
+      "shard line one\nshard line two", true)))
+    assert(flat("x-3") == (("xz", -1, null, null, false)))
+    // in-place member decompression + text extraction through both
+    val nested = Seq(("m-1", TarCodec.tarBytes(Seq(
+      ("dump.xml.bz2", Bzip2Codec.bzip2Bytes(text)),
+      ("shard.jsonl.xz", XzCodec.xzBytes(text))))))
+      .toDF("doc_id", "bin")
+      .withColumn("ts", lit("2024-06-11 00:00:00").cast("timestamp"))
+    val texts = graft.streaming.ArchiveIngestStream.textMembers(
+      nested, textExtensions = Set(".xml", ".jsonl"))
+      .collect().map(_.getString(0)).toSet
+    assert(texts == Set("m-1!dump.xml.bz2", "m-1!shard.jsonl.xz"),
+      texts.toString)
+    // codec contracts directly: bounded, never-throw, roundtrip,
+    // concatenation, exact boundary
+    for ((enc, dec) <- Seq(
+        (Bzip2Codec.bzip2Bytes _, Bzip2Codec.unbzip2 _),
+        (XzCodec.xzBytes _, XzCodec.unxz _))) {
+      val bomb = enc(new Array[Byte](1 << 20))
+      assert(dec(bomb, 1 << 21).exists(_.length == (1 << 20)))
+      assert(dec(bomb, 1 << 10).isEmpty)
+      assert(dec(text, 1 << 20).isEmpty) // wrong magic
+      assert(dec(enc(text), 1 << 20).exists(_.sameElements(text)))
+      assert(dec(enc(text) ++ enc(text), 1 << 20)
+        .exists(_.sameElements(text ++ text)))
+      assert(dec(enc(text), text.length.toLong)
+        .exists(_.sameElements(text)))
+      assert(dec(enc(text), text.length - 1L).isEmpty)
+    }
+  }
+
   test("zip budget threading: overlapping central entries cannot " +
       "amplify a small archive — members past the budget come back " +
       "data-null without being inflated, and the walk marks them " +
