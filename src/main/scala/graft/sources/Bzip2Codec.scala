@@ -46,11 +46,13 @@ object Bzip2Codec {
     }
   }
 
-  /** Deterministic single-stream writer (block size 9) — the exact
-    * inverse of [[unbzip2]] on content. */
+  /** Deterministic single-stream writer (block size 1 — this writer
+    * exists for fixtures and roundtrips, and a 900 KiB block buffer
+    * per call buys nothing on payloads this size) — the exact inverse
+    * of [[unbzip2]] on content. */
   def bzip2Bytes(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val z = new BZip2CompressorOutputStream(bos, 9)
+    val z = new BZip2CompressorOutputStream(bos, 1)
     z.write(data); z.close()
     bos.toByteArray
   }

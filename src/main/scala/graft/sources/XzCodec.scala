@@ -47,10 +47,13 @@ object XzCodec {
   }
 
   /** Deterministic single-stream writer — the exact inverse of
-    * [[unxz]] on content. */
+    * [[unxz]] on content. Preset 0 (256 KiB dictionary): this writer
+    * exists for fixtures and roundtrips, and the default preset's
+    * 8 MiB dictionary is allocated PER CALL — three orders of
+    * magnitude more setup than the payloads it compresses here. */
   def xzBytes(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val z = new XZCompressorOutputStream(bos)
+    val z = new XZCompressorOutputStream(bos, 0)
     z.write(data); z.close()
     bos.toByteArray
   }
