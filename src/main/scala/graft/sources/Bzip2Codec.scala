@@ -43,6 +43,11 @@ object Bzip2Codec {
       finally in.close()
     } catch {
       case _: java.io.IOException => None
+      // commons-compress decoders have historically surfaced crafted
+      // streams as unchecked exceptions (the CVE-2018-11771 family's
+      // AIOOBEs); the scan-task never-throw contract must not depend
+      // on the library's bug-freedom
+      case _: RuntimeException => None
     }
   }
 

@@ -43,6 +43,11 @@ object XzCodec {
       finally in.close()
     } catch {
       case _: java.io.IOException => None
+      // commons-compress/xz decoders have historically surfaced
+      // crafted streams as unchecked exceptions; the scan-task
+      // never-throw contract must not depend on the library's
+      // bug-freedom
+      case _: RuntimeException => None
     }
   }
 
