@@ -34,6 +34,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibSec = Seq(calibOnce(), calibOnce(), calibOnce()).min
+    // Multi-core calibration: the SAME fixed loop on one thread per core,
+    // all started together, timed wall-clock (min of 3). Three rounds
+    // running (r11-r13) the single-thread calib under-corrected host
+    // contention for the battery's sub-second MULTI-core queries — a
+    // co-tenant stealing 8 of 32 cores barely moves a 1-thread loop but
+    // stretches a 32-task stage by ~a third, and the drift band landed
+    // exactly there (48 queries at 1.5-2x raw on untouched code in r13).
+    // Wall time of N saturating threads measures the host's PARALLEL
+    // throughput deficit, which is what the queries actually experience.
+    // Measured BEFORE and AFTER the battery (contention can arrive
+    // mid-run; a 441-query battery is ~20 min) and both go in the JSON.
+    val nCalibThreads = math.min(
+      Runtime.getRuntime.availableProcessors(), cpus.toInt)
+    def calibParOnce(): Double = {
+      val t0 = System.nanoTime()
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val ts = (0 until nCalibThreads).map { tid =>
+        val t = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + tid
+          var i = 0
+          while (i < 200000000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+          }
+          sink.addAndGet(x) // observable: defeat DCE without contention
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      ts.foreach(_.join())
+      if (sink.get == 42L) print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibParSec = Seq(calibParOnce(), calibParOnce(), calibParOnce()).min
     // Time a noop-format write: every column is materialized, so column
     // pruning cannot elide projection work the way `df.count()` would for
     // select-shaped queries.
@@ -82,7 +114,8 @@ object Bench {
     // host-noise allowance, and a clean query on a loaded host burns
     // retries. The ratio is clamped to [0.5, 2.5] so a corrupted calib
     // record can neither wipe the guard nor make it fire on everything.
-    val (prev: Map[String, Double], prevCalib: Double) = {
+    val (prev: Map[String, Double], prevCalib: Double,
+         prevCalibPar: Option[Double]) = {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_prev.json")
       try {
         val txt = scala.io.Source.fromFile(p).mkString
@@ -90,11 +123,23 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val c = """"calib"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
           .map(_.group(1).toDouble).getOrElse(calibSec)
-        (qs, c)
-      } catch { case _: Throwable => (Map.empty[String, Double], calibSec) }
+        val cp = """"calib_par"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+        (qs, c, cp)
+      } catch {
+        case _: Throwable => (Map.empty[String, Double], calibSec, None)
+      }
     }
-    val calibRatio =
-      math.max(0.5, math.min(2.5, calibSec / math.max(prevCalib, 1e-9)))
+    // The guard's host-speed ratio prefers the PARALLEL calib pair when
+    // the minima file records one (r14+): that is the number that tracks
+    // what a 32-task stage experiences under co-tenant load. Single-thread
+    // stays as the fallback so pre-r14 minima files keep working.
+    val calibRatio = prevCalibPar match {
+      case Some(pcp) if pcp > 1e-9 =>
+        math.max(0.5, math.min(2.5, calibParSec / pcp))
+      case _ =>
+        math.max(0.5, math.min(2.5, calibSec / math.max(prevCalib, 1e-9)))
+    }
     val results = named.map { case (name, fn) =>
       val ts = sweeps.map(_(name))
       var best =
@@ -120,8 +165,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Post-battery parallel probe: if the host got busier (or quieter)
+    // DURING the ~20-min battery, pre/post disagreement is the evidence.
+    val calibParPost =
+      Seq(calibParOnce(), calibParOnce(), calibParOnce()).min
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calibSec,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full per-query map also goes to a FILE (one pretty-ish line per
     // query so diffs read): the stdout line above can outgrow the driver's
@@ -134,6 +183,8 @@ object Bench {
   "value": $total,
   "unit": "sec",
   "calib": $calibSec,
+  "calib_par": $calibParSec,
+  "calib_par_post": $calibParPost,
   "sf": "$sfDir",
   "n": ${results.size},
   "queries": {
@@ -147,7 +198,7 @@ object Bench {
     }
     // Short self-defending summary LAST: the final bytes of output must
     // always be valid JSON even if everything above scrolled away.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"calib":$calibSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

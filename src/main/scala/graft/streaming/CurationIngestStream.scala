@@ -48,8 +48,13 @@ object CurationIngestStream {
       .toDF()
       .filter(col("reason") === "keep")
       .select(col("doc_id"), col("ts"), col("clean").as("text"))
+    // `kept.doc_id` is CurationVerdict's STRING cast of the original
+    // id — the near-dup stage must still tie-break/pair-direct in the
+    // ORIGINAL column's domain (batch twin compares Long 9 < 10, but
+    // "10" < "9" lexicographically), so the upstream type rides along.
     MinhashDedupStream.pairs(kept, "doc_id", "text", "ts",
-      watermarkDelay, nearDupHorizonMs, minMatch = minMatch)
+      watermarkDelay, nearDupHorizonMs, minMatch = minMatch,
+      idTypeOverride = Some(docs.schema(idCol).dataType))
   }
 
   /** Start the composed query: one checkpoint covers both state

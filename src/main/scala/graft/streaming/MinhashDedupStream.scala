@@ -91,13 +91,19 @@ object MinhashDedupStream {
             eventTimeCol: String, watermarkDelay: String,
             horizonMs: Long, shingleN: Int = 3, k: Int = 8,
             rowsPerBand: Int = 2, minMatch: Int = 6,
-            maxBucket: Int = 1000): Dataset[SigPair] = {
+            maxBucket: Int = 1000,
+            idTypeOverride: Option[org.apache.spark.sql.types.DataType]
+              = None): Dataset[SigPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // equal-ts tie-break in the id column's OWN domain, matching the
     // batch twin's natural-type `a.id < b.id` — ONE definition shared
-    // with CurationStream ([[StreamIds.ordKey]])
-    val idType = docs.schema(idCol).dataType
+    // with CurationStream ([[StreamIds.ordKey]]). A composing caller
+    // whose upstream stage already cast the id to string (the
+    // curation funnel) passes the ORIGINAL column type here —
+    // otherwise a numeric id would tie-break lexicographically ("10"
+    // < "9") while its batch twin compares numerically.
+    val idType = idTypeOverride.getOrElse(docs.schema(idCol).dataType)
     val banded = docs
       // no text → no signature; no event time → no ordering, no
       // watermark: both are poison for the state fold, drop up front

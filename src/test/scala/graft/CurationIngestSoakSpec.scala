@@ -153,6 +153,51 @@ class CurationIngestSoakSpec extends AnyFunSuite {
     srcBatch.unpersist()
   }
 
+  test("equal-ts NUMERIC ids tie-break numerically through the " +
+      "composed funnel: batch pair (9,10), not lexicographic (10,9)") {
+    // Round-14 regression (ADVICE medium): CurationStream casts
+    // doc_id to string at the state boundary, and before the
+    // idTypeOverride plumbing the near-dup stage re-derived its
+    // ordering key from the STRING column — with equal timestamps,
+    // Long ids 9/10 paired as ("10","9") since "10" < "9", while the
+    // batch twin on the original Long column pairs (9,10).
+    val src = Files.createTempDirectory("graft_cin_src").toString
+    val out = Files.createTempDirectory("graft_cin_out").toString
+    val ts = new java.sql.Timestamp(base * 1000L)
+    val shared = (1 to 30).map(w => s"nw$w").mkString(" ")
+    val rows = Seq(
+      (9L, ts, s"$shared nine"),
+      (10L, ts, s"$shared ten"))
+    rows.toDF("doc_id", "ts", "text").write.mode("overwrite")
+      .parquet(src)
+    val schema = rows.toDF("doc_id", "ts", "text").schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    // minMatch = 1: ANY band collision pairs — the test pins pair
+    // DIRECTION, not the similarity threshold
+    val q = CurationIngestStream.start(stream, out, minMatch = 1)
+    try q.awaitTermination(180000L)
+    finally spark.conf.set("spark.sql.streaming.statefulOperator." +
+      "checkCorrectness.enabled", "true")
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    val got = spark.read.parquet(s"$out/pairs")
+      .select(col("id_a"), col("id_b")).distinct()
+      .as[(String, String)].collect().toSet
+    assert(got.nonEmpty, "fixture must near-dup pair")
+    // batch twin on the ORIGINAL Long ids directs every pair (9, 10)
+    val keptClean = CurationPipeline
+      .cleanProject(spark.read.parquet(s"$src/*.parquet"),
+        "doc_id", "text", keep = Seq("ts"))
+      .select(col("doc_id"), col("ts"), col("clean"))
+    val expected = DedupOps.minhashSigPairs(
+      keptClean, "doc_id", "clean", "ts", minMatch = 1)
+      .select(col("id_a").cast("string"), col("id_b").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got == expected,
+      s"only stream: ${got -- expected}\nonly batch: ${expected -- got}")
+    assert(got == Set(("9", "10")),
+      s"equal-ts Long ids must pair numerically (9,10); got $got")
+  }
+
   test("composite string ids compose through the WHOLE graph: " +
       "archive leaves → curation → near-dup pairs in one query ≡ " +
       "the batch pipeline on the same string ids") {
