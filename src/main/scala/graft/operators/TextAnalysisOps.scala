@@ -3800,6 +3800,16 @@ object TextAnalysisOps {
     * bounded by this constant). */
   private val QaAnchorLen = 24
 
+  /** Runtime bound on the SHORT-question subset of the non-broadcast
+    * QA arm. Short items broadcast against every doc row (the caller
+    * chose `broadcastQa = false` precisely because the FULL item set
+    * is too big for that shape), so an item table dominated by
+    * sub-anchor questions would silently degenerate to a corpus-sized
+    * nested loop. The guard is evaluated inside the plan (stays lazy,
+    * costs one aggregate over the item table) and fails loudly with
+    * the remediation instead of grinding. */
+  private val QaMaxShortItems = 2048
+
   /** (doc, QA item) candidate pairs for the leak scan/excise:
     * `broadcastQa = true` is the broadcast cross join (every doc sees
     * every item in-row, zero corpus shuffle); `false` is the exact
@@ -3843,8 +3853,23 @@ object TextAnalysisOps {
       .select(col(idCol), col("__txt"), col("__q"), col("__a"))
     // the short-item arm is the broadcast shape over the SHORT subset
     // only — per physical doc row × item, exactly what the broadcast
-    // arm would emit for those items (arms stay identical)
-    nominated.unionByName(base.join(broadcast(shorti))
+    // arm would emit for those items (arms stay identical). Guarded:
+    // over QaMaxShortItems short questions the arm raises at
+    // execution time rather than running a corpus × shorts nested
+    // loop the caller opted out of with broadcastQa = false.
+    val shortCount = shorti.select(
+      count(lit(1)).cast("int").as("__n_short"))
+    val shortiGuarded = shorti.crossJoin(broadcast(shortCount))
+      .select(
+        when(col("__n_short") > QaMaxShortItems, raise_error(concat(
+          lit(s"answer-leak scan: "), col("__n_short"),
+          lit(s" QA questions are shorter than the $QaAnchorLen-char" +
+            " anchor (limit " + QaMaxShortItems + "); they would" +
+            " broadcast against every corpus row. Lengthen the" +
+            " questions or use broadcastQa = true."))))
+          .otherwise(col("__q")).as("__q"),
+        col("__a"))
+    nominated.unionByName(base.join(broadcast(shortiGuarded))
       .select(col(idCol), col("__txt"), col("__q"), col("__a")))
   }
 

@@ -23,8 +23,8 @@ import org.apache.commons.compress.compressors.bzip2.{
   * Concatenated streams (what `cat a.bz2 b.bz2` produces) decode as
   * one stream, matching `bzcat` behavior.
   *
-  * [[bzip2Bytes]] writes one single-stream form (block size 9), so
-  * roundtrips are exact on content. */
+  * [[bzip2Bytes]] writes one single-stream form (block size 1 — see
+  * its doc for why), so roundtrips are exact on content. */
 object Bzip2Codec {
 
   /** "BZh" + block-size digit '1'..'9'. */

@@ -8880,6 +8880,36 @@ class OperatorsSpec extends AnyFunSuite {
       "both physical copies of a leaking doc must flag")
   }
 
+  test("answerLeakScan broadcastQa=false: a short-question-dominated " +
+      "item table fails LOUDLY instead of nested-looping the corpus") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq((1L, "some corpus text about nothing"))
+      .toDF("doc_id", "text")
+    // 3000 distinct sub-anchor questions > the 2048 guard
+    val qa = (1 to 3000).map(i => (s"Q$i?", s"a$i"))
+      .toDF("question", "answer")
+    val ex = intercept[Exception] {
+      TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+        qa, "question", "answer", broadcastQa = false).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("shorter than the 24-char")),
+      s"guard must name the cause: ${msgs(ex)}")
+    // the guard stays LAZY: building the plan runs no job and throws
+    // nothing
+    TextAnalysisOps.answerLeakScan(docs, "doc_id", "text",
+      qa, "question", "answer", broadcastQa = false)
+    // and a small short subset still verifies (under the limit)
+    val okQa = Seq(("What is X?", "gold")).toDF("question", "answer")
+    val hit = TextAnalysisOps.answerLeakScan(
+      Seq((1L, "intro What is X? gold outro")).toDF("doc_id", "text"),
+      "doc_id", "text", okQa, "question", "answer",
+      broadcastQa = false)
+    assert(hit.count() == 1L)
+  }
+
   test("packBoundaryAudit: a deterministic single-bucket layout " +
       "counts the bridge and the clean stop exactly") {
     import graft.operators.PackingOps
