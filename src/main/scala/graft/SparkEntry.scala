@@ -6031,6 +6031,58 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // 7z drop census (q452, round 14): `.7z` is what old corpus
+    // mirrors and many ML dataset dumps actually ship (solid LZMA2
+    // blocks beat per-member deflate on text); the walk unpacks them
+    // through commons-compress under the same bounded contract as
+    // ZIP, and the census is the q449/q450 shape over multi-member
+    // and single-member archives plus raw non-archive bytes.
+    "q452_7z_walk" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.SevenZCodec.sevenZBytes(Seq(
+              ("a.txt", tb), ("b.txt", (text + " b").getBytes("UTF-8"))))
+            case 1 => graft.sources.SevenZCodec.sevenZBytes(
+              Seq(("t.txt", tb)))
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+      ArchiveOps.walkReport(bin, "doc_id", "bin")
+        .orderBy(col("format"))
+    }),
+
+    // ZIP member-method dispatch (q451, round 14): real dumps carry
+    // members under APPNOTE methods beyond stored/deflate — 93
+    // (zstd), 12 (bzip2), 9 (deflate64). One zip per doc with one
+    // member per dispatched method; the walk decodes each through
+    // the matching layer decoder, CRC-verified, and the oracle
+    // recomputes names/sizes/digests from the text column. The
+    // fixture encode and parse run IN the scan task (the archive
+    // bytes never reach an exchange — q413's shape).
+    "q451_zip_method_members" -> ((s, dir) => {
+      import s.implicits._
+      val members = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val zip = graft.sources.ZipCodec.zipBytesMethods(Seq(
+            (s"z/$id.txt", text.getBytes("UTF-8"), 93),
+            (s"b/$id.txt", (text + " b12").getBytes("UTF-8"), 12),
+            (s"d/$id.txt", (text + " d64").getBytes("UTF-8"), 9)))
+          graft.sources.ZipCodec.parse(zip).get.zipWithIndex.map {
+            case (m, i) => (id, i, m.name, m.size, m.method, m.data)
+          }
+        }.toDF("doc_id", "member_idx", "name", "size", "method", "data")
+      members.select(col("doc_id"), col("member_idx"), col("name"),
+          col("size"), col("method"),
+          substring(md5(col("data")), 1, 16).as("content_sig"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
     // Zstd-layer drop census (q439): the dominant public-corpus shard
     // shapes today — .tar.zst bundles (transparent unwrap, compound
     // format label) and bare .jsonl.zst shards (inflated bytes as one
@@ -18794,6 +18846,45 @@ FROM scored ORDER BY doc_id"""),
         |  (CASE WHEN format = 'unknown' THEN 0
         |    ELSE sum(n) END)::BIGINT AS member_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q452_7z_walk" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE '7z' END
+        |      AS format,
+        |    (CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1
+        |      ELSE 0 END)::BIGINT AS m,
+        |    (CASE doc_id % 3 WHEN 0 THEN strlen(text) * 2 + 2
+        |      WHEN 1 THEN strlen(text) ELSE 0 END)::BIGINT AS b
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_archives,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_decodable,
+        |  sum(m)::BIGINT AS n_members,
+        |  sum(b)::BIGINT AS member_bytes
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q451_zip_method_members" ->
+      """WITH m AS (
+        |  SELECT doc_id, 0 AS member_idx,
+        |    'z/' || doc_id::VARCHAR || '.txt' AS name,
+        |    strlen(text)::BIGINT AS size, 93 AS method,
+        |    substr(md5(text), 1, 16) AS content_sig
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'b/' || doc_id::VARCHAR || '.txt',
+        |    strlen(text || ' b12')::BIGINT, 12,
+        |    substr(md5(text || ' b12'), 1, 16)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    'd/' || doc_id::VARCHAR || '.txt',
+        |    strlen(text || ' d64')::BIGINT, 9,
+        |    substr(md5(text || ' d64'), 1, 16)
+        |  FROM documents)
+        |SELECT doc_id, member_idx, name, size, method, content_sig
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
 
     "q439_tarzst_walk" ->
       """WITH f AS (

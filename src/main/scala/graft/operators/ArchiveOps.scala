@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Bzip2Codec, GzipCodec, TarCodec, XzCodec,
-  ZipCodec, ZstdCodec}
+import graft.sources.{Bzip2Codec, GzipCodec, SevenZCodec, TarCodec,
+  XzCodec, ZipCodec, ZstdCodec}
 
 /** The generic archive walk — the reusable form of the q189/q284
   * query pattern: a corpus drop arrives as a BINARY column of mixed
@@ -42,6 +42,7 @@ object ArchiveOps {
     else if (b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
       b(259) == 't' && b(260) == 'a' && b(261) == 'r')
       "tar"
+    else if (SevenZCodec.sniff(b)) "7z"
     else if (GzipCodec.sniff(b)) "gz"
     else if (ZstdCodec.sniff(b)) "zst"
     else if (Bzip2Codec.sniff(b)) "bz2"
@@ -179,6 +180,9 @@ object ArchiveOps {
             .map(_.map(m => (m.name, m.size, m.data))))
         case "tar" => ("tar", TarCodec.parse(b)
           .map(_.map(m => (m.name, m.size, m.data))))
+        case "7z" => ("7z",
+          SevenZCodec.parse(b, inflationCapBytes - inflated)
+            .map(_.map(m => (m.name, m.size, m.data))))
         case layer if layers.contains(layer) =>
           layers(layer)(b, inflationCapBytes - inflated) match {
             case None => (layer, None)
@@ -188,6 +192,9 @@ object ArchiveOps {
                   .map(_.map(m => (m.name, m.size, m.data))))
               case "tar" => (s"tar.$layer", TarCodec.parse(inner)
                 .map(_.map(m => (m.name, m.size, m.data))))
+              case "7z" => (s"7z.$layer",
+                SevenZCodec.parse(inner, inflationCapBytes - inflated)
+                  .map(_.map(m => (m.name, m.size, m.data))))
               case _ => (layer,
                 Some(Seq((null, inner.length.toLong, inner))))
             }

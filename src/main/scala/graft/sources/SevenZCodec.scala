@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.commons.compress.archivers.sevenz.{
+  SevenZArchiveEntry, SevenZFile, SevenZOutputFile}
+import org.apache.commons.compress.utils.SeekableInMemoryByteChannel
+
+/** 7-Zip archive codec — the fourth container leg (ZIP / tar / WARC /
+  * 7z): old corpus mirrors and many ML dataset dumps ship `.7z`
+  * (solid LZMA2 blocks compress text corpora ~2× tighter than zip's
+  * per-member deflate, so mirror operators favored it for years).
+  * Ingest stays "walk the archive, emit (member name, bytes)".
+  *
+  * Implementation rides commons-compress's `SevenZFile` (public
+  * library, already on every executor's Spark classpath) rather than
+  * a hand-rolled LZMA decoder — same honest-wrapper rationale as the
+  * bzip2/xz layer codecs. The 7z container is the one format here
+  * whose HEADER is itself compressed (and whose LZMA2 dictionary
+  * size is declared by the archive), so the reader carries a 256 MiB
+  * decoder memory limit exactly like [[XzCodec]]: a crafted header
+  * can otherwise demand a multi-GiB allocation before any member
+  * byte is produced.
+  *
+  * Budget contract (the [[ZipCodec.parse]] discipline): members are
+  * charged their DECLARED uncompressed size in archive order before
+  * any content is read; once the running total crosses `budget`,
+  * every further member ships `data = null` with its metadata intact
+  * (honest over-budget rows — [[graft.operators.ArchiveOps]] marks
+  * them undecodable) and its content is never materialized. A member
+  * whose stream yields a different byte count than it declared →
+  * None (size lies are malformation, not truncation to tolerate).
+  *
+  * Defensive like the family: bad magic, truncated/garbled headers,
+  * encrypted archives (7z encrypts HEADERS too — surfaces as a
+  * password exception), memory-limit breaches, CRC mismatches
+  * (`SevenZFile` verifies block CRCs during read) → None, never a
+  * throw. Anti-items (deletion markers in incremental archives) and
+  * directories are skipped, matching ZIP's directory-entry rule.
+  *
+  * [[sevenZBytes]] writes the default LZMA2 single-block form, so
+  * roundtrips are exact on content. */
+object SevenZCodec {
+
+  /** One parsed member: path, declared size, content (null when the
+    * budget withheld it). */
+  case class SevenZMember(name: String, size: Long, data: Array[Byte])
+
+  /** 7z signature: `'7' 'z' 0xBC 0xAF 0x27 0x1C`. */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 6 && b(0) == '7' && b(1) == 'z' &&
+      (b(2) & 0xff) == 0xbc && (b(3) & 0xff) == 0xaf &&
+      (b(4) & 0xff) == 0x27 && (b(5) & 0xff) == 0x1c
+
+  /** A single member's bytes must fit the same column-cell bound as
+    * ZIP members (64 MiB). */
+  private val MaxMemberBytes = 64L * 1024 * 1024
+
+  /** LZMA2 decoder allocation limit: headers/blocks declaring a
+    * larger dictionary are rejected before the allocation happens
+    * (the [[XzCodec]] rule — 7z shares xz's LZMA2 layer and its
+    * attacker-declared dictionary-size field). */
+  private val MaxDecoderMemKb = 256 * 1024
+
+  /** Parse an archive; None on any malformation, encryption, or
+    * decoder-limit breach. `budget` bounds MATERIALIZED bytes — see
+    * the object doc. */
+  def parse(b: Array[Byte],
+            budget: Long = Long.MaxValue): Option[Seq[SevenZMember]] = {
+    if (!sniff(b)) return None
+    try {
+      val ch = new SeekableInMemoryByteChannel(b)
+      val zf = SevenZFile.builder()
+        .setSeekableByteChannel(ch)
+        // NOT the deprecated setMaxMemoryLimitKb: in 1.28 it
+        // re-scales the value /1024 (262144 arrives as a 256 KiB
+        // limit and every default-dictionary archive rejects)
+        .setMaxMemoryLimitKiB(MaxDecoderMemKb)
+        .get()
+      try {
+        val members = Vector.newBuilder[SevenZMember]
+        var charged = 0L
+        var e: SevenZArchiveEntry = zf.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory && !e.isAntiItem) {
+            val size = e.getSize
+            if (size < 0 || size > MaxMemberBytes) return None
+            charged += size
+            if (charged > budget) {
+              // over budget: metadata survives, content is never
+              // decompressed into an allocation we refused to make
+              members += SevenZMember(e.getName, size, null)
+            } else {
+              val data = new Array[Byte](size.toInt)
+              var off = 0
+              var n = 0
+              while (off < data.length && n >= 0) {
+                n = zf.read(data, off, data.length - off)
+                if (n > 0) off += n
+              }
+              if (off != data.length) return None // size lie
+              // a stream still producing past the declared size is
+              // the same lie in the other direction
+              if (data.length > 0 || e.hasStream) {
+                val probe = new Array[Byte](1)
+                if (zf.read(probe, 0, 1) > 0) return None
+              }
+              members += SevenZMember(e.getName, size, data)
+            }
+          }
+          e = zf.getNextEntry
+        }
+        Some(members.result())
+      } finally zf.close()
+    } catch {
+      case _: java.io.IOException => None
+      // commons-compress surfaces some crafted headers as unchecked
+      // exceptions (the CVE-2018-11771 family's posture applies)
+      case _: RuntimeException => None
+    }
+  }
+
+  /** Deterministic writer (LZMA2, 256 KiB dictionary — the default
+    * preset's 8 MiB dictionary is allocated PER CALL, the exact
+    * fixture-encode trap the xz writer hit in round 13; decode is
+    * unaffected) — the exact inverse of [[parse]] on content;
+    * fixtures and roundtrips. */
+  def sevenZBytes(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val ch = new SeekableInMemoryByteChannel()
+    val out = new SevenZOutputFile(ch)
+    out.setContentMethods(java.util.Collections.singletonList(
+      new org.apache.commons.compress.archivers.sevenz
+        .SevenZMethodConfiguration(
+          org.apache.commons.compress.archivers.sevenz.SevenZMethod
+            .LZMA2,
+          Integer.valueOf(256 * 1024))))
+    try {
+      members.foreach { case (name, data) =>
+        val e = new SevenZArchiveEntry()
+        e.setName(name)
+        e.setDirectory(false)
+        out.putArchiveEntry(e)
+        out.write(data)
+        out.closeArchiveEntry()
+      }
+      out.finish()
+    } finally out.close()
+    java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+  }
+}

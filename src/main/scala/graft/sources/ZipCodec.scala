@@ -22,9 +22,18 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * zeros.
   *
   * Methods: 0 (stored) and 8 (deflate, raw/nowrap `Inflater`) — the
-  * only two the spec requires and ~all real archives use. Every
-  * member's inflated bytes are CRC-32-verified against the central
-  * entry. Names decode as UTF-8 (correct for bit-11 archives and a
+  * two the spec requires and ~all real archives use — plus the
+  * methods modern dataset dumps increasingly carry (round-14):
+  * 93 (Zstandard, zstd-jni — APPNOTE 4.4.5), 12 (bzip2,
+  * commons-compress) and 9 (Deflate64/Enhanced Deflate,
+  * commons-compress — what Windows' built-in "Send to compressed
+  * folder" emits past 2 GiB). The layer decoders were already on
+  * every executor classpath for the `.zst`/`.bz2` file layers; here
+  * they decode MEMBER payloads, bounded by the member's declared
+  * uncompressed size (a stream still producing past it → None, the
+  * [[BoundedRead]] contract) on top of the archive-level budget
+  * pre-charge. Every member's decoded bytes are CRC-32-verified
+  * against the central entry regardless of method. Names decode as UTF-8 (correct for bit-11 archives and a
   * superset-of-ASCII guess otherwise, documented). ZIP64 is
   * SUPPORTED (round-10 verdict item — archives over 4 GiB or 65535
   * members are ZIP64 by construction, and writers routinely force
@@ -49,9 +58,13 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 object ZipCodec {
 
   /** One parsed member: path, uncompressed size, method (0 stored /
-    * 8 deflate) and the decompressed data. */
+    * 8 deflate / 9 deflate64 / 12 bzip2 / 93 zstd) and the
+    * decompressed data. */
   case class ZipMember(name: String, size: Long, method: Int,
                        data: Array[Byte])
+
+  /** APPNOTE 4.4.5 compression methods [[parse]] decodes. */
+  private val SupportedMethods = Set(0, 8, 9, 12, 93)
 
   private val LocalSig = 0x04034b50
   private val CentralSig = 0x02014b50
@@ -186,7 +199,7 @@ object ZipCodec {
       val commentLen = u16(b, p + 32)
       var localOff = u32(b, p + 42)
       if ((flags & 0x1) != 0) return None // encrypted
-      if (method != 0 && method != 8) return None
+      if (!SupportedMethods.contains(method)) return None
       if (p + 46 + nameLen + extraLen > cdEnd) return None
       if (csize == 0xffffffffL || usize == 0xffffffffL ||
           localOff == 0xffffffffL) {
@@ -247,13 +260,17 @@ object ZipCodec {
         return None
       val comp = java.util.Arrays.copyOfRange(
         b, dataOff, (dataOff + csize).toInt)
-      val data =
-        if (method == 0) {
+      val data = method match {
+        case 0 =>
           if (csize != usize) return None
           comp
-        } else inflateRaw(comp, usize.toInt) match {
+        case 8 => inflateRaw(comp, usize.toInt) match {
           case Some(d) => d case None => return None
         }
+        case _ => decodeMember(method, comp, usize) match {
+          case Some(d) => d case None => return None
+        }
+      }
       val c = new CRC32(); c.update(data)
       if (c.getValue != crc) return None
       // directory entries (trailing '/', zero size) are skipped, same
@@ -264,6 +281,38 @@ object ZipCodec {
       }
     }
     Some(members.result())
+  }
+
+  /** Bounded decode of a non-deflate member payload (methods 9 /
+    * 12 / 93). The member's declared `usize` is the output cap — a
+    * stream still producing past it is corrupt or hostile (the
+    * caller already charged `usize` against the archive budget, so
+    * allocation never exceeds the charge) — and a SHORT yield is a
+    * size lie; both → None. CRC verification stays with the caller.
+    * Exception posture matches the layer codecs: commons-compress
+    * decoders have historically surfaced crafted streams as
+    * unchecked exceptions (the CVE-2018-11771 family), and zstd-jni
+    * raises ZstdException from the native layer — the scan-task
+    * never-throw contract must not depend on library bug-freedom. */
+  private def decodeMember(method: Int, comp: Array[Byte],
+                           usize: Long): Option[Array[Byte]] = {
+    try {
+      val raw = new java.io.ByteArrayInputStream(comp)
+      val in: java.io.InputStream = method match {
+        case 9 => new org.apache.commons.compress.compressors
+          .deflate64.Deflate64CompressorInputStream(raw)
+        case 12 => new org.apache.commons.compress.compressors
+          .bzip2.BZip2CompressorInputStream(raw)
+        case 93 =>
+          new com.github.luben.zstd.ZstdInputStreamNoFinalizer(raw)
+        case _ => return None
+      }
+      val out = try BoundedRead.drain(in, usize) finally in.close()
+      out.filter(_.length == usize)
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None // incl. ZstdException
+    }
   }
 
   private def deflateRaw(data: Array[Byte]): Array[Byte] = {
@@ -297,14 +346,49 @@ object ZipCodec {
 
   /** Write an archive: (path, bytes, deflate?) members, UTF-8 names
     * (general-purpose bit 11), central directory, EOCD. */
-  def zipBytes(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+  def zipBytes(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] =
+    zipBytesMethods(members.map { case (p, d, defl) =>
+      (p, d, if (defl) 8 else 0) })
+
+  /** Raw-deflate encoding that uses ONLY stored (BTYPE 00) blocks —
+    * byte-valid under BOTH deflate and Deflate64 (the two dialects
+    * diverge only in the compressed-block code tables: length code
+    * 285 and the 64 KiB+ window, neither of which a stored block
+    * touches). commons-compress decodes but does not ENCODE
+    * Deflate64, so method-9 fixtures are written in this common
+    * subset. */
+  private def storedBlocksRaw(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteBuilder(data.length + data.length / 65535 * 5 + 8)
+    var off = 0
+    do {
+      val n = math.min(65535, data.length - off)
+      val fin = if (off + n == data.length) 1 else 0
+      out.add(Array[Byte](fin.toByte)) // BFINAL + BTYPE 00
+      out.addU16(n); out.addU16(n ^ 0xffff)
+      out.add(java.util.Arrays.copyOfRange(data, off, off + n))
+      off += n
+    } while (off < data.length)
+    out.toArray
+  }
+
+  /** [[zipBytes]] with an explicit APPNOTE method per member: 0
+    * stored, 8 deflate, 9 deflate64 (stored-block subset — see
+    * [[storedBlocksRaw]]), 12 bzip2, 93 zstd. The writer twin of the
+    * round-14 member-method dispatch in [[parse]]. */
+  def zipBytesMethods(members: Seq[(String, Array[Byte], Int)]): Array[Byte] = {
     val out = new ByteBuilder(1024)
     val central = new ByteBuilder(256)
-    members.foreach { case (path, data, deflate) =>
+    members.foreach { case (path, data, method) =>
       val nameB = path.getBytes("UTF-8")
       val crc = { val c = new CRC32(); c.update(data); c.getValue }
-      val (method, comp) =
-        if (deflate) (8, deflateRaw(data)) else (0, data)
+      val comp = method match {
+        case 0 => data
+        case 8 => deflateRaw(data)
+        case 9 => storedBlocksRaw(data)
+        case 12 => Bzip2Codec.bzip2Bytes(data)
+        case 93 => ZstdCodec.zstdBytes(data)
+        case m => throw new IllegalArgumentException(s"method $m")
+      }
       val localOff = out.size
       out.addU32(LocalSig)
       out.addU16(20)          // version needed

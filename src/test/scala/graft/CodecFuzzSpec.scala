@@ -208,6 +208,24 @@ class CodecFuzzSpec extends AnyFunSuite {
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
     sweep("zip64", ZipCodec.zip64Bytes(members), 1010)(
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
+    // round 14: members under the dispatched methods (zstd 93,
+    // bzip2 12, deflate64 9) — corruption lands in foreign-codec
+    // payloads and in the headers that route to them
+    val dispatched = ZipCodec.zipBytesMethods(Seq(
+      ("z.txt", ("zz " * 120).getBytes("UTF-8"), 93),
+      ("b.txt", ("bb " * 120).getBytes("UTF-8"), 12),
+      ("d.txt", ("dd " * 120).getBytes("UTF-8"), 9)))
+    sweep("zip.methods", dispatched, 1414)(
+      "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
+  }
+
+  test("7z parser survives seeded corruptions without throwing") {
+    import graft.sources.SevenZCodec
+    val bytes = SevenZCodec.sevenZBytes(Seq(
+      ("a.txt", "hello 7z".getBytes("UTF-8")),
+      ("b/deep.txt", ("s " * 300).getBytes("UTF-8"))))
+    sweep("7z", bytes, 1616)(
+      "parse" -> ((b: Array[Byte]) => SevenZCodec.parse(b, 1 << 20)))
   }
 
   test("recursive archive walk survives seeded corruptions of nested " +

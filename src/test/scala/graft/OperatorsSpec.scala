@@ -6551,10 +6551,15 @@ class OperatorsSpec extends AnyFunSuite {
     val enc = bytes.clone()
     enc(findCentral(enc) + 8) = 1 // flag bit 0
     assert(ZipCodec.parse(enc).isEmpty)
-    // unsupported method (bzip2 = 12) → None
+    // unsupported method (LZMA = 14) → None; a SUPPORTED method id
+    // (12, bzip2 — round 14) whose payload is not actually that
+    // codec fails the decode, not the gate, but still → None
     val meth = bytes.clone()
-    meth(findCentral(meth) + 10) = 12
+    meth(findCentral(meth) + 10) = 14
     assert(ZipCodec.parse(meth).isEmpty)
+    val meth12 = bytes.clone()
+    meth12(findCentral(meth12) + 10) = 12
+    assert(ZipCodec.parse(meth12).isEmpty)
     // a ZIP64 sentinel size WITHOUT the 0x0001 extra field that must
     // carry the real value → malformed, None
     val z64 = bytes.clone()
@@ -6572,6 +6577,108 @@ class OperatorsSpec extends AnyFunSuite {
       Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ new Array[Byte](18),
       false)))
     assert(ZipCodec.parse(trap).get.head.size == 22L)
+  }
+
+  test("SevenZCodec (round 14): roundtrips members, pre-charges the " +
+      "budget, rejects malformation; the walk dispatches 7z roots " +
+      "and nested 7z members") {
+    import graft.sources.{SevenZCodec, TarCodec}
+    import graft.operators.ArchiveOps
+    val m = Seq(
+      ("docs/a.txt", "hello seven zip".getBytes("UTF-8")),
+      ("docs/b.txt", ("solid " * 400).getBytes("UTF-8")),
+      ("empty.bin", Array.empty[Byte]))
+    val bytes = SevenZCodec.sevenZBytes(m)
+    assert(SevenZCodec.sniff(bytes))
+    val got = SevenZCodec.parse(bytes).get
+    assert(got.map(_.name) == m.map(_._1))
+    assert(got.map(_.size) == m.map(_._2.length.toLong))
+    got.zip(m).foreach { case (g, (_, d)) =>
+      assert(g.data.toSeq == d.toSeq, g.name)
+    }
+    // solid LZMA2 actually compressed the repetitive member
+    assert(bytes.length < m.map(_._2.length).sum)
+    // budget pre-charge: below the first member's size → every
+    // member ships metadata with data = null, nothing materializes
+    val tight = SevenZCodec.parse(bytes, budget = 4L).get
+    assert(tight.map(_.data == null) == Seq(true, true, true),
+      "every member past the budget ships null data (zero-size ones " +
+        "included — the ZipCodec rule)")
+    assert(tight.map(_.size) == m.map(_._2.length.toLong))
+    // malformation → None, never a throw
+    assert(SevenZCodec.parse(bytes.take(bytes.length - 7)).isEmpty)
+    assert(SevenZCodec.parse(bytes.take(10)).isEmpty)
+    val bad = bytes.clone(); bad(bytes.length / 2) =
+      (bad(bytes.length / 2) ^ 0x5a).toByte
+    assert(SevenZCodec.parse(bad) == None ||
+      SevenZCodec.parse(bad).get.forall(_ != null)) // flipped bit may
+    // land in padding; the contract is only "never throw"
+    assert(SevenZCodec.parse(null) == None)
+    // the recursive walk: a 7z ROOT walks members; a 7z member
+    // nested in a tar walks at depth 2 with the composite path
+    val root = ArchiveOps.walkBytes(bytes)
+    assert(root.map(_.format).distinct == Seq("7z"))
+    assert(root.map(_.name) == m.map(_._1))
+    val nested = ArchiveOps.walkBytes(
+      TarCodec.tarBytes(Seq(("inner.7z", bytes))), maxDepth = 2)
+    assert(nested.exists(r => r.name == "inner.7z!docs/a.txt" &&
+      r.format == "7z" && r.depth == 2 && r.decodable))
+  }
+
+  test("ZipCodec member-method dispatch (round 14): zstd(93) / " +
+      "bzip2(12) / deflate64(9) members decode, CRC-verify, and stay " +
+      "budget-bounded") {
+    import graft.sources.ZipCodec
+    val texts = Seq(
+      ("z.txt", ("zstd member " * 40).getBytes("UTF-8"), 93),
+      ("b.txt", ("bzip2 member " * 40).getBytes("UTF-8"), 12),
+      ("d64.txt", ("deflate64 member " * 40).getBytes("UTF-8"), 9),
+      ("s.txt", "plain stored".getBytes("UTF-8"), 0),
+      ("d.txt", ("deflate " * 30).getBytes("UTF-8"), 8))
+    val bytes = ZipCodec.zipBytesMethods(texts)
+    val got = ZipCodec.parse(bytes).get
+    assert(got.map(_.name) == texts.map(_._1))
+    assert(got.map(_.method) == Seq(93, 12, 9, 0, 8))
+    got.zip(texts).foreach { case (m, (_, data, _)) =>
+      assert(m.data.toSeq == data.toSeq, m.name)
+    }
+    // a deflate64 stored-block member ALSO parses as plain deflate
+    // (the common subset both dialects share)
+    val asDeflate = ZipCodec.zipBytesMethods(
+      Seq(("x.bin", texts(2)._2, 9)))
+    assert(ZipCodec.parse(asDeflate).get.head.data.toSeq ==
+      texts(2)._2.toSeq)
+    // corrupt one payload byte of the zstd member → CRC/decode
+    // failure → None (never a throw)
+    val bad = bytes.clone()
+    bad(30 + "z.txt".length + 8) = (bad(30 + "z.txt".length + 8) ^ 0x41).toByte
+    assert(ZipCodec.parse(bad).isEmpty)
+    // budget pre-charge applies to non-deflate methods identically:
+    // a budget below the first member's usize ships data = null rows
+    val tight = ZipCodec.parse(bytes, budget = 10L).get
+    assert(tight.map(_.data == null) == Seq(true, true, true, true, true))
+    assert(tight.map(_.size) == texts.map(_._2.length.toLong))
+    // a method-93 member whose frame inflates PAST its declared usize
+    // is rejected (the BoundedRead cap, not the frame's claim)
+    val lieBytes = ZipCodec.zipBytesMethods(
+      Seq(("l.bin", ("lie " * 100).getBytes("UTF-8"), 93)))
+    // shrink declared usize in central + local headers: decode yields
+    // more than declared → None
+    def patchU32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val lied = lieBytes.clone()
+    patchU32(lied, 22, 16L) // local header usize
+    def findCentral(b: Array[Byte]): Int = {
+      var i = 0
+      while (!(b(i) == 0x50 && b(i + 1) == 0x4b && b(i + 2) == 0x01 &&
+        b(i + 3) == 0x02)) i += 1
+      i
+    }
+    patchU32(lied, findCentral(lied) + 24, 16L) // central usize
+    assert(ZipCodec.parse(lied).isEmpty)
   }
 
   test("pseudonymizeEmails: corpus-consistent tokens, case folding, " +
