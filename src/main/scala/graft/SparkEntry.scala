@@ -6031,6 +6031,69 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // WET sidecar → curation funnel (q453, round 14): the record
+    // type a CC-scale pipeline reads FIRST — `conversion` records
+    // carry the already-extracted text, so curation starts from the
+    // WET, not the raw WARC. Each doc ships as a warcinfo preamble +
+    // one conversion record; the record-type filter must drop the
+    // preamble, and the conversion text flows into the q441 curation
+    // verdict chain keyed by the TARGET URI (the doc identity a WET
+    // actually has).
+    "q453_wet_curate" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.sources.WarcCodec.warcTypedBytes(Seq(
+            ("warcinfo", "", "2024-06-11T00:00:00Z",
+              "application/warc-fields", "software: graft-wet"),
+            ("conversion", s"https://ex.com/doc/$id",
+              "2024-06-11T00:00:00Z", "text/plain", text))))
+        }.toDF("doc_id", "bin")
+      val wet = MultimodalOps.warcRecords(bin, "doc_id", "bin")
+        .filter(col("warc_type") === "conversion")
+        .select(col("uri").as("doc_id"), col("body").as("text"))
+      CurationPipeline.batchVerdicts(wet, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // WAT sidecar extraction (q454, round 14): `metadata` records
+    // carry a JSON envelope (link graph, page title, header
+    // metadata) — the input to link analysis and URL frontier
+    // seeding. The record-type filter keeps metadata only and the
+    // envelope fields extract with the JSON path functions.
+    "q454_wat_extract" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val links = (0L until (id % 4)).map(i =>
+            s"""{"url":"/p$i"}""").mkString(",")
+          val env = s"""{"Envelope":{"WARC-Header-Metadata":""" +
+            s"""{"WARC-Target-URI":"https://ex.com/doc/$id"},""" +
+            s""""Payload-Metadata":{"HTTP-Response-Metadata":""" +
+            s"""{"HTML-Metadata":{"Head":{"Title":"doc $id"},""" +
+            s""""Links":[$links]}}}}}"""
+          (id, graft.sources.WarcCodec.warcTypedBytes(Seq(
+            ("warcinfo", "", "2024-06-11T00:00:00Z",
+              "application/warc-fields", "software: graft-wat"),
+            ("metadata", s"https://ex.com/doc/$id",
+              "2024-06-11T00:00:00Z", "application/json", env))))
+        }.toDF("doc_id", "bin")
+      MultimodalOps.warcRecords(bin, "doc_id", "bin")
+        .filter(col("warc_type") === "metadata")
+        .select(col("doc_id"), col("uri"),
+          get_json_object(col("body"),
+            "$['Envelope']['Payload-Metadata']" +
+              "['HTTP-Response-Metadata']['HTML-Metadata']" +
+              "['Head']['Title']").as("title"),
+          coalesce(json_array_length(get_json_object(col("body"),
+            "$['Envelope']['Payload-Metadata']" +
+              "['HTTP-Response-Metadata']['HTML-Metadata']" +
+              "['Links']")), lit(0)).cast("long").as("n_links"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 7z drop census (q452, round 14): `.7z` is what old corpus
     // mirrors and many ML dataset dumps actually ship (solid LZMA2
     // blocks beat per-member deflate on text); the walk unpacks them
@@ -18846,6 +18909,47 @@ FROM scored ORDER BY doc_id"""),
         |  (CASE WHEN format = 'unknown' THEN 0
         |    ELSE sum(n) END)::BIGINT AS member_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q453_wet_curate" ->
+      (s"""WITH m AS (
+  SELECT 'https://ex.com/doc/' || doc_id::VARCHAR AS doc_id, text
+  FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM m),
+k AS (SELECT doc_id,
+        list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+      FROM l),
+cleaned AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(nfc_normalize(
+      array_to_string(kept, chr(10)))), '\\s+', ' ', 'g')) AS clean
+  FROM k),
+scored AS (
+  SELECT doc_id, clean,
+    len(string_split(clean, ' '))::BIGINT AS n_tokens,
+    row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+  FROM cleaned)
+SELECT doc_id, substr(md5(clean), 1, 16) AS clean_sig, n_tokens,
+  CASE WHEN rn > 1 THEN 'dup'
+       WHEN n_tokens < 8 THEN 'short'
+       ELSE 'keep' END AS reason,
+  CASE WHEN substr(md5(doc_id), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8)}' THEN 'train'
+       WHEN substr(md5(doc_id), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8 + 0.1)}' THEN 'val'
+       ELSE 'test' END AS split,
+  (CASE WHEN rn > 1 THEN 'dup'
+       WHEN n_tokens < 8 THEN 'short'
+       ELSE 'keep' END = 'keep'
+    AND substr(md5(doc_id), 1, 8)
+         < '${SamplingOps.rateThreshold(0.8)}') AS selected
+FROM scored ORDER BY doc_id"""),
+
+    "q454_wat_extract" ->
+      """SELECT doc_id,
+        |  'https://ex.com/doc/' || doc_id::VARCHAR AS uri,
+        |  'doc ' || doc_id::VARCHAR AS title,
+        |  (doc_id % 4)::BIGINT AS n_links
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q452_7z_walk" ->
       """WITH f AS (

@@ -149,6 +149,36 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** Generic typed-record writer — the Common Crawl SIDECAR shapes:
+    * WET `conversion` records (text/plain, the extracted text) and
+    * WAT `metadata` records (application/json, the envelope) carry
+    * their content DIRECTLY as the record payload, no embedded HTTP
+    * message; `warcinfo` preambles have no target URI (pass "" and
+    * the header is omitted). Tuples are (warcType, targetUri, date,
+    * contentType, body). [[records]] already parses these — any
+    * non-`response` payload stays raw — this is their deterministic
+    * fixture twin. */
+  def warcTypedBytes(
+      recs: Seq[(String, String, String, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (wtype, uri, date, ctype, bodyStr) =>
+      val body = bodyStr.getBytes(Utf8)
+      val uriHdr =
+        if (uri.isEmpty) "" else s"WARC-Target-URI: $uri\r\n"
+      val hdr = (s"WARC/1.0\r\n" +
+        s"WARC-Type: $wtype\r\n" +
+        s"WARC-Record-ID: <urn:graft:${(wtype + uri).hashCode}>\r\n" +
+        s"WARC-Date: $date\r\n" +
+        uriHdr +
+        s"Content-Type: $ctype\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(Ascii)
+      out.write(hdr)
+      out.write(body)
+      out.write("\r\n\r\n".getBytes(Ascii))
+    }
+    out.toByteArray
+  }
+
   /** The .warc.gz layout: each record its own gzip member, so readers
     * can split archives at member boundaries without inflating
     * everything (Common Crawl's convention). */

@@ -565,6 +565,43 @@ class MultimodalReplSpec extends AnyFunSuite {
       new String(gi.head.body, "UTF-8") == "payload")
   }
 
+  test("WET/WAT sidecars (round 14): typed records roundtrip, the " +
+      "record-type filter isolates conversion/metadata rows, and " +
+      "non-response payloads never HTTP-split") {
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val jsonEnv = """{"Envelope":{"Payload-Metadata":{"x":1}}}"""
+    val mixed = WarcCodec.warcTypedBytes(Seq(
+      ("warcinfo", "", "2026-01-01T00:00:00Z",
+        "application/warc-fields", "software: graft"),
+      ("conversion", "http://wet.example/1", "2026-01-01T00:00:00Z",
+        "text/plain", "extracted text body"),
+      ("metadata", "http://wat.example/1", "2026-01-01T00:00:00Z",
+        "application/json", jsonEnv),
+      // a conversion body that STARTS like an HTTP message must stay
+      // raw — only `response` records HTTP-split
+      ("conversion", "http://wet.example/2", "2026-01-01T00:00:00Z",
+        "text/plain", "HTTP/1.1 200 OK\r\n\r\nnot an http response")))
+    val got = WarcCodec.records(mixed)
+    assert(got.map(_.warcType) ==
+      Seq("warcinfo", "conversion", "metadata", "conversion"))
+    assert(got.forall(_.httpStatus == 0),
+      "typed records carry no embedded HTTP status")
+    assert(new String(got(1).body, "UTF-8") == "extracted text body")
+    assert(new String(got(2).body, "UTF-8") == jsonEnv)
+    assert(new String(got(3).body, "UTF-8")
+      .startsWith("HTTP/1.1 200 OK"))
+    assert(got(0).targetUri == "")
+    // the Spark-side record-type filter: exactly the conversion rows
+    val df = MultimodalOps.warcRecords(
+      Seq((7L, mixed)).toDF("id", "media"), "id", "media")
+    val conv = df.filter(col("warc_type") === "conversion")
+      .select("uri").as[String].collect().sorted.toSeq
+    assert(conv == Seq("http://wet.example/1", "http://wet.example/2"))
+    assert(df.filter(col("warc_type") === "metadata").count() == 1L)
+  }
+
   test("warc -> html -> text: the crawl pipeline chains end-to-end") {
     import graft.operators.TextAnalysisOps
     import graft.sources.WarcCodec
