@@ -402,12 +402,22 @@ object UrlOps {
     * The pruned child's index-entry row still emits — pruning is
     * about refetching, never about hiding the declaration.
     *
-    * Scale shape: `maxDepth` equi-joins on the sitemap URL key (each
-    * level one join + the [[sitemapEntries]] projection), frontiers
-    * DISTINCT'd and anti-joined against the visited set — no driver
-    * actions, the whole closure is one lazy plan; depth is protocol-
-    * small (the spec formally allows only index → urlset, one hop;
-    * the default 3 tolerates real-world nesting). */
+    * Scale shape: the fetched XML table is parsed ONCE —
+    * [[sitemapEntries]] over every fetched doc, one scan; entries
+    * are protocol-bounded (≤ 50k per sitemap) and far narrower than
+    * the XML — and the `maxDepth` closure joins run over the PARSED
+    * entries table on the sitemap-URL key (round 14; previously each
+    * level re-joined the raw XML table — maxDepth scans of the big
+    * side at 100 TB). The explicit repartition on the join key pins
+    * an exchange whose subtree is IDENTICAL at every level, so the
+    * physical planner's exchange/stage reuse materializes the parsed
+    * entries once and every level reads the reused stage — without
+    * it, a broadcast-frontier join would stream (re-scan, re-parse)
+    * the XML per level. Frontiers stay DISTINCT'd and anti-joined
+    * against the visited set — no driver actions, the whole closure
+    * is one lazy plan; depth is protocol-small (the spec formally
+    * allows only index → urlset, one hop; the default 3 tolerates
+    * real-world nesting). */
   def sitemapClosure(fetched: DataFrame, urlCol: String,
                      xmlCol: String, roots: DataFrame,
                      rootUrlCol: String, maxDepth: Int = 3,
@@ -416,14 +426,26 @@ object UrlOps {
       "maxDepth must be in 1..8 (each level adds a join to the plan)")
     val docs = fetched.select(col(urlCol).cast("string")
       .as("sitemap_url"), col(xmlCol).as("__xml"))
+    val allEntries = sitemapEntries(docs, "sitemap_url", "__xml")
+      .repartition(col("sitemap_url"))
+      // cached like the LSH family's candidate frames: every closure
+      // level references this table twice (output join + child
+      // frontier), and Catalyst optimizes each reference as its own
+      // plan copy — uncached, each copy re-scans and re-parses the
+      // fetched XML table, the exact maxDepth-scans cost this round
+      // removed. Entries are protocol-bounded (≤ 50k per sitemap)
+      // and far narrower than the XML; the repartition ahead of the
+      // cache co-partitions every level's join on the key, so the
+      // one shuffle is paid once. Session-lived, the
+      // clearCache-between-runs bench discipline applies.
+      .cache()
     var frontier = roots
       .select(col(rootUrlCol).cast("string").as("sitemap_url"))
       .where(col("sitemap_url").isNotNull).distinct()
     var visited = frontier
     var out: Option[DataFrame] = None
     for (depth <- 1 to maxDepth) {
-      val entries = sitemapEntries(
-        frontier.join(docs, Seq("sitemap_url")), "sitemap_url", "__xml")
+      val entries = frontier.join(allEntries, Seq("sitemap_url"))
         .withColumn("depth", lit(depth))
       out = Some(out.map(_.unionByName(entries)).getOrElse(entries))
       if (depth < maxDepth) {

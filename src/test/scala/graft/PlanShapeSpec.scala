@@ -661,6 +661,25 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(pc).size
     assert(joins <= 4,
       s"q443 at maxDepth=2 must hold <= 4 joins, got $joins:\n$pc")
+    // round 14: the closure parses the fetched XML table ONCE — the
+    // parsed entries are repartitioned on the key and cached, every
+    // level's output join AND child-frontier filter read
+    // InMemoryTableScan, and the only FileScans left in the FINAL
+    // adaptive plan are the cached parse itself (inside
+    // InMemoryRelation) and the fixture's roots derivation. Before
+    // this, each depth level re-joined the raw XML table: maxDepth
+    // scans of the big side at 100 TB.
+    val dfc = SparkEntry.queries("q443_sitemap_closure")(spark, dir)
+    dfc.collect()
+    val fp = dfc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fp.contains("InMemoryTableScan"),
+      s"q443's closure levels must read the cached entries:\n$fp")
+    val nScans = "FileScan".r.findAllIn(fp).size
+    assert(nScans <= 2,
+      s"q443 must scan the fetched table once (+ roots), got " +
+        s"$nScans FileScans:\n$fp")
+    spark.catalog.clearCache() // leave no cache behind for other pins
     val ps = plan("q444_recrawl_schedule")
     assert(!ps.contains("Window"),
       s"q444's slots must ride the bounded top-N aggregate, not a " +
