@@ -6094,6 +6094,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bradley–Terry preference ranking (q455, round 14): per-item
+    // strengths from arena-style pairwise outcomes via Hunter
+    // (2004)'s MM iteration in the exact-integer micro domain — the
+    // batch-correct alternative to order-dependent Elo. Fixture: a
+    // skill-graded synthetic arena over 12 items (higher item index
+    // wins more often); 3 iterations, oracle fully unrolled in SQL.
+    "q455_bt_rank" -> ((s, dir) => {
+      val x = col("doc_id") % 12
+      val y = (col("doc_id") * 5 + 3) % 12
+      val aWins = col("doc_id") % (x + y + lit(2)) <= x
+      val prefs = t(s, dir, "documents").select(
+        when(aWins, x).otherwise(y).cast("string").as("winner"),
+        when(aWins, y).otherwise(x).cast("string").as("loser"))
+      ScoringOps.bradleyTerryStrengths(prefs, "winner", "loser",
+          iters = 3)
+        .orderBy(col("id"))
+    }),
+
     // 7z drop census (q452, round 14): `.7z` is what old corpus
     // mirrors and many ML dataset dumps actually ship (solid LZMA2
     // blocks beat per-member deflate on text); the walk unpacks them
@@ -18950,6 +18968,82 @@ FROM scored ORDER BY doc_id"""),
         |  'doc ' || doc_id::VARCHAR AS title,
         |  (doc_id % 4)::BIGINT AS n_links
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q455_bt_rank" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 12 AS x, (doc_id*5+3) % 12 AS y, doc_id
+        |  FROM documents),
+        |pr AS (
+        |  SELECT (CASE WHEN doc_id % (x+y+2) <= x THEN x ELSE y
+        |    END)::VARCHAR AS i,
+        |    (CASE WHEN doc_id % (x+y+2) <= x THEN y ELSE x
+        |    END)::VARCHAR AS j
+        |  FROM raw),
+        |wl AS (SELECT i, j, count(*)::BIGINT AS n_w FROM pr
+        |       GROUP BY 1, 2),
+        |games AS (SELECT least(i, j) AS a, greatest(i, j) AS b,
+        |            sum(n_w)::BIGINT AS n
+        |          FROM wl GROUP BY 1, 2),
+        |wins AS (SELECT i AS id, sum(n_w)::BIGINT AS n_wins FROM wl
+        |         GROUP BY 1),
+        |items AS (SELECT DISTINCT id FROM
+        |  (SELECT i AS id FROM wl UNION ALL SELECT j FROM wl)),
+        |p0 AS (SELECT id, 1000000::BIGINT AS pi FROM items),
+        |d1 AS (SELECT id, sum(t)::BIGINT AS d FROM (
+        |    SELECT g.a AS id,
+        |      g.n * 1000000000000 // greatest(pa.pi + pb.pi, 1) AS t
+        |    FROM games g JOIN p0 pa ON pa.id = g.a
+        |                 JOIN p0 pb ON pb.id = g.b
+        |    UNION ALL
+        |    SELECT g.b,
+        |      g.n * 1000000000000 // greatest(pa.pi + pb.pi, 1)
+        |    FROM games g JOIN p0 pa ON pa.id = g.a
+        |                 JOIN p0 pb ON pb.id = g.b) td GROUP BY id),
+        |p1 AS (SELECT it.id,
+        |    (coalesce(w.n_wins, 0) * 1000000000000
+        |      // greatest(coalesce(d.d, 0), 1))::BIGINT AS pi
+        |  FROM items it LEFT JOIN wins w ON w.id = it.id
+        |                LEFT JOIN d1 d ON d.id = it.id),
+        |d2 AS (SELECT id, sum(t)::BIGINT AS d FROM (
+        |    SELECT g.a AS id,
+        |      g.n * 1000000000000 // greatest(pa.pi + pb.pi, 1) AS t
+        |    FROM games g JOIN p1 pa ON pa.id = g.a
+        |                 JOIN p1 pb ON pb.id = g.b
+        |    UNION ALL
+        |    SELECT g.b,
+        |      g.n * 1000000000000 // greatest(pa.pi + pb.pi, 1)
+        |    FROM games g JOIN p1 pa ON pa.id = g.a
+        |                 JOIN p1 pb ON pb.id = g.b) td GROUP BY id),
+        |p2 AS (SELECT it.id,
+        |    (coalesce(w.n_wins, 0) * 1000000000000
+        |      // greatest(coalesce(d.d, 0), 1))::BIGINT AS pi
+        |  FROM items it LEFT JOIN wins w ON w.id = it.id
+        |                LEFT JOIN d2 d ON d.id = it.id),
+        |d3 AS (SELECT id, sum(t)::BIGINT AS d FROM (
+        |    SELECT g.a AS id,
+        |      g.n * 1000000000000 // greatest(pa.pi + pb.pi, 1) AS t
+        |    FROM games g JOIN p2 pa ON pa.id = g.a
+        |                 JOIN p2 pb ON pb.id = g.b
+        |    UNION ALL
+        |    SELECT g.b,
+        |      g.n * 1000000000000 // greatest(pa.pi + pb.pi, 1)
+        |    FROM games g JOIN p2 pa ON pa.id = g.a
+        |                 JOIN p2 pb ON pb.id = g.b) td GROUP BY id),
+        |p3 AS (SELECT it.id,
+        |    (coalesce(w.n_wins, 0) * 1000000000000
+        |      // greatest(coalesce(d.d, 0), 1))::BIGINT AS pi
+        |  FROM items it LEFT JOIN wins w ON w.id = it.id
+        |                LEFT JOIN d3 d ON d.id = it.id),
+        |ng AS (SELECT id, sum(n)::BIGINT AS n_games FROM (
+        |    SELECT a AS id, n FROM games
+        |    UNION ALL SELECT b, n FROM games) t GROUP BY id)
+        |SELECT it.id, p3.pi AS strength_micro,
+        |  coalesce(w.n_wins, 0)::BIGINT AS n_wins,
+        |  coalesce(ng.n_games, 0)::BIGINT AS n_games
+        |FROM items it JOIN p3 ON p3.id = it.id
+        |LEFT JOIN wins w ON w.id = it.id
+        |LEFT JOIN ng ON ng.id = it.id
+        |ORDER BY it.id""".stripMargin,
 
     "q452_7z_walk" ->
       """WITH f AS (

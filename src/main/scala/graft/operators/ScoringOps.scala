@@ -312,4 +312,105 @@ object ScoringOps {
         (col("n_shared") * col("n_shared") -
           coalesce(col("__chance"), lit(0L))).as("kappa_den"))
   }
+
+  /** Bradley–Terry strengths from pairwise preference outcomes — the
+    * ranking half of preference-data analysis (arena-style model
+    * comparisons, reward-data consistency checks): given one row per
+    * comparison `(winner, loser)`, estimate per-item strengths π
+    * under P(i beats j) = π_i / (π_i + π_j) with Hunter (2004)'s MM
+    * iteration, π'_i = w_i / Σ_j n_ij / (π_i + π_j). Elo is the
+    * sequential (order-dependent) cousin; BT is the batch-exact one
+    * a distributed engine should prefer.
+    *
+    * Determinism (the engine-portable integer discipline): strengths
+    * live in MICRO units (start 10^6); every per-pair term is ONE
+    * exact integer division `n_ij·10^12 div (π_i + π_j)`, per-item
+    * denominators are integer SUMS (order-free), and the update is a
+    * second exact division — bit-identical across engines, no float
+    * anywhere. The MM map is homogeneous of degree 1, so the overall
+    * scale is self-preserving and no normalization pass (which would
+    * need a driver action or an extra global aggregate) is required.
+    *
+    * Contracts: an item with ZERO wins converges to strength 0 (the
+    * classical BT degeneracy — its true strength is not identifiable
+    * from an all-loss record; callers wanting smoothing add pseudo
+    * outcomes upstream). Integer headroom bounds the input at ~10^6
+    * comparisons per unordered pair (n_ij·10^12 must fit a Long) —
+    * arena datasets sit orders of magnitude below. Self-pairs and
+    * null ids are dropped.
+    *
+    * Scale shape (the [[GraphOps.pageRank]] Pregel discipline): the
+    * preference stream collapses ONCE into (winner, loser) counts →
+    * unordered (a, b, n_games) + per-item win totals, both cached and
+    * narrow (ids + counters). Each iteration is two strengths-joins
+    * against the pair table + one map-side-combined sum — edge-sized
+    * shuffles, nothing comparison-stream-sized after the first
+    * aggregate; small iteration counts chain as one lazy plan, every
+    * 5th iteration materializes to a scoped cache. Output: one row
+    * per item — `(id, strength_micro, n_wins, n_games)`. */
+  def bradleyTerryStrengths(prefs: DataFrame, winnerCol: String,
+                            loserCol: String,
+                            iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in 1..64")
+    val wl = prefs
+      .select(col(winnerCol).cast("string").as("i"),
+        col(loserCol).cast("string").as("j"))
+      .filter(col("i").isNotNull && col("j").isNotNull &&
+        col("i") =!= col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_w"))
+      .cache()
+    val games = wl.select(
+        least(col("i"), col("j")).as("a"),
+        greatest(col("i"), col("j")).as("b"), col("n_w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("n_w")).as("n"))
+      .cache()
+    val wins = wl.groupBy(col("i")).agg(sum(col("n_w")).as("n_wins"))
+      .withColumnRenamed("i", "id")
+    val items = wl.select(col("i").as("id"))
+      .union(wl.select(col("j"))).distinct().cache()
+    // each pair melted to one row per member, so every iteration
+    // joins the strengths table ONCE — joining it separately on `a`
+    // and `b` would reference `pi` twice per round and the chained
+    // lineage would double per iteration (2^iters plan copies;
+    // Catalyst optimization time goes exponential long before the
+    // data does). π_a + π_b reassembles as the two-row sum per pair.
+    val members = games.select(col("a"), col("b"), col("n"),
+      explode(array(col("a"), col("b"))).as("id")).cache()
+    var pi = items.select(col("id"), lit(1000000L).as("pi"))
+    var cached: Option[DataFrame] = None
+    for (it <- 1 to iters) {
+      val pairSum = members
+        .join(pi, Seq("id"))
+        .groupBy(col("a"), col("b"), col("n"))
+        .agg(sum(col("pi")).as("__sp"))
+        .select(col("a"), col("b"),
+          expr("n * 1000000000000L div greatest(__sp, 1L)").as("__t"))
+      val denom = pairSum.select(col("a").as("id"), col("__t"))
+        .unionByName(pairSum.select(col("b").as("id"), col("__t")))
+        .groupBy(col("id")).agg(sum(col("__t")).as("__d"))
+      val next = items
+        .join(wins, Seq("id"), "left")
+        .join(denom, Seq("id"), "left")
+        .select(col("id"),
+          expr("coalesce(n_wins, 0L) * 1000000000000L div " +
+            "greatest(coalesce(__d, 0L), 1L)").as("pi"))
+      if (it % 5 == 0 && it < iters) {
+        next.cache(); next.count()
+        cached.foreach(_.unpersist())
+        cached = Some(next)
+      }
+      pi = next
+    }
+    val nGames = games
+      .select(col("a").as("id"), col("n"))
+      .unionByName(games.select(col("b").as("id"), col("n")))
+      .groupBy(col("id")).agg(sum(col("n")).as("n_games"))
+    items
+      .join(pi, Seq("id"))
+      .join(wins, Seq("id"), "left")
+      .join(nGames, Seq("id"), "left")
+      .select(col("id"), col("pi").as("strength_micro"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        coalesce(col("n_games"), lit(0L)).as("n_games"))
+  }
 }

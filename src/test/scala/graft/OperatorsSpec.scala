@@ -6579,6 +6579,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ZipCodec.parse(trap).get.head.size == 22L)
   }
 
+  test("bradleyTerryStrengths: two-item closed form is exact, a " +
+      "zero-win item pins to 0, transitive fixtures order correctly") {
+    import graft.operators.ScoringOps
+    // A beats B 3:1 — the MM fixed point is π_A/π_B = 3, reached in
+    // ONE iteration from equal starts and stable after (integer
+    // arithmetic is exact here: terms are 4·10^12 div 2·10^6)
+    val ab = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("w", "l")
+    val r1 = ScoringOps.bradleyTerryStrengths(ab, "w", "l", iters = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(r1("A") == ((1500000L, 3L, 4L)), r1)
+    assert(r1("B") == ((500000L, 1L, 4L)), r1)
+    // zero-win item → strength 0 (documented degeneracy); ordering
+    // across a transitive triangle holds
+    val tri = (Seq.fill(9)(("A", "B")) ++ Seq(("B", "A")) ++
+      Seq.fill(9)(("B", "C")) ++ Seq(("C", "B")) ++
+      Seq.fill(2)(("A", "C"))).toDF("w", "l")
+    val r2 = ScoringOps.bradleyTerryStrengths(tri, "w", "l")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2("A") > r2("B") && r2("B") > r2("C"),
+      s"transitive order broken: $r2")
+    val zw = (Seq.fill(2)(("A", "Z")) ++ Seq(("B", "A")))
+      .toDF("w", "l")
+    val r3 = ScoringOps.bradleyTerryStrengths(zw, "w", "l")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3("Z") == 0L, s"all-loss item must read 0: $r3")
+    // self-pairs and nulls drop, not crash
+    val dirty = Seq(("A", "A"), (null, "B"), ("A", null), ("A", "B"))
+      .toDF("w", "l")
+    assert(ScoringOps.bradleyTerryStrengths(dirty, "w", "l")
+      .count() == 2L)
+  }
+
   test("SevenZCodec (round 14): roundtrips members, pre-charges the " +
       "budget, rejects malformation; the walk dispatches 7z roots " +
       "and nested 7z members") {
