@@ -6112,6 +6112,26 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Preference length-bias audit (q456, round 14): the
+    // best-documented reward-data failure — raters prefer LONGER
+    // responses; a biased pair corpus teaches verbosity. Fixture:
+    // response B truncates response A by a doc-keyed amount, and the
+    // longer side wins 2 of 3 pairs — the audit must read ~667 milli
+    // in the unequal buckets and bucket the gaps exactly.
+    "q456_length_bias" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = (col("doc_id") % 1500) + 1
+      val a = col("text")
+      val b = substring(col("text"), lit(1),
+        greatest(length(col("text")) - cut, lit(0)).cast("int"))
+      val longerWins = col("doc_id") % 3 =!= 0
+      val prefs = docs.select(
+        when(longerWins, a).otherwise(b).as("winner_text"),
+        when(longerWins, b).otherwise(a).as("loser_text"))
+      ScoringOps.lengthBiasAudit(prefs, "winner_text", "loser_text")
+        .orderBy(col("gap_bucket"))
+    }),
+
     // 7z drop census (q452, round 14): `.7z` is what old corpus
     // mirrors and many ML dataset dumps actually ship (solid LZMA2
     // blocks beat per-member deflate on text); the walk unpacks them
@@ -18968,6 +18988,35 @@ FROM scored ORDER BY doc_id"""),
         |  'doc ' || doc_id::VARCHAR AS title,
         |  (doc_id % 4)::BIGINT AS n_links
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q456_length_bias" ->
+      """WITH p AS (
+        |  SELECT length(text)::BIGINT AS la,
+        |    greatest(length(text) - (doc_id % 1500 + 1), 0)::BIGINT
+        |      AS lb,
+        |    (doc_id % 3 <> 0) AS lw
+        |  FROM documents),
+        |g AS (SELECT (CASE WHEN lw THEN la ELSE lb END) AS lwin,
+        |             (CASE WHEN lw THEN lb ELSE la END) AS llos
+        |      FROM p),
+        |b AS (SELECT abs(lwin - llos) AS gap,
+        |        (CASE WHEN lwin > llos THEN 1 ELSE 0 END)::BIGINT
+        |          AS won,
+        |        (CASE WHEN abs(lwin - llos) > 0 THEN 1 ELSE 0
+        |          END)::BIGINT AS uneq
+        |      FROM g),
+        |c AS (SELECT CASE WHEN gap = 0 THEN 'equal'
+        |        WHEN gap <= 10 THEN '1-10'
+        |        WHEN gap <= 100 THEN '11-100'
+        |        WHEN gap <= 1000 THEN '101-1000'
+        |        ELSE '1000+' END AS gap_bucket, won, uneq
+        |      FROM b)
+        |SELECT gap_bucket, count(*)::BIGINT AS n_pairs,
+        |  sum(won)::BIGINT AS n_longer_won,
+        |  (CASE WHEN sum(uneq) > 0
+        |    THEN sum(won) * 1000 // sum(uneq) END)::BIGINT
+        |    AS longer_win_milli
+        |FROM c GROUP BY gap_bucket ORDER BY gap_bucket""".stripMargin,
 
     "q455_bt_rank" ->
       """WITH raw AS (

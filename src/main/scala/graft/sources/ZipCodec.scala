@@ -350,6 +350,58 @@ object ZipCodec {
     zipBytesMethods(members.map { case (p, d, defl) =>
       (p, d, if (defl) 8 else 0) })
 
+  /** Streaming-writer layout (general-purpose bit 3 — what
+    * `java.util.zip.ZipOutputStream` and every pipe-to-HTTP writer
+    * emits): the local header carries ZERO crc/sizes because the
+    * writer didn't know them yet, and a 16-byte data descriptor
+    * (sig 0x08074b50, crc, csize, usize) trails each member's
+    * payload. The central directory still records the real values —
+    * which is exactly why [[parse]] is central-directory-first and
+    * reads these archives without touching the descriptor. Writer
+    * twin for proving that. */
+  def zipStreamingBytes(
+      members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new ByteBuilder(1024)
+    val central = new ByteBuilder(256)
+    members.foreach { case (path, data, deflate) =>
+      val nameB = path.getBytes("UTF-8")
+      val crc = { val c = new CRC32(); c.update(data); c.getValue }
+      val (method, comp) =
+        if (deflate) (8, deflateRaw(data)) else (0, data)
+      val localOff = out.size
+      out.addU32(LocalSig)
+      out.addU16(20)
+      out.addU16(0x0808)      // bit 3 (descriptor) + bit 11 (UTF-8)
+      out.addU16(method)
+      out.addU16(0); out.addU16(0x21)
+      out.addU32(0); out.addU32(0); out.addU32(0) // crc/csize/usize: unknown
+      out.addU16(nameB.length); out.addU16(0)
+      out.add(nameB); out.add(comp)
+      out.addU32(0x08074b50L) // data descriptor (with signature form)
+      out.addU32(crc)
+      out.addU32(comp.length); out.addU32(data.length)
+      central.addU32(CentralSig)
+      central.addU16(20); central.addU16(20)
+      central.addU16(0x0808); central.addU16(method)
+      central.addU16(0); central.addU16(0x21)
+      central.addU32(crc)
+      central.addU32(comp.length); central.addU32(data.length)
+      central.addU16(nameB.length); central.addU16(0); central.addU16(0)
+      central.addU16(0); central.addU16(0); central.addU32(0)
+      central.addU32(localOff)
+      central.add(nameB)
+    }
+    val cdOff = out.size
+    val cd = central.toArray
+    out.add(cd)
+    out.addU32(EocdSig)
+    out.addU16(0); out.addU16(0)
+    out.addU16(members.size); out.addU16(members.size)
+    out.addU32(cd.length); out.addU32(cdOff)
+    out.addU16(0)
+    out.toArray
+  }
+
   /** Raw-deflate encoding that uses ONLY stored (BTYPE 00) blocks —
     * byte-valid under BOTH deflate and Deflate64 (the two dialects
     * diverge only in the compressed-block code tables: length code

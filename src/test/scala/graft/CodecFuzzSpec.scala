@@ -217,6 +217,9 @@ class CodecFuzzSpec extends AnyFunSuite {
       ("d.txt", ("dd " * 120).getBytes("UTF-8"), 9)))
     sweep("zip.methods", dispatched, 1414)(
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
+    // streaming-writer layout (bit 3 + data descriptors)
+    sweep("zip.streaming", ZipCodec.zipStreamingBytes(members), 1717)(
+      "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
   }
 
   test("7z parser survives seeded corruptions without throwing") {

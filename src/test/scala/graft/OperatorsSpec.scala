@@ -6579,6 +6579,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ZipCodec.parse(trap).get.head.size == 22L)
   }
 
+  test("lengthBiasAudit: gap buckets are exact, equal pairs carry a " +
+      "null rate, the biased fixture reads its closed-form milli") {
+    import graft.operators.ScoringOps
+    val prefs = Seq(
+      ("aaaa", "aaaa"),          // equal → own bucket, null rate
+      ("aaaaaaa", "aaa"),        // gap 4, longer won
+      ("aaa", "aaaaaaa"),        // gap 4, shorter won
+      ("a" * 200, "a"),          // gap 199, longer won
+      (null, "xx")               // null → "" : gap 2, shorter won
+    ).toDF("w", "l")
+    val got = ScoringOps.lengthBiasAudit(prefs, "w", "l")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got("equal") == ((1L, 0L, -1L)), got)
+    assert(got("1-10") == ((3L, 1L, 333L)), got)
+    assert(!got.contains("11-100"), "no pair falls in 11-100 here")
+    assert(got("101-1000") == ((1L, 1L, 1000L)), got)
+  }
+
   test("bradleyTerryStrengths: two-item closed form is exact, a " +
       "zero-win item pins to 0, transitive fixtures order correctly") {
     import graft.operators.ScoringOps
@@ -6676,6 +6696,25 @@ class OperatorsSpec extends AnyFunSuite {
     got.zip(texts).foreach { case (m, (_, data, _)) =>
       assert(m.data.toSeq == data.toSeq, m.name)
     }
+    // streaming-writer archives (bit 3: zeroed local sizes + data
+    // descriptors — the java.util.zip.ZipOutputStream layout): the
+    // central-directory-first parse reads them without touching the
+    // descriptor, and CRC still verifies
+    val streaming = ZipCodec.zipStreamingBytes(Seq(
+      ("s1.txt", "streamed stored".getBytes("UTF-8"), false),
+      ("s2.txt", ("streamed deflated " * 30).getBytes("UTF-8"), true)))
+    val sGot = ZipCodec.parse(streaming).get
+    assert(sGot.map(_.name) == Seq("s1.txt", "s2.txt"))
+    assert(sGot.map(_.method) == Seq(0, 8))
+    assert(new String(sGot.head.data, "UTF-8") == "streamed stored")
+    assert(new String(sGot(1).data, "UTF-8") ==
+      "streamed deflated " * 30)
+    // corrupting a streamed payload byte still fails CRC honestly
+    val sBad = streaming.clone()
+    sBad(30 + "s1.txt".length + 3) =
+      (sBad(30 + "s1.txt".length + 3) ^ 0x11).toByte
+    assert(ZipCodec.parse(sBad).isEmpty)
+
     // a deflate64 stored-block member ALSO parses as plain deflate
     // (the common subset both dialects share)
     val asDeflate = ZipCodec.zipBytesMethods(
