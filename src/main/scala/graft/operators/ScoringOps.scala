@@ -416,7 +416,6 @@ object ScoringOps {
     val members = games.select(col("a"), col("b"), col("n"),
       explode(array(col("a"), col("b"))).as("id")).cache()
     var pi = items.select(col("id"), lit(1000000L).as("pi"))
-    var cached: Option[DataFrame] = None
     for (it <- 1 to iters) {
       val pairSum = members
         .join(pi, Seq("id"))
@@ -433,12 +432,19 @@ object ScoringOps {
         .select(col("id"),
           expr("coalesce(n_wins, 0L) * 1000000000000L div " +
             "greatest(coalesce(__d, 0L), 1L)").as("pi"))
-      if (it % 5 == 0 && it < iters) {
-        next.cache(); next.count()
-        cached.foreach(_.unpersist())
-        cached = Some(next)
-      }
-      pi = next
+      // HARD lineage cut every other iteration: the denominator
+      // union references pairSum twice, so the logical tree doubles
+      // per round even though the DATA is tiny — and caching does
+      // not help, because analysis walks the full tree BEFORE cache
+      // substitution (measured: 8 iterations cost 191 s with
+      // cache+count checkpoints, ~5 s with the cut). localCheckpoint
+      // materializes the items-sized strengths table and replans it
+      // as a LogicalRDD LEAF, so every segment's tree stays shallow.
+      // Eager like PageRank's deep-run count(); executor-local
+      // storage is fine — losing it loses a derived iterate, and the
+      // caller re-runs the estimator, not a recovery protocol.
+      pi = if (it % 2 == 0 && it < iters) next.localCheckpoint(true)
+           else next
     }
     val nGames = games
       .select(col("a").as("id"), col("n"))

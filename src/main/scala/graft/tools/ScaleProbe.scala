@@ -1438,6 +1438,71 @@ object ScaleProbe {
               lit("2024-06-11 00:00:00").cast("timestamp"))),
           "doc_id", "text"))
     }
+
+    // ROUND-14 fixtures: the new container legs' decode locality, the
+    // single-scan closure at real depth, and the BT iteration price.
+    {
+      import spark.implicits._
+      val docs14 = replicate(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      // (a) 7z: solid-LZMA2 decode runs in the scan task; only
+      // member rows leave — 0 B shuffle beyond the census
+      val sevenZDrop = docs14.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          (id, graft.sources.SevenZCodec.sevenZBytes(Seq(
+            ("a.txt", tb), ("b.txt", (text + " b").getBytes("UTF-8")))))
+        }.toDF("doc_id", "bin")
+      time(s"7z walk x$n (solid LZMA2 members)")(
+        graft.operators.ArchiveOps.walkReport(
+          sevenZDrop, "doc_id", "bin"))
+      // (b) zip member-method dispatch: three foreign-codec members
+      // per archive, decoded under the budget pre-charge — same
+      // zero-shuffle contract as stored/deflate
+      val methodDrop = docs14.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          (id, graft.sources.ZipCodec.zipBytesMethods(Seq(
+            ("z.txt", tb, 93), ("b.txt", tb, 12), ("d.txt", tb, 9))))
+        }.toDF("doc_id", "bin")
+      time(s"zip method-dispatch walk x$n (zstd/bzip2/deflate64)")(
+        graft.operators.ArchiveOps.walkReport(
+          methodDrop, "doc_id", "bin"))
+      // (c) single-scan sitemapClosure at depth 3 (the round-14
+      // refactor's target depth): the fetched XML parses ONCE into
+      // the cached entries table; wall-clock must not grow ~linearly
+      // with depth the way the per-level re-join did
+      val fetched14 = docs14.select(col("doc_id"),
+        concat(lit("http://s.org/sm"), col("doc_id").cast("string"),
+          lit(".xml")).as("url"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit("<sitemapindex><sitemap><loc>http://s.org/sm"),
+          (col("doc_id") + 1).cast("string"),
+          lit(".xml</loc></sitemap><sitemap><loc>http://s.org/sm"),
+          (col("doc_id") + 2).cast("string"),
+          lit(".xml</loc></sitemap></sitemapindex>")))
+          .otherwise(concat(
+            lit("<urlset><url><loc>http://s.org/p"),
+            col("doc_id").cast("string"),
+            lit("</loc></url></urlset>"))).as("xml"))
+      val roots14 = fetched14.filter(col("doc_id") % 3 === 0)
+        .select(col("url"))
+      time(s"sitemapClosure x$n depth=3 (single-scan entries)")(
+        graft.operators.UrlOps.sitemapClosure(fetched14, "url", "xml",
+          roots14, "url", maxDepth = 3))
+      // (d) Bradley–Terry: the comparison stream collapses once;
+      // iteration shuffles are pair-table-sized (items² at worst),
+      // corpus-independent after the first aggregate
+      val prefs14 = docs14.select(
+        (col("doc_id") % 64).cast("string").as("w"),
+        ((col("doc_id") * 5 + 3) % 64).cast("string").as("l"))
+        .filter(col("w") =!= col("l"))
+      time(s"bradleyTerry x$n (64 items, 8 iters)")(
+        graft.operators.ScoringOps.bradleyTerryStrengths(
+          prefs14, "w", "l"))
+    }
     spark.stop()
   }
 }
