@@ -6112,6 +6112,46 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // WAT → link graph → PageRank (q457, round 14): the composition
+    // a CC-scale link-analysis pipeline actually runs — the WAT
+    // sidecar's JSON envelope (not the raw HTML) is where link
+    // structure comes from. Metadata records parse, the Links array
+    // explodes through from_json, hosts resolve to edges, and the
+    // q161 PageRank machinery ranks them. Edge structure mirrors
+    // q180's fixture so ranks land on known values.
+    "q457_wat_linkgraph" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          def h(m: Long, a: Long) =
+            s"http://h${(id * m + a) % 50}.ex/p"
+          val env = s"""{"Envelope":{"WARC-Header-Metadata":""" +
+            s"""{"WARC-Target-URI":"http://h${id % 50}.ex/p"},""" +
+            s""""Payload-Metadata":{"HTTP-Response-Metadata":""" +
+            s"""{"HTML-Metadata":{"Links":[{"url":"${h(7, 1)}"},""" +
+            s"""{"url":"${h(13, 2)}"},{"url":"${h(29, 3)}"}]}}}}}"""
+          (id, graft.sources.WarcCodec.warcTypedBytes(Seq(
+            ("metadata", s"http://h${id % 50}.ex/p",
+              "2024-06-11T00:00:00Z", "application/json", env))))
+        }.toDF("doc_id", "bin")
+      val links = MultimodalOps.warcRecords(bin, "doc_id", "bin")
+        .filter(col("warc_type") === "metadata")
+        .select(col("doc_id"), explode(from_json(
+          get_json_object(col("body"),
+            "$['Envelope']['Payload-Metadata']" +
+              "['HTTP-Response-Metadata']['HTML-Metadata']['Links']"),
+          "array<struct<url:string>>",
+          Map.empty[String, String])).as("lk"))
+      val edges = links.select(
+          (col("doc_id") % 50).as("src"),
+          regexp_extract(col("lk.url"), "http://h(\\d+)\\.ex", 1)
+            .cast("long").as("dst"))
+        .distinct()
+      GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    }),
+
     // Preference length-bias audit (q456, round 14): the
     // best-documented reward-data failure — raters prefer LONGER
     // responses; a biased pair corpus teaches verbosity. Fixture:
@@ -18988,6 +19028,41 @@ FROM scored ORDER BY doc_id"""),
         |  'doc ' || doc_id::VARCHAR AS title,
         |  (doc_id % 4)::BIGINT AS n_links
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q457_wat_linkgraph" -> (
+      s"""WITH e AS (
+        |  SELECT DISTINCT doc_id % 50 AS src,
+        |    (CASE k WHEN 1 THEN (doc_id * 7 + 1) % 50
+        |      WHEN 2 THEN (doc_id * 13 + 2) % 50
+        |      ELSE (doc_id * 29 + 3) % 50 END)::BIGINT AS dst
+        |  FROM documents, unnest([1, 2, 3]) AS t(k)),
+        |od AS (SELECT src, count(*)::BIGINT AS out_degree
+        |       FROM e GROUP BY src),
+        |ind AS (SELECT dst, count(*)::BIGINT AS in_degree
+        |        FROM e GROUP BY dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |ed AS (SELECT e.src, e.dst, od.out_degree
+        |       FROM e JOIN od USING (src)),
+        |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),""".stripMargin +
+        (1 to 3).map { i =>
+          val p = i - 1
+          s"""
+             |c$i AS (
+             |  SELECT ed.dst, sum(r.r // ed.out_degree)::BIGINT AS s
+             |  FROM ed JOIN r$p r ON r.id = ed.src GROUP BY ed.dst),
+             |r$i AS (
+             |  SELECT n.id,
+             |    (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r
+             |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.id)""".stripMargin
+        }.mkString(",") + """
+        |SELECT n.id, coalesce(od.out_degree, 0)::BIGINT AS out_degree,
+        |  coalesce(ind.in_degree, 0)::BIGINT AS in_degree,
+        |  r3.r AS rank_micro
+        |FROM nodes n
+        |LEFT JOIN od ON od.src = n.id
+        |LEFT JOIN ind ON ind.dst = n.id
+        |JOIN r3 ON r3.id = n.id
+        |ORDER BY n.id""".stripMargin),
 
     "q456_length_bias" ->
       """WITH p AS (
