@@ -123,8 +123,18 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val c = """"calib"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
           .map(_.group(1).toDouble).getOrElse(calibSec)
+        // the parallel calib is only comparable at the SAME thread
+        // count: a prev record taken with 32 calib threads against a
+        // run with 16 (shrunken CPU quota, SPARK_GRAFT_CPUS override)
+        // would read ~2x from thread count alone and saturate the
+        // clamp for a reason that has nothing to do with contention —
+        // mismatched or unrecorded thread counts fall back to the
+        // single-thread ratio
+        val ct = """"calib_threads"\s*:\s*([0-9]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toInt)
         val cp = """"calib_par"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
           .map(_.group(1).toDouble)
+          .filter(_ => ct.contains(nCalibThreads))
         (qs, c, cp)
       } catch {
         case _: Throwable => (Map.empty[String, Double], calibSec, None)
@@ -170,7 +180,7 @@ object Bench {
     val calibParPost =
       Seq(calibParOnce(), calibParOnce(), calibParOnce()).min
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"calib_threads":$nCalibThreads,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full per-query map also goes to a FILE (one pretty-ish line per
     // query so diffs read): the stdout line above can outgrow the driver's
@@ -185,6 +195,7 @@ object Bench {
   "calib": $calibSec,
   "calib_par": $calibParSec,
   "calib_par_post": $calibParPost,
+  "calib_threads": $nCalibThreads,
   "sf": "$sfDir",
   "n": ${results.size},
   "queries": {
@@ -198,7 +209,7 @@ object Bench {
     }
     // Short self-defending summary LAST: the final bytes of output must
     // always be valid JSON even if everything above scrolled away.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"calib_threads":$nCalibThreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

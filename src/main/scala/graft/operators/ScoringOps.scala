@@ -313,6 +313,46 @@ object ScoringOps {
           coalesce(col("__chance"), lit(0L))).as("kappa_den"))
   }
 
+  /** Length-bias audit over preference pairs — the best-documented
+    * failure mode of reward-data collection: raters (and reward
+    * models trained on them) systematically prefer LONGER responses,
+    * and a corpus carrying that bias teaches verbosity, not quality.
+    * Per length-gap bucket (absolute char-length difference between
+    * the two responses): how often the longer side won. An unbiased
+    * corpus reads ~500 milli everywhere; monotone growth of
+    * `longer_win_milli` with the gap is the signature to catch
+    * BEFORE training. Equal-length pairs get their own bucket
+    * (`longer_win_milli` null there — no longer side exists).
+    *
+    * Pure projection + one bucket-keyed map-side-combined aggregate;
+    * the response TEXT never leaves the scan (only two lengths do).
+    * Integer milli output, engine-portable. */
+  def lengthBiasAudit(prefs: DataFrame, winnerTextCol: String,
+                      loserTextCol: String): DataFrame = {
+    val lw = length(coalesce(col(winnerTextCol), lit("")))
+      .cast("long")
+    val ll = length(coalesce(col(loserTextCol), lit(""))).cast("long")
+    val gap = abs(lw - ll)
+    val bucket = when(gap === 0, "equal")
+      .when(gap <= 10, "1-10")
+      .when(gap <= 100, "11-100")
+      .when(gap <= 1000, "101-1000")
+      .otherwise("1000+")
+    // every pair in a non-"equal" bucket has gap > 0 by bucket
+    // construction, so the unequal count IS n_pairs there and the
+    // "equal" bucket's rate is definitionally null
+    prefs
+      .select(bucket.as("gap_bucket"),
+        (lw > ll).cast("long").as("__longer_won"))
+      .groupBy(col("gap_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__longer_won")).as("n_longer_won"))
+      .select(col("gap_bucket"), col("n_pairs"), col("n_longer_won"),
+        when(col("gap_bucket") =!= "equal",
+          expr("n_longer_won * 1000 div n_pairs"))
+          .as("longer_win_milli"))
+  }
+
   /** Bradley–Terry strengths from pairwise preference outcomes — the
     * ranking half of preference-data analysis (arena-style model
     * comparisons, reward-data consistency checks): given one row per
@@ -345,48 +385,15 @@ object ScoringOps {
     * narrow (ids + counters). Each iteration is two strengths-joins
     * against the pair table + one map-side-combined sum — edge-sized
     * shuffles, nothing comparison-stream-sized after the first
-    * aggregate; small iteration counts chain as one lazy plan, every
-    * 5th iteration materializes to a scoped cache. Output: one row
-    * per item — `(id, strength_micro, n_wins, n_games)`. */
-  /** Length-bias audit over preference pairs — the best-documented
-    * failure mode of reward-data collection: raters (and reward
-    * models trained on them) systematically prefer LONGER responses,
-    * and a corpus carrying that bias teaches verbosity, not quality.
-    * Per length-gap bucket (absolute char-length difference between
-    * the two responses): how often the longer side won. An unbiased
-    * corpus reads ~500 milli everywhere; monotone growth of
-    * `longer_win_milli` with the gap is the signature to catch
-    * BEFORE training. Equal-length pairs get their own bucket
-    * (`longer_win_milli` null there — no longer side exists).
-    *
-    * Pure projection + one bucket-keyed map-side-combined aggregate;
-    * the response TEXT never leaves the scan (only two lengths do).
-    * Integer milli output, engine-portable. */
-  def lengthBiasAudit(prefs: DataFrame, winnerTextCol: String,
-                      loserTextCol: String): DataFrame = {
-    val lw = length(coalesce(col(winnerTextCol), lit("")))
-      .cast("long")
-    val ll = length(coalesce(col(loserTextCol), lit(""))).cast("long")
-    val gap = abs(lw - ll)
-    val bucket = when(gap === 0, "equal")
-      .when(gap <= 10, "1-10")
-      .when(gap <= 100, "11-100")
-      .when(gap <= 1000, "101-1000")
-      .otherwise("1000+")
-    prefs
-      .select(bucket.as("gap_bucket"),
-        (lw > ll).cast("long").as("__longer_won"),
-        when(gap > 0, 1L).otherwise(0L).as("__unequal"))
-      .groupBy(col("gap_bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("__longer_won")).as("n_longer_won"),
-        sum(col("__unequal")).as("__nu"))
-      .select(col("gap_bucket"), col("n_pairs"), col("n_longer_won"),
-        when(col("__nu") > 0,
-          expr("n_longer_won * 1000 div __nu"))
-          .as("longer_win_milli"))
-  }
-
+    * aggregate. Every OTHER iteration materializes the items-sized
+    * iterate as a localCheckpoint LEAF (an eager job, like
+    * [[GraphOps.pageRank]]'s deep-run count) — see the loop comment
+    * for why caching alone cannot contain this loop's lineage. The
+    * setup caches (pair counts, games, items) are session-lived, the
+    * LSH-family cache policy: bulk callers invoking this per dataset
+    * in one long session should `spark.catalog.clearCache()` between
+    * batches. Output: one row per item —
+    * `(id, strength_micro, n_wins, n_games)`. */
   def bradleyTerryStrengths(prefs: DataFrame, winnerCol: String,
                             loserCol: String,
                             iters: Int = 8): DataFrame = {
@@ -450,8 +457,9 @@ object ScoringOps {
       .select(col("a").as("id"), col("n"))
       .unionByName(games.select(col("b").as("id"), col("n")))
       .groupBy(col("id")).agg(sum(col("n")).as("n_games"))
-    items
-      .join(pi, Seq("id"))
+    // pi already holds exactly one row per item (each iteration was
+    // built FROM items) — no items re-join needed
+    pi
       .join(wins, Seq("id"), "left")
       .join(nGames, Seq("id"), "left")
       .select(col("id"), col("pi").as("strength_micro"),

@@ -417,7 +417,10 @@ object UrlOps {
     * against the visited set — no driver actions, the whole closure
     * is one lazy plan; depth is protocol-small (the spec formally
     * allows only index → urlset, one hop; the default 3 tolerates
-    * real-world nesting). */
+    * real-world nesting). The entries cache is SESSION-LIVED (the
+    * LSH-family cache policy): callers running many closures in one
+    * long session should `spark.catalog.clearCache()` between
+    * batches. */
   def sitemapClosure(fetched: DataFrame, urlCol: String,
                      xmlCol: String, roots: DataFrame,
                      rootUrlCol: String, maxDepth: Int = 3,

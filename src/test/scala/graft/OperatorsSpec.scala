@@ -6664,9 +6664,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SevenZCodec.parse(bytes.take(10)).isEmpty)
     val bad = bytes.clone(); bad(bytes.length / 2) =
       (bad(bytes.length / 2) ^ 0x5a).toByte
-    assert(SevenZCodec.parse(bad) == None ||
-      SevenZCodec.parse(bad).get.forall(_ != null)) // flipped bit may
-    // land in padding; the contract is only "never throw"
+    // the flipped bit may land in padding, so the contract is "never
+    // throw, and anything that DOES parse is size-consistent" — a
+    // member either ships its full declared bytes or none
+    val badParsed = SevenZCodec.parse(bad)
+    assert(badParsed.forall(_.forall(m =>
+      m.data == null || m.data.length.toLong == m.size)))
     assert(SevenZCodec.parse(null) == None)
     // the recursive walk: a 7z ROOT walks members; a 7z member
     // nested in a tar walks at depth 2 with the composite path
