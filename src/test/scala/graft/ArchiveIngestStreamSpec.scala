@@ -40,7 +40,10 @@ class ArchiveIngestStreamSpec extends AnyFunSuite {
           ("inner.zip", innerZip),
           ("notes.txt", "outer leaf".getBytes("UTF-8")))), ts0),
         ("a-0005-beef", TarCodec.tarBytes(Seq(
-          ("img.bin", Array[Byte](1, 2, 3, 4)))), ts0))
+          ("img.bin", Array[Byte](1, 2, 3, 4)))), ts0),
+        // round 14: a solid .7z drop rides the same walk dispatch
+        ("a-0006-beef", graft.sources.SevenZCodec.sevenZBytes(Seq(
+          ("seven.txt", "seven zip member".getBytes("UTF-8")))), ts0))
     }
   }
 
@@ -110,7 +113,9 @@ class ArchiveIngestStreamSpec extends AnyFunSuite {
     assert(texts.keySet == Set(
       "a-0001-beef!one.txt", "a-0001-beef!two.md",
       "a-0003-beef!z.txt", "a-0004-beef!inner.zip!m.txt",
-      "a-0004-beef!notes.txt"), texts.keySet.toString)
+      "a-0004-beef!notes.txt", "a-0006-beef!seven.txt"),
+      texts.keySet.toString)
+    assert(texts("a-0006-beef!seven.txt")._2 == "seven zip member")
     assert(texts("a-0004-beef!inner.zip!m.txt") ==
       ((ts0, "nested text body")))
   }
