@@ -146,6 +146,17 @@ class CodecFuzzSpec extends AnyFunSuite {
       "records" -> ((b: Array[Byte]) => WarcCodec.records(b)))
     sweep("warc.zst", WarcCodec.warcZstBytes(recs), 1616)(
       "records" -> ((b: Array[Byte]) => WarcCodec.records(b)))
+    // round 14: the typed-record (WET/WAT sidecar) layout through
+    // the same parser
+    val typed = WarcCodec.warcTypedBytes(Seq(
+      ("warcinfo", "", "2026-01-01T00:00:00Z",
+        "application/warc-fields", "software: graft"),
+      ("conversion", "http://w.example/1", "2026-01-01T00:00:00Z",
+        "text/plain", "extracted text " * 20),
+      ("metadata", "http://w.example/1", "2026-01-01T00:00:00Z",
+        "application/json", """{"Envelope":{"x":1}}""")))
+    sweep("warc.typed", typed, 1919)(
+      "records" -> ((b: Array[Byte]) => WarcCodec.records(b)))
     // bounded inflation (round 13): a compressed cell claiming more
     // than the cap reads unreadable, never an allocation of the lie
     val big = WarcCodec.warcBytes(Seq(("http://a/x", "2026-01-01",

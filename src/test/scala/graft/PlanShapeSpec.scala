@@ -696,6 +696,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q447 must schedule via the bounded aggregate:\n$pw")
   }
 
+  test("q453/q455/q456/q457 (round 14): the WET curation chain and " +
+      "the preference ops stay window- and cartesian-free; the " +
+      "length-bias audit is one aggregate with no join") {
+    for (q <- Seq("q453_wet_curate", "q455_bt_rank",
+        "q457_wat_linkgraph")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$q must compose without windows or cartesians:\n$p")
+    }
+    val pb = plan("q456_length_bias")
+    assert(!pb.contains("Window") && !pb.contains("Join"),
+      s"q456 is a projection + one aggregate, nothing else:\n$pb")
+    spark.catalog.clearCache() // q455's BT setup caches are scoped out
+  }
+
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
       "of the BM25 chain — the only windows are per-query ranks") {
     val p = plan("q386_retrieval_hubness")
