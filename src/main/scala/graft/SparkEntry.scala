@@ -6112,6 +6112,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // WET shard export (q458, round 14): the WRITE half of the
+    // sidecar story — curated text published as deterministic WET
+    // shards (md5-bucketed membership, URI-byte-sorted records).
+    // The oracle re-derives per-shard membership/counts; the BYTES
+    // roundtrip (export → warcRecords → texts) is spec-pinned.
+    "q458_wet_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        concat(lit("https://ex.com/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        col("text"))
+      MultimodalOps.toWetShards(docs, "uri", "text", shards = 8)
+        .select(col("shard_id"), col("n_records"), col("n_chars"))
+        .orderBy(col("shard_id"))
+    }),
+
     // WAT → link graph → PageRank (q457, round 14): the composition
     // a CC-scale link-analysis pipeline actually runs — the WAT
     // sidecar's JSON envelope (not the raw HTML) is where link
@@ -19028,6 +19043,17 @@ FROM scored ORDER BY doc_id"""),
         |  'doc ' || doc_id::VARCHAR AS title,
         |  (doc_id % 4)::BIGINT AS n_links
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q458_wet_export" ->
+      """WITH m AS (
+        |  SELECT (('0x' || substr(md5('https://ex.com/doc/'
+        |      || doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT
+        |      AS shard_id,
+        |    length(text)::BIGINT AS n
+        |  FROM documents)
+        |SELECT shard_id, count(*)::BIGINT AS n_records,
+        |  sum(n)::BIGINT AS n_chars
+        |FROM m GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     "q457_wat_linkgraph" -> (
       s"""WITH e AS (

@@ -551,6 +551,62 @@ object MultimodalOps {
         "n_body_bytes", "body")
   }
 
+  /** WET shard EXPORT — the write half of the sidecar story
+    * ([[warcRecords]] reads them): publish a curated text corpus as
+    * Common-Crawl-style WET shards, one `warcinfo` preamble plus one
+    * `conversion` record per document ([[graft.sources.WarcCodec
+    * .warcTypedBytes]]). One row per shard:
+    * `(shard_id, n_records, n_chars, bytes)`.
+    *
+    * Determinism (so an export is reproducible run-over-run and
+    * engine-portable where SQL can follow): shard assignment is the
+    * md5-bucket rule every split/sample op here uses
+    * (`uint32(md5(uri)[0:8]) % shards` — DuckDB can re-derive the
+    * per-shard membership and counts), and records within a shard
+    * are sorted by URI bytes before serialization, so the shard
+    * BYTES are a pure function of the member set.
+    *
+    * Scale shape: one shuffle keyed by shard id; each shard's
+    * records stream through a sorted group fold into one byte
+    * buffer. A shard must fit the 64 MiB column-cell bound — size
+    * `shards` for your corpus (a real export sink would stream each
+    * group straight to its own file instead of a cell; this operator
+    * IS that serialization, minus the filesystem). Documents with
+    * null text export as empty conversion bodies; null URIs are
+    * dropped (a WET record without a target URI is unaddressable). */
+  def toWetShards(docs: DataFrame, uriCol: String, textCol: String,
+                  shards: Int = 16,
+                  date: String = "2024-01-01T00:00:00Z"): DataFrame = {
+    require(shards >= 1 && shards <= (1 << 20), "shards in 1..2^20")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = date
+    docs
+      .filter(col(uriCol).isNotNull)
+      .select(col(uriCol).cast("string").as("uri"),
+        coalesce(col(textCol), lit("")).as("text"),
+        (conv(substring(md5(col(uriCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % shards).cast("int").as("shard_id"))
+      .as[(String, String, Int)]
+      .groupByKey((r: (String, String, Int)) => r._3)
+      .mapGroups { (shard: Int,
+          rows: Iterator[(String, String, Int)]) =>
+        // UTF-8-BYTE order (the one StreamIds definition) — Java's
+        // UTF-16 compareTo diverges on supplementary-plane URIs
+        val sorted = rows.map(r => (r._1, r._2)).toArray
+          .sortBy(_._1)(graft.streaming.StreamIds.utf8Ordering)
+        val recs = ("warcinfo", "", d,
+          "application/warc-fields", "software: graft-wet-export") +:
+          sorted.toSeq.map { case (uri, text) =>
+            ("conversion", uri, d, "text/plain", text)
+          }
+        val bytes = graft.sources.WarcCodec.warcTypedBytes(recs)
+        (shard, sorted.length.toLong,
+          sorted.map(_._2.length.toLong).sum, bytes)
+      }
+      .toDF("shard_id", "n_records", "n_chars", "bytes")
+  }
+
   /** Frame sampling: every `stride`-th fixed-size window of the payload
     * as a "frame" (stub for video keyframe extraction; shape + explode
     * semantics are the real plumbing). */

@@ -602,6 +602,56 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(df.filter(col("warc_type") === "metadata").count() == 1L)
   }
 
+  test("toWetShards (round 14): export roundtrips through warcRecords, " +
+      "shards are deterministic, records URI-byte-sorted behind a " +
+      "warcinfo preamble") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("https://ex.com/a", "alpha text"),
+      ("https://ex.com/b", "beta text"),
+      ("https://ex.com/c", null: String),
+      (null: String, "dropped — no uri"),
+      ("https://ex.com/d", "delta text")
+    ).toDF("uri", "text")
+    val shards = MultimodalOps.toWetShards(docs, "uri", "text",
+      shards = 2)
+    val rows = shards.collect()
+    assert(rows.map(_.getLong(1)).sum == 4L, "4 addressable docs")
+    // byte-for-byte reproducible: a second export builds identical
+    // shards (sorted members + fixed date ⇒ pure function)
+    val again = MultimodalOps.toWetShards(docs, "uri", "text",
+      shards = 2).collect()
+    assert(rows.map(r => (r.getInt(0),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]]("bytes"))))
+        .sortBy(_._1).toSeq ==
+      again.map(r => (r.getInt(0),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]]("bytes"))))
+        .sortBy(_._1).toSeq)
+    // roundtrip: every shard parses back — warcinfo first, then
+    // conversion records in URI order, bodies byte-exact
+    val all = rows.flatMap { r =>
+      val recs = graft.sources.WarcCodec.records(
+        r.getAs[Array[Byte]]("bytes"))
+      assert(recs.head.warcType == "warcinfo", r.getInt(0).toString)
+      val conv = recs.tail
+      assert(conv.forall(_.warcType == "conversion"))
+      assert(conv.map(_.targetUri) == conv.map(_.targetUri).sorted)
+      conv.map(c => c.targetUri -> new String(c.body, "UTF-8"))
+    }.toMap
+    assert(all == Map(
+      "https://ex.com/a" -> "alpha text",
+      "https://ex.com/b" -> "beta text",
+      "https://ex.com/c" -> "", // null text → empty body
+      "https://ex.com/d" -> "delta text"))
+    // composition: export → warcRecords reads it like any WET
+    val back = MultimodalOps.warcRecords(
+      shards.select(col("shard_id").cast("long").as("id"),
+        col("bytes")), "id", "bytes")
+      .filter(col("warc_type") === "conversion")
+    assert(back.count() == 4L)
+  }
+
   test("warc -> html -> text: the crawl pipeline chains end-to-end") {
     import graft.operators.TextAnalysisOps
     import graft.sources.WarcCodec
