@@ -708,6 +708,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val pb = plan("q456_length_bias")
     assert(!pb.contains("Window") && !pb.contains("Join"),
       s"q456 is a projection + one aggregate, nothing else:\n$pb")
+    // q458: the export is ONE shuffle keyed by shard id (the
+    // groupByKey) plus the presentation sort — no join, no window
+    val pw = plan("q458_wet_export")
+    assert(!pw.contains("Window") && !pw.contains("Join"),
+      s"q458 must not join or window:\n$pw")
+    assert(pw.split("Exchange").length <= 3,
+      s"q458: the shard shuffle and the presentation sort are the " +
+        s"only exchanges:\n$pw")
     spark.catalog.clearCache() // q455's BT setup caches are scoped out
   }
 
