@@ -6239,6 +6239,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("member_idx"))
     }),
 
+    // Mixed-scope ZIP census (q459, round 15): real dumps carry the
+    // odd member parse cannot decode — an LZMA (method 14) or
+    // encrypted (flag bit 0) member amid plain stored/deflate ones.
+    // One such member previously voided the WHOLE archive's census;
+    // now it ships an honest (name, size, method, data=null) row and
+    // the walk marks it an undecodable MEMBER, never an undecodable
+    // archive. Fixture: one zip per doc with a stored member, an
+    // LZMA member (opaque payload), and an encrypted member.
+    "q459_zip_mixed_members" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          (id, graft.sources.ZipCodec.zipBytesOpaque(Seq(
+            (s"ok/$id.txt", tb, tb, 0, 0),
+            (s"lzma/$id.bin", (text + " L").getBytes("UTF-8"),
+              Array[Byte](7, 7, 7), 14, 0),
+            (s"enc/$id.txt", (text + " E").getBytes("UTF-8"),
+              Array[Byte](1, 2, 3, 4), 8, 1))))
+        }.toDF("doc_id", "bin")
+      ArchiveOps.members(bin, "doc_id", "bin")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("member_idx"), col("name"), col("size"), col("decodable"),
+          when(col("data").isNotNull,
+            substring(md5(col("data")), 1, 16)).as("content_sig"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
     // Zstd-layer drop census (q439): the dominant public-corpus shard
     // shapes today — .tar.zst bundles (transparent unwrap, compound
     // format label) and bare .jsonl.zst shards (inflated bytes as one
@@ -19211,6 +19240,24 @@ FROM scored ORDER BY doc_id"""),
         |  sum(m)::BIGINT AS n_members,
         |  sum(b)::BIGINT AS member_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q459_zip_mixed_members" ->
+      """WITH m AS (
+        |  SELECT doc_id, 0 AS member_idx,
+        |    'ok/' || doc_id::VARCHAR || '.txt' AS name,
+        |    strlen(text)::BIGINT AS size, true AS decodable,
+        |    substr(md5(text), 1, 16) AS content_sig
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'lzma/' || doc_id::VARCHAR || '.bin',
+        |    strlen(text || ' L')::BIGINT, false, NULL
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'enc/' || doc_id::VARCHAR || '.txt',
+        |    strlen(text || ' E')::BIGINT, false, NULL
+        |  FROM documents)
+        |SELECT doc_id, member_idx, name, size, decodable, content_sig
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
 
     "q451_zip_method_members" ->
       """WITH m AS (

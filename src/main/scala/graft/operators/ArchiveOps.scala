@@ -214,6 +214,15 @@ object ArchiveOps {
         // would fabricate (gzip(gzip(tar)) at the root surfaced
         // members as "null!m.txt" before this)
         val childPfx = if (path == null) "" else path + "!"
+        if (d == null) {
+          // payload WITHHELD by the codec itself — over its budget,
+          // encrypted, or an unsupported zip method (round 15): an
+          // honest undecodable member row, nothing charged against
+          // the walk's cap because nothing was materialized
+          out += WalkRow(depth + 1, fmt, idx, path, sz, null,
+            decodable = false, isArchive = false)
+          idx += 1
+        } else {
         inflated += sz
         val childFmt = sniff(d)
         if (inflated > inflationCapBytes)
@@ -256,6 +265,7 @@ object ArchiveOps {
           out += WalkRow(depth + 1, fmt, idx, path, sz,
             d, decodable = true, isArchive = childFmt != "unknown")
         idx += 1
+        }
       }
     }
     parseAs(bytes) match {

@@ -43,11 +43,18 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * 0x0001 extended-information extra field, in the APPNOTE's
   * usize/csize/localOff field order. A single MEMBER's bytes must
   * still fit the 64 MiB column-cell bound — the archive being ZIP64
-  * no longer rejects every other member. Out of scope, returning
-  * None rather than half-parsing: encryption (flag bit 0),
-  * multi-disk archives, and any other compression method. Defensive
-  * like the codec family: truncated records, overlapping/oob slices,
-  * CRC or size mismatches, inflate errors → None, never a throw.
+  * no longer rejects every other member.
+  *
+  * Out-of-scope MEMBERS degrade per-member, not per-archive (round
+  * 15): an encrypted member (flag bit 0) or one under a compression
+  * method the dispatch table lacks (LZMA 14, PPMd 98, the AES
+  * marker 99, ...) ships an honest `(name, size, method, data = null)`
+  * row — the over-budget-row idiom — so one odd member no longer
+  * voids the census for every other member of a real dump.
+  * Whole-archive None is reserved for STRUCTURAL malformation:
+  * truncated records, overlapping/oob slices, CRC or size
+  * mismatches, inflate errors, multi-disk archives — defensive like
+  * the codec family, never a throw.
   *
   * [[zipBytes]] writes the same subset (stored or deflated members,
   * UTF-8 names with bit 11 set, central directory + EOCD), so
@@ -59,7 +66,9 @@ object ZipCodec {
 
   /** One parsed member: path, uncompressed size, method (0 stored /
     * 8 deflate / 9 deflate64 / 12 bzip2 / 93 zstd) and the
-    * decompressed data. */
+    * decompressed data. `data` is null when the payload was WITHHELD
+    * — the member is over the archive budget, encrypted, or under an
+    * unsupported method — with the declared metadata intact. */
   case class ZipMember(name: String, size: Long, method: Int,
                        data: Array[Byte])
 
@@ -119,9 +128,10 @@ object ZipCodec {
     } finally inf.end()
   }
 
-  /** Parse an archive; None on any malformation or out-of-scope
-    * feature (encryption, multi-disk, methods other than
-    * stored/deflate).
+  /** Parse an archive; None on structural malformation (truncation,
+    * overlapping/oob slices, CRC/size mismatches, multi-disk).
+    * Encrypted or unsupported-method MEMBERS ship as honest
+    * `data = null` rows instead of voiding the archive (round 15).
     *
     * `budget` bounds the bytes this call will MATERIALIZE (inflate or
     * copy): members are charged their declared uncompressed size in
@@ -198,8 +208,6 @@ object ZipCodec {
       val extraLen = u16(b, p + 30)
       val commentLen = u16(b, p + 32)
       var localOff = u32(b, p + 42)
-      if ((flags & 0x1) != 0) return None // encrypted
-      if (!SupportedMethods.contains(method)) return None
       if (p + 46 + nameLen + extraLen > cdEnd) return None
       if (csize == 0xffffffffL || usize == 0xffffffffL ||
           localOff == 0xffffffffL) {
@@ -231,8 +239,23 @@ object ZipCodec {
         if (!found) return None
       }
       val name = new String(b, p + 46, nameLen, "UTF-8")
-      if (usize > 64L * 1024 * 1024) return None // column-cell bound
       val isDir = name.endsWith("/") && usize == 0
+      if ((flags & 0x1) != 0 || !SupportedMethods.contains(method)) {
+        // Out-of-scope MEMBER (encrypted, or a compression method the
+        // dispatch table lacks — LZMA/PPMd/AES-marker 99/...): honest
+        // per-member row, `data = null` with the declared metadata
+        // intact, exactly like over-budget rows. Round 15 — one odd
+        // member previously voided the whole archive's census
+        // (`return None`), losing every OTHER member of a real dump;
+        // whole-archive None is now reserved for structural
+        // malformation. Nothing materializes, so nothing charges
+        // against the budget (the budget meters ALLOCATION, and these
+        // members' payloads are never touched).
+        if (!isDir) members += ZipMember(name, usize, method, null)
+        p += 46 + nameLen + extraLen + commentLen
+        i += 1
+      } else {
+      if (usize > 64L * 1024 * 1024) return None // column-cell bound
       charged += usize
       if (charged > budget) {
         // over budget: never touch the data range — emit the member
@@ -278,6 +301,7 @@ object ZipCodec {
       if (!isDir) members += ZipMember(name, usize, method, data)
       p += 46 + nameLen + extraLen + commentLen
       i += 1
+      }
       }
     }
     Some(members.result())
@@ -461,6 +485,55 @@ object ZipCodec {
       central.addU16(0)       // disk number
       central.addU16(0)       // internal attrs
       central.addU32(0)       // external attrs
+      central.addU32(localOff)
+      central.add(nameB)
+    }
+    val cdOff = out.size
+    val cd = central.toArray
+    out.add(cd)
+    out.addU32(EocdSig)
+    out.addU16(0); out.addU16(0)
+    out.addU16(members.size); out.addU16(members.size)
+    out.addU32(cd.length); out.addU32(cdOff)
+    out.addU16(0)
+    out.toArray
+  }
+
+  /** Fixture writer for OUT-OF-SCOPE members: each tuple is (path,
+    * original data — sizes/CRC are declared from it, compressed
+    * payload bytes — written verbatim, APPNOTE method id, general-
+    * purpose flags). With method 14 (LZMA) or flags bit 0 (encrypted)
+    * this produces the real-dump shape [[parse]]'s round-15
+    * per-member degradation exists for: a structurally valid archive
+    * whose odd members must census as `data = null` rows without
+    * voiding the supported members around them. (Not a general
+    * writer — [[zipBytesMethods]] is; this one never validates that
+    * `comp` decodes.) */
+  def zipBytesOpaque(
+      members: Seq[(String, Array[Byte], Array[Byte], Int, Int)]): Array[Byte] = {
+    val out = new ByteBuilder(1024)
+    val central = new ByteBuilder(256)
+    members.foreach { case (path, data, comp, method, flags) =>
+      val nameB = path.getBytes("UTF-8")
+      val crc = { val c = new CRC32(); c.update(data); c.getValue }
+      val localOff = out.size
+      out.addU32(LocalSig)
+      out.addU16(20)
+      out.addU16(flags | 0x0800) // UTF-8 names on top of caller flags
+      out.addU16(method)
+      out.addU16(0); out.addU16(0x21)
+      out.addU32(crc)
+      out.addU32(comp.length); out.addU32(data.length)
+      out.addU16(nameB.length); out.addU16(0)
+      out.add(nameB); out.add(comp)
+      central.addU32(CentralSig)
+      central.addU16(20); central.addU16(20)
+      central.addU16(flags | 0x0800); central.addU16(method)
+      central.addU16(0); central.addU16(0x21)
+      central.addU32(crc)
+      central.addU32(comp.length); central.addU32(data.length)
+      central.addU16(nameB.length); central.addU16(0); central.addU16(0)
+      central.addU16(0); central.addU16(0); central.addU32(0)
       central.addU32(localOff)
       central.add(nameB)
     }

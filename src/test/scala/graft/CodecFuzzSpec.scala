@@ -231,6 +231,18 @@ class CodecFuzzSpec extends AnyFunSuite {
     // streaming-writer layout (bit 3 + data descriptors)
     sweep("zip.streaming", ZipCodec.zipStreamingBytes(members), 1717)(
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
+    // round 15: mixed-scope archives — an LZMA and an encrypted
+    // member amid a stored one (the per-member data-null path);
+    // corruption must still land on None or honest rows, no throws
+    val ok = ("ok " * 80).getBytes("UTF-8")
+    val mixed = ZipCodec.zipBytesOpaque(Seq(
+      ("ok.txt", ok, ok, 0, 0),
+      ("l.bin", ("ll " * 80).getBytes("UTF-8"), Array[Byte](7, 7, 7),
+        14, 0),
+      ("e.txt", ("ee " * 80).getBytes("UTF-8"), Array[Byte](1, 2),
+        8, 1)))
+    sweep("zip.mixed", mixed, 1818)(
+      "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
   }
 
   test("7z parser survives seeded corruptions without throwing") {

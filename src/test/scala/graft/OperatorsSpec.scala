@@ -6540,7 +6540,9 @@ class OperatorsSpec extends AnyFunSuite {
     // 30 + name bytes in, so offset 30+10 lands inside member 0 data)
     val bad = bytes.clone(); bad(30 + 10) = 'Z'.toByte
     assert(ZipCodec.parse(bad).isEmpty)
-    // encrypted flag in the central entry → honest reject; the
+    // encrypted flag in the central entry → that MEMBER degrades to
+    // an honest data-null row, the rest of the archive still decodes
+    // (round 15 — one odd member no longer voids the census); the
     // central dir starts after all local sections, scan for its sig
     def findCentral(b: Array[Byte]): Int = {
       var i = 0
@@ -6550,16 +6552,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
     val enc = bytes.clone()
     enc(findCentral(enc) + 8) = 1 // flag bit 0
-    assert(ZipCodec.parse(enc).isEmpty)
-    // unsupported method (LZMA = 14) → None; a SUPPORTED method id
+    val encGot = ZipCodec.parse(enc).get
+    assert(encGot.map(_.name) == members.map(_._1))
+    assert(encGot.head.data == null) // withheld, metadata intact
+    assert(encGot.head.size == members.head._2.length.toLong)
+    assert(encGot.tail.forall(_.data != null))
+    // unsupported method (LZMA = 14) → same per-member degradation,
+    // method id preserved on the honest row; a SUPPORTED method id
     // (12, bzip2 — round 14) whose payload is not actually that
-    // codec fails the decode, not the gate, but still → None
+    // codec fails the DECODE, not the gate — malformation, None
     val meth = bytes.clone()
     meth(findCentral(meth) + 10) = 14
-    assert(ZipCodec.parse(meth).isEmpty)
+    val methGot = ZipCodec.parse(meth).get
+    assert(methGot.head.data == null && methGot.head.method == 14)
+    assert(methGot.tail.forall(_.data != null))
     val meth12 = bytes.clone()
     meth12(findCentral(meth12) + 10) = 12
     assert(ZipCodec.parse(meth12).isEmpty)
+    // writer twin: zipBytesOpaque pins the mixed-scope shape — a
+    // stored member decodes, LZMA and encrypted members ship honest
+    // rows, and the WALK marks them undecodable MEMBERS of a
+    // decodable archive (never an undecodable archive)
+    val okB = "supported".getBytes("UTF-8")
+    val mixed = ZipCodec.zipBytesOpaque(Seq(
+      ("ok.txt", okB, okB, 0, 0),
+      ("l.bin", "lzma member".getBytes("UTF-8"), Array[Byte](7, 7),
+        14, 0),
+      ("e.txt", "enc member".getBytes("UTF-8"), Array[Byte](9), 8, 1)))
+    val mGot = ZipCodec.parse(mixed).get
+    assert(mGot.map(_.name) == Seq("ok.txt", "l.bin", "e.txt"))
+    assert(mGot.map(_.data == null) == Seq(false, true, true))
+    assert(mGot.map(_.size) == Seq(9L, 11L, 10L))
+    val mWalk = graft.operators.ArchiveOps.walkBytes(mixed)
+    assert(mWalk.map(_.decodable) == Seq(true, false, false))
+    assert(mWalk.forall(_.memberIdx >= 0), "no archive-failure row")
+    assert(mWalk.filter(!_.decodable).forall(_.data == null))
     // a ZIP64 sentinel size WITHOUT the 0x0001 extra field that must
     // carry the real value → malformed, None
     val z64 = bytes.clone()
