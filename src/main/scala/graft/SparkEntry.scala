@@ -4278,6 +4278,9 @@ object SparkEntry {
           (id, graft.sources.WarcCodec.warcZstBytes(recs))
         }.toDF("doc_id", "media")
       MultimodalOps.warcRecords(media, "doc_id", "media")
+        .select(col("doc_id"), col("rec"), col("warc_type"),
+          col("uri"), col("status"), col("mime"),
+          col("n_body_bytes"), col("body"))
         .orderBy(col("doc_id"), col("rec"))
     }),
 
@@ -4295,6 +4298,9 @@ object SparkEntry {
           (id, graft.sources.WarcCodec.warcBytes(recs))
         }.toDF("doc_id", "media")
       MultimodalOps.warcRecords(media, "doc_id", "media")
+        .select(col("doc_id"), col("rec"), col("warc_type"),
+          col("uri"), col("status"), col("mime"),
+          col("n_body_bytes"), col("body"))
         .orderBy(col("doc_id"), col("rec"))
     }),
 
@@ -6057,6 +6063,71 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CC revisit records (q460, round 15): a refetched URL whose
+    // content matched an earlier capture ships a `revisit` record —
+    // WARC-Profile identical-payload-digest, WARC-Refers-To-Target-URI
+    // pointing at the original, WARC-Payload-Digest of the content —
+    // instead of the body. The crawl's OWN dedup signal: the
+    // revisit→response join recovers the body a pipeline already has
+    // (or flags it unresolved/changed). Fixture: every doc ships a
+    // response + a typed `request` record (pass-through pinned by
+    // spec); docs %3==0 add a revisit to their own URI (digest
+    // matches on even ids, stale on odd), docs %3==1 a revisit to a
+    // URI outside the corpus (unresolved arm).
+    "q460_revisit_join" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          def md5hex(t: String) = java.security.MessageDigest
+            .getInstance("MD5").digest(t.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val u = s"https://ex.com/doc/$id"
+          val d = "2024-06-11T00:00:00Z"
+          val none = Seq.empty[(String, String)]
+          val profile = "http://netpreserve.org/warc/1.0/revisit/" +
+            "identical-payload-digest"
+          val base = Seq(
+            ("response", u, d, "text/plain", text, none),
+            ("request", u, d, "application/http;msgtype=request",
+              "GET / HTTP/1.1", none))
+          val rev =
+            if (id % 3 == 0)
+              Seq(("revisit", u + "?refetch", d, "message/http", "",
+                Seq("WARC-Profile" -> profile,
+                  "WARC-Refers-To-Target-URI" -> u,
+                  "WARC-Payload-Digest" -> ("md5:" + md5hex(
+                    if (id % 2 == 0) text else text + "X")))))
+            else if (id % 3 == 1)
+              Seq(("revisit", u + "?refetch", d, "message/http", "",
+                Seq("WARC-Profile" -> profile,
+                  "WARC-Refers-To-Target-URI" ->
+                    s"https://gone.ex/doc/$id",
+                  "WARC-Payload-Digest" -> ("md5:" + md5hex(text)))))
+            else Nil
+          (id, graft.sources.WarcCodec.warcTypedBytesExt(
+            base ++ rev, s"doc-$id"))
+        }.toDF("doc_id", "bin")
+      val recs = MultimodalOps.warcRecords(bin, "doc_id", "bin")
+      val responses = recs.filter(col("warc_type") === "response")
+        .select(col("uri").as("orig_uri"), col("body").as("orig_body"))
+      val revisits = recs.filter(col("warc_type") === "revisit")
+        .select(col("doc_id"), col("refers_to_uri"),
+          col("payload_digest"))
+      revisits
+        .join(responses, col("refers_to_uri") === col("orig_uri"),
+          "left")
+        .select(col("doc_id"),
+          col("refers_to_uri").as("refers_uri"),
+          col("orig_uri").isNotNull.as("resolved"),
+          when(col("orig_uri").isNotNull, (col("payload_digest") ===
+            concat(lit("md5:"), md5(col("orig_body")))).cast("long"))
+            .as("digest_ok"),
+          when(col("orig_uri").isNotNull, length(col("orig_body")))
+            .cast("long").as("recovered_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WAT sidecar extraction (q454, round 14): `metadata` records
     // carry a JSON envelope (link graph, page title, header
     // metadata) — the input to link analysis and URL frontier
@@ -6123,8 +6194,27 @@ object SparkEntry {
           col("doc_id").cast("string")).as("uri"),
         col("text"))
       MultimodalOps.toWetShards(docs, "uri", "text", shards = 8)
-        .select(col("shard_id"), col("n_records"), col("n_chars"))
-        .orderBy(col("shard_id"))
+        .select(col("shard_id"), col("part_no"), col("n_records"),
+          col("n_chars"))
+        .orderBy(col("shard_id"), col("part_no"))
+    }),
+
+    // WET shard export under a tight part budget (q462, round 15):
+    // the r14 scale-killer fix — a shard is never materialized whole;
+    // parts roll over at charge-rule boundaries (floor(chargeBefore /
+    // budget), re-derived by the oracle as a window sum over
+    // URI-sorted records), so a hot shard streams through bounded
+    // buffers instead of OOMing one task.
+    "q462_wet_export_parts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        concat(lit("https://ex.com/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        col("text"))
+      MultimodalOps.toWetShards(docs, "uri", "text", shards = 4,
+          maxShardBytes = 4096L)
+        .select(col("shard_id"), col("part_no"), col("n_records"),
+          col("n_chars"))
+        .orderBy(col("shard_id"), col("part_no"))
     }),
 
     // WAT → link graph → PageRank (q457, round 14): the composition
@@ -19066,6 +19156,29 @@ SELECT doc_id, substr(md5(clean), 1, 16) AS clean_sig, n_tokens,
          < '${SamplingOps.rateThreshold(0.8)}') AS selected
 FROM scored ORDER BY doc_id"""),
 
+    "q460_revisit_join" ->
+      """WITH rev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'https://ex.com/doc/' || doc_id::VARCHAR
+        |      ELSE 'https://gone.ex/doc/' || doc_id::VARCHAR
+        |      END AS refers_uri,
+        |    'md5:' || md5(CASE WHEN doc_id % 2 = 0 OR doc_id % 3 = 1
+        |      THEN text ELSE text || 'X' END) AS digest
+        |  FROM documents WHERE doc_id % 3 < 2),
+        |resp AS (
+        |  SELECT 'https://ex.com/doc/' || doc_id::VARCHAR AS uri, text
+        |  FROM documents)
+        |SELECT r.doc_id, r.refers_uri,
+        |  (p.uri IS NOT NULL) AS resolved,
+        |  CASE WHEN p.uri IS NOT NULL
+        |    THEN (r.digest = 'md5:' || md5(p.text))::BIGINT
+        |    END AS digest_ok,
+        |  CASE WHEN p.uri IS NOT NULL THEN length(p.text) END::BIGINT
+        |    AS recovered_len
+        |FROM rev r LEFT JOIN resp p ON p.uri = r.refers_uri
+        |ORDER BY r.doc_id""".stripMargin,
+
     "q454_wat_extract" ->
       """SELECT doc_id,
         |  'https://ex.com/doc/' || doc_id::VARCHAR AS uri,
@@ -19075,14 +19188,45 @@ FROM scored ORDER BY doc_id"""),
 
     "q458_wet_export" ->
       """WITH m AS (
-        |  SELECT (('0x' || substr(md5('https://ex.com/doc/'
+        |  SELECT 'https://ex.com/doc/' || doc_id::VARCHAR AS uri,
+        |    text,
+        |    (('0x' || substr(md5('https://ex.com/doc/'
         |      || doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT
-        |      AS shard_id,
+        |      AS shard_id
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard_id,
+        |    (coalesce(sum(256 + strlen(uri) + strlen(text)) OVER (
+        |      PARTITION BY shard_id ORDER BY uri
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 67108864)::BIGINT AS part_no,
         |    length(text)::BIGINT AS n
-        |  FROM documents)
-        |SELECT shard_id, count(*)::BIGINT AS n_records,
+        |  FROM m)
+        |SELECT shard_id, part_no, count(*)::BIGINT AS n_records,
         |  sum(n)::BIGINT AS n_chars
-        |FROM m GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+        |FROM p GROUP BY shard_id, part_no
+        |ORDER BY shard_id, part_no""".stripMargin,
+
+    "q462_wet_export_parts" ->
+      """WITH m AS (
+        |  SELECT 'https://ex.com/doc/' || doc_id::VARCHAR AS uri,
+        |    text,
+        |    (('0x' || substr(md5('https://ex.com/doc/'
+        |      || doc_id::VARCHAR), 1, 8))::BIGINT % 4)::INT
+        |      AS shard_id
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard_id,
+        |    (coalesce(sum(256 + strlen(uri) + strlen(text)) OVER (
+        |      PARTITION BY shard_id ORDER BY uri
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 4096)::BIGINT AS part_no,
+        |    length(text)::BIGINT AS n
+        |  FROM m)
+        |SELECT shard_id, part_no, count(*)::BIGINT AS n_records,
+        |  sum(n)::BIGINT AS n_chars
+        |FROM p GROUP BY shard_id, part_no
+        |ORDER BY shard_id, part_no""".stripMargin,
 
     "q457_wat_linkgraph" -> (
       s"""WITH e AS (

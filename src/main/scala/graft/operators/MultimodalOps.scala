@@ -529,7 +529,12 @@ object MultimodalOps {
 
   /** WARC extraction over a binary column: parse each crawl archive
     * ([[graft.sources.WarcCodec]]) and explode its records — type,
-    * target URI, HTTP status, content type, body bytes and UTF-8 text.
+    * target URI, HTTP status, content type, body bytes and UTF-8 text,
+    * plus (round 15) the revisit-profile headers: `payload_digest`,
+    * `refers_to_uri` and `profile` (empty strings on records that
+    * don't carry them — `revisit` records do, and a CC-scale pipeline
+    * reads them to skip refetched bodies it already has; `request`
+    * records pass through typed like any other).
     * The front door of the web pipeline: WARC → this → [[TextAnalysisOps
     * .htmlToText]] → curation. One flatMap pass; the archive binary is
     * dropped in the scan task and only record-sized rows flow on. */
@@ -544,67 +549,141 @@ object MultimodalOps {
           case (r, i) =>
             (id, i, r.warcType, r.targetUri, r.httpStatus, r.contentType,
               r.body.length.toLong,
-              new String(r.body, java.nio.charset.StandardCharsets.UTF_8))
+              new String(r.body, java.nio.charset.StandardCharsets.UTF_8),
+              r.payloadDigest, r.refersToUri, r.profile)
         }
       }
       .toDF(idCol, "rec", "warc_type", "uri", "status", "mime",
-        "n_body_bytes", "body")
+        "n_body_bytes", "body", "payload_digest", "refers_to_uri",
+        "profile")
   }
 
-  /** WET shard EXPORT — the write half of the sidecar story
-    * ([[warcRecords]] reads them): publish a curated text corpus as
-    * Common-Crawl-style WET shards, one `warcinfo` preamble plus one
-    * `conversion` record per document ([[graft.sources.WarcCodec
-    * .warcTypedBytes]]). One row per shard:
-    * `(shard_id, n_records, n_chars, bytes)`.
-    *
-    * Determinism (so an export is reproducible run-over-run and
-    * engine-portable where SQL can follow): shard assignment is the
-    * md5-bucket rule every split/sample op here uses
-    * (`uint32(md5(uri)[0:8]) % shards` — DuckDB can re-derive the
-    * per-shard membership and counts), and records within a shard
-    * are sorted by URI bytes before serialization, so the shard
-    * BYTES are a pure function of the member set.
-    *
-    * Scale shape: one shuffle keyed by shard id; each shard's
-    * records stream through a sorted group fold into one byte
-    * buffer. A shard must fit the 64 MiB column-cell bound — size
-    * `shards` for your corpus (a real export sink would stream each
-    * group straight to its own file instead of a cell; this operator
-    * IS that serialization, minus the filesystem). Documents with
-    * null text export as empty conversion bodies; null URIs are
-    * dropped (a WET record without a target URI is unaddressable). */
-  def toWetShards(docs: DataFrame, uriCol: String, textCol: String,
-                  shards: Int = 16,
-                  date: String = "2024-01-01T00:00:00Z"): DataFrame = {
-    require(shards >= 1 && shards <= (1 << 20), "shards in 1..2^20")
+  /** Shared column prep for the WET shard exports: null-URI rows
+    * dropped (a WET record without a target is unaddressable), null
+    * text → empty body, md5-bucket shard assignment, ONE shuffle
+    * keyed by shard id, records sorted by URI within it. Spark's
+    * UTF8String comparison IS unsigned-byte order (the one StreamIds
+    * definition), so the sort matches the utf8Ordering contract
+    * without a typed sort key. */
+  private def wetPrepared(docs: DataFrame, uriCol: String,
+                          textCol: String, shards: Int)
+      : org.apache.spark.sql.Dataset[(String, String, Int)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val d = date
     docs
       .filter(col(uriCol).isNotNull)
       .select(col(uriCol).cast("string").as("uri"),
         coalesce(col(textCol), lit("")).as("text"),
         (conv(substring(md5(col(uriCol).cast("string")), 1, 8), 16, 10)
           .cast("long") % shards).cast("int").as("shard_id"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("uri"))
       .as[(String, String, Int)]
-      .groupByKey((r: (String, String, Int)) => r._3)
-      .mapGroups { (shard: Int,
-          rows: Iterator[(String, String, Int)]) =>
-        // UTF-8-BYTE order (the one StreamIds definition) — Java's
-        // UTF-16 compareTo diverges on supplementary-plane URIs
-        val sorted = rows.map(r => (r._1, r._2)).toArray
-          .sortBy(_._1)(graft.streaming.StreamIds.utf8Ordering)
-        val recs = ("warcinfo", "", d,
-          "application/warc-fields", "software: graft-wet-export") +:
-          sorted.toSeq.map { case (uri, text) =>
-            ("conversion", uri, d, "text/plain", text)
-          }
-        val bytes = graft.sources.WarcCodec.warcTypedBytes(recs)
-        (shard, sorted.length.toLong,
-          sorted.map(_._2.length.toLong).sum, bytes)
+  }
+
+  /** WET shard EXPORT — the write half of the sidecar story
+    * ([[warcRecords]] reads them): publish a curated text corpus as
+    * Common-Crawl-style WET shards, each a `warcinfo` preamble plus
+    * one `conversion` record per document
+    * ([[graft.sources.WarcCodec.typedRecordBytes]]). One row per
+    * emitted shard PART: `(shard_id, part_no, n_records, n_chars,
+    * bytes)`.
+    *
+    * Determinism (so an export is reproducible run-over-run and
+    * engine-portable where SQL can follow): shard assignment is the
+    * md5-bucket rule every split/sample op here uses
+    * (`uint32(md5(uri)[0:8]) % shards` — DuckDB can re-derive the
+    * per-shard membership and counts), records within a shard are
+    * sorted by URI bytes, and part boundaries follow the
+    * [[WetShardWriter.charge]] rule — all three re-derivable in SQL,
+    * so part bytes are a pure function of the member set.
+    *
+    * Per-shard byte budget (round 15 — the r14 scale-killer): a
+    * shard is never materialized whole. Records stream through a
+    * sorted-run fold holding at most ONE part's buffer, and a part
+    * closes when the running per-shard charge crosses the next
+    * `maxShardBytes` multiple — `part_no = floor(chargeBefore /
+    * maxShardBytes)`, so an emitted part's bytes are bounded by
+    * `maxShardBytes + one record + the preamble` and a single record
+    * larger than the budget gets a part of its own (skipping part
+    * numbers, by construction of the floor rule). Records themselves
+    * are still cell-bounded by the caller's corpus contract; `n_chars`
+    * counts CODE POINTS (matching SQL `length()`, round-15 advisory
+    * — UTF-16 units diverge on non-BMP text).
+    *
+    * Scale shape: one shuffle keyed by shard id; nothing
+    * shard-sized is ever held in memory — the production file leg
+    * ([[writeWetShards]]) shares this exact fold, streaming each
+    * part to its own file. */
+  def toWetShards(docs: DataFrame, uriCol: String, textCol: String,
+                  shards: Int = 16,
+                  date: String = "2024-01-01T00:00:00Z",
+                  maxShardBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    require(shards >= 1 && shards <= (1 << 20), "shards in 1..2^20")
+    WetShardWriter.requireArgs(date, maxShardBytes)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = date
+    val budget = maxShardBytes
+    wetPrepared(docs, uriCol, textCol, shards)
+      .mapPartitions { it =>
+        WetShardWriter.foldParts(it, d, budget)(
+          (_, _) => new java.io.ByteArrayOutputStream(),
+          (shard, part, nRec, nChars, os) =>
+            (shard, part, nRec, nChars,
+              os.asInstanceOf[java.io.ByteArrayOutputStream]
+                .toByteArray))
       }
-      .toDF("shard_id", "n_records", "n_chars", "bytes")
+      .toDF("shard_id", "part_no", "n_records", "n_chars", "bytes")
+  }
+
+  /** The WET shard FILE sink — the production write leg ([[
+    * toWetShards]] is the in-cell twin the oracle harness reads):
+    * streams each part straight to `outDir/wet-SSSSS-PPPPP.warc`
+    * through the SAME sorted-run fold, so nothing shard-sized (or
+    * even part-sized) is ever buffered — each record's bytes go to
+    * the open stream and are dropped. Files are deterministic by
+    * name and content (task retries overwrite idempotently). Runs
+    * EAGERLY (a lazy frame with write side effects would re-write on
+    * every re-evaluation) and returns the driver-sized manifest:
+    * `(shard_id, part_no, n_records, n_chars, file)`.
+    *
+    * Filesystem access goes through the driver's Hadoop
+    * configuration (broadcast to tasks), so HDFS/S3A paths work the
+    * same as local ones. */
+  def writeWetShards(docs: DataFrame, uriCol: String, textCol: String,
+                     outDir: String, shards: Int = 16,
+                     date: String = "2024-01-01T00:00:00Z",
+                     maxShardBytes: Long = 64L * 1024 * 1024)
+      : DataFrame = {
+    require(shards >= 1 && shards <= (1 << 20), "shards in 1..2^20")
+    WetShardWriter.requireArgs(date, maxShardBytes)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = date
+    val budget = maxShardBytes
+    val dir = outDir
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    def fileName(shard: Int, part: Long): String =
+      f"wet-$shard%05d-$part%05d.warc"
+    val manifest = wetPrepared(docs, uriCol, textCol, shards)
+      .mapPartitions { it =>
+        WetShardWriter.foldParts(it, d, budget)(
+          (shard, part) => {
+            val p = new org.apache.hadoop.fs.Path(dir,
+              fileName(shard, part))
+            p.getFileSystem(bcConf.value.value).create(p, true)
+          },
+          (shard, part, nRec, nChars, os) => {
+            os.close()
+            (shard, part, nRec, nChars, fileName(shard, part))
+          })
+      }
+      .collect().toSeq // driver-sized: one row per (shard, part)
+    manifest.toDF("shard_id", "part_no", "n_records", "n_chars",
+      "file")
   }
 
   /** Frame sampling: every `stride`-th fixed-size window of the payload
@@ -991,4 +1070,77 @@ object MultimodalOps {
   }
 
 
+}
+
+/** The sorted-run WET part fold shared by [[MultimodalOps.toWetShards]]
+  * (in-cell parts) and [[MultimodalOps.writeWetShards]] (files). Input
+  * rows MUST arrive sorted by (shard, uri) — the prepared frame's
+  * sortWithinPartitions guarantees it — and the fold holds at most one
+  * OPEN output stream; records serialize one at a time and are
+  * dropped.
+  *
+  * Budget contract: each record is charged [[charge]] bytes —
+  * `256 + utf8(uri) + utf8(text)`, a documented OVER-estimate of its
+  * serialized size (the header template is ≤ 246 bytes for dates up
+  * to 64 bytes; record ids are fixed 32-hex digests) — against a
+  * per-shard running total, and a record's part is
+  * `floor(chargeBefore / budget)`. Every part's emitted bytes are
+  * therefore ≤ `budget + one record + the warcinfo preamble`, a
+  * record larger than the budget gets a part of its own, and the
+  * whole rule is re-derivable in SQL as a window sum (the q462
+  * oracle). The preamble rides outside the charge — it is per-part
+  * fixed overhead, not corpus data. */
+private[graft] object WetShardWriter {
+
+  /** Fixed per-record charge overhead: covers the full conversion
+    * record header + terminator for any date ≤ 64 bytes. */
+  val ChargeOverheadBytes = 256L
+
+  def charge(uri: String, text: String): Long =
+    ChargeOverheadBytes + uri.getBytes("UTF-8").length +
+      text.getBytes("UTF-8").length
+
+  def requireArgs(date: String, maxShardBytes: Long): Unit = {
+    require(maxShardBytes >= 1024, "maxShardBytes >= 1 KiB")
+    require(date.getBytes("UTF-8").length <= 64,
+      "date must serialize in <= 64 bytes (the charge constant " +
+        "covers headers up to that)")
+  }
+
+  /** Fold sorted (uri, text, shard) rows into parts: `open` makes the
+    * sink for a starting (shard, part), each record's bytes stream
+    * into it, and `close` turns (shard, part, nRecords, nChars,
+    * stream) into the emitted row. nChars counts CODE POINTS. */
+  def foldParts[T](rows: Iterator[(String, String, Int)], date: String,
+                   budget: Long)(
+      open: (Int, Long) => java.io.OutputStream,
+      close: (Int, Long, Long, Long, java.io.OutputStream) => T)
+      : Iterator[T] = new Iterator[T] {
+    private val it = rows.buffered
+    private var curShard = Int.MinValue
+    private var cum = 0L // per-shard running charge
+    def hasNext: Boolean = it.hasNext
+    def next(): T = {
+      val shard = it.head._3
+      if (shard != curShard) { curShard = shard; cum = 0L }
+      val part = cum / budget
+      val salt = s"wet-$shard-$part"
+      val os = open(shard, part)
+      os.write(graft.sources.WarcCodec.typedRecordBytes("warcinfo",
+        "", date, "application/warc-fields",
+        "software: graft-wet-export", 0, salt))
+      var nRec = 0L
+      var nChars = 0L
+      while (it.hasNext && it.head._3 == shard && cum / budget == part) {
+        val (uri, text, _) = it.next()
+        os.write(graft.sources.WarcCodec.typedRecordBytes(
+          "conversion", uri, date, "text/plain", text,
+          (nRec + 1).toInt, salt))
+        cum += charge(uri, text)
+        nRec += 1
+        nChars += text.codePointCount(0, text.length)
+      }
+      close(shard, part, nRec, nChars, os)
+    }
+  }
 }

@@ -23,12 +23,38 @@ package graft.sources
   * [[warcZstBytes]] the per-record-member compressed forms). */
 object WarcCodec {
 
+  /** One parsed record. Round 15 adds the revisit-profile fields —
+    * `payloadDigest` (`WARC-Payload-Digest`), `refersToUri`
+    * (`WARC-Refers-To-Target-URI`) and `profile` (`WARC-Profile`) —
+    * empty when the record does not carry them. Common Crawl's
+    * `revisit` records are the crawl's OWN dedup signal: a refetched
+    * URL whose content matched an earlier capture ships a revisit
+    * pointing at the original, and a pipeline that reads it skips
+    * the body it already has. */
   final case class WarcRecord(warcType: String, targetUri: String,
                               date: String, httpStatus: Int,
-                              contentType: String, body: Array[Byte])
+                              contentType: String, body: Array[Byte],
+                              payloadDigest: String = "",
+                              refersToUri: String = "",
+                              profile: String = "")
 
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(Utf8)).map(b => f"$b%02x").mkString
+
+  /** Deterministic, distinct record id. WARC/1.0 requires globally
+    * unique record IDs; the previous `(wtype+uri).hashCode` scheme
+    * collided across shards on identical warcinfo preambles (round-15
+    * advisory) — a digest over (salt, record index, type, target,
+    * date) is distinct wherever the caller salts streams apart, and
+    * its FIXED 32-hex width keeps serialized record sizes computable
+    * from field lengths alone (the WET shard budget contract). */
+  private def recordId(salt: String, idx: Int, wtype: String,
+                       uri: String, date: String): String =
+    "<urn:graft:" + md5Hex(s"$salt|$idx|$wtype|$uri|$date") + ">"
 
   /** Index of the first CRLFCRLF at/after `from`, or -1. */
   private def blankLine(b: Array[Byte], from: Int): Int = {
@@ -110,7 +136,11 @@ object WarcCodec {
               }
             }
             out += WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", ""),
-              hdrs.getOrElse("warc-date", ""), status, ctype, body)
+              hdrs.getOrElse("warc-date", ""), status, ctype, body,
+              payloadDigest = hdrs.getOrElse("warc-payload-digest", ""),
+              refersToUri =
+                hdrs.getOrElse("warc-refers-to-target-uri", ""),
+              profile = hdrs.getOrElse("warc-profile", ""))
             // records are terminated by CRLFCRLF after the payload
             off = pStart + len.toInt
             while (off < b.length &&
@@ -124,11 +154,11 @@ object WarcCodec {
 
   /** Write an uncompressed WARC stream of `response` records:
     * (targetUri, date, contentType, body) each wrapped in an HTTP 200
-    * message. Deterministic — no UUIDs, no clocks: the record id
-    * derives from the target URI. */
+    * message. Deterministic — no UUIDs, no clocks: the record id is
+    * a digest of (index, type, target, date). */
   def warcBytes(recs: Seq[(String, String, String, String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    recs.foreach { case (uri, date, ctype, bodyStr) =>
+    recs.zipWithIndex.foreach { case ((uri, date, ctype, bodyStr), i) =>
       val body = bodyStr.getBytes(Utf8)
       val http = (s"HTTP/1.1 200 OK\r\n" +
         s"Content-Type: $ctype\r\n" +
@@ -136,7 +166,7 @@ object WarcCodec {
       val payloadLen = http.length + body.length
       val hdr = (s"WARC/1.0\r\n" +
         s"WARC-Type: response\r\n" +
-        s"WARC-Record-ID: <urn:graft:${uri.hashCode}>\r\n" +
+        s"WARC-Record-ID: ${recordId("", i, "response", uri, date)}\r\n" +
         s"WARC-Date: $date\r\n" +
         s"WARC-Target-URI: $uri\r\n" +
         s"Content-Type: application/http;msgtype=response\r\n" +
@@ -149,6 +179,39 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** Serialize ONE typed record — the unit [[warcTypedBytes]] loops
+    * over, exposed so the WET shard writers
+    * ([[graft.operators.MultimodalOps]]) can stream record-by-record
+    * without ever materializing a whole shard. `extraHeaders` carries
+    * profile fields (a revisit's `WARC-Refers-To-Target-URI` /
+    * `WARC-Payload-Digest` / `WARC-Profile`); `idx`+`idSalt` feed the
+    * record-id digest — salt streams apart (e.g. per shard) and ids
+    * stay globally distinct. */
+  def typedRecordBytes(wtype: String, uri: String, date: String,
+                       ctype: String, bodyStr: String, idx: Int,
+                       idSalt: String = "",
+                       extraHeaders: Seq[(String, String)] = Nil)
+      : Array[Byte] = {
+    val body = bodyStr.getBytes(Utf8)
+    val uriHdr =
+      if (uri.isEmpty) "" else s"WARC-Target-URI: $uri\r\n"
+    val extra =
+      extraHeaders.map { case (k, v) => s"$k: $v\r\n" }.mkString
+    val hdr = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $wtype\r\n" +
+      s"WARC-Record-ID: ${recordId(idSalt, idx, wtype, uri, date)}\r\n" +
+      s"WARC-Date: $date\r\n" +
+      uriHdr + extra +
+      s"Content-Type: $ctype\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(Ascii)
+    val out = new Array[Byte](hdr.length + body.length + 4)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    System.arraycopy(body, 0, out, hdr.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
   /** Generic typed-record writer — the Common Crawl SIDECAR shapes:
     * WET `conversion` records (text/plain, the extracted text) and
     * WAT `metadata` records (application/json, the envelope) carry
@@ -159,22 +222,33 @@ object WarcCodec {
     * non-`response` payload stays raw — this is their deterministic
     * fixture twin. */
   def warcTypedBytes(
-      recs: Seq[(String, String, String, String, String)]): Array[Byte] = {
+      recs: Seq[(String, String, String, String, String)],
+      idSalt: String = ""): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    recs.foreach { case (wtype, uri, date, ctype, bodyStr) =>
-      val body = bodyStr.getBytes(Utf8)
-      val uriHdr =
-        if (uri.isEmpty) "" else s"WARC-Target-URI: $uri\r\n"
-      val hdr = (s"WARC/1.0\r\n" +
-        s"WARC-Type: $wtype\r\n" +
-        s"WARC-Record-ID: <urn:graft:${(wtype + uri).hashCode}>\r\n" +
-        s"WARC-Date: $date\r\n" +
-        uriHdr +
-        s"Content-Type: $ctype\r\n" +
-        s"Content-Length: ${body.length}\r\n\r\n").getBytes(Ascii)
-      out.write(hdr)
-      out.write(body)
-      out.write("\r\n\r\n".getBytes(Ascii))
+    recs.zipWithIndex.foreach {
+      case ((wtype, uri, date, ctype, bodyStr), i) =>
+        out.write(typedRecordBytes(wtype, uri, date, ctype, bodyStr,
+          i, idSalt))
+    }
+    out.toByteArray
+  }
+
+  /** [[warcTypedBytes]] with per-record extra headers — the
+    * `revisit` fixture shape: tuples are (warcType, targetUri, date,
+    * contentType, body, extraHeaders). A Common Crawl revisit record
+    * carries `WARC-Profile` (the identical-payload-digest profile
+    * URI), `WARC-Refers-To-Target-URI` (the original capture) and
+    * `WARC-Payload-Digest` (the content's digest), with an empty
+    * body — the crawl's own dedup pointer. */
+  def warcTypedBytesExt(
+      recs: Seq[(String, String, String, String, String,
+        Seq[(String, String)])],
+      idSalt: String = ""): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.zipWithIndex.foreach {
+      case ((wtype, uri, date, ctype, bodyStr, extras), i) =>
+        out.write(typedRecordBytes(wtype, uri, date, ctype, bodyStr,
+          i, idSalt, extras))
     }
     out.toByteArray
   }

@@ -602,6 +602,58 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(df.filter(col("warc_type") === "metadata").count() == 1L)
   }
 
+  test("revisit/request records (round 15): profile headers parse, " +
+      "request passes through typed, and record ids are distinct " +
+      "across records and across salted streams") {
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val d = "2026-02-02T00:00:00Z"
+    val u = "http://ex.com/page"
+    val profile = "http://netpreserve.org/warc/1.0/revisit/" +
+      "identical-payload-digest"
+    val bytes = WarcCodec.warcTypedBytesExt(Seq(
+      ("response", u, d, "text/plain", "the original body",
+        Seq.empty[(String, String)]),
+      ("request", u, d, "application/http;msgtype=request",
+        "GET /page HTTP/1.1", Seq.empty[(String, String)]),
+      ("revisit", u + "?v=2", d, "message/http", "",
+        Seq("WARC-Profile" -> profile,
+          "WARC-Refers-To-Target-URI" -> u,
+          "WARC-Payload-Digest" -> "md5:deadbeef"))), "stream-A")
+    val got = WarcCodec.records(bytes)
+    assert(got.map(_.warcType) == Seq("response", "request", "revisit"))
+    // request: typed pass-through — the raw HTTP request line is the
+    // body, no HTTP-response splitting, profile fields empty
+    assert(new String(got(1).body, "UTF-8") == "GET /page HTTP/1.1")
+    assert(got(1).httpStatus == 0 && got(1).refersToUri == "")
+    // revisit: profile fields parse, body stays empty
+    assert(got(2).refersToUri == u)
+    assert(got(2).payloadDigest == "md5:deadbeef")
+    assert(got(2).profile == profile)
+    assert(got(2).body.isEmpty)
+    // the DataFrame surface carries the new columns
+    val df = MultimodalOps.warcRecords(
+      Seq((1L, bytes)).toDF("id", "media"), "id", "media")
+    val rev = df.filter(col("warc_type") === "revisit").collect().head
+    assert(rev.getAs[String]("refers_to_uri") == u)
+    assert(rev.getAs[String]("payload_digest") == "md5:deadbeef")
+    // record-id uniqueness (WARC/1.0 requirement; round-15 advisory):
+    // ids differ record-to-record within a stream, and IDENTICAL
+    // records in two salted streams get different ids
+    def ids(b: Array[Byte]): Seq[String] =
+      "WARC-Record-ID: (<[^>]+>)".r.findAllMatchIn(
+        new String(b, "US-ASCII")).map(_.group(1)).toSeq
+    val idsA = ids(bytes)
+    assert(idsA.distinct.length == idsA.length, "ids collide in-stream")
+    val sameInfo = ("warcinfo", "", d, "application/warc-fields",
+      "software: graft")
+    val sA = WarcCodec.warcTypedBytes(Seq(sameInfo), "shard-0")
+    val sB = WarcCodec.warcTypedBytes(Seq(sameInfo), "shard-1")
+    assert(ids(sA) != ids(sB),
+      "identical warcinfo preambles across shards must not share ids")
+  }
+
   test("toWetShards (round 14): export roundtrips through warcRecords, " +
       "shards are deterministic, records URI-byte-sorted behind a " +
       "warcinfo preamble") {
@@ -617,7 +669,9 @@ class MultimodalReplSpec extends AnyFunSuite {
     val shards = MultimodalOps.toWetShards(docs, "uri", "text",
       shards = 2)
     val rows = shards.collect()
-    assert(rows.map(_.getLong(1)).sum == 4L, "4 addressable docs")
+    assert(rows.map(_.getLong(2)).sum == 4L, "4 addressable docs")
+    assert(rows.forall(_.getLong(1) == 0L),
+      "default 64 MiB budget: one part per shard")
     // byte-for-byte reproducible: a second export builds identical
     // shards (sorted members + fixed date ⇒ pure function)
     val again = MultimodalOps.toWetShards(docs, "uri", "text",
@@ -650,6 +704,96 @@ class MultimodalReplSpec extends AnyFunSuite {
         col("bytes")), "id", "bytes")
       .filter(col("warc_type") === "conversion")
     assert(back.count() == 4L)
+  }
+
+  test("toWetShards part budget (round 15): a hot shard rolls over " +
+      "into charge-rule parts instead of materializing whole — " +
+      "bytes bounded, numbering floor-rule exact, roundtrip intact") {
+    import graft.operators.WetShardWriter
+    val spark2 = spark
+    import spark2.implicits._
+    // one shard (shards = 1) so all records roll through one charge
+    // meter; texts sized so ~2 records fit a 1024-byte budget
+    val docs = (0 until 20).map { i =>
+      (f"https://ex.com/p$i%03d", "x" * (120 + i))
+    }.toDF("uri", "text")
+    val budget = 1024L
+    val parts = MultimodalOps.toWetShards(docs, "uri", "text",
+      shards = 1, maxShardBytes = budget).collect()
+      .sortBy(_.getLong(1))
+    assert(parts.length > 3, "the tight budget must split parts")
+    // floor-rule part numbers: re-derive from the charge function
+    // over URI-sorted records (exactly what the q462 oracle does)
+    val charges = (0 until 20).map { i =>
+      WetShardWriter.charge(f"https://ex.com/p$i%03d", "x" * (120 + i))
+    }
+    val expected = charges.scanLeft(0L)(_ + _).init
+      .map(_ / budget).groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (p, rs) => (p, rs.length.toLong) }
+    assert(parts.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      expected)
+    // the byte bound: every part ≤ budget + one record + preamble
+    val maxCharge = charges.max
+    parts.foreach { r =>
+      val n = r.getAs[Array[Byte]]("bytes").length
+      assert(n <= budget + maxCharge + 512,
+        s"part ${r.getLong(1)} is $n bytes")
+    }
+    // roundtrip across parts: all 20 docs come back, each part led
+    // by its own warcinfo preamble, record ids distinct corpus-wide
+    val allRecs = parts.flatMap(r =>
+      graft.sources.WarcCodec.records(r.getAs[Array[Byte]]("bytes")))
+    assert(allRecs.count(_.warcType == "warcinfo") == parts.length)
+    val conv = allRecs.filter(_.warcType == "conversion")
+    assert(conv.map(_.targetUri).sorted.toSeq ==
+      (0 until 20).map(i => f"https://ex.com/p$i%03d"))
+    val ids = parts.flatMap(r => "WARC-Record-ID: (<[^>]+>)".r
+      .findAllMatchIn(new String(r.getAs[Array[Byte]]("bytes"),
+        "US-ASCII")).map(_.group(1)))
+    assert(ids.distinct.length == ids.length,
+      "record ids must be distinct across parts")
+  }
+
+  test("writeWetShards (round 15): the file sink streams parts to " +
+      "shard files that re-read byte-identical through warcRecords, " +
+      "manifest matching the in-cell export") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0 until 12).map { i =>
+      (s"https://ex.com/w$i", s"file sink doc $i " + "y" * 100)
+    }.toDF("uri", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wetsink")
+      .toString
+    val manifest = MultimodalOps.writeWetShards(docs, "uri", "text",
+      dir, shards = 2, maxShardBytes = 1024L).collect()
+      .sortBy(r => (r.getInt(0), r.getLong(1)))
+    val cells = MultimodalOps.toWetShards(docs, "uri", "text",
+      shards = 2, maxShardBytes = 1024L).collect()
+      .sortBy(r => (r.getInt(0), r.getLong(1)))
+    // the manifest mirrors the in-cell parts row for row
+    assert(manifest.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq ==
+      cells.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq)
+    // every file is BYTE-identical to its in-cell twin (shared fold,
+    // shared serializer, same salts)
+    manifest.zip(cells).foreach { case (m, c) =>
+      val onDisk = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, m.getString(4)))
+      assert(java.util.Arrays.equals(onDisk,
+        c.getAs[Array[Byte]]("bytes")), m.getString(4))
+    }
+    // and re-reads through the standard reader with texts intact
+    val files = manifest.map(m => (m.getLong(1),
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, m.getString(4)))))
+    val back = MultimodalOps.warcRecords(
+      files.toSeq.toDF("id", "bytes"), "id", "bytes")
+      .filter(col("warc_type") === "conversion")
+      .select("uri", "body").as[(String, String)].collect().toMap
+    assert(back == (0 until 12).map(i =>
+      s"https://ex.com/w$i" -> (s"file sink doc $i " + "y" * 100))
+      .toMap)
   }
 
   test("warc -> html -> text: the crawl pipeline chains end-to-end") {
