@@ -179,8 +179,21 @@ object Bench {
     // DURING the ~20-min battery, pre/post disagreement is the evidence.
     val calibParPost =
       Seq(calibParOnce(), calibParOnce(), calibParOnce()).min
+    // Drift flag (round 15): when the pre/post parallel calibs
+    // disagree by >20%, contention ARRIVED (or left) mid-battery —
+    // the pre-battery calib cannot correct readings taken after the
+    // change, so the tail half of the execution order is marked
+    // LOW-CONFIDENCE in bench_last.json. Readers (the per-query
+    // minima ratchet, the watch-item triage) treat a low-confidence
+    // reading as "re-measure before believing", not as a regression.
+    val driftRatio =
+      if (calibParSec > 1e-9) calibParPost / calibParSec else 1.0
+    val drifted = driftRatio > 1.2 || driftRatio < 0.8
+    val lowConfidence: Seq[String] =
+      if (!drifted) Nil
+      else results.map(_._1).drop(results.size / 2)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"calib_threads":$nCalibThreads,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"calib_drift":$drifted,"calib_threads":$nCalibThreads,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full per-query map also goes to a FILE (one pretty-ish line per
     // query so diffs read): the stdout line above can outgrow the driver's
@@ -188,6 +201,8 @@ object Bench {
     // and the committed file is the durable per-query history.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try {
+      val lcJson = lowConfidence.map("\"" + _ + "\"")
+        .mkString("[", ", ", "]")
       val header = s"""{
   "metric": "total",
   "value": $total,
@@ -195,6 +210,8 @@ object Bench {
   "calib": $calibSec,
   "calib_par": $calibParSec,
   "calib_par_post": $calibParPost,
+  "calib_drift": $drifted,
+  "low_confidence": $lcJson,
   "calib_threads": $nCalibThreads,
   "sf": "$sfDir",
   "n": ${results.size},
@@ -209,7 +226,7 @@ object Bench {
     }
     // Short self-defending summary LAST: the final bytes of output must
     // always be valid JSON even if everything above scrolled away.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"calib_threads":$nCalibThreads,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"calib_drift":$drifted,"calib_threads":$nCalibThreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6302,6 +6302,33 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // Metadata-only drop census (q461, round 15): count/size columns
+    // from entry tables alone — the zip central directory, the tar
+    // header chain, the 7z entry table — with ZERO content decode
+    // (a skipped 7z solid-block member previously paid decompression
+    // CPU just to be counted). Raw non-archive bytes census as
+    // unknown/uncensusable.
+    "q461_archive_census" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bytes = (id % 4) match {
+            case 0 => graft.sources.SevenZCodec.sevenZBytes(Seq(
+              ("a.txt", tb),
+              ("b.txt", (text + " b").getBytes("UTF-8"))))
+            case 1 => graft.sources.ZipCodec.zipBytes(Seq(
+              ("z.txt", tb, true)))
+            case 2 => graft.sources.TarCodec.tarBytes(Seq(("t.txt", tb)))
+            case _ => tb
+          }
+          (id, bytes)
+        }.toDF("doc_id", "bin")
+      ArchiveOps.censusReport(bin, "doc_id", "bin")
+        .orderBy(col("format"))
+    }),
+
     // ZIP member-method dispatch (q451, round 14): real dumps carry
     // members under APPNOTE methods beyond stored/deflate — 93
     // (zstd), 12 (bzip2), 9 (deflate64). One zip per doc with one
@@ -19383,6 +19410,23 @@ FROM scored ORDER BY doc_id"""),
         |    ELSE count(*) END)::BIGINT AS n_decodable,
         |  sum(m)::BIGINT AS n_members,
         |  sum(b)::BIGINT AS member_bytes
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "q461_archive_census" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN '7z' WHEN 1 THEN 'zip'
+        |      WHEN 2 THEN 'tar' ELSE 'unknown' END AS format,
+        |    (CASE doc_id % 4 WHEN 0 THEN 2 WHEN 3 THEN 0
+        |      ELSE 1 END)::BIGINT AS m,
+        |    (CASE doc_id % 4 WHEN 0 THEN strlen(text) * 2 + 2
+        |      WHEN 3 THEN 0 ELSE strlen(text) END)::BIGINT AS b
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_archives,
+        |  (CASE WHEN format = 'unknown' THEN 0
+        |    ELSE count(*) END)::BIGINT AS n_censusable,
+        |  sum(m)::BIGINT AS n_members,
+        |  sum(b)::BIGINT AS declared_bytes
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
 
     "q459_zip_mixed_members" ->

@@ -320,6 +320,54 @@ object ArchiveOps {
         coalesce(sum(when(col("data").isNotNull, col("size"))
           .otherwise(0L)), lit(0L)).as("carried_bytes"))
 
+  /** METADATA-ONLY census — the walkReport count/size columns with
+    * zero content decode (round 15): container formats with entry
+    * tables census from metadata alone — zip reads only the central
+    * directory ([[graft.sources.ZipCodec.census]]), tar walks the
+    * 512-byte header chain skipping payload slices
+    * ([[graft.sources.TarCodec.census]]), 7z reads the archive entry
+    * table ([[graft.sources.SevenZCodec.census]] — a skipped
+    * solid-block member no longer pays decompression CPU just to be
+    * counted). Compression LAYERS (gz/zst/bz2/xz) carry no entry
+    * table — knowing their content requires decode by construction —
+    * so they report `n_censusable = 0` with zero members, as does
+    * `unknown`; run [[walkReport]] when layer content matters.
+    * Unsupported/encrypted zip members are COUNTED (declared
+    * metadata is exactly what a census wants). One flatMap
+    * projection; only per-archive counter rows leave the scan task,
+    * the archive bytes never do. */
+  def censusReport(docs: DataFrame, idCol: String,
+                   bytesCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("string").as("doc_id"),
+        col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val fmt = sniff(bytes)
+        val census: Option[Seq[(String, Long)]] = fmt match {
+          case "zip" =>
+            ZipCodec.census(bytes).map(_.map(m => (m._1, m._2)))
+          case "tar" => TarCodec.census(bytes)
+          case "7z" => SevenZCodec.census(bytes)
+          case _ => None
+        }
+        census match {
+          case Some(ms) =>
+            (id, fmt, true, ms.length.toLong, ms.map(_._2).sum)
+          case None => (id, fmt, false, 0L, 0L)
+        }
+      }
+      .toDF("doc_id", "format", "censusable", "n_members",
+        "declared_bytes")
+      .groupBy(col("format"))
+      .agg(countDistinct(col("doc_id")).as("n_archives"),
+        sum(when(col("censusable"), 1L).otherwise(0L))
+          .as("n_censusable"),
+        sum(col("n_members")).as("n_members"),
+        sum(col("declared_bytes")).as("declared_bytes"))
+  }
+
   /** Per-format walk census: archives, decodable archives, members,
     * member bytes — the drop-ingest report. */
   def walkReport(docs: DataFrame, idCol: String,

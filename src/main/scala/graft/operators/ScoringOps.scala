@@ -389,14 +389,18 @@ object ScoringOps {
     * iterate as a localCheckpoint LEAF (an eager job, like
     * [[GraphOps.pageRank]]'s deep-run count) — see the loop comment
     * for why caching alone cannot contain this loop's lineage. The
-    * setup caches (pair counts, games, items) are session-lived, the
-    * LSH-family cache policy: bulk callers invoking this per dataset
-    * in one long session should `spark.catalog.clearCache()` between
-    * batches. Output: one row per item —
-    * `(id, strength_micro, n_wins, n_games)`. */
+    * setup caches (pair counts, games, items) are session-lived by
+    * default, the LSH-family cache policy: bulk callers invoking this
+    * per dataset in one long session either `spark.catalog
+    * .clearCache()` between batches or pass `unpersistOnJob = true`
+    * (round 15) — the estimator then materializes its result EAGERLY
+    * as a localCheckpoint leaf and drops its four setup caches before
+    * returning (cost: one eager job per call). Output: one row per
+    * item — `(id, strength_micro, n_wins, n_games)`. */
   def bradleyTerryStrengths(prefs: DataFrame, winnerCol: String,
                             loserCol: String,
-                            iters: Int = 8): DataFrame = {
+                            iters: Int = 8,
+                            unpersistOnJob: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in 1..64")
     val wl = prefs
       .select(col(winnerCol).cast("string").as("i"),
@@ -459,11 +463,20 @@ object ScoringOps {
       .groupBy(col("id")).agg(sum(col("n")).as("n_games"))
     // pi already holds exactly one row per item (each iteration was
     // built FROM items) — no items re-join needed
-    pi
+    val result = pi
       .join(wins, Seq("id"), "left")
       .join(nGames, Seq("id"), "left")
       .select(col("id"), col("pi").as("strength_micro"),
         coalesce(col("n_wins"), lit(0L)).as("n_wins"),
         coalesce(col("n_games"), lit(0L)).as("n_games"))
+    if (!unpersistOnJob) result
+    else {
+      // materialize-then-unpersist: checkpoint the (items-sized)
+      // result as a leaf, then drop the setup caches
+      val materialized = result.localCheckpoint(true)
+      wl.unpersist(); games.unpersist(); items.unpersist()
+      members.unpersist()
+      materialized
+    }
   }
 }

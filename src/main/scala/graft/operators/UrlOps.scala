@@ -417,14 +417,20 @@ object UrlOps {
     * against the visited set — no driver actions, the whole closure
     * is one lazy plan; depth is protocol-small (the spec formally
     * allows only index → urlset, one hop; the default 3 tolerates
-    * real-world nesting). The entries cache is SESSION-LIVED (the
-    * LSH-family cache policy): callers running many closures in one
-    * long session should `spark.catalog.clearCache()` between
-    * batches. */
+    * real-world nesting). The entries cache is SESSION-LIVED by
+    * default (the LSH-family cache policy): callers running many
+    * closures in one long session either `spark.catalog.clearCache()`
+    * between batches or pass `unpersistOnJob = true` (round 15) —
+    * the closure then materializes its result EAGERLY as a
+    * localCheckpoint leaf and drops the entries cache before
+    * returning, so bulk callers running hundreds of closures leave
+    * no cache residue (cost: one eager job per call instead of a
+    * lazy plan). */
   def sitemapClosure(fetched: DataFrame, urlCol: String,
                      xmlCol: String, roots: DataFrame,
                      rootUrlCol: String, maxDepth: Int = 3,
-                     modifiedSinceSec: Long = Long.MinValue): DataFrame = {
+                     modifiedSinceSec: Long = Long.MinValue,
+                     unpersistOnJob: Boolean = false): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 8,
       "maxDepth must be in 1..8 (each level adds a join to the plan)")
     val docs = fetched.select(col(urlCol).cast("string")
@@ -462,9 +468,18 @@ object UrlOps {
         visited = visited.unionByName(frontier)
       }
     }
-    out.get.select(col("depth"), col("sitemap_url"), col("kind"),
-      col("entry_idx"), col("loc_url"), col("lastmod"),
+    val result = out.get.select(col("depth"), col("sitemap_url"),
+      col("kind"), col("entry_idx"), col("loc_url"), col("lastmod"),
       col("lastmod_sec"), col("changefreq"), col("priority"))
+    if (!unpersistOnJob) result
+    else {
+      // materialize-then-unpersist: the checkpoint replans the result
+      // as a leaf independent of the cached entries, so dropping the
+      // cache cannot invalidate it
+      val materialized = result.localCheckpoint(true)
+      allEntries.unpersist()
+      materialized
+    }
   }
 
   /** Recrawl-due decision over [[sitemapEntries]]/[[sitemapClosure]]

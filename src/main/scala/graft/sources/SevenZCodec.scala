@@ -28,6 +28,16 @@ import org.apache.commons.compress.utils.SeekableInMemoryByteChannel
   * them undecodable) and its content is never materialized. A member
   * whose stream yields a different byte count than it declared →
   * None (size lies are malformation, not truncation to tolerate).
+  * Two deliberate edges of that contract (round-15 advisory): the
+  * budget bounds MEMORY, not CPU — skipping a withheld member inside
+  * a solid LZMA2 block still pays the decompression work to advance
+  * the stream to later members (a census that must not pay it uses
+  * [[census]], which reads only the entry table); and the charge is
+  * CUMULATIVE, matching [[ZipCodec.parse]] — one oversized member
+  * withholds every later member even if it would fit the remainder,
+  * because fit-what-remains would make a row's presence depend on
+  * its neighbors' sizes and the walk's honest-row accounting
+  * order-unstable.
   *
   * Defensive like the family: bad magic, truncated/garbled headers,
   * encrypted archives (7z encrypts HEADERS too — surfaces as a
@@ -114,6 +124,36 @@ object SevenZCodec {
       case _: java.io.IOException => None
       // commons-compress surfaces some crafted headers as unchecked
       // exceptions (the CVE-2018-11771 family's posture applies)
+      case _: RuntimeException => None
+    }
+  }
+
+  /** Metadata-only census: (name, declared size) per regular member,
+    * read from the archive's ENTRY TABLE alone — no content block is
+    * ever decompressed, so a census never pays the solid-block decode
+    * CPU that [[parse]]'s budget cannot avoid (round 15). The 7z
+    * header is itself LZMA-compressed, so the header decode (under
+    * the same 256 MiB decoder limit) is the only work done.
+    * Anti-items and directories are skipped, matching [[parse]].
+    * None on malformation/encryption, never a throw. */
+  def census(b: Array[Byte]): Option[Seq[(String, Long)]] = {
+    if (!sniff(b)) return None
+    try {
+      val ch = new SeekableInMemoryByteChannel(b)
+      val zf = SevenZFile.builder()
+        .setSeekableByteChannel(ch)
+        .setMaxMemoryLimitKiB(MaxDecoderMemKb)
+        .get()
+      try {
+        val out = Vector.newBuilder[(String, Long)]
+        zf.getEntries.forEach { e =>
+          if (!e.isDirectory && !e.isAntiItem)
+            out += ((e.getName, e.getSize))
+        }
+        Some(out.result())
+      } finally zf.close()
+    } catch {
+      case _: java.io.IOException => None
       case _: RuntimeException => None
     }
   }

@@ -127,7 +127,19 @@ object TarCodec {
   /** Parse an archive; None on any malformation. Directory entries
     * ('5') are skipped; any other non-regular typeflag rejects the
     * archive (honest undecodable, like the codec family's baselines). */
-  def parse(b: Array[Byte]): Option[Seq[TarMember]] = {
+  def parse(b: Array[Byte]): Option[Seq[TarMember]] =
+    scan(b, withData = true)
+
+  /** Metadata-only census: (name, size) per regular member, walking
+    * the 512-byte header chain (PAX/GNU long names included) while
+    * skipping every payload slice — the walkReport count/size columns
+    * with zero member copies (round 15). Same structural validation
+    * as [[parse]]: a malformed archive is None either way. */
+  def census(b: Array[Byte]): Option[Seq[(String, Long)]] =
+    scan(b, withData = false).map(_.map(m => (m.name, m.size)))
+
+  private def scan(b: Array[Byte],
+                   withData: Boolean): Option[Seq[TarMember]] = {
     if (b == null || b.length < 1024 || b.length % 512 != 0)
       return None
     val out = Seq.newBuilder[TarMember]
@@ -213,8 +225,10 @@ object TarCodec {
         val name = if (pendingName != null) pendingName else splitName
         pendingName = null; pendingLink = null; pendingSize = -1L
         out += TarMember(name, size,
-          java.util.Arrays.copyOfRange(b, off + 512,
-            off + 512 + size.toInt))
+          if (withData)
+            java.util.Arrays.copyOfRange(b, off + 512,
+              off + 512 + size.toInt)
+          else null)
         ()
       } else if (tfByte == '5'.toInt || tfByte == '1'.toInt ||
           tfByte == '2'.toInt) {

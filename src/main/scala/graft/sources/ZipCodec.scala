@@ -152,6 +152,87 @@ object ZipCodec {
     * the budget says their payload will not ship. */
   def parse(b: Array[Byte],
             budget: Long = Long.MaxValue): Option[Seq[ZipMember]] = {
+    val cd = locateCentral(b) match {
+      case Some(c) => c case None => return None
+    }
+    val members = Vector.newBuilder[ZipMember]
+    var charged = 0L // cumulative declared usize (the budget meter)
+    var p = cd.cdOff.toInt
+    val cdEnd = (cd.cdOff + cd.cdSize).toInt
+    var i = 0
+    while (i < cd.nTotal) {
+      val e = entryMeta(b, p, cdEnd) match {
+        case Some(m) => m case None => return None
+      }
+      if ((e.flags & 0x1) != 0 || !SupportedMethods.contains(e.method)) {
+        // Out-of-scope MEMBER (encrypted, or a compression method the
+        // dispatch table lacks — LZMA/PPMd/AES-marker 99/...): honest
+        // per-member row, `data = null` with the declared metadata
+        // intact, exactly like over-budget rows. Round 15 — one odd
+        // member previously voided the whole archive's census
+        // (`return None`), losing every OTHER member of a real dump;
+        // whole-archive None is now reserved for structural
+        // malformation. Nothing materializes, so nothing charges
+        // against the budget (the budget meters ALLOCATION, and these
+        // members' payloads are never touched).
+        if (!e.isDir) members += ZipMember(e.name, e.usize, e.method, null)
+      } else {
+      if (e.usize > 64L * 1024 * 1024) return None // column-cell bound
+      charged += e.usize
+      if (charged > budget) {
+        // over budget: never touch the data range — emit the member
+        // with its declared metadata and no payload
+        if (!e.isDir) members += ZipMember(e.name, e.usize, e.method, null)
+      } else {
+      // local header: sig + fixed 30 bytes, then ITS OWN name/extra
+      // lengths (they may differ from the central entry's — e.g. a
+      // streaming writer adds local extra fields)
+      // bound-check in Long BEFORE truncating: localOff near
+      // 0x7FFFFFFF makes `lo + 30` wrap negative after .toInt and a
+      // crafted archive indexes out of bounds instead of returning None
+      if (e.localOff < 0 || e.localOff > b.length - 30) return None
+      val lo = e.localOff.toInt
+      if (u32(b, lo) != LocalSig) return None
+      val lNameLen = u16(b, lo + 26)
+      val lExtraLen = u16(b, lo + 28)
+      val dataOff = lo + 30 + lNameLen + lExtraLen
+      // csize > b.length - dataOff is the overflow-safe spelling of
+      // dataOff + csize > b.length (csize is attacker-controlled u64)
+      if (e.csize < 0 || e.csize > b.length - dataOff ||
+          dataOff + e.csize > cd.cdOff)
+        return None
+      val comp = java.util.Arrays.copyOfRange(
+        b, dataOff, (dataOff + e.csize).toInt)
+      val data = e.method match {
+        case 0 =>
+          if (e.csize != e.usize) return None
+          comp
+        case 8 => inflateRaw(comp, e.usize.toInt) match {
+          case Some(d) => d case None => return None
+        }
+        case _ => decodeMember(e.method, comp, e.usize) match {
+          case Some(d) => d case None => return None
+        }
+      }
+      val c = new CRC32(); c.update(data)
+      if (c.getValue != e.crc) return None
+      // directory entries (trailing '/', zero size) are skipped, same
+      // as TarCodec's typeflag-'5' rule
+      if (!e.isDir) members += ZipMember(e.name, e.usize, e.method, data)
+      }
+      }
+      p = e.next
+      i += 1
+    }
+    Some(members.result())
+  }
+
+  /** EOCD location + ZIP64 resolution, shared by [[parse]] and
+    * [[census]]: the central directory's offset, size and entry
+    * count, all sentinels resolved. */
+  private final case class CdLoc(cdOff: Long, cdSize: Long, nTotal: Long)
+
+  private def locateCentral(b: Array[Byte]): Option[CdLoc] = {
     if (b == null || b.length < 22) return None
     val eocd = findEocd(b) match {
       case Some(o) => o case None => return None
@@ -192,119 +273,91 @@ object ZipCodec {
     // an in-memory archive is < 2 GiB; each central entry is >= 46 B
     if (cdOff + cdSize > b.length || nTotal > b.length / 46L)
       return None
-    val members = Vector.newBuilder[ZipMember]
-    var charged = 0L // cumulative declared usize (the budget meter)
-    var p = cdOff.toInt
-    val cdEnd = (cdOff + cdSize).toInt
-    var i = 0
-    while (i < nTotal) {
-      if (p + 46 > cdEnd || u32(b, p) != CentralSig) return None
-      val flags = u16(b, p + 8)
-      val method = u16(b, p + 10)
-      val crc = u32(b, p + 16)
-      var csize = u32(b, p + 20)
-      var usize = u32(b, p + 24)
-      val nameLen = u16(b, p + 28)
-      val extraLen = u16(b, p + 30)
-      val commentLen = u16(b, p + 32)
-      var localOff = u32(b, p + 42)
-      if (p + 46 + nameLen + extraLen > cdEnd) return None
-      if (csize == 0xffffffffL || usize == 0xffffffffL ||
-          localOff == 0xffffffffL) {
-        // ZIP64: the real values live in the 0x0001 extended-info
-        // extra field, holding u64s ONLY for the sentinel'd fields,
-        // in usize/csize/localOff order (APPNOTE 4.5.3)
-        var q = p + 46 + nameLen
-        val qEnd = q + extraLen
-        var found = false
-        while (q + 4 <= qEnd && !found) {
-          val id = u16(b, q)
-          val sz = u16(b, q + 2)
-          if (q + 4 + sz > qEnd) return None
-          if (id == 0x0001) {
-            var r = q + 4
-            val rEnd = q + 4 + sz
-            def take8(): Long = {
-              if (r + 8 > rEnd) return -1L
-              val v = u64(b, r); r += 8; v
-            }
-            if (usize == 0xffffffffL) usize = take8()
-            if (csize == 0xffffffffL) csize = take8()
-            if (localOff == 0xffffffffL) localOff = take8()
-            if (usize < 0 || csize < 0 || localOff < 0) return None
-            found = true
+    Some(CdLoc(cdOff, cdSize, nTotal))
+  }
+
+  /** One decoded central-directory entry (metadata only — no local
+    * header read, no payload touch); `next` is the offset of the
+    * following entry. Shared by [[parse]] and [[census]]. */
+  private final case class EntryMeta(flags: Int, method: Int, crc: Long,
+                                     csize: Long, usize: Long,
+                                     localOff: Long, name: String,
+                                     isDir: Boolean, next: Int)
+
+  private def entryMeta(b: Array[Byte], p: Int,
+                        cdEnd: Int): Option[EntryMeta] = {
+    if (p + 46 > cdEnd || u32(b, p) != CentralSig) return None
+    val flags = u16(b, p + 8)
+    val method = u16(b, p + 10)
+    val crc = u32(b, p + 16)
+    var csize = u32(b, p + 20)
+    var usize = u32(b, p + 24)
+    val nameLen = u16(b, p + 28)
+    val extraLen = u16(b, p + 30)
+    val commentLen = u16(b, p + 32)
+    var localOff = u32(b, p + 42)
+    if (p + 46 + nameLen + extraLen > cdEnd) return None
+    if (csize == 0xffffffffL || usize == 0xffffffffL ||
+        localOff == 0xffffffffL) {
+      // ZIP64: the real values live in the 0x0001 extended-info
+      // extra field, holding u64s ONLY for the sentinel'd fields,
+      // in usize/csize/localOff order (APPNOTE 4.5.3)
+      var q = p + 46 + nameLen
+      val qEnd = q + extraLen
+      var found = false
+      while (q + 4 <= qEnd && !found) {
+        val id = u16(b, q)
+        val sz = u16(b, q + 2)
+        if (q + 4 + sz > qEnd) return None
+        if (id == 0x0001) {
+          var r = q + 4
+          val rEnd = q + 4 + sz
+          def take8(): Long = {
+            if (r + 8 > rEnd) return -1L
+            val v = u64(b, r); r += 8; v
           }
-          q += 4 + sz
+          if (usize == 0xffffffffL) usize = take8()
+          if (csize == 0xffffffffL) csize = take8()
+          if (localOff == 0xffffffffL) localOff = take8()
+          if (usize < 0 || csize < 0 || localOff < 0) return None
+          found = true
         }
-        if (!found) return None
+        q += 4 + sz
       }
-      val name = new String(b, p + 46, nameLen, "UTF-8")
-      val isDir = name.endsWith("/") && usize == 0
-      if ((flags & 0x1) != 0 || !SupportedMethods.contains(method)) {
-        // Out-of-scope MEMBER (encrypted, or a compression method the
-        // dispatch table lacks — LZMA/PPMd/AES-marker 99/...): honest
-        // per-member row, `data = null` with the declared metadata
-        // intact, exactly like over-budget rows. Round 15 — one odd
-        // member previously voided the whole archive's census
-        // (`return None`), losing every OTHER member of a real dump;
-        // whole-archive None is now reserved for structural
-        // malformation. Nothing materializes, so nothing charges
-        // against the budget (the budget meters ALLOCATION, and these
-        // members' payloads are never touched).
-        if (!isDir) members += ZipMember(name, usize, method, null)
-        p += 46 + nameLen + extraLen + commentLen
-        i += 1
-      } else {
-      if (usize > 64L * 1024 * 1024) return None // column-cell bound
-      charged += usize
-      if (charged > budget) {
-        // over budget: never touch the data range — emit the member
-        // with its declared metadata and no payload
-        if (!isDir) members += ZipMember(name, usize, method, null)
-        p += 46 + nameLen + extraLen + commentLen
-        i += 1
-      } else {
-      // local header: sig + fixed 30 bytes, then ITS OWN name/extra
-      // lengths (they may differ from the central entry's — e.g. a
-      // streaming writer adds local extra fields)
-      // bound-check in Long BEFORE truncating: localOff near
-      // 0x7FFFFFFF makes `lo + 30` wrap negative after .toInt and a
-      // crafted archive indexes out of bounds instead of returning None
-      if (localOff < 0 || localOff > b.length - 30) return None
-      val lo = localOff.toInt
-      if (u32(b, lo) != LocalSig) return None
-      val lNameLen = u16(b, lo + 26)
-      val lExtraLen = u16(b, lo + 28)
-      val dataOff = lo + 30 + lNameLen + lExtraLen
-      // csize > b.length - dataOff is the overflow-safe spelling of
-      // dataOff + csize > b.length (csize is attacker-controlled u64)
-      if (csize < 0 || csize > b.length - dataOff ||
-          dataOff + csize > cdOff)
-        return None
-      val comp = java.util.Arrays.copyOfRange(
-        b, dataOff, (dataOff + csize).toInt)
-      val data = method match {
-        case 0 =>
-          if (csize != usize) return None
-          comp
-        case 8 => inflateRaw(comp, usize.toInt) match {
-          case Some(d) => d case None => return None
-        }
-        case _ => decodeMember(method, comp, usize) match {
-          case Some(d) => d case None => return None
-        }
-      }
-      val c = new CRC32(); c.update(data)
-      if (c.getValue != crc) return None
-      // directory entries (trailing '/', zero size) are skipped, same
-      // as TarCodec's typeflag-'5' rule
-      if (!isDir) members += ZipMember(name, usize, method, data)
-      p += 46 + nameLen + extraLen + commentLen
-      i += 1
-      }
-      }
+      if (!found) return None
     }
-    Some(members.result())
+    val name = new String(b, p + 46, nameLen, "UTF-8")
+    Some(EntryMeta(flags, method, crc, csize, usize, localOff, name,
+      name.endsWith("/") && usize == 0,
+      p + 46 + nameLen + extraLen + commentLen))
+  }
+
+  /** Metadata-only census from the central directory alone: one
+    * (name, declared usize, method) per non-directory member —
+    * encrypted, unsupported-method and would-be-over-budget members
+    * INCLUDED, since their declared metadata is exactly what a census
+    * wants. No local-header reads, no decode, no allocation beyond
+    * names: the walkReport count/size columns at zero content cost
+    * (round 15 — a census should never pay decompression CPU just to
+    * count). None on structural malformation of the EOCD / central
+    * directory. */
+  def census(b: Array[Byte]): Option[Seq[(String, Long, Int)]] = {
+    val cd = locateCentral(b) match {
+      case Some(c) => c case None => return None
+    }
+    val out = Vector.newBuilder[(String, Long, Int)]
+    var p = cd.cdOff.toInt
+    val cdEnd = (cd.cdOff + cd.cdSize).toInt
+    var i = 0
+    while (i < cd.nTotal) {
+      val e = entryMeta(b, p, cdEnd) match {
+        case Some(m) => m case None => return None
+      }
+      if (!e.isDir) out += ((e.name, e.usize, e.method))
+      p = e.next
+      i += 1
+    }
+    Some(out.result())
   }
 
   /** Bounded decode of a non-deflate member payload (methods 9 /

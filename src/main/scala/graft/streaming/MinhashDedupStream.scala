@@ -102,14 +102,20 @@ object MinhashDedupStream {
     // whose upstream stage already cast the id to string (the
     // curation funnel) passes the ORIGINAL column type here —
     // otherwise a numeric id would tie-break lexicographically ("10"
-    // < "9") while its batch twin compares numerically.
-    val idType = idTypeOverride.getOrElse(docs.schema(idCol).dataType)
+    // < "9") while its batch twin compares numerically. An OVERRIDE
+    // is validated in-plan (round 15): a numeric override over
+    // non-numeric ids raises instead of silently mis-ordering.
+    val ordKeyCol = idTypeOverride match {
+      case Some(dt) => StreamIds.ordKeyChecked(dt, col(idCol))
+      case None =>
+        StreamIds.ordKey(docs.schema(idCol).dataType, col(idCol))
+    }
     val banded = docs
       // no text → no signature; no event time → no ordering, no
       // watermark: both are poison for the state fold, drop up front
       .filter(col(textCol).isNotNull && col(eventTimeCol).isNotNull)
       .select(col(idCol).cast("string").as("doc_id"),
-        StreamIds.ordKey(idType, col(idCol)).as("doc_ord"),
+        ordKeyCol.as("doc_ord"),
         col(eventTimeCol).as("ts"),
         TextExpressions.minhashSliced(
           TextExpressions.wordShingles(

@@ -42,6 +42,34 @@ private[graft] object StreamIds {
     case _ => id.cast("string")
   }
 
+  /** [[ordKey]] for the idTypeOverride path (round-15 advisory): the
+    * override asserts a numeric id domain the COLUMN TYPE cannot
+    * vouch for (the column is already a string by the time a
+    * composing caller passes the original type through), so enforce
+    * it IN-PLAN — an id that is not a non-negative integer raises
+    * instead of tie-breaking on zero-padded garbage, which would
+    * silently corrupt the equal-ts order the override exists to fix.
+    * Integral overrides admit ≤ 19 digits (a Long's range inside the
+    * 20-char pad), scale-0 decimals ≤ 38 (DecimalType's maximum);
+    * non-padding types pass through to [[ordKey]] unchecked — their
+    * string form is the key, no domain to violate. */
+  def ordKeyChecked(dt: DataType, id: Column): Column = {
+    val maxDigits = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(19)
+      case d: DecimalType if d.scale == 0 => Some(38)
+      case _ => None
+    }
+    maxDigits match {
+      case None => ordKey(dt, id)
+      case Some(n) =>
+        val s = id.cast("string")
+        when(s.rlike(s"^[0-9]{1,$n}$$"), ordKey(dt, id))
+          .otherwise(raise_error(concat(
+            lit("idTypeOverride declares a numeric id domain but id '"),
+            s, lit("' is not a non-negative integer"))))
+    }
+  }
+
   /** UTF-8-byte (= Spark `UTF8String` binary) ordering for the
     * state-side sorts and tie-breaks. */
   val utf8Ordering: Ordering[String] = new Ordering[String] {

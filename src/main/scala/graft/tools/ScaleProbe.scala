@@ -1503,6 +1503,46 @@ object ScaleProbe {
         graft.operators.ScoringOps.bradleyTerryStrengths(
           prefs14, "w", "l"))
     }
+
+    // ROUND-15 fixtures: the metadata-only census (entry tables, no
+    // content decode) against the decoding walk on the same 7z drop,
+    // and the budgeted WET part export (sorted-run fold, one part
+    // buffered per task — never a whole shard).
+    {
+      import spark.implicits._
+      val docs15 = replicate(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      // CACHED fixture: the LZMA2 ENCODE cost would otherwise
+      // dominate both probes identically and mask the decode delta
+      // the pair exists to measure
+      val sevenZDrop15 = docs15.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          (id, graft.sources.SevenZCodec.sevenZBytes(Seq(
+            ("a.txt", tb), ("b.txt", (text + " b").getBytes("UTF-8")))))
+        }.toDF("doc_id", "bin").cache()
+      sevenZDrop15.count()
+      // (a) the pair to compare: walkReport decodes every member's
+      // LZMA2 block; censusReport reads the entry table only — the
+      // census row should cost a fraction of the walk at identical
+      // shuffle (both ship counters, never archive bytes)
+      time(s"7z walkReport x$n (decoding census)")(
+        graft.operators.ArchiveOps.walkReport(
+          sevenZDrop15, "doc_id", "bin"))
+      time(s"7z censusReport x$n (entry table only)")(
+        graft.operators.ArchiveOps.censusReport(
+          sevenZDrop15, "doc_id", "bin"))
+      sevenZDrop15.unpersist()
+      // (b) WET export under a ~4 MiB part budget: one shard shuffle;
+      // max-task memory is one part buffer, not one shard
+      val wetDocs15 = docs15.select(
+        concat(lit("https://ex.com/doc/"),
+          col("doc_id").cast("string")).as("uri"), col("text"))
+      time(s"toWetShards x$n (16 shards, 4 MiB parts)")(
+        graft.operators.MultimodalOps.toWetShards(wetDocs15, "uri",
+          "text", shards = 16, maxShardBytes = 4L * 1024 * 1024))
+    }
     spark.stop()
   }
 }

@@ -203,4 +203,38 @@ class MinhashDedupStreamSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(batch.contains((0L, 10L)))
   }
+
+  test("idTypeOverride contract (round 15): a numeric override over " +
+      "non-numeric ids raises in-plan instead of mis-ordering; " +
+      "genuinely numeric strings key exactly like ordKey") {
+    import graft.streaming.StreamIds
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
+    // numeric ids: checked key == unchecked key (zero-padded domain)
+    val ok = Seq("7", "10", "9").toDF("id")
+      .select(StreamIds.ordKeyChecked(LongType, col("id")).as("k"),
+        StreamIds.ordKey(LongType, col("id")).as("u"))
+      .as[(String, String)].collect()
+    assert(ok.forall { case (k, u) => k == u })
+    assert(ok.map(_._1).sorted.toSeq ==
+      Seq("7", "9", "10").map(s => s.reverse.padTo(20, '0').reverse))
+    // a wrong override (Long over UUID-ish ids) fails LOUDLY
+    val bad = Seq("a-1", "b-2").toDF("id")
+      .select(StreamIds.ordKeyChecked(LongType, col("id")))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+    // a 20-digit id cannot be a Long either — same loud failure
+    val tooBig = Seq("12345678901234567890").toDF("id")
+      .select(StreamIds.ordKeyChecked(LongType, col("id")))
+    intercept[Exception](tooBig.collect())
+    // but fits the scale-0 decimal domain (38 digits)
+    val dec = Seq("12345678901234567890").toDF("id")
+      .select(StreamIds.ordKeyChecked(DecimalType(38, 0), col("id")))
+      .as[String].collect()
+    assert(dec.head.length == 39)
+    // string override: pass-through, nothing to violate
+    val s = Seq("a-1").toDF("id")
+      .select(StreamIds.ordKeyChecked(StringType, col("id")))
+      .as[String].collect()
+    assert(s.head == "a-1")
+  }
 }

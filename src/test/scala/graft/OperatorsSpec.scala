@@ -6606,6 +6606,139 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ZipCodec.parse(trap).get.head.size == 22L)
   }
 
+  test("unpersistOnJob (round 15): the closure/BT cache-scoped " +
+      "variants leave no cacheManager residue and match the " +
+      "session-cached default's results") {
+    import graft.operators.{ScoringOps, UrlOps}
+    val spark2 = spark
+    import spark2.implicits._
+    // cacheManager.isEmpty via reflection: private[sql] is public in
+    // bytecode, and no public API reports cache-registry emptiness
+    def cacheEmpty: Boolean = {
+      val ss = spark.sharedState
+      val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
+      cm.getClass.getMethod("isEmpty").invoke(cm)
+        .asInstanceOf[Boolean]
+    }
+    spark.catalog.clearCache()
+    assert(cacheEmpty)
+    val fetched = Seq(
+      ("http://s.org/i.xml", "<sitemapindex><sitemap><loc>" +
+        "http://s.org/u.xml</loc></sitemap></sitemapindex>"),
+      ("http://s.org/u.xml", "<urlset><url><loc>http://s.org/p1" +
+        "</loc></url></urlset>")).toDF("url", "xml")
+    val roots = Seq("http://s.org/i.xml").toDF("url")
+    val vRows = UrlOps.sitemapClosure(fetched, "url", "xml", roots,
+      "url", maxDepth = 2, unpersistOnJob = true).collect()
+    assert(cacheEmpty, "closure variant left cache residue")
+    val dRows = UrlOps.sitemapClosure(fetched, "url", "xml", roots,
+      "url", maxDepth = 2).collect()
+    assert(!cacheEmpty, "default keeps the session-lived cache")
+    assert(vRows.map(_.toString).sorted.toSeq ==
+      dRows.map(_.toString).sorted.toSeq)
+    spark.catalog.clearCache()
+    val prefs = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "b")).toDF("w", "l")
+    val v2 = ScoringOps.bradleyTerryStrengths(prefs, "w", "l",
+      iters = 2, unpersistOnJob = true).collect()
+    assert(cacheEmpty, "BT variant left cache residue")
+    val d2 = ScoringOps.bradleyTerryStrengths(prefs, "w", "l",
+      iters = 2).collect()
+    assert(!cacheEmpty)
+    assert(v2.map(_.toString).sorted.toSeq ==
+      d2.map(_.toString).sorted.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("Deflate64 real-dialect member (round 15): length code 285 " +
+      "with 16 extra bits — semantics plain deflate does NOT share — " +
+      "decodes and CRC-verifies through the method-9 path") {
+    import graft.sources.ZipCodec
+    // hand-assembled fixed-Huffman Deflate64 stream (RFC 1951 bit
+    // packing: Huffman codes MSB-first, everything else LSB-first):
+    //   literal 'a', literal 'b', <match len=299 dist=1>, EOB.
+    // In Deflate64 length code 285 = base 3 + 16 extra bits (296 →
+    // 299); in plain deflate the SAME code means length 258 with no
+    // extra bits — the round-14 stored-block fixtures never exercised
+    // this divergence (round-15 advisory).
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def putLsb(v: Int, n: Int): Unit =
+      (0 until n).foreach(i => bits += ((v >> i) & 1))
+    def putMsb(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+    putLsb(1, 1)             // BFINAL
+    putLsb(1, 2)             // BTYPE = 01 (fixed Huffman)
+    putMsb(0x30 + 'a', 8)    // literal 'a' (fixed code 0x30 + v)
+    putMsb(0x30 + 'b', 8)    // literal 'b'
+    putMsb(0xc5, 8)          // length code 285 (fixed code 0xC0 + 5)
+    putLsb(296, 16)          // extra: 3 + 296 = 299
+    putMsb(0, 5)             // distance code 0 = distance 1
+    putMsb(0, 7)             // end of block (code 256)
+    val comp = bits.grouped(8).map { g =>
+      g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte
+    }.toArray
+    val data = ("ab" + "b" * 299).getBytes("US-ASCII")
+    val zip = ZipCodec.zipBytesOpaque(Seq(("d64.bin", data, comp, 9, 0)))
+    val got = ZipCodec.parse(zip).get
+    assert(got.map(_.name) == Seq("d64.bin"))
+    assert(got.head.method == 9)
+    // CRC-32 verified inside parse; byte equality proves the 64-bit
+    // dialect's length-285 semantics were applied
+    assert(got.head.data.toSeq == data.toSeq)
+  }
+
+  test("metadata-only census (round 15): zip/tar/7z entry tables " +
+      "census without content decode — parse-equal metadata, budget " +
+      "and odd members included, layers honestly uncensusable") {
+    import graft.operators.ArchiveOps
+    import graft.sources.{GzipCodec, SevenZCodec, TarCodec, ZipCodec}
+    val a = ("alpha " * 40).getBytes("UTF-8")
+    val b = ("beta " * 60).getBytes("UTF-8")
+    // zip: census == parse-derived (name, size, method), dirs skipped
+    val zip = ZipCodec.zipBytes(Seq(
+      ("d/", Array.empty[Byte], false),
+      ("d/a.txt", a, true), ("b.bin", b, false)))
+    assert(ZipCodec.census(zip).get ==
+      Seq(("d/a.txt", a.length.toLong, 8), ("b.bin", b.length.toLong, 0)))
+    // mixed-scope zip: unsupported/encrypted members COUNT in the
+    // census with their declared metadata
+    val mixed = ZipCodec.zipBytesOpaque(Seq(
+      ("ok.txt", a, a, 0, 0),
+      ("l.bin", b, Array[Byte](7), 14, 0)))
+    assert(ZipCodec.census(mixed).get ==
+      Seq(("ok.txt", a.length.toLong, 0), ("l.bin", b.length.toLong, 14)))
+    // tar: header-chain walk, no payload copies
+    val tar = TarCodec.tarBytes(Seq(("x/a.txt", a), ("b.bin", b)))
+    assert(TarCodec.census(tar).get ==
+      Seq(("x/a.txt", a.length.toLong), ("b.bin", b.length.toLong)))
+    // 7z: entry table only — a budget that withholds every member
+    // from parse leaves the census COMPLETE (no content decode paid)
+    val sz = SevenZCodec.sevenZBytes(Seq(("a.txt", a), ("b.txt", b)))
+    assert(SevenZCodec.parse(sz, budget = 1L).get.forall(_.data == null))
+    assert(SevenZCodec.census(sz).get ==
+      Seq(("a.txt", a.length.toLong), ("b.txt", b.length.toLong)))
+    // malformation still rejects
+    assert(ZipCodec.census(zip.take(zip.length - 4)).isEmpty)
+    assert(TarCodec.census(tar.take(512)).isEmpty)
+    assert(SevenZCodec.census(sz.take(10)).isEmpty)
+    // the DataFrame report: entry-table formats censusable, a gz
+    // layer honestly not (no entry table without decode)
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, zip), (2L, tar), (3L, sz), (4L, GzipCodec.gzipBytes(a)),
+      (5L, "plain".getBytes("UTF-8"))).toDF("id", "bin")
+    val rep = ArchiveOps.censusReport(docs, "id", "bin")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ab = a.length.toLong + b.length
+    assert(rep("zip") == (1L, 1L, 2L, ab))
+    assert(rep("tar") == (1L, 1L, 2L, ab))
+    assert(rep("7z") == (1L, 1L, 2L, ab))
+    assert(rep("gz") == (1L, 0L, 0L, 0L))
+    assert(rep("unknown") == (1L, 0L, 0L, 0L))
+  }
+
   test("lengthBiasAudit: gap buckets are exact, equal pairs carry a " +
       "null rate, the biased fixture reads its closed-form milli") {
     import graft.operators.ScoringOps
