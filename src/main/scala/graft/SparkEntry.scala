@@ -6128,6 +6128,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CDX record index (q463, round 15): the OTHER CC sidecar — the
+    // per-record lookup index (SURT url key, 14-digit timestamp,
+    // mime/status, content digest, byte extent) a pipeline reads to
+    // random-access WARC records without scanning archives. The
+    // urlkey groups a host's records contiguously under sort; the
+    // oracle re-derives key/ts/digest from the fixture columns
+    // (offset/length are spec-pinned by the slice-reparse roundtrip).
+    "q463_cdx_index" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.sources.WarcCodec.warcBytes(Seq(
+            (s"https://Ex.com/Doc/$id?p=1", "2026-01-02T03:04:05Z",
+              "text/html", text))))
+        }.toDF("doc_id", "bin")
+      MultimodalOps.cdxIndex(bin, "doc_id", "bin")
+        .select(col("doc_id"), col("urlkey"), col("ts"), col("uri"),
+          col("mime"), col("status"), col("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WAT sidecar extraction (q454, round 14): `metadata` records
     // carry a JSON envelope (link graph, page title, header
     // metadata) — the input to link analysis and URL frontier
@@ -19182,6 +19204,15 @@ SELECT doc_id, substr(md5(clean), 1, 16) AS clean_sig, n_tokens,
     AND substr(md5(doc_id), 1, 8)
          < '${SamplingOps.rateThreshold(0.8)}') AS selected
 FROM scored ORDER BY doc_id"""),
+
+    "q463_cdx_index" ->
+      """SELECT doc_id,
+        |  'com,ex)/Doc/' || doc_id::VARCHAR || '?p=1' AS urlkey,
+        |  '20260102030405' AS ts,
+        |  'https://Ex.com/Doc/' || doc_id::VARCHAR || '?p=1' AS uri,
+        |  'text/html' AS mime, 200 AS status,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q460_revisit_join" ->
       """WITH rev AS (

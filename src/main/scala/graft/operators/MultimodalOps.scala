@@ -558,6 +558,54 @@ object MultimodalOps {
         "profile")
   }
 
+  /** CDX-style record index over a WARC binary column — the OTHER
+    * sidecar Common Crawl ships (cdx-*.gz) so pipelines can look up
+    * and random-access records without scanning archives: one row per
+    * record with a target URI, carrying the SURT url key (scheme
+    * dropped, host lowercased and comma-reversed, `)` + path — the
+    * canonical form that groups a host's records contiguously in a
+    * sorted index; ports/userinfo pass through with the host segment
+    * they ride, path+query verbatim), the 14-digit CDX timestamp, the
+    * mime/status, an MD5 content digest, and the record's byte extent
+    * from [[graft.sources.WarcCodec.index]] (offsets address the
+    * DECOMPRESSED stream — CC's own cdx offsets address compressed
+    * members, a semantic that needs a seekable compressed store and
+    * is documented out of scope for a byte-cell codec).
+    *
+    * Scale shape: one flatMap — archive bytes die in the scan task,
+    * and the body survives only long enough to digest in the same
+    * projection; nothing body-sized shuffles. Sorting/sharding the
+    * index is the caller's compose (repartitionByRange on urlkey for
+    * the sorted-index layout, or toWetShards' md5-bucket rule). */
+  def cdxIndex(media: DataFrame, idCol: String,
+               binCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val recs = media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.sources.WarcCodec.index(bytes).zipWithIndex.collect {
+          case (ir, i) if ir.record.targetUri.nonEmpty =>
+            (id, i, ir.record.warcType, ir.record.targetUri,
+              ir.record.date, ir.record.httpStatus,
+              ir.record.contentType, ir.record.body, ir.offset,
+              ir.length)
+        }
+      }
+      .toDF(idCol, "rec", "warc_type", "uri", "date", "status",
+        "mime", "body", "offset", "length")
+    val noScheme =
+      regexp_replace(col("uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val host = lower(regexp_extract(noScheme, "^([^/?#]*)", 1))
+    val path = regexp_extract(noScheme, "^[^/?#]*(.*)$", 1)
+    recs.select(col(idCol), col("rec"), col("warc_type"),
+      concat(array_join(reverse(split(host, "\\.")), ","), lit(")"),
+        when(path === "", lit("/")).otherwise(path)).as("urlkey"),
+      regexp_replace(col("date"), "[^0-9]", "").substr(1, 14).as("ts"),
+      col("uri"), col("mime"), col("status"),
+      md5(col("body")).as("digest"), col("offset"), col("length"))
+  }
+
   /** Shared column prep for the WET shard exports: null-URI rows
     * dropped (a WET record without a target is unaddressable), null
     * text → empty body, md5-bucket shard assignment, ONE shuffle

@@ -41,9 +41,27 @@ object WarcCodec {
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(Utf8)).map(b => f"$b%02x").mkString
+  // thread-local digest: getInstance per record id measurably taxes
+  // fixture encode at 100k records/s (the xz-dictionary lesson —
+  // per-call setup must not dominate per-record work)
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val md = Md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes(Utf8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Deterministic, distinct record id. WARC/1.0 requires globally
     * unique record IDs; the previous `(wtype+uri).hashCode` scheme
@@ -75,14 +93,34 @@ object WarcCodec {
         line.substring(k + 1).trim)
     }.toMap
 
+  /** One [[index]] entry: the parsed record plus its byte extent in
+    * the (decompressed) stream — `offset` is where the record's
+    * header block starts, `length` its full serialized size
+    * including the trailing CRLFCRLF. The CDX fields a reader needs
+    * to random-access the record without re-scanning the stream. */
+  final case class IndexedRecord(record: WarcRecord, offset: Long,
+                                 length: Long)
+
   /** Parse every complete record in the stream; compressed input (by
     * magic — gzip or zstd) is inflated first, bounded by
     * `maxInflateBytes` — multi-member/multi-frame streams, the
     * .warc.gz / .warc.zst layouts, decompress end-to-end in one
     * pass. */
   def records(bIn: Array[Byte],
-              maxInflateBytes: Long = 1L << 30): Seq[WarcRecord] = {
-    val out = scala.collection.mutable.ListBuffer.empty[WarcRecord]
+              maxInflateBytes: Long = 1L << 30): Seq[WarcRecord] =
+    index(bIn, maxInflateBytes).map(_.record)
+
+  /** [[records]] with byte extents — the CDX-index walk (Common
+    * Crawl ships cdx files so pipelines can random-access WARC
+    * records; [[graft.operators.MultimodalOps.cdxIndex]] is the
+    * operator surface). Offsets are in the DECOMPRESSED stream: the
+    * in-memory model inflates whole archives, so a `.warc.gz` input
+    * indexes its inflated form (CC's own cdx offsets address
+    * compressed members — that semantic needs a seekable compressed
+    * store, documented as out of scope for a byte-cell codec). */
+  def index(bIn: Array[Byte],
+            maxInflateBytes: Long = 1L << 30): Seq[IndexedRecord] = {
+    val out = scala.collection.mutable.ListBuffer.empty[IndexedRecord]
     if (bIn == null) return out.toSeq
     val b =
       if (GzipCodec.sniff(bIn)) {
@@ -102,6 +140,7 @@ object WarcCodec {
     var off = 0
     var ok = true
     while (ok && off + 8 < b.length) {
+      val recStart = off
       // record header block starts with the WARC version line
       if (!new String(b, off, math.min(5, b.length - off), Ascii)
           .startsWith("WARC/")) { ok = false }
@@ -135,7 +174,8 @@ object WarcCodec {
                   payload, he + 4, payload.length)
               }
             }
-            out += WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", ""),
+            val rec = WarcRecord(wtype,
+              hdrs.getOrElse("warc-target-uri", ""),
               hdrs.getOrElse("warc-date", ""), status, ctype, body,
               payloadDigest = hdrs.getOrElse("warc-payload-digest", ""),
               refersToUri =
@@ -145,6 +185,8 @@ object WarcCodec {
             off = pStart + len.toInt
             while (off < b.length &&
               (b(off) == '\r' || b(off) == '\n')) off += 1
+            out += IndexedRecord(rec, recStart.toLong,
+              (off - recStart).toLong)
           }
         }
       }

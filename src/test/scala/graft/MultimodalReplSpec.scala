@@ -796,6 +796,48 @@ class MultimodalReplSpec extends AnyFunSuite {
       .toMap)
   }
 
+  test("cdxIndex (round 15): byte extents slice back to parseable " +
+      "records, SURT keys reverse hosts and keep ports/query, the " +
+      "timestamp compacts, and uriless records are excluded") {
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val d = "2026-03-04T05:06:07Z"
+    val bytes = WarcCodec.warcBytes(Seq(
+      ("http://a.b.Example.org:8080", d, "text/plain", "one"),
+      ("https://www.site.com/x/y?q=2", d, "text/plain", "two")))
+    val idx = WarcCodec.index(bytes)
+    assert(idx.length == 2)
+    // the extent contract: b[offset, offset+length) reparses to
+    // exactly that record — the random-access read a CDX enables
+    idx.foreach { ir =>
+      val slice = java.util.Arrays.copyOfRange(bytes,
+        ir.offset.toInt, (ir.offset + ir.length).toInt)
+      val re = WarcCodec.records(slice)
+      assert(re.length == 1 &&
+        re.head.targetUri == ir.record.targetUri)
+    }
+    assert(idx.head.offset == 0L)
+    assert(idx(1).offset == idx.head.length)
+    assert(idx.map(_.length).sum == bytes.length.toLong)
+    // the operator surface: SURT keys + compact ts + digest
+    val df = MultimodalOps.cdxIndex(
+      Seq((1L, bytes)).toDF("id", "bin"), "id", "bin")
+    val rows = df.select("urlkey", "ts", "status")
+      .as[(String, String, Int)].collect().toSet
+    assert(rows == Set(
+      ("org:8080,example,b,a)/", "20260304050607", 200),
+      ("com,site,www)/x/y?q=2", "20260304050607", 200)))
+    // a warcinfo preamble (no target URI) is not an index row
+    val withInfo = WarcCodec.warcTypedBytes(Seq(
+      ("warcinfo", "", d, "application/warc-fields", "software: x"),
+      ("conversion", "http://t.ex/p", d, "text/plain", "body")))
+    val df2 = MultimodalOps.cdxIndex(
+      Seq((2L, withInfo)).toDF("id", "bin"), "id", "bin")
+    assert(df2.count() == 1L)
+    assert(df2.select("urlkey").as[String].head() == "ex,t)/p")
+  }
+
   test("warc -> html -> text: the crawl pipeline chains end-to-end") {
     import graft.operators.TextAnalysisOps
     import graft.sources.WarcCodec
