@@ -1542,6 +1542,18 @@ object ScaleProbe {
       time(s"toWetShards x$n (16 shards, 4 MiB parts)")(
         graft.operators.MultimodalOps.toWetShards(wetDocs15, "uri",
           "text", shards = 16, maxShardBytes = 4L * 1024 * 1024))
+      // (c) CDX index: one flatMap projection — the body dies at the
+      // digest; only key/metadata rows reach the (absent) shuffle
+      val warcDrop15 = docs15.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.sources.WarcCodec.warcBytes(Seq(
+            (s"https://h${id % 97}.ex/d/$id", "2026-01-02T03:04:05Z",
+              "text/html", text))))
+        }.toDF("doc_id", "bin")
+      time(s"cdxIndex x$n (1 response/archive)")(
+        graft.operators.MultimodalOps.cdxIndex(
+          warcDrop15, "doc_id", "bin"))
     }
     spark.stop()
   }

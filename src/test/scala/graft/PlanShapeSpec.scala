@@ -719,6 +719,29 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache() // q455's BT setup caches are scoped out
   }
 
+  test("q459/q461/q463 (round 15): codec walks, the metadata census " +
+      "and the CDX index are scan-local projections — no join, no " +
+      "window; q460's revisit→response join is a real equi-join, " +
+      "never a cartesian") {
+    for (q <- Seq("q459_zip_mixed_members", "q461_archive_census",
+        "q463_cdx_index")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+        !p.contains("Join"),
+        s"$q must stay a scan-local projection (+ aggregate/sort):\n$p")
+    }
+    // the index is one flatMap projection: its only exchange is the
+    // presentation sort (archive/body bytes never reach a shuffle)
+    val pc = plan("q463_cdx_index")
+    assert(pc.split("Exchange").length <= 2,
+      s"q463: presentation sort is the only exchange:\n$pc")
+    val pr = plan("q460_revisit_join")
+    assert(!pr.contains("Window") && !pr.contains("CartesianProduct"),
+      s"q460 must not window or go cartesian:\n$pr")
+    assert(pr.contains("Join"),
+      s"q460 must join revisits to responses on the referred URI:\n$pr")
+  }
+
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
       "of the BM25 chain — the only windows are per-query ranks") {
     val p = plan("q386_retrieval_hubness")
