@@ -6108,23 +6108,17 @@ object SparkEntry {
           (id, graft.sources.WarcCodec.warcTypedBytesExt(
             base ++ rev, s"doc-$id"))
         }.toDF("doc_id", "bin")
+      // one-scan resolution: responses and revisits meet in ONE
+      // aggregate on the referred-URI key — the WARC parse (the
+      // expensive step at crawl scale) never runs twice the way a
+      // self-join of two filtered branches would
       val recs = MultimodalOps.warcRecords(bin, "doc_id", "bin")
-      val responses = recs.filter(col("warc_type") === "response")
-        .select(col("uri").as("orig_uri"), col("body").as("orig_body"))
-      val revisits = recs.filter(col("warc_type") === "revisit")
-        .select(col("doc_id"), col("refers_to_uri"),
-          col("payload_digest"))
-      revisits
-        .join(responses, col("refers_to_uri") === col("orig_uri"),
-          "left")
-        .select(col("doc_id"),
-          col("refers_to_uri").as("refers_uri"),
-          col("orig_uri").isNotNull.as("resolved"),
-          when(col("orig_uri").isNotNull, (col("payload_digest") ===
-            concat(lit("md5:"), md5(col("orig_body")))).cast("long"))
+      MultimodalOps.revisitResolve(recs, "doc_id")
+        .select(col("doc_id"), col("refers_uri"), col("resolved"),
+          when(col("resolved"), (col("payload_digest") ===
+            concat(lit("md5:"), col("orig_digest_md5"))).cast("long"))
             .as("digest_ok"),
-          when(col("orig_uri").isNotNull, length(col("orig_body")))
-            .cast("long").as("recovered_len"))
+          col("recovered_len"))
         .orderBy(col("doc_id"))
     }),
 

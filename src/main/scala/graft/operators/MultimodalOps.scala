@@ -530,11 +530,12 @@ object MultimodalOps {
   /** WARC extraction over a binary column: parse each crawl archive
     * ([[graft.sources.WarcCodec]]) and explode its records — type,
     * target URI, HTTP status, content type, body bytes and UTF-8 text,
-    * plus (round 15) the revisit-profile headers: `payload_digest`,
-    * `refers_to_uri` and `profile` (empty strings on records that
-    * don't carry them — `revisit` records do, and a CC-scale pipeline
-    * reads them to skip refetched bodies it already has; `request`
-    * records pass through typed like any other).
+    * plus (round 15) the record `date` and the revisit-profile
+    * headers: `payload_digest`, `refers_to_uri` and `profile` (empty
+    * strings on records that don't carry them — `revisit` records do,
+    * and a CC-scale pipeline reads them to skip refetched bodies it
+    * already has via [[revisitResolve]]; `request` records pass
+    * through typed like any other).
     * The front door of the web pipeline: WARC → this → [[TextAnalysisOps
     * .htmlToText]] → curation. One flatMap pass; the archive binary is
     * dropped in the scan task and only record-sized rows flow on. */
@@ -550,12 +551,59 @@ object MultimodalOps {
             (id, i, r.warcType, r.targetUri, r.httpStatus, r.contentType,
               r.body.length.toLong,
               new String(r.body, java.nio.charset.StandardCharsets.UTF_8),
-              r.payloadDigest, r.refersToUri, r.profile)
+              r.payloadDigest, r.refersToUri, r.profile, r.date)
         }
       }
       .toDF(idCol, "rec", "warc_type", "uri", "status", "mime",
         "n_body_bytes", "body", "payload_digest", "refers_to_uri",
-        "profile")
+        "profile", "date")
+  }
+
+  /** Revisit RESOLUTION over a parsed record frame ([[warcRecords]]
+    * output) — the one-scan shape of "skip refetched bodies": each
+    * `revisit` record resolves against the `response` capture of its
+    * referred URI. One row per revisit: `(idCol, rev_uri, refers_uri,
+    * payload_digest, resolved, orig_digest_md5, recovered_len)` —
+    * the caller verifies `payload_digest` against `orig_digest_md5`
+    * in whatever digest format its crawl wrote.
+    *
+    * Scale shape: the record frame is scanned ONCE — responses and
+    * revisits project onto a shared resolution key (own URI vs
+    * referred URI) and meet in a single aggregate, so the WARC parse
+    * (the expensive step at crawl scale) never runs twice the way a
+    * self-join of two filtered branches of the same frame would, and
+    * there is no join node at all. The response body crosses the
+    * wire once, exactly as it would under the join; the grouped
+    * revisit list is bounded by revisits-per-URI (crawl-small).
+    * Contract: at most one response capture per URI is the expected
+    * CC-snapshot shape; with several, the LATEST `date` wins
+    * deterministically (struct-max on (date, body)). */
+  def revisitResolve(recs: DataFrame, idCol: String): DataFrame = {
+    recs
+      .filter(col("warc_type").isin("response", "revisit"))
+      .select(
+        when(col("warc_type") === "response", col("uri"))
+          .otherwise(col("refers_to_uri")).as("key"),
+        when(col("warc_type") === "response",
+          struct(col("date").as("date"), col("body").as("body")))
+          .as("resp"),
+        when(col("warc_type") === "revisit",
+          struct(col(idCol).as("id"), col("uri").as("rev_uri"),
+            col("payload_digest").as("digest"))).as("rev"))
+      .groupBy(col("key"))
+      .agg(max(col("resp")).as("resp"),
+        collect_list(col("rev")).as("revs"))
+      .select(col("key").as("refers_uri"), col("resp"),
+        explode(col("revs")).as("rev"))
+      .select(col("rev.id").as(idCol),
+        col("rev.rev_uri").as("rev_uri"),
+        col("refers_uri"),
+        col("rev.digest").as("payload_digest"),
+        col("resp").isNotNull.as("resolved"),
+        when(col("resp").isNotNull, md5(col("resp.body")))
+          .as("orig_digest_md5"),
+        when(col("resp").isNotNull, length(col("resp.body")))
+          .cast("long").as("recovered_len"))
   }
 
   /** CDX-style record index over a WARC binary column — the OTHER

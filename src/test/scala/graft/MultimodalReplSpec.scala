@@ -796,6 +796,43 @@ class MultimodalReplSpec extends AnyFunSuite {
       .toMap)
   }
 
+  test("revisitResolve (round 15): one-scan keyed resolution — " +
+      "latest capture wins on multi-capture URIs, unresolved " +
+      "revisits surface honestly, responses without revisits drop") {
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val none = Seq.empty[(String, String)]
+    def rev(uri: String, refers: String, digest: String) =
+      ("revisit", uri, "2026-05-05T00:00:00Z", "message/http", "",
+        Seq("WARC-Refers-To-Target-URI" -> refers,
+          "WARC-Payload-Digest" -> digest))
+    val bytes = WarcCodec.warcTypedBytesExt(Seq(
+      // two captures of the SAME uri: the later date must win
+      ("response", "http://m.ex/a", "2026-01-01T00:00:00Z",
+        "text/plain", "old body", none),
+      ("response", "http://m.ex/a", "2026-03-01T00:00:00Z",
+        "text/plain", "new body!", none),
+      ("response", "http://m.ex/lonely", "2026-01-01T00:00:00Z",
+        "text/plain", "no revisit points here", none),
+      rev("http://m.ex/a?r1", "http://m.ex/a", "d1"),
+      rev("http://m.ex/a?r2", "http://m.ex/a", "d2"),
+      rev("http://m.ex/gone?r", "http://gone.ex/x", "d3")))
+    val recs = MultimodalOps.warcRecords(
+      Seq((1L, bytes)).toDF("id", "media"), "id", "media")
+    val got = MultimodalOps.revisitResolve(recs, "id")
+      .collect().map(r => r.getAs[String]("rev_uri") ->
+        (r.getAs[String]("refers_uri"), r.getAs[Boolean]("resolved"),
+          Option(r.getAs[java.lang.Long]("recovered_len"))
+            .map(_.toLong))).toMap
+    assert(got.size == 3, "one row per revisit, lonely response drops")
+    // both revisits of /a recover the LATEST capture ("new body!", 9)
+    assert(got("http://m.ex/a?r1") == (("http://m.ex/a", true, Some(9L))))
+    assert(got("http://m.ex/a?r2") == (("http://m.ex/a", true, Some(9L))))
+    assert(got("http://m.ex/gone?r") ==
+      (("http://gone.ex/x", false, None)))
+  }
+
   test("cdxIndex (round 15): byte extents slice back to parseable " +
       "records, SURT keys reverse hosts and keep ports/query, the " +
       "timestamp compacts, and uriless records are excluded") {

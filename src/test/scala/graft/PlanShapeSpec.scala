@@ -735,11 +735,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val pc = plan("q463_cdx_index")
     assert(pc.split("Exchange").length <= 2,
       s"q463: presentation sort is the only exchange:\n$pc")
+    // q460: ONE-SCAN resolution — responses and revisits meet in a
+    // single aggregate on the referred-URI key; a self-join of two
+    // filtered branches would parse every WARC twice
     val pr = plan("q460_revisit_join")
-    assert(!pr.contains("Window") && !pr.contains("CartesianProduct"),
-      s"q460 must not window or go cartesian:\n$pr")
-    assert(pr.contains("Join"),
-      s"q460 must join revisits to responses on the referred URI:\n$pr")
+    assert(!pr.contains("Window") && !pr.contains("CartesianProduct") &&
+      !pr.contains("Join"),
+      s"q460 resolves via the keyed aggregate, never a self-join:\n$pr")
+    assert(pr.split("Scan parquet").length <= 2,
+      s"q460 must scan (and parse) the archive column ONCE:\n$pr")
   }
 
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
