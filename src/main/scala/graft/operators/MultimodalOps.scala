@@ -660,7 +660,10 @@ object MultimodalOps {
     * keyed by shard id, records sorted by URI within it. Spark's
     * UTF8String comparison IS unsigned-byte order (the one StreamIds
     * definition), so the sort matches the utf8Ordering contract
-    * without a typed sort key. */
+    * without a typed sort key. NOTE: a shard is processed by exactly
+    * one task, so `shards` is the export's parallelism ceiling — set
+    * it at least to the cluster's core count (the default 16 suits
+    * local runs, not a 1000-executor export). */
   private def wetPrepared(docs: DataFrame, uriCol: String,
                           textCol: String, shards: Int)
       : org.apache.spark.sql.Dataset[(String, String, Int)] = {
@@ -766,18 +769,36 @@ object MultimodalOps {
       f"wet-$shard%05d-$part%05d.warc"
     val manifest = wetPrepared(docs, uriCol, textCol, shards)
       .mapPartitions { it =>
+        // close the in-flight part stream if the task dies mid-part:
+        // a local file is reclaimed on retry anyway, but an HDFS/S3A
+        // stream would otherwise hold its lease until timeout
+        val inFlight =
+          new java.util.concurrent.atomic.AtomicReference[
+            java.io.OutputStream]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            Option(inFlight.get()).foreach { s =>
+              try s.close() catch { case _: Exception => () }
+            }
+          })
         WetShardWriter.foldParts(it, d, budget)(
           (shard, part) => {
             val p = new org.apache.hadoop.fs.Path(dir,
               fileName(shard, part))
-            p.getFileSystem(bcConf.value.value).create(p, true)
+            val os = p.getFileSystem(bcConf.value.value).create(p, true)
+            inFlight.set(os)
+            os
           },
           (shard, part, nRec, nChars, os) => {
             os.close()
+            inFlight.set(null)
             (shard, part, nRec, nChars, fileName(shard, part))
           })
       }
-      .collect().toSeq // driver-sized: one row per (shard, part)
+      // driver-sized BY FILE COUNT: one row per emitted part, the
+      // same cardinality any file-writing job's commit protocol
+      // tracks — size `shards`/budget so part count stays sane
+      .collect().toSeq
     manifest.toDF("shard_id", "part_no", "n_records", "n_chars",
       "file")
   }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the WET sidecar funnel (q453's batch arm): WET
+  * files land in a directory as binary cells, `conversion` records
+  * stream out keyed by their TARGET URI (the doc identity a WET
+  * actually has), and the curation funnel (gates + keep-first
+  * signature dedup) runs as ONE streaming query with one checkpoint —
+  * the CC-scale ingestion loop where curation starts from the
+  * sidecar's already-extracted text, never the raw WARC body.
+  *
+  * The record walk is STATELESS (the sidecar binary dies inside the
+  * scan task; only conversion-record rows flow on), so streamed rows
+  * over a set of landed files equal the batch extraction over the
+  * same rows — the [[ArchiveIngestStream]] equivalence contract —
+  * and exactly-once per landed file comes from the file source's
+  * checkpoint, not from dedup state. The spec pins stream ≡ batch
+  * across a checkpoint restart, including a cross-restart duplicate
+  * that only RECOVERED signature state can label.
+  */
+object WetIngestStream {
+
+  /** Conversion-record rows from a landing stream of WET cells:
+    * `(doc_id = target URI, ts, text)`. The warcinfo preamble and any
+    * non-`conversion` record filter out by TYPE; records without a
+    * target URI are unaddressable and drop. Stateless — streamable
+    * as-is, batch-applicable for the twin. */
+  def conversionText(wets: DataFrame, bytesCol: String = "bin",
+                     eventTimeCol: String = "ts"): DataFrame = {
+    val spark = wets.sparkSession
+    import spark.implicits._
+    wets.select(col(bytesCol).as("bytes"),
+        col(eventTimeCol).cast("timestamp").as("ts"))
+      .as[(Array[Byte], java.sql.Timestamp)]
+      .flatMap { case (bytes, ts) =>
+        graft.sources.WarcCodec.records(bytes).iterator
+          .filter(r =>
+            r.warcType == "conversion" && r.targetUri.nonEmpty)
+          .map(r => (r.targetUri, ts, new String(r.body,
+            java.nio.charset.StandardCharsets.UTF_8)))
+          .toSeq
+      }
+      .toDF("doc_id", "ts", "text")
+  }
+
+  /** The ONE-QUERY WET→curation funnel: landed WET cells extract to
+    * conversion rows ([[conversionText]] — stateless) flowing
+    * straight into the gates + keep-first signature dedup of
+    * [[CurationStream.verdicts]] (one stateful operator, one
+    * checkpoint). Verdicts are keyed by target URI; the batch twin is
+    * [[graft.operators.CurationPipeline.batchVerdicts]] over the
+    * batch [[conversionText]] frame — exactly the q453 oracle's
+    * composition. */
+  def curatedText(wets: DataFrame, bytesCol: String = "bin",
+                  eventTimeCol: String = "ts",
+                  watermarkDelay: String = "0 seconds",
+                  dedupHorizonMs: Long = 365L * 24 * 3600 * 1000)
+      : Dataset[CurationVerdict] =
+    CurationStream.verdicts(
+      conversionText(wets, bytesCol, eventTimeCol),
+      "doc_id", "text", "ts", watermarkDelay, dedupHorizonMs)
+}

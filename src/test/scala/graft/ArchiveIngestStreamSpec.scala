@@ -196,4 +196,86 @@ class ArchiveIngestStreamSpec extends AnyFunSuite {
       "c-02!s.txt" -> "short", "c-03!late.txt" -> "dup",
       "c-04!fresh.txt" -> "keep"), reasons.toString)
   }
+
+  test("one-query WET→curation funnel (round 15) ≡ batch verdicts " +
+      "across a checkpoint restart: conversion records key by target " +
+      "URI, the warcinfo preamble filters out, cross-restart dups " +
+      "need recovered signature state") {
+    import graft.operators.CurationPipeline
+    import graft.streaming.WetIngestStream
+    val textA = "alpha one two three four five six seven eight"
+    val textB = "bravo nine ten eleven twelve thirteen fourteen " +
+      "fifteen sixteen"
+    def wetOf(recs: (String, String)*): Array[Byte] =
+      graft.sources.WarcCodec.warcTypedBytes(
+        ("warcinfo", "", "2026-06-01T00:00:00Z",
+          "application/warc-fields", "software: graft-wet") +:
+        recs.map { case (uri, t) =>
+          ("conversion", uri, "2026-06-01T00:00:00Z", "text/plain", t)
+        }, recs.headOption.map(_._1).getOrElse(""))
+    def phaseRows(phase: Int)
+        : Seq[(String, Array[Byte], java.sql.Timestamp)] = phase match {
+      case 1 => Seq(
+        // u/b duplicates u/a WITHIN the drop (URI order keep-first)
+        ("w-01", wetOf("http://w.ex/a" -> textA,
+          "http://w.ex/b" -> textA), ts0),
+        ("w-02", wetOf("http://w.ex/s" -> "tiny doc"), ts0))
+      case _ =>
+        val ts1 = new java.sql.Timestamp(ts0.getTime + 60000L)
+        Seq(
+          // repeats phase-1 text: only RECOVERED signature state can
+          // label it dup after the restart
+          ("w-03", wetOf("http://w.ex/late" -> textA), ts1),
+          ("w-04", wetOf("http://w.ex/fresh" -> textB), ts1))
+    }
+    val src = Files.createTempDirectory("graft_wisf_src").toString
+    val out = Files.createTempDirectory("graft_wisf_out").toString
+    val schema = phaseRows(1).toDF("doc_id", "bin", "ts").schema
+    def writePhase(name: String, phase: Int, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_wisf_tmp").toString
+      phaseRows(phase).toDF("doc_id", "bin", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Path.of(tmp)).toArray
+        .map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = Path.of(src, s"$name.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = WetIngestStream.curatedText(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$out/verdicts")
+        .start()
+      assert(q.awaitTermination(180000L), "WET funnel did not finish")
+    }
+    writePhase("p1", 1, 1000L)
+    run()
+    writePhase("p2", 2, 2000L)
+    run() // restart from the same checkpoint
+    val cols = Seq("doc_id", "clean_sig", "n_tokens", "reason",
+      "split", "selected")
+    def keyed(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[String])
+    val got = spark.read.parquet(s"$out/verdicts")
+    val batchDf = (phaseRows(1) ++ phaseRows(2))
+      .toDF("doc_id", "bin", "ts")
+    val expected = CurationPipeline.batchVerdicts(
+      WetIngestStream.conversionText(batchDf), "doc_id", "text")
+    assert(keyed(got) == keyed(expected),
+      s"WET funnel/batch divergence:\n${keyed(got)}\nvs\n" +
+        s"${keyed(expected)}")
+    val reasons = got.collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("reason"))
+      .toMap
+    assert(reasons == Map(
+      "http://w.ex/a" -> "keep", "http://w.ex/b" -> "dup",
+      "http://w.ex/s" -> "short", "http://w.ex/late" -> "dup",
+      "http://w.ex/fresh" -> "keep"), reasons.toString)
+  }
 }
