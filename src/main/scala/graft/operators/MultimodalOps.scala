@@ -742,7 +742,12 @@ object MultimodalOps {
     * through the SAME sorted-run fold, so nothing shard-sized (or
     * even part-sized) is ever buffered — each record's bytes go to
     * the open stream and are dropped. Files are deterministic by
-    * name and content (task retries overwrite idempotently). Runs
+    * name and content; each task attempt writes
+    * `<file>.inprogress-<attempt>` and renames into place on part
+    * close, so a speculative or retried attempt can never truncate a
+    * file another attempt is mid-writing (a failed attempt may leave
+    * an `.inprogress-*` temp behind — recognizable garbage, never
+    * listed in the manifest). Runs
     * EAGERLY (a lazy frame with write side effects would re-write on
     * every re-evaluation) and returns the driver-sized manifest:
     * `(shard_id, part_no, n_records, n_chars, file)`.
@@ -781,10 +786,18 @@ object MultimodalOps {
               try s.close() catch { case _: Exception => () }
             }
           })
+        // write-temp-then-rename: a speculative/retried attempt must
+        // never truncate a file another attempt is mid-writing
+        // (create-with-overwrite on the FINAL path would); each
+        // attempt writes its own temp and the atomic-per-file rename
+        // decides — both attempts carry identical bytes by
+        // determinism, so either winner is correct
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         WetShardWriter.foldParts(it, d, budget)(
           (shard, part) => {
             val p = new org.apache.hadoop.fs.Path(dir,
-              fileName(shard, part))
+              fileName(shard, part) + s".inprogress-$attempt")
             val os = p.getFileSystem(bcConf.value.value).create(p, true)
             inFlight.set(os)
             os
@@ -792,6 +805,14 @@ object MultimodalOps {
           (shard, part, nRec, nChars, os) => {
             os.close()
             inFlight.set(null)
+            val fs = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(bcConf.value.value)
+            val tmp = new org.apache.hadoop.fs.Path(dir,
+              fileName(shard, part) + s".inprogress-$attempt")
+            val fin = new org.apache.hadoop.fs.Path(dir,
+              fileName(shard, part))
+            if (fs.exists(fin)) fs.delete(fin, false)
+            fs.rename(tmp, fin)
             (shard, part, nRec, nChars, fileName(shard, part))
           })
       }
