@@ -6144,6 +6144,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC → text → WET (q464, round 15): the COMPLETE sidecar
+    // lifecycle as one plan — crawl responses (embedded HTTP, html
+    // boilerplate) walk out of the archive, strip to clean text, and
+    // publish back out as budgeted WET shard parts. Nothing
+    // corpus-sized is scanned twice: record walk and boilerplate
+    // strip are one projection chain into the single shard shuffle.
+    "q464_warc_to_wet" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val html = "<html><head><script>var t=1;</script>" +
+            "<style>p{color:red}</style></head><body>" +
+            s"<!-- id $id --><h1>Doc &amp; no. $id</h1>" +
+            "<p class=\"x\">" + text +
+            " &lt;end&gt;&nbsp;</p></body></html>"
+          (id, graft.sources.WarcCodec.warcBytes(Seq(
+            (s"https://ex.com/doc/$id", "2026-01-01T00:00:00Z",
+              "text/html", html))))
+        }.toDF("doc_id", "bin")
+      val pages = MultimodalOps.warcRecords(bin, "doc_id", "bin")
+        .filter(col("warc_type") === "response")
+      val texts = TextAnalysisOps.htmlToText(pages, "uri", "body")
+      MultimodalOps.toWetShards(texts, "uri", "text", shards = 4,
+          maxShardBytes = 8192L)
+        .select(col("shard_id"), col("part_no"), col("n_records"),
+          col("n_chars"))
+        .orderBy(col("shard_id"), col("part_no"))
+    }),
+
     // WAT sidecar extraction (q454, round 14): `metadata` records
     // carry a JSON envelope (link graph, page title, header
     // metadata) — the input to link analysis and URL frontier
@@ -19198,6 +19228,49 @@ SELECT doc_id, substr(md5(clean), 1, 16) AS clean_sig, n_tokens,
     AND substr(md5(doc_id), 1, 8)
          < '${SamplingOps.rateThreshold(0.8)}') AS selected
 FROM scored ORDER BY doc_id"""),
+
+    "q464_warc_to_wet" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    'https://ex.com/doc/' || doc_id::VARCHAR AS uri,
+        |    '<html><head><script>var t=1;</script><style>p{color:red}' ||
+        |    '</style></head><body><!-- id ' || doc_id::VARCHAR ||
+        |    ' --><h1>Doc &amp; no. ' || doc_id::VARCHAR ||
+        |    '</h1><p class="x">' || text ||
+        |    ' &lt;end&gt;&nbsp;</p></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT uri,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+        |              ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM w),
+        |m AS (
+        |  SELECT uri, text,
+        |    (('0x' || substr(md5(uri), 1, 8))::BIGINT % 4)::INT
+        |      AS shard_id
+        |  FROM c),
+        |p AS (
+        |  SELECT shard_id,
+        |    (coalesce(sum(256 + strlen(uri) + strlen(text)) OVER (
+        |      PARTITION BY shard_id ORDER BY uri
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 8192)::BIGINT AS part_no,
+        |    length(text)::BIGINT AS n
+        |  FROM m)
+        |SELECT shard_id, part_no, count(*)::BIGINT AS n_records,
+        |  sum(n)::BIGINT AS n_chars
+        |FROM p GROUP BY shard_id, part_no
+        |ORDER BY shard_id, part_no""".stripMargin,
 
     "q463_cdx_index" ->
       """SELECT doc_id,

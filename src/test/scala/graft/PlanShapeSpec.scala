@@ -735,6 +735,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val pc = plan("q463_cdx_index")
     assert(pc.split("Exchange").length <= 2,
       s"q463: presentation sort is the only exchange:\n$pc")
+    // q464: the full WARC→text→WET lifecycle is one projection chain
+    // into the single shard shuffle — no join, no window, and the
+    // corpus is scanned once (record walk + boilerplate strip never
+    // re-read the archive column)
+    val pw2 = plan("q464_warc_to_wet")
+    assert(!pw2.contains("Window") && !pw2.contains("Join"),
+      s"q464 must stay a projection chain into the shard shuffle:\n$pw2")
+    assert(pw2.split("Scan parquet").length <= 2,
+      s"q464 must scan the corpus ONCE:\n$pw2")
+    assert(pw2.split("Exchange").length <= 3,
+      s"q464: shard shuffle + presentation sort only:\n$pw2")
     // q460: ONE-SCAN resolution — responses and revisits meet in a
     // single aggregate on the referred-URI key; a self-join of two
     // filtered branches would parse every WARC twice
