@@ -169,6 +169,32 @@ class CodecFuzzSpec extends AnyFunSuite {
       graft.sources.ZstdCodec.zstdBytes(big), 4L << 20).nonEmpty)
   }
 
+  test("WARC index walk + typed-ext records survive seeded " +
+      "corruptions; recovered extents stay self-consistent") {
+    val d = "2026-01-01T00:00:00Z"
+    val bytes = WarcCodec.warcTypedBytesExt(Seq(
+      ("response", "http://f.ex/a", d, "text/plain",
+        "body one " * 20, Seq.empty[(String, String)]),
+      ("revisit", "http://f.ex/a?r", d, "message/http", "",
+        Seq("WARC-Refers-To-Target-URI" -> "http://f.ex/a",
+          "WARC-Payload-Digest" -> "md5:00ff")),
+      ("request", "http://f.ex/a", d,
+        "application/http;msgtype=request", "GET /a HTTP/1.1",
+        Seq.empty[(String, String)])), "fuzz")
+    sweep("warc.revisit", bytes, 1919)(
+      "index" -> { (b: Array[Byte]) =>
+        val idx = WarcCodec.index(b)
+        // whatever prefix was recovered must be self-consistent:
+        // non-negative monotone offsets, positive lengths (bounds vs
+        // b.length are not asserted — a corruption can flip in a
+        // compression magic, and extents address the DECOMPRESSED
+        // stream by contract)
+        assert(idx.forall(ir => ir.offset >= 0 && ir.length > 0))
+        assert(idx.map(_.offset) == idx.map(_.offset).sorted)
+        idx
+      })
+  }
+
   test("TAR parser (ustar + PAX + GNU-L layouts) survives seeded " +
       "corruptions without throwing") {
     import graft.sources.TarCodec

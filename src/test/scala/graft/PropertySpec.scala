@@ -220,4 +220,55 @@ class PropertySpec extends AnyFunSuite {
           rows.forall(w => w.memberIdx >= 0 || w.depth == 0)
       })
   }
+
+  test("WET part fold invariants on arbitrary corpora: parts tile " +
+      "the input exactly, bytes stay under budget + one record + " +
+      "preamble, numbering is the floor rule, record ids distinct, " +
+      "every part leads with warcinfo") {
+    import graft.operators.WetShardWriter
+    import graft.sources.WarcCodec
+    val genDoc = for {
+      u <- Gen.chooseNum(1, 30)
+        .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar))
+        .map(cs => "http://p.ex/" + cs.mkString)
+      t <- Gen.chooseNum(0, 800)
+        .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar))
+        .map(_.mkString)
+    } yield (u, t)
+    val genDocs = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, genDoc))
+    val genBudget = Gen.oneOf(1024L, 4096L, 1L << 20)
+    check("wet part fold")(Prop.forAll(genDocs, genBudget) {
+      (docs0, budget) =>
+        val sorted = docs0.sortBy(_._1)(
+          graft.streaming.StreamIds.utf8Ordering)
+        val rows = sorted.map { case (u, t) => (u, t, 0) }
+        val parts = WetShardWriter.foldParts(rows.iterator,
+          "2026-01-01T00:00:00Z", budget)(
+          (_, _) => new java.io.ByteArrayOutputStream(),
+          (s, p, nr, nc, os) => (s, p, nr, nc,
+            os.asInstanceOf[java.io.ByteArrayOutputStream]
+              .toByteArray)).toVector
+        val recs = parts.map(p => WarcCodec.records(p._5))
+        val convs = recs.flatten.filter(_.warcType == "conversion")
+        val tiles = convs.map(r => (r.targetUri,
+          new String(r.body, "UTF-8"))).sorted == docs0.sorted
+        val charges = rows.map(r =>
+          WetShardWriter.charge(r._1, r._2))
+        val bounded = parts.forall(
+          _._5.length <= budget + charges.max + 512)
+        val expected = charges.scanLeft(0L)(_ + _).init
+          .map(_ / budget).groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (p, g) => (p, g.length.toLong) }
+        val numbering =
+          parts.map(p => (p._2, p._3)).sortBy(_._1) == expected
+        val ids = parts.flatMap(p =>
+          "WARC-Record-ID: (<[^>]+>)".r.findAllMatchIn(
+            new String(p._5, "US-ASCII")).map(_.group(1)))
+        val distinct = ids.distinct.length == ids.length
+        val preambles =
+          recs.forall(_.headOption.exists(_.warcType == "warcinfo"))
+        tiles && bounded && numbering && distinct && preambles
+    })
+  }
 }
