@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Drift rule (round 15): when the pre/post parallel calibs
+    * disagree by >20%, contention changed MID-battery — the
+    * pre-battery calib cannot correct readings taken after the
+    * change, so the tail half of the execution order is flagged
+    * low-confidence ("re-measure before believing"; never itself
+    * evidence of a regression). Unit-testable seam for the main. */
+  private[graft] def driftLowConfidence(preCalib: Double,
+      postCalib: Double, ordered: Seq[String])
+      : (Boolean, Seq[String]) = {
+    val ratio = if (preCalib > 1e-9) postCalib / preCalib else 1.0
+    val drifted = ratio > 1.2 || ratio < 0.8
+    (drifted, if (drifted) ordered.drop(ordered.size / 2) else Nil)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -179,19 +193,11 @@ object Bench {
     // DURING the ~20-min battery, pre/post disagreement is the evidence.
     val calibParPost =
       Seq(calibParOnce(), calibParOnce(), calibParOnce()).min
-    // Drift flag (round 15): when the pre/post parallel calibs
-    // disagree by >20%, contention ARRIVED (or left) mid-battery —
-    // the pre-battery calib cannot correct readings taken after the
-    // change, so the tail half of the execution order is marked
-    // LOW-CONFIDENCE in bench_last.json. Readers (the per-query
-    // minima ratchet, the watch-item triage) treat a low-confidence
-    // reading as "re-measure before believing", not as a regression.
-    val driftRatio =
-      if (calibParSec > 1e-9) calibParPost / calibParSec else 1.0
-    val drifted = driftRatio > 1.2 || driftRatio < 0.8
-    val lowConfidence: Seq[String] =
-      if (!drifted) Nil
-      else results.map(_._1).drop(results.size / 2)
+    // Drift flag: see [[driftLowConfidence]] — tail-half readings of
+    // a mid-battery contention change are marked LOW-CONFIDENCE in
+    // bench_last.json for the minima ratchet / watch-item triage.
+    val (drifted, lowConfidence) =
+      driftLowConfidence(calibParSec, calibParPost, results.map(_._1))
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","calib":$calibSec,"calib_par":$calibParSec,"calib_par_post":$calibParPost,"calib_drift":$drifted,"calib_threads":$nCalibThreads,"queries":$qs,"sf":"$sfDir"}"""
     println(full)

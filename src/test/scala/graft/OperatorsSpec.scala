@@ -6606,6 +6606,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ZipCodec.parse(trap).get.head.size == 22L)
   }
 
+  test("bench drift rule (round 15): >20% pre/post parallel-calib " +
+      "disagreement flags the tail half of the execution order as " +
+      "low-confidence, either direction; quiet runs flag nothing") {
+    val names = (1 to 10).map(i => f"q$i%02d")
+    // quiet: post within 20% of pre → no flag
+    assert(Bench.driftLowConfidence(0.44, 0.50, names) ==
+      ((false, Nil)))
+    // busier mid-battery: tail half flagged
+    val (d1, lc1) = Bench.driftLowConfidence(0.44, 0.55, names)
+    assert(d1 && lc1 == names.drop(5))
+    // QUIETER mid-battery flags too — the head half was taken under
+    // contention the pre-calib priced in but the tail was not
+    val (d2, lc2) = Bench.driftLowConfidence(0.60, 0.44, names)
+    assert(d2 && lc2 == names.drop(5))
+    // degenerate calib never divides by zero
+    assert(Bench.driftLowConfidence(0.0, 0.5, names)._1 == false)
+  }
+
   test("unpersistOnJob (round 15): the closure/BT cache-scoped " +
       "variants leave no cacheManager residue and match the " +
       "session-cached default's results") {
