@@ -361,7 +361,11 @@ object ArchiveOps {
       .toDF("doc_id", "format", "censusable", "n_members",
         "declared_bytes")
       .groupBy(col("format"))
-      .agg(countDistinct(col("doc_id")).as("n_archives"),
+      // count, not countDistinct: the pre-aggregate frame carries
+      // EXACTLY one row per archive by construction, and the
+      // distinct expansion would add a whole extra exchange +
+      // aggregate pair for nothing (plan-audited round 15)
+      .agg(count(lit(1)).as("n_archives"),
         sum(when(col("censusable"), 1L).otherwise(0L))
           .as("n_censusable"),
         sum(col("n_members")).as("n_members"),

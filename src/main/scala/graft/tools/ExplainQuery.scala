@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: print the FORMATTED physical plan of named
+  * [[graft.SparkEntry]] queries — the `.explain` audit loop the
+  * round discipline runs after an operator goes green (pushdown
+  * reached the scan? exchanges where expected? codegen spans wide?).
+  *
+  * Usage: `runMain graft.tools.ExplainQuery q461_archive_census ...`
+  * (no args: the five newest query names). `SPARK_GRAFT_SF_DIR`
+  * selects the data dir (default sf0.001 — plans, not timings). */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted.takeRight(5)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Logs.quietBenignWarnings()
+    names.foreach { q =>
+      println(s"==== $q ====")
+      graft.SparkEntry.queries.get(q) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"  (no such query: $q)")
+      }
+    }
+    spark.stop()
+  }
+}
