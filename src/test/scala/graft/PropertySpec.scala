@@ -221,6 +221,43 @@ class PropertySpec extends AnyFunSuite {
       })
   }
 
+  test("mixed-scope zip invariants on arbitrary member sets: parse " +
+      "keeps order with data-null exactly on out-of-scope members, " +
+      "census counts every member either way") {
+    import graft.sources.ZipCodec
+    val genMember = for {
+      n <- Gen.chooseNum(1, 12)
+      name <- Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)
+      len <- Gen.chooseNum(0, 300)
+      data <- Gen.listOfN(len, Gen.alphaNumChar)
+        .map(_.mkString.getBytes("UTF-8"))
+      kind <- Gen.chooseNum(0, 2) // 0 stored, 1 LZMA, 2 encrypted
+    } yield kind match {
+      case 0 => (name + ".txt", data, data, 0, 0)
+      case 1 => (name + ".lzma", data, Array[Byte](7, 7), 14, 0)
+      case _ => (name + ".enc", data, Array[Byte](9), 8, 1)
+    }
+    val genMembers = Gen.chooseNum(1, 15).flatMap(n =>
+      Gen.listOfN(n, genMember))
+    check("mixed-scope zip")(Prop.forAll(genMembers) { ms =>
+      val zip = ZipCodec.zipBytesOpaque(ms)
+      val parsed = ZipCodec.parse(zip).get
+      val cen = ZipCodec.census(zip).get
+      parsed.length == ms.length &&
+        cen.length == ms.length &&
+        parsed.zip(ms).forall { case (p, (name, data, _, m, f)) =>
+          p.name == name && p.method == m &&
+            p.size == data.length.toLong &&
+            // data survives IFF the member is in scope
+            ((f == 0 && m == 0) == (p.data != null)) &&
+            (p.data == null || p.data.sameElements(data))
+        } &&
+        cen.zip(ms).forall { case ((cn, cs, cm), (name, data, _, m, _)) =>
+          cn == name && cs == data.length.toLong && cm == m
+        }
+    })
+  }
+
   test("WET part fold invariants on arbitrary corpora: parts tile " +
       "the input exactly, bytes stay under budget + one record + " +
       "preamble, numbering is the floor rule, record ids distinct, " +
