@@ -19324,7 +19324,7 @@ FROM scored ORDER BY doc_id"""),
         |    (coalesce(sum(256 + strlen(uri) + strlen(text)) OVER (
         |      PARTITION BY shard_id ORDER BY uri
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      // 67108864)::BIGINT AS part_no,
+        |      // 62914560)::BIGINT AS part_no,
         |    length(text)::BIGINT AS n
         |  FROM m)
         |SELECT shard_id, part_no, count(*)::BIGINT AS n_records,

@@ -574,13 +574,27 @@ object MultimodalOps {
     * self-join of two filtered branches of the same frame would, and
     * there is no join node at all. The response body crosses the
     * wire once, exactly as it would under the join; the grouped
-    * revisit list is bounded by revisits-per-URI (crawl-small).
+    * revisit buffer is CAPPED at `maxRevisitsPerUri` (a stable hot
+    * URL across merged crawls accumulates revisits unboundedly — the
+    * smallest-`(id, uri, digest)` revisits are kept deterministically
+    * and the overflow is surfaced on the `revisit_resolve_cap`
+    * observation: `dropped_revisits` total + `max_revisits_per_uri`,
+    * never silently trimmed).
     * Contract: at most one response capture per URI is the expected
     * CC-snapshot shape; with several, the LATEST `date` wins
-    * deterministically (struct-max on (date, body)). */
-  def revisitResolve(recs: DataFrame, idCol: String): DataFrame = {
+    * deterministically (struct-max on (date, body)). A `response`
+    * with a null/empty URI cannot be addressed by any revisit and is
+    * dropped from the resolution frame; a `revisit` whose
+    * `WARC-Refers-To-Target-URI` is missing/empty keys to a URI no
+    * response can occupy, so it surfaces honestly as unresolved
+    * instead of spuriously matching a URI-less response. */
+  def revisitResolve(recs: DataFrame, idCol: String,
+                     maxRevisitsPerUri: Int = 4096): DataFrame = {
+    require(maxRevisitsPerUri >= 1, "maxRevisitsPerUri >= 1")
     recs
-      .filter(col("warc_type").isin("response", "revisit"))
+      .filter((col("warc_type") === "revisit") ||
+        (col("warc_type") === "response" &&
+          col("uri").isNotNull && col("uri") =!= ""))
       .select(
         when(col("warc_type") === "response", col("uri"))
           .otherwise(col("refers_to_uri")).as("key"),
@@ -592,7 +606,14 @@ object MultimodalOps {
             col("payload_digest").as("digest"))).as("rev"))
       .groupBy(col("key"))
       .agg(max(col("resp")).as("resp"),
-        collect_list(col("rev")).as("revs"))
+        graft.functions.AggFunctions.boundedTopN(col("rev"),
+          maxRevisitsPerUri).as("revs"),
+        count(col("rev")).as("__n_rev"))
+      .observe("revisit_resolve_cap",
+        sum(when(col("__n_rev") > maxRevisitsPerUri,
+          col("__n_rev") - lit(maxRevisitsPerUri.toLong))
+          .otherwise(lit(0L))).as("dropped_revisits"),
+        max(col("__n_rev")).as("max_revisits_per_uri"))
       .select(col("key").as("refers_uri"), col("resp"),
         explode(col("revs")).as("rev"))
       .select(col("rev.id").as(idCol),
@@ -708,7 +729,13 @@ object MultimodalOps {
     * numbers, by construction of the floor rule). Records themselves
     * are still cell-bounded by the caller's corpus contract; `n_chars`
     * counts CODE POINTS (matching SQL `length()`, round-15 advisory
-    * — UTF-16 units diverge on non-BMP text).
+    * — UTF-16 units diverge on non-BMP text). The DEFAULT budget is
+    * 60 MiB, not 64: a part's bytes can exceed the budget by one
+    * record + the preamble, and the in-cell leg's `bytes` column must
+    * stay under the repo's 64 MiB column-cell bound — 60 MiB leaves
+    * ~4 MiB of headroom for the overshoot (a SINGLE record bigger
+    * than that is already outside the corpus cell contract and would
+    * breach any budget).
     *
     * Scale shape: one shuffle keyed by shard id; nothing
     * shard-sized is ever held in memory — the production file leg
@@ -717,7 +744,7 @@ object MultimodalOps {
   def toWetShards(docs: DataFrame, uriCol: String, textCol: String,
                   shards: Int = 16,
                   date: String = "2024-01-01T00:00:00Z",
-                  maxShardBytes: Long = 64L * 1024 * 1024): DataFrame = {
+                  maxShardBytes: Long = 60L * 1024 * 1024): DataFrame = {
     require(shards >= 1 && shards <= (1 << 20), "shards in 1..2^20")
     WetShardWriter.requireArgs(date, maxShardBytes)
     val spark = docs.sparkSession
@@ -747,7 +774,12 @@ object MultimodalOps {
     * close, so a speculative or retried attempt can never truncate a
     * file another attempt is mid-writing (a failed attempt may leave
     * an `.inprogress-*` temp behind — recognizable garbage, never
-    * listed in the manifest). Runs
+    * listed in the manifest). Commit is FIRST-WRITER-WINS: bytes are
+    * deterministic, so an already-placed final file is kept and the
+    * loser's temp deleted — never delete-then-rename, which could
+    * drop the winner's file if the second attempt dies mid-commit —
+    * and a failed rename with no winner present throws so the task
+    * retries instead of a manifest row pointing at nothing. Runs
     * EAGERLY (a lazy frame with write side effects would re-write on
     * every re-evaluation) and returns the driver-sized manifest:
     * `(shard_id, part_no, n_records, n_chars, file)`.
@@ -758,7 +790,7 @@ object MultimodalOps {
   def writeWetShards(docs: DataFrame, uriCol: String, textCol: String,
                      outDir: String, shards: Int = 16,
                      date: String = "2024-01-01T00:00:00Z",
-                     maxShardBytes: Long = 64L * 1024 * 1024)
+                     maxShardBytes: Long = 60L * 1024 * 1024)
       : DataFrame = {
     require(shards >= 1 && shards <= (1 << 20), "shards in 1..2^20")
     WetShardWriter.requireArgs(date, maxShardBytes)
@@ -811,8 +843,26 @@ object MultimodalOps {
               fileName(shard, part) + s".inprogress-$attempt")
             val fin = new org.apache.hadoop.fs.Path(dir,
               fileName(shard, part))
-            if (fs.exists(fin)) fs.delete(fin, false)
-            fs.rename(tmp, fin)
+            // FIRST-WRITER-WINS: part bytes are deterministic, so a
+            // final file that already exists is complete and
+            // identical — delete our temp and keep it. The old
+            // exists→delete→rename order could lose the part: a
+            // second attempt deletes the winner's final file and is
+            // then killed (or its rename fails) before re-creating
+            // it, while the manifest still lists the part. And a
+            // rename returning false must THROW (so the task retries)
+            // — swallowing it leaves the part missing on disk.
+            if (fs.exists(fin)) {
+              fs.delete(tmp, false)
+            } else if (!fs.rename(tmp, fin) && !fs.exists(fin)) {
+              // rename lost a race only if someone else placed the
+              // final file; otherwise the part is missing — fail the
+              // attempt rather than report a file that isn't there
+              throw new java.io.IOException(
+                s"writeWetShards: rename $tmp -> $fin failed and " +
+                  "no winner exists; failing the attempt so the " +
+                  "task retries instead of losing the part")
+            }
             (shard, part, nRec, nChars, fileName(shard, part))
           })
       }

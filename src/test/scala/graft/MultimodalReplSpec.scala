@@ -6,6 +6,22 @@ import graft.operators.MultimodalOps
 import graft.operators.MultimodalOps.{MediaMeta, MediaRecord}
 import graft.query.Repl
 
+/** Captures `observe()` metrics from completed actions so specs can
+  * assert on honest-cap counters (e.g. revisit_resolve_cap). */
+class CollectingQueryExecutionListener
+    extends org.apache.spark.sql.util.QueryExecutionListener {
+  val metrics =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.Row]
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      durationNs: Long): Unit =
+    qe.observedMetrics.foreach { case (k, v) => metrics.put(k, v) }
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      exception: Exception): Unit = ()
+}
+
 class MultimodalReplSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -831,6 +847,82 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(got("http://m.ex/a?r2") == (("http://m.ex/a", true, Some(9L))))
     assert(got("http://m.ex/gone?r") ==
       (("http://gone.ex/x", false, None)))
+  }
+
+  test("revisitResolve (round 16): a revisit with NO referred URI " +
+      "surfaces unresolved — it must not spuriously match a " +
+      "URI-less response on the empty-string key") {
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val bytes = WarcCodec.warcTypedBytesExt(Seq(
+      // a malformed/URI-less response: un-addressable, must resolve
+      // nothing (before round 16 it met key "" and "resolved" the
+      // malformed revisit below with its body digest)
+      ("response", "", "2026-01-01T00:00:00Z", "text/plain",
+        "orphan body", Seq.empty),
+      // a revisit whose WARC-Refers-To-Target-URI header is absent
+      ("revisit", "http://m.ex/broken?r", "2026-05-05T00:00:00Z",
+        "message/http", "", Seq("WARC-Payload-Digest" -> "dX"))))
+    val recs = MultimodalOps.warcRecords(
+      Seq((1L, bytes)).toDF("id", "media"), "id", "media")
+    val rows = MultimodalOps.revisitResolve(recs, "id").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("rev_uri") == "http://m.ex/broken?r")
+    assert(!r.getAs[Boolean]("resolved"),
+      "empty-key revisit must be unresolved, not matched to a " +
+        "URI-less response")
+    assert(r.isNullAt(r.fieldIndex("orig_digest_md5")))
+  }
+
+  test("revisitResolve (round 16): the per-URI revisit buffer is " +
+      "CAPPED (bounded_top_n, no unbounded collect_list) and the " +
+      "overflow is observable, keeping resolution exact for kept " +
+      "rows") {
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    // one hot URI with 7 revisits against a cap of 3
+    val entries =
+      ("response", "http://hot.ex/a", "2026-01-01T00:00:00Z",
+        "text/plain", "hot body", Seq.empty[(String, String)]) +:
+      (0 until 7).map { i =>
+        ("revisit", s"http://hot.ex/a?r$i", "2026-05-05T00:00:00Z",
+          "message/http", "",
+          Seq("WARC-Refers-To-Target-URI" -> "http://hot.ex/a",
+            "WARC-Payload-Digest" -> s"d$i"))
+      }
+    val bytes = WarcCodec.warcTypedBytesExt(entries)
+    val recs = MultimodalOps.warcRecords(
+      Seq((1L, bytes)).toDF("id", "media"), "id", "media")
+    val capped =
+      MultimodalOps.revisitResolve(recs, "id", maxRevisitsPerUri = 3)
+    // plan pin: bounded aggregate, not an unbounded list buffer
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_n"),
+      "revisit buffer must ride the bounded aggregate")
+    assert(!plan.contains("collect_list"),
+      "no unbounded collect_list in the resolution plan")
+    val listener = new CollectingQueryExecutionListener
+    spark.listenerManager.register(listener)
+    try {
+      val rows = capped.collect()
+      assert(rows.length == 3, "cap keeps exactly maxRevisitsPerUri")
+      // kept rows stay EXACT: smallest (id, uri, digest) structs win
+      // deterministically and each still resolves the hot body
+      assert(rows.forall(_.getAs[Boolean]("resolved")))
+      assert(rows.map(_.getAs[String]("rev_uri")).sorted.toSeq ==
+        Seq("http://hot.ex/a?r0", "http://hot.ex/a?r1",
+          "http://hot.ex/a?r2"))
+      // listener delivery is async — poll briefly for the metric
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!listener.metrics.contains("revisit_resolve_cap") &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      val m = listener.metrics("revisit_resolve_cap")
+      assert(m.getAs[Long]("dropped_revisits") == 4L)
+      assert(m.getAs[Long]("max_revisits_per_uri") == 7L)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("cdxIndex (round 15): byte extents slice back to parseable " +
