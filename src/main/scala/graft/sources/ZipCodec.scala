@@ -25,9 +25,15 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * two the spec requires and ~all real archives use — plus the
   * methods modern dataset dumps increasingly carry (round-14):
   * 93 (Zstandard, zstd-jni — APPNOTE 4.4.5), 12 (bzip2,
-  * commons-compress) and 9 (Deflate64/Enhanced Deflate,
+  * commons-compress), 9 (Deflate64/Enhanced Deflate,
   * commons-compress — what Windows' built-in "Send to compressed
-  * folder" emits past 2 GiB). The layer decoders were already on
+  * folder" emits past 2 GiB) and, round 16, 14 (LZMA — what 7-Zip
+  * writes into .zip containers under "ultra" settings, a real
+  * fraction of ad-hoc dataset uploads; APPNOTE 5.8's member layout
+  * is a 4-byte version/props-size header + the 5 standard LZMA
+  * property bytes + the raw stream, decoded through the xz-java
+  * raw-LZMA entry point with the member's declared size as the
+  * stop condition). The layer decoders were already on
   * every executor classpath for the `.zst`/`.bz2` file layers; here
   * they decode MEMBER payloads, bounded by the member's declared
   * uncompressed size (a stream still producing past it → None, the
@@ -47,7 +53,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * Out-of-scope MEMBERS degrade per-member, not per-archive (round
   * 15): an encrypted member (flag bit 0) or one under a compression
-  * method the dispatch table lacks (LZMA 14, PPMd 98, the AES
+  * method the dispatch table lacks (PPMd 98, the AES
   * marker 99, ...) ships an honest `(name, size, method, data = null)`
   * row — the over-budget-row idiom — so one odd member no longer
   * voids the census for every other member of a real dump.
@@ -65,7 +71,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 object ZipCodec {
 
   /** One parsed member: path, uncompressed size, method (0 stored /
-    * 8 deflate / 9 deflate64 / 12 bzip2 / 93 zstd) and the
+    * 8 deflate / 9 deflate64 / 12 bzip2 / 14 lzma / 93 zstd) and the
     * decompressed data. `data` is null when the payload was WITHHELD
     * — the member is over the archive budget, encrypted, or under an
     * unsupported method — with the declared metadata intact. */
@@ -73,7 +79,7 @@ object ZipCodec {
                        data: Array[Byte])
 
   /** APPNOTE 4.4.5 compression methods [[parse]] decodes. */
-  private val SupportedMethods = Set(0, 8, 9, 12, 93)
+  private val SupportedMethods = Set(0, 8, 9, 12, 14, 93)
 
   private val LocalSig = 0x04034b50
   private val CentralSig = 0x02014b50
@@ -361,7 +367,7 @@ object ZipCodec {
   }
 
   /** Bounded decode of a non-deflate member payload (methods 9 /
-    * 12 / 93). The member's declared `usize` is the output cap — a
+    * 12 / 14 / 93). The member's declared `usize` is the output cap — a
     * stream still producing past it is corrupt or hostile (the
     * caller already charged `usize` against the archive budget, so
     * allocation never exceeds the charge) — and a SHORT yield is a
@@ -380,6 +386,25 @@ object ZipCodec {
           .deflate64.Deflate64CompressorInputStream(raw)
         case 12 => new org.apache.commons.compress.compressors
           .bzip2.BZip2CompressorInputStream(raw)
+        case 14 =>
+          // APPNOTE 5.8.5 member layout: version (2 B, informational)
+          // + properties size (u16 LE, the standard encoding is 5) +
+          // the 5 LZMA property bytes (lc/lp/pb byte, dict size u32
+          // LE) + the raw LZMA stream — NO 8-byte size field (the
+          // central entry declares the size, which is also the
+          // decoder's stop condition, so an EOS-marker stream — flag
+          // bit 1 — simply leaves its marker unread). The declared
+          // dict size is an ALLOCATION the decoder makes up front;
+          // match distances can never exceed bytes already produced,
+          // so min(declared, usize) decodes every honest stream while
+          // a crafted 4 GiB declaration cannot buy a 4 GiB buffer
+          // (usize itself is cell-bounded by the caller).
+          if (comp.length < 9 || u16(comp, 2) != 5) return None
+          val dict = math.max(4096L,
+            math.min(u32(comp, 5), math.max(usize, 1L))).toInt
+          new org.tukaani.xz.LZMAInputStream(
+            new java.io.ByteArrayInputStream(comp, 9, comp.length - 9),
+            usize, comp(4), dict)
         case 93 =>
           new com.github.luben.zstd.ZstdInputStreamNoFinalizer(raw)
         case _ => return None
@@ -390,6 +415,26 @@ object ZipCodec {
       case _: java.io.IOException => None
       case _: RuntimeException => None // incl. ZstdException
     }
+  }
+
+  /** One method-14 member payload: the APPNOTE 5.8.5 header (version
+    * pair, props size 5, the lc/lp/pb byte + dict size u32 LE) then
+    * the headerless raw LZMA1 stream xz-java's boolean-constructor
+    * `LZMAOutputStream` emits. No EOS marker: [[decodeMember]] stops
+    * at the central entry's declared size. Small fixture dict (64
+    * KiB) — the props header carries it, so decode is exact. */
+  private def lzmaMemberRaw(data: Array[Byte]): Array[Byte] = {
+    val opts = new org.tukaani.xz.LZMA2Options()
+    opts.setDictSize(64 * 1024)
+    val bos = new java.io.ByteArrayOutputStream()
+    val lz = new org.tukaani.xz.LZMAOutputStream(bos, opts, false)
+    lz.write(data); lz.finish()
+    val hdr = new ByteBuilder(9)
+    hdr.add(Array[Byte](20, 2)) // version pair (informational)
+    hdr.addU16(5)
+    hdr.add(Array[Byte](lz.getProps().toByte))
+    hdr.addU32(opts.getDictSize().toLong)
+    hdr.toArray ++ bos.toByteArray
   }
 
   private def deflateRaw(data: Array[Byte]): Array[Byte] = {
@@ -502,8 +547,11 @@ object ZipCodec {
 
   /** [[zipBytes]] with an explicit APPNOTE method per member: 0
     * stored, 8 deflate, 9 deflate64 (stored-block subset — see
-    * [[storedBlocksRaw]]), 12 bzip2, 93 zstd. The writer twin of the
-    * round-14 member-method dispatch in [[parse]]. */
+    * [[storedBlocksRaw]]), 12 bzip2, 14 lzma (raw xz-java LZMA1
+    * stream behind the APPNOTE 5.8.5 version/props header, no EOS
+    * marker — the reader stops at the declared size), 93 zstd. The
+    * writer twin of the round-14 member-method dispatch in
+    * [[parse]]. */
   def zipBytesMethods(members: Seq[(String, Array[Byte], Int)]): Array[Byte] = {
     val out = new ByteBuilder(1024)
     val central = new ByteBuilder(256)
@@ -515,6 +563,7 @@ object ZipCodec {
         case 8 => deflateRaw(data)
         case 9 => storedBlocksRaw(data)
         case 12 => Bzip2Codec.bzip2Bytes(data)
+        case 14 => lzmaMemberRaw(data)
         case 93 => ZstdCodec.zstdBytes(data)
         case m => throw new IllegalArgumentException(s"method $m")
       }
@@ -555,7 +604,8 @@ object ZipCodec {
   /** Fixture writer for OUT-OF-SCOPE members: each tuple is (path,
     * original data — sizes/CRC are declared from it, compressed
     * payload bytes — written verbatim, APPNOTE method id, general-
-    * purpose flags). With method 14 (LZMA) or flags bit 0 (encrypted)
+    * purpose flags). With method 98 (PPMd — LZMA 14 decodes for real
+    * as of round 16) or flags bit 0 (encrypted)
     * this produces the real-dump shape [[parse]]'s round-15
     * per-member degradation exists for: a structurally valid archive
     * whose odd members must census as `data = null` rows without

@@ -246,25 +246,27 @@ class CodecFuzzSpec extends AnyFunSuite {
     sweep("zip64", ZipCodec.zip64Bytes(members), 1010)(
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
     // round 14: members under the dispatched methods (zstd 93,
-    // bzip2 12, deflate64 9) — corruption lands in foreign-codec
-    // payloads and in the headers that route to them
+    // bzip2 12, deflate64 9; lzma 14 as of round 16) — corruption
+    // lands in foreign-codec payloads and in the headers that route
+    // to them
     val dispatched = ZipCodec.zipBytesMethods(Seq(
       ("z.txt", ("zz " * 120).getBytes("UTF-8"), 93),
       ("b.txt", ("bb " * 120).getBytes("UTF-8"), 12),
-      ("d.txt", ("dd " * 120).getBytes("UTF-8"), 9)))
+      ("d.txt", ("dd " * 120).getBytes("UTF-8"), 9),
+      ("l.txt", ("ll " * 120).getBytes("UTF-8"), 14)))
     sweep("zip.methods", dispatched, 1414)(
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
     // streaming-writer layout (bit 3 + data descriptors)
     sweep("zip.streaming", ZipCodec.zipStreamingBytes(members), 1717)(
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
-    // round 15: mixed-scope archives — an LZMA and an encrypted
+    // round 15: mixed-scope archives — a PPMd and an encrypted
     // member amid a stored one (the per-member data-null path);
     // corruption must still land on None or honest rows, no throws
     val ok = ("ok " * 80).getBytes("UTF-8")
     val mixed = ZipCodec.zipBytesOpaque(Seq(
       ("ok.txt", ok, ok, 0, 0),
       ("l.bin", ("ll " * 80).getBytes("UTF-8"), Array[Byte](7, 7, 7),
-        14, 0),
+        98, 0),
       ("e.txt", ("ee " * 80).getBytes("UTF-8"), Array[Byte](1, 2),
         8, 1)))
     sweep("zip.mixed", mixed, 1818)(

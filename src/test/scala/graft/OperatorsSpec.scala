@@ -6557,27 +6557,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(encGot.head.data == null) // withheld, metadata intact
     assert(encGot.head.size == members.head._2.length.toLong)
     assert(encGot.tail.forall(_.data != null))
-    // unsupported method (LZMA = 14) → same per-member degradation,
+    // unsupported method (PPMd = 98 — LZMA 14 decodes for real as of
+    // round 16) → same per-member degradation,
     // method id preserved on the honest row; a SUPPORTED method id
     // (12, bzip2 — round 14) whose payload is not actually that
     // codec fails the DECODE, not the gate — malformation, None
     val meth = bytes.clone()
-    meth(findCentral(meth) + 10) = 14
+    meth(findCentral(meth) + 10) = 98
     val methGot = ZipCodec.parse(meth).get
-    assert(methGot.head.data == null && methGot.head.method == 14)
+    assert(methGot.head.data == null && methGot.head.method == 98)
     assert(methGot.tail.forall(_.data != null))
     val meth12 = bytes.clone()
     meth12(findCentral(meth12) + 10) = 12
     assert(ZipCodec.parse(meth12).isEmpty)
     // writer twin: zipBytesOpaque pins the mixed-scope shape — a
-    // stored member decodes, LZMA and encrypted members ship honest
+    // stored member decodes, PPMd and encrypted members ship honest
     // rows, and the WALK marks them undecodable MEMBERS of a
     // decodable archive (never an undecodable archive)
     val okB = "supported".getBytes("UTF-8")
     val mixed = ZipCodec.zipBytesOpaque(Seq(
       ("ok.txt", okB, okB, 0, 0),
-      ("l.bin", "lzma member".getBytes("UTF-8"), Array[Byte](7, 7),
-        14, 0),
+      ("l.bin", "ppmd member".getBytes("UTF-8"), Array[Byte](7, 7),
+        98, 0),
       ("e.txt", "enc member".getBytes("UTF-8"), Array[Byte](9), 8, 1)))
     val mGot = ZipCodec.parse(mixed).get
     assert(mGot.map(_.name) == Seq("ok.txt", "l.bin", "e.txt"))
@@ -6722,9 +6723,9 @@ class OperatorsSpec extends AnyFunSuite {
     // census with their declared metadata
     val mixed = ZipCodec.zipBytesOpaque(Seq(
       ("ok.txt", a, a, 0, 0),
-      ("l.bin", b, Array[Byte](7), 14, 0)))
+      ("l.bin", b, Array[Byte](7), 98, 0)))
     assert(ZipCodec.census(mixed).get ==
-      Seq(("ok.txt", a.length.toLong, 0), ("l.bin", b.length.toLong, 14)))
+      Seq(("ok.txt", a.length.toLong, 0), ("l.bin", b.length.toLong, 98)))
     // tar: header-chain walk, no payload copies
     val tar = TarCodec.tarBytes(Seq(("x/a.txt", a), ("b.bin", b)))
     assert(TarCodec.census(tar).get ==
@@ -6861,19 +6862,20 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("ZipCodec member-method dispatch (round 14): zstd(93) / " +
-      "bzip2(12) / deflate64(9) members decode, CRC-verify, and stay " +
-      "budget-bounded") {
+      "bzip2(12) / deflate64(9) / lzma(14) members decode, " +
+      "CRC-verify, and stay budget-bounded") {
     import graft.sources.ZipCodec
     val texts = Seq(
       ("z.txt", ("zstd member " * 40).getBytes("UTF-8"), 93),
       ("b.txt", ("bzip2 member " * 40).getBytes("UTF-8"), 12),
       ("d64.txt", ("deflate64 member " * 40).getBytes("UTF-8"), 9),
+      ("l.txt", ("lzma member " * 40).getBytes("UTF-8"), 14),
       ("s.txt", "plain stored".getBytes("UTF-8"), 0),
       ("d.txt", ("deflate " * 30).getBytes("UTF-8"), 8))
     val bytes = ZipCodec.zipBytesMethods(texts)
     val got = ZipCodec.parse(bytes).get
     assert(got.map(_.name) == texts.map(_._1))
-    assert(got.map(_.method) == Seq(93, 12, 9, 0, 8))
+    assert(got.map(_.method) == Seq(93, 12, 9, 14, 0, 8))
     got.zip(texts).foreach { case (m, (_, data, _)) =>
       assert(m.data.toSeq == data.toSeq, m.name)
     }
@@ -6910,7 +6912,8 @@ class OperatorsSpec extends AnyFunSuite {
     // budget pre-charge applies to non-deflate methods identically:
     // a budget below the first member's usize ships data = null rows
     val tight = ZipCodec.parse(bytes, budget = 10L).get
-    assert(tight.map(_.data == null) == Seq(true, true, true, true, true))
+    assert(tight.map(_.data == null) ==
+      Seq(true, true, true, true, true, true))
     assert(tight.map(_.size) == texts.map(_._2.length.toLong))
     // a method-93 member whose frame inflates PAST its declared usize
     // is rejected (the BoundedRead cap, not the frame's claim)
@@ -6933,6 +6936,58 @@ class OperatorsSpec extends AnyFunSuite {
     }
     patchU32(lied, findCentral(lied) + 24, 16L) // central usize
     assert(ZipCodec.parse(lied).isEmpty)
+  }
+
+  test("ZipCodec LZMA members (round 16): APPNOTE 5.8.5 header " +
+      "parsed, crafted dict declarations clamp to the member size, " +
+      "malformed headers/payloads reject the archive, never throw") {
+    import graft.sources.ZipCodec
+    val data = ("lzma roundtrip " * 50).getBytes("UTF-8")
+    val zip = ZipCodec.zipBytesMethods(Seq(("m.bin", data, 14)))
+    assert(ZipCodec.parse(zip).get.head.data.toSeq == data.toSeq)
+    // the member payload starts right after the 30-byte local header
+    // + name; mutate inside it via zipBytesOpaque twins instead of
+    // offset surgery: rebuild the archive with a tampered payload
+    val good = {
+      // extract the raw method-14 payload bytes the writer produced
+      val nameLen = "m.bin".length
+      val csize = {
+        var i = 0
+        while (!(zip(i) == 0x50 && zip(i + 1) == 0x4b &&
+          zip(i + 2) == 0x01 && zip(i + 3) == 0x02)) i += 1
+        // central entry csize field at +20
+        (zip(i + 20) & 0xffL) | ((zip(i + 21) & 0xffL) << 8) |
+          ((zip(i + 22) & 0xffL) << 16) | ((zip(i + 23) & 0xffL) << 24)
+      }
+      java.util.Arrays.copyOfRange(zip, 30 + nameLen,
+        30 + nameLen + csize.toInt)
+    }
+    // (1) truncated APPNOTE header (< 9 bytes of payload) → None
+    assert(ZipCodec.parse(ZipCodec.zipBytesOpaque(Seq(
+      ("t.bin", data, good.take(7), 14, 0)))).isEmpty)
+    // (2) props size != 5 → None
+    val badProps = good.clone(); badProps(2) = 9
+    assert(ZipCodec.parse(ZipCodec.zipBytesOpaque(Seq(
+      ("p.bin", data, badProps, 14, 0)))).isEmpty)
+    // (3) a crafted 4 GiB dict declaration must still decode (the
+    // clamp allocates at most the member's own size, the honest
+    // stream never references past its output)
+    val hugeDict = good.clone()
+    hugeDict(5) = 0xff.toByte; hugeDict(6) = 0xff.toByte
+    hugeDict(7) = 0xff.toByte; hugeDict(8) = 0xff.toByte
+    assert(ZipCodec.parse(ZipCodec.zipBytesOpaque(Seq(
+      ("h.bin", data, hugeDict, 14, 0)))).get.head.data.toSeq ==
+      data.toSeq)
+    // (4) garbage LZMA stream under a correct header → decode/CRC
+    // failure → structural None (the supported-method contract),
+    // never a throw
+    val garbage = good.take(9) ++ Array[Byte](7, 7, 7, 7)
+    assert(ZipCodec.parse(ZipCodec.zipBytesOpaque(Seq(
+      ("g.bin", data, garbage, 14, 0)))).isEmpty)
+    // (5) empty member under LZMA roundtrips
+    val empty = ZipCodec.zipBytesMethods(
+      Seq(("e.bin", Array.empty[Byte], 14)))
+    assert(ZipCodec.parse(empty).get.head.data.length == 0)
   }
 
   test("pseudonymizeEmails: corpus-consistent tokens, case folding, " +

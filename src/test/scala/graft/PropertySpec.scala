@@ -231,10 +231,10 @@ class PropertySpec extends AnyFunSuite {
       len <- Gen.chooseNum(0, 300)
       data <- Gen.listOfN(len, Gen.alphaNumChar)
         .map(_.mkString.getBytes("UTF-8"))
-      kind <- Gen.chooseNum(0, 2) // 0 stored, 1 LZMA, 2 encrypted
+      kind <- Gen.chooseNum(0, 2) // 0 stored, 1 PPMd, 2 encrypted
     } yield kind match {
       case 0 => (name + ".txt", data, data, 0, 0)
-      case 1 => (name + ".lzma", data, Array[Byte](7, 7), 14, 0)
+      case 1 => (name + ".ppmd", data, Array[Byte](7, 7), 98, 0)
       case _ => (name + ".enc", data, Array[Byte](9), 8, 1)
     }
     val genMembers = Gen.chooseNum(1, 15).flatMap(n =>
