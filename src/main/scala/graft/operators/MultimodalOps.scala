@@ -675,6 +675,57 @@ object MultimodalOps {
       md5(col("body")).as("digest"), col("offset"), col("length"))
   }
 
+  /** The CDX CONSUMPTION leg (round 16 — [[cdxIndex]] writes the
+    * sidecar, this reads through it): each request `(idCol, offset,
+    * length)` fetches exactly ONE record from its archive via
+    * [[graft.sources.WarcCodec.readAt]], without walking the rest of
+    * the archive — the point of having a CDX. One row per request:
+    * the extent echoed back, `found`, and the record fields (honest
+    * all-null `found = false` row when the extent doesn't slice to a
+    * single complete record — a stale index against a rewritten
+    * archive surfaces instead of returning wrong bytes).
+    *
+    * Scale shape: lookups are the SMALL side by construction (a CDX
+    * exists so a pipeline fetches few records out of huge archives),
+    * so `requests` is aggregated per archive id and BROADCAST — the
+    * archive bytes never move: each scan task slices only its own
+    * archives' requested extents and the bytes die in the task.
+    * Archives nobody asked about are dropped by the inner join
+    * before any decode. The per-archive extent list rides one
+    * broadcast row (requests-per-archive is lookup-sized; a caller
+    * with millions of extents per archive is doing a full walk and
+    * should call [[warcRecords]]). */
+  def warcRecordAt(media: DataFrame, idCol: String, binCol: String,
+                   requests: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val reqs = requests
+      .select(col(idCol).cast("long").as(idCol),
+        col("offset").cast("long").as("offset"),
+        col("length").cast("long").as("length"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("offset"), col("length")))
+        .as("__exts"))
+    media
+      .select(col(idCol).cast("long").as(idCol), col(binCol))
+      .join(broadcast(reqs), Seq(idCol))
+      .as[(Long, Array[Byte], Seq[(Long, Long)])]
+      .flatMap { case (id, bin, exts) =>
+        exts.map { case (o, l) =>
+          graft.sources.WarcCodec.readAt(bin, o, l) match {
+            case Some(r) => (id, o, l, true, r.warcType, r.targetUri,
+              r.date, r.httpStatus, r.contentType, r.body)
+            case None => (id, o, l, false, null.asInstanceOf[String],
+              null.asInstanceOf[String], null.asInstanceOf[String],
+              0, null.asInstanceOf[String],
+              null.asInstanceOf[Array[Byte]])
+          }
+        }
+      }
+      .toDF(idCol, "offset", "length", "found", "warc_type", "uri",
+        "date", "status", "mime", "body")
+  }
+
   /** Shared column prep for the WET shard exports: null-URI rows
     * dropped (a WET record without a target is unaddressable), null
     * text → empty body, md5-bucket shard assignment, ONE shuffle

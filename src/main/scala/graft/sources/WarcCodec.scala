@@ -110,6 +110,44 @@ object WarcCodec {
               maxInflateBytes: Long = 1L << 30): Seq[WarcRecord] =
     index(bIn, maxInflateBytes).map(_.record)
 
+  /** The layer unwrap [[index]]/[[readAt]] share: gzip/zstd by magic,
+    * bounded; a corrupt tail or an over-bound inflation is an
+    * unreadable archive (no partial-output recovery — the
+    * bounded-decompress family contract). */
+  private def inflated(bIn: Array[Byte],
+                       maxInflateBytes: Long): Option[Array[Byte]] =
+    if (GzipCodec.sniff(bIn)) GzipCodec.gunzip(bIn, maxInflateBytes)
+    else if (ZstdCodec.sniff(bIn)) ZstdCodec.unzstd(bIn, maxInflateBytes)
+    else Some(bIn)
+
+  /** Random-access read of exactly ONE record by its [[index]] byte
+    * extent — the leg a CDX exists for: a lookup fetches its record
+    * without walking the archive. The slice `[offset, offset+length)`
+    * (decompressed-stream addressing, matching [[index]]'s offsets)
+    * must parse as a single complete record consuming the whole
+    * extent; anything else — out-of-bounds extent, a slice that
+    * parses short, parses past, or holds more than one record — is
+    * None, never a guess (a stale index against a rewritten archive
+    * must surface, not return the wrong record's bytes). Bounds are
+    * checked in Long before any Int truncation (offset/length are
+    * caller/index-supplied and untrusted). */
+  def readAt(bIn: Array[Byte], offset: Long, length: Long,
+             maxInflateBytes: Long = 1L << 30): Option[WarcRecord] = {
+    if (bIn == null || offset < 0 || length <= 0) return None
+    val b = inflated(bIn, maxInflateBytes) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (length > b.length || offset > b.length - length) return None
+    val slice = java.util.Arrays.copyOfRange(
+      b, offset.toInt, (offset + length).toInt)
+    index(slice, maxInflateBytes) match {
+      case Seq(one) if one.offset == 0L && one.length == length =>
+        Some(one.record)
+      case _ => None
+    }
+  }
+
   /** [[records]] with byte extents — the CDX-index walk (Common
     * Crawl ships cdx files so pipelines can random-access WARC
     * records; [[graft.operators.MultimodalOps.cdxIndex]] is the
@@ -122,21 +160,10 @@ object WarcCodec {
             maxInflateBytes: Long = 1L << 30): Seq[IndexedRecord] = {
     val out = scala.collection.mutable.ListBuffer.empty[IndexedRecord]
     if (bIn == null) return out.toSeq
-    val b =
-      if (GzipCodec.sniff(bIn)) {
-        GzipCodec.gunzip(bIn, maxInflateBytes) match {
-          // corrupt tail or over the inflation bound: treat the
-          // archive as unreadable (no partial-output recovery —
-          // the bounded-decompress family contract)
-          case Some(inflated) => inflated
-          case None => return out.toSeq
-        }
-      } else if (ZstdCodec.sniff(bIn)) {
-        ZstdCodec.unzstd(bIn, maxInflateBytes) match {
-          case Some(inflated) => inflated
-          case None => return out.toSeq
-        }
-      } else bIn
+    val b = inflated(bIn, maxInflateBytes) match {
+      case Some(x) => x
+      case None => return out.toSeq
+    }
     var off = 0
     var ok = true
     while (ok && off + 8 < b.length) {

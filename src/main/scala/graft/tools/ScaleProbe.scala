@@ -1554,6 +1554,18 @@ object ScaleProbe {
       time(s"cdxIndex x$n (1 response/archive)")(
         graft.operators.MultimodalOps.cdxIndex(
           warcDrop15, "doc_id", "bin"))
+      // (d) round 16: the CDX consumption leg — sparse lookups (1 in
+      // 500 archives) against the ×N drop; requests broadcast, the
+      // archive bytes never shuffle, and the inner join drops
+      // unrequested archives before any decode — wall-clock should
+      // track the LOOKUP count, not the corpus
+      val reqs16 = graft.operators.MultimodalOps.cdxIndex(
+          warcDrop15.filter(col("doc_id") % 500 === 0),
+          "doc_id", "bin")
+        .select(col("doc_id"), col("offset"), col("length"))
+      time(s"warcRecordAt x$n (1-in-500 lookups, broadcast)")(
+        graft.operators.MultimodalOps.warcRecordAt(
+          warcDrop15, "doc_id", "bin", reqs16))
     }
     spark.stop()
   }

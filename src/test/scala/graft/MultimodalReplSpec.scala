@@ -967,6 +967,93 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(df2.select("urlkey").as[String].head() == "ex,t)/p")
   }
 
+  test("WarcCodec.readAt (round 16): every index extent fetches " +
+      "exactly its record — incl. through a gzip layer — and stale/" +
+      "crafted extents are None, never a wrong record") {
+    import graft.sources.WarcCodec
+    val d = "2026-03-04T05:06:07Z"
+    val recs = Seq(
+      ("http://ra.ex/one", d, "text/plain", "first body"),
+      ("http://ra.ex/two", d, "text/html", "<p>second</p>"),
+      ("http://ra.ex/three", d, "text/plain", "third and last"))
+    val bytes = WarcCodec.warcBytes(recs)
+    val idx = WarcCodec.index(bytes)
+    assert(idx.length == 3)
+    // the consumption contract: readAt(extent) == the full walk's row
+    idx.foreach { ir =>
+      val got = WarcCodec.readAt(bytes, ir.offset, ir.length)
+      assert(got.isDefined, s"extent at ${ir.offset}")
+      assert(got.get.targetUri == ir.record.targetUri)
+      assert(got.get.body.toSeq == ir.record.body.toSeq)
+    }
+    // gzip layer: offsets address the DECOMPRESSED stream on both
+    // the index and the read side, so extents carry across
+    val gz = WarcCodec.warcGzBytes(recs)
+    val gzIdx = WarcCodec.index(gz)
+    assert(gzIdx.map(r => (r.offset, r.length)) ==
+      idx.map(r => (r.offset, r.length)))
+    assert(WarcCodec.readAt(gz, gzIdx(1).offset, gzIdx(1).length)
+      .get.targetUri == "http://ra.ex/two")
+    // stale/crafted extents surface as None: shifted start, short
+    // read, an extent spanning two records, out-of-bounds, negatives
+    val r1 = idx(1)
+    assert(WarcCodec.readAt(bytes, r1.offset + 2, r1.length).isEmpty)
+    assert(WarcCodec.readAt(bytes, r1.offset, r1.length - 7).isEmpty)
+    assert(WarcCodec.readAt(bytes, idx(0).offset,
+      idx(0).length + idx(1).length).isEmpty)
+    assert(WarcCodec.readAt(bytes, bytes.length.toLong, 10L).isEmpty)
+    assert(WarcCodec.readAt(bytes, -1L, 10L).isEmpty)
+    assert(WarcCodec.readAt(bytes, 0L, 0L).isEmpty)
+    assert(WarcCodec.readAt(bytes, 0L, Long.MaxValue).isEmpty)
+    assert(WarcCodec.readAt(bytes, Long.MaxValue - 5, 10L).isEmpty)
+  }
+
+  test("warcRecordAt (round 16): broadcast lookups fetch only the " +
+      "requested extents, unrequested archives never decode, and a " +
+      "stale extent ships an honest found=false row") {
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val d = "2026-03-04T05:06:07Z"
+    def arch(tag: String) = WarcCodec.warcBytes(Seq(
+      (s"http://op.ex/$tag/a", d, "text/plain", s"$tag alpha"),
+      (s"http://op.ex/$tag/b", d, "text/html", s"$tag beta body")))
+    val a1 = arch("one"); val a2 = arch("two")
+    val media = Seq((1L, a1), (2L, a2), (3L, arch("three")))
+      .toDF("id", "bin")
+    val i1 = WarcCodec.index(a1); val i2 = WarcCodec.index(a2)
+    // fetch: archive 1's SECOND record, archive 2's first record +
+    // one stale extent; archive 3 is never asked about
+    val reqs = Seq(
+      (1L, i1(1).offset, i1(1).length),
+      (2L, i2(0).offset, i2(0).length),
+      (2L, i2(0).offset + 3, i2(0).length)) // stale
+      .toDF("id", "offset", "length")
+    val got = MultimodalOps.warcRecordAt(media, "id", "bin", reqs)
+    // scale pin: the lookup side broadcasts — no archive-bytes
+    // shuffle, no sort-merge join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"requests must broadcast:\n$plan")
+    val rows = got.collect()
+    assert(rows.length == 3)
+    val byKey = rows.map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("offset")) -> r).toMap
+    val hit1 = byKey((1L, i1(1).offset))
+    assert(hit1.getAs[Boolean]("found") &&
+      hit1.getAs[String]("uri") == "http://op.ex/one/b" &&
+      new String(hit1.getAs[Array[Byte]]("body"), "UTF-8") ==
+        "one beta body")
+    assert(byKey((2L, i2(0).offset)).getAs[String]("uri") ==
+      "http://op.ex/two/a")
+    val stale = byKey((2L, i2(0).offset + 3))
+    assert(!stale.getAs[Boolean]("found") &&
+      stale.isNullAt(stale.fieldIndex("uri")))
+    assert(!rows.exists(_.getAs[Long]("id") == 3L),
+      "unrequested archives drop before any decode")
+  }
+
   test("warc -> html -> text: the crawl pipeline chains end-to-end") {
     import graft.operators.TextAnalysisOps
     import graft.sources.WarcCodec
