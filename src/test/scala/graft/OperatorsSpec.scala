@@ -6625,6 +6625,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bench.driftLowConfidence(0.0, 0.5, names)._1 == false)
   }
 
+  test("bench battery offset (round 16): sentinel median of " +
+      "calib-adjusted ratios, robust to one regressed sentinel, " +
+      "None under 4 clean sentinels, guard scale clamped [1.0, 1.6]") {
+    val sents = Bench.SentinelQueries
+    assert(sents.size == 6 && sents.forall(_.matches("q0[1-6]_.*")),
+      "pinned to the never-touched round-1 core queries")
+    val prev = sents.map(_ -> 1.0).toMap
+    // uniformly hot battery at 1.3x adjusted: offset = 1.3
+    val hot = sents.map(_ -> 1.3).toMap
+    assert(Bench.batteryOffset(prev, hot, 1.0).exists(o =>
+      math.abs(o - 1.3) < 1e-9))
+    // the calib ratio divides out: same battery on a half-speed host
+    val hotSlow = sents.map(_ -> 2.6).toMap
+    assert(Bench.batteryOffset(prev, hotSlow, 2.0).exists(o =>
+      math.abs(o - 1.3) < 1e-9))
+    // one genuinely-regressed sentinel cannot drag the median far
+    val oneBad = hot + (sents.head -> 9.0)
+    assert(Bench.batteryOffset(prev, oneBad, 1.0).exists(_ < 1.5))
+    // failed (-1) and minima-less sentinels drop out; < 4 clean → None
+    val sparsePrev = sents.take(3).map(_ -> 1.0).toMap
+    assert(Bench.batteryOffset(sparsePrev, hot, 1.0).isEmpty)
+    val mostlyFailed = sents.map(_ -> -1.0).toMap ++
+      sents.take(2).map(_ -> 1.2).toMap
+    assert(Bench.batteryOffset(prev, mostlyFailed, 1.0).isEmpty)
+    // even-count median: mean of the middle pair
+    val split = sents.take(3).map(_ -> 1.0).toMap ++
+      sents.drop(3).map(_ -> 2.0).toMap
+    assert(Bench.batteryOffset(prev, split, 1.0).exists(o =>
+      math.abs(o - 1.5) < 1e-9))
+    // guard scale: hot batteries relax the retry threshold up to
+    // 1.6x; fast batteries and unknown offsets never tighten it
+    assert(Bench.guardScale(Some(1.3)) == 1.3)
+    assert(Bench.guardScale(Some(0.8)) == 1.0)
+    assert(Bench.guardScale(Some(2.4)) == 1.6)
+    assert(Bench.guardScale(None) == 1.0)
+    // degenerate calib ratio never divides by zero
+    assert(Bench.batteryOffset(prev, hot, 0.0).isEmpty)
+  }
+
   test("unpersistOnJob (round 15): the closure/BT cache-scoped " +
       "variants leave no cacheManager residue and match the " +
       "session-cached default's results") {
