@@ -61,4 +61,45 @@ object WetIngestStream {
     CurationStream.verdicts(
       conversionText(wets, bytesCol, eventTimeCol),
       "doc_id", "text", "ts", watermarkDelay, dedupHorizonMs)
+
+  /** The crawl-in → curated-WET-out loop CLOSED (round 16): the
+    * funnel's kept docs stream back out as WET shard FILES through
+    * [[graft.operators.MultimodalOps.writeWetShards]] — WET cells
+    * land, curation verdicts fall out of [[curatedText]], and each
+    * micro-batch's `reason = "keep"` docs publish as deterministic
+    * shard parts under `outDir/batch-BBBBB/` (plus a `_manifest`
+    * parquet per batch for the audit trail).
+    *
+    * Restart safety — why per-BATCH directories: `writeWetShards`'s
+    * filenames are deterministic in the doc SET, so two different
+    * micro-batches writing one directory would collide; batch dirs
+    * make the name a function of (batchId, membership). Exactly-once
+    * at the file level then composes from three pieces: the source
+    * checkpoint replays a failed batch under the SAME batchId, the
+    * part bytes are deterministic in the batch's membership, and the
+    * first-writer-wins commit keeps whichever attempt placed each
+    * file — a replay after a mid-write crash fills in exactly the
+    * missing parts and leaves placed ones untouched (no duplicate,
+    * no truncation). The returned writer still needs
+    * `.option("checkpointLocation", …)`, a trigger, and `.start()`
+    * from the caller — the checkpoint is load-bearing, not
+    * decoration. */
+  def wetSink(verdicts: Dataset[CurationVerdict], outDir: String,
+              shards: Int = 16,
+              date: String = "2024-01-01T00:00:00Z",
+              maxShardBytes: Long = 60L * 1024 * 1024)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CurationVerdict] =
+    verdicts.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CurationVerdict], batchId: Long) =>
+        val kept = batch.filter(col("reason") === lit("keep"))
+          .select(col("doc_id"), col("clean")).toDF()
+        val dir = f"$outDir/batch-$batchId%05d"
+        val manifest = graft.operators.MultimodalOps.writeWetShards(
+          kept, "doc_id", "clean", dir, shards, date, maxShardBytes)
+        // driver-sized by the file-count bound; overwrite is
+        // idempotent on a replayed batch (deterministic content)
+        manifest.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/_manifest")
+        ()
+      }
 }

@@ -1567,6 +1567,50 @@ object ScaleProbe {
         graft.operators.MultimodalOps.warcRecordAt(
           warcDrop15, "doc_id", "bin", reqs16))
     }
+
+    // round 16: crawl-in → curated-WET-out as ONE restartable query —
+    // landed WET cells through the curation funnel, kept docs
+    // published as shard part FILES by the wetSink leg. The numbers:
+    // wall (must track the drop size), shuffle (the one shard
+    // exchange + dedup state), parts/bytes actually on disk.
+    if (only.forall(s"wetIngestLoop x$n".contains)) {
+      import spark.implicits._
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_wetloop").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_wetloop_out").toString
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.sources.WarcCodec.warcTypedBytes(Seq(
+            ("conversion", s"https://w.ex/d/$id",
+              "2026-06-01T00:00:00Z", "text/plain", text))),
+            new java.sql.Timestamp(
+              1718000000000L + (id % 86400L) * 1000L))
+        }.toDF("doc_id", "bin", "ts")
+        .write.mode("overwrite").parquet(feedDir)
+      val schema = spark.read.parquet(feedDir).schema
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.WetIngestStream.wetSink(
+          graft.streaming.WetIngestStream.curatedText(
+            spark.readStream.schema(schema).parquet(feedDir)),
+          s"$outDir/shards", shards = 16,
+          maxShardBytes = 4L * 1024 * 1024)
+        .option("checkpointLocation", s"$outDir/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 10000L)
+      val parts = java.nio.file.Files
+        .walk(java.nio.file.Path.of(outDir, "shards")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".warc"))
+      val written = parts.map(java.nio.file.Files.size).sum
+      println(f"[probe] wetIngestLoop x$n: $sec%.2f s, " +
+        f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB, " +
+        f"${parts.length} parts, ${written / 1048576.0}%.1f MiB written")
+    }
     spark.stop()
   }
 }

@@ -278,4 +278,117 @@ class ArchiveIngestStreamSpec extends AnyFunSuite {
       "http://w.ex/s" -> "short", "http://w.ex/late" -> "dup",
       "http://w.ex/fresh" -> "keep"), reasons.toString)
   }
+
+  test("crawl-in → curated-WET-out loop (round 16): the funnel's " +
+      "kept docs publish as WET shard files, exactly once across a " +
+      "checkpoint restart, replayed batch dirs stay byte-identical") {
+    import graft.operators.{CurationPipeline, MultimodalOps}
+    import graft.streaming.WetIngestStream
+    val textA = "alpha one two three four five six seven eight"
+    val textB = "bravo nine ten eleven twelve thirteen fourteen " +
+      "fifteen sixteen"
+    def wetOf(recs: (String, String)*): Array[Byte] =
+      graft.sources.WarcCodec.warcTypedBytes(
+        ("warcinfo", "", "2026-06-01T00:00:00Z",
+          "application/warc-fields", "software: graft-wet") +:
+        recs.map { case (uri, t) =>
+          ("conversion", uri, "2026-06-01T00:00:00Z", "text/plain", t)
+        }, recs.headOption.map(_._1).getOrElse(""))
+    def phaseRows(phase: Int)
+        : Seq[(String, Array[Byte], java.sql.Timestamp)] = phase match {
+      case 1 => Seq(
+        ("s-01", wetOf("http://ws.ex/a" -> textA,
+          "http://ws.ex/b" -> textA), ts0), // b dups a -> not kept
+        ("s-02", wetOf("http://ws.ex/s" -> "tiny doc"), ts0))
+      case _ =>
+        val ts1 = new java.sql.Timestamp(ts0.getTime + 60000L)
+        Seq(
+          ("s-03", wetOf("http://ws.ex/late" -> textA), ts1), // dup
+          ("s-04", wetOf("http://ws.ex/fresh" -> textB), ts1))
+    }
+    val src = Files.createTempDirectory("graft_wsnk_src").toString
+    val out = Files.createTempDirectory("graft_wsnk_out").toString
+    val schema = phaseRows(1).toDF("doc_id", "bin", "ts").schema
+    def writePhase(name: String, phase: Int, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_wsnk_tmp").toString
+      phaseRows(phase).toDF("doc_id", "bin", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Path.of(tmp)).toArray
+        .map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = Path.of(src, s"$name.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = WetIngestStream.wetSink(
+          WetIngestStream.curatedText(stream), s"$out/shards",
+          shards = 2, maxShardBytes = 4096L)
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000L), "WET sink did not finish")
+    }
+    def shardFiles(): Seq[Path] = {
+      val root = Path.of(out, "shards")
+      if (!Files.exists(root)) Nil
+      else Files.walk(root).toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.matches("wet-\\d{5}-\\d{5}\\.warc"))
+        .toSeq.sortBy(_.toString)
+    }
+    writePhase("p1", 1, 1000L)
+    run()
+    writePhase("p2", 2, 2000L)
+    run() // restart from the same checkpoint
+    // every kept doc is on disk exactly ONCE across all batch dirs
+    val onDisk = shardFiles().flatMap { p =>
+      graft.sources.WarcCodec.records(Files.readAllBytes(p))
+        .filter(_.warcType == "conversion") // skip part preambles
+        .map(r => r.targetUri -> new String(r.body, "UTF-8"))
+    }
+    val conv = WetIngestStream.conversionText(
+      (phaseRows(1) ++ phaseRows(2)).toDF("doc_id", "bin", "ts"))
+    val keptIds = CurationPipeline.batchVerdicts(conv, "doc_id", "text")
+      .filter(col("reason") === "keep").select(col("doc_id"))
+    val expected = CurationPipeline
+      .cleanProject(conv, "doc_id", "text")
+      .select(col("doc_id").cast("string").as("doc_id"), col("clean"))
+      .join(keptIds, Seq("doc_id"))
+      .as[(String, String)].collect().toSeq
+    assert(onDisk.sorted == expected.sorted,
+      s"disk/batch divergence:\n$onDisk\nvs\n$expected")
+    assert(onDisk.map(_._1).distinct.size == onDisk.size,
+      "a doc must land exactly once across batch dirs")
+    // a re-run with NO new files moves nothing
+    val before = shardFiles().map(p =>
+      p.toString -> Files.readAllBytes(p).toSeq).toMap
+    run()
+    val after = shardFiles().map(p =>
+      p.toString -> Files.readAllBytes(p).toSeq).toMap
+    assert(after == before, "an empty trigger must not rewrite files")
+    // replayed-batch simulation: a foreachBatch retry re-runs
+    // writeWetShards into the SAME batch dir; determinism + the
+    // first-writer-wins commit leave every placed file byte-identical
+    val batchDirs = Files.list(Path.of(out, "shards")).toArray
+      .map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.startsWith("batch-"))
+    assert(batchDirs.nonEmpty)
+    val replayDir = batchDirs.map(_.toString).min
+    // re-derive the replayed batch's kept docs from its OWN files
+    val replayDocs = shardFiles()
+      .filter(_.toString.startsWith(replayDir))
+      .flatMap(p => graft.sources.WarcCodec.records(
+        Files.readAllBytes(p))
+        .filter(_.warcType == "conversion")
+        .map(r => (r.targetUri, new String(r.body, "UTF-8"))))
+      .toDF("doc_id", "clean")
+    MultimodalOps.writeWetShards(replayDocs, "doc_id", "clean",
+      replayDir, shards = 2, maxShardBytes = 4096L)
+    val replayed = shardFiles().map(p =>
+      p.toString -> Files.readAllBytes(p).toSeq).toMap
+    assert(replayed == before,
+      "a replayed batch must leave placed files byte-identical")
+  }
 }
