@@ -726,6 +726,204 @@ object MultimodalOps {
         "date", "status", "mime", "body")
   }
 
+  /** Deterministic range sharding of a CDX index (round 16 — the
+    * SORTED sidecar export CC actually ships: cdx-SSSSS shards +
+    * the cluster.idx secondary index). `repartitionByRange` would
+    * give the right files but its boundaries come from reservoir
+    * SAMPLING — nondeterministic run-over-run and underivable by any
+    * other engine, so the export would not be reproducible. Instead
+    * boundaries come from a HIERARCHICAL EXACT HISTOGRAM over key
+    * prefixes: count by the first `depths(0)` chars (domain-bounded,
+    * driver-sized); any cell heavier than `total/shards` refines by
+    * two more chars, but ONLY hot cells do — each level holds at
+    * most `shards × charset²` cells, so every histogram is
+    * driver-sized at ANY corpus size. The leaf cells (prefix-free
+    * cover of the key space) split by cumulative count into `shards`
+    * contiguous ranges; rows join their deepest matching leaf via
+    * per-depth BROADCAST maps. Everything is exact integer
+    * arithmetic on counts — DuckDB re-derives the full assignment
+    * (oracle q466), and a re-run over the same rows lands every key
+    * in the same shard.
+    *
+    * Honest cap: a single max-depth cell heavier than `total/shards`
+    * cannot be split further (near-identical keys) — its shard runs
+    * over budget; size `depths` so keys diverge within the deepest
+    * prefix. Rows arriving at assignment whose prefix was never
+    * histogrammed (caller broke the same-frame contract) fall into
+    * the LAST shard and are counted on the `cdx_shard_fallback`
+    * observation rather than dropped.
+    *
+    * The keyed projection is cached for the histogram passes (the
+    * LSH-family session-lived cache policy — bench clears between
+    * runs); each level is one narrow aggregate over it. */
+  private def cdxAssigned(idx: DataFrame, shards: Int,
+                          depths: Seq[Int]): DataFrame = {
+    require(shards >= 1 && shards <= 4096, "shards in 1..4096")
+    require(depths.nonEmpty && depths.head >= 1 &&
+      depths.zip(depths.tail).forall { case (a, b) =>
+        b > a && b - a <= 2 },
+      "depths must ascend in steps of <= 2 (the step bounds each " +
+        "refinement level at charset^2 children per hot cell)")
+    val keyed = idx
+      .withColumn("__key", concat_ws(" ", col("urlkey"), col("ts")))
+      .persist()
+    val total = keyed.count()
+    // level-wise exact histograms: only HOT cells refine
+    val levels = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, Long]]
+    var hotPrev: Seq[String] = Nil
+    var li = 0
+    // stop early once nothing is hot: deeper levels would histogram
+    // nothing (every remaining cell is already a leaf)
+    while (li < depths.size && (li == 0 || hotPrev.nonEmpty)) {
+      val d = depths(li)
+      val base =
+        if (li == 0) keyed
+        else keyed.filter(
+          substring(col("__key"), 1, depths(li - 1))
+            .isin(hotPrev: _*))
+      val h = base.groupBy(substring(col("__key"), 1, d).as("p"))
+        .count().as[(String, Long)](org.apache.spark.sql.Encoders
+          .tuple(org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong))
+        .collect().toMap
+      levels += h
+      hotPrev = h.filter { case (_, c) => c * shards > total }
+        .keys.toSeq
+      li += 1
+    }
+    assignFromLeaves(keyed, shards,
+      CdxShardPlan.leaves(levels.toSeq, shards, total))
+  }
+
+  /** Broadcast-join the leaf table (deepest match wins) and tag each
+    * row with its shard. */
+  private def assignFromLeaves(keyed: DataFrame, shards: Int,
+      leaves: Seq[(String, Int)]): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    // leaves grouped by their ACTUAL length (short keys yield short
+    // prefixes); deepest length wins in the coalesce
+    val byLen = leaves.groupBy(_._1.length).toSeq.sortBy(-_._1)
+    val assigned = byLen.foldLeft(keyed) { case (df, (len, ls)) =>
+      val leafDf = ls.toDF("__pfx", s"__s$len")
+      df.join(broadcast(leafDf),
+        substring(col("__key"), 1, len) === col("__pfx"), "left")
+        .drop("__pfx")
+    }
+    val shardCols = byLen.map { case (len, _) => col(s"__s$len") }
+    assigned
+      .withColumn("__shard",
+        coalesce((shardCols :+ lit(null)): _*))
+      .observe("cdx_shard_fallback",
+        sum(when(col("__shard").isNull, 1L).otherwise(0L))
+          .as("fallback_rows"))
+      .withColumn("__shard",
+        coalesce(col("__shard"), lit(shards - 1)).cast("int"))
+      .drop(byLen.map { case (len, _) => s"__s$len" }: _*)
+  }
+
+  /** The in-cell stats twin of [[writeCdxShards]] (the oracle reads
+    * this): per shard, the record count and the first/last sort key
+    * — contiguous, non-overlapping ranges over `urlkey + " " + ts`.
+    * See [[cdxAssigned]] for the deterministic boundary
+    * construction. */
+  def cdxShards(idx: DataFrame, shards: Int,
+                depths: Seq[Int] = Seq(2, 4, 6, 8, 10, 12))
+      : DataFrame =
+    cdxAssigned(idx, shards, depths)
+      .groupBy(col("__shard").as("shard_id"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("__key")).as("first_key"),
+        max(col("__key")).as("last_key"))
+
+  /** The sorted CDX FILE export: `outDir/cdx-SSSSS` shard files in
+    * CDXJ-style lines (`urlkey ts {json}`) sorted by key within each
+    * shard — concatenating the shards in shard order yields the
+    * fully sorted index — plus the returned driver-sized manifest
+    * `(shard_id, first_key, n_records, file)`, the cluster.idx
+    * analog a reader binary-searches to pick its shard. One shuffle
+    * (repartition on the shard id; a hash collision putting two
+    * shards in one task just writes two files sequentially), rows
+    * sorted by Spark's spillable sort, each line streamed and
+    * dropped — nothing shard-sized in memory. Files commit
+    * write-temp-then-rename FIRST-WRITER-WINS (bytes are
+    * deterministic — [[cdxAssigned]]'s boundaries are exact, not
+    * sampled — so a speculative/retried attempt's file is identical
+    * and a replay can never truncate a placed shard). Runs EAGERLY
+    * and returns the manifest. */
+  def writeCdxShards(idx: DataFrame, outDir: String, shards: Int,
+                     depths: Seq[Int] = Seq(2, 4, 6, 8, 10, 12))
+      : DataFrame = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val dir = outDir
+    val rows = cdxAssigned(idx, shards, depths)
+      .select(col("__shard"), col("__key"), col("uri"), col("mime"),
+        col("status").cast("int").as("status"), col("digest"),
+        col("offset").cast("long").as("offset"),
+        col("length").cast("long").as("length"))
+      .repartition(shards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+      .as[(Int, String, String, String, Int, String, Long, Long)]
+    val manifest = rows.mapPartitions { it =>
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val out = scala.collection.mutable
+        .ArrayBuffer.empty[(Int, String, Long, String)]
+      var cur = -1
+      var os: java.io.OutputStream = null
+      var first: String = null
+      var n = 0L
+      def fileName(s: Int) = f"cdx-$s%05d"
+      def close(): Unit = if (os != null) {
+        os.close(); os = null
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(bcConf.value.value)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          fileName(cur) + s".inprogress-$attempt")
+        val fin = new org.apache.hadoop.fs.Path(dir, fileName(cur))
+        // first-writer-wins: deterministic bytes, see writeWetShards
+        if (fs.exists(fin)) fs.delete(tmp, false)
+        else if (!fs.rename(tmp, fin) && !fs.exists(fin))
+          throw new java.io.IOException(
+            s"writeCdxShards: rename $tmp -> $fin failed with no " +
+              "winner; failing the attempt so the task retries")
+        out += ((cur, first, n, fileName(cur)))
+      }
+      it.foreach { case (s, key, uri, mime, status, digest, off, len) =>
+        if (s != cur) {
+          close()
+          cur = s; first = key; n = 0L
+          val p = new org.apache.hadoop.fs.Path(dir,
+            fileName(s) + s".inprogress-$attempt")
+          os = p.getFileSystem(bcConf.value.value).create(p, true)
+        }
+        val json = "{\"url\":" + q(uri) + ",\"mime\":" + q(mime) +
+          ",\"status\":" + status + ",\"digest\":" + q(digest) +
+          ",\"offset\":" + off + ",\"length\":" + len + "}"
+        os.write((key + " " + json + "\n").getBytes("UTF-8"))
+        n += 1
+      }
+      close()
+      out.iterator
+    }.collect().toSeq
+    manifest.toDF("shard_id", "first_key", "n_records", "file")
+      .orderBy(col("shard_id"))
+  }
+
+  /** Minimal JSON string escape for the CDXJ line writer. */
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Shared column prep for the WET shard exports: null-URI rows
     * dropped (a WET record without a target is unaddressable), null
     * text → empty body, md5-bucket shard assignment, ONE shuffle
@@ -1381,5 +1579,40 @@ private[graft] object WetShardWriter {
       }
       close(shard, part, nRec, nChars, os)
     }
+  }
+}
+
+/** Driver-side boundary construction for the deterministic CDX range
+  * sharding ([[MultimodalOps.cdxShards]]) — a unit-testable seam,
+  * pure integer arithmetic so DuckDB re-derives it (oracle q466).
+  *
+  * Input: one exact histogram per refinement level (level `i` counts
+  * keys by their first `depths(i)` chars, restricted to the HOT
+  * cells of level `i-1` — hot = `count * shards > total`). Leaves =
+  * every non-hot cell, plus every cell of the deepest level (depth
+  * capped — the honest cap on near-identical keys). The leaf set is
+  * a prefix-free cover of the key space, so sorting the leaf
+  * prefixes orders them consistently with the underlying key order;
+  * leaf `shard = min(shards-1, cumBefore * shards / total)` in Long
+  * arithmetic. */
+private[graft] object CdxShardPlan {
+  def leaves(levels: Seq[Map[String, Long]], shards: Int,
+             total: Long): Seq[(String, Int)] = {
+    if (total <= 0L || levels.isEmpty) return Nil
+    val leafCells = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Long)]
+    levels.zipWithIndex.foreach { case (h, li) =>
+      val lastLevel = li == levels.size - 1
+      h.foreach { case (p, c) =>
+        if (lastLevel || c * shards <= total) leafCells += ((p, c))
+      }
+    }
+    val sorted = leafCells.sortBy(_._1)
+    var cum = 0L
+    sorted.map { case (p, c) =>
+      val s = math.min(shards - 1L, cum * shards / total).toInt
+      cum += c
+      (p, s)
+    }.toSeq
   }
 }

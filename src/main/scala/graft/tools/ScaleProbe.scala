@@ -1566,6 +1566,16 @@ object ScaleProbe {
       time(s"warcRecordAt x$n (1-in-500 lookups, broadcast)")(
         graft.operators.MultimodalOps.warcRecordAt(
           warcDrop15, "doc_id", "bin", reqs16))
+      // (e) round 16: deterministic sorted CDX sharding — the
+      // hierarchical exact histogram costs a handful of narrow
+      // aggregates at plan-build (each level bounded by
+      // shards x charset^2 cells, driver-sized at ANY corpus), then
+      // the assignment is broadcast joins + one stats aggregate;
+      // index rows only, the archive bytes never reach it
+      val idx16 = graft.operators.MultimodalOps.cdxIndex(
+        warcDrop15, "doc_id", "bin")
+      time(s"cdxShards x$n (16 shards, exact-histogram ranges)")(
+        graft.operators.MultimodalOps.cdxShards(idx16, 16))
     }
 
     // round 16: crawl-in → curated-WET-out as ONE restartable query —

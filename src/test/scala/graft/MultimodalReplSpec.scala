@@ -1054,6 +1054,129 @@ class MultimodalReplSpec extends AnyFunSuite {
       "unrequested archives drop before any decode")
   }
 
+  test("CdxShardPlan.leaves (round 16): exact-histogram boundaries " +
+      "— flat histograms split by cumulative count, hot cells refine " +
+      "into their children, the leaf cover is prefix-free and " +
+      "shard-monotone") {
+    import graft.operators.CdxShardPlan
+    // flat: 4 equal cells over 2 shards -> first two cells shard 0
+    val flat = CdxShardPlan.leaves(
+      Seq(Map("aa" -> 25L, "bb" -> 25L, "cc" -> 25L, "dd" -> 25L)),
+      shards = 2, total = 100L)
+    assert(flat == Seq(("aa", 0), ("bb", 0), ("cc", 1), ("dd", 1)))
+    // skew: "cc" holds 70% -> hot at level 0 (70*2 > 100), its
+    // children appear at level 1 and become the leaves; "cc" itself
+    // must NOT be a leaf
+    val skew = CdxShardPlan.leaves(
+      Seq(Map("aa" -> 20L, "cc" -> 70L, "zz" -> 10L),
+        Map("ccaa" -> 40L, "ccbb" -> 30L)),
+      shards = 2, total = 100L)
+    assert(!skew.exists(_._1 == "cc"))
+    assert(skew.map(_._1) == Seq("aa", "ccaa", "ccbb", "zz"))
+    // shards nondecreasing over the sorted leaves, capped at S-1
+    assert(skew.map(_._2) == skew.map(_._2).sorted)
+    assert(skew.last._2 == 1)
+    // a hot cell at the LAST level stays a leaf (the honest depth
+    // cap on near-identical keys)
+    val capped = CdxShardPlan.leaves(
+      Seq(Map("aa" -> 90L, "bb" -> 10L)), shards = 4, total = 100L)
+    assert(capped.map(_._1) == Seq("aa", "bb"))
+    // degenerate inputs
+    assert(CdxShardPlan.leaves(Nil, 4, 0L).isEmpty)
+    assert(CdxShardPlan.leaves(Seq(Map.empty[String, Long]), 4, 0L)
+      .isEmpty)
+  }
+
+  test("cdxShards (round 16): deterministic sorted range sharding — " +
+      "contiguous non-overlapping key ranges, skewed hosts refine " +
+      "and split, rerun lands every key in the same shard") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.sources.WarcCodec
+    val d = "2026-01-02T03:04:05Z"
+    // 60% .com with hosts diverging at the 5th urlkey char, 40% .org
+    val bin = (0L until 200L).map { id =>
+      val host =
+        if (id % 5 < 3) s"${('a' + (id % 17).toInt).toChar}x.com"
+        else s"${('a' + (id % 11).toInt).toChar}y.org"
+      (id, WarcCodec.warcBytes(Seq(
+        (s"https://$host/p/$id", d, "text/plain", s"body $id"))))
+    }.toDF("doc_id", "bin")
+    val idx = MultimodalOps.cdxIndex(bin, "doc_id", "bin")
+    val stats = MultimodalOps
+      .cdxShards(idx, shards = 4, depths = Seq(2, 4, 6))
+      .orderBy(col("shard_id")).collect()
+    assert(stats.map(_.getAs[Long]("n_records")).sum == 200L)
+    // ranges contiguous + non-overlapping: each shard's last key
+    // sorts strictly before the next shard's first key
+    val ordered = stats.map(r => (r.getAs[Int]("shard_id"),
+      r.getAs[String]("first_key"), r.getAs[String]("last_key")))
+    ordered.foreach { case (_, f, l) => assert(f <= l) }
+    ordered.sliding(2).foreach {
+      case Array((_, _, l1), (_, f2, _)) => assert(l1 < f2)
+      case _ => ()
+    }
+    // the hot "com,"/"org," cells refined: no shard holds everything
+    assert(stats.length >= 3,
+      s"refinement must split the skewed corpus: ${ordered.toSeq}")
+    assert(stats.map(_.getAs[Long]("n_records")).max < 200L)
+    // determinism: a second run assigns identically
+    val again = MultimodalOps
+      .cdxShards(idx, shards = 4, depths = Seq(2, 4, 6))
+      .orderBy(col("shard_id")).collect()
+    assert(again.map(_.toSeq).toSeq == stats.map(_.toSeq).toSeq)
+  }
+
+  test("writeCdxShards (round 16): sorted CDXJ shard files whose " +
+      "concatenation is the fully sorted index, a cluster.idx-style " +
+      "manifest, and a byte-identical replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.sources.WarcCodec
+    val d = "2026-01-02T03:04:05Z"
+    val bin = (0L until 120L).map { id =>
+      val host = s"${('a' + (id % 7).toInt).toChar}h.net"
+      (id, WarcCodec.warcBytes(Seq(
+        (s"https://$host/q/$id", d, "text/html", s"payload $id"))))
+    }.toDF("doc_id", "bin")
+    val idx = MultimodalOps.cdxIndex(bin, "doc_id", "bin")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cdx_shards").toString
+    val manifest = MultimodalOps
+      .writeCdxShards(idx, out, shards = 3, depths = Seq(2, 4))
+      .collect()
+    assert(manifest.map(_.getAs[Long]("n_records")).sum == 120L)
+    // every shard file: sorted lines, first line == manifest key
+    val perShard = manifest.map { m =>
+      val f = java.nio.file.Path.of(out, m.getAs[String]("file"))
+      val lines = new String(java.nio.file.Files.readAllBytes(f),
+        "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      assert(lines == lines.sorted, s"unsorted shard $f")
+      assert(lines.size.toLong == m.getAs[Long]("n_records"))
+      assert(lines.head.startsWith(m.getAs[String]("first_key")))
+      (m.getAs[Int]("shard_id"), lines)
+    }.sortBy(_._1)
+    // concatenation in shard order IS the fully sorted index, and
+    // every record appears exactly once
+    val all = perShard.flatMap(_._2).toSeq
+    assert(all == all.sorted, "shard concatenation must be sorted")
+    assert(all.size == 120 && all.distinct.size == 120)
+    // the CDXJ json carries the extent a reader needs
+    assert(all.head.contains("\"offset\":0") &&
+      all.head.contains("\"length\":"))
+    // replay: writing again into the same dir is byte-identical
+    // (deterministic boundaries + first-writer-wins commit)
+    val before = manifest.map(m => m.getAs[String]("file") ->
+      java.nio.file.Files.readAllBytes(java.nio.file.Path.of(
+        out, m.getAs[String]("file"))).toSeq).toMap
+    MultimodalOps.writeCdxShards(idx, out, shards = 3,
+      depths = Seq(2, 4))
+    val after = before.keys.map(f => f ->
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Path.of(out, f)).toSeq).toMap
+    assert(after == before, "replay must leave files byte-identical")
+  }
+
   test("warc -> html -> text: the crawl pipeline chains end-to-end") {
     import graft.operators.TextAnalysisOps
     import graft.sources.WarcCodec
