@@ -737,9 +737,13 @@ object MultimodalOps {
     * driver-sized); any cell heavier than `total/shards` refines by
     * two more chars, but ONLY hot cells do — each level holds at
     * most `shards × charset²` cells, so every histogram is
-    * driver-sized at ANY corpus size. The leaf cells (prefix-free
-    * cover of the key space) split by cumulative count into `shards`
-    * contiguous ranges; rows join their deepest matching leaf via
+    * driver-sized at ANY corpus size. The leaf cells — a cover of
+    * the key space in which cells nest only as exact SHORT KEYS (a
+    * cell shorter than its level's depth holds only keys equal to
+    * its own string), so sorting cells by string orders them
+    * consistently with the keys — split by cumulative count into
+    * `shards` contiguous ranges; rows join their deepest matching
+    * leaf via
     * per-depth BROADCAST maps. Everything is exact integer
     * arithmetic on counts — DuckDB re-derives the full assignment
     * (oracle q466), and a re-run over the same rows lands every key
@@ -1590,9 +1594,12 @@ private[graft] object WetShardWriter {
   * keys by their first `depths(i)` chars, restricted to the HOT
   * cells of level `i-1` — hot = `count * shards > total`). Leaves =
   * every non-hot cell, plus every cell of the deepest level (depth
-  * capped — the honest cap on near-identical keys). The leaf set is
-  * a prefix-free cover of the key space, so sorting the leaf
-  * prefixes orders them consistently with the underlying key order;
+  * capped — the honest cap on near-identical keys). The leaf set
+  * covers the key space; a leaf can be a PREFIX of another leaf only
+  * when it is an exact short key (a cell shorter than its level's
+  * depth holds only keys equal to its own string — `take(d)` of any
+  * longer key is longer), so sorting the leaf prefixes still orders
+  * them consistently with the underlying key order (property-swept);
   * leaf `shard = min(shards-1, cumBefore * shards / total)` in Long
   * arithmetic. */
 private[graft] object CdxShardPlan {

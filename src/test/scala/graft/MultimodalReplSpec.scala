@@ -1056,7 +1056,7 @@ class MultimodalReplSpec extends AnyFunSuite {
 
   test("CdxShardPlan.leaves (round 16): exact-histogram boundaries " +
       "— flat histograms split by cumulative count, hot cells refine " +
-      "into their children, the leaf cover is prefix-free and " +
+      "into their children, the leaf cover is order-consistent and " +
       "shard-monotone") {
     import graft.operators.CdxShardPlan
     // flat: 4 equal cells over 2 shards -> first two cells shard 0

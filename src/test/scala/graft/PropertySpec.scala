@@ -308,4 +308,79 @@ class PropertySpec extends AnyFunSuite {
         tiles && bounded && numbering && distinct && preambles
     })
   }
+
+  test("CdxShardPlan.leaves (round 16): for random key multisets the " +
+      "leaf cover is exhaustive and order-consistent (nesting only " +
+      "as exact short keys), deepest-match assignment yields " +
+      "contiguous non-overlapping shard ranges, counts conserved") {
+    import graft.operators.CdxShardPlan
+    val genKey = for {
+      n <- Gen.chooseNum(1, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genCorpus = for {
+      n <- Gen.chooseNum(1, 120)
+      ks <- Gen.listOfN(n, genKey)
+      s <- Gen.chooseNum(1, 6)
+    } yield (ks, s)
+    val depths = Seq(2, 4, 6)
+    check("cdx leaves")(Prop.forAll(genCorpus) { case (keys, shards) =>
+      val total = keys.size.toLong
+      // build the level histograms exactly as cdxAssigned does
+      var hot: Set[String] = Set.empty
+      val levels = scala.collection.mutable
+        .ArrayBuffer.empty[Map[String, Long]]
+      var li = 0
+      while (li < depths.size && (li == 0 || hot.nonEmpty)) {
+        val d = depths(li)
+        val base = if (li == 0) keys
+          else keys.filter(k =>
+            hot.contains(k.take(depths(li - 1))))
+        val h = base.groupBy(_.take(d))
+          .map { case (p, g) => p -> g.size.toLong }
+        levels += h
+        hot = h.filter { case (_, c) => c * shards > total }.keySet
+        li += 1
+      }
+      val leaves = CdxShardPlan.leaves(levels.toSeq, shards, total)
+      // (1) nesting discipline: cells may nest ONLY as exact short
+      // keys — when leaf p is a proper prefix of leaf q, every key
+      // deepest-matching p must BE p itself (a short cell holds only
+      // keys equal to its own string), which is what keeps plain
+      // string-sorting of the cells consistent with the key order
+      val nestOk = leaves.forall { case (p, _) =>
+        val hasExt = leaves.exists { case (q, _) =>
+          q != p && q.startsWith(p) }
+        !hasExt || keys.filter { k =>
+          val deepest = leaves
+            .filter { case (c, _) => k.take(c.length) == c }
+            .map(_._1.length).maxOption.getOrElse(-1)
+          k.take(p.length) == p && deepest == p.length
+        }.forall(_ == p)
+      }
+      // (2) every key matches exactly one leaf by deepest-match
+      def shardOf(k: String): Option[Int] =
+        leaves.filter { case (p, _) => k.take(p.length) == p }
+          .sortBy { case (p, _) => -p.length }
+          .headOption.map(_._2)
+      val assigned = keys.map(k => k -> shardOf(k))
+      val covered = assigned.forall(_._2.isDefined)
+      // (3) contiguous non-overlapping ranges in key order
+      val byShard = assigned.collect { case (k, Some(s)) => (s, k) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val ids = byShard.keys.toSeq.sorted
+      val ranges = ids.map(s => (byShard(s).min, byShard(s).max))
+      val ordered = ranges.sliding(2).forall {
+        case Seq((_, l1), (f2, _)) => l1 <= f2
+        case _ => true
+      }
+      val inBounds = ids.forall(s => s >= 0 && s < shards)
+      // (4) count conservation through the leaf table
+      val leafSum = {
+        val cells = leaves.map(_._1).toSet
+        keys.forall(k => cells.exists(p => k.take(p.length) == p))
+      }
+      nestOk && covered && ordered && inBounds && leafSum
+    })
+  }
 }
