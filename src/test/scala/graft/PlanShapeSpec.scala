@@ -755,6 +755,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q460 resolves via the keyed aggregate, never a self-join:\n$pr")
     assert(pr.split("Scan parquet").length <= 2,
       s"q460 must scan (and parse) the archive column ONCE:\n$pr")
+    // round 16: q460's per-URI revisit buffer is BOUNDED — the house
+    // skew rule, no unbounded list aggregate in the plan
+    assert(pr.contains("bounded_top_n") && !pr.contains("collect_list"),
+      s"q460's revisit buffer must ride bounded_top_n:\n$pr")
+  }
+
+  test("q465/q466 (round 16): the CDX consumption leg broadcasts its " +
+      "lookups; the sorted-shard plan assigns via broadcast leaf " +
+      "joins — never a sort-merge join or cartesian, archive bytes " +
+      "never shuffle") {
+    // q465: index → requests (small) → broadcast join back to the
+    // archives; the only non-broadcast exchange is the presentation
+    // sort
+    val p5 = plan("q465_cdx_random_access")
+    assert(p5.contains("BroadcastHashJoin"),
+      s"q465's lookups must broadcast:\n$p5")
+    assert(!p5.contains("SortMergeJoin") &&
+      !p5.contains("CartesianProduct"),
+      s"q465 must never shuffle the archive side:\n$p5")
+    // q466: every leaf join is a broadcast; stats are one aggregate
+    val p6 = plan("q466_cdx_sorted_shards")
+    assert(p6.contains("BroadcastHashJoin") ||
+      p6.contains("BroadcastNestedLoopJoin"),
+      s"q466's leaf assignment must broadcast:\n$p6")
+    assert(!p6.contains("SortMergeJoin") &&
+      !p6.contains("CartesianProduct") && !p6.contains("Window"),
+      s"q466 must stay broadcast joins + one aggregate:\n$p6")
   }
 
   test("q386: hubness is ONE map-side-combined doc aggregate on top " +
