@@ -6,15 +6,23 @@ import java.nio.{ByteBuffer, ByteOrder}
   * multimodal family (PNG/GIF/JPEG images, WAV audio, WARC archives,
   * and now AVI). Scope: uncompressed 8-bit grayscale DIB frames in
   * `00db` chunks — the honest uncompressed-container baseline (as WAV
-  * is for audio); inter-frame codecs (`00dc` compressed chunks) would
-  * need real codec tables and stay out of scope, reported as
-  * undecodable. The RIFF walk matches [[AudioCodecs.parseWav]]'s
-  * discipline: bounds-checked chunk lengths, word-aligned skips,
-  * malformed containers return None (never throw).
+  * is for audio) — and, round 16, MJPEG `00dc` frames: Motion JPEG
+  * is the one compressed video codec whose frames are plain
+  * INTRA-coded JPEGs (webcam/screen-capture dumps ship it
+  * constantly), so each chunk routes through the existing
+  * [[JpegCodec]] and the luma plane (native component 0) becomes the
+  * 8-bit grayscale frame — no new codec tables. The stream header
+  * (`strh` fccType `vids`) must DECLARE `MJPG`; `00dc` under any
+  * other fourcc (inter-frame codecs — real codec tables) stays out
+  * of scope, reported as undecodable. The RIFF walk matches
+  * [[AudioCodecs.parseWav]]'s discipline: bounds-checked chunk
+  * lengths, word-aligned skips, malformed containers return None
+  * (never throw).
   *
   * Layout parsed (public AVI RIFF spec): `RIFF('AVI ' LIST('hdrl'
-  * avih(56-byte main header)) LIST('movi' '00db'*))`; the writer
-  * emits exactly that, so roundtrips are bit-exact.
+  * avih(56-byte main header) LIST('strl' strh strf…)) LIST('movi'
+  * ('00db'|'00dc')*))`; the writers emit exactly those layouts, so
+  * roundtrips are bit-exact.
   */
 object VideoCodecs {
 
@@ -45,7 +53,9 @@ object VideoCodecs {
     var width = 0
     var height = 0
     var declared = -1
+    var vidsHandler = "" // fccHandler of the FIRST 'vids' stream
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val mjpeg = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     def walk(start: Int, end: Int): Boolean = {
       var off = start
       while (off + 8 <= end) {
@@ -56,7 +66,8 @@ object VideoCodecs {
           case "LIST" =>
             if (clen < 4) return false
             val ltype = tag(b, off + 8)
-            if (ltype == "hdrl" || ltype == "movi") {
+            if (ltype == "hdrl" || ltype == "movi" ||
+                ltype == "strl") {
               if (!walk(off + 12, off + 8 + clen)) return false
             }
           case "avih" =>
@@ -64,18 +75,58 @@ object VideoCodecs {
             declared = le32(b, off + 8 + 16)
             width = le32(b, off + 8 + 32)
             height = le32(b, off + 8 + 36)
+          case "strh" =>
+            // AVISTREAMHEADER: fccType[4] fccHandler[4] ... — the
+            // codec declaration the 00dc arm dispatches on
+            if (clen >= 8 && tag(b, off + 8) == "vids" &&
+                vidsHandler.isEmpty)
+              vidsHandler = tag(b, off + 12)
           case "00db" =>
             frames += java.util.Arrays.copyOfRange(b, off + 8,
               off + 8 + clen)
-          case _ => () // strl/idx1/JUNK etc. skipped
+          case "00dc" =>
+            mjpeg += java.util.Arrays.copyOfRange(b, off + 8,
+              off + 8 + clen)
+          case _ => () // strf/idx1/JUNK etc. skipped
         }
         off += 8 + clen + (clen & 1) // word alignment
       }
       true
     }
     if (!walk(12, b.length)) return None
-    if (width <= 0 || height <= 0 || frames.isEmpty) return None
+    if (width <= 0 || height <= 0) return None
     if (width > MaxDimension || height > MaxDimension) return None
+    if (frames.nonEmpty && mjpeg.nonEmpty) return None // mixed: malformed
+    if (mjpeg.nonEmpty) {
+      // compressed frames: ONLY a declared-MJPG stream decodes (each
+      // chunk is an intra-coded JPEG); any other fourcc is an honest
+      // out-of-scope codec
+      if (!vidsHandler.equalsIgnoreCase("MJPG")) return None
+      var fi = 0
+      while (fi < mjpeg.length) {
+        JpegCodec.decode(mjpeg(fi)) match {
+          case Some(img)
+              if img.width == width && img.height == height =>
+            // grayscale = the luma plane: decode yields NATIVE
+            // component samples (Y or YCbCr), so channel 0 is Y
+            // either way
+            val gray =
+              if (img.channels == 1) img.pixels
+              else {
+                val g = new Array[Byte](width * height)
+                var i = 0
+                while (i < g.length) {
+                  g(i) = img.pixels(i * img.channels); i += 1
+                }
+                g
+              }
+            frames += gray
+          case _ => return None
+        }
+        fi += 1
+      }
+    }
+    if (frames.isEmpty) return None
     if (frames.exists(_.length.toLong != width.toLong * height))
       return None
     if (declared >= 0 && declared != frames.length) return None
@@ -118,6 +169,61 @@ object VideoCodecs {
       }
       if (pad == 1) bb.put(0.toByte)
       f += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic MJPEG-in-AVI writer — the `00dc` twin of
+    * [[aviBytes]]: each frame is a grayscale DC-only JPEG
+    * ([[JpegCodec.encodeDcOnly]] — every 8×8 block uniformly
+    * `dc(frame, blockIdx) + 128`), the stream declared through a
+    * `LIST('strl' strh(fccType `vids`, fccHandler `MJPG`)
+    * strf(BITMAPINFOHEADER, biCompression `MJPG`))` header exactly
+    * as real MJPEG emitters do. Width/height must be multiples of 8
+    * (the DC-only encoder's grid). */
+  def aviMjpegBytes(width: Int, height: Int, nFrames: Int,
+                    quantVal: Int = 8)
+                   (dc: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "positive dims")
+    require(width % 8 == 0 && height % 8 == 0,
+      "dimensions must be multiples of 8 (DC-only JPEG grid)")
+    val encoded = (0 until nFrames).map { f =>
+      JpegCodec.encodeDcOnly(width, height, 1, quantVal)(
+        (blk, _) => dc(f, blk))
+    }
+    val strlLen = 4 + (8 + 56) + (8 + 40)
+    val hdrlLen = 4 + 8 + 56 + 8 + strlLen
+    val moviLen = 4 + encoded.map(e => 8 + e.length + (e.length & 1)).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = ByteBuffer.allocate(8 + riffLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def put4(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    put4("RIFF"); bb.putInt(riffLen); put4("AVI ")
+    put4("LIST"); bb.putInt(hdrlLen); put4("hdrl")
+    put4("avih"); bb.putInt(56)
+    bb.putInt(33333).putInt(0).putInt(0).putInt(0).putInt(nFrames)
+      .putInt(0).putInt(1).putInt(0).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    put4("LIST"); bb.putInt(strlLen); put4("strl")
+    // AVISTREAMHEADER (56 bytes): fccType, fccHandler, flags, prio/
+    // lang, initialFrames, scale, rate, start, length, bufSize,
+    // quality, sampleSize, rcFrame(4×u16 as 2 ints)
+    put4("strh"); bb.putInt(56)
+    put4("vids"); put4("MJPG")
+    bb.putInt(0).putInt(0).putInt(0).putInt(1).putInt(30)
+      .putInt(0).putInt(nFrames).putInt(0).putInt(0).putInt(0)
+      .putInt(0).putInt(0)
+    // BITMAPINFOHEADER (40 bytes) with biCompression = 'MJPG'
+    put4("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(width).putInt(height)
+    bb.putShort(1.toShort).putShort(24.toShort)
+    put4("MJPG")
+    bb.putInt(width * height * 3).putInt(0).putInt(0)
+      .putInt(0).putInt(0)
+    put4("LIST"); bb.putInt(moviLen); put4("movi")
+    encoded.foreach { e =>
+      put4("00dc"); bb.putInt(e.length); bb.put(e)
+      if ((e.length & 1) == 1) bb.put(0.toByte)
     }
     bb.array()
   }

@@ -273,6 +273,21 @@ class CodecFuzzSpec extends AnyFunSuite {
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
   }
 
+  test("AVI parser (uncompressed 00db + MJPEG 00dc layouts) survives " +
+      "seeded corruptions without throwing") {
+    import graft.operators.VideoCodecs
+    val db = VideoCodecs.aviBytes(8, 6, 4)((f, x, y) =>
+      (f * 13 + x * 3 + y * 5) % 256)
+    sweep("avi.00db", db, 2020)(
+      "parseAvi" -> ((b: Array[Byte]) => VideoCodecs.parseAvi(b)))
+    // round 16: corruption landing in the strh/strf declaration, the
+    // JPEG payloads, and the chunk headers that route to them
+    val dc = VideoCodecs.aviMjpegBytes(16, 8, 3)((f, blk) =>
+      f * 5 + blk * 3 - 7)
+    sweep("avi.mjpeg", dc, 2121)(
+      "parseAvi" -> ((b: Array[Byte]) => VideoCodecs.parseAvi(b)))
+  }
+
   test("7z parser survives seeded corruptions without throwing") {
     import graft.sources.SevenZCodec
     val bytes = SevenZCodec.sevenZBytes(Seq(

@@ -5082,6 +5082,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.VideoCodecs.parseAvi(hostile).isEmpty)
   }
 
+  test("AVI MJPEG (round 16): declared-MJPG 00dc frames decode " +
+      "through JpegCodec to the luma plane; other fourccs stay " +
+      "honestly undecodable; corrupt frames and mixed db/dc reject") {
+    import graft.operators.VideoCodecs
+    // 16x8 = two 8x8 blocks per frame, 3 frames; block blk of frame
+    // f is uniformly dc(f, blk) + 128 by the DC-only contract
+    val bytes = VideoCodecs.aviMjpegBytes(16, 8, 3)(
+      (f, blk) => f * 7 + blk * 3 - 10)
+    val v = VideoCodecs.parseAvi(bytes).get
+    assert(v.width == 16 && v.height == 8 && v.nFrames == 3)
+    for (f <- 0 until 3; blk <- 0 until 2) {
+      val px = v.frames(f)(blk * 8) & 0xff // first pixel of block blk
+      assert(px == f * 7 + blk * 3 - 10 + 128, s"f=$f blk=$blk")
+    }
+    // the fourcc GATE: same container, handler rewritten to a codec
+    // we cannot decode -> honest None (both strh and the frames are
+    // intact; only the declaration changed)
+    def patch(tagFrom: String, tagTo: String): Array[Byte] = {
+      val c = bytes.clone()
+      val i = new String(c, "ISO-8859-1").indexOf(tagFrom)
+      assert(i > 0)
+      tagTo.getBytes("US-ASCII").copyToArray(c, i)
+      c
+    }
+    assert(VideoCodecs.parseAvi(patch("MJPG", "H264")).isEmpty)
+    // corrupting a JPEG frame payload rejects the container (the
+    // codec-family None contract, never a throw); the first 00dc
+    // payload starts after the movi LIST header — find and break it
+    val s = new String(bytes, "ISO-8859-1")
+    val dcOff = s.indexOf("00dc")
+    val corrupt = bytes.clone()
+    corrupt(dcOff + 8 + 2) = 0x33 // inside SOI/DQT region
+    assert(VideoCodecs.parseAvi(corrupt).isEmpty)
+    // a 00db frame spliced into an MJPEG container -> mixed -> None
+    // (build by renaming the 00dc tag of frame 0 only)
+    val mixed = bytes.clone()
+    "00db".getBytes("US-ASCII").copyToArray(mixed, dcOff)
+    assert(VideoCodecs.parseAvi(mixed).isEmpty)
+    // frame-dimension mismatch: encode frames at 8x8 under a 16x8
+    // header via a size patch -> None
+    val wrongDim = VideoCodecs.aviMjpegBytes(8, 8, 1)((_, _) => 5)
+    val wd = wrongDim.clone()
+    // avih width field (payload + 32); header claims 16, frames are 8
+    wd(32 + 32) = 16
+    assert(VideoCodecs.parseAvi(wd).isEmpty)
+    // videoFrameSample rides the same parse: MJPEG containers now
+    // sample like uncompressed ones
+    val media = Seq((9L, bytes)).toDF("doc_id", "media")
+    val rows = graft.operators.MultimodalOps
+      .videoFrameSample(media, "doc_id", "media", every = 2)
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("decoded")))
+    // exact pixel stats: frame f is block-flat, so
+    // sum = 64*(dc(f,0)+128) + 64*(dc(f,1)+128)
+    val byF = rows.map(r => r.getAs[Int]("frame_idx") ->
+      r.getAs[Long]("pix_sum")).toMap
+    assert(byF(0) == 64L * (0 * 7 + 0 * 3 - 10 + 128) +
+      64L * (0 * 7 + 1 * 3 - 10 + 128))
+  }
+
   test("videoFrameSample takes every Nth frame with exact pixel stats") {
     val media = Seq(
       (1L, graft.operators.VideoCodecs.aviBytes(2, 2, 9)(
