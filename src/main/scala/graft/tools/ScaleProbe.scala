@@ -1576,6 +1576,18 @@ object ScaleProbe {
         warcDrop15, "doc_id", "bin")
       time(s"cdxShards x$n (16 shards, exact-histogram ranges)")(
         graft.operators.MultimodalOps.cdxShards(idx16, 16))
+      // (f) round 16: MJPEG decode throughput — per-row scan CPU
+      // (encode fixtures + JpegCodec per frame), zero shuffle beyond
+      // the presentation-free noop sink
+      val mjpegDrop = docs15.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.operators.VideoCodecs.aviMjpegBytes(16, 8,
+            (id % 4 + 2).toInt)((f, blk) =>
+            (((id * 3 + f * 11 + blk * 17) % 200) - 100).toInt))
+        }.toDF("doc_id", "media")
+      time(s"videoFrameSample x$n (MJPEG 00dc)")(
+        graft.operators.MultimodalOps.videoFrameSample(
+          mjpegDrop, "doc_id", "media", every = 2))
     }
 
     // round 16: crawl-in → curated-WET-out as ONE restartable query —
