@@ -636,24 +636,28 @@ object MultimodalOps {
     * sorted index; ports/userinfo pass through with the host segment
     * they ride, path+query verbatim), the 14-digit CDX timestamp, the
     * mime/status, an MD5 content digest, and the record's byte extent
-    * from [[graft.sources.WarcCodec.index]] (offsets address the
-    * DECOMPRESSED stream — CC's own cdx offsets address compressed
-    * members, a semantic that needs a seekable compressed store and
-    * is documented out of scope for a byte-cell codec).
+    * from [[graft.sources.WarcCodec.index]]. Addressing (round 16):
+    * by default offsets address the DECOMPRESSED stream (the
+    * in-memory model); `compressed = true` emits Common Crawl's OWN
+    * semantic instead — each extent spans one gzip MEMBER of a
+    * member-per-record `.warc.gz` ([[graft.sources.WarcCodec
+    * .indexGz]]), the range a reader actually requests from the
+    * store before inflating just that member.
     *
     * Scale shape: one flatMap — archive bytes die in the scan task,
     * and the body survives only long enough to digest in the same
     * projection; nothing body-sized shuffles. Sorting/sharding the
     * index is the caller's compose (repartitionByRange on urlkey for
     * the sorted-index layout, or toWetShards' md5-bucket rule). */
-  def cdxIndex(media: DataFrame, idCol: String,
-               binCol: String): DataFrame = {
+  def cdxIndex(media: DataFrame, idCol: String, binCol: String,
+               compressed: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val recs = media.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        graft.sources.WarcCodec.index(bytes).zipWithIndex.collect {
+        (if (compressed) graft.sources.WarcCodec.indexGz(bytes)
+         else graft.sources.WarcCodec.index(bytes)).zipWithIndex.collect {
           case (ir, i) if ir.record.targetUri.nonEmpty =>
             (id, i, ir.record.warcType, ir.record.targetUri,
               ir.record.date, ir.record.httpStatus,
@@ -684,6 +688,9 @@ object MultimodalOps {
     * all-null `found = false` row when the extent doesn't slice to a
     * single complete record — a stale index against a rewritten
     * archive surfaces instead of returning wrong bytes).
+    * `compressed = true` consumes [[cdxIndex]]'s compressed-member
+    * extents instead (CC's addressing): the extent slices one gzip
+    * member of the compressed bytes and only THAT member inflates.
     *
     * Scale shape: lookups are the SMALL side by construction (a CDX
     * exists so a pipeline fetches few records out of huge archives),
@@ -696,7 +703,8 @@ object MultimodalOps {
     * with millions of extents per archive is doing a full walk and
     * should call [[warcRecords]]). */
   def warcRecordAt(media: DataFrame, idCol: String, binCol: String,
-                   requests: DataFrame): DataFrame = {
+                   requests: DataFrame,
+                   compressed: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val reqs = requests
@@ -712,7 +720,8 @@ object MultimodalOps {
       .as[(Long, Array[Byte], Seq[(Long, Long)])]
       .flatMap { case (id, bin, exts) =>
         exts.map { case (o, l) =>
-          graft.sources.WarcCodec.readAt(bin, o, l) match {
+          (if (compressed) graft.sources.WarcCodec.readAtGz(bin, o, l)
+           else graft.sources.WarcCodec.readAt(bin, o, l)) match {
             case Some(r) => (id, o, l, true, r.warcType, r.targetUri,
               r.date, r.httpStatus, r.contentType, r.body)
             case None => (id, o, l, false, null.asInstanceOf[String],

@@ -148,6 +148,127 @@ object WarcCodec {
     }
   }
 
+  /** One gzip MEMBER at `off`: the inflated bytes and the member's
+    * exact compressed length. Hand-walked (RFC 1952 header: magic,
+    * CM 8, FLG-driven FEXTRA/FNAME/FCOMMENT/FHCRC fields, then the
+    * raw-deflate stream via `Inflater(nowrap)` — whose
+    * `getBytesRead` is the EXACT compressed-deflate length, no
+    * library read-ahead ambiguity — then the 8-byte CRC32/ISIZE
+    * trailer, both verified). None on malformation or output past
+    * `maxOut`. */
+  private def gzMemberAt(b: Array[Byte], off: Int,
+                         maxOut: Long): Option[(Array[Byte], Int)] = {
+    if (off + 18 > b.length) return None // header 10 + trailer 8 min
+    if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+        (b(off + 2) & 0xff) != 8) return None
+    val flg = b(off + 3) & 0xff
+    if ((flg & 0xe0) != 0) return None // reserved bits
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > b.length) return None
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    def skipNulTerminated(): Boolean = {
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) false else { p += 1; true }
+    }
+    if ((flg & 8) != 0 && !skipNulTerminated()) return None  // FNAME
+    if ((flg & 16) != 0 && !skipNulTerminated()) return None // FCOMMENT
+    if ((flg & 2) != 0) p += 2                               // FHCRC
+    if (p >= b.length) return None
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, b.length - p)
+      val cap = math.min(maxOut, Int.MaxValue - 16L).toInt
+      var out = new Array[Byte](math.min(cap, 64 * 1024))
+      var len = 0
+      while (!inf.finished()) {
+        if (len == out.length) {
+          if (len >= cap) return None // inflating past the bound
+          out = java.util.Arrays.copyOf(out,
+            math.min(cap.toLong, out.length * 2L).toInt)
+        }
+        val n = inf.inflate(out, len, out.length - len)
+        if (n == 0 && !inf.finished()) return None // truncated/needs-dict
+        len += n
+      }
+      val deflateLen = inf.getBytesRead.toInt
+      val tOff = p + deflateLen
+      if (tOff + 8 > b.length) return None
+      val crc = new java.util.zip.CRC32(); crc.update(out, 0, len)
+      val wantCrc = (b(tOff) & 0xffL) | ((b(tOff + 1) & 0xffL) << 8) |
+        ((b(tOff + 2) & 0xffL) << 16) | ((b(tOff + 3) & 0xffL) << 24)
+      val wantLen = (b(tOff + 4) & 0xffL) |
+        ((b(tOff + 5) & 0xffL) << 8) | ((b(tOff + 6) & 0xffL) << 16) |
+        ((b(tOff + 7) & 0xffL) << 24)
+      if (crc.getValue != wantCrc ||
+          (len.toLong & 0xffffffffL) != wantLen) return None
+      Some((java.util.Arrays.copyOf(out, len), tOff + 8 - off))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** CDX index with COMPRESSED extents over a member-per-record
+    * `.warc.gz` stream — Common Crawl's OWN addressing semantic:
+    * each row's (offset, length) spans one gzip MEMBER of the
+    * compressed bytes, so a reader range-requests `length` bytes
+    * from the store and inflates just that member, never the
+    * archive ([[index]]'s extents address the DECOMPRESSED stream
+    * instead — the in-memory model). One pass: members walk in
+    * order, each inflated once, cumulative output bounded by
+    * `maxInflateBytes`. A member may carry several records (CC
+    * writes exactly one); each record row carries its member's
+    * extent. Empty on non-gzip input, any malformed member, or
+    * trailing garbage — a partial index would silently lose records. */
+  def indexGz(bIn: Array[Byte],
+              maxInflateBytes: Long = 1L << 30): Seq[IndexedRecord] = {
+    if (bIn == null || !GzipCodec.sniff(bIn)) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[IndexedRecord]
+    var off = 0
+    var budget = maxInflateBytes
+    while (off < bIn.length) {
+      gzMemberAt(bIn, off, budget) match {
+        case Some((plain, memberLen)) =>
+          budget -= plain.length
+          val recs = index(plain)
+          // the member must be wholly records (its extent is the
+          // fetch unit — unaccounted member bytes would be lost)
+          if (recs.isEmpty ||
+              recs.map(_.length).sum != plain.length.toLong) return Nil
+          recs.foreach { ir =>
+            out += IndexedRecord(ir.record, off.toLong,
+              memberLen.toLong)
+          }
+          off += memberLen
+        case None => return Nil
+      }
+    }
+    out.toSeq
+  }
+
+  /** The compressed-extent twin of [[readAt]] — consume an
+    * [[indexGz]] row: slice `[offset, offset+length)` of the
+    * COMPRESSED stream, inflate exactly that one member, and parse
+    * exactly ONE record filling it. A member holding several records
+    * is ambiguous for a single-record fetch → None, like every
+    * stale-extent case (never another record's bytes). */
+  def readAtGz(bIn: Array[Byte], offset: Long, length: Long,
+               maxInflateBytes: Long = 1L << 30): Option[WarcRecord] = {
+    if (bIn == null || offset < 0 || length <= 0) return None
+    if (length > bIn.length || offset > bIn.length - length) return None
+    gzMemberAt(bIn, offset.toInt, maxInflateBytes) match {
+      case Some((plain, memberLen)) if memberLen.toLong == length =>
+        index(plain) match {
+          case Seq(one) if one.offset == 0L &&
+              one.length == plain.length.toLong => Some(one.record)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** [[records]] with byte extents — the CDX-index walk (Common
     * Crawl ships cdx files so pipelines can random-access WARC
     * records; [[graft.operators.MultimodalOps.cdxIndex]] is the

@@ -1008,6 +1008,82 @@ class MultimodalReplSpec extends AnyFunSuite {
     assert(WarcCodec.readAt(bytes, Long.MaxValue - 5, 10L).isEmpty)
   }
 
+  test("WarcCodec.indexGz/readAtGz (round 16): COMPRESSED extents — " +
+      "CC's own addressing: member extents tile the gzip stream " +
+      "exactly, each fetches its record by inflating one member, " +
+      "optional header fields parse, stale extents are None") {
+    import graft.sources.WarcCodec
+    val d = "2026-03-04T05:06:07Z"
+    val recs = Seq(
+      ("http://gz.ex/a", d, "text/plain", "alpha body"),
+      ("http://gz.ex/b", d, "text/html", "<p>beta</p>"),
+      ("http://gz.ex/c", d, "text/plain", "gamma third"))
+    val gz = WarcCodec.warcGzBytes(recs)
+    val idx = WarcCodec.indexGz(gz)
+    assert(idx.length == 3)
+    // compressed extents tile the stream: cumulative, gap-free
+    assert(idx.head.offset == 0L)
+    assert(idx.map(_.length).sum == gz.length.toLong)
+    idx.sliding(2).foreach {
+      case Seq(a2, b2) => assert(a2.offset + a2.length == b2.offset)
+      case _ => ()
+    }
+    // each extent fetches its record by inflating ONE member
+    idx.foreach { ir =>
+      val got = WarcCodec.readAtGz(gz, ir.offset, ir.length)
+      assert(got.exists(_.targetUri == ir.record.targetUri))
+      assert(got.get.body.toSeq == ir.record.body.toSeq)
+    }
+    // the records agree with the whole-stream decompressed walk
+    assert(idx.map(_.record.targetUri) ==
+      WarcCodec.records(gz).map(_.targetUri))
+    // optional RFC 1952 header fields: splice FNAME into member 0
+    // (set FLG bit 3, insert name+NUL after the 10-byte header)
+    val named = {
+      val m0 = java.util.Arrays.copyOfRange(gz, 0, idx.head.length.toInt)
+      val rest = java.util.Arrays.copyOfRange(gz, idx.head.length.toInt,
+        gz.length)
+      val name = "rec0.warc".getBytes("US-ASCII") :+ 0.toByte
+      val out = new Array[Byte](m0.length + name.length + rest.length)
+      System.arraycopy(m0, 0, out, 0, 10)
+      out(3) = (out(3) | 8).toByte // FNAME
+      System.arraycopy(name, 0, out, 10, name.length)
+      System.arraycopy(m0, 10, out, 10 + name.length, m0.length - 10)
+      System.arraycopy(rest, 0, out, m0.length + name.length,
+        rest.length)
+      out
+    }
+    val namedIdx = WarcCodec.indexGz(named)
+    assert(namedIdx.length == 3 &&
+      namedIdx.head.record.targetUri == "http://gz.ex/a")
+    assert(namedIdx.head.length == idx.head.length + 10)
+    // stale/crafted extents: mid-member offset, short length, a
+    // length spanning two members, out of bounds — all None
+    val r1 = idx(1)
+    assert(WarcCodec.readAtGz(gz, r1.offset + 1, r1.length).isEmpty)
+    assert(WarcCodec.readAtGz(gz, r1.offset, r1.length - 2).isEmpty)
+    assert(WarcCodec.readAtGz(gz, idx(0).offset,
+      idx(0).length + idx(1).length).isEmpty)
+    assert(WarcCodec.readAtGz(gz, gz.length.toLong, 4L).isEmpty)
+    // a multi-record MEMBER: ambiguous for a single-record fetch —
+    // the index carries the shared extent, the fetch refuses
+    val multi = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(WarcCodec.warcBytes(recs.take(2))); g.finish()
+      bos.toByteArray
+    }
+    val mIdx = WarcCodec.indexGz(multi)
+    assert(mIdx.length == 2 &&
+      mIdx.forall(_.length == multi.length.toLong))
+    assert(WarcCodec.readAtGz(multi, 0L, multi.length.toLong).isEmpty)
+    // corrupting a member's deflate payload voids the index (a
+    // partial index would silently lose records)
+    val bad = gz.clone(); bad(idx(1).offset.toInt + 14) =
+      (bad(idx(1).offset.toInt + 14) ^ 0x7).toByte
+    assert(WarcCodec.indexGz(bad).isEmpty)
+  }
+
   test("warcRecordAt (round 16): broadcast lookups fetch only the " +
       "requested extents, unrequested archives never decode, and a " +
       "stale extent ships an honest found=false row") {
