@@ -640,9 +640,10 @@ object MultimodalOps {
     * by default offsets address the DECOMPRESSED stream (the
     * in-memory model); `compressed = true` emits Common Crawl's OWN
     * semantic instead — each extent spans one gzip MEMBER of a
-    * member-per-record `.warc.gz` ([[graft.sources.WarcCodec
-    * .indexGz]]), the range a reader actually requests from the
-    * store before inflating just that member.
+    * member-per-record `.warc.gz`, or one zstd FRAME of a
+    * `.warc.zst` ([[graft.sources.WarcCodec.indexCompressed]],
+    * magic-dispatched): the range a reader actually requests from
+    * the store before inflating just that member/frame.
     *
     * Scale shape: one flatMap — archive bytes die in the scan task,
     * and the body survives only long enough to digest in the same
@@ -656,7 +657,7 @@ object MultimodalOps {
     val recs = media.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        (if (compressed) graft.sources.WarcCodec.indexGz(bytes)
+        (if (compressed) graft.sources.WarcCodec.indexCompressed(bytes)
          else graft.sources.WarcCodec.index(bytes)).zipWithIndex.collect {
           case (ir, i) if ir.record.targetUri.nonEmpty =>
             (id, i, ir.record.warcType, ir.record.targetUri,
@@ -720,7 +721,8 @@ object MultimodalOps {
       .as[(Long, Array[Byte], Seq[(Long, Long)])]
       .flatMap { case (id, bin, exts) =>
         exts.map { case (o, l) =>
-          (if (compressed) graft.sources.WarcCodec.readAtGz(bin, o, l)
+          (if (compressed)
+             graft.sources.WarcCodec.readAtCompressed(bin, o, l)
            else graft.sources.WarcCodec.readAt(bin, o, l)) match {
             case Some(r) => (id, o, l, true, r.warcType, r.targetUri,
               r.date, r.httpStatus, r.contentType, r.body)

@@ -269,6 +269,93 @@ object WarcCodec {
     }
   }
 
+  /** One zstd FRAME at `off`: inflated bytes + the frame's exact
+    * compressed length via zstd-jni's `findFrameCompressedSize`
+    * (negative = zstd error code → None); the decode itself rides
+    * [[ZstdCodec.unzstd]]'s bounded read. Skippable frames are
+    * rejected — [[warcZstBytes]]'s layout has none, and a record
+    * index must account for every byte. */
+  private def zstFrameAt(b: Array[Byte], off: Int,
+                         maxOut: Long): Option[(Array[Byte], Int)] = {
+    val frameLen = try {
+      com.github.luben.zstd.Zstd
+        .findFrameCompressedSize(b, off, b.length - off)
+    } catch { case _: RuntimeException => return None }
+    if (frameLen <= 0 || frameLen > b.length - off) return None
+    val slice = java.util.Arrays.copyOfRange(b, off,
+      off + frameLen.toInt)
+    if (!ZstdCodec.sniff(slice)) return None // skippable/garbage
+    ZstdCodec.unzstd(slice, maxOut).map(plain =>
+      (plain, frameLen.toInt))
+  }
+
+  /** [[indexGz]]'s zstd twin over the `.warc.zst` per-record-frame
+    * layout ([[warcZstBytes]]): each extent spans one zstd FRAME of
+    * the compressed stream. Same contract: frames tile the stream
+    * exactly, each frame wholly records, empty on any malformation. */
+  def indexZst(bIn: Array[Byte],
+               maxInflateBytes: Long = 1L << 30): Seq[IndexedRecord] = {
+    if (bIn == null || !ZstdCodec.sniff(bIn)) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[IndexedRecord]
+    var off = 0
+    var budget = maxInflateBytes
+    while (off < bIn.length) {
+      zstFrameAt(bIn, off, budget) match {
+        case Some((plain, frameLen)) =>
+          budget -= plain.length
+          val recs = index(plain)
+          if (recs.isEmpty ||
+              recs.map(_.length).sum != plain.length.toLong) return Nil
+          recs.foreach { ir =>
+            out += IndexedRecord(ir.record, off.toLong,
+              frameLen.toLong)
+          }
+          off += frameLen
+        case None => return Nil
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[readAtGz]]'s zstd twin: one frame, one record, or None. */
+  def readAtZst(bIn: Array[Byte], offset: Long, length: Long,
+                maxInflateBytes: Long = 1L << 30): Option[WarcRecord] = {
+    if (bIn == null || offset < 0 || length <= 0) return None
+    if (length > bIn.length || offset > bIn.length - length) return None
+    zstFrameAt(bIn, offset.toInt, maxInflateBytes) match {
+      case Some((plain, frameLen)) if frameLen.toLong == length =>
+        index(plain) match {
+          case Seq(one) if one.offset == 0L &&
+              one.length == plain.length.toLong => Some(one.record)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Magic-dispatched compressed-extent index: gzip members
+    * ([[indexGz]]) or zstd frames ([[indexZst]]); empty for anything
+    * else — compressed addressing only exists for member/frame
+    * layouts. */
+  def indexCompressed(bIn: Array[Byte],
+                      maxInflateBytes: Long = 1L << 30)
+      : Seq[IndexedRecord] =
+    if (bIn != null && GzipCodec.sniff(bIn)) indexGz(bIn, maxInflateBytes)
+    else if (bIn != null && ZstdCodec.sniff(bIn))
+      indexZst(bIn, maxInflateBytes)
+    else Nil
+
+  /** Magic-dispatched compressed-extent fetch — the consume side of
+    * [[indexCompressed]]. */
+  def readAtCompressed(bIn: Array[Byte], offset: Long, length: Long,
+                       maxInflateBytes: Long = 1L << 30)
+      : Option[WarcRecord] =
+    if (bIn != null && GzipCodec.sniff(bIn))
+      readAtGz(bIn, offset, length, maxInflateBytes)
+    else if (bIn != null && ZstdCodec.sniff(bIn))
+      readAtZst(bIn, offset, length, maxInflateBytes)
+    else None
+
   /** [[records]] with byte extents — the CDX-index walk (Common
     * Crawl ships cdx files so pipelines can random-access WARC
     * records; [[graft.operators.MultimodalOps.cdxIndex]] is the

@@ -1082,6 +1082,26 @@ class MultimodalReplSpec extends AnyFunSuite {
     val bad = gz.clone(); bad(idx(1).offset.toInt + 14) =
       (bad(idx(1).offset.toInt + 14) ^ 0x7).toByte
     assert(WarcCodec.indexGz(bad).isEmpty)
+    // the zstd twin over .warc.zst per-record frames, through the
+    // magic dispatcher both indexGz-style and fetch-side
+    val zst = WarcCodec.warcZstBytes(recs)
+    val zIdx = WarcCodec.indexCompressed(zst)
+    assert(zIdx.length == 3)
+    assert(zIdx.head.offset == 0L)
+    assert(zIdx.map(_.length).sum == zst.length.toLong)
+    zIdx.foreach { ir =>
+      val got = WarcCodec.readAtCompressed(zst, ir.offset, ir.length)
+      assert(got.exists(_.targetUri == ir.record.targetUri))
+    }
+    assert(WarcCodec.readAtCompressed(zst, zIdx(1).offset + 1,
+      zIdx(1).length).isEmpty)
+    assert(WarcCodec.indexCompressed(
+      "plain, not compressed".getBytes("UTF-8")).isEmpty)
+    // corrupt zstd frame voids the index too
+    val zBad = zst.clone()
+    zBad(zIdx(1).offset.toInt + 9) =
+      (zBad(zIdx(1).offset.toInt + 9) ^ 0x11).toByte
+    assert(WarcCodec.indexZst(zBad).isEmpty)
   }
 
   test("warcRecordAt (round 16): broadcast lookups fetch only the " +
