@@ -273,6 +273,39 @@ class CodecFuzzSpec extends AnyFunSuite {
       "parse" -> ((b: Array[Byte]) => ZipCodec.parse(b)))
   }
 
+  test("compressed-extent WARC index/fetch (gzip members + zstd " +
+      "frames) survives seeded corruptions without throwing") {
+    // round 16: gzMemberAt is a HAND-WRITTEN RFC 1952 walker and
+    // indexZst trusts zstd-jni's frame-size probe — both sit in the
+    // scan task, so corruption in headers, optional fields, deflate
+    // payloads, trailers and frame boundaries must land on
+    // Nil/None, never a throw
+    val recs = Seq(
+      ("http://fz.ex/a", "2026-01-01T00:00:00Z", "text/plain",
+        "fuzz alpha " * 20),
+      ("http://fz.ex/b", "2026-01-02T00:00:00Z", "text/html",
+        "fuzz beta " * 25))
+    val gz = WarcCodec.warcGzBytes(recs)
+    sweep("warc.gz.extents", gz, 3030)(
+      "indexGz" -> ((b: Array[Byte]) => WarcCodec.indexGz(b)),
+      "readAtGz" -> ((b: Array[Byte]) =>
+        WarcCodec.readAtGz(b, 0L, math.max(1, b.length / 2).toLong)),
+      "indexCompressed" -> ((b: Array[Byte]) =>
+        WarcCodec.indexCompressed(b)))
+    val zst = WarcCodec.warcZstBytes(recs)
+    sweep("warc.zst.extents", zst, 3131)(
+      "indexZst" -> ((b: Array[Byte]) => WarcCodec.indexZst(b)),
+      "readAtZst" -> ((b: Array[Byte]) =>
+        WarcCodec.readAtZst(b, 0L, math.max(1, b.length / 2).toLong)),
+      "readAtCompressed" -> ((b: Array[Byte]) =>
+        WarcCodec.readAtCompressed(b, 3L, 7L)))
+    // decompressed-extent readAt on hostile inputs, same contract
+    val plain = WarcCodec.warcBytes(recs)
+    sweep("warc.readAt", plain, 3232)(
+      "readAt" -> ((b: Array[Byte]) =>
+        WarcCodec.readAt(b, 0L, math.max(1, b.length / 3).toLong)))
+  }
+
   test("AVI parser (uncompressed 00db + MJPEG 00dc layouts) survives " +
       "seeded corruptions without throwing") {
     import graft.operators.VideoCodecs
