@@ -223,13 +223,25 @@ object GraphOps {
     }
     var hub = nodes.select(col("id"), lit(1000L).as("__m"))
     var auth = hub
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       auth = normSparse(
         e.join(hub.select(col("id").as("src"), col("__m")), Seq("src"))
           .groupBy(col("dst")).agg(sum(col("__m")).as("__s")), "dst")
+      // HARD lineage cut between iterations (round 17 — the
+      // bradleyTerryStrengths discipline): normSparse references its
+      // input twice (the max subquery + the main branch), so the
+      // lazy tree DOUBLES per half-iteration — 2^(2·iters) copies of
+      // the base join walk through analysis long before any data
+      // moves. localCheckpoint materializes the nodes-sized score
+      // frame as a leaf; the LAST iteration stays lazy so the final
+      // plan keeps the keyed-join + map-side-sum shape (plan-pinned).
+      // Eager executor-local storage is fine: losing it loses a
+      // derived iterate and the caller re-runs the estimator.
+      if (it < iters) auth = auth.localCheckpoint(true)
       hub = normSparse(
         e.join(auth.select(col("id").as("dst"), col("__m")), Seq("dst"))
           .groupBy(col("src")).agg(sum(col("__m")).as("__s")), "src")
+      if (it < iters) hub = hub.localCheckpoint(true)
     }
     nodes
       .join(hub.withColumnRenamed("__m", "hub_milli"), Seq("id"), "left")

@@ -588,6 +588,15 @@ object MultimodalOps {
     * `WARC-Refers-To-Target-URI` is missing/empty keys to a URI no
     * response can occupy, so it surfaces honestly as unresolved
     * instead of spuriously matching a URI-less response. */
+  /** Per-call unique observation names (round 17, advisory close):
+    * `observe()` names must be unique within one plan — a union/join
+    * of two outputs of the SAME operator would otherwise fail
+    * analysis with a duplicate-observed-metric error. Stable prefix +
+    * counter; listeners match on the prefix. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def obsName(prefix: String): String =
+    prefix + "_" + obsSeq.incrementAndGet()
+
   def revisitResolve(recs: DataFrame, idCol: String,
                      maxRevisitsPerUri: Int = 4096): DataFrame = {
     require(maxRevisitsPerUri >= 1, "maxRevisitsPerUri >= 1")
@@ -609,7 +618,7 @@ object MultimodalOps {
         graft.functions.AggFunctions.boundedTopN(col("rev"),
           maxRevisitsPerUri).as("revs"),
         count(col("rev")).as("__n_rev"))
-      .observe("revisit_resolve_cap",
+      .observe(obsName("revisit_resolve_cap"),
         sum(when(col("__n_rev") > maxRevisitsPerUri,
           col("__n_rev") - lit(maxRevisitsPerUri.toLong))
           .otherwise(lit(0L))).as("dropped_revisits"),
@@ -699,13 +708,25 @@ object MultimodalOps {
     * archive bytes never move: each scan task slices only its own
     * archives' requested extents and the bytes die in the task.
     * Archives nobody asked about are dropped by the inner join
-    * before any decode. The per-archive extent list rides one
-    * broadcast row (requests-per-archive is lookup-sized; a caller
-    * with millions of extents per archive is doing a full walk and
-    * should call [[warcRecords]]). */
+    * before any decode (and symmetrically, a request naming an
+    * archive id absent from `media` emits no row — the caller's
+    * request frame is expected to come from a [[cdxIndex]] over the
+    * same archives). The per-archive extent list is CAPPED at
+    * `maxRequestsPerArchive` (round 17 — the [[revisitResolve]]
+    * bounded-buffer discipline): requests-per-archive is lookup-sized
+    * by construction, and a caller passing an index-sized request
+    * frame would otherwise build an unbounded per-key buffer and
+    * broadcast it through the driver. The smallest `(offset, length)`
+    * extents win deterministically; the overflow surfaces on the
+    * `warc_record_at_cap` observation (`dropped_requests`,
+    * `max_requests_per_archive`), never silently. A caller with
+    * millions of extents per archive is doing a full walk and should
+    * call [[warcRecords]]. */
   def warcRecordAt(media: DataFrame, idCol: String, binCol: String,
                    requests: DataFrame,
-                   compressed: Boolean = false): DataFrame = {
+                   compressed: Boolean = false,
+                   maxRequestsPerArchive: Int = 4096): DataFrame = {
+    require(maxRequestsPerArchive >= 1, "maxRequestsPerArchive >= 1")
     val spark = media.sparkSession
     import spark.implicits._
     val reqs = requests
@@ -713,8 +734,16 @@ object MultimodalOps {
         col("offset").cast("long").as("offset"),
         col("length").cast("long").as("length"))
       .groupBy(col(idCol))
-      .agg(collect_list(struct(col("offset"), col("length")))
-        .as("__exts"))
+      .agg(graft.functions.AggFunctions.boundedTopN(
+        struct(col("offset"), col("length")), maxRequestsPerArchive)
+        .as("__exts"),
+        count(lit(1)).as("__n_req"))
+      .observe(obsName("warc_record_at_cap"),
+        sum(when(col("__n_req") > maxRequestsPerArchive,
+          col("__n_req") - lit(maxRequestsPerArchive.toLong))
+          .otherwise(lit(0L))).as("dropped_requests"),
+        max(col("__n_req")).as("max_requests_per_archive"))
+      .select(col(idCol), col("__exts"))
     media
       .select(col(idCol).cast("long").as(idCol), col(binCol))
       .join(broadcast(reqs), Seq(idCol))
@@ -772,7 +801,16 @@ object MultimodalOps {
     * LSH-family session-lived cache policy — bench clears between
     * runs); each level is one narrow aggregate over it. */
   private def cdxAssigned(idx: DataFrame, shards: Int,
-                          depths: Seq[Int]): DataFrame = {
+                          depths: Seq[Int]): DataFrame =
+    cdxAssignedWithCache(idx, shards, depths)._1
+
+  /** [[cdxAssigned]] plus the cached keyed projection it rides, so
+    * eager callers can drop the cache once their job materializes
+    * (round 17 — the unpersistOnJob discipline; a pipeline calling
+    * the sharder per crawl segment must not accrete session-lived
+    * cached projections). */
+  private def cdxAssignedWithCache(idx: DataFrame, shards: Int,
+                          depths: Seq[Int]): (DataFrame, DataFrame) = {
     require(shards >= 1 && shards <= 4096, "shards in 1..4096")
     require(depths.nonEmpty && depths.head >= 1 &&
       depths.zip(depths.tail).forall { case (a, b) =>
@@ -807,8 +845,8 @@ object MultimodalOps {
         .keys.toSeq
       li += 1
     }
-    assignFromLeaves(keyed, shards,
-      CdxShardPlan.leaves(levels.toSeq, shards, total))
+    (assignFromLeaves(keyed, shards,
+      CdxShardPlan.leaves(levels.toSeq, shards, total)), keyed)
   }
 
   /** Broadcast-join the leaf table (deepest match wins) and tag each
@@ -830,7 +868,7 @@ object MultimodalOps {
     assigned
       .withColumn("__shard",
         coalesce((shardCols :+ lit(null)): _*))
-      .observe("cdx_shard_fallback",
+      .observe(obsName("cdx_shard_fallback"),
         sum(when(col("__shard").isNull, 1L).otherwise(0L))
           .as("fallback_rows"))
       .withColumn("__shard",
@@ -844,13 +882,26 @@ object MultimodalOps {
     * See [[cdxAssigned]] for the deterministic boundary
     * construction. */
   def cdxShards(idx: DataFrame, shards: Int,
-                depths: Seq[Int] = Seq(2, 4, 6, 8, 10, 12))
-      : DataFrame =
-    cdxAssigned(idx, shards, depths)
+                depths: Seq[Int] = Seq(2, 4, 6, 8, 10, 12),
+                unpersistOnJob: Boolean = false): DataFrame = {
+    val (assigned, keyed) = cdxAssignedWithCache(idx, shards, depths)
+    val stats = assigned
       .groupBy(col("__shard").as("shard_id"))
       .agg(count(lit(1)).as("n_records"),
         min(col("__key")).as("first_key"),
         max(col("__key")).as("last_key"))
+    if (!unpersistOnJob) stats
+    else {
+      // materialize-then-unpersist (the sitemapClosure idiom): the
+      // checkpoint replans the shards-sized stats as a leaf
+      // independent of the cached projection, so dropping the cache
+      // cannot invalidate it — bulk per-segment callers leave no
+      // cache residue at the cost of one eager job
+      val materialized = stats.localCheckpoint(true)
+      keyed.unpersist()
+      materialized
+    }
+  }
 
   /** The sorted CDX FILE export: `outDir/cdx-SSSSS` shard files in
     * CDXJ-style lines (`urlkey ts {json}`) sorted by key within each
@@ -876,7 +927,8 @@ object MultimodalOps {
       new org.apache.spark.SerializableWritable(
         spark.sparkContext.hadoopConfiguration))
     val dir = outDir
-    val rows = cdxAssigned(idx, shards, depths)
+    val (assigned, keyed) = cdxAssignedWithCache(idx, shards, depths)
+    val rows = assigned
       .select(col("__shard"), col("__key"), col("uri"), col("mime"),
         col("status").cast("int").as("status"), col("digest"),
         col("offset").cast("long").as("offset"),
@@ -926,6 +978,10 @@ object MultimodalOps {
       close()
       out.iterator
     }.collect().toSeq
+    // the export is eager — the collect above materialized every
+    // shard file, so the histogram cache has served its purpose and
+    // per-segment bulk callers must not accrete it (round 17)
+    keyed.unpersist()
     manifest.toDF("shard_id", "first_key", "n_records", "file")
       .orderBy(col("shard_id"))
   }
@@ -1199,10 +1255,14 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, bytes) =>
-            VideoCodecs.parseAvi(bytes) match {
+            // stride pushed INTO the parser (round 17): MJPEG frames
+            // are intra-coded, so the skipped 3-of-4 (at every = 4)
+            // never pay JPEG-decode CPU; n_frames still counts every
+            // chunk and v.frames holds only the sampled ones in order
+            VideoCodecs.parseAviSampled(bytes, every) match {
               case Some(v) =>
-                (0 until v.nFrames by every).iterator.map { f =>
-                  val fr = v.frames(f)
+                (0 until v.nFrames by every).iterator.zip(
+                  v.frames.iterator).map { case (f, fr) =>
                   var s = 0L; var mn = 255; var mx = 0
                   var i = 0
                   while (i < fr.length) {

@@ -47,15 +47,33 @@ object VideoCodecs {
   /** Parse an AVI container; None on any malformation (truncated
     * chunk, frame size disagreeing with the header dimensions,
     * declared-vs-actual frame count mismatch, no frames). */
-  def parseAvi(b: Array[Byte]): Option[Video] = {
+  def parseAvi(b: Array[Byte]): Option[Video] =
+    parseAviSampled(b, 1)
+
+  /** Stride-aware parse — the sampling-aligned decode path: the RIFF
+    * walk counts EVERY frame chunk (so `nFrames` and the declared-
+    * count check cover the whole stream), but only indices
+    * ≡ 0 (mod `every`) are materialized/decoded into `frames` (in
+    * stream order). MJPEG frames are intra-coded, so a skipped frame
+    * needs zero codec work — at `every = 4` this cuts 75% of the
+    * JPEG-decode CPU a downstream sampler would throw away. `00db`
+    * chunks are validated (length = width×height) whether sampled or
+    * not — the check is a header compare, not a decode; non-sampled
+    * `00dc` chunks are NOT decoded, so a corrupt JPEG at an unsampled
+    * index no longer voids the container (the sampled-decode
+    * contract). `every = 1` is exactly [[parseAvi]]. */
+  def parseAviSampled(b: Array[Byte], every: Int): Option[Video] = {
+    require(every >= 1, "every >= 1")
     if (b == null || b.length < 24) return None
     if (tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
     var width = 0
     var height = 0
     var declared = -1
     var vidsHandler = "" // fccHandler of the FIRST 'vids' stream
-    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    val mjpeg = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    // chunk EXTENTS, not copies: bytes materialize only for sampled
+    // indices, after the container-level checks pass
+    val dbChunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val dcChunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     def walk(start: Int, end: Int): Boolean = {
       var off = start
       while (off + 8 <= end) {
@@ -81,12 +99,8 @@ object VideoCodecs {
             if (clen >= 8 && tag(b, off + 8) == "vids" &&
                 vidsHandler.isEmpty)
               vidsHandler = tag(b, off + 12)
-          case "00db" =>
-            frames += java.util.Arrays.copyOfRange(b, off + 8,
-              off + 8 + clen)
-          case "00dc" =>
-            mjpeg += java.util.Arrays.copyOfRange(b, off + 8,
-              off + 8 + clen)
+          case "00db" => dbChunks += ((off + 8, clen))
+          case "00dc" => dcChunks += ((off + 8, clen))
           case _ => () // strf/idx1/JUNK etc. skipped
         }
         off += 8 + clen + (clen & 1) // word alignment
@@ -96,41 +110,59 @@ object VideoCodecs {
     if (!walk(12, b.length)) return None
     if (width <= 0 || height <= 0) return None
     if (width > MaxDimension || height > MaxDimension) return None
-    if (frames.nonEmpty && mjpeg.nonEmpty) return None // mixed: malformed
-    if (mjpeg.nonEmpty) {
+    if (dbChunks.nonEmpty && dcChunks.nonEmpty) return None // mixed: malformed
+    val total = dbChunks.length + dcChunks.length
+    if (total == 0) return None
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    if (dcChunks.nonEmpty) {
       // compressed frames: ONLY a declared-MJPG stream decodes (each
       // chunk is an intra-coded JPEG); any other fourcc is an honest
       // out-of-scope codec
       if (!vidsHandler.equalsIgnoreCase("MJPG")) return None
       var fi = 0
-      while (fi < mjpeg.length) {
-        JpegCodec.decode(mjpeg(fi)) match {
-          case Some(img)
-              if img.width == width && img.height == height =>
-            // grayscale = the luma plane: decode yields NATIVE
-            // component samples (Y or YCbCr), so channel 0 is Y
-            // either way
-            val gray =
-              if (img.channels == 1) img.pixels
-              else {
-                val g = new Array[Byte](width * height)
-                var i = 0
-                while (i < g.length) {
-                  g(i) = img.pixels(i * img.channels); i += 1
+      while (fi < dcChunks.length) {
+        if (fi % every == 0) {
+          val (o, l) = dcChunks(fi)
+          JpegCodec.decode(
+            java.util.Arrays.copyOfRange(b, o, o + l)) match {
+            case Some(img)
+                if img.width == width && img.height == height =>
+              // grayscale = the luma plane: decode yields NATIVE
+              // component samples (Y or YCbCr), so channel 0 is Y
+              // either way
+              val gray =
+                if (img.channels == 1) img.pixels
+                else {
+                  val g = new Array[Byte](width * height)
+                  var i = 0
+                  while (i < g.length) {
+                    g(i) = img.pixels(i * img.channels); i += 1
+                  }
+                  g
                 }
-                g
-              }
-            frames += gray
-          case _ => return None
+              frames += gray
+            case _ => return None
+          }
+        }
+        fi += 1
+      }
+    } else {
+      // uncompressed: every chunk's length is validated against the
+      // header dimensions (sampled or not — it's a header compare);
+      // bytes copy only for sampled indices
+      if (dbChunks.exists(_._2.toLong != width.toLong * height))
+        return None
+      var fi = 0
+      while (fi < dbChunks.length) {
+        if (fi % every == 0) {
+          val (o, l) = dbChunks(fi)
+          frames += java.util.Arrays.copyOfRange(b, o, o + l)
         }
         fi += 1
       }
     }
-    if (frames.isEmpty) return None
-    if (frames.exists(_.length.toLong != width.toLong * height))
-      return None
-    if (declared >= 0 && declared != frames.length) return None
-    Some(Video(width, height, frames.length, frames.toArray))
+    if (declared >= 0 && declared != total) return None
+    Some(Video(width, height, total, frames.toArray))
   }
 
   /** Deterministic AVI writer: `pixel(frame, x, y)` supplies 0-255

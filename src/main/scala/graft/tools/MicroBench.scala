@@ -1,0 +1,46 @@
+package graft.tools
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val texts = (0 until 2000).map { i =>
+      val sb = new StringBuilder
+      var x = i.toLong * 2654435761L
+      while (sb.length < 900) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; sb.append(" word" + (x % 1000)) }
+      sb.toString
+    }
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    // warm
+    texts.take(100).foreach { t => graft.sources.WarcCodec.warcGzBytes(Seq(("https://x/a", "2026-01-02T03:04:05Z", "text/html", t))) }
+    time("warcGzBytes x2000 (2 recs each)") {
+      texts.zipWithIndex.foreach { case (t, id) =>
+        graft.sources.WarcCodec.warcGzBytes(Seq(
+          (s"https://ex.com/a/$id", "2026-01-02T03:04:05Z", "text/html", "front " + t),
+          (s"https://ex.com/b/$id", "2026-01-02T03:04:06Z", "text/plain", t + " back")))
+      }
+    }
+    time("warcZstBytes x2000 (2 recs each)") {
+      texts.zipWithIndex.foreach { case (t, id) =>
+        graft.sources.WarcCodec.warcZstBytes(Seq(
+          (s"https://ex.com/a/$id", "2026-01-02T03:04:05Z", "text/html", "front " + t),
+          (s"https://ex.com/b/$id", "2026-01-02T03:04:06Z", "text/plain", t + " back")))
+      }
+    }
+    time("sevenZBytes x2000 (2 members)") {
+      texts.foreach { t =>
+        graft.sources.SevenZCodec.sevenZBytes(Seq(("a.txt", t.getBytes("UTF-8")), ("b.txt", (t + " b").getBytes("UTF-8"))))
+      }
+    }
+    time("indexCompressed gz x2000") {
+      texts.zipWithIndex.foreach { case (t, id) =>
+        val b = graft.sources.WarcCodec.warcGzBytes(Seq(
+          (s"https://ex.com/a/$id", "2026-01-02T03:04:05Z", "text/html", "front " + t)))
+        graft.sources.WarcCodec.indexCompressed(b)
+      }
+    }
+    time("zipBytes deflate x2000") {
+      texts.foreach { t => graft.sources.ZipCodec.zipBytes(Seq(("z.txt", t.getBytes("UTF-8"), true))) }
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-17 plan evidence dumper: writes `.explain("formatted")` for
+  * each named query to `<outDir>/<query>_<suffix>.txt` — the
+  * before/after files under plans/r17/ the optimization round
+  * commits. Usage:
+  * `runMain graft.tools.PlanDump <outDir> <suffix> <q1> <q2> ...` */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2).toSeq
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Logs.quietBenignWarnings()
+    new java.io.File(outDir).mkdirs()
+    names.foreach { q =>
+      graft.SparkEntry.queries.get(q).foreach { fn =>
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/${q}_$suffix.txt"),
+          plan.getBytes("UTF-8"))
+        println(s"dumped $q")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -915,11 +915,17 @@ class MultimodalReplSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[String]("rev_uri")).sorted.toSeq ==
         Seq("http://hot.ex/a?r0", "http://hot.ex/a?r1",
           "http://hot.ex/a?r2"))
-      // listener delivery is async — poll briefly for the metric
+      // listener delivery is async — poll briefly for the metric;
+      // names carry a per-call unique suffix (round 17 — two
+      // instantiations of one operator in a single plan must not
+      // collide), so match on the stable prefix
+      def capMetric() = listener.metrics.collectFirst {
+        case (k, v) if k.startsWith("revisit_resolve_cap") => v
+      }
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (!listener.metrics.contains("revisit_resolve_cap") &&
+      while (capMetric().isEmpty &&
           System.nanoTime() < deadline) Thread.sleep(20)
-      val m = listener.metrics("revisit_resolve_cap")
+      val m = capMetric().get
       assert(m.getAs[Long]("dropped_revisits") == 4L)
       assert(m.getAs[Long]("max_revisits_per_uri") == 7L)
     } finally spark.listenerManager.unregister(listener)
@@ -1148,6 +1154,55 @@ class MultimodalReplSpec extends AnyFunSuite {
       stale.isNullAt(stale.fieldIndex("uri")))
     assert(!rows.exists(_.getAs[Long]("id") == 3L),
       "unrequested archives drop before any decode")
+  }
+
+  test("warcRecordAt (round 17): the per-archive request buffer is " +
+      "BOUNDED — an over-cap request set surfaces on the " +
+      "warc_record_at_cap observation, and the plan carries the " +
+      "bounded aggregate, never an unbounded collect_list") {
+    import graft.sources.WarcCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val d = "2026-03-04T05:06:07Z"
+    val a1 = WarcCodec.warcBytes(Seq(
+      ("http://cap.ex/a", d, "text/plain", "cap alpha"),
+      ("http://cap.ex/b", d, "text/html", "cap beta")))
+    val media = Seq((1L, a1)).toDF("id", "bin")
+    val i1 = WarcCodec.index(a1)
+    // 5 requests against a cap of 2: the smallest (offset, length)
+    // extents win deterministically, the 3 dropped are observable
+    val reqs = (0 until 3).map(k =>
+        (1L, i1(1).offset + 10 + k, i1(1).length))
+      .toDF("id", "offset", "length")
+      .unionByName(Seq((1L, i1(0).offset, i1(0).length),
+        (1L, i1(1).offset, i1(1).length)).toDF("id", "offset", "length"))
+    val got = MultimodalOps.warcRecordAt(media, "id", "bin", reqs,
+      maxRequestsPerArchive = 2)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_n"),
+      s"request buffer must ride the bounded aggregate:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"no unbounded collect_list in the lookup plan:\n$plan")
+    val listener = new CollectingQueryExecutionListener
+    spark.listenerManager.register(listener)
+    try {
+      val rows = got.collect()
+      // cap = 2: exactly the two smallest-offset extents survive —
+      // the two REAL records, fetched correctly
+      assert(rows.length == 2)
+      assert(rows.forall(_.getAs[Boolean]("found")))
+      assert(rows.map(_.getAs[String]("uri")).sorted.toSeq ==
+        Seq("http://cap.ex/a", "http://cap.ex/b"))
+      def capMetric() = listener.metrics.collectFirst {
+        case (k, v) if k.startsWith("warc_record_at_cap") => v
+      }
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (capMetric().isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      val m = capMetric().get
+      assert(m.getAs[Long]("dropped_requests") == 3L)
+      assert(m.getAs[Long]("max_requests_per_archive") == 5L)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("CdxShardPlan.leaves (round 16): exact-histogram boundaries " +

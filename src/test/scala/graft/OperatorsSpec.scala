@@ -5142,6 +5142,49 @@ class OperatorsSpec extends AnyFunSuite {
       64L * (0 * 7 + 1 * 3 - 10 + 128))
   }
 
+  test("parseAviSampled (round 17): the sampling stride decodes ONLY " +
+      "sampled 00dc frames — n_frames still counts every chunk, " +
+      "skipped corrupt frames no longer void the container, corrupt " +
+      "SAMPLED frames still do, and every=1 is exactly parseAvi") {
+    import graft.operators.VideoCodecs
+    val bytes = VideoCodecs.aviMjpegBytes(16, 8, 5)(
+      (f, blk) => f * 5 + blk * 3 - 20)
+    // stride 2 over 5 frames: indices 0, 2, 4 decode; count is ALL 5
+    val sv = VideoCodecs.parseAviSampled(bytes, 2).get
+    assert(sv.nFrames == 5 && sv.frames.length == 3)
+    val full = VideoCodecs.parseAvi(bytes).get
+    assert(full.nFrames == 5 && full.frames.length == 5)
+    for ((sf, fi) <- sv.frames.zip(Seq(0, 2, 4)))
+      assert(java.util.Arrays.equals(sf, full.frames(fi)),
+        s"sampled frame $fi must be byte-identical to the full decode")
+    // corrupt the SECOND 00dc payload (index 1 — never sampled at
+    // every=2): the strided parse skips its decode entirely, the
+    // full parse still rejects (the sampled-decode contract)
+    def corruptFrame(n: Int): Array[Byte] = {
+      val c = bytes.clone()
+      val s = new String(bytes, "ISO-8859-1")
+      var off = -1
+      var left = n + 1
+      while (left > 0) { off = s.indexOf("00dc", off + 1); left -= 1 }
+      assert(off > 0)
+      c(off + 8 + 2) = 0x33
+      c
+    }
+    assert(VideoCodecs.parseAviSampled(corruptFrame(1), 2).isDefined,
+      "an unsampled corrupt frame pays no decode and cannot void")
+    assert(VideoCodecs.parseAvi(corruptFrame(1)).isEmpty,
+      "stride 1 decodes everything and must still reject")
+    // corrupt a SAMPLED frame (index 2): both reject
+    assert(VideoCodecs.parseAviSampled(corruptFrame(2), 2).isEmpty)
+    // videoFrameSample composes: n_frames counts undecoded chunks
+    val media = Seq((3L, bytes)).toDF("doc_id", "media")
+    val rows = MultimodalOps
+      .videoFrameSample(media, "doc_id", "media", every = 2)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    assert(rows.forall(_.getAs[Long]("n_frames") == 5L))
+  }
+
   test("videoFrameSample takes every Nth frame with exact pixel stats") {
     val media = Seq(
       (1L, graft.operators.VideoCodecs.aviBytes(2, 2, 9)(
