@@ -242,12 +242,25 @@ object MultimodalOps {
       .select(col(idCol).as("id"), col("dhash_hi").as("hi"),
         col("dhash_lo").as("lo"))
       .cache()
+    // band-keyed spread (round 17, guide §2.5): the per-band pair
+    // fan-out is |bucket|² while the band rows themselves are ~24
+    // bytes — AQE, pricing only the tiny compressed shuffle, coalesced
+    // the self-join's reduce (and the pair distinct) to ONE task that
+    // then produced every candidate pair serially. The explicit
+    // repartition REPLACES the join's own band exchange (same key, so
+    // no added shuffle) at a count never below what the non-AQE path
+    // would use — a floor against coalescing, not a local-mode cap.
+    val nPar = math.max(
+      h.sparkSession.sparkContext.defaultParallelism,
+      h.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        .toInt)
     val banded = h.select(col("id"), col("hi"), col("lo"),
       explode(array(
         concat_ws(":", lit(0), col("lo").bitwiseAND(lit(65535L))),
         concat_ws(":", lit(1), shiftright(col("lo"), 16)),
         concat_ws(":", lit(2), col("hi").bitwiseAND(lit(65535L))),
         concat_ws(":", lit(3), shiftright(col("hi"), 16)))).as("band"))
+      .repartition(nPar, col("band"))
     val a = banded.select(col("band"), col("id").as("id_a"),
       col("hi").as("hi_a"), col("lo").as("lo_a"))
     val b = banded.select(col("band"), col("id").as("id_b"),
@@ -258,6 +271,7 @@ object MultimodalOps {
         (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
           bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
           .cast("long").as("hamming"))
+      .repartition(nPar, col("id_a"), col("id_b"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
