@@ -1588,6 +1588,18 @@ object ScaleProbe {
       time(s"videoFrameSample x$n (MJPEG 00dc)")(
         graft.operators.MultimodalOps.videoFrameSample(
           mjpegDrop, "doc_id", "media", every = 2))
+      // round 17: the sampling stride now lives INSIDE the parser —
+      // skipped MJPEG frames pay zero JPEG-decode CPU, so wall must
+      // track the SAMPLED frame count, not the container's. The
+      // every=1 twin decodes 2x the frames of every=2 (fixture has
+      // 2..5 frames/clip) and every=4 decodes ~half of every=2 —
+      // compare the three rows for the ~linear-in-sampled-frames pin.
+      time(s"videoFrameSample x$n (MJPEG full decode, every=1)")(
+        graft.operators.MultimodalOps.videoFrameSample(
+          mjpegDrop, "doc_id", "media", every = 1))
+      time(s"videoFrameSample x$n (MJPEG sampled, every=4)")(
+        graft.operators.MultimodalOps.videoFrameSample(
+          mjpegDrop, "doc_id", "media", every = 4))
     }
 
     // round 16: crawl-in → curated-WET-out as ONE restartable query —
