@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -221,6 +221,96 @@ object TextKernels {
     if (min == null) return null
     UTF8String.fromString(min)
   }
+
+  /** Guard modes for [[guardedReplaceAll]] — each encodes one of the
+    * repo's boundary-guarded candidate-replace regexes exactly:
+    *   - DIGIT : `(?<![0-9])\Qc\E(?![0-9])`       (cards, phones)
+    *   - IPV4  : `(?<![0-9.])\Qc\E(?!\.?[0-9])`   (dotted quads)
+    *   - HEX   : `(?<![0-9a-fA-F])\Qc\E(?![0-9a-fA-F])` (hex secrets) */
+  val GuardDigit = 0
+  val GuardIpv4 = 1
+  val GuardHex = 2
+
+  @inline private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  @inline private def isAsciiHex(c: Char): Boolean =
+    isAsciiDigit(c) || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** One boundary-guarded literal replace pass — semantics identical to
+    * Java-regex `replaceAll("(?<!G)\\Qcand\\E(?!H)", rep)` for the three
+    * guard modes above: scan left to right, at each literal occurrence
+    * check the char before / after against the guard class, replace and
+    * continue AFTER the match (matches never overlap, exactly like
+    * `Matcher.find` resuming at the match end), else advance one char
+    * (the regex engine's next start position). Guard checks always read
+    * the ORIGINAL source chars, as lookarounds do. No Pattern compile,
+    * no regex scan — `indexOf` + two char compares per occurrence. */
+  private def guardedReplaceOne(src: String, cand: String, rep: String,
+                                mode: Int): String = {
+    var i = src.indexOf(cand)
+    if (i < 0) return src
+    val srcLen = src.length
+    val candLen = cand.length
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    while (i >= 0) {
+      val j = i + candLen
+      val beforeOk = i == 0 || {
+        val p = src.charAt(i - 1)
+        mode match {
+          case GuardDigit => !isAsciiDigit(p)
+          case GuardIpv4  => !isAsciiDigit(p) && p != '.'
+          case _          => !isAsciiHex(p)
+        }
+      }
+      val afterOk = beforeOk && (j == srcLen || {
+        val nx = src.charAt(j)
+        mode match {
+          case GuardDigit => !isAsciiDigit(nx)
+          case GuardIpv4  => !isAsciiDigit(nx) &&
+            !(nx == '.' && j + 1 < srcLen && isAsciiDigit(src.charAt(j + 1)))
+          case _          => !isAsciiHex(nx)
+        }
+      })
+      if (afterOk) {
+        if (sb == null) sb = new java.lang.StringBuilder(srcLen)
+        sb.append(src, last, i).append(rep)
+        last = j
+        i = src.indexOf(cand, j)
+      } else {
+        i = src.indexOf(cand, i + 1)
+      }
+    }
+    if (sb == null) src
+    else { sb.append(src, last, srcLen); sb.toString }
+  }
+
+  /** Fold of [[guardedReplaceOne]] over a candidate array, in array
+    * order — ≡ `aggregate(cands, text, (acc, c) => regexp_replace(acc,
+    * concat(guardPrefix, \Q c \E, guardSuffix), rep))` for the three
+    * guard modes, WITHOUT the per-candidate Pattern compile + regex
+    * scan the fold pays per row. A null candidate element poisons the
+    * accumulator to null exactly like the regex fold (null pattern →
+    * null result); an empty candidate cannot arise from the extraction
+    * regexes but would also null-poison there (null-safe concat of a
+    * non-null: actually empty matches everywhere) — rejected here to
+    * keep the kernel total. */
+  def guardedReplaceAll(text: UTF8String, cands: ArrayData,
+                        repl: UTF8String, mode: Int): UTF8String = {
+    val n = cands.numElements()
+    if (n == 0) return text
+    var cur = text.toString
+    val rep = repl.toString
+    var e = 0
+    while (e < n) {
+      if (cands.isNullAt(e)) return null
+      val cand = cands.getUTF8String(e).toString
+      require(cand.nonEmpty,
+        "guarded_replace_all: empty candidate (extraction regexes never emit one)")
+      cur = guardedReplaceOne(cur, cand, rep, mode)
+      e += 1
+    }
+    UTF8String.fromString(cur)
+  }
 }
 
 case class WordShinglesExpr(child: Expression, n: Int)
@@ -354,6 +444,47 @@ case class HashedCountsExpr(child: Expression, dim: Int)
     copy(child = newChild)
 }
 
+/** Boundary-guarded literal-candidate replace fold (see
+  * [[TextKernels.guardedReplaceAll]]): the native form of the
+  * `aggregate(cands, text, (acc, c) => regexp_replace(acc, guarded(c),
+  * rep))` scrub idiom, whose dynamic pattern forces a Pattern compile
+  * + full regex scan PER candidate PER row. Same result bytes; one
+  * `indexOf` loop per candidate. `repl`/`mode` are operator constants
+  * (never per-row), so they ride the case class like
+  * [[MinMd5Expr]]'s suffix. */
+case class GuardedReplaceAllExpr(text: Expression, cands: Expression,
+                                 repl: String, mode: Int)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  require(mode >= TextKernels.GuardDigit && mode <= TextKernels.GuardHex,
+    "mode must be one of GuardDigit/GuardIpv4/GuardHex")
+  override def left: Expression = text
+  override def right: Expression = cands
+  override def inputTypes = Seq(StringType,
+    ArrayType(StringType, containsNull = true))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null candidate element -> null
+  override def prettyName: String = "guarded_replace_all"
+  @transient private lazy val replU = UTF8String.fromString(repl)
+  override protected def nullSafeEval(t: Any, cs: Any): Any =
+    TextKernels.guardedReplaceAll(t.asInstanceOf[UTF8String],
+      cs.asInstanceOf[ArrayData], replU, mode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val repRef = ctx.addReferenceObj("guardedRepl", replU,
+      classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, (t, cs) => {
+      s"""
+         |${ev.value} = graft.functions.TextKernels.guardedReplaceAll(
+         |  $t, $cs, $repRef, $mode);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, cands = newRight)
+}
+
 case class NfcNormalizeExpr(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -397,4 +528,20 @@ object TextExpressions {
   def hashedCounts(tokens: Column, dim: Int): Column =
     GraftColumnBridge.column(HashedCountsExpr(
       GraftColumnBridge.expression(tokens), dim))
+
+  /** Guard mode by name — "digit" | "ipv4" | "hex" (see
+    * [[TextKernels.guardedReplaceAll]]). */
+  def guardedReplaceAll(text: Column, cands: Column, repl: String,
+                        mode: String): Column = {
+    val m = mode match {
+      case "digit" => TextKernels.GuardDigit
+      case "ipv4"  => TextKernels.GuardIpv4
+      case "hex"   => TextKernels.GuardHex
+      case other => throw new IllegalArgumentException(
+        s"guardedReplaceAll: unknown guard mode '$other'")
+    }
+    GraftColumnBridge.column(GuardedReplaceAllExpr(
+      GraftColumnBridge.expression(text),
+      GraftColumnBridge.expression(cands), repl, m))
+  }
 }

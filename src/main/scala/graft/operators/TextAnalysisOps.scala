@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TextExpressions.guardedReplaceAll
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators for training-data curation: language-ID,
@@ -263,10 +264,11 @@ object TextAnalysisOps {
       c => luhnValid(regexp_replace(c, "[ -]", "")))
     docs.select(
       col(idCol),
-      aggregate(valid, col(textCol),
-        (acc, c) => regexp_replace(acc,
-          concat(lit("(?<![0-9])\\Q"), c, lit("\\E(?![0-9])")),
-          lit("<CARD>"))).as("scrubbed"),
+      // native guarded-literal fold (≡ the former
+      // `aggregate(.., regexp_replace(acc, (?<![0-9])\Qc\E(?![0-9])))`
+      // whose dynamic pattern recompiled per candidate per row)
+      guardedReplaceAll(col(textCol), valid, "<CARD>", "digit")
+        .as("scrubbed"),
       size(cands).as("n_candidates"),
       size(valid).as("n_valid"))
   }
@@ -346,18 +348,13 @@ object TextAnalysisOps {
     val ipCands = regexp_extract_all(txt, lit(Ipv4PatternGuarded), lit(0))
     val ipValid = filter(ipCands, ip =>
       forall(split(ip, "\\."), o => o.cast("int") <= 255))
-    val ipScrubbed = aggregate(ipValid, txt,
-      (acc, c) => regexp_replace(acc,
-        concat(lit("(?<![0-9.])\\Q"), c, lit("\\E(?!\\.?[0-9])")),
-        lit("<IP>")))
+    val ipScrubbed = guardedReplaceAll(txt, ipValid, "<IP>", "ipv4")
     val phCands = regexp_extract_all(ipScrubbed,
       lit(PhonePatternGuarded), lit(0))
     val phValid = filter(phCands, phoneContextValid(_))
     docs.select(col(idCol),
-      aggregate(phValid, ipScrubbed,
-        (acc, c) => regexp_replace(acc,
-          concat(lit("(?<![0-9])\\Q"), c, lit("\\E(?![0-9])")),
-          lit("<PHONE>"))).as("scrubbed"),
+      guardedReplaceAll(ipScrubbed, phValid, "<PHONE>", "digit")
+        .as("scrubbed"),
       size(ipCands).as("n_ip_candidates"),
       size(ipValid).as("n_ips"),
       size(phCands).as("n_phone_candidates"),
@@ -398,24 +395,17 @@ object TextAnalysisOps {
       c => luhnValid(regexp_replace(c, "[ -]", "")))
     // Same boundary-guarded, position-faithful replace discipline as
     // [[scrubContacts]] — a literal replace would clip prefixes of
-    // longer digit runs elsewhere in the document.
-    val t2 = aggregate(cardValid, t1,
-      (acc, c) => regexp_replace(acc,
-        concat(lit("(?<![0-9])\\Q"), c, lit("\\E(?![0-9])")),
-        lit("<CARD>")))
+    // longer digit runs elsewhere in the document. Native kernel form
+    // (byte-identical to the former dynamic-regexp_replace folds,
+    // without the per-candidate Pattern compile + regex scan per row).
+    val t2 = guardedReplaceAll(t1, cardValid, "<CARD>", "digit")
     val ipCands = regexp_extract_all(t2, lit(Ipv4PatternGuarded), lit(0))
     val ipValid = filter(ipCands, ip =>
       forall(split(ip, "\\."), o => o.cast("int") <= 255))
-    val t3 = aggregate(ipValid, t2,
-      (acc, c) => regexp_replace(acc,
-        concat(lit("(?<![0-9.])\\Q"), c, lit("\\E(?!\\.?[0-9])")),
-        lit("<IP>")))
+    val t3 = guardedReplaceAll(t2, ipValid, "<IP>", "ipv4")
     val phCands = regexp_extract_all(t3, lit(PhonePatternGuarded), lit(0))
     val phValid = filter(phCands, phoneContextValid(_))
-    val t4 = aggregate(phValid, t3,
-      (acc, c) => regexp_replace(acc,
-        concat(lit("(?<![0-9])\\Q"), c, lit("\\E(?![0-9])")),
-        lit("<PHONE>")))
+    val t4 = guardedReplaceAll(t3, phValid, "<PHONE>", "digit")
     docs.select(col(idCol), t4.as("scrubbed"),
       nUrls.as("n_urls"), nEmails.as("n_emails"),
       size(cardValid).as("n_cards"), size(ipValid).as("n_ips"),
@@ -2224,10 +2214,7 @@ object TextAnalysisOps {
     val hexValid = filter(hexCands, c =>
       size(filter(typedLit(HexChars), h => contains(lower(c), h)))
         >= minDistinctHex)
-    val t4 = aggregate(hexValid, t3, (acc, c) =>
-      regexp_replace(acc,
-        concat(lit("(?<![0-9a-fA-F])\\Q"), c, lit("\\E(?![0-9a-fA-F])")),
-        lit("<HEXSECRET>")))
+    val t4 = guardedReplaceAll(t3, hexValid, "<HEXSECRET>", "hex")
     docs.select(col(idCol), t4.as("scrubbed"),
       nBlocks.as("n_key_blocks"), nAws.as("n_aws_keys"),
       nGh.as("n_gh_tokens"),

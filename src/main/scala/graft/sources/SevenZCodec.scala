@@ -50,16 +50,9 @@ import org.apache.commons.compress.utils.SeekableInMemoryByteChannel
   * roundtrips are exact on content. */
 object SevenZCodec {
 
-  // xz-java allocates the LZMA match finder + dictionary (several MiB
-  // at the 256 KiB dict preset) fresh PER ENCODER; a fixture pass that
-  // writes thousands of small archives is then GC-bound on allocation
-  // churn, not on compression CPU. BasicArrayCache is xz-java's public
-  // answer for exactly this workload (soft-referenced, size-keyed,
-  // thread-safe array reuse); it changes allocation only — encoded
-  // bytes are identical. Global to the JVM: every xz-java stream
-  // (7z LZMA2, .xz, zip LZMA members) rides it.
-  org.tukaani.xz.ArrayCache.setDefaultCache(
-    org.tukaani.xz.BasicArrayCache.getInstance())
+  // Pooled xz-java array cache (allocation-only; bytes identical) —
+  // see [[XzMemory]] for the policy and the global-default rationale.
+  XzMemory.ensure()
 
   /** One parsed member: path, declared size, content (null when the
     * budget withheld it). */

@@ -24,6 +24,12 @@ import org.apache.commons.compress.compressors.xz.{
   * so roundtrips are exact on content. */
 object XzCodec {
 
+  // Pooled xz-java array cache (allocation-only; bytes identical) —
+  // commons-compress exposes no per-stream cache seam, so the
+  // documented global default is installed here too: an XzCodec-only
+  // pipeline must not depend on [[SevenZCodec]] having loaded first.
+  XzMemory.ensure()
+
   /** xz magic: FD '7' 'z' 'X' 'Z' 00. */
   def sniff(b: Array[Byte]): Boolean =
     b != null && b.length >= 6 && (b(0) & 0xff) == 0xfd &&

@@ -1,0 +1,40 @@
+package graft.sources
+
+/** xz-java array-cache policy, shared by every codec that reaches the
+  * LZMA/LZMA2 layer ([[SevenZCodec]], [[XzCodec]], [[ZipCodec]]'s LZMA
+  * members).
+  *
+  * xz-java allocates the LZMA match finder + dictionary (several MiB at
+  * the 256 KiB dict preset) fresh PER ENCODER/DECODER; a fixture pass
+  * that writes thousands of small archives is then GC-bound on
+  * allocation churn, not on compression CPU (round-17 measurement:
+  * `sevenZBytes` ×2000 dropped ~3× with the cache). `BasicArrayCache`
+  * is xz-java's public answer for exactly this workload —
+  * soft-referenced, size-keyed, thread-safe array REUSE; it changes
+  * allocation behavior only, never bytes.
+  *
+  * Why the JVM-global default and not per-stream injection (r17
+  * advisory): the streams here are built by commons-compress
+  * (`SevenZFile`, `XZCompressorInputStream`/`OutputStream`), which does
+  * not expose xz-java's per-stream `ArrayCache` parameters — the global
+  * default is the only seam that reaches them. The two direct tukaani
+  * stream sites (ZIP LZMA members) pass the cache explicitly anyway, so
+  * they stay correct even if user code resets the global. Installation
+  * is idempotent and happens on first use of any graft xz path; library
+  * users who need the JVM default untouched can call
+  * `ArrayCache.setDefaultCache(ArrayCache.getDummyCache())` after graft
+  * — correctness is unaffected either way. */
+private[graft] object XzMemory {
+
+  val cache: org.tukaani.xz.BasicArrayCache =
+    org.tukaani.xz.BasicArrayCache.getInstance()
+
+  private lazy val installed: Boolean = {
+    org.tukaani.xz.ArrayCache.setDefaultCache(cache)
+    true
+  }
+
+  /** Install the pooled default (once); call from any codec object
+    * init that leads to an xz-java stream. */
+  def ensure(): Unit = { val _ = installed }
+}

@@ -402,9 +402,13 @@ object ZipCodec {
           if (comp.length < 9 || u16(comp, 2) != 5) return None
           val dict = math.max(4096L,
             math.min(u32(comp, 5), math.max(usize, 1L))).toInt
+          // presetDict = null; pooled ArrayCache passed EXPLICITLY
+          // (this is a direct tukaani site — [[XzMemory]]'s global
+          // default covers the commons-compress-built streams, which
+          // expose no per-stream cache parameter)
           new org.tukaani.xz.LZMAInputStream(
             new java.io.ByteArrayInputStream(comp, 9, comp.length - 9),
-            usize, comp(4), dict)
+            usize, comp(4), dict, null, XzMemory.cache)
         case 93 =>
           new com.github.luben.zstd.ZstdInputStreamNoFinalizer(raw)
         case _ => return None
@@ -431,7 +435,8 @@ object ZipCodec {
     val opts = new org.tukaani.xz.LZMA2Options(0)
     opts.setDictSize(64 * 1024)
     val bos = new java.io.ByteArrayOutputStream()
-    val lz = new org.tukaani.xz.LZMAOutputStream(bos, opts, false)
+    val lz = new org.tukaani.xz.LZMAOutputStream(bos, opts, false,
+      XzMemory.cache)
     lz.write(data); lz.finish()
     val hdr = new ByteBuilder(9)
     hdr.add(Array[Byte](20, 2)) // version pair (informational)

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling-observability lane (round 18, r17-verdict item 7).
+  *
+  * At sf0.1 every bench query is overhead-bound (plan/JIT/stage
+  * scheduling), so the driver's 8-core vs 32-core batteries are
+  * indistinguishable and none of the parallelism work is falsifiable
+  * from the driver's seat. This tool materializes a LANE directory the
+  * existing `SPARK_GRAFT_SF_DIR` contract can point at:
+  *
+  *   - `documents` / `embeddings` are replicated ×N (ids shifted per
+  *     replica so keys stay distinct; text salted per replica so
+  *     replicas are not exact dups and dedup queries don't degenerate)
+  *     and written MULTI-SPLIT (`splits` output partitions), so scans
+  *     plan real parallelism and `SparkEntry.par` is the identity —
+  *     exactly the floor's claimed at-scale behavior, now observable;
+  *   - every other table is copied through unchanged (the TPC-H lane
+  *     is not what the scaling claim is about).
+  *
+  * The lane is a PERFORMANCE instrument only: replication changes row
+  * counts, so oracle correctness does not apply to it (the driver's
+  * correctness sweeps stay on the pristine sf dirs). Nothing in the
+  * bench contract changes — the lane is selected with the same env var
+  * the driver already uses:
+  *
+  *   runMain graft.tools.MakeScaleLane [N] [srcDir] [dstDir] [splits]
+  *   SPARK_GRAFT_SF_DIR=<dstDir> SPARK_GRAFT_CPUS=8  runMain graft.Bench
+  *   SPARK_GRAFT_SF_DIR=<dstDir> SPARK_GRAFT_CPUS=32 runMain graft.Bench
+  *
+  * Expected on per-row-CPU queries: 8c/32c wall ratio well above 1
+  * (ideally → 4 as compute dominates); sf0.1 reads ~1.0. */
+object MakeScaleLane {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(4)
+    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(2).getOrElse("/tmp/graft_scale_lane")
+    val splits = args.lift(3).map(_.toInt).getOrElse(64)
+    require(n >= 1 && splits >= 1, "N >= 1, splits >= 1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
+    val tables = new java.io.File(src).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).sorted
+    tables.foreach { t =>
+      val in = spark.read.parquet(s"$src/$t.parquet")
+      val out = t match {
+        case "documents" =>
+          (0 until n).map { r =>
+            in.withColumn("doc_id",
+                col("doc_id") + lit(r.toLong * 10000000L))
+              // salt breaks exact/near-dup degeneracy across replicas
+              .withColumn("text", concat(col("text"),
+                lit(s" lanereplica$r")))
+          }.reduce(_ unionByName _).repartition(splits)
+        case "embeddings" =>
+          (0 until n).map { r =>
+            in.withColumn("vec_id",
+                col("vec_id") + lit(r.toLong * 10000000L))
+          }.reduce(_ unionByName _).repartition(splits)
+        case _ => in
+      }
+      out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      println(s"[lane] $t: ${out.columns.length} cols -> $dst/$t.parquet")
+    }
+    println(s"[lane] done: N=$n splits=$splits at $dst")
+    spark.stop()
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpressions.guardedReplaceAll
+
+/** [[graft.functions.TextKernels.guardedReplaceAll]] — the native form
+  * of the boundary-guarded candidate-replace fold (round 18, opt guide
+  * "per-task work"): byte-identical to the former
+  * `aggregate(cands, text, (acc, c) => regexp_replace(acc,
+  * "(?<!G)\\Qc\\E(?!H)", rep))` idiom, without the per-candidate
+  * Pattern compile. The reference oracle HERE is that exact regex fold
+  * (still constructible), run side by side on adversarial fixtures. */
+class GuardedReplaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def regexFold(txt: Column, cands: Column, rep: String,
+                        before: String, after: String): Column =
+    aggregate(cands, txt, (acc, c) => regexp_replace(acc,
+      concat(lit(s"(?<!$before)\\Q"), c, lit(s"\\E(?!$after)")), lit(rep)))
+
+  private val digitB = "[0-9]"; private val digitA = "[0-9]"
+  private val ipB = "[0-9.]"; private val ipA = "\\.?[0-9]"
+  private val hexB = "[0-9a-fA-F]"; private val hexA = "[0-9a-fA-F]"
+
+  private def check(rows: Seq[(String, Seq[String])], rep: String,
+                    mode: String): Unit = {
+    val df = rows.toDF("text", "cands")
+    val (b, a) = mode match {
+      case "digit" => (digitB, digitA)
+      case "ipv4"  => (ipB, ipA)
+      case "hex"   => (hexB, hexA)
+    }
+    val got = df.select(
+      guardedReplaceAll(col("text"), col("cands"), rep, mode).as("k"),
+      regexFold(col("text"), col("cands"), rep, b, a).as("r"))
+      .collect()
+    got.zip(rows).foreach { case (r, (txt, cs)) =>
+      assert(r.getString(0) == r.getString(1),
+        s"kernel='${r.getString(0)}' regex='${r.getString(1)}' " +
+          s"for text='$txt' cands=$cs mode=$mode")
+    }
+  }
+
+  test("digit guard: match at start/end, embedded run rejected, " +
+      "adjacent runs, repeat occurrences, fold order") {
+    check(Seq(
+      ("4111 1111 1111 1111 pays", Seq("4111 1111 1111 1111")),
+      ("pay 4111 1111 1111 1111", Seq("4111 1111 1111 1111")),
+      // embedded in a longer digit run on either side: no replace
+      ("x94111 1111 1111 1111", Seq("4111 1111 1111 1111")),
+      ("4111 1111 1111 11119", Seq("4111 1111 1111 1111")),
+      // two separated occurrences, both replaced
+      ("a 123-456 b 123-456 c", Seq("123-456")),
+      // candidate is a prefix of a longer run elsewhere: only the
+      // guarded occurrence replaces
+      ("ok 555-0123 bad 555-01234", Seq("555-0123")),
+      // overlapping self: "11" in "1111" — regex finds none (guards)
+      ("1111", Seq("11")),
+      // fold order: first candidate rewrites, second sees the result
+      ("12 34 1234", Seq("12", "34")),
+      // empty candidate list: text unchanged
+      ("unchanged", Seq.empty[String]),
+      // replacement adjacent to next occurrence
+      ("55 55", Seq("55")),
+      ("+1 (415) 555-0123 and +1 (415) 555-0123.", Seq("+1 (415) 555-0123"))
+    ), "<X>", "digit")
+  }
+
+  test("ipv4 guard: dotted-quad boundaries — trailing sentence dot " +
+      "replaces, version-string tail rejects, leading dot rejects") {
+    check(Seq(
+      ("at 10.0.0.7.", Seq("10.0.0.7")),       // end-of-sentence: IP
+      ("v 1.2.3.4.5 no", Seq("1.2.3.4")),      // .5 follows: reject
+      ("x.10.0.0.7", Seq("10.0.0.7")),         // '.' before: reject
+      ("910.0.0.7", Seq("10.0.0.7")),          // digit before: reject
+      ("10.0.0.7 and 10.0.0.71", Seq("10.0.0.7")), // prefix-of-longer
+      ("10.0.0.7", Seq("10.0.0.7")),           // exact whole string
+      ("ip 10.0.0.7, 10.0.0.7; done", Seq("10.0.0.7"))
+    ), "<IP>", "ipv4")
+  }
+
+  test("hex guard: hex-run boundaries including a-f/A-F") {
+    check(Seq(
+      ("key deadbeefcafe1234 end", Seq("deadbeefcafe1234")),
+      ("Adeadbeefcafe1234 end", Seq("deadbeefcafe1234")),  // A before
+      ("deadbeefcafe1234f end", Seq("deadbeefcafe1234")),  // f after
+      ("g deadbeefcafe1234 g", Seq("deadbeefcafe1234")),   // g is not hex
+      ("0deadbeefcafe1234", Seq("deadbeefcafe1234"))
+    ), "<HEX>", "hex")
+  }
+
+  test("null poisoning matches the regex fold: a null candidate " +
+      "element nulls the result; null text nulls the result") {
+    val df = Seq(("text 12 x", Seq[String]("12"))).toDF("text", "cands")
+      .select(col("text"),
+        array(lit("12"), lit(null).cast("string")).as("cands"))
+    val r = df.select(
+      guardedReplaceAll(col("text"), col("cands"), "<X>", "digit").as("k"),
+      regexFold(col("text"), col("cands"), "<X>", digitB, digitA).as("r"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val nullText = Seq((Option.empty[String], Seq("12")))
+      .toDF("text", "cands")
+    val r2 = nullText.select(
+      guardedReplaceAll(col("text"), col("cands"), "<X>", "digit").as("k"))
+      .collect()(0)
+    assert(r2.isNullAt(0))
+  }
+
+  test("scrub operators end-to-end: fullScrub/scrubContacts/scrubCards " +
+      "rows unchanged vs the documented regex-fold semantics") {
+    import graft.operators.TextAnalysisOps
+    val docs = Seq(
+      (1L, "contact user1@example.com via http://ex.org/d/1 card " +
+        "4111 1111 1111 1111 call +1 (415) 555-0123 from 10.0.0.7"),
+      (2L, "no pii at all here"),
+      (3L, "two cards 4111 1111 1111 1111 and 5500 0000 0000 0004, " +
+        "bad luhn 1234 5678 9012 3456"),
+      (4L, "versions 1.2.3.4.5 and the server at 10.0.0.7. done"),
+      (5L, "serial x94111 1111 1111 11119 embeds a card shape")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.fullScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L).contains("<CARD>") && byId(1L).contains("<IP>")
+      && byId(1L).contains("<PHONE>") && byId(1L).contains("<URL>")
+      && byId(1L).contains("<EMAIL>"))
+    assert(byId(2L) == "no pii at all here")
+    assert(byId(3L).contains("<CARD>") &&
+      byId(3L).contains("1234 5678 9012 3456")) // luhn-invalid kept
+    assert(byId(4L).contains("1.2.3.4.5") &&    // version string kept
+      byId(4L).contains("<IP>. done"))          // sentence-final IP hit
+    // card stage: embedded 16-digit sub-run is never clipped; the
+    // phone stage then matches the 5-4-4 digit grouping ("x941..."
+    // starts a fresh run after a non-digit) — the same single-pass
+    // precedence the regex fold had (kernel tests above pin byte
+    // equality; this pins the operator-level composition)
+    assert(byId(5L).contains("x<PHONE> 11119"),
+      s"got: ${byId(5L)}")
+  }
+}

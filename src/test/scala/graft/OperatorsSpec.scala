@@ -6734,6 +6734,10 @@ class OperatorsSpec extends AnyFunSuite {
     val sents = Bench.SentinelQueries
     assert(sents.size == 6 && sents.forall(_.matches("q0[1-6]_.*")),
       "pinned to the never-touched round-1 core queries")
+    // round-18 mid-band: 1-3 s queries the optimization rounds
+    // measured and left alone — a second runtime decade of context
+    assert(Bench.SentinelMidBand.size == 6 &&
+      Bench.SentinelMidBand.toSet.intersect(sents.toSet).isEmpty)
     val prev = sents.map(_ -> 1.0).toMap
     // uniformly hot battery at 1.3x adjusted: offset = 1.3
     val hot = sents.map(_ -> 1.3).toMap
@@ -6765,6 +6769,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bench.guardScale(None) == 1.0)
     // degenerate calib ratio never divides by zero
     assert(Bench.batteryOffset(prev, hot, 0.0).isEmpty)
+  }
+
+  test("bench battery offset hardening (round 18): dispersion " +
+      "recorded, two-band default, >1.6 trust policy") {
+    val core = Bench.SentinelQueries
+    val mid = Bench.SentinelMidBand
+    val all = core ++ mid
+    val prev = core.map(_ -> 0.5).toMap ++ mid.map(_ -> 2.0).toMap
+    // band-split context: tiny queries clean, mid-band 1.5x hot —
+    // the median mixes the bands and the SPREAD records the split
+    val split = core.map(_ -> 0.5).toMap ++ mid.map(_ -> 3.0).toMap
+    val Some((med, spread)) =
+      Bench.batteryOffsetStats(prev, split, 1.0, all)
+    assert(math.abs(med - 1.25) < 1e-9) // median of six 1.0s, six 1.5s
+    assert(math.abs(spread - 1.5) < 1e-9)
+    // uniform battery: spread 1.0
+    val uniform = all.map(q => q -> prev(q) * 1.2).toMap
+    val Some((m2, s2)) = Bench.batteryOffsetStats(prev, uniform, 1.0, all)
+    assert(math.abs(m2 - 1.2) < 1e-9 && math.abs(s2 - 1.0) < 1e-9)
+    // default sentinel set for the stats seam IS the two-band union
+    val viaDefault = Bench.batteryOffsetStats(prev, split, 1.0)
+    assert(viaDefault.contains((med, spread)))
+    // legacy batteryOffset still medians over the core band only
+    assert(Bench.batteryOffset(prev, split, 1.0).exists(o =>
+      math.abs(o - 1.0) < 1e-9))
+    // trust policy: inside [0.625, 1.6] trusted, outside not; an
+    // unmeasurable offset (None) stays trusted — the guard scale is
+    // then 1.0 and nothing relaxes
+    assert(Bench.offsetTrusted(Some(1.59)))
+    assert(Bench.offsetTrusted(Some(0.63)))
+    assert(!Bench.offsetTrusted(Some(1.61)))
+    assert(!Bench.offsetTrusted(Some(0.5)))
+    assert(Bench.offsetTrusted(None))
   }
 
   test("unpersistOnJob (round 15): the closure/BT cache-scoped " +

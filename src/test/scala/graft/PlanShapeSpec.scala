@@ -14,16 +14,23 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
-  /** Exchange count excluding the round-17 scan-parallelism floor
-    * (SparkEntry.par's explicit repartition, origin
-    * REPARTITION_BY_NUM): the floor spreads the narrow (id, text)
-    * input of a single-row-group bench file across cores BEFORE any
-    * per-row work — identity on any input with real split
-    * parallelism. Pins below count the exchanges the OPERATOR adds,
-    * which the floor is not one of. */
+  /** Plan with the round-17 scan-parallelism floor DISABLED
+    * (SparkEntry.par is identity under the toggle): exchange-count
+    * pins run on these so they see the RAW count — the r17 form
+    * subtracted every REPARTITION_BY_NUM, which also hid OPERATOR
+    * repartitions (dhash band spread, q343's keyed repartitions) from
+    * the pins (r17 advisory). The floor is bench-input scaffolding,
+    * not operator shape; everything else pins the floored plan. */
+  private def planNoFloor(name: String): String = {
+    sys.props("spark.graft.noScanFloor") = "1"
+    try SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+    finally sys.props.remove("spark.graft.noScanFloor")
+  }
+
+  /** RAW exchange count — use with [[planNoFloor]] output. */
   private def exchanges(p: String): Int =
-    p.split("Exchange").length - 1 -
-      "REPARTITION_BY_NUM".r.findAllIn(p).size
+    p.split("Exchange").length - 1
 
   test("q02: predicates pushed to the parquet scan, columns pruned") {
     val p = plan("q02_filter_project")
@@ -77,7 +84,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q82/q83: media binary dies in the scan; pair join is banded, " +
       "never cartesian") {
-    val p82 = plan("q82_image_dhash")
+    val p82 = planNoFloor("q82_image_dhash")
     // the one exchange is the presentation sort of (id, flag, hi, lo)
     assert(exchanges(p82) <= 1,
       s"media payload must be dropped before any shuffle:\n$p82")
@@ -177,8 +184,7 @@ class PlanShapeSpec extends AnyFunSuite {
     Seq("q124_gopher_rules", "q125_card_scrub", "q126_mojibake",
       "q127_c4_filter", "q129_hashed_embed",
       "q133_contact_scrub", "q136_full_scrub").foreach { q =>
-      val body = SparkEntry.queries(q)(spark, dir)
-        .queryExecution.executedPlan.toString
+      val body = planNoFloor(q)
       assert(exchanges(body) <= 1,
         s"$q should shuffle only for the final presentation sort:\n$body")
     }
@@ -200,7 +206,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q131: DSIR scoring is a join-free projection — the ratio table " +
       "enters as a literal, only the presentation sort may shuffle") {
-    val p = plan("q131_dsir_select")
+    val p = planNoFloor("q131_dsir_select")
     assert(!p.contains("Join"),
       s"likelihood-ratio table must be a plan literal, never joined:\n$p")
     assert(p.contains("hashed_counts"),
@@ -743,14 +749,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     // the index is one flatMap projection: its only exchange is the
     // presentation sort (archive/body bytes never reach a shuffle)
-    val pc = plan("q463_cdx_index")
+    val pc = planNoFloor("q463_cdx_index")
     assert(exchanges(pc) <= 1,
       s"q463: presentation sort is the only exchange:\n$pc")
     // q464: the full WARC→text→WET lifecycle is one projection chain
     // into the single shard shuffle — no join, no window, and the
     // corpus is scanned once (record walk + boilerplate strip never
     // re-read the archive column)
-    val pw2 = plan("q464_warc_to_wet")
+    val pw2 = planNoFloor("q464_warc_to_wet")
     assert(!pw2.contains("Window") && !pw2.contains("Join"),
       s"q464 must stay a projection chain into the shard shuffle:\n$pw2")
     assert(pw2.split("Scan parquet").length <= 2,
@@ -934,7 +940,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "projections — no join, only the presentation sort exchanges") {
     Seq("q150_secrets_scan", "q151_license_signals",
       "q157_code_prose", "q160_html_meta").foreach { q =>
-      val p = plan(q)
+      val p = planNoFloor(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(exchanges(p) <= 1,
         s"$q must be projection-only ahead of the presentation sort:\n$p")
