@@ -254,7 +254,23 @@ object DedupOps {
     * would be a non-starter at corpus scale. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2): DataFrame =
+    minhashCandidatesWithSets(docs, idCol, textCol, shingleN, k,
+      rowsPerBand)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** [[minhashCandidates]] with the verify-stage distinct shingle SETS
+    * kept on the pair row (`sh_a`, `sh_b`) — for verifiers that need a
+    * second set statistic on the SAME pairs ([[containmentPairs]]):
+    * re-deriving the sets outside would re-run the corpus-wide shingle
+    * kernel once per reference (round 18 — q99 profiled two extra
+    * full-corpus shingle passes doing exactly that). Same plan
+    * otherwise; when the caller drops sh_a/sh_b, column pruning
+    * restores the exact [[minhashCandidates]] plan. */
+  private[operators] def minhashCandidatesWithSets(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
     // two-step projection: tokens materialized BEFORE the shingle lambda
     // (an inline split would re-evaluate per element — see shinglesOf).
     // Null-text docs are dropped up front: they would otherwise share a
@@ -308,7 +324,8 @@ object DedupOps {
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        col("sh_a"), col("sh_b"))
   }
 
   /** Containment near-dup pairs (Broder's containment coefficient
@@ -330,25 +347,21 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3,
                        threshold: Double = 0.9): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, shingleN,
+    // round 18 (guide §1.2 step 1 — don't compute things twice): the
+    // jaccard verify inside the candidate pass already joins each
+    // pair to its two distinct shingle SETS; containment is a second
+    // statistic over the SAME sets, so it computes on the pair row.
+    // The former shape re-derived a corpus-wide `sets` projection and
+    // joined it twice — two additional full-corpus shingle-kernel
+    // passes and two joins, profiled as the bulk of q99's cold time.
+    // Values are identical: shSets inside the candidate pass is
+    // array_distinct over the same wordShingles of the same non-null
+    // docs, and every candidate id is present on both sides.
+    minhashCandidatesWithSets(docs, idCol, textCol, shingleN,
       k = 8, rowsPerBand = 1)
-    // the candidate frame is tiny and broadcasts into both set joins —
-    // the corpus-wide set projection STREAMS against it (measured
-    // faster than semi-join-restricting the sets first, which pays two
-    // extra exchanges)
-    val sets = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
-      .select(col("id"), array_distinct(
-        graft.functions.TextExpressions.wordShingles(col("__t"), shingleN))
-        .as("sh"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sa")),
-        Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sb")),
-        Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          least(size(col("sa")), size(col("sb"))).cast("double"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
           .as("containment"))
       .filter(col("containment") >= lit(threshold))
   }

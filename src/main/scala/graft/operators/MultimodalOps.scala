@@ -1264,6 +1264,20 @@ object MultimodalOps {
     * closed-form-oracle scheme); undecodable containers yield a
     * single `decoded = false` row, never an exception.
     *
+    * DECLARED validity contract (round 18, pinning the r17 semantic
+    * edge): this operator is "sampled-frames-valid", not
+    * "container-valid". The container structure (RIFF walk, chunk
+    * extents, declared frame count) is validated for EVERY frame, but
+    * JPEG payload corruption voids the clip only when it hits a
+    * SAMPLED frame — an unsampled corrupt frame is never decoded, so
+    * at `every > 1` a clip can emit rows that a full decode
+    * (`every = 1`, ≡ the r16 behavior) would reject. That is the
+    * standard sampling trade (the skipped decode IS the saving) and
+    * it is deterministic in `every`; pipelines that need
+    * container-validity run `every = 1` or a separate census pass.
+    * Spec-pinned in VideoCodecsSpec (corrupt-unsampled vs
+    * corrupt-sampled cases).
+    *
     * Scale shape: the container parses in the scan task and only
     * (id, dims, frame_idx, three ints) rows flow on — the video
     * binary never reaches an exchange, and sampled-frame rows are

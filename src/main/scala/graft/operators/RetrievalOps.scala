@@ -30,8 +30,8 @@ object RetrievalOps {
     * k1 = 1.2, b = 0.75. Distinct query terms only (standard qtf ≈ 1).
     *
     * Scale shape: the corpus explodes to (doc, term) ONCE and is
-    * immediately semi-joined against the broadcast distinct-query-term
-    * set — rows for non-query terms never reach an exchange, so the one
+    * immediately LEFT-SEMI-joined against the broadcast query-term
+    * rows — rows for non-query terms never reach an exchange, so the one
     * real shuffle (tf counting, map-side combined) is sized by matching
     * tokens, not the corpus. df is a per-term `groupBy.count` over the
     * same (term, doc, tf) subtree — partially aggregatable, so a
@@ -65,10 +65,18 @@ object RetrievalOps {
       sum(col("__dl")).as("__total_dl"))
     val qTerms = queries.select(col(qIdCol).as("query_id"),
       explode(array_distinct(tokens(col(qTextCol)))).as("term"))
-    val termSet = qTerms.select(col("term")).distinct()
+    // LEFT SEMI against the full qTerms broadcast (round 18): the
+    // former `join(broadcast(qTerms.select("term").distinct()))` is
+    // row-identical (inner join on a DISTINCT key ≡ semi join), but
+    // planned a whole extra subtree — a second scan/tokenize of the
+    // query source, a distinct exchange, and its own broadcast build —
+    // per bm25TopK call. Semi-join semantics need no distinct, and
+    // broadcasting qTerms ITSELF (same child, same term key) makes
+    // this the SAME broadcast exchange the per-query contribution
+    // join below uses — one build, reused.
     val tf = base
       .select(col("doc_id"), col("__dl"), explode(col("__t")).as("term"))
-      .join(broadcast(termSet), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"), "left_semi")
       .groupBy(col("term"), col("doc_id"), col("__dl"))
       .agg(count(lit(1)).as("__tf"))
     // df per term: map-side-combined aggregate over the SAME

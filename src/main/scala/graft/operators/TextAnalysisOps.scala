@@ -842,6 +842,12 @@ object TextAnalysisOps {
     // occurrences via the bounded-heap top-N aggregate — no count or
     // rank window, so a corpus-wide boilerplate gram never
     // concentrates its O(corpus) occurrence rows in a single task
+    // cached: referenced by BOTH the partner side (bSide explode) and
+    // the candidate semi-join — uncached, each reference re-runs the
+    // full gram count+boundedTopN aggregate over the corpus gram
+    // stream (the minhashCandidates cand/shSets cache discipline;
+    // rows = repeated grams with ≤ partnerCap structs each, the
+    // operator's own bounded working set, never raw text)
     val gramStats = grams
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("__c"),
@@ -854,16 +860,21 @@ object TextAnalysisOps {
           col("__c") - lit(partnerCap.toLong)).otherwise(lit(0L)))
           .as("capped_occurrences"),
         max(col("__c")).as("max_gram_count"))
+      .cache()
     val cand = grams
       .join(gramStats.select(col("__g")), Seq("__g"), "left_semi")
     // maximal marked spans: a new span starts when the previous
     // marked window no longer touches this one's token range
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // cached: referenced by spanBounds AND the partner pair join —
+    // rows = repeated-gram positions (id, pos, gram hash, span id),
+    // the candidate set the verify stage exists to bound
     val sp = cand
       .withColumn("__new",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0)
           .otherwise(1))
       .withColumn("span_id", sum(col("__new")).over(byDoc))
+      .cache()
     val spanBounds = sp.groupBy(col(idCol), col("span_id"))
       .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"),
         count(lit(1)).as("__nc"))
